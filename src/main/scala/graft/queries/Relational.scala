@@ -1,0 +1,726 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator coverage: filters (SURVEY §2.3), projections
+  * (§2.2), metric + grouped aggregations (§2.4), limits (§2.5),
+  * scalar arithmetic (§2.8), plus parity-plus joins and windows
+  * (§2.6/§2.7).
+  *
+  * Every query is deterministically ordered and floating aggregates are
+  * rounded identically on the Spark and DuckDB sides so the driver's
+  * hash compare is stable. All plans are plain declarative DataFrame
+  * trees: Catalyst pushes filters/projections into the parquet scan and
+  * plans partial->final hash aggregation, which is the 100TB-safe shape
+  * (no driver-side loops, no collect mid-plan).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** eland wildcard (`*`/`?`, eland/filter.py:136-139) -> SQL LIKE. */
+  def wildcardToLike(pattern: String): String =
+    pattern.flatMap {
+      case '*' => "%"
+      case '?' => "_"
+      case '%' => "\\%"
+      case '_' => "\\_"
+      case c   => c.toString
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- filters: F1 range (eland/filter.py:97-118) -------------------
+    "f1_range" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") <= 0.02)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // F2 equality / negation (eland/filter.py:121-124)
+    "f2_equal_ne" -> ((s, d) => {
+      t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+    // F3 isin (eland/filter.py:127-133)
+    "f3_isin" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+    // F4 wildcard -> LIKE (eland/filter.py:136-139)
+    "f4_wildcard" -> ((s, d) => {
+      t(s, d, "part")
+        .filter(col("p_name").like(wildcardToLike("*re*")))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }),
+    // F5 regex (eland/filter.py:142-145)
+    "f5_regex" -> ((s, d) => {
+      t(s, d, "part")
+        .filter(col("p_name").rlike("^(red|blue) .*t$"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }),
+    // F6 prefix (eland/filter.py:148-151)
+    "f6_prefix" -> ((s, d) => {
+      t(s, d, "part")
+        .filter(col("p_brand").startsWith("Brand#1"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy("p_brand")
+    }),
+    // F7 isnull/notnull (eland/filter.py:154-163) — synthesize nulls
+    "f7_nullness" -> ((s, d) => {
+      t(s, d, "orders")
+        .withColumn("p", expr("nullif(o_orderpriority, '1-URGENT')"))
+        .agg(
+          count(lit(1)).minus(count(col("p"))).cast("long").as("n_null"),
+          count(col("p")).cast("long").as("n_notnull"))
+    }),
+    // F8 column-vs-column predicate (eland Painless ScriptFilter,
+    // eland/filter.py:166-179 — collapses to a plain Column comparison)
+    "f8_colpair" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_discount") > col("l_tax"))
+        .agg(
+          count(lit(1)).cast("long").as("cnt"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
+    // F13 string query expression via the SQL parser
+    // (eland/dataframe.py:1991-2036)
+    "f13_query_expr" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter("l_extendedprice / l_quantity > 1500.0")
+        .agg(
+          count(lit(1)).cast("long").as("cnt"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
+    // F14 row drop by id (eland/operations.py:1396-1427)
+    "f14_drop_ids" -> ((s, d) => {
+      t(s, d, "orders")
+        .filter(!col("o_orderkey").isin(1L, 2L, 3L, 4L, 5L))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+             min(col("o_orderkey")).as("min_key"))
+    }),
+    // F15 per-column existence counts (eland/operations.py:148-174)
+    "f15_exists_counts" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.agg(
+        count(col("o_orderkey")).cast("long").as("n_o_orderkey"),
+        count(col("o_custkey")).cast("long").as("n_o_custkey"),
+        count(col("o_orderstatus")).cast("long").as("n_o_orderstatus"),
+        count(col("o_totalprice")).cast("long").as("n_o_totalprice"),
+        count(col("o_orderdate")).cast("long").as("n_o_orderdate"),
+        count(col("o_orderpriority")).cast("long").as("n_o_orderpriority"))
+    }),
+
+    // ---- projections: P1/P4 (eland/query_compiler.py:523-541,
+    // eland/dataframe.py:1409-1443) --------------------------------------
+    "p1_select" -> ((s, d) => {
+      t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+    "p4_select_dtypes" -> ((s, d) => {
+      // numeric-only column selection driven by the schema, then one agg
+      val li = t(s, d, "lineitem")
+      val numeric = li.schema.fields.filter(f =>
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      import org.apache.spark.sql.types._
+      val aggs = numeric.map { f =>
+        f.dataType match {
+          case LongType | IntegerType | ShortType | ByteType =>
+            sum(col(f.name)).cast("long").as(s"sum_${f.name}")
+          case _ =>
+            round(sum(col(f.name)), 4).as(s"sum_${f.name}")
+        }
+      }
+      li.agg(aggs.head, aggs.tail: _*)
+    }),
+
+    // ---- metric aggregations A1-A10, A15-A18 ---------------------------
+    "a1_metrics_basic" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        count(col("l_quantity")).cast("long").as("count_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+    }),
+    // A5/A6 sample std/var — eland corrects ES population stats to
+    // sample (eland/operations.py:645-664); Spark *_samp is ddof=1 natively
+    "a5_std_var" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        round(stddev_samp(col("l_quantity")), 6).as("std_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("std_price"),
+        round(var_samp(col("l_extendedprice")), 2).as("var_price"))
+    }),
+    // A7 median — exact (the reference is TDigest-approximate,
+    // eland/operations.py:1122-1123; exact is strictly better)
+    "a7_median" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        round(expr("median(l_quantity)"), 4).as("median_qty"),
+        round(expr("median(l_extendedprice)"), 4).as("median_price"))
+    }),
+    // A8 quantiles (eland/operations.py:760-794)
+    "a8_quantile" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("q50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q75"))
+    }),
+    // A9 MAD — two-pass exact (reference: TDigest approx,
+    // eland/operations.py:1120-1121)
+    "a9_mad" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val med = li.agg(expr("median(l_extendedprice)").as("m"))
+      li.crossJoin(broadcast(med))
+        .agg(round(expr("median(abs(l_extendedprice - m))"), 4)
+          .as("mad_price"))
+    }),
+    // A10 nunique — exact countDistinct (reference: HLL++,
+    // eland/operations.py:1118-1119)
+    "a10_nunique" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).cast("long").as("nu_part"),
+        countDistinct(col("l_suppkey")).cast("long").as("nu_supp"),
+        countDistinct(col("l_returnflag")).cast("long").as("nu_flag"))
+    }),
+    // A11 mode with tie-keeping (eland/operations.py:665-696)
+    "a11_mode" -> ((s, d) => {
+      val counts = t(s, d, "lineitem")
+        .groupBy(col("l_quantity")).agg(count(lit(1)).as("c"))
+      val mx = counts.agg(max(col("c")).as("mc"))
+      counts.crossJoin(broadcast(mx))
+        .filter(col("c") === col("mc"))
+        .select(col("l_quantity"))
+        .orderBy("l_quantity")
+    }),
+    // A12 value_counts top-n (eland/operations.py:420-468); deterministic
+    // tiebreak by value
+    "a12_value_counts" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+        .limit(5)
+    }),
+    // A13 unique (eland/operations.py:796-820)
+    "a13_unique" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // A14 two-phase histogram (eland/operations.py:470-556)
+    "a14_hist" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val mm = li.agg(
+        min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+      li.crossJoin(broadcast(mm))
+        .select(least(
+          floor((col("l_extendedprice") - col("mn")) / ((col("mx") - col("mn")) / 10.0)),
+          lit(9L)).as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy("bin")
+    }),
+    // A15 idxmax (eland/operations.py:207-254) — deterministic min-key
+    // among argmax rows
+    "a15_idxmax" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val mx = li.agg(max(col("l_extendedprice")).as("mx"))
+      li.crossJoin(broadcast(mx))
+        .filter(col("l_extendedprice") === col("mx"))
+        .agg(min(col("l_orderkey")).as("idxmax_key"))
+    }),
+    // A17 describe (eland/operations.py:1189-1216)
+    "a17_describe" -> ((s, d) => {
+      val a = t(s, d, "lineitem").agg(
+        count(col("l_quantity")).cast("double").as("c_q"),
+        round(avg(col("l_quantity")), 4).as("me_q"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_q"),
+        round(min(col("l_quantity")), 4).as("mi_q"),
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_q"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_q"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75_q"),
+        round(max(col("l_quantity")), 4).as("ma_q"),
+        count(col("l_extendedprice")).cast("double").as("c_p"),
+        round(avg(col("l_extendedprice")), 4).as("me_p"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_p"),
+        round(min(col("l_extendedprice")), 4).as("mi_p"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_p"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_p"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_p"),
+        round(max(col("l_extendedprice")), 4).as("ma_p"))
+      a.select(explode(array(
+        struct(lit("1_count").as("stat"), col("c_q").as("l_quantity"), col("c_p").as("l_extendedprice")),
+        struct(lit("2_mean").as("stat"), col("me_q").as("l_quantity"), col("me_p").as("l_extendedprice")),
+        struct(lit("3_std").as("stat"), col("sd_q").as("l_quantity"), col("sd_p").as("l_extendedprice")),
+        struct(lit("4_min").as("stat"), col("mi_q").as("l_quantity"), col("mi_p").as("l_extendedprice")),
+        struct(lit("5_p25").as("stat"), col("p25_q").as("l_quantity"), col("p25_p").as("l_extendedprice")),
+        struct(lit("6_p50").as("stat"), col("p50_q").as("l_quantity"), col("p50_p").as("l_extendedprice")),
+        struct(lit("7_p75").as("stat"), col("p75_q").as("l_quantity"), col("p75_p").as("l_extendedprice")),
+        struct(lit("8_max").as("stat"), col("ma_q").as("l_quantity"), col("ma_p").as("l_extendedprice"))
+      )).as("r")).select("r.*").orderBy("stat")
+    }),
+    // A18 len() fast path (eland/operations.py:1339-1356)
+    "a18_len" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).cast("long").as("n"))),
+
+    // ---- grouped aggregations A19-A21 ----------------------------------
+    // The TPC-H Q1 shape: composite group-by + multi-agg, one shuffle,
+    // partial aggregation map-side (eland: composite agg + after_key
+    // pagination, eland/operations.py:822-1004)
+    "q1_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).cast("long").as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // A20 grouped quantiles (eland/operations.py:955-993)
+    "a20_groupby_quantile" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("q50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("q90"))
+        .orderBy("o_orderpriority")
+    }),
+    // A21 grouped nunique / std / mad family
+    "a21_groupby_nunique" -> ((s, d) => {
+      t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+          countDistinct(col("c_nationkey")).cast("long").as("nu_nation"),
+          count(lit(1)).cast("long").as("cnt"),
+          round(stddev_samp(col("c_acctbal")), 4).as("std_bal"))
+        .orderBy("c_mktsegment")
+    }),
+    // A19 dropna=True tri-state: null group keys pre-filtered
+    // (eland missing_bucket handling, eland/query.py:195-211)
+    "a19_groupby_dropna" -> ((s, d) => {
+      t(s, d, "orders")
+        .withColumn("pri", expr("nullif(o_orderpriority, '5-LOW')"))
+        .filter(col("pri").isNotNull)
+        .groupBy("pri")
+        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+             count(lit(1)).cast("long").as("cnt"))
+        .orderBy("pri")
+    }),
+
+    // ---- limits / top-k L1-L2 (eland/tasks.py:78-185) ------------------
+    "l1_head" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(10)
+    }),
+    "l2_tail" -> ((s, d) => {
+      // tail = reverse-sort + limit + driver-cheap re-sort asc
+      // (eland/tasks.py:125-185); TakeOrderedAndProject in Spark
+      val tl = t(s, d, "lineitem")
+        .orderBy(col("l_orderkey").desc, col("l_linenumber").desc)
+        .limit(10)
+      tl.orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- scalar arithmetic E1-E6 (eland/arithmetics.py) ----------------
+    "e1_arith" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          // raw doubles, no rounding: identical IEEE expression trees on
+          // the oracle side give bit-identical values, whereas rounding
+          // decimal-clean products hits half-even vs half-up ties
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"),
+          (col("l_quantity") % lit(7.0)).as("qty_mod7"),
+          floor(col("l_extendedprice") / col("l_quantity")).as("unit_floor"),
+          round(pow(lit(1.0) + col("l_discount"), 2), 6).as("disc_pow2"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "e5_str_concat" -> ((s, d) => {
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          concat(col("c_name"), lit(":"), col("c_mktsegment")).as("tag"),
+          expr("repeat(c_mktsegment, 2)").as("seg2"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- joins & set ops (parity-plus, SURVEY §2.6) --------------------
+    // dim-table broadcast: no shuffle of the big side at scale
+    "j1_join_broadcast_agg" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).cast("long").as("cnt"),
+             round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+    // multi-join star query (TPC-H Q5 flavor); dims broadcast, fact
+    // shuffles once on the join key
+    "j2_revenue_by_nation" -> ((s, d) => {
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).cast("long").as("n_items"))
+        .orderBy("n_name")
+    }),
+    "j3_semi_join" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem").filter(col("l_quantity") >= 49)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("cnt"),
+             round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+    "j4_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+    }),
+    "j5_union" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("key"), lit("c").as("src"))
+      val su = t(s, d, "supplier")
+        .select(col("s_suppkey").as("key"), lit("s").as("src"))
+      c.unionByName(su).orderBy("src", "key")
+    }),
+
+    // ---- windows (parity-plus, SURVEY §2.7) ----------------------------
+    "w1_topk_per_group" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val j = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      j.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rn")
+    }),
+    // sessionization via lag-gap (30 min) — the batch shape of the
+    // streaming sessionizer in graft.streaming
+    "w2_sessionize" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      e.withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))) > 1800, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(sum(col("new_s")).cast("long").as("n_sessions"),
+             count(lit(1)).cast("long").as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ---- date bucketing (eland date_histogram source,
+    // eland/query.py:195-211) --------------------------------------------
+    "d1_date_histogram" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+             round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("month")
+    }),
+    "ev_window_tumble" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+             round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("day", "event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f1_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount <= 0.02
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f2_equal_ne" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+    "f3_isin" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt FROM lineitem
+        |WHERE l_returnflag IN ('A','R') GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "f4_wildcard" ->
+      """SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%re%'
+        |ORDER BY p_partkey""".stripMargin,
+    "f5_regex" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE regexp_matches(p_name, '^(red|blue) .*t$')
+        |ORDER BY p_partkey""".stripMargin,
+    "f6_prefix" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt FROM part
+        |WHERE p_brand LIKE 'Brand#1%' GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "f7_nullness" ->
+      """SELECT CAST(count(*) - count(p) AS BIGINT) AS n_null,
+        |       CAST(count(p) AS BIGINT) AS n_notnull
+        |FROM (SELECT nullif(o_orderpriority, '1-URGENT') AS p FROM orders)""".stripMargin,
+    "f8_colpair" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_discount > l_tax""".stripMargin,
+    "f13_query_expr" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_extendedprice / l_quantity > 1500.0""".stripMargin,
+    "f14_drop_ids" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt, min(o_orderkey) AS min_key
+        |FROM orders WHERE o_orderkey NOT IN (1,2,3,4,5)""".stripMargin,
+    "f15_exists_counts" ->
+      """SELECT CAST(count(o_orderkey) AS BIGINT) AS n_o_orderkey,
+        |       CAST(count(o_custkey) AS BIGINT) AS n_o_custkey,
+        |       CAST(count(o_orderstatus) AS BIGINT) AS n_o_orderstatus,
+        |       CAST(count(o_totalprice) AS BIGINT) AS n_o_totalprice,
+        |       CAST(count(o_orderdate) AS BIGINT) AS n_o_orderdate,
+        |       CAST(count(o_orderpriority) AS BIGINT) AS n_o_orderpriority
+        |FROM orders""".stripMargin,
+    "p1_select" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "p4_select_dtypes" ->
+      """SELECT CAST(sum(l_orderkey) AS BIGINT) AS sum_l_orderkey,
+        |       CAST(sum(l_partkey) AS BIGINT) AS sum_l_partkey,
+        |       CAST(sum(l_suppkey) AS BIGINT) AS sum_l_suppkey,
+        |       CAST(sum(l_linenumber) AS BIGINT) AS sum_l_linenumber,
+        |       round(sum(l_quantity), 4) AS sum_l_quantity,
+        |       round(sum(l_extendedprice), 4) AS sum_l_extendedprice,
+        |       round(sum(l_discount), 4) AS sum_l_discount,
+        |       round(sum(l_tax), 4) AS sum_l_tax
+        |FROM lineitem""".stripMargin,
+    "a1_metrics_basic" ->
+      """SELECT CAST(count(l_quantity) AS BIGINT) AS count_qty,
+        |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
+    "a5_std_var" ->
+      """SELECT round(stddev_samp(l_quantity), 6) AS std_qty,
+        |       round(var_samp(l_quantity), 6) AS var_qty,
+        |       round(stddev_samp(l_extendedprice), 4) AS std_price,
+        |       round(var_samp(l_extendedprice), 2) AS var_price
+        |FROM lineitem""".stripMargin,
+    "a7_median" ->
+      """SELECT round(median(l_quantity), 4) AS median_qty,
+        |       round(median(l_extendedprice), 4) AS median_price
+        |FROM lineitem""".stripMargin,
+    "a8_quantile" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
+        |FROM lineitem""".stripMargin,
+    "a9_mad" ->
+      """SELECT round(mad(l_extendedprice), 4) AS mad_price FROM lineitem""",
+    "a10_nunique" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS nu_part,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nu_supp,
+        |       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nu_flag
+        |FROM lineitem""".stripMargin,
+    "a11_mode" ->
+      """SELECT l_quantity FROM (
+        |  SELECT l_quantity, count(*) AS c FROM lineitem GROUP BY l_quantity)
+        |WHERE c = (SELECT max(c) FROM (
+        |  SELECT count(*) AS c FROM lineitem GROUP BY l_quantity))
+        |ORDER BY l_quantity""".stripMargin,
+    "a12_value_counts" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt FROM orders
+        |GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority
+        |LIMIT 5""".stripMargin,
+    "a13_unique" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a14_hist" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS mn,
+        |                   max(l_extendedprice) AS mx FROM lineitem)
+        |SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 10.0)), 9) AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem, mm GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a15_idxmax" ->
+      """SELECT min(l_orderkey) AS idxmax_key FROM lineitem
+        |WHERE l_extendedprice = (SELECT max(l_extendedprice) FROM lineitem)""".stripMargin,
+    "a17_describe" ->
+      """WITH a AS (
+        |  SELECT CAST(count(l_quantity) AS DOUBLE) AS c_q,
+        |         round(avg(l_quantity), 4) AS me_q,
+        |         round(stddev_samp(l_quantity), 4) AS sd_q,
+        |         round(min(l_quantity), 4) AS mi_q,
+        |         round(quantile_cont(l_quantity, 0.25), 4) AS p25_q,
+        |         round(quantile_cont(l_quantity, 0.5), 4) AS p50_q,
+        |         round(quantile_cont(l_quantity, 0.75), 4) AS p75_q,
+        |         round(max(l_quantity), 4) AS ma_q,
+        |         CAST(count(l_extendedprice) AS DOUBLE) AS c_p,
+        |         round(avg(l_extendedprice), 4) AS me_p,
+        |         round(stddev_samp(l_extendedprice), 4) AS sd_p,
+        |         round(min(l_extendedprice), 4) AS mi_p,
+        |         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_p,
+        |         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_p,
+        |         round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_p,
+        |         round(max(l_extendedprice), 4) AS ma_p
+        |  FROM lineitem)
+        |SELECT '1_count' AS stat, c_q AS l_quantity, c_p AS l_extendedprice FROM a
+        |UNION ALL SELECT '2_mean', me_q, me_p FROM a
+        |UNION ALL SELECT '3_std', sd_q, sd_p FROM a
+        |UNION ALL SELECT '4_min', mi_q, mi_p FROM a
+        |UNION ALL SELECT '5_p25', p25_q, p25_p FROM a
+        |UNION ALL SELECT '6_p50', p50_q, p50_p FROM a
+        |UNION ALL SELECT '7_p75', p75_q, p75_p FROM a
+        |UNION ALL SELECT '8_max', ma_q, ma_p FROM a
+        |ORDER BY stat""".stripMargin,
+    "a18_len" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a20_groupby_quantile" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS q50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS q90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "a21_groupby_nunique" ->
+      """SELECT c_mktsegment,
+        |       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS nu_nation,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       round(stddev_samp(c_acctbal), 4) AS std_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "a19_groupby_dropna" ->
+      """SELECT pri, round(sum(o_totalprice), 2) AS sum_price,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT nullif(o_orderpriority, '5-LOW') AS pri, o_totalprice
+        |      FROM orders)
+        |WHERE pri IS NOT NULL GROUP BY pri ORDER BY pri""".stripMargin,
+    "l1_head" ->
+      """SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin,
+    "l2_tail" ->
+      """SELECT * FROM (
+        |  SELECT * FROM lineitem ORDER BY l_orderkey DESC, l_linenumber DESC
+        |  LIMIT 10)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "e1_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1 - l_discount) AS disc_price,
+        |       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+        |       fmod(l_quantity, 7.0) AS qty_mod7,
+        |       CAST(floor(l_extendedprice / l_quantity) AS BIGINT) AS unit_floor,
+        |       round(power(1.0 + l_discount, 2), 6) AS disc_pow2
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "e5_str_concat" ->
+      """SELECT c_custkey, c_name || ':' || c_mktsegment AS tag,
+        |       repeat(c_mktsegment, 2) AS seg2
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "j1_join_broadcast_agg" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "j2_revenue_by_nation" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "j3_semi_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin,
+    "j4_anti_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j5_union" ->
+      """SELECT key, src FROM (
+        |  SELECT c_custkey AS key, 'c' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS key, 's' AS src FROM supplier)
+        |ORDER BY src, key""".stripMargin,
+    "w1_topk_per_group" ->
+      """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "w2_sessionize" ->
+      """SELECT user_id,
+        |       CAST(sum(CASE WHEN prev IS NULL
+        |                     OR date_diff('second', prev, ts) > 1800
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM (SELECT user_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |      FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "d1_date_histogram" ->
+      """SELECT date_trunc('month', l_shipdate) AS month,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_window_tumble" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
