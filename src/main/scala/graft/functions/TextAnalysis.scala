@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, shingling
+  * and document fingerprinting.
+  *
+  * Everything here is a pure Column expression built from
+  * `org.apache.spark.sql.functions` higher-order array functions — no
+  * UDFs, so the whole pipeline stays inside whole-stage codegen and is
+  * embarrassingly parallel per-row (no shuffle) at any scale.
+  *
+  * The reference has no text functions at all (SURVEY.md §2.8: eland's
+  * scalar surface is arithmetic-only, eland/arithmetics.py) — this
+  * module is the parity-plus/north-star extension.
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count estimate: splits on non-alphanumerics and
+    * letter/digit boundaries — a cheap stand-in for a real tokenizer's
+    * token count at corpus-costing time.
+    */
+  def subwordCountEstimate(text: Column): Column =
+    size(filter(
+      split(lower(text),
+        "[^\\p{L}\\p{N}]+|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
+      t => length(t) > 0)).cast("long")
+
+  /** Marker stopwords per language for the stopword-profile heuristic
+    * language identifier. Deliberately tiny and deterministic.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "es" -> Seq("el", "la", "de", "los", "que", "es"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est"),
+    "it" -> Seq("il", "di", "che", "la", "per", "non"))
+
+  private def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Heuristic language ID: argmax of marker-stopword hit counts with
+    * deterministic first-wins tie-breaking in `langMarkers` order;
+    * "und" (undetermined) when no marker hits at all.
+    */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (l, ws) => l -> markerHits(toks, ws) }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    scores.reverse.foldLeft(lit("und")) { case (els, (l, s)) =>
+      when(s === best && best > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Quality-score feature bundle as one struct column: character
+    * count, token count, mean token length, stopword ratio (English
+    * markers), non-alphanumeric ratio.
+    */
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val charLen = length(text).cast("double")
+    val meanTokLen = when(n > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / n).otherwise(lit(0.0))
+    val stopRatio = when(n > 0,
+      markerHits(toks, langMarkers.head._2).cast("double") / n)
+      .otherwise(lit(0.0))
+    val nonAlnum = when(charLen > 0,
+      (charLen - length(regexp_replace(text, "[\\p{L}\\p{N} ]", ""))
+        .cast("double")) / charLen).otherwise(lit(0.0))
+    struct(
+      charLen.cast("long").as("n_chars"),
+      n.cast("long").as("n_tokens"),
+      meanTokLen.as("mean_token_len"),
+      stopRatio.as("stopword_ratio"),
+      nonAlnum.as("non_alnum_ratio"))
+  }
+
+  /** Word n-gram shingles ("w1 w2 w3"); empty array when too short. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Rolling polynomial document fingerprint over tokens, mod 1e9+7.
+    * Order-sensitive (unlike a bag-of-words hash), so re-ordered
+    * documents fingerprint differently.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      pmod(acc * 31 + pmod(xxhash64(t), lit(1000000007L)), lit(1000000007L)))
+
+  /** 64-bit SimHash over tokens: per bit, the sign of the sum of ±1
+    * contributions from each token hash. Pure per-row expression, no
+    * shuffle. The 64 bit positions are unrolled at plan-build time
+    * (Scala Ints) so all shifts are literal and codegen-friendly;
+    * token hashes are computed once into an array first.
+    */
+  def simhash64(text: Column): Column = {
+    val hs = transform(tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val cnt = aggregate(hs, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1))
+      when(cnt > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash64 values. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+}

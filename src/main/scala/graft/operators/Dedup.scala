@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextAnalysis, VectorOps}
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-groupBy shuffle on a 16-byte digest — the only
+  *    full-shuffle op, and it shuffles digests, not documents.
+  *  - MinHash+LSH: per-row signature (no shuffle), then a shuffle on
+  *    (band, bandHash) buckets only; candidate verification touches
+  *    candidate pairs, never the full N². This is THE 100TB near-dup
+  *    path: cost ~ O(N) + O(candidates).
+  *  - SimHash: per-row 64-bit sketch; near-dup candidates via equal
+  *    bucket prefix + hamming radius — same bucket-join shape.
+  *  - n-gram Jaccard: exact verifier for candidate pairs (never run
+  *    all-pairs at scale; here also exposed per-group for testing).
+  *  - embedding cosine: see Similarity for the ANN path.
+  */
+object Dedup {
+
+  /** Exact duplicate statistics: group on md5 of the raw text. */
+  def exactStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      countDistinct(md5(col(textCol))).cast("long").as("n_unique"))
+
+  /** Exact dedup keeping the smallest id per duplicate group. */
+  def exactKeepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = docs
+      .groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("h")
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signature column: array of `perms` min-hashes over word
+    * `shingleN`-gram shingles. Seeded via xxhash64(seed, shingle) so
+    * the permutations are deterministic and cheap.
+    */
+  def minhashSignature(text: Column, shingleN: Int, perms: Int): Column = {
+    val sh = TextAnalysis.shingles(text, shingleN)
+    array((0 until perms).map { k =>
+      aggregate(sh, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(lit(k), s)))
+    }: _*)
+  }
+
+  /** Banded LSH candidate pairs with signature-estimated Jaccard.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, filtered to
+    * `threshold`. bands*rowsPerBand must equal the signature length.
+    *
+    * The explode duplicates (id, signature) `bands` times before the
+    * bucket shuffle — the standard LSH layout; at very large N, swap
+    * for explode-ids-only + re-join signatures by id.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val perms = bands * rowsPerBand
+    val withSig = docs
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), shingleN, perms).as("sig"))
+      // empty docs have no shingles → signature of sentinels; drop them
+      .filter(size(TextAnalysis.tokens(col(textCol))) >= shingleN)
+    val banded = withSig.select(col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+    val l = banded.select(col("band"), col("bh"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bh"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / perms)
+          .as("est_jaccard"))
+      .groupBy("id_a", "id_b")                 // pair may collide in >1 band
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate pairs: bucket by the top `prefixBits` bits
+    * (near-dups almost always share a prefix bucket when hamming
+    * distance is small), verify by full hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
+    val withSim = docs.select(col(idCol).as("id"),
+      TextAnalysis.simhash64(col(textCol)).as("sh"))
+    val bucketed = withSim.withColumn("bucket",
+      shiftrightunsigned(col("sh"), 64 - prefixBits))
+    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", TextAnalysis.hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs generated by a
+    * blocking key (e.g. LSH bucket or a metadata column). `pairs` must
+    * have (id_a, id_b); texts are joined back by id.
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("_jid"),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("_jsh"))
+    pairs
+      .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_jsh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_jsh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+          .otherwise(lit(0.0)))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking column
+    * (all-pairs inside each block; use Similarity.lshBuckets as the
+    * blocking key at scale).
+    */
+  def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
+                       blockCol: Column, threshold: Double): DataFrame = {
+    val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      blockCol.as("blk"))
+    val l = e.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = e.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorOps.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextAnalysis, VectorOps}
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * text analysis, deduplication, similarity search. Oracle SQL is
+  * provided wherever DuckDB can express the same computation (list
+  * lambdas); sketch-based ops (xxhash64 minhash/simhash/fingerprint,
+  * LSH planes) are rows-only.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting
+    "t1_token_count" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    // BPE-ish subword estimate (lookbehind regex — not mirrorable in RE2)
+    "t2_subword_count" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+    // quality-score features
+    "t3_quality" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityFeatures(col("text")).as("q"))
+        .select(col("doc_id"), col("q.n_chars"), col("q.n_tokens"),
+          col("q.mean_token_len"), col("q.stopword_ratio"),
+          col("q.non_alnum_ratio"))
+        .orderBy("doc_id")
+    }),
+    // heuristic language ID
+    "t4_language_id" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    // order-sensitive rolling-hash fingerprint (xxhash64 — rows-only)
+    "t5_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- dedup -----------------------------------------------------
+    "dd1_exact_dup_stats" -> ((s, d) =>
+      Dedup.exactStats(t(s, d, "documents"), "text")),
+    "dd2_minhash_lsh_pairs" -> ((s, d) => {
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+    "dd3_simhash" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+    // exact n-gram Jaccard over same-source candidate pairs
+    "dd4_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.select(col("source"), col("doc_id").as("id_a"))
+      val b = docs.select(col("source"), col("doc_id").as("id_b"))
+      val pairs = a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      Dedup.ngramJaccard(docs, "doc_id", "text", pairs, shingleN = 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(round(col("jaccard"), 6).desc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+    // embedding-cosine near-dup within label blocks
+    "dd5_embedding_neardup" -> ((s, d) => {
+      Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("label"), threshold = -2.0)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
+        .orderBy(round(col("cos"), 5).desc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
+    // ---- similarity search ----------------------------------------
+    "sim1_brute_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
+    }),
+    "sim2_lsh_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.lshTopK(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 5,
+        planes = 6)
+        .orderBy("q_id", "rank")
+    }),
+    // embedding norm statistics per label
+    "emb1_norm_stats" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(avg(VectorOps.l2Norm(col("embedding"))), 6).as("avg_norm"),
+          round(min(VectorOps.l2Norm(col("embedding"))), 6).as("min_norm"),
+          round(max(VectorOps.l2Norm(col("embedding"))), 6).as("max_norm"))
+        .orderBy("label")
+    })
+  )
+
+  private val toksSql =
+    raw"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+  private val shinglesSql =
+    raw"""CASE WHEN len($toksSql) >= 3
+         | THEN list_distinct(list_transform(range(1, len($toksSql) - 1),
+         |        i -> array_to_string(($toksSql)[i:i+2], ' ')))
+         | ELSE [] END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_count" ->
+      raw"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin,
+    "t3_quality" ->
+      raw"""WITH b AS (
+           |  SELECT doc_id, text, $toksSql AS toks FROM documents)
+           |SELECT doc_id,
+           |  CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CASE WHEN len(toks) > 0 THEN
+           |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+           |  ELSE 0.0 END AS mean_token_len,
+           |  CASE WHEN len(toks) > 0 THEN
+           |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks)
+           |  ELSE 0.0 END AS stopword_ratio,
+           |  CASE WHEN length(text) > 0 THEN
+           |    CAST(length(text) - length(regexp_replace(text, '[\p{L}\p{N} ]', '', 'g')) AS DOUBLE) / length(text)
+           |  ELSE 0.0 END AS non_alnum_ratio
+           |FROM b ORDER BY doc_id""".stripMargin,
+    "t4_language_id" ->
+      raw"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |s AS (SELECT doc_id,
+           |  len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS s_en,
+           |  len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht'))) AS s_de,
+           |  len(list_filter(toks, t -> t IN ('el','la','de','los','que','es'))) AS s_es,
+           |  len(list_filter(toks, t -> t IN ('le','les','et','des','une','est'))) AS s_fr,
+           |  len(list_filter(toks, t -> t IN ('il','di','che','la','per','non'))) AS s_it
+           |FROM b)
+           |SELECT doc_id, CASE
+           |  WHEN greatest(s_en,s_de,s_es,s_fr,s_it) = 0 THEN 'und'
+           |  WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'en'
+           |  WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'de'
+           |  WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'es'
+           |  WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'fr'
+           |  ELSE 'it' END AS lang_pred
+           |FROM s ORDER BY doc_id""".stripMargin,
+    "dd1_exact_dup_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+        |FROM documents""".stripMargin,
+    "dd4_ngram_jaccard" ->
+      raw"""WITH sh AS (SELECT doc_id, source, $shinglesSql AS s FROM documents),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+           |      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b,
+           |  round(CASE WHEN len(list_distinct(list_concat(sa, sb))) > 0 THEN
+           |    CAST(len(list_distinct(list_intersect(sa, sb))) AS DOUBLE) /
+           |    len(list_distinct(list_concat(sa, sb)))
+           |  ELSE 0.0 END, 6) AS jaccard
+           |FROM p ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
+    "dd5_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |             round(list_dot_product(a.v, b.v) /
+        |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cos
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin,
+    "sim1_brute_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |             round(list_dot_product(q.v, c.v) /
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |      WHERE q.vec_id < 5),
+        |r AS (SELECT q_id, n_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "emb1_norm_stats" ->
+      """SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,
+        |  round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+        |  round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  )
+}
