@@ -17,8 +17,12 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.TextQueries.queries
+    graft.queries.Relational.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.FacadeQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.TextQueries.oracles
+    graft.queries.Relational.oracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.FacadeQueries.oracles
 }

@@ -1,0 +1,315 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import graft.functions.EsMatch
+
+/** The user-facing DataFrame facade: eland's lazy pandas-shaped API
+  * (eland/dataframe.py) re-expressed over an immutable Spark
+  * `DataFrame` plus a pinned surrogate row-id column.
+  *
+  * Eland's row identity is the ES `_id` / `_doc` sort
+  * (eland/index.py:24-77); Spark has no implicit row order, so every
+  * frame carries `idCol` — an existing unique key column, or one
+  * minted at ingest — and head/tail/sample determinism hangs off it
+  * (SURVEY.md §7.5 known-hard #1).
+  *
+  * Everything stays lazy: each method returns a new facade over a new
+  * logical plan; Catalyst handles pushdown/pruning/limit-merging that
+  * eland hand-rolls in its task list (eland/operations.py:1461-1482).
+  */
+class GraftFrame private (val df: DataFrame, val idCol: String) {
+
+  private def wrap(d: DataFrame): GraftFrame = new GraftFrame(d, idCol)
+
+  // ---- schema view (eland/field_mappings.py capability matrix) -----
+  def columns: Seq[String] = df.columns.toSeq
+
+  /** (column, pandas dtype) pairs — eland `df.dtypes`. */
+  def dtypes: Seq[(String, String)] =
+    df.schema.fields.toSeq.map(f => f.name -> PdDtypes.pdDtype(f.dataType))
+
+  def schema: StructType = df.schema
+
+  // ---- projections (SURVEY §2.2) -----------------------------------
+  def select(cols: Seq[String]): GraftFrame = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"unknown columns: ${missing.mkString(",")}")
+    wrap(df.select(cols.map(col): _*))
+  }
+
+  def drop(cols: Seq[String], errors: String = "raise"): GraftFrame = {
+    val missing = cols.filterNot(df.columns.contains)
+    if (errors == "raise")
+      require(missing.isEmpty, s"unknown columns: ${missing.mkString(",")}")
+    wrap(df.drop(cols: _*))
+  }
+
+  def rename(mapping: Map[String, String]): GraftFrame =
+    wrap(mapping.foldLeft(df) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to) })
+
+  /** eland `select_dtypes(include=...)` (eland/dataframe.py:1409-1443). */
+  def selectDtypes(include: Set[String]): GraftFrame =
+    select(dtypes.filter(kv => include(kv._2)).map(_._1))
+
+  /** eland `filter(axis=columns, like/regex/items)`
+    * (eland/dataframe.py:2078-2152).
+    */
+  def filterColumns(items: Seq[String] = Nil, like: String = null,
+                    regex: String = null): GraftFrame = {
+    val keep =
+      if (items.nonEmpty) df.columns.filter(items.contains)
+      else if (like != null) df.columns.filter(_.contains(like))
+      else if (regex != null) df.columns.filter(_.matches(regex))
+      else df.columns
+    wrap(df.select(keep.map(col).toSeq: _*))
+  }
+
+  def apply(name: String): GraftSeries = new GraftSeries(this, name)
+
+  def withColumn(name: String, c: Column): GraftFrame =
+    wrap(df.withColumn(name, c))
+
+  // ---- filters (SURVEY §2.3) ---------------------------------------
+  def where(pred: Column): GraftFrame = wrap(df.filter(pred))
+
+  /** eland `query(expr)` — Spark's SQL parser is the evaluator
+    * (eland/dataframe.py:1991-2036).
+    */
+  def query(sqlPredicate: String): GraftFrame = wrap(df.filter(sqlPredicate))
+
+  /** eland `es_match` (eland/query_compiler.py:419-488). */
+  def esMatch(query: String, cols: Seq[String],
+              operator: String = "or", fuziness: Option[Int] = None): GraftFrame = {
+    val pred = fuziness match {
+      case Some(f) =>
+        cols.map(c => EsMatch.matchFuzzy(col(c), query, f))
+          .foldLeft(lit(false))(_ || _)
+      case None if operator == "and" =>
+        cols.map(c => EsMatch.matchAll(col(c), query))
+          .foldLeft(lit(false))(_ || _)
+      case None => EsMatch.multiMatch(cols.map(col), query)
+    }
+    wrap(df.filter(pred))
+  }
+
+  /** Row drop by id (eland/operations.py:1396-1427). */
+  def dropIds(ids: Seq[Any]): GraftFrame =
+    wrap(df.filter(!col(idCol).isin(ids: _*)))
+
+  // ---- limits / sampling (SURVEY §2.5) -----------------------------
+  /** Deterministic first-n by row id (eland HeadTask,
+    * eland/tasks.py:78-122).
+    */
+  def head(n: Int): GraftFrame = wrap(df.orderBy(col(idCol).asc).limit(n))
+
+  /** Deterministic last-n: reverse-sort + limit + cheap re-sort of n
+    * rows (eland TailTask, eland/tasks.py:125-185).
+    */
+  def tail(n: Int): GraftFrame =
+    wrap(df.orderBy(col(idCol).desc).limit(n).orderBy(col(idCol).asc))
+
+  /** Seeded exact-n sample. eland uses a seeded random_score over
+    * `_seq_no` (eland/filter.py:193-202); here the score is
+    * xxhash64(id, seed) so the sample is deterministic under any
+    * partitioning/cluster size — a property rand(seed) lacks.
+    */
+  def sample(n: Int, seed: Long): GraftFrame =
+    wrap(df.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(n)
+      .orderBy(col(idCol).asc))
+
+  // ---- metric aggregations (SURVEY §2.4) ---------------------------
+  private def aggTargets(numericOnly: Option[Boolean], agg: String): Seq[StructField] =
+    numericOnly match {
+      case Some(true) =>
+        df.schema.fields.toSeq.filter(f => PdDtypes.isNumeric(f.dataType) ||
+          f.dataType == BooleanType)
+      case Some(false) => df.schema.fields.toSeq
+      case None =>
+        // tri-state default: silently keep only compatible fields
+        // (eland/ndframe.py:192-239)
+        df.schema.fields.toSeq.filter(f => PdDtypes.aggCompatible(agg, f.dataType))
+    }
+
+  private def aggExpr(agg: String, f: StructField): Column = {
+    val c = f.dataType match {
+      case BooleanType => col(f.name).cast("int")
+      case _           => col(f.name)
+    }
+    val temporal = PdDtypes.isTemporal(f.dataType)
+    val e = agg match {
+      case "count"   => F.count(c)
+      case "min"     => F.min(c)
+      case "max"     => F.max(c)
+      // Spark's avg/median reject timestamps; eland averages epoch-ms
+      // (eland/operations.py:951-953) — do the same via unix_millis
+      case "mean" if temporal =>
+        timestamp_millis(floor(avg(unix_millis(c.cast("timestamp"))))
+          .cast("long")).cast(f.dataType)
+      case "median" if temporal =>
+        timestamp_millis(floor(
+          expr(s"median(unix_millis(cast(${f.name} as timestamp)))"))
+          .cast("long")).cast(f.dataType)
+      case "mean"    => avg(c)
+      case "sum"     => F.sum(c)
+      case "std"     => stddev_samp(c)
+      case "var"     => var_samp(c)
+      case "median"  => expr(s"median(${f.name})")
+      case "nunique" => countDistinct(c)
+      case "skew"    => skewness(c)
+      case "sem"     => stddev_samp(c) / sqrt(F.count(c))
+      case other     => throw new IllegalArgumentException(s"agg: $other")
+    }
+    e.as(s"${f.name}_$agg")
+  }
+
+  /** Multi-agg matrix — eland `df.aggregate([...])`
+    * (eland/operations.py:308-418); Spark computes every (col, agg)
+    * cell in one pass of one HashAggregate.
+    */
+  def aggregate(aggs: Seq[String],
+                numericOnly: Option[Boolean] = None): DataFrame = {
+    val exprs = for {
+      agg <- aggs
+      f   <- aggTargets(numericOnly, agg)
+    } yield aggExpr(agg, f)
+    require(exprs.nonEmpty, "no compatible columns for requested aggs")
+    df.agg(exprs.head, exprs.tail: _*)
+  }
+
+  def min(numericOnly: Option[Boolean] = None): DataFrame = aggregate(Seq("min"), numericOnly)
+  def max(numericOnly: Option[Boolean] = None): DataFrame = aggregate(Seq("max"), numericOnly)
+  def mean(numericOnly: Option[Boolean] = None): DataFrame = aggregate(Seq("mean"), numericOnly)
+  def sum(numericOnly: Option[Boolean] = None): DataFrame = aggregate(Seq("sum"), numericOnly)
+  def std(numericOnly: Option[Boolean] = None): DataFrame = aggregate(Seq("std"), numericOnly)
+  def varSamp(numericOnly: Option[Boolean] = None): DataFrame = aggregate(Seq("var"), numericOnly)
+  def median(numericOnly: Option[Boolean] = None): DataFrame = aggregate(Seq("median"), numericOnly)
+  def nunique(): DataFrame = aggregate(Seq("nunique"), Some(false))
+
+  /** Per-column quantiles (eland/operations.py:760-794). */
+  def quantile(qs: Seq[Double]): DataFrame = {
+    val fields = df.schema.fields.toSeq
+      .filter(f => PdDtypes.isNumeric(f.dataType))
+    val exprs = for { f <- fields; q <- qs } yield
+      expr(s"percentile(${f.name}, $q)").as(s"${f.name}_q$q")
+    df.agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Median absolute deviation, exact two-pass (eland's is TDigest,
+    * eland/operations.py:1120-1121).
+    */
+  def mad(colName: String): DataFrame = {
+    val med = df.agg(expr(s"median($colName)").as("_m"))
+    df.crossJoin(broadcast(med))
+      .agg(expr(s"median(abs($colName - _m))").as(s"${colName}_mad"))
+  }
+
+  /** eland `describe()` (eland/operations.py:1189-1216). */
+  def describe(): DataFrame = {
+    val fields = df.schema.fields.toSeq.filter(f => PdDtypes.isNumeric(f.dataType))
+    require(fields.nonEmpty, "describe: no numeric columns")
+    val exprs: Seq[Column] = fields.flatMap { f =>
+      val n = f.name
+      Seq(
+        count(col(n)).cast("double").as(s"${n}__count"),
+        avg(col(n)).as(s"${n}__mean"),
+        stddev_samp(col(n)).as(s"${n}__std"),
+        org.apache.spark.sql.functions.min(col(n)).cast("double").as(s"${n}__min"),
+        expr(s"percentile($n, 0.25)").as(s"${n}__25%"),
+        expr(s"percentile($n, 0.5)").as(s"${n}__50%"),
+        expr(s"percentile($n, 0.75)").as(s"${n}__75%"),
+        org.apache.spark.sql.functions.max(col(n)).cast("double").as(s"${n}__max"))
+    }
+    val a = df.agg(exprs.head, exprs.tail: _*)
+    val stats = Seq("count", "mean", "std", "min", "25%", "50%", "75%", "max")
+    a.select(explode(array(stats.map { st =>
+      struct(lit(st).as("stat") +:
+        fields.map(f => col(s"${f.name}__$st").as(f.name)): _*)
+    }: _*)).as("r")).select("r.*")
+  }
+
+  // ---- value_counts / mode / unique / hist / idx (A11-A15) ---------
+  def valueCounts(colName: String, n: Int = 10): DataFrame =
+    df.groupBy(colName).agg(count(lit(1)).cast("long").as("count"))
+      .orderBy(col("count").desc, col(colName))
+      .limit(n)
+
+  /** Mode with ties kept (eland/operations.py:665-696). */
+  def mode(colName: String): DataFrame = {
+    val counts = df.groupBy(colName).agg(count(lit(1)).as("_c"))
+    val mx = counts.agg(org.apache.spark.sql.functions.max(col("_c")).as("_mc"))
+    counts.crossJoin(broadcast(mx)).filter(col("_c") === col("_mc"))
+      .select(colName).orderBy(colName)
+  }
+
+  def unique(colName: String): DataFrame =
+    df.select(colName).distinct().orderBy(colName)
+
+  /** Two-phase histogram (eland/operations.py:470-556). */
+  def hist(colName: String, bins: Int): DataFrame = {
+    val mm = df.agg(
+      org.apache.spark.sql.functions.min(col(colName)).as("_mn"),
+      org.apache.spark.sql.functions.max(col(colName)).as("_mx"))
+    df.crossJoin(broadcast(mm))
+      .select(least(
+        floor((col(colName) - col("_mn")) / ((col("_mx") - col("_mn")) / bins.toDouble)),
+        lit((bins - 1).toLong)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).cast("long").as("count"))
+      .orderBy("bin")
+  }
+
+  /** idxmax/idxmin (eland/operations.py:207-254): id of the extreme
+    * row, smallest id on ties, via one max_by/min_by pass.
+    */
+  def idxmax(colName: String): DataFrame =
+    df.agg(expr(s"max_by($idCol, struct($colName, -$idCol))").as("idxmax"))
+  def idxmin(colName: String): DataFrame =
+    df.agg(expr(s"min_by($idCol, struct($colName, $idCol))").as("idxmin"))
+
+  def len(): Long = df.count()
+
+  // ---- groupby (SURVEY §2.4 A19-A21) -------------------------------
+  def groupby(by: Seq[String], dropna: Boolean = true): GraftGroupBy =
+    new GraftGroupBy(this, by, dropna)
+
+  // ---- sinks (SURVEY §2.1 S4-S6) -----------------------------------
+  def toCsv(path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+  def toJson(path: String): Unit = df.write.mode("overwrite").json(path)
+  def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
+
+  /** Driver-side streamed iteration (eland iterrows/itertuples,
+    * eland/dataframe.py:1501-1616).
+    */
+  def toLocalIterator(): java.util.Iterator[org.apache.spark.sql.Row] =
+    df.toLocalIterator()
+
+  /** Plan inspection — eland `es_info` (eland/operations.py:1500-1518). */
+  def esInfo(): String = df.queryExecution.explainString(
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+}
+
+object GraftFrame {
+
+  /** Wrap a DataFrame whose `idCol` is an existing unique key. */
+  def apply(df: DataFrame, idCol: String): GraftFrame = {
+    require(df.columns.contains(idCol), s"id column $idCol missing")
+    new GraftFrame(df, idCol)
+  }
+
+  /** Wrap a keyless DataFrame, minting a stable surrogate id. The id is
+    * a content hash of the full row — deterministic across runs and
+    * partitionings (unlike monotonically_increasing_id), at the cost of
+    * colliding for fully duplicate rows.
+    */
+  def withMintedId(df: DataFrame, idName: String = "_row_id"): GraftFrame = {
+    val hashed = df.withColumn(idName, xxhash64(df.columns.map(col).toSeq: _*))
+    new GraftFrame(hashed, idName)
+  }
+
+  def parquet(spark: SparkSession, path: String, idCol: String): GraftFrame =
+    apply(spark.read.parquet(path), idCol)
+}

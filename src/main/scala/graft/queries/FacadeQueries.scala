@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.api.GraftFrame
+import graft.queries.QueryUtil.{rhu, rhuSql}
+
+/** Queries routed through the GraftFrame/GraftSeries/GraftGroupBy
+  * facade — the eland-parity API surface — so the facade itself is
+  * exercised by the driver's DuckDB oracle gate, not just unit tests.
+  * Floating aggregates are rounded in the query wrapper (the facade
+  * returns raw values; rounding is a comparison concern, not an API
+  * one).
+  */
+object FacadeQueries {
+
+  private def orders(s: SparkSession, d: String): GraftFrame =
+    GraftFrame(Tables.load(s, d, "orders"), "o_orderkey")
+  private def customer(s: SparkSession, d: String): GraftFrame =
+    GraftFrame(Tables.load(s, d, "customer"), "c_custkey")
+  private def docs(s: SparkSession, d: String): GraftFrame =
+    GraftFrame(Tables.load(s, d, "documents"), "doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // filter + head through the facade (the §3.1 trace end-to-end)
+    "g1_filter_head" -> ((s, d) => {
+      val f = orders(s, d)
+      f.where(f("o_totalprice") > 300000.0).head(10).df
+    }),
+    // tail through the facade (reverse-sort + re-sort)
+    "g2_tail" -> ((s, d) => orders(s, d).tail(7).df),
+    // multi-agg matrix, numeric tri-state
+    "g3_agg_matrix" -> ((s, d) => {
+      val a = orders(s, d).select(Seq("o_orderkey", "o_totalprice"))
+        .aggregate(Seq("min", "max", "mean", "sum"), Some(true))
+      a.select(
+        col("o_orderkey_min"), col("o_orderkey_max"),
+        rhu(col("o_orderkey_mean"), 4).as("o_orderkey_mean"),
+        col("o_orderkey_sum"),
+        col("o_totalprice_min"), col("o_totalprice_max"),
+        rhu(col("o_totalprice_mean"), 4).as("o_totalprice_mean"),
+        round(col("o_totalprice_sum"), 2).as("o_totalprice_sum"))
+    }),
+    // timestamp min/max/mean via unix-millis path
+    "g4_ts_aggs" -> ((s, d) => {
+      orders(s, d).select(Seq("o_orderdate"))
+        .aggregate(Seq("min", "max", "mean"), None)
+    }),
+    // grouped named-agg spec through GraftGroupBy
+    "g5_groupby_spec" -> ((s, d) => {
+      val out = customer(s, d).groupby(Seq("c_mktsegment"))
+        .agg(Map("c_acctbal" -> Seq("min", "max", "count", "sum", "std"),
+                 "c_nationkey" -> Seq("nunique")))
+      // mean derived from the cents-exact rounded sum: group-avg doubles
+      // can differ from the oracle by 1 ulp exactly at a rounding tie,
+      // while round(sum,2)/count is bit-identical on both engines
+      out.select(col("c_mktsegment"),
+        col("c_acctbal_min"), col("c_acctbal_max"),
+        rhu(round(col("c_acctbal_sum"), 2) / col("c_acctbal_count"), 4)
+          .as("c_acctbal_mean"),
+        round(col("c_acctbal_sum"), 2).as("c_acctbal_sum"),
+        round(col("c_acctbal_std"), 4).as("c_acctbal_std"),
+        col("c_nationkey_nunique").cast("long").as("c_nationkey_nunique"))
+    }),
+    // groupby size + dropna pre-filter
+    "g6_groupby_size" -> ((s, d) => {
+      val f = orders(s, d).withColumn("pri",
+        expr("nullif(o_orderpriority, '3-MEDIUM')"))
+      f.groupby(Seq("pri"), dropna = true).size()
+    }),
+    // series arithmetic operators
+    "g7_series_arith" -> ((s, d) => {
+      val f = orders(s, d)
+      f.df.select(
+        col("o_orderkey"),
+        (f("o_totalprice") * 1.1).as("boosted"),
+        // +1: o_custkey can be 0 and ANSI mode makes /0 an error
+        floor(f("o_totalprice") / (f("o_custkey") + 1)).as("ratio_floor"),
+        // sqrt, not pow(0.5): IEEE sqrt is correctly rounded in every
+        // engine; pow is libm-dependent and differs in the last ulp
+        sqrt(f("o_totalprice").col).as("sqrt_price"))
+        .orderBy("o_orderkey")
+    }),
+    // es_match OR over documents
+    "g8_es_match" -> ((s, d) => {
+      docs(s, d).esMatch("filter join", Seq("text"))
+        .select(Seq("doc_id")).df.orderBy("doc_id")
+    }),
+    // es_match AND
+    "g9_es_match_and" -> ((s, d) => {
+      docs(s, d).esMatch("filter join", Seq("text"), operator = "and")
+        .select(Seq("doc_id")).df.orderBy("doc_id")
+    }),
+    // match_phrase
+    "g10_match_phrase" -> ((s, d) => {
+      val f = docs(s, d)
+      f.where(graft.functions.EsMatch.matchPhrase(col("text"), "the fast"))
+        .select(Seq("doc_id")).df.orderBy("doc_id")
+    }),
+    // seeded deterministic sample (xxhash64 order — rows-only oracle)
+    "g11_sample" -> ((s, d) => orders(s, d).sample(50, seed = 42).df),
+    // idxmax / idxmin
+    "g12_idxmax" -> ((s, d) => orders(s, d).idxmax("o_totalprice")),
+    "g13_idxmin" -> ((s, d) => orders(s, d).idxmin("o_totalprice")),
+    // describe through the facade
+    "g14_describe" -> ((s, d) => {
+      orders(s, d).select(Seq("o_totalprice")).describe()
+        .select(col("stat"), rhu(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("stat")
+    }),
+    // grouped quantile explode
+    "g15_groupby_quantile" -> ((s, d) => {
+      customer(s, d).groupby(Seq("c_mktsegment"))
+        .quantile("c_acctbal", Seq(0.25, 0.75))
+        .select(col("c_mktsegment"), col("q"),
+          round(col("c_acctbal_quantile"), 4).as("c_acctbal_quantile"))
+    }),
+    // grouped MAD (exact two-pass)
+    "g16_groupby_mad" -> ((s, d) => {
+      customer(s, d).groupby(Seq("c_mktsegment")).mad("c_acctbal")
+        .select(col("c_mktsegment"),
+          round(col("c_acctbal_mad"), 4).as("c_acctbal_mad"))
+    }),
+    // drop-by-id + value_counts through the facade
+    "g17_drop_value_counts" -> ((s, d) => {
+      orders(s, d).dropIds(Seq(1L, 2L, 3L))
+        .valueCounts("o_orderstatus", 3)
+    }),
+    // column-pattern projection (filter axis=columns)
+    "g18_filter_columns" -> ((s, d) => {
+      orders(s, d).filterColumns(regex = "o_order.*")
+        .select(Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+        .head(5).df
+    })
+  )
+
+  private val toksSql =
+    raw"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "g1_filter_head" ->
+      """SELECT * FROM orders WHERE o_totalprice > 300000.0
+        |ORDER BY o_orderkey LIMIT 10""".stripMargin,
+    "g2_tail" ->
+      """SELECT * FROM (
+        |  SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 7)
+        |ORDER BY o_orderkey""".stripMargin,
+    "g3_agg_matrix" ->
+      """SELECT min(o_orderkey) AS o_orderkey_min,
+        |       max(o_orderkey) AS o_orderkey_max,
+        |       floor(avg(o_orderkey) * 10000 + 0.5) / 10000.0 AS o_orderkey_mean,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS o_orderkey_sum,
+        |       min(o_totalprice) AS o_totalprice_min,
+        |       max(o_totalprice) AS o_totalprice_max,
+        |       floor(avg(o_totalprice) * 10000 + 0.5) / 10000.0 AS o_totalprice_mean,
+        |       round(sum(o_totalprice), 2) AS o_totalprice_sum
+        |FROM orders""".stripMargin,
+    "g4_ts_aggs" ->
+      """SELECT min(o_orderdate) AS o_orderdate_min,
+        |       max(o_orderdate) AS o_orderdate_max,
+        |       make_timestamp(CAST(floor(avg(epoch_ms(o_orderdate))) AS BIGINT) * 1000) AS o_orderdate_mean
+        |FROM orders""".stripMargin,
+    "g5_groupby_spec" ->
+      """SELECT c_mktsegment,
+        |       min(c_acctbal) AS c_acctbal_min,
+        |       max(c_acctbal) AS c_acctbal_max,
+        |       floor((round(sum(c_acctbal), 2) / count(*)) * 10000 + 0.5) / 10000.0 AS c_acctbal_mean,
+        |       round(sum(c_acctbal), 2) AS c_acctbal_sum,
+        |       round(stddev_samp(c_acctbal), 4) AS c_acctbal_std,
+        |       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS c_nationkey_nunique
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "g6_groupby_size" ->
+      """SELECT pri, CAST(count(*) AS BIGINT) AS size
+        |FROM (SELECT nullif(o_orderpriority, '3-MEDIUM') AS pri FROM orders)
+        |WHERE pri IS NOT NULL GROUP BY pri ORDER BY pri""".stripMargin,
+    "g7_series_arith" ->
+      """SELECT o_orderkey, o_totalprice * 1.1 AS boosted,
+        |       CAST(floor(o_totalprice / (o_custkey + 1)) AS BIGINT) AS ratio_floor,
+        |       sqrt(o_totalprice) AS sqrt_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "g8_es_match" ->
+      raw"""SELECT doc_id FROM documents
+           |WHERE len(list_filter($toksSql, t -> t IN ('filter','join'))) > 0
+           |ORDER BY doc_id""".stripMargin,
+    "g9_es_match_and" ->
+      raw"""SELECT doc_id FROM documents
+           |WHERE list_has_all($toksSql, ['filter','join'])
+           |ORDER BY doc_id""".stripMargin,
+    "g10_match_phrase" ->
+      raw"""SELECT doc_id FROM documents
+           |WHERE instr(' ' || array_to_string($toksSql, ' ') || ' ',
+           |            ' the fast ') > 0
+           |ORDER BY doc_id""".stripMargin,
+    "g12_idxmax" ->
+      """SELECT min(o_orderkey) AS idxmax FROM orders
+        |WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders)""".stripMargin,
+    "g13_idxmin" ->
+      """SELECT min(o_orderkey) AS idxmin FROM orders
+        |WHERE o_totalprice = (SELECT min(o_totalprice) FROM orders)""".stripMargin,
+    "g14_describe" ->
+      """WITH a AS (SELECT
+        |  CAST(count(o_totalprice) AS DOUBLE) AS c,
+        |  avg(o_totalprice) AS me, stddev_samp(o_totalprice) AS sd,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS mi,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.75) AS p75,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS ma FROM orders)
+        |SELECT stat, floor(v * 10000 + 0.5) / 10000.0 AS o_totalprice FROM (
+        |  SELECT 'count' AS stat, c AS v FROM a
+        |  UNION ALL SELECT 'mean', me FROM a
+        |  UNION ALL SELECT 'std', sd FROM a
+        |  UNION ALL SELECT 'min', mi FROM a
+        |  UNION ALL SELECT '25%', p25 FROM a
+        |  UNION ALL SELECT '50%', p50 FROM a
+        |  UNION ALL SELECT '75%', p75 FROM a
+        |  UNION ALL SELECT 'max', ma FROM a)
+        |ORDER BY stat""".stripMargin,
+    "g15_groupby_quantile" ->
+      """SELECT c_mktsegment, q, round(v, 4) AS c_acctbal_quantile FROM (
+        |  SELECT c_mktsegment, 0.25 AS q,
+        |         quantile_cont(c_acctbal, 0.25) AS v
+        |  FROM customer GROUP BY c_mktsegment
+        |  UNION ALL
+        |  SELECT c_mktsegment, 0.75 AS q,
+        |         quantile_cont(c_acctbal, 0.75) AS v
+        |  FROM customer GROUP BY c_mktsegment)
+        |ORDER BY c_mktsegment, q""".stripMargin,
+    "g16_groupby_mad" ->
+      """SELECT c_mktsegment, round(mad(c_acctbal), 4) AS c_acctbal_mad
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "g17_drop_value_counts" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS count
+        |FROM orders WHERE o_orderkey NOT IN (1, 2, 3)
+        |GROUP BY o_orderstatus ORDER BY count DESC, o_orderstatus
+        |LIMIT 3""".stripMargin,
+    "g18_filter_columns" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderkey LIMIT 5""".stripMargin
+  )
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.queries.QueryUtil.rhu
 
 /** Relational operator coverage: filters (SURVEY §2.3), projections
   * (§2.2), metric + grouped aggregations (§2.4), limits (§2.5),
@@ -22,15 +23,9 @@ object Relational {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** eland wildcard (`*`/`?`, eland/filter.py:136-139) -> SQL LIKE. */
+  /** eland wildcard → SQL LIKE (delegates to the api-layer dialect). */
   def wildcardToLike(pattern: String): String =
-    pattern.flatMap {
-      case '*' => "%"
-      case '?' => "_"
-      case '%' => "\\%"
-      case '_' => "\\_"
-      case c   => c.toString
-    }
+    graft.api.Predicates.wildcardToLike(pattern)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters: F1 range (eland/filter.py:97-118) -------------------
@@ -152,11 +147,11 @@ object Relational {
         count(col("l_quantity")).cast("long").as("count_qty"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        rhu(avg(col("l_quantity")), 4).as("avg_qty"),
         round(sum(col("l_quantity")), 4).as("sum_qty"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        rhu(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"),
         min(col("l_shipdate")).as("min_ship"),
         max(col("l_shipdate")).as("max_ship"))
@@ -254,7 +249,7 @@ object Relational {
     "a17_describe" -> ((s, d) => {
       val a = t(s, d, "lineitem").agg(
         count(col("l_quantity")).cast("double").as("c_q"),
-        round(avg(col("l_quantity")), 4).as("me_q"),
+        rhu(avg(col("l_quantity")), 4).as("me_q"),
         round(stddev_samp(col("l_quantity")), 4).as("sd_q"),
         round(min(col("l_quantity")), 4).as("mi_q"),
         round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_q"),
@@ -262,7 +257,7 @@ object Relational {
         round(expr("percentile(l_quantity, 0.75)"), 4).as("p75_q"),
         round(max(col("l_quantity")), 4).as("ma_q"),
         count(col("l_extendedprice")).cast("double").as("c_p"),
-        round(avg(col("l_extendedprice")), 4).as("me_p"),
+        rhu(avg(col("l_extendedprice")), 4).as("me_p"),
         round(stddev_samp(col("l_extendedprice")), 4).as("sd_p"),
         round(min(col("l_extendedprice")), 4).as("mi_p"),
         round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_p"),
@@ -297,9 +292,9 @@ object Relational {
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          rhu(avg(col("l_quantity")), 4).as("avg_qty"),
+          rhu(avg(col("l_extendedprice")), 4).as("avg_price"),
+          rhu(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).cast("long").as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -531,11 +526,11 @@ object Relational {
     "a1_metrics_basic" ->
       """SELECT CAST(count(l_quantity) AS BIGINT) AS count_qty,
         |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       floor(avg(l_quantity) * 10000 + 0.5) / 10000.0 AS avg_qty,
         |       round(sum(l_quantity), 4) AS sum_qty,
         |       min(l_extendedprice) AS min_price,
         |       max(l_extendedprice) AS max_price,
-        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       floor(avg(l_extendedprice) * 10000 + 0.5) / 10000.0 AS avg_price,
         |       round(sum(l_extendedprice), 2) AS sum_price,
         |       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem""".stripMargin,
@@ -586,7 +581,7 @@ object Relational {
     "a17_describe" ->
       """WITH a AS (
         |  SELECT CAST(count(l_quantity) AS DOUBLE) AS c_q,
-        |         round(avg(l_quantity), 4) AS me_q,
+        |         floor(avg(l_quantity) * 10000 + 0.5) / 10000.0 AS me_q,
         |         round(stddev_samp(l_quantity), 4) AS sd_q,
         |         round(min(l_quantity), 4) AS mi_q,
         |         round(quantile_cont(l_quantity, 0.25), 4) AS p25_q,
@@ -594,7 +589,7 @@ object Relational {
         |         round(quantile_cont(l_quantity, 0.75), 4) AS p75_q,
         |         round(max(l_quantity), 4) AS ma_q,
         |         CAST(count(l_extendedprice) AS DOUBLE) AS c_p,
-        |         round(avg(l_extendedprice), 4) AS me_p,
+        |         floor(avg(l_extendedprice) * 10000 + 0.5) / 10000.0 AS me_p,
         |         round(stddev_samp(l_extendedprice), 4) AS sd_p,
         |         round(min(l_extendedprice), 4) AS mi_p,
         |         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_p,
@@ -619,9 +614,9 @@ object Relational {
         |       round(sum(l_extendedprice), 2) AS sum_base_price,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_extendedprice), 4) AS avg_price,
-        |       round(avg(l_discount), 6) AS avg_disc,
+        |       floor(avg(l_quantity) * 10000 + 0.5) / 10000.0 AS avg_qty,
+        |       floor(avg(l_extendedprice) * 10000 + 0.5) / 10000.0 AS avg_price,
+        |       floor(avg(l_discount) * 1000000 + 0.5) / 1000000.0 AS avg_disc,
         |       CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
