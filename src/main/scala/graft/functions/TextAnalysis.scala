@@ -110,14 +110,21 @@ object TextAnalysis {
     * token hashes are computed once into an array first.
     */
   def simhash64(text: Column): Column = {
+    // one expression tree: token hashes materialize once into an array;
+    // per token the 64 ±1 contributions come from cheap mask ANDs
+    // (64 separate top-level aggregates would re-hash every token per
+    // bit and blow up codegen)
+    val masks = lit((0 until 64).map(i => 1L << i).toArray)
     val hs = transform(tokens(text), t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val cnt = aggregate(hs, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1))
-      when(cnt > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val counts = aggregate(
+      hs,
+      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      (acc, h) => zip_with(acc,
+        transform(masks, m => when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
   }
 
   /** Hamming distance between two simhash64 values. */

@@ -37,17 +37,26 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature column: array of `perms` min-hashes over word
-    * `shingleN`-gram shingles. Seeded via xxhash64(seed, shingle) so
-    * the permutations are deterministic and cheap.
+  /** Permutation min-hashes over an ALREADY-MATERIALIZED array of base
+    * shingle hashes. The caller must materialize that array in its own
+    * projection (see minhashLshPairs): higher-order-function lambdas
+    * are interpreted, and any subexpression nested under the
+    * per-permutation lambda is re-evaluated per permutation — putting
+    * the full text→shingles→hash pipeline there measured 250s for 5000
+    * docs at sf0.1 vs ~5s with the staged shape.
     */
-  def minhashSignature(text: Column, shingleN: Int, perms: Int): Column = {
-    val sh = TextAnalysis.shingles(text, shingleN)
+  def minhashFromHashes(hs: Column, perms: Int): Column =
     array((0 until perms).map { k =>
-      aggregate(sh, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(lit(k), s)))
+      array_min(transform(hs, h => xxhash64(lit(k), h)))
     }: _*)
-  }
+
+  /** Single-column convenience (prefer the staged dataframe shape in
+    * pipelines — see minhashLshPairs).
+    */
+  def minhashSignature(text: Column, shingleN: Int, perms: Int): Column =
+    minhashFromHashes(
+      transform(TextAnalysis.shingles(text, shingleN), s => xxhash64(s)),
+      perms)
 
   /** Banded LSH candidate pairs with signature-estimated Jaccard.
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, filtered to
@@ -61,11 +70,28 @@ object Dedup {
                       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val perms = bands * rowsPerBand
+    // The signature frame is the LSH "index": persist it — both sides
+    // of the bucket self-join read it, and without the barrier Spark
+    // recomputes the whole signature pipeline per side (and
+    // CollapseProject can inline it into the 16 band expressions).
+    // Staged projections: tokens → token hashes → windowed shingle
+    // hashes → signature. Staging matters twice over: (a) each alias is
+    // referenced multiple times downstream, which keeps CollapseProject
+    // from inlining (and re-evaluating) the interpreted HOF
+    // expressions; (b) shingle hashes combine three 8-byte token
+    // hashes instead of building shingle strings — no string
+    // allocation on the hot path at all.
     val withSig = docs
       .select(col(idCol).as("id"),
-        minhashSignature(col(textCol), shingleN, perms).as("sig"))
-      // empty docs have no shingles → signature of sentinels; drop them
-      .filter(size(TextAnalysis.tokens(col(textCol))) >= shingleN)
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= shingleN)
+      .select(col("id"), transform(col("tk"), t => xxhash64(t)).as("th"))
+      .select(col("id"),
+        transform(sequence(lit(1), size(col("th")) - lit(shingleN - 1)),
+          i => xxhash64((0 until shingleN).map(o =>
+            element_at(col("th"), i + lit(o))): _*)).as("hs"))
+      .select(col("id"), minhashFromHashes(col("hs"), perms).as("sig"))
+      .persist()
     val banded = withSig.select(col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -133,13 +159,18 @@ object Dedup {
     */
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
                        blockCol: Column, threshold: Double): DataFrame = {
-    val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      blockCol.as("blk"))
-    val l = e.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = e.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
+    // cast + norm once per row, not once per pair
+    val e = embs.select(col(idCol).as("id"),
+      VectorOps.asDouble(col(vecCol)).as("v"), blockCol.as("blk"))
+      .withColumn("nrm", sqrt(VectorOps.normSq(col("v"))))
+    val l = e.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"))
+    val r = e.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"))
     l.join(r, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", VectorOps.cosine(col("v_a"), col("v_b")))
+      .withColumn("cos",
+        VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

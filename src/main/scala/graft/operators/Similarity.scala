@@ -46,11 +46,19 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      roundTo: Int = 6): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+    // norms precomputed per row BEFORE the |Q|*N join: cosine inside
+    // the join would redo both norms per pair (3x the flops)
+    val q = queries.select(col(idCol).as("q_id"),
+      VectorOps.asDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_n", sqrt(VectorOps.normSq(col("q_v"))))
+    val c = corpus.select(col(idCol).as("n_id"),
+      VectorOps.asDouble(col(vecCol)).as("n_v"))
+      .withColumn("n_n", sqrt(VectorOps.normSq(col("n_v"))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cos", round(VectorOps.cosine(col("q_v"), col("n_v")), roundTo))
+      .withColumn("cos", round(
+        VectorOps.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")),
+        roundTo))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -65,13 +73,19 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               planes: Int = 8, roundTo: Int = 6): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+    val q = queries.select(col(idCol).as("q_id"),
+      VectorOps.asDouble(col(vecCol)).as("q_v"),
       lshBuckets(col(vecCol), planes).as("bucket"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"),
+      .withColumn("q_n", sqrt(VectorOps.normSq(col("q_v"))))
+    val c = corpus.select(col(idCol).as("n_id"),
+      VectorOps.asDouble(col(vecCol)).as("n_v"),
       lshBuckets(col(vecCol), planes).as("bucket"))
+      .withColumn("n_n", sqrt(VectorOps.normSq(col("n_v"))))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cos", round(VectorOps.cosine(col("q_v"), col("n_v")), roundTo))
+      .withColumn("cos", round(
+        VectorOps.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")),
+        roundTo))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -1,0 +1,104 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+class FacadeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def orders: GraftFrame =
+    GraftFrame(Tables.load(spark, TestSpark.sfDir, "orders"), "o_orderkey")
+
+  test("dtypes renders pandas-style names") {
+    val dt = orders.dtypes.toMap
+    assert(dt("o_orderkey") == "int64")
+    assert(dt("o_totalprice") == "float64")
+    assert(dt("o_orderstatus") == "object")
+    assert(dt("o_orderdate") == "datetime64[ns]")
+  }
+
+  test("head/tail are deterministic and ordered by id") {
+    val h = orders.head(5).df.collect().map(_.getLong(0)).toSeq
+    assert(h == h.sorted && h.size == 5)
+    val t = orders.tail(5).df.collect().map(_.getLong(0)).toSeq
+    assert(t == t.sorted && t.size == 5)
+    val mx = orders.df.agg(max("o_orderkey")).head().getLong(0)
+    assert(t.last == mx)
+  }
+
+  test("sample is seeded-deterministic and exact-n") {
+    val a = orders.sample(20, seed = 7).df.collect().map(_.getLong(0)).toSeq
+    val b = orders.sample(20, seed = 7).df.collect().map(_.getLong(0)).toSeq
+    val c = orders.sample(20, seed = 8).df.collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.size == 20)
+    assert(a != c) // different seed, different rows (overwhelmingly)
+  }
+
+  test("select validates unknown columns; drop honors errors=ignore") {
+    assertThrows[IllegalArgumentException](orders.select(Seq("nope")))
+    assert(orders.drop(Seq("nope"), errors = "ignore").columns ==
+      orders.columns)
+  }
+
+  test("aggregate tri-state prunes incompatible columns silently") {
+    val out = orders.aggregate(Seq("sum"))
+    // strings and timestamps are not sum-compatible -> pruned
+    assert(out.columns.toSet ==
+      Set("o_orderkey_sum", "o_custkey_sum", "o_totalprice_sum"))
+  }
+
+  test("aggregate numericOnly=false over strings fails loudly") {
+    assertThrows[Exception] {
+      orders.select(Seq("o_orderstatus"))
+        .aggregate(Seq("sum"), Some(false)).collect()
+    }
+  }
+
+  test("timestamp mean goes through unix-millis path") {
+    val r = orders.select(Seq("o_orderdate")).aggregate(Seq("mean"), None)
+    val v = r.head()
+    assert(!v.isNullAt(0))
+  }
+
+  test("groupby dropna filters null keys; dropna=false keeps them") {
+    val f = orders.withColumn("pri", expr("nullif(o_orderpriority, '1-URGENT')"))
+    val kept = f.groupby(Seq("pri"), dropna = false).size().count()
+    val dropped = f.groupby(Seq("pri"), dropna = true).size().count()
+    assert(kept == dropped + 1)
+  }
+
+  test("mode keeps all tied values") {
+    import spark.implicits._
+    val df = Seq(1, 1, 2, 2, 3).toDF("v")
+    val m = GraftFrame.withMintedId(df).mode("v").collect().map(_.getInt(0))
+    assert(m.toSeq == Seq(1, 2))
+  }
+
+  test("idxmax/idxmin break ties toward the smaller id") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0), (2L, 5.0), (3L, 1.0)).toDF("id", "v")
+    val f = GraftFrame(df, "id")
+    assert(f.idxmax("v").head().getLong(0) == 1L)
+    assert(f.idxmin("v").head().getLong(0) == 3L)
+  }
+
+  test("describe emits the eight pandas stats") {
+    val d = orders.select(Seq("o_totalprice")).describe().collect()
+    assert(d.map(_.getString(0)).toSet ==
+      Set("count", "mean", "std", "min", "25%", "50%", "75%", "max"))
+  }
+
+  test("esInfo exposes the physical plan") {
+    val info = orders.where(col("o_totalprice") > 100).esInfo()
+    assert(info.contains("Scan parquet") || info.contains("FileScan"))
+  }
+
+  test("withMintedId is stable across identical re-reads") {
+    val df = Tables.load(spark, TestSpark.sfDir, "customer")
+    val a = GraftFrame.withMintedId(df).head(3).df.collect()
+    val b = GraftFrame.withMintedId(
+      Tables.load(spark, TestSpark.sfDir, "customer")).head(3).df.collect()
+    assert(a.sameElements(b))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the river bank today"
+  private def corpus = Seq(
+    (0L, base),
+    (1L, base),                                   // exact dup of 0
+    (2L, base.replace("today", "tomorrow")),      // near dup of 0
+    (3L, "completely different content about spark catalyst optimizer rules and shuffles"),
+    (4L, "")                                      // empty doc
+  ).toDF("id", "text")
+
+  test("exactStats and keep-first dedup") {
+    val stats = Dedup.exactStats(corpus, "text").head()
+    assert(stats.getLong(0) == 5 && stats.getLong(1) == 4)
+    val kept = Dedup.exactKeepFirst(corpus, "id", "text")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 2L, 3L, 4L)) // id 1 deduped against id 0
+  }
+
+  test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)))
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L)))
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash of near-identical docs is close in hamming distance") {
+    val sims = corpus.filter($"id" < 3)
+      .select($"id", graft.functions.TextAnalysis.simhash64($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) == sims(1L)) // identical text, identical sketch
+    val ham02 = java.lang.Long.bitCount(sims(0L) ^ sims(2L))
+    assert(ham02 <= 16, s"hamming=$ham02")
+  }
+
+  test("ngram jaccard verifies candidates exactly") {
+    val pairs = Seq((0L, 1L), (0L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(corpus, "id", "text", pairs)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 3L)) == 0.0)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def embs = Tables.load(spark, TestSpark.sfDir, "embeddings")
+
+  test("brute-force top-k is exact, ranked, and excludes self") {
+    val q = embs.filter(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(q, embs, "vec_id", "embedding", k = 4)
+      .collect()
+    assert(out.length == 12)
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val ranks = rows.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == Seq(1L, 2L, 3L, 4L))
+      assert(rows.forall(_.getLong(2) != qid))
+      // cosine non-increasing with rank
+      val byRank = rows.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(byRank == byRank.sorted.reverse)
+    }
+  }
+
+  test("LSH top-k returns a subset consistent with brute force at rank 1 recall") {
+    val q = embs.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, embs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lsh = Similarity.lshTopK(q, embs, "vec_id", "embedding", k = 3, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every LSH hit must be a real corpus vector with correct ordering;
+    // recall: at 4 planes (16 buckets over 500 vecs) at least some
+    // rank-1 neighbors should be recovered
+    val hits = brute.keys.count(k => lsh.get(k).contains(brute(k)))
+    assert(lsh.nonEmpty)
+    assert(hits > 0, "LSH recovered no brute-force neighbors at 4 planes")
+  }
+
+  test("lsh buckets are deterministic") {
+    val b1 = embs.select(Similarity.lshBuckets(col("embedding"), 6).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    val b2 = embs.select(Similarity.lshBuckets(col("embedding"), 6).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(b1 == b2)
+    assert(b1.forall(b => b >= 0 && b < 64))
+  }
+}
