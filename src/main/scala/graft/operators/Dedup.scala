@@ -140,17 +140,30 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+    // distinct shingle sets as HASHES: long-array intersection beats
+    // string-array intersection ~4x per pair, and the jaccard value is
+    // identical barring a 2^-64 hash collision. |union| is derived as
+    // |A|+|B|-|inter| (array_union per pair would double the work).
+    // The per-doc set table is tiny relative to the pair table and is
+    // read by both join sides -> persist.
     val sh = docs.select(col(idCol).as("_jid"),
-      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("_jsh"))
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("_s"))
+      .select(col("_jid"),
+        transform(col("_s"), s => xxhash64(s)).as("_jsh"),
+        size(col("_s")).as("_jn"))
+      .persist()
     pairs
-      .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_jsh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_jsh", "sh_b"), Seq("id_b"))
+      .join(sh.select(col("_jid").as("id_a"), col("_jsh").as("sh_a"),
+        col("_jn").as("n_a")), Seq("id_a"))
+      .join(sh.select(col("_jid").as("id_b"), col("_jsh").as("sh_b"),
+        col("_jn").as("n_b")), Seq("id_b"))
+      .withColumn("_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        when(size(array_union(col("sh_a"), col("sh_b"))) > 0,
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
+        when(col("n_a") + col("n_b") - col("_inter") > 0,
+          col("_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("_inter")))
           .otherwise(lit(0.0)))
-      .drop("sh_a", "sh_b")
+      .drop("sh_a", "sh_b", "n_a", "n_b", "_inter")
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking column

@@ -103,6 +103,35 @@ object TextQueries {
         planes = 6)
         .orderBy("q_id", "rank")
     }),
+    // ---- multimodal (decode stubbed; plumbing real) ---------------
+    // binary blob metadata + byte length (SQL-expressible part)
+    "mm1_media_meta" -> ((s, d) => {
+      graft.operators.Multimodal
+        .synthesizeMedia(t(s, d, "documents"), "doc_id", "text")
+        .select(col("media_id"), col("meta.kind").as("kind"),
+          octet_length(col("blob")).cast("long").as("blob_bytes"))
+        .orderBy("media_id")
+    }),
+    // mapPartitions feature extraction (stub decoder — rows-only)
+    "mm2_media_features" -> ((s, d) => {
+      graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal
+          .synthesizeMedia(t(s, d, "documents"), "doc_id", "text"),
+        dims = 8)
+        .select(col("media_id"), col("kind"),
+          round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
+        .orderBy("media_id")
+    }),
+    // frame sampling explode (rows-only)
+    "mm3_frame_sample" -> ((s, d) => {
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal
+          .synthesizeMedia(t(s, d, "documents"), "doc_id", "text"))
+        .groupBy("media_id")
+        .agg(count(lit(1)).cast("long").as("n_frames"))
+        .orderBy("media_id")
+    }),
+
     // embedding norm statistics per label
     "emb1_norm_stats" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -160,6 +189,12 @@ object TextQueries {
            |  WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'fr'
            |  ELSE 'it' END AS lang_pred
            |FROM s ORDER BY doc_id""".stripMargin,
+    "mm1_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(text::BLOB) AS BIGINT) AS blob_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
     "dd1_exact_dup_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests: the queries must not only be correct,
+  * they must produce the plans a 100TB deployment needs — filters and
+  * projections pushed into the parquet scan, dimension joins
+  * broadcast, aggregates partial-before-shuffle, sorted limits fused
+  * into TakeOrderedAndProject, and hot paths inside whole-stage
+  * codegen. A refactor that silently loses one of these properties
+  * fails here even though results stay correct.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("f1_range: predicate and projection reach the parquet scan") {
+    val p = plan("f1_range")
+    assert(p.contains("PushedFilters:") &&
+      p.matches("(?s).*PushedFilters:.*l_quantity.*"))
+    // projection pruned to the 4 selected columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_quantity") && !read.contains("l_extendedprice"))
+  }
+
+  test("q1_pricing_summary: partial aggregation before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+    assert(p.contains("Exchange"))
+    // shipdate filter pushed to scan
+    assert(p.matches("(?s).*PushedFilters:.*l_shipdate.*"))
+  }
+
+  test("j1/j2: dimension joins are broadcast, no shuffle of the fact side for dims") {
+    assert(plan("j1_join_broadcast_agg").contains("BroadcastHashJoin"))
+    val p2 = plan("j2_revenue_by_nation")
+    assert(p2.contains("BroadcastHashJoin"))
+    assert(!p2.contains("CartesianProduct"))
+  }
+
+  test("l1_head: sorted limit fuses into TakeOrderedAndProject") {
+    assert(plan("l1_head").contains("TakeOrderedAndProject"))
+  }
+
+  test("e1_arith: scalar pipeline runs in whole-stage codegen") {
+    // AQE finalizes stages only on execution; run the plan, then look
+    // for WholeStageCodegen nodes in the executed plan
+    val df = SparkEntry.queries("e1_arith")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p) // "*(n)" marks whole-stage-codegen stages
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
+  test("j3/j4: semi and anti joins plan as joins, not subquery loops") {
+    assert(plan("j3_semi_join").contains("LeftSemi") ||
+      plan("j3_semi_join").contains("BroadcastHashJoin"))
+    assert(plan("j4_anti_join").contains("LeftAnti"))
+  }
+
+  test("a18_len: count(*) does not read any data columns") {
+    val read = plan("a18_len").linesIterator
+      .find(_.contains("ReadSchema")).get
+    assert(read.contains("struct<>"), read)
+  }
+
+  test("g1 facade filter+head pushes the predicate to the scan") {
+    val p = plan("g1_filter_head")
+    assert(p.matches("(?s).*PushedFilters:.*o_totalprice.*"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}

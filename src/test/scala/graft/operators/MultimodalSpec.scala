@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def media = Multimodal.synthesizeMedia(
+    Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
+
+  test("synthesized media has binary blobs and typed metadata") {
+    val m = media
+    assert(m.schema("blob").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val kinds = m.select("meta.kind").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kinds == Set("image", "audio", "video"))
+    assert(m.filter(col("meta.kind") === "image")
+      .select("meta.duration_ms").head().getLong(0) == -1L)
+  }
+
+  test("feature extraction is deterministic, batched, right shape") {
+    val f1 = Multimodal.extractFeatures(media, dims = 8)
+    assert(f1.schema.fieldNames.toSeq == Seq("media_id", "kind", "features"))
+    val rows = f1.orderBy("media_id").limit(3).collect()
+    assert(rows.forall(_.getSeq[Float](2).size == 8))
+    val f2 = Multimodal.extractFeatures(media, dims = 8)
+      .orderBy("media_id").limit(3).collect()
+    assert(rows.map(_.getSeq[Float](2)).toSeq ==
+      f2.map(_.getSeq[Float](2)).toSeq)
+    // feature vectors are normalized byte histograms -> all in [0,1]
+    assert(rows.flatMap(_.getSeq[Float](2)).forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("frame sampling explodes video rows into fixed-size frame blobs") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+    assert(frames.columns.toSeq ==
+      Seq("media_id", "frame_no", "frame_blob"))
+    val perVideo = frames.groupBy("media_id").count()
+    assert(perVideo.count() ==
+      media.filter(col("meta.kind") === "video").count())
+    val sizes = frames.select(octet_length(col("frame_blob")))
+      .collect().map(_.getInt(0))
+    assert(sizes.forall(_ <= 32) && sizes.max == 32)
+  }
+}
