@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextAnalysis, VectorOps}
+import graft.plans.VectorExpressions
 
 /** Deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
@@ -183,7 +184,7 @@ object Dedup {
     l.join(r, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
-        VectorOps.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+        VectorExpressions.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorOps
+import graft.plans.VectorExpressions
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -57,7 +58,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", round(
-        VectorOps.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")),
+        VectorExpressions.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")),
         roundTo))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
@@ -84,7 +85,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", round(
-        VectorOps.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")),
+        VectorExpressions.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")),
         roundTo))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
