@@ -159,6 +159,12 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
       case "var"     => var_samp(c)
       case "median"  => expr(s"median(${f.name})")
       case "nunique" => countDistinct(c)
+      // the reference's nunique/median are approximate (HLL++/TDigest,
+      // eland/operations.py:1118-1123); exact is our default, these are
+      // the scale-path variants with the same contract
+      case "nunique_approx" => approx_count_distinct(c)
+      case "median_approx" =>
+        expr(s"percentile_approx(${f.name}, 0.5, 10000)")
       case "skew"    => skewness(c)
       case "sem"     => stddev_samp(c) / sqrt(F.count(c))
       case other     => throw new IllegalArgumentException(s"agg: $other")

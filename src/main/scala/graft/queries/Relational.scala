@@ -196,6 +196,16 @@ object Relational {
         countDistinct(col("l_suppkey")).cast("long").as("nu_supp"),
         countDistinct(col("l_returnflag")).cast("long").as("nu_flag"))
     }),
+    // approximate variants — the reference's actual sketches
+    // (HLL++ cardinality, TDigest percentiles); values differ per
+    // engine so the driver records a rows-only check
+    "ax1_approx_aggs" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).cast("long").as("nu_part_approx"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("median_approx"),
+        expr("percentile_approx(l_extendedprice, array(0.25, 0.75), 10000)")
+          .as("quartiles_approx"))
+    }),
     // A11 mode with tie-keeping (eland/operations.py:665-696)
     "a11_mode" -> ((s, d) => {
       val counts = t(s, d, "lineitem")
@@ -409,6 +419,17 @@ object Relational {
       val o = t(s, d, "orders")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .agg(count(lit(1)).cast("long").as("cnt"))
+    }),
+    // salted join — must be row-identical to the plain join (oracle
+    // is the unsalted SQL)
+    "j6_salted_join" -> ((s, d) => {
+      val o = t(s, d, "orders").withColumnRenamed("o_custkey", "custkey")
+      val c = t(s, d, "customer").withColumnRenamed("c_custkey", "custkey")
+      graft.operators.Skew.saltedJoin(o, c, "custkey", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).cast("long").as("cnt"),
+             round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy("c_mktsegment")
     }),
     "j5_union" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -684,6 +705,11 @@ object Relational {
       """SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j6_salted_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "j5_union" ->
       """SELECT key, src FROM (
         |  SELECT c_custkey AS key, 'c' AS src FROM customer
