@@ -277,6 +277,21 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
 
   def len(): Long = df.count()
 
+  /** eland `df.shape` (rows via the count fast path, cols from schema). */
+  def shape: (Long, Int) = (len(), df.columns.length)
+  def ndim: Int = 2
+  def size(): Long = len() * df.columns.length
+  def isEmpty(): Boolean = df.isEmpty
+
+  /** Per-column non-null counts — eland `df.count()` returns a Series
+    * indexed by column (eland/ndframe.py metric agg path).
+    */
+  def countPerColumn(): DataFrame = {
+    val exprs = df.columns.toSeq.map(c =>
+      F.count(col(c)).cast("long").as(c))
+    df.agg(exprs.head, exprs.tail: _*)
+  }
+
   // ---- groupby (SURVEY §2.4 A19-A21) -------------------------------
   def groupby(by: Seq[String], dropna: Boolean = true): GraftGroupBy =
     new GraftGroupBy(this, by, dropna)

@@ -103,6 +103,19 @@ object TextQueries {
         planes = 6)
         .orderBy("q_id", "rank")
     }),
+    // multi-valued (array) column discipline (SURVEY §1.2: ArrayType
+    // with sorted values for determinism, like eland's sorted
+    // `fields` lists, eland/operations.py:1626-1631)
+    "arr1_array_ops" -> ((s, d) => {
+      val toks = graft.functions.TextAnalysis.tokens(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        concat_ws("|", slice(array_sort(array_distinct(toks)), 1, 3))
+          .as("first3"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal (decode stubbed; plumbing real) ---------------
     // binary blob metadata + byte length (SQL-expressible part)
     "mm1_media_meta" -> ((s, d) => {
@@ -189,6 +202,11 @@ object TextQueries {
            |  WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'fr'
            |  ELSE 'it' END AS lang_pred
            |FROM s ORDER BY doc_id""".stripMargin,
+    "arr1_array_ops" ->
+      raw"""SELECT doc_id,
+           |  CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct,
+           |  array_to_string(list_sort(list_distinct($toksSql))[1:3], '|') AS first3
+           |FROM documents ORDER BY doc_id""".stripMargin,
     "mm1_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

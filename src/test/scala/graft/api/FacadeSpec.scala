@@ -89,6 +89,16 @@ class FacadeSpec extends AnyFunSuite {
       Set("count", "mean", "std", "min", "25%", "50%", "75%", "max"))
   }
 
+  test("shape/size/ndim/empty/countPerColumn") {
+    val o = orders
+    val (rows, cols) = o.shape
+    assert(rows == o.len() && cols == o.columns.size)
+    assert(o.ndim == 2 && o.size() == rows * cols)
+    assert(!o.isEmpty())
+    val counts = o.countPerColumn().head()
+    assert(o.columns.indices.forall(i => counts.getLong(i) == rows))
+  }
+
   test("esInfo exposes the physical plan") {
     val info = orders.where(col("o_totalprice") > 100).esInfo()
     assert(info.contains("Scan parquet") || info.contains("FileScan"))
