@@ -67,9 +67,16 @@ object Dedup {
     * bucket shuffle — the standard LSH layout; at very large N, swap
     * for explode-ids-only + re-join signatures by id.
     */
+  /** `maxBucketSize` guards hot buckets: a bucket of B docs yields
+    * B^2/2 candidate pairs, and at corpus scale the hottest buckets
+    * are boilerplate/templates that the exact-dup pass already
+    * handles. Buckets larger than the cap are skipped (recall trade,
+    * documented; 0 disables the guard).
+    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxBucketSize: Int = 0): DataFrame = {
     val perms = bands * rowsPerBand
     // The signature frame is the LSH "index": persist it — both sides
     // of the bucket self-join read it, and without the barrier Spark
@@ -100,9 +107,18 @@ object Dedup {
             element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bh"))
       }: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
-    val l = banded.select(col("band"), col("bh"),
+    val guarded =
+      if (maxBucketSize <= 0) banded
+      else {
+        val sizes = banded.groupBy("band", "bh")
+          .agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") <= maxBucketSize)
+          .drop("_bsz")
+        banded.join(sizes, Seq("band", "bh"), "left_semi")
+      }
+    val l = guarded.select(col("band"), col("bh"),
       col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bh"),
+    val r = guarded.select(col("band"), col("bh"),
       col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
@@ -115,6 +131,15 @@ object Dedup {
       .agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
+
+  /** Greedy near-dup drop list from candidate pairs: a doc is dropped
+    * when it has ANY near-dup partner with a smaller id. O(N) output
+    * regardless of clique sizes (a 10-doc clique yields 9 drops, not
+    * 45 pairs downstream) — the standard reduction from pair
+    * enumeration to a keep/drop decision.
+    */
+  def nearDupDrops(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_b").as("drop_id")).distinct()
 
   /** SimHash near-duplicate pairs: bucket by the top `prefixBits` bits
     * (near-dups almost always share a prefix bucket when hamming

@@ -104,6 +104,36 @@ class FacadeSpec extends AnyFunSuite {
     assert(info.contains("Scan parquet") || info.contains("FileScan"))
   }
 
+  test("head/tail compose like eland's folded task list") {
+    // head(10).tail(3) = rows 8..10 of the id-ordered frame
+    val composed = orders.head(10).tail(3).df.collect().map(_.getLong(0)).toSeq
+    val all = orders.head(10).df.collect().map(_.getLong(0)).toSeq
+    assert(composed == all.takeRight(3))
+    // tail(10).head(2) = first 2 of the last 10
+    val c2 = orders.tail(10).head(2).df.collect().map(_.getLong(0)).toSeq
+    val t10 = orders.tail(10).df.collect().map(_.getLong(0)).toSeq
+    assert(c2 == t10.take(2))
+  }
+
+  test("aggregations on an empty frame return nulls/zeros, not errors") {
+    val empty = orders.where(col("o_totalprice") < -1)
+    assert(empty.len() == 0 && empty.isEmpty())
+    val a = empty.aggregate(Seq("count", "sum", "mean"), Some(true)).head()
+    assert(a.getLong(a.fieldIndex("o_totalprice_count")) == 0L)
+    assert(a.isNullAt(a.fieldIndex("o_totalprice_mean")))
+    assert(empty.head(5).df.count() == 0)
+    assert(empty.valueCounts("o_orderstatus", 3).count() == 0)
+  }
+
+  test("toJson/toCsv sinks round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val five = orders.head(5)
+    five.toJson(dir + "/j")
+    five.toCsv(dir + "/c")
+    assert(spark.read.json(dir + "/j").count() == 5)
+    assert(spark.read.option("header", "true").csv(dir + "/c").count() == 5)
+  }
+
   test("withMintedId is stable across identical re-reads") {
     val df = Tables.load(spark, TestSpark.sfDir, "customer")
     val a = GraftFrame.withMintedId(df).head(3).df.collect()

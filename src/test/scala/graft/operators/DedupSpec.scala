@@ -36,6 +36,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("bucket-size guard drops hot buckets; drop list is one decision per doc") {
+    import org.apache.spark.sql.functions._
+    // 12 copies of the same text = one hot clique
+    val clique = spark.range(12).select(col("id"),
+      lit("a b c d e f g h i j k l m n o p q r s t").as("text"))
+    val unguarded = Dedup.minhashLshPairs(clique, "id", "text", threshold = 0.9)
+    assert(unguarded.count() == 12L * 11 / 2)
+    val guarded = Dedup.minhashLshPairs(clique, "id", "text",
+      threshold = 0.9, maxBucketSize = 8)
+    assert(guarded.count() == 0) // whole clique is one >8 bucket
+    val drops = Dedup.nearDupDrops(unguarded)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(drops == (1L to 11L)) // keep id 0, drop the other 11
+  }
+
   test("simhash of near-identical docs is close in hamming distance") {
     val sims = corpus.filter($"id" < 3)
       .select($"id", graft.functions.TextAnalysis.simhash64($"text").as("sh"))
