@@ -267,6 +267,54 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
       .orderBy("bin")
   }
 
+  /** Histogram with explicit bin edges — the shape eland's plotting
+    * sidecar consumes (bins + weights, eland/plotting/_matplotlib/
+    * hist.py:42-156).
+    */
+  def histogram(colName: String, bins: Int): DataFrame = {
+    val mm = df.agg(
+      org.apache.spark.sql.functions.min(col(colName)).cast("double").as("_mn"),
+      org.apache.spark.sql.functions.max(col(colName)).cast("double").as("_mx"))
+    df.crossJoin(broadcast(mm))
+      .select(col("_mn"), col("_mx"), least(
+        floor((col(colName) - col("_mn")) / ((col("_mx") - col("_mn")) / bins.toDouble)),
+        lit((bins - 1).toLong)).as("bin"))
+      .groupBy("bin", "_mn", "_mx")
+      .agg(count(lit(1)).cast("long").as("count"))
+      .select(col("bin"),
+        (col("_mn") + col("bin") * (col("_mx") - col("_mn")) / bins.toDouble).as("bin_start"),
+        (col("_mn") + (col("bin") + 1) * (col("_mx") - col("_mn")) / bins.toDouble).as("bin_end"),
+        col("count"))
+      .orderBy("bin")
+  }
+
+  /** eland-style capped text render: head/tail halves around an
+    * ellipsis once the frame exceeds `maxRows` (DEFAULT_NUM_ROWS_
+    * DISPLAYED = 60, eland/common.py:38), with the pandas footer.
+    */
+  def renderString(maxRows: Int = 60): String = {
+    val n = len()
+    val cols = df.columns
+    val rows: Seq[Seq[String]] =
+      if (n <= maxRows) {
+        head(maxRows).df.collect().toSeq
+          .map(r => cols.indices.map(i => String.valueOf(r.get(i))))
+      } else {
+        val h = head(maxRows / 2).df.collect().toSeq
+        val t = tail(maxRows / 2).df.collect().toSeq
+        (h.map(r => cols.indices.map(i => String.valueOf(r.get(i)))) :+
+          cols.indices.map(_ => "...")) ++
+          t.map(r => cols.indices.map(i => String.valueOf(r.get(i))))
+      }
+    val widths = cols.indices.map(i =>
+      (cols(i).length +: rows.map(_(i).length)).max)
+    def fmt(cells: Seq[String]): String =
+      cells.zip(widths).map { case (c, w) => c.reverse.padTo(w, ' ').reverse }
+        .mkString("  ")
+    (fmt(cols.toSeq) +: rows.map(fmt)).mkString("\n") +
+      s"\n\n[$n rows x ${cols.length} columns]"
+  }
+
   /** idxmax/idxmin (eland/operations.py:207-254): id of the extreme
     * row, smallest id on ties, via one max_by/min_by pass.
     */

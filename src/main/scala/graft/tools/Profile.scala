@@ -57,3 +57,33 @@ object Profile {
     spark.stop()
   }
 }
+// appended: quantile path comparison (dev)
+object ProfileQuantiles {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+    li.count()
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[prof] $name%-24s ${(System.nanoTime()-t0)/1e9}%8.2f s")
+    }
+    time("builtin percentile x3") {
+      li.agg(expr("percentile(l_extendedprice, array(0.25,0.5,0.75))")).head()
+    }
+    time("viaSort x3") {
+      graft.operators.Quantiles.viaSort(li, "l_extendedprice",
+        Seq(0.25, 0.5, 0.75)).count()
+    }
+    time("builtin percentile again") {
+      li.agg(expr("percentile(l_extendedprice, array(0.25,0.5,0.75))")).head()
+    }
+    time("viaSort again") {
+      graft.operators.Quantiles.viaSort(li, "l_extendedprice",
+        Seq(0.25, 0.5, 0.75)).count()
+    }
+    spark.stop()
+  }
+}

@@ -134,6 +134,24 @@ class FacadeSpec extends AnyFunSuite {
     assert(spark.read.option("header", "true").csv(dir + "/c").count() == 5)
   }
 
+  test("histogram emits edges spanning min..max with total count = rows") {
+    val h = orders.histogram("o_totalprice", 10).collect()
+    assert(h.length <= 10)
+    assert(h.map(_.getLong(3)).sum == orders.len())
+    val mn = orders.df.agg(min("o_totalprice")).head().getDouble(0)
+    assert(h.head.getDouble(1) == mn)
+  }
+
+  test("renderString caps at maxRows with ellipsis and pandas footer") {
+    val r = orders.renderString(10)
+    val lines = r.split("\n")
+    assert(lines(0).contains("o_orderkey"))
+    assert(lines.exists(_.trim.startsWith("...")))
+    assert(r.endsWith(s"[${orders.len()} rows x ${orders.columns.size} columns]"))
+    val small = orders.head(3).renderString(10)
+    assert(!small.contains("..."))
+  }
+
   test("withMintedId is stable across identical re-reads") {
     val df = Tables.load(spark, TestSpark.sfDir, "customer")
     val a = GraftFrame.withMintedId(df).head(3).df.collect()
