@@ -18,15 +18,26 @@ object EsMatch {
   private def qTokens(query: String): Seq[String] =
     query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
 
-  /** `match` with operator=or: any query token occurs in the column. */
-  def matchAny(text: Column, query: String): Column = {
+  /** `match` with operator=or: any query token occurs in the column.
+    * Served by the native codegen TokenMatch expression (single
+    * tokenization pass, static query set); semantics identical to the
+    * composed-builtin form (see TokenMatchSpec equivalence test).
+    */
+  def matchAny(text: Column, query: String): Column =
+    graft.plans.TokenMatch.any(text, query)
+
+  /** `match` with operator=and: every query token occurs. */
+  def matchAll(text: Column, query: String): Column =
+    graft.plans.TokenMatch.all(text, query)
+
+  /** Composed-builtin reference forms (kept for differential tests). */
+  def matchAnyHof(text: Column, query: String): Column = {
     val qs = qTokens(query)
     if (qs.isEmpty) lit(false)
     else exists(TextAnalysis.tokens(text), t => t.isin(qs: _*))
   }
 
-  /** `match` with operator=and: every query token occurs. */
-  def matchAll(text: Column, query: String): Column = {
+  def matchAllHof(text: Column, query: String): Column = {
     val toks = TextAnalysis.tokens(text)
     qTokens(query).map(q => array_contains(toks, q))
       .foldLeft(lit(true))(_ && _)

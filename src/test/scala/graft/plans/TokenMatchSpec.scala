@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+import graft.functions.EsMatch
+
+class TokenMatchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("native TokenMatch agrees with the composed-builtin form on the corpus") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    for (q <- Seq("filter join", "the", "zzz-notoken", "SCAN Merge")) {
+      val diff = docs.select(
+        TokenMatch.any(col("text"), q).as("n_any"),
+        EsMatch.matchAnyHof(col("text"), q).as("h_any"),
+        TokenMatch.all(col("text"), q).as("n_all"),
+        EsMatch.matchAllHof(col("text"), q).as("h_all"))
+        .filter(col("n_any") =!= col("h_any") || col("n_all") =!= col("h_all"))
+        .count()
+      assert(diff == 0, s"divergence for query '$q'")
+    }
+  }
+
+  test("edge semantics: empty query, empty text, nulls") {
+    import spark.implicits._
+    val df = Seq(Some("a b"), Some(""), None).toDF("t")
+    val r = df.select(
+      TokenMatch.any($"t", "").as("any_empty"),
+      TokenMatch.all($"t", "").as("all_empty"),
+      TokenMatch.any($"t", "a").as("any_a")).collect()
+    assert(r(0).getBoolean(0) == false && r(0).getBoolean(1) == true)
+    assert(r(1).getBoolean(2) == false)
+    assert(r(2).isNullAt(2)) // null text -> null, not false
+  }
+
+  test("TokenMatch runs inside whole-stage codegen") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val df = docs.filter(TokenMatch.any(col("text"), "filter"))
+      .select(count(lit(1)))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+}
