@@ -14,7 +14,15 @@ import org.apache.spark.sql.functions._
   */
 class GraftSeries(val frame: GraftFrame, val name: String) {
 
-  def col: Column = frame.df(name)
+  /** Unbound name reference, not `frame.df(name)`: eland frames are
+    * single-table, and an instance-bound attribute would make
+    * predicates built from one read fail against an equal frame from
+    * another read (a real landmine for `df[df['x'] > 5]`-style use).
+    */
+  def col: Column = {
+    require(frame.columns.contains(name), s"unknown column $name")
+    org.apache.spark.sql.functions.col(name)
+  }
 
   // ---- predicates (eland/filter.py; SURVEY §2.3 F1-F7) -------------
   def >(v: Any): Column  = col > lit(v)

@@ -68,6 +68,16 @@ object TextQueries {
         .select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
+    // exact dedup keep-first over a corpus with synthesized duplicates
+    "dd6_exact_keep_first" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val dup = docs.unionByName(
+        docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      graft.operators.Dedup.exactKeepFirst(dup, "doc_id", "text")
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("doc_id")).cast("long").as("sum_id"))
+    }),
     // exact n-gram Jaccard over same-source candidate pairs
     "dd4_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -217,6 +227,15 @@ object TextQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
         |FROM documents""".stripMargin,
+    "dd6_exact_keep_first" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+        |k AS (SELECT min(doc_id) AS doc_id FROM u GROUP BY md5(text))
+        |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |       max(doc_id) AS max_id,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM k""".stripMargin,
     "dd4_ngram_jaccard" ->
       raw"""WITH sh AS (SELECT doc_id, source, $shinglesSql AS s FROM documents),
            |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
