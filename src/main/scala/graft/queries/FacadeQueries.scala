@@ -127,6 +127,29 @@ object FacadeQueries {
       orders(s, d).dropIds(Seq(1L, 2L, 3L))
         .valueCounts("o_orderstatus", 3)
     }),
+    // P3 rename through the facade (display-name relabel)
+    "g19_rename" -> ((s, d) => {
+      orders(s, d)
+        .rename(Map("o_orderkey" -> "id", "o_totalprice" -> "price"))
+        .select(Seq("id", "price")).df
+        .orderBy("id").limit(20)
+    }),
+    // end-to-end corpus cleaning: quality-filter -> language gate ->
+    // per-source stats, one declarative plan (the training-data
+    // pipeline story in miniature)
+    "g20_corpus_clean" -> ((s, d) => {
+      val f = docs(s, d)
+      f.withColumn("q", graft.functions.TextAnalysis.qualityFeatures(col("text")))
+        .withColumn("lang_pred", graft.functions.TextAnalysis.languageId(col("text")))
+        .where(col("q.n_tokens") >= 30 && col("q.stopword_ratio") > 0 &&
+          col("lang_pred") =!= "und")
+        .df
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("q.n_tokens")).cast("long").as("total_tokens"),
+          rhu(avg(col("q.mean_token_len")), 6).as("avg_tok_len"))
+        .orderBy("source")
+    }),
     // column-pattern projection (filter axis=columns)
     "g18_filter_columns" -> ((s, d) => {
       orders(s, d).filterColumns(regex = "o_order.*")
@@ -237,6 +260,31 @@ object FacadeQueries {
         |LIMIT 3""".stripMargin,
     "g18_filter_columns" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
-        |ORDER BY o_orderkey LIMIT 5""".stripMargin
+        |ORDER BY o_orderkey LIMIT 5""".stripMargin,
+    "g19_rename" ->
+      """SELECT o_orderkey AS id, o_totalprice AS price FROM orders
+        |ORDER BY id LIMIT 20""".stripMargin,
+    "g20_corpus_clean" ->
+      raw"""WITH b AS (
+           |  SELECT source, $toksSql AS toks, text FROM documents),
+           |q AS (SELECT source, len(toks) AS n_tokens,
+           |  CASE WHEN len(toks) > 0 THEN
+           |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+           |  ELSE 0.0 END AS mean_token_len,
+           |  CASE WHEN len(toks) > 0 THEN
+           |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks)
+           |  ELSE 0.0 END AS stopword_ratio,
+           |  (len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) +
+           |   len(list_filter(toks, t -> t IN ('der','die','und','das','ist','nicht'))) +
+           |   len(list_filter(toks, t -> t IN ('el','la','de','los','que','es'))) +
+           |   len(list_filter(toks, t -> t IN ('le','les','et','des','une','est'))) +
+           |   len(list_filter(toks, t -> t IN ('il','di','che','la','per','non')))) AS marker_hits
+           |  FROM b)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |       floor(avg(mean_token_len) * 1000000 + 0.5) / 1000000.0 AS avg_tok_len
+           |FROM q
+           |WHERE n_tokens >= 30 AND stopword_ratio > 0 AND marker_hits > 0
+           |GROUP BY source ORDER BY source""".stripMargin
   )
 }
