@@ -109,7 +109,13 @@ object TextAnalysis {
     * (Scala Ints) so all shifts are literal and codegen-friendly;
     * token hashes are computed once into an array first.
     */
-  def simhash64(text: Column): Column = {
+  /** Native single-pass codegen form (plans.TokenSimHash) —
+    * bit-identical to the HOF sketch below, which is retained as the
+    * differential-test reference.
+    */
+  def simhash64(text: Column): Column = graft.plans.TokenSimHash(text)
+
+  def simhash64Hof(text: Column): Column = {
     // one expression tree: token hashes materialize once into an array;
     // per token the 64 ±1 contributions come from cheap mask ANDs
     // (64 separate top-level aggregates would re-hash every token per

@@ -20,10 +20,15 @@ import org.apache.spark.sql.expressions.Window
 object Quantiles {
 
   /** (q, value) rows for each requested quantile of `valueCol`. */
-  def viaSort(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
+  def viaSort(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame =
+    viaSort(df, col(valueCol), qs)
+
+  /** Column-expression form (e.g. quantiles of abs deviations). */
+  def viaSort(df: DataFrame, value: org.apache.spark.sql.Column,
+              qs: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = df.select(col(valueCol).cast("double").as("v"))
+    val vals = df.select(value.cast("double").as("v"))
       .filter(col("v").isNotNull)
     // global ascending rank (0-based). zipWithIndex over a sorted
     // Dataset: sortWithinPartitions after a range repartition gives a

@@ -31,15 +31,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  private def qTokens(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] = {
+    require(e.foldable, "query argument must be a literal string")
+    String.valueOf(e.eval()).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+  }
+
   /** Register on a live session. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine",
-      exprs => VectorExpressions.CosineSimilarity(exprs(0), exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      exprs => VectorExpressions.DotProduct(exprs(0), exprs(1)),
-      "built-in")
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => VectorExpressions.CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => VectorExpressions.DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_match_any",
+      exprs => TokenMatch(exprs(0), qTokens(exprs(1)), matchAll = false), "built-in")
+    reg.createOrReplaceTempFunction("graft_match_all",
+      exprs => TokenMatch(exprs(0), qTokens(exprs(1)), matchAll = true), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      exprs => TokenSimHash(exprs(0)), "built-in")
   }
 }

@@ -187,13 +187,18 @@ object Relational {
           round(col("q75"), 4).as("q75"))
     }),
     // A9 MAD — two-pass exact (reference: TDigest approx,
-    // eland/operations.py:1120-1121)
+    // eland/operations.py:1120-1121); both medians via the sort-based
+    // path (the builtin's count map pays O(distinct) twice here)
     "a9_mad" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      val med = li.agg(expr("median(l_extendedprice)").as("m"))
-      li.crossJoin(broadcast(med))
-        .agg(round(expr("median(abs(l_extendedprice - m))"), 4)
-          .as("mad_price"))
+      val m = graft.operators.Quantiles
+        .viaSort(li, "l_extendedprice", Seq(0.5)).head().getDouble(1)
+      val mad = graft.operators.Quantiles
+        .viaSort(li, abs(col("l_extendedprice") - m), Seq(0.5))
+        .head().getDouble(1)
+      import s.implicits._
+      Seq(mad).toDF("mad_price")
+        .select(round(col("mad_price"), 4).as("mad_price"))
     }),
     // A10 nunique — exact countDistinct (reference: HLL++,
     // eland/operations.py:1118-1119)
@@ -262,8 +267,15 @@ object Relational {
         .filter(col("l_extendedprice") === col("mx"))
         .agg(min(col("l_orderkey")).as("idxmax_key"))
     }),
-    // A17 describe (eland/operations.py:1189-1216)
+    // A17 describe (eland/operations.py:1189-1216). The
+    // high-cardinality price column's percentiles go through the
+    // sort-based path (bit-equal, O(1) agg state); the ~50-distinct
+    // qty column stays on the builtin count-map percentile
     "a17_describe" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val pq = graft.operators.Quantiles
+        .viaSort(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
       val a = t(s, d, "lineitem").agg(
         count(col("l_quantity")).cast("double").as("c_q"),
         rhu(avg(col("l_quantity")), 4).as("me_q"),
@@ -277,9 +289,9 @@ object Relational {
         rhu(avg(col("l_extendedprice")), 4).as("me_p"),
         round(stddev_samp(col("l_extendedprice")), 4).as("sd_p"),
         round(min(col("l_extendedprice")), 4).as("mi_p"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_p"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_p"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_p"),
+        round(lit(pq(0.25)), 4).as("p25_p"),
+        round(lit(pq(0.5)), 4).as("p50_p"),
+        round(lit(pq(0.75)), 4).as("p75_p"),
         round(max(col("l_extendedprice")), 4).as("ma_p"))
       a.select(explode(array(
         struct(lit("1_count").as("stat"), col("c_q").as("l_quantity"), col("c_p").as("l_extendedprice")),

@@ -32,10 +32,15 @@ class FeatureLoggerSpec extends AnyFunSuite {
     GraftExtensionsHelper.registerOn(spark)
     val r = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
-        "graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+        "graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c, " +
+        "graft_match_any('the quick fox', 'fox bear') AS m, " +
+        "graft_match_all('the quick fox', 'fox bear') AS ma, " +
+        "graft_simhash64('a b c') AS sh")
       .head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 1.0)
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getLong(4) == graft.plans.TokenSimHash.simhash("a b c"))
   }
 }
 

@@ -34,6 +34,15 @@ class TokenMatchSpec extends AnyFunSuite {
     assert(r(2).isNullAt(2)) // null text -> null, not false
   }
 
+  test("native TokenSimHash is bit-identical to the HOF sketch") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val diff = docs.select(
+      TokenSimHash(col("text")).as("n"),
+      graft.functions.TextAnalysis.simhash64Hof(col("text")).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(diff == 0)
+  }
+
   test("TokenMatch runs inside whole-stage codegen") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val df = docs.filter(TokenMatch.any(col("text"), "filter"))
