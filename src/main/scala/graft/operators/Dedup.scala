@@ -172,10 +172,13 @@ object Dedup {
     // |A|+|B|-|inter| (array_union per pair would double the work).
     // The per-doc set table is tiny relative to the pair table and is
     // read by both join sides -> persist.
+    // sorted hash arrays: the per-pair intersection is then a native
+    // codegen linear merge (SortedIntersectCount) instead of an
+    // interpreted hash-set build per pair
     val sh = docs.select(col(idCol).as("_jid"),
         array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("_s"))
       .select(col("_jid"),
-        transform(col("_s"), s => xxhash64(s)).as("_jsh"),
+        array_sort(array_distinct(transform(col("_s"), s => xxhash64(s)))).as("_jsh"),
         size(col("_s")).as("_jn"))
       .persist()
     pairs
@@ -183,7 +186,8 @@ object Dedup {
         col("_jn").as("n_a")), Seq("id_a"))
       .join(sh.select(col("_jid").as("id_b"), col("_jsh").as("sh_b"),
         col("_jn").as("n_b")), Seq("id_b"))
-      .withColumn("_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("_inter",
+        VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         when(col("n_a") + col("n_b") - col("_inter") > 0,
           col("_inter").cast("double") /

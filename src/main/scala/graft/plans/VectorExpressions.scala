@@ -140,11 +140,62 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Count of common elements between two SORTED long arrays (distinct
+    * elements assumed, as array_sort(array_distinct(...)) produces) —
+    * linear merge in generated code. The builtin array_intersect
+    * builds a hash set per invocation in interpreted evaluation, which
+    * dominates pairwise Jaccard verification at scale.
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      var i = 0; var j = 0; var c = 0
+      val n = a.numElements(); val m = b.numElements()
+      while (i < n && j < m) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val c = ctx.freshName("c"); val n = ctx.freshName("n")
+        val m = ctx.freshName("m"); val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+           |int $i = 0, $j = 0, $c = 0;
+           |int $n = $a.numElements(), $m = $b.numElements();
+           |while ($i < $n && $j < $m) {
+           |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+           |  if ($x == $y) { $c++; $i++; $j++; }
+           |  else if ($x < $y) $i++; else $j++;
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // Column-level API (Spark 4: Column <-> Expression via the bridge)
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
