@@ -33,10 +33,12 @@ object Similarity {
         (x, i) => x * planeComponent(plane, i)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Random-hyperplane LSH bucket id (0 until 2^planes). */
-  def lshBuckets(vec: Column, planes: Int): Column =
+  /** Random-hyperplane LSH bucket id (0 until 2^planes). `table`
+    * selects an independent plane set for multi-table LSH.
+    */
+  def lshBuckets(vec: Column, planes: Int, table: Int = 0): Column =
     (0 until planes).map { p =>
-      when(projection(vec, p) >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(projection(vec, table * 4096 + p) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Exact cosine top-k of `corpus` rows for each row of `queries`.
@@ -67,23 +69,29 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cos")
   }
 
-  /** LSH-bucketed ANN top-k: candidates limited to the query's bucket.
-    * Recall < 1 by construction; bucket size (and so cost) shrinks
-    * 2x per extra plane.
+  /** LSH-bucketed ANN top-k: candidates limited to the query's bucket,
+    * unioned over `tables` independent hash tables (the standard
+    * recall dial: recall rises with tables, cost rises linearly;
+    * planes shrinks buckets 2x each).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              planes: Int = 8, roundTo: Int = 6): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"),
-      VectorOps.asDouble(col(vecCol)).as("q_v"),
-      lshBuckets(col(vecCol), planes).as("bucket"))
+              planes: Int = 8, tables: Int = 1, roundTo: Int = 6): DataFrame = {
+    def bucketed(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).as(id),
+        VectorOps.asDouble(col(vecCol)).as(v),
+        array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            lshBuckets(col(vecCol), planes, t).as("b"))): _*).as("bks"))
+        .select(col(id), col(v), explode(col("bks")).as("bk"))
+        .select(col(id), col(v), col("bk.t"), col("bk.b"))
+    val q = bucketed(queries, "q_id", "q_v")
       .withColumn("q_n", sqrt(VectorOps.normSq(col("q_v"))))
-    val c = corpus.select(col(idCol).as("n_id"),
-      VectorOps.asDouble(col(vecCol)).as("n_v"),
-      lshBuckets(col(vecCol), planes).as("bucket"))
+    val c = bucketed(corpus, "n_id", "n_v")
       .withColumn("n_n", sqrt(VectorOps.normSq(col("n_v"))))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(broadcast(q), Seq("t", "b"))
       .filter(col("n_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "n_id") // same pair may match in >1 table
       .withColumn("cos", round(
         VectorExpressions.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")),
         roundTo))

@@ -38,6 +38,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits > 0, "LSH recovered no brute-force neighbors at 4 planes")
   }
 
+  test("multi-table LSH raises recall monotonically") {
+    val q = embs.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, embs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(tables: Int): Double = {
+      val got = Similarity.lshTopK(q, embs, "vec_id", "embedding", k = 3,
+        planes = 6, tables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"recall dropped with more tables: $r1 -> $r4")
+    // candidate coverage must grow with tables (absolute recall is
+    // inherently low on near-orthogonal random embeddings)
+    def hits(tables: Int): Long =
+      Similarity.lshTopK(q, embs, "vec_id", "embedding", k = 3,
+        planes = 6, tables = tables).count()
+    assert(hits(4) >= hits(1))
+  }
+
   test("lsh buckets are deterministic") {
     val b1 = embs.select(Similarity.lshBuckets(col("embedding"), 6).as("b"))
       .collect().map(_.getLong(0)).toSeq

@@ -42,6 +42,25 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(out(2).getDouble(0) == 0.0)                // but dot is 0
   }
 
+  test("sorted intersect count agrees with array_intersect on random sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200) {
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (a, b)
+    }
+    val diff = rows.toDF("a", "b").select(
+      VectorExpressions.sortedIntersectCount(col("a"), col("b")).as("n"),
+      size(array_intersect(col("a"), col("b"))).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(diff == 0)
+    val empty = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+      .select(VectorExpressions.sortedIntersectCount(col("a"), col("b")))
+      .head().getInt(0)
+    assert(empty == 0)
+  }
+
   test("native expression participates in whole-stage codegen") {
     val df = embs.select(
       VectorExpressions.cosine(col("embedding"), col("embedding")).as("c"))
