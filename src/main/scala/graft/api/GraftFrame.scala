@@ -260,9 +260,12 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
       org.apache.spark.sql.functions.min(col(colName)).as("_mn"),
       org.apache.spark.sql.functions.max(col(colName)).as("_mx"))
     df.crossJoin(broadcast(mm))
-      .select(least(
-        floor((col(colName) - col("_mn")) / ((col("_mx") - col("_mn")) / bins.toDouble)),
-        lit((bins - 1).toLong)).as("bin"))
+      .select(
+        // constant column (min==max) would divide by zero under ANSI;
+        // every row then belongs to bin 0
+        when(col("_mx") === col("_mn"), lit(0L)).otherwise(least(
+          floor((col(colName) - col("_mn")) / ((col("_mx") - col("_mn")) / bins.toDouble)),
+          lit((bins - 1).toLong))).as("bin"))
       .groupBy("bin").agg(count(lit(1)).cast("long").as("count"))
       .orderBy("bin")
   }
@@ -276,9 +279,10 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
       org.apache.spark.sql.functions.min(col(colName)).cast("double").as("_mn"),
       org.apache.spark.sql.functions.max(col(colName)).cast("double").as("_mx"))
     df.crossJoin(broadcast(mm))
-      .select(col("_mn"), col("_mx"), least(
-        floor((col(colName) - col("_mn")) / ((col("_mx") - col("_mn")) / bins.toDouble)),
-        lit((bins - 1).toLong)).as("bin"))
+      .select(col("_mn"), col("_mx"),
+        when(col("_mx") === col("_mn"), lit(0L)).otherwise(least(
+          floor((col(colName) - col("_mn")) / ((col("_mx") - col("_mn")) / bins.toDouble)),
+          lit((bins - 1).toLong))).as("bin"))
       .groupBy("bin", "_mn", "_mx")
       .agg(count(lit(1)).cast("long").as("count"))
       .select(col("bin"),

@@ -142,6 +142,13 @@ class FacadeSpec extends AnyFunSuite {
     assert(h.head.getDouble(1) == mn)
   }
 
+  test("hist of a constant column lands everything in bin 0 (no ANSI /0)") {
+    import spark.implicits._
+    val f = GraftFrame.withMintedId(Seq.fill(7)(5.0).toDF("v"))
+    val h = f.hist("v", 10).collect()
+    assert(h.length == 1 && h.head.getLong(0) == 0L && h.head.getLong(1) == 7L)
+  }
+
   test("renderString caps at maxRows with ellipsis and pandas footer") {
     val r = orders.renderString(10)
     val lines = r.split("\n")

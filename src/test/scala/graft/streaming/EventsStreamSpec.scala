@@ -38,6 +38,37 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizer over the real events table matches the batch lag-gap query") {
+    import spark.implicits._
+    implicit val s2 = spark
+    implicit val sqlCtx2: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+    val mem = MemoryStream[EventsStream.Event]
+    mem.addData(events.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventsStream.Event].collect().toSeq: _*)
+    val q = EventsStream.sessionize(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_real").start()
+    try {
+      q.processAllAvailable()
+      // push watermark far forward so every session closes
+      mem.addData(EventsStream.Event(-1L,
+        new Timestamp(4102444800000L), -1L, "t", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_real")
+        .filter($"user_id" >= 0)
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_sessions"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.queries.Relational
+        .queries("w2_sessionize")(spark, TestSpark.sfDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch,
+        s"stream=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes sessions on gap and matches batch lag-gap logic") {
     import spark.implicits._
     implicit val s = spark
