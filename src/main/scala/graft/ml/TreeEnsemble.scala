@@ -57,6 +57,55 @@ object TreeEnsemble {
       if (kind == "classification") (score > 0).cast("int") else score
   }
 
+  /** Import the REFERENCE's serialization format: the ES trained-model
+    * JSON eland emits from sklearn/XGBoost/LightGBM models
+    * (eland/ml/_model_serializer.py:60-178 — index-addressed TreeNode
+    * rows with node_idx / split_feature / threshold / default_left /
+    * left_child / right_child / leaf_value inside
+    * {"ensemble": {"trained_models": [{"tree": {...}}], "weights",
+    * "target_type"}}), so a model exported by the reference loads
+    * directly. Only the gzip+b64 envelope is expected to be stripped.
+    */
+  def fromEsTrainedModel(json: String): Model = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val root = JsonMethods.parse(json)
+    val ens = root \ "ensemble" match {
+      case JNothing => root
+      case e        => e
+    }
+
+    def buildTree(tree: JValue): Node = {
+      val names = (tree \ "feature_names").extract[Seq[String]]
+      val nodes = (tree \ "tree_structure").extract[Seq[JValue]]
+        .map(n => (n \ "node_index").extract[Int] -> n).toMap
+      def build(idx: Int): Node = {
+        val n = nodes(idx)
+        (n \ "leaf_value") match {
+          case JDouble(v) => Leaf(v)
+          case JInt(v)    => Leaf(v.toDouble)
+          case _ =>
+            Split(
+              names((n \ "split_feature").extract[Int]),
+              (n \ "threshold").extract[Double],
+              build((n \ "left_child").extract[Int]),
+              build((n \ "right_child").extract[Int]))
+        }
+      }
+      build(0)
+    }
+
+    val trees = (ens \ "trained_models").extract[Seq[JValue]]
+      .map(tm => buildTree(tm \ "tree"))
+    val weights = (ens \ "weights") match {
+      case JNothing => Nil
+      case w        => w.extract[Seq[Double]]
+    }
+    val kind = (ens \ "target_type").extractOrElse[String]("regression")
+    Model(trees, weights, kind)
+  }
+
   /** Minimal JSON decoder for the IR, using the JSON parser Spark
     * already ships (no extra dependency). Format:
     * {"kind":"regression","weights":[..],

@@ -49,6 +49,28 @@ class TreeEnsembleSpec extends AnyFunSuite {
     assert(got == Seq(0, 1))
   }
 
+  test("the reference's ES trained-model JSON imports and scores") {
+    import spark.implicits._
+    // shape per eland/ml/_model_serializer.py:60-178 (node_index rows)
+    val esJson =
+      """{"ensemble": {"target_type": "regression", "weights": [1.0],
+        |  "trained_models": [{"tree": {
+        |    "feature_names": ["f0", "f1"],
+        |    "tree_structure": [
+        |      {"node_index": 0, "split_feature": 0, "threshold": 2.0,
+        |       "default_left": true, "left_child": 1, "right_child": 2},
+        |      {"node_index": 1, "leaf_value": 7.0},
+        |      {"node_index": 2, "split_feature": 1, "threshold": 5.0,
+        |       "default_left": true, "left_child": 3, "right_child": 4},
+        |      {"node_index": 3, "leaf_value": 1.0},
+        |      {"node_index": 4, "leaf_value": -1.0}
+        |    ]}}]}}""".stripMargin
+    val m = TreeEnsemble.fromEsTrainedModel(esJson)
+    val got = Seq((1.0, 0.0), (3.0, 4.0), (3.0, 6.0)).toDF("f0", "f1")
+      .select(m.score.as("s")).collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(7.0, 1.0, -1.0))
+  }
+
   test("scoring stays whole-stage-codegen (no UDF in the plan)") {
     import spark.implicits._
     val m = TreeEnsemble.fromJson(json)
