@@ -348,6 +348,19 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
   def groupby(by: Seq[String], dropna: Boolean = true): GraftGroupBy =
     new GraftGroupBy(this, by, dropna)
 
+  /** Time-bucketed groupby — eland's date_histogram composite source
+    * (eland/query.py:195-211): truncate the time column to `interval`
+    * ("year"/"quarter"/"month"/"week"/"day"/"hour"/"minute") and group
+    * on the bucket (plus optional extra keys).
+    */
+  def resample(timeCol: String, interval: String,
+               extraBy: Seq[String] = Nil): GraftGroupBy = {
+    val bucket = s"${timeCol}_$interval"
+    val withBucket = wrap(df.withColumn(bucket,
+      date_trunc(interval, col(timeCol))))
+    new GraftGroupBy(withBucket, bucket +: extraBy, dropna = true)
+  }
+
   // ---- sinks (SURVEY §2.1 S4-S6) -----------------------------------
   def toCsv(path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)

@@ -142,6 +142,15 @@ class FacadeSpec extends AnyFunSuite {
     assert(h.head.getDouble(1) == mn)
   }
 
+  test("resample buckets by truncated time like the date_histogram source") {
+    val out = orders.resample("o_orderdate", "month").size()
+    val total = out.collect().map(_.getLong(1)).sum
+    assert(total == orders.len())
+    val direct = orders.df
+      .groupBy(date_trunc("month", col("o_orderdate"))).count().count()
+    assert(out.count() == direct)
+  }
+
   test("hist of a constant column lands everything in bin 0 (no ANSI /0)") {
     import spark.implicits._
     val f = GraftFrame.withMintedId(Seq.fill(7)(5.0).toDF("v"))
