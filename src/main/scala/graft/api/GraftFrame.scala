@@ -70,6 +70,10 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
 
   def apply(name: String): GraftSeries = new GraftSeries(this, name)
 
+  /** eland `df.get(key, default)` (eland/dataframe.py:2038-2076). */
+  def get(name: String): Option[GraftSeries] =
+    if (df.columns.contains(name)) Some(apply(name)) else None
+
   def withColumn(name: String, c: Column): GraftFrame =
     wrap(df.withColumn(name, c))
 
@@ -243,12 +247,14 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
       .orderBy(col("count").desc, col(colName))
       .limit(n)
 
-  /** Mode with ties kept (eland/operations.py:665-696). */
-  def mode(colName: String): DataFrame = {
+  /** Mode with ties kept, capped at esSize values like the reference's
+    * terms-agg size (eland/operations.py:665-696, es_size param).
+    */
+  def mode(colName: String, esSize: Int = Int.MaxValue): DataFrame = {
     val counts = df.groupBy(colName).agg(count(lit(1)).as("_c"))
     val mx = counts.agg(org.apache.spark.sql.functions.max(col("_c")).as("_mc"))
     counts.crossJoin(broadcast(mx)).filter(col("_c") === col("_mc"))
-      .select(colName).orderBy(colName)
+      .select(colName).orderBy(colName).limit(esSize)
   }
 
   def unique(colName: String): DataFrame =

@@ -68,11 +68,21 @@ class FacadeSpec extends AnyFunSuite {
     assert(kept == dropped + 1)
   }
 
-  test("mode keeps all tied values") {
+  test("mode keeps all tied values, es_size caps them") {
     import spark.implicits._
     val df = Seq(1, 1, 2, 2, 3).toDF("v")
-    val m = GraftFrame.withMintedId(df).mode("v").collect().map(_.getInt(0))
-    assert(m.toSeq == Seq(1, 2))
+    val f = GraftFrame.withMintedId(df)
+    assert(f.mode("v").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(f.mode("v", esSize = 1).collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("get returns Some for known columns, None otherwise; iterator streams rows") {
+    assert(orders.get("o_totalprice").isDefined)
+    assert(orders.get("nope").isEmpty)
+    val it = orders.head(3).toLocalIterator()
+    var n = 0
+    while (it.hasNext) { it.next(); n += 1 }
+    assert(n == 3)
   }
 
   test("idxmax/idxmin break ties toward the smaller id") {
