@@ -125,6 +125,25 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
     wrap(df.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(n)
       .orderBy(col(idCol).asc))
 
+  /** Fractional sample — eland `sample(frac=..)`: exact
+    * round(frac*len) rows, same seeded determinism.
+    */
+  def sampleFrac(frac: Double, seed: Long): GraftFrame = {
+    require(frac >= 0 && frac <= 1, s"frac out of range: $frac")
+    sample(math.round(frac * len()).toInt, seed)
+  }
+
+  /** pandas `df.info()`-style summary: dtypes + non-null counts. */
+  def info(): String = {
+    val counts = countPerColumn().head()
+    val total = len()
+    val lines = dtypes.zipWithIndex.map { case ((name, dt), i) =>
+      f"$i%3d  $name%-24s ${counts.getLong(i)}%9d non-null  $dt"
+    }
+    (s"GraftFrame: $total rows, ${columns.size} columns (id: $idCol)" +:
+      lines).mkString("\n")
+  }
+
   // ---- metric aggregations (SURVEY §2.4) ---------------------------
   private def aggTargets(numericOnly: Option[Boolean], agg: String): Seq[StructField] =
     numericOnly match {

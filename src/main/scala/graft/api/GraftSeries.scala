@@ -55,6 +55,15 @@ class GraftSeries(val frame: GraftFrame, val name: String) {
   def *(o: GraftSeries): Column = col * o.col
   def /(o: GraftSeries): Column = col / o.col
   def floordiv(o: GraftSeries): Column = floor(col / o.col)
+  // reflected operators — eland's __radd__/__rsub__/... aliases
+  // (eland/series.py:1345-1372): scalar on the left
+  def radd(v: Any): Column = lit(v) + col
+  def rsub(v: Any): Column = lit(v) - col
+  def rmul(v: Any): Column = lit(v) * col
+  def rdiv(v: Any): Column = lit(v) / col
+  def rmod(v: Any): Column = lit(v) % col
+  def rfloordiv(v: Any): Column = floor(lit(v) / col)
+  def rpow(v: Double): Column = org.apache.spark.sql.functions.pow(lit(v), col)
   def pow(v: Double): Column = org.apache.spark.sql.functions.pow(col, v)
   def strConcat(o: GraftSeries): Column = concat(col, o.col)
   def strRepeat(n: Int): Column = expr(s"repeat($name, $n)")

@@ -76,6 +76,24 @@ class FacadeSpec extends AnyFunSuite {
     assert(f.mode("v", esSize = 1).collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("sampleFrac sizes by fraction; info renders dtypes and counts") {
+    val s = orders.sampleFrac(0.1, seed = 3)
+    assert(s.len() == math.round(orders.len() * 0.1))
+    val i = orders.info()
+    assert(i.contains("o_totalprice") && i.contains("float64") &&
+      i.contains(s"${orders.len()} rows"))
+  }
+
+  test("reflected series operators put the scalar on the left") {
+    import org.apache.spark.sql.functions._
+    val o = orders
+    val bad = o.df.select(
+      (o.df.col("o_totalprice") * (-1.0) + 100.0).as("expect"),
+      o("o_totalprice").rsub(100.0).as("got"))
+      .filter(col("expect") =!= col("got")).count()
+    assert(bad == 0)
+  }
+
   test("get returns Some for known columns, None otherwise; iterator streams rows") {
     assert(orders.get("o_totalprice").isDefined)
     assert(orders.get("nope").isEmpty)

@@ -20,6 +20,18 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("ranks stay correct when input is spread over many partitions") {
+    val li = Tables.load(spark, TestSpark.sfDir, "lineitem").repartition(16)
+    val qs = Seq(0.1, 0.5, 0.9)
+    val spread = Quantiles.viaSort(li, "l_extendedprice", qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val single = Quantiles.viaSort(
+      Tables.load(spark, TestSpark.sfDir, "lineitem").coalesce(1),
+      "l_extendedprice", qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(spread == single)
+  }
+
   test("empty input yields null quantiles, singleton yields the value") {
     import spark.implicits._
     val empty = Quantiles.viaSort(
