@@ -196,6 +196,36 @@ object Dedup {
       .drop("sh_a", "sh_b", "n_a", "n_b", "_inter")
   }
 
+  /** Blocked all-pairs n-gram Jaccard: one self-join of the shingle-set
+    * table on the block key, instead of building a pair list and
+    * joining sets back twice. Use when candidates ARE "all pairs in a
+    * block" (metadata blocking); use ngramJaccard when candidates come
+    * from elsewhere (LSH).
+    */
+  def blockedNgramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(blockCol).as("_blk"), col(idCol).as("_jid"),
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("_s"))
+      .select(col("_blk"), col("_jid"),
+        array_sort(array_distinct(transform(col("_s"), s => xxhash64(s)))).as("_jsh"),
+        size(col("_s")).as("_jn"))
+      .persist()
+    val l = sh.select(col("_blk"), col("_jid").as("id_a"),
+      col("_jsh").as("sh_a"), col("_jn").as("n_a"))
+    val r = sh.select(col("_blk"), col("_jid").as("id_b"),
+      col("_jsh").as("sh_b"), col("_jn").as("n_b"))
+    l.join(r, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("_inter",
+        VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        when(col("n_a") + col("n_b") - col("_inter") > 0,
+          col("_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("_inter")))
+          .otherwise(lit(0.0)))
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking column
     * (all-pairs inside each block; use Similarity.lshBuckets as the
     * blocking key at scale).

@@ -78,14 +78,11 @@ object TextQueries {
           max(col("doc_id")).as("max_id"),
           sum(col("doc_id")).cast("long").as("sum_id"))
     }),
-    // exact n-gram Jaccard over same-source candidate pairs
+    // exact n-gram Jaccard over same-source candidate pairs (blocked
+    // self-join form: one join instead of pairs + two set joins)
     "dd4_ngram_jaccard" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val a = docs.select(col("source"), col("doc_id").as("id_a"))
-      val b = docs.select(col("source"), col("doc_id").as("id_b"))
-      val pairs = a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-      Dedup.ngramJaccard(docs, "doc_id", "text", pairs, shingleN = 3)
+      Dedup.blockedNgramJaccard(t(s, d, "documents"), "doc_id", "text",
+        "source", shingleN = 3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(round(col("jaccard"), 6).desc, col("id_a"), col("id_b"))
         .limit(20)

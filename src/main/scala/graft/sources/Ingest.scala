@@ -72,4 +72,22 @@ object Ingest {
     saveTable(df, destPath, ifExists)
     spark.read.parquet(destPath)
   }
+
+  /** CSV → GraftFrame with row identity, like csv_to_eland's
+    * `index_col` used as `_id` (eland/etl.py:414-443, the churn-csv
+    * fixture): pin an existing column as the id, or mint a content
+    * hash when the CSV has no key.
+    */
+  def csvToFrame(spark: SparkSession, csvPath: String,
+                 indexCol: Option[String] = None,
+                 header: Boolean = true): graft.api.GraftFrame = {
+    val df = spark.read
+      .option("header", header.toString)
+      .option("inferSchema", "true")
+      .csv(csvPath)
+    indexCol match {
+      case Some(c) => graft.api.GraftFrame(df, c)
+      case None    => graft.api.GraftFrame.withMintedId(df)
+    }
+  }
 }

@@ -30,6 +30,18 @@ class IngestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("incompatible schema"))
   }
 
+  test("csvToFrame pins index_col as row identity") {
+    val nation = Tables.load(spark, TestSpark.sfDir, "nation")
+    val csvDir = tmp()
+    nation.write.option("header", "true").csv(csvDir)
+    val f = Ingest.csvToFrame(spark, csvDir, indexCol = Some("n_nationkey"))
+    assert(f.idCol == "n_nationkey")
+    val h = f.head(3).df.collect().map(_.getInt(0)).toSeq
+    assert(h == Seq(0, 1, 2))
+    val minted = Ingest.csvToFrame(spark, csvDir)
+    assert(minted.idCol == "_row_id" && minted.len() == nation.count())
+  }
+
   test("csv round-trip preserves data") {
     val nation = Tables.load(spark, TestSpark.sfDir, "nation")
     val csvDir = tmp()
