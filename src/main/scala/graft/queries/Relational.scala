@@ -426,6 +426,36 @@ object Relational {
           count(lit(1)).cast("long").as("n_items"))
         .orderBy("n_name")
     }),
+    // TPC-H Q3 shape: selective dim filter -> two joins -> grouped
+    // revenue -> top-10. Customer broadcast; lineitem-orders is the
+    // one shuffle join
+    "q3_shipping_priority" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15")))
+      val l = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    }),
+    // TPC-H Q6 shape: pure filter + aggregate, no join — the scan
+    // pushdown showcase
+    "q6_forecast_revenue" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+          count(lit(1)).cast("long").as("cnt"))
+    }),
     "j3_semi_join" -> ((s, d) => {
       val o = t(s, d, "orders")
       val l = t(s, d, "lineitem").filter(col("l_quantity") >= 49)
@@ -714,6 +744,27 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "j3_semi_join" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt,
         |       round(sum(o_totalprice), 2) AS sum_price
