@@ -345,12 +345,16 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
   }
 
   /** idxmax/idxmin (eland/operations.py:207-254): id of the extreme
-    * row, smallest id on ties, via one max_by/min_by pass.
+    * row, smallest id on ties, in one partial-aggregating pass via the
+    * native [[graft.plans.ExtremumBy]] aggregate (works for string or
+    * otherwise non-negatable id columns and arbitrary column names).
     */
+  private def quoted(name: String): Column =
+    col(s"`${name.replace("`", "``")}`")
   def idxmax(colName: String): DataFrame =
-    df.agg(expr(s"max_by($idCol, struct($colName, -$idCol))").as("idxmax"))
+    df.agg(graft.plans.ExtremumBy.idxmax(quoted(colName), quoted(idCol)).as("idxmax"))
   def idxmin(colName: String): DataFrame =
-    df.agg(expr(s"min_by($idCol, struct($colName, $idCol))").as("idxmin"))
+    df.agg(graft.plans.ExtremumBy.idxmin(quoted(colName), quoted(idCol)).as("idxmin"))
 
   def len(): Long = df.count()
 

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object EsMatch {
 
   private def qTokens(query: String): Seq[String] =
-    query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    query.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq
 
   /** `match` with operator=or: any query token occurs in the column.
     * Served by the native codegen TokenMatch expression (single

@@ -23,6 +23,20 @@ import graft.plans.VectorExpressions
   */
 object Dedup {
 
+  /** Materialize `result` (persist + count) while `staged` is still
+    * cached, then release the staged cache. MLlib-style lifecycle
+    * (cf. ALS.fit's intermediate unpersist): repeated pipeline runs in
+    * a long-lived session no longer accumulate intermediate cache
+    * blocks; callers own the RETURNED frame's `unpersist()` (it is the
+    * small candidate-pair table, LRU-evictable if they don't).
+    */
+  private def materializeAndRelease(staged: DataFrame, result: DataFrame): DataFrame = {
+    val out = result.persist()
+    out.count()
+    staged.unpersist()
+    out
+  }
+
   /** Exact duplicate statistics: group on md5 of the raw text. */
   def exactStats(docs: DataFrame, textCol: String): DataFrame =
     docs.agg(
@@ -120,7 +134,7 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"))
     val r = guarded.select(col("band"), col("bh"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bh"))
+    val pairs = l.join(r, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
@@ -130,6 +144,7 @@ object Dedup {
       .groupBy("id_a", "id_b")                 // pair may collide in >1 band
       .agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+    materializeAndRelease(withSig, pairs)
   }
 
   /** Greedy near-dup drop list from candidate pairs: a doc is dropped
@@ -181,7 +196,7 @@ object Dedup {
         array_sort(array_distinct(transform(col("_s"), s => xxhash64(s)))).as("_jsh"),
         size(col("_s")).as("_jn"))
       .persist()
-    pairs
+    val out = pairs
       .join(sh.select(col("_jid").as("id_a"), col("_jsh").as("sh_a"),
         col("_jn").as("n_a")), Seq("id_a"))
       .join(sh.select(col("_jid").as("id_b"), col("_jsh").as("sh_b"),
@@ -194,6 +209,7 @@ object Dedup {
             (col("n_a") + col("n_b") - col("_inter")))
           .otherwise(lit(0.0)))
       .drop("sh_a", "sh_b", "n_a", "n_b", "_inter")
+    materializeAndRelease(sh, out)
   }
 
   /** Blocked all-pairs n-gram Jaccard: one self-join of the shingle-set
@@ -214,7 +230,7 @@ object Dedup {
       col("_jsh").as("sh_a"), col("_jn").as("n_a"))
     val r = sh.select(col("_blk"), col("_jid").as("id_b"),
       col("_jsh").as("sh_b"), col("_jn").as("n_b"))
-    l.join(r, Seq("_blk"))
+    val out = l.join(r, Seq("_blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("_inter",
         VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
@@ -224,6 +240,7 @@ object Dedup {
             (col("n_a") + col("n_b") - col("_inter")))
           .otherwise(lit(0.0)))
       .select("id_a", "id_b", "jaccard")
+    materializeAndRelease(sh, out)
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking column

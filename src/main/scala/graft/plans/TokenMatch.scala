@@ -87,7 +87,7 @@ object TokenMatch {
   }
 
   private def qTokens(query: String): Seq[String] =
-    query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    query.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq
 
   def any(text: Column, query: String): Column =
     ColumnBridge.column(TokenMatch(

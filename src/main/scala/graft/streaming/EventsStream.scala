@@ -80,7 +80,10 @@ object EventsStream {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastTs <= gapSeconds * 1000 =>
-                  cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
+                  // a late cross-batch event (allowed by the watermark) may be
+                  // older than lastTs — never shrink the session interval
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    lastTs = math.max(s.lastTs, t), n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
                   closed += Session(user, new Timestamp(s.start),
                     new Timestamp(s.lastTs), s.n, s.sum)

@@ -111,6 +111,16 @@ class FacadeSpec extends AnyFunSuite {
     assert(f.idxmin("v").head().getLong(0) == 3L)
   }
 
+  test("idxmax works with a string id key and odd column names") {
+    import spark.implicits._
+    // a string key (e.g. csvToFrame index_col) is not negatable — the
+    // tiebreak must not rely on -id; the value column name needs quoting
+    val df = Seq(("a", 5.0), ("b", 5.0), ("c", 1.0)).toDF("key", "the value")
+    val f = GraftFrame(df, "key")
+    assert(f.idxmax("the value").head().getString(0) == "a")
+    assert(f.idxmin("the value").head().getString(0) == "c")
+  }
+
   test("describe emits the eight pandas stats") {
     val d = orders.select(Seq("o_totalprice")).describe().collect()
     assert(d.map(_.getString(0)).toSet ==
