@@ -104,6 +104,30 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
   def dropIds(ids: Seq[Any]): GraftFrame =
     wrap(df.filter(!col(idCol).isin(ids: _*)))
 
+  /** Keep rows by id, REORDERED to the given list — eland
+    * `filter(items=..., axis=index)` reindexes the result to the items
+    * order (eland/tasks.py:223-289, eland/operations.py:1396-1427).
+    * Implemented as a broadcast join against an ordinal-tagged id list
+    * (the list is user-supplied and driver-sized, so broadcasting it is
+    * the scale-correct shape — no shuffle of the fact side) followed by
+    * a sort on the ordinal. Ids absent from the frame are dropped
+    * (filter semantics, not reindex-NaN); duplicate ids duplicate rows.
+    * The items order holds for a direct collect of this frame; later
+    * facade ops re-sort by `idCol` as usual.
+    */
+  def keepIds(ids: Seq[Any]): GraftFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    // values travel as strings and are cast back to the id type, which
+    // sidesteps Seq[Any] encoder issues for mixed numeric literals
+    val ordered = ids.map(String.valueOf).zipWithIndex
+      .toDF("_kid", "_ord")
+      .select(col("_kid").cast(idType).as(idCol), col("_ord").cast("long"))
+    wrap(df.join(broadcast(ordered), Seq(idCol))
+      .orderBy(col("_ord")).drop("_ord"))
+  }
+
   // ---- limits / sampling (SURVEY §2.5) -----------------------------
   /** Deterministic first-n by row id (eland HeadTask,
     * eland/tasks.py:78-122).
@@ -157,7 +181,9 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
         df.schema.fields.toSeq.filter(f => PdDtypes.aggCompatible(agg, f.dataType))
     }
 
-  private def aggExpr(agg: String, f: StructField): Column = {
+  import Names.bq
+
+  private[api] def aggExpr(agg: String, f: StructField): Column = {
     val c = f.dataType match {
       case BooleanType => col(f.name).cast("int")
       case _           => col(f.name)
@@ -174,20 +200,20 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
           .cast("long")).cast(f.dataType)
       case "median" if temporal =>
         timestamp_millis(floor(
-          expr(s"median(unix_millis(cast(${f.name} as timestamp)))"))
+          expr(s"median(unix_millis(cast(${bq(f.name)} as timestamp)))"))
           .cast("long")).cast(f.dataType)
       case "mean"    => avg(c)
       case "sum"     => F.sum(c)
       case "std"     => stddev_samp(c)
       case "var"     => var_samp(c)
-      case "median"  => expr(s"median(${f.name})")
+      case "median"  => expr(s"median(${bq(f.name)})")
       case "nunique" => countDistinct(c)
       // the reference's nunique/median are approximate (HLL++/TDigest,
       // eland/operations.py:1118-1123); exact is our default, these are
       // the scale-path variants with the same contract
       case "nunique_approx" => approx_count_distinct(c)
       case "median_approx" =>
-        expr(s"percentile_approx(${f.name}, 0.5, 10000)")
+        expr(s"percentile_approx(${bq(f.name)}, 0.5, 10000)")
       case "skew"    => skewness(c)
       case "sem"     => stddev_samp(c) / sqrt(F.count(c))
       case other     => throw new IllegalArgumentException(s"agg: $other")
@@ -223,7 +249,7 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
     val fields = df.schema.fields.toSeq
       .filter(f => PdDtypes.isNumeric(f.dataType))
     val exprs = for { f <- fields; q <- qs } yield
-      expr(s"percentile(${f.name}, $q)").as(s"${f.name}_q$q")
+      expr(s"percentile(${bq(f.name)}, $q)").as(s"${f.name}_q$q")
     df.agg(exprs.head, exprs.tail: _*)
   }
 
@@ -231,9 +257,9 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
     * eland/operations.py:1120-1121).
     */
   def mad(colName: String): DataFrame = {
-    val med = df.agg(expr(s"median($colName)").as("_m"))
+    val med = df.agg(expr(s"median(${bq(colName)})").as("_m"))
     df.crossJoin(broadcast(med))
-      .agg(expr(s"median(abs($colName - _m))").as(s"${colName}_mad"))
+      .agg(expr(s"median(abs(${bq(colName)} - _m))").as(s"${colName}_mad"))
   }
 
   /** eland `describe()` (eland/operations.py:1189-1216). */
@@ -243,20 +269,20 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
     val exprs: Seq[Column] = fields.flatMap { f =>
       val n = f.name
       Seq(
-        count(col(n)).cast("double").as(s"${n}__count"),
-        avg(col(n)).as(s"${n}__mean"),
-        stddev_samp(col(n)).as(s"${n}__std"),
-        org.apache.spark.sql.functions.min(col(n)).cast("double").as(s"${n}__min"),
-        expr(s"percentile($n, 0.25)").as(s"${n}__25%"),
-        expr(s"percentile($n, 0.5)").as(s"${n}__50%"),
-        expr(s"percentile($n, 0.75)").as(s"${n}__75%"),
-        org.apache.spark.sql.functions.max(col(n)).cast("double").as(s"${n}__max"))
+        count(quoted(n)).cast("double").as(s"${n}__count"),
+        avg(quoted(n)).as(s"${n}__mean"),
+        stddev_samp(quoted(n)).as(s"${n}__std"),
+        org.apache.spark.sql.functions.min(quoted(n)).cast("double").as(s"${n}__min"),
+        expr(s"percentile(${bq(n)}, 0.25)").as(s"${n}__25%"),
+        expr(s"percentile(${bq(n)}, 0.5)").as(s"${n}__50%"),
+        expr(s"percentile(${bq(n)}, 0.75)").as(s"${n}__75%"),
+        org.apache.spark.sql.functions.max(quoted(n)).cast("double").as(s"${n}__max"))
     }
     val a = df.agg(exprs.head, exprs.tail: _*)
     val stats = Seq("count", "mean", "std", "min", "25%", "50%", "75%", "max")
     a.select(explode(array(stats.map { st =>
       struct(lit(st).as("stat") +:
-        fields.map(f => col(s"${f.name}__$st").as(f.name)): _*)
+        fields.map(f => quoted(s"${f.name}__$st").as(f.name)): _*)
     }: _*)).as("r")).select("r.*")
   }
 

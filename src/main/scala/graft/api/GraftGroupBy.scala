@@ -18,6 +18,8 @@ import org.apache.spark.sql.types._
   */
 class GraftGroupBy(frame: GraftFrame, by: Seq[String], dropna: Boolean) {
 
+  import Names.bq
+
   require(by.nonEmpty, "groupby needs at least one key")
   by.foreach(b => require(frame.columns.contains(b), s"unknown by-column $b"))
 
@@ -46,13 +48,13 @@ class GraftGroupBy(frame: GraftFrame, by: Seq[String], dropna: Boolean) {
           .cast("long")).cast(f.dataType)
       case "median" if temporal =>
         timestamp_millis(floor(
-          expr(s"median(unix_millis(cast(${f.name} as timestamp)))"))
+          expr(s"median(unix_millis(cast(${bq(f.name)} as timestamp)))"))
           .cast("long")).cast(f.dataType)
       case "mean"    => avg(c)
       case "sum"     => F.sum(c)
       case "std"     => stddev_samp(c)
       case "var"     => var_samp(c)
-      case "median"  => expr(s"median(${f.name})")
+      case "median"  => expr(s"median(${bq(f.name)})")
       case "nunique" => countDistinct(c)
       case other     => throw new IllegalArgumentException(s"agg: $other")
     }
@@ -105,7 +107,7 @@ class GraftGroupBy(frame: GraftFrame, by: Seq[String], dropna: Boolean) {
   def quantile(colName: String, qs: Seq[Double]): DataFrame = {
     val qArr = qs.map(q => s"$q").mkString("array(", ", ", ")")
     base.groupBy(by.map(col): _*)
-      .agg(expr(s"percentile($colName, $qArr)").as("_qs"))
+      .agg(expr(s"percentile(${bq(colName)}, $qArr)").as("_qs"))
       .select(by.map(col) :+ posexplode(col("_qs")): _*)
       .withColumn("q", element_at(lit(qs.toArray), col("pos") + 1))
       .select(by.map(col) :+ col("q") :+ col("col").as(s"${colName}_quantile"): _*)
@@ -117,10 +119,10 @@ class GraftGroupBy(frame: GraftFrame, by: Seq[String], dropna: Boolean) {
     */
   def mad(colName: String): DataFrame = {
     val med = base.groupBy(by.map(col): _*)
-      .agg(expr(s"median($colName)").as("_gm"))
+      .agg(expr(s"median(${bq(colName)})").as("_gm"))
     base.join(med, by)
       .groupBy(by.map(col): _*)
-      .agg(expr(s"median(abs($colName - _gm))").as(s"${colName}_mad"))
+      .agg(expr(s"median(abs(${bq(colName)} - _gm))").as(s"${colName}_mad"))
       .orderBy(by.map(col): _*)
   }
 }

@@ -66,7 +66,55 @@ class GraftSeries(val frame: GraftFrame, val name: String) {
   def rpow(v: Double): Column = org.apache.spark.sql.functions.pow(lit(v), col)
   def pow(v: Double): Column = org.apache.spark.sql.functions.pow(col, v)
   def strConcat(o: GraftSeries): Column = concat(col, o.col)
-  def strRepeat(n: Int): Column = expr(s"repeat($name, $n)")
+  def strRepeat(n: Int): Column = repeat(col, n)
+
+  // ---- full-text match (eland/series.py:752 Series.es_match) -------
+  /** Predicate matching this column against an analyzed-text query —
+    * the Series-level `es_match`; compose with `frame.where`.
+    */
+  def esMatch(query: String, operator: String = "or",
+              fuzziness: Option[Int] = None): Column = fuzziness match {
+    case Some(f)                  => graft.functions.EsMatch.matchFuzzy(col, query, f)
+    case None if operator == "and" => graft.functions.EsMatch.matchAll(col, query)
+    case None                     => graft.functions.EsMatch.matchAny(col, query)
+  }
+
+  // ---- metric aggregations (eland/series.py:596-780) ---------------
+  /** One-row frame of the requested aggs over this column, with
+    * eland's `<col>_<agg>` naming — the lazy/plan form behind the
+    * scalar accessors below.
+    */
+  def aggregate(aggs: Seq[String]): DataFrame = {
+    val f = frame.schema.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown column $name"))
+    val exprs = aggs.map(a => frame.aggExpr(a, f))
+    frame.df.agg(exprs.head, exprs.tail: _*)
+  }
+
+  private def scalar(agg: String): Any = aggregate(Seq(agg)).head().get(0)
+  private def scalarD(agg: String): Double =
+    scalar(agg).asInstanceOf[Number].doubleValue()
+
+  /** Scalar metric aggs — eland Series.mean()/sum()/... return numpy
+    * scalars (eland/series.py:596-780); these are the eager Spark
+    * equivalents (one driver-collected row each).
+    */
+  def mean(): Double = scalarD("mean")
+  def sum(): Double = scalarD("sum")
+  def min(): Any = scalar("min")
+  def max(): Any = scalar("max")
+  def std(): Double = scalarD("std")
+  def varSamp(): Double = scalarD("var")
+  def median(): Double = scalarD("median")
+  def nunique(): Long = scalar("nunique").asInstanceOf[Number].longValue()
+
+  /** Exact two-pass MAD of this column (eland/series.py:714-738). */
+  def mad(): Double = frame.mad(name).head().getDouble(0)
+
+  /** Single-column describe frame (eland/series.py:Series.describe). */
+  def describe(): DataFrame =
+    if (name == frame.idCol) GraftFrame(frame.df.select(col), name).describe()
+    else toFrame.drop(Seq(frame.idCol), errors = "ignore").describe()
 
   // ---- single-column aggregations ----------------------------------
   def toFrame: GraftFrame =

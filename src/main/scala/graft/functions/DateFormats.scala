@@ -31,7 +31,6 @@ object DateFormats {
       "basic_time_no_millis"            -> "HHmmssXX",
       "basic_t_time"                    -> "'T'HHmmss.SSSXX",
       "basic_t_time_no_millis"          -> "'T'HHmmssXX",
-      "basic_week_date"                 -> "YYYY'W'wwe",
       "date"                            -> "yyyy-MM-dd",
       "date_hour"                       -> "yyyy-MM-dd'T'HH",
       "date_hour_minute"                -> "yyyy-MM-dd'T'HH:mm",
@@ -50,7 +49,6 @@ object DateFormats {
       "time_no_millis"                  -> "HH:mm:ssXX",
       "t_time"                          -> "'T'HH:mm:ss.SSSXX",
       "t_time_no_millis"                -> "'T'HH:mm:ssXX",
-      "week_date"                       -> "YYYY-'W'ww-e",
       "year"                            -> "yyyy",
       "year_month"                      -> "yyyy-MM",
       "year_month_day"                  -> "yyyy-MM-dd",
@@ -58,8 +56,47 @@ object DateFormats {
     base ++ base.map { case (k, v) => s"strict_$k" -> v }
   }
 
+  /** ES ISO week-date formats (Joda `xxxx-'W'ww-e`). Spark 3+'s
+    * datetime parser REJECTS week-based pattern letters (Y/w/e) in
+    * to_timestamp, so these are computed from first principles:
+    * ISO-8601 puts Jan 4 in week 1, so the Monday of week 1 is
+    * `jan4 - weekday(jan4)` and the date is
+    * `mondayWk1 + (week-1)*7 + (dow-1)` (dow 1=Monday..7=Sunday).
+    * Pure Column arithmetic — codegen-friendly, no UDF.
+    */
+  private val basicWeekRe = "^(\\d{4})W(\\d{2})(\\d)$"
+  private val weekRe = "^(\\d{4})-W(\\d{2})-(\\d)$"
+
+  private def parseIsoWeekDate(c: Column, re: String): Column = {
+    val y = regexp_extract(c, re, 1).cast("int")
+    val w = regexp_extract(c, re, 2).cast("int")
+    val dow = regexp_extract(c, re, 3).cast("int")
+    val jan4 = make_date(y, lit(1), lit(4))
+    val mondayWk1 = date_sub(jan4, weekday(jan4))
+    // non-matching rows stay null via the rlike gate (the casts above
+    // only evaluate inside the matching CASE branch)
+    when(c.rlike(re) && dow.between(1, 7) && w.between(1, 53),
+      date_add(mondayWk1, (w - lit(1)) * 7 + (dow - lit(1))).cast("timestamp"))
+  }
+
+  private def formatIsoWeekDate(c: Column, basic: Boolean): Column = {
+    // ISO week-based year = calendar year of that week's Thursday;
+    // Spark's weekofyear is already ISO, weekday is 0=Monday
+    val thursday = date_add(c.cast("date"), lit(3) - weekday(c.cast("date")))
+    val isoYear = lpad(year(thursday).cast("string"), 4, "0")
+    val wk = lpad(weekofyear(c.cast("date")).cast("string"), 2, "0")
+    val dow = (weekday(c.cast("date")) + 1).cast("string")
+    if (basic) concat(isoYear, lit("W"), wk, dow)
+    else concat(isoYear, lit("-W"), wk, lit("-"), dow)
+  }
+
+  private val weekNames =
+    Set("basic_week_date", "week_date",
+      "strict_basic_week_date", "strict_week_date")
+
   /** Parse a string column carrying an ES-formatted date. Handles:
-    * epoch_millis / epoch_second (numeric), a named format, a raw
+    * epoch_millis / epoch_second (numeric), a named format (including
+    * the week-date family, computed — see [[parseIsoWeekDate]]), a raw
     * Java pattern, or an ES multi-format "a||b||c" (first match wins).
     */
   def parseEsDate(c: Column, esFormat: String): Column = esFormat match {
@@ -67,6 +104,10 @@ object DateFormats {
     case "epoch_second" => timestamp_seconds(c.cast("long"))
     case f if f.contains("||") =>
       coalesce(f.split("\\|\\|").toSeq.map(one => parseEsDate(c, one.trim)): _*)
+    case "basic_week_date" | "strict_basic_week_date" =>
+      parseIsoWeekDate(c, basicWeekRe)
+    case "week_date" | "strict_week_date" =>
+      parseIsoWeekDate(c, weekRe)
     case f =>
       try_to_timestamp(c, lit(esToSpark.getOrElse(f, f)))
   }
@@ -75,6 +116,14 @@ object DateFormats {
   def formatEsDate(c: Column, esFormat: String): Column = esFormat match {
     case "epoch_millis" => unix_millis(c).cast("string")
     case "epoch_second" => unix_timestamp(c).cast("string")
+    case f if weekNames(f) =>
+      formatIsoWeekDate(c, basic = f.endsWith("basic_week_date"))
     case f => date_format(c, esToSpark.getOrElse(f, f))
   }
+
+  /** Every named format this module understands (the esToSpark table
+    * plus the computed week-date and epoch families).
+    */
+  val supportedNames: Set[String] =
+    esToSpark.keySet ++ weekNames ++ Set("epoch_millis", "epoch_second")
 }

@@ -95,7 +95,11 @@ object TreeEnsemble {
 
     /** CASE WHEN skeleton shared by all per-tree compilations: missing
       * (null/NaN) routes by default_left, then decision_type-true routes
-      * left.
+      * left. The missing case is FOLDED into the compare arm so each
+      * subtree is emitted exactly once — a separate missing WHEN arm
+      * would re-emit the default-route child, growing the compiled
+      * expression O(3^depth) instead of O(2^depth) and blowing the
+      * 64KB codegen method limit on deep trees.
       */
     private def branch(s: Split, leafExpr: Leaf => Column): Column = {
       def rec(n: Node): Column = n match {
@@ -108,9 +112,11 @@ object TreeEnsemble {
             case "gte" => f >= t
             case _     => f <= t // "lte" — sklearn default
           }
-          when(f.isNull || f.isNaN, rec(if (dl) l else r))
-            .when(compare, rec(l))
-            .otherwise(rec(r))
+          val missing = f.isNull || f.isNaN
+          // null `compare` short-circuits correctly in both shapes:
+          // (true || null) = true, (false && null) = false
+          val goLeft = if (dl) missing || compare else !missing && compare
+          when(goLeft, rec(l)).otherwise(rec(r))
       }
       rec(s)
     }
@@ -163,17 +169,34 @@ object TreeEnsemble {
       */
     def score: Column = classScore(0)
 
-    /** Per-class probability column(s). Binary logistic: sigmoid of the
-      * summed logit; multi-class logistic: softmax over class sums;
-      * sklearn single trees: leaves already hold log-probs.
+    /** Probability of the WINNING class only (the max over
+      * [[probabilities]]). Binary logistic: sigmoid of the summed logit;
+      * multi-class: the largest softmax term. Use [[probabilities]] for
+      * the full per-class distribution (eland predict_proba shape).
       */
-    def probability: Column = {
+    def topClassProbability: Column = {
       if (leafWidth == 1) lit(1.0) / (lit(1.0) + exp(-score))
-      else {
+      else greatest(probabilities: _*)
+    }
+
+    /** Kept name from round 1; see [[topClassProbability]]. */
+    def probability: Column = topClassProbability
+
+    /** Full per-class probability distribution, one Column per class —
+      * eland MLModel.predict_proba (eland/ml/ml_model.py:214-247).
+      * Binary (scalar-leaf) models yield [1-p, p]; multi-class models a
+      * max-shifted softmax over the per-class score sums.
+      */
+    def probabilities: Seq[Column] = {
+      if (leafWidth == 1) {
+        val p = lit(1.0) / (lit(1.0) + exp(-score))
+        Seq(lit(1.0) - p, p)
+      } else {
         val sums = (0 until leafWidth).map(classScore)
         val mx = greatest(sums: _*)
         val exps = sums.map(s => exp(s - mx))
-        greatest(exps: _*) / exps.reduce(_ + _)
+        val tot = exps.reduce(_ + _)
+        exps.map(_ / tot)
       }
     }
 

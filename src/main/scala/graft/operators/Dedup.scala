@@ -23,17 +23,45 @@ import graft.plans.VectorExpressions
   */
 object Dedup {
 
-  /** Materialize `result` (persist + count) while `staged` is still
-    * cached, then release the staged cache. MLlib-style lifecycle
-    * (cf. ALS.fit's intermediate unpersist): repeated pipeline runs in
-    * a long-lived session no longer accumulate intermediate cache
-    * blocks; callers own the RETURNED frame's `unpersist()` (it is the
-    * small candidate-pair table, LRU-evictable if they don't).
+  /** Persist `result` and release the staged intermediate cache after
+    * the FIRST caller action that actually executes `result` — without
+    * forcing an eager job here (an eager `count()` double-executed the
+    * whole pair pipeline and cost dd4 +52% / dd2 +20% wall at sf0.1).
+    *
+    * Mechanism: a one-shot QueryExecutionListener watches completed
+    * query executions; when one's analyzed plan contains `result`'s
+    * plan (sameResult), the first action has populated `result`'s
+    * cache through `staged`, so `staged` can be unpersisted and the
+    * listener removed. The API stays fully lazy; repeated pipeline
+    * runs in a long-lived session do not accumulate intermediate
+    * cache blocks. Callers own the RETURNED frame's `unpersist()` (it
+    * is the small candidate-pair table, LRU-evictable if they don't);
+    * if a caller never executes `result`, `staged` stays cached until
+    * LRU eviction — the lazy-API trade, documented.
     */
   private def materializeAndRelease(staged: DataFrame, result: DataFrame): DataFrame = {
     val out = result.persist()
-    out.count()
-    staged.unpersist()
+    val spark = result.sparkSession
+    val target = out.queryExecution.analyzed
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        val touches =
+          try qe.analyzed.exists(p => p.sameResult(target))
+          catch { case _: Throwable => true } // fail open: better to release
+        if (touches && released.compareAndSet(false, true)) {
+          staged.unpersist(false)
+          spark.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        maybeRelease(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+        maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
     out
   }
 
@@ -77,11 +105,18 @@ object Dedup {
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, filtered to
     * `threshold`. bands*rowsPerBand must equal the signature length.
     *
-    * The explode duplicates (id, signature) `bands` times before the
-    * bucket shuffle — the standard LSH layout; at very large N, swap
-    * for explode-ids-only + re-join signatures by id.
-    */
-  /** `maxBucketSize` guards hot buckets: a bucket of B docs yields
+    * Shuffle layout (`shipSignatures`):
+    *  - false (default, the 100 TB shape): the band explode carries
+    *    (id, band, bandHash) ONLY — 3 narrow columns — through the
+    *    bucket shuffle; distinct candidate pairs then re-join the
+    *    cached signature table twice (by id_a / id_b) to estimate
+    *    Jaccard once per pair. Shuffle bytes ~ bands × 24B/row instead
+    *    of bands × signature (64×8B) per row, and the estimate is
+    *    computed once per pair instead of once per band collision.
+    *  - true: the classic layout that ships the signature with every
+    *    band row — fewer joins, acceptable when N is small.
+    *
+    * `maxBucketSize` guards hot buckets: a bucket of B docs yields
     * B^2/2 candidate pairs, and at corpus scale the hottest buckets
     * are boilerplate/templates that the exact-dup pass already
     * handles. Buckets larger than the cap are skipped (recall trade,
@@ -90,7 +125,8 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.5,
-                      maxBucketSize: Int = 0): DataFrame = {
+                      maxBucketSize: Int = 0,
+                      shipSignatures: Boolean = false): DataFrame = {
     val perms = bands * rowsPerBand
     // The signature frame is the LSH "index": persist it — both sides
     // of the bucket self-join read it, and without the barrier Spark
@@ -114,36 +150,58 @@ object Dedup {
             element_at(col("th"), i + lit(o))): _*)).as("hs"))
       .select(col("id"), minhashFromHashes(col("hs"), perms).as("sig"))
       .persist()
-    val banded = withSig.select(col("id"), col("sig"),
+    val bandCols =
+      if (shipSignatures) Seq(col("id"), col("sig")) else Seq(col("id"))
+    val banded = withSig.select(bandCols :+
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64((0 until rowsPerBand).map(r =>
             element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bh"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+      }: _*)).as("bk"): _*)
+      .select(bandCols :+ col("bk.band") :+ col("bk.bh"): _*)
     val guarded =
       if (maxBucketSize <= 0) banded
       else {
-        val sizes = banded.groupBy("band", "bh")
-          .agg(count(lit(1)).as("_bsz"))
+        // window count, not groupBy+semi-join: one shuffle on (band,bh)
+        // whose HashPartitioning the bucket self-join below then reuses
+        // (no extra exchange for either join side)
+        import org.apache.spark.sql.expressions.Window
+        banded.withColumn("_bsz",
+          count(lit(1)).over(Window.partitionBy("band", "bh")))
           .filter(col("_bsz") <= maxBucketSize)
           .drop("_bsz")
-        banded.join(sizes, Seq("band", "bh"), "left_semi")
       }
-    val l = guarded.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = guarded.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = l.join(r, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / perms)
-          .as("est_jaccard"))
-      .groupBy("id_a", "id_b")                 // pair may collide in >1 band
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+    def estJaccard: Column =
+      (aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / perms)
+        .as("est_jaccard")
+    val pairs =
+      if (shipSignatures) {
+        val l = guarded.select(col("band"), col("bh"),
+          col("id").as("id_a"), col("sig").as("sig_a"))
+        val r = guarded.select(col("band"), col("bh"),
+          col("id").as("id_b"), col("sig").as("sig_b"))
+        l.join(r, Seq("band", "bh"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), estJaccard)
+          .groupBy("id_a", "id_b")             // pair may collide in >1 band
+          .agg(max(col("est_jaccard")).as("est_jaccard"))
+          .filter(col("est_jaccard") >= threshold)
+      } else {
+        val l = guarded.select(col("band"), col("bh"), col("id").as("id_a"))
+        val r = guarded.select(col("band"), col("bh"), col("id").as("id_b"))
+        l.join(r, Seq("band", "bh"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .distinct()                           // pair may collide in >1 band
+          .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")),
+            Seq("id_a"))
+          .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")),
+            Seq("id_b"))
+          .select(col("id_a"), col("id_b"), estJaccard)
+          .filter(col("est_jaccard") >= threshold)
+      }
     materializeAndRelease(withSig, pairs)
   }
 

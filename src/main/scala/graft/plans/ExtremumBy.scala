@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
 
 /** One-pass `idxmax`/`idxmin` aggregate with a DETERMINISTIC tiebreak:
   * returns the id of the extreme-valued row, and on value ties the
@@ -39,12 +39,19 @@ case class ExtremumBy(valueExpr: Expression, idExpr: Expression, findMax: Boolea
     Literal.create(null, idExpr.dataType))
 
   /** newer (v,id) wins over current buffer (cv,cid) iff newer value is
-    * non-null and (buffer empty, value strictly better, or equal value
+    * non-null (and non-NaN for float/double — pandas idxmax/idxmin
+    * skipna=True skips NaN, while Spark's ordering treats NaN as
+    * largest) and (buffer empty, value strictly better, or equal value
     * with smaller id).
     */
+  private def valid(v: Expression): Expression = valueExpr.dataType match {
+    case DoubleType | FloatType => And(IsNotNull(v), Not(IsNaN(v)))
+    case _                      => IsNotNull(v)
+  }
+
   private def wins(v: Expression, id: Expression, cv: Expression, cid: Expression): Expression = {
     val better = if (findMax) GreaterThan(v, cv) else LessThan(v, cv)
-    And(IsNotNull(v),
+    And(valid(v),
       Or(IsNull(cv),
         Or(better, And(EqualTo(v, cv), LessThan(id, cid)))))
   }

@@ -150,6 +150,31 @@ object FacadeQueries {
           rhu(avg(col("q.mean_token_len")), 6).as("avg_tok_len"))
         .orderBy("source")
     }),
+    // keep-by-ids with reindex-to-items order (F14 keep side):
+    // output row order follows the given id list, not the id sort
+    "g21_keep_ids" -> ((s, d) => {
+      orders(s, d).keepIds(Seq(3L, 1L, 2L)).df
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    }),
+    // Series-level metric aggs (eland/series.py:596-780)
+    "s1_series_aggs" -> ((s, d) => {
+      val a = customer(s, d)("c_acctbal").aggregate(
+        Seq("count", "min", "max", "mean", "sum", "std", "median", "nunique"))
+      a.select(
+        col("c_acctbal_count").cast("long").as("c_acctbal_count"),
+        col("c_acctbal_min"), col("c_acctbal_max"),
+        rhu(col("c_acctbal_mean"), 4).as("c_acctbal_mean"),
+        round(col("c_acctbal_sum"), 2).as("c_acctbal_sum"),
+        round(col("c_acctbal_std"), 4).as("c_acctbal_std"),
+        round(col("c_acctbal_median"), 4).as("c_acctbal_median"),
+        col("c_acctbal_nunique").cast("long").as("c_acctbal_nunique"))
+    }),
+    // Series-level es_match (eland/series.py:752)
+    "s2_series_match" -> ((s, d) => {
+      val f = docs(s, d)
+      f.where(f("text").esMatch("filter join"))
+        .select(Seq("doc_id")).df.orderBy("doc_id")
+    }),
     // column-pattern projection (filter axis=columns)
     "g18_filter_columns" -> ((s, d) => {
       orders(s, d).filterColumns(regex = "o_order.*")
@@ -261,6 +286,25 @@ object FacadeQueries {
     "g18_filter_columns" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderkey LIMIT 5""".stripMargin,
+    "g21_keep_ids" ->
+      """WITH ids(id, ord) AS (VALUES (3, 1), (1, 2), (2, 3))
+        |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        |FROM ids JOIN orders o ON o.o_orderkey = ids.id
+        |ORDER BY ids.ord""".stripMargin,
+    "s1_series_aggs" ->
+      """SELECT CAST(count(c_acctbal) AS BIGINT) AS c_acctbal_count,
+        |       min(c_acctbal) AS c_acctbal_min,
+        |       max(c_acctbal) AS c_acctbal_max,
+        |       floor(avg(c_acctbal) * 10000 + 0.5) / 10000.0 AS c_acctbal_mean,
+        |       round(sum(c_acctbal), 2) AS c_acctbal_sum,
+        |       round(stddev_samp(c_acctbal), 4) AS c_acctbal_std,
+        |       round(median(c_acctbal), 4) AS c_acctbal_median,
+        |       CAST(count(DISTINCT c_acctbal) AS BIGINT) AS c_acctbal_nunique
+        |FROM customer""".stripMargin,
+    "s2_series_match" ->
+      raw"""SELECT doc_id FROM documents
+           |WHERE len(list_filter($toksSql, t -> t IN ('filter','join'))) > 0
+           |ORDER BY doc_id""".stripMargin,
     "g19_rename" ->
       """SELECT o_orderkey AS id, o_totalprice AS price FROM orders
         |ORDER BY id LIMIT 20""".stripMargin,

@@ -56,9 +56,11 @@ object TextQueries {
     // ---- dedup -----------------------------------------------------
     "dd1_exact_dup_stats" -> ((s, d) =>
       Dedup.exactStats(t(s, d, "documents"), "text")),
+    // id-only band shuffle + hot-bucket guard on: the 100 TB layout
     "dd2_minhash_lsh_pairs" -> ((s, d) => {
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
-        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.2,
+        maxBucketSize = 100)
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
         .limit(50)
@@ -86,6 +88,24 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(round(col("jaccard"), 6).desc, col("id_a"), col("id_b"))
         .limit(20)
+    }),
+    // THE 100 TB near-dup composition: LSH candidates -> exact n-gram
+    // Jaccard verify -> high-precision near-dup pairs. Cost is
+    // O(N) + O(candidates); never all-pairs. At 16 bands x 4 rows the
+    // band-collision probability for a >=0.8-Jaccard pair is
+    // 1-(1-j^4)^16 > 0.9997, so on the fixed test corpus the output
+    // equals the oracle's exact all-pairs answer (verified vs DuckDB).
+    "dd7_lsh_verify" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.2,
+        maxBucketSize = 100)
+      Dedup.ngramJaccard(docs, "doc_id", "text",
+          cand.select("id_a", "id_b"), shingleN = 3)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(round(col("jaccard"), 6).desc, col("id_a"), col("id_b"))
     }),
     // embedding-cosine near-dup within label blocks
     "dd5_embedding_neardup" -> ((s, d) => {
@@ -243,6 +263,22 @@ object TextQueries {
            |    len(list_distinct(list_concat(sa, sb)))
            |  ELSE 0.0 END, 6) AS jaccard
            |FROM p ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
+    // exact all-pairs Jaccard >= 0.8 — equals the LSH->verify output
+    // because 16x4 banding recalls such pairs w.p. > 0.9997 (and the
+    // corpus is fixed, so the equality is deterministic once verified)
+    "dd7_lsh_verify" ->
+      raw"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+           |j AS (SELECT id_a, id_b,
+           |  CASE WHEN len(list_distinct(list_concat(sa, sb))) > 0 THEN
+           |    CAST(len(list_distinct(list_intersect(sa, sb))) AS DOUBLE) /
+           |    len(list_distinct(list_concat(sa, sb)))
+           |  ELSE 0.0 END AS jx
+           |FROM p)
+           |SELECT id_a, id_b, round(jx, 6) AS jaccard FROM j
+           |WHERE jx >= 0.8
+           |ORDER BY jaccard DESC, id_a, id_b""".stripMargin,
     "dd5_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

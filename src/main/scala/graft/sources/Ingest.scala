@@ -59,17 +59,100 @@ object Ingest {
     }
   }
 
+  /** The read_csv kwargs `csv_to_eland` forwards to pandas
+    * (eland/etl.py:297-561: sep, names, usecols, dtype, na_values,
+    * parse_dates, quotechar, escapechar, comment, nrows, encoding, ...),
+    * re-expressed as Spark CSV reader options plus post-read plan steps
+    * (projection, casts) — the post-read steps are Columns, so column
+    * pruning and pushdown still apply downstream.
+    */
+  final case class CsvOptions(
+      sep: String = ",",
+      header: Boolean = true,
+      inferSchema: Boolean = true,
+      /** Override column names positionally (pandas `names`). */
+      names: Seq[String] = Nil,
+      /** Keep only these columns (pandas `usecols`). */
+      usecols: Seq[String] = Nil,
+      /** Per-column Spark type overrides (pandas `dtype`), applied as
+        * casts after the read so inference stays on for the rest. */
+      dtype: Map[String, String] = Map.empty,
+      /** Null sentinels (pandas `na_values`); the first rides the
+        * reader's nullValue option, the rest post-filter string cols. */
+      naValues: Seq[String] = Nil,
+      /** Cast these columns to timestamp (pandas `parse_dates`),
+        * honoring `timestampFormat` when set. */
+      parseDates: Seq[String] = Nil,
+      quote: String = "\"",
+      escape: String = "\\",
+      comment: Option[Char] = None,
+      encoding: String = "UTF-8",
+      dateFormat: Option[String] = None,
+      timestampFormat: Option[String] = None,
+      /** Row cap (pandas `nrows`). */
+      nrows: Option[Int] = None)
+
+  /** Read a CSV with the eland-parity option set. */
+  def readCsv(spark: SparkSession, csvPath: String,
+              opts: CsvOptions = CsvOptions()): DataFrame = {
+    import org.apache.spark.sql.functions._
+    var r = spark.read
+      .option("sep", opts.sep)
+      .option("header", opts.header.toString)
+      .option("inferSchema", opts.inferSchema.toString)
+      .option("quote", opts.quote)
+      .option("escape", opts.escape)
+      .option("encoding", opts.encoding)
+    opts.naValues.headOption.foreach(v => r = r.option("nullValue", v))
+    opts.comment.foreach(c => r = r.option("comment", c.toString))
+    opts.dateFormat.foreach(f => r = r.option("dateFormat", f))
+    opts.timestampFormat.foreach(f => r = r.option("timestampFormat", f))
+    var df = r.csv(csvPath)
+    if (opts.names.nonEmpty) {
+      require(opts.names.size == df.columns.length,
+        s"names has ${opts.names.size} entries for ${df.columns.length} columns")
+      df = df.toDF(opts.names: _*)
+    }
+    // extra null sentinels beyond the reader's single nullValue slot
+    val extraNa = opts.naValues.drop(1)
+    if (extraNa.nonEmpty) {
+      import org.apache.spark.sql.types.StringType
+      val cols = df.schema.fields.map { f =>
+        if (f.dataType == StringType)
+          when(col(f.name).isin(extraNa: _*), lit(null)).otherwise(col(f.name))
+            .as(f.name)
+        else col(f.name)
+      }
+      df = df.select(cols.toSeq: _*)
+    }
+    for ((c, t) <- opts.dtype) df = df.withColumn(c, col(c).cast(t))
+    for (c <- opts.parseDates) df = df.withColumn(c,
+      opts.timestampFormat match {
+        case Some(f) => to_timestamp(col(c), f)
+        case None    => col(c).cast("timestamp")
+      })
+    if (opts.usecols.nonEmpty) {
+      val missing = opts.usecols.filterNot(df.columns.contains)
+      require(missing.isEmpty, s"usecols not in CSV: ${missing.mkString(",")}")
+      df = df.select(opts.usecols.map(col): _*)
+    }
+    opts.nrows.foreach(n => df = df.limit(n))
+    df
+  }
+
   /** CSV → parquet table, header + schema inference on by default
     * (mirrors csv_to_eland's pandas read_csv passthrough defaults).
     */
   def csvToParquet(spark: SparkSession, csvPath: String, destPath: String,
                    header: Boolean = true, inferSchema: Boolean = true,
-                   ifExists: String = "fail"): DataFrame = {
-    val df = spark.read
-      .option("header", header.toString)
-      .option("inferSchema", inferSchema.toString)
-      .csv(csvPath)
-    saveTable(df, destPath, ifExists)
+                   ifExists: String = "fail"): DataFrame =
+    csvToParquet(spark, csvPath, destPath,
+      CsvOptions(header = header, inferSchema = inferSchema), ifExists)
+
+  /** CSV → parquet table with the full option set. */
+  def csvToParquet(spark: SparkSession, csvPath: String, destPath: String,
+                   opts: CsvOptions, ifExists: String): DataFrame = {
+    saveTable(readCsv(spark, csvPath, opts), destPath, ifExists)
     spark.read.parquet(destPath)
   }
 
@@ -80,11 +163,14 @@ object Ingest {
     */
   def csvToFrame(spark: SparkSession, csvPath: String,
                  indexCol: Option[String] = None,
-                 header: Boolean = true): graft.api.GraftFrame = {
-    val df = spark.read
-      .option("header", header.toString)
-      .option("inferSchema", "true")
-      .csv(csvPath)
+                 header: Boolean = true): graft.api.GraftFrame =
+    csvToFrame(spark, csvPath, indexCol, CsvOptions(header = header))
+
+  /** CSV → GraftFrame with the full option set. */
+  def csvToFrame(spark: SparkSession, csvPath: String,
+                 indexCol: Option[String],
+                 opts: CsvOptions): graft.api.GraftFrame = {
+    val df = readCsv(spark, csvPath, opts)
     indexCol match {
       case Some(c) => graft.api.GraftFrame(df, c)
       case None    => graft.api.GraftFrame.withMintedId(df)

@@ -206,6 +206,89 @@ class FacadeSpec extends AnyFunSuite {
     assert(!small.contains("..."))
   }
 
+  test("idxmax/idxmin skip NaN like pandas skipna=True") {
+    import spark.implicits._
+    // Spark's ordering treats NaN as largest; pandas idxmax skips it
+    val df = Seq((1L, 2.0), (2L, Double.NaN), (3L, 5.0), (4L, Double.NaN))
+      .toDF("id", "v")
+    val f = GraftFrame(df, "id")
+    assert(f.idxmax("v").head().getLong(0) == 3L)
+    assert(f.idxmin("v").head().getLong(0) == 1L)
+  }
+
+  test("backtick-needing column names survive every expr() agg path") {
+    import spark.implicits._
+    // names a CSV header can produce: space, hyphen, dot
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("row id", "unit-price.usd")
+    val f = GraftFrame(df, "row id")
+    assert(f.median().head().getDouble(1) == 2.5)
+    assert(f.aggregate(Seq("median_approx"), Some(true)).head() != null)
+    val q = f.quantile(Seq(0.5)).head()
+    assert(q.getDouble(q.fieldIndex("unit-price.usd_q0.5")) == 2.5)
+    assert(f.mad("unit-price.usd").head().getDouble(0) == 1.0)
+    assert(f.describe().count() == 8)
+    val g = GraftFrame(
+      Seq(("a", 1L, 2.0), ("a", 2L, 4.0), ("b", 3L, 6.0))
+        .toDF("k", "row id", "unit-price.usd"), "row id")
+    assert(g.groupby(Seq("k")).median().count() == 2)
+    assert(g.groupby(Seq("k")).mad("unit-price.usd").count() == 2)
+    assert(g.groupby(Seq("k")).quantile("unit-price.usd", Seq(0.5)).count() == 2)
+    val s = new GraftSeries(GraftFrame(
+      Seq((1L, "ab")).toDF("row id", "the text"), "row id"), "the text")
+    assert(s.toFrame.df.select(s.strRepeat(2)).head().getString(0) == "abab")
+  }
+
+  test("keepIds keeps and REORDERS to the items list (reindex semantics)") {
+    import spark.implicits._
+    val f = orders
+    val got = f.keepIds(Seq(5L, 1L, 3L)).df
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(5L, 1L, 3L))
+    // absent ids drop silently (filter semantics)
+    val got2 = f.keepIds(Seq(3L, -999L, 1L)).df
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(got2 == Seq(3L, 1L))
+    // string-keyed frames work through the same cast path
+    val sf = GraftFrame(Seq(("x", 1), ("y", 2), ("z", 3)).toDF("k", "v"), "k")
+    assert(sf.keepIds(Seq("z", "x")).df.select("v")
+      .collect().map(_.getInt(0)).toSeq == Seq(3, 1))
+  }
+
+  test("series-level metric aggs match frame-level values") {
+    val o = orders
+    val s = o("o_totalprice")
+    val direct = o.df.agg(
+      avg("o_totalprice"), sum("o_totalprice"),
+      min("o_totalprice"), max("o_totalprice"),
+      expr("median(o_totalprice)"), countDistinct(col("o_totalprice"))).head()
+    // sum/mean: double fold order varies between executions — tolerance
+    assert(math.abs(s.mean() - direct.getDouble(0)) < 1e-6)
+    assert(math.abs(s.sum() - direct.getDouble(1)) < 1e-4)
+    assert(s.min() == direct.getDouble(2))
+    assert(s.max() == direct.getDouble(3))
+    assert(s.median() == direct.getDouble(4))
+    assert(s.nunique() == direct.getLong(5))
+    assert(s.mad() >= 0.0)
+    val d = s.describe().collect()
+    assert(d.map(_.getString(0)).toSet ==
+      Set("count", "mean", "std", "min", "25%", "50%", "75%", "max"))
+    // describe on the id column itself (degenerate single-col frame)
+    assert(o("o_orderkey").describe().count() == 8)
+  }
+
+  test("series esMatch predicates filter like the frame-level es_match") {
+    val docs = GraftFrame(
+      Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id")
+    val viaSeries = docs.where(docs("text").esMatch("filter join")).len()
+    val viaFrame = docs.esMatch("filter join", Seq("text")).len()
+    assert(viaSeries == viaFrame && viaSeries > 0)
+    val andSeries = docs.where(
+      docs("text").esMatch("filter join", operator = "and")).len()
+    val andFrame = docs.esMatch("filter join", Seq("text"), operator = "and").len()
+    assert(andSeries == andFrame && andSeries <= viaSeries)
+  }
+
   test("withMintedId is stable across identical re-reads") {
     val df = Tables.load(spark, TestSpark.sfDir, "customer")
     val a = GraftFrame.withMintedId(df).head(3).df.collect()

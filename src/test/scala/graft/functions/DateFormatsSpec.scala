@@ -44,6 +44,41 @@ class DateFormatsSpec extends AnyFunSuite {
     assert(parse("not-a-date", "strict_date") == null)
   }
 
+  test("ISO week-date formats parse (Spark rejects Y/w/e patterns; computed instead)") {
+    // 2024-01-04 is Thursday => Monday of W01 is 2024-01-01;
+    // W10-2 (Tuesday) = 2024-01-01 + 9*7 + 1 = 2024-03-05
+    assert(parse("2024-W10-2", "week_date") ==
+      Timestamp.valueOf("2024-03-05 00:00:00"))
+    assert(parse("2024W102", "basic_week_date") ==
+      Timestamp.valueOf("2024-03-05 00:00:00"))
+    assert(parse("2024-W10-2", "strict_week_date") ==
+      Timestamp.valueOf("2024-03-05 00:00:00"))
+    // 2021-01-04 is Monday; W01-1 IS Jan 4 (2021-01-01 falls in 2020-W53)
+    assert(parse("2021-W01-1", "week_date") ==
+      Timestamp.valueOf("2021-01-04 00:00:00"))
+    // day-of-week out of ISO range -> null, not garbage
+    assert(parse("2024-W10-8", "week_date") == null)
+    assert(parse("garbage", "week_date") == null)
+  }
+
+  test("week-date round-trips through formatEsDate, incl. year boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def roundTrip(s: String, fmt: String): String =
+      Seq(s).toDF("s").select(DateFormats.formatEsDate(
+        DateFormats.parseEsDate(col("s"), fmt), fmt).as("r"))
+        .head().getString(0)
+    assert(roundTrip("2024-W10-2", "week_date") == "2024-W10-2")
+    assert(roundTrip("2024W102", "basic_week_date") == "2024W102")
+    // 2019-12-30 (Monday) is ISO 2020-W01-1: week-based year != calendar year
+    assert(roundTrip("2020-W01-1", "week_date") == "2020-W01-1")
+    val wd = Seq("2019-12-30").toDF("s")
+      .select(DateFormats.formatEsDate(
+        DateFormats.parseEsDate(col("s"), "strict_date"), "week_date").as("r"))
+      .head().getString(0)
+    assert(wd == "2020-W01-1")
+  }
+
   test("round-trip through formatEsDate") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -60,6 +60,56 @@ class DedupSpec extends AnyFunSuite {
     assert(ham02 <= 16, s"hamming=$ham02")
   }
 
+  test("staged signature cache releases after the first action without double-execution") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val results = (1 to 3).map { _ =>
+      val r = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.5)
+      r.count() // first caller action — triggers the async staged release
+      r
+    }
+    // the staged signature frames unpersist via QueryExecutionListener
+    // (async on the listener bus); only the 3 persisted RESULT frames
+    // (caller-owned) may remain
+    val deadline = System.currentTimeMillis + 20000
+    def n = spark.sparkContext.getPersistentRDDs.size
+    while (n > before + 3 && System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(n <= before + 3, s"cached RDDs grew: before=$before now=$n")
+    results.foreach(_.unpersist(true))
+  }
+
+  test("id-only and ship-signatures layouts agree") {
+    val a = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val b = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.5,
+      shipSignatures = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("LSH->verify composition stays sub-quadratic on a hot clique") {
+    import spark.implicits._
+    // 40-doc boilerplate clique + 4 distinct docs: all-pairs would be
+    // 40*39/2 = 780 clique pairs; the guard caps the clique's buckets
+    val hot = spark.range(40).select(col("id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta iota kappa").as("text"))
+    val distinct = Seq(
+      (100L, base), (101L, base.replace("today", "tomorrow")),
+      (102L, "spark catalyst whole stage codegen pipelines"),
+      (103L, "completely unrelated words about storage formats")
+    ).toDF("id", "text")
+    val docs = hot.unionByName(distinct)
+    val cand = Dedup.minhashLshPairs(docs, "id", "text",
+      threshold = 0.2, maxBucketSize = 8)
+    val verified = Dedup.ngramJaccard(docs, "id", "text",
+      cand.select("id_a", "id_b"))
+    val n = verified.count()
+    assert(n < 40, s"candidate pairs not sub-quadratic: $n") // 780+ if unguarded
+    // the genuine near-dup outside the clique still surfaces
+    assert(verified.filter(col("id_a") === 100 && col("id_b") === 101 &&
+      col("jaccard") > 0.5).count() == 1)
+    cand.unpersist(); verified.unpersist()
+  }
+
   test("ngram jaccard verifies candidates exactly") {
     val pairs = Seq((0L, 1L), (0L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(corpus, "id", "text", pairs)

@@ -42,6 +42,40 @@ class IngestSpec extends AnyFunSuite {
     assert(minted.idCol == "_row_id" && minted.len() == nation.count())
   }
 
+  test("CsvOptions: sep, na sentinels, dtype, usecols, names, nrows") {
+    val dir = Files.createTempDirectory("graft-csvopts").toString
+    val csv = dir + "/in.csv"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      """id;name;qty;price;note
+        |1;alpha;3;1.50;ok
+        |2;beta;NA;2.25;n/a
+        |3;NULL;7;NA;fine
+        |4;delta;9;4.00;meh
+        |""".stripMargin)
+    val opts = Ingest.CsvOptions(
+      sep = ";",
+      naValues = Seq("NA", "NULL", "n/a"),
+      dtype = Map("qty" -> "long"),
+      usecols = Seq("id", "name", "qty", "price"))
+    val df = Ingest.readCsv(spark, csv, opts).orderBy("id")
+    assert(df.columns.toSeq == Seq("id", "name", "qty", "price"))
+    assert(df.schema("qty").dataType.simpleString == "bigint")
+    val rows = df.collect()
+    assert(rows.length == 4)
+    assert(rows(1).isNullAt(2))           // qty "NA" -> null
+    assert(rows(2).isNullAt(1))           // name "NULL" -> null (extra sentinel)
+    assert(rows(2).isNullAt(3))           // price "NA" -> null
+    assert(rows(0).getLong(2) == 3L)
+    // names override + nrows cap
+    val renamed = Ingest.readCsv(spark, csv, Ingest.CsvOptions(sep = ";",
+      names = Seq("a", "b", "c", "d", "e"), nrows = Some(2)))
+    assert(renamed.columns.toSeq == Seq("a", "b", "c", "d", "e"))
+    assert(renamed.count() == 2)
+    // full-option path reaches the frame facade too
+    val f = Ingest.csvToFrame(spark, csv, Some("id"), opts)
+    assert(f.idCol == "id" && f.len() == 4)
+  }
+
   test("csv round-trip preserves data") {
     val nation = Tables.load(spark, TestSpark.sfDir, "nation")
     val csvDir = tmp()

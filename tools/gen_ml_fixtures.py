@@ -156,6 +156,85 @@ def xgboost_binary_classifier():
     )
 
 
+def lightgbm_rf_regressor():
+    """Shape of LGBMRegressorTransformer output for boosting_type='rf':
+    aggregate_output.weighted_sum.weights = [1/n]*n
+    (eland/ml/transformers/lightgbm.py:201-207), per-node default_left +
+    transform_decider mapping ('<='→lte, '>'→gt, ...; lightgbm.py:30-41,
+    75-92). A 'gt' node exercises the non-default decider path."""
+    feats = ["f0", "f1"]
+
+    def t(nodes):
+        return Tree(feature_names=feats, target_type="regression",
+                    tree_structure=nodes)
+
+    t0 = t([
+        TreeNode(0, decision_type="gt", left_child=1, right_child=2,
+                 split_feature=0, threshold=1.0, default_left=True,
+                 number_samples=10),
+        TreeNode(1, decision_type="lte", leaf_value=[4.0], number_samples=4),
+        TreeNode(2, decision_type="lte", leaf_value=[2.0], number_samples=6),
+    ])
+    t1 = t([
+        TreeNode(0, decision_type="lte", left_child=1, right_child=2,
+                 split_feature=1, threshold=3.0, default_left=False,
+                 number_samples=10),
+        TreeNode(1, decision_type="lte", leaf_value=[1.0], number_samples=5),
+        TreeNode(2, decision_type="lte", leaf_value=[7.0], number_samples=5),
+    ])
+    n = 2
+    return Ensemble(
+        feature_names=feats,
+        trained_models=[t0, t1],
+        output_aggregator={"weighted_sum": {"weights": [1.0 / n] * n}},
+        target_type="regression",
+    )
+
+
+def lightgbm_multiclass_classifier():
+    """Shape of LGBMClassifierTransformer multiclass output: one-hot
+    logit leaves — leaf_val[tree_id % n_classes] carries the tree's
+    scalar (eland/ml/transformers/lightgbm.py:230-239) — with
+    aggregate_output logistic_regression (lightgbm.py:258)."""
+    feats = ["f0"]
+
+    def t(nodes):
+        return Tree(feature_names=feats, target_type="classification",
+                    classification_labels=["a", "b", "c"],
+                    tree_structure=nodes)
+
+    def onehot(tree_id, v):
+        leaf = [0.0, 0.0, 0.0]
+        leaf[tree_id % 3] = v
+        return leaf
+
+    t0 = t([
+        TreeNode(0, decision_type="lte", left_child=1, right_child=2,
+                 split_feature=0, threshold=0.0),
+        TreeNode(1, leaf_value=onehot(0, 2.0)),
+        TreeNode(2, leaf_value=onehot(0, 0.5)),
+    ])
+    t1 = t([
+        TreeNode(0, decision_type="lte", left_child=1, right_child=2,
+                 split_feature=0, threshold=1.0),
+        TreeNode(1, leaf_value=onehot(1, 1.5)),
+        TreeNode(2, leaf_value=onehot(1, 0.2)),
+    ])
+    t2 = t([
+        TreeNode(0, decision_type="lte", left_child=1, right_child=2,
+                 split_feature=0, threshold=2.0),
+        TreeNode(1, leaf_value=onehot(2, 0.1)),
+        TreeNode(2, leaf_value=onehot(2, 3.0)),
+    ])
+    return Ensemble(
+        feature_names=feats,
+        trained_models=[t0, t1, t2],
+        output_aggregator={"logistic_regression": {}},
+        target_type="classification",
+        classification_labels=["a", "b", "c"],
+    )
+
+
 def single_tree_regressor():
     """SKLearnDecisionTreeTransformer serializes a bare Tree (no
     ensemble wrapper) — serialize_model gives
@@ -179,6 +258,8 @@ def main():
         "xgboost_regressor": xgboost_regressor(),
         "sklearn_rf_classifier": sklearn_rf_classifier(),
         "xgboost_binary_classifier": xgboost_binary_classifier(),
+        "lightgbm_rf_regressor": lightgbm_rf_regressor(),
+        "lightgbm_multiclass_classifier": lightgbm_multiclass_classifier(),
         "single_tree_regressor": single_tree_regressor(),
     }
     for name, model in fixtures.items():
