@@ -20,9 +20,11 @@ import graft.functions.EsMatch
   * logical plan; Catalyst handles pushdown/pruning/limit-merging that
   * eland hand-rolls in its task list (eland/operations.py:1461-1482).
   */
-class GraftFrame private (val df: DataFrame, val idCol: String) {
+class GraftFrame private (val df: DataFrame, val idCol: String,
+                          val esTypeOverrides: Map[String, String]) {
 
-  private def wrap(d: DataFrame): GraftFrame = new GraftFrame(d, idCol)
+  private def wrap(d: DataFrame): GraftFrame =
+    new GraftFrame(d, idCol, esTypeOverrides)
 
   // ---- schema view (eland/field_mappings.py capability matrix) -----
   def columns: Seq[String] = df.columns.toSeq
@@ -32,6 +34,27 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
     df.schema.fields.toSeq.map(f => f.name -> PdDtypes.pdDtype(f.dataType))
 
   def schema: StructType = df.schema
+
+  /** Searchable/aggregatable capability matrix — eland
+    * `es_field_mappings` / FieldMappings (eland/field_mappings.py:
+    * 431-458). String columns default to analyzed "text" with a
+    * `.keyword` aggregatable alias; pin exact-match columns via
+    * [[withEsDtype]].
+    */
+  def fieldCaps: Seq[FieldCaps.FieldCapability] =
+    FieldCaps.matrix(df.schema, esTypeOverrides)
+
+  /** (column, es dtype) pairs — eland `df.es_dtypes`. */
+  def esDtypes: Seq[(String, String)] = fieldCaps.map(c => c.column -> c.esDtype)
+
+  /** Pin a column's ES dtype ("keyword", "text", "text_no_keyword") —
+    * the mapping knowledge eland reads from the index that parquet
+    * can't carry.
+    */
+  def withEsDtype(colName: String, esDtype: String): GraftFrame = {
+    require(df.columns.contains(colName), s"unknown column $colName")
+    new GraftFrame(df, idCol, esTypeOverrides + (colName -> esDtype))
+  }
 
   // ---- projections (SURVEY §2.2) -----------------------------------
   def select(cols: Seq[String]): GraftFrame = {
@@ -85,9 +108,27 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
     */
   def query(sqlPredicate: String): GraftFrame = wrap(df.filter(sqlPredicate))
 
-  /** eland `es_match` (eland/query_compiler.py:419-488). */
+  /** eland `es_match` (eland/query_compiler.py:419-488). Like the
+    * reference, refuses non-text columns by default — matching an
+    * unanalyzed keyword/numeric column "works" mechanically but
+    * diverges from ES analysis semantics; pass
+    * `matchOnlyTextFields = false` to match anyway (the reference's
+    * lenient mode).
+    */
   def esMatch(query: String, cols: Seq[String],
-              operator: String = "or", fuziness: Option[Int] = None): GraftFrame = {
+              operator: String = "or", fuziness: Option[Int] = None,
+              matchOnlyTextFields: Boolean = true): GraftFrame = {
+    require(cols.nonEmpty, "columns can't be empty")
+    if (matchOnlyTextFields) {
+      val caps = fieldCaps.map(c => c.column -> c.esDtype).toMap
+      val nonText = cols.filter(c => caps.getOrElse(c, "object") != "text")
+      require(nonText.isEmpty,
+        s"Attempting to run esMatch() on non-text fields (" +
+          nonText.map(c => s"$c=${caps.getOrElse(c, "?")}").mkString(", ") +
+          ") means that these fields may not be analyzed properly. " +
+          "Pin them as text via withEsDtype or pass matchOnlyTextFields=false " +
+          "to match anyways")
+    }
     val pred = fuziness match {
       case Some(f) =>
         cols.map(c => EsMatch.matchFuzzy(col(c), query, f))
@@ -151,6 +192,13 @@ class GraftFrame private (val df: DataFrame, val idCol: String) {
 
   /** Fractional sample — eland `sample(frac=..)`: exact
     * round(frac*len) rows, same seeded determinism.
+    *
+    * NOTE: this runs a `count()` job AT CALL TIME — the only eager
+    * method on the otherwise-lazy facade. Exact-n sampling needs the
+    * row count (the reference issues the same eager `_count` request,
+    * eland/etl.py sample path), and a metadata-only parquet count is
+    * cheap; use `sample(n, seed)` if you already know n and need full
+    * laziness.
     */
   def sampleFrac(frac: Double, seed: Long): GraftFrame = {
     require(frac >= 0 && frac <= 1, s"frac out of range: $frac")
@@ -438,7 +486,7 @@ object GraftFrame {
   /** Wrap a DataFrame whose `idCol` is an existing unique key. */
   def apply(df: DataFrame, idCol: String): GraftFrame = {
     require(df.columns.contains(idCol), s"id column $idCol missing")
-    new GraftFrame(df, idCol)
+    new GraftFrame(df, idCol, Map.empty)
   }
 
   /** Wrap a keyless DataFrame, minting a stable surrogate id. The id is
@@ -448,7 +496,7 @@ object GraftFrame {
     */
   def withMintedId(df: DataFrame, idName: String = "_row_id"): GraftFrame = {
     val hashed = df.withColumn(idName, xxhash64(df.columns.map(col).toSeq: _*))
-    new GraftFrame(hashed, idName)
+    new GraftFrame(hashed, idName, Map.empty)
   }
 
   def parquet(spark: SparkSession, path: String, idCol: String): GraftFrame =

@@ -70,13 +70,25 @@ class GraftSeries(val frame: GraftFrame, val name: String) {
 
   // ---- full-text match (eland/series.py:752 Series.es_match) -------
   /** Predicate matching this column against an analyzed-text query —
-    * the Series-level `es_match`; compose with `frame.where`.
+    * the Series-level `es_match`; compose with `frame.where`. Refuses
+    * non-text columns like the reference (see GraftFrame.esMatch);
+    * `matchOnlyTextFields = false` is the lenient escape hatch.
     */
   def esMatch(query: String, operator: String = "or",
-              fuzziness: Option[Int] = None): Column = fuzziness match {
-    case Some(f)                  => graft.functions.EsMatch.matchFuzzy(col, query, f)
-    case None if operator == "and" => graft.functions.EsMatch.matchAll(col, query)
-    case None                     => graft.functions.EsMatch.matchAny(col, query)
+              fuzziness: Option[Int] = None,
+              matchOnlyTextFields: Boolean = true): Column = {
+    if (matchOnlyTextFields) {
+      val es = frame.fieldCaps.find(_.column == name)
+        .map(_.esDtype).getOrElse("object")
+      require(es == "text",
+        s"Attempting to run esMatch() on non-text field ($name=$es); " +
+          "pin it as text via withEsDtype or pass matchOnlyTextFields=false")
+    }
+    fuzziness match {
+      case Some(f)                   => graft.functions.EsMatch.matchFuzzy(col, query, f)
+      case None if operator == "and" => graft.functions.EsMatch.matchAll(col, query)
+      case None                      => graft.functions.EsMatch.matchAny(col, query)
+    }
   }
 
   // ---- metric aggregations (eland/series.py:596-780) ---------------

@@ -42,14 +42,28 @@ object FeatureLogger {
     * docIdCol [, grade...]); every feature extractor is evaluated once
     * per distinct query over the joined docs. Output: judgment columns
     * + one double column per feature.
+    *
+    * PLAN-SIZE CAVEAT: the extractors specialize Column expressions to
+    * each query's literal text, so the plan carries one union branch
+    * per distinct query. That is the right shape for judgment lists
+    * (tens to a few hundred queries — the reference's LTR eval sets are
+    * this size); `maxQueryBranches` fails fast beyond it rather than
+    * letting Catalyst chew a multi-thousand-branch union. For corpus-
+    * scale query logs, batch calls over query slices and union the
+    * written results.
     */
   def logFeatures(docs: DataFrame, docIdCol: String,
                   judgments: DataFrame, queryIdCol: String, queryTextCol: String,
-                  extractors: Seq[(String, Extractor)]): DataFrame = {
+                  extractors: Seq[(String, Extractor)],
+                  maxQueryBranches: Int = 500): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val queries = judgments.select(queryIdCol, queryTextCol).distinct()
       .collect().map(r => (r.get(0), r.getString(1)))
+    require(queries.length <= maxQueryBranches,
+      s"${queries.length} distinct queries would build ${queries.length} " +
+        s"plan branches (cap $maxQueryBranches); batch the judgment list " +
+        "over query slices instead")
     // one branch per query, union'd: each branch is docs ⋈ (that
     // query's judgments) with the feature Columns specialized to the
     // query text — all Column expressions, no per-pair execution

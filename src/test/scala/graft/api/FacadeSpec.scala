@@ -289,6 +289,35 @@ class FacadeSpec extends AnyFunSuite {
     assert(andSeries == andFrame && andSeries <= viaSeries)
   }
 
+  test("field capability matrix: text vs keyword, .keyword aggregatable alias") {
+    val docs = GraftFrame(
+      Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id")
+    val caps = docs.fieldCaps.map(c => c.column -> c).toMap
+    // string column defaults to analyzed text: searchable, NOT
+    // aggregatable under its own name, .keyword alias carries aggs
+    val text = caps("text")
+    assert(text.esDtype == "text" && text.isSearchable && !text.isAggregatable)
+    assert(text.aggregatableName.contains("text.keyword"))
+    // numeric/date columns aggregate under their own name
+    val id = caps("doc_id")
+    assert(id.isAggregatable && id.aggregatableName.contains("doc_id"))
+    // es_match on a keyword-pinned column raises like the reference
+    val pinned = docs.withEsDtype("source", "keyword")
+    assert(pinned.esDtypes.toMap.apply("source") == "keyword")
+    val e = intercept[IllegalArgumentException](
+      pinned.esMatch("web", Seq("source")))
+    assert(e.getMessage.contains("non-text"))
+    // lenient mode matches anyway (reference's match_only_text_fields=False)
+    assert(pinned.esMatch("web", Seq("source"),
+      matchOnlyTextFields = false).len() >= 0)
+    // series path enforces the same contract
+    assertThrows[IllegalArgumentException](
+      pinned("source").esMatch("web"))
+    // numeric columns refuse es_match by default too
+    assertThrows[IllegalArgumentException](
+      docs.esMatch("5", Seq("doc_id")))
+  }
+
   test("withMintedId is stable across identical re-reads") {
     val df = Tables.load(spark, TestSpark.sfDir, "customer")
     val a = GraftFrame.withMintedId(df).head(3).df.collect()

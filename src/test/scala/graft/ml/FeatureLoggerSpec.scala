@@ -42,6 +42,18 @@ class FeatureLoggerSpec extends AnyFunSuite {
     assert(r.getBoolean(2) && !r.getBoolean(3))
     assert(r.getLong(4) == graft.plans.TokenSimHash.simhash("a b c"))
   }
+
+  test("maxQueryBranches fails fast instead of exploding the plan") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val judgments = (1 to 5).map(i => (i.toLong, 1L, s"query $i"))
+      .toDF("q_id", "doc_id", "q_text")
+    val e = intercept[IllegalArgumentException] {
+      FeatureLogger.logFeatures(docs, "doc_id", judgments, "q_id", "q_text",
+        FeatureLogger.defaultExtractors("text"), maxQueryBranches = 3)
+    }
+    assert(e.getMessage.contains("plan branches"))
+  }
 }
 
 object GraftExtensionsHelper {
