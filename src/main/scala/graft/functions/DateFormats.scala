@@ -27,6 +27,8 @@ object DateFormats {
       "basic_date_time"                 -> "yyyyMMdd'T'HHmmss.SSSXX",
       "basic_date_time_no_millis"       -> "yyyyMMdd'T'HHmmssXX",
       "basic_ordinal_date"              -> "yyyyDDD",
+      "basic_ordinal_date_time"         -> "yyyyDDD'T'HHmmss.SSSXX",
+      "basic_ordinal_date_time_no_millis" -> "yyyyDDD'T'HHmmssXX",
       "basic_time"                      -> "HHmmss.SSSXX",
       "basic_time_no_millis"            -> "HHmmssXX",
       "basic_t_time"                    -> "'T'HHmmss.SSSXX",
@@ -45,6 +47,8 @@ object DateFormats {
       "hour_minute_second_fraction"     -> "HH:mm:ss.SSS",
       "hour_minute_second_millis"       -> "HH:mm:ss.SSS",
       "ordinal_date"                    -> "yyyy-DDD",
+      "ordinal_date_time"               -> "yyyy-DDD'T'HH:mm:ss.SSSXX",
+      "ordinal_date_time_no_millis"     -> "yyyy-DDD'T'HH:mm:ssXX",
       "time"                            -> "HH:mm:ss.SSSXX",
       "time_no_millis"                  -> "HH:mm:ssXX",
       "t_time"                          -> "'T'HH:mm:ss.SSSXX",
@@ -56,43 +60,131 @@ object DateFormats {
     base ++ base.map { case (k, v) => s"strict_$k" -> v }
   }
 
-  /** ES ISO week-date formats (Joda `xxxx-'W'ww-e`). Spark 3+'s
-    * datetime parser REJECTS week-based pattern letters (Y/w/e) in
-    * to_timestamp, so these are computed from first principles:
-    * ISO-8601 puts Jan 4 in week 1, so the Monday of week 1 is
-    * `jan4 - weekday(jan4)` and the date is
-    * `mondayWk1 + (week-1)*7 + (dow-1)` (dow 1=Monday..7=Sunday).
-    * Pure Column arithmetic — codegen-friendly, no UDF.
+  /** ES ISO week-date family (Joda `xxxx-'W'ww-e['T'HH:mm:ss.SSSZZ]`
+    * and friends). Spark 3+'s datetime parser REJECTS week-based
+    * pattern letters (Y/x/w/e) in to_timestamp, so these are computed
+    * from first principles: ISO-8601 puts Jan 4 in week 1, so the
+    * Monday of week 1 is `jan4 - weekday(jan4)` and the date is
+    * `mondayWk1 + (week-1)*7 + (dow-1)` (dow 1=Monday..7=Sunday);
+    * time-of-day and a Z / ±hh:mm offset are added as micros. Pure
+    * Column arithmetic — codegen-friendly, no UDF.
+    *
+    * `week`/`day`/`time`/`frac`/`off` give the regex group index of
+    * each optional component (None = component absent, ISO defaults:
+    * week 1, Monday, midnight, UTC).
     */
-  private val basicWeekRe = "^(\\d{4})W(\\d{2})(\\d)$"
-  private val weekRe = "^(\\d{4})-W(\\d{2})-(\\d)$"
-
-  private def parseIsoWeekDate(c: Column, re: String): Column = {
+  private def parseWeekFamily(c: Column, re: String,
+      week: Option[Int] = None, day: Option[Int] = None,
+      time: Option[(Int, Int, Int)] = None,
+      frac: Option[Int] = None, off: Option[Int] = None): Column = {
     val y = regexp_extract(c, re, 1).cast("int")
-    val w = regexp_extract(c, re, 2).cast("int")
-    val dow = regexp_extract(c, re, 3).cast("int")
+    val w = week.map(i => regexp_extract(c, re, i).cast("int")).getOrElse(lit(1))
+    val d = day.map(i => regexp_extract(c, re, i).cast("int")).getOrElse(lit(1))
+    val (hh, mm, ss) = time.map { case (a, b, s) =>
+      (regexp_extract(c, re, a).cast("int"),
+        regexp_extract(c, re, b).cast("int"),
+        regexp_extract(c, re, s).cast("int"))
+    }.getOrElse((lit(0), lit(0), lit(0)))
+    val ms = frac.map { i =>
+      val digits = regexp_replace(regexp_extract(c, re, i), "\\.", "")
+      when(digits === "", 0)
+        .otherwise(substring(rpad(digits, 3, "0"), 1, 3).cast("int"))
+    }.getOrElse(lit(0))
+    val offMin = off.map { i =>
+      val g = regexp_replace(regexp_extract(c, re, i), ":", "")
+      when(g === "" || g === "Z", 0).otherwise(
+        when(substring(g, 1, 1) === "-", -1).otherwise(1) *
+          (substring(g, 2, 2).cast("int") * 60 + substring(g, 4, 2).cast("int")))
+    }.getOrElse(lit(0))
     val jan4 = make_date(y, lit(1), lit(4))
     val mondayWk1 = date_sub(jan4, weekday(jan4))
+    val dayDate = date_add(mondayWk1, (w - lit(1)) * 7 + (d - lit(1)))
+    val micros = unix_micros(dayDate.cast("timestamp")) +
+      (hh * 3600L + mm * 60L + ss - offMin * 60L).cast("long") * 1000000L +
+      ms.cast("long") * 1000L
     // non-matching rows stay null via the rlike gate (the casts above
     // only evaluate inside the matching CASE branch)
-    when(c.rlike(re) && dow.between(1, 7) && w.between(1, 53),
-      date_add(mondayWk1, (w - lit(1)) * 7 + (dow - lit(1))).cast("timestamp"))
+    when(c.rlike(re) && d.between(1, 7) && w.between(1, 53),
+      timestamp_micros(micros))
   }
 
-  private def formatIsoWeekDate(c: Column, basic: Boolean): Column = {
-    // ISO week-based year = calendar year of that week's Thursday;
-    // Spark's weekofyear is already ISO, weekday is 0=Monday
+  // ISO week-based year = calendar year of that week's Thursday;
+  // Spark's weekofyear is already ISO, weekday is 0=Monday
+  private def isoWeekYear(c: Column): Column = {
     val thursday = date_add(c.cast("date"), lit(3) - weekday(c.cast("date")))
-    val isoYear = lpad(year(thursday).cast("string"), 4, "0")
-    val wk = lpad(weekofyear(c.cast("date")).cast("string"), 2, "0")
-    val dow = (weekday(c.cast("date")) + 1).cast("string")
-    if (basic) concat(isoYear, lit("W"), wk, dow)
-    else concat(isoYear, lit("-W"), wk, lit("-"), dow)
+    lpad(year(thursday).cast("string"), 4, "0")
   }
+  private def isoWeek(c: Column): Column =
+    lpad(weekofyear(c.cast("date")).cast("string"), 2, "0")
+  private def isoDow(c: Column): Column =
+    (weekday(c.cast("date")) + 1).cast("string")
 
-  private val weekNames =
-    Set("basic_week_date", "week_date",
-      "strict_basic_week_date", "strict_week_date")
+  private def formatIsoWeekDate(c: Column, basic: Boolean): Column =
+    if (basic) concat(isoWeekYear(c), lit("W"), isoWeek(c), isoDow(c))
+    else concat(isoWeekYear(c), lit("-W"), isoWeek(c), lit("-"), isoDow(c))
+
+  /** The week-based names handled by the computed path (Spark's parser
+    * cannot express them).
+    */
+  private val weekFamilyBase = Set(
+    "basic_week_date", "basic_week_date_time", "basic_week_date_time_no_millis",
+    "week_date", "week_date_time", "week_date_time_no_millis",
+    "weekyear", "weekyear_week", "weekyear_week_day")
+  private val weekNames = weekFamilyBase ++ weekFamilyBase.map("strict_" + _)
+
+  private def stripStrict(f: String): String = f.stripPrefix("strict_")
+
+  private def parseWeekName(c: Column, name: String): Column =
+    stripStrict(name) match {
+      case "weekyear" =>
+        parseWeekFamily(c, "^(\\d{4})$")
+      case "weekyear_week" =>
+        parseWeekFamily(c, "^(\\d{4})-W(\\d{2})$", week = Some(2))
+      case "weekyear_week_day" | "week_date" =>
+        parseWeekFamily(c, "^(\\d{4})-W(\\d{2})-(\\d)$",
+          week = Some(2), day = Some(3))
+      case "basic_week_date" =>
+        parseWeekFamily(c, "^(\\d{4})W(\\d{2})(\\d)$",
+          week = Some(2), day = Some(3))
+      case "week_date_time" =>
+        parseWeekFamily(c,
+          "^(\\d{4})-W(\\d{2})-(\\d)T(\\d{2}):(\\d{2}):(\\d{2})(\\.\\d{1,9})?(Z|[+-]\\d{2}:?\\d{2})?$",
+          week = Some(2), day = Some(3), time = Some((4, 5, 6)),
+          frac = Some(7), off = Some(8))
+      case "week_date_time_no_millis" =>
+        parseWeekFamily(c,
+          "^(\\d{4})-W(\\d{2})-(\\d)T(\\d{2}):(\\d{2}):(\\d{2})(Z|[+-]\\d{2}:?\\d{2})?$",
+          week = Some(2), day = Some(3), time = Some((4, 5, 6)), off = Some(7))
+      case "basic_week_date_time" =>
+        parseWeekFamily(c,
+          "^(\\d{4})W(\\d{2})(\\d)T(\\d{2})(\\d{2})(\\d{2})(\\.\\d{1,9})?(Z|[+-]\\d{2}:?\\d{2})?$",
+          week = Some(2), day = Some(3), time = Some((4, 5, 6)),
+          frac = Some(7), off = Some(8))
+      case "basic_week_date_time_no_millis" =>
+        parseWeekFamily(c,
+          "^(\\d{4})W(\\d{2})(\\d)T(\\d{2})(\\d{2})(\\d{2})(Z|[+-]\\d{2}:?\\d{2})?$",
+          week = Some(2), day = Some(3), time = Some((4, 5, 6)), off = Some(7))
+    }
+
+  private def formatWeekName(c: Column, name: String): Column =
+    stripStrict(name) match {
+      case "weekyear"      => isoWeekYear(c)
+      case "weekyear_week" => concat(isoWeekYear(c), lit("-W"), isoWeek(c))
+      case "weekyear_week_day" | "week_date" => formatIsoWeekDate(c, basic = false)
+      case "basic_week_date"                 => formatIsoWeekDate(c, basic = true)
+      case "week_date_time" =>
+        concat(formatIsoWeekDate(c, basic = false), lit("T"),
+          date_format(c, "HH:mm:ss.SSSXX"))
+      case "week_date_time_no_millis" =>
+        concat(formatIsoWeekDate(c, basic = false), lit("T"),
+          date_format(c, "HH:mm:ssXX"))
+      case "basic_week_date_time" =>
+        concat(formatIsoWeekDate(c, basic = true), lit("T"),
+          date_format(c, "HHmmss.SSSXX"))
+      case "basic_week_date_time_no_millis" =>
+        concat(formatIsoWeekDate(c, basic = true), lit("T"),
+          date_format(c, "HHmmssXX"))
+    }
 
   /** Parse a string column carrying an ES-formatted date. Handles:
     * epoch_millis / epoch_second (numeric), a named format (including
@@ -104,20 +196,19 @@ object DateFormats {
     case "epoch_second" => timestamp_seconds(c.cast("long"))
     case f if f.contains("||") =>
       coalesce(f.split("\\|\\|").toSeq.map(one => parseEsDate(c, one.trim)): _*)
-    case "basic_week_date" | "strict_basic_week_date" =>
-      parseIsoWeekDate(c, basicWeekRe)
-    case "week_date" | "strict_week_date" =>
-      parseIsoWeekDate(c, weekRe)
+    case f if weekNames(f) => parseWeekName(c, f)
     case f =>
-      try_to_timestamp(c, lit(esToSpark.getOrElse(f, f)))
+      // named formats: the trailing offset is optional on parse (ES
+      // accepts both "…ss" and "…ssZ"); raw user patterns pass through
+      val p = esToSpark.get(f).map(_.replace("XX", "[XX]")).getOrElse(f)
+      try_to_timestamp(c, lit(p))
   }
 
   /** Render a timestamp back to an ES named format (for sinks). */
   def formatEsDate(c: Column, esFormat: String): Column = esFormat match {
     case "epoch_millis" => unix_millis(c).cast("string")
     case "epoch_second" => unix_timestamp(c).cast("string")
-    case f if weekNames(f) =>
-      formatIsoWeekDate(c, basic = f.endsWith("basic_week_date"))
+    case f if weekNames(f) => formatWeekName(c, f)
     case f => date_format(c, esToSpark.getOrElse(f, f))
   }
 

@@ -61,6 +61,36 @@ class DateFormatsSpec extends AnyFunSuite {
     assert(parse("garbage", "week_date") == null)
   }
 
+  test("week-date-time family parses time, millis, and offsets") {
+    assert(parse("2024-W10-2T10:11:12", "week_date_time_no_millis") ==
+      Timestamp.valueOf("2024-03-05 10:11:12"))
+    assert(parse("2024-W10-2T10:11:12.500", "week_date_time") ==
+      Timestamp.valueOf("2024-03-05 10:11:12.5"))
+    assert(parse("2024-W10-2T10:11:12.500Z", "strict_week_date_time") ==
+      Timestamp.valueOf("2024-03-05 10:11:12.5"))
+    // +02:00 offset: UTC instant is two hours earlier
+    assert(parse("2024-W10-2T10:11:12+02:00", "week_date_time_no_millis") ==
+      Timestamp.valueOf("2024-03-05 08:11:12"))
+    assert(parse("2024W102T101112.250-0130", "basic_week_date_time") ==
+      Timestamp.valueOf("2024-03-05 11:41:12.25"))
+    assert(parse("2024W102T101112", "basic_week_date_time_no_millis") ==
+      Timestamp.valueOf("2024-03-05 10:11:12"))
+    // weekyear family: ISO defaults (week 1, Monday)
+    assert(parse("2024", "weekyear") ==
+      Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(parse("2024-W10", "weekyear_week") ==
+      Timestamp.valueOf("2024-03-04 00:00:00"))
+    assert(parse("2024-W10-2", "strict_weekyear_week_day") ==
+      Timestamp.valueOf("2024-03-05 00:00:00"))
+  }
+
+  test("ordinal date-time formats parse") {
+    assert(parse("2024-065T10:11:12", "ordinal_date_time_no_millis") ==
+      Timestamp.valueOf("2024-03-05 10:11:12"))
+    assert(parse("2024065T101112", "basic_ordinal_date_time_no_millis") ==
+      Timestamp.valueOf("2024-03-05 10:11:12"))
+  }
+
   test("week-date round-trips through formatEsDate, incl. year boundary") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
