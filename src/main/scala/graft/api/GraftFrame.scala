@@ -141,6 +141,15 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     wrap(df.filter(pred))
   }
 
+  /** eland `es_query(dict)` — raw ES query-DSL JSON AND-merged into the
+    * frame's filter (eland/dataframe.py:736-790). Translates the
+    * engine-independent DSL subset (bool/term/terms/range/match/
+    * match_phrase/wildcard/prefix/regexp/exists/ids) via
+    * [[graft.functions.EsQueryDsl]]; untranslatable clauses raise.
+    */
+  def esQuery(queryJson: String): GraftFrame =
+    wrap(df.filter(graft.functions.EsQueryDsl.toColumn(queryJson, idCol)))
+
   /** Row drop by id (eland/operations.py:1396-1427). */
   def dropIds(ids: Seq[Any]): GraftFrame =
     wrap(df.filter(!col(idCol).isin(ids: _*)))

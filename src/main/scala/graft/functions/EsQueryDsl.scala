@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.api.Predicates
+
+/** ES query-DSL JSON → Spark Column predicate — the Spark re-expression
+  * of eland's `es_query` escape hatch (eland/dataframe.py:736-790: the
+  * raw query dict is AND-merged into the frame's filter) and its filter
+  * algebra (eland/filter.py:23-200: Bool/And/Or/Not, Term/Terms/Rlike/
+  * Startswith/Wildcard/Exists/IsIn/Range/IsNull/NotNull).
+  *
+  * Supported query kinds — the portion of the DSL whose semantics are
+  * engine-independent (leaf predicates + bool composition):
+  *
+  *  - `bool` with `must` / `filter` (AND), `should` (OR), `must_not`
+  *    (AND NOT); each accepts one clause dict or a list
+  *  - `term` / `terms` — exact value(s); `{"term": {"f": {"value": v}}}`
+  *    and the short `{"term": {"f": v}}` forms both parse
+  *  - `range` — gt/gte/lt/lte, AND-combined
+  *  - `match` / `match_phrase` — analyzed text via [[EsMatch]]
+  *    (`operator: "and"` honored for `match`)
+  *  - `wildcard` (`*`/`?` → LIKE), `prefix`, `regexp`
+  *  - `exists` — non-null field
+  *  - `ids` — value list against the given id column
+  *  - `match_all` / `match_none`
+  *
+  * Aggregation-side or geo clauses (`geo_distance`, `function_score`,
+  * ...) are NOT translatable to engine-independent semantics and raise
+  * IllegalArgumentException — mirroring how running them against a
+  * different backend would silently change meaning.
+  */
+object EsQueryDsl {
+
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+  private implicit val fmt: Formats = DefaultFormats
+
+  /** Parse an ES query-DSL JSON string into a Column predicate.
+    * `idCol` resolves the `ids` query (ES `_id`).
+    */
+  def toColumn(json: String, idCol: String = "_id"): Column =
+    fromJValue(JsonMethods.parse(json), idCol)
+
+  private def lonely(obj: JValue, what: String): (String, JValue) =
+    obj match {
+      case JObject(List((k, v))) => (k, v)
+      case JObject(fields) => throw new IllegalArgumentException(
+        s"$what expects exactly one entry, got ${fields.map(_._1).mkString(",")}")
+      case other => throw new IllegalArgumentException(s"$what: $other")
+    }
+
+  private def jvRaw(v: JValue): Any = v match {
+    case JString(s)  => s
+    case JInt(i)     => i.toLong
+    case JLong(l)    => l
+    case JDouble(d)  => d
+    case JDecimal(d) => d.toDouble
+    case JBool(b)    => b
+    case other => throw new IllegalArgumentException(s"unsupported literal: $other")
+  }
+
+  private def toLit(v: JValue): Column = lit(jvRaw(v))
+
+  private def clauses(v: JValue, idCol: String): Seq[Column] = v match {
+    case JArray(items) => items.map(fromJValue(_, idCol))
+    case JNothing      => Nil
+    case one           => Seq(fromJValue(one, idCol))
+  }
+
+  private def fromJValue(q: JValue, idCol: String): Column = {
+    val (kind, body) = lonely(q, "query")
+    kind match {
+      case "match_all"  => lit(true)
+      case "match_none" => lit(false)
+      case "bool" =>
+        val must    = clauses(body \ "must", idCol) ++ clauses(body \ "filter", idCol)
+        val should  = clauses(body \ "should", idCol)
+        val mustNot = clauses(body \ "must_not", idCol)
+        val parts =
+          (if (must.nonEmpty) Seq(must.reduce(_ && _)) else Nil) ++
+            (if (should.nonEmpty) Seq(should.reduce(_ || _)) else Nil) ++
+            mustNot.map(!_)
+        if (parts.isEmpty) lit(true) else parts.reduce(_ && _)
+      case "term" =>
+        val (field, v) = lonely(body, "term")
+        col(field) === toLit(v \ "value" match { case JNothing => v; case x => x })
+      case "terms" =>
+        val (field, v) = lonely(body, "terms")
+        v match {
+          case JArray(vs) => col(field).isin(vs.map(jvRaw): _*)
+          case other      => throw new IllegalArgumentException(s"terms: $other")
+        }
+      case "range" =>
+        val (field, v) = lonely(body, "range")
+        val bounds = v.asInstanceOf[JObject].obj.collect {
+          case ("gt", b)  => col(field) > toLit(b)
+          case ("gte", b) => col(field) >= toLit(b)
+          case ("lt", b)  => col(field) < toLit(b)
+          case ("lte", b) => col(field) <= toLit(b)
+        }
+        require(bounds.nonEmpty, s"range on $field needs gt/gte/lt/lte")
+        bounds.reduce(_ && _)
+      case "match" =>
+        val (field, v) = lonely(body, "match")
+        val (text, op) = v match {
+          case JString(s) => (s, "or")
+          case o => ((o \ "query").extract[String],
+            (o \ "operator").extractOrElse[String]("or"))
+        }
+        if (op == "and") EsMatch.matchAll(col(field), text)
+        else EsMatch.matchAny(col(field), text)
+      case "match_phrase" =>
+        val (field, v) = lonely(body, "match_phrase")
+        val text = v match {
+          case JString(s) => s
+          case o          => (o \ "query").extract[String]
+        }
+        EsMatch.matchPhrase(col(field), text)
+      case "wildcard" =>
+        val (field, v) = lonely(body, "wildcard")
+        val pat = v match {
+          case JString(s) => s
+          case o          => (o \ "value").extract[String]
+        }
+        col(field).like(Predicates.wildcardToLike(pat))
+      case "prefix" =>
+        val (field, v) = lonely(body, "prefix")
+        val pre = v match {
+          case JString(s) => s
+          case o          => (o \ "value").extract[String]
+        }
+        col(field).startsWith(pre)
+      case "regexp" =>
+        val (field, v) = lonely(body, "regexp")
+        val re = v match {
+          case JString(s) => s
+          case o          => (o \ "value").extract[String]
+        }
+        // ES regexp is anchored; Spark rlike is substring-matching
+        col(field).rlike(s"^(?:$re)$$")
+      case "exists" =>
+        col((body \ "field").extract[String]).isNotNull
+      case "ids" =>
+        (body \ "values") match {
+          case JArray(vs) => col(idCol).isin(vs.map(jvRaw): _*)
+          case other      => throw new IllegalArgumentException(s"ids: $other")
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"es_query clause '$other' has no engine-independent translation")
+    }
+  }
+}

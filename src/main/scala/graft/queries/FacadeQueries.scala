@@ -150,6 +150,18 @@ object FacadeQueries {
           rhu(avg(col("q.mean_token_len")), 6).as("avg_tok_len"))
         .orderBy("source")
     }),
+    // raw ES query-DSL escape hatch (eland es_query): bool composition
+    // of range/terms/term translated to Column predicates
+    "f16_es_query" -> ((s, d) => {
+      orders(s, d).esQuery(
+        """{"bool": {
+          |  "must":     [{"range": {"o_totalprice": {"gte": 100000, "lt": 250000}}}],
+          |  "filter":   [{"terms": {"o_orderpriority": ["1-URGENT", "2-HIGH"]}}],
+          |  "must_not": [{"term": {"o_orderstatus": "P"}}]
+          |}}""".stripMargin)
+        .select(Seq("o_orderkey", "o_orderstatus", "o_totalprice")).df
+        .orderBy("o_orderkey")
+    }),
     // keep-by-ids with reindex-to-items order (F14 keep side):
     // output row order follows the given id list, not the id sort
     "g21_keep_ids" -> ((s, d) => {
@@ -286,6 +298,12 @@ object FacadeQueries {
     "g18_filter_columns" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderkey LIMIT 5""".stripMargin,
+    "f16_es_query" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_totalprice >= 100000 AND o_totalprice < 250000
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_orderstatus <> 'P'
+        |ORDER BY o_orderkey""".stripMargin,
     "g21_keep_ids" ->
       """WITH ids(id, ord) AS (VALUES (3, 1), (1, 2), (2, 3))
         |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
