@@ -76,4 +76,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.matches("(?s).*PushedFilters:.*o_totalprice.*"))
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("f16_es_query: translated DSL predicates push down to the parquet scan") {
+    // term/range/terms arrive as Column trees, so they must reach
+    // PushedFilters exactly like hand-written predicates
+    val p = plan("f16_es_query")
+    assert(p.matches("(?s).*PushedFilters:.*o_totalprice.*"), p)
+    assert(p.matches("(?s).*PushedFilters:.*o_orderstatus.*"), p)
+  }
+
+  test("g21_keep_ids: the id list joins broadcast — no shuffle of the fact side") {
+    val p = plan("g21_keep_ids")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dd2: hot-bucket guard shares the band-bucket shuffle with the self-join") {
+    // the window count and the bucket self-join both key on (band, bh);
+    // the guard must not introduce its own aggregate+semi-join pass
+    val df = SparkEntry.queries("dd2_minhash_lsh_pairs")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SemiJoin") && !p.contains("LeftSemi"), p)
+  }
 }
