@@ -128,10 +128,49 @@ class GraftSeries(val frame: GraftFrame, val name: String) {
     if (name == frame.idCol) GraftFrame(frame.df.select(col), name).describe()
     else toFrame.drop(Seq(frame.idCol), errors = "ignore").describe()
 
-  // ---- single-column aggregations ----------------------------------
+  // ---- frame-shaped views (eland/series.py:142-353) ----------------
   def toFrame: GraftFrame =
     GraftFrame(frame.df.select(frame.df(frame.idCol), col), frame.idCol)
 
+  def shape: (Long, Int) = (frame.len(), 1)
+  def ndim: Int = 1
+  def isEmpty: Boolean = frame.isEmpty()
+
+  /** pandas dtype of this column (eland Series.dtype). */
+  def dtype: String = frame.dtypes.toMap.apply(name)
+
+  /** ES dtype per the capability matrix (eland Series.es_dtype). */
+  def esDtype: String =
+    frame.fieldCaps.find(_.column == name).map(_.esDtype).getOrElse("object")
+
+  /** Display-name relabel (eland Series.rename: new Series, same
+    * backing query).
+    */
+  def renamed(newName: String): GraftSeries =
+    new GraftSeries(frame.rename(Map(name -> newName)), newName)
+
+  def head(n: Int = 5): GraftFrame = toFrame.head(n)
+  def tail(n: Int = 5): GraftFrame = toFrame.tail(n)
+  def sample(n: Int, seed: Long): GraftFrame = toFrame.sample(n, seed)
+
+  /** Keep/reorder by id list (eland Series.filter(items, axis=0)). */
+  def filterItems(ids: Seq[Any]): GraftFrame = toFrame.keepIds(ids)
+
+  /** Plan inspection for the single-column query (Series.es_info). */
+  def esInfo(): String = toFrame.esInfo()
+
+  /** Capped text render (Series.to_string / __repr__). */
+  def renderString(maxRows: Int = 60): String = toFrame.renderString(maxRows)
+
+  // ---- single-column aggregations ----------------------------------
+  /** Multi-quantile over this column (eland/series.py:597-636). */
+  def quantile(qs: Seq[Double]): DataFrame = {
+    import Names.bq
+    val exprs = qs.map(q => expr(s"percentile(${bq(name)}, $q)").as(s"${name}_q$q"))
+    frame.df.agg(exprs.head, exprs.tail: _*)
+  }
+
+  def mode(esSize: Int = 10): DataFrame = frame.mode(name, esSize)
   def valueCounts(n: Int = 10): DataFrame = frame.valueCounts(name, n)
   def uniqueValues: DataFrame = frame.unique(name)
   def histogram(bins: Int): DataFrame = frame.hist(name, bins)

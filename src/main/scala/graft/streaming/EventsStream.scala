@@ -47,6 +47,21 @@ object EventsStream {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming face of
+    * `Dedup.exactKeepFirst` for a continuously-ingested corpus: drop
+    * rows whose dedup key (e.g. a content digest) was already seen,
+    * with state bounded by the watermark via
+    * `dropDuplicatesWithinWatermark` (exact dedup within the lateness
+    * horizon, O(keys-in-horizon) state instead of unbounded). The batch
+    * equivalent of each micro-batch's output is `distinct` on the key
+    * over the same horizon.
+    */
+  def dedupedEvents(events: DataFrame, keyCols: Seq[String],
+                    watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)

@@ -52,4 +52,32 @@ class GraftSeriesSpec extends AnyFunSuite {
     assert(f("p_brand").uniqueValues.count() ==
       f.df.select("p_brand").distinct().count())
   }
+
+  test("frame-shaped views: shape/ndim/dtype/es_dtype/head/tail/rename") {
+    val s = f("p_size")
+    assert(s.shape == (f.len(), 1) && s.ndim == 1 && !s.isEmpty)
+    assert(s.dtype == "int64")
+    assert(s.esDtype == "integer")
+    assert(f("p_name").esDtype == "text")
+    val h = s.head(3).df.collect()
+    assert(h.length == 3 && h.map(_.getLong(0)).toSeq.sorted ==
+      h.map(_.getLong(0)).toSeq)
+    assert(s.tail(3).df.count() == 3)
+    assert(s.sample(5, seed = 1).df.count() == 5)
+    val r = s.renamed("sz")
+    assert(r.name == "sz" && r.toFrame.df.columns.contains("sz"))
+    assert(s.renderString(5).contains("p_size"))
+    assert(s.esInfo().nonEmpty)
+  }
+
+  test("series quantile/mode/filterItems") {
+    val q = f("p_retailprice").quantile(Seq(0.5)).head().getDouble(0)
+    val direct = f.df.selectExpr("percentile(p_retailprice, 0.5)")
+      .head().getDouble(0)
+    assert(q == direct)
+    assert(f("p_brand").mode(2).count() <= 2)
+    val kept = f("p_size").filterItems(Seq(3L, 1L)).df
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(3L, 1L))
+  }
 }

@@ -69,6 +69,27 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops repeated keys within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    val base = 1000000L * 60000
+    def ev(id: Long, user: Long, minute: Long): EventsStream.Event =
+      EventsStream.Event(id, new Timestamp(base + minute * 60000), user, "t", 1.0)
+    // user 1 appears three times close together (dups), user 2 once
+    mem.addData(ev(1, 1, 0), ev(2, 1, 1), ev(3, 2, 2), ev(4, 1, 3))
+    val deduped = EventsStream.dedupedEvents(
+      mem.toDF(), Seq("user_id"), watermark = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val users = spark.table("dedup_out")
+        .select("user_id").as[Long].collect().sorted.toSeq
+      assert(users == Seq(1L, 2L)) // one row per key, first wins
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes sessions on gap and matches batch lag-gap logic") {
     import spark.implicits._
     implicit val s = spark
