@@ -130,25 +130,17 @@ object Dedup {
     val perms = bands * rowsPerBand
     // The signature frame is the LSH "index": persist it — both sides
     // of the bucket self-join read it, and without the barrier Spark
-    // recomputes the whole signature pipeline per side (and
-    // CollapseProject can inline it into the 16 band expressions).
-    // Staged projections: tokens → token hashes → windowed shingle
-    // hashes → signature. Staging matters twice over: (a) each alias is
-    // referenced multiple times downstream, which keeps CollapseProject
-    // from inlining (and re-evaluating) the interpreted HOF
-    // expressions; (b) shingle hashes combine three 8-byte token
-    // hashes instead of building shingle strings — no string
-    // allocation on the hot path at all.
+    // recomputes the whole signature pipeline per side. The signature
+    // itself is the native codegen [[graft.plans.TokenMinHash]] — one
+    // compiled pass per document (rolling token-hash window, unboxed
+    // perms×shingles min loop), bit-identical to the staged HOF
+    // pipeline it replaced (differential-tested in DedupSpec); null
+    // signatures are the < shingleN-token docs the old size() filter
+    // dropped.
     val withSig = docs
       .select(col(idCol).as("id"),
-        TextAnalysis.tokens(col(textCol)).as("tk"))
-      .filter(size(col("tk")) >= shingleN)
-      .select(col("id"), transform(col("tk"), t => xxhash64(t)).as("th"))
-      .select(col("id"),
-        transform(sequence(lit(1), size(col("th")) - lit(shingleN - 1)),
-          i => xxhash64((0 until shingleN).map(o =>
-            element_at(col("th"), i + lit(o))): _*)).as("hs"))
-      .select(col("id"), minhashFromHashes(col("hs"), perms).as("sig"))
+        graft.plans.TokenMinHash(col(textCol), shingleN, perms).as("sig"))
+      .filter(col("sig").isNotNull)
       .persist()
     val bandCols =
       if (shipSignatures) Seq(col("id"), col("sig")) else Seq(col("id"))
@@ -245,14 +237,13 @@ object Dedup {
     // |A|+|B|-|inter| (array_union per pair would double the work).
     // The per-doc set table is tiny relative to the pair table and is
     // read by both join sides -> persist.
-    // sorted hash arrays: the per-pair intersection is then a native
-    // codegen linear merge (SortedIntersectCount) instead of an
-    // interpreted hash-set build per pair
+    // sorted hash arrays via the native codegen TokenShingleHashes
+    // (one pass per doc, differential-tested vs the HOF form); the
+    // per-pair intersection is then a native codegen linear merge
+    // (SortedIntersectCount) instead of an interpreted hash-set build
     val sh = docs.select(col(idCol).as("_jid"),
-        array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("_s"))
-      .select(col("_jid"),
-        array_sort(array_distinct(transform(col("_s"), s => xxhash64(s)))).as("_jsh"),
-        size(col("_s")).as("_jn"))
+        graft.plans.TokenShingleHashes(col(textCol), shingleN).as("_jsh"))
+      .select(col("_jid"), col("_jsh"), size(col("_jsh")).as("_jn"))
       .persist()
     val out = pairs
       .join(sh.select(col("_jid").as("id_a"), col("_jsh").as("sh_a"),
@@ -279,10 +270,9 @@ object Dedup {
   def blockedNgramJaccard(docs: DataFrame, idCol: String, textCol: String,
                           blockCol: String, shingleN: Int = 3): DataFrame = {
     val sh = docs.select(col(blockCol).as("_blk"), col(idCol).as("_jid"),
-        array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("_s"))
-      .select(col("_blk"), col("_jid"),
-        array_sort(array_distinct(transform(col("_s"), s => xxhash64(s)))).as("_jsh"),
-        size(col("_s")).as("_jn"))
+        graft.plans.TokenShingleHashes(col(textCol), shingleN).as("_jsh"))
+      .select(col("_blk"), col("_jid"), col("_jsh"),
+        size(col("_jsh")).as("_jn"))
       .persist()
     val l = sh.select(col("_blk"), col("_jid").as("id_a"),
       col("_jsh").as("sh_a"), col("_jn").as("n_a"))

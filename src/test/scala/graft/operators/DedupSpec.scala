@@ -60,6 +60,50 @@ class DedupSpec extends AnyFunSuite {
     assert(ham02 <= 16, s"hamming=$ham02")
   }
 
+  test("native TokenMinHash is bit-identical to the staged HOF signature pipeline") {
+    import org.apache.spark.sql.functions._
+    // real corpus text: exercises unicode, punctuation, whitespace runs
+    val docs = spark.read.parquet(graft.TestSpark.sfDir + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hof = docs
+      .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), transform(col("tk"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("th")) - lit(2)),
+          i => xxhash64(element_at(col("th"), i),
+            element_at(col("th"), i + 1), element_at(col("th"), i + 2))).as("hs"))
+      .select(col("doc_id"), Dedup.minhashFromHashes(col("hs"), 64).as("sig"))
+    val native = docs
+      .select(col("doc_id"), graft.plans.TokenMinHash(col("text"), 3, 64).as("sig"))
+      .filter(col("sig").isNotNull)
+    assert(hof.count() == native.count())
+    val mismatches = hof.as("a").join(native.as("b"), "doc_id")
+      .filter(col("a.sig") =!= col("b.sig")).count()
+    assert(mismatches == 0)
+  }
+
+  test("native TokenShingleHashes matches the HOF sorted-distinct-hash form") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(graft.TestSpark.sfDir + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hof = docs.select(col("doc_id"),
+      array_sort(array_distinct(transform(
+        array_distinct(graft.functions.TextAnalysis.shingles(col("text"), 3)),
+        s => xxhash64(s)))).as("sh"))
+    val native = docs.select(col("doc_id"),
+      graft.plans.TokenShingleHashes(col("text"), 3).as("sh"))
+    val mismatches = hof.as("a").join(native.as("b"), "doc_id")
+      .filter(col("a.sh") =!= col("b.sh")).count()
+    assert(mismatches == 0)
+    // empty-doc edge: both forms yield []
+    import spark.implicits._
+    val e = Seq((1L, ""), (2L, "one two")).toDF("doc_id", "text")
+      .select(graft.plans.TokenShingleHashes(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[Long](0))
+    assert(e.forall(_.isEmpty))
+  }
+
   test("staged signature cache releases after the first action without double-execution") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val results = (1 to 3).map { _ =>
