@@ -301,7 +301,16 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
   def median(numericOnly: Option[Boolean] = None): DataFrame = aggregate(Seq("median"), numericOnly)
   def nunique(): DataFrame = aggregate(Seq("nunique"), Some(false))
 
-  /** Per-column quantiles (eland/operations.py:760-794). */
+  /** Per-column quantiles (eland/operations.py:760-794).
+    *
+    * Cardinality note: this is the fused one-pass form — every (col, q)
+    * cell in one HashAggregate — using Spark's exact `percentile`,
+    * whose agg state is an O(distinct-values) count map. The right
+    * shape for enum-ish/bounded columns; for a high-cardinality column
+    * at corpus scale use [[graft.operators.Quantiles.viaSort]]
+    * (bit-equal, O(1) state, one sort job per column) — the hybrid the
+    * a7/a17 gate queries demonstrate.
+    */
   def quantile(qs: Seq[Double]): DataFrame = {
     val fields = df.schema.fields.toSeq
       .filter(f => PdDtypes.isNumeric(f.dataType))
@@ -311,7 +320,10 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
   }
 
   /** Median absolute deviation, exact two-pass (eland's is TDigest,
-    * eland/operations.py:1120-1121).
+    * eland/operations.py:1120-1121). Uses the builtin count-map
+    * median; for high-cardinality columns chain
+    * [[graft.operators.Quantiles.viaSort]] twice instead (the a9 gate
+    * shape).
     */
   def mad(colName: String): DataFrame = {
     val med = df.agg(expr(s"median(${bq(colName)})").as("_m"))
@@ -319,7 +331,11 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
       .agg(expr(s"median(abs(${bq(colName)} - _m))").as(s"${colName}_mad"))
   }
 
-  /** eland `describe()` (eland/operations.py:1189-1216). */
+  /** eland `describe()` (eland/operations.py:1189-1216). One plan, one
+    * pass; the three percentile cells use the builtin count-map
+    * aggregate (see the cardinality note on [[quantile]] — the a17
+    * gate shows the viaSort hybrid for high-cardinality columns).
+    */
   def describe(): DataFrame = {
     val fields = df.schema.fields.toSeq.filter(f => PdDtypes.isNumeric(f.dataType))
     require(fields.nonEmpty, "describe: no numeric columns")

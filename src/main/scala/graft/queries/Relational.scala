@@ -166,11 +166,18 @@ object Relational {
         round(var_samp(col("l_extendedprice")), 2).as("var_price"))
     }),
     // A7 median — exact (the reference is TDigest-approximate,
-    // eland/operations.py:1122-1123; exact is strictly better)
+    // eland/operations.py:1122-1123; exact is strictly better). Same
+    // hybrid routing as a17: the ~50-distinct qty column stays on the
+    // builtin count-map median, the high-cardinality price column goes
+    // through the sort-based path (bit-equal, O(1) agg state — the
+    // count map is O(distinct) and dies at 100TB cardinalities)
     "a7_median" -> ((s, d) => {
-      t(s, d, "lineitem").agg(
+      val li = t(s, d, "lineitem")
+      val mp = graft.operators.Quantiles
+        .viaSort(li, "l_extendedprice", Seq(0.5)).head().getDouble(1)
+      li.agg(
         round(expr("median(l_quantity)"), 4).as("median_qty"),
-        round(expr("median(l_extendedprice)"), 4).as("median_price"))
+        round(lit(mp), 4).as("median_price"))
     }),
     // A8 quantiles (eland/operations.py:760-794) — served by the
     // sort-based exact path (bit-equal to builtin percentile, O(1)
