@@ -116,6 +116,19 @@ object TextQueries {
         .limit(20)
     }),
 
+    // embedding near-dup with LSH-BUCKET blocking — the corpus-scale
+    // composition (dd5's metadata blocks are all-pairs within a block,
+    // B²/2 on a hot block; hyperplane buckets bound block size by
+    // construction). Rows-only: bucket ids derive from xxhash64 planes.
+    "dd8_embedding_lsh_neardup" -> ((s, d) => {
+      Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding",
+        Similarity.lshBuckets(col("embedding"), planes = 6),
+        threshold = 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
+        .orderBy(round(col("cos"), 5).desc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
     // ---- similarity search ----------------------------------------
     "sim1_brute_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")

@@ -154,6 +154,29 @@ class DedupSpec extends AnyFunSuite {
     cand.unpersist(); verified.unpersist()
   }
 
+  test("LSH-bucketed embedding near-dup: subset of all-pairs, finds exact dups") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(graft.TestSpark.sfDir + "/embeddings.parquet")
+    def pairs(block: org.apache.spark.sql.Column): Set[(Long, Long)] =
+      Dedup.embeddingNearDup(e, "vec_id", "embedding", block, threshold = 0.9)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairs(Similarity.lshBuckets(col("embedding"), planes = 6))
+    val all = pairs(lit(1))
+    assert(lsh.subsetOf(all)) // bucketing only prunes, never invents
+    // identical vectors always share a bucket (equal projections) and
+    // surface with cos = 1
+    import spark.implicits._
+    val v = Array.fill(8)(0.5f)
+    val syn = Seq((1L, v), (2L, v), (3L, Array.fill(8)(-0.5f)))
+      .toDF("vec_id", "embedding")
+    val found = Dedup.embeddingNearDup(syn, "vec_id", "embedding",
+      Similarity.lshBuckets(col("embedding"), planes = 6), threshold = 0.99)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((1L, 2L)))
+  }
+
   test("ngram jaccard verifies candidates exactly") {
     val pairs = Seq((0L, 1L), (0L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(corpus, "id", "text", pairs)
