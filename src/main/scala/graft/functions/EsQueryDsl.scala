@@ -77,10 +77,21 @@ object EsQueryDsl {
         val must    = clauses(body \ "must", idCol) ++ clauses(body \ "filter", idCol)
         val should  = clauses(body \ "should", idCol)
         val mustNot = clauses(body \ "must_not", idCol)
+        // ES minimum_should_match default: 1 when the bool has should
+        // clauses and NO must/filter, else 0 — i.e. with must present,
+        // bare should clauses only affect scoring, not matching
+        val msm = (body \ "minimum_should_match")
+          .extractOrElse[Int](if (must.isEmpty) 1 else 0)
+        val shouldPred: Seq[Column] =
+          if (should.isEmpty || msm <= 0) Nil
+          else if (msm == 1) Seq(should.reduce(_ || _))
+          else Seq(should.map(c => when(c, 1).otherwise(0)).reduce(_ + _) >= msm)
+        // must_not keeps docs the clause does NOT match — in ES a doc
+        // with the field missing doesn't match a term query and so
+        // survives must_not; three-valued NOT(null) would drop it
         val parts =
           (if (must.nonEmpty) Seq(must.reduce(_ && _)) else Nil) ++
-            (if (should.nonEmpty) Seq(should.reduce(_ || _)) else Nil) ++
-            mustNot.map(!_)
+            shouldPred ++ mustNot.map(c => !coalesce(c, lit(false)))
         if (parts.isEmpty) lit(true) else parts.reduce(_ && _)
       case "term" =>
         val (field, v) = lonely(body, "term")

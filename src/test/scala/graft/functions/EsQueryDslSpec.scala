@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.{Tables, TestSpark}
 import graft.api.GraftFrame
 
@@ -42,6 +43,43 @@ class EsQueryDslSpec extends AnyFunSuite {
       """{"bool": {"should": [{"term": {"o_orderstatus": "F"}},
         |                     {"term": {"o_orderstatus": "P"}}]}}""".stripMargin).len()
     assert(s == orders.where(orders("o_orderstatus").isin(Seq("F", "P"))).len())
+  }
+
+  test("should is optional beside must unless minimum_should_match, like ES") {
+    // with must present, bare should only affects scoring — not matching
+    val withMust = orders.esQuery(
+      """{"bool": {"must":   [{"term": {"o_orderstatus": "F"}}],
+        |          "should": [{"term": {"o_orderpriority": "NOPE"}}]}}""".stripMargin).len()
+    assert(withMust == orders.where(orders("o_orderstatus") === "F").len())
+    // explicit minimum_should_match re-enables should as a predicate
+    val msm1 = orders.esQuery(
+      """{"bool": {"must": [{"term": {"o_orderstatus": "F"}}],
+        |          "should": [{"term": {"o_orderpriority": "1-URGENT"}},
+        |                     {"term": {"o_orderpriority": "2-HIGH"}}],
+        |          "minimum_should_match": 1}}""".stripMargin).len()
+    assert(msm1 == orders.where(orders("o_orderstatus") === "F" &&
+      orders("o_orderpriority").isin(Seq("1-URGENT", "2-HIGH"))).len())
+    // at-least-2-of semantics
+    val msm2 = orders.esQuery(
+      """{"bool": {"should": [{"term": {"o_orderstatus": "F"}},
+        |                     {"term": {"o_orderpriority": "1-URGENT"}},
+        |                     {"range": {"o_totalprice": {"gte": 0}}}],
+        |          "minimum_should_match": 2}}""".stripMargin).len()
+    val want2 = orders.where(
+      (when(orders("o_orderstatus") === "F", 1).otherwise(0) +
+        when(orders("o_orderpriority") === "1-URGENT", 1).otherwise(0) +
+        when(orders("o_totalprice") >= 0.0, 1).otherwise(0)) >= 2).len()
+    assert(msm2 == want2 && msm2 > 0)
+  }
+
+  test("must_not keeps rows where the field is null (ES missing-field semantics)") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+    val f = GraftFrame(df, "id")
+    val kept = f.esQuery("""{"bool": {"must_not": [{"term": {"v": "a"}}]}}""")
+      .df.select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L)) // the null row survives, like ES
   }
 
   test("match/match_phrase/wildcard/prefix/regexp/exists/ids") {
