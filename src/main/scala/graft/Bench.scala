@@ -10,7 +10,11 @@ import org.apache.spark.sql.SparkSession
   *    codegen compilation and FS cache are not billed to the first query;
   *  - results are written to the `noop` datasource, not `.count()`ed —
   *    count() lets Catalyst prune away computed columns and would
-  *    measure an emptier plan than the query declares.
+  *    measure an emptier plan than the query declares;
+  *  - the dataset cache is CLEARED between queries: the dedup queries
+  *    persist identical signature sub-plans, and without isolation a
+  *    later query (dd7) silently reuses an earlier query's (dd2) cache
+  *    and under-reports its own cost.
   */
 object Bench {
 
@@ -45,6 +49,7 @@ object Bench {
     SparkEntry.queries.get("q1_pricing_summary").foreach(run("_warmup", _))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.sharedState.cacheManager.clearCache()
       name -> run(name, fn)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
