@@ -150,6 +150,21 @@ object FacadeQueries {
           rhu(avg(col("q.mean_token_len")), 6).as("avg_tok_len"))
         .orderBy("source")
     }),
+    // S5/S8 oracle-gated: CSV sink -> re-read round trip must preserve
+    // every value exactly (quoting, commas in comments, numerics);
+    // ints cast to long because CSV inference narrows sub-2^31 values
+    "io1_csv_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-io1").toString
+      orders(s, d).where(col("o_orderkey") <= 1000)
+        .select(Seq("o_orderkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")).toCsv(dir + "/o")
+      s.read.option("header", "true").option("inferSchema", "true")
+        .csv(dir + "/o")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
     // raw ES query-DSL escape hatch (eland es_query): bool composition
     // of range/terms/term translated to Column predicates
     "f16_es_query" -> ((s, d) => {
@@ -298,6 +313,11 @@ object FacadeQueries {
     "g18_filter_columns" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderkey LIMIT 5""".stripMargin,
+    "io1_csv_roundtrip" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        |       o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
     "f16_es_query" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_totalprice >= 100000 AND o_totalprice < 250000

@@ -227,6 +227,39 @@ object Relational {
         expr("percentile_approx(l_extendedprice, 0.25, 10000)").as("q25_approx"),
         expr("percentile_approx(l_extendedprice, 0.75, 10000)").as("q75_approx"))
     }),
+    // M1/M2 oracle-gated: import an ES trained-model payload (the
+    // reference serializer's wire format, inline fixture data) and
+    // score it over lineitem — the compiled CASE WHEN plan must equal
+    // the same decision tree hand-written in SQL. Leaf values are
+    // binary-exact halves so double sums carry no rounding ambiguity.
+    "ml1_tree_score" -> ((s, d) => {
+      val modelJson =
+        """{"trained_model":{"ensemble":{
+          |  "feature_names":["l_quantity","l_discount"],
+          |  "target_type":"regression",
+          |  "trained_models":[
+          |   {"tree":{"feature_names":["l_quantity","l_discount"],
+          |    "tree_structure":[
+          |     {"node_index":0,"decision_type":"lte","split_feature":0,
+          |      "threshold":25.0,"left_child":1,"right_child":2},
+          |     {"node_index":1,"leaf_value":2.0},
+          |     {"node_index":2,"leaf_value":5.0}]}},
+          |   {"tree":{"feature_names":["l_quantity","l_discount"],
+          |    "tree_structure":[
+          |     {"node_index":0,"decision_type":"lte","split_feature":1,
+          |      "threshold":0.05,"left_child":1,"right_child":2},
+          |     {"node_index":1,"leaf_value":1.0},
+          |     {"node_index":2,"leaf_value":-1.0}]}}],
+          |  "aggregate_output":{"weighted_sum":{"weights":[0.5,0.5]}}
+          |}}}""".stripMargin
+      val m = graft.ml.TreeEnsemble.fromEsTrainedModel(modelJson)
+      t(s, d, "lineitem")
+        .withColumn("score", m.predict)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("score")), 4).as("sum_score"))
+        .orderBy("l_returnflag")
+    }),
     // A11 mode with tie-keeping (eland/operations.py:665-696)
     "a11_mode" -> ((s, d) => {
       val counts = t(s, d, "lineitem")
@@ -635,6 +668,13 @@ object Relational {
         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nu_supp,
         |       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nu_flag
         |FROM lineitem""".stripMargin,
+    "ml1_tree_score" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(
+        |    0.5 * (CASE WHEN l_quantity <= 25.0 THEN 2.0 ELSE 5.0 END) +
+        |    0.5 * (CASE WHEN l_discount <= 0.05 THEN 1.0 ELSE -1.0 END)), 4)
+        |    AS sum_score
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a11_mode" ->
       """SELECT l_quantity FROM (
         |  SELECT l_quantity, count(*) AS c FROM lineitem GROUP BY l_quantity)
