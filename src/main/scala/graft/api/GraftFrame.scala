@@ -455,6 +455,31 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
   def idxmin(colName: String): DataFrame =
     df.agg(graft.plans.ExtremumBy.idxmin(quoted(colName), quoted(idCol)).as("idxmin"))
 
+  /** eland `df.idxmax(axis=0)` — idxmax over EVERY numeric column at
+    * once, one (column, id) row per column (eland/dataframe.py:1927).
+    * All ExtremumBy cells compute in a single HashAggregate pass — one
+    * scan regardless of column count.
+    */
+  def idxmaxAll(): DataFrame = idxAll(findMax = true, "idxmax")
+
+  /** eland `df.idxmin(axis=0)` (eland/dataframe.py:1959). */
+  def idxminAll(): DataFrame = idxAll(findMax = false, "idxmin")
+
+  private def idxAll(findMax: Boolean, alias: String): DataFrame = {
+    val fields = df.schema.fields.toSeq
+      .filter(f => PdDtypes.isNumeric(f.dataType) && f.name != idCol)
+    require(fields.nonEmpty, s"$alias: no numeric columns")
+    val exprs = fields.map { f =>
+      (if (findMax) graft.plans.ExtremumBy.idxmax(quoted(f.name), quoted(idCol))
+       else graft.plans.ExtremumBy.idxmin(quoted(f.name), quoted(idCol)))
+        .as(f.name)
+    }
+    df.agg(exprs.head, exprs.tail: _*)
+      .select(explode(array(fields.map(f =>
+        struct(lit(f.name).as("column"), quoted(f.name).as(alias))): _*)).as("r"))
+      .select("r.*")
+  }
+
   def len(): Long = df.count()
 
   /** eland `df.shape` (rows via the count fast path, cols from schema). */

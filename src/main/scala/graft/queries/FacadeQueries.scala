@@ -103,6 +103,11 @@ object FacadeQueries {
     // idxmax / idxmin
     "g12_idxmax" -> ((s, d) => orders(s, d).idxmax("o_totalprice")),
     "g13_idxmin" -> ((s, d) => orders(s, d).idxmin("o_totalprice")),
+    // per-column idxmax in one HashAggregate pass (eland df.idxmax(axis=0))
+    "g22_idxmax_all" -> ((s, d) => {
+      orders(s, d).select(Seq("o_orderkey", "o_custkey", "o_totalprice"))
+        .idxmaxAll().orderBy("column")
+    }),
     // describe through the facade
     "g14_describe" -> ((s, d) => {
       orders(s, d).select(Seq("o_totalprice")).describe()
@@ -273,6 +278,15 @@ object FacadeQueries {
     "g13_idxmin" ->
       """SELECT min(o_orderkey) AS idxmin FROM orders
         |WHERE o_totalprice = (SELECT min(o_totalprice) FROM orders)""".stripMargin,
+    "g22_idxmax_all" ->
+      """SELECT 'o_custkey' AS "column",
+        |  (SELECT min(o_orderkey) FROM orders
+        |   WHERE o_custkey = (SELECT max(o_custkey) FROM orders)) AS idxmax
+        |UNION ALL
+        |SELECT 'o_totalprice',
+        |  (SELECT min(o_orderkey) FROM orders
+        |   WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders))
+        |ORDER BY "column"""".stripMargin,
     "g14_describe" ->
       """WITH a AS (SELECT
         |  CAST(count(o_totalprice) AS DOUBLE) AS c,

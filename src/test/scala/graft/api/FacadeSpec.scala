@@ -206,6 +206,16 @@ class FacadeSpec extends AnyFunSuite {
     assert(!small.contains("..."))
   }
 
+  test("idxmaxAll/idxminAll cover every numeric column in one pass") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0, 10), (2L, 9.0, 3), (3L, 1.0, 7)).toDF("id", "a", "b")
+    val f = GraftFrame(df, "id")
+    val mx = f.idxmaxAll().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mx == Map("a" -> 2L, "b" -> 1L))
+    val mn = f.idxminAll().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mn == Map("a" -> 3L, "b" -> 2L))
+  }
+
   test("idxmax/idxmin skip NaN like pandas skipna=True") {
     import spark.implicits._
     // Spark's ordering treats NaN as largest; pandas idxmax skips it
