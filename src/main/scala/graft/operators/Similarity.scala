@@ -69,6 +69,113 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cos")
   }
 
+  // ---- IVF (inverted-file) ANN ------------------------------------
+  // The other standard scale path beside LSH: a coarse k-means
+  // quantizer partitions the corpus into `nlist` cells; queries probe
+  // only their `nprobe` nearest cells. The quantizer trains on a
+  // deterministic bounded sample DRIVER-SIDE (the standard IVF recipe —
+  // the model is nlist×dim doubles, tiny; what must scale is the
+  // assignment and search, and those are broadcast-expression
+  // distributed here). nprobe/nlist is the recall-vs-cost dial;
+  // nprobe = nlist degrades gracefully to exact brute force.
+
+  /** Train `nlist` centroids with Lloyd iterations over a seeded
+    * xxhash64 sample (reproducible across partitionings). Empty
+    * clusters keep their previous centroid.
+    */
+  def trainIvfCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+                        iters: Int = 10, sampleN: Int = 4096,
+                        seed: Long = 42): Array[Array[Double]] = {
+    val sample = corpus
+      .select(VectorOps.asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy(xxhash64(col("v"), lit(seed)), col("v"))
+      .limit(sampleN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nlist,
+      s"IVF needs >= nlist sample vectors (${sample.length} < $nlist)")
+    val dim = sample.head.length
+    var centroids = sample.take(nlist).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < nlist) {
+          var d = 0.0; var t = 0
+          while (t < dim) { val x = v(t) - centroids(j)(t); d += x * x; t += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        var t = 0
+        while (t < dim) { sums(best)(t) += v(t); t += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { j =>
+        if (counts(j) == 0) centroids(j)
+        else sums(j).map(_ / counts(j))
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** -2·v·c + ‖c‖² per centroid — argmin equals nearest-by-L2 (the
+    * ‖v‖² term is constant per row). ‖c‖² folds at plan time.
+    */
+  private def cellScores(v: Column, centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.toSeq.map { c =>
+      VectorExpressions.dot(v, typedLit(c.toSeq)) * -2.0 + lit(c.map(x => x * x).sum)
+    }
+
+  /** Nearest-cell id for a vector under the trained quantizer. */
+  def ivfCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scores = array(cellScores(VectorOps.asDouble(vec), centroids): _*)
+    (array_position(scores, array_min(scores)) - 1).cast("int")
+  }
+
+  /** IVF ANN top-k: corpus rows live in their nearest cell; each query
+    * probes its `nprobe` nearest cells. Output shape matches
+    * bruteForceTopK; with nprobe = nlist the result IS the exact
+    * brute-force answer (asserted in SimilaritySpec).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              centroids: Array[Array[Double]], nprobe: Int = 2,
+              roundTo: Int = 6): DataFrame = {
+    val nlist = centroids.length
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe out of range: $nprobe")
+    val c = corpus.select(col(idCol).as("n_id"),
+      VectorOps.asDouble(col(vecCol)).as("n_v"))
+      .withColumn("cell", ivfCell(col("n_v"), centroids))
+      .withColumn("n_n", sqrt(VectorOps.normSq(col("n_v"))))
+    // nprobe nearest cells per query: sort (score, cell) structs —
+    // lexicographic struct order = by score then cell id, deterministic
+    val qv = queries.select(col(idCol).as("q_id"),
+      VectorOps.asDouble(col(vecCol)).as("q_v"))
+    val scored = qv.withColumn("probes",
+      slice(array_sort(array(
+        cellScores(col("q_v"), centroids).zipWithIndex.map { case (s, j) =>
+          struct(s.as("s"), lit(j).as("i"))
+        }: _*)), 1, nprobe))
+    val q = scored
+      .select(col("q_id"), col("q_v"), explode(col("probes")).as("p"))
+      .select(col("q_id"), col("q_v"), col("p.i").as("cell"))
+      .withColumn("q_n", sqrt(VectorOps.normSq(col("q_v"))))
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", round(
+        VectorExpressions.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")),
+        roundTo))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+
   /** LSH-bucketed ANN top-k: candidates limited to the query's bucket,
     * unioned over `tables` independent hash tables (the standard
     * recall dial: recall rises with tables, cost rises linearly;

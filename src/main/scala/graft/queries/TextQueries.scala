@@ -143,6 +143,16 @@ object TextQueries {
         planes = 6)
         .orderBy("q_id", "rank")
     }),
+    // IVF ANN with every cell probed: must equal exact brute force —
+    // oracle-gated proof the quantizer/probe plumbing loses nothing;
+    // the nprobe < nlist recall dial is exercised in SimilaritySpec
+    "sim3_ivf_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.trainIvfCentroids(e, "embedding", nlist = 8)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+        k = 5, cents, nprobe = 8)
+        .orderBy("q_id", "rank")
+    }),
     // multi-valued (array) column discipline (SURVEY §1.2: ArrayType
     // with sorted values for determinism, like eland's sorted
     // `fields` lists, eland/operations.py:1626-1631)
@@ -300,6 +310,19 @@ object TextQueries {
         |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM p ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin,
     "sim1_brute_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |             round(list_dot_product(q.v, c.v) /
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |      WHERE q.vec_id < 5),
+        |r AS (SELECT q_id, n_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // all cells probed => identical to exact brute force (same oracle)
+    "sim3_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
         |             round(list_dot_product(q.v, c.v) /

@@ -59,6 +59,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits(4) >= hits(1))
   }
 
+  test("IVF: nprobe=nlist equals brute force; training deterministic; probing prunes") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(graft.TestSpark.sfDir + "/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    val cents = Similarity.trainIvfCentroids(e, "embedding", nlist = 4, iters = 5)
+    val cents2 = Similarity.trainIvfCentroids(e, "embedding", nlist = 4, iters = 5)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq) // reproducible
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val full = rows(Similarity.ivfTopK(q, e, "vec_id", "embedding", 5, cents,
+      nprobe = 4))
+    val brute = rows(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    assert(full == brute) // probing everything degrades to exact
+    // nprobe=1 returns a candidate subset whose top hit can't beat brute
+    val probed = Similarity.ivfTopK(q, e, "vec_id", "embedding", 5, cents,
+      nprobe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val bruteBest = brute.filter(_._2 == 1L).map(t => t._1 -> t._4).toMap
+    probed.collect { case ((qid, 1L), cos) =>
+      assert(cos <= bruteBest(qid) + 1e-9)
+    }
+    assert(probed.nonEmpty)
+  }
+
   test("lsh buckets are deterministic") {
     val b1 = embs.select(Similarity.lshBuckets(col("embedding"), 6).as("b"))
       .collect().map(_.getLong(0)).toSeq
