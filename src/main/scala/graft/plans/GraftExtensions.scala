@@ -50,5 +50,20 @@ object GraftExtensions {
       exprs => TokenMatch(exprs(0), qTokens(exprs(1)), matchAll = true), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       exprs => TokenSimHash(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      exprs => TokenMinHash(exprs(0), litInt(exprs(1)), litInt(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => TokenShingleHashes(exprs(0), litInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect",
+      exprs => VectorExpressions.SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+  }
+
+  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    require(e.foldable, "argument must be an integer literal")
+    e.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(s"not an int: $other")
+    }
   }
 }

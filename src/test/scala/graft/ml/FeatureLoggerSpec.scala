@@ -41,6 +41,16 @@ class FeatureLoggerSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 1.0)
     assert(r.getBoolean(2) && !r.getBoolean(3))
     assert(r.getLong(4) == graft.plans.TokenSimHash.simhash("a b c"))
+    val r2 = spark.sql(
+      "SELECT graft_minhash('a b c d e', 3, 8) AS mh, " +
+        "graft_shingle_hashes('a b c d e', 3) AS sh, " +
+        "graft_sorted_intersect(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS si")
+      .head()
+    assert(r2.getSeq[Long](0) ==
+      graft.plans.TokenMinHash.signature("a b c d e", 3, 8).toSeq)
+    assert(r2.getSeq[Long](1) ==
+      graft.plans.TokenShingleHashes.sortedDistinctHashes("a b c d e", 3).toSeq)
+    assert(r2.getInt(2) == 2)
   }
 
   test("maxQueryBranches fails fast instead of exploding the plan") {
