@@ -498,6 +498,23 @@ object Relational {
           .as("revenue"),
           count(lit(1)).cast("long").as("cnt"))
     }),
+    // TPC-H Q14 shape: conditional aggregation over a broadcast join —
+    // the CASE-inside-SUM ratio pattern. Ratio derived from the
+    // cents-rounded sums so both engines divide identical values.
+    "q14_promo_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1998-09-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-10-01")))
+      val p = t(s, d, "part")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type").startsWith("PROMO"), rev)
+            .otherwise(0.0)), 2).as("_pr"),
+          round(sum(rev), 2).as("_tr"))
+        .select(rhu(lit(100.0) * col("_pr") / col("_tr"), 4)
+          .as("promo_revenue"))
+    }),
     "j3_semi_join" -> ((s, d) => {
       val o = t(s, d, "orders")
       val l = t(s, d, "lineitem").filter(col("l_quantity") >= 49)
@@ -814,6 +831,16 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q14_promo_revenue" ->
+      """WITH j AS (
+        |  SELECT p_type, l_extendedprice * (1 - l_discount) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1998-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-10-01 00:00:00')
+        |SELECT floor((100.0 *
+        |    round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END), 2) /
+        |    round(sum(rev), 2)) * 10000 + 0.5) / 10000.0 AS promo_revenue
+        |FROM j""".stripMargin,
     "j3_semi_join" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt,
         |       round(sum(o_totalprice), 2) AS sum_price
