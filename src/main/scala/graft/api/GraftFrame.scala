@@ -70,9 +70,16 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     wrap(df.drop(cols: _*))
   }
 
-  def rename(mapping: Map[String, String]): GraftFrame =
-    wrap(mapping.foldLeft(df) { case (d, (from, to)) =>
-      d.withColumnRenamed(from, to) })
+  def rename(mapping: Map[String, String]): GraftFrame = {
+    val renamed = mapping.foldLeft(df) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to) }
+    // remap pinned ES dtypes along with the columns they describe —
+    // otherwise a stale key can attach to a column that later takes
+    // the old name
+    val remapped = esTypeOverrides.map { case (k, v) =>
+      mapping.getOrElse(k, k) -> v }
+    new GraftFrame(renamed, mapping.getOrElse(idCol, idCol), remapped)
+  }
 
   /** eland `select_dtypes(include=...)` (eland/dataframe.py:1409-1443). */
   def selectDtypes(include: Set[String]): GraftFrame =
@@ -146,9 +153,22 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     * engine-independent DSL subset (bool/term/terms/range/match/
     * match_phrase/wildcard/prefix/regexp/exists/ids) via
     * [[graft.functions.EsQueryDsl]]; untranslatable clauses raise.
+    * match/match_phrase fields go through the same non-text guard as
+    * [[esMatch]] — both front doors enforce one capability contract.
     */
-  def esQuery(queryJson: String): GraftFrame =
-    wrap(df.filter(graft.functions.EsQueryDsl.toColumn(queryJson, idCol)))
+  def esQuery(queryJson: String,
+              matchOnlyTextFields: Boolean = true): GraftFrame = {
+    val requireText: String => Unit =
+      if (!matchOnlyTextFields) _ => ()
+      else { field =>
+        val es = fieldCaps.find(_.column == field).map(_.esDtype).getOrElse("object")
+        require(es == "text",
+          s"es_query match on non-text field ($field=$es); pin it as text " +
+            "via withEsDtype or pass matchOnlyTextFields=false")
+      }
+    wrap(df.filter(
+      graft.functions.EsQueryDsl.toColumn(queryJson, idCol, requireText)))
+  }
 
   /** Row drop by id (eland/operations.py:1396-1427). */
   def dropIds(ids: Seq[Any]): GraftFrame =
@@ -169,13 +189,17 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     val spark = df.sparkSession
     import spark.implicits._
     val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    // ordinal column name must not collide with user data (CSV-born
+    // frames can contain anything)
+    val ord = Iterator.from(0).map(i => s"_graft_ord$i")
+      .find(n => !df.columns.contains(n)).get
     // values travel as strings and are cast back to the id type, which
     // sidesteps Seq[Any] encoder issues for mixed numeric literals
     val ordered = ids.map(String.valueOf).zipWithIndex
-      .toDF("_kid", "_ord")
-      .select(col("_kid").cast(idType).as(idCol), col("_ord").cast("long"))
+      .toDF("_kid", ord)
+      .select(col("_kid").cast(idType).as(idCol), col(ord).cast("long").as(ord))
     wrap(df.join(broadcast(ordered), Seq(idCol))
-      .orderBy(col("_ord")).drop("_ord"))
+      .orderBy(col(ord)).drop(ord))
   }
 
   // ---- limits / sampling (SURVEY §2.5) -----------------------------
@@ -448,8 +472,7 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     * native [[graft.plans.ExtremumBy]] aggregate (works for string or
     * otherwise non-negatable id columns and arbitrary column names).
     */
-  private def quoted(name: String): Column =
-    col(s"`${name.replace("`", "``")}`")
+  private def quoted(name: String): Column = col(bq(name))
   def idxmax(colName: String): DataFrame =
     df.agg(graft.plans.ExtremumBy.idxmax(quoted(colName), quoted(idCol)).as("idxmax"))
   def idxmin(colName: String): DataFrame =

@@ -90,22 +90,38 @@ object DateFormats {
       when(digits === "", 0)
         .otherwise(substring(rpad(digits, 3, "0"), 1, 3).cast("int"))
     }.getOrElse(lit(0))
-    val offMin = off.map { i =>
-      val g = regexp_replace(regexp_extract(c, re, i), ":", "")
+    val offStr = off.map(i => regexp_extract(c, re, i)).getOrElse(lit(""))
+    val offMin = {
+      val g = regexp_replace(offStr, ":", "")
       when(g === "" || g === "Z", 0).otherwise(
         when(substring(g, 1, 1) === "-", -1).otherwise(1) *
           (substring(g, 2, 2).cast("int") * 60 + substring(g, 4, 2).cast("int")))
-    }.getOrElse(lit(0))
+    }
     val jan4 = make_date(y, lit(1), lit(4))
     val mondayWk1 = date_sub(jan4, weekday(jan4))
     val dayDate = date_add(mondayWk1, (w - lit(1)) * 7 + (d - lit(1)))
-    val micros = unix_micros(dayDate.cast("timestamp")) +
-      (hh * 3600L + mm * 60L + ss - offMin * 60L).cast("long") * 1000000L +
-      ms.cast("long") * 1000L
+    // strict validity: week 53 exists only in 53-week ISO years — the
+    // requested week-year must equal the computed date's ISO week-year
+    // (the year of its week's Thursday), else null like a Joda strict
+    // parser
+    val validWeek = year(date_add(dayDate, lit(3) - weekday(dayDate))) === y
+    // Timezone anchoring: an EXPLICIT offset pins an absolute instant
+    // (wall clock at that offset), computed from the UTC day number —
+    // session timezone must not leak in. WITHOUT an offset the wall
+    // clock is session-local, built with make_timestamp so DST rules
+    // apply — matching to_timestamp's behavior for offset-less
+    // patterns elsewhere in this module.
+    val utcInstant = timestamp_micros(
+      unix_date(dayDate).cast("long") * 86400000000L +
+        (hh * 3600L + mm * 60L + ss - offMin * 60L).cast("long") * 1000000L +
+        ms.cast("long") * 1000L)
+    val localTs = make_timestamp(
+      year(dayDate), month(dayDate), dayofmonth(dayDate),
+      hh, mm, (ss + ms.cast("double") / 1000.0).cast("decimal(16,6)"))
+    val ts = when(offStr === "", localTs).otherwise(utcInstant)
     // non-matching rows stay null via the rlike gate (the casts above
     // only evaluate inside the matching CASE branch)
-    when(c.rlike(re) && d.between(1, 7) && w.between(1, 53),
-      timestamp_micros(micros))
+    when(c.rlike(re) && d.between(1, 7) && w.between(1, 53) && validWeek, ts)
   }
 
   // ISO week-based year = calendar year of that week's Thursday;

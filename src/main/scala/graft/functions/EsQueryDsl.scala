@@ -37,10 +37,14 @@ object EsQueryDsl {
   private implicit val fmt: Formats = DefaultFormats
 
   /** Parse an ES query-DSL JSON string into a Column predicate.
-    * `idCol` resolves the `ids` query (ES `_id`).
+    * `idCol` resolves the `ids` query (ES `_id`); `requireText` is
+    * invoked with every match/match_phrase field name so callers with a
+    * capability matrix (GraftFrame.esQuery) can enforce the same
+    * non-text guard as es_match.
     */
-  def toColumn(json: String, idCol: String = "_id"): Column =
-    fromJValue(JsonMethods.parse(json), idCol)
+  def toColumn(json: String, idCol: String = "_id",
+               requireText: String => Unit = _ => ()): Column =
+    fromJValue(JsonMethods.parse(json), idCol, requireText)
 
   private def lonely(obj: JValue, what: String): (String, JValue) =
     obj match {
@@ -62,26 +66,38 @@ object EsQueryDsl {
 
   private def toLit(v: JValue): Column = lit(jvRaw(v))
 
-  private def clauses(v: JValue, idCol: String): Seq[Column] = v match {
-    case JArray(items) => items.map(fromJValue(_, idCol))
+  private def clauses(v: JValue, idCol: String,
+                      requireText: String => Unit): Seq[Column] = v match {
+    case JArray(items) => items.map(fromJValue(_, idCol, requireText))
     case JNothing      => Nil
-    case one           => Seq(fromJValue(one, idCol))
+    case one           => Seq(fromJValue(one, idCol, requireText))
   }
 
-  private def fromJValue(q: JValue, idCol: String): Column = {
+  private def fromJValue(q: JValue, idCol: String,
+                         requireText: String => Unit): Column = {
     val (kind, body) = lonely(q, "query")
     kind match {
       case "match_all"  => lit(true)
       case "match_none" => lit(false)
       case "bool" =>
-        val must    = clauses(body \ "must", idCol) ++ clauses(body \ "filter", idCol)
-        val should  = clauses(body \ "should", idCol)
-        val mustNot = clauses(body \ "must_not", idCol)
+        val must    = clauses(body \ "must", idCol, requireText) ++
+          clauses(body \ "filter", idCol, requireText)
+        val should  = clauses(body \ "should", idCol, requireText)
+        val mustNot = clauses(body \ "must_not", idCol, requireText)
         // ES minimum_should_match default: 1 when the bool has should
         // clauses and NO must/filter, else 0 — i.e. with must present,
-        // bare should clauses only affect scoring, not matching
-        val msm = (body \ "minimum_should_match")
-          .extractOrElse[Int](if (must.isEmpty) 1 else 0)
+        // bare should clauses only affect scoring, not matching.
+        // Integer counts only: percentage/combination forms have no
+        // engine-independent translation here and must raise, not be
+        // silently replaced by the default.
+        val msm = (body \ "minimum_should_match") match {
+          case JNothing => if (must.isEmpty) 1 else 0
+          case JInt(n)  => n.toInt
+          case JLong(n) => n.toInt
+          case JString(s) if s.matches("-?\\d+") => s.toInt
+          case other => throw new IllegalArgumentException(
+            s"minimum_should_match '$other' has no engine-independent translation")
+        }
         val shouldPred: Seq[Column] =
           if (should.isEmpty || msm <= 0) Nil
           else if (msm == 1) Seq(should.reduce(_ || _))
@@ -114,6 +130,7 @@ object EsQueryDsl {
         bounds.reduce(_ && _)
       case "match" =>
         val (field, v) = lonely(body, "match")
+        requireText(field)
         val (text, op) = v match {
           case JString(s) => (s, "or")
           case o => ((o \ "query").extract[String],
@@ -123,6 +140,7 @@ object EsQueryDsl {
         else EsMatch.matchAny(col(field), text)
       case "match_phrase" =>
         val (field, v) = lonely(body, "match_phrase")
+        requireText(field)
         val text = v match {
           case JString(s) => s
           case o          => (o \ "query").extract[String]

@@ -46,9 +46,13 @@ object Dedup {
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
       private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        // stay ARMED on comparison errors: releasing early would strand
+        // `result` uncached with `staged` gone, re-running the whole
+        // signature pipeline per downstream read; an un-released staged
+        // frame is merely LRU-evictable memory
         val touches =
           try qe.analyzed.exists(p => p.sameResult(target))
-          catch { case _: Throwable => true } // fail open: better to release
+          catch { case _: Throwable => false }
         if (touches && released.compareAndSet(false, true)) {
           staged.unpersist(false)
           spark.listenerManager.unregister(this)
@@ -57,9 +61,12 @@ object Dedup {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
         maybeRelease(qe)
+      // a FAILED action did not populate result's cache — keep the
+      // staged cache and the listener armed so the retry still gets the
+      // barrier; the next successful action releases
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
-        maybeRelease(qe)
+        ()
     }
     spark.listenerManager.register(listener)
     out

@@ -124,6 +124,33 @@ object Ingest {
         else col(f.name)
       }
       df = df.select(cols.toSeq: _*)
+      // Schema inference ran BEFORE the extra sentinels were nulled, so
+      // a numeric column containing "NULL" was inferred as string.
+      // Re-infer those columns like pandas does (which drops na_values
+      // before type inference): one aggregate pass counts try_cast
+      // successes, and columns whose every surviving value is numeric
+      // are cast accordingly. Explicit dtype overrides win untouched.
+      if (opts.inferSchema) {
+        import graft.api.Names.bq
+        val cands = df.schema.fields
+          .filter(f => f.dataType == StringType && !opts.dtype.contains(f.name))
+          .map(_.name)
+        if (cands.nonEmpty) {
+          val aggs = cands.flatMap { c =>
+            Seq(count(col(c)).as(s"${c}__n"),
+              count(expr(s"try_cast(${bq(c)} as bigint)")).as(s"${c}__l"),
+              count(expr(s"try_cast(${bq(c)} as double)")).as(s"${c}__d"))
+          }
+          val r = df.agg(aggs.head, aggs.tail: _*).head()
+          cands.foreach { c =>
+            val n = r.getAs[Long](s"${c}__n")
+            val l = r.getAs[Long](s"${c}__l")
+            val d = r.getAs[Long](s"${c}__d")
+            if (n > 0 && l == n) df = df.withColumn(c, col(c).cast("bigint"))
+            else if (n > 0 && d == n) df = df.withColumn(c, col(c).cast("double"))
+          }
+        }
+      }
     }
     for ((c, t) <- opts.dtype) df = df.withColumn(c, col(c).cast(t))
     for (c <- opts.parseDates) df = df.withColumn(c,

@@ -326,6 +326,12 @@ class FacadeSpec extends AnyFunSuite {
     // numeric columns refuse es_match by default too
     assertThrows[IllegalArgumentException](
       docs.esMatch("5", Seq("doc_id")))
+    // rename remaps the pinned dtype with the column (and the id)
+    val renamed = pinned.rename(Map("source" -> "src", "doc_id" -> "id"))
+    assert(renamed.esDtypes.toMap.apply("src") == "keyword")
+    assert(renamed.idCol == "id")
+    assertThrows[IllegalArgumentException](
+      renamed.esMatch("web", Seq("src")))
   }
 
   test("withMintedId is stable across identical re-reads") {

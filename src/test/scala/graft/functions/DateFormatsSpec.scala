@@ -84,6 +84,24 @@ class DateFormatsSpec extends AnyFunSuite {
       Timestamp.valueOf("2024-03-05 00:00:00"))
   }
 
+  test("week 53 is rejected in 52-week ISO years, accepted in 53-week years") {
+    assert(parse("2024-W53-1", "strict_week_date") == null) // 2024 has 52 weeks
+    assert(parse("2020-W53-5", "week_date") ==              // 2020 has 53
+      Timestamp.valueOf("2021-01-01 00:00:00"))
+  }
+
+  test("explicit offsets pin absolute instants regardless of session timezone") {
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // 2024-03-05T10:11:12+02:00 == 2024-03-05T08:11:12Z, an absolute
+      // instant — the session timezone must not shift it
+      val got = parse("2024-W10-2T10:11:12+02:00", "week_date_time_no_millis")
+      val want = parse("1709626272", "epoch_second")
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+
   test("ordinal date-time formats parse") {
     assert(parse("2024-065T10:11:12", "ordinal_date_time_no_millis") ==
       Timestamp.valueOf("2024-03-05 10:11:12"))

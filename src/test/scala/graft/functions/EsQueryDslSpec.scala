@@ -110,5 +110,25 @@ class EsQueryDslSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       orders.esQuery("""{"geo_distance": {"distance": "1km"}}""").len())
     assert(e.getMessage.contains("no engine-independent translation"))
+    // percentage minimum_should_match raises instead of silently
+    // falling back to the integer default
+    val e2 = intercept[IllegalArgumentException](
+      orders.esQuery(
+        """{"bool": {"must": [{"match_all": {}}],
+          |"should": [{"term": {"o_orderstatus": "F"}}],
+          |"minimum_should_match": "75%"}}""".stripMargin).len())
+    assert(e2.getMessage.contains("minimum_should_match"))
+  }
+
+  test("esQuery match enforces the same non-text guard as esMatch") {
+    val pinned = docs.withEsDtype("source", "keyword")
+    val e = intercept[IllegalArgumentException](
+      pinned.esQuery("""{"match": {"source": "web"}}"""))
+    assert(e.getMessage.contains("non-text"))
+    // lenient escape hatch matches anyway
+    assert(pinned.esQuery("""{"match": {"source": "web"}}""",
+      matchOnlyTextFields = false).len() >= 0)
+    // text columns pass
+    assert(docs.esQuery("""{"match": {"text": "filter"}}""").len() > 0)
   }
 }

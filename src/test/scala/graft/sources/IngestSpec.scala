@@ -76,6 +76,28 @@ class IngestSpec extends AnyFunSuite {
     assert(f.idCol == "id" && f.len() == 4)
   }
 
+  test("numeric columns polluted by extra na sentinels are re-inferred") {
+    val dir = Files.createTempDirectory("graft-csvna").toString
+    val csv = dir + "/in.csv"
+    // "NULL" is a SECOND sentinel: the reader's inference sees it as a
+    // string and types qty/score as string — re-inference must recover
+    // bigint/double like pandas (which drops na_values before typing)
+    Files.writeString(java.nio.file.Paths.get(csv),
+      """id,qty,score,label
+        |1,3,1.5,x
+        |2,NULL,NULL,y
+        |3,7,2.25,NULL
+        |""".stripMargin)
+    val df = Ingest.readCsv(spark, csv,
+      Ingest.CsvOptions(naValues = Seq("NA", "NULL")))
+    assert(df.schema("qty").dataType.simpleString == "bigint")
+    assert(df.schema("score").dataType.simpleString == "double")
+    assert(df.schema("label").dataType.simpleString == "string")
+    val r = df.orderBy("id").collect()
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2) && r(2).isNullAt(3))
+    assert(r(2).getLong(1) == 7L && r(2).getDouble(2) == 2.25)
+  }
+
   test("csv round-trip preserves data") {
     val nation = Tables.load(spark, TestSpark.sfDir, "nation")
     val csvDir = tmp()
