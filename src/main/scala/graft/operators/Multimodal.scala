@@ -96,6 +96,94 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- REAL image path (no stub) ----------------------------------
+  // javax.imageio ships in the JDK, so BMP/PNG decode needs no external
+  // codec even in this container: synthesizeBmp writes genuine 24-bit
+  // BMP bytes with a deterministic pixel formula, decodeImageFeatures
+  // decodes them back with ImageIO, and the mm4 gate's DuckDB oracle
+  // recomputes the mean luma arithmetically — encode → real bytes →
+  // real decoder → oracle-checked features, end to end. Audio/video
+  // remain stubbed (no codecs in the JDK); their plumbing shape is
+  // identical.
+
+  /** Genuine 24-bit BMP bytes: pixel gray value
+    * `(id*31 + x*7 + y*13) % 256` — SQL-recomputable, so a decoder's
+    * output is oracle-checkable. Width must keep rows 4-byte aligned
+    * (w*3 % 4 == 0).
+    */
+  def bmpBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rowBytes = w * 3
+    require(rowBytes % 4 == 0, s"width $w breaks BMP 4-byte row alignment")
+    val size = 54 + rowBytes * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+    b.putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var y = h - 1 // BMP stores rows bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = (((id * 31 + x * 7 + y * 13) % 256 + 256) % 256).toInt
+        b.put(v.toByte).put(v.toByte).put(v.toByte)
+        x += 1
+      }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** (media_id, blob) rows of real BMP images, one per id. */
+  def synthesizeBmp(df: DataFrame, idCol: String,
+                    w: Int = 8, h: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, bmpBytes(id, w, h))
+      }
+    }(enc)
+  }
+
+  /** REAL decode via ImageIO: (media_id, width, height, mean_luma).
+    * Same mapPartitions batch shape as [[extractFeatures]].
+    */
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_luma", DoubleType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
+        require(img != null, "undecodable image blob")
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getLong(idIdx), w, h, sum / (w.toLong * h))
+      }
+    }(enc)
+  }
+
   /** Frame sampling for video-kind rows: emit every `stride`-th fixed
     * `frameBytes` window of the blob as one "frame" blob. A real
     * implementation seeks keyframes; the iterator/explode shape — one

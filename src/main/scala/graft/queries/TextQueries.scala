@@ -195,6 +195,18 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
+    // REAL image decode, oracle-checked: synthesize genuine BMP bytes,
+    // decode with the JDK's ImageIO, and let DuckDB recompute the mean
+    // luma from the pixel formula — no stub anywhere in this path
+    "mm4_image_decode" -> ((s, d) => {
+      graft.operators.Multimodal.decodeImageFeatures(
+        graft.operators.Multimodal.synthesizeBmp(
+          t(s, d, "documents").select("doc_id"), "doc_id"))
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+        .orderBy("media_id")
+    }),
+
     // embedding norm statistics per label
     "emb1_norm_stats" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -263,6 +275,12 @@ object TextQueries {
         |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  CAST(octet_length(text::BLOB) AS BIGINT) AS blob_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+    "mm4_image_decode" ->
+      """SELECT d.doc_id AS media_id, 8 AS width, 8 AS height,
+        |  round((SELECT avg(CAST((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS DOUBLE))
+        |         FROM generate_series(0, 7) x(x), generate_series(0, 7) y(y)), 6)
+        |    AS mean_luma
+        |FROM documents d ORDER BY media_id""".stripMargin,
     "dd1_exact_dup_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique

@@ -45,4 +45,21 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(_.getInt(0))
     assert(sizes.forall(_ <= 32) && sizes.max == 32)
   }
+
+  test("real BMP round trip: ImageIO decodes synthesized bytes to the pixel formula") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 42L).toDF("doc_id")
+    val decoded = Multimodal.decodeImageFeatures(
+      Multimodal.synthesizeBmp(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .toMap
+    def expectedMean(id: Long): Double =
+      (for (x <- 0 until 8; y <- 0 until 8)
+        yield ((id * 31 + x * 7 + y * 13) % 256).toDouble).sum / 64.0
+    Seq(0L, 1L, 42L).foreach { id =>
+      val (w, h, m) = decoded(id)
+      assert(w == 8 && h == 8)
+      assert(math.abs(m - expectedMean(id)) < 1e-9, s"id $id")
+    }
+  }
 }
