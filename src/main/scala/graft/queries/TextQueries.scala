@@ -207,6 +207,16 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
+    // REAL audio decode, oracle-checked (javax.sound WAV parsing)
+    "mm5_audio_decode" -> ((s, d) => {
+      graft.operators.Multimodal.decodeAudioFeatures(
+        graft.operators.Multimodal.synthesizeWav(
+          t(s, d, "documents").select("doc_id"), "doc_id"))
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          round(col("mean_amp"), 6).as("mean_amp"))
+        .orderBy("media_id")
+    }),
+
     // embedding norm statistics per label
     "emb1_norm_stats" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -280,6 +290,12 @@ object TextQueries {
         |  round((SELECT avg(CAST((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS DOUBLE))
         |         FROM generate_series(0, 7) x(x), generate_series(0, 7) y(y)), 6)
         |    AS mean_luma
+        |FROM documents d ORDER BY media_id""".stripMargin,
+    "mm5_audio_decode" ->
+      """SELECT d.doc_id AS media_id, 8000 AS sample_rate,
+        |  CAST(256 AS BIGINT) AS n_samples,
+        |  round((SELECT avg(CAST((d.doc_id * 17 + i.i * 11) % 256 AS DOUBLE))
+        |         FROM generate_series(0, 255) i(i)), 6) AS mean_amp
         |FROM documents d ORDER BY media_id""".stripMargin,
     "dd1_exact_dup_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,

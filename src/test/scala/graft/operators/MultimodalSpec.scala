@@ -46,6 +46,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sizes.forall(_ <= 32) && sizes.max == 32)
   }
 
+  test("real WAV round trip: AudioSystem decodes synthesized PCM to the sample formula") {
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 99L).toDF("doc_id")
+    val decoded = Multimodal.decodeAudioFeatures(
+      Multimodal.synthesizeWav(ids, "doc_id"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    def expectedMean(id: Long): Double =
+      (0 until 256).map(i => ((id * 17 + i * 11) % 256).toDouble).sum / 256.0
+    Seq(0L, 5L, 99L).foreach { id =>
+      val (rate, n, m) = decoded(id)
+      assert(rate == 8000 && n == 256L)
+      assert(math.abs(m - expectedMean(id)) < 1e-9, s"id $id")
+    }
+  }
+
   test("real BMP round trip: ImageIO decodes synthesized bytes to the pixel formula") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 42L).toDF("doc_id")
