@@ -33,13 +33,24 @@ object Similarity {
         (x, i) => x * planeComponent(plane, i)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Random-hyperplane LSH bucket id (0 until 2^planes). `table`
-    * selects an independent plane set for multi-table LSH.
+  /** HOF reference form of [[lshBuckets]] — kept ONLY as the
+    * differential-test pin for the native codegen expression
+    * (VectorPropertySpec asserts bit-identity on generated vectors).
     */
-  def lshBuckets(vec: Column, planes: Int, table: Int = 0): Column =
+  private[graft] def lshBucketsHof(vec: Column, planes: Int, table: Int = 0): Column =
     (0 until planes).map { p =>
       when(projection(vec, table * 4096 + p) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Random-hyperplane LSH bucket id (0 until 2^planes). `table`
+    * selects an independent plane set for multi-table LSH. Native
+    * codegen kernel ([[graft.plans.VectorExpressions.HyperplaneSignBits]]):
+    * one unboxed elements×planes pass per vector instead of `planes`
+    * interpreted aggregate(zip_with(...)) towers — bit-identical to
+    * [[lshBucketsHof]] by construction.
+    */
+  def lshBuckets(vec: Column, planes: Int, table: Int = 0): Column =
+    VectorExpressions.hyperplaneBits(vec, planes, table)
 
   /** Exact cosine top-k of `corpus` rows for each row of `queries`.
     * Output: (q_id, rank, n_id, cos). Ranking uses cosine rounded to

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -188,6 +188,94 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** All `planes` random-hyperplane sign bits of a vector in ONE
+    * compiled pass — the LSH bucket id used by `Similarity.lshBuckets`.
+    *
+    * Bit-identical to the HOF form it replaced
+    * (`Similarity.lshBucketsHof`, pinned by VectorPropertySpec): for
+    * plane p the hyperplane component at dim i is
+    * `pmod(xxhash64(lit(table*4096+p), i), 2000)/1000.0 - 1.0` —
+    * multi-arg xxhash64 folds the INT plane literal into seed 42 first
+    * (`XXH64.hashInt(plane, 42)`), then the INT index
+    * (`XXH64.hashInt(i, seed_p)`) — and the projection accumulates
+    * x_i·c_i left-to-right in double, exactly like
+    * `aggregate(zip_with(...))`. Degenerate inputs both land in bucket
+    * 0, matching the HOF form: a vector with ANY null element nulls
+    * every projection (each sign-bit `when` falls to otherwise(0)),
+    * and an EMPTY vector nulls them too (`sequence(0, size-1)` on size
+    * 0 yields the DESCENDING [0,-1], so zip_with null-pads).
+    *
+    * Why native: the HOF form evaluates `planes` interpreted
+    * aggregate(zip_with(...)) towers per row — 2 boxed lambda calls
+    * per (plane, element), with the hash recomputed inside. This is an
+    * unboxed elements×planes loop with per-plane seeds precomputed
+    * once per (table, planes). ANN bucketing touches every corpus
+    * vector, so this is the indexing hot path at 100 TB.
+    */
+  case class HyperplaneSignBits(child: Expression, planes: Int, table: Int)
+      extends UnaryExpression {
+    require(planes >= 1 && planes <= 62, s"planes out of range: $planes")
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    private lazy val floatElems =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(input: Any): Any =
+      VectorExpressions.hyperplaneSignBits(
+        input.asInstanceOf[ArrayData], floatElems, planes, table)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.plans.VectorExpressions.hyperplaneSignBits(
+          $c, $floatElems, $planes, $table);
+      """)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Per-(table, planes) hyperplane seeds: seed_p = hashInt(plane, 42)
+    * where plane = table*4096 + p (the plane-id spacing that keeps
+    * multi-table plane sets independent).
+    */
+  private val planeSeedCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Long]]()
+  private def planeSeeds(table: Int, planes: Int): Array[Long] =
+    planeSeedCache.computeIfAbsent((table, planes), { case (t, n) =>
+      val out = new Array[Long](n)
+      var p = 0
+      while (p < n) { out(p) = XXH64.hashInt(t * 4096 + p, 42L); p += 1 }
+      out
+    })
+
+  /** Static kernel shared by eval and generated code. */
+  def hyperplaneSignBits(v: ArrayData, floatElems: Boolean,
+                         planes: Int, table: Int): Long = {
+    val n = v.numElements()
+    if (n == 0) return 0L // HOF: sequence(0,-1) null-pads => projections null => bucket 0
+    val seeds = planeSeeds(table, planes)
+    val acc = new Array[Double](planes)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return 0L // HOF: null element => all projections null => bucket 0
+      val x = if (floatElems) v.getFloat(i).toDouble else v.getDouble(i)
+      var p = 0
+      while (p < planes) {
+        val h = XXH64.hashInt(i, seeds(p))
+        val pm = ((h % 2000L) + 2000L) % 2000L
+        acc(p) += x * (pm.toDouble / 1000.0 - 1.0)
+        p += 1
+      }
+      i += 1
+    }
+    var bits = 0L
+    var p = 0
+    while (p < planes) { if (acc(p) >= 0) bits |= 1L << p; p += 1 }
+    bits
+  }
+
   // Column-level API (Spark 4: Column <-> Expression via the bridge)
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
@@ -198,4 +286,7 @@ object VectorExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def hyperplaneBits(vec: Column, planes: Int, table: Int = 0): Column =
+    ColumnBridge.column(
+      HyperplaneSignBits(ColumnBridge.expression(vec), planes, table))
 }

@@ -61,6 +61,45 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(empty == 0)
   }
 
+  test("hyperplane sign bits match the HOF form bit-for-bit") {
+    import graft.operators.Similarity
+    // real embeddings (float), several plane counts and tables
+    for (planes <- Seq(1, 6, 16); table <- Seq(0, 3)) {
+      val diff = embs.select(
+        VectorExpressions.hyperplaneBits(col("embedding"), planes, table).as("n"),
+        Similarity.lshBucketsHof(col("embedding"), planes, table).as("h"))
+        .filter(col("n") =!= col("h")).count()
+      assert(diff == 0, s"planes=$planes table=$table")
+    }
+    // generated doubles incl. negatives/zeros, plus double-typed arrays
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val gen = Seq.fill(300)(Seq.fill(1 + rnd.nextInt(20))(
+      (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(6) - 3))).toDF("v")
+    val diffD = gen.select(
+      VectorExpressions.hyperplaneBits(col("v"), 8, 1).as("n"),
+      Similarity.lshBucketsHof(col("v"), 8, 1).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(diffD == 0)
+  }
+
+  test("hyperplane sign bits edge cases: empty vector, null element, null vector") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq[Option[Float]]())),                          // empty
+      (2L, Some(Seq(Option(1.0f), None, Option(2.0f)))),         // null elem
+      (3L, Option.empty[Seq[Option[Float]]])                     // null vec
+    ).toDF("id", "v")
+    val rows = df.select(col("id"),
+      VectorExpressions.hyperplaneBits(col("v"), 6).as("n"),
+      Similarity.lshBucketsHof(col("v"), 6).as("h")).orderBy("id").collect()
+    // empty vec: HOF's sequence(0,-1) null-pads -> projections null -> 0
+    assert(rows(0).getLong(1) == 0L && rows(0).getLong(2) == 0L)
+    assert(rows(1).getLong(1) == 0L && rows(1).getLong(2) == 0L)   // null elem -> bucket 0
+    assert(rows(2).isNullAt(1)) // native: null in -> null out (HOF gives 0 — documented delta)
+  }
+
   test("native expression participates in whole-stage codegen") {
     val df = embs.select(
       VectorExpressions.cosine(col("embedding"), col("embedding")).as("c"))
