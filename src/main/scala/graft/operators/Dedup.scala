@@ -298,9 +298,70 @@ object Dedup {
     materializeAndRelease(sh, out)
   }
 
+  /** Embedding near-dup pairs with multi-table hyperplane-LSH blocking
+    * — the corpus-scale composition. dd5's metadata blocks are
+    * all-pairs within a block (B²/2 on a hot block); here hyperplane
+    * buckets bound block size by construction, and `tables`
+    * independent plane sets drive recall: a pair at angle θ shares a
+    * bucket in one table w.p. (1-θ/π)^planes, and misses ALL tables
+    * w.p. (1-(1-θ/π)^planes)^tables — for near-dups (cos ≥ 0.999,
+    * θ ≤ 0.045) at 6 planes × 4 tables that is < 1e-6, and on a fixed
+    * corpus the deterministic hashes make recall exactly reproducible
+    * (the dd8 gate proves it equal to the all-pairs DuckDB answer on
+    * planted near-duplicates).
+    *
+    * Shuffle layout mirrors `minhashLshPairs`'s id-only shape: the
+    * bucket self-join carries (table, bucket, id) — 20 B/row — through
+    * the shuffle; distinct candidate pairs then re-join the persisted
+    * (id, vector, norm) table twice, so each vector crosses the wire
+    * O(tables) times instead of O(tables × bucket size), and the
+    * cosine is computed once per distinct pair (a pair can collide in
+    * several tables). `maxBucketSize` is the same hot-bucket guard as
+    * minhashLshPairs (0 disables; the window count reuses the bucket
+    * shuffle's partitioning).
+    */
+  def lshEmbeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, planes: Int = 6, tables: Int = 4,
+                          maxBucketSize: Int = 0): DataFrame = {
+    val e = embs.select(col(idCol).as("id"),
+        VectorOps.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(VectorOps.normSq(col("v"))))
+      .persist()
+    val bucketed = e.select(col("id"),
+      explode(array((0 until tables).map { tb =>
+        struct(lit(tb).as("t"),
+          graft.plans.VectorExpressions.hyperplaneBits(col("v"), planes, tb).as("b"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.t"), col("bk.b"))
+    val guarded =
+      if (maxBucketSize <= 0) bucketed
+      else {
+        import org.apache.spark.sql.expressions.Window
+        bucketed.withColumn("_bsz",
+          count(lit(1)).over(Window.partitionBy("t", "b")))
+          .filter(col("_bsz") <= maxBucketSize)
+          .drop("_bsz")
+      }
+    val l = guarded.select(col("t"), col("b"), col("id").as("id_a"))
+    val r = guarded.select(col("t"), col("b"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("t", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()                             // pair may collide in >1 table
+      .join(e.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("n_a")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("n_b")), Seq("id_b"))
+      .withColumn("cos",
+        VectorExpressions.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+    materializeAndRelease(e, pairs)
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking column
-    * (all-pairs inside each block; use Similarity.lshBuckets as the
-    * blocking key at scale).
+    * (all-pairs inside each block; use [[lshEmbeddingNearDup]] at
+    * corpus scale).
     */
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
                        blockCol: Column, threshold: Double): DataFrame = {

@@ -116,17 +116,29 @@ object TextQueries {
         .limit(20)
     }),
 
-    // embedding near-dup with LSH-BUCKET blocking — the corpus-scale
-    // composition (dd5's metadata blocks are all-pairs within a block,
-    // B²/2 on a hot block; hyperplane buckets bound block size by
-    // construction). Rows-only: bucket ids derive from xxhash64 planes.
+    // embedding near-dup with multi-table LSH-BUCKET blocking — the
+    // corpus-scale composition, FULL-oracle-proven on PLANTED
+    // near-duplicates: the corpus's own max pairwise cosine is ~0.6,
+    // so 25 clones with a deterministic ±0.002 per-component jitter
+    // (cos ≈ 0.99994) are planted the way dd6 plants exact dups, and
+    // the LSH-blocked output must equal DuckDB's exact all-pairs
+    // answer at threshold 0.9 — proving recall, not just shape
+    // (at 6 planes × 4 tables a planted pair misses all tables w.p.
+    // < 2e-7, and the deterministic hashes fix the outcome; verified
+    // non-empty at both sf0.01 and sf0.1).
     "dd8_embedding_lsh_neardup" -> ((s, d) => {
-      Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding",
-        Similarity.lshBuckets(col("embedding"), planes = 6),
-        threshold = 0.95)
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      // jitter term ordered exactly like the oracle SQL: (k - 2.0)*0.001
+      val planted = base.filter(col("vec_id") < 25).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x + (((col("vec_id") * 31 + i * 7) % 5).cast("double") - 2.0) * 0.001)
+          .as("v"))
+      Dedup.lshEmbeddingNearDup(base.unionByName(planted), "vec_id", "v",
+        threshold = 0.9, planes = 6, tables = 4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
         .orderBy(round(col("cos"), 5).desc, col("id_a"), col("id_b"))
-        .limit(20)
     }),
 
     // ---- similarity search ----------------------------------------
@@ -343,6 +355,24 @@ object TextQueries {
         |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cos
         |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM p ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin,
+    // exact all-pairs near-dup over the SAME planted corpus the Spark
+    // side builds — equality proves the LSH blocking recalled every
+    // planted pair (the lambda's `vec_id` binds to the source column,
+    // matching Spark; DuckDB list lambdas index from 1, hence i-1)
+    "dd8_embedding_lsh_neardup" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |         list_transform(v, (x, i) ->
+        |           x + (CAST((vec_id*31 + (i-1)*7) % 5 AS DOUBLE) - 2.0)*0.001) AS v
+        |  FROM base WHERE vec_id < 25),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        round(list_dot_product(a.v, b.v) /
+        |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cos
+        |      FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9
+        |ORDER BY cos DESC, id_a, id_b""".stripMargin,
     "sim1_brute_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
