@@ -169,12 +169,20 @@ object TextQueries {
     // with sorted values for determinism, like eland's sorted
     // `fields` lists, eland/operations.py:1626-1631)
     "arr1_array_ops" -> ((s, d) => {
-      val toks = graft.functions.TextAnalysis.tokens(col("text"))
-      t(s, d, "documents").select(
-        col("doc_id"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"),
-        concat_ws("|", slice(array_sort(array_distinct(toks)), 1, 3))
-          .as("first3"))
+      // distinct-token array staged in its OWN projection: the
+      // tokenizer is an interpreted HOF, and Catalyst does not CSE
+      // HOF subtrees — referencing it from both output columns
+      // re-tokenized every row twice (the Dedup.minhashFromHashes
+      // staging rule; CollapseProject keeps a multi-referenced
+      // non-cheap alias staged)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          array_distinct(graft.functions.TextAnalysis.tokens(col("text")))
+            .as("dt"))
+        .select(
+          col("doc_id"),
+          size(col("dt")).cast("long").as("n_distinct"),
+          concat_ws("|", slice(array_sort(col("dt")), 1, 3)).as("first3"))
         .orderBy("doc_id")
     }),
 
