@@ -212,6 +212,59 @@ object FacadeQueries {
       orders(s, d).filterColumns(regex = "o_order.*")
         .select(Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
         .head(5).df
+    }),
+    // resample FACADE path — eland's date_histogram composite source
+    // (eland/query.py:195-211) through GraftFrame.resample +
+    // GraftGroupBy.agg (d1 hand-writes the date_trunc; this gates the
+    // API surface users actually call)
+    "d2_resample" -> ((s, d) => {
+      orders(s, d).resample("o_orderdate", "month")
+        .agg(Map("o_totalprice" -> Seq("count", "sum")))
+        .select(col("o_orderdate_month"),
+          col("o_totalprice_count").cast("long").as("o_totalprice_count"),
+          round(col("o_totalprice_sum"), 2).as("o_totalprice_sum"))
+        .orderBy("o_orderdate_month")
+    }),
+    // M3 LTR feature logging (eland/ml/ltr/feature_logger.py:30-163):
+    // inline judgment list broadcast-joined to documents, every
+    // default extractor evaluated in one pass per query — each feature
+    // recomputed independently by the DuckDB oracle
+    "ltr1_feature_log" -> ((s, d) => {
+      import s.implicits._
+      val judgments = Seq(
+        (0L, "filter join", 3L, 2), (0L, "filter join", 5L, 0),
+        (0L, "filter join", 10L, 1),
+        (1L, "the fast", 3L, 0), (1L, "the fast", 7L, 2),
+        (1L, "the fast", 21L, 1),
+        // docs 0 / 20 contain the literal phrase at sf0.001 / sf0.01
+        // respectively, so match_phrase exercises its =1 arm per scale
+        (1L, "the fast", 0L, 2), (1L, "the fast", 20L, 2))
+        .toDF("qid", "qtext", "doc_id", "grade")
+      graft.ml.FeatureLogger.logFeatures(
+        Tables.load(s, d, "documents"), "doc_id",
+        judgments, "qid", "qtext",
+        graft.ml.FeatureLogger.defaultExtractors("text"))
+        .select(col("qid"), col("doc_id"), col("grade"),
+          col("match_any"), col("match_all"), col("match_phrase"),
+          col("term_overlap"), col("doc_tokens"))
+        .orderBy("qid", "doc_id")
+    }),
+    // S-layer wildcard scan: two synthesized doc tables with
+    // overlapping schemas and a dtype CONFLICT (int vs double score)
+    // union under first-mapping-wins resolution (Tables.loadPattern,
+    // eland/field_mappings.py:280-288)
+    "u1_wildcard_scan" -> ((s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-u1").toString
+      Seq((1L, "alpha", 1.5), (2L, "beta", 2.5))
+        .toDF("id", "name", "score")
+        .write.mode("overwrite").parquet(s"$tmp/doc_a.parquet")
+      Seq((3L, 7, "en"), (4L, 9, "de"))
+        .toDF("id", "score", "lang")
+        .write.mode("overwrite").parquet(s"$tmp/doc_b.parquet")
+      Tables.loadPattern(s, tmp, "doc_*")
+        .select(col("id"), col("name"), col("score"), col("lang"))
+        .orderBy("id")
     })
   )
 
@@ -381,6 +434,40 @@ object FacadeQueries {
            |       floor(avg(mean_token_len) * 1000000 + 0.5) / 1000000.0 AS avg_tok_len
            |FROM q
            |WHERE n_tokens >= 30 AND stopword_ratio > 0 AND marker_hits > 0
-           |GROUP BY source ORDER BY source""".stripMargin
+           |GROUP BY source ORDER BY source""".stripMargin,
+    "d2_resample" ->
+      """SELECT date_trunc('month', o_orderdate) AS o_orderdate_month,
+        |       CAST(count(o_totalprice) AS BIGINT) AS o_totalprice_count,
+        |       round(sum(o_totalprice), 2) AS o_totalprice_sum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both query strings are two-token, so each feature is expressible
+    // with two list_contains probes; phrase check mirrors g10's
+    // space-delimited instr trick
+    "ltr1_feature_log" ->
+      raw"""WITH j(qid, t1, t2, phrase, doc_id, grade) AS (VALUES
+           |  (CAST(0 AS BIGINT), 'filter', 'join', ' filter join ', CAST(3 AS BIGINT), 2),
+           |  (0, 'filter', 'join', ' filter join ', 5, 0),
+           |  (0, 'filter', 'join', ' filter join ', 10, 1),
+           |  (1, 'the', 'fast', ' the fast ', 3, 0),
+           |  (1, 'the', 'fast', ' the fast ', 7, 2),
+           |  (1, 'the', 'fast', ' the fast ', 21, 1),
+           |  (1, 'the', 'fast', ' the fast ', 0, 2),
+           |  (1, 'the', 'fast', ' the fast ', 20, 2)),
+           |b AS (SELECT doc_id, $toksSql AS toks FROM documents)
+           |SELECT j.qid, j.doc_id, j.grade,
+           |  CAST(list_contains(toks, t1) OR list_contains(toks, t2) AS INT)::DOUBLE AS match_any,
+           |  CAST(list_contains(toks, t1) AND list_contains(toks, t2) AS INT)::DOUBLE AS match_all,
+           |  CAST(instr(' ' || array_to_string(toks, ' ') || ' ', phrase) > 0 AS INT)::DOUBLE AS match_phrase,
+           |  (CAST(list_contains(toks, t1) AS INT) + CAST(list_contains(toks, t2) AS INT))::DOUBLE AS term_overlap,
+           |  CAST(len(toks) AS DOUBLE) AS doc_tokens
+           |FROM j JOIN b ON b.doc_id = j.doc_id
+           |ORDER BY j.qid, j.doc_id""".stripMargin,
+    "u1_wildcard_scan" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'alpha', 1.5, CAST(NULL AS VARCHAR)),
+        |  (2, 'beta', 2.5, NULL),
+        |  (3, CAST(NULL AS VARCHAR), 7.0, 'en'),
+        |  (4, NULL, 9.0, 'de')) AS t(id, name, score, lang)
+        |ORDER BY id""".stripMargin
   )
 }
