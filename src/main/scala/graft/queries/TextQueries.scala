@@ -237,6 +237,19 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
+    // REAL video decode, oracle-checked: genuine uncompressed RIFF/AVI
+    // bytes parsed back by a chunk-walking container reader, one
+    // output row per frame — DuckDB rebuilds each frame's mean luma
+    // from the pixel formula
+    "mm6_video_decode" -> ((s, d) => {
+      graft.operators.Multimodal.decodeVideoFrames(
+        graft.operators.Multimodal.synthesizeAvi(
+          t(s, d, "documents").select("doc_id"), "doc_id"))
+        .select(col("media_id"), col("frame_no"), col("width"), col("height"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+        .orderBy("media_id", "frame_no")
+    }),
+
     // embedding norm statistics per label
     "emb1_norm_stats" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -317,6 +330,14 @@ object TextQueries {
         |  round((SELECT avg(CAST((d.doc_id * 17 + i.i * 11) % 256 AS DOUBLE))
         |         FROM generate_series(0, 255) i(i)), 6) AS mean_amp
         |FROM documents d ORDER BY media_id""".stripMargin,
+    "mm6_video_decode" ->
+      """SELECT d.doc_id AS media_id, CAST(f.f AS INT) AS frame_no,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  round((SELECT avg(CAST((d.doc_id * 31 + f.f * 19 + x.x * 7 + y.y * 13) % 256 AS DOUBLE))
+        |         FROM generate_series(0, 7) x(x), generate_series(0, 7) y(y)), 6)
+        |    AS mean_luma
+        |FROM documents d, generate_series(0, 3) f(f)
+        |ORDER BY media_id, frame_no""".stripMargin,
     "dd1_exact_dup_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique

@@ -63,6 +63,46 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real AVI round trip: container parse decodes synthesized frames to the pixel formula") {
+    import spark.implicits._
+    val ids = Seq(0L, 7L, 123L).toDF("doc_id")
+    val decoded = Multimodal.decodeVideoFrames(
+      Multimodal.synthesizeAvi(ids, "doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .toMap
+    assert(decoded.size == 3 * 4) // 4 frames per video
+    def expectedMean(id: Long, f: Int): Double =
+      (for (x <- 0 until 8; y <- 0 until 8)
+        yield ((id * 31 + f * 19 + x * 7 + y * 13) % 256).toDouble).sum / 64.0
+    for (id <- Seq(0L, 7L, 123L); f <- 0 until 4) {
+      val (w, h, m) = decoded((id, f))
+      assert(w == 8 && h == 8)
+      assert(math.abs(m - expectedMean(id, f)) < 1e-9, s"id $id frame $f")
+    }
+  }
+
+  test("AVI parser: non-4-aligned width padding, odd-size chunk padding, rejects compressed") {
+    // w=5: rowBytes 15 -> padded to 16; exercises row alignment
+    val bytes = Multimodal.aviBytes(3L, 5, 3, 2)
+    val (w, h, frames) = Multimodal.parseAvi(bytes)
+    assert(w == 5 && h == 3 && frames.length == 2)
+    assert(frames(0).length == 16 * 3)
+    // bottom-up: stored row 0 is y = h-1; pixel (x=1, y=2) of frame 1
+    val v = frames(1)(0 * 16 + 1 * 3) & 0xff
+    assert(v == ((3 * 31 + 1 * 19 + 1 * 7 + 2 * 13) % 256))
+    // corrupting biCompression must be rejected, not mis-decoded
+    val bad = bytes.clone()
+    val strfOff = {
+      // locate 'strf' fourcc then biCompression at +8(hdr)+16
+      val idx = bad.sliding(4).indexWhere(_.sameElements("strf".getBytes))
+      idx + 8 + 16
+    }
+    bad(strfOff) = 1
+    assertThrows[IllegalArgumentException](Multimodal.parseAvi(bad))
+  }
+
   test("real BMP round trip: ImageIO decodes synthesized bytes to the pixel formula") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 42L).toDF("doc_id")
