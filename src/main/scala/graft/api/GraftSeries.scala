@@ -109,7 +109,11 @@ class GraftSeries(val frame: GraftFrame, val name: String) {
 
   /** Scalar metric aggs — eland Series.mean()/sum()/... return numpy
     * scalars (eland/series.py:596-780); these are the eager Spark
-    * equivalents (one driver-collected row each).
+    * equivalents. EACH CALL IS ONE SPARK JOB (a driver-collected
+    * one-row aggregate): needing several stats, call
+    * `aggregate(Seq("mean", "std", ...))` once — all of them compute
+    * in a single scan/aggregate pass (the s1 gate's shape) instead of
+    * one scan per accessor.
     */
   def mean(): Double = scalarD("mean")
   def sum(): Double = scalarD("sum")

@@ -91,6 +91,37 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("sim3_ivf_topk: the probe join broadcasts the query side") {
+    // IVF's cell join must broadcast the (small, exploded-by-nprobe)
+    // query side — a sort-merge join here would shuffle the whole
+    // corpus on cell id at 100TB
+    val p = plan("sim3_ivf_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dd8: bucket self-join shuffles ids only, vectors join back after distinct") {
+    // the (t, b) self-join must not carry vector columns through the
+    // shuffle — each side is exactly (id, t, b); the id-only layout is
+    // the point of the operator
+    val df = SparkEntry.queries("dd8_embedding_lsh_neardup")(spark, TestSpark.sfDir)
+    // the operator persists its stages; drop the cache entries so the
+    // optimized plan shows the real join tree, not InMemoryRelation
+    spark.catalog.clearCache()
+    val bucketJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists { c =>
+          val refs = c.references.map(_.name).toSet
+          refs.contains("t") && refs.contains("b")
+        } => j
+    }
+    assert(bucketJoins.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    bucketJoins.foreach { j =>
+      assert(j.left.output.size <= 3 && j.right.output.size <= 3,
+        s"bucket join side carries extra columns:\n$j")
+    }
+  }
+
   test("dd2: hot-bucket guard shares the band-bucket shuffle with the self-join") {
     // the window count and the bucket self-join both key on (band, bh);
     // the guard must not introduce its own aggregate+semi-join pass
