@@ -41,8 +41,17 @@ object Tables {
     * `<name>.parquet` under `dir` whose table name matches the glob
     * (`*`/`?`) unions by column name (missing columns null-padded),
     * and a column whose dtype differs from the first table's is CAST
-    * to the first table's dtype. Table order is the sorted name list,
-    * so "first" is deterministic.
+    * to the first table's dtype — but only within a coercible type
+    * family (numeric↔numeric, date↔timestamp). A cross-family
+    * conflict (e.g. string vs double) FAILS FAST: under non-ANSI mode
+    * that cast would silently null out every row of the losing table,
+    * which is strictly worse than an error. Table order is the sorted
+    * name list, so "first" is deterministic.
+    *
+    * Listing goes through the Hadoop FileSystem API, so `dir` may be
+    * any Spark-readable URI (file://, hdfs://, s3a://), same as
+    * [[load]] — on a real cluster the table directory is rarely
+    * driver-local.
     *
     * Scale shape: this is a plan-level union of parquet scans — each
     * branch keeps its own pushdown/pruning, and Catalyst collapses
@@ -54,23 +63,47 @@ object Tables {
       case '?' => "."
       case c   => java.util.regex.Pattern.quote(c.toString)
     } + "$").r
-    val names = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .map(_.getName)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(dirPath)
+      .map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .map(_.stripSuffix(".parquet"))
       .filter(n => rx.matches(n))
       .sorted.toSeq
     require(names.nonEmpty, s"no tables match '$pattern' in $dir")
-    val frames = names.map(n => load(spark, dir, n))
+    val frames = names.map(n => n -> load(spark, dir, n))
     // first-mapping-wins dtype resolution
     val firstDtype = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
-    frames.foreach(_.schema.fields.foreach(f =>
+    frames.foreach(_._2.schema.fields.foreach(f =>
       if (!firstDtype.contains(f.name)) firstDtype(f.name) = f.dataType))
-    frames.map { f =>
+    frames.map { case (n, f) =>
       f.select(f.schema.fieldNames.toSeq.map { c =>
-        if (f.schema(c).dataType == firstDtype(c)) col(c)
-        else col(c).cast(firstDtype(c)).as(c)
+        val target = firstDtype(c)
+        val from = f.schema(c).dataType
+        if (from == target) col(c)
+        else {
+          require(coercible(from, target),
+            s"loadPattern: column '$c' of table '$n' is ${from.catalogString} " +
+              s"but the first-seen mapping is ${target.catalogString} — " +
+              "cross-family cast would produce silent nulls; align the " +
+              "schemas or exclude the table from the pattern")
+          col(c).cast(target).as(c)
+        }
       }: _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Same-family coercions only: numeric↔numeric and date↔timestamp
+    * are value-preserving enough for first-wins resolution; anything
+    * else (string↔numeric, array↔scalar, …) nulls under non-ANSI cast.
+    */
+  private def coercible(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (_: NumericType, _: NumericType) => true
+      case (DateType, TimestampType) | (TimestampType, DateType) => true
+      case _ => false
+    }
   }
 }

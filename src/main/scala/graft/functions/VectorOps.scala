@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** array<float> → array<double>, cast once before any arithmetic. */
-  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+  /** numeric array → array<double>, cast once before any arithmetic.
+    * A direct array cast, NOT `transform(v, _.cast("double"))`: Cast
+    * is whole-stage-codegen'd while ArrayTransform is an interpreted
+    * lambda per element — and this sits under every dot/cosine on the
+    * full corpus, so the difference is a per-row tax at scale. Same
+    * semantics (element-wise cast, null-preserving, no-op on
+    * array<double> input — SimplifyCasts removes it).
+    */
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
   /** Left-to-right sequential sum — same accumulation order as SQL
     * engines' list folds, so cross-engine comparisons are bit-stable.

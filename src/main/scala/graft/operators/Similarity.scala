@@ -47,10 +47,14 @@ object Similarity {
     * codegen kernel ([[graft.plans.VectorExpressions.HyperplaneSignBits]]):
     * one unboxed elements×planes pass per vector instead of `planes`
     * interpreted aggregate(zip_with(...)) towers — bit-identical to
-    * [[lshBucketsHof]] by construction.
+    * [[lshBucketsHof]] by construction. A NULL vector lands in bucket
+    * 0 (coalesced here: the raw expression follows Catalyst's
+    * null-in/null-out convention, but the operator contract — kept
+    * from the HOF form — is that degenerate rows stay joinable in
+    * bucket 0 rather than silently dropping out of bucket equi-joins).
     */
   def lshBuckets(vec: Column, planes: Int, table: Int = 0): Column =
-    VectorExpressions.hyperplaneBits(vec, planes, table)
+    coalesce(VectorExpressions.hyperplaneBits(vec, planes, table), lit(0L))
 
   /** Exact cosine top-k of `corpus` rows for each row of `queries`.
     * Output: (q_id, rank, n_id, cos). Ranking uses cosine rounded to

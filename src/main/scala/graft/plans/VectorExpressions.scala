@@ -219,21 +219,48 @@ object VectorExpressions {
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
 
-    private lazy val floatElems =
-      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    // Any numeric element type is accepted and read natively (the HOF
+    // form cast to double first — elemKind reproduces that cast, so
+    // int/long arrays bucket bit-identically). Everything else fails
+    // at ANALYSIS time: without this guard a non-float array would be
+    // read through the wrong ArrayData accessor and yield garbage
+    // bucket ids silently.
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(et, _) if VectorExpressions.elemKind(et) >= 0 =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"hyperplane_bits requires array of float/double/int/long/short/byte, " +
+              s"got ${other.catalogString} (cast decimal/string arrays explicitly)")
+      }
+
+    private lazy val kind =
+      VectorExpressions.elemKind(child.dataType.asInstanceOf[ArrayType].elementType)
 
     override def nullSafeEval(input: Any): Any =
       VectorExpressions.hyperplaneSignBits(
-        input.asInstanceOf[ArrayData], floatElems, planes, table)
+        input.asInstanceOf[ArrayData], kind, planes, table)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c => s"""
         ${ev.value} = graft.plans.VectorExpressions.hyperplaneSignBits(
-          $c, $floatElems, $planes, $table);
+          $c, $kind, $planes, $table);
       """)
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** Element accessor kind for [[HyperplaneSignBits]]; -1 = unsupported. */
+  private[plans] def elemKind(et: DataType): Int = et match {
+    case DoubleType  => 0
+    case FloatType   => 1
+    case LongType    => 2
+    case IntegerType => 3
+    case ShortType   => 4
+    case ByteType    => 5
+    case _           => -1
   }
 
   /** Per-(table, planes) hyperplane seeds: seed_p = hashInt(plane, 42)
@@ -250,8 +277,10 @@ object VectorExpressions {
       out
     })
 
-  /** Static kernel shared by eval and generated code. */
-  def hyperplaneSignBits(v: ArrayData, floatElems: Boolean,
+  /** Static kernel shared by eval and generated code. `elemKind` is
+    * the [[elemKind]] code of the array's element type.
+    */
+  def hyperplaneSignBits(v: ArrayData, elemKind: Int,
                          planes: Int, table: Int): Long = {
     val n = v.numElements()
     if (n == 0) return 0L // HOF: sequence(0,-1) null-pads => projections null => bucket 0
@@ -260,7 +289,14 @@ object VectorExpressions {
     var i = 0
     while (i < n) {
       if (v.isNullAt(i)) return 0L // HOF: null element => all projections null => bucket 0
-      val x = if (floatElems) v.getFloat(i).toDouble else v.getDouble(i)
+      val x = elemKind match {
+        case 0 => v.getDouble(i)
+        case 1 => v.getFloat(i).toDouble
+        case 2 => v.getLong(i).toDouble
+        case 3 => v.getInt(i).toDouble
+        case 4 => v.getShort(i).toDouble
+        case _ => v.getByte(i).toDouble
+      }
       var p = 0
       while (p < planes) {
         val h = XXH64.hashInt(i, seeds(p))

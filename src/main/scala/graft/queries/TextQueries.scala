@@ -130,11 +130,18 @@ object TextQueries {
       val base = t(s, d, "embeddings")
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
       // jitter term ordered exactly like the oracle SQL: (k - 2.0)*0.001
+      // the shifted id is aliased `pid` and renamed in a SECOND select:
+      // the jitter lambda also references `vec_id`, and aliasing the
+      // projection to the same name would make correctness depend on
+      // the engine's shadowing rules (Spark binds the lambda to the
+      // source column; the oracle mirrors this structure so DuckDB
+      // never faces the ambiguity at all)
       val planted = base.filter(col("vec_id") < 25).select(
-        (col("vec_id") + 100000).as("vec_id"),
+        (col("vec_id") + 100000).as("pid"),
         transform(col("v"), (x, i) =>
           x + (((col("vec_id") * 31 + i * 7) % 5).cast("double") - 2.0) * 0.001)
           .as("v"))
+        .select(col("pid").as("vec_id"), col("v"))
       Dedup.lshEmbeddingNearDup(base.unionByName(planted), "vec_id", "v",
         threshold = 0.9, planes = 6, tables = 4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
@@ -386,16 +393,18 @@ object TextQueries {
         |SELECT id_a, id_b, cos FROM p ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin,
     // exact all-pairs near-dup over the SAME planted corpus the Spark
     // side builds — equality proves the LSH blocking recalled every
-    // planted pair (the lambda's `vec_id` binds to the source column,
-    // matching Spark; DuckDB list lambdas index from 1, hence i-1)
+    // planted pair (the shifted id is aliased `pid` then renamed in a
+    // second CTE so the jitter lambda's `vec_id` reference is never
+    // shadowed; DuckDB list lambdas index from 1, hence i-1)
     "dd8_embedding_lsh_neardup" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |planted AS (
-        |  SELECT vec_id + 100000 AS vec_id,
+        |  SELECT vec_id + 100000 AS pid,
         |         list_transform(v, (x, i) ->
         |           x + (CAST((vec_id*31 + (i-1)*7) % 5 AS DOUBLE) - 2.0)*0.001) AS v
         |  FROM base WHERE vec_id < 25),
-        |u AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |p2 AS (SELECT pid AS vec_id, v FROM planted),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM p2),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |        round(list_dot_product(a.v, b.v) /
         |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cos

@@ -93,11 +93,34 @@ class VectorExpressionsSpec extends AnyFunSuite {
     ).toDF("id", "v")
     val rows = df.select(col("id"),
       VectorExpressions.hyperplaneBits(col("v"), 6).as("n"),
-      Similarity.lshBucketsHof(col("v"), 6).as("h")).orderBy("id").collect()
+      Similarity.lshBucketsHof(col("v"), 6).as("h"),
+      Similarity.lshBuckets(col("v"), 6).as("w")).orderBy("id").collect()
     // empty vec: HOF's sequence(0,-1) null-pads -> projections null -> 0
     assert(rows(0).getLong(1) == 0L && rows(0).getLong(2) == 0L)
     assert(rows(1).getLong(1) == 0L && rows(1).getLong(2) == 0L)   // null elem -> bucket 0
-    assert(rows(2).isNullAt(1)) // native: null in -> null out (HOF gives 0 — documented delta)
+    assert(rows(2).isNullAt(1)) // raw expression: null in -> null out
+    // operator wrapper coalesces to bucket 0 — the HOF contract: null
+    // vectors stay joinable instead of dropping out of bucket equi-joins
+    assert(rows(2).getLong(2) == 0L && rows(2).getLong(3) == 0L)
+  }
+
+  test("numeric non-float arrays bucket identically to the HOF form; bad types fail analysis") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val ints  = Seq.tabulate(100)(i => Seq(i - 50, i * 3 % 17, -i)).toDF("v")
+    val longs = Seq.tabulate(100)(i => Seq((i - 50).toLong * 1000000007L, i.toLong)).toDF("v")
+    for (df <- Seq(ints, longs)) {
+      val diff = df.select(
+        VectorExpressions.hyperplaneBits(col("v"), 8, 2).as("n"),
+        Similarity.lshBucketsHof(col("v"), 8, 2).as("h"))
+        .filter(col("n") =!= col("h")).count()
+      assert(diff == 0)
+    }
+    val bad = Seq(Seq("a", "b")).toDF("v")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(VectorExpressions.hyperplaneBits(col("v"), 4)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("hyperplane_bits"))
   }
 
   test("native expression participates in whole-stage codegen") {
