@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.FacadeQueries.queries
+      graft.queries.FacadeQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.FacadeQueries.oracles
+      graft.queries.FacadeQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

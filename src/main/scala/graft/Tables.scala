@@ -94,6 +94,27 @@ object Tables {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Write `df` as a hive-layout partitioned parquet table (one
+    * directory per partition-column value). The 100 TB data-layout
+    * primitive: a time- or source-partitioned corpus lets every
+    * partition-predicated query skip whole directories at PLANNING
+    * time (`PartitionFilters` in the scan node), instead of reading
+    * and filtering 100 TB of row groups. Pair with
+    * `sortWithinPartitions` on a secondary key before calling to also
+    * get tight parquet min/max row-group stats for non-partition
+    * predicates.
+    */
+  def savePartitioned(df: DataFrame, path: String, partCols: Seq[String],
+                      mode: String = "overwrite"): Unit =
+    df.write.partitionBy(partCols: _*).mode(mode).parquet(path)
+
+  /** Read a partitioned table written by [[savePartitioned]].
+    * `basePath` keeps partition columns in the schema; Catalyst prunes
+    * directories from any filter on them.
+    */
+  def loadPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+
   /** Same-family coercions only: numeric↔numeric and date↔timestamp
     * are value-preserving enough for first-wins resolution; anything
     * else (string↔numeric, array↔scalar, …) nulls under non-ANSI cast.

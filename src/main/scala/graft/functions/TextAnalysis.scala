@@ -28,8 +28,23 @@ object TextAnalysis {
   /** BPE-ish subword count estimate: splits on non-alphanumerics and
     * letter/digit boundaries — a cheap stand-in for a real tokenizer's
     * token count at corpus-costing time.
+    *
+    * Spelled as "count the maximal letter-runs and digit-runs"
+    * (`\p{L}+|\p{N}+` matches), which is the same piece count as the
+    * historical lookbehind-split form ([[subwordCountEstimateSplit]],
+    * differential-tested) — but the run-counting regex has no
+    * lookarounds, so it is RE2-expressible and the DuckDB oracle can
+    * replay it verbatim (`regexp_extract_all` in both engines).
     */
   def subwordCountEstimate(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\p{L}+|\\p{N}+"), lit(0))).cast("long")
+
+  /** Historical lookbehind-split spelling of [[subwordCountEstimate]],
+    * kept as the differential-test reference (Java-regex-only; splits
+    * on non-alphanumeric runs and letter↔digit boundaries).
+    */
+  private[graft] def subwordCountEstimateSplit(text: Column): Column =
     size(filter(
       split(lower(text),
         "[^\\p{L}\\p{N}]+|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
@@ -51,9 +66,21 @@ object TextAnalysis {
   /** Heuristic language ID: argmax of marker-stopword hit counts with
     * deterministic first-wins tie-breaking in `langMarkers` order;
     * "und" (undetermined) when no marker hits at all.
+    *
+    * PERFORMANCE: this convenience form re-embeds the tokenizer
+    * expression at every marker-count reference, and interpreted HOF
+    * subtrees are not CSE'd (the arr1/minhash staging rule) — a
+    * pipeline touching many rows should materialize `tokens(text)` in
+    * its own projection and call [[languageIdFromTokens]].
     */
-  def languageId(text: Column): Column = {
-    val toks = tokens(text)
+  def languageId(text: Column): Column = languageIdFromTokens(tokens(text))
+
+  /** [[languageId]] over an already-materialized token array: each
+    * marker probe is then a cheap scan of the staged array instead of
+    * a fresh tokenize (g20 measured ~9 redundant tokenizer passes per
+    * row through the convenience form).
+    */
+  def languageIdFromTokens(toks: Column): Column = {
     val scores = langMarkers.map { case (l, ws) => l -> markerHits(toks, ws) }
     val best = scores.map(_._2).reduce(greatest(_, _))
     scores.reverse.foldLeft(lit("und")) { case (els, (l, s)) =>
@@ -64,9 +91,16 @@ object TextAnalysis {
   /** Quality-score feature bundle as one struct column: character
     * count, token count, mean token length, stopword ratio (English
     * markers), non-alphanumeric ratio.
+    *
+    * Same staging note as [[languageId]]: prefer
+    * [[qualityFeaturesFromTokens]] with a materialized token column in
+    * hot pipelines.
     */
-  def qualityFeatures(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityFeatures(text: Column): Column =
+    qualityFeaturesFromTokens(text, tokens(text))
+
+  /** [[qualityFeatures]] over an already-materialized token array. */
+  def qualityFeaturesFromTokens(text: Column, toks: Column): Column = {
     val n = size(toks)
     val charLen = length(text).cast("double")
     val meanTokLen = when(n > 0,
@@ -102,6 +136,23 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) =>
       pmod(acc * 31 + pmod(xxhash64(t), lit(1000000007L)), lit(1000000007L)))
+
+  /** Engine-portable variant of [[fingerprint]]: the per-token hash is
+    * the first 8 hex chars of md5 (a 32-bit value every engine can
+    * reproduce) instead of xxhash64, folded through the same
+    * order-sensitive polynomial mod 1e9+7. Cross-engine replayable —
+    * DuckDB recomputes it exactly with
+    * `list_reduce(list_prepend(0, list_transform(toks, t ->
+    * ('0x'||substr(md5(t),1,8))::BIGINT)), (a,b) -> (a*31+b) %
+    * 1000000007)` — so content-addressed dedup/versioning decisions
+    * made on the fingerprint can be audited outside Spark. Slower than
+    * [[fingerprint]] (md5 vs xxhash64): use this one at system
+    * boundaries, the xxhash64 form in interior passes.
+    */
+  def fingerprintPortable(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      pmod(acc * 31 + conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+        lit(1000000007L)))
 
   /** 64-bit SimHash over tokens: per bit, the sign of the sum of ±1
     * contributions from each token hash. Pure per-row expression, no

@@ -39,7 +39,7 @@ object Dedup {
     * if a caller never executes `result`, `staged` stays cached until
     * LRU eviction — the lazy-API trade, documented.
     */
-  private def materializeAndRelease(staged: DataFrame, result: DataFrame): DataFrame = {
+  private[operators] def materializeAndRelease(staged: DataFrame, result: DataFrame): DataFrame = {
     val out = result.persist()
     val spark = result.sparkSession
     val target = out.queryExecution.analyzed
@@ -209,9 +209,134 @@ object Dedup {
     * regardless of clique sizes (a 10-doc clique yields 9 drops, not
     * 45 pairs downstream) — the standard reduction from pair
     * enumeration to a keep/drop decision.
+    *
+    * Caveat: pair-local, so a CHAIN a~b~c (where a~c was never
+    * verified) drops both b and c even though c's only smaller partner
+    * is b — which is itself dropped. When the dedup policy is "keep
+    * exactly one representative per connected GROUP of near-dups", run
+    * [[connectedComponents]] instead.
     */
   def nearDupDrops(pairs: DataFrame): DataFrame =
     pairs.select(col("id_b").as("drop_id")).distinct()
+
+  /** Connected components over a near-dup pair graph — the final step
+    * of corpus dedup: pairs → clusters → keep one representative per
+    * cluster. Input: (id_a, id_b) candidate/verified pairs; output:
+    * (id, component) for every id appearing in a pair, where
+    * `component` is the smallest id reachable through the pair graph
+    * (so the component label doubles as the kept representative).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * standard shuffle-friendly CC for graphs that don't fit one
+    * machine. Each round is two groupBy-join passes over the edge
+    * list; convergence is O(log n) rounds (in practice 2-3 for dedup
+    * graphs, whose components are near-cliques of duplicates). No
+    * collect_list anywhere — a hot node (boilerplate duplicated
+    * millions of times) never materializes its neighbor list in one
+    * task; min-aggregation and joins keep every stage streaming.
+    *
+    * Each round `localCheckpoint`s its edge frame — iterative Spark's
+    * load-bearing move: `persist` alone caches DATA but keeps the
+    * whole logical plan, and each star round references its
+    * predecessor's plan several times, so analysis cost grows
+    * EXPONENTIALLY in rounds (measured: a 60-node/25-round loop took
+    * 17 min in planning). Checkpointing truncates the plan to a leaf
+    * per round. Convergence is a count+xor fingerprint against the
+    * previous round; the predecessor's checkpoint RDDs are unpersisted
+    * as soon as the round rotates, so peak footprint is two edge
+    * lists. (Local checkpoints live in executor storage: on a cluster
+    * with executor loss, switch the caller to a reliable
+    * `sparkContext.setCheckpointDir` + `Dataset.checkpoint` — same
+    * algorithm, durable lineage cut.)
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.functions.{greatest => fGreatest, least => fLeast}
+
+    // large-star: every node u links its LARGER neighbors to
+    // m = min(neighbors(u) ∪ {u}); strictly-smaller targets keep the
+    // invariant that edges always point downward after the pass
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), fLeast(col("mv"), col("u")).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: direct every edge (hi, lo); each hi links all its
+    // smaller neighbors (and itself) to their minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val d = e.select(fGreatest(col("u"), col("v")).as("u"),
+        fLeast(col("u"), col("v")).as("v"))
+      val mins = d.groupBy("u").agg(min(col("v")).as("m"))
+      val moved = d.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      moved.unionByName(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint registers its materialized RDD(s) with the
+    // context; snapshotting persistent-RDD ids around each checkpoint
+    // lets the loop free the PREVIOUS round's storage deterministically
+    // (Dataset.unpersist doesn't know about checkpoint RDDs)
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def release(ids: Set[Int]): Unit =
+      sc.getPersistentRDDs.view.filterKeys(ids).values
+        .foreach(_.unpersist(false))
+
+    var (cur, curIds) = checkpointTracked(pairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    var prev: Option[(Long, Long)] = None
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val (next, nextIds) = checkpointTracked(smallStar(largeStar(cur)))
+      // xor-fold fingerprint: overflow-free under ANSI mode (a SUM of
+      // xxhash64 values can exceed Long range and abort the job)
+      val row = next
+        .agg(count(lit(1)).as("c"),
+          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h"))
+        .head()
+      val sig = (row.getLong(0), row.getLong(1))
+      converged = prev.contains(sig)
+      prev = Some(sig)
+      release(curIds)
+      cur = next
+      curIds = nextIds
+      i += 1
+    }
+    // at the fixpoint the edge list is a union of stars (node → root);
+    // labels = star edges plus each root labeling itself
+    val labels = cur.select(col("u").as("id"), col("v").as("comp"))
+      .unionByName(cur.select(col("v").as("id"), col("v").as("comp")))
+      .groupBy("id").agg(min(col("comp")).as("component"))
+    // materialize the O(nodes) label table eagerly so the final edge
+    // list's storage can be freed before returning
+    val (out, _) = checkpointTracked(labels)
+    release(curIds)
+    out
+  }
+
+  /** Drop list from component labels: every clustered doc except its
+    * component representative (the min id). Exactly one survivor per
+    * near-dup group, regardless of how the pairs chained.
+    */
+  def clusterDrops(components: DataFrame): DataFrame =
+    components.filter(col("id") =!= col("component"))
+      .select(col("id").as("drop_id"))
 
   /** SimHash near-duplicate pairs: bucket by the top `prefixBits` bits
     * (near-dups almost always share a prefix bucket when hamming

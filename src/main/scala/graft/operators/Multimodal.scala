@@ -406,8 +406,16 @@ object Multimodal {
     * row per frame with its decoded mean luma — (media_id, frame_no,
     * width, height, mean_luma). Same mapPartitions batch shape as the
     * image/audio paths (container parser state is per-partition).
+    *
+    * `stride` > 1 is real frame SAMPLING on the real decode path:
+    * every stride-th frame (0, stride, 2·stride, …) is decoded and the
+    * pixel pass is SKIPPED for the rest — the container walk still
+    * touches every chunk header (that's how frame boundaries are
+    * found), but the per-pixel work drops by the stride factor, which
+    * is the cost that dominates on real video.
     */
-  def decodeVideoFrames(media: DataFrame): DataFrame = {
+  def decodeVideoFrames(media: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, "decodeVideoFrames: stride must be >= 1")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("frame_no", IntegerType),
@@ -421,7 +429,9 @@ object Multimodal {
       rows.flatMap { r =>
         val (w, h, frames) = parseAvi(r.getAs[Array[Byte]](blobIdx))
         val rowBytes = ((w * 3 + 3) / 4) * 4
-        frames.iterator.zipWithIndex.map { case (data, f) =>
+        frames.iterator.zipWithIndex
+          .filter { case (_, f) => f % stride == 0 }
+          .map { case (data, f) =>
           var sum = 0.0
           var y = 0
           while (y < h) {

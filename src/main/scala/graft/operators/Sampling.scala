@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * The facade's `sample` (eland's seeded `function_score.random_score`,
+  * eland/filter.py:193-202) orders by xxhash64, which no other engine
+  * reproduces — so its gate is rows-only. These operators derive the
+  * per-row randomness from md5 instead: md5 is bit-identical in every
+  * engine (Spark, DuckDB, Postgres, …), which makes every sampling
+  * decision *reproducible outside Spark* — the property a data-curation
+  * pipeline needs for audits ("why is this row in the training set?")
+  * and for cross-engine verification. The driver's DuckDB oracle
+  * replays the identical decision.
+  *
+  * Scale shapes:
+  *  - [[deterministicSample]]: per-partition top-n + driver merge
+  *    (TakeOrderedAndProject) — no global sort, no shuffle of the data.
+  *  - [[stratifiedSample]]: one shuffle on the stratum key; each
+  *    stratum sorts locally. A pathological hot stratum inherits the
+  *    usual window-skew remedies (AQE, or pre-filtering with
+  *    [[weightedMix]] to cut the stratum down first).
+  *  - [[weightedMix]]: pure per-row filter — zero shuffle, the shape
+  *    you want for reweighting sources in a 100 TB corpus.
+  */
+object Sampling {
+
+  /** Portable per-row hash key: md5("<seed>:<id>"). Lexicographic order
+    * on the hex string is uniform over rows and identical across
+    * engines.
+    */
+  def hashKey(id: Column, seed: Long): Column =
+    md5(concat(lit(seed.toString), lit(":"), id.cast("string")))
+
+  /** Portable per-row uniform draw in [0,1): the first 8 hex chars of
+    * [[hashKey]] as a 32-bit integer over 2^32. DuckDB replays it as
+    * `('0x' || substr(md5(s),1,8))::BIGINT / 4294967296.0`.
+    */
+  def hashFrac(id: Column, seed: Long): Column =
+    conv(substring(hashKey(id, seed), 1, 8), 16, 10).cast("long") /
+      lit(4294967296.0)
+
+  /** Deterministic seeded exact-n sample: the n rows with the smallest
+    * portable hash keys. Equivalent to a seeded uniform sample without
+    * replacement, but replayable row-for-row by any engine with md5.
+    * Plan shape: TakeOrderedAndProject (per-partition top-n, driver
+    * merge of n*partitions keys) — never a global sort.
+    */
+  def deterministicSample(df: DataFrame, idCol: String, n: Int,
+                          seed: Long): DataFrame =
+    df.orderBy(hashKey(col(idCol), seed)).limit(n)
+
+  /** Exact n-per-stratum sample: within each stratum, keep the
+    * `nPerStratum` smallest hash keys. The training-data "balanced
+    * subset" primitive (cap each source/language/label at a quota).
+    * One shuffle on the stratum column.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       nPerStratum: Int, seed: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashKey(col(idCol), seed))
+    df.withColumn("_sr", row_number().over(w))
+      .filter(col("_sr") <= nPerStratum)
+      .drop("_sr")
+  }
+
+  /** Weighted source mixing: keep a row of source s with probability
+    * `fractions(s)` (sources absent from the map default to
+    * `defaultFraction`). The decision is a pure per-row threshold test
+    * on [[hashFrac]] — zero shuffle, linear scan, exactly the shape a
+    * corpus-reweighting pass over 100 TB needs. Deterministic given
+    * (id, seed), so re-runs and downstream audits see the same subset.
+    */
+  def weightedMix(df: DataFrame, idCol: String, sourceCol: String,
+                  fractions: Map[String, Double], seed: Long,
+                  defaultFraction: Double = 0.0): DataFrame = {
+    val frac = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultFraction)) {
+      case (els, (s, f)) => when(col(sourceCol) === s, lit(f)).otherwise(els)
+    }
+    df.filter(hashFrac(col(idCol), seed) < frac)
+  }
+}

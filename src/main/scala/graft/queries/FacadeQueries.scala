@@ -144,8 +144,15 @@ object FacadeQueries {
     // pipeline story in miniature)
     "g20_corpus_clean" -> ((s, d) => {
       val f = docs(s, d)
-      f.withColumn("q", graft.functions.TextAnalysis.qualityFeatures(col("text")))
-        .withColumn("lang_pred", graft.functions.TextAnalysis.languageId(col("text")))
+      // tokens staged ONCE, then quality + language ID read the staged
+      // array: the convenience forms re-embedded the interpreted HOF
+      // tokenizer at every reference (~9 tokenizer passes per row —
+      // the arr1 staging rule), which made this the slowest bench query
+      f.withColumn("_toks", graft.functions.TextAnalysis.tokens(col("text")))
+        .withColumn("q", graft.functions.TextAnalysis
+          .qualityFeaturesFromTokens(col("text"), col("_toks")))
+        .withColumn("lang_pred", graft.functions.TextAnalysis
+          .languageIdFromTokens(col("_toks")))
         .where(col("q.n_tokens") >= 30 && col("q.stopword_ratio") > 0 &&
           col("lang_pred") =!= "und")
         .df

@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextAnalysis, VectorOps}
+import graft.operators.{Dedup, Packing, Sampling, Similarity}
+
+/** Round-5 training-pipeline surface: engine-portable deterministic
+  * sampling (the md5 trick turns the sampling family from rows-only to
+  * full-oracle), distributed sequence packing, connected-components
+  * dedup clustering, LSH-ANN recall proof on planted clones, portable
+  * fingerprinting, strided real-video frame sampling, and
+  * partition-pruned data layout.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deterministic seeded sample — md5 keys replayable by DuckDB, so
+    // unlike g11's xxhash64 order this one faces the FULL oracle
+    "sm1_sample_det" -> ((s, d) => {
+      Sampling.deterministicSample(t(s, d, "orders"), "o_orderkey",
+          n = 50, seed = 42)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+    // exact n-per-stratum balanced subset (cap each market segment)
+    "sm2_sample_strat" -> ((s, d) => {
+      Sampling.stratifiedSample(t(s, d, "customer"), "c_custkey",
+          "c_mktsegment", nPerStratum = 10, seed = 7)
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+    // weighted source mixing — per-row threshold test, zero shuffle
+    "sm3_weighted_mix" -> ((s, d) => {
+      Sampling.weightedMix(t(s, d, "documents"), "doc_id", "source",
+          Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.25),
+          seed = 11, defaultFraction = 0.1)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+    // sequence packing via two-phase distributed prefix sum (the
+    // single-partition window this replaces is fatal at scale); the
+    // oracle IS that window, proving the distributed layout
+    // byte-identical
+    "pack1_token_packing" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      Packing.packByBudget(docs, "doc_id", "n_tok", budget = 512)
+        .orderBy("doc_id")
+    }),
+    // pairs -> clusters: alternating large-star/small-star connected
+    // components over the LSH->verify near-dup graph; DuckDB replays
+    // it as a recursive-CTE reachability closure over the exact
+    // all-pairs graph
+    "dd9_components" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.2,
+        maxBucketSize = 100)
+      val verified = Dedup.ngramJaccard(docs, "doc_id", "text",
+          cand.select("id_a", "id_b"), shingleN = 3)
+        .filter(col("jaccard") >= 0.8)
+      Dedup.connectedComponents(verified.select("id_a", "id_b"))
+        .orderBy("id")
+    }),
+    // LSH ANN recall PROOF on planted clones: 5 queries cloned from
+    // corpus vectors with a deterministic ±0.0015 jitter (cos to the
+    // original ≈ 0.99999, corpus max elsewhere ≈ 0.6), so the LSH
+    // top-1 must equal the global brute-force argmax — which is what
+    // the oracle computes. Non-vacuous by construction (sim2's gap):
+    // a broken bucket join returns nothing and fails rows_match.
+    "sim4_lsh_planted" -> ((s, d) => {
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      val qs = base.filter(col("vec_id") < 5).select(
+        (col("vec_id") + 200000).as("pid"),
+        transform(col("v"), (x, i) =>
+          x + (((col("vec_id") * 13 + i * 11) % 7).cast("double") - 3.0) * 0.0005)
+          .as("v"))
+        .select(col("pid").as("vec_id"), col("v"))
+      Similarity.lshTopK(qs, base, "vec_id", "v", k = 1,
+          planes = 6, tables = 4, roundTo = 5)
+        .orderBy("q_id")
+    }),
+    // engine-portable rolling fingerprint (md5-based) — full oracle,
+    // unlike t5's xxhash64 fast path
+    "t6_fingerprint_md5" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintPortable(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    // strided frame sampling on the REAL video decode path: decode
+    // every 2nd frame of genuine RIFF/AVI bytes, skip the pixel pass
+    // for the rest
+    "mm7_video_stride" -> ((s, d) => {
+      graft.operators.Multimodal.decodeVideoFrames(
+        graft.operators.Multimodal.synthesizeAvi(
+          t(s, d, "documents").select("doc_id"), "doc_id"),
+        stride = 2)
+        .select(col("media_id"), col("frame_no"), col("width"), col("height"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+        .orderBy("media_id", "frame_no")
+    }),
+    // partition-pruned data layout: orders written once (per sf dir)
+    // as a year-partitioned table; the year predicate then prunes
+    // directories at planning time (PartitionFilters — pinned in
+    // PlanQualitySpec), the 100 TB layout discipline
+    "pp1_partition_prune" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-pp1-$tag").toString
+      if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+        Tables.savePartitioned(
+          t(s, d, "orders").withColumn("o_year", year(col("o_orderdate"))),
+          tmp, Seq("o_year"))
+      }
+      Tables.loadPartitioned(s, tmp)
+        .filter(col("o_year") === 1996)
+        .groupBy(month(col("o_orderdate")).cast("long").as("mth"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("mth")
+    })
+  )
+
+  private val toksSql =
+    raw"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+  private val shinglesSql =
+    raw"""CASE WHEN len($toksSql) >= 3
+         | THEN list_distinct(list_transform(range(1, len($toksSql) - 1),
+         |        i -> array_to_string(($toksSql)[i:i+2], ' ')))
+         | ELSE [] END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sm1_sample_det" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT * FROM orders
+        |  ORDER BY md5('42:' || CAST(o_orderkey AS VARCHAR)) LIMIT 50)
+        |ORDER BY o_orderkey""".stripMargin,
+    "sm2_sample_strat" ->
+      """WITH r AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY md5('7:' || CAST(c_custkey AS VARCHAR))) AS rn
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment FROM r WHERE rn <= 10
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "sm3_weighted_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0
+        |    < CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.5
+        |                  WHEN 'src2' THEN 0.25 ELSE 0.1 END
+        |ORDER BY doc_id""".stripMargin,
+    "pack1_token_packing" ->
+      raw"""WITH b AS (
+           |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, n_tokens,
+           |         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS cum_before
+           |  FROM b)
+           |SELECT doc_id, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
+           |       CAST(floor(cum_before / 512.0) AS BIGINT) AS bin
+           |FROM c ORDER BY doc_id""".stripMargin,
+    "dd9_components" ->
+      raw"""WITH RECURSIVE sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+           |j AS (SELECT id_a, id_b,
+           |  CASE WHEN len(list_distinct(list_concat(sa, sb))) > 0 THEN
+           |    CAST(len(list_distinct(list_intersect(sa, sb))) AS DOUBLE) /
+           |    len(list_distinct(list_concat(sa, sb)))
+           |  ELSE 0.0 END AS jx
+           |FROM p),
+           |e AS (SELECT id_a AS u, id_b AS v FROM j WHERE jx >= 0.8),
+           |sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+           |nodes AS (SELECT DISTINCT u AS id FROM sym),
+           |reach(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT s2.v, r.lbl FROM reach r JOIN sym s2 ON s2.u = r.id)
+           |SELECT id, CAST(min(lbl) AS BIGINT) AS component
+           |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "sim4_lsh_planted" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id + 200000 AS q_id,
+        |        list_transform(v, (x, i) ->
+        |          x + (CAST((vec_id*13 + (i-1)*11) % 7 AS DOUBLE) - 3.0)*0.0005) AS v
+        |      FROM base WHERE vec_id < 5),
+        |s AS (SELECT q.q_id, c.vec_id AS n_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 5) AS cos
+        |      FROM q, base c),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+        |      FROM s)
+        |SELECT q_id, CAST(1 AS BIGINT) AS rank, n_id, cos FROM r WHERE rn = 1
+        |ORDER BY q_id""".stripMargin,
+    "t6_fingerprint_md5" ->
+      raw"""SELECT doc_id,
+           |  list_reduce(
+           |    list_prepend(CAST(0 AS BIGINT),
+           |      list_transform($toksSql,
+           |        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+           |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm7_video_stride" ->
+      """SELECT d.doc_id AS media_id, CAST(f.f AS INT) AS frame_no,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  round((SELECT avg(CAST((d.doc_id * 31 + f.f * 19 + x.x * 7 + y.y * 13) % 256 AS DOUBLE))
+        |         FROM generate_series(0, 7) x(x), generate_series(0, 7) y(y)), 6)
+        |    AS mean_luma
+        |FROM documents d, generate_series(0, 3, 2) f(f)
+        |ORDER BY media_id, frame_no""".stripMargin,
+    "pp1_partition_prune" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS mth,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE year(o_orderdate) = 1996
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -24,26 +24,36 @@ object TextQueries {
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")
     }),
-    // BPE-ish subword estimate (lookbehind regex — not mirrorable in RE2)
+    // BPE-ish subword estimate — the run-counting regex spelling is
+    // RE2-expressible, so (since r5) this faces the full oracle
     "t2_subword_count" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"),
           TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"))
         .orderBy("doc_id")
     }),
-    // quality-score features
+    // quality-score features; tokens staged in their OWN projection
+    // (the arr1 rule: interpreted HOF subtrees are not CSE'd, and the
+    // struct references the token array 4 times)
     "t3_quality" -> ((s, d) => {
       t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.qualityFeatures(col("text")).as("q"))
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          TextAnalysis.qualityFeaturesFromTokens(col("text"), col("_toks"))
+            .as("q"))
         .select(col("doc_id"), col("q.n_chars"), col("q.n_tokens"),
           col("q.mean_token_len"), col("q.stopword_ratio"),
           col("q.non_alnum_ratio"))
         .orderBy("doc_id")
     }),
-    // heuristic language ID
+    // heuristic language ID; staged tokens (the argmax references the
+    // token array once per language marker set)
     "t4_language_id" -> ((s, d) => {
       t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          TextAnalysis.languageIdFromTokens(col("_toks")).as("lang_pred"))
         .orderBy("doc_id")
     }),
     // order-sensitive rolling-hash fingerprint (xxhash64 — rows-only)
@@ -280,6 +290,12 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "t1_token_count" ->
       raw"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin,
+    // same run-counting regex, replayed verbatim by RE2
+    "t2_subword_count" ->
+      raw"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(lower(text), '\p{L}+|\p{N}+'))
+           |       AS BIGINT) AS n_subwords
            |FROM documents ORDER BY doc_id""".stripMargin,
     "t3_quality" ->
       raw"""WITH b AS (

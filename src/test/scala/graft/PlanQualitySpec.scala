@@ -130,4 +130,47 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
     assert(!p.contains("SemiJoin") && !p.contains("LeftSemi"), p)
   }
+
+  test("pp1: the year predicate prunes partitions at planning time") {
+    val df = SparkEntry.queries("pp1_partition_prune")(spark, TestSpark.sfDir)
+    // collect on sparkPlan: executedPlan is an AdaptiveSparkPlanExec
+    // wrapper whose collect() does not descend into the inner plan
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "no PartitionFilters — the year predicate is not pruning directories")
+    // the pruned scan must select a strict subset of the partition dirs
+    val selected = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).length
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    assert(selected < total,
+      s"selected $selected of $total partitions — nothing pruned")
+  }
+
+  test("sm1: deterministic sample plans as TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("sm1_sample_det")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("pack1: no single-partition global window in the packing plan") {
+    // the naive spelling (sum().over(Window.orderBy(id))) plans a
+    // Window over a SinglePartition exchange — the two-phase prefix
+    // sum must not contain any Window operator at all
+    val df = SparkEntry.queries("pack1_token_packing")(spark, TestSpark.sfDir)
+    spark.catalog.clearCache()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), p)
+  }
+
+  test("sm3: weighted mix is a pure scan-filter (no shuffle, no join)") {
+    val df = SparkEntry.queries("sm3_weighted_mix")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // one Exchange is allowed for the final orderBy presentation sort;
+    // the mix decision itself must not join or aggregate
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
 }

@@ -56,4 +56,48 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(df.filter(EsMatch.matchPhrase($"t", "fox brown")).count() == 0)
     assert(df.filter(EsMatch.matchFuzzy($"t", "quik", 1)).count() == 1)
   }
+
+  test("subword run-counting regex ≡ historical lookbehind split (differential)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcXYZ0189 .,-_!?/äöπ文\t"
+    val samples = Seq("", "a", "a1b2", "  12ab!cd34  ", "π文9") ++
+      (0 until 200).map(_ => (0 until rnd.nextInt(40))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = samples.toDF("t")
+    val diff = df.select(
+        TextAnalysis.subwordCountEstimate($"t").as("a"),
+        TextAnalysis.subwordCountEstimateSplit($"t").as("b"))
+      .filter($"a" =!= $"b")
+    assert(diff.count() == 0)
+  }
+
+  test("fingerprintPortable matches a driver-side md5 fold and is order-sensitive") {
+    def md5hash32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    def expected(text: String): Long =
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .foldLeft(0L)((acc, t) => (acc * 31 + md5hash32(t)) % 1000000007L)
+    for (s <- Seq("", "a", "a b c", "The Quick  brown\tFox", "x y z x y z")) {
+      assert(one(TextAnalysis.fingerprintPortable($"t"), s) == expected(s), s)
+    }
+    assert(one(TextAnalysis.fingerprintPortable($"t"), "a b c") !=
+      one(TextAnalysis.fingerprintPortable($"t"), "c b a"))
+  }
+
+  test("FromTokens forms are bit-identical to the convenience forms") {
+    val texts = Seq("the cat and the dog", "der hund und die katze ist",
+      "xyz", "", "el la de los 7 que es").toDF("t")
+    val staged = texts.select($"t", TextAnalysis.tokens($"t").as("toks"))
+    val diff = staged.select(
+        TextAnalysis.languageId($"t").as("a"),
+        TextAnalysis.languageIdFromTokens($"toks").as("b"),
+        TextAnalysis.qualityFeatures($"t").as("qa"),
+        TextAnalysis.qualityFeaturesFromTokens($"t", $"toks").as("qb"))
+      .filter($"a" =!= $"b" || $"qa" =!= $"qb")
+    assert(diff.count() == 0)
+  }
 }

@@ -83,6 +83,19 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("strided decode = full decode filtered to every stride-th frame") {
+    import spark.implicits._
+    val ids = Seq(0L, 9L).toDF("doc_id")
+    val media = Multimodal.synthesizeAvi(ids, "doc_id", nFrames = 6)
+    val full = Multimodal.decodeVideoFrames(media)
+      .filter(org.apache.spark.sql.functions.col("frame_no") % 3 === 0)
+      .orderBy("media_id", "frame_no").collect().toSeq
+    val strided = Multimodal.decodeVideoFrames(media, stride = 3)
+      .orderBy("media_id", "frame_no").collect().toSeq
+    assert(strided == full)
+    assert(strided.size == 2 * 2) // frames 0 and 3 of 6, per video
+  }
+
   test("AVI parser: non-4-aligned width padding, odd-size chunk padding, rejects compressed") {
     // w=5: rowBytes 15 -> padded to 16; exercises row alignment
     val bytes = Multimodal.aviBytes(3L, 5, 3, 2)

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docs = spark.range(500).toDF("id")
+    .withColumn("tok", pmod(col("id") * 37 + 11, lit(90)) + 10)
+
+  test("two-phase distributed prefix sum equals the single-partition window") {
+    val got = Packing.packByBudget(docs, "id", "tok", budget = 256,
+      partitions = 7)
+    val w = Window.orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val exp = docs
+      .withColumn("cum_before", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("bin", expr("cum_before div 256"))
+      .select(col("id"), col("tok").cast("long").as("n_tokens"),
+        col("cum_before"), col("bin"))
+    val diff = got.join(exp, Seq("id"))
+      .filter(got("n_tokens") =!= exp("n_tokens") ||
+        got("cum_before") =!= exp("cum_before") || got("bin") =!= exp("bin"))
+    assert(got.count() == 500)
+    assert(diff.count() == 0)
+  }
+
+  test("partition count does not change the layout") {
+    val a = Packing.packByBudget(docs, "id", "tok", 512, partitions = 3)
+      .orderBy("id").collect().toSeq
+    val b = Packing.packByBudget(docs, "id", "tok", 512, partitions = 13)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("bins are contiguous in id order and fill to the budget") {
+    val rows = Packing.packByBudget(docs, "id", "tok", 512)
+      .orderBy("id").collect()
+    // bin ids never decrease along the layout order
+    assert(rows.sliding(2).forall(p =>
+      p(0).getAs[Long]("bin") <= p(1).getAs[Long]("bin")))
+    val stats = Packing.binStats(
+      Packing.packByBudget(docs, "id", "tok", 512), 512)
+      .orderBy("bin").collect()
+    val lastBin = stats.last.getAs[Long]("bin")
+    // every bin except the last starts within budget of its boundary:
+    // total >= budget - (max doc size) is guaranteed by construction
+    stats.dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("total_tokens") >= 512 - 99,
+        s"bin ${r.getAs[Long]("bin")} underfilled")
+      assert(r.getAs[Long]("bin") < lastBin)
+    }
+  }
+
+  test("empty input and single row") {
+    val empty = Packing.packByBudget(docs.filter(col("id") < 0), "id", "tok", 64)
+    assert(empty.count() == 0)
+    val one = Packing.packByBudget(docs.filter(col("id") === 7), "id", "tok", 64)
+      .head()
+    assert(one.getAs[Long]("cum_before") == 0L && one.getAs[Long]("bin") == 0L)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ids = spark.range(1000).toDF("id")
+    .withColumn("src", concat(lit("s"), pmod(col("id"), lit(4)).cast("string")))
+
+  test("deterministicSample: exact n, repeatable, seed-sensitive") {
+    val a = Sampling.deterministicSample(ids, "id", 100, 42)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(ids, "id", 100, 42)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val c = Sampling.deterministicSample(ids, "id", 100, 43)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a.size == 100)
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("deterministicSample pins the md5 key format (seed:id)") {
+    val manual = ids
+      .withColumn("k", md5(concat(lit("42:"), col("id").cast("string"))))
+      .orderBy("k").limit(10).select("id").collect().map(_.getLong(0)).toSeq
+    val got = Sampling.deterministicSample(ids, "id", 10, 42)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == manual)
+  }
+
+  test("stratifiedSample: exact quota per stratum; small strata kept whole") {
+    val counts = Sampling.stratifiedSample(ids, "id", "src", 25, 7)
+      .groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.size == 4)
+    assert(counts.values.forall(_ == 25L))
+    val tiny = ids.filter(col("id") < 3)
+    assert(Sampling.stratifiedSample(tiny, "id", "src", 10, 7).count() == 3)
+  }
+
+  test("stratified picks differ across strata (not the same rank cut)") {
+    val out = Sampling.stratifiedSample(ids, "id", "src", 25, 7)
+      .select("id").collect().map(_.getLong(0) % 4).toSet
+    assert(out.size == 4)
+  }
+
+  test("weightedMix: only mapped sources above default, nested thresholds") {
+    val half = Sampling.weightedMix(ids, "id", "src",
+      Map("s0" -> 0.5), seed = 11, defaultFraction = 0.0)
+    assert(half.select("src").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("s0"))
+    val n = half.count()
+    assert(n > 80 && n < 170, s"expected ~125 of 250, got $n")
+    val full = Sampling.weightedMix(ids, "id", "src",
+      Map("s0" -> 1.0), seed = 11, defaultFraction = 0.0)
+    assert(full.count() == 250)
+    // same seed => thresholds nest: the 0.5 subset is inside the 1.0 set
+    val h = half.select("id").collect().map(_.getLong(0)).toSet
+    val f = full.select("id").collect().map(_.getLong(0)).toSet
+    assert(h.subsetOf(f))
+  }
+
+  test("hashFrac is uniform-ish over [0,1)") {
+    val m = ids.select(avg(Sampling.hashFrac(col("id"), 5)).as("m"))
+      .head().getDouble(0)
+    assert(m > 0.45 && m < 0.55, s"mean hashFrac $m far from 0.5")
+  }
+}
