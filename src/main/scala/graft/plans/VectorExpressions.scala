@@ -23,15 +23,39 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 object VectorExpressions {
 
-  private def elemToDouble(dt: DataType, v: String): String = dt match {
-    case FloatType  => s"(double) $v"
-    case DoubleType => v
-    case _          => throw new IllegalArgumentException(s"bad elem type $dt")
+  /** Generated-code accessor reading element `i` of array `v` as a
+    * double, switched on the array's element type. Any numeric element
+    * type is supported natively — int8-quantized embeddings arrive as
+    * array<int>, and reading them through the wrong ArrayData accessor
+    * would yield garbage silently (same hazard
+    * [[HyperplaneSignBits]] guards against).
+    */
+  private def elemToDouble(dt: DataType, arr: String, i: String): String = dt match {
+    case DoubleType  => s"$arr.getDouble($i)"
+    case FloatType   => s"(double) $arr.getFloat($i)"
+    case LongType    => s"(double) $arr.getLong($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case ShortType   => s"(double) $arr.getShort($i)"
+    case ByteType    => s"(double) $arr.getByte($i)"
+    case _           => throw new IllegalArgumentException(s"bad elem type $dt")
   }
 
   abstract class VectorFold extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
+
+    // Both sides must be numeric arrays; anything else fails at
+    // ANALYSIS time instead of evaluating to garbage.
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(le, _), ArrayType(re, _))
+          if elemKind(le) >= 0 && elemKind(re) >= 0 =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires two arrays of float/double/int/long/short/byte, " +
+              s"got ${l.catalogString} and ${r.catalogString}")
+      }
 
     protected def leftElem: DataType =
       left.dataType.asInstanceOf[ArrayType].elementType
@@ -39,8 +63,12 @@ object VectorExpressions {
       right.dataType.asInstanceOf[ArrayType].elementType
 
     protected def getD(a: ArrayData, i: Int, dt: DataType): Double = dt match {
-      case FloatType => a.getFloat(i).toDouble
-      case _         => a.getDouble(i)
+      case DoubleType  => a.getDouble(i)
+      case FloatType   => a.getFloat(i).toDouble
+      case LongType    => a.getLong(i).toDouble
+      case IntegerType => a.getInt(i).toDouble
+      case ShortType   => a.getShort(i).toDouble
+      case _           => a.getByte(i).toDouble
     }
   }
 
@@ -66,8 +94,8 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         val acc = ctx.freshName("acc")
-        val la = elemToDouble(leftElem, s"$a.get${if (leftElem == FloatType) "Float" else "Double"}($i)")
-        val rb = elemToDouble(rightElem, s"$b.get${if (rightElem == FloatType) "Float" else "Double"}($i)")
+        val la = elemToDouble(leftElem, a, i)
+        val rb = elemToDouble(rightElem, b, i)
         s"""
            |int $n = $a.numElements();
            |if ($n != $b.numElements()) {
@@ -114,8 +142,8 @@ object VectorExpressions {
         val nb = ctx.freshName("nb")
         val x = ctx.freshName("x")
         val y = ctx.freshName("y")
-        val la = elemToDouble(leftElem, s"$a.get${if (leftElem == FloatType) "Float" else "Double"}($i)")
-        val rb = elemToDouble(rightElem, s"$b.get${if (rightElem == FloatType) "Float" else "Double"}($i)")
+        val la = elemToDouble(leftElem, a, i)
+        val rb = elemToDouble(rightElem, b, i)
         s"""
            |int $n = $a.numElements();
            |if ($n != $b.numElements()) {

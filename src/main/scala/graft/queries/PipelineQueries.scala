@@ -2,9 +2,12 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 import graft.Tables
 import graft.functions.{TextAnalysis, VectorOps}
-import graft.operators.{Dedup, Packing, Sampling, Similarity}
+import graft.operators.{Dedup, Packing, Quantization, Sampling, Similarity}
+import graft.plans.VectorExpressions
+import graft.streaming.EventsStream
 
 /** Round-5 training-pipeline surface: engine-portable deterministic
   * sampling (the md5 trick turns the sampling family from rows-only to
@@ -126,6 +129,74 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("long").as("n"),
           round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy("mth")
+    }),
+    // int8-quantized embedding top-k, FULL oracle: the corpus is
+    // stored quantized (4x smaller — the 100 TB embedding layout) and
+    // searched WITHOUT dequantization: cosine is scale-invariant, so
+    // the codegen cosine kernel runs directly over the int arrays.
+    // DuckDB replays the identical quantization (floor-based half-up)
+    // and cosine arithmetic.
+    "emb2_int8_topk" -> ((s, d) => {
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      val enc = Quantization.encode(base, "vec_id", "v")
+      val qs = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      val scored = enc.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos8",
+          round(VectorExpressions.cosine(col("q"), col("q_v")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos8").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("cos8"))
+        .orderBy("q_id", "rank")
+    }),
+    // Structured Streaming tumbling-window aggregation, FULL oracle:
+    // the stream (file source over a normalized copy of events) must
+    // produce exactly what the batch plan computes — stream==batch as
+    // a driver gate, not just a spec. Complete output into a memory
+    // sink, drained with processAllAvailable.
+    "st1_stream_window" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val src = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-st1-$tag").toString
+      if (!new java.io.File(s"$src/_SUCCESS").exists()) {
+        // events.parquet is TIMESTAMP(NANOS) which the streaming file
+        // source can't ingest directly; write the micro-precision form
+        // once per sf dir (same fixture discipline as pp1)
+        Tables.load(s, d, "events").write.mode("overwrite").parquet(src)
+      }
+      val agg = EventsStream.windowedCounts(
+        EventsStream.readEvents(s, src), "1 hour", "30 minutes")
+      val qn = s"graft_st1_$tag"
+      try s.catalog.dropTempView(qn) catch { case _: Exception => () }
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete()).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(qn)
+        .select(col("window_start"), col("event_type"),
+          col("cnt").cast("long").as("cnt"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+    // JSON sink round trip (eland to_json): write, re-read with an
+    // explicit schema, oracle against the source rows
+    "io2_json_roundtrip" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-io2-$tag").toString
+      graft.api.GraftFrame(t(s, d, "orders"), "o_orderkey")
+        .where(col("o_orderkey") <= 1000)
+        .select(Seq("o_orderkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"))
+        .toJson(dir)
+      s.read.schema(
+          "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, " +
+            "o_orderpriority STRING")
+        .json(dir)
+        .orderBy("o_orderkey")
     })
   )
 
@@ -226,6 +297,39 @@ object PipelineQueries {
         |       CAST(count(*) AS BIGINT) AS n,
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE year(o_orderdate) = 1996
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical quantization arithmetic (floor-based half-up over
+    // max|v|/127), identical cosine over the INT vectors
+    "emb2_int8_topk" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |       FROM base),
+        |enc AS (SELECT vec_id,
+        |          list_transform(v, x -> floor(x / scale + 0.5)) AS q
+        |        FROM sc WHERE scale > 0),
+        |qs AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 5),
+        |s AS (SELECT qs.q_id, e.vec_id AS n_id,
+        |        round(list_dot_product(e.q, qs.qv) /
+        |          (sqrt(list_dot_product(e.q, e.q)) *
+        |           sqrt(list_dot_product(qs.qv, qs.qv))), 6) AS cos8
+        |      FROM enc e, qs WHERE e.vec_id <> qs.q_id),
+        |r AS (SELECT q_id, n_id, cos8,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY cos8 DESC, n_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id, cos8 FROM r WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
+    // the batch face of the tumbling window: epoch-aligned hour buckets
+    "st1_stream_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "io2_json_roundtrip" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        |       o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
