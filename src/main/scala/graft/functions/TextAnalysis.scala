@@ -120,6 +120,28 @@ object TextAnalysis {
       nonAlnum.as("non_alnum_ratio"))
   }
 
+  /** PII patterns — deliberately RE2-expressible (no lookarounds), so
+    * the DuckDB oracle replays redaction verbatim. Lowercase-corpus
+    * forms; widen with (?i) for mixed-case inputs.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** Count of matches of `re` in `text` — per-row expression, no
+    * shuffle (audit metric for redaction sweeps).
+    */
+  def countMatches(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** Redact emails then phone numbers. Chained regexp_replace —
+    * codegen'd, applied in a fixed order so the oracle's chained
+    * form is byte-identical.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** Word n-gram shingles ("w1 w2 w3"); empty array when too short. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

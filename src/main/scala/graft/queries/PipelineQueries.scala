@@ -21,6 +21,33 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Micro-precision copy of `events` for the streaming file source
+    * (the raw parquet is TIMESTAMP(NANOS), which the source rejects);
+    * written once per sf dir, reused by every streaming gate.
+    */
+  private def eventsStreamFixture(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val src = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-st1-$tag").toString
+    if (!new java.io.File(s"$src/_SUCCESS").exists()) {
+      Tables.load(s, d, "events").write.mode("overwrite").parquet(src)
+    }
+    src
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the sink table. `processAllAvailable` drains the (finite)
+    * file source; the temp view outlives the stopped query.
+    */
+  private def drainToTable(s: SparkSession, stream: DataFrame,
+                           name: String, mode: OutputMode): DataFrame = {
+    try s.catalog.dropTempView(name) catch { case _: Exception => () }
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic seeded sample — md5 keys replayable by DuckDB, so
     // unlike g11's xxhash64 order this one faces the FULL oracle
@@ -160,26 +187,62 @@ object PipelineQueries {
     // sink, drained with processAllAvailable.
     "st1_stream_window" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val src = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft-st1-$tag").toString
-      if (!new java.io.File(s"$src/_SUCCESS").exists()) {
-        // events.parquet is TIMESTAMP(NANOS) which the streaming file
-        // source can't ingest directly; write the micro-precision form
-        // once per sf dir (same fixture discipline as pp1)
-        Tables.load(s, d, "events").write.mode("overwrite").parquet(src)
-      }
       val agg = EventsStream.windowedCounts(
-        EventsStream.readEvents(s, src), "1 hour", "30 minutes")
-      val qn = s"graft_st1_$tag"
-      try s.catalog.dropTempView(qn) catch { case _: Exception => () }
-      val q = agg.writeStream.format("memory").queryName(qn)
-        .outputMode(OutputMode.Complete()).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-      s.table(qn)
+        EventsStream.readEvents(s, eventsStreamFixture(s, d)),
+        "1 hour", "30 minutes")
+      drainToTable(s, agg, s"graft_st1_$tag", OutputMode.Complete())
         .select(col("window_start"), col("event_type"),
           col("cnt").cast("long").as("cnt"),
           round(col("sum_value"), 4).as("sum_value"))
         .orderBy("window_start", "event_type")
+    }),
+    // streaming exact dedup (dropDuplicatesWithinWatermark) — the
+    // continuous-ingest face of exact corpus dedup, gated against the
+    // batch DISTINCT oracle
+    "st2_stream_dedup" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dd = EventsStream.dedupedEvents(
+        EventsStream.readEvents(s, eventsStreamFixture(s, d))
+          .select(col("ts"), col("user_id"), col("event_type")),
+        Seq("user_id", "event_type"), "30 minutes")
+      drainToTable(s, dd, s"graft_st2_$tag", OutputMode.Append())
+        .select(col("user_id"), col("event_type"))
+        .orderBy("user_id", "event_type")
+    }),
+    // PII redaction sweep. The synthetic corpus contains no PII, so
+    // the gate PLANTS one email + one phone per document (the dd8
+    // lesson: a gate whose correct answer is a no-op proves nothing)
+    // and the oracle replays the identical RE2-safe patterns
+    "t7_redact" -> ((s, d) => {
+      val withPii = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      withPii.select(col("doc_id"),
+        TextAnalysis.countMatches(col("text"), TextAnalysis.EmailRe).as("n_emails"),
+        TextAnalysis.countMatches(col("text"), TextAnalysis.PhoneRe).as("n_phones"),
+        TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+    // repetition/boilerplate quality signals (the Gopher-rule family):
+    // duplicate-token ratio and top-token share per document. Explode →
+    // two-level aggregation — ONE shuffle on (doc_id, token) with
+    // map-side partial aggregation, the shape that survives 100 TB
+    // (a per-row HOF counting pass would be O(n·distinct) interpreted
+    // work per document instead)
+    "t8_repetition" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_distinct"),
+          max("cnt").cast("long").as("top_cnt"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct") / col("n_tokens")).as("dup_token_ratio"),
+          (col("top_cnt") / col("n_tokens")).as("top_token_ratio"))
+        .orderBy("doc_id")
     }),
     // JSON sink round trip (eland to_json): write, re-read with an
     // explicit schema, oracle against the source rows
@@ -330,6 +393,37 @@ object PipelineQueries {
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
         |       o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderkey <= 1000
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "st2_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "t7_redact" ->
+      raw"""WITH p AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+           |      '@example.com or +1-555-' ||
+           |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text,
+           |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text,
+           |    '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           |  regexp_replace(
+           |    regexp_replace(text,
+           |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+           |FROM p ORDER BY doc_id""".stripMargin,
+    "t8_repetition" ->
+      raw"""WITH b AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+           |c AS (SELECT doc_id, tok, count(*) AS cnt FROM b GROUP BY 1, 2),
+           |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           |             CAST(count(*) AS BIGINT) AS n_distinct,
+           |             CAST(max(cnt) AS BIGINT) AS top_cnt
+           |      FROM c GROUP BY 1)
+           |SELECT doc_id, n_tokens, n_distinct,
+           |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_ratio,
+           |  CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_ratio
+           |FROM a ORDER BY doc_id""".stripMargin
   )
 }
