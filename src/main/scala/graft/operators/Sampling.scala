@@ -82,4 +82,27 @@ object Sampling {
     }
     df.filter(hashFrac(col(idCol), seed) < frac)
   }
+
+  /** Leakage-safe train/val/test split: the split decision hashes the
+    * GROUP key, so every row of a group (a dup-cluster, a domain, a
+    * source) lands in the same split — the guard against near-duplicate
+    * leakage across train/test that a row-level split cannot give.
+    * `splits` are (name, fraction) with fractions summing to 1;
+    * assignment is the portable [[hashFrac]] draw against cumulative
+    * bounds, so any engine with md5 reproduces the full assignment.
+    * Pure per-row expression — zero shuffle at any scale.
+    */
+  def groupSplit(df: DataFrame, groupCol: String,
+                 splits: Seq[(String, Double)], seed: Long): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "groupSplit: fractions must be non-negative and sum to 1")
+    val u = hashFrac(col(groupCol), seed)
+    val uppers = splits.init.scanLeft(0.0)(_ + _._2).tail
+    val assign = splits.init.zip(uppers)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), ub), els) => when(u < lit(ub), lit(name)).otherwise(els)
+      }
+    df.withColumn("split", assign)
+  }
 }

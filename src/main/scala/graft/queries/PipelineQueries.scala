@@ -244,6 +244,30 @@ object PipelineQueries {
           (col("top_cnt") / col("n_tokens")).as("top_token_ratio"))
         .orderBy("doc_id")
     }),
+    // leakage-safe group split: all docs of a source land in ONE split
+    // (the near-dup-leakage guard); md5 group draw, full oracle
+    "sm4_group_split" -> ((s, d) => {
+      Sampling.groupSplit(t(s, d, "documents"),
+          "source", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          seed = 13)
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    }),
+    // frame→table ingest (eland pandas_to_eland): replace then append
+    // with the schema-compat check on the append path, re-read and
+    // oracle against the source
+    "io3_ingest" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-io3-$tag").toString
+      val src = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      graft.sources.Ingest.saveTable(
+        src.where(col("c_custkey") % 2 === 0), path, "replace")
+      graft.sources.Ingest.saveTable(
+        src.where(col("c_custkey") % 2 === 1), path, "append")
+      s.read.parquet(path).orderBy("c_custkey")
+    }),
     // JSON sink round trip (eland to_json): write, re-read with an
     // explicit schema, oracle against the source rows
     "io2_json_roundtrip" -> ((s, d) => {
@@ -397,6 +421,18 @@ object PipelineQueries {
     "st2_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "sm4_group_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |        ('0x' || substr(md5('13:' || source), 1, 8))::BIGINT
+        |          / 4294967296.0 AS u
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "io3_ingest" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "t7_redact" ->
       raw"""WITH p AS (
            |  SELECT doc_id,

@@ -68,4 +68,28 @@ class SamplingSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(m > 0.45 && m < 0.55, s"mean hashFrac $m far from 0.5")
   }
+
+  test("groupSplit is group-atomic, total, and ratio-plausible") {
+    import spark.implicits._
+    // 200 groups of 5 rows each
+    val df = (0L until 1000L).map(i => (i, s"g${i / 5}")).toDF("id", "grp")
+    val out = Sampling.groupSplit(df, "grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 3)
+    // every row assigned, exactly one split per group
+    assert(out.filter(col("split").isNull).count() == 0)
+    val perGroup = out.groupBy("grp")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(perGroup == 0, "a group was torn across splits")
+    // ratios in the right neighborhood (200 groups, binomial noise)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 650 && counts("train") < 950, counts.toString)
+    assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) ==
+      1000 - counts("train"))
+    // deterministic: same seed => identical assignment
+    val again = Sampling.groupSplit(df, "grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 3)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+  }
 }
