@@ -206,6 +206,31 @@ object TextAnalysis {
       lit(0L), (a, b) => a + b)
   }
 
+  /** Engine-portable 60-bit SimHash: the per-token hash is the first
+    * 15 md5 hex chars (60 bits — comfortably inside signed-BIGINT
+    * range in every engine), folded through the same sign-of-sums
+    * sketch as [[simhash64Hof]]. Cross-engine replayable — DuckDB
+    * recomputes it with `('0x'||substr(md5(t),1,15))::BIGINT` per
+    * token and a per-bit ±1 sum — which turns the SimHash family from
+    * rows-only to fully oracle-checked. Like [[fingerprintPortable]]:
+    * use at system boundaries; the native codegen [[simhash64]] is
+    * the interior fast path.
+    */
+  def simhashPortable(text: Column): Column = {
+    val masks = lit((0 until 60).map(i => 1L << i).toArray)
+    val hs = transform(tokens(text), t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val counts = aggregate(
+      hs,
+      transform(sequence(lit(0), lit(59)), _ => lit(0)),
+      (acc, h) => zip_with(acc,
+        transform(masks, m => when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+  }
+
   /** Hamming distance between two simhash64 values. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")

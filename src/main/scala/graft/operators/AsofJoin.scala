@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, attach the single
+  * right row with the same key whose time is the latest not exceeding
+  * the left time ([[backward]]) or the earliest not preceding it
+  * ([[forward]]). The operator Spark's built-in join surface lacks
+  * (pandas `merge_asof`, DuckDB `ASOF JOIN`) and the one a training
+  * pipeline reaches for whenever features must be joined
+  * "as of" an observation time without leaking the future.
+  *
+  * Scale shape — union + running window, NOT a range join:
+  * both sides are tagged and unioned, shuffled ONCE on the key, and a
+  * running `last(_, ignoreNulls)` over the per-key time order carries
+  * the most recent right payload forward onto each left row. Cost is
+  * one hash partitioning plus a per-key sort — no interval cross
+  * product, no per-row subquery, and no broadcast requirement on
+  * either side, so it survives two 100 TB inputs as long as single
+  * keys fit a partition (salt-by-time-range first if one key is
+  * pathologically hot).
+  *
+  * Ties: right rows sort before left rows at equal time, so an exact
+  * timestamp match IS visible (inclusive bound, matching DuckDB/pandas
+  * semantics). Multiple right rows at the same (key, time) are
+  * nondeterministic — pre-aggregate the right side to one row per
+  * (key, time) when that matters (the driver gate does).
+  */
+object AsofJoin {
+
+  /** Latest right row with `right.rightTime <= left.leftTime` per key.
+    * Right payload columns must not collide with left column names
+    * (rename before calling); unmatched left rows keep null payloads.
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String): DataFrame =
+    joined(left, right, key, leftTime, rightTime, descending = false)
+
+  /** Earliest right row with `right.rightTime >= left.leftTime` per
+    * key — the look-ahead mirror of [[backward]].
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String): DataFrame =
+    joined(left, right, key, leftTime, rightTime, descending = true)
+
+  private def joined(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String,
+                     descending: Boolean): DataFrame = {
+    val payload = right.columns.filterNot(_ == key).toSeq
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right columns collide with left: ${collisions.mkString(", ")} " +
+        "- rename them before the as-of join")
+    val leftCols = left.columns.toSeq
+
+    def nullOf(df: DataFrame, c: String): Column =
+      lit(null).cast(df.schema(c).dataType).as(c)
+
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .select(col("_t") +: col("_side") +: (leftCols.map(col) ++
+        payload.map(nullOf(right, _))): _*)
+    val r = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .select(col("_t") +: col("_side") +: (col(key) +:
+        (leftCols.filterNot(_ == key).map(nullOf(left, _)) ++
+          payload.map(col))): _*)
+
+    val ord: Seq[Column] =
+      if (descending) Seq(col("_t").desc, col("_side").asc)
+      else Seq(col("_t").asc, col("_side").asc)
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1).drop("_t", "_side")
+  }
+}

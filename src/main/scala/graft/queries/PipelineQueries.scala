@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.Tables
 import graft.functions.{TextAnalysis, VectorOps}
-import graft.operators.{Dedup, Packing, Quantization, Sampling, Similarity}
+import graft.operators.{AsofJoin, Decontam, Dedup, Packing, Quantization, RangeJoin, Sampling, Similarity}
 import graft.plans.VectorExpressions
 import graft.streaming.EventsStream
 
@@ -268,6 +268,83 @@ object PipelineQueries {
         src.where(col("c_custkey") % 2 === 1), path, "append")
       s.read.parquet(path).orderBy("c_custkey")
     }),
+    // as-of (point-in-time) join: every purchase picks up the user's
+    // latest prior click — union + running window, ONE shuffle on the
+    // key, no range cross product. The right side is pre-aggregated to
+    // one row per (user_id, ts) so the tie case is deterministic in
+    // both engines; DuckDB replays it with a native ASOF LEFT JOIN.
+    "asof1_pointintime" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+        .withColumnRenamed("ts", "click_ts")
+      AsofJoin.backward(purchases, clicks, "user_id", "ts", "click_ts")
+        .select("event_id", "user_id", "ts", "value", "click_ts",
+          "click_value")
+        .orderBy("event_id")
+    }),
+    // point-in-interval range join, bucketed to an equi-join: events
+    // landing inside each error's 10-minute aftermath window. A raw
+    // BETWEEN join would plan as a nested-loop product; the bucket
+    // expansion makes it a plain shuffled hash join (pinned cartesian-
+    // free in PlanQualitySpec). Non-vacuous: every window contains at
+    // least its own error event.
+    "rj1_range_window" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      val pts = ev.select(col("event_id"), col("ts"))
+      RangeJoin.pointInInterval(pts, "ts", errors, "w_start", "w_end",
+          bucketSeconds = 600)
+        .groupBy("err_id")
+        .agg(count(lit(1)).cast("long").as("n_in_window"))
+        .orderBy("err_id")
+    }),
+    // benchmark decontamination: corpus docs sharing any 3-gram with
+    // the "benchmark" subset (doc_id % 50 = 0 — benchmarks drawn from
+    // the corpus guarantee overlap, so the gate is non-vacuous). The
+    // benchmark gram set broadcasts; the corpus is filtered map-side
+    // and never shuffled to find matches.
+    "dc1_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Decontam.contaminationReport(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+    // stream-stream interval join: purchases joined to the clicks of
+    // the same user within the preceding 10 minutes, as two watermarked
+    // streams (state bounded by watermark+lookback); the oracle is the
+    // batch interval join. Non-vacuous: the corpus interleaves clicks
+    // and purchases per user.
+    "st3_stream_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val src = eventsStreamFixture(s, d)
+      val p = EventsStream.readEvents(s, src)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val c = EventsStream.readEvents(s, src)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val j = EventsStream.intervalJoin(p, "p_ts", "p_user",
+          c, "c_ts", "c_user", lookbackSeconds = 600)
+        .select(col("p_id"), col("c_id"))
+      drainToTable(s, j, s"graft_st3_$tag", OutputMode.Append())
+        .orderBy("p_id", "c_id")
+    }),
+    // engine-portable SimHash (md5 token hash) — the full-oracle face
+    // of dd3's xxhash64 sketch: DuckDB replays every per-bit ±1 sum
+    "dd10_simhash_md5" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(size(TextAnalysis.tokens(col("text"))) > 0)
+        .select(col("doc_id"),
+          TextAnalysis.simhashPortable(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
     // JSON sink round trip (eland to_json): write, re-read with an
     // explicit schema, oracle against the source rows
     "io2_json_roundtrip" -> ((s, d) => {
@@ -413,6 +490,51 @@ object PipelineQueries {
         |       event_type, CAST(count(*) AS BIGINT) AS cnt,
         |       round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "asof1_pointintime" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS click_ts, max(value) AS click_value
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       c.click_ts, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "rj1_range_window" ->
+      """WITH e AS (SELECT event_id AS err_id, ts AS w_start,
+        |                  ts + INTERVAL 10 MINUTE AS w_end
+        |           FROM events WHERE event_type = 'error')
+        |SELECT err_id, CAST(count(*) AS BIGINT) AS n_in_window
+        |FROM e JOIN events p ON p.ts >= e.w_start AND p.ts <= e.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dc1_decontam" ->
+      raw"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
+           |b AS (SELECT DISTINCT g
+           |      FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0)),
+           |cg AS (SELECT DISTINCT doc_id, g
+           |       FROM (SELECT doc_id, unnest(s) AS g FROM sh))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
+           |FROM cg JOIN b USING (g)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st3_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |ORDER BY 1, 2""".stripMargin,
+    "dd10_simhash_md5" ->
+      raw"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+           |h AS (SELECT doc_id,
+           |        ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok),
+           |bits AS (SELECT doc_id, j,
+           |           sum(CASE WHEN (hv & (1::BIGINT << j)) != 0
+           |               THEN 1 ELSE -1 END) AS s
+           |         FROM h, generate_series(0, 59) g(j) GROUP BY 1, 2)
+           |SELECT doc_id,
+           |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
+           |         AS BIGINT) AS simhash
+           |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
     "io2_json_roundtrip" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
         |       o_totalprice, o_orderpriority

@@ -62,6 +62,31 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: each left row joins right rows with
+    * `leftKey == rightKey` and `rightTime` within
+    * `[leftTime - lookbackSeconds, leftTime]` (e.g. purchases joined
+    * to the clicks that preceded them). Column names must be disjoint
+    * — rename before calling.
+    *
+    * Both sides carry a watermark and the join condition bounds the
+    * time range, which is exactly what Spark needs to size and expire
+    * the join state buffers: state is O(events inside
+    * watermark+lookback), not unbounded. Inner-join matches emit as
+    * soon as both sides arrive — no watermark wait on the output path.
+    */
+  def intervalJoin(left: DataFrame, leftTime: String, leftKey: String,
+                   right: DataFrame, rightTime: String, rightKey: String,
+                   lookbackSeconds: Long,
+                   watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) -
+          expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+        col(rightTime) <= col(leftTime))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)

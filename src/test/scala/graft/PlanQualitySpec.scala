@@ -173,4 +173,24 @@ class PlanQualitySpec extends AnyFunSuite {
     // the mix decision itself must not join or aggregate
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
   }
+
+  test("asof1: the as-of join plans as union+window — zero join nodes") {
+    val p = plan("asof1_pointintime")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("rj1: the range join is an equi-join, not a nested-loop product") {
+    val p = plan("rj1_range_window")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // bucket expansion keeps it a hash-joinable equi-join
+    assert(p.contains("Join"), p)
+  }
+
+  test("dc1: benchmark grams broadcast; corpus side joins map-side") {
+    val p = plan("dc1_decontam")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

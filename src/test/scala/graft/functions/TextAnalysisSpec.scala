@@ -88,6 +88,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       one(TextAnalysis.fingerprintPortable($"t"), "c b a"))
   }
 
+  test("simhashPortable: bag-of-words semantics, 60-bit range, md5 replay") {
+    def one(s: String): Long =
+      Seq(s).toDF("t").select(TextAnalysis.simhashPortable($"t"))
+        .collect()(0).getLong(0)
+    // order-insensitive (a bag sketch), token-sensitive
+    assert(one("alpha beta gamma") == one("gamma Beta ALPHA"))
+    assert(one("alpha beta gamma") != one("alpha beta delta"))
+    // single token: the sketch IS the token's 60-bit md5 prefix
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    assert(one("alpha") == java.lang.Long.parseLong(h, 16))
+    assert((one("alpha beta") >>> 60) == 0L)
+  }
+
   test("FromTokens forms are bit-identical to the convenience forms") {
     val texts = Seq("the cat and the dog", "der hund und die katze ist",
       "xyz", "", "el la de los 7 que es").toDF("t")

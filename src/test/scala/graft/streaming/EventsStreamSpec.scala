@@ -121,4 +121,37 @@ class EventsStreamSpec extends AnyFunSuite {
       assert(sessions(0).session_end.getTime == base + 20 * 60000)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch interval join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    val batch = Tables.load(spark, TestSpark.sfDir, "events")
+    batch.write.mode("overwrite").parquet(dir)
+
+    def side(tpe: String, p: String) =
+      EventsStream.readEvents(spark, dir).filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+          col("ts").as(s"${p}_ts"))
+    val j = EventsStream.intervalJoin(side("purchase", "p"), "p_ts", "p_user",
+        side("click", "c"), "c_ts", "c_user", lookbackSeconds = 3600)
+      .select("p_id", "c_id")
+    val q = j.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val p = batch.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val c = batch.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val want = p.join(c, col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 3600 SECONDS") &&
+          col("c_ts") <= col("p_ts"))
+        .select("p_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
 }
