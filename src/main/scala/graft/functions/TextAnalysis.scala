@@ -142,14 +142,26 @@ object TextAnalysis {
       regexp_replace(text, EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
 
-  /** Word n-gram shingles ("w1 w2 w3"); empty array when too short. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles ("w1 w2 w3"); empty array when too short.
+    *
+    * NOTE the transform lambda references the token array per shingle
+    * position, and interpreted HOF subtrees are not CSE'd — so this
+    * convenience form re-runs the tokenizer O(positions) times per
+    * row. In anything hot, stage `tokens(text)` in its own projection
+    * and use [[shinglesFromTokens]] (the arr1 rule).
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** [[shingles]] over an already-materialized token array column —
+    * the staged spelling for hot pipelines: the lambda's repeated
+    * references hit a cheap attribute, not a recomputed regex split.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Rolling polynomial document fingerprint over tokens, mod 1e9+7.
     * Order-sensitive (unlike a bag-of-words hash), so re-ordered

@@ -28,13 +28,18 @@ object Decontam {
   def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
                           bench: DataFrame, benchTextCol: String,
                           n: Int): DataFrame = {
+    // tokens staged in their own projection on both sides (the arr1
+    // rule: the shingle lambda would otherwise re-run the tokenizer
+    // once per shingle position)
     val benchGrams = broadcast(
-      bench.select(explode(TextAnalysis.shingles(col(benchTextCol), n))
+      bench.select(TextAnalysis.tokens(col(benchTextCol)).as("_toks"))
+        .select(explode(TextAnalysis.shinglesFromTokens(col("_toks"), n))
           .as("_gram"))
         .distinct())
     corpus
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(col(idCol),
-        explode(TextAnalysis.shingles(col(textCol), n)).as("_gram"))
+        explode(TextAnalysis.shinglesFromTokens(col("_toks"), n)).as("_gram"))
       .join(benchGrams, Seq("_gram"))
       .groupBy(idCol)
       .agg(count_distinct(col("_gram")).cast("long").as("n_hit_ngrams"))

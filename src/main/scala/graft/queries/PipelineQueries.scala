@@ -40,11 +40,23 @@ object PipelineQueries {
     * file source; the temp view outlives the stopped query.
     */
   private def drainToTable(s: SparkSession, stream: DataFrame,
-                           name: String, mode: OutputMode): DataFrame = {
+                           name: String, mode: OutputMode,
+                           statePartitions: Option[Int] = None): DataFrame = {
     try s.catalog.dropTempView(name) catch { case _: Exception => () }
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    // stateful streaming jobs size their state partitioning to active
+    // keys, not to batch CPU count: every state partition pays a
+    // per-micro-batch store commit, so 32 partitions for ~50 active
+    // keys is mostly commit overhead. The setting is pinned into the
+    // query at start() (streaming shuffle partitioning is fixed for
+    // the query's lifetime), then restored for batch work.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      s.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
@@ -190,7 +202,8 @@ object PipelineQueries {
       val agg = EventsStream.windowedCounts(
         EventsStream.readEvents(s, eventsStreamFixture(s, d)),
         "1 hour", "30 minutes")
-      drainToTable(s, agg, s"graft_st1_$tag", OutputMode.Complete())
+      drainToTable(s, agg, s"graft_st1_$tag", OutputMode.Complete(),
+          statePartitions = Some(8))
         .select(col("window_start"), col("event_type"),
           col("cnt").cast("long").as("cnt"),
           round(col("sum_value"), 4).as("sum_value"))
@@ -205,7 +218,8 @@ object PipelineQueries {
         EventsStream.readEvents(s, eventsStreamFixture(s, d))
           .select(col("ts"), col("user_id"), col("event_type")),
         Seq("user_id", "event_type"), "30 minutes")
-      drainToTable(s, dd, s"graft_st2_$tag", OutputMode.Append())
+      drainToTable(s, dd, s"graft_st2_$tag", OutputMode.Append(),
+          statePartitions = Some(8))
         .select(col("user_id"), col("event_type"))
         .orderBy("user_id", "event_type")
     }),
@@ -333,7 +347,8 @@ object PipelineQueries {
       val j = EventsStream.intervalJoin(p, "p_ts", "p_user",
           c, "c_ts", "c_user", lookbackSeconds = 600)
         .select(col("p_id"), col("c_id"))
-      drainToTable(s, j, s"graft_st3_$tag", OutputMode.Append())
+      drainToTable(s, j, s"graft_st3_$tag", OutputMode.Append(),
+          statePartitions = Some(8))
         .orderBy("p_id", "c_id")
     }),
     // engine-portable SimHash (md5 token hash) — the full-oracle face
