@@ -43,7 +43,13 @@ object DumpPlans {
     "t8_repetition" ->
       "Repetition signals: explode feeds a two-level aggregation — partial counts before the (doc_id, token) Exchange, per-doc rollup after; one shuffle total and nothing per-row-interpreted, so the Gopher-rule sweep survives a 100TB corpus.",
     "pp1_partition_prune" ->
-      "Hive-layout partition pruning: the o_year predicate lands in PartitionFilters — whole directories are skipped at planning time, the layout discipline that turns a 100TB scan into a 4TB one. PlanQualitySpec asserts selected < total partitions.")
+      "Hive-layout partition pruning: the o_year predicate lands in PartitionFilters — whole directories are skipped at planning time, the layout discipline that turns a 100TB scan into a 4TB one. PlanQualitySpec asserts selected < total partitions.",
+    "asof1_pointintime" ->
+      "As-of join as union + running window: ZERO join nodes — both sides shuffle once on the key and a running last(ignoreNulls) carries the latest right payload onto each left row. No interval cross product, no broadcast requirement, so two 100TB sides survive. PlanQualitySpec pins the no-join shape.",
+    "rj1_range_window" ->
+      "Range join bucketed into an equi-join: intervals explode onto fixed-width buckets, points land in exactly one bucket, and the BETWEEN filter refines a plain shuffled hash join. The raw inequality join would plan as a nested-loop product — O(points x intervals) at any scale.",
+    "dc1_decontam" ->
+      "Decontamination: the benchmark n-gram set is distinct-ed and BROADCAST; the corpus side explodes staged-token shingles and hash-joins map-side — the 100TB corpus is never shuffled to find matches, and only matched (doc, gram) pairs reach the aggregation.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
