@@ -360,6 +360,25 @@ object PipelineQueries {
           TextAnalysis.simhashPortable(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
+    // upsert ingest (the eland append-by-_id semantics on parquet):
+    // replace-write the base table, upsert modified + brand-new rows,
+    // re-read; the oracle recomputes the merge from the source
+    "io4_upsert" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-io4-$tag").toString
+      val src = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      graft.sources.Ingest.saveTable(src, path, "replace")
+      val updates = src.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .unionByName(Seq(
+          (9000001L, "upsert new a", 1.5), (9000002L, "upsert new b", 2.5))
+          .toDF("c_custkey", "c_name", "c_acctbal"))
+      graft.sources.Ingest.upsertTable(updates, path, "c_custkey")
+      s.read.parquet(path).orderBy("c_custkey")
+    }),
     // JSON sink round trip (eland to_json): write, re-read with an
     // explicit schema, oracle against the source rows
     "io2_json_roundtrip" -> ((s, d) => {
@@ -550,6 +569,15 @@ object PipelineQueries {
            |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
            |         AS BIGINT) AS simhash
            |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+    "io4_upsert" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
+        |       ELSE c_acctbal END AS c_acctbal
+        |FROM customer
+        |UNION ALL
+        |SELECT * FROM (VALUES (CAST(9000001 AS BIGINT), 'upsert new a', 1.5),
+        |                      (9000002, 'upsert new b', 2.5)) t(k, n, b)
+        |ORDER BY c_custkey""".stripMargin,
     "io2_json_roundtrip" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
         |       o_totalprice, o_orderpriority

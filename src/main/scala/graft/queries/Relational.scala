@@ -515,6 +515,44 @@ object Relational {
         .select(rhu(lit(100.0) * col("_pr") / col("_tr"), 4)
           .as("promo_revenue"))
     }),
+    // TPC-H Q18 shape (large-volume orders): a HAVING-filtered
+    // aggregate of the fact table semi-drives the join, then a sorted
+    // limit — the aggregate's partial pass collapses lineitem before
+    // anything joins, and the limit fuses into TakeOrderedAndProject
+    "q18_large_orders" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 180)
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+          col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+    // TPC-H Q19 shape: an OR-of-ANDs predicate spanning both join
+    // sides — Catalyst must derive the side-local disjunctions and
+    // push them below the join (pinned in PlanQualitySpec), else the
+    // scan reads everything and filters after the join
+    "q19_disjunctive" -> ((s, d) => {
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(20, 40))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
     "j3_semi_join" -> ((s, d) => {
       val o = t(s, d, "orders")
       val l = t(s, d, "lineitem").filter(col("l_quantity") >= 49)
@@ -841,6 +879,24 @@ object Relational {
         |    round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END), 2) /
         |    round(sum(rev), 2)) * 10000 + 0.5) / 10000.0 AS promo_revenue
         |FROM j""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180)
+        |SELECT c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "j3_semi_join" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt,
         |       round(sum(o_totalprice), 2) AS sum_price

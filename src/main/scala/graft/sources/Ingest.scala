@@ -59,6 +59,45 @@ object Ingest {
     }
   }
 
+  /** Upsert (merge-by-key): incoming rows replace existing rows with
+    * the same key, everything else is kept, new keys are inserted.
+    * eland's append ingest is implicitly an upsert — ES indexing is
+    * idempotent per `_id` (eland/etl.py:219-227 streams index actions
+    * keyed by the frame index) — but parquet has no primary key, so
+    * the merge materializes as read → anti-join → union → swap.
+    *
+    * Incoming keys must be unique (the same contract ES enforces per
+    * bulk chunk); duplicate incoming keys would both survive.
+    *
+    * Scale shape: ONE hash join on the key (the incoming side is
+    * typically small and broadcasts), no window, no global sort. The
+    * rewrite is staged to `<path>__upsert_tmp` and swapped in with a
+    * filesystem rename, so the table read and the table write never
+    * overlap. Cost is proportional to the whole table — the
+    * unpartitioned-parquet trade; at 100 TB keep the table
+    * hive-partitioned ([[graft.Tables.savePartitioned]]) and upsert
+    * only the partitions the incoming keys touch.
+    */
+  def upsertTable(df: DataFrame, path: String, key: String): Unit = {
+    val spark = df.sparkSession
+    val exists = try { spark.read.parquet(path).schema; true }
+      catch { case _: Throwable => false }
+    if (!exists) { df.write.parquet(path); return }
+    val target = spark.read.parquet(path)
+    verifyCompatible(target.schema, df.schema)
+    val cols = target.columns.toSeq
+    val merged = target.join(df.select(key), Seq(key), "left_anti")
+      .unionByName(df.selectExpr(cols: _*))
+
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__upsert_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hadoopPath, true)
+    if (!fs.rename(tmp, hadoopPath))
+      throw new java.io.IOException(s"upsert swap failed: $tmp -> $path")
+  }
+
   /** The read_csv kwargs `csv_to_eland` forwards to pandas
     * (eland/etl.py:297-561: sep, names, usecols, dtype, na_values,
     * parse_dates, quotechar, escapechar, comment, nrows, encoding, ...),

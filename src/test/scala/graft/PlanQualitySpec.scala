@@ -188,6 +188,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("q18: sorted limit fuses into TakeOrderedAndProject over the joined aggregate") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // lineitem collapses through partial+final HashAggregate BEFORE joining
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("q19: side-local disjunctions are derived and pushed below the join") {
+    val df = SparkEntry.queries("q19_disjunctive")(spark, TestSpark.sfDir)
+    val op = df.queryExecution.optimizedPlan.toString
+    // the OR-of-ANDs spans both sides; Catalyst must still derive a
+    // lineitem-only quantity disjunction and a part-only brand/size
+    // disjunction under the join (else both scans read everything)
+    val belowJoin = op.substring(op.indexOf("Join"))
+    assert(belowJoin.contains("l_quantity") && belowJoin.contains("Filter"), op)
+    assert("Filter .*l_quantity.*l_quantity".r.findFirstIn(belowJoin).isDefined, op)
+    assert("Filter .*p_brand".r.findFirstIn(belowJoin).isDefined, op)
+  }
+
   test("dc1: benchmark grams broadcast; corpus side joins map-side") {
     val p = plan("dc1_decontam")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -98,6 +98,33 @@ class IngestSpec extends AnyFunSuite {
     assert(r(2).getLong(1) == 7L && r(2).getDouble(2) == 2.25)
   }
 
+  test("upsertTable replaces matching keys, keeps the rest, inserts new ones") {
+    import spark.implicits._
+    val path = tmp()
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "name", "v").write.parquet(path)
+    Ingest.upsertTable(
+      Seq((2L, "b2", 20.0), (9L, "new", 9.0)).toDF("k", "name", "v"),
+      path, "k")
+    val got = spark.read.parquet(path).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0),
+      (9L, "new", 9.0)))
+    // second upsert over the swapped table (the rename must leave a
+    // readable table behind)
+    Ingest.upsertTable(Seq((1L, "a2", 10.0)).toDF("k", "name", "v"), path, "k")
+    assert(spark.read.parquet(path).filter($"k" === 1L)
+      .collect()(0).getString(1) == "a2")
+    // no table yet -> plain write
+    val fresh = tmp()
+    Ingest.upsertTable(Seq((5L, "x", 5.0)).toDF("k", "name", "v"), fresh, "k")
+    assert(spark.read.parquet(fresh).count() == 1)
+    // incompatible schema still refused
+    assertThrows[IllegalArgumentException] {
+      Ingest.upsertTable(Seq((1L, 2L)).toDF("k", "name"), path, "k")
+    }
+  }
+
   test("csv round-trip preserves data") {
     val nation = Tables.load(spark, TestSpark.sfDir, "nation")
     val csvDir = tmp()
