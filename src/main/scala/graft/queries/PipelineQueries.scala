@@ -360,6 +360,27 @@ object PipelineQueries {
           TextAnalysis.simhashPortable(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
+    // the flagship composition: exact dedup -> benchmark
+    // decontamination -> quality floor -> leakage-safe split, ONE
+    // declarative plan (no materialization between stages — Catalyst
+    // sees the whole pipeline). Each stage is individually
+    // oracle-proven (dd6 / dc1 / t1 / sm4); this gate proves they
+    // COMPOSE, replaying the entire pipeline in DuckDB.
+    "pipe1_corpus_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val deduped = Dedup.exactKeepFirst(docs, "doc_id", "text")
+      val dirty = Decontam.contaminatedIds(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 250 === 0), "text", n = 5)
+      val clean = deduped.join(dirty, Seq("doc_id"), "left_anti")
+      Sampling.groupSplit(
+          clean.withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+            .filter(col("n_tok") >= 5),
+          "source", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          seed = 13)
+        .filter(col("split") === "train")
+        .select("doc_id", "source", "n_tok")
+        .orderBy("doc_id")
+    }),
     // upsert ingest (the eland append-by-_id semantics on parquet):
     // replace-write the base table, upsert modified + brand-new rows,
     // re-read; the oracle recomputes the merge from the source
@@ -400,6 +421,12 @@ object PipelineQueries {
 
   private val toksSql =
     raw"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+  /** Word n-gram SQL for any n (mirrors TextAnalysis.shingles). */
+  private def shinglesSqlN(n: Int): String =
+    raw"""CASE WHEN len($toksSql) >= $n
+         | THEN list_distinct(list_transform(range(1, len($toksSql) - ${n - 2}),
+         |        i -> array_to_string(($toksSql)[i:i+${n - 1}], ' ')))
+         | ELSE [] END""".stripMargin
   private val shinglesSql =
     raw"""CASE WHEN len($toksSql) >= 3
          | THEN list_distinct(list_transform(range(1, len($toksSql) - 1),
@@ -569,6 +596,25 @@ object PipelineQueries {
            |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
            |         AS BIGINT) AS simhash
            |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipe1_corpus_pipeline" ->
+      raw"""WITH sh AS (SELECT doc_id, text, source,
+           |              ${shinglesSqlN(5)} AS s FROM documents),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM documents
+           |         GROUP BY md5(text)),
+           |bg AS (SELECT DISTINCT g
+           |       FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 250 = 0)),
+           |dirty AS (SELECT DISTINCT doc_id
+           |          FROM (SELECT doc_id, unnest(s) AS g FROM sh) c
+           |          JOIN bg USING (g)),
+           |base AS (
+           |  SELECT d.doc_id, d.source, CAST(len($toksSql) AS BIGINT) AS n_tok
+           |  FROM documents d JOIN keep USING (doc_id)
+           |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)
+           |    AND len($toksSql) >= 5)
+           |SELECT doc_id, source, n_tok FROM base
+           |WHERE ('0x' || substr(md5('13:' || source), 1, 8))::BIGINT
+           |        / 4294967296.0 < 0.8
+           |ORDER BY doc_id""".stripMargin,
     "io4_upsert" ->
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
