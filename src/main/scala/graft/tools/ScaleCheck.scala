@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{AsofJoin, Decontam, Dedup, RangeJoin, Similarity}
 
 /** Dev-only scale sanity check: replicate the sf0.1 documents Nx with
   * fresh ids (each replica's text gets a distinguishing suffix token so
@@ -32,16 +32,52 @@ object ScaleCheck {
     println(s"[scale] corpus: ${n0} -> ${scaled.count()} docs")
 
     def time(name: String)(f: => Long): Unit = {
+      // isolate phases: a giant previous result (the range join emits
+      // ~50M rows at mult=10) otherwise bleeds GC pressure into the
+      // next measurement and fakes a superlinearity
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       val n = f
       println(f"[scale] $name%-24s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
     }
+    // events replicated with FRESH keys per replica (user cardinality
+    // scales with the data, the realistic shape for key-partitioned ops)
+    val ev = Tables.load(spark, "/root/testdata/sf0.1", "events")
+    ev.crossJoin(spark.range(mult).select(col("id").as("rep")))
+      .select((col("event_id") * mult + col("rep")).as("event_id"),
+        col("ts"), (col("user_id") * mult + col("rep")).as("user_id"),
+        col("event_type"), col("value"))
+      .write.mode("overwrite").parquet("/tmp/scale_events")
+    val se = spark.read.parquet("/tmp/scale_events")
+    println(s"[scale] events: ${se.count()} rows")
+
     time("exactStats") { Dedup.exactStats(scaled, "text").count() }
     time("minhashLshPairs") {
       Dedup.minhashLshPairs(scaled, "doc_id", "text", threshold = 0.5).count()
     }
     time("simhash sketches") {
       scaled.select(graft.functions.TextAnalysis.simhash64(col("text"))).count()
+    }
+    time("asofJoin backward") {
+      val p = se.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val c = se.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+        .withColumnRenamed("ts", "click_ts")
+      AsofJoin.backward(p, c, "user_id", "ts", "click_ts").count()
+    }
+    time("rangeJoin bucketed") {
+      val errors = se.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      RangeJoin.pointInInterval(
+        se.select(col("event_id"), col("ts")), "ts",
+        errors, "w_start", "w_end", 600).count()
+    }
+    time("decontam 3-gram") {
+      Decontam.contaminationReport(scaled, "doc_id", "text",
+        scaled.filter(col("doc_id") % 500 === 0), "text", 3).count()
     }
     spark.stop()
   }
