@@ -33,21 +33,30 @@ object AsofJoin {
   /** Latest right row with `right.rightTime <= left.leftTime` per key.
     * Right payload columns must not collide with left column names
     * (rename before calling); unmatched left rows keep null payloads.
+    *
+    * `toleranceSeconds` mirrors pandas `merge_asof(tolerance=...)`:
+    * when set, a match older than the tolerance is rejected (payloads
+    * null) rather than falling back to anything older still.
     */
   def backward(left: DataFrame, right: DataFrame, key: String,
-               leftTime: String, rightTime: String): DataFrame =
-    joined(left, right, key, leftTime, rightTime, descending = false)
+               leftTime: String, rightTime: String,
+               toleranceSeconds: Option[Long] = None): DataFrame =
+    joined(left, right, key, leftTime, rightTime, descending = false,
+      toleranceSeconds)
 
   /** Earliest right row with `right.rightTime >= left.leftTime` per
     * key — the look-ahead mirror of [[backward]].
     */
   def forward(left: DataFrame, right: DataFrame, key: String,
-              leftTime: String, rightTime: String): DataFrame =
-    joined(left, right, key, leftTime, rightTime, descending = true)
+              leftTime: String, rightTime: String,
+              toleranceSeconds: Option[Long] = None): DataFrame =
+    joined(left, right, key, leftTime, rightTime, descending = true,
+      toleranceSeconds)
 
   private def joined(left: DataFrame, right: DataFrame, key: String,
                      leftTime: String, rightTime: String,
-                     descending: Boolean): DataFrame = {
+                     descending: Boolean,
+                     toleranceSeconds: Option[Long]): DataFrame = {
     val payload = right.columns.filterNot(_ == key).toSeq
     val collisions = payload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
@@ -79,6 +88,22 @@ object AsofJoin {
     val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    carried.filter(col("_side") === 1).drop("_t", "_side")
+    val matchedLeft = carried.filter(col("_side") === 1)
+    val bounded = toleranceSeconds match {
+      case None => matchedLeft
+      case Some(tol) =>
+        // gap measured on whole epoch seconds; evaluate the bound
+        // BEFORE any payload (including the right time) is nulled
+        val gap =
+          if (descending)
+            col(rightTime).cast("long") - col(leftTime).cast("long")
+          else col(leftTime).cast("long") - col(rightTime).cast("long")
+        val within = col(rightTime).isNotNull && gap <= tol
+        val tagged = matchedLeft.withColumn("_within", within)
+        payload.foldLeft(tagged) { (df, c) =>
+          df.withColumn(c, when(col("_within"), col(c)))
+        }.drop("_within")
+    }
+    bounded.drop("_t", "_side")
   }
 }

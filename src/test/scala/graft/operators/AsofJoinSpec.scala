@@ -65,6 +65,27 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
   }
 
+  test("tolerance rejects stale matches instead of falling back") {
+    val left = Seq((1L, 100L, "near"), (1L, 500L, "far")).toDF("k", "lt", "tag")
+      .withColumn("lt", timestamp_seconds(col("lt")))
+    val right = Seq((1L, 90L, 7.0), (1L, 130L, 8.0)).toDF("k", "rt", "payload")
+      .withColumn("rt", timestamp_seconds(col("rt")))
+    val out = AsofJoin.backward(left, right, "k", "lt", "rt",
+        toleranceSeconds = Some(60L))
+      .select("tag", "payload").collect().map(r =>
+        r.getString(0) -> Option(r.get(1))).toMap
+    // "near" is 10s after rt=90 (within 60s); "far" is 370s after
+    // rt=130 — the match exists but is too old, so pandas-style null
+    assert(out === Map("near" -> Some(7.0), "far" -> None))
+    val fwd = AsofJoin.forward(left, right, "k", "lt", "rt",
+        toleranceSeconds = Some(60L))
+      .select("tag", "payload").collect().map(r =>
+        r.getString(0) -> Option(r.get(1))).toMap
+    // forward: "near"(100) sees rt=130, gap 30 within; "far"(500) has
+    // no later right row at all
+    assert(fwd === Map("near" -> Some(8.0), "far" -> None))
+  }
+
   test("colliding right column names are rejected") {
     val l = Seq((1L, 1L, 2.0)).toDF("k", "t", "value")
       .withColumn("t", timestamp_seconds(col("t")))
