@@ -45,4 +45,29 @@ object VectorOps {
   def l2Dist(a: Column, b: Column): Column =
     sqrt(suml(zip_with(asDouble(a), asDouble(b),
       (x, y) => (x - y) * (x - y))))
+
+  /** Matryoshka-style truncation: keep the first `d` dimensions. Pair
+    * with a renormalize-or-not decision at the call site: cosine over
+    * truncated vectors needs NO renormalization (it divides by the
+    * truncated norms anyway), so prefer searching the raw prefix and
+    * renormalizing only when a downstream consumer expects unit
+    * vectors. A 64→16 truncation is a 4× scan/storage cut on top of
+    * whatever quantization already bought.
+    */
+  def truncate(v: Column, d: Int): Column = slice(asDouble(v), 1, d)
+
+  /** [[truncate]] + L2-renormalize (unit-length prefix), null-safe on
+    * zero vectors (returns the zero prefix unchanged).
+    *
+    * NOTE the divisor is an aggregate nested under the per-element
+    * lambda (interpreted HOFs re-evaluate it per element — the arr1
+    * rule), so in hot pipelines stage the truncated column and its
+    * norm in their own projections, or search the raw prefix with
+    * cosine (which needs no renormalization at all, as emb3 does).
+    */
+  def truncateNormalize(v: Column, d: Int): Column = {
+    val t = truncate(v, d)
+    val n = sqrt(suml(zip_with(t, t, (x, y) => x * y)))
+    when(n > 0.0, transform(t, x => x / n)).otherwise(t)
+  }
 }

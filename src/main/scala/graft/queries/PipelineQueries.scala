@@ -360,6 +360,36 @@ object PipelineQueries {
           TextAnalysis.simhashPortable(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
+    // matryoshka-truncated search: top-3 cosine neighbors over the
+    // FIRST 16 of 64 dims — a 4x scan cut with no renormalization
+    // needed (cosine divides by the truncated norms). DuckDB replays
+    // the prefix arithmetic exactly.
+    "emb3_matryoshka_topk" -> ((s, d) => {
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"), VectorOps.truncate(col("embedding"), 16).as("v"))
+      val qs = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      val scored = base.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos16",
+          round(VectorExpressions.cosine(col("v"), col("q_v")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos16").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("cos16"))
+        .orderBy("q_id", "rank")
+    }),
+    // document chunking: overlapping token windows (size 32, stride
+    // 16) — the embedding/context-window preprocessing step. Pure
+    // per-row explode over staged tokens, no shuffle; DuckDB replays
+    // the chunk arithmetic exactly
+    "chunk1_token_windows" -> ((s, d) => {
+      graft.operators.Chunking.chunkByTokens(
+          t(s, d, "documents"), "doc_id", "text",
+          chunkSize = 32, stride = 16)
+        .orderBy("doc_id", "chunk_no")
+    }),
     // the flagship composition: exact dedup -> benchmark
     // decontamination -> quality floor -> leakage-safe split, ONE
     // declarative plan (no materialization between stages — Catalyst
@@ -596,6 +626,34 @@ object PipelineQueries {
            |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
            |         AS BIGINT) AS simhash
            |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+    "emb3_matryoshka_topk" ->
+      """WITH base AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v
+        |              FROM embeddings),
+        |qs AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 5),
+        |s AS (SELECT qs.q_id, b.vec_id AS n_id,
+        |        round(list_dot_product(b.v, qs.qv) /
+        |          (sqrt(list_dot_product(b.v, b.v)) *
+        |           sqrt(list_dot_product(qs.qv, qs.qv))), 6) AS cos16
+        |      FROM base b, qs WHERE b.vec_id <> qs.q_id),
+        |r AS (SELECT q_id, n_id, cos16,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY cos16 DESC, n_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id, cos16 FROM r WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
+    "chunk1_token_windows" ->
+      raw"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |c AS (SELECT doc_id, toks,
+           |        CAST(ceil(greatest(len(toks) - 32, 0) / 16.0) AS INT) + 1
+           |          AS nch
+           |      FROM b),
+           |e AS (SELECT doc_id, toks,
+           |        unnest(generate_series(0, nch - 1)) AS i
+           |      FROM c)
+           |SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+           |       array_to_string(toks[i*16+1 : i*16+32], ' ') AS chunk_text,
+           |       CAST(len(toks[i*16+1 : i*16+32]) AS BIGINT) AS n_tok
+           |FROM e ORDER BY doc_id, chunk_no""".stripMargin,
     "pipe1_corpus_pipeline" ->
       raw"""WITH sh AS (SELECT doc_id, text, source,
            |              ${shinglesSqlN(5)} AS s FROM documents),

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class ChunkingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("overlapping windows cover every token with the right stride") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Chunking.chunkByTokens(docs, "doc_id", "text", 4, 2)
+      .orderBy("chunk_no")
+      .select("chunk_no", "chunk_text", "n_tok").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (0L, "t1 t2 t3 t4", 4L), (1L, "t3 t4 t5 t6", 4L),
+      (2L, "t5 t6 t7 t8", 4L), (3L, "t7 t8 t9 t10", 4L)))
+  }
+
+  test("short, exact-fit, and empty documents chunk sanely") {
+    val docs = Seq((1L, "a b"), (2L, "a b c d"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Chunking.chunkByTokens(docs, "doc_id", "text", 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((1L, 0L, "a b"), (2L, 0L, "a b c d"), (3L, 0L, "")))
+  }
+
+  test("non-overlapping chunks reconstruct the token stream") {
+    val docs = spark.range(50).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), (col("id") % 37 + 1).cast("int")),
+        i => concat(lit("w"), i))).as("text"))
+    val chunks = Chunking.chunkByTokens(docs, "doc_id", "text", 8, 8)
+    // collect_list order is not guaranteed — sort by chunk_no explicitly
+    val rebuilt = chunks.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("chunk_no"), col("chunk_text"))))
+        .as("arr"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("arr"), s => s.getField("chunk_text")))
+          .as("re"))
+    val diff = rebuilt.join(docs, Seq("doc_id"))
+      .filter(col("re") =!= lower(col("text")))
+    assert(diff.count() === 0)
+    // every chunk except a doc's last has exactly chunkSize tokens
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val bad = chunks.withColumn("mx", max("chunk_no").over(w))
+      .filter(col("chunk_no") < col("mx") && col("n_tok") =!= 8)
+    assert(bad.count() === 0)
+  }
+
+  test("stride larger than chunk size is rejected") {
+    assertThrows[IllegalArgumentException] {
+      Chunking.chunkByTokens(Seq((1L, "a")).toDF("doc_id", "text"), "doc_id",
+        "text", 4, 5)
+    }
+  }
+}
