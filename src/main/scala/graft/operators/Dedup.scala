@@ -87,6 +87,42 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup against a persistent digest registry —
+    * the continuous-ingest face of [[exactKeepFirst]]: drop batch rows
+    * whose content digest was registered by ANY earlier batch (or
+    * duplicated within this batch, keep-first by id), then append the
+    * survivors' digests to the registry and return the survivors.
+    *
+    * The registry holds 16-byte digests only, never documents, so the
+    * anti-join ships digests — the same narrow-shuffle discipline as
+    * the LSH band join. Survivors are materialized (localCheckpoint)
+    * BEFORE their digests are appended: the returned frame must not
+    * lazily re-read a registry that now contains its own digests (it
+    * would anti-join itself to empty on the next action). The
+    * checkpoint pins one batch — not the corpus — per call.
+    */
+  def incrementalExactDedup(batch: DataFrame, idCol: String,
+                            textCol: String,
+                            registryPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val withDigest = batch.withColumn("_digest", md5(col(textCol)))
+    val inBatchFirst = withDigest.join(
+      withDigest.groupBy("_digest").agg(min(col(idCol)).as(idCol)),
+      Seq("_digest", idCol), "left_semi")
+    val registry = try {
+      Some(spark.read.parquet(registryPath))
+    } catch { case _: Throwable => None }
+    val survivors = registry match {
+      case Some(reg) =>
+        inBatchFirst.join(reg, col("_digest") === col("digest"), "left_anti")
+      case None => inBatchFirst
+    }
+    val out = survivors.localCheckpoint(true)
+    out.select(col("_digest").as("digest"))
+      .write.mode("append").parquet(registryPath)
+    out.drop("_digest")
+  }
+
   /** Permutation min-hashes over an ALREADY-MATERIALIZED array of base
     * shingle hashes. The caller must materialize that array in its own
     * projection (see minhashLshPairs): higher-order-function lambdas

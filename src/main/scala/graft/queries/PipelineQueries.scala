@@ -360,6 +360,26 @@ object PipelineQueries {
           TextAnalysis.simhashPortable(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
+    // incremental exact dedup against a persistent digest registry:
+    // batch 1 (even ids) registers its digests; batch 2 (odd ids) must
+    // drop everything batch 1 already saw plus its own in-batch dups.
+    // The registry is wiped first so repeated runs are deterministic.
+    "dd11_incremental_dedup" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val reg = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-dd11-$tag")
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(wipe)); f.delete(); ()
+      }
+      wipe(reg)
+      val docs = t(s, d, "documents")
+      Dedup.incrementalExactDedup(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", reg.toString)
+      Dedup.incrementalExactDedup(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", reg.toString)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
     // matryoshka-truncated search: top-3 cosine neighbors over the
     // FIRST 16 of 64 dims — a 4x scan cut with no renormalization
     // needed (cosine divides by the truncated norms). DuckDB replays
@@ -626,6 +646,14 @@ object PipelineQueries {
            |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
            |         AS BIGINT) AS simhash
            |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd11_incremental_dedup" ->
+      """WITH b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        |k AS (SELECT min(doc_id) AS doc_id FROM b2 GROUP BY md5(text))
+        |SELECT d.doc_id FROM b2 d JOIN k USING (doc_id)
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents b1
+        |  WHERE b1.doc_id % 2 = 0 AND md5(b1.text) = md5(d.text))
+        |ORDER BY doc_id""".stripMargin,
     "emb3_matryoshka_topk" ->
       """WITH base AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v
         |              FROM embeddings),

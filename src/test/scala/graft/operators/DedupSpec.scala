@@ -26,6 +26,32 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Seq(0L, 2L, 3L, 4L)) // id 1 deduped against id 0
   }
 
+  test("incremental dedup drops cross-batch and in-batch dups, registry persists") {
+    val reg = java.nio.file.Files.createTempDirectory("graft-dd-reg")
+      .toString + "/registry"
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").as[Long].collect().sorted.toSeq
+
+    val b1 = Seq((0L, "aaa"), (1L, "bbb"), (2L, "aaa")).toDF("id", "text")
+    // in-batch dup (id 2) dropped, 0 and 1 survive and register
+    assert(ids(Dedup.incrementalExactDedup(b1, "id", "text", reg))
+      == Seq(0L, 1L))
+    // batch 2: "aaa"/"bbb" already registered; "ccc" new (first of two)
+    val b2 = Seq((10L, "aaa"), (11L, "ccc"), (12L, "ccc"), (13L, "bbb"))
+      .toDF("id", "text")
+    assert(ids(Dedup.incrementalExactDedup(b2, "id", "text", reg))
+      == Seq(11L))
+    // batch 3: "ccc" now registered by batch 2
+    val b3 = Seq((20L, "ccc"), (21L, "ddd")).toDF("id", "text")
+    assert(ids(Dedup.incrementalExactDedup(b3, "id", "text", reg))
+      == Seq(21L))
+    // the returned frame stays stable on re-execution (materialized
+    // before its own digests were appended)
+    val out = Dedup.incrementalExactDedup(
+      Seq((30L, "eee")).toDF("id", "text"), "id", "text", reg)
+    assert(ids(out) == Seq(30L) && ids(out) == Seq(30L))
+  }
+
   test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
