@@ -53,6 +53,53 @@ object Sampling {
                           seed: Long): DataFrame =
     df.orderBy(hashKey(col(idCol), seed)).limit(n)
 
+  /** Deterministic global shuffle: a reproducible random permutation
+    * of the whole dataset (training-data ordering), keyed by the same
+    * portable md5 draw as [[deterministicSample]] — re-runs, other
+    * engines, and auditors all reproduce the exact order. Emits a
+    * contiguous 0-based `ordinal` column. `idCol` must be unique and
+    * long-castable.
+    *
+    * Scale shape: the naive `row_number().over(Window.orderBy(key))`
+    * is a single-partition sort — fatal at scale (the same trap
+    * [[graft.operators.Packing]] documents). This uses the two-phase
+    * distributed prefix sum instead: range-partition + sort on the
+    * 16-byte keys (the one shuffle any global permutation costs),
+    * per-partition COUNTS to the driver (O(partitions) state),
+    * offsets broadcast back, each partition numbers locally; ordinals
+    * then hash-join back onto the full rows by id.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val keyed = df
+      .select(hashKey(col(idCol), seed).as("_k"),
+        col(idCol).cast("long").as("_id"))
+      .repartitionByRange(nPart, col("_k"))
+      .sortWithinPartitions("_k")
+      .persist()
+    val counts = keyed.as[(String, Long)].mapPartitions { it =>
+      Iterator((org.apache.spark.TaskContext.getPartitionId(),
+        it.size.toLong))
+    }.collect().toMap
+    val offsets = new Array[Long](nPart + 1)
+    var p = 0
+    while (p < nPart) {
+      offsets(p + 1) = offsets(p) + counts.getOrElse(p, 0L)
+      p += 1
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ordinals = keyed.as[(String, Long)].mapPartitions { it =>
+      var o = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (_, id) => val r = (id, o); o += 1; r }
+    }.toDF("_id", "ordinal")
+    val out = df.join(ordinals, col(idCol).cast("long") === col("_id"))
+      .drop("_id")
+    Dedup.materializeAndRelease(keyed, out)
+  }
+
   /** Exact n-per-stratum sample: within each stratum, keep the
     * `nPerStratum` smallest hash keys. The training-data "balanced
     * subset" primitive (cap each source/language/label at a quota).

@@ -360,6 +360,30 @@ object PipelineQueries {
           TextAnalysis.simhashPortable(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
+    // deterministic global shuffle (reproducible training order):
+    // distributed two-phase ordinal assignment — the single-partition
+    // window spelling is pinned OUT in PlanQualitySpec; DuckDB replays
+    // the same md5 permutation with a plain window
+    "sm5_shuffle" -> ((s, d) => {
+      Sampling.deterministicShuffle(t(s, d, "customer"), "c_custkey",
+          seed = 17)
+        .select("c_custkey", "ordinal")
+        .orderBy("c_custkey")
+    }),
+    // top-k token vocabulary with dense ids, (count desc, token) order
+    "voc1_vocab" -> ((s, d) => {
+      graft.operators.Vocabulary.build(t(s, d, "documents"), "text", k = 100)
+        .orderBy("token_id")
+    }),
+    // sequence encoding against the vocab: (doc, pos, token_id), OOV
+    // -1; the vocab broadcasts, the corpus never shuffles to encode
+    "voc2_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Vocabulary.encodeExploded(
+          docs.filter(col("doc_id") < 50), "doc_id", "text",
+          graft.operators.Vocabulary.build(docs, "text", k = 100))
+        .orderBy("doc_id", "pos")
+    }),
     // incremental exact dedup against a persistent digest registry:
     // batch 1 (even ids) registers its digests; batch 2 (odd ids) must
     // drop everything batch 1 already saw plus its own in-batch dups.
@@ -646,6 +670,37 @@ object PipelineQueries {
            |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
            |         AS BIGINT) AS simhash
            |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sm5_shuffle" ->
+      """SELECT c_custkey,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('17:' || CAST(c_custkey AS VARCHAR))) - 1
+        |    AS BIGINT) AS ordinal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "voc1_vocab" ->
+      raw"""WITH c AS (
+           |  SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest($toksSql) AS t FROM documents)
+           |  GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100)
+           |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1
+           |         AS BIGINT) AS token_id,
+           |       token, cnt
+           |FROM c ORDER BY token_id""".stripMargin,
+    "voc2_encode" ->
+      raw"""WITH c AS (
+           |  SELECT t AS token, count(*) AS cnt
+           |  FROM (SELECT unnest($toksSql) AS t FROM documents)
+           |  GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100),
+           |v AS (SELECT token,
+           |        CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1
+           |          AS BIGINT) AS token_id
+           |      FROM c),
+           |tok AS (SELECT doc_id, unnest($toksSql) AS t,
+           |          generate_subscripts($toksSql, 1) AS pos
+           |        FROM documents WHERE doc_id < 50)
+           |SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+           |       coalesce(v.token_id, -1) AS token_id
+           |FROM tok LEFT JOIN v ON tok.t = v.token
+           |ORDER BY doc_id, pos""".stripMargin,
     "dd11_incremental_dedup" ->
       """WITH b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
         |k AS (SELECT min(doc_id) AS doc_id FROM b2 GROUP BY md5(text))

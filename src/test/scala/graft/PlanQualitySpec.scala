@@ -207,6 +207,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Filter .*p_brand".r.findFirstIn(belowJoin).isDefined, op)
   }
 
+  test("sm5: the global permutation has no single-partition window") {
+    val df = SparkEntry.queries("sm5_shuffle")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the pack1 rule: an unpartitioned Window would drag the corpus
+    // into one task; the two-phase prefix sum must keep Window out
+    assert(!p.contains("Window"), p)
+  }
+
+  test("voc2: the vocab broadcasts; the corpus is not shuffled to encode") {
+    val p = plan("voc2_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dc1: benchmark grams broadcast; corpus side joins map-side") {
     val p = plan("dc1_decontam")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -69,6 +69,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(m > 0.45 && m < 0.55, s"mean hashFrac $m far from 0.5")
   }
 
+  test("deterministicShuffle: a contiguous permutation matching the key order") {
+    val df = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 3).as("payload"))
+    val out = Sampling.deterministicShuffle(df, "k", seed = 5)
+    // every row kept, ordinals are exactly 0..n-1
+    assert(out.count() == 1000)
+    assert(out.agg(min("ordinal"), max("ordinal"),
+      countDistinct("ordinal")).collect()(0).toSeq == Seq(0L, 999L, 1000L))
+    // ordinal order == md5 key order (the single-partition reference)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(Sampling.hashKey(col("k"), 5))
+    val ref = df.withColumn("ref", row_number().over(w).cast("long") - 1)
+    val diff = out.join(ref.select("k", "ref"), Seq("k"))
+      .filter(col("ordinal") =!= col("ref"))
+    assert(diff.count() == 0)
+    // payload columns ride along
+    assert(out.filter(col("payload") =!= col("k") * 3).count() == 0)
+  }
+
   test("groupSplit is group-atomic, total, and ratio-plausible") {
     import spark.implicits._
     // 200 groups of 5 rows each
