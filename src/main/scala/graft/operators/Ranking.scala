@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** BM25 ranked retrieval — the relevance-scoring heart of the
+  * reference's underlying engine (Lucene's Okapi BM25; eland exposes
+  * the match queries but leaves scores server-side), re-expressed as a
+  * declarative aggregation pipeline.
+  *
+  * Scale shape: documents NOT containing any query term are cut with
+  * an `arrays_overlap` prefilter before the explode; term frequencies
+  * are one counted shuffle over (doc, query-term) pairs only; document
+  * frequencies reduce that tiny table again; corpus stats (N, avg
+  * length) are a 1-row broadcast; the final top-k is a TakeOrdered
+  * heap merge. Nothing corpus-sized shuffles except the one (doc,
+  * term) count, whose width is |matching docs| × |query terms|.
+  */
+object Ranking {
+
+  /** Top-k documents for a bag-of-terms query:
+    * (idCol, score) ordered by score desc (ties by id). Standard
+    * Okapi BM25 with `idf = ln(1 + (N - df + .5)/(df + .5))`.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0)
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val staged = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        size(col("_toks")).cast("double").as("_len"))
+    val stats = staged.agg(count(lit(1)).cast("double").as("_n"),
+      avg(col("_len")).as("_avg"))
+    val tf = staged
+      .filter(arrays_overlap(col("_toks"),
+        lit(terms.toArray)))
+      .select(col(idCol), col("_len"), explode(col("_toks")).as("_t"))
+      .filter(col("_t").isin(terms: _*))
+      .groupBy(col(idCol), col("_len"), col("_t"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val dfreq = tf.groupBy("_t")
+      .agg(count_distinct(col(idCol)).cast("double").as("_df"))
+    tf.join(broadcast(dfreq), Seq("_t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_s",
+        col("_idf") * col("_tf") * (k1 + 1.0) /
+          (col("_tf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("_len") / col("_avg"))))
+      .groupBy(idCol)
+      .agg(round(sum(col("_s")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

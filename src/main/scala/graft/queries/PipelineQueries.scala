@@ -360,6 +360,14 @@ object PipelineQueries {
           TextAnalysis.simhashPortable(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
+    // BM25 ranked retrieval (the reference engine's Okapi scoring as a
+    // declarative aggregation): top-10 docs for a 3-term query; DuckDB
+    // replays idf/tf/length normalization exactly
+    "bm1_bm25_topk" -> ((s, d) => {
+      graft.operators.Ranking.bm25TopK(t(s, d, "documents"),
+          "doc_id", "text", Seq("spark", "vector", "hash"), k = 10)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // deterministic global shuffle (reproducible training order):
     // distributed two-phase ordinal assignment — the single-partition
     // window spelling is pinned OUT in PlanQualitySpec; DuckDB replays
@@ -670,6 +678,21 @@ object PipelineQueries {
            |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
            |         AS BIGINT) AS simhash
            |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bm1_bm25_topk" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('spark', 'vector', 'hash') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1)
+           |SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |FROM tf JOIN dft USING (t), st
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "sm5_shuffle" ->
       """SELECT c_custkey,
         |  CAST(row_number() OVER (

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class RankingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bm25 matches the textbook formula on a hand corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "d"))
+      .toDF("doc_id", "text")
+    val got = Ranking.bm25TopK(docs, "doc_id", "text", Seq("a", "c"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val (k1, b, n, avg) = (1.2, 0.75, 3.0, 2.0)
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def part(tf: Double, df: Double, dl: Double) =
+      idf(df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avg))
+    val d1 = part(2, 2, 3) // "a" twice in doc 1 (len 3)
+    val d2 = part(1, 2, 2) + part(1, 1, 2) // "a" + "c" in doc 2 (len 2)
+    assert(got.keySet == Set(1L, 2L)) // doc 3 matches nothing
+    assert(math.abs(got(1L) - d1) < 1e-6 && math.abs(got(2L) - d2) < 1e-6)
+    // the rarer term makes doc 2 win
+    assert(got(2L) > got(1L))
+  }
+
+  test("multi-term queries beat single-term on the same doc; k caps output") {
+    val docs = Seq((1L, "x y z"), (2L, "x x x"), (3L, "y")).toDF("doc_id", "text")
+    val one = Ranking.bm25TopK(docs, "doc_id", "text", Seq("x"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val two = Ranking.bm25TopK(docs, "doc_id", "text", Seq("x", "y"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(two(1L) > one(1L))
+    assert(Ranking.bm25TopK(docs, "doc_id", "text", Seq("x", "y"), 1)
+      .count() == 1)
+  }
+}
