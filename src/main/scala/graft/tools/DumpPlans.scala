@@ -49,7 +49,13 @@ object DumpPlans {
     "rj1_range_window" ->
       "Range join bucketed into an equi-join: intervals explode onto fixed-width buckets, points land in exactly one bucket, and the BETWEEN filter refines a plain shuffled hash join. The raw inequality join would plan as a nested-loop product — O(points x intervals) at any scale.",
     "dc1_decontam" ->
-      "Decontamination: the benchmark n-gram set is distinct-ed and BROADCAST; the corpus side explodes staged-token shingles and hash-joins map-side — the 100TB corpus is never shuffled to find matches, and only matched (doc, gram) pairs reach the aggregation.")
+      "Decontamination: the benchmark n-gram set is distinct-ed and BROADCAST; the corpus side explodes staged-token shingles and hash-joins map-side — the 100TB corpus is never shuffled to find matches, and only matched (doc, gram) pairs reach the aggregation.",
+    "pipe1_corpus_pipeline" ->
+      "The four-stage pipeline (dedup → decontaminate → quality floor → split) as ONE plan: Catalyst sees everything, so the digest groupBy, the broadcast gram join, the token count, and the split filter fuse into a single pass over the corpus with two narrow shuffles (digest keep-first, gram match) — no inter-stage materialization.",
+    "bm1_bm25_topk" ->
+      "BM25: arrays_overlap prefilter cuts non-matching docs BEFORE the explode; term counts are the only corpus-width shuffle; df/stats broadcast; TakeOrderedAndProject caps the result. Relevance ranking without an index, in four narrow stages.",
+    "q19_disjunctive" ->
+      "The OR-of-ANDs predicate spans both join sides, and Catalyst derives the side-local disjunctions: the lineitem scan gets a quantity-range OR filter, the part scan gets the brand/size OR filter — both BELOW the join, so neither side reads rows that can never match.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
