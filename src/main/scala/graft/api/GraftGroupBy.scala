@@ -125,4 +125,28 @@ class GraftGroupBy(frame: GraftFrame, by: Seq[String], dropna: Boolean) {
       .agg(expr(s"median(abs(${bq(colName)} - _gm))").as(s"${colName}_mad"))
       .orderBy(by.map(col): _*)
   }
+
+  /** Grouped mode with pandas tie semantics (all modal values, ties
+    * by ascending value). The reference declares this unsupported
+    * (`eland/groupby.py:701-702` raises NotImplementedError) — here
+    * it is the same two-level aggregation as frame-level mode with
+    * the group keys prepended: one counted shuffle, a per-(group)
+    * window over the counts, no corpus-wide window.
+    */
+  def mode(colName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = base.filter(col(colName).isNotNull)
+      .groupBy((by :+ colName).map(col): _*)
+      .agg(F.count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("_cnt").desc, col(colName).asc)
+    counts
+      .withColumn("_best", F.max(col("_cnt")).over(
+        Window.partitionBy(by.map(col): _*)))
+      .filter(col("_cnt") === col("_best"))
+      .withColumn("_mr", row_number().over(w).cast("long"))
+      .select(by.map(col) ++ Seq(col("_mr").as("mode_rank"),
+        col(colName).as(s"${colName}_mode")): _*)
+      .orderBy(by.map(col) :+ col("mode_rank"): _*)
+  }
 }

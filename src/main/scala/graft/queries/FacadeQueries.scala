@@ -127,6 +127,12 @@ object FacadeQueries {
         .select(col("c_mktsegment"),
           round(col("c_acctbal_mad"), 4).as("c_acctbal_mad"))
     }),
+    // grouped mode — the reference's own groupby.mode raises
+    // NotImplementedError (eland/groupby.py:701); pandas tie
+    // semantics: all modal values, ranked ascending
+    "g23_groupby_mode" -> ((s, d) => {
+      orders(s, d).groupby(Seq("o_orderstatus")).mode("o_orderpriority")
+    }),
     // drop-by-id + value_counts through the facade
     "g17_drop_value_counts" -> ((s, d) => {
       orders(s, d).dropIds(Seq(1L, 2L, 3L))
@@ -386,6 +392,17 @@ object FacadeQueries {
     "g16_groupby_mad" ->
       """SELECT c_mktsegment, round(mad(c_acctbal), 4) AS c_acctbal_mad
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "g23_groupby_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |           FROM orders WHERE o_orderpriority IS NOT NULL
+        |           GROUP BY 1, 2),
+        |m AS (SELECT o_orderstatus, max(cnt) AS best FROM c GROUP BY 1)
+        |SELECT c.o_orderstatus,
+        |       CAST(row_number() OVER (PARTITION BY c.o_orderstatus
+        |         ORDER BY c.o_orderpriority) AS BIGINT) AS mode_rank,
+        |       c.o_orderpriority AS o_orderpriority_mode
+        |FROM c JOIN m ON c.o_orderstatus = m.o_orderstatus AND c.cnt = m.best
+        |ORDER BY c.o_orderstatus, mode_rank""".stripMargin,
     "g17_drop_value_counts" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS count
         |FROM orders WHERE o_orderkey NOT IN (1, 2, 3)

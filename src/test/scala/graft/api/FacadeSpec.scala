@@ -341,4 +341,17 @@ class FacadeSpec extends AnyFunSuite {
       Tables.load(spark, TestSpark.sfDir, "customer")).head(3).df.collect()
     assert(a.sameElements(b))
   }
+
+  test("groupby mode returns all tied modal values, ranked ascending") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "b"), ("g1", "c"),
+      ("g2", "z")).toDF("grp", "v")
+      .withColumn("id", monotonically_increasing_id())
+    val got = GraftFrame(df, "id").groupby(Seq("grp"))
+      .mode("v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    // g1: a and b tie at 2 (c loses); g2: single value
+    assert(got === Seq(("g1", 1L, "a"), ("g1", 2L, "b"), ("g2", 1L, "z")))
+  }
 }
