@@ -360,6 +360,14 @@ object PipelineQueries {
           TextAnalysis.simhashPortable(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
+    // bigram-LM fluency scoring (the CCNet perplexity-filter recipe
+    // as a declarative bigram model, self-trained on the corpus);
+    // DuckDB replays the smoothed probabilities exactly
+    "ppl1_bigram_lm" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.LanguageModel.bigramScore(docs, docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // BM25 ranked retrieval (the reference engine's Okapi scoring as a
     // declarative aggregation): top-10 docs for a 3-term query; DuckDB
     // replays idf/tf/length normalization exactly
@@ -678,6 +686,21 @@ object PipelineQueries {
            |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
            |         AS BIGINT) AS simhash
            |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ppl1_bigram_lm" ->
+      raw"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |tr AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+           |              unnest(toks[2:len(toks)]) AS w2
+           |       FROM b WHERE len(toks) >= 2),
+           |big AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cb
+           |        FROM tr GROUP BY 1, 2),
+           |uni AS (SELECT t AS w1, CAST(count(*) AS DOUBLE) AS cu
+           |        FROM (SELECT unnest(toks) AS t FROM b) GROUP BY 1),
+           |v AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM uni)
+           |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+           |  round(avg(ln((coalesce(cb, 0) + 0.5) /
+           |               (coalesce(cu, 0) + 0.5 * vs))), 6) AS mean_logp
+           |FROM tr LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1), v
+           |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "bm1_bm25_topk" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,

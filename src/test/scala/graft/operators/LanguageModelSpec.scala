@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class LanguageModelSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bigram scores match the hand-computed smoothed model") {
+    // corpus: "a b" x2 and "a c" -> c(a)=3, c(b)=2, c(c)=1, V=3
+    // c(a b)=2, c(a c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.bigramScore(docs, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val v = 3.0
+    def p(cb: Double, cu: Double) = (cb + 0.5) / (cu + 0.5 * v)
+    val ab = math.log(p(2, 3))
+    val ac = math.log(p(1, 3))
+    assert(got(1L)._1 == 1L && math.abs(got(1L)._2 - ab) < 1e-6)
+    assert(got(2L)._2 == got(1L)._2)
+    assert(math.abs(got(3L)._2 - ac) < 1e-6)
+    // the common transition scores higher than the rare one
+    assert(got(1L)._2 > got(3L)._2)
+  }
+
+  test("unseen transitions hit the smoothing floor; short docs drop out") {
+    val train = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val score = Seq((10L, "x y"), (11L, "y q"), (12L, "solo"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.bigramScore(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // "y q": q never seen after y -> floor probability, lower than "x y"
+    assert(got.keySet == Set(10L, 11L))
+    assert(got(10L) > got(11L))
+  }
+}
