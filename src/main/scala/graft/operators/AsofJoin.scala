@@ -62,7 +62,22 @@ object AsofJoin {
     require(collisions.isEmpty,
       s"right columns collide with left: ${collisions.mkString(", ")} " +
         "- rename them before the as-of join")
+    val reserved = Set("_t", "_side", "_payload")
+    val reservedHits =
+      (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(reservedHits.isEmpty,
+      s"column names ${reservedHits.mkString(", ")} are reserved by the " +
+        "as-of join - rename them before calling")
     val leftCols = left.columns.toSeq
+
+    // the right payload travels as ONE struct so the carry attaches a
+    // whole right row: a per-column last(ignoreNulls) would tear rows
+    // whenever a right payload column holds a legitimate null (mixing
+    // fields of different right rows). The struct is null exactly on
+    // left-side rows, so ignoreNulls skips those and nothing else.
+    val payloadStruct = struct(payload.map(col): _*)
+    val nullPayload = lit(null).cast(
+      right.select(payloadStruct).schema.head.dataType)
 
     def nullOf(df: DataFrame, c: String): Column =
       lit(null).cast(df.schema(c).dataType).as(c)
@@ -70,14 +85,14 @@ object AsofJoin {
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
-      .select(col("_t") +: col("_side") +: (leftCols.map(col) ++
-        payload.map(nullOf(right, _))): _*)
+      .select(col("_t") +: col("_side") +: (leftCols.map(col) :+
+        nullPayload.as("_payload")): _*)
     val r = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
       .select(col("_t") +: col("_side") +: (col(key) +:
-        (leftCols.filterNot(_ == key).map(nullOf(left, _)) ++
-          payload.map(col))): _*)
+        (leftCols.filterNot(_ == key).map(nullOf(left, _)) :+
+          payloadStruct.as("_payload"))): _*)
 
     val ord: Seq[Column] =
       if (descending) Seq(col("_t").desc, col("_side").asc)
@@ -85,25 +100,23 @@ object AsofJoin {
     val w = Window.partitionBy(col(key)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    val matchedLeft = carried.filter(col("_side") === 1)
+    val carried = l.unionByName(r)
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
     val bounded = toleranceSeconds match {
-      case None => matchedLeft
+      case None => carried
       case Some(tol) =>
-        // gap measured on whole epoch seconds; evaluate the bound
-        // BEFORE any payload (including the right time) is nulled
+        // gap measured on whole epoch seconds, on the matched row's
+        // own right time (the struct keeps time and values together)
+        val rt = col("_payload").getField(rightTime)
         val gap =
-          if (descending)
-            col(rightTime).cast("long") - col(leftTime).cast("long")
-          else col(leftTime).cast("long") - col(rightTime).cast("long")
-        val within = col(rightTime).isNotNull && gap <= tol
-        val tagged = matchedLeft.withColumn("_within", within)
-        payload.foldLeft(tagged) { (df, c) =>
-          df.withColumn(c, when(col("_within"), col(c)))
-        }.drop("_within")
+          if (descending) rt.cast("long") - col(leftTime).cast("long")
+          else col(leftTime).cast("long") - rt.cast("long")
+        carried.withColumn("_payload",
+          when(rt.isNotNull && gap <= tol, col("_payload")))
     }
-    bounded.drop("_t", "_side")
+    payload.foldLeft(bounded) { (df, c) =>
+      df.withColumn(c, col("_payload").getField(c))
+    }.drop("_t", "_side", "_payload")
   }
 }

@@ -109,14 +109,16 @@ object Dedup {
     val inBatchFirst = withDigest.join(
       withDigest.groupBy("_digest").agg(min(col(idCol)).as(idCol)),
       Seq("_digest", idCol), "left_semi")
-    val registry = try {
-      Some(spark.read.parquet(registryPath))
-    } catch { case _: Throwable => None }
-    val survivors = registry match {
-      case Some(reg) =>
-        inBatchFirst.join(reg, col("_digest") === col("digest"), "left_anti")
-      case None => inBatchFirst
-    }
+    // probe existence explicitly: a catch-all around read() would turn
+    // a transient IO error into "registry empty" and silently disable
+    // cross-batch dedup. Real read failures must propagate.
+    val regPath = new org.apache.hadoop.fs.Path(registryPath)
+    val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val survivors =
+      if (fs.exists(regPath))
+        inBatchFirst.join(spark.read.parquet(registryPath),
+          col("_digest") === col("digest"), "left_anti")
+      else inBatchFirst
     val out = survivors.localCheckpoint(true)
     out.select(col("_digest").as("digest"))
       .write.mode("append").parquet(registryPath)

@@ -36,6 +36,8 @@ object RangeJoin {
     val collisions = points.columns.toSet.intersect(intervals.columns.toSet)
     require(collisions.isEmpty,
       s"point/interval columns collide: ${collisions.mkString(", ")}")
+    require(!(points.columns ++ intervals.columns).contains("_bucket"),
+      "column name _bucket is reserved by the range join")
 
     val pts = points.withColumn("_bucket",
       floor(unix_timestamp(col(pointTime)) / bucketSeconds))

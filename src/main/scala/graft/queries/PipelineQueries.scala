@@ -517,11 +517,7 @@ object PipelineQueries {
          | THEN list_distinct(list_transform(range(1, len($toksSql) - ${n - 2}),
          |        i -> array_to_string(($toksSql)[i:i+${n - 1}], ' ')))
          | ELSE [] END""".stripMargin
-  private val shinglesSql =
-    raw"""CASE WHEN len($toksSql) >= 3
-         | THEN list_distinct(list_transform(range(1, len($toksSql) - 1),
-         |        i -> array_to_string(($toksSql)[i:i+2], ' ')))
-         | ELSE [] END""".stripMargin
+  private val shinglesSql = shinglesSqlN(3)
 
   val oracles: Map[String, String] = Map(
     "sm1_sample_det" ->

@@ -92,10 +92,20 @@ object Ingest {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "__upsert_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__upsert_old")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hadoopPath, true)
-    if (!fs.rename(tmp, hadoopPath))
+    // swap-then-delete, never delete-then-swap: at every instant at
+    // least one complete copy of the table exists on disk (a crash
+    // between the renames leaves the old table recoverable at
+    // __upsert_old instead of leaving nothing at `path`)
+    fs.delete(old, true)
+    if (!fs.rename(hadoopPath, old))
+      throw new java.io.IOException(s"upsert swap failed: $path -> $old")
+    if (!fs.rename(tmp, hadoopPath)) {
+      fs.rename(old, hadoopPath) // restore; ignore result — best effort
       throw new java.io.IOException(s"upsert swap failed: $tmp -> $path")
+    }
+    fs.delete(old, true)
   }
 
   /** The read_csv kwargs `csv_to_eland` forwards to pandas

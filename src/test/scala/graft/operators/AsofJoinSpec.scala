@@ -65,6 +65,28 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
   }
 
+  test("null right payload fields do not tear the matched row") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "lt", "tag")
+      .withColumn("lt", timestamp_seconds(col("lt")))
+    // latest right row (t=9) has a NULL in column a; an older row (t=5)
+    // has a=1. The match must be the WHOLE t=9 row — (null, 30.0) —
+    // not a chimera (1.0, 30.0) assembled from both rows.
+    val right = Seq((1L, 5L, Some(1.0), 20.0), (1L, 9L, None, 30.0))
+      .toDF("k", "rt", "a", "b")
+      .withColumn("rt", timestamp_seconds(col("rt")))
+    val row = AsofJoin.backward(left, right, "k", "lt", "rt")
+      .select("a", "b").collect()(0)
+    assert(row.isNullAt(0) && row.getDouble(1) == 30.0)
+  }
+
+  test("reserved internal column names are rejected") {
+    val l = Seq((1L, 1L, 2.0)).toDF("k", "_t", "v")
+    val r = Seq((1L, 1L, 3.0)).toDF("k", "rt", "pay")
+    assertThrows[IllegalArgumentException] {
+      AsofJoin.backward(l, r, "k", "_t", "rt")
+    }
+  }
+
   test("tolerance rejects stale matches instead of falling back") {
     val left = Seq((1L, 100L, "near"), (1L, 500L, "far")).toDF("k", "lt", "tag")
       .withColumn("lt", timestamp_seconds(col("lt")))
