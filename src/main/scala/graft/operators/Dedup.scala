@@ -125,6 +125,88 @@ object Dedup {
     out.drop("_digest")
   }
 
+  /** Incremental MinHash-LSH near-dup against a persistent registry —
+    * the near-dup sibling of [[incrementalExactDedup]] for continuous
+    * ingest. The registry persists the LSH index (`bands/`: id, band,
+    * bandHash — 24 B rows) and the verify-ready shingle-hash sets
+    * (`shingles/`: id, sorted hashes); a new batch probes the band
+    * index for candidates, verifies each candidate's exact Jaccard
+    * with the codegen sorted-intersect kernel, and registers only its
+    * clean rows. Returns the verified matches (idCol, reg_id,
+    * jaccard ≥ threshold).
+    *
+    * Intra-batch duplicates are the caller's concern: run
+    * [[exactKeepFirst]] / [[minhashLshPairs]] + [[connectedComponents]]
+    * within the batch first (the proven composition), then this
+    * against history.
+    *
+    * Scale shape: the cross-batch candidate join ships (id, band,
+    * bandHash) only — minhashLshPairs' narrow-shuffle discipline
+    * across batches; the verify join reads shingle sets per candidate
+    * id. Matches are materialized before the registry append (the
+    * [[incrementalExactDedup]] rule: the returned frame must not
+    * lazily re-read a registry its own call just grew).
+    */
+  def nearDupAgainstRegistry(batch: DataFrame, idCol: String,
+                             textCol: String, registryPath: String,
+                             shingleN: Int = 3, bands: Int = 16,
+                             rowsPerBand: Int = 4,
+                             threshold: Double = 0.8): DataFrame = {
+    val spark = batch.sparkSession
+    val perms = bands * rowsPerBand
+    val staged = batch.select(col(idCol).as("id"),
+        graft.plans.TokenMinHash(col(textCol), shingleN, perms).as("sig"),
+        graft.plans.TokenShingleHashes(col(textCol), shingleN).as("sh"))
+      .filter(col("sig").isNotNull)
+      .persist()
+    def bandKeys(df: DataFrame): DataFrame = df
+      .select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+
+    val regPath = new org.apache.hadoop.fs.Path(registryPath)
+    val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (matches, clean) =
+      if (!fs.exists(regPath)) {
+        (staged.select(col("id").as(idCol), col("id").as("reg_id"),
+          lit(0.0).as("jaccard")).filter(lit(false)), staged)
+      } else {
+        val regBands = spark.read.parquet(s"$registryPath/bands")
+          .withColumnRenamed("id", "reg_id")
+        val regSh = spark.read.parquet(s"$registryPath/shingles")
+          .withColumnRenamed("id", "reg_id")
+        val cand = bandKeys(staged)
+          .join(regBands, Seq("band", "bh"))
+          .select("id", "reg_id").distinct()
+        val verified = cand
+          .join(staged.select(col("id"), col("sh").as("sh_a"),
+            size(col("sh")).as("n_a")), Seq("id"))
+          .join(regSh.select(col("reg_id"), col("sh").as("sh_b"),
+            size(col("sh")).as("n_b")), Seq("reg_id"))
+          .withColumn("_inter", graft.plans.VectorExpressions
+            .sortedIntersectCount(col("sh_a"), col("sh_b")))
+          .withColumn("jaccard",
+            when(col("n_a") + col("n_b") - col("_inter") > 0,
+              col("_inter").cast("double") /
+                (col("n_a") + col("n_b") - col("_inter")))
+              .otherwise(lit(0.0)))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id").as(idCol), col("reg_id"), col("jaccard"))
+          .localCheckpoint(true)
+        (verified,
+          staged.join(verified.select(col(idCol).as("id")).distinct(),
+            Seq("id"), "left_anti"))
+      }
+    bandKeys(clean).write.mode("append").parquet(s"$registryPath/bands")
+    clean.select(col("id"), col("sh"))
+      .write.mode("append").parquet(s"$registryPath/shingles")
+    staged.unpersist()
+    matches
+  }
+
   /** Permutation min-hashes over an ALREADY-MATERIALIZED array of base
     * shingle hashes. The caller must materialize that array in its own
     * projection (see minhashLshPairs): higher-order-function lambdas

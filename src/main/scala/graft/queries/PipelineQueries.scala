@@ -400,6 +400,28 @@ object PipelineQueries {
           graft.operators.Vocabulary.build(docs, "text", k = 100))
         .orderBy("doc_id", "pos")
     }),
+    // incremental NEAR-dup against a persistent LSH registry: batch 1
+    // (even ids) registers its band index + shingle sets; batch 2
+    // (odd ids) probes, exact-verifies, and must report exactly the
+    // all-pairs cross-batch matches >= 0.8 that DuckDB recomputes
+    // (the dd7 recall argument, across batches)
+    "dd12_incremental_neardup" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val reg = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-dd12-$tag")
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(wipe)); f.delete(); ()
+      }
+      wipe(reg)
+      val docs = t(s, d, "documents")
+      Dedup.nearDupAgainstRegistry(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", reg.toString)
+      Dedup.nearDupAgainstRegistry(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", reg.toString)
+        .select(col("doc_id"), col("reg_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_id", "reg_id")
+    }),
     // incremental exact dedup against a persistent digest registry:
     // batch 1 (even ids) registers its digests; batch 2 (odd ids) must
     // drop everything batch 1 already saw plus its own in-batch dups.
@@ -743,6 +765,19 @@ object PipelineQueries {
            |       coalesce(v.token_id, -1) AS token_id
            |FROM tok LEFT JOIN v ON tok.t = v.token
            |ORDER BY doc_id, pos""".stripMargin,
+    "dd12_incremental_neardup" ->
+      raw"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+           |a AS (SELECT doc_id AS id, sh AS sa FROM s
+           |      WHERE doc_id % 2 = 1 AND len(sh) > 0),
+           |b AS (SELECT doc_id AS reg_id, sh AS sb FROM s
+           |      WHERE doc_id % 2 = 0 AND len(sh) > 0),
+           |j AS (SELECT a.id AS doc_id, b.reg_id,
+           |        CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+           |        (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jx
+           |      FROM a, b)
+           |SELECT doc_id, reg_id, round(jx, 6) AS jaccard
+           |FROM j WHERE jx >= 0.8
+           |ORDER BY doc_id, reg_id""".stripMargin,
     "dd11_incremental_dedup" ->
       """WITH b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
         |k AS (SELECT min(doc_id) AS doc_id FROM b2 GROUP BY md5(text))

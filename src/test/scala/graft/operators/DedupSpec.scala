@@ -52,6 +52,33 @@ class DedupSpec extends AnyFunSuite {
     assert(ids(out) == Seq(30L) && ids(out) == Seq(30L))
   }
 
+  test("near-dup registry catches cross-batch near-dups, registers clean rows") {
+    val reg = java.nio.file.Files.createTempDirectory("graft-nd-reg")
+      .toString + "/registry"
+    val b1 = Seq((0L, base),
+      (1L, "completely different content about spark catalyst rules"))
+      .toDF("id", "text")
+    // first batch: registry empty, no matches, everything registers
+    assert(Dedup.nearDupAgainstRegistry(b1, "id", "text", reg).count() == 0)
+    // second batch: an exact copy of doc 0, a near copy, one new doc
+    val b2 = Seq((10L, base),
+      (11L, base.replace("today", "tomorrow")),
+      (12L, "entirely novel text with no overlap whatsoever here"))
+      .toDF("id", "text")
+    val m = Dedup.nearDupAgainstRegistry(b2, "id", "text", reg,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m.contains((10L, 0L)) && m.contains((11L, 0L)))
+    assert(!m.exists(_._1 == 12L))
+    // third batch: doc 12 was registered by batch 2; its copy now matches
+    val b3 = Seq((20L, "entirely novel text with no overlap whatsoever here"))
+      .toDF("id", "text")
+    val m3 = Dedup.nearDupAgainstRegistry(b3, "id", "text", reg,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m3 == Set((20L, 12L)))
+  }
+
   test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
