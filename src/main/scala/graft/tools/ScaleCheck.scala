@@ -79,6 +79,23 @@ object ScaleCheck {
       Decontam.contaminationReport(scaled, "doc_id", "text",
         scaled.filter(col("doc_id") % 500 === 0), "text", 3).count()
     }
+    time("bm25 top-10") {
+      graft.operators.Ranking.bm25TopK(scaled, "doc_id", "text",
+        Seq("spark", "vector", "hash"), 10).count()
+    }
+    time("bigram LM score") {
+      graft.operators.LanguageModel.bigramScore(scaled, scaled,
+        "doc_id", "text").count()
+    }
+    time("vocab build + encode") {
+      val v = graft.operators.Vocabulary.build(scaled, "text", 50000)
+      graft.operators.Vocabulary.encodeExploded(scaled, "doc_id", "text", v)
+        .count()
+    }
+    time("chunk 32/16") {
+      graft.operators.Chunking.chunkByTokens(scaled, "doc_id", "text",
+        32, 16).count()
+    }
     spark.stop()
   }
 }
