@@ -167,7 +167,10 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
 
-    val regPath = new org.apache.hadoop.fs.Path(registryPath)
+    // probe the bands dir (written LAST): its presence implies the
+    // shingle append completed too, so a half-written first batch
+    // re-registers instead of reading a partial registry
+    val regPath = new org.apache.hadoop.fs.Path(s"$registryPath/bands")
     val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (matches, clean) =
       if (!fs.exists(regPath)) {
@@ -200,9 +203,13 @@ object Dedup {
           staged.join(verified.select(col(idCol).as("id")).distinct(),
             Seq("id"), "left_anti"))
       }
-    bandKeys(clean).write.mode("append").parquet(s"$registryPath/bands")
+    // shingles BEFORE bands: a crash between the two appends must
+    // leave orphan shingle rows (harmless — never probed), not orphan
+    // band rows (whose candidates would silently vanish in the verify
+    // join, turning future duplicates into false negatives)
     clean.select(col("id"), col("sh"))
       .write.mode("append").parquet(s"$registryPath/shingles")
+    bandKeys(clean).write.mode("append").parquet(s"$registryPath/bands")
     staged.unpersist()
     matches
   }
