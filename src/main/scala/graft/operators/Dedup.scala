@@ -109,13 +109,16 @@ object Dedup {
     val inBatchFirst = withDigest.join(
       withDigest.groupBy("_digest").agg(min(col(idCol)).as(idCol)),
       Seq("_digest", idCol), "left_semi")
-    // probe existence explicitly: a catch-all around read() would turn
-    // a transient IO error into "registry empty" and silently disable
-    // cross-batch dedup. Real read failures must propagate.
-    val regPath = new org.apache.hadoop.fs.Path(registryPath)
-    val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // probe for a COMMITTED registry explicitly: a catch-all around
+    // read() would turn a transient IO error into "registry empty"
+    // and silently disable cross-batch dedup, and a bare exists()
+    // wedges on the dir a crashed first write left behind. Real read
+    // failures must propagate. (Duplicate digests from a retried
+    // append are harmless here — anti-join semantics are unchanged.)
+    val fs = new org.apache.hadoop.fs.Path(registryPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val survivors =
-      if (fs.exists(regPath))
+      if (committedParquet(fs, registryPath))
         inBatchFirst.join(spark.read.parquet(registryPath),
           col("_digest") === col("digest"), "left_anti")
       else inBatchFirst
@@ -147,6 +150,46 @@ object Dedup {
     * [[incrementalExactDedup]] rule: the returned frame must not
     * lazily re-read a registry its own call just grew).
     */
+  /** True when `dir` holds a COMMITTED parquet write: the `_SUCCESS`
+    * marker exists. A bare `fs.exists(dir)` is not enough — Spark's
+    * output committer creates the directory at job setup, so a crashed
+    * write leaves an existing-but-uncommitted dir that would wedge
+    * every subsequent read.
+    */
+  private def committedParquet(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+
+  /** The banded LSH key explode shared by [[minhashLshPairs]] and
+    * [[nearDupAgainstRegistry]]: (id, band, bh) rows from a `sig`
+    * column, one per band, bh = xxhash64 of that band's signature rows.
+    */
+  private def bandKeyRows(df: DataFrame, bands: Int,
+                          rowsPerBand: Int): DataFrame = df
+    .select(col("id"), explode(bandStructs(bands, rowsPerBand)).as("bk"))
+    .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+
+  private[operators] def bandStructs(bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bh"))
+    }: _*)
+
+  /** Exact-Jaccard from sorted shingle-hash columns sh_a/sh_b with
+    * sizes n_a/n_b (shared by [[ngramJaccard]] and the registry
+    * verify): |inter| via the codegen linear merge, |union| derived.
+    */
+  private def withJaccard(df: DataFrame): DataFrame = df
+    .withColumn("_inter", graft.plans.VectorExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b")))
+    .withColumn("jaccard",
+      when(col("n_a") + col("n_b") - col("_inter") > 0,
+        col("_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("_inter")))
+        .otherwise(lit(0.0)))
+    .drop("_inter")
+
   def nearDupAgainstRegistry(batch: DataFrame, idCol: String,
                              textCol: String, registryPath: String,
                              shingleN: Int = 3, bands: Int = 16,
@@ -159,43 +202,32 @@ object Dedup {
         graft.plans.TokenShingleHashes(col(textCol), shingleN).as("sh"))
       .filter(col("sig").isNotNull)
       .persist()
-    def bandKeys(df: DataFrame): DataFrame = df
-      .select(col("id"), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bh"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
 
-    // probe the bands dir (written LAST): its presence implies the
-    // shingle append completed too, so a half-written first batch
-    // re-registers instead of reading a partial registry
-    val regPath = new org.apache.hadoop.fs.Path(s"$registryPath/bands")
-    val fs = regPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(registryPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shPath = s"$registryPath/shingles"
+    val bandsPath = s"$registryPath/bands"
+    // probe the bands dir (written LAST, _SUCCESS-committed): its
+    // commit implies the shingle append completed too, so a
+    // half-written first batch re-registers instead of reading a
+    // partial registry
     val (matches, clean) =
-      if (!fs.exists(regPath)) {
+      if (!committedParquet(fs, bandsPath)) {
         (staged.select(col("id").as(idCol), col("id").as("reg_id"),
           lit(0.0).as("jaccard")).filter(lit(false)), staged)
       } else {
-        val regBands = spark.read.parquet(s"$registryPath/bands")
+        val regBands = spark.read.parquet(bandsPath)
           .withColumnRenamed("id", "reg_id")
-        val regSh = spark.read.parquet(s"$registryPath/shingles")
+        val regSh = spark.read.parquet(shPath)
           .withColumnRenamed("id", "reg_id")
-        val cand = bandKeys(staged)
+        val cand = bandKeyRows(staged, bands, rowsPerBand)
           .join(regBands, Seq("band", "bh"))
           .select("id", "reg_id").distinct()
-        val verified = cand
+        val verified = withJaccard(cand
           .join(staged.select(col("id"), col("sh").as("sh_a"),
             size(col("sh")).as("n_a")), Seq("id"))
           .join(regSh.select(col("reg_id"), col("sh").as("sh_b"),
-            size(col("sh")).as("n_b")), Seq("reg_id"))
-          .withColumn("_inter", graft.plans.VectorExpressions
-            .sortedIntersectCount(col("sh_a"), col("sh_b")))
-          .withColumn("jaccard",
-            when(col("n_a") + col("n_b") - col("_inter") > 0,
-              col("_inter").cast("double") /
-                (col("n_a") + col("n_b") - col("_inter")))
-              .otherwise(lit(0.0)))
+            size(col("sh")).as("n_b")), Seq("reg_id")))
           .filter(col("jaccard") >= threshold)
           .select(col("id").as(idCol), col("reg_id"), col("jaccard"))
           .localCheckpoint(true)
@@ -203,13 +235,23 @@ object Dedup {
           staged.join(verified.select(col(idCol).as("id")).distinct(),
             Seq("id"), "left_anti"))
       }
-    // shingles BEFORE bands: a crash between the two appends must
-    // leave orphan shingle rows (harmless — never probed), not orphan
-    // band rows (whose candidates would silently vanish in the verify
-    // join, turning future duplicates into false negatives)
-    clean.select(col("id"), col("sh"))
-      .write.mode("append").parquet(s"$registryPath/shingles")
-    bandKeys(clean).write.mode("append").parquet(s"$registryPath/bands")
+    // retry-idempotent append: a re-run of a batch whose shingle
+    // append committed but whose band append crashed must not append
+    // its shingles a second time (duplicate registry rows would emit
+    // every future match against those ids twice)
+    def notRegistered(df: DataFrame, dir: String): DataFrame =
+      if (committedParquet(fs, dir))
+        df.join(spark.read.parquet(dir).select(col("id")).distinct(),
+          Seq("id"), "left_anti")
+      else df
+    // shingles BEFORE bands: a crash between the two appends leaves
+    // orphan shingle rows (harmless — never probed), not orphan band
+    // rows (whose candidates would vanish in the verify join, turning
+    // future duplicates into silent false negatives)
+    notRegistered(clean.select(col("id"), col("sh")), shPath)
+      .write.mode("append").parquet(shPath)
+    notRegistered(bandKeyRows(clean, bands, rowsPerBand), bandsPath)
+      .write.mode("append").parquet(bandsPath)
     staged.unpersist()
     matches
   }
@@ -279,11 +321,7 @@ object Dedup {
     val bandCols =
       if (shipSignatures) Seq(col("id"), col("sig")) else Seq(col("id"))
     val banded = withSig.select(bandCols :+
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bh"))
-      }: _*)).as("bk"): _*)
+      explode(bandStructs(bands, rowsPerBand)).as("bk"): _*)
       .select(bandCols :+ col("bk.band") :+ col("bk.bh"): _*)
     val guarded =
       if (maxBucketSize <= 0) banded
@@ -504,19 +542,12 @@ object Dedup {
         graft.plans.TokenShingleHashes(col(textCol), shingleN).as("_jsh"))
       .select(col("_jid"), col("_jsh"), size(col("_jsh")).as("_jn"))
       .persist()
-    val out = pairs
+    val out = withJaccard(pairs
       .join(sh.select(col("_jid").as("id_a"), col("_jsh").as("sh_a"),
         col("_jn").as("n_a")), Seq("id_a"))
       .join(sh.select(col("_jid").as("id_b"), col("_jsh").as("sh_b"),
-        col("_jn").as("n_b")), Seq("id_b"))
-      .withColumn("_inter",
-        VectorExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard",
-        when(col("n_a") + col("n_b") - col("_inter") > 0,
-          col("_inter").cast("double") /
-            (col("n_a") + col("n_b") - col("_inter")))
-          .otherwise(lit(0.0)))
-      .drop("sh_a", "sh_b", "n_a", "n_b", "_inter")
+        col("_jn").as("n_b")), Seq("id_b")))
+      .drop("sh_a", "sh_b", "n_a", "n_b")
     materializeAndRelease(sh, out)
   }
 

@@ -80,32 +80,40 @@ object Ingest {
     */
   def upsertTable(df: DataFrame, path: String, key: String): Unit = {
     val spark = df.sparkSession
-    val exists = try { spark.read.parquet(path).schema; true }
-      catch { case _: Throwable => false }
-    if (!exists) { df.write.parquet(path); return }
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fsys = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new org.apache.hadoop.fs.Path(path + "__upsert_old")
+    // crash recovery: a previous upsert that died between its two
+    // renames left the only complete copy at __upsert_old — restore it
+    // BEFORE deciding whether the table exists, else this call would
+    // silently rebuild the table from the incoming batch alone and a
+    // later call would delete the backup
+    if (!fsys.exists(hp) && fsys.exists(oldP)) {
+      if (!fsys.rename(oldP, hp))
+        throw new java.io.IOException(
+          s"upsert recovery failed: $oldP -> $path")
+    }
+    if (!fsys.exists(hp)) { df.write.parquet(path); return }
     val target = spark.read.parquet(path)
     verifyCompatible(target.schema, df.schema)
     val cols = target.columns.toSeq
     val merged = target.join(df.select(key), Seq(key), "left_anti")
       .unionByName(df.selectExpr(cols: _*))
 
-    val hadoopPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "__upsert_tmp")
-    val old = new org.apache.hadoop.fs.Path(path + "__upsert_old")
     merged.write.mode("overwrite").parquet(tmp.toString)
     // swap-then-delete, never delete-then-swap: at every instant at
     // least one complete copy of the table exists on disk (a crash
-    // between the renames leaves the old table recoverable at
-    // __upsert_old instead of leaving nothing at `path`)
-    fs.delete(old, true)
-    if (!fs.rename(hadoopPath, old))
-      throw new java.io.IOException(s"upsert swap failed: $path -> $old")
-    if (!fs.rename(tmp, hadoopPath)) {
-      fs.rename(old, hadoopPath) // restore; ignore result — best effort
+    // between the renames leaves the old table at __upsert_old, which
+    // the recovery branch above restores on the next call)
+    fsys.delete(oldP, true)
+    if (!fsys.rename(hp, oldP))
+      throw new java.io.IOException(s"upsert swap failed: $path -> $oldP")
+    if (!fsys.rename(tmp, hp)) {
+      fsys.rename(oldP, hp) // restore; ignore result — best effort
       throw new java.io.IOException(s"upsert swap failed: $tmp -> $path")
     }
-    fs.delete(old, true)
+    fsys.delete(oldP, true)
   }
 
   /** The read_csv kwargs `csv_to_eland` forwards to pandas
