@@ -79,6 +79,27 @@ class DedupSpec extends AnyFunSuite {
     assert(m3 == Set((20L, 12L)))
   }
 
+  test("near-dup registry: a retried batch does not duplicate its rows") {
+    val reg = java.nio.file.Files.createTempDirectory("graft-nd-retry")
+      .toString + "/registry"
+    val b1 = Seq((0L, base)).toDF("id", "text")
+    Dedup.nearDupAgainstRegistry(b1, "id", "text", reg)
+    // simulate a crash after the shingles append committed but before
+    // the bands append: wipe the bands dir, then retry the batch
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(wipe)); f.delete(); ()
+    }
+    wipe(new java.io.File(s"$reg/bands"))
+    Dedup.nearDupAgainstRegistry(b1, "id", "text", reg)
+    // the shingle rows must NOT have doubled
+    assert(spark.read.parquet(s"$reg/shingles").count() == 1)
+    // and a matching later batch reports the duplicate exactly once
+    val m = Dedup.nearDupAgainstRegistry(
+      Seq((10L, base)).toDF("id", "text"), "id", "text", reg,
+      threshold = 0.5).collect()
+    assert(m.length == 1 && m(0).getLong(0) == 10L && m(0).getLong(1) == 0L)
+  }
+
   test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

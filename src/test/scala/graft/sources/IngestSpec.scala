@@ -125,6 +125,25 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertTable recovers a table stranded at __upsert_old by a crash") {
+    import spark.implicits._
+    val path = tmp()
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").write.parquet(path)
+    // simulate a crash between the two swap renames: the table moved
+    // aside but the merged result never landed
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__upsert_old")))
+    // next upsert must restore the backup and MERGE, not rebuild the
+    // table from the incoming batch alone
+    Ingest.upsertTable(Seq((2L, 99.0), (3L, 30.0)).toDF("k", "v"), path, "k")
+    val got = spark.read.parquet(path).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__upsert_old")))
+  }
+
   test("csv round-trip preserves data") {
     val nation = Tables.load(spark, TestSpark.sfDir, "nation")
     val csvDir = tmp()
