@@ -52,14 +52,29 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       name -> run(name, fn)
     }
-    // millisecond precision keeps the (120-query) line short enough to
-    // survive the driver's tail capture in one piece
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The single-line record exceeds the driver's output capture window
+    // (BENCH_r04/r05 both landed with "parsed": null and only the tail
+    // half of the per-query numbers). Three-channel output so the
+    // scoring record survives truncation from either end:
+    //  1. the complete JSON written to BENCH.local.json (read it whole);
+    //  2. a short total-first headline line that parses on its own;
+    //  3. per-query numbers re-emitted in ~30-entry chunk lines, each a
+    //     self-contained JSON object tagged part i/n.
+    val outPath = java.nio.file.Paths.get("BENCH.local.json")
+    java.nio.file.Files.write(outPath, (fullJson + "\n").getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full_json":"${outPath.toAbsolutePath}"}""")
+    results.grouped(30).zipWithIndex.foreach { case (chunk, i) =>
+      val body = chunk.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_part","part":${i + 1},"of":${(results.size + 29) / 30},"queries":$body}""")
+    }
     spark.stop()
   }
 }

@@ -18,9 +18,14 @@ import graft.functions.TextAnalysis
   * Scale shape: training is two counted shuffles (unigrams, bigrams)
   * with map-side partial aggregation — the same cost as t8's
   * repetition sweep. Scoring joins each document transition against
-  * the bigram table: a plain hash equi-join on the bigram key, the
-  * shape AQE load-balances; nothing is windowed or collected. Unseen
-  * bigrams hit the smoothing floor via a LEFT join + coalesce(0).
+  * the bigram table: a plain hash equi-join on the (w1,w2) pair key,
+  * the shape AQE load-balances; nothing is windowed or collected.
+  * Unseen bigrams hit the smoothing floor via a LEFT join +
+  * coalesce(0). The unigram join is DIFFERENT: its key `_w1` alone is
+  * Zipf-skewed (the "the" partition would straggle at 100×), and the
+  * unigram table is vocabulary-bounded (≲ millions of rows), so it is
+  * broadcast — no transition row ever shuffles on a single-token key.
+  * PlanQualitySpec pins this shape.
   */
 object LanguageModel {
 
@@ -54,7 +59,7 @@ object LanguageModel {
 
     transitions(score, withId = true)
       .join(big, Seq("_w1", "_w2"), "left")
-      .join(uni, Seq("_w1"), "left")
+      .join(broadcast(uni), Seq("_w1"), "left")
       .crossJoin(broadcast(vocabSize))
       .withColumn("_logp",
         log((coalesce(col("_cb"), lit(0.0)) + k) /

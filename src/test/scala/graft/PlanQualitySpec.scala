@@ -221,6 +221,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ppl1: the unigram join broadcasts — no shuffle join on the Zipf-skewed _w1 key") {
+    // the bigram (w1,w2) join may shuffle (AQE skew-split covers it);
+    // a join keyed on _w1 ALONE concentrates every "the"-transition in
+    // one task at 100×, so that join must be a broadcast
+    val df = SparkEntry.queries("ppl1_bigram_lm")(spark, TestSpark.sfDir)
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    val uniJoins = joins.filter { j =>
+      j.leftKeys.flatMap(_.references.map(_.name)).toSet == Set("_w1")
+    }
+    assert(uniJoins.nonEmpty, "no join keyed on _w1 found — test is vacuous")
+    uniJoins.foreach { j =>
+      assert(j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec],
+        s"unigram join on the skewed _w1 key must broadcast:\n$j")
+    }
+  }
+
   test("dc1: benchmark grams broadcast; corpus side joins map-side") {
     val p = plan("dc1_decontam")
     assert(p.contains("BroadcastHashJoin"), p)
