@@ -503,6 +503,76 @@ object Dedup {
     components.filter(col("id") =!= col("component"))
       .select(col("id").as("drop_id"))
 
+  /** Substring-level exact dedup: maximal shared token spans of length
+    * ≥ `minTokens` across document pairs — the remove-duplicated-SPANS
+    * modality production LLM pipelines run alongside MinHash (the
+    * "50-token overlap" recipe of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22). Whole-doc dedup
+    * misses boilerplate/licence blocks/quoted passages duplicated
+    * INSIDE otherwise-distinct documents; this finds them.
+    *
+    * Output: (id_a, id_b, a_start, b_start, span_len) with id_a <
+    * id_b — one row per MAXIMAL shared run: token positions
+    * a_start..a_start+span_len-1 of doc a equal positions
+    * b_start..b_start+span_len-1 of doc b, span_len ≥ minTokens, and
+    * the run extends no further on either side.
+    *
+    * Algorithm (the shuffle-friendly re-expression of the single-node
+    * suffix-array recipe): a shared span of L ≥ K tokens is exactly a
+    * run of L−K+1 consecutive equal K-token window hashes at a
+    * constant position offset. So: positional window hashes per doc
+    * (codegen [[graft.plans.TokenPositionalShingleHashes]], one
+    * compiled rolling pass), posexplode to (id, pos, h) postings,
+    * equi-join postings on h, then gaps-and-islands per (id_a, id_b,
+    * diff = pos_b − pos_a): consecutive pos_a values collapse to one
+    * maximal span via `pos_a − row_number()` island keys.
+    *
+    * Scale shape: the posting shuffle ships (h, id, pos) — 24 B rows,
+    * never text (the minhashLshPairs discipline). A K-gram shared by m
+    * docs yields m²/2 matches, so `maxPostings` caps posting-list
+    * blowup the way maxBucketSize caps LSH buckets: grams hotter than
+    * the cap are boilerplate the exact-dup pass already clusters —
+    * skipping them trades bounded recall for survival (0 disables; at
+    * corpus scale set it; the skip is deterministic). The islands
+    * window partitions by (id_a, id_b, diff) — bounded by one PAIR's
+    * overlap, never corpus-sized. Suffix arrays beat this on one
+    * machine; this runs on a thousand.
+    */
+  def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
+                  minTokens: Int = 50, maxPostings: Int = 0): DataFrame = {
+    require(minTokens >= 2, "minTokens must be at least 2")
+    val posts = docs.select(col(idCol).as("id"),
+      posexplode(graft.plans.TokenPositionalShingleHashes(
+        col(textCol), minTokens)).as(Seq("pos", "h")))
+    val guarded =
+      if (maxPostings <= 0) posts
+      else {
+        // window count over h, not groupBy+semi-join: one shuffle on h
+        // whose partitioning the posting self-join below reuses
+        import org.apache.spark.sql.expressions.Window
+        posts.withColumn("_pc", count(lit(1)).over(Window.partitionBy("h")))
+          .filter(col("_pc") <= maxPostings)
+          .drop("_pc")
+      }
+    val l = guarded.select(col("h"), col("id").as("id_a"), col("pos").as("pos_a"))
+    val r = guarded.select(col("h"), col("id").as("id_b"), col("pos").as("pos_b"))
+    val matched = l.join(r, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pos_a"),
+        (col("pos_b") - col("pos_a")).as("_diff"))
+    import org.apache.spark.sql.expressions.Window
+    val islands = matched.withColumn("_isl",
+      col("pos_a") - row_number().over(
+        Window.partitionBy("id_a", "id_b", "_diff").orderBy("pos_a")))
+    islands.groupBy("id_a", "id_b", "_diff", "_isl")
+      .agg(min(col("pos_a")).cast("long").as("a_start"),
+        (max(col("pos_a")) - min(col("pos_a")) + minTokens).cast("long")
+          .as("span_len"))
+      .select(col("id_a"), col("id_b"), col("a_start"),
+        (col("a_start") + col("_diff")).cast("long").as("b_start"),
+        col("span_len"))
+  }
+
   /** SimHash near-duplicate pairs: bucket by the top `prefixBits` bits
     * (near-dups almost always share a prefix bucket when hamming
     * distance is small), verify by full hamming distance.

@@ -51,8 +51,12 @@ object TokenShingleHashes {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
 
-  /** Sorted distinct xxhash64 values of the n-token shingle strings. */
-  def sortedDistinctHashes(text: String, shingleN: Int): Array[Long] = {
+  /** Positional xxhash64 values of the n-token shingle strings: one
+    * hash per window start, IN TOKEN ORDER, duplicates kept — the
+    * layout span detection needs (a shared ≥n-token span is a run of
+    * consecutive equal window hashes at a constant offset).
+    */
+  def positionalHashes(text: String, shingleN: Int): Array[Long] = {
     val lower = text.toLowerCase(java.util.Locale.ROOT)
     // collect token boundaries
     val starts = new java.util.ArrayList[Integer]()
@@ -83,6 +87,13 @@ object TokenShingleHashes {
         UTF8String.fromString(sb.toString), StringType, 42L)
       w += 1
     }
+    hashes
+  }
+
+  /** Sorted distinct xxhash64 values of the n-token shingle strings. */
+  def sortedDistinctHashes(text: String, shingleN: Int): Array[Long] = {
+    val hashes = positionalHashes(text, shingleN)
+    if (hashes.isEmpty) return hashes
     java.util.Arrays.sort(hashes)
     // in-place dedupe of the sorted run
     var out = 0
@@ -99,4 +110,42 @@ object TokenShingleHashes {
   def apply(text: Column, shingleN: Int): Column =
     ColumnBridge.column(
       TokenShingleHashes(ColumnBridge.expression(text), shingleN))
+}
+
+/** Positional (order-preserving, duplicates kept) variant of
+  * [[TokenShingleHashes]]: element w is the xxhash64 of the n-token
+  * window starting at token position w. Same tokenizer, same shingle
+  * string, same hash — only the sort/dedupe differs, because span
+  * detection ([[graft.operators.Dedup.sharedSpans]]) needs POSITIONS:
+  * a shared span of L ≥ n tokens appears as L−n+1 consecutive equal
+  * window hashes at a constant position offset. Documents with fewer
+  * than n tokens yield an empty array.
+  */
+case class TokenPositionalShingleHashes(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+
+  require(shingleN >= 1, "shingleN must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TokenShingleHashes.positionalHashes(
+      input.asInstanceOf[UTF8String].toString, shingleN))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        graft.plans.TokenShingleHashes.positionalHashes(
+          $c.toString(), $shingleN));
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenPositionalShingleHashes {
+  def apply(text: Column, shingleN: Int): Column =
+    ColumnBridge.column(
+      TokenPositionalShingleHashes(ColumnBridge.expression(text), shingleN))
 }

@@ -158,6 +158,31 @@ object TextQueries {
         .orderBy(round(col("cos"), 5).desc, col("id_a"), col("id_b"))
     }),
 
+    // substring-level span dedup, FULL-oracle-proven on PLANTED spans:
+    // 20 synthetic docs each embed a 25-token passage copied from an
+    // original doc (positions 5..29, 0-based) between unique sentinel
+    // tokens, so the expected maximal span (a_start=5, b_start=2,
+    // len=25) is known by construction; the corpus's own exact-dup
+    // clusters surface as whole-doc spans alongside. DuckDB replays
+    // the complete pipeline — positional 12-gram postings (as strings
+    // where Spark uses xxhash64 — identical output barring a 2^-64
+    // collision), the hot-gram guard, the postings join, and the
+    // gaps-and-islands maximal-run collapse.
+    "dd13_shared_spans" -> ((s, d) => {
+      val base = t(s, d, "documents").select("doc_id", "text")
+      val toks = base.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("_toks"))
+      val planted = toks
+        .filter(size(col("_toks")) >= 30 && col("doc_id") < 20)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat_ws(" ", lit("xqq"), lit("yqq"),
+            array_join(slice(col("_toks"), 6, 25), " "), lit("zqq")).as("text"))
+      Dedup.sharedSpans(base.unionByName(planted), "doc_id", "text",
+          minTokens = 12, maxPostings = 50)
+        .orderBy(col("span_len").desc, col("id_a"), col("id_b"),
+          col("a_start"), col("b_start"))
+    }),
+
     // ---- similarity search ----------------------------------------
     "sim1_brute_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -400,6 +425,40 @@ object TextQueries {
            |SELECT id_a, id_b, round(jx, 6) AS jaccard FROM j
            |WHERE jx >= 0.8
            |ORDER BY jaccard DESC, id_a, id_b""".stripMargin,
+    // complete replay of the span pipeline: plant, tokenize, positional
+    // 12-gram postings (strings instead of hashes), hot-gram guard,
+    // postings self-join, gaps-and-islands maximal runs
+    "dd13_shared_spans" ->
+      raw"""WITH tk0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |pl AS (SELECT doc_id + 20000 AS doc_id,
+           |         concat_ws(' ', 'xqq', 'yqq',
+           |                   array_to_string(toks[6:30], ' '), 'zqq') AS text
+           |       FROM tk0 WHERE len(toks) >= 30 AND doc_id < 20),
+           |corpus AS (SELECT doc_id, text FROM documents
+           |           UNION ALL SELECT doc_id, text FROM pl),
+           |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+           |post0 AS (SELECT doc_id, toks,
+           |            unnest(generate_series(0, len(toks) - 12)) AS pos
+           |          FROM tk WHERE len(toks) >= 12),
+           |post1 AS (SELECT doc_id, pos,
+           |            array_to_string(toks[pos + 1 : pos + 12], ' ') AS sh
+           |          FROM post0),
+           |post AS (SELECT doc_id, pos, sh FROM post1
+           |         QUALIFY count(*) OVER (PARTITION BY sh) <= 50),
+           |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |             a.pos AS pos_a, b.pos - a.pos AS diff
+           |      FROM post a JOIN post b
+           |        ON a.sh = b.sh AND a.doc_id < b.doc_id),
+           |i AS (SELECT id_a, id_b, diff, pos_a,
+           |        pos_a - row_number() OVER (
+           |          PARTITION BY id_a, id_b, diff ORDER BY pos_a) AS isl
+           |      FROM m)
+           |SELECT id_a, id_b,
+           |  CAST(min(pos_a) AS BIGINT) AS a_start,
+           |  CAST(min(pos_a) + diff AS BIGINT) AS b_start,
+           |  CAST(max(pos_a) - min(pos_a) + 12 AS BIGINT) AS span_len
+           |FROM i GROUP BY id_a, id_b, diff, isl
+           |ORDER BY span_len DESC, id_a, id_b, a_start, b_start""".stripMargin,
     "dd5_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

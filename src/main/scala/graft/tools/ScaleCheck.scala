@@ -75,6 +75,17 @@ object ScaleCheck {
         se.select(col("event_id"), col("ts")), "ts",
         errors, "w_start", "w_end", 600).count()
     }
+    // span dedup: postings grow linearly with the corpus (one 24 B row
+    // per token position); the replica suffix token keeps replicas from
+    // being exact dups, so cross-replica 20-gram matches are the
+    // planted structure. maxPostings caps the quadratic pair blowup on
+    // grams hotter than the cap — without it, a gram shared by all
+    // replicas of a natural dup cluster yields (mult × cluster)²/2
+    // matches; with it, cost stays ~ matches below the cap.
+    time("sharedSpans 20-tok") {
+      Dedup.sharedSpans(scaled, "doc_id", "text", minTokens = 20,
+        maxPostings = 50).count()
+    }
     time("decontam 3-gram") {
       Decontam.contaminationReport(scaled, "doc_id", "text",
         scaled.filter(col("doc_id") % 500 === 0), "text", 3).count()

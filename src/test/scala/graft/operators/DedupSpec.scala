@@ -258,4 +258,52 @@ class DedupSpec extends AnyFunSuite {
     assert(j((0L, 1L)) == 1.0)
     assert(j((0L, 3L)) == 0.0)
   }
+
+  private def spanRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet
+
+  test("sharedSpans finds the exact maximal planted span and nothing else") {
+    // per-position-unique tokens: the ONLY matches are the planted copy
+    val aToks = (0 until 40).map(i => s"a$i")
+    val span = aToks.slice(5, 30)                 // 25 tokens, 0-based 5..29
+    val bToks = Seq("x0", "x1") ++ span ++ Seq("y0")
+    val docs = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")))
+      .toDF("id", "text")
+    val out = spanRows(Dedup.sharedSpans(docs, "id", "text", minTokens = 12))
+    assert(out == Set((1L, 2L, 5L, 2L, 25L)))
+    // below the threshold: a 25-token span is invisible to K=26
+    assert(Dedup.sharedSpans(docs, "id", "text", minTokens = 26).isEmpty)
+    // exactly at the threshold: one single-window island
+    val at = spanRows(Dedup.sharedSpans(docs, "id", "text", minTokens = 25))
+    assert(at == Set((1L, 2L, 5L, 2L, 25L)))
+  }
+
+  test("sharedSpans separates two distinct spans between the same pair") {
+    val s1 = (0 until 15).map(i => s"p$i")
+    val s2 = (0 until 13).map(i => s"q$i")
+    val a = s1 ++ Seq("am0", "am1") ++ s2               // s1@0, s2@17
+    val b = Seq("bm0") ++ s2 ++ Seq("bm1", "bm2") ++ s1 // s2@1, s1@16
+    val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+      .toDF("id", "text")
+    val out = spanRows(Dedup.sharedSpans(docs, "id", "text", minTokens = 12))
+    assert(out == Set((1L, 2L, 0L, 16L, 15L), (1L, 2L, 17L, 1L, 13L)))
+  }
+
+  test("sharedSpans: exact-dup docs yield the whole-doc span; maxPostings skips hot grams") {
+    val toks = (0 until 20).map(i => s"d$i")
+    val docs = (1L to 5L).map(id => (id, toks.mkString(" "))).toDF("id", "text")
+    val out = spanRows(Dedup.sharedSpans(docs, "id", "text", minTokens = 12))
+    // all 10 pairs, full-doc span
+    assert(out.size == 10 && out.forall { case (_, _, as, bs, len) =>
+      as == 0L && bs == 0L && len == 20L })
+    // every window hash has 5 postings: a cap of 4 drops them all —
+    // the boilerplate trade (exact-dup handles these clusters)
+    assert(Dedup.sharedSpans(docs, "id", "text", minTokens = 12,
+      maxPostings = 4).isEmpty)
+    // a cap that admits them changes nothing
+    val capped = spanRows(Dedup.sharedSpans(docs, "id", "text",
+      minTokens = 12, maxPostings = 5))
+    assert(capped == out)
+  }
 }
