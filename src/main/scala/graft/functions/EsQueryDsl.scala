@@ -20,6 +20,13 @@ import graft.api.Predicates
   *  - `range` — gt/gte/lt/lte, AND-combined
   *  - `match` / `match_phrase` — analyzed text via [[EsMatch]]
   *    (`operator: "and"` honored for `match`)
+  *  - `multi_match` — `match` across a fields list, any-field-matches
+  *    (best_fields as a boolean predicate); `fuzzy` — term within
+  *    Levenshtein `fuzziness` edits of a column token (AUTO = the ES
+  *    length ladder). Both route through [[EsMatch]] — the JSON
+  *    spelling of the F12 capability
+  *    (eland passes arbitrary DSL straight through,
+  *    eland/filter.py:182-185, eland/query_compiler.py:490-491)
   *  - `wildcard` (`*`/`?` → LIKE), `prefix`, `regexp`
   *  - `exists` — non-null field
   *  - `ids` — value list against the given id column
@@ -146,6 +153,43 @@ object EsQueryDsl {
           case o          => (o \ "query").extract[String]
         }
         EsMatch.matchPhrase(col(field), text)
+      case "multi_match" =>
+        // {"multi_match": {"query": q, "fields": [f1, f2], "operator"?}}
+        // best_fields semantics on a boolean predicate: the doc matches
+        // if ANY listed field matches (per-field semantics = `match`,
+        // honoring operator:and within a field)
+        val text = (body \ "query").extract[String]
+        val fields = (body \ "fields") match {
+          case JArray(fs) => fs.map(_.extract[String])
+          case other => throw new IllegalArgumentException(
+            s"multi_match needs a fields list, got $other")
+        }
+        require(fields.nonEmpty, "multi_match needs at least one field")
+        fields.foreach(requireText)
+        val op = (body \ "operator").extractOrElse[String]("or")
+        fields.map { f =>
+          if (op == "and") EsMatch.matchAll(col(f), text)
+          else EsMatch.matchAny(col(f), text)
+        }.reduce(_ || _)
+      case "fuzzy" =>
+        // {"fuzzy": {"f": {"value": v, "fuzziness"?: n|"AUTO"}}} (short
+        // form {"fuzzy": {"f": v}} parses too). AUTO follows ES's
+        // length ladder: 0-2 chars → 0 edits, 3-5 → 1, longer → 2.
+        val (field, v) = lonely(body, "fuzzy")
+        requireText(field)
+        val term = v match {
+          case JString(s) => s
+          case o          => (o \ "value").extract[String]
+        }
+        val maxEdits = (v \ "fuzziness") match {
+          case JNothing | JString("AUTO") =>
+            if (term.length <= 2) 0 else if (term.length <= 5) 1 else 2
+          case JInt(n)  => n.toInt
+          case JLong(n) => n.toInt
+          case other => throw new IllegalArgumentException(
+            s"fuzziness '$other' has no engine-independent translation")
+        }
+        EsMatch.matchFuzzy(col(field), term, maxEdits)
       case "wildcard" =>
         val (field, v) = lonely(body, "wildcard")
         val pat = v match {

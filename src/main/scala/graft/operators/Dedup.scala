@@ -100,6 +100,16 @@ object Dedup {
     * lazily re-read a registry that now contains its own digests (it
     * would anti-join itself to empty on the next action). The
     * checkpoint pins one batch — not the corpus — per call.
+    *
+    * Retry/delivery contract: RE-RUNNING a batch whose digest append
+    * committed returns an EMPTY frame — its rows are registered (the
+    * registry never double-registers or loses a digest) but were
+    * delivered by the earlier run, i.e. delivery is at-most-once per
+    * run while registration is exactly-once. Callers that must
+    * re-obtain a delivered batch's survivors should keep the returned
+    * frame (it is checkpointed) or persist it downstream before
+    * retrying; a streaming driver gets this for free from its
+    * checkpoint (see graft.streaming.CorpusStream).
     */
   def incrementalExactDedup(batch: DataFrame, idCol: String,
                             textCol: String,
@@ -109,23 +119,59 @@ object Dedup {
     val inBatchFirst = withDigest.join(
       withDigest.groupBy("_digest").agg(min(col(idCol)).as(idCol)),
       Seq("_digest", idCol), "left_semi")
-    // probe for a COMMITTED registry explicitly: a catch-all around
-    // read() would turn a transient IO error into "registry empty"
-    // and silently disable cross-batch dedup, and a bare exists()
-    // wedges on the dir a crashed first write left behind. Real read
-    // failures must propagate. (Duplicate digests from a retried
-    // append are harmless here — anti-join semantics are unchanged.)
+    // probe COMMITTED batch dirs explicitly: a catch-all around read()
+    // would turn a transient IO error into "registry empty" and
+    // silently disable cross-batch dedup. Real read failures propagate.
+    // (Duplicate digests — e.g. from a crashed compact() — are
+    // harmless here: anti-join semantics are unchanged.)
     val fs = new org.apache.hadoop.fs.Path(registryPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val survivors =
-      if (committedParquet(fs, registryPath))
-        inBatchFirst.join(spark.read.parquet(registryPath),
-          col("_digest") === col("digest"), "left_anti")
-      else inBatchFirst
+    val survivors = readCommitted(spark, fs, registryPath) match {
+      case Some(reg) =>
+        inBatchFirst.join(reg, col("_digest") === col("digest"), "left_anti")
+      case None => inBatchFirst
+    }
     val out = survivors.localCheckpoint(true)
-    out.select(col("_digest").as("digest"))
-      .write.mode("append").parquet(registryPath)
+    appendRegistryBatch(out.select(col("_digest").as("digest")),
+      registryPath)
     out.drop("_digest")
+  }
+
+  /** Compact an append-grown digest registry: rewrite all committed
+    * batch dirs as ONE batch, then delete the old dirs (and any
+    * marker-less crash leftovers). Probe results are identical before
+    * and after (spec-pinned). OFFLINE maintenance — run without
+    * concurrent appends. Crash-safety: the compacted batch commits
+    * BEFORE anything is deleted, so an interrupted compact leaves
+    * duplicate digests, which the anti-join ignores and the next
+    * compact() removes.
+    */
+  def compactExactRegistry(spark: org.apache.spark.sql.SparkSession,
+                           registryPath: String): Unit =
+    compactDir(spark, registryPath, distinctCols = Seq("digest"))
+
+  private def compactDir(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, distinctCols: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = committedBatchDirs(fs, dir)
+    if (old.nonEmpty) {
+      val all = spark.read.parquet(old: _*)
+      val compacted =
+        if (distinctCols.nonEmpty) all.dropDuplicates(distinctCols) else all
+      // coalesce only ever reduces partition count: small registries
+      // become one file per shuffle partition at most, huge ones keep
+      // their parallelism
+      appendRegistryBatch(compacted.coalesce(
+        math.max(1, spark.sessionState.conf.numShufflePartitions)), dir)
+      // commit first, delete second — plus marker-less crash leftovers
+      val keepNone = old.toSet
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.isDirectory).map(_.getPath)
+        .filter(p => keepNone.contains(p.toString) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .foreach(p => fs.delete(p, true))
+    }
   }
 
   /** Incremental MinHash-LSH near-dup against a persistent registry —
@@ -150,15 +196,39 @@ object Dedup {
     * [[incrementalExactDedup]] rule: the returned frame must not
     * lazily re-read a registry its own call just grew).
     */
-  /** True when `dir` holds a COMMITTED parquet write: the `_SUCCESS`
-    * marker exists. A bare `fs.exists(dir)` is not enough — Spark's
-    * output committer creates the directory at job setup, so a crashed
-    * write leaves an existing-but-uncommitted dir that would wedge
-    * every subsequent read.
+  /** Registry storage layout: every append commits to its OWN
+    * subdirectory `dir/batch-<uuid>/` with its own `_SUCCESS` marker,
+    * and reads consume only subdirectories whose marker exists.
+    *
+    * Why not one flat dir with mode("append"): the `_SUCCESS` marker
+    * of a flat dir persists from the PREVIOUS commit, so during (or
+    * after a crash of) a later append the marker is stale-true — and
+    * under FileOutputCommitter algorithm v2 a crashed append leaves
+    * visible partial part-files that reads would then consume. The
+    * per-batch layout is committer-version-independent: a batch's
+    * files become readable exactly when ITS marker appears (an atomic
+    * create), a crashed append leaves a marker-less dir every read
+    * skips, and a retried append lands in a fresh uuid dir.
     */
-  private def committedParquet(fs: org.apache.hadoop.fs.FileSystem,
-                               dir: String): Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+  private def committedBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+      .map(_.toString).sorted.toSeq
+  }
+
+  private def readCommitted(spark: org.apache.spark.sql.SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            dir: String): Option[DataFrame] = {
+    val dirs = committedBatchDirs(fs, dir)
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  private def appendRegistryBatch(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite")
+      .parquet(s"$dir/batch-${java.util.UUID.randomUUID()}")
 
   /** The banded LSH key explode shared by [[minhashLshPairs]] and
     * [[nearDupAgainstRegistry]]: (id, band, bh) rows from a `sig`
@@ -207,53 +277,93 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val shPath = s"$registryPath/shingles"
     val bandsPath = s"$registryPath/bands"
-    // probe the bands dir (written LAST, _SUCCESS-committed): its
-    // commit implies the shingle append completed too, so a
-    // half-written first batch re-registers instead of reading a
+    // probe the bands dir (written LAST, per-batch-committed): a
+    // band batch's commit implies its shingle append completed too, so
+    // a half-written first batch re-registers instead of reading a
     // partial registry
     val (matches, clean) =
-      if (!committedParquet(fs, bandsPath)) {
-        (staged.select(col("id").as(idCol), col("id").as("reg_id"),
-          lit(0.0).as("jaccard")).filter(lit(false)), staged)
-      } else {
-        val regBands = spark.read.parquet(bandsPath)
-          .withColumnRenamed("id", "reg_id")
-        val regSh = spark.read.parquet(shPath)
-          .withColumnRenamed("id", "reg_id")
-        val cand = bandKeyRows(staged, bands, rowsPerBand)
-          .join(regBands, Seq("band", "bh"))
-          .select("id", "reg_id").distinct()
-        val verified = withJaccard(cand
-          .join(staged.select(col("id"), col("sh").as("sh_a"),
-            size(col("sh")).as("n_a")), Seq("id"))
-          .join(regSh.select(col("reg_id"), col("sh").as("sh_b"),
-            size(col("sh")).as("n_b")), Seq("reg_id")))
-          .filter(col("jaccard") >= threshold)
-          .select(col("id").as(idCol), col("reg_id"), col("jaccard"))
-          .localCheckpoint(true)
-        (verified,
-          staged.join(verified.select(col(idCol).as("id")).distinct(),
-            Seq("id"), "left_anti"))
+      readCommitted(spark, fs, bandsPath) match {
+        case None =>
+          (staged.select(col("id").as(idCol), col("id").as("reg_id"),
+            lit(0.0).as("jaccard")).filter(lit(false)), staged)
+        case Some(rb) =>
+          val regBands = rb.withColumnRenamed("id", "reg_id")
+          val regSh = readCommitted(spark, fs, shPath).get
+            .withColumnRenamed("id", "reg_id")
+          // id =!= reg_id: a fully-committed batch RE-RUN probes a
+          // registry already holding its own rows — without the
+          // exclusion every doc would report itself as a jaccard-1.0
+          // match. Distinguishing "already ingested" from "near-dup of
+          // another doc" is [[registeredIds]]' job, not a self-pair's.
+          val cand = bandKeyRows(staged, bands, rowsPerBand)
+            .join(regBands, Seq("band", "bh"))
+            .filter(col("id") =!= col("reg_id"))
+            .select("id", "reg_id").distinct()
+          val verified = withJaccard(cand
+            .join(staged.select(col("id"), col("sh").as("sh_a"),
+              size(col("sh")).as("n_a")), Seq("id"))
+            .join(regSh.select(col("reg_id"), col("sh").as("sh_b"),
+              size(col("sh")).as("n_b")), Seq("reg_id")))
+            .filter(col("jaccard") >= threshold)
+            .select(col("id").as(idCol), col("reg_id"), col("jaccard"))
+            .localCheckpoint(true)
+          (verified,
+            staged.join(verified.select(col(idCol).as("id")).distinct(),
+              Seq("id"), "left_anti"))
       }
     // retry-idempotent append: a re-run of a batch whose shingle
     // append committed but whose band append crashed must not append
     // its shingles a second time (duplicate registry rows would emit
     // every future match against those ids twice)
     def notRegistered(df: DataFrame, dir: String): DataFrame =
-      if (committedParquet(fs, dir))
-        df.join(spark.read.parquet(dir).select(col("id")).distinct(),
-          Seq("id"), "left_anti")
-      else df
+      readCommitted(spark, fs, dir) match {
+        case Some(reg) =>
+          df.join(reg.select(col("id")).distinct(), Seq("id"), "left_anti")
+        case None => df
+      }
     // shingles BEFORE bands: a crash between the two appends leaves
     // orphan shingle rows (harmless — never probed), not orphan band
     // rows (whose candidates would vanish in the verify join, turning
     // future duplicates into silent false negatives)
-    notRegistered(clean.select(col("id"), col("sh")), shPath)
-      .write.mode("append").parquet(shPath)
-    notRegistered(bandKeyRows(clean, bands, rowsPerBand), bandsPath)
-      .write.mode("append").parquet(bandsPath)
+    appendRegistryBatch(
+      notRegistered(clean.select(col("id"), col("sh")), shPath), shPath)
+    appendRegistryBatch(
+      notRegistered(bandKeyRows(clean, bands, rowsPerBand), bandsPath),
+      bandsPath)
     staged.unpersist()
     matches
+  }
+
+  /** The ids the near-dup registry has fully registered (band batches
+    * committed — which implies their shingles committed too): the
+    * "already ingested?" probe that lets a caller distinguish a
+    * re-sent document from a genuine near-dup of ANOTHER document
+    * (matches never contain self-pairs).
+    */
+  def registeredIds(spark: org.apache.spark.sql.SparkSession,
+                    registryPath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(registryPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readCommitted(spark, fs, s"$registryPath/bands") match {
+      case Some(rb) => rb.select(col("id")).distinct()
+      case None => spark.range(0).select(col("id"))
+    }
+  }
+
+  /** [[compactExactRegistry]] for the near-dup registry's two stores:
+    * shingles first, then bands (the append-order rule — a crash
+    * between the two leaves the band store un-compacted, never a band
+    * row whose shingles are missing). Same offline contract; a crash
+    * mid-compact leaves duplicate rows, and while the exact registry
+    * shrugs those off, HERE a duplicated shingle row would double
+    * every future match against that id — re-run compact() to
+    * completion before the next probe.
+    */
+  def compactNearDupRegistry(spark: org.apache.spark.sql.SparkSession,
+                             registryPath: String): Unit = {
+    compactDir(spark, s"$registryPath/shingles", distinctCols = Seq("id"))
+    compactDir(spark, s"$registryPath/bands",
+      distinctCols = Seq("id", "band", "bh"))
   }
 
   /** Permutation min-hashes over an ALREADY-MATERIALIZED array of base

@@ -58,7 +58,11 @@ object Sampling {
     * portable md5 draw as [[deterministicSample]] — re-runs, other
     * engines, and auditors all reproduce the exact order. Emits a
     * contiguous 0-based `ordinal` column. `idCol` must be unique and
-    * long-castable.
+    * NON-NULL: the ordinal join is an inner equi-join on the id, so a
+    * null id has no join partner and its row would silently vanish
+    * (nulls never compare equal) — filter or synthesize ids first.
+    * The id is carried through in its NATIVE type (string/int/decimal
+    * keys all work; no lossy casts anywhere).
     *
     * Scale shape: the naive `row_number().over(Window.orderBy(key))`
     * is a single-partition sort — fatal at scale (the same trap
@@ -72,17 +76,15 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, idCol: String,
                            seed: Long): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val nPart = spark.sessionState.conf.numShufflePartitions
+    val idField = df.schema(idCol)
     val keyed = df
-      .select(hashKey(col(idCol), seed).as("_k"),
-        col(idCol).cast("long").as("_id"))
+      .select(hashKey(col(idCol), seed).as("_k"), col(idCol).as("_id"))
       .repartitionByRange(nPart, col("_k"))
       .sortWithinPartitions("_k")
       .persist()
-    val counts = keyed.as[(String, Long)].mapPartitions { it =>
-      Iterator((org.apache.spark.TaskContext.getPartitionId(),
-        it.size.toLong))
+    val counts = keyed.toDF().rdd.mapPartitionsWithIndex { (p, it) =>
+      Iterator((p, it.size.toLong))
     }.collect().toMap
     val offsets = new Array[Long](nPart + 1)
     var p = 0
@@ -91,11 +93,18 @@ object Sampling {
       p += 1
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    val ordinals = keyed.as[(String, Long)].mapPartitions { it =>
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id", idField.dataType,
+        idField.nullable),
+      org.apache.spark.sql.types.StructField("ordinal",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val ordinals = keyed.mapPartitions { it =>
       var o = bc.value(org.apache.spark.TaskContext.getPartitionId())
-      it.map { case (_, id) => val r = (id, o); o += 1; r }
-    }.toDF("_id", "ordinal")
-    val out = df.join(ordinals, col(idCol).cast("long") === col("_id"))
+      it.map { r =>
+        val out = org.apache.spark.sql.Row(r.get(1), o); o += 1; out
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val out = df.join(ordinals, col(idCol) === col("_id"))
       .drop("_id")
     Dedup.materializeAndRelease(keyed, out)
   }

@@ -98,8 +98,19 @@ object FacadeQueries {
       f.where(graft.functions.EsMatch.matchPhrase(col("text"), "the fast"))
         .select(Seq("doc_id")).df.orderBy("doc_id")
     }),
-    // seeded deterministic sample (xxhash64 order — rows-only oracle)
-    "g11_sample" -> ((s, d) => orders(s, d).sample(50, seed = 42).df),
+    // seeded deterministic sample (xxhash64 order — rows-only oracle,
+    // so the gate asserts its own contract: exactly n rows, and two
+    // independent evaluations draw the IDENTICAL key set)
+    "g11_sample" -> ((s, d) => {
+      val draw = orders(s, d).sample(50, seed = 42).df
+      val again = orders(s, d).sample(50, seed = 42).df
+      val n = draw.count()
+      val overlap = draw.select("o_orderkey")
+        .intersect(again.select("o_orderkey")).count()
+      require(n == 50 && overlap == 50,
+        s"seeded sample not deterministic: n=$n overlap=$overlap")
+      draw
+    }),
     // idxmax / idxmin
     "g12_idxmax" -> ((s, d) => orders(s, d).idxmax("o_totalprice")),
     "g13_idxmin" -> ((s, d) => orders(s, d).idxmin("o_totalprice")),
@@ -194,6 +205,21 @@ object FacadeQueries {
           |}}""".stripMargin)
         .select(Seq("o_orderkey", "o_orderstatus", "o_totalprice")).df
         .orderBy("o_orderkey")
+    }),
+    // the JSON spelling of the F12 match family: multi_match across
+    // two analyzed fields (best_fields OR) AND a fuzzy clause
+    // (levenshtein ≤ 1 of "streem" — matches the corpus's "stream"
+    // tokens, so the clause bites and the gate is non-vacuous)
+    "f17_es_query_text" -> ((s, d) => {
+      docs(s, d).esQuery(
+        """{"bool": {
+          |  "must": [
+          |    {"multi_match": {"query": "vector batch",
+          |                     "fields": ["text", "source"]}},
+          |    {"fuzzy": {"text": {"value": "streem", "fuzziness": 1}}}
+          |  ]
+          |}}""".stripMargin)
+        .select(Seq("doc_id")).df.orderBy("doc_id")
     }),
     // keep-by-ids with reindex-to-items order (F14 keep side):
     // output row order follows the given id list, not the id sort
@@ -422,6 +448,17 @@ object FacadeQueries {
         |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
         |  AND o_orderstatus <> 'P'
         |ORDER BY o_orderkey""".stripMargin,
+    "f17_es_query_text" ->
+      raw"""SELECT doc_id FROM documents
+           |WHERE (len(list_filter($toksSql,
+           |         t -> t IN ('vector','batch'))) > 0
+           |    OR len(list_filter(
+           |         list_filter(string_split_regex(lower(source), '\s+'),
+           |           x -> x <> ''),
+           |         t -> t IN ('vector','batch'))) > 0)
+           |  AND len(list_filter($toksSql,
+           |        t -> levenshtein(t, 'streem') <= 1)) > 0
+           |ORDER BY doc_id""".stripMargin,
     "g21_keep_ids" ->
       """WITH ids(id, ord) AS (VALUES (3, 1), (1, 2), (2, 3))
         |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice

@@ -35,6 +35,48 @@ object PipelineQueries {
     src
   }
 
+  /** Documents split into 4 single-file micro-batches (batch k = docs
+    * with doc_id ≡ k mod 4) with STRICTLY ASCENDING modification
+    * times: the parquet file stream source admits files oldest-first,
+    * so with maxFilesPerTrigger=1 the batch arrival order 0,1,2,3 is
+    * pinned — which makes cross-batch registry precedence (who
+    * registered a digest first) deterministic and oracle-replayable.
+    * Written once per sf dir.
+    */
+  private def docsStreamFixture(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-st4fix-$tag")
+    val done = new java.io.File(dir, "_FIXTURE_READY")
+    if (!done.exists()) {
+      dir.mkdirs()
+      // the corpus has NO natural exact dups (dd1: n_unique == n_docs),
+      // so clones are planted with +10001 — the +1 shifts the batch
+      // class, making every planted dup CROSS-batch: the clone of doc k
+      // arrives one batch after it, except k ≡ 3 (mod 4) where the
+      // clone arrives in batch 0 BEFORE its original — so the gate also
+      // proves first-arrival-wins over a later smaller id
+      val base = t(s, d, "documents").select("doc_id", "text")
+      val docs = base.unionByName(base.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10001).as("doc_id"), col("text")))
+      for (k <- 0 until 4) {
+        val stage = new java.io.File(dir, s"_stage$k")
+        docs.filter(col("doc_id") % 4 === k).coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dir, s"batch-$k.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + k * 60000L)
+        stage.listFiles().foreach(_.delete())
+        stage.delete()
+      }
+      done.createNewFile()
+    }
+    dir.toString
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the sink table. `processAllAvailable` drains the (finite)
     * file source; the temp view outlives the stopped query.
@@ -350,6 +392,35 @@ object PipelineQueries {
       drainToTable(s, j, s"graft_st3_$tag", OutputMode.Append(),
           statePartitions = Some(8))
         .orderBy("p_id", "c_id")
+    }),
+    // streaming incremental exact dedup — foreachBatch composed with
+    // the persistent digest registry (dd11's operator) over a 4-batch
+    // docs stream: the end-to-end continuous-ingest dedup story. The
+    // registry/output/checkpoint dirs are FRESH per invocation (a
+    // registry is stateful by design; reruns must start empty). The
+    // oracle replays cross-batch precedence literally: the survivor of
+    // each digest is the min doc_id of the EARLIEST-ARRIVING batch
+    // containing it — (doc_id % 4, doc_id) lexicographic order — which
+    // differs from whole-corpus keep-first whenever a dup's smaller id
+    // sits in a later batch, so the gate proves arrival-order registry
+    // semantics, not just global dedup.
+    "st4_stream_incdedup" -> ((s, d) => {
+      val src = docsStreamFixture(s, d)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-st4-run").toString
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.CorpusStream.incrementalDedup(stream,
+          "doc_id", "text", s"$work/registry", s"$work/out", s"$work/ckp")
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(s"$work/out")
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .orderBy("doc_id")
     }),
     // engine-portable SimHash (md5 token hash) — the full-oracle face
     // of dd3's xxhash64 sketch: DuckDB replays every per-bit ±1 sum
@@ -685,6 +756,19 @@ object PipelineQueries {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
            |FROM cg JOIN b USING (g)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // survivor of each digest = min doc_id of the earliest-arriving
+    // batch (batch k = doc_id % 4, arrival order pinned by mod times);
+    // the planted +10001 clones replay identically
+    "st4_stream_incdedup" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10001, text FROM documents
+        |           WHERE doc_id < 100),
+        |r AS (SELECT doc_id, md5(text) AS digest,
+        |        row_number() OVER (PARTITION BY md5(text)
+        |          ORDER BY doc_id % 4, doc_id) AS rn
+        |      FROM u)
+        |SELECT doc_id, digest FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "st3_stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id
         |FROM events p JOIN events c

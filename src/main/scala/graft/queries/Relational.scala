@@ -215,17 +215,53 @@ object Relational {
         countDistinct(col("l_suppkey")).cast("long").as("nu_supp"),
         countDistinct(col("l_returnflag")).cast("long").as("nu_flag"))
     }),
-    // approximate variants — the reference's actual sketches
-    // (HLL++ cardinality, TDigest percentiles); values differ per
-    // engine so the driver records a rows-only check. Scalar columns
-    // only: the driver's pandas compare sorts columns and cannot hash
-    // array cells (cf. arr1 which stringifies for the same reason).
+    // approximate variants — the reference's actual sketches (HLL++
+    // cardinality, TDigest percentiles). Sketch VALUES differ per
+    // engine, so the gate scores them with the epsilon discipline
+    // (SURVEY §7.5-2): exact and approx are both computed in-engine,
+    // and the emitted columns are the exact cardinality (portable)
+    // plus within-tolerance BOOLEANS (±2% relative) that the oracle
+    // checks literally — a sketch drifting out of tolerance flips a
+    // boolean and fails the gate. The exact companions exist for
+    // scoring only; production pipelines run the approx path alone.
     "ax1_approx_aggs" -> ((s, d) => {
-      t(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).cast("long").as("nu_part_approx"),
-        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("median_approx"),
-        expr("percentile_approx(l_extendedprice, 0.25, 10000)").as("q25_approx"),
-        expr("percentile_approx(l_extendedprice, 0.75, 10000)").as("q75_approx"))
+      def ok(approx: Column, exact: Column): Column =
+        (abs(approx - exact) / exact <= 0.02)
+      // the distinct-count pair and the percentile family aggregate in
+      // SEPARATE one-row jobs: countDistinct plans an Expand that
+      // doubles every input row, and dragging the exact-percentile
+      // sort buffers through that expansion measured ~35 s at sf0.1 vs
+      // ~1 s split (the two frames then cross-join — 1×1 rows)
+      val li = t(s, d, "lineitem")
+      val card = li.agg(
+        // rsd 0.01: the default 5% HLL error cannot promise a ±2% gate;
+        // one-percent sketches can (measured ≤0.7% on all SFs; the
+        // reference's cardinality agg runs near-exact at
+        // precision_threshold 40000 similarly). 0.005 would too but its
+        // register arrays cost 4 s at sf0.1 vs ~1 s here.
+        approx_count_distinct(col("l_partkey"), 0.01).cast("double")
+          .as("_nu_a"),
+        countDistinct(col("l_partkey")).cast("double").as("_nu_e"))
+      // exact quantiles via the a7/a8 hybrid sort path (same
+      // interpolation as `percentile`, far cheaper than dragging the
+      // Percentile agg's value buffers through partial aggregation)
+      val qv = graft.operators.Quantiles
+        .viaSort(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val pct = li.agg(
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("_m_a"),
+        lit(qv(0.5)).as("_m_e"),
+        expr("percentile_approx(l_extendedprice, 0.25, 10000)").as("_q25_a"),
+        lit(qv(0.25)).as("_q25_e"),
+        expr("percentile_approx(l_extendedprice, 0.75, 10000)").as("_q75_a"),
+        lit(qv(0.75)).as("_q75_e"))
+      card.crossJoin(pct)
+        .select(
+          col("_nu_e").cast("long").as("nu_part"),
+          ok(col("_nu_a"), col("_nu_e")).as("nu_part_ok"),
+          ok(col("_m_a"), col("_m_e")).as("median_ok"),
+          ok(col("_q25_a"), col("_q25_e")).as("q25_ok"),
+          ok(col("_q75_a"), col("_q75_e")).as("q75_ok"))
     }),
     // M1/M2 oracle-gated: import an ES trained-model payload (the
     // reference serializer's wire format, inline fixture data) and
@@ -722,6 +758,15 @@ object Relational {
       """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS nu_part,
         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nu_supp,
         |       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nu_flag
+        |FROM lineitem""".stripMargin,
+    // the epsilon discipline: the engine emits within-±2% booleans for
+    // its sketches; the oracle recomputes the exact cardinality and
+    // states the expected verdicts literally — a drifting sketch flips
+    // a boolean and hash-mismatches
+    "ax1_approx_aggs" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS nu_part,
+        |       true AS nu_part_ok, true AS median_ok,
+        |       true AS q25_ok, true AS q75_ok
         |FROM lineitem""".stripMargin,
     "ml1_tree_score" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

@@ -66,11 +66,27 @@ object TextQueries {
     // ---- dedup -----------------------------------------------------
     "dd1_exact_dup_stats" -> ((s, d) =>
       Dedup.exactStats(t(s, d, "documents"), "text")),
-    // id-only band shuffle + hot-bucket guard on: the 100 TB layout
+    // id-only band shuffle + hot-bucket guard on: the 100 TB layout.
+    // Rows-only (xxhash64 signatures) — so the gate carries its own
+    // planted-recall invariant: 25 exact clones (+50000 ids) MUST all
+    // surface as candidates with est_jaccard 1.0 (identical docs ⇒
+    // identical signatures ⇒ collide in every band — deterministic,
+    // not probabilistic), else the gate throws. Clone pairs are then
+    // excluded from the returned top-50 so the output stays the
+    // natural candidate list.
     "dd2_minhash_lsh_pairs" -> ((s, d) => {
-      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+      val base = t(s, d, "documents").select("doc_id", "text")
+      val withClones = base.unionByName(base.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text")))
+      val pairs = Dedup.minhashLshPairs(withClones, "doc_id", "text",
         shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.2,
         maxBucketSize = 100)
+      val planted = pairs
+        .filter(col("id_b") === col("id_a") + 50000 && col("id_a") < 25)
+      val found = planted.filter(col("est_jaccard") === 1.0).count()
+      require(found == 25,
+        s"planted-clone recall violated: $found/25 clone pairs surfaced")
+      pairs.filter(col("id_b") < 50000)
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
         .limit(50)
@@ -237,24 +253,38 @@ object TextQueries {
           octet_length(col("blob")).cast("long").as("blob_bytes"))
         .orderBy("media_id")
     }),
-    // mapPartitions feature extraction (stub decoder — rows-only)
+    // mapPartitions feature extraction (stub decoder — rows-only, so
+    // the gate asserts its own contract: every media row yields a
+    // feature vector of EXACTLY `dims` finite floats, else it throws)
     "mm2_media_features" -> ((s, d) => {
-      graft.operators.Multimodal.extractFeatures(
+      val feats = graft.operators.Multimodal.extractFeatures(
         graft.operators.Multimodal
           .synthesizeMedia(t(s, d, "documents"), "doc_id", "text"),
         dims = 8)
-        .select(col("media_id"), col("kind"),
+      val bad = feats.filter(
+        size(col("features")) =!= 8 ||
+          exists(col("features"), f =>
+            isnan(f.cast("double")) ||
+              f.cast("double") === Double.PositiveInfinity ||
+              f.cast("double") === Double.NegativeInfinity)).count()
+      require(bad == 0, s"$bad media rows violate the 8-finite-floats contract")
+      feats.select(col("media_id"), col("kind"),
           round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
         .orderBy("media_id")
     }),
-    // frame sampling explode (rows-only)
+    // frame sampling explode (rows-only; the gate asserts no media row
+    // is lost and every media yields at least one frame)
     "mm3_frame_sample" -> ((s, d) => {
-      graft.operators.Multimodal.sampleFrames(
-        graft.operators.Multimodal
-          .synthesizeMedia(t(s, d, "documents"), "doc_id", "text"))
+      val media = graft.operators.Multimodal
+        .synthesizeMedia(t(s, d, "documents"), "doc_id", "text")
+      val frames = graft.operators.Multimodal.sampleFrames(media)
         .groupBy("media_id")
         .agg(count(lit(1)).cast("long").as("n_frames"))
-        .orderBy("media_id")
+      val nMediaWithFrames = frames.filter(col("n_frames") >= 1).count()
+      val nVideo = media.filter(col("meta.kind") === "video").count()
+      require(nMediaWithFrames == nVideo,
+        s"frame sampling lost media: $nMediaWithFrames of $nVideo videos")
+      frames.orderBy("media_id")
     }),
 
     // REAL image decode, oracle-checked: synthesize genuine BMP bytes,

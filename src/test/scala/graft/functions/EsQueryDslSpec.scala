@@ -120,6 +120,54 @@ class EsQueryDslSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("minimum_should_match"))
   }
 
+  test("multi_match and fuzzy route through the EsMatch modes") {
+    // single-field multi_match ≡ match
+    val mm = docs.esQuery(
+      """{"multi_match": {"query": "filter join", "fields": ["text"]}}""").len()
+    assert(mm == docs.esQuery("""{"match": {"text": "filter join"}}""").len()
+      && mm > 0)
+    // operator:and within each field
+    val mmAnd = docs.esQuery(
+      """{"multi_match": {"query": "filter join", "fields": ["text"],
+        |"operator": "and"}}""".stripMargin).len()
+    assert(mmAnd == docs.esQuery(
+      """{"match": {"text": {"query": "filter join", "operator": "and"}}}""")
+      .len() && mmAnd <= mm)
+    // a second field only widens the match set
+    val mm2 = docs.esQuery(
+      """{"multi_match": {"query": "filter join",
+        |"fields": ["text", "source"]}}""".stripMargin).len()
+    assert(mm2 >= mm)
+    // fields list is required
+    val e = intercept[IllegalArgumentException](
+      docs.esQuery("""{"multi_match": {"query": "x"}}""").len())
+    assert(e.getMessage.contains("fields"))
+
+    // fuzzy: 1 edit catches the corpus's "stream" tokens from "streem"
+    val fz = docs.esQuery(
+      """{"fuzzy": {"text": {"value": "streem", "fuzziness": 1}}}""").len()
+    assert(fz > 0 &&
+      fz == docs.df.where(graft.functions.EsMatch
+        .matchFuzzy(org.apache.spark.sql.functions.col("text"), "streem", 1))
+        .count())
+    // fuzziness 0 ≡ exact token match
+    assert(docs.esQuery(
+      """{"fuzzy": {"text": {"value": "stream", "fuzziness": 0}}}""").len()
+      == docs.esQuery("""{"match": {"text": "stream"}}""").len())
+    // AUTO ladder: 6+ chars → 2 edits
+    assert(docs.esQuery("""{"fuzzy": {"text": "streem"}}""").len()
+      == docs.esQuery(
+        """{"fuzzy": {"text": {"value": "streem", "fuzziness": 2}}}""").len())
+    // the non-text guard applies to both clause kinds
+    val pinned = docs.withEsDtype("source", "keyword")
+    assert(intercept[IllegalArgumentException](pinned.esQuery(
+      """{"multi_match": {"query": "x", "fields": ["source"]}}"""))
+      .getMessage.contains("non-text"))
+    assert(intercept[IllegalArgumentException](pinned.esQuery(
+      """{"fuzzy": {"source": "web"}}"""))
+      .getMessage.contains("non-text"))
+  }
+
   test("esQuery match enforces the same non-text guard as esMatch") {
     val pinned = docs.withEsDtype("source", "keyword")
     val e = intercept[IllegalArgumentException](

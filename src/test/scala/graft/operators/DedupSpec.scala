@@ -91,11 +91,69 @@ class DedupSpec extends AnyFunSuite {
     }
     wipe(new java.io.File(s"$reg/bands"))
     Dedup.nearDupAgainstRegistry(b1, "id", "text", reg)
-    // the shingle rows must NOT have doubled
-    assert(spark.read.parquet(s"$reg/shingles").count() == 1)
+    // the shingle rows must NOT have doubled (recursive read counts
+    // every file across batch dirs, committed or not)
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$reg/shingles").count() == 1)
     // and a matching later batch reports the duplicate exactly once
     val m = Dedup.nearDupAgainstRegistry(
       Seq((10L, base)).toDF("id", "text"), "id", "text", reg,
+      threshold = 0.5).collect()
+    assert(m.length == 1 && m(0).getLong(0) == 10L && m(0).getLong(1) == 0L)
+  }
+
+  test("re-running a committed batch: no self-matches, registeredIds answers instead") {
+    val reg = java.nio.file.Files.createTempDirectory("graft-nd-rerun")
+      .toString + "/registry"
+    val b1 = Seq((0L, base), (1L, "nothing in common with that one"))
+      .toDF("id", "text")
+    assert(Dedup.nearDupAgainstRegistry(b1, "id", "text", reg).count() == 0)
+    // full re-run of the SAME batch: its rows are already registered —
+    // without the self-pair exclusion every doc would match itself at
+    // jaccard 1.0
+    assert(Dedup.nearDupAgainstRegistry(b1, "id", "text", reg,
+      threshold = 0.5).count() == 0)
+    // "already ingested?" is the probe's job
+    assert(Dedup.registeredIds(spark, reg)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+  }
+
+  test("registry compaction preserves probe results and collapses batch dirs") {
+    val reg = java.nio.file.Files.createTempDirectory("graft-dd-compact")
+      .toString + "/registry"
+    Dedup.incrementalExactDedup(
+      Seq((0L, "aaa"), (1L, "bbb")).toDF("id", "text"), "id", "text", reg)
+    Dedup.incrementalExactDedup(
+      Seq((2L, "ccc")).toDF("id", "text"), "id", "text", reg)
+    val before = spark.read.option("recursiveFileLookup", "true")
+      .parquet(reg).select("digest").collect().map(_.getString(0)).sorted.toSeq
+    Dedup.compactExactRegistry(spark, reg)
+    val dirs = new java.io.File(reg).listFiles().filter(_.isDirectory)
+    assert(dirs.length == 1, s"expected 1 batch dir, got ${dirs.length}")
+    val after = spark.read.option("recursiveFileLookup", "true")
+      .parquet(reg).select("digest").collect().map(_.getString(0)).sorted.toSeq
+    assert(after == before)
+    // the compacted registry still dedups a later batch identically
+    assert(Dedup.incrementalExactDedup(
+      Seq((10L, "aaa"), (11L, "ddd")).toDF("id", "text"), "id", "text", reg)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+
+    // near-dup registry: probe answers identical across compaction
+    val nreg = java.nio.file.Files.createTempDirectory("graft-nd-compact")
+      .toString + "/registry"
+    Dedup.nearDupAgainstRegistry(
+      Seq((0L, base)).toDF("id", "text"), "id", "text", nreg)
+    Dedup.nearDupAgainstRegistry(
+      Seq((1L, "completely unrelated prose about catalyst optimizer rules"))
+        .toDF("id", "text"), "id", "text", nreg)
+    Dedup.compactNearDupRegistry(spark, nreg)
+    Seq("shingles", "bands").foreach { sub =>
+      val n = new java.io.File(s"$nreg/$sub").listFiles()
+        .count(_.isDirectory)
+      assert(n == 1, s"$sub: expected 1 batch dir, got $n")
+    }
+    val m = Dedup.nearDupAgainstRegistry(
+      Seq((10L, base)).toDF("id", "text"), "id", "text", nreg,
       threshold = 0.5).collect()
     assert(m.length == 1 && m(0).getLong(0) == 10L && m(0).getLong(1) == 0L)
   }

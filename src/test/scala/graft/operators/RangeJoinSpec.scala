@@ -39,6 +39,35 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(1L, 2L))
   }
 
+  test("malformed intervals drop cleanly; degenerate spans abort with a clear error") {
+    val pts = spark.range(10).select(col("id").as("pid"),
+      timestamp_seconds(col("id") * 100).as("pt"))
+    // end < start: sequence's default negative step would walk
+    // descending and emit garbage buckets; the filter drops the row
+    val bad = spark.range(1).select(col("id").as("iid"),
+      timestamp_seconds(lit(5000)).as("s"),
+      timestamp_seconds(lit(100)).as("e"))
+    assert(RangeJoin.pointInInterval(pts, "pt", bad, "s", "e", 60)
+      .count() == 0)
+    // a valid interval alongside still matches
+    val mixed = bad.unionByName(spark.range(1).select(
+      (col("id") + 1).as("iid"), timestamp_seconds(lit(0)).as("s"),
+      timestamp_seconds(lit(250)).as("e")))
+    assert(RangeJoin.pointInInterval(pts, "pt", mixed, "s", "e", 60)
+      .count() == 3) // points at 0, 100, 200
+    // an interval spanning more buckets than the cap aborts loudly
+    val huge = spark.range(1).select(col("id").as("iid"),
+      timestamp_seconds(lit(0)).as("s"),
+      timestamp_seconds(lit(10000000)).as("e"))
+    val err = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "pt", huge, "s", "e", 60,
+        maxBucketsPerInterval = 1000).count()
+    }
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("buckets") ||
+        err.getCause != null && err.getCause.getMessage.contains("buckets")))
+  }
+
   test("no cartesian or nested-loop join in the physical plan") {
     val pts = spark.range(100).select(col("id").as("pid"),
       timestamp_seconds(col("id") * 7).as("pt"))

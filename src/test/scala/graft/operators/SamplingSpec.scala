@@ -88,6 +88,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.filter(col("payload") =!= col("k") * 3).count() == 0)
   }
 
+  test("deterministicShuffle carries non-long id types natively") {
+    import spark.implicits._
+    // string keys: the old long-cast join would null every key and
+    // silently drop all rows
+    val df = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+      .toDF("name").withColumn("payload", length(col("name")))
+    val out = Sampling.deterministicShuffle(df, "name", seed = 9)
+    assert(out.count() == 5)
+    assert(out.agg(countDistinct("ordinal"), min("ordinal"), max("ordinal"))
+      .collect()(0).toSeq == Seq(5L, 0L, 4L))
+    // id values survive untouched in their native type
+    assert(out.select("name").as[String].collect().sorted.toSeq
+      == Seq("alpha", "beta", "delta", "epsilon", "gamma"))
+  }
+
   test("groupSplit is group-atomic, total, and ratio-plausible") {
     import spark.implicits._
     // 200 groups of 5 rows each

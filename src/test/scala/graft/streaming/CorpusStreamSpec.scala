@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class CorpusStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Two single-file micro-batches with pinned arrival order. */
+  private def writeBatches(dir: String,
+                           batches: Seq[Seq[(Long, String)]]): Unit = {
+    import spark.implicits._
+    batches.zipWithIndex.foreach { case (rows, k) =>
+      val stage = new java.io.File(dir, s"_stage$k")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles().find(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"batch-$k.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(1700000000000L + k * 60000L)
+      stage.listFiles().foreach(_.delete()); stage.delete()
+    }
+  }
+
+  test("streamed incremental dedup == the batch registry chain") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-cs-spec").toString
+    val src = new java.io.File(work, "src"); src.mkdirs()
+    // batch 0 has an in-batch dup (2 ~ 1); batch 1 re-sends "aaa"
+    // (cross-batch dup) and introduces "ccc"; batch 2 re-sends "ccc"
+    // under a SMALLER id — first-arrival must win, not min-id
+    writeBatches(src.toString, Seq(
+      Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")),
+      Seq((10L, "aaa"), (11L, "ccc")),
+      Seq((5L, "ccc"), (6L, "ddd"))))
+
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q = CorpusStream.incrementalDedup(stream, "doc_id", "text",
+      s"$work/registry", s"$work/out", s"$work/ckp")
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(s"$work/out")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L, 6L, 11L))
+
+    // the registry survives the stream: a fresh BATCH call against it
+    // still dedups (the cross-restart story)
+    val post = graft.operators.Dedup.incrementalExactDedup(
+      { import spark.implicits._
+        Seq((20L, "bbb"), (21L, "eee")).toDF("doc_id", "text") },
+      "doc_id", "text", s"$work/registry")
+    assert(post.select("doc_id").collect().map(_.getLong(0)).toSeq
+      == Seq(21L))
+  }
+}
