@@ -143,8 +143,32 @@ object EsQueryDsl {
           case o => ((o \ "query").extract[String],
             (o \ "operator").extractOrElse[String]("or"))
         }
-        if (op == "and") EsMatch.matchAll(col(field), text)
-        else EsMatch.matchAny(col(field), text)
+        // optional fuzziness (eland es_match passes it through,
+        // eland/query_compiler.py:419-488): per-token Levenshtein via
+        // the EsMatch fuzzy modes, AUTO = the ES length ladder applied
+        // per query token
+        val fuzz: Option[String => Int] = (v \ "fuzziness") match {
+          case JNothing => None
+          case JString("AUTO") => Some(t =>
+            if (t.length <= 2) 0 else if (t.length <= 5) 1 else 2)
+          case JInt(n)  => Some(_ => n.toInt)
+          case JLong(n) => Some(_ => n.toInt)
+          case other => throw new IllegalArgumentException(
+            s"fuzziness '$other' has no engine-independent translation")
+        }
+        fuzz match {
+          case None =>
+            if (op == "and") EsMatch.matchAll(col(field), text)
+            else EsMatch.matchAny(col(field), text)
+          case Some(edits) =>
+            val terms = text.toLowerCase(java.util.Locale.ROOT)
+              .split("\\s+").filter(_.nonEmpty).toSeq
+            val per = terms.map(t =>
+              if (op == "and") EsMatch.matchFuzzyAll(col(field), t, edits(t))
+              else EsMatch.matchFuzzy(col(field), t, edits(t)))
+            if (per.isEmpty) lit(false)
+            else if (op == "and") per.reduce(_ && _) else per.reduce(_ || _)
+        }
       case "match_phrase" =>
         val (field, v) = lonely(body, "match_phrase")
         requireText(field)

@@ -683,6 +683,45 @@ object Dedup {
         col("span_len"))
   }
 
+  /** The removal half of the span-dedup recipe: rewrite each document
+    * with its duplicated spans removed, keeping the FIRST occurrence
+    * (the smaller id keeps its copy — Lee et al. drop all but one).
+    * Returns (idCol, n_tokens, n_tokens_clean, text_clean) for every
+    * input doc; unaffected docs pass through with n_tokens_clean ==
+    * n_tokens and their tokenized text.
+    *
+    * Shapes: drop positions explode O(duplicated tokens) rows from
+    * [[sharedSpans]]' output; the rebuild anti-joins (id, pos) token
+    * rows and re-assembles per doc with a collect_list bounded by ONE
+    * document's tokens (the Chunking discipline — never corpus-sized
+    * state). A doc that is entirely one duplicated span (an exact dup)
+    * comes back with empty text, not a dropped row.
+    */
+  def removeSharedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        minTokens: Int = 50,
+                        maxPostings: Int = 0): DataFrame = {
+    val spans = sharedSpans(docs, idCol, textCol, minTokens, maxPostings)
+    val dropPos = spans
+      .select(col("id_b").as("id"),
+        explode(sequence(col("b_start"),
+          col("b_start") + col("span_len") - 1, lit(1L))).as("pos"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val kept = toks.join(dropPos, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_tokens_clean"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_clean"))
+    docs.select(col(idCol).as("id"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_tokens_clean"), lit(0L)).as("n_tokens_clean"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** SimHash near-duplicate pairs: bucket by the top `prefixBits` bits
     * (near-dups almost always share a prefix bucket when hamming
     * distance is small), verify by full hamming distance.

@@ -199,6 +199,26 @@ object TextQueries {
           col("a_start"), col("b_start"))
     }),
 
+    // the removal half of span dedup over the SAME planted corpus as
+    // dd13: every doc that loses tokens (the planted copies lose their
+    // 25-token passage; natural whole-doc dups empty out) is returned
+    // with its rebuilt text — DuckDB reconstructs each cleaned string
+    // token for token
+    "dd14_span_removal" -> ((s, d) => {
+      val base = t(s, d, "documents").select("doc_id", "text")
+      val toks = base.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("_toks"))
+      val planted = toks
+        .filter(size(col("_toks")) >= 30 && col("doc_id") < 20)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat_ws(" ", lit("xqq"), lit("yqq"),
+            array_join(slice(col("_toks"), 6, 25), " "), lit("zqq")).as("text"))
+      Dedup.removeSharedSpans(base.unionByName(planted), "doc_id", "text",
+          minTokens = 12, maxPostings = 50)
+        .filter(col("n_tokens_clean") =!= col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search ----------------------------------------
     "sim1_brute_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -489,6 +509,60 @@ object TextQueries {
            |  CAST(max(pos_a) - min(pos_a) + 12 AS BIGINT) AS span_len
            |FROM i GROUP BY id_a, id_b, diff, isl
            |ORDER BY span_len DESC, id_a, id_b, a_start, b_start""".stripMargin,
+    // dd13's span pipeline + per-token rebuild: drop positions from
+    // the b-side of every span, keep the rest in order
+    "dd14_span_removal" ->
+      raw"""WITH tk0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |pl AS (SELECT doc_id + 20000 AS doc_id,
+           |         concat_ws(' ', 'xqq', 'yqq',
+           |                   array_to_string(toks[6:30], ' '), 'zqq') AS text
+           |       FROM tk0 WHERE len(toks) >= 30 AND doc_id < 20),
+           |corpus AS (SELECT doc_id, text FROM documents
+           |           UNION ALL SELECT doc_id, text FROM pl),
+           |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+           |post0 AS (SELECT doc_id, toks,
+           |            unnest(generate_series(0, len(toks) - 12)) AS pos
+           |          FROM tk WHERE len(toks) >= 12),
+           |post1 AS (SELECT doc_id, pos,
+           |            array_to_string(toks[pos + 1 : pos + 12], ' ') AS sh
+           |          FROM post0),
+           |post AS (SELECT doc_id, pos, sh FROM post1
+           |         QUALIFY count(*) OVER (PARTITION BY sh) <= 50),
+           |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |             a.pos AS pos_a, b.pos - a.pos AS diff
+           |      FROM post a JOIN post b
+           |        ON a.sh = b.sh AND a.doc_id < b.doc_id),
+           |i AS (SELECT id_a, id_b, diff, pos_a,
+           |        pos_a - row_number() OVER (
+           |          PARTITION BY id_a, id_b, diff ORDER BY pos_a) AS isl
+           |      FROM m),
+           |spans AS (SELECT id_b, min(pos_a) + diff AS b_start,
+           |            max(pos_a) - min(pos_a) + 12 AS span_len
+           |          FROM i GROUP BY id_a, id_b, diff, isl),
+           |droppos AS (SELECT DISTINCT doc_id, pos FROM (
+           |              SELECT id_b AS doc_id,
+           |                unnest(generate_series(b_start,
+           |                  b_start + span_len - 1)) AS pos
+           |              FROM spans)),
+           |tokrow AS (SELECT doc_id, pos, toks[pos + 1] AS tok
+           |           FROM (SELECT doc_id, toks,
+           |                   unnest(generate_series(0, len(toks) - 1)) AS pos
+           |                 FROM tk WHERE len(toks) > 0)),
+           |kept AS (SELECT t.doc_id, t.pos, t.tok
+           |         FROM tokrow t LEFT JOIN droppos d
+           |           ON t.doc_id = d.doc_id AND t.pos = d.pos
+           |         WHERE d.doc_id IS NULL),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_clean,
+           |          string_agg(tok, ' ' ORDER BY pos) AS text_clean
+           |        FROM kept GROUP BY doc_id),
+           |orig AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+           |         FROM tk)
+           |SELECT o.doc_id, o.n_tokens,
+           |  coalesce(a.n_tokens_clean, 0) AS n_tokens_clean,
+           |  coalesce(a.text_clean, '') AS text_clean
+           |FROM orig o LEFT JOIN agg a USING (doc_id)
+           |WHERE coalesce(a.n_tokens_clean, 0) <> o.n_tokens
+           |ORDER BY o.doc_id""".stripMargin,
     "dd5_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -50,4 +50,30 @@ object CorpusStream {
         ()
       }
       .start()
+
+  /** The near-dup sibling: stream micro-batches through
+    * [[graft.operators.Dedup.nearDupAgainstRegistry]], appending each
+    * batch's verified matches (idCol, reg_id, jaccard ≥ threshold) to
+    * `outPath`; clean rows register into the persistent LSH registry
+    * and become the match targets of every later batch. Re-run
+    * semantics follow the batch operator: a committed batch's re-run
+    * emits no self-matches (excluded) and registers nothing new.
+    *
+    * Per micro-batch cost: band-key probe join against the registry
+    * (24 B rows) + per-candidate verify — O(batch + candidates), never
+    * O(history); registry growth is bounded by clean rows only.
+    */
+  def incrementalNearDup(docs: DataFrame, idCol: String, textCol: String,
+                         registryPath: String, outPath: String,
+                         checkpoint: String,
+                         threshold: Double = 0.8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        Dedup.nearDupAgainstRegistry(batch.toDF(), idCol, textCol,
+            registryPath, threshold = threshold)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
 }

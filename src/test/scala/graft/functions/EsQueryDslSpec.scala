@@ -158,6 +158,19 @@ class EsQueryDslSpec extends AnyFunSuite {
     assert(docs.esQuery("""{"fuzzy": {"text": "streem"}}""").len()
       == docs.esQuery(
         """{"fuzzy": {"text": {"value": "streem", "fuzziness": 2}}}""").len())
+    // match with fuzziness: per-term AUTO ladder, operator semantics
+    val mf = docs.esQuery(
+      """{"match": {"text": {"query": "streem", "fuzziness": 1}}}""").len()
+    assert(mf == fz)
+    assert(docs.esQuery(
+      """{"match": {"text": {"query": "streem", "fuzziness": "AUTO"}}}""").len()
+      == docs.esQuery(
+        """{"fuzzy": {"text": {"value": "streem", "fuzziness": 2}}}""").len())
+    // operator and: every term must fuzzy-match; adding an impossible
+    // term empties the result
+    assert(docs.esQuery(
+      """{"match": {"text": {"query": "streem zzqqxx", "operator": "and",
+        |"fuzziness": 1}}}""".stripMargin).len() == 0)
     // the non-text guard applies to both clause kinds
     val pinned = docs.withEsDtype("source", "keyword")
     assert(intercept[IllegalArgumentException](pinned.esQuery(

@@ -348,6 +348,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, 0L, 16L, 15L), (1L, 2L, 17L, 1L, 13L)))
   }
 
+  test("removeSharedSpans keeps the first occurrence, rewrites the copy, empties exact dups") {
+    val aToks = (0 until 40).map(i => s"a$i")
+    val span = aToks.slice(5, 30)
+    val bToks = Seq("x0", "x1") ++ span ++ Seq("y0")
+    val docs = Seq(
+      (1L, aToks.mkString(" ")),
+      (2L, bToks.mkString(" ")),
+      (3L, aToks.mkString(" ")),          // exact dup of 1 → empties
+      (4L, "tiny unrelated doc")          // untouched
+    ).toDF("id", "text")
+    val out = Dedup.removeSharedSpans(docs, "id", "text", minTokens = 12)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 (smallest id) keeps everything
+    assert(out(1L) == (40L, 40L, aToks.mkString(" ")))
+    // doc 2 loses exactly the copied span, keeps its own frame
+    assert(out(2L) == (28L, 3L, "x0 x1 y0"))
+    // doc 3 is entirely a duplicated span → empty, not dropped
+    assert(out(3L) == (40L, 0L, ""))
+    // doc 4 untouched
+    assert(out(4L) == (3L, 3L, "tiny unrelated doc"))
+  }
+
   test("sharedSpans: exact-dup docs yield the whole-doc span; maxPostings skips hot grams") {
     val toks = (0 until 20).map(i => s"d$i")
     val docs = (1L to 5L).map(id => (id, toks.mkString(" "))).toDF("id", "text")
