@@ -209,6 +209,17 @@ object Dedup {
     * files become readable exactly when ITS marker appears (an atomic
     * create), a crashed append leaves a marker-less dir every read
     * skips, and a retried append lands in a fresh uuid dir.
+    *
+    * 100 TB sizing: a corpus-scale digest registry is billions of
+    * 16-byte rows — still only tens of GB, but probe cost is governed
+    * by FILE COUNT and join layout, not bytes. Run [[compactExactRegistry]]
+    * on a cadence (every N batches) so reads list a handful of dirs,
+    * and when the anti-join shuffle itself becomes the bound, write
+    * the compacted batch bucketed by digest (`Bucketing.saveBucketed`
+    * on the digest column) and bucket incoming batches the same way —
+    * the probe then co-locates without shuffling the registry side.
+    * The near-dup registry's band store follows the same recipe keyed
+    * on (band, bh).
     */
   private def committedBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
                                  dir: String): Seq[String] = {

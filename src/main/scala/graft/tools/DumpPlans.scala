@@ -55,7 +55,11 @@ object DumpPlans {
     "bm1_bm25_topk" ->
       "BM25: arrays_overlap prefilter cuts non-matching docs BEFORE the explode; term counts are the only corpus-width shuffle; df/stats broadcast; TakeOrderedAndProject caps the result. Relevance ranking without an index, in four narrow stages.",
     "q19_disjunctive" ->
-      "The OR-of-ANDs predicate spans both join sides, and Catalyst derives the side-local disjunctions: the lineitem scan gets a quantity-range OR filter, the part scan gets the brand/size OR filter — both BELOW the join, so neither side reads rows that can never match.")
+      "The OR-of-ANDs predicate spans both join sides, and Catalyst derives the side-local disjunctions: the lineitem scan gets a quantity-range OR filter, the part scan gets the brand/size OR filter — both BELOW the join, so neither side reads rows that can never match.",
+    "dd13_shared_spans" ->
+      "Substring-level span dedup: codegen positional window hashes explode to (h, id, pos) postings — 24B rows, never text — a hash equi-join pairs matching grams, and gaps-and-islands windows (partitioned per pair+offset, bounded by ONE pair's overlap) collapse runs to maximal spans. The hot-gram guard's window count shares the h-shuffle the self-join needs anyway.",
+    "ppl1_bigram_lm" ->
+      "Bigram-LM scoring: the (w1,w2) model join shuffles on the pair key (AQE-balanced); the unigram join BROADCASTS — its key alone is Zipf-skewed and the table is vocabulary-bounded, so no transition row ever shuffles on a single-token key. PlanQualitySpec pins the broadcast.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

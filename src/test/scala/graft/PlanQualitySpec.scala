@@ -239,6 +239,18 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("dd13: the postings join is an equi-join; the hot-gram guard shares its shuffle") {
+    // the span pipeline must never degrade to a nested-loop product,
+    // and the guard's window count keys on h — the same partitioning
+    // the postings self-join uses, so no extra aggregate+semi-join pass
+    val df = SparkEntry.queries("dd13_shared_spans")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("LeftSemi"), p)
+  }
+
   test("dc1: benchmark grams broadcast; corpus side joins map-side") {
     val p = plan("dc1_decontam")
     assert(p.contains("BroadcastHashJoin"), p)
