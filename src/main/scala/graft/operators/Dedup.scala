@@ -220,6 +220,13 @@ object Dedup {
     * the probe then co-locates without shuffling the registry side.
     * The near-dup registry's band store follows the same recipe keyed
     * on (band, bh).
+    *
+    * Writer contract: ONE writer per registry at a time (the
+    * notRegistered retry guard makes retries idempotent, not
+    * concurrent appends atomic) — concurrent ingest streams should
+    * partition the id space into separate registries or serialize
+    * batches, as graft.streaming.CorpusStream's single foreachBatch
+    * driver does naturally.
     */
   private def committedBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
                                  dir: String): Seq[String] = {
