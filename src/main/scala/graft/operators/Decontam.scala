@@ -54,4 +54,56 @@ object Decontam {
     contaminationReport(corpus, idCol, textCol, bench, benchTextCol, n)
       .filter(col("n_hit_ngrams") >= minHits)
       .select(idCol)
+
+  /** Span-level contamination — the "13-gram overlap" recipe of the
+    * GPT-3/PaLM decontamination reports: instead of counting shared
+    * n-grams as a set, find the MERGED token spans of each corpus doc
+    * that any benchmark `minTokens`-gram covers. Span extent separates
+    * a stray idiom collision from a quoted benchmark passage, which is
+    * what a removal policy actually keys on.
+    *
+    * Output per contaminated doc: (idCol, n_spans, contaminated_tokens,
+    * max_span_len) — spans are maximal disjoint token intervals (two
+    * overlapping gram windows merge into one span).
+    *
+    * Scale shape: benchmark positional gram hashes distinct+BROADCAST
+    * (benchmarks are small — the dc1 rule); the corpus explodes
+    * positional windows (codegen one-pass kernel) and hash-joins
+    * map-side, never shuffling to find hits. The interval merge is a
+    * running-max window PER DOC over hit positions only — bounded by
+    * one document's hits, and only contaminated docs reach it.
+    */
+  def spanContamination(corpus: DataFrame, idCol: String, textCol: String,
+                        bench: DataFrame, benchTextCol: String,
+                        minTokens: Int = 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = minTokens
+    val bGrams = broadcast(
+      bench.select(explode(graft.plans.TokenPositionalShingleHashes(
+          col(benchTextCol), k)).as("h"))
+        .distinct())
+    val hits = corpus
+      .select(col(idCol).as("_id"),
+        posexplode(graft.plans.TokenPositionalShingleHashes(col(textCol), k))
+          .as(Seq("pos", "h")))
+      .join(bGrams, Seq("h"))
+    // merge overlapping [pos, pos+k-1] windows: a new span starts when
+    // this window begins past every previous window's end
+    val byPos = Window.partitionBy("_id").orderBy("pos")
+    val spans = hits
+      .withColumn("_prevEnd", max(col("pos") + k - 1)
+        .over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_prevEnd").isNull || col("pos") > col("_prevEnd"), 1)
+          .otherwise(0))
+      .withColumn("_grp", sum(col("_new")).over(byPos))
+      .groupBy("_id", "_grp")
+      .agg(min(col("pos")).as("_s"), (max(col("pos")) + k - 1).as("_e"))
+    spans.groupBy("_id")
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("_e") - col("_s") + 1).cast("long").as("contaminated_tokens"),
+        max(col("_e") - col("_s") + 1).cast("long").as("max_span_len"))
+      .select(col("_id").as(idCol), col("n_spans"),
+        col("contaminated_tokens"), col("max_span_len"))
+  }
 }

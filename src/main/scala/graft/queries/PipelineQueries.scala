@@ -370,6 +370,27 @@ object PipelineQueries {
           docs.filter(col("doc_id") % 50 === 0), "text", n = 3)
         .orderBy("doc_id")
     }),
+    // span-level decontamination — the 13-gram-overlap recipe of the
+    // GPT-3/PaLM decontam reports: merged contaminated token spans per
+    // doc, not just a shared-gram count. Non-vacuous two ways: the
+    // benchmark docs (doc_id % 50 = 0) live in the corpus (whole-doc
+    // spans), and 10 planted docs QUOTE a 15-token benchmark passage
+    // between sentinels (partial spans with window merging — 3
+    // overlapping 13-gram hits collapse to one 15-token span)
+    "dc2_span_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("_toks"))
+      val quoters = toks
+        .filter(col("doc_id") % 50 === 0 && size(col("_toks")) >= 18)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat_ws(" ", lit("pfq"), lit("qfq"),
+            array_join(slice(col("_toks"), 4, 15), " "), lit("zfq")).as("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(quoters)
+      Decontam.spanContamination(corpus, "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text", minTokens = 13)
+        .orderBy("doc_id")
+    }),
     // stream-stream interval join: purchases joined to the clicks of
     // the same user within the preceding 10 minutes, as two watermarked
     // streams (state bounded by watermark+lookback); the oracle is the
@@ -796,6 +817,44 @@ object PipelineQueries {
         |          ORDER BY doc_id % 4, doc_id) AS rn
         |      FROM u)
         |SELECT doc_id, digest FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // positional 13-gram hits against the benchmark gram set, merged
+    // into disjoint token intervals per doc by the running-max window
+    "dc2_span_decontam" ->
+      raw"""WITH tk0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |qt AS (SELECT doc_id + 30000 AS doc_id,
+           |         concat_ws(' ', 'pfq', 'qfq',
+           |                   array_to_string(toks[4:18], ' '), 'zfq') AS text
+           |       FROM tk0 WHERE doc_id % 50 = 0 AND len(toks) >= 18),
+           |corpus AS (SELECT doc_id, text FROM documents
+           |           UNION ALL SELECT doc_id, text FROM qt),
+           |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+           |bg AS (SELECT DISTINCT array_to_string(toks[p + 1 : p + 13], ' ') AS sh
+           |       FROM (SELECT toks,
+           |               unnest(generate_series(0, len(toks) - 13)) AS p
+           |             FROM tk0
+           |             WHERE doc_id % 50 = 0 AND len(toks) >= 13)),
+           |post AS (SELECT doc_id, pos,
+           |           array_to_string(toks[pos + 1 : pos + 13], ' ') AS sh
+           |         FROM (SELECT doc_id, toks,
+           |                 unnest(generate_series(0, len(toks) - 13)) AS pos
+           |               FROM tk WHERE len(toks) >= 13)),
+           |hits AS (SELECT doc_id, pos FROM post JOIN bg USING (sh)),
+           |w AS (SELECT doc_id, pos,
+           |        max(pos + 12) OVER (PARTITION BY doc_id ORDER BY pos
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |          AS prev_end
+           |      FROM hits),
+           |g AS (SELECT doc_id, pos,
+           |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+           |                 THEN 1 ELSE 0 END)
+           |          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |      FROM w),
+           |spans AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 12 AS e
+           |          FROM g GROUP BY doc_id, grp)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |  CAST(sum(e - s + 1) AS BIGINT) AS contaminated_tokens,
+           |  CAST(max(e - s + 1) AS BIGINT) AS max_span_len
+           |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "st3_stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id
         |FROM events p JOIN events c

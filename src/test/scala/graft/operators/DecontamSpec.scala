@@ -38,6 +38,31 @@ class DecontamSpec extends AnyFunSuite {
     assert(ids.toSeq === Seq(1L))
   }
 
+  test("spanContamination merges overlapping windows into disjoint spans") {
+    // benchmark doc: 20 unique tokens b0..b19
+    val bench = Seq((0 until 20).map(i => s"b$i").mkString(" ")).toDF("text")
+    val corpus = Seq(
+      // quotes b2..b8 (7 tokens) then separator then b11..b17 (7 tokens):
+      // with k=5, hits merge into TWO disjoint spans of 7 tokens each
+      (1L, (Seq("x0", "x1") ++ (2 to 8).map(i => s"b$i") ++ Seq("y0") ++
+        (11 to 17).map(i => s"b$i")).mkString(" ")),
+      // the whole benchmark doc verbatim: one 20-token span
+      (2L, (0 until 20).map(i => s"b$i").mkString(" ")),
+      // quotes b0..b13 (14 tokens): 10 overlapping 5-windows, ONE span
+      (3L, (Seq("z0") ++ (0 to 13).map(i => s"b$i")).mkString(" ")),
+      // clean
+      (4L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val out = Decontam.spanContamination(corpus, "doc_id", "text",
+        bench, "text", minTokens = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (2L, 14L, 7L))
+    assert(out(2L) == (1L, 20L, 20L))
+    assert(out(3L) == (1L, 14L, 14L))
+    assert(!out.contains(4L))
+  }
+
   test("benchmark gram set is broadcast (corpus never shuffles to match)") {
     val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val bench = Seq("a b c").toDF("text")
