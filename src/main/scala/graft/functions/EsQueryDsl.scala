@@ -73,6 +73,48 @@ object EsQueryDsl {
 
   private def toLit(v: JValue): Column = lit(jvRaw(v))
 
+  /** Optional per-term edit budget from a clause body's `fuzziness`
+    * key: None = exact; AUTO = the ES length ladder (0-2 chars → 0
+    * edits, 3-5 → 1, longer → 2) applied per query term; an integer
+    * must be ≥ 0 (ES rejects negatives — accepting one here would turn
+    * a typo into a silently-empty result).
+    */
+  private def parseFuzz(v: JValue): Option[String => Int] = {
+    def nonNeg(n: Int): Int = {
+      if (n < 0) throw new IllegalArgumentException(
+        s"fuzziness must be >= 0, got $n")
+      n
+    }
+    (v \ "fuzziness") match {
+      case JNothing => None
+      case JString("AUTO") => Some(t =>
+        if (t.length <= 2) 0 else if (t.length <= 5) 1 else 2)
+      case JInt(n)  => Some(_ => nonNeg(n.toInt))
+      case JLong(n) => Some(_ => nonNeg(n.toInt))
+      case other => throw new IllegalArgumentException(
+        s"fuzziness '$other' has no engine-independent translation")
+    }
+  }
+
+  /** One field's `match` semantics with an optional edit budget:
+    * per-term predicates (exact token containment, or Levenshtein ≤
+    * budget via [[EsMatch.matchFuzzy]]) folded by the operator — AND
+    * requires every term to hit, OR any.
+    */
+  private def matchWithFuzz(field: Column, text: String, op: String,
+                            fuzz: Option[String => Int]): Column =
+    fuzz match {
+      case None =>
+        if (op == "and") EsMatch.matchAll(field, text)
+        else EsMatch.matchAny(field, text)
+      case Some(edits) =>
+        val terms = text.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        val per = terms.map(t => EsMatch.matchFuzzy(field, t, edits(t)))
+        if (per.isEmpty) lit(false)
+        else if (op == "and") per.reduce(_ && _) else per.reduce(_ || _)
+    }
+
   private def clauses(v: JValue, idCol: String,
                       requireText: String => Unit): Seq[Column] = v match {
     case JArray(items) => items.map(fromJValue(_, idCol, requireText))
@@ -144,31 +186,8 @@ object EsQueryDsl {
             (o \ "operator").extractOrElse[String]("or"))
         }
         // optional fuzziness (eland es_match passes it through,
-        // eland/query_compiler.py:419-488): per-token Levenshtein via
-        // the EsMatch fuzzy modes, AUTO = the ES length ladder applied
-        // per query token
-        val fuzz: Option[String => Int] = (v \ "fuzziness") match {
-          case JNothing => None
-          case JString("AUTO") => Some(t =>
-            if (t.length <= 2) 0 else if (t.length <= 5) 1 else 2)
-          case JInt(n)  => Some(_ => n.toInt)
-          case JLong(n) => Some(_ => n.toInt)
-          case other => throw new IllegalArgumentException(
-            s"fuzziness '$other' has no engine-independent translation")
-        }
-        fuzz match {
-          case None =>
-            if (op == "and") EsMatch.matchAll(col(field), text)
-            else EsMatch.matchAny(col(field), text)
-          case Some(edits) =>
-            val terms = text.toLowerCase(java.util.Locale.ROOT)
-              .split("\\s+").filter(_.nonEmpty).toSeq
-            val per = terms.map(t =>
-              if (op == "and") EsMatch.matchFuzzyAll(col(field), t, edits(t))
-              else EsMatch.matchFuzzy(col(field), t, edits(t)))
-            if (per.isEmpty) lit(false)
-            else if (op == "and") per.reduce(_ && _) else per.reduce(_ || _)
-        }
+        // eland/query_compiler.py:419-488)
+        matchWithFuzz(col(field), text, op, parseFuzz(v))
       case "match_phrase" =>
         val (field, v) = lonely(body, "match_phrase")
         requireText(field)
@@ -178,10 +197,12 @@ object EsQueryDsl {
         }
         EsMatch.matchPhrase(col(field), text)
       case "multi_match" =>
-        // {"multi_match": {"query": q, "fields": [f1, f2], "operator"?}}
-        // best_fields semantics on a boolean predicate: the doc matches
-        // if ANY listed field matches (per-field semantics = `match`,
-        // honoring operator:and within a field)
+        // {"multi_match": {"query": q, "fields": [f1, f2], "operator"?,
+        // "fuzziness"?}} — best_fields semantics on a boolean
+        // predicate: the doc matches if ANY listed field matches
+        // (per-field semantics = `match`, honoring operator:and and
+        // fuzziness within a field — dropping a present fuzziness
+        // would silently change the result set)
         val text = (body \ "query").extract[String]
         val fields = (body \ "fields") match {
           case JArray(fs) => fs.map(_.extract[String])
@@ -191,10 +212,9 @@ object EsQueryDsl {
         require(fields.nonEmpty, "multi_match needs at least one field")
         fields.foreach(requireText)
         val op = (body \ "operator").extractOrElse[String]("or")
-        fields.map { f =>
-          if (op == "and") EsMatch.matchAll(col(f), text)
-          else EsMatch.matchAny(col(f), text)
-        }.reduce(_ || _)
+        val fuzz = parseFuzz(body)
+        fields.map(f => matchWithFuzz(col(f), text, op, fuzz))
+          .reduce(_ || _)
       case "fuzzy" =>
         // {"fuzzy": {"f": {"value": v, "fuzziness"?: n|"AUTO"}}} (short
         // form {"fuzzy": {"f": v}} parses too). AUTO follows ES's
@@ -205,14 +225,10 @@ object EsQueryDsl {
           case JString(s) => s
           case o          => (o \ "value").extract[String]
         }
-        val maxEdits = (v \ "fuzziness") match {
-          case JNothing | JString("AUTO") =>
-            if (term.length <= 2) 0 else if (term.length <= 5) 1 else 2
-          case JInt(n)  => n.toInt
-          case JLong(n) => n.toInt
-          case other => throw new IllegalArgumentException(
-            s"fuzziness '$other' has no engine-independent translation")
-        }
+        val maxEdits = parseFuzz(v)
+          .getOrElse((t: String) =>
+            if (t.length <= 2) 0 else if (t.length <= 5) 1 else 2)
+          .apply(term)
         EsMatch.matchFuzzy(col(field), term, maxEdits)
       case "wildcard" =>
         val (field, v) = lonely(body, "wildcard")

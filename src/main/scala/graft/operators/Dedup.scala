@@ -159,11 +159,14 @@ object Dedup {
       val all = spark.read.parquet(old: _*)
       val compacted =
         if (distinctCols.nonEmpty) all.dropDuplicates(distinctCols) else all
-      // coalesce only ever reduces partition count: small registries
-      // become one file per shuffle partition at most, huge ones keep
-      // their parallelism
-      appendRegistryBatch(compacted.coalesce(
-        math.max(1, spark.sessionState.conf.numShufflePartitions)), dir)
+      // size the output file count from the actual row count (~10M
+      // 16-48 B rows ≈ 160-480 MB per file) — compaction is offline
+      // maintenance, so the extra counting job is fine, and coalescing
+      // to the shuffle-partition count would be a no-op (the
+      // dropDuplicates shuffle already emits at most that many)
+      val rows = compacted.count()
+      val files = math.max(1L, rows / 10000000L).toInt
+      appendRegistryBatch(compacted.coalesce(files), dir)
       // commit first, delete second — plus marker-less crash leftovers
       val keepNone = old.toSet
       fs.listStatus(new org.apache.hadoop.fs.Path(dir))
@@ -232,9 +235,22 @@ object Dedup {
                                  dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
-      .map(_.toString).sorted.toSeq
+    else {
+      val entries = fs.listStatus(p)
+      // a registry written by the pre-r6 flat layout (part-files +
+      // _SUCCESS directly under the dir) must FAIL, not read as empty:
+      // an empty read silently disables cross-batch dedup and
+      // re-delivers every registered document
+      if (entries.exists(e => !e.isDirectory &&
+          e.getPath.getName.startsWith("part-")))
+        throw new IllegalStateException(
+          s"$dir holds a flat-layout registry (pre-batch-dir format); " +
+            "migrate it by moving its part-files and _SUCCESS into a " +
+            s"$dir/batch-0/ subdirectory")
+      entries.filter(_.isDirectory).map(_.getPath)
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+        .map(_.toString).sorted.toSeq
+    }
   }
 
   private def readCommitted(spark: org.apache.spark.sql.SparkSession,
@@ -308,17 +324,23 @@ object Dedup {
           val regBands = rb.withColumnRenamed("id", "reg_id")
           val regSh = readCommitted(spark, fs, shPath).get
             .withColumnRenamed("id", "reg_id")
-          // id =!= reg_id: a fully-committed batch RE-RUN probes a
-          // registry already holding its own rows — without the
-          // exclusion every doc would report itself as a jaccard-1.0
-          // match. Distinguishing "already ingested" from "near-dup of
-          // another doc" is [[registeredIds]]' job, not a self-pair's.
-          val cand = bandKeyRows(staged, bands, rowsPerBand)
+          // retry discipline: ids the registry has already COMMITTED
+          // are skipped entirely — they neither probe nor re-register.
+          // A committed batch's re-run therefore emits nothing, rather
+          // than every doc matching itself at jaccard 1.0 — or, worse,
+          // intra-batch near-dup SIBLINGS that both registered cleanly
+          // suddenly "matching" each other on the retry (a match row
+          // no crash-free execution would ever produce). A registered
+          // id can never appear as a candidate's probe side, so no
+          // self-pair is even constructible. "Was this id already
+          // ingested?" is [[registeredIds]]' job.
+          val fresh = staged.join(rb.select(col("id")).distinct(),
+            Seq("id"), "left_anti")
+          val cand = bandKeyRows(fresh, bands, rowsPerBand)
             .join(regBands, Seq("band", "bh"))
-            .filter(col("id") =!= col("reg_id"))
             .select("id", "reg_id").distinct()
           val verified = withJaccard(cand
-            .join(staged.select(col("id"), col("sh").as("sh_a"),
+            .join(fresh.select(col("id"), col("sh").as("sh_a"),
               size(col("sh")).as("n_a")), Seq("id"))
             .join(regSh.select(col("reg_id"), col("sh").as("sh_b"),
               size(col("sh")).as("n_b")), Seq("reg_id")))
@@ -326,7 +348,7 @@ object Dedup {
             .select(col("id").as(idCol), col("reg_id"), col("jaccard"))
             .localCheckpoint(true)
           (verified,
-            staged.join(verified.select(col(idCol).as("id")).distinct(),
+            fresh.join(verified.select(col(idCol).as("id")).distinct(),
               Seq("id"), "left_anti"))
       }
     // retry-idempotent append: a re-run of a batch whose shingle

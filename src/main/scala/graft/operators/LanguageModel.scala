@@ -22,10 +22,15 @@ import graft.functions.TextAnalysis
   * the shape AQE load-balances; nothing is windowed or collected.
   * Unseen bigrams hit the smoothing floor via a LEFT join +
   * coalesce(0). The unigram join is DIFFERENT: its key `_w1` alone is
-  * Zipf-skewed (the "the" partition would straggle at 100×), and the
-  * unigram table is vocabulary-bounded (≲ millions of rows), so it is
-  * broadcast — no transition row ever shuffles on a single-token key.
-  * PlanQualitySpec pins this shape.
+  * Zipf-skewed (the "the" partition would straggle at 100×), and for
+  * natural-language corpora the unigram table is vocabulary-bounded
+  * (≲ millions of rows), so it is broadcast by default — no transition
+  * row ever shuffles on a single-token key. PlanQualitySpec pins this
+  * shape. For corpora whose token space is adversarial (URLs, hashes,
+  * raw code — distinct "tokens" scale with the data, not the
+  * language), pass `broadcastUnigrams = false` to keep the size-based
+  * shuffled join and let AQE's skew split carry the hot keys instead
+  * of risking the broadcast limit.
   */
 object LanguageModel {
 
@@ -34,7 +39,8 @@ object LanguageModel {
     * (they may be the same frame — self-scoring, the usual recipe).
     */
   def bigramScore(model: DataFrame, score: DataFrame, idCol: String,
-                  textCol: String, k: Double = 0.5): DataFrame = {
+                  textCol: String, k: Double = 0.5,
+                  broadcastUnigrams: Boolean = true): DataFrame = {
     require(k > 0, "smoothing k must be positive")
     def transitions(df: DataFrame, withId: Boolean): DataFrame = {
       val staged = df.select(
@@ -59,7 +65,8 @@ object LanguageModel {
 
     transitions(score, withId = true)
       .join(big, Seq("_w1", "_w2"), "left")
-      .join(broadcast(uni), Seq("_w1"), "left")
+      .join(if (broadcastUnigrams) broadcast(uni) else uni,
+        Seq("_w1"), "left")
       .crossJoin(broadcast(vocabSize))
       .withColumn("_logp",
         log((coalesce(col("_cb"), lit(0.0)) + k) /

@@ -48,6 +48,18 @@ object PipelineQueries {
     val dir = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft-st4fix-$tag")
     val done = new java.io.File(dir, "_FIXTURE_READY")
+    // invalidate on source change: a fixture older than the documents
+    // parquet it snapshots would stream stale batches while the oracle
+    // reads the fresh table — a guaranteed mismatch masquerading as an
+    // engine bug
+    val src = new java.io.File(s"$d/documents.parquet")
+    if (done.exists() && src.exists() &&
+        src.lastModified() > done.lastModified()) {
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(wipe)); f.delete(); ()
+      }
+      wipe(dir)
+    }
     if (!done.exists()) {
       dir.mkdirs()
       // the corpus has NO natural exact dups (dd1: n_unique == n_docs),

@@ -68,25 +68,28 @@ object TextQueries {
       Dedup.exactStats(t(s, d, "documents"), "text")),
     // id-only band shuffle + hot-bucket guard on: the 100 TB layout.
     // Rows-only (xxhash64 signatures) — so the gate carries its own
-    // planted-recall invariant: 25 exact clones (+50000 ids) MUST all
-    // surface as candidates with est_jaccard 1.0 (identical docs ⇒
-    // identical signatures ⇒ collide in every band — deterministic,
-    // not probabilistic), else the gate throws. Clone pairs are then
-    // excluded from the returned top-50 so the output stays the
-    // natural candidate list.
+    // planted-recall invariant, run on an ISOLATED side corpus (25
+    // docs + their exact clones) so the probe can neither perturb the
+    // returned natural candidate list (planted postings tipping a
+    // natural bucket over the guard cap) nor inherit its bucket-size
+    // trade: every clone pair MUST surface at est_jaccard 1.0
+    // (identical docs ⇒ identical signatures ⇒ collide in every band —
+    // deterministic, not probabilistic), else the gate throws.
     "dd2_minhash_lsh_pairs" -> ((s, d) => {
       val base = t(s, d, "documents").select("doc_id", "text")
-      val withClones = base.unionByName(base.filter(col("doc_id") < 25)
+      val seeds = base.filter(col("doc_id") < 25)
+      val probe = seeds.unionByName(seeds
         .select((col("doc_id") + 50000).as("doc_id"), col("text")))
-      val pairs = Dedup.minhashLshPairs(withClones, "doc_id", "text",
-        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.2,
-        maxBucketSize = 100)
-      val planted = pairs
-        .filter(col("id_b") === col("id_a") + 50000 && col("id_a") < 25)
-      val found = planted.filter(col("est_jaccard") === 1.0).count()
+      val found = Dedup.minhashLshPairs(probe, "doc_id", "text",
+          shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
+        .filter(col("id_b") === col("id_a") + 50000 &&
+          col("id_a") < 25 && col("est_jaccard") === 1.0)
+        .count()
       require(found == 25,
         s"planted-clone recall violated: $found/25 clone pairs surfaced")
-      pairs.filter(col("id_b") < 50000)
+      Dedup.minhashLshPairs(base, "doc_id", "text",
+          shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.2,
+          maxBucketSize = 100)
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
         .limit(50)

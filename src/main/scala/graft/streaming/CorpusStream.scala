@@ -56,8 +56,11 @@ object CorpusStream {
     * batch's verified matches (idCol, reg_id, jaccard ≥ threshold) to
     * `outPath`; clean rows register into the persistent LSH registry
     * and become the match targets of every later batch. Re-run
-    * semantics follow the batch operator: a committed batch's re-run
-    * emits no self-matches (excluded) and registers nothing new.
+    * semantics follow the batch operator: ids the registry already
+    * committed neither probe nor re-register, so a committed batch's
+    * checkpoint retry emits nothing — no self-matches, and no
+    * spurious matches between intra-batch siblings that registered
+    * cleanly on the first run.
     *
     * Per micro-batch cost: band-key probe join against the registry
     * (24 B rows) + per-candidate verify — O(batch + candidates), never

@@ -171,6 +171,15 @@ class EsQueryDslSpec extends AnyFunSuite {
     assert(docs.esQuery(
       """{"match": {"text": {"query": "streem zzqqxx", "operator": "and",
         |"fuzziness": 1}}}""".stripMargin).len() == 0)
+    // multi_match honors fuzziness (dropping it would silently change
+    // the result set) and equals the single-field match translation
+    assert(docs.esQuery(
+      """{"multi_match": {"query": "streem", "fields": ["text"],
+        |"fuzziness": 1}}""".stripMargin).len() == mf)
+    // negative fuzziness is an error, not an empty result
+    assert(intercept[IllegalArgumentException](docs.esQuery(
+      """{"fuzzy": {"text": {"value": "stream", "fuzziness": -1}}}"""))
+      .getMessage.contains(">= 0"))
     // the non-text guard applies to both clause kinds
     val pinned = docs.withEsDtype("source", "keyword")
     assert(intercept[IllegalArgumentException](pinned.esQuery(

@@ -118,6 +118,19 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
   }
 
+  test("a pre-r6 flat-layout registry fails loudly instead of reading as empty") {
+    val reg = java.nio.file.Files.createTempDirectory("graft-dd-legacy")
+      .toString + "/registry"
+    // the old layout: part-files + _SUCCESS directly under the dir
+    Seq("aaa").toDF("digest").coalesce(1)
+      .write.mode("overwrite").parquet(reg)
+    val e = intercept[IllegalStateException] {
+      Dedup.incrementalExactDedup(
+        Seq((1L, "bbb")).toDF("id", "text"), "id", "text", reg)
+    }
+    assert(e.getMessage.contains("flat-layout"))
+  }
+
   test("registry compaction preserves probe results and collapses batch dirs") {
     val reg = java.nio.file.Files.createTempDirectory("graft-dd-compact")
       .toString + "/registry"
