@@ -136,7 +136,12 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
           "Pin them as text via withEsDtype or pass matchOnlyTextFields=false " +
           "to match anyways")
     }
+    // operator and fuzziness COMPOSE (as in ES and the es_query DSL
+    // path): and+fuzzy requires every term to fuzzy-hit per field
     val pred = fuziness match {
+      case Some(f) if operator == "and" =>
+        cols.map(c => EsMatch.matchFuzzyAll(col(c), query, f))
+          .foldLeft(lit(false))(_ || _)
       case Some(f) =>
         cols.map(c => EsMatch.matchFuzzy(col(c), query, f))
           .foldLeft(lit(false))(_ || _)

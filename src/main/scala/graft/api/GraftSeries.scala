@@ -85,6 +85,8 @@ class GraftSeries(val frame: GraftFrame, val name: String) {
           "pin it as text via withEsDtype or pass matchOnlyTextFields=false")
     }
     fuzziness match {
+      case Some(f) if operator == "and" =>
+        graft.functions.EsMatch.matchFuzzyAll(col, query, f)
       case Some(f)                   => graft.functions.EsMatch.matchFuzzy(col, query, f)
       case None if operator == "and" => graft.functions.EsMatch.matchAll(col, query)
       case None                      => graft.functions.EsMatch.matchAny(col, query)

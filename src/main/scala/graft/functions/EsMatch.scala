@@ -63,6 +63,22 @@ object EsMatch {
         .foldLeft(lit(false))(_ || _))
   }
 
+  /** `match` with fuzziness and operator=and: EVERY query token is
+    * within `maxEdits` of some column token (the fuzzy face of
+    * [[matchAll]] — operator and fuzziness compose in ES, and the
+    * DSL path already folds per-term fuzzy predicates with AND, so
+    * the programmatic front doors must agree).
+    */
+  def matchFuzzyAll(text: Column, query: String, maxEdits: Int): Column = {
+    val qs = qTokens(query)
+    if (qs.isEmpty) lit(false)
+    else {
+      val toks = TextAnalysis.tokens(text)
+      qs.map(q => exists(toks, t => levenshtein(t, lit(q)) <= maxEdits))
+        .reduce(_ && _)
+    }
+  }
+
   /** `multi_match`: matchAny across several columns. */
   def multiMatch(texts: Seq[Column], query: String): Column =
     texts.map(matchAny(_, query)).foldLeft(lit(false))(_ || _)

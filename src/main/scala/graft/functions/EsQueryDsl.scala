@@ -80,17 +80,21 @@ object EsQueryDsl {
     * a typo into a silently-empty result).
     */
   private def parseFuzz(v: JValue): Option[String => Int] = {
-    def nonNeg(n: Int): Int = {
-      if (n < 0) throw new IllegalArgumentException(
-        s"fuzziness must be >= 0, got $n")
-      n
+    // validated EAGERLY at parse time (not inside the per-term lambda):
+    // a clause whose query tokenizes to zero terms must still reject a
+    // negative budget, and a BigInt must not silently truncate to Int
+    def fixed(n: BigInt): Option[String => Int] = {
+      if (n < 0 || n > Int.MaxValue) throw new IllegalArgumentException(
+        s"fuzziness must be >= 0 and <= ${Int.MaxValue}, got $n")
+      val e = n.toInt
+      Some(_ => e)
     }
     (v \ "fuzziness") match {
       case JNothing => None
       case JString("AUTO") => Some(t =>
         if (t.length <= 2) 0 else if (t.length <= 5) 1 else 2)
-      case JInt(n)  => Some(_ => nonNeg(n.toInt))
-      case JLong(n) => Some(_ => nonNeg(n.toInt))
+      case JInt(n)  => fixed(n)
+      case JLong(n) => fixed(BigInt(n))
       case other => throw new IllegalArgumentException(
         s"fuzziness '$other' has no engine-independent translation")
     }

@@ -161,12 +161,13 @@ object Dedup {
         if (distinctCols.nonEmpty) all.dropDuplicates(distinctCols) else all
       // size the output file count from the actual row count (~10M
       // 16-48 B rows ≈ 160-480 MB per file) — compaction is offline
-      // maintenance, so the extra counting job is fine, and coalescing
-      // to the shuffle-partition count would be a no-op (the
-      // dropDuplicates shuffle already emits at most that many)
+      // maintenance, so the extra counting job is fine. repartition,
+      // not coalesce: coalesce(1) would collapse the dropDuplicates
+      // reduce stage of the WRITE job into one task over the whole
+      // registry; the extra exchange keeps the agg parallel
       val rows = compacted.count()
       val files = math.max(1L, rows / 10000000L).toInt
-      appendRegistryBatch(compacted.coalesce(files), dir)
+      appendRegistryBatch(compacted.repartition(files), dir)
       // commit first, delete second — plus marker-less crash leftovers
       val keepNone = old.toSet
       fs.listStatus(new org.apache.hadoop.fs.Path(dir))
@@ -334,8 +335,13 @@ object Dedup {
           // id can never appear as a candidate's probe side, so no
           // self-pair is even constructible. "Was this id already
           // ingested?" is [[registeredIds]]' job.
+          // eagerly checkpointed so the registry-id scan behind the
+          // anti-join runs ONCE per batch — `fresh` feeds four
+          // downstream actions (probe, both verify inputs, and via
+          // `clean` the two registry appends), and without pinning,
+          // each would replay the O(registry-id-column) scan+distinct
           val fresh = staged.join(rb.select(col("id")).distinct(),
-            Seq("id"), "left_anti")
+            Seq("id"), "left_anti").localCheckpoint(true)
           val cand = bandKeyRows(fresh, bands, rowsPerBand)
             .join(regBands, Seq("band", "bh"))
             .select("id", "reg_id").distinct()
@@ -367,9 +373,12 @@ object Dedup {
     // future duplicates into silent false negatives)
     appendRegistryBatch(
       notRegistered(clean.select(col("id"), col("sh")), shPath), shPath)
-    appendRegistryBatch(
-      notRegistered(bandKeyRows(clean, bands, rowsPerBand), bandsPath),
-      bandsPath)
+    // no band-side guard: clean ⊆ fresh already excludes every
+    // band-registered id, and under the single-writer contract the
+    // band store cannot grow between the probe read and this append —
+    // an anti-join here would provably remove nothing while scanning
+    // the whole band store once more per batch
+    appendRegistryBatch(bandKeyRows(clean, bands, rowsPerBand), bandsPath)
     staged.unpersist()
     matches
   }

@@ -52,9 +52,19 @@ object PipelineQueries {
     // parquet it snapshots would stream stale batches while the oracle
     // reads the fresh table — a guaranteed mismatch masquerading as an
     // engine bug
+    // deepest mtime in the parquet tree, not the top-level dir's: an
+    // in-place rewrite of a data file under documents.parquet/ need
+    // not advance the directory mtime. (Local-path helper by design —
+    // the driver's testdata is always a local dir; a non-local URI
+    // skips the check exactly as before.)
+    def maxMtime(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified() +:
+          Option(f.listFiles).toSeq.flatten.map(maxMtime)).max
+      else f.lastModified()
     val src = new java.io.File(s"$d/documents.parquet")
     if (done.exists() && src.exists() &&
-        src.lastModified() > done.lastModified()) {
+        maxMtime(src) > done.lastModified()) {
       def wipe(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(wipe)); f.delete(); ()
       }

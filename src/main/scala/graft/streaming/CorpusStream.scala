@@ -62,9 +62,14 @@ object CorpusStream {
     * spurious matches between intra-batch siblings that registered
     * cleanly on the first run.
     *
-    * Per micro-batch cost: band-key probe join against the registry
-    * (24 B rows) + per-candidate verify — O(batch + candidates), never
-    * O(history); registry growth is bounded by clean rows only.
+    * Per micro-batch cost: narrow registry-column scans (the
+    * retry-guard anti-joins read only the stores' id columns, the
+    * probe reads the 24 B band index — never documents or shingle
+    * sets, each scanned ONCE per batch behind a checkpoint) + a
+    * band-key probe join + per-candidate verify. Shuffled bytes are
+    * O(batch + candidates); compact the registry on a cadence so the
+    * index scans stay a handful of files (see the registry-layout
+    * note in [[graft.operators.Dedup]]).
     */
   def incrementalNearDup(docs: DataFrame, idCol: String, textCol: String,
                          registryPath: String, outPath: String,

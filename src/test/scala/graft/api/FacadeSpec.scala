@@ -297,6 +297,24 @@ class FacadeSpec extends AnyFunSuite {
       docs("text").esMatch("filter join", operator = "and")).len()
     val andFrame = docs.esMatch("filter join", Seq("text"), operator = "and").len()
     assert(andSeries == andFrame && andSeries <= viaSeries)
+    // operator and fuzziness COMPOSE (and-fuzzy requires every term),
+    // and the programmatic front doors agree with the es_query DSL
+    val andFuzzFrame = docs.esMatch("filtr joyn", Seq("text"),
+      operator = "and", fuziness = Some(1)).len()
+    val andFuzzSeries = docs.where(docs("text").esMatch("filtr joyn",
+      operator = "and", fuzziness = Some(1))).len()
+    val andFuzzDsl = docs.esQuery(
+      """{"match": {"text": {"query": "filtr joyn", "operator": "and",
+        |"fuzziness": 1}}}""".stripMargin).len()
+    assert(andFuzzFrame == andFuzzDsl && andFuzzSeries == andFuzzDsl)
+    // strictly tighter than or-fuzzy over the same terms, looser than
+    // exact-and (the corpus has "filter join" but not "filtr joyn")
+    val orFuzz = docs.esMatch("filtr joyn", Seq("text"),
+      fuziness = Some(1)).len()
+    assert(andFuzzFrame <= orFuzz && andFuzzFrame >= andFrame && orFuzz > 0)
+    // an impossible extra term empties the and-fuzzy result
+    assert(docs.esMatch("filtr zzqqxx", Seq("text"),
+      operator = "and", fuziness = Some(1)).len() == 0)
   }
 
   test("field capability matrix: text vs keyword, .keyword aggregatable alias") {

@@ -180,6 +180,15 @@ class EsQueryDslSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](docs.esQuery(
       """{"fuzzy": {"text": {"value": "stream", "fuzziness": -1}}}"""))
       .getMessage.contains(">= 0"))
+    // ...even when the query tokenizes to zero terms (validation is
+    // eager, not buried in the per-term lambda)
+    assert(intercept[IllegalArgumentException](docs.esQuery(
+      """{"match": {"text": {"query": "   ", "fuzziness": -1}}}"""))
+      .getMessage.contains(">= 0"))
+    // an out-of-int-range budget errors instead of truncating to 0
+    assert(intercept[IllegalArgumentException](docs.esQuery(
+      """{"match": {"text": {"query": "stream", "fuzziness": 4294967296}}}"""))
+      .getMessage.contains("fuzziness"))
     // the non-text guard applies to both clause kinds
     val pinned = docs.withEsDtype("source", "keyword")
     assert(intercept[IllegalArgumentException](pinned.esQuery(

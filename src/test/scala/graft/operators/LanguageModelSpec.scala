@@ -36,4 +36,23 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(got.keySet == Set(10L, 11L))
     assert(got(10L) > got(11L))
   }
+
+  test("broadcastUnigrams=false scores bit-identically to the default") {
+    val train = Seq((1L, "a b a c"), (2L, "a b"), (3L, "c d e"))
+      .toDF("doc_id", "text")
+    val score = Seq((10L, "a b c"), (11L, "d e"), (12L, "q z"))
+      .toDF("doc_id", "text")
+    def run(bc: Boolean) =
+      LanguageModel.bigramScore(train, score, "doc_id", "text",
+          broadcastUnigrams = bc)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    val bcast = run(true)
+    val shuffled = run(false)
+    assert(bcast.keySet == shuffled.keySet)
+    bcast.foreach { case (id, (n, s)) =>
+      assert(shuffled(id)._1 == n)
+      assert(shuffled(id)._2 == s) // bit-identical, not approximately
+    }
+  }
 }
