@@ -931,4 +931,43 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** SemDeDup-style semantic dedup (cluster-then-compare, the recipe
+    * of Abbas et al. 2023): partition the embedding space with the
+    * coarse k-means quantizer from [[Similarity.trainIvfCentroids]]
+    * and compare pairs only WITHIN a cluster. Pairwise cost drops
+    * from N² to Σ|cell|² — the property that makes embedding-level
+    * dedup tractable at corpus scale; `nlist` is the cost/recall
+    * dial (complementary to [[lshEmbeddingNearDup]]: k-means cells
+    * adapt to the data's density, LSH buckets are data-independent).
+    *
+    * Scale shape: cell assignment is a broadcast expression — the
+    * nlist×dim model folds into the plan, no model table and no
+    * extra shuffle; the pairwise stage shuffles (id, vec) on the
+    * cell id only; cosine is the codegen dot kernel. Emits
+    * (id_a < id_b, cos ≥ threshold) candidate pairs.
+    */
+  def semanticDedupPairs(embs: DataFrame, idCol: String, vecCol: String,
+                         centroids: Array[Array[Double]],
+                         threshold: Double): DataFrame =
+    embeddingNearDup(embs, idCol, vecCol,
+      Similarity.ivfCell(VectorOps.asDouble(col(vecCol)), centroids),
+      threshold)
+
+  /** The removal face of [[semanticDedupPairs]]: survivors after
+    * dropping every row whose pair-graph component (via
+    * [[connectedComponents]], which labels each node with its
+    * component's MINIMUM id) contains a smaller id — deterministic
+    * keep-first semantics over long-castable ids, like
+    * [[exactKeepFirst]].
+    */
+  def semanticDedupKeep(embs: DataFrame, idCol: String, vecCol: String,
+                        centroids: Array[Array[Double]],
+                        threshold: Double): DataFrame = {
+    val pairs = semanticDedupPairs(embs, idCol, vecCol, centroids, threshold)
+    val drop = connectedComponents(pairs.select("id_a", "id_b"))
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    embs.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -517,6 +517,22 @@ object PipelineQueries {
           "doc_id", "text", Seq("spark", "vector", "hash"), k = 10)
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // index-backed BM25: build the persistent postings index (ONE
+    // corpus shuffle, partitioned by md5 term bucket) then search it
+    // reading only the query terms' buckets — the query-serving face
+    // of bm1 (Lucene's role in the reference). The oracle replays the
+    // same Okapi formula from the raw table, so the gate proves
+    // build + pruned search ≡ corpus-scan scoring end-to-end
+    "idx1_index_search" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx1-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", path)
+      graft.operators.InvertedIndex.searchTopK(s, path,
+          Seq("stream", "filter", "join"), k = 10, idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // deterministic global shuffle (reproducible training order):
     // distributed two-phase ordinal assignment — the single-partition
     // window spelling is pinned OUT in PlanQualitySpec; DuckDB replays
@@ -919,6 +935,21 @@ object PipelineQueries {
            |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
            |               unnest(toks) AS t FROM s)
            |       WHERE t IN ('spark', 'vector', 'hash') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1)
+           |SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |FROM tf JOIN dft USING (t), st
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "idx1_index_search" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter', 'join') GROUP BY 1, 2, 3),
            |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
            |        FROM tf GROUP BY 1)
            |SELECT doc_id,

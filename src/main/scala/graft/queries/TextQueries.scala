@@ -177,6 +177,32 @@ object TextQueries {
         .orderBy(round(col("cos"), 5).desc, col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup (cluster-then-compare semantic dedup), FULL-oracle-
+    // proven on PLANTED near-duplicates exactly like dd8 but through
+    // the k-means-cell blocking path: 30 clones with a deterministic
+    // ±0.0015 jitter (cos ≈ 0.999996) are planted; the corpus's own
+    // max pairwise cosine is ~0.6, so DuckDB's exact all-pairs answer
+    // at threshold 0.92 is precisely the planted set — equality
+    // proves every planted pair landed in the same trained cell and
+    // was recalled through the Σ|cell|² comparison, not N²
+    "sd1_semantic_dedup" -> ((s, d) => {
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      val planted = base.filter(col("vec_id") >= 100 && col("vec_id") < 130)
+        .select(
+          (col("vec_id") + 200000).as("pid"),
+          transform(col("v"), (x, i) =>
+            x + (((col("vec_id") * 37 + i * 11) % 7).cast("double") - 3.0)
+              * 0.0005)
+            .as("v"))
+        .select(col("pid").as("vec_id"), col("v"))
+      val u = base.unionByName(planted)
+      val cents = Similarity.trainIvfCentroids(u, "v", nlist = 8, seed = 7)
+      Dedup.semanticDedupPairs(u, "vec_id", "v", cents, threshold = 0.92)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
+        .orderBy(round(col("cos"), 5).desc, col("id_a"), col("id_b"))
+    }),
+
     // substring-level span dedup, FULL-oracle-proven on PLANTED spans:
     // 20 synthetic docs each embed a 25-token passage copied from an
     // original doc (positions 5..29, 0-based) between unique sentinel
@@ -592,6 +618,24 @@ object TextQueries {
         |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cos
         |      FROM u a JOIN u b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9
+        |ORDER BY cos DESC, id_a, id_b""".stripMargin,
+    // same exact-all-pairs discipline as dd8 for the k-means-blocked
+    // path: the planted set is the only mass above the threshold, so
+    // the blocked answer must equal the unblocked exact one
+    "sd1_semantic_dedup" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 200000 AS pid,
+        |         list_transform(v, (x, i) ->
+        |           x + (CAST((vec_id*37 + (i-1)*11) % 7 AS DOUBLE) - 3.0)*0.0005) AS v
+        |  FROM base WHERE vec_id >= 100 AND vec_id < 130),
+        |p2 AS (SELECT pid AS vec_id, v FROM planted),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM p2),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        round(list_dot_product(a.v, b.v) /
+        |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cos
+        |      FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.92
         |ORDER BY cos DESC, id_a, id_b""".stripMargin,
     "sim1_brute_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
