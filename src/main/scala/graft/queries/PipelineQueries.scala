@@ -517,6 +517,29 @@ object PipelineQueries {
           "doc_id", "text", Seq("spark", "vector", "hash"), k = 10)
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // in-engine TRAINED quality classifier: logistic regression fit
+    // by IRLS (8 map-side-combined scans; the model's d+1 doubles
+    // live driver-side and fold into each scan as literals — nothing
+    // model-shaped shuffles). Labels come from a margin-separated
+    // rule (token count >= 60, the 56..64 band excluded), so the data
+    // is linearly separable by construction and a correct fit MUST
+    // score 100% — the oracle replays the label rule and checks the
+    // per-doc `correct` booleans literally (the ax1 discipline:
+    // in-engine evaluation, engine-independent verdicts)
+    "qc1_quality_classifier" -> ((s, d) => {
+      val feats = t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("double").as("tc"),
+        (length(col("text")).cast("double") /
+          (TextAnalysis.tokenCount(col("text")) + lit(1)).cast("double"))
+          .as("awl"))
+      val labeled = feats.filter(col("tc") < 56 || col("tc") > 64)
+        .withColumn("label", (col("tc") >= 60).cast("int"))
+      val model = graft.operators.QualityClassifier.fitIrls(
+        labeled, Seq("tc", "awl"), "label", iters = 8)
+      labeled.select(col("doc_id"), col("label"),
+          (model.predict === col("label")).as("correct"))
+        .orderBy("doc_id")
+    }),
     // index-backed BM25: build the persistent postings index (ONE
     // corpus shuffle, partitioned by md5 term bucket) then search it
     // reading only the query terms' buckets — the query-serving face
@@ -942,6 +965,14 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // the label rule replayed + literal TRUE for every correct bit:
+    // the gate passes iff the trained model misclassifies nothing
+    "qc1_quality_classifier" ->
+      raw"""WITH f AS (SELECT doc_id,
+           |  CAST(len($toksSql) AS DOUBLE) AS tc FROM documents)
+           |SELECT doc_id, CAST(tc >= 60 AS INT) AS label,
+           |       TRUE AS correct
+           |FROM f WHERE tc < 56 OR tc > 64 ORDER BY doc_id""".stripMargin,
     "idx1_index_search" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
