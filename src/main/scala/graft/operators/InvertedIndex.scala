@@ -5,35 +5,43 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 
 /** A persistent inverted index (term → postings) with index-backed
-  * BM25 search — the materialized face of [[Ranking.bm25TopK]].
+  * BM25 search — the materialized face of [[Ranking.bm25TopK]] and
+  * the Spark-native equivalent of Lucene's role in the reference's
+  * backing engine (eland pushes every `match` query to it).
   *
-  * The scan-based bm25TopK re-tokenizes the corpus per query; that is
-  * the right shape for one-off analytics but the wrong one for a
-  * query-serving workload, which is exactly what the reference's
-  * backing engine builds an inverted index for (Lucene; eland pushes
-  * all `match` queries to it). This is the Spark-native equivalent:
+  * The scan-based bm25TopK re-tokenizes the corpus per query; right
+  * for one-off analytics, wrong for a query-serving workload. Here:
   *
-  *  - `build` runs ONE corpus-wide (term, doc) count shuffle and
-  *    writes postings parquet partitioned by a stable term bucket
-  *    (first byte of md5(term), so the layout is engine- and
-  *    run-independent), plus a one-row stats table.
-  *  - `searchTopK` reads ONLY the query terms' buckets — directory
-  *    pruning at planning time (spec-pinned), then a parquet
-  *    `term IN (...)` pushdown within them. Query cost is
-  *    O(postings of the query terms), not O(corpus): at 100 TB the
-  *    corpus is never re-read, and a b-bucket index turns a q-term
-  *    query into reading ≤ q/256-th… ≤ q/b-th of the postings files.
+  *  - [[build]]/[[append]] write immutable SEGMENTS (the Lucene
+  *    model): each segment is one corpus-count shuffle materialized
+  *    as postings parquet partitioned by a stable term bucket (first
+  *    byte of md5(term) — engine- and run-independent), plus a
+  *    one-row stats table holding ADDITIVE moments (n, sum_len).
+  *    Stats are written LAST and are the segment's commit marker: a
+  *    crashed build/append leaves a stats-less segment every read
+  *    skips, so search never serves a half-written segment
+  *    (the registry discipline of [[Dedup.incrementalExactDedup]]).
+  *  - [[searchTopK]] reads ONLY the query terms' buckets of each
+  *    committed segment — directory pruning at planning time
+  *    (spec-pinned) plus a parquet `term IN (...)` pushdown. Query
+  *    cost is O(postings of the query terms), not O(corpus): at
+  *    100 TB the corpus is never re-read, and term df / corpus
+  *    stats merge additively across segments (appended doc sets are
+  *    disjoint by contract, so no posting is double-counted).
+  *  - [[compact]] merges all committed segments into one (postings
+  *    rows are disjoint — a plain union), commit-then-delete, so
+  *    segment count stays a handful and search lists few dirs.
   *
-  * Scoring is bit-compatible with [[Ranking.bm25TopK]] (same staged
+  * Append contract: ids in an appended batch must be NEW (not in any
+  * committed segment) — the index stores postings, not documents, so
+  * it cannot dedup re-sent docs itself; gate re-ingest with
+  * [[Dedup.incrementalExactDedup]] upstream. Single writer at a time,
+  * like the dedup registries.
+  *
+  * Scoring is row-identical to [[Ranking.bm25TopK]] (same staged
   * doubles, same idf/tf expression tree, same 6-dp rounding —
   * differential-pinned in InvertedIndexSpec), so a caller can move
   * between the scan and index paths without result drift.
-  *
-  * Build contract: offline, single-writer, `overwrite` (rebuild =
-  * re-run; for incremental corpora put new docs in a second index and
-  * union the searches, or rebuild on a cadence — postings rows are
-  * ~30 B, so even a 100 TB corpus's index is shuffle-bound, not
-  * storage-bound).
   */
 object InvertedIndex {
 
@@ -54,18 +62,32 @@ object InvertedIndex {
     (d(0) & 0xff) % buckets
   }
 
-  /** Tokenize, count, and persist the postings index at `indexPath`:
-    * `postings/` holds (term, id, len, tf) partitioned by `bucket`;
-    * `stats/` holds one row (n, avg_len, buckets). Doc length and
-    * corpus stats count ALL docs (including those whose tokens never
-    * match a query), mirroring bm25TopK's statistics.
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed segment dirs (stats marker present), sorted. */
+  private def committedSegments(spark: SparkSession,
+                                indexPath: String): Seq[String] = {
+    val fs = fsOf(spark, indexPath)
+    val root = new org.apache.hadoop.fs.Path(s"$indexPath/segments")
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(
+        new org.apache.hadoop.fs.Path(p, "stats/_SUCCESS")))
+      .map(_.toString).sorted.toSeq
+  }
+
+  /** Write one immutable segment: postings first, stats last (the
+    * commit marker).
     */
-  def build(docs: DataFrame, idCol: String, textCol: String,
-            indexPath: String, buckets: Int = 64): Unit = {
-    require(buckets >= 1 && buckets <= 256,
-      s"buckets must be in [1, 256] (one md5 byte), got $buckets")
+  private def writeSegment(docs: DataFrame, idCol: String,
+                           textCol: String, indexPath: String,
+                           buckets: Int): Unit = {
+    val seg = s"$indexPath/segments/seg-${java.util.UUID.randomUUID()}"
     val staged = docs
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(col("id"), col("_toks"),
         size(col("_toks")).cast("double").as("len"))
     val postings = staged
@@ -74,45 +96,115 @@ object InvertedIndex {
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("bucket", termBucket(col("term"), buckets))
     // repartition by bucket before partitionBy: otherwise every write
-    // task opens up to `buckets` files (the small-files trap); this
-    // way each task writes into few directories
+    // task opens up to `buckets` files (the small-files trap)
     postings.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$indexPath/postings")
-    // stats LAST: readers require stats, so a crashed build (postings
-    // present, stats missing) fails loudly instead of serving an
-    // index whose corpus constants belong to a previous build
+      .parquet(s"$seg/postings")
+    // ADDITIVE moments (n, sum_len — not avg), so multi-segment
+    // search and compact() merge stats exactly
     staged.agg(count(lit(1)).cast("double").as("n"),
-        avg(col("len")).as("avg_len"),
+        coalesce(sum(col("len")), lit(0.0)).as("sum_len"),
         lit(buckets).as("buckets"))
-      .write.mode("overwrite").parquet(s"$indexPath/stats")
+      .write.mode("overwrite").parquet(s"$seg/stats")
+  }
+
+  private def mergedPostings(spark: SparkSession, segs: Seq[String],
+                             prune: DataFrame => DataFrame): DataFrame =
+    segs.map(s => prune(spark.read.parquet(s"$s/postings")))
+      .reduce(_ unionByName _)
+
+  private def readStats(spark: SparkSession, segs: Seq[String]): DataFrame =
+    segs.map(s => spark.read.parquet(s"$s/stats")).reduce(_ unionByName _)
+
+  /** Create a FRESH index at `indexPath` (any existing segments are
+    * removed) holding one segment for `docs`.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            indexPath: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1 && buckets <= 256,
+      s"buckets must be in [1, 256] (one md5 byte), got $buckets")
+    val fs = fsOf(docs.sparkSession, indexPath)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/segments"), true)
+    writeSegment(docs, idCol, textCol, indexPath, buckets)
+  }
+
+  /** Add NEW documents as one more immutable segment (see the append
+    * contract above). Bucket count is inherited from the existing
+    * index so every segment shares one layout.
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+             indexPath: String): Unit = {
+    val spark = docs.sparkSession
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val buckets = spark.read.parquet(s"${segs.head}/stats")
+      .select("buckets").head().getInt(0)
+    writeSegment(docs, idCol, textCol, indexPath, buckets)
+  }
+
+  /** Merge every committed segment into one (postings are disjoint
+    * rows — a plain union; stats moments sum). Commit-then-delete:
+    * the merged segment's stats marker lands before any old segment
+    * is removed, and a crash in between leaves duplicate postings
+    * dirs that the next compact() removes — but reads in that window
+    * would double-count, so like the dedup-registry compaction this
+    * is OFFLINE maintenance: run without concurrent searches.
+    */
+  def compact(spark: SparkSession, indexPath: String): Unit = {
+    val segs = committedSegments(spark, indexPath)
+    if (segs.length > 1) {
+      val buckets = spark.read.parquet(s"${segs.head}/stats")
+        .select("buckets").head().getInt(0)
+      val seg = s"$indexPath/segments/seg-${java.util.UUID.randomUUID()}"
+      mergedPostings(spark, segs, identity)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$seg/postings")
+      readStats(spark, segs)
+        .agg(sum(col("n")).as("n"), sum(col("sum_len")).as("sum_len"),
+          lit(buckets).as("buckets"))
+        .write.mode("overwrite").parquet(s"$seg/stats")
+      val fs = fsOf(spark, indexPath)
+      segs.foreach(s =>
+        fs.delete(new org.apache.hadoop.fs.Path(s), true))
+    }
   }
 
   /** Index-backed BM25 top-k: (idColName, score) ordered by score
     * desc, ties by id — the same output contract, formula, and 6-dp
     * rounding as [[Ranking.bm25TopK]], reading only the query terms'
-    * postings buckets.
+    * postings buckets of each committed segment.
     */
   def searchTopK(spark: SparkSession, indexPath: String,
                  queryTerms: Seq[String], k: Int,
                  idColName: String = "id",
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && k > 0)
-    val stats = spark.read.parquet(s"$indexPath/stats")
-    val buckets = stats.select("buckets").head().getInt(0)
+    val segs = committedSegments(spark, indexPath)
+    // fail LOUDLY on a never-built / crashed-before-first-commit
+    // index: an empty result would read as "no matches"
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val stats = readStats(spark, segs)
+      .agg(sum(col("n")).as("_n"),
+        (sum(col("sum_len")) / sum(col("n"))).as("_avg"))
+    val buckets = spark.read.parquet(s"${segs.head}/stats")
+      .select("buckets").head().getInt(0)
     val terms = queryTerms.map(_.toLowerCase).distinct
     val wanted = terms.map(bucketOf(_, buckets)).distinct
-    val p = spark.read.parquet(s"$indexPath/postings")
-      // bucket IN (...) prunes partition DIRECTORIES at planning time
-      // (pinned in PlanQualitySpec); term IN (...) pushes to parquet
-      .filter(col("bucket").isin(wanted: _*))
-      .filter(col("term").isin(terms: _*))
-    // postings rows are unique per (term, id): df = row count per term
+    val p = mergedPostings(spark, segs,
+      // bucket IN (...) prunes partition DIRECTORIES of every segment
+      // at planning time (pinned in InvertedIndexSpec); term IN (...)
+      // pushes to the parquet reader
+      _.filter(col("bucket").isin(wanted: _*))
+        .filter(col("term").isin(terms: _*)))
+    // postings rows are unique per (term, id) across segments (the
+    // append contract): df = row count per term
     val dfreq = p.groupBy("term")
       .agg(count(lit(1)).cast("double").as("_df"))
     p.join(broadcast(dfreq), Seq("term"))
-      .crossJoin(broadcast(stats.select(col("n").as("_n"),
-        col("avg_len").as("_avg"))))
+      .crossJoin(broadcast(stats))
       .withColumn("_idf",
         log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)))
       .withColumn("_s",

@@ -556,6 +556,24 @@ object PipelineQueries {
           Seq("stream", "filter", "join"), k = 10, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // incremental index ingest: half the corpus built, half APPENDED
+    // as a second immutable segment (the Lucene segment model; stats
+    // moments additive, df summed across disjoint doc sets). The
+    // oracle replays BM25 over the WHOLE flat table — equality proves
+    // the multi-segment merge math introduces no drift
+    "idx2_index_append" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx2-$tag").toString
+      val docs = t(s, d, "documents")
+      graft.operators.InvertedIndex.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+      graft.operators.InvertedIndex.append(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path)
+      graft.operators.InvertedIndex.searchTopK(s, path,
+          Seq("spark", "hash"), k = 15, idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // deterministic global shuffle (reproducible training order):
     // distributed two-phase ordinal assignment — the single-partition
     // window spelling is pinned OUT in PlanQualitySpec; DuckDB replays
@@ -988,6 +1006,23 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // the flat-corpus replay: no segments exist oracle-side, so a
+    // mistake in cross-segment df/stats merging cannot cancel out
+    "idx2_index_append" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('spark', 'hash') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1)
+           |SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |FROM tf JOIN dft USING (t), st
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "sm5_shuffle" ->
       """SELECT c_custkey,
         |  CAST(row_number() OVER (

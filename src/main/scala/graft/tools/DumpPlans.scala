@@ -59,7 +59,13 @@ object DumpPlans {
     "dd13_shared_spans" ->
       "Substring-level span dedup: codegen positional window hashes explode to (h, id, pos) postings — 24B rows, never text — a hash equi-join pairs matching grams, and gaps-and-islands windows (partitioned per pair+offset, bounded by ONE pair's overlap) collapse runs to maximal spans. The hot-gram guard's window count shares the h-shuffle the self-join needs anyway.",
     "ppl1_bigram_lm" ->
-      "Bigram-LM scoring: the (w1,w2) model join shuffles on the pair key (AQE-balanced); the unigram join BROADCASTS — its key alone is Zipf-skewed and the table is vocabulary-bounded, so no transition row ever shuffles on a single-token key. PlanQualitySpec pins the broadcast.")
+      "Bigram-LM scoring: the (w1,w2) model join shuffles on the pair key (AQE-balanced); the unigram join BROADCASTS — its key alone is Zipf-skewed and the table is vocabulary-bounded, so no transition row ever shuffles on a single-token key. PlanQualitySpec pins the broadcast.",
+    "idx1_index_search" ->
+      "Index-backed BM25: the postings scan shows PartitionFilters on the md5 term bucket (whole directories skipped at planning time) plus a term IN pushdown — the query reads its terms' postings, never the corpus. df and corpus stats broadcast; TakeOrderedAndProject caps the result. This is the query-serving shape: build cost is paid once, each query is O(its own postings).",
+    "sd1_semantic_dedup" ->
+      "SemDeDup: k-means cell assignment is a pure expression over the broadcast-folded centroid literals (no model table, no shuffle for assignment); the pairwise cosine join shuffles (id, vec) on the CELL id only, so comparison cost is per-cell-quadratic, never corpus-quadratic — and the oracle's planted clones prove the blocking loses nothing.",
+    "qc1_quality_classifier" ->
+      "Trained quality classifier: each IRLS iteration is one map-side-combined aggregation over the cached feature projection — partial sums before the single-row Exchange, the (d+1)-double model folded into the NEXT scan as literals. Prediction is a per-row codegen expression; nothing model-shaped ever shuffles.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -107,6 +107,45 @@ object ScaleCheck {
       graft.operators.Chunking.chunkByTokens(scaled, "doc_id", "text",
         32, 16).count()
     }
+    time("inverted index build") {
+      graft.operators.InvertedIndex.build(scaled, "doc_id", "text",
+        "/tmp/scale_idx")
+      spark.read.parquet("/tmp/scale_idx/segments/*/postings").count()
+    }
+    time("index search top-10") {
+      graft.operators.InvertedIndex.searchTopK(spark, "/tmp/scale_idx",
+        Seq("spark", "vector", "hash"), 10, idColName = "doc_id").count()
+    }
+    // embeddings replicated with jitter (fresh near-dup structure per
+    // replica, same cluster geometry) — the cell-blocked pairwise stage
+    // must scale with Σ|cell|², not corpus²
+    val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val bigEmb = emb
+      .crossJoin(spark.range(mult).select(col("id").as("rep")))
+      .select((col("vec_id") * mult + col("rep")).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x + (((col("rep") * 13 + i * 5) % 9).cast("double") - 4.0) * 0.002)
+          .as("v"))
+    bigEmb.write.mode("overwrite").parquet("/tmp/scale_emb")
+    val se2 = spark.read.parquet("/tmp/scale_emb")
+    println(s"[scale] embeddings: ${se2.count()} rows")
+    time("semantic dedup pairs") {
+      val cents = Similarity.trainIvfCentroids(se2, "v",
+        nlist = 8 * mult, seed = 7)
+      Dedup.semanticDedupPairs(se2, "vec_id", "v", cents, 0.95).count()
+    }
+    time("classifier fitIrls 8it") {
+      val feats = scaled.select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text"))
+          .cast("double").as("tc"),
+        length(col("text")).cast("double").as("cl"))
+      val m = graft.operators.QualityClassifier.fitIrls(
+        feats.withColumn("label", (col("tc") >= 60).cast("int")),
+        Seq("tc", "cl"), "label", iters = 8)
+      feats.filter(m.prob >= 0.5).count()
+    }
     spark.stop()
   }
 }

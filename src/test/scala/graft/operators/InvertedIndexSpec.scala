@@ -13,27 +13,58 @@ class InvertedIndexSpec extends AnyFunSuite {
     f.deleteOnExit(); f.toString
   }
 
+  private def segDirs(path: String): Seq[java.io.File] =
+    Option(new java.io.File(s"$path/segments").listFiles)
+      .toSeq.flatten.filter(_.isDirectory).toSeq
+
+  private def topDocs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
   test("index-backed search is row-identical to the corpus-scan bm25TopK") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val path = tmp("graft-idx-diff")
     InvertedIndex.build(docs, "doc_id", "text", path)
     val terms = Seq("stream", "filter", "join")
-    val viaIndex = InvertedIndex.searchTopK(spark, path, terms, k = 10,
-        idColName = "doc_id")
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val viaScan = Ranking.bm25TopK(docs, "doc_id", "text", terms, k = 10)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIndex = topDocs(InvertedIndex.searchTopK(spark, path, terms,
+      k = 10, idColName = "doc_id"))
+    val viaScan = topDocs(Ranking.bm25TopK(docs, "doc_id", "text", terms,
+      k = 10))
     assert(viaIndex == viaScan)
     assert(viaIndex.nonEmpty)
+  }
+
+  test("build + append across segments == one-shot build; compact preserves") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val path = tmp("graft-idx-seg")
+    InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", path)
+    InvertedIndex.append(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", path)
+    assert(segDirs(path).length == 2)
+    val terms = Seq("spark", "hash")
+    val two = topDocs(InvertedIndex.searchTopK(spark, path, terms,
+      k = 15, idColName = "doc_id"))
+    // the merged df/stats math must equal an index that never segmented
+    val pathOne = tmp("graft-idx-one")
+    InvertedIndex.build(docs, "doc_id", "text", pathOne)
+    val one = topDocs(InvertedIndex.searchTopK(spark, pathOne, terms,
+      k = 15, idColName = "doc_id"))
+    assert(two == one)
+    // compaction collapses to one segment with identical answers
+    InvertedIndex.compact(spark, path)
+    assert(segDirs(path).length == 1)
+    assert(topDocs(InvertedIndex.searchTopK(spark, path, terms,
+      k = 15, idColName = "doc_id")) == two)
   }
 
   test("driver-side bucketOf agrees with the index's layout column") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val path = tmp("graft-idx-bucket")
     InvertedIndex.build(docs, "doc_id", "text", path, buckets = 64)
+    val seg = segDirs(path).head
     // every persisted (term, bucket) pair must match the driver hash —
     // otherwise searchTopK would prune away the terms it needs
-    val mism = spark.read.parquet(s"$path/postings")
+    val mism = spark.read.parquet(s"$seg/postings")
       .select("term", "bucket").distinct().collect()
       .count(r => InvertedIndex.bucketOf(r.getString(0), 64) != r.getInt(1))
     assert(mism == 0)
@@ -59,7 +90,7 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(scan.dataFilters.nonEmpty, "term filter not pushed to the scan")
   }
 
-  test("stats are written last: a build missing them fails loudly") {
+  test("stats are the commit marker: a crashed segment is invisible, an empty index loud") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val path = tmp("graft-idx-crash")
     InvertedIndex.build(docs, "doc_id", "text", path)
@@ -67,21 +98,40 @@ class InvertedIndexSpec extends AnyFunSuite {
     def wipe(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(wipe)); f.delete(); ()
     }
-    wipe(new java.io.File(s"$path/stats"))
-    assertThrows[org.apache.spark.sql.AnalysisException](
+    wipe(new java.io.File(s"${segDirs(path).head}/stats"))
+    val e = intercept[IllegalArgumentException](
       InvertedIndex.searchTopK(spark, path, Seq("a"), k = 1))
+    assert(e.getMessage.contains("no committed segments"))
+    // a crashed APPEND leaves the committed history serving
+    InvertedIndex.build(docs, "doc_id", "text", path)
+    val before = topDocs(InvertedIndex.searchTopK(spark, path, Seq("a"),
+      k = 2, idColName = "doc_id"))
+    InvertedIndex.append(Seq((3L, "a a")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    val crashed = segDirs(path).filter(d =>
+      !new java.io.File(d, "stats/_SUCCESS").exists())
+    assert(crashed.isEmpty) // clean append committed...
+    wipe(new java.io.File(s"${segDirs(path).maxBy(_.getName)}/stats"))
+    // ...now one segment is marker-less; search serves the rest (but
+    // which segment got wiped is uuid-ordered, so only assert it runs
+    // and returns a committed subset's answer deterministically)
+    val after = topDocs(InvertedIndex.searchTopK(spark, path, Seq("a"),
+      k = 3, idColName = "doc_id"))
+    assert(after.nonEmpty)
+    assert(after.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)))
+    assert(before.nonEmpty)
   }
 
-  test("stats count every doc, including token-free ones") {
+  test("stats count every doc, including token-free ones; moments are additive") {
     val docs = Seq((1L, "x x y"), (2L, ""), (3L, "y")).toDF("doc_id", "text")
     val path = tmp("graft-idx-stats")
     InvertedIndex.build(docs, "doc_id", "text", path)
-    val st = spark.read.parquet(s"$path/stats").head()
+    val st = spark.read.parquet(s"${segDirs(path).head}/stats").head()
     assert(st.getDouble(st.fieldIndex("n")) == 3.0)
-    // avg_len over ALL docs: (3 + 0 + 1) / 3
-    assert(math.abs(st.getDouble(st.fieldIndex("avg_len")) - 4.0 / 3) < 1e-12)
+    // sum_len over ALL docs: 3 + 0 + 1
+    assert(st.getDouble(st.fieldIndex("sum_len")) == 4.0)
     // empty doc contributes no postings
-    assert(spark.read.parquet(s"$path/postings")
+    assert(spark.read.parquet(s"${segDirs(path).head}/postings")
       .filter(col("id") === 2L).count() == 0)
   }
 }
