@@ -83,8 +83,14 @@ object InvertedIndex {
     */
   private def writeSegment(docs: DataFrame, idCol: String,
                            textCol: String, indexPath: String,
-                           buckets: Int): Unit = {
-    val seg = s"$indexPath/segments/seg-${java.util.UUID.randomUUID()}"
+                           buckets: Int): Unit =
+    writeSegmentNamed(docs, idCol, textCol, indexPath,
+      s"seg-${java.util.UUID.randomUUID()}", buckets)
+
+  private def writeSegmentNamed(docs: DataFrame, idCol: String,
+                                textCol: String, indexPath: String,
+                                name: String, buckets: Int): Unit = {
+    val seg = s"$indexPath/segments/$name"
     val staged = docs
       .select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("_toks"))
@@ -141,6 +147,33 @@ object InvertedIndex {
     val buckets = spark.read.parquet(s"${segs.head}/stats")
       .select("buckets").head().getInt(0)
     writeSegment(docs, idCol, textCol, indexPath, buckets)
+  }
+
+  /** Idempotent per-batch ingest for streaming drivers
+    * ([[graft.streaming.CorpusStream.incrementalIndex]]): the segment
+    * name derives from the caller's batch id, so a foreachBatch RETRY
+    * overwrites its own segment instead of appending a duplicate —
+    * registration is exactly-once per batch id where a uuid-named
+    * [[append]] would double every retried batch's postings. Creates
+    * the index on the first batch; empty batches are skipped (they
+    * carry no postings and would only add an unreadable empty
+    * segment). During a retry's rewrite the segment is transiently
+    * inconsistent — the single-writer / offline-maintenance caveat
+    * shared with [[compact]].
+    */
+  def ingestBatch(docs: DataFrame, idCol: String, textCol: String,
+                  indexPath: String, batchId: Long,
+                  bucketsIfNew: Int = 64): Unit = {
+    if (!docs.isEmpty) {
+      val spark = docs.sparkSession
+      val segs = committedSegments(spark, indexPath)
+      val buckets =
+        if (segs.isEmpty) bucketsIfNew
+        else spark.read.parquet(s"${segs.head}/stats")
+          .select("buckets").head().getInt(0)
+      writeSegmentNamed(docs, idCol, textCol, indexPath,
+        s"seg-batch-$batchId", buckets)
+    }
   }
 
   /** Merge every committed segment into one (postings are disjoint

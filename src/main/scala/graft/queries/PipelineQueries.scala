@@ -492,6 +492,29 @@ object PipelineQueries {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_id", "reg_id")
     }),
+    // streaming index ingest — idx2's streaming face: the 4-batch
+    // pinned-order stream lands one immutable segment per micro-batch
+    // (segment named by batch id, so checkpoint replays rewrite
+    // rather than double-register); the search result must equal
+    // DuckDB's flat BM25 replay over the whole fixture corpus
+    "st6_stream_index" -> ((s, d) => {
+      val src = docsStreamFixture(s, d)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-st6-run").toString
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.CorpusStream.incrementalIndex(stream,
+          "doc_id", "text", s"$work/index", s"$work/ckp")
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.operators.InvertedIndex.searchTopK(s, s"$work/index",
+          Seq("stream", "filter"), k = 12, idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // engine-portable SimHash (md5 token hash) — the full-oracle face
     // of dd3's xxhash64 sketch: DuckDB replays every per-bit ±1 sum
     "dd10_simhash_md5" -> ((s, d) => {
@@ -1023,6 +1046,27 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // flat replay over the fixture corpus (originals + the planted
+    // +10001 clones): segments never exist oracle-side
+    "st6_stream_index" ->
+      raw"""WITH u AS (SELECT doc_id, text FROM documents
+           |           UNION ALL
+           |           SELECT doc_id + 10001, text FROM documents
+           |           WHERE doc_id < 100),
+           |s AS (SELECT doc_id, $toksSql AS toks FROM u),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1)
+           |SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |FROM tf JOIN dft USING (t), st
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
     "sm5_shuffle" ->
       """SELECT c_custkey,
         |  CAST(row_number() OVER (

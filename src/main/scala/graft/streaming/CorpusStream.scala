@@ -84,4 +84,28 @@ object CorpusStream {
         ()
       }
       .start()
+
+  /** Stream micro-batches into a persistent
+    * [[graft.operators.InvertedIndex]]: each batch lands as one
+    * immutable segment named by its batch id, so a checkpoint-replayed
+    * batch REWRITES its own segment instead of double-registering its
+    * postings (exactly-once ingest per batch id). Searches stay
+    * O(query-term postings) while the stream runs; compact() on a
+    * cadence keeps the segment count flat.
+    *
+    * Append contract (inherited): doc ids must be new across batches —
+    * put [[incrementalDedup]] upstream when the stream can re-send
+    * documents under fresh ids.
+    */
+  def incrementalIndex(docs: DataFrame, idCol: String, textCol: String,
+                       indexPath: String, checkpoint: String,
+                       buckets: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.InvertedIndex.ingestBatch(batch.toDF(), idCol,
+          textCol, indexPath, batchId, bucketsIfNew = buckets)
+        ()
+      }
+      .start()
 }

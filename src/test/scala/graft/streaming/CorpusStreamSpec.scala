@@ -57,4 +57,48 @@ class CorpusStreamSpec extends AnyFunSuite {
     assert(post.select("doc_id").collect().map(_.getLong(0)).toSeq
       == Seq(21L))
   }
+
+  test("streamed index ingest == one-shot build; batch retry is idempotent") {
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-cs-idx").toString
+    val src = new java.io.File(work, "src"); src.mkdirs()
+    val b0 = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"))
+    val b1 = Seq((3L, "alpha delta"), (4L, "gamma gamma gamma beta"))
+    writeBatches(src.toString, Seq(b0, b1))
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q = CorpusStream.incrementalIndex(stream, "doc_id", "text",
+      s"$work/index", s"$work/ckp")
+    try q.processAllAvailable() finally q.stop()
+
+    def top(path: String) = graft.operators.InvertedIndex
+      .searchTopK(spark, path, Seq("beta", "gamma"), k = 4,
+        idColName = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val streamed = top(s"$work/index")
+    graft.operators.InvertedIndex.build((b0 ++ b1).toDF("doc_id", "text"),
+      "doc_id", "text", s"$work/flat")
+    assert(streamed == top(s"$work/flat"))
+    assert(streamed.nonEmpty)
+
+    // a checkpoint-replayed batch rewrites its own segment: re-ingest
+    // batch 1 with the same id — segment count and answers unchanged
+    val segsBefore = new java.io.File(s"$work/index/segments")
+      .listFiles.count(_.isDirectory)
+    graft.operators.InvertedIndex.ingestBatch(b1.toDF("doc_id", "text"),
+      "doc_id", "text", s"$work/index", batchId = 1L)
+    val segsAfter = new java.io.File(s"$work/index/segments")
+      .listFiles.count(_.isDirectory)
+    assert(segsBefore == segsAfter)
+    assert(top(s"$work/index") == streamed)
+
+    // empty batches are skipped, not written as unreadable segments
+    graft.operators.InvertedIndex.ingestBatch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", s"$work/index", batchId = 99L)
+    assert(new java.io.File(s"$work/index/segments")
+      .listFiles.count(_.isDirectory) == segsAfter)
+  }
 }
