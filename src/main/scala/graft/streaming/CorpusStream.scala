@@ -99,12 +99,24 @@ object CorpusStream {
     */
   def incrementalIndex(docs: DataFrame, idCol: String, textCol: String,
                        indexPath: String, checkpoint: String,
-                       buckets: Int = 64): StreamingQuery =
+                       buckets: Int = 64,
+                       compactEvery: Option[Int] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         graft.operators.InvertedIndex.ingestBatch(batch.toDF(), idCol,
           textCol, indexPath, batchId, bucketsIfNew = buckets)
+        // in-stream compaction is safe under the index's single-writer
+        // contract — the stream thread IS the writer; `compactEvery`
+        // bounds the segment count a long-running ingest accumulates
+        // (searches during the compaction window see the documented
+        // transient duplicate-postings state, so leave this None if
+        // queries run concurrently and compact offline instead)
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == n - 1)
+            graft.operators.InvertedIndex.compact(
+              batch.sparkSession, indexPath)
+        }
         ()
       }
       .start()

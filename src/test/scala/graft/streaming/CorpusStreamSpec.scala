@@ -100,5 +100,18 @@ class CorpusStreamSpec extends AnyFunSuite {
       "doc_id", "text", s"$work/index", batchId = 99L)
     assert(new java.io.File(s"$work/index/segments")
       .listFiles.count(_.isDirectory) == segsAfter)
+
+    // in-stream compaction cadence bounds segments without changing
+    // answers
+    val src2 = new java.io.File(work, "src2"); src2.mkdirs()
+    writeBatches(src2.toString, Seq(b0, b1))
+    val stream2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src2.toString)
+    val q2 = CorpusStream.incrementalIndex(stream2, "doc_id", "text",
+      s"$work/index2", s"$work/ckp2", compactEvery = Some(2))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(new java.io.File(s"$work/index2/segments")
+      .listFiles.count(_.isDirectory) == 1)
+    assert(top(s"$work/index2") == streamed)
   }
 }
