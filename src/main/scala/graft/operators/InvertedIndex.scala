@@ -91,11 +91,24 @@ object InvertedIndex {
                                 textCol: String, indexPath: String,
                                 name: String, buckets: Int): Unit = {
     val seg = s"$indexPath/segments/$name"
+    // persisted: the postings write and the stats write are separate
+    // jobs, and without pinning each would re-tokenize the batch
     val staged = docs
       .select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(col("id"), col("_toks"),
         size(col("_toks")).cast("double").as("len"))
+      .persist()
+    try {
+      writeSegmentJobs(staged, seg, buckets)
+    } finally {
+      staged.unpersist()
+      ()
+    }
+  }
+
+  private def writeSegmentJobs(staged: DataFrame, seg: String,
+                               buckets: Int): Unit = {
     val postings = staged
       .select(col("id"), col("len"), explode(col("_toks")).as("term"))
       .groupBy(col("term"), col("id"), col("len"))

@@ -40,13 +40,22 @@ object CorpusStream {
     */
   def incrementalDedup(docs: DataFrame, idCol: String, textCol: String,
                        registryPath: String, outPath: String,
-                       checkpoint: String): StreamingQuery =
+                       checkpoint: String,
+                       compactEvery: Option[Int] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         Dedup.incrementalExactDedup(batch.toDF(), idCol, textCol,
             registryPath)
           .write.mode("append").parquet(outPath)
+        // same single-writer argument as incrementalIndex: the stream
+        // thread owns the registry, so in-stream compaction honors the
+        // offline contract; a cadence keeps the batch-dir count (and
+        // thus every probe's file listing) flat on long streams
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == n - 1)
+            Dedup.compactExactRegistry(batch.sparkSession, registryPath)
+        }
         ()
       }
       .start()
@@ -74,13 +83,18 @@ object CorpusStream {
   def incrementalNearDup(docs: DataFrame, idCol: String, textCol: String,
                          registryPath: String, outPath: String,
                          checkpoint: String,
-                         threshold: Double = 0.8): StreamingQuery =
+                         threshold: Double = 0.8,
+                         compactEvery: Option[Int] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         Dedup.nearDupAgainstRegistry(batch.toDF(), idCol, textCol,
             registryPath, threshold = threshold)
           .write.mode("append").parquet(outPath)
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == n - 1)
+            Dedup.compactNearDupRegistry(batch.sparkSession, registryPath)
+        }
         ()
       }
       .start()

@@ -114,4 +114,30 @@ class CorpusStreamSpec extends AnyFunSuite {
       .listFiles.count(_.isDirectory) == 1)
     assert(top(s"$work/index2") == streamed)
   }
+
+  test("dedup stream with compaction cadence: same survivors, one registry dir") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-cs-cadence").toString
+    val src = new java.io.File(work, "src"); src.mkdirs()
+    writeBatches(src.toString, Seq(
+      Seq((1L, "aaa"), (2L, "bbb")),
+      Seq((3L, "aaa"), (4L, "ccc")),
+      Seq((5L, "ccc"), (6L, "ddd")),
+      Seq((7L, "ddd"), (8L, "eee"))))
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q = CorpusStream.incrementalDedup(stream, "doc_id", "text",
+      s"$work/registry", s"$work/out", s"$work/ckp",
+      compactEvery = Some(2))
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$work/out")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 4L, 6L, 8L))
+    // 4 appends, compacted at batches 1 and 3: the final compact
+    // collapsed everything into one committed batch dir
+    val dirs = new java.io.File(s"$work/registry")
+      .listFiles.count(_.isDirectory)
+    assert(dirs == 1, s"registry holds $dirs batch dirs after compaction")
+  }
 }
