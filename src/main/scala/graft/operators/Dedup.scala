@@ -142,16 +142,60 @@ object Dedup {
     * marker-less crash leftovers). Probe results are identical before
     * and after (spec-pinned). OFFLINE maintenance — run without
     * concurrent appends. Crash-safety: the compacted batch commits
-    * BEFORE anything is deleted, so an interrupted compact leaves
-    * duplicate digests, which the anti-join ignores and the next
-    * compact() removes.
+    * BEFORE anything is deleted (an interrupted compact leaves
+    * duplicate digests, which the anti-join ignores), and a
+    * compaction manifest lets the next compact()/[[healExactRegistry]]
+    * replay the interrupted delete instead of re-merging the
+    * duplicated state.
     */
   def compactExactRegistry(spark: org.apache.spark.sql.SparkSession,
                            registryPath: String): Unit =
     compactDir(spark, registryPath, distinctCols = Seq("digest"))
 
+  /** Resolve a [[compactDir]] that crashed between committing its
+    * merged batch dir and deleting the inputs — the window where the
+    * registry transiently holds every row twice. For the exact
+    * registry duplicates are anti-join-harmless, but the near-dup
+    * registry PROBES would double every match against a duplicated
+    * id, so a restarted stream must heal before its first probe
+    * (graft.streaming.CorpusStream does). Same manifest replay as
+    * [[InvertedIndex.heal]]: target committed → finish the deletes;
+    * target uncommitted → drop it; then clear the manifest.
+    */
+  private def healDir(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(s"$dir/compacting")
+    Manifest.read(fs, mf).foreach { lines =>
+      val target = lines.head
+      val committed = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/$target/_SUCCESS"))
+      if (committed)
+        lines.tail.foreach(i =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$i"), true))
+      else
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$target"), true)
+      Manifest.delete(fs, mf)
+    }
+  }
+
+  def healExactRegistry(spark: org.apache.spark.sql.SparkSession,
+                        registryPath: String): Unit =
+    healDir(spark, registryPath)
+
+  /** Shingles and bands heal independently — each store has its own
+    * manifest, and replaying one does not touch the other.
+    */
+  def healNearDupRegistry(spark: org.apache.spark.sql.SparkSession,
+                          registryPath: String): Unit = {
+    healDir(spark, s"$registryPath/shingles")
+    healDir(spark, s"$registryPath/bands")
+  }
+
   private def compactDir(spark: org.apache.spark.sql.SparkSession,
                          dir: String, distinctCols: Seq[String]): Unit = {
+    healDir(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = committedBatchDirs(fs, dir)
@@ -167,7 +211,14 @@ object Dedup {
       // registry; the extra exchange keeps the agg parallel
       val rows = compacted.count()
       val files = math.max(1L, rows / 10000000L).toInt
-      appendRegistryBatch(compacted.repartition(files), dir)
+      // manifest before the write: records which batch dir is the
+      // compaction target and which are its inputs, so a crash
+      // anywhere below is replayed to completion by healDir
+      val target = s"batch-${java.util.UUID.randomUUID()}"
+      Manifest.write(fs, new org.apache.hadoop.fs.Path(s"$dir/compacting"),
+        target +: old.map(p => new org.apache.hadoop.fs.Path(p).getName))
+      compacted.repartition(files)
+        .write.mode("overwrite").parquet(s"$dir/$target")
       // commit first, delete second — plus marker-less crash leftovers
       val keepNone = old.toSet
       fs.listStatus(new org.apache.hadoop.fs.Path(dir))
@@ -175,6 +226,8 @@ object Dedup {
         .filter(p => keepNone.contains(p.toString) ||
           !fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
         .foreach(p => fs.delete(p, true))
+      Manifest.delete(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/compacting"))
     }
   }
 
@@ -405,8 +458,9 @@ object Dedup {
     * row whose shingles are missing). Same offline contract; a crash
     * mid-compact leaves duplicate rows, and while the exact registry
     * shrugs those off, HERE a duplicated shingle row would double
-    * every future match against that id — re-run compact() to
-    * completion before the next probe.
+    * every future match against that id — run
+    * [[healNearDupRegistry]] (or compact again, which heals first)
+    * before the next probe; the streaming driver does so on restart.
     */
   def compactNearDupRegistry(spark: org.apache.spark.sql.SparkSession,
                              registryPath: String): Unit = {

@@ -91,6 +91,13 @@ object InvertedIndex {
                                 textCol: String, indexPath: String,
                                 name: String, buckets: Int): Unit = {
     val seg = s"$indexPath/segments/$name"
+    // a named REWRITE (ingestBatch retry) must first un-commit the
+    // previous attempt: stats are written last as the commit marker,
+    // and a surviving old stats/_SUCCESS would make a crash
+    // mid-postings-rewrite look committed — searches would then serve
+    // the partial postings instead of skipping the segment
+    fsOf(docs.sparkSession, indexPath)
+      .delete(new org.apache.hadoop.fs.Path(s"$seg/stats"), true)
     // persisted: the postings write and the stats write are separate
     // jobs, and without pinning each would re-tokenize the batch
     val staged = docs
@@ -144,6 +151,11 @@ object InvertedIndex {
       s"buckets must be in [1, 256] (one md5 byte), got $buckets")
     val fs = fsOf(docs.sparkSession, indexPath)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/segments"), true)
+    // a FRESH index also resets the ingest ledger and any compaction
+    // manifest — stale batch-id markers would make ingestBatch skip
+    // the new stream's early batches
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/ingested"), true)
+    Manifest.delete(fs, manifestPath(indexPath))
     writeSegment(docs, idCol, textCol, indexPath, buckets)
   }
 
@@ -163,22 +175,38 @@ object InvertedIndex {
   }
 
   /** Idempotent per-batch ingest for streaming drivers
-    * ([[graft.streaming.CorpusStream.incrementalIndex]]): the segment
-    * name derives from the caller's batch id, so a foreachBatch RETRY
-    * overwrites its own segment instead of appending a duplicate —
-    * registration is exactly-once per batch id where a uuid-named
-    * [[append]] would double every retried batch's postings. Creates
-    * the index on the first batch; empty batches are skipped (they
-    * carry no postings and would only add an unreadable empty
-    * segment). During a retry's rewrite the segment is transiently
-    * inconsistent — the single-writer / offline-maintenance caveat
-    * shared with [[compact]].
+    * ([[graft.streaming.CorpusStream.incrementalIndex]]): exactly-once
+    * registration per batch id, in two layers.
+    *
+    *  - The segment name derives from the batch id, so a foreachBatch
+    *    RETRY whose segment still exists REWRITES it (stats marker
+    *    dropped first, so the rewrite window is un-committed) instead
+    *    of appending a duplicate as a uuid-named [[append]] would.
+    *  - A durable ledger marker (`ingested/batch-<id>`, created AFTER
+    *    the segment's stats commit) records completed batch ids. The
+    *    ledger is what survives [[compact]]: compaction renames
+    *    segments away, so "does seg-batch-N exist?" stops answering
+    *    "was batch N ingested?" the moment a compaction runs — a
+    *    checkpoint replay of a compacted batch would re-append
+    *    postings the merged segment already holds. A marked batch id
+    *    is skipped outright, segment present or not.
+    *
+    * Creates the index on the first batch; empty batches write no
+    * segment (only their marker). During a retry's rewrite the segment
+    * is transiently un-committed — the single-writer contract shared
+    * with [[compact]].
     */
   def ingestBatch(docs: DataFrame, idCol: String, textCol: String,
                   indexPath: String, batchId: Long,
                   bucketsIfNew: Int = 64): Unit = {
+    require(bucketsIfNew >= 1 && bucketsIfNew <= 256,
+      s"buckets must be in [1, 256] (one md5 byte), got $bucketsIfNew")
+    val spark = docs.sparkSession
+    val fs = fsOf(spark, indexPath)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/ingested/batch-$batchId")
+    if (fs.exists(marker)) return
     if (!docs.isEmpty) {
-      val spark = docs.sparkSession
       val segs = committedSegments(spark, indexPath)
       val buckets =
         if (segs.isEmpty) bucketsIfNew
@@ -187,22 +215,64 @@ object InvertedIndex {
       writeSegmentNamed(docs, idCol, textCol, indexPath,
         s"seg-batch-$batchId", buckets)
     }
+    // marker last: a crash before this line leaves the batch unmarked
+    // and its (committed or partial) segment rewritable by the replay
+    fs.create(marker, true).close()
+  }
+
+  private def manifestPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/compacting")
+
+  /** Resolve a [[compact]] that crashed between committing its merged
+    * segment and deleting the inputs. In that window merged AND input
+    * segments are all committed: searches double-count, and — worse —
+    * a naive next compact() would union them (postings twice, stats n
+    * doubled) and DELETE the evidence, baking the duplication in
+    * permanently. The manifest written by compact() records which
+    * segment replaced which: heal replays that decision — merged
+    * committed → finish the input deletes; merged uncommitted → drop
+    * the partial merged dir — then clears the manifest. Idempotent
+    * (a crash mid-heal re-heals); called by compact() itself and by
+    * [[graft.streaming.CorpusStream.incrementalIndex]] on restart so
+    * a replayed stream never searches or re-compacts the duplicated
+    * state.
+    */
+  def heal(spark: SparkSession, indexPath: String): Unit = {
+    val fs = fsOf(spark, indexPath)
+    Manifest.read(fs, manifestPath(indexPath)).foreach { lines =>
+      val segRoot = s"$indexPath/segments"
+      val merged = lines.head
+      val committed = fs.exists(new org.apache.hadoop.fs.Path(
+        s"$segRoot/$merged/stats/_SUCCESS"))
+      if (committed)
+        lines.tail.foreach(i => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$segRoot/$i"), true))
+      else
+        fs.delete(new org.apache.hadoop.fs.Path(s"$segRoot/$merged"), true)
+      Manifest.delete(fs, manifestPath(indexPath))
+    }
   }
 
   /** Merge every committed segment into one (postings are disjoint
-    * rows — a plain union; stats moments sum). Commit-then-delete:
-    * the merged segment's stats marker lands before any old segment
-    * is removed, and a crash in between leaves duplicate postings
-    * dirs that the next compact() removes — but reads in that window
-    * would double-count, so like the dedup-registry compaction this
-    * is OFFLINE maintenance: run without concurrent searches.
+    * rows — a plain union; stats moments sum). Crash-safe via the
+    * [[heal]] manifest: the input list is published before the merged
+    * segment is written, the merged stats marker lands before any old
+    * segment is removed, and any interruption is replayed to
+    * completion by the next compact()/heal(). Reads in a crashed
+    * window would double-count, so like the dedup-registry compaction
+    * this is OFFLINE maintenance: run without concurrent searches.
     */
   def compact(spark: SparkSession, indexPath: String): Unit = {
+    heal(spark, indexPath)
     val segs = committedSegments(spark, indexPath)
     if (segs.length > 1) {
+      val fs = fsOf(spark, indexPath)
       val buckets = spark.read.parquet(s"${segs.head}/stats")
         .select("buckets").head().getInt(0)
-      val seg = s"$indexPath/segments/seg-${java.util.UUID.randomUUID()}"
+      val name = s"seg-${java.util.UUID.randomUUID()}"
+      val seg = s"$indexPath/segments/$name"
+      val segNames = segs.map(s => new org.apache.hadoop.fs.Path(s).getName)
+      Manifest.write(fs, manifestPath(indexPath), name +: segNames)
       mergedPostings(spark, segs, identity)
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
@@ -211,9 +281,9 @@ object InvertedIndex {
         .agg(sum(col("n")).as("n"), sum(col("sum_len")).as("sum_len"),
           lit(buckets).as("buckets"))
         .write.mode("overwrite").parquet(s"$seg/stats")
-      val fs = fsOf(spark, indexPath)
       segs.foreach(s =>
         fs.delete(new org.apache.hadoop.fs.Path(s), true))
+      Manifest.delete(fs, manifestPath(indexPath))
     }
   }
 
@@ -232,11 +302,15 @@ object InvertedIndex {
     // index: an empty result would read as "no matches"
     require(segs.nonEmpty,
       s"$indexPath has no committed segments — build() first")
-    val stats = readStats(spark, segs)
-      .agg(sum(col("n")).as("_n"),
-        (sum(col("sum_len")) / sum(col("n"))).as("_avg"))
-    val buckets = spark.read.parquet(s"${segs.head}/stats")
-      .select("buckets").head().getInt(0)
+    // ONE driver-side read of the (one-row-per-segment) stats tables
+    // serves n, avg len, AND the bucket count — the serving path pays
+    // a single tiny job, and the corpus stats enter the score plan as
+    // literals instead of a crossJoin
+    val statRows = readStats(spark, segs).collect()
+    val n = statRows.map(_.getAs[Double]("n")).sum
+    val avg = if (n > 0) statRows.map(_.getAs[Double]("sum_len")).sum / n
+              else 1.0 // postings are empty too: result is empty anyway
+    val buckets = statRows.head.getAs[Int]("buckets")
     val terms = queryTerms.map(_.toLowerCase).distinct
     val wanted = terms.map(bucketOf(_, buckets)).distinct
     val p = mergedPostings(spark, segs,
@@ -250,13 +324,12 @@ object InvertedIndex {
     val dfreq = p.groupBy("term")
       .agg(count(lit(1)).cast("double").as("_df"))
     p.join(broadcast(dfreq), Seq("term"))
-      .crossJoin(broadcast(stats))
       .withColumn("_idf",
-        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)))
+        log(lit(1.0) + (lit(n) - col("_df") + 0.5) / (col("_df") + 0.5)))
       .withColumn("_s",
         col("_idf") * col("tf") * (k1 + 1.0) /
           (col("tf") +
-            lit(k1) * (lit(1.0) - b + lit(b) * col("len") / col("_avg"))))
+            lit(k1) * (lit(1.0) - b + lit(b) * col("len") / lit(avg))))
       .groupBy(col("id").as(idColName))
       .agg(round(sum(col("_s")), 6).as("score"))
       .orderBy(col("score").desc, col(idColName))

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Tiny crash-recovery manifests for compact-then-delete maintenance
+  * ([[InvertedIndex.compact]], [[Dedup]]'s registry compaction).
+  *
+  * The compaction pattern — commit a merged output, then delete its
+  * inputs — has an unavoidable window where BOTH exist; a crash there
+  * leaves duplicate rows that the next merge would otherwise bake in
+  * permanently (it unions inputs it does not know are copies). The
+  * manifest closes that window: before the merged output is written,
+  * the compactor publishes (output name, input names); on the next
+  * entry, heal() replays the interrupted decision — output committed →
+  * finish the deletes; output uncommitted → drop the partial output —
+  * so compaction is idempotent-resumable and duplicates never survive
+  * a heal. One writer per directory (the registries' existing
+  * single-writer contract), so one manifest file suffices.
+  */
+private[graft] object Manifest {
+
+  /** Atomically publish `lines` at `path`: write a temp sibling, then
+    * rename. A crash mid-write leaves only the ignored `.tmp` file —
+    * readers never see a partial manifest.
+    */
+  def write(fs: FileSystem, path: Path, lines: Seq[String]): Unit = {
+    val tmp = new Path(path.getParent, path.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(path)) fs.delete(path, false)
+    require(fs.rename(tmp, path), s"manifest rename failed: $tmp -> $path")
+  }
+
+  def read(fs: FileSystem, path: Path): Option[Seq[String]] =
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList)
+      finally in.close()
+    }
+
+  def delete(fs: FileSystem, path: Path): Unit = {
+    fs.delete(path, false)
+    ()
+  }
+}

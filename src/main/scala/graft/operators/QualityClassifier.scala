@@ -48,6 +48,52 @@ object QualityClassifier {
     def predict: Column = (z(featureCols.map(col)) >= 0).cast("int")
   }
 
+  /** The projection + one-pass standardization both optimizers share:
+    * (_y, _z0.._z{d-1}) over the cached raw projection, plus the
+    * moments needed to fold the standardized weights back onto raw
+    * features. A constant feature gets scale 1 (its weight then stays
+    * at 0 — harmless, not NaN).
+    */
+  private final case class Standardized(zdata: DataFrame, n: Double,
+                                        mean: Array[Double],
+                                        scale: Array[Double])
+
+  private def standardize(data: DataFrame, d: Int): Standardized = {
+    val mRow = data.agg(
+      count(lit(1)).cast("double").as("_n"),
+      (0 until d).flatMap(i => Seq(
+        avg(col(s"_x$i")).as(s"_m$i"),
+        stddev_pop(col(s"_x$i")).as(s"_s$i"))): _*).head()
+    val n = mRow.getDouble(0)
+    require(n > 0, "cannot fit on an empty frame")
+    val mean = Array.tabulate(d)(i => mRow.getDouble(1 + 2 * i))
+    val scale = Array.tabulate(d) { i =>
+      val s = mRow.getDouble(2 + 2 * i); if (s == 0.0 || s.isNaN) 1.0 else s
+    }
+    val std = (0 until d).map(i =>
+      ((col(s"_x$i") - mean(i)) / scale(i)).as(s"_z$i"))
+    Standardized(data.select((col("_y") +: std): _*), n, mean, scale)
+  }
+
+  private def project(df: DataFrame, featureCols: Seq[String],
+                      labelCol: String): DataFrame = {
+    val xs = featureCols.zipWithIndex.map { case (c, i) =>
+      col(c).cast("double").as(s"_x$i")
+    }
+    df.select((col(labelCol).cast("double").as("_y") +: xs): _*)
+  }
+
+  /** Fold standardization into raw-feature weights:
+    * w·(x-m)/s + b  ==  (w/s)·x + (b - Σ w_i m_i / s_i)
+    */
+  private def foldBack(featureCols: Seq[String], w: Seq[Double], b: Double,
+                       st: Standardized): LogisticModel = {
+    val d = featureCols.length
+    val rawW = Array.tabulate(d)(i => w(i) / st.scale(i))
+    val rawB = b - (0 until d).map(i => w(i) * st.mean(i) / st.scale(i)).sum
+    LogisticModel(featureCols, rawW, rawB)
+  }
+
   /** Fit by full-batch gradient descent on standardized features
     * (standardization is folded back into the returned model, so
     * `prob`/`predict` run on the raw columns). `labelCol` must be
@@ -59,28 +105,11 @@ object QualityClassifier {
           l2: Double = 0.0): LogisticModel = {
     require(featureCols.nonEmpty && iters > 0 && lr > 0)
     val d = featureCols.length
-    val xs = featureCols.zipWithIndex.map { case (c, i) =>
-      col(c).cast("double").as(s"_x$i")
-    }
-    val data = df.select((col(labelCol).cast("double").as("_y") +: xs): _*)
-      .persist()
+    val data = project(df, featureCols, labelCol).persist()
     try {
-      // per-feature moments in one pass; a constant feature gets
-      // scale 1 (its weight then stays at 0 — harmless, not NaN)
-      val mRow = data.agg(
-        count(lit(1)).cast("double").as("_n"),
-        (0 until d).flatMap(i => Seq(
-          avg(col(s"_x$i")).as(s"_m$i"),
-          stddev_pop(col(s"_x$i")).as(s"_s$i"))): _*).head()
-      val n = mRow.getDouble(0)
-      require(n > 0, "cannot fit on an empty frame")
-      val mean = Array.tabulate(d)(i => mRow.getDouble(1 + 2 * i))
-      val scale = Array.tabulate(d) { i =>
-        val s = mRow.getDouble(2 + 2 * i); if (s == 0.0 || s.isNaN) 1.0 else s
-      }
-      val std = (0 until d).map(i =>
-        ((col(s"_x$i") - mean(i)) / scale(i)).as(s"_z$i"))
-      val zdata = data.select((col("_y") +: std): _*)
+      val st = standardize(data, d)
+      val n = st.n
+      val zdata = st.zdata
 
       val w = new Array[Double](d)
       var b = 0.0
@@ -102,11 +131,7 @@ object QualityClassifier {
         }
         it += 1
       }
-      // fold standardization into raw-feature weights:
-      // w·(x-m)/s + b  ==  (w/s)·x + (b - Σ w_i m_i / s_i)
-      val rawW = Array.tabulate(d)(i => w(i) / scale(i))
-      val rawB = b - (0 until d).map(i => w(i) * mean(i) / scale(i)).sum
-      LogisticModel(featureCols, rawW, rawB)
+      foldBack(featureCols, w.toSeq, b, st)
     } finally {
       data.unpersist()
       ()
@@ -126,26 +151,11 @@ object QualityClassifier {
               iters: Int = 8, l2: Double = 1e-3): LogisticModel = {
     require(featureCols.nonEmpty && iters > 0 && l2 >= 0)
     val d = featureCols.length
-    val xs = featureCols.zipWithIndex.map { case (c, i) =>
-      col(c).cast("double").as(s"_x$i")
-    }
-    val data = df.select((col(labelCol).cast("double").as("_y") +: xs): _*)
-      .persist()
+    val data = project(df, featureCols, labelCol).persist()
     try {
-      val mRow = data.agg(
-        count(lit(1)).cast("double").as("_n"),
-        (0 until d).flatMap(i => Seq(
-          avg(col(s"_x$i")).as(s"_m$i"),
-          stddev_pop(col(s"_x$i")).as(s"_s$i"))): _*).head()
-      val n = mRow.getDouble(0)
-      require(n > 0, "cannot fit on an empty frame")
-      val mean = Array.tabulate(d)(i => mRow.getDouble(1 + 2 * i))
-      val scale = Array.tabulate(d) { i =>
-        val s = mRow.getDouble(2 + 2 * i); if (s == 0.0 || s.isNaN) 1.0 else s
-      }
-      val std = (0 until d).map(i =>
-        ((col(s"_x$i") - mean(i)) / scale(i)).as(s"_z$i"))
-      val zdata = data.select((col("_y") +: std): _*)
+      val st = standardize(data, d)
+      val n = st.n
+      val zdata = st.zdata
 
       // index 0 is the bias column (constant 1)
       val k = d + 1
@@ -176,9 +186,7 @@ object QualityClassifier {
         while (i < k) { w(i) -= step(i); i += 1 }
         it += 1
       }
-      val rawW = Array.tabulate(d)(i => w(i + 1) / scale(i))
-      val rawB = w(0) - (0 until d).map(i => w(i + 1) * mean(i) / scale(i)).sum
-      LogisticModel(featureCols, rawW, rawB)
+      foldBack(featureCols, w.toSeq.tail, w(0), st)
     } finally {
       data.unpersist()
       ()

@@ -41,7 +41,11 @@ object CorpusStream {
   def incrementalDedup(docs: DataFrame, idCol: String, textCol: String,
                        registryPath: String, outPath: String,
                        checkpoint: String,
-                       compactEvery: Option[Int] = None): StreamingQuery =
+                       compactEvery: Option[Int] = None): StreamingQuery = {
+    // a PREVIOUS run may have died mid-compaction; replay its
+    // interrupted delete before the first batch probes (duplicate
+    // digests are anti-join-harmless but double the probe scan)
+    Dedup.healExactRegistry(docs.sparkSession, registryPath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -59,6 +63,7 @@ object CorpusStream {
         ()
       }
       .start()
+  }
 
   /** The near-dup sibling: stream micro-batches through
     * [[graft.operators.Dedup.nearDupAgainstRegistry]], appending each
@@ -84,7 +89,13 @@ object CorpusStream {
                          registryPath: String, outPath: String,
                          checkpoint: String,
                          threshold: Double = 0.8,
-                         compactEvery: Option[Int] = None): StreamingQuery =
+                         compactEvery: Option[Int] = None): StreamingQuery = {
+    // MANDATORY heal before the first probe: a compaction the previous
+    // run crashed mid-way leaves duplicated shingle/band rows, and —
+    // unlike the exact registry's anti-join — the probe would emit
+    // every match against a duplicated id TWICE into outPath, an
+    // error no later compaction can retract
+    Dedup.healNearDupRegistry(docs.sparkSession, registryPath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -98,6 +109,7 @@ object CorpusStream {
         ()
       }
       .start()
+  }
 
   /** Stream micro-batches into a persistent
     * [[graft.operators.InvertedIndex]]: each batch lands as one
@@ -114,7 +126,12 @@ object CorpusStream {
   def incrementalIndex(docs: DataFrame, idCol: String, textCol: String,
                        indexPath: String, checkpoint: String,
                        buckets: Int = 64,
-                       compactEvery: Option[Int] = None): StreamingQuery =
+                       compactEvery: Option[Int] = None): StreamingQuery = {
+    // replay an interrupted compact() before serving or appending:
+    // the crashed window holds postings twice, and ingestBatch's
+    // batch-id ledger (not segment names, which compaction renames)
+    // is what keeps replayed batches from re-appending afterwards
+    graft.operators.InvertedIndex.heal(docs.sparkSession, indexPath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -134,4 +151,5 @@ object CorpusStream {
         ()
       }
       .start()
+  }
 }

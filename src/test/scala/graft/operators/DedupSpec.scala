@@ -171,6 +171,64 @@ class DedupSpec extends AnyFunSuite {
     assert(m.length == 1 && m(0).getLong(0) == 10L && m(0).getLong(1) == 0L)
   }
 
+  test("a crashed registry compaction heals before the next probe doubles matches") {
+    val reg = java.nio.file.Files.createTempDirectory("graft-nd-heal")
+      .toString + "/registry"
+    Dedup.nearDupAgainstRegistry(
+      Seq((0L, base)).toDF("id", "text"), "id", "text", reg)
+    // craft the crash window of compactNearDupRegistry on the shingle
+    // store: the compaction target committed (a full copy of the input
+    // batch dir), manifest still present, input not yet deleted —
+    // every shingle row exists twice
+    val sh = s"$reg/shingles"
+    val fs = new org.apache.hadoop.fs.Path(sh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val input = new java.io.File(sh).listFiles()
+      .filter(_.isDirectory).head.getName
+    spark.read.parquet(s"$sh/$input")
+      .write.mode("overwrite").parquet(s"$sh/batch-crash")
+    Manifest.write(fs, new org.apache.hadoop.fs.Path(s"$sh/compacting"),
+      Seq("batch-crash", input))
+    // non-vacuous: an un-healed probe emits the match TWICE (the
+    // verify join sees reg_id 0's shingles in both dirs) — the exact
+    // hazard the startup heal exists to prevent
+    val unhealed = Dedup.nearDupAgainstRegistry(
+      Seq((10L, base)).toDF("id", "text"), "id", "text", reg,
+      threshold = 0.5).collect()
+    assert(unhealed.length == 2)
+    Dedup.healNearDupRegistry(spark, reg)
+    // the duplicated input dir is gone (the probe's own empty
+    // clean-rows append remains alongside the compaction target) and
+    // doc 0's shingles exist exactly once again
+    assert(!new java.io.File(s"$sh/$input").exists)
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(sh).count() == 1)
+    assert(!new java.io.File(s"$sh/compacting").exists)
+    val m = Dedup.nearDupAgainstRegistry(
+      Seq((11L, base)).toDF("id", "text"), "id", "text", reg,
+      threshold = 0.5).collect()
+    assert(m.length == 1 && m(0).getLong(0) == 11L && m(0).getLong(1) == 0L)
+
+    // exact registry: same window, healExactRegistry finishes the
+    // deletes (duplicates there are anti-join-harmless, but the probe
+    // scan must not pay for the registry twice forever)
+    val ereg = java.nio.file.Files.createTempDirectory("graft-dd-heal")
+      .toString + "/registry"
+    Dedup.incrementalExactDedup(
+      Seq((0L, "aaa")).toDF("id", "text"), "id", "text", ereg)
+    val einput = new java.io.File(ereg).listFiles()
+      .filter(_.isDirectory).head.getName
+    spark.read.parquet(s"$ereg/$einput")
+      .write.mode("overwrite").parquet(s"$ereg/batch-crash")
+    Manifest.write(fs, new org.apache.hadoop.fs.Path(s"$ereg/compacting"),
+      Seq("batch-crash", einput))
+    Dedup.healExactRegistry(spark, ereg)
+    assert(new java.io.File(ereg).listFiles().count(_.isDirectory) == 1)
+    assert(Dedup.incrementalExactDedup(
+      Seq((1L, "aaa"), (2L, "bbb")).toDF("id", "text"), "id", "text", ereg)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -122,6 +122,95 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(before.nonEmpty)
   }
 
+  private def copyDir(src: java.io.File, dst: java.io.File): Unit =
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles).toSeq.flatten
+        .foreach(f => copyDir(f, new java.io.File(dst, f.getName)))
+      ()
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
+  private def hadoopFs(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("a compact() crash between commit and delete heals, not bakes duplicates") {
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "a a c"))
+      .toDF("doc_id", "text")
+    val path = tmp("graft-idx-heal")
+    InvertedIndex.build(docs.filter(col("doc_id") <= 2), "doc_id", "text", path)
+    InvertedIndex.append(docs.filter(col("doc_id") === 3), "doc_id", "text", path)
+    def top(p: String) = topDocs(InvertedIndex.searchTopK(spark, p,
+      Seq("a", "b"), k = 3, idColName = "doc_id"))
+    val want = top(path)
+    // snapshot the 2-segment state, compact the original, then graft
+    // the merged segment + manifest into the snapshot: EXACTLY the
+    // state a crash after the merged commit but before the input
+    // deletes leaves behind
+    val snap = tmp("graft-idx-heal-snap")
+    copyDir(new java.io.File(path), new java.io.File(snap))
+    InvertedIndex.compact(spark, path)
+    val merged = segDirs(path).head.getName
+    copyDir(new java.io.File(s"$path/segments/$merged"),
+      new java.io.File(s"$snap/segments/$merged"))
+    val inputs = segDirs(snap).map(_.getName).filterNot(_ == merged)
+    Manifest.write(hadoopFs(snap),
+      new org.apache.hadoop.fs.Path(s"$snap/compacting"), merged +: inputs)
+    // un-healed, every posting and every stats moment exists twice
+    assert(segDirs(snap).length == 3)
+    // heal replays the interrupted deletes; answers return to truth
+    InvertedIndex.heal(spark, snap)
+    assert(segDirs(snap).map(_.getName) == Seq(merged))
+    assert(!new java.io.File(s"$snap/compacting").exists)
+    assert(top(snap) == want)
+    // the other crash window: manifest names a merged segment that
+    // never committed — heal drops the partial dir, inputs survive
+    val path2 = tmp("graft-idx-heal2")
+    InvertedIndex.build(docs, "doc_id", "text", path2)
+    val keep = segDirs(path2).map(_.getName)
+    new java.io.File(s"$path2/segments/seg-partial/postings").mkdirs()
+    Manifest.write(hadoopFs(path2),
+      new org.apache.hadoop.fs.Path(s"$path2/compacting"),
+      "seg-partial" +: keep)
+    InvertedIndex.heal(spark, path2)
+    assert(segDirs(path2).map(_.getName) == keep)
+    assert(top(path2).nonEmpty)
+  }
+
+  test("ingest ledger survives compaction: a replayed batch does not re-append") {
+    val b0 = Seq((1L, "alpha beta"), (2L, "beta delta")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "alpha delta delta")).toDF("doc_id", "text")
+    val path = tmp("graft-idx-ledger")
+    InvertedIndex.ingestBatch(b0, "doc_id", "text", path, batchId = 0L)
+    InvertedIndex.ingestBatch(b1, "doc_id", "text", path, batchId = 1L)
+    def top() = topDocs(InvertedIndex.searchTopK(spark, path,
+      Seq("alpha", "delta"), k = 3, idColName = "doc_id"))
+    val want = top()
+    // crash AFTER the segment commit but BEFORE the marker (this
+    // window precedes any compaction of the segment): the replay
+    // rewrites the segment in place and repairs the marker
+    new java.io.File(s"$path/ingested/batch-1").delete()
+    InvertedIndex.ingestBatch(b1, "doc_id", "text", path, batchId = 1L)
+    assert(new java.io.File(s"$path/ingested/batch-1").exists)
+    assert(segDirs(path).length == 2)
+    assert(top() == want)
+    InvertedIndex.compact(spark, path)
+    assert(segDirs(path).length == 1)
+    // batch 1's segment was renamed away by the compaction; without
+    // the ledger this replay would re-append its postings
+    InvertedIndex.ingestBatch(b1, "doc_id", "text", path, batchId = 1L)
+    assert(segDirs(path).length == 1)
+    assert(top() == want)
+    // invalid bucket counts are rejected before any write
+    val e = intercept[IllegalArgumentException](
+      InvertedIndex.ingestBatch(b0, "doc_id", "text",
+        tmp("graft-idx-badbuckets"), batchId = 0L, bucketsIfNew = 0))
+    assert(e.getMessage.contains("buckets"))
+  }
+
   test("stats count every doc, including token-free ones; moments are additive") {
     val docs = Seq((1L, "x x y"), (2L, ""), (3L, "y")).toDF("doc_id", "text")
     val path = tmp("graft-idx-stats")

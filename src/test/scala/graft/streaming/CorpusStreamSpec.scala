@@ -115,6 +115,43 @@ class CorpusStreamSpec extends AnyFunSuite {
     assert(top(s"$work/index2") == streamed)
   }
 
+  test("near-dup stream restart heals a crashed compaction before probing") {
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-cs-heal").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    // register the base doc, then craft compactNearDupRegistry's crash
+    // window on the shingle store: committed target copy + manifest,
+    // input dir still present — rows duplicated until healed
+    val reg = s"$work/registry"
+    graft.operators.Dedup.nearDupAgainstRegistry(
+      Seq((0L, base)).toDF("doc_id", "text"), "doc_id", "text", reg)
+    val sh = s"$reg/shingles"
+    val input = new java.io.File(sh).listFiles()
+      .filter(_.isDirectory).head.getName
+    spark.read.parquet(s"$sh/$input")
+      .write.mode("overwrite").parquet(s"$sh/batch-crash")
+    graft.operators.Manifest.write(
+      new org.apache.hadoop.fs.Path(sh)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(s"$sh/compacting"),
+      Seq("batch-crash", input))
+    // a restarted stream must emit the near-dup match exactly ONCE:
+    // incrementalNearDup heals on start, before the first probe
+    val src = new java.io.File(work, "src"); src.mkdirs()
+    writeBatches(src.toString,
+      Seq(Seq((10L, base.replace("river", "creek")))))
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q = CorpusStream.incrementalNearDup(stream, "doc_id", "text",
+      reg, s"$work/out", s"$work/ckp", threshold = 0.5)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$work/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((10L, 0L)))
+  }
+
   test("dedup stream with compaction cadence: same survivors, one registry dir") {
     val work = java.nio.file.Files
       .createTempDirectory("graft-cs-cadence").toString
