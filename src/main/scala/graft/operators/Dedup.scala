@@ -114,6 +114,18 @@ object Dedup {
   def incrementalExactDedup(batch: DataFrame, idCol: String,
                             textCol: String,
                             registryPath: String): DataFrame = {
+    val out = exactSurvivors(batch, idCol, textCol, registryPath)
+    appendRegistryBatch(out.select(col("_digest").as("digest")),
+      registryPath)
+    out.drop("_digest")
+  }
+
+  /** The probe both exact-dedup variants share: checkpointed batch
+    * survivors carrying their `_digest` column, registry untouched.
+    */
+  private def exactSurvivors(batch: DataFrame, idCol: String,
+                             textCol: String,
+                             registryPath: String): DataFrame = {
     val spark = batch.sparkSession
     val withDigest = batch.withColumn("_digest", md5(col(textCol)))
     val inBatchFirst = withDigest.join(
@@ -131,7 +143,40 @@ object Dedup {
         inBatchFirst.join(reg, col("_digest") === col("digest"), "left_anti")
       case None => inBatchFirst
     }
-    val out = survivors.localCheckpoint(true)
+    survivors.localCheckpoint(true)
+  }
+
+  /** [[incrementalExactDedup]] with EXACTLY-ONCE delivery: survivors
+    * are written to their own committed output directory `outDir`
+    * BEFORE their digests register, closing the at-most-once gap of
+    * the return-value contract (a crash after the registry append
+    * loses nothing — the rows are already on disk).
+    *
+    * Why every crash window replays cleanly (single writer, one
+    * `outDir` per batch id): survivors are a deterministic function of
+    * (batch, committed registry state), and the registry only grows by
+    * this batch's own append, so
+    *  - crash mid-delivery: no `_SUCCESS`, digests unregistered — the
+    *    retry recomputes the identical survivors and overwrites;
+    *  - crash between delivery commit and registry append: the retry
+    *    recomputes the identical survivors, SKIPS the committed
+    *    delivery, and completes the append;
+    *  - crash after the append: the retry's survivors dedup to empty,
+    *    and the committed-delivery skip is what keeps that empty frame
+    *    from clobbering the delivered rows.
+    * Registration stays exactly-once as before. Read the delivered
+    * output with [[graft.streaming.CorpusStream.deliveredOutput]]
+    * (committed dirs only — a crashed delivery is invisible).
+    */
+  def incrementalExactDedupTo(batch: DataFrame, idCol: String,
+                              textCol: String, registryPath: String,
+                              outDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val out = exactSurvivors(batch, idCol, textCol, registryPath)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_SUCCESS")))
+      out.drop("_digest").write.mode("overwrite").parquet(outDir)
     appendRegistryBatch(out.select(col("_digest").as("digest")),
       registryPath)
     out.drop("_digest")
@@ -285,7 +330,7 @@ object Dedup {
     * batches, as graft.streaming.CorpusStream's single foreachBatch
     * driver does naturally.
     */
-  private def committedBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def committedBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
                                  dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(p)) Nil

@@ -515,6 +515,31 @@ object PipelineQueries {
           Seq("stream", "filter"), k = 12, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // st4's dedup answer through the EXACTLY-ONCE delivery path: each
+    // batch's survivors land in their own committed output dir BEFORE
+    // their digests register (deliver-then-register — no crash window
+    // loses or doubles a delivered row), with in-stream registry
+    // compaction on a cadence; the committed view must replay to the
+    // identical cross-batch-precedence answer as st4
+    "st7_stream_exactly_once" -> ((s, d) => {
+      val src = docsStreamFixture(s, d)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-st7-run").toString
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.CorpusStream.incrementalDedupExactlyOnce(
+          stream, "doc_id", "text", s"$work/registry", s"$work/out",
+          s"$work/ckp", compactEvery = Some(2))
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.streaming.CorpusStream.deliveredOutput(s, s"$work/out")
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .orderBy("doc_id")
+    }),
     // engine-portable SimHash (md5 token hash) — the full-oracle face
     // of dd3's xxhash64 sketch: DuckDB replays every per-bit ±1 sum
     "dd10_simhash_md5" -> ((s, d) => {
@@ -910,6 +935,18 @@ object PipelineQueries {
     // batch (batch k = doc_id % 4, arrival order pinned by mod times);
     // the planted +10001 clones replay identically
     "st4_stream_incdedup" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10001, text FROM documents
+        |           WHERE doc_id < 100),
+        |r AS (SELECT doc_id, md5(text) AS digest,
+        |        row_number() OVER (PARTITION BY md5(text)
+        |          ORDER BY doc_id % 4, doc_id) AS rn
+        |      FROM u)
+        |SELECT doc_id, digest FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // identical replay: exactly-once delivery changes WHERE survivors
+    // land (committed per-batch dirs), never WHICH rows survive
+    "st7_stream_exactly_once" ->
       """WITH u AS (SELECT doc_id, text FROM documents
         |           UNION ALL
         |           SELECT doc_id + 10001, text FROM documents

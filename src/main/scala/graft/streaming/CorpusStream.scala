@@ -19,9 +19,10 @@ import graft.operators.Dedup
   * same epoch, and its rows — already registered — dedup to empty, so
   * rows are delivered at-most-once to `outPath` while the registry
   * itself stays exact (never double-registers, never loses a digest).
-  * For at-least-once delivery instead, key the sink write by batchId
-  * and make the registry append conditional on it — the standard
-  * idempotent-sink upgrade, not needed for dedup correctness.
+  * When delivery itself must be exact, use
+  * [[incrementalDedupExactlyOnce]]: per-batch committed output dirs
+  * written BEFORE the registry append make every crash window replay
+  * to the same delivered rows.
   */
 object CorpusStream {
 
@@ -63,6 +64,56 @@ object CorpusStream {
         ()
       }
       .start()
+  }
+
+  /** [[incrementalDedup]] upgraded to EXACTLY-ONCE delivery — the
+    * "idempotent-sink upgrade" the module doc describes: each batch's
+    * survivors land in their own committed directory
+    * `outPath/batch-<batchId>` via
+    * [[graft.operators.Dedup.incrementalExactDedupTo]]'s
+    * deliver-then-register ordering, so a crash ANYWHERE in the batch
+    * replays to the same delivered rows — never dropped (the
+    * at-most-once gap: registered but unwritten), never doubled (the
+    * committed-delivery skip). Read the result with
+    * [[deliveredOutput]]; a flat `spark.read.parquet(outPath)` would
+    * also pick up uncommitted crash leftovers.
+    *
+    * Same per-batch scale shape as [[incrementalDedup]]; the only
+    * added cost is one `_SUCCESS` existence probe per batch.
+    */
+  def incrementalDedupExactlyOnce(docs: DataFrame, idCol: String,
+                                  textCol: String,
+                                  registryPath: String, outPath: String,
+                                  checkpoint: String,
+                                  compactEvery: Option[Int] = None): StreamingQuery = {
+    Dedup.healExactRegistry(docs.sparkSession, registryPath)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        Dedup.incrementalExactDedupTo(batch.toDF(), idCol, textCol,
+          registryPath, s"$outPath/batch-$batchId")
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == n - 1)
+            Dedup.compactExactRegistry(batch.sparkSession, registryPath)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The committed view of an [[incrementalDedupExactlyOnce]] output:
+    * reads only `batch-*` directories whose `_SUCCESS` marker exists,
+    * so a delivery the stream crashed mid-write stays invisible until
+    * its replay commits it. Fails loudly on an empty/absent output —
+    * "no batches delivered yet" must not read as an empty corpus.
+    */
+  def deliveredOutput(spark: org.apache.spark.sql.SparkSession,
+                      outPath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = Dedup.committedBatchDirs(fs, outPath)
+    require(dirs.nonEmpty, s"$outPath has no committed delivered batches")
+    spark.read.parquet(dirs: _*)
   }
 
   /** The near-dup sibling: stream micro-batches through

@@ -171,6 +171,54 @@ class DedupSpec extends AnyFunSuite {
     assert(m.length == 1 && m(0).getLong(0) == 10L && m(0).getLong(1) == 0L)
   }
 
+  test("exactly-once delivery: every crash window replays to the same rows") {
+    val work = java.nio.file.Files.createTempDirectory("graft-dd-eo").toString
+    val reg = s"$work/registry"
+    def ids(dir: String): Seq[Long] = spark.read.parquet(dir)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b0 = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("id", "text")
+    // clean run: survivors delivered to the batch dir AND returned
+    val r0 = Dedup.incrementalExactDedupTo(b0, "id", "text", reg,
+      s"$work/out/batch-0")
+    assert(ids(s"$work/out/batch-0") == Seq(1L, 2L))
+    assert(r0.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // crash AFTER the registry append (the at-most-once window of the
+    // plain variant): the replay's survivors dedup to empty, but the
+    // committed delivery must NOT be clobbered by that empty frame
+    Dedup.incrementalExactDedupTo(b0, "id", "text", reg,
+      s"$work/out/batch-0")
+    assert(ids(s"$work/out/batch-0") == Seq(1L, 2L))
+    // crash BETWEEN delivery commit and registry append: delivered dir
+    // committed, digests unregistered — simulate by delivering batch 1
+    // by hand, then running the operator; it must skip the write and
+    // still register
+    val b1 = Seq((10L, "aaa"), (11L, "ccc")).toDF("id", "text")
+    b1.filter(col("id") === 11L).write.parquet(s"$work/out/batch-1")
+    def parts() = new java.io.File(s"$work/out/batch-1").list()
+      .filter(_.startsWith("part-")).sorted.toSeq
+    val partsBefore = parts()
+    Dedup.incrementalExactDedupTo(b1, "id", "text", reg,
+      s"$work/out/batch-1")
+    assert(ids(s"$work/out/batch-1") == Seq(11L))
+    // a rewrite would have produced fresh uuid-named part files
+    assert(parts() == partsBefore, "committed delivery was rewritten")
+    // ...and the append really happened: "ccc" now dedups downstream
+    assert(Dedup.incrementalExactDedupTo(
+      Seq((20L, "ccc"), (21L, "ddd")).toDF("id", "text"), "id", "text",
+      reg, s"$work/out/batch-2")
+      .select("id").as[Long].collect().toSeq == Seq(21L))
+    // crash MID-delivery: partial dir without _SUCCESS; the replay
+    // overwrites it with the full survivors
+    val b3 = Seq((30L, "eee")).toDF("id", "text")
+    new java.io.File(s"$work/out/batch-3").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$work/out/batch-3/part-corrupt.parquet"),
+      Array[Byte](1, 2, 3))
+    Dedup.incrementalExactDedupTo(b3, "id", "text", reg,
+      s"$work/out/batch-3")
+    assert(ids(s"$work/out/batch-3") == Seq(30L))
+  }
+
   test("a crashed registry compaction heals before the next probe doubles matches") {
     val reg = java.nio.file.Files.createTempDirectory("graft-nd-heal")
       .toString + "/registry"

@@ -7,11 +7,16 @@ import graft.TestSpark
 class CorpusStreamSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  /** Two single-file micro-batches with pinned arrival order. */
+  /** Single-file micro-batches with pinned arrival order; `offset`
+    * lets a later call add files AFTER an earlier batch set without
+    * reusing a path the stream's checkpoint has already consumed.
+    */
   private def writeBatches(dir: String,
-                           batches: Seq[Seq[(Long, String)]]): Unit = {
+                           batches: Seq[Seq[(Long, String)]],
+                           offset: Int = 0): Unit = {
     import spark.implicits._
-    batches.zipWithIndex.foreach { case (rows, k) =>
+    batches.zipWithIndex.foreach { case (rows, k0) =>
+      val k = k0 + offset
       val stage = new java.io.File(dir, s"_stage$k")
       rows.toDF("doc_id", "text").coalesce(1)
         .write.mode("overwrite").parquet(stage.toString)
@@ -113,6 +118,47 @@ class CorpusStreamSpec extends AnyFunSuite {
     assert(new java.io.File(s"$work/index2/segments")
       .listFiles.count(_.isDirectory) == 1)
     assert(top(s"$work/index2") == streamed)
+  }
+
+  test("exactly-once dedup stream: delivered view == plain stream, crash leftovers invisible") {
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-cs-eo").toString
+    val src = new java.io.File(work, "src"); src.mkdirs()
+    writeBatches(src.toString, Seq(
+      Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")),
+      Seq((10L, "aaa"), (11L, "ccc")),
+      Seq((5L, "ccc"), (6L, "ddd"))))
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q = CorpusStream.incrementalDedupExactlyOnce(stream, "doc_id",
+      "text", s"$work/registry", s"$work/out", s"$work/ckp",
+      compactEvery = Some(2))
+    try q.processAllAvailable() finally q.stop()
+    def delivered() = CorpusStream.deliveredOutput(spark, s"$work/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // same survivors as the plain stream's contract (first arrival
+    // wins across batches), one committed dir per batch
+    assert(delivered() == Seq(1L, 3L, 6L, 11L))
+    assert(new java.io.File(s"$work/out").listFiles
+      .count(_.isDirectory) == 3)
+    // an uncommitted crash leftover is invisible to the reader
+    val junk = new java.io.File(s"$work/out/batch-9"); junk.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$work/out/batch-9/part-junk.parquet"),
+      Array[Byte](9, 9))
+    assert(delivered() == Seq(1L, 3L, 6L, 11L))
+    // a restarted stream with one more source batch appends exactly
+    // its new survivors
+    writeBatches(src.toString, Seq(Seq((7L, "ddd"), (8L, "fff"))),
+      offset = 3)
+    val stream2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q2 = CorpusStream.incrementalDedupExactlyOnce(stream2, "doc_id",
+      "text", s"$work/registry", s"$work/out", s"$work/ckp")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(delivered() == Seq(1L, 3L, 6L, 8L, 11L))
   }
 
   test("near-dup stream restart heals a crashed compaction before probing") {
