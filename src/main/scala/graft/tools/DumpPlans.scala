@@ -61,7 +61,7 @@ object DumpPlans {
     "ppl1_bigram_lm" ->
       "Bigram-LM scoring: the (w1,w2) model join shuffles on the pair key (AQE-balanced); the unigram join BROADCASTS — its key alone is Zipf-skewed and the table is vocabulary-bounded, so no transition row ever shuffles on a single-token key. PlanQualitySpec pins the broadcast.",
     "idx1_index_search" ->
-      "Index-backed BM25: the postings scan shows PartitionFilters on the md5 term bucket (whole directories skipped at planning time) plus a term IN pushdown — the query reads its terms' postings, never the corpus. df and corpus stats broadcast; TakeOrderedAndProject caps the result. This is the query-serving shape: build cost is paid once, each query is O(its own postings).",
+      "Index-backed BM25: the postings scan shows PartitionFilters on the md5 term bucket (whole directories skipped at planning time) plus a term IN pushdown — the query reads its terms' postings, never the corpus. df broadcasts; corpus stats (n, avg len) enter as driver LITERALS from one tiny stats read, so no stats join exists at all; TakeOrderedAndProject caps the result. This is the query-serving shape: build cost is paid once, each query is O(its own postings).",
     "sd1_semantic_dedup" ->
       "SemDeDup: k-means cell assignment is a pure expression over the broadcast-folded centroid literals (no model table, no shuffle for assignment); the pairwise cosine join shuffles (id, vec) on the CELL id only, so comparison cost is per-cell-quadratic, never corpus-quadratic — and the oracle's planted clones prove the blocking loses nothing.",
     "qc1_quality_classifier" ->
