@@ -397,7 +397,34 @@ object Dedup {
                              textCol: String, registryPath: String,
                              shingleN: Int = 3, bands: Int = 16,
                              rowsPerBand: Int = 4,
-                             threshold: Double = 0.8): DataFrame = {
+                             threshold: Double = 0.8): DataFrame =
+    nearDupImpl(batch, idCol, textCol, registryPath, shingleN, bands,
+      rowsPerBand, threshold, deliverTo = None)
+
+  /** [[nearDupAgainstRegistry]] with EXACTLY-ONCE delivery of the
+    * verified matches to the committed directory `outDir` — the
+    * near-dup face of [[incrementalExactDedupTo]], same ordering and
+    * same replay argument: matches are a deterministic function of
+    * (batch, committed BAND registry), the band store is read before
+    * any of this batch's appends land, and a committed delivery is
+    * never rewritten — so a replayed batch can neither lose its match
+    * rows (they were delivered before the registry grew) nor clobber
+    * them with the empty frame a committed re-run produces.
+    */
+  def nearDupAgainstRegistryTo(batch: DataFrame, idCol: String,
+                               textCol: String, registryPath: String,
+                               outDir: String,
+                               shingleN: Int = 3, bands: Int = 16,
+                               rowsPerBand: Int = 4,
+                               threshold: Double = 0.8): DataFrame =
+    nearDupImpl(batch, idCol, textCol, registryPath, shingleN, bands,
+      rowsPerBand, threshold, deliverTo = Some(outDir))
+
+  private def nearDupImpl(batch: DataFrame, idCol: String,
+                          textCol: String, registryPath: String,
+                          shingleN: Int, bands: Int,
+                          rowsPerBand: Int, threshold: Double,
+                          deliverTo: Option[String]): DataFrame = {
     val spark = batch.sparkSession
     val perms = bands * rowsPerBand
     val staged = batch.select(col(idCol).as("id"),
@@ -465,6 +492,16 @@ object Dedup {
           df.join(reg.select(col("id")).distinct(), Seq("id"), "left_anti")
         case None => df
       }
+    // deliver BEFORE any append (the exactly-once ordering of
+    // incrementalExactDedupTo): the matches frame is checkpointed, so
+    // the write re-reads no registry, and a committed delivery is
+    // skipped — a replayed batch's empty match set must not clobber it
+    deliverTo.foreach { outDir =>
+      val ofs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!ofs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_SUCCESS")))
+        matches.write.mode("overwrite").parquet(outDir)
+    }
     // shingles BEFORE bands: a crash between the two appends leaves
     // orphan shingle rows (harmless — never probed), not orphan band
     // rows (whose candidates would vanish in the verify join, turning

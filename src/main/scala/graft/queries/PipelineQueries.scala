@@ -540,6 +540,30 @@ object PipelineQueries {
         .select(col("doc_id"), md5(col("text")).as("digest"))
         .orderBy("doc_id")
     }),
+    // st5's near-dup answer through the exactly-once match delivery:
+    // verified matches land in committed per-batch dirs BEFORE the
+    // clean rows register, and the committed view must equal the
+    // plain stream's sequential clean-set replay
+    "st8_stream_neardup_eo" -> ((s, d) => {
+      val src = docsStreamFixture(s, d)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-st8-run").toString
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.CorpusStream.incrementalNearDupExactlyOnce(
+          stream, "doc_id", "text", s"$work/registry", s"$work/out",
+          s"$work/ckp", threshold = 0.8)
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.streaming.CorpusStream.deliveredOutput(s, s"$work/out")
+        .select(col("doc_id"), col("reg_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_id", "reg_id")
+    }),
     // engine-portable SimHash (md5 token hash) — the full-oracle face
     // of dd3's xxhash64 sketch: DuckDB replays every per-bit ±1 sum
     "dd10_simhash_md5" -> ((s, d) => {
@@ -786,6 +810,50 @@ object PipelineQueries {
          |        i -> array_to_string(($toksSql)[i:i+${n - 1}], ' ')))
          | ELSE [] END""".stripMargin
   private val shinglesSql = shinglesSqlN(3)
+
+  /** The sequential 4-batch near-dup replay shared by st5 and st8:
+    * clean_k = batch k minus its matches against clean_0..k-1;
+    * matches accumulate across batches. Delivery discipline (append
+    * vs committed per-batch dirs) does not change which rows match.
+    */
+  private lazy val seqNearDupReplaySql: String =
+    raw"""WITH u AS (SELECT doc_id, text FROM documents
+         |           UNION ALL
+         |           SELECT doc_id + 10001, text FROM documents
+         |           WHERE doc_id < 100),
+         |v AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS b,
+         |             $shinglesSql AS sh
+         |      FROM u),
+         |s AS (SELECT doc_id, b, sh FROM v WHERE len(sh) > 0),
+         |c0 AS (SELECT doc_id, sh FROM s WHERE b = 0),
+         |j1 AS (SELECT a.doc_id, r.doc_id AS reg_id,
+         |         CAST(len(list_intersect(a.sh, r.sh)) AS DOUBLE) /
+         |         (len(a.sh) + len(r.sh) -
+         |          len(list_intersect(a.sh, r.sh))) AS jx
+         |       FROM s a JOIN c0 r ON a.b = 1),
+         |m1 AS (SELECT * FROM j1 WHERE jx >= 0.8),
+         |c1 AS (SELECT doc_id, sh FROM s WHERE b = 1
+         |       AND doc_id NOT IN (SELECT doc_id FROM m1)),
+         |r1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1),
+         |j2 AS (SELECT a.doc_id, r.doc_id AS reg_id,
+         |         CAST(len(list_intersect(a.sh, r.sh)) AS DOUBLE) /
+         |         (len(a.sh) + len(r.sh) -
+         |          len(list_intersect(a.sh, r.sh))) AS jx
+         |       FROM s a JOIN r1 r ON a.b = 2),
+         |m2 AS (SELECT * FROM j2 WHERE jx >= 0.8),
+         |c2 AS (SELECT doc_id, sh FROM s WHERE b = 2
+         |       AND doc_id NOT IN (SELECT doc_id FROM m2)),
+         |r2 AS (SELECT * FROM r1 UNION ALL SELECT * FROM c2),
+         |j3 AS (SELECT a.doc_id, r.doc_id AS reg_id,
+         |         CAST(len(list_intersect(a.sh, r.sh)) AS DOUBLE) /
+         |         (len(a.sh) + len(r.sh) -
+         |          len(list_intersect(a.sh, r.sh))) AS jx
+         |       FROM s a JOIN r2 r ON a.b = 3),
+         |m3 AS (SELECT * FROM j3 WHERE jx >= 0.8),
+         |allm AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+         |         UNION ALL SELECT * FROM m3)
+         |SELECT doc_id, reg_id, round(jx, 6) AS jaccard
+         |FROM allm ORDER BY doc_id, reg_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sm1_sample_det" ->
@@ -1150,44 +1218,10 @@ object PipelineQueries {
            |ORDER BY doc_id, reg_id""".stripMargin,
     // sequential 4-batch replay: clean_k = batch k minus its matches
     // against clean_0..k-1; matches accumulate across batches
-    "st5_stream_neardup" ->
-      raw"""WITH u AS (SELECT doc_id, text FROM documents
-           |           UNION ALL
-           |           SELECT doc_id + 10001, text FROM documents
-           |           WHERE doc_id < 100),
-           |v AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS b,
-           |             $shinglesSql AS sh
-           |      FROM u),
-           |s AS (SELECT doc_id, b, sh FROM v WHERE len(sh) > 0),
-           |c0 AS (SELECT doc_id, sh FROM s WHERE b = 0),
-           |j1 AS (SELECT a.doc_id, r.doc_id AS reg_id,
-           |         CAST(len(list_intersect(a.sh, r.sh)) AS DOUBLE) /
-           |         (len(a.sh) + len(r.sh) -
-           |          len(list_intersect(a.sh, r.sh))) AS jx
-           |       FROM s a JOIN c0 r ON a.b = 1),
-           |m1 AS (SELECT * FROM j1 WHERE jx >= 0.8),
-           |c1 AS (SELECT doc_id, sh FROM s WHERE b = 1
-           |       AND doc_id NOT IN (SELECT doc_id FROM m1)),
-           |r1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1),
-           |j2 AS (SELECT a.doc_id, r.doc_id AS reg_id,
-           |         CAST(len(list_intersect(a.sh, r.sh)) AS DOUBLE) /
-           |         (len(a.sh) + len(r.sh) -
-           |          len(list_intersect(a.sh, r.sh))) AS jx
-           |       FROM s a JOIN r1 r ON a.b = 2),
-           |m2 AS (SELECT * FROM j2 WHERE jx >= 0.8),
-           |c2 AS (SELECT doc_id, sh FROM s WHERE b = 2
-           |       AND doc_id NOT IN (SELECT doc_id FROM m2)),
-           |r2 AS (SELECT * FROM r1 UNION ALL SELECT * FROM c2),
-           |j3 AS (SELECT a.doc_id, r.doc_id AS reg_id,
-           |         CAST(len(list_intersect(a.sh, r.sh)) AS DOUBLE) /
-           |         (len(a.sh) + len(r.sh) -
-           |          len(list_intersect(a.sh, r.sh))) AS jx
-           |       FROM s a JOIN r2 r ON a.b = 3),
-           |m3 AS (SELECT * FROM j3 WHERE jx >= 0.8),
-           |allm AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2
-           |         UNION ALL SELECT * FROM m3)
-           |SELECT doc_id, reg_id, round(jx, 6) AS jaccard
-           |FROM allm ORDER BY doc_id, reg_id""".stripMargin,
+    "st5_stream_neardup" -> seqNearDupReplaySql,
+    // identical replay: exactly-once delivery changes WHERE the match
+    // rows land (committed per-batch dirs), never WHICH rows match
+    "st8_stream_neardup_eo" -> seqNearDupReplaySql,
     "dd11_incremental_dedup" ->
       """WITH b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
         |k AS (SELECT min(doc_id) AS doc_id FROM b2 GROUP BY md5(text))

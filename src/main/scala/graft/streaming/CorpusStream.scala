@@ -162,6 +162,36 @@ object CorpusStream {
       .start()
   }
 
+  /** [[incrementalNearDup]] with EXACTLY-ONCE delivery of the match
+    * rows: each batch's verified matches land in their own committed
+    * `outPath/batch-<batchId>` directory BEFORE the batch's clean rows
+    * register ([[graft.operators.Dedup.nearDupAgainstRegistryTo]]), so
+    * a crash between the match write and the registry append can no
+    * longer lose the matches (the plain variant's at-most-once
+    * window: a committed re-run probes nothing and emits nothing).
+    * Read with [[deliveredOutput]].
+    */
+  def incrementalNearDupExactlyOnce(docs: DataFrame, idCol: String,
+                                    textCol: String,
+                                    registryPath: String, outPath: String,
+                                    checkpoint: String,
+                                    threshold: Double = 0.8,
+                                    compactEvery: Option[Int] = None): StreamingQuery = {
+    Dedup.healNearDupRegistry(docs.sparkSession, registryPath)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        Dedup.nearDupAgainstRegistryTo(batch.toDF(), idCol, textCol,
+          registryPath, s"$outPath/batch-$batchId", threshold = threshold)
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == n - 1)
+            Dedup.compactNearDupRegistry(batch.sparkSession, registryPath)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Stream micro-batches into a persistent
     * [[graft.operators.InvertedIndex]]: each batch lands as one
     * immutable segment named by its batch id, so a checkpoint-replayed

@@ -219,6 +219,42 @@ class DedupSpec extends AnyFunSuite {
     assert(ids(s"$work/out/batch-3") == Seq(30L))
   }
 
+  test("near-dup exactly-once delivery: matches survive every crash window") {
+    val work = java.nio.file.Files.createTempDirectory("graft-nd-eo").toString
+    val reg = s"$work/registry"
+    // batch 0: registry empty — delivery commits an EMPTY match set
+    Dedup.nearDupAgainstRegistryTo(
+      Seq((0L, base)).toDF("id", "text"), "id", "text", reg,
+      s"$work/out/batch-0")
+    assert(new java.io.File(s"$work/out/batch-0/_SUCCESS").exists)
+    assert(spark.read.parquet(s"$work/out/batch-0").count() == 0)
+    // batch 1 matches doc 0; delivered to its dir AND returned
+    val b1 = Seq((10L, base)).toDF("id", "text")
+    val r1 = Dedup.nearDupAgainstRegistryTo(b1, "id", "text", reg,
+      s"$work/out/batch-1", threshold = 0.5)
+    assert(r1.count() == 1)
+    def d1() = spark.read.parquet(s"$work/out/batch-1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(d1() == Seq((10L, 0L)))
+    // the at-most-once window of the plain variant: replaying batch 1
+    // after its registration committed produces an empty match set —
+    // the committed delivery must NOT be clobbered by it
+    Dedup.nearDupAgainstRegistryTo(b1, "id", "text", reg,
+      s"$work/out/batch-1", threshold = 0.5)
+    assert(d1() == Seq((10L, 0L)))
+    // crash mid-delivery (partial dir, no _SUCCESS): replay overwrites
+    val b2 = Seq((20L, base)).toDF("id", "text")
+    new java.io.File(s"$work/out/batch-2").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$work/out/batch-2/part-corrupt.parquet"),
+      Array[Byte](1, 2, 3))
+    Dedup.nearDupAgainstRegistryTo(b2, "id", "text", reg,
+      s"$work/out/batch-2", threshold = 0.5)
+    assert(spark.read.parquet(s"$work/out/batch-2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((20L, 0L)))
+  }
+
   test("a crashed registry compaction heals before the next probe doubles matches") {
     val reg = java.nio.file.Files.createTempDirectory("graft-nd-heal")
       .toString + "/registry"
