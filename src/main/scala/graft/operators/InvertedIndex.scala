@@ -31,6 +31,12 @@ import graft.functions.TextAnalysis
   *  - [[compact]] merges all committed segments into one (postings
   *    rows are disjoint — a plain union), commit-then-delete, so
   *    segment count stays a handful and search lists few dirs.
+  *  - [[deleteDocs]] tombstones documents (the Lucene delete model):
+  *    committed tombstone batches subtract logically at search time
+  *    (anti-join + lens-exact stats adjustment) until compact()
+  *    removes them physically. Each segment carries a `lens` ledger
+  *    (id, len — every doc, ~12 B each) that charges deletes and
+  *    recomputes compacted stats exactly.
   *
   * Append contract: ids in an appended batch must be NEW (not in any
   * committed segment) — the index stores postings, not documents, so
@@ -68,13 +74,25 @@ object InvertedIndex {
 
   /** Committed segment dirs (stats marker present), sorted. */
   private def committedSegments(spark: SparkSession,
-                                indexPath: String): Seq[String] = {
-    val fs = fsOf(spark, indexPath)
-    val root = new org.apache.hadoop.fs.Path(s"$indexPath/segments")
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(p => fs.exists(
-        new org.apache.hadoop.fs.Path(p, "stats/_SUCCESS")))
+                                indexPath: String): Seq[String] =
+    committedUnder(spark, s"$indexPath/segments")
+
+  /** Committed tombstone batch dirs under `deletes/` — same stats-last
+    * commit marker as segments, so a crashed [[deleteDocs]] is
+    * invisible to every reader.
+    */
+  private def committedDeletes(spark: SparkSession,
+                               indexPath: String): Seq[String] =
+    committedUnder(spark, s"$indexPath/deletes")
+
+  private def committedUnder(spark: SparkSession,
+                             root: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(d => fs.exists(
+        new org.apache.hadoop.fs.Path(d, "stats/_SUCCESS")))
       .map(_.toString).sorted.toSeq
   }
 
@@ -126,6 +144,12 @@ object InvertedIndex {
     postings.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$seg/postings")
+    // per-doc lengths (EVERY doc, token-free included): ~12 B/doc, the
+    // exact ledger [[deleteDocs]] charges against and compact() sums
+    // stats from — postings can't serve either (token-free docs have
+    // none, and per-term rows repeat len)
+    staged.select(col("id"), col("len"))
+      .write.mode("overwrite").parquet(s"$seg/lens")
     // ADDITIVE moments (n, sum_len — not avg), so multi-segment
     // search and compact() merge stats exactly
     staged.agg(count(lit(1)).cast("double").as("n"),
@@ -151,13 +175,71 @@ object InvertedIndex {
       s"buckets must be in [1, 256] (one md5 byte), got $buckets")
     val fs = fsOf(docs.sparkSession, indexPath)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/segments"), true)
-    // a FRESH index also resets the ingest ledger and any compaction
-    // manifest — stale batch-id markers would make ingestBatch skip
-    // the new stream's early batches
+    // a FRESH index also resets tombstones, the ingest ledger, and any
+    // compaction manifest — stale batch-id markers would make
+    // ingestBatch skip the new stream's early batches, and stale
+    // tombstones would mask the new corpus's postings
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/deletes"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/ingested"), true)
     Manifest.delete(fs, manifestPath(indexPath))
     writeSegment(docs, idCol, textCol, indexPath, buckets)
   }
+
+  /** Tombstone documents — the Lucene delete model. The ids land in a
+    * committed tombstone batch (`deletes/batch-<uuid>/` holding the id
+    * list plus a one-row stats table of the deleted (n, sum_len),
+    * charged EXACTLY against the per-segment `lens` ledgers; stats are
+    * written LAST as the commit marker, so a crashed delete is
+    * invisible). [[searchTopK]] subtracts tombstoned docs logically —
+    * a postings anti-join plus a driver-side stats adjustment — and
+    * [[compact]] applies them physically and clears the tombstones.
+    *
+    * Contract: every id must be LIVE (ingested, not already
+    * tombstoned) — enforced against the lens ledger, so a double
+    * delete or an unknown id fails loudly instead of silently skewing
+    * the corpus stats every future score uses. Re-ingesting a
+    * tombstoned id before the next compact() is a contract violation
+    * (the tombstone masks the new postings too): compact first, then
+    * re-ingest. Single writer, as everywhere in this module.
+    *
+    * Scale shape: one scan of the lens ledgers (~12 B/doc — not the
+    * postings) charges the batch; searches then pay one anti-join
+    * against the (bounded-between-compactions) tombstone set.
+    */
+  def deleteDocs(ids: DataFrame, indexPath: String): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a single-column frame, got ${ids.columns.toSeq}")
+    val spark = ids.sparkSession
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val del = ids.select(col(ids.columns.head).as("id"))
+      .distinct().localCheckpoint(true)
+    val lens = segs.map(s => spark.read.parquet(s"$s/lens"))
+      .reduce(_ unionByName _)
+    val live = committedDeletes(spark, indexPath) match {
+      case Nil => lens
+      case ds  => lens.join(readDeleteIds(spark, ds), Seq("id"), "left_anti")
+    }
+    val hitRow = live.join(del, Seq("id"), "left_semi")
+      .agg(count(lit(1)).cast("double").as("n"),
+        coalesce(sum(col("len")), lit(0.0)).as("sum_len")).head()
+    val nReq = del.count()
+    require(hitRow.getDouble(0).toLong == nReq,
+      s"deleteDocs: $nReq ids requested but only " +
+        s"${hitRow.getDouble(0).toLong} are live in $indexPath — " +
+        "unknown or already-tombstoned ids are contract violations")
+    val dir = s"$indexPath/deletes/batch-${java.util.UUID.randomUUID()}"
+    del.write.mode("overwrite").parquet(s"$dir/ids")
+    spark.range(1).select(
+        lit(hitRow.getDouble(0)).as("n"),
+        lit(hitRow.getDouble(1)).as("sum_len"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  private def readDeleteIds(spark: SparkSession,
+                            dels: Seq[String]): DataFrame =
+    dels.map(d => spark.read.parquet(s"$d/ids")).reduce(_ unionByName _)
 
   /** Add NEW documents as one more immutable segment (see the append
     * contract above). Bucket count is inherited from the existing
@@ -240,48 +322,73 @@ object InvertedIndex {
   def heal(spark: SparkSession, indexPath: String): Unit = {
     val fs = fsOf(spark, indexPath)
     Manifest.read(fs, manifestPath(indexPath)).foreach { lines =>
-      val segRoot = s"$indexPath/segments"
+      // entries are index-relative ("segments/seg-x", "deletes/batch-y")
+      // so one manifest covers segment inputs AND the tombstone dirs a
+      // compaction applies physically
       val merged = lines.head
       val committed = fs.exists(new org.apache.hadoop.fs.Path(
-        s"$segRoot/$merged/stats/_SUCCESS"))
+        s"$indexPath/$merged/stats/_SUCCESS"))
       if (committed)
         lines.tail.foreach(i => fs.delete(
-          new org.apache.hadoop.fs.Path(s"$segRoot/$i"), true))
+          new org.apache.hadoop.fs.Path(s"$indexPath/$i"), true))
       else
-        fs.delete(new org.apache.hadoop.fs.Path(s"$segRoot/$merged"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/$merged"), true)
       Manifest.delete(fs, manifestPath(indexPath))
     }
   }
 
-  /** Merge every committed segment into one (postings are disjoint
-    * rows — a plain union; stats moments sum). Crash-safe via the
-    * [[heal]] manifest: the input list is published before the merged
-    * segment is written, the merged stats marker lands before any old
-    * segment is removed, and any interruption is replayed to
-    * completion by the next compact()/heal(). Reads in a crashed
-    * window would double-count, so like the dedup-registry compaction
-    * this is OFFLINE maintenance: run without concurrent searches.
+  /** Merge every committed segment into one, applying tombstones
+    * PHYSICALLY: live postings are disjoint rows (a plain union minus
+    * the tombstoned ids), the merged stats are recomputed from the
+    * merged lens ledger (exact — token-free docs included), and the
+    * consumed tombstone batches are removed with the input segments
+    * (they are in the manifest, so a crash cannot leave tombstones
+    * that would subtract a second time from already-subtracted stats).
+    * Crash-safe via the [[heal]] manifest: the input list is published
+    * before the merged segment is written, the merged stats marker
+    * lands before anything is removed, and any interruption is
+    * replayed to completion by the next compact()/heal(). Reads in a
+    * crashed window would double-count, so like the dedup-registry
+    * compaction this is OFFLINE maintenance: run without concurrent
+    * searches.
     */
   def compact(spark: SparkSession, indexPath: String): Unit = {
     heal(spark, indexPath)
     val segs = committedSegments(spark, indexPath)
-    if (segs.length > 1) {
+    val dels = committedDeletes(spark, indexPath)
+    if (segs.length > 1 || (dels.nonEmpty && segs.nonEmpty)) {
       val fs = fsOf(spark, indexPath)
       val buckets = spark.read.parquet(s"${segs.head}/stats")
         .select("buckets").head().getInt(0)
+      val minus: DataFrame => DataFrame =
+        if (dels.isEmpty) identity
+        else df => df.join(broadcast(readDeleteIds(spark, dels)),
+          Seq("id"), "left_anti")
+      val liveLens = minus(segs.map(s => spark.read.parquet(s"$s/lens"))
+        .reduce(_ unionByName _)).localCheckpoint(true)
+      // an index whose every doc is tombstoned would compact to a
+      // segment no reader can open (schema-less empty postings) —
+      // rebuild instead of limping into that state
+      require(liveLens.limit(1).count() > 0,
+        s"every document in $indexPath is tombstoned — build() afresh " +
+          "instead of compacting to an empty index")
       val name = s"seg-${java.util.UUID.randomUUID()}"
       val seg = s"$indexPath/segments/$name"
-      val segNames = segs.map(s => new org.apache.hadoop.fs.Path(s).getName)
-      Manifest.write(fs, manifestPath(indexPath), name +: segNames)
-      mergedPostings(spark, segs, identity)
+      val inputs =
+        segs.map(s => "segments/" + new org.apache.hadoop.fs.Path(s).getName) ++
+        dels.map(d => "deletes/" + new org.apache.hadoop.fs.Path(d).getName)
+      Manifest.write(fs, manifestPath(indexPath),
+        s"segments/$name" +: inputs)
+      minus(mergedPostings(spark, segs, identity))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$seg/postings")
-      readStats(spark, segs)
-        .agg(sum(col("n")).as("n"), sum(col("sum_len")).as("sum_len"),
+      liveLens.write.mode("overwrite").parquet(s"$seg/lens")
+      liveLens.agg(count(lit(1)).cast("double").as("n"),
+          coalesce(sum(col("len")), lit(0.0)).as("sum_len"),
           lit(buckets).as("buckets"))
         .write.mode("overwrite").parquet(s"$seg/stats")
-      segs.foreach(s =>
+      (segs ++ dels).foreach(s =>
         fs.delete(new org.apache.hadoop.fs.Path(s), true))
       Manifest.delete(fs, manifestPath(indexPath))
     }
@@ -305,20 +412,36 @@ object InvertedIndex {
     // ONE driver-side read of the (one-row-per-segment) stats tables
     // serves n, avg len, AND the bucket count — the serving path pays
     // a single tiny job, and the corpus stats enter the score plan as
-    // literals instead of a crossJoin
+    // literals instead of a crossJoin. Committed tombstone batches
+    // subtract their (pre-charged, lens-exact) moments the same way.
     val statRows = readStats(spark, segs).collect()
-    val n = statRows.map(_.getAs[Double]("n")).sum
-    val avg = if (n > 0) statRows.map(_.getAs[Double]("sum_len")).sum / n
+    val dels = committedDeletes(spark, indexPath)
+    val delRows =
+      if (dels.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else dels.map(d => spark.read.parquet(s"$d/stats"))
+        .reduce(_ unionByName _).collect()
+    val n = statRows.map(_.getAs[Double]("n")).sum -
+      delRows.map(_.getAs[Double]("n")).sum
+    val sumLen = statRows.map(_.getAs[Double]("sum_len")).sum -
+      delRows.map(_.getAs[Double]("sum_len")).sum
+    val avg = if (n > 0) sumLen / n
               else 1.0 // postings are empty too: result is empty anyway
     val buckets = statRows.head.getAs[Int]("buckets")
     val terms = queryTerms.map(_.toLowerCase).distinct
     val wanted = terms.map(bucketOf(_, buckets)).distinct
-    val p = mergedPostings(spark, segs,
+    val pruned = mergedPostings(spark, segs,
       // bucket IN (...) prunes partition DIRECTORIES of every segment
       // at planning time (pinned in InvertedIndexSpec); term IN (...)
       // pushes to the parquet reader
       _.filter(col("bucket").isin(wanted: _*))
         .filter(col("term").isin(terms: _*)))
+    // tombstoned docs drop out BEFORE df counts rows, so idf and tf
+    // both see only live docs; the tombstone set is bounded between
+    // compactions — broadcast, never shuffle the postings for it
+    val p =
+      if (dels.isEmpty) pruned
+      else pruned.join(broadcast(readDeleteIds(spark, dels)),
+        Seq("id"), "left_anti")
     // postings rows are unique per (term, id) across segments (the
     // append contract): df = row count per term
     val dfreq = p.groupBy("term")

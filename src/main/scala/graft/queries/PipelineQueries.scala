@@ -646,6 +646,26 @@ object PipelineQueries {
           Seq("spark", "hash"), k = 15, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // tombstone deletes (the Lucene delete model): every 7th doc is
+    // deleted AFTER the build and the search runs with the tombstones
+    // LIVE — the logical-subtraction path (postings anti-join plus
+    // lens-exact n/avg-len adjustment, the riskier math; the spec pins
+    // logical == compacted == rebuilt). The oracle replays BM25 over a
+    // corpus that never held the deleted docs — equality proves
+    // deletion adjusts df, n, AND avg doc length exactly, not just
+    // masks postings
+    "idx3_index_delete" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx3-$tag").toString
+      val docs = t(s, d, "documents")
+      graft.operators.InvertedIndex.build(docs, "doc_id", "text", path)
+      graft.operators.InvertedIndex.deleteDocs(
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"), path)
+      graft.operators.InvertedIndex.searchTopK(s, path,
+          Seq("stream", "filter", "join"), k = 10, idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // deterministic global shuffle (reproducible training order):
     // distributed two-phase ordinal assignment — the single-partition
     // window spelling is pinned OUT in PlanQualitySpec; DuckDB replays
@@ -1151,6 +1171,25 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // replay over a corpus the deleted docs never entered: tombstones
+    // don't exist oracle-side, so a masking-only implementation (stale
+    // n, df, or avg len) cannot match
+    "idx3_index_delete" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |           WHERE doc_id % 7 <> 0),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter', 'join') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1)
+           |SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |FROM tf JOIN dft USING (t), st
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // flat replay over the fixture corpus (originals + the planted
     // +10001 clones): segments never exist oracle-side
     "st6_stream_index" ->

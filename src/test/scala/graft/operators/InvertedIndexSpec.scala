@@ -158,7 +158,8 @@ class InvertedIndexSpec extends AnyFunSuite {
       new java.io.File(s"$snap/segments/$merged"))
     val inputs = segDirs(snap).map(_.getName).filterNot(_ == merged)
     Manifest.write(hadoopFs(snap),
-      new org.apache.hadoop.fs.Path(s"$snap/compacting"), merged +: inputs)
+      new org.apache.hadoop.fs.Path(s"$snap/compacting"),
+      s"segments/$merged" +: inputs.map("segments/" + _))
     // un-healed, every posting and every stats moment exists twice
     assert(segDirs(snap).length == 3)
     // heal replays the interrupted deletes; answers return to truth
@@ -174,7 +175,7 @@ class InvertedIndexSpec extends AnyFunSuite {
     new java.io.File(s"$path2/segments/seg-partial/postings").mkdirs()
     Manifest.write(hadoopFs(path2),
       new org.apache.hadoop.fs.Path(s"$path2/compacting"),
-      "seg-partial" +: keep)
+      "segments/seg-partial" +: keep.map("segments/" + _))
     InvertedIndex.heal(spark, path2)
     assert(segDirs(path2).map(_.getName) == keep)
     assert(top(path2).nonEmpty)
@@ -209,6 +210,57 @@ class InvertedIndexSpec extends AnyFunSuite {
       InvertedIndex.ingestBatch(b0, "doc_id", "text",
         tmp("graft-idx-badbuckets"), batchId = 0L, bucketsIfNew = 0))
     assert(e.getMessage.contains("buckets"))
+  }
+
+  test("tombstone deletes: logical == rebuild-without, compact applies physically") {
+    val docs = Seq((1L, "a b c"), (2L, "a a d"), (3L, "b c c d"),
+      (4L, "c d"), (5L, "")).toDF("doc_id", "text")
+    val path = tmp("graft-idx-del")
+    InvertedIndex.build(docs.filter(col("doc_id") <= 3), "doc_id", "text", path)
+    InvertedIndex.append(docs.filter(col("doc_id") >= 4), "doc_id", "text", path)
+    def top(p: String) = topDocs(InvertedIndex.searchTopK(spark, p,
+      Seq("c", "d"), k = 5, idColName = "doc_id"))
+    // tombstone docs 2 (cross-segment) and 5 (token-free): search must
+    // be row-identical to an index that never held them — same df,
+    // same n, same avg length (5's len-0 removal shifts avg too)
+    InvertedIndex.deleteDocs(Seq(2L, 5L).toDF("id"), path)
+    val want = {
+      val clean = tmp("graft-idx-del-clean")
+      InvertedIndex.build(docs.filter(col("doc_id") =!= 2 &&
+        col("doc_id") =!= 5), "doc_id", "text", clean)
+      top(clean)
+    }
+    assert(top(path) == want && want.nonEmpty)
+    assert(!want.map(_._1).contains(2L))
+    // compact applies the tombstones physically and clears them
+    InvertedIndex.compact(spark, path)
+    assert(segDirs(path).length == 1)
+    assert(Option(new java.io.File(s"$path/deletes").listFiles)
+      .toSeq.flatten.isEmpty)
+    assert(top(path) == want)
+    // the deleted id is truly gone from storage, not just masked
+    assert(spark.read.parquet(s"${segDirs(path).head}/postings")
+      .filter(col("id") === 2L).count() == 0)
+    // contract: unknown and already-tombstoned ids fail loudly
+    InvertedIndex.deleteDocs(Seq(3L).toDF("id"), path)
+    val e1 = intercept[IllegalArgumentException](
+      InvertedIndex.deleteDocs(Seq(3L).toDF("id"), path))
+    assert(e1.getMessage.contains("live"))
+    val e2 = intercept[IllegalArgumentException](
+      InvertedIndex.deleteDocs(Seq(99L).toDF("id"), path))
+    assert(e2.getMessage.contains("live"))
+    // a crashed deleteDocs (ids written, stats marker missing) is
+    // invisible to search
+    val before = top(path)
+    val crash = new java.io.File(s"$path/deletes/batch-crash/ids")
+    crash.mkdirs()
+    Seq(1L).toDF("id").write.mode("overwrite").parquet(crash.toString)
+    assert(top(path) == before)
+    // deleting the last live docs then compacting is refused
+    InvertedIndex.deleteDocs(Seq(1L, 4L).toDF("id"), path)
+    val e3 = intercept[IllegalArgumentException](
+      InvertedIndex.compact(spark, path))
+    assert(e3.getMessage.contains("tombstoned"))
   }
 
   test("stats count every doc, including token-free ones; moments are additive") {
