@@ -33,10 +33,13 @@ import graft.functions.TextAnalysis
   *    segment count stays a handful and search lists few dirs.
   *  - [[deleteDocs]] tombstones documents (the Lucene delete model):
   *    committed tombstone batches subtract logically at search time
-  *    (anti-join + lens-exact stats adjustment) until compact()
-  *    removes them physically. Each segment carries a `lens` ledger
-  *    (id, len — every doc, ~12 B each) that charges deletes and
-  *    recomputes compacted stats exactly.
+  *    (segment-scoped anti-join + lens-exact stats adjustment) until
+  *    compact() removes them physically. Each segment carries a
+  *    `lens` ledger (id, len — every doc, ~12 B each) that charges
+  *    deletes and recomputes compacted stats exactly. [[upsertDocs]]
+  *    composes delete + append into the ES-style update: tombstone
+  *    scopes never cover the new segment, so updated docs resurface
+  *    immediately, no compact() in between.
   *
   * Append contract: ids in an appended batch must be NEW (not in any
   * committed segment) — the index stores postings, not documents, so
@@ -163,6 +166,21 @@ object InvertedIndex {
     segs.map(s => prune(spark.read.parquet(s"$s/postings")))
       .reduce(_ unionByName _)
 
+  /** [[mergedPostings]] with each segment's rows tagged by segment
+    * name (a literal — free), minus the tombstone pairs applicable to
+    * that segment. The tag exists so a tombstone kills an id only in
+    * its own scope: a re-ingested id's newer posting survives.
+    */
+  private def mergedLivePostings(spark: SparkSession, segs: Seq[String],
+                                 dels: Seq[String],
+                                 prune: DataFrame => DataFrame): DataFrame =
+    segs.map(s => prune(spark.read.parquet(s"$s/postings"))
+        .withColumn("_seg", lit(new org.apache.hadoop.fs.Path(s).getName)))
+      .reduce(_ unionByName _)
+      .join(broadcast(tombstonePairs(spark, dels)),
+        Seq("id", "_seg"), "left_anti")
+      .drop("_seg")
+
   private def readStats(spark: SparkSession, segs: Seq[String]): DataFrame =
     segs.map(s => spark.read.parquet(s"$s/stats")).reduce(_ unionByName _)
 
@@ -197,10 +215,11 @@ object InvertedIndex {
     * Contract: every id must be LIVE (ingested, not already
     * tombstoned) — enforced against the lens ledger, so a double
     * delete or an unknown id fails loudly instead of silently skewing
-    * the corpus stats every future score uses. Re-ingesting a
-    * tombstoned id before the next compact() is a contract violation
-    * (the tombstone masks the new postings too): compact first, then
-    * re-ingest. Single writer, as everywhere in this module.
+    * the corpus stats every future score uses. Tombstones are
+    * SEGMENT-SCOPED (real Lucene semantics): each records the segments
+    * committed at delete time and applies only to them, so a deleted
+    * id can be re-ingested afterwards — [[upsertDocs]] builds on
+    * exactly that. Single writer, as everywhere in this module.
     *
     * Scale shape: one scan of the lens ledgers (~12 B/doc — not the
     * postings) charges the batch; searches then pay one anti-join
@@ -215,31 +234,80 @@ object InvertedIndex {
       s"$indexPath has no committed segments — build() first")
     val del = ids.select(col(ids.columns.head).as("id"))
       .distinct().localCheckpoint(true)
-    val lens = segs.map(s => spark.read.parquet(s"$s/lens"))
-      .reduce(_ unionByName _)
-    val live = committedDeletes(spark, indexPath) match {
-      case Nil => lens
-      case ds  => lens.join(readDeleteIds(spark, ds), Seq("id"), "left_anti")
-    }
+    val live = liveLens(spark, segs, committedDeletes(spark, indexPath))
+    // one live row per requested id under the append contract, so the
+    // row count doubles as the violation detector (an id live in two
+    // segments overshoots nReq as loudly as an unknown id undershoots)
     val hitRow = live.join(del, Seq("id"), "left_semi")
       .agg(count(lit(1)).cast("double").as("n"),
         coalesce(sum(col("len")), lit(0.0)).as("sum_len")).head()
     val nReq = del.count()
     require(hitRow.getDouble(0).toLong == nReq,
-      s"deleteDocs: $nReq ids requested but only " +
-        s"${hitRow.getDouble(0).toLong} are live in $indexPath — " +
+      s"deleteDocs: $nReq ids requested but " +
+        s"${hitRow.getDouble(0).toLong} live rows matched in $indexPath — " +
         "unknown or already-tombstoned ids are contract violations")
     val dir = s"$indexPath/deletes/batch-${java.util.UUID.randomUUID()}"
     del.write.mode("overwrite").parquet(s"$dir/ids")
+    // the tombstone's SCOPE: it applies to the segments committed NOW
+    // (the only ones that can hold the ids) and never to a later
+    // segment — so a deleted id can be re-ingested (see [[upsertDocs]])
+    // and the new posting is not masked. Segment-name reuse cannot
+    // dangle a scope: only ingestBatch writes predictable names, and
+    // its ledger (cleared solely by build(), which also clears
+    // tombstones) blocks any second ingest of a batch id.
+    spark.createDataFrame(
+        segs.map(s => Tuple1(new org.apache.hadoop.fs.Path(s).getName)))
+      .toDF("_seg")
+      .write.mode("overwrite").parquet(s"$dir/segs")
     spark.range(1).select(
         lit(hitRow.getDouble(0)).as("n"),
         lit(hitRow.getDouble(1)).as("sum_len"))
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
-  private def readDeleteIds(spark: SparkSession,
-                            dels: Seq[String]): DataFrame =
-    dels.map(d => spark.read.parquet(s"$d/ids")).reduce(_ unionByName _)
+  /** (id, _seg) applicability pairs of the committed tombstones: a
+    * row means "id is dead IN that segment". Bounded between
+    * compactions — always broadcast, never shuffled against postings.
+    */
+  private def tombstonePairs(spark: SparkSession,
+                             dels: Seq[String]): DataFrame =
+    dels.map(d => spark.read.parquet(s"$d/ids")
+        .crossJoin(spark.read.parquet(s"$d/segs")))
+      .reduce(_ unionByName _)
+
+  /** Per-segment `lens` rows tagged with their segment name, minus the
+    * tombstones applicable to each segment: exactly the live corpus.
+    */
+  private def liveLens(spark: SparkSession, segs: Seq[String],
+                       dels: Seq[String]): DataFrame = {
+    val tagged = segs.map(s => spark.read.parquet(s"$s/lens")
+        .withColumn("_seg", lit(new org.apache.hadoop.fs.Path(s).getName)))
+      .reduce(_ unionByName _)
+    if (dels.isEmpty) tagged
+    else tagged.join(broadcast(tombstonePairs(spark, dels)),
+      Seq("id", "_seg"), "left_anti")
+  }
+
+  /** ES-style upsert: documents whose ids are LIVE are tombstoned
+    * first (scoped to the current segments), then the whole batch
+    * lands as one new segment — updated docs resurface with their new
+    * content immediately, no compact() required, because tombstone
+    * scopes never cover the new segment. Ids must be unique within
+    * `docs`; genuinely-new ids skip the delete and just append.
+    */
+  def upsertDocs(docs: DataFrame, idCol: String, textCol: String,
+                 indexPath: String): Unit = {
+    val spark = docs.sparkSession
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val ids = docs.select(col(idCol).as("id")).distinct()
+    val live = liveLens(spark, segs, committedDeletes(spark, indexPath))
+      .join(ids, Seq("id"), "left_semi")
+      .select("id").localCheckpoint(true)
+    if (live.limit(1).count() > 0) deleteDocs(live, indexPath)
+    append(docs, idCol, textCol, indexPath)
+  }
 
   /** Add NEW documents as one more immutable segment (see the append
     * contract above). Bucket count is inherited from the existing
@@ -360,16 +428,12 @@ object InvertedIndex {
       val fs = fsOf(spark, indexPath)
       val buckets = spark.read.parquet(s"${segs.head}/stats")
         .select("buckets").head().getInt(0)
-      val minus: DataFrame => DataFrame =
-        if (dels.isEmpty) identity
-        else df => df.join(broadcast(readDeleteIds(spark, dels)),
-          Seq("id"), "left_anti")
-      val liveLens = minus(segs.map(s => spark.read.parquet(s"$s/lens"))
-        .reduce(_ unionByName _)).localCheckpoint(true)
+      val live = liveLens(spark, segs, dels)
+        .drop("_seg").localCheckpoint(true)
       // an index whose every doc is tombstoned would compact to a
       // segment no reader can open (schema-less empty postings) —
       // rebuild instead of limping into that state
-      require(liveLens.limit(1).count() > 0,
+      require(live.limit(1).count() > 0,
         s"every document in $indexPath is tombstoned — build() afresh " +
           "instead of compacting to an empty index")
       val name = s"seg-${java.util.UUID.randomUUID()}"
@@ -379,12 +443,15 @@ object InvertedIndex {
         dels.map(d => "deletes/" + new org.apache.hadoop.fs.Path(d).getName)
       Manifest.write(fs, manifestPath(indexPath),
         s"segments/$name" +: inputs)
-      minus(mergedPostings(spark, segs, identity))
+      val mergedLive =
+        if (dels.isEmpty) mergedPostings(spark, segs, identity)
+        else mergedLivePostings(spark, segs, dels, identity)
+      mergedLive
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$seg/postings")
-      liveLens.write.mode("overwrite").parquet(s"$seg/lens")
-      liveLens.agg(count(lit(1)).cast("double").as("n"),
+      live.write.mode("overwrite").parquet(s"$seg/lens")
+      live.agg(count(lit(1)).cast("double").as("n"),
           coalesce(sum(col("len")), lit(0.0)).as("sum_len"),
           lit(buckets).as("buckets"))
         .write.mode("overwrite").parquet(s"$seg/stats")
@@ -429,19 +496,19 @@ object InvertedIndex {
     val buckets = statRows.head.getAs[Int]("buckets")
     val terms = queryTerms.map(_.toLowerCase).distinct
     val wanted = terms.map(bucketOf(_, buckets)).distinct
-    val pruned = mergedPostings(spark, segs,
-      // bucket IN (...) prunes partition DIRECTORIES of every segment
-      // at planning time (pinned in InvertedIndexSpec); term IN (...)
-      // pushes to the parquet reader
+    // bucket IN (...) prunes partition DIRECTORIES of every segment
+    // at planning time (pinned in InvertedIndexSpec); term IN (...)
+    // pushes to the parquet reader
+    val prune: DataFrame => DataFrame =
       _.filter(col("bucket").isin(wanted: _*))
-        .filter(col("term").isin(terms: _*)))
+        .filter(col("term").isin(terms: _*))
     // tombstoned docs drop out BEFORE df counts rows, so idf and tf
-    // both see only live docs; the tombstone set is bounded between
-    // compactions — broadcast, never shuffle the postings for it
+    // both see only live docs; the segment-scoped anti-join keeps a
+    // re-ingested id's newer posting alive, and the tombstone set is
+    // bounded between compactions — broadcast, never shuffle postings
     val p =
-      if (dels.isEmpty) pruned
-      else pruned.join(broadcast(readDeleteIds(spark, dels)),
-        Seq("id"), "left_anti")
+      if (dels.isEmpty) mergedPostings(spark, segs, prune)
+      else mergedLivePostings(spark, segs, dels, prune)
     // postings rows are unique per (term, id) across segments (the
     // append contract): df = row count per term
     val dfreq = p.groupBy("term")

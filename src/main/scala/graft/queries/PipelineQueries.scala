@@ -666,6 +666,30 @@ object PipelineQueries {
           Seq("stream", "filter", "join"), k = 10, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // ES-style upsert (segment-scoped tombstones, real Lucene delete
+    // semantics): every 10th doc is UPDATED with new text and a batch
+    // of genuinely-new docs rides along; no compact() runs, so the
+    // updated docs are served by their new segment while their old
+    // postings are masked only in the tombstones' own scope. Oracle =
+    // BM25 over the post-update corpus
+    "idx4_index_upsert" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx4-$tag").toString
+      val docs = t(s, d, "documents")
+      graft.operators.InvertedIndex.build(docs, "doc_id", "text", path)
+      val updated = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" stream graftupd")).as("text"))
+      val fresh = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 90000).as("doc_id"),
+          concat(lit("filter stream "), col("text")).as("text"))
+      graft.operators.InvertedIndex.upsertDocs(
+        updated.unionByName(fresh), "doc_id", "text", path)
+      graft.operators.InvertedIndex.searchTopK(s, path,
+          Seq("stream", "filter", "join"), k = 10, idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // deterministic global shuffle (reproducible training order):
     // distributed two-phase ordinal assignment — the single-partition
     // window spelling is pinned OUT in PlanQualitySpec; DuckDB replays
@@ -1177,6 +1201,34 @@ object PipelineQueries {
     "idx3_index_delete" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents
            |           WHERE doc_id % 7 <> 0),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter', 'join') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1)
+           |SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |FROM tf JOIN dft USING (t), st
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // replay over the POST-update corpus: updated docs carry their new
+    // text, old versions never existed oracle-side — a tombstone that
+    // leaked across segments (masking the re-ingested docs) or stale
+    // stats would both miss
+    "idx4_index_upsert" ->
+      raw"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+           |  UNION ALL
+           |  SELECT doc_id, text || ' stream graftupd' AS text
+           |  FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 90000 AS doc_id,
+           |         'filter stream ' || text AS text
+           |  FROM documents WHERE doc_id < 5),
+           |s AS (SELECT doc_id, $toksSql AS toks FROM corpus),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
            |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
            |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf

@@ -263,6 +263,48 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("tombstoned"))
   }
 
+  test("segment-scoped tombstones: upsert resurfaces docs without compact") {
+    val docs = Seq((1L, "a b c"), (2L, "a a d"), (3L, "b c c d"))
+      .toDF("doc_id", "text")
+    val path = tmp("graft-idx-upsert")
+    InvertedIndex.build(docs, "doc_id", "text", path)
+    def top(p: String) = topDocs(InvertedIndex.searchTopK(spark, p,
+      Seq("c", "d"), k = 5, idColName = "doc_id"))
+    // upsert: doc 2 gets new content, doc 9 is genuinely new — the
+    // tombstone on doc 2 is scoped to the OLD segment only, so its
+    // re-ingested posting is live immediately, compact-free
+    val up = Seq((2L, "c c c"), (9L, "d d")).toDF("doc_id", "text")
+    InvertedIndex.upsertDocs(up, "doc_id", "text", path)
+    val want = {
+      val clean = tmp("graft-idx-upsert-clean")
+      InvertedIndex.build(
+        Seq((1L, "a b c"), (2L, "c c c"), (3L, "b c c d"), (9L, "d d"))
+          .toDF("doc_id", "text"), "doc_id", "text", clean)
+      top(clean)
+    }
+    assert(top(path) == want && want.map(_._1).contains(2L))
+    // the updated doc is deletable again (it is live in the NEW
+    // segment), and compact folds everything down to the same answers
+    InvertedIndex.compact(spark, path)
+    assert(segDirs(path).length == 1)
+    assert(top(path) == want)
+    InvertedIndex.deleteDocs(Seq(2L).toDF("id"), path)
+    val cleanNo2 = tmp("graft-idx-upsert-no2")
+    InvertedIndex.build(
+      Seq((1L, "a b c"), (3L, "b c c d"), (9L, "d d"))
+        .toDF("doc_id", "text"), "doc_id", "text", cleanNo2)
+    assert(top(path) == top(cleanNo2))
+    // upserting ONLY new ids (no live overlap) takes the append-only
+    // path and still answers correctly
+    InvertedIndex.upsertDocs(Seq((11L, "c d c")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    val cleanPlus = tmp("graft-idx-upsert-plus")
+    InvertedIndex.build(
+      Seq((1L, "a b c"), (3L, "b c c d"), (9L, "d d"), (11L, "c d c"))
+        .toDF("doc_id", "text"), "doc_id", "text", cleanPlus)
+    assert(top(path) == top(cleanPlus))
+  }
+
   test("stats count every doc, including token-free ones; moments are additive") {
     val docs = Seq((1L, "x x y"), (2L, ""), (3L, "y")).toDF("doc_id", "text")
     val path = tmp("graft-idx-stats")
