@@ -226,12 +226,23 @@ object InvertedIndex {
     * against the (bounded-between-compactions) tombstone set.
     */
   def deleteDocs(ids: DataFrame, indexPath: String): Unit = {
-    require(ids.columns.length == 1,
-      s"ids must be a single-column frame, got ${ids.columns.toSeq}")
     val spark = ids.sparkSession
     val segs = committedSegments(spark, indexPath)
     require(segs.nonEmpty,
       s"$indexPath has no committed segments — build() first")
+    deleteDocsScoped(ids, indexPath, segs)
+  }
+
+  /** [[deleteDocs]] against an explicit scope — the segments the
+    * tombstone applies to. [[ingestUpsertBatch]] passes a scope that
+    * EXCLUDES the batch's own (crashed, about-to-be-rewritten)
+    * segment; everything else uses the full committed set.
+    */
+  private def deleteDocsScoped(ids: DataFrame, indexPath: String,
+                               segs: Seq[String]): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a single-column frame, got ${ids.columns.toSeq}")
+    val spark = ids.sparkSession
     val del = ids.select(col(ids.columns.head).as("id"))
       .distinct().localCheckpoint(true)
     val live = liveLens(spark, segs, committedDeletes(spark, indexPath))
@@ -307,6 +318,54 @@ object InvertedIndex {
       .select("id").localCheckpoint(true)
     if (live.limit(1).count() > 0) deleteDocs(live, indexPath)
     append(docs, idCol, textCol, indexPath)
+  }
+
+  /** The CDC face: [[ingestBatch]]'s exactly-once-per-batch-id
+    * discipline with [[upsertDocs]] semantics, for a continuous stream
+    * that UPDATES earlier documents
+    * ([[graft.streaming.CorpusStream.incrementalUpsertIndex]]).
+    *
+    * Replay-safety beyond ingestBatch: the tombstone scope EXCLUDES
+    * the batch's own `seg-batch-<id>` segment. Without that, a retry
+    * after the segment committed but before the marker landed would
+    * see its own previous attempt's docs as live, tombstone them IN
+    * THAT SEGMENT, and then rewrite the segment under the mask —
+    * silently deleting the whole batch. With the exclusion the retry
+    * finds nothing live in the OTHER segments (the first attempt's
+    * committed tombstones already cover them) and simply rewrites its
+    * own segment. Every other window replays like ingestBatch.
+    */
+  def ingestUpsertBatch(docs: DataFrame, idCol: String, textCol: String,
+                        indexPath: String, batchId: Long,
+                        bucketsIfNew: Int = 64): Unit = {
+    require(bucketsIfNew >= 1 && bucketsIfNew <= 256,
+      s"buckets must be in [1, 256] (one md5 byte), got $bucketsIfNew")
+    val spark = docs.sparkSession
+    val fs = fsOf(spark, indexPath)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/ingested/batch-$batchId")
+    if (fs.exists(marker)) return
+    if (!docs.isEmpty) {
+      val ownName = s"seg-batch-$batchId"
+      val all = committedSegments(spark, indexPath)
+      val others = all.filterNot(s =>
+        new org.apache.hadoop.fs.Path(s).getName == ownName)
+      val buckets =
+        if (all.isEmpty) bucketsIfNew
+        else spark.read.parquet(s"${all.head}/stats")
+          .select("buckets").head().getInt(0)
+      if (others.nonEmpty) {
+        val ids = docs.select(col(idCol).as("id")).distinct()
+        val live = liveLens(spark, others,
+            committedDeletes(spark, indexPath))
+          .join(ids, Seq("id"), "left_semi")
+          .select("id").localCheckpoint(true)
+        if (live.limit(1).count() > 0)
+          deleteDocsScoped(live, indexPath, others)
+      }
+      writeSegmentNamed(docs, idCol, textCol, indexPath, ownName, buckets)
+    }
+    fs.create(marker, true).close()
   }
 
   /** Add NEW documents as one more immutable segment (see the append

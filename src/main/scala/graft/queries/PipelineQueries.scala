@@ -515,6 +515,50 @@ object PipelineQueries {
           Seq("stream", "filter"), k = 12, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // CDC-style streaming index upsert: batch k carries its own
+    // documents PLUS updates that rewrite the previous batch's docs
+    // (updater doc_id → target doc_id - 1, new text with a marker
+    // token), with in-stream compaction consuming tombstones mid-run;
+    // the search must equal DuckDB's BM25 replay over the
+    // last-arrival-wins corpus — a tombstone leaking onto a re-sent
+    // doc's new segment, stale stats, or a lost update all miss
+    "st9_stream_upsert_index" -> ((s, d) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-st9-run").toString
+      val src = new java.io.File(work, "src"); src.mkdirs()
+      val base = t(s, d, "documents").select("doc_id", "text")
+      for (k <- 0 until 4) {
+        val orig = base.filter(col("doc_id") % 4 === k)
+        val rows =
+          if (k == 0) orig
+          else orig.unionByName(base.filter(col("doc_id") % 4 === k)
+            .select((col("doc_id") - 1).as("doc_id"),
+              concat(col("text"), lit(" updatedmark")).as("text")))
+        val stage = new java.io.File(src, s"_stage$k")
+        rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"batch-$k.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + k * 60000L)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+      }
+      val schema = s.read.parquet(s"$src/batch-0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.CorpusStream.incrementalUpsertIndex(
+          stream, "doc_id", "text", s"$work/index", s"$work/ckp",
+          compactEvery = Some(2))
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.operators.InvertedIndex.searchTopK(s, s"$work/index",
+          Seq("stream", "filter", "join"), k = 12, idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // st4's dedup answer through the EXACTLY-ONCE delivery path: each
     // batch's survivors land in their own committed output dir BEFORE
     // their digests register (deliver-then-register — no crash window
@@ -1214,6 +1258,32 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // last-arrival-wins corpus: every doc whose successor exists in a
+    // LATER batch class (successor doc_id % 4 != 0) carries the
+    // successor's update text; the streamed tombstone/segment dance
+    // never existed oracle-side
+    "st9_stream_upsert_index" ->
+      raw"""WITH upd AS (SELECT doc_id - 1 AS doc_id,
+           |               text || ' updatedmark' AS text
+           |             FROM documents WHERE doc_id % 4 <> 0),
+           |corpus AS (SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+           |                  coalesce(u.text, b.text) AS text
+           |           FROM documents b FULL OUTER JOIN upd u
+           |             ON b.doc_id = u.doc_id),
+           |s AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter', 'join') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1)
+           |SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |FROM tf JOIN dft USING (t), st
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
     // replay over the POST-update corpus: updated docs carry their new
     // text, old versions never existed oracle-side — a tombstone that
     // leaked across segments (masking the re-ingested docs) or stale

@@ -233,4 +233,33 @@ object CorpusStream {
       }
       .start()
   }
+
+  /** [[incrementalIndex]] with UPSERT semantics — CDC-style index
+    * maintenance: a batch may re-send earlier ids with new content,
+    * and [[graft.operators.InvertedIndex.ingestUpsertBatch]]
+    * tombstones the live versions (scoped to the OTHER segments —
+    * never the batch's own retry target) before landing the batch as
+    * its own segment. Last arrival wins per id, exactly once per
+    * batch id, crash windows replay as documented on the operator.
+    */
+  def incrementalUpsertIndex(docs: DataFrame, idCol: String,
+                             textCol: String,
+                             indexPath: String, checkpoint: String,
+                             buckets: Int = 64,
+                             compactEvery: Option[Int] = None): StreamingQuery = {
+    graft.operators.InvertedIndex.heal(docs.sparkSession, indexPath)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.InvertedIndex.ingestUpsertBatch(batch.toDF(),
+          idCol, textCol, indexPath, batchId, bucketsIfNew = buckets)
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == n - 1)
+            graft.operators.InvertedIndex.compact(
+              batch.sparkSession, indexPath)
+        }
+        ()
+      }
+      .start()
+  }
 }

@@ -305,6 +305,37 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(top(path) == top(cleanPlus))
   }
 
+  test("upsert ingest: last arrival wins per id; a retry never masks its own batch") {
+    val path = tmp("graft-idx-cdc")
+    val b0 = Seq((1L, "a b c"), (2L, "a a d")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "c c c"), (3L, "b d")).toDF("doc_id", "text")
+    InvertedIndex.ingestUpsertBatch(b0, "doc_id", "text", path, batchId = 0L)
+    InvertedIndex.ingestUpsertBatch(b1, "doc_id", "text", path, batchId = 1L)
+    def top(p: String) = topDocs(InvertedIndex.searchTopK(spark, p,
+      Seq("c", "d"), k = 5, idColName = "doc_id"))
+    val want = {
+      val clean = tmp("graft-idx-cdc-clean")
+      InvertedIndex.build(
+        Seq((1L, "a b c"), (2L, "c c c"), (3L, "b d")).toDF("doc_id", "text"),
+        "doc_id", "text", clean)
+      top(clean)
+    }
+    assert(top(path) == want && want.map(_._1).contains(2L))
+    // THE window this design exists for: crash after batch 1's segment
+    // committed but before its marker — the retry must NOT see its own
+    // previous attempt's docs as upsert targets (tombstoning them in
+    // seg-batch-1 and then rewriting it would mask the whole batch)
+    assert(new java.io.File(s"$path/ingested/batch-1").delete())
+    InvertedIndex.ingestUpsertBatch(b1, "doc_id", "text", path, batchId = 1L)
+    assert(top(path) == want)
+    assert(new java.io.File(s"$path/ingested/batch-1").exists)
+    // marked batches are skipped outright (post-compaction replays)
+    InvertedIndex.compact(spark, path)
+    InvertedIndex.ingestUpsertBatch(b1, "doc_id", "text", path, batchId = 1L)
+    assert(segDirs(path).length == 1)
+    assert(top(path) == want)
+  }
+
   test("stats count every doc, including token-free ones; moments are additive") {
     val docs = Seq((1L, "x x y"), (2L, ""), (3L, "y")).toDF("doc_id", "text")
     val path = tmp("graft-idx-stats")
