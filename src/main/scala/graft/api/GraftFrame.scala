@@ -547,6 +547,10 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     df.write.mode("overwrite").option("header", "true").csv(path)
   def toJson(path: String): Unit = df.write.mode("overwrite").json(path)
   def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
+  /** Columnar sink beyond the reference's CSV/JSON (ORC ships in
+    * Spark, schema travels with the file — no re-read schema needed).
+    */
+  def toOrc(path: String): Unit = df.write.mode("overwrite").orc(path)
 
   /** Driver-side streamed iteration (eland iterrows/itertuples,
     * eland/dataframe.py:1501-1616).

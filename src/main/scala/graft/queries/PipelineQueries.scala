@@ -886,6 +886,20 @@ object PipelineQueries {
             "o_orderpriority STRING")
         .json(dir)
         .orderBy("o_orderkey")
+    }),
+    // ORC sink round trip: unlike CSV/JSON the schema travels with
+    // the file, so the re-read needs no schema and the oracle proves
+    // the types survive (parity-plus: the reference has no ORC sink)
+    "io5_orc_roundtrip" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-io5-$tag").toString
+      graft.api.GraftFrame(t(s, d, "orders"), "o_orderkey")
+        .where(col("o_orderkey") <= 1000)
+        .select(Seq("o_orderkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"))
+        .toOrc(dir)
+      s.read.orc(dir).orderBy("o_orderkey")
     })
   )
 
@@ -1448,6 +1462,11 @@ object PipelineQueries {
         |                      (9000002, 'upsert new b', 2.5)) t(k, n, b)
         |ORDER BY c_custkey""".stripMargin,
     "io2_json_roundtrip" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        |       o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
+    "io5_orc_roundtrip" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
         |       o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderkey <= 1000

@@ -116,6 +116,29 @@ object ScaleCheck {
       graft.operators.InvertedIndex.searchTopK(spark, "/tmp/scale_idx",
         Seq("spark", "vector", "hash"), 10, idColName = "doc_id").count()
     }
+    // delete cost = one lens-ledger scan (never postings); the searched
+    // anti-join is a broadcast of the tombstone set
+    time("index delete 10%") {
+      graft.operators.InvertedIndex.deleteDocs(
+        scaled.filter(col("doc_id") % 10 === 0).select("doc_id"),
+        "/tmp/scale_idx")
+      1L
+    }
+    time("index search w/ tombstones") {
+      graft.operators.InvertedIndex.searchTopK(spark, "/tmp/scale_idx",
+        Seq("spark", "vector", "hash"), 10, idColName = "doc_id").count()
+    }
+    time("index upsert 1%") {
+      graft.operators.InvertedIndex.upsertDocs(
+        scaled.filter(col("doc_id") % 100 === 1)
+          .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text")),
+        "doc_id", "text", "/tmp/scale_idx")
+      1L
+    }
+    time("index compact (applies tombstones)") {
+      graft.operators.InvertedIndex.compact(spark, "/tmp/scale_idx")
+      spark.read.parquet("/tmp/scale_idx/segments/*/postings").count()
+    }
     // embeddings replicated with jitter (fresh near-dup structure per
     // replica, same cluster geometry) — the cell-blocked pairwise stage
     // must scale with Σ|cell|², not corpus²

@@ -90,6 +90,33 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(scan.dataFilters.nonEmpty, "term filter not pushed to the scan")
   }
 
+  test("tombstoned search keeps directory pruning and broadcasts the anti-join") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val path = tmp("graft-idx-delplan")
+    InvertedIndex.build(docs, "doc_id", "text", path, buckets = 64)
+    InvertedIndex.deleteDocs(
+      docs.filter(col("doc_id") % 9 === 0).select("doc_id"), path)
+    val df = InvertedIndex.searchTopK(spark, path, Seq("stream"), k = 5)
+    val plan = df.queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "tombstones cost the bucket pruning")
+    // the tombstone subtraction must be a broadcast anti-join — a
+    // shuffled spelling would re-partition the postings per query
+    val bAnti = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(bAnti.nonEmpty, "tombstone anti-join is not broadcast")
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(smj.isEmpty, "tombstone anti-join shuffled (SortMergeJoin)")
+  }
+
   test("stats are the commit marker: a crashed segment is invisible, an empty index loud") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val path = tmp("graft-idx-crash")
