@@ -211,18 +211,8 @@ object Dedup {
                       dir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val mf = new org.apache.hadoop.fs.Path(s"$dir/compacting")
-    Manifest.read(fs, mf).foreach { lines =>
-      val target = lines.head
-      val committed = fs.exists(
-        new org.apache.hadoop.fs.Path(s"$dir/$target/_SUCCESS"))
-      if (committed)
-        lines.tail.foreach(i =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$i"), true))
-      else
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$target"), true)
-      Manifest.delete(fs, mf)
-    }
+    Manifest.heal(fs, new org.apache.hadoop.fs.Path(s"$dir/compacting"),
+      dir, d => new org.apache.hadoop.fs.Path(s"$d/_SUCCESS"))
   }
 
   def healExactRegistry(spark: org.apache.spark.sql.SparkSession,

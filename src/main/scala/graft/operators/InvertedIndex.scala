@@ -137,6 +137,18 @@ object InvertedIndex {
 
   private def writeSegmentJobs(staged: DataFrame, seg: String,
                                buckets: Int): Unit = {
+    // ids must be unique within a batch (build/append/ingest/upsert
+    // alike): a CDC micro-batch carrying two updates for one doc would
+    // otherwise double that doc in the lens ledger and inflate its
+    // tf/df silently, surfacing only much later as a deleteDocs
+    // contract violation far from the cause. One agg over the
+    // already-persisted staged frame — fail HERE, loudly.
+    val ur = staged.agg(count(lit(1)).as("_n"),
+      count_distinct(col("id")).as("_d")).head()
+    require(ur.getLong(0) == ur.getLong(1),
+      s"batch contains duplicate ids (${ur.getLong(0)} rows, " +
+        s"${ur.getLong(1)} distinct) — collapse to one row per id " +
+        "(e.g. last update wins) before ingesting")
     val postings = staged
       .select(col("id"), col("len"), explode(col("_toks")).as("term"))
       .groupBy(col("term"), col("id"), col("len"))
@@ -246,33 +258,44 @@ object InvertedIndex {
     val del = ids.select(col(ids.columns.head).as("id"))
       .distinct().localCheckpoint(true)
     val live = liveLens(spark, segs, committedDeletes(spark, indexPath))
-    // one live row per requested id under the append contract, so the
-    // row count doubles as the violation detector (an id live in two
-    // segments overshoots nReq as loudly as an unknown id undershoots)
+    // EXACT detector: matched rows AND matched distinct ids must both
+    // equal the request — aggregate row count alone would let an id
+    // live in two segments (rows > ids, an append-contract violation)
+    // compensate for an unknown id (ids < requested) and slip through
     val hitRow = live.join(del, Seq("id"), "left_semi")
       .agg(count(lit(1)).cast("double").as("n"),
+        count_distinct(col("id")).cast("double").as("d"),
         coalesce(sum(col("len")), lit(0.0)).as("sum_len")).head()
     val nReq = del.count()
-    require(hitRow.getDouble(0).toLong == nReq,
-      s"deleteDocs: $nReq ids requested but " +
-        s"${hitRow.getDouble(0).toLong} live rows matched in $indexPath — " +
-        "unknown or already-tombstoned ids are contract violations")
+    require(hitRow.getDouble(0).toLong == nReq &&
+        hitRow.getDouble(1).toLong == nReq,
+      s"deleteDocs: $nReq ids requested but ${hitRow.getDouble(0).toLong} " +
+        s"live rows over ${hitRow.getDouble(1).toLong} distinct ids " +
+        s"matched in $indexPath — unknown/already-tombstoned ids (or an " +
+        "id live in two segments) are contract violations")
+    writeTombstone(spark, indexPath, segs, del,
+      hitRow.getDouble(0), hitRow.getDouble(2))
+  }
+
+  /** Commit one tombstone batch: ids, then scope, then stats LAST (the
+    * marker). The SCOPE is the segments committed at the caller's
+    * probe time (the only ones that can hold the ids) and never a
+    * later segment — so a deleted id can be re-ingested (see
+    * [[upsertDocs]]) and the new posting is not masked. Segment-name
+    * reuse cannot dangle a scope: only ingestBatch writes predictable
+    * names, and its ledger (cleared solely by build(), which also
+    * clears tombstones) blocks any second ingest of a batch id.
+    */
+  private def writeTombstone(spark: SparkSession, indexPath: String,
+                             segs: Seq[String], ids: DataFrame,
+                             n: Double, sumLen: Double): Unit = {
     val dir = s"$indexPath/deletes/batch-${java.util.UUID.randomUUID()}"
-    del.write.mode("overwrite").parquet(s"$dir/ids")
-    // the tombstone's SCOPE: it applies to the segments committed NOW
-    // (the only ones that can hold the ids) and never to a later
-    // segment — so a deleted id can be re-ingested (see [[upsertDocs]])
-    // and the new posting is not masked. Segment-name reuse cannot
-    // dangle a scope: only ingestBatch writes predictable names, and
-    // its ledger (cleared solely by build(), which also clears
-    // tombstones) blocks any second ingest of a batch id.
+    ids.write.mode("overwrite").parquet(s"$dir/ids")
     spark.createDataFrame(
         segs.map(s => Tuple1(new org.apache.hadoop.fs.Path(s).getName)))
       .toDF("_seg")
       .write.mode("overwrite").parquet(s"$dir/segs")
-    spark.range(1).select(
-        lit(hitRow.getDouble(0)).as("n"),
-        lit(hitRow.getDouble(1)).as("sum_len"))
+    spark.range(1).select(lit(n).as("n"), lit(sumLen).as("sum_len"))
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
@@ -312,12 +335,28 @@ object InvertedIndex {
     val segs = committedSegments(spark, indexPath)
     require(segs.nonEmpty,
       s"$indexPath has no committed segments — build() first")
-    val ids = docs.select(col(idCol).as("id")).distinct()
-    val live = liveLens(spark, segs, committedDeletes(spark, indexPath))
-      .join(ids, Seq("id"), "left_semi")
-      .select("id").localCheckpoint(true)
-    if (live.limit(1).count() > 0) deleteDocs(live, indexPath)
+    tombstoneLiveOf(docs, idCol, indexPath, segs)
     append(docs, idCol, textCol, indexPath)
+  }
+
+  /** The upsert paths' single-scan probe-and-tombstone: ONE lens read
+    * finds the live versions of the incoming ids AND their (n,
+    * sum_len) moments, charged directly — not a second scan through
+    * deleteDocsScoped. No live match → no tombstone (pure inserts).
+    */
+  private def tombstoneLiveOf(docs: DataFrame, idCol: String,
+                              indexPath: String,
+                              segs: Seq[String]): Unit = {
+    val spark = docs.sparkSession
+    val ids = docs.select(col(idCol).as("id")).distinct()
+    val hits = liveLens(spark, segs, committedDeletes(spark, indexPath))
+      .join(ids, Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    val m = hits.agg(count(lit(1)).cast("double").as("n"),
+      coalesce(sum(col("len")), lit(0.0)).as("sum_len")).head()
+    if (m.getDouble(0) > 0)
+      writeTombstone(spark, indexPath, segs,
+        hits.select("id").distinct(), m.getDouble(0), m.getDouble(1))
   }
 
   /** The CDC face: [[ingestBatch]]'s exactly-once-per-batch-id
@@ -354,15 +393,7 @@ object InvertedIndex {
         if (all.isEmpty) bucketsIfNew
         else spark.read.parquet(s"${all.head}/stats")
           .select("buckets").head().getInt(0)
-      if (others.nonEmpty) {
-        val ids = docs.select(col(idCol).as("id")).distinct()
-        val live = liveLens(spark, others,
-            committedDeletes(spark, indexPath))
-          .join(ids, Seq("id"), "left_semi")
-          .select("id").localCheckpoint(true)
-        if (live.limit(1).count() > 0)
-          deleteDocsScoped(live, indexPath, others)
-      }
+      if (others.nonEmpty) tombstoneLiveOf(docs, idCol, indexPath, others)
       writeSegmentNamed(docs, idCol, textCol, indexPath, ownName, buckets)
     }
     fs.create(marker, true).close()
@@ -446,23 +477,14 @@ object InvertedIndex {
     * a replayed stream never searches or re-compacts the duplicated
     * state.
     */
-  def heal(spark: SparkSession, indexPath: String): Unit = {
-    val fs = fsOf(spark, indexPath)
-    Manifest.read(fs, manifestPath(indexPath)).foreach { lines =>
-      // entries are index-relative ("segments/seg-x", "deletes/batch-y")
-      // so one manifest covers segment inputs AND the tombstone dirs a
-      // compaction applies physically
-      val merged = lines.head
-      val committed = fs.exists(new org.apache.hadoop.fs.Path(
-        s"$indexPath/$merged/stats/_SUCCESS"))
-      if (committed)
-        lines.tail.foreach(i => fs.delete(
-          new org.apache.hadoop.fs.Path(s"$indexPath/$i"), true))
-      else
-        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/$merged"), true)
-      Manifest.delete(fs, manifestPath(indexPath))
-    }
-  }
+  def heal(spark: SparkSession, indexPath: String): Unit =
+    // entries are index-relative ("segments/seg-x", "deletes/batch-y")
+    // so one manifest covers segment inputs AND the tombstone dirs a
+    // compaction applies physically; the commit marker of both kinds
+    // is their stats table
+    Manifest.heal(fsOf(spark, indexPath), manifestPath(indexPath),
+      indexPath,
+      d => new org.apache.hadoop.fs.Path(s"$d/stats/_SUCCESS"))
 
   /** Merge every committed segment into one, applying tombstones
     * PHYSICALLY: live postings are disjoint rows (a plain union minus
@@ -479,8 +501,29 @@ object InvertedIndex {
     * compaction this is OFFLINE maintenance: run without concurrent
     * searches.
     */
+  /** Drop marker-less crash leftovers (a segment whose append died
+    * before its stats commit, a tombstone batch whose deleteDocs died
+    * likewise): no reader consumes them, but left alone they
+    * accumulate forever on a long-lived index and every
+    * committedSegments/committedDeletes listing stat-probes them.
+    * Safe under compact()'s offline single-writer contract — nothing
+    * is mid-write while this runs. (The registry compaction's sweep in
+    * Dedup.compactDir is this same discipline.)
+    */
+  private def sweepUncommitted(fs: org.apache.hadoop.fs.FileSystem,
+                               indexPath: String): Unit =
+    Seq("segments", "deletes").foreach { sub =>
+      val root = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
+      if (fs.exists(root))
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+          .filterNot(p => fs.exists(
+            new org.apache.hadoop.fs.Path(p, "stats/_SUCCESS")))
+          .foreach(p => fs.delete(p, true))
+    }
+
   def compact(spark: SparkSession, indexPath: String): Unit = {
     heal(spark, indexPath)
+    sweepUncommitted(fsOf(spark, indexPath), indexPath)
     val segs = committedSegments(spark, indexPath)
     val dels = committedDeletes(spark, indexPath)
     if (segs.length > 1 || (dels.nonEmpty && segs.nonEmpty)) {

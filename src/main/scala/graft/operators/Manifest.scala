@@ -46,4 +46,23 @@ private[graft] object Manifest {
     fs.delete(path, false)
     ()
   }
+
+  /** The replay itself, shared by every compaction site: entries are
+    * `root`-relative, the first is the merge target, the rest its
+    * inputs; `marker` maps a dir to its commit-marker file (plain
+    * `_SUCCESS` for registry batch dirs, `stats/_SUCCESS` for index
+    * segments). Target committed → finish the input deletes; target
+    * uncommitted → drop it; then clear the manifest. Idempotent — a
+    * crash mid-heal re-heals.
+    */
+  def heal(fs: FileSystem, manifest: Path, root: String,
+           marker: String => Path): Unit =
+    read(fs, manifest).foreach { lines =>
+      val target = lines.head
+      if (fs.exists(marker(s"$root/$target")))
+        lines.tail.foreach(i => fs.delete(new Path(s"$root/$i"), true))
+      else
+        fs.delete(new Path(s"$root/$target"), true)
+      delete(fs, manifest)
+    }
 }

@@ -81,11 +81,38 @@ object CorpusStream {
     * Same per-batch scale shape as [[incrementalDedup]]; the only
     * added cost is one `_SUCCESS` existence probe per batch.
     */
+  /** Refuse the one configuration where the committed-delivery skip
+    * turns into silent data loss: a FRESH checkpoint (batch ids
+    * restart at 0) pointed at an outPath that already holds delivered
+    * batch dirs from a previous stream. The stale `batch-0/_SUCCESS`
+    * would suppress the new stream's delivery while the registry
+    * append still ran — rows registered, never delivered, no error
+    * anywhere. Continuations (checkpoint offsets exist) pass.
+    */
+  private def requireFreshOrContinuing(
+      spark: org.apache.spark.sql.SparkSession,
+      checkpoint: String, outPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val continuing = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$checkpoint/offsets"))
+    if (!continuing) {
+      val stale = Dedup.committedBatchDirs(fs, outPath)
+      require(stale.isEmpty,
+        s"checkpoint $checkpoint is fresh but $outPath already holds " +
+          s"${stale.length} delivered batch dirs — their _SUCCESS " +
+          "markers would silently suppress the restarted batch-id " +
+          "sequence's deliveries; use a fresh outPath or restore the " +
+          "original checkpoint")
+    }
+  }
+
   def incrementalDedupExactlyOnce(docs: DataFrame, idCol: String,
                                   textCol: String,
                                   registryPath: String, outPath: String,
                                   checkpoint: String,
                                   compactEvery: Option[Int] = None): StreamingQuery = {
+    requireFreshOrContinuing(docs.sparkSession, checkpoint, outPath)
     Dedup.healExactRegistry(docs.sparkSession, registryPath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -177,6 +204,7 @@ object CorpusStream {
                                     checkpoint: String,
                                     threshold: Double = 0.8,
                                     compactEvery: Option[Int] = None): StreamingQuery = {
+    requireFreshOrContinuing(docs.sparkSession, checkpoint, outPath)
     Dedup.healNearDupRegistry(docs.sparkSession, registryPath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)

@@ -363,6 +363,22 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(top(path) == want)
   }
 
+  test("a batch with duplicate ids is rejected before any write") {
+    val path = tmp("graft-idx-dup")
+    val dup = Seq((1L, "a b"), (1L, "a c"), (2L, "d")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      InvertedIndex.build(dup, "doc_id", "text", path))
+    assert(e.getMessage.contains("duplicate ids"))
+    // nothing half-written: the index stays absent
+    assert(!new java.io.File(s"$path/segments").exists ||
+      segDirs(path).isEmpty)
+    // the CDC ingest path hits the same guard
+    val e2 = intercept[IllegalArgumentException](
+      InvertedIndex.ingestUpsertBatch(dup, "doc_id", "text", path,
+        batchId = 0L))
+    assert(e2.getMessage.contains("duplicate ids"))
+  }
+
   test("stats count every doc, including token-free ones; moments are additive") {
     val docs = Seq((1L, "x x y"), (2L, ""), (3L, "y")).toDF("doc_id", "text")
     val path = tmp("graft-idx-stats")

@@ -161,6 +161,33 @@ class CorpusStreamSpec extends AnyFunSuite {
     assert(delivered() == Seq(1L, 3L, 6L, 8L, 11L))
   }
 
+  test("exactly-once stream refuses a fresh checkpoint over a stale output") {
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-cs-stale").toString
+    val src = new java.io.File(work, "src"); src.mkdirs()
+    writeBatches(src.toString, Seq(Seq((1L, "aaa"))))
+    val schema = spark.read.parquet(src.toString).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q = CorpusStream.incrementalDedupExactlyOnce(stream(), "doc_id",
+      "text", s"$work/registry", s"$work/out", s"$work/ckp")
+    try q.processAllAvailable() finally q.stop()
+    // same outPath, FRESH checkpoint: batch ids would restart at 0 and
+    // the stale batch-0/_SUCCESS would silently suppress delivery —
+    // must refuse at start, before any batch runs
+    val e = intercept[IllegalArgumentException](
+      CorpusStream.incrementalDedupExactlyOnce(stream(), "doc_id",
+        "text", s"$work/registry", s"$work/out", s"$work/ckp2"))
+    assert(e.getMessage.contains("fresh"))
+    // the original checkpoint continues fine
+    val q2 = CorpusStream.incrementalDedupExactlyOnce(stream(), "doc_id",
+      "text", s"$work/registry", s"$work/out", s"$work/ckp")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(CorpusStream.deliveredOutput(spark, s"$work/out")
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("near-dup stream restart heals a crashed compaction before probing") {
     import spark.implicits._
     val work = java.nio.file.Files
