@@ -563,6 +563,60 @@ object InvertedIndex {
     }
   }
 
+  /** Index observability — the ES indices-stats face: one row of live
+    * corpus moments and structural counts. `n_docs`/`sum_len`/
+    * `avg_len` are tombstone-adjusted (what scoring actually uses);
+    * `segments`/`tombstone_batches` are the maintenance signals a
+    * compaction cadence watches.
+    */
+  def stats(spark: SparkSession, indexPath: String): DataFrame = {
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val dels = committedDeletes(spark, indexPath)
+    val statRows = readStats(spark, segs).collect()
+    val delRows =
+      if (dels.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else dels.map(d => spark.read.parquet(s"$d/stats"))
+        .reduce(_ unionByName _).collect()
+    val n = statRows.map(_.getAs[Double]("n")).sum -
+      delRows.map(_.getAs[Double]("n")).sum
+    val sumLen = statRows.map(_.getAs[Double]("sum_len")).sum -
+      delRows.map(_.getAs[Double]("sum_len")).sum
+    spark.range(1).select(
+      lit(n.toLong).as("n_docs"),
+      lit(sumLen).as("sum_len"),
+      lit(if (n > 0) sumLen / n else 0.0).as("avg_len"),
+      lit(segs.length).as("segments"),
+      lit(dels.length).as("tombstone_batches"),
+      lit(statRows.head.getAs[Int]("buckets")).as("buckets"))
+  }
+
+  /** Per-term LIVE document frequency — the `_termvectors` df face:
+    * (term, df) for each requested term with at least one live
+    * posting, reading only the terms' buckets (same pruned shape as
+    * [[searchTopK]], minus the scoring).
+    */
+  def termStats(spark: SparkSession, indexPath: String,
+                terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val dels = committedDeletes(spark, indexPath)
+    val buckets = spark.read.parquet(s"${segs.head}/stats")
+      .select("buckets").head().getInt(0)
+    val t = terms.map(_.toLowerCase).distinct
+    val wanted = t.map(bucketOf(_, buckets)).distinct
+    val prune: DataFrame => DataFrame =
+      _.filter(col("bucket").isin(wanted: _*))
+        .filter(col("term").isin(t: _*))
+    val p =
+      if (dels.isEmpty) mergedPostings(spark, segs, prune)
+      else mergedLivePostings(spark, segs, dels, prune)
+    p.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+  }
+
   /** Index-backed BM25 top-k: (idColName, score) ordered by score
     * desc, ties by id — the same output contract, formula, and 6-dp
     * rounding as [[Ranking.bm25TopK]], reading only the query terms'

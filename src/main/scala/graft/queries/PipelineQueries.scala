@@ -710,6 +710,22 @@ object PipelineQueries {
           Seq("stream", "filter", "join"), k = 10, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // live per-term document frequency (the _termvectors df face),
+    // tombstone-adjusted: build, delete every 7th doc, ask for df of
+    // terms across the LIVE corpus only — oracle counts distinct
+    // surviving docs per term
+    "idx5_term_stats" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx5-$tag").toString
+      val docs = t(s, d, "documents")
+      graft.operators.InvertedIndex.build(docs, "doc_id", "text", path)
+      graft.operators.InvertedIndex.deleteDocs(
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"), path)
+      graft.operators.InvertedIndex.termStats(s, path,
+          Seq("stream", "filter", "join", "spark", "hash"))
+        .orderBy("term")
+    }),
     // ES-style upsert (segment-scoped tombstones, real Lucene delete
     // semantics): every 10th doc is UPDATED with new text and a batch
     // of genuinely-new docs rides along; no compact() runs, so the
@@ -1253,6 +1269,14 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // distinct live docs per queried term, over a corpus the deleted
+    // docs never entered
+    "idx5_term_stats" ->
+      raw"""SELECT t AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           |FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents
+           |      WHERE doc_id % 7 <> 0)
+           |WHERE t IN ('stream', 'filter', 'join', 'spark', 'hash')
+           |GROUP BY 1 ORDER BY term""".stripMargin,
     // replay over a corpus the deleted docs never entered: tombstones
     // don't exist oracle-side, so a masking-only implementation (stale
     // n, df, or avg len) cannot match

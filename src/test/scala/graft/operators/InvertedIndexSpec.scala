@@ -379,6 +379,35 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("duplicate ids"))
   }
 
+  test("stats() reports the live corpus; termStats is tombstone-adjusted") {
+    val docs = Seq((1L, "a b c"), (2L, "a a d"), (3L, "b c"), (4L, ""))
+      .toDF("doc_id", "text")
+    val path = tmp("graft-idx-stats-api")
+    InvertedIndex.build(docs, "doc_id", "text", path)
+    InvertedIndex.append(Seq((5L, "a d")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    InvertedIndex.deleteDocs(Seq(2L, 4L).toDF("id"), path)
+    val st = InvertedIndex.stats(spark, path).head()
+    // live: docs 1, 3, 5 — lens 3 + 2 + 2 (the token-free doc 4 and
+    // doc 2 subtracted exactly)
+    assert(st.getAs[Long]("n_docs") == 3L)
+    assert(st.getAs[Double]("sum_len") == 7.0)
+    assert(st.getAs[Int]("segments") == 2 &&
+      st.getAs[Int]("tombstone_batches") == 1)
+    val df = InvertedIndex.termStats(spark, path, Seq("a", "d", "zz"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // "a": docs 1, 5 (2's two copies are dead); "d": doc 5 only;
+    // "zz": absent entirely
+    assert(df == Map("a" -> 2L, "d" -> 1L))
+    // compaction changes structure, never the answers
+    InvertedIndex.compact(spark, path)
+    val st2 = InvertedIndex.stats(spark, path).head()
+    assert(st2.getAs[Long]("n_docs") == 3L &&
+      st2.getAs[Double]("sum_len") == 7.0 &&
+      st2.getAs[Int]("segments") == 1 &&
+      st2.getAs[Int]("tombstone_batches") == 0)
+  }
+
   test("stats count every doc, including token-free ones; moments are additive") {
     val docs = Seq((1L, "x x y"), (2L, ""), (3L, "y")).toDF("doc_id", "text")
     val path = tmp("graft-idx-stats")
