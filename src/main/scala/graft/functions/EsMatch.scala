@@ -52,6 +52,20 @@ object EsMatch {
       s" $phrase ") > 0
   }
 
+  /** `match_phrase_prefix`: the query tokens appear consecutively in
+    * order, with the LAST treated as a token prefix (ES's
+    * search-as-you-type clause). Same token-joined needle as
+    * [[matchPhrase]] — just without the trailing boundary space, so
+    * the final needle token only has to START a column token.
+    */
+  def matchPhrasePrefix(text: Column, query: String): Column = {
+    val qs = qTokens(query)
+    if (qs.isEmpty) lit(false)
+    else instr(
+      concat(lit(" "), concat_ws(" ", TextAnalysis.tokens(text)), lit(" ")),
+      " " + qs.mkString(" ")) > 0
+  }
+
   /** `match` with fuzziness: some column token within `maxEdits`
     * Levenshtein distance of some query token.
     */

@@ -200,6 +200,14 @@ object EsQueryDsl {
           case o          => (o \ "query").extract[String]
         }
         EsMatch.matchPhrase(col(field), text)
+      case "match_phrase_prefix" =>
+        val (field, v) = lonely(body, "match_phrase_prefix")
+        requireText(field)
+        val text = v match {
+          case JString(s) => s
+          case o          => (o \ "query").extract[String]
+        }
+        EsMatch.matchPhrasePrefix(col(field), text)
       case "multi_match" =>
         // {"multi_match": {"query": q, "fields": [f1, f2], "operator"?,
         // "fuzziness"?}} — best_fields semantics on a boolean

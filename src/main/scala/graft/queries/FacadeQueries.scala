@@ -221,6 +221,15 @@ object FacadeQueries {
           |}}""".stripMargin)
         .select(Seq("doc_id")).df.orderBy("doc_id")
     }),
+    // match_phrase_prefix (ES search-as-you-type): "stream col"
+    // requires a token starting with "col" IMMEDIATELY after a
+    // "stream" token — the corpus has ~46 "stream column" bigrams, so
+    // the clause bites, and plain "col…" tokens elsewhere don't match
+    "f18_phrase_prefix" -> ((s, d) => {
+      docs(s, d).esQuery(
+        """{"match_phrase_prefix": {"text": "stream col"}}""")
+        .select(Seq("doc_id")).df.orderBy("doc_id")
+    }),
     // keep-by-ids with reindex-to-items order (F14 keep side):
     // output row order follows the given id list, not the id sort
     "g21_keep_ids" -> ((s, d) => {
@@ -458,6 +467,11 @@ object FacadeQueries {
            |         t -> t IN ('vector','batch'))) > 0)
            |  AND len(list_filter($toksSql,
            |        t -> levenshtein(t, 'streem') <= 1)) > 0
+           |ORDER BY doc_id""".stripMargin,
+    "f18_phrase_prefix" ->
+      raw"""SELECT doc_id FROM documents
+           |WHERE strpos(' ' || array_to_string($toksSql, ' ') || ' ',
+           |             ' stream col') > 0
            |ORDER BY doc_id""".stripMargin,
     "g21_keep_ids" ->
       """WITH ids(id, ord) AS (VALUES (3, 1), (1, 2), (2, 3))

@@ -199,6 +199,29 @@ class EsQueryDslSpec extends AnyFunSuite {
       .getMessage.contains("non-text"))
   }
 
+  test("match_phrase_prefix: last token is a prefix, order and adjacency enforced") {
+    import spark.implicits._
+    val f = GraftFrame(Seq(
+      (1L, "the stream column runs"),   // phrase + prefix match
+      (2L, "the stream colder runs"),   // "col" prefixes "colder" too
+      (3L, "the column stream runs"),   // wrong order
+      (4L, "the stream runs column"),   // not adjacent
+      (5L, "the stream col runs"),      // exact last token counts as prefix
+      (6L, "stream")                    // phrase truncated
+    ).toDF("id", "text"), "id")
+    def ids(q: String) = f.esQuery(q).df.select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids("""{"match_phrase_prefix": {"text": "stream col"}}""")
+      == Seq(1L, 2L, 5L))
+    // object spelling and single-token prefix
+    assert(ids("""{"match_phrase_prefix": {"text": {"query": "colu"}}}""")
+      == Seq(1L, 3L, 4L))
+    // non-text fields refuse like the rest of the match family
+    intercept[IllegalArgumentException](
+      GraftFrame(Seq((1L, 2L)).toDF("id", "n"), "id")
+        .esQuery("""{"match_phrase_prefix": {"n": "1"}}"""))
+  }
+
   test("esQuery match enforces the same non-text guard as esMatch") {
     val pinned = docs.withEsDtype("source", "keyword")
     val e = intercept[IllegalArgumentException](
