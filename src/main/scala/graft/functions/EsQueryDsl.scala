@@ -132,6 +132,18 @@ object EsQueryDsl {
     kind match {
       case "match_all"  => lit(true)
       case "match_none" => lit(false)
+      // scoring-only wrappers: on a boolean predicate engine,
+      // constant_score is exactly its filter, and dis_max (best of N
+      // scores) matches iff ANY branch matches
+      case "constant_score" =>
+        fromJValue(body \ "filter", idCol, requireText)
+      case "dis_max" =>
+        (body \ "queries") match {
+          case JArray(qs) if qs.nonEmpty =>
+            qs.map(fromJValue(_, idCol, requireText)).reduce(_ || _)
+          case other => throw new IllegalArgumentException(
+            s"dis_max needs a non-empty queries list, got $other")
+        }
       case "bool" =>
         val must    = clauses(body \ "must", idCol, requireText) ++
           clauses(body \ "filter", idCol, requireText)

@@ -222,6 +222,22 @@ class EsQueryDslSpec extends AnyFunSuite {
         .esQuery("""{"match_phrase_prefix": {"n": "1"}}"""))
   }
 
+  test("constant_score is its filter; dis_max matches when any branch does") {
+    val cs = orders.esQuery(
+      """{"constant_score": {"filter":
+        |  {"term": {"o_orderstatus": "F"}}}}""".stripMargin).len()
+    assert(cs == orders.where(orders("o_orderstatus") === "F").len() && cs > 0)
+    val dm = orders.esQuery(
+      """{"dis_max": {"queries": [
+        |  {"term": {"o_orderstatus": "F"}},
+        |  {"term": {"o_orderpriority": "1-URGENT"}}
+        |]}}""".stripMargin).len()
+    assert(dm == orders.where(orders("o_orderstatus") === "F" ||
+      orders("o_orderpriority") === "1-URGENT").len())
+    intercept[IllegalArgumentException](
+      orders.esQuery("""{"dis_max": {"queries": []}}"""))
+  }
+
   test("esQuery match enforces the same non-text guard as esMatch") {
     val pinned = docs.withEsDtype("source", "keyword")
     val e = intercept[IllegalArgumentException](
