@@ -136,7 +136,13 @@ object EsQueryDsl {
       // constant_score is exactly its filter, and dis_max (best of N
       // scores) matches iff ANY branch matches
       case "constant_score" =>
-        fromJValue(body \ "filter", idCol, requireText)
+        (body \ "filter") match {
+          case JNothing => throw new IllegalArgumentException(
+            "constant_score needs a filter clause " +
+              "(the legacy {\"constant_score\": {\"query\": ...}} " +
+              "spelling is not supported)")
+          case f => fromJValue(f, idCol, requireText)
+        }
       case "dis_max" =>
         (body \ "queries") match {
           case JArray(qs) if qs.nonEmpty =>

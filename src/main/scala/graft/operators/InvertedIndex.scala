@@ -563,6 +563,45 @@ object InvertedIndex {
     }
   }
 
+  /** Tombstone-adjusted corpus moments + the shared bucket count: ONE
+    * driver-side read of the (one-row-per-segment/tombstone) stats
+    * tables, feeding [[searchTopK]], [[termStats]], and [[stats]] so
+    * the accounting cannot desynchronize between them.
+    */
+  private final case class LiveStats(n: Double, sumLen: Double,
+                                     buckets: Int)
+
+  private def liveStats(spark: SparkSession, segs: Seq[String],
+                        dels: Seq[String]): LiveStats = {
+    val statRows = readStats(spark, segs).collect()
+    val delRows =
+      if (dels.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else dels.map(d => spark.read.parquet(s"$d/stats"))
+        .reduce(_ unionByName _).collect()
+    LiveStats(
+      statRows.map(_.getAs[Double]("n")).sum -
+        delRows.map(_.getAs[Double]("n")).sum,
+      statRows.map(_.getAs[Double]("sum_len")).sum -
+        delRows.map(_.getAs[Double]("sum_len")).sum,
+      statRows.head.getAs[Int]("buckets"))
+  }
+
+  /** The live postings of `terms` (already lowercased/distinct):
+    * bucket IN (...) prunes partition DIRECTORIES of every segment at
+    * planning time (spec-pinned), term IN (...) pushes to the parquet
+    * reader, and tombstoned docs are subtracted when tombstones exist.
+    */
+  private def prunedLivePostings(spark: SparkSession, segs: Seq[String],
+                                 dels: Seq[String], terms: Seq[String],
+                                 buckets: Int): DataFrame = {
+    val wanted = terms.map(bucketOf(_, buckets)).distinct
+    val prune: DataFrame => DataFrame =
+      _.filter(col("bucket").isin(wanted: _*))
+        .filter(col("term").isin(terms: _*))
+    if (dels.isEmpty) mergedPostings(spark, segs, prune)
+    else mergedLivePostings(spark, segs, dels, prune)
+  }
+
   /** Index observability — the ES indices-stats face: one row of live
     * corpus moments and structural counts. `n_docs`/`sum_len`/
     * `avg_len` are tombstone-adjusted (what scoring actually uses);
@@ -574,22 +613,14 @@ object InvertedIndex {
     require(segs.nonEmpty,
       s"$indexPath has no committed segments — build() first")
     val dels = committedDeletes(spark, indexPath)
-    val statRows = readStats(spark, segs).collect()
-    val delRows =
-      if (dels.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else dels.map(d => spark.read.parquet(s"$d/stats"))
-        .reduce(_ unionByName _).collect()
-    val n = statRows.map(_.getAs[Double]("n")).sum -
-      delRows.map(_.getAs[Double]("n")).sum
-    val sumLen = statRows.map(_.getAs[Double]("sum_len")).sum -
-      delRows.map(_.getAs[Double]("sum_len")).sum
+    val st = liveStats(spark, segs, dels)
     spark.range(1).select(
-      lit(n.toLong).as("n_docs"),
-      lit(sumLen).as("sum_len"),
-      lit(if (n > 0) sumLen / n else 0.0).as("avg_len"),
+      lit(st.n.toLong).as("n_docs"),
+      lit(st.sumLen).as("sum_len"),
+      lit(if (st.n > 0) st.sumLen / st.n else 0.0).as("avg_len"),
       lit(segs.length).as("segments"),
       lit(dels.length).as("tombstone_batches"),
-      lit(statRows.head.getAs[Int]("buckets")).as("buckets"))
+      lit(st.buckets).as("buckets"))
   }
 
   /** Per-term LIVE document frequency — the `_termvectors` df face:
@@ -604,17 +635,10 @@ object InvertedIndex {
     require(segs.nonEmpty,
       s"$indexPath has no committed segments — build() first")
     val dels = committedDeletes(spark, indexPath)
-    val buckets = spark.read.parquet(s"${segs.head}/stats")
-      .select("buckets").head().getInt(0)
-    val t = terms.map(_.toLowerCase).distinct
-    val wanted = t.map(bucketOf(_, buckets)).distinct
-    val prune: DataFrame => DataFrame =
-      _.filter(col("bucket").isin(wanted: _*))
-        .filter(col("term").isin(t: _*))
-    val p =
-      if (dels.isEmpty) mergedPostings(spark, segs, prune)
-      else mergedLivePostings(spark, segs, dels, prune)
-    p.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val st = liveStats(spark, segs, dels)
+    prunedLivePostings(spark, segs, dels,
+        terms.map(_.toLowerCase).distinct, st.buckets)
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
   }
 
   /** Index-backed BM25 top-k: (idColName, score) ordered by score
@@ -636,35 +660,16 @@ object InvertedIndex {
     // serves n, avg len, AND the bucket count — the serving path pays
     // a single tiny job, and the corpus stats enter the score plan as
     // literals instead of a crossJoin. Committed tombstone batches
-    // subtract their (pre-charged, lens-exact) moments the same way.
-    val statRows = readStats(spark, segs).collect()
+    // subtract their (pre-charged, lens-exact) moments the same way,
+    // and tombstoned docs drop out of the postings BEFORE df counts
+    // rows — idf, tf, and the corpus stats all see only live docs.
     val dels = committedDeletes(spark, indexPath)
-    val delRows =
-      if (dels.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else dels.map(d => spark.read.parquet(s"$d/stats"))
-        .reduce(_ unionByName _).collect()
-    val n = statRows.map(_.getAs[Double]("n")).sum -
-      delRows.map(_.getAs[Double]("n")).sum
-    val sumLen = statRows.map(_.getAs[Double]("sum_len")).sum -
-      delRows.map(_.getAs[Double]("sum_len")).sum
-    val avg = if (n > 0) sumLen / n
+    val st = liveStats(spark, segs, dels)
+    val n = st.n
+    val avg = if (n > 0) st.sumLen / n
               else 1.0 // postings are empty too: result is empty anyway
-    val buckets = statRows.head.getAs[Int]("buckets")
     val terms = queryTerms.map(_.toLowerCase).distinct
-    val wanted = terms.map(bucketOf(_, buckets)).distinct
-    // bucket IN (...) prunes partition DIRECTORIES of every segment
-    // at planning time (pinned in InvertedIndexSpec); term IN (...)
-    // pushes to the parquet reader
-    val prune: DataFrame => DataFrame =
-      _.filter(col("bucket").isin(wanted: _*))
-        .filter(col("term").isin(terms: _*))
-    // tombstoned docs drop out BEFORE df counts rows, so idf and tf
-    // both see only live docs; the segment-scoped anti-join keeps a
-    // re-ingested id's newer posting alive, and the tombstone set is
-    // bounded between compactions — broadcast, never shuffle postings
-    val p =
-      if (dels.isEmpty) mergedPostings(spark, segs, prune)
-      else mergedLivePostings(spark, segs, dels, prune)
+    val p = prunedLivePostings(spark, segs, dels, terms, st.buckets)
     // postings rows are unique per (term, id) across segments (the
     // append contract): df = row count per term
     val dfreq = p.groupBy("term")
