@@ -408,6 +408,56 @@ class InvertedIndexSpec extends AnyFunSuite {
       st2.getAs[Int]("tombstone_batches") == 0)
   }
 
+  test("randomized CDC lifecycle differential: index == rebuild of the final state") {
+    // a seeded sequence of upserts, deletes, and compactions applied
+    // BOTH to the index and to a plain Map; at checkpoints the index
+    // must answer exactly like one built fresh from the Map — the
+    // differential covers tombstone-scope interactions (delete after
+    // upsert after compact after delete ...) no enumerated spec does
+    val rnd = new scala.util.Random(42)
+    val pool = Vector("a", "b", "c", "d", "e", "f")
+    def text() = Seq.fill(1 + rnd.nextInt(6))(pool(rnd.nextInt(pool.size)))
+      .mkString(" ")
+    val path = tmp("graft-idx-fuzz")
+    var state = (1L to 8L).map(id => id -> text()).toMap
+    InvertedIndex.build(state.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    def check(): Unit = {
+      val clean = tmp("graft-idx-fuzz-clean")
+      InvertedIndex.build(state.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", clean)
+      val terms = Seq("a", "c", "e")
+      assert(
+        topDocs(InvertedIndex.searchTopK(spark, path, terms, k = 30,
+          idColName = "doc_id")) ==
+        topDocs(InvertedIndex.searchTopK(spark, clean, terms, k = 30,
+          idColName = "doc_id")))
+      assert(InvertedIndex.stats(spark, path).head()
+        .getAs[Long]("n_docs") == state.size)
+    }
+    for (step <- 1 to 12) {
+      rnd.nextInt(3) match {
+        case 0 => // upsert 1-3 docs: mix of updates and brand-new ids
+          val ids = rnd.shuffle((1L to 16L).toList).take(1 + rnd.nextInt(3))
+          val batch = ids.map(id => id -> text())
+          InvertedIndex.upsertDocs(batch.toDF("doc_id", "text"),
+            "doc_id", "text", path)
+          state = state ++ batch
+        case 1 => // delete 1-2 live docs (keep at least one alive)
+          val live = state.keys.toList.sorted
+          if (live.size > 2) {
+            val ids = rnd.shuffle(live).take(1 + rnd.nextInt(2))
+            InvertedIndex.deleteDocs(ids.toDF("id"), path)
+            state = state -- ids
+          }
+        case 2 =>
+          InvertedIndex.compact(spark, path)
+      }
+      if (step % 4 == 0) check()
+    }
+    check()
+  }
+
   test("stats count every doc, including token-free ones; moments are additive") {
     val docs = Seq((1L, "x x y"), (2L, ""), (3L, "y")).toDF("doc_id", "text")
     val path = tmp("graft-idx-stats")
