@@ -62,6 +62,8 @@ object DumpPlans {
       "Bigram-LM scoring: the (w1,w2) model join shuffles on the pair key (AQE-balanced); the unigram join BROADCASTS — its key alone is Zipf-skewed and the table is vocabulary-bounded, so no transition row ever shuffles on a single-token key. PlanQualitySpec pins the broadcast.",
     "idx1_index_search" ->
       "Index-backed BM25: the postings scan shows PartitionFilters on the md5 term bucket (whole directories skipped at planning time) plus a term IN pushdown — the query reads its terms' postings, never the corpus. df broadcasts; corpus stats (n, avg len) enter as driver LITERALS from one tiny stats read, so no stats join exists at all; TakeOrderedAndProject caps the result. This is the query-serving shape: build cost is paid once, each query is O(its own postings).",
+    "idx3_index_delete" ->
+      "Search with LIVE tombstones: the postings scan keeps its bucket PartitionFilters and term pushdown, the tombstone subtraction is a BroadcastHashJoin LeftAnti on (id, segment) — bounded between compactions, never a shuffle of the postings — and the corpus stats enter as literals already tombstone-adjusted from the lens-exact delete charges. Deletion costs a search nothing but a broadcast.",
     "sd1_semantic_dedup" ->
       "SemDeDup: k-means cell assignment is a pure expression over the broadcast-folded centroid literals (no model table, no shuffle for assignment); the pairwise cosine join shuffles (id, vec) on the CELL id only, so comparison cost is per-cell-quadratic, never corpus-quadratic — and the oracle's planted clones prove the blocking loses nothing.",
     "qc1_quality_classifier" ->
