@@ -75,4 +75,90 @@ object LanguageModel {
       .agg(count(lit(1)).cast("long").as("n_trans"),
         round(avg(col("_logp")), 6).as("mean_logp"))
   }
+
+  /** Trigram scoring with STUPID BACKOFF (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the web-scale LM
+    * recipe: no discounting to renormalize, just relative frequencies
+    * with a fixed penalty per backoff level, which is exactly what
+    * makes it trainable as plain counted shuffles at corpus scale:
+    *
+    * `S(w3|w1 w2) = c(w1w2w3)/c(w1w2)                  if c(w1w2w3) > 0
+    *              = α · c(w2w3)/c(w2)                  else if c(w2w3) > 0
+    *              = α² · (c(w3) + k)/(N + k·V)         otherwise`
+    *
+    * (the unigram floor is add-k smoothed so an OOV token scores
+    * finitely; c(w1w2w3) > 0 implies c(w1w2) > 0 and c(w2w3) > 0
+    * implies c(w2) > 0, so no branch divides by zero). A document's
+    * score is the mean log-S over its trigram contexts; docs with
+    * fewer than 3 tokens are absent.
+    *
+    * Scale shape: training is three counted shuffles (uni/bi/tri
+    * grams). Scoring joins on the (w1,w2,w3), (w1,w2), and (w2,w3)
+    * compound keys — AQE-balanced hash joins; the two single-token
+    * lookups (c(w2), c(w3)) broadcast the vocabulary-bounded unigram
+    * table under the same Zipf-skew argument (and opt-out flag) as
+    * [[bigramScore]].
+    */
+  def trigramBackoffScore(model: DataFrame, score: DataFrame,
+                          idCol: String, textCol: String,
+                          alpha: Double = 0.4, k: Double = 0.5,
+                          broadcastUnigrams: Boolean = true): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "backoff alpha must be in (0, 1]")
+    require(k > 0, "smoothing k must be positive")
+    def contexts(df: DataFrame, withId: Boolean): DataFrame = {
+      val staged = df.select(
+        (if (withId) Seq(col(idCol)) else Seq.empty[org.apache.spark.sql.Column]) :+
+          TextAnalysis.tokens(col(textCol)).as("_toks"): _*)
+      staged
+        .filter(size(col("_toks")) >= 3)
+        .select((if (withId) Seq(col(idCol)) else Nil) :+
+          posexplode(slice(col("_toks"), lit(1), size(col("_toks")) - 2))
+            .as(Seq("_p", "_w1")) :+ col("_toks"): _*)
+        .select((if (withId) Seq(col(idCol)) else Nil) ++ Seq(
+          col("_w1"),
+          element_at(col("_toks"), col("_p") + 2).as("_w2"),
+          element_at(col("_toks"), col("_p") + 3).as("_w3")): _*)
+    }
+    def bigrams(df: DataFrame): DataFrame = {
+      val staged = df.select(TextAnalysis.tokens(col(textCol)).as("_toks"))
+      staged.filter(size(col("_toks")) >= 2)
+        .select(posexplode(slice(col("_toks"), lit(1),
+          size(col("_toks")) - 1)).as(Seq("_p", "_a")), col("_toks"))
+        .select(col("_a"), element_at(col("_toks"), col("_p") + 2).as("_b"))
+    }
+
+    val tri = contexts(model, withId = false)
+      .groupBy("_w1", "_w2", "_w3")
+      .agg(count(lit(1)).cast("double").as("_c3"))
+    val bi = bigrams(model).groupBy("_a", "_b")
+      .agg(count(lit(1)).cast("double").as("_c2"))
+    val uni = model
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).cast("double").as("_cu"))
+    val nv = uni.agg(coalesce(sum(col("_cu")), lit(0.0)).as("_n"),
+      count(lit(1)).cast("double").as("_v"))
+    val uniSide = if (broadcastUnigrams) broadcast(uni) else uni
+
+    contexts(score, withId = true)
+      .join(tri, Seq("_w1", "_w2", "_w3"), "left")
+      .join(bi.select(col("_a").as("_w1"), col("_b").as("_w2"),
+        col("_c2").as("_c12")), Seq("_w1", "_w2"), "left")
+      .join(bi.select(col("_a").as("_w2"), col("_b").as("_w3"),
+        col("_c2").as("_c23")), Seq("_w2", "_w3"), "left")
+      .join(uniSide.select(col("_w").as("_w2"), col("_cu").as("_cu2")),
+        Seq("_w2"), "left")
+      .join(uniSide.select(col("_w").as("_w3"), col("_cu").as("_cu3")),
+        Seq("_w3"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("_s",
+        when(col("_c3").isNotNull, col("_c3") / col("_c12"))
+          .when(col("_c23").isNotNull,
+            lit(alpha) * col("_c23") / col("_cu2"))
+          .otherwise(lit(alpha * alpha) *
+            (coalesce(col("_cu3"), lit(0.0)) + k) /
+            (col("_n") + lit(k) * col("_v"))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_ctx"),
+        round(avg(log(col("_s"))), 6).as("mean_logs"))
+  }
 }

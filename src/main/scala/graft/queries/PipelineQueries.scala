@@ -625,6 +625,16 @@ object PipelineQueries {
       graft.operators.LanguageModel.bigramScore(docs, docs, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // trigram stupid backoff (Brants et al. 2007 — the web-scale LM
+    // recipe): relative frequencies with a fixed α penalty per backoff
+    // level, add-k floor at the unigram; DuckDB replays every branch
+    // of the backoff CASE exactly
+    "ppl2_trigram_backoff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.LanguageModel.trigramBackoffScore(docs, docs,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // BM25 ranked retrieval (the reference engine's Okapi scoring as a
     // declarative aggregation): top-10 docs for a 3-term query; DuckDB
     // replays idf/tf/length normalization exactly
@@ -1214,6 +1224,41 @@ object PipelineQueries {
            |               (coalesce(cu, 0) + 0.5 * vs))), 6) AS mean_logp
            |FROM tr LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1), v
            |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // every branch of the stupid-backoff CASE replayed: trigram
+    // relative frequency, α-penalized bigram, α²-penalized add-k
+    // unigram floor
+    "ppl2_trigram_backoff" ->
+      raw"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |tri AS (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS w1,
+           |               unnest(toks[2:len(toks)-1]) AS w2,
+           |               unnest(toks[3:len(toks)]) AS w3
+           |        FROM b WHERE len(toks) >= 3),
+           |c3 AS (SELECT w1, w2, w3, CAST(count(*) AS DOUBLE) AS c
+           |       FROM tri GROUP BY 1, 2, 3),
+           |bi AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS a,
+           |              unnest(toks[2:len(toks)]) AS bb
+           |       FROM b WHERE len(toks) >= 2),
+           |c2 AS (SELECT a, bb, CAST(count(*) AS DOUBLE) AS c
+           |       FROM bi GROUP BY 1, 2),
+           |c1 AS (SELECT t AS w, CAST(count(*) AS DOUBLE) AS c
+           |       FROM (SELECT unnest(toks) AS t FROM b) GROUP BY 1),
+           |nv AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+           |              CAST(count(*) AS DOUBLE) AS v FROM c1),
+           |sc AS (SELECT t.doc_id,
+           |         CASE WHEN c3.c IS NOT NULL THEN c3.c / p2.c
+           |              WHEN b2.c IS NOT NULL THEN 0.4 * b2.c / u2.c
+           |              ELSE 0.4 * 0.4 * (coalesce(u3.c, 0) + 0.5) /
+           |                   (nv.n + 0.5 * nv.v) END AS s
+           |       FROM tri t
+           |       LEFT JOIN c3 ON t.w1 = c3.w1 AND t.w2 = c3.w2
+           |                   AND t.w3 = c3.w3
+           |       LEFT JOIN c2 p2 ON t.w1 = p2.a AND t.w2 = p2.bb
+           |       LEFT JOIN c2 b2 ON t.w2 = b2.a AND t.w3 = b2.bb
+           |       LEFT JOIN c1 u2 ON t.w2 = u2.w
+           |       LEFT JOIN c1 u3 ON t.w3 = u3.w, nv)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ctx,
+           |       round(avg(ln(s)), 6) AS mean_logs
+           |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "bm1_bm25_topk" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,

@@ -37,6 +37,33 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(got(10L) > got(11L))
   }
 
+  test("trigram stupid backoff: each CASE branch matches the hand model") {
+    // train: "a b c a b c a b d" → c3(a b c)=2, c3(b c a)=1,
+    // c3(c a b)=2, c3(a b d)=1; c2(a b)=3, c2(b c)=2, c2(c a)=2,
+    // c2(b d)=1; c1: a=3 b=3 c=2 d=1 → N=9, V=4
+    val train = Seq((1L, "a b c a b c a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b c"),   // trigram branch: 2/3
+      (11L, "x b c"),   // backoff to bigram (b c): 0.4 * 2/3
+      (12L, "x y d"),   // backoff to unigram d: 0.16 * (1+0.5)/(9+2)
+      (13L, "x y q"))   // OOV floor: 0.16 * 0.5/11
+      .toDF("doc_id", "text")
+    val got = LanguageModel.trigramBackoffScore(train, score,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got(10L) - math.log(2.0 / 3.0)) < 1e-6)
+    assert(math.abs(got(11L) - math.log(0.4 * 2.0 / 3.0)) < 1e-6)
+    assert(math.abs(got(12L) - math.log(0.16 * 1.5 / 11.0)) < 1e-6)
+    assert(math.abs(got(13L) - math.log(0.16 * 0.5 / 11.0)) < 1e-6)
+    // fluency order: seen trigram > backed-off bigram > unigram > OOV
+    assert(got(10L) > got(11L) && got(11L) > got(12L) &&
+      got(12L) > got(13L))
+    // docs with < 3 tokens are absent
+    assert(!LanguageModel.trigramBackoffScore(train,
+        Seq((20L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.getLong(0)).contains(20L))
+  }
+
   test("broadcastUnigrams=false scores bit-identically to the default") {
     val train = Seq((1L, "a b a c"), (2L, "a b"), (3L, "c d e"))
       .toDF("doc_id", "text")
