@@ -239,6 +239,26 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("ppl2: both single-token backoff lookups broadcast") {
+    // same Zipf argument as ppl1, twice over: the c(w2) and c(w3)
+    // lookups key on one token each and must broadcast; the compound
+    // (w1,w2,w3)/(w1,w2)/(w2,w3) joins may shuffle under AQE
+    val df = SparkEntry.queries("ppl2_trigram_backoff")(spark, TestSpark.sfDir)
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    val singleTok = joins.filter { j =>
+      val ks = j.leftKeys.flatMap(_.references.map(_.name)).toSet
+      ks == Set("_w2") || ks == Set("_w3")
+    }
+    assert(singleTok.size >= 2,
+      s"expected the two single-token lookups, found ${singleTok.size}")
+    singleTok.foreach { j =>
+      assert(j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec],
+        s"single-token backoff lookup must broadcast:\n$j")
+    }
+  }
+
   test("dd13: the postings join is an equi-join; the hot-gram guard shares its shuffle") {
     // the span pipeline must never degrade to a nested-loop product,
     // and the guard's window count keys on h — the same partitioning
