@@ -435,22 +435,38 @@ class InvertedIndexSpec extends AnyFunSuite {
       assert(InvertedIndex.stats(spark, path).head()
         .getAs[Long]("n_docs") == state.size)
     }
-    for (step <- 1 to 12) {
-      rnd.nextInt(3) match {
+    for (step <- 1 to 16) {
+      rnd.nextInt(4) match {
         case 0 => // upsert 1-3 docs: mix of updates and brand-new ids
           val ids = rnd.shuffle((1L to 16L).toList).take(1 + rnd.nextInt(3))
           val batch = ids.map(id => id -> text())
           InvertedIndex.upsertDocs(batch.toDF("doc_id", "text"),
             "doc_id", "text", path)
           state = state ++ batch
-        case 1 => // delete 1-2 live docs (keep at least one alive)
+        case 1 => // the STREAMING upsert face, with random replay
+          // injection: re-running the batch (sometimes with its ledger
+          // marker crashed away first) must be a no-op on the answers
+          val ids = rnd.shuffle((1L to 16L).toList).take(1 + rnd.nextInt(3))
+          val batch = ids.map(id => id -> text())
+          val df = batch.toDF("doc_id", "text")
+          InvertedIndex.ingestUpsertBatch(df, "doc_id", "text", path,
+            batchId = 1000L + step)
+          state = state ++ batch
+          if (rnd.nextBoolean()) {
+            if (rnd.nextBoolean())
+              new java.io.File(s"$path/ingested/batch-${1000 + step}")
+                .delete()
+            InvertedIndex.ingestUpsertBatch(df, "doc_id", "text", path,
+              batchId = 1000L + step)
+          }
+        case 2 => // delete 1-2 live docs (keep at least one alive)
           val live = state.keys.toList.sorted
           if (live.size > 2) {
             val ids = rnd.shuffle(live).take(1 + rnd.nextInt(2))
             InvertedIndex.deleteDocs(ids.toDF("id"), path)
             state = state -- ids
           }
-        case 2 =>
+        case 3 =>
           InvertedIndex.compact(spark, path)
       }
       if (step % 4 == 0) check()
