@@ -38,39 +38,62 @@ object LanguageModel {
     * `model` docs train the bigram stats; `score` docs are scored
     * (they may be the same frame — self-scoring, the usual recipe).
     */
+  /** (w_1 … w_n) n-gram rows from one staged tokenizer pass — the
+    * single extraction all three count tables and both scorers use, so
+    * an off-by-one fix cannot land in one arity and miss another.
+    * Output columns `_g1 … _gn` (plus `idCols`); docs shorter than n
+    * tokens contribute nothing.
+    */
+  private def ngrams(df: DataFrame, textCol: String, n: Int,
+                     idCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val staged = df.select(
+      idCols :+ TextAnalysis.tokens(col(textCol)).as("_toks"): _*)
+    staged
+      .filter(size(col("_toks")) >= n)
+      .select(idCols :+
+        posexplode(slice(col("_toks"), lit(1),
+          size(col("_toks")) - (n - 1))).as(Seq("_p", "_g1")) :+
+        col("_toks"): _*)
+      .select(idCols ++ (1 to n).map { i =>
+        if (i == 1) col("_g1")
+        else element_at(col("_toks"), col("_p") + i).as(s"_g$i")
+      }: _*)
+  }
+
+  /** Distinct-token count collected driver-side, with the loud guard
+    * both scorers need: a token-free model corpus would otherwise make
+    * every smoothing denominator zero and every score silently NULL.
+    */
+  private def vocabCount(uni: DataFrame): Double = {
+    val v = uni.count().toDouble
+    require(v > 0, "model corpus has no tokens — cannot train an LM")
+    v
+  }
+
   def bigramScore(model: DataFrame, score: DataFrame, idCol: String,
                   textCol: String, k: Double = 0.5,
                   broadcastUnigrams: Boolean = true): DataFrame = {
     require(k > 0, "smoothing k must be positive")
-    def transitions(df: DataFrame, withId: Boolean): DataFrame = {
-      val staged = df.select(
-        (if (withId) Seq(col(idCol)) else Seq.empty[org.apache.spark.sql.Column]) :+
-          TextAnalysis.tokens(col(textCol)).as("_toks"): _*)
-      staged
-        .filter(size(col("_toks")) >= 2)
-        .select((if (withId) Seq(col(idCol)) else Nil) :+
-          posexplode(slice(col("_toks"), lit(1), size(col("_toks")) - 1))
-            .as(Seq("_p", "_w1")) :+ col("_toks"): _*)
-        .select((if (withId) Seq(col(idCol)) else Nil) ++ Seq(
-          col("_w1"), element_at(col("_toks"), col("_p") + 2).as("_w2")): _*)
-    }
-
-    val trainTrans = transitions(model, withId = false)
-    val big = trainTrans.groupBy("_w1", "_w2")
+    val big = ngrams(model, textCol, 2, Nil)
+      .groupBy(col("_g1").as("_w1"), col("_g2").as("_w2"))
       .agg(count(lit(1)).cast("double").as("_cb"))
+    // checkpointed: the vocab-bounded table feeds the eager guard
+    // count AND the score join — without pinning, each would re-run
+    // the corpus tokenization + count shuffle
     val uni = model
       .select(explode(TextAnalysis.tokens(col(textCol))).as("_w1"))
       .groupBy("_w1").agg(count(lit(1)).cast("double").as("_cu"))
-    val vocabSize = uni.agg(count(lit(1)).cast("double").as("_v"))
+      .localCheckpoint(true)
+    val v = vocabCount(uni)
 
-    transitions(score, withId = true)
+    ngrams(score, textCol, 2, Seq(col(idCol)))
+      .select(col(idCol), col("_g1").as("_w1"), col("_g2").as("_w2"))
       .join(big, Seq("_w1", "_w2"), "left")
       .join(if (broadcastUnigrams) broadcast(uni) else uni,
         Seq("_w1"), "left")
-      .crossJoin(broadcast(vocabSize))
       .withColumn("_logp",
         log((coalesce(col("_cb"), lit(0.0)) + k) /
-          (coalesce(col("_cu"), lit(0.0)) + lit(k) * col("_v"))))
+          (coalesce(col("_cu"), lit(0.0)) + lit(k) * lit(v))))
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_trans"),
         round(avg(col("_logp")), 6).as("mean_logp"))
@@ -105,41 +128,29 @@ object LanguageModel {
                           broadcastUnigrams: Boolean = true): DataFrame = {
     require(alpha > 0 && alpha <= 1, "backoff alpha must be in (0, 1]")
     require(k > 0, "smoothing k must be positive")
-    def contexts(df: DataFrame, withId: Boolean): DataFrame = {
-      val staged = df.select(
-        (if (withId) Seq(col(idCol)) else Seq.empty[org.apache.spark.sql.Column]) :+
-          TextAnalysis.tokens(col(textCol)).as("_toks"): _*)
-      staged
-        .filter(size(col("_toks")) >= 3)
-        .select((if (withId) Seq(col(idCol)) else Nil) :+
-          posexplode(slice(col("_toks"), lit(1), size(col("_toks")) - 2))
-            .as(Seq("_p", "_w1")) :+ col("_toks"): _*)
-        .select((if (withId) Seq(col(idCol)) else Nil) ++ Seq(
-          col("_w1"),
-          element_at(col("_toks"), col("_p") + 2).as("_w2"),
-          element_at(col("_toks"), col("_p") + 3).as("_w3")): _*)
-    }
-    def bigrams(df: DataFrame): DataFrame = {
-      val staged = df.select(TextAnalysis.tokens(col(textCol)).as("_toks"))
-      staged.filter(size(col("_toks")) >= 2)
-        .select(posexplode(slice(col("_toks"), lit(1),
-          size(col("_toks")) - 1)).as(Seq("_p", "_a")), col("_toks"))
-        .select(col("_a"), element_at(col("_toks"), col("_p") + 2).as("_b"))
-    }
-
-    val tri = contexts(model, withId = false)
-      .groupBy("_w1", "_w2", "_w3")
+    val tri = ngrams(model, textCol, 3, Nil)
+      .groupBy(col("_g1").as("_w1"), col("_g2").as("_w2"),
+        col("_g3").as("_w3"))
       .agg(count(lit(1)).cast("double").as("_c3"))
-    val bi = bigrams(model).groupBy("_a", "_b")
+    val bi = ngrams(model, textCol, 2, Nil)
+      .groupBy(col("_g1").as("_a"), col("_g2").as("_b"))
       .agg(count(lit(1)).cast("double").as("_c2"))
+    // checkpointed: four consumers (guard count, N sum, two lookup
+    // joins) must not each re-run the corpus tokenization
     val uni = model
       .select(explode(TextAnalysis.tokens(col(textCol))).as("_w"))
       .groupBy("_w").agg(count(lit(1)).cast("double").as("_cu"))
-    val nv = uni.agg(coalesce(sum(col("_cu")), lit(0.0)).as("_n"),
-      count(lit(1)).cast("double").as("_v"))
+      .localCheckpoint(true)
+    // driver-side (one tiny row): the loud empty-corpus guard lives in
+    // vocabCount, and N/V enter the floor branch as literals
+    val v = vocabCount(uni)
+    val n = uni.agg(coalesce(sum(col("_cu")), lit(0.0)))
+      .head().getDouble(0)
     val uniSide = if (broadcastUnigrams) broadcast(uni) else uni
 
-    contexts(score, withId = true)
+    ngrams(score, textCol, 3, Seq(col(idCol)))
+      .select(col(idCol), col("_g1").as("_w1"), col("_g2").as("_w2"),
+        col("_g3").as("_w3"))
       .join(tri, Seq("_w1", "_w2", "_w3"), "left")
       .join(bi.select(col("_a").as("_w1"), col("_b").as("_w2"),
         col("_c2").as("_c12")), Seq("_w1", "_w2"), "left")
@@ -149,14 +160,13 @@ object LanguageModel {
         Seq("_w2"), "left")
       .join(uniSide.select(col("_w").as("_w3"), col("_cu").as("_cu3")),
         Seq("_w3"), "left")
-      .crossJoin(broadcast(nv))
       .withColumn("_s",
         when(col("_c3").isNotNull, col("_c3") / col("_c12"))
           .when(col("_c23").isNotNull,
             lit(alpha) * col("_c23") / col("_cu2"))
           .otherwise(lit(alpha * alpha) *
             (coalesce(col("_cu3"), lit(0.0)) + k) /
-            (col("_n") + lit(k) * col("_v"))))
+            lit(n + k * v)))
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_ctx"),
         round(avg(log(col("_s"))), 6).as("mean_logs"))

@@ -454,8 +454,10 @@ class InvertedIndexSpec extends AnyFunSuite {
           state = state ++ batch
           if (rnd.nextBoolean()) {
             if (rnd.nextBoolean())
-              new java.io.File(s"$path/ingested/batch-${1000 + step}")
-                .delete()
+              assert(new java.io.File(
+                s"$path/ingested/batch-${1000 + step}").delete(),
+                "ledger marker vanished — the crashed-replay branch " +
+                  "would silently stop being exercised")
             InvertedIndex.ingestUpsertBatch(df, "doc_id", "text", path,
               batchId = 1000L + step)
           }

@@ -38,7 +38,7 @@ class LanguageModelSpec extends AnyFunSuite {
   }
 
   test("trigram stupid backoff: each CASE branch matches the hand model") {
-    // train: "a b c a b c a b d" → c3(a b c)=2, c3(b c a)=1,
+    // train: "a b c a b c a b d" → c3(a b c)=2, c3(b c a)=2,
     // c3(c a b)=2, c3(a b d)=1; c2(a b)=3, c2(b c)=2, c2(c a)=2,
     // c2(b d)=1; c1: a=3 b=3 c=2 d=1 → N=9, V=4
     val train = Seq((1L, "a b c a b c a b d")).toDF("doc_id", "text")
@@ -62,6 +62,15 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(!LanguageModel.trigramBackoffScore(train,
         Seq((20L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
       .collect().map(_.getLong(0)).contains(20L))
+    // the shuffled-unigram opt-out scores bit-identically
+    val shuffled = LanguageModel.trigramBackoffScore(train, score,
+        "doc_id", "text", broadcastUnigrams = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(shuffled == got)
+    // a token-free model corpus fails loudly, not silently-null
+    intercept[IllegalArgumentException](
+      LanguageModel.trigramBackoffScore(
+        Seq((1L, "")).toDF("doc_id", "text"), score, "doc_id", "text"))
   }
 
   test("broadcastUnigrams=false scores bit-identically to the default") {
