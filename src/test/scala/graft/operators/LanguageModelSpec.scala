@@ -67,10 +67,19 @@ class LanguageModelSpec extends AnyFunSuite {
         "doc_id", "text", broadcastUnigrams = false)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(shuffled == got)
-    // a token-free model corpus fails loudly, not silently-null
-    intercept[IllegalArgumentException](
+    // a token-free model corpus fails loudly at action time (in-plan
+    // raise_error), never silently-null scores
+    val e = intercept[Exception](
       LanguageModel.trigramBackoffScore(
-        Seq((1L, "")).toDF("doc_id", "text"), score, "doc_id", "text"))
+        Seq((1L, "")).toDF("doc_id", "text"), score, "doc_id", "text")
+        .collect())
+    assert(e.getMessage.contains("no tokens"))
+    val e2 = intercept[Exception](
+      LanguageModel.bigramScore(
+        Seq((1L, "")).toDF("doc_id", "text"),
+        Seq((10L, "x y")).toDF("doc_id", "text"), "doc_id", "text")
+        .collect())
+    assert(e2.getMessage.contains("no tokens"))
   }
 
   test("broadcastUnigrams=false scores bit-identically to the default") {
