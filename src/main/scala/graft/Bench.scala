@@ -75,6 +75,10 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"queries_part","part":${i + 1},"of":${(results.size + 29) / 30},"queries":$body}""")
     }
+    // The driver's capture keeps the TAIL of output, so the total-first
+    // headline above falls off it once the chunk lines land (r6's
+    // "parsed": null). Re-print the headline LAST so it survives.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full_json":"${outPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

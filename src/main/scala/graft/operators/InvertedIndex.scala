@@ -399,6 +399,84 @@ object InvertedIndex {
     fs.create(marker, true).close()
   }
 
+  /** The full CDC face: one micro-batch carrying op-typed events —
+    * `upsert` rows (id + new text) AND `delete` rows (id, text
+    * ignored) — applied with [[ingestBatch]]'s exactly-once-per-batch
+    * discipline. [[ingestUpsertBatch]] covers feeds that only ever
+    * update; real change-data-capture also deletes, and before this
+    * a tombstone-only event had no streaming path
+    * ([[graft.streaming.CorpusStream.incrementalCdcIndex]]).
+    *
+    * Semantics per batch: every event id's LIVE version (in the
+    * OTHER segments — never the batch's own retry target) is
+    * tombstoned in one batch-wide tombstone; then the upsert rows
+    * land as the batch's own segment. Deletes of ids that are not
+    * live no-op silently — that is what makes a checkpoint REPLAY of
+    * a crashed batch idempotent (the first attempt's committed
+    * tombstone already covers them), and it matches ES's
+    * `delete`-of-missing-doc behavior (a 404, not a failure).
+    *
+    * Contract: ONE event per id per batch — a feed carrying several
+    * ops for an id in one micro-batch must collapse to the last op
+    * upstream (the same last-wins collapse any CDC consumer does).
+    * Rejected loudly here, not discovered later as skewed stats.
+    *
+    * Replay windows (superset of [[ingestUpsertBatch]]'s): crash
+    * after the tombstone → retry finds nothing live, re-tombstones
+    * nothing; crash after the segment commit → retry rewrites its own
+    * segment (excluded from tombstone scope, so never self-masked);
+    * delete-only batches write no segment, only their marker.
+    */
+  def ingestCdcBatch(events: DataFrame, idCol: String, textCol: String,
+                     opCol: String, indexPath: String, batchId: Long,
+                     bucketsIfNew: Int = 64): Unit = {
+    require(bucketsIfNew >= 1 && bucketsIfNew <= 256,
+      s"buckets must be in [1, 256] (one md5 byte), got $bucketsIfNew")
+    val spark = events.sparkSession
+    val fs = fsOf(spark, indexPath)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/ingested/batch-$batchId")
+    if (fs.exists(marker)) return
+    val evs = events.select(col(idCol).as("id"), col(textCol).as("_text"),
+      lower(col(opCol)).as("_op")).persist()
+    try {
+      // one pass: op histogram + the one-event-per-id contract
+      val r = evs.agg(count(lit(1)).as("_n"),
+        count_distinct(col("id")).as("_d"),
+        count(when(col("_op").isin("upsert", "delete"), 1)).as("_k"),
+        count(when(col("_op") === "upsert", 1)).as("_u")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"CDC batch $batchId carries ${r.getLong(0)} events over " +
+          s"${r.getLong(1)} distinct ids — collapse to ONE event per id " +
+          "(last op wins) before ingesting")
+      require(r.getLong(2) == r.getLong(0),
+        s"CDC batch $batchId has ${r.getLong(0) - r.getLong(2)} events " +
+          s"with ops outside {upsert, delete} in column '$opCol'")
+      val nUpserts = r.getLong(3)
+      if (r.getLong(0) > 0) {
+        val ownName = s"seg-batch-$batchId"
+        val all = committedSegments(spark, indexPath)
+        val others = all.filterNot(s =>
+          new org.apache.hadoop.fs.Path(s).getName == ownName)
+        val buckets =
+          if (all.isEmpty) bucketsIfNew
+          else spark.read.parquet(s"${all.head}/stats")
+            .select("buckets").head().getInt(0)
+        // ONE tombstone covers both kinds of event: an upsert's stale
+        // version and a delete's live version die the same way
+        if (others.nonEmpty) tombstoneLiveOf(evs, "id", indexPath, others)
+        if (nUpserts > 0)
+          writeSegmentNamed(evs.filter(col("_op") === "upsert")
+              .select(col("id").as(idCol), col("_text").as(textCol)),
+            idCol, textCol, indexPath, ownName, buckets)
+      }
+      fs.create(marker, true).close()
+    } finally {
+      evs.unpersist()
+      ()
+    }
+  }
+
   /** Add NEW documents as one more immutable segment (see the append
     * contract above). Bucket count is inherited from the existing
     * index so every segment shares one layout.
@@ -685,5 +763,91 @@ object InvertedIndex {
       .agg(round(sum(col("_s")), 6).as("score"))
       .orderBy(col("score").desc, col(idColName))
       .limit(k)
+  }
+
+  /** Serve a whole QUERY TABLE in one plan — the index's concurrent-
+    * search face. [[searchTopK]] answers one query per driver call;
+    * a query-serving workload has a frame of (query id, terms) rows
+    * and wants them all answered together, the way the reference's
+    * backing engine serves concurrent searches natively.
+    *
+    * Shape: the union of every query's term-bucket reads is ONE
+    * pruned postings scan (each bucket directory is read once no
+    * matter how many queries touch it), df/idf are computed once per
+    * term (they are query-independent), the postings join against the
+    * exploded (query, term) pairs fans each posting row out only to
+    * the queries that asked for its term, and the per-query ranking
+    * is the two-phase top-k of [[Similarity.rankTopKPerQuery]] — no
+    * query's candidate set ever funnels through a single partition.
+    *
+    * Driver-side footprint is bounded regardless of workload size:
+    * when the workload's distinct-term vocabulary is small (≤
+    * `maxPushdownTerms`) the terms collect to the driver and push
+    * into the parquet scan exactly like [[searchTopK]]; beyond that
+    * the scan prunes on the ≤ 256 wanted BUCKET ids (collected from a
+    * tiny distinct-agg) and the term membership test joins
+    * distributed instead — no unbounded IN-list, no unbounded
+    * collect.
+    *
+    * Output: (qIdCol, rank, idColName, score) for rank ≤ k per query,
+    * row-identical per query to [[searchTopK]] (same formula, 6-dp
+    * rounding, ties by id — differential-pinned in the spec). Queries
+    * with no matching term simply have no rows, ES's empty-hits.
+    */
+  def searchTopKBatch(queries: DataFrame, indexPath: String, k: Int,
+                      qIdCol: String = "q_id", termsCol: String = "terms",
+                      idColName: String = "id",
+                      k1: Double = 1.2, b: Double = 0.75,
+                      maxPushdownTerms: Int = 1024): DataFrame = {
+    require(k > 0)
+    // the postings side owns these names; a clashing query-id column
+    // would silently alias into the score plan
+    require(!Seq("term", "id", "tf", "len", "bucket", "score", "rank")
+        .contains(qIdCol) && qIdCol != idColName,
+      s"qIdCol '$qIdCol' collides with the postings/result columns — " +
+        "rename the query-id column")
+    val spark = queries.sparkSession
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val dels = committedDeletes(spark, indexPath)
+    val st = liveStats(spark, segs, dels)
+    val n = st.n
+    val avg = if (n > 0) st.sumLen / n else 1.0
+    // (q_id, term) pairs, lowercased, de-duped within each query so a
+    // repeated term cannot double its score contribution
+    val qt = queries.select(col(qIdCol), explode(col(termsCol)).as("term"))
+      .withColumn("term", lower(col("term"))).distinct()
+      .localCheckpoint(true) // bounded: Σ|query terms|; reused 2×
+    val nTerms = qt.select("term").distinct().count()
+    val p =
+      if (nTerms <= maxPushdownTerms) {
+        val terms = qt.select("term").distinct()
+          .collect().map(_.getString(0)).toSeq
+        prunedLivePostings(spark, segs, dels, terms, st.buckets)
+      } else {
+        val wanted = qt.select(termBucket(col("term"), st.buckets)
+            .as("bucket")).distinct().collect().map(_.getInt(0)).toSeq
+        val termSet = qt.select("term").distinct()
+        val prune: DataFrame => DataFrame =
+          _.filter(col("bucket").isin(wanted: _*))
+            .join(termSet, Seq("term"), "left_semi")
+        if (dels.isEmpty) mergedPostings(spark, segs, prune)
+        else mergedLivePostings(spark, segs, dels, prune)
+      }
+    val dfreq = p.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val scored = p.join(broadcast(dfreq), Seq("term"))
+      .join(qt, Seq("term"))
+      .withColumn("_idf",
+        log(lit(1.0) + (lit(n) - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_s",
+        col("_idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("len") / lit(avg))))
+      .groupBy(col(qIdCol), col("id").as(idColName))
+      .agg(round(sum(col("_s")), 6).as("score"))
+    Similarity.rankTopKPerQuery(scored, k, qIdCol, idColName, "score")
+      .select(col(qIdCol), col("rank"), col(idColName), col("score"))
   }
 }

@@ -22,14 +22,22 @@ private[graft] object Manifest {
   /** Atomically publish `lines` at `path`: write a temp sibling, then
     * rename. A crash mid-write leaves only the ignored `.tmp` file —
     * readers never see a partial manifest.
+    *
+    * Heal-first contract: callers MUST run [[heal]] (which clears any
+    * prior manifest) before writing a new one. A delete-then-rename
+    * replacement would have a window where NO manifest exists — a crash
+    * there silently forgets an in-flight compaction — so replacement is
+    * refused outright rather than made to look atomic.
     */
   def write(fs: FileSystem, path: Path, lines: Seq[String]): Unit = {
+    require(!fs.exists(path),
+      s"manifest already exists at $path: run Manifest.heal() before " +
+        "publishing a new compaction (heal-first contract)")
     val tmp = new Path(path.getParent, path.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(lines.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(path)) fs.delete(path, false)
     require(fs.rename(tmp, path), s"manifest rename failed: $tmp -> $path")
   }
 

@@ -21,6 +21,42 @@ import graft.plans.VectorExpressions
   */
 object Similarity {
 
+  /** Two-phase per-query top-k over a scored candidate frame.
+    *
+    * The naive spelling — `row_number().over(Window.partitionBy(qCol))`
+    * — funnels EVERY candidate row for a query into one partition and
+    * sorts it in one task: for brute-force search that is O(N) rows per
+    * query, a straggler by construction, and parallelism is capped at
+    * |Q| no matter how large the cluster. Instead: phase 1 ranks within
+    * (input-partition, query) cells — the shuffle key carries
+    * `spark_partition_id()`, so the sort work spreads across
+    * partitions×|Q| cells — and keeps at most k survivors per cell;
+    * phase 2 ranks the ≤ partitions×k survivors per query, a bounded
+    * set regardless of corpus size.
+    *
+    * Results are identical to the single-window spelling for ANY
+    * partition assignment: a row outside its cell's top-k is dominated
+    * by ≥ k same-cell rows for the same query and can never enter the
+    * global top-k. Ties break on `idCol`, so ranking stays total and
+    * reproducible. Returns `scored` plus a long `rank` column,
+    * filtered to rank ≤ k; callers project their own output shape.
+    */
+  private[graft] def rankTopKPerQuery(scored: DataFrame, k: Int,
+                                      qCol: String, idCol: String,
+                                      scoreCol: String): DataFrame = {
+    val localW = Window.partitionBy(col("_tk_pid"), col(qCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val globalW = Window.partitionBy(col(qCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored
+      .withColumn("_tk_pid", spark_partition_id())
+      .withColumn("_tk_lr", row_number().over(localW))
+      .filter(col("_tk_lr") <= k)
+      .drop("_tk_pid", "_tk_lr")
+      .withColumn("rank", row_number().over(globalW).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1). */
   private def planeComponent(plane: Int, dim: Column): Column =
     (pmod(xxhash64(lit(plane), dim), lit(2000L)).cast("double") / 1000.0) - 1.0
@@ -77,10 +113,7 @@ object Similarity {
       .withColumn("cos", round(
         VectorExpressions.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")),
         roundTo))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopKPerQuery(scored, k, "q_id", "n_id", "cos")
       .select("q_id", "rank", "n_id", "cos")
   }
 
@@ -184,10 +217,7 @@ object Similarity {
       .withColumn("cos", round(
         VectorExpressions.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")),
         roundTo))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopKPerQuery(cand, k, "q_id", "n_id", "cos")
       .select("q_id", "rank", "n_id", "cos")
   }
 
@@ -217,10 +247,7 @@ object Similarity {
       .withColumn("cos", round(
         VectorExpressions.dot(col("q_v"), col("n_v")) / (col("q_n") * col("n_n")),
         roundTo))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopKPerQuery(scored, k, "q_id", "n_id", "cos")
       .select("q_id", "rank", "n_id", "cos")
   }
 }

@@ -249,10 +249,8 @@ object PipelineQueries {
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos8",
           round(VectorExpressions.cosine(col("q"), col("q_v")), 6))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("cos8").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
+      // two-phase top-k: no corpus-sized single-partition-per-query sort
+      Similarity.rankTopKPerQuery(scored, 3, "q_id", "vec_id", "cos8")
         .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("cos8"))
         .orderBy("q_id", "rank")
     }),
@@ -559,6 +557,85 @@ object PipelineQueries {
           Seq("stream", "filter", "join"), k = 12, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // FULL CDC streaming: batch k carries upserts (its own docs plus
+    // updates rewriting the previous class's docs, st9's shape) AND
+    // op-typed DELETE events — batch 2 deletes a slice of batch 0's
+    // docs, batch 3 a slice of batch 1's (each slice updated in
+    // between, so the tombstone must kill the UPDATED version in its
+    // re-ingest segment, not just the original). Search must equal
+    // DuckDB's BM25 replay over the last-wins-minus-deleted corpus —
+    // a leaked tombstone, a surviving deleted doc, or stats still
+    // counting the dead docs' lengths all miss
+    "st10_stream_cdc_index" -> ((s, d) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-st10-run").toString
+      val src = new java.io.File(work, "src"); src.mkdirs()
+      val base = t(s, d, "documents").select("doc_id", "text")
+      for (k <- 0 until 4) {
+        val own = base.filter(col("doc_id") % 4 === k)
+          .withColumn("op", lit("upsert"))
+        val upd =
+          if (k == 0) own.limit(0)
+          else base.filter(col("doc_id") % 4 === k)
+            .select((col("doc_id") - 1).as("doc_id"),
+              concat(col("text"), lit(" updatedmark")).as("text"))
+            .withColumn("op", lit("upsert"))
+        val del = k match {
+          case 2 => base.filter(col("doc_id") % 16 === 4)
+            .select(col("doc_id"), lit("").as("text"),
+              lit("delete").as("op"))
+          case 3 => base.filter(col("doc_id") % 16 === 9)
+            .select(col("doc_id"), lit("").as("text"),
+              lit("delete").as("op"))
+          case _ => own.limit(0)
+        }
+        val rows = own.unionByName(upd).unionByName(del)
+        val stage = new java.io.File(src, s"_stage$k")
+        rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"batch-$k.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + k * 60000L)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+      }
+      val schema = s.read.parquet(s"$src/batch-0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.CorpusStream.incrementalCdcIndex(
+          stream, "doc_id", "text", "op", s"$work/index", s"$work/ckp",
+          compactEvery = Some(2))
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.operators.InvertedIndex.searchTopK(s, s"$work/index",
+          Seq("stream", "filter", "join"), k = 12, idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+    // batched index search — the query-SERVING face: a whole queries
+    // TABLE (q_id, terms) answered in ONE plan (each touched bucket
+    // directory read once, df/idf computed once per term, two-phase
+    // per-query top-k), per-query row-identical to searchTopK. The
+    // oracle replays every query's BM25 from the flat table and ranks
+    // with the same tie-break
+    "idx6_batch_search" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx6-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", path)
+      val queries = Seq(
+        (1L, Seq("stream", "filter", "join")),
+        (2L, Seq("spark", "hash")),
+        (3L, Seq("vector", "spark", "filter"))).toDF("q_id", "terms")
+      graft.operators.InvertedIndex.searchTopKBatch(queries, path,
+          k = 10, idColName = "doc_id")
+        .orderBy("q_id", "rank")
+    }),
     // st4's dedup answer through the EXACTLY-ONCE delivery path: each
     // batch's survivors land in their own committed output dir BEFORE
     // their digests register (deliver-then-register — no crash window
@@ -839,10 +916,8 @@ object PipelineQueries {
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos16",
           round(VectorExpressions.cosine(col("v"), col("q_v")), 6))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("cos16").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
+      // two-phase top-k: no corpus-sized single-partition-per-query sort
+      Similarity.rankTopKPerQuery(scored, 3, "q_id", "vec_id", "cos16")
         .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("cos16"))
         .orderBy("q_id", "rank")
     }),
@@ -1367,6 +1442,67 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
+    // last-wins corpus MINUS the CDC-deleted ids (the %16 slices drawn
+    // from the base table): tombstones, segments, and the op column
+    // never exist oracle-side — a deleted doc surviving, its length
+    // still in avg_len, or its rows still in df all miss
+    "st10_stream_cdc_index" ->
+      raw"""WITH upd AS (SELECT doc_id - 1 AS doc_id,
+           |               text || ' updatedmark' AS text
+           |             FROM documents WHERE doc_id % 4 <> 0),
+           |corpus AS (SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+           |                  coalesce(u.text, b.text) AS text
+           |           FROM documents b FULL OUTER JOIN upd u
+           |             ON b.doc_id = u.doc_id),
+           |live AS (SELECT c.doc_id, c.text FROM corpus c
+           |         WHERE NOT (c.doc_id % 16 IN (4, 9) AND EXISTS
+           |           (SELECT 1 FROM documents b2
+           |            WHERE b2.doc_id = c.doc_id))),
+           |s AS (SELECT doc_id, $toksSql AS toks FROM live),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter', 'join') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1)
+           |SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |FROM tf JOIN dft USING (t), st
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
+    // every query's BM25 replayed from the flat table against one
+    // (q_id, term) values list, ranked per query with the engine's
+    // tie-break (score desc, doc_id) — df/idf shared across queries
+    // exactly as the batch plan computes them once per term
+    "idx6_batch_search" ->
+      raw"""WITH qt AS (SELECT CAST(q AS BIGINT) AS q_id, t
+           |            FROM (VALUES (1, 'stream'), (1, 'filter'),
+           |              (1, 'join'), (2, 'spark'), (2, 'hash'),
+           |              (3, 'vector'), (3, 'spark'),
+           |              (3, 'filter')) AS v(q, t)),
+           |s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |sc AS (SELECT q.q_id, f.doc_id,
+           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf *
+           |           (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6)
+           |           AS score
+           |       FROM tf f JOIN dft USING (t) JOIN qt q USING (t), st
+           |       GROUP BY 1, 2),
+           |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+           |         ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           |         doc_id, score FROM sc)
+           |SELECT q_id, rank, doc_id, score FROM r WHERE rank <= 10
+           |ORDER BY q_id, rank""".stripMargin,
     // replay over the POST-update corpus: updated docs carry their new
     // text, old versions never existed oracle-side — a tombstone that
     // leaked across segments (masking the re-ingested docs) or stale

@@ -107,6 +107,38 @@ object CorpusStream {
     }
   }
 
+  /** The index-stream twin of [[requireFreshOrContinuing]]: a FRESH
+    * checkpoint (batch ids restart at 0) pointed at an indexPath that
+    * already holds `ingested/batch-<id>` ledger markers from a
+    * previous stream makes [[graft.operators.InvertedIndex.ingestBatch]]
+    * /`ingestUpsertBatch` return WITHOUT ingesting — the new stream's
+    * first batches silently vanish, rows never indexed, no error
+    * anywhere. Continuations (checkpoint offsets exist) pass.
+    */
+  private def requireFreshOrContinuingIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      checkpoint: String, indexPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val continuing = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$checkpoint/offsets"))
+    if (!continuing) {
+      val ledger = new org.apache.hadoop.fs.Path(s"$indexPath/ingested")
+      val stale =
+        if (fs.exists(ledger)) fs.listStatus(ledger).length else 0
+      val segments = new org.apache.hadoop.fs.Path(s"$indexPath/segments")
+      val staleSegs =
+        if (fs.exists(segments)) fs.listStatus(segments).length else 0
+      require(stale == 0 && staleSegs == 0,
+        s"checkpoint $checkpoint is fresh but $indexPath already holds " +
+          s"$stale ingested-batch ledger markers and $staleSegs " +
+          "segments — the restarted batch-id sequence would match the " +
+          "ledger and silently skip ingesting the new stream's first " +
+          "batches; use a fresh indexPath or restore the original " +
+          "checkpoint")
+    }
+  }
+
   def incrementalDedupExactlyOnce(docs: DataFrame, idCol: String,
                                   textCol: String,
                                   registryPath: String, outPath: String,
@@ -236,6 +268,7 @@ object CorpusStream {
                        indexPath: String, checkpoint: String,
                        buckets: Int = 64,
                        compactEvery: Option[Int] = None): StreamingQuery = {
+    requireFreshOrContinuingIndex(docs.sparkSession, checkpoint, indexPath)
     // replay an interrupted compact() before serving or appending:
     // the crashed window holds postings twice, and ingestBatch's
     // batch-id ledger (not segment names, which compaction renames)
@@ -270,11 +303,46 @@ object CorpusStream {
     * its own segment. Last arrival wins per id, exactly once per
     * batch id, crash windows replay as documented on the operator.
     */
+  /** The FULL CDC face: op-typed events — `upsert` rows carrying new
+    * content AND `delete` rows that tombstone — applied exactly once
+    * per batch id by
+    * [[graft.operators.InvertedIndex.ingestCdcBatch]].
+    * [[incrementalUpsertIndex]] serves feeds that only update; a real
+    * change-data-capture feed also deletes, and this is the streaming
+    * path for those events. Deletes of ids that are not live no-op
+    * (replay idempotence; ES's 404-not-failure), one event per id per
+    * batch (collapse last-op-wins upstream), crash windows replay as
+    * documented on the operator.
+    */
+  def incrementalCdcIndex(events: DataFrame, idCol: String,
+                          textCol: String, opCol: String,
+                          indexPath: String, checkpoint: String,
+                          buckets: Int = 64,
+                          compactEvery: Option[Int] = None): StreamingQuery = {
+    requireFreshOrContinuingIndex(events.sparkSession, checkpoint, indexPath)
+    graft.operators.InvertedIndex.heal(events.sparkSession, indexPath)
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.InvertedIndex.ingestCdcBatch(batch.toDF(),
+          idCol, textCol, opCol, indexPath, batchId,
+          bucketsIfNew = buckets)
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == n - 1)
+            graft.operators.InvertedIndex.compact(
+              batch.sparkSession, indexPath)
+        }
+        ()
+      }
+      .start()
+  }
+
   def incrementalUpsertIndex(docs: DataFrame, idCol: String,
                              textCol: String,
                              indexPath: String, checkpoint: String,
                              buckets: Int = 64,
                              compactEvery: Option[Int] = None): StreamingQuery = {
+    requireFreshOrContinuingIndex(docs.sparkSession, checkpoint, indexPath)
     graft.operators.InvertedIndex.heal(docs.sparkSession, indexPath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)

@@ -271,6 +271,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("LeftSemi"), p)
   }
 
+  test("ANN family: two-phase top-k — no corpus-sized single-partition-per-query sort") {
+    // the naive per-query ranking (row_number over partitionBy(q_id)
+    // alone) drags every candidate row for a query into ONE task — for
+    // brute force that is O(N) rows per query at 100×. The two-phase
+    // shape must survive refactors: a local window keyed on
+    // (spark_partition_id, q_id) bounds what the per-query global
+    // window ever sees to partitions×k survivors.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("sim1_brute_topk", "sim2_lsh_topk", "sim3_ivf_topk",
+      "emb2_int8_topk", "emb3_matryoshka_topk", "idx6_batch_search")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sfDir)
+      spark.catalog.clearCache()
+      val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.map(_.partitionSpec.size).sorted == Seq(1, 2),
+        s"$q: expected the local (pid, q_id) + global (q_id) window pair, " +
+          s"got partition specs ${windows.map(_.partitionSpec)}")
+      // the global single-key window must rank only the local phase's
+      // survivors — i.e. sit ABOVE the two-key window in the plan
+      val global = windows.find(_.partitionSpec.size == 1).get
+      assert(global.child.collect {
+        case w: LWindow if w.partitionSpec.size == 2 => w
+      }.nonEmpty, s"$q: global ranking window is not fed by the local phase")
+    }
+  }
+
   test("dc1: benchmark grams broadcast; corpus side joins map-side") {
     val p = plan("dc1_decontam")
     assert(p.contains("BroadcastHashJoin"), p)

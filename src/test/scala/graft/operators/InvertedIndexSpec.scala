@@ -436,7 +436,7 @@ class InvertedIndexSpec extends AnyFunSuite {
         .getAs[Long]("n_docs") == state.size)
     }
     for (step <- 1 to 16) {
-      rnd.nextInt(4) match {
+      rnd.nextInt(5) match {
         case 0 => // upsert 1-3 docs: mix of updates and brand-new ids
           val ids = rnd.shuffle((1L to 16L).toList).take(1 + rnd.nextInt(3))
           val batch = ids.map(id => id -> text())
@@ -470,10 +470,111 @@ class InvertedIndexSpec extends AnyFunSuite {
           }
         case 3 =>
           InvertedIndex.compact(spark, path)
+        case 4 => // the FULL CDC face: one op-typed batch mixing
+          // upserts with deletes, with the same random replay
+          // injection as the upsert arm
+          val ids = rnd.shuffle((1L to 16L).toList).take(2 + rnd.nextInt(3))
+          val (delIds, upIds) = ids.splitAt(
+            if (state.size > 2) rnd.nextInt(2) else 0)
+          val ups = upIds.map(id => id -> text())
+          val events = (ups.map { case (id, t) => (id, t, "upsert") } ++
+            delIds.map(id => (id, "", "delete")))
+            .toDF("doc_id", "text", "op")
+          InvertedIndex.ingestCdcBatch(events, "doc_id", "text", "op",
+            path, batchId = 2000L + step)
+          state = state ++ ups -- delIds
+          if (rnd.nextBoolean()) {
+            if (rnd.nextBoolean())
+              assert(new java.io.File(
+                s"$path/ingested/batch-${2000 + step}").delete(),
+                "ledger marker vanished — the crashed-replay branch " +
+                  "would silently stop being exercised")
+            InvertedIndex.ingestCdcBatch(events, "doc_id", "text", "op",
+              path, batchId = 2000L + step)
+          }
       }
       if (step % 4 == 0) check()
     }
     check()
+  }
+
+  test("CDC batch: delete events tombstone, non-live deletes no-op, contracts loud") {
+    val path = tmp("graft-idx-cdc")
+    InvertedIndex.build(Seq((1L, "alpha beta"), (2L, "alpha gamma"),
+      (3L, "beta gamma")).toDF("doc_id", "text"), "doc_id", "text", path)
+    // mixed batch: update doc 1, delete doc 2, insert doc 4
+    InvertedIndex.ingestCdcBatch(Seq((1L, "alpha delta", "upsert"),
+        (2L, "", "delete"), (4L, "beta beta", "upsert"))
+      .toDF("doc_id", "text", "op"), "doc_id", "text", "op", path, 0L)
+    def alive(): Seq[Long] = InvertedIndex
+      .searchTopK(spark, path, Seq("alpha", "beta", "gamma", "delta"),
+        k = 10, idColName = "doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(alive() == Seq(1L, 3L, 4L))
+    assert(InvertedIndex.stats(spark, path).head()
+      .getAs[Long]("n_docs") == 3)
+    // delete-only batch: kills doc 3; its second delivery (marker
+    // present) is a no-op, and a REPLAY with the marker crashed away
+    // finds doc 3 no longer live and must no-op too (ES's
+    // delete-of-missing is a 404, not a failure — and that tolerance
+    // is exactly what makes the crash window idempotent)
+    val delOnly = Seq((3L, "", "delete")).toDF("doc_id", "text", "op")
+    InvertedIndex.ingestCdcBatch(delOnly, "doc_id", "text", "op", path, 1L)
+    assert(alive() == Seq(1L, 4L))
+    InvertedIndex.ingestCdcBatch(delOnly, "doc_id", "text", "op", path, 1L)
+    assert(new java.io.File(s"$path/ingested/batch-1").delete())
+    InvertedIndex.ingestCdcBatch(delOnly, "doc_id", "text", "op", path, 1L)
+    assert(alive() == Seq(1L, 4L))
+    assert(InvertedIndex.stats(spark, path).head()
+      .getAs[Long]("n_docs") == 2)
+    // contracts: two events for one id, and an unknown op, both loud
+    val dup = intercept[IllegalArgumentException](
+      InvertedIndex.ingestCdcBatch(Seq((5L, "x", "upsert"),
+          (5L, "", "delete")).toDF("doc_id", "text", "op"),
+        "doc_id", "text", "op", path, 9L))
+    assert(dup.getMessage.contains("ONE event per id"))
+    val bad = intercept[IllegalArgumentException](
+      InvertedIndex.ingestCdcBatch(Seq((6L, "x", "insert"))
+          .toDF("doc_id", "text", "op"),
+        "doc_id", "text", "op", path, 9L))
+    assert(bad.getMessage.contains("upsert, delete"))
+    // neither failed batch may have marked itself ingested
+    assert(!new java.io.File(s"$path/ingested/batch-9").exists())
+  }
+
+  test("batched search == per-query searchTopK, on both term-membership paths") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val path = tmp("graft-idx-batch")
+    InvertedIndex.build(docs, "doc_id", "text", path)
+    InvertedIndex.deleteDocs(
+      docs.filter(col("doc_id") % 7 === 0).select("doc_id"), path)
+    val qs = Seq(
+      (10L, Seq("stream", "filter", "join")),
+      (20L, Seq("spark", "hash")),
+      (30L, Seq("vector", "spark", "filter")),
+      (40L, Seq("zzznosuchterm")))
+    val queries = qs.toDF("q_id", "terms")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    // the IN-pushdown path (few distinct terms) and the semi-join path
+    // (cap forced to 0) must both equal the per-query serving loop;
+    // tombstones live so the df/stats adjustment is in play
+    val push = rows(InvertedIndex.searchTopKBatch(queries, path, k = 10,
+      idColName = "doc_id"))
+    val semi = rows(InvertedIndex.searchTopKBatch(queries, path, k = 10,
+      idColName = "doc_id", maxPushdownTerms = 0))
+    val loop = qs.flatMap { case (qid, terms) =>
+      if (terms.head.startsWith("zzz")) Nil
+      else InvertedIndex.searchTopK(spark, path, terms, k = 10,
+          idColName = "doc_id").collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1L, r.getLong(0), r.getDouble(1)) }
+    }
+    assert(push == loop)
+    assert(semi == loop)
+    // the matchless query has no rows — ES's empty hits, not an error
+    assert(!push.exists(_._1 == 40L))
+    assert(push.nonEmpty)
   }
 
   test("stats count every doc, including token-free ones; moments are additive") {

@@ -188,6 +188,43 @@ class CorpusStreamSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("index streams refuse a fresh checkpoint over an existing index") {
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-cs-idx-stale").toString
+    val src = new java.io.File(work, "src"); src.mkdirs()
+    writeBatches(src.toString, Seq(Seq((1L, "alpha beta"))))
+    val schema = spark.read.parquet(src.toString).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q = CorpusStream.incrementalIndex(stream(), "doc_id", "text",
+      s"$work/index", s"$work/ckp")
+    try q.processAllAvailable() finally q.stop()
+    // same indexPath, FRESH checkpoint: batch ids restart at 0 and the
+    // stale ingested/batch-0 ledger marker makes ingestBatch return
+    // without ingesting — the new stream's batches silently vanish, so
+    // both index streams must refuse at start
+    val e = intercept[IllegalArgumentException](
+      CorpusStream.incrementalIndex(stream(), "doc_id", "text",
+        s"$work/index", s"$work/ckp2"))
+    assert(e.getMessage.contains("fresh"))
+    val e2 = intercept[IllegalArgumentException](
+      CorpusStream.incrementalUpsertIndex(stream(), "doc_id", "text",
+        s"$work/index", s"$work/ckp3"))
+    assert(e2.getMessage.contains("fresh"))
+    val e3 = intercept[IllegalArgumentException](
+      CorpusStream.incrementalCdcIndex(stream(), "doc_id", "text", "op",
+        s"$work/index", s"$work/ckp4"))
+    assert(e3.getMessage.contains("fresh"))
+    // the original checkpoint continues fine and stays answer-correct
+    val q2 = CorpusStream.incrementalIndex(stream(), "doc_id", "text",
+      s"$work/index", s"$work/ckp")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(graft.operators.InvertedIndex.searchTopK(spark,
+      s"$work/index", Seq("alpha"), k = 2, idColName = "doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("near-dup stream restart heals a crashed compaction before probing") {
     import spark.implicits._
     val work = java.nio.file.Files
