@@ -175,6 +175,28 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
       graft.functions.EsQueryDsl.toColumn(queryJson, idCol, requireText)))
   }
 
+  /** [[esQuery]] with QUERY-context (scoring) semantics: the matching
+    * rows plus a `_score` column — `match` clauses earn corpus-stats
+    * BM25, `bool` must/should sum, `dis_max` takes the best branch,
+    * `constant_score` its boost; see
+    * [[graft.functions.EsScoredQuery]] for the exact contract. The
+    * reference leaves ranking server-side (eland/filter.py:182-185
+    * passes the dict through); this is the in-engine equivalent.
+    */
+  def esQueryScored(queryJson: String,
+                    matchOnlyTextFields: Boolean = true): GraftFrame = {
+    val requireText: String => Unit =
+      if (!matchOnlyTextFields) _ => ()
+      else { field =>
+        val es = fieldCaps.find(_.column == field).map(_.esDtype).getOrElse("object")
+        require(es == "text",
+          s"es_query match on non-text field ($field=$es); pin it as text " +
+            "via withEsDtype or pass matchOnlyTextFields=false")
+      }
+    wrap(graft.functions.EsScoredQuery.scoredFrame(df, idCol, queryJson,
+      requireText))
+  }
+
   /** Row drop by id (eland/operations.py:1396-1427). */
   def dropIds(ids: Seq[Any]): GraftFrame =
     wrap(df.filter(!col(idCol).isin(ids: _*)))

@@ -53,6 +53,14 @@ object EsQueryDsl {
                requireText: String => Unit = _ => ()): Column =
     fromJValue(JsonMethods.parse(json), idCol, requireText)
 
+  /** FILTER-context compilation of an already-parsed clause — the hook
+    * [[EsScoredQuery]] uses for the subtrees ES itself evaluates
+    * without scores (bool.filter, must_not, constant_score.filter).
+    */
+  private[functions] def filterColumn(q: JValue, idCol: String,
+                                      requireText: String => Unit): Column =
+    fromJValue(q, idCol, requireText)
+
   private def lonely(obj: JValue, what: String): (String, JValue) =
     obj match {
       case JObject(List((k, v))) => (k, v)

@@ -221,6 +221,41 @@ object FacadeQueries {
           |}}""".stripMargin)
         .select(Seq("doc_id")).df.orderBy("doc_id")
     }),
+    // QUERY-context (scored) es_query: the same DSL ranked in-engine —
+    // must earns corpus-stats BM25, the should constant_score adds its
+    // boost when n_chars clears the bar, filter/must_not gate without
+    // scoring (ES filter context). The oracle replays Okapi over the
+    // WHOLE corpus (stats never see the filters, exactly ES) plus the
+    // conditional boost — a filter leaking into df/avg_len, a should
+    // boost applied unconditionally, or double rounding all miss
+    "f19_scored_query" -> ((s, d) => {
+      docs(s, d).esQueryScored(
+        """{"bool": {
+          |  "must": [{"match": {"text": "stream filter join"}}],
+          |  "should": [{"constant_score": {
+          |    "filter": {"range": {"n_chars": {"gte": 400}}},
+          |    "boost": 0.5}}],
+          |  "filter": [{"terms": {"lang": ["en", "fr", "es"]}}],
+          |  "must_not": [{"term": {"source": "src7"}}]
+          |}}""".stripMargin)
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
+    // dis_max scoring: best branch + tie_breaker × the others. Branch
+    // 2 is operator:and — it must match BOTH terms to score at all,
+    // but when it matches its score is still the matched-term SUM
+    // (ES's gate-vs-score split); a max-of-everything or a sum-of-
+    // everything implementation both miss
+    "f20_dis_max_scored" -> ((s, d) => {
+      docs(s, d).esQueryScored(
+        """{"dis_max": {"tie_breaker": 0.3, "queries": [
+          |  {"match": {"text": "spark hash"}},
+          |  {"match": {"text": {"query": "vector join",
+          |                      "operator": "and"}}}
+          |]}}""".stripMargin)
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
     // match_phrase_prefix (ES search-as-you-type): "stream col"
     // requires a token starting with "col" IMMEDIATELY after a
     // "stream" token — the corpus has ~46 "stream column" bigrams, so
@@ -473,6 +508,61 @@ object FacadeQueries {
            |WHERE strpos(' ' || array_to_string($toksSql, ' ') || ' ',
            |             ' stream col') > 0
            |ORDER BY doc_id""".stripMargin,
+    // Okapi over the WHOLE corpus (filters never touch n/df/avg_len)
+    // + the conditional should boost, gated by filter/must_not
+    "f19_scored_query" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter', 'join') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))) AS s1
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  round(b.s1 + CASE WHEN d.n_chars >= 400 THEN 0.5
+           |               ELSE 0 END, 6) AS score
+           |FROM bm b JOIN documents d ON d.doc_id = b.doc_id
+           |WHERE d.lang IN ('en', 'fr', 'es') AND d.source <> 'src7'
+           |ORDER BY score DESC, d.doc_id LIMIT 25""".stripMargin,
+    // per-branch gate (any-term vs all-terms) on per-branch sums, then
+    // best + 0.3 x rest
+    "f20_dis_max_scored" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('spark', 'hash', 'vector', 'join')
+           |       GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |per AS (SELECT doc_id, t,
+           |          ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |            (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)) AS sc
+           |        FROM tf JOIN dft USING (t), st),
+           |agg AS (SELECT doc_id,
+           |          sum(CASE WHEN t IN ('spark', 'hash') THEN sc
+           |              ELSE 0 END) AS s1,
+           |          count(CASE WHEN t IN ('spark', 'hash') THEN 1 END) AS h1,
+           |          sum(CASE WHEN t IN ('vector', 'join') THEN sc
+           |              ELSE 0 END) AS s2,
+           |          count(CASE WHEN t IN ('vector', 'join') THEN 1 END) AS h2
+           |        FROM per GROUP BY doc_id),
+           |g AS (SELECT doc_id,
+           |        CASE WHEN h1 > 0 THEN s1 ELSE 0 END AS b1,
+           |        CASE WHEN h2 = 2 THEN s2 ELSE 0 END AS b2
+           |      FROM agg WHERE h1 > 0 OR h2 = 2)
+           |SELECT doc_id,
+           |  round(greatest(b1, b2) +
+           |        0.3 * (b1 + b2 - greatest(b1, b2)), 6) AS score
+           |FROM g ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "g21_keep_ids" ->
       """WITH ids(id, ord) AS (VALUES (3, 1), (1, 2), (2, 3))
         |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice

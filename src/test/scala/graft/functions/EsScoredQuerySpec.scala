@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+class EsScoredQuerySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, TestSpark.sfDir, "documents")
+
+  private def scored(df: org.apache.spark.sql.DataFrame, json: String) =
+    EsScoredQuery.scoredFrame(df, "doc_id", json)
+
+  test("a lone scored match is row-identical to Ranking.bm25TopK") {
+    val viaDsl = scored(docs,
+      """{"match": {"text": "stream filter join"}}""")
+      .select(col("doc_id"), col("_score").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaRank = graft.operators.Ranking
+      .bm25TopK(docs, "doc_id", "text", Seq("stream", "filter", "join"),
+        k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaDsl == viaRank)
+    assert(viaDsl.nonEmpty)
+  }
+
+  test("operator:and gates on all terms but scores the same sum") {
+    val tiny = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha delta"),
+      (3L, "beta beta beta")).toDF("doc_id", "text")
+    val orRows = scored(tiny, """{"match": {"text": "alpha beta"}}""")
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val andRows = scored(tiny,
+      """{"match": {"text": {"query": "alpha beta", "operator": "and"}}}""")
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // OR matches all three; AND only doc 1 — with the identical score
+    assert(orRows.keySet == Set(1L, 2L, 3L))
+    assert(andRows.keySet == Set(1L))
+    assert(andRows(1L) == orRows(1L))
+  }
+
+  test("bool: filter and must_not gate without scoring; should adds its boost") {
+    val tiny = Seq(
+      (1L, "alpha beta", "en", 10L),
+      (2L, "alpha beta", "en", 99L),
+      (3L, "alpha beta", "de", 99L),
+      (4L, "gamma delta", "en", 99L)).toDF("doc_id", "text", "lang", "n")
+    val rows = EsScoredQuery.scoredFrame(tiny, "doc_id",
+      """{"bool": {
+        |  "must": [{"match": {"text": "alpha"}}],
+        |  "should": [{"constant_score": {
+        |    "filter": {"range": {"n": {"gte": 50}}}, "boost": 2.5}}],
+        |  "filter": [{"term": {"lang": "en"}}]
+        |}}""".stripMargin)
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 3 fails the filter, doc 4 the must; docs 1 and 2 share the
+    // same BM25 term score and differ by exactly the should boost
+    assert(rows.keySet == Set(1L, 2L))
+    assert(math.abs(rows(2L) - rows(1L) - 2.5) < 1e-9)
+  }
+
+  test("dis_max: best branch + tie_breaker x the rest; and-branch gates") {
+    val tiny = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha delta epsilon"),
+      (3L, "gamma gamma gamma")).toDF("doc_id", "text")
+    def one(json: String): Map[Long, Double] =
+      scored(tiny, json).select("doc_id", "_score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b1 = one("""{"match": {"text": "alpha"}}""")
+    val b2 = one(
+      """{"match": {"text": {"query": "beta gamma", "operator": "and"}}}""")
+    val dm = one(
+      """{"dis_max": {"tie_breaker": 0.25, "queries": [
+        |  {"match": {"text": "alpha"}},
+        |  {"match": {"text": {"query": "beta gamma", "operator": "and"}}}
+        |]}}""".stripMargin)
+    for ((id, got) <- dm) {
+      val s1 = b1.getOrElse(id, 0.0)
+      val s2 = b2.getOrElse(id, 0.0)
+      val want = math.max(s1, s2) + 0.25 * (s1 + s2 - math.max(s1, s2))
+      assert(math.abs(got - want) < 1e-6, s"doc $id: $got vs $want")
+    }
+    // doc 2 matches only branch 1; doc 3 (gamma but no beta) fails the
+    // and-gate of branch 2 and matches nothing
+    assert(dm.keySet == Set(1L, 2L))
+  }
+
+  test("multi_match is dis_max over the per-field match scores") {
+    val tiny = Seq(
+      (1L, "alpha beta", "gamma"),
+      (2L, "gamma delta", "alpha alpha")).toDF("doc_id", "a", "b")
+    val mm = EsScoredQuery.scoredFrame(tiny, "doc_id",
+      """{"multi_match": {"query": "alpha", "fields": ["a", "b"]}}""")
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fa = EsScoredQuery.scoredFrame(tiny, "doc_id",
+      """{"match": {"a": "alpha"}}""")
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fb = EsScoredQuery.scoredFrame(tiny, "doc_id",
+      """{"match": {"b": "alpha"}}""")
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mm.keySet == Set(1L, 2L))
+    for ((id, got) <- mm)
+      assert(math.abs(got -
+        math.max(fa.getOrElse(id, 0.0), fb.getOrElse(id, 0.0))) < 1e-6)
+  }
+
+  test("scored-context guardrails stay loud") {
+    val tiny = Seq((1L, "alpha")).toDF("doc_id", "text")
+    // fuzziness scores with engine-internal statistics in ES — no
+    // portable number exists, so the scored face must refuse
+    val e = intercept[IllegalArgumentException](scored(tiny,
+      """{"match": {"text": {"query": "alpha", "fuzziness": 1}}}"""))
+    assert(e.getMessage.contains("SCORED"))
+    val e2 = intercept[IllegalArgumentException](
+      EsScoredQuery.scoredFrame(tiny.withColumn("_score", lit(1.0)),
+        "doc_id", """{"match": {"text": "alpha"}}"""))
+    assert(e2.getMessage.contains("_score"))
+    // a query that analyzes to zero terms matches nothing, loudly not
+    // everything
+    assert(scored(tiny, """{"match": {"text": "   "}}""").count() == 0)
+    // filter-ish leaves keep constant_score semantics in query context
+    val leaf = scored(tiny, """{"term": {"text": "alpha"}}""")
+      .select("_score").head().getDouble(0)
+    assert(leaf == 1.0)
+  }
+}
