@@ -138,12 +138,32 @@ object Dedup {
     // harmless here: anti-join semantics are unchanged.)
     val fs = new org.apache.hadoop.fs.Path(registryPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val survivors = readCommitted(spark, fs, registryPath) match {
-      case Some(reg) =>
-        inBatchFirst.join(reg, col("_digest") === col("digest"), "left_anti")
-      case None => inBatchFirst
-    }
+    // chained anti-joins ≡ one anti-join against the union, but keep
+    // the BUCKETED compacted store as its own join so its
+    // HashPartitioning survives into the plan (a union would erase
+    // it): the big store probes Exchange-free, and the plain
+    // post-compaction tail probes as a separate small (broadcast-able)
+    // build side
+    val survivors = registryFrames(spark, fs, registryPath)
+      .foldLeft(inBatchFirst) { (acc, reg) =>
+        acc.join(reg, acc("_digest") === reg("digest"), "left_anti")
+      }
     survivors.localCheckpoint(true)
+  }
+
+  /** The committed registry as join-ready frames: bucketed batch dirs
+    * (compaction targets) each with their distribution metadata, then
+    * the plain dirs as one union. Order puts the big bucketed store(s)
+    * first so the chained probe cuts the batch down before the tail.
+    */
+  private def registryFrames(spark: org.apache.spark.sql.SparkSession,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             dir: String): Seq[DataFrame] = {
+    val dirs = committedBatchDirs(fs, dir)
+    val (bucketed, plain) =
+      dirs.partition(d => Bucketing.isBucketedBatch(fs, d))
+    bucketed.map(d => Bucketing.readBucketedBatch(spark, d)) ++
+      (if (plain.nonEmpty) Seq(spark.read.parquet(plain: _*)) else Nil)
   }
 
   /** [[incrementalExactDedup]] with EXACTLY-ONCE delivery: survivors
@@ -197,6 +217,31 @@ object Dedup {
                            registryPath: String): Unit =
     compactDir(spark, registryPath, distinctCols = Seq("digest"))
 
+  /** [[compactExactRegistry]] writing the compacted batch BUCKETED by
+    * digest — the co-located-probe recipe the plain layout documents.
+    * Why it matters at 100 TB: the per-batch anti-join cannot
+    * broadcast its registry (the build side IS the billions of
+    * digests), so with a plain layout every micro-batch pays a
+    * sort-merge shuffle of the WHOLE registry. A bucketed compacted
+    * store carries its HashPartitioning into the probe plan: only the
+    * incoming batch shuffles (to the bucket count), the registry side
+    * reads pre-partitioned, pre-sorted — Exchange-free at any registry
+    * size, every batch (spec-pinned). Appends after the compaction
+    * land as plain batch dirs and probe separately as the small
+    * broadcast-able tail until the next compaction folds them in; a
+    * session that lost the catalog entry re-registers it from the
+    * dir's `_bucket_spec.json` ([[Bucketing.readBucketedBatch]]).
+    * Same crash manifest, same offline single-writer contract.
+    *
+    * Pick `buckets` for the TARGET deployment's probe parallelism
+    * (e.g. 2-4× total executor cores), not the compacting job's.
+    */
+  def compactExactRegistryBucketed(spark: org.apache.spark.sql.SparkSession,
+                                   registryPath: String,
+                                   buckets: Int = 32): Unit =
+    compactDir(spark, registryPath, distinctCols = Seq("digest"),
+      bucketBy = Some(Seq("digest") -> buckets))
+
   /** Resolve a [[compactDir]] that crashed between committing its
     * merged batch dir and deleting the inputs — the window where the
     * registry transiently holds every row twice. For the exact
@@ -229,7 +274,8 @@ object Dedup {
   }
 
   private def compactDir(spark: org.apache.spark.sql.SparkSession,
-                         dir: String, distinctCols: Seq[String]): Unit = {
+                         dir: String, distinctCols: Seq[String],
+                         bucketBy: Option[(Seq[String], Int)] = None): Unit = {
     healDir(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -252,8 +298,17 @@ object Dedup {
       val target = s"batch-${java.util.UUID.randomUUID()}"
       Manifest.write(fs, new org.apache.hadoop.fs.Path(s"$dir/compacting"),
         target +: old.map(p => new org.apache.hadoop.fs.Path(p).getName))
-      compacted.repartition(files)
-        .write.mode("overwrite").parquet(s"$dir/$target")
+      bucketBy match {
+        case Some((keyCols, buckets)) =>
+          // pre-partition on the bucket keys so each write task owns
+          // whole buckets (1 file per bucket, not tasks×buckets)
+          Bucketing.saveBucketedBatch(
+            compacted.repartition(buckets, keyCols.map(col): _*),
+            s"$dir/$target", keyCols, buckets)
+        case None =>
+          compacted.repartition(files)
+            .write.mode("overwrite").parquet(s"$dir/$target")
+      }
       // commit first, delete second — plus marker-less crash leftovers
       val keepNone = old.toSet
       fs.listStatus(new org.apache.hadoop.fs.Path(dir))
