@@ -125,7 +125,18 @@ object Dedup {
     */
   private def exactSurvivors(batch: DataFrame, idCol: String,
                              textCol: String,
-                             registryPath: String): DataFrame = {
+                             registryPath: String): DataFrame =
+    exactProbe(batch, idCol, textCol, registryPath).localCheckpoint(true)
+
+  /** The un-materialized probe plan behind [[exactSurvivors]] —
+    * read-only against the registry (no append, no checkpoint), split
+    * out so DedupSpec can execute THE plan the ingest path runs and
+    * pin its shape (bucketed registry scans must reach the anti-join
+    * without an Exchange).
+    */
+  private[operators] def exactProbe(batch: DataFrame, idCol: String,
+                                    textCol: String,
+                                    registryPath: String): DataFrame = {
     val spark = batch.sparkSession
     val withDigest = batch.withColumn("_digest", md5(col(textCol)))
     val inBatchFirst = withDigest.join(
@@ -144,11 +155,10 @@ object Dedup {
     // it): the big store probes Exchange-free, and the plain
     // post-compaction tail probes as a separate small (broadcast-able)
     // build side
-    val survivors = registryFrames(spark, fs, registryPath)
+    registryFrames(spark, fs, registryPath)
       .foldLeft(inBatchFirst) { (acc, reg) =>
         acc.join(reg, acc("_digest") === reg("digest"), "left_anti")
       }
-    survivors.localCheckpoint(true)
   }
 
   /** The committed registry as join-ready frames: bucketed batch dirs

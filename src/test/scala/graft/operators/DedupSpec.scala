@@ -171,6 +171,94 @@ class DedupSpec extends AnyFunSuite {
     assert(m.length == 1 && m(0).getLong(0) == 10L && m(0).getLong(1) == 0L)
   }
 
+  // descend through the AQE wrappers so subtree checks see the real
+  // operators (plan.collect on AdaptiveSparkPlanExec does not recurse
+  // into the finalized stages)
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    p +: kids.flatMap(flattenPlan)
+  }
+
+  test("bucketed registry: identical survivors, Exchange-free probe, fresh-catalog re-registration") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeLike}
+    val work = java.nio.file.Files.createTempDirectory("graft-dd-bkt").toString
+    val regB = s"$work/bucketed"
+    val regP = s"$work/plain"
+    def run(reg: String, batch: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Dedup.incrementalExactDedup(batch, "id", "text", reg)
+        .select("id").as[Long].collect().sorted.toSeq
+    val b1 = Seq((0L, "aaa"), (1L, "bbb"), (2L, "aaa")).toDF("id", "text")
+    val b2 = Seq((10L, "ccc"), (11L, "ddd")).toDF("id", "text")
+    Seq(regB, regP).foreach { r => run(r, b1); run(r, b2) }
+    Dedup.compactExactRegistryBucketed(spark, regB, buckets = 8)
+    Dedup.compactExactRegistry(spark, regP)
+    // (a) survivors identical across the two layouts, before and after
+    // plain tail dirs accumulate on top of the bucketed store
+    val b3 = Seq((20L, "aaa"), (21L, "ddd"), (22L, "eee")).toDF("id", "text")
+    assert(run(regB, b3) == Seq(22L) && run(regP, b3) == Seq(22L))
+    val b4 = Seq((30L, "eee"), (31L, "bbb"), (32L, "fff")).toDF("id", "text")
+    assert(run(regB, b4) == Seq(32L) && run(regP, b4) == Seq(32L))
+
+    // (b) the executed probe plan: the bucketed store's scan feeds the
+    // anti-join pre-partitioned — no Exchange of any kind above it
+    // (that is the entire point of compacting bucketed: at 100TB the
+    // registry side never reshuffles per micro-batch). Broadcasts are
+    // forced off so the join planner cannot paper over a lost
+    // partitioning at toy scale.
+    val bb = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Dedup.exactProbe(
+        Seq((40L, "aaa"), (41L, "ggg")).toDF("id", "text"), "id", "text", regB)
+      assert(probe.select("id").as[Long].collect().sorted.toSeq == Seq(41L))
+      val nodes = flattenPlan(probe.queryExecution.executedPlan)
+      val bucketScans = nodes.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f
+      }
+      assert(bucketScans.size == 1,
+        s"expected exactly the compacted store's bucketed scan:\n" +
+          probe.queryExecution.executedPlan)
+      val scan = bucketScans.head
+      // non-vacuous: the batch side DOES shuffle (to the bucket count)
+      assert(nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        "no shuffle anywhere — broadcast force-off did not take")
+      val offenders = nodes.collect {
+        case e: Exchange if flattenPlan(e).exists(_ eq scan) => e
+      }
+      assert(offenders.isEmpty,
+        s"bucketed registry scan sits under an Exchange:\n$offenders")
+
+      // (c) a catalog that never saw the table: drop the path-derived
+      // table registrations, probe again — _bucket_spec.json must
+      // re-register it and the scan must STILL be bucketed
+      spark.sql("SHOW TABLES").collect().map(_.getString(1))
+        .filter(_.startsWith("graft_bkt_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val probe2 = Dedup.exactProbe(
+        Seq((50L, "ccc"), (51L, "hhh")).toDF("id", "text"), "id", "text", regB)
+      assert(probe2.select("id").as[Long].collect().sorted.toSeq == Seq(51L))
+      val nodes2 = flattenPlan(probe2.queryExecution.executedPlan)
+      val scans2 = nodes2.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f
+      }
+      assert(scans2.size == 1,
+        "re-registration from _bucket_spec.json lost the bucket layout")
+      assert(!nodes2.exists {
+        case e: Exchange => flattenPlan(e).exists(_ eq scans2.head)
+        case _ => false
+      }, "re-registered bucketed scan sits under an Exchange")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bb)
+  }
+
   test("exactly-once delivery: every crash window replays to the same rows") {
     val work = java.nio.file.Files.createTempDirectory("graft-dd-eo").toString
     val reg = s"$work/registry"
