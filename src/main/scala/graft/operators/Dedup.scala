@@ -176,6 +176,33 @@ object Dedup {
       (if (plain.nonEmpty) Seq(spark.read.parquet(plain: _*)) else Nil)
   }
 
+  /** A store's registered-id sets as anti-join build sides, one frame
+    * per layout: a bucketed compacted dir contributes its sibling
+    * `ids-<uuid>` sidecar when present (pre-distincted, bucketed by
+    * id — the Exchange-free shape) or its own distinct ids otherwise
+    * (a distinct over an id-bucketed scan is itself Exchange-free;
+    * over a (band,bh)-bucketed scan it shuffles — the documented
+    * fallback for the sidecar's crash window); plain tail dirs
+    * contribute one distinct over their union.
+    */
+  private def idFrames(spark: org.apache.spark.sql.SparkSession,
+                       fs: org.apache.hadoop.fs.FileSystem,
+                       dir: String): Seq[DataFrame] = {
+    val dirs = committedBatchDirs(fs, dir)
+    val (bucketed, plain) =
+      dirs.partition(d => Bucketing.isBucketedBatch(fs, d))
+    bucketed.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val sidecar =
+        s"${p.getParent}/ids-${p.getName.stripPrefix("batch-")}"
+      if (Bucketing.isBucketedBatch(fs, sidecar))
+        Bucketing.readBucketedBatch(spark, sidecar)
+      else Bucketing.readBucketedBatch(spark, d).select("id").distinct()
+    } ++ (if (plain.nonEmpty)
+      Seq(spark.read.parquet(plain: _*).select(col("id")).distinct())
+    else Nil)
+  }
+
   /** [[incrementalExactDedup]] with EXACTLY-ONCE delivery: survivors
     * are written to their own committed output directory `outDir`
     * BEFORE their digests register, closing the at-most-once gap of
@@ -285,7 +312,8 @@ object Dedup {
 
   private def compactDir(spark: org.apache.spark.sql.SparkSession,
                          dir: String, distinctCols: Seq[String],
-                         bucketBy: Option[(Seq[String], Int)] = None): Unit = {
+                         bucketBy: Option[(Seq[String], Int)] = None,
+                         idsSidecar: Boolean = false): Unit = {
     healDir(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -315,16 +343,42 @@ object Dedup {
           Bucketing.saveBucketedBatch(
             compacted.repartition(buckets, keyCols.map(col): _*),
             s"$dir/$target", keyCols, buckets)
+          // optional SIBLING `ids-<uuid>` sidecar (same uuid as its
+          // batch; a leading-underscore subdir would be invisible to
+          // Spark's path listing, and batch-* reads skip ids-* by the
+          // committedBatchDirs name filter): the store's distinct ids
+          // bucketed by id, so the per-batch "already registered?"
+          // anti-join reads a pre-partitioned, pre-distincted build
+          // side instead of re-distincting the whole store. Written
+          // after the batch commits — a crash between the two leaves
+          // a committed batch whose probes fall back to the distinct
+          // (correct, just slower) until the next compaction rewrites
+          // both.
+          if (idsSidecar)
+            Bucketing.saveBucketedBatch(
+              compacted.select(col("id")).distinct()
+                .repartition(buckets, col("id")),
+              s"$dir/ids-${target.stripPrefix("batch-")}",
+              Seq("id"), buckets)
         case None =>
           compacted.repartition(files)
             .write.mode("overwrite").parquet(s"$dir/$target")
       }
       // commit first, delete second — plus marker-less crash leftovers
+      // and superseded ids-* sidecars (their batch dirs are about to
+      // be deleted; an orphan sidecar is never read but would pay
+      // listing cost forever)
       val keepNone = old.toSet
+      val keepSidecar = s"ids-${target.stripPrefix("batch-")}"
       fs.listStatus(new org.apache.hadoop.fs.Path(dir))
         .filter(_.isDirectory).map(_.getPath)
-        .filter(p => keepNone.contains(p.toString) ||
-          !fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .filter { p =>
+          val n = p.getName
+          keepNone.contains(p.toString) ||
+            (n.startsWith("batch-") &&
+              !fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) ||
+            (n.startsWith("ids-") && n != keepSidecar)
+        }
         .foreach(p => fs.delete(p, true))
       Manifest.delete(fs,
         new org.apache.hadoop.fs.Path(s"$dir/compacting"))
@@ -401,17 +455,13 @@ object Dedup {
           s"$dir holds a flat-layout registry (pre-batch-dir format); " +
             "migrate it by moving its part-files and _SUCCESS into a " +
             s"$dir/batch-0/ subdirectory")
+      // batch-* only: sibling `ids-*` sidecars (bucketed compaction)
+      // and any foreign dir must never read as registry rows
       entries.filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("batch-"))
         .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
         .map(_.toString).sorted.toSeq
     }
-  }
-
-  private def readCommitted(spark: org.apache.spark.sql.SparkSession,
-                            fs: org.apache.hadoop.fs.FileSystem,
-                            dir: String): Option[DataFrame] = {
-    val dirs = committedBatchDirs(fs, dir)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
 
   private def appendRegistryBatch(df: DataFrame, dir: String): Unit =
@@ -496,56 +546,68 @@ object Dedup {
     // band batch's commit implies its shingle append completed too, so
     // a half-written first batch re-registers instead of reading a
     // partial registry
+    // each store reads as per-layout frames (bucketed compacted dirs
+    // separate from the plain tail union — a union would erase the
+    // bucketed scan's HashPartitioning, the exact-registry rule), and
+    // each registry-side join runs once per frame. Frame rows are
+    // disjoint by id across dirs (ids register exactly once), so a
+    // union of per-frame join results ≡ the join against the union.
+    val bandFrames = registryFrames(spark, fs, bandsPath)
     val (matches, clean) =
-      readCommitted(spark, fs, bandsPath) match {
-        case None =>
-          (staged.select(col("id").as(idCol), col("id").as("reg_id"),
-            lit(0.0).as("jaccard")).filter(lit(false)), staged)
-        case Some(rb) =>
-          val regBands = rb.withColumnRenamed("id", "reg_id")
-          val regSh = readCommitted(spark, fs, shPath).get
-            .withColumnRenamed("id", "reg_id")
-          // retry discipline: ids the registry has already COMMITTED
-          // are skipped entirely — they neither probe nor re-register.
-          // A committed batch's re-run therefore emits nothing, rather
-          // than every doc matching itself at jaccard 1.0 — or, worse,
-          // intra-batch near-dup SIBLINGS that both registered cleanly
-          // suddenly "matching" each other on the retry (a match row
-          // no crash-free execution would ever produce). A registered
-          // id can never appear as a candidate's probe side, so no
-          // self-pair is even constructible. "Was this id already
-          // ingested?" is [[registeredIds]]' job.
-          // eagerly checkpointed so the registry-id scan behind the
-          // anti-join runs ONCE per batch — `fresh` feeds four
-          // downstream actions (probe, both verify inputs, and via
-          // `clean` the two registry appends), and without pinning,
-          // each would replay the O(registry-id-column) scan+distinct
-          val fresh = staged.join(rb.select(col("id")).distinct(),
-            Seq("id"), "left_anti").localCheckpoint(true)
-          val cand = bandKeyRows(fresh, bands, rowsPerBand)
-            .join(regBands, Seq("band", "bh"))
-            .select("id", "reg_id").distinct()
-          val verified = withJaccard(cand
-            .join(fresh.select(col("id"), col("sh").as("sh_a"),
-              size(col("sh")).as("n_a")), Seq("id"))
-            .join(regSh.select(col("reg_id"), col("sh").as("sh_b"),
-              size(col("sh")).as("n_b")), Seq("reg_id")))
-            .filter(col("jaccard") >= threshold)
-            .select(col("id").as(idCol), col("reg_id"), col("jaccard"))
-            .localCheckpoint(true)
-          (verified,
-            fresh.join(verified.select(col(idCol).as("id")).distinct(),
-              Seq("id"), "left_anti"))
+      if (bandFrames.isEmpty)
+        (staged.select(col("id").as(idCol), col("id").as("reg_id"),
+          lit(0.0).as("jaccard")).filter(lit(false)), staged)
+      else {
+        val shFrames = registryFrames(spark, fs, shPath)
+        // retry discipline: ids the registry has already COMMITTED
+        // are skipped entirely — they neither probe nor re-register.
+        // A committed batch's re-run therefore emits nothing, rather
+        // than every doc matching itself at jaccard 1.0 — or, worse,
+        // intra-batch near-dup SIBLINGS that both registered cleanly
+        // suddenly "matching" each other on the retry (a match row
+        // no crash-free execution would ever produce). A registered
+        // id can never appear as a candidate's probe side, so no
+        // self-pair is even constructible. "Was this id already
+        // ingested?" is [[registeredIds]]' job.
+        // eagerly checkpointed so the registry-id scans behind the
+        // anti-joins run ONCE per batch — `fresh` feeds four
+        // downstream actions (probe, both verify inputs, and via
+        // `clean` the two registry appends), and without pinning,
+        // each would replay the O(registry-id-column) scan+distinct
+        val fresh = idFrames(spark, fs, bandsPath)
+          .foldLeft(staged) { (acc, ids) =>
+            acc.join(ids, Seq("id"), "left_anti")
+          }.localCheckpoint(true)
+        val candRaw = bandFrames.map { rb =>
+            bandKeyRows(fresh, bands, rowsPerBand)
+              .join(rb.withColumnRenamed("id", "reg_id"), Seq("band", "bh"))
+              .select("id", "reg_id")
+          }.reduce(_ unionByName _).distinct()
+        // >1 shingle frame replicates the candidate subtree per frame
+        // in the verify union — pin it once (bounded: candidate pairs)
+        val cand =
+          if (shFrames.size > 1) candRaw.localCheckpoint(true) else candRaw
+        val verified = withJaccard(shFrames.map { sh =>
+            cand
+              .join(fresh.select(col("id"), col("sh").as("sh_a"),
+                size(col("sh")).as("n_a")), Seq("id"))
+              .join(sh.select(col("id").as("reg_id"), col("sh").as("sh_b"),
+                size(col("sh")).as("n_b")), Seq("reg_id"))
+          }.reduce(_ unionByName _))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id").as(idCol), col("reg_id"), col("jaccard"))
+          .localCheckpoint(true)
+        (verified,
+          fresh.join(verified.select(col(idCol).as("id")).distinct(),
+            Seq("id"), "left_anti"))
       }
     // retry-idempotent append: a re-run of a batch whose shingle
     // append committed but whose band append crashed must not append
     // its shingles a second time (duplicate registry rows would emit
     // every future match against those ids twice)
     def notRegistered(df: DataFrame, dir: String): DataFrame =
-      readCommitted(spark, fs, dir) match {
-        case Some(reg) =>
-          df.join(reg.select(col("id")).distinct(), Seq("id"), "left_anti")
-        case None => df
+      idFrames(spark, fs, dir).foldLeft(df) { (acc, ids) =>
+        acc.join(ids, Seq("id"), "left_anti")
       }
     // deliver BEFORE any append (the exactly-once ordering of
     // incrementalExactDedupTo): the matches frame is checkpointed, so
@@ -583,10 +645,9 @@ object Dedup {
                     registryPath: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(registryPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readCommitted(spark, fs, s"$registryPath/bands") match {
-      case Some(rb) => rb.select(col("id")).distinct()
-      case None => spark.range(0).select(col("id"))
-    }
+    val frames = idFrames(spark, fs, s"$registryPath/bands")
+    if (frames.isEmpty) spark.range(0).select(col("id"))
+    else frames.reduce(_ unionByName _) // disjoint per-dir id sets
   }
 
   /** [[compactExactRegistry]] for the near-dup registry's two stores:
@@ -604,6 +665,43 @@ object Dedup {
     compactDir(spark, s"$registryPath/shingles", distinctCols = Seq("id"))
     compactDir(spark, s"$registryPath/bands",
       distinctCols = Seq("id", "band", "bh"))
+  }
+
+  /** [[compactNearDupRegistry]] writing both stores BUCKETED — the
+    * [[compactExactRegistryBucketed]] recipe applied to the near-dup
+    * probe's three per-batch registry reads, which are otherwise the
+    * dominant recurring shuffles of continuous near-dup ingest at
+    * 100 TB:
+    *
+    *  - `bands` bucketed by (band, bh): the candidate join reads the
+    *    compacted band store pre-partitioned on its join key — only
+    *    the batch's (id, band, bh) rows shuffle, never the O(16×N)
+    *    registry side.
+    *  - an `ids-<uuid>` sidecar beside the compacted band batch
+    *    (distinct ids, bucketed by id): the "skip already-registered
+    *    ids" anti-join reads a pre-partitioned, pre-distincted build
+    *    side instead of re-distincting the whole band store every
+    *    batch.
+    *  - `shingles` bucketed by id: the verify join ships candidate
+    *    pairs to the registry's shingle-set partitions instead of
+    *    shuffling the largest store (every doc's shingle array) per
+    *    batch; the shingle-side registered-ids guard reads the same
+    *    layout (distinct-on-id is Exchange-free on an id-bucketed
+    *    scan).
+    *
+    * Probe results are layout-independent (spec-pinned, same as the
+    * exact registry); post-compaction appends land plain and probe as
+    * the small tail until the next compaction. Same offline
+    * single-writer contract, same heal-first crash story.
+    */
+  def compactNearDupRegistryBucketed(spark: org.apache.spark.sql.SparkSession,
+                                     registryPath: String,
+                                     buckets: Int = 32): Unit = {
+    compactDir(spark, s"$registryPath/shingles", distinctCols = Seq("id"),
+      bucketBy = Some(Seq("id") -> buckets))
+    compactDir(spark, s"$registryPath/bands",
+      distinctCols = Seq("id", "band", "bh"),
+      bucketBy = Some(Seq("band", "bh") -> buckets), idsSidecar = true)
   }
 
   /** Permutation min-hashes over an ALREADY-MATERIALIZED array of base

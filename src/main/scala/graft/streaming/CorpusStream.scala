@@ -42,7 +42,8 @@ object CorpusStream {
   def incrementalDedup(docs: DataFrame, idCol: String, textCol: String,
                        registryPath: String, outPath: String,
                        checkpoint: String,
-                       compactEvery: Option[Int] = None): StreamingQuery = {
+                       compactEvery: Option[Int] = None,
+                       compactBuckets: Option[Int] = None): StreamingQuery = {
     // a PREVIOUS run may have died mid-compaction; replay its
     // interrupted delete before the first batch probes (duplicate
     // digests are anti-join-harmless but double the probe scan)
@@ -59,12 +60,35 @@ object CorpusStream {
         // thus every probe's file listing) flat on long streams
         compactEvery.foreach { n =>
           if (n > 0 && batchId % n == n - 1)
-            Dedup.compactExactRegistry(batch.sparkSession, registryPath)
+            compactExact(batch.sparkSession, registryPath, compactBuckets)
         }
         ()
       }
       .start()
   }
+
+  /** Run the cadence compaction in the layout the caller asked for:
+    * `compactBuckets = Some(b)` writes the compacted store bucketed
+    * (the Exchange-free per-batch probe at scale —
+    * [[graft.operators.Dedup.compactExactRegistryBucketed]]); None
+    * keeps the plain layout.
+    */
+  private def compactExact(spark: org.apache.spark.sql.SparkSession,
+                           registryPath: String,
+                           compactBuckets: Option[Int]): Unit =
+    compactBuckets match {
+      case Some(b) => Dedup.compactExactRegistryBucketed(spark, registryPath, b)
+      case None => Dedup.compactExactRegistry(spark, registryPath)
+    }
+
+  private def compactNearDup(spark: org.apache.spark.sql.SparkSession,
+                             registryPath: String,
+                             compactBuckets: Option[Int]): Unit =
+    compactBuckets match {
+      case Some(b) =>
+        Dedup.compactNearDupRegistryBucketed(spark, registryPath, b)
+      case None => Dedup.compactNearDupRegistry(spark, registryPath)
+    }
 
   /** [[incrementalDedup]] upgraded to EXACTLY-ONCE delivery — the
     * "idempotent-sink upgrade" the module doc describes: each batch's
@@ -143,7 +167,8 @@ object CorpusStream {
                                   textCol: String,
                                   registryPath: String, outPath: String,
                                   checkpoint: String,
-                                  compactEvery: Option[Int] = None): StreamingQuery = {
+                                  compactEvery: Option[Int] = None,
+                                  compactBuckets: Option[Int] = None): StreamingQuery = {
     requireFreshOrContinuing(docs.sparkSession, checkpoint, outPath)
     Dedup.healExactRegistry(docs.sparkSession, registryPath)
     docs.writeStream
@@ -153,7 +178,7 @@ object CorpusStream {
           registryPath, s"$outPath/batch-$batchId")
         compactEvery.foreach { n =>
           if (n > 0 && batchId % n == n - 1)
-            Dedup.compactExactRegistry(batch.sparkSession, registryPath)
+            compactExact(batch.sparkSession, registryPath, compactBuckets)
         }
         ()
       }
@@ -199,7 +224,8 @@ object CorpusStream {
                          registryPath: String, outPath: String,
                          checkpoint: String,
                          threshold: Double = 0.8,
-                         compactEvery: Option[Int] = None): StreamingQuery = {
+                         compactEvery: Option[Int] = None,
+                         compactBuckets: Option[Int] = None): StreamingQuery = {
     // MANDATORY heal before the first probe: a compaction the previous
     // run crashed mid-way leaves duplicated shingle/band rows, and —
     // unlike the exact registry's anti-join — the probe would emit
@@ -214,7 +240,7 @@ object CorpusStream {
           .write.mode("append").parquet(outPath)
         compactEvery.foreach { n =>
           if (n > 0 && batchId % n == n - 1)
-            Dedup.compactNearDupRegistry(batch.sparkSession, registryPath)
+            compactNearDup(batch.sparkSession, registryPath, compactBuckets)
         }
         ()
       }
@@ -235,7 +261,8 @@ object CorpusStream {
                                     registryPath: String, outPath: String,
                                     checkpoint: String,
                                     threshold: Double = 0.8,
-                                    compactEvery: Option[Int] = None): StreamingQuery = {
+                                    compactEvery: Option[Int] = None,
+                                    compactBuckets: Option[Int] = None): StreamingQuery = {
     requireFreshOrContinuing(docs.sparkSession, checkpoint, outPath)
     Dedup.healNearDupRegistry(docs.sparkSession, registryPath)
     docs.writeStream
@@ -245,7 +272,7 @@ object CorpusStream {
           registryPath, s"$outPath/batch-$batchId", threshold = threshold)
         compactEvery.foreach { n =>
           if (n > 0 && batchId % n == n - 1)
-            Dedup.compactNearDupRegistry(batch.sparkSession, registryPath)
+            compactNearDup(batch.sparkSession, registryPath, compactBuckets)
         }
         ()
       }

@@ -259,6 +259,137 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bb)
   }
 
+  test("bucketed near-dup registry: identical matches, no registry-side Exchange in any probe action") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val work = java.nio.file.Files.createTempDirectory("graft-nd-bkt").toString
+    val regB = s"$work/bucketed"
+    val regP = s"$work/plain"
+    def matches(reg: String, batch: org.apache.spark.sql.DataFrame,
+                t: Double = 0.5): Set[(Long, Long)] =
+      Dedup.nearDupAgainstRegistry(batch, "id", "text", reg, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b1 = Seq((0L, base),
+      (1L, "completely different content about spark catalyst rules"))
+      .toDF("id", "text")
+    val b2 = Seq((10L, "entirely novel text with no overlap whatsoever here"))
+      .toDF("id", "text")
+    Seq(regB, regP).foreach { r => matches(r, b1); matches(r, b2) }
+    Dedup.compactNearDupRegistryBucketed(spark, regB, buckets = 8)
+    Dedup.compactNearDupRegistry(spark, regP)
+    // the band store's compacted batch has its sibling ids-* sidecar
+    val bandDirs = new java.io.File(s"$regB/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(bandDirs.exists(n => n.startsWith("ids-") &&
+      new java.io.File(s"$regB/bands/$n/_bucket_spec.json").exists),
+      s"no committed ids-* sidecar among ${bandDirs.toSeq}")
+    // retry discipline THROUGH the sidecar: a committed batch's re-run
+    // must emit nothing (an empty or unreadable sidecar would let the
+    // re-sent docs probe and self-match at jaccard 1.0)
+    assert(matches(regB, b1) == Set.empty)
+    assert(Dedup.registeredIds(spark, regB)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 10L))
+
+    // (a) matches identical across layouts — near-dups of pre- and
+    // post-compaction registrants, plus the already-registered skip
+    val b3 = Seq((20L, base.replace("today", "tomorrow")),
+      (21L, "entirely novel text with no overlap whatsoever there"),
+      (22L, "fresh and unrelated prose about bucketed scan partitioning"))
+      .toDF("id", "text")
+    val m3b = matches(regB, b3)
+    assert(m3b == matches(regP, b3))
+    assert(m3b.contains((20L, 0L)) && m3b.contains((21L, 10L)) &&
+      !m3b.exists(_._1 == 22L))
+    // b3's clean rows landed as a PLAIN tail on both layouts; a later
+    // batch must match against tail and bucketed store alike
+    val b4 = Seq((30L, "fresh and unrelated prose about bucketed scan partitioned"),
+      (31L, base)).toDF("id", "text")
+    val m4b = matches(regB, b4)
+    assert(m4b == matches(regP, b4))
+    assert(m4b.contains((30L, 22L)) && m4b.contains((31L, 0L)))
+
+    // (b) pin on the REAL ingest path: capture every query execution
+    // of one full probe-and-register call and assert no Exchange of
+    // any kind sits above a bucketed registry scan — the band
+    // candidate join, the _ids retry guard, and the shingle verify
+    // join all read their registry side pre-partitioned. Broadcasts
+    // forced off so toy scale cannot paper over a lost partitioning.
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { captured.add(qe); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    val bb = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.listenerManager.register(listener)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val b5 = Seq((40L, base.replace("quick", "sluggish")),
+        (41L, "never before seen sentence about manifest replay windows"))
+        .toDF("id", "text")
+      assert(matches(regB, b5).contains((40L, 0L)))
+      // listener delivery is async on the bus — wait until the
+      // captured set goes quiet
+      val deadline = System.currentTimeMillis + 20000
+      var last = -1
+      while (captured.size != last && System.currentTimeMillis < deadline) {
+        last = captured.size; Thread.sleep(400)
+      }
+      def bucketScansOf(p: org.apache.spark.sql.execution.SparkPlan) =
+        flattenPlan(p).collect {
+          case f: FileSourceScanExec if f.bucketedScan &&
+            f.relation.location.rootPaths.exists(_.toString.contains(regB)) => f
+        }
+      // the property: registry rows reach their probe join pre-
+      // partitioned — no Exchange BETWEEN a bucketed registry scan and
+      // its nearest join ancestor. Exchanges above the join (e.g. the
+      // candidate-pair distinct) shuffle derived results, not the
+      // registry, and are fine.
+      def pathAboveScanToJoin(root: org.apache.spark.sql.execution.SparkPlan,
+          scan: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        def kids(p: org.apache.spark.sql.execution.SparkPlan) = {
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+          p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: QueryStageExec => Seq(q.plan)
+            case r: ReusedExchangeExec => Seq(r.child)
+            case _ => p.children
+          }
+        }
+        // ancestors of `scan`, nearest first
+        def go(p: org.apache.spark.sql.execution.SparkPlan,
+               acc: List[org.apache.spark.sql.execution.SparkPlan])
+            : Option[List[org.apache.spark.sql.execution.SparkPlan]] =
+          if (p eq scan) Some(acc)
+          else kids(p).view.flatMap(k => go(k, p :: acc)).headOption
+        go(root, Nil).getOrElse(Nil)
+          .takeWhile(!_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      }
+      val plans = captured.toArray(
+        Array.empty[org.apache.spark.sql.execution.QueryExecution])
+        .map(_.executedPlan)
+      // non-vacuous: the probe actions really did read bucketed stores
+      assert(plans.map(bucketScansOf(_).size).sum >= 3,
+        "expected bucketed band + ids-sidecar + shingle scans in the probe actions")
+      plans.foreach { p =>
+        bucketScansOf(p).foreach { scan =>
+          val between = pathAboveScanToJoin(p, scan)
+          assert(!between.exists(_.isInstanceOf[Exchange]),
+            s"Exchange between bucketed registry scan and its join:\n$p")
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bb)
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("exactly-once delivery: every crash window replays to the same rows") {
     val work = java.nio.file.Files.createTempDirectory("graft-dd-eo").toString
     val reg = s"$work/registry"
