@@ -257,12 +257,16 @@ object InvertedIndex {
     val spark = ids.sparkSession
     val del = ids.select(col(ids.columns.head).as("id"))
       .distinct().localCheckpoint(true)
-    val live = liveLens(spark, segs, committedDeletes(spark, indexPath))
     // EXACT detector: matched rows AND matched distinct ids must both
     // equal the request — aggregate row count alone would let an id
     // live in two segments (rows > ids, an append-contract violation)
-    // compensate for an unknown id (ids < requested) and slip through
-    val hitRow = live.join(del, Seq("id"), "left_semi")
+    // compensate for an unknown id (ids < requested) and slip through.
+    // Per-frame semi-join (the tombstoneLiveOf shape): a compacted
+    // segment's id-bucketed lens charges the delete without a shuffle.
+    val hitRow = liveLensFrames(spark, segs,
+        committedDeletes(spark, indexPath))
+      .map(_.join(del, Seq("id"), "left_semi"))
+      .reduce(_ unionByName _)
       .agg(count(lit(1)).cast("double").as("n"),
         count_distinct(col("id")).cast("double").as("d"),
         coalesce(sum(col("len")), lit(0.0)).as("sum_len")).head()
@@ -310,17 +314,41 @@ object InvertedIndex {
       .reduce(_ unionByName _)
 
   /** Per-segment `lens` rows tagged with their segment name, minus the
-    * tombstones applicable to each segment: exactly the live corpus.
+    * tombstones applicable to each segment: exactly the live corpus —
+    * ONE FRAME PER SEGMENT, so a compacted segment's id-bucketed lens
+    * ledger keeps its HashPartitioning into whatever join the caller
+    * builds (a union would erase it — the registry-probe rule from
+    * [[Dedup]]). The broadcast tombstone anti-join preserves the
+    * child's partitioning. Callers that join these frames must join
+    * per frame and union the RESULTS; semi-joins distribute over the
+    * left union, so that rewrite is always sound.
+    */
+  private def liveLensFrames(spark: SparkSession, segs: Seq[String],
+                             dels: Seq[String]): Seq[DataFrame] = {
+    val fs = fsOf(spark, segs.head)
+    val tomb =
+      if (dels.isEmpty) None
+      else Some(broadcast(tombstonePairs(spark, dels)))
+    segs.map { s =>
+      val lensPath = s"$s/lens"
+      val base =
+        if (Bucketing.isBucketedBatch(fs, lensPath))
+          Bucketing.readBucketedBatch(spark, lensPath)
+        else spark.read.parquet(lensPath)
+      val tagged = base.withColumn("_seg",
+        lit(new org.apache.hadoop.fs.Path(s).getName))
+      tomb.map(t => tagged.join(t, Seq("id", "_seg"), "left_anti"))
+        .getOrElse(tagged)
+    }
+  }
+
+  /** The union view of [[liveLensFrames]] — for consumers that rewrite
+    * the whole corpus anyway (compaction) and do not care about
+    * per-frame partitioning.
     */
   private def liveLens(spark: SparkSession, segs: Seq[String],
-                       dels: Seq[String]): DataFrame = {
-    val tagged = segs.map(s => spark.read.parquet(s"$s/lens")
-        .withColumn("_seg", lit(new org.apache.hadoop.fs.Path(s).getName)))
-      .reduce(_ unionByName _)
-    if (dels.isEmpty) tagged
-    else tagged.join(broadcast(tombstonePairs(spark, dels)),
-      Seq("id", "_seg"), "left_anti")
-  }
+                       dels: Seq[String]): DataFrame =
+    liveLensFrames(spark, segs, dels).reduce(_ unionByName _)
 
   /** ES-style upsert: documents whose ids are LIVE are tombstoned
     * first (scoped to the current segments), then the whole batch
@@ -348,9 +376,17 @@ object InvertedIndex {
                               indexPath: String,
                               segs: Seq[String]): Unit = {
     val spark = docs.sparkSession
+    // pinned: the ids subtree feeds one semi-join PER lens frame below
     val ids = docs.select(col(idCol).as("id")).distinct()
-    val hits = liveLens(spark, segs, committedDeletes(spark, indexPath))
-      .join(ids, Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    // per-frame semi-join + union ≡ semi-join against the union, and
+    // keeps a compacted segment's id-bucketed lens pre-partitioned
+    // into its probe — the O(index) lens read of every upsert/CDC
+    // batch never reshuffles (spec-pinned)
+    val hits = liveLensFrames(spark, segs,
+        committedDeletes(spark, indexPath))
+      .map(_.join(ids, Seq("id"), "left_semi"))
+      .reduce(_ unionByName _)
       .localCheckpoint(true)
     val m = hits.agg(count(lit(1)).cast("double").as("n"),
       coalesce(sum(col("len")), lit(0.0)).as("sum_len")).head()
@@ -599,7 +635,18 @@ object InvertedIndex {
           .foreach(p => fs.delete(p, true))
     }
 
-  def compact(spark: SparkSession, indexPath: String): Unit = {
+  /** `lensBuckets` sizes the compacted segment's id-bucketed lens
+    * ledger — the build side of every later upsert/CDC/delete probe
+    * ([[tombstoneLiveOf]]/[[deleteDocsScoped]]): bucketed by id, the
+    * probe semi-join reads it pre-partitioned, so the per-micro-batch
+    * O(index) lens read never reshuffles, at any index size. Pick it
+    * for the target deployment's probe parallelism, like the dedup
+    * registries' bucket counts. Fresh per-batch segments keep plain
+    * lens dirs (they are batch-sized) until a compaction folds them
+    * in.
+    */
+  def compact(spark: SparkSession, indexPath: String,
+              lensBuckets: Int = 32): Unit = {
     heal(spark, indexPath)
     sweepUncommitted(fsOf(spark, indexPath), indexPath)
     val segs = committedSegments(spark, indexPath)
@@ -630,7 +677,9 @@ object InvertedIndex {
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$seg/postings")
-      live.write.mode("overwrite").parquet(s"$seg/lens")
+      Bucketing.saveBucketedBatch(
+        live.repartition(lensBuckets, col("id")),
+        s"$seg/lens", Seq("id"), lensBuckets)
       live.agg(count(lit(1)).cast("double").as("n"),
           coalesce(sum(col("len")), lit(0.0)).as("sum_len"),
           lit(buckets).as("buckets"))

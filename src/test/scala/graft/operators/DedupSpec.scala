@@ -260,8 +260,6 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("bucketed near-dup registry: identical matches, no registry-side Exchange in any probe action") {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.exchange.Exchange
     val work = java.nio.file.Files.createTempDirectory("graft-nd-bkt").toString
     val regB = s"$work/bucketed"
     val regP = s"$work/plain"
@@ -339,51 +337,19 @@ class DedupSpec extends AnyFunSuite {
       while (captured.size != last && System.currentTimeMillis < deadline) {
         last = captured.size; Thread.sleep(400)
       }
-      def bucketScansOf(p: org.apache.spark.sql.execution.SparkPlan) =
-        flattenPlan(p).collect {
-          case f: FileSourceScanExec if f.bucketedScan &&
-            f.relation.location.rootPaths.exists(_.toString.contains(regB)) => f
-        }
       // the property: registry rows reach their probe join pre-
       // partitioned — no Exchange BETWEEN a bucketed registry scan and
       // its nearest join ancestor. Exchanges above the join (e.g. the
       // candidate-pair distinct) shuffle derived results, not the
       // registry, and are fine.
-      def pathAboveScanToJoin(root: org.apache.spark.sql.execution.SparkPlan,
-          scan: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-        def kids(p: org.apache.spark.sql.execution.SparkPlan) = {
-          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-          import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-          p match {
-            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-            case q: QueryStageExec => Seq(q.plan)
-            case r: ReusedExchangeExec => Seq(r.child)
-            case _ => p.children
-          }
-        }
-        // ancestors of `scan`, nearest first
-        def go(p: org.apache.spark.sql.execution.SparkPlan,
-               acc: List[org.apache.spark.sql.execution.SparkPlan])
-            : Option[List[org.apache.spark.sql.execution.SparkPlan]] =
-          if (p eq scan) Some(acc)
-          else kids(p).view.flatMap(k => go(k, p :: acc)).headOption
-        go(root, Nil).getOrElse(Nil)
-          .takeWhile(!_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
-      }
       val plans = captured.toArray(
         Array.empty[org.apache.spark.sql.execution.QueryExecution])
         .map(_.executedPlan)
-      // non-vacuous: the probe actions really did read bucketed stores
-      assert(plans.map(bucketScansOf(_).size).sum >= 3,
-        "expected bucketed band + ids-sidecar + shingle scans in the probe actions")
-      plans.foreach { p =>
-        bucketScansOf(p).foreach { scan =>
-          val between = pathAboveScanToJoin(p, scan)
-          assert(!between.exists(_.isInstanceOf[Exchange]),
-            s"Exchange between bucketed registry scan and its join:\n$p")
-        }
-      }
+      val checked =
+        plans.map(graft.PlanCheck.requireCoLocatedProbes(_, regB)).sum
+      // non-vacuous: band + ids-sidecar + shingle scans all appeared
+      assert(checked >= 3,
+        s"expected bucketed band + ids-sidecar + shingle scans, saw $checked")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bb)
       spark.listenerManager.unregister(listener)

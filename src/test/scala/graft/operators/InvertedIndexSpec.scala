@@ -577,6 +577,78 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(push.nonEmpty)
   }
 
+  test("compacted lens ledger is id-bucketed; upsert and delete probes read it co-located") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .limit(400).localCheckpoint(true)
+    val path = tmp("graft-idx-lensbkt")
+    InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", path)
+    InvertedIndex.append(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", path)
+    InvertedIndex.compact(spark, path, lensBuckets = 8)
+    assert(segDirs(path).length == 1)
+    val seg = segDirs(path).head
+    assert(new java.io.File(s"$seg/lens/_bucket_spec.json").exists,
+      "compaction did not write the lens ledger bucketed")
+
+    // capture every action of one upsert batch and one delete batch —
+    // the two paths whose per-batch O(index) lens probe the bucketed
+    // ledger exists for — and assert the lens scan reaches its
+    // semi-join without an Exchange
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { captured.add(qe); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    val bb = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.listenerManager.register(listener)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val upd = docs.limit(5)
+        .select(col("doc_id"), concat(col("text"), lit(" updated")).as("text"))
+      InvertedIndex.upsertDocs(upd, "doc_id", "text", path)
+      InvertedIndex.deleteDocs(
+        docs.orderBy(col("doc_id").desc).limit(3).select("doc_id"), path)
+      val deadline = System.currentTimeMillis + 20000
+      var last = -1
+      while (captured.size != last && System.currentTimeMillis < deadline) {
+        last = captured.size; Thread.sleep(400)
+      }
+      val plans = captured.toArray(
+        Array.empty[org.apache.spark.sql.execution.QueryExecution])
+        .map(_.executedPlan)
+      val checked =
+        plans.map(graft.PlanCheck.requireCoLocatedProbes(_, path)).sum
+      assert(checked >= 2,
+        s"expected the upsert AND delete lens probes to read bucketed, saw $checked")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bb)
+      spark.listenerManager.unregister(listener)
+    }
+    // the lifecycle stays correct through the bucketed ledger: updated
+    // docs resurface, deleted docs vanish, stats match a fresh rebuild
+    // of the same final corpus
+    val deleted = docs.orderBy(col("doc_id").desc).limit(3)
+      .select("doc_id").as[Long].collect().toSet
+    val finalCorpus = docs.select("doc_id", "text")
+      .join(docs.limit(5).select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(docs.limit(5).select(col("doc_id"),
+        concat(col("text"), lit(" updated")).as("text")))
+      .filter(!col("doc_id").isin(deleted.toSeq: _*))
+    val ref = tmp("graft-idx-lensbkt-ref")
+    InvertedIndex.build(finalCorpus, "doc_id", "text", ref)
+    val terms = Seq("spark", "updated", "filter")
+    assert(topDocs(InvertedIndex.searchTopK(spark, path, terms,
+      k = 10, idColName = "doc_id")) ==
+      topDocs(InvertedIndex.searchTopK(spark, ref, terms,
+        k = 10, idColName = "doc_id")))
+  }
+
   test("stats count every doc, including token-free ones; moments are additive") {
     val docs = Seq((1L, "x x y"), (2L, ""), (3L, "y")).toDF("doc_id", "text")
     val path = tmp("graft-idx-stats")
