@@ -43,9 +43,11 @@ import org.apache.spark.sql.functions._
   * `arrays_overlap` prefilter to docs containing at least one needed
   * term; per-(doc, clause) moments come back as a counted shuffle over
   * matching docs only and left-join onto the frame; corpus stats (N,
-  * avg len) enter as driver literals exactly like
-  * [[graft.operators.InvertedIndex.searchTopK]]. Docs matching no
-  * scored clause never shuffle.
+  * avg len) enter as a 1-row broadcast crossJoin INSIDE the lazy plan
+  * (building a scored frame runs no job — spec-pinned; the index path
+  * [[graft.operators.InvertedIndex.searchTopK]] uses driver literals
+  * instead because its stats are one-row parquet tables, not a corpus
+  * scan). Docs matching no scored clause never shuffle.
   */
 object EsScoredQuery {
 
@@ -290,11 +292,15 @@ object EsScoredQuery {
       .select(col(idCol), TextAnalysis.tokens(col(field)).as("_toks"))
       .select(col(idCol), col("_toks"),
         size(col("_toks")).cast("double").as("_len"))
-    // driver literals, not a crossJoin — one tiny job per field
-    val st = staged.agg(count(lit(1)).cast("double").as("_n"),
-      avg(col("_len")).as("_avg")).head()
-    val n = st.getDouble(0)
-    val avgLen = if (n > 0 && !st.isNullAt(1)) st.getDouble(1) else 1.0
+    // corpus stats (N, avg len) as a 1-row broadcast crossJoin INSIDE
+    // the lazy plan — never an eager driver-side job: building a
+    // scored frame runs nothing (spec-pinned), and a scored query pays
+    // its corpus-stats pass when (and only when) it executes. The
+    // LanguageModel learned this the hard way: its eager count re-ran
+    // the corpus scan and measured 2× at sf0.1. avg is null on an
+    // empty corpus — coalesce to 1.0 (the result is empty anyway).
+    val stats = staged.agg(count(lit(1)).cast("double").as("_n"),
+      coalesce(avg(col("_len")), lit(1.0)).as("_avg"))
     val tf = staged
       .filter(arrays_overlap(col("_toks"), lit(allTerms.toArray)))
       .select(col(idCol), col("_len"), explode(col("_toks")).as("_t"))
@@ -307,12 +313,13 @@ object EsScoredQuery {
       .toDF("_cid", "_t")
     val perTerm = tf.join(broadcast(dfreq), Seq("_t"))
       .join(broadcast(pairs), Seq("_t"))
+      .crossJoin(broadcast(stats))
       .withColumn("_idf",
-        log(lit(1.0) + (lit(n) - col("_df") + 0.5) / (col("_df") + 0.5)))
+        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)))
       .withColumn("_s",
         col("_idf") * col("_tf") * (k1 + 1.0) /
           (col("_tf") +
-            lit(k1) * (lit(1.0) - b + lit(b) * col("_len") / lit(avgLen))))
+            lit(k1) * (lit(1.0) - b + lit(b) * col("_len") / col("_avg"))))
     // tf rows are unique per (doc, term); the pairs join adds _cid, so
     // rows are unique per (doc, clause, term): hits = row count
     val aggs: Seq[Column] = cs.flatMap(c => Seq(

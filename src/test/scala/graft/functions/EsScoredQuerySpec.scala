@@ -115,6 +115,35 @@ class EsScoredQuerySpec extends AnyFunSuite {
         math.max(fa.getOrElse(id, 0.0), fb.getOrElse(id, 0.0))) < 1e-6)
   }
 
+  test("building a scored frame is fully lazy — zero jobs before the first action") {
+    // the corpus stats (N, avg len) must enter the plan as a broadcast
+    // crossJoin, not an eager per-field .head(): at 100TB an eager
+    // stats job doubles the scan cost of every scored query AND runs
+    // even for a frame the caller never executes
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    // pin the input first so lazy-building can't be confused with
+    // input-side jobs (schema inference etc.)
+    val pinned = docs
+    pinned.schema // force resolution outside the measured window
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val frame = scored(pinned,
+        """{"bool": {"must": [{"match": {"text": "stream filter"}}],
+             "should": [{"match": {"text": "join"}}]}}""")
+      // listener events are async; give stragglers time to land
+      Thread.sleep(1500)
+      assert(counter.get == 0,
+        s"building the scored frame launched ${counter.get} job(s)")
+      assert(frame.limit(1).count() >= 0) // the frame still executes fine
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("scored-context guardrails stay loud") {
     val tiny = Seq((1L, "alpha")).toDF("doc_id", "text")
     // fuzziness scores with engine-internal statistics in ES — no
