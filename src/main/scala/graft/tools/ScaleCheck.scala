@@ -14,12 +14,17 @@ import graft.operators.{AsofJoin, Decontam, Dedup, RangeJoin, Similarity}
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
-    val mult = args.headOption.map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("batches")) {
+      batchGrowth(spark)
+      spark.stop()
+      return
+    }
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val n0 = docs.count()
 
@@ -170,5 +175,89 @@ object ScaleCheck {
       feats.filter(m.prob >= 0.5).count()
     }
     spark.stop()
+  }
+
+  /** `ScaleCheck batches` — the continuous-ingest growth table: hold
+    * the MICRO-BATCH fixed (1000 docs) and grow the INDEX 1×/4×/10×,
+    * timing each per-batch ingest path of the streaming drivers
+    * (st9/st10's foreachBatch bodies and the delete face):
+    *
+    *  - delete-batch ≈ the lens probe + tombstone write alone (one
+    *    lens-ledger semi-join + charge, no segment) — the purest view
+    *    of the O(index) per-batch read the id-bucketed compacted lens
+    *    keeps shuffle-free;
+    *  - upsert-batch = probe + tombstone + the batch's own segment
+    *    write (ingestUpsertBatch);
+    *  - cdc-batch = the same with mixed upsert/delete events
+    *    (ingestCdcBatch).
+    *
+    * Per-batch work is designed to be O(batch + a linear lens SCAN of
+    * the index, no reshuffle): the table should show the batch-
+    * dominated costs near-flat and the scan component growing with
+    * a slope well below the 10× data growth. A superlinear column
+    * means a probe degraded to an index-sized shuffle.
+    */
+  private def batchGrowth(spark: SparkSession): Unit = {
+    import graft.operators.InvertedIndex
+    def timeS(f: => Unit): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    println("[scale] per-batch phase growth: fixed 1000-doc micro-batch, index grown 1x/4x/10x")
+    println(f"[scale] ${"size"}%-5s ${"docs"}%8s ${"build(s)"}%9s ${"compact(s)"}%11s " +
+      f"${"upsert(s)"}%10s ${"cdc(s)"}%8s ${"delete(s)"}%10s")
+    val rows = Seq(1, 4, 10).map { s =>
+      val idx = s"/tmp/scale_idx_batch_$s"
+      new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(idx), true)
+      val corpus = base
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("doc_id") * s + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+        .localCheckpoint(true)
+      val nDocs = corpus.count()
+      // two segments then compact: the compacted segment carries the
+      // id-bucketed lens ledger every later probe reads co-located
+      val tBuild = timeS {
+        InvertedIndex.build(corpus.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", idx)
+        InvertedIndex.append(corpus.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", idx)
+      }
+      val tCompact = timeS { InvertedIndex.compact(spark, idx) }
+      val tUpsert = timeS {
+        InvertedIndex.ingestUpsertBatch(
+          corpus.filter(col("doc_id") < 1000)
+            .select(col("doc_id"), concat(col("text"), lit(" u1")).as("text")),
+          "doc_id", "text", idx, batchId = 9001)
+      }
+      val tCdc = timeS {
+        InvertedIndex.ingestCdcBatch(
+          corpus.filter(col("doc_id") >= 1000 && col("doc_id") < 1500)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" u2")).as("text"),
+              lit("upsert").as("op"))
+            .unionByName(corpus
+              .filter(col("doc_id") >= 2000 && col("doc_id") < 2500)
+              .select(col("doc_id"), col("text"), lit("delete").as("op"))),
+          "doc_id", "text", "op", idx, batchId = 9002)
+      }
+      val tDelete = timeS {
+        InvertedIndex.deleteDocs(
+          corpus.filter(col("doc_id") >= 3000 && col("doc_id") < 4000)
+            .select("doc_id"), idx)
+      }
+      println(f"[scale] ${s}%-5d ${nDocs}%8d ${tBuild}%9.2f ${tCompact}%11.2f " +
+        f"${tUpsert}%10.2f ${tCdc}%8.2f ${tDelete}%10.2f")
+      (s, tUpsert, tCdc, tDelete)
+    }
+    val (s1, u1, c1, d1) = rows.head
+    val (s10, u10, c10, d10) = rows.last
+    println(f"[scale] growth ${s10 / s1}x data -> upsert ${u10 / u1}%.2fx, " +
+      f"cdc ${c10 / c1}%.2fx, delete ${d10 / d1}%.2fx " +
+      "(batch fixed; slope << data growth = probe not index-shuffle-bound)")
   }
 }
