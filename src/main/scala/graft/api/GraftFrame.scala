@@ -182,6 +182,16 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     * [[graft.functions.EsScoredQuery]] for the exact contract. The
     * reference leaves ranking server-side (eland/filter.py:182-185
     * passes the dict through); this is the in-engine equivalent.
+    *
+    * Leaf-scoring caveat for relevance ports: every OTHER leaf
+    * (`term`, `terms`, `range`, `wildcard`, …) gates like the filter
+    * face and contributes a CONSTANT 1.0 when it matches, where ES
+    * would hand several of them index-statistics scores (a bare
+    * `term` earns idf). Those numbers are engine-dependent by
+    * definition, so the portable `constant_score` semantics is
+    * deliberate — a query that RANKS by bare `term`/`range` clauses
+    * will order differently than ES; wrap text lookups in `match` if
+    * BM25 ranking is the intent.
     */
   def esQueryScored(queryJson: String,
                     matchOnlyTextFields: Boolean = true): GraftFrame = {
