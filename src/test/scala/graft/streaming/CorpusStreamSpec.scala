@@ -287,4 +287,60 @@ class CorpusStreamSpec extends AnyFunSuite {
       .listFiles.count(_.isDirectory)
     assert(dirs == 1, s"registry holds $dirs batch dirs after compaction")
   }
+
+  test("bucketed cadence compaction: exact and near-dup streams match the plain layout") {
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-cs-bktcad").toString
+    val src = new java.io.File(work, "src"); src.mkdirs()
+    writeBatches(src.toString, Seq(
+      Seq((1L, "aaa"), (2L, "bbb")),
+      Seq((3L, "aaa"), (4L, "ccc")),
+      Seq((5L, "ccc"), (6L, "ddd")),
+      Seq((7L, "ddd"), (8L, "eee"))))
+    val schema = spark.read.parquet(src.toString).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    // exact: compactBuckets routes the cadence through the bucketed
+    // compactor; batches AFTER a compaction probe the bucketed store
+    val q = CorpusStream.incrementalDedup(stream, "doc_id", "text",
+      s"$work/registry", s"$work/out", s"$work/ckp",
+      compactEvery = Some(2), compactBuckets = Some(4))
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$work/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 4L, 6L, 8L))
+    // the registry's surviving batch dir is the bucketed layout
+    val reg = new java.io.File(s"$work/registry")
+      .listFiles.filter(_.isDirectory).map(_.getName).toSeq
+    assert(reg.count(_.startsWith("batch-")) == 1, reg.toString)
+    assert(reg.filter(_.startsWith("batch-")).forall(n =>
+      new java.io.File(s"$work/registry/$n/_bucket_spec.json").exists))
+
+    // near-dup: same shape; matches against pre-compaction registrants
+    // must survive the layout change, sidecar included
+    val nsrc = new java.io.File(work, "nsrc"); nsrc.mkdirs()
+    val long1 = "the quick brown fox jumps over the lazy dog near the river today"
+    val long2 = "completely different prose about catalyst optimizer rule batches"
+    writeBatches(nsrc.toString, Seq(
+      Seq((1L, long1), (2L, long2)),
+      Seq((3L, "yet another unrelated sentence with original words entirely")),
+      Seq((10L, long1.replace("today", "tomorrow")),
+        (11L, long2))))
+    val nschema = spark.read.parquet(nsrc.toString).schema
+    val nstream = spark.readStream.schema(nschema)
+      .option("maxFilesPerTrigger", 1).parquet(nsrc.toString)
+    val nq = CorpusStream.incrementalNearDup(nstream, "doc_id", "text",
+      s"$work/nreg", s"$work/nout", s"$work/nckp", threshold = 0.5,
+      compactEvery = Some(2), compactBuckets = Some(4))
+    try nq.processAllAvailable() finally nq.stop()
+    val m = spark.read.parquet(s"$work/nout")
+      .select("doc_id", "reg_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 2 (after the batch-1 bucketed compaction): 10 near-dups 1,
+    // 11 exact-dups 2 — both matched THROUGH the bucketed stores
+    assert(m == Set((10L, 1L), (11L, 2L)))
+    assert(new java.io.File(s"$work/nreg/bands")
+      .listFiles.map(_.getName).exists(_.startsWith("ids-")))
+  }
 }
