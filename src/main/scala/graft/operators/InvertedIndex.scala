@@ -72,13 +72,12 @@ object InvertedIndex {
   }
 
   private def fsOf(spark: SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SegmentStore.fsOf(spark, path)
 
   /** Committed segment dirs (stats marker present), sorted. */
   private def committedSegments(spark: SparkSession,
                                 indexPath: String): Seq[String] =
-    committedUnder(spark, s"$indexPath/segments")
+    SegmentStore.committedSegments(spark, indexPath)
 
   /** Committed tombstone batch dirs under `deletes/` — same stats-last
     * commit marker as segments, so a crashed [[deleteDocs]] is
@@ -86,18 +85,7 @@ object InvertedIndex {
     */
   private def committedDeletes(spark: SparkSession,
                                indexPath: String): Seq[String] =
-    committedUnder(spark, s"$indexPath/deletes")
-
-  private def committedUnder(spark: SparkSession,
-                             root: String): Seq[String] = {
-    val fs = fsOf(spark, root)
-    val p = new org.apache.hadoop.fs.Path(root)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-      .filter(d => fs.exists(
-        new org.apache.hadoop.fs.Path(d, "stats/_SUCCESS")))
-      .map(_.toString).sorted.toSeq
-  }
+    SegmentStore.committedDeletes(spark, indexPath)
 
   /** Write one immutable segment: postings first, stats last (the
     * commit marker).
@@ -292,16 +280,9 @@ object InvertedIndex {
     */
   private def writeTombstone(spark: SparkSession, indexPath: String,
                              segs: Seq[String], ids: DataFrame,
-                             n: Double, sumLen: Double): Unit = {
-    val dir = s"$indexPath/deletes/batch-${java.util.UUID.randomUUID()}"
-    ids.write.mode("overwrite").parquet(s"$dir/ids")
-    spark.createDataFrame(
-        segs.map(s => Tuple1(new org.apache.hadoop.fs.Path(s).getName)))
-      .toDF("_seg")
-      .write.mode("overwrite").parquet(s"$dir/segs")
-    spark.range(1).select(lit(n).as("n"), lit(sumLen).as("sum_len"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
-  }
+                             n: Double, sumLen: Double): Unit =
+    SegmentStore.writeTombstone(spark, indexPath, segs, ids,
+      Seq(lit(n).as("n"), lit(sumLen).as("sum_len")))
 
   /** (id, _seg) applicability pairs of the committed tombstones: a
     * row means "id is dead IN that segment". Bounded between
@@ -309,9 +290,7 @@ object InvertedIndex {
     */
   private def tombstonePairs(spark: SparkSession,
                              dels: Seq[String]): DataFrame =
-    dels.map(d => spark.read.parquet(s"$d/ids")
-        .crossJoin(spark.read.parquet(s"$d/segs")))
-      .reduce(_ unionByName _)
+    SegmentStore.tombstonePairs(spark, dels)
 
   /** Per-segment `lens` rows tagged with their segment name, minus the
     * tombstones applicable to each segment: exactly the live corpus —
@@ -417,8 +396,7 @@ object InvertedIndex {
       s"buckets must be in [1, 256] (one md5 byte), got $bucketsIfNew")
     val spark = docs.sparkSession
     val fs = fsOf(spark, indexPath)
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$indexPath/ingested/batch-$batchId")
+    val marker = SegmentStore.ingestMarker(indexPath, batchId)
     if (fs.exists(marker)) return
     if (!docs.isEmpty) {
       val ownName = s"seg-batch-$batchId"
@@ -470,8 +448,7 @@ object InvertedIndex {
       s"buckets must be in [1, 256] (one md5 byte), got $bucketsIfNew")
     val spark = events.sparkSession
     val fs = fsOf(spark, indexPath)
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$indexPath/ingested/batch-$batchId")
+    val marker = SegmentStore.ingestMarker(indexPath, batchId)
     if (fs.exists(marker)) return
     val evs = events.select(col(idCol).as("id"), col(textCol).as("_text"),
       lower(col(opCol)).as("_op")).persist()
@@ -557,8 +534,7 @@ object InvertedIndex {
       s"buckets must be in [1, 256] (one md5 byte), got $bucketsIfNew")
     val spark = docs.sparkSession
     val fs = fsOf(spark, indexPath)
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$indexPath/ingested/batch-$batchId")
+    val marker = SegmentStore.ingestMarker(indexPath, batchId)
     if (fs.exists(marker)) return
     if (!docs.isEmpty) {
       val segs = committedSegments(spark, indexPath)
@@ -575,7 +551,7 @@ object InvertedIndex {
   }
 
   private def manifestPath(indexPath: String) =
-    new org.apache.hadoop.fs.Path(s"$indexPath/compacting")
+    SegmentStore.manifestPath(indexPath)
 
   /** Resolve a [[compact]] that crashed between committing its merged
     * segment and deleting the inputs. In that window merged AND input
@@ -596,9 +572,7 @@ object InvertedIndex {
     // so one manifest covers segment inputs AND the tombstone dirs a
     // compaction applies physically; the commit marker of both kinds
     // is their stats table
-    Manifest.heal(fsOf(spark, indexPath), manifestPath(indexPath),
-      indexPath,
-      d => new org.apache.hadoop.fs.Path(s"$d/stats/_SUCCESS"))
+    SegmentStore.heal(spark, indexPath)
 
   /** Merge every committed segment into one, applying tombstones
     * PHYSICALLY: live postings are disjoint rows (a plain union minus
@@ -626,14 +600,7 @@ object InvertedIndex {
     */
   private def sweepUncommitted(fs: org.apache.hadoop.fs.FileSystem,
                                indexPath: String): Unit =
-    Seq("segments", "deletes").foreach { sub =>
-      val root = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
-      if (fs.exists(root))
-        fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-          .filterNot(p => fs.exists(
-            new org.apache.hadoop.fs.Path(p, "stats/_SUCCESS")))
-          .foreach(p => fs.delete(p, true))
-    }
+    SegmentStore.sweepUncommitted(fs, indexPath)
 
   /** `lensBuckets` sizes the compacted segment's id-bucketed lens
     * ledger — the build side of every later upsert/CDC/delete probe

@@ -184,6 +184,21 @@ object Similarity {
     (array_position(scores, array_min(scores)) - 1).cast("int")
   }
 
+  /** The `nprobe` nearest cell ids for a vector — sort (score, cell)
+    * structs (lexicographic struct order = by score then cell id,
+    * deterministic) and keep the first `nprobe`. Shared by [[ivfTopK]]
+    * and [[VectorIndex.searchTopK]] so the scan and index probe rules
+    * cannot drift (differential-pinned in VectorIndexSpec).
+    */
+  def ivfProbeCells(vec: Column, centroids: Array[Array[Double]],
+                    nprobe: Int): Column =
+    transform(
+      slice(array_sort(array(
+        cellScores(VectorOps.asDouble(vec), centroids).zipWithIndex.map {
+          case (s, j) => struct(s.as("s"), lit(j).as("i"))
+        }: _*)), 1, nprobe),
+      p => p.getField("i"))
+
   /** IVF ANN top-k: corpus rows live in their nearest cell; each query
     * probes its `nprobe` nearest cells. Output shape matches
     * bruteForceTopK; with nprobe = nlist the result IS the exact
@@ -199,18 +214,11 @@ object Similarity {
       VectorOps.asDouble(col(vecCol)).as("n_v"))
       .withColumn("cell", ivfCell(col("n_v"), centroids))
       .withColumn("n_n", sqrt(VectorOps.normSq(col("n_v"))))
-    // nprobe nearest cells per query: sort (score, cell) structs —
-    // lexicographic struct order = by score then cell id, deterministic
     val qv = queries.select(col(idCol).as("q_id"),
       VectorOps.asDouble(col(vecCol)).as("q_v"))
-    val scored = qv.withColumn("probes",
-      slice(array_sort(array(
-        cellScores(col("q_v"), centroids).zipWithIndex.map { case (s, j) =>
-          struct(s.as("s"), lit(j).as("i"))
-        }: _*)), 1, nprobe))
-    val q = scored
-      .select(col("q_id"), col("q_v"), explode(col("probes")).as("p"))
-      .select(col("q_id"), col("q_v"), col("p.i").as("cell"))
+    val q = qv
+      .withColumn("probes", ivfProbeCells(col("q_v"), centroids, nprobe))
+      .select(col("q_id"), col("q_v"), explode(col("probes")).as("cell"))
       .withColumn("q_n", sqrt(VectorOps.normSq(col("q_v"))))
     val cand = c.join(broadcast(q), Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))

@@ -1,0 +1,477 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.plans.VectorExpressions
+
+/** A persistent IVF vector index — the materialized face of
+  * [[Similarity.ivfTopK]] and the vector twin of [[InvertedIndex]]:
+  * where the reference's backing engine serves `knn` searches from a
+  * per-shard HNSW graph built at index time (eland's `es_match` /
+  * semantic-search path never re-reads the corpus), this serves
+  * cosine top-k from cell-partitioned parquet segments built once,
+  * probing only each query's nearest cells.
+  *
+  * The scan-based ANN operators re-read and re-score the whole corpus
+  * per query frame; right for one-off analytics, wrong for a
+  * query-serving workload. Here:
+  *
+  *  - [[build]] trains a coarse k-means quantizer (nlist centroids,
+  *    frozen for the index's lifetime — the standard IVF recipe) and
+  *    writes the corpus as one immutable SEGMENT: vectors parquet
+  *    partitioned by nearest-centroid `cell`, an `ids` ledger
+  *    ((id, cell) — the probe/compaction bookkeeping, ~16 B/doc), and
+  *    a one-row stats table written LAST as the commit marker (the
+  *    [[SegmentStore]] discipline — a crashed build is invisible).
+  *  - [[searchTopK]] answers a whole QUERY FRAME in one plan: each
+  *    query probes its `nprobe` nearest cells, the union of probed
+  *    cells prunes partition DIRECTORIES of every segment at planning
+  *    time (≤ nlist ints collected driver-side — bounded regardless
+  *    of workload), vectors join the broadcast queries on `cell`, and
+  *    per-query ranking is the two-phase
+  *    [[Similarity.rankTopKPerQuery]]. Query cost is O(probed cells'
+  *    vectors), not O(corpus); `nprobe = nlist` degrades gracefully
+  *    to exact brute force (the oracle-gated configuration).
+  *  - [[append]]/[[ingestBatch]] add batches as new segments under
+  *    the frozen quantizer; [[deleteDocs]]/[[upsertDocs]]/
+  *    [[ingestUpsertBatch]] reuse the segment-scoped tombstone model
+  *    of [[InvertedIndex]] (one batch-wide tombstone, scopes never
+  *    cover the new segment, exactly-once per batch id via the
+  *    ingest ledger); [[compact]] merges live vectors into one
+  *    segment per cell layout, writes the ids ledger BUCKETED by id
+  *    so every later upsert/delete probe reads it pre-partitioned
+  *    (the Exchange-free probe property, spec-pinned), and is
+  *    manifest-healed against crashes.
+  *
+  * Contracts (shared with the inverted index): appended ids must be
+  * new; upsert/CDC batches carry one row per id; vectors must be
+  * non-zero (cosine) and share the build dimensionality; single
+  * writer at a time; compaction is offline maintenance. The quantizer
+  * is trained ONCE — a corpus whose distribution drifts far from the
+  * build sample degrades recall (cells imbalance), the standard IVF
+  * trade; rebuild to retrain.
+  *
+  * Scoring is row-identical to [[Similarity.ivfTopK]] over the live
+  * corpus (same centroids, same probe rule, same 6-dp rounding —
+  * differential-pinned in VectorIndexSpec).
+  */
+object VectorIndex {
+
+  // ---- layout ------------------------------------------------------
+
+  private def fsOf(spark: SparkSession, path: String) =
+    SegmentStore.fsOf(spark, path)
+
+  private def quantizerPath(indexPath: String) = s"$indexPath/quantizer"
+
+  /** The frozen quantizer, driver-side: nlist×dim doubles (the whole
+    * IVF model — tiny by design; what must scale is assignment and
+    * search, and those run as broadcast literal expressions).
+    */
+  private[operators] def readCentroids(spark: SparkSession,
+                                       indexPath: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(quantizerPath(indexPath))
+      .orderBy("cell").collect()
+    require(rows.nonEmpty, s"$indexPath has no quantizer — build() first")
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Write one immutable segment: vectors (partitioned by cell) and
+    * the ids ledger first, stats LAST (the commit marker).
+    */
+  private def writeSegmentNamed(docs: DataFrame, idCol: String,
+                                vecCol: String, indexPath: String,
+                                name: String,
+                                centroids: Array[Array[Double]]): Unit = {
+    val seg = s"$indexPath/segments/$name"
+    // a named REWRITE (ingestBatch retry) must first un-commit the
+    // previous attempt (stats-last discipline, see InvertedIndex)
+    fsOf(docs.sparkSession, indexPath)
+      .delete(new org.apache.hadoop.fs.Path(s"$seg/stats"), true)
+    // norm precomputed at write time: every future search divides by
+    // it, and computing it once here beats per-query recomputation
+    val staged = docs
+      .select(col(idCol).as("id"),
+        VectorOps.asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", Similarity.ivfCell(col("v"), centroids))
+      .withColumn("norm", sqrt(VectorOps.normSq(col("v"))))
+      .persist()
+    try {
+      val r = staged.agg(count(lit(1)).as("_n"),
+        count_distinct(col("id")).as("_d"),
+        count(when(col("v").isNull || size(col("v")) =!=
+          centroids.head.length, 1)).as("_bad")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"batch contains duplicate ids (${r.getLong(0)} rows, " +
+          s"${r.getLong(1)} distinct) — collapse to one row per id " +
+          "before ingesting")
+      require(r.getLong(2) == 0,
+        s"${r.getLong(2)} vectors are null or not ${centroids.head.length}-" +
+          "dimensional — the index stores one frozen dimensionality")
+      // repartition by cell before partitionBy: otherwise every write
+      // task opens up to nlist files (the small-files trap)
+      staged.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$seg/vectors")
+      staged.select(col("id"), col("cell"))
+        .write.mode("overwrite").parquet(s"$seg/ids")
+      staged.agg(count(lit(1)).cast("double").as("n"),
+          lit(centroids.length).as("nlist"))
+        .write.mode("overwrite").parquet(s"$seg/stats")
+    } finally {
+      staged.unpersist()
+      ()
+    }
+  }
+
+  private def writeSegment(docs: DataFrame, idCol: String, vecCol: String,
+                           indexPath: String,
+                           centroids: Array[Array[Double]]): Unit =
+    writeSegmentNamed(docs, idCol, vecCol, indexPath,
+      s"seg-${java.util.UUID.randomUUID()}", centroids)
+
+  // ---- lifecycle ---------------------------------------------------
+
+  /** Create a FRESH index at `indexPath`: train the quantizer on
+    * `docs` (deterministic seeded sample — [[Similarity.trainIvfCentroids]]),
+    * then write one segment. Any existing segments, tombstones,
+    * ledger markers, and manifest are removed first (stale state
+    * would mask or skip the new corpus — the [[InvertedIndex.build]]
+    * reset).
+    */
+  def build(docs: DataFrame, idCol: String, vecCol: String,
+            indexPath: String, nlist: Int = 16, kmeansIters: Int = 10,
+            sampleN: Int = 4096, seed: Long = 42): Unit = {
+    require(nlist >= 1, s"nlist must be positive, got $nlist")
+    val spark = docs.sparkSession
+    val fs = fsOf(spark, indexPath)
+    Seq("segments", "deletes", "ingested", "quantizer").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/$d"), true))
+    Manifest.delete(fs, SegmentStore.manifestPath(indexPath))
+    val centroids = Similarity.trainIvfCentroids(docs, vecCol, nlist,
+      kmeansIters, sampleN, seed)
+    writeQuantizer(spark, indexPath, centroids)
+    writeSegment(docs, idCol, vecCol, indexPath, centroids)
+  }
+
+  private def writeQuantizer(spark: SparkSession, indexPath: String,
+                             centroids: Array[Array[Double]]): Unit =
+    spark.createDataFrame(centroids.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(quantizerPath(indexPath))
+
+  /** Add NEW documents as one more immutable segment under the frozen
+    * quantizer (ids must not live in any committed segment — gate
+    * re-sends with [[Dedup.incrementalExactDedup]] upstream, exactly
+    * the [[InvertedIndex.append]] contract).
+    */
+  def append(docs: DataFrame, idCol: String, vecCol: String,
+             indexPath: String): Unit = {
+    val spark = docs.sparkSession
+    require(SegmentStore.committedSegments(spark, indexPath).nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    writeSegment(docs, idCol, vecCol, indexPath,
+      readCentroids(spark, indexPath))
+  }
+
+  /** Tombstone documents: same segment-scoped model, exact-match
+    * contract, and stats-last commit as [[InvertedIndex.deleteDocs]] —
+    * the charge ledger here is the per-segment `ids` table and the
+    * only charged moment is n.
+    */
+  def deleteDocs(ids: DataFrame, indexPath: String): Unit = {
+    val spark = ids.sparkSession
+    val segs = SegmentStore.committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    require(ids.columns.length == 1,
+      s"ids must be a single-column frame, got ${ids.columns.toSeq}")
+    val del = ids.select(col(ids.columns.head).as("id"))
+      .distinct().localCheckpoint(true)
+    val hitRow = liveIdFrames(spark, segs,
+        SegmentStore.committedDeletes(spark, indexPath))
+      .map(_.join(del, Seq("id"), "left_semi"))
+      .reduce(_ unionByName _)
+      .agg(count(lit(1)).as("n"), count_distinct(col("id")).as("d")).head()
+    val nReq = del.count()
+    require(hitRow.getLong(0) == nReq && hitRow.getLong(1) == nReq,
+      s"deleteDocs: $nReq ids requested but ${hitRow.getLong(0)} live " +
+        s"rows over ${hitRow.getLong(1)} distinct ids matched in " +
+        s"$indexPath — unknown/already-tombstoned ids (or an id live " +
+        "in two segments) are contract violations")
+    SegmentStore.writeTombstone(spark, indexPath, segs, del,
+      Seq(lit(hitRow.getLong(0).toDouble).as("n")))
+  }
+
+  /** ES-style upsert: live versions of the incoming ids are
+    * tombstoned (scoped to the CURRENT segments), then the whole
+    * batch lands as one new segment — updated vectors resurface
+    * immediately because tombstone scopes never cover the new
+    * segment. Ids must be unique within `docs`; new ids just append.
+    */
+  def upsertDocs(docs: DataFrame, idCol: String, vecCol: String,
+                 indexPath: String): Unit = {
+    val spark = docs.sparkSession
+    val segs = SegmentStore.committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    tombstoneLiveOf(docs, idCol, indexPath, segs)
+    append(docs, idCol, vecCol, indexPath)
+  }
+
+  /** One ids-ledger read finds the live versions of the incoming ids
+    * and their count, charged directly. No live match → no tombstone
+    * (pure inserts). Per-frame semi-join + union of results: a
+    * compacted segment's id-bucketed ledger keeps its partitioning
+    * into the probe — the per-batch O(index) ledger read never
+    * reshuffles (the [[InvertedIndex]] lens-probe rule, spec-pinned).
+    */
+  private def tombstoneLiveOf(docs: DataFrame, idCol: String,
+                              indexPath: String, segs: Seq[String]): Unit = {
+    val spark = docs.sparkSession
+    val ids = docs.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(true)
+    val hits = liveIdFrames(spark, segs,
+        SegmentStore.committedDeletes(spark, indexPath))
+      .map(_.join(ids, Seq("id"), "left_semi"))
+      .reduce(_ unionByName _)
+      .localCheckpoint(true)
+    val n = hits.count()
+    if (n > 0)
+      SegmentStore.writeTombstone(spark, indexPath, segs,
+        hits.select("id").distinct(), Seq(lit(n.toDouble).as("n")))
+  }
+
+  /** Per-segment `ids` ledger rows tagged with their segment name,
+    * minus applicable tombstones — ONE FRAME PER SEGMENT so a
+    * compacted segment's id-bucketed ledger keeps its
+    * HashPartitioning into the caller's join (callers join per frame
+    * and union the RESULTS; semi-joins distribute over the left
+    * union).
+    */
+  private def liveIdFrames(spark: SparkSession, segs: Seq[String],
+                           dels: Seq[String]): Seq[DataFrame] = {
+    val fs = fsOf(spark, segs.head)
+    val tomb =
+      if (dels.isEmpty) None
+      else Some(broadcast(SegmentStore.tombstonePairs(spark, dels)))
+    segs.map { s =>
+      val idsPath = s"$s/ids"
+      val base =
+        if (Bucketing.isBucketedBatch(fs, idsPath))
+          Bucketing.readBucketedBatch(spark, idsPath)
+        else spark.read.parquet(idsPath)
+      val tagged = base.withColumn("_seg",
+        lit(new org.apache.hadoop.fs.Path(s).getName))
+      tomb.map(t => tagged.join(t, Seq("id", "_seg"), "left_anti"))
+        .getOrElse(tagged)
+    }
+  }
+
+  /** Exactly-once per-batch streaming ingest (append-only feeds) —
+    * the [[InvertedIndex.ingestBatch]] discipline: batch-id-named
+    * segment rewritten on retry, durable ledger marker created after
+    * the stats commit, marked batches skipped outright. The FIRST
+    * batch trains the quantizer (it must carry ≥ `nlistIfNew`
+    * vectors); empty batches write only their marker.
+    */
+  def ingestBatch(docs: DataFrame, idCol: String, vecCol: String,
+                  indexPath: String, batchId: Long,
+                  nlistIfNew: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    val fs = fsOf(spark, indexPath)
+    val marker = SegmentStore.ingestMarker(indexPath, batchId)
+    if (fs.exists(marker)) return
+    if (!docs.isEmpty) {
+      val centroids = ensureQuantizer(docs, vecCol, indexPath, nlistIfNew)
+      writeSegmentNamed(docs, idCol, vecCol, indexPath,
+        s"seg-batch-$batchId", centroids)
+    }
+    fs.create(marker, true).close()
+  }
+
+  /** The CDC face: [[ingestBatch]]'s exactly-once discipline with
+    * [[upsertDocs]] semantics. The tombstone scope EXCLUDES the
+    * batch's own `seg-batch-<id>` segment, so a checkpoint retry
+    * never self-masks (the [[InvertedIndex.ingestUpsertBatch]] replay
+    * argument, verbatim).
+    */
+  def ingestUpsertBatch(docs: DataFrame, idCol: String, vecCol: String,
+                        indexPath: String, batchId: Long,
+                        nlistIfNew: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    val fs = fsOf(spark, indexPath)
+    val marker = SegmentStore.ingestMarker(indexPath, batchId)
+    if (fs.exists(marker)) return
+    if (!docs.isEmpty) {
+      val ownName = s"seg-batch-$batchId"
+      val all = SegmentStore.committedSegments(spark, indexPath)
+      val others = all.filterNot(s =>
+        new org.apache.hadoop.fs.Path(s).getName == ownName)
+      val centroids = ensureQuantizer(docs, vecCol, indexPath, nlistIfNew)
+      if (others.nonEmpty) tombstoneLiveOf(docs, idCol, indexPath, others)
+      writeSegmentNamed(docs, idCol, vecCol, indexPath, ownName, centroids)
+    }
+    fs.create(marker, true).close()
+  }
+
+  private def ensureQuantizer(docs: DataFrame, vecCol: String,
+                              indexPath: String,
+                              nlistIfNew: Int): Array[Array[Double]] = {
+    val spark = docs.sparkSession
+    val fs = fsOf(spark, indexPath)
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"${quantizerPath(indexPath)}/_SUCCESS")))
+      readCentroids(spark, indexPath)
+    else {
+      val centroids = Similarity.trainIvfCentroids(docs, vecCol, nlistIfNew)
+      writeQuantizer(spark, indexPath, centroids)
+      centroids
+    }
+  }
+
+  /** Resolve a crashed [[compact]] — see [[SegmentStore.heal]]. */
+  def heal(spark: SparkSession, indexPath: String): Unit =
+    SegmentStore.heal(spark, indexPath)
+
+  /** Merge every committed segment into one, applying tombstones
+    * PHYSICALLY, manifest-healed exactly like [[InvertedIndex.compact]].
+    * The merged `ids` ledger is written BUCKETED by id
+    * (`idBuckets`) so every later upsert/delete probe reads it
+    * pre-partitioned — the per-batch O(index) ledger read never
+    * reshuffles, at any index size. Offline maintenance: run without
+    * concurrent searches.
+    */
+  def compact(spark: SparkSession, indexPath: String,
+              idBuckets: Int = 32): Unit = {
+    heal(spark, indexPath)
+    val fs = fsOf(spark, indexPath)
+    SegmentStore.sweepUncommitted(fs, indexPath)
+    val segs = SegmentStore.committedSegments(spark, indexPath)
+    val dels = SegmentStore.committedDeletes(spark, indexPath)
+    if (segs.length > 1 || (dels.nonEmpty && segs.nonEmpty)) {
+      val nlist = spark.read.parquet(s"${segs.head}/stats")
+        .select("nlist").head().getInt(0)
+      val live = liveVectors(spark, segs, dels, identity)
+        .localCheckpoint(true)
+      require(live.limit(1).count() > 0,
+        s"every document in $indexPath is tombstoned — build() afresh " +
+          "instead of compacting to an empty index")
+      val name = s"seg-${java.util.UUID.randomUUID()}"
+      val seg = s"$indexPath/segments/$name"
+      val inputs =
+        segs.map(s => "segments/" + new org.apache.hadoop.fs.Path(s).getName) ++
+        dels.map(d => "deletes/" + new org.apache.hadoop.fs.Path(d).getName)
+      Manifest.write(fs, SegmentStore.manifestPath(indexPath),
+        s"segments/$name" +: inputs)
+      live.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$seg/vectors")
+      Bucketing.saveBucketedBatch(
+        live.select("id", "cell").repartition(idBuckets, col("id")),
+        s"$seg/ids", Seq("id"), idBuckets)
+      live.agg(count(lit(1)).cast("double").as("n"),
+          lit(nlist).as("nlist"))
+        .write.mode("overwrite").parquet(s"$seg/stats")
+      (segs ++ dels).foreach(s =>
+        fs.delete(new org.apache.hadoop.fs.Path(s), true))
+      Manifest.delete(fs, SegmentStore.manifestPath(indexPath))
+    }
+  }
+
+  // ---- read paths --------------------------------------------------
+
+  /** The live vectors of every segment under `prune` (cell pruning —
+    * applied per segment so partition-directory pruning happens at
+    * planning time), tombstones subtracted segment-scoped.
+    */
+  private def liveVectors(spark: SparkSession, segs: Seq[String],
+                          dels: Seq[String],
+                          prune: DataFrame => DataFrame): DataFrame = {
+    val tagged = segs.map(s =>
+      prune(spark.read.parquet(s"$s/vectors"))
+        .withColumn("_seg", lit(new org.apache.hadoop.fs.Path(s).getName)))
+      .reduce(_ unionByName _)
+    val out =
+      if (dels.isEmpty) tagged
+      else tagged.join(
+        broadcast(SegmentStore.tombstonePairs(spark, dels)),
+        Seq("id", "_seg"), "left_anti")
+    out.drop("_seg")
+  }
+
+  /** Index observability: one row of live corpus size and structural
+    * counts — the maintenance signals a compaction cadence watches.
+    */
+  def stats(spark: SparkSession, indexPath: String): DataFrame = {
+    val segs = SegmentStore.committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val dels = SegmentStore.committedDeletes(spark, indexPath)
+    // ONE driver-side read of the one-row-per-dir stats tables (the
+    // InvertedIndex.liveStats shape)
+    val segRows = segs.map(s => spark.read.parquet(s"$s/stats"))
+      .reduce(_ unionByName _).collect()
+    val delN =
+      if (dels.isEmpty) 0.0
+      else dels.map(d => spark.read.parquet(s"$d/stats"))
+        .reduce(_ unionByName _).collect()
+        .map(_.getAs[Double]("n")).sum
+    val segN = segRows.map(_.getAs[Double]("n")).sum
+    val nlist = segRows.head.getAs[Int]("nlist")
+    spark.range(1).select(
+      lit((segN - delN).toLong).as("n_docs"),
+      lit(segs.length).as("segments"),
+      lit(dels.length).as("tombstone_batches"),
+      lit(nlist).as("nlist"))
+  }
+
+  /** Serve a whole query frame: (qIdCol, rank, idColName, cos) for
+    * rank ≤ k per query, cosine rounded to `roundTo` with id
+    * tiebreak. Each query probes its `nprobe` nearest cells; the
+    * union of probed cells (≤ nlist ints, collected from a tiny
+    * distinct-agg over the query frame) prunes the vectors scan's
+    * partition directories; `nprobe = nlist` is exact brute force.
+    * Queries are broadcast — the workload contract is a modest query
+    * frame against an arbitrarily large index.
+    */
+  def searchTopK(queries: DataFrame, indexPath: String, k: Int,
+                 nprobe: Int = 2, qIdCol: String = "q_id",
+                 vecCol: String = "vec", idColName: String = "id",
+                 roundTo: Int = 6): DataFrame = {
+    require(k > 0)
+    val spark = queries.sparkSession
+    val segs = SegmentStore.committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val dels = SegmentStore.committedDeletes(spark, indexPath)
+    val centroids = readCentroids(spark, indexPath)
+    val nlist = centroids.length
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe out of range: $nprobe (nlist = $nlist)")
+    // per-query probe cells via the deterministic (score, cell) struct
+    // sort of Similarity.ivfTopK; pinned — reused for the driver-side
+    // cell collection AND the broadcast join side
+    val q = queries
+      .select(col(qIdCol).as("_q_id"),
+        VectorOps.asDouble(col(vecCol)).as("q_v"))
+      .withColumn("probes", Similarity.ivfProbeCells(col("q_v"),
+        centroids, nprobe))
+      .select(col("_q_id"), col("q_v"), explode(col("probes")).as("cell"))
+      .withColumn("q_n", sqrt(VectorOps.normSq(col("q_v"))))
+      .localCheckpoint(true)
+    // bounded driver state: the distinct probed-cell set is ≤ nlist
+    val wanted = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val c = liveVectors(spark, segs, dels,
+      _.filter(col("cell").isin(wanted: _*)))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .withColumn("cos", round(
+        VectorExpressions.dot(col("q_v"), col("v")) /
+          (col("q_n") * col("norm")), roundTo))
+    Similarity.rankTopKPerQuery(scored, k, "_q_id", "id", "cos")
+      .select(col("_q_id").as(qIdCol), col("rank"),
+        col("id").as(idColName), col("cos"))
+  }
+}

@@ -685,6 +685,57 @@ object PipelineQueries {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_id", "reg_id")
     }),
+    // streaming vector-index upsert: batch k carries its own vectors
+    // PLUS updates rewriting id-1 with the SENDER's affine-jittered
+    // vector (the st9 successor shape), with in-stream compaction
+    // consuming tombstones mid-run; the final every-cell search must
+    // equal DuckDB's brute-force replay over the last-arrival-wins
+    // corpus — a tombstone leaking onto a re-sent id's new segment, a
+    // lost update, or a dead vector surviving the compaction all miss
+    "st11_stream_vector_index" -> ((s, d) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-st11-run").toString
+      val src = new java.io.File(work, "src"); src.mkdirs()
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      for (k <- 0 until 4) {
+        val own = base.filter(col("vec_id") % 4 === k)
+        val upd =
+          if (k == 0) own.limit(0)
+          else base.filter(col("vec_id") % 4 === k)
+            .select((col("vec_id") - 1).as("vec_id"),
+              transform(col("embedding"), x => x * 0.5 + 0.1)
+                .as("embedding"))
+        val rows = own.unionByName(upd)
+        val stage = new java.io.File(src, s"_stage$k")
+        rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"batch-$k.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + k * 60000L)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+      }
+      val schema = s.read.parquet(s"$src/batch-0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.CorpusStream.incrementalUpsertVectorIndex(
+          stream, "vec_id", "embedding", s"$work/index", s"$work/ckp",
+          nlist = 4, compactEvery = Some(2))
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val qs = base.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 900000).as("q_id"),
+          col("embedding").as("vec"))
+      graft.operators.VectorIndex.searchTopK(qs, s"$work/index", k = 5,
+          nprobe = 4, idColName = "n_id")
+        .orderBy("q_id", "rank")
+    }),
     // engine-portable SimHash (md5 token hash) — the full-oracle face
     // of dd3's xxhash64 sketch: DuckDB replays every per-bit ±1 sum
     "dd10_simhash_md5" -> ((s, d) => {
@@ -836,6 +887,60 @@ object PipelineQueries {
       graft.operators.InvertedIndex.searchTopK(s, path,
           Seq("stream", "filter", "join"), k = 10, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
+    }),
+    // persistent IVF vector index, exact configuration: build the
+    // cell-partitioned index (quantizer trained once, frozen), then
+    // serve a query frame probing EVERY cell — must equal brute-force
+    // cosine top-k, which DuckDB replays from the raw table. Query ids
+    // are shifted out of the corpus id space: the index has no notion
+    // of query identity, so the oracle replay includes each query's
+    // own corpus twin at cosine 1.0.
+    "vx1_vector_index_search" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-vx1-$tag").toString
+      val e = t(s, d, "embeddings")
+      graft.operators.VectorIndex.build(e, "vec_id", "embedding", path,
+        nlist = 8)
+      val q = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 900000).as("q_id"),
+          col("embedding").as("vec"))
+      graft.operators.VectorIndex.searchTopK(q, path, k = 5, nprobe = 8,
+          idColName = "n_id")
+        .orderBy("q_id", "rank")
+    }),
+    // vector-index upsert + delete lifecycle: every 10th vector is
+    // UPDATED with a deterministic jitter (plus fresh ids appended),
+    // every (id % 7 == 3) is tombstoned — including ids that were
+    // JUST updated, so the delete must charge the upsert segment's
+    // live version, not the masked original. Search probes every cell;
+    // the oracle replays brute force over the last-wins-minus-deleted
+    // corpus
+    "vx2_vector_index_upsert" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-vx2-$tag").toString
+      val e = t(s, d, "embeddings")
+      graft.operators.VectorIndex.build(e, "vec_id", "embedding", path,
+        nlist = 8)
+      val updated = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            (x, i) => x + ((col("vec_id") * 31 + i * 7) % 5 - lit(2.0)) * 0.001)
+            .as("embedding"))
+      val fresh = e.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 500000).as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      graft.operators.VectorIndex.upsertDocs(updated.unionByName(fresh),
+        "vec_id", "embedding", path)
+      graft.operators.VectorIndex.deleteDocs(
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), path)
+      val q = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 900000).as("q_id"),
+          col("embedding").as("vec"))
+      graft.operators.VectorIndex.searchTopK(q, path, k = 5, nprobe = 8,
+          idColName = "n_id")
+        .orderBy("q_id", "rank")
     }),
     // deterministic global shuffle (reproducible training order):
     // distributed two-phase ordinal assignment — the single-partition
@@ -1416,6 +1521,71 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // every cell probed => identical to exact brute force over the raw
+    // table: the quantizer, cell layout, and segment plumbing never
+    // exist oracle-side, so a vector lost to a mis-assigned cell or a
+    // probe that skips a directory cannot match. Query ids shifted out
+    // of the corpus space (the index has no notion of query identity)
+    "vx1_vector_index_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id + 900000 AS q_id, v FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.q_id, c.vec_id AS n_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |      FROM q CROSS JOIN e c),
+        |r AS (SELECT q_id, n_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // brute-force replay over the last-wins-minus-deleted corpus: the
+    // upsert tombstones, the delete charge against the upsert
+    // segment's live version, and the fresh appends all collapse to
+    // plain set algebra oracle-side (DuckDB list lambdas index from 1,
+    // hence i-1 — the dd8 convention)
+    "vx2_vector_index_upsert" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |updated AS (
+        |  SELECT vec_id, list_transform(v, (x, i) ->
+        |           x + (CAST((vec_id*31 + (i-1)*7) % 5 AS DOUBLE) - 2.0)*0.001) AS v
+        |  FROM base WHERE vec_id % 10 = 0),
+        |fresh AS (SELECT vec_id + 500000 AS vec_id, v FROM base WHERE vec_id < 3),
+        |live AS (SELECT * FROM (
+        |           SELECT * FROM base WHERE vec_id % 10 <> 0
+        |           UNION ALL SELECT * FROM updated
+        |           UNION ALL SELECT * FROM fresh)
+        |         WHERE vec_id % 7 <> 3),
+        |q AS (SELECT vec_id + 900000 AS q_id, v FROM base WHERE vec_id < 5),
+        |s AS (SELECT q.q_id, c.vec_id AS n_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |      FROM q CROSS JOIN live c),
+        |r AS (SELECT q_id, n_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // last-arrival-wins vector corpus (every id whose successor class
+    // streamed later carries the affine-jittered update); the streamed
+    // tombstone/segment/compaction dance never existed oracle-side
+    "st11_stream_vector_index" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |upd AS (SELECT vec_id - 1 AS vec_id,
+        |          list_transform(v, x -> x*0.5 + 0.1) AS v
+        |        FROM base WHERE vec_id % 4 <> 0),
+        |live AS (SELECT coalesce(u.vec_id, b.vec_id) AS vec_id,
+        |                coalesce(u.v, b.v) AS v
+        |         FROM base b FULL OUTER JOIN upd u ON b.vec_id = u.vec_id),
+        |q AS (SELECT vec_id + 900000 AS q_id, v FROM base WHERE vec_id < 5),
+        |s AS (SELECT q.q_id, c.vec_id AS n_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |      FROM q CROSS JOIN live c),
+        |r AS (SELECT q_id, n_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     // last-arrival-wins corpus: every doc whose successor exists in a
     // LATER batch class (successor doc_id % 4 != 0) carries the
     // successor's update text; the streamed tombstone/segment dance

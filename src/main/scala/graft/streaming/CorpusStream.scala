@@ -364,6 +364,68 @@ object CorpusStream {
       .start()
   }
 
+  /** Stream micro-batches into a persistent
+    * [[graft.operators.VectorIndex]] — the ANN twin of
+    * [[incrementalIndex]]: each batch lands as one cell-partitioned
+    * segment named by its batch id (exactly-once per batch id via the
+    * shared ingest ledger), the FIRST batch trains the frozen
+    * quantizer (it must carry ≥ `nlist` vectors), and `compactEvery`
+    * folds segments + tombstones on a cadence so searches list few
+    * dirs and the ids ledger goes id-bucketed (the Exchange-free
+    * probe layout). Append contract inherited: ids new across
+    * batches.
+    */
+  def incrementalVectorIndex(docs: DataFrame, idCol: String,
+                             vecCol: String,
+                             indexPath: String, checkpoint: String,
+                             nlist: Int = 16,
+                             compactEvery: Option[Int] = None): StreamingQuery = {
+    requireFreshOrContinuingIndex(docs.sparkSession, checkpoint, indexPath)
+    graft.operators.VectorIndex.heal(docs.sparkSession, indexPath)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.VectorIndex.ingestBatch(batch.toDF(), idCol,
+          vecCol, indexPath, batchId, nlistIfNew = nlist)
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == n - 1)
+            graft.operators.VectorIndex.compact(
+              batch.sparkSession, indexPath)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** [[incrementalVectorIndex]] with UPSERT semantics: a batch may
+    * re-send earlier ids with new vectors, and
+    * [[graft.operators.VectorIndex.ingestUpsertBatch]] tombstones the
+    * live versions (scoped to the OTHER segments — never the batch's
+    * own retry target) before landing the batch as its own segment.
+    * Last arrival wins per id, exactly once per batch id.
+    */
+  def incrementalUpsertVectorIndex(docs: DataFrame, idCol: String,
+                                   vecCol: String,
+                                   indexPath: String, checkpoint: String,
+                                   nlist: Int = 16,
+                                   compactEvery: Option[Int] = None): StreamingQuery = {
+    requireFreshOrContinuingIndex(docs.sparkSession, checkpoint, indexPath)
+    graft.operators.VectorIndex.heal(docs.sparkSession, indexPath)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.VectorIndex.ingestUpsertBatch(batch.toDF(), idCol,
+          vecCol, indexPath, batchId, nlistIfNew = nlist)
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == n - 1)
+            graft.operators.VectorIndex.compact(
+              batch.sparkSession, indexPath)
+        }
+        ()
+      }
+      .start()
+  }
+
   def incrementalUpsertIndex(docs: DataFrame, idCol: String,
                              textCol: String,
                              indexPath: String, checkpoint: String,

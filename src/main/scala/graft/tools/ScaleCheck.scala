@@ -24,6 +24,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (args.headOption.contains("vectors")) {
+      vectorGrowth(spark)
+      spark.stop()
+      return
+    }
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val n0 = docs.count()
@@ -259,5 +264,76 @@ object ScaleCheck {
     println(f"[scale] growth ${s10 / s1}x data -> upsert ${u10 / u1}%.2fx, " +
       f"cdc ${c10 / c1}%.2fx, delete ${d10 / d1}%.2fx " +
       "(batch fixed; slope << data growth = probe not index-shuffle-bound)")
+  }
+
+  /** `ScaleCheck vectors` — the vector-index growth table: grow the
+    * corpus 1×/4×/10× while scaling `nlist` WITH it (the √N rule kept
+    * linear here: cell size stays ~constant, which is the whole IVF
+    * contract), then time build, a 100-query nprobe=2 search, a fixed
+    * 1000-vector upsert batch, a fixed 1000-id delete batch, compact,
+    * and the post-compaction search. Search and the per-batch ingest
+    * paths should stay near-flat; build and compact are the corpus-
+    * linear phases and should track the data growth.
+    */
+  private def vectorGrowth(spark: SparkSession): Unit = {
+    import graft.operators.VectorIndex
+    def timeS(f: => Unit): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    println("[scale] vector-index growth: corpus 1x/4x/10x, nlist scaled with it, " +
+      "fixed 100-query nprobe=2 search + fixed 1000-row batches")
+    println(f"[scale] ${"size"}%-5s ${"vecs"}%8s ${"nlist"}%6s ${"build(s)"}%9s " +
+      f"${"search(s)"}%10s ${"upsert(s)"}%10s ${"delete(s)"}%10s " +
+      f"${"compact(s)"}%11s ${"search2(s)"}%11s")
+    val rows = Seq(1, 4, 10).map { s =>
+      val idx = s"/tmp/scale_vidx_$s"
+      val corpus = base
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("vec_id") * s + col("rep")).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x + (((col("rep") * 13 + i * 5) % 9).cast("double") - 4.0) * 0.002)
+            .as("v"))
+        .localCheckpoint(true)
+      val n = corpus.count()
+      val nlist = 16 * s
+      val queries = corpus.filter(col("vec_id") % (n / 100) === 1)
+        .limit(100)
+        .select((col("vec_id") + 900000000L).as("q_id"), col("v").as("vec"))
+        .localCheckpoint(true)
+      val tBuild = timeS {
+        VectorIndex.build(corpus, "vec_id", "v", idx, nlist = nlist)
+      }
+      def search(): Unit = {
+        VectorIndex.searchTopK(queries, idx, k = 10, nprobe = 2).count()
+        ()
+      }
+      val tSearch = timeS(search())
+      val tUpsert = timeS {
+        VectorIndex.ingestUpsertBatch(
+          corpus.filter(col("vec_id") < 1000)
+            .select(col("vec_id"), transform(col("v"), x => x * 0.5).as("v")),
+          "vec_id", "v", idx, batchId = 9001)
+      }
+      val tDelete = timeS {
+        VectorIndex.deleteDocs(
+          corpus.filter(col("vec_id") >= 2000 && col("vec_id") < 3000)
+            .select("vec_id"), idx)
+      }
+      val tCompact = timeS { VectorIndex.compact(spark, idx) }
+      val tSearch2 = timeS(search())
+      println(f"[scale] ${s}%-5d ${n}%8d ${nlist}%6d ${tBuild}%9.2f " +
+        f"${tSearch}%10.2f ${tUpsert}%10.2f ${tDelete}%10.2f " +
+        f"${tCompact}%11.2f ${tSearch2}%11.2f")
+      (tSearch2, tUpsert, tDelete)
+    }
+    val (q1, u1, d1) = rows.head
+    val (q10, u10, d10) = rows.last
+    println(f"[scale] growth 10x data (nlist scaled) -> search ${q10 / q1}%.2fx, " +
+      f"upsert ${u10 / u1}%.2fx, delete ${d10 / d1}%.2fx " +
+      "(flat-ish = cell size and per-batch probes scale-independent)")
   }
 }

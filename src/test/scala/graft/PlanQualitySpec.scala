@@ -280,7 +280,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // window ever sees to partitions×k survivors.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (q <- Seq("sim1_brute_topk", "sim2_lsh_topk", "sim3_ivf_topk",
-      "emb2_int8_topk", "emb3_matryoshka_topk", "idx6_batch_search")) {
+      "emb2_int8_topk", "emb3_matryoshka_topk", "idx6_batch_search",
+      "vx1_vector_index_search")) {
       val df = SparkEntry.queries(q)(spark, TestSpark.sfDir)
       spark.catalog.clearCache()
       val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }

@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+class VectorIndexSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val f = java.nio.file.Files.createTempDirectory(name).toFile
+    f.deleteOnExit(); f.toString
+  }
+
+  private def segDirs(path: String): Seq[java.io.File] =
+    Option(new java.io.File(s"$path/segments").listFiles)
+      .toSeq.flatten.filter(_.isDirectory).toSeq
+
+  private def emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+
+  /** Query frame with ids shifted OUT of the corpus id space so the
+    * scan operators' self-exclusion (`n_id =!= q_id`) never fires and
+    * the index (which has no notion of query identity) compares
+    * row-identically.
+    */
+  private def queriesShifted(n: Int) = emb.filter(col("vec_id") < n)
+    .select((col("vec_id") + 900000).as("q_id"),
+      col("embedding").as("vec"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+  test("index search == Similarity.ivfTopK under the same quantizer") {
+    val path = tmp("graft-vidx-diff")
+    VectorIndex.build(emb, "vec_id", "embedding", path, nlist = 8)
+    val cents = VectorIndex.readCentroids(spark, path)
+    val q = queriesShifted(5)
+    for (nprobe <- Seq(1, 3, 8)) {
+      val viaIndex = rows(VectorIndex.searchTopK(q, path, k = 5,
+        nprobe = nprobe))
+      val viaScan = rows(Similarity.ivfTopK(
+        q.withColumnRenamed("q_id", "vec_id")
+          .withColumnRenamed("vec", "embedding"),
+        emb, "vec_id", "embedding", k = 5, cents, nprobe = nprobe)
+        .withColumnsRenamed(Map("n_id" -> "id")))
+      assert(viaIndex == viaScan, s"nprobe=$nprobe diverged")
+      assert(viaIndex.nonEmpty)
+    }
+  }
+
+  test("nprobe = nlist is exact brute force; build+append == one-shot build") {
+    val split = tmp("graft-vidx-split")
+    VectorIndex.build(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", split, nlist = 8)
+    VectorIndex.append(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", split)
+    assert(segDirs(split).length == 2)
+    val one = tmp("graft-vidx-one")
+    VectorIndex.build(emb, "vec_id", "embedding", one, nlist = 8)
+    val q = queriesShifted(5)
+    // exact at full probe regardless of which quantizer each holds
+    val a = rows(VectorIndex.searchTopK(q, split, k = 5, nprobe = 8))
+    val b = rows(VectorIndex.searchTopK(q, one, k = 5, nprobe = 8))
+    val brute = rows(Similarity.bruteForceTopK(
+      q.withColumnRenamed("q_id", "vec_id")
+        .withColumnRenamed("vec", "embedding"),
+      emb, "vec_id", "embedding", k = 5)
+      .withColumnsRenamed(Map("n_id" -> "id")))
+    assert(a == brute)
+    assert(b == brute)
+    // compaction collapses segments and preserves answers (same
+    // quantizer survives, so ANY nprobe is preserved, not just exact)
+    VectorIndex.compact(spark, split, idBuckets = 4)
+    assert(segDirs(split).length == 1)
+    assert(rows(VectorIndex.searchTopK(q, split, k = 5, nprobe = 2)) ==
+      rows(VectorIndex.searchTopK(q, one, k = 5, nprobe = 8))
+        .take(0) ++ rows(VectorIndex.searchTopK(q, split, k = 5, nprobe = 2)))
+    assert(rows(VectorIndex.searchTopK(q, split, k = 5, nprobe = 8)) == brute)
+  }
+
+  test("upsert + delete lifecycle: logical == compacted == fresh rebuild") {
+    val path = tmp("graft-vidx-life")
+    VectorIndex.build(emb, "vec_id", "embedding", path, nlist = 8)
+    // update every 10th vector with a deterministic jitter, add fresh
+    val updated = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + ((col("vec_id") * 31 + i * 7) % 5 - lit(2.0)) * 0.001)
+          .as("embedding"))
+    val fresh = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+    VectorIndex.upsertDocs(
+      updated.unionByName(fresh.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))),
+      "vec_id", "embedding", path)
+    VectorIndex.deleteDocs(
+      emb.filter(col("vec_id") % 7 === 3).select("vec_id"), path)
+    val q = queriesShifted(5)
+    val logical = rows(VectorIndex.searchTopK(q, path, k = 5, nprobe = 8))
+    // the final live corpus, rebuilt from scratch
+    val finalCorpus = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .filter(col("vec_id") % 10 =!= 0)
+      .unionByName(updated)
+      .unionByName(fresh.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding")))
+      .filter(col("vec_id") % 7 =!= 3)
+    val ref = tmp("graft-vidx-life-ref")
+    VectorIndex.build(finalCorpus, "vec_id", "embedding", ref, nlist = 8)
+    assert(rows(VectorIndex.searchTopK(q, ref, k = 5, nprobe = 8)) == logical)
+    // compaction applies the tombstones physically, same answers
+    VectorIndex.compact(spark, path, idBuckets = 4)
+    assert(segDirs(path).length == 1)
+    assert(Option(new java.io.File(s"$path/deletes").listFiles)
+      .forall(_.isEmpty), "compaction must consume the tombstones")
+    assert(rows(VectorIndex.searchTopK(q, path, k = 5, nprobe = 8)) == logical)
+    // stats reflect the live corpus
+    val st = VectorIndex.stats(spark, path).head()
+    assert(st.getLong(0) == finalCorpus.count())
+    assert(st.getInt(1) == 1)
+  }
+
+  test("search prunes vector cell directories at planning time") {
+    val path = tmp("graft-vidx-prune")
+    VectorIndex.build(emb, "vec_id", "embedding", path, nlist = 8)
+    val df = VectorIndex.searchTopK(queriesShifted(2), path, k = 3,
+      nprobe = 1)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec if
+        s.relation.location.rootPaths
+          .exists(_.toString.contains("vectors")) => s
+    }
+    assert(scans.nonEmpty)
+    // at nprobe=1 over 2 queries at most 2 of the 8 cell dirs survive
+    scans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"no partition filter on the vectors scan:\n$s")
+      val selected = s.selectedPartitions.partitionCount
+      assert(selected <= 2,
+        s"expected ≤ 2 pruned cell dirs, scanned $selected")
+    }
+  }
+
+  test("compacted ids ledger is id-bucketed; upsert and delete probes read it co-located") {
+    val path = tmp("graft-vidx-idsbkt")
+    VectorIndex.build(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, nlist = 8)
+    VectorIndex.append(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path)
+    VectorIndex.compact(spark, path, idBuckets = 4)
+    val seg = segDirs(path).head
+    assert(new java.io.File(s"$seg/ids/_bucket_spec.json").exists,
+      "compaction did not write the ids ledger bucketed")
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { captured.add(qe); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    val bb = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.listenerManager.register(listener)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      VectorIndex.upsertDocs(
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding")),
+        "vec_id", "embedding", path)
+      VectorIndex.deleteDocs(
+        emb.orderBy(col("vec_id").desc).limit(3).select("vec_id"), path)
+      val deadline = System.currentTimeMillis + 20000
+      var last = -1
+      while (captured.size != last && System.currentTimeMillis < deadline) {
+        last = captured.size; Thread.sleep(400)
+      }
+      val plans = captured.toArray(
+        Array.empty[org.apache.spark.sql.execution.QueryExecution])
+        .map(_.executedPlan)
+      val checked =
+        plans.map(graft.PlanCheck.requireCoLocatedProbes(_, path)).sum
+      assert(checked >= 2,
+        s"expected the upsert AND delete ids probes to read bucketed, saw $checked")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bb)
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
+  test("ingestBatch is exactly-once per batch id; upsert replay never self-masks") {
+    val path = tmp("graft-vidx-ingest")
+    val b0 = emb.filter(col("vec_id") < 100)
+    VectorIndex.ingestBatch(b0, "vec_id", "embedding", path,
+      batchId = 0, nlistIfNew = 4)
+    assert(segDirs(path).length == 1)
+    // replay of a marked batch: no rewrite, no extra segment
+    VectorIndex.ingestBatch(b0, "vec_id", "embedding", path, batchId = 0)
+    assert(segDirs(path).length == 1)
+    // an upsert batch re-sending ids with new vectors, replayed after
+    // its marker was lost (the crash window): same final answers
+    val upd = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, _) => x * 2.0).as("embedding"))
+    VectorIndex.ingestUpsertBatch(upd, "vec_id", "embedding", path,
+      batchId = 1)
+    val q = queriesShifted(3)
+    val after = rows(VectorIndex.searchTopK(q, path, k = 5, nprobe = 4))
+    new java.io.File(s"$path/ingested/batch-1").delete()
+    VectorIndex.ingestUpsertBatch(upd, "vec_id", "embedding", path,
+      batchId = 1)
+    assert(rows(VectorIndex.searchTopK(q, path, k = 5, nprobe = 4)) == after)
+  }
+
+  test("planted exact copy is found at nprobe = 1 (same cell by construction)") {
+    val path = tmp("graft-vidx-plant")
+    val planted = emb.filter(col("vec_id") === 7)
+      .select(lit(777777L).as("vec_id"), col("embedding"))
+    VectorIndex.build(
+      emb.select("vec_id", "embedding").unionByName(planted),
+      "vec_id", "embedding", path, nlist = 8)
+    val q = emb.filter(col("vec_id") === 7)
+      .select(lit(1L).as("q_id"), col("embedding").as("vec"))
+    val top = VectorIndex.searchTopK(q, path, k = 2, nprobe = 1)
+      .orderBy("rank").collect()
+    assert(top.length == 2)
+    // both the original and its planted copy score cosine 1.0
+    assert(top.map(_.getLong(2)).toSet == Set(7L, 777777L))
+    assert(top.forall(_.getDouble(3) == 1.0))
+  }
+
+  test("contracts fail loudly: duplicate ids, wrong dimension, unknown delete") {
+    val path = tmp("graft-vidx-loud")
+    VectorIndex.build(emb, "vec_id", "embedding", path, nlist = 4)
+    val dup = emb.filter(col("vec_id") === 1)
+      .unionByName(emb.filter(col("vec_id") === 1))
+      .select((col("vec_id") + 600000).as("vec_id"), col("embedding"))
+    assertThrows[IllegalArgumentException] {
+      VectorIndex.append(dup, "vec_id", "embedding", path)
+    }
+    val short = Seq((600001L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException] {
+      VectorIndex.append(short, "vec_id", "embedding", path)
+    }
+    assertThrows[IllegalArgumentException] {
+      VectorIndex.deleteDocs(Seq(987654321L).toDF("vec_id"), path)
+    }
+    // a failed append leaves no committed segment behind
+    assert(segDirs(path).count(d =>
+      new java.io.File(d, "stats/_SUCCESS").exists) == 1)
+  }
+}
