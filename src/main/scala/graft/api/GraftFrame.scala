@@ -188,13 +188,17 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     * face and contributes a CONSTANT 1.0 when it matches, where ES
     * would hand several of them index-statistics scores (a bare
     * `term` earns idf). Those numbers are engine-dependent by
-    * definition, so the portable `constant_score` semantics is
-    * deliberate — a query that RANKS by bare `term`/`range` clauses
-    * will order differently than ES; wrap text lookups in `match` if
-    * BM25 ranking is the intent.
+    * definition, so the portable `constant_score` semantics is the
+    * deliberate default — a query that RANKS by bare `term`/`range`
+    * clauses will order differently than ES; wrap text lookups in
+    * `match` if BM25 ranking is the intent, or pass
+    * `termIdf = true` to give `term` leaves ES's keyword-field
+    * number (boost × idf — norms off, tf 1; `terms`/`range` stay
+    * constant, which IS ES's behavior for those).
     */
   def esQueryScored(queryJson: String,
-                    matchOnlyTextFields: Boolean = true): GraftFrame = {
+                    matchOnlyTextFields: Boolean = true,
+                    termIdf: Boolean = false): GraftFrame = {
     val requireText: String => Unit =
       if (!matchOnlyTextFields) _ => ()
       else { field =>
@@ -204,7 +208,7 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
             "via withEsDtype or pass matchOnlyTextFields=false")
       }
     wrap(graft.functions.EsScoredQuery.scoredFrame(df, idCol, queryJson,
-      requireText))
+      requireText, termIdf = termIdf))
   }
 
   /** Row drop by id (eland/operations.py:1396-1427). */

@@ -79,7 +79,7 @@ object EsQueryDsl {
     case other => throw new IllegalArgumentException(s"unsupported literal: $other")
   }
 
-  private def toLit(v: JValue): Column = lit(jvRaw(v))
+  private[functions] def toLit(v: JValue): Column = lit(jvRaw(v))
 
   /** Optional per-term edit budget from a clause body's `fuzziness`
     * key: None = exact; AUTO = the ES length ladder (0-2 chars → 0

@@ -29,10 +29,25 @@ import org.apache.spark.sql.functions._
   *  - Every other translatable leaf (term/terms/range/wildcard/prefix/
   *    regexp/exists/ids/fuzzy/match_phrase/match_phrase_prefix) gates
   *    like the filter face and contributes a CONSTANT 1.0 when it
-  *    matches. ES would give several of these index-statistics scores
-  *    (a `term` query earns idf); those numbers are engine-dependent
-  *    by definition, so the portable semantics — `constant_score` —
-  *    is deliberate, documented, and stable across backends.
+  *    matches. ES would give several of these index-statistics scores;
+  *    those numbers are engine-dependent by definition, so the
+  *    portable semantics — `constant_score` — is the default,
+  *    deliberate, documented, and stable across backends.
+  *  - `termIdf = true` opts the `term` leaf into ES's actual number
+  *    for the common keyword-field case: norms are disabled on
+  *    keyword fields and tf is 1, so Lucene's BM25 collapses to
+  *    boost × idf = boost × ln(1 + (N − df + 0.5)/(df + 0.5)) with
+  *    df = docs holding exactly that value. `terms` and `range` stay
+  *    constant-score under the flag — that matches ES, which scores
+  *    both as constant `boost`.
+  *  - top-level `knn` — the ES 8.x vector retrieval: exact cosine
+  *    against the literal `query_vector` over the (optionally
+  *    `filter`-restricted) frame, top `k` kept (two-phase ranking on
+  *    6-dp-rounded cosine, id ties), `_score` = boost × (1+cos)/2.
+  *    `num_candidates` (ES's HNSW recall dial) is accepted and
+  *    ignored — this computes the exact answer it approximates.
+  *    Nested under bool/dis_max raises: a whole-frame top-k has no
+  *    engine-independent per-row composition.
   *  - `fuzziness` on a scored `match` raises: ES scores fuzzy
   *    expansions per generated term with engine-internal statistics —
   *    there is no engine-independent number to agree on. (Filter
@@ -66,6 +81,8 @@ object EsScoredQuery {
   private final case class MatchNode(clause: MatchClause, requireAll: Boolean,
                                      boost: Double) extends Node
   private final case class GatedConst(pred: Column, boost: Double) extends Node
+  private final case class TermIdfNode(id: Int, pred: Column,
+                                       boost: Double) extends Node
   private final case class BoolNode(must: Seq[Node], should: Seq[Node],
                                     filters: Seq[Column], mustNot: Seq[Column],
                                     msm: Int) extends Node
@@ -73,12 +90,22 @@ object EsScoredQuery {
                                       tie: Double) extends Node
 
   private final class Ctx(val idCol: String,
-                          val requireText: String => Unit) {
+                          val requireText: String => Unit,
+                          val termIdf: Boolean = false) {
     val clauses = scala.collection.mutable.ArrayBuffer.empty[MatchClause]
     def register(field: String, terms: Seq[String]): MatchClause = {
       val c = MatchClause(clauses.size, field, terms)
       clauses += c
       c
+    }
+    /** (field, raw value) per idf-scored `term` leaf; the index names
+      * the `_t<i>_df` stat column.
+      */
+    val termLeaves =
+      scala.collection.mutable.ArrayBuffer.empty[(String, JValue)]
+    def registerTerm(field: String, v: JValue): Int = {
+      termLeaves += ((field, v))
+      termLeaves.size - 1
     }
   }
 
@@ -193,6 +220,20 @@ object EsScoredQuery {
         BoolNode(must, should, subFilter("filter"), subFilter("must_not"),
           msm)
       case "match_all" => GatedConst(lit(true), boostOf(body))
+      case "knn" => throw new IllegalArgumentException(
+        "knn must be the TOP-LEVEL query: its score set is a whole-frame " +
+          "top-k, not a per-row predicate, so composing it inside " +
+          "bool/dis_max has no engine-independent translation — run the " +
+          "knn retrieval separately and combine explicitly")
+      // idf-scored `term` leaf (opt-in): ES's keyword-field number —
+      // norms are off on keyword fields, tf is 1, so Lucene's BM25
+      // collapses to boost × idf (the tf factor (k1+1)/(1+k1) = 1)
+      case "term" if ctx.termIdf =>
+        val (field, v) = lonely(body, "term")
+        val raw = v \ "value" match { case JNothing => v; case x => x }
+        TermIdfNode(ctx.registerTerm(field, raw),
+          EsQueryDsl.filterColumn(q, ctx.idCol, ctx.requireText),
+          boostOf(v))
       // every remaining translatable leaf: the filter face's predicate,
       // constant_score semantics (see the scaladoc contract)
       case _ => GatedConst(
@@ -219,6 +260,12 @@ object EsScoredQuery {
     case GatedConst(pred, boost) =>
       val matched = coalesce(pred, lit(false))
       (matched, when(matched, boost).otherwise(0.0))
+    case TermIdfNode(id, pred, boost) =>
+      val matched = coalesce(pred, lit(false))
+      val df = col(s"_t${id}_df")
+      (matched, when(matched,
+        lit(boost) * log(lit(1.0) +
+          (col("_t_n") - df + 0.5) / (df + 0.5))).otherwise(0.0))
     case BoolNode(must, should, filters, mustNot, msm) =>
       val mc = must.map(compile)
       val sc = should.map(compile)
@@ -259,21 +306,109 @@ object EsScoredQuery {
     */
   def scoredFrame(docs: DataFrame, idCol: String, json: String,
                   requireText: String => Unit = _ => (),
-                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                  k1: Double = 1.2, b: Double = 0.75,
+                  termIdf: Boolean = false): DataFrame = {
     require(!docs.columns.contains("_score"),
       "frame already has a _score column")
-    val ctx = new Ctx(idCol, requireText)
+    JsonMethods.parse(json) match {
+      // top-level knn clause (the ES 8.x knn-query face): handled as a
+      // whole-frame retrieval, not a per-row predicate — see knnFrame
+      case JObject(List(("knn", body))) =>
+        return knnFrame(docs, idCol, body)
+      case _ => ()
+    }
+    val ctx = new Ctx(idCol, requireText, termIdf)
     val ast = parse(JsonMethods.parse(json), ctx)
     val byField = ctx.clauses.toSeq.groupBy(_.field)
     val withMoments = byField.foldLeft(docs) { case (acc, (field, cs)) =>
       acc.join(fieldMoments(docs, idCol, field, cs, k1, b),
         Seq(idCol), "left")
     }
+    // idf-scored term leaves: ONE 1-row aggregate over the corpus (N
+    // plus one filtered count per leaf) enters as a broadcast
+    // crossJoin inside the lazy plan — the fieldMoments stats rule;
+    // building the frame still runs no job. N is the corpus row
+    // count; ES uses the field's docCount, identical when the field
+    // has no nulls (a null never equals the term value, so df agrees
+    // unconditionally).
+    val withTermStats =
+      if (ctx.termLeaves.isEmpty) withMoments
+      else {
+        val aggs = count(lit(1)).cast("double").as("_t_n") +:
+          ctx.termLeaves.toSeq.zipWithIndex.map { case ((f, v), i) =>
+            count(when(col(f) === EsQueryDsl.toLit(v), 1))
+              .cast("double").as(s"_t${i}_df")
+          }
+        withMoments.crossJoin(broadcast(docs.agg(aggs.head, aggs.tail: _*)))
+      }
     val (matched, score) = compile(ast)
-    withMoments.filter(matched)
+    withTermStats.filter(matched)
       .withColumn("_score", round(score, 6))
       .drop(ctx.clauses.toSeq.flatMap(c =>
-        Seq(s"_q${c.id}_score", s"_q${c.id}_hits")): _*)
+        Seq(s"_q${c.id}_score", s"_q${c.id}_hits")) ++
+        (if (ctx.termLeaves.isEmpty) Nil
+         else "_t_n" +: ctx.termLeaves.toSeq.indices.map(i => s"_t${i}_df")): _*)
+  }
+
+  /** The ES 8.x `knn` query, computed EXACTLY: cosine against the
+    * literal query vector over the (optionally `filter`-restricted)
+    * frame, keep the top `k` by the two-phase per-query ranking of
+    * [[graft.operators.Similarity.rankTopKPerQuery]] (no
+    * corpus-sized single-partition sort), `_score` = ES's cosine
+    * mapping boost × (1 + cos) / 2 rounded to 6 dp. `num_candidates`
+    * is accepted and ignored — it is the recall dial of ES's
+    * per-shard HNSW approximation, and this computes the exact
+    * answer it approximates (use
+    * [[graft.operators.VectorIndex.searchTopK]] when an ANN index is
+    * the right cost shape). Ties break on `idCol`, ES's determinism
+    * gap closed the same way the ANN operators close it.
+    */
+  private def knnFrame(docs: DataFrame, idCol: String,
+                       body: JValue): DataFrame = {
+    val field = (body \ "field") match {
+      case JString(f) => f
+      case other => throw new IllegalArgumentException(
+        s"knn needs a field name, got $other")
+    }
+    val qv = (body \ "query_vector") match {
+      case JArray(xs) if xs.nonEmpty => xs.map {
+        case JDouble(d)  => d
+        case JInt(n)     => n.toDouble
+        case JLong(n)    => n.toDouble
+        case JDecimal(d) => d.toDouble
+        case other => throw new IllegalArgumentException(
+          s"query_vector element: $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"knn needs a non-empty query_vector, got $other")
+    }
+    val k = (body \ "k") match {
+      case JNothing => 10
+      case JInt(n)  => n.toInt
+      case JLong(n) => n.toInt
+      case other => throw new IllegalArgumentException(s"knn k: $other")
+    }
+    val boost = boostOf(body)
+    val base = (body \ "filter") match {
+      case JNothing => docs
+      case f => docs.filter(coalesce(
+        EsQueryDsl.filterColumn(f, idCol, _ => ()), lit(false)))
+    }
+    require(!docs.columns.exists(Set("_knn_q", "_knn_cos", "rank")),
+      "knn needs the _knn_q/_knn_cos/rank column names free — rename " +
+        "the clashing column(s)")
+    // cosine rounded to 6 dp BEFORE ranking — the ANN family's
+    // cross-engine determinism rule (a last-ulp engine difference must
+    // not flip the rank-k boundary)
+    val scored = base
+      .withColumn("_knn_q", lit(0))
+      .withColumn("_knn_cos", round(
+        graft.plans.VectorExpressions.cosine(col(field), typedLit(qv)), 6))
+    graft.operators.Similarity
+      .rankTopKPerQuery(scored, k, "_knn_q", idCol, "_knn_cos")
+      .withColumn("_score",
+        round(lit(boost) * (lit(1.0) + col("_knn_cos")) / 2.0, 6))
+      .drop("_knn_q", "_knn_cos", "rank")
   }
 
   /** One tokenize pass for every clause on `field`: per-doc BM25

@@ -21,6 +21,8 @@ object FacadeQueries {
     GraftFrame(Tables.load(s, d, "customer"), "c_custkey")
   private def docs(s: SparkSession, d: String): GraftFrame =
     GraftFrame(Tables.load(s, d, "documents"), "doc_id")
+  private def emb(s: SparkSession, d: String): GraftFrame =
+    GraftFrame(Tables.load(s, d, "embeddings"), "vec_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // filter + head through the facade (the §3.1 trace end-to-end)
@@ -255,6 +257,42 @@ object FacadeQueries {
           |]}}""".stripMargin)
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
+    // idf-scored term leaves (the opt-in ES keyword-field number:
+    // norms off, tf 1 => boost × idf): three should branches — a
+    // boosted term on lang, a bare term on source, and a BM25 match —
+    // sum when matched. The oracle replays idf from plain filtered
+    // counts plus the Okapi arithmetic, in the same addition order; a
+    // constant-1.0 term leaf, a wrong df, or the boost applied to the
+    // wrong branch all miss
+    "f21_term_idf_scored" -> ((s, d) => {
+      docs(s, d).esQueryScored(
+        """{"bool": {
+          |  "should": [
+          |    {"term": {"lang": {"value": "en", "boost": 2.0}}},
+          |    {"term": {"source": "src7"}},
+          |    {"match": {"text": "stream filter"}}
+          |  ]
+          |}}""".stripMargin, termIdf = true)
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(30)
+    }),
+    // the ES 8.x knn query through the scored DSL, computed exactly:
+    // cosine vs a literal query vector over the filter-restricted
+    // frame, top-12 by 6-dp-rounded cosine (id ties), _score =
+    // (1 + cos)/2. The query vector's components are tenth-rationals
+    // so the JSON literal and DuckDB's i/10.0 arithmetic are the
+    // same doubles; num_candidates (an HNSW recall dial) is ignored
+    // because this IS the exact answer ES approximates
+    "f22_knn_scored" -> ((s, d) => {
+      val qv = (0 until 64).map(i => ((i * 7) % 13 - 6) / 10.0)
+      emb(s, d).esQueryScored(
+        s"""{"knn": {"field": "embedding",
+           |  "query_vector": [${qv.mkString(", ")}],
+           |  "k": 12, "num_candidates": 50,
+           |  "filter": {"range": {"label": {"lte": 4}}}}}""".stripMargin)
+        .df.select(col("vec_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
     }),
     // match_phrase_prefix (ES search-as-you-type): "stream col"
     // requires a token starting with "col" IMMEDIATELY after a
@@ -530,6 +568,55 @@ object FacadeQueries {
            |FROM bm b JOIN documents d ON d.doc_id = b.doc_id
            |WHERE d.lang IN ('en', 'fr', 'es') AND d.source <> 'src7'
            |ORDER BY score DESC, d.doc_id LIMIT 25""".stripMargin,
+    // exact knn replay: same tenth-rational query vector, same 6-dp
+    // cosine rounding before the rank-12 cut, same (1+cos)/2 mapping
+    "f22_knn_scored" ->
+      """WITH q AS (SELECT list_transform(range(0, 64),
+        |             i -> CAST((i*7) % 13 - 6 AS DOUBLE)/10.0) AS v),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |      WHERE label <= 4),
+        |s AS (SELECT e.vec_id,
+        |        round(list_dot_product(e.v, q.v) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+        |      FROM e, q),
+        |r AS (SELECT vec_id, cos,
+        |             row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT vec_id, round((1 + cos) / 2, 6) AS score
+        |FROM r WHERE rk <= 12
+        |ORDER BY score DESC, vec_id""".stripMargin,
+    // idf replayed from filtered counts; addition order mirrors the
+    // compiled fold (term branches in clause order, then the match
+    // sum) so the doubles agree to the last ulp before rounding
+    "f21_term_idf_scored" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))) AS s1
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id),
+           |ts AS (SELECT CAST(count(*) AS DOUBLE) AS tn,
+           |         CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS DOUBLE) AS df_lang,
+           |         CAST(count(CASE WHEN source = 'src7' THEN 1 END) AS DOUBLE) AS df_src
+           |       FROM documents)
+           |SELECT d.doc_id,
+           |  round(CASE WHEN d.lang = 'en'
+           |          THEN 2.0 * ln(1 + (tn - df_lang + 0.5) / (df_lang + 0.5))
+           |          ELSE 0 END
+           |      + CASE WHEN d.source = 'src7'
+           |          THEN ln(1 + (tn - df_src + 0.5) / (df_src + 0.5))
+           |          ELSE 0 END
+           |      + coalesce(b.s1, 0), 6) AS score
+           |FROM documents d LEFT JOIN bm b ON d.doc_id = b.doc_id, ts
+           |WHERE d.lang = 'en' OR d.source = 'src7' OR b.doc_id IS NOT NULL
+           |ORDER BY score DESC, d.doc_id LIMIT 30""".stripMargin,
     // per-branch gate (any-term vs all-terms) on per-branch sums, then
     // best + 0.3 x rest
     "f20_dis_max_scored" ->

@@ -163,4 +163,74 @@ class EsScoredQuerySpec extends AnyFunSuite {
       .select("_score").head().getDouble(0)
     assert(leaf == 1.0)
   }
+
+  test("knn: exact cosine top-k, filter honored, nested knn raises") {
+    val tiny = Seq(
+      (1L, Seq(1.0, 0.0), "a"),
+      (2L, Seq(0.0, 1.0), "a"),
+      (3L, Seq(1.0, 1.0), "a"),
+      (4L, Seq(1.0, 0.1), "b")).toDF("vec_id", "v", "tag")
+    val rows = EsScoredQuery.scoredFrame(tiny, "vec_id",
+      """{"knn": {"field": "v", "query_vector": [1.0, 0.0], "k": 2,
+        |  "num_candidates": 99,
+        |  "filter": {"term": {"tag": "a"}}}}""".stripMargin)
+      .select("vec_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 4 is the nearest neighbor but filtered out; 1 (cos 1) and
+    // 3 (cos ~0.7071) survive, 2 (cos 0) misses the k=2 cut
+    assert(rows.keySet == Set(1L, 3L))
+    assert(rows(1L) == 1.0)
+    assert(rows(3L) == BigDecimal((1.0 + 0.707107) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val e = intercept[IllegalArgumentException](
+      EsScoredQuery.scoredFrame(tiny, "vec_id",
+        """{"bool": {"must": [{"knn": {"field": "v",
+          |  "query_vector": [1.0, 0.0], "k": 2}}]}}""".stripMargin))
+    assert(e.getMessage.contains("TOP-LEVEL"))
+  }
+
+  test("termIdf: term leaves earn boost × idf; terms/range stay constant") {
+    val tiny = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L),
+      (4L, "de", 40L), (5L, "fr", 50L)).toDF("doc_id", "lang", "n")
+    def idf(df: Double, n: Double = 5.0): Double =
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    val rows = EsScoredQuery.scoredFrame(tiny, "doc_id",
+      """{"bool": {"should": [
+        |  {"term": {"lang": {"value": "en", "boost": 2.0}}},
+        |  {"term": {"lang": "de"}},
+        |  {"terms": {"lang": ["fr", "de"]}},
+        |  {"range": {"n": {"gte": 45}}}
+        |]}}""".stripMargin, termIdf = true)
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r6 = (x: Double) => BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(1L) == r6(2.0 * idf(3)))            // boosted en term
+    assert(rows(4L) == r6(idf(1) + 1.0))            // de term idf + terms const
+    assert(rows(5L) == r6(1.0 + 1.0))               // terms const + range const
+    // without the flag the same query scores term leaves 1.0
+    val const = EsScoredQuery.scoredFrame(tiny, "doc_id",
+      """{"term": {"lang": "en"}}""")
+      .select("_score").head().getDouble(0)
+    assert(const == 1.0)
+    // and building the idf-scored frame is still fully lazy
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    val pinned = docs
+    pinned.schema
+    spark.sparkContext.addSparkListener(l)
+    try {
+      EsScoredQuery.scoredFrame(pinned, "doc_id",
+        """{"term": {"lang": "en"}}""", termIdf = true)
+      Thread.sleep(1500)
+      assert(counter.get == 0,
+        s"building the idf-scored frame launched ${counter.get} job(s)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
