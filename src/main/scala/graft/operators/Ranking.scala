@@ -56,4 +56,35 @@ object Ranking {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09) — the ES 8.x
+    * `rank: {rrf: ...}` hybrid-retrieval combiner: each input ranking
+    * contributes 1/(rrfK + rank) for every document it ranked, the
+    * contributions SUM across rankings, and the fused top-k orders by
+    * that sum (ties by id). Rank-based, so a BM25 score scale and a
+    * cosine scale fuse without normalization — exactly why ES uses it
+    * to combine lexical search with knn.
+    *
+    * Each `rankings` frame carries (idCol, rankCol) with rank ≥ 1 and
+    * one row per id (feed it a top-k output — bm25TopK with a
+    * row_number, searchTopK, VectorIndex.searchTopK). Scale shape:
+    * the inputs are already k-sized, so the fusion shuffles
+    * Σ|rankings| ≤ rankings × k rows — nothing corpus-sized.
+    *
+    * With exactly two rankings the fused sum is order-independent
+    * (IEEE addition is commutative); with three or more, last-ulp
+    * association differences are absorbed by the 6-dp rounding.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty && k > 0 && rrfK >= 0)
+    rankings.map(_.select(col(idCol),
+        (lit(1.0) / (lit(rrfK.toDouble) + col(rankCol).cast("double")))
+          .as("_rrf")))
+      .reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(round(sum(col("_rrf")), 6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -317,6 +317,60 @@ object VectorIndex {
     fs.create(marker, true).close()
   }
 
+  /** The full CDC face — op-typed events (`upsert` rows carrying new
+    * vectors, `delete` rows whose vector is ignored) applied with
+    * [[ingestBatch]]'s exactly-once discipline; the
+    * [[InvertedIndex.ingestCdcBatch]] semantics verbatim: one
+    * batch-wide tombstone covers an upsert's stale version and a
+    * delete's live version alike (scoped to the OTHER segments, never
+    * the batch's own retry target), deletes of non-live ids no-op
+    * (replay idempotence; ES's 404-not-failure), one event per id per
+    * batch enforced loudly, delete-only batches write marker only.
+    */
+  def ingestCdcBatch(events: DataFrame, idCol: String, vecCol: String,
+                     opCol: String, indexPath: String, batchId: Long,
+                     nlistIfNew: Int = 16): Unit = {
+    val spark = events.sparkSession
+    val fs = fsOf(spark, indexPath)
+    val marker = SegmentStore.ingestMarker(indexPath, batchId)
+    if (fs.exists(marker)) return
+    val evs = events.select(col(idCol).as("id"), col(vecCol).as("_vec"),
+      lower(col(opCol)).as("_op")).persist()
+    try {
+      val r = evs.agg(count(lit(1)).as("_n"),
+        count_distinct(col("id")).as("_d"),
+        count(when(col("_op").isin("upsert", "delete"), 1)).as("_k"),
+        count(when(col("_op") === "upsert", 1)).as("_u")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"CDC batch $batchId carries ${r.getLong(0)} events over " +
+          s"${r.getLong(1)} distinct ids — collapse to ONE event per id " +
+          "(last op wins) before ingesting")
+      require(r.getLong(2) == r.getLong(0),
+        s"CDC batch $batchId has ${r.getLong(0) - r.getLong(2)} events " +
+          s"with ops outside {upsert, delete} in column '$opCol'")
+      val nUpserts = r.getLong(3)
+      if (r.getLong(0) > 0) {
+        val ownName = s"seg-batch-$batchId"
+        val all = SegmentStore.committedSegments(spark, indexPath)
+        val others = all.filterNot(s =>
+          new org.apache.hadoop.fs.Path(s).getName == ownName)
+        if (others.nonEmpty) tombstoneLiveOf(evs, "id", indexPath, others)
+        if (nUpserts > 0) {
+          val ups = evs.filter(col("_op") === "upsert")
+            .select(col("id").as(idCol), col("_vec").as(vecCol))
+          val centroids = ensureQuantizer(ups, vecCol, indexPath,
+            nlistIfNew)
+          writeSegmentNamed(ups, idCol, vecCol, indexPath, ownName,
+            centroids)
+        }
+      }
+      fs.create(marker, true).close()
+    } finally {
+      evs.unpersist()
+      ()
+    }
+  }
+
   private def ensureQuantizer(docs: DataFrame, vecCol: String,
                               indexPath: String,
                               nlistIfNew: Int): Array[Array[Double]] = {

@@ -736,6 +736,67 @@ object PipelineQueries {
           nprobe = 4, idColName = "n_id")
         .orderBy("q_id", "rank")
     }),
+    // FULL CDC streaming for the vector index (st10's shape over
+    // vectors): batch k carries its own class's vectors, updates
+    // rewriting id-1 with the sender's affine-jittered vector, AND
+    // op-typed DELETE events — batch 2 deletes a slice of class-0
+    // (updated in batch 1, so the tombstone must kill the UPDATED
+    // version in its re-ingest segment), batch 3 a slice of class-1
+    // (updated in batch 2). Search must equal DuckDB's brute-force
+    // replay over the last-wins-minus-deleted corpus
+    "st12_stream_cdc_vector" -> ((s, d) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-st12-run").toString
+      val src = new java.io.File(work, "src"); src.mkdirs()
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      for (k <- 0 until 4) {
+        val own = base.filter(col("vec_id") % 4 === k)
+          .withColumn("op", lit("upsert"))
+        val upd =
+          if (k == 0) own.limit(0)
+          else base.filter(col("vec_id") % 4 === k)
+            .select((col("vec_id") - 1).as("vec_id"),
+              transform(col("embedding"), x => x * 0.5 + 0.1)
+                .as("embedding"))
+            .withColumn("op", lit("upsert"))
+        val del = k match {
+          case 2 => base.filter(col("vec_id") % 16 === 4)
+            .withColumn("op", lit("delete"))
+          case 3 => base.filter(col("vec_id") % 16 === 9)
+            .withColumn("op", lit("delete"))
+          case _ => own.limit(0)
+        }
+        val rows = own.unionByName(upd).unionByName(del)
+        val stage = new java.io.File(src, s"_stage$k")
+        rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"batch-$k.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + k * 60000L)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+      }
+      val schema = s.read.parquet(s"$src/batch-0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.CorpusStream.incrementalCdcVectorIndex(
+          stream, "vec_id", "embedding", "op", s"$work/index",
+          s"$work/ckp", nlist = 4, compactEvery = Some(2))
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val qs = base.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 900000).as("q_id"),
+          col("embedding").as("vec"))
+      graft.operators.VectorIndex.searchTopK(qs, s"$work/index", k = 5,
+          nprobe = 4, idColName = "n_id")
+        .orderBy("q_id", "rank")
+    }),
     // engine-portable SimHash (md5 token hash) — the full-oracle face
     // of dd3's xxhash64 sketch: DuckDB replays every per-bit ±1 sum
     "dd10_simhash_md5" -> ((s, d) => {
@@ -887,6 +948,32 @@ object PipelineQueries {
       graft.operators.InvertedIndex.searchTopK(s, path,
           Seq("stream", "filter", "join"), k = 10, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
+    }),
+    // hybrid retrieval via reciprocal-rank fusion (the ES 8.x
+    // rank.rrf combiner): a BM25 top-30 over the text corpus fuses
+    // with a cosine top-30 over the embeddings (same id space) as
+    // 1/(60 + rank) sums — rank-based, so the score scales never need
+    // normalizing. The oracle replays both rankings AND the fusion;
+    // a score-weighted combiner, a wrong rrfK, or a ranking leaking
+    // past its k all miss
+    "hy1_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.operators.Ranking.bm25TopK(t(s, d, "documents"),
+          "doc_id", "text", Seq("stream", "filter", "join"), k = 30)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      val qv = (0 until 64).map(i => ((i * 7) % 13 - 6) / 10.0)
+      val sem = t(s, d, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          round(VectorExpressions.cosine(col("embedding"),
+            typedLit(qv)), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(30)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      graft.operators.Ranking.rrfFuse(
+          Seq(lex.select("doc_id", "rank"), sem.select("doc_id", "rank")),
+          "doc_id", "rank", k = 20)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
     }),
     // persistent IVF vector index, exact configuration: build the
     // cell-partitioned index (quantizer trained once, frozen), then
@@ -1521,6 +1608,40 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // both rankings replayed flat (BM25 CTE + brute cosine CTE), then
+    // the 1/(60+rank) fusion — DuckDB's sum of the ≤2 contributions
+    // is order-independent (IEEE addition commutes)
+    "hy1_hybrid_rrf" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter', 'join') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id),
+           |lex AS (SELECT doc_id,
+           |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           |        FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 30)),
+           |q AS (SELECT list_transform(range(0, 64),
+           |        i -> CAST((i*7) % 13 - 6 AS DOUBLE)/10.0) AS v),
+           |sem0 AS (SELECT vec_id AS doc_id,
+           |           round(list_dot_product(embedding::DOUBLE[], q.v) /
+           |             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+           |              sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+           |         FROM embeddings, q),
+           |sem AS (SELECT doc_id,
+           |          row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+           |        FROM (SELECT * FROM sem0 ORDER BY cos DESC, doc_id LIMIT 30)),
+           |u AS (SELECT doc_id, 1.0/(60 + rank) AS c FROM lex
+           |      UNION ALL SELECT doc_id, 1.0/(60 + rank) AS c FROM sem)
+           |SELECT doc_id, round(sum(c), 6) AS rrf_score FROM u GROUP BY doc_id
+           |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
     // every cell probed => identical to exact brute force over the raw
     // table: the quantizer, cell layout, and segment plumbing never
     // exist oracle-side, so a vector lost to a mis-assigned cell or a
@@ -1576,6 +1697,29 @@ object PipelineQueries {
         |live AS (SELECT coalesce(u.vec_id, b.vec_id) AS vec_id,
         |                coalesce(u.v, b.v) AS v
         |         FROM base b FULL OUTER JOIN upd u ON b.vec_id = u.vec_id),
+        |q AS (SELECT vec_id + 900000 AS q_id, v FROM base WHERE vec_id < 5),
+        |s AS (SELECT q.q_id, c.vec_id AS n_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |      FROM q CROSS JOIN live c),
+        |r AS (SELECT q_id, n_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // last-wins vector corpus MINUS the CDC-deleted slices: the
+    // streamed tombstone/segment/compaction dance and the op column
+    // never exist oracle-side — a deleted vector surviving in its
+    // re-ingest segment, a lost update, or a resurrected id all miss
+    "st12_stream_cdc_vector" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |upd AS (SELECT vec_id - 1 AS vec_id,
+        |          list_transform(v, x -> x*0.5 + 0.1) AS v
+        |        FROM base WHERE vec_id % 4 <> 0),
+        |last AS (SELECT coalesce(u.vec_id, b.vec_id) AS vec_id,
+        |                coalesce(u.v, b.v) AS v
+        |         FROM base b FULL OUTER JOIN upd u ON b.vec_id = u.vec_id),
+        |live AS (SELECT * FROM last WHERE vec_id % 16 NOT IN (4, 9)),
         |q AS (SELECT vec_id + 900000 AS q_id, v FROM base WHERE vec_id < 5),
         |s AS (SELECT q.q_id, c.vec_id AS n_id,
         |        round(list_dot_product(q.v, c.v) /

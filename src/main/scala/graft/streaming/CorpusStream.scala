@@ -397,6 +397,36 @@ object CorpusStream {
       .start()
   }
 
+  /** The full CDC face for the vector index — op-typed events
+    * (`upsert` rows carrying new vectors AND `delete` rows) applied
+    * exactly once per batch id by
+    * [[graft.operators.VectorIndex.ingestCdcBatch]]; the
+    * [[incrementalCdcIndex]] contract verbatim (one event per id per
+    * batch, deletes of non-live ids no-op, crash windows replay as
+    * documented on the operator).
+    */
+  def incrementalCdcVectorIndex(events: DataFrame, idCol: String,
+                                vecCol: String, opCol: String,
+                                indexPath: String, checkpoint: String,
+                                nlist: Int = 16,
+                                compactEvery: Option[Int] = None): StreamingQuery = {
+    requireFreshOrContinuingIndex(events.sparkSession, checkpoint, indexPath)
+    graft.operators.VectorIndex.heal(events.sparkSession, indexPath)
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.VectorIndex.ingestCdcBatch(batch.toDF(), idCol,
+          vecCol, opCol, indexPath, batchId, nlistIfNew = nlist)
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId % n == n - 1)
+            graft.operators.VectorIndex.compact(
+              batch.sparkSession, indexPath)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** [[incrementalVectorIndex]] with UPSERT semantics: a batch may
     * re-send earlier ids with new vectors, and
     * [[graft.operators.VectorIndex.ingestUpsertBatch]] tombstones the

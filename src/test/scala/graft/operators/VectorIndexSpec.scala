@@ -235,6 +235,55 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(top.forall(_.getDouble(3) == 1.0))
   }
 
+  test("CDC batch: deletes tombstone, non-live deletes no-op, contracts loud") {
+    val path = tmp("graft-vidx-cdc")
+    val ups = (op: String, df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"),
+        lit(op).as("op"))
+    VectorIndex.ingestCdcBatch(ups("upsert", emb), "vec_id", "embedding",
+      "op", path, batchId = 0, nlistIfNew = 4)
+    // batch 1: update <5 with doubled vectors, delete 10..14, and a
+    // delete of an id that was never ingested (must silently no-op —
+    // checkpoint-replay / ES-404 semantics)
+    val b1 = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => x * 2.0)
+          .as("embedding"), lit("upsert").as("op"))
+      .unionByName(ups("delete",
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)))
+      .unionByName(Seq((987654321L, Seq(1.0), "delete"))
+        .toDF("vec_id", "embedding", "op"))
+    VectorIndex.ingestCdcBatch(b1, "vec_id", "embedding", "op", path,
+      batchId = 1)
+    val q = queriesShifted(3)
+    val got = rows(VectorIndex.searchTopK(q, path, k = 5, nprobe = 4))
+    val finalCorpus = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .filter(col("vec_id") >= 5)
+      .unionByName(emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"), x => x * 2.0)
+            .as("embedding")))
+      .filter(col("vec_id") < 10 || col("vec_id") >= 15)
+    val ref = tmp("graft-vidx-cdc-ref")
+    VectorIndex.build(finalCorpus, "vec_id", "embedding", ref, nlist = 4)
+    assert(rows(VectorIndex.searchTopK(q, ref, k = 5, nprobe = 4)) == got)
+    // two events for one id in a batch: loud
+    val dup = ups("upsert", emb.filter(col("vec_id") === 30))
+      .unionByName(ups("delete", emb.filter(col("vec_id") === 30)))
+    assertThrows[IllegalArgumentException] {
+      VectorIndex.ingestCdcBatch(dup, "vec_id", "embedding", "op", path,
+        batchId = 2)
+    }
+    // unknown op: loud
+    assertThrows[IllegalArgumentException] {
+      VectorIndex.ingestCdcBatch(ups("merge",
+          emb.filter(col("vec_id") === 31)),
+        "vec_id", "embedding", "op", path, batchId = 3)
+    }
+  }
+
   test("contracts fail loudly: duplicate ids, wrong dimension, unknown delete") {
     val path = tmp("graft-vidx-loud")
     VectorIndex.build(emb, "vec_id", "embedding", path, nlist = 4)
