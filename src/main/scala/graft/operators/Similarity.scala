@@ -142,6 +142,17 @@ object Similarity {
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.length >= nlist,
       s"IVF needs >= nlist sample vectors (${sample.length} < $nlist)")
+    lloyd(sample, nlist, iters)
+  }
+
+  /** Driver-side Lloyd iterations over an in-memory sample — the
+    * k-means kernel shared by the IVF quantizer and
+    * [[Quantization.trainPq]]'s per-subspace codebooks. Empty clusters
+    * keep their previous centroid; init is the first `nlist` sample
+    * rows (deterministic — the sample itself is seeded).
+    */
+  private[operators] def lloyd(sample: Array[Array[Double]], nlist: Int,
+                               iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
     var centroids = sample.take(nlist).map(_.clone())
     var it = 0

@@ -272,6 +272,27 @@ object TextQueries {
         k = 5, cents, nprobe = 8)
         .orderBy("q_id", "rank")
     }),
+    // product-quantized ADC search, exact configuration: codebooks
+    // trained on a seeded sample, corpus encoded to m=8 codes, stage-1
+    // ADC ranking over the CODE table only, stage-2 exact-cosine
+    // re-rank — with candidates >= corpus the result must equal brute
+    // force, which DuckDB replays from the raw table (the sim3/vx1
+    // discipline; recall at candidates << corpus is exercised in
+    // QuantizationSpec). Query ids shifted out of the corpus space.
+    "pq1_pq_adc_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val model = graft.operators.Quantization.trainPq(e, "embedding",
+        m = 8, ksub = 16)
+      val codes = graft.operators.Quantization.pqEncodeFrame(
+        e, "vec_id", "embedding", model)
+      val q = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 900000).as("vec_id"),
+          col("embedding"))
+      graft.operators.Quantization.pqSearchTopK(q, codes, e, "vec_id",
+          "embedding", k = 5, model, candidates = 10000000)
+        .withColumnsRenamed(Map("vec_id" -> "n_id"))
+        .orderBy("q_id", "rank")
+    }),
     // multi-valued (array) column discipline (SURVEY §1.2: ArrayType
     // with sorted values for determinism, like eland's sorted
     // `fields` lists, eland/operations.py:1626-1631)
@@ -637,6 +658,22 @@ object TextQueries {
         |      FROM u a JOIN u b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.92
         |ORDER BY cos DESC, id_a, id_b""".stripMargin,
+    // candidates >= corpus: the ADC stage passes everything and the
+    // exact re-rank must equal brute force — codebooks, codes, and
+    // lookup tables never exist oracle-side, so a mis-encoded vector
+    // or a candidate lost to the ADC ranking cannot match
+    "pq1_pq_adc_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id + 900000 AS q_id, v FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.q_id, c.vec_id AS n_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |      FROM q CROSS JOIN e c),
+        |r AS (SELECT q_id, n_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "sim1_brute_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,

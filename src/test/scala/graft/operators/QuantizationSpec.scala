@@ -74,6 +74,45 @@ class QuantizationSpec extends AnyFunSuite {
     assert(quant == exact)
   }
 
+  test("PQ: codes well-formed; exact config == brute force; ADC recalls a planted dup") {
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, graft.TestSpark.sfDir, "embeddings")
+    val model = Quantization.trainPq(emb, "embedding", m = 8, ksub = 16)
+    assert(model.m == 8 && model.ksub == 16 && model.dsub == 8)
+    val codes = Quantization.pqEncodeFrame(emb, "vec_id", "embedding", model)
+    // every code row: m entries, each in [0, ksub)
+    val bad = codes.filter(size(col("codes")) =!= 8 ||
+      exists(col("codes"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0)
+    // exact configuration (candidates >= corpus) equals brute force
+    val q = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 900000).as("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val viaPq = rows(Quantization.pqSearchTopK(q, codes, emb, "vec_id",
+      "embedding", k = 4, model, candidates = 1000000))
+    val brute = rows(Similarity.bruteForceTopK(q, emb, "vec_id",
+        "embedding", k = 4)
+      .withColumnsRenamed(Map("n_id" -> "vec_id")))
+    assert(viaPq == brute)
+    // ADC recall: a planted exact copy encodes to the same codes, so
+    // even a small candidate set must surface it at cosine 1.0
+    val planted = emb.filter(col("vec_id") === 7)
+      .select(lit(777777L).as("vec_id"), col("embedding"))
+    val corpus2 = emb.select("vec_id", "embedding").unionByName(planted)
+    val codes2 = Quantization.pqEncodeFrame(corpus2, "vec_id", "embedding",
+      model)
+    val q2 = emb.filter(col("vec_id") === 7)
+      .select(lit(111L).as("vec_id"), col("embedding"))
+    val top = Quantization.pqSearchTopK(q2, codes2, corpus2, "vec_id",
+        "embedding", k = 2, model, candidates = 20)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(2)).toSet == Set(7L, 777777L))
+    assert(top.forall(_.getDouble(3) == 1.0))
+  }
+
   test("zero vectors are dropped by encode; non-numeric arrays fail analysis") {
     import spark.implicits._
     val df = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, -2.0))).toDF("id", "v")
