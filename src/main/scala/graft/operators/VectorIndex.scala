@@ -408,8 +408,12 @@ object VectorIndex {
     if (segs.length > 1 || (dels.nonEmpty && segs.nonEmpty)) {
       val nlist = spark.read.parquet(s"${segs.head}/stats")
         .select("nlist").head().getInt(0)
+      // live vectors stay a LAZY plan — the merged write is its one
+      // full scan; the ids ledger and stats then derive from a
+      // column-pruned (id, cell) read of the segment just written, so
+      // the corpus is never checkpointed (the InvertedIndex.compact
+      // discipline: only ledger-sized things get pinned)
       val live = liveVectors(spark, segs, dels, identity)
-        .localCheckpoint(true)
       require(live.limit(1).count() > 0,
         s"every document in $indexPath is tombstoned — build() afresh " +
           "instead of compacting to an empty index")
@@ -423,10 +427,12 @@ object VectorIndex {
       live.repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$seg/vectors")
+      val written = spark.read.parquet(s"$seg/vectors")
+        .select("id", "cell")
       Bucketing.saveBucketedBatch(
-        live.select("id", "cell").repartition(idBuckets, col("id")),
+        written.repartition(idBuckets, col("id")),
         s"$seg/ids", Seq("id"), idBuckets)
-      live.agg(count(lit(1)).cast("double").as("n"),
+      written.agg(count(lit(1)).cast("double").as("n"),
           lit(nlist).as("nlist"))
         .write.mode("overwrite").parquet(s"$seg/stats")
       (segs ++ dels).foreach(s =>

@@ -283,12 +283,19 @@ object TextQueries {
       val e = t(s, d, "embeddings")
       val model = graft.operators.Quantization.trainPq(e, "embedding",
         m = 8, ksub = 16)
-      val codes = graft.operators.Quantization.pqEncodeFrame(
-        e, "vec_id", "embedding", model)
+      // codes MATERIALIZED (the serving shape: encode once at ingest,
+      // ADC scans the 32×-smaller code table, never the vectors)
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val codesPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-pq1-$tag").toString
+      graft.operators.Quantization.pqEncodeFrame(
+          e, "vec_id", "embedding", model)
+        .write.mode("overwrite").parquet(codesPath)
       val q = e.filter(col("vec_id") < 5)
         .select((col("vec_id") + 900000).as("vec_id"),
           col("embedding"))
-      graft.operators.Quantization.pqSearchTopK(q, codes, e, "vec_id",
+      graft.operators.Quantization.pqSearchTopK(q,
+          s.read.parquet(codesPath), e, "vec_id",
           "embedding", k = 5, model, candidates = 10000000)
         .withColumnsRenamed(Map("vec_id" -> "n_id"))
         .orderBy("q_id", "rank")

@@ -67,7 +67,13 @@ object DumpPlans {
     "sd1_semantic_dedup" ->
       "SemDeDup: k-means cell assignment is a pure expression over the broadcast-folded centroid literals (no model table, no shuffle for assignment); the pairwise cosine join shuffles (id, vec) on the CELL id only, so comparison cost is per-cell-quadratic, never corpus-quadratic — and the oracle's planted clones prove the blocking loses nothing.",
     "qc1_quality_classifier" ->
-      "Trained quality classifier: each IRLS iteration is one map-side-combined aggregation over the cached feature projection — partial sums before the single-row Exchange, the (d+1)-double model folded into the NEXT scan as literals. Prediction is a per-row codegen expression; nothing model-shaped ever shuffles.")
+      "Trained quality classifier: each IRLS iteration is one map-side-combined aggregation over the cached feature projection — partial sums before the single-row Exchange, the (d+1)-double model folded into the NEXT scan as literals. Prediction is a per-row codegen expression; nothing model-shaped ever shuffles.",
+    "vx1_vector_index_search" ->
+      "Persistent IVF vector index: the segment scan shows PartitionFilters on the probed CELL ids (whole cell directories skipped at planning time — each query reads only its nprobe cells, never the corpus), the query frame broadcasts onto the cell join, and the per-query ranking is the two-phase top-k. The quantizer enters as expression literals; build cost is paid once, each search is O(probed cells).",
+    "hy1_hybrid_rrf" ->
+      "Hybrid RRF: both input rankings are already k-sized (BM25's TakeOrderedAndProject, the cosine TakeOrdered), so the fusion unions <= rankings x k rows, aggregates the 1/(rrfK + rank) sums on that tiny set, and TakeOrdered caps the result — lexical and vector retrieval combine without a corpus-sized node anywhere past the two retrievals themselves.",
+    "pq1_pq_adc_topk" ->
+      "Product-quantized ADC search: stage 1's scan ReadSchema is (id, codes) — m small ints per row, never the vectors — and each row's approximate distance is m element_at lookups into the query's literal tables; the two-phase ranking keeps `candidates` per query, and ONLY those candidate ids join back to the vector table for the exact cosine re-rank. At 100TB of embeddings the code table is the 32x-smaller thing you can afford to scan per query.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -35,4 +35,25 @@ class RankingSpec extends AnyFunSuite {
     assert(Ranking.bm25TopK(docs, "doc_id", "text", Seq("x", "y"), 1)
       .count() == 1)
   }
+
+  test("rrfFuse: hand-model sums, single-list presence, k cap, rank dominance") {
+    val r1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val r2 = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val fused = Ranking.rrfFuse(Seq(r1, r2), "id", "rank", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def c(rank: Long) = 1.0 / (60.0 + rank)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // present in both lists: the contributions SUM
+    assert(fused(20L) == r6(c(2) + c(1)))
+    // present in one list: that contribution alone
+    assert(fused(10L) == r6(c(1)))
+    assert(fused(40L) == r6(c(2)))
+    assert(fused(30L) == r6(c(3)))
+    // two mid appearances beat one first place (the RRF consensus
+    // property: 1/61 < 1/62 + 1/63)
+    assert(fused(20L) > fused(10L))
+    // k caps the fused output
+    assert(Ranking.rrfFuse(Seq(r1, r2), "id", "rank", k = 2).count() == 2)
+  }
 }

@@ -73,11 +73,11 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(b == brute)
     // compaction collapses segments and preserves answers (same
     // quantizer survives, so ANY nprobe is preserved, not just exact)
+    val preCompact = rows(VectorIndex.searchTopK(q, split, k = 5, nprobe = 2))
     VectorIndex.compact(spark, split, idBuckets = 4)
     assert(segDirs(split).length == 1)
     assert(rows(VectorIndex.searchTopK(q, split, k = 5, nprobe = 2)) ==
-      rows(VectorIndex.searchTopK(q, one, k = 5, nprobe = 8))
-        .take(0) ++ rows(VectorIndex.searchTopK(q, split, k = 5, nprobe = 2)))
+      preCompact)
     assert(rows(VectorIndex.searchTopK(q, split, k = 5, nprobe = 8)) == brute)
   }
 
