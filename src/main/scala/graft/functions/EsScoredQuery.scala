@@ -314,7 +314,7 @@ object EsScoredQuery {
       // top-level knn clause (the ES 8.x knn-query face): handled as a
       // whole-frame retrieval, not a per-row predicate — see knnFrame
       case JObject(List(("knn", body))) =>
-        return knnFrame(docs, idCol, body)
+        return knnFrame(docs, idCol, body, requireText)
       case _ => ()
     }
     val ctx = new Ctx(idCol, requireText, termIdf)
@@ -363,8 +363,8 @@ object EsScoredQuery {
     * the right cost shape). Ties break on `idCol`, ES's determinism
     * gap closed the same way the ANN operators close it.
     */
-  private def knnFrame(docs: DataFrame, idCol: String,
-                       body: JValue): DataFrame = {
+  private def knnFrame(docs: DataFrame, idCol: String, body: JValue,
+                       requireText: String => Unit): DataFrame = {
     val field = (body \ "field") match {
       case JString(f) => f
       case other => throw new IllegalArgumentException(
@@ -388,11 +388,15 @@ object EsScoredQuery {
       case JLong(n) => n.toInt
       case other => throw new IllegalArgumentException(s"knn k: $other")
     }
+    require(k >= 1, s"knn k must be positive, got $k — a zero/negative " +
+      "k would silently read as 'no matches'")
     val boost = boostOf(body)
+    // the caller's text-dtype guard applies to the knn filter exactly
+    // as it does to every other filter context
     val base = (body \ "filter") match {
       case JNothing => docs
       case f => docs.filter(coalesce(
-        EsQueryDsl.filterColumn(f, idCol, _ => ()), lit(false)))
+        EsQueryDsl.filterColumn(f, idCol, requireText), lit(false)))
     }
     require(!docs.columns.exists(Set("_knn_q", "_knn_cos", "rank")),
       "knn needs the _knn_q/_knn_cos/rank column names free — rename " +

@@ -245,6 +245,10 @@ object InvertedIndex {
     val spark = ids.sparkSession
     val del = ids.select(col(ids.columns.head).as("id"))
       .distinct().localCheckpoint(true)
+    // deleting nothing is vacuous success — NOT a zero-id tombstone
+    // batch, which every search would broadcast and the next compact
+    // would treat as a full-rewrite trigger
+    if (del.isEmpty) return
     // EXACT detector: matched rows AND matched distinct ids must both
     // equal the request — aggregate row count alone would let an id
     // live in two segments (rows > ids, an append-contract violation)
@@ -303,23 +307,8 @@ object InvertedIndex {
     * left union, so that rewrite is always sound.
     */
   private def liveLensFrames(spark: SparkSession, segs: Seq[String],
-                             dels: Seq[String]): Seq[DataFrame] = {
-    val fs = fsOf(spark, segs.head)
-    val tomb =
-      if (dels.isEmpty) None
-      else Some(broadcast(tombstonePairs(spark, dels)))
-    segs.map { s =>
-      val lensPath = s"$s/lens"
-      val base =
-        if (Bucketing.isBucketedBatch(fs, lensPath))
-          Bucketing.readBucketedBatch(spark, lensPath)
-        else spark.read.parquet(lensPath)
-      val tagged = base.withColumn("_seg",
-        lit(new org.apache.hadoop.fs.Path(s).getName))
-      tomb.map(t => tagged.join(t, Seq("id", "_seg"), "left_anti"))
-        .getOrElse(tagged)
-    }
-  }
+                             dels: Seq[String]): Seq[DataFrame] =
+    SegmentStore.liveLedgerFrames(spark, segs, dels, "lens")
 
   /** The union view of [[liveLensFrames]] — for consumers that rewrite
     * the whole corpus anyway (compaction) and do not care about
@@ -625,11 +614,18 @@ object InvertedIndex {
       val live = liveLens(spark, segs, dels)
         .drop("_seg").localCheckpoint(true)
       // an index whose every doc is tombstoned would compact to a
-      // segment no reader can open (schema-less empty postings) —
-      // rebuild instead of limping into that state
-      require(live.limit(1).count() > 0,
-        s"every document in $indexPath is tombstoned — build() afresh " +
-          "instead of compacting to an empty index")
+      // segment no reader can open (schema-less empty postings).
+      // Logical reads of that state stay correct, so SKIP the
+      // compaction instead of throwing: a CDC stream whose cadence
+      // compaction lands right after a delete-everything batch must
+      // not wedge on checkpoint replay — documents can still arrive
+      // in the next batch.
+      if (live.limit(1).count() == 0) {
+        System.err.println(s"[graft] compact skipped: every document " +
+          s"in $indexPath is tombstoned (build() afresh to reset, or " +
+          "ingest more documents)")
+        return
+      }
       val name = s"seg-${java.util.UUID.randomUUID()}"
       val seg = s"$indexPath/segments/$name"
       val inputs =

@@ -96,6 +96,38 @@ private[graft] object SegmentStore {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Per-segment ledger rows (`<seg>/<sub>` — the inverted index's
+    * `lens`, the vector index's `ids`) tagged with their segment name,
+    * minus the tombstones applicable to each segment: exactly the live
+    * corpus bookkeeping — ONE FRAME PER SEGMENT, so a compacted
+    * segment's id-bucketed ledger keeps its HashPartitioning into
+    * whatever join the caller builds (a union would erase it). The
+    * broadcast tombstone anti-join preserves the child's partitioning.
+    * Callers that join these frames must join per frame and union the
+    * RESULTS; semi-joins distribute over the left union, so that
+    * rewrite is always sound.
+    */
+  def liveLedgerFrames(spark: SparkSession, segs: Seq[String],
+                       dels: Seq[String], sub: String): Seq[DataFrame] = {
+    val fs = fsOf(spark, segs.head)
+    val tomb =
+      if (dels.isEmpty) None
+      else Some(org.apache.spark.sql.functions.broadcast(
+        tombstonePairs(spark, dels)))
+    segs.map { s =>
+      val path = s"$s/$sub"
+      val base =
+        if (Bucketing.isBucketedBatch(fs, path))
+          Bucketing.readBucketedBatch(spark, path)
+        else spark.read.parquet(path)
+      val tagged = base.withColumn("_seg",
+        org.apache.spark.sql.functions.lit(
+          new org.apache.hadoop.fs.Path(s).getName))
+      tomb.map(t => tagged.join(t, Seq("id", "_seg"), "left_anti"))
+        .getOrElse(tagged)
+    }
+  }
+
   def manifestPath(indexPath: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$indexPath/compacting")
 

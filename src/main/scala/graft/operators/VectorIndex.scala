@@ -190,12 +190,16 @@ object VectorIndex {
       s"ids must be a single-column frame, got ${ids.columns.toSeq}")
     val del = ids.select(col(ids.columns.head).as("id"))
       .distinct().localCheckpoint(true)
+    val nReq = del.count()
+    // deleting nothing is vacuous success — NOT a zero-id tombstone
+    // batch, which every search would broadcast and the next compact
+    // would treat as a full-rewrite trigger
+    if (nReq == 0) return
     val hitRow = liveIdFrames(spark, segs,
         SegmentStore.committedDeletes(spark, indexPath))
       .map(_.join(del, Seq("id"), "left_semi"))
       .reduce(_ unionByName _)
       .agg(count(lit(1)).as("n"), count_distinct(col("id")).as("d")).head()
-    val nReq = del.count()
     require(hitRow.getLong(0) == nReq && hitRow.getLong(1) == nReq,
       s"deleteDocs: $nReq ids requested but ${hitRow.getLong(0)} live " +
         s"rows over ${hitRow.getLong(1)} distinct ids matched in " +
@@ -203,6 +207,32 @@ object VectorIndex {
         "in two segments) are contract violations")
     SegmentStore.writeTombstone(spark, indexPath, segs, del,
       Seq(lit(hitRow.getLong(0).toDouble).as("n")))
+  }
+
+  /** The segment-write contract checks (unique ids, frozen
+    * dimensionality), run BEFORE any tombstone commits: a batch that
+    * will be rejected must be rejected while the index is still
+    * untouched — tombstone-then-validate would mask the live versions
+    * of a batch that never lands, and a checkpointed stream would
+    * replay the same rejection forever with the rows already dead.
+    * (writeSegmentNamed re-checks on the staged frame — cheap
+    * defense-in-depth; THIS call is the one that orders the failure
+    * before the side effect.)
+    */
+  private def validateBatch(docs: DataFrame, idCol: String,
+                            vecCol: String, dim: Int): Unit = {
+    val r = docs.select(col(idCol).as("id"),
+        VectorOps.asDouble(col(vecCol)).as("v"))
+      .agg(count(lit(1)).as("_n"), count_distinct(col("id")).as("_d"),
+        count(when(col("v").isNull || size(col("v")) =!= dim, 1)).as("_bad"))
+      .head()
+    require(r.getLong(0) == r.getLong(1),
+      s"batch contains duplicate ids (${r.getLong(0)} rows, " +
+        s"${r.getLong(1)} distinct) — collapse to one row per id " +
+        "before ingesting")
+    require(r.getLong(2) == 0,
+      s"${r.getLong(2)} vectors are null or not $dim-dimensional — " +
+        "the index stores one frozen dimensionality")
   }
 
   /** ES-style upsert: live versions of the incoming ids are
@@ -217,8 +247,10 @@ object VectorIndex {
     val segs = SegmentStore.committedSegments(spark, indexPath)
     require(segs.nonEmpty,
       s"$indexPath has no committed segments — build() first")
+    val centroids = readCentroids(spark, indexPath)
+    validateBatch(docs, idCol, vecCol, centroids.head.length)
     tombstoneLiveOf(docs, idCol, indexPath, segs)
-    append(docs, idCol, vecCol, indexPath)
+    writeSegment(docs, idCol, vecCol, indexPath, centroids)
   }
 
   /** One ids-ledger read finds the live versions of the incoming ids
@@ -252,23 +284,8 @@ object VectorIndex {
     * union).
     */
   private def liveIdFrames(spark: SparkSession, segs: Seq[String],
-                           dels: Seq[String]): Seq[DataFrame] = {
-    val fs = fsOf(spark, segs.head)
-    val tomb =
-      if (dels.isEmpty) None
-      else Some(broadcast(SegmentStore.tombstonePairs(spark, dels)))
-    segs.map { s =>
-      val idsPath = s"$s/ids"
-      val base =
-        if (Bucketing.isBucketedBatch(fs, idsPath))
-          Bucketing.readBucketedBatch(spark, idsPath)
-        else spark.read.parquet(idsPath)
-      val tagged = base.withColumn("_seg",
-        lit(new org.apache.hadoop.fs.Path(s).getName))
-      tomb.map(t => tagged.join(t, Seq("id", "_seg"), "left_anti"))
-        .getOrElse(tagged)
-    }
-  }
+                           dels: Seq[String]): Seq[DataFrame] =
+    SegmentStore.liveLedgerFrames(spark, segs, dels, "ids")
 
   /** Exactly-once per-batch streaming ingest (append-only feeds) —
     * the [[InvertedIndex.ingestBatch]] discipline: batch-id-named
@@ -311,6 +328,10 @@ object VectorIndex {
       val others = all.filterNot(s =>
         new org.apache.hadoop.fs.Path(s).getName == ownName)
       val centroids = ensureQuantizer(docs, vecCol, indexPath, nlistIfNew)
+      // reject a bad batch BEFORE the tombstone commits (see
+      // validateBatch — a replayed rejection must leave the index
+      // untouched, not the batch's live versions masked)
+      validateBatch(docs, idCol, vecCol, centroids.head.length)
       if (others.nonEmpty) tombstoneLiveOf(docs, idCol, indexPath, others)
       writeSegmentNamed(docs, idCol, vecCol, indexPath, ownName, centroids)
     }
@@ -354,15 +375,21 @@ object VectorIndex {
         val all = SegmentStore.committedSegments(spark, indexPath)
         val others = all.filterNot(s =>
           new org.apache.hadoop.fs.Path(s).getName == ownName)
+        val ups = evs.filter(col("_op") === "upsert")
+          .select(col("id").as(idCol), col("_vec").as(vecCol))
+        // quantizer + dimension check BEFORE the tombstone commits
+        // (validateBatch ordering; the one-event-per-id contract was
+        // already checked above, also pre-tombstone)
+        val centroids =
+          if (nUpserts == 0) None
+          else {
+            val c = ensureQuantizer(ups, vecCol, indexPath, nlistIfNew)
+            validateBatch(ups, idCol, vecCol, c.head.length)
+            Some(c)
+          }
         if (others.nonEmpty) tombstoneLiveOf(evs, "id", indexPath, others)
-        if (nUpserts > 0) {
-          val ups = evs.filter(col("_op") === "upsert")
-            .select(col("id").as(idCol), col("_vec").as(vecCol))
-          val centroids = ensureQuantizer(ups, vecCol, indexPath,
-            nlistIfNew)
-          writeSegmentNamed(ups, idCol, vecCol, indexPath, ownName,
-            centroids)
-        }
+        centroids.foreach(c =>
+          writeSegmentNamed(ups, idCol, vecCol, indexPath, ownName, c))
       }
       fs.create(marker, true).close()
     } finally {
@@ -414,9 +441,19 @@ object VectorIndex {
       // the corpus is never checkpointed (the InvertedIndex.compact
       // discipline: only ledger-sized things get pinned)
       val live = liveVectors(spark, segs, dels, identity)
-      require(live.limit(1).count() > 0,
-        s"every document in $indexPath is tombstoned — build() afresh " +
-          "instead of compacting to an empty index")
+      // an all-tombstoned index would compact to a segment no reader
+      // can open (schema-less empty vectors). Searches over the
+      // logical state stay correct (they see the empty live set), so
+      // SKIP the compaction instead of throwing: a CDC stream whose
+      // cadence compaction lands right after a delete-everything batch
+      // must not wedge on checkpoint replay — documents can still
+      // arrive in the next batch.
+      if (live.limit(1).count() == 0) {
+        System.err.println(s"[graft] compact skipped: every document " +
+          s"in $indexPath is tombstoned (build() afresh to reset, or " +
+          "ingest more documents)")
+        return
+      }
       val name = s"seg-${java.util.UUID.randomUUID()}"
       val seg = s"$indexPath/segments/$name"
       val inputs =
@@ -509,8 +546,11 @@ object VectorIndex {
     val dels = SegmentStore.committedDeletes(spark, indexPath)
     val centroids = readCentroids(spark, indexPath)
     val nlist = centroids.length
-    require(nprobe >= 1 && nprobe <= nlist,
-      s"nprobe out of range: $nprobe (nlist = $nlist)")
+    require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
+    // clamped, not rejected: probing more cells than exist just means
+    // exact search, and the DEFAULT (2) must stay usable on a tiny
+    // index built with nlist = 1
+    val np = math.min(nprobe, nlist)
     // per-query probe cells via the deterministic (score, cell) struct
     // sort of Similarity.ivfTopK; pinned — reused for the driver-side
     // cell collection AND the broadcast join side
@@ -518,7 +558,7 @@ object VectorIndex {
       .select(col(qIdCol).as("_q_id"),
         VectorOps.asDouble(col(vecCol)).as("q_v"))
       .withColumn("probes", Similarity.ivfProbeCells(col("q_v"),
-        centroids, nprobe))
+        centroids, np))
       .select(col("_q_id"), col("q_v"), explode(col("probes")).as("cell"))
       .withColumn("q_n", sqrt(VectorOps.normSq(col("q_v"))))
       .localCheckpoint(true)

@@ -187,6 +187,19 @@ class EsScoredQuerySpec extends AnyFunSuite {
         """{"bool": {"must": [{"knn": {"field": "v",
           |  "query_vector": [1.0, 0.0], "k": 2}}]}}""".stripMargin))
     assert(e.getMessage.contains("TOP-LEVEL"))
+    // k = 0 must raise, not silently read as "no matches"
+    val e2 = intercept[IllegalArgumentException](
+      EsScoredQuery.scoredFrame(tiny, "vec_id",
+        """{"knn": {"field": "v", "query_vector": [1.0, 0.0], "k": 0}}"""))
+    assert(e2.getMessage.contains("k must be positive"))
+    // the caller's text guard reaches the knn filter clause
+    val e3 = intercept[IllegalArgumentException](
+      EsScoredQuery.scoredFrame(tiny, "vec_id",
+        """{"knn": {"field": "v", "query_vector": [1.0, 0.0], "k": 2,
+          |  "filter": {"match": {"tag": "a"}}}}""".stripMargin,
+        requireText = f => throw new IllegalArgumentException(
+          s"non-text field $f")))
+    assert(e3.getMessage.contains("non-text field tag"))
   }
 
   test("termIdf: term leaves earn boost × idf; terms/range stay constant") {

@@ -283,11 +283,17 @@ class InvertedIndexSpec extends AnyFunSuite {
     crash.mkdirs()
     Seq(1L).toDF("id").write.mode("overwrite").parquet(crash.toString)
     assert(top(path) == before)
-    // deleting the last live docs then compacting is refused
+    // deleting the last live docs then compacting SKIPS (a CDC stream
+    // whose cadence compact lands after a delete-everything batch must
+    // not wedge on replay): the logical state stays readable (empty
+    // hits), and later ingest revives the index
     InvertedIndex.deleteDocs(Seq(1L, 4L).toDF("id"), path)
-    val e3 = intercept[IllegalArgumentException](
-      InvertedIndex.compact(spark, path))
-    assert(e3.getMessage.contains("tombstoned"))
+    InvertedIndex.compact(spark, path)
+    assert(top(path).isEmpty)
+    InvertedIndex.ingestBatch(Seq((7L, "x y")).toDF("doc_id", "text"),
+      "doc_id", "text", path, batchId = 91)
+    assert(topDocs(InvertedIndex.searchTopK(spark, path, Seq("x"), k = 3,
+      idColName = "doc_id")).map(_._1) == Seq(7L))
   }
 
   test("segment-scoped tombstones: upsert resurfaces docs without compact") {

@@ -284,6 +284,55 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a rejected upsert leaves the index untouched; empty delete no-ops; all-tombstoned compact skips") {
+    val path = tmp("graft-vidx-guard")
+    val small = emb.filter(col("vec_id") < 40)
+    VectorIndex.build(small, "vec_id", "embedding", path, nlist = 4)
+    val q = queriesShifted(2)
+    val before = rows(VectorIndex.searchTopK(q, path, k = 3, nprobe = 4))
+    def delDirs = Option(new java.io.File(s"$path/deletes").listFiles)
+      .toSeq.flatten.length
+    // duplicate-id upsert batch: must be rejected BEFORE any tombstone
+    // commits — the live versions stay searchable
+    val dup = small.filter(col("vec_id") === 1)
+      .unionByName(small.filter(col("vec_id") === 1))
+      .select("vec_id", "embedding")
+    assertThrows[IllegalArgumentException] {
+      VectorIndex.upsertDocs(dup, "vec_id", "embedding", path)
+    }
+    assert(delDirs == 0, "rejected upsert left a tombstone behind")
+    assert(rows(VectorIndex.searchTopK(q, path, k = 3, nprobe = 4)) == before)
+    // empty delete: vacuous success, no tombstone batch
+    VectorIndex.deleteDocs(
+      small.filter(col("vec_id") < 0).select("vec_id"), path)
+    assert(delDirs == 0)
+    // delete EVERYTHING, then the cadence compact must skip (not
+    // throw), searches must answer empty, and new docs must still land
+    VectorIndex.deleteDocs(small.select("vec_id"), path)
+    VectorIndex.compact(spark, path)
+    assert(VectorIndex.searchTopK(q, path, k = 3, nprobe = 4).count() == 0)
+    VectorIndex.ingestBatch(
+      emb.filter(col("vec_id") >= 40 && col("vec_id") < 80)
+        .select("vec_id", "embedding"),
+      "vec_id", "embedding", path, batchId = 77)
+    assert(VectorIndex.searchTopK(q, path, k = 3, nprobe = 4).count() > 0)
+  }
+
+  test("nprobe larger than nlist clamps to exact search (nlist = 1 usable with defaults)") {
+    val path = tmp("graft-vidx-one-cell")
+    VectorIndex.build(emb.filter(col("vec_id") < 50), "vec_id",
+      "embedding", path, nlist = 1)
+    // default nprobe = 2 on a 1-cell index: clamped, not rejected
+    val got = rows(VectorIndex.searchTopK(queriesShifted(2), path, k = 3))
+    assert(got.nonEmpty)
+    val brute = rows(Similarity.bruteForceTopK(
+      queriesShifted(2).withColumnRenamed("q_id", "vec_id")
+        .withColumnRenamed("vec", "embedding"),
+      emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 3)
+      .withColumnsRenamed(Map("n_id" -> "id")))
+    assert(got == brute)
+  }
+
   test("contracts fail loudly: duplicate ids, wrong dimension, unknown delete") {
     val path = tmp("graft-vidx-loud")
     VectorIndex.build(emb, "vec_id", "embedding", path, nlist = 4)
