@@ -64,6 +64,37 @@ object VectorIndex {
     SegmentStore.fsOf(spark, path)
 
   private def quantizerPath(indexPath: String) = s"$indexPath/quantizer"
+  private def pqPath(indexPath: String) = s"$indexPath/pq"
+
+  private def writePqModel(spark: SparkSession, indexPath: String,
+                           model: Quantization.PqModel): Unit =
+    spark.createDataFrame(
+        for {
+          j <- 0 until model.m
+          c <- 0 until model.ksub
+        } yield (j, c, model.codebooks(j)(c).toSeq))
+      .toDF("subspace", "cell", "centroid")
+      .write.mode("overwrite").parquet(pqPath(indexPath))
+
+  /** The PQ codebooks, when the index was built with `pqM > 0` —
+    * driver-side, m × ksub × dsub doubles (the whole model).
+    */
+  private[operators] def readPqModel(spark: SparkSession,
+                                     indexPath: String): Option[Quantization.PqModel] = {
+    val fs = fsOf(spark, indexPath)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        s"${pqPath(indexPath)}/_SUCCESS"))) None
+    else {
+      val rows = spark.read.parquet(pqPath(indexPath))
+        .orderBy("subspace", "cell").collect()
+      val m = rows.map(_.getInt(0)).max + 1
+      val ksub = rows.map(_.getInt(1)).max + 1
+      val cb = Array.ofDim[Array[Double]](m, ksub)
+      rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) =
+        r.getSeq[Double](2).toArray)
+      Some(Quantization.PqModel(cb.map(_.toArray)))
+    }
+  }
 
   /** The frozen quantizer, driver-side: nlist×dim doubles (the whole
     * IVF model — tiny by design; what must scale is assignment and
@@ -116,6 +147,17 @@ object VectorIndex {
         .parquet(s"$seg/vectors")
       staged.select(col("id"), col("cell"))
         .write.mode("overwrite").parquet(s"$seg/ids")
+      // a PQ-enabled index (build(pqM > 0)) carries a codes table per
+      // segment — the m-small-ints-per-row thing ADC search scans
+      // instead of the vectors; written before stats, so the segment's
+      // commit marker covers it
+      readPqModel(docs.sparkSession, indexPath).foreach { m =>
+        staged.select(col("id"), col("cell"),
+            Quantization.pqEncode(col("v"), m).as("codes"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$seg/codes")
+      }
       staged.agg(count(lit(1)).cast("double").as("n"),
           lit(centroids.length).as("nlist"))
         .write.mode("overwrite").parquet(s"$seg/stats")
@@ -140,18 +182,27 @@ object VectorIndex {
     * would mask or skip the new corpus — the [[InvertedIndex.build]]
     * reset).
     */
+  /** `pqM > 0` additionally trains per-subspace PQ codebooks
+    * ([[Quantization.trainPq]], `pqM` subspaces × `pqKsub` centroids)
+    * and stores every segment's PQ code table — enabling
+    * [[searchTopKAdc]], the IVF-PQ serving path.
+    */
   def build(docs: DataFrame, idCol: String, vecCol: String,
             indexPath: String, nlist: Int = 16, kmeansIters: Int = 10,
-            sampleN: Int = 4096, seed: Long = 42): Unit = {
+            sampleN: Int = 4096, seed: Long = 42,
+            pqM: Int = 0, pqKsub: Int = 16): Unit = {
     require(nlist >= 1, s"nlist must be positive, got $nlist")
     val spark = docs.sparkSession
     val fs = fsOf(spark, indexPath)
-    Seq("segments", "deletes", "ingested", "quantizer").foreach(d =>
+    Seq("segments", "deletes", "ingested", "quantizer", "pq").foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/$d"), true))
     Manifest.delete(fs, SegmentStore.manifestPath(indexPath))
     val centroids = Similarity.trainIvfCentroids(docs, vecCol, nlist,
       kmeansIters, sampleN, seed)
     writeQuantizer(spark, indexPath, centroids)
+    if (pqM > 0)
+      writePqModel(spark, indexPath, Quantization.trainPq(docs, vecCol,
+        pqM, pqKsub, kmeansIters, sampleN, seed))
     writeSegment(docs, idCol, vecCol, indexPath, centroids)
   }
 
@@ -469,6 +520,17 @@ object VectorIndex {
       Bucketing.saveBucketedBatch(
         written.repartition(idBuckets, col("id")),
         s"$seg/ids", Seq("id"), idBuckets)
+      // PQ-enabled: re-encode the merged segment's codes from its own
+      // just-written vectors (a pruned read of the new segment, not a
+      // second pass over the inputs)
+      readPqModel(spark, indexPath).foreach { m =>
+        spark.read.parquet(s"$seg/vectors")
+          .select(col("id"), col("cell"),
+            Quantization.pqEncode(col("v"), m).as("codes"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$seg/codes")
+      }
       written.agg(count(lit(1)).cast("double").as("n"),
           lit(nlist).as("nlist"))
         .write.mode("overwrite").parquet(s"$seg/stats")
@@ -486,9 +548,19 @@ object VectorIndex {
     */
   private def liveVectors(spark: SparkSession, segs: Seq[String],
                           dels: Seq[String],
-                          prune: DataFrame => DataFrame): DataFrame = {
+                          prune: DataFrame => DataFrame): DataFrame =
+    liveSub(spark, segs, dels, "vectors", prune)
+
+  /** Live rows of a per-segment payload subdir (`vectors` or the
+    * PQ `codes`), `prune` applied per segment so cell-directory
+    * pruning happens at planning time, tombstones subtracted
+    * segment-scoped.
+    */
+  private def liveSub(spark: SparkSession, segs: Seq[String],
+                      dels: Seq[String], sub: String,
+                      prune: DataFrame => DataFrame): DataFrame = {
     val tagged = segs.map(s =>
-      prune(spark.read.parquet(s"$s/vectors"))
+      prune(spark.read.parquet(s"$s/$sub"))
         .withColumn("_seg", lit(new org.apache.hadoop.fs.Path(s).getName)))
       .reduce(_ unionByName _)
     val out =
@@ -572,6 +644,69 @@ object VectorIndex {
           (col("q_n") * col("norm")), roundTo))
     Similarity.rankTopKPerQuery(scored, k, "_q_id", "id", "cos")
       .select(col("_q_id").as(qIdCol), col("rank"),
+        col("id").as(idColName), col("cos"))
+  }
+
+  /** Driver-side nearest-`np` cells (plain squared L2, ties by cell
+    * id) — the local twin of [[Similarity.ivfProbeCells]] for the ADC
+    * path's cell-pruning set.
+    */
+  private def nearestCellsLocal(v: Array[Double],
+                                centroids: Array[Array[Double]],
+                                np: Int): Seq[Int] =
+    centroids.indices.map { j =>
+      var d = 0.0; var t = 0
+      val c = centroids(j)
+      while (t < c.length) { val x = v(t) - c(t); d += x * x; t += 1 }
+      (d, j)
+    }.sorted.take(np).map(_._2).toSeq
+
+  /** The IVF-PQ serving path (the FAISS IVFPQ shape): queries probe
+    * their `nprobe` nearest cells, stage 1 scans ONLY those cells' PQ
+    * CODE rows — m small ints per row, the ~32×-smaller read — and
+    * ranks by the asymmetric-distance approximation
+    * ([[Quantization.pqSearchTopK]]); stage 2 re-ranks the
+    * `candidates` survivors by exact cosine against the pruned live
+    * vectors. `nprobe ≥ nlist` AND `candidates` ≥ corpus degrades to
+    * exact brute force (the oracle-gated configuration). Requires
+    * `build(pqM > 0)`. Output (qIdCol, rank, idColName, cos); query
+    * and corpus ids must be long-castable.
+    */
+  def searchTopKAdc(queries: DataFrame, indexPath: String, k: Int,
+                    candidates: Int, nprobe: Int = 2,
+                    qIdCol: String = "q_id", vecCol: String = "vec",
+                    idColName: String = "id",
+                    roundTo: Int = 6): DataFrame = {
+    require(k > 0)
+    val spark = queries.sparkSession
+    val segs = SegmentStore.committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val dels = SegmentStore.committedDeletes(spark, indexPath)
+    val model = readPqModel(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"$indexPath was built without PQ codes — build(pqM > 0) " +
+          "enables the ADC path; use searchTopK otherwise"))
+    val centroids = readCentroids(spark, indexPath)
+    require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
+    val np = math.min(nprobe, centroids.length)
+    // probe-cell set driver-side from the query vectors (bounded: the
+    // ADC tables collect the query frame anyway)
+    val wanted = queries
+      .select(VectorOps.asDouble(col(vecCol)).as("v")).collect()
+      .flatMap(r => nearestCellsLocal(r.getSeq[Double](0).toArray,
+        centroids, np))
+      .distinct.toSeq
+    val prune: DataFrame => DataFrame =
+      _.filter(col("cell").isin(wanted: _*))
+    val codesLive = liveSub(spark, segs, dels, "codes", prune)
+      .select("id", "codes")
+    val corpusLive = liveVectors(spark, segs, dels, prune)
+      .select(col("id"), col("v"))
+    val q2 = queries.select(col(qIdCol).as("id"), col(vecCol).as("v"))
+    Quantization.pqSearchTopK(q2, codesLive, corpusLive, "id", "v", k,
+        model, candidates, roundTo)
+      .select(col("q_id").as(qIdCol), col("rank"),
         col("id").as(idColName), col("cos"))
   }
 }

@@ -996,6 +996,26 @@ object PipelineQueries {
           idColName = "n_id")
         .orderBy("q_id", "rank")
     }),
+    // the IVF-PQ serving path, exact configuration: the index stores
+    // per-segment PQ code tables (pqM = 8 subspaces), ADC stage 1
+    // scans only the probed cells' codes, stage 2 re-ranks exact —
+    // with every cell probed and candidates >= corpus the result must
+    // equal brute force, which DuckDB replays from the raw table
+    // (codebooks/codes/tables never exist oracle-side)
+    "vx3_vector_index_adc" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-vx3-$tag").toString
+      val e = t(s, d, "embeddings")
+      graft.operators.VectorIndex.build(e, "vec_id", "embedding", path,
+        nlist = 8, pqM = 8)
+      val q = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 900000).as("q_id"),
+          col("embedding").as("vec"))
+      graft.operators.VectorIndex.searchTopKAdc(q, path, k = 5,
+          candidates = 10000000, nprobe = 8, idColName = "n_id")
+        .orderBy("q_id", "rank")
+    }),
     // vector-index upsert + delete lifecycle: every 10th vector is
     // UPDATED with a deterministic jitter (plus fresh ids appended),
     // every (id % 7 == 3) is tombstoned — including ids that were
@@ -1648,6 +1668,20 @@ object PipelineQueries {
     // probe that skips a directory cannot match. Query ids shifted out
     // of the corpus space (the index has no notion of query identity)
     "vx1_vector_index_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id + 900000 AS q_id, v FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.q_id, c.vec_id AS n_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |      FROM q CROSS JOIN e c),
+        |r AS (SELECT q_id, n_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // the vx1 brute-force replay verbatim: the exact ADC
+    // configuration must land on the identical answer
+    "vx3_vector_index_adc" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id + 900000 AS q_id, v FROM e WHERE vec_id < 5),
         |s AS (SELECT q.q_id, c.vec_id AS n_id,

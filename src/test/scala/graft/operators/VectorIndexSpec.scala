@@ -284,6 +284,55 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: ADC exact config == exact search; codes survive upsert and compact; recall at small candidates") {
+    val path = tmp("graft-vidx-pq")
+    VectorIndex.build(emb, "vec_id", "embedding", path, nlist = 8,
+      pqM = 8)
+    val q = queriesShifted(3)
+    val exact = rows(VectorIndex.searchTopK(q, path, k = 4, nprobe = 8))
+    assert(rows(VectorIndex.searchTopKAdc(q, path, k = 4,
+      candidates = 1000000, nprobe = 8)) == exact)
+    // an index built WITHOUT pqM refuses the ADC path loudly
+    val plain = tmp("graft-vidx-nopq")
+    VectorIndex.build(emb.limit(50), "vec_id", "embedding", plain,
+      nlist = 4)
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.searchTopKAdc(q, plain, k = 2, candidates = 100)
+    }
+    assert(e.getMessage.contains("pqM"))
+    // upsert writes the new segment's codes too: post-upsert ADC at
+    // the exact configuration equals the exact search over live state
+    val upd = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => x * 2.0)
+          .as("embedding"))
+    VectorIndex.upsertDocs(upd, "vec_id", "embedding", path)
+    VectorIndex.deleteDocs(
+      emb.filter(col("vec_id") % 9 === 5).select("vec_id"), path)
+    val exact2 = rows(VectorIndex.searchTopK(q, path, k = 4, nprobe = 8))
+    assert(rows(VectorIndex.searchTopKAdc(q, path, k = 4,
+      candidates = 1000000, nprobe = 8)) == exact2)
+    // compaction re-encodes the merged segment's codes
+    VectorIndex.compact(spark, path, idBuckets = 4)
+    assert(new java.io.File(s"${segDirs(path).head}/codes").exists)
+    assert(rows(VectorIndex.searchTopKAdc(q, path, k = 4,
+      candidates = 1000000, nprobe = 8)) == exact2)
+    // a planted exact copy shares its original's cell AND codes: tiny
+    // candidates + one probe still surface both at cosine 1.0
+    val plant = tmp("graft-vidx-pq-plant")
+    VectorIndex.build(
+      emb.select("vec_id", "embedding").unionByName(
+        emb.filter(col("vec_id") === 7)
+          .select(lit(777777L).as("vec_id"), col("embedding"))),
+      "vec_id", "embedding", plant, nlist = 8, pqM = 8)
+    val q7 = emb.filter(col("vec_id") === 7)
+      .select(lit(1L).as("q_id"), col("embedding").as("vec"))
+    val top = VectorIndex.searchTopKAdc(q7, plant, k = 2,
+      candidates = 10, nprobe = 1).orderBy("rank").collect()
+    assert(top.map(_.getLong(2)).toSet == Set(7L, 777777L))
+    assert(top.forall(_.getDouble(3) == 1.0))
+  }
+
   test("a rejected upsert leaves the index untouched; empty delete no-ops; all-tombstoned compact skips") {
     val path = tmp("graft-vidx-guard")
     val small = emb.filter(col("vec_id") < 40)
