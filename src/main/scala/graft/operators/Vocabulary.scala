@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
@@ -61,4 +61,146 @@ object Vocabulary {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("token_id")))),
         s => s.getField("token_id")).as("token_ids"))
+
+  // ----------------------------------------------------------------
+  // BPE subword training + encoding (Sennrich et al. ACL'16 — the
+  // byte-pair-encoding recipe behind GPT-2/LLaMA-style tokenizers,
+  // minus the byte fallback: symbols start as characters).
+  //
+  // Scale shape: the ONLY corpus-scale work is the word-frequency
+  // count (one shuffle with map-side partial aggregation, result
+  // bounded by `maxWords` via TakeOrdered — Zipf puts essentially all
+  // token mass in the head). The merge loop then runs DRIVER-SIDE
+  // over that bounded dictionary — the same discipline as the IVF
+  // quantizer (`Similarity.trainIvfCentroids`): train small on the
+  // driver, apply distributed. This is also how reference tokenizer
+  // trainers work (HF tokenizers / SentencePiece train over a counted
+  // word dict, never the raw corpus).
+  //
+  // Determinism contract (what the DuckDB oracle replays literally):
+  //  - words are `TextAnalysis.tokens` output (lowercased, \s+ split);
+  //  - a word's symbol state is a string: one leading + trailing
+  //    space, symbols joined by TWO spaces ("hug" -> " h  u  g ");
+  //  - pair counts sum word freq over every adjacent symbol position
+  //    (overlapping positions all count: " a  a  a " contributes 2);
+  //  - best pair = max count, ties broken by (left, right) ascending;
+  //  - a merge applies as plain string replace of " l  r " with
+  //    " lr " — sequential left-to-right non-overlapping, which IS
+  //    the classic left-to-right BPE merge order (" a  a  a  a "
+  //    -> " aa  aa "), and Java's String.replace, Spark's codegen
+  //    `replace` and DuckDB's replace() all share it. The two-space
+  //    separator is what makes it correct: adjacent pairs do not
+  //    share boundary characters, so one replace pass cannot starve
+  //    its right neighbor.
+  // ----------------------------------------------------------------
+
+  /** Learned merge table. `merges` is rank-ordered (rank 0 first). */
+  final case class BpeModel(merges: Seq[(String, String)]) {
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("rank", "lft", "rgt")
+    }
+  }
+
+  private def paddedSymbols(word: String): String =
+    " " + word.toCharArray.map(_.toString).mkString("  ") + " "
+
+  /** Driver-side reference segmentation (used by specs and by the
+    * trainer itself); identical by construction to [[bpeSegment]].
+    */
+  def segmentWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    val folded = merges.foldLeft(paddedSymbols(word)) { case (s, (l, r)) =>
+      s.replace(s" $l  $r ", s" $l$r ")
+    }
+    folded.trim.split("  ").toSeq
+  }
+
+  /** Train `numMerges` BPE merges over the corpus. One corpus-scale
+    * shuffle (word count, capped at `maxWords` by frequency with a
+    * deterministic (cnt desc, word) cut); the merge loop is
+    * driver-side over the capped dict. Stops early if every word is
+    * a single symbol. The loop recounts pairs per iteration —
+    * O(numMerges × dict × avg word length) driver work; the classic
+    * incremental pair-count update cuts that for production-size
+    * merge counts, but the corpus-scale cost is identical either way.
+    */
+  def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Int = 1000000, minFreq: Long = 1L): BpeModel = {
+    require(numMerges > 0, "numMerges must be positive")
+    require(maxWords > 0, "maxWords must be positive")
+    val dict = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minFreq)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+    var words: Array[(String, Long)] =
+      dict.map { case (w, f) => (paddedSymbols(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (s, f) =>
+        val syms = s.trim.split("  ")
+        var j = 0
+        while (j < syms.length - 1) {
+          val key = (syms(j), syms(j + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), _) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((l, r))
+        val pat = s" $l  $r "
+        val rep = s" $l$r "
+        words = words.map { case (s, f) => (s.replace(pat, rep), f) }
+      }
+    }
+    BpeModel(merges.toSeq)
+  }
+
+  /** Column form of [[segmentWord]]: word string -> array of subword
+    * pieces. A fold of codegen `replace` calls over the padded symbol
+    * string — no UDF; Spark's codegen splits oversized expression
+    * trees into helper methods automatically. Practical merge-count
+    * bound for the column form is a few thousand (expression-tree
+    * depth); past that, segment the DISTINCT word table (bounded
+    * rows) and broadcast-join, which [[bpeEncodeExploded]] does
+    * anyway.
+    */
+  def bpeSegment(word: Column, merges: Seq[(String, String)]): Column = {
+    val chars = array_remove(split(word, ""), "")
+    val padded = concat(lit(" "), array_join(chars, "  "), lit(" "))
+    val folded = merges.foldLeft(padded) { case (c, (l, r)) =>
+      replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    split(trim(folded), "  ")
+  }
+
+  /** Encode every document as (idCol, pos, piece_pos, piece) — one
+    * row per subword piece, both positions 0-based. The corpus-scale
+    * shape: segmentation runs once per DISTINCT word (Zipf-bounded
+    * shuffle), then broadcasts back onto the exploded corpus — the
+    * corpus itself is never shuffled to encode, exactly like
+    * [[encodeExploded]]'s vocab broadcast.
+    */
+  def bpeEncodeExploded(docs: DataFrame, idCol: String, textCol: String,
+                        model: BpeModel): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
+    val seg = toks.select("token").distinct()
+      .withColumn("pieces", bpeSegment(col("token"), model.merges))
+    toks.join(broadcast(seg), Seq("token"))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        posexplode(col("pieces")).as(Seq("piece_pos", "piece")))
+      .withColumn("piece_pos", col("piece_pos").cast("long"))
+  }
 }

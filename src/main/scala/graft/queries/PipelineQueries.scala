@@ -1073,6 +1073,29 @@ object PipelineQueries {
           graft.operators.Vocabulary.build(docs, "text", k = 100))
         .orderBy("doc_id", "pos")
     }),
+    // distributed BPE training (Sennrich ACL'16): ONE corpus
+    // word-count shuffle feeds a driver-side merge loop over the
+    // Zipf-bounded dict (the IVF-quantizer discipline — train small
+    // on the driver, apply distributed); the oracle replays all 24
+    // merge iterations (adjacent-pair recount, (count desc, l, r)
+    // argmax, two-space-separator replace) literally in DuckDB
+    "bpe1_train_merges" -> ((s, d) => {
+      graft.operators.Vocabulary
+        .trainBpe(t(s, d, "documents"), "text", numMerges = 24)
+        .toDF(s).orderBy("rank")
+    }),
+    // BPE encoding: the learned merges fold as chained codegen
+    // `replace` over each DISTINCT word (Zipf-bounded), then the
+    // segmentation broadcasts back onto the exploded corpus — the
+    // corpus itself never shuffles to encode
+    "bpe2_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.Vocabulary
+        .trainBpe(docs, "text", numMerges = 24)
+      graft.operators.Vocabulary.bpeEncodeExploded(
+          docs.filter(col("doc_id") < 50), "doc_id", "text", model)
+        .orderBy("doc_id", "pos", "piece_pos")
+    }),
     // incremental NEAR-dup against a persistent LSH registry: batch 1
     // (even ids) registers its band index + shingle sets; batch 2
     // (odd ids) probes, exact-verifies, and must report exactly the
@@ -1218,6 +1241,43 @@ object PipelineQueries {
 
   private val toksSql =
     raw"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+  /** Generated K-iteration BPE-training replay (mirrors
+    * `Vocabulary.trainBpe`'s determinism contract): a CTE chain where
+    * iteration i recounts adjacent symbol pairs over word state s{i},
+    * picks the (count desc, l, r) argmax, and applies the merge with
+    * the SAME two-space-separator replace the trainer uses — so
+    * DuckDB walks the identical merge sequence. Appends CTEs w, s0,
+    * then (p_i, m_i, s_{i+1}) per iteration; callers add the final
+    * SELECT over m_* (merge table) or s{K} (segmentations).
+    */
+  private def bpeChainSql(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      raw"""WITH w AS MATERIALIZED (
+           |  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest($toksSql) AS t FROM documents)
+           |  GROUP BY 1),
+           |s0 AS MATERIALIZED (SELECT word,
+           |  ' ' || array_to_string(list_transform(
+           |    range(1, length(word) + 1), i -> word[i]), '  ') || ' ' AS s,
+           |  freq FROM w)""".stripMargin)
+    for (i <- 0 until numMerges) {
+      sb.append(
+        raw""",
+             |p$i AS MATERIALIZED (SELECT syms[j] AS l, syms[j+1] AS r, sum(freq) AS c
+             |  FROM (SELECT unnest(range(1, len(syms))) AS j, syms, freq
+             |        FROM (SELECT string_split(trim(s), '  ') AS syms, freq
+             |              FROM s$i))
+             |  GROUP BY 1, 2),
+             |m$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+             |s${i + 1} AS MATERIALIZED (SELECT word,
+             |  replace(s, ' ' || l || '  ' || r || ' ',
+             |          ' ' || l || r || ' ') AS s,
+             |  freq FROM s$i, m$i)""".stripMargin)
+    }
+    sb.toString
+  }
   /** Word n-gram SQL for any n (mirrors TextAnalysis.shingles). */
   private def shinglesSqlN(n: Int): String =
     raw"""CASE WHEN len($toksSql) >= $n
@@ -1931,6 +1991,30 @@ object PipelineQueries {
            |       coalesce(v.token_id, -1) AS token_id
            |FROM tok LEFT JOIN v ON tok.t = v.token
            |ORDER BY doc_id, pos""".stripMargin,
+    "bpe1_train_merges" -> {
+      val k = 24
+      bpeChainSql(k) + ",\nmm AS (" +
+        (0 until k).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS rank, l AS lft, r AS rgt FROM m$i")
+          .mkString("\n UNION ALL ") +
+        ")\nSELECT rank, lft, rgt FROM mm ORDER BY rank"
+    },
+    "bpe2_encode" -> {
+      val k = 24
+      bpeChainSql(k) +
+        raw""",
+             |seg AS (SELECT word, string_split(trim(s), '  ') AS pieces
+             |        FROM s$k),
+             |tok AS (SELECT doc_id, unnest($toksSql) AS t,
+             |          generate_subscripts($toksSql, 1) AS pos
+             |        FROM documents WHERE doc_id < 50)
+             |SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+             |       CAST(pp - 1 AS BIGINT) AS piece_pos, piece
+             |FROM (SELECT doc_id, pos, unnest(pieces) AS piece,
+             |             generate_subscripts(pieces, 1) AS pp
+             |      FROM tok JOIN seg ON tok.t = seg.word)
+             |ORDER BY doc_id, pos, piece_pos""".stripMargin
+    },
     "dd12_incremental_neardup" ->
       raw"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
            |a AS (SELECT doc_id AS id, sh AS sa FROM s
