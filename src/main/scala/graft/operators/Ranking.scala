@@ -87,4 +87,66 @@ object Ranking {
       .orderBy(col("rrf_score").desc, col(idCol))
       .limit(k)
   }
+
+  // ---- MaxSim late interaction (ColBERT; Khattab & Zaharia,
+  // SIGIR'20) ---------------------------------------------------------
+  // Multi-vector retrieval: every document and query is a BAG of
+  // token vectors; score(q, d) = Σ over query tokens of the MAX
+  // cosine against any document token. In the reference engine family
+  // this is the `rank_vectors`/late-interaction path of ES 8.x.
+  //
+  // Scale shape: late interaction is a RERANKER — the serving stack
+  // generates candidates first (BM25, `InvertedIndex.searchTopKBatch`,
+  // or `VectorIndex.searchTopK` over pooled vectors) and MaxSim
+  // rescores only those. `maxSimRerank` therefore BROADCASTS the
+  // (q_id, doc_id) candidate set onto the doc-token table — the
+  // corpus-scale table is filtered map-side, never shuffled to find
+  // the candidates — and the quadratic token×token work is bounded by
+  // |candidates| × |doc tokens/doc| × |query tokens|. The two
+  // aggregations (max per query token, then sum per doc) run
+  // map-side-partial like any groupBy, and the final per-query top-k
+  // is the shared two-phase `rankTopKPerQuery`.
+
+  /** Rescore `candidates` (qCol, idCol) by MaxSim and return the
+    * per-query top-k: (qCol, rank, idCol, maxsim). `docTokenVecs` has
+    * one row per document token (idCol, vecCol); `queryTokenVecs` one
+    * row per query token (qCol, qPosCol, vecCol) — qPosCol keeps
+    * repeated query tokens distinct (each contributes its own max,
+    * like ColBERT). Cosines round to `roundTo` dp before the max and
+    * the sum rounds again, so rankings replay across engines.
+    */
+  def maxSimRerank(docTokenVecs: DataFrame, queryTokenVecs: DataFrame,
+                   candidates: DataFrame, idCol: String, qCol: String,
+                   qPosCol: String, vecCol: String, k: Int,
+                   roundTo: Int = 6): DataFrame = {
+    require(k > 0, "k must be positive")
+    val dv = docTokenVecs.select(col(idCol), col(vecCol).as("_dv"))
+    val qv = queryTokenVecs.select(col(qCol), col(qPosCol),
+      col(vecCol).as("_qv"))
+    val scored = dv
+      .join(broadcast(candidates.select(col(qCol), col(idCol))), Seq(idCol))
+      .join(broadcast(qv), Seq(qCol))
+      .withColumn("_cos", round(
+        graft.plans.VectorExpressions.cosine(col("_dv"), col("_qv")),
+        roundTo))
+      .groupBy(col(qCol), col(idCol), col(qPosCol))
+      .agg(max(col("_cos")).as("_m"))
+      .groupBy(col(qCol), col(idCol))
+      .agg(round(sum(col("_m")), roundTo).as("maxsim"))
+    Similarity.rankTopKPerQuery(scored, k, qCol, idCol, "maxsim")
+      .select(col(qCol), col("rank"), col(idCol), col("maxsim"))
+  }
+
+  /** Exact MaxSim over the whole corpus — the brute-force baseline
+    * (every query scores every document). Candidate generation is the
+    * cross of query ids × distinct doc ids; use [[maxSimRerank]] with
+    * a real first-stage retriever for anything corpus-sized.
+    */
+  def maxSimTopK(docTokenVecs: DataFrame, queryTokenVecs: DataFrame,
+                 idCol: String, qCol: String, qPosCol: String,
+                 vecCol: String, k: Int, roundTo: Int = 6): DataFrame =
+    maxSimRerank(docTokenVecs, queryTokenVecs,
+      queryTokenVecs.select(qCol).distinct()
+        .crossJoin(docTokenVecs.select(idCol).distinct()),
+      idCol, qCol, qPosCol, vecCol, k, roundTo)
 }
