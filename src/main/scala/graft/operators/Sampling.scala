@@ -139,6 +139,46 @@ object Sampling {
     df.filter(hashFrac(col(idCol), seed) < frac)
   }
 
+  /** Export the dataset as fixed-size TRAINING SHARDS in a
+    * reproducible random order — the webdataset-style layout a
+    * training job consumes: `outDir/data/shard=N/` parquet plus a
+    * committed `outDir/manifest/` table (shard, rows, min_ordinal,
+    * max_ordinal). Rows get the [[deterministicShuffle]] ordinal
+    * (portable md5 permutation), shard = ordinal / rowsPerShard;
+    * consumers restore the exact global order by reading shards in
+    * number order and sorting each by `ordinal` (shard files are
+    * shard-complete but internally unordered, like any parquet).
+    *
+    * Scale shape: the permutation costs deterministicShuffle's one
+    * range shuffle + id join; the export adds ONE shard-aligned
+    * shuffle so each shard lands contiguously (bounded by
+    * rowsPerShard per task, one file per shard instead of
+    * tasks × shards fragments). The manifest is computed from the
+    * COMMITTED files (read-back, O(shards) rows), so it can never
+    * describe data that did not land; it is written last as the
+    * export's commit marker — a consumer that requires the manifest
+    * cannot see a partial export.
+    */
+  def exportShards(df: DataFrame, idCol: String, rowsPerShard: Int,
+                   seed: Long, outDir: String): DataFrame = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    val spark = df.sparkSession
+    val sharded = deterministicShuffle(df, idCol, seed)
+      .withColumn("shard",
+        (col("ordinal") / lit(rowsPerShard.toLong)).cast("long"))
+    sharded.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/data")
+    val manifest = spark.read.parquet(s"$outDir/data")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("ordinal")).as("min_ordinal"),
+        max(col("ordinal")).as("max_ordinal"))
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/manifest")
+    spark.read.parquet(s"$outDir/manifest")
+  }
+
   /** Leakage-safe train/val/test split: the split decision hashes the
     * GROUP key, so every row of a group (a dup-cluster, a domain, a
     * source) lands in the same split — the guard against near-duplicate

@@ -1073,6 +1073,25 @@ object PipelineQueries {
           graft.operators.Vocabulary.build(docs, "text", k = 100))
         .orderBy("doc_id", "pos")
     }),
+    // training-shard export: portable md5 permutation -> fixed-size
+    // shard dirs + committed manifest; the gate round-trips the
+    // EXPORTED files and DuckDB replays ordinal and shard assignment
+    // for every row
+    "sh1_export_shards" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-sh1-$tag")
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(wipe)); f.delete(); ()
+      }
+      wipe(out)
+      Sampling.exportShards(t(s, d, "customer"), "c_custkey",
+        rowsPerShard = 100, seed = 17, out.toString)
+      s.read.parquet(out.toString + "/data")
+        .select(col("c_custkey"), col("shard").cast("long").as("shard"),
+          col("ordinal"))
+        .orderBy("ordinal")
+    }),
     // MaxSim late-interaction rerank (ColBERT, SIGIR'20): stage 1 is
     // batch BM25 top-30 per query (the lexical first-stage
     // retriever), stage 2 rescores ONLY those candidates by
@@ -2026,6 +2045,14 @@ object PipelineQueries {
            |       coalesce(v.token_id, -1) AS token_id
            |FROM tok LEFT JOIN v ON tok.t = v.token
            |ORDER BY doc_id, pos""".stripMargin,
+    "sh1_export_shards" ->
+      """WITH o AS (SELECT c_custkey,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('17:' || CAST(c_custkey AS VARCHAR))) - 1
+        |    AS BIGINT) AS ordinal
+        |  FROM customer)
+        |SELECT c_custkey, CAST(ordinal // 100 AS BIGINT) AS shard, ordinal
+        |FROM o ORDER BY ordinal""".stripMargin,
     "mv1_maxsim_rerank" -> {
       val vec = (t: String) =>
         raw"""list_transform(range(0, 8), j ->

@@ -126,4 +126,34 @@ class SamplingSpec extends AnyFunSuite {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 3)
     assert(out.except(again).count() == 0 && again.except(out).count() == 0)
   }
+
+  test("exportShards: complete shards, consistent manifest," +
+    " reproducible order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards")
+      .toString
+    val df = (0L until 257L).map(i => (i, s"payload-$i")).toDF("id", "txt")
+    val manifest = Sampling.exportShards(df, "id", rowsPerShard = 50,
+      seed = 5, dir)
+    val m = manifest.orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 257 rows at 50/shard -> shards 0..5, last has 7 rows; ordinals
+    // within a shard are exactly its contiguous range
+    assert(m.map(_._1).toSeq === (0L to 5L))
+    assert(m.map(_._2).toSeq === Seq(50L, 50L, 50L, 50L, 50L, 7L))
+    m.foreach { case (s, rows, lo, hi) =>
+      assert(lo == s * 50 && hi == lo + rows - 1, s"shard $s")
+    }
+    // the data round-trips completely and the permutation is the
+    // portable md5 order
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.count() == 257)
+    assert(back.select("id").distinct().count() == 257)
+    val viaShuffle = Sampling.deterministicShuffle(df, "id", seed = 5)
+      .select("id", "ordinal").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    back.select("id", "ordinal").collect().foreach { r =>
+      assert(viaShuffle(r.getLong(0)) == r.getLong(1))
+    }
+  }
 }
