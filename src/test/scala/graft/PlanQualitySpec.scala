@@ -308,4 +308,47 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("bpe2: segmentation broadcasts back; the corpus is not" +
+    " shuffle-joined to encode") {
+    // the voc2 rule for BPE: the distinct-word segmentation table is
+    // Zipf-bounded and must broadcast onto the exploded corpus; a
+    // SortMergeJoin here would shuffle every token occurrence
+    val p = plan("bpe2_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("mv1: the candidate set and query tokens broadcast onto the" +
+    " doc-token table") {
+    // late interaction reranks a bounded candidate set: the
+    // (q_id, doc_id) candidates and the query-token vectors must both
+    // broadcast; a shuffle join would move the corpus-scale doc-token
+    // table to find candidates
+    val df = SparkEntry.queries("mv1_maxsim_rerank")(spark, TestSpark.sfDir)
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty)
+    val shuffled = joins.filterNot { j =>
+      j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] ||
+      // bm25's 1-row stats crossJoin plans as a broadcast NLJ — also fine
+      j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]
+    }
+    assert(shuffled.isEmpty,
+      s"non-broadcast joins in the rerank plan:\n${shuffled.mkString("\n")}")
+  }
+
+  test("sh1: shard assignment keeps the sm5 discipline — no" +
+    " single-partition window anywhere in the read-back check") {
+    // exportShards rides deterministicShuffle; a refactor that
+    // reintroduced the global Window would make every export a
+    // one-task sort at 100 TB. The gate's plan reads the EXPORTED
+    // files, so pin the exporter's own plan here instead.
+    val df = graft.operators.Sampling.deterministicShuffle(
+      graft.Tables.load(spark, TestSpark.sfDir, "customer"),
+      "c_custkey", seed = 17)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), p)
+  }
 }
