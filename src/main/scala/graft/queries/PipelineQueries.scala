@@ -1073,6 +1073,17 @@ object PipelineQueries {
           graft.operators.Vocabulary.build(docs, "text", k = 100))
         .orderBy("doc_id", "pos")
     }),
+    // distributed full-corpus k-means (Lloyd): every iteration is one
+    // broadcast-expression assignment scan + one map-side-combined
+    // (cluster, dim) average, k x dim doubles to the driver; the
+    // oracle replays init (smallest ids), every rounded distance,
+    // every argmin tie, and every rounded centroid update
+    "km1_kmeans" -> ((s, d) => {
+      graft.operators.Clustering.kmeans(t(s, d, "embeddings"),
+          "vec_id", "embedding", k = 5, iters = 3)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
     // training-shard export: portable md5 permutation -> fixed-size
     // shard dirs + committed manifest; the gate round-trips the
     // EXPORTED files and DuckDB replays ordinal and shard assignment
@@ -1332,6 +1343,46 @@ object PipelineQueries {
     }
     sb.toString
   }
+  /** Generated Lloyd-iteration replay (mirrors `Clustering.kmeansFit`'s
+    * determinism contract): c0 = the k smallest-id vectors; iteration i
+    * assigns by rounded −2·v·c + ‖c‖² with smallest-cluster ties, then
+    * recomputes per-dim averages rounded to 6 dp (empty clusters keep
+    * their centroid). Callers append the final assignment over
+    * c{iters}.
+    */
+  private def kmeansChainSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      raw"""WITH pts AS MATERIALIZED (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |c0 AS MATERIALIZED (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+           |           AS cl, v AS c
+           |  FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT $k))"""
+        .stripMargin)
+    for (i <- 0 until iters) {
+      sb.append(
+        raw""",
+             |d$i AS MATERIALIZED (SELECT p.vec_id, c.cl,
+             |    round(-2 * list_dot_product(p.v, c.c) +
+             |          list_dot_product(c.c, c.c), 6) AS d
+             |  FROM pts p, c$i c),
+             |a$i AS MATERIALIZED (SELECT vec_id, cl FROM (
+             |    SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY d, cl) AS rk FROM d$i) WHERE rk = 1),
+             |m$i AS MATERIALIZED (SELECT cl, list(xr ORDER BY dim) AS c
+             |  FROM (
+             |    SELECT cl, dim, round(avg(x), 6) AS xr FROM (
+             |      SELECT a.cl, generate_subscripts(p.v, 1) AS dim,
+             |             unnest(p.v) AS x
+             |      FROM a$i a JOIN pts p USING (vec_id))
+             |    GROUP BY cl, dim) GROUP BY cl),
+             |c${i + 1} AS MATERIALIZED (SELECT o.cl, coalesce(m.c, o.c) AS c
+             |  FROM c$i o LEFT JOIN m$i m USING (cl))""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** Word n-gram SQL for any n (mirrors TextAnalysis.shingles). */
   private def shinglesSqlN(n: Int): String =
     raw"""CASE WHEN len($toksSql) >= $n
@@ -2045,6 +2096,19 @@ object PipelineQueries {
            |       coalesce(v.token_id, -1) AS token_id
            |FROM tok LEFT JOIN v ON tok.t = v.token
            |ORDER BY doc_id, pos""".stripMargin,
+    "km1_kmeans" -> {
+      val (k, iters) = (5, 3)
+      kmeansChainSql(k, iters) +
+        raw""",
+             |df AS (SELECT p.vec_id, c.cl,
+             |    round(-2 * list_dot_product(p.v, c.c) +
+             |          list_dot_product(c.c, c.c), 6) AS d
+             |  FROM pts p, c$iters c)
+             |SELECT vec_id, cl AS cluster FROM (
+             |  SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY d, cl) AS rk FROM df) WHERE rk = 1
+             |ORDER BY vec_id""".stripMargin
+    },
     "sh1_export_shards" ->
       """WITH o AS (SELECT c_custkey,
         |  CAST(row_number() OVER (
