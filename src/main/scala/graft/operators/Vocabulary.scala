@@ -203,4 +203,22 @@ object Vocabulary {
         posexplode(col("pieces")).as(Seq("piece_pos", "piece")))
       .withColumn("piece_pos", col("piece_pos").cast("long"))
   }
+
+  /** Per-document BPE piece count (idCol, n_pieces) — the
+    * context-window budgeting unit (whitespace token counts
+    * over-estimate what a subword tokenizer produces). Same
+    * distinct-word broadcast shape as [[bpeEncodeExploded]], but only
+    * piece COUNTS travel, never the pieces. A document whose text has
+    * no tokens yields no row.
+    */
+  def bpeTokenCount(docs: DataFrame, idCol: String, textCol: String,
+                    model: BpeModel): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val seg = toks.select("token").distinct()
+      .withColumn("_np",
+        size(bpeSegment(col("token"), model.merges)).cast("long"))
+    toks.join(broadcast(seg), Seq("token"))
+      .groupBy(idCol).agg(sum(col("_np")).as("n_pieces"))
+  }
 }

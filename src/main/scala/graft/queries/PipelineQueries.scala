@@ -1073,6 +1073,21 @@ object PipelineQueries {
           graft.operators.Vocabulary.build(docs, "text", k = 100))
         .orderBy("doc_id", "pos")
     }),
+    // tokenizer-prep COMPOSITION: BPE piece counts (the real
+    // context-window unit) feed the distributed prefix-sum packer —
+    // train, segment-count, and pack in one flow; the oracle replays
+    // the merge chain, the per-doc piece sums, AND the cumsum layout
+    "pipe2_bpe_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.Vocabulary
+        .trainBpe(docs, "text", numMerges = 24)
+      val counts = graft.operators.Vocabulary
+        .bpeTokenCount(docs, "doc_id", "text", model)
+      graft.operators.Packing
+        .packByBudget(counts, "doc_id", "n_pieces", budget = 512)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // distributed full-corpus k-means (Lloyd): every iteration is one
     // broadcast-expression assignment scan + one map-side-combined
     // (cluster, dim) average, k x dim doubles to the driver; the
@@ -2096,6 +2111,25 @@ object PipelineQueries {
            |       coalesce(v.token_id, -1) AS token_id
            |FROM tok LEFT JOIN v ON tok.t = v.token
            |ORDER BY doc_id, pos""".stripMargin,
+    "pipe2_bpe_pack" -> {
+      val k = 24
+      bpeChainSql(k) +
+        raw""",
+             |seg AS (SELECT word, CAST(len(string_split(trim(s), '  '))
+             |          AS BIGINT) AS np FROM s$k),
+             |tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+             |b AS (SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_tokens
+             |      FROM tok JOIN seg ON tok.t = seg.word GROUP BY doc_id),
+             |c AS (SELECT doc_id, n_tokens,
+             |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          AS cum_before
+             |      FROM b)
+             |SELECT doc_id, n_tokens, CAST(cum_before AS BIGINT)
+             |         AS cum_before,
+             |       CAST(floor(cum_before / 512.0) AS BIGINT) AS bin
+             |FROM c ORDER BY doc_id""".stripMargin
+    },
     "km1_kmeans" -> {
       val (k, iters) = (5, 3)
       kmeansChainSql(k, iters) +

@@ -83,6 +83,15 @@ class BpeSpec extends AnyFunSuite {
     assert(Vocabulary.trainBpe(chars, "text", numMerges = 3).merges.isEmpty)
   }
 
+  test("bpeTokenCount sums piece counts per document") {
+    val model = Vocabulary.BpeModel(expectedMerges)
+    // "hugs pun zug" -> 1 + 1 + 2 pieces; "bun" -> b + un = 2
+    val tiny = Seq((7L, "hugs pun zug"), (8L, "bun")).toDF("doc_id", "text")
+    val got = Vocabulary.bpeTokenCount(tiny, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(7L -> 4L, 8L -> 2L))
+  }
+
   test("training is deterministic across runs") {
     val a = Vocabulary.trainBpe(docs, "text", numMerges = 6).merges
     val b = Vocabulary.trainBpe(docs, "text", numMerges = 6).merges
