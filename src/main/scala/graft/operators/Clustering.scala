@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
-import graft.plans.VectorExpressions
 
 /** Distributed k-means over the FULL corpus — the corpus-clustering
   * face of the engine (domain discovery, SemDeDup's first stage,
@@ -40,50 +39,60 @@ object Clustering {
   }
 
   /** Nearest-centroid id with rounded distances and smallest-id ties —
-    * `Similarity.ivfCell` plus the cross-engine rounding contract.
+    * `Similarity.cellScores` (the shared −2·v·c + ‖c‖² kernel, so the
+    * IVF probe rule and the cluster rule cannot drift) plus the
+    * cross-engine rounding contract.
     */
   def assignCluster(vec: Column, centroids: Array[Array[Double]],
                     roundTo: Int = 6): Column = {
     val v = VectorOps.asDouble(vec)
-    val scores = array(centroids.toSeq.map { c =>
-      round(VectorExpressions.dot(v, typedLit(c.toSeq)) * -2.0 +
-        lit(c.map(x => x * x).sum), roundTo)
-    }: _*)
+    val scores = array(
+      Similarity.cellScores(v, centroids).map(round(_, roundTo)): _*)
     (array_position(scores, array_min(scores)) - 1).cast("int")
   }
 
   /** Run `iters` full-corpus Lloyd iterations; returns the model with
     * the post-update centroids. `df` must have a unique non-null
     * `idCol` (init order) and an array-typed `vecCol` of constant
-    * dimension.
+    * dimension. The projected (id, vector) frame is persisted for the
+    * loop — each iteration scans the cache, not `df`'s upstream
+    * lineage — and released before returning.
     */
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
                 iters: Int, roundTo: Int = 6): KmeansModel = {
-    require(k > 0 && iters >= 0, "k and iters must be positive")
-    val init = df.orderBy(col(idCol)).limit(k)
-      .select(VectorOps.asDouble(col(vecCol)))
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(init.length == k, s"need at least $k rows, got ${init.length}")
-    var centroids = init
-    val dim = centroids.head.length
-    var it = 0
-    while (it < iters) {
-      val sums = df
-        .select(assignCluster(col(vecCol), centroids, roundTo).as("_cl"),
-          posexplode(VectorOps.asDouble(col(vecCol)))
-            .as(Seq("_dim", "_x")))
-        .groupBy("_cl", "_dim")
-        .agg(round(avg(col("_x")), roundTo).as("_m"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-      centroids = centroids.zipWithIndex.map { case (old, cl) =>
-        if (sums.contains((cl, 0)))
-          Array.tabulate(dim)(d => sums((cl, d)))
-        else old // empty cluster keeps its centroid
+    require(k > 0, "k must be positive")
+    require(iters >= 0, "iters must be non-negative")
+    val base = df
+      .select(col(idCol).as("_kid"),
+        VectorOps.asDouble(col(vecCol)).as("_v"))
+      .persist()
+    try {
+      val init = base.orderBy(col("_kid")).limit(k).select(col("_v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(init.length == k, s"need at least $k rows, got ${init.length}")
+      var centroids = init
+      val dim = centroids.head.length
+      var it = 0
+      while (it < iters) {
+        val sums = base
+          .select(assignCluster(col("_v"), centroids, roundTo).as("_cl"),
+            posexplode(col("_v")).as(Seq("_dim", "_x")))
+          .groupBy("_cl", "_dim")
+          .agg(round(avg(col("_x")), roundTo).as("_m"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+        centroids = centroids.zipWithIndex.map { case (old, cl) =>
+          if (sums.contains((cl, 0)))
+            Array.tabulate(dim)(d => sums((cl, d)))
+          else old // empty cluster keeps its centroid
+        }
+        it += 1
       }
-      it += 1
+      KmeansModel(centroids, roundTo)
+    } finally {
+      base.unpersist(false)
+      ()
     }
-    KmeansModel(centroids, roundTo)
   }
 
   /** Fit then assign: (df columns…, cluster). */

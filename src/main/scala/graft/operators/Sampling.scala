@@ -163,11 +163,23 @@ object Sampling {
                    seed: Long, outDir: String): DataFrame = {
     require(rowsPerShard > 0, "rowsPerShard must be positive")
     val spark = df.sparkSession
+    // re-export over a previous export: retract the old commit marker
+    // BEFORE touching data, so a crash mid-rewrite leaves NO manifest
+    // (consumer refuses) instead of the old manifest blessing a
+    // partial mix of two exports
+    val manifestPath = new org.apache.hadoop.fs.Path(s"$outDir/manifest")
+    val fs = manifestPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(manifestPath, true)
     val sharded = deterministicShuffle(df, idCol, seed)
       .withColumn("shard",
         (col("ordinal") / lit(rowsPerShard.toLong)).cast("long"))
     sharded.repartition(col("shard"))
-      .write.mode("overwrite").partitionBy("shard")
+      .write.mode("overwrite")
+      // static overwrite regardless of session config: dynamic mode
+      // would keep stale shard dirs from a previous larger export
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("shard")
       .parquet(s"$outDir/data")
     val manifest = spark.read.parquet(s"$outDir/data")
       .groupBy(col("shard").cast("long").as("shard"))

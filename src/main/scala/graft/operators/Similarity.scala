@@ -184,7 +184,7 @@ object Similarity {
   /** -2·v·c + ‖c‖² per centroid — argmin equals nearest-by-L2 (the
     * ‖v‖² term is constant per row). ‖c‖² folds at plan time.
     */
-  private def cellScores(v: Column, centroids: Array[Array[Double]]): Seq[Column] =
+  private[operators] def cellScores(v: Column, centroids: Array[Array[Double]]): Seq[Column] =
     centroids.toSeq.map { c =>
       VectorExpressions.dot(v, typedLit(c.toSeq)) * -2.0 + lit(c.map(x => x * x).sum)
     }

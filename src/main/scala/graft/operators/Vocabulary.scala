@@ -104,8 +104,14 @@ object Vocabulary {
     }
   }
 
+  /** Initial symbols are Unicode CODE POINTS, not UTF-16 units —
+    * Spark's `split(word, "")`, DuckDB's `word[i]`, and this driver
+    * form must all see the same symbol sequence, and the column/SQL
+    * forms are code-point aware (a surrogate pair is ONE symbol).
+    */
   private def paddedSymbols(word: String): String =
-    " " + word.toCharArray.map(_.toString).mkString("  ") + " "
+    " " + word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).mkString("  ") + " "
 
   /** Driver-side reference segmentation (used by specs and by the
     * trainer itself); identical by construction to [[bpeSegment]].

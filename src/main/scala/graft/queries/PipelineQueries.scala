@@ -1085,7 +1085,6 @@ object PipelineQueries {
         .bpeTokenCount(docs, "doc_id", "text", model)
       graft.operators.Packing
         .packByBudget(counts, "doc_id", "n_pieces", budget = 512)
-        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
     // distributed full-corpus k-means (Lloyd): every iteration is one
@@ -1352,9 +1351,10 @@ object PipelineQueries {
              |  GROUP BY 1, 2),
              |m$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY c DESC, l, r LIMIT 1),
              |s${i + 1} AS MATERIALIZED (SELECT word,
-             |  replace(s, ' ' || l || '  ' || r || ' ',
-             |          ' ' || l || r || ' ') AS s,
-             |  freq FROM s$i, m$i)""".stripMargin)
+             |  CASE WHEN m.l IS NULL THEN s
+             |       ELSE replace(s, ' ' || m.l || '  ' || m.r || ' ',
+             |                    ' ' || m.l || m.r || ' ') END AS s,
+             |  freq FROM s$i LEFT JOIN m$i m ON TRUE)""".stripMargin)
     }
     sb.toString
   }

@@ -83,6 +83,20 @@ class BpeSpec extends AnyFunSuite {
     assert(Vocabulary.trainBpe(chars, "text", numMerges = 3).merges.isEmpty)
   }
 
+  test("symbols are code points: driver and column forms agree on" +
+    " supplementary-plane characters") {
+    val word = "a😀b" // a😀b — 😀 is one symbol, not two units
+    assert(Vocabulary.segmentWord(word, Nil) ===
+      Seq("a", "😀", "b"))
+    val merges = Seq(("a", "😀"))
+    val driver = Vocabulary.segmentWord(word, merges)
+    assert(driver === Seq("a😀", "b"))
+    val column = Seq(word).toDF("w")
+      .select(Vocabulary.bpeSegment(col("w"), merges))
+      .collect().head.getSeq[String](0).toSeq
+    assert(column === driver)
+  }
+
   test("bpeTokenCount sums piece counts per document") {
     val model = Vocabulary.BpeModel(expectedMerges)
     // "hugs pun zug" -> 1 + 1 + 2 pieces; "bun" -> b + un = 2

@@ -155,5 +155,14 @@ class SamplingSpec extends AnyFunSuite {
     back.select("id", "ordinal").collect().foreach { r =>
       assert(viaShuffle(r.getLong(0)) == r.getLong(1))
     }
+    // re-export of a SMALLER dataset over the same dir: no stale
+    // shards from the first export may survive, and the manifest must
+    // describe exactly the new data
+    val small = (0L until 60L).map(i => (i, s"p$i")).toDF("id", "txt")
+    val m2 = Sampling.exportShards(small, "id", rowsPerShard = 50,
+      seed = 5, dir)
+    assert(m2.orderBy("shard").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 50L), (1L, 10L)))
+    assert(spark.read.parquet(s"$dir/data").count() == 60)
   }
 }
