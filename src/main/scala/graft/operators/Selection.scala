@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Data selection by importance resampling (the DSIR recipe, Xie et
+  * al. NeurIPS'23): score every raw document by how much its hashed
+  * n-gram distribution looks like a TARGET domain rather than the raw
+  * corpus, then sample with probability ∝ exp(weight) via the Gumbel
+  * top-n trick. The standard "select pretraining data that resembles
+  * the high-quality target" primitive.
+  *
+  * Scale shape: both bucket histograms are one counted shuffle each,
+  * REDUCED to `buckets` rows (a few thousand); the per-bucket
+  * log-ratio table broadcasts back onto the exploded raw corpus
+  * (map-side join, the `Decontam` discipline), per-doc sums aggregate
+  * map-side-partial, and the final top-n is a TakeOrdered heap merge.
+  * The corpus never shuffles except the one (doc, gram-sum) count.
+  * Totals (N_target, N_raw) enter as 1-row broadcast crossJoins
+  * INSIDE the lazy plan — no eager driver action (the
+  * `EsScoredQuery`/`LanguageModel` in-plan-stats discipline).
+  *
+  * Determinism contract (DuckDB-replayable end to end): bucket =
+  * md5-derived 32-bit int mod `buckets`; smoothed log ratio
+  * ln((c_t+α)/(N_t+αB)) − ln((c_r+α)/(N_r+αB)) ROUNDED to 6 dp per
+  * bucket (kills libm last-ulp drift); per-doc weight = rounded sum of
+  * rounded ratios; the Gumbel draw derives from the portable
+  * `Sampling.hashKey` draw u = (h32 + 0.5)/2^32 ∈ (0,1), g =
+  * −ln(−ln(u)) rounded to 6 dp; the sampling key is
+  * round(weight + g, 6) with id tie-break.
+  */
+object Selection {
+
+  /** Portable hashed-token bucket in [0, buckets). */
+  def tokenBucket(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % buckets
+
+  private def explodedBuckets(docs: DataFrame, idCol: Option[String],
+                              textCol: String, buckets: Int): DataFrame = {
+    val toks = explode(TextAnalysis.tokens(col(textCol))).as("_t")
+    val base = idCol match {
+      case Some(id) => docs.select(col(id), toks)
+      case None     => docs.select(toks)
+    }
+    base.withColumn("_b", tokenBucket(col("_t"), buckets))
+  }
+
+  /** Per-bucket smoothed log importance ratio (bucket, log_ratio),
+    * rounded to 6 dp. Buckets are the RAW corpus's observed buckets
+    * (a bucket no raw token hashes into cannot contribute to any raw
+    * document's weight).
+    */
+  def importanceRatios(rawDocs: DataFrame, targetDocs: DataFrame,
+                       textCol: String, buckets: Int,
+                       alpha: Double = 0.1): DataFrame = {
+    require(buckets > 0 && alpha > 0, "buckets and alpha must be positive")
+    val rb = explodedBuckets(rawDocs, None, textCol, buckets)
+      .groupBy("_b").agg(count(lit(1)).as("_cr"))
+    val tb = explodedBuckets(targetDocs, None, textCol, buckets)
+      .groupBy("_b").agg(count(lit(1)).as("_ct"))
+    val nr = rb.agg(sum(col("_cr")).as("_nr"))
+    val nt = tb.agg(coalesce(sum(col("_ct")), lit(0L)).as("_nt"))
+    rb.join(tb, Seq("_b"), "left")
+      .na.fill(0L, Seq("_ct"))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("_b").as("bucket"),
+        round(
+          log((col("_ct") + alpha) / (col("_nt") + alpha * buckets)) -
+          log((col("_cr") + alpha) / (col("_nr") + alpha * buckets)),
+          6).as("log_ratio"))
+  }
+
+  /** Per-document importance weight: (idCol, logw) — the rounded sum
+    * of its tokens' bucket log ratios. Documents with no tokens yield
+    * no row.
+    */
+  def importanceWeights(rawDocs: DataFrame, targetDocs: DataFrame,
+                        idCol: String, textCol: String, buckets: Int,
+                        alpha: Double = 0.1): DataFrame = {
+    val lr = importanceRatios(rawDocs, targetDocs, textCol, buckets, alpha)
+    explodedBuckets(rawDocs, Some(idCol), textCol, buckets)
+      .join(broadcast(lr), col("_b") === col("bucket"))
+      .groupBy(idCol)
+      .agg(round(sum(col("log_ratio")), 6).as("logw"))
+  }
+
+  /** Gumbel top-n importance resample: the n documents with the
+    * largest round(logw + gumbel, 6) keys (ties by id) — a sample
+    * without replacement with inclusion probability ∝ exp(logw),
+    * deterministic given `seed` and replayable by any engine with md5.
+    * Output: (idCol, logw, skey), plan shape TakeOrderedAndProject.
+    */
+  def dsirSample(rawDocs: DataFrame, targetDocs: DataFrame,
+                 idCol: String, textCol: String, n: Int, buckets: Int,
+                 seed: Long, alpha: Double = 0.1): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = importanceWeights(rawDocs, targetDocs, idCol, textCol,
+      buckets, alpha)
+    val u = (conv(substring(Sampling.hashKey(col(idCol), seed), 1, 8),
+      16, 10).cast("double") + 0.5) / lit(4294967296.0)
+    w.withColumn("skey",
+        round(col("logw") + round(-log(-log(u)), 6), 6))
+      .orderBy(col("skey").desc, col(idCol))
+      .limit(n)
+  }
+}

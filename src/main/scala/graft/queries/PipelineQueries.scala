@@ -1073,6 +1073,18 @@ object PipelineQueries {
           graft.operators.Vocabulary.build(docs, "text", k = 100))
         .orderBy("doc_id", "pos")
     }),
+    // DSIR importance resampling (Xie et al. NeurIPS'23): hashed
+    // token-bucket histograms of target (doc_id % 7 == 0) vs raw,
+    // smoothed log ratios broadcast onto the corpus, Gumbel top-n on
+    // the portable md5 draw — DuckDB replays every bucket count,
+    // every rounded ratio, every per-doc sum, and the sampling keys
+    "ir1_dsir_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Selection.dsirSample(docs,
+          docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+          n = 100, buckets = 512, seed = 23)
+        .orderBy(col("skey").desc, col("doc_id"))
+    }),
     // tokenizer-prep COMPOSITION: BPE piece counts (the real
     // context-window unit) feed the distributed prefix-sum packer —
     // train, segment-count, and pack in one flow; the oracle replays
@@ -2111,6 +2123,32 @@ object PipelineQueries {
            |       coalesce(v.token_id, -1) AS token_id
            |FROM tok LEFT JOIN v ON tok.t = v.token
            |ORDER BY doc_id, pos""".stripMargin,
+    "ir1_dsir_sample" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |rg AS (SELECT doc_id, t,
+           |         ('0x' || substr(md5(t), 1, 8))::BIGINT % 512 AS b
+           |       FROM (SELECT doc_id, unnest(toks) AS t FROM s)),
+           |tb AS (SELECT b, count(*) AS ct FROM rg
+           |       WHERE doc_id % 7 = 0 GROUP BY b),
+           |rb AS (SELECT b, count(*) AS cr FROM rg GROUP BY b),
+           |nt AS (SELECT coalesce(sum(ct), 0) AS n FROM tb),
+           |nr AS (SELECT sum(cr) AS n FROM rb),
+           |lr AS (SELECT rb.b,
+           |         round(ln((coalesce(tb.ct, 0) + 0.1) /
+           |                  (nt.n + 0.1 * 512)) -
+           |               ln((rb.cr + 0.1) / (nr.n + 0.1 * 512)),
+           |               6) AS log_ratio
+           |       FROM rb LEFT JOIN tb USING (b), nt, nr),
+           |w AS (SELECT doc_id, round(sum(log_ratio), 6) AS logw
+           |      FROM rg JOIN lr USING (b) GROUP BY doc_id),
+           |k AS (SELECT doc_id, logw,
+           |        round(logw + round(-ln(-ln(
+           |          (('0x' || substr(md5('23:' ||
+           |             CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+           |          / 4294967296.0)), 6), 6) AS skey
+           |      FROM w)
+           |SELECT doc_id, logw, skey FROM k
+           |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
     "pipe2_bpe_pack" -> {
       val k = 24
       bpeChainSql(k) +

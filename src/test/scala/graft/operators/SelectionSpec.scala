@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class SelectionSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // topic A docs (alpha-heavy) vs topic B docs (beta-heavy); the
+  // target is all-A, so A-docs must earn higher importance weights
+  private val raw = Seq(
+    (1L, "alpha alpha gamma"), (2L, "alpha gamma gamma"),
+    (3L, "beta beta gamma"), (4L, "beta gamma gamma")
+  ).toDF("doc_id", "text")
+  private val target = Seq(
+    (100L, "alpha alpha alpha gamma")).toDF("doc_id", "text")
+
+  test("target-like documents earn higher importance weights") {
+    val w = Selection.importanceWeights(raw, target, "doc_id", "text",
+        buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(1L) > w(3L) && w(1L) > w(4L), w.toString)
+    assert(w(2L) > w(3L), w.toString)
+    // alpha-bucket ratio positive, beta-bucket negative
+    val lr = Selection.importanceRatios(raw, target, "text", 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ab = spark.range(1).select(
+      Selection.tokenBucket(lit("alpha"), 64),
+      Selection.tokenBucket(lit("beta"), 64)).collect().head
+    assert(lr(ab.getLong(0)) > 0 && lr(ab.getLong(1)) < 0, lr.toString)
+  }
+
+  test("dsirSample is exact-n, a subset of raw ids, and deterministic") {
+    val s1 = Selection.dsirSample(raw, target, "doc_id", "text",
+      n = 2, buckets = 64, seed = 9)
+    val s2 = Selection.dsirSample(raw, target, "doc_id", "text",
+      n = 2, buckets = 64, seed = 9)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids1.length == 2 && ids1.forall(Set(1L, 2L, 3L, 4L)))
+    assert(ids1 === s2.select("doc_id").collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("the ratio table broadcasts; the corpus is not shuffle-joined") {
+    val p = Selection.importanceWeights(raw, target, "doc_id", "text", 64)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+}
