@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TextAnalysis
+import graft.functions.{TextAnalysis, VectorOps}
+import graft.plans.VectorExpressions
 
 /** Data selection by importance resampling (the DSIR recipe, Xie et
   * al. NeurIPS'23): score every raw document by how much its hashed
@@ -103,5 +104,40 @@ object Selection {
         round(col("logw") + round(-log(-log(u)), 6), 6))
       .orderBy(col("skey").desc, col(idCol))
       .limit(n)
+  }
+
+  /** Hard-negative mining for contrastive training: for every query,
+    * the k most-cosine-similar corpus items that are NOT known
+    * positives — the items a bi-encoder most needs to learn to push
+    * away. `positives` carries (q_id, pos_id); the query's own id is
+    * always excluded (it is its own positive).
+    *
+    * Scale shape: `Similarity.bruteForceTopK`'s layout — queries AND
+    * the positive-pair table broadcast (both are training-set-sized,
+    * not corpus-sized), the corpus never shuffles, the anti-join cuts
+    * positives BEFORE any cosine is computed, and the per-query top-k
+    * is the shared two-phase rank. For corpus-scale serving swap the
+    * scored interior for ANN candidates and rescore, as in
+    * [[Ranking.maxSimRerank]].
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    positives: DataFrame, idCol: String, vecCol: String,
+                    k: Int, roundTo: Int = 6): DataFrame = {
+    require(k > 0, "k must be positive")
+    val q = queries.select(col(idCol).as("q_id"),
+      VectorOps.asDouble(col(vecCol)).as("_qv"))
+      .withColumn("_qn", sqrt(VectorOps.normSq(col("_qv"))))
+    val c = corpus.select(col(idCol).as("n_id"),
+      VectorOps.asDouble(col(vecCol)).as("_nv"))
+      .withColumn("_nn", sqrt(VectorOps.normSq(col("_nv"))))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .join(broadcast(positives.select(col("q_id"),
+        col("pos_id").as("n_id"))), Seq("q_id", "n_id"), "left_anti")
+      .withColumn("cos", round(
+        VectorExpressions.dot(col("_qv"), col("_nv")) /
+          (col("_qn") * col("_nn")), roundTo))
+    Similarity.rankTopKPerQuery(scored, k, "q_id", "n_id", "cos")
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
   }
 }

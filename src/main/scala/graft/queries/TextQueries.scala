@@ -255,6 +255,19 @@ object TextQueries {
         e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 5)
         .orderBy("q_id", "rank")
     }),
+    // hard-negative mining: top-k nearest non-positives per query —
+    // the exclusion (q_id, pos_id) table anti-joins BEFORE any cosine;
+    // DuckDB replays the cosine, the anti-join, and the rank cut
+    "hn1_hard_negatives" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val pos = e.select((col("vec_id") % 25).as("q_id"),
+          col("vec_id").as("pos_id"))
+        .filter(col("q_id") < 3)
+      graft.operators.Selection.hardNegatives(
+          e.filter(col("vec_id") < 3), e, pos, "vec_id", "embedding",
+          k = 10)
+        .orderBy("q_id", "rank")
+    }),
     "sim2_lsh_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.lshTopK(
@@ -692,6 +705,22 @@ object TextQueries {
         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
         |      FROM s)
         |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "hn1_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id % 25 AS q_id, vec_id AS pos_id
+        |      FROM embeddings WHERE vec_id % 25 < 3),
+        |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |             round(list_dot_product(q.v, c.v) /
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |      WHERE q.vec_id < 3),
+        |f AS (SELECT s.q_id, s.n_id, s.cos FROM s
+        |      ANTI JOIN p ON s.q_id = p.q_id AND s.n_id = p.pos_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |      FROM f)
+        |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
     // all cells probed => identical to exact brute force (same oracle)
     "sim3_ivf_topk" ->

@@ -42,6 +42,26 @@ class SelectionSpec extends AnyFunSuite {
     assert(ids1 === s2.select("doc_id").collect().map(_.getLong(0)).toSeq)
   }
 
+  test("hardNegatives excludes the planted positive that brute-force" +
+    " ranks first") {
+    // corpus: id 1 = query clone (cos 1 with query), others spread
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.5, 0.5))
+    ).toDF("id", "vec")
+    val queries = Seq((10L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val pos = Seq((10L, 1L)).toDF("q_id", "pos_id")
+    val got = Selection.hardNegatives(queries, corpus, pos,
+        "id", "vec", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // without the exclusion, id 1 (the clone) would be rank 1
+    assert(got.map(_._2) === Seq(2L, 4L))
+    val unfiltered = Similarity.bruteForceTopK(queries, corpus,
+        "id", "vec", k = 1).collect().head.getLong(2)
+    assert(unfiltered == 1L, "fixture: the positive must be the argmax")
+  }
+
   test("the ratio table broadcasts; the corpus is not shuffle-joined") {
     val p = Selection.importanceWeights(raw, target, "doc_id", "text", 64)
       .queryExecution.explainString(
