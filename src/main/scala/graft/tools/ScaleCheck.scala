@@ -29,6 +29,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (args.headOption.contains("pipeline")) {
+      pipelineGrowth(spark)
+      spark.stop()
+      return
+    }
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val n0 = docs.count()
@@ -264,6 +269,90 @@ object ScaleCheck {
     println(f"[scale] growth ${s10 / s1}x data -> upsert ${u10 / u1}%.2fx, " +
       f"cdc ${c10 / c1}%.2fx, delete ${d10 / d1}%.2fx " +
       "(batch fixed; slope << data growth = probe not index-shuffle-bound)")
+  }
+
+  /** `ScaleCheck pipeline` — growth table for the tokenizer-prep /
+    * selection / clustering operators: corpus grown 1×/4×/10×, timing
+    *
+    *  - `bpe`: trainBpe(50 merges) — ONE corpus word-count shuffle
+    *    (linear) + a driver merge loop over the Zipf-bounded dict
+    *    (near-constant: replicas add a handful of distinct rep-suffix
+    *    words, not corpus-proportional dict growth);
+    *  - `bpecnt`: bpeTokenCount — distinct-word segmentation broadcast
+    *    onto the exploded corpus, linear;
+    *  - `dsir`: dsirSample(n=1000, 4096 buckets) — two bucket
+    *    histograms + broadcast ratio join + TakeOrdered, linear;
+    *  - `kmeans`: 2 full-corpus Lloyd iterations over the embeddings,
+    *    linear per iteration (assignment expression + (cluster, dim)
+    *    agg);
+    *  - `export`: exportShards — the two permutation shuffles plus the
+    *    parquet write, linear.
+    *
+    * Every column should track the data growth ~linearly; a
+    * superlinear column means a broadcast degraded to a shuffle or a
+    * driver loop picked up corpus-proportional work.
+    */
+  private def pipelineGrowth(spark: SparkSession): Unit = {
+    import graft.operators.{Clustering, Sampling, Selection, Vocabulary}
+    def timeS(f: => Unit): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val baseDocs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    val baseEmb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    println("[scale] pipeline-operator growth: corpus 1x/4x/10x")
+    println(f"[scale] ${"size"}%-5s ${"docs"}%8s ${"bpe(s)"}%8s " +
+      f"${"bpecnt(s)"}%10s ${"dsir(s)"}%8s ${"kmeans(s)"}%10s " +
+      f"${"export(s)"}%10s")
+    val rows = Seq(1, 4, 10).map { s =>
+      val corpus = baseDocs
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("doc_id") * s + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+        .localCheckpoint(true)
+      val emb = baseEmb
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("vec_id") * s + col("rep")).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x + (((col("rep") * 13 + i * 5) % 9).cast("double") - 4.0)
+              * 0.002).as("v"))
+        .localCheckpoint(true)
+      val nDocs = corpus.count()
+      var model: Vocabulary.BpeModel = null
+      val tBpe = timeS {
+        model = Vocabulary.trainBpe(corpus, "text", numMerges = 50)
+      }
+      val tCnt = timeS {
+        Vocabulary.bpeTokenCount(corpus, "doc_id", "text", model).count()
+        ()
+      }
+      val tDsir = timeS {
+        Selection.dsirSample(corpus,
+          corpus.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+          n = 1000, buckets = 4096, seed = 23).count()
+        ()
+      }
+      val tKm = timeS {
+        Clustering.kmeansFit(emb, "vec_id", "v", k = 16, iters = 2)
+        ()
+      }
+      val tExp = timeS {
+        Sampling.exportShards(corpus, "doc_id", rowsPerShard = 5000,
+          seed = 17, s"/tmp/scale_shards_$s").count()
+        ()
+      }
+      println(f"[scale] ${s}%-5d ${nDocs}%8d ${tBpe}%8.2f ${tCnt}%10.2f " +
+        f"${tDsir}%8.2f ${tKm}%10.2f ${tExp}%10.2f")
+      (tBpe, tDsir, tKm, tExp)
+    }
+    val (b1, i1, k1, e1) = rows.head
+    val (b10, i10, k10, e10) = rows.last
+    println(f"[scale] growth 10x data -> bpe ${b10 / b1}%.2fx, " +
+      f"dsir ${i10 / i1}%.2fx, kmeans ${k10 / k1}%.2fx, " +
+      f"export ${e10 / e1}%.2fx (~linear = plan shapes survive scale-up)")
   }
 
   /** `ScaleCheck vectors` — the vector-index growth table: grow the
