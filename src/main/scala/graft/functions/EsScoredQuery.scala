@@ -88,6 +88,9 @@ object EsScoredQuery {
                                     msm: Int) extends Node
   private final case class DisMaxNode(branches: Seq[Node],
                                       tie: Double) extends Node
+  private final case class FunctionScoreNode(query: Node,
+      functions: Seq[(Option[Column], Column)], scoreMode: String,
+      boostMode: String, boost: Double) extends Node
 
   private final class Ctx(val idCol: String,
                           val requireText: String => Unit,
@@ -220,6 +223,35 @@ object EsScoredQuery {
         BoolNode(must, should, subFilter("filter"), subFilter("must_not"),
           msm)
       case "match_all" => GatedConst(lit(true), boostOf(body))
+      // function_score — the engine-independent subset: a functions
+      // array of weight and/or field_value_factor entries (each
+      // optionally filter-gated), score_mode multiply|sum across the
+      // matching functions, boost_mode multiply|sum|replace against
+      // the query score, outer boost multiplies the final number.
+      // random_score / script_score / decay functions are refused:
+      // their numbers are engine-internal by definition.
+      case "function_score" =>
+        val qNode = (body \ "query") match {
+          case JNothing => GatedConst(lit(true), 1.0)
+          case qq       => parse(qq, ctx)
+        }
+        val scoreMode =
+          (body \ "score_mode").extractOrElse[String]("multiply")
+        val boostMode =
+          (body \ "boost_mode").extractOrElse[String]("multiply")
+        require(Set("multiply", "sum")(scoreMode),
+          s"score_mode '$scoreMode' not in the engine-independent " +
+            "subset (multiply, sum)")
+        require(Set("multiply", "sum", "replace")(boostMode),
+          s"boost_mode '$boostMode' not in the engine-independent " +
+            "subset (multiply, sum, replace)")
+        val fns = (body \ "functions") match {
+          case JArray(fs) if fs.nonEmpty => fs.map(parseScoreFn(_, ctx))
+          case other => throw new IllegalArgumentException(
+            "function_score needs a non-empty functions array " +
+              s"(weight / field_value_factor entries), got $other")
+        }
+        FunctionScoreNode(qNode, fns, scoreMode, boostMode, boostOf(body))
       case "knn" => throw new IllegalArgumentException(
         "knn must be the TOP-LEVEL query: its score set is a whole-frame " +
           "top-k, not a per-row predicate, so composing it inside " +
@@ -239,6 +271,70 @@ object EsScoredQuery {
       case _ => GatedConst(
         EsQueryDsl.filterColumn(q, ctx.idCol, ctx.requireText), 1.0)
     }
+  }
+
+  private def numOf(v: JValue, what: String): Double = v match {
+    case JInt(n)     => n.toDouble
+    case JLong(n)    => n.toDouble
+    case JDouble(d)  => d
+    case JDecimal(d) => d.toDouble
+    case other => throw new IllegalArgumentException(s"$what: $other")
+  }
+
+  /** One function_score entry → (optional filter gate, value column).
+    * `weight` alone is a constant; `field_value_factor` follows ES:
+    * value = modifier(factor × field), `missing` (default 0) replaces
+    * null, `log1p`/`log2p` are COMMON (base-10) logs like ES, the
+    * `ln*` spellings natural.
+    */
+  private def parseScoreFn(f: JValue, ctx: Ctx): (Option[Column], Column) = {
+    val filt = (f \ "filter") match {
+      case JNothing => None
+      case ff => Some(EsQueryDsl.filterColumn(ff, ctx.idCol,
+        ctx.requireText))
+    }
+    val weight = (f \ "weight") match {
+      case JNothing => None
+      case w        => Some(numOf(w, "weight"))
+    }
+    val fvf = (f \ "field_value_factor") match {
+      case JNothing => None
+      case o =>
+        val field = (o \ "field").extract[String]
+        val factor = (o \ "factor") match {
+          case JNothing => 1.0
+          case x        => numOf(x, "factor")
+        }
+        val missing = (o \ "missing") match {
+          case JNothing => 0.0
+          case x        => numOf(x, "missing")
+        }
+        val base = coalesce(col(field).cast("double"), lit(missing)) *
+          lit(factor)
+        val v = (o \ "modifier").extractOrElse[String]("none") match {
+          case "none"       => base
+          case "log1p"      => log10(lit(1.0) + base)
+          case "log2p"      => log10(lit(2.0) + base)
+          case "ln1p"       => log(lit(1.0) + base)
+          case "ln2p"       => log(lit(2.0) + base)
+          case "sqrt"       => sqrt(base)
+          case "square"     => base * base
+          case "reciprocal" => lit(1.0) / base
+          case m => throw new IllegalArgumentException(
+            s"field_value_factor modifier '$m' not supported " +
+              "(none, log1p, log2p, ln1p, ln2p, sqrt, square, reciprocal)")
+        }
+        Some(v)
+    }
+    val value = (weight, fvf) match {
+      case (Some(w), Some(v)) => v * lit(w)
+      case (Some(w), None)    => lit(w): Column
+      case (None, Some(v))    => v
+      case (None, None) => throw new IllegalArgumentException(
+        "each function_score function needs weight and/or " +
+          "field_value_factor (the engine-independent subset)")
+    }
+    (filt, value)
   }
 
   /** Node → (matched, score): `score` is already zero when unmatched,
@@ -296,6 +392,26 @@ object EsScoredQuery {
       val total = scores.reduce(_ + _)
       (matched,
         when(matched, best + lit(tie) * (total - best)).otherwise(0.0))
+    case FunctionScoreNode(query, fns, scoreMode, boostMode, boost) =>
+      val (qm, qs) = compile(query)
+      // a non-matching function contributes the combine-neutral
+      // element (1 for multiply, 0 for sum) — ES's "only matching
+      // functions apply"
+      val applied = fns.map { case (filt, v) =>
+        val gate = filt.map(f => coalesce(f, lit(false)))
+          .getOrElse(lit(true))
+        if (scoreMode == "multiply") when(gate, v).otherwise(lit(1.0))
+        else when(gate, v).otherwise(lit(0.0))
+      }
+      val combined =
+        if (scoreMode == "multiply") applied.reduce(_ * _)
+        else applied.reduce(_ + _)
+      val merged = boostMode match {
+        case "multiply" => qs * combined
+        case "sum"      => qs + combined
+        case "replace"  => combined
+      }
+      (qm, when(qm, merged * lit(boost)).otherwise(0.0))
   }
 
   /** Compile `json` against `docs` and return the MATCHING rows with a

@@ -277,6 +277,26 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(30)
     }),
+    // function_score (engine-independent subset): BM25 base query ×
+    // (filter-gated weight + field_value_factor log1p) — ES's "boost
+    // relevance by document features" recipe; the oracle replays the
+    // BM25 sum, the CASE gate, the base-10 log1p, and the combine
+    // arithmetic in the compiled order
+    "f23_function_score" -> ((s, d) => {
+      docs(s, d).esQueryScored(
+        """{"function_score": {
+          |  "query": {"match": {"text": "stream filter"}},
+          |  "functions": [
+          |    {"filter": {"term": {"lang": "en"}}, "weight": 1.5},
+          |    {"field_value_factor": {"field": "n_chars",
+          |      "factor": 0.001, "modifier": "log1p"}}
+          |  ],
+          |  "score_mode": "sum",
+          |  "boost_mode": "multiply"
+          |}}""".stripMargin)
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
     // the ES 8.x knn query through the scored DSL, computed exactly:
     // cosine vs a literal query vector over the filter-restricted
     // frame, top-12 by 6-dp-rounded cosine (id ties), _score =
@@ -567,6 +587,25 @@ object FacadeQueries {
            |               ELSE 0 END, 6) AS score
            |FROM bm b JOIN documents d ON d.doc_id = b.doc_id
            |WHERE d.lang IN ('en', 'fr', 'es') AND d.source <> 'src7'
+           |ORDER BY score DESC, d.doc_id LIMIT 25""".stripMargin,
+    "f23_function_score" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))) AS s1
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  round(b.s1 * (CASE WHEN d.lang = 'en' THEN 1.5 ELSE 0 END +
+           |                log10(1 + d.n_chars * 0.001)) * 1.0, 6) AS score
+           |FROM bm b JOIN documents d ON d.doc_id = b.doc_id
            |ORDER BY score DESC, d.doc_id LIMIT 25""".stripMargin,
     // exact knn replay: same tenth-rational query vector, same 6-dp
     // cosine rounding before the rank-12 cut, same (1+cos)/2 mapping

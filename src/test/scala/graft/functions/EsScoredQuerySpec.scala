@@ -144,6 +144,71 @@ class EsScoredQuerySpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("function_score: filter-gated weight + field_value_factor," +
+    " score/boost modes") {
+    val tiny = Seq(
+      (1L, "alpha beta", "en", 100.0),
+      (2L, "alpha beta", "de", 900.0),
+      (3L, "gamma delta", "en", 100.0)).toDF("doc_id", "text", "lang", "q")
+    // base query: constant_score 2.0 on matching "alpha"; functions:
+    // weight 3 when lang=en, fvf = sqrt(0.01 * q); score_mode sum,
+    // boost_mode multiply, boost 0.5
+    val rows = EsScoredQuery.scoredFrame(tiny, "doc_id",
+      """{"function_score": {
+        |  "query": {"constant_score": {
+        |    "filter": {"match": {"text": "alpha"}}, "boost": 2.0}},
+        |  "functions": [
+        |    {"filter": {"term": {"lang": "en"}}, "weight": 3.0},
+        |    {"field_value_factor": {"field": "q", "factor": 0.01,
+        |      "modifier": "sqrt"}}
+        |  ],
+        |  "score_mode": "sum", "boost_mode": "multiply", "boost": 0.5
+        |}}""".stripMargin)
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 3 fails the query gate; doc 1: 2.0*(3 + sqrt(1))*0.5 = 4.0;
+    // doc 2: 2.0*(0 + sqrt(9))*0.5 = 3.0
+    assert(rows == Map(1L -> 4.0, 2L -> 3.0), rows.toString)
+    // multiply mode: non-matching functions contribute 1
+    val mult = EsScoredQuery.scoredFrame(tiny, "doc_id",
+      """{"function_score": {
+        |  "query": {"match_all": {}},
+        |  "functions": [
+        |    {"filter": {"term": {"lang": "en"}}, "weight": 3.0},
+        |    {"field_value_factor": {"field": "q", "factor": 0.01,
+        |      "modifier": "sqrt"}}
+        |  ],
+        |  "score_mode": "multiply", "boost_mode": "replace"
+        |}}""".stripMargin)
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1: 3*1 = 3; doc 2: 1*3 = 3; doc 3: 3*1 = 3
+    assert(mult == Map(1L -> 3.0, 2L -> 3.0, 3L -> 3.0), mult.toString)
+    // log1p is the COMMON log, like ES: value 99, factor 1 -> 2.0
+    val lg = EsScoredQuery.scoredFrame(
+      Seq((1L, "alpha", 99.0)).toDF("doc_id", "text", "q"), "doc_id",
+      """{"function_score": {
+        |  "query": {"match_all": {}},
+        |  "functions": [{"field_value_factor": {"field": "q",
+        |    "modifier": "log1p"}}],
+        |  "boost_mode": "replace"
+        |}}""".stripMargin)
+      .select("_score").collect().head.getDouble(0)
+    assert(math.abs(lg - 2.0) < 1e-9, lg.toString)
+    // unsupported pieces refuse loudly
+    intercept[IllegalArgumentException] {
+      EsScoredQuery.scoredFrame(tiny, "doc_id",
+        """{"function_score": {"query": {"match_all": {}},
+          |  "functions": [{"random_score": {}}]}}""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      EsScoredQuery.scoredFrame(tiny, "doc_id",
+        """{"function_score": {"query": {"match_all": {}},
+          |  "functions": [{"weight": 1.0}],
+          |  "score_mode": "max"}}""".stripMargin)
+    }
+  }
+
   test("scored-context guardrails stay loud") {
     val tiny = Seq((1L, "alpha")).toDF("doc_id", "text")
     // fuzziness scores with engine-internal statistics in ES — no
