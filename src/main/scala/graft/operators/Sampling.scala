@@ -74,12 +74,22 @@ object Sampling {
     * then hash-join back onto the full rows by id.
     */
   def deterministicShuffle(df: DataFrame, idCol: String,
-                           seed: Long): DataFrame = {
+                           seed: Long): DataFrame =
+    ordinalByKey(df, idCol, hashKey(col(idCol), seed))
+
+  /** The two-phase distributed prefix sum behind
+    * [[deterministicShuffle]] and the ordered shard exports: assign a
+    * contiguous 0-based `ordinal` following ANY total order expressed
+    * as a sortable key column (compose ties into the key — e.g.
+    * `struct(score, id)` — ordinals are assigned by the key alone).
+    */
+  private[operators] def ordinalByKey(df: DataFrame, idCol: String,
+                                      key: Column): DataFrame = {
     val spark = df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
     val idField = df.schema(idCol)
     val keyed = df
-      .select(hashKey(col(idCol), seed).as("_k"), col(idCol).as("_id"))
+      .select(key.as("_k"), col(idCol).as("_id"))
       .repartitionByRange(nPart, col("_k"))
       .sortWithinPartitions("_k")
       .persist()
@@ -160,9 +170,27 @@ object Sampling {
     * cannot see a partial export.
     */
   def exportShards(df: DataFrame, idCol: String, rowsPerShard: Int,
-                   seed: Long, outDir: String): DataFrame = {
+                   seed: Long, outDir: String): DataFrame =
+    writeShards(deterministicShuffle(df, idCol, seed), rowsPerShard,
+      outDir)
+
+  /** Curriculum-ordered shard export: same layout and manifest
+    * contract as [[exportShards]], but ordinals follow
+    * (`orderCol` asc, id asc) instead of the random permutation — the
+    * easy-to-hard training-order recipe (sort by length, quality
+    * score, perplexity…). Same cost: the prefix sum's one range
+    * shuffle (now on the score key) + the shard-aligned write.
+    */
+  def exportShardsOrdered(df: DataFrame, idCol: String, orderCol: String,
+                          rowsPerShard: Int, outDir: String): DataFrame =
+    writeShards(
+      ordinalByKey(df, idCol, struct(col(orderCol), col(idCol))),
+      rowsPerShard, outDir)
+
+  private def writeShards(withOrdinal: DataFrame, rowsPerShard: Int,
+                          outDir: String): DataFrame = {
     require(rowsPerShard > 0, "rowsPerShard must be positive")
-    val spark = df.sparkSession
+    val spark = withOrdinal.sparkSession
     // re-export over a previous export: retract the old commit marker
     // BEFORE touching data, so a crash mid-rewrite leaves NO manifest
     // (consumer refuses) instead of the old manifest blessing a
@@ -171,7 +199,7 @@ object Sampling {
     val fs = manifestPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(manifestPath, true)
-    val sharded = deterministicShuffle(df, idCol, seed)
+    val sharded = withOrdinal
       .withColumn("shard",
         (col("ordinal") / lit(rowsPerShard.toLong)).cast("long"))
     sharded.repartition(col("shard"))

@@ -1110,6 +1110,25 @@ object PipelineQueries {
         .select(col("vec_id"), col("cluster"))
         .orderBy("vec_id")
     }),
+    // curriculum-ordered shard export: ordinals follow (n_chars, id)
+    // asc — the easy-to-hard training-order recipe — through the same
+    // prefix-sum + manifest-committed layout as sh1
+    "cu1_curriculum_shards" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-cu1-$tag")
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(wipe)); f.delete(); ()
+      }
+      wipe(out)
+      Sampling.exportShardsOrdered(
+        t(s, d, "documents").select("doc_id", "n_chars", "text"),
+        "doc_id", "n_chars", rowsPerShard = 100, out.toString)
+      s.read.parquet(out.toString + "/data")
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          col("ordinal"))
+        .orderBy("ordinal")
+    }),
     // training-shard export: portable md5 permutation -> fixed-size
     // shard dirs + committed manifest; the gate round-trips the
     // EXPORTED files and DuckDB replays ordinal and shard assignment
@@ -2181,6 +2200,13 @@ object PipelineQueries {
              |    ORDER BY d, cl) AS rk FROM df) WHERE rk = 1
              |ORDER BY vec_id""".stripMargin
     },
+    "cu1_curriculum_shards" ->
+      """WITH o AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+        |    AS BIGINT) AS ordinal
+        |  FROM documents)
+        |SELECT doc_id, CAST(ordinal // 100 AS BIGINT) AS shard, ordinal
+        |FROM o ORDER BY ordinal""".stripMargin,
     "sh1_export_shards" ->
       """WITH o AS (SELECT c_custkey,
         |  CAST(row_number() OVER (

@@ -165,4 +165,24 @@ class SamplingSpec extends AnyFunSuite {
       (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 50L), (1L, 10L)))
     assert(spark.read.parquet(s"$dir/data").count() == 60)
   }
+
+  test("exportShardsOrdered follows (score, id) order exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur")
+      .toString
+    // scores with ties: ids 0..99, score = id % 10 -> order is
+    // (score, id): 0,10,20,...,90,1,11,21,...
+    val df = (0L until 100L).map(i => (i, i % 10)).toDF("id", "score")
+    Sampling.exportShardsOrdered(df, "id", "score", rowsPerShard = 25,
+      dir)
+    val back = spark.read.parquet(s"$dir/data")
+      .select("id", "ordinal", "shard")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      .toMap
+    val expected = (0L until 100L).sortBy(i => (i % 10, i)).zipWithIndex
+    expected.foreach { case (id, ord) =>
+      assert(back(id) == (ord.toLong, ord / 25),
+        s"id $id: got ${back(id)}, want ($ord, ${ord / 25})")
+    }
+  }
 }
