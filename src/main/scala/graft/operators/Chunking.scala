@@ -43,4 +43,62 @@ object Chunking {
         concat_ws(" ", col("_chunk")).as("chunk_text"),
         size(col("_chunk")).cast("long").as("n_tok"))
   }
+
+  /** CONTENT-DEFINED chunking (the FastCDC/rolling-hash idea at token
+    * level): a chunk boundary falls AFTER token position i whenever
+    * the md5-derived hash of the `window`-gram ending at i is
+    * divisible by `divisor` — so boundaries are a function of LOCAL
+    * content only, and an edit early in a document cannot shift every
+    * later chunk the way fixed-width chunking does (the property that
+    * makes chunk-level dedup and caching survive edits). Expected
+    * chunk length ≈ `divisor` tokens.
+    *
+    * Output: (idCol, chunk_id, start_pos, n_tokens, chunk_text) with
+    * chunk_id dense from 0 in position order and start_pos the
+    * 0-based token offset. Deterministic and engine-portable (md5 —
+    * the DuckDB oracle replays every boundary).
+    *
+    * Scale shape: one posexplode per token, the boundary flag is a
+    * per-row expression over the staged token array, the running
+    * boundary count is a window PARTITIONED BY DOCUMENT (state
+    * bounded by one document, the `removeSharedSpans` rebuild
+    * discipline — never a global window), and the chunk re-assembly
+    * is one groupBy on (id, chunk_id). No corpus-sized sort.
+    */
+  def contentDefinedChunks(docs: DataFrame, idCol: String,
+                           textCol: String, window: Int = 3,
+                           divisor: Int = 16): DataFrame = {
+    require(window > 0 && divisor > 1,
+      "need window > 0 and divisor > 1")
+    val staged = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("_toks"))
+    val exploded = staged
+      .select(col(idCol), col("_toks"),
+        posexplode(col("_toks")).as(Seq("pos", "_tok")))
+    // gram ending at pos (0-based) = tokens[pos-window+1 .. pos];
+    // positions before the first full window never bound a chunk —
+    // the boundary flag gates them out, but the slice start is still
+    // clamped to 1 (Spark's slice refuses start 0, and the gram value
+    // is irrelevant there)
+    val gram = concat_ws(" ",
+      slice(col("_toks"), greatest(col("pos") - window + 2, lit(1)),
+        lit(window)))
+    val boundary = (col("pos") >= window - 1) &&
+      (conv(substring(md5(gram), 1, 8), 16, 10).cast("long")
+        % divisor === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    exploded
+      .withColumn("_bf", when(boundary, 1L).otherwise(0L))
+      .withColumn("chunk_id",
+        coalesce(sum(col("_bf")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("_tok")))),
+          s => s.getField("_tok"))).as("chunk_text"))
+  }
 }

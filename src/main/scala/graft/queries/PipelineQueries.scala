@@ -1110,6 +1110,16 @@ object PipelineQueries {
         .select(col("vec_id"), col("cluster"))
         .orderBy("vec_id")
     }),
+    // content-defined chunking: boundaries where the md5 hash of the
+    // 3-gram ending at a position divides 16 — edit-stable chunks
+    // (FastCDC at token level); DuckDB replays every boundary, the
+    // per-doc running chunk ids, and the re-assembled chunk text
+    "cd1_content_chunks" -> ((s, d) => {
+      graft.operators.Chunking.contentDefinedChunks(
+          t(s, d, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", window = 3, divisor = 16)
+        .orderBy("doc_id", "chunk_id")
+    }),
     // curriculum-ordered shard export: ordinals follow (n_chars, id)
     // asc — the easy-to-hard training-order recipe — through the same
     // prefix-sum + manifest-committed layout as sh1
@@ -2200,6 +2210,30 @@ object PipelineQueries {
              |    ORDER BY d, cl) AS rk FROM df) WHERE rk = 1
              |ORDER BY vec_id""".stripMargin
     },
+    "cd1_content_chunks" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |           WHERE doc_id < 100),
+           |e AS (SELECT doc_id, toks, unnest(toks) AS tok,
+           |        generate_subscripts(toks, 1) - 1 AS pos FROM s),
+           |b AS (SELECT doc_id, pos, tok,
+           |        CASE WHEN pos >= 2 AND
+           |          ('0x' || substr(md5(array_to_string(
+           |             toks[greatest(pos - 1, 1) : pos + 1], ' ')),
+           |             1, 8))::BIGINT % 16 = 0
+           |        THEN 1 ELSE 0 END AS bf
+           |      FROM e),
+           |c AS (SELECT doc_id, pos, tok,
+           |        coalesce(SUM(bf) OVER (PARTITION BY doc_id
+           |          ORDER BY pos
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |          0) AS chunk_id
+           |      FROM b)
+           |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           |       CAST(min(pos) AS BIGINT) AS start_pos,
+           |       CAST(count(*) AS BIGINT) AS n_tokens,
+           |       string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+           |FROM c GROUP BY doc_id, chunk_id
+           |ORDER BY doc_id, chunk_id""".stripMargin,
     "cu1_curriculum_shards" ->
       """WITH o AS (SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1

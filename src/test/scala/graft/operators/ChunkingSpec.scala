@@ -56,4 +56,45 @@ class ChunkingSpec extends AnyFunSuite {
         "text", 4, 5)
     }
   }
+
+  test("contentDefinedChunks: chunks tile the document exactly") {
+    val text = (0 until 200).map(i => s"w${i % 37}").mkString(" ")
+    val got = Chunking.contentDefinedChunks(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        window = 3, divisor = 8)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // contiguous coverage: chunk i+1 starts where chunk i ends
+    assert(got.head._2 == 0L)
+    got.sliding(2).foreach {
+      case Array((_, s1, n1, _), (_, s2, _, _)) => assert(s2 == s1 + n1)
+      case _ => ()
+    }
+    assert(got.map(_._3).sum == 200L)
+    // re-assembly reproduces the text
+    assert(got.map(_._4).mkString(" ") == text)
+    assert(got.length > 1, "divisor 8 over 200 tokens must cut somewhere")
+  }
+
+  test("contentDefinedChunks boundaries are edit-stable (the CDC" +
+    " property)") {
+    val base = (0 until 300).map(i => s"w${(i * 7) % 53}").toVector
+    val edited = base.updated(0, "EDITED")
+    def chunks(tokens: Vector[String]) =
+      Chunking.contentDefinedChunks(
+        Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", window = 3, divisor = 8)
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+    val a = chunks(base)
+    val b = chunks(edited)
+    // changing token 0 can only affect boundary flags at pos <= 2, so
+    // every chunk starting at pos >= 4 is identical — fixed-width
+    // chunking would shift EVERY later chunk
+    val aLate = a.filter(_._1 >= 4)
+    val bLate = b.filter(_._1 >= 4)
+    assert(aLate == bLate, "late chunks must survive an early edit")
+    assert(aLate.nonEmpty)
+    assert(a != b, "the edit must change at least the first chunk")
+  }
 }
