@@ -231,6 +231,19 @@ object EsScoredQuery {
       // random_score / script_score / decay functions are refused:
       // their numbers are engine-internal by definition.
       case "function_score" =>
+        // unknown body keys (min_score, max_boost, random_score, …)
+        // refuse instead of silently changing semantics
+        body match {
+          case JObject(fields) =>
+            val known = Set("query", "functions", "score_mode",
+              "boost_mode", "boost")
+            val unknown = fields.map(_._1).filterNot(known)
+            if (unknown.nonEmpty) throw new IllegalArgumentException(
+              s"function_score keys ${unknown.mkString(", ")} are not " +
+                "in the engine-independent subset " +
+                s"(${known.mkString(", ")})")
+          case _ => ()
+        }
         val qNode = (body \ "query") match {
           case JNothing => GatedConst(lit(true), 1.0)
           case qq       => parse(qq, ctx)
@@ -288,6 +301,20 @@ object EsScoredQuery {
     * `ln*` spellings natural.
     */
   private def parseScoreFn(f: JValue, ctx: Ctx): (Option[Column], Column) = {
+    // an entry carrying random_score/script_score/gauss/… refuses even
+    // when weight is also present — silently substituting a
+    // deterministic number for ES's randomized/scripted one would be
+    // worse than failing
+    f match {
+      case JObject(fields) =>
+        val known = Set("filter", "weight", "field_value_factor")
+        val unknown = fields.map(_._1).filterNot(known)
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"function_score function keys ${unknown.mkString(", ")} are " +
+            "not in the engine-independent subset " +
+            s"(${known.mkString(", ")})")
+      case _ => ()
+    }
     val filt = (f \ "filter") match {
       case JNothing => None
       case ff => Some(EsQueryDsl.filterColumn(ff, ctx.idCol,
@@ -319,7 +346,11 @@ object EsScoredQuery {
           case "ln2p"       => log(lit(2.0) + base)
           case "sqrt"       => sqrt(base)
           case "square"     => base * base
-          case "reciprocal" => lit(1.0) / base
+          // 1/0 under Spark's non-ANSI division is a silent null that
+          // would poison _score; ES returns Infinity — match that
+          case "reciprocal" =>
+            when(base === 0.0, lit(Double.PositiveInfinity))
+              .otherwise(lit(1.0) / base)
           case m => throw new IllegalArgumentException(
             s"field_value_factor modifier '$m' not supported " +
               "(none, log1p, log2p, ln1p, ln2p, sqrt, square, reciprocal)")
@@ -395,17 +426,21 @@ object EsScoredQuery {
     case FunctionScoreNode(query, fns, scoreMode, boostMode, boost) =>
       val (qm, qs) = compile(query)
       // a non-matching function contributes the combine-neutral
-      // element (1 for multiply, 0 for sum) — ES's "only matching
-      // functions apply"
-      val applied = fns.map { case (filt, v) =>
-        val gate = filt.map(f => coalesce(f, lit(false)))
-          .getOrElse(lit(true))
+      // element (1 for multiply, 0 for sum) — only matching functions
+      // apply; and when NO function matches at all, the overall
+      // factor is 1 (ES keeps the query score unmodified rather than
+      // zeroing it)
+      val gates = fns.map { case (filt, _) =>
+        filt.map(f => coalesce(f, lit(false))).getOrElse(lit(true))
+      }
+      val applied = fns.zip(gates).map { case ((_, v), gate) =>
         if (scoreMode == "multiply") when(gate, v).otherwise(lit(1.0))
         else when(gate, v).otherwise(lit(0.0))
       }
-      val combined =
+      val anyFn = gates.reduce(_ || _)
+      val combined = when(anyFn,
         if (scoreMode == "multiply") applied.reduce(_ * _)
-        else applied.reduce(_ + _)
+        else applied.reduce(_ + _)).otherwise(lit(1.0))
       val merged = boostMode match {
         case "multiply" => qs * combined
         case "sum"      => qs + combined

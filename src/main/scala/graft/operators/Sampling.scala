@@ -170,9 +170,13 @@ object Sampling {
     * cannot see a partial export.
     */
   def exportShards(df: DataFrame, idCol: String, rowsPerShard: Int,
-                   seed: Long, outDir: String): DataFrame =
+                   seed: Long, outDir: String): DataFrame = {
+    // validate BEFORE the prefix sum — ordinalByKey runs an eager
+    // shuffle and persists staging state
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
     writeShards(deterministicShuffle(df, idCol, seed), rowsPerShard,
       outDir)
+  }
 
   /** Curriculum-ordered shard export: same layout and manifest
     * contract as [[exportShards]], but ordinals follow
@@ -182,10 +186,12 @@ object Sampling {
     * shuffle (now on the score key) + the shard-aligned write.
     */
   def exportShardsOrdered(df: DataFrame, idCol: String, orderCol: String,
-                          rowsPerShard: Int, outDir: String): DataFrame =
+                          rowsPerShard: Int, outDir: String): DataFrame = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
     writeShards(
       ordinalByKey(df, idCol, struct(col(orderCol), col(idCol))),
       rowsPerShard, outDir)
+  }
 
   private def writeShards(withOrdinal: DataFrame, rowsPerShard: Int,
                           outDir: String): DataFrame = {

@@ -195,11 +195,37 @@ class EsScoredQuerySpec extends AnyFunSuite {
         |}}""".stripMargin)
       .select("_score").collect().head.getDouble(0)
     assert(math.abs(lg - 2.0) < 1e-9, lg.toString)
-    // unsupported pieces refuse loudly
+    // no matching function leaves the query score UNMODIFIED (ES
+    // keeps the factor at 1 when zero functions match — not 0)
+    val none = EsScoredQuery.scoredFrame(tiny, "doc_id",
+      """{"function_score": {
+        |  "query": {"constant_score": {
+        |    "filter": {"match": {"text": "alpha"}}, "boost": 2.0}},
+        |  "functions": [{"filter": {"term": {"lang": "fr"}},
+        |    "weight": 5.0}],
+        |  "score_mode": "sum"
+        |}}""".stripMargin)
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(none == Map(1L -> 2.0, 2L -> 2.0), none.toString)
+    // unsupported pieces refuse loudly — even when a supported key
+    // rides in the same entry, and at the body level
     intercept[IllegalArgumentException] {
       EsScoredQuery.scoredFrame(tiny, "doc_id",
         """{"function_score": {"query": {"match_all": {}},
           |  "functions": [{"random_score": {}}]}}""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      EsScoredQuery.scoredFrame(tiny, "doc_id",
+        """{"function_score": {"query": {"match_all": {}},
+          |  "functions": [{"random_score": {}, "weight": 2.0}]}}"""
+          .stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      EsScoredQuery.scoredFrame(tiny, "doc_id",
+        """{"function_score": {"query": {"match_all": {}},
+          |  "functions": [{"weight": 1.0}], "min_score": 5}}"""
+          .stripMargin)
     }
     intercept[IllegalArgumentException] {
       EsScoredQuery.scoredFrame(tiny, "doc_id",
