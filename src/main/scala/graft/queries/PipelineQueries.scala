@@ -861,6 +861,38 @@ object PipelineQueries {
     // of bm1 (Lucene's role in the reference). The oracle replays the
     // same Okapi formula from the raw table, so the gate proves
     // build + pruned search ≡ corpus-scan scoring end-to-end
+    // hybrid retrieval over the PERSISTENT serving stack: the
+    // segmented inverted index's BM25 top-30 fuses with the IVF
+    // vector index's every-cell (exact) knn top-30 via RRF — the hy1
+    // composition, served from the indexes instead of scans; the
+    // oracle is the same flat replay (index ≡ scan is pinned by
+    // idx1/vx1), so a stale segment stat, a leaked tombstone, or a
+    // probe-rule drift on either index breaks the fused ranking
+    "hy2_hybrid_index_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val ipath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-hy2i-$tag").toString
+      val vpath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-hy2v-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", ipath)
+      val lex = graft.operators.InvertedIndex.searchTopK(s, ipath,
+          Seq("stream", "filter", "join"), k = 30, idColName = "doc_id")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      graft.operators.VectorIndex.build(t(s, d, "embeddings"),
+        "vec_id", "embedding", vpath, nlist = 8)
+      val qv = (0 until 64).map(i => ((i * 7) % 13 - 6) / 10.0)
+      val sem = graft.operators.VectorIndex.searchTopK(
+        Seq((1L, qv)).toDF("q_id", "vec"), vpath, k = 30, nprobe = 8,
+        idColName = "doc_id")
+      graft.operators.Ranking.rrfFuse(
+          Seq(lex.select("doc_id", "rank"), sem.select("doc_id", "rank")),
+          "doc_id", "rank", k = 20)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
     "idx1_index_search" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = new java.io.File(
@@ -1491,7 +1523,43 @@ object PipelineQueries {
          |SELECT doc_id, reg_id, round(jx, 6) AS jaccard
          |FROM allm ORDER BY doc_id, reg_id""".stripMargin
 
+  /** Shared by hy1 (scan stack) and hy2 (persistent-index stack):
+    * index ≡ scan is pinned by idx1/vx1, so both hybrids replay to
+    * the same flat BM25 + brute-cosine + RRF arithmetic. */
+  private val hybridRrfSql =
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter', 'join') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id),
+           |lex AS (SELECT doc_id,
+           |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           |        FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 30)),
+           |q AS (SELECT list_transform(range(0, 64),
+           |        i -> CAST((i*7) % 13 - 6 AS DOUBLE)/10.0) AS v),
+           |sem0 AS (SELECT vec_id AS doc_id,
+           |           round(list_dot_product(embedding::DOUBLE[], q.v) /
+           |             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+           |              sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+           |         FROM embeddings, q),
+           |sem AS (SELECT doc_id,
+           |          row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+           |        FROM (SELECT * FROM sem0 ORDER BY cos DESC, doc_id LIMIT 30)),
+           |u AS (SELECT doc_id, 1.0/(60 + rank) AS c FROM lex
+           |      UNION ALL SELECT doc_id, 1.0/(60 + rank) AS c FROM sem)
+           |SELECT doc_id, round(sum(c), 6) AS rrf_score FROM u GROUP BY doc_id
+           |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "hy2_hybrid_index_rrf" -> hybridRrfSql,
     "sm1_sample_det" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
         |  SELECT * FROM orders
@@ -1852,37 +1920,7 @@ object PipelineQueries {
     // both rankings replayed flat (BM25 CTE + brute cosine CTE), then
     // the 1/(60+rank) fusion — DuckDB's sum of the ≤2 contributions
     // is order-independent (IEEE addition commutes)
-    "hy1_hybrid_rrf" ->
-      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
-           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
-           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
-           |               unnest(toks) AS t FROM s)
-           |       WHERE t IN ('stream', 'filter', 'join') GROUP BY 1, 2, 3),
-           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-           |        FROM tf GROUP BY 1),
-           |bm AS (SELECT doc_id,
-           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
-           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
-           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id),
-           |lex AS (SELECT doc_id,
-           |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-           |        FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 30)),
-           |q AS (SELECT list_transform(range(0, 64),
-           |        i -> CAST((i*7) % 13 - 6 AS DOUBLE)/10.0) AS v),
-           |sem0 AS (SELECT vec_id AS doc_id,
-           |           round(list_dot_product(embedding::DOUBLE[], q.v) /
-           |             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
-           |              sqrt(list_dot_product(q.v, q.v))), 6) AS cos
-           |         FROM embeddings, q),
-           |sem AS (SELECT doc_id,
-           |          row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
-           |        FROM (SELECT * FROM sem0 ORDER BY cos DESC, doc_id LIMIT 30)),
-           |u AS (SELECT doc_id, 1.0/(60 + rank) AS c FROM lex
-           |      UNION ALL SELECT doc_id, 1.0/(60 + rank) AS c FROM sem)
-           |SELECT doc_id, round(sum(c), 6) AS rrf_score FROM u GROUP BY doc_id
-           |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
+    "hy1_hybrid_rrf" -> hybridRrfSql,
     // every cell probed => identical to exact brute force over the raw
     // table: the quantizer, cell layout, and segment plumbing never
     // exist oracle-side, so a vector lost to a mis-assigned cell or a
