@@ -1200,27 +1200,55 @@ object PipelineQueries {
     "mv1_maxsim_rerank" -> ((s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
-      def tokVec(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        array((0 until 8).map { j =>
-          (conv(substring(md5(concat(tok, lit(":" + j))), 1, 8), 16, 10)
-            .cast("long") % 2000L).cast("double") / lit(1000.0) - lit(1.0)
-        }: _*)
       val dv = docs
         .select(col("doc_id"),
           explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), tokVec(col("tok")).as("vec"))
+        .select(col("doc_id"), mdTokVec(col("tok")).as("vec"))
       val qt = Seq((1L, 0L, "stream"), (1L, 1L, "filter"), (1L, 2L, "join"),
           (2L, 0L, "spark"), (2L, 1L, "hash"),
           (3L, 0L, "vector"), (3L, 1L, "spark"), (3L, 2L, "filter"))
         .toDF("q_id", "qpos", "tok")
       val qv = qt.select(col("q_id"), col("qpos"),
-        tokVec(col("tok")).as("vec"))
+        mdTokVec(col("tok")).as("vec"))
       val qdefs = Seq(1L -> Seq("stream", "filter", "join"),
         2L -> Seq("spark", "hash"), 3L -> Seq("vector", "spark", "filter"))
       val cands = qdefs.map { case (q, terms) =>
         graft.operators.Ranking.bm25TopK(docs, "doc_id", "text", terms, 30)
           .select(lit(q).as("q_id"), col("doc_id"))
       }.reduce(_ unionByName _)
+      graft.operators.Ranking.maxSimRerank(dv, qv, cands,
+          "doc_id", "q_id", "qpos", "vec", k = 10)
+        .orderBy("q_id", "rank")
+    }),
+    // the same late-interaction rerank served from the PERSISTENT
+    // stack: candidates come from the segmented index's batch search
+    // (searchTopKBatch top-30 per query ≡ scan BM25 top-30, pinned by
+    // idx6), so the fused answer replays against mv1's exact oracle —
+    // stale index stats or a batch-search drift break the reranking
+    "mv2_maxsim_index_rerank" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-mv2-$tag").toString
+      val docs = t(s, d, "documents")
+      graft.operators.InvertedIndex.build(docs, "doc_id", "text", path)
+      val queries = Seq(
+        (1L, Seq("stream", "filter", "join")),
+        (2L, Seq("spark", "hash")),
+        (3L, Seq("vector", "spark", "filter"))).toDF("q_id", "terms")
+      val cands = graft.operators.InvertedIndex.searchTopKBatch(
+          queries, path, k = 30, idColName = "doc_id")
+        .select("q_id", "doc_id")
+      val dv = docs
+        .select(col("doc_id"),
+          explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), mdTokVec(col("tok")).as("vec"))
+      val qt = Seq((1L, 0L, "stream"), (1L, 1L, "filter"), (1L, 2L, "join"),
+          (2L, 0L, "spark"), (2L, 1L, "hash"),
+          (3L, 0L, "vector"), (3L, 1L, "spark"), (3L, 2L, "filter"))
+        .toDF("q_id", "qpos", "tok")
+      val qv = qt.select(col("q_id"), col("qpos"),
+        mdTokVec(col("tok")).as("vec"))
       graft.operators.Ranking.maxSimRerank(dv, qv, cands,
           "doc_id", "q_id", "qpos", "vec", k = 10)
         .orderBy("q_id", "rank")
@@ -1394,6 +1422,16 @@ object PipelineQueries {
   private val toksSql =
     raw"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 
+  /** Deterministic md5-derived 8-dim pseudo token vector (mv1/mv2's
+    * replayable fixture — the API takes any real vector column).
+    */
+  private def mdTokVec(tok: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array((0 until 8).map { j =>
+      (conv(substring(md5(concat(tok, lit(":" + j))), 1, 8), 16, 10)
+        .cast("long") % 2000L).cast("double") / lit(1000.0) - lit(1.0)
+    }: _*)
+
   /** Generated K-iteration BPE-training replay (mirrors
     * `Vocabulary.trainBpe`'s determinism contract): a CTE chain where
     * iteration i recounts adjacent symbol pairs over word state s{i},
@@ -1558,7 +1596,64 @@ object PipelineQueries {
            |SELECT doc_id, round(sum(c), 6) AS rrf_score FROM u GROUP BY doc_id
            |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Shared by mv1 (scan-BM25 candidates) and mv2 (persistent-index
+    * batch-search candidates): batch index BM25 top-30 ≡ scan BM25
+    * top-30 (pinned by idx6), so both rerank paths replay to the same
+    * candidates + vectors + maxes + sums + rank cuts. */
+  private val maxSimRerankSql: String = {
+      val vec = (t: String) =>
+        raw"""list_transform(range(0, 8), j ->
+             |  CAST(('0x' || substr(md5($t || ':' || j), 1, 8))::BIGINT
+             |       % 2000 AS DOUBLE) / 1000.0 - 1.0)""".stripMargin
+      raw"""WITH qt AS (SELECT CAST(q AS BIGINT) AS q_id,
+           |              CAST(p AS BIGINT) AS qpos, t
+           |            FROM (VALUES (1,0,'stream'),(1,1,'filter'),
+           |              (1,2,'join'),(2,0,'spark'),(2,1,'hash'),
+           |              (3,0,'vector'),(3,1,'spark'),(3,2,'filter'))
+           |              AS v(q,p,t)),
+           |s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |sc AS (SELECT q.q_id, f.doc_id,
+           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf *
+           |           (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6)
+           |           AS score
+           |       FROM tf f JOIN dft USING (t)
+           |            JOIN (SELECT DISTINCT q_id, t FROM qt) q USING (t), st
+           |       GROUP BY 1, 2),
+           |cand AS (SELECT q_id, doc_id FROM (SELECT q_id, doc_id,
+           |           row_number() OVER (PARTITION BY q_id
+           |             ORDER BY score DESC, doc_id) AS rk FROM sc)
+           |         WHERE rk <= 30),
+           |dvec AS (SELECT doc_id, ${vec("t")} AS v
+           |         FROM (SELECT doc_id, unnest(toks) AS t FROM s)),
+           |qvec AS (SELECT q_id, qpos, ${vec("t")} AS v FROM qt),
+           |pr AS (SELECT c.q_id, c.doc_id, q.qpos,
+           |         round(list_dot_product(d.v, q.v) /
+           |           (sqrt(list_dot_product(d.v, d.v)) *
+           |            sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+           |       FROM cand c JOIN dvec d ON c.doc_id = d.doc_id
+           |            JOIN qvec q ON c.q_id = q.q_id),
+           |mx AS (SELECT q_id, doc_id, qpos, max(cos) AS m
+           |       FROM pr GROUP BY 1, 2, 3),
+           |ms AS (SELECT q_id, doc_id, round(sum(m), 6) AS maxsim
+           |       FROM mx GROUP BY 1, 2),
+           |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+           |         ORDER BY maxsim DESC, doc_id) AS BIGINT) AS rank,
+           |         doc_id, maxsim FROM ms)
+           |SELECT q_id, rank, doc_id, maxsim FROM r WHERE rank <= 10
+           |ORDER BY q_id, rank""".stripMargin
+    }
+
   val oracles: Map[String, String] = Map(
+    "mv2_maxsim_index_rerank" -> maxSimRerankSql,
     "hy2_hybrid_index_rrf" -> hybridRrfSql,
     "sm1_sample_det" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
@@ -2287,57 +2382,7 @@ object PipelineQueries {
         |  FROM customer)
         |SELECT c_custkey, CAST(ordinal // 100 AS BIGINT) AS shard, ordinal
         |FROM o ORDER BY ordinal""".stripMargin,
-    "mv1_maxsim_rerank" -> {
-      val vec = (t: String) =>
-        raw"""list_transform(range(0, 8), j ->
-             |  CAST(('0x' || substr(md5($t || ':' || j), 1, 8))::BIGINT
-             |       % 2000 AS DOUBLE) / 1000.0 - 1.0)""".stripMargin
-      raw"""WITH qt AS (SELECT CAST(q AS BIGINT) AS q_id,
-           |              CAST(p AS BIGINT) AS qpos, t
-           |            FROM (VALUES (1,0,'stream'),(1,1,'filter'),
-           |              (1,2,'join'),(2,0,'spark'),(2,1,'hash'),
-           |              (3,0,'vector'),(3,1,'spark'),(3,2,'filter'))
-           |              AS v(q,p,t)),
-           |s AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
-           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
-           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
-           |               unnest(toks) AS t FROM s)
-           |       WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY 1, 2, 3),
-           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-           |        FROM tf GROUP BY 1),
-           |sc AS (SELECT q.q_id, f.doc_id,
-           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf *
-           |           (1.2 + 1) /
-           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6)
-           |           AS score
-           |       FROM tf f JOIN dft USING (t)
-           |            JOIN (SELECT DISTINCT q_id, t FROM qt) q USING (t), st
-           |       GROUP BY 1, 2),
-           |cand AS (SELECT q_id, doc_id FROM (SELECT q_id, doc_id,
-           |           row_number() OVER (PARTITION BY q_id
-           |             ORDER BY score DESC, doc_id) AS rk FROM sc)
-           |         WHERE rk <= 30),
-           |dvec AS (SELECT doc_id, ${vec("t")} AS v
-           |         FROM (SELECT doc_id, unnest(toks) AS t FROM s)),
-           |qvec AS (SELECT q_id, qpos, ${vec("t")} AS v FROM qt),
-           |pr AS (SELECT c.q_id, c.doc_id, q.qpos,
-           |         round(list_dot_product(d.v, q.v) /
-           |           (sqrt(list_dot_product(d.v, d.v)) *
-           |            sqrt(list_dot_product(q.v, q.v))), 6) AS cos
-           |       FROM cand c JOIN dvec d ON c.doc_id = d.doc_id
-           |            JOIN qvec q ON c.q_id = q.q_id),
-           |mx AS (SELECT q_id, doc_id, qpos, max(cos) AS m
-           |       FROM pr GROUP BY 1, 2, 3),
-           |ms AS (SELECT q_id, doc_id, round(sum(m), 6) AS maxsim
-           |       FROM mx GROUP BY 1, 2),
-           |r AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
-           |         ORDER BY maxsim DESC, doc_id) AS BIGINT) AS rank,
-           |         doc_id, maxsim FROM ms)
-           |SELECT q_id, rank, doc_id, maxsim FROM r WHERE rank <= 10
-           |ORDER BY q_id, rank""".stripMargin
-    },
+    "mv1_maxsim_rerank" -> maxSimRerankSql,
     "bpe1_train_merges" -> {
       val k = 24
       bpeChainSql(k) + ",\nmm AS (" +
