@@ -126,11 +126,12 @@ object Vocabulary {
   /** Train `numMerges` BPE merges over the corpus. One corpus-scale
     * shuffle (word count, capped at `maxWords` by frequency with a
     * deterministic (cnt desc, word) cut); the merge loop is
-    * driver-side over the capped dict. Stops early if every word is
-    * a single symbol. The loop recounts pairs per iteration —
-    * O(numMerges × dict × avg word length) driver work; the classic
-    * incremental pair-count update cuts that for production-size
-    * merge counts, but the corpus-scale cost is identical either way.
+    * driver-side over the capped dict, with INCREMENTAL pair-count
+    * maintenance — each merge touches only the words that contain the
+    * merged pair, so total loop work is O(initial pairs + rewritten
+    * words × word length), not O(numMerges × dict). Stops early if
+    * no pair remains. Bit-identical to the full-recount reference
+    * loop ([[trainMergesNaive]], differential-pinned in `BpeSpec`).
     */
   def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
                maxWords: Int = 1000000, minFreq: Long = 1L): BpeModel = {
@@ -144,7 +145,75 @@ object Vocabulary {
       .limit(maxWords)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    BpeModel(trainMerges(dict, numMerges))
+  }
 
+  private def pairsOf(s: String): Array[(String, String)] = {
+    val syms = s.trim.split("  ")
+    if (syms.length < 2) Array.empty
+    else Array.tabulate(syms.length - 1)(j => (syms(j), syms(j + 1)))
+  }
+
+  /** The incremental merge loop over a counted dict (word, freq). */
+  private[operators] def trainMerges(dict: Array[(String, Long)],
+                                     numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val words = dict.map { case (w, _) => paddedSymbols(w) }
+    val freqs = dict.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    var i = 0
+    while (i < words.length) {
+      pairsOf(words(i)).foreach { p =>
+        counts.update(p, counts.getOrElse(p, 0L) + freqs(i))
+        occ.getOrElseUpdate(p, mutable.HashSet.empty) += i
+      }
+      i += 1
+    }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.size < numMerges && counts.nonEmpty) {
+      val ((l, r), _) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      merges += ((l, r))
+      val pat = s" $l  $r "
+      val rep = s" $l$r "
+      // only the words holding this pair change; rewrite each and
+      // diff its whole pair multiset — O(word length), and trivially
+      // identical to the full recount
+      val affected = occ.getOrElse((l, r), mutable.HashSet.empty).toArray
+      affected.foreach { w =>
+        val oldS = words(w)
+        val newS = oldS.replace(pat, rep)
+        if (newS != oldS) {
+          val f = freqs(w)
+          val oldPairs = pairsOf(oldS)
+          val newPairs = pairsOf(newS)
+          oldPairs.foreach { p =>
+            val c = counts(p) - f
+            if (c == 0L) counts.remove(p) else counts.update(p, c)
+          }
+          newPairs.foreach { p =>
+            counts.update(p, counts.getOrElse(p, 0L) + f)
+          }
+          val oldSet = oldPairs.toSet
+          val newSet = newPairs.toSet
+          (oldSet diff newSet).foreach { p =>
+            occ.get(p).foreach { s => s -= w; if (s.isEmpty) occ.remove(p) }
+          }
+          (newSet diff oldSet).foreach { p =>
+            occ.getOrElseUpdate(p, mutable.HashSet.empty) += w
+          }
+          words(w) = newS
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Full-recount reference loop — kept solely as the differential
+    * pin for [[trainMerges]] (BpeSpec asserts identical merge walks).
+    */
+  private[operators] def trainMergesNaive(dict: Array[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
     var words: Array[(String, Long)] =
       dict.map { case (w, f) => (paddedSymbols(w), f) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -153,12 +222,8 @@ object Vocabulary {
       val counts = scala.collection.mutable.HashMap
         .empty[(String, String), Long]
       words.foreach { case (s, f) =>
-        val syms = s.trim.split("  ")
-        var j = 0
-        while (j < syms.length - 1) {
-          val key = (syms(j), syms(j + 1))
+        pairsOf(s).foreach { key =>
           counts.update(key, counts.getOrElse(key, 0L) + f)
-          j += 1
         }
       }
       if (counts.isEmpty) exhausted = true
@@ -170,7 +235,7 @@ object Vocabulary {
         words = words.map { case (s, f) => (s.replace(pat, rep), f) }
       }
     }
-    BpeModel(merges.toSeq)
+    merges.toSeq
   }
 
   /** Column form of [[segmentWord]]: word string -> array of subword

@@ -106,6 +106,27 @@ class BpeSpec extends AnyFunSuite {
     assert(got === Map(7L -> 4L, 8L -> 2L))
   }
 
+  test("incremental trainer walks the identical merge sequence as the" +
+    " full recount, to exhaustion") {
+    val hug = Array(("hug", 10L), ("pug", 5L), ("pun", 12L),
+      ("bun", 4L), ("hugs", 5L))
+    assert(Vocabulary.trainMerges(hug, 100) ===
+      Vocabulary.trainMergesNaive(hug, 100))
+    // seeded random dict over a tiny alphabet: heavy ties, repeated
+    // letters (overlap-prone runs like "aaaa"), full exhaustion
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcde"
+    val dict = (0 until 300).map { _ =>
+      val len = 1 + rnd.nextInt(10)
+      Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+    }.groupBy(identity).map { case (w, g) => (w, g.size.toLong * 3) }
+      .toArray.sortBy(_._1)
+    val fast = Vocabulary.trainMerges(dict, 2000)
+    val slow = Vocabulary.trainMergesNaive(dict, 2000)
+    assert(fast === slow)
+    assert(fast.nonEmpty && fast.size < 2000, s"${fast.size} merges")
+  }
+
   test("training is deterministic across runs") {
     val a = Vocabulary.trainBpe(docs, "text", numMerges = 6).merges
     val b = Vocabulary.trainBpe(docs, "text", numMerges = 6).merges
