@@ -347,9 +347,14 @@ object EsScoredQuery {
           case "sqrt"       => sqrt(base)
           case "square"     => base * base
           // 1/0 under Spark's non-ANSI division is a silent null that
-          // would poison _score; ES returns Infinity — match that
+          // would poison _score; ES (Java) returns ±Infinity with the
+          // zero's sign — match both signs (negative zero stringifies
+          // as "-0.0", the one portable way to see its sign bit)
           case "reciprocal" =>
-            when(base === 0.0, lit(Double.PositiveInfinity))
+            when(base === 0.0,
+              when(base.cast("string").startsWith("-"),
+                lit(Double.NegativeInfinity))
+                .otherwise(lit(Double.PositiveInfinity)))
               .otherwise(lit(1.0) / base)
           case m => throw new IllegalArgumentException(
             s"field_value_factor modifier '$m' not supported " +

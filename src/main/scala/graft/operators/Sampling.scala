@@ -195,7 +195,8 @@ object Sampling {
 
   private def writeShards(withOrdinal: DataFrame, rowsPerShard: Int,
                           outDir: String): DataFrame = {
-    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    // rowsPerShard already validated by both public entry points,
+    // BEFORE their eager prefix-sum arguments run
     val spark = withOrdinal.sparkSession
     // re-export over a previous export: retract the old commit marker
     // BEFORE touching data, so a crash mid-rewrite leaves NO manifest

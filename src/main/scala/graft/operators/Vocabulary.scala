@@ -154,7 +154,14 @@ object Vocabulary {
     else Array.tabulate(syms.length - 1)(j => (syms(j), syms(j + 1)))
   }
 
-  /** The incremental merge loop over a counted dict (word, freq). */
+  /** The incremental merge loop over a counted dict (word, freq).
+    * Argmax selection rides a lazily-invalidated priority queue: every
+    * count update pushes a fresh (count, pair) entry, and stale
+    * entries (whose stored count no longer matches the live map) are
+    * discarded on pop — O(log P) per update instead of an O(P) map
+    * scan per merge. Tie order (count desc, then (l, r) asc) is the
+    * queue comparator, identical to the reference loop's argmax.
+    */
   private[operators] def trainMerges(dict: Array[(String, Long)],
                                      numMerges: Int): Seq[(String, String)] = {
     import scala.collection.mutable
@@ -162,48 +169,79 @@ object Vocabulary {
     val freqs = dict.map(_._2)
     val counts = mutable.HashMap.empty[(String, String), Long]
     val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    val queue = new java.util.PriorityQueue[(Long, String, String)](11,
+      (a: (Long, String, String), b: (Long, String, String)) => {
+        val c = java.lang.Long.compare(b._1, a._1) // count desc
+        if (c != 0) c
+        else {
+          val lc = a._2.compareTo(b._2)
+          if (lc != 0) lc else a._3.compareTo(b._3)
+        }
+      })
+    def bump(p: (String, String), delta: Long): Unit = {
+      val c = counts.getOrElse(p, 0L) + delta
+      if (c == 0L) counts.remove(p)
+      else {
+        counts.update(p, c)
+        queue.add((c, p._1, p._2))
+        ()
+      }
+    }
     var i = 0
     while (i < words.length) {
       pairsOf(words(i)).foreach { p =>
-        counts.update(p, counts.getOrElse(p, 0L) + freqs(i))
+        bump(p, freqs(i))
         occ.getOrElseUpdate(p, mutable.HashSet.empty) += i
       }
       i += 1
     }
+    def popBest(): Option[(String, String)] = {
+      while (!queue.isEmpty) {
+        val (c, l, r) = queue.poll()
+        if (counts.get((l, r)).contains(c)) return Some((l, r))
+      }
+      None
+    }
     val merges = mutable.ArrayBuffer.empty[(String, String)]
-    while (merges.size < numMerges && counts.nonEmpty) {
-      val ((l, r), _) = counts.minBy { case ((l, r), c) => (-c, l, r) }
-      merges += ((l, r))
-      val pat = s" $l  $r "
-      val rep = s" $l$r "
-      // only the words holding this pair change; rewrite each and
-      // diff its whole pair multiset — O(word length), and trivially
-      // identical to the full recount
-      val affected = occ.getOrElse((l, r), mutable.HashSet.empty).toArray
-      affected.foreach { w =>
-        val oldS = words(w)
-        val newS = oldS.replace(pat, rep)
-        if (newS != oldS) {
-          val f = freqs(w)
-          val oldPairs = pairsOf(oldS)
-          val newPairs = pairsOf(newS)
-          oldPairs.foreach { p =>
-            val c = counts(p) - f
-            if (c == 0L) counts.remove(p) else counts.update(p, c)
+    var done = false
+    while (merges.size < numMerges && !done) {
+      popBest() match {
+        case None => done = true
+        case Some((l, r)) =>
+          merges += ((l, r))
+          val pat = s" $l  $r "
+          val rep = s" $l$r "
+          // only the words holding this pair change; rewrite each and
+          // diff its whole pair multiset — O(word length), and
+          // trivially identical to the full recount
+          val affected =
+            occ.getOrElse((l, r), mutable.HashSet.empty).toArray
+          affected.foreach { w =>
+            val oldS = words(w)
+            val newS = oldS.replace(pat, rep)
+            if (newS != oldS) {
+              val f = freqs(w)
+              val oldPairs = pairsOf(oldS)
+              val newPairs = pairsOf(newS)
+              oldPairs.foreach(bump(_, -f))
+              newPairs.foreach(bump(_, f))
+              val oldSet = oldPairs.toSet
+              val newSet = newPairs.toSet
+              (oldSet diff newSet).foreach { p =>
+                occ.get(p).foreach { s =>
+                  s -= w; if (s.isEmpty) occ.remove(p)
+                }
+              }
+              (newSet diff oldSet).foreach { p =>
+                occ.getOrElseUpdate(p, mutable.HashSet.empty) += w
+              }
+              words(w) = newS
+            }
           }
-          newPairs.foreach { p =>
-            counts.update(p, counts.getOrElse(p, 0L) + f)
-          }
-          val oldSet = oldPairs.toSet
-          val newSet = newPairs.toSet
-          (oldSet diff newSet).foreach { p =>
-            occ.get(p).foreach { s => s -= w; if (s.isEmpty) occ.remove(p) }
-          }
-          (newSet diff oldSet).foreach { p =>
-            occ.getOrElseUpdate(p, mutable.HashSet.empty) += w
-          }
-          words(w) = newS
-        }
+          // belt and braces: if the merged pair somehow survives with
+          // a live count, restore a matching queue entry (its valid
+          // entry was consumed by popBest)
+          counts.get((l, r)).foreach(c => queue.add((c, l, r)))
       }
     }
     merges.toSeq

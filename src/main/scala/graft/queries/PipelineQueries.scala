@@ -855,12 +855,6 @@ object PipelineQueries {
           (model.predict === col("label")).as("correct"))
         .orderBy("doc_id")
     }),
-    // index-backed BM25: build the persistent postings index (ONE
-    // corpus shuffle, partitioned by md5 term bucket) then search it
-    // reading only the query terms' buckets — the query-serving face
-    // of bm1 (Lucene's role in the reference). The oracle replays the
-    // same Okapi formula from the raw table, so the gate proves
-    // build + pruned search ≡ corpus-scan scoring end-to-end
     // hybrid retrieval over the PERSISTENT serving stack: the
     // segmented inverted index's BM25 top-30 fuses with the IVF
     // vector index's every-cell (exact) knn top-30 via RRF — the hy1
@@ -893,6 +887,12 @@ object PipelineQueries {
           "doc_id", "rank", k = 20)
         .orderBy(col("rrf_score").desc, col("doc_id"))
     }),
+    // index-backed BM25: build the persistent postings index (ONE
+    // corpus shuffle, partitioned by md5 term bucket) then search it
+    // reading only the query terms' buckets — the query-serving face
+    // of bm1 (Lucene's role in the reference). The oracle replays the
+    // same Okapi formula from the raw table, so the gate proves
+    // build + pruned search ≡ corpus-scan scoring end-to-end
     "idx1_index_search" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = new java.io.File(
