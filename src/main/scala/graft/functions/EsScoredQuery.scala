@@ -298,16 +298,31 @@ object EsScoredQuery {
     * `weight` alone is a constant; `field_value_factor` follows ES:
     * value = modifier(factor × field), `missing` (default 0) replaces
     * null, `log1p`/`log2p` are COMMON (base-10) logs like ES, the
-    * `ln*` spellings natural.
+    * `ln*` spellings natural. Decay functions (`gauss`/`exp`/
+    * `linear`) follow ES's numeric-field arithmetic exactly
+    * (σ² = −scale²∕2·ln(decay) etc.; missing field → 1.0), restricted
+    * to NUMERIC origin/scale/offset (date-duration and geo-distance
+    * spellings are engine-format territory — refused), value rounded
+    * to 6 dp so libm exp/ln drift cannot leak cross-engine.
+    * `random_score` requires BOTH `seed` and `field` (ES's
+    * deterministic spelling) and draws the portable md5 uniform of
+    * [[graft.operators.Sampling.hashFrac]] — same determinism and
+    * distribution contract as ES's hash, DIFFERENT hash function (ES
+    * uses an engine-internal murmur; there is no portable way to
+    * reproduce its exact numbers — documented delta). A seedless or
+    * fieldless `random_score` still refuses: per-execution
+    * randomness has no engine-independent value. `script_score`
+    * stays refused (Painless is engine-internal by definition).
     */
   private def parseScoreFn(f: JValue, ctx: Ctx): (Option[Column], Column) = {
-    // an entry carrying random_score/script_score/gauss/… refuses even
-    // when weight is also present — silently substituting a
-    // deterministic number for ES's randomized/scripted one would be
-    // worse than failing
+    // an entry carrying script_score (or an unknown function) refuses
+    // even when weight is also present — silently substituting a
+    // deterministic number for ES's scripted one would be worse than
+    // failing
     f match {
       case JObject(fields) =>
-        val known = Set("filter", "weight", "field_value_factor")
+        val known = Set("filter", "weight", "field_value_factor",
+          "gauss", "exp", "linear", "random_score")
         val unknown = fields.map(_._1).filterNot(known)
         if (unknown.nonEmpty) throw new IllegalArgumentException(
           s"function_score function keys ${unknown.mkString(", ")} are " +
@@ -327,6 +342,18 @@ object EsScoredQuery {
     val fvf = (f \ "field_value_factor") match {
       case JNothing => None
       case o =>
+        // same loud-unknown-key discipline as the function-entry and
+        // body levels: a typo'd "modifeir" must not silently fall back
+        // to modifier 'none' and change scores
+        o match {
+          case JObject(fs) =>
+            val knownFvf = Set("field", "factor", "missing", "modifier")
+            val bad = fs.map(_._1).filterNot(knownFvf)
+            if (bad.nonEmpty) throw new IllegalArgumentException(
+              s"field_value_factor keys ${bad.mkString(", ")} are not " +
+                s"supported (${knownFvf.toSeq.sorted.mkString(", ")})")
+          case _ => ()
+        }
         val field = (o \ "field").extract[String]
         val factor = (o \ "factor") match {
           case JNothing => 1.0
@@ -362,15 +389,122 @@ object EsScoredQuery {
         }
         Some(v)
     }
-    val value = (weight, fvf) match {
+    val decay = Seq("gauss", "exp", "linear")
+      .flatMap(k => (f \ k) match {
+        case JNothing => Seq.empty
+        case o        => Seq(parseDecay(k, o))
+      })
+    val rnd = (f \ "random_score") match {
+      case JNothing => None
+      case o        => Some(parseRandomScore(o))
+    }
+    val fns = fvf.toSeq ++ decay ++ rnd.toSeq
+    require(fns.size <= 1,
+      "each function_score function carries at most ONE of " +
+        "field_value_factor / gauss / exp / linear / random_score " +
+        "(plus an optional weight) — ES's one-function-per-entry rule")
+    val value = (weight, fns.headOption) match {
       case (Some(w), Some(v)) => v * lit(w)
       case (Some(w), None)    => lit(w): Column
       case (None, Some(v))    => v
       case (None, None) => throw new IllegalArgumentException(
-        "each function_score function needs weight and/or " +
-          "field_value_factor (the engine-independent subset)")
+        "each function_score function needs weight and/or one of " +
+          "field_value_factor / gauss / exp / linear / random_score " +
+          "(the engine-independent subset)")
     }
     (filt, value)
+  }
+
+  /** ES decay arithmetic over a NUMERIC field; the date-duration and
+    * geo-distance origin/scale spellings refuse (numOf throws on
+    * strings) — their parsing is engine-format territory. Missing
+    * field → 1.0 (ES's behavior); value rounded to 6 dp (libm).
+    */
+  private def parseDecay(kind: String, o: JValue): Column = {
+    val (field, params) = o match {
+      case JObject(List((fname, p))) => (fname, p)
+      case other => throw new IllegalArgumentException(
+        s"$kind needs exactly one field object, got $other")
+    }
+    params match {
+      case JObject(fs) =>
+        val known = Set("origin", "scale", "offset", "decay")
+        val bad = fs.map(_._1).filterNot(known)
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"$kind($field) keys ${bad.mkString(", ")} are not supported " +
+            s"(${known.toSeq.sorted.mkString(", ")})")
+      case _ => ()
+    }
+    val origin = numOf(params \ "origin", s"$kind($field).origin")
+    val scale = numOf(params \ "scale", s"$kind($field).scale")
+    require(scale > 0, s"$kind($field): scale must be positive")
+    val offset = (params \ "offset") match {
+      case JNothing => 0.0
+      case x        => numOf(x, s"$kind($field).offset")
+    }
+    require(offset >= 0, s"$kind($field): offset must be non-negative")
+    val dec = (params \ "decay") match {
+      case JNothing => 0.5
+      case x        => numOf(x, s"$kind($field).decay")
+    }
+    require(dec > 0 && dec < 1,
+      s"$kind($field): decay must be in (0, 1), got $dec")
+    val dist = greatest(
+      abs(col(field).cast("double") - lit(origin)) - lit(offset),
+      lit(0.0))
+    val v = kind match {
+      case "gauss" =>
+        // σ² = −scale² / (2 ln decay): score(scale-away) = decay
+        val sigma2 = -scale * scale / (2.0 * math.log(dec))
+        exp(-(dist * dist) / lit(2.0 * sigma2))
+      case "exp" =>
+        exp(lit(math.log(dec) / scale) * dist)
+      case "linear" =>
+        val s = scale / (1.0 - dec)
+        greatest((lit(s) - dist) / lit(s), lit(0.0))
+    }
+    round(when(col(field).isNull, lit(1.0)).otherwise(v), 6)
+  }
+
+  /** Deterministic random_score: seed + field REQUIRED, value = the
+    * portable md5 uniform in [0, 1) (6-dp rounded). Same determinism
+    * contract as ES's seeded form, different hash (documented delta).
+    */
+  private def parseRandomScore(o: JValue): Column = {
+    o match {
+      case JObject(fs) =>
+        val known = Set("seed", "field")
+        val bad = fs.map(_._1).filterNot(known)
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"random_score keys ${bad.mkString(", ")} are not supported " +
+            "(seed, field)")
+      case _ => ()
+    }
+    val seed = (o \ "seed") match {
+      case JString(s)  => s
+      case JInt(n)     => n.toString
+      case JLong(n)    => n.toString
+      case JNothing => throw new IllegalArgumentException(
+        "random_score without a seed is per-execution randomness — no " +
+          "engine-independent value exists; give seed AND field for " +
+          "the deterministic form")
+      case other => throw new IllegalArgumentException(
+        s"random_score seed must be an int or string, got $other")
+    }
+    val field = (o \ "field") match {
+      case JString(s) => s
+      case JNothing => throw new IllegalArgumentException(
+        "random_score needs an explicit field: ES's seed-only form " +
+          "hashes an internal doc id no other engine can see — give " +
+          "seed AND field (ES docs recommend exactly that for " +
+          "reproducibility)")
+      case other => throw new IllegalArgumentException(
+        s"random_score field must be a string, got $other")
+    }
+    round(
+      conv(substring(md5(concat(lit(seed), lit(":"),
+          col(field).cast("string"))), 1, 8), 16, 10).cast("long") /
+        lit(4294967296.0), 6)
   }
 
   /** Node → (matched, score): `score` is already zero when unmatched,

@@ -142,17 +142,34 @@ object Quantization {
     * cosine (6-dp rounding, id ties). Output (q_id, rank, idColName,
     * cos) — with `candidates` ≥ corpus size this IS exact brute
     * force. Query and corpus ids must be long-castable.
+    *
+    * The modest-query-frame contract is ENFORCED: the frame collects
+    * to ≤ `maxQueries` rows (the collect itself is `limit`-bounded, so
+    * an oversized frame fails loudly instead of OOM-ing the driver or
+    * baking a megabyte-scale literal plan). Raise `maxQueries`
+    * deliberately for a bigger batch, or split the frame; an
+    * unbounded workload belongs on the non-ADC exact path
+    * ([[graft.operators.VectorIndex.searchTopK]]), whose queries ride
+    * a broadcast join instead of plan literals.
     */
   def pqSearchTopK(queries: DataFrame, codes: DataFrame, corpus: DataFrame,
                    idCol: String, vecCol: String, k: Int, model: PqModel,
-                   candidates: Int, roundTo: Int = 6): DataFrame = {
+                   candidates: Int, roundTo: Int = 6,
+                   maxQueries: Int = 1024): DataFrame = {
     require(k >= 1 && candidates >= k,
       s"candidates ($candidates) must be >= k ($k)")
+    require(maxQueries >= 1, s"maxQueries must be positive, got $maxQueries")
     val qRows = queries.select(col(idCol).cast("long").as("q_id"),
         graft.functions.VectorOps.asDouble(col(vecCol)).as("q_v"))
+      .limit(maxQueries + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    require(qRows.length <= maxQueries,
+      s"ADC search bakes per-query distance tables into the plan as " +
+        s"literals, so the query frame collects driver-side — more than " +
+        s"$maxQueries queries refused (raise maxQueries deliberately, " +
+        "split the frame, or use the broadcast-joined searchTopK path)")
     require(qRows.nonEmpty, "empty query frame")
     val m = model.m; val dsub = model.dsub
     // per (query, subspace): ksub squared distances from the exact

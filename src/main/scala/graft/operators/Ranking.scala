@@ -88,6 +88,33 @@ object Ranking {
       .limit(k)
   }
 
+  /** [[rrfFuse]] for a whole QUERY FRAME: each `rankings` frame
+    * carries (qCol, idCol, rankCol) rows — a batched search output
+    * like [[InvertedIndex.searchTopKBatch]] or
+    * [[VectorIndex.searchTopK]] — and fusion runs per query:
+    * contributions sum within (query, doc) and the per-query top-k is
+    * the shared two-phase [[Similarity.rankTopKPerQuery]]. Output
+    * (qCol, rank, idCol, rrf_score), per query row-identical to
+    * [[rrfFuse]] over that query's slices (same 6-dp rounding, same
+    * id tie-break).
+    *
+    * Scale shape: inputs are already ≤ |queries| × k rows each, so
+    * nothing corpus-sized ever enters the fusion.
+    */
+  def rrfFusePerQuery(rankings: Seq[DataFrame], qCol: String,
+                      idCol: String, rankCol: String, k: Int,
+                      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty && k > 0 && rrfK >= 0)
+    val contrib = rankings.map(_.select(col(qCol), col(idCol),
+        (lit(1.0) / (lit(rrfK.toDouble) + col(rankCol).cast("double")))
+          .as("_rrf")))
+      .reduce(_ unionByName _)
+      .groupBy(col(qCol), col(idCol))
+      .agg(round(sum(col("_rrf")), 6).as("rrf_score"))
+    Similarity.rankTopKPerQuery(contrib, k, qCol, idCol, "rrf_score")
+      .select(col(qCol), col("rank"), col(idCol), col("rrf_score"))
+  }
+
   // ---- MaxSim late interaction (ColBERT; Khattab & Zaharia,
   // SIGIR'20) ---------------------------------------------------------
   // Multi-vector retrieval: every document and query is a BAG of

@@ -198,6 +198,12 @@ object Sampling {
     // rowsPerShard already validated by both public entry points,
     // BEFORE their eager prefix-sum arguments run
     val spark = withOrdinal.sparkSession
+    // an empty input would write a data dir with zero part files and
+    // then fail the manifest read-back AFTER retracting the previous
+    // manifest — refuse loudly while the old export is still intact
+    require(!withOrdinal.isEmpty,
+      "shard export of an empty dataset — nothing to shard, and the " +
+        "previous export (if any) is left untouched")
     // re-export over a previous export: retract the old commit marker
     // BEFORE touching data, so a crash mid-rewrite leaves NO manifest
     // (consumer refuses) instead of the old manifest blessing a
@@ -206,9 +212,12 @@ object Sampling {
     val fs = manifestPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(manifestPath, true)
+    // integral `div`, not `/`: Spark's `/` is double division, whose
+    // truncation drifts from the integer quotient past 2^53 — `div`
+    // matches the oracle's `//` exactly at any ordinal
     val sharded = withOrdinal
       .withColumn("shard",
-        (col("ordinal") / lit(rowsPerShard.toLong)).cast("long"))
+        expr(s"ordinal div CAST(${rowsPerShard.toLong} AS BIGINT)"))
     sharded.repartition(col("shard"))
       .write.mode("overwrite")
       // static overwrite regardless of session config: dynamic mode
@@ -216,12 +225,44 @@ object Sampling {
       .option("partitionOverwriteMode", "static")
       .partitionBy("shard")
       .parquet(s"$outDir/data")
-    val manifest = spark.read.parquet(s"$outDir/data")
-      .groupBy(col("shard").cast("long").as("shard"))
-      .agg(count(lit(1)).as("rows"),
-        min(col("ordinal")).as("min_ordinal"),
-        max(col("ordinal")).as("max_ordinal"))
-    manifest.coalesce(1).write.mode("overwrite")
+    // manifest from the COMMITTED files WITHOUT a second pass over
+    // the exported data: the per-shard (count, min/max ordinal)
+    // aggregate pushes down to parquet FOOTER stats on the DSv2 read
+    // path — O(files) footer reads, zero data pages (plan-pinned in
+    // SamplingSpec). Still a read-back of what actually landed, so
+    // the manifest can never describe data that did not commit; and
+    // if pushdown ever declines, the identical aggregate runs over
+    // the (shard, ordinal)-pruned rows — slower, never different.
+    // Materialized INSIDE the conf window (collect is O(shards)):
+    // pushdown is decided at execution, which must see these confs.
+    val conf = spark.conf
+    val prevAgg = conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val prevV1 = conf.getOption("spark.sql.sources.useV1SourceList")
+    val manifestRows =
+      try {
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        conf.set("spark.sql.sources.useV1SourceList",
+          prevV1.getOrElse("").split(",").map(_.trim).filter(_.nonEmpty)
+            .filterNot(_ == "parquet").mkString(","))
+        spark.read.parquet(s"$outDir/data")
+          .groupBy("shard")
+          .agg(count(lit(1)).as("rows"),
+            min(col("ordinal")).as("min_ordinal"),
+            max(col("ordinal")).as("max_ordinal"))
+          .select(col("shard").cast("long"), col("rows"),
+            col("min_ordinal"), col("max_ordinal"))
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+      } finally {
+        prevAgg.fold(conf.unset("spark.sql.parquet.aggregatePushdown"))(
+          conf.set("spark.sql.parquet.aggregatePushdown", _))
+        prevV1.fold(conf.unset("spark.sql.sources.useV1SourceList"))(
+          conf.set("spark.sql.sources.useV1SourceList", _))
+      }
+    spark.createDataFrame(manifestRows)
+      .toDF("shard", "rows", "min_ordinal", "max_ordinal")
+      .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/manifest")
     spark.read.parquet(s"$outDir/manifest")
   }

@@ -140,4 +140,49 @@ object Selection {
     Similarity.rankTopKPerQuery(scored, k, "q_id", "n_id", "cos")
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
   }
+
+  /** [[hardNegatives]] served from a persistent
+    * [[VectorIndex]] instead of the brute-force cross join — the
+    * corpus-scale path: first-stage candidates come from
+    * [[VectorIndex.searchTopK]] (`fetchK` per query, cells pruned at
+    * plan time), then self-matches and known positives are cut and
+    * the survivors re-rank to the final top-k. No rescore stage is
+    * needed: IVF pruning decides WHICH vectors get scored, never how
+    * (each candidate arrives with its exact `roundTo`-dp cosine) —
+    * unlike the ADC path, whose stage-1 scores are approximations.
+    *
+    * `queries` carries (idCol, vecCol); `positives` carries
+    * (q_id, pos_id) in the query/corpus id spaces. Output
+    * (q_id, rank, n_id, cos), row-identical to [[hardNegatives]]
+    * whenever `nprobe` covers every cell AND `fetchK ≥ k + (positives
+    * for the query) + 1` (the self-match); at serving configurations
+    * the usual IVF recall dial applies, plus headroom in `fetchK` for
+    * the rows the positive filter will cut.
+    *
+    * Scale shape: one index search (corpus side never shuffles — the
+    * query frame broadcasts onto the pruned cell scan), then the
+    * filter/anti-join/re-rank all run over ≤ |queries| × fetchK
+    * candidate rows. A 100 TB corpus costs O(probed cells), not
+    * O(|corpus| × |queries|) cosines.
+    */
+  def hardNegativesServed(queries: DataFrame, positives: DataFrame,
+                          indexPath: String, idCol: String, vecCol: String,
+                          k: Int, fetchK: Int, nprobe: Int = 2,
+                          roundTo: Int = 6): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(fetchK >= k,
+      s"fetchK ($fetchK) must be >= k ($k) — and needs headroom for " +
+        "the self-match and each query's positives, which are cut " +
+        "AFTER candidate retrieval")
+    val cand = VectorIndex.searchTopK(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("vec")),
+      indexPath, fetchK, nprobe, qIdCol = "q_id", vecCol = "vec",
+      idColName = "n_id", roundTo = roundTo)
+    val filtered = cand.drop("rank")
+      .filter(col("n_id") =!= col("q_id"))
+      .join(broadcast(positives.select(col("q_id"),
+        col("pos_id").as("n_id"))), Seq("q_id", "n_id"), "left_anti")
+    Similarity.rankTopKPerQuery(filtered, k, "q_id", "n_id", "cos")
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+  }
 }

@@ -464,9 +464,136 @@ object VectorIndex {
     }
   }
 
-  /** Resolve a crashed [[compact]] — see [[SegmentStore.heal]]. */
-  def heal(spark: SparkSession, indexPath: String): Unit =
+  /** Resolve a crashed [[compact]] ([[SegmentStore.heal]]) or a
+    * crashed [[rebuild]] (the `rebuilding` manifest) — idempotent.
+    */
+  def heal(spark: SparkSession, indexPath: String): Unit = {
+    rebuildHeal(spark, indexPath)
     SegmentStore.heal(spark, indexPath)
+  }
+
+  private def rebuildManifestPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/rebuilding")
+
+  /** Replay an interrupted [[rebuild]]. New segment committed →
+    * finish (promote `quantizer-next` if still staged, delete the
+    * inputs); uncommitted → roll back (drop the partial segment and
+    * the staged quantizer — the old quantizer was never touched). No
+    * outcome mixes old-cell segments with the new quantizer.
+    */
+  private def rebuildHeal(spark: SparkSession, indexPath: String): Unit = {
+    val fs = fsOf(spark, indexPath)
+    val mf = rebuildManifestPath(indexPath)
+    Manifest.read(fs, mf).foreach { lines =>
+      val target = lines.head
+      val nextP = new org.apache.hadoop.fs.Path(s"$indexPath/quantizer-next")
+      if (fs.exists(new org.apache.hadoop.fs.Path(
+          s"$indexPath/$target/stats/_SUCCESS"))) {
+        // the promote-then-delete tail, replayed: a missing
+        // quantizer-next means promotion already happened
+        if (fs.exists(new org.apache.hadoop.fs.Path(
+            s"$indexPath/quantizer-next/_SUCCESS"))) {
+          fs.delete(new org.apache.hadoop.fs.Path(
+            quantizerPath(indexPath)), true)
+          require(fs.rename(nextP,
+            new org.apache.hadoop.fs.Path(quantizerPath(indexPath))),
+            s"quantizer promotion rename failed in $indexPath")
+        }
+        lines.tail.foreach(i => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$indexPath/$i"), true))
+      } else {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/$target"), true)
+        fs.delete(nextP, true)
+      }
+      Manifest.delete(fs, mf)
+    }
+  }
+
+  /** Retrain the frozen coarse quantizer from the LIVE corpus and
+    * rewrite the index as ONE fresh segment under it — the remedy for
+    * the drift [[stats]]'s `cell_skew` signal surfaces (the standard
+    * IVF trade: the quantizer freezes at [[build]]; a corpus that
+    * drifts away piles into few cells and probes degrade toward
+    * corpus scans). `nlist = 0` keeps the current width; pass a
+    * larger one when the corpus has grown (the √N sizing rule). PQ
+    * codebooks (independent of the coarse cells) are kept; the new
+    * segment's codes re-encode against them. The merged ids ledger is
+    * written id-bucketed like [[compact]]'s, so probe co-location
+    * survives the rebuild.
+    *
+    * Crash-safe OFFLINE maintenance (the [[compact]] contract — no
+    * concurrent searches/appends): the `rebuilding` manifest names
+    * the new segment and every input BEFORE anything is written; the
+    * retrained quantizer stages at `quantizer-next` and promotes only
+    * after the new segment commits; [[heal]] replays either direction.
+    */
+  def rebuild(spark: SparkSession, indexPath: String, nlist: Int = 0,
+              kmeansIters: Int = 10, sampleN: Int = 4096,
+              seed: Long = 42, idBuckets: Int = 32): Unit = {
+    require(nlist >= 0, s"nlist must be >= 0 (0 = keep width), got $nlist")
+    heal(spark, indexPath)
+    val fs = fsOf(spark, indexPath)
+    SegmentStore.sweepUncommitted(fs, indexPath)
+    val segs = SegmentStore.committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val dels = SegmentStore.committedDeletes(spark, indexPath)
+    val live = liveVectors(spark, segs, dels, identity)
+      .select(col("id"), col("v"))
+    if (live.limit(1).count() == 0) {
+      System.err.println(s"[graft] rebuild skipped: every document in " +
+        s"$indexPath is tombstoned (build() afresh to reset)")
+      return
+    }
+    val newNlist =
+      if (nlist > 0) nlist
+      else spark.read.parquet(s"${segs.head}/stats")
+        .select("nlist").head().getInt(0)
+    val cents = Similarity.trainIvfCentroids(live, "v", newNlist,
+      kmeansIters, sampleN, seed)
+    // stage the retrained quantizer; promotion waits for the segment
+    val nextPath = s"$indexPath/quantizer-next"
+    spark.createDataFrame(cents.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(nextPath)
+    val name = s"seg-${java.util.UUID.randomUUID()}"
+    val seg = s"$indexPath/segments/$name"
+    val inputs =
+      segs.map(s => "segments/" + new org.apache.hadoop.fs.Path(s).getName) ++
+      dels.map(d => "deletes/" + new org.apache.hadoop.fs.Path(d).getName)
+    Manifest.write(fs, rebuildManifestPath(indexPath),
+      s"segments/$name" +: inputs)
+    val fresh = live
+      .withColumn("cell", Similarity.ivfCell(col("v"), cents))
+      .withColumn("norm", sqrt(VectorOps.normSq(col("v"))))
+    fresh.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$seg/vectors")
+    val written = spark.read.parquet(s"$seg/vectors").select("id", "cell")
+    Bucketing.saveBucketedBatch(
+      written.repartition(idBuckets, col("id")),
+      s"$seg/ids", Seq("id"), idBuckets)
+    readPqModel(spark, indexPath).foreach { m =>
+      spark.read.parquet(s"$seg/vectors")
+        .select(col("id"), col("cell"),
+          Quantization.pqEncode(col("v"), m).as("codes"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$seg/codes")
+    }
+    written.agg(count(lit(1)).cast("double").as("n"),
+        lit(newNlist).as("nlist"))
+      .write.mode("overwrite").parquet(s"$seg/stats")
+    // promote, then retire the inputs — heal replays this tail
+    fs.delete(new org.apache.hadoop.fs.Path(quantizerPath(indexPath)), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(nextPath),
+      new org.apache.hadoop.fs.Path(quantizerPath(indexPath))),
+      s"quantizer promotion rename failed in $indexPath")
+    (segs ++ dels).foreach(s =>
+      fs.delete(new org.apache.hadoop.fs.Path(s), true))
+    Manifest.delete(fs, rebuildManifestPath(indexPath))
+  }
 
   /** Merge every committed segment into one, applying tombstones
     * PHYSICALLY, manifest-healed exactly like [[InvertedIndex.compact]].
@@ -571,8 +698,22 @@ object VectorIndex {
     out.drop("_seg")
   }
 
-  /** Index observability: one row of live corpus size and structural
-    * counts — the maintenance signals a compaction cadence watches.
+  /** Index observability: one row of live corpus size, structural
+    * counts, and per-cell occupancy — the maintenance signals a
+    * compaction cadence watches. The occupancy triple
+    * (cell_occ_min/cell_occ_max/cell_skew, skew = max over mean
+    * counting EMPTY cells) is the quantizer-drift signal: the
+    * quantizer is frozen at build time, so a corpus whose
+    * distribution drifts away from the build sample piles into few
+    * cells — skew climbs toward nlist (every probe of a hot cell then
+    * scans a corpus-sized fraction, the recall/cost degradation the
+    * IVF trade documents) long before recall visibly degrades.
+    * Rebuild (or re-ingest into a fresh build) when it climbs; a
+    * balanced index sits within a small factor of 1.
+    *
+    * Cost: the structural counts read one row per segment dir; the
+    * occupancy reads the live ids LEDGERS (16 B/doc, column-pruned to
+    * `cell`), reduced map-side to ≤ nlist rows — not the vectors.
     */
   def stats(spark: SparkSession, indexPath: String): DataFrame = {
     val segs = SegmentStore.committedSegments(spark, indexPath)
@@ -590,11 +731,26 @@ object VectorIndex {
         .map(_.getAs[Double]("n")).sum
     val segN = segRows.map(_.getAs[Double]("n")).sum
     val nlist = segRows.head.getAs[Int]("nlist")
+    // live per-cell occupancy: ≤ nlist rows to the driver, zero-filled
+    // for cells no live vector occupies (an empty cell IS drift signal)
+    val occRows = liveIdFrames(spark, segs, dels)
+      .map(_.groupBy(col("cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("_c")))
+      .reduce(_ unionByName _)
+      .groupBy("cell").agg(sum(col("_c")).as("c"))
+      .collect()
+    val occ = Array.fill(nlist)(0L)
+    occRows.foreach(r => occ(r.getInt(0)) = r.getAs[Long]("c"))
+    val mean = occ.sum.toDouble / nlist
+    val skew = if (mean > 0) occ.max / mean else 0.0
     spark.range(1).select(
       lit((segN - delN).toLong).as("n_docs"),
       lit(segs.length).as("segments"),
       lit(dels.length).as("tombstone_batches"),
-      lit(nlist).as("nlist"))
+      lit(nlist).as("nlist"),
+      lit(occ.min).as("cell_occ_min"),
+      lit(occ.max).as("cell_occ_max"),
+      lit(math.rint(skew * 1e6) / 1e6).as("cell_skew"))
   }
 
   /** Serve a whole query frame: (qIdCol, rank, idColName, cos) for
@@ -676,8 +832,9 @@ object VectorIndex {
                     candidates: Int, nprobe: Int = 2,
                     qIdCol: String = "q_id", vecCol: String = "vec",
                     idColName: String = "id",
-                    roundTo: Int = 6): DataFrame = {
+                    roundTo: Int = 6, maxQueries: Int = 1024): DataFrame = {
     require(k > 0)
+    require(maxQueries >= 1, s"maxQueries must be positive, got $maxQueries")
     val spark = queries.sparkSession
     val segs = SegmentStore.committedSegments(spark, indexPath)
     require(segs.nonEmpty,
@@ -691,9 +848,18 @@ object VectorIndex {
     require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
     val np = math.min(nprobe, centroids.length)
     // probe-cell set driver-side from the query vectors (bounded: the
-    // ADC tables collect the query frame anyway)
-    val wanted = queries
-      .select(VectorOps.asDouble(col(vecCol)).as("v")).collect()
+    // ADC tables collect the query frame anyway, and the frame is
+    // maxQueries-enforced — this collect shares the same limit so an
+    // oversized frame fails HERE, before any scan)
+    val qVecRows = queries
+      .select(VectorOps.asDouble(col(vecCol)).as("v"))
+      .limit(maxQueries + 1).collect()
+    require(qVecRows.length <= maxQueries,
+      s"ADC search bakes per-query distance tables into the plan as " +
+        s"literals, so the query frame collects driver-side — more than " +
+        s"$maxQueries queries refused (raise maxQueries deliberately, " +
+        "split the frame, or use the broadcast-joined searchTopK path)")
+    val wanted = qVecRows
       .flatMap(r => nearestCellsLocal(r.getSeq[Double](0).toArray,
         centroids, np))
       .distinct.toSeq
@@ -705,7 +871,7 @@ object VectorIndex {
       .select(col("id"), col("v"))
     val q2 = queries.select(col(qIdCol).as("id"), col(vecCol).as("v"))
     Quantization.pqSearchTopK(q2, codesLive, corpusLive, "id", "v", k,
-        model, candidates, roundTo)
+        model, candidates, roundTo, maxQueries)
       .select(col("q_id").as(qIdCol), col("rank"),
         col("id").as(idColName), col("cos"))
   }

@@ -104,6 +104,42 @@ object Vocabulary {
     }
   }
 
+  /** Persist a trained model under `path`: the rank-ordered merge
+    * table lands as ONE parquet write (`path/merges`) whose `_SUCCESS`
+    * is the commit marker — the [[VectorIndex]] quantizer/PQ layout
+    * discipline: a crashed save is invisible to [[loadBpeModel]], and
+    * re-saving over it is an atomic-enough overwrite (marker deleted
+    * first by the overwrite, recreated last). Train once, encode
+    * forever — the reference round-trips its trained models the same
+    * way (eland/ml/ml_model.py:249-550 serializes model artifacts to
+    * the cluster; here the artifact is a parquet table any engine can
+    * read).
+    */
+  def saveBpeModel(spark: org.apache.spark.sql.SparkSession,
+                   model: BpeModel, path: String): Unit = {
+    require(model.merges.nonEmpty, "refusing to save an empty merge table")
+    // one driver-sized table, one file: the model is the artifact, not
+    // a distributed dataset
+    model.toDF(spark).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/merges")
+  }
+
+  /** Load a committed model saved by [[saveBpeModel]]. Loud on a
+    * missing or uncommitted save (no silent empty model).
+    */
+  def loadBpeModel(spark: org.apache.spark.sql.SparkSession,
+                   path: String): BpeModel = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/merges/_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path holds no committed BPE model — saveBpeModel() first " +
+        "(a crashed save leaves no _SUCCESS marker and does not load)")
+    val rows = spark.read.parquet(s"$path/merges").orderBy("rank").collect()
+    require(rows.nonEmpty, s"$path/merges is committed but empty")
+    BpeModel(rows.toSeq.map(r =>
+      (r.getAs[String]("lft"), r.getAs[String]("rgt"))))
+  }
+
   /** Initial symbols are Unicode CODE POINTS, not UTF-16 units —
     * Spark's `split(word, "")`, DuckDB's `word[i]`, and this driver
     * form must all see the same symbol sequence, and the column/SQL

@@ -297,6 +297,47 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // decay functions through function_score (the ES distance-decay
+    // recipe on a numeric field): gauss + weighted exp + linear sum
+    // and multiply the BM25 base. Pure arithmetic — fully portable —
+    // each decay value rounds to 6 dp so libm exp/ln drift cannot
+    // leak; the oracle replays σ² = −scale²/2·ln(decay), the offset
+    // clamp, and the combine order literally
+    "f24_decay_scored" -> ((s, d) => {
+      docs(s, d).esQueryScored(
+        """{"function_score": {
+          |  "query": {"match": {"text": "stream filter"}},
+          |  "functions": [
+          |    {"gauss": {"n_chars": {"origin": 300, "scale": 200,
+          |                           "offset": 50}}},
+          |    {"exp": {"n_chars": {"origin": 0, "scale": 500,
+          |                         "decay": 0.3}}, "weight": 0.5},
+          |    {"linear": {"n_chars": {"origin": 300, "scale": 400}}}
+          |  ],
+          |  "score_mode": "sum",
+          |  "boost_mode": "multiply"
+          |}}""".stripMargin)
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
+    // deterministic random_score (seed AND field, ES's reproducible
+    // spelling): the portable md5 uniform — same determinism contract
+    // as ES's seeded hash, different hash function (documented
+    // delta); summed with a filter-gated weight, boost_mode replace.
+    // The oracle replays the identical md5 draw per doc_id
+    "f25_random_scored" -> ((s, d) => {
+      docs(s, d).esQueryScored(
+        """{"function_score": {
+          |  "functions": [
+          |    {"random_score": {"seed": 42, "field": "doc_id"}},
+          |    {"filter": {"term": {"lang": "en"}}, "weight": 0.25}
+          |  ],
+          |  "score_mode": "sum",
+          |  "boost_mode": "replace"
+          |}}""".stripMargin)
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
     // the ES 8.x knn query through the scored DSL, computed exactly:
     // cosine vs a literal query vector over the filter-restricted
     // frame, top-12 by 6-dp-rounded cosine (id ties), _score =
@@ -607,6 +648,50 @@ object FacadeQueries {
            |                log10(1 + d.n_chars * 0.001)) * 1.0, 6) AS score
            |FROM bm b JOIN documents d ON d.doc_id = b.doc_id
            |ORDER BY score DESC, d.doc_id LIMIT 25""".stripMargin,
+    // decay replay: same σ²/λ/slope arithmetic (power-of-two scalings
+    // commute with IEEE rounding, and every transcendental rounds to
+    // 6 dp on both sides), same (gauss + exp×0.5) + linear order
+    "f24_decay_scored" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))) AS s1
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id),
+           |dv AS (SELECT doc_id,
+           |         greatest(abs(CAST(n_chars AS DOUBLE) - 300.0) - 50.0,
+           |                  0.0) AS dg,
+           |         greatest(abs(CAST(n_chars AS DOUBLE) - 0.0) - 0.0,
+           |                  0.0) AS de,
+           |         greatest(abs(CAST(n_chars AS DOUBLE) - 300.0) - 0.0,
+           |                  0.0) AS dl2
+           |       FROM documents),
+           |fx AS (SELECT doc_id,
+           |         round(exp(-(dg * dg) /
+           |           (2.0 * (-(200.0 * 200.0) / (2.0 * ln(0.5))))), 6) AS gs,
+           |         round(exp((ln(0.3) / 500.0) * de), 6) AS ex,
+           |         round(greatest((800.0 - dl2) / 800.0, 0.0), 6) AS li
+           |       FROM dv)
+           |SELECT b.doc_id,
+           |  round(b.s1 * ((f.gs + f.ex * 0.5) + f.li) * 1.0, 6) AS score
+           |FROM bm b JOIN fx f ON f.doc_id = b.doc_id
+           |ORDER BY score DESC, b.doc_id LIMIT 25""".stripMargin,
+    // the identical md5 draw per doc_id (the Sampling.hashFrac
+    // spelling), 6-dp rounded before the gated weight adds
+    "f25_random_scored" ->
+      """SELECT doc_id,
+        |  round((round((('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) / 4294967296.0, 6)
+        |         + CASE WHEN lang = 'en' THEN 0.25 ELSE 0.0 END) * 1.0, 6)
+        |    AS score
+        |FROM documents
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     // exact knn replay: same tenth-rational query vector, same 6-dp
     // cosine rounding before the rank-12 cut, same (1+cos)/2 mapping
     "f22_knn_scored" ->

@@ -887,6 +887,30 @@ object PipelineQueries {
           "doc_id", "rank", k = 20)
         .orderBy(col("rrf_score").desc, col("doc_id"))
     }),
+    // the ONE-CALL serving facade: hy2's hand-wired composition as a
+    // library face — a query frame carrying (terms, vec) answered
+    // from BOTH persistent indexes (batched BM25 leg + IVF knn leg)
+    // and fused per query; same flat-replay oracle as hy1/hy2, so a
+    // drift anywhere in the two-index + per-query-fusion stack misses
+    "hy3_search_hybrid" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val ipath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-hy3i-$tag").toString
+      val vpath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-hy3v-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", ipath)
+      graft.operators.VectorIndex.build(t(s, d, "embeddings"),
+        "vec_id", "embedding", vpath, nlist = 8)
+      val qv = (0 until 64).map(i => ((i * 7) % 13 - 6) / 10.0)
+      val queries = Seq((1L, Seq("stream", "filter", "join"), qv))
+        .toDF("q_id", "terms", "vec")
+      graft.operators.Serving.searchHybrid(queries, ipath, vpath,
+          k = 20, perLegK = 30, nprobe = 8, idColName = "doc_id")
+        .select("doc_id", "rrf_score")
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
     // index-backed BM25: build the persistent postings index (ONE
     // corpus shuffle, partitioned by md5 term bucket) then search it
     // reading only the query terms' buckets — the query-serving face
@@ -1276,6 +1300,24 @@ object PipelineQueries {
           docs.filter(col("doc_id") < 50), "doc_id", "text", model)
         .orderBy("doc_id", "pos", "piece_pos")
     }),
+    // the tokenizer-persistence round-trip: train, SAVE the committed
+    // model artifact (merge table, _SUCCESS-markered), LOAD it back,
+    // and encode from the LOADED model — train-once-encode-forever;
+    // identical rows to bpe2 prove the artifact carries the exact
+    // rank-ordered merge walk
+    "bpe3_encode_loaded" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val mpath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-bpe3-$tag").toString
+      val model = graft.operators.Vocabulary
+        .trainBpe(docs, "text", numMerges = 24)
+      graft.operators.Vocabulary.saveBpeModel(s, model, mpath)
+      val loaded = graft.operators.Vocabulary.loadBpeModel(s, mpath)
+      graft.operators.Vocabulary.bpeEncodeExploded(
+          docs.filter(col("doc_id") < 50), "doc_id", "text", loaded)
+        .orderBy("doc_id", "pos", "piece_pos")
+    }),
     // incremental NEAR-dup against a persistent LSH registry: batch 1
     // (even ids) registers its band index + shingle sets; batch 2
     // (odd ids) probes, exact-verifies, and must report exactly the
@@ -1652,9 +1694,30 @@ object PipelineQueries {
            |ORDER BY q_id, rank""".stripMargin
     }
 
+  /** Shared by bpe2 (in-memory model) and bpe3 (save/load round-trip):
+    * both encode doc_id < 50 from the same 24-merge walk.
+    */
+  private val bpeEncodeSql: String = {
+    val k = 24
+    bpeChainSql(k) +
+      raw""",
+           |seg AS (SELECT word, string_split(trim(s), '  ') AS pieces
+           |        FROM s$k),
+           |tok AS (SELECT doc_id, unnest($toksSql) AS t,
+           |          generate_subscripts($toksSql, 1) AS pos
+           |        FROM documents WHERE doc_id < 50)
+           |SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+           |       CAST(pp - 1 AS BIGINT) AS piece_pos, piece
+           |FROM (SELECT doc_id, pos, unnest(pieces) AS piece,
+           |             generate_subscripts(pieces, 1) AS pp
+           |      FROM tok JOIN seg ON tok.t = seg.word)
+           |ORDER BY doc_id, pos, piece_pos""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "mv2_maxsim_index_rerank" -> maxSimRerankSql,
     "hy2_hybrid_index_rrf" -> hybridRrfSql,
+    "hy3_search_hybrid" -> hybridRrfSql,
     "sm1_sample_det" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
         |  SELECT * FROM orders
@@ -2391,22 +2454,10 @@ object PipelineQueries {
           .mkString("\n UNION ALL ") +
         ")\nSELECT rank, lft, rgt FROM mm ORDER BY rank"
     },
-    "bpe2_encode" -> {
-      val k = 24
-      bpeChainSql(k) +
-        raw""",
-             |seg AS (SELECT word, string_split(trim(s), '  ') AS pieces
-             |        FROM s$k),
-             |tok AS (SELECT doc_id, unnest($toksSql) AS t,
-             |          generate_subscripts($toksSql, 1) AS pos
-             |        FROM documents WHERE doc_id < 50)
-             |SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
-             |       CAST(pp - 1 AS BIGINT) AS piece_pos, piece
-             |FROM (SELECT doc_id, pos, unnest(pieces) AS piece,
-             |             generate_subscripts(pieces, 1) AS pp
-             |      FROM tok JOIN seg ON tok.t = seg.word)
-             |ORDER BY doc_id, pos, piece_pos""".stripMargin
-    },
+    "bpe2_encode" -> bpeEncodeSql,
+    // save/load round-trip encodes from the LOADED model; the merge
+    // walk it must reproduce is bpe2's, replayed by the same SQL
+    "bpe3_encode_loaded" -> bpeEncodeSql,
     "dd12_incremental_neardup" ->
       raw"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
            |a AS (SELECT doc_id AS id, sh AS sa FROM s

@@ -268,6 +268,26 @@ object TextQueries {
           k = 10)
         .orderBy("q_id", "rank")
     }),
+    // the SERVED face of hn1: candidates from the persistent IVF
+    // index (every cell probed, fetchK >= corpus — the vx1/pq1 exact
+    // configuration) instead of the brute-force cross join; identical
+    // rows to hn1 prove candidates + self/positive cuts + re-rank
+    // lose nothing, and the same oracle replays it flat
+    "hn2_hard_negatives_served" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-hn2-$tag").toString
+      graft.operators.VectorIndex.build(e, "vec_id", "embedding", path,
+        nlist = 8)
+      val pos = e.select((col("vec_id") % 25).as("q_id"),
+          col("vec_id").as("pos_id"))
+        .filter(col("q_id") < 3)
+      graft.operators.Selection.hardNegativesServed(
+          e.filter(col("vec_id") < 3), pos, path, "vec_id", "embedding",
+          k = 10, fetchK = 1000000, nprobe = 8)
+        .orderBy("q_id", "rank")
+    }),
     "sim2_lsh_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.lshTopK(
@@ -432,7 +452,30 @@ object TextQueries {
          |        i -> array_to_string(($toksSql)[i:i+2], ' ')))
          | ELSE [] END""".stripMargin
 
+  /** Shared by hn1 (brute-force scan) and hn2 (persistent-index
+    * candidates at exact configuration): index ≡ scan is pinned by
+    * vx1, so both replay to the same flat cosine + anti-join + rank
+    * arithmetic.
+    */
+  private val hardNegativesSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (SELECT vec_id % 25 AS q_id, vec_id AS pos_id
+      |      FROM embeddings WHERE vec_id % 25 < 3),
+      |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |             round(list_dot_product(q.v, c.v) /
+      |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+      |      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      |      WHERE q.vec_id < 3),
+      |f AS (SELECT s.q_id, s.n_id, s.cos FROM s
+      |      ANTI JOIN p ON s.q_id = p.q_id AND s.n_id = p.pos_id),
+      |r AS (SELECT q_id, n_id, cos,
+      |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+      |      FROM f)
+      |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "hn2_hard_negatives_served" -> hardNegativesSql,
     "t1_token_count" ->
       raw"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
            |FROM documents ORDER BY doc_id""".stripMargin,
@@ -706,22 +749,7 @@ object TextQueries {
         |      FROM s)
         |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
-    "hn1_hard_negatives" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |p AS (SELECT vec_id % 25 AS q_id, vec_id AS pos_id
-        |      FROM embeddings WHERE vec_id % 25 < 3),
-        |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-        |             round(list_dot_product(q.v, c.v) /
-        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
-        |      FROM e q JOIN e c ON c.vec_id <> q.vec_id
-        |      WHERE q.vec_id < 3),
-        |f AS (SELECT s.q_id, s.n_id, s.cos FROM s
-        |      ANTI JOIN p ON s.q_id = p.q_id AND s.n_id = p.pos_id),
-        |r AS (SELECT q_id, n_id, cos,
-        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
-        |      FROM f)
-        |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10
-        |ORDER BY q_id, rank""".stripMargin,
+    "hn1_hard_negatives" -> hardNegativesSql,
     // all cells probed => identical to exact brute force (same oracle)
     "sim3_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -358,11 +358,19 @@ object ScaleCheck {
   /** `ScaleCheck vectors` — the vector-index growth table: grow the
     * corpus 1×/4×/10× while scaling `nlist` WITH it (the √N rule kept
     * linear here: cell size stays ~constant, which is the whole IVF
-    * contract), then time build, a 100-query nprobe=2 search, a fixed
-    * 1000-vector upsert batch, a fixed 1000-id delete batch, compact,
-    * and the post-compaction search. Search and the per-batch ingest
-    * paths should stay near-flat; build and compact are the corpus-
-    * linear phases and should track the data growth.
+    * contract), then time build (pqM = 8, so every segment carries its
+    * PQ code table), a 100-query nprobe=2 search, the same workload
+    * down the ADC path (stage 1 over the ~32×-smaller code rows,
+    * 200-candidate exact re-rank — the measured form of the smaller-
+    * read claim), a MaxSim late-interaction rerank of the IVF top-50
+    * over 4 synthetic token vectors per doc/query (the measured form
+    * of the candidate-bounded-rerank claim: the doc-token table is
+    * corpus-sized but only broadcast-filtered, never shuffled), a
+    * fixed 1000-vector upsert batch, a fixed 1000-id delete batch,
+    * compact, and the post-compaction search. Search/adc/maxsim and
+    * the per-batch ingest paths should stay near-flat; build and
+    * compact are the corpus-linear phases and should track the data
+    * growth.
     */
   private def vectorGrowth(spark: SparkSession): Unit = {
     import graft.operators.VectorIndex
@@ -374,9 +382,10 @@ object ScaleCheck {
       .select(col("vec_id"),
         graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
     println("[scale] vector-index growth: corpus 1x/4x/10x, nlist scaled with it, " +
-      "fixed 100-query nprobe=2 search + fixed 1000-row batches")
+      "fixed 100-query nprobe=2 search (exact + ADC + MaxSim-rerank) + fixed 1000-row batches")
     println(f"[scale] ${"size"}%-5s ${"vecs"}%8s ${"nlist"}%6s ${"build(s)"}%9s " +
-      f"${"search(s)"}%10s ${"upsert(s)"}%10s ${"delete(s)"}%10s " +
+      f"${"search(s)"}%10s ${"adc(s)"}%8s ${"maxsim(s)"}%10s " +
+      f"${"upsert(s)"}%10s ${"delete(s)"}%10s " +
       f"${"compact(s)"}%11s ${"search2(s)"}%11s")
     val rows = Seq(1, 4, 10).map { s =>
       val idx = s"/tmp/scale_vidx_$s"
@@ -394,13 +403,41 @@ object ScaleCheck {
         .select((col("vec_id") + 900000000L).as("q_id"), col("v").as("vec"))
         .localCheckpoint(true)
       val tBuild = timeS {
-        VectorIndex.build(corpus, "vec_id", "v", idx, nlist = nlist)
+        VectorIndex.build(corpus, "vec_id", "v", idx, nlist = nlist,
+          pqM = 8)
       }
       def search(): Unit = {
         VectorIndex.searchTopK(queries, idx, k = 10, nprobe = 2).count()
         ()
       }
       val tSearch = timeS(search())
+      val tAdc = timeS {
+        VectorIndex.searchTopKAdc(queries, idx, k = 10,
+          candidates = 200, nprobe = 2).count()
+        ()
+      }
+      // 4 deterministic token vectors per doc/query: the late-
+      // interaction fixture — candidates are the IVF top-50
+      val docToks = corpus
+        .crossJoin(spark.range(4).select(col("id").as("tok")))
+        .select(col("vec_id"),
+          transform(col("v"), (x, i) =>
+            x + (((col("tok") * 7 + i * 3) % 5).cast("double") - 2.0)
+              * 0.003).as("v"))
+      val qToks = queries
+        .crossJoin(spark.range(4).select(col("id").as("qpos")))
+        .select(col("q_id"), col("qpos"),
+          transform(col("vec"), (x, i) =>
+            x + (((col("qpos") * 11 + i * 2) % 5).cast("double") - 2.0)
+              * 0.003).as("v"))
+      val tMaxsim = timeS {
+        val cand = VectorIndex.searchTopK(queries, idx, k = 50,
+            nprobe = 2)
+          .select(col("q_id"), col("id").as("vec_id"))
+        graft.operators.Ranking.maxSimRerank(docToks, qToks, cand,
+          "vec_id", "q_id", "qpos", "v", k = 10).count()
+        ()
+      }
       val tUpsert = timeS {
         VectorIndex.ingestUpsertBatch(
           corpus.filter(col("vec_id") < 1000)
@@ -415,14 +452,16 @@ object ScaleCheck {
       val tCompact = timeS { VectorIndex.compact(spark, idx) }
       val tSearch2 = timeS(search())
       println(f"[scale] ${s}%-5d ${n}%8d ${nlist}%6d ${tBuild}%9.2f " +
-        f"${tSearch}%10.2f ${tUpsert}%10.2f ${tDelete}%10.2f " +
+        f"${tSearch}%10.2f ${tAdc}%8.2f ${tMaxsim}%10.2f " +
+        f"${tUpsert}%10.2f ${tDelete}%10.2f " +
         f"${tCompact}%11.2f ${tSearch2}%11.2f")
-      (tSearch2, tUpsert, tDelete)
+      (tSearch2, tAdc, tMaxsim, tUpsert, tDelete)
     }
-    val (q1, u1, d1) = rows.head
-    val (q10, u10, d10) = rows.last
+    val (q1, a1, m1, u1, d1) = rows.head
+    val (q10, a10, m10, u10, d10) = rows.last
     println(f"[scale] growth 10x data (nlist scaled) -> search ${q10 / q1}%.2fx, " +
+      f"adc ${a10 / a1}%.2fx, maxsim ${m10 / m1}%.2fx, " +
       f"upsert ${u10 / u1}%.2fx, delete ${d10 / d1}%.2fx " +
-      "(flat-ish = cell size and per-batch probes scale-independent)")
+      "(flat-ish = cell size, code reads, and per-batch probes scale-independent)")
   }
 }

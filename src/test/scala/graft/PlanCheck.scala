@@ -66,4 +66,24 @@ object PlanCheck {
     }
     scans.size
   }
+
+  /** Same no-Exchange-to-join property for PLAIN (non-bucketed) file
+    * scans under `pathSubstring` — the corpus-stays-put pin for scans
+    * that must enter a broadcast join map-side rather than reshuffle
+    * (e.g. an index's pruned vectors feeding the broadcast query
+    * frame). Returns the number of scans checked.
+    */
+  def requireUnshuffledScanToJoin(root: SparkPlan,
+                                  pathSubstring: String): Int = {
+    val scans = flatten(root).collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains(pathSubstring)) => f
+    }
+    scans.foreach { scan =>
+      val between = ancestorsToJoin(root, scan)
+      assert(!between.exists(_.isInstanceOf[Exchange]),
+        s"Exchange between scan and its join:\n$root")
+    }
+    scans.size
+  }
 }

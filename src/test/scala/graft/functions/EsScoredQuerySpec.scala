@@ -235,6 +235,75 @@ class EsScoredQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("decay functions: ES arithmetic on numeric fields; seeded " +
+    "random_score draws the portable uniform; deltas stay loud") {
+    val tiny = Seq(
+      (1L, "alpha", Some(300.0)), (2L, "alpha", Some(500.0)),
+      (3L, "alpha", Some(330.0)), (4L, "alpha", Option.empty[Double]),
+      (5L, "alpha", Some(5000.0))
+    ).toDF("doc_id", "text", "x")
+    def decayScores(kind: String, params: String): Map[Long, Double] =
+      EsScoredQuery.scoredFrame(tiny, "doc_id",
+        s"""{"function_score": {
+           |  "query": {"match_all": {}},
+           |  "functions": [{"$kind": {"x": {$params}}}],
+           |  "boost_mode": "replace"
+           |}}""".stripMargin)
+        .select("doc_id", "_score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // gauss: 1 at origin, exactly `decay` one scale away, 1 inside
+    // the offset, 1 on a missing field (ES), ~0 far away
+    val g = decayScores("gauss",
+      """"origin": 300, "scale": 200, "offset": 50""")
+    assert(g(1L) == 1.0 && g(3L) == 1.0 && g(4L) == 1.0, g.toString)
+    assert(g(2L) == math.rint(math.exp(-150.0 * 150.0 /
+      (2.0 * (-200.0 * 200.0 / (2.0 * math.log(0.5))))) * 1e6) / 1e6)
+    assert(g(5L) < 1e-6, g.toString)
+    val g2 = decayScores("gauss", """"origin": 300, "scale": 200""")
+    assert(g2(2L) == 0.5, s"one scale away must score decay: $g2")
+    // exp: decay one scale away, positive tail far out
+    val e = decayScores("exp",
+      """"origin": 300, "scale": 200, "decay": 0.3""")
+    assert(e(1L) == 1.0 && e(2L) == 0.3 && e(4L) == 1.0, e.toString)
+    // the far tail rounds to 0 at 6 dp; nearer points order correctly
+    assert(e(5L) < 0.01 && e(3L) > e(2L), e.toString)
+    // linear: decay one scale away, hard 0 past the support
+    val l = decayScores("linear",
+      """"origin": 300, "scale": 200, "decay": 0.5""")
+    assert(l(1L) == 1.0 && l(2L) == 0.5 && l(5L) == 0.0, l.toString)
+    // seeded random_score: stable across evaluations, in [0, 1),
+    // id-sensitive
+    def draws() = EsScoredQuery.scoredFrame(tiny, "doc_id",
+      """{"function_score": {
+        |  "functions": [{"random_score": {"seed": 7, "field": "doc_id"}}],
+        |  "boost_mode": "replace"
+        |}}""".stripMargin)
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val d1 = draws(); val d2 = draws()
+    assert(d1 == d2 && d1.values.forall(v => v >= 0.0 && v < 1.0))
+    assert(d1.values.toSet.size == 5, s"draws must be id-sensitive: $d1")
+    // deltas stay loud: seedless / fieldless random_score, duration
+    // origins, unknown decay params, two functions in one entry
+    def refuse(fn: String): String =
+      intercept[IllegalArgumentException] {
+        EsScoredQuery.scoredFrame(tiny, "doc_id",
+          s"""{"function_score": {"query": {"match_all": {}},
+             |  "functions": [$fn]}}""".stripMargin)
+      }.getMessage
+    assert(refuse("""{"random_score": {"field": "doc_id"}}""")
+      .contains("seed"))
+    assert(refuse("""{"random_score": {"seed": 7}}""").contains("field"))
+    assert(refuse("""{"gauss": {"x": {"origin": "now-1d",
+      "scale": "1d"}}}""").contains("origin"))
+    assert(refuse("""{"gauss": {"x": {"origin": 1, "scale": 2,
+      "multi_value_mode": "min"}}}""").contains("multi_value_mode"))
+    assert(refuse("""{"gauss": {"x": {"origin": 1, "scale": 2}},
+      "linear": {"x": {"origin": 1, "scale": 2}}}""").contains("at most"))
+    assert(refuse("""{"script_score": {"script": "1"}}""")
+      .contains("engine-independent"))
+  }
+
   test("scored-context guardrails stay loud") {
     val tiny = Seq((1L, "alpha")).toDF("doc_id", "text")
     // fuzziness scores with engine-internal statistics in ES — no

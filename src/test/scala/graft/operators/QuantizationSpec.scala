@@ -126,4 +126,23 @@ class QuantizationSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.toLowerCase.contains("array"))
   }
+
+  test("pqSearchTopK enforces the modest-query-frame contract loudly") {
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, graft.TestSpark.sfDir, "embeddings")
+    val model = Quantization.trainPq(emb, "embedding", m = 8, ksub = 16)
+    val codes = Quantization.pqEncodeFrame(emb, "vec_id", "embedding",
+      model)
+    val q = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 900000).as("vec_id"), col("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Quantization.pqSearchTopK(q, codes, emb, "vec_id", "embedding",
+        k = 2, model, candidates = 5, maxQueries = 4)
+    }
+    assert(ex.getMessage.contains("refused") &&
+      ex.getMessage.contains("searchTopK"), ex.getMessage)
+    // within the bound, same call serves
+    assert(Quantization.pqSearchTopK(q, codes, emb, "vec_id", "embedding",
+      k = 2, model, candidates = 5, maxQueries = 10).count() > 0)
+  }
 }

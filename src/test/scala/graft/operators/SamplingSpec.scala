@@ -185,4 +185,63 @@ class SamplingSpec extends AnyFunSuite {
         s"id $id: got ${back(id)}, want ($ord, ${ord / 25})")
     }
   }
+
+  test("an empty export refuses loudly and leaves the previous " +
+    "manifest intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty")
+      .toString
+    val df = (0L until 40L).map(i => (i, s"d$i")).toDF("id", "payload")
+    Sampling.exportShards(df, "id", rowsPerShard = 10, seed = 3, dir)
+    val before = spark.read.parquet(s"$dir/manifest")
+      .orderBy("shard").collect().toSeq
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.exportShards(df.filter(lit(false)), "id",
+        rowsPerShard = 10, seed = 3, dir)
+    }
+    assert(ex.getMessage.contains("empty"))
+    assert(spark.read.parquet(s"$dir/manifest")
+      .orderBy("shard").collect().toSeq == before,
+      "the failed empty export disturbed the committed manifest")
+  }
+
+  test("the manifest derives from parquet FOOTER stats, not a second " +
+    "data pass") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-footer")
+      .toString
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { captured.add(qe.executedPlan.toString); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = (0L until 60L).map(i => (i, s"d$i")).toDF("id", "payload")
+      Sampling.exportShards(df, "id", rowsPerShard = 20, seed = 5, dir)
+      // QueryExecutionListener delivery is async — settle like the
+      // other listener-pinned specs
+      var last = -1
+      while (captured.size != last) {
+        last = captured.size; Thread.sleep(400)
+      }
+      val pushed = captured.toArray(Array.empty[String]).exists(p =>
+        p.contains("PushedAggregation") && p.contains("MIN(ordinal)") &&
+          p.contains("MAX(ordinal)") && p.contains("COUNT(*)"))
+      assert(pushed,
+        "no plan with a pushed-down manifest aggregate observed:\n" +
+          captured.toArray(Array.empty[String]).mkString("\n----\n")
+            .take(4000))
+    } finally spark.listenerManager.unregister(listener)
+    // and the manifest is still exactly right
+    val m = spark.read.parquet(s"$dir/manifest").orderBy("shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(m == Seq((0L, 20L, 0L, 19L), (1L, 20L, 20L, 39L),
+      (2L, 20L, 40L, 59L)))
+  }
 }

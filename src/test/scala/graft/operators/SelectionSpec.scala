@@ -69,4 +69,47 @@ class SelectionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("hardNegativesServed at exact configuration == hardNegatives; " +
+    "the index corpus never shuffles into its join") {
+    val e = graft.Tables.load(spark, graft.TestSpark.sfDir, "embeddings")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-hnserved").toString
+    VectorIndex.build(e, "vec_id", "embedding", path, nlist = 8)
+    val pos = e.select((col("vec_id") % 25).as("q_id"),
+        col("vec_id").as("pos_id"))
+      .filter(col("q_id") < 3)
+    val q = e.filter(col("vec_id") < 3)
+    val served = Selection.hardNegativesServed(q, pos, path,
+      "vec_id", "embedding", k = 10, fetchK = 1000000, nprobe = 8)
+    val got = served.orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val brute = Selection.hardNegatives(q, e, pos, "vec_id", "embedding",
+        k = 10)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got.nonEmpty && got == brute)
+    // the corpus-stays-put pin: every pruned vectors scan enters its
+    // (broadcast-query) join without an Exchange in between
+    val checked = graft.PlanCheck.requireUnshuffledScanToJoin(
+      served.queryExecution.executedPlan, "vectors")
+    assert(checked >= 1, "no vectors scan found to check")
+  }
+
+  test("hardNegativesServed validates fetchK >= k") {
+    val e = graft.Tables.load(spark, graft.TestSpark.sfDir, "embeddings")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-hnserved-req").toString
+    VectorIndex.build(e.filter(col("vec_id") < 50), "vec_id", "embedding",
+      path, nlist = 2)
+    val ex = intercept[IllegalArgumentException] {
+      Selection.hardNegativesServed(e.filter(col("vec_id") < 2),
+        e.limit(0).select(col("vec_id").as("q_id"),
+          col("vec_id").as("pos_id")),
+        path, "vec_id", "embedding", k = 5, fetchK = 3)
+    }
+    assert(ex.getMessage.contains("fetchK"))
+  }
 }

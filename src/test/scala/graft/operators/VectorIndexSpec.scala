@@ -402,4 +402,129 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(segDirs(path).count(d =>
       new java.io.File(d, "stats/_SUCCESS").exists) == 1)
   }
+
+  test("stats exposes per-cell occupancy; a drifted corpus moves " +
+    "cell_skew up") {
+    val path = tmp("graft-vidx-drift")
+    VectorIndex.build(emb, "vec_id", "embedding", path, nlist = 8)
+    val st0 = VectorIndex.stats(spark, path).head()
+    val n0 = st0.getAs[Long]("n_docs")
+    val skew0 = st0.getAs[Double]("cell_skew")
+    assert(st0.getAs[Long]("cell_occ_min") >= 0)
+    assert(st0.getAs[Long]("cell_occ_max") >= n0 / 8)
+    assert(skew0 >= 1.0, s"skew below 1 is impossible (max >= mean): $skew0")
+    // drift: append the SAME count of identical far-away vectors —
+    // they all land in one cell, so max occupancy ~doubles-plus while
+    // the mean only doubles -> skew strictly rises
+    val drift = emb.select((col("vec_id") + 500000).as("vec_id"),
+      transform(col("embedding"), x => lit(7.0)).as("embedding"))
+    VectorIndex.append(drift, "vec_id", "embedding", path)
+    val st1 = VectorIndex.stats(spark, path).head()
+    assert(st1.getAs[Long]("n_docs") == 2 * n0)
+    assert(st1.getAs[Double]("cell_skew") > skew0,
+      s"drift did not move the skew signal: $skew0 -> " +
+        s"${st1.getAs[Double]("cell_skew")}")
+    // the hot cell now holds at least the whole drifted batch
+    assert(st1.getAs[Long]("cell_occ_max") >= n0)
+  }
+
+  test("rebuild retrains the quantizer in place: identical exact-config " +
+    "answers, skew drops, ledger re-bucketed, PQ kept") {
+    val path = tmp("graft-vidx-rebuild")
+    VectorIndex.build(emb, "vec_id", "embedding", path, nlist = 8,
+      pqM = 8)
+    // drift the corpus: a same-sized batch of identical far-away
+    // vectors piles into one cell under the frozen quantizer
+    val drift = emb.select((col("vec_id") + 500000).as("vec_id"),
+      transform(col("embedding"), x => lit(7.0)).as("embedding"))
+    VectorIndex.append(drift, "vec_id", "embedding", path)
+    val skewBefore = VectorIndex.stats(spark, path).head()
+      .getAs[Double]("cell_skew")
+    val q = queriesShifted(5)
+    val before = rows(VectorIndex.searchTopK(q, path, k = 5, nprobe = 8))
+    VectorIndex.rebuild(spark, path)
+    // one segment, same live corpus, identical every-cell answers
+    assert(segDirs(path).length == 1)
+    assert(rows(VectorIndex.searchTopK(q, path, k = 5, nprobe = 8))
+      == before)
+    val st = VectorIndex.stats(spark, path).head()
+    assert(st.getAs[Long]("n_docs") == 2 * emb.count())
+    assert(st.getAs[Double]("cell_skew") < skewBefore,
+      s"rebuild did not reduce the drift skew: $skewBefore -> " +
+        s"${st.getAs[Double]("cell_skew")}")
+    // the rebuilt ids ledger is bucketed (probe co-location survives)
+    val seg = segDirs(path).head
+    assert(new java.io.File(s"$seg/ids/_bucket_spec.json").exists)
+    // PQ codes were re-encoded: the ADC exact configuration still
+    // equals the exact search
+    val adc = rows(VectorIndex.searchTopKAdc(q, path, k = 5,
+      candidates = 10000000, nprobe = 8))
+    assert(adc == before)
+    // upsert/delete still work against the rebuilt index
+    VectorIndex.deleteDocs(emb.filter(col("vec_id") < 3)
+      .select("vec_id"), path)
+    assert(VectorIndex.stats(spark, path).head().getAs[Long]("n_docs")
+      == 2 * emb.count() - 3)
+  }
+
+  test("a crashed rebuild heals in both directions") {
+    import org.apache.hadoop.fs.Path
+    // rollback: manifest + staged quantizer, target never committed
+    val p1 = tmp("graft-vidx-rbheal1")
+    VectorIndex.build(emb, "vec_id", "embedding", p1, nlist = 4)
+    val fs = new Path(p1).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val centsBefore = VectorIndex.readCentroids(spark, p1).toSeq.map(_.toSeq)
+    spark.createDataFrame(Seq((0, Seq(9.0, 9.0)), (1, Seq(-9.0, -9.0))))
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$p1/quantizer-next")
+    Manifest.write(fs, new Path(s"$p1/rebuilding"),
+      Seq("segments/seg-never-written",
+        "segments/" + new Path(segDirs(p1).head.toString).getName))
+    VectorIndex.heal(spark, p1)
+    assert(!fs.exists(new Path(s"$p1/rebuilding")))
+    assert(!fs.exists(new Path(s"$p1/quantizer-next")))
+    assert(VectorIndex.readCentroids(spark, p1).toSeq.map(_.toSeq)
+      == centsBefore, "rollback must leave the old quantizer")
+    assert(segDirs(p1).nonEmpty)
+    assert(VectorIndex.searchTopK(queriesShifted(2), p1, k = 3,
+      nprobe = 4).count() > 0)
+    // completion: target committed, quantizer staged, inputs pending —
+    // heal must promote the quantizer and delete the inputs
+    val p2 = tmp("graft-vidx-rbheal2")
+    VectorIndex.build(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", p2, nlist = 4)
+    VectorIndex.append(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", p2)
+    val Seq(a, b) = segDirs(p2).map(f => new Path(f.toString).getName)
+      .sorted.toSeq
+    val staged = Seq((0, (0 until 64).map(_ => 1.0)),
+      (1, (0 until 64).map(_ => -1.0)))
+    spark.createDataFrame(staged).toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$p2/quantizer-next")
+    Manifest.write(fs, new Path(s"$p2/rebuilding"),
+      Seq(s"segments/$b", s"segments/$a"))
+    VectorIndex.heal(spark, p2)
+    assert(!fs.exists(new Path(s"$p2/rebuilding")))
+    assert(!fs.exists(new Path(s"$p2/quantizer-next")))
+    assert(segDirs(p2).map(f => new Path(f.toString).getName) == Seq(b),
+      "completion must retire the input segments")
+    assert(VectorIndex.readCentroids(spark, p2).toSeq.map(_.toSeq)
+      == staged.map(_._2), "completion must promote the staged quantizer")
+  }
+
+  test("the ADC path refuses an oversized query frame loudly") {
+    val path = tmp("graft-vidx-maxq")
+    VectorIndex.build(emb, "vec_id", "embedding", path, nlist = 4,
+      pqM = 8)
+    val q = queriesShifted(5)
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.searchTopKAdc(q, path, k = 2, candidates = 10,
+        nprobe = 4, maxQueries = 3)
+    }
+    assert(ex.getMessage.contains("refused"), ex.getMessage)
+    // within the bound the same call serves
+    assert(VectorIndex.searchTopKAdc(q, path, k = 2, candidates = 10,
+      nprobe = 4, maxQueries = 5).count() > 0)
+  }
 }

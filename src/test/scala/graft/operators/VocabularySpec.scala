@@ -41,4 +41,40 @@ class VocabularySpec extends AnyFunSuite {
     assert(arr(1L) == Seq(1L, 2L, 2L, 0L, 0L, 0L))
     assert(arr(3L) == Seq(-1L))
   }
+
+  test("BPE model save/load round-trips bit-identically; an " +
+    "uncommitted save refuses to load") {
+    val corpus = Seq((1L, "hug hug hugs pug pug pugs hug"),
+      (2L, "bug bugs hug pug")).toDF("doc_id", "text")
+    val model = Vocabulary.trainBpe(corpus, "text", numMerges = 8)
+    assert(model.merges.nonEmpty)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bpe-save").toString
+    Vocabulary.saveBpeModel(spark, model, path)
+    val loaded = Vocabulary.loadBpeModel(spark, path)
+    assert(loaded.merges == model.merges)
+    // encoding from the loaded model is identical
+    val a = Vocabulary.bpeEncodeExploded(corpus, "doc_id", "text", model)
+      .orderBy("doc_id", "pos", "piece_pos").collect().toSeq
+    val b = Vocabulary.bpeEncodeExploded(corpus, "doc_id", "text", loaded)
+      .orderBy("doc_id", "pos", "piece_pos").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // a crashed save (no _SUCCESS marker) must refuse loudly, not
+    // load a possibly-partial merge table
+    assert(new java.io.File(s"$path/merges/_SUCCESS").delete())
+    val ex = intercept[IllegalArgumentException] {
+      Vocabulary.loadBpeModel(spark, path)
+    }
+    assert(ex.getMessage.contains("committed"))
+    // a never-saved path refuses with the same message
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft-bpe-none").toString
+    assert(intercept[IllegalArgumentException] {
+      Vocabulary.loadBpeModel(spark, empty)
+    }.getMessage.contains("committed"))
+    // an empty model refuses to save at all
+    assert(intercept[IllegalArgumentException] {
+      Vocabulary.saveBpeModel(spark, Vocabulary.BpeModel(Seq.empty), path)
+    }.getMessage.contains("empty"))
+  }
 }
