@@ -73,7 +73,11 @@ object DumpPlans {
     "hy1_hybrid_rrf" ->
       "Hybrid RRF: both input rankings are already k-sized (BM25's TakeOrderedAndProject, the cosine TakeOrdered), so the fusion unions <= rankings x k rows, aggregates the 1/(rrfK + rank) sums on that tiny set, and TakeOrdered caps the result — lexical and vector retrieval combine without a corpus-sized node anywhere past the two retrievals themselves.",
     "pq1_pq_adc_topk" ->
-      "Product-quantized ADC search: stage 1's scan ReadSchema is (id, codes) — m small ints per row, never the vectors — and each row's approximate distance is m element_at lookups into the query's literal tables; the two-phase ranking keeps `candidates` per query, and ONLY those candidate ids join back to the vector table for the exact cosine re-rank. At 100TB of embeddings the code table is the 32x-smaller thing you can afford to scan per query.")
+      "Product-quantized ADC search: stage 1's scan ReadSchema is (id, codes) — m small ints per row, never the vectors — and each row's approximate distance is m element_at lookups into the query's literal tables; the two-phase ranking keeps `candidates` per query, and ONLY those candidate ids join back to the vector table for the exact cosine re-rank. At 100TB of embeddings the code table is the 32x-smaller thing you can afford to scan per query.",
+    "hn2_hard_negatives_served" ->
+      "Served hard negatives: candidates come from the IVF index's cell-pruned scan (PartitionFilters on the probed cells, query frame broadcast — the corpus never shuffles into its join, spec-pinned), the self/positive cuts are broadcast anti-joins over candidate-sized sets, and the re-rank touches <= queries x fetchK rows. The brute |corpus| x |queries| cosine interior is gone: a 100TB corpus costs O(probed cells).",
+    "hy3_search_hybrid" ->
+      "One-call hybrid serving: the lexical leg reads only the query terms' postings buckets (PartitionFilters + term pushdown), the vector leg only the probed cells, each answers the WHOLE query frame in one plan, and the per-query RRF fusion aggregates <= 2 x queries x perLegK rows. Nothing corpus-sized exists past the two pruned index reads.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
