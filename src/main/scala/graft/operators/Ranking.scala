@@ -88,6 +88,48 @@ object Ranking {
       .limit(k)
   }
 
+  /** Weighted linear fusion with per-ranking min-max normalization —
+    * the ES 8.x `linear` retriever combiner (the score-based sibling
+    * of [[rrfFuse]] for when the relative magnitudes should matter,
+    * not just ranks): each input ranking's scores normalize to [0, 1]
+    * over ITS OWN retrieved set ((s − min)/(max − min); a
+    * degenerate constant-score ranking contributes 1.0 per hit —
+    * present means fully present, deterministic and documented), the
+    * fused score is Σ weightᵢ × normᵢ over the rankings holding the
+    * doc, and the top-k orders by the 6-dp-rounded sum (id ties).
+    *
+    * Each `rankings` frame carries (idCol, scoreCol) with one row per
+    * id — feed it top-k outputs. Per-leg min/max enter as 1-row
+    * broadcast crossJoins INSIDE the lazy plan (the in-plan-stats
+    * discipline); the legs are already k-sized, so the fusion
+    * shuffles ≤ rankings × k rows. With two rankings the sum is
+    * order-independent (IEEE addition commutes); more, and last-ulp
+    * association differences are absorbed by the rounding.
+    */
+  def linearFuse(rankings: Seq[DataFrame], idCol: String,
+                 scoreCol: String, weights: Seq[Double],
+                 k: Int): DataFrame = {
+    require(rankings.nonEmpty && rankings.size == weights.size,
+      s"need one weight per ranking (${rankings.size} rankings, " +
+        s"${weights.size} weights)")
+    require(k > 0 && weights.forall(_ >= 0),
+      "k must be positive and weights non-negative")
+    val contribs = rankings.zip(weights).map { case (r, w) =>
+      val s = r.select(col(idCol), col(scoreCol).cast("double").as("_s"))
+      val mm = s.agg(min(col("_s")).as("_mn"), max(col("_s")).as("_mx"))
+      s.crossJoin(broadcast(mm))
+        .select(col(idCol),
+          (when(col("_mx") === col("_mn"), lit(1.0))
+            .otherwise((col("_s") - col("_mn")) /
+              (col("_mx") - col("_mn"))) * w).as("_c"))
+    }
+    contribs.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(round(sum(col("_c")), 6).as("lin_score"))
+      .orderBy(col("lin_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** [[rrfFuse]] for a whole QUERY FRAME: each `rankings` frame
     * carries (qCol, idCol, rankCol) rows — a batched search output
     * like [[InvertedIndex.searchTopKBatch]] or

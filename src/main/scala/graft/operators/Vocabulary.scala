@@ -140,6 +140,58 @@ object Vocabulary {
       (r.getAs[String]("lft"), r.getAs[String]("rgt"))))
   }
 
+  /** Export the merge table in the Hugging Face BPE `merges.txt`
+    * spelling — a `#version: 0.2` header, then one "left right" pair
+    * per line in rank order — the interop format HF `tokenizers`
+    * (and everything that reads its BPE models) consumes, so a
+    * corpus-trained merge walk can feed a production tokenizer stack
+    * directly. One driver-side file write: the model is driver-sized
+    * by definition. Symbols cannot contain whitespace (they come from
+    * whitespace-split tokens), which is exactly why the format's
+    * space-separated lines are unambiguous; guarded anyway.
+    */
+  def exportBpeMergesTxt(spark: org.apache.spark.sql.SparkSession,
+                         model: BpeModel, file: String): Unit = {
+    require(model.merges.nonEmpty, "refusing to export an empty merge table")
+    model.merges.foreach { case (l, r) =>
+      require(!l.exists(_.isWhitespace) && !r.exists(_.isWhitespace),
+        s"merge symbols must be whitespace-free, got ('$l', '$r')")
+    }
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(("#version: 0.2\n" +
+      model.merges.map { case (l, r) => s"$l $r" }.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a `merges.txt` (HF BPE) into a [[BpeModel]]: `#`-comment
+    * lines skipped, each remaining line exactly "left right", rank =
+    * line order — the inverse of [[exportBpeMergesTxt]], and the path
+    * for encoding a corpus under a PRODUCTION tokenizer's merges.
+    */
+  def importBpeMergesTxt(spark: org.apache.spark.sql.SparkSession,
+                         file: String): BpeModel = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no merges file at $file")
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val merges = lines.filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l =>
+        l.split(" ", -1) match {
+          case Array(lft, rgt) if lft.nonEmpty && rgt.nonEmpty => (lft, rgt)
+          case _ => throw new IllegalArgumentException(
+            s"malformed merges.txt line (want 'left right'): '$l'")
+        }
+      }
+    require(merges.nonEmpty, s"$file holds no merges")
+    BpeModel(merges)
+  }
+
   /** Initial symbols are Unicode CODE POINTS, not UTF-16 units —
     * Spark's `split(word, "")`, DuckDB's `word[i]`, and this driver
     * form must all see the same symbol sequence, and the column/SQL

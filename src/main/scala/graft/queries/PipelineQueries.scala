@@ -1031,6 +1031,26 @@ object PipelineQueries {
           "doc_id", "rank", k = 20)
         .orderBy(col("rrf_score").desc, col("doc_id"))
     }),
+    // weighted linear hybrid fusion (the ES 8.x `linear` retriever):
+    // each leg's top-30 scores min-max normalize over their own set,
+    // fused = 0.7 × lexical + 0.3 × semantic — the score-magnitude
+    // sibling of hy1's rank-based RRF; the oracle replays both legs,
+    // both normalizations, and the weighted sum
+    "hy4_hybrid_linear" -> ((s, d) => {
+      val lex = graft.operators.Ranking.bm25TopK(t(s, d, "documents"),
+        "doc_id", "text", Seq("stream", "filter", "join"), k = 30)
+      val qv = (0 until 64).map(i => ((i * 7) % 13 - 6) / 10.0)
+      val sem = t(s, d, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          round(VectorExpressions.cosine(col("embedding"),
+            typedLit(qv)), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(30)
+      graft.operators.Ranking.linearFuse(
+          Seq(lex.select(col("doc_id"), col("score")),
+            sem.select(col("doc_id"), col("cos").as("score"))),
+          "doc_id", "score", Seq(0.7, 0.3), k = 20)
+        .orderBy(col("lin_score").desc, col("doc_id"))
+    }),
     // persistent IVF vector index, exact configuration: build the
     // cell-partitioned index (quantizer trained once, frozen), then
     // serve a query frame probing EVERY cell — must equal brute-force
@@ -1316,6 +1336,26 @@ object PipelineQueries {
       val loaded = graft.operators.Vocabulary.loadBpeModel(s, mpath)
       graft.operators.Vocabulary.bpeEncodeExploded(
           docs.filter(col("doc_id") < 50), "doc_id", "text", loaded)
+        .orderBy("doc_id", "pos", "piece_pos")
+    }),
+    // Hugging Face merges.txt interop: export the trained merge walk
+    // in the HF BPE spelling, import it back, and encode from the
+    // IMPORTED model — identical rows to bpe2 prove the interop
+    // format carries the walk losslessly (the path for feeding a
+    // corpus-trained tokenizer to a production stack, or encoding
+    // under a production tokenizer's merges)
+    "bpe4_encode_hf_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val file = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-bpe4-$tag-merges.txt").toString
+      val model = graft.operators.Vocabulary
+        .trainBpe(docs, "text", numMerges = 24)
+      graft.operators.Vocabulary.exportBpeMergesTxt(s, model, file)
+      val imported = graft.operators.Vocabulary.importBpeMergesTxt(s, file)
+      graft.operators.Vocabulary.bpeEncodeExploded(
+          docs.filter(col("doc_id") < 50), "doc_id", "text", imported)
         .orderBy("doc_id", "pos", "piece_pos")
     }),
     // incremental NEAR-dup against a persistent LSH registry: batch 1
@@ -2458,6 +2498,51 @@ object PipelineQueries {
     // save/load round-trip encodes from the LOADED model; the merge
     // walk it must reproduce is bpe2's, replayed by the same SQL
     "bpe3_encode_loaded" -> bpeEncodeSql,
+    // merges.txt round-trip encodes from the IMPORTED model — same
+    // walk, same SQL
+    "bpe4_encode_hf_roundtrip" -> bpeEncodeSql,
+    // linear fusion replay: both legs' top-30, each min-max
+    // normalized over its own set (degenerate range -> 1.0), weighted
+    // 0.7/0.3, 6-dp-rounded sum with id ties
+    "hy4_hybrid_linear" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter', 'join') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id),
+           |lexk AS (SELECT doc_id, score FROM bm
+           |         ORDER BY score DESC, doc_id LIMIT 30),
+           |lmm AS (SELECT min(score) AS mn, max(score) AS mx FROM lexk),
+           |lc AS (SELECT doc_id,
+           |         (CASE WHEN mx = mn THEN 1.0
+           |               ELSE (score - mn) / (mx - mn) END) * 0.7 AS c
+           |       FROM lexk, lmm),
+           |q AS (SELECT list_transform(range(0, 64),
+           |        i -> CAST((i*7) % 13 - 6 AS DOUBLE)/10.0) AS v),
+           |sem0 AS (SELECT vec_id AS doc_id,
+           |           round(list_dot_product(embedding::DOUBLE[], q.v) /
+           |             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+           |              sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+           |         FROM embeddings, q),
+           |semk AS (SELECT doc_id, cos FROM sem0
+           |         ORDER BY cos DESC, doc_id LIMIT 30),
+           |smm AS (SELECT min(cos) AS mn, max(cos) AS mx FROM semk),
+           |sc AS (SELECT doc_id,
+           |         (CASE WHEN mx = mn THEN 1.0
+           |               ELSE (cos - mn) / (mx - mn) END) * 0.3 AS c
+           |       FROM semk, smm),
+           |u AS (SELECT * FROM lc UNION ALL SELECT * FROM sc)
+           |SELECT doc_id, round(sum(c), 6) AS lin_score FROM u
+           |GROUP BY doc_id
+           |ORDER BY lin_score DESC, doc_id LIMIT 20""".stripMargin,
     "dd12_incremental_neardup" ->
       raw"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
            |a AS (SELECT doc_id AS id, sh AS sa FROM s

@@ -56,4 +56,30 @@ class RankingSpec extends AnyFunSuite {
     // k caps the fused output
     assert(Ranking.rrfFuse(Seq(r1, r2), "id", "rank", k = 2).count() == 2)
   }
+
+  test("linearFuse: min-max per leg, weights, degenerate range -> 1.0") {
+    val r1 = Seq((10L, 4.0), (20L, 2.0), (30L, 0.0)).toDF("id", "score")
+    val r2 = Seq((20L, 0.9), (40L, 0.5)).toDF("id", "score")
+    val fused = Ranking.linearFuse(Seq(r1, r2), "id", "score",
+        Seq(0.7, 0.3), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // leg 1 normalizes over (0..4): 10 -> 1, 20 -> 0.5, 30 -> 0;
+    // leg 2 over (0.5..0.9): 20 -> 1, 40 -> 0
+    assert(fused(10L) == 0.7)
+    // 0.35 + 0.3 = 0.6499999999999999 in doubles; the 6-dp round is
+    // part of the contract
+    assert(fused(20L) == 0.65)
+    assert(fused(30L) == 0.0)
+    assert(fused(40L) == 0.0)
+    // a constant-score leg contributes its full weight per hit
+    val const = Seq((10L, 5.0), (20L, 5.0)).toDF("id", "score")
+    val f2 = Ranking.linearFuse(Seq(const), "id", "score", Seq(0.4),
+        k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(f2 == Map(10L -> 0.4, 20L -> 0.4), f2.toString)
+    // contracts
+    intercept[IllegalArgumentException] {
+      Ranking.linearFuse(Seq(r1, r2), "id", "score", Seq(1.0), k = 5)
+    }
+  }
 }

@@ -77,4 +77,32 @@ class VocabularySpec extends AnyFunSuite {
       Vocabulary.saveBpeModel(spark, Vocabulary.BpeModel(Seq.empty), path)
     }.getMessage.contains("empty"))
   }
+
+  test("merges.txt export/import round-trips the HF spelling") {
+    val corpus = Seq((1L, "hug hug hugs pug pug pugs hug"),
+      (2L, "bug bugs hug pug")).toDF("doc_id", "text")
+    val model = Vocabulary.trainBpe(corpus, "text", numMerges = 6)
+    val file = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-hf").toFile,
+      "merges.txt").toString
+    Vocabulary.exportBpeMergesTxt(spark, model, file)
+    val lines = scala.io.Source.fromFile(file, "UTF-8").getLines().toList
+    assert(lines.head.startsWith("#version:"))
+    assert(lines.tail.size == model.merges.size &&
+      lines.tail.forall(_.split(" ").length == 2))
+    val imported = Vocabulary.importBpeMergesTxt(spark, file)
+    assert(imported.merges == model.merges)
+    // malformed lines refuse loudly
+    val bad = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-hf-bad").toFile,
+      "merges.txt")
+    java.nio.file.Files.writeString(bad.toPath, "#version: 0.2\na b c\n")
+    assert(intercept[IllegalArgumentException] {
+      Vocabulary.importBpeMergesTxt(spark, bad.toString)
+    }.getMessage.contains("malformed"))
+    // a missing file refuses
+    assert(intercept[IllegalArgumentException] {
+      Vocabulary.importBpeMergesTxt(spark, "/tmp/graft-nope-merges.txt")
+    }.getMessage.contains("no merges file"))
+  }
 }
