@@ -92,13 +92,14 @@ object InvertedIndex {
     */
   private def writeSegment(docs: DataFrame, idCol: String,
                            textCol: String, indexPath: String,
-                           buckets: Int): Unit =
+                           buckets: Int, positions: Boolean): Unit =
     writeSegmentNamed(docs, idCol, textCol, indexPath,
-      s"seg-${java.util.UUID.randomUUID()}", buckets)
+      s"seg-${java.util.UUID.randomUUID()}", buckets, positions)
 
   private def writeSegmentNamed(docs: DataFrame, idCol: String,
                                 textCol: String, indexPath: String,
-                                name: String, buckets: Int): Unit = {
+                                name: String, buckets: Int,
+                                positions: Boolean): Unit = {
     val seg = s"$indexPath/segments/$name"
     // a named REWRITE (ingestBatch retry) must first un-commit the
     // previous attempt: stats are written last as the commit marker,
@@ -116,7 +117,7 @@ object InvertedIndex {
         size(col("_toks")).cast("double").as("len"))
       .persist()
     try {
-      writeSegmentJobs(staged, seg, buckets)
+      writeSegmentJobs(staged, seg, buckets, positions)
     } finally {
       staged.unpersist()
       ()
@@ -124,7 +125,7 @@ object InvertedIndex {
   }
 
   private def writeSegmentJobs(staged: DataFrame, seg: String,
-                               buckets: Int): Unit = {
+                               buckets: Int, positions: Boolean): Unit = {
     // ids must be unique within a batch (build/append/ingest/upsert
     // alike): a CDC micro-batch carrying two updates for one doc would
     // otherwise double that doc in the lens ledger and inflate its
@@ -137,10 +138,20 @@ object InvertedIndex {
       s"batch contains duplicate ids (${ur.getLong(0)} rows, " +
         s"${ur.getLong(1)} distinct) — collapse to one row per id " +
         "(e.g. last update wins) before ingesting")
-    val postings = staged
-      .select(col("id"), col("len"), explode(col("_toks")).as("term"))
-      .groupBy(col("term"), col("id"), col("len"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    // positional postings carry each occurrence's 0-based token
+    // offsets as a sorted array (~4 B/token) — what phraseSearch
+    // joins on; BM25 reads never touch the column (parquet pruning)
+    val postings = (if (positions)
+        staged.select(col("id"), col("len"),
+            posexplode(col("_toks")).as(Seq("_p", "term")))
+          .groupBy(col("term"), col("id"), col("len"))
+          .agg(count(lit(1)).cast("double").as("tf"),
+            sort_array(collect_list(col("_p"))).as("pos"))
+      else
+        staged.select(col("id"), col("len"),
+            explode(col("_toks")).as("term"))
+          .groupBy(col("term"), col("id"), col("len"))
+          .agg(count(lit(1)).cast("double").as("tf")))
       .withColumn("bucket", termBucket(col("term"), buckets))
     // repartition by bucket before partitionBy: otherwise every write
     // task opens up to `buckets` files (the small-files trap)
@@ -157,9 +168,23 @@ object InvertedIndex {
     // search and compact() merge stats exactly
     staged.agg(count(lit(1)).cast("double").as("n"),
         coalesce(sum(col("len")), lit(0.0)).as("sum_len"),
-        lit(buckets).as("buckets"))
+        lit(buckets).as("buckets"),
+        lit(positions).as("positions"))
       .write.mode("overwrite").parquet(s"$seg/stats")
   }
+
+  /** Whether the index stores positional postings — from the first
+    * committed segment's stats (a pre-positions index's stats lack
+    * the column and read as false; the flag is uniform across
+    * segments because every writer derives it from here).
+    */
+  private def indexPositions(spark: SparkSession,
+                             segs: Seq[String]): Boolean =
+    segs.nonEmpty && {
+      val st = spark.read.parquet(s"${segs.head}/stats")
+      st.columns.contains("positions") &&
+        st.select("positions").head().getBoolean(0)
+    }
 
   private def mergedPostings(spark: SparkSession, segs: Seq[String],
                              prune: DataFrame => DataFrame): DataFrame =
@@ -188,7 +213,8 @@ object InvertedIndex {
     * removed) holding one segment for `docs`.
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
-            indexPath: String, buckets: Int = 64): Unit = {
+            indexPath: String, buckets: Int = 64,
+            positions: Boolean = false): Unit = {
     require(buckets >= 1 && buckets <= 256,
       s"buckets must be in [1, 256] (one md5 byte), got $buckets")
     val fs = fsOf(docs.sparkSession, indexPath)
@@ -200,7 +226,7 @@ object InvertedIndex {
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/deletes"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/ingested"), true)
     Manifest.delete(fs, manifestPath(indexPath))
-    writeSegment(docs, idCol, textCol, indexPath, buckets)
+    writeSegment(docs, idCol, textCol, indexPath, buckets, positions)
   }
 
   /** Tombstone documents — the Lucene delete model. The ids land in a
@@ -397,7 +423,8 @@ object InvertedIndex {
         else spark.read.parquet(s"${all.head}/stats")
           .select("buckets").head().getInt(0)
       if (others.nonEmpty) tombstoneLiveOf(docs, idCol, indexPath, others)
-      writeSegmentNamed(docs, idCol, textCol, indexPath, ownName, buckets)
+      writeSegmentNamed(docs, idCol, textCol, indexPath, ownName, buckets,
+        indexPositions(spark, all))
     }
     fs.create(marker, true).close()
   }
@@ -470,7 +497,8 @@ object InvertedIndex {
         if (nUpserts > 0)
           writeSegmentNamed(evs.filter(col("_op") === "upsert")
               .select(col("id").as(idCol), col("_text").as(textCol)),
-            idCol, textCol, indexPath, ownName, buckets)
+            idCol, textCol, indexPath, ownName, buckets,
+            indexPositions(spark, all))
       }
       fs.create(marker, true).close()
     } finally {
@@ -491,7 +519,8 @@ object InvertedIndex {
       s"$indexPath has no committed segments — build() first")
     val buckets = spark.read.parquet(s"${segs.head}/stats")
       .select("buckets").head().getInt(0)
-    writeSegment(docs, idCol, textCol, indexPath, buckets)
+    writeSegment(docs, idCol, textCol, indexPath, buckets,
+      indexPositions(spark, segs))
   }
 
   /** Idempotent per-batch ingest for streaming drivers
@@ -532,7 +561,7 @@ object InvertedIndex {
         else spark.read.parquet(s"${segs.head}/stats")
           .select("buckets").head().getInt(0)
       writeSegmentNamed(docs, idCol, textCol, indexPath,
-        s"seg-batch-$batchId", buckets)
+        s"seg-batch-$batchId", buckets, indexPositions(spark, segs))
     }
     // marker last: a crash before this line leaves the batch unmarked
     // and its (committed or partial) segment rewritable by the replay
@@ -645,7 +674,8 @@ object InvertedIndex {
         s"$seg/lens", Seq("id"), lensBuckets)
       live.agg(count(lit(1)).cast("double").as("n"),
           coalesce(sum(col("len")), lit(0.0)).as("sum_len"),
-          lit(buckets).as("buckets"))
+          lit(buckets).as("buckets"),
+          lit(indexPositions(spark, segs)).as("positions"))
         .write.mode("overwrite").parquet(s"$seg/stats")
       (segs ++ dels).foreach(s =>
         fs.delete(new org.apache.hadoop.fs.Path(s), true))
@@ -861,5 +891,49 @@ object InvertedIndex {
       .agg(round(sum(col("_s")), 6).as("score"))
     Similarity.rankTopKPerQuery(scored, k, qIdCol, idColName, "score")
       .select(col(qIdCol), col("rank"), col(idColName), col("score"))
+  }
+
+  /** Docs containing the exact consecutive token sequence `phrase` —
+    * the index-served face of
+    * [[graft.functions.EsMatch.matchPhrase]] (Lucene's positional
+    * phrase query; the scan face re-tokenizes the corpus per query).
+    * Requires an index built with `positions = true` — refused loudly
+    * otherwise.
+    *
+    * Shape: each term's live postings read only their bucket
+    * directories (plan-time pruning + term pushdown, exactly
+    * [[searchTopK]]'s read), docs holding ALL the terms join on id
+    * (postings rows are unique per (term, id) across segments — the
+    * append contract), and adjacency tests as an array predicate over
+    * the per-term position lists: a match is a start position p in
+    * term 0's list with p+i in term i's list for every i. Work is
+    * O(docs containing all the phrase's terms), never the corpus.
+    * Output: one `idColName` row per matching doc.
+    */
+  def phraseSearch(spark: SparkSession, indexPath: String,
+                   phrase: Seq[String],
+                   idColName: String = "id"): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    require(indexPositions(spark, segs),
+      s"$indexPath was built without positional postings — " +
+        "build(positions = true) enables phraseSearch")
+    val dels = committedDeletes(spark, indexPath)
+    val st = liveStats(spark, segs, dels)
+    val terms = phrase.map(_.toLowerCase)
+    val frames = terms.zipWithIndex.map { case (t, i) =>
+      prunedLivePostings(spark, segs, dels, Seq(t), st.buckets)
+        .select(col("id"), col("pos").as(s"_pos$i"))
+    }
+    val joined = frames.reduce((a, b) => a.join(b, Seq("id")))
+    val n = terms.length
+    val pred =
+      if (n == 1) lit(true)
+      else exists(col("_pos0"), p =>
+        (1 until n).map(i => array_contains(col(s"_pos$i"), p + i))
+          .reduce(_ && _))
+    joined.filter(pred).select(col("id").as(idColName))
   }
 }

@@ -130,6 +130,40 @@ object Ranking {
       .limit(k)
   }
 
+  /** [[linearFuse]] for a whole QUERY FRAME: each `rankings` frame
+    * carries (qCol, idCol, scoreCol) rows and min-max normalization
+    * runs PER (ranking, query) — each query's retrieved set owns its
+    * own score range, exactly the per-leg rule of the single-query
+    * form. Per-leg min/max reduce to |queries| rows and broadcast
+    * back. Output (qCol, rank, idCol, lin_score), per query
+    * row-identical to [[linearFuse]] over that query's slices.
+    */
+  def linearFusePerQuery(rankings: Seq[DataFrame], qCol: String,
+                         idCol: String, scoreCol: String,
+                         weights: Seq[Double], k: Int): DataFrame = {
+    require(rankings.nonEmpty && rankings.size == weights.size,
+      s"need one weight per ranking (${rankings.size} rankings, " +
+        s"${weights.size} weights)")
+    require(k > 0 && weights.forall(_ >= 0),
+      "k must be positive and weights non-negative")
+    val contribs = rankings.zip(weights).map { case (r, w) =>
+      val s = r.select(col(qCol), col(idCol),
+        col(scoreCol).cast("double").as("_s"))
+      val mm = s.groupBy(qCol)
+        .agg(min(col("_s")).as("_mn"), max(col("_s")).as("_mx"))
+      s.join(broadcast(mm), Seq(qCol))
+        .select(col(qCol), col(idCol),
+          (when(col("_mx") === col("_mn"), lit(1.0))
+            .otherwise((col("_s") - col("_mn")) /
+              (col("_mx") - col("_mn"))) * w).as("_c"))
+    }
+    val fusedScores = contribs.reduce(_ unionByName _)
+      .groupBy(col(qCol), col(idCol))
+      .agg(round(sum(col("_c")), 6).as("lin_score"))
+    Similarity.rankTopKPerQuery(fusedScores, k, qCol, idCol, "lin_score")
+      .select(col(qCol), col("rank"), col(idCol), col("lin_score"))
+  }
+
   /** [[rrfFuse]] for a whole QUERY FRAME: each `rankings` frame
     * carries (qCol, idCol, rankCol) rows — a batched search output
     * like [[InvertedIndex.searchTopKBatch]] or

@@ -37,20 +37,36 @@ object Serving {
     * directories; the corpus never shuffles — query frames broadcast
     * onto the pruned scans) + a fusion over ≤ 2 × |queries| × perLegK
     * rows. `nprobe` is the semantic leg's usual recall dial.
+    *
+    * `fusion` picks the combiner: `"rrf"` (rank-based — scales never
+    * need normalizing; the default, ES's hybrid default) fuses via
+    * [[Ranking.rrfFusePerQuery]] and returns `rrf_score`;
+    * `"linear"` (the ES `linear` retriever — score magnitudes
+    * matter) min-max normalizes each leg per query and returns
+    * Σ legWeightsᵢ × normᵢ as `lin_score` via
+    * [[Ranking.linearFusePerQuery]] — `legWeights` is (lexical,
+    * semantic).
     */
   def searchHybrid(queries: DataFrame, textIndexPath: String,
                    vectorIndexPath: String, k: Int, perLegK: Int = 30,
                    rrfK: Int = 60, nprobe: Int = 2,
                    qIdCol: String = "q_id", termsCol: String = "terms",
                    vecCol: String = "vec", idColName: String = "id",
-                   roundTo: Int = 6): DataFrame = {
+                   roundTo: Int = 6, fusion: String = "rrf",
+                   legWeights: Seq[Double] = Seq(0.5, 0.5)): DataFrame = {
     require(k > 0, "k must be positive")
     require(perLegK >= k,
       s"perLegK ($perLegK) should be >= k ($k): a doc outside both " +
         "legs' top-perLegK cannot enter the fused top-k")
-    require(qIdCol != idColName && !Seq("rank", "rrf_score").contains(qIdCol)
-        && !Seq("rank", "rrf_score").contains(idColName),
-      "qIdCol/idColName collide with the result columns (rank, rrf_score)")
+    require(Set("rrf", "linear")(fusion),
+      s"fusion '$fusion' not supported (rrf, linear)")
+    require(legWeights.size == 2,
+      s"legWeights needs (lexical, semantic), got ${legWeights.size}")
+    val resultCols = Seq("rank", "rrf_score", "lin_score")
+    require(qIdCol != idColName && !resultCols.contains(qIdCol)
+        && !resultCols.contains(idColName),
+      "qIdCol/idColName collide with the result columns " +
+        "(rank, rrf_score, lin_score)")
     val lex = InvertedIndex.searchTopKBatch(
       queries.select(col(qIdCol), col(termsCol)), textIndexPath, perLegK,
       qIdCol = qIdCol, termsCol = termsCol, idColName = idColName)
@@ -58,9 +74,18 @@ object Serving {
       queries.select(col(qIdCol), col(vecCol)), vectorIndexPath, perLegK,
       nprobe, qIdCol = qIdCol, vecCol = vecCol, idColName = idColName,
       roundTo = roundTo)
-    Ranking.rrfFusePerQuery(
-      Seq(lex.select(col(qIdCol), col(idColName), col("rank")),
-        sem.select(col(qIdCol), col(idColName), col("rank"))),
-      qIdCol, idColName, "rank", k, rrfK)
+    fusion match {
+      case "rrf" =>
+        Ranking.rrfFusePerQuery(
+          Seq(lex.select(col(qIdCol), col(idColName), col("rank")),
+            sem.select(col(qIdCol), col(idColName), col("rank"))),
+          qIdCol, idColName, "rank", k, rrfK)
+      case "linear" =>
+        Ranking.linearFusePerQuery(
+          Seq(lex.select(col(qIdCol), col(idColName), col("score")),
+            sem.select(col(qIdCol), col(idColName),
+              col("cos").as("score"))),
+          qIdCol, idColName, "score", legWeights, k)
+    }
   }
 }

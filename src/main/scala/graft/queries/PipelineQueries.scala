@@ -636,6 +636,22 @@ object PipelineQueries {
           k = 10, idColName = "doc_id")
         .orderBy("q_id", "rank")
     }),
+    // positional phrase search served from the index (the Lucene
+    // phrase-query role): postings carry per-occurrence token
+    // offsets, the two terms' buckets are the only directories read,
+    // and adjacency tests over the position arrays — the oracle is
+    // the scan phrase-match replay (g10's spelling), so a lost or
+    // mis-offset position list cannot match
+    "idx7_phrase_search" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx7-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", path, positions = true)
+      graft.operators.InvertedIndex.phraseSearch(s, path,
+          Seq("the", "fast"), idColName = "doc_id")
+        .orderBy("doc_id")
+    }),
     // st4's dedup answer through the EXACTLY-ONCE delivery path: each
     // batch's survivors land in their own committed output dir BEFORE
     // their digests register (deliver-then-register — no crash window
@@ -910,6 +926,30 @@ object PipelineQueries {
           k = 20, perLegK = 30, nprobe = 8, idColName = "doc_id")
         .select("doc_id", "rrf_score")
         .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
+    // the facade's LINEAR combiner over the persistent stack: same
+    // two-index serve as hy3, fused by per-query min-max weighted
+    // sum instead of RRF — the flat replay is hy4's (index ≡ scan
+    // pinned), so a normalization-range drift on either leg misses
+    "hy5_hybrid_index_linear" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val ipath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-hy5i-$tag").toString
+      val vpath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-hy5v-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", ipath)
+      graft.operators.VectorIndex.build(t(s, d, "embeddings"),
+        "vec_id", "embedding", vpath, nlist = 8)
+      val qv = (0 until 64).map(i => ((i * 7) % 13 - 6) / 10.0)
+      val queries = Seq((1L, Seq("stream", "filter", "join"), qv))
+        .toDF("q_id", "terms", "vec")
+      graft.operators.Serving.searchHybrid(queries, ipath, vpath,
+          k = 20, perLegK = 30, nprobe = 8, idColName = "doc_id",
+          fusion = "linear", legWeights = Seq(0.7, 0.3))
+        .select("doc_id", "lin_score")
+        .orderBy(col("lin_score").desc, col("doc_id"))
     }),
     // index-backed BM25: build the persistent postings index (ONE
     // corpus shuffle, partitioned by md5 term bucket) then search it
@@ -1754,6 +1794,51 @@ object PipelineQueries {
            |ORDER BY doc_id, pos, piece_pos""".stripMargin
   }
 
+  /** Shared by hy4 (scan stack) and hy5 (persistent-index stack via
+    * the facade): index ≡ scan is pinned by idx1/idx6/vx1, so both
+    * replay to the same flat BM25 + brute-cosine + per-leg min-max +
+    * 0.7/0.3 weighted-sum arithmetic (degenerate range → 1.0).
+    */
+  private val hybridLinearSql =
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter', 'join') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id),
+           |lexk AS (SELECT doc_id, score FROM bm
+           |         ORDER BY score DESC, doc_id LIMIT 30),
+           |lmm AS (SELECT min(score) AS mn, max(score) AS mx FROM lexk),
+           |lc AS (SELECT doc_id,
+           |         (CASE WHEN mx = mn THEN 1.0
+           |               ELSE (score - mn) / (mx - mn) END) * 0.7 AS c
+           |       FROM lexk, lmm),
+           |q AS (SELECT list_transform(range(0, 64),
+           |        i -> CAST((i*7) % 13 - 6 AS DOUBLE)/10.0) AS v),
+           |sem0 AS (SELECT vec_id AS doc_id,
+           |           round(list_dot_product(embedding::DOUBLE[], q.v) /
+           |             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+           |              sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+           |         FROM embeddings, q),
+           |semk AS (SELECT doc_id, cos FROM sem0
+           |         ORDER BY cos DESC, doc_id LIMIT 30),
+           |smm AS (SELECT min(cos) AS mn, max(cos) AS mx FROM semk),
+           |sc AS (SELECT doc_id,
+           |         (CASE WHEN mx = mn THEN 1.0
+           |               ELSE (cos - mn) / (mx - mn) END) * 0.3 AS c
+           |       FROM semk, smm),
+           |u AS (SELECT * FROM lc UNION ALL SELECT * FROM sc)
+           |SELECT doc_id, round(sum(c), 6) AS lin_score FROM u
+           |GROUP BY doc_id
+           |ORDER BY lin_score DESC, doc_id LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "mv2_maxsim_index_rerank" -> maxSimRerankSql,
     "hy2_hybrid_index_rrf" -> hybridRrfSql,
@@ -2501,48 +2586,16 @@ object PipelineQueries {
     // merges.txt round-trip encodes from the IMPORTED model — same
     // walk, same SQL
     "bpe4_encode_hf_roundtrip" -> bpeEncodeSql,
-    // linear fusion replay: both legs' top-30, each min-max
-    // normalized over its own set (degenerate range -> 1.0), weighted
-    // 0.7/0.3, 6-dp-rounded sum with id ties
-    "hy4_hybrid_linear" ->
-      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
-           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
-           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
-           |               unnest(toks) AS t FROM s)
-           |       WHERE t IN ('stream', 'filter', 'join') GROUP BY 1, 2, 3),
-           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-           |        FROM tf GROUP BY 1),
-           |bm AS (SELECT doc_id,
-           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
-           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
-           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id),
-           |lexk AS (SELECT doc_id, score FROM bm
-           |         ORDER BY score DESC, doc_id LIMIT 30),
-           |lmm AS (SELECT min(score) AS mn, max(score) AS mx FROM lexk),
-           |lc AS (SELECT doc_id,
-           |         (CASE WHEN mx = mn THEN 1.0
-           |               ELSE (score - mn) / (mx - mn) END) * 0.7 AS c
-           |       FROM lexk, lmm),
-           |q AS (SELECT list_transform(range(0, 64),
-           |        i -> CAST((i*7) % 13 - 6 AS DOUBLE)/10.0) AS v),
-           |sem0 AS (SELECT vec_id AS doc_id,
-           |           round(list_dot_product(embedding::DOUBLE[], q.v) /
-           |             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
-           |              sqrt(list_dot_product(q.v, q.v))), 6) AS cos
-           |         FROM embeddings, q),
-           |semk AS (SELECT doc_id, cos FROM sem0
-           |         ORDER BY cos DESC, doc_id LIMIT 30),
-           |smm AS (SELECT min(cos) AS mn, max(cos) AS mx FROM semk),
-           |sc AS (SELECT doc_id,
-           |         (CASE WHEN mx = mn THEN 1.0
-           |               ELSE (cos - mn) / (mx - mn) END) * 0.3 AS c
-           |       FROM semk, smm),
-           |u AS (SELECT * FROM lc UNION ALL SELECT * FROM sc)
-           |SELECT doc_id, round(sum(c), 6) AS lin_score FROM u
-           |GROUP BY doc_id
-           |ORDER BY lin_score DESC, doc_id LIMIT 20""".stripMargin,
+    // the scan phrase-match replay (g10's boundary-space spelling):
+    // adjacency in the token stream, which is exactly what the
+    // positional postings encode
+    "idx7_phrase_search" ->
+      raw"""SELECT doc_id FROM documents
+           |WHERE instr(' ' || array_to_string($toksSql, ' ') || ' ',
+           |            ' the fast ') > 0
+           |ORDER BY doc_id""".stripMargin,
+    "hy4_hybrid_linear" -> hybridLinearSql,
+    "hy5_hybrid_index_linear" -> hybridLinearSql,
     "dd12_incremental_neardup" ->
       raw"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
            |a AS (SELECT doc_id AS id, sh AS sa FROM s

@@ -667,4 +667,54 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"${segDirs(path).head}/postings")
       .filter(col("id") === 2L).count() == 0)
   }
+
+  test("positional index: phraseSearch == scan matchPhrase across " +
+    "append/delete/compact; non-positional refuses; BM25 unchanged") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val path = tmp("graft-idx-pos")
+    def scanIds(corpus: org.apache.spark.sql.DataFrame): Seq[Long] =
+      corpus.where(graft.functions.EsMatch.matchPhrase(col("text"),
+          "the fast"))
+        .select("doc_id").orderBy("doc_id").collect()
+        .map(_.getLong(0)).toSeq
+    def idxIds(): Seq[Long] =
+      InvertedIndex.phraseSearch(spark, path, Seq("the", "fast"),
+          idColName = "doc_id")
+        .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // two segments: the flag must survive append (read from stats)
+    InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", path, positions = true)
+    InvertedIndex.append(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", path)
+    val full = scanIds(docs)
+    assert(full.nonEmpty && idxIds() == full)
+    // single-term and no-match phrases behave
+    assert(InvertedIndex.phraseSearch(spark, path, Seq("the"),
+      idColName = "doc_id").count() ==
+      docs.where(graft.functions.EsMatch.matchAny(col("text"), "the"))
+        .count())
+    assert(InvertedIndex.phraseSearch(spark, path,
+      Seq("fast", "zzzznope"), idColName = "doc_id").count() == 0)
+    // tombstones subtract from phrase results too
+    val dead = full.take(3)
+    InvertedIndex.deleteDocs(dead.toDF("doc_id"), path)
+    assert(idxIds() == full.drop(3))
+    // BM25 search over the positional index matches the scan (the
+    // pos column must be invisible to scoring)
+    val viaIndex = topDocs(InvertedIndex.searchTopK(spark, path,
+      Seq("stream", "filter"), k = 10, idColName = "doc_id"))
+    val viaScan = topDocs(Ranking.bm25TopK(
+      docs.join(dead.toDF("doc_id"), Seq("doc_id"), "left_anti"),
+      "doc_id", "text", Seq("stream", "filter"), k = 10))
+    assert(viaIndex == viaScan)
+    // compaction keeps the flag and the answers
+    InvertedIndex.compact(spark, path)
+    assert(idxIds() == full.drop(3))
+    // a non-positional index refuses loudly
+    val plain = tmp("graft-idx-nopos")
+    InvertedIndex.build(docs, "doc_id", "text", plain)
+    assert(intercept[IllegalArgumentException] {
+      InvertedIndex.phraseSearch(spark, plain, Seq("the", "fast"))
+    }.getMessage.contains("positions"))
+  }
 }

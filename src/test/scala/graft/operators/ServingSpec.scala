@@ -77,7 +77,41 @@ class ServingSpec extends AnyFunSuite {
     }
   }
 
-  test("searchHybrid validates perLegK and column collisions") {
+  test("searchHybrid fusion=linear == hand-wired per-query linearFuse") {
+    val ipath = tmp("graft-serv-li")
+    val vpath = tmp("graft-serv-lv")
+    InvertedIndex.build(docs, "doc_id", "text", ipath)
+    VectorIndex.build(emb, "vec_id", "embedding", vpath, nlist = 8)
+    val queries = Seq(
+      (1L, Seq("stream", "filter", "join"), qv1),
+      (2L, Seq("spark", "hash"), qv2)
+    ).toDF("q_id", "terms", "vec")
+    val fused = Serving.searchHybrid(queries, ipath, vpath, k = 20,
+        perLegK = 30, nprobe = 8, idColName = "doc_id",
+        fusion = "linear", legWeights = Seq(0.6, 0.4))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(fused.keySet == Set(1L, 2L))
+    for ((qid, terms, qv) <- Seq((1L, Seq("stream", "filter", "join"), qv1),
+        (2L, Seq("spark", "hash"), qv2))) {
+      val lex = InvertedIndex.searchTopK(spark, ipath, terms, k = 30,
+        idColName = "doc_id")
+      val sem = VectorIndex.searchTopK(
+          Seq((qid, qv)).toDF("q_id", "vec"), vpath, k = 30, nprobe = 8,
+          idColName = "doc_id")
+        .select(col("doc_id"), col("cos").as("score"))
+      val hand = Ranking.linearFuse(
+          Seq(lex.select("doc_id", "score"), sem),
+          "doc_id", "score", Seq(0.6, 0.4), k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val slice = fused(qid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(slice == hand, s"q_id=$qid diverged")
+      assert(slice.nonEmpty)
+    }
+  }
+
+  test("searchHybrid validates perLegK, fusion, and column collisions") {
     val q = Seq((1L, Seq("a"), Seq(1.0))).toDF("q_id", "terms", "vec")
     assert(intercept[IllegalArgumentException] {
       Serving.searchHybrid(q, "/nope", "/nope", k = 10, perLegK = 5)
@@ -86,5 +120,13 @@ class ServingSpec extends AnyFunSuite {
       Serving.searchHybrid(q, "/nope", "/nope", k = 5,
         idColName = "rrf_score")
     }.getMessage.contains("collide"))
+    assert(intercept[IllegalArgumentException] {
+      Serving.searchHybrid(q, "/nope", "/nope", k = 5,
+        fusion = "softmax")
+    }.getMessage.contains("fusion"))
+    assert(intercept[IllegalArgumentException] {
+      Serving.searchHybrid(q, "/nope", "/nope", k = 5,
+        fusion = "linear", legWeights = Seq(1.0))
+    }.getMessage.contains("legWeights"))
   }
 }
