@@ -936,4 +936,74 @@ object InvertedIndex {
           .reduce(_ && _))
     joined.filter(pred).select(col("id").as(idColName))
   }
+
+  /** SCORED phrase search — Lucene's PhraseQuery under BM25: the
+    * phrase behaves as one synthetic term whose frequency is the
+    * number of exact-adjacency occurrences and whose idf is the SUM
+    * of the constituent terms' idfs (Lucene's multi-term idfExplain),
+    * saturated by the standard Okapi tf/length factor. Same read
+    * shape as [[phraseSearch]] plus one tiny per-term df aggregation;
+    * corpus stats enter as driver literals from the one-row stats
+    * tables (the [[searchTopK]] discipline). Output (idColName,
+    * score) for the top `k` phrase-matching docs, 6-dp rounding, id
+    * ties — ES's `match_phrase` ranking, engine-replayably.
+    */
+  def phraseSearchTopK(spark: SparkSession, indexPath: String,
+                       phrase: Seq[String], k: Int,
+                       idColName: String = "id", k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    require(k > 0, "k must be positive")
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    require(indexPositions(spark, segs),
+      s"$indexPath was built without positional postings — " +
+        "build(positions = true) enables phrase scoring")
+    val dels = committedDeletes(spark, indexPath)
+    val st = liveStats(spark, segs, dels)
+    val n = st.n
+    val avg = if (n > 0) st.sumLen / n else 1.0
+    val terms = phrase.map(_.toLowerCase)
+    val all = prunedLivePostings(spark, segs, dels, terms.distinct,
+      st.buckets)
+    // per-term document frequencies: postings rows are unique per
+    // (term, id) across segments, so df = row count per term —
+    // ≤ |phrase| rows, broadcast
+    val dfreq = all.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val frames = terms.zipWithIndex.map { case (t, i) =>
+      val base = all.filter(col("term") === t)
+      // len rides term 0's frame (identical on every frame)
+      if (i == 0) base.select(col("id"), col("len"),
+        col("pos").as("_pos0"))
+      else base.select(col("id"), col("pos").as(s"_pos$i"))
+    }
+    val joined = frames.reduce((a, b) => a.join(b, Seq("id")))
+    val ptf =
+      if (terms.length == 1) size(col("_pos0"))
+      else size(filter(col("_pos0"), p =>
+        (1 until terms.length)
+          .map(i => array_contains(col(s"_pos$i"), p + i))
+          .reduce(_ && _)))
+    // Σ idf over the phrase's terms IN ORDER (a repeated term counts
+    // each time, like Lucene's term array)
+    val idfSum = dfreq
+      .select(col("term"),
+        log(lit(1.0) + (lit(n) - col("_df") + 0.5) / (col("_df") + 0.5))
+          .as("_idf"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val totalIdf = terms.map(idfSum.getOrElse(_, 0.0)).sum
+    joined
+      .withColumn("_ptf", ptf.cast("double"))
+      .filter(col("_ptf") > 0)
+      .withColumn("score", round(
+        lit(totalIdf) * col("_ptf") * (k1 + 1.0) /
+          (col("_ptf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("len") / lit(avg))),
+        6))
+      .select(col("id").as(idColName), col("score"))
+      .orderBy(col("score").desc, col(idColName))
+      .limit(k)
+  }
 }

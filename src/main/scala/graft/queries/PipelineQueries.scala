@@ -652,6 +652,21 @@ object PipelineQueries {
           Seq("the", "fast"), idColName = "doc_id")
         .orderBy("doc_id")
     }),
+    // SCORED phrase search (Lucene PhraseQuery under BM25): the
+    // phrase is one synthetic term — tf = exact-adjacency occurrence
+    // count from the position arrays, idf = Σ of the constituent
+    // terms' idfs, Okapi saturation; the oracle recounts every doc's
+    // adjacent pairs and replays the full formula
+    "idx8_phrase_score" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx8-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", path, positions = true)
+      graft.operators.InvertedIndex.phraseSearchTopK(s, path,
+          Seq("the", "fast"), k = 15, idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // st4's dedup answer through the EXACTLY-ONCE delivery path: each
     // batch's survivors land in their own committed output dir BEFORE
     // their digests register (deliver-then-register — no crash window
@@ -2596,6 +2611,31 @@ object PipelineQueries {
            |ORDER BY doc_id""".stripMargin,
     "hy4_hybrid_linear" -> hybridLinearSql,
     "hy5_hybrid_index_linear" -> hybridLinearSql,
+    // phrase-BM25 replay: per-doc adjacent-pair recount (1-indexed
+    // generate_series, inclusive), per-term dfs, summed idf, Okapi
+    // saturation, 6-dp round, id ties
+    "idx8_phrase_score" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |pt AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |         CAST(len([i FOR i IN generate_series(1, len(toks) - 1)
+           |                   IF toks[i] = 'the' AND toks[i + 1] = 'fast'])
+           |           AS DOUBLE) AS ptf
+           |       FROM s),
+           |dfs AS (SELECT
+           |  CAST((SELECT count(*) FROM s WHERE list_contains(toks, 'the'))
+           |    AS DOUBLE) AS df1,
+           |  CAST((SELECT count(*) FROM s WHERE list_contains(toks, 'fast'))
+           |    AS DOUBLE) AS df2)
+           |SELECT doc_id,
+           |  round((ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) +
+           |         ln(1 + (n - df2 + 0.5) / (df2 + 0.5)))
+           |        * ptf * (1.2 + 1) /
+           |        (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)), 6)
+           |    AS score
+           |FROM pt, st, dfs WHERE ptf > 0
+           |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "dd12_incremental_neardup" ->
       raw"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
            |a AS (SELECT doc_id AS id, sh AS sa FROM s

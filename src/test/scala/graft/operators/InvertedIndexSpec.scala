@@ -717,4 +717,30 @@ class InvertedIndexSpec extends AnyFunSuite {
       InvertedIndex.phraseSearch(spark, plain, Seq("the", "fast"))
     }.getMessage.contains("positions"))
   }
+
+  test("phraseSearchTopK matches the hand-computed phrase-BM25 model") {
+    val tiny = Seq(
+      (1L, "a b a b a b"), // phrase "a b" x3, len 6
+      (2L, "a b c"),       // x1, len 3
+      (3L, "b a"),         // 0 — order matters
+      (4L, "a a b")        // x1 (overlap-free), len 3
+    ).toDF("doc_id", "text")
+    val path = tmp("graft-idx-pscore")
+    InvertedIndex.build(tiny, "doc_id", "text", path, positions = true)
+    val got = InvertedIndex.phraseSearchTopK(spark, path, Seq("a", "b"),
+        k = 10, idColName = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N = 4, df(a) = 4, df(b) = 4, avg len = (6+3+2+3)/4
+    val n = 4.0; val avg = 14.0 / 4
+    val idf = 2.0 * math.log(1.0 + (n - 4.0 + 0.5) / (4.0 + 0.5))
+    def score(ptf: Double, dl: Double) = BigDecimal(
+        idf * ptf * 2.2 / (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avg)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L, 4L), got.toString)
+    assert(got(1L) == score(3, 6) && got(2L) == score(1, 3) &&
+      got(4L) == score(1, 3), got.toString)
+    // more phrase occurrences outrank fewer (saturating, still
+    // monotone)
+    assert(got(1L) > got(2L))
+  }
 }
