@@ -26,8 +26,13 @@ import org.apache.spark.sql.functions._
   *    `minimum_should_match` follows the filter face's integer rules.
   *  - `dis_max` — best branch score + `tie_breaker` × (others' sum).
   *  - `constant_score` — `boost` (default 1.0) when the filter hits.
+  *  - `match_phrase` (r9) — Lucene's PhraseQuery under BM25, which IS
+  *    engine-independent arithmetic: tf = exact-adjacency occurrence
+  *    count, idf = Σ of the constituent terms' idfs (Lucene's
+  *    multi-term idfExplain), Okapi saturation; `slop` refuses
+  *    (sloppy-frequency weighting is Lucene-internal tuning).
   *  - Every other translatable leaf (term/terms/range/wildcard/prefix/
-  *    regexp/exists/ids/fuzzy/match_phrase/match_phrase_prefix) gates
+  *    regexp/exists/ids/fuzzy/match_phrase_prefix) gates
   *    like the filter face and contributes a CONSTANT 1.0 when it
   *    matches. ES would give several of these index-statistics scores;
   *    those numbers are engine-dependent by definition, so the
@@ -81,6 +86,7 @@ object EsScoredQuery {
   private final case class MatchNode(clause: MatchClause, requireAll: Boolean,
                                      boost: Double) extends Node
   private final case class GatedConst(pred: Column, boost: Double) extends Node
+  private final case class PhraseNode(id: Int, boost: Double) extends Node
   private final case class TermIdfNode(id: Int, pred: Column,
                                        boost: Double) extends Node
   private final case class BoolNode(must: Seq[Node], should: Seq[Node],
@@ -109,6 +115,15 @@ object EsScoredQuery {
     def registerTerm(field: String, v: JValue): Int = {
       termLeaves += ((field, v))
       termLeaves.size - 1
+    }
+    /** (field, ordered terms) per scored `match_phrase` clause —
+      * order and repeats preserved, unlike `match`'s distinct bag.
+      */
+    val phraseClauses =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+    def registerPhrase(field: String, terms: Seq[String]): Int = {
+      phraseClauses += ((field, terms))
+      phraseClauses.size - 1
     }
   }
 
@@ -270,6 +285,28 @@ object EsScoredQuery {
           "top-k, not a per-row predicate, so composing it inside " +
           "bool/dis_max has no engine-independent translation — run the " +
           "knn retrieval separately and combine explicitly")
+      // scored match_phrase — Lucene's PhraseQuery under BM25, which
+      // IS engine-independent arithmetic: the phrase acts as one
+      // synthetic term with tf = exact-adjacency occurrence count and
+      // idf = Σ of the constituent terms' idfs (Lucene's multi-term
+      // idfExplain), Okapi-saturated. `slop` refuses: sloppy-freq
+      // weighting is Lucene-internal tuning with no portable number.
+      case "match_phrase" =>
+        val (field, v) = lonely(body, "match_phrase")
+        ctx.requireText(field)
+        val text = v match {
+          case JString(t) => t
+          case o          => (o \ "query").extract[String]
+        }
+        if ((v \ "slop") != JNothing)
+          throw new IllegalArgumentException(
+            "match_phrase slop has no engine-independent SCORED " +
+              "translation (Lucene's sloppy-frequency weighting); use " +
+              "exact adjacency (no slop) or the filter face (esQuery)")
+        val terms = text.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        if (terms.isEmpty) GatedConst(lit(false), 0.0)
+        else PhraseNode(ctx.registerPhrase(field, terms), boostOf(v))
       // idf-scored `term` leaf (opt-in): ES's keyword-field number —
       // norms are off on keyword fields, tf is 1, so Lucene's BM25
       // collapses to boost × idf (the tf factor (k1+1)/(1+k1) = 1)
@@ -526,6 +563,10 @@ object EsScoredQuery {
     case GatedConst(pred, boost) =>
       val matched = coalesce(pred, lit(false))
       (matched, when(matched, boost).otherwise(0.0))
+    case PhraseNode(id, boost) =>
+      val matched = col(s"_p${id}_ptf") > 0
+      (matched,
+        when(matched, col(s"_p${id}_score") * boost).otherwise(0.0))
     case TermIdfNode(id, pred, boost) =>
       val matched = coalesce(pred, lit(false))
       val df = col(s"_t${id}_df")
@@ -631,13 +672,87 @@ object EsScoredQuery {
           }
         withMoments.crossJoin(broadcast(docs.agg(aggs.head, aggs.tail: _*)))
       }
+    // scored match_phrase clauses: per-doc phrase frequency is a PURE
+    // expression over the staged token array (no shuffle; the array
+    // is a projection alias so the lambda's element_at reads a
+    // column, never re-tokenizes); the corpus stats — N, per-field
+    // token totals, per-term dfs — reduce to ONE 1-row aggregate over
+    // a token-staged projection and enter as a broadcast crossJoin
+    // inside the lazy plan (the fieldMoments/termLeaves discipline:
+    // building the frame still runs no job)
+    val pFields = ctx.phraseClauses.toSeq.map(_._1).distinct
+    val withPhrase =
+      if (ctx.phraseClauses.isEmpty) withTermStats
+      else {
+        var acc = withTermStats
+        pFields.zipWithIndex.foreach { case (f, fi) =>
+          acc = acc.withColumn(s"_ptoks$fi",
+            TextAnalysis.tokens(col(f)))
+        }
+        ctx.phraseClauses.toSeq.zipWithIndex.foreach {
+          case ((f, terms), i) =>
+            val tc = col(s"_ptoks${pFields.indexOf(f)}")
+            val nT = terms.length
+            val ptf = when(size(tc) >= nT,
+              size(filter(sequence(lit(0), size(tc) - nT), p =>
+                terms.zipWithIndex.map { case (t, j) =>
+                  element_at(tc, p + j + 1) === lit(t)
+                }.reduce(_ && _)))).otherwise(lit(0))
+            acc = acc
+              .withColumn(s"_p${i}_ptf", ptf.cast("double"))
+              .withColumn(s"_p${i}_len", size(tc).cast("double"))
+        }
+        val statSrc = docs.select(pFields.zipWithIndex.map {
+          case (f, fi) => TextAnalysis.tokens(col(f)).as(s"_st$fi")
+        }: _*)
+        val aggs = count(lit(1)).cast("double").as("_p_n") +:
+          (pFields.indices.map(fi =>
+            coalesce(sum(size(col(s"_st$fi")).cast("double")), lit(0.0))
+              .as(s"_pf${fi}_sumlen")) ++
+           ctx.phraseClauses.toSeq.zipWithIndex.flatMap {
+             case ((f, terms), i) =>
+               val fi = pFields.indexOf(f)
+               terms.zipWithIndex.map { case (t, j) =>
+                 count(when(array_contains(col(s"_st$fi"), t), 1))
+                   .cast("double").as(s"_p${i}_df$j")
+               }
+           })
+        val withStats = acc.crossJoin(
+          broadcast(statSrc.agg(aggs.head, aggs.tail: _*)))
+        // the per-clause phrase-BM25 score (boost applied at compile):
+        // tf = adjacency count, idf = Σ constituent-term idfs, Okapi
+        // saturation — Lucene's PhraseQuery arithmetic
+        ctx.phraseClauses.toSeq.zipWithIndex.foldLeft(withStats) {
+          case (df, ((f, terms), i)) =>
+            val fi = pFields.indexOf(f)
+            val n = col("_p_n")
+            val avg = col(s"_pf${fi}_sumlen") / n
+            val idfSum = terms.indices.map(j =>
+              log(lit(1.0) + (n - col(s"_p${i}_df$j") + 0.5) /
+                (col(s"_p${i}_df$j") + 0.5))).reduce(_ + _)
+            val ptf = col(s"_p${i}_ptf")
+            df.withColumn(s"_p${i}_score",
+              idfSum * ptf * (k1 + 1.0) /
+                (ptf + lit(k1) *
+                  (lit(1.0) - b + lit(b) * col(s"_p${i}_len") / avg)))
+        }
+      }
     val (matched, score) = compile(ast)
-    withTermStats.filter(matched)
+    val phraseCols =
+      if (ctx.phraseClauses.isEmpty) Nil
+      else pFields.indices.map(fi => s"_ptoks$fi") ++
+        Seq("_p_n") ++ pFields.indices.map(fi => s"_pf${fi}_sumlen") ++
+        ctx.phraseClauses.toSeq.zipWithIndex.flatMap { case ((_, ts), i) =>
+          Seq(s"_p${i}_ptf", s"_p${i}_len", s"_p${i}_score") ++
+            ts.indices.map(j => s"_p${i}_df$j")
+        }
+    withPhrase.filter(matched)
       .withColumn("_score", round(score, 6))
       .drop(ctx.clauses.toSeq.flatMap(c =>
         Seq(s"_q${c.id}_score", s"_q${c.id}_hits")) ++
         (if (ctx.termLeaves.isEmpty) Nil
-         else "_t_n" +: ctx.termLeaves.toSeq.indices.map(i => s"_t${i}_df")): _*)
+         else "_t_n" +: ctx.termLeaves.toSeq.indices.map(i => s"_t${i}_df")) ++
+        phraseCols: _*)
   }
 
   /** The ES 8.x `knn` query, computed EXACTLY: cosine against the

@@ -297,6 +297,21 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // scored match_phrase (Lucene PhraseQuery under BM25, portable
+    // arithmetic: adjacency-count tf, summed constituent idfs, Okapi
+    // saturation) composed in a bool with a plain match — the oracle
+    // recounts every doc's adjacent pairs and replays both branches'
+    // scores and the should-sum
+    "f26_phrase_scored" -> ((s, d) => {
+      docs(s, d).esQueryScored(
+        """{"bool": {"should": [
+          |  {"match_phrase": {"text": {"query": "the fast",
+          |                             "boost": 2.0}}},
+          |  {"match": {"text": "stream"}}
+          |]}}""".stripMargin)
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
     // decay functions through function_score (the ES distance-decay
     // recipe on a numeric field): gauss + weighted exp + linear sum
     // and multiply the BM25 base. Pure arithmetic — fully portable —
@@ -648,6 +663,44 @@ object FacadeQueries {
            |                log10(1 + d.n_chars * 0.001)) * 1.0, 6) AS score
            |FROM bm b JOIN documents d ON d.doc_id = b.doc_id
            |ORDER BY score DESC, d.doc_id LIMIT 25""".stripMargin,
+    // phrase-BM25 replay (adjacent-pair recount, summed idfs, Okapi)
+    // × 2.0, plus the single-term match branch, should-summed
+    "f26_phrase_scored" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |pt AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |         CAST(len([i FOR i IN generate_series(1, len(toks) - 1)
+           |                   IF toks[i] = 'the' AND toks[i + 1] = 'fast'])
+           |           AS DOUBLE) AS ptf
+           |       FROM s),
+           |pdf AS (SELECT
+           |  CAST((SELECT count(*) FROM s WHERE list_contains(toks, 'the'))
+           |    AS DOUBLE) AS df1,
+           |  CAST((SELECT count(*) FROM s WHERE list_contains(toks, 'fast'))
+           |    AS DOUBLE) AS df2),
+           |ph AS (SELECT doc_id,
+           |         (ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) +
+           |          ln(1 + (n - df2 + 0.5) / (df2 + 0.5)))
+           |         * ptf * (1.2 + 1) /
+           |         (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)) * 2.0
+           |           AS psc
+           |       FROM pt, st, pdf WHERE ptf > 0),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t = 'stream' GROUP BY 1, 2, 3),
+           |dft AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf),
+           |bm AS (SELECT doc_id,
+           |         ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)) AS msc
+           |       FROM tf, dft, st),
+           |u AS (SELECT coalesce(p.doc_id, m.doc_id) AS doc_id,
+           |        coalesce(p.psc, 0) AS psc, coalesce(m.msc, 0) AS msc
+           |      FROM ph p FULL OUTER JOIN bm m ON p.doc_id = m.doc_id)
+           |SELECT doc_id, round(psc + msc, 6) AS score FROM u
+           |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     // decay replay: same σ²/λ/slope arithmetic (power-of-two scalings
     // commute with IEEE rounding, and every transcendental rounds to
     // 6 dp on both sides), same (gauss + exp×0.5) + linear order

@@ -235,6 +235,59 @@ class EsScoredQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("scored match_phrase: hand-computed phrase-BM25, composition, " +
+    "slop refusal") {
+    val tiny = Seq(
+      (1L, "a b a b a b"), // phrase "a b" x3, len 6
+      (2L, "a b c"),       // x1, len 3
+      (3L, "b a"),         // 0 — order matters
+      (4L, "a a b")        // x1, len 3
+    ).toDF("doc_id", "text")
+    val got = EsScoredQuery.scoredFrame(tiny, "doc_id",
+        """{"match_phrase": {"text": "a b"}}""")
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = 4.0; val avg = 14.0 / 4
+    val idf = 2.0 * math.log(1.0 + (n - 4.0 + 0.5) / (4.0 + 0.5))
+    def score(ptf: Double, dl: Double) = BigDecimal(
+        idf * ptf * 2.2 / (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avg)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L, 4L), got.toString)
+    assert(got(1L) == score(3, 6) && got(2L) == score(1, 3) &&
+      got(4L) == score(1, 3), got.toString)
+    // boost multiplies; composition under bool sums with a match
+    val boosted = EsScoredQuery.scoredFrame(tiny, "doc_id",
+        """{"match_phrase": {"text": {"query": "a b", "boost": 2.0}}}""")
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(boosted(2L) - 2 * got(2L)) < 2e-6, boosted.toString)
+    val comp = EsScoredQuery.scoredFrame(tiny, "doc_id",
+        """{"bool": {"should": [
+          |  {"match_phrase": {"text": "a b"}},
+          |  {"match": {"text": "c"}}
+          |]}}""".stripMargin)
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(comp(1L) == got(1L) && comp(2L) > got(2L), comp.toString)
+    // a single-term phrase scores exactly like the single-term match
+    val p1 = EsScoredQuery.scoredFrame(tiny, "doc_id",
+        """{"match_phrase": {"text": "c"}}""")
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val m1 = EsScoredQuery.scoredFrame(tiny, "doc_id",
+        """{"match": {"text": "c"}}""")
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p1 == m1 && p1.keySet == Set(2L), s"$p1 vs $m1")
+    // an all-whitespace phrase matches nothing; slop refuses loudly
+    assert(EsScoredQuery.scoredFrame(tiny, "doc_id",
+      """{"match_phrase": {"text": "   "}}""").count() == 0)
+    assert(intercept[IllegalArgumentException] {
+      EsScoredQuery.scoredFrame(tiny, "doc_id",
+        """{"match_phrase": {"text": {"query": "a b", "slop": 2}}}""")
+    }.getMessage.contains("slop"))
+  }
+
   test("decay functions: ES arithmetic on numeric fields; seeded " +
     "random_score draws the portable uniform; deltas stay loud") {
     val tiny = Seq(
