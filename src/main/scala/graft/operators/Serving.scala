@@ -88,4 +88,36 @@ object Serving {
           qIdCol, idColName, "score", legWeights, k)
     }
   }
+
+  /** One-call retrieve-then-rerank: first-stage candidates come from
+    * the persistent inverted index's batched BM25 (`fetchK` per
+    * query), and [[Ranking.maxSimRerank]] rescores ONLY those by
+    * late interaction — the ColBERT serving shape as a library face
+    * (the mv2 composition). `queries` carries (qIdCol, termsCol);
+    * `docTokenVecs` (idColName, vecCol) one row per document token;
+    * `queryTokenVecs` (qIdCol, qPosCol, vecCol) one row per query
+    * token. Output (qIdCol, rank, idColName, maxsim) for rank ≤ k.
+    *
+    * Scale shape: the index answers the frame reading only the query
+    * terms' buckets; the candidate set broadcasts onto the doc-token
+    * table (filtered map-side — the corpus-scale table never
+    * shuffles to find candidates); the quadratic token×token work is
+    * bounded by |queries| × fetchK × tokens-per-doc × query tokens.
+    */
+  def searchMaxSim(queries: DataFrame, textIndexPath: String,
+                   docTokenVecs: DataFrame, queryTokenVecs: DataFrame,
+                   k: Int, fetchK: Int = 30,
+                   qIdCol: String = "q_id", termsCol: String = "terms",
+                   qPosCol: String = "qpos", vecCol: String = "vec",
+                   idColName: String = "id",
+                   roundTo: Int = 6): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(fetchK >= k, s"fetchK ($fetchK) must be >= k ($k)")
+    val cands = InvertedIndex.searchTopKBatch(
+        queries.select(col(qIdCol), col(termsCol)), textIndexPath, fetchK,
+        qIdCol = qIdCol, termsCol = termsCol, idColName = idColName)
+      .select(col(qIdCol), col(idColName))
+    Ranking.maxSimRerank(docTokenVecs, queryTokenVecs, cands,
+      idColName, qIdCol, qPosCol, vecCol, k, roundTo)
+  }
 }

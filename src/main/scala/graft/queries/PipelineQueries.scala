@@ -1352,6 +1352,34 @@ object PipelineQueries {
           "doc_id", "q_id", "qpos", "vec", k = 10)
         .orderBy("q_id", "rank")
     }),
+    // the ONE-CALL retrieve-then-rerank facade: mv2's hand-wired
+    // batch-BM25 → MaxSim composition as a library face — same
+    // fixture, same flat-replay oracle, so a drift anywhere in the
+    // index-candidates + late-interaction stack misses
+    "mv3_maxsim_served" -> ((s, d) => {
+      import s.implicits._
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-mv3-$tag").toString
+      val docs = t(s, d, "documents")
+      graft.operators.InvertedIndex.build(docs, "doc_id", "text", path)
+      val queries = Seq(
+        (1L, Seq("stream", "filter", "join")),
+        (2L, Seq("spark", "hash")),
+        (3L, Seq("vector", "spark", "filter"))).toDF("q_id", "terms")
+      val dv = docs
+        .select(col("doc_id"),
+          explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), mdTokVec(col("tok")).as("vec"))
+      val qv = Seq((1L, 0L, "stream"), (1L, 1L, "filter"), (1L, 2L, "join"),
+          (2L, 0L, "spark"), (2L, 1L, "hash"),
+          (3L, 0L, "vector"), (3L, 1L, "spark"), (3L, 2L, "filter"))
+        .toDF("q_id", "qpos", "tok")
+        .select(col("q_id"), col("qpos"), mdTokVec(col("tok")).as("vec"))
+      graft.operators.Serving.searchMaxSim(queries, path, dv, qv,
+          k = 10, fetchK = 30, idColName = "doc_id")
+        .orderBy("q_id", "rank")
+    }),
     // distributed BPE training (Sennrich ACL'16): ONE corpus
     // word-count shuffle feeds a driver-side merge loop over the
     // Zipf-bounded dict (the IVF-quantizer discipline — train small
@@ -1856,6 +1884,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "mv2_maxsim_index_rerank" -> maxSimRerankSql,
+    "mv3_maxsim_served" -> maxSimRerankSql,
     "hy2_hybrid_index_rrf" -> hybridRrfSql,
     "hy3_search_hybrid" -> hybridRrfSql,
     "sm1_sample_det" ->
