@@ -77,7 +77,11 @@ object DumpPlans {
     "hn2_hard_negatives_served" ->
       "Served hard negatives: candidates come from the IVF index's cell-pruned scan (PartitionFilters on the probed cells, query frame broadcast — the corpus never shuffles into its join, spec-pinned), the self/positive cuts are broadcast anti-joins over candidate-sized sets, and the re-rank touches <= queries x fetchK rows. The brute |corpus| x |queries| cosine interior is gone: a 100TB corpus costs O(probed cells).",
     "hy3_search_hybrid" ->
-      "One-call hybrid serving: the lexical leg reads only the query terms' postings buckets (PartitionFilters + term pushdown), the vector leg only the probed cells, each answers the WHOLE query frame in one plan, and the per-query RRF fusion aggregates <= 2 x queries x perLegK rows. Nothing corpus-sized exists past the two pruned index reads.")
+      "One-call hybrid serving: the lexical leg reads only the query terms' postings buckets (PartitionFilters + term pushdown), the vector leg only the probed cells, each answers the WHOLE query frame in one plan, and the per-query RRF fusion aggregates <= 2 x queries x perLegK rows. Nothing corpus-sized exists past the two pruned index reads.",
+    "idx8_phrase_score" ->
+      "Scored phrase search from positional postings: each term's scan keeps the bucket PartitionFilters + term pushdown (only the phrase's buckets are read), docs holding all terms hash-join on id, the adjacency count is an array predicate over the per-term position lists, and corpus stats enter as driver literals. Phrase ranking costs O(docs containing the phrase's terms) — the corpus and its text are never touched.",
+    "f26_phrase_scored" ->
+      "Scored match_phrase in the DSL: the phrase tf is a pure per-row expression over ONE staged token-array projection (the lambda's element_at reads a column — no re-tokenize, no shuffle), and N/sum-len/per-term dfs reduce to a single 1-row aggregate broadcast into the lazy plan. A phrase clause adds zero corpus shuffles to any scored query.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
