@@ -206,6 +206,12 @@ object ScaleCheck {
     * dominated costs near-flat and the scan component growing with
     * a slope well below the 10× data growth. A superlinear column
     * means a probe degraded to an index-sized shuffle.
+    *
+    * The `posbuild`/`phrase` columns measure the positional-postings
+    * tax: a `positions = true` build of the same corpus (the
+    * collect-list-of-offsets cost — corpus-linear, the storage/ingest
+    * price of phrase queries) and a phrase-BM25 query over it (reads
+    * 2 bucket dirs — should stay ~flat as the index grows).
     */
   private def batchGrowth(spark: SparkSession): Unit = {
     import graft.operators.InvertedIndex
@@ -216,7 +222,8 @@ object ScaleCheck {
     val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
       .select("doc_id", "text")
     println("[scale] per-batch phase growth: fixed 1000-doc micro-batch, index grown 1x/4x/10x")
-    println(f"[scale] ${"size"}%-5s ${"docs"}%8s ${"build(s)"}%9s ${"compact(s)"}%11s " +
+    println(f"[scale] ${"size"}%-5s ${"docs"}%8s ${"build(s)"}%9s ${"posbuild(s)"}%12s " +
+      f"${"phrase(s)"}%10s ${"compact(s)"}%11s " +
       f"${"upsert(s)"}%10s ${"cdc(s)"}%8s ${"delete(s)"}%10s")
     val rows = Seq(1, 4, 10).map { s =>
       val idx = s"/tmp/scale_idx_batch_$s"
@@ -236,6 +243,23 @@ object ScaleCheck {
           "doc_id", "text", idx)
         InvertedIndex.append(corpus.filter(col("doc_id") % 2 === 1),
           "doc_id", "text", idx)
+      }
+      // positional build: the collect_list-of-offsets cost over the
+      // same corpus, plus a phrase query over the positional index —
+      // the storage/ingest tax phraseSearch pays (both corpus-linear;
+      // the phrase QUERY should stay ~flat: it reads 2 buckets)
+      val idxP = s"${idx}_pos"
+      new org.apache.hadoop.fs.Path(idxP)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(idxP), true)
+      val tPosBuild = timeS {
+        InvertedIndex.build(corpus, "doc_id", "text", idxP,
+          positions = true)
+      }
+      val tPhrase = timeS {
+        InvertedIndex.phraseSearchTopK(spark, idxP,
+          Seq("stream", "filter"), k = 10, idColName = "doc_id").count()
+        ()
       }
       val tCompact = timeS { InvertedIndex.compact(spark, idx) }
       val tUpsert = timeS {
@@ -260,7 +284,8 @@ object ScaleCheck {
           corpus.filter(col("doc_id") >= 3000 && col("doc_id") < 4000)
             .select("doc_id"), idx)
       }
-      println(f"[scale] ${s}%-5d ${nDocs}%8d ${tBuild}%9.2f ${tCompact}%11.2f " +
+      println(f"[scale] ${s}%-5d ${nDocs}%8d ${tBuild}%9.2f ${tPosBuild}%12.2f " +
+        f"${tPhrase}%10.2f ${tCompact}%11.2f " +
         f"${tUpsert}%10.2f ${tCdc}%8.2f ${tDelete}%10.2f")
       (s, tUpsert, tCdc, tDelete)
     }

@@ -136,11 +136,18 @@ class EsScoredQuerySpec extends AnyFunSuite {
       val frame = scored(pinned,
         """{"bool": {"must": [{"match": {"text": "stream filter"}}],
              "should": [{"match": {"text": "join"}}]}}""")
+      // a phrase clause must stay equally lazy: its per-term dfs and
+      // token totals ride the same broadcast-crossJoin discipline
+      val phraseFrame = scored(pinned,
+        """{"bool": {"should": [
+             {"match_phrase": {"text": "stream filter"}},
+             {"match": {"text": "join"}}]}}""")
       // listener events are async; give stragglers time to land
       Thread.sleep(1500)
       assert(counter.get == 0,
-        s"building the scored frame launched ${counter.get} job(s)")
-      assert(frame.limit(1).count() >= 0) // the frame still executes fine
+        s"building the scored frames launched ${counter.get} job(s)")
+      assert(frame.limit(1).count() >= 0) // the frames still execute fine
+      assert(phraseFrame.limit(1).count() >= 0)
     } finally spark.sparkContext.removeSparkListener(l)
   }
 

@@ -710,6 +710,26 @@ class InvertedIndexSpec extends AnyFunSuite {
     // compaction keeps the flag and the answers
     InvertedIndex.compact(spark, path)
     assert(idxIds() == full.drop(3))
+    // the phrase read prunes postings bucket DIRECTORIES at planning
+    // time, exactly like searchTopK (two terms → at most two buckets
+    // of the 64 survive per scan)
+    val df = InvertedIndex.phraseSearch(spark, path, Seq("the", "fast"),
+      idColName = "doc_id")
+    df.collect()
+    val scans = graft.PlanCheck.flatten(df.queryExecution.executedPlan)
+      .collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec if
+          s.relation.location.rootPaths
+            .exists(_.toString.contains("postings")) => s
+      }
+    assert(scans.nonEmpty, "no postings scan found in the phrase plan")
+    scans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"no partition filter on the postings scan:\n$s")
+      assert(s.selectedPartitions.partitionCount <= 2,
+        s"expected <= 2 pruned bucket dirs, scanned " +
+          s"${s.selectedPartitions.partitionCount}")
+    }
     // a non-positional index refuses loudly
     val plain = tmp("graft-idx-nopos")
     InvertedIndex.build(docs, "doc_id", "text", plain)
