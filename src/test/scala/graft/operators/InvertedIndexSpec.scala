@@ -695,6 +695,16 @@ class InvertedIndexSpec extends AnyFunSuite {
         .count())
     assert(InvertedIndex.phraseSearch(spark, path,
       Seq("fast", "zzzznope"), idColName = "doc_id").count() == 0)
+    // a streaming ingest batch INHERITS the positional flag from the
+    // existing segments (the stats-ride rule), so a stream over a
+    // positional build keeps serving phrases over new docs
+    InvertedIndex.ingestBatch(
+      Seq((777001L, "xq the fast yq")).toDF("doc_id", "text"),
+      "doc_id", "text", path, batchId = 424242)
+    assert(idxIds().contains(777001L),
+      "an ingested batch's phrase occurrences must be searchable")
+    InvertedIndex.deleteDocs(Seq(777001L).toDF("doc_id"), path)
+    assert(idxIds() == full)
     // tombstones subtract from phrase results too
     val dead = full.take(3)
     InvertedIndex.deleteDocs(dead.toDF("doc_id"), path)
