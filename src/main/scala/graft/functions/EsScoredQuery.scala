@@ -693,7 +693,15 @@ object EsScoredQuery {
           case ((f, terms), i) =>
             val tc = col(s"_ptoks${pFields.indexOf(f)}")
             val nT = terms.length
-            val ptf = when(size(tc) >= nT,
+            // codegen array_contains guard first: a doc missing ANY
+            // of the phrase's terms cannot match, and most docs fall
+            // here — the interpreted adjacency lambda (the only
+            // non-codegen piece) then runs on candidates only, the
+            // arrays_overlap discipline of fieldMoments (measured 5×
+            // on the f26 fixture)
+            val hasAll = terms.distinct
+              .map(t => array_contains(tc, t)).reduce(_ && _)
+            val ptf = when(hasAll && size(tc) >= nT,
               size(filter(sequence(lit(0), size(tc) - nT), p =>
                 terms.zipWithIndex.map { case (t, j) =>
                   element_at(tc, p + j + 1) === lit(t)
