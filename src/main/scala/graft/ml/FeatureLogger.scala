@@ -77,6 +77,6 @@ object FeatureLogger {
     }
     val all = parts.reduce(_ unionByName _)
     all.select((judgments.columns.map(col) ++
-      extractors.map(e => col(e._1))): _*)
+      extractors.map(e => col(e._1))).toIndexedSeq: _*)
   }
 }

@@ -902,7 +902,7 @@ object Dedup {
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(true)
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
     }
     def release(ids: Set[Int]): Unit =
       sc.getPersistentRDDs.view.filterKeys(ids).values

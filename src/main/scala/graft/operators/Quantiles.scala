@@ -38,7 +38,7 @@ object Quantiles {
     val sorted = vals.orderBy("v").select("v")
     val n = sorted.count()
     if (n == 0) return qs.toDF("q").withColumn("value", lit(null).cast("double"))
-    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) => (i, r.getDouble(0)) }
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) => (i, r.getDouble(0)) }
     // target ranks: for each q we need floor and ceil of q*(n-1)
     val targets = qs.flatMap { q =>
       val r = q * (n - 1)

@@ -194,7 +194,9 @@ object Quantization {
     }
     val qIds = typedLit(qRows.map(_._1).toSeq)
     val stage1 = codes
-      .select(col(idCol), posexplode(array(adcPerQuery: _*)).as(Seq("_qi", "_adc")))
+      .select(col(idCol),
+        posexplode(array(adcPerQuery.toIndexedSeq: _*))
+          .as(Seq("_qi", "_adc")))
       .withColumn("q_id", element_at(qIds, col("_qi") + 1))
       // rankTopKPerQuery ranks DESC; ADC is a distance — negate
       .withColumn("_neg_adc", -col("_adc"))

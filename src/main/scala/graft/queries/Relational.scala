@@ -138,7 +138,7 @@ object Relational {
             round(sum(col(f.name)), 4).as(s"sum_${f.name}")
         }
       }
-      li.agg(aggs.head, aggs.tail: _*)
+      li.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
     }),
 
     // ---- metric aggregations A1-A10, A15-A18 ---------------------------

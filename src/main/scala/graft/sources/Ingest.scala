@@ -198,7 +198,7 @@ object Ingest {
               count(expr(s"try_cast(${bq(c)} as bigint)")).as(s"${c}__l"),
               count(expr(s"try_cast(${bq(c)} as double)")).as(s"${c}__d"))
           }
-          val r = df.agg(aggs.head, aggs.tail: _*).head()
+          val r = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
           cands.foreach { c =>
             val n = r.getAs[Long](s"${c}__n")
             val l = r.getAs[Long](s"${c}__l")
