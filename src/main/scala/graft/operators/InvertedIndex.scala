@@ -206,8 +206,15 @@ object InvertedIndex {
         Seq("id", "_seg"), "left_anti")
       .drop("_seg")
 
+  /** Segment stats union tolerates MIXED schemas: a pre-positions
+    * segment's stats table has no `positions` column, and an index may
+    * legitimately hold both generations after an append with newer
+    * code (the missing column reads as null, and the only consumers
+    * ([[liveStats]]) read `n`/`sum_len`/`buckets`).
+    */
   private def readStats(spark: SparkSession, segs: Seq[String]): DataFrame =
-    segs.map(s => spark.read.parquet(s"$s/stats")).reduce(_ unionByName _)
+    segs.map(s => spark.read.parquet(s"$s/stats"))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Create a FRESH index at `indexPath` (any existing segments are
     * removed) holding one segment for `docs`.
@@ -757,7 +764,7 @@ object InvertedIndex {
     val dels = committedDeletes(spark, indexPath)
     val st = liveStats(spark, segs, dels)
     prunedLivePostings(spark, segs, dels,
-        terms.map(_.toLowerCase).distinct, st.buckets)
+        terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct, st.buckets)
       .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
   }
 
@@ -788,7 +795,7 @@ object InvertedIndex {
     val n = st.n
     val avg = if (n > 0) st.sumLen / n
               else 1.0 // postings are empty too: result is empty anyway
-    val terms = queryTerms.map(_.toLowerCase).distinct
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val p = prunedLivePostings(spark, segs, dels, terms, st.buckets)
     // postings rows are unique per (term, id) across segments (the
     // append contract): df = row count per term
@@ -922,7 +929,10 @@ object InvertedIndex {
         "build(positions = true) enables phraseSearch")
     val dels = committedDeletes(spark, indexPath)
     val st = liveStats(spark, segs, dels)
-    val terms = phrase.map(_.toLowerCase)
+    // Locale.ROOT matches Spark's locale-independent lower() that
+    // lowercased the index tokens (a Turkish-locale JVM would
+    // otherwise map 'I' → 'ı' and silently match nothing)
+    val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
     val frames = terms.zipWithIndex.map { case (t, i) =>
       prunedLivePostings(spark, segs, dels, Seq(t), st.buckets)
         .select(col("id"), col("pos").as(s"_pos$i"))
@@ -964,7 +974,7 @@ object InvertedIndex {
     val st = liveStats(spark, segs, dels)
     val n = st.n
     val avg = if (n > 0) st.sumLen / n else 1.0
-    val terms = phrase.map(_.toLowerCase)
+    val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
     val all = prunedLivePostings(spark, segs, dels, terms.distinct,
       st.buckets)
     // per-term document frequencies: postings rows are unique per

@@ -27,7 +27,7 @@ object Ranking {
                queryTerms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && k > 0)
-    val terms = queryTerms.map(_.toLowerCase).distinct
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val staged = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(col(idCol), col("_toks"),

@@ -551,19 +551,23 @@ object VectorIndex {
         .select("nlist").head().getInt(0)
     val cents = Similarity.trainIvfCentroids(live, "v", newNlist,
       kmeansIters, sampleN, seed)
+    val name = s"seg-${java.util.UUID.randomUUID()}"
+    val seg = s"$indexPath/segments/$name"
+    val inputs =
+      segs.map(s => "segments/" + new org.apache.hadoop.fs.Path(s).getName) ++
+      dels.map(d => "deletes/" + new org.apache.hadoop.fs.Path(d).getName)
+    // the manifest lands before ANY bytes (quantizer-next included):
+    // a crash at any later point leaves a manifest whose uncommitted
+    // branch in [[heal]] rolls back both the staged quantizer and the
+    // partial segment — no orphan quantizer-next can outlive a crash
+    Manifest.write(fs, rebuildManifestPath(indexPath),
+      s"segments/$name" +: inputs)
     // stage the retrained quantizer; promotion waits for the segment
     val nextPath = s"$indexPath/quantizer-next"
     spark.createDataFrame(cents.toSeq.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) })
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(nextPath)
-    val name = s"seg-${java.util.UUID.randomUUID()}"
-    val seg = s"$indexPath/segments/$name"
-    val inputs =
-      segs.map(s => "segments/" + new org.apache.hadoop.fs.Path(s).getName) ++
-      dels.map(d => "deletes/" + new org.apache.hadoop.fs.Path(d).getName)
-    Manifest.write(fs, rebuildManifestPath(indexPath),
-      s"segments/$name" +: inputs)
     val fresh = live
       .withColumn("cell", Similarity.ivfCell(col("v"), cents))
       .withColumn("norm", sqrt(VectorOps.normSq(col("v"))))

@@ -166,10 +166,14 @@ object Vocabulary {
     finally out.close()
   }
 
-  /** Load a `merges.txt` (HF BPE) into a [[BpeModel]]: `#`-comment
-    * lines skipped, each remaining line exactly "left right", rank =
-    * line order — the inverse of [[exportBpeMergesTxt]], and the path
-    * for encoding a corpus under a PRODUCTION tokenizer's merges.
+  /** Load a `merges.txt` (HF BPE) into a [[BpeModel]]: ONLY the
+    * leading `#version` header line is skipped (plus blank lines) —
+    * the HF format has no general comment syntax, and BPE symbols are
+    * corpus characters, so a merge like `# t` (from `#tag` tokens) is
+    * data, not a comment. Each remaining line is exactly "left right",
+    * rank = line order — the inverse of [[exportBpeMergesTxt]], and
+    * the path for encoding a corpus under a PRODUCTION tokenizer's
+    * merges.
     */
   def importBpeMergesTxt(spark: org.apache.spark.sql.SparkSession,
                          file: String): BpeModel = {
@@ -180,7 +184,11 @@ object Vocabulary {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    val merges = lines.filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+    val body = lines match {
+      case h :: t if h.startsWith("#version") => t
+      case other => other
+    }
+    val merges = body.filterNot(_.trim.isEmpty)
       .map { l =>
         l.split(" ", -1) match {
           case Array(lft, rgt) if lft.nonEmpty && rgt.nonEmpty => (lft, rgt)

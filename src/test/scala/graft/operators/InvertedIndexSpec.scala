@@ -773,4 +773,63 @@ class InvertedIndexSpec extends AnyFunSuite {
     // monotone)
     assert(got(1L) > got(2L))
   }
+
+  test("appending into a pre-positions index mixes stats schemas " +
+      "without breaking reads (backward compat)") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val path = tmp("graft-idx-oldstats")
+    InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", path)
+    // fabricate a pre-round-9 segment: its stats table has no
+    // `positions` column (3-column schema)
+    val seg = segDirs(path).head.toString
+    val old = spark.read.parquet(s"$seg/stats")
+      .select("n", "sum_len", "buckets").collect().head
+    Seq((old.getDouble(0), old.getDouble(1), old.getInt(2)))
+      .toDF("n", "sum_len", "buckets")
+      .write.mode("overwrite").parquet(s"$seg/stats")
+    // an append with CURRENT code writes 4-column stats — the index
+    // now legitimately holds both generations
+    InvertedIndex.append(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", path)
+    val terms = Seq("spark", "hash")
+    val mixed = topDocs(InvertedIndex.searchTopK(spark, path, terms,
+      k = 15, idColName = "doc_id"))
+    val pathOne = tmp("graft-idx-oldstats-one")
+    InvertedIndex.build(docs, "doc_id", "text", pathOne)
+    assert(mixed == topDocs(InvertedIndex.searchTopK(spark, pathOne,
+      terms, k = 15, idColName = "doc_id")))
+    // stats()/termStats() walk the same union; phrase refuses cleanly
+    // (the missing column reads as positions = false, as documented)
+    assert(InvertedIndex.stats(spark, path).collect().nonEmpty)
+    assert(InvertedIndex.termStats(spark, path, terms)
+      .collect().nonEmpty)
+    assert(intercept[IllegalArgumentException] {
+      InvertedIndex.phraseSearch(spark, path, Seq("spark", "hash"))
+    }.getMessage.contains("without positional postings"))
+  }
+
+  test("query-term lowercasing is locale-independent (Turkish-I safe)") {
+    // index tokens are lowered by Spark's locale-independent lower();
+    // the query side must use Locale.ROOT or a Turkish-default JVM
+    // maps 'I' -> 'ı' and every uppercase query silently misses
+    val tiny = Seq((1L, "INDEX scan PHRASE INDEX scan"),
+      (2L, "other words here")).toDF("doc_id", "text")
+    val path = tmp("graft-idx-locale")
+    InvertedIndex.build(tiny, "doc_id", "text", path, positions = true)
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      assert(InvertedIndex.phraseSearch(spark, path,
+        Seq("INDEX", "SCAN"), idColName = "doc_id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L))
+      assert(InvertedIndex.phraseSearchTopK(spark, path,
+        Seq("INDEX", "SCAN"), k = 5, idColName = "doc_id").count() == 1)
+      assert(InvertedIndex.searchTopK(spark, path, Seq("INDEX"), k = 5,
+        idColName = "doc_id").count() == 1)
+      assert(InvertedIndex.termStats(spark, path, Seq("INDEX"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == Map("index" -> 1L))
+    } finally java.util.Locale.setDefault(prev)
+  }
 }

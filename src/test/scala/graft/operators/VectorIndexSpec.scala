@@ -511,6 +511,21 @@ class VectorIndexSpec extends AnyFunSuite {
       "completion must retire the input segments")
     assert(VectorIndex.readCentroids(spark, p2).toSeq.map(_.toSeq)
       == staged.map(_._2), "completion must promote the staged quantizer")
+    // earliest window: rebuild() writes the manifest BEFORE staging
+    // quantizer-next (so no orphan staging dir can ever outlive a
+    // crash) — a manifest alone must roll back to the old quantizer
+    val p3 = tmp("graft-vidx-rbheal3")
+    VectorIndex.build(emb, "vec_id", "embedding", p3, nlist = 4)
+    val cents3 = VectorIndex.readCentroids(spark, p3).toSeq.map(_.toSeq)
+    Manifest.write(fs, new Path(s"$p3/rebuilding"),
+      Seq("segments/seg-never-written",
+        "segments/" + new Path(segDirs(p3).head.toString).getName))
+    VectorIndex.heal(spark, p3)
+    assert(!fs.exists(new Path(s"$p3/rebuilding")))
+    assert(VectorIndex.readCentroids(spark, p3).toSeq.map(_.toSeq)
+      == cents3)
+    assert(VectorIndex.searchTopK(queriesShifted(2), p3, k = 3,
+      nprobe = 4).count() > 0)
   }
 
   test("the ADC path refuses an oversized query frame loudly") {

@@ -105,4 +105,28 @@ class VocabularySpec extends AnyFunSuite {
       Vocabulary.importBpeMergesTxt(spark, "/tmp/graft-nope-merges.txt")
     }.getMessage.contains("no merges file"))
   }
+
+  test("merges whose symbols start with '#' survive the round-trip " +
+      "(only the #version header is a comment)") {
+    // '#tag #tag #tags' learns merges with a literal '#' left symbol —
+    // HF's format treats only the leading #version line as special,
+    // and dropping these would silently change the merge walk
+    val corpus = Seq((1L, "#tag #tag #tag #tags #tags ##x ##x"))
+      .toDF("doc_id", "text")
+    val model = Vocabulary.trainBpe(corpus, "text", numMerges = 4)
+    assert(model.merges.exists { case (l, _) => l.startsWith("#") })
+    val file = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-hf-hash").toFile,
+      "merges.txt").toString
+    Vocabulary.exportBpeMergesTxt(spark, model, file)
+    val imported = Vocabulary.importBpeMergesTxt(spark, file)
+    assert(imported.merges == model.merges)
+    // and a header-less file (some exporters omit it) reads fully
+    val bare = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-hf-bare").toFile,
+      "merges.txt")
+    java.nio.file.Files.writeString(bare.toPath, "# t\n#t ag\n")
+    assert(Vocabulary.importBpeMergesTxt(spark, bare.toString).merges
+      == Seq(("#", "t"), ("#t", "ag")))
+  }
 }
