@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites run SERIALLY in the forked JVM (sbt default, pinned here as
+// an invariant): one shared SparkSession per JVM, and one test mutates
+// the JVM-global default Locale for its window (InvertedIndexSpec's
+// Turkish-I test) — neither tolerates intra-JVM test parallelism.
+Test / testForkedParallel := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -185,7 +185,10 @@ object Vocabulary {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     val body = lines match {
-      case h :: t if h.startsWith("#version") => t
+      // exact HF header prefix ("#version:"): a data line whose left
+      // symbol merely begins with '#version' must NOT be dropped — '#'-
+      // prefixed symbols are legitimate merge data
+      case h :: t if h.startsWith("#version:") => t
       case other => other
     }
     val merges = body.filterNot(_.trim.isEmpty)

@@ -812,7 +812,12 @@ class InvertedIndexSpec extends AnyFunSuite {
   test("query-term lowercasing is locale-independent (Turkish-I safe)") {
     // index tokens are lowered by Spark's locale-independent lower();
     // the query side must use Locale.ROOT or a Turkish-default JVM
-    // maps 'I' -> 'ı' and every uppercase query silently misses
+    // maps 'I' -> 'ı' and every uppercase query silently misses.
+    // NOTE: this test mutates the JVM-GLOBAL default locale for its
+    // window (restored in the finally). Suites run sequentially here
+    // (no parallelExecution); if test-level parallelism is ever
+    // enabled, this test must be excluded from it — concurrent tests
+    // would observe tr-TR.
     val tiny = Seq((1L, "INDEX scan PHRASE INDEX scan"),
       (2L, "other words here")).toDF("doc_id", "text")
     val path = tmp("graft-idx-locale")
