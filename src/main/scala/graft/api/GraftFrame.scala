@@ -256,13 +256,26 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     wrap(df.orderBy(col(idCol).desc).limit(n).orderBy(col(idCol).asc))
 
   /** Seeded exact-n sample. eland uses a seeded random_score over
-    * `_seq_no` (eland/filter.py:193-202); here the score is
-    * xxhash64(id, seed) so the sample is deterministic under any
-    * partitioning/cluster size — a property rand(seed) lacks.
+    * `_seq_no` (eland/filter.py:193-202); here the score is a seeded
+    * per-row hash of the id, so the sample is deterministic under any
+    * partitioning/cluster size — a property rand(seed) lacks. Either
+    * way the plan is TakeOrderedAndProject (per-partition top-n +
+    * driver merge), never a global sort.
+    *
+    * `portable = true` draws by the md5 key of
+    * [[graft.operators.Sampling.hashKey]] instead of xxhash64: the
+    * exact drawn ID SET is then replayable by any engine with md5
+    * (`ORDER BY md5('<seed>:' || id)`) — the audit property a
+    * training-data pipeline wants at system boundaries. The xxhash64
+    * default stays the interior fast path (one 64-bit mix per row vs
+    * an md5).
     */
-  def sample(n: Int, seed: Long): GraftFrame =
-    wrap(df.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(n)
-      .orderBy(col(idCol).asc))
+  def sample(n: Int, seed: Long, portable: Boolean = false): GraftFrame = {
+    val key =
+      if (portable) graft.operators.Sampling.hashKey(col(idCol), seed)
+      else xxhash64(col(idCol), lit(seed))
+    wrap(df.orderBy(key, col(idCol)).limit(n).orderBy(col(idCol).asc))
+  }
 
   /** Fractional sample — eland `sample(frac=..)`: exact
     * round(frac*len) rows, same seeded determinism.

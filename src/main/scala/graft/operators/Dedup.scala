@@ -817,6 +817,79 @@ object Dedup {
     materializeAndRelease(withSig, pairs)
   }
 
+  /** SimHash near-duplicate pairs by hamming radius — the Manku et
+    * al. (WWW'07, "Detecting near-duplicates for web crawling")
+    * block-permutation recipe as a banded self-join: each document's
+    * sketch is split into `bands` contiguous chunks, candidates are
+    * pairs sharing ANY chunk value, and survivors are filtered to
+    * hamming distance <= `maxHamming` over the full sketch. With
+    * `maxHamming <= bands - 1` (enforced) the pigeonhole argument
+    * makes recall EXACT, not probabilistic: a pair differing in at
+    * most bands-1 bits cannot differ in every chunk, so it collides
+    * in at least one — the output is precisely the set of pairs at
+    * hamming <= maxHamming, independent of the blocking. Output:
+    * (id_a, id_b, ham) with id_a < id_b; zero-token docs are excluded
+    * (an all-zero sketch says nothing about content).
+    *
+    * `portable = true` sketches with
+    * [[TextAnalysis.simhashPortable]] (60-bit, md5 token hashes) so
+    * any engine with md5 replays sketch -> all-pairs hamming; the
+    * default is the native codegen [[TextAnalysis.simhash64]] fast
+    * path. Same banded layout either way: the shuffle carries
+    * (id, band, chunk) triples — O(N x bands) narrow rows, never
+    * all-pairs — and `maxBucketSize` caps degenerate chunk buckets
+    * exactly like [[minhashLshPairs]] (boilerplate-heavy corpora put
+    * thousands of docs in one chunk bucket; the cap trades recall for
+    * those documented cases, 0 disables).
+    */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     bands: Int = 4, maxHamming: Int = 3,
+                     portable: Boolean = false,
+                     maxBucketSize: Int = 0): DataFrame = {
+    val sigBits = if (portable) 60 else 64
+    require(bands >= 1 && sigBits % bands == 0,
+      s"bands must divide $sigBits (got $bands)")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"pigeonhole recall needs maxHamming <= bands - 1 " +
+        s"(got $maxHamming with $bands bands)")
+    val chunk = sigBits / bands
+    val mask = (1L << chunk) - 1
+    val sketch =
+      if (portable) TextAnalysis.simhashPortable(col(textCol))
+      else TextAnalysis.simhash64(col(textCol))
+    val sigs = docs
+      .filter(size(TextAnalysis.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"), sketch.as("sh"))
+      .persist()
+    val banded = sigs.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * chunk).bitwiseAND(lit(mask)).as("bk")))
+        : _*)).as("c"))
+      .select(col("id"), col("c.band"), col("c.bk"))
+    val guarded =
+      if (maxBucketSize <= 0) banded
+      else {
+        import org.apache.spark.sql.expressions.Window
+        banded.withColumn("_bsz",
+          count(lit(1)).over(Window.partitionBy("band", "bk")))
+          .filter(col("_bsz") <= maxBucketSize)
+          .drop("_bsz")
+      }
+    val pairs = guarded.select(col("band"), col("bk"), col("id").as("id_a"))
+      .join(guarded.select(col("band"), col("bk"), col("id").as("id_b")),
+        Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()                               // pair may share >1 chunk
+      .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("ham"))
+      .filter(col("ham") <= maxHamming)
+    materializeAndRelease(sigs, pairs)
+  }
+
   /** Greedy near-dup drop list from candidate pairs: a doc is dropped
     * when it has ANY near-dup partner with a smaller id. O(N) output
     * regardless of clique sizes (a 10-doc clique yields 9 drops, not

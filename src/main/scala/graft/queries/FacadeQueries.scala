@@ -100,12 +100,16 @@ object FacadeQueries {
       f.where(graft.functions.EsMatch.matchPhrase(col("text"), "the fast"))
         .select(Seq("doc_id")).df.orderBy("doc_id")
     }),
-    // seeded deterministic sample (xxhash64 order — rows-only oracle,
-    // so the gate asserts its own contract: exactly n rows, and two
-    // independent evaluations draw the IDENTICAL key set)
+    // seeded deterministic sample through the PORTABLE md5 draw: the
+    // exact drawn row set replays engine-side (ORDER BY md5('42:'||id)
+    // LIMIT n). The determinism contract stays as an eager invariant:
+    // two independent evaluations draw the IDENTICAL key set. The
+    // xxhash64 fast-path draw shares every plan property (same
+    // TakeOrderedAndProject, only the key expression differs) and is
+    // spec-pinned in FacadeSpec.
     "g11_sample" -> ((s, d) => {
-      val draw = orders(s, d).sample(50, seed = 42).df
-      val again = orders(s, d).sample(50, seed = 42).df
+      val draw = orders(s, d).sample(50, seed = 42, portable = true).df
+      val again = orders(s, d).sample(50, seed = 42, portable = true).df
       val n = draw.count()
       val overlap = draw.select("o_orderkey")
         .intersect(again.select("o_orderkey")).count()
@@ -482,6 +486,14 @@ object FacadeQueries {
     "g2_tail" ->
       """SELECT * FROM (
         |  SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 7)
+        |ORDER BY o_orderkey""".stripMargin,
+    // exact replay of the portable seeded draw: same md5 key, same
+    // id tiebreak, same n — then the facade's id re-sort
+    "g11_sample" ->
+      """SELECT * FROM (
+        |  SELECT * FROM orders
+        |  ORDER BY md5('42:' || CAST(o_orderkey AS VARCHAR)), o_orderkey
+        |  LIMIT 50)
         |ORDER BY o_orderkey""".stripMargin,
     "g3_agg_matrix" ->
       """SELECT min(o_orderkey) AS o_orderkey_min,

@@ -56,10 +56,23 @@ object TextQueries {
           TextAnalysis.languageIdFromTokens(col("_toks")).as("lang_pred"))
         .orderBy("doc_id")
     }),
-    // order-sensitive rolling-hash fingerprint (xxhash64 — rows-only)
+    // order-sensitive rolling-hash fingerprint (xxhash64 fast path).
+    // The raw 64-bit value has no engine-independent truth (any hash
+    // family is a valid fingerprint), so the gate checks the CONTRACT
+    // instead, as a full oracle: the fingerprint's equivalence classes
+    // must be exactly the token-sequence equivalence classes — equal
+    // token sequences fingerprint equal (determinism), distinct ones
+    // distinct (collision-freedom on the corpus; deterministic, so
+    // once verified it stays verified). DuckDB derives the classes
+    // from the token sequences directly; value-level pinning of the
+    // portable md5 family is gate t6.
     "t5_fingerprint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .withColumn("rep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .select("doc_id", "rep_id")
         .orderBy("doc_id")
     }),
 
@@ -94,10 +107,19 @@ object TextQueries {
         .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
         .limit(50)
     }),
-    "dd3_simhash" -> ((s, d) => {
-      t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("simhash"))
-        .orderBy("doc_id")
+    // SimHash near-dup SEARCH (Manku banded blocking + hamming
+    // radius), on the portable md5 sketch family so DuckDB replays
+    // the whole pipeline: with maxHamming <= bands-1 the pigeonhole
+    // guarantee makes the banded output EXACTLY the all-pairs
+    // hamming<=3 set, which the oracle computes flat from dd10's
+    // sketch replay — blocking proven lossless, integer-exact. The
+    // native xxhash64 sketch runs the same operator via portable =
+    // false (differential-pinned in DedupSpec; dd10 pins the sketch
+    // values themselves).
+    "dd3_simhash_neardup" -> ((s, d) => {
+      Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text",
+          bands = 4, maxHamming = 3, portable = true)
+        .orderBy("id_a", "id_b")
     }),
     // exact dedup keep-first over a corpus with synthesized duplicates
     "dd6_exact_keep_first" -> ((s, d) => {
@@ -354,47 +376,57 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // ---- multimodal (decode stubbed; plumbing real) ---------------
-    // binary blob metadata + byte length (SQL-expressible part)
+    // ---- multimodal (REAL containers + decoders end to end) -------
+    // real per-kind containers (BMP/WAV/AVI) + typed metadata; blob
+    // sizes and dimensions are the containers' real header arithmetic
     "mm1_media_meta" -> ((s, d) => {
       graft.operators.Multimodal
-        .synthesizeMedia(t(s, d, "documents"), "doc_id", "text")
+        .synthesizeRealMedia(t(s, d, "documents"), "doc_id")
         .select(col("media_id"), col("meta.kind").as("kind"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"),
           octet_length(col("blob")).cast("long").as("blob_bytes"))
         .orderBy("media_id")
     }),
-    // mapPartitions feature extraction (stub decoder — rows-only, so
-    // the gate asserts its own contract: every media row yields a
-    // feature vector of EXACTLY `dims` finite floats, else it throws)
+    // mapPartitions feature extraction through the REAL per-kind
+    // decoders (ImageIO / AudioSystem / AVI chunk walk), pooled to 8
+    // dims; DuckDB re-derives every bucket mean from the synthesis
+    // formulas. The finite-floats contract stays as a cheap eager
+    // invariant on top of the full value oracle.
     "mm2_media_features" -> ((s, d) => {
       val feats = graft.operators.Multimodal.extractFeatures(
         graft.operators.Multimodal
-          .synthesizeMedia(t(s, d, "documents"), "doc_id", "text"),
+          .synthesizeRealMedia(t(s, d, "documents"), "doc_id"),
         dims = 8)
       val bad = feats.filter(
         size(col("features")) =!= 8 ||
           exists(col("features"), f =>
-            isnan(f.cast("double")) ||
-              f.cast("double") === Double.PositiveInfinity ||
-              f.cast("double") === Double.NegativeInfinity)).count()
+            isnan(f) || f === Double.PositiveInfinity ||
+              f === Double.NegativeInfinity)).count()
       require(bad == 0, s"$bad media rows violate the 8-finite-floats contract")
       feats.select(col("media_id"), col("kind"),
-          round(element_at(col("features"), 1).cast("double"), 5).as("f0"))
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(aggregate(transform(col("features"), f => round(f, 6)),
+            lit(0.0), (a, x) => a + x), 6).as("fsum"))
         .orderBy("media_id")
     }),
-    // frame sampling explode (rows-only; the gate asserts no media row
-    // is lost and every media yields at least one frame)
+    // frame sampling on the REAL container: every 2nd '00db' chunk of
+    // genuine AVI bytes becomes a frame blob; DuckDB re-derives each
+    // sampled frame's size and mean byte from the pixel formula. The
+    // no-media-lost contract stays as an eager invariant.
     "mm3_frame_sample" -> ((s, d) => {
-      val media = graft.operators.Multimodal
-        .synthesizeMedia(t(s, d, "documents"), "doc_id", "text")
-      val frames = graft.operators.Multimodal.sampleFrames(media)
-        .groupBy("media_id")
-        .agg(count(lit(1)).cast("long").as("n_frames"))
-      val nMediaWithFrames = frames.filter(col("n_frames") >= 1).count()
-      val nVideo = media.filter(col("meta.kind") === "video").count()
+      val media = graft.operators.Multimodal.synthesizeAvi(
+        t(s, d, "documents").select("doc_id"), "doc_id")
+      val frames = graft.operators.Multimodal.sampleAviFrames(media, stride = 2)
+      val nMediaWithFrames = frames.select("media_id").distinct().count()
+      val nVideo = media.count()
       require(nMediaWithFrames == nVideo,
         s"frame sampling lost media: $nMediaWithFrames of $nVideo videos")
-      frames.orderBy("media_id")
+      graft.operators.Multimodal.frameBlobStats(frames)
+        .select(col("media_id"), col("frame_no"), col("frame_bytes"),
+          round(col("mean_byte"), 6).as("mean_byte"))
+        .orderBy("media_id", "frame_no")
     }),
 
     // REAL image decode, oracle-checked: synthesize genuine BMP bytes,
@@ -523,12 +555,91 @@ object TextQueries {
            |  CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct,
            |  array_to_string(list_sort(list_distinct($toksSql))[1:3], '|') AS first3
            |FROM documents ORDER BY doc_id""".stripMargin,
+    // the fingerprint's equivalence classes ARE the token-sequence
+    // classes (tokens cannot contain spaces, so the joined string is a
+    // faithful sequence key)
+    "t5_fingerprint" ->
+      raw"""SELECT doc_id,
+           |  min(doc_id) OVER (
+           |    PARTITION BY array_to_string($toksSql, ' ')) AS rep_id
+           |FROM documents ORDER BY doc_id""".stripMargin,
+    // flat replay of the banded pipeline's EXACT semantics: portable
+    // sketch (dd10's per-bit ±1 sums) then all-pairs hamming <= 3 —
+    // the pigeonhole guarantee means blocking cannot change the set
+    "dd3_simhash_neardup" ->
+      raw"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+           |h AS (SELECT doc_id,
+           |        ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok),
+           |bits AS (SELECT doc_id, j,
+           |           sum(CASE WHEN (hv & (1::BIGINT << j)) != 0
+           |               THEN 1 ELSE -1 END) AS s
+           |         FROM h, generate_series(0, 59) g(j) GROUP BY 1, 2),
+           |sig AS (SELECT doc_id,
+           |          CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
+           |            AS BIGINT) AS sh
+           |        FROM bits GROUP BY 1)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS ham
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
+    // real container arithmetic: BMP = 54 header + 24 B/row × 8 rows;
+    // WAV = 44 header + 256 samples; AVI = 8 + 1016 RIFF payload
+    // (192-byte hdrl, 804-byte movi of 4 × (8 + 192) frame chunks)
     "mm1_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
         |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(octet_length(text::BLOB) AS BIGINT) AS blob_bytes
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/bmp'
+        |       WHEN 1 THEN 'audio/wav' ELSE 'video/avi' END AS format,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN -1 ELSE 8 END
+        |       AS INT) AS width,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN -1 ELSE 8 END
+        |       AS INT) AS height,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN -1
+        |       WHEN 1 THEN 32 ELSE 400 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 246
+        |       WHEN 1 THEN 300 ELSE 1024 END AS BIGINT) AS blob_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+    // full replay of the per-kind decode + average pooling: decoded
+    // stream values from the synthesis formulas, bucketed by stream
+    // position mod 8, per-bucket mean scaled to [0,1] (rounded 6 dp,
+    // like the Spark gate), f0 = bucket 0, fsum = rounded bucket sum
+    "mm2_media_features" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS media_id, 'image' AS kind,
+        |         (y.y * 8 + x.x) AS i,
+        |         CAST((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS INT) AS k
+        |  FROM documents d, generate_series(0, 7) x(x), generate_series(0, 7) y(y)
+        |  WHERE d.doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT d.doc_id, 'audio', s.s,
+        |         CAST((d.doc_id * 17 + s.s * 11) % 256 AS INT)
+        |  FROM documents d, generate_series(0, 255) s(s)
+        |  WHERE d.doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT d.doc_id, 'video', (f.f * 64 + y.y * 8 + x.x),
+        |         CAST((d.doc_id * 31 + f.f * 19 + x.x * 7 + y.y * 13) % 256 AS INT)
+        |  FROM documents d, generate_series(0, 3) f(f),
+        |       generate_series(0, 7) x(x), generate_series(0, 7) y(y)
+        |  WHERE d.doc_id % 3 = 2),
+        |b AS (SELECT media_id, kind, i % 8 AS dim,
+        |             round(avg(CAST(k AS DOUBLE)) / 255.0, 6) AS m
+        |      FROM px GROUP BY 1, 2, 3)
+        |SELECT media_id, kind, max(CASE WHEN dim = 0 THEN m END) AS f0,
+        |       round(sum(m), 6) AS fsum
+        |FROM b GROUP BY media_id, kind ORDER BY media_id""".stripMargin,
+    // every 2nd frame of the 4-frame AVI: 192 raw DIB bytes per frame
+    // (8 px × 3 B, rows 4-aligned), mean byte = mean pixel formula
+    // (each pixel contributes 3 equal channel bytes)
+    "mm3_frame_sample" ->
+      """SELECT d.doc_id AS media_id, CAST(f.f AS INT) AS frame_no,
+        |  CAST(192 AS BIGINT) AS frame_bytes,
+        |  round((SELECT avg(CAST((d.doc_id * 31 + f.f * 19 + x.x * 7 + y.y * 13) % 256 AS DOUBLE))
+        |         FROM generate_series(0, 7) x(x), generate_series(0, 7) y(y)), 6)
+        |    AS mean_byte
+        |FROM documents d, generate_series(0, 3, 2) f(f)
+        |ORDER BY media_id, frame_no""".stripMargin,
     "mm4_image_decode" ->
       """SELECT d.doc_id AS media_id, 8 AS width, 8 AS height,
         |  round((SELECT avg(CAST((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS DOUBLE))

@@ -33,6 +33,21 @@ class FacadeSpec extends AnyFunSuite {
     val c = orders.sample(20, seed = 8).df.collect().map(_.getLong(0)).toSeq
     assert(a == b && a.size == 20)
     assert(a != c) // different seed, different rows (overwhelmingly)
+    // the portable md5 draw shares every contract (exact-n, seeded
+    // determinism, different seed => different rows) and matches the
+    // hand-computed md5 order on the ids it drew
+    val p = orders.sample(20, seed = 7, portable = true).df
+      .collect().map(_.getLong(0)).toSeq
+    val p2 = orders.sample(20, seed = 7, portable = true).df
+      .collect().map(_.getLong(0)).toSeq
+    assert(p == p2 && p.size == 20 && p != a)
+    val allIds = orders.df.select("o_orderkey").collect().map(_.getLong(0))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = allIds.sortBy(id => (md5hex(s"7:$id"), id)).take(20)
+      .sorted.toSeq
+    assert(p == expect)
   }
 
   test("select validates unknown columns; drop honors errors=ignore") {

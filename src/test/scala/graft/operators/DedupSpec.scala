@@ -532,6 +532,34 @@ class DedupSpec extends AnyFunSuite {
     assert(ham02 <= 16, s"hamming=$ham02")
   }
 
+  test("simhashNearDup: banded output equals all-pairs hamming radius, both families") {
+    val docs = graft.Tables.load(spark, graft.TestSpark.sfDir, "documents")
+    for (portable <- Seq(false, true)) {
+      val sketch =
+        if (portable) graft.functions.TextAnalysis.simhashPortable($"text")
+        else graft.functions.TextAnalysis.simhash64($"text")
+      val sigs = docs
+        .filter(size(graft.functions.TextAnalysis.tokens($"text")) > 0)
+        .select($"doc_id", sketch.as("sh"))
+      // flat all-pairs reference — the exact set the pigeonhole
+      // argument promises the banded join recovers
+      val ref = sigs.as("a").crossJoin(sigs.as("b"))
+        .filter($"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+          bit_count($"a.sh".bitwiseXOR($"b.sh")).as("ham"))
+        .filter($"ham" <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val got = Dedup.simhashNearDup(docs, "doc_id", "text",
+          bands = 4, maxHamming = 3, portable = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == ref, s"portable=$portable")
+      assert(ref.exists(_._3 == 0)) // exact dups exist in the corpus
+    }
+    // losing the pigeonhole guarantee must refuse, not silently recall-drop
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashNearDup(docs, "doc_id", "text", bands = 4, maxHamming = 4))
+  }
+
   test("native TokenMinHash is bit-identical to the staged HOF signature pipeline") {
     import org.apache.spark.sql.functions._
     // real corpus text: exercises unicode, punctuation, whitespace runs

@@ -7,10 +7,10 @@ import graft.{Tables, TestSpark}
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private def media = Multimodal.synthesizeMedia(
-    Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
+  private def media = Multimodal.synthesizeRealMedia(
+    Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id")
 
-  test("synthesized media has binary blobs and typed metadata") {
+  test("synthesized media: real containers, typed metadata, real sizes") {
     val m = media
     assert(m.schema("blob").dataType ==
       org.apache.spark.sql.types.BinaryType)
@@ -19,31 +19,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kinds == Set("image", "audio", "video"))
     assert(m.filter(col("meta.kind") === "image")
       .select("meta.duration_ms").head().getLong(0) == -1L)
+    // blob sizes are the containers' real header arithmetic
+    val sizes = m.select(col("meta.kind"),
+        octet_length(col("blob")).as("n"))
+      .distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(sizes == Map("image" -> 246, "audio" -> 300, "video" -> 1024))
   }
 
-  test("feature extraction is deterministic, batched, right shape") {
+  test("feature extraction: real per-kind decode, pooled to the formulas") {
     val f1 = Multimodal.extractFeatures(media, dims = 8)
     assert(f1.schema.fieldNames.toSeq == Seq("media_id", "kind", "features"))
-    val rows = f1.orderBy("media_id").limit(3).collect()
-    assert(rows.forall(_.getSeq[Float](2).size == 8))
-    val f2 = Multimodal.extractFeatures(media, dims = 8)
-      .orderBy("media_id").limit(3).collect()
-    assert(rows.map(_.getSeq[Float](2)).toSeq ==
-      f2.map(_.getSeq[Float](2)).toSeq)
-    // feature vectors are normalized byte histograms -> all in [0,1]
-    assert(rows.flatMap(_.getSeq[Float](2)).forall(v => v >= 0f && v <= 1f))
+    val byId = f1.filter(col("media_id") < 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getSeq[Double](2))).toMap
+    assert(byId.values.forall(_._2.size == 8))
+    // bucket-mean replay of each synthesis formula, per kind
+    def pooled(values: Seq[Int]): Seq[Double] =
+      (0 until 8).map { d =>
+        val vs = values.zipWithIndex.collect { case (v, i) if i % 8 == d => v }
+        vs.sum.toDouble / vs.size / 255.0
+      }
+    val imgExp = pooled(for (y <- 0 until 8; x <- 0 until 8)
+      yield ((0 * 31 + x * 7 + y * 13) % 256))
+    val audExp = pooled((0 until 256).map(i => ((1 * 17 + i * 11) % 256)))
+    val vidExp = pooled(for (f <- 0 until 4; y <- 0 until 8; x <- 0 until 8)
+      yield ((2 * 31 + f * 19 + x * 7 + y * 13) % 256))
+    assert(byId(0L)._1 == "image" && byId(0L)._2 == imgExp)
+    assert(byId(1L)._1 == "audio" && byId(1L)._2 == audExp)
+    assert(byId(2L)._1 == "video" && byId(2L)._2 == vidExp)
+    // determinism across evaluations
+    val again = Multimodal.extractFeatures(media, dims = 8)
+      .filter(col("media_id") < 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert((0L to 2L).forall(id => again(id) == byId(id)._2))
   }
 
-  test("frame sampling explodes video rows into fixed-size frame blobs") {
-    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
-    assert(frames.columns.toSeq ==
-      Seq("media_id", "frame_no", "frame_blob"))
-    val perVideo = frames.groupBy("media_id").count()
-    assert(perVideo.count() ==
-      media.filter(col("meta.kind") === "video").count())
-    val sizes = frames.select(octet_length(col("frame_blob")))
-      .collect().map(_.getInt(0))
-    assert(sizes.forall(_ <= 32) && sizes.max == 32)
+  test("container frame sampling: every stride-th DIB chunk, bytes intact") {
+    import spark.implicits._
+    val vids = Multimodal.synthesizeAvi(
+      Seq(4L, 9L).toDF("doc_id"), "doc_id", nFrames = 6)
+    val frames = Multimodal.sampleAviFrames(vids, stride = 3)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_no", "frame_blob"))
+    val got = frames.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Array[Byte]](2)).toMap
+    assert(got.keySet == Set((4L, 0), (4L, 3), (9L, 0), (9L, 3)))
+    assert(got.values.forall(_.length == 192))
+    // sampled bytes are the frame's raw DIB: spot-check pixel (1, 2)
+    // of frame 3, id 9 — stored row s = 8-1-2 (bottom-up)
+    val v = got((9L, 3))((8 - 1 - 2) * 24 + 1 * 3) & 0xff
+    assert(v == ((9 * 31 + 3 * 19 + 1 * 7 + 2 * 13) % 256))
+    // frameBlobStats: size + mean byte equal the pixel formula
+    val stats = Multimodal.frameBlobStats(frames).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val expMean = (for (x <- 0 until 8; y <- 0 until 8)
+      yield ((9 * 31 + 3 * 19 + x * 7 + y * 13) % 256).toDouble).sum / 64.0
+    assert(stats((9L, 3))._1 == 192L)
+    assert(math.abs(stats((9L, 3))._2 - expMean) < 1e-12)
   }
 
   test("real WAV round trip: AudioSystem decodes synthesized PCM to the sample formula") {
