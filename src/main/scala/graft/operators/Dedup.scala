@@ -725,6 +725,52 @@ object Dedup {
       transform(TextAnalysis.shingles(text, shingleN), s => xxhash64(s)),
       perms)
 
+  /** Prime modulus of the PORTABLE minhash family (2^31 - 1). */
+  val MinhashPrime = 2147483647L
+
+  /** Engine-portable base shingle hashes: the first 15 md5 hex chars
+    * (60 bits) mod [[MinhashPrime]] — every engine with md5 replays
+    * them (`('0x'||substr(md5(s),1,15))::BIGINT % 2147483647`). The
+    * result array must be STAGED in its own projection before
+    * [[minhashFromHashesPortable]], same rule as the xxhash64 path.
+    */
+  def portableShingleHashes(text: Column, shingleN: Int): Column =
+    transform(TextAnalysis.shingles(text, shingleN),
+      s => pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"),
+        lit(MinhashPrime)))
+
+  /** First 8 md5 hex chars of `s` as a long — the plan-time constant
+    * derivation both engines share (`('0x'||substr(md5(s),1,8))::
+    * BIGINT` in SQL).
+    */
+  private def md5Const(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+      16)
+
+  /** Permutation min-hashes over staged PORTABLE base hashes: the
+    * classic universal family h_k(x) = (a_k·x + b_k) mod p over prime
+    * p = [[MinhashPrime]], with per-permutation constants derived
+    * from md5 of the permutation index — a_k = md5("mha:k") mod (p-2)
+    * + 1, b_k = md5("mhb:k") mod p (first 8 hex chars each). The
+    * constants fold at plan time here and are re-derivable by any
+    * engine with md5, and a_k·x + b_k stays < 2^62, exact BIGINT —
+    * so the whole signature, and therefore the banded LSH candidate
+    * set, replays outside Spark. (Multipliers MUST span the full
+    * field: small sequential multipliers — e.g. 2k+1 — make the
+    * per-permutation argmins correlate and the Jaccard estimate
+    * degenerate.) The xxhash64 family ([[minhashFromHashes]]) stays
+    * the interior fast path.
+    */
+  def minhashFromHashesPortable(hs: Column, perms: Int): Column =
+    array((0 until perms).map { k =>
+      val a = md5Const(s"mha:$k") % (MinhashPrime - 2) + 1
+      val b = md5Const(s"mhb:$k") % MinhashPrime
+      array_min(transform(hs,
+        h => pmod(h * lit(a) + lit(b), lit(MinhashPrime))))
+    }: _*)
+
   /** Banded LSH candidate pairs with signature-estimated Jaccard.
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, filtered to
     * `threshold`. bands*rowsPerBand must equal the signature length.
@@ -750,22 +796,33 @@ object Dedup {
                       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.5,
                       maxBucketSize: Int = 0,
-                      shipSignatures: Boolean = false): DataFrame = {
+                      shipSignatures: Boolean = false,
+                      portable: Boolean = false): DataFrame = {
     val perms = bands * rowsPerBand
     // The signature frame is the LSH "index": persist it — both sides
     // of the bucket self-join read it, and without the barrier Spark
-    // recomputes the whole signature pipeline per side. The signature
-    // itself is the native codegen [[graft.plans.TokenMinHash]] — one
-    // compiled pass per document (rolling token-hash window, unboxed
-    // perms×shingles min loop), bit-identical to the staged HOF
-    // pipeline it replaced (differential-tested in DedupSpec); null
-    // signatures are the < shingleN-token docs the old size() filter
-    // dropped.
-    val withSig = docs
-      .select(col(idCol).as("id"),
-        graft.plans.TokenMinHash(col(textCol), shingleN, perms).as("sig"))
-      .filter(col("sig").isNotNull)
-      .persist()
+    // recomputes the whole signature pipeline per side. The default
+    // signature is the native codegen [[graft.plans.TokenMinHash]] —
+    // one compiled pass per document (rolling token-hash window,
+    // unboxed perms×shingles min loop), bit-identical to the staged
+    // HOF pipeline it replaced (differential-tested in DedupSpec);
+    // null signatures are the < shingleN-token docs the old size()
+    // filter dropped. `portable = true` swaps in the md5 universal
+    // family ([[portableShingleHashes]] + [[minhashFromHashesPortable]],
+    // staged projections per the HOF rule) so signatures -> bands ->
+    // candidate pairs replay in any engine with md5; everything
+    // downstream of the signature is identical.
+    val withSig = (
+      if (portable)
+        docs.select(col(idCol).as("id"),
+            portableShingleHashes(col(textCol), shingleN).as("hs"))
+          .filter(size(col("hs")) >= 1)
+          .select(col("id"), minhashFromHashesPortable(col("hs"), perms).as("sig"))
+      else
+        docs.select(col(idCol).as("id"),
+            graft.plans.TokenMinHash(col(textCol), shingleN, perms).as("sig"))
+          .filter(col("sig").isNotNull)
+      ).persist()
     val bandCols =
       if (shipSignatures) Seq(col("id"), col("sig")) else Seq(col("id"))
     val banded = withSig.select(bandCols :+

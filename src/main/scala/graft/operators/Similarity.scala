@@ -61,12 +61,25 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Column): Column =
     (pmod(xxhash64(lit(plane), dim), lit(2000L)).cast("double") / 1000.0) - 1.0
 
+  /** Engine-PORTABLE hyperplane component in [-1, 1): derived from
+    * md5("<plane>:<dim>") instead of xxhash64, so any engine replays
+    * the identical plane set —
+    * `(('0x'||substr(md5(p||':'||d),1,8))::BIGINT % 2000)/1000.0 - 1`.
+    * Same quantization (2000 steps of 1e-3) as the fast path.
+    */
+  private def planeComponentPortable(plane: Int, dim: Column): Column =
+    (pmod(conv(substring(
+        md5(concat(lit(s"$plane:"), dim.cast("string"))), 1, 8), 16, 10)
+      .cast("long"), lit(2000L)).cast("double") / 1000.0) - 1.0
+
   /** Signed projection of `vec` onto deterministic hyperplane `plane`. */
-  private def projection(vec: Column, plane: Int): Column =
+  private def projection(vec: Column, plane: Int,
+                         portable: Boolean = false): Column =
     aggregate(
       zip_with(VectorOps.asDouble(vec),
         sequence(lit(0), size(vec) - 1),
-        (x, i) => x * planeComponent(plane, i)),
+        (x, i) => x * (if (portable) planeComponentPortable(plane, i)
+                       else planeComponent(plane, i))),
       lit(0.0), (acc, x) => acc + x)
 
   /** HOF reference form of [[lshBuckets]] — kept ONLY as the
@@ -91,6 +104,18 @@ object Similarity {
     */
   def lshBuckets(vec: Column, planes: Int, table: Int = 0): Column =
     coalesce(VectorExpressions.hyperplaneBits(vec, planes, table), lit(0L))
+
+  /** Engine-portable bucket id: [[lshBucketsHof]]'s structure over the
+    * md5-derived plane set, so the bucket of every vector — and
+    * therefore the whole candidate walk — replays in any engine with
+    * md5. System-boundary variant; [[lshBuckets]] (native codegen,
+    * xxhash64 planes) is the interior fast path.
+    */
+  def lshBucketsPortable(vec: Column, planes: Int, table: Int = 0): Column =
+    coalesce((0 until planes).map { p =>
+      when(projection(vec, table * 4096 + p, portable = true) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _), lit(0L))
 
   /** Exact cosine top-k of `corpus` rows for each row of `queries`.
     * Output: (q_id, rank, n_id, cos). Ranking uses cosine rounded to
@@ -247,13 +272,15 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              planes: Int = 8, tables: Int = 1, roundTo: Int = 6): DataFrame = {
+              planes: Int = 8, tables: Int = 1, roundTo: Int = 6,
+              portable: Boolean = false): DataFrame = {
     def bucketed(df: DataFrame, id: String, v: String): DataFrame =
       df.select(col(idCol).as(id),
         VectorOps.asDouble(col(vecCol)).as(v),
         array((0 until tables).map(t =>
           struct(lit(t).as("t"),
-            lshBuckets(col(vecCol), planes, t).as("b"))): _*).as("bks"))
+            (if (portable) lshBucketsPortable(col(vecCol), planes, t)
+             else lshBuckets(col(vecCol), planes, t)).as("b"))): _*).as("bks"))
         .select(col(id), col(v), explode(col("bks")).as("bk"))
         .select(col(id), col(v), col("bk.t"), col("bk.b"))
     val q = bucketed(queries, "q_id", "q_v")

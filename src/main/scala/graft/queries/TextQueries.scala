@@ -79,22 +79,27 @@ object TextQueries {
     // ---- dedup -----------------------------------------------------
     "dd1_exact_dup_stats" -> ((s, d) =>
       Dedup.exactStats(t(s, d, "documents"), "text")),
-    // id-only band shuffle + hot-bucket guard on: the 100 TB layout.
-    // Rows-only (xxhash64 signatures) — so the gate carries its own
-    // planted-recall invariant, run on an ISOLATED side corpus (25
-    // docs + their exact clones) so the probe can neither perturb the
-    // returned natural candidate list (planted postings tipping a
-    // natural bucket over the guard cap) nor inherit its bucket-size
-    // trade: every clone pair MUST surface at est_jaccard 1.0
-    // (identical docs ⇒ identical signatures ⇒ collide in every band —
-    // deterministic, not probabilistic), else the gate throws.
+    // id-only band shuffle + hot-bucket guard on: the 100 TB layout,
+    // through the PORTABLE md5 minhash family — DuckDB replays the
+    // whole pipeline (base hashes, 64 universal permutations, banded
+    // buckets, the <=100 bucket guard, signature-estimated Jaccard,
+    // threshold, top-50 cut), so the gate is a full hash-checked
+    // oracle. The planted-recall invariant stays as an eager
+    // invariant, on an ISOLATED side corpus (25 docs + their exact
+    // clones) so the probe can neither perturb the returned natural
+    // candidate list nor inherit its bucket-size trade: every clone
+    // pair MUST surface at est_jaccard 1.0 (identical docs =>
+    // identical signatures => collide in every band — deterministic).
+    // The native xxhash64 family runs the same operator via
+    // portable = false (verified-output differential in DedupSpec).
     "dd2_minhash_lsh_pairs" -> ((s, d) => {
       val base = t(s, d, "documents").select("doc_id", "text")
       val seeds = base.filter(col("doc_id") < 25)
       val probe = seeds.unionByName(seeds
         .select((col("doc_id") + 50000).as("doc_id"), col("text")))
       val found = Dedup.minhashLshPairs(probe, "doc_id", "text",
-          shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
+          shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.2,
+          portable = true)
         .filter(col("id_b") === col("id_a") + 50000 &&
           col("id_a") < 25 && col("est_jaccard") === 1.0)
         .count()
@@ -102,7 +107,7 @@ object TextQueries {
         s"planted-clone recall violated: $found/25 clone pairs surfaced")
       Dedup.minhashLshPairs(base, "doc_id", "text",
           shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.2,
-          maxBucketSize = 100)
+          maxBucketSize = 100, portable = true)
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
         .limit(50)
@@ -310,11 +315,20 @@ object TextQueries {
           k = 10, fetchK = 1000000, nprobe = 8)
         .orderBy("q_id", "rank")
     }),
+    // LSH-bucketed ANN through the PORTABLE md5 plane set: DuckDB
+    // recomputes every vector's 6-bit bucket (sign of the projection
+    // onto each md5-derived hyperplane), then the bucket-equality
+    // candidate walk, cosine, and rank — the full recall/cost
+    // behavior of the bucketing is hash-checked, not just its shape.
+    // The native codegen plane set runs the same operator via
+    // portable = false (bit-identity to its own HOF reference is
+    // pinned in VectorExpressionsSpec; the portable path's search
+    // contract in SimilaritySpec).
     "sim2_lsh_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.lshTopK(
         e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 5,
-        planes = 6)
+        planes = 6, portable = true)
         .orderBy("q_id", "rank")
     }),
     // IVF ANN with every cell probed: must equal exact brute force —
@@ -664,6 +678,47 @@ object TextQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
         |FROM documents""".stripMargin,
+    // complete replay of the portable banded-LSH pipeline: md5 base
+    // hashes mod 2^31-1, the 64-permutation universal family
+    // (a_k·h + b_k mod p with a_k/b_k re-derived from md5 of the
+    // permutation index), 16 bands x 4 rows keyed by the band's value
+    // tuple, the <=100 hot-bucket guard, distinct candidate pairs,
+    // matches/64 estimate (exact: /64 is dyadic), threshold, top-50
+    "dd2_minhash_lsh_pairs" ->
+      raw"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
+           |hs AS (SELECT doc_id,
+           |         list_transform(s, x ->
+           |           ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS h
+           |       FROM sh WHERE len(s) >= 1),
+           |perm AS (SELECT k.k AS k,
+           |           ('0x' || substr(md5('mha:' || CAST(k.k AS VARCHAR)), 1, 8))::BIGINT
+           |             % 2147483645 + 1 AS a,
+           |           ('0x' || substr(md5('mhb:' || CAST(k.k AS VARCHAR)), 1, 8))::BIGINT
+           |             % 2147483647 AS b
+           |         FROM generate_series(0, 63) k(k)),
+           |hv AS (SELECT doc_id, unnest(h) AS v FROM hs),
+           |mins AS (SELECT doc_id, p.k,
+           |           min((p.a * v + p.b) % 2147483647) AS m
+           |         FROM hv, perm p GROUP BY 1, 2),
+           |sig AS (SELECT doc_id, list(m ORDER BY k) AS sg
+           |        FROM mins GROUP BY doc_id),
+           |banded AS (SELECT doc_id, b.b AS band,
+           |             array_to_string(sg[b.b*4 + 1 : b.b*4 + 4], ',') AS bk
+           |           FROM sig, generate_series(0, 15) b(b)),
+           |guarded AS (SELECT * FROM banded
+           |            QUALIFY count(*) OVER (PARTITION BY band, bk) <= 100),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM guarded a JOIN guarded b
+           |           ON a.band = b.band AND a.bk = b.bk
+           |          AND a.doc_id < b.doc_id),
+           |est AS (SELECT id_a, id_b,
+           |          CAST(len(list_filter(range(1, 65),
+           |            i -> x.sg[i] = y.sg[i])) AS DOUBLE) / 64 AS e
+           |        FROM cand JOIN sig x ON x.doc_id = cand.id_a
+           |                  JOIN sig y ON y.doc_id = cand.id_b)
+           |SELECT id_a, id_b, round(e, 6) AS est_jaccard
+           |FROM est WHERE e >= 0.2
+           |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 50""".stripMargin,
     "dd6_exact_keep_first" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents
@@ -861,6 +916,30 @@ object TextQueries {
         |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
     "hn1_hard_negatives" -> hardNegativesSql,
+    // full replay of the portable LSH bucket walk: per-vector 6-bit
+    // bucket from md5-derived plane components (same [-1,1) 1e-3
+    // quantization, same sequential projection sum), bucket-equality
+    // candidates, cosine, per-query rank cut
+    "sim2_lsh_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bk AS (SELECT vec_id, v,
+        |  list_sum(list_transform(range(0, 6), p ->
+        |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * ((('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+        |                 CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT % 2000)
+        |                / 1000.0 - 1.0))) >= 0
+        |    THEN (1::BIGINT << p) ELSE 0 END)) AS b
+        |  FROM e),
+        |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |             round(list_dot_product(q.v, c.v) /
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |      FROM bk q JOIN bk c ON q.b = c.b AND c.vec_id <> q.vec_id
+        |      WHERE q.vec_id < 5),
+        |r AS (SELECT q_id, n_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     // all cells probed => identical to exact brute force (same oracle)
     "sim3_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

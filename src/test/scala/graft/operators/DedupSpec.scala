@@ -560,6 +560,46 @@ class DedupSpec extends AnyFunSuite {
       Dedup.simhashNearDup(docs, "doc_id", "text", bands = 4, maxHamming = 4))
   }
 
+  test("portable md5 minhash family: verified near-dup output matches native") {
+    // the two hash families produce different signatures and slightly
+    // different CANDIDATE sets; after the exact-Jaccard verify both
+    // must land on the same near-dup answer (the dd7 composition), and
+    // both must surface the corpus's exact-dup pairs at estimate 1.0
+    val docs = graft.Tables.load(spark, graft.TestSpark.sfDir, "documents")
+    def run(portable: Boolean) = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.2,
+      maxBucketSize = 100, portable = portable)
+    def verified(portable: Boolean) =
+      Dedup.ngramJaccard(docs, "doc_id", "text",
+          run(portable).select("id_a", "id_b"), shingleN = 3)
+        .filter($"jaccard" >= 0.8)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val nat = verified(portable = false)
+    val por = verified(portable = true)
+    assert(nat == por && nat.nonEmpty)
+    // PLANTED identical-text pairs must sit at estimate 1.0 in BOTH
+    // families (identical docs => identical signatures,
+    // deterministically; the natural sf0.001 corpus has no exact
+    // dups). Deliberately weaker than set-equality of each family's
+    // est-1.0 pairs: a j≈0.99 near-dup can reach 64/64 matching mins
+    // in one family and 63/64 in the other — estimator variance, not
+    // a bug.
+    val seeds = docs.select($"doc_id", $"text").filter($"doc_id" < 25)
+    val planted = seeds.unionByName(
+      seeds.select(($"doc_id" + 50000).as("doc_id"), $"text"))
+    val clonePairs = (0L until 25L).map(i => (i, i + 50000)).toSet
+    for (portable <- Seq(false, true)) {
+      val exactOnes = Dedup.minhashLshPairs(planted, "doc_id", "text",
+          shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.2,
+          portable = portable)
+        .filter($"est_jaccard" === 1.0)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(clonePairs.subsetOf(exactOnes), s"portable=$portable")
+    }
+  }
+
   test("native TokenMinHash is bit-identical to the staged HOF signature pipeline") {
     import org.apache.spark.sql.functions._
     // real corpus text: exercises unicode, punctuation, whitespace runs

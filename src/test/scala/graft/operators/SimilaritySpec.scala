@@ -38,6 +38,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits > 0, "LSH recovered no brute-force neighbors at 4 planes")
   }
 
+  test("portable md5 LSH planes: same search contract as the native set") {
+    val q = embs.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, embs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def run() = Similarity
+      .lshTopK(q, embs, "vec_id", "embedding", k = 3, planes = 4,
+        portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val p1 = run()
+    assert(p1 == run()) // deterministic, partitioning-independent
+    val hits = brute.keys.count(k => p1.get(k).contains(brute(k)))
+    assert(p1.nonEmpty && hits > 0,
+      "portable LSH recovered no brute-force neighbors at 4 planes")
+  }
+
   test("multi-table LSH raises recall monotonically") {
     val q = embs.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(q, embs, "vec_id", "embedding", k = 3)
