@@ -34,6 +34,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (args.headOption.contains("serving")) {
+      servingGrowth(spark)
+      spark.stop()
+      return
+    }
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val n0 = docs.count()
@@ -488,5 +493,117 @@ object ScaleCheck {
       f"adc ${a10 / a1}%.2fx, maxsim ${m10 / m1}%.2fx, " +
       f"upsert ${u10 / u1}%.2fx, delete ${d10 / d1}%.2fx " +
       "(flat-ish = cell size, code reads, and per-batch probes scale-independent)")
+  }
+
+  /** The SERVING FACADE measured as one call (its legs are measured in
+    * `batches`/`vectors`; the composition — two pruned index reads +
+    * per-query fusion / rerank — is what a retrieval user actually
+    * pays for). Two growth axes:
+    *   A. corpus 1x/4x/10x at a FIXED 100-query frame — per-query
+    *      cost must stay ~flat (both legs read only pruned
+    *      bucket/cell directories; the fusion is
+    *      <= 2 x |Q| x perLegK rows regardless of corpus size);
+    *   B. query frame 100/400/1000 on the 1x indexes — total cost
+    *      linear in |Q| (one batched read per touched bucket/cell,
+    *      never one job per query).
+    */
+  private def servingGrowth(spark: SparkSession): Unit = {
+    import graft.operators.{InvertedIndex, Serving, VectorIndex}
+    def timeS(f: => Unit): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val docs0 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val emb0 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val qwords = Array("stream", "filter", "join", "spark", "window",
+      "batch", "hash", "sort", "merge", "scan", "table", "query")
+    def termsOf(id: org.apache.spark.sql.Column) = array(
+      element_at(lit(qwords), (pmod(id, lit(12L)) + 1).cast("int")),
+      element_at(lit(qwords), (pmod(id / 12, lit(12L)) + 1).cast("int")),
+      element_at(lit(qwords), (pmod(id / 144, lit(12L)) + 1).cast("int")))
+    def mkQueries(emb: org.apache.spark.sql.DataFrame, nq: Int) = emb
+      .orderBy("vec_id").limit(nq)
+      .select((col("vec_id") + 900000000L).as("q_id"),
+        termsOf(col("vec_id")).as("terms"), col("v").as("vec"))
+      .localCheckpoint(true)
+    def tokVecs(df: org.apache.spark.sql.DataFrame, idC: String,
+                posName: String, seedMul: Int) = df
+      .crossJoin(spark.range(4).select(col("id").as(posName)))
+      .select(Seq(col(idC)) ++
+        (if (posName == "qpos") Seq(col(posName)) else Nil) :+
+        transform(col(if (idC == "q_id") "vec" else "v"), (x, i) =>
+          x + (((col(posName) * seedMul + i * 3) % 5).cast("double") - 2.0)
+            * 0.003).as("vec"): _*)
+
+    println("[scale] serving growth A: corpus 1x/4x/10x, FIXED 100-query " +
+      "frame; hybrid rrf/linear + maxsim per-query cost must stay ~flat")
+    println(f"[scale] ${"size"}%-5s ${"docs"}%8s ${"ibuild(s)"}%10s " +
+      f"${"vbuild(s)"}%10s ${"rrf(s)"}%8s ${"linear(s)"}%10s ${"maxsim(s)"}%10s")
+    val rows = Seq(1, 4, 10).map { s =>
+      val ipath = s"/tmp/scale_srv_i$s"; val vpath = s"/tmp/scale_srv_v$s"
+      val docs = docs0
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("doc_id") * s + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+        .localCheckpoint(true)
+      val emb = emb0
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("vec_id") * s + col("rep")).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x + (((col("rep") * 13 + i * 5) % 9).cast("double") - 4.0) * 0.002)
+            .as("v"))
+        .localCheckpoint(true)
+      val nD = docs.count()
+      val tBi = timeS(InvertedIndex.build(docs, "doc_id", "text", ipath))
+      val tBv = timeS(VectorIndex.build(emb, "vec_id", "v", vpath,
+        nlist = 16 * s))
+      val queries = mkQueries(emb, 100)
+      val docToks = tokVecs(emb.select(col("vec_id").as("doc_id"), col("v")),
+        "doc_id", "tok", 7)
+      val qToks = tokVecs(queries, "q_id", "qpos", 11)
+      val tRrf = timeS { Serving.searchHybrid(queries, ipath, vpath, k = 10,
+        perLegK = 30, nprobe = 2, idColName = "doc_id").count(); () }
+      val tLin = timeS { Serving.searchHybrid(queries, ipath, vpath, k = 10,
+        perLegK = 30, nprobe = 2, idColName = "doc_id",
+        fusion = "linear").count(); () }
+      val tMs = timeS { Serving.searchMaxSim(queries, ipath, docToks, qToks,
+        k = 10, fetchK = 30, idColName = "doc_id").count(); () }
+      println(f"[scale] ${s}%-5d ${nD}%8d ${tBi}%10.2f ${tBv}%10.2f " +
+        f"${tRrf}%8.2f ${tLin}%10.2f ${tMs}%10.2f")
+      (tRrf, tLin, tMs)
+    }
+    val (r1, l1, m1) = rows.head
+    val (r10, l10, m10) = rows.last
+    println(f"[scale] serving growth 10x corpus -> rrf ${r10 / r1}%.2fx, " +
+      f"linear ${l10 / l1}%.2fx, maxsim ${m10 / m1}%.2fx " +
+      "(flat-ish = pruned reads + bounded fusion, corpus-independent)")
+
+    println("[scale] serving growth B: 1x corpus, query frame 100/400/1000; " +
+      "total ~linear in |Q|, per-query ms ~flat")
+    println(f"[scale] ${"|Q|"}%-6s ${"rrf(s)"}%8s ${"linear(s)"}%10s " +
+      f"${"maxsim(s)"}%10s ${"rrf ms/q"}%9s")
+    val qrows = Seq(100, 400, 1000).map { nq =>
+      val queries = mkQueries(emb0, nq)
+      val docToks = tokVecs(emb0.select(col("vec_id").as("doc_id"), col("v")),
+        "doc_id", "tok", 7)
+      val qToks = tokVecs(queries, "q_id", "qpos", 11)
+      val tRrf = timeS { Serving.searchHybrid(queries, "/tmp/scale_srv_i1",
+        "/tmp/scale_srv_v1", k = 10, perLegK = 30, nprobe = 2,
+        idColName = "doc_id").count(); () }
+      val tLin = timeS { Serving.searchHybrid(queries, "/tmp/scale_srv_i1",
+        "/tmp/scale_srv_v1", k = 10, perLegK = 30, nprobe = 2,
+        idColName = "doc_id", fusion = "linear").count(); () }
+      val tMs = timeS { Serving.searchMaxSim(queries, "/tmp/scale_srv_i1",
+        docToks, qToks, k = 10, fetchK = 30, idColName = "doc_id").count(); () }
+      println(f"[scale] ${nq}%-6d ${tRrf}%8.2f ${tLin}%10.2f ${tMs}%10.2f " +
+        f"${tRrf * 1000 / nq}%9.1f")
+      (nq, tRrf)
+    }
+    val (nqA, tA) = qrows.head
+    val (nqB, tB) = qrows.last
+    println(f"[scale] serving growth ${nqB / nqA}x queries -> rrf " +
+      f"${tB / tA}%.2fx total (${(tB / nqB) / (tA / nqA)}%.2fx per query)")
   }
 }
