@@ -808,21 +808,19 @@ object Dedup {
     // HOF pipeline it replaced (differential-tested in DedupSpec);
     // null signatures are the < shingleN-token docs the old size()
     // filter dropped. `portable = true` swaps in the md5 universal
-    // family ([[portableShingleHashes]] + [[minhashFromHashesPortable]],
-    // staged projections per the HOF rule) so signatures -> bands ->
+    // family — the native codegen [[graft.plans.TokenMinHashPortable]],
+    // bit-identical to the staged HOF reference
+    // ([[portableShingleHashes]] + [[minhashFromHashesPortable]],
+    // differential-tested in DedupSpec) — so signatures -> bands ->
     // candidate pairs replay in any engine with md5; everything
     // downstream of the signature is identical.
-    val withSig = (
-      if (portable)
-        docs.select(col(idCol).as("id"),
-            portableShingleHashes(col(textCol), shingleN).as("hs"))
-          .filter(size(col("hs")) >= 1)
-          .select(col("id"), minhashFromHashesPortable(col("hs"), perms).as("sig"))
-      else
-        docs.select(col(idCol).as("id"),
-            graft.plans.TokenMinHash(col(textCol), shingleN, perms).as("sig"))
-          .filter(col("sig").isNotNull)
-      ).persist()
+    val sigExpr =
+      if (portable) graft.plans.TokenMinHashPortable(col(textCol), shingleN, perms)
+      else graft.plans.TokenMinHash(col(textCol), shingleN, perms)
+    val withSig = docs
+      .select(col(idCol).as("id"), sigExpr.as("sig"))
+      .filter(col("sig").isNotNull)
+      .persist()
     val bandCols =
       if (shipSignatures) Seq(col("id"), col("sig")) else Seq(col("id"))
     val banded = withSig.select(bandCols :+

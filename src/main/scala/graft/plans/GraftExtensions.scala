@@ -52,6 +52,9 @@ object GraftExtensions {
       exprs => TokenSimHash(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       exprs => TokenMinHash(exprs(0), litInt(exprs(1)), litInt(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_portable",
+      exprs => TokenMinHashPortable(exprs(0), litInt(exprs(1)),
+        litInt(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes",
       exprs => TokenShingleHashes(exprs(0), litInt(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect",

@@ -623,6 +623,25 @@ class DedupSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("native TokenMinHashPortable is bit-identical to the md5 HOF pipeline") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(graft.TestSpark.sfDir + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hof = docs
+      .select(col("doc_id"),
+        Dedup.portableShingleHashes(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .select(col("doc_id"), Dedup.minhashFromHashesPortable(col("hs"), 64).as("sig"))
+    val native = docs
+      .select(col("doc_id"),
+        graft.plans.TokenMinHashPortable(col("text"), 3, 64).as("sig"))
+      .filter(col("sig").isNotNull)
+    assert(hof.count() == native.count())
+    val mismatches = hof.as("a").join(native.as("b"), "doc_id")
+      .filter(col("a.sig") =!= col("b.sig")).count()
+    assert(mismatches == 0)
+  }
+
   test("native TokenShingleHashes matches the HOF sorted-distinct-hash form") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(graft.TestSpark.sfDir + "/documents.parquet")
