@@ -704,6 +704,23 @@ object Dedup {
       bucketBy = Some(Seq("band", "bh") -> buckets), idsSidecar = true)
   }
 
+  /** Hot-bucket cap shared by the banded self-joins (minhash bands,
+    * simhash chunks): a WINDOW count, not groupBy+semi-join — one
+    * shuffle on the bucket key whose HashPartitioning the bucket
+    * self-join then reuses (no extra exchange for either join side).
+    * `maxBucketSize <= 0` disables.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String],
+                         maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) banded
+    else {
+      import org.apache.spark.sql.expressions.Window
+      banded.withColumn("_bsz",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+        .filter(col("_bsz") <= maxBucketSize)
+        .drop("_bsz")
+    }
+
   /** Permutation min-hashes over an ALREADY-MATERIALIZED array of base
     * shingle hashes. The caller must materialize that array in its own
     * projection (see minhashLshPairs): higher-order-function lambdas
@@ -725,8 +742,11 @@ object Dedup {
       transform(TextAnalysis.shingles(text, shingleN), s => xxhash64(s)),
       perms)
 
-  /** Prime modulus of the PORTABLE minhash family (2^31 - 1). */
-  val MinhashPrime = 2147483647L
+  /** Prime modulus of the PORTABLE minhash family (2^31 - 1). Single
+    * source of truth is the native kernel — the HOF reference here,
+    * the kernel, and the DuckDB oracle SQL must stay byte-compatible.
+    */
+  val MinhashPrime: Long = graft.plans.TokenMinHashPortable.Prime
 
   /** Engine-portable base shingle hashes: the first 15 md5 hex chars
     * (60 bits) mod [[MinhashPrime]] — every engine with md5 replays
@@ -741,13 +761,11 @@ object Dedup {
 
   /** First 8 md5 hex chars of `s` as a long — the plan-time constant
     * derivation both engines share (`('0x'||substr(md5(s),1,8))::
-    * BIGINT` in SQL).
+    * BIGINT` in SQL). Delegates to the kernel's implementation so the
+    * HOF reference cannot drift from it.
     */
   private def md5Const(s: String): Long =
-    java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
-      16)
+    graft.plans.TokenMinHashPortable.md5Head32(s)
 
   /** Permutation min-hashes over staged PORTABLE base hashes: the
     * classic universal family h_k(x) = (a_k·x + b_k) mod p over prime
@@ -826,18 +844,7 @@ object Dedup {
     val banded = withSig.select(bandCols :+
       explode(bandStructs(bands, rowsPerBand)).as("bk"): _*)
       .select(bandCols :+ col("bk.band") :+ col("bk.bh"): _*)
-    val guarded =
-      if (maxBucketSize <= 0) banded
-      else {
-        // window count, not groupBy+semi-join: one shuffle on (band,bh)
-        // whose HashPartitioning the bucket self-join below then reuses
-        // (no extra exchange for either join side)
-        import org.apache.spark.sql.expressions.Window
-        banded.withColumn("_bsz",
-          count(lit(1)).over(Window.partitionBy("band", "bh")))
-          .filter(col("_bsz") <= maxBucketSize)
-          .drop("_bsz")
-      }
+    val guarded = capBuckets(banded, Seq("band", "bh"), maxBucketSize)
     def estJaccard: Column =
       (aggregate(zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0)),
@@ -908,10 +915,18 @@ object Dedup {
       s"pigeonhole recall needs maxHamming <= bands - 1 " +
         s"(got $maxHamming with $bands bands)")
     val chunk = sigBits / bands
-    val mask = (1L << chunk) - 1
+    // JVM shifts are mod 64: at bands = 1 (chunk = 64) the naive
+    // (1L << 64) - 1 is 0 and every doc would silently collapse into
+    // bucket 0 — all-ones is the correct full-width mask
+    val mask = if (chunk >= 64) -1L else (1L << chunk) - 1
     val sketch =
       if (portable) TextAnalysis.simhashPortable(col(textCol))
       else TextAnalysis.simhash64(col(textCol))
+    // the zero-token filter re-tokenizes (the sketch expressions take
+    // the raw text, so token staging can't be shared) — accepted: one
+    // regex pass per row is noise next to the sketch itself, and a
+    // cheap trim()-style filter would diverge from the oracle on
+    // whitespace-only documents (trim strips only 0x20)
     val sigs = docs
       .filter(size(TextAnalysis.tokens(col(textCol))) > 0)
       .select(col(idCol).as("id"), sketch.as("sh"))
@@ -922,15 +937,7 @@ object Dedup {
           shiftright(col("sh"), b * chunk).bitwiseAND(lit(mask)).as("bk")))
         : _*)).as("c"))
       .select(col("id"), col("c.band"), col("c.bk"))
-    val guarded =
-      if (maxBucketSize <= 0) banded
-      else {
-        import org.apache.spark.sql.expressions.Window
-        banded.withColumn("_bsz",
-          count(lit(1)).over(Window.partitionBy("band", "bk")))
-          .filter(col("_bsz") <= maxBucketSize)
-          .drop("_bsz")
-      }
+    val guarded = capBuckets(banded, Seq("band", "bk"), maxBucketSize)
     val pairs = guarded.select(col("band"), col("bk"), col("id").as("id_a"))
       .join(guarded.select(col("band"), col("bk"), col("id").as("id_b")),
         Seq("band", "bk"))

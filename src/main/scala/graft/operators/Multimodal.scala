@@ -135,6 +135,14 @@ object Multimodal {
             val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(blob))
             try {
+              // per-byte pooling is only an amplitude for 8-bit mono;
+              // refuse wider formats rather than silently pooling
+              // half-samples (the video branch's 24-bit/uncompressed
+              // strictness, applied here)
+              val fmt = in.getFormat
+              require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+                s"expected 8-bit mono PCM, got ${fmt.getSampleSizeInBits}" +
+                  s"-bit/${fmt.getChannels}ch — add a conversion stage")
               val data = in.readAllBytes()
               var i = 0
               while (i < data.length) { add(i, data(i) & 0xff); i += 1 }
@@ -448,6 +456,22 @@ object Multimodal {
     * streams (biCompression != 0).
     */
   def parseAvi(bytes: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    val (w, h, fs) = parseAviSampled(bytes, 1)
+    (w, h, fs.map(_._2))
+  }
+
+  /** [[parseAvi]] with stride-aware payload extraction: every chunk
+    * HEADER is still walked (that is how frame boundaries are found),
+    * but only every `stride`-th frame's payload is COPIED out —
+    * skipped frames cost 8 header bytes, not a frameBytes arraycopy.
+    * Returns (width, height, (frame_no, payload) for sampled frames).
+    * The sampling callers ([[sampleAviFrames]], [[decodeVideoFrames]])
+    * go through this so the per-frame payload copy — the cost that
+    * dominates on real video — drops by the stride factor too.
+    */
+  def parseAviSampled(bytes: Array[Byte],
+                      stride: Int): (Int, Int, Array[(Int, Array[Byte])]) = {
+    require(stride >= 1, "parseAviSampled: stride must be >= 1")
     val b = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
@@ -458,7 +482,8 @@ object Multimodal {
     b.getInt
     require(fourcc() == "AVI ", "not an AVI RIFF form")
     var w = -1; var h = -1
-    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var frameNo = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
     def walk(end: Int): Unit = {
       while (b.position() + 8 <= end) {
         val id = fourcc()
@@ -472,9 +497,12 @@ object Multimodal {
           require(b.getShort == 24, "only 24-bit DIB supported")
           require(b.getInt == 0, "compressed AVI stream (need a codec)")
         } else if (id == "00db" || id == "00dc") {
-          val data = new Array[Byte](sz)
-          b.position(start); b.get(data)
-          frames += data
+          if (frameNo % stride == 0) {
+            val data = new Array[Byte](sz)
+            b.position(start); b.get(data)
+            frames += ((frameNo, data))
+          }
+          frameNo += 1
         }
         b.position(start + sz + (sz & 1))
       }
@@ -490,11 +518,11 @@ object Multimodal {
     * image/audio paths (container parser state is per-partition).
     *
     * `stride` > 1 is real frame SAMPLING on the real decode path:
-    * every stride-th frame (0, stride, 2·stride, …) is decoded and the
-    * pixel pass is SKIPPED for the rest — the container walk still
-    * touches every chunk header (that's how frame boundaries are
-    * found), but the per-pixel work drops by the stride factor, which
-    * is the cost that dominates on real video.
+    * every stride-th frame (0, stride, 2·stride, …) is decoded — via
+    * [[parseAviSampled]], so skipped frames cost a chunk-header read
+    * only: neither their payload copy nor their pixel pass happens,
+    * and both costs (the ones that dominate on real video) drop by
+    * the stride factor.
     */
   def decodeVideoFrames(media: DataFrame, stride: Int = 1): DataFrame = {
     require(stride >= 1, "decodeVideoFrames: stride must be >= 1")
@@ -509,11 +537,10 @@ object Multimodal {
     val blobIdx = media.schema.fieldIndex("blob")
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val (w, h, frames) = parseAvi(r.getAs[Array[Byte]](blobIdx))
+        val (w, h, frames) =
+          parseAviSampled(r.getAs[Array[Byte]](blobIdx), stride)
         val rowBytes = ((w * 3 + 3) / 4) * 4
-        frames.iterator.zipWithIndex
-          .filter { case (_, f) => f % stride == 0 }
-          .map { case (data, f) =>
+        frames.iterator.map { case (f, data) =>
           var sum = 0.0
           var y = 0
           while (y < h) {
@@ -555,10 +582,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(idIdx)
-        val (_, _, frames) = parseAvi(r.getAs[Array[Byte]](blobIdx))
-        frames.iterator.zipWithIndex.collect {
-          case (data, f) if f % stride == 0 => Row(id, f, data)
-        }
+        val (_, _, frames) =
+          parseAviSampled(r.getAs[Array[Byte]](blobIdx), stride)
+        frames.iterator.map { case (f, data) => Row(id, f, data) }
       }
     }(enc)
   }

@@ -66,10 +66,12 @@ object TokenMinHashPortable {
       java.security.MessageDigest.getInstance("MD5"))
 
   /** First 8 md5 hex chars of a UTF-8 string as a long (= the first 4
-    * digest bytes, unsigned) — the constant derivation `Dedup.md5Const`
-    * and every md5-capable engine share.
+    * digest bytes, unsigned) — the constant derivation the HOF
+    * reference (`Dedup.md5Const`) and every md5-capable engine share.
+    * Public: this is the single source of truth for the family's
+    * constants.
     */
-  private def md5Head32(s: String): Long = {
+  def md5Head32(s: String): Long = {
     val d = mdLocal.get()
     d.reset()
     val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -119,10 +121,12 @@ object TokenMinHashPortable {
     val (ca, cb) = consts(perms)
     val out = new Array[Long](perms)
     java.util.Arrays.fill(out, Long.MaxValue)
-    // rolling window of the last shingleN token strings; the shingle
-    // string (space-joined) is UTF-8-encoded into a reused buffer for
-    // the md5 — byte-identical to md5(concat_ws(' ', slice(toks, ...)))
-    val ring = new Array[String](shingleN)
+    // rolling window of the last shingleN tokens, stored as UTF-8
+    // BYTES (encoded once per token, not once per window membership);
+    // the shingle string (space-joined) is assembled into a reused
+    // buffer for the md5 — byte-identical to
+    // md5(concat_ws(' ', slice(toks, ...)))
+    val ring = new Array[Array[Byte]](shingleN)
     var buf = new Array[Byte](256)
     var nTokens = 0
     var i = 0
@@ -133,6 +137,7 @@ object TokenMinHashPortable {
       while (i < n && !isWs(lower.charAt(i))) i += 1
       if (i > start) {
         ring(nTokens % shingleN) = lower.substring(start, i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         nTokens += 1
         if (nTokens >= shingleN) {
           var len = 0
@@ -143,7 +148,6 @@ object TokenMinHashPortable {
               buf(len) = ' '.toByte; len += 1
             }
             val tb = ring(o % shingleN)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
             if (len + tb.length > buf.length)
               buf = java.util.Arrays.copyOf(buf,
                 math.max(buf.length * 2, len + tb.length))

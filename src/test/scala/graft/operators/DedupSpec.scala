@@ -558,6 +558,20 @@ class DedupSpec extends AnyFunSuite {
     // losing the pigeonhole guarantee must refuse, not silently recall-drop
     assertThrows[IllegalArgumentException](
       Dedup.simhashNearDup(docs, "doc_id", "text", bands = 4, maxHamming = 4))
+    // bands = 1 means ONE full-width 64-bit chunk: the mask must be
+    // all-ones ((1L << 64) - 1 is 0 on the JVM — shifts are mod 64),
+    // so the output is exactly the identical-sketch pairs, NOT every
+    // doc collapsed into bucket 0
+    val sigs1 = docs
+      .filter(size(graft.functions.TextAnalysis.tokens($"text")) > 0)
+      .select($"doc_id", graft.functions.TextAnalysis.simhash64($"text").as("sh"))
+    val refEq = sigs1.as("a").crossJoin(sigs1.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id" && $"a.sh" === $"b.sh")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val gotEq = Dedup.simhashNearDup(docs, "doc_id", "text",
+        bands = 1, maxHamming = 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(gotEq == refEq && gotEq.nonEmpty)
   }
 
   test("portable md5 minhash family: verified near-dup output matches native") {
