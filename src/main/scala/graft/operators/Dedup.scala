@@ -1195,25 +1195,6 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
-  /** SimHash near-duplicate pairs: bucket by the top `prefixBits` bits
-    * (near-dups almost always share a prefix bucket when hamming
-    * distance is small), verify by full hamming distance.
-    */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
-    val withSim = docs.select(col(idCol).as("id"),
-      TextAnalysis.simhash64(col(textCol)).as("sh"))
-    val bucketed = withSim.withColumn("bucket",
-      shiftrightunsigned(col("sh"), 64 - prefixBits))
-    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", TextAnalysis.hamming64(col("sh_a"), col("sh_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-  }
-
   /** Exact n-gram Jaccard similarity for candidate pairs generated by a
     * blocking key (e.g. LSH bucket or a metadata column). `pairs` must
     * have (id_a, id_b); texts are joined back by id.

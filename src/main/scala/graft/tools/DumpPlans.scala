@@ -30,6 +30,8 @@ object DumpPlans {
       "keepIds joins the driver-sized id list via BroadcastHashJoin — the 100TB fact side is never shuffled; the ordinal sort orders only the surviving rows.",
     "dd7_lsh_verify" ->
       "The 100TB near-dup composition: per-row signatures (no shuffle), a bucket join on (band, bandHash) carrying ids only, then exact Jaccard verification joined back by id over the persisted shingle-set table. Candidate pairs — not N² — flow through every stage.",
+    "dd3_simhash_neardup" ->
+      "Manku-style SimHash near-dup: one 60-bit portable sketch per doc (no shuffle), a (band, chunk) equi-join over narrow (id, band, bk) rows, sketches re-joined by id for the hamming filter. With maxHamming <= bands-1 the pigeonhole argument makes the banded output EXACTLY the all-pairs hamming set — the plan never contains a cartesian node (spec-pinned), yet equals the all-pairs answer the DuckDB oracle computes flat.",
     "dd8_embedding_lsh_neardup" ->
       "The embedding-space analogue of dd7: codegen HyperplaneSignBits buckets every vector per table (no shuffle), the (table, bucket) self-join ships (id, t, b) rows only, and vectors re-join the persisted (id, v, norm) table once per DISTINCT candidate pair. The oracle plants clone+jitter near-dups and the output must equal all-pairs — recall is proven, not assumed.",
     "sim3_ivf_topk" ->

@@ -131,6 +131,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SemiJoin") && !p.contains("LeftSemi"), p)
   }
 
+  test("dd3: simhash banded near-dup is equi-joins only — never all-pairs") {
+    // the pigeonhole banding must plan as a (band, chunk) equi-join
+    // over narrow (id, band, bk) rows; the all-pairs hamming set is
+    // what it PROVABLY equals, not what it computes
+    val df = SparkEntry.queries("dd3_simhash_neardup")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("g11: the portable sample draw still plans as TakeOrderedAndProject") {
+    // md5 key instead of xxhash64 must not change the plan shape:
+    // per-partition top-n + driver merge, never a global sort
+    val df = SparkEntry.queries("g11_sample")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("pp1: the year predicate prunes partitions at planning time") {
     val df = SparkEntry.queries("pp1_partition_prune")(spark, TestSpark.sfDir)
     // collect on sparkPlan: executedPlan is an AdaptiveSparkPlanExec
