@@ -275,6 +275,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // C4/CCNet line-level boilerplate removal over a PLANTED
+    // multi-line corpus (the fixture's docs are single-line, so the
+    // gate builds the line structure the op exists for): every doc
+    // gains a corpus-wide boilerplate line, every even doc a second
+    // one, and every doc a unique marker line. Lines in > 10 distinct
+    // docs vanish from every doc; unique lines and the original text
+    // line survive in order. DuckDB replays the whole rule — split,
+    // distinct-doc line frequency, cutoff, ordered rebuild — so the
+    // threshold is self-consistent whatever the corpus's natural
+    // exact-dup structure is.
+    "dd15_boilerplate_lines" -> ((s, d) => {
+      val multi = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          lit("subscribe to our newsletter today"),
+          when(col("doc_id") % 2 === 0, lit("all rights reserved worldwide")),
+          concat(lit("uniq "), col("doc_id"))).as("text"))
+      Dedup.removeBoilerplateLines(multi, "doc_id", "text", maxDocFreq = 10)
+        .filter(col("n_lines_clean") =!= col("n_lines"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search ----------------------------------------
     "sim1_brute_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -842,6 +864,43 @@ object TextQueries {
            |FROM orig o LEFT JOIN agg a USING (doc_id)
            |WHERE coalesce(a.n_tokens_clean, 0) <> o.n_tokens
            |ORDER BY o.doc_id""".stripMargin,
+    // full replay of the line-frequency rule: split, per-line
+    // distinct-doc frequency (trimmed md5 identity, whitespace-only
+    // lines exempt), the > 10 cutoff, and the ordered rebuild
+    "dd15_boilerplate_lines" ->
+      """WITH multi AS (SELECT doc_id,
+        |         concat_ws(chr(10), text,
+        |           'subscribe to our newsletter today',
+        |           CASE WHEN doc_id % 2 = 0
+        |                THEN 'all rights reserved worldwide' END,
+        |           'uniq ' || CAST(doc_id AS VARCHAR)) AS text
+        |       FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM multi),
+        |l1 AS (SELECT doc_id, unnest(generate_series(1, len(parts))) AS i,
+        |              parts
+        |       FROM l0),
+        |l AS (SELECT doc_id, i - 1 AS line_no, parts[i] AS line,
+        |             md5(trim(parts[i])) AS lh,
+        |             trim(parts[i]) = '' AS ws
+        |      FROM l1),
+        |hot AS (SELECT lh FROM (
+        |          SELECT DISTINCT doc_id, lh FROM l WHERE NOT ws)
+        |        GROUP BY lh HAVING count(*) > 10),
+        |kept AS (SELECT l.doc_id, l.line_no, l.line
+        |         FROM l LEFT JOIN hot ON l.lh = hot.lh
+        |         WHERE hot.lh IS NULL),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_clean,
+        |          string_agg(line, chr(10) ORDER BY line_no) AS text_clean
+        |        FROM kept GROUP BY doc_id),
+        |orig AS (SELECT doc_id,
+        |           CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+        |         FROM multi)
+        |SELECT o.doc_id, o.n_lines,
+        |  coalesce(a.n_lines_clean, 0) AS n_lines_clean,
+        |  coalesce(a.text_clean, '') AS text_clean
+        |FROM orig o LEFT JOIN agg a USING (doc_id)
+        |WHERE coalesce(a.n_lines_clean, 0) <> o.n_lines
+        |ORDER BY o.doc_id""".stripMargin,
     "dd5_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

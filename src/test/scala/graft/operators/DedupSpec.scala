@@ -614,6 +614,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("removeBoilerplateLines: frequency cutoff, order, whitespace exemption") {
+    // 12 docs: every doc carries "FOOTER" (df=12 > 3, removed), docs
+    // 0-3 carry "promo" (df=4 > 3, removed), docs 0-2 carry "rare"
+    // (df=3 == cutoff, KEPT), plus a unique line and a blank line
+    val docs = (0L until 12L).map { i =>
+      val lines = Seq(s"unique head $i") ++
+        (if (i < 3) Seq("rare") else Nil) ++
+        Seq("", "FOOTER") ++
+        (if (i < 4) Seq("promo") else Nil) ++
+        Seq(s"unique tail $i")
+      (i, lines.mkString("\n"))
+    }.toDF("id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, "id", "text", maxDocFreq = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 0: had 6 lines, loses FOOTER + promo, keeps rare/blank/uniques in order
+    assert(out(0L) == (6L, 4L, "unique head 0\nrare\n\nunique tail 0"))
+    // doc 5: had 4 lines, loses FOOTER only
+    assert(out(5L) == (4L, 3L, "unique head 5\n\nunique tail 5"))
+    // blank lines never count toward df and never vanish
+    assert(out.values.forall(_._3.contains("\n")))
+    // determinism across evaluations
+    val again = Dedup.removeBoilerplateLines(docs, "id", "text", maxDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert((0L until 12L).forall(i => again(i) == out(i)._3))
+  }
+
   test("native TokenMinHash is bit-identical to the staged HOF signature pipeline") {
     import org.apache.spark.sql.functions._
     // real corpus text: exercises unicode, punctuation, whitespace runs
