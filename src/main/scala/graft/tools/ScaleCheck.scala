@@ -79,6 +79,25 @@ object ScaleCheck {
     time("simhash sketches") {
       scaled.select(graft.functions.TextAnalysis.simhash64(col("text"))).count()
     }
+    time("simhashNearDup") {
+      // banded pigeonhole search: sketch (no shuffle), (band, chunk)
+      // equi-join of narrow rows, hamming filter. NOTE on reading the
+      // growth: each source doc's `mult` replicas differ by ONE suffix
+      // token, i.e. they form genuine near-dup cliques, so the OUTPUT
+      // grows ~mult² by construction (4x -> ~30k pairs, 10x -> ~210k);
+      // the time tracks candidates/output (measured sublinear in
+      // pairs), not the corpus quadratically
+      Dedup.simhashNearDup(scaled, "doc_id", "text").count()
+    }
+    time("boilerplateLines") {
+      // planted multi-line structure (the fixture is single-line):
+      // explode + digest df-aggregate + broadcast anti-join + rebuild
+      val multi = scaled.select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("shared footer line"),
+          concat(lit("uniq "), col("doc_id"))).as("text"))
+      Dedup.removeBoilerplateLines(multi, "doc_id", "text",
+        maxDocFreq = 100).count()
+    }
     time("asofJoin backward") {
       val p = se.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
