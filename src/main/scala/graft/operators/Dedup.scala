@@ -1203,46 +1203,53 @@ object Dedup {
     * engine-replayable, and the digest (16 bytes) is what shuffles,
     * not the line text. Whitespace-only lines are layout, not
     * content: they are never counted toward document frequency and
-    * never removed. Output: (id, n_lines, n_lines_clean, text_clean)
-    * for every document (callers filter `n_lines_clean =!= n_lines`
-    * for the changed subset).
+    * never removed. A null text reads as empty. Output: (id, n_lines,
+    * n_lines_clean, text_clean) for every document (callers filter
+    * `n_lines_clean =!= n_lines` for the changed subset).
     *
-    * Scale shape: one explode to (id, line_no, digest) — corpus-linear
-    * and narrow; the document-frequency aggregate is a partial-agg
-    * shuffle of digests; the boilerplate set (lines above the cutoff)
-    * is small by construction — a line needs > maxDocFreq distinct
-    * docs to enter, so |set| <= total_lines / maxDocFreq — and
-    * BROADCASTS back as an anti-join, so the corpus never shuffles
-    * for the removal itself. The per-doc rebuild groups bounded
-    * per-document line lists, never corpus-sized state.
+    * Scale shape: ONE scan of the corpus — the exploded (id, line_no,
+    * line, digest) frame is persisted and feeds the frequency
+    * aggregate, the anti-join, and the per-doc line counts (released
+    * after the first action, the minhashLshPairs discipline). The
+    * document-frequency aggregate is a partial-agg shuffle of 16-byte
+    * digests, not line text. The boilerplate set (lines above the
+    * cutoff) is bounded by total_lines / maxDocFreq, so on sane
+    * cutoffs Spark broadcasts the anti-join under its own size
+    * threshold — deliberately NOT a broadcast() hint: a degenerate
+    * template corpus can make the hot set corpus-sized, where a
+    * forced broadcast would kill the driver and the planner's
+    * fallback shuffle join is the right plan. The per-doc rebuild
+    * groups bounded per-document line lists, never corpus-sized
+    * state.
     */
   def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
                              maxDocFreq: Int): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1 (got $maxDocFreq)")
     val lines = docs
       .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("line_no", "line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .as(Seq("line_no", "line")))
       .withColumn("lh", md5(trim(col("line"))))
       .withColumn("ws", trim(col("line")) === "")
+      .persist()
     val hot = lines.filter(!col("ws"))
       .select(col("id"), col("lh")).distinct()
       .groupBy("lh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select(col("lh").as("hot_lh"))
-    val kept = lines
-      .join(broadcast(hot), col("lh") === col("hot_lh"), "left_anti")
+    val kept = lines.join(hot, col("lh") === col("hot_lh"), "left_anti")
     val rebuilt = kept.groupBy("id").agg(
       count(lit(1)).cast("long").as("n_lines_clean"),
       array_join(
         transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
           s => s.getField("line")), "\n").as("text_clean"))
-    docs
-      .select(col(idCol).as("id"),
-        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"))
+    val out = lines
+      .groupBy("id").agg(count(lit(1)).cast("long").as("n_lines"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"), col("n_lines"),
         coalesce(col("n_lines_clean"), lit(0L)).as("n_lines_clean"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+    materializeAndRelease(lines, out)
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs generated by a

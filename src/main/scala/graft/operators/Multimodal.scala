@@ -135,14 +135,12 @@ object Multimodal {
             val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(blob))
             try {
-              // per-byte pooling is only an amplitude for 8-bit mono;
-              // refuse wider formats rather than silently pooling
-              // half-samples (the video branch's 24-bit/uncompressed
+              // per-byte pooling is only an amplitude for 8-bit mono
+              // UNSIGNED linear PCM; refuse wider/companded/signed
+              // formats rather than silently pooling half-samples or
+              // mu-law bytes (the video branch's 24-bit/uncompressed
               // strictness, applied here)
-              val fmt = in.getFormat
-              require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
-                s"expected 8-bit mono PCM, got ${fmt.getSampleSizeInBits}" +
-                  s"-bit/${fmt.getChannels}ch — add a conversion stage")
+              requireUnsigned8BitMono(in.getFormat)
               val data = in.readAllBytes()
               var i = 0
               while (i < data.length) { add(i, data(i) & 0xff); i += 1 }
@@ -325,8 +323,24 @@ object Multimodal {
     }(enc)
   }
 
+  /** The one audio format per-byte pooling is valid for: 8-bit mono
+    * UNSIGNED linear PCM. Signed PCM flips amplitudes (-1 reads as
+    * 255), mu-law/a-law bytes are companded, wider samples interleave
+    * half-sample bytes — all would pool to finite garbage, so every
+    * per-byte audio path refuses anything else.
+    */
+  private def requireUnsigned8BitMono(
+      fmt: javax.sound.sampled.AudioFormat): Unit =
+    require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1 &&
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      s"expected 8-bit mono unsigned PCM, got ${fmt.getEncoding}/" +
+        s"${fmt.getSampleSizeInBits}-bit/${fmt.getChannels}ch — " +
+        "add a conversion stage")
+
   /** REAL decode via AudioSystem: (media_id, sample_rate, n_samples,
-    * mean_amp) — same mapPartitions batch shape.
+    * mean_amp) — same mapPartitions batch shape; refuses non-8-bit-
+    * mono-unsigned-PCM input like [[extractFeatures]] (n_samples and
+    * mean_amp are per-BYTE quantities, valid only there).
     */
   def decodeAudioFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -343,6 +357,7 @@ object Multimodal {
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
         try {
           val fmt = in.getFormat
+          requireUnsigned8BitMono(fmt)
           val data = in.readAllBytes()
           var sum = 0.0
           var i = 0

@@ -626,6 +626,8 @@ class DedupSpec extends AnyFunSuite {
         Seq(s"unique tail $i")
       (i, lines.mkString("\n"))
     }.toDF("id", "text")
+      // null text reads as empty: one whitespace line, kept, unchanged
+      .unionByName(Seq((99L, null.asInstanceOf[String])).toDF("id", "text"))
     val out = Dedup.removeBoilerplateLines(docs, "id", "text", maxDocFreq = 3)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getString(3))).toMap
@@ -633,8 +635,10 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0L) == (6L, 4L, "unique head 0\nrare\n\nunique tail 0"))
     // doc 5: had 4 lines, loses FOOTER only
     assert(out(5L) == (4L, 3L, "unique head 5\n\nunique tail 5"))
+    // null text: present in the output, one kept (empty) line
+    assert(out(99L) == (1L, 1L, ""))
     // blank lines never count toward df and never vanish
-    assert(out.values.forall(_._3.contains("\n")))
+    assert(out.filter(_._1 != 99L).values.forall(_._3.contains("\n")))
     // determinism across evaluations
     val again = Dedup.removeBoilerplateLines(docs, "id", "text", maxDocFreq = 3)
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
