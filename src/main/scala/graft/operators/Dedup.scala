@@ -1195,6 +1195,50 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** One-call corpus near-dedup — the full composition a curation
+    * pipeline actually runs, as a single library face (the
+    * `Serving.searchHybrid` discipline applied to dedup): exact
+    * keep-first, banded-LSH candidates at `estThreshold`, exact
+    * n-gram Jaccard verification at `threshold`, connected components
+    * over the verified pairs, and ONE representative kept per
+    * component — the member with the most tokens (ties: smallest id;
+    * keep-the-longest is the standard near-dup policy, since the
+    * longer member usually strictly contains the shorter). Returns
+    * the SURVIVING rows of `docs`, all columns intact.
+    *
+    * Pure composition: every leg is individually oracle-gated
+    * (exactKeepFirst/dd6, minhashLshPairs/dd2, ngramJaccard/dd4+dd7,
+    * connectedComponents/dd9), so the facade inherits their contracts
+    * and scale shapes — candidate pairs, never N², flow through every
+    * stage — and adds no state of its own. The representative pick is
+    * a window over components (near-cliques of duplicates, bounded),
+    * never a corpus-wide sort.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                  estThreshold: Double = 0.2, threshold: Double = 0.8,
+                  maxBucketSize: Int = 0,
+                  portable: Boolean = false): DataFrame = {
+    val exact = exactKeepFirst(docs, idCol, textCol)
+    val cand = minhashLshPairs(exact, idCol, textCol, shingleN, bands,
+      rowsPerBand, estThreshold, maxBucketSize, portable = portable)
+    val verified = ngramJaccard(exact, idCol, textCol,
+        cand.select("id_a", "id_b"), shingleN)
+      .filter(col("jaccard") >= threshold)
+    val comps = connectedComponents(verified.select("id_a", "id_b"))
+      .select(col("id").as("_dc_id"), col("component").as("_dc_comp"))
+    val toks = exact.select(col(idCol).as("_dc_id"),
+      TextAnalysis.tokenCount(col(textCol)).as("_dc_nt"))
+    import org.apache.spark.sql.expressions.Window
+    val losers = comps.join(toks, Seq("_dc_id"))
+      .withColumn("_dc_rk", row_number().over(
+        Window.partitionBy("_dc_comp")
+          .orderBy(col("_dc_nt").desc, col("_dc_id"))))
+      .filter(col("_dc_rk") > 1)
+      .select(col("_dc_id").as(idCol))
+    exact.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** C4/CCNet-style line-level boilerplate removal: a LINE occurring
     * in more than `maxDocFreq` DISTINCT documents is boilerplate
     * (navigation chrome, cookie banners, licence headers, signature

@@ -275,6 +275,27 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the ONE-CALL corpus dedup facade: exact keep-first over a
+    // corpus with planted exact clones, LSH candidates, Jaccard
+    // verify, connected components, keep-the-longest representative.
+    // Pure composition of dd6/dd2/dd7/dd9 machinery; the oracle
+    // replays the WHOLE chain flat (md5 keep-first groups, exact
+    // all-pairs jaccard >= 0.8, recursive-CTE reachability, token
+    // count + id ranked representative) — the dd7 recall argument
+    // (16x4 banding recalls j>=0.8 pairs w.p. > 0.9997 on this fixed
+    // corpus) makes the LSH-candidate path equal the flat answer.
+    "dd16_dedup_corpus" -> ((s, d) => {
+      val base = t(s, d, "documents").select("doc_id", "text")
+      val withClones = base.unionByName(base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      Dedup.dedupCorpus(withClones, "doc_id", "text",
+          shingleN = 3, bands = 16, rowsPerBand = 4,
+          estThreshold = 0.2, threshold = 0.8, maxBucketSize = 100)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // C4/CCNet line-level boilerplate removal over a PLANTED
     // multi-line corpus (the fixture's docs are single-line, so the
     // gate builds the line structure the op exists for): every doc
@@ -864,6 +885,48 @@ object TextQueries {
            |FROM orig o LEFT JOIN agg a USING (doc_id)
            |WHERE coalesce(a.n_tokens_clean, 0) <> o.n_tokens
            |ORDER BY o.doc_id""".stripMargin,
+    // flat replay of the whole dedup chain: exact keep-first (md5
+    // groups, min id), exact all-pairs jaccard >= 0.8 among the
+    // survivors, component labels via recursive reachability (min
+    // reachable id — dd9's discipline), representative = most tokens
+    // then smallest id, everyone else dropped
+    "dd16_dedup_corpus" ->
+      raw"""WITH RECURSIVE u AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 30000, text FROM documents WHERE doc_id < 10),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM u GROUP BY md5(text)),
+           |ex AS (SELECT u.doc_id, u.text FROM u JOIN keep USING (doc_id)),
+           |sh AS (SELECT doc_id, $shinglesSql AS s FROM ex),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+           |j AS (SELECT id_a, id_b,
+           |  CASE WHEN len(list_distinct(list_concat(sa, sb))) > 0 THEN
+           |    CAST(len(list_distinct(list_intersect(sa, sb))) AS DOUBLE) /
+           |    len(list_distinct(list_concat(sa, sb)))
+           |  ELSE 0.0 END AS jx
+           |FROM p),
+           |e AS (SELECT id_a AS eu, id_b AS ev FROM j WHERE jx >= 0.8),
+           |sym AS (SELECT eu, ev FROM e UNION SELECT ev AS eu, eu AS ev FROM e),
+           |nodes AS (SELECT DISTINCT eu AS id FROM sym),
+           |reach(id, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT s2.ev, r.lbl FROM reach r JOIN sym s2 ON s2.eu = r.id),
+           |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+           |nt AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+           |       FROM ex),
+           |rk AS (SELECT c.id,
+           |         row_number() OVER (PARTITION BY c.component
+           |           ORDER BY nt.n_tokens DESC, c.id) AS rnk
+           |       FROM comp c JOIN nt ON nt.doc_id = c.id),
+           |losers AS (SELECT id FROM rk WHERE rnk > 1)
+           |SELECT ex.doc_id, nt.n_tokens
+           |FROM ex JOIN nt USING (doc_id)
+           |LEFT JOIN losers ON losers.id = ex.doc_id
+           |WHERE losers.id IS NULL
+           |ORDER BY ex.doc_id""".stripMargin,
+
     // full replay of the line-frequency rule: split, per-line
     // distinct-doc frequency (trimmed md5 identity, whitespace-only
     // lines exempt), the > 10 cutoff, and the ordered rebuild

@@ -614,6 +614,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupCorpus: keep-first exact copy, keep-the-longest representative") {
+    val base = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank today and tomorrow morning"
+    val docs = Seq(
+      (0L, base),
+      (1L, base),                      // exact dup of 0 -> keep-first drops it
+      (2L, base + " with extra tail"), // near-dup of 0, LONGER -> the rep
+      (3L, "completely different content about spark catalyst " +
+        "optimizer rules and shuffles everywhere"),
+      (4L, "")                         // no shingles; untouched, survives
+    ).toDF("id", "text")
+    val out = Dedup.dedupCorpus(docs, "id", "text", threshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // 1 falls to exact keep-first; 0 loses the {0, 2} component to the
+    // longer member 2; 3 and 4 are untouched
+    assert(out == Set(2L, 3L, 4L))
+    // all original columns survive intact
+    assert(Dedup.dedupCorpus(docs, "id", "text", threshold = 0.5)
+      .columns.toSeq == Seq("id", "text"))
+  }
+
   test("removeBoilerplateLines: frequency cutoff, order, whitespace exemption") {
     // 12 docs: every doc carries "FOOTER" (df=12 > 3, removed), docs
     // 0-3 carry "promo" (df=4 > 3, removed), docs 0-2 carry "rare"
