@@ -1355,6 +1355,81 @@ object Dedup {
     materializeAndRelease(sh, out)
   }
 
+  /** Broder-style n-gram CONTAINMENT (Broder 1997, "On the resemblance
+    * and containment of documents"): c(A,B) = |S(A) ∩ S(B)| / |S(A)|,
+    * the fraction of A's shingles that also appear in B. Near-dup
+    * Jaccard misses subset relationships — a paragraph quoted inside a
+    * 100× longer page has j ≈ 0.01 but c ≈ 1.0 — and the standard
+    * curation policy for those is keep-the-superset (drop A when
+    * c(A,B) ≥ τ and |S(A)| ≤ |S(B)|). Emits BOTH directions
+    * (`containment_a` = how much of A is inside B, `containment_b`
+    * symmetric) for each candidate pair; docs with fewer than
+    * `shingleN` tokens have no shingles and score 0.0 by definition.
+    *
+    * Candidates come from the caller (same contract as
+    * [[ngramJaccard]]): NOT from minhash LSH — a low-jaccard subset
+    * pair rarely collides there — but from metadata blocking
+    * ([[blockedNgramContainment]]) or the [[sharedSpans]] postings
+    * (a contained doc necessarily shares its token spans). Same
+    * engine shape as the jaccard verify: per-doc sorted shingle-hash
+    * sets built once by the codegen `TokenShingleHashes`, candidate
+    * pairs re-join the persisted set table twice (id-only shuffles),
+    * and the per-pair |inter| is the codegen sorted-merge count —
+    * O(candidates), never all-pairs.
+    */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+                       pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("_cid"),
+        graft.plans.TokenShingleHashes(col(textCol), shingleN).as("_csh"))
+      .select(col("_cid"), col("_csh"), size(col("_csh")).as("_cn"))
+      .persist()
+    val out = withContainment(pairs
+      .join(sh.select(col("_cid").as("id_a"), col("_csh").as("sh_a"),
+        col("_cn").as("n_a")), Seq("id_a"))
+      .join(sh.select(col("_cid").as("id_b"), col("_csh").as("sh_b"),
+        col("_cn").as("n_b")), Seq("id_b")))
+      .drop("sh_a", "sh_b", "n_a", "n_b")
+    materializeAndRelease(sh, out)
+  }
+
+  /** [[ngramContainment]] over all pairs within a metadata block —
+    * the [[blockedNgramJaccard]] layout (one self-join of the shingle
+    * table on the block key) emitting both containment directions.
+    */
+  def blockedNgramContainment(docs: DataFrame, idCol: String,
+                              textCol: String, blockCol: String,
+                              shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(blockCol).as("_blk"), col(idCol).as("_cid"),
+        graft.plans.TokenShingleHashes(col(textCol), shingleN).as("_csh"))
+      .select(col("_blk"), col("_cid"), col("_csh"),
+        size(col("_csh")).as("_cn"))
+      .persist()
+    val l = sh.select(col("_blk"), col("_cid").as("id_a"),
+      col("_csh").as("sh_a"), col("_cn").as("n_a"))
+    val r = sh.select(col("_blk"), col("_cid").as("id_b"),
+      col("_csh").as("sh_b"), col("_cn").as("n_b"))
+    val out = withContainment(
+      l.join(r, Seq("_blk")).filter(col("id_a") < col("id_b")))
+      .select("id_a", "id_b", "containment_a", "containment_b")
+    materializeAndRelease(sh, out)
+  }
+
+  /** Shared containment arithmetic over a joined pair frame carrying
+    * (sh_a, n_a, sh_b, n_b): |inter| once via the codegen sorted
+    * merge, then each direction's ratio (0.0 for an empty shingle
+    * set — a doc shorter than the shingle width contains nothing).
+    */
+  private def withContainment(df: DataFrame): DataFrame = df
+    .withColumn("_inter", graft.plans.VectorExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b")))
+    .withColumn("containment_a",
+      when(col("n_a") > 0, col("_inter").cast("double") / col("n_a"))
+        .otherwise(lit(0.0)))
+    .withColumn("containment_b",
+      when(col("n_b") > 0, col("_inter").cast("double") / col("n_b"))
+        .otherwise(lit(0.0)))
+    .drop("_inter")
+
   /** Embedding near-dup pairs with multi-table hyperplane-LSH blocking
     * — the corpus-scale composition. dd5's metadata blocks are
     * all-pairs within a block (B²/2 on a hot block); here hyperplane

@@ -296,6 +296,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Broder containment over source-blocked pairs, on a corpus with
+    // PLANTED subset docs (the first 8 tokens of docs 0-4 as new
+    // docs): a quoted excerpt has jaccard ~ 0.05 against its parent
+    // but containment 1.0 — the keep-the-superset signal jaccard
+    // can't see. Both directions emitted; ordered by the policy
+    // quantity max(c_a, c_b).
+    "dd17_ngram_containment" -> ((s, d) => {
+      val base = t(s, d, "documents").select("doc_id", "text", "source")
+      val planted = base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 8)).as("text"),
+          col("source"))
+      Dedup.blockedNgramContainment(base.unionByName(planted),
+          "doc_id", "text", "source", shingleN = 3)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment_a"), 6).as("containment_a"),
+          round(col("containment_b"), 6).as("containment_b"))
+        .orderBy(round(greatest(col("containment_a"),
+            col("containment_b")), 6).desc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
     // C4/CCNet line-level boilerplate removal over a PLANTED
     // multi-line corpus (the fixture's docs are single-line, so the
     // gate builds the line structure the op exists for): every doc
@@ -926,6 +948,33 @@ object TextQueries {
            |LEFT JOIN losers ON losers.id = ex.doc_id
            |WHERE losers.id IS NULL
            |ORDER BY ex.doc_id""".stripMargin,
+
+    // flat replay of both containment directions over the same
+    // planted-subset union: distinct shingle sets, source-blocked
+    // pairs, |inter|/|own| per side, the same max-direction ordering
+    "dd17_ngram_containment" ->
+      raw"""WITH u AS (
+           |  SELECT doc_id, text, source FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 40000,
+           |    array_to_string(($toksSql)[1:8], ' '), source
+           |  FROM documents WHERE doc_id < 5),
+           |sh AS (SELECT doc_id, source, $shinglesSql AS s FROM u),
+           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+           |      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id),
+           |c AS (SELECT id_a, id_b,
+           |  CASE WHEN len(sa) > 0 THEN
+           |    CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(sa)
+           |  ELSE 0.0 END AS ca,
+           |  CASE WHEN len(sb) > 0 THEN
+           |    CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(sb)
+           |  ELSE 0.0 END AS cb
+           |FROM p)
+           |SELECT id_a, id_b, round(ca, 6) AS containment_a,
+           |  round(cb, 6) AS containment_b
+           |FROM c
+           |ORDER BY round(greatest(ca, cb), 6) DESC, id_a, id_b
+           |LIMIT 20""".stripMargin,
 
     // full replay of the line-frequency rule: split, per-line
     // distinct-doc frequency (trimmed md5 identity, whitespace-only

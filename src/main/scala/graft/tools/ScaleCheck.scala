@@ -98,6 +98,18 @@ object ScaleCheck {
       Dedup.removeBoilerplateLines(multi, "doc_id", "text",
         maxDocFreq = 100).count()
     }
+    time("dedupCorpus") {
+      // the one-call facade: exact keep-first + LSH candidates +
+      // jaccard verify + connected components + keep-the-longest.
+      // NOTE on reading the growth: each source doc's `mult` replicas
+      // are genuine near-dups of each other (one suffix token), so the
+      // verified-pair/CC edge count grows ~mult² by construction while
+      // the OUTPUT collapses every clique to ~n0 survivors; time
+      // tracks the candidate/edge volume (the simhashNearDup shape),
+      // not the corpus quadratically
+      Dedup.dedupCorpus(scaled, "doc_id", "text",
+        estThreshold = 0.2, threshold = 0.8, maxBucketSize = 100).count()
+    }
     time("asofJoin backward") {
       val p = se.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))

@@ -635,6 +635,29 @@ class DedupSpec extends AnyFunSuite {
       .columns.toSeq == Seq("id", "text"))
   }
 
+  test("ngramContainment: both directions, subset=1.0, short-doc=0.0") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "s"),
+      (1L, "alpha beta gamma delta", "s"),   // strict prefix of 0
+      (2L, "completely different words here now", "s"),
+      (3L, "xy zz", "s")                     // < 3 tokens: no shingles
+    ).toDF("id", "text", "src")
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val m = Dedup.ngramContainment(docs, "id", "text", pairs)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b")))
+      .toMap
+    // doc 0 has 6 shingles, doc 1 has 2, both inside 0
+    assert(m((0L, 1L)) == (2.0 / 6.0, 1.0))
+    assert(m((0L, 2L)) == (0.0, 0.0))
+    assert(m((0L, 3L)) == (0.0, 0.0))      // empty set contains nothing
+    // blocked variant computes the same values over all in-block pairs
+    val b = Dedup.blockedNgramContainment(docs, "id", "text", "src")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(b.size == 6 && b((0L, 1L)) == (2.0 / 6.0, 1.0))
+  }
+
   test("removeBoilerplateLines: frequency cutoff, order, whitespace exemption") {
     // 12 docs: every doc carries "FOOTER" (df=12 > 3, removed), docs
     // 0-3 carry "promo" (df=4 > 3, removed), docs 0-2 carry "rare"
