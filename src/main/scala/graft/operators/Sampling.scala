@@ -149,6 +149,100 @@ object Sampling {
     df.filter(hashFrac(col(idCol), seed) < frac)
   }
 
+  /** Token-budget source mixing — the mixture recipe stated in TOKENS,
+    * the way LLM data recipes are actually written ("300B tokens of
+    * web, 50B of code"), not keep-probabilities: for each source,
+    * documents are drawn in the deterministic portable-md5 priority
+    * order ([[hashKey]]) until the source's token budget is spent. A
+    * document is kept iff the tokens of all higher-priority documents
+    * of its source total strictly less than the budget — so the first
+    * document crossing the budget IS kept (budgets are targets;
+    * overshoot is bounded by one document), and a 0 budget drops the
+    * source entirely. Sources absent from `budgets` get
+    * `defaultBudget`. Re-runs and other engines reproduce the exact
+    * subset (the [[deterministicSample]] determinism contract).
+    *
+    * Scale shape: the naive
+    * `sum(tk).over(Window.partitionBy(source).orderBy(key))` moves
+    * each source's ENTIRE slice into one task — fatal when one source
+    * is half the corpus. This is [[graft.operators.Packing]]'s
+    * two-phase distributed prefix sum generalized per source:
+    * range-partition + sort by (source, key) — the one shuffle any
+    * per-source ordering costs — then per-(partition, source) token
+    * totals to the driver (O(partitions × sources) state; recipes
+    * have tens of sources), offsets broadcast back, each partition
+    * streamed once with a running per-source sum; kept ids hash-join
+    * back onto the full rows. `idCol` must be unique and NON-NULL
+    * (the [[deterministicShuffle]] join contract). The result is
+    * byte-identical to the per-source window, which is what the
+    * DuckDB oracle recomputes.
+    */
+  def tokenBudgetMix(df: DataFrame, idCol: String, sourceCol: String,
+                     tokenCol: String, budgets: Map[String, Long],
+                     seed: Long, defaultBudget: Long = 0L,
+                     partitions: Int = 0): DataFrame = {
+    require(budgets.values.forall(_ >= 0L) && defaultBudget >= 0L,
+      "tokenBudgetMix: budgets must be non-negative")
+    val spark = df.sparkSession
+    val nPart =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val idField = df.schema(idCol)
+    val keyed = df.select(
+        col(sourceCol).cast("string").as("_src"),
+        hashKey(col(idCol), seed).as("_k"),
+        col(idCol).as("_id"),
+        coalesce(col(tokenCol).cast("long"), lit(0L)).as("_tk"))
+      .repartitionByRange(nPart, col("_src"), col("_k"))
+      .sortWithinPartitions("_src", "_k")
+      .persist()
+    // pass 1: per-(partition, source) token totals — O(parts × sources)
+    val totals = keyed.toDF().rdd.mapPartitionsWithIndex { (p, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val s = r.getString(0)
+        m.update(s, m.getOrElse(s, 0L) + r.getLong(3))
+      }
+      m.iterator.map { case (s, t) => ((p, s), t) }
+    }.collect()
+    // offsets(p, s) = tokens of source s in all EARLIER partitions —
+    // range partitioning on (_src, _k) makes partition order = key
+    // order within every source, and prefix sums are associative, so
+    // the kept set is independent of where the range bounds fall
+    val offsets: Map[(Int, String), Long] = totals.groupBy(_._1._2)
+      .iterator.flatMap { case (s, arr) =>
+        var cum = 0L
+        arr.sortBy(_._1._1).map { case ((p, _), t) =>
+          val o = ((p, s), cum); cum += t; o
+        }
+      }.toMap
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcBud = spark.sparkContext.broadcast(budgets)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id", idField.dataType,
+        idField.nullable)))
+    val kept = keyed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: String = null
+      var started = false
+      var cum = 0L
+      it.flatMap { r =>
+        val s = r.getString(0)
+        if (!started || s != cur) {
+          started = true; cur = s
+          cum = bcOff.value.getOrElse((pid, s), 0L)
+        }
+        val before = cum
+        cum += r.getLong(3)
+        if (before < bcBud.value.getOrElse(s, defaultBudget))
+          Some(org.apache.spark.sql.Row(r.get(2)))
+        else None
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val out = df.join(kept, col(idCol) === col("_id"), "left_semi")
+    Dedup.materializeAndRelease(keyed, out)
+  }
+
   /** Export the dataset as fixed-size TRAINING SHARDS in a
     * reproducible random order — the webdataset-style layout a
     * training job consumes: `outDir/data/shard=N/` parquet plus a

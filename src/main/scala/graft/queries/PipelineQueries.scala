@@ -148,6 +148,22 @@ object PipelineQueries {
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),
+    // token-BUDGET mixing (recipes stated in tokens, not keep
+    // probabilities): per-source md5-priority draw until the budget
+    // is spent, via the per-source two-phase distributed prefix sum;
+    // exercises a mid-source cut (src0), an explicit zero (src1
+    // dropped), a budget above the source total (src2 kept whole),
+    // and the default budget on every other source. The oracle IS
+    // the per-source window the distributed layout replaces.
+    "sm6_token_budget_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+      Sampling.tokenBudgetMix(docs, "doc_id", "source", "n_tok",
+          Map("src0" -> 700L, "src1" -> 0L, "src2" -> 100000L),
+          seed = 13, defaultBudget = 120L)
+        .select("doc_id", "source", "n_tok")
+        .orderBy("doc_id")
+    }),
     // sequence packing via two-phase distributed prefix sum (the
     // single-partition window this replaces is fatal at scale); the
     // oracle IS that window, proving the distributed layout
@@ -1907,6 +1923,22 @@ object PipelineQueries {
         |    < CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.5
         |                  WHEN 'src2' THEN 0.25 ELSE 0.1 END
         |ORDER BY doc_id""".stripMargin,
+    "sm6_token_budget_mix" ->
+      raw"""WITH b AS (
+           |  SELECT doc_id, source,
+           |         CAST(len($toksSql) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, source, n_tok,
+           |         COALESCE(SUM(n_tok) OVER (PARTITION BY source
+           |           ORDER BY md5('13:' || CAST(doc_id AS VARCHAR))
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS cb
+           |  FROM b)
+           |SELECT doc_id, source, n_tok FROM c
+           |WHERE cb < CASE source WHEN 'src0' THEN 700 WHEN 'src1' THEN 0
+           |                       WHEN 'src2' THEN 100000 ELSE 120 END
+           |ORDER BY doc_id""".stripMargin,
     "pack1_token_packing" ->
       raw"""WITH b AS (
            |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens

@@ -63,6 +63,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(h.subsetOf(f))
   }
 
+  test("tokenBudgetMix equals the per-source window; boundary doc kept; " +
+    "zero budget drops the source") {
+    val docs = ids.withColumn("n_tok", pmod(col("id") * 7, lit(50)) + 1)
+    val budgets = Map("s0" -> 300L, "s1" -> 0L, "s2" -> 1000000L)
+    val got = Sampling.tokenBudgetMix(docs, "id", "src", "n_tok",
+      budgets, seed = 5, defaultBudget = 40L)
+    // reference: the single-partition window spelling
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("src")
+      .orderBy(Sampling.hashKey(col("id"), 5))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = docs
+      .withColumn("cb", coalesce(sum("n_tok").over(w), lit(0L)))
+      .filter(col("cb") < when(col("src") === "s0", 300L)
+        .when(col("src") === "s1", 0L)
+        .when(col("src") === "s2", 1000000L).otherwise(40L))
+    val gotIds = got.select("id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == ref.select("id").collect().map(_.getLong(0)).toSet)
+    // zero budget: no s1 rows; huge budget: ALL s2 rows survive
+    val bySrc = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("s1") && bySrc("s2") == 250L)
+    // budget is a target: the doc CROSSING it is kept, so kept tokens
+    // reach >= budget (strictly more unless the cut is exact)
+    val s0tok = got.filter(col("src") === "s0")
+      .agg(sum("n_tok")).collect()(0).getLong(0)
+    assert(s0tok >= 300L && s0tok < 300L + 50L)
+    // all original columns intact + repeatable
+    assert(got.columns.toSeq == docs.columns.toSeq)
+    assert(Sampling.tokenBudgetMix(docs, "id", "src", "n_tok", budgets,
+      seed = 5, defaultBudget = 40L)
+      .select("id").collect().map(_.getLong(0)).toSet == gotIds)
+  }
+
   test("hashFrac is uniform-ish over [0,1)") {
     val m = ids.select(avg(Sampling.hashFrac(col("id"), 5)).as("m"))
       .head().getDouble(0)
