@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data LAYOUT: Z-order (Morton) clustering, the
+  * standard lakehouse recipe (Delta OPTIMIZE ZORDER BY, Hudi/Iceberg
+  * sort orders) for making parquet min/max stats selective on SEVERAL
+  * columns at once. A single-column sort gives perfect file skipping
+  * on that column and none on any other; interleaving the bits of k
+  * normalized columns gives every column ~1/k of its bits of
+  * selectivity — a query constraining ANY of the layout columns
+  * prunes most files. At 100 TB the scan is the workload, and
+  * pruning files beats every downstream optimization.
+  *
+  * Morton 1966 ("A computer oriented geodetic data base..."); the
+  * equi-width normalize-then-interleave spelling below is the one
+  * public lakehouse implementations use for integer keys.
+  *
+  * Everything here is exact integer arithmetic (bucket = integral
+  * `div`, interleave = shift/and/or folds — all codegen'd, fully
+  * engine-replayable); min/max normalization bounds ride the plan as
+  * a 1-row broadcast crossJoin, never a driver collect.
+  */
+object Layout {
+
+  /** Bit-interleave already-bucketed non-negative integer columns
+    * (each in [0, 2^bits)): bit j of column i lands at output bit
+    * j * n + i, so all columns share the high bits fairly. n * bits
+    * must fit a signed long (<= 62 enforced).
+    */
+  def interleaveBits(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1, "interleaveBits: need at least one column")
+    require(bits >= 1 && n * bits <= 62,
+      s"interleaveBits: $n cols x $bits bits exceeds a signed long")
+    cols.zipWithIndex.map { case (c, i) =>
+      val l = c.cast("long")
+      (0 until bits).map { j =>
+        shiftleft(shiftright(l, j).bitwiseAND(lit(1L)), j * n + i)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** `df` plus a `zkey` column: each layout column equi-width
+    * bucketed to [0, 2^bits) between its own min and max (exact
+    * integral arithmetic: (v - min) * (2^bits - 1) div (max - min);
+    * a constant column buckets to 0), buckets bit-interleaved. The
+    * min/max frame is ONE row, crossJoined in-plan (broadcast).
+    * Layout columns must be integral (cast timestamps/doubles to a
+    * fixed-point integer first — exactness is the contract here).
+    */
+  def withZorderKey(df: DataFrame, colNames: Seq[String],
+                    bits: Int = 16): DataFrame = {
+    require(colNames.nonEmpty, "withZorderKey: no layout columns")
+    colNames.foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = df.schema(c).dataType
+      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+        s"withZorderKey: $c is $dt — layout columns must be integral")
+    }
+    val maxBucket = (1L << bits) - 1
+    val bounds = df.agg(
+      min(col(colNames.head)).cast("long").as("_zmin0"),
+      (max(col(colNames.head)).cast("long").as("_zmax0") +:
+        colNames.tail.zipWithIndex.flatMap { case (c, i0) =>
+          val i = i0 + 1
+          Seq(min(col(c)).cast("long").as(s"_zmin$i"),
+            max(col(c)).cast("long").as(s"_zmax$i"))
+        }): _*)
+    val joined = df.crossJoin(broadcast(bounds))
+    val buckets = colNames.zipWithIndex.map { case (c, i) =>
+      // integral div is exact; NULL span (constant column) -> 0
+      coalesce(
+        expr(s"((cast(`$c` as bigint) - _zmin$i) * $maxBucket) " +
+          s"div nullif(_zmax$i - _zmin$i, 0)"),
+        lit(0L))
+    }
+    joined.withColumn("zkey", interleaveBits(buckets, bits))
+      .drop(colNames.indices.flatMap(i =>
+        Seq(s"_zmin$i", s"_zmax$i")): _*)
+  }
+
+  /** Physically cluster `df` by the Z-order of `colNames`: range
+    * partition + sort on the interleaved key, so each output
+    * partition (and the parquet files written from it) covers a
+    * compact hyper-rectangle of the layout space — tight min/max
+    * stats on EVERY layout column. One range shuffle, the same cost
+    * as any global sort; the key is dropped from the result.
+    */
+  def zorderBy(df: DataFrame, colNames: Seq[String], bits: Int = 16,
+               partitions: Int = 0): DataFrame = {
+    val nPart =
+      if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    withZorderKey(df, colNames, bits)
+      .repartitionByRange(nPart, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .drop("zkey")
+  }
+}

@@ -229,6 +229,20 @@ object PipelineQueries {
           round(col("mean_luma"), 6).as("mean_luma"))
         .orderBy("media_id", "frame_no")
     }),
+    // Z-order (Morton) layout key — the multi-column file-skipping
+    // layout (Delta OPTIMIZE ZORDER discipline): each column
+    // equi-width bucketed to [0, 2^8) between its own min/max with
+    // exact integral arithmetic, buckets bit-interleaved. The oracle
+    // replays the bucket `div` and the unrolled shift/and/or
+    // interleave bit-for-bit; LayoutSpec proves the pruning win.
+    "zo1_zorder_key" -> ((s, d) => {
+      graft.operators.Layout.withZorderKey(
+          t(s, d, "events").select("event_id", "user_id"),
+          Seq("user_id", "event_id"), bits = 8)
+        .select("event_id", "user_id", "zkey")
+        .orderBy("zkey", "event_id")
+        .limit(100)
+    }),
     // partition-pruned data layout: orders written once (per sf dir)
     // as a year-partitioned table; the year predicate then prunes
     // directories at planning time (PartitionFilters — pinned in
@@ -2002,6 +2016,22 @@ object PipelineQueries {
         |    AS mean_luma
         |FROM documents d, generate_series(0, 3, 2) f(f)
         |ORDER BY media_id, frame_no""".stripMargin,
+    "zo1_zorder_key" -> {
+      // unrolled Morton interleave: bit j of column i -> output bit
+      // j*2 + i (i=0 user bucket, i=1 event bucket), 8 bits each
+      val terms = (0 until 8).flatMap { j =>
+        Seq(s"(((bu >> $j) & 1) << ${2 * j})",
+          s"(((be >> $j) & 1) << ${2 * j + 1})")
+      }.mkString(" | ")
+      raw"""WITH mm AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+           |  min(event_id) AS mne, max(event_id) AS mxe FROM events),
+           |b AS (SELECT event_id, user_id,
+           |  coalesce(((user_id - mnu) * 255) // nullif(mxu - mnu, 0), 0) AS bu,
+           |  coalesce(((event_id - mne) * 255) // nullif(mxe - mne, 0), 0) AS be
+           |FROM events, mm)
+           |SELECT event_id, user_id, $terms AS zkey
+           |FROM b ORDER BY zkey, event_id LIMIT 100""".stripMargin
+    },
     "pp1_partition_prune" ->
       """SELECT CAST(month(o_orderdate) AS BIGINT) AS mth,
         |       CAST(count(*) AS BIGINT) AS n,
