@@ -149,6 +149,44 @@ object Sampling {
     df.filter(hashFrac(col(idCol), seed) < frac)
   }
 
+  /** Epoch-weighted mixing with UPSAMPLING — mixture weights above 1
+    * mean repetition, the way over-sampled sources are actually
+    * specified ("2.5 epochs of wiki, 0.3 of web"): every row of
+    * source s is emitted floor(w_s) times in full, plus one PARTIAL
+    * epoch kept with probability frac(w_s) by an independent portable
+    * per-(id, epoch) draw — so an integer weight is exactly that many
+    * copies, 0 drops the source, and expectation is w_s everywhere.
+    * The output carries a 0-based `epoch` column so downstream
+    * shuffle/packing interleaves copies instead of concatenating
+    * them. Deterministic given (id, seed); re-runs and other engines
+    * reproduce the exact multiset ([[weightedMix]]'s contract,
+    * extended above 1.0).
+    *
+    * Scale shape: a per-row explode by at most ceil(max weight)
+    * epochs then a per-row threshold test — zero shuffle, linear in
+    * the OUTPUT (which is what an upsampler must write anyway).
+    */
+  def epochMix(df: DataFrame, idCol: String, sourceCol: String,
+               weights: Map[String, Double], seed: Long,
+               defaultWeight: Double = 0.0): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
+      "epochMix: weights must be non-negative")
+    val maxEpochs = math.ceil(
+      (defaultWeight +: weights.values.toSeq).max).toLong max 1L
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (els, (s, f)) => when(col(sourceCol) === s, lit(f)).otherwise(els)
+    }
+    df.withColumn("epoch",
+        explode(sequence(lit(0L), lit(maxEpochs - 1L))))
+      .withColumn("_w", w)
+      .filter(col("epoch") < floor(col("_w")) ||
+        (col("epoch") === floor(col("_w")) &&
+          hashFrac(concat(col(idCol).cast("string"), lit("#"),
+            col("epoch").cast("string")), seed)
+            < col("_w") - floor(col("_w"))))
+      .drop("_w")
+  }
+
   /** Token-budget source mixing — the mixture recipe stated in TOKENS,
     * the way LLM data recipes are actually written ("300B tokens of
     * web, 50B of code"), not keep-probabilities: for each source,

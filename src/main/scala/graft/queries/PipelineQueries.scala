@@ -164,6 +164,16 @@ object PipelineQueries {
         .select("doc_id", "source", "n_tok")
         .orderBy("doc_id")
     }),
+    // epoch-weighted UPSAMPLING (weights > 1 are repetition): src0 at
+    // 2.5 epochs (2 full copies + a 0.5 partial draw), src1 at exactly
+    // 1.0 (one copy, no partial), src2 at 0.4 (partial only),
+    // everything else dropped; per-(id, epoch) portable draw
+    "sm7_epoch_mix" -> ((s, d) => {
+      Sampling.epochMix(t(s, d, "documents"), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4), seed = 7)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
     // sequence packing via two-phase distributed prefix sum (the
     // single-partition window this replaces is fatal at scale); the
     // oracle IS that window, proving the distributed layout
@@ -1953,6 +1963,21 @@ object PipelineQueries {
            |WHERE cb < CASE source WHEN 'src0' THEN 700 WHEN 'src1' THEN 0
            |                       WHEN 'src2' THEN 100000 ELSE 120 END
            |ORDER BY doc_id""".stripMargin,
+    "sm7_epoch_mix" ->
+      raw"""WITH w AS (
+           |  SELECT doc_id, source,
+           |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+           |                WHEN 'src2' THEN 0.4 ELSE 0.0 END AS wt
+           |  FROM documents),
+           |x AS (SELECT doc_id, source, wt, unnest(generate_series(0, 2)) AS epoch
+           |      FROM w)
+           |SELECT doc_id, source, epoch FROM x
+           |WHERE epoch < floor(wt)
+           |   OR (epoch = floor(wt) AND
+           |       ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR) || '#' ||
+           |          CAST(epoch AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+           |         < wt - floor(wt))
+           |ORDER BY doc_id, epoch""".stripMargin,
     "pack1_token_packing" ->
       raw"""WITH b AS (
            |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens

@@ -97,6 +97,33 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet == gotIds)
   }
 
+  test("epochMix: integer weights are exact copies, fractional epochs " +
+    "draw independently, zero drops") {
+    val got = Sampling.epochMix(ids, "id", "src",
+      Map("s0" -> 2.0, "s1" -> 0.5, "s2" -> 1.4), seed = 3)
+    val bySrcEpoch = got.groupBy("src", "epoch").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // s0: exactly 2 full epochs (0 and 1), no partial epoch 2
+    assert(bySrcEpoch((("s0"), 0L)) == 250L)
+    assert(bySrcEpoch(("s0", 1L)) == 250L)
+    assert(!bySrcEpoch.contains(("s0", 2L)))
+    // s1: only a partial epoch 0, ~half kept
+    assert(!bySrcEpoch.contains(("s1", 1L)))
+    val p = bySrcEpoch(("s1", 0L))
+    assert(p > 85L && p < 165L, s"0.5 partial kept $p of 250")
+    // s2: full epoch 0 + ~0.4 partial epoch 1
+    assert(bySrcEpoch(("s2", 0L)) == 250L)
+    val q = bySrcEpoch(("s2", 1L))
+    assert(q > 60L && q < 140L, s"0.4 partial kept $q of 250")
+    // s3 absent from the map: dropped entirely
+    assert(!bySrcEpoch.keys.exists(_._1 == "s3"))
+    // partial draws are per-(id, epoch): s2's epoch-1 subset is NOT
+    // the prefix rule of s1's epoch-0 subset under another seed shape
+    val again = Sampling.epochMix(ids, "id", "src",
+      Map("s0" -> 2.0, "s1" -> 0.5, "s2" -> 1.4), seed = 3)
+    assert(again.collect().length == got.collect().length)
+  }
+
   test("hashFrac is uniform-ish over [0,1)") {
     val m = ids.select(avg(Sampling.hashFrac(col("id"), 5)).as("m"))
       .head().getDouble(0)
