@@ -106,6 +106,36 @@ object Selection {
       .limit(n)
   }
 
+  /** Quality-threshold selection, stated as a RANK cut: keep the top
+    * `frac` of every group by score (the FineWeb-style "best X% per
+    * source" filter). A rank cut — row_number over (score desc, id)
+    * up to ceil(frac × group size) — is exactly reproducible across
+    * engines, unlike a quantile-threshold filter, whose interpolated
+    * cutoff lands on last-ulp float territory and flips boundary
+    * docs. Ties at the cut resolve by id (smaller id wins),
+    * deterministic. frac ≥ 1 keeps whole groups; empty groups don't
+    * exist by construction.
+    *
+    * Scale shape: one shuffle on the group column; the group-size
+    * count rides the SAME window partitioning (no second shuffle).
+    * Corpus mixes have tens of sources, so per-group windows are the
+    * standard layout here; for a single giant group use the
+    * [[Sampling.tokenBudgetMix]] prefix-sum discipline with the score
+    * as the key instead.
+    */
+  def topFractionPerGroup(df: DataFrame, groupCol: String,
+                          scoreCol: String, frac: Double,
+                          idCol: String): DataFrame = {
+    require(frac > 0, "topFractionPerGroup: frac must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(col(groupCol))
+    val w = part.orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("_tfr", row_number().over(w))
+      .withColumn("_tfn", count(lit(1)).over(part))
+      .filter(col("_tfr") <= ceil(col("_tfn") * frac))
+      .drop("_tfr", "_tfn")
+  }
+
   /** Hard-negative mining for contrastive training: for every query,
     * the k most-cosine-similar corpus items that are NOT known
     * positives — the items a bi-encoder most needs to learn to push

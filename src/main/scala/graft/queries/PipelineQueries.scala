@@ -164,6 +164,17 @@ object PipelineQueries {
         .select("doc_id", "source", "n_tok")
         .orderBy("doc_id")
     }),
+    // quality selection as a RANK cut (FineWeb's "best X% per
+    // source"): top 30% of each source by token count, ties by id —
+    // exactly replayable, unlike an interpolated quantile threshold
+    "qf1_top_fraction" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+      graft.operators.Selection.topFractionPerGroup(
+          docs, "source", "n_tok", 0.3, "doc_id")
+        .select("doc_id", "source", "n_tok")
+        .orderBy("doc_id")
+    }),
     // epoch-weighted UPSAMPLING (weights > 1 are repetition): src0 at
     // 2.5 epochs (2 full copies + a 0.5 partial draw), src1 at exactly
     // 1.0 (one copy, no partial), src2 at 0.4 (partial only),
@@ -1962,6 +1973,19 @@ object PipelineQueries {
            |SELECT doc_id, source, n_tok FROM c
            |WHERE cb < CASE source WHEN 'src0' THEN 700 WHEN 'src1' THEN 0
            |                       WHEN 'src2' THEN 100000 ELSE 120 END
+           |ORDER BY doc_id""".stripMargin,
+    "qf1_top_fraction" ->
+      raw"""WITH b AS (
+           |  SELECT doc_id, source,
+           |         CAST(len($toksSql) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |r AS (SELECT doc_id, source, n_tok,
+           |        row_number() OVER (PARTITION BY source
+           |          ORDER BY n_tok DESC, doc_id) AS rn,
+           |        count(*) OVER (PARTITION BY source) AS n
+           |      FROM b)
+           |SELECT doc_id, source, n_tok FROM r
+           |WHERE rn <= ceil(n * 0.3)
            |ORDER BY doc_id""".stripMargin,
     "sm7_epoch_mix" ->
       raw"""WITH w AS (

@@ -110,6 +110,24 @@ object ScaleCheck {
       Dedup.dedupCorpus(scaled, "doc_id", "text",
         estThreshold = 0.2, threshold = 0.8, maxBucketSize = 100).count()
     }
+    time("tokenBudgetMix") {
+      // per-source distributed prefix sum: one (source, key) range
+      // shuffle + O(parts × sources) driver state; budgets fixed, so
+      // OUTPUT is flat while the corpus grows — the scan is the cost
+      val withTok = scaled.select(col("doc_id"),
+        pmod(col("doc_id"), lit(20)).cast("string").as("src"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      graft.operators.Sampling.tokenBudgetMix(withTok, "doc_id", "src",
+        "n_tok", Map("0" -> 10000L, "1" -> 0L), seed = 13,
+        defaultBudget = 5000L).count()
+    }
+    time("zorderBy events") {
+      // one range shuffle on the interleaved key (the cost of any
+      // global sort); bounds ride the plan as a 1-row broadcast
+      graft.operators.Layout.zorderBy(
+        se.select("event_id", "user_id", "value"),
+        Seq("user_id", "event_id")).count()
+    }
     time("asofJoin backward") {
       val p = se.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))

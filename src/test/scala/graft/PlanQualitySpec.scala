@@ -192,6 +192,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
   }
 
+  test("sm7: epoch upsampling is scan + generate — no shuffle, no join, " +
+    "no window") {
+    val df = SparkEntry.queries("sm7_epoch_mix")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("Generate"), p)   // the epoch explode
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("Window"), p)
+  }
+
+  test("sm6: token-budget mix keeps the pack1 rule — no per-source " +
+    "single-task window") {
+    val df = SparkEntry.queries("sm6_token_budget_mix")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), p)
+  }
+
+  test("zo1: z-order bounds ride a broadcast — one broadcast join, no " +
+    "shuffle join, no window") {
+    val df = SparkEntry.queries("zo1_zorder_key")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("Window"), p)
+    // the sorted-limit presentation fuses, as everywhere else
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("asof1: the as-of join plans as union+window — zero join nodes") {
     val p = plan("asof1_pointintime")
     assert(p.contains("Window"), p)

@@ -42,6 +42,26 @@ class SelectionSpec extends AnyFunSuite {
     assert(ids1 === s2.select("doc_id").collect().map(_.getLong(0)).toSeq)
   }
 
+  test("topFractionPerGroup: ceil rank cut per group, ties by id, " +
+    "frac >= 1 keeps everything") {
+    // group g has 5 rows -> ceil(5 * 0.4) = 2 kept; h has 3 -> 2 kept
+    val df = Seq(
+      ("g", 1L, 10.0), ("g", 2L, 50.0), ("g", 3L, 50.0),
+      ("g", 4L, 20.0), ("g", 5L, 5.0),
+      ("h", 6L, 1.0), ("h", 7L, 2.0), ("h", 8L, 3.0)
+    ).toDF("src", "id", "score")
+    val kept = Selection.topFractionPerGroup(df, "src", "score", 0.4, "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // g: scores 50,50 tie -> ids 2 and 3 (smaller id wins the tie
+    // ordering but both land inside the cut); h: top-2 by score = 8,7
+    assert(kept == Set(2L, 3L, 8L, 7L))
+    assert(Selection.topFractionPerGroup(df, "src", "score", 1.0, "id")
+      .count() == 8)
+    assert(intercept[IllegalArgumentException] {
+      Selection.topFractionPerGroup(df, "src", "score", 0.0, "id")
+    }.getMessage.contains("positive"))
+  }
+
   test("hardNegatives excludes the planted positive that brute-force" +
     " ranks first") {
     // corpus: id 1 = query clone (cos 1 with query), others spread
