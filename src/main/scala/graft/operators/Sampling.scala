@@ -149,6 +149,47 @@ object Sampling {
     df.filter(hashFrac(col(idCol), seed) < frac)
   }
 
+  /** Temperature-scaled source keep-fractions — the T5/mT5
+    * alpha-sampling recipe (Raffel et al. JMLR'20 §3.4.3, Xue et al.
+    * NAACL'21): sampling share q_s ∝ p_s^tau flattens the source
+    * distribution (tau < 1 upweights small sources, tau = 1 is
+    * proportional, tau = 0 uniform). Realized as per-row KEEP
+    * fractions f_s = maxKeep · p_s^(tau-1) / max_t p_t^(tau-1), so
+    * the smallest source keeps `maxKeep` of its rows and larger
+    * sources are down-sampled toward the tempered share. Fractions
+    * are 6-dp floor-half-up rounded (the decay-gate discipline: libm
+    * pow drift cannot leak into the keep decision) and computed from
+    * ONE O(sources) count aggregate — driver state is the source
+    * list, never rows.
+    */
+  def temperatureFractions(df: DataFrame, sourceCol: String,
+                           tau: Double, maxKeep: Double = 1.0)
+      : Map[String, Double] = {
+    require(tau >= 0 && tau <= 1, "temperatureFractions: tau in [0,1]")
+    require(maxKeep > 0 && maxKeep <= 1,
+      "temperatureFractions: maxKeep in (0,1]")
+    val counts = df.groupBy(col(sourceCol).cast("string").as("_s"))
+      .count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val total = counts.values.sum
+    val raw = counts.map { case (s, n) =>
+      s -> math.pow(n / total, tau - 1.0)
+    }
+    val mx = raw.values.max
+    raw.map { case (s, v) =>
+      s -> math.floor(v / mx * maxKeep * 1e6 + 0.5) / 1e6
+    }
+  }
+
+  /** [[weightedMix]] with [[temperatureFractions]] — one tiny count
+    * aggregate, then the same zero-shuffle per-row threshold scan.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+                     tau: Double, seed: Long,
+                     maxKeep: Double = 1.0): DataFrame =
+    weightedMix(df, idCol, sourceCol,
+      temperatureFractions(df, sourceCol, tau, maxKeep), seed)
+
   /** Epoch-weighted mixing with UPSAMPLING — mixture weights above 1
     * mean repetition, the way over-sampled sources are actually
     * specified ("2.5 epochs of wiki, 0.3 of web"): every row of

@@ -164,6 +164,22 @@ object PipelineQueries {
         .select("doc_id", "source", "n_tok")
         .orderBy("doc_id")
     }),
+    // temperature-scaled mixing (T5/mT5 alpha-sampling) over a SKEWED
+    // derived source split (60/30/10 — the fixture's real sources are
+    // uniform, which would make tempering a no-op): tau = 0.3
+    // upweights the small source to keep-all and down-samples the
+    // big ones toward the tempered share; fractions 6-dp
+    // floor-half-up rounded so libm pow drift cannot leak
+    "sm8_temperature_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("src_grp",
+        when(pmod(col("doc_id"), lit(10)) < 6, "g0")
+          .when(pmod(col("doc_id"), lit(10)) < 9, "g1")
+          .otherwise("g2"))
+      Sampling.temperatureMix(docs, "doc_id", "src_grp",
+          tau = 0.3, seed = 17)
+        .select("doc_id", "src_grp")
+        .orderBy("doc_id")
+    }),
     // quality selection as a RANK cut (FineWeb's "best X% per
     // source"): top 30% of each source by token count, ties by id —
     // exactly replayable, unlike an interpolated quantile threshold
@@ -1974,6 +1990,27 @@ object PipelineQueries {
            |WHERE cb < CASE source WHEN 'src0' THEN 700 WHEN 'src1' THEN 0
            |                       WHEN 'src2' THEN 100000 ELSE 120 END
            |ORDER BY doc_id""".stripMargin,
+    // the exponent is spelled (0.3 - 1.0), NOT -0.7: both engines then
+    // subtract the same two doubles and feed pow the IDENTICAL
+    // exponent (the literal -0.7 is a different double than 0.3 - 1.0)
+    "sm8_temperature_mix" ->
+      raw"""WITH d AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 10 < 6 THEN 'g0'
+           |         WHEN doc_id % 10 < 9 THEN 'g1'
+           |         ELSE 'g2' END AS src_grp
+           |  FROM documents),
+           |n AS (SELECT src_grp, CAST(count(*) AS DOUBLE) AS ns
+           |      FROM d GROUP BY src_grp),
+           |tot AS (SELECT sum(ns) AS nt FROM n),
+           |r AS (SELECT src_grp, pow(ns / nt, 0.3 - 1.0) AS raw FROM n, tot),
+           |mx AS (SELECT max(raw) AS m FROM r),
+           |f AS (SELECT src_grp,
+           |        floor(raw / m * 1000000 + 0.5) / 1000000.0 AS frac
+           |      FROM r, mx)
+           |SELECT d.doc_id, d.src_grp FROM d JOIN f USING (src_grp)
+           |WHERE ('0x' || substr(md5('17:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |      / 4294967296.0 < f.frac
+           |ORDER BY d.doc_id""".stripMargin,
     "qf1_top_fraction" ->
       raw"""WITH b AS (
            |  SELECT doc_id, source,

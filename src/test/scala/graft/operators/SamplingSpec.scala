@@ -124,6 +124,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.collect().length == got.collect().length)
   }
 
+  test("temperatureFractions: smallest source keeps maxKeep, fractions " +
+    "shrink with size, tau=1 keeps everything") {
+    // 600/300/100 split
+    val df = spark.range(1000).toDF("id").withColumn("src",
+      when(pmod(col("id"), lit(10)) < 6, "g0")
+        .when(pmod(col("id"), lit(10)) < 9, "g1").otherwise("g2"))
+    val f = Sampling.temperatureFractions(df, "src", tau = 0.3)
+    assert(f("g2") == 1.0)
+    assert(f("g1") > f("g0") && f("g0") > 0)
+    // hand arithmetic mirrors the op exactly: raw ratio of the two
+    // pow results (NOT pow of the ratio — different double), 6dp
+    val e = 0.3 - 1.0
+    val exp = math.floor(
+      math.pow(0.6, e) / math.pow(0.1, e) * 1e6 + 0.5) / 1e6
+    assert(f("g0") == exp)
+    assert(Sampling.temperatureFractions(df, "src", tau = 1.0)
+      .values.forall(_ == 1.0))
+    // the mix realizes the fractions approximately
+    val kept = Sampling.temperatureMix(df, "id", "src", 0.3, seed = 2)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("g2") == 100L)  // keep-all of the smallest source
+    assert(math.abs(kept("g0") - 600 * f("g0")) < 60)
+    assert(math.abs(kept("g1") - 300 * f("g1")) < 45)
+  }
+
   test("hashFrac is uniform-ish over [0,1)") {
     val m = ids.select(avg(Sampling.hashFrac(col("id"), 5)).as("m"))
       .head().getDouble(0)
