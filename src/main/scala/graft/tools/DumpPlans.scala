@@ -83,7 +83,11 @@ object DumpPlans {
     "idx8_phrase_score" ->
       "Scored phrase search from positional postings: each term's scan keeps the bucket PartitionFilters + term pushdown (only the phrase's buckets are read), docs holding all terms hash-join on id, the adjacency count is an array predicate over the per-term position lists, and corpus stats enter as driver literals. Phrase ranking costs O(docs containing the phrase's terms) — the corpus and its text are never touched.",
     "f26_phrase_scored" ->
-      "Scored match_phrase in the DSL: the phrase tf is a pure per-row expression over ONE staged token-array projection (the lambda's element_at reads a column — no re-tokenize, no shuffle), and N/sum-len/per-term dfs reduce to a single 1-row aggregate broadcast into the lazy plan. A phrase clause adds zero corpus shuffles to any scored query.")
+      "Scored match_phrase in the DSL: the phrase tf is a pure per-row expression over ONE staged token-array projection (the lambda's element_at reads a column — no re-tokenize, no shuffle), and N/sum-len/per-term dfs reduce to a single 1-row aggregate broadcast into the lazy plan. A phrase clause adds zero corpus shuffles to any scored query.",
+    "zo1_zorder_key" ->
+      "Z-order layout key: the min/max normalization bounds are ONE aggregated row entering via BroadcastNestedLoopJoin (no collect, no shuffle join), the bucket div and the Morton shift/and/or interleave are per-row codegen arithmetic, and the presentation limit fuses into TakeOrderedAndProject. zorderBy then range-partitions on this key — each output file covers a compact hyper-rectangle, so parquet min/max stats prune on EVERY layout column (LayoutSpec proves a y-band query skips >= half the z-ordered partitions and zero x-sorted ones).",
+    "sm7_epoch_mix" ->
+      "Epoch upsampling: a Generate (the per-row epoch explode, bounded by ceil(max weight)) over the scan, then a pure per-row threshold on the portable md5 draw — no join, no aggregate, no window, no shuffle (spec-pinned). Repetition-weighted mixtures of a 100TB corpus cost exactly the pass that writes the output.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
