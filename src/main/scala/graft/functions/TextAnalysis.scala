@@ -130,6 +130,39 @@ object TextAnalysis {
   /** Count of matches of `re` in `text` — per-row expression, no
     * shuffle (audit metric for redaction sweeps).
     */
+  /** RFC 3986 §6.2 syntax-based URL normalization, the CCNet/WET
+    * dedup-key recipe: lowercase scheme and host, drop the fragment,
+    * drop the scheme's default port (:80 http, :443 https), empty
+    * path → "/", plus the curation-common extras — strip a leading
+    * "www." (on by default) and optionally the whole query string.
+    * Path/query case is PRESERVED (case-significant per the RFC). A
+    * string with no scheme is returned trimmed but otherwise
+    * untouched (not a URL — don't invent one). Pure regexp/concat
+    * column ops (RE2-safe patterns), replayable by any engine with
+    * regexp_extract/regexp_replace.
+    */
+  def normalizeUrl(u: Column, stripWww: Boolean = true,
+                   stripQuery: Boolean = false): Column = {
+    val t = trim(u)
+    val noFrag = regexp_replace(t, "#.*$", "")
+    val scheme =
+      lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val hostRaw =
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
+    val host0 =
+      if (stripWww) regexp_replace(hostRaw, "^www\\.", "") else hostRaw
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val pathq0 = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*(.*)$", 1)
+    val pathq1 =
+      if (stripQuery) regexp_replace(pathq0, "\\?.*$", "") else pathq0
+    val pathq = when(pathq1 === "", lit("/")).otherwise(pathq1)
+    when(scheme === "", t)
+      .otherwise(concat(scheme, lit("://"), host, pathq))
+  }
+
   def countMatches(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
 

@@ -87,6 +87,37 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Keep-first over ANY derived key expression — [[exactKeepFirst]]
+    * generalized: one group per distinct key, the smallest id
+    * survives, null-key rows are all kept (no key, no group — the
+    * null-source discipline). Same shape: a narrow (key, min id)
+    * aggregate then a semi-join back; only ids and keys shuffle.
+    */
+  def keepFirstByKey(docs: DataFrame, idCol: String,
+                     key: org.apache.spark.sql.Column): DataFrame = {
+    val keep = docs
+      .filter(key.isNotNull)
+      .groupBy(key.as("_kfk"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("_kfk")
+    docs.filter(key.isNull)
+      .unionByName(docs.join(keep, Seq(idCol), "left_semi"))
+  }
+
+  /** Dedup by normalized URL — the CommonCrawl/WET curation pass that
+    * runs BEFORE content dedup (same page fetched via http/https,
+    * with/without www, trailing fragments, mixed-case hosts): rows
+    * whose [[graft.functions.TextAnalysis.normalizeUrl]] keys match
+    * keep only the smallest id. Null/absent URLs are kept (they have
+    * no page identity to collide on).
+    */
+  def dedupByUrl(docs: DataFrame, idCol: String, urlCol: String,
+                 stripWww: Boolean = true,
+                 stripQuery: Boolean = false): DataFrame =
+    keepFirstByKey(docs, idCol,
+      graft.functions.TextAnalysis.normalizeUrl(col(urlCol), stripWww,
+        stripQuery))
+
   /** Incremental exact dedup against a persistent digest registry —
     * the continuous-ingest face of [[exactKeepFirst]]: drop batch rows
     * whose content digest was registered by ANY earlier batch (or

@@ -318,6 +318,37 @@ object TextQueries {
         .limit(20)
     }),
 
+    // dedup by NORMALIZED URL (the CommonCrawl/WET pass that runs
+    // before content dedup) over planted URL variants: per page
+    // group, the https variants — mixed-case host, www., explicit
+    // :443, #fragment, ?query (stripQuery on) — collapse to one
+    // normalized key and keep the smallest id; the http variant stays
+    // its own page; null URLs are all kept. The oracle replays the
+    // RFC 3986 regex normalization step for step.
+    "dd18_dedup_by_url" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("variant", expr("(doc_id div 100) % 5"))
+        .withColumn("url",
+          when(col("doc_id") % 97 === 0, lit(null).cast("string"))
+            .when(col("variant") === 0,
+              concat(lit("https://Example.COM/page/"), col("doc_id") % 100))
+            .when(col("variant") === 1,
+              concat(lit("https://www.example.com/page/"), col("doc_id") % 100))
+            .when(col("variant") === 2,
+              concat(lit("HTTPS://example.com:443/page/"), col("doc_id") % 100,
+                lit("#sec2")))
+            .when(col("variant") === 3,
+              concat(lit("https://example.com/page/"), col("doc_id") % 100,
+                lit("?utm=x")))
+            .otherwise(
+              concat(lit("http://example.com/page/"), col("doc_id") % 100)))
+      Dedup.dedupByUrl(docs, "doc_id", "url", stripQuery = true)
+        .select(col("doc_id"),
+          TextAnalysis.normalizeUrl(col("url"), stripQuery = true)
+            .as("url_norm"))
+        .orderBy("doc_id")
+    }),
+
     // C4/CCNet line-level boilerplate removal over a PLANTED
     // multi-line corpus (the fixture's docs are single-line, so the
     // gate builds the line structure the op exists for): every doc
@@ -975,6 +1006,47 @@ object TextQueries {
            |FROM c
            |ORDER BY round(greatest(ca, cb), 6) DESC, id_a, id_b
            |LIMIT 20""".stripMargin,
+
+    // step-for-step regex replay of the RFC 3986 normalization
+    // (fragment drop, scheme/host lowercase, www. strip, default-port
+    // strip, query strip, empty path -> '/'), then keep-first by the
+    // normalized key with null URLs exempt
+    "dd18_dedup_by_url" ->
+      raw"""WITH d AS (SELECT doc_id, ((doc_id // 100) % 5) AS variant
+           |           FROM documents),
+           |u AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 97 = 0 THEN NULL
+           |    WHEN variant = 0 THEN 'https://Example.COM/page/' || (doc_id % 100)
+           |    WHEN variant = 1 THEN 'https://www.example.com/page/' || (doc_id % 100)
+           |    WHEN variant = 2 THEN 'HTTPS://example.com:443/page/' || (doc_id % 100) || '#sec2'
+           |    WHEN variant = 3 THEN 'https://example.com/page/' || (doc_id % 100) || '?utm=x'
+           |    ELSE 'http://example.com/page/' || (doc_id % 100) END AS url
+           |  FROM d),
+           |s1 AS (SELECT doc_id, url,
+           |         regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM u),
+           |s2 AS (SELECT doc_id, url, nofrag,
+           |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+           |  regexp_replace(lower(regexp_extract(nofrag,
+           |    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)), '^www\.', '') AS host0,
+           |  regexp_replace(regexp_extract(nofrag,
+           |    '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$$', 1), '\?.*$$', '') AS pathq1
+           |  FROM s1),
+           |n AS (SELECT doc_id,
+           |  CASE WHEN url IS NULL THEN NULL
+           |       WHEN scheme = '' THEN trim(url)
+           |       ELSE scheme || '://' ||
+           |         CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$$', '')
+           |              WHEN scheme = 'https' THEN regexp_replace(host0, ':443$$', '')
+           |              ELSE host0 END ||
+           |         CASE WHEN pathq1 = '' THEN '/' ELSE pathq1 END
+           |  END AS url_norm
+           |  FROM s2),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM n
+           |         WHERE url_norm IS NOT NULL GROUP BY url_norm)
+           |SELECT n.doc_id, n.url_norm FROM n
+           |WHERE n.url_norm IS NULL
+           |   OR n.doc_id IN (SELECT doc_id FROM keep)
+           |ORDER BY n.doc_id""".stripMargin,
 
     // full replay of the line-frequency rule: split, per-line
     // distinct-doc frequency (trimmed md5 identity, whitespace-only

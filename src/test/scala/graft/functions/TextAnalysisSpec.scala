@@ -11,6 +11,40 @@ class TextAnalysisSpec extends AnyFunSuite {
   private def one(c: org.apache.spark.sql.Column, text: String): Any =
     Seq(text).toDF("t").select(c).head().get(0)
 
+  test("normalizeUrl: RFC 3986 syntax normalization + curation extras") {
+    def n(s: String) = one(TextAnalysis.normalizeUrl($"t"), s)
+    // scheme + host lowered, path case preserved, fragment dropped
+    assert(n("HTTPS://Example.COM/Path/A#frag") == "https://example.com/Path/A")
+    // default port stripped per scheme; non-default ports kept
+    assert(n("https://example.com:443/a") == "https://example.com/a")
+    assert(n("http://example.com:80/a") == "http://example.com/a")
+    assert(n("https://example.com:8443/a") == "https://example.com:8443/a")
+    assert(n("http://example.com:443/a") == "http://example.com:443/a")
+    // www. stripped (default), empty path -> '/', query preserved
+    assert(n(" https://www.example.com ") == "https://example.com/")
+    assert(n("https://example.com/a?q=1&r=2") == "https://example.com/a?q=1&r=2")
+    // stripQuery drops it; stripWww=false keeps the www
+    assert(one(TextAnalysis.normalizeUrl($"t", stripQuery = true),
+      "https://example.com/a?q=1") == "https://example.com/a")
+    assert(one(TextAnalysis.normalizeUrl($"t", stripWww = false),
+      "https://www.example.com/a") == "https://www.example.com/a")
+    // not a URL: returned trimmed, untouched
+    assert(n("  just a title  ") == "just a title")
+  }
+
+  test("dedupByUrl: variants collapse keep-first, nulls all kept") {
+    val docs = Seq(
+      (1L, "https://www.Example.com/p"),
+      (2L, "HTTPS://example.com:443/p#x"),   // same page as 1
+      (3L, "http://example.com/p"),          // different scheme
+      (4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "url")
+    val kept = graft.operators.Dedup.dedupByUrl(docs, "id", "url")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
   test("tokens lowercase, split on whitespace runs, drop empties") {
     assert(one(TextAnalysis.tokens($"t"), "  Hello   WORLD  ") ==
       Seq("hello", "world"))
