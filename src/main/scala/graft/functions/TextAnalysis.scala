@@ -130,6 +130,15 @@ object TextAnalysis {
   /** Count of matches of `re` in `text` — per-row expression, no
     * shuffle (audit metric for redaction sweeps).
     */
+  /** Unicode normalization (UAX #15) — see
+    * [[graft.plans.UnicodeNormalize]]: codegen wrapper over the JDK
+    * normalizer with an isNormalized fast path. Exact dedup over
+    * mixed-normalization crawls needs this FIRST (precomposed vs
+    * combining-mark spellings of the same page hash differently).
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.plans.UnicodeNormalize(text, form)
+
   /** RFC 3986 §6.2 syntax-based URL normalization, the CCNet/WET
     * dedup-key recipe: lowercase scheme and host, drop the fragment,
     * drop the scheme's default port (:80 http, :443 https), empty

@@ -318,6 +318,27 @@ object TextQueries {
         .limit(20)
     }),
 
+    // unicode-robust exact dedup: the SAME text planted precomposed
+    // (U+00E9) and decomposed (e + U+0301) hashes differently at the
+    // byte level — NFC normalization first makes the pair collapse to
+    // keep-first. DuckDB's nfc_normalize replays the JDK normalizer
+    // (both implement UAX #15).
+    "t9_nfc_exact_dedup" -> ((s, d) => {
+      val base = t(s, d, "documents").select("doc_id", "text")
+      val withClones = base
+        .unionByName(base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 50000).as("doc_id"),
+            concat(col("text"), lit(" caf\u00e9")).as("text")))
+        .unionByName(base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 60000).as("doc_id"),
+            concat(col("text"), lit(" cafe\u0301")).as("text")))
+      Dedup.keepFirstByKey(withClones, "doc_id",
+          md5(TextAnalysis.normalizeUnicode(col("text"))))
+        .select(col("doc_id"),
+          TextAnalysis.normalizeUnicode(col("text")).as("text_nfc"))
+        .orderBy("doc_id")
+    }),
+
     // dedup by NORMALIZED URL (the CommonCrawl/WET pass that runs
     // before content dedup) over planted URL variants: per page
     // group, the https variants — mixed-case host, www., explicit
@@ -1006,6 +1027,24 @@ object TextQueries {
            |FROM c
            |ORDER BY round(greatest(ca, cb), 6) DESC, id_a, id_b
            |LIMIT 20""".stripMargin,
+
+    // the same planting via chr(): 233 = U+00E9 precomposed, 769 =
+    // U+0301 combining acute attached to the trailing 'e'; NFC makes
+    // the two clones byte-identical, keep-first by md5 of the
+    // normalized text
+    "t9_nfc_exact_dedup" ->
+      raw"""WITH u AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 50000, text || ' caf' || chr(233)
+           |  FROM documents WHERE doc_id < 10
+           |  UNION ALL
+           |  SELECT doc_id + 60000, text || ' cafe' || chr(769)
+           |  FROM documents WHERE doc_id < 10),
+           |n AS (SELECT doc_id, nfc_normalize(text) AS tn FROM u),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY md5(tn))
+           |SELECT n.doc_id, n.tn AS text_nfc FROM n JOIN keep USING (doc_id)
+           |ORDER BY n.doc_id""".stripMargin,
 
     // step-for-step regex replay of the RFC 3986 normalization
     // (fragment drop, scheme/host lowercase, www. strip, default-port

@@ -11,6 +11,28 @@ class TextAnalysisSpec extends AnyFunSuite {
   private def one(c: org.apache.spark.sql.Column, text: String): Any =
     Seq(text).toDF("t").select(c).head().get(0)
 
+  test("normalizeUnicode: NFC composes combining marks, NFKC folds " +
+    "compatibility forms, bad form refuses") {
+    val pre = "caf\u00e9"                 // precomposed
+    val dec = "cafe\u0301"                // e + combining acute
+    assert(one(TextAnalysis.normalizeUnicode($"t"), dec) == pre)
+    assert(one(TextAnalysis.normalizeUnicode($"t"), pre) == pre)
+    assert(one(TextAnalysis.normalizeUnicode($"t"), "plain ascii") ==
+      "plain ascii")
+    // NFC preserves the \ufb01 ligature; NFKC folds it to "fi"
+    assert(one(TextAnalysis.normalizeUnicode($"t"), "\ufb01n") == "\ufb01n")
+    assert(one(TextAnalysis.normalizeUnicode($"t", "NFKC"), "\ufb01n") == "fin")
+    // NFD decomposes the precomposed form back out
+    assert(one(TextAnalysis.normalizeUnicode($"t", "NFD"), pre) == dec)
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.normalizeUnicode($"t", "NFX")
+    }.getMessage.contains("unknown form"))
+    // null flows through untouched
+    val r = Seq[String](null).toDF("t")
+      .select(TextAnalysis.normalizeUnicode($"t")).head()
+    assert(r.isNullAt(0))
+  }
+
   test("normalizeUrl: RFC 3986 syntax normalization + curation extras") {
     def n(s: String) = one(TextAnalysis.normalizeUrl($"t"), s)
     // scheme + host lowered, path case preserved, fragment dropped
