@@ -318,6 +318,22 @@ object TextQueries {
         .limit(20)
     }),
 
+    // C4's terminal-punctuation line rule over a planted multi-line
+    // corpus: the fixture line (no terminal punct) drops, the good
+    // sentence and the question keep, the 1-word and punct-less
+    // plants drop — a pure per-row array expression, zero shuffle
+    "t10_c4_line_filter" -> ((s, d) => {
+      val multi = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          concat(lit("Good sentence number "), col("doc_id"), lit(".")),
+          lit("short."),
+          lit("no punct line here"),
+          lit("Is this kept?")).as("text"))
+      Dedup.c4LineFilter(multi, "doc_id", "text", minWords = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // unicode-robust exact dedup: the SAME text planted precomposed
     // (U+00E9) and decomposed (e + U+0301) hashes differently at the
     // byte level — NFC normalization first makes the pair collapse to
@@ -1027,6 +1043,27 @@ object TextQueries {
            |FROM c
            |ORDER BY round(greatest(ca, cb), 6) DESC, id_a, id_b
            |LIMIT 20""".stripMargin,
+
+    // same planted lines via chr(10); the filter replayed with
+    // list_filter + the same terminal-punct regex and word count
+    "t10_c4_line_filter" ->
+      raw"""WITH m AS (SELECT doc_id,
+           |    text || chr(10) || 'Good sentence number ' || doc_id || '.'
+           |         || chr(10) || 'short.'
+           |         || chr(10) || 'no punct line here'
+           |         || chr(10) || 'Is this kept?' AS text
+           |  FROM documents),
+           |s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+           |k AS (SELECT doc_id, ls,
+           |        list_filter(ls, l ->
+           |          regexp_matches(trim(l), '[.!?"]$$') AND
+           |          len(list_filter(string_split_regex(trim(l), '\s+'),
+           |              w -> w <> '')) >= 3) AS keep
+           |      FROM s)
+           |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+           |       CAST(len(keep) AS BIGINT) AS n_lines_clean,
+           |       array_to_string(keep, chr(10)) AS text_clean
+           |FROM k ORDER BY doc_id""".stripMargin,
 
     // the same planting via chr(): 233 = U+00E9 precomposed, 769 =
     // U+0301 combining acute attached to the trailing 'e'; NFC makes

@@ -658,6 +658,29 @@ class DedupSpec extends AnyFunSuite {
     assert(b.size == 6 && b((0L, 1L)) == (2.0 / 6.0, 1.0))
   }
 
+  test("c4LineFilter: terminal punct + min words, order kept, empty doc") {
+    val docs = Seq(
+      (0L, "A good long sentence.\nshort.\nno punct here\n" +
+        "Does this survive?\nIt does!\nends with quote, she said.\""),
+      (1L, ""),                       // one empty line, dropped
+      (2L, "all lines drop\nhere")
+    ).toDF("id", "text")
+    val out = Dedup.c4LineFilter(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // "It does!" ends right but is only 2 words -> the word floor cuts it
+    assert(out(0L) == ((6L, 3L,
+      "A good long sentence.\nDoes this survive?\n" +
+        "ends with quote, she said.\"")))
+    assert(out(1L) == ((1L, 0L, "")))
+    assert(out(2L) == ((2L, 0L, "")))
+    // null text behaves like empty
+    val n = Dedup.c4LineFilter(
+      Seq((9L, null.asInstanceOf[String])).toDF("id", "text"), "id", "text")
+      .collect()(0)
+    assert(n.getLong(2) == 0L && n.getString(3) == "")
+  }
+
   test("removeBoilerplateLines: frequency cutoff, order, whitespace exemption") {
     // 12 docs: every doc carries "FOOTER" (df=12 > 3, removed), docs
     // 0-3 carry "promo" (df=4 > 3, removed), docs 0-2 carry "rare"
