@@ -156,8 +156,12 @@ object TextAnalysis {
     val noFrag = regexp_replace(t, "#.*$", "")
     val scheme =
       lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
-    val hostRaw =
-      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
+    // case normalization applies to scheme and HOST only (RFC 3986
+    // §6.2.2.1): userinfo is case-significant and passes through
+    val authRaw =
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1)
+    val userinfo = regexp_extract(authRaw, "^([^@]*@)", 1)
+    val hostRaw = lower(regexp_replace(authRaw, "^[^@]*@", ""))
     val host0 =
       if (stripWww) regexp_replace(hostRaw, "^www\\.", "") else hostRaw
     val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
@@ -169,7 +173,7 @@ object TextAnalysis {
       if (stripQuery) regexp_replace(pathq0, "\\?.*$", "") else pathq0
     val pathq = when(pathq1 === "", lit("/")).otherwise(pathq1)
     when(scheme === "", t)
-      .otherwise(concat(scheme, lit("://"), host, pathq))
+      .otherwise(concat(scheme, lit("://"), userinfo, host, pathq))
   }
 
   def countMatches(text: Column, re: String): Column =

@@ -1074,6 +1074,16 @@ object Dedup {
       sc.getPersistentRDDs.view.filterKeys(ids).values
         .foreach(_.unpersist(false))
 
+    // the long cast below would turn non-numeric ids into NULLs and
+    // silently drop every edge — refuse loudly instead
+    Seq("id_a", "id_b").foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = pairs.schema(c).dataType
+      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+        s"connectedComponents: $c is $dt — node ids must be integral " +
+          "(map string ids to longs first, e.g. xxhash64 or an ordinal)")
+    }
     var (cur, curIds) = checkpointTracked(pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
@@ -1250,6 +1260,17 @@ object Dedup {
                   estThreshold: Double = 0.2, threshold: Double = 0.8,
                   maxBucketSize: Int = 0,
                   portable: Boolean = false): DataFrame = {
+    // fail before any work: connectedComponents needs integral node
+    // ids (a string id would cast to NULL and silently reduce the
+    // facade to exact-only dedup)
+    {
+      import org.apache.spark.sql.types._
+      val dt = docs.schema(idCol).dataType
+      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+        s"dedupCorpus: $idCol is $dt — ids must be integral (map string " +
+          "ids to longs first, e.g. xxhash64 or an ordinal)")
+    }
     val exact = exactKeepFirst(docs, idCol, textCol)
     val cand = minhashLshPairs(exact, idCol, textCol, shingleN, bands,
       rowsPerBand, estThreshold, maxBucketSize, portable = portable)
@@ -1343,9 +1364,13 @@ object Dedup {
     require(minWords >= 1, s"minWords must be >= 1 (got $minWords)")
     // the arr1 rule: interpreted HOF subtrees are not CSE'd — stage
     // the line array (read 3x) and the kept array (read 2x)
+    // CRLF-safe: split consumes the \r too — otherwise every Windows
+    // line ends "…\r", Java's `$` would still match (it anchors before
+    // a final line terminator) while engines with RE2 `$` would not,
+    // and kept lines would carry \r into text_clean
     docs
       .select(col(idCol).as("id"),
-        split(coalesce(col(textCol), lit("")), "\n", -1).as("_ls"))
+        split(coalesce(col(textCol), lit("")), "\r?\n", -1).as("_ls"))
       .select(col("id"), col("_ls"),
         filter(col("_ls"), l =>
           trim(l).rlike("[.!?\"]$") &&

@@ -70,12 +70,29 @@ object Layout {
             max(col(c)).cast("long").as(s"_zmax$i"))
         }): _*)
     val joined = df.crossJoin(broadcast(bounds))
+    // two exact regimes, chosen per column from the bounds row:
+    //  - span small enough that (v-min)*maxBucket fits a long: the
+    //    scale-UP formula (small-span columns spread across the full
+    //    bit range, keeping the interleave fair between columns)
+    //  - wider spans: scale DOWN by an integer width (span div 2^bits
+    //    + 1) — no multiplication, so epoch-micros timestamps and
+    //    snowflake ids cannot overflow
+    // a span that itself exceeds a signed long refuses loudly
+    // (try_subtract guard) instead of wrapping into garbage keys
+    val lim = Long.MaxValue / maxBucket
     val buckets = colNames.zipWithIndex.map { case (c, i) =>
-      // integral div is exact; NULL span (constant column) -> 0
-      coalesce(
-        expr(s"((cast(`$c` as bigint) - _zmin$i) * $maxBucket) " +
-          s"div nullif(_zmax$i - _zmin$i, 0)"),
-        lit(0L))
+      expr(
+        s"""CASE
+           |  WHEN _zmax$i IS NULL OR _zmax$i = _zmin$i THEN 0L
+           |  WHEN try_subtract(_zmax$i, _zmin$i) IS NULL
+           |    THEN raise_error(
+           |      'withZorderKey: range of $c exceeds a signed long')
+           |  WHEN _zmax$i - _zmin$i <= ${lim}L
+           |    THEN ((cast(`$c` as bigint) - _zmin$i) * ${maxBucket}L)
+           |         div (_zmax$i - _zmin$i)
+           |  ELSE (cast(`$c` as bigint) - _zmin$i)
+           |       div ((_zmax$i - _zmin$i) div ${maxBucket}L + 1L)
+           |END""".stripMargin)
     }
     joined.withColumn("zkey", interleaveBits(buckets, bits))
       .drop(colNames.indices.flatMap(i =>

@@ -168,9 +168,15 @@ object Sampling {
     require(tau >= 0 && tau <= 1, "temperatureFractions: tau in [0,1]")
     require(maxKeep > 0 && maxKeep <= 1,
       "temperatureFractions: maxKeep in (0,1]")
-    val counts = df.groupBy(col(sourceCol).cast("string").as("_s"))
+    // null sources are EXCLUDED from the recipe: they'd anchor the
+    // max-normalization (a small null group would silently under-keep
+    // every real source) yet weightedMix's equality test can never
+    // match them anyway — they fall to its defaultFraction (0)
+    val counts = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).cast("string").as("_s"))
       .count().collect()
       .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    if (counts.isEmpty) return Map.empty
     val total = counts.values.sum
     val raw = counts.map { case (s, n) =>
       s -> math.pow(n / total, tau - 1.0)
@@ -203,23 +209,28 @@ object Sampling {
     * reproduce the exact multiset ([[weightedMix]]'s contract,
     * extended above 1.0).
     *
-    * Scale shape: a per-row explode by at most ceil(max weight)
-    * epochs then a per-row threshold test — zero shuffle, linear in
-    * the OUTPUT (which is what an upsampler must write anyway).
+    * Scale shape: weight-0 rows are cut before the Generate, each
+    * surviving row explodes by ceil(ITS OWN weight) epochs, then a
+    * per-row threshold test — zero shuffle, generated volume within
+    * one partial epoch of the OUTPUT (which is what an upsampler must
+    * write anyway).
     */
   def epochMix(df: DataFrame, idCol: String, sourceCol: String,
                weights: Map[String, Double], seed: Long,
                defaultWeight: Double = 0.0): DataFrame = {
     require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
       "epochMix: weights must be non-negative")
-    val maxEpochs = math.ceil(
-      (defaultWeight +: weights.values.toSeq).max).toLong max 1L
     val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
       case (els, (s, f)) => when(col(sourceCol) === s, lit(f)).otherwise(els)
     }
-    df.withColumn("epoch",
-        explode(sequence(lit(0L), lit(maxEpochs - 1L))))
-      .withColumn("_w", w)
+    // per-ROW explosion factor (ceil of the row's own weight), not the
+    // global max: a dominant 0.3-weight source must not generate (and
+    // then filter away) the 5.0-weight source's copies, and weight-0
+    // sources are cut before the Generate entirely
+    df.withColumn("_w", w)
+      .filter(col("_w") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), ceil(col("_w")).cast("long") - 1L)))
       .filter(col("epoch") < floor(col("_w")) ||
         (col("epoch") === floor(col("_w")) &&
           hashFrac(concat(col(idCol).cast("string"), lit("#"),

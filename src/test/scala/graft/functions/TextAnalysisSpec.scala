@@ -52,6 +52,11 @@ class TextAnalysisSpec extends AnyFunSuite {
       "https://www.example.com/a") == "https://www.example.com/a")
     // not a URL: returned trimmed, untouched
     assert(n("  just a title  ") == "just a title")
+    // userinfo is case-significant (RFC 3986 §6.2.2.1 normalizes only
+    // scheme + host) and precedes the www/port handling
+    assert(n("https://TokenA@Example.COM:443/x") ==
+      "https://TokenA@example.com/x")
+    assert(n("https://Bob@www.example.com") == "https://Bob@example.com/")
   }
 
   test("dedupByUrl: variants collapse keep-first, nulls all kept") {

@@ -679,6 +679,14 @@ class DedupSpec extends AnyFunSuite {
       Seq((9L, null.asInstanceOf[String])).toDF("id", "text"), "id", "text")
       .collect()(0)
     assert(n.getLong(2) == 0L && n.getString(3) == "")
+    // CRLF corpus: the \r is consumed by the split — same lines kept
+    // as the LF spelling, and no \r leaks into text_clean
+    val crlf = Dedup.c4LineFilter(
+      Seq((7L, "A good long sentence.\r\nno punct here\r\nIs this kept too?"))
+        .toDF("id", "text"), "id", "text")
+      .collect()(0)
+    assert(crlf.getLong(2) == 2L)
+    assert(crlf.getString(3) == "A good long sentence.\nIs this kept too?")
   }
 
   test("removeBoilerplateLines: frequency cutoff, order, whitespace exemption") {

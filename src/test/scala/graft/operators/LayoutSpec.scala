@@ -41,6 +41,24 @@ class LayoutSpec extends AnyFunSuite {
     }.getMessage.contains("integral"))
   }
 
+  test("withZorderKey: wide spans take the divide regime (no overflow), " +
+    "a span beyond a signed long refuses loudly") {
+    // span ~ Long.MaxValue/2 — the multiply formula would overflow;
+    // buckets must stay in [0, 255] and be monotone in the value
+    val wide = Seq((0L, 0L), (1L, Long.MaxValue / 4), (2L, Long.MaxValue / 2))
+      .toDF("id", "v").withColumn("c", lit(1L))
+    val keys = Layout.withZorderKey(wide, Seq("v", "c"), bits = 8)
+      .orderBy("id").select("zkey").collect().map(_.getLong(0))
+    assert(keys.forall(k => k >= 0 && k < (1L << 16)))
+    assert(keys(0) < keys(1) && keys(1) < keys(2))
+    // min near Long.MinValue, max near Long.MaxValue: span overflows
+    val bad = Seq((0L, Long.MinValue + 1), (1L, Long.MaxValue)).toDF("id", "v")
+    val e = intercept[Exception] {
+      Layout.withZorderKey(bad, Seq("v"), bits = 8).collect()
+    }
+    assert(e.getMessage.contains("exceeds a signed long"), e.getMessage)
+  }
+
   test("zorderBy: partitions cover compact boxes — a y-band query " +
     "prunes most z-ordered partitions but NO x-sorted ones") {
     // 64x64 grid; both layouts into 16 range partitions

@@ -148,6 +148,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept("g2") == 100L)  // keep-all of the smallest source
     assert(math.abs(kept("g0") - 600 * f("g0")) < 60)
     assert(math.abs(kept("g1") - 300 * f("g1")) < 45)
+    // null sources neither anchor the normalization nor survive the
+    // mix (they fall to weightedMix's default 0)
+    val withNull = df.withColumn("src",
+      when(col("id") < 50, lit(null).cast("string")).otherwise(col("src")))
+    val f2 = Sampling.temperatureFractions(withNull, "src", tau = 0.3)
+    assert(!f2.contains(null) && f2.values.max == 1.0)
+    assert(Sampling.temperatureMix(withNull, "id", "src", 0.3, seed = 2)
+      .filter(col("src").isNull).count() == 0)
+    // empty input: empty fractions, empty mix, no crash
+    val empty = df.filter(col("id") < 0)
+    assert(Sampling.temperatureFractions(empty, "src", tau = 0.3).isEmpty)
+    assert(Sampling.temperatureMix(empty, "id", "src", 0.3, seed = 2)
+      .count() == 0)
   }
 
   test("hashFrac is uniform-ish over [0,1)") {
