@@ -71,6 +71,51 @@ object LanguageModel {
       lit("model corpus has no tokens — cannot train an LM")))
       .otherwise(v)
 
+  /** Per-token contributions to KL(A ‖ B) between two corpora's
+    * unigram distributions — the distribution-drift monitor a corpus
+    * pipeline runs between snapshots ("did the new crawl shift the
+    * token mix, and which tokens moved it?"). Both distributions are
+    * add-alpha smoothed over the UNION vocabulary (so a token absent
+    * from one side contributes a finite, correctly-signed term
+    * instead of ±∞): p(t) = (c_t + alpha) / (N + alpha·V). Output one
+    * row per union-vocab token: (token, n_a, n_b, p_a, p_b, kl_term)
+    * with kl_term = p_a · ln(p_a / p_b); Σ kl_term = the smoothed
+    * divergence, and sorting by kl_term surfaces the movers.
+    *
+    * Scale shape: two explode+count shuffles whose outputs are
+    * VOCABULARY-sized (Zipf bounds them far below the corpus), a full
+    * outer join of the two count tables on the token, and per-row
+    * arithmetic; N_a/N_b/V are 1-row aggregates broadcast in-plan.
+    * Either side having no tokens refuses loudly (the [[guardedV]]
+    * discipline — a silent all-null drift report is worse than an
+    * error).
+    */
+  def unigramKlContributions(corpusA: DataFrame, corpusB: DataFrame,
+                             textCol: String,
+                             alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "unigramKlContributions: alpha must be positive")
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).cast("long").as(out))
+    val ca = counts(corpusA, "n_a")
+    val cb = counts(corpusB, "n_b")
+    val joined = ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = joined.agg(
+      guardedV(sum(col("n_a"))).as("_Na"),
+      guardedV(sum(col("n_b"))).as("_Nb"),
+      count(lit(1)).cast("long").as("_V"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("p_a",
+        (col("n_a") + alpha) / (col("_Na") + col("_V") * alpha))
+      .withColumn("p_b",
+        (col("n_b") + alpha) / (col("_Nb") + col("_V") * alpha))
+      .withColumn("kl_term", col("p_a") * log(col("p_a") / col("p_b")))
+      .drop("_Na", "_Nb", "_V")
+  }
+
   def bigramScore(model: DataFrame, score: DataFrame, idCol: String,
                   textCol: String, k: Double = 0.5,
                   broadcastUnigrams: Boolean = true): DataFrame = {

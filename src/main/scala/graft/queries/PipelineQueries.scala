@@ -904,6 +904,19 @@ object PipelineQueries {
           TextAnalysis.simhashPortable(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
+    // distribution-drift monitor: per-token KL(A||B) contributions
+    // between the whole corpus and its src0 slice — add-0.5 smoothing
+    // over the union vocab, top movers by contribution. Every number
+    // replays exactly (long counts, dyadic smoothing, ln 6-dp rounded)
+    "kl1_corpus_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.LanguageModel.unigramKlContributions(
+          docs, docs.filter(col("source") === "src0"), "text")
+        .select(col("token"), col("n_a"), col("n_b"),
+          round(col("kl_term"), 6).as("kl_term"))
+        .orderBy(round(col("kl_term"), 6).desc, col("token"))
+        .limit(20)
+    }),
     // bigram-LM fluency scoring (the CCNet perplexity-filter recipe
     // as a declarative bigram model, self-trained on the corpus);
     // DuckDB replays the smoothed probabilities exactly
@@ -2260,6 +2273,26 @@ object PipelineQueries {
            |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
            |         AS BIGINT) AS simhash
            |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+    "kl1_corpus_drift" ->
+      raw"""WITH a AS (SELECT unnest($toksSql) AS token FROM documents),
+           |b AS (SELECT unnest($toksSql) AS token FROM documents
+           |      WHERE source = 'src0'),
+           |cnta AS (SELECT token, CAST(count(*) AS BIGINT) AS n_a
+           |         FROM a GROUP BY token),
+           |cntb AS (SELECT token, CAST(count(*) AS BIGINT) AS n_b
+           |         FROM b GROUP BY token),
+           |j AS (SELECT coalesce(cnta.token, cntb.token) AS token,
+           |        coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+           |      FROM cnta FULL OUTER JOIN cntb ON cnta.token = cntb.token),
+           |tot AS (SELECT sum(n_a) AS na, sum(n_b) AS nb,
+           |               count(*) AS v FROM j),
+           |p AS (SELECT token, n_a, n_b,
+           |        (n_a + 0.5) / (na + 0.5 * v) AS pa,
+           |        (n_b + 0.5) / (nb + 0.5 * v) AS pb
+           |      FROM j, tot)
+           |SELECT token, n_a, n_b, round(pa * ln(pa / pb), 6) AS kl_term
+           |FROM p ORDER BY round(pa * ln(pa / pb), 6) DESC, token
+           |LIMIT 20""".stripMargin,
     "ppl1_bigram_lm" ->
       raw"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |tr AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,

@@ -37,6 +37,31 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(got(10L) > got(11L))
   }
 
+  test("unigramKlContributions: hand-computed smoothed terms, zero on " +
+    "identical corpora, loud empty-side refusal") {
+    val a = Seq("a a a b").toDF("text")
+    val b = Seq("a b b b").toDF("text")
+    val m = LanguageModel.unigramKlContributions(a, b, "text")
+      .collect().map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("kl_term"))).toMap
+    // V = 2, alpha = 0.5: p_a(a) = 3.5/5, p_b(a) = 1.5/5 and mirrored
+    val pa = 3.5 / 5.0; val pb = 1.5 / 5.0
+    assert(m("a")._1 == 3L && m("a")._2 == 1L)
+    assert(math.abs(m("a")._3 - pa * math.log(pa / pb)) < 1e-12)
+    assert(math.abs(m("b")._3 - pb * math.log(pb / pa)) < 1e-12)
+    // KL of a distribution against itself: every term exactly 0
+    assert(LanguageModel.unigramKlContributions(a, a, "text")
+      .collect().forall(_.getAs[Double]("kl_term") == 0.0))
+    // an empty side refuses loudly instead of an all-null report
+    val e = intercept[Exception] {
+      LanguageModel.unigramKlContributions(
+        a.filter(org.apache.spark.sql.functions.lit(false)), b, "text")
+        .collect()
+    }
+    assert(e.getMessage.contains("no tokens"), e.getMessage)
+  }
+
   test("trigram stupid backoff: each CASE branch matches the hand model") {
     // train: "a b c a b c a b d" → c3(a b c)=2, c3(b c a)=2,
     // c3(c a b)=2, c3(a b d)=1; c2(a b)=3, c2(b c)=2, c2(c a)=2,
