@@ -110,6 +110,21 @@ object ScaleCheck {
       Dedup.dedupCorpus(scaled, "doc_id", "text",
         estThreshold = 0.2, threshold = 0.8, maxBucketSize = 100).count()
     }
+    time("c4LineFilter") {
+      // pure per-row array expression: time must track the corpus
+      // linearly, output rows == input docs
+      val multi = scaled.select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("A planted good sentence."),
+          lit("no punct filler")).as("text"))
+      Dedup.c4LineFilter(multi, "doc_id", "text").count()
+    }
+    time("klContributions") {
+      // two vocab-bounded count shuffles + a vocab-sized join: output
+      // is the UNION VOCABULARY (flat as the corpus grows — Zipf),
+      // time tracks the explode scan
+      graft.operators.LanguageModel.unigramKlContributions(
+        scaled, scaled.filter(col("doc_id") % 10 === 0), "text").count()
+    }
     time("tokenBudgetMix") {
       // per-source distributed prefix sum: one (source, key) range
       // shuffle + O(parts × sources) driver state; budgets fixed, so
