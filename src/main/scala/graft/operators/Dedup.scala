@@ -1076,14 +1076,9 @@ object Dedup {
 
     // the long cast below would turn non-numeric ids into NULLs and
     // silently drop every edge — refuse loudly instead
-    Seq("id_a", "id_b").foreach { c =>
-      import org.apache.spark.sql.types._
-      val dt = pairs.schema(c).dataType
-      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
-        dt == LongType,
-        s"connectedComponents: $c is $dt — node ids must be integral " +
-          "(map string ids to longs first, e.g. xxhash64 or an ordinal)")
-    }
+    Seq("id_a", "id_b").foreach(Checks.requireIntegral(pairs, _,
+      "connectedComponents",
+      "map string ids to longs first, e.g. xxhash64 or an ordinal"))
     var (cur, curIds) = checkpointTracked(pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
@@ -1263,14 +1258,8 @@ object Dedup {
     // fail before any work: connectedComponents needs integral node
     // ids (a string id would cast to NULL and silently reduce the
     // facade to exact-only dedup)
-    {
-      import org.apache.spark.sql.types._
-      val dt = docs.schema(idCol).dataType
-      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
-        dt == LongType,
-        s"dedupCorpus: $idCol is $dt — ids must be integral (map string " +
-          "ids to longs first, e.g. xxhash64 or an ordinal)")
-    }
+    Checks.requireIntegral(docs, idCol, "dedupCorpus",
+      "map string ids to longs first, e.g. xxhash64 or an ordinal")
     val exact = exactKeepFirst(docs, idCol, textCol)
     val cand = minhashLshPairs(exact, idCol, textCol, shingleN, bands,
       rowsPerBand, estThreshold, maxBucketSize, portable = portable)
@@ -1323,7 +1312,11 @@ object Dedup {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1 (got $maxDocFreq)")
     val lines = docs
       .select(col(idCol).as("id"),
-        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+        // CRLF-safe like c4LineFilter: a trailing \r would otherwise
+        // split line identity between the CRLF and LF spellings of
+        // the SAME banner (md5(trim) does not strip \r) and leak \r
+        // into text_clean
+        posexplode(split(coalesce(col(textCol), lit("")), "\r?\n", -1))
           .as(Seq("line_no", "line")))
       .withColumn("lh", md5(trim(col("line"))))
       .withColumn("ws", trim(col("line")) === "")
@@ -1631,6 +1624,9 @@ object Dedup {
   def semanticDedupKeep(embs: DataFrame, idCol: String, vecCol: String,
                         centroids: Array[Array[Double]],
                         threshold: Double): DataFrame = {
+    // fail before the Σ|cell|² pairwise work, not after it
+    Checks.requireIntegral(embs, idCol, "semanticDedupKeep",
+      "map string ids to longs first, e.g. xxhash64 or an ordinal")
     val pairs = semanticDedupPairs(embs, idCol, vecCol, centroids, threshold)
     val drop = connectedComponents(pairs.select("id_a", "id_b"))
       .filter(col("id") =!= col("component"))

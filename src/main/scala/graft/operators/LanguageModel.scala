@@ -66,9 +66,13 @@ object LanguageModel {
     * smoothing denominator zero, and every score silently NULL without
     * this. raise_error fires at action time with a readable message.
     */
-  private def guardedV(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(v <= 0, raise_error(
-      lit("model corpus has no tokens — cannot train an LM")))
+  private def guardedV(v: org.apache.spark.sql.Column,
+                       msg: String =
+                         "model corpus has no tokens — cannot train an LM")
+      : org.apache.spark.sql.Column =
+    // isNull too: an aggregate over ZERO rows yields NULL, not 0, and
+    // `NULL <= 0` is NULL (false) — the guard would silently pass
+    when(v.isNull || v <= 0, raise_error(lit(msg)))
       .otherwise(v)
 
   /** Per-token contributions to KL(A ‖ B) between two corpora's
@@ -104,8 +108,10 @@ object LanguageModel {
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
     val tot = joined.agg(
-      guardedV(sum(col("n_a"))).as("_Na"),
-      guardedV(sum(col("n_b"))).as("_Nb"),
+      guardedV(sum(col("n_a")),
+        "unigramKlContributions: corpus A has no tokens").as("_Na"),
+      guardedV(sum(col("n_b")),
+        "unigramKlContributions: corpus B has no tokens").as("_Nb"),
       count(lit(1)).cast("long").as("_V"))
     joined.crossJoin(broadcast(tot))
       .withColumn("p_a",

@@ -53,13 +53,8 @@ object Layout {
   def withZorderKey(df: DataFrame, colNames: Seq[String],
                     bits: Int = 16): DataFrame = {
     require(colNames.nonEmpty, "withZorderKey: no layout columns")
-    colNames.foreach { c =>
-      import org.apache.spark.sql.types._
-      val dt = df.schema(c).dataType
-      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
-        dt == LongType,
-        s"withZorderKey: $c is $dt — layout columns must be integral")
-    }
+    colNames.foreach(Checks.requireIntegral(df, _, "withZorderKey",
+      "cast timestamps/doubles to a fixed-point integer first"))
     val maxBucket = (1L << bits) - 1
     val bounds = df.agg(
       min(col(colNames.head)).cast("long").as("_zmin0"),
@@ -79,10 +74,14 @@ object Layout {
     //    snowflake ids cannot overflow
     // a span that itself exceeds a signed long refuses loudly
     // (try_subtract guard) instead of wrapping into garbage keys
+    // outer coalesce: a NULL layout VALUE buckets to 0 (a valid
+    // interleave with the other columns' bits) rather than poisoning
+    // the whole zkey to NULL; the raise_error branch still fires on a
+    // bad SPAN because it throws, it does not return null
     val lim = Long.MaxValue / maxBucket
     val buckets = colNames.zipWithIndex.map { case (c, i) =>
       expr(
-        s"""CASE
+        s"""coalesce(CASE
            |  WHEN _zmax$i IS NULL OR _zmax$i = _zmin$i THEN 0L
            |  WHEN try_subtract(_zmax$i, _zmin$i) IS NULL
            |    THEN raise_error(
@@ -92,7 +91,7 @@ object Layout {
            |         div (_zmax$i - _zmin$i)
            |  ELSE (cast(`$c` as bigint) - _zmin$i)
            |       div ((_zmax$i - _zmin$i) div ${maxBucket}L + 1L)
-           |END""".stripMargin)
+           |END, 0L)""".stripMargin)
     }
     joined.withColumn("zkey", interleaveBits(buckets, bits))
       .drop(colNames.indices.flatMap(i =>

@@ -1053,7 +1053,8 @@ object TextQueries {
            |         || chr(10) || 'no punct line here'
            |         || chr(10) || 'Is this kept?' AS text
            |  FROM documents),
-           |s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+           |s AS (SELECT doc_id,
+           |        string_split_regex(text, '\r?\n') AS ls FROM m),
            |k AS (SELECT doc_id, ls,
            |        list_filter(ls, l ->
            |          regexp_matches(trim(l), '[.!?"]$$') AND
@@ -1102,21 +1103,26 @@ object TextQueries {
            |         regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM u),
            |s2 AS (SELECT doc_id, url, nofrag,
            |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
-           |  regexp_replace(lower(regexp_extract(nofrag,
-           |    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)), '^www\.', '') AS host0,
+           |  regexp_extract(nofrag,
+           |    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS auth,
            |  regexp_replace(regexp_extract(nofrag,
            |    '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$$', 1), '\?.*$$', '') AS pathq1
            |  FROM s1),
+           |s3 AS (SELECT doc_id, url, scheme, pathq1,
+           |  regexp_extract(auth, '^([^@]*@)', 1) AS userinfo,
+           |  regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')),
+           |    '^www\.', '') AS host0
+           |  FROM s2),
            |n AS (SELECT doc_id,
            |  CASE WHEN url IS NULL THEN NULL
            |       WHEN scheme = '' THEN trim(url)
-           |       ELSE scheme || '://' ||
+           |       ELSE scheme || '://' || userinfo ||
            |         CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$$', '')
            |              WHEN scheme = 'https' THEN regexp_replace(host0, ':443$$', '')
            |              ELSE host0 END ||
            |         CASE WHEN pathq1 = '' THEN '/' ELSE pathq1 END
            |  END AS url_norm
-           |  FROM s2),
+           |  FROM s3),
            |keep AS (SELECT min(doc_id) AS doc_id FROM n
            |         WHERE url_norm IS NOT NULL GROUP BY url_norm)
            |SELECT n.doc_id, n.url_norm FROM n

@@ -658,6 +658,19 @@ class DedupSpec extends AnyFunSuite {
     assert(b.size == 6 && b((0L, 1L)) == (2.0 / 6.0, 1.0))
   }
 
+  test("removeBoilerplateLines: CRLF and LF spellings share line identity") {
+    // the banner appears CRLF in doc 0 and LF in doc 1: df = 2 > 1,
+    // so it must vanish from BOTH (pre-fix, the \r split the identity)
+    val docs = Seq(
+      (0L, "unique zero\r\nSHARED BANNER\r\ntail zero"),
+      (1L, "unique one\nSHARED BANNER\ntail one")
+    ).toDF("id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, "id", "text", maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(0L) == "unique zero\ntail zero")
+    assert(out(1L) == "unique one\ntail one")
+  }
+
   test("c4LineFilter: terminal punct + min words, order kept, empty doc") {
     val docs = Seq(
       (0L, "A good long sentence.\nshort.\nno punct here\n" +
