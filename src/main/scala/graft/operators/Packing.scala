@@ -78,6 +78,37 @@ object Packing {
     Dedup.materializeAndRelease(sorted, out)
   }
 
+  /** Materialize the packed TRAINING SEQUENCES [[packByBudget]] lays
+    * out — the artifact a dataloader actually reads: one row per bin
+    * with the member docs in layout order — (bin, n_docs,
+    * total_tokens, doc_ids, packed_text), where `packed_text` joins
+    * the member texts with `sep` (the document-boundary marker a
+    * tokenizer inserts, "\n<|doc|>\n" by default).
+    *
+    * The per-bin list aggregation is SAFE here by construction: a bin
+    * holds at most `budget` tokens plus one straddling document, so
+    * per-group state is budget-bounded, not corpus-bounded — provided
+    * every document has ≥ 1 token (zero-token documents all share a
+    * cum_before and would pile into one bin; filter empties first).
+    * One extra shuffle on the bin id beyond packByBudget's range
+    * shuffle.
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+                    textCol: String, budget: Long,
+                    sep: String = "\n<|doc|>\n"): DataFrame = {
+    val packed = packByBudget(docs, idCol, tokenCol, budget)
+    packed.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_tokens").cast("long").as("total_tokens"),
+        array_sort(collect_list(struct(col(idCol).as("_i"),
+          col(textCol).as("_t")))).as("_m"))
+      .select(col("bin"), col("n_docs"), col("total_tokens"),
+        transform(col("_m"), m => m.getField("_i")).as("doc_ids"),
+        array_join(transform(col("_m"), m => m.getField("_t")), sep)
+          .as("packed_text"))
+  }
+
   /** Per-bin packing summary: how many documents and tokens landed in
     * each budget window, and the fill ratio. The waste diagnostic for
     * choosing a budget (fill << 1 means the corpus has documents larger

@@ -201,6 +201,21 @@ object PipelineQueries {
         .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")
     }),
+    // the MATERIALIZED packed sequences (the dataloader artifact):
+    // per bin, member ids in layout order and the boundary-joined
+    // text stream; ids as CSV and text as md5 so the compare stays
+    // scalar. The oracle replays the window layout + ordered
+    // string_agg.
+    "pack2_pack_sequences" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+      Packing.packSequences(docs, "doc_id", "n_tok", "text", budget = 512)
+        .select(col("bin"), col("n_docs"), col("total_tokens"),
+          array_join(transform(col("doc_ids"), i => i.cast("string")), ",")
+            .as("ids"),
+          md5(col("packed_text")).as("text_md5"))
+        .orderBy("bin")
+    }),
     // sequence packing via two-phase distributed prefix sum (the
     // single-partition window this replaces is fatal at scale); the
     // oracle IS that window, proving the distributed layout
@@ -2052,6 +2067,24 @@ object PipelineQueries {
            |          CAST(epoch AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
            |         < wt - floor(wt))
            |ORDER BY doc_id, epoch""".stripMargin,
+    "pack2_pack_sequences" ->
+      raw"""WITH b AS (
+           |  SELECT doc_id, text, CAST(len($toksSql) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, text, n_tok,
+           |         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS cb
+           |  FROM b),
+           |p AS (SELECT doc_id, text, n_tok,
+           |        CAST(floor(cb / 512.0) AS BIGINT) AS bin FROM c)
+           |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids,
+           |  md5(string_agg(text, chr(10) || '<|doc|>' || chr(10)
+           |      ORDER BY doc_id)) AS text_md5
+           |FROM p GROUP BY bin ORDER BY bin""".stripMargin,
     "pack1_token_packing" ->
       raw"""WITH b AS (
            |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens

@@ -55,6 +55,35 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences: layout-ordered members, boundary-joined text, " +
+    "budget-bounded bins") {
+    import spark.implicits._
+    val d = Seq((0L, "alpha one", 4L), (1L, "beta two", 4L),
+      (2L, "gamma three", 4L), (3L, "delta four", 4L))
+      .toDF("id", "text", "tok")
+    val out = Packing.packSequences(d, "id", "tok", "text", budget = 8,
+        sep = " | ")
+      .orderBy("bin").collect()
+    // cum_before 0,4,8,12 -> bins 0,0,1,1
+    assert(out.length == 2)
+    assert(out(0).getAs[scala.collection.Seq[Long]]("doc_ids").toSeq ==
+      Seq(0L, 1L))
+    assert(out(0).getAs[String]("packed_text") == "alpha one | beta two")
+    assert(out(0).getAs[Long]("total_tokens") == 8L)
+    assert(out(1).getAs[scala.collection.Seq[Long]]("doc_ids").toSeq ==
+      Seq(2L, 3L))
+    assert(out(1).getAs[String]("packed_text") == "gamma three | delta four")
+    // membership agrees with packByBudget's assignment on a bigger mix
+    val seqs = Packing.packSequences(
+      docs.withColumn("text", concat(lit("d"), col("id"))),
+      "id", "tok", "text", budget = 256)
+    val fromSeqs = seqs.select(col("bin"), explode(col("doc_ids")).as("id"))
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val fromPack = Packing.packByBudget(docs, "id", "tok", 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(fromSeqs == fromPack)
+  }
+
   test("empty input and single row") {
     val empty = Packing.packByBudget(docs.filter(col("id") < 0), "id", "tok", 64)
     assert(empty.count() == 0)
