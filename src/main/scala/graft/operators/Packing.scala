@@ -39,42 +39,81 @@ object Packing {
     * `idCol` must be unique (it defines the layout order).
     */
   def packByBudget(df: DataFrame, idCol: String, tokenCol: String,
-                   budget: Long, partitions: Int = 0): DataFrame = {
+                   budget: Long, partitions: Int = 0): DataFrame =
+    packImpl(df, idCol, tokenCol, carry = Seq.empty, budget, partitions,
+      requirePositiveTokens = false)
+      .select(col("_pk_id").as(idCol), col("n_tokens"),
+        col("cum_before"), col("bin"))
+
+  /** The shared two-phase prefix-sum pass: range-partition + sort by
+    * the (long-cast) id, per-partition token totals to the driver
+    * (O(partitions) state), offsets broadcast back, one streaming
+    * numbering pass. `carry` columns RIDE the range shuffle so
+    * downstream consumers need no second corpus join. Output columns:
+    * (_pk_id, n_tokens, carry..., cum_before, bin).
+    *
+    * `requirePositiveTokens` turns pass 1 into a loud gate: consumers
+    * whose per-bin state is budget-bounded ONLY when every row costs
+    * ≥ 1 token (the list-aggregating [[packSequences]]) must refuse a
+    * zero/negative-token row instead of silently piling unbounded
+    * rows into one bin.
+    */
+  private def packImpl(df: DataFrame, idCol: String, tokenCol: String,
+                       carry: Seq[String], budget: Long, partitions: Int,
+                       requirePositiveTokens: Boolean): DataFrame = {
     require(budget > 0, "packByBudget: budget must be positive")
     val spark = df.sparkSession
-    import spark.implicits._
     val nPart =
       if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val sorted = df
-      .select(col(idCol).cast("long").as("id"),
-        col(tokenCol).cast("long").as("n_tokens"))
-      .repartitionByRange(nPart, col("id"))
-      .sortWithinPartitions("id")
+      .select(col(idCol).cast("long").as("_pk_id") +:
+        coalesce(col(tokenCol).cast("long"), lit(0L)).as("n_tokens") +:
+        carry.map(col): _*)
+      .repartitionByRange(nPart, col("_pk_id"))
+      .sortWithinPartitions("_pk_id")
       .persist()
-    // pass 1: per-partition totals — k longs to the driver
-    val totals = sorted.as[(Long, Long)].mapPartitions { it =>
+    // pass 1: per-partition totals (and min token when gated) —
+    // O(partitions) values to the driver
+    val totals = sorted.toDF().rdd.mapPartitionsWithIndex { (p, it) =>
       var s = 0L
-      it.foreach(s += _._2)
-      Iterator((TaskContext.getPartitionId(), s))
+      var mn = Long.MaxValue
+      it.foreach { r =>
+        val tk = r.getLong(1); s += tk; if (tk < mn) mn = tk
+      }
+      Iterator((p, (s, mn)))
     }.collect().toMap
+    if (requirePositiveTokens) {
+      val bad = totals.values.map(_._2).foldLeft(Long.MaxValue)(_ min _)
+      require(bad == Long.MaxValue || bad >= 1L,
+        s"packSequences: a row has $bad tokens — per-bin state is " +
+          "budget-bounded only when every row costs >= 1 token; filter " +
+          "empty documents first")
+    }
     // offsets(p) = tokens in all partitions before p (range partitioning
     // makes partition order = id order)
     val offsets = new Array[Long](nPart + 1)
     var p = 0
     while (p < nPart) {
-      offsets(p + 1) = offsets(p) + totals.getOrElse(p, 0L)
+      offsets(p + 1) = offsets(p) + totals.get(p).map(_._1).getOrElse(0L)
       p += 1
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    val out = sorted.as[(Long, Long)].mapPartitions { it =>
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("cum_before",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val out = sorted.mapPartitions { it =>
       var cum = bc.value(TaskContext.getPartitionId())
-      it.map { case (id, tk) =>
+      it.map { r =>
         val before = cum
-        cum += tk
-        (id, tk, before, before / budget)
+        cum += r.getLong(1)
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq ++ Seq(before, before / budget))
       }
-    }.toDF(idCol, "n_tokens", "cum_before", "bin")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
     Dedup.materializeAndRelease(sorted, out)
   }
 
@@ -87,22 +126,26 @@ object Packing {
     *
     * The per-bin list aggregation is SAFE here by construction: a bin
     * holds at most `budget` tokens plus one straddling document, so
-    * per-group state is budget-bounded, not corpus-bounded — provided
-    * every document has ≥ 1 token (zero-token documents all share a
-    * cum_before and would pile into one bin; filter empties first).
-    * One extra shuffle on the bin id beyond packByBudget's range
-    * shuffle.
+    * per-group state is budget-bounded, not corpus-bounded — and the
+    * precondition that makes it true (every document costs ≥ 1 token)
+    * is ENFORCED loudly in the prefix-sum's pass 1, not assumed.
+    * Exactly one extra shuffle beyond packByBudget's range shuffle:
+    * the text RIDES the prefix-sum pass as a carry column (no second
+    * corpus join), then regroups once on the bin id.
     */
   def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
                     textCol: String, budget: Long,
                     sep: String = "\n<|doc|>\n"): DataFrame = {
-    val packed = packByBudget(docs, idCol, tokenCol, budget)
-    packed.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+    val packed = packImpl(
+      docs.select(col(idCol), col(tokenCol), col(textCol).as("_pk_text")),
+      idCol, tokenCol, carry = Seq("_pk_text"), budget, partitions = 0,
+      requirePositiveTokens = true)
+    packed
       .groupBy("bin")
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum("n_tokens").cast("long").as("total_tokens"),
-        array_sort(collect_list(struct(col(idCol).as("_i"),
-          col(textCol).as("_t")))).as("_m"))
+        array_sort(collect_list(struct(col("_pk_id").as("_i"),
+          col("_pk_text").as("_t")))).as("_m"))
       .select(col("bin"), col("n_docs"), col("total_tokens"),
         transform(col("_m"), m => m.getField("_i")).as("doc_ids"),
         array_join(transform(col("_m"), m => m.getField("_t")), sep)

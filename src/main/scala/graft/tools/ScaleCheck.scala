@@ -136,6 +136,21 @@ object ScaleCheck {
         "n_tok", Map("0" -> 10000L, "1" -> 0L), seed = 13,
         defaultBudget = 5000L).count()
     }
+    time("packByBudget") {
+      // one range shuffle + O(partitions) driver state — linear
+      val withTok = scaled.select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      graft.operators.Packing.packByBudget(withTok, "doc_id", "n_tok",
+        budget = 2048).count()
+    }
+    time("packSequences") {
+      // text rides the prefix-sum range shuffle as a carry column,
+      // then ONE bin regroup; output rows = bins (corpus_tokens/2048)
+      val withTok = scaled.select(col("doc_id"), col("text"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      graft.operators.Packing.packSequences(withTok, "doc_id", "n_tok",
+        "text", budget = 2048).count()
+    }
     time("zorderBy events") {
       // one range shuffle on the interleaved key (the cost of any
       // global sort); bounds ride the plan as a 1-row broadcast

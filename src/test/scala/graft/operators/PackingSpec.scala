@@ -82,6 +82,13 @@ class PackingSpec extends AnyFunSuite {
     val fromPack = Packing.packByBudget(docs, "id", "tok", 256)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(fromSeqs == fromPack)
+    // a zero-token row breaks the budget-bounded-bin invariant and
+    // must refuse loudly, not pile rows silently into one bin
+    val withEmpty = d.union(Seq((9L, "", 0L)).toDF("id", "text", "tok"))
+    val e = intercept[IllegalArgumentException] {
+      Packing.packSequences(withEmpty, "id", "tok", "text", budget = 8)
+    }
+    assert(e.getMessage.contains(">= 1 token"), e.getMessage)
   }
 
   test("empty input and single row") {
