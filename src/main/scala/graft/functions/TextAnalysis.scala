@@ -130,6 +130,29 @@ object TextAnalysis {
   /** Count of matches of `re` in `text` — per-row expression, no
     * shuffle (audit metric for redaction sweeps).
     */
+  /** HTML → text stripping, the first pass any web-crawl curation
+    * runs: script/style blocks vanish wholesale (their CONTENT is
+    * code, not text), remaining tags become spaces, the six
+    * entities that dominate real HTML unescape (&amp;nbsp; &amp;lt;
+    * &amp;gt; &amp;quot; &amp;#39; then &amp;amp; LAST, so
+    * double-escaped text like "&amp;amp;lt;" correctly stops at
+    * "&amp;lt;"), and whitespace runs collapse. Pure
+    * regexp/replace column ops with RE2-SAFE patterns (inline (?is)
+    * flags and lazy quantifiers only, no backreferences or
+    * lookarounds) — replayable by any engine.
+    */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Unicode normalization (UAX #15) — see
     * [[graft.plans.UnicodeNormalize]]: codegen wrapper over the JDK
     * normalizer with an isNormalized fast path. Exact dedup over

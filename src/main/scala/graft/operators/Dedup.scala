@@ -1375,6 +1375,34 @@ object Dedup {
         array_join(col("_keep"), "\n").as("text_clean"))
   }
 
+  /** CCNet's WITHIN-document line dedup (the third of the line-level
+    * cleanup rules, next to [[removeBoilerplateLines]]'s cross-doc
+    * frequency rule and [[c4LineFilter]]'s punctuation rule): later
+    * occurrences of a line already seen in the SAME document are
+    * dropped — crawled pages repeat nav blocks, list items and quoted
+    * chunks. Whitespace-only lines are exempt (they are paragraph
+    * structure; deduping them would merge paragraphs). Line identity
+    * is the exact line, untrimmed. A pure per-row array expression
+    * like [[c4LineFilter]] — zero shuffle; the O(lines²) seen-scan is
+    * bounded by ONE document's length, never the corpus. Output:
+    * (id, n_lines, n_lines_kept, text_dedup).
+    */
+  def dedupLinesWithinDoc(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    docs
+      .select(col(idCol).as("id"),
+        split(coalesce(col(textCol), lit("")), "\r?\n", -1).as("_ls"))
+      .select(col("id"), col("_ls"),
+        filter(col("_ls"), (l, i) =>
+          trim(l) === "" ||
+            array_position(slice(col("_ls"), lit(1), i), l) === 0)
+          .as("_keep"))
+      .select(col("id"),
+        size(col("_ls")).cast("long").as("n_lines"),
+        size(col("_keep")).cast("long").as("n_lines_kept"),
+        array_join(col("_keep"), "\n").as("text_dedup"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs generated by a
     * blocking key (e.g. LSH bucket or a metadata column). `pairs` must
     * have (id_a, id_b); texts are joined back by id.

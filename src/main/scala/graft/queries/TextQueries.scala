@@ -318,6 +318,32 @@ object TextQueries {
         .limit(20)
     }),
 
+    // HTML stripping over planted markup: script content vanishes
+    // wholesale (its '<' comparison must NOT leak into the text),
+    // tags become spaces, entities unescape in double-escape-safe
+    // order, whitespace collapses
+    "t11_strip_html" -> ((s, d) => {
+      val html = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("<html><body onload=\"f()\">"), col("text"),
+          lit(" <script>var x = 1 < 2;</script><style>p{color:red}" +
+            "</style><p>R&amp;D &lt;tags&gt;&nbsp;&amp;lt;done&#39;" +
+            "</p></body>")).as("text"))
+      html.select(col("doc_id"),
+          TextAnalysis.stripHtml(col("text")).as("text_clean"))
+        .orderBy("doc_id")
+    }),
+    // CCNet within-doc line dedup over planted repeats: the first
+    // occurrence and whitespace-only lines survive, later repeats
+    // drop, order is preserved
+    "t12_dedup_lines_within_doc" -> ((s, d) => {
+      val multi = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("repeat me"), lit(""),
+          lit("repeat me"), concat(lit("uniq "), col("doc_id")),
+          lit(""), lit("repeat me")).as("text"))
+      Dedup.dedupLinesWithinDoc(multi, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // C4's terminal-punctuation line rule over a planted multi-line
     // corpus: the fixture line (no terminal punct) drops, the good
     // sentence and the question keep, the 1-word and punct-less
@@ -1044,6 +1070,46 @@ object TextQueries {
            |ORDER BY round(greatest(ca, cb), 6) DESC, id_a, id_b
            |LIMIT 20""".stripMargin,
 
+    // same planted markup; the strip replayed step for step with
+    // RE2 'g' regexes and the same double-escape-safe replace order
+    "t11_strip_html" ->
+      raw"""WITH h AS (SELECT doc_id,
+           |  '<html><body onload="f()">' || text ||
+           |  ' <script>var x = 1 < 2;</script><style>p{color:red}' ||
+           |  '</style><p>R&amp;D &lt;tags&gt;&nbsp;&amp;lt;done&#39;' ||
+           |  '</p></body>' AS text
+           |  FROM documents),
+           |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(text,
+           |         '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           |         '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h),
+           |s2 AS (SELECT doc_id,
+           |         regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+           |s3 AS (SELECT doc_id,
+           |  replace(replace(replace(replace(replace(replace(t,
+           |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+           |  FROM s2)
+           |SELECT doc_id,
+           |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean
+           |FROM s3 ORDER BY doc_id""".stripMargin,
+    // same planted repeats; the within-doc dedup replayed with an
+    // indexed list lambda (preceding slice + membership)
+    "t12_dedup_lines_within_doc" ->
+      raw"""WITH m AS (SELECT doc_id,
+           |    text || chr(10) || 'repeat me' || chr(10) || chr(10) ||
+           |    'repeat me' || chr(10) || 'uniq ' || doc_id || chr(10) ||
+           |    chr(10) || 'repeat me' AS text
+           |  FROM documents),
+           |s AS (SELECT doc_id,
+           |        string_split_regex(text, '\r?\n') AS ls FROM m),
+           |k AS (SELECT doc_id, ls,
+           |        list_filter(ls, (l, i) -> trim(l) = '' OR
+           |          coalesce(list_position(ls[1:i-1], l), 0) = 0) AS keep
+           |      FROM s)
+           |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+           |  CAST(len(keep) AS BIGINT) AS n_lines_kept,
+           |  array_to_string(keep, chr(10)) AS text_dedup
+           |FROM k ORDER BY doc_id""".stripMargin,
     // same planted lines via chr(10); the filter replayed with
     // list_filter + the same terminal-punct regex and word count
     "t10_c4_line_filter" ->

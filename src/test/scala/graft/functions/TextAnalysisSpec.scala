@@ -33,6 +33,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("stripHtml: script/style content gone, tags to spaces, " +
+    "double-escape-safe entities, whitespace collapsed") {
+    def h(s: String) = one(TextAnalysis.stripHtml($"t"), s)
+    assert(h("<p>Hello <b>world</b></p>") == "Hello world")
+    // script CONTENT (including its '<') must vanish, case-insensitive
+    assert(h("before<SCRIPT>if (1 < 2) alert('x')</script>after") ==
+      "before after")
+    assert(h("a<style>p { color: red }</style>b") == "a b")
+    // entity order: &amp; last, so double-escapes stop one level down
+    assert(h("R&amp;D &lt;tag&gt; &amp;lt;still-escaped") ==
+      "R&D <tag> &lt;still-escaped")
+    assert(h("one&nbsp;&nbsp;two \n three") == "one two three")
+    // plain text passes through trimmed
+    assert(h("  nothing to strip  ") == "nothing to strip")
+  }
+
   test("normalizeUrl: RFC 3986 syntax normalization + curation extras") {
     def n(s: String) = one(TextAnalysis.normalizeUrl($"t"), s)
     // scheme + host lowered, path case preserved, fragment dropped

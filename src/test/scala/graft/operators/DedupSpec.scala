@@ -658,6 +658,27 @@ class DedupSpec extends AnyFunSuite {
     assert(b.size == 6 && b((0L, 1L)) == (2.0 / 6.0, 1.0))
   }
 
+  test("dedupLinesWithinDoc: first occurrence kept, blanks exempt, " +
+    "untrimmed identity, CRLF-safe") {
+    val docs = Seq(
+      (0L, "alpha\nbeta\n\nalpha\ngamma\n\nbeta"),
+      (1L, "x\n  x\nx"),              // "  x" is a DIFFERENT line
+      (2L, "solo")
+    ).toDF("id", "text")
+    val m = Dedup.dedupLinesWithinDoc(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // both blank lines survive (paragraph structure), repeats drop
+    assert(m(0L) == ((7L, 5L, "alpha\nbeta\n\ngamma\n")))
+    assert(m(1L) == ((3L, 2L, "x\n  x")))
+    assert(m(2L) == ((1L, 1L, "solo")))
+    // CRLF spelling dedups against the LF occurrence
+    val crlf = Dedup.dedupLinesWithinDoc(
+      Seq((9L, "same\r\nsame\nkept")).toDF("id", "text"), "id", "text")
+      .collect()(0)
+    assert(crlf.getLong(2) == 2L && crlf.getString(3) == "same\nkept")
+  }
+
   test("removeBoilerplateLines: CRLF and LF spellings share line identity") {
     // the banner appears CRLF in doc 0 and LF in doc 1: df = 2 > 1,
     // so it must vanish from BOTH (pre-fix, the \r split the identity)
