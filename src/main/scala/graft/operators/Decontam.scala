@@ -55,6 +55,69 @@ object Decontam {
       .filter(col("n_hit_ngrams") >= minHits)
       .select(idCol)
 
+  /** Build a Bloom filter over a string key column with
+    * `BloomFilter.putString` — the SAME byte semantics
+    * [[graft.plans.BloomMightContain]] probes with, so build and probe
+    * agree by construction. `treeAggregate` keeps the merge tree
+    * shallow (partial filters OR together executor-side, depth 2)
+    * instead of funneling every partition's filter through the driver.
+    */
+  def buildStringBloom(keys: DataFrame, keyCol: String,
+                       expectedItems: Long, fpp: Double)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    require(expectedItems > 0, s"expectedItems must be > 0: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    import org.apache.spark.util.sketch.BloomFilter
+    keys.select(col(keyCol)).na.drop().rdd.map(_.getString(0))
+      .treeAggregate(BloomFilter.create(expectedItems, fpp))(
+        (f, s) => { f.putString(s); f },
+        (a, b) => a.mergeInPlace(b))
+  }
+
+  /** [[contaminationReport]]'s 100 TB face: identical output (exact,
+    * no approximation leaks into the result), different membership
+    * plumbing. The exact recipe broadcasts the benchmark's distinct
+    * n-gram STRINGS — fine for a few thousand benchmark docs, not for
+    * a consolidated eval registry of ~10⁹ grams (tens of GB of UTF-8
+    * plus hash-set overhead, unbroadcastable). Here the corpus side is
+    * prefiltered by a broadcast BLOOM over those grams (~9.6
+    * bits/element at 1% fpp ⇒ ~1.2 GB per billion grams), so only
+    * might-contain survivors — true hits plus an fpp-sized trickle of
+    * false positives — reach the exact confirm join. That join sees
+    * survivor rows vs benchmark grams, both tiny relative to the
+    * corpus, and Catalyst/AQE picks its strategy; the corpus itself is
+    * never shuffled. No false negatives (Bloom guarantee), so
+    * survivors ⊇ true hits and the confirm join restores exactness.
+    *
+    * `expectedGrams` sizes the filter; pass it when the benchmark gram
+    * cardinality is known (skips a count job), otherwise it is counted.
+    */
+  def bloomContaminationReport(corpus: DataFrame, idCol: String,
+                               textCol: String,
+                               bench: DataFrame, benchTextCol: String,
+                               n: Int, fpp: Double = 0.01,
+                               expectedGrams: Long = -1L): DataFrame = {
+    val spark = corpus.sparkSession
+    val benchGrams =
+      bench.select(TextAnalysis.tokens(col(benchTextCol)).as("_toks"))
+        .select(explode(TextAnalysis.shinglesFromTokens(col("_toks"), n))
+          .as("_gram"))
+        .distinct()
+    val expected =
+      if (expectedGrams > 0) expectedGrams
+      else math.max(1L, benchGrams.count())
+    val bloom = spark.sparkContext.broadcast(
+      buildStringBloom(benchGrams, "_gram", expected, fpp))
+    corpus
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        explode(TextAnalysis.shinglesFromTokens(col("_toks"), n)).as("_gram"))
+      .filter(graft.plans.BloomMightContain(col("_gram"), bloom))
+      .join(benchGrams, Seq("_gram"))
+      .groupBy(idCol)
+      .agg(count_distinct(col("_gram")).cast("long").as("n_hit_ngrams"))
+  }
+
   /** Span-level contamination — the "13-gram overlap" recipe of the
     * GPT-3/PaLM decontamination reports: instead of counting shared
     * n-grams as a set, find the MERGED token spans of each corpus doc

@@ -149,6 +149,48 @@ object LanguageModel {
         round(avg(col("_logp")), 6).as("mean_logp"))
   }
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): within each group (CCNet partitions by language; any
+    * grouping column works), rank documents by [[bigramScore]]'s
+    * `mean_logp` and cut the ranking into `head` / `middle` / `tail`
+    * thirds — head = most fluent under the model.
+    *
+    * The cut is RANK-based on integer arithmetic (`rn*3 <= n`, `rn*3
+    * <= 2n`), never an interpolated quantile threshold: interpolated
+    * cutoffs flip boundary documents on last-ulp float drift between
+    * engines, ranks cannot (ordering ties break on the id, and
+    * `mean_logp` is already 6-dp-rounded by [[bigramScore]]).
+    *
+    * Scale shape: the naive `row_number().over(partitionBy(group))`
+    * puts an entire language in ONE partition — fatal when the group
+    * is "English" at corpus scale. This rides
+    * [[Sampling.ordinalByKey]]'s two-phase distributed prefix sum
+    * instead (range-partition + sort on (group, -logp, id), per-
+    * partition counts to the driver, offsets broadcast back), then
+    * converts global ordinals to within-group ranks with one
+    * vocabulary-sized aggregate (min ordinal + count per group,
+    * broadcast back). Documents with fewer than 2 tokens have no
+    * score and are absent, as in [[bigramScore]].
+    */
+  def perplexityBuckets(model: DataFrame, docs: DataFrame, idCol: String,
+                        textCol: String, groupCol: String,
+                        k: Double = 0.5): DataFrame = {
+    val scored = bigramScore(model, docs, idCol, textCol, k)
+    val withGrp = docs.select(col(idCol), col(groupCol))
+      .join(scored, Seq(idCol))
+    val ranked = Sampling.ordinalByKey(withGrp, idCol,
+      struct(col(groupCol), (-col("mean_logp")).as("_negp"), col(idCol)))
+    val grpStats = ranked.groupBy(groupCol)
+      .agg(min("ordinal").as("_g0"), count(lit(1)).as("_n"))
+    ranked.join(broadcast(grpStats), Seq(groupCol))
+      .withColumn("_rn", col("ordinal") - col("_g0") + 1L)
+      .select(col(idCol), col(groupCol), col("mean_logp"),
+        when(col("_rn") * 3 <= col("_n"), lit("head"))
+          .when(col("_rn") * 3 <= col("_n") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Trigram scoring with STUPID BACKOFF (Brants et al. 2007, "Large
     * Language Models in Machine Translation") — the web-scale LM
     * recipe: no discounting to renormalize, just relative frequencies

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Gopher-style within-document repetition signals (Rae et al. 2021,
+  * "Scaling Language Models: ...", Table A1) — the standard
+  * repetitious-text filters every web-crawl curation pipeline runs
+  * after boilerplate removal: duplicate line / paragraph fractions and
+  * top / duplicated word-n-gram character coverage.
+  *
+  * All thirteen signals are PER-ROW array computations — tokenize,
+  * split, `array_sort`, then one pass of adjacency counting per
+  * signal — so the sweep is zero-shuffle and embarrassingly parallel:
+  * at 100 TB it is a single scan-shaped stage whose cost is linear in
+  * corpus bytes (the sort is per-document, O(m log m) on in-memory
+  * arrays). Sorted-adjacency replaces a per-document hash map:
+  * duplicate occurrences are exactly the positions equal to a
+  * neighbor, and run lengths give per-gram counts without ever
+  * materializing a (doc, gram) pair table — the explode + groupBy
+  * spelling would shuffle ~9x the corpus token count.
+  *
+  * Exact signal definitions (documented because published
+  * implementations differ in the small print):
+  *  - `dup_line_frac` / `dup_para_frac`: fraction of units that are a
+  *    2nd+ occurrence of their value (trimmed, empties dropped; lines
+  *    split on `\r?\n`, paragraphs on blank lines).
+  *  - `dup_line_char_frac` / `dup_para_char_frac`: characters in those
+  *    2nd+ occurrences over total unit characters.
+  *  - `top_{2,3,4}gram_char_frac`: count x length of the most frequent
+  *    word n-gram (ties broken toward larger coverage) over total text
+  *    characters.
+  *  - `dup_{5..10}gram_char_frac`: count x length summed over ALL
+  *    occurrences of n-grams appearing more than once, over total text
+  *    characters (may exceed 1 on degenerate inputs — a monotone
+  *    signal, thresholded well below 1).
+  *
+  * Reference surface: eland has no curation ops (this is the
+  * training-data-pipeline extension the brief mandates); thresholds
+  * are the published Gopher values.
+  */
+object Repetition {
+
+  /** (signal name, Gopher removal threshold): a document is dropped
+    * when ANY signal strictly exceeds its threshold.
+    */
+  val GopherThresholds: Seq[(String, Double)] = Seq(
+    "dup_line_frac" -> 0.30, "dup_para_frac" -> 0.30,
+    "dup_line_char_frac" -> 0.20, "dup_para_char_frac" -> 0.20,
+    "top_2gram_char_frac" -> 0.20, "top_3gram_char_frac" -> 0.18,
+    "top_4gram_char_frac" -> 0.16, "dup_5gram_char_frac" -> 0.15,
+    "dup_6gram_char_frac" -> 0.14, "dup_7gram_char_frac" -> 0.13,
+    "dup_8gram_char_frac" -> 0.12, "dup_9gram_char_frac" -> 0.11,
+    "dup_10gram_char_frac" -> 0.10)
+
+  private val signalNames: Seq[String] = GopherThresholds.map(_._1)
+
+  // The three run scans below iterate over the sorted array's ELEMENTS
+  // (aggregate over `s` itself), never over positions: an index-based
+  // spelling (element_at(s, i) under the lambda) re-evaluates whatever
+  // expression `s` resolves to once per element — and CollapseProject
+  // is free to inline the staged split/sort pipeline into those
+  // references, which turns the sweep O(m^2) interpreted (observed:
+  // minutes instead of seconds at 500 docs). Element iteration
+  // evaluates `s` exactly once per aggregate call no matter what the
+  // optimizer inlines; the lambdas touch only the element and the
+  // accumulator. Same discipline as Dedup.minhashFromHashes.
+
+  private val noStr = lit(null).cast("string")
+
+  /** Characters in 2nd+ occurrences within a SORTED string array —
+    * an element is a repeat iff it equals its predecessor.
+    */
+  private def repeatChars(s: Column): Column =
+    aggregate(s,
+      struct(noStr.as("prev"), lit(0L).as("sum")),
+      (acc, x) => struct(x.as("prev"),
+        (acc.getField("sum") + when(x <=> acc.getField("prev"),
+          length(x).cast("long")).otherwise(lit(0L))).as("sum")),
+      _.getField("sum"))
+
+  /** Characters over ALL occurrences of duplicated values in a sorted
+    * array: each run of length r >= 2 contributes r x len. Runs are
+    * flushed into `sum` when they end; the finish lambda flushes the
+    * final run.
+    */
+  private def dupAllOccChars(s: Column): Column = {
+    def runChars(run: Column, prev: Column): Column =
+      when(run >= 2, run * length(prev).cast("long")).otherwise(lit(0L))
+    aggregate(s,
+      struct(noStr.as("prev"), lit(0L).as("run"), lit(0L).as("sum")),
+      (acc, x) => {
+        val cont = x <=> acc.getField("prev")
+        struct(x.as("prev"),
+          when(cont, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(cont, acc.getField("sum")).otherwise(acc.getField("sum") +
+            runChars(acc.getField("run"), acc.getField("prev"))).as("sum"))
+      },
+      acc => acc.getField("sum") +
+        runChars(acc.getField("run"), acc.getField("prev")))
+  }
+
+  /** count x length of the best run in a sorted array, "best" =
+    * longest run, ties toward larger char coverage — one forward scan
+    * with a (prev, current run, best) accumulator.
+    */
+  private def topRunChars(s: Column): Column =
+    aggregate(s,
+      struct(noStr.as("prev"), lit(0L).as("cur"),
+        lit(0L).as("bestCnt"), lit(0L).as("bestChars")),
+      (acc, x) => {
+        val cur = when(x <=> acc.getField("prev"),
+          acc.getField("cur") + 1L).otherwise(lit(1L))
+        val chars = cur * length(x).cast("long")
+        val better = (cur > acc.getField("bestCnt")) ||
+          (cur === acc.getField("bestCnt") &&
+            chars > acc.getField("bestChars"))
+        struct(x.as("prev"), cur.as("cur"),
+          when(better, cur).otherwise(acc.getField("bestCnt"))
+            .as("bestCnt"),
+          when(better, chars).otherwise(acc.getField("bestChars"))
+            .as("bestChars"))
+      },
+      _.getField("bestChars"))
+
+  private def totalChars(units: Column): Column =
+    aggregate(units, lit(0L), (acc, u) => acc + length(u).cast("long"))
+
+  private def ratio(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den.cast("double"))
+      .otherwise(lit(0.0))
+
+  /** `docs` plus the thirteen signal columns (original columns kept —
+    * the filter face reuses this). Internal staging: token / line /
+    * paragraph / sorted-gram arrays land in their own projections so
+    * each is computed at most a handful of times per row even where
+    * the optimizer inlines them (each alias has <= 4 per-ROW
+    * references; the per-ELEMENT hot loops never touch them — see the
+    * run-scan note above).
+    */
+  def withSignals(docs: DataFrame, textCol: String): DataFrame = {
+    val keep = docs.columns.map(col).toSeq
+    val trimmedUnits = (re: String) =>
+      filter(transform(split(col(textCol), re), u => trim(u)),
+        u => u =!= "")
+    val staged = docs
+      .withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("_lns", array_sort(trimmedUnits("\\r?\\n")))
+      .withColumn("_prs", array_sort(trimmedUnits("\\r?\\n\\s*\\r?\\n")))
+    val withGrams = (2 to 10).foldLeft(staged) { (d, n) =>
+      d.withColumn(s"_s$n",
+        array_sort(TextAnalysis.shinglesFromTokens(col("_toks"), n)))
+    }
+    val tlen = length(col(textCol)).cast("long")
+    val sigs = Seq(
+      ratio(size(col("_lns")) - size(array_distinct(col("_lns"))),
+        size(col("_lns"))).as("dup_line_frac"),
+      ratio(size(col("_prs")) - size(array_distinct(col("_prs"))),
+        size(col("_prs"))).as("dup_para_frac"),
+      ratio(repeatChars(col("_lns")), totalChars(col("_lns")))
+        .as("dup_line_char_frac"),
+      ratio(repeatChars(col("_prs")), totalChars(col("_prs")))
+        .as("dup_para_char_frac")) ++
+      (2 to 4).map(n => ratio(topRunChars(col(s"_s$n")), tlen)
+        .as(s"top_${n}gram_char_frac")) ++
+      (5 to 10).map(n => ratio(dupAllOccChars(col(s"_s$n")), tlen)
+        .as(s"dup_${n}gram_char_frac"))
+    // sigs is built in GopherThresholds order — that IS the contract
+    withGrams.select(keep ++ sigs: _*)
+  }
+
+  /** doc id + the thirteen signals, the audit/report face. */
+  def signals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withSignals(docs.select(idCol, textCol), textCol)
+      .select((idCol +: signalNames).map(col): _*)
+
+  /** Survivors of the Gopher repetition rules (original columns):
+    * drop when any signal strictly exceeds its published threshold.
+    * Pass `thresholds` to tighten/loosen individual rules.
+    */
+  def gopherFilter(docs: DataFrame, textCol: String,
+                   thresholds: Seq[(String, Double)] = GopherThresholds)
+      : DataFrame = {
+    val bad = thresholds.iterator
+      .map { case (n, t) => col(n) > t }
+      .reduce(_ || _)
+    withSignals(docs, textCol)
+      .filter(!bad)
+      .select(docs.columns.map(col).toSeq: _*)
+  }
+}

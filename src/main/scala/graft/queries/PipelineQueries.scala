@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.Tables
 import graft.functions.{TextAnalysis, VectorOps}
-import graft.operators.{AsofJoin, Decontam, Dedup, Packing, Quantization, RangeJoin, Sampling, Similarity}
+import graft.operators.{AsofJoin, Decontam, Dedup, Packing, Quantization, RangeJoin, Repetition, Sampling, Similarity}
 import graft.plans.VectorExpressions
 import graft.streaming.EventsStream
 
@@ -402,6 +402,55 @@ object PipelineQueries {
           (col("top_cnt") / col("n_tokens")).as("top_token_ratio"))
         .orderBy("doc_id")
     }),
+    // the full Gopher repetition-signal family (13 per-doc signals,
+    // zero-shuffle sorted-adjacency sweep). Non-vacuous by planting,
+    // per doc_id % 40 = 0: +40000 duplicated LINES, +50000 duplicated
+    // PARAGRAPHS, +60000 a doubled token stream (every n-gram
+    // duplicated); base docs exercise the single-occurrence top-gram
+    // path
+    "t13_repetition_signals" -> ((s, d) => {
+      Repetition.signals(repetitionCorpus(t(s, d, "documents")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // the filter face: survivors under the published Gopher
+    // thresholds — planted docs die by construction, most base docs
+    // survive (small-vocab synthetic text trips a threshold now and
+    // then, which keeps BOTH branches populated)
+    "qf2_gopher_filter" -> ((s, d) => {
+      Repetition.gopherFilter(
+          repetitionCorpus(t(s, d, "documents")), "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+    // CCNet perplexity buckets: per-source head/middle/tail thirds of
+    // the self-trained bigram fluency ranking, rank-cut with integer
+    // arithmetic (rn*3 <= n) on the 6-dp-rounded score ppl1 already
+    // proves cross-engine — the distributed prefix-sum rank, not the
+    // one-partition-per-language window
+    "qf3_perplexity_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.LanguageModel.perplexityBuckets(docs, docs,
+          "doc_id", "text", "source")
+        .orderBy("doc_id")
+    }),
+    // the quality half of the Gopher rules (word-count/word-length
+    // bounds, symbol ratio, bullet/ellipsis lines, alpha share,
+    // required stopwords). Planted per doc_id % 20 = 0: a variant
+    // suffixed with all 8 required stopwords — the synthetic vocab
+    // only contains "the", so base docs fail the >= 2-stopword rule
+    // and planted docs pass everything their length allows
+    "t14_gopher_quality_signals" -> ((s, d) => {
+      graft.operators.QualityRules.signals(
+          qualityCorpus(t(s, d, "documents")), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "qf4_gopher_quality_filter" -> ((s, d) => {
+      graft.operators.QualityRules.gopherFilter(
+          qualityCorpus(t(s, d, "documents")), "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
     // leakage-safe group split: all docs of a source land in ONE split
     // (the near-dup-leakage guard); md5 group draw, full oracle
     "sm4_group_split" -> ((s, d) => {
@@ -469,6 +518,18 @@ object PipelineQueries {
     "dc1_decontam" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Decontam.contaminationReport(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+    // same report through the 100 TB membership plumbing: benchmark
+    // grams broadcast as a BLOOM FILTER (bits, not strings) and the
+    // corpus prefiltered by a codegen mightContain before the exact
+    // confirm join. Output is EXACT — the oracle is dc1's SQL verbatim,
+    // which is the point: approximation lives only in the prefilter,
+    // never in the answer
+    "dc3_bloom_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Decontam.bloomContaminationReport(docs, "doc_id", "text",
           docs.filter(col("doc_id") % 50 === 0), "text", n = 3)
         .orderBy("doc_id")
     }),
@@ -1682,6 +1743,175 @@ object PipelineQueries {
   private val toksSql =
     raw"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 
+  /** t13/qf2's planted corpus: base docs plus, per doc_id % 40 = 0,
+    * a duplicated-lines, a duplicated-paragraphs, and a doubled-token
+    * variant (offsets clear of every SF's id range).
+    */
+  private def repetitionCorpus(docs: DataFrame): DataFrame = {
+    val planted = docs.filter(col("doc_id") % 40 === 0)
+    def variant(off: Int, sep: String) =
+      planted.select((col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(sep), col("text")).as("text"))
+    docs.select("doc_id", "text")
+      .unionByName(variant(40000, "\n"))
+      .unionByName(variant(50000, "\n\n"))
+      .unionByName(variant(60000, " "))
+  }
+
+  private val repetitionCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 40000, text || chr(10) || text
+      |  FROM documents WHERE doc_id % 40 = 0
+      |UNION ALL SELECT doc_id + 50000, text || chr(10) || chr(10) || text
+      |  FROM documents WHERE doc_id % 40 = 0
+      |UNION ALL SELECT doc_id + 60000, text || ' ' || text
+      |  FROM documents WHERE doc_id % 40 = 0""".stripMargin
+
+  /** t14/qf4's planted corpus: base docs plus, per doc_id % 20 = 0, a
+    * variant suffixed with all eight Gopher required stopwords.
+    */
+  private def qualityCorpus(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 70000).as("doc_id"),
+          concat(col("text"),
+            lit(" the be to of and that have with")).as("text")))
+
+  private val qualityCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 70000, text || ' the be to of and that have with'
+      |FROM documents WHERE doc_id % 20 = 0""".stripMargin
+
+  /** The 7 Gopher quality signals as a `sig` CTE chain (mirrors
+    * graft.operators.QualityRules.withSignals signal for signal);
+    * every fraction is one double division of exact integers.
+    */
+  private def qualitySigSql(corpusSql: String): String =
+    raw"""WITH corpus AS ($corpusSql),
+         |b AS (SELECT doc_id, text, $toksSql AS toks,
+         |        list_filter(list_transform(
+         |          regexp_split_to_array(text, '\r?\n'), x -> trim(x)),
+         |          x -> x <> '') AS lns
+         |      FROM corpus),
+         |sig AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         |      / len(toks) ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    CAST((length(text) - length(replace(text, '#', ''))) +
+         |         (length(text) - length(replace(text, '...', ''))) // 3
+         |      AS DOUBLE) / len(toks) ELSE 0.0 END AS symbol_word_ratio,
+         |  CASE WHEN len(lns) > 0 THEN
+         |    CAST(len(list_filter(lns, l -> substr(l, 1, 1) = '•' OR
+         |           substr(l, 1, 1) = '*' OR substr(l, 1, 1) = '-'))
+         |      AS DOUBLE) / len(lns) ELSE 0.0 END AS bullet_start_frac,
+         |  CASE WHEN len(lns) > 0 THEN
+         |    CAST(len(list_filter(lns, l -> l LIKE '%...' OR l LIKE '%…'))
+         |      AS DOUBLE) / len(lns) ELSE 0.0 END AS ellipsis_end_frac,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+         |      AS DOUBLE) / len(toks) ELSE 0.0 END AS alpha_word_frac,
+         |  (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
+         |   CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END +
+         |   CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END +
+         |   CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END +
+         |   CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END +
+         |   CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END +
+         |   CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END +
+         |   CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END
+         |  )::BIGINT AS stop_hits
+         |  FROM b)""".stripMargin
+
+  /** The 13 Gopher repetition signals as a `sig` CTE chain (mirrors
+    * graft.operators.Repetition.withSignals signal for signal): unit
+    * stats from (doc, unit) counts — sum(cnt-1) IS the sorted-
+    * adjacency 2nd+ count — top runs by (cnt, cnt*len) row_number,
+    * dup coverage as sum(cnt*glen) over cnt>=2. Every output is a
+    * single double division of exact integers, so both engines land
+    * on identical bits with no rounding.
+    */
+  private def repetitionSigSql(corpusSql: String): String =
+    raw"""WITH corpus AS ($corpusSql),
+         |base AS (SELECT doc_id, text, length(text) AS tlen,
+         |                $toksSql AS toks FROM corpus),
+         |lu AS (SELECT doc_id, unnest(list_filter(list_transform(
+         |         regexp_split_to_array(text, '\r?\n'), x -> trim(x)),
+         |         x -> x <> '')) AS u FROM corpus),
+         |lc AS (SELECT doc_id, u, count(*) AS cnt, length(u) AS ulen
+         |       FROM lu GROUP BY 1, 2),
+         |la AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS m,
+         |              CAST(sum(cnt * ulen) AS DOUBLE) AS totc,
+         |              CAST(sum(cnt - 1) AS DOUBLE) AS nd,
+         |              CAST(sum((cnt - 1) * ulen) AS DOUBLE) AS dupc
+         |       FROM lc GROUP BY 1),
+         |pu AS (SELECT doc_id, unnest(list_filter(list_transform(
+         |         regexp_split_to_array(text, '\r?\n\s*\r?\n'),
+         |         x -> trim(x)), x -> x <> '')) AS u FROM corpus),
+         |pc AS (SELECT doc_id, u, count(*) AS cnt, length(u) AS ulen
+         |       FROM pu GROUP BY 1, 2),
+         |pa AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS m,
+         |              CAST(sum(cnt * ulen) AS DOUBLE) AS totc,
+         |              CAST(sum(cnt - 1) AS DOUBLE) AS nd,
+         |              CAST(sum((cnt - 1) * ulen) AS DOUBLE) AS dupc
+         |       FROM pc GROUP BY 1),
+         |gu AS (SELECT doc_id, v.n, unnest(list_transform(
+         |         range(1, len(toks) - v.n + 2),
+         |         i -> array_to_string(toks[i:i + v.n - 1], ' '))) AS g
+         |       FROM base, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) v(n)
+         |       WHERE len(toks) >= v.n),
+         |gc AS (SELECT doc_id, n, g, count(*) AS cnt, length(g) AS glen
+         |       FROM gu GROUP BY 1, 2, 3),
+         |tops AS (SELECT doc_id, n, chars FROM
+         |          (SELECT doc_id, n, cnt * glen AS chars,
+         |             row_number() OVER (PARTITION BY doc_id, n
+         |               ORDER BY cnt DESC, cnt * glen DESC) AS rn FROM gc)
+         |         WHERE rn = 1),
+         |topp AS (SELECT doc_id,
+         |           CAST(max(CASE WHEN n = 2 THEN chars END) AS DOUBLE) AS t2,
+         |           CAST(max(CASE WHEN n = 3 THEN chars END) AS DOUBLE) AS t3,
+         |           CAST(max(CASE WHEN n = 4 THEN chars END) AS DOUBLE) AS t4
+         |         FROM tops GROUP BY 1),
+         |dgc AS (SELECT doc_id, n, CAST(sum(cnt * glen) AS DOUBLE) AS chars
+         |        FROM gc WHERE cnt >= 2 GROUP BY 1, 2),
+         |dupp AS (SELECT doc_id,
+         |           max(CASE WHEN n = 5 THEN chars END) AS d5,
+         |           max(CASE WHEN n = 6 THEN chars END) AS d6,
+         |           max(CASE WHEN n = 7 THEN chars END) AS d7,
+         |           max(CASE WHEN n = 8 THEN chars END) AS d8,
+         |           max(CASE WHEN n = 9 THEN chars END) AS d9,
+         |           max(CASE WHEN n = 10 THEN chars END) AS d10
+         |         FROM dgc GROUP BY 1),
+         |sig AS (SELECT b.doc_id,
+         |  coalesce(la.nd / la.m, 0.0) AS dup_line_frac,
+         |  coalesce(pa.nd / pa.m, 0.0) AS dup_para_frac,
+         |  coalesce(la.dupc / la.totc, 0.0) AS dup_line_char_frac,
+         |  coalesce(pa.dupc / pa.totc, 0.0) AS dup_para_char_frac,
+         |  CASE WHEN b.tlen > 0 THEN coalesce(t.t2 / b.tlen, 0.0)
+         |       ELSE 0.0 END AS top_2gram_char_frac,
+         |  CASE WHEN b.tlen > 0 THEN coalesce(t.t3 / b.tlen, 0.0)
+         |       ELSE 0.0 END AS top_3gram_char_frac,
+         |  CASE WHEN b.tlen > 0 THEN coalesce(t.t4 / b.tlen, 0.0)
+         |       ELSE 0.0 END AS top_4gram_char_frac,
+         |  CASE WHEN b.tlen > 0 THEN coalesce(dp.d5 / b.tlen, 0.0)
+         |       ELSE 0.0 END AS dup_5gram_char_frac,
+         |  CASE WHEN b.tlen > 0 THEN coalesce(dp.d6 / b.tlen, 0.0)
+         |       ELSE 0.0 END AS dup_6gram_char_frac,
+         |  CASE WHEN b.tlen > 0 THEN coalesce(dp.d7 / b.tlen, 0.0)
+         |       ELSE 0.0 END AS dup_7gram_char_frac,
+         |  CASE WHEN b.tlen > 0 THEN coalesce(dp.d8 / b.tlen, 0.0)
+         |       ELSE 0.0 END AS dup_8gram_char_frac,
+         |  CASE WHEN b.tlen > 0 THEN coalesce(dp.d9 / b.tlen, 0.0)
+         |       ELSE 0.0 END AS dup_9gram_char_frac,
+         |  CASE WHEN b.tlen > 0 THEN coalesce(dp.d10 / b.tlen, 0.0)
+         |       ELSE 0.0 END AS dup_10gram_char_frac
+         |  FROM base b
+         |  LEFT JOIN la ON la.doc_id = b.doc_id
+         |  LEFT JOIN pa ON pa.doc_id = b.doc_id
+         |  LEFT JOIN topp t ON t.doc_id = b.doc_id
+         |  LEFT JOIN dupp dp ON dp.doc_id = b.doc_id)""".stripMargin
+
   /** Deterministic md5-derived 8-dim pseudo token vector (mv1/mv2's
     * replayable fixture — the API takes any real vector column).
     */
@@ -2216,6 +2446,18 @@ object PipelineQueries {
         |FROM e JOIN events p ON p.ts >= e.w_start AND p.ts <= e.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dc1_decontam" ->
+      raw"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
+           |b AS (SELECT DISTINCT g
+           |      FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0)),
+           |cg AS (SELECT DISTINCT doc_id, g
+           |       FROM (SELECT doc_id, unnest(s) AS g FROM sh))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
+           |FROM cg JOIN b USING (g)
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical SQL to dc1 by design: the Bloom prefilter is plumbing,
+    // not semantics — false positives die at the confirm join, false
+    // negatives don't exist (Bloom guarantee), so the answer is exact
+    "dc3_bloom_decontam" ->
       raw"""WITH sh AS (SELECT doc_id, $shinglesSql AS s FROM documents),
            |b AS (SELECT DISTINCT g
            |      FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0)),
@@ -3004,6 +3246,64 @@ object PipelineQueries {
            |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
            |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
            |FROM p ORDER BY doc_id""".stripMargin,
+    "t13_repetition_signals" ->
+      s"""${repetitionSigSql(repetitionCorpusSql)}
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+    // self-trained bigram fluency (ppl1's exact CTEs) rank-cut into
+    // per-source thirds; rank ties break on doc_id, the score is the
+    // 6-dp round both engines share
+    "qf3_perplexity_buckets" ->
+      raw"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |tr AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+           |              unnest(toks[2:len(toks)]) AS w2
+           |       FROM b WHERE len(toks) >= 2),
+           |big AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cb
+           |        FROM tr GROUP BY 1, 2),
+           |uni AS (SELECT t AS w1, CAST(count(*) AS DOUBLE) AS cu
+           |        FROM (SELECT unnest(toks) AS t FROM b) GROUP BY 1),
+           |v AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM uni),
+           |sc AS (SELECT tr.doc_id,
+           |         round(avg(ln((coalesce(cb, 0) + 0.5) /
+           |                      (coalesce(cu, 0) + 0.5 * vs))), 6)
+           |           AS mean_logp
+           |       FROM tr LEFT JOIN big USING (w1, w2)
+           |            LEFT JOIN uni USING (w1), v
+           |       GROUP BY tr.doc_id),
+           |g AS (SELECT d.doc_id, d.source, sc.mean_logp,
+           |        row_number() OVER (PARTITION BY d.source
+           |          ORDER BY sc.mean_logp DESC, d.doc_id) AS rn,
+           |        count(*) OVER (PARTITION BY d.source) AS n
+           |      FROM documents d JOIN sc ON sc.doc_id = d.doc_id)
+           |SELECT doc_id, source, mean_logp,
+           |  CASE WHEN rn * 3 <= n THEN 'head'
+           |       WHEN rn * 3 <= 2 * n THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM g ORDER BY doc_id""".stripMargin,
+    "t14_gopher_quality_signals" ->
+      s"""${qualitySigSql(qualityCorpusSql)}
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+    "qf4_gopher_quality_filter" ->
+      s"""${qualitySigSql(qualityCorpusSql)}
+         |SELECT doc_id FROM sig
+         |WHERE n_words >= 50 AND n_words <= 100000
+         |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |  AND symbol_word_ratio <= 0.1
+         |  AND bullet_start_frac <= 0.9 AND ellipsis_end_frac <= 0.3
+         |  AND alpha_word_frac >= 0.8 AND stop_hits >= 2
+         |ORDER BY doc_id""".stripMargin,
+    // survivors: every signal at or under its published Gopher
+    // threshold (drop on STRICT excess, like Repetition.gopherFilter)
+    "qf2_gopher_filter" ->
+      s"""${repetitionSigSql(repetitionCorpusSql)}
+         |SELECT doc_id FROM sig
+         |WHERE dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+         |  AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+         |  AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+         |  AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+         |  AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+         |  AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+         |  AND dup_10gram_char_frac <= 0.10
+         |ORDER BY doc_id""".stripMargin,
     "t8_repetition" ->
       raw"""WITH b AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
            |c AS (SELECT doc_id, tok, count(*) AS cnt FROM b GROUP BY 1, 2),

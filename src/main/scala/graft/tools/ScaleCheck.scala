@@ -118,6 +118,24 @@ object ScaleCheck {
           lit("no punct filler")).as("text"))
       Dedup.c4LineFilter(multi, "doc_id", "text").count()
     }
+    time("stripHtml") {
+      // pure regexp/replace chain — scan-bound like c4LineFilter
+      scaled.select(graft.functions.TextAnalysis.stripHtml(
+        concat(lit("<p>"), col("text"), lit("</p><script>x<1</script>")))
+        .as("t")).filter(length(col("t")) > 0).count()
+    }
+    time("dedupLinesWithinDoc") {
+      val multi = scaled.select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("nav link"), col("text"),
+          lit("nav link")).as("text"))
+      Dedup.dedupLinesWithinDoc(multi, "doc_id", "text").count()
+    }
+    time("repetitionSignals") {
+      // 13 per-row run scans over sorted arrays — zero shuffle,
+      // scan-bound like c4LineFilter; must grow linearly
+      graft.operators.Repetition.signals(scaled, "doc_id", "text")
+        .filter(col("dup_5gram_char_frac") >= 0).count()
+    }
     time("klContributions") {
       // two vocab-bounded count shuffles + a vocab-sized join: output
       // is the UNION VOCABULARY (flat as the corpus grows — Zipf),
@@ -187,6 +205,12 @@ object ScaleCheck {
     }
     time("decontam 3-gram") {
       Decontam.contaminationReport(scaled, "doc_id", "text",
+        scaled.filter(col("doc_id") % 500 === 0), "text", 3).count()
+    }
+    time("bloomDecontam 3-gram") {
+      // same answer as "decontam 3-gram"; measures the bloom-prefilter
+      // plumbing (bench-gram count + filter build + codegen probe)
+      Decontam.bloomContaminationReport(scaled, "doc_id", "text",
         scaled.filter(col("doc_id") % 500 === 0), "text", 3).count()
     }
     time("bm25 top-10") {

@@ -63,6 +63,43 @@ class DecontamSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("bloomContaminationReport ≡ contaminationReport (exactness survives the prefilter)") {
+    // enough docs that the bloom actually filters, plus planted overlap
+    val corpus = (1L to 200L).map { i =>
+      if (i % 10 == 0) (i, s"shared gram alpha beta gamma doc$i filler")
+      else (i, s"unique tokens only u${i}a u${i}b u${i}c u${i}d")
+    }.toDF("doc_id", "text")
+    val bench = Seq("shared gram alpha beta gamma").toDF("text")
+    val exact = Decontam.contaminationReport(
+        corpus, "doc_id", "text", bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = Decontam.bloomContaminationReport(
+        corpus, "doc_id", "text", bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)          // non-vacuous: the planted docs hit
+    assert(bloomed === exact)
+  }
+
+  test("BloomMightContain: no false negatives, codegen path, null in → null out") {
+    val keys = (1 to 1000).map(i => s"key-$i").toDF("k")
+    val bloom = spark.sparkContext.broadcast(
+      Decontam.buildStringBloom(keys, "k", expectedItems = 1000L, fpp = 0.01))
+    val probe = ((1 to 1000).map(i => s"key-$i") ++
+      (1 to 1000).map(i => s"absent-$i")).toDF("k")
+    val kept = probe.filter(graft.plans.BloomMightContain(col("k"), bloom))
+      .as[String].collect().toSet
+    // every member survives (Bloom guarantee); false positives bounded
+    // loosely — at fpp=1% seeing >10% of 1000 absents would mean the
+    // build/probe byte semantics disagree, not bad luck
+    assert((1 to 1000).forall(i => kept(s"key-$i")))
+    assert(kept.count(_.startsWith("absent-")) < 100)
+    val withNull = Seq(Some("key-1"), None).toDF("k")
+    val nullOut = withNull
+      .select(graft.plans.BloomMightContain(col("k"), bloom).as("m"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    assert(nullOut.toSeq === Seq(true, null))
+  }
+
   test("benchmark gram set is broadcast (corpus never shuffles to match)") {
     val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val bench = Seq("a b c").toDF("text")

@@ -107,6 +107,46 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no tokens"))
   }
 
+  test("perplexityBuckets ≡ the naive per-group window (differential) " +
+      "and cuts exact rank tertiles") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // two groups; fluent docs reuse the corpus's dominant bigrams,
+    // junk docs use rare transitions — ranking is nontrivial
+    val docs = (1L to 14L).map { i =>
+      val g = if (i % 2 == 0) "web" else "books"
+      val text =
+        if (i <= 4) "the cat sat on the mat the cat sat"
+        else if (i <= 9) s"the cat ran f$i on a mat"
+        else s"zz$i qq$i pp$i rr$i ww$i"
+      (i, g, text)
+    }.toDF("doc_id", "source", "text")
+    val got = LanguageModel.perplexityBuckets(docs, docs,
+        "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // naive reference: fine at test scale, the trap at corpus scale
+    val scored = LanguageModel.bigramScore(docs, docs, "doc_id", "text")
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("mean_logp").desc, col("doc_id"))
+    val want = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .select(col("doc_id"),
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === want)
+    // 7 docs per group -> 2 head, 2 middle, 3 tail
+    val perGroup = got.groupBy { case (id, _) => id % 2 }
+      .map { case (_, m) => m.values.groupBy(identity).view
+        .mapValues(_.size).toMap }
+    perGroup.foreach { counts =>
+      assert(counts === Map("head" -> 2, "middle" -> 2, "tail" -> 3))
+    }
+  }
+
   test("broadcastUnigrams=false scores bit-identically to the default") {
     val train = Seq((1L, "a b a c"), (2L, "a b"), (3L, "c d e"))
       .toDF("doc_id", "text")

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class RepetitionSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sigMap(text: String): Map[String, Double] = {
+    val df = Repetition.signals(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+    val row = df.collect().head
+    df.columns.drop(1).zipWithIndex
+      .map { case (c, i) => c -> row.getDouble(i + 1) }.toMap
+  }
+
+  test("duplicate line fraction and char fraction (2nd+ occurrences)") {
+    val m = sigMap("aa bb\ncc dd\naa bb\nee ff")
+    // 4 lines, 3 distinct -> 1/4; repeated chars 5 of 20 -> 1/4
+    assert(m("dup_line_frac") === 0.25)
+    assert(m("dup_line_char_frac") === 0.25)
+    assert(m("dup_para_frac") === 0.0) // no blank line: one paragraph
+  }
+
+  test("duplicate paragraph fractions") {
+    val m = sigMap("x y\n\nx y\n\nz w")
+    assert(m("dup_para_frac") === 1.0 / 3)
+    assert(m("dup_para_char_frac") === 1.0 / 3) // 3 of 9 chars
+    // as lines: [x y, x y, z w] after dropping blanks -> 1/3 too
+    assert(m("dup_line_frac") === 1.0 / 3)
+  }
+
+  test("top n-gram char fraction: count x len of most frequent gram") {
+    val m = sigMap("la la la la la") // 14 chars, 4x "la la" (len 5)
+    assert(m("top_2gram_char_frac") === 20.0 / 14)
+    assert(m("top_3gram_char_frac") === 24.0 / 14) // 3x "la la la"(8)
+    assert(m("top_4gram_char_frac") === 22.0 / 14) // 2x len-11
+  }
+
+  test("top run ties break toward larger char coverage") {
+    // 2-grams: "aa aa" x2, "bbbb bbbb" x2 (cnt tie, longer wins)
+    val m = sigMap("aa aa aa x bbbb bbbb bbbb")
+    // sorted 2-gram runs: [aa aa x2, aa x, bbbb bbbb x2, x bbbb]
+    assert(m("top_2gram_char_frac") === (2 * 9.0) / 25)
+  }
+
+  test("dup n-gram char fraction counts ALL occurrences of duplicated grams") {
+    val m = sigMap("a b c d e a b c d e x") // 21 chars
+    // 5-grams: "a b c d e" twice (9 chars each), 5 singles
+    assert(m("dup_5gram_char_frac") === 18.0 / 21)
+    assert(m("dup_6gram_char_frac") === 0.0)
+  }
+
+  test("degenerate inputs: empty text, single token") {
+    val e = sigMap("")
+    assert(e.values.forall(_ === 0.0))
+    val s = sigMap("hello")
+    assert(s.values.forall(_ === 0.0)) // no lines repeat, no 2-grams
+  }
+
+  test("single-occurrence grams still give a nonzero top fraction") {
+    val m = sigMap("p q r s t u v w") // 15 chars, all 2-grams unique
+    assert(m("top_2gram_char_frac") === 3.0 / 15) // best run cnt=1, len 3
+  }
+
+  test("gopherFilter drops repetitious docs, keeps clean ones, keeps schema") {
+    // clean docs must be LONG enough that a single-occurrence top
+    // 2-gram stays under 20% of chars — the published thresholds
+    // assume web-document lengths (Gopher pairs them with a 50-word
+    // minimum), so the fixtures do too
+    val clean1 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val clean2 = (1 to 30).map(i => s"p$i").mkString(" ") + "\n\n" +
+      (31 to 60).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, clean1, "keep"),
+      (2L, "buy now buy now buy now buy now buy now", "drop-top2"),
+      (3L, ("nav\nhome\n" * 4) + (1 to 60).map(i => s"b$i").mkString(" "),
+        "drop-lines"),
+      (4L, clean2, "keep")
+    ).toDF("doc_id", "text", "tag")
+    val kept = Repetition.gopherFilter(docs, "text")
+    assert(kept.columns.toSeq === Seq("doc_id", "text", "tag"))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 4L))
+  }
+
+  test("zero-shuffle plan: the sweep is a single scan-shaped stage") {
+    val docs = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val plan = Repetition.signals(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
