@@ -101,4 +101,29 @@ object Clustering {
     val model = kmeansFit(df, idCol, vecCol, k, iters, roundTo)
     df.withColumn("cluster", model.assign(col(vecCol)))
   }
+
+  /** Topic-balanced subset: cluster the corpus, then cap every cluster
+    * at `capPerCluster` rows — the diversity primitive that stops a
+    * few mega-topics from dominating a training mix (the cluster-
+    * then-prune recipe of SemDeDup / DataComp-style curation, with a
+    * deterministic cap instead of intra-cluster dedup — [[Dedup]]
+    * owns that). Which rows survive a full cluster is decided by
+    * [[Sampling.hashKey]]'s portable md5 draw, so re-runs, auditors,
+    * and other engines reproduce the subset row for row.
+    *
+    * Cost: the k-means fit (`iters` full-corpus passes, centroids on
+    * the driver — O(k·dim)) plus [[Sampling.stratifiedSample]]'s one
+    * shuffle on the cluster id. Pick k well above the executor count
+    * at corpus scale: the cap is a per-cluster ranked window, so k
+    * partitions bound the parallelism of the final pass.
+    *
+    * Returns (df columns…, cluster), capped.
+    */
+  def clusterCappedSample(df: DataFrame, idCol: String, vecCol: String,
+                          k: Int, iters: Int, capPerCluster: Int,
+                          seed: Long, roundTo: Int = 6): DataFrame = {
+    require(capPerCluster > 0, s"capPerCluster must be > 0: $capPerCluster")
+    Sampling.stratifiedSample(kmeans(df, idCol, vecCol, k, iters, roundTo),
+      idCol, "cluster", capPerCluster, seed)
+  }
 }

@@ -451,6 +451,26 @@ object PipelineQueries {
         .select("doc_id")
         .orderBy("doc_id")
     }),
+    // the end-to-end curation chain as ONE lazy plan: Gopher quality
+    // rules (stopword bound loosened to 1 — the synthetic vocab only
+    // carries "the") -> Gopher repetition rules -> exact dedup
+    // keep-first -> self-trained perplexity buckets per source, tail
+    // third dropped. Every stage's semantics are oracle-proven alone
+    // (qf4/qf2/dd6/qf3); this gate proves the COMPOSITION replays —
+    // each filter feeds the next, the LM trains on the deduped
+    // survivors only
+    "pipe3_curation_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "source", "text")
+      val q = graft.operators.QualityRules.gopherFilter(docs, "text",
+        minStopHits = 1L)
+      val r = graft.operators.Repetition.gopherFilter(q, "text")
+      val dd = Dedup.exactKeepFirst(r, "doc_id", "text")
+      graft.operators.LanguageModel.perplexityBuckets(dd, dd,
+          "doc_id", "text", "source")
+        .filter(col("bucket") =!= "tail")
+        .select("doc_id", "source", "bucket")
+        .orderBy("doc_id")
+    }),
     // leakage-safe group split: all docs of a source land in ONE split
     // (the near-dup-leakage guard); md5 group draw, full oracle
     "sm4_group_split" -> ((s, d) => {
@@ -1397,6 +1417,16 @@ object PipelineQueries {
         .select(col("vec_id"), col("cluster"))
         .orderBy("vec_id")
     }),
+    // topic-balanced subset: km1's exact kmeans assignment, then every
+    // cluster capped at 30 by the portable md5 draw (sm2's window) —
+    // the cluster-then-prune diversity recipe as ONE call
+    "qf5_cluster_capped" -> ((s, d) => {
+      graft.operators.Clustering.clusterCappedSample(t(s, d, "embeddings"),
+          "vec_id", "embedding", k = 5, iters = 3,
+          capPerCluster = 30, seed = 11)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
     // content-defined chunking: boundaries where the md5 hash of the
     // 3-gram ending at a position divides 16 — edit-stable chunks
     // (FastCDC at token level); DuckDB replays every boundary, the
@@ -1783,18 +1813,20 @@ object PipelineQueries {
       |SELECT doc_id + 70000, text || ' the be to of and that have with'
       |FROM documents WHERE doc_id % 20 = 0""".stripMargin
 
-  /** The 7 Gopher quality signals as a `sig` CTE chain (mirrors
-    * graft.operators.QualityRules.withSignals signal for signal);
+  /** The 7 Gopher quality signals as a `{p}sig` CTE chain FRAGMENT
+    * (no leading WITH — composable; `p` prefixes every CTE name so
+    * pipeline oracles can chain several signal families). Mirrors
+    * graft.operators.QualityRules.withSignals signal for signal;
     * every fraction is one double division of exact integers.
     */
-  private def qualitySigSql(corpusSql: String): String =
-    raw"""WITH corpus AS ($corpusSql),
-         |b AS (SELECT doc_id, text, $toksSql AS toks,
+  private def qualitySigSql(corpusSql: String, p: String = ""): String =
+    raw"""${p}corpus AS ($corpusSql),
+         |${p}b AS (SELECT doc_id, text, $toksSql AS toks,
          |        list_filter(list_transform(
          |          regexp_split_to_array(text, '\r?\n'), x -> trim(x)),
          |          x -> x <> '') AS lns
-         |      FROM corpus),
-         |sig AS (SELECT doc_id,
+         |      FROM ${p}corpus),
+         |${p}sig AS (SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_words,
          |  CASE WHEN len(toks) > 0 THEN
          |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
@@ -1822,9 +1854,10 @@ object PipelineQueries {
          |   CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END +
          |   CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END
          |  )::BIGINT AS stop_hits
-         |  FROM b)""".stripMargin
+         |  FROM ${p}b)""".stripMargin
 
-  /** The 13 Gopher repetition signals as a `sig` CTE chain (mirrors
+  /** The 13 Gopher repetition signals as a `{p}sig` CTE chain FRAGMENT
+    * (no leading WITH, prefixable like qualitySigSql; mirrors
     * graft.operators.Repetition.withSignals signal for signal): unit
     * stats from (doc, unit) counts — sum(cnt-1) IS the sorted-
     * adjacency 2nd+ count — top runs by (cnt, cnt*len) row_number,
@@ -1832,58 +1865,58 @@ object PipelineQueries {
     * single double division of exact integers, so both engines land
     * on identical bits with no rounding.
     */
-  private def repetitionSigSql(corpusSql: String): String =
-    raw"""WITH corpus AS ($corpusSql),
-         |base AS (SELECT doc_id, text, length(text) AS tlen,
-         |                $toksSql AS toks FROM corpus),
-         |lu AS (SELECT doc_id, unnest(list_filter(list_transform(
+  private def repetitionSigSql(corpusSql: String, p: String = ""): String =
+    raw"""${p}corpus AS ($corpusSql),
+         |${p}base AS (SELECT doc_id, text, length(text) AS tlen,
+         |                $toksSql AS toks FROM ${p}corpus),
+         |${p}lu AS (SELECT doc_id, unnest(list_filter(list_transform(
          |         regexp_split_to_array(text, '\r?\n'), x -> trim(x)),
-         |         x -> x <> '')) AS u FROM corpus),
-         |lc AS (SELECT doc_id, u, count(*) AS cnt, length(u) AS ulen
-         |       FROM lu GROUP BY 1, 2),
-         |la AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS m,
+         |         x -> x <> '')) AS u FROM ${p}corpus),
+         |${p}lc AS (SELECT doc_id, u, count(*) AS cnt, length(u) AS ulen
+         |       FROM ${p}lu GROUP BY 1, 2),
+         |${p}la AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS m,
          |              CAST(sum(cnt * ulen) AS DOUBLE) AS totc,
          |              CAST(sum(cnt - 1) AS DOUBLE) AS nd,
          |              CAST(sum((cnt - 1) * ulen) AS DOUBLE) AS dupc
-         |       FROM lc GROUP BY 1),
-         |pu AS (SELECT doc_id, unnest(list_filter(list_transform(
+         |       FROM ${p}lc GROUP BY 1),
+         |${p}pu AS (SELECT doc_id, unnest(list_filter(list_transform(
          |         regexp_split_to_array(text, '\r?\n\s*\r?\n'),
-         |         x -> trim(x)), x -> x <> '')) AS u FROM corpus),
-         |pc AS (SELECT doc_id, u, count(*) AS cnt, length(u) AS ulen
-         |       FROM pu GROUP BY 1, 2),
-         |pa AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS m,
+         |         x -> trim(x)), x -> x <> '')) AS u FROM ${p}corpus),
+         |${p}pc AS (SELECT doc_id, u, count(*) AS cnt, length(u) AS ulen
+         |       FROM ${p}pu GROUP BY 1, 2),
+         |${p}pa AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS m,
          |              CAST(sum(cnt * ulen) AS DOUBLE) AS totc,
          |              CAST(sum(cnt - 1) AS DOUBLE) AS nd,
          |              CAST(sum((cnt - 1) * ulen) AS DOUBLE) AS dupc
-         |       FROM pc GROUP BY 1),
-         |gu AS (SELECT doc_id, v.n, unnest(list_transform(
+         |       FROM ${p}pc GROUP BY 1),
+         |${p}gu AS (SELECT doc_id, v.n, unnest(list_transform(
          |         range(1, len(toks) - v.n + 2),
          |         i -> array_to_string(toks[i:i + v.n - 1], ' '))) AS g
-         |       FROM base, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) v(n)
+         |       FROM ${p}base, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) v(n)
          |       WHERE len(toks) >= v.n),
-         |gc AS (SELECT doc_id, n, g, count(*) AS cnt, length(g) AS glen
-         |       FROM gu GROUP BY 1, 2, 3),
-         |tops AS (SELECT doc_id, n, chars FROM
+         |${p}gc AS (SELECT doc_id, n, g, count(*) AS cnt, length(g) AS glen
+         |       FROM ${p}gu GROUP BY 1, 2, 3),
+         |${p}tops AS (SELECT doc_id, n, chars FROM
          |          (SELECT doc_id, n, cnt * glen AS chars,
          |             row_number() OVER (PARTITION BY doc_id, n
-         |               ORDER BY cnt DESC, cnt * glen DESC) AS rn FROM gc)
+         |               ORDER BY cnt DESC, cnt * glen DESC) AS rn FROM ${p}gc)
          |         WHERE rn = 1),
-         |topp AS (SELECT doc_id,
+         |${p}topp AS (SELECT doc_id,
          |           CAST(max(CASE WHEN n = 2 THEN chars END) AS DOUBLE) AS t2,
          |           CAST(max(CASE WHEN n = 3 THEN chars END) AS DOUBLE) AS t3,
          |           CAST(max(CASE WHEN n = 4 THEN chars END) AS DOUBLE) AS t4
-         |         FROM tops GROUP BY 1),
-         |dgc AS (SELECT doc_id, n, CAST(sum(cnt * glen) AS DOUBLE) AS chars
-         |        FROM gc WHERE cnt >= 2 GROUP BY 1, 2),
-         |dupp AS (SELECT doc_id,
+         |         FROM ${p}tops GROUP BY 1),
+         |${p}dgc AS (SELECT doc_id, n, CAST(sum(cnt * glen) AS DOUBLE) AS chars
+         |        FROM ${p}gc WHERE cnt >= 2 GROUP BY 1, 2),
+         |${p}dupp AS (SELECT doc_id,
          |           max(CASE WHEN n = 5 THEN chars END) AS d5,
          |           max(CASE WHEN n = 6 THEN chars END) AS d6,
          |           max(CASE WHEN n = 7 THEN chars END) AS d7,
          |           max(CASE WHEN n = 8 THEN chars END) AS d8,
          |           max(CASE WHEN n = 9 THEN chars END) AS d9,
          |           max(CASE WHEN n = 10 THEN chars END) AS d10
-         |         FROM dgc GROUP BY 1),
-         |sig AS (SELECT b.doc_id,
+         |         FROM ${p}dgc GROUP BY 1),
+         |${p}sig AS (SELECT b.doc_id,
          |  coalesce(la.nd / la.m, 0.0) AS dup_line_frac,
          |  coalesce(pa.nd / pa.m, 0.0) AS dup_para_frac,
          |  coalesce(la.dupc / la.totc, 0.0) AS dup_line_char_frac,
@@ -1906,11 +1939,11 @@ object PipelineQueries {
          |       ELSE 0.0 END AS dup_9gram_char_frac,
          |  CASE WHEN b.tlen > 0 THEN coalesce(dp.d10 / b.tlen, 0.0)
          |       ELSE 0.0 END AS dup_10gram_char_frac
-         |  FROM base b
-         |  LEFT JOIN la ON la.doc_id = b.doc_id
-         |  LEFT JOIN pa ON pa.doc_id = b.doc_id
-         |  LEFT JOIN topp t ON t.doc_id = b.doc_id
-         |  LEFT JOIN dupp dp ON dp.doc_id = b.doc_id)""".stripMargin
+         |  FROM ${p}base b
+         |  LEFT JOIN ${p}la la ON la.doc_id = b.doc_id
+         |  LEFT JOIN ${p}pa pa ON pa.doc_id = b.doc_id
+         |  LEFT JOIN ${p}topp t ON t.doc_id = b.doc_id
+         |  LEFT JOIN ${p}dupp dp ON dp.doc_id = b.doc_id)""".stripMargin
 
   /** Deterministic md5-derived 8-dim pseudo token vector (mv1/mv2's
     * replayable fixture — the API takes any real vector column).
@@ -3031,6 +3064,25 @@ object PipelineQueries {
              |    ORDER BY d, cl) AS rk FROM df) WHERE rk = 1
              |ORDER BY vec_id""".stripMargin
     },
+    // km1's assignment chain + sm2's md5-ranked per-cluster cap
+    "qf5_cluster_capped" -> {
+      val (k, iters) = (5, 3)
+      kmeansChainSql(k, iters) +
+        raw""",
+             |df AS (SELECT p.vec_id, c.cl,
+             |    round(-2 * list_dot_product(p.v, c.c) +
+             |          list_dot_product(c.c, c.c), 6) AS d
+             |  FROM pts p, c$iters c),
+             |asg AS (SELECT vec_id, cl FROM (
+             |  SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY d, cl) AS rk FROM df) WHERE rk = 1),
+             |capped AS (SELECT vec_id, cl FROM (
+             |  SELECT vec_id, cl, row_number() OVER (PARTITION BY cl
+             |    ORDER BY md5('11:' || vec_id)) AS sr FROM asg)
+             |  WHERE sr <= 30)
+             |SELECT vec_id, cl AS cluster FROM capped
+             |ORDER BY vec_id""".stripMargin
+    },
     "cd1_content_chunks" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents
            |           WHERE doc_id < 100),
@@ -3247,7 +3299,7 @@ object PipelineQueries {
            |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
            |FROM p ORDER BY doc_id""".stripMargin,
     "t13_repetition_signals" ->
-      s"""${repetitionSigSql(repetitionCorpusSql)}
+      s"""WITH ${repetitionSigSql(repetitionCorpusSql)}
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
     // self-trained bigram fluency (ppl1's exact CTEs) rank-cut into
     // per-source thirds; rank ties break on doc_id, the score is the
@@ -3279,11 +3331,66 @@ object PipelineQueries {
            |       WHEN rn * 3 <= 2 * n THEN 'middle'
            |       ELSE 'tail' END AS bucket
            |FROM g ORDER BY doc_id""".stripMargin,
+    // the composed replay: quality CTEs (q_), repetition CTEs (r_)
+    // over quality survivors, keep-first dedup, then ppl1's LM chain
+    // trained on the deduped survivors and rank-cut per source
+    "pipe3_curation_pipeline" ->
+      raw"""WITH ${qualitySigSql("SELECT doc_id, text FROM documents", "q_")},
+           |qf_ids AS (SELECT doc_id FROM q_sig
+           |  WHERE n_words >= 50 AND n_words <= 100000
+           |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+           |    AND symbol_word_ratio <= 0.1
+           |    AND bullet_start_frac <= 0.9 AND ellipsis_end_frac <= 0.3
+           |    AND alpha_word_frac >= 0.8 AND stop_hits >= 1),
+           |${repetitionSigSql(
+               "SELECT d.doc_id, d.text FROM documents d " +
+                 "JOIN qf_ids USING (doc_id)", "r_")},
+           |rf_ids AS (SELECT doc_id FROM r_sig
+           |  WHERE dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+           |    AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+           |    AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+           |    AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+           |    AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+           |    AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+           |    AND dup_10gram_char_frac <= 0.10),
+           |surv AS (SELECT doc_id, source, text FROM (
+           |    SELECT d.doc_id, d.source, d.text,
+           |      row_number() OVER (PARTITION BY md5(d.text)
+           |        ORDER BY d.doc_id) AS rn
+           |    FROM documents d JOIN rf_ids USING (doc_id)) WHERE rn = 1),
+           |b AS (SELECT doc_id, $toksSql AS toks FROM surv),
+           |tr AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+           |              unnest(toks[2:len(toks)]) AS w2
+           |       FROM b WHERE len(toks) >= 2),
+           |big AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cb
+           |        FROM tr GROUP BY 1, 2),
+           |uni AS (SELECT t AS w1, CAST(count(*) AS DOUBLE) AS cu
+           |        FROM (SELECT unnest(toks) AS t FROM b) GROUP BY 1),
+           |v AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM uni),
+           |sc AS (SELECT tr.doc_id,
+           |         round(avg(ln((coalesce(cb, 0) + 0.5) /
+           |                      (coalesce(cu, 0) + 0.5 * vs))), 6)
+           |           AS mean_logp
+           |       FROM tr LEFT JOIN big USING (w1, w2)
+           |            LEFT JOIN uni USING (w1), v
+           |       GROUP BY tr.doc_id),
+           |g AS (SELECT s2.doc_id, s2.source, sc.mean_logp,
+           |        row_number() OVER (PARTITION BY s2.source
+           |          ORDER BY sc.mean_logp DESC, s2.doc_id) AS rn,
+           |        count(*) OVER (PARTITION BY s2.source) AS n
+           |      FROM surv s2 JOIN sc ON sc.doc_id = s2.doc_id)
+           |SELECT doc_id, source, bucket FROM (
+           |  SELECT doc_id, source,
+           |    CASE WHEN rn * 3 <= n THEN 'head'
+           |         WHEN rn * 3 <= 2 * n THEN 'middle'
+           |         ELSE 'tail' END AS bucket
+           |  FROM g)
+           |WHERE bucket <> 'tail' ORDER BY doc_id""".stripMargin,
     "t14_gopher_quality_signals" ->
-      s"""${qualitySigSql(qualityCorpusSql)}
+      s"""WITH ${qualitySigSql(qualityCorpusSql)}
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
     "qf4_gopher_quality_filter" ->
-      s"""${qualitySigSql(qualityCorpusSql)}
+      s"""WITH ${qualitySigSql(qualityCorpusSql)}
          |SELECT doc_id FROM sig
          |WHERE n_words >= 50 AND n_words <= 100000
          |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
@@ -3294,7 +3401,7 @@ object PipelineQueries {
     // survivors: every signal at or under its published Gopher
     // threshold (drop on STRICT excess, like Repetition.gopherFilter)
     "qf2_gopher_filter" ->
-      s"""${repetitionSigSql(repetitionCorpusSql)}
+      s"""WITH ${repetitionSigSql(repetitionCorpusSql)}
          |SELECT doc_id FROM sig
          |WHERE dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
          |  AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20

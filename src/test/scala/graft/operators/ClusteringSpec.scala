@@ -50,6 +50,31 @@ class ClusteringSpec extends AnyFunSuite {
     assert(model.centroids(2).toSeq === Seq(0.0, 0.0))
   }
 
+  test("clusterCappedSample caps every cluster, deterministically") {
+    // three tight clusters of 4 points each
+    val docs = (0 until 12).map { i =>
+      val c = i % 3
+      (i.toLong, Seq(c * 10.0 + (i / 3) * 0.1, c * 10.0))
+    }.toDF("id", "vec")
+    val capped = Clustering.clusterCappedSample(docs, "id", "vec",
+      k = 3, iters = 2, capPerCluster = 2, seed = 7)
+    val byCluster = capped.collect()
+      .groupBy(_.getInt(2)).view.mapValues(_.map(_.getLong(0)).sorted.toSeq)
+      .toMap
+    assert(byCluster.size === 3)
+    assert(byCluster.values.forall(_.size == 2))
+    // survivors carry their true kmeans assignment
+    val assigned = Clustering.kmeans(docs, "id", "vec", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    capped.collect().foreach(r =>
+      assert(r.getInt(2) === assigned(r.getLong(0))))
+    // same seed -> same subset
+    val again = Clustering.clusterCappedSample(docs, "id", "vec",
+      k = 3, iters = 2, capPerCluster = 2, seed = 7)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again === capped.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("fit is deterministic and iters=0 returns the init centroids") {
     val a = Clustering.kmeansFit(pts, "id", "vec", k = 2, iters = 3)
     val b = Clustering.kmeansFit(pts, "id", "vec", k = 2, iters = 3)
