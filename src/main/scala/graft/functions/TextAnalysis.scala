@@ -162,6 +162,20 @@ object TextAnalysis {
   def normalizeUnicode(text: Column, form: String = "NFC"): Column =
     graft.plans.UnicodeNormalize(text, form)
 
+  /** Accent folding: NFD-decompose, then strip every combining mark
+    * (`\p{M}`) — the diacritic normalization multilingual dedup and
+    * search pipelines run before matching ("café" ≡ "cafe" ≡
+    * "cafe" + U+0301). Precomposed and decomposed spellings fold to
+    * the same bytes by construction. For Latin-script text this
+    * agrees with DuckDB's `strip_accents` (verified both input
+    * forms), which is what the oracle replays;
+    * [[normalizeUnicode]]'s isNormalized fast path keeps ASCII
+    * corpora at scan cost — already-NFD text is returned untouched
+    * and the regex is the only pass.
+    */
+  def stripAccents(text: Column): Column =
+    regexp_replace(normalizeUnicode(text, "NFD"), "\\p{M}", "")
+
   /** RFC 3986 §6.2 syntax-based URL normalization, the CCNet/WET
     * dedup-key recipe: lowercase scheme and host, drop the fragment,
     * drop the scheme's default port (:80 http, :443 https), empty

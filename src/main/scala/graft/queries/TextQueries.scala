@@ -381,6 +381,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // accent-robust dedup: the SAME text planted with precomposed
+    // (é ï ñ) and decomposed (e/i/n + combining mark) diacritics is
+    // three different byte strings; stripAccents (NFD + \p{M} strip)
+    // folds all of them to the bare-letter form and keep-first
+    // collapses the pair. DuckDB's strip_accents replays the fold for
+    // Latin script (verified against the JDK on both input forms).
+    "t15_strip_accents" -> ((s, d) => {
+      val base = t(s, d, "documents").select("doc_id", "text")
+      val withClones = base
+        .unionByName(base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 80000).as("doc_id"),
+            concat(col("text"),
+              lit(" caf\u00e9 na\u00efve se\u00f1or")).as("text")))
+        .unionByName(base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 90000).as("doc_id"),
+            concat(col("text"),
+              lit(" cafe\u0301 nai\u0308ve sen\u0303or")).as("text")))
+      Dedup.keepFirstByKey(withClones, "doc_id",
+          md5(TextAnalysis.stripAccents(col("text"))))
+        .select(col("doc_id"),
+          TextAnalysis.stripAccents(col("text")).as("text_folded"))
+        .orderBy("doc_id")
+    }),
+
     // dedup by NORMALIZED URL (the CommonCrawl/WET pass that runs
     // before content dedup) over planted URL variants: per page
     // group, the https variants — mixed-case host, www., explicit
@@ -1149,6 +1173,26 @@ object TextQueries {
            |keep AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY md5(tn))
            |SELECT n.doc_id, n.tn AS text_nfc FROM n JOIN keep USING (doc_id)
            |ORDER BY n.doc_id""".stripMargin,
+
+    // the same planting via chr(): precomposed 233/239/241 vs the
+    // combining marks 769/776/771 on bare letters; strip_accents
+    // folds both to the bare form, keep-first by md5 of the fold
+    "t15_strip_accents" ->
+      raw"""WITH u AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 80000, text || ' caf' || chr(233) ||
+           |    ' na' || chr(239) || 've se' || chr(241) || 'or'
+           |  FROM documents WHERE doc_id < 10
+           |  UNION ALL
+           |  SELECT doc_id + 90000, text || ' cafe' || chr(769) ||
+           |    ' nai' || chr(776) || 've sen' || chr(771) || 'or'
+           |  FROM documents WHERE doc_id < 10),
+           |f AS (SELECT doc_id, strip_accents(text) AS tf FROM u),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(tf))
+           |SELECT f.doc_id, f.tf AS text_folded
+           |FROM f JOIN keep USING (doc_id)
+           |ORDER BY f.doc_id""".stripMargin,
 
     // step-for-step regex replay of the RFC 3986 normalization
     // (fragment drop, scheme/host lowercase, www. strip, default-port

@@ -88,6 +88,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 4L, 5L))
   }
 
+  test("stripAccents folds composed ≡ decomposed, leaves ASCII/CJK/marksless intact") {
+    val df = Seq(
+      (1L, "caf\u00e9 na\u00efve se\u00f1or z\u00fcrich"), // precomposed
+      (2L, "cafe\u0301 nai\u0308ve sen\u0303or zu\u0308rich"), // combining
+      (3L, "plain ascii stays put"),
+      (4L, "中文 emoji 😀 stays")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.stripAccents(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "cafe naive senor zurich")
+    assert(out(2L) === out(1L)) // both spellings fold to the same bytes
+    assert(out(3L) === "plain ascii stays put")
+    assert(out(4L) === "中文 emoji 😀 stays")
+    // null-safe
+    val n = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(TextAnalysis.stripAccents(col("text"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("tokens lowercase, split on whitespace runs, drop empties") {
     assert(one(TextAnalysis.tokens($"t"), "  Hello   WORLD  ") ==
       Seq("hello", "world"))
