@@ -118,6 +118,40 @@ object Decontam {
       .agg(count_distinct(col("_gram")).cast("long").as("n_hit_ngrams"))
   }
 
+  /** Embedding-space decontamination — the semantic sibling of the
+    * n-gram recipes: paraphrased benchmark leakage shares no 13-gram,
+    * but its embedding still lands next to the benchmark's. Reports
+    * every corpus row whose cosine to ANY benchmark vector reaches
+    * `minCosine`, as (id, bench_id, cosine) for the BEST match (max
+    * rounded cosine, ties toward the smallest bench id — a total
+    * order, so the report replays exactly).
+    *
+    * Scale shape: benchmark suites are thousands of vectors, so the
+    * bench side is BROADCAST and the corpus streams through one
+    * nested-loop pass (per-row max over the bench block) — the corpus
+    * is never shuffled; the only aggregation is over the surviving
+    * hits, a benchmark-sized trickle. Cosines are rounded to
+    * `roundTo` BEFORE thresholding and argmax, so engines can't
+    * disagree at the boundary.
+    */
+  def semanticContamination(corpus: DataFrame, idCol: String, vecCol: String,
+                            bench: DataFrame, benchIdCol: String,
+                            benchVecCol: String, minCosine: Double,
+                            roundTo: Int = 5): DataFrame = {
+    Checks.requireIntegral(bench, benchIdCol, "semanticContamination",
+      "the bench id rides a negated max(struct) tie-break")
+    val b = broadcast(bench.select(col(benchIdCol).as("_bid"),
+      col(benchVecCol).as("_bv")))
+    val cos = round(graft.functions.VectorOps.cosine(col("_cv"), col("_bv")),
+      roundTo)
+    corpus.select(col(idCol), col(vecCol).as("_cv"))
+      .join(b, cos >= minCosine)
+      .groupBy(idCol)
+      .agg(max(struct(cos.as("_c"), (-col("_bid")).as("_nb"))).as("_best"))
+      .select(col(idCol), (-col("_best._nb")).as("bench_id"),
+        col("_best._c").as("cosine"))
+  }
+
   /** Span-level contamination — the "13-gram overlap" recipe of the
     * GPT-3/PaLM decontamination reports: instead of counting shared
     * n-grams as a set, find the MERGED token spans of each corpus doc

@@ -104,6 +104,35 @@ object Dedup {
       .unionByName(docs.join(keep, Seq(idCol), "left_semi"))
   }
 
+  /** Keep-BEST over a derived key: within each duplicate group the
+    * row maximizing `score` survives (ties toward the smallest id, so
+    * the choice is total and replayable). The curation form of
+    * [[keepFirstByKey]] — among URL- or content-duplicates you
+    * usually want the longest / highest-quality fetch, not the
+    * earliest id. Null-key rows are all kept (no key, no group).
+    *
+    * Same scale shape as keep-first: one narrow aggregate on (key →
+    * best (score, id)) and a semi-join back on the id — scores and
+    * ids shuffle, never the payload. The (score, id) pair rides a
+    * single max() over a struct (lexicographic), with the id NEGATED
+    * so max prefers the smallest id on score ties — which is why the
+    * id must be integral (checked loudly); string-keyed corpora use
+    * [[keepFirstByKey]].
+    */
+  def keepBestByKey(docs: DataFrame, idCol: String,
+                    key: org.apache.spark.sql.Column,
+                    score: org.apache.spark.sql.Column): DataFrame = {
+    Checks.requireIntegral(docs, idCol, "keepBestByKey")
+    val keep = docs
+      .filter(key.isNotNull)
+      .groupBy(key.as("_kbk"))
+      .agg(max(struct(score.as("_s"), (-col(idCol)).as("_negid")))
+        .as("_best"))
+      .select((-col("_best._negid")).as(idCol))
+    docs.filter(key.isNull)
+      .unionByName(docs.join(keep, Seq(idCol), "left_semi"))
+  }
+
   /** Dedup by normalized URL — the CommonCrawl/WET curation pass that
     * runs BEFORE content dedup (same page fetched via http/https,
     * with/without www, trailing fragments, mixed-case hosts): rows

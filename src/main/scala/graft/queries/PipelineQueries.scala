@@ -553,6 +553,47 @@ object PipelineQueries {
           docs.filter(col("doc_id") % 50 === 0), "text", n = 3)
         .orderBy("doc_id")
     }),
+    // semantic decontamination on PLANTED paraphrases (sd1's jitter
+    // discipline): bench = vec_id % 25 = 0, corpus = the rest plus 20
+    // jittered copies of bench vectors (cos ≈ 0.999996); the corpus's
+    // own cross-bench cosines stay ~0.6, so the 0.92-threshold answer
+    // is exactly the planted set with exact argmax bench ids
+    "dc4_semantic_decontam" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      val bench = emb.filter(col("vec_id") % 25 === 0)
+      val planted = bench
+        .select((col("vec_id") + 300000).as("pid"),
+          transform(col("v"), (x, i) =>
+            x + (((col("vec_id") * 37 + i * 11) % 7).cast("double") - 3.0)
+              * 0.0005).as("v"))
+        .select(col("pid").as("vec_id"), col("v"))
+      val corpus = emb.filter(col("vec_id") % 25 =!= 0)
+        .unionByName(planted)
+      Decontam.semanticContamination(corpus, "vec_id", "v",
+          bench, "vec_id", "v", minCosine = 0.92)
+        .orderBy("vec_id")
+    }),
+    // keep-BEST dedup: within each duplicate group (key = first-5-
+    // token prefix) the highest-score row survives (score = text
+    // length), ties to the smallest id. Planted longer variants force
+    // the score branch; the corpus's exact-dup texts (equal lengths)
+    // force the id tie-break
+    "dd19_keep_best_by_key" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      // variants of doc_id < 40: same dedup KEY (first 5 tokens),
+      // different lengths — keep-best must pick the longest, and on
+      // exact ties the smallest id
+      val variants = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" extra tail words")).as("text"))
+      val corpus = docs.unionByName(variants)
+      Dedup.keepBestByKey(corpus, "doc_id",
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 5)),
+          length(col("text")))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
     // span-level decontamination — the 13-gram-overlap recipe of the
     // GPT-3/PaLM decontam reports: merged contaminated token spans per
     // doc, not just a shared-gram count. Non-vacuous two ways: the
@@ -2487,6 +2528,44 @@ object PipelineQueries {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
            |FROM cg JOIN b USING (g)
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact all-pairs vs the broadcast bench: planted jittered copies
+    // are the only mass above 0.92; best match by (cos DESC, bench id)
+    "dc4_semantic_decontam" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bench AS (SELECT vec_id, v FROM base WHERE vec_id % 25 = 0),
+        |planted AS (
+        |  SELECT vec_id + 300000 AS pid,
+        |         list_transform(v, (x, i) ->
+        |           x + (CAST((vec_id*37 + (i-1)*11) % 7 AS DOUBLE) - 3.0)*0.0005) AS v
+        |  FROM bench),
+        |corpus AS (SELECT vec_id, v FROM base WHERE vec_id % 25 <> 0
+        |           UNION ALL SELECT pid AS vec_id, v FROM planted),
+        |s AS (SELECT c.vec_id, b.vec_id AS bid,
+        |        round(list_dot_product(c.v, b.v) /
+        |          (sqrt(list_dot_product(c.v, c.v)) *
+        |           sqrt(list_dot_product(b.v, b.v))), 5) AS cos
+        |      FROM corpus c CROSS JOIN bench b),
+        |best AS (SELECT vec_id, bid, cos,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY cos DESC, bid) AS rn
+        |         FROM s WHERE cos >= 0.92)
+        |SELECT vec_id, bid AS bench_id, cos AS cosine
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // keep-best replay: rank each prefix-key group by (length DESC,
+    // doc_id) and keep the top row
+    "dd19_keep_best_by_key" ->
+      raw"""WITH corpus AS (SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text || ' extra tail words'
+           |  FROM documents WHERE doc_id < 40),
+           |k AS (SELECT doc_id,
+           |        array_to_string(($toksSql)[1:5], ' ') AS key,
+           |        length(text) AS sc
+           |      FROM corpus)
+           |SELECT doc_id FROM (
+           |  SELECT doc_id, row_number() OVER (PARTITION BY key
+           |    ORDER BY sc DESC, doc_id) AS rn FROM k)
+           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // identical SQL to dc1 by design: the Bloom prefilter is plumbing,
     // not semantics — false positives die at the confirm join, false
     // negatives don't exist (Bloom guarantee), so the answer is exact

@@ -80,6 +80,30 @@ class DecontamSpec extends AnyFunSuite {
     assert(bloomed === exact)
   }
 
+  test("semanticContamination: best match per row, rounded threshold, ties to smallest bench id") {
+    val bench = Seq(
+      (10L, Seq(1.0, 0.0)), (20L, Seq(0.0, 1.0))).toDF("bid", "bv")
+    val corpus = Seq(
+      (1L, Seq(0.9, 0.1)),    // close to bench 10
+      (2L, Seq(0.1, 0.9)),    // close to bench 20
+      (3L, Seq(0.5, -0.8)),   // cos 0.53 / -0.85 — below threshold
+      (4L, Seq(1.0, 1.0))     // cos 0.70711 to BOTH -> tie, bid 10
+    ).toDF("id", "v")
+    val out = Decontam.semanticContamination(corpus, "id", "v",
+        bench, "bid", "bv", minCosine = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 4L))
+    assert(out(1L)._1 === 10L && out(1L)._2 > 0.99)
+    assert(out(2L)._1 === 20L)
+    assert(out(4L) === (10L, 0.70711)) // exact tie -> smallest bench id
+    // the bench side must be the broadcast side
+    val plan = Decontam.semanticContamination(corpus, "id", "v",
+        bench, "bid", "bv", 0.7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("BloomMightContain: no false negatives, codegen path, null in → null out") {
     val keys = (1 to 1000).map(i => s"key-$i").toDF("k")
     val bloom = spark.sparkContext.broadcast(

@@ -26,6 +26,24 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Seq(0L, 2L, 3L, 4L)) // id 1 deduped against id 0
   }
 
+  test("keepBestByKey: max score wins, ties to smallest id, null keys all kept") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "k1", 5L), (2L, "k1", 9L),   // 2 wins on score
+      (3L, "k2", 4L), (4L, "k2", 4L),   // tie -> 3 wins on id
+      (5L, null.asInstanceOf[String], 0L),
+      (6L, null.asInstanceOf[String], 0L) // null keys: both kept
+    ).toDF("id", "k", "sc")
+    val kept = Dedup.keepBestByKey(docs, "id", col("k"), col("sc"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 5L, 6L))
+    // non-integral id refuses loudly (the negated tie-break contract)
+    val bad = Seq(("a", "k", 1L)).toDF("id", "k", "sc")
+    val e = intercept[IllegalArgumentException](
+      Dedup.keepBestByKey(bad, "id", col("k"), col("sc")))
+    assert(e.getMessage.contains("must be integral"))
+  }
+
   test("incremental dedup drops cross-batch and in-batch dups, registry persists") {
     val reg = java.nio.file.Files.createTempDirectory("graft-dd-reg")
       .toString + "/registry"
