@@ -18,6 +18,39 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Evaluate `c` exactly once per row and hand the result to `f` as
+    * a LAMBDA-BOUND variable — the hard staging barrier projection
+    * aliases do not give: the optimizer (CollapseProject, predicate
+    * pushdown) freely substitutes alias references with their defining
+    * expression, and any substitution landing inside a higher-order-
+    * function lambda re-evaluates it once per ELEMENT (the arr1 rule's
+    * failure mode — a tokenizer inlined into a shingle lambda runs
+    * once per position; measured 100x slowdowns). A lambda variable
+    * cannot be substituted into: references inside `f` stay O(1)
+    * reads of the already-evaluated value no matter what the
+    * optimizer rewrites around it. Spelled as a 1-element
+    * transform + element_at, both codegen-fallback but evaluated once.
+    */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), v => f(v)), 1)
+
+  /** num/den as a double, 0.0 on an empty denominator — the shared
+    * fraction convention of the Gopher signal families ([[graft.
+    * operators.Repetition]] / [[graft.operators.QualityRules]]): a
+    * single division of exactly-counted integers, so engines agree
+    * bit for bit.
+    */
+  def safeRatio(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den.cast("double"))
+      .otherwise(lit(0.0))
+
+  /** `re`-split units of `text`, trimmed, empties dropped — the shared
+    * line/paragraph splitter of the Gopher families (CRLF-safe with
+    * `\r?\n`-style patterns).
+    */
+  def trimmedNonEmptyUnits(text: Column, re: String): Column =
+    filter(transform(split(text, re), u => trim(u)), u => u =!= "")
+
   /** Lowercased whitespace tokens, empties removed. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)

@@ -98,17 +98,23 @@ object Decontam {
                                n: Int, fpp: Double = 0.01,
                                expectedGrams: Long = -1L): DataFrame = {
     val spark = corpus.sparkSession
+    // persisted: the distinct gram pipeline (a shuffle) is read up to
+    // three times — the sizing count, the bloom build, and the exact
+    // confirm join — and would otherwise re-tokenize the whole bench
+    // for each; released after the result's first job (the keep-first
+    // listener discipline)
     val benchGrams =
       bench.select(TextAnalysis.tokens(col(benchTextCol)).as("_toks"))
         .select(explode(TextAnalysis.shinglesFromTokens(col("_toks"), n))
           .as("_gram"))
         .distinct()
+        .persist()
     val expected =
       if (expectedGrams > 0) expectedGrams
       else math.max(1L, benchGrams.count())
     val bloom = spark.sparkContext.broadcast(
       buildStringBloom(benchGrams, "_gram", expected, fpp))
-    corpus
+    val report = corpus
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(col(idCol),
         explode(TextAnalysis.shinglesFromTokens(col("_toks"), n)).as("_gram"))
@@ -116,6 +122,7 @@ object Decontam {
       .join(benchGrams, Seq("_gram"))
       .groupBy(idCol)
       .agg(count_distinct(col("_gram")).cast("long").as("n_hit_ngrams"))
+    Dedup.materializeAndRelease(benchGrams, report)
   }
 
   /** Embedding-space decontamination — the semantic sibling of the
@@ -132,24 +139,25 @@ object Decontam {
     * is never shuffled; the only aggregation is over the surviving
     * hits, a benchmark-sized trickle. Cosines are rounded to
     * `roundTo` BEFORE thresholding and argmax, so engines can't
-    * disagree at the boundary.
+    * disagree at the boundary. Zero-norm vectors (failed embeds,
+    * padding rows) give a NaN cosine, and Spark's ordering treats NaN
+    * as greater than everything — the explicit `!isnan` keeps them
+    * out instead of flagging them against every benchmark row.
     */
   def semanticContamination(corpus: DataFrame, idCol: String, vecCol: String,
                             bench: DataFrame, benchIdCol: String,
                             benchVecCol: String, minCosine: Double,
                             roundTo: Int = 5): DataFrame = {
-    Checks.requireIntegral(bench, benchIdCol, "semanticContamination",
-      "the bench id rides a negated max(struct) tie-break")
     val b = broadcast(bench.select(col(benchIdCol).as("_bid"),
       col(benchVecCol).as("_bv")))
     val cos = round(graft.functions.VectorOps.cosine(col("_cv"), col("_bv")),
       roundTo)
     corpus.select(col(idCol), col(vecCol).as("_cv"))
-      .join(b, cos >= minCosine)
+      .join(b, cos >= minCosine && !isnan(cos))
       .groupBy(idCol)
-      .agg(max(struct(cos.as("_c"), (-col("_bid")).as("_nb"))).as("_best"))
-      .select(col(idCol), (-col("_best._nb")).as("bench_id"),
-        col("_best._c").as("cosine"))
+      .agg(graft.plans.ExtremumBy.idxmax(cos, col("_bid")).as("bench_id"),
+        max(cos).as("cosine"))
+      .select(col(idCol), col("bench_id"), col("cosine"))
   }
 
   /** Span-level contamination — the "13-gram overlap" recipe of the

@@ -112,23 +112,22 @@ object Dedup {
     * earliest id. Null-key rows are all kept (no key, no group).
     *
     * Same scale shape as keep-first: one narrow aggregate on (key →
-    * best (score, id)) and a semi-join back on the id — scores and
-    * ids shuffle, never the payload. The (score, id) pair rides a
-    * single max() over a struct (lexicographic), with the id NEGATED
-    * so max prefers the smallest id on score ties — which is why the
-    * id must be integral (checked loudly); string-keyed corpora use
-    * [[keepFirstByKey]].
+    * best id) and a semi-join back on the id — scores and ids
+    * shuffle, never the payload. The winner rides
+    * [[graft.plans.ExtremumBy.idxmax]] (the native idxmax
+    * DeclarativeAggregate): deterministic smallest-id tie-break, any
+    * orderable id type, and NaN scores never win — exactly the traps
+    * of the struct(score, -id) max() workaround that ExtremumBy
+    * exists to replace.
     */
   def keepBestByKey(docs: DataFrame, idCol: String,
                     key: org.apache.spark.sql.Column,
                     score: org.apache.spark.sql.Column): DataFrame = {
-    Checks.requireIntegral(docs, idCol, "keepBestByKey")
     val keep = docs
       .filter(key.isNotNull)
       .groupBy(key.as("_kbk"))
-      .agg(max(struct(score.as("_s"), (-col(idCol)).as("_negid")))
-        .as("_best"))
-      .select((-col("_best._negid")).as(idCol))
+      .agg(graft.plans.ExtremumBy.idxmax(score, col(idCol)).as(idCol))
+      .drop("_kbk")
     docs.filter(key.isNull)
       .unionByName(docs.join(keep, Seq(idCol), "left_semi"))
   }

@@ -183,7 +183,12 @@ object LanguageModel {
       struct(col(groupCol), (-col("mean_logp")).as("_negp"), col(idCol)))
     val grpStats = ranked.groupBy(groupCol)
       .agg(min("ordinal").as("_g0"), count(lit(1)).as("_n"))
-    ranked.join(broadcast(grpStats), Seq(groupCol))
+      .withColumnRenamed(groupCol, "_grp")
+    // null-SAFE group join: a null group (unknown language/source) is
+    // its own bucket group, not silently dropped — the repo's null-key
+    // discipline (an equi-join would never match the null rows)
+    ranked.join(broadcast(grpStats), col(groupCol) <=> col("_grp"))
+      .drop("_grp")
       .withColumn("_rn", col("ordinal") - col("_g0") + 1L)
       .select(col(idCol), col(groupCol), col("mean_logp"),
         when(col("_rn") * 3 <= col("_n"), lit("head"))

@@ -10,11 +10,13 @@ import graft.functions.TextAnalysis
   * word ratio, bullet/ellipsis line shares, alphabetic-word share,
   * and the required-stopword check.
   *
-  * Everything is a PER-ROW expression over one staged tokenizer /
-  * line-split pass — zero shuffle, scan-bound, embarrassingly
-  * parallel at 100 TB. Every emitted fraction is a single double
-  * division of exactly-counted integers, so any engine replays the
-  * values bit-for-bit.
+  * Everything is a PER-ROW expression over one lambda-bound
+  * tokenizer / line-split evaluation ([[TextAnalysis.bindOnce]] — the
+  * staging barrier that survives predicate pushdown; see
+  * [[Repetition.signalsStruct]]'s note) — zero shuffle, scan-bound,
+  * embarrassingly parallel at 100 TB. Every emitted fraction is a
+  * single double division of exactly-counted integers, so any engine
+  * replays the values bit-for-bit.
   *
   * Signal definitions (tokens = lowercased whitespace words; lines =
   * `\r?\n`-split, trimmed, empties dropped):
@@ -24,7 +26,9 @@ import graft.functions.TextAnalysis
   *  - `bullet_start_frac` / `ellipsis_end_frac`: share of lines
   *    starting with a bullet (one of `•` `*` `-`) / ending with
   *    `...` or `…`
-  *  - `alpha_word_frac`: share of words containing a letter
+  *  - `alpha_word_frac`: share of words containing a letter in ANY
+  *    script (`\p{L}` — an ASCII-only class would zero out every
+  *    non-Latin corpus and the filter would drop all of it)
   *  - `stop_hits`: how many of Gopher's eight required stopwords
   *    (the, be, to, of, and, that, have, with) occur at least once
   */
@@ -37,49 +41,58 @@ object QualityRules {
     "symbol_word_ratio", "bullet_start_frac", "ellipsis_end_frac",
     "alpha_word_frac", "stop_hits")
 
-  private def ratio(num: Column, den: Column): Column =
-    when(den > 0, num.cast("double") / den.cast("double"))
-      .otherwise(lit(0.0))
-
-  /** Non-overlapping occurrences of literal `lit` in `text`, counted
+  /** Non-overlapping occurrences of literal `s` in `text`, counted
     * by length delta — no regex, replays as `replace()` anywhere.
     */
   private def literalCount(text: Column, s: String): Column =
     ((length(text) - length(replace(text, lit(s), lit("")))) /
       s.length).cast("long")
 
-  /** `docs` plus the seven signal columns (original columns kept). */
+  /** The seven signals as ONE struct expression over a single bound
+    * (text, tokens, lines) evaluation.
+    */
+  private def signalsStruct(text: Column,
+                            stopwords: Seq[String]): Column =
+    TextAnalysis.bindOnce(struct(
+      text.as("txt"),
+      TextAnalysis.tokens(text).as("toks"),
+      TextAnalysis.trimmedNonEmptyUnits(text, "\\r?\\n").as("lns"))) { s =>
+      val txt = s.getField("txt")
+      val toks = s.getField("toks")
+      val lns = s.getField("lns")
+      val n = size(toks)
+      val sumTokLen =
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      val alphaWords =
+        size(filter(toks, t => t.rlike("\\p{L}")))
+      val bulletLines = size(filter(lns,
+        l => substring(l, 1, 1).isin("•", "*", "-")))
+      val ellipsisLines = size(filter(lns,
+        l => l.endsWith("...") || l.endsWith("…")))
+      val stopHits = stopwords
+        .map(w => when(array_contains(toks, w), 1L).otherwise(0L))
+        .foldLeft(lit(0L))(_ + _)
+      struct(
+        n.cast("long").as("n_words"),
+        TextAnalysis.safeRatio(sumTokLen, n).as("mean_word_len"),
+        TextAnalysis.safeRatio(literalCount(txt, "#") +
+          literalCount(txt, "..."), n).as("symbol_word_ratio"),
+        TextAnalysis.safeRatio(bulletLines, size(lns))
+          .as("bullet_start_frac"),
+        TextAnalysis.safeRatio(ellipsisLines, size(lns))
+          .as("ellipsis_end_frac"),
+        TextAnalysis.safeRatio(alphaWords, n).as("alpha_word_frac"),
+        stopHits.as("stop_hits"))
+    }
+
+  /** `docs` plus the seven signal columns (original columns kept).
+    * The struct expands through the `inline` generator — one
+    * evaluation per row, see [[Repetition.withSignals]]'s note.
+    */
   def withSignals(docs: DataFrame, textCol: String,
-                  stopwords: Seq[String] = GopherStopwords): DataFrame = {
-    val keep = docs.columns.map(col).toSeq
-    val staged = docs
-      .withColumn("_toks", TextAnalysis.tokens(col(textCol)))
-      .withColumn("_lns",
-        filter(transform(split(col(textCol), "\\r?\\n"), u => trim(u)),
-          u => u =!= ""))
-    val n = size(col("_toks"))
-    val nLines = size(col("_lns"))
-    val sumTokLen =
-      aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t))
-    val alphaWords =
-      size(filter(col("_toks"), t => t.rlike("[a-z]")))
-    val bulletLines = size(filter(col("_lns"),
-      l => substring(l, 1, 1).isin("•", "*", "-")))
-    val ellipsisLines = size(filter(col("_lns"),
-      l => l.endsWith("...") || l.endsWith("…")))
-    val stopHits = stopwords
-      .map(w => when(array_contains(col("_toks"), w), 1L).otherwise(0L))
-      .reduce(_ + _)
-    staged.select(keep ++ Seq(
-      n.cast("long").as("n_words"),
-      ratio(sumTokLen, n).as("mean_word_len"),
-      ratio(literalCount(col(textCol), "#") +
-        literalCount(col(textCol), "..."), n).as("symbol_word_ratio"),
-      ratio(bulletLines, nLines).as("bullet_start_frac"),
-      ratio(ellipsisLines, nLines).as("ellipsis_end_frac"),
-      ratio(alphaWords, n).as("alpha_word_frac"),
-      stopHits.as("stop_hits")): _*)
-  }
+                  stopwords: Seq[String] = GopherStopwords): DataFrame =
+    docs.select(docs.columns.map(col).toSeq :+
+      inline(array(signalsStruct(col(textCol), stopwords))): _*)
 
   /** id + the seven signals, the audit/report face. */
   def signals(docs: DataFrame, idCol: String, textCol: String,
@@ -91,7 +104,10 @@ object QualityRules {
     * columns): 50 <= words <= 100000, 3 <= mean word length <= 10,
     * symbol ratio <= 0.1, bullet lines <= 90%, ellipsis lines <= 30%,
     * >= 80% alphabetic words, >= 2 required stopwords. Bounds are
-    * overridable for corpora whose register differs from web text.
+    * overridable for corpora whose register differs from web text
+    * (minStopHits = 0 with an empty list disables that rule). The
+    * whole rule set is ONE predicate over the bound signal struct —
+    * see [[Repetition.gopherFilter]]'s pushdown note.
     */
   def gopherFilter(docs: DataFrame, textCol: String,
                    minWords: Long = 50L, maxWords: Long = 100000L,
@@ -102,15 +118,19 @@ object QualityRules {
                    maxEllipsisFrac: Double = 0.3,
                    minAlphaFrac: Double = 0.8,
                    minStopHits: Long = 2L,
-                   stopwords: Seq[String] = GopherStopwords): DataFrame =
-    withSignals(docs, textCol, stopwords)
-      .filter(col("n_words") >= minWords && col("n_words") <= maxWords &&
-        col("mean_word_len") >= minMeanWordLen &&
-        col("mean_word_len") <= maxMeanWordLen &&
-        col("symbol_word_ratio") <= maxSymbolRatio &&
-        col("bullet_start_frac") <= maxBulletFrac &&
-        col("ellipsis_end_frac") <= maxEllipsisFrac &&
-        col("alpha_word_frac") >= minAlphaFrac &&
-        col("stop_hits") >= minStopHits)
-      .select(docs.columns.map(col).toSeq: _*)
+                   stopwords: Seq[String] = GopherStopwords): DataFrame = {
+    val pass = TextAnalysis.bindOnce(
+      signalsStruct(col(textCol), stopwords)) { s =>
+      s.getField("n_words") >= minWords &&
+        s.getField("n_words") <= maxWords &&
+        s.getField("mean_word_len") >= minMeanWordLen &&
+        s.getField("mean_word_len") <= maxMeanWordLen &&
+        s.getField("symbol_word_ratio") <= maxSymbolRatio &&
+        s.getField("bullet_start_frac") <= maxBulletFrac &&
+        s.getField("ellipsis_end_frac") <= maxEllipsisFrac &&
+        s.getField("alpha_word_frac") >= minAlphaFrac &&
+        s.getField("stop_hits") >= minStopHits
+    }
+    docs.filter(pass)
+  }
 }

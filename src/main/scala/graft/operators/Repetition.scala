@@ -127,47 +127,68 @@ object Repetition {
   private def totalChars(units: Column): Column =
     aggregate(units, lit(0L), (acc, u) => acc + length(u).cast("long"))
 
-  private def ratio(num: Column, den: Column): Column =
-    when(den > 0, num.cast("double") / den.cast("double"))
-      .otherwise(lit(0.0))
+  /** The thirteen signals as one struct — the native compiled kernel
+    * ([[graft.plans.TokenRepetitionSignals]]): one pass, hash-map
+    * counts, whole-stage-codegen friendly. Bit-identical to
+    * [[signalsStructHof]] (differential-tested in RepetitionSpec).
+    */
+  private def signalsStruct(text: Column): Column =
+    graft.plans.TokenRepetitionSignals(text)
+
+  /** The interpreted higher-order-function reference the kernel is
+    * pinned against: one lambda-bound (tokens, sorted lines, sorted
+    * paragraphs, char length) evaluation — [[TextAnalysis.bindOnce]]
+    * is the staging barrier here, NOT projection aliases: the
+    * optimizer inlines aliases into filter predicates and downstream
+    * lambdas, and an inlined tokenizer inside a shingle lambda
+    * re-runs once per position (measured: the per-alias spelling cost
+    * 100 s-class filter passes at sf0.1; this shape is seconds, the
+    * kernel is milliseconds). Inside the binding every reference is
+    * an O(1) read of the evaluated struct; each gram width's
+    * build+sort appears exactly once.
+    */
+  private[graft] def signalsStructHof(text: Column): Column =
+    TextAnalysis.bindOnce(struct(
+      TextAnalysis.tokens(text).as("toks"),
+      array_sort(TextAnalysis.trimmedNonEmptyUnits(text, "\\r?\\n"))
+        .as("lns"),
+      array_sort(TextAnalysis.trimmedNonEmptyUnits(text,
+        "\\r?\\n\\s*\\r?\\n")).as("prs"),
+      length(text).cast("long").as("tlen"))) { s =>
+      val toks = s.getField("toks")
+      val lns = s.getField("lns")
+      val prs = s.getField("prs")
+      val tlen = s.getField("tlen")
+      def sorted(n: Int) =
+        array_sort(TextAnalysis.shinglesFromTokens(toks, n))
+      val sigs = Seq(
+        TextAnalysis.safeRatio(size(lns) - size(array_distinct(lns)),
+          size(lns)).as("dup_line_frac"),
+        TextAnalysis.safeRatio(size(prs) - size(array_distinct(prs)),
+          size(prs)).as("dup_para_frac"),
+        TextAnalysis.safeRatio(repeatChars(lns), totalChars(lns))
+          .as("dup_line_char_frac"),
+        TextAnalysis.safeRatio(repeatChars(prs), totalChars(prs))
+          .as("dup_para_char_frac")) ++
+        (2 to 4).map(n => TextAnalysis.safeRatio(topRunChars(sorted(n)),
+          tlen).as(s"top_${n}gram_char_frac")) ++
+        (5 to 10).map(n => TextAnalysis.safeRatio(
+          dupAllOccChars(sorted(n)), tlen).as(s"dup_${n}gram_char_frac"))
+      // built in GopherThresholds order — that IS the contract
+      struct(sigs: _*)
+    }
 
   /** `docs` plus the thirteen signal columns (original columns kept —
-    * the filter face reuses this). Internal staging: token / line /
-    * paragraph / sorted-gram arrays land in their own projections so
-    * each is computed at most a handful of times per row even where
-    * the optimizer inlines them (each alias has <= 4 per-ROW
-    * references; the per-ELEMENT hot loops never touch them — see the
-    * run-scan note above).
+    * the filter face uses [[gopherFilter]]'s single-predicate shape
+    * instead of this projection). The struct expands through the
+    * `inline` GENERATOR, which evaluates it once per row — thirteen
+    * `getField` projections would each re-evaluate the kernel
+    * (measured ~13x on the signals face).
     */
   def withSignals(docs: DataFrame, textCol: String): DataFrame = {
     val keep = docs.columns.map(col).toSeq
-    val trimmedUnits = (re: String) =>
-      filter(transform(split(col(textCol), re), u => trim(u)),
-        u => u =!= "")
-    val staged = docs
-      .withColumn("_toks", TextAnalysis.tokens(col(textCol)))
-      .withColumn("_lns", array_sort(trimmedUnits("\\r?\\n")))
-      .withColumn("_prs", array_sort(trimmedUnits("\\r?\\n\\s*\\r?\\n")))
-    val withGrams = (2 to 10).foldLeft(staged) { (d, n) =>
-      d.withColumn(s"_s$n",
-        array_sort(TextAnalysis.shinglesFromTokens(col("_toks"), n)))
-    }
-    val tlen = length(col(textCol)).cast("long")
-    val sigs = Seq(
-      ratio(size(col("_lns")) - size(array_distinct(col("_lns"))),
-        size(col("_lns"))).as("dup_line_frac"),
-      ratio(size(col("_prs")) - size(array_distinct(col("_prs"))),
-        size(col("_prs"))).as("dup_para_frac"),
-      ratio(repeatChars(col("_lns")), totalChars(col("_lns")))
-        .as("dup_line_char_frac"),
-      ratio(repeatChars(col("_prs")), totalChars(col("_prs")))
-        .as("dup_para_char_frac")) ++
-      (2 to 4).map(n => ratio(topRunChars(col(s"_s$n")), tlen)
-        .as(s"top_${n}gram_char_frac")) ++
-      (5 to 10).map(n => ratio(dupAllOccChars(col(s"_s$n")), tlen)
-        .as(s"dup_${n}gram_char_frac"))
-    // sigs is built in GopherThresholds order — that IS the contract
-    withGrams.select(keep ++ sigs: _*)
+    docs.select(keep :+
+      inline(array(signalsStruct(col(textCol)))): _*)
   }
 
   /** doc id + the thirteen signals, the audit/report face. */
@@ -178,15 +199,21 @@ object Repetition {
   /** Survivors of the Gopher repetition rules (original columns):
     * drop when any signal strictly exceeds its published threshold.
     * Pass `thresholds` to tighten/loosen individual rules.
+    *
+    * The whole rule set is ONE predicate expression over the single
+    * bound signal struct — filtering on 13 projected signal columns
+    * would let predicate pushdown inline 13 copies of the full
+    * signal pipeline into the filter.
     */
   def gopherFilter(docs: DataFrame, textCol: String,
                    thresholds: Seq[(String, Double)] = GopherThresholds)
       : DataFrame = {
-    val bad = thresholds.iterator
-      .map { case (n, t) => col(n) > t }
-      .reduce(_ || _)
-    withSignals(docs, textCol)
-      .filter(!bad)
-      .select(docs.columns.map(col).toSeq: _*)
+    require(thresholds.nonEmpty, "gopherFilter: empty thresholds")
+    val pass = TextAnalysis.bindOnce(signalsStruct(col(textCol))) { s =>
+      thresholds.iterator
+        .map { case (n, t) => s.getField(n) <= t }
+        .reduce(_ && _)
+    }
+    docs.filter(pass)
   }
 }

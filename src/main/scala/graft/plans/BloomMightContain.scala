@@ -30,6 +30,16 @@ import org.apache.spark.util.sketch.BloomFilter
 case class BloomMightContain(child: Expression, bloom: Broadcast[BloomFilter])
     extends UnaryExpression {
 
+  // fail at ANALYSIS on a non-string child, not with a codegen
+  // compile error / executor ClassCastException mid-job
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"BloomMightContain requires a STRING child " +
+          s"(BloomFilter.putString semantics), got ${child.dataType}")
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable
 

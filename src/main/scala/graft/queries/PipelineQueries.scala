@@ -451,7 +451,9 @@ object PipelineQueries {
         .select("doc_id")
         .orderBy("doc_id")
     }),
-    // the end-to-end curation chain as ONE lazy plan: Gopher quality
+    // the end-to-end curation chain as ONE call (lazy up to the
+    // perplexity stage, whose prefix-sum rank runs eager count jobs
+    // by design — see ordinalByKey): Gopher quality
     // rules (stopword bound loosened to 1 — the synthetic vocab only
     // carries "the") -> Gopher repetition rules -> exact dedup
     // keep-first -> self-trained perplexity buckets per source, tail
@@ -1884,7 +1886,7 @@ object PipelineQueries {
          |    CAST(len(list_filter(lns, l -> l LIKE '%...' OR l LIKE '%…'))
          |      AS DOUBLE) / len(lns) ELSE 0.0 END AS ellipsis_end_frac,
          |  CASE WHEN len(toks) > 0 THEN
-         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '\p{L}')))
          |      AS DOUBLE) / len(toks) ELSE 0.0 END AS alpha_word_frac,
          |  (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
          |   CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END +

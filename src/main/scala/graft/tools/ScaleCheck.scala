@@ -136,6 +136,19 @@ object ScaleCheck {
       graft.operators.Repetition.signals(scaled, "doc_id", "text")
         .filter(col("dup_5gram_char_frac") >= 0).count()
     }
+    time("qualitySignals") {
+      // one staged tokenizer/line pass per row — scan-bound
+      graft.operators.QualityRules.signals(scaled, "doc_id", "text")
+        .filter(col("n_words") >= 0).count()
+    }
+    time("perplexityBuckets") {
+      // bigram train (two counted shuffles) + scoring join + the
+      // prefix-sum rank: linear, no per-group window
+      val grouped = scaled.withColumn("source",
+        (col("doc_id") % 4).cast("string"))
+      graft.operators.LanguageModel.perplexityBuckets(grouped, grouped,
+        "doc_id", "text", "source").count()
+    }
     time("klContributions") {
       // two vocab-bounded count shuffles + a vocab-sized join: output
       // is the UNION VOCABULARY (flat as the corpus grows — Zipf),

@@ -37,11 +37,14 @@ class DedupSpec extends AnyFunSuite {
     val kept = Dedup.keepBestByKey(docs, "id", col("k"), col("sc"))
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(2L, 3L, 5L, 6L))
-    // non-integral id refuses loudly (the negated tie-break contract)
-    val bad = Seq(("a", "k", 1L)).toDF("id", "k", "sc")
-    val e = intercept[IllegalArgumentException](
-      Dedup.keepBestByKey(bad, "id", col("k"), col("sc")))
-    assert(e.getMessage.contains("must be integral"))
+    // string ids work (ExtremumBy ties break on the id's own order),
+    // and a NaN score never wins its group
+    val sdocs = Seq(
+      ("a", "k1", 1.0), ("b", "k1", Double.NaN), ("c", "k1", 2.0)
+    ).toDF("id", "k", "sc")
+    val skept = Dedup.keepBestByKey(sdocs, "id", col("k"), col("sc"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(skept === Set("c"))
   }
 
   test("incremental dedup drops cross-batch and in-batch dups, registry persists") {

@@ -114,7 +114,9 @@ class LanguageModelSpec extends AnyFunSuite {
     // two groups; fluent docs reuse the corpus's dominant bigrams,
     // junk docs use rare transitions — ranking is nontrivial
     val docs = (1L to 14L).map { i =>
-      val g = if (i % 2 == 0) "web" else "books"
+      // a null group is ITS OWN bucket group, not dropped
+      val g = if (i > 12) null
+        else if (i % 2 == 0) "web" else "books"
       val text =
         if (i <= 4) "the cat sat on the mat the cat sat"
         else if (i <= 9) s"the cat ran f$i on a mat"
@@ -138,13 +140,15 @@ class LanguageModelSpec extends AnyFunSuite {
           .otherwise("tail").as("bucket"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === want)
-    // 7 docs per group -> 2 head, 2 middle, 3 tail
-    val perGroup = got.groupBy { case (id, _) => id % 2 }
-      .map { case (_, m) => m.values.groupBy(identity).view
-        .mapValues(_.size).toMap }
-    perGroup.foreach { counts =>
-      assert(counts === Map("head" -> 2, "middle" -> 2, "tail" -> 3))
-    }
+    assert(got.size === 14) // the null-group docs are present, not dropped
+    // 6 docs per named group -> 2/2/2; the 2-doc null group -> 0/1/1
+    val perGroup = got.groupBy { case (id, _) =>
+      if (id > 12) "null" else if (id % 2 == 0) "web" else "books"
+    }.map { case (g, m) => g -> m.values.groupBy(identity).view
+      .mapValues(_.size).toMap }
+    assert(perGroup("web") === Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    assert(perGroup("books") === Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    assert(perGroup("null") === Map("middle" -> 1, "tail" -> 1))
   }
 
   test("broadcastUnigrams=false scores bit-identically to the default") {

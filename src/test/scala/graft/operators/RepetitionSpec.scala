@@ -84,6 +84,40 @@ class RepetitionSpec extends AnyFunSuite {
     assert(kept.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 4L))
   }
 
+  test("native kernel ≡ HOF reference on adversarial strings (all 13 signals, bit-exact)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(1234)
+    val adversarial = Seq(
+      "", " ", "\n", "\r\n\r\n", "a", "a a a a a a",
+      "line one\r\nline one\r\nline two",          // CRLF line identity
+      "p1 p1\n\n  \n\np1 p1",                      // blank-with-spaces para split
+      "İstanbul İstanbul İstanbul", // Turkish dotted I
+      "Σος σος Σος", // final sigma
+      "中文 分词 中文 分词 中文",
+      "😀 🚀 😀 🚀 😀 🚀",                          // supplementary planes
+      "tab\tsepvt\fff\rcr mix tab\tsep",
+      " padded  line \n padded  line \nx",
+      ("tok " * 30).trim + "\n" + ("tok " * 30).trim
+    ) ++ (0 until 60).map { _ =>
+      val vocab = Seq("la", "la", "the", "café", "😀", "x1", "\tt", "word")
+      (0 until rnd.nextInt(50)).map(_ =>
+        if (rnd.nextInt(6) == 0) "\n" else vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    }
+    val df = adversarial.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val kernel = df.select(col("id"),
+      graft.plans.TokenRepetitionSignals(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1).toSeq).toMap
+    val hof = df.select(col("id"),
+      Repetition.signalsStructHof(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1).toSeq).toMap
+    assert(kernel.keySet === hof.keySet)
+    kernel.foreach { case (id, ks) =>
+      assert(ks === hof(id), s"signal mismatch for doc $id") // bit-exact
+    }
+  }
+
   test("zero-shuffle plan: the sweep is a single scan-shaped stage") {
     val docs = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
     val plan = Repetition.signals(docs, "doc_id", "text")
