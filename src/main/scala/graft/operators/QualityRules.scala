@@ -118,9 +118,25 @@ object QualityRules {
                    maxEllipsisFrac: Double = 0.3,
                    minAlphaFrac: Double = 0.8,
                    minStopHits: Long = 2L,
-                   stopwords: Seq[String] = GopherStopwords): DataFrame = {
-    val pass = TextAnalysis.bindOnce(
-      signalsStruct(col(textCol), stopwords)) { s =>
+                   stopwords: Seq[String] = GopherStopwords): DataFrame =
+    docs.filter(gopherPass(col(textCol), minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, maxBulletFrac,
+      maxEllipsisFrac, minAlphaFrac, minStopHits, stopwords))
+
+  /** The filter's predicate as a boolean Column — composable into
+    * reports and multi-rule sweeps ([[CorpusReport]]).
+    */
+  def gopherPass(text: Column,
+                 minWords: Long = 50L, maxWords: Long = 100000L,
+                 minMeanWordLen: Double = 3.0,
+                 maxMeanWordLen: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1,
+                 maxBulletFrac: Double = 0.9,
+                 maxEllipsisFrac: Double = 0.3,
+                 minAlphaFrac: Double = 0.8,
+                 minStopHits: Long = 2L,
+                 stopwords: Seq[String] = GopherStopwords): Column =
+    TextAnalysis.bindOnce(signalsStruct(text, stopwords)) { s =>
       s.getField("n_words") >= minWords &&
         s.getField("n_words") <= maxWords &&
         s.getField("mean_word_len") >= minMeanWordLen &&
@@ -131,6 +147,4 @@ object QualityRules {
         s.getField("alpha_word_frac") >= minAlphaFrac &&
         s.getField("stop_hits") >= minStopHits
     }
-    docs.filter(pass)
-  }
 }

@@ -207,13 +207,22 @@ object Repetition {
     */
   def gopherFilter(docs: DataFrame, textCol: String,
                    thresholds: Seq[(String, Double)] = GopherThresholds)
-      : DataFrame = {
-    require(thresholds.nonEmpty, "gopherFilter: empty thresholds")
-    val pass = TextAnalysis.bindOnce(signalsStruct(col(textCol))) { s =>
+      : DataFrame =
+    docs.filter(gopherPass(col(textCol), thresholds))
+
+  /** The filter's predicate as a boolean Column — composable into
+    * reports and multi-rule sweeps ([[CorpusReport]]); one signal
+    * evaluation per row regardless of how many thresholds reference
+    * it.
+    */
+  def gopherPass(text: Column,
+                 thresholds: Seq[(String, Double)] = GopherThresholds)
+      : Column = {
+    require(thresholds.nonEmpty, "gopherPass: empty thresholds")
+    TextAnalysis.bindOnce(signalsStruct(text)) { s =>
       thresholds.iterator
         .map { case (n, t) => s.getField(n) <= t }
         .reduce(_ && _)
     }
-    docs.filter(pass)
   }
 }

@@ -473,6 +473,28 @@ object PipelineQueries {
         .select("doc_id", "source", "bucket")
         .orderBy("doc_id")
     }),
+    // the per-source data-card report: volume + what each rule family
+    // would remove + exact-dup mass, all INTEGER counts (float means
+    // would hash-differ on addition order). Plants per source: quality
+    // passers (+70000 stopword suffix), repetition failers (+60000
+    // doubled tokens), exact dups (+120000 verbatim copies)
+    "rep1_corpus_report" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "source", "text")
+      val corpus = docs
+        .unionByName(docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 70000).as("doc_id"), col("source"),
+            concat(col("text"),
+              lit(" the be to of and that have with")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 60000).as("doc_id"), col("source"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 120000).as("doc_id"), col("source"),
+            col("text")))
+      graft.operators.CorpusReport.bySource(corpus, "text", "source",
+          minStopHits = 1L)
+        .orderBy("source")
+    }),
     // leakage-safe group split: all docs of a source land in ONE split
     // (the near-dup-leakage guard); md5 group draw, full oracle
     "sm4_group_split" -> ((s, d) => {
@@ -3467,6 +3489,53 @@ object PipelineQueries {
            |         ELSE 'tail' END AS bucket
            |  FROM g)
            |WHERE bucket <> 'tail' ORDER BY doc_id""".stripMargin,
+    // both signal fragments replayed over the planted report corpus,
+    // then one integer-only rollup per source
+    "rep1_corpus_report" ->
+      raw"""WITH rc AS (
+           |  SELECT doc_id, source, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 70000, source,
+           |         text || ' the be to of and that have with'
+           |  FROM documents WHERE doc_id % 20 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 60000, source, text || ' ' || text
+           |  FROM documents WHERE doc_id % 40 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 120000, source, text
+           |  FROM documents WHERE doc_id % 50 = 0),
+           |${qualitySigSql("SELECT doc_id, text FROM rc", "q_")},
+           |${repetitionSigSql("SELECT doc_id, text FROM rc", "r_")}
+           |SELECT rc.source,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(len(qb.toks)) AS BIGINT) AS n_tokens,
+           |  CAST(sum(length(rc.text)) AS BIGINT) AS n_chars,
+           |  CAST(sum(CASE WHEN NOT (q.n_words >= 50 AND q.n_words <= 100000
+           |    AND q.mean_word_len >= 3.0 AND q.mean_word_len <= 10.0
+           |    AND q.symbol_word_ratio <= 0.1
+           |    AND q.bullet_start_frac <= 0.9 AND q.ellipsis_end_frac <= 0.3
+           |    AND q.alpha_word_frac >= 0.8 AND q.stop_hits >= 1)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_quality,
+           |  CAST(sum(CASE WHEN NOT (r.dup_line_frac <= 0.30
+           |    AND r.dup_para_frac <= 0.30 AND r.dup_line_char_frac <= 0.20
+           |    AND r.dup_para_char_frac <= 0.20
+           |    AND r.top_2gram_char_frac <= 0.20
+           |    AND r.top_3gram_char_frac <= 0.18
+           |    AND r.top_4gram_char_frac <= 0.16
+           |    AND r.dup_5gram_char_frac <= 0.15
+           |    AND r.dup_6gram_char_frac <= 0.14
+           |    AND r.dup_7gram_char_frac <= 0.13
+           |    AND r.dup_8gram_char_frac <= 0.12
+           |    AND r.dup_9gram_char_frac <= 0.11
+           |    AND r.dup_10gram_char_frac <= 0.10)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_repetition,
+           |  CAST(count(*) - count(DISTINCT md5(rc.text)) AS BIGINT)
+           |    AS n_exact_dup
+           |FROM rc
+           |JOIN q_b qb ON qb.doc_id = rc.doc_id
+           |JOIN q_sig q ON q.doc_id = rc.doc_id
+           |JOIN r_sig r ON r.doc_id = rc.doc_id
+           |GROUP BY rc.source ORDER BY rc.source""".stripMargin,
     "t14_gopher_quality_signals" ->
       s"""WITH ${qualitySigSql(qualityCorpusSql)}
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class CorpusReportSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bySource: integer rollup of volume, rule failures, exact dups") {
+    // passes BOTH rule families: 60 words, 2 stopwords, distinct
+    // tokens (no repeated grams), mean word length ~6
+    val clean = "the and " + (3 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, "web", clean),
+      (2L, "web", clean),            // exact dup of 1
+      // fails quality (word count) AND repetition: its one 2-gram
+      // covers 100% of chars — Gopher's top-gram rule assumes web-
+      // length docs, the word-count rule is what's meant to catch this
+      (3L, "web", "tiny doc"),
+      (4L, "book", ("spam " * 60).trim) // fails repetition AND quality
+    ).toDF("doc_id", "source", "text")
+    val rep = CorpusReport.bySource(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(rep("web") === ((3L, 122L, 1L, 1L, 1L)))
+    assert(rep("book") === ((1L, 60L, 1L, 1L, 0L)))
+  }
+
+  test("one shuffle: flags are per-row, the only exchange is the source groupBy") {
+    val docs = Seq((1L, "s", "a b c")).toDF("doc_id", "source", "text")
+    val plan = CorpusReport.bySource(docs, "text", "source")
+      .queryExecution.executedPlan.toString
+    // exactly one shuffle origin: the hash aggregate on source
+    // (count-distinct rides an expand within the same key shuffle)
+    assert(plan.contains("Exchange"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+  }
+}
