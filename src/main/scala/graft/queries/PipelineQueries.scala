@@ -673,6 +673,30 @@ object PipelineQueries {
     // differs from whole-corpus keep-first whenever a dup's smaller id
     // sits in a later batch, so the gate proves arrival-order registry
     // semantics, not just global dedup.
+    // the curation sweep running UNCHANGED on a stream: per micro-
+    // batch decontam vs a static benchmark (batch-local is exact —
+    // per-document decision) + both Gopher rule predicates, no state
+    // store. The oracle is the pure batch replay over all four
+    // batches' rows — stateless rules cannot depend on arrival order
+    "st13_stream_curation" -> ((s, d) => {
+      val src = docsStreamFixture(s, d)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-st13-run").toString
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val bench = t(s, d, "documents")
+        .filter(col("doc_id") % 50 === 0).select("text")
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.CorpusStream.curationFilter(stream,
+          "doc_id", "text", bench, "text", shingleN = 3, minHits = 2,
+          s"$work/out", s"$work/ckp", minStopHits = 1L)
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(s"$work/out").select("doc_id").orderBy("doc_id")
+    }),
     "st4_stream_incdedup" -> ((s, d) => {
       val src = docsStreamFixture(s, d)
       val work = java.nio.file.Files
@@ -2605,6 +2629,40 @@ object PipelineQueries {
     // survivor of each digest = min doc_id of the earliest-arriving
     // batch (batch k = doc_id % 4, arrival order pinned by mod times);
     // the planted +10001 clones replay identically
+    // batch replay: the streamed corpus (incl. the +10001 clones the
+    // fixture plants), per-doc distinct-hit counts vs the static
+    // benchmark grams, both signal fragments, one survivors WHERE
+    "st13_stream_curation" ->
+      raw"""WITH u AS (SELECT doc_id, text FROM documents
+           |           UNION ALL
+           |           SELECT doc_id + 10001, text FROM documents
+           |           WHERE doc_id < 100),
+           |bg AS (SELECT DISTINCT g FROM
+           |         (SELECT unnest($shinglesSql) AS g FROM documents
+           |          WHERE doc_id % 50 = 0)),
+           |cg AS (SELECT doc_id, unnest($shinglesSql) AS g FROM u),
+           |h AS (SELECT doc_id, count(DISTINCT cg.g) AS nh
+           |      FROM cg JOIN bg USING (g) GROUP BY 1),
+           |${qualitySigSql("SELECT doc_id, text FROM u", "q_")},
+           |${repetitionSigSql("SELECT doc_id, text FROM u", "r_")}
+           |SELECT u.doc_id FROM u
+           |JOIN q_sig q ON q.doc_id = u.doc_id
+           |JOIN r_sig r ON r.doc_id = u.doc_id
+           |LEFT JOIN h ON h.doc_id = u.doc_id
+           |WHERE coalesce(h.nh, 0) < 2
+           |  AND q.n_words >= 50 AND q.n_words <= 100000
+           |  AND q.mean_word_len >= 3.0 AND q.mean_word_len <= 10.0
+           |  AND q.symbol_word_ratio <= 0.1
+           |  AND q.bullet_start_frac <= 0.9 AND q.ellipsis_end_frac <= 0.3
+           |  AND q.alpha_word_frac >= 0.8 AND q.stop_hits >= 1
+           |  AND r.dup_line_frac <= 0.30 AND r.dup_para_frac <= 0.30
+           |  AND r.dup_line_char_frac <= 0.20 AND r.dup_para_char_frac <= 0.20
+           |  AND r.top_2gram_char_frac <= 0.20 AND r.top_3gram_char_frac <= 0.18
+           |  AND r.top_4gram_char_frac <= 0.16 AND r.dup_5gram_char_frac <= 0.15
+           |  AND r.dup_6gram_char_frac <= 0.14 AND r.dup_7gram_char_frac <= 0.13
+           |  AND r.dup_8gram_char_frac <= 0.12 AND r.dup_9gram_char_frac <= 0.11
+           |  AND r.dup_10gram_char_frac <= 0.10
+           |ORDER BY u.doc_id""".stripMargin,
     "st4_stream_incdedup" ->
       """WITH u AS (SELECT doc_id, text FROM documents
         |           UNION ALL

@@ -279,6 +279,40 @@ object CorpusStream {
       .start()
   }
 
+  /** Stateless streaming CURATION: per micro-batch, drop documents
+    * sharing >= `minHits` distinct `shingleN`-grams with the STATIC
+    * benchmark frame ([[graft.operators.Decontam.contaminatedIds]] —
+    * batch-local evaluation is exact because the decision depends
+    * only on the document and the static benchmark, never on other
+    * corpus rows), then apply the Gopher quality + repetition
+    * predicates; survivors append to `outPath`. No state store and
+    * no registry — every rule is per-document, so this is the
+    * curation sweep the batch gates prove, running unchanged on a
+    * stream. Delivery is at-least-once per crash window (idempotent
+    * upstream of a dedup stage; put [[incrementalDedup]] downstream
+    * when exact delivery matters).
+    */
+  def curationFilter(docs: DataFrame, idCol: String, textCol: String,
+                     bench: DataFrame, benchTextCol: String,
+                     shingleN: Int, minHits: Long,
+                     outPath: String, checkpoint: String,
+                     minStopHits: Long = 2L): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val contaminated = graft.operators.Decontam.contaminatedIds(
+          batch, idCol, textCol, bench, benchTextCol, shingleN, minHits)
+        batch.join(contaminated, Seq(idCol), "left_anti")
+          .filter(graft.operators.QualityRules.gopherPass(col(textCol),
+            minStopHits = minStopHits) &&
+            graft.operators.Repetition.gopherPass(col(textCol)))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+  }
+
   /** Stream micro-batches into a persistent
     * [[graft.operators.InvertedIndex]]: each batch lands as one
     * immutable segment named by its batch id, so a checkpoint-replayed
