@@ -87,7 +87,13 @@ object DumpPlans {
     "zo1_zorder_key" ->
       "Z-order layout key: the min/max normalization bounds are ONE aggregated row entering via BroadcastNestedLoopJoin (no collect, no shuffle join), the bucket div and the Morton shift/and/or interleave are per-row codegen arithmetic, and the presentation limit fuses into TakeOrderedAndProject. zorderBy then range-partitions on this key — each output file covers a compact hyper-rectangle, so parquet min/max stats prune on EVERY layout column (LayoutSpec proves a y-band query skips >= half the z-ordered partitions and zero x-sorted ones).",
     "sm7_epoch_mix" ->
-      "Epoch upsampling: a Generate (the per-row epoch explode, bounded by ceil(max weight)) over the scan, then a pure per-row threshold on the portable md5 draw — no join, no aggregate, no window, no shuffle (spec-pinned). Repetition-weighted mixtures of a 100TB corpus cost exactly the pass that writes the output.")
+      "Epoch upsampling: a Generate (the per-row epoch explode, bounded by ceil(max weight)) over the scan, then a pure per-row threshold on the portable md5 draw — no join, no aggregate, no window, no shuffle (spec-pinned). Repetition-weighted mixtures of a 100TB corpus cost exactly the pass that writes the output.",
+    "t13_repetition_signals" ->
+      "The 13-signal Gopher repetition sweep: ONE codegen kernel call per row (TokenRepetitionSignals — hash-map counts, no sorts) expanded through a single-row inline Generate, zero shuffle before the presentation orderBy. The interpreted HOF spelling measured 100s-class at sf0.1 because alias inlining re-ran the tokenizer per shingle position; the kernel makes the whole rule family scan-bound (spec-pinned bit-identical to the HOF reference).",
+    "qf3_perplexity_buckets" ->
+      "CCNet buckets: LM scoring joins (pair-key shuffle + broadcast unigrams, the ppl1 shape) feed the two-phase distributed prefix-sum rank — ONE range shuffle on (group, -logp, id), per-partition counts to the driver, offsets broadcast back — then a vocabulary-sized group-stats broadcast converts global ordinals to in-group tertiles. The naive window would put each language in one partition; no Window node exists in this plan.",
+    "rep1_corpus_report" ->
+      "Per-source data card: every rule predicate is a per-row bound-struct expression (two kernel/HOF calls per row, no joins), so the only Exchange is the source-keyed aggregate with map-side partial combine; the exact-dup count rides the same shuffle as an md5 count-distinct expand. Output is O(sources) — report cost equals one corpus scan.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
