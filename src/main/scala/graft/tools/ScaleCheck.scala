@@ -131,8 +131,8 @@ object ScaleCheck {
       Dedup.dedupLinesWithinDoc(multi, "doc_id", "text").count()
     }
     time("repetitionSignals") {
-      // 13 per-row run scans over sorted arrays — zero shuffle,
-      // scan-bound like c4LineFilter; must grow linearly
+      // one native kernel call per row (TokenRepetitionSignals) —
+      // zero shuffle, scan-bound like c4LineFilter; must grow linearly
       graft.operators.Repetition.signals(scaled, "doc_id", "text")
         .filter(col("dup_5gram_char_frac") >= 0).count()
     }
@@ -452,7 +452,7 @@ object ScaleCheck {
     println("[scale] pipeline-operator growth: corpus 1x/4x/10x")
     println(f"[scale] ${"size"}%-5s ${"docs"}%8s ${"bpe(s)"}%8s " +
       f"${"bpecnt(s)"}%10s ${"dsir(s)"}%8s ${"kmeans(s)"}%10s " +
-      f"${"export(s)"}%10s")
+      f"${"export(s)"}%10s ${"curation(s)"}%12s")
     val rows = Seq(1, 4, 10).map { s =>
       val corpus = baseDocs
         .crossJoin(spark.range(s).select(col("id").as("rep")))
@@ -490,15 +490,30 @@ object ScaleCheck {
           seed = 17, s"/tmp/scale_shards_$s").count()
         ()
       }
+      val tCur = timeS {
+        // the pipe3 chain: quality -> repetition -> exact dedup ->
+        // per-source perplexity tertiles (kernel predicates + one
+        // prefix-sum rank — the end-to-end curation cost per pass)
+        val grouped = corpus.withColumn("source",
+          (col("doc_id") % 4).cast("string"))
+        val q = graft.operators.QualityRules.gopherFilter(grouped,
+          "text", minStopHits = 1L)
+        val r = graft.operators.Repetition.gopherFilter(q, "text")
+        val dd = graft.operators.Dedup.exactKeepFirst(r, "doc_id", "text")
+        graft.operators.LanguageModel.perplexityBuckets(dd, dd,
+          "doc_id", "text", "source").count()
+        ()
+      }
       println(f"[scale] ${s}%-5d ${nDocs}%8d ${tBpe}%8.2f ${tCnt}%10.2f " +
-        f"${tDsir}%8.2f ${tKm}%10.2f ${tExp}%10.2f")
-      (tBpe, tDsir, tKm, tExp)
+        f"${tDsir}%8.2f ${tKm}%10.2f ${tExp}%10.2f ${tCur}%10.2f")
+      (tBpe, tDsir, tKm, tExp, tCur)
     }
-    val (b1, i1, k1, e1) = rows.head
-    val (b10, i10, k10, e10) = rows.last
+    val (b1, i1, k1, e1, c1) = rows.head
+    val (b10, i10, k10, e10, c10) = rows.last
     println(f"[scale] growth 10x data -> bpe ${b10 / b1}%.2fx, " +
       f"dsir ${i10 / i1}%.2fx, kmeans ${k10 / k1}%.2fx, " +
-      f"export ${e10 / e1}%.2fx (~linear = plan shapes survive scale-up)")
+      f"export ${e10 / e1}%.2fx, curation ${c10 / c1}%.2fx " +
+      "(~linear = plan shapes survive scale-up)")
   }
 
   /** `ScaleCheck vectors` — the vector-index growth table: grow the
