@@ -73,4 +73,29 @@ class TokenHashPropertySpec extends AnyFunSuite {
     assert(texts.nonEmpty)
     batchCheck(texts)
   }
+
+  test("TokenRepetitionSignals kernel ≡ HOF reference on generated text (bit-exact)") {
+    import spark.implicits._
+    // bias toward REPETITION: draw tokens from a tiny vocab so dup
+    // grams/lines actually occur, and sprinkle newlines for line/para
+    // structure (the sketch generator above never repeats)
+    val smallVocab = Gen.oneOf("la", "la", "the", "x", "yß", "汉", "...")
+    val unit = Gen.listOf(smallVocab).map(_.mkString(" "))
+    val repTextGen: Gen[String] = for {
+      lines <- Gen.listOf(unit)
+      seps <- Gen.listOfN(math.max(lines.size - 1, 0),
+        Gen.oneOf("\n", "\r\n", "\n\n", "\n \n"))
+    } yield lines.zipAll(seps, "", "").flatMap { case (l, s) => Seq(l, s) }
+      .mkString
+    val texts = Gen.listOfN(150, repTextGen).sample.getOrElse(Nil) ++ Seq(
+      "", "\n", "la la\nla la", "a\r\n\r\na", " \n \n ")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val mismatches = docs.select(col("doc_id"),
+        TokenRepetitionSignals(col("text")).as("k"),
+        graft.operators.Repetition.signalsStructHof(col("text")).as("h"))
+      .filter(col("k") =!= col("h"))
+      .count()
+    assert(mismatches == 0)
+  }
 }
