@@ -277,6 +277,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL nearest-neighbor image RESIZE — the remaining verb of the
+    * decode / feature-extract / resize / frame-sample quartet: ImageIO
+    * decode, integer-exact resample (`src = (dst * srcDim) / dstDim`,
+    * floor — no float coordinates, so any engine replays the pixel
+    * selection), genuine BMP re-encode. Output (media_id, blob, width,
+    * height, rgb_sum): the blob is the real resized image (spec-
+    * decoded back), `rgb_sum` the integer channel sum of the RESIZED
+    * pixels — the decode-proof stat the oracle recomputes from the
+    * source pixel formula through the same floor arithmetic. Same
+    * mapPartitions batch shape (and in-memory ImageIO cache note) as
+    * [[decodeImageFeatures]].
+    */
+  def resizeImages(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, s"bad target size ${outW}x$outH")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("blob", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("rgb_sum", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
+        require(img != null, "undecodable image blob")
+        val sw = img.getWidth; val sh = img.getHeight
+        val out = new java.awt.image.BufferedImage(outW, outH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var sum = 0L
+        var y = 0
+        while (y < outH) {
+          val sy = (y.toLong * sh / outH).toInt
+          var x = 0
+          while (x < outW) {
+            val rgb = img.getRGB((x.toLong * sw / outW).toInt, sy)
+            out.setRGB(x, y, rgb)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "bmp", baos)
+        Row(r.getLong(idIdx), baos.toByteArray, outW, outH, sum)
+      }
+    }(enc)
+  }
+
   // ---- REAL audio path (no stub) ----------------------------------
   // javax.sound.sampled also ships in the JDK: synthesizeWav writes
   // genuine 8-bit mono PCM WAV bytes with an SQL-recomputable sample

@@ -638,6 +638,20 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
+    // REAL nearest-neighbor resize, oracle-checked: 8x8 real BMPs
+    // downsample to 4x4 — integer-exact source selection (2x, 2y), so
+    // the oracle recomputes the resized channel sum from the pixel
+    // formula; the resized BLOB itself is decoded back in the spec
+    "mm8_image_resize" -> ((s, d) => {
+      graft.operators.Multimodal.resizeImages(
+          graft.operators.Multimodal.synthesizeBmp(
+            t(s, d, "documents").select("doc_id"), "doc_id"),
+          outW = 4, outH = 4)
+        .select(col("media_id"), col("width"), col("height"),
+          col("rgb_sum"))
+        .orderBy("media_id")
+    }),
+
     // REAL audio decode, oracle-checked (javax.sound WAV parsing)
     "mm5_audio_decode" -> ((s, d) => {
       graft.operators.Multimodal.decodeAudioFeatures(
@@ -842,6 +856,14 @@ object TextQueries {
         |  round((SELECT avg(CAST((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS DOUBLE))
         |         FROM generate_series(0, 7) x(x), generate_series(0, 7) y(y)), 6)
         |    AS mean_luma
+        |FROM documents d ORDER BY media_id""".stripMargin,
+    // NN 8x8 -> 4x4 picks source pixels (2x, 2y); the resized image is
+    // grayscale so the channel sum is 3x the selected-pixel sum
+    "mm8_image_resize" ->
+      """SELECT d.doc_id AS media_id, 4 AS width, 4 AS height,
+        |  (SELECT CAST(sum(3 * ((d.doc_id * 31 + (2*x.x) * 7 + (2*y.y) * 13) % 256)) AS BIGINT)
+        |   FROM generate_series(0, 3) x(x), generate_series(0, 3) y(y))
+        |    AS rgb_sum
         |FROM documents d ORDER BY media_id""".stripMargin,
     "mm5_audio_decode" ->
       """SELECT d.doc_id AS media_id, 8000 AS sample_rate,

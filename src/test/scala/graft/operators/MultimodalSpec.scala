@@ -164,4 +164,40 @@ class MultimodalSpec extends AnyFunSuite {
       assert(math.abs(m - expectedMean(id)) < 1e-9, s"id $id")
     }
   }
+
+  test("resizeImages: NN resample is pixel-exact, blob re-decodes, upsize duplicates") {
+    import spark.implicits._
+    def px(id: Long, x: Int, y: Int): Int =
+      (((id * 31 + x * 7 + y * 13) % 256 + 256) % 256).toInt
+    val media = Multimodal.synthesizeBmp(
+      Seq(3L, 9L).toDF("id"), "id", w = 8, h = 8)
+    // downsize 8x8 -> 4x4: source pixel (2x, 2y)
+    val down = Multimodal.resizeImages(media, 4, 4).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toMap
+    Seq(3L, 9L).foreach { id =>
+      val (blob, w, h, sum) = down(id)
+      assert(w == 4 && h == 4)
+      val want = (for (x <- 0 until 4; y <- 0 until 4)
+        yield 3L * px(id, 2 * x, 2 * y)).sum
+      assert(sum === want, s"id $id rgb_sum")
+      // the blob is a REAL image: decode it back and check every pixel
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(blob))
+      assert(img.getWidth == 4 && img.getHeight == 4)
+      for (x <- 0 until 4; y <- 0 until 4) {
+        val v = px(id, 2 * x, 2 * y)
+        assert((img.getRGB(x, y) & 0xff) == v, s"id $id px ($x,$y)")
+      }
+    }
+    // upsize 8x8 -> 16x16: each source pixel duplicated 2x2
+    val up = Multimodal.resizeImages(media, 16, 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    Seq(3L, 9L).foreach { id =>
+      val want = (for (x <- 0 until 16; y <- 0 until 16)
+        yield 3L * px(id, x / 2, y / 2)).sum
+      assert(up(id) === want, s"id $id upsize sum")
+    }
+  }
 }
