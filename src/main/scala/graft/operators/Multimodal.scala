@@ -421,6 +421,69 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL audio DECIMATION — [[resizeImages]]'s audio sibling: decode
+    * via AudioSystem, keep every `factor`-th sample (integer stride —
+    * no interpolation, so any engine replays the selection), re-encode
+    * a genuine WAV at `rate / factor`. Output (media_id, blob,
+    * sample_rate, n_samples, amp_sum): the blob is the real decimated
+    * WAV (spec-decoded back), `amp_sum` the integer amplitude sum of
+    * the KEPT samples — the oracle recomputes it from the source
+    * sample formula through the same stride. `factor` must divide the
+    * source rate (a fractional rate would silently lie about
+    * duration). Bandwidth note for callers beyond fixtures: raw
+    * decimation aliases frequencies above the new Nyquist — put a
+    * low-pass stage first when spectral fidelity matters; the
+    * plumbing (schema, batch shape, container round-trip) is what
+    * this operator owns.
+    */
+  def resampleAudio(media: DataFrame, factor: Int): DataFrame = {
+    require(factor > 0, s"bad decimation factor $factor")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("blob", BinaryType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("amp_sum", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
+        try {
+          val fmt = in.getFormat
+          requireUnsigned8BitMono(fmt)
+          val rate = fmt.getSampleRate.toInt
+          require(rate % factor == 0,
+            s"factor $factor does not divide sample rate $rate")
+          val data = in.readAllBytes()
+          val n = (data.length + factor - 1) / factor
+          val kept = new Array[Byte](n)
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            val v = data(i * factor) & 0xff
+            kept(i) = v.toByte
+            sum += v
+            i += 1
+          }
+          val outFmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+            (rate / factor).toFloat, 8, 1, 1, (rate / factor).toFloat,
+            false)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(kept), outFmt, n.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          Row(r.getLong(idIdx), baos.toByteArray, rate / factor,
+            n.toLong, sum)
+        } finally in.close()
+      }
+    }(enc)
+  }
+
   // ---- REAL video path (no stub) ----------------------------------
   // The JDK ships no video codec, but an UNCOMPRESSED AVI needs none:
   // the container is RIFF (like WAV) and 'DIB ' frames are raw

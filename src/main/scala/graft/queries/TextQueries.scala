@@ -652,6 +652,19 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
+    // REAL audio decimation, oracle-checked: keep every 4th sample of
+    // the 256-sample 8 kHz fixture -> 64 samples at 2 kHz; the oracle
+    // recomputes the kept-sample amplitude sum from the PCM formula
+    "mm9_audio_resample" -> ((s, d) => {
+      graft.operators.Multimodal.resampleAudio(
+          graft.operators.Multimodal.synthesizeWav(
+            t(s, d, "documents").select("doc_id"), "doc_id"),
+          factor = 4)
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("amp_sum"))
+        .orderBy("media_id")
+    }),
+
     // REAL audio decode, oracle-checked (javax.sound WAV parsing)
     "mm5_audio_decode" -> ((s, d) => {
       graft.operators.Multimodal.decodeAudioFeatures(
@@ -864,6 +877,13 @@ object TextQueries {
         |  (SELECT CAST(sum(3 * ((d.doc_id * 31 + (2*x.x) * 7 + (2*y.y) * 13) % 256)) AS BIGINT)
         |   FROM generate_series(0, 3) x(x), generate_series(0, 3) y(y))
         |    AS rgb_sum
+        |FROM documents d ORDER BY media_id""".stripMargin,
+    // decimation keeps samples 0, 4, 8, ... of (id*17 + i*11) % 256
+    "mm9_audio_resample" ->
+      """SELECT d.doc_id AS media_id, 2000 AS sample_rate,
+        |  CAST(64 AS BIGINT) AS n_samples,
+        |  (SELECT CAST(sum((d.doc_id * 17 + (4 * i.i) * 11) % 256) AS BIGINT)
+        |   FROM generate_series(0, 63) i(i)) AS amp_sum
         |FROM documents d ORDER BY media_id""".stripMargin,
     "mm5_audio_decode" ->
       """SELECT d.doc_id AS media_id, 8000 AS sample_rate,

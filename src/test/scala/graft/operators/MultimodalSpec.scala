@@ -200,4 +200,26 @@ class MultimodalSpec extends AnyFunSuite {
       assert(up(id) === want, s"id $id upsize sum")
     }
   }
+
+  test("resampleAudio: strided decimation is sample-exact, blob re-decodes, bad factor refuses") {
+    import spark.implicits._
+    def amp(id: Long, i: Int): Int = (((id * 17 + i * 11) % 256 + 256) % 256).toInt
+    val media = Multimodal.synthesizeWav(Seq(5L).toDF("id"), "id")
+    val out = Multimodal.resampleAudio(media, factor = 4).collect().head
+    assert(out.getInt(2) == 2000 && out.getLong(3) == 64L)
+    val want = (0 until 64).map(i => amp(5L, 4 * i).toLong).sum
+    assert(out.getLong(4) === want)
+    // the blob is a REAL WAV: decode it back sample-exact
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]](1)))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate.toInt == 2000 && fmt.getChannels == 1)
+    val data = in.readAllBytes()
+    assert(data.length == 64)
+    (0 until 64).foreach(i => assert((data(i) & 0xff) == amp(5L, 4 * i)))
+    // a factor that does not divide the rate refuses loudly
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.resampleAudio(media, factor = 3).collect())
+    assert(e.getMessage.contains("does not divide"))
+  }
 }
