@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.TextAnalysis
 
 /** Per-source corpus curation report — the "data card" numbers every
   * training-mix decision starts from: volume (docs, tokens, chars),
@@ -15,12 +14,19 @@ import graft.functions.TextAnalysis
   * different engine, so every column here replays bit-for-bit (the
   * caller divides for rates).
   *
-  * Scale shape: one scan computes the per-row flags (the two rule
-  * predicates are single bound-struct expressions — see
-  * [[Repetition.gopherPass]]), then ONE groupBy on the source column
-  * with map-side partial aggregation; the distinct-digest count rides
-  * the same shuffle as an md5 count-distinct. Nothing is collected;
-  * output is O(sources).
+  * Scale shape: ONE scan — the quality signals ride
+  * [[QualityRules.withSignals]]'s single tokenizer pass (n_words
+  * doubles as the token count, so the corpus is tokenized once, not
+  * twice) and the repetition verdict is one kernel call per row —
+  * then one groupBy on the source column with map-side partial
+  * aggregation; the distinct-digest count rides the same shuffle.
+  * Nothing is collected; output is O(sources).
+  *
+  * Null-text rows: counted in `n_docs`, contribute 0 tokens/chars,
+  * FAIL the quality rules (exactly like [[QualityRules.gopherFilter]]
+  * drops them — the report and the filter must not disagree), PASS
+  * the repetition rules (zero signals, the filter's contract), and
+  * are never exact-duplicates of anything (no text, no digest).
   */
 object CorpusReport {
 
@@ -34,11 +40,20 @@ object CorpusReport {
   def bySource(docs: DataFrame, textCol: String, sourceCol: String,
                minStopHits: Long = 2L): DataFrame = {
     val t = col(textCol)
-    docs
+    val withQ = QualityRules.withSignals(
+      docs.select(col(sourceCol), t), textCol)
+    val qualityPass =
+      col("n_words") >= 50L && col("n_words") <= 100000L &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_word_ratio") <= 0.1 &&
+        col("bullet_start_frac") <= 0.9 &&
+        col("ellipsis_end_frac") <= 0.3 &&
+        col("alpha_word_frac") >= 0.8 && col("stop_hits") >= minStopHits
+    withQ
       .select(col(sourceCol),
-        TextAnalysis.tokenCount(t).as("_ntok"),
-        length(t).cast("long").as("_nchr"),
-        QualityRules.gopherPass(t, minStopHits = minStopHits).as("_qp"),
+        coalesce(col("n_words"), lit(0L)).as("_ntok"),
+        coalesce(length(t).cast("long"), lit(0L)).as("_nchr"),
+        coalesce(qualityPass, lit(false)).as("_qp"),
         Repetition.gopherPass(t).as("_rp"),
         md5(t).as("_dig"))
       .groupBy(sourceCol)
@@ -46,11 +61,12 @@ object CorpusReport {
         count(lit(1)).cast("long").as("n_docs"),
         sum(col("_ntok")).cast("long").as("n_tokens"),
         sum(col("_nchr")).cast("long").as("n_chars"),
-        sum(when(!col("_qp"), 1L).otherwise(0L)).cast("long")
+        sum(when(col("_qp"), 0L).otherwise(1L)).cast("long")
           .as("n_fail_quality"),
-        sum(when(!col("_rp"), 1L).otherwise(0L)).cast("long")
+        sum(when(col("_rp"), 0L).otherwise(1L)).cast("long")
           .as("n_fail_repetition"),
-        (count(lit(1)) - countDistinct(col("_dig"))).cast("long")
+        (sum(when(col("_dig").isNotNull, 1L).otherwise(0L)) -
+          countDistinct(col("_dig"))).cast("long")
           .as("n_exact_dup"))
   }
 }

@@ -118,7 +118,10 @@ object Dedup {
     * DeclarativeAggregate): deterministic smallest-id tie-break, any
     * orderable id type, and NaN scores never win — exactly the traps
     * of the struct(score, -id) max() workaround that ExtremumBy
-    * exists to replace.
+    * exists to replace. A group with NO orderable score at all (every
+    * row NaN/null) still keeps its smallest id — a dedup operator
+    * must never delete EVERY copy, so the idxmax null falls back to
+    * min(id) inside the same aggregate.
     */
   def keepBestByKey(docs: DataFrame, idCol: String,
                     key: org.apache.spark.sql.Column,
@@ -126,7 +129,8 @@ object Dedup {
     val keep = docs
       .filter(key.isNotNull)
       .groupBy(key.as("_kbk"))
-      .agg(graft.plans.ExtremumBy.idxmax(score, col(idCol)).as(idCol))
+      .agg(coalesce(graft.plans.ExtremumBy.idxmax(score, col(idCol)),
+        min(col(idCol))).as(idCol))
       .drop("_kbk")
     docs.filter(key.isNull)
       .unionByName(docs.join(keep, Seq(idCol), "left_semi"))

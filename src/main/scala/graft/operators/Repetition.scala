@@ -130,10 +130,18 @@ object Repetition {
   /** The thirteen signals as one struct — the native compiled kernel
     * ([[graft.plans.TokenRepetitionSignals]]): one pass, hash-map
     * counts, whole-stage-codegen friendly. Bit-identical to
-    * [[signalsStructHof]] (differential-tested in RepetitionSpec).
+    * [[signalsStructHof]] (differential-tested in RepetitionSpec),
+    * INCLUDING null text: the HOF's safeRatio guards fall through to
+    * all-0.0 signals there (no text, nothing repeats — such rows PASS
+    * the repetition rules and historically did), so the kernel's null
+    * is coalesced to the same zero struct rather than letting a null
+    * predicate silently drop the rows in [[gopherFilter]].
     */
+  private val zeroSignals: Column =
+    struct(signalNames.map(n => lit(0.0).as(n)): _*)
+
   private def signalsStruct(text: Column): Column =
-    graft.plans.TokenRepetitionSignals(text)
+    coalesce(graft.plans.TokenRepetitionSignals(text), zeroSignals)
 
   /** The interpreted higher-order-function reference the kernel is
     * pinned against: one lambda-bound (tokens, sorted lines, sorted

@@ -14,8 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * ([[graft.operators.Repetition]]) in ONE compiled pass — the native
   * kernel behind `Repetition.signalsStruct`, bit-identical to the HOF
   * reference (`Repetition.signalsStructHof`, differential-tested):
-  * same tokenizer (lowercase, `\s` runs, empties dropped — the
-  * [[TokenSimHash]] walk), same CRLF-safe line/paragraph splits, same
+  * same tokenizer (UTF8String.toLowerCase — the exact lower() the
+  * engine runs — then `\s` runs, empties dropped), same CRLF-safe
+  * line/paragraph splits, same
   * space-only trim (`UTF8String.trim` semantics), same code-point
   * character counts (`length()` = numChars), and the same single
   * double division per fraction so every bit matches.
@@ -141,8 +142,12 @@ object TokenRepetitionSignals {
     out(2) = ratio(ldupc, ltotc)
     out(3) = ratio(pdupc, ptotc)
 
-    // tokens: the TokenSimHash walk (lowercase, \s runs, drop empties)
-    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    // tokens: lowercase EXACTLY as the engine's lower() does
+    // (UTF8String.toLowerCase — ASCII fast path, else the JVM default-
+    // locale slow path; pinning Locale.ROOT here instead would diverge
+    // from the HOF reference and the oracle on tr/az-locale JVMs),
+    // then the TokenSimHash \s-run walk
+    val lower = UTF8String.fromString(text).toLowerCase.toString
     val toks = new scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     val n = lower.length

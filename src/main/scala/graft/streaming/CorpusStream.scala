@@ -297,12 +297,39 @@ object CorpusStream {
                      shingleN: Int, minHits: Long,
                      outPath: String, checkpoint: String,
                      minStopHits: Long = 2L): StreamingQuery = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextAnalysis
+    // the benchmark gram set is STATIC across the stream's life:
+    // distinct it once, persist, and materialize eagerly — rebuilding
+    // the tokenize+explode+distinct shuffle inside foreachBatch would
+    // add a full benchmark job + broadcast to EVERY trigger's latency.
+    // (Persisted for the query's lifetime; the caller stops the query
+    // and owns the session, so the handful of MB ride until then.)
+    val benchGrams =
+      bench.select(TextAnalysis.tokens(col(benchTextCol)).as("_toks"))
+        .select(explode(
+          TextAnalysis.shinglesFromTokens(col("_toks"), shingleN))
+          .as("_gram"))
+        .distinct()
+        .persist()
+    benchGrams.count()
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val contaminated = graft.operators.Decontam.contaminatedIds(
-          batch, idCol, textCol, bench, benchTextCol, shingleN, minHits)
+        // dc1's shape over the CACHED gram set: batch grams hash-join
+        // the broadcast bench grams, >= minHits distinct hits flag the
+        // doc, anti-join removes it
+        val contaminated = batch
+          .select(col(idCol),
+            TextAnalysis.tokens(col(textCol)).as("_toks"))
+          .select(col(idCol), explode(
+            TextAnalysis.shinglesFromTokens(col("_toks"), shingleN))
+            .as("_gram"))
+          .join(broadcast(benchGrams), Seq("_gram"))
+          .groupBy(idCol)
+          .agg(count_distinct(col("_gram")).as("_nh"))
+          .filter(col("_nh") >= minHits)
+          .select(idCol)
         batch.join(contaminated, Seq(idCol), "left_anti")
           .filter(graft.operators.QualityRules.gopherPass(col(textCol),
             minStopHits = minStopHits) &&

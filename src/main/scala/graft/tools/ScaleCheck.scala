@@ -505,7 +505,7 @@ object ScaleCheck {
         ()
       }
       println(f"[scale] ${s}%-5d ${nDocs}%8d ${tBpe}%8.2f ${tCnt}%10.2f " +
-        f"${tDsir}%8.2f ${tKm}%10.2f ${tExp}%10.2f ${tCur}%10.2f")
+        f"${tDsir}%8.2f ${tKm}%10.2f ${tExp}%10.2f ${tCur}%12.2f")
       (tBpe, tDsir, tKm, tExp, tCur)
     }
     val (b1, i1, k1, e1, c1) = rows.head

@@ -28,6 +28,23 @@ class CorpusReportSpec extends AnyFunSuite {
     assert(rep("book") === ((1L, 60L, 1L, 1L, 0L)))
   }
 
+  test("null-text rows: counted, zero volume, fail quality, pass repetition, never dups") {
+    val docs = Seq(
+      (1L, "web", null.asInstanceOf[String]),
+      (2L, "web", null.asInstanceOf[String]),
+      (3L, "web", "the and " + (3 to 60).map(i => s"word$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val r = CorpusReport.bySource(docs, "text", "source").collect().head
+    // n_docs=3, tokens/chars only from doc 3, two quality failures
+    // (the null rows — matching what gopherFilter would drop), zero
+    // repetition failures, and the two null rows are NOT "duplicates"
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(2) === 60L) // tokens only from doc 3
+    assert(r.getLong(4) === 2L)
+    assert(r.getLong(5) === 0L)
+    assert(r.getLong(6) === 0L)
+  }
+
   test("one shuffle: flags are per-row, the only exchange is the source groupBy") {
     val docs = Seq((1L, "s", "a b c")).toDF("doc_id", "source", "text")
     val plan = CorpusReport.bySource(docs, "text", "source")

@@ -45,6 +45,14 @@ class DedupSpec extends AnyFunSuite {
     val skept = Dedup.keepBestByKey(sdocs, "id", col("k"), col("sc"))
       .select("id").collect().map(_.getString(0)).toSet
     assert(skept === Set("c"))
+    // a group with NO orderable score (all NaN) still keeps ONE row —
+    // its smallest id — never zero (a dedup must not delete all copies)
+    val allNaN = Seq(
+      ("x", "k1", Double.NaN), ("w", "k1", Double.NaN), ("z", "k2", 1.0)
+    ).toDF("id", "k", "sc")
+    val nkept = Dedup.keepBestByKey(allNaN, "id", col("k"), col("sc"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(nkept === Set("w", "z"))
   }
 
   test("incremental dedup drops cross-batch and in-batch dups, registry persists") {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.TestSpark
 
 class RepetitionSpec extends AnyFunSuite {
@@ -116,6 +117,26 @@ class RepetitionSpec extends AnyFunSuite {
     kernel.foreach { case (id, ks) =>
       assert(ks === hof(id), s"signal mismatch for doc $id") // bit-exact
     }
+  }
+
+  test("null text: all-zero signals (kernel ≡ HOF) and gopherFilter keeps the row") {
+    // doc 2 is LONG and distinct (a short doc's single top 2-gram
+    // covers >20% of chars and legitimately fails the top-gram rule)
+    val docs = Seq((1L, Option.empty[String]),
+      (2L, Some((1 to 60).map(i => s"word$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val sigs = Repetition.signals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 13).map(i => r.getDouble(i))).toMap
+    assert(sigs(1L).forall(_ === 0.0)) // not nulls, not dropped
+    val hof = docs.select(col("doc_id"),
+      Repetition.signalsStructHof(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1).toSeq).toMap
+    assert(sigs(1L) === hof(1L).map(_.asInstanceOf[Double]))
+    // no text, nothing repeats: the filter keeps the row
+    val kept = Repetition.gopherFilter(docs, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
   }
 
   test("zero-shuffle plan: the sweep is a single scan-shaped stage") {
