@@ -484,6 +484,64 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL video frame RESIZE — completes the resize verb across all
+    * three modalities ([[resizeImages]], [[resampleAudio]]): parse the
+    * uncompressed AVI, nearest-neighbor-resample every frame's raw
+    * bottom-up BGR pixels with the same integer-exact mapping as
+    * [[resizeImages]] (`src = (dst * srcDim) / dstDim`, floor), and
+    * re-encode a genuine AVI via [[aviContainerBytes]]. Output
+    * (media_id, blob, width, height, n_frames, rgb_sum): the blob is
+    * a real container ([[parseAvi]] round-trips it in the spec),
+    * `rgb_sum` the integer channel sum over ALL resized frames — the
+    * oracle recomputes it from the frame pixel formula through the
+    * same floor arithmetic.
+    */
+  def resizeVideo(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, s"bad target size ${outW}x$outH")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("blob", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("rgb_sum", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (sw, sh, frames) = parseAvi(r.getAs[Array[Byte]](blobIdx))
+        val srcRow = ((sw * 3 + 3) / 4) * 4
+        val dstRow = ((outW * 3 + 3) / 4) * 4
+        var sum = 0L
+        val outFrames = frames.map { data =>
+          val fr = new Array[Byte](dstRow * outH)
+          var y = 0
+          while (y < outH) {
+            val sy = (y.toLong * sh / outH).toInt
+            // both layouts store rows bottom-up
+            val srcOff = (sh - 1 - sy) * srcRow
+            val dstOff = (outH - 1 - y) * dstRow
+            var x = 0
+            while (x < outW) {
+              val so = srcOff + ((x.toLong * sw / outW).toInt) * 3
+              val dO = dstOff + x * 3
+              fr(dO) = data(so); fr(dO + 1) = data(so + 1)
+              fr(dO + 2) = data(so + 2)
+              sum += (data(so) & 0xff) + (data(so + 1) & 0xff) +
+                (data(so + 2) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          fr
+        }
+        Row(r.getLong(idIdx), aviContainerBytes(outW, outH, outFrames),
+          outW, outH, frames.length, sum)
+      }
+    }(enc)
+  }
+
   // ---- REAL video path (no stub) ----------------------------------
   // The JDK ships no video codec, but an UNCOMPRESSED AVI needs none:
   // the container is RIFF (like WAV) and 'DIB ' frames are raw
@@ -502,9 +560,18 @@ object Multimodal {
     * frames, gray pixel `(id*31 + f*19 + x*7 + y*13) % 256`, rows
     * bottom-up and 4-byte aligned like BMP.
     */
-  def aviBytes(id: Long, w: Int, h: Int, nFrames: Int, fps: Int = 10): Array[Byte] = {
+  /** Genuine RIFF/AVI container around ALREADY-BUILT 'DIB ' frame
+    * byte arrays (bottom-up BGR rows, 4-byte-aligned — each must be
+    * exactly rowBytes(w)·h long). [[aviBytes]] builds formula frames
+    * and delegates here; [[resizeVideo]] re-encodes transformed ones.
+    */
+  def aviContainerBytes(w: Int, h: Int, frames: Array[Array[Byte]],
+                        fps: Int = 10): Array[Byte] = {
     val rowBytes = ((w * 3 + 3) / 4) * 4
     val frameBytes = rowBytes * h
+    frames.foreach(fr => require(fr.length == frameBytes,
+      s"frame byte length ${fr.length} != $frameBytes for ${w}x$h"))
+    val nFrames = frames.length
     val framePad = frameBytes & 1
     val strlSize = 4 + (8 + 56) + (8 + 40)
     val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
@@ -547,22 +614,32 @@ object Multimodal {
     var f = 0
     while (f < nFrames) {
       ascii("00db"); b.putInt(frameBytes)
-      var y = h - 1 // DIB rows bottom-up
-      while (y >= 0) {
-        var x = 0
-        while (x < w) {
-          val v = (((id * 31 + f * 19 + x * 7 + y * 13) % 256 + 256) % 256).toInt
-          b.put(v.toByte).put(v.toByte).put(v.toByte)
-          x += 1
-        }
-        var p = w * 3
-        while (p < rowBytes) { b.put(0.toByte); p += 1 }
-        y -= 1
-      }
+      b.put(frames(f))
       if (framePad == 1) b.put(0.toByte)
       f += 1
     }
     b.array()
+  }
+
+  def aviBytes(id: Long, w: Int, h: Int, nFrames: Int, fps: Int = 10): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val frames = Array.tabulate(nFrames) { f =>
+      val fr = new Array[Byte](rowBytes * h)
+      var y = h - 1 // DIB rows bottom-up
+      var o = 0
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = (((id * 31 + f * 19 + x * 7 + y * 13) % 256 + 256) % 256).toByte
+          fr(o) = v; fr(o + 1) = v; fr(o + 2) = v
+          o += 3; x += 1
+        }
+        o += rowBytes - w * 3 // row padding stays zero
+        y -= 1
+      }
+      fr
+    }
+    aviContainerBytes(w, h, frames, fps)
   }
 
   /** (media_id, blob) rows of real AVI video, one per id. */

@@ -665,6 +665,20 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
+    // REAL video resize, oracle-checked: every frame of the 4-frame
+    // 8x8 AVI downsamples to 4x4 (source pixel (2x, 2y) per frame);
+    // the oracle recomputes the all-frame channel sum from the frame
+    // pixel formula; the resized container round-trips in the spec
+    "mm10_video_resize" -> ((s, d) => {
+      graft.operators.Multimodal.resizeVideo(
+          graft.operators.Multimodal.synthesizeAvi(
+            t(s, d, "documents").select("doc_id"), "doc_id"),
+          outW = 4, outH = 4)
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), col("rgb_sum"))
+        .orderBy("media_id")
+    }),
+
     // REAL audio decode, oracle-checked (javax.sound WAV parsing)
     "mm5_audio_decode" -> ((s, d) => {
       graft.operators.Multimodal.decodeAudioFeatures(
@@ -877,6 +891,16 @@ object TextQueries {
         |  (SELECT CAST(sum(3 * ((d.doc_id * 31 + (2*x.x) * 7 + (2*y.y) * 13) % 256)) AS BIGINT)
         |   FROM generate_series(0, 3) x(x), generate_series(0, 3) y(y))
         |    AS rgb_sum
+        |FROM documents d ORDER BY media_id""".stripMargin,
+    // per frame f, NN 8x8 -> 4x4 picks (2x, 2y) of
+    // (id*31 + f*19 + 7x + 13y) % 256; gray -> channel sum is 3x
+    "mm10_video_resize" ->
+      """SELECT d.doc_id AS media_id, 4 AS width, 4 AS height,
+        |  4 AS n_frames,
+        |  (SELECT CAST(sum(3 * ((d.doc_id * 31 + f.f * 19 +
+        |                         (2*x.x) * 7 + (2*y.y) * 13) % 256)) AS BIGINT)
+        |   FROM generate_series(0, 3) f(f), generate_series(0, 3) x(x),
+        |        generate_series(0, 3) y(y)) AS rgb_sum
         |FROM documents d ORDER BY media_id""".stripMargin,
     // decimation keeps samples 0, 4, 8, ... of (id*17 + i*11) % 256
     "mm9_audio_resample" ->

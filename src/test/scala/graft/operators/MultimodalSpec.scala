@@ -222,4 +222,26 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.resampleAudio(media, factor = 3).collect())
     assert(e.getMessage.contains("does not divide"))
   }
+
+  test("resizeVideo: per-frame NN is pixel-exact and the container round-trips") {
+    import spark.implicits._
+    def px(id: Long, f: Int, x: Int, y: Int): Int =
+      (((id * 31 + f * 19 + x * 7 + y * 13) % 256 + 256) % 256).toInt
+    val media = Multimodal.synthesizeAvi(Seq(7L).toDF("id"), "id")
+    val out = Multimodal.resizeVideo(media, 4, 4).collect().head
+    assert(out.getInt(2) == 4 && out.getInt(3) == 4 && out.getInt(4) == 4)
+    val want = (for (f <- 0 until 4; x <- 0 until 4; y <- 0 until 4)
+      yield 3L * px(7L, f, 2 * x, 2 * y)).sum
+    assert(out.getLong(5) === want)
+    // the blob is a REAL AVI: parse it back and check every pixel of
+    // every frame (bottom-up BGR layout preserved)
+    val (w, h, frames) = Multimodal.parseAvi(out.getAs[Array[Byte]](1))
+    assert(w == 4 && h == 4 && frames.length == 4)
+    val rowBytes = ((4 * 3 + 3) / 4) * 4
+    for (f <- 0 until 4; x <- 0 until 4; y <- 0 until 4) {
+      val o = (h - 1 - y) * rowBytes + x * 3
+      assert((frames(f)(o) & 0xff) == px(7L, f, 2 * x, 2 * y),
+        s"frame $f px ($x,$y)")
+    }
+  }
 }
