@@ -38,17 +38,25 @@ object CorpusReport {
     * [[QualityRules.gopherFilter]]).
     */
   def bySource(docs: DataFrame, textCol: String, sourceCol: String,
-               minStopHits: Long = 2L): DataFrame = {
+               minStopHits: Long = QualityRules.DefaultMinStopHits)
+  : DataFrame = {
     val t = col(textCol)
     val withQ = QualityRules.withSignals(
       docs.select(col(sourceCol), t), textCol)
+    // the inline spelling (over withSignals' already-bound columns)
+    // keeps the single-tokenize plan; the BOUNDS come from the same
+    // QualityRules constants gopherPass defaults to, so the report
+    // cannot silently diverge from the filter
     val qualityPass =
-      col("n_words") >= 50L && col("n_words") <= 100000L &&
-        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-        col("symbol_word_ratio") <= 0.1 &&
-        col("bullet_start_frac") <= 0.9 &&
-        col("ellipsis_end_frac") <= 0.3 &&
-        col("alpha_word_frac") >= 0.8 && col("stop_hits") >= minStopHits
+      col("n_words") >= QualityRules.DefaultMinWords &&
+        col("n_words") <= QualityRules.DefaultMaxWords &&
+        col("mean_word_len") >= QualityRules.DefaultMinMeanWordLen &&
+        col("mean_word_len") <= QualityRules.DefaultMaxMeanWordLen &&
+        col("symbol_word_ratio") <= QualityRules.DefaultMaxSymbolRatio &&
+        col("bullet_start_frac") <= QualityRules.DefaultMaxBulletFrac &&
+        col("ellipsis_end_frac") <= QualityRules.DefaultMaxEllipsisFrac &&
+        col("alpha_word_frac") >= QualityRules.DefaultMinAlphaFrac &&
+        col("stop_hits") >= minStopHits
     withQ
       .select(col(sourceCol),
         coalesce(col("n_words"), lit(0L)).as("_ntok"),

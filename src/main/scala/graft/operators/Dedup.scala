@@ -92,6 +92,13 @@ object Dedup {
     * survives, null-key rows are all kept (no key, no group — the
     * null-source discipline). Same shape: a narrow (key, min id)
     * aggregate then a semi-join back; only ids and keys shuffle.
+    *
+    * Precondition (same contract as [[Packing.packByBudget]] /
+    * [[Sampling.tokenBudgetMix]]): `idCol` must be UNIQUE across the
+    * frame — the winner is re-selected by a semi-join on the id, so a
+    * duplicated id resurrects every row sharing a winner's id
+    * (including null-key rows unioned by value), silently defeating
+    * the dedup.
     */
   def keepFirstByKey(docs: DataFrame, idCol: String,
                      key: org.apache.spark.sql.Column): DataFrame = {
@@ -122,6 +129,10 @@ object Dedup {
     * row NaN/null) still keeps its smallest id — a dedup operator
     * must never delete EVERY copy, so the idxmax null falls back to
     * min(id) inside the same aggregate.
+    *
+    * Precondition: `idCol` unique — see [[keepFirstByKey]]'s contract
+    * note (the semi-join back on the id is what both operators hang
+    * their correctness on).
     */
   def keepBestByKey(docs: DataFrame, idCol: String,
                     key: org.apache.spark.sql.Column,

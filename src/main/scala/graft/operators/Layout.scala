@@ -53,6 +53,16 @@ object Layout {
   def withZorderKey(df: DataFrame, colNames: Seq[String],
                     bits: Int = 16): DataFrame = {
     require(colNames.nonEmpty, "withZorderKey: no layout columns")
+    // the bucket expressions below splice the name into expr() SQL
+    // (backtick-quoted reference + inside a quoted raise_error
+    // literal); long integer division (`div`) has no Column-API
+    // spelling, so the splice stays — a name that could break the
+    // parse or corrupt the error SQL is refused loudly instead
+    colNames.foreach { c =>
+      require(!c.exists(ch => ch == '`' || ch == '\'' || ch == '\\'),
+        s"withZorderKey: column name <$c> contains a backtick/quote/" +
+          "backslash - rename (withColumnRenamed) before layout")
+    }
     colNames.foreach(Checks.requireIntegral(df, _, "withZorderKey",
       "cast timestamps/doubles to a fixed-point integer first"))
     val maxBucket = (1L << bits) - 1

@@ -136,8 +136,14 @@ object Packing {
   def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
                     textCol: String, budget: Long,
                     sep: String = "\n<|doc|>\n"): DataFrame = {
+    // NULL text coalesces to "" here: array_join SKIPS null elements,
+    // so a tokens>=1/null-text doc would otherwise appear in doc_ids
+    // while contributing neither a segment nor a separator — silently
+    // misaligning doc_ids with separator-split segments. An empty
+    // segment keeps the alignment invariant.
     val packed = packImpl(
-      docs.select(col(idCol), col(tokenCol), col(textCol).as("_pk_text")),
+      docs.select(col(idCol), col(tokenCol),
+        coalesce(col(textCol), lit("")).as("_pk_text")),
       idCol, tokenCol, carry = Seq("_pk_text"), budget, partitions = 0,
       requirePositiveTokens = true)
     packed

@@ -100,6 +100,21 @@ object QualityRules {
     withSignals(docs.select(idCol, textCol), textCol, stopwords)
       .select((idCol +: signalCols).map(col): _*)
 
+  // Published Gopher Table-A1 default bounds — the single source of
+  // truth for [[gopherFilter]]/[[gopherPass]] defaults AND for
+  // [[CorpusReport.bySource]]'s inline single-tokenize predicate (the
+  // report must never disagree with the filter, so any change here
+  // reaches both).
+  val DefaultMinWords: Long = 50L
+  val DefaultMaxWords: Long = 100000L
+  val DefaultMinMeanWordLen: Double = 3.0
+  val DefaultMaxMeanWordLen: Double = 10.0
+  val DefaultMaxSymbolRatio: Double = 0.1
+  val DefaultMaxBulletFrac: Double = 0.9
+  val DefaultMaxEllipsisFrac: Double = 0.3
+  val DefaultMinAlphaFrac: Double = 0.8
+  val DefaultMinStopHits: Long = 2L
+
   /** Survivors of the published Gopher quality rules (original
     * columns): 50 <= words <= 100000, 3 <= mean word length <= 10,
     * symbol ratio <= 0.1, bullet lines <= 90%, ellipsis lines <= 30%,
@@ -110,14 +125,15 @@ object QualityRules {
     * see [[Repetition.gopherFilter]]'s pushdown note.
     */
   def gopherFilter(docs: DataFrame, textCol: String,
-                   minWords: Long = 50L, maxWords: Long = 100000L,
-                   minMeanWordLen: Double = 3.0,
-                   maxMeanWordLen: Double = 10.0,
-                   maxSymbolRatio: Double = 0.1,
-                   maxBulletFrac: Double = 0.9,
-                   maxEllipsisFrac: Double = 0.3,
-                   minAlphaFrac: Double = 0.8,
-                   minStopHits: Long = 2L,
+                   minWords: Long = DefaultMinWords,
+                   maxWords: Long = DefaultMaxWords,
+                   minMeanWordLen: Double = DefaultMinMeanWordLen,
+                   maxMeanWordLen: Double = DefaultMaxMeanWordLen,
+                   maxSymbolRatio: Double = DefaultMaxSymbolRatio,
+                   maxBulletFrac: Double = DefaultMaxBulletFrac,
+                   maxEllipsisFrac: Double = DefaultMaxEllipsisFrac,
+                   minAlphaFrac: Double = DefaultMinAlphaFrac,
+                   minStopHits: Long = DefaultMinStopHits,
                    stopwords: Seq[String] = GopherStopwords): DataFrame =
     docs.filter(gopherPass(col(textCol), minWords, maxWords,
       minMeanWordLen, maxMeanWordLen, maxSymbolRatio, maxBulletFrac,
@@ -127,14 +143,15 @@ object QualityRules {
     * reports and multi-rule sweeps ([[CorpusReport]]).
     */
   def gopherPass(text: Column,
-                 minWords: Long = 50L, maxWords: Long = 100000L,
-                 minMeanWordLen: Double = 3.0,
-                 maxMeanWordLen: Double = 10.0,
-                 maxSymbolRatio: Double = 0.1,
-                 maxBulletFrac: Double = 0.9,
-                 maxEllipsisFrac: Double = 0.3,
-                 minAlphaFrac: Double = 0.8,
-                 minStopHits: Long = 2L,
+                 minWords: Long = DefaultMinWords,
+                 maxWords: Long = DefaultMaxWords,
+                 minMeanWordLen: Double = DefaultMinMeanWordLen,
+                 maxMeanWordLen: Double = DefaultMaxMeanWordLen,
+                 maxSymbolRatio: Double = DefaultMaxSymbolRatio,
+                 maxBulletFrac: Double = DefaultMaxBulletFrac,
+                 maxEllipsisFrac: Double = DefaultMaxEllipsisFrac,
+                 minAlphaFrac: Double = DefaultMinAlphaFrac,
+                 minStopHits: Long = DefaultMinStopHits,
                  stopwords: Seq[String] = GopherStopwords): Column =
     TextAnalysis.bindOnce(signalsStruct(text, stopwords)) { s =>
       s.getField("n_words") >= minWords &&

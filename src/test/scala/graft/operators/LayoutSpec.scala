@@ -57,6 +57,16 @@ class LayoutSpec extends AnyFunSuite {
       Layout.withZorderKey(bad, Seq("v"), bits = 8).collect()
     }
     assert(e.getMessage.contains("exceeds a signed long"), e.getMessage)
+    // names that would break the spliced expr() SQL refuse loudly
+    // BEFORE any parse (backtick in the reference, quote in the
+    // raise_error literal)
+    for (evil <- Seq("v`x", "v'x", "v\\x")) {
+      val f = Seq((0L, 1L)).toDF("id", evil)
+      val ne = intercept[IllegalArgumentException] {
+        Layout.withZorderKey(f, Seq(evil), bits = 8)
+      }
+      assert(ne.getMessage.contains("rename"), ne.getMessage)
+    }
   }
 
   test("zorderBy: partitions cover compact boxes — a y-band query " +

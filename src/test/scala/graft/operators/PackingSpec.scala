@@ -89,6 +89,19 @@ class PackingSpec extends AnyFunSuite {
       Packing.packSequences(withEmpty, "id", "tok", "text", budget = 8)
     }
     assert(e.getMessage.contains(">= 1 token"), e.getMessage)
+    // NULL text (tokens >= 1) packs as an EMPTY segment: array_join
+    // would otherwise drop the element and misalign doc_ids with
+    // separator-split segments
+    val withNull = d.union(Seq((9L, null: String, 4L))
+      .toDF("id", "text", "tok"))
+    val nOut = Packing.packSequences(withNull, "id", "tok", "text",
+        budget = 100, sep = " | ")
+      .head()
+    assert(nOut.getAs[scala.collection.Seq[Long]]("doc_ids").toSeq ==
+      Seq(0L, 1L, 2L, 3L, 9L))
+    assert(nOut.getAs[String]("packed_text") ==
+      "alpha one | beta two | gamma three | delta four | ")
+    assert(nOut.getAs[String]("packed_text").split(" \\| ", -1).length == 5)
   }
 
   test("empty input and single row") {
