@@ -983,16 +983,6 @@ object Dedup {
                      portable: Boolean = false,
                      maxBucketSize: Int = 0): DataFrame = {
     val sigBits = if (portable) 60 else 64
-    require(bands >= 1 && sigBits % bands == 0,
-      s"bands must divide $sigBits (got $bands)")
-    require(maxHamming >= 0 && maxHamming <= bands - 1,
-      s"pigeonhole recall needs maxHamming <= bands - 1 " +
-        s"(got $maxHamming with $bands bands)")
-    val chunk = sigBits / bands
-    // JVM shifts are mod 64: at bands = 1 (chunk = 64) the naive
-    // (1L << 64) - 1 is 0 and every doc would silently collapse into
-    // bucket 0 — all-ones is the correct full-width mask
-    val mask = if (chunk >= 64) -1L else (1L << chunk) - 1
     val sketch =
       if (portable) TextAnalysis.simhashPortable(col(textCol))
       else TextAnalysis.simhash64(col(textCol))
@@ -1001,9 +991,47 @@ object Dedup {
     // regex pass per row is noise next to the sketch itself, and a
     // cheap trim()-style filter would diverge from the oracle on
     // whitespace-only documents (trim strips only 0x20)
-    val sigs = docs
-      .filter(size(TextAnalysis.tokens(col(textCol))) > 0)
-      .select(col(idCol).as("id"), sketch.as("sh"))
+    hammingNearDup(
+      docs.filter(size(TextAnalysis.tokens(col(textCol))) > 0)
+        .select(col(idCol).as("id"), sketch.as("sh")),
+      "id", "sh", sigBits, bands, maxHamming, maxBucketSize)
+  }
+
+  /** Banded hamming-radius self-join over ANY precomputed fixed-width
+    * bit signature — the blocking engine [[simhashNearDup]] (text
+    * sketches) and [[imageNearDup]] (perceptual image hashes) share.
+    * Input: one (id, signature) row per item, the signature occupying
+    * the LOW `sigBits` bits of a long. The signature splits into
+    * `bands` contiguous chunks; candidate pairs share at least one
+    * chunk value, survivors are filtered to hamming <= `maxHamming`
+    * over the full signature. `maxHamming <= bands - 1` is enforced,
+    * so by pigeonhole the recall is EXACT (a pair differing in at most
+    * bands-1 bits cannot differ in every chunk) — the output is
+    * precisely the hamming ball, independent of the blocking. Output
+    * (id_a, id_b, ham) with id_a < id_b.
+    *
+    * Scale shape: the shuffle carries (id, band, chunk) triples —
+    * O(N x bands) narrow rows, never all-pairs — and `maxBucketSize`
+    * caps degenerate chunk buckets (boilerplate-heavy corpora / logo
+    * images put thousands of items in one bucket; the cap trades
+    * recall for those documented cases, 0 disables).
+    */
+  def hammingNearDup(items: DataFrame, idCol: String, sigCol: String,
+                     sigBits: Int, bands: Int, maxHamming: Int,
+                     maxBucketSize: Int = 0): DataFrame = {
+    require(sigBits >= 1 && sigBits <= 64,
+      s"signature width must be 1..64 bits (got $sigBits)")
+    require(bands >= 1 && sigBits % bands == 0,
+      s"bands must divide $sigBits (got $bands)")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"pigeonhole recall needs maxHamming <= bands - 1 " +
+        s"(got $maxHamming with $bands bands)")
+    val chunk = sigBits / bands
+    // JVM shifts are mod 64: at bands = 1 (chunk = 64) the naive
+    // (1L << 64) - 1 is 0 and every item would silently collapse into
+    // bucket 0 — all-ones is the correct full-width mask
+    val mask = if (chunk >= 64) -1L else (1L << chunk) - 1
+    val sigs = items.select(col(idCol).as("id"), col(sigCol).as("sh"))
       .persist()
     val banded = sigs.select(col("id"),
       explode(array((0 until bands).map(b =>
@@ -1025,6 +1053,29 @@ object Dedup {
       .filter(col("ham") <= maxHamming)
     materializeAndRelease(sigs, pairs)
   }
+
+  /** Perceptual near-duplicate IMAGE pairs — the multimodal leg of
+    * corpus dedup: [[Multimodal.imageDHash]] sketches every decoded
+    * image down to a (gridW-1)*gridH-bit difference hash (re-encoded,
+    * resized, and brightness-shifted copies of the same picture hash
+    * (near-)identically), then [[hammingNearDup]] blocks and verifies
+    * exactly as for text SimHash. With the default 56-bit hash, 4
+    * bands of 14 bits and maxHamming <= 3, recall over the hamming
+    * ball is pigeonhole-EXACT. Output (id_a, id_b, ham), id_a < id_b.
+    *
+    * Input is any (media_id, blob) frame of decodable images; the
+    * only per-image work is one decode + one 64-cell grid, so the
+    * pipeline cost is the same order as [[Multimodal.extractFeatures]]
+    * — and the pair discovery never leaves the banded-join shape that
+    * holds at corpus scale.
+    */
+  def imageNearDup(media: DataFrame, bands: Int = 4, maxHamming: Int = 3,
+                   gridW: Int = 8, gridH: Int = 8,
+                   maxBucketSize: Int = 0): DataFrame =
+    hammingNearDup(
+      graft.operators.Multimodal.imageDHash(media, gridW, gridH),
+      "media_id", "dhash", (gridW - 1) * gridH, bands, maxHamming,
+      maxBucketSize)
 
   /** Greedy near-dup drop list from candidate pairs: a doc is dropped
     * when it has ANY near-dup partner with a smaller id. O(N) output

@@ -197,10 +197,28 @@ object Multimodal {
     * `(id*31 + x*7 + y*13) % 256` — SQL-recomputable, so a decoder's
     * output is oracle-checkable. Width must keep rows 4-byte aligned
     * (w*3 % 4 == 0).
+    *
+    * `textured = true` swaps in PSEUDORANDOM pixels: gray value = the
+    * first byte of `md5("{id}-{x}-{y}")` — still engine-replayable
+    * (every SQL engine with md5 rebuilds it as
+    * `('0x' || substr(md5(id || '-' || x || '-' || y), 1, 2))::INT`,
+    * the dd2/dd3 portable-hash discipline). The linear gradient is
+    * fine for decode/resize gates but useless for PERCEPTUAL-hash
+    * fixtures: `id` enters it only as a global brightness offset, and
+    * dHash is brightness-invariant by design, so any two unrelated
+    * gradient images land within a couple of hamming bits (measured:
+    * min ham 1 across 3000 ids, >130k exact hash collisions). No
+    * algebraic mod-256 mix fixes that structurally; md5 pixels make
+    * every dHash bit an independent fair coin across ids, so the
+    * closest unrelated pair in a 12M-pair corpus sits ~28 bits out
+    * (P[ham<=3] per pair ~4e-13).
     */
-  def bmpBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+  def bmpBytes(id: Long, w: Int, h: Int,
+               textured: Boolean = false): Array[Byte] = {
     val rowBytes = w * 3
     require(rowBytes % 4 == 0, s"width $w breaks BMP 4-byte row alignment")
+    val md = if (textured)
+      java.security.MessageDigest.getInstance("MD5") else null
     val size = 54 + rowBytes * h
     val b = java.nio.ByteBuffer.allocate(size)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -212,7 +230,11 @@ object Multimodal {
     while (y >= 0) {
       var x = 0
       while (x < w) {
-        val v = (((id * 31 + x * 7 + y * 13) % 256 + 256) % 256).toInt
+        val v =
+          if (textured)
+            md.digest(s"$id-$x-$y".getBytes(
+              java.nio.charset.StandardCharsets.US_ASCII))(0) & 0xff
+          else (((id * 31 + x * 7 + y * 13) % 256 + 256) % 256).toInt
         b.put(v.toByte).put(v.toByte).put(v.toByte)
         x += 1
       }
@@ -223,7 +245,8 @@ object Multimodal {
 
   /** (media_id, blob) rows of real BMP images, one per id. */
   def synthesizeBmp(df: DataFrame, idCol: String,
-                    w: Int = 8, h: Int = 8): DataFrame = {
+                    w: Int = 8, h: Int = 8,
+                    textured: Boolean = false): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("blob", BinaryType)))
@@ -231,7 +254,7 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        Row(id, bmpBytes(id, w, h))
+        Row(id, bmpBytes(id, w, h, textured))
       }
     }(enc)
   }
@@ -325,6 +348,197 @@ object Multimodal {
         val baos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(out, "bmp", baos)
         Row(r.getLong(idIdx), baos.toByteArray, outW, outH, sum)
+      }
+    }(enc)
+  }
+
+  // ---- perceptual image hashing (near-dup for the image modality) --
+  // The multimodal leg of corpus dedup: text near-dup blocks on
+  // MinHash/SimHash sketches; images block on a perceptual hash of
+  // the DECODED pixels, so re-encoded / resized / brightness-shifted
+  // copies of the same picture collide even though their bytes (and
+  // any content digest) differ. dHash/aHash are the standard integer
+  // recipes (as popularized by the pHash family / Krawetz's
+  // "kind of like that" write-ups): sample the decoded image down to
+  // a tiny luma grid, emit one bit per local comparison. Pure integer
+  // arithmetic end to end — floor NN sampling + integer luma — so any
+  // engine replays the hash from the pixel values.
+
+  /** Difference hash (dHash) over the REAL decode path: ImageIO
+    * decode, floor-NN sample to a `gridW` x `gridH` integer luma grid
+    * (src = (dst * srcDim) / dstDim, the [[resizeImages]] mapping;
+    * luma = (r+g+b)/3 integer), then one bit per HORIZONTALLY adjacent
+    * grid pair — bit gy*(gridW-1)+gx is set iff
+    * luma(gx+1, gy) > luma(gx, gy). Output (media_id, dhash) with
+    * dhash packed into a signed 64-bit long.
+    *
+    * (gridW-1)*gridH must stay <= 63: the classic 9x8/64-bit layout
+    * would put a bit in the sign position, which survives in the JVM
+    * but cannot be rebuilt portably by engines whose only 64-bit
+    * integer is signed — the default 8x8 grid gives a 56-bit hash,
+    * sign-safe everywhere. Comparison bits are invariant under any
+    * monotone per-pixel transform that preserves strict order of
+    * adjacent samples: a global brightness shift (no clamping at the
+    * sampled cells), gamma, contrast — the property that makes dHash
+    * a NEAR-dup key rather than a content digest.
+    */
+  def imageDHash(media: DataFrame, gridW: Int = 8, gridH: Int = 8)
+  : DataFrame = {
+    require(gridW >= 2 && gridH >= 1 && (gridW - 1) * gridH <= 63,
+      s"imageDHash: need 2 <= gridW, (gridW-1)*gridH <= 63 " +
+        s"(got ${gridW}x$gridH)")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val g = lumaGrid(r.getAs[Array[Byte]](blobIdx), gridW, gridH)
+        var hash = 0L
+        var gy = 0
+        while (gy < gridH) {
+          var gx = 0
+          while (gx < gridW - 1) {
+            if (g(gy * gridW + gx + 1) > g(gy * gridW + gx))
+              hash |= 1L << (gy * (gridW - 1) + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        Row(r.getLong(idIdx), hash)
+      }
+    }(enc)
+  }
+
+  /** Average hash (aHash) over the same decode + floor-NN grid: bit
+    * gy*gridW+gx is set iff n*luma(gx, gy) > sum(all grid lumas) —
+    * the mean comparison cleared of division (n = gridW*gridH), so
+    * the bit is exact integer arithmetic on both engines. Default
+    * grid 9x7 = 63 bits (sign-safe, see [[imageDHash]]). aHash keys
+    * on absolute level rather than local gradient — cheaper, more
+    * tolerant of local noise, NOT brightness-shift invariant; ship
+    * both and let the near-dup policy pick.
+    */
+  def imageAHash(media: DataFrame, gridW: Int = 9, gridH: Int = 7)
+  : DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 63,
+      s"imageAHash: need gridW*gridH <= 63 (got ${gridW}x$gridH)")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("ahash", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    val n = gridW * gridH
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val g = lumaGrid(r.getAs[Array[Byte]](blobIdx), gridW, gridH)
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += g(i); i += 1 }
+        var hash = 0L
+        i = 0
+        while (i < n) {
+          if (n.toLong * g(i) > sum) hash |= 1L << i
+          i += 1
+        }
+        Row(r.getLong(idIdx), hash)
+      }
+    }(enc)
+  }
+
+  /** Decode + floor-NN sample to a gridW x gridH integer luma grid,
+    * row-major — the shared front half of [[imageDHash]]/[[imageAHash]].
+    */
+  private def lumaGrid(blob: Array[Byte], gridW: Int, gridH: Int)
+  : Array[Int] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(blob))
+    require(img != null, "undecodable image blob")
+    val sw = img.getWidth; val sh = img.getHeight
+    val g = new Array[Int](gridW * gridH)
+    var gy = 0
+    while (gy < gridH) {
+      val sy = (gy.toLong * sh / gridH).toInt
+      var gx = 0
+      while (gx < gridW) {
+        val rgb = img.getRGB((gx.toLong * sw / gridW).toInt, sy)
+        g(gy * gridW + gx) =
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        gx += 1
+      }
+      gy += 1
+    }
+    g
+  }
+
+  /** Brightness augmentation — clamp-add `delta` to every channel of
+    * every pixel ([-255, 255]; saturating at 0/255 like any image
+    * library, never wrapping) and re-encode as a genuine BMP. Output
+    * (media_id, blob). Doubles as the controlled jitter source for
+    * perceptual-hash fixtures: +1 preserves every strict adjacent-luma
+    * order except at saturation, so the dHash of the shifted copy is
+    * (near-)identical — exactly the invariance a perceptual near-dup
+    * key promises.
+    */
+  def adjustBrightness(media: DataFrame, delta: Int): DataFrame = {
+    require(delta >= -255 && delta <= 255,
+      s"adjustBrightness: delta out of [-255, 255] (got $delta)")
+    transformChannels(media, c => math.min(255, math.max(0, c + delta)))
+  }
+
+  /** Negative-image augmentation: every channel maps to 255 - c. The
+    * anti-fixture for perceptual hashing — inversion REVERSES every
+    * strict adjacent-luma comparison, so the dHash of an inverted copy
+    * sits ~hash-width away from its source (a near-dup radius must
+    * exclude it), while inverted images stay exactly as distinct from
+    * EACH OTHER as their sources were (no degenerate cluster, unlike
+    * saturating transforms that crush most pixels to one value).
+    */
+  def invertImage(media: DataFrame): DataFrame =
+    transformChannels(media, c => 255 - c)
+
+  /** Decode, apply `f` to every 8-bit channel value, re-encode as a
+    * genuine BMP — the shared body of the per-pixel augmentation ops.
+    * `f` must map [0, 255] into [0, 255].
+    */
+  private def transformChannels(media: DataFrame, f: Int => Int)
+  : DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
+        require(img != null, "undecodable image blob")
+        val w = img.getWidth; val h = img.getHeight
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out.setRGB(x, y,
+              (f((rgb >> 16) & 0xff) << 16) |
+                (f((rgb >> 8) & 0xff) << 8) |
+                f(rgb & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "bmp", baos)
+        Row(r.getLong(idIdx), baos.toByteArray)
       }
     }(enc)
   }

@@ -702,6 +702,46 @@ object TextQueries {
         .orderBy("media_id", "frame_no")
     }),
 
+    // PERCEPTUAL image near-dup — the multimodal leg of corpus dedup:
+    // md5-textured real BMPs + planted clones made by REAL engine ops
+    // (NN 2x upscale via resizeImages, +1 clamp brightness, inversion),
+    // dHashed off the decoded pixels, hamming-banded (4 x 14 bits,
+    // radius 3 -> pigeonhole-EXACT recall). The oracle replays hash +
+    // ALL-PAIRS hamming — it never sees the banding, so the gate
+    // proves blocking loses nothing: upscale/brightness clones match,
+    // inverted copies (every comparison reversed) and unrelated
+    // md5-textured images never do.
+    "mmdd1_image_neardup" -> ((s, d) => {
+      val base = graft.operators.Multimodal.synthesizeBmp(
+        t(s, d, "documents").select("doc_id"), "doc_id", 8, 8,
+        textured = true)
+      val clone2x = graft.operators.Multimodal
+        .resizeImages(base.filter(col("media_id") % 3 === 0), 16, 16)
+        .select((col("media_id") + 1000000L).as("media_id"), col("blob"))
+      val bright = graft.operators.Multimodal
+        .adjustBrightness(base.filter(col("media_id") % 3 === 1), 1)
+        .select((col("media_id") + 2000000L).as("media_id"), col("blob"))
+      val inv = graft.operators.Multimodal
+        .invertImage(base.filter(col("media_id") % 3 === 2))
+        .select((col("media_id") + 3000000L).as("media_id"), col("blob"))
+      graft.operators.Dedup.imageNearDup(
+          base.unionByName(clone2x).unionByName(bright).unionByName(inv))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the perceptual hash VALUES themselves (dHash 56-bit + aHash
+    // 63-bit on the 9x7 floor-NN grid), replayed bit-exactly by the
+    // oracle from the md5 pixel formula through the same floor
+    // sampling and integer comparisons
+    "mmdd2_image_phash" -> ((s, d) => {
+      val base = graft.operators.Multimodal.synthesizeBmp(
+        t(s, d, "documents").select("doc_id"), "doc_id", 8, 8,
+        textured = true)
+      graft.operators.Multimodal.imageDHash(base)
+        .join(graft.operators.Multimodal.imageAHash(base), Seq("media_id"))
+        .orderBy("media_id")
+    }),
+
     // embedding norm statistics per label
     "emb1_norm_stats" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -923,6 +963,84 @@ object TextQueries {
         |    AS mean_luma
         |FROM documents d, generate_series(0, 3) f(f)
         |ORDER BY media_id, frame_no""".stripMargin,
+    // full replay of the perceptual-hash dedup: md5 pixel bytes ->
+    // per-kind transform (identity for base + NN-2x clone, clamp +1
+    // for brightness, 255-v for inversion) -> 56-bit dHash -> ALL-
+    // PAIRS hamming <= 3. The engine's banded join must equal this
+    // exactly (pigeonhole: radius 3 < 4 bands)
+    "mmdd1_image_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS base_id, doc_id AS media_id, 0 AS kind
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 1000000, 1 FROM documents
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, doc_id + 2000000, 2 FROM documents
+        |  WHERE doc_id % 3 = 1
+        |  UNION ALL SELECT doc_id, doc_id + 3000000, 3 FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |g AS (SELECT m.media_id, gy.gy, gx.gx,
+        |        CASE m.kind
+        |          WHEN 2 THEN LEAST(('0x' || substr(md5(
+        |            CAST(m.base_id AS VARCHAR) || '-' ||
+        |            CAST(gx.gx AS VARCHAR) || '-' ||
+        |            CAST(gy.gy AS VARCHAR)), 1, 2))::INT + 1, 255)
+        |          WHEN 3 THEN 255 - ('0x' || substr(md5(
+        |            CAST(m.base_id AS VARCHAR) || '-' ||
+        |            CAST(gx.gx AS VARCHAR) || '-' ||
+        |            CAST(gy.gy AS VARCHAR)), 1, 2))::INT
+        |          ELSE ('0x' || substr(md5(
+        |            CAST(m.base_id AS VARCHAR) || '-' ||
+        |            CAST(gx.gx AS VARCHAR) || '-' ||
+        |            CAST(gy.gy AS VARCHAR)), 1, 2))::INT
+        |        END AS v
+        |      FROM m, generate_series(0, 7) gx(gx),
+        |           generate_series(0, 7) gy(gy)),
+        |sig AS (SELECT a.media_id,
+        |          CAST(sum(CASE WHEN b.v > a.v
+        |            THEN (1::BIGINT << (a.gy * 7 + a.gx))
+        |            ELSE 0 END) AS BIGINT) AS h
+        |        FROM g a JOIN g b ON b.media_id = a.media_id
+        |          AND b.gy = a.gy AND b.gx = a.gx + 1
+        |        GROUP BY 1)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS ham
+        |FROM sig a JOIN sig b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // dHash: 8x8 grid (identity sampling of the 8x8 source), bit
+    // gy*7+gx iff right neighbor strictly brighter. aHash: 9x7 grid
+    // via floor-NN ((gx*8)//9, (gy*8)//7), bit gy*9+gx iff
+    // 63*v > sum(grid)
+    "mmdd2_image_phash" ->
+      """WITH g AS (SELECT d.doc_id AS media_id, gy.gy, gx.gx,
+        |        ('0x' || substr(md5(
+        |          CAST(d.doc_id AS VARCHAR) || '-' ||
+        |          CAST(gx.gx AS VARCHAR) || '-' ||
+        |          CAST(gy.gy AS VARCHAR)), 1, 2))::INT AS v
+        |      FROM documents d, generate_series(0, 7) gx(gx),
+        |           generate_series(0, 7) gy(gy)),
+        |dh AS (SELECT a.media_id,
+        |         CAST(sum(CASE WHEN b.v > a.v
+        |           THEN (1::BIGINT << (a.gy * 7 + a.gx))
+        |           ELSE 0 END) AS BIGINT) AS dhash
+        |       FROM g a JOIN g b ON b.media_id = a.media_id
+        |         AND b.gy = a.gy AND b.gx = a.gx + 1
+        |       GROUP BY 1),
+        |ag AS (SELECT d.doc_id AS media_id, gy.gy, gx.gx,
+        |        ('0x' || substr(md5(
+        |          CAST(d.doc_id AS VARCHAR) || '-' ||
+        |          CAST((gx.gx * 8) // 9 AS VARCHAR) || '-' ||
+        |          CAST((gy.gy * 8) // 7 AS VARCHAR)), 1, 2))::INT AS v
+        |       FROM documents d, generate_series(0, 8) gx(gx),
+        |            generate_series(0, 6) gy(gy)),
+        |asum AS (SELECT media_id, sum(v) AS s FROM ag GROUP BY 1),
+        |ah AS (SELECT ag.media_id,
+        |         CAST(sum(CASE WHEN 63 * ag.v > asum.s
+        |           THEN (1::BIGINT << (ag.gy * 9 + ag.gx))
+        |           ELSE 0 END) AS BIGINT) AS ahash
+        |       FROM ag JOIN asum USING (media_id) GROUP BY 1)
+        |SELECT dh.media_id, dh.dhash, ah.ahash
+        |FROM dh JOIN ah USING (media_id) ORDER BY media_id""".stripMargin,
     "dd1_exact_dup_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
