@@ -200,6 +200,45 @@ object FacadeQueries {
           col("o_orderpriority"))
         .orderBy("o_orderkey")
     }),
+    // S8 oracle-gated: the csv_to_eland ETL surface
+    // (Ingest.csvToParquet) driven through its parser edge cases —
+    // quoted separator + escaped quote, TWO na_values sentinels
+    // (reader nullValue + post-read string scrub), parse_dates,
+    // dtype override, comment lines, usecols projection, nrows cap —
+    // ingested to parquet and read back. The oracle re-derives every
+    // typed value from the CSV spec by hand (VALUES literals): the
+    // fixture bytes are fixed, so the expected table is too.
+    "io6_csv_ingest" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-io6-$tag")
+      dir.mkdirs()
+      val csv = new java.io.File(dir, "fixture.csv")
+      java.nio.file.Files.write(csv.toPath,
+        ("# comment line the parser must skip\n" +
+          "id,name,amount,joined,extra\n" +
+          "1,\"Smith, \\\"Al\\\"\",10.5,2024-01-15,x\n" +
+          "2,NA,20.25,2024-02-01,y\n" +
+          "3,plain,NA,2024-03-10,z\n" +
+          "4,\"multi word\",7.75,NA,w\n" +
+          "5,n/a,1.25,2024-05-05,q\n" +
+          "6,beyond-nrows,9.99,2024-06-06,v\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = new java.io.File(dir, "table").toString
+      graft.sources.Ingest.csvToParquet(s, csv.toString, out,
+        graft.sources.Ingest.CsvOptions(
+          naValues = Seq("NA", "n/a"),
+          parseDates = Seq("joined"),
+          dtype = Map("amount" -> "double"),
+          comment = Some('#'),
+          usecols = Seq("id", "name", "amount", "joined"),
+          nrows = Some(5)),
+        ifExists = "replace")
+      s.read.parquet(out)
+        .select(col("id").cast("long").as("id"), col("name"),
+          col("amount"), col("joined").cast("date").as("joined_date"))
+        .orderBy("id")
+    }),
     // raw ES query-DSL escape hatch (eland es_query): bool composition
     // of range/terms/term translated to Column predicates
     "f16_es_query" -> ((s, d) => {
@@ -612,6 +651,19 @@ object FacadeQueries {
         |       o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderkey <= 1000
         |ORDER BY o_orderkey""".stripMargin,
+    // the expected table derived by hand from the fixture bytes: row 1
+    // keeps the quoted comma + escaped quotes, NA/n/a null out name
+    // (post-read scrub) / amount (reader nullValue) / joined, row 6
+    // falls to the nrows cap, `extra` to usecols
+    "io6_csv_ingest" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 'Smith, "Al"', 10.5, DATE '2024-01-15'),
+        |  (2::BIGINT, NULL, 20.25, DATE '2024-02-01'),
+        |  (3::BIGINT, 'plain', NULL::DOUBLE, DATE '2024-03-10'),
+        |  (4::BIGINT, 'multi word', 7.75, NULL::DATE),
+        |  (5::BIGINT, NULL, 1.25, DATE '2024-05-05'))
+        |  t(id, name, amount, joined_date)
+        |ORDER BY id""".stripMargin,
     "f16_es_query" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_totalprice >= 100000 AND o_totalprice < 250000
