@@ -41,16 +41,33 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    // Load gate BEFORE any work of our own: the r11 record started at
+    // system load 3.04 and its first gates landed up to 45x their
+    // clean re-times (g11 38.8 s vs 0.87 s) — honest numbers, useless
+    // record. If the machine is busy when the bench starts, wait (in
+    // 15 s polls, capped at 5 min) for the 1-min load average to decay
+    // below 2 rather than billing someone else's work to query #1. The
+    // gate runs before the warmup so the measured baseline is the
+    // ENVIRONMENT's load, not our own warmup threads; wait time and
+    // the pre-gate load are carried in the record.
+    val loadPregate = loadAvg
+    val gateT0 = System.nanoTime()
+    var loadStart = loadPregate
+    while (loadStart > 2.0 && System.nanoTime() - gateT0 < 300L * 1000000000L) {
+      Thread.sleep(15000)
+      loadStart = loadAvg
+    }
+    val gateWaitSec = (System.nanoTime() - gateT0) / 1e9
+
     // warm-up: touch every table + one aggregation query end-to-end
     Tables.all.foreach { n =>
       try Tables.load(spark, sfDir, n).count()
       catch { case _: Throwable => () }
     }
     SparkEntry.queries.get("q1_pricing_summary").foreach(run("_warmup", _))
-
-    def loadAvg: Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    val loadStart = loadAvg
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.sharedState.cacheManager.clearCache()
       name -> run(name, fn)
@@ -74,7 +91,10 @@ object Bench {
     val rts = retimes.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val noise =
-      s""""retimes":$rts,"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)}"""
+      s""""retimes":$rts,"load_avg_start":${fmt(loadStart)},""" +
+        s""""load_avg_pregate":${fmt(loadPregate)},""" +
+        s""""gate_wait_sec":${fmt(gateWaitSec)},""" +
+        s""""load_avg_end":${fmt(loadEnd)}"""
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$noise,"sf":"$sfDir"}"""
