@@ -777,11 +777,24 @@ object PipelineQueries {
         .createTempDirectory("graft-st9-run").toString
       val src = new java.io.File(work, "src"); src.mkdirs()
       val base = t(s, d, "documents").select("doc_id", "text")
-      for (k <- 0 until 4) {
-        val orig = base.filter(col("doc_id") % 4 === k)
+      // 3 batches, compactEvery = 2 — the minimal fixture that still
+      // exercises every lifecycle property: cross-batch update (k >= 1
+      // rewrites id-1), MID-stream compaction (fires after batch 2
+      // with batch 3 still to come), an update landing on a doc whose
+      // last version sits in an already-COMPACTED segment (batch 3
+      // rewrites batch-2 docs), and a final read that must merge a
+      // compacted segment with a live uncompacted one (no end-of-
+      // stream compaction fires at 3 % 2 != 0). A 4th batch (r11's
+      // shape) re-proved the same properties one more time for ~1/3
+      // more micro-batch commit cost. st10/st12 genuinely need their
+      // 4th batch — the two CDC delete windows (tombstone consumed BY
+      // compaction vs tombstone created AFTER it) live in different
+      // batches by construction.
+      for (k <- 0 until 3) {
+        val orig = base.filter(col("doc_id") % 3 === k)
         val rows =
           if (k == 0) orig
-          else orig.unionByName(base.filter(col("doc_id") % 4 === k)
+          else orig.unionByName(base.filter(col("doc_id") % 3 === k)
             .select((col("doc_id") - 1).as("doc_id"),
               concat(col("text"), lit(" updatedmark")).as("text")))
         val stage = new java.io.File(src, s"_stage$k")
@@ -982,11 +995,13 @@ object PipelineQueries {
       val base = t(s, d, "embeddings")
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("embedding"))
-      for (k <- 0 until 4) {
-        val own = base.filter(col("vec_id") % 4 === k)
+      // 3-batch fixture — st9's trim rationale applies verbatim (see
+      // the comment there); st12 keeps 4 batches for the delete windows
+      for (k <- 0 until 3) {
+        val own = base.filter(col("vec_id") % 3 === k)
         val upd =
           if (k == 0) own.limit(0)
-          else base.filter(col("vec_id") % 4 === k)
+          else base.filter(col("vec_id") % 3 === k)
             .select((col("vec_id") - 1).as("vec_id"),
               transform(col("embedding"), x => x * 0.5 + 0.1)
                 .as("embedding"))
@@ -2963,7 +2978,7 @@ object PipelineQueries {
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |upd AS (SELECT vec_id - 1 AS vec_id,
         |          list_transform(v, x -> x*0.5 + 0.1) AS v
-        |        FROM base WHERE vec_id % 4 <> 0),
+        |        FROM base WHERE vec_id % 3 <> 0),
         |live AS (SELECT coalesce(u.vec_id, b.vec_id) AS vec_id,
         |                coalesce(u.v, b.v) AS v
         |         FROM base b FULL OUTER JOIN upd u ON b.vec_id = u.vec_id),
@@ -3007,7 +3022,7 @@ object PipelineQueries {
     "st9_stream_upsert_index" ->
       raw"""WITH upd AS (SELECT doc_id - 1 AS doc_id,
            |               text || ' updatedmark' AS text
-           |             FROM documents WHERE doc_id % 4 <> 0),
+           |             FROM documents WHERE doc_id % 3 <> 0),
            |corpus AS (SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
            |                  coalesce(u.text, b.text) AS text
            |           FROM documents b FULL OUTER JOIN upd u
