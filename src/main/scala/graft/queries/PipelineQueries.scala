@@ -1681,6 +1681,27 @@ object PipelineQueries {
         .trainBpe(t(s, d, "documents"), "text", numMerges = 24)
         .toDF(s).orderBy("rank")
     }),
+    // unigram-LM (SentencePiece-style) tokenizer TRAINING: seed from
+    // frequent substrings, 2 Viterbi-EM rounds, prune to 60 pieces.
+    // The oracle replays the whole walk — seeding cut, per-iteration
+    // rhu-6dp scores, the unrolled DP with shortest-last-piece ties,
+    // the singles add-one floor, the prune — as generated CTEs (the
+    // bpe1/km1 discipline)
+    "spm1_train" -> ((s, d) => {
+      graft.operators.Unigram.trainUnigram(t(s, d, "documents"), "text")
+        .toDF(s).orderBy("piece")
+    }),
+    // unigram ENCODING: Viterbi segmentation under the trained model,
+    // run once per DISTINCT word as pure Column HOFs and broadcast
+    // back (the bpe2 corpus shape); the oracle re-runs the final
+    // model's DP over the word table and re-explodes the corpus
+    "spm2_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.Unigram.trainUnigram(docs, "text")
+      graft.operators.Unigram.unigramEncodeExploded(
+          docs.filter(col("doc_id") < 50), "doc_id", "text", model)
+        .orderBy("doc_id", "pos", "piece_pos")
+    }),
     // BPE encoding: the learned merges fold as chained codegen
     // `replace` over each DISTINCT word (Zipf-bounded), then the
     // segmentation broadcasts back onto the exploded corpus — the
@@ -2096,6 +2117,151 @@ object PipelineQueries {
     }
     sb.toString
   }
+  /** Generated Viterbi-EM replay of [[graft.operators.Unigram]]'s
+    * determinism contract (the bpeChainSql discipline applied to the
+    * unigram trainer): seed = all single code points + top-`seedSize`
+    * substrings, then per EM iteration a score table (rhu-6dp ln of
+    * cnt/total), an UNROLLED per-position Viterbi DP (maxJ steps, each
+    * a 4-way vocab join picking max score / shortest-last-piece ties),
+    * an unrolled backtrace, and the recount with the singles' add-one
+    * floor. `withEncode` appends a final-model DP/backtrace + the
+    * corpus explode (bpeEncodeSql's tail) for spm2.
+    */
+  private def spmChainSql(vocabSize: Int, maxPieceLen: Int, iters: Int,
+                          seedSize: Int, maxJ: Int,
+                          withEncode: Boolean): String = {
+    val sb = new StringBuilder
+    def dpChain(sc: String, pfx: String): Unit = {
+      sb.append(raw""",
+        |${pfx}0 AS MATERIALIZED (SELECT word, freq, n,
+        |  [CAST(0.0 AS DOUBLE)] AS vs, [0] AS bls FROM wc)""".stripMargin)
+      for (j <- 1 to maxJ) {
+        val cands = (1 to maxPieceLen).map { l =>
+          val vIdx = s"greatest(${j - l + 1}, 1)"
+          if (l == 1)
+            s"{v: d0.vs[$j] + coalesce(s1.s, CAST(-100.0 AS DOUBLE)), l: 1}"
+          else
+            s"CASE WHEN $j >= $l AND s$l.s IS NOT NULL " +
+              s"THEN {v: d0.vs[$vIdx] + s$l.s, l: $l} END"
+        }.mkString(",\n        ")
+        val joins = (1 to maxPieceLen).map { l =>
+          if (l == 1) s"LEFT JOIN $sc s1 ON s1.piece = d0.word[$j:$j]"
+          else s"LEFT JOIN $sc s$l ON $j >= $l AND " +
+            s"s$l.piece = d0.word[${j - l + 1}:$j]"
+        }.mkString("\n    ")
+        sb.append(raw""",
+          |$pfx$j AS MATERIALIZED (
+          |  SELECT word, freq, n,
+          |    CASE WHEN $j > n THEN vs
+          |         ELSE list_append(vs, list_max([c.v FOR c IN cand])) END
+          |      AS vs,
+          |    CASE WHEN $j > n THEN bls
+          |         ELSE list_append(bls, list_min([c.l FOR c IN cand
+          |                IF c.v = list_max([x.v FOR x IN cand])])) END
+          |      AS bls
+          |  FROM (
+          |    SELECT d0.word, d0.freq, d0.n, d0.vs, d0.bls,
+          |      [c FOR c IN [
+          |        $cands
+          |      ] IF c IS NOT NULL] AS cand
+          |    FROM $pfx${j - 1} d0
+          |    $joins
+          |  ))""".stripMargin)
+      }
+    }
+    def btChain(dTable: String, pfx: String): Unit = {
+      sb.append(raw""",
+        |${pfx}0 AS MATERIALIZED (SELECT word, freq, n AS j,
+        |  CAST([] AS VARCHAR[]) AS ps, bls FROM $dTable)""".stripMargin)
+      for (m <- 1 to maxJ) {
+        sb.append(raw""",
+          |$pfx$m AS MATERIALIZED (
+          |  SELECT word, freq,
+          |    CASE WHEN j > 0 THEN j - bls[j + 1] ELSE j END AS j,
+          |    CASE WHEN j > 0
+          |         THEN list_prepend(word[j - bls[j + 1] + 1 : j], ps)
+          |         ELSE ps END AS ps,
+          |    bls
+          |  FROM $pfx${m - 1})""".stripMargin)
+      }
+    }
+    sb.append(raw"""WITH w AS MATERIALIZED (
+      |  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest($toksSql) AS t FROM documents) GROUP BY 1),
+      |wc AS MATERIALIZED (SELECT word, freq, length(word) AS n FROM w),
+      |sub AS MATERIALIZED (
+      |  SELECT word, freq, l, word[i:i+l-1] AS piece
+      |  FROM (SELECT word, freq, n, unnest(range(1, n + 1)) AS i FROM wc),
+      |       (SELECT unnest(range(1, ${maxPieceLen + 1})) AS l)
+      |  WHERE i + l - 1 <= n),
+      |singles AS MATERIALIZED (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM sub WHERE l = 1 GROUP BY 1),
+      |v0 AS MATERIALIZED (
+      |  SELECT piece, cnt FROM singles
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+      |    FROM sub WHERE l > 1 GROUP BY 1
+      |    ORDER BY cnt DESC, piece LIMIT $seedSize))""".stripMargin)
+    for (k <- 0 until iters) {
+      sb.append(raw""",
+        |t$k AS MATERIALIZED (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v$k),
+        |sc$k AS MATERIALIZED (SELECT piece,
+        |    floor(ln(CAST(cnt AS DOUBLE) / t) * 1000000 + 0.5) / 1000000 AS s
+        |  FROM v$k, t$k)""".stripMargin)
+      dpChain(s"sc$k", s"d${k}_")
+      btChain(s"d${k}_$maxJ", s"b${k}_")
+      sb.append(raw""",
+        |pc$k AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, unnest(ps) AS piece FROM b${k}_$maxJ)
+        |  GROUP BY 1),
+        |v${k + 1} AS MATERIALIZED (
+        |  SELECT s.piece, coalesce(pc.cnt, CAST(0 AS BIGINT)) + 1 AS cnt
+        |  FROM singles s LEFT JOIN pc$k pc USING (piece)
+        |  UNION ALL
+        |  SELECT piece, cnt FROM pc$k WHERE length(piece) > 1)""".stripMargin)
+    }
+    sb.append(raw""",
+      |nsing AS MATERIALIZED (SELECT count(*) AS ns FROM singles),
+      |keepm AS MATERIALIZED (SELECT piece, cnt FROM (
+      |    SELECT piece, cnt,
+      |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+      |    FROM v$iters WHERE length(piece) > 1), nsing
+      |  WHERE rn <= $vocabSize - ns),
+      |fin AS MATERIALIZED (
+      |  SELECT piece, cnt FROM v$iters WHERE length(piece) = 1
+      |  UNION ALL SELECT piece, cnt FROM keepm),
+      |tfin AS MATERIALIZED (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM fin)"""
+      .stripMargin)
+    if (!withEncode) {
+      sb.append(raw"""
+        |SELECT piece, cnt,
+        |  floor(ln(CAST(cnt AS DOUBLE) / t) * 1000000 + 0.5) / 1000000
+        |    AS logp
+        |FROM fin, tfin ORDER BY piece""".stripMargin)
+    } else {
+      sb.append(raw""",
+        |scF AS MATERIALIZED (SELECT piece,
+        |    floor(ln(CAST(cnt AS DOUBLE) / t) * 1000000 + 0.5) / 1000000 AS s
+        |  FROM fin, tfin)""".stripMargin)
+      dpChain("scF", "e_")
+      btChain(s"e_$maxJ", "f_")
+      sb.append(raw""",
+        |seg AS MATERIALIZED (SELECT word, ps AS pieces FROM f_$maxJ),
+        |tok AS (SELECT doc_id, unnest($toksSql) AS t,
+        |          generate_subscripts($toksSql, 1) AS pos
+        |        FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+        |       CAST(pp - 1 AS BIGINT) AS piece_pos, piece
+        |FROM (SELECT doc_id, pos, unnest(pieces) AS piece,
+        |             generate_subscripts(pieces, 1) AS pp
+        |      FROM tok JOIN seg ON tok.t = seg.word)
+        |ORDER BY doc_id, pos, piece_pos""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** Generated Lloyd-iteration replay (mirrors `Clustering.kmeansFit`'s
     * determinism contract): c0 = the k smallest-id vectors; iteration i
     * assigns by rounded −2·v·c + ‖c‖² with smallest-cluster ties, then
@@ -3307,6 +3473,10 @@ object PipelineQueries {
           .mkString("\n UNION ALL ") +
         ")\nSELECT rank, lft, rgt FROM mm ORDER BY rank"
     },
+    "spm1_train" -> spmChainSql(vocabSize = 60, maxPieceLen = 4,
+      iters = 2, seedSize = 200, maxJ = 12, withEncode = false),
+    "spm2_encode" -> spmChainSql(vocabSize = 60, maxPieceLen = 4,
+      iters = 2, seedSize = 200, maxJ = 12, withEncode = true),
     "bpe2_encode" -> bpeEncodeSql,
     // save/load round-trip encodes from the LOADED model; the merge
     // walk it must reproduce is bpe2's, replayed by the same SQL
