@@ -1077,6 +1077,56 @@ object Dedup {
       "media_id", "dhash", (gridW - 1) * gridH, bands, maxHamming,
       maxBucketSize)
 
+  /** Perceptual near-duplicate AUDIO pairs: every decoded track
+    * sketches to [[Multimodal.audioFingerprint]]'s (nWindows-1)-bit
+    * window-energy-difference signature, then [[hammingNearDup]]
+    * blocks and verifies. Defaults: 63-bit fingerprint, 7 bands of 9
+    * bits — radius <= 6 stays pigeonhole-exact. Output (id_a, id_b,
+    * ham), id_a < id_b. An upsampled (sample-and-hold) copy scales
+    * every window energy exactly, so it matches at hamming 0; an
+    * attenuated copy near-0.
+    */
+  def audioNearDup(media: DataFrame, bands: Int = 7, maxHamming: Int = 3,
+                   nWindows: Int = 64, maxBucketSize: Int = 0): DataFrame =
+    hammingNearDup(
+      graft.operators.Multimodal.audioFingerprint(media, nWindows),
+      "media_id", "afp", nWindows - 1, bands, maxHamming, maxBucketSize)
+
+  /** Perceptual near-duplicate VIDEO pairs over the per-frame dHash
+    * sequence ([[Multimodal.videoFingerprint]]): candidates block on
+    * FRAME 0's hash through the banded machinery; survivors must have
+    * the same frame count and EVERY aligned frame pair within
+    * `maxHamming` (output max_ham = the worst aligned frame). Recall
+    * over that predicate is still pigeonhole-EXACT: a qualifying pair
+    * has frame-0 hamming <= maxHamming <= bands-1, so it collides in a
+    * frame-0 band — blocking on one frame loses nothing that the
+    * verify would keep. Zero-frame videos carry no perceptual content
+    * and are excluded. Output (id_a, id_b, max_ham), id_a < id_b.
+    */
+  def videoNearDup(media: DataFrame, bands: Int = 4, maxHamming: Int = 3,
+                   gridW: Int = 8, gridH: Int = 8,
+                   maxBucketSize: Int = 0): DataFrame = {
+    val fp = graft.operators.Multimodal
+      .videoFingerprint(media, gridW, gridH)
+      .filter(col("n_frames") > 0)
+      .persist()
+    val cand = hammingNearDup(
+      fp.select(col("media_id"), element_at(col("fhashes"), 1).as("h0")),
+      "media_id", "h0", (gridW - 1) * gridH, bands, maxHamming,
+      maxBucketSize)
+    val pairs = cand.select("id_a", "id_b")
+      .join(fp.select(col("media_id").as("id_a"),
+        col("n_frames").as("_nfa"), col("fhashes").as("_fha")), Seq("id_a"))
+      .join(fp.select(col("media_id").as("id_b"),
+        col("n_frames").as("_nfb"), col("fhashes").as("_fhb")), Seq("id_b"))
+      .filter(col("_nfa") === col("_nfb"))
+      .select(col("id_a"), col("id_b"),
+        array_max(zip_with(col("_fha"), col("_fhb"),
+          (a, b) => bit_count(a.bitwiseXOR(b)))).as("max_ham"))
+      .filter(col("max_ham") <= maxHamming)
+    materializeAndRelease(fp, pairs)
+  }
+
   /** Greedy near-dup drop list from candidate pairs: a doc is dropped
     * when it has ANY near-dup partner with a smaller id. O(N) output
     * regardless of clique sizes (a 10-doc clique yields 9 drops, not

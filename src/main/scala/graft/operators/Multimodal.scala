@@ -550,10 +550,17 @@ object Multimodal {
   // the mm5 gate oracle recomputes the mean amplitude arithmetically.
 
   /** Genuine RIFF/WAVE bytes: 8-bit unsigned mono PCM, sample i value
-    * `(id*17 + i*11) % 256`.
+    * `(id*17 + i*11) % 256`. `textured = true` swaps in md5 pixels
+    * (first byte of md5("{id}-{i}")) — same rationale as the image
+    * variant ([[bmpBytes]]): perceptual-fingerprint fixtures need
+    * samples that are independent across ids, and the linear formula
+    * makes `id` a mere phase shift.
     */
-  def wavBytes(id: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+  def wavBytes(id: Long, nSamples: Int, sampleRate: Int,
+               textured: Boolean = false): Array[Byte] = {
     val size = 44 + nSamples
+    val md = if (textured)
+      java.security.MessageDigest.getInstance("MD5") else null
     val b = java.nio.ByteBuffer.allocate(size)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def ascii(s: String): Unit = s.foreach(c => b.put(c.toByte))
@@ -568,7 +575,12 @@ object Multimodal {
     ascii("data"); b.putInt(nSamples)
     var i = 0
     while (i < nSamples) {
-      b.put(((((id * 17 + i * 11) % 256) + 256) % 256).toByte)
+      val v =
+        if (textured)
+          md.digest(s"$id-$i".getBytes(
+            java.nio.charset.StandardCharsets.US_ASCII))(0) & 0xff
+        else ((((id * 17 + i * 11) % 256) + 256) % 256).toInt
+      b.put(v.toByte)
       i += 1
     }
     b.array()
@@ -576,7 +588,8 @@ object Multimodal {
 
   /** (media_id, blob) rows of real WAV audio, one per id. */
   def synthesizeWav(df: DataFrame, idCol: String,
-                    nSamples: Int = 256, sampleRate: Int = 8000): DataFrame = {
+                    nSamples: Int = 256, sampleRate: Int = 8000,
+                    textured: Boolean = false): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("blob", BinaryType)))
@@ -584,7 +597,7 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        Row(id, wavBytes(id, nSamples, sampleRate))
+        Row(id, wavBytes(id, nSamples, sampleRate, textured))
       }
     }(enc)
   }
@@ -694,6 +707,213 @@ object Multimodal {
           Row(r.getLong(idIdx), baos.toByteArray, rate / factor,
             n.toLong, sum)
         } finally in.close()
+      }
+    }(enc)
+  }
+
+  /** Sample-and-hold UPSAMPLING — [[resampleAudio]]'s inverse verb:
+    * decode, repeat every sample `factor` times, re-encode a genuine
+    * WAV at `rate * factor` (duration preserved; zero-order hold, the
+    * exact-integer upsampler — no interpolation, so any engine replays
+    * the sample mapping `s'(i) = s(i / factor)`). Output matches
+    * [[resampleAudio]]: (media_id, blob, sample_rate, n_samples,
+    * amp_sum). Doubles as the exact-invariance fixture for
+    * [[audioFingerprint]]: window boundaries scale by `factor`, so
+    * every window energy exactly multiplies and every energy
+    * COMPARISON is preserved.
+    */
+  def upsampleAudio(media: DataFrame, factor: Int): DataFrame = {
+    require(factor > 0, s"bad upsampling factor $factor")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("blob", BinaryType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("amp_sum", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
+        try {
+          val fmt = in.getFormat
+          requireUnsigned8BitMono(fmt)
+          val rate = fmt.getSampleRate.toInt
+          val data = in.readAllBytes()
+          val n = data.length * factor
+          val up = new Array[Byte](n)
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            val v = data(i / factor) & 0xff
+            up(i) = v.toByte; sum += v
+            i += 1
+          }
+          val outFmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+            (rate * factor).toFloat, 8, 1, 1, (rate * factor).toFloat,
+            false)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(up), outFmt, n.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          Row(r.getLong(idIdx), baos.toByteArray, rate * factor,
+            n.toLong, sum)
+        } finally in.close()
+      }
+    }(enc)
+  }
+
+  /** Gain attenuation: every sample maps to `64 + s / 2` (halve the
+    * amplitude about the unsigned-8-bit midpoint; s is in [0, 255] so
+    * the floor division is the same in every engine). Output
+    * (media_id, blob) — the audio sibling of [[adjustBrightness]]:
+    * window-energy ORDER survives except where the floor's half-unit
+    * noise flips a near-tie, so an attenuated copy sits at (near-)zero
+    * fingerprint distance.
+    */
+  def attenuateAudio(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("blob", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
+        try {
+          val fmt = in.getFormat
+          requireUnsigned8BitMono(fmt)
+          val data = in.readAllBytes()
+          val out = new Array[Byte](data.length)
+          var i = 0
+          while (i < data.length) {
+            out(i) = (64 + ((data(i) & 0xff) / 2)).toByte
+            i += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(out), fmt, data.length.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          Row(r.getLong(idIdx), baos.toByteArray)
+        } finally in.close()
+      }
+    }(enc)
+  }
+
+  /** Perceptual AUDIO fingerprint — the WAV sibling of [[imageDHash]]:
+    * decode, split the samples into `nWindows` equal windows, compute
+    * each window's energy (integer sum of squared deviations from the
+    * unsigned midpoint 128), and emit one bit per ADJACENT window pair
+    * — bit w set iff energy(w+1) > energy(w). The energy-difference-
+    * sign recipe is the integer core of published audio fingerprints
+    * (Haitsma & Kalker's "robust audio hashing" family); pure integer
+    * arithmetic end to end, so any engine replays it from the sample
+    * values. Output (media_id, afp) — nWindows-1 <= 63 bits packed
+    * sign-safe into a long.
+    *
+    * `nWindows` must divide the sample count (fractional windows would
+    * make the boundary arithmetic engine-dependent) — refused loudly,
+    * as is empty audio (no content, no fingerprint).
+    */
+  def audioFingerprint(media: DataFrame, nWindows: Int = 64): DataFrame = {
+    require(nWindows >= 2 && nWindows - 1 <= 63,
+      s"audioFingerprint: need 2 <= nWindows <= 64 (got $nWindows)")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("afp", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
+        try {
+          requireUnsigned8BitMono(in.getFormat)
+          val data = in.readAllBytes()
+          require(data.nonEmpty && data.length % nWindows == 0,
+            s"audioFingerprint: $nWindows windows do not divide " +
+              s"${data.length} samples")
+          val win = data.length / nWindows
+          val e = new Array[Long](nWindows)
+          var i = 0
+          while (i < data.length) {
+            val d = (data(i) & 0xff) - 128
+            e(i / win) += d.toLong * d
+            i += 1
+          }
+          var fp = 0L
+          var w = 0
+          while (w < nWindows - 1) {
+            if (e(w + 1) > e(w)) fp |= 1L << w
+            w += 1
+          }
+          Row(r.getLong(idIdx), fp)
+        } finally in.close()
+      }
+    }(enc)
+  }
+
+  /** Perceptual VIDEO fingerprint: parse the AVI, dHash every frame
+    * ([[imageDHash]]'s grid + comparison layout, straight off the raw
+    * bottom-up DIB rows — no ImageIO in the loop), and emit the hash
+    * SEQUENCE. Output (media_id, n_frames, fhashes array<long>) — the
+    * aligned per-frame form [[graft.operators.Dedup.videoNearDup]]
+    * blocks and verifies on.
+    */
+  def videoFingerprint(media: DataFrame, gridW: Int = 8, gridH: Int = 8)
+  : DataFrame = {
+    require(gridW >= 2 && gridH >= 1 && (gridW - 1) * gridH <= 63,
+      s"videoFingerprint: need 2 <= gridW, (gridW-1)*gridH <= 63 " +
+        s"(got ${gridW}x$gridH)")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_frames", IntegerType),
+      StructField("fhashes", ArrayType(LongType, containsNull = false))))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, frames) = parseAvi(r.getAs[Array[Byte]](blobIdx))
+        val rowBytes = ((w * 3 + 3) / 4) * 4
+        val hashes = frames.map { data =>
+          val g = new Array[Int](gridW * gridH)
+          var gy = 0
+          while (gy < gridH) {
+            val sy = (gy.toLong * h / gridH).toInt
+            val off = (h - 1 - sy) * rowBytes // DIB rows bottom-up
+            var gx = 0
+            while (gx < gridW) {
+              val o = off + ((gx.toLong * w / gridW).toInt) * 3
+              g(gy * gridW + gx) =
+                ((data(o) & 0xff) + (data(o + 1) & 0xff) +
+                  (data(o + 2) & 0xff)) / 3
+              gx += 1
+            }
+            gy += 1
+          }
+          var hash = 0L
+          var r2 = 0
+          while (r2 < gridH) {
+            var c = 0
+            while (c < gridW - 1) {
+              if (g(r2 * gridW + c + 1) > g(r2 * gridW + c))
+                hash |= 1L << (r2 * (gridW - 1) + c)
+              c += 1
+            }
+            r2 += 1
+          }
+          hash
+        }
+        Row(r.getLong(idIdx), frames.length, hashes.toSeq)
       }
     }(enc)
   }
@@ -835,8 +1055,11 @@ object Multimodal {
     b.array()
   }
 
-  def aviBytes(id: Long, w: Int, h: Int, nFrames: Int, fps: Int = 10): Array[Byte] = {
+  def aviBytes(id: Long, w: Int, h: Int, nFrames: Int, fps: Int = 10,
+               textured: Boolean = false): Array[Byte] = {
     val rowBytes = ((w * 3 + 3) / 4) * 4
+    val md = if (textured)
+      java.security.MessageDigest.getInstance("MD5") else null
     val frames = Array.tabulate(nFrames) { f =>
       val fr = new Array[Byte](rowBytes * h)
       var y = h - 1 // DIB rows bottom-up
@@ -844,7 +1067,14 @@ object Multimodal {
       while (y >= 0) {
         var x = 0
         while (x < w) {
-          val v = (((id * 31 + f * 19 + x * 7 + y * 13) % 256 + 256) % 256).toByte
+          // textured = md5 pixels (first byte of md5("{id}-{f}-{x}-{y}"))
+          // — the perceptual-fixture variant, see bmpBytes
+          val v =
+            if (textured)
+              (md.digest(s"$id-$f-$x-$y".getBytes(
+                java.nio.charset.StandardCharsets.US_ASCII))(0) & 0xff).toByte
+            else
+              (((id * 31 + f * 19 + x * 7 + y * 13) % 256 + 256) % 256).toByte
           fr(o) = v; fr(o + 1) = v; fr(o + 2) = v
           o += 3; x += 1
         }
@@ -858,7 +1088,7 @@ object Multimodal {
 
   /** (media_id, blob) rows of real AVI video, one per id. */
   def synthesizeAvi(df: DataFrame, idCol: String, w: Int = 8, h: Int = 8,
-                    nFrames: Int = 4): DataFrame = {
+                    nFrames: Int = 4, textured: Boolean = false): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("blob", BinaryType)))
@@ -866,7 +1096,7 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        Row(id, aviBytes(id, w, h, nFrames))
+        Row(id, aviBytes(id, w, h, nFrames, textured = textured))
       }
     }(enc)
   }

@@ -729,6 +729,45 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // PERCEPTUAL audio near-dup: md5-textured real WAVs + planted
+    // clones via REAL engine ops (sample-and-hold 2x upsampling, which
+    // exactly doubles every window energy -> fingerprint-identical;
+    // gain attenuation, near-identical), 63-bit window-energy-
+    // difference fingerprints, hamming-banded (7 x 9 bits, radius 3 ->
+    // pigeonhole-exact). Oracle = fingerprint formula + ALL-PAIRS
+    // hamming, never the banding
+    "mmdd3_audio_neardup" -> ((s, d) => {
+      val base = graft.operators.Multimodal.synthesizeWav(
+        t(s, d, "documents").select("doc_id"), "doc_id", textured = true)
+      val up = graft.operators.Multimodal
+        .upsampleAudio(base.filter(col("media_id") % 2 === 0), 2)
+        .select((col("media_id") + 1000000L).as("media_id"), col("blob"))
+      val quiet = graft.operators.Multimodal
+        .attenuateAudio(base.filter(col("media_id") % 2 === 1))
+        .select((col("media_id") + 2000000L).as("media_id"), col("blob"))
+      graft.operators.Dedup.audioNearDup(
+          base.unionByName(up).unionByName(quiet))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // PERCEPTUAL video near-dup: md5-textured 16x16 4-frame real AVIs
+    // + NN-downsized 8x8 clones via the REAL resizeVideo op (floor
+    // arithmetic picks the exact pixels the 8x8 hash grid of the
+    // source samples -> per-frame hashes identical); per-frame dHash
+    // sequence, frame-0 banding, every aligned frame verified within
+    // the radius. Oracle = per-frame hash formula + ALL-PAIRS max
+    // aligned hamming
+    "mmdd4_video_neardup" -> ((s, d) => {
+      val base = graft.operators.Multimodal.synthesizeAvi(
+        t(s, d, "documents").select("doc_id"), "doc_id", w = 16, h = 16,
+        nFrames = 4, textured = true)
+      val shrunk = graft.operators.Multimodal
+        .resizeVideo(base.filter(col("media_id") % 2 === 0), 8, 8)
+        .select((col("media_id") + 1000000L).as("media_id"), col("blob"))
+      graft.operators.Dedup.videoNearDup(base.unionByName(shrunk))
+        .orderBy("id_a", "id_b")
+    }),
+
     // the perceptual hash VALUES themselves (dHash 56-bit + aHash
     // 63-bit on the 9x7 floor-NN grid), replayed bit-exactly by the
     // oracle from the md5 pixel formula through the same floor
@@ -1007,6 +1046,80 @@ object TextQueries {
         |FROM sig a JOIN sig b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // full replay of the audio fingerprint dedup: md5 sample bytes ->
+    // per-kind transform (identity base; upsample = source index i//2
+    // over 512 samples in windows of 8; attenuate = 64 + v//2) ->
+    // window energies (sum of squared deviations from 128) -> 63-bit
+    // difference-sign fingerprint -> ALL-PAIRS hamming <= 3
+    "mmdd3_audio_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS base_id, doc_id AS media_id, 0 AS kind
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 1000000, 1 FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, doc_id + 2000000, 2 FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |en AS (
+        |  SELECT media_id, w, CAST(sum((v - 128) * (v - 128)) AS BIGINT)
+        |           AS e
+        |  FROM (
+        |    SELECT m.media_id, w.w, j.j,
+        |      CASE m.kind
+        |        WHEN 1 THEN ('0x' || substr(md5(
+        |          CAST(m.base_id AS VARCHAR) || '-' ||
+        |          CAST((8 * w.w + j.j) // 2 AS VARCHAR)), 1, 2))::INT
+        |        WHEN 2 THEN 64 + (('0x' || substr(md5(
+        |          CAST(m.base_id AS VARCHAR) || '-' ||
+        |          CAST(4 * w.w + j.j AS VARCHAR)), 1, 2))::INT) // 2
+        |        ELSE ('0x' || substr(md5(
+        |          CAST(m.base_id AS VARCHAR) || '-' ||
+        |          CAST(4 * w.w + j.j AS VARCHAR)), 1, 2))::INT
+        |      END AS v
+        |    FROM m, generate_series(0, 63) w(w), generate_series(0, 7) j(j)
+        |    WHERE m.kind = 1 OR j.j < 4)
+        |  GROUP BY 1, 2),
+        |sig AS (SELECT a.media_id,
+        |          CAST(sum(CASE WHEN b.e > a.e
+        |            THEN (1::BIGINT << a.w) ELSE 0 END) AS BIGINT) AS h
+        |        FROM en a JOIN en b ON b.media_id = a.media_id
+        |          AND b.w = a.w + 1
+        |        GROUP BY 1)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS ham
+        |FROM sig a JOIN sig b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // full replay of the video fingerprint dedup: base 16x16 frames
+    // hash-grid-sample pixels (2gx, 2gy); the 8x8 NN-downsized clone
+    // picks the SAME source pixels, so both kinds share one grid
+    // formula. Per-frame 56-bit dHash, ALL-PAIRS max aligned-frame
+    // hamming <= 3 (all fixtures have 4 frames)
+    "mmdd4_video_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS base_id, doc_id AS media_id FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 1000000 FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |g AS (SELECT m.media_id, f.f, gy.gy, gx.gx,
+        |        ('0x' || substr(md5(
+        |          CAST(m.base_id AS VARCHAR) || '-' ||
+        |          CAST(f.f AS VARCHAR) || '-' ||
+        |          CAST(2 * gx.gx AS VARCHAR) || '-' ||
+        |          CAST(2 * gy.gy AS VARCHAR)), 1, 2))::INT AS v
+        |      FROM m, generate_series(0, 3) f(f),
+        |           generate_series(0, 7) gx(gx), generate_series(0, 7) gy(gy)),
+        |fh AS (SELECT a.media_id, a.f,
+        |         CAST(sum(CASE WHEN b.v > a.v
+        |           THEN (1::BIGINT << (a.gy * 7 + a.gx))
+        |           ELSE 0 END) AS BIGINT) AS h
+        |       FROM g a JOIN g b ON b.media_id = a.media_id
+        |         AND b.f = a.f AND b.gy = a.gy AND b.gx = a.gx + 1
+        |       GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(mh AS INT) AS max_ham FROM (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |         max(bit_count(xor(a.h, b.h))) AS mh
+        |  FROM fh a JOIN fh b ON a.f = b.f AND a.media_id < b.media_id
+        |  GROUP BY 1, 2)
+        |WHERE mh <= 3 ORDER BY id_a, id_b""".stripMargin,
     // dHash: 8x8 grid (identity sampling of the 8x8 source), bit
     // gy*7+gx iff right neighbor strictly brighter. aHash: 9x7 grid
     // via floor-NN ((gx*8)//9, (gy*8)//7), bit gy*9+gx iff
