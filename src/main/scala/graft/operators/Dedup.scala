@@ -1077,6 +1077,89 @@ object Dedup {
       "media_id", "dhash", (gridW - 1) * gridH, bands, maxHamming,
       maxBucketSize)
 
+  /** Perceptual-hash image dedup against a PERSISTENT registry — the
+    * multimodal face of [[nearDupAgainstRegistry]], completing the
+    * continuous-ingest story for media: flag batch images whose dHash
+    * sits within `maxHamming` of ANY registered image (output: idCol,
+    * reg_id, ham), then register the clean rows' hashes. Registry
+    * layout: `registryPath/hashes/batch-*` committed dirs of
+    * (id, dhash) rows — 16 bytes per image, never pixels; unlike the
+    * text registry there is nothing else to precompute, because band
+    * keys re-derive from the stored hash by shift/mask at probe time.
+    *
+    * Retry discipline is the exact/LSH registries': ids the registry
+    * already COMMITTED neither probe nor re-register, so a committed
+    * batch's re-run emits nothing (no self-matches at ham 0, no
+    * sibling matches between rows that registered cleanly together).
+    * Matches are checkpointed BEFORE the clean append lands, so the
+    * returned frame never re-reads a registry containing this batch.
+    * Per-batch cost: one decode+hash pass, narrow registry scans, a
+    * banded join shipping (id, band, chunk) rows — O(batch + registry
+    * x bands + candidates), never all-pairs.
+    */
+  def perceptualDedupAgainstRegistry(batch: DataFrame, idCol: String,
+                                     registryPath: String,
+                                     bands: Int = 4, maxHamming: Int = 3,
+                                     gridW: Int = 8, gridH: Int = 8)
+  : DataFrame = {
+    val sigBits = (gridW - 1) * gridH
+    require(bands >= 1 && sigBits % bands == 0,
+      s"bands must divide $sigBits (got $bands)")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"pigeonhole recall needs maxHamming <= bands - 1 " +
+        s"(got $maxHamming with $bands bands)")
+    val spark = batch.sparkSession
+    val chunk = sigBits / bands
+    val mask = if (chunk >= 64) -1L else (1L << chunk) - 1
+    def bandCols(h: org.apache.spark.sql.Column) =
+      array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(h, b * chunk).bitwiseAND(lit(mask)).as("bk"))): _*)
+    val staged = graft.operators.Multimodal.imageDHash(batch, gridW, gridH)
+      .select(col("media_id").as("id"), col("dhash"))
+      .persist()
+    val fs = new org.apache.hadoop.fs.Path(registryPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hashPath = s"$registryPath/hashes"
+    val regFrames = registryFrames(spark, fs, hashPath)
+    val (matches, clean) =
+      if (regFrames.isEmpty)
+        (staged.limit(0).select(col("id").as(idCol),
+          col("id").as("reg_id"), lit(0).as("ham")), staged)
+      else {
+        // committed ids neither probe nor re-register (retry guard);
+        // checkpointed once — it feeds the probe AND the append
+        val fresh = regFrames
+          .foldLeft(staged) { (acc, reg) =>
+            acc.join(reg.select("id"), Seq("id"), "left_anti")
+          }.localCheckpoint(true)
+        val probe = fresh
+          .select(col("id"), col("dhash"),
+            explode(bandCols(col("dhash"))).as("c"))
+          .select(col("id"), col("dhash"), col("c.band"), col("c.bk"))
+        val verified = regFrames.map { rf =>
+            val reg = rf
+              .select(col("id").as("reg_id"), col("dhash").as("_rh"))
+              .select(col("reg_id"), col("_rh"),
+                explode(bandCols(col("_rh"))).as("c"))
+              .select(col("reg_id"), col("_rh"), col("c.band"), col("c.bk"))
+            probe.join(reg, Seq("band", "bk"))
+              .select(col("id"), col("dhash"), col("reg_id"), col("_rh"))
+          }.reduce(_ unionByName _)
+          .distinct()                       // a pair may share >1 band
+          .select(col("id").as(idCol), col("reg_id"),
+            bit_count(col("dhash").bitwiseXOR(col("_rh"))).as("ham"))
+          .filter(col("ham") <= maxHamming)
+          .localCheckpoint(true)
+        (verified,
+          fresh.join(verified.select(col(idCol).as("id")).distinct(),
+            Seq("id"), "left_anti"))
+      }
+    appendRegistryBatch(clean.select("id", "dhash"), hashPath)
+    staged.unpersist()
+    matches
+  }
+
   /** Perceptual near-duplicate AUDIO pairs: every decoded track
     * sketches to [[Multimodal.audioFingerprint]]'s (nWindows-1)-bit
     * window-energy-difference signature, then [[hammingNearDup]]

@@ -768,6 +768,34 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // registry-INCREMENTAL perceptual dedup (dd12's two-batch shape
+    // over media): batch 1 registers the even-id images' dHashes into
+    // a persistent registry; batch 2 (odd bases + brightness clones of
+    // the even ids) probes it — the clones must match their sources,
+    // the odd bases must register cleanly. Oracle = hash formulas +
+    // the batch-2 x batch-1 hamming cross, never the registry
+    "mmdd5_incremental_phash" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val reg = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-mmdd5-$tag")
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(wipe)); f.delete(); ()
+      }
+      wipe(reg)
+      val base = graft.operators.Multimodal.synthesizeBmp(
+        t(s, d, "documents").select("doc_id"), "doc_id", 8, 8,
+        textured = true)
+      graft.operators.Dedup.perceptualDedupAgainstRegistry(
+        base.filter(col("media_id") % 2 === 0), "media_id", reg.toString)
+      val clones = graft.operators.Multimodal
+        .adjustBrightness(base.filter(col("media_id") % 2 === 0), 1)
+        .select((col("media_id") + 1000000L).as("media_id"), col("blob"))
+      graft.operators.Dedup.perceptualDedupAgainstRegistry(
+          base.filter(col("media_id") % 2 === 1).unionByName(clones),
+          "media_id", reg.toString)
+        .orderBy("media_id", "reg_id")
+    }),
+
     // the perceptual hash VALUES themselves (dHash 56-bit + aHash
     // 63-bit on the 9x7 floor-NN grid), replayed bit-exactly by the
     // oracle from the md5 pixel formula through the same floor
@@ -1046,6 +1074,43 @@ object TextQueries {
         |FROM sig a JOIN sig b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // two-batch registry replay: the registry after batch 1 IS the
+    // even-id hash set, so batch 2's matches are exactly the hamming
+    // cross of (odd bases + even-id brightness clones) against it
+    "mmdd5_incremental_phash" ->
+      """WITH m2 AS (
+        |  SELECT doc_id AS base_id, doc_id AS media_id, 0 AS kind
+        |  FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT doc_id, doc_id + 1000000, 1 FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |m1 AS (SELECT doc_id AS base_id, doc_id AS media_id, 0 AS kind
+        |       FROM documents WHERE doc_id % 2 = 0),
+        |g AS (SELECT side, media_id, gy.gy, gx.gx,
+        |        CASE kind WHEN 1 THEN LEAST(('0x' || substr(md5(
+        |            CAST(base_id AS VARCHAR) || '-' ||
+        |            CAST(gx.gx AS VARCHAR) || '-' ||
+        |            CAST(gy.gy AS VARCHAR)), 1, 2))::INT + 1, 255)
+        |          ELSE ('0x' || substr(md5(
+        |            CAST(base_id AS VARCHAR) || '-' ||
+        |            CAST(gx.gx AS VARCHAR) || '-' ||
+        |            CAST(gy.gy AS VARCHAR)), 1, 2))::INT
+        |        END AS v
+        |      FROM (SELECT 1 AS side, * FROM m1
+        |            UNION ALL SELECT 2, * FROM m2) u,
+        |           generate_series(0, 7) gx(gx), generate_series(0, 7) gy(gy)),
+        |sig AS (SELECT a.side, a.media_id,
+        |          CAST(sum(CASE WHEN b.v > a.v
+        |            THEN (1::BIGINT << (a.gy * 7 + a.gx))
+        |            ELSE 0 END) AS BIGINT) AS h
+        |        FROM g a JOIN g b ON b.side = a.side
+        |          AND b.media_id = a.media_id AND b.gy = a.gy
+        |          AND b.gx = a.gx + 1
+        |        GROUP BY 1, 2)
+        |SELECT p.media_id, r.media_id AS reg_id,
+        |       CAST(bit_count(xor(p.h, r.h)) AS INT) AS ham
+        |FROM sig p JOIN sig r ON p.side = 2 AND r.side = 1
+        |  AND bit_count(xor(p.h, r.h)) <= 3
+        |ORDER BY p.media_id, reg_id""".stripMargin,
     // full replay of the audio fingerprint dedup: md5 sample bytes ->
     // per-kind transform (identity base; upsample = source index i//2
     // over 512 samples in windows of 8; attenuate = 64 + v//2) ->

@@ -162,4 +162,38 @@ class ImageHashSpec extends AnyFunSuite {
     // no unrelated base-base matches (md5-textured ids are far apart)
     assert(!pairs.exists(p => p._1 < 24 && p._2 < 24))
   }
+
+  test("perceptualDedupAgainstRegistry: first batch registers, later " +
+    "batches match it; committed re-run emits nothing") {
+    val reg = java.nio.file.Files
+      .createTempDirectory("graft-phash-reg").toString
+    val b = base(16)
+    // batch 1: even ids — empty matches, all register
+    val m1 = Dedup.perceptualDedupAgainstRegistry(
+      b.filter(col("media_id") % 2 === 0), "media_id", reg)
+    assert(m1.count() == 0)
+    // batch 2: odd bases (clean) + brightness clones of even ids
+    val clones = Multimodal.adjustBrightness(
+        b.filter(col("media_id") % 2 === 0), 1)
+      .select((col("media_id") + 500).as("media_id"), col("blob"))
+    val m2 = Dedup.perceptualDedupAgainstRegistry(
+        b.filter(col("media_id") % 2 === 1).unionByName(clones),
+        "media_id", reg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    for (id <- 0L until 16L if id % 2 == 0)
+      assert(m2.exists(p => p._1 == id + 500 && p._2 == id && p._3 <= 3),
+        s"clone of $id missed the registry")
+    assert(!m2.exists(p => p._1 % 2 == 1 && p._1 < 16)) // odd bases clean
+    // committed re-run: every id already registered -> nothing probes
+    val m3 = Dedup.perceptualDedupAgainstRegistry(
+      b.filter(col("media_id") % 2 === 1), "media_id", reg)
+    assert(m3.count() == 0)
+    // clean odd rows DID register: a fresh near-identical copy matches
+    val m4 = Dedup.perceptualDedupAgainstRegistry(
+        Multimodal.adjustBrightness(b.filter(col("media_id") === 1), 1)
+          .select((col("media_id") + 900).as("media_id"), col("blob")),
+        "media_id", reg)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(m4.contains((901L, 1L)), m4.mkString(","))
+  }
 }
