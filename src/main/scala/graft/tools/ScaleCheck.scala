@@ -34,6 +34,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (args.headOption.contains("media")) {
+      mediaGrowth(spark)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("serving")) {
       servingGrowth(spark)
       spark.stop()
@@ -736,5 +741,62 @@ object ScaleCheck {
     val (nqB, tB) = qrows.last
     println(f"[scale] serving growth ${nqB / nqA}x queries -> rrf " +
       f"${tB / tA}%.2fx total (${(tB / nqB) / (tA / nqA)}%.2fx per query)")
+  }
+
+  /** Growth of the perceptual-media family (r12): hash, banded
+    * near-dup, audio/video fingerprints and the registry probe over
+    * 5k/20k/50k synthesized items per modality. md5-textured fixtures
+    * make hashes independent, so pair counts stay ~0 and any
+    * superlinearity is the OPERATOR's, not the fixture's.
+    */
+  private def mediaGrowth(spark: SparkSession): Unit = {
+    import graft.operators.Multimodal
+    def timeS(f: => Unit): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    // untimed warmup: JVM/codegen/ImageIO init otherwise lands on the
+    // first row and fakes a decreasing curve
+    locally {
+      val wids = spark.range(500).toDF("id")
+      val wimg = Multimodal.synthesizeBmp(wids, "id", 8, 8, textured = true)
+      noop(Multimodal.imageDHash(wimg))
+      Dedup.imageNearDup(wimg).count()
+      noop(Multimodal.audioFingerprint(
+        Multimodal.synthesizeWav(wids, "id", textured = true)))
+      noop(Multimodal.videoFingerprint(
+        Multimodal.synthesizeAvi(wids, "id", 16, 16, 4, textured = true)))
+    }
+    println("[scale] perceptual-media growth (items per modality)")
+    println(f"[scale] ${"n"}%7s ${"dhash(s)"}%9s ${"imgdd(s)"}%9s " +
+      f"${"pairs"}%7s ${"afp(s)"}%8s ${"vfp(s)"}%8s ${"regprobe(s)"}%12s")
+    Seq(5000, 20000, 50000).foreach { n =>
+      val ids = spark.range(n).toDF("id")
+      val imgs = Multimodal.synthesizeBmp(ids, "id", 8, 8, textured = true)
+        .localCheckpoint(true)
+      val wav = Multimodal.synthesizeWav(ids, "id", textured = true)
+        .localCheckpoint(true)
+      val avi = Multimodal.synthesizeAvi(ids, "id", w = 16, h = 16,
+        nFrames = 4, textured = true).localCheckpoint(true)
+      var pairs = 0L
+      val tD = timeS { noop(Multimodal.imageDHash(imgs)) }
+      val tN = timeS { pairs = Dedup.imageNearDup(imgs).count() }
+      val tA = timeS { noop(Multimodal.audioFingerprint(wav)) }
+      val tV = timeS { noop(Multimodal.videoFingerprint(avi)) }
+      val reg = java.nio.file.Files
+        .createTempDirectory(s"graft-scale-phash-$n").toString
+      val tR = timeS {
+        Dedup.perceptualDedupAgainstRegistry(
+          imgs.filter(col("media_id") % 2 === 0), "media_id", reg)
+        Dedup.perceptualDedupAgainstRegistry(
+          imgs.filter(col("media_id") % 2 === 1), "media_id", reg)
+          .count()
+        ()
+      }
+      println(f"[scale] $n%7d $tD%9.2f $tN%9.2f $pairs%7d " +
+        f"$tA%8.2f $tV%8.2f $tR%12.2f")
+    }
   }
 }
