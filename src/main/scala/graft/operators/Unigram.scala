@@ -286,6 +286,60 @@ object Unigram {
       .write.mode("overwrite").parquet(s"$path/pieces")
   }
 
+  /** Export the model in the SentencePiece `.vocab` spelling — one
+    * "piece\tlogprob" line per piece, logprob as the shortest
+    * round-trip double repr (Double.toString, so import rebuilds the
+    * EXACT score the Viterbi compares on) — the interop format the
+    * SentencePiece tooling (`spm_export_vocab`) and everything
+    * downstream of it reads; [[Vocabulary.exportBpeMergesTxt]]'s role
+    * for the unigram side. Pieces come from whitespace-split tokens so
+    * they cannot contain tabs/newlines; guarded anyway. Counts are NOT
+    * part of the format (SentencePiece vocabs carry probabilities
+    * only).
+    */
+  def exportSpmVocabTxt(spark: org.apache.spark.sql.SparkSession,
+                        model: UnigramModel, file: String): Unit = {
+    model.pieces.foreach { case (p, _, _) =>
+      require(p.nonEmpty && !p.exists(_.isWhitespace),
+        s"vocab pieces must be non-empty and whitespace-free, got '$p'")
+    }
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(model.pieces
+      .map { case (pc, _, lp) => s"$pc\t$lp" }.mkString("\n")
+      .concat("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a SentencePiece-style `.vocab` file into a model: each line
+    * "piece\tlogprob", order irrelevant (pieces re-sort). Counts are
+    * not carried by the format, so they import as 0 — segmentation
+    * reads only the log-probs. The inverse of [[exportSpmVocabTxt]],
+    * and the path for encoding under a PRODUCTION SentencePiece
+    * model's vocabulary.
+    */
+  def importSpmVocabTxt(spark: org.apache.spark.sql.SparkSession,
+                        file: String): UnigramModel = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val pieces = text.linesIterator.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      require(i > 0 && i < line.length - 1,
+        s"malformed .vocab line (want piece<TAB>logprob): '$line'")
+      (line.substring(0, i), 0L,
+        java.lang.Double.parseDouble(line.substring(i + 1)))
+    }.toSeq.sortBy(_._1)
+    require(pieces.nonEmpty, s"$file holds no vocab lines")
+    UnigramModel(pieces)
+  }
+
   /** Load a committed model; loud on missing/uncommitted saves. */
   def loadUnigramModel(spark: org.apache.spark.sql.SparkSession,
                        path: String): UnigramModel = {

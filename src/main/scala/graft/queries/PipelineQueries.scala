@@ -1702,6 +1702,24 @@ object PipelineQueries {
           docs.filter(col("doc_id") < 50), "doc_id", "text", model)
         .orderBy("doc_id", "pos", "piece_pos")
     }),
+    // SentencePiece .vocab interop (bpe4's role for the unigram side):
+    // export the trained model in the piece<TAB>logprob spelling,
+    // import it back, encode from the IMPORTED model — identical rows
+    // to spm2 prove the format carries the exact Viterbi scores
+    // (shortest round-trip double repr, bit-exact re-parse)
+    "spm3_encode_spm_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val file = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-spm3-$tag.vocab")
+      val model = graft.operators.Unigram.trainUnigram(docs, "text")
+      graft.operators.Unigram.exportSpmVocabTxt(s, model, file.toString)
+      val imported = graft.operators.Unigram.importSpmVocabTxt(
+        s, file.toString)
+      graft.operators.Unigram.unigramEncodeExploded(
+          docs.filter(col("doc_id") < 50), "doc_id", "text", imported)
+        .orderBy("doc_id", "pos", "piece_pos")
+    }),
     // BPE encoding: the learned merges fold as chained codegen
     // `replace` over each DISTINCT word (Zipf-bounded), then the
     // segmentation broadcasts back onto the exploded corpus — the
@@ -3477,6 +3495,11 @@ object PipelineQueries {
       iters = 2, seedSize = 200, maxJ = 12, withEncode = false),
     "spm2_encode" -> spmChainSql(vocabSize = 60, maxPieceLen = 4,
       iters = 2, seedSize = 200, maxJ = 12, withEncode = true),
+    // the .vocab round-trip encodes from the imported model — same
+    // walk, same SQL as spm2
+    "spm3_encode_spm_roundtrip" -> spmChainSql(vocabSize = 60,
+      maxPieceLen = 4, iters = 2, seedSize = 200, maxJ = 12,
+      withEncode = true),
     "bpe2_encode" -> bpeEncodeSql,
     // save/load round-trip encodes from the LOADED model; the merge
     // walk it must reproduce is bpe2's, replayed by the same SQL

@@ -84,6 +84,26 @@ class UnigramSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no committed"), e.getMessage)
   }
 
+  test(".vocab interop: export/import round-trips the exact scores; " +
+    "malformed lines refuse") {
+    val model = Unigram.trainUnigram(docs, "text")
+    val file = java.nio.file.Files
+      .createTempDirectory("graft-spmvocab").toString + "/m.vocab"
+    Unigram.exportSpmVocabTxt(spark, model, file)
+    val imported = Unigram.importSpmVocabTxt(spark, file)
+    // counts are not part of the format; pieces + logp round-trip
+    assert(imported.pieces.map(p => (p._1, p._3)) ==
+      model.pieces.map(p => (p._1, p._3)))
+    assert(imported.pieces.forall(_._2 == 0L))
+    val bad = file + ".bad"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad),
+      "justapiece\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      Unigram.importSpmVocabTxt(spark, bad)
+    }
+    assert(e.getMessage.contains("malformed"), e.getMessage)
+  }
+
   test("unigramEncodeExploded: positions 0-based, pieces in word order, " +
     "piece stream rebuilds each token") {
     val model = Unigram.trainUnigram(docs, "text")
