@@ -1016,9 +1016,17 @@ object Dedup {
     * images put thousands of items in one bucket; the cap trades
     * recall for those documented cases, 0 disables).
     */
-  def hammingNearDup(items: DataFrame, idCol: String, sigCol: String,
-                     sigBits: Int, bands: Int, maxHamming: Int,
-                     maxBucketSize: Int = 0): DataFrame = {
+  /** Validated banding geometry (chunk width, chunk mask) for a
+    * sigBits/bands split plus the pigeonhole-recall bound — ONE
+    * definition shared by the self-join ([[hammingNearDup]]) and the
+    * registry probe ([[perceptualDedupAgainstRegistry]]), so the two
+    * can never disagree on the band layout. JVM shifts are mod 64: at
+    * bands = 1 (chunk = 64) the naive (1L << 64) - 1 is 0 and every
+    * item would silently collapse into bucket 0 — all-ones is the
+    * correct full-width mask.
+    */
+  private def hammingBandGeometry(sigBits: Int, bands: Int,
+                                  maxHamming: Int): (Int, Long) = {
     require(sigBits >= 1 && sigBits <= 64,
       s"signature width must be 1..64 bits (got $sigBits)")
     require(bands >= 1 && sigBits % bands == 0,
@@ -1027,17 +1035,27 @@ object Dedup {
       s"pigeonhole recall needs maxHamming <= bands - 1 " +
         s"(got $maxHamming with $bands bands)")
     val chunk = sigBits / bands
-    // JVM shifts are mod 64: at bands = 1 (chunk = 64) the naive
-    // (1L << 64) - 1 is 0 and every item would silently collapse into
-    // bucket 0 — all-ones is the correct full-width mask
-    val mask = if (chunk >= 64) -1L else (1L << chunk) - 1
+    (chunk, if (chunk >= 64) -1L else (1L << chunk) - 1)
+  }
+
+  /** The per-row (band, chunk-value) struct array over a signature
+    * column, under [[hammingBandGeometry]]'s layout.
+    */
+  private def hammingBandStructs(h: org.apache.spark.sql.Column,
+                                 bands: Int, chunk: Int,
+                                 mask: Long): org.apache.spark.sql.Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(h, b * chunk).bitwiseAND(lit(mask)).as("bk"))): _*)
+
+  def hammingNearDup(items: DataFrame, idCol: String, sigCol: String,
+                     sigBits: Int, bands: Int, maxHamming: Int,
+                     maxBucketSize: Int = 0): DataFrame = {
+    val (chunk, mask) = hammingBandGeometry(sigBits, bands, maxHamming)
     val sigs = items.select(col(idCol).as("id"), col(sigCol).as("sh"))
       .persist()
     val banded = sigs.select(col("id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sh"), b * chunk).bitwiseAND(lit(mask)).as("bk")))
-        : _*)).as("c"))
+      explode(hammingBandStructs(col("sh"), bands, chunk, mask)).as("c"))
       .select(col("id"), col("c.band"), col("c.bk"))
     val guarded = capBuckets(banded, Seq("band", "bk"), maxBucketSize)
     val pairs = guarded.select(col("band"), col("bk"), col("id").as("id_a"))
@@ -1103,18 +1121,10 @@ object Dedup {
                                      gridW: Int = 8, gridH: Int = 8)
   : DataFrame = {
     val sigBits = (gridW - 1) * gridH
-    require(bands >= 1 && sigBits % bands == 0,
-      s"bands must divide $sigBits (got $bands)")
-    require(maxHamming >= 0 && maxHamming <= bands - 1,
-      s"pigeonhole recall needs maxHamming <= bands - 1 " +
-        s"(got $maxHamming with $bands bands)")
+    val (chunk, mask) = hammingBandGeometry(sigBits, bands, maxHamming)
     val spark = batch.sparkSession
-    val chunk = sigBits / bands
-    val mask = if (chunk >= 64) -1L else (1L << chunk) - 1
     def bandCols(h: org.apache.spark.sql.Column) =
-      array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(h, b * chunk).bitwiseAND(lit(mask)).as("bk"))): _*)
+      hammingBandStructs(h, bands, chunk, mask)
     val staged = graft.operators.Multimodal.imageDHash(batch, gridW, gridH)
       .select(col("media_id").as("id"), col("dhash"))
       .persist()

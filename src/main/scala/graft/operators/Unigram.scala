@@ -57,15 +57,28 @@ object Unigram {
     */
   val UnkScore: Double = -100.0
 
-  /** Trained model: (piece, cnt, logp), sorted by piece. */
+  /** Trained model: (piece, cnt, logp), sorted by piece. Pieces must
+    * be unique — a duplicate would otherwise surface as a runtime
+    * DUPLICATED_MAP_KEY inside every encode job (the score-map
+    * literal), far from the malformed input that caused it.
+    */
   final case class UnigramModel(pieces: Seq[(String, Long, Double)]) {
     require(pieces.nonEmpty, "empty unigram model")
+    require(pieces.map(_._1).distinct.size == pieces.size,
+      "unigram model holds duplicate pieces: " +
+        pieces.groupBy(_._1).collect { case (p, g) if g.size > 1 => p }
+          .mkString(", "))
     def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
       import spark.implicits._
       pieces.toDF("piece", "cnt", "logp")
     }
     lazy val scores: Map[String, Double] =
       pieces.map { case (p, _, lp) => p -> lp }.toMap
+    /** Longest piece in code points — the DP candidate depth
+      * segmentation must search to reach every piece.
+      */
+    lazy val maxPieceLen: Int =
+      pieces.iterator.map(p => p._1.codePointCount(0, p._1.length)).max
   }
 
   private def rhu6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
@@ -205,7 +218,16 @@ object Unigram {
     * the optimizer cannot substitute into (the t13 lesson).
     */
   def unigramSegment(word: Column, model: UnigramModel,
-                     maxPieceLen: Int = 4): Column = {
+                     maxPieceLen: Int = 0): Column = {
+    // default 0 = derive the DP depth from the model itself; an
+    // explicit depth SMALLER than the longest piece would silently
+    // never reach that piece (a production SentencePiece vocab
+    // carries 5-16-char pieces), so it refuses loudly instead
+    val depth = if (maxPieceLen > 0) maxPieceLen else model.maxPieceLen
+    require(depth >= model.maxPieceLen,
+      s"maxPieceLen $depth cannot reach the model's longest piece " +
+        s"(${model.maxPieceLen} code points) — pieces beyond the DP " +
+        "depth would silently never match")
     val scoreMap = map(model.pieces.flatMap { case (p, _, lp) =>
       Seq(lit(p), lit(lp))
     }: _*)
@@ -217,7 +239,7 @@ object Unigram {
       val dp = aggregate(sequence(lit(1), greatest(n, lit(1))), init,
         (st, j) => {
           val vs = st.getField("vs")
-          val cands = (1 to maxPieceLen).map { l =>
+          val cands = (1 to depth).map { l =>
             // start guarded into range: the value is only USED when
             // l <= j (the when below), but slice refuses start <= 0
             // even unevaluated branches must stay constructible
@@ -265,7 +287,7 @@ object Unigram {
     */
   def unigramEncodeExploded(docs: DataFrame, idCol: String,
                             textCol: String, model: UnigramModel,
-                            maxPieceLen: Int = 4): DataFrame = {
+                            maxPieceLen: Int = 0): DataFrame = {
     val toks = docs.select(col(idCol),
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
     val seg = toks.select("token").distinct()

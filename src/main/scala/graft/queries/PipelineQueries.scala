@@ -2152,7 +2152,7 @@ object PipelineQueries {
     def dpChain(sc: String, pfx: String): Unit = {
       sb.append(raw""",
         |${pfx}0 AS MATERIALIZED (SELECT word, freq, n,
-        |  [CAST(0.0 AS DOUBLE)] AS vs, [0] AS bls FROM wc)""".stripMargin)
+        |  [CAST(0.0 AS DOUBLE)] AS vs, [0] AS bls FROM wc, chk)""".stripMargin)
       for (j <- 1 to maxJ) {
         val cands = (1 to maxPieceLen).map { l =>
           val vIdx = s"greatest(${j - l + 1}, 1)"
@@ -2207,6 +2207,10 @@ object PipelineQueries {
       |  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
       |  FROM (SELECT unnest($toksSql) AS t FROM documents) GROUP BY 1),
       |wc AS MATERIALIZED (SELECT word, freq, length(word) AS n FROM w),
+      |chk AS MATERIALIZED (
+      |  SELECT CASE WHEN max(n) > $maxJ THEN error(
+      |    'spm oracle: corpus word exceeds the unrolled DP depth $maxJ'
+      |  ) ELSE 0 END AS ok FROM wc),
       |sub AS MATERIALIZED (
       |  SELECT word, freq, l, word[i:i+l-1] AS piece
       |  FROM (SELECT word, freq, n, unnest(range(1, n + 1)) AS i FROM wc),

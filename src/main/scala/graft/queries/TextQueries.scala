@@ -712,20 +712,24 @@ object TextQueries {
     // inverted copies (every comparison reversed) and unrelated
     // md5-textured images never do.
     "mmdd1_image_neardup" -> ((s, d) => {
-      val base = graft.operators.Multimodal.synthesizeBmp(
-        t(s, d, "documents").select("doc_id"), "doc_id", 8, 8,
-        textured = true)
+      // id frames filter BEFORE synthesis: per-id synthesis is
+      // deterministic, so each clone branch re-synthesizes only its
+      // own third instead of the whole table
+      val ids = t(s, d, "documents").select("doc_id")
+      def synth(f: DataFrame) = graft.operators.Multimodal
+        .synthesizeBmp(f, "doc_id", 8, 8, textured = true)
       val clone2x = graft.operators.Multimodal
-        .resizeImages(base.filter(col("media_id") % 3 === 0), 16, 16)
+        .resizeImages(synth(ids.filter(col("doc_id") % 3 === 0)), 16, 16)
         .select((col("media_id") + 1000000L).as("media_id"), col("blob"))
       val bright = graft.operators.Multimodal
-        .adjustBrightness(base.filter(col("media_id") % 3 === 1), 1)
+        .adjustBrightness(synth(ids.filter(col("doc_id") % 3 === 1)), 1)
         .select((col("media_id") + 2000000L).as("media_id"), col("blob"))
       val inv = graft.operators.Multimodal
-        .invertImage(base.filter(col("media_id") % 3 === 2))
+        .invertImage(synth(ids.filter(col("doc_id") % 3 === 2)))
         .select((col("media_id") + 3000000L).as("media_id"), col("blob"))
       graft.operators.Dedup.imageNearDup(
-          base.unionByName(clone2x).unionByName(bright).unionByName(inv))
+          synth(ids).unionByName(clone2x).unionByName(bright)
+            .unionByName(inv))
         .orderBy("id_a", "id_b")
     }),
 
@@ -737,16 +741,17 @@ object TextQueries {
     // pigeonhole-exact). Oracle = fingerprint formula + ALL-PAIRS
     // hamming, never the banding
     "mmdd3_audio_neardup" -> ((s, d) => {
-      val base = graft.operators.Multimodal.synthesizeWav(
-        t(s, d, "documents").select("doc_id"), "doc_id", textured = true)
+      val ids = t(s, d, "documents").select("doc_id")
+      def synth(f: DataFrame) = graft.operators.Multimodal
+        .synthesizeWav(f, "doc_id", textured = true)
       val up = graft.operators.Multimodal
-        .upsampleAudio(base.filter(col("media_id") % 2 === 0), 2)
+        .upsampleAudio(synth(ids.filter(col("doc_id") % 2 === 0)), 2)
         .select((col("media_id") + 1000000L).as("media_id"), col("blob"))
       val quiet = graft.operators.Multimodal
-        .attenuateAudio(base.filter(col("media_id") % 2 === 1))
+        .attenuateAudio(synth(ids.filter(col("doc_id") % 2 === 1)))
         .select((col("media_id") + 2000000L).as("media_id"), col("blob"))
       graft.operators.Dedup.audioNearDup(
-          base.unionByName(up).unionByName(quiet))
+          synth(ids).unionByName(up).unionByName(quiet))
         .orderBy("id_a", "id_b")
     }),
 
@@ -758,13 +763,13 @@ object TextQueries {
     // the radius. Oracle = per-frame hash formula + ALL-PAIRS max
     // aligned hamming
     "mmdd4_video_neardup" -> ((s, d) => {
-      val base = graft.operators.Multimodal.synthesizeAvi(
-        t(s, d, "documents").select("doc_id"), "doc_id", w = 16, h = 16,
-        nFrames = 4, textured = true)
+      val ids = t(s, d, "documents").select("doc_id")
+      def synth(f: DataFrame) = graft.operators.Multimodal.synthesizeAvi(
+        f, "doc_id", w = 16, h = 16, nFrames = 4, textured = true)
       val shrunk = graft.operators.Multimodal
-        .resizeVideo(base.filter(col("media_id") % 2 === 0), 8, 8)
+        .resizeVideo(synth(ids.filter(col("doc_id") % 2 === 0)), 8, 8)
         .select((col("media_id") + 1000000L).as("media_id"), col("blob"))
-      graft.operators.Dedup.videoNearDup(base.unionByName(shrunk))
+      graft.operators.Dedup.videoNearDup(synth(ids).unionByName(shrunk))
         .orderBy("id_a", "id_b")
     }),
 
@@ -782,16 +787,17 @@ object TextQueries {
         Option(f.listFiles).foreach(_.foreach(wipe)); f.delete(); ()
       }
       wipe(reg)
-      val base = graft.operators.Multimodal.synthesizeBmp(
-        t(s, d, "documents").select("doc_id"), "doc_id", 8, 8,
-        textured = true)
+      val ids = t(s, d, "documents").select("doc_id")
+      def synth(f: DataFrame) = graft.operators.Multimodal
+        .synthesizeBmp(f, "doc_id", 8, 8, textured = true)
+      val evens = ids.filter(col("doc_id") % 2 === 0)
       graft.operators.Dedup.perceptualDedupAgainstRegistry(
-        base.filter(col("media_id") % 2 === 0), "media_id", reg.toString)
+        synth(evens), "media_id", reg.toString)
       val clones = graft.operators.Multimodal
-        .adjustBrightness(base.filter(col("media_id") % 2 === 0), 1)
+        .adjustBrightness(synth(evens), 1)
         .select((col("media_id") + 1000000L).as("media_id"), col("blob"))
       graft.operators.Dedup.perceptualDedupAgainstRegistry(
-          base.filter(col("media_id") % 2 === 1).unionByName(clones),
+          synth(ids.filter(col("doc_id") % 2 === 1)).unionByName(clones),
           "media_id", reg.toString)
         .orderBy("media_id", "reg_id")
     }),

@@ -220,33 +220,6 @@ object CorpusStream {
     * index scans stay a handful of files (see the registry-layout
     * note in [[graft.operators.Dedup]]).
     */
-  /** The PERCEPTUAL sibling for media streams: each micro-batch of
-    * (id, blob) images probes the persistent dHash registry
-    * ([[graft.operators.Dedup.perceptualDedupAgainstRegistry]]),
-    * appends its verified matches (idCol, reg_id, ham) to `outPath`,
-    * and registers its clean rows' hashes as later batches' targets.
-    * Re-run semantics follow the batch operator: committed ids
-    * neither probe nor re-register, so a checkpoint retry emits
-    * nothing. Per micro-batch cost: one decode+hash pass over the
-    * batch, narrow (id, hash) registry scans, a banded join — pixels
-    * never enter the registry or the shuffle.
-    */
-  def incrementalImageNearDup(media: DataFrame, idCol: String,
-                              registryPath: String, outPath: String,
-                              checkpoint: String,
-                              bands: Int = 4, maxHamming: Int = 3,
-                              gridW: Int = 8, gridH: Int = 8)
-  : StreamingQuery =
-    media.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        Dedup.perceptualDedupAgainstRegistry(batch.toDF(), idCol,
-            registryPath, bands, maxHamming, gridW, gridH)
-          .write.mode("append").parquet(outPath)
-        ()
-      }
-      .start()
-
   def incrementalNearDup(docs: DataFrame, idCol: String, textCol: String,
                          registryPath: String, outPath: String,
                          checkpoint: String,
@@ -273,6 +246,33 @@ object CorpusStream {
       }
       .start()
   }
+
+  /** The PERCEPTUAL sibling for media streams: each micro-batch of
+    * (id, blob) images probes the persistent dHash registry
+    * ([[graft.operators.Dedup.perceptualDedupAgainstRegistry]]),
+    * appends its verified matches (idCol, reg_id, ham) to `outPath`,
+    * and registers its clean rows' hashes as later batches' targets.
+    * Re-run semantics follow the batch operator: committed ids
+    * neither probe nor re-register, so a checkpoint retry emits
+    * nothing. Per micro-batch cost: one decode+hash pass over the
+    * batch, narrow (id, hash) registry scans, a banded join — pixels
+    * never enter the registry or the shuffle.
+    */
+  def incrementalImageNearDup(media: DataFrame, idCol: String,
+                              registryPath: String, outPath: String,
+                              checkpoint: String,
+                              bands: Int = 4, maxHamming: Int = 3,
+                              gridW: Int = 8, gridH: Int = 8)
+  : StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        Dedup.perceptualDedupAgainstRegistry(batch.toDF(), idCol,
+            registryPath, bands, maxHamming, gridW, gridH)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
 
   /** [[incrementalNearDup]] with EXACTLY-ONCE delivery of the match
     * rows: each batch's verified matches land in their own committed

@@ -102,6 +102,29 @@ class UnigramSpec extends AnyFunSuite {
       Unigram.importSpmVocabTxt(spark, bad)
     }
     assert(e.getMessage.contains("malformed"), e.getMessage)
+    // duplicate pieces refuse at IMPORT (a dup would otherwise blow up
+    // inside every encode job as a duplicate map key)
+    val dup = file + ".dup"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dup),
+      "ab\t-1.5\nab\t-2.5\n".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      Unigram.importSpmVocabTxt(spark, dup)
+    }
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+  }
+
+  test("segmentation depth derives from the model; an explicit depth " +
+    "too small to reach the longest piece refuses") {
+    val model = Unigram.UnigramModel(Seq(
+      ("a", 1L, -1.0), ("b", 1L, -1.0), ("abab", 4L, -0.5)))
+    assert(model.maxPieceLen == 4)
+    // default depth reaches the 4-char piece
+    val got = Seq("abab").toDF("w")
+      .select(Unigram.unigramSegment(col("w"), model)).head().getSeq[String](0)
+    assert(got == Seq("abab"))
+    intercept[IllegalArgumentException] {
+      Unigram.unigramSegment(col("w"), model, maxPieceLen = 2)
+    }
   }
 
   test("unigramEncodeExploded: positions 0-based, pieces in word order, " +
