@@ -397,4 +397,33 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("Window"), p)
   }
+
+  test("mmdd1: perceptual image near-dup is equi-joins only — the " +
+    "banded layout never degenerates to all-pairs") {
+    // dd3's contract carried to the image modality: (band, bk)
+    // equi-join over narrow rows, hashes re-joined by id for the
+    // verify; what it provably EQUALS (the all-pairs hamming ball) is
+    // never what it computes
+    val p = plan("mmdd1_image_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("mmdd4: video near-dup blocks on frame 0 and verifies aligned " +
+    "frames — no cartesian, no corpus-wide window") {
+    val p = plan("mmdd4_video_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("Window"), p)
+  }
+
+  test("spm2: unigram encode segments DISTINCT words and broadcasts " +
+    "back — the corpus never shuffles to encode") {
+    // the bpe2 discipline: one distinct aggregate over words, then a
+    // BroadcastHashJoin onto the exploded corpus; a refactor that
+    // shuffled the corpus side to join segmentations would show a
+    // SortMergeJoin or a corpus-side Exchange below the join
+    val p = plan("spm2_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
