@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Per-document keyword extraction by tf-idf — the corpus-analysis op
+  * behind topic labeling, data-card "what is this source about"
+  * summaries, and cheap keyword-match retrieval over a curated corpus.
+  *
+  * Scoring is the smooth-idf spelling (the sklearn TfidfTransformer
+  * default): idf = ln((N + 1) / (df + 1)) + 1, score = tf · idf,
+  * rounded half-up at 6 dp so the DuckDB oracle replays the ranking;
+  * ties break by term ascending, so the per-document top-k is total.
+  *
+  * Scale shape: one (doc, term) count aggregation (map-side combined),
+  * one term-keyed df aggregation joined back on the term key (AQE
+  * balances the Zipf skew; df is a term-table, never corpus-sized
+  * rows), N rides as a 1-row lazy crossJoin (the in-plan-stats
+  * discipline — no collect), and the per-document top-k window
+  * partitions on the DOCUMENT id — every window group is one
+  * document's distinct terms, bounded by document length, so the
+  * window that is fatal on corpus-wide keys is safe here by
+  * construction.
+  */
+object Keywords {
+
+  /** (idCol, rank, term, tf, score): the top-`k` tf-idf terms of every
+    * document with at least one token; rank is 1-based in (score desc,
+    * term asc) order.
+    */
+  def keywordsTfIdf(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    require(k >= 1, s"keywordsTfIdf: k must be >= 1 (got $k)")
+    val terms = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol)))
+        .as("term"))
+      .groupBy(idCol, "term")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val df = terms.groupBy("term")
+      .agg(countDistinct(col(idCol)).cast("double").as("df"))
+    val n = docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("n"))
+    val scored = terms
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", graft.queries.QueryUtil.rhu(
+        col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("score"))
+  }
+}

