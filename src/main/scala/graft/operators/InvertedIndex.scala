@@ -1016,4 +1016,119 @@ object InvertedIndex {
       .orderBy(col("score").desc, col(idColName))
       .limit(k)
   }
+
+  // ---- fuzzy term resolution (SymSpell deletion neighborhood) ------
+  // The brute fuzzy scan (f17's shape: levenshtein against EVERY
+  // token of every document) is O(corpus) per query. The SymSpell
+  // recipe (Garbe's symspell; the same trick as Bocek et al.'s
+  // "fastss") precomputes, per vocabulary term, the term plus all
+  // strings reachable by deleting ONE code point; two strings at edit
+  // distance <= 1 ALWAYS share an entry between their neighborhoods
+  // (substitution: delete the differing position from both;
+  // insert/delete: one string IS in the other's neighborhood), so a
+  // variant-keyed dictionary gives EXACT recall for distance 1 and a
+  // query resolves in O(term length) lookups, never O(vocabulary).
+
+  /** Build (or rebuild) the fuzzy term dictionary beside the index:
+    * one committed parquet table `indexPath/fuzzy` of (variant, term)
+    * rows derived from the LIVE term vocabulary — ~(avg term length
+    * + 1) rows per term, strings only, never postings. Offline
+    * maintenance contract (the compaction discipline): appended
+    * segments add new terms the dictionary cannot resolve until
+    * rebuild; deleted docs only over-generate candidates, which the
+    * postings read then scores as nothing — stale-safe in that
+    * direction.
+    */
+  def buildFuzzyDictionary(spark: SparkSession, indexPath: String): Unit = {
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val terms = mergedPostings(spark, segs, identity)
+      .select("term").distinct()
+    // deletion neighborhood as pure Column ops over code points:
+    // variant i = the term minus code point i, plus the term itself
+    val cps = array_remove(split(col("term"), ""), "")
+    terms
+      .select(col("term"), explode(concat(array(col("term")),
+        transform(sequence(lit(1), size(cps)), i =>
+          concat_ws("", concat(slice(cps, lit(1), i - 1),
+            slice(cps, i + 1, greatest(size(cps) - i, lit(0)))))))
+      ).as("variant"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$indexPath/fuzzy")
+  }
+
+  /** The driver-side spelling of the same neighborhood (query side). */
+  private def deletionVariants(term: String): Seq[String] = {
+    val cps = term.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+    term +: cps.indices.map(i =>
+      (cps.take(i) ++ cps.drop(i + 1)).mkString)
+  }
+
+  /** Fuzzy [[searchTopK]]: every query term expands to the vocabulary
+    * terms within edit distance 1 (typo tolerance — es match
+    * `fuzziness: 1` semantics), resolved through the deletion
+    * dictionary instead of a vocabulary scan: the dictionary read is
+    * pruned by an IN filter over the query's own variants (O(term
+    * length) strings), survivors verify with one levenshtein each
+    * (the neighborhood over-generates; distance-1 recall is exact by
+    * the pigeonhole above), and the resolved terms ride the ordinary
+    * pruned-postings BM25. Each resolved term scores with its OWN
+    * df/tf. A query resolving to nothing searches its literal terms
+    * (matching nothing) rather than erroring — absence of neighbors
+    * is a no-match, not a failure.
+    */
+  def fuzzySearchTopK(spark: SparkSession, indexPath: String,
+                      queryTerms: Seq[String], k: Int,
+                      idColName: String = "id",
+                      k1: Double = 1.2, b: Double = 0.75,
+                      maxCandidates: Int = 10000): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0)
+    val fs = fsOf(spark, indexPath)
+    require(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$indexPath/fuzzy/_SUCCESS")),
+      s"$indexPath has no committed fuzzy dictionary — " +
+        "buildFuzzyDictionary() first")
+    val lowered = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT))
+      .distinct
+    val qVariants = lowered.flatMap(t =>
+      deletionVariants(t).map(_ -> t)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    // pruned dictionary read: IN over the query's variant strings —
+    // a driver-sized list, so the filter pushes into the scan
+    val cand = spark.read.parquet(s"$indexPath/fuzzy")
+      .filter(col("variant").isInCollection(qVariants.keys.toSeq))
+      .select("variant", "term").distinct()
+      .limit(maxCandidates + 1)
+      .collect()
+    require(cand.length <= maxCandidates,
+      s"fuzzy resolution exceeded $maxCandidates candidates — a " +
+        "degenerate vocabulary (or a raised cap) is a deliberate choice")
+    // verify: the neighborhood over-generates (shared variant does not
+    // imply distance <= 1 — e.g. two different substitutions at the
+    // same position); one levenshtein per candidate pair, driver-side
+    // over the bounded set
+    def lev(a: String, b: String): Int = {
+      val (x, y) = (a.codePoints.toArray, b.codePoints.toArray)
+      val d = Array.tabulate(y.length + 1)(identity)
+      for (i <- 1 to x.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to y.length) {
+          val t = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(y.length)
+    }
+    val resolved = cand.iterator.flatMap { r =>
+      val v = r.getString(0); val t = r.getString(1)
+      qVariants.getOrElse(v, Nil).filter(q => lev(q, t) <= 1).map(_ => t)
+    }.toSeq.distinct
+    searchTopK(spark, indexPath,
+      if (resolved.nonEmpty) resolved else lowered,
+      k, idColName, k1, b)
+  }
 }

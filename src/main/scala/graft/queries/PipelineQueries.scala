@@ -1262,6 +1262,25 @@ object PipelineQueries {
           Seq("stream", "filter", "join"), k = 10, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // index-served FUZZY search: typo'd query terms resolve through
+    // the SymSpell deletion dictionary (exact recall at edit distance
+    // <= 1, O(term length) lookups — never the f17 brute scan over
+    // every token) then ride the ordinary pruned-postings BM25. The
+    // oracle resolves by BRUTE levenshtein over the whole vocabulary
+    // and replays the same scoring — equality proves the deletion
+    // neighborhood loses no term and the serving path scores
+    // identically
+    "fz1_fuzzy_search" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-fz1-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", path)
+      graft.operators.InvertedIndex.buildFuzzyDictionary(s, path)
+      graft.operators.InvertedIndex.fuzzySearchTopK(s, path,
+          Seq("streem", "filtir"), k = 12, idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // incremental index ingest: half the corpus built, half APPENDED
     // as a second immutable segment (the Lucene segment model; stats
     // moments additive, df summed across disjoint doc sets). The
@@ -3053,6 +3072,29 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // brute-resolution replay: the oracle finds every vocabulary term
+    // within levenshtein 1 of each typo'd query term by scanning the
+    // WHOLE vocabulary — the deletion dictionary never exists
+    // oracle-side — then scores the same per-term Okapi sum
+    "fz1_fuzzy_search" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |voc AS (SELECT DISTINCT unnest(toks) AS t FROM s),
+           |rt AS (SELECT t FROM voc
+           |       WHERE levenshtein(t, 'streem') <= 1
+           |          OR levenshtein(t, 'filtir') <= 1),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN (SELECT t FROM rt) GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1)
+           |SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |FROM tf JOIN dft USING (t), st
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
     // the flat-corpus replay: no segments exist oracle-side, so a
     // mistake in cross-segment df/stats merging cannot cancel out
     "idx2_index_append" ->

@@ -837,4 +837,44 @@ class InvertedIndexSpec extends AnyFunSuite {
         == Map("index" -> 1L))
     } finally java.util.Locale.setDefault(prev)
   }
+
+  test("fuzzy search: deletion-dictionary resolution = brute levenshtein " +
+    "over the vocabulary; typo'd query equals the corrected search") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val path = tmp("graft-idx-fuzzy")
+    InvertedIndex.build(docs, "doc_id", "text", path)
+    InvertedIndex.buildFuzzyDictionary(spark, path)
+    // brute resolution: every vocab term within lev <= 1 of the typos
+    val vocab = docs
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text")))
+        .as("t")).distinct()
+    val brute = vocab
+      .filter(levenshtein(col("t"), lit("streem")) <= 1 ||
+        levenshtein(col("t"), lit("filtir")) <= 1)
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(brute.contains("stream") && brute.contains("filter"), brute)
+    val fuzzy = topDocs(InvertedIndex.fuzzySearchTopK(spark, path,
+      Seq("streem", "filtir"), k = 10, idColName = "doc_id"))
+    val direct = topDocs(InvertedIndex.searchTopK(spark, path,
+      brute, k = 10, idColName = "doc_id"))
+    assert(fuzzy == direct)
+    assert(fuzzy.nonEmpty)
+    // substitution / insertion / deletion all resolve (the three
+    // pigeonhole cases): "stream" reachable from each typo class
+    for (typo <- Seq("stresm", "streams", "strea")) {
+      val r = topDocs(InvertedIndex.fuzzySearchTopK(spark, path,
+        Seq(typo), k = 5, idColName = "doc_id"))
+      assert(r.nonEmpty, s"typo '$typo' resolved nothing")
+    }
+    // a query with no vocabulary neighbor is a no-match, not an error
+    assert(InvertedIndex.fuzzySearchTopK(spark, path,
+      Seq("zzzzqqqq"), k = 5, idColName = "doc_id").count() == 0)
+    // missing dictionary refuses loudly
+    val bare = tmp("graft-idx-fuzzy-bare")
+    InvertedIndex.build(docs.limit(5), "doc_id", "text", bare)
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.fuzzySearchTopK(spark, bare, Seq("streem"), k = 5)
+    }
+    assert(e.getMessage.contains("fuzzy dictionary"), e.getMessage)
+  }
 }
