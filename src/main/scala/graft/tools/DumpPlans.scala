@@ -99,7 +99,11 @@ object DumpPlans {
     "spm2_encode" ->
       "Unigram-LM encoding: the Viterbi DP runs ONCE per DISTINCT word (Zipf-bounded — one distinct shuffle) as pure Column HOFs over a broadcast score-map literal, then the segmentation BroadcastHashJoins back onto the posexploded corpus. The corpus itself is never shuffled to encode — the same discipline as BPE, with a dynamic-programming decoder instead of replace folds.",
     "mmdd5_incremental_phash" ->
-      "Registry-incremental perceptual dedup: the probe reads the persistent registry's (id, dhash) rows — 16 B per image, pixels never stored — re-derives band keys by shift/mask, and equi-joins the batch's banded hashes; the retry guard is an id-only anti-join. Per-batch shuffled bytes are O(batch + registry x bands + candidates); growth is bounded by registration-exactly-once.")
+      "Registry-incremental perceptual dedup: the probe reads the persistent registry's (id, dhash) rows — 16 B per image, pixels never stored — re-derives band keys by shift/mask, and equi-joins the batch's banded hashes; the retry guard is an id-only anti-join. Per-batch shuffled bytes are O(batch + registry x bands + candidates); growth is bounded by registration-exactly-once.",
+    "kw1_keywords" ->
+      "Per-document tf-idf keywords: one map-side-combined (doc, term) count, a term-keyed df join (AQE balances the Zipf skew; df is a term table, never corpus rows), N as a broadcast 1-row aggregate, and the top-k window partitioned on the DOCUMENT id — every window group is one document's distinct terms, bounded by document length, so this is the one place a window survives 100TB.",
+    "fz1_fuzzy_search" ->
+      "Index-served fuzzy search: the deletion-dictionary read is pruned by an IN filter over the query's own O(term length) variants (pushed into the scan), the levenshtein verify touches only the bounded candidate set, and the resolved terms ride the ordinary bucket-pruned postings BM25 — typo tolerance costs O(query) lookups, never the O(vocabulary) brute scan the f17 scan path pays.")
 
   private val epilogue: String = """
 ## Streaming index-lifecycle gate cost (st6, st9-st13) — r12 adjudication
