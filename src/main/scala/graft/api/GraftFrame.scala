@@ -124,8 +124,10 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     */
   def esMatch(query: String, cols: Seq[String],
               operator: String = "or", fuziness: Option[Int] = None,
-              matchOnlyTextFields: Boolean = true): GraftFrame = {
+              matchOnlyTextFields: Boolean = true,
+              analyzer: String = "standard"): GraftFrame = {
     require(cols.nonEmpty, "columns can't be empty")
+    graft.functions.EnglishMinimalStem.requireKnown(analyzer)
     if (matchOnlyTextFields) {
       val caps = fieldCaps.map(c => c.column -> c.esDtype).toMap
       val nonText = cols.filter(c => caps.getOrElse(c, "object") != "text")
@@ -140,15 +142,15 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     // path): and+fuzzy requires every term to fuzzy-hit per field
     val pred = fuziness match {
       case Some(f) if operator == "and" =>
-        cols.map(c => EsMatch.matchFuzzyAll(col(c), query, f))
+        cols.map(c => EsMatch.matchFuzzyAll(col(c), query, f, analyzer))
           .foldLeft(lit(false))(_ || _)
       case Some(f) =>
-        cols.map(c => EsMatch.matchFuzzy(col(c), query, f))
+        cols.map(c => EsMatch.matchFuzzy(col(c), query, f, analyzer))
           .foldLeft(lit(false))(_ || _)
       case None if operator == "and" =>
-        cols.map(c => EsMatch.matchAll(col(c), query))
+        cols.map(c => EsMatch.matchAll(col(c), query, analyzer))
           .foldLeft(lit(false))(_ || _)
-      case None => EsMatch.multiMatch(cols.map(col), query)
+      case None => EsMatch.multiMatch(cols.map(col), query, analyzer)
     }
     wrap(df.filter(pred))
   }

@@ -76,7 +76,8 @@ class GraftSeries(val frame: GraftFrame, val name: String) {
     */
   def esMatch(query: String, operator: String = "or",
               fuzziness: Option[Int] = None,
-              matchOnlyTextFields: Boolean = true): Column = {
+              matchOnlyTextFields: Boolean = true,
+              analyzer: String = "standard"): Column = {
     if (matchOnlyTextFields) {
       val es = frame.fieldCaps.find(_.column == name)
         .map(_.esDtype).getOrElse("object")
@@ -86,10 +87,13 @@ class GraftSeries(val frame: GraftFrame, val name: String) {
     }
     fuzziness match {
       case Some(f) if operator == "and" =>
-        graft.functions.EsMatch.matchFuzzyAll(col, query, f)
-      case Some(f)                   => graft.functions.EsMatch.matchFuzzy(col, query, f)
-      case None if operator == "and" => graft.functions.EsMatch.matchAll(col, query)
-      case None                      => graft.functions.EsMatch.matchAny(col, query)
+        graft.functions.EsMatch.matchFuzzyAll(col, query, f, analyzer)
+      case Some(f) =>
+        graft.functions.EsMatch.matchFuzzy(col, query, f, analyzer)
+      case None if operator == "and" =>
+        graft.functions.EsMatch.matchAll(col, query, analyzer)
+      case None =>
+        graft.functions.EsMatch.matchAny(col, query, analyzer)
     }
   }
 

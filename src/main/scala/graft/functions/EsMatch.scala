@@ -7,48 +7,71 @@ import org.apache.spark.sql.functions._
   * re-expression of eland's `es_match` (eland/query_compiler.py:419-488:
   * match / match_phrase / multi_match with optional fuzziness).
   *
-  * The "analyzer" here is the same lowercase-whitespace tokenizer used
-  * across the text stack (TextAnalysis.tokens). All variants are pure
-  * codegen-friendly expressions (exists/forall/levenshtein builtins);
-  * no UDFs, no index — at scale this is a scan predicate that pushes
-  * nothing to parquet but parallelizes perfectly.
+  * Analyzers (both sides of every match run the SAME chain, like ES):
+  *  - "standard": lowercase whitespace tokens (TextAnalysis.tokens) —
+  *    the default everywhere since round 1.
+  *  - "english": standard + the minimal English stemmer
+  *    ([[EnglishMinimalStem]]), ES's `minimal_english` token filter —
+  *    "filters" matches "filter", "queries" matches "query", closing
+  *    the analyzed-`text`-field gap the reference delegates to ES.
+  *
+  * All variants are pure codegen-friendly expressions (the TokenMatch
+  * native expression or exists/forall/levenshtein builtins); no UDFs,
+  * no index — at scale this is a scan predicate that pushes nothing to
+  * parquet but parallelizes perfectly.
   */
 object EsMatch {
 
-  private def qTokens(query: String): Seq[String] =
-    query.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq
+  private def qTokens(query: String, analyzer: String): Seq[String] =
+    query.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      .filter(_.nonEmpty).toSeq
+      .map(EnglishMinimalStem.analyzeTerm(analyzer, _))
+
+  private def docTokens(text: Column, analyzer: String): Column =
+    EnglishMinimalStem.analyzeTokens(analyzer, TextAnalysis.tokens(text))
 
   /** `match` with operator=or: any query token occurs in the column.
     * Served by the native codegen TokenMatch expression (single
     * tokenization pass, static query set); semantics identical to the
     * composed-builtin form (see TokenMatchSpec equivalence test).
     */
-  def matchAny(text: Column, query: String): Column =
-    graft.plans.TokenMatch.any(text, query)
-
-  /** `match` with operator=and: every query token occurs. */
-  def matchAll(text: Column, query: String): Column =
-    graft.plans.TokenMatch.all(text, query)
-
-  /** Composed-builtin reference forms (kept for differential tests). */
-  def matchAnyHof(text: Column, query: String): Column = {
-    val qs = qTokens(query)
-    if (qs.isEmpty) lit(false)
-    else exists(TextAnalysis.tokens(text), t => t.isin(qs: _*))
+  def matchAny(text: Column, query: String,
+               analyzer: String = "standard"): Column = {
+    EnglishMinimalStem.requireKnown(analyzer)
+    graft.plans.TokenMatch.any(text, query, stem = analyzer == "english")
   }
 
-  def matchAllHof(text: Column, query: String): Column = {
-    val toks = TextAnalysis.tokens(text)
-    qTokens(query).map(q => array_contains(toks, q))
+  /** `match` with operator=and: every query token occurs. */
+  def matchAll(text: Column, query: String,
+               analyzer: String = "standard"): Column = {
+    EnglishMinimalStem.requireKnown(analyzer)
+    graft.plans.TokenMatch.all(text, query, stem = analyzer == "english")
+  }
+
+  /** Composed-builtin reference forms (kept for differential tests). */
+  def matchAnyHof(text: Column, query: String,
+                  analyzer: String = "standard"): Column = {
+    val qs = qTokens(query, analyzer)
+    if (qs.isEmpty) lit(false)
+    else exists(docTokens(text, analyzer), t => t.isin(qs: _*))
+  }
+
+  def matchAllHof(text: Column, query: String,
+                  analyzer: String = "standard"): Column = {
+    val toks = docTokens(text, analyzer)
+    qTokens(query, analyzer).map(q => array_contains(toks, q))
       .foldLeft(lit(true))(_ && _)
   }
 
-  /** `match_phrase`: query tokens appear consecutively in order. */
-  def matchPhrase(text: Column, query: String): Column = {
-    val phrase = qTokens(query).mkString(" ")
+  /** `match_phrase`: query tokens appear consecutively in order (both
+    * sides analyzed — a stemmed phrase matches stemmed positions).
+    */
+  def matchPhrase(text: Column, query: String,
+                  analyzer: String = "standard"): Column = {
+    val phrase = qTokens(query, analyzer).mkString(" ")
     if (phrase.isEmpty) lit(false)
     else instr(
-      concat(lit(" "), concat_ws(" ", TextAnalysis.tokens(text)), lit(" ")),
+      concat(lit(" "), concat_ws(" ", docTokens(text, analyzer)), lit(" ")),
       s" $phrase ") > 0
   }
 
@@ -58,21 +81,25 @@ object EsMatch {
     * [[matchPhrase]] — just without the trailing boundary space, so
     * the final needle token only has to START a column token.
     */
-  def matchPhrasePrefix(text: Column, query: String): Column = {
-    val qs = qTokens(query)
+  def matchPhrasePrefix(text: Column, query: String,
+                        analyzer: String = "standard"): Column = {
+    val qs = qTokens(query, analyzer)
     if (qs.isEmpty) lit(false)
     else instr(
-      concat(lit(" "), concat_ws(" ", TextAnalysis.tokens(text)), lit(" ")),
+      concat(lit(" "), concat_ws(" ", docTokens(text, analyzer)), lit(" ")),
       " " + qs.mkString(" ")) > 0
   }
 
   /** `match` with fuzziness: some column token within `maxEdits`
-    * Levenshtein distance of some query token.
+    * Levenshtein distance of some query token. Analysis runs FIRST,
+    * then the edit distance compares analyzed forms (ES's order:
+    * fuzziness applies to the analyzed term).
     */
-  def matchFuzzy(text: Column, query: String, maxEdits: Int): Column = {
-    val qs = qTokens(query)
+  def matchFuzzy(text: Column, query: String, maxEdits: Int,
+                 analyzer: String = "standard"): Column = {
+    val qs = qTokens(query, analyzer)
     if (qs.isEmpty) lit(false)
-    else exists(TextAnalysis.tokens(text),
+    else exists(docTokens(text, analyzer),
       t => qs.map(q => levenshtein(t, lit(q)) <= maxEdits)
         .foldLeft(lit(false))(_ || _))
   }
@@ -83,17 +110,19 @@ object EsMatch {
     * DSL path already folds per-term fuzzy predicates with AND, so
     * the programmatic front doors must agree).
     */
-  def matchFuzzyAll(text: Column, query: String, maxEdits: Int): Column = {
-    val qs = qTokens(query)
+  def matchFuzzyAll(text: Column, query: String, maxEdits: Int,
+                    analyzer: String = "standard"): Column = {
+    val qs = qTokens(query, analyzer)
     if (qs.isEmpty) lit(false)
     else {
-      val toks = TextAnalysis.tokens(text)
+      val toks = docTokens(text, analyzer)
       qs.map(q => exists(toks, t => levenshtein(t, lit(q)) <= maxEdits))
         .reduce(_ && _)
     }
   }
 
   /** `multi_match`: matchAny across several columns. */
-  def multiMatch(texts: Seq[Column], query: String): Column =
-    texts.map(matchAny(_, query)).foldLeft(lit(false))(_ || _)
+  def multiMatch(texts: Seq[Column], query: String,
+                 analyzer: String = "standard"): Column =
+    texts.map(matchAny(_, query, analyzer)).foldLeft(lit(false))(_ || _)
 }

@@ -92,14 +92,16 @@ object InvertedIndex {
     */
   private def writeSegment(docs: DataFrame, idCol: String,
                            textCol: String, indexPath: String,
-                           buckets: Int, positions: Boolean): Unit =
+                           buckets: Int, positions: Boolean,
+                           analyzer: String): Unit =
     writeSegmentNamed(docs, idCol, textCol, indexPath,
-      s"seg-${java.util.UUID.randomUUID()}", buckets, positions)
+      s"seg-${java.util.UUID.randomUUID()}", buckets, positions, analyzer)
 
   private def writeSegmentNamed(docs: DataFrame, idCol: String,
                                 textCol: String, indexPath: String,
                                 name: String, buckets: Int,
-                                positions: Boolean): Unit = {
+                                positions: Boolean,
+                                analyzer: String): Unit = {
     val seg = s"$indexPath/segments/$name"
     // a named REWRITE (ingestBatch retry) must first un-commit the
     // previous attempt: stats are written last as the commit marker,
@@ -112,12 +114,13 @@ object InvertedIndex {
     // jobs, and without pinning each would re-tokenize the batch
     val staged = docs
       .select(col(idCol).as("id"),
-        TextAnalysis.tokens(col(textCol)).as("_toks"))
+        graft.functions.EnglishMinimalStem.analyzeTokens(analyzer,
+          TextAnalysis.tokens(col(textCol))).as("_toks"))
       .select(col("id"), col("_toks"),
         size(col("_toks")).cast("double").as("len"))
       .persist()
     try {
-      writeSegmentJobs(staged, seg, buckets, positions)
+      writeSegmentJobs(staged, seg, buckets, positions, analyzer)
     } finally {
       staged.unpersist()
       ()
@@ -125,7 +128,8 @@ object InvertedIndex {
   }
 
   private def writeSegmentJobs(staged: DataFrame, seg: String,
-                               buckets: Int, positions: Boolean): Unit = {
+                               buckets: Int, positions: Boolean,
+                               analyzer: String): Unit = {
     // ids must be unique within a batch (build/append/ingest/upsert
     // alike): a CDC micro-batch carrying two updates for one doc would
     // otherwise double that doc in the lens ledger and inflate its
@@ -169,7 +173,8 @@ object InvertedIndex {
     staged.agg(count(lit(1)).cast("double").as("n"),
         coalesce(sum(col("len")), lit(0.0)).as("sum_len"),
         lit(buckets).as("buckets"),
-        lit(positions).as("positions"))
+        lit(positions).as("positions"),
+        lit(analyzer).as("analyzer"))
       .write.mode("overwrite").parquet(s"$seg/stats")
   }
 
@@ -184,6 +189,21 @@ object InvertedIndex {
       val st = spark.read.parquet(s"${segs.head}/stats")
       st.columns.contains("positions") &&
         st.select("positions").head().getBoolean(0)
+    }
+
+  /** The index's analysis chain — from the first committed segment's
+    * stats (a pre-analyzer index's stats lack the column and read as
+    * "standard"; uniform across segments because every writer derives
+    * it from here, exactly like [[indexPositions]]).
+    */
+  private def indexAnalyzer(spark: SparkSession,
+                            segs: Seq[String]): String =
+    if (segs.isEmpty) "standard"
+    else {
+      val st = spark.read.parquet(s"${segs.head}/stats")
+      if (st.columns.contains("analyzer"))
+        st.select("analyzer").head().getString(0)
+      else "standard"
     }
 
   private def mergedPostings(spark: SparkSession, segs: Seq[String],
@@ -218,12 +238,21 @@ object InvertedIndex {
 
   /** Create a FRESH index at `indexPath` (any existing segments are
     * removed) holding one segment for `docs`.
+    *
+    * `analyzer` picks the analysis chain for BOTH sides of every later
+    * search ("standard" | "english" — see
+    * [[graft.functions.EnglishMinimalStem]]): tokens are analyzed at
+    * segment-write time, the choice is recorded in each segment's
+    * stats, and every append/ingest/search inherits it from there —
+    * an index never mixes analyzers.
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
             indexPath: String, buckets: Int = 64,
-            positions: Boolean = false): Unit = {
+            positions: Boolean = false,
+            analyzer: String = "standard"): Unit = {
     require(buckets >= 1 && buckets <= 256,
       s"buckets must be in [1, 256] (one md5 byte), got $buckets")
+    graft.functions.EnglishMinimalStem.requireKnown(analyzer)
     val fs = fsOf(docs.sparkSession, indexPath)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/segments"), true)
     // a FRESH index also resets tombstones, the ingest ledger, and any
@@ -233,7 +262,8 @@ object InvertedIndex {
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/deletes"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/ingested"), true)
     Manifest.delete(fs, manifestPath(indexPath))
-    writeSegment(docs, idCol, textCol, indexPath, buckets, positions)
+    writeSegment(docs, idCol, textCol, indexPath, buckets, positions,
+      analyzer)
   }
 
   /** Tombstone documents — the Lucene delete model. The ids land in a
@@ -431,7 +461,7 @@ object InvertedIndex {
           .select("buckets").head().getInt(0)
       if (others.nonEmpty) tombstoneLiveOf(docs, idCol, indexPath, others)
       writeSegmentNamed(docs, idCol, textCol, indexPath, ownName, buckets,
-        indexPositions(spark, all))
+        indexPositions(spark, all), indexAnalyzer(spark, all))
     }
     fs.create(marker, true).close()
   }
@@ -505,7 +535,7 @@ object InvertedIndex {
           writeSegmentNamed(evs.filter(col("_op") === "upsert")
               .select(col("id").as(idCol), col("_text").as(textCol)),
             idCol, textCol, indexPath, ownName, buckets,
-            indexPositions(spark, all))
+            indexPositions(spark, all), indexAnalyzer(spark, all))
       }
       fs.create(marker, true).close()
     } finally {
@@ -527,7 +557,7 @@ object InvertedIndex {
     val buckets = spark.read.parquet(s"${segs.head}/stats")
       .select("buckets").head().getInt(0)
     writeSegment(docs, idCol, textCol, indexPath, buckets,
-      indexPositions(spark, segs))
+      indexPositions(spark, segs), indexAnalyzer(spark, segs))
   }
 
   /** Idempotent per-batch ingest for streaming drivers
@@ -568,7 +598,8 @@ object InvertedIndex {
         else spark.read.parquet(s"${segs.head}/stats")
           .select("buckets").head().getInt(0)
       writeSegmentNamed(docs, idCol, textCol, indexPath,
-        s"seg-batch-$batchId", buckets, indexPositions(spark, segs))
+        s"seg-batch-$batchId", buckets, indexPositions(spark, segs),
+        indexAnalyzer(spark, segs))
     }
     // marker last: a crash before this line leaves the batch unmarked
     // and its (committed or partial) segment rewritable by the replay
@@ -682,7 +713,8 @@ object InvertedIndex {
       live.agg(count(lit(1)).cast("double").as("n"),
           coalesce(sum(col("len")), lit(0.0)).as("sum_len"),
           lit(buckets).as("buckets"),
-          lit(indexPositions(spark, segs)).as("positions"))
+          lit(indexPositions(spark, segs)).as("positions"),
+          lit(indexAnalyzer(spark, segs)).as("analyzer"))
         .write.mode("overwrite").parquet(s"$seg/stats")
       (segs ++ dels).foreach(s =>
         fs.delete(new org.apache.hadoop.fs.Path(s), true))
@@ -696,7 +728,16 @@ object InvertedIndex {
     * the accounting cannot desynchronize between them.
     */
   private final case class LiveStats(n: Double, sumLen: Double,
-                                     buckets: Int)
+                                     buckets: Int, analyzer: String) {
+    /** Query-term analysis matching the chain the postings were built
+      * with: lowercase always, plus the minimal stem under "english".
+      * Idempotent (every stemmer output is a fixed point), so terms
+      * that already went through resolution (fuzzy) re-analyze safely.
+      */
+    def analyzeTerm(t: String): String =
+      graft.functions.EnglishMinimalStem.analyzeTerm(analyzer,
+        t.toLowerCase(java.util.Locale.ROOT))
+  }
 
   private def liveStats(spark: SparkSession, segs: Seq[String],
                         dels: Seq[String]): LiveStats = {
@@ -705,12 +746,21 @@ object InvertedIndex {
       if (dels.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else dels.map(d => spark.read.parquet(s"$d/stats"))
         .reduce(_ unionByName _).collect()
+    // uniform across segments (every writer inherits it); a
+    // pre-analyzer segment's stats read the column as null/absent →
+    // "standard" (exactly the indexPositions mixed-generation rule)
+    val analyzer = statRows.iterator.flatMap { r =>
+      if (r.schema.fieldNames.contains("analyzer") &&
+          !r.isNullAt(r.fieldIndex("analyzer")))
+        Some(r.getString(r.fieldIndex("analyzer")))
+      else None
+    }.toSeq.headOption.getOrElse("standard")
     LiveStats(
       statRows.map(_.getAs[Double]("n")).sum -
         delRows.map(_.getAs[Double]("n")).sum,
       statRows.map(_.getAs[Double]("sum_len")).sum -
         delRows.map(_.getAs[Double]("sum_len")).sum,
-      statRows.head.getAs[Int]("buckets"))
+      statRows.head.getAs[Int]("buckets"), analyzer)
   }
 
   /** The live postings of `terms` (already lowercased/distinct):
@@ -764,7 +814,7 @@ object InvertedIndex {
     val dels = committedDeletes(spark, indexPath)
     val st = liveStats(spark, segs, dels)
     prunedLivePostings(spark, segs, dels,
-        terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct, st.buckets)
+        terms.map(st.analyzeTerm).distinct, st.buckets)
       .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
   }
 
@@ -795,7 +845,7 @@ object InvertedIndex {
     val n = st.n
     val avg = if (n > 0) st.sumLen / n
               else 1.0 // postings are empty too: result is empty anyway
-    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val terms = queryTerms.map(st.analyzeTerm).distinct
     val p = prunedLivePostings(spark, segs, dels, terms, st.buckets)
     // postings rows are unique per (term, id) across segments (the
     // append contract): df = row count per term
@@ -863,10 +913,17 @@ object InvertedIndex {
     val st = liveStats(spark, segs, dels)
     val n = st.n
     val avg = if (n > 0) st.sumLen / n else 1.0
-    // (q_id, term) pairs, lowercased, de-duped within each query so a
-    // repeated term cannot double its score contribution
+    // (q_id, term) pairs, analyzed with the index's chain (lowercase,
+    // plus the stem under "english" — Column spelling of
+    // LiveStats.analyzeTerm), de-duped within each query so a repeated
+    // term — or two surface forms sharing a stem — cannot double its
+    // score contribution
+    val analyzed =
+      if (st.analyzer == "english")
+        graft.functions.EnglishMinimalStem.stem(lower(col("term")))
+      else lower(col("term"))
     val qt = queries.select(col(qIdCol), explode(col(termsCol)).as("term"))
-      .withColumn("term", lower(col("term"))).distinct()
+      .withColumn("term", analyzed).distinct()
       .localCheckpoint(true) // bounded: Σ|query terms|; reused 2×
     val nTerms = qt.select("term").distinct().count()
     val p =
@@ -929,10 +986,12 @@ object InvertedIndex {
         "build(positions = true) enables phraseSearch")
     val dels = committedDeletes(spark, indexPath)
     val st = liveStats(spark, segs, dels)
-    // Locale.ROOT matches Spark's locale-independent lower() that
-    // lowercased the index tokens (a Turkish-locale JVM would
-    // otherwise map 'I' → 'ı' and silently match nothing)
-    val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
+    // analyzeTerm's Locale.ROOT lowercase matches Spark's
+    // locale-independent lower() that lowercased the index tokens (a
+    // Turkish-locale JVM would otherwise map 'I' → 'ı' and silently
+    // match nothing); under "english" the phrase terms stem like the
+    // indexed positions did
+    val terms = phrase.map(st.analyzeTerm)
     val frames = terms.zipWithIndex.map { case (t, i) =>
       prunedLivePostings(spark, segs, dels, Seq(t), st.buckets)
         .select(col("id"), col("pos").as(s"_pos$i"))
@@ -974,7 +1033,7 @@ object InvertedIndex {
     val st = liveStats(spark, segs, dels)
     val n = st.n
     val avg = if (n > 0) st.sumLen / n else 1.0
-    val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
+    val terms = phrase.map(st.analyzeTerm)
     val all = prunedLivePostings(spark, segs, dels, terms.distinct,
       st.buckets)
     // per-term document frequencies: postings rows are unique per
@@ -1032,12 +1091,24 @@ object InvertedIndex {
   /** Build (or rebuild) the fuzzy term dictionary beside the index:
     * one committed parquet table `indexPath/fuzzy` of (variant, term)
     * rows derived from the LIVE term vocabulary — ~(avg term length
-    * + 1) rows per term, strings only, never postings. Offline
-    * maintenance contract (the compaction discipline): appended
-    * segments add new terms the dictionary cannot resolve until
-    * rebuild; deleted docs only over-generate candidates, which the
-    * postings read then scores as nothing — stale-safe in that
-    * direction.
+    * + 1) rows per term, strings only, never postings — plus a
+    * `fuzzy_segments` fingerprint of the segment set the vocabulary
+    * came from. [[fuzzySearchTopK]] requires the fingerprint to match
+    * the committed segment set at query time and fails with a rebuild
+    * hint otherwise: an appended segment's new vocabulary would
+    * silently miss from fuzzy resolution (the one stale direction a
+    * dictionary cannot detect from its own content), so like every
+    * other stale state in this module it fails LOUDLY instead of
+    * degrading recall. Deleted docs between builds only over-generate
+    * candidates, which the postings read scores as nothing — but
+    * tombstones don't change the segment set, so that safe direction
+    * still passes the check; compaction renames segments and thus
+    * requires a rebuild (it is offline maintenance anyway).
+    *
+    * Write order: dictionary first, fingerprint LAST — a crash
+    * between the two leaves the OLD fingerprint beside a new
+    * dictionary, which fails the staleness check (never the reverse
+    * window, where a stale dictionary would pass a fresh check).
     */
   def buildFuzzyDictionary(spark: SparkSession, indexPath: String): Unit = {
     val segs = committedSegments(spark, indexPath)
@@ -1056,7 +1127,14 @@ object InvertedIndex {
       ).as("variant"))
       .distinct()
       .write.mode("overwrite").parquet(s"$indexPath/fuzzy")
+    import spark.implicits._
+    segNames(segs).toDF("segment")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/fuzzy_segments")
   }
+
+  private def segNames(segs: Seq[String]): Seq[String] =
+    segs.map(s => new org.apache.hadoop.fs.Path(s).getName).sorted
 
   /** The driver-side spelling of the same neighborhood (query side). */
   private def deletionVariants(term: String): Seq[String] = {
@@ -1090,8 +1168,29 @@ object InvertedIndex {
       new org.apache.hadoop.fs.Path(s"$indexPath/fuzzy/_SUCCESS")),
       s"$indexPath has no committed fuzzy dictionary — " +
         "buildFuzzyDictionary() first")
-    val lowered = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT))
-      .distinct
+    // staleness gate: the dictionary must have been built from
+    // EXACTLY the committed segment set serving this query — an
+    // append since the build would silently miss its new vocabulary
+    require(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$indexPath/fuzzy_segments/_SUCCESS")),
+      s"$indexPath/fuzzy has no segment fingerprint (built by an " +
+        "older version, or the build crashed) — buildFuzzyDictionary() " +
+        "again")
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val recorded = spark.read.parquet(s"$indexPath/fuzzy_segments")
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(recorded == segNames(segs),
+      s"$indexPath/fuzzy is STALE: it was built from segments " +
+        s"$recorded but the index now has ${segNames(segs)} — " +
+        "appended/compacted vocabulary would silently miss from fuzzy " +
+        "resolution; buildFuzzyDictionary() again")
+    // query terms run the index's analysis chain FIRST (the ES order:
+    // fuzziness applies to analyzed terms) — the vocabulary the
+    // dictionary was derived from is already analyzed
+    val st = liveStats(spark, segs, committedDeletes(spark, indexPath))
+    val lowered = queryTerms.map(st.analyzeTerm).distinct
     val qVariants = lowered.flatMap(t =>
       deletionVariants(t).map(_ -> t)).groupBy(_._1)
       .view.mapValues(_.map(_._2)).toMap

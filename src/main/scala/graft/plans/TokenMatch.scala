@@ -21,7 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - mode ALL: every query token occurs in the text (match, and)
   */
 case class TokenMatch(child: Expression, queryTokens: Seq[String],
-                      matchAll: Boolean) extends UnaryExpression {
+                      matchAll: Boolean, stem: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable
@@ -37,14 +38,14 @@ case class TokenMatch(child: Expression, queryTokens: Seq[String],
     */
   override def nullSafeEval(input: Any): Any =
     TokenMatch.matches(input.asInstanceOf[UTF8String].toString,
-      querySet, matchAll)
+      querySet, matchAll, stem)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val setRef = ctx.addReferenceObj("querySet", querySet,
       classOf[java.util.HashSet[String]].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = graft.plans.TokenMatch.matches(
-         |  $c.toString(), $setRef, $matchAll);""".stripMargin)
+         |  $c.toString(), $setRef, $matchAll, $stem);""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -64,7 +65,7 @@ object TokenMatch {
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   def matches(text: String, querySet: java.util.HashSet[String],
-              matchAll: Boolean): Boolean = {
+              matchAll: Boolean, stem: Boolean): Boolean = {
     if (querySet.isEmpty) return matchAll // ALL of nothing is vacuously true
     val lower = text.toLowerCase(java.util.Locale.ROOT)
     val seen = if (matchAll) new java.util.HashSet[String]() else null
@@ -75,7 +76,10 @@ object TokenMatch {
       val start = i
       while (i < n && !isWs(lower.charAt(i))) i += 1
       if (i > start) {
-        val tok = lower.substring(start, i)
+        val raw = lower.substring(start, i)
+        val tok =
+          if (stem) graft.functions.EnglishMinimalStem.stemString(raw)
+          else raw
         if (querySet.contains(tok)) {
           if (!matchAll) return true
           seen.add(tok)
@@ -86,14 +90,21 @@ object TokenMatch {
     if (matchAll) seen != null && seen.size == querySet.size else false
   }
 
-  private def qTokens(query: String): Seq[String] =
-    query.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq
+  private def qTokens(query: String, stem: Boolean): Seq[String] = {
+    val ts = query.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    // query terms run the SAME analysis chain as the text tokens (ES
+    // analyzes both sides with the field's analyzer)
+    if (stem) ts.map(graft.functions.EnglishMinimalStem.stemString) else ts
+  }
 
-  def any(text: Column, query: String): Column =
+  def any(text: Column, query: String, stem: Boolean = false): Column =
     ColumnBridge.column(TokenMatch(
-      ColumnBridge.expression(text), qTokens(query), matchAll = false))
+      ColumnBridge.expression(text), qTokens(query, stem),
+      matchAll = false, stem = stem))
 
-  def all(text: Column, query: String): Column =
+  def all(text: Column, query: String, stem: Boolean = false): Column =
     ColumnBridge.column(TokenMatch(
-      ColumnBridge.expression(text), qTokens(query), matchAll = true))
+      ColumnBridge.expression(text), qTokens(query, stem),
+      matchAll = true, stem = stem))
 }

@@ -100,6 +100,21 @@ object FacadeQueries {
       f.where(graft.functions.EsMatch.matchPhrase(col("text"), "the fast"))
         .select(Seq("doc_id")).df.orderBy("doc_id")
     }),
+    // es_match through the ES-`minimal_english` analysis chain: BOTH
+    // sides stem, and every query term discriminates one half of the
+    // chain — "story" hits only if DOC tokens stemmed (fixture has
+    // "stories"), "dogs"/"boxes" hit only if QUERY terms stemmed (doc
+    // side holds "dog"/"boxe" after its own stem), and "knee" must
+    // hit NOTHING ("knees" is an unchanged-rule word; a Porter-style
+    // over-stemmer would match it and fail the row count)
+    "g23_stemmed_match" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("text2", QueryUtil.stemFixtureText(
+          col("text"), col("doc_id")))
+        .esMatch("Story dogs boxes knee", Seq("text2"),
+          analyzer = "english")
+        .select(Seq("doc_id")).df.orderBy("doc_id")
+    }),
     // seeded deterministic sample through the PORTABLE md5 draw: the
     // exact drawn row set replays engine-side (ORDER BY md5('42:'||id)
     // LIMIT n). The determinism contract stays as an eager invariant:
@@ -579,6 +594,20 @@ object FacadeQueries {
       raw"""SELECT doc_id FROM documents
            |WHERE instr(' ' || array_to_string($toksSql, ' ') || ' ',
            |            ' the fast ') > 0
+           |ORDER BY doc_id""".stripMargin,
+    // replay of the FULL analysis chain, rules inlined on both sides:
+    // doc tokens stem via list_transform, query literals stem via the
+    // same CASE macro
+    "g23_stemmed_match" ->
+      raw"""SELECT doc_id FROM (
+           |  SELECT doc_id,
+           |    list_transform($toksSql, t -> ${QueryUtil.stemSql("t")})
+           |      AS stoks
+           |  FROM (${QueryUtil.stemFixtureSql}))
+           |WHERE len(list_filter(stoks, t -> t IN (
+           |  ${QueryUtil.stemSql("'story'")}, ${QueryUtil.stemSql("'dogs'")},
+           |  ${QueryUtil.stemSql("'boxes'")}, ${QueryUtil.stemSql("'knee'")}
+           |))) > 0
            |ORDER BY doc_id""".stripMargin,
     "g12_idxmax" ->
       """SELECT min(o_orderkey) AS idxmax FROM orders

@@ -1281,6 +1281,27 @@ object PipelineQueries {
           Seq("streem", "filtir"), k = 12, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // index built through the ES-`minimal_english` analysis chain
+    // (build(analyzer = "english")): postings hold STEMMED terms, the
+    // stats record the analyzer, and searchTopK analyzes its query
+    // terms the same way — "queries" resolves to "query" and MERGES
+    // with the corpus word's occurrences (doc-side stemming changes
+    // tf/df, not just query rewriting). The oracle replays BM25 over
+    // stemmed token lists with the stem CASE macro applied to both
+    // sides — an unstemmed build or an unanalyzed query both
+    // hash-mismatch
+    "idx9_stemmed_search" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx9-$tag").toString
+      val docs2 = t(s, d, "documents").withColumn("text2",
+        graft.queries.QueryUtil.stemFixtureText(col("text"), col("doc_id")))
+      graft.operators.InvertedIndex.build(docs2, "doc_id", "text2", path,
+        analyzer = "english")
+      graft.operators.InvertedIndex.searchTopK(s, path,
+          Seq("Queries", "dogs", "glass"), k = 12, idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // incremental index ingest: half the corpus built, half APPENDED
     // as a second immutable segment (the Lucene segment model; stats
     // moments additive, df summed across disjoint doc sets). The
@@ -3088,6 +3109,31 @@ object PipelineQueries {
            |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
            |               unnest(toks) AS t FROM s)
            |       WHERE t IN (SELECT t FROM rt) GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1)
+           |SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |FROM tf JOIN dft USING (t), st
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
+    // BM25 over the STEMMED corpus: doc tokens run the stem CASE
+    // macro (list_transform), the query literals run the same macro —
+    // the whole minimal_english chain replays rule-for-rule
+    "idx9_stemmed_search" ->
+      raw"""WITH d2 AS (${graft.queries.QueryUtil.stemFixtureSql}),
+           |s AS (SELECT doc_id,
+           |        list_transform($toksSql,
+           |          t -> ${graft.queries.QueryUtil.stemSql("t")}) AS toks
+           |      FROM d2),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN (${graft.queries.QueryUtil.stemSql("'queries'")},
+           |                   ${graft.queries.QueryUtil.stemSql("'dogs'")},
+           |                   ${graft.queries.QueryUtil.stemSql("'glass'")})
+           |       GROUP BY 1, 2, 3),
            |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
            |        FROM tf GROUP BY 1)
            |SELECT doc_id,

@@ -877,4 +877,106 @@ class InvertedIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("fuzzy dictionary"), e.getMessage)
   }
+
+  test("fuzzy dictionary staleness: an append since the build fails " +
+      "loudly instead of silently missing the new vocabulary") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val path = tmp("graft-idx-fuzzy-stale")
+    InvertedIndex.build(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", path)
+    InvertedIndex.buildFuzzyDictionary(spark, path)
+    // still fresh: resolves fine
+    assert(InvertedIndex.fuzzySearchTopK(spark, path, Seq("streem"),
+      k = 5, idColName = "doc_id").count() > 0)
+    // tombstones don't change the segment set — the safe-direction
+    // staleness (over-generated candidates score as nothing) passes
+    InvertedIndex.deleteDocs(
+      docs.filter($"doc_id" % 10 === 0).select("doc_id"), path)
+    assert(InvertedIndex.fuzzySearchTopK(spark, path, Seq("streem"),
+      k = 5, idColName = "doc_id").count() > 0)
+    // an APPEND adds vocabulary the dictionary cannot resolve → loud
+    InvertedIndex.append(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", path)
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.fuzzySearchTopK(spark, path, Seq("streem"), k = 5)
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    // rebuild clears it
+    InvertedIndex.buildFuzzyDictionary(spark, path)
+    assert(InvertedIndex.fuzzySearchTopK(spark, path, Seq("streem"),
+      k = 5, idColName = "doc_id").count() > 0)
+  }
+
+  test("english analyzer: postings stem, query terms stem, and every " +
+      "write path inherits the chain (append/upsert/CDC/compact)") {
+    val corpus = Seq(
+      (1L, "the filters run fast"),
+      (2L, "a filter runs"),
+      (3L, "stories of queries"),
+      (4L, "story query filter"),
+      (5L, "knees and glass")).toDF("doc_id", "text")
+    val path = tmp("graft-idx-english")
+    InvertedIndex.build(corpus.filter($"doc_id" <= 3),
+      "doc_id", "text", path, analyzer = "english")
+    InvertedIndex.append(corpus.filter($"doc_id" > 3),
+      "doc_id", "text", path)
+    // "filters" (query side) finds docs holding "filter" OR "filters"
+    val hits = InvertedIndex.searchTopK(spark, path, Seq("filters"),
+      k = 10, idColName = "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(hits == Seq(1L, 2L, 4L), hits)
+    // df merges surface forms: "queries"/"story" each hit both docs
+    val df3 = InvertedIndex.termStats(spark, path, Seq("Queries", "story"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df3 == Map("query" -> 2L, "story" -> 2L), df3)
+    // the chain survives upsert + compact (stats carry the analyzer)
+    InvertedIndex.upsertDocs(Seq((2L, "dogs dogs dogs"))
+      .toDF("doc_id", "text"), "doc_id", "text", path)
+    InvertedIndex.compact(spark, path)
+    val afterCompact = InvertedIndex.searchTopK(spark, path, Seq("dog"),
+      k = 10, idColName = "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterCompact == Seq(2L), afterCompact)
+    // "knees" stays "knees" (no over-stem): "knee" must not match
+    assert(InvertedIndex.searchTopK(spark, path, Seq("knee"),
+      k = 10, idColName = "doc_id").count() == 0)
+    assert(InvertedIndex.searchTopK(spark, path, Seq("knees"),
+      k = 10, idColName = "doc_id").count() == 1)
+    // stats() surfaces nothing new but the index still reads clean
+    assert(InvertedIndex.stats(spark, path)
+      .select("n_docs").head().getLong(0) == 5L)
+    // unknown analyzer refused at build
+    val bad = intercept[IllegalArgumentException] {
+      InvertedIndex.build(corpus, "doc_id", "text",
+        tmp("graft-idx-bad-an"), analyzer = "porter")
+    }
+    assert(bad.getMessage.contains("unknown analyzer"))
+  }
+
+  test("english analyzer: positional phrase search matches stemmed " +
+      "adjacency; scan matchPhrase(english) agrees") {
+    val corpus = Seq(
+      (1L, "fast filters run here"),
+      (2L, "the filter runs fast"),
+      (3L, "filters walk slowly")).toDF("doc_id", "text")
+    val path = tmp("graft-idx-english-pos")
+    InvertedIndex.build(corpus, "doc_id", "text", path,
+      positions = true, analyzer = "english")
+    // phrase "filter run" (analyzed) = consecutive stems — doc 1 has
+    // "filters run", doc 2 has "filter runs"; doc 3's next token stems
+    // to "walk"
+    val viaIndex = InvertedIndex.phraseSearch(spark, path,
+      Seq("filter", "runs"), idColName = "doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaIndex == Seq(1L, 2L), viaIndex)
+    val viaScan = corpus.filter(graft.functions.EsMatch.matchPhrase(
+        col("text"), "filter runs", analyzer = "english"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaScan == viaIndex)
+    // scored face agrees with the filter face's doc set
+    val scored = InvertedIndex.phraseSearchTopK(spark, path,
+      Seq("filters", "run"), k = 10, idColName = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(scored == viaIndex, scored)
+  }
 }

@@ -22,6 +22,39 @@ class TokenMatchSpec extends AnyFunSuite {
     }
   }
 
+  test("stemmed TokenMatch agrees with the composed-builtin english " +
+      "chain on the suffixed corpus") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .withColumn("text", graft.queries.QueryUtil.stemFixtureText(
+        col("text"), col("doc_id")))
+    for (q <- Seq("story dogs", "boxes knee", "queries GLASS", "the")) {
+      val diff = docs.select(
+        TokenMatch.any(col("text"), q, stem = true).as("n_any"),
+        EsMatch.matchAnyHof(col("text"), q, "english").as("h_any"),
+        TokenMatch.all(col("text"), q, stem = true).as("n_all"),
+        EsMatch.matchAllHof(col("text"), q, "english").as("h_all"))
+        .filter(col("n_any") =!= col("h_any") || col("n_all") =!= col("h_all"))
+        .count()
+      assert(diff == 0, s"stemmed divergence for query '$q'")
+    }
+  }
+
+  test("stemmed match semantics: both sides analyzed, no over-stem") {
+    import spark.implicits._
+    val df = Seq("the filters are stories", "a knee dog").toDF("t")
+    val r = df.select(
+      TokenMatch.any($"t", "filter", stem = true).as("q_plain_doc_plural"),
+      TokenMatch.any($"t", "story", stem = true).as("q_sing_doc_ies"),
+      TokenMatch.any($"t", "dogs", stem = true).as("q_plural_doc_sing"),
+      TokenMatch.any($"t", "knees", stem = true).as("knees_stays"),
+      TokenMatch.all($"t", "filters stories", stem = true).as("all_stemmed"))
+      .collect()
+    assert(r(0).getBoolean(0) && r(0).getBoolean(1) && r(0).getBoolean(4))
+    assert(!r(0).getBoolean(2) && !r(0).getBoolean(3))
+    // "knees" stems to itself (ees rule) — it must NOT match "knee"
+    assert(r(1).getBoolean(2) && !r(1).getBoolean(3))
+  }
+
   test("edge semantics: empty query, empty text, nulls") {
     import spark.implicits._
     val df = Seq(Some("a b"), Some(""), None).toDF("t")
