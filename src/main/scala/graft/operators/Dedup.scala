@@ -1119,7 +1119,35 @@ object Dedup {
                                      registryPath: String,
                                      bands: Int = 4, maxHamming: Int = 3,
                                      gridW: Int = 8, gridH: Int = 8)
-  : DataFrame = {
+  : DataFrame =
+    perceptualDedupImpl(batch, idCol, registryPath, bands, maxHamming,
+      gridW, gridH, deliverTo = None)
+
+  /** [[perceptualDedupAgainstRegistry]] with EXACTLY-ONCE delivery of
+    * the verified matches to the committed directory `outDir` — the
+    * perceptual face of [[nearDupAgainstRegistryTo]], same ordering
+    * and same replay argument: matches are a deterministic function
+    * of (batch, committed hash registry), they land in `outDir`
+    * BEFORE the batch's clean hashes register, and a committed
+    * delivery is never rewritten — so a crash between the match write
+    * and the registry append can no longer lose the matches (the
+    * plain variant's at-most-once window: a committed re-run probes
+    * nothing and emits nothing).
+    */
+  def perceptualDedupAgainstRegistryTo(batch: DataFrame, idCol: String,
+                                       registryPath: String,
+                                       outDir: String,
+                                       bands: Int = 4, maxHamming: Int = 3,
+                                       gridW: Int = 8, gridH: Int = 8)
+  : DataFrame =
+    perceptualDedupImpl(batch, idCol, registryPath, bands, maxHamming,
+      gridW, gridH, deliverTo = Some(outDir))
+
+  private def perceptualDedupImpl(batch: DataFrame, idCol: String,
+                                  registryPath: String,
+                                  bands: Int, maxHamming: Int,
+                                  gridW: Int, gridH: Int,
+                                  deliverTo: Option[String]): DataFrame = {
     val sigBits = (gridW - 1) * gridH
     val (chunk, mask) = hammingBandGeometry(sigBits, bands, maxHamming)
     val spark = batch.sparkSession
@@ -1165,6 +1193,16 @@ object Dedup {
           fresh.join(verified.select(col(idCol).as("id")).distinct(),
             Seq("id"), "left_anti"))
       }
+    // deliver BEFORE the registry append (the exactly-once ordering of
+    // nearDupAgainstRegistryTo): the matches frame is checkpointed, so
+    // the write re-reads no registry, and a committed delivery is
+    // skipped — a replayed batch's empty match set must not clobber it
+    deliverTo.foreach { outDir =>
+      val ofs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!ofs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_SUCCESS")))
+        matches.write.mode("overwrite").parquet(outDir)
+    }
     appendRegistryBatch(clean.select("id", "dhash"), hashPath)
     staged.unpersist()
     matches

@@ -29,6 +29,13 @@ object Keywords {
   /** (idCol, rank, term, tf, score): the top-`k` tf-idf terms of every
     * document with at least one token; rank is 1-based in (score desc,
     * term asc) order.
+    *
+    * Precondition (the [[Dedup.keepFirstByKey]] /
+    * [[Packing.packByBudget]] contract): `idCol` must be UNIQUE across
+    * the frame — tf groups on (id, term) and df counts distinct ids,
+    * so two rows sharing an id would silently merge their term counts
+    * into one phantom document instead of failing. Dedup upstream
+    * (e.g. [[Dedup.exactKeepFirst]]) before extracting keywords.
     */
   def keywordsTfIdf(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 5): DataFrame = {

@@ -146,7 +146,14 @@ object Ingest {
       encoding: String = "UTF-8",
       dateFormat: Option[String] = None,
       timestampFormat: Option[String] = None,
-      /** Row cap (pandas `nrows`). */
+      /** Row cap (pandas `nrows`): the FIRST n data rows in FILE
+        * order. Spark's limit(n) over a splittable scan has no order
+        * (splits are bin-packed by size, not offset), so when set the
+        * read runs in whole-file mode (multiLine — a non-splittable
+        * parse) over exactly ONE csv file; a glob/directory input is
+        * refused loudly. Bounded by construction (n rows out), so the
+        * lost split parallelism is irrelevant.
+        */
       nrows: Option[Int] = None)
 
   /** Read a CSV with the eland-parity option set. */
@@ -164,6 +171,21 @@ object Ingest {
     opts.comment.foreach(c => r = r.option("comment", c.toString))
     opts.dateFormat.foreach(f => r = r.option("dateFormat", f))
     opts.timestampFormat.foreach(f => r = r.option("timestampFormat", f))
+    if (opts.nrows.isDefined) {
+      // see CsvOptions.nrows: whole-file parse (not splittable) keeps
+      // file order, so the limit below is exactly pandas's "first n"
+      r = r.option("multiLine", "true")
+      val hp = new org.apache.hadoop.fs.Path(csvPath)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+        .flatMap(st => if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filterNot(_.isDirectory)
+        else Seq(st))
+      require(files.size == 1,
+        s"nrows means 'the first n data rows in file order', which " +
+          s"needs exactly ONE csv file — $csvPath resolves to " +
+          s"${files.size} files; read them separately or drop nrows")
+    }
     var df = r.csv(csvPath)
     if (opts.names.nonEmpty) {
       require(opts.names.size == df.columns.length,

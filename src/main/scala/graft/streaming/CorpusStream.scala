@@ -257,6 +257,14 @@ object CorpusStream {
     * nothing. Per micro-batch cost: one decode+hash pass over the
     * batch, narrow (id, hash) registry scans, a banded join — pixels
     * never enter the registry or the shuffle.
+    *
+    * Delivery is AT-MOST-ONCE for the match rows (the
+    * [[incrementalNearDup]] trade): the registry append lands inside
+    * the probe call, BEFORE this sink's match write, so a crash
+    * between the two permanently drops that batch's matches — the
+    * committed retry probes nothing and emits nothing. When the match
+    * stream is the product (not just telemetry), use
+    * [[incrementalImageNearDupExactlyOnce]].
     */
   def incrementalImageNearDup(media: DataFrame, idCol: String,
                               registryPath: String, outPath: String,
@@ -273,6 +281,35 @@ object CorpusStream {
         ()
       }
       .start()
+
+  /** [[incrementalImageNearDup]] with EXACTLY-ONCE delivery of the
+    * match rows: each batch's verified matches land in their own
+    * committed `outPath/batch-<batchId>` directory BEFORE the batch's
+    * clean hashes register
+    * ([[graft.operators.Dedup.perceptualDedupAgainstRegistryTo]]), so
+    * a crash between the match write and the registry append can no
+    * longer lose the matches — the perceptual twin of
+    * [[incrementalNearDupExactlyOnce]], same fresh-checkpoint guard,
+    * read with [[deliveredOutput]].
+    */
+  def incrementalImageNearDupExactlyOnce(media: DataFrame, idCol: String,
+                                         registryPath: String,
+                                         outPath: String,
+                                         checkpoint: String,
+                                         bands: Int = 4, maxHamming: Int = 3,
+                                         gridW: Int = 8, gridH: Int = 8)
+  : StreamingQuery = {
+    requireFreshOrContinuing(media.sparkSession, checkpoint, outPath)
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        Dedup.perceptualDedupAgainstRegistryTo(batch.toDF(), idCol,
+          registryPath, s"$outPath/batch-$batchId",
+          bands, maxHamming, gridW, gridH)
+        ()
+      }
+      .start()
+  }
 
   /** [[incrementalNearDup]] with EXACTLY-ONCE delivery of the match
     * rows: each batch's verified matches land in their own committed

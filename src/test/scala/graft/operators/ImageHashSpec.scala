@@ -196,4 +196,49 @@ class ImageHashSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(m4.contains((901L, 1L)), m4.mkString(","))
   }
+
+  test("perceptual exactly-once delivery: matches survive every crash " +
+    "window (the nearDupAgainstRegistryTo contract)") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-phash-eo").toString
+    val reg = s"$work/registry"
+    val b = base(8)
+    // batch 0: registry empty — delivery commits an EMPTY match set
+    Dedup.perceptualDedupAgainstRegistryTo(
+      b.filter(col("media_id") === 0), "media_id", reg,
+      s"$work/out/batch-0")
+    assert(new java.io.File(s"$work/out/batch-0/_SUCCESS").exists)
+    assert(spark.read.parquet(s"$work/out/batch-0").count() == 0)
+    // batch 1: a brightness clone of image 0 — delivered AND returned
+    val b1 = Multimodal.adjustBrightness(
+        b.filter(col("media_id") === 0), 1)
+      .select((col("media_id") + 100).as("media_id"), col("blob"))
+    val r1 = Dedup.perceptualDedupAgainstRegistryTo(
+      b1, "media_id", reg, s"$work/out/batch-1")
+    assert(r1.count() == 1)
+    def d1() = spark.read.parquet(s"$work/out/batch-1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(d1() == Seq((100L, 0L)))
+    // the plain variant's at-most-once window: replaying batch 1 after
+    // its registration committed produces an empty match set — the
+    // committed delivery must NOT be clobbered by it
+    Dedup.perceptualDedupAgainstRegistryTo(
+      b1, "media_id", reg, s"$work/out/batch-1")
+    assert(d1() == Seq((100L, 0L)))
+    // crash mid-delivery (partial dir, no _SUCCESS): replay overwrites
+    // (another +1 clone of image 0 — batch 1's MATCHED rows never
+    // registered, so this one still resolves against image 0 alone)
+    val b2 = Multimodal.adjustBrightness(
+        b.filter(col("media_id") === 0), 1)
+      .select((col("media_id") + 200).as("media_id"), col("blob"))
+    new java.io.File(s"$work/out/batch-2").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$work/out/batch-2/part-corrupt.parquet"),
+      Array[Byte](1, 2, 3))
+    Dedup.perceptualDedupAgainstRegistryTo(
+      b2, "media_id", reg, s"$work/out/batch-2")
+    assert(spark.read.parquet(s"$work/out/batch-2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((200L, 0L)))
+  }
 }

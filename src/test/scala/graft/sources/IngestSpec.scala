@@ -66,11 +66,23 @@ class IngestSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1))           // name "NULL" -> null (extra sentinel)
     assert(rows(2).isNullAt(3))           // price "NA" -> null
     assert(rows(0).getLong(2) == 3L)
-    // names override + nrows cap
+    // names override + nrows cap: pandas nrows = the FIRST n data rows
+    // in FILE order (whole-file parse — not a split-order limit), so
+    // the exact drawn ids are pinned, not just the count
     val renamed = Ingest.readCsv(spark, csv, Ingest.CsvOptions(sep = ";",
       names = Seq("a", "b", "c", "d", "e"), nrows = Some(2)))
     assert(renamed.columns.toSeq == Seq("a", "b", "c", "d", "e"))
-    assert(renamed.count() == 2)
+    assert(renamed.select("a").collect().map(_.getInt(0)).toSeq
+      == Seq(1, 2))
+    // nrows over a multi-file input is refused loudly — "first n rows"
+    // has no file order to honor across files
+    val multi = Files.createTempDirectory("graft-csvmulti").toString
+    Files.writeString(java.nio.file.Paths.get(s"$multi/x.csv"), "id\n1\n")
+    Files.writeString(java.nio.file.Paths.get(s"$multi/y.csv"), "id\n2\n")
+    val e = intercept[IllegalArgumentException] {
+      Ingest.readCsv(spark, multi, Ingest.CsvOptions(nrows = Some(1)))
+    }
+    assert(e.getMessage.contains("ONE csv file"), e.getMessage)
     // full-option path reaches the frame facade too
     val f = Ingest.csvToFrame(spark, csv, Some("id"), opts)
     assert(f.idCol == "id" && f.len() == 4)
