@@ -30,12 +30,16 @@ import graft.api.Predicates
   *  - `wildcard` (`*`/`?` → LIKE), `prefix`, `regexp`
   *  - `exists` — non-null field
   *  - `ids` — value list against the given id column
+  *  - `geo_distance` — haversine radius filter over a geo-point
+  *    struct column ([[Geo]]); arc distance only
   *  - `match_all` / `match_none`
   *
-  * Aggregation-side or geo clauses (`geo_distance`, `function_score`,
-  * ...) are NOT translatable to engine-independent semantics and raise
-  * IllegalArgumentException — mirroring how running them against a
-  * different backend would silently change meaning.
+  * Aggregation-side clauses and the remaining geo shapes
+  * (`geo_bounding_box` crossing the antimeridian, geohash points,
+  * `distance_type: plane`, ...) are NOT translatable to
+  * engine-independent semantics and raise IllegalArgumentException —
+  * mirroring how running them against a different backend would
+  * silently change meaning.
   */
 object EsQueryDsl {
 
@@ -126,6 +130,35 @@ object EsQueryDsl {
         if (per.isEmpty) lit(false)
         else if (op == "and") per.reduce(_ && _) else per.reduce(_ || _)
     }
+
+  /** ES geo-point literal → (lat, lon): object {lat, lon}, string
+    * "lat,lon", or array [lon, lat] (GeoJSON order — ES's array form).
+    * Geohash strings are an ES-internal encoding and refuse.
+    */
+  private[functions] def parseGeoPoint(v: JValue,
+                                       what: String): (Double, Double) = {
+    def num(x: JValue, k: String): Double = x match {
+      case JInt(n)     => n.toDouble
+      case JLong(n)    => n.toDouble
+      case JDouble(d)  => d
+      case JDecimal(d) => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what: $k must be a number, got $other")
+    }
+    v match {
+      case o @ JObject(_) =>
+        (num(o \ "lat", "lat"), num(o \ "lon", "lon"))
+      case JArray(List(lonJ, latJ)) => // GeoJSON order: [lon, lat]
+        (num(latJ, "lat"), num(lonJ, "lon"))
+      case JString(s) if s.contains(",") =>
+        val parts = s.split(",").map(_.trim)
+        require(parts.length == 2, s"$what: cannot parse point '$s'")
+        (parts(0).toDouble, parts(1).toDouble) // "lat,lon" order
+      case other => throw new IllegalArgumentException(
+        s"$what: geo point '$other' has no engine-independent " +
+          "translation (object {lat, lon}, \"lat,lon\", or [lon, lat])")
+    }
+  }
 
   private def clauses(v: JValue, idCol: String,
                       requireText: String => Unit): Seq[Column] = v match {
@@ -290,6 +323,43 @@ object EsQueryDsl {
         }
         // ES regexp is anchored; Spark rlike is substring-matching
         col(field).rlike(s"^(?:$re)$$")
+      case "geo_distance" =>
+        // {"geo_distance": {"distance": "200km", "<field>": origin}}
+        // over a geo-point STRUCT column (lat/lon subfields); origin
+        // accepts the ES object {lat, lon}, "lat,lon" string, and
+        // [lon, lat] array spellings. Haversine on the mean-radius
+        // sphere (Geo.haversineMeters) — ES's default arc distance;
+        // distance_type "plane" is a different metric and refuses.
+        (body \ "distance_type") match {
+          case JNothing | JString("arc") => ()
+          case other => throw new IllegalArgumentException(
+            s"geo_distance distance_type $other has no " +
+              "engine-independent translation (only \"arc\")")
+        }
+        val meters = (body \ "distance") match {
+          case JString(s)  => Geo.parseDistanceMeters(s)
+          case JInt(n)     => n.toDouble
+          case JLong(n)    => n.toDouble
+          case JDouble(d)  => d
+          case JDecimal(d) => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"geo_distance needs a distance, got $other")
+        }
+        require(meters >= 0, s"geo_distance: negative radius $meters")
+        val fields = body match {
+          case JObject(fs) => fs.filterNot { case (k, _) =>
+            k == "distance" || k == "distance_type" }
+          case other => throw new IllegalArgumentException(
+            s"geo_distance: $other")
+        }
+        val (field, originJ) = fields match {
+          case List(one) => one
+          case many => throw new IllegalArgumentException(
+            s"geo_distance expects exactly one field entry, got " +
+              many.map(_._1).mkString(","))
+        }
+        val (oLat, oLon) = parseGeoPoint(originJ, s"geo_distance($field)")
+        Geo.distanceToMeters(col(field), oLat, oLon) <= meters
       case "exists" =>
         col((body \ "field").extract[String]).isNotNull
       case "ids" =>

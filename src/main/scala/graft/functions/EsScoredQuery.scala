@@ -452,10 +452,14 @@ object EsScoredQuery {
     (filt, value)
   }
 
-  /** ES decay arithmetic over a NUMERIC field; the date-duration and
-    * geo-distance origin/scale spellings refuse (numOf throws on
-    * strings) — their parsing is engine-format territory. Missing
-    * field → 1.0 (ES's behavior); value rounded to 6 dp (libm).
+  /** ES decay arithmetic over a NUMERIC field, or — when `origin` is a
+    * geo point (object {lat, lon} / "lat,lon" / [lon, lat]) — over a
+    * geo-point STRUCT field, where distance is [[Geo.haversineMeters]]
+    * and scale/offset parse as distance strings ("2km"). The
+    * date-duration spelling still refuses — duration parsing is
+    * engine-format territory. Missing field / NULL point → 1.0 (ES's
+    * behavior); value rounded to 6 dp (safe here because decay scores
+    * are O(1) — see the [[Geo]] float-discipline note).
     */
   private def parseDecay(kind: String, o: JValue): Column = {
     val (field, params) = o match {
@@ -472,6 +476,16 @@ object EsScoredQuery {
             s"(${known.toSeq.sorted.mkString(", ")})")
       case _ => ()
     }
+    val geoOrigin = (params \ "origin") match {
+      case o2 @ (JObject(_) | JArray(_)) =>
+        Some(EsQueryDsl.parseGeoPoint(o2, s"$kind($field).origin"))
+      case JString(s) if s.contains(",") =>
+        Some(EsQueryDsl.parseGeoPoint(JString(s), s"$kind($field).origin"))
+      case _ => None
+    }
+    if (geoOrigin.isDefined)
+      return parseGeoDecay(kind, field, params,
+        geoOrigin.get._1, geoOrigin.get._2)
     val origin = numOf(params \ "origin", s"$kind($field).origin")
     val scale = numOf(params \ "scale", s"$kind($field).scale")
     require(scale > 0, s"$kind($field): scale must be positive")
@@ -492,6 +506,54 @@ object EsScoredQuery {
     val v = kind match {
       case "gauss" =>
         // σ² = −scale² / (2 ln decay): score(scale-away) = decay
+        val sigma2 = -scale * scale / (2.0 * math.log(dec))
+        exp(-(dist * dist) / lit(2.0 * sigma2))
+      case "exp" =>
+        exp(lit(math.log(dec) / scale) * dist)
+      case "linear" =>
+        val s = scale / (1.0 - dec)
+        greatest((lit(s) - dist) / lit(s), lit(0.0))
+    }
+    round(when(col(field).isNull, lit(1.0)).otherwise(v), 6)
+  }
+
+  /** The geo leg of [[parseDecay]]: distance is haversine meters from
+    * the origin point to the field's (lat, lon) struct, scale/offset
+    * parse as ES distance strings, and the same σ²/λ/slope arithmetic
+    * applies. One fixed expression tree, DuckDB-mirrorable like the
+    * numeric leg.
+    */
+  private def parseGeoDecay(kind: String, field: String, params: JValue,
+                            oLat: Double, oLon: Double): Column = {
+    def distMeters(x: JValue, what: String): Double = x match {
+      case JString(s)  => Geo.parseDistanceMeters(s)
+      case JInt(n)     => n.toDouble
+      case JLong(n)    => n.toDouble
+      case JDouble(d)  => d
+      case JDecimal(d) => d.toDouble
+      case JNothing => throw new IllegalArgumentException(
+        s"$what is required")
+      case other => throw new IllegalArgumentException(
+        s"$what: cannot parse distance $other")
+    }
+    val scale = distMeters(params \ "scale", s"$kind($field).scale")
+    require(scale > 0, s"$kind($field): scale must be positive")
+    val offset = (params \ "offset") match {
+      case JNothing => 0.0
+      case x        => distMeters(x, s"$kind($field).offset")
+    }
+    require(offset >= 0, s"$kind($field): offset must be non-negative")
+    val dec = (params \ "decay") match {
+      case JNothing => 0.5
+      case x        => numOf(x, s"$kind($field).decay")
+    }
+    require(dec > 0 && dec < 1,
+      s"$kind($field): decay must be in (0, 1), got $dec")
+    val dist = greatest(
+      Geo.distanceToMeters(col(field), oLat, oLon) - lit(offset),
+      lit(0.0))
+    val v = kind match {
+      case "gauss" =>
         val sigma2 = -scale * scale / (2.0 * math.log(dec))
         exp(-(dist * dist) / lit(2.0 * sigma2))
       case "exp" =>

@@ -393,6 +393,36 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // geo_distance through the raw-DSL escape hatch (the reference's
+    // flights OriginLocation geo_point passthrough,
+    // eland/query_compiler.py:490-491) PLUS gauss geo decay through
+    // function_score: synthetic integer-exact lat/lon from c_custkey,
+    // a 2000 km haversine radius filter, the surviving rows' distance
+    // (rhu 3 dp — meter granularity, the Geo float discipline), and
+    // the 500 km-scale gauss decay score (O(1) value, 6 dp like f24).
+    // The oracle mirrors the haversine tree operation-for-operation
+    "f27_geo_distance" -> ((s, d) => {
+      val f = customer(s, d).withColumn("loc", struct(
+        ((col("c_custkey") % 121) - 60).cast("double").as("lat"),
+        (((col("c_custkey") * 7) % 301) - 150).cast("double").as("lon")))
+      f.esQueryScored(
+        """{"function_score": {
+          |  "query": {"geo_distance": {"distance": "2000km",
+          |                             "loc": {"lat": 10, "lon": 20}}},
+          |  "functions": [
+          |    {"gauss": {"loc": {"origin": {"lat": 10, "lon": 20},
+          |                       "scale": "500km",
+          |                       "offset": "100km"}}}
+          |  ],
+          |  "boost_mode": "multiply"
+          |}}""".stripMargin)
+        .df.select(col("c_custkey"),
+          rhu(graft.functions.Geo.haversineMeters(
+            lit(10.0), lit(20.0), col("loc.lat"), col("loc.lon"))
+            / 1000.0, 3).as("dist_km"),
+          col("_score").as("score"))
+        .orderBy("c_custkey")
+    }),
     // deterministic random_score (seed AND field, ES's reproducible
     // spelling): the portable md5 uniform — same determinism contract
     // as ES's seeded hash, different hash function (documented
@@ -794,6 +824,28 @@ object FacadeQueries {
            |      FROM ph p FULL OUTER JOIN bm m ON p.doc_id = m.doc_id)
            |SELECT doc_id, round(psc + msc, 6) AS score FROM u
            |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // haversine mirrored operation-for-operation (QueryUtil
+    // .haversineSqlMeters = the Geo.haversineMeters tree), raw-double
+    // radius compare, meter-granularity distance export, 6-dp gauss —
+    // the Geo float discipline end to end
+    "f27_geo_distance" ->
+      raw"""WITH pts AS (
+           |  SELECT c_custkey,
+           |         CAST((c_custkey % 121) - 60 AS DOUBLE) AS lat,
+           |         CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE) AS lon
+           |  FROM customer),
+           |dm AS (SELECT c_custkey,
+           |         ${QueryUtil.haversineSqlMeters(
+                        "10.0", "20.0", "lat", "lon")} AS dist_m
+           |       FROM pts)
+           |SELECT c_custkey,
+           |  ${rhuSql("dist_m / 1000.0", 3)} AS dist_km,
+           |  round(round(exp(-(greatest(dist_m - 100000.0, 0.0) *
+           |                    greatest(dist_m - 100000.0, 0.0)) /
+           |    (2.0 * (-(500000.0 * 500000.0) / (2.0 * ln(0.5))))), 6)
+           |    * 1.0, 6) AS score
+           |FROM dm WHERE dist_m <= 2000000.0
+           |ORDER BY c_custkey""".stripMargin,
     // decay replay: same σ²/λ/slope arithmetic (power-of-two scalings
     // commute with IEEE rounding, and every transcendental rounds to
     // 6 dp on both sides), same (gauss + exp×0.5) + linear order

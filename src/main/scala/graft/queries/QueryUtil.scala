@@ -43,6 +43,21 @@ object QueryUtil {
       s"OR ends_with($t, 'oes') OR ends_with($t, 'ees') THEN $t " +
       s"ELSE substr($t, 1, length($t) - 1) END)"
 
+  /** [[graft.functions.Geo.haversineMeters]] mirrored
+    * operation-for-operation as DuckDB SQL (the literal 12742000.0 is
+    * the plan-time-folded 2·R of the Column tree). See the Geo
+    * float-discipline note: compare raw against a radius, round
+    * exported values no finer than ~1 m.
+    */
+  def haversineSqlMeters(lat1: String, lon1: String,
+                         lat2: String, lon2: String): String =
+    s"(12742000.0 * asin(sqrt(least(" +
+      s"sin(radians(($lat2) - ($lat1)) / 2) * " +
+      s"sin(radians(($lat2) - ($lat1)) / 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * " +
+      s"sin(radians(($lon2) - ($lon1)) / 2) * " +
+      s"sin(radians(($lon2) - ($lon1)) / 2), 1.0))))"
+
   /** Shared g23/idx9 stemming fixture: the documents text plus a
     * doc_id-keyed suffix exercising every stemmer rule — "stories
     * queries" (ies→y; "query" merges with the corpus word), "dogs

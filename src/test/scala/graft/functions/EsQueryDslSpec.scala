@@ -107,9 +107,15 @@ class EsQueryDslSpec extends AnyFunSuite {
   test("match_all/match_none and untranslatable clauses") {
     assert(orders.esQuery("""{"match_all": {}}""").len() == orders.len())
     assert(orders.esQuery("""{"match_none": {}}""").len() == 0)
+    // geo_distance translates since r13 (GeoSpec); the remaining geo
+    // shapes still refuse
     val e = intercept[IllegalArgumentException](
-      orders.esQuery("""{"geo_distance": {"distance": "1km"}}""").len())
+      orders.esQuery("""{"geo_shape": {"f": {}}}""").len())
     assert(e.getMessage.contains("no engine-independent translation"))
+    // a geo_distance with no field entry is a malformed clause, loud
+    val eGeo = intercept[IllegalArgumentException](
+      orders.esQuery("""{"geo_distance": {"distance": "1km"}}""").len())
+    assert(eGeo.getMessage.contains("exactly one field"))
     // percentage minimum_should_match raises instead of silently
     // falling back to the integer default
     val e2 = intercept[IllegalArgumentException](

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class GeoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def points = Seq(
+    (1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.0, 1.0),
+    (4L, 52.52, 13.405),   // Berlin
+    (5L, 48.8566, 2.3522), // Paris
+    (6L, -33.8688, 151.2093)) // Sydney
+    .toDF("id", "lat", "lon")
+    .withColumn("loc", struct(col("lat"), col("lon")))
+
+  test("haversine hits the textbook references") {
+    val d = points.select(col("id"),
+      Geo.haversineMeters(lit(0.0), lit(0.0), col("lat"), col("lon"))
+        .as("m")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // one degree of latitude (or equatorial longitude) on the mean
+    // sphere: R * pi/180 = 111194.93 m
+    assert(math.abs(d(2L) - 111194.93) < 1.0, d(2L))
+    assert(math.abs(d(3L) - 111194.93) < 1.0, d(3L))
+    assert(d(1L) == 0.0)
+    // Berlin <-> Paris: ~877.46 km on the mean sphere
+    val bp = points.filter($"id" === 4L).select(
+      Geo.haversineMeters(lit(48.8566), lit(2.3522), col("lat"), col("lon")))
+      .head().getDouble(0)
+    assert(math.abs(bp / 1000.0 - 877.46) < 1.0, bp)
+  }
+
+  test("distance unit parsing: the portable subset, loud on the rest") {
+    assert(Geo.parseDistanceMeters("2000km") == 2000000.0)
+    assert(Geo.parseDistanceMeters("1.5 km") == 1500.0)
+    assert(Geo.parseDistanceMeters("500") == 500.0)
+    assert(Geo.parseDistanceMeters("500m") == 500.0)
+    assert(Geo.parseDistanceMeters("1mi") == 1609.344)
+    assert(Geo.parseDistanceMeters("1NM") == 1852.0)
+    assert(Geo.parseDistanceMeters("30cm") == 0.3)
+    assert(intercept[IllegalArgumentException](
+      Geo.parseDistanceMeters("3 parsecs")).getMessage.contains("unit"))
+    assert(intercept[IllegalArgumentException](
+      Geo.parseDistanceMeters("km")).getMessage.contains("cannot parse"))
+  }
+
+  test("geo_distance DSL: every origin spelling, radius semantics, " +
+      "null point drops") {
+    val df = points.unionByName(
+      Seq((9L, Option.empty[Double], Option.empty[Double]))
+        .toDF("id", "lat", "lon")
+        .withColumn("loc",
+          when(lit(false), struct(col("lat"), col("lon")))))
+    def ids(json: String): Seq[Long] =
+      df.filter(EsQueryDsl.toColumn(json)).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    val objForm =
+      """{"geo_distance": {"distance": "200km",
+        |                  "loc": {"lat": 0.5, "lon": 0.0}}}""".stripMargin
+    // within 200 km of (0.5, 0): ids 1 and 2 (55.6 km each); 3 is
+    // ~124.7 km... sqrt(55.6^2+111.2^2) -> inside too
+    assert(ids(objForm) == Seq(1L, 2L, 3L))
+    val strForm =
+      """{"geo_distance": {"distance": "60km", "loc": "0.5,0.0"}}"""
+    assert(ids(strForm) == Seq(1L, 2L))
+    val arrForm = // GeoJSON [lon, lat]
+      """{"geo_distance": {"distance": "60km", "loc": [0.0, 0.5]}}"""
+    assert(ids(arrForm) == Seq(1L, 2L))
+    // meters are the default unit for bare numbers
+    assert(ids("""{"geo_distance": {"distance": 60000,
+                   "loc": "0.5,0.0"}}""") == Seq(1L, 2L))
+    // refusals: plane metric, geohash origin, two fields
+    assert(intercept[IllegalArgumentException](ids(
+      """{"geo_distance": {"distance": "1km", "distance_type": "plane",
+           "loc": {"lat": 0, "lon": 0}}}""")).getMessage
+      .contains("arc"))
+    assert(intercept[IllegalArgumentException](ids(
+      """{"geo_distance": {"distance": "1km", "loc": "u33dc0"}}"""))
+      .getMessage.contains("geo point"))
+    assert(intercept[IllegalArgumentException](ids(
+      """{"geo_distance": {"distance": "1km",
+           "a": {"lat": 0, "lon": 0}, "b": {"lat": 0, "lon": 0}}}"""))
+      .getMessage.contains("exactly one field"))
+  }
+
+  test("gauss geo decay: 1.0 at origin (and inside offset), = decay at " +
+      "offset + scale, 1.0 on a null point") {
+    val df = points.unionByName(
+      Seq((9L, Option.empty[Double], Option.empty[Double]))
+        .toDF("id", "lat", "lon")
+        .withColumn("loc",
+          when(lit(false), struct(col("lat"), col("lon")))))
+    val scored = graft.api.GraftFrame(df, "id").esQueryScored(
+      """{"function_score": {
+        |  "query": {"match_all": {}},
+        |  "functions": [
+        |    {"gauss": {"loc": {"origin": {"lat": 0, "lon": 0},
+        |                       "scale": "100km", "offset": "10km"}}}
+        |  ],
+        |  "boost_mode": "multiply"
+        |}}""".stripMargin,
+      matchOnlyTextFields = false)
+      .df.select(col("id"), col("_score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(1L) == 1.0)          // at origin
+    assert(scored(9L) == 1.0)          // null point -> ES's 1.0
+    // id 2 is 111.195 km out: dist-offset = 101.195 km, just past
+    // scale -> slightly under the 0.5 decay value
+    assert(scored(2L) < 0.5 && scored(2L) > 0.45, scored(2L))
+    assert(scored(6L) < 1e-6)          // Sydney: essentially zero
+    // exp and linear geo legs parse too and decay monotonically
+    for (kind <- Seq("exp", "linear")) {
+      val s2 = graft.api.GraftFrame(df.filter($"id" <= 3), "id")
+        .esQueryScored(
+          s"""{"function_score": {
+             |  "query": {"match_all": {}},
+             |  "functions": [
+             |    {"$kind": {"loc": {"origin": "0.0,0.0",
+             |                       "scale": "200km"}}}
+             |  ],
+             |  "boost_mode": "multiply"
+             |}}""".stripMargin,
+          matchOnlyTextFields = false)
+        .df.select(col("id"), col("_score"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(s2(1L) == 1.0, s"$kind at origin")
+      assert(s2(2L) < 1.0 && s2(2L) > 0.0, s"$kind decays")
+    }
+  }
+}
