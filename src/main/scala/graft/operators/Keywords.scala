@@ -61,4 +61,59 @@ object Keywords {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("score"))
   }
+
+  /** Per-source DISTINCTIVE terms by JLH significance — ES's
+    * `significant_terms` aggregation (its default JLH heuristic:
+    * score = (fg% − bg%) · (fg% ∕ bg%) over DOCUMENT frequencies,
+    * foreground = the source, background = the whole corpus including
+    * the foreground), the "what distinguishes source X" face of a
+    * data-card report. eland users reach this agg only through the
+    * raw-DSL passthrough (eland/query_compiler.py:490-491); here it is
+    * a first-class operator.
+    *
+    * Output: (sourceCol, rank, term, df_fg, df_bg, score) for the
+    * top-`k` positively-significant terms per source (fg% > bg%; rank
+    * 1-based in score desc, term asc order; score rounded half-up at
+    * 6 dp so the DuckDB oracle replays the ranking).
+    *
+    * Scale shape: one (source, doc, distinct-term) explode with a
+    * map-side-combined (source, term) doc-count aggregation; the
+    * background counts derive from the foreground table (every doc
+    * has exactly one source, so bg df = Σ over sources — no second
+    * corpus scan); source sizes and the corpus size ride as broadcast
+    * one-row-per-source frames. The per-source top-k runs through the
+    * two-phase [[Similarity.rankTopKPerQuery]], so a source whose
+    * vocabulary is corpus-sized never funnels through one partition
+    * (the kw1 window would — its per-DOC partitions are bounded by
+    * document length, per-SOURCE partitions are not).
+    *
+    * Precondition (the [[keywordsTfIdf]] contract): `idCol` unique —
+    * duplicate ids would double-count their doc frequencies.
+    */
+  def significantTerms(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, s"significantTerms: k must be >= 1 (got $k)")
+    val docTerms = docs.select(col(sourceCol), col(idCol),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+        .as("term"))
+    val fg = docTerms.groupBy(sourceCol, "term")
+      .agg(count(lit(1)).cast("double").as("df_fg"))
+    val bg = fg.groupBy("term").agg(sum(col("df_fg")).as("df_bg"))
+    val sizes = docs.groupBy(sourceCol)
+      .agg(count(lit(1)).cast("double").as("n_fg"))
+    val total = docs.agg(count(lit(1)).cast("double").as("n_bg"))
+    val scored = fg
+      .join(bg, Seq("term"))
+      .join(broadcast(sizes), Seq(sourceCol))
+      .crossJoin(broadcast(total))
+      .withColumn("_p_fg", col("df_fg") / col("n_fg"))
+      .withColumn("_p_bg", col("df_bg") / col("n_bg"))
+      .filter(col("_p_fg") > col("_p_bg"))
+      .withColumn("score", graft.queries.QueryUtil.rhu(
+        (col("_p_fg") - col("_p_bg")) * (col("_p_fg") / col("_p_bg")), 6))
+    Similarity.rankTopKPerQuery(scored, k, sourceCol, "term", "score")
+      .select(col(sourceCol), col("rank"), col("term"),
+        col("df_fg").cast("long").as("df_fg"),
+        col("df_bg").cast("long").as("df_bg"), col("score"))
+  }
 }

@@ -826,6 +826,17 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // significant_terms (ES's JLH heuristic over doc frequencies):
+    // per-source distinctive terms vs the whole corpus — integer doc
+    // counts, pure ratio arithmetic, 6-dp rounded, term-asc ties; the
+    // oracle replays fg/bg df, the JLH formula, and the per-source
+    // rank cut
+    "kw2_significant_terms" -> ((s, d) => {
+      graft.operators.Keywords.significantTerms(
+          t(s, d, "documents"), "doc_id", "text", "source", k = 5)
+        .orderBy("source", "rank")
+    }),
+
     // embedding norm statistics per label
     "emb1_norm_stats" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -1256,6 +1267,39 @@ object TextQueries {
            |SELECT doc_id, rank, term, tf, score FROM r
            |WHERE rank <= 3 AND doc_id < 30
            |ORDER BY doc_id, rank""".stripMargin,
+    // JLH replay: same doc-count ratios (bg includes fg; bg df derived
+    // as the sum of per-source dfs — every doc has one source), same
+    // (fg%−bg%)·(fg%∕bg%) op order, same 6-dp rounding BEFORE the
+    // rank window
+    "kw2_significant_terms" ->
+      raw"""WITH dt AS (SELECT source, doc_id,
+           |              unnest(list_distinct($toksSql)) AS term
+           |            FROM documents),
+           |fg AS (SELECT source, term,
+           |         CAST(count(*) AS DOUBLE) AS df_fg
+           |       FROM dt GROUP BY 1, 2),
+           |bg AS (SELECT term, sum(df_fg) AS df_bg FROM fg GROUP BY 1),
+           |sz AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_fg
+           |       FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_bg
+           |        FROM documents),
+           |sc AS (SELECT f.source, f.term, f.df_fg, b.df_bg,
+           |         (f.df_fg / s.n_fg) AS pfg,
+           |         (b.df_bg / n.n_bg) AS pbg
+           |       FROM fg f JOIN bg b USING (term)
+           |       JOIN sz s USING (source), tot n),
+           |r AS (SELECT source, term,
+           |        CAST(df_fg AS BIGINT) AS df_fg,
+           |        CAST(df_bg AS BIGINT) AS df_bg,
+           |        floor((pfg - pbg) * (pfg / pbg) * 1000000 + 0.5)
+           |          / 1000000.0 AS score
+           |      FROM sc WHERE pfg > pbg),
+           |rk AS (SELECT source, term, df_fg, df_bg, score,
+           |         CAST(row_number() OVER (PARTITION BY source
+           |           ORDER BY score DESC, term) AS BIGINT) AS rank
+           |       FROM r)
+           |SELECT source, rank, term, df_fg, df_bg, score FROM rk
+           |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     "dd1_exact_dup_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique

@@ -53,4 +53,44 @@ class KeywordsSpec extends AnyFunSuite {
       p.contains("partitionBy") || p.contains("windowspecdefinition"),
       "unexpected window shape:\n" + p)
   }
+
+  test("significant terms: hand-computed JLH over doc frequencies; " +
+    "only positively-significant terms; per-source k cut") {
+    // source A: 2 docs, "apple" in both, "common" in both;
+    // source B: 2 docs, "berry" in one, "common" in both.
+    val docs = Seq(
+      (0L, "A", "apple common"),
+      (1L, "A", "apple common extra"),
+      (2L, "B", "berry common"),
+      (3L, "B", "common")).toDF("id", "src", "text")
+    val out = Keywords.significantTerms(docs, "id", "text", "src", k = 2)
+      .orderBy("src", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    def rhu(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def jlh(dfFg: Int, nFg: Int, dfBg: Int, nBg: Int) = {
+      val (p, q) = (dfFg.toDouble / nFg, dfBg.toDouble / nBg)
+      rhu((p - q) * (p / q))
+    }
+    // "common" is in every doc: fg% == bg% == 1 -> NOT significant.
+    // A: apple fg 2/2 vs bg 2/4 -> (1-.5)*(1/.5)=1; extra fg 1/2 vs
+    // bg 1/4 -> (.5-.25)*2 = .5
+    assert(out.filter(_._1 == "A").toSeq == Seq(
+      ("A", 1L, "apple", 2L, 2L, jlh(2, 2, 2, 4)),
+      ("A", 2L, "extra", 1L, 1L, jlh(1, 2, 1, 4))))
+    // B: only berry (fg 1/2 vs bg 1/4)
+    assert(out.filter(_._1 == "B").toSeq == Seq(
+      ("B", 1L, "berry", 1L, 1L, jlh(1, 2, 1, 4))))
+    assert(!out.exists(_._3 == "common"))
+    // within-doc repeats count once (doc frequency, not term
+    // frequency): doubling a token changes nothing
+    val rep = Seq((0L, "A", "apple apple"), (1L, "B", "x"))
+      .toDF("id", "src", "text")
+    val r2 = Keywords.significantTerms(rep, "id", "text", "src", k = 1)
+      .filter($"src" === "A").head()
+    assert(r2.getLong(3) == 1L && r2.getLong(4) == 1L)
+    intercept[IllegalArgumentException] {
+      Keywords.significantTerms(docs, "id", "text", "src", k = 0)
+    }
+  }
 }
