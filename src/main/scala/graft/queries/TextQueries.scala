@@ -837,6 +837,29 @@ object TextQueries {
         .orderBy("source", "rank")
     }),
 
+    // the batch text-inference seam (M4/M5's useful half) behind the
+    // deterministic hash stub model: per-partition model load, 16-text
+    // batches, NULL text -> NULL embedding — the oracle replays the
+    // stub's md5 quantization per dimension, so the plumbing (slicing,
+    // order, schema, null contract) is hash-checked without torch
+    "emb4_inference_seam" -> ((s, d) => {
+      val docs2 = t(s, d, "documents").filter(col("doc_id") < 40)
+        .withColumn("text2",
+          when(col("doc_id") % 17 === 0, lit(null: String))
+            .otherwise(col("text")))
+      // null embeddings flatten to (has_embedding=false, []) for the
+      // compare (parquet comparators dislike NULL list cells); a seam
+      // that crashed on nulls or embedded "" instead would produce a
+      // non-empty vector here and hash-mismatch
+      graft.ml.Inference.embedText(docs2, "doc_id", "text2",
+          graft.ml.Inference.hashEncoder(8), batchSize = 16)
+        .select(col("doc_id"),
+          col("embedding").isNotNull.as("has_embedding"),
+          coalesce(col("embedding"),
+            array().cast("array<float>")).as("embedding"))
+        .orderBy("doc_id")
+    }),
+
     // embedding norm statistics per label
     "emb1_norm_stats" -> ((s, d) => {
       t(s, d, "embeddings")
@@ -1831,6 +1854,21 @@ object TextQueries {
         |      FROM s)
         |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    // the stub model replayed per dimension: first 8 md5 hex chars of
+    // "d:text" mod 2000 quantized to 1e-3 in [-1, 1), cast through the
+    // same double -> float path the encoder takes; the null-text rows
+    // replay the CASE to a NULL list
+    "emb4_inference_seam" ->
+      raw"""SELECT doc_id,
+           |  doc_id % 17 <> 0 AS has_embedding,
+           |  CASE WHEN doc_id % 17 = 0 THEN []::FLOAT[]
+           |       ELSE list_transform(range(0, 8), d ->
+           |         CAST(CAST((('0x' || substr(md5(CAST(d AS VARCHAR)
+           |             || ':' || text), 1, 8))::BIGINT % 2000) AS DOUBLE)
+           |           / 1000.0 - 1.0 AS FLOAT))
+           |  END AS embedding
+           |FROM documents WHERE doc_id < 40
+           |ORDER BY doc_id""".stripMargin,
     "emb1_norm_stats" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n,
         |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,

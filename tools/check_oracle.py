@@ -55,7 +55,9 @@ for name, sql in sorted(oracle.items()):
                 if ev.dtype == object else \
                 ((ev.isna() & gv.isna()) | (ev == gv)).all()
         except Exception:
-            same = list(ev) == list(gv)
+            # list/array cells: numpy __eq__ is elementwise, so plain
+            # list comparison raises — compare a canonical string form
+            same = [str(x) for x in ev] == [str(x) for x in gv]
         if not same:
             idx = None
             for i in range(len(ev)):
