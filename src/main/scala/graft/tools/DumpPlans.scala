@@ -143,6 +143,54 @@ in round 12:
 Remaining cost is honest state-store/segment-commit overhead per
 micro-batch — amortized at real batch sizes, irreducible at fixture
 scale without deleting lifecycle coverage.
+
+## Graph ANN (HNSW) vs IVF-PQ — r13 adjudication
+
+The reference's backing engine serves ANN with per-shard HNSW graphs
+(Lucene's KNN codec). This repo serves IVF / IVF-PQ / ADC over
+cell-partitioned parquet segments (VectorIndex; gates vx1-vx3, sim3,
+pq1, st11/st12) and deliberately does NOT ship a graph index. The
+adjudication:
+
+- **HNSW's win is RAM-resident, single-node, pointer-chasing beam
+  search**: each hop reads the current candidate's adjacency list and
+  scores its neighbors — data-DEPENDENT random access, decided only
+  after the previous hop's distances come back. That access pattern
+  has no good Spark plan shape: a persisted adjacency table makes
+  every hop a join (efSearch x depth shuffle rounds per query), and
+  a driver-side graph walk is the collect-the-index anti-pattern this
+  repo bans everywhere else. Lucene can do it because each shard's
+  graph is a local, mmap'd, latency-domain structure — that is a
+  SERVING-NODE design, not a distributed-scan design.
+- **IVF's access pattern is data-INDEPENDENT given the query**: probe
+  cells are known before any data is read, so they map onto exactly
+  the machinery Spark already optimizes — plan-time directory pruning
+  of cell-partitioned segments, columnar scans, one bounded
+  aggregation. The same holds for PQ/ADC (codebook broadcast, scan
+  stays columnar). At 100 TB / 1000 executors the IVF probe is a
+  pruned parquet scan; an HNSW walk is either a per-query shuffle
+  storm or a single node holding the graph.
+- **CDC upkeep**: a tombstoned vector leaves a hole in every
+  adjacency list that references it; correct repair is re-linking
+  (effectively local rebuild — Lucene also rebuilds graphs on segment
+  merge). IVF segments need NO graph repair: tombstones anti-join at
+  read, compaction re-buckets rows — the exact lifecycle vx2/st11/
+  st12 already gate. Graph upkeep under streaming CDC would add the
+  one maintenance cost in this repo with no bounded-work story.
+- **The serving contract is already recall-proven**: vx1/sim3 pin
+  exact-configuration degradation (nprobe = nCells ≡ brute force —
+  the same discipline an efSearch ≥ corpus HNSW oracle would pin),
+  sim4/sd1/dd8 pin planted-neighbor recall, and pq1 pins the
+  quantized-rerank path. A user migrating from the reference keeps
+  recall knobs (nprobe ~ efSearch, cells ~ graph degree) with the
+  same degradation-to-exact semantics.
+
+Decision: IVF-PQ + compaction/rebuild is the Spark-native trade;
+building an HNSW here would re-implement a latency-domain structure
+on a throughput-domain engine and be slower than the pruned-scan IVF
+at every corpus size a cluster justifies. Revisit only if the engine
+grows a resident serving tier (a RAM-backed executor cache), where a
+per-cell graph could accelerate in-cell refinement.
 """
 
   def main(args: Array[String]): Unit = {
