@@ -144,6 +144,19 @@ Remaining cost is honest state-store/segment-commit overhead per
 micro-batch — amortized at real batch sizes, irreducible at fixture
 scale without deleting lifecycle coverage.
 
+## vx2/vx3/st6/st8 r12 bench drift — r13 retime
+
+The r12 verdict flagged four gates as slower than r11 (vx3 4.05 →
+6.77 s, vx2 6.62 → 7.97, st6 7.07 → 8.06, st8 6.15 → 7.52) with no
+code change touching their paths, reading them as load noise (capture
+at pregate load 2.29). Retimed in r13 at load ~1.3 via RunQuery
+(sf0.1, 3 warm repeats each; run 1 carries JVM/session warm-up):
+vx2 7.8/6.2 s, vx3 5.2/4.7 s, st6 6.9/6.8 s, st8 5.4/5.4 s — st6 and
+st8 BELOW their r11 numbers, vx2 at parity, vx3 within the run-to-run
+band of its r11 value. No plan-shape regression exists; the r12
+deltas were environment load, as suspected. (The ADC gate needed no
+profiling: its warm retime reproduces the r11 cost.)
+
 ## Graph ANN (HNSW) vs IVF-PQ — r13 adjudication
 
 The reference's backing engine serves ANN with per-shard HNSW graphs
