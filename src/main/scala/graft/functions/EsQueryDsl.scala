@@ -360,6 +360,45 @@ object EsQueryDsl {
         }
         val (oLat, oLon) = parseGeoPoint(originJ, s"geo_distance($field)")
         Geo.distanceToMeters(col(field), oLat, oLon) <= meters
+      case "geo_bounding_box" =>
+        // {"geo_bounding_box": {"<field>": {"top_left": pt,
+        // "bottom_right": pt}}} — corners in any [[parseGeoPoint]]
+        // spelling, or the flat top/left/bottom/right numeric keys.
+        // Boxes CROSSING the antimeridian (left > right) have
+        // wrap-around semantics no plain comparison expresses and
+        // refuse loudly.
+        val (field, boxJ) = lonely(body, "geo_bounding_box")
+        def num(x: JValue, k: String): Double = x match {
+          case JInt(v)     => v.toDouble
+          case JLong(v)    => v.toDouble
+          case JDouble(v)  => v
+          case JDecimal(v) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"geo_bounding_box($field).$k: $other")
+        }
+        val (top, left, bottom, right) =
+          ((boxJ \ "top_left"), (boxJ \ "bottom_right")) match {
+            case (JNothing, JNothing) =>
+              (num(boxJ \ "top", "top"), num(boxJ \ "left", "left"),
+                num(boxJ \ "bottom", "bottom"),
+                num(boxJ \ "right", "right"))
+            case (tl, br) =>
+              val (tLat, tLon) =
+                parseGeoPoint(tl, s"geo_bounding_box($field).top_left")
+              val (bLat, bLon) = parseGeoPoint(br,
+                s"geo_bounding_box($field).bottom_right")
+              (tLat, tLon, bLat, bLon)
+          }
+        require(bottom <= top,
+          s"geo_bounding_box($field): bottom $bottom above top $top")
+        require(left <= right,
+          s"geo_bounding_box($field): left $left > right $right — a " +
+            "box crossing the antimeridian has wrap-around semantics " +
+            "with no engine-independent translation here; split it " +
+            "into two boxes under bool.should")
+        val lat = col(field).getField("lat").cast("double")
+        val lon = col(field).getField("lon").cast("double")
+        lat <= top && lat >= bottom && lon >= left && lon <= right
       case "exists" =>
         col((body \ "field").extract[String]).isNotNull
       case "ids" =>

@@ -864,6 +864,118 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** `more_like_this` — ES/Lucene's MLT query served from the index:
+    * find documents similar to a given text by selecting its most
+    * significant terms and running them as a BM25 disjunction with a
+    * minimum-should-match cut. eland users reach MLT only through the
+    * raw-DSL passthrough (eland/query_compiler.py:490-491); this is
+    * the in-engine equivalent, with Lucene MoreLikeThis's recipe made
+    * engine-replayable:
+    *
+    *  1. analyze `likeText` with the index's chain; candidate terms
+    *     need like-tf ≥ `minTermFreq` (Lucene's default 2),
+    *  2. read the candidates' LIVE df from the index (bucket-pruned,
+    *     O(candidate postings)); keep df ≥ `minDocFreq` (default 5),
+    *  3. rank candidates by like-tf · idf (the index's BM25 idf),
+    *     rounded half-up at 6 dp so cross-engine ln drift cannot flip
+    *     the cut, ties term-asc; keep the top `maxQueryTerms`
+    *     (default 25),
+    *  4. score the selected terms as ordinary BM25 ([[searchTopK]]'s
+    *     formula and rounding), keeping docs that match at least
+    *     `minShouldMatchPct`% (floored, min 1) of the selected terms —
+    *     ES's "30%" default,
+    *  5. `excludeId` drops the like-document itself from the RESULT
+    *     (ES's like-document exclusion) without touching df.
+    *
+    * Output (idColName, score), score desc, ties by id, top `k`. An
+    * empty selection (nothing frequent/common enough) returns no rows
+    * — ES's empty-hits, not an error.
+    */
+  def moreLikeThisTopK(spark: SparkSession, indexPath: String,
+                       likeText: String, k: Int,
+                       idColName: String = "id",
+                       maxQueryTerms: Int = 25,
+                       minTermFreq: Int = 2,
+                       minDocFreq: Int = 5,
+                       minShouldMatchPct: Int = 30,
+                       excludeId: Option[Any] = None,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0 && maxQueryTerms > 0 && minTermFreq >= 1 &&
+      minDocFreq >= 1 && minShouldMatchPct >= 0 &&
+      minShouldMatchPct <= 100,
+      "moreLikeThisTopK: k/maxQueryTerms >= 1, minTermFreq/minDocFreq " +
+        ">= 1, minShouldMatchPct in [0, 100]")
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val dels = committedDeletes(spark, indexPath)
+    val st = liveStats(spark, segs, dels)
+    val n = st.n
+    val avg = if (n > 0) st.sumLen / n else 1.0
+    // 1. like-text term frequencies through the index's analysis chain
+    val likeTf = likeText.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+      .map(t => graft.functions.EnglishMinimalStem
+        .analyzeTerm(st.analyzer, t))
+      .groupBy(identity).view.mapValues(_.length).toMap
+      .filter(_._2 >= minTermFreq)
+    val empty = {
+      // typed empty result: id type from the postings schema (footer
+      // read only; the lens dir may be bucketed on compacted segments)
+      val idT = spark.read.parquet(s"${segs.head}/postings").schema("id")
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          idT.copy(name = idColName),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType))))
+    }
+    if (likeTf.isEmpty) return empty
+    // 2. live df of the candidates — one bucket-pruned read, bounded
+    // collect (≤ |like terms| rows)
+    val dfMap = prunedLivePostings(spark, segs, dels,
+        likeTf.keys.toSeq, st.buckets)
+      .groupBy("term").agg(count(lit(1)).cast("double").as("_df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // 3. selection: like-tf · idf, 6-dp rounded, term-asc ties
+    val selected = likeTf.toSeq
+      .flatMap { case (t, tf) => dfMap.get(t).collect {
+        case df if df >= minDocFreq =>
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          (t, math.floor(tf * idf * 1e6 + 0.5) / 1e6)
+      } }
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms).map(_._1)
+    if (selected.isEmpty) return empty
+    val msm = math.max(1,
+      math.floor(selected.size * minShouldMatchPct / 100.0).toInt)
+    // 4./5. BM25 over the selected terms (searchTopK's formula and
+    // rounding) + the distinct-matched-terms cut; the exclusion
+    // filters RESULT rows after df is counted, so df matches ES's
+    val p = prunedLivePostings(spark, segs, dels, selected, st.buckets)
+    val dfreq = p.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val scoredRows = p.join(broadcast(dfreq), Seq("term"))
+    val resultRows = excludeId match {
+      case Some(x) => scoredRows.filter(col("id") =!= lit(x))
+      case None    => scoredRows
+    }
+    resultRows
+      .withColumn("_idf",
+        log(lit(1.0) + (lit(n) - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_s",
+        col("_idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("len") / lit(avg))))
+      .groupBy(col("id").as(idColName))
+      .agg(round(sum(col("_s")), 6).as("score"),
+        count(lit(1)).as("_nt")) // postings unique per (term, id)
+      .filter(col("_nt") >= msm)
+      .drop("_nt")
+      .orderBy(col("score").desc, col(idColName))
+      .limit(k)
+  }
+
   /** Serve a whole QUERY TABLE in one plan — the index's concurrent-
     * search face. [[searchTopK]] answers one query per driver call;
     * a query-serving workload has a frame of (query id, terms) rows

@@ -423,6 +423,19 @@ object FacadeQueries {
           col("_score").as("score"))
         .orderBy("c_custkey")
     }),
+    // geo_bounding_box (the non-antimeridian case; crossing boxes
+    // refuse loudly): same integer-derived lat/lon struct as f27,
+    // corner-object spelling — four comparisons, trivially replayable
+    "f28_geo_bbox" -> ((s, d) => {
+      customer(s, d).withColumn("loc", struct(
+          ((col("c_custkey") % 121) - 60).cast("double").as("lat"),
+          (((col("c_custkey") * 7) % 301) - 150).cast("double").as("lon")))
+        .esQuery(
+          """{"geo_bounding_box": {"loc": {
+            |  "top_left": {"lat": 30, "lon": -10},
+            |  "bottom_right": {"lat": -5, "lon": 40}}}}""".stripMargin)
+        .select(Seq("c_custkey")).df.orderBy("c_custkey")
+    }),
     // deterministic random_score (seed AND field, ES's reproducible
     // spelling): the portable md5 uniform — same determinism contract
     // as ES's seeded hash, different hash function (documented
@@ -845,6 +858,15 @@ object FacadeQueries {
            |    (2.0 * (-(500000.0 * 500000.0) / (2.0 * ln(0.5))))), 6)
            |    * 1.0, 6) AS score
            |FROM dm WHERE dist_m <= 2000000.0
+           |ORDER BY c_custkey""".stripMargin,
+    // four integer-exact comparisons over the derived coordinates
+    "f28_geo_bbox" ->
+      raw"""SELECT c_custkey FROM (
+           |  SELECT c_custkey,
+           |         CAST((c_custkey % 121) - 60 AS DOUBLE) AS lat,
+           |         CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE) AS lon
+           |  FROM customer)
+           |WHERE lat <= 30 AND lat >= -5 AND lon >= -10 AND lon <= 40
            |ORDER BY c_custkey""".stripMargin,
     // decay replay: same σ²/λ/slope arithmetic (power-of-two scalings
     // commute with IEEE rounding, and every transcendental rounds to

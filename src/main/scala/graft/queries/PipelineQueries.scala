@@ -1281,6 +1281,26 @@ object PipelineQueries {
           Seq("streem", "filtir"), k = 12, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // more_like_this served from the index: doc 5's text is the like
+    // input, term selection (like-tf >= 2, live df >= 5, top 5 by
+    // 6dp-rounded tf*idf, term-asc ties) then BM25 with a 30%-floored
+    // minimum-should-match cut and the like-doc excluded from the
+    // RESULT (not from df). The oracle replays the whole recipe —
+    // selection, msm arithmetic, and the Okapi sum
+    "mlt1_more_like_this" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-mlt1-$tag").toString
+      val docs = t(s, d, "documents")
+      graft.operators.InvertedIndex.build(docs, "doc_id", "text", path)
+      val like = docs.filter(col("doc_id") === 5)
+        .select("text").head().getString(0)
+      graft.operators.InvertedIndex.moreLikeThisTopK(s, path, like,
+          k = 10, idColName = "doc_id", maxQueryTerms = 5,
+          minTermFreq = 2, minDocFreq = 5, minShouldMatchPct = 30,
+          excludeId = Some(5L))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // index built through the ES-`minimal_english` analysis chain
     // (build(analyzer = "english")): postings hold STEMMED terms, the
     // stats record the analyzer, and searchTopK analyzes its query
@@ -3116,6 +3136,44 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
+    // full-recipe MLT replay: like-term tf from doc 5, corpus df,
+    // rounded tf*idf selection with the LIMIT cut, the 30%-floor msm,
+    // Okapi scoring over the selected terms, like-doc excluded from
+    // results AFTER df counts it
+    "mlt1_more_like_this" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |lt AS (SELECT t AS term, CAST(count(*) AS DOUBLE) AS ltf
+           |       FROM (SELECT unnest(toks) AS t FROM s WHERE doc_id = 5)
+           |       GROUP BY 1 HAVING count(*) >= 2),
+           |cdf AS (SELECT t AS term,
+           |          CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM (SELECT doc_id, unnest(toks) AS t FROM s)
+           |        WHERE t IN (SELECT term FROM lt) GROUP BY 1),
+           |sel AS (SELECT term FROM (
+           |          SELECT l.term,
+           |            floor(l.ltf * ln(1 + (st.n - c.df + 0.5) /
+           |              (c.df + 0.5)) * 1000000 + 0.5) / 1000000.0 AS ss
+           |          FROM lt l JOIN cdf c USING (term), st
+           |          WHERE c.df >= 5)
+           |        ORDER BY ss DESC, term LIMIT 5),
+           |msm AS (SELECT greatest(1,
+           |          CAST(floor(count(*) * 30 / 100.0) AS BIGINT)) AS m
+           |        FROM sel),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN (SELECT term FROM sel) GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1)
+           |SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |FROM tf JOIN dft USING (t), st, msm
+           |WHERE doc_id <> 5
+           |GROUP BY doc_id, msm.m HAVING count(*) >= msm.m
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // BM25 over the STEMMED corpus: doc tokens run the stem CASE
     // macro (list_transform), the query literals run the same macro —
     // the whole minimal_english chain replays rule-for-rule

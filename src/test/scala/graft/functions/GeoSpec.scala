@@ -85,6 +85,33 @@ class GeoSpec extends AnyFunSuite {
       .getMessage.contains("exactly one field"))
   }
 
+  test("geo_bounding_box: corner and flat spellings, inclusive edges, " +
+      "antimeridian refusal") {
+    def ids(json: String): Seq[Long] =
+      points.filter(EsQueryDsl.toColumn(json)).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    val corners =
+      """{"geo_bounding_box": {"loc": {
+        |  "top_left": {"lat": 1.0, "lon": 0.0},
+        |  "bottom_right": {"lat": 0.0, "lon": 1.0}}}}""".stripMargin
+    // edges are inclusive: all three unit-square points qualify
+    assert(ids(corners) == Seq(1L, 2L, 3L))
+    val flat =
+      """{"geo_bounding_box": {"loc": {
+        |  "top": 0.5, "left": -1, "bottom": -1, "right": 1}}}""".stripMargin
+    assert(ids(flat) == Seq(1L, 3L))
+    // Berlin box catches only Berlin
+    assert(ids(
+      """{"geo_bounding_box": {"loc": {
+        |  "top_left": [13.0, 53.0],
+        |  "bottom_right": [14.0, 52.0]}}}""".stripMargin) == Seq(4L))
+    val e = intercept[IllegalArgumentException](ids(
+      """{"geo_bounding_box": {"loc": {
+        |  "top_left": {"lat": 10, "lon": 170},
+        |  "bottom_right": {"lat": 0, "lon": -170}}}}""".stripMargin))
+    assert(e.getMessage.contains("antimeridian"), e.getMessage)
+  }
+
   test("gauss geo decay: 1.0 at origin (and inside offset), = decay at " +
       "offset + scale, 1.0 on a null point") {
     val df = points.unionByName(

@@ -907,6 +907,50 @@ class InvertedIndexSpec extends AnyFunSuite {
       k = 5, idColName = "doc_id").count() > 0)
   }
 
+  test("more_like_this: selection (minTermFreq/minDocFreq/" +
+      "maxQueryTerms/6dp-tie), msm cut, like-doc exclusion, empty " +
+      "selection is empty not an error") {
+    val corpus = Seq(
+      (1L, "alpha alpha beta gamma"),
+      (2L, "alpha beta"),
+      (3L, "alpha delta"),
+      (4L, "gamma gamma"),
+      (5L, "epsilon"),
+      (6L, "alpha beta gamma")).toDF("doc_id", "text")
+    val path = tmp("graft-idx-mlt")
+    InvertedIndex.build(corpus, "doc_id", "text", path)
+    // like doc 1: only "alpha" reaches tf >= 2; df(alpha) = 4
+    val like1 = "alpha alpha beta gamma"
+    val r1 = InvertedIndex.moreLikeThisTopK(spark, path, like1, k = 10,
+        idColName = "doc_id", maxQueryTerms = 25, minTermFreq = 2,
+        minDocFreq = 2, minShouldMatchPct = 30, excludeId = Some(1L))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(r1 == Seq(2L, 3L, 6L), r1)
+    // synthetic like text: alpha/beta/gamma all at tf 2; df alpha 4,
+    // beta 3, gamma 3 -> top-2 by tf*idf = {beta, gamma} (alpha's
+    // bigger df loses; beta/gamma tie 6dp-equal, kept together by the
+    // cut); msm 100% -> docs holding BOTH
+    val like2 = "alpha alpha beta beta gamma gamma"
+    val r2 = InvertedIndex.moreLikeThisTopK(spark, path, like2, k = 10,
+        idColName = "doc_id", maxQueryTerms = 2, minTermFreq = 2,
+        minDocFreq = 3, minShouldMatchPct = 100)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(r2 == Seq(1L, 6L), r2)
+    // like-doc exclusion drops results, never df
+    val r3 = InvertedIndex.moreLikeThisTopK(spark, path, like2, k = 10,
+        idColName = "doc_id", maxQueryTerms = 2, minTermFreq = 2,
+        minDocFreq = 3, minShouldMatchPct = 100, excludeId = Some(1L))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(r3 == Seq(6L), r3)
+    // nothing frequent enough / vocabulary miss -> empty, typed
+    val r4 = InvertedIndex.moreLikeThisTopK(spark, path, "zzz yyy",
+      k = 5, idColName = "doc_id")
+    assert(r4.columns.toSeq == Seq("doc_id", "score") && r4.count() == 0)
+    val r5 = InvertedIndex.moreLikeThisTopK(spark, path, like1, k = 5,
+      idColName = "doc_id", minTermFreq = 99)
+    assert(r5.count() == 0)
+  }
+
   test("english analyzer: postings stem, query terms stem, and every " +
       "write path inherits the chain (append/upsert/CDC/compact)") {
     val corpus = Seq(
