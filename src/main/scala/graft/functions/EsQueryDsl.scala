@@ -112,21 +112,37 @@ object EsQueryDsl {
     }
   }
 
+  /** Optional `analyzer` key of a match-family clause body: the
+    * [[EnglishMinimalStem]] names ("standard" default); anything else
+    * refuses — silently dropping an analyzer the user asked for would
+    * change the result set without a sound.
+    */
+  private def parseAnalyzer(v: JValue): String = (v \ "analyzer") match {
+    case JNothing => "standard"
+    case JString(a) => EnglishMinimalStem.requireKnown(a); a
+    case other => throw new IllegalArgumentException(
+      s"analyzer must be a string, got $other")
+  }
+
   /** One field's `match` semantics with an optional edit budget:
     * per-term predicates (exact token containment, or Levenshtein ≤
     * budget via [[EsMatch.matchFuzzy]]) folded by the operator — AND
-    * requires every term to hit, OR any.
+    * requires every term to hit, OR any. Analysis (lowercase + the
+    * optional stem) runs before the edit distance, ES's order.
     */
   private def matchWithFuzz(field: Column, text: String, op: String,
-                            fuzz: Option[String => Int]): Column =
+                            fuzz: Option[String => Int],
+                            analyzer: String): Column =
     fuzz match {
       case None =>
-        if (op == "and") EsMatch.matchAll(field, text)
-        else EsMatch.matchAny(field, text)
+        if (op == "and") EsMatch.matchAll(field, text, analyzer)
+        else EsMatch.matchAny(field, text, analyzer)
       case Some(edits) =>
         val terms = text.toLowerCase(java.util.Locale.ROOT)
           .split("\\s+").filter(_.nonEmpty).toSeq
-        val per = terms.map(t => EsMatch.matchFuzzy(field, t, edits(t)))
+          .map(EnglishMinimalStem.analyzeTerm(analyzer, _))
+        val per = terms.map(t =>
+          EsMatch.matchFuzzy(field, t, edits(t), analyzer))
         if (per.isEmpty) lit(false)
         else if (op == "and") per.reduce(_ && _) else per.reduce(_ || _)
     }
@@ -249,8 +265,9 @@ object EsQueryDsl {
             (o \ "operator").extractOrElse[String]("or"))
         }
         // optional fuzziness (eland es_match passes it through,
-        // eland/query_compiler.py:419-488)
-        matchWithFuzz(col(field), text, op, parseFuzz(v))
+        // eland/query_compiler.py:419-488) and analyzer
+        matchWithFuzz(col(field), text, op, parseFuzz(v),
+          parseAnalyzer(v))
       case "match_phrase" =>
         val (field, v) = lonely(body, "match_phrase")
         requireText(field)
@@ -258,7 +275,7 @@ object EsQueryDsl {
           case JString(s) => s
           case o          => (o \ "query").extract[String]
         }
-        EsMatch.matchPhrase(col(field), text)
+        EsMatch.matchPhrase(col(field), text, parseAnalyzer(v))
       case "match_phrase_prefix" =>
         val (field, v) = lonely(body, "match_phrase_prefix")
         requireText(field)
@@ -266,7 +283,7 @@ object EsQueryDsl {
           case JString(s) => s
           case o          => (o \ "query").extract[String]
         }
-        EsMatch.matchPhrasePrefix(col(field), text)
+        EsMatch.matchPhrasePrefix(col(field), text, parseAnalyzer(v))
       case "multi_match" =>
         // {"multi_match": {"query": q, "fields": [f1, f2], "operator"?,
         // "fuzziness"?}} — best_fields semantics on a boolean
@@ -284,7 +301,8 @@ object EsQueryDsl {
         fields.foreach(requireText)
         val op = (body \ "operator").extractOrElse[String]("or")
         val fuzz = parseFuzz(body)
-        fields.map(f => matchWithFuzz(col(f), text, op, fuzz))
+        val an = parseAnalyzer(body)
+        fields.map(f => matchWithFuzz(col(f), text, op, fuzz, an))
           .reduce(_ || _)
       case "fuzzy" =>
         // {"fuzzy": {"f": {"value": v, "fuzziness"?: n|"AUTO"}}} (short

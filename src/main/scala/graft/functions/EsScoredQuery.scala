@@ -175,6 +175,12 @@ object EsScoredQuery {
             "fuzziness has no engine-independent SCORED translation " +
               "(ES scores each fuzzy expansion with index-internal " +
               "statistics); use the filter face (esQuery) instead")
+        if ((v \ "analyzer") != JNothing)
+          throw new IllegalArgumentException(
+            "per-clause analyzers are not supported in the SCORED path " +
+              "(tf/df would need per-field analyzer tracking across " +
+              "clauses); use the filter face (esQuery) or an index " +
+              "built with InvertedIndex.build(analyzer = ...)")
         MatchNode(ctx.register(field, analyze(text)), op == "and",
           boostOf(v))
       case "multi_match" =>
@@ -298,6 +304,12 @@ object EsScoredQuery {
           case JString(t) => t
           case o          => (o \ "query").extract[String]
         }
+        if ((v \ "analyzer") != JNothing)
+          throw new IllegalArgumentException(
+            "per-clause analyzers are not supported in the SCORED path " +
+              "(tf/df would need per-field analyzer tracking across " +
+              "clauses); use the filter face (esQuery) or an index " +
+              "built with InvertedIndex.build(analyzer = ...)")
         if ((v \ "slop") != JNothing)
           throw new IllegalArgumentException(
             "match_phrase slop has no engine-independent SCORED " +

@@ -13,6 +13,36 @@ class EsQueryDslSpec extends AnyFunSuite {
   private def docs =
     GraftFrame(Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id")
 
+  test("match-family analyzer key: english honored on both sides, " +
+      "unknown refused, scored path refuses loudly") {
+    import spark.implicits._
+    val f = GraftFrame(
+      Seq((1L, "the filters run"), (2L, "nothing here"))
+        .toDF("id", "text"), "id")
+    // query "filter" matches doc-side "filters" only through the chain
+    assert(f.esQuery(
+      """{"match": {"text": {"query": "filter",
+        |"analyzer": "english"}}}""".stripMargin).len() == 1)
+    assert(f.esQuery("""{"match": {"text": {"query": "filter"}}}""")
+      .len() == 0)
+    assert(f.esQuery(
+      """{"multi_match": {"query": "filter", "fields": ["text"],
+        |"analyzer": "english"}}""".stripMargin).len() == 1)
+    assert(f.esQuery(
+      """{"match_phrase": {"text": {"query": "filter runs",
+        |"analyzer": "english"}}}""".stripMargin).len() == 1)
+    val bad = intercept[IllegalArgumentException](f.esQuery(
+      """{"match": {"text": {"query": "x", "analyzer": "porter"}}}""")
+      .len())
+    assert(bad.getMessage.contains("unknown analyzer"))
+    // silently dropping the key in the SCORED path would change
+    // results — it refuses instead
+    val sc = intercept[IllegalArgumentException](f.esQueryScored(
+      """{"match": {"text": {"query": "filter",
+        |"analyzer": "english"}}}""".stripMargin).len())
+    assert(sc.getMessage.contains("SCORED"), sc.getMessage)
+  }
+
   test("term/terms/range translate to exact predicates") {
     val t = orders.esQuery("""{"term": {"o_orderstatus": "F"}}""").len()
     assert(t == orders.where(orders("o_orderstatus") === "F").len() && t > 0)
