@@ -64,6 +64,99 @@ object Geo {
       point.getField("lat").cast("double"),
       point.getField("lon").cast("double"))
 
+  /** Meters per degree of great-circle arc on the mean sphere:
+    * R·π∕180 ≈ 111 194.93. `R·|Δlat°|·MetersPerDegree` is an exact
+    * LOWER bound on the distance between two points, which is what
+    * makes the cell enumeration below provably covering.
+    */
+  val MetersPerDegree: Double = EarthRadiusMeters * math.Pi / 180.0
+
+  /** Integer grid cell of a geo point at `cellDeg` resolution — the
+    * engine's geohash-grid analog, as ONE packed long so it can be a
+    * parquet partition column: latCell·nLon + lonCell with
+    * latCell = floor((lat + 90) ∕ cellDeg),
+    * lonCell = floor((lon + 180) ∕ cellDeg),
+    * nLon = ceil(360 ∕ cellDeg). Pure floor arithmetic over the same
+    * doubles on every engine (and in [[cellIdOf]], the driver twin),
+    * so layout and query planning can never disagree on a cell.
+    */
+  def cellId(point: Column, cellDeg: Double): Column = {
+    requireCellDeg(cellDeg)
+    val nLon = math.ceil(360.0 / cellDeg).toLong
+    val latC = floor((point.getField("lat").cast("double") + 90.0)
+      / cellDeg).cast("long")
+    val lonC = floor((point.getField("lon").cast("double") + 180.0)
+      / cellDeg).cast("long")
+    latC * nLon + lonC
+  }
+
+  /** Driver twin of [[cellId]] (same doubles, same floors). */
+  def cellIdOf(lat: Double, lon: Double, cellDeg: Double): Long = {
+    requireCellDeg(cellDeg)
+    val nLon = math.ceil(360.0 / cellDeg).toLong
+    math.floor((lat + 90.0) / cellDeg).toLong * nLon +
+      math.floor((lon + 180.0) / cellDeg).toLong
+  }
+
+  private def requireCellDeg(cellDeg: Double): Unit =
+    require(cellDeg > 0 && cellDeg <= 90,
+      s"cellDeg must be in (0, 90], got $cellDeg")
+
+  /** The candidate cells a `radiusMeters` disk around the origin can
+    * touch — a PROVABLY COVERING superset, enumerated driver-side:
+    *
+    *  - latitude band: |Δlat°| ≤ r ∕ [[MetersPerDegree]] (exact: the
+    *    meridian arc is never longer than the great circle),
+    *  - longitude width from the haversine inequality
+    *    sin²(d∕2R) ≥ cosφ₁·cosφ₂·sin²(Δλ∕2):
+    *    Δλ ≤ 2·asin(sin(r∕2R) ∕ √(cosφ₀·min cosφ over the band)) —
+    *    correct arbitrarily close to the poles, where the naive
+    *    r∕(R·cosφ) parallel-arc bound UNDER-covers (two near-pole
+    *    points 180° apart are close on the great circle); a band
+    *    touching a pole or an argument ≥ 1 degrades to all
+    *    longitudes,
+    *  - each side widened by one cell (float paranoia — the exact
+    *    haversine verify downstream makes over-coverage free),
+    *  - antimeridian wrap handled by floorMod cell indices.
+    *
+    * Refuses loudly past `maxCells` (a radius∕cellDeg mismatch would
+    * otherwise enumerate the planet).
+    */
+  def cellsWithinRadius(originLat: Double, originLon: Double,
+                        radiusMeters: Double, cellDeg: Double,
+                        maxCells: Int = 100000): Seq[Long] = {
+    requireCellDeg(cellDeg)
+    require(radiusMeters >= 0, s"negative radius $radiusMeters")
+    val nLon = math.ceil(360.0 / cellDeg).toLong
+    val dLat = radiusMeters / MetersPerDegree
+    val latLo = math.max(-90.0, originLat - dLat)
+    val latHi = math.min(90.0, originLat + dLat)
+    val latCellLo = math.floor((latLo + 90.0) / cellDeg).toLong - 1
+    val latCellHi = math.floor((latHi + 90.0) / cellDeg).toLong + 1
+    val maxAbsLat = math.max(math.abs(latLo), math.abs(latHi))
+    val cosBand = math.cos(math.toRadians(maxAbsLat))
+    val cosO = math.cos(math.toRadians(originLat))
+    val sinHalf = math.sin(radiusMeters / (2.0 * EarthRadiusMeters))
+    val denom = math.sqrt(math.max(0.0, cosO * cosBand))
+    val fullWrap = latLo <= -90.0 + 1e-12 || latHi >= 90.0 - 1e-12 ||
+      denom <= 1e-12 || sinHalf / denom >= 1.0
+    val lonCells: Seq[Long] =
+      if (fullWrap) 0L until nLon
+      else {
+        val dLon = 2.0 * math.toDegrees(math.asin(sinHalf / denom))
+        val lo = math.floor((originLon - dLon + 180.0) / cellDeg).toLong - 1
+        val hi = math.floor((originLon + dLon + 180.0) / cellDeg).toLong + 1
+        if (hi - lo + 1 >= nLon) 0L until nLon
+        else (lo to hi).map(c => java.lang.Math.floorMod(c, nLon))
+      }
+    val latCells = latCellLo to latCellHi
+    val total = latCells.length.toLong * lonCells.length
+    require(total <= maxCells,
+      s"radius $radiusMeters m at cellDeg $cellDeg enumerates $total " +
+        s"cells (> $maxCells) — coarsen the grid or raise maxCells")
+    for (la <- latCells; lo <- lonCells) yield la * nLon + lo
+  }
+
   /** ES distance-unit string → meters: "200km", "5000m", "10mi",
     * "3NM", or a bare number (meters — the ES default unit). The
     * engine-portable subset; unknown units refuse loudly.

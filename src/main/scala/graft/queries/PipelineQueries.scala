@@ -315,6 +315,33 @@ object PipelineQueries {
           round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy("mth")
     }),
+    // cell-partitioned GEO layout: points written once under their
+    // grid cell, the radius query enumerates candidate cells
+    // driver-side and prunes partition directories at planning time
+    // (the pp1 discipline for geo), exact haversine verifies. The
+    // oracle is a FULL-SCAN radius filter over the raw table —
+    // equality proves the covering-cell enumeration loses nothing
+    "gc1_geo_cell_radius" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-gc1-$tag").toString
+      if (!new java.io.File(s"$tmp/_geo_meta/_SUCCESS").exists()) {
+        graft.operators.GeoLayout.writeCellPartitioned(
+          t(s, d, "customer").select(col("c_custkey"), struct(
+            ((col("c_custkey") % 121) - 60).cast("double").as("lat"),
+            (((col("c_custkey") * 7) % 301) - 150).cast("double")
+              .as("lon")).as("loc")),
+          "loc", tmp, cellDeg = 15.0)
+      }
+      graft.operators.GeoLayout.readWithinRadius(s, tmp,
+          originLat = 10.0, originLon = 20.0, radiusMeters = 2000000.0)
+        .select(col("c_custkey"),
+          graft.queries.QueryUtil.rhu(graft.functions.Geo
+            .haversineMeters(lit(10.0), lit(20.0),
+              col("loc.lat"), col("loc.lon")) / 1000.0, 3)
+            .as("dist_km"))
+        .orderBy("c_custkey")
+    }),
     // int8-quantized embedding top-k, FULL oracle: the corpus is
     // stored quantized (4x smaller — the 100 TB embedding layout) and
     // searched WITHOUT dequantization: cosine is scale-invariant, so
@@ -3136,6 +3163,23 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
+    // full-scan radius replay: the cell layout never exists
+    // oracle-side, so an under-covering enumeration cannot hide
+    "gc1_geo_cell_radius" ->
+      raw"""WITH pts AS (
+           |  SELECT c_custkey,
+           |         CAST((c_custkey % 121) - 60 AS DOUBLE) AS lat,
+           |         CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE) AS lon
+           |  FROM customer),
+           |dm AS (SELECT c_custkey,
+           |         ${graft.queries.QueryUtil.haversineSqlMeters(
+                        "10.0", "20.0", "lat", "lon")} AS dist_m
+           |       FROM pts)
+           |SELECT c_custkey,
+           |  ${graft.queries.QueryUtil.rhuSql("dist_m / 1000.0", 3)}
+           |    AS dist_km
+           |FROM dm WHERE dist_m <= 2000000.0
+           |ORDER BY c_custkey""".stripMargin,
     // full-recipe MLT replay: like-term tf from doc 5, corpus df,
     // rounded tf*idf selection with the LIMIT cut, the 30%-floor msm,
     // Okapi scoring over the selected terms, like-doc excluded from
