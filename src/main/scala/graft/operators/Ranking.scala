@@ -22,14 +22,26 @@ object Ranking {
   /** Top-k documents for a bag-of-terms query:
     * (idCol, score) ordered by score desc (ties by id). Standard
     * Okapi BM25 with `idf = ln(1 + (N - df + .5)/(df + .5))`.
+    *
+    * `analyzer` mirrors [[InvertedIndex.build]]'s chain ("standard" |
+    * "english") on BOTH sides, so the scan face stays row-identical
+    * to an index built with the same analyzer — the scan↔index
+    * no-drift contract (InvertedIndexSpec pins it for both chains).
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               analyzer: String = "standard"): DataFrame = {
     require(queryTerms.nonEmpty && k > 0)
-    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    graft.functions.EnglishMinimalStem.requireKnown(analyzer)
+    val terms = queryTerms
+      .map(t => graft.functions.EnglishMinimalStem.analyzeTerm(analyzer,
+        t.toLowerCase(java.util.Locale.ROOT)))
+      .distinct
     val staged = docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), graft.functions.EnglishMinimalStem
+        .analyzeTokens(analyzer, TextAnalysis.tokens(col(textCol)))
+        .as("_toks"))
       .select(col(idCol), col("_toks"),
         size(col("_toks")).cast("double").as("_len"))
     val stats = staged.agg(count(lit(1)).cast("double").as("_n"),

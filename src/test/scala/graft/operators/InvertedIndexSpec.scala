@@ -997,6 +997,36 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("unknown analyzer"))
   }
 
+  test("english analyzer: scan bm25TopK(analyzer) == index search; " +
+      "batched search Column-side stem == driver-side stem") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .withColumn("text", graft.queries.QueryUtil.stemFixtureText(
+        col("text"), col("doc_id")))
+    val path = tmp("graft-idx-english-diff")
+    InvertedIndex.build(docs, "doc_id", "text", path,
+      analyzer = "english")
+    val terms = Seq("Queries", "dogs", "glass")
+    val viaIndex = topDocs(InvertedIndex.searchTopK(spark, path, terms,
+      k = 12, idColName = "doc_id"))
+    val viaScan = topDocs(Ranking.bm25TopK(docs, "doc_id", "text",
+      terms, k = 12, analyzer = "english"))
+    assert(viaIndex == viaScan && viaIndex.nonEmpty)
+    // the batch face analyzes per-row with the COLUMN stemmer — it
+    // must agree with searchTopK's driver-side stemString per query
+    val queries = Seq((1L, Seq("Queries", "dogs")), (2L, Seq("stories")))
+      .toDF("q_id", "terms")
+    val batch = InvertedIndex.searchTopKBatch(queries, path, k = 12,
+        idColName = "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val one = topDocs(InvertedIndex.searchTopK(spark, path,
+      Seq("Queries", "dogs"), k = 12, idColName = "doc_id"))
+    val two = topDocs(InvertedIndex.searchTopK(spark, path,
+      Seq("stories"), k = 12, idColName = "doc_id"))
+    assert(batch(1L) == one && batch(2L) == two)
+  }
+
   test("english analyzer: positional phrase search matches stemmed " +
       "adjacency; scan matchPhrase(english) agrees") {
     val corpus = Seq(
