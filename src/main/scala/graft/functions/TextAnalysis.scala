@@ -258,6 +258,52 @@ object TextAnalysis {
       regexp_replace(text, EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
 
+  /** IPv4 candidates (octet range not validated — candidate
+    * redaction, the conservative sweep) and 16-digit card candidates
+    * in the common 4×4 groupings with optional single separators.
+    * RE2-safe (\\b is an RE2 ASCII word boundary).
+    */
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val CardRe = "\\b[0-9]{4}([ -]?[0-9]{4}){3}\\b"
+
+  /** Luhn checksum over a digit string (ISO/IEC 7812 — the public
+    * card-number check digit): every second digit from the RIGHT
+    * doubles (9-wrapped), the total must divide by 10. Pure
+    * integer HOF arithmetic — DuckDB replays it with list indexing
+    * over `range` — so card-candidate redaction can be VALIDITY-GATED
+    * instead of nuking every 16-digit number (order ids, timestamps).
+    */
+  def luhnValid(digits: Column): Column = bindOnce(digits) { m =>
+    val ds = transform(array_remove(split(m, ""), ""), c => c.cast("int"))
+    val n = size(ds)
+    val total = aggregate(
+      zip_with(ds, sequence(lit(1), n), (d, j) =>
+        when(pmod(n - j, lit(2)) === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)),
+      lit(0), (a, x) => a + x)
+    pmod(total, lit(10)) === 0
+  }
+
+  /** [[redactPii]] plus IPv4 candidates → `<IP>` and LUHN-VALID card
+    * candidates → `<CC>`: card matches extract first
+    * (regexp_extract_all), each distinct match validates via
+    * [[luhnValid]] on its separator-stripped digits, and only the
+    * validated matches fold through literal `replace` — an invalid
+    * 16-digit number (a fixture id, a timestamp) survives untouched.
+    * Every step is engine-replayable (list_filter + list_reduce +
+    * replace on the DuckDB side).
+    */
+  def redactPiiExtended(text: Column): Column = {
+    val ip = regexp_replace(redactPii(text), Ipv4Re, "<IP>")
+    bindOnce(ip) { t =>
+      aggregate(
+        filter(array_distinct(
+            regexp_extract_all(t, lit(CardRe), lit(0))),
+          m => luhnValid(regexp_replace(m, "[ -]", ""))),
+        t, (acc, m) => replace(acc, m, lit("<CC>")))
+    }
+  }
+
   /** Word n-gram shingles ("w1 w2 w3"); empty array when too short.
     *
     * NOTE the transform lambda references the token array per shingle

@@ -410,6 +410,24 @@ object PipelineQueries {
         TextAnalysis.redactPii(col("text")).as("redacted"))
         .orderBy("doc_id")
     }),
+    // EXTENDED PII sweep: IPv4 candidates and LUHN-GATED card
+    // candidates on top of the email/phone chain — the planted
+    // fixture carries one VALID card (must redact), one single-digit-
+    // off INVALID card and a non-card 16-digit run (both must
+    // survive), an IP and an email; the oracle replays the regexes,
+    // the Luhn arithmetic, and the validated-match replace fold
+    "t16_redact_extended" -> ((s, d) => {
+      val withPii = t(s, d, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), concat(col("text"), element_at(array(
+          lit(" card 4111-1111-1111-1111 now"),
+          lit(" card 4111 1111 1111 1112 now"),
+          lit(" from 10.0.0.1 by ops@example.com"),
+          lit(" plain 1234567890123456")),
+          (col("doc_id") % 4 + 1).cast("int"))).as("text"))
+      withPii.select(col("doc_id"),
+        TextAnalysis.redactPiiExtended(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
     // repetition/boilerplate quality signals (the Gopher-rule family):
     // duplicate-token ratio and top-token share per document. Explode →
     // two-level aggregation — ONE shuffle on (doc_id, token) with
@@ -3861,6 +3879,39 @@ object PipelineQueries {
            |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
            |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
            |FROM p ORDER BY doc_id""".stripMargin,
+    // the Luhn fold replayed: dd = separator-stripped match, every
+    // second digit from the right doubles 9-wrapped, %10 gates the
+    // replace — list indexing over range, exactly the engine's HOF
+    "t16_redact_extended" -> {
+      val dd = "replace(replace(m, ' ', ''), '-', '')"
+      val luhn =
+        s"(list_sum(list_transform(range(1, length($dd) + 1), j -> " +
+          s"CASE WHEN (length($dd) - j) % 2 = 1 THEN " +
+          s"CASE WHEN CAST(substr($dd, CAST(j AS INT), 1) AS INT) * 2 > 9 " +
+          s"THEN CAST(substr($dd, CAST(j AS INT), 1) AS INT) * 2 - 9 " +
+          s"ELSE CAST(substr($dd, CAST(j AS INT), 1) AS INT) * 2 END " +
+          s"ELSE CAST(substr($dd, CAST(j AS INT), 1) AS INT) END)) " +
+          s"% 10) = 0"
+      raw"""WITH p AS (
+           |  SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+           |    WHEN 0 THEN ' card 4111-1111-1111-1111 now'
+           |    WHEN 1 THEN ' card 4111 1111 1111 1112 now'
+           |    WHEN 2 THEN ' from 10.0.0.1 by ops@example.com'
+           |    ELSE ' plain 1234567890123456' END AS text
+           |  FROM documents WHERE doc_id < 40),
+           |r AS (SELECT doc_id, regexp_replace(regexp_replace(
+           |    regexp_replace(text,
+           |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+           |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t
+           |  FROM p)
+           |SELECT doc_id,
+           |  list_reduce(list_prepend(t, list_filter(list_distinct(
+           |    regexp_extract_all(t, '\b[0-9]{4}([ -]?[0-9]{4}){3}\b')),
+           |    m -> $luhn)), (acc, m) -> replace(acc, m, '<CC>'))
+           |    AS redacted
+           |FROM r ORDER BY doc_id""".stripMargin
+    },
     "t13_repetition_signals" ->
       s"""WITH ${repetitionSigSql(repetitionCorpusSql)}
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,

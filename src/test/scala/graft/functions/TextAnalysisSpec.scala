@@ -211,4 +211,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       .filter($"a" =!= $"b" || $"qa" =!= $"qb")
     assert(diff.count() == 0)
   }
+
+  test("luhnValid matches the textbook checksum; redactPiiExtended " +
+      "gates cards on validity and sweeps IPs") {
+    import spark.implicits._
+    // reference implementation straight from ISO/IEC 7812
+    def luhnRef(s: String): Boolean = {
+      val ds = s.map(_ - '0')
+      val total = ds.reverse.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      total % 10 == 0
+    }
+    val rnd = new scala.util.Random(5)
+    val nums = Seq("4111111111111111", "4111111111111112", "79927398713",
+      "79927398710", "0", "00") ++
+      (1 to 200).map(_ => (1 to 16).map(_ => rnd.nextInt(10)).mkString)
+    val got = nums.toDF("n")
+      .select($"n", TextAnalysis.luhnValid($"n").as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    for (n <- nums) assert(got(n) == luhnRef(n), n)
+    val red = Seq(
+      "pay 4111-1111-1111-1111 from 10.0.0.1",
+      "order 4111 1111 1111 1112 is not a card",
+      "id 1234567890123456 and mail a@b.co").toDF("t")
+      .select(TextAnalysis.redactPiiExtended($"t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(red(0) == "pay <CC> from <IP>", red(0))
+    assert(red(1) == "order 4111 1111 1111 1112 is not a card", red(1))
+    assert(red(2) == "id 1234567890123456 and mail <EMAIL>", red(2))
+  }
 }
