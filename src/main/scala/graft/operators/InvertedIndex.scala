@@ -1275,6 +1275,22 @@ object InvertedIndex {
                       k1: Double = 1.2, b: Double = 0.75,
                       maxCandidates: Int = 10000): DataFrame = {
     require(queryTerms.nonEmpty && k > 0)
+    val (_, lowered, byQuery) =
+      fuzzyResolve(spark, indexPath, queryTerms, maxCandidates)
+    val resolved = byQuery.values.flatten.toSeq.distinct
+    searchTopK(spark, indexPath,
+      if (resolved.nonEmpty) resolved else lowered,
+      k, idColName, k1, b)
+  }
+
+  /** Shared SymSpell resolution (staleness-gated): analyzed query
+    * terms plus, per analyzed term, the vocabulary terms within edit
+    * distance 1 (INCLUDING the term itself when it is in the
+    * vocabulary — callers decide what to do with exact hits).
+    */
+  private def fuzzyResolve(spark: SparkSession, indexPath: String,
+                           queryTerms: Seq[String], maxCandidates: Int)
+  : (LiveStats, Seq[String], Map[String, Seq[String]]) = {
     val fs = fsOf(spark, indexPath)
     require(fs.exists(
       new org.apache.hadoop.fs.Path(s"$indexPath/fuzzy/_SUCCESS")),
@@ -1334,12 +1350,61 @@ object InvertedIndex {
       }
       d(y.length)
     }
-    val resolved = cand.iterator.flatMap { r =>
+    val pairs = cand.iterator.flatMap { r =>
       val v = r.getString(0); val t = r.getString(1)
-      qVariants.getOrElse(v, Nil).filter(q => lev(q, t) <= 1).map(_ => t)
+      qVariants.getOrElse(v, Nil).filter(q => lev(q, t) <= 1).map(_ -> t)
     }.toSeq.distinct
-    searchTopK(spark, indexPath,
-      if (resolved.nonEmpty) resolved else lowered,
-      k, idColName, k1, b)
+    (st, lowered,
+      pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap)
+  }
+
+  /** ES's TERM SUGGESTER served from the fuzzy dictionary: vocabulary
+    * terms within edit distance 1 of (the analyzed) `term`, with their
+    * LIVE document frequencies — "did you mean". `mode` follows ES's
+    * suggest_mode over doc frequencies:
+    *
+    *  - "missing" (the ES default): no suggestions when the term
+    *    itself is in the live vocabulary,
+    *  - "popular": only suggestions with df strictly greater than the
+    *    input term's,
+    *  - "always": every neighbor.
+    *
+    * Output (term, df, distance), ordered df desc then term asc, top
+    * `k`; the input term itself is never suggested. Distance is the
+    * true edit distance (always 1 here — the dictionary's exact-recall
+    * radius; wider radii would need the brute scan, the documented
+    * [[buildFuzzyDictionary]] trade). Same staleness gate as
+    * [[fuzzySearchTopK]]. Cost: O(term length) dictionary lookups +
+    * one bucket-pruned df read over the bounded candidate set.
+    */
+  def suggestTerms(spark: SparkSession, indexPath: String,
+                   term: String, k: Int = 5, mode: String = "missing",
+                   maxCandidates: Int = 10000): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(Seq("missing", "popular", "always").contains(mode),
+      s"unknown suggest mode '$mode' (missing, popular, always)")
+    val (st, lowered, byQuery) =
+      fuzzyResolve(spark, indexPath, Seq(term), maxCandidates)
+    val analyzed = lowered.head
+    val neighbors = byQuery.getOrElse(analyzed, Nil)
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long, Int)]
+      .toDF("term", "df", "distance")
+    if (neighbors.isEmpty) return empty
+    // one bucket-pruned live-df read over the bounded candidate set
+    val segs = committedSegments(spark, indexPath)
+    val dels = committedDeletes(spark, indexPath)
+    val dfs = prunedLivePostings(spark, segs, dels, neighbors, st.buckets)
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val selfDf = dfs.getOrElse(analyzed, 0L)
+    if (mode == "missing" && selfDf > 0L) return empty
+    val out = neighbors.filter(_ != analyzed)
+      .flatMap(t => dfs.get(t).map(df => (t, df)))
+      .filter { case (_, df) => mode != "popular" || df > selfDf }
+      .map { case (t, df) => (t, df, 1) }
+      .sortBy { case (t, df, _) => (-df, t) }
+      .take(k)
+    out.toDF("term", "df", "distance")
   }
 }

@@ -1326,6 +1326,24 @@ object PipelineQueries {
           Seq("streem", "filtir"), k = 12, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // the ES term suggester ("did you mean") from the fuzzy
+    // dictionary: a typo suggests its distance-1 vocabulary neighbors
+    // with live df, and suggest_mode=missing yields NOTHING for a
+    // term the vocabulary already holds — both behaviors in one
+    // union, oracle-replayed by brute vocabulary levenshtein
+    "sg1_term_suggest" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-sg1-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", path)
+      graft.operators.InvertedIndex.buildFuzzyDictionary(s, path)
+      val a = graft.operators.InvertedIndex
+        .suggestTerms(s, path, "filtir", k = 5).withColumn("q", lit("filtir"))
+      val b = graft.operators.InvertedIndex
+        .suggestTerms(s, path, "stream", k = 5).withColumn("q", lit("stream"))
+      a.unionByName(b).orderBy(col("q"), col("df").desc, col("term"))
+    }),
     // more_like_this served from the index: doc 5's text is the like
     // input, term selection (like-tf >= 2, live df >= 5, top 5 by
     // 6dp-rounded tf*idf, term-asc ties) then BM25 with a 30%-floored
@@ -3198,6 +3216,23 @@ object PipelineQueries {
            |    AS dist_km
            |FROM dm WHERE dist_m <= 2000000.0
            |ORDER BY c_custkey""".stripMargin,
+    // brute suggester replay: whole-vocabulary levenshtein + live df
+    // + the missing-mode NOT EXISTS — the dictionary never exists
+    // oracle-side
+    "sg1_term_suggest" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |voc AS (SELECT t AS term,
+           |          CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           |        FROM (SELECT doc_id, unnest(toks) AS t FROM s)
+           |        GROUP BY 1)
+           |SELECT term, df, CAST(1 AS INT) AS distance, 'filtir' AS q
+           |FROM voc WHERE levenshtein(term, 'filtir') = 1
+           |  AND NOT EXISTS (SELECT 1 FROM voc v2 WHERE v2.term = 'filtir')
+           |UNION ALL
+           |SELECT term, df, CAST(1 AS INT), 'stream'
+           |FROM voc WHERE levenshtein(term, 'stream') = 1
+           |  AND NOT EXISTS (SELECT 1 FROM voc v2 WHERE v2.term = 'stream')
+           |ORDER BY q, df DESC, term""".stripMargin,
     // full-recipe MLT replay: like-term tf from doc 5, corpus df,
     // rounded tf*idf selection with the LIMIT cut, the 30%-floor msm,
     // Okapi scoring over the selected terms, like-doc excluded from

@@ -878,6 +878,32 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fuzzy dictionary"), e.getMessage)
   }
 
+  test("term suggester: suggest_mode missing/popular/always over live " +
+      "df; the input term never suggests itself") {
+    val corpus = Seq((1L, "cat hat"), (2L, "cat bat"),
+      (3L, "cat"), (4L, "hat")).toDF("doc_id", "text")
+    val path = tmp("graft-idx-suggest")
+    InvertedIndex.build(corpus, "doc_id", "text", path)
+    InvertedIndex.buildFuzzyDictionary(spark, path)
+    def sug(t: String, mode: String) =
+      InvertedIndex.suggestTerms(spark, path, t, k = 5, mode = mode)
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    // df: cat 3, hat 2, bat 1
+    assert(sug("cat", "missing").isEmpty)       // cat exists -> nothing
+    assert(sug("cat", "always") ==
+      Seq(("hat", 2L, 1), ("bat", 1L, 1)))      // df desc
+    assert(sug("cat", "popular").isEmpty)       // nothing beats df 3
+    assert(sug("bat", "popular") ==
+      Seq(("cat", 3L, 1), ("hat", 2L, 1)))      // strictly more popular
+    assert(sug("cut", "missing") == Seq(("cat", 3L, 1))) // a real typo
+    assert(sug("zzz", "missing").isEmpty)       // no neighbors
+    intercept[IllegalArgumentException](sug("cat", "sometimes"))
+    // tombstoned docs leave the df (a dead term never suggests)
+    InvertedIndex.deleteDocs(Seq(2L).toDF("doc_id"), path)
+    assert(sug("cut", "missing") == Seq(("cat", 2L, 1)))
+  }
+
   test("fuzzy dictionary staleness: an append since the build fails " +
       "loudly instead of silently missing the new vocabulary") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
