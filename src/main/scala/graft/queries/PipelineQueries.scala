@@ -410,6 +410,22 @@ object PipelineQueries {
         TextAnalysis.redactPii(col("text")).as("redacted"))
         .orderBy("doc_id")
     }),
+    // corpus snapshot diff (dataset versioning): the new cut drops
+    // every 7th doc, rewrites every 10th (non-dropped), adds shifted
+    // clones of every 13th — one digest-only full outer join verdicts
+    // all four states; a NULL-text pair must read unchanged (presence
+    // flags, not digest nullness). Oracle = the same join in SQL
+    "vd1_snapshot_diff" -> ((s, d) => {
+      val old = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val newer = old.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(old.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Snapshot.diff(old, newer, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // EXTENDED PII sweep: IPv4 candidates and LUHN-GATED card
     // candidates on top of the email/phone chain — the planted
     // fixture carries one VALID card (must redact), one single-digit-
@@ -3914,6 +3930,28 @@ object PipelineQueries {
            |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
            |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
            |FROM p ORDER BY doc_id""".stripMargin,
+    // the digest join replayed: same fixture derivation, same md5
+    // digests, same presence-flag CASE order, null-safe digest compare
+    "vd1_snapshot_diff" ->
+      raw"""WITH o AS (SELECT doc_id, md5(text) AS old_digest
+           |           FROM documents),
+           |n AS (SELECT doc_id,
+           |        md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+           |            ELSE text END) AS new_digest
+           |      FROM documents WHERE doc_id % 7 <> 0
+           |      UNION ALL
+           |      SELECT doc_id + 1000000, md5(text) FROM documents
+           |      WHERE doc_id % 13 = 0)
+           |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           |  CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NULL
+           |         THEN 'removed'
+           |       WHEN o.doc_id IS NULL THEN 'added'
+           |       WHEN o.old_digest IS NOT DISTINCT FROM n.new_digest
+           |         THEN 'unchanged'
+           |       ELSE 'changed' END AS status,
+           |  o.old_digest, n.new_digest
+           |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+           |ORDER BY doc_id""".stripMargin,
     // the Luhn fold replayed: dd = separator-stripped match, every
     // second digit from the right doubles 9-wrapped, %10 gates the
     // replace — list indexing over range, exactly the engine's HOF
