@@ -103,7 +103,15 @@ object DumpPlans {
     "kw1_keywords" ->
       "Per-document tf-idf keywords: one map-side-combined (doc, term) count, a term-keyed df join (AQE balances the Zipf skew; df is a term table, never corpus rows), N as a broadcast 1-row aggregate, and the top-k window partitioned on the DOCUMENT id — every window group is one document's distinct terms, bounded by document length, so this is the one place a window survives 100TB.",
     "fz1_fuzzy_search" ->
-      "Index-served fuzzy search: the deletion-dictionary read is pruned by an IN filter over the query's own O(term length) variants (pushed into the scan), the levenshtein verify touches only the bounded candidate set, and the resolved terms ride the ordinary bucket-pruned postings BM25 — typo tolerance costs O(query) lookups, never the O(vocabulary) brute scan the f17 scan path pays.")
+      "Index-served fuzzy search: the deletion-dictionary read is pruned by an IN filter over the query's own O(term length) variants (pushed into the scan), the levenshtein verify touches only the bounded candidate set, and the resolved terms ride the ordinary bucket-pruned postings BM25 — typo tolerance costs O(query) lookups, never the O(vocabulary) brute scan the f17 scan path pays.",
+    "gc1_geo_cell_radius" ->
+      "Cell-partitioned geo layout: the radius query's candidate cells are enumerated DRIVER-SIDE from a provably covering bound and land as PartitionFilters — the scan reads only the disk's neighborhood directories (spec-pinned), then the exact haversine verifies. Without the layout every geo_distance is a corpus scan; with it, cost is O(points near the origin) at any corpus size.",
+    "mlt1_more_like_this" ->
+      "more_like_this: term selection costs one bucket-pruned df read over the like-text's own terms (bounded collect), and the scoring pass is searchTopK's pruned-postings BM25 over <= maxQueryTerms terms with the minimum-should-match cut riding the same per-id aggregate — the corpus is read only at the selected terms' buckets, twice, never scanned.",
+    "vd1_snapshot_diff" ->
+      "Snapshot diff: both corpus versions project to (id, 16-byte digest) before anything joins — the full outer join shuffles digests, never documents, so auditing a 100TB re-cut moves ~24 B/doc.",
+    "idx9_stemmed_search" ->
+      "Analyzed index search: stemming happens ONCE at segment-write time (postings store stems; the analyzer rides the stats tables), so the query path is byte-identical to idx1 — driver-side query-term analysis plus the same bucket-pruned postings read. The analysis chain adds zero per-query corpus work.")
 
   private val epilogue: String = """
 ## Streaming index-lifecycle gate cost (st6, st9-st13) — r12 adjudication
