@@ -410,6 +410,17 @@ object PipelineQueries {
         TextAnalysis.redactPii(col("text")).as("redacted"))
         .orderBy("doc_id")
     }),
+    // fill-in-the-middle objective transform (Bavarian et al. 2022):
+    // seeded md5 draws pick the documents and BOTH character cuts, so
+    // the PSM rewrite replays byte-for-byte — fim_applied and the
+    // transformed text both hash-checked
+    "fim1_transform" -> ((s, d) => {
+      graft.operators.Objectives.fimTransform(
+          t(s, d, "documents").filter(col("doc_id") < 60)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", fimRate = 0.5, seed = 7)
+        .orderBy("doc_id")
+    }),
     // corpus snapshot diff (dataset versioning): the new cut drops
     // every 7th doc, rewrites every 10th (non-dropped), adds shifted
     // clones of every 13th — one digest-only full outer join verdicts
@@ -3929,6 +3940,28 @@ object PipelineQueries {
            |    regexp_replace(text,
            |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
            |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+           |FROM p ORDER BY doc_id""".stripMargin,
+    // the PSM rewrite replayed: same md5 uniforms (apply draw + two
+    // cuts mod len+1), same least/greatest cut ordering, same substr
+    // arithmetic
+    "fim1_transform" ->
+      raw"""WITH p AS (SELECT doc_id, text,
+           |    ('0x' || substr(md5('7:fimr:' || CAST(doc_id AS VARCHAR)),
+           |      1, 8))::BIGINT / 4294967296.0 AS u,
+           |    ('0x' || substr(md5('7:fim1:' || CAST(doc_id AS VARCHAR)),
+           |      1, 8))::BIGINT % (length(text) + 1) AS c1,
+           |    ('0x' || substr(md5('7:fim2:' || CAST(doc_id AS VARCHAR)),
+           |      1, 8))::BIGINT % (length(text) + 1) AS c2
+           |  FROM documents WHERE doc_id < 60)
+           |SELECT doc_id,
+           |  (text IS NOT NULL AND u < 0.5) AS fim_applied,
+           |  CASE WHEN text IS NOT NULL AND u < 0.5 THEN
+           |    '<PRE>' || substr(text, 1, CAST(least(c1, c2) AS INT)) ||
+           |    '<SUF>' || substr(text, CAST(greatest(c1, c2) + 1 AS INT),
+           |      CAST(length(text) - greatest(c1, c2) AS INT)) ||
+           |    '<MID>' || substr(text, CAST(least(c1, c2) + 1 AS INT),
+           |      CAST(greatest(c1, c2) - least(c1, c2) AS INT))
+           |  ELSE text END AS text
            |FROM p ORDER BY doc_id""".stripMargin,
     // the digest join replayed: same fixture derivation, same md5
     // digests, same presence-flag CASE order, null-safe digest compare
