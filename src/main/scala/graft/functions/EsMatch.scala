@@ -125,4 +125,38 @@ object EsMatch {
   def multiMatch(texts: Seq[Column], query: String,
                  analyzer: String = "standard"): Column =
     texts.map(matchAny(_, query, analyzer)).foldLeft(lit(false))(_ || _)
+
+  /** ES `highlight` at whitespace-token granularity: every token
+    * whose ANALYZED form is one of the analyzed query terms wraps in
+    * `preTag`/`postTag`; NULL when nothing matches (ES omits the
+    * highlight entry for non-matching fields). Original token bytes
+    * are preserved inside the tags (matching is case-/stem-
+    * insensitive, the displayed token is not rewritten); whitespace
+    * RUNS collapse to single spaces — the token-joined fragment
+    * surface, not a byte-offset highlighter (ES's fragmenter is also
+    * a rewrite, just a different one). Pure HOF expression,
+    * engine-replayable.
+    */
+  def highlight(text: Column, query: String,
+                analyzer: String = "standard",
+                preTag: String = "<em>",
+                postTag: String = "</em>"): Column = {
+    EnglishMinimalStem.requireKnown(analyzer)
+    val qs = qTokens(query, analyzer)
+    if (qs.isEmpty) lit(null).cast("string")
+    else {
+      def hit(t: Column): Column =
+        if (analyzer == "english")
+          EnglishMinimalStem.stem(lower(t)).isin(qs: _*)
+        else lower(t).isin(qs: _*)
+      TextAnalysis.bindOnce(
+        filter(split(text, "\\s+"), t => length(t) > 0)) { toks =>
+        when(exists(toks, hit(_)),
+          concat_ws(" ", transform(toks, t =>
+            when(hit(t), concat(lit(preTag), t, lit(postTag)))
+              .otherwise(t))))
+          .otherwise(lit(null).cast("string"))
+      }
+    }
+  }
 }

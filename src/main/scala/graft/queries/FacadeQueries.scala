@@ -393,6 +393,21 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // token-level HIGHLIGHT through the english chain: matched tokens
+    // wrap in <em> tags with their ORIGINAL bytes (matching is
+    // analyzed, display is not), non-matching docs yield NULL and
+    // filter out — the ES highlight surface, token-joined. The oracle
+    // replays the raw-token split, the per-token stem test, and the
+    // wrap fold
+    "hl1_highlight" -> ((s, d) => {
+      docs(s, d).df
+        .withColumn("text2", QueryUtil.stemFixtureText(
+          col("text"), col("doc_id")))
+        .select(col("doc_id"), graft.functions.EsMatch.highlight(
+          col("text2"), "Story dogs", "english").as("hl"))
+        .filter(col("hl").isNotNull)
+        .orderBy("doc_id")
+    }),
     // geo_distance through the raw-DSL escape hatch (the reference's
     // flights OriginLocation geo_point passthrough,
     // eland/query_compiler.py:490-491) PLUS gauss geo decay through
@@ -837,6 +852,22 @@ object FacadeQueries {
            |      FROM ph p FULL OUTER JOIN bm m ON p.doc_id = m.doc_id)
            |SELECT doc_id, round(psc + msc, 6) AS score FROM u
            |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // raw (un-lowercased) token split + the stem CASE on lower(t) for
+    // the match test, original token inside the tags
+    "hl1_highlight" -> {
+      val raws =
+        raw"""list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+      val hitT = QueryUtil.stemSql("lower(t)") + " IN ('story', 'dog')"
+      raw"""SELECT doc_id, hl FROM (
+           |  SELECT doc_id,
+           |    CASE WHEN len(list_filter($raws, t -> $hitT)) > 0
+           |    THEN array_to_string(list_transform($raws, t ->
+           |      CASE WHEN $hitT THEN '<em>' || t || '</em>'
+           |           ELSE t END), ' ')
+           |    END AS hl
+           |  FROM (${QueryUtil.stemFixtureSql}))
+           |WHERE hl IS NOT NULL ORDER BY doc_id""".stripMargin
+    },
     // haversine mirrored operation-for-operation (QueryUtil
     // .haversineSqlMeters = the Geo.haversineMeters tree), raw-double
     // radius compare, meter-granularity distance export, 6-dp gauss —

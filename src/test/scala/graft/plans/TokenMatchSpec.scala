@@ -55,6 +55,24 @@ class TokenMatchSpec extends AnyFunSuite {
     assert(r(1).getBoolean(2) && !r(1).getBoolean(3))
   }
 
+  test("highlight: analyzed matching, original bytes displayed, NULL " +
+      "on no match, empty query") {
+    import spark.implicits._
+    val df = Seq("The Filters are HERE", "nothing to see", null)
+      .toDF("t")
+    val r = df.select(
+      EsMatch.highlight($"t", "filter", "english").as("en"),
+      EsMatch.highlight($"t", "the here", "standard").as("st"),
+      EsMatch.highlight($"t", "", "english").as("empty")).collect()
+    // english: "Filters" stems to "filter" — wrapped with its case
+    assert(r(0).getString(0) == "The <em>Filters</em> are HERE")
+    // standard: case-insensitive match, original case displayed
+    assert(r(0).getString(1) == "<em>The</em> Filters are <em>HERE</em>")
+    assert(r(0).isNullAt(2))             // empty query -> null
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1)) // no match -> null
+    assert(r(2).isNullAt(0))             // null text -> null
+  }
+
   test("edge semantics: empty query, empty text, nulls") {
     import spark.implicits._
     val df = Seq(Some("a b"), Some(""), None).toDF("t")
