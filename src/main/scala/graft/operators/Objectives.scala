@@ -57,4 +57,78 @@ object Objectives {
     docs.select(id, applied.as("fim_applied"),
       when(applied, psm).otherwise(t).as(textCol))
   }
+
+  /** T5-style SPAN CORRUPTION (Raffel et al. 2020, the span-masking
+    * denoising objective): masked token spans are replaced by numbered
+    * sentinels in the input, and the target lists each sentinel
+    * followed by the tokens it hid, terminated by one final sentinel —
+    * `inputs:  tok tok <extra_id_0> tok ... <extra_id_1> ...`
+    * `targets: <extra_id_0> hidden toks <extra_id_1> hidden ...
+    *  <extra_id_n>`.
+    *
+    * DETERMINISTIC block recipe (the replayability trade, documented):
+    * where the paper samples span starts and lengths, here the token
+    * stream partitions into fixed `blockSize` windows and window b of
+    * document id masks its FIRST `1 + md5(seed:id:b) % maxSpan` tokens
+    * (capped by the window's length). Spans are block-aligned so they
+    * can never overlap or merge — every per-window decision is
+    * independent, which is exactly what makes the transform a pure
+    * per-row expression AND byte-replayable in SQL; expected
+    * corruption rate = mean span ∕ blockSize = ((maxSpan + 1) ∕ 2) ∕
+    * blockSize — the defaults give 2.5/16 ≈ 15.6%, the paper's ~15%
+    * at its mean span 3. Sentinel numbering follows the window index
+    * (every window masks ≥ 1 token, the T5 convention of numbering
+    * spans in order). Documents with no tokens yield empty inputs and
+    * the lone terminating sentinel.
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  blockSize: Int = 16, maxSpan: Int = 4,
+                  seed: Long = 0,
+                  sentinel: String = "<extra_id_%d>"): DataFrame = {
+    require(blockSize >= 2, s"blockSize must be >= 2, got $blockSize")
+    require(maxSpan >= 1 && maxSpan < blockSize,
+      s"maxSpan must be in [1, blockSize), got $maxSpan")
+    require(sentinel.contains("%d"), "sentinel needs a %d slot")
+    val id = col(idCol)
+    val sentPre = sentinel.substring(0, sentinel.indexOf("%d"))
+    val sentPost = sentinel.substring(sentinel.indexOf("%d") + 2)
+    def sent(k: Column): Column =
+      concat(lit(sentPre), k.cast("string"), lit(sentPost))
+    val toks = graft.functions.TextAnalysis.tokens(col(textCol))
+    val out = graft.functions.TextAnalysis.bindOnce(toks) { tk =>
+      val n = size(tk)
+      val nBlocks = ceil(n.cast("double") / blockSize).cast("int")
+      // per window b (0-based): struct(start, maskLen, sentIdx) where
+      // sentIdx = number of windows before b (all windows mask here —
+      // maskLen >= 1 — so the sentinel index IS b). The sequence is
+      // guarded against n = 0 (Spark's sequence(0, -1) DESCENDS): the
+      // start < n filter drops the phantom window of an empty doc.
+      val blocks = filter(transform(
+        sequence(lit(0), greatest(nBlocks - 1, lit(0))), b => {
+        val start = b * blockSize // 0-based token offset
+        val blockLen = least(lit(blockSize), n - start)
+        val m = least(
+          pmod(mdInt(s"$seed:span:", concat(id.cast("string"),
+            lit(":"), b.cast("string"))), lit(maxSpan.toLong)) + 1,
+          blockLen.cast("long")).cast("int")
+        struct(start.as("s"), m.as("m"), b.as("k"))
+      }), bl => bl.getField("s") < n)
+      val inputs = concat_ws(" ", flatten(transform(blocks, bl => {
+        val kept = slice(tk, bl.getField("s") + bl.getField("m") + 1,
+          least(lit(blockSize), n - bl.getField("s")) - bl.getField("m"))
+        concat(array(sent(bl.getField("k"))), kept)
+      })))
+      val targets = concat_ws(" ", concat(
+        flatten(transform(blocks, bl => concat(
+          array(sent(bl.getField("k"))),
+          slice(tk, bl.getField("s") + 1, bl.getField("m"))))),
+        array(sent(nBlocks))))
+      struct(inputs.as("inputs"), targets.as("targets"),
+        aggregate(transform(blocks, _.getField("m")), lit(0),
+          (a, x) => a + x).cast("long").as("n_masked"))
+    }
+    docs.select(id, out.getField("inputs").as("inputs"),
+      out.getField("targets").as("targets"),
+      out.getField("n_masked").as("n_masked"))
+  }
 }

@@ -410,6 +410,18 @@ object PipelineQueries {
         TextAnalysis.redactPii(col("text")).as("redacted"))
         .orderBy("doc_id")
     }),
+    // T5 span corruption (deterministic block recipe): numbered
+    // sentinels replace each window's hash-drawn masked span in the
+    // inputs, the targets list sentinel+hidden tokens plus the
+    // terminator — inputs, targets, AND the masked-token count all
+    // hash-checked against a per-window SQL replay
+    "span1_corruption" -> ((s, d) => {
+      graft.operators.Objectives.spanCorrupt(
+          t(s, d, "documents").filter(col("doc_id") < 50)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", blockSize = 16, maxSpan = 4, seed = 7)
+        .orderBy("doc_id")
+    }),
     // fill-in-the-middle objective transform (Bavarian et al. 2022):
     // seeded md5 draws pick the documents and BOTH character cuts, so
     // the PSM rewrite replays byte-for-byte — fim_applied and the
@@ -3941,6 +3953,38 @@ object PipelineQueries {
            |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
            |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
            |FROM p ORDER BY doc_id""".stripMargin,
+    // per-window replay: same md5 span lengths (mod maxSpan + 1,
+    // capped by the window), same slicing arithmetic, same sentinel
+    // numbering and terminator
+    "span1_corruption" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |           WHERE doc_id < 50),
+           |b AS (SELECT doc_id, toks, len(toks) AS n,
+           |        CAST(ceil(len(toks) / 16.0) AS INT) AS nb FROM s),
+           |bl AS (SELECT doc_id, toks, n, nb,
+           |    list_transform(range(0, nb), w ->
+           |      struct_pack(st := CAST(w * 16 AS INT),
+           |        mk := CAST(least(
+           |          ('0x' || substr(md5('7:span:' ||
+           |            CAST(doc_id AS VARCHAR) || ':' ||
+           |            CAST(w AS VARCHAR)), 1, 8))::BIGINT % 4 + 1,
+           |          least(16, n - w * 16)) AS INT),
+           |        kk := CAST(w AS INT))) AS blocks
+           |  FROM b)
+           |SELECT doc_id,
+           |  array_to_string(flatten(list_transform(blocks, x ->
+           |    list_concat(['<extra_id_' || CAST(x.kk AS VARCHAR) || '>'],
+           |      toks[x.st + x.mk + 1 : x.st + least(16, n - x.st)]))),
+           |    ' ') AS inputs,
+           |  array_to_string(list_concat(
+           |    flatten(list_transform(blocks, x ->
+           |      list_concat(['<extra_id_' || CAST(x.kk AS VARCHAR) || '>'],
+           |        toks[x.st + 1 : x.st + x.mk]))),
+           |    ['<extra_id_' || CAST(nb AS VARCHAR) || '>']), ' ')
+           |    AS targets,
+           |  CAST(list_sum(list_transform(blocks, x -> x.mk)) AS BIGINT)
+           |    AS n_masked
+           |FROM bl ORDER BY doc_id""".stripMargin,
     // the PSM rewrite replayed: same md5 uniforms (apply draw + two
     // cuts mod len+1), same least/greatest cut ordering, same substr
     // arithmetic

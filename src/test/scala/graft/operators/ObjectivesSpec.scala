@@ -57,4 +57,55 @@ class ObjectivesSpec extends AnyFunSuite {
       Objectives.fimTransform(docs, "id", "text", fimRate = 1.5)
     }
   }
+
+  test("span corruption: interleaving inputs and targets reconstructs " +
+      "the token stream; sentinel numbering, rate, edges") {
+    val corpus = (0L until 40L).map(i =>
+        (i, (0 until (i % 37).toInt).map(t => s"w$t").mkString(" ")))
+      .toDF("id", "text") // includes len 0 and lens below one block
+    val out = Objectives.spanCorrupt(corpus, "id", "text",
+        blockSize = 8, maxSpan = 3, seed = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    def sentSplit(s: String): Seq[(Int, Seq[String])] = {
+      val re = "<extra_id_(\\d+)>".r
+      val ks = re.findAllMatchIn(s).map(_.group(1).toInt).toSeq
+      val parts = re.split(s).toSeq.drop(1) // text before first sent is ""
+        .map(_.trim.split("\\s+").filter(_.nonEmpty).toSeq)
+      ks.zipAll(parts, -1, Seq.empty)
+    }
+    for (i <- 0L until 40L) {
+      val n = (i % 37).toInt
+      val orig = (0 until n).map(t => s"w$t")
+      val (inp, tgt, masked) = out(i)
+      val inParts = sentSplit(inp)
+      val tgtParts = sentSplit(tgt)
+      // sentinels number 0..nBlocks-1 in both, + the terminator
+      val nBlocks = math.ceil(n / 8.0).toInt
+      assert(inParts.map(_._1) == (0 until nBlocks), s"id $i inputs")
+      assert(tgtParts.map(_._1) == (0 to nBlocks), s"id $i targets")
+      assert(tgtParts.last._2.isEmpty, s"id $i terminator")
+      // interleave: hidden_k ++ kept_k re-forms the original stream
+      val rebuilt = (0 until nBlocks).flatMap(k =>
+        tgtParts(k)._2 ++ inParts(k)._2)
+      assert(rebuilt == orig, s"id $i reconstruction")
+      assert(masked == tgtParts.dropRight(1).map(_._2.size).sum)
+      // every window masks between 1 and maxSpan tokens (or the whole
+      // short window)
+      tgtParts.dropRight(1).foreach { case (k, hidden) =>
+        val blockLen = math.min(8, n - k * 8)
+        assert(hidden.size >= 1 && hidden.size <= math.min(3, blockLen),
+          s"id $i window $k masked ${hidden.size} of $blockLen")
+      }
+    }
+    // zero-token doc: empty inputs, lone terminator
+    assert(out(0L) == (("", "<extra_id_0>", 0L)))
+    // contracts
+    intercept[IllegalArgumentException](
+      Objectives.spanCorrupt(corpus, "id", "text", blockSize = 1))
+    intercept[IllegalArgumentException](
+      Objectives.spanCorrupt(corpus, "id", "text", maxSpan = 16))
+    intercept[IllegalArgumentException](
+      Objectives.spanCorrupt(corpus, "id", "text", sentinel = "<mask>"))
+  }
 }
