@@ -976,6 +976,66 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** CROSS-INDEX BM25 — ES's `index-*` multi-index search, with
+    * GLOBAL statistics (ES's dfs_query_then_fetch — the semantics a
+    * user actually wants; per-shard-stats drift is ES's default only
+    * for latency reasons): corpus moments merge additively across the
+    * indexes (exactly the multi-SEGMENT merge inside one index, one
+    * level up), df per term counts live postings across all of them,
+    * and every index prunes with its OWN bucket layout — indexes
+    * built with different bucket counts search together.
+    *
+    * Contract (the cross-index face of the append contract): document
+    * ids must be DISJOINT across the indexes — the same id in two
+    * indexes would double its postings in df and score as one doc
+    * with summed contributions. Analyzers must MATCH (enforced
+    * loudly): mixed analysis chains would ask different questions of
+    * different indexes. Output is [[searchTopK]]'s (idColName, score),
+    * identical to one index built over the union corpus (idx10 proves
+    * it against the flat-corpus oracle).
+    */
+  def searchTopKIndices(spark: SparkSession, indexPaths: Seq[String],
+                        queryTerms: Seq[String], k: Int,
+                        idColName: String = "id",
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(indexPaths.nonEmpty, "no index paths")
+    require(queryTerms.nonEmpty && k > 0)
+    val parts = indexPaths.map { p =>
+      val segs = committedSegments(spark, p)
+      require(segs.nonEmpty,
+        s"$p has no committed segments — build() first")
+      val dels = committedDeletes(spark, p)
+      (p, segs, dels, liveStats(spark, segs, dels))
+    }
+    val analyzers = parts.map(_._4.analyzer).distinct
+    require(analyzers.size == 1,
+      s"indexes mix analyzers $analyzers — cross-index search needs " +
+        "one analysis chain (rebuild with a shared analyzer)")
+    val st0 = parts.head._4
+    val n = parts.map(_._4.n).sum
+    val sumLen = parts.map(_._4.sumLen).sum
+    val avg = if (n > 0) sumLen / n else 1.0
+    val terms = queryTerms.map(st0.analyzeTerm).distinct
+    // each index prunes with its own bucket count; rows are disjoint
+    // across indexes (the id contract), so df = row count per term
+    val p = parts.map { case (_, segs, dels, st) =>
+      prunedLivePostings(spark, segs, dels, terms, st.buckets)
+    }.reduce(_ unionByName _)
+    val dfreq = p.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("_df"))
+    p.join(broadcast(dfreq), Seq("term"))
+      .withColumn("_idf",
+        log(lit(1.0) + (lit(n) - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_s",
+        col("_idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("len") / lit(avg))))
+      .groupBy(col("id").as(idColName))
+      .agg(round(sum(col("_s")), 6).as("score"))
+      .orderBy(col("score").desc, col(idColName))
+      .limit(k)
+  }
+
   /** Serve a whole QUERY TABLE in one plan — the index's concurrent-
     * search face. [[searchTopK]] answers one query per driver call;
     * a query-serving workload has a frame of (query id, terms) rows

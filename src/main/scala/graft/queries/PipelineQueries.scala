@@ -1365,6 +1365,27 @@ object PipelineQueries {
           Seq("streem", "filtir"), k = 12, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // cross-index search (es index-* patterns) with GLOBAL stats:
+    // even docs in one index at 64 buckets, odd docs in another at 32
+    // (different layouts MUST co-search), merged moments + cross-index
+    // df — the oracle replays BM25 over the flat union corpus, so a
+    // stats-merge or per-index-df mistake cannot match
+    "idx10_multi_index" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx10-$tag").toString
+      val docs = t(s, d, "documents")
+      graft.operators.InvertedIndex.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        s"$base/even", buckets = 64)
+      graft.operators.InvertedIndex.build(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        s"$base/odd", buckets = 32)
+      graft.operators.InvertedIndex.searchTopKIndices(s,
+          Seq(s"$base/even", s"$base/odd"),
+          Seq("vector", "merge", "sort"), k = 15, idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // the ES term suggester ("did you mean") from the fuzzy
     // dictionary: a typo suggests its distance-1 vocabulary neighbors
     // with live df, and suggest_mode=missing yields NOTHING for a
@@ -3255,6 +3276,24 @@ object PipelineQueries {
            |    AS dist_km
            |FROM dm WHERE dist_m <= 2000000.0
            |ORDER BY c_custkey""".stripMargin,
+    // the flat-union replay: neither index exists oracle-side, so
+    // cross-index stats/df merge errors cannot cancel out (idx2's
+    // discipline, one level up)
+    "idx10_multi_index" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('vector', 'merge', 'sort') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1)
+           |SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |FROM tf JOIN dft USING (t), st
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     // brute suggester replay: whole-vocabulary levenshtein + live df
     // + the missing-mode NOT EXISTS — the dictionary never exists
     // oracle-side

@@ -878,6 +878,42 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fuzzy dictionary"), e.getMessage)
   }
 
+  test("cross-index search == one index over the union corpus; mixed " +
+      "analyzers refuse; tombstones stay per-index") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val a = tmp("graft-idx-multi-a"); val b = tmp("graft-idx-multi-b")
+    InvertedIndex.build(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", a, buckets = 64)
+    InvertedIndex.build(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", b, buckets = 32)
+    val flat = tmp("graft-idx-multi-flat")
+    InvertedIndex.build(docs, "doc_id", "text", flat)
+    val terms = Seq("stream", "filter", "join")
+    val multi = topDocs(InvertedIndex.searchTopKIndices(spark,
+      Seq(a, b), terms, k = 12, idColName = "doc_id"))
+    val one = topDocs(InvertedIndex.searchTopK(spark, flat, terms,
+      k = 12, idColName = "doc_id"))
+    assert(multi == one && multi.nonEmpty)
+    // a delete in ONE index adjusts the merged stats and df
+    InvertedIndex.deleteDocs(
+      docs.filter($"doc_id" % 10 === 0).select("doc_id"), a)
+    val flat2 = tmp("graft-idx-multi-flat2")
+    InvertedIndex.build(docs.filter($"doc_id" % 10 =!= 0),
+      "doc_id", "text", flat2)
+    assert(topDocs(InvertedIndex.searchTopKIndices(spark, Seq(a, b),
+        terms, k = 12, idColName = "doc_id"))
+      == topDocs(InvertedIndex.searchTopK(spark, flat2, terms,
+        k = 12, idColName = "doc_id")))
+    // analyzer mismatch refuses loudly
+    val en = tmp("graft-idx-multi-en")
+    InvertedIndex.build(docs.limit(10), "doc_id", "text", en,
+      analyzer = "english")
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.searchTopKIndices(spark, Seq(a, en), terms, k = 5)
+    }
+    assert(e.getMessage.contains("mix analyzers"), e.getMessage)
+  }
+
   test("term suggester: suggest_mode missing/popular/always over live " +
       "df; the input term never suggests itself") {
     val corpus = Seq((1L, "cat hat"), (2L, "cat bat"),
