@@ -96,8 +96,12 @@ object Objectives {
       concat(lit(sentPre), k.cast("string"), lit(sentPost))
     val toks = graft.functions.TextAnalysis.tokens(col(textCol))
     val out = graft.functions.TextAnalysis.bindOnce(toks) { tk =>
-      val n = size(tk)
-      val nBlocks = ceil(n.cast("double") / blockSize).cast("int")
+      // coalesce: a NULL text (size = null via the null token array)
+      // behaves exactly like a zero-token one — empty inputs, the
+      // lone terminating sentinel
+      val n = coalesce(size(tk), lit(-1))
+      val nBlocks =
+        greatest(ceil(n.cast("double") / blockSize).cast("int"), lit(0))
       // per window b (0-based): struct(start, maskLen, sentIdx) where
       // sentIdx = number of windows before b (all windows mask here —
       // maskLen >= 1 — so the sentinel index IS b). The sequence is
@@ -129,6 +133,75 @@ object Objectives {
     }
     docs.select(id, out.getField("inputs").as("inputs"),
       out.getField("targets").as("targets"),
+      out.getField("n_masked").as("n_masked"))
+  }
+
+  /** BERT-style MLM masking (Devlin et al. 2018): each token position
+    * selects with probability `maskRate`; of the selected, 80% become
+    * `maskTok`, 10% become a RANDOM token, 10% keep their surface form
+    * (the model still predicts at kept positions — they are in the
+    * label stream). Deterministic per-position md5 draws (the FIM
+    * discipline), so the corrupted corpus replays byte-for-byte.
+    *
+    * The random-replacement pool: `randomTokens` when provided (pass
+    * e.g. a [[Vocabulary]] top-k — a broadcast-literal global-vocab
+    * draw, BERT's recipe); otherwise the token at a hash-drawn
+    * position of the SAME document (the in-context variant — a
+    * documented simplification that still forces the model to spot
+    * corrupted tokens without a vocabulary build).
+    *
+    * Output: (idCol, text — the corrupted ANALYZED token stream,
+    * space-joined; labels — "pos:original" for every selected
+    * 0-based position, in order; n_masked). NULL/empty docs yield
+    * empty text and labels.
+    */
+  def mlmMask(docs: DataFrame, idCol: String, textCol: String,
+              maskRate: Double = 0.15, seed: Long = 0,
+              maskTok: String = "[MASK]",
+              randomTokens: Seq[String] = Nil): DataFrame = {
+    require(maskRate >= 0.0 && maskRate <= 1.0,
+      s"maskRate must be in [0, 1], got $maskRate")
+    val id = col(idCol)
+    def u(salt: String, p: Column): Column =
+      mdInt(s"$seed:$salt:", concat(id.cast("string"), lit(":"),
+        p.cast("string"))).cast("double") / lit(4294967296.0)
+    val toks = graft.functions.TextAnalysis.tokens(col(textCol))
+    val out = graft.functions.TextAnalysis.bindOnce(toks) { tk =>
+      val n = size(tk)
+      def sel(p: Column): Column = u("mlm", p) < maskRate
+      def corrupted(t: Column, p: Column): Column = {
+        val kind = u("mlmk", p)
+        val replacement =
+          if (randomTokens.nonEmpty)
+            element_at(lit(randomTokens.toArray),
+              (pmod(mdInt(s"$seed:mlmr:", concat(id.cast("string"),
+                lit(":"), p.cast("string"))),
+                lit(randomTokens.size.toLong)) + 1).cast("int"))
+          else element_at(tk,
+            (pmod(mdInt(s"$seed:mlmr:", concat(id.cast("string"),
+              lit(":"), p.cast("string"))), n.cast("long")) + 1)
+              .cast("int"))
+        when(!sel(p), t)
+          .when(kind < 0.8, lit(maskTok))
+          .when(kind < 0.9, replacement)
+          .otherwise(t)
+      }
+      // n > 0 guard everywhere: Spark's sequence(1, 0) DESCENDS (the
+      // spanCorrupt trap), and a null text's size() is -1
+      val seqp = sequence(lit(1), n)
+      struct(
+        when(n > 0,
+          concat_ws(" ", zip_with(tk, seqp, (t, p) => corrupted(t, p))))
+          .otherwise(lit("")).as("text"),
+        when(n > 0, filter(zip_with(tk, seqp, (t, p) =>
+            when(sel(p), concat((p - 1).cast("string"), lit(":"), t))),
+          x => x.isNotNull))
+          .otherwise(array().cast("array<string>")).as("labels"),
+        when(n > 0, size(filter(seqp, p => sel(p))))
+          .otherwise(lit(0)).cast("long").as("n_masked"))
+    }
+    docs.select(id, out.getField("text").as(textCol),
+      out.getField("labels").as("labels"),
       out.getField("n_masked").as("n_masked"))
   }
 }

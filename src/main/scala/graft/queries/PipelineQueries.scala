@@ -410,6 +410,17 @@ object PipelineQueries {
         TextAnalysis.redactPii(col("text")).as("redacted"))
         .orderBy("doc_id")
     }),
+    // BERT MLM masking (80/10/10 over md5-drawn positions, in-doc
+    // random replacement): corrupted stream, the "pos:original" label
+    // list, and the selected count all hash-checked against the
+    // per-position SQL replay
+    "mlm1_masking" -> ((s, d) => {
+      graft.operators.Objectives.mlmMask(
+          t(s, d, "documents").filter(col("doc_id") < 50)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", maskRate = 0.15, seed = 7)
+        .orderBy("doc_id")
+    }),
     // T5 span corruption (deterministic block recipe): numbered
     // sentinels replace each window's hash-drawn masked span in the
     // inputs, the targets list sentinel+hidden tokens plus the
@@ -3992,6 +4003,32 @@ object PipelineQueries {
            |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
            |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
            |FROM p ORDER BY doc_id""".stripMargin,
+    // per-position replay: the select draw, the 80/10/10 kind draw,
+    // and the in-doc replacement index all from the same md5 strings
+    "mlm1_masking" -> {
+      def uu(salt: String) =
+        s"(('0x' || substr(md5('7:$salt:' || CAST(doc_id AS VARCHAR) " +
+          s"|| ':' || CAST(p AS VARCHAR)), 1, 8))::BIGINT)"
+      val u1 = s"(${uu("mlm")} / 4294967296.0)"
+      val u2 = s"(${uu("mlmk")} / 4294967296.0)"
+      val ur = uu("mlmr")
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |           WHERE doc_id < 50)
+           |SELECT doc_id,
+           |  array_to_string(list_transform(range(1, len(toks) + 1), p ->
+           |    CASE WHEN $u1 >= 0.15 THEN toks[p]
+           |         WHEN $u2 < 0.8 THEN '[MASK]'
+           |         WHEN $u2 < 0.9
+           |           THEN toks[CAST($ur % len(toks) + 1 AS INT)]
+           |         ELSE toks[p] END), ' ') AS text,
+           |  list_filter(list_transform(range(1, len(toks) + 1), p ->
+           |    CASE WHEN $u1 < 0.15
+           |      THEN CAST(p - 1 AS VARCHAR) || ':' || toks[p] END),
+           |    x -> x IS NOT NULL) AS labels,
+           |  CAST(len(list_filter(range(1, len(toks) + 1),
+           |    p -> $u1 < 0.15)) AS BIGINT) AS n_masked
+           |FROM s ORDER BY doc_id""".stripMargin
+    },
     // per-window replay: same md5 span lengths (mod maxSpan + 1,
     // capped by the window), same slicing arithmetic, same sentinel
     // numbering and terminator

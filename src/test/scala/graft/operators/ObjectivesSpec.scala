@@ -108,4 +108,48 @@ class ObjectivesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Objectives.spanCorrupt(corpus, "id", "text", sentinel = "<mask>"))
   }
+
+  test("MLM masking: token-count invariant, labels cover exactly the " +
+      "selected positions, 80/10/10 shape, vocab vs in-doc draws") {
+    val corpus = (0L until 60L).map(i =>
+        (i, (0 until 40).map(t => s"w${(t + i) % 11}").mkString(" ")))
+      .toDF("id", "text")
+    val out = Objectives.mlmMask(corpus, "id", "text",
+        maskRate = 0.3, seed = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[String](2), r.getLong(3)))
+    val orig = corpus.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    var masked = 0; var kept = 0; var changedOther = 0
+    for ((id, text, labels, n) <- out) {
+      val toks = text.split(" ").toSeq
+      assert(toks.size == orig(id).size, s"id $id token count")
+      assert(labels.size == n && n > 0, s"id $id label count")
+      val selPos = labels.map(_.split(":")(0).toInt).toSet
+      for (l <- labels) {
+        val Array(p, w) = l.split(":")
+        assert(orig(id)(p.toInt) == w, s"id $id label $l")
+      }
+      for (p <- toks.indices) {
+        val (o, c) = (orig(id)(p), toks(p))
+        if (!selPos.contains(p)) assert(c == o, s"id $id pos $p")
+        else if (c == "[MASK]") masked += 1
+        else if (c == o) kept += 1
+        else { changedOther += 1; assert(c.startsWith("w"), c) }
+      }
+    }
+    val total = masked + kept + changedOther
+    assert(masked > total * 2 / 3, s"$masked of $total masked")
+    assert(kept > 0 && changedOther > 0, s"kept $kept other $changedOther")
+    // a provided vocabulary pool draws replacements from it
+    val withVocab = Objectives.mlmMask(corpus, "id", "text",
+        maskRate = 0.9, seed = 3, randomTokens = Seq("ZZZ"))
+      .collect().flatMap(_.getString(1).split(" "))
+    assert(withVocab.contains("ZZZ"))
+    // null text passes through empty
+    val nulls = Seq((1L, null: String)).toDF("id", "text")
+    val nr = Objectives.mlmMask(nulls, "id", "text").head()
+    assert(nr.getString(1) == "" && nr.getSeq[String](2).isEmpty &&
+      nr.getLong(3) == 0L)
+  }
 }
