@@ -90,6 +90,24 @@ object EsMatch {
       " " + qs.mkString(" ")) > 0
   }
 
+  /** `match_bool_prefix` — ES's other search-as-you-type clause:
+    * every query term except the last must occur as a full token
+    * (bool/AND semantics, NOT adjacency — that is
+    * [[matchPhrasePrefix]]), and the last term only has to PREFIX
+    * some token. Both sides analyzed.
+    */
+  def matchBoolPrefix(text: Column, query: String,
+                      analyzer: String = "standard"): Column = {
+    val qs = qTokens(query, analyzer)
+    if (qs.isEmpty) lit(false)
+    else {
+      val toks = docTokens(text, analyzer)
+      val full = qs.init.map(q => array_contains(toks, q))
+      val pre = exists(toks, t => t.startsWith(qs.last))
+      (full :+ pre).reduce(_ && _)
+    }
+  }
+
   /** `match` with fuzziness: some column token within `maxEdits`
     * Levenshtein distance of some query token. Analysis runs FIRST,
     * then the edit distance compares analyzed forms (ES's order:

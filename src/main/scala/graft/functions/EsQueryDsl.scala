@@ -284,6 +284,14 @@ object EsQueryDsl {
           case o          => (o \ "query").extract[String]
         }
         EsMatch.matchPhrasePrefix(col(field), text, parseAnalyzer(v))
+      case "match_bool_prefix" =>
+        val (field, v) = lonely(body, "match_bool_prefix")
+        requireText(field)
+        val text = v match {
+          case JString(s) => s
+          case o          => (o \ "query").extract[String]
+        }
+        EsMatch.matchBoolPrefix(col(field), text, parseAnalyzer(v))
       case "multi_match" =>
         // {"multi_match": {"query": q, "fields": [f1, f2], "operator"?,
         // "fuzziness"?}} — best_fields semantics on a boolean

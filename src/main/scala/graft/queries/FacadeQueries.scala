@@ -393,6 +393,14 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // match_bool_prefix (ES's other search-as-you-type clause): full
+    // terms under bool/AND semantics — no adjacency — plus the last
+    // term as a token prefix
+    "f29_bool_prefix" -> ((s, d) => {
+      docs(s, d).esQuery(
+          """{"match_bool_prefix": {"text": "stream fil"}}""")
+        .select(Seq("doc_id")).df.orderBy("doc_id")
+    }),
     // token-level HIGHLIGHT through the english chain: matched tokens
     // wrap in <em> tags with their ORIGINAL bytes (matching is
     // analyzed, display is not), non-matching docs yield NULL and
@@ -852,6 +860,14 @@ object FacadeQueries {
            |      FROM ph p FULL OUTER JOIN bm m ON p.doc_id = m.doc_id)
            |SELECT doc_id, round(psc + msc, 6) AS score FROM u
            |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // full-term containment + a starts_with scan for the last term —
+    // no adjacency anywhere (that is f18's phrase-prefix)
+    "f29_bool_prefix" ->
+      raw"""SELECT doc_id FROM documents
+           |WHERE list_has_all($toksSql, ['stream'])
+           |  AND len(list_filter($toksSql,
+           |        t -> starts_with(t, 'fil'))) > 0
+           |ORDER BY doc_id""".stripMargin,
     // raw (un-lowercased) token split + the stem CASE on lower(t) for
     // the match test, original token inside the tags
     "hl1_highlight" -> {
