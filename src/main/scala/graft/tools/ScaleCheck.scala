@@ -39,6 +39,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (args.headOption.contains("search13")) {
+      search13Growth(spark)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("serving")) {
       servingGrowth(spark)
       spark.stop()
@@ -749,6 +754,79 @@ object ScaleCheck {
     * make hashes independent, so pair counts stay ~0 and any
     * superlinearity is the OPERATOR's, not the fixture's.
     */
+  /** Round-13 search surfaces across a replicated corpus: index +
+    * fuzzy-dictionary builds should grow ~linearly; the SERVED verbs
+    * (mlt, suggest, fuzzy, cross-index) read bucket-pruned postings /
+    * variant-pruned dictionary rows, so per-call cost must stay
+    * ~flat-to-sublinear; the geo radius read is bounded by the points
+    * near the origin (which replication grows linearly — the right
+    * denominator is matching rows, not corpus).
+    */
+  private def search13Growth(spark: SparkSession): Unit = {
+    import graft.operators.{InvertedIndex, GeoLayout}
+    def timeS(f: => Unit): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val docs0 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    // untimed warmup (the mediaGrowth lesson): the first index build
+    // otherwise eats JVM/codegen init and fakes a decreasing curve
+    locally {
+      val w = "/tmp/scale_s13_warm"
+      InvertedIndex.build(docs0.limit(200), "doc_id", "text", w)
+      InvertedIndex.buildFuzzyDictionary(spark, w)
+      InvertedIndex.fuzzySearchTopK(spark, w, Seq("streem"), k = 3,
+        idColName = "doc_id").collect()
+      ()
+    }
+    println("[scale] r13 search surfaces: corpus 1x/4x; builds linear, " +
+      "served verbs ~flat, geo read tracks matching rows")
+    println(f"[scale] ${"size"}%-5s ${"docs"}%8s ${"build(s)"}%9s " +
+      f"${"fdict(s)"}%9s ${"mlt(s)"}%7s ${"sugg(s)"}%8s ${"fuzzy(s)"}%9s " +
+      f"${"multi(s)"}%9s ${"geoW(s)"}%8s ${"geoR(s)"}%8s ${"geoRows"}%8s")
+    for (s <- Seq(1, 4)) {
+      val docs = docs0
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("doc_id") * s + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+        .localCheckpoint(true)
+      val nD = docs.count()
+      val path = s"/tmp/scale_s13_$s"
+      val tB = timeS(InvertedIndex.build(docs, "doc_id", "text", path))
+      val tFd = timeS(InvertedIndex.buildFuzzyDictionary(spark, path))
+      val like = docs.orderBy("doc_id").select("text").head().getString(0)
+      val tMlt = timeS(InvertedIndex.moreLikeThisTopK(spark, path, like,
+        k = 10, idColName = "doc_id", excludeId = Some(0L)).collect())
+      val tSg = timeS(InvertedIndex.suggestTerms(spark, path, "filtir")
+        .collect())
+      val tFz = timeS(InvertedIndex.fuzzySearchTopK(spark, path,
+        Seq("streem", "filtir"), k = 10, idColName = "doc_id").collect())
+      val pa = s"/tmp/scale_s13_a$s"; val pb = s"/tmp/scale_s13_b$s"
+      InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", pa)
+      InvertedIndex.build(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", pb, buckets = 32)
+      val tMu = timeS(InvertedIndex.searchTopKIndices(spark, Seq(pa, pb),
+        Seq("stream", "filter", "join"), k = 10, idColName = "doc_id")
+        .collect())
+      val pts = docs.select(col("doc_id"), struct(
+        ((col("doc_id") % 121) - 60).cast("double").as("lat"),
+        (((col("doc_id") * 7) % 301) - 150).cast("double").as("lon"))
+        .as("loc"))
+      val gdir = s"/tmp/scale_s13_g$s"
+      val tGw = timeS(GeoLayout.writeCellPartitioned(pts, "loc", gdir,
+        cellDeg = 15.0))
+      var geoRows = 0L
+      val tGr = timeS {
+        geoRows = GeoLayout.readWithinRadius(spark, gdir, 10.0, 20.0,
+          2000000.0).count()
+      }
+      println(f"[scale] ${s + "x"}%-5s $nD%8d $tB%9.2f $tFd%9.2f " +
+        f"$tMlt%7.2f $tSg%8.2f $tFz%9.2f $tMu%9.2f $tGw%8.2f " +
+        f"$tGr%8.2f $geoRows%8d")
+    }
+  }
+
   private def mediaGrowth(spark: SparkSession): Unit = {
     import graft.operators.Multimodal
     def timeS(f: => Unit): Double = {
