@@ -121,6 +121,25 @@ class EsQueryDslSpec extends AnyFunSuite {
     val p = docs.esQuery("""{"match_phrase": {"text": "the fast"}}""").len()
     assert(p == docs.where(EsMatch.matchPhrase(
       org.apache.spark.sql.functions.col("text"), "the fast")).len())
+    // bool_prefix: full terms under AND (no adjacency), last as prefix
+    // — a superset of the adjacency-requiring phrase_prefix
+    val bp = docs.esQuery(
+      """{"match_bool_prefix": {"text": "the fas"}}""").len()
+    val pp = docs.esQuery(
+      """{"match_phrase_prefix": {"text": "the fas"}}""").len()
+    assert(bp >= pp && bp > 0)
+    locally {
+      import spark.implicits._
+      val tiny = GraftFrame(
+        Seq((1L, "fast comes before the"), (2L, "the slow")) // reversed order
+          .toDF("id", "text"), "id")
+      // bool semantics match doc 1 (both terms present, any order);
+      // phrase-prefix does not
+      assert(tiny.esQuery(
+        """{"match_bool_prefix": {"text": "the fas"}}""").len() == 1)
+      assert(tiny.esQuery(
+        """{"match_phrase_prefix": {"text": "the fas"}}""").len() == 0)
+    }
     val w = orders.esQuery("""{"wildcard": {"o_orderpriority": "*URGENT"}}""").len()
     assert(w == orders.where(orders("o_orderpriority").esWildcard("*URGENT")).len())
     val pre = orders.esQuery("""{"prefix": {"o_orderpriority": "1-"}}""").len()
