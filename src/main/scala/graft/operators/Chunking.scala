@@ -101,4 +101,55 @@ object Chunking {
           array_sort(collect_list(struct(col("pos"), col("_tok")))),
           s => s.getField("_tok"))).as("chunk_text"))
   }
+
+  /** TOKEN-BUDGET TRUNCATION — fit documents into a context window
+    * before packing/training, keeping the part the strategy says
+    * matters:
+    *
+    *  - "head": the first `maxTokens` (the classic cutoff),
+    *  - "tail": the last `maxTokens` (recency-matters feeds: logs,
+    *    chat transcripts),
+    *  - "middle_out": first half + last half of the budget, the
+    *    middle dropped (the long-context eval recipe — keeps the
+    *    instruction at the top AND the question at the bottom); the
+    *    head gets the odd token on odd budgets.
+    *
+    * Output (idCol, textCol — the token-joined truncated text,
+    * n_tokens — tokens KEPT, truncated — whether anything dropped).
+    * Documents at or under budget pass through with their original
+    * token stream re-joined (one documented normalization: whitespace
+    * runs collapse — truncation is a token-level op). NULL text yields
+    * empty output with n_tokens 0. Pure per-row expression.
+    */
+  def truncateTokens(docs: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int,
+                     strategy: String = "head"): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(Seq("head", "tail", "middle_out").contains(strategy),
+      s"unknown strategy '$strategy' (head, tail, middle_out)")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val out = TextAnalysis.bindOnce(toks) { tk =>
+      val n = coalesce(size(tk), lit(0))
+      val over = n > maxTokens
+      val kept = strategy match {
+        case "head" => slice(tk, 1, maxTokens)
+        case "tail" => slice(tk, n - maxTokens + 1, lit(maxTokens))
+        case "middle_out" =>
+          val headN = (maxTokens + 1) / 2
+          val tailN = maxTokens - headN
+          if (tailN == 0) slice(tk, 1, headN)
+          else concat(slice(tk, 1, headN),
+            slice(tk, n - tailN + 1, lit(tailN)))
+      }
+      val chosen = when(over, kept).otherwise(tk)
+      struct(
+        when(n > 0, concat_ws(" ", chosen)).otherwise(lit("")).as("text"),
+        when(n > 0, size(chosen)).otherwise(lit(0)).cast("long")
+          .as("n_tokens"),
+        over.as("truncated"))
+    }
+    docs.select(col(idCol), out.getField("text").as(textCol),
+      out.getField("n_tokens").as("n_tokens"),
+      out.getField("truncated").as("truncated"))
+  }
 }

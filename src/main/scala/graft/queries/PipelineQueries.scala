@@ -410,6 +410,20 @@ object PipelineQueries {
         TextAnalysis.redactPii(col("text")).as("redacted"))
         .orderBy("doc_id")
     }),
+    // context-window truncation, all three strategies unioned: the
+    // budget (58) straddles the corpus token counts so both the
+    // truncated and the pass-through paths carry rows; kept text,
+    // kept count, and the truncated flag all replay
+    "trunc1_token_budget" -> ((s, d) => {
+      val d40 = t(s, d, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text"))
+      Seq("head", "tail", "middle_out").map(st =>
+          graft.operators.Chunking.truncateTokens(
+            d40, "doc_id", "text", maxTokens = 58, strategy = st)
+          .withColumn("strategy", lit(st)))
+        .reduce(_ unionByName _)
+        .orderBy("strategy", "doc_id")
+    }),
     // BERT MLM masking (80/10/10 over md5-drawn positions, in-doc
     // random replacement): corrupted stream, the "pos:original" label
     // list, and the selected count all hash-checked against the
@@ -4003,6 +4017,32 @@ object PipelineQueries {
            |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
            |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
            |FROM p ORDER BY doc_id""".stripMargin,
+    // per-strategy slice replay (DuckDB list slicing is 1-based
+    // inclusive, matching Spark's slice(start, len) arithmetic here)
+    "trunc1_token_budget" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks,
+           |             len($toksSql) AS n
+           |           FROM documents WHERE doc_id < 40)
+           |SELECT doc_id, 'head' AS strategy,
+           |  CASE WHEN n > 58 THEN array_to_string(toks[1:58], ' ')
+           |       ELSE array_to_string(toks, ' ') END AS text,
+           |  CAST(least(n, 58) AS BIGINT) AS n_tokens,
+           |  n > 58 AS truncated
+           |FROM s
+           |UNION ALL
+           |SELECT doc_id, 'tail',
+           |  CASE WHEN n > 58 THEN array_to_string(toks[n - 57:n], ' ')
+           |       ELSE array_to_string(toks, ' ') END,
+           |  CAST(least(n, 58) AS BIGINT), n > 58
+           |FROM s
+           |UNION ALL
+           |SELECT doc_id, 'middle_out',
+           |  CASE WHEN n > 58 THEN array_to_string(
+           |         list_concat(toks[1:29], toks[n - 28:n]), ' ')
+           |       ELSE array_to_string(toks, ' ') END,
+           |  CAST(least(n, 58) AS BIGINT), n > 58
+           |FROM s
+           |ORDER BY strategy, doc_id""".stripMargin,
     // per-position replay: the select draw, the 80/10/10 kind draw,
     // and the in-doc replacement index all from the same md5 strings
     "mlm1_masking" -> {

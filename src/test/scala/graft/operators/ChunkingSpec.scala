@@ -97,4 +97,31 @@ class ChunkingSpec extends AnyFunSuite {
     assert(aLate.nonEmpty)
     assert(a != b, "the edit must change at least the first chunk")
   }
+
+  test("truncateTokens: head/tail/middle_out keep the right tokens; " +
+      "under-budget and null pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // over budget
+      (2L, "a b c"),                                   // under budget
+      (3L, null: String)).toDF("id", "text")
+    def run(st: String) = Chunking
+      .truncateTokens(docs, "id", "text", maxTokens = 5, strategy = st)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val h = run("head")
+    assert(h(1L) == (("t1 t2 t3 t4 t5", 5L, true)))
+    assert(h(2L) == (("a b c", 3L, false)))
+    assert(h(3L) == (("", 0L, false)))
+    val t = run("tail")
+    assert(t(1L) == (("t6 t7 t8 t9 t10", 5L, true)))
+    assert(t(2L)._1 == "a b c")
+    val m = run("middle_out") // headN 3, tailN 2 on an odd budget
+    assert(m(1L) == (("t1 t2 t3 t9 t10", 5L, true)))
+    assert(m(2L)._1 == "a b c")
+    intercept[IllegalArgumentException](
+      Chunking.truncateTokens(docs, "id", "text", 0))
+    intercept[IllegalArgumentException](
+      Chunking.truncateTokens(docs, "id", "text", 5, "best"))
+  }
 }
