@@ -53,6 +53,8 @@ object Inference {
                 encoderFactory: () => TextEncoder,
                 batchSize: Int = 32): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
+    require(idCol != "embedding",
+      "idCol 'embedding' collides with the output column — rename it")
     val idType = docs.schema(idCol).dataType
     require(docs.schema(textCol).dataType == StringType,
       s"$textCol must be a string column, got " +

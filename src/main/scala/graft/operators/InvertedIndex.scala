@@ -999,6 +999,12 @@ object InvertedIndex {
                         idColName: String = "id",
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(indexPaths.nonEmpty, "no index paths")
+    // a repeated path would double its postings in df and score each
+    // of its docs with summed contributions — the exact silent failure
+    // the disjoint-id contract warns about, and the one case we CAN
+    // detect for free
+    require(indexPaths.distinct.size == indexPaths.size,
+      s"duplicate index paths: ${indexPaths.mkString(", ")}")
     require(queryTerms.nonEmpty && k > 0)
     val parts = indexPaths.map { p =>
       val segs = committedSegments(spark, p)
