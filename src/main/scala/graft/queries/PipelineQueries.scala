@@ -427,12 +427,16 @@ object PipelineQueries {
     // BERT MLM masking (80/10/10 over md5-drawn positions, in-doc
     // random replacement): corrupted stream, the "pos:original" label
     // list, and the selected count all hash-checked against the
-    // per-position SQL replay
+    // per-position SQL replay. Gate outputs must be scalar-only (the
+    // driver's checker sorts every column), so the label list exports
+    // space-joined — the "pos:original" entries are whitespace-free by
+    // construction, so the join is lossless
     "mlm1_masking" -> ((s, d) => {
       graft.operators.Objectives.mlmMask(
           t(s, d, "documents").filter(col("doc_id") < 50)
             .select(col("doc_id"), col("text")),
           "doc_id", "text", maskRate = 0.15, seed = 7)
+        .withColumn("labels", concat_ws(" ", col("labels")))
         .orderBy("doc_id")
     }),
     // T5 span corruption (deterministic block recipe): numbered
@@ -4061,10 +4065,11 @@ object PipelineQueries {
            |         WHEN $u2 < 0.9
            |           THEN toks[CAST($ur % len(toks) + 1 AS INT)]
            |         ELSE toks[p] END), ' ') AS text,
-           |  list_filter(list_transform(range(1, len(toks) + 1), p ->
+           |  array_to_string(list_filter(list_transform(
+           |      range(1, len(toks) + 1), p ->
            |    CASE WHEN $u1 < 0.15
            |      THEN CAST(p - 1 AS VARCHAR) || ':' || toks[p] END),
-           |    x -> x IS NOT NULL) AS labels,
+           |    x -> x IS NOT NULL), ' ') AS labels,
            |  CAST(len(list_filter(range(1, len(toks) + 1),
            |    p -> $u1 < 0.15)) AS BIGINT) AS n_masked
            |FROM s ORDER BY doc_id""".stripMargin

@@ -847,17 +847,22 @@ object TextQueries {
         .withColumn("text2",
           when(col("doc_id") % 17 === 0, lit(null: String))
             .otherwise(col("text")))
-      // null embeddings flatten to (has_embedding=false, []) for the
-      // compare (parquet comparators dislike NULL list cells); a seam
-      // that crashed on nulls or embedded "" instead would produce a
-      // non-empty vector here and hash-mismatch
+      // gate outputs must be scalar-only (the driver's checker sorts
+      // every column, and array cells are unsortable), so the vector
+      // exports EXPLODED to (doc_id, dim, value) rows; null embeddings
+      // flatten to one (has_embedding=false, dim=-1, value=0) row — a
+      // seam that crashed on nulls or embedded "" instead would emit 8
+      // real rows here and mismatch
       graft.ml.Inference.embedText(docs2, "doc_id", "text2",
           graft.ml.Inference.hashEncoder(8), batchSize = 16)
         .select(col("doc_id"),
           col("embedding").isNotNull.as("has_embedding"),
-          coalesce(col("embedding"),
-            array().cast("array<float>")).as("embedding"))
-        .orderBy("doc_id")
+          posexplode(coalesce(col("embedding"),
+            array(lit(0f)))).as(Seq("dim", "value")))
+        .withColumn("dim",
+          when(col("has_embedding"), col("dim")).otherwise(-1)
+            .cast("long"))
+        .orderBy("doc_id", "dim")
     }),
 
     // embedding norm statistics per label
@@ -1859,16 +1864,22 @@ object TextQueries {
     // same double -> float path the encoder takes; the null-text rows
     // replay the CASE to a NULL list
     "emb4_inference_seam" ->
-      raw"""SELECT doc_id,
-           |  doc_id % 17 <> 0 AS has_embedding,
-           |  CASE WHEN doc_id % 17 = 0 THEN []::FLOAT[]
-           |       ELSE list_transform(range(0, 8), d ->
-           |         CAST(CAST((('0x' || substr(md5(CAST(d AS VARCHAR)
-           |             || ':' || text), 1, 8))::BIGINT % 2000) AS DOUBLE)
-           |           / 1000.0 - 1.0 AS FLOAT))
-           |  END AS embedding
-           |FROM documents WHERE doc_id < 40
-           |ORDER BY doc_id""".stripMargin,
+      raw"""WITH e AS (SELECT doc_id,
+           |    doc_id % 17 <> 0 AS has_embedding,
+           |    CASE WHEN doc_id % 17 = 0 THEN [CAST(0 AS FLOAT)]
+           |         ELSE list_transform(range(0, 8), d ->
+           |           CAST(CAST((('0x' || substr(md5(CAST(d AS VARCHAR)
+           |               || ':' || text), 1, 8))::BIGINT % 2000) AS DOUBLE)
+           |             / 1000.0 - 1.0 AS FLOAT))
+           |    END AS emb
+           |  FROM documents WHERE doc_id < 40),
+           |x AS (SELECT doc_id, has_embedding, emb,
+           |        unnest(range(0, len(emb))) AS d FROM e)
+           |SELECT doc_id, has_embedding,
+           |  CAST(CASE WHEN has_embedding THEN d ELSE -1 END AS BIGINT)
+           |    AS dim,
+           |  emb[CAST(d AS INT) + 1] AS value
+           |FROM x ORDER BY doc_id, dim""".stripMargin,
     "emb1_norm_stats" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n,
         |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,

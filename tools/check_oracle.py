@@ -41,23 +41,28 @@ for name, sql in sorted(oracle.items()):
     if len(exp) != len(got):
         fails.append((name, f"rows: oracle={len(exp)} spark={len(got)}"))
         continue
+    # the driver's checker lexsorts every column and CRASHES on
+    # array-typed cells ("unhashable type: numpy.ndarray") — detect
+    # that shape here and fail loudly so it never reaches the driver
+    bad = [c for c in exp.columns
+           if any(isinstance(v, (list, tuple))
+                  or type(v).__name__ == "ndarray"
+                  for df in (exp, got)
+                  for v in df[c].head(3))]
+    if bad:
+        fails.append((name, f"array-typed gate output column(s) {bad}: "
+                      "the driver's checker cannot sort these — emit "
+                      "scalar-only columns (explode or concat_ws)"))
+        continue
     sortcols = list(exp.columns)
-    try:
-        e = exp.sort_values(sortcols).reset_index(drop=True)
-        g = got.sort_values(sortcols).reset_index(drop=True)
-    except Exception:
-        e, g = exp.reset_index(drop=True), got.reset_index(drop=True)
+    e = exp.sort_values(sortcols).reset_index(drop=True)
+    g = got.sort_values(sortcols).reset_index(drop=True)
     diff_cols = []
     for c in e.columns:
         ev, gv = e[c], g[c]
-        try:
-            same = (ev.fillna("__NA__") == gv.fillna("__NA__")).all() \
-                if ev.dtype == object else \
-                ((ev.isna() & gv.isna()) | (ev == gv)).all()
-        except Exception:
-            # list/array cells: numpy __eq__ is elementwise, so plain
-            # list comparison raises — compare a canonical string form
-            same = [str(x) for x in ev] == [str(x) for x in gv]
+        same = (ev.fillna("__NA__") == gv.fillna("__NA__")).all() \
+            if ev.dtype == object else \
+            ((ev.isna() & gv.isna()) | (ev == gv)).all()
         if not same:
             idx = None
             for i in range(len(ev)):
