@@ -23,8 +23,7 @@ import org.apache.spark.sql.functions._
 object EsMatch {
 
   private def qTokens(query: String, analyzer: String): Seq[String] =
-    query.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-      .filter(_.nonEmpty).toSeq
+    TextAnalysis.tokensOf(query)
       .map(EnglishMinimalStem.analyzeTerm(analyzer, _))
 
   private def docTokens(text: Column, analyzer: String): Column =

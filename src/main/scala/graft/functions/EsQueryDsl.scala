@@ -138,8 +138,7 @@ object EsQueryDsl {
         if (op == "and") EsMatch.matchAll(field, text, analyzer)
         else EsMatch.matchAny(field, text, analyzer)
       case Some(edits) =>
-        val terms = text.toLowerCase(java.util.Locale.ROOT)
-          .split("\\s+").filter(_.nonEmpty).toSeq
+        val terms = TextAnalysis.tokensOf(text)
           .map(EnglishMinimalStem.analyzeTerm(analyzer, _))
         val per = terms.map(t =>
           EsMatch.matchFuzzy(field, t, edits(t), analyzer))

@@ -156,8 +156,7 @@ object EsScoredQuery {
     * only make sense when both sides tokenize identically.
     */
   private def analyze(text: String): Seq[String] =
-    text.toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    TextAnalysis.tokensOf(text).distinct
 
   private def parse(q: JValue, ctx: Ctx): Node = {
     val (kind, body) = lonely(q, "query")
@@ -315,8 +314,7 @@ object EsScoredQuery {
             "match_phrase slop has no engine-independent SCORED " +
               "translation (Lucene's sloppy-frequency weighting); use " +
               "exact adjacency (no slop) or the filter face (esQuery)")
-        val terms = text.toLowerCase(java.util.Locale.ROOT)
-          .split("\\s+").filter(_.nonEmpty).toSeq
+        val terms = TextAnalysis.tokensOf(text)
         if (terms.isEmpty) GatedConst(lit(false), 0.0)
         else PhraseNode(ctx.registerPhrase(field, terms), boostOf(v))
       // idf-scored `term` leaf (opt-in): ES's keyword-field number —

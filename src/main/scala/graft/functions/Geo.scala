@@ -79,23 +79,42 @@ object Geo {
     * nLon = ceil(360 ∕ cellDeg). Pure floor arithmetic over the same
     * doubles on every engine (and in [[cellIdOf]], the driver twin),
     * so layout and query planning can never disagree on a cell.
+    *
+    * Domain-edge points clamp INTO range: lat = 90 and lon = 180 land
+    * in the last row/column of the grid rather than aliasing to a
+    * neighboring cell's packed id (lonCell = nLon would pack as
+    * (latCell+1, 0)) — so cell ids are safe for any consumer
+    * (cell-level aggregation, partition layout), not just the
+    * radius read whose ±1 widening happened to absorb the alias.
     */
   def cellId(point: Column, cellDeg: Double): Column = {
     requireCellDeg(cellDeg)
     val nLon = math.ceil(360.0 / cellDeg).toLong
-    val latC = floor((point.getField("lat").cast("double") + 90.0)
-      / cellDeg).cast("long")
-    val lonC = floor((point.getField("lon").cast("double") + 180.0)
-      / cellDeg).cast("long")
+    val nLat = math.ceil(180.0 / cellDeg).toLong
+    // greatest/least IGNORE nulls, so clamp behind an isNotNull gate —
+    // a null point must keep digesting to a null cell (the null-drop
+    // contract of GeoLayout.writeCellPartitioned)
+    def clamp(raw: Column, max: Long): Column =
+      when(raw.isNotNull, greatest(lit(0L), least(lit(max), raw)))
+    val latC = clamp(floor((point.getField("lat").cast("double") + 90.0)
+      / cellDeg).cast("long"), nLat - 1)
+    val lonC = clamp(floor((point.getField("lon").cast("double") + 180.0)
+      / cellDeg).cast("long"), nLon - 1)
     latC * nLon + lonC
   }
 
-  /** Driver twin of [[cellId]] (same doubles, same floors). */
+  /** Driver twin of [[cellId]] (same doubles, same floors, same
+    * domain-edge clamp).
+    */
   def cellIdOf(lat: Double, lon: Double, cellDeg: Double): Long = {
     requireCellDeg(cellDeg)
     val nLon = math.ceil(360.0 / cellDeg).toLong
-    math.floor((lat + 90.0) / cellDeg).toLong * nLon +
-      math.floor((lon + 180.0) / cellDeg).toLong
+    val nLat = math.ceil(180.0 / cellDeg).toLong
+    val latC = math.max(0L, math.min(nLat - 1,
+      math.floor((lat + 90.0) / cellDeg).toLong))
+    val lonC = math.max(0L, math.min(nLon - 1,
+      math.floor((lon + 180.0) / cellDeg).toLong))
+    latC * nLon + lonC
   }
 
   private def requireCellDeg(cellDeg: Double): Unit =

@@ -55,6 +55,16 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
+  /** Driver-side twin of [[tokens]] (same lowercase, same split, same
+    * empty-drop) — the [[EnglishMinimalStem.stemString]] discipline:
+    * anything that analyzes query/like text driver-side MUST route
+    * through this so document-side and driver-side tokenization cannot
+    * drift independently.
+    */
+  def tokensOf(text: String): Seq[String] =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+
   def tokenCount(text: Column): Column =
     size(tokens(text)).cast("long")
 

@@ -30,7 +30,7 @@ object FeatureLogger {
       "match_phrase" -> (q => EsMatch.matchPhrase(col(textCol), q).cast("double")),
       // overlap count: how many query tokens occur in the doc
       "term_overlap" -> { q =>
-        val qs = q.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq
+        val qs = TextAnalysis.tokensOf(q)
         if (qs.isEmpty) lit(0.0)
         else qs.map(t => array_contains(TextAnalysis.tokens(col(textCol)), t)
           .cast("int")).reduce(_ + _).cast("double")

@@ -913,8 +913,9 @@ object InvertedIndex {
     val n = st.n
     val avg = if (n > 0) st.sumLen / n else 1.0
     // 1. like-text term frequencies through the index's analysis chain
-    val likeTf = likeText.toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+").filter(_.nonEmpty)
+    // (tokensOf = the driver twin of TextAnalysis.tokens, so like-text
+    // tf can never desynchronize from index postings)
+    val likeTf = graft.functions.TextAnalysis.tokensOf(likeText)
       .map(t => graft.functions.EnglishMinimalStem
         .analyzeTerm(st.analyzer, t))
       .groupBy(identity).view.mapValues(_.length).toMap

@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
   * versions of a doc are "unchanged", and null-vs-text is "changed".
   *
   * Precondition: `idCol` unique within each snapshot (the
-  * [[Dedup.keepFirstByKey]] contract) — enforced loudly by the
-  * aggregate probe, since a duplicated id would fan the join out and
-  * double-count every verdict.
+  * [[Dedup.keepFirstByKey]] contract) — a duplicated id would fan the
+  * join out and double-count every verdict, so it's enforced loudly
+  * INSIDE the join plan: each side groups digests by id and raises on
+  * count > 1. The group-by keys match the join keys, so the partial
+  * aggregate rides the join's own exchange — the guard costs no extra
+  * pass and no extra shuffle (vs the former eager count/count_distinct
+  * probe, which scanned each side once more per call). Pre-verified
+  * snapshots can skip it with `verifyUnique = false`.
   */
 object Snapshot {
 
@@ -34,15 +39,20 @@ object Snapshot {
     * snapshot.
     */
   def diff(oldSnap: DataFrame, newSnap: DataFrame,
-           idCol: String, textCol: String): DataFrame = {
+           idCol: String, textCol: String,
+           verifyUnique: Boolean = true): DataFrame = {
     def digests(df: DataFrame, side: String): DataFrame = {
-      val d = df.select(col(idCol), md5(col(textCol)).as(s"${side}_digest"))
-      val r = d.agg(count(lit(1)).as("_n"),
-        count_distinct(col(idCol)).as("_d")).head()
-      require(r.getLong(0) == r.getLong(1),
-        s"$side snapshot has duplicate ids (${r.getLong(0)} rows, " +
-          s"${r.getLong(1)} distinct $idCol) — dedup before diffing")
-      d
+      val dig = s"${side}_digest"
+      val d = df.select(col(idCol), md5(col(textCol)).as(dig))
+      if (!verifyUnique) d
+      else d.groupBy(idCol)
+        .agg(first(col(dig)).as(dig), count(lit(1)).as("_c"))
+        .select(col(idCol),
+          when(col("_c") > 1, raise_error(concat(
+              lit(s"$side snapshot has duplicate $idCol = "),
+              col(idCol).cast("string"),
+              lit(" — dedup before diffing"))))
+            .otherwise(col(dig)).as(dig))
     }
     val o = digests(oldSnap, "old")
     val n = digests(newSnap, "new")
@@ -59,10 +69,13 @@ object Snapshot {
         col("old_digest"), col("new_digest"))
   }
 
-  /** One-row verdict counts — the data-card / CI-gate face. */
+  /** One-row verdict counts — the data-card / CI-gate face. One lazy
+    * plan over [[diff]] (the guard is in-plan, so nothing runs twice).
+    */
   def diffSummary(oldSnap: DataFrame, newSnap: DataFrame,
-                  idCol: String, textCol: String): DataFrame =
-    diff(oldSnap, newSnap, idCol, textCol)
+                  idCol: String, textCol: String,
+                  verifyUnique: Boolean = true): DataFrame =
+    diff(oldSnap, newSnap, idCol, textCol, verifyUnique)
       .agg(
         sum(when(col("status") === Added, 1L).otherwise(0L))
           .cast("long").as("n_added"),

@@ -34,7 +34,7 @@ object GraftExtensions {
 
   private def qTokens(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] = {
     require(e.foldable, "query argument must be a literal string")
-    String.valueOf(e.eval()).toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq
+    graft.functions.TextAnalysis.tokensOf(String.valueOf(e.eval()))
   }
 
   /** Register on a live session. */

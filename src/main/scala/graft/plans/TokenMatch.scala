@@ -91,8 +91,7 @@ object TokenMatch {
   }
 
   private def qTokens(query: String, stem: Boolean): Seq[String] = {
-    val ts = query.toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+").filter(_.nonEmpty).toSeq
+    val ts = graft.functions.TextAnalysis.tokensOf(query)
     // query terms run the SAME analysis chain as the text tokens (ES
     // analyzes both sides with the field's analyzer)
     if (stem) ts.map(graft.functions.EnglishMinimalStem.stemString) else ts

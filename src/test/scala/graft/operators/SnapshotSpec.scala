@@ -27,11 +27,19 @@ class SnapshotSpec extends AnyFunSuite {
     val s = Snapshot.diffSummary(old, neu, "id", "text").head()
     assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
       == (1L, 1L, 2L, 2L))
-    // duplicate ids refuse loudly — the fan-out would double verdicts
+    // duplicate ids refuse loudly — the fan-out would double verdicts.
+    // The guard lives INSIDE the join plan (raise_error on a per-id
+    // count), so it fires on action, costing no extra pass.
     val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "text")
-    val e = intercept[IllegalArgumentException] {
-      Snapshot.diff(dup, neu, "id", "text")
+    val e = intercept[Exception] {
+      Snapshot.diff(dup, neu, "id", "text").collect()
     }
-    assert(e.getMessage.contains("duplicate ids"))
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("duplicate"), messages(e))
+    // pre-verified snapshots skip the guard: the duplicate fans out
+    // instead of raising (the caller owns the contract)
+    assert(Snapshot.diff(dup, neu, "id", "text", verifyUnique = false)
+      .count() > 0)
   }
 }
