@@ -190,16 +190,40 @@ object EsScoredQuery {
             s"multi_match needs a fields list, got $other")
         }
         require(fields.nonEmpty, "multi_match needs at least one field")
-        fields.foreach(ctx.requireText)
+        // ES's per-field boost spelling: "title^2" multiplies that
+        // field's match score (composing with the clause boost)
+        val fieldBoosts = fields.map { f =>
+          f.split("\\^") match {
+            case Array(name)     => (name, 1.0)
+            case Array(name, bo) => (name, bo.toDouble)
+            case _ => throw new IllegalArgumentException(
+              s"malformed field boost '$f' (expected name or name^boost)")
+          }
+        }
+        fieldBoosts.foreach(fb => ctx.requireText(fb._1))
         if ((body \ "fuzziness") != JNothing)
           throw new IllegalArgumentException(
             "fuzziness has no engine-independent SCORED translation")
         val op = (body \ "operator").extractOrElse[String]("or")
         val boost = boostOf(body)
-        // ES best_fields IS dis_max over the per-field match scores
-        DisMaxNode(fields.map(f =>
-          MatchNode(ctx.register(f, analyze(text)), op == "and", boost)),
-          tieOf(body))
+        val nodes = fieldBoosts.map { case (f, fb) =>
+          MatchNode(ctx.register(f, analyze(text)), op == "and",
+            boost * fb)
+        }
+        (body \ "type").extractOrElse[String]("best_fields") match {
+          // ES best_fields IS dis_max over the per-field match scores
+          case "best_fields" => DisMaxNode(nodes, tieOf(body))
+          // most_fields IS a bool-should of them (sum; at least one
+          // field must match — the pure-should bool's default msm)
+          case "most_fields" =>
+            if ((body \ "tie_breaker") != JNothing)
+              throw new IllegalArgumentException(
+                "tie_breaker applies to best_fields only")
+            BoolNode(Nil, nodes, Nil, Nil, 1)
+          case other => throw new IllegalArgumentException(
+            s"multi_match type '$other' has no engine-independent " +
+              "translation here (best_fields | most_fields)")
+        }
       case "constant_score" =>
         (body \ "filter") match {
           case JNothing => throw new IllegalArgumentException(

@@ -75,7 +75,7 @@ object InvertedIndex {
     SegmentStore.fsOf(spark, path)
 
   /** Committed segment dirs (stats marker present), sorted. */
-  private def committedSegments(spark: SparkSession,
+  private[operators] def committedSegments(spark: SparkSession,
                                 indexPath: String): Seq[String] =
     SegmentStore.committedSegments(spark, indexPath)
 
@@ -83,7 +83,7 @@ object InvertedIndex {
     * commit marker as segments, so a crashed [[deleteDocs]] is
     * invisible to every reader.
     */
-  private def committedDeletes(spark: SparkSession,
+  private[operators] def committedDeletes(spark: SparkSession,
                                indexPath: String): Seq[String] =
     SegmentStore.committedDeletes(spark, indexPath)
 
@@ -727,7 +727,7 @@ object InvertedIndex {
     * tables, feeding [[searchTopK]], [[termStats]], and [[stats]] so
     * the accounting cannot desynchronize between them.
     */
-  private final case class LiveStats(n: Double, sumLen: Double,
+  private[operators] final case class LiveStats(n: Double, sumLen: Double,
                                      buckets: Int, analyzer: String) {
     /** Query-term analysis matching the chain the postings were built
       * with: lowercase always, plus the minimal stem under "english".
@@ -739,7 +739,7 @@ object InvertedIndex {
         t.toLowerCase(java.util.Locale.ROOT))
   }
 
-  private def liveStats(spark: SparkSession, segs: Seq[String],
+  private[operators] def liveStats(spark: SparkSession, segs: Seq[String],
                         dels: Seq[String]): LiveStats = {
     val statRows = readStats(spark, segs).collect()
     val delRows =
@@ -768,7 +768,7 @@ object InvertedIndex {
     * planning time (spec-pinned), term IN (...) pushes to the parquet
     * reader, and tombstoned docs are subtracted when tombstones exist.
     */
-  private def prunedLivePostings(spark: SparkSession, segs: Seq[String],
+  private[operators] def prunedLivePostings(spark: SparkSession, segs: Seq[String],
                                  dels: Seq[String], terms: Seq[String],
                                  buckets: Int): DataFrame = {
     val wanted = terms.map(bucketOf(_, buckets)).distinct

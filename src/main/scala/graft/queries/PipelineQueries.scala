@@ -1415,6 +1415,40 @@ object PipelineQueries {
           Seq("vector", "merge", "sort"), k = 15, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // FIELDED index (every mapped text field indexed, the ES model):
+    // a short derived `title` field + the full text under one root,
+    // exercised across build + append + delete + compact, then
+    // multi_match served from postings in BOTH modes — best_fields
+    // (dis_max, tie_breaker 0.3) and most_fields (sum) — with title
+    // boosted 2x. Per-field stats (n, avg len, df) and the RAW
+    // per-field scores combine exactly like the scan-side scored
+    // query (parity spec-pinned); the oracle replays the whole thing
+    // from the live doc set, where neither the index nor per-field
+    // layout exists — a stats blend, a per-field rounding, or a
+    // per-field top-k truncation before the combine all mismatch
+    "idx11_fielded_search" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx11-$tag").toString
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+        concat_ws(" ", slice(graft.functions.TextAnalysis
+          .tokens(col("text")), 1, 4)).as("title"))
+      graft.operators.FieldedIndex.build(docs.filter(col("doc_id") < 250),
+        "doc_id", Seq("title", "text"), root)
+      graft.operators.FieldedIndex.append(
+        docs.filter(col("doc_id") >= 250), "doc_id", root)
+      graft.operators.FieldedIndex.deleteDocs(
+        docs.filter(col("doc_id") % 11 === 0).select("doc_id"), root)
+      graft.operators.FieldedIndex.compact(s, root)
+      Seq(("best_fields", 0.3), ("most_fields", 0.0)).map {
+        case (m, tie) =>
+          graft.operators.FieldedIndex.searchTopK(s, root,
+              "stream filter join", Seq("title" -> 2.0, "text" -> 1.0),
+              k = 10, mode = m, tieBreaker = tie, idColName = "doc_id")
+            .withColumn("mode", lit(m))
+      }.reduce(_ unionByName _)
+        .orderBy(col("mode"), col("score").desc, col("doc_id"))
+    }),
     // the ES term suggester ("did you mean") from the fuzzy
     // dictionary: a typo suggests its distance-1 vocabulary neighbors
     // with live df, and suggest_mode=missing yields NOTHING for a
@@ -3323,6 +3357,54 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // fielded multi_match replay over the LIVE doc set: per-field
+    // corpus stats and df, RAW per-field Okapi sums, boosts, dis_max
+    // with tie_breaker / plain sum, one final 6-dp round, rank cut
+    // per mode — no index, no per-field layout oracle-side
+    "idx11_fielded_search" ->
+      raw"""WITH live AS (SELECT doc_id, text FROM documents
+           |              WHERE doc_id % 11 <> 0),
+           |s0 AS (SELECT doc_id, $toksSql AS btoks FROM live),
+           |s AS (SELECT doc_id, btoks, btoks[1:4] AS ttoks FROM s0),
+           |stt AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |          avg(CAST(len(ttoks) AS DOUBLE)) AS avg_len FROM s),
+           |tft AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |        FROM (SELECT doc_id, CAST(len(ttoks) AS DOUBLE) AS dl,
+           |                unnest(ttoks) AS t FROM s)
+           |        WHERE t IN ('stream', 'filter', 'join')
+           |        GROUP BY 1, 2, 3),
+           |dftt AS (SELECT t, CAST(count(*) AS DOUBLE) AS df
+           |         FROM tft GROUP BY 1),
+           |ft AS (SELECT doc_id,
+           |         sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))) AS fs
+           |       FROM tft JOIN dftt USING (t), stt GROUP BY doc_id),
+           |stb AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |          avg(CAST(len(btoks) AS DOUBLE)) AS avg_len FROM s),
+           |tfb AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |        FROM (SELECT doc_id, CAST(len(btoks) AS DOUBLE) AS dl,
+           |                unnest(btoks) AS t FROM s)
+           |        WHERE t IN ('stream', 'filter', 'join')
+           |        GROUP BY 1, 2, 3),
+           |dftb AS (SELECT t, CAST(count(*) AS DOUBLE) AS df
+           |         FROM tfb GROUP BY 1),
+           |fb AS (SELECT doc_id,
+           |         sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))) AS fs
+           |       FROM tfb JOIN dftb USING (t), stb GROUP BY doc_id),
+           |u AS (SELECT doc_id, fs * 2.0 AS sc FROM ft
+           |      UNION ALL SELECT doc_id, fs * 1.0 FROM fb),
+           |c AS (SELECT doc_id, max(sc) AS best, sum(sc) AS tot
+           |      FROM u GROUP BY doc_id),
+           |r AS (SELECT 'best_fields' AS mode, doc_id,
+           |             round(best + 0.3 * (tot - best), 6) AS score FROM c
+           |      UNION ALL
+           |      SELECT 'most_fields', doc_id, round(tot, 6) FROM c),
+           |rr AS (SELECT mode, doc_id, score, row_number() OVER (
+           |         PARTITION BY mode ORDER BY score DESC, doc_id) AS rn
+           |       FROM r)
+           |SELECT mode, doc_id, score FROM rr WHERE rn <= 10
+           |ORDER BY mode, score DESC, doc_id""".stripMargin,
     // brute suggester replay: whole-vocabulary levenshtein + live df
     // + the missing-mode NOT EXISTS — the dictionary never exists
     // oracle-side

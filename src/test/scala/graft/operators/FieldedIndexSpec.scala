@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+class FieldedIndexSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def tmp(name: String): String = {
+    val f = java.nio.file.Files.createTempDirectory(name).toFile
+    f.deleteOnExit(); f.toString
+  }
+
+  /** documents with a derived short `title` field (first 4 tokens) —
+    * different per-field df/avg-len so a stats-blend bug cannot hide.
+    */
+  private def corpus(): org.apache.spark.sql.DataFrame =
+    Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        concat_ws(" ", slice(graft.functions.TextAnalysis
+          .tokens(col("text")), 1, 4)).as("title"))
+
+  private def mmJson(mode: String, operator: String,
+                     tie: Option[Double]): String = {
+    val tieS = tie.map(t => s""", "tie_breaker": $t""").getOrElse("")
+    s"""{"multi_match": {"query": "stream filter join",
+       |  "fields": ["title^2", "text"],
+       |  "type": "$mode", "operator": "$operator"$tieS}}""".stripMargin
+  }
+
+  private def viaScan(docs: org.apache.spark.sql.DataFrame, json: String,
+                      k: Int): Seq[(Long, Double)] =
+    graft.functions.EsScoredQuery.scoredFrame(docs, "doc_id", json)
+      .select(col("doc_id"), col("_score"))
+      .orderBy(col("_score").desc, col("doc_id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private def viaIndex(root: String, mode: String, operator: String,
+                       tie: Double, k: Int): Seq[(Long, Double)] =
+    FieldedIndex.searchTopK(spark, root, "stream filter join",
+        Seq("title" -> 2.0, "text" -> 1.0), k, mode = mode,
+        tieBreaker = tie, operator = operator, idColName = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("index-served multi_match is row-identical to the scan-side " +
+      "scored query, both modes, both operators") {
+    val docs = corpus()
+    val root = tmp("graft-fidx-diff")
+    FieldedIndex.build(docs, "doc_id", Seq("title", "text"), root)
+    assert(FieldedIndex.fields(spark, root) == Seq("title", "text"))
+    val cases = Seq(
+      ("best_fields", "or", 0.3),
+      ("best_fields", "and", 0.0),
+      ("most_fields", "or", 0.0))
+    for ((mode, op, tie) <- cases) {
+      val idx = viaIndex(root, mode, op, tie, k = 12)
+      val scan = viaScan(docs, mmJson(mode, op,
+        if (tie > 0) Some(tie) else None), k = 12)
+      assert(idx == scan, s"mode=$mode op=$op tie=$tie")
+      assert(idx.nonEmpty, s"mode=$mode op=$op matched nothing")
+    }
+    // best_fields ranks differently from most_fields on this corpus
+    // (title matches dominate under dis_max) — the modes are not
+    // accidentally the same code path
+    assert(viaIndex(root, "best_fields", "or", 0.0, 12) !=
+      viaIndex(root, "most_fields", "or", 0.0, 12))
+  }
+
+  test("lifecycle: append + delete + upsert + compact keep scan parity") {
+    val docs = corpus().filter(col("doc_id") < 120)
+    val root = tmp("graft-fidx-life")
+    FieldedIndex.build(docs.filter(col("doc_id") < 60),
+      "doc_id", Seq("title", "text"), root)
+    FieldedIndex.append(docs.filter(col("doc_id") >= 60), "doc_id", root)
+    val delIds = docs.filter(col("doc_id") % 11 === 0).select("doc_id")
+    FieldedIndex.deleteDocs(delIds, root)
+    // re-upsert one deleted doc with changed text: it must resurface
+    // in BOTH fields with the new tokens
+    val re = docs.filter(col("doc_id") === 22)
+      .withColumn("text", concat(col("text"), lit(" stream stream")))
+      .withColumn("title", concat_ws(" ",
+        slice(graft.functions.TextAnalysis.tokens(col("text")), 1, 4)))
+    FieldedIndex.upsertDocs(re, "doc_id", root)
+    val live = docs.filter(col("doc_id") % 11 =!= 0).unionByName(re)
+    val json = mmJson("best_fields", "or", Some(0.3))
+    val before = viaIndex(root, "best_fields", "or", 0.3, 15)
+    assert(before == viaScan(live, json, 15))
+    FieldedIndex.compact(spark, root)
+    assert(viaIndex(root, "best_fields", "or", 0.3, 15) == before)
+    // per-field stats stay per-field: title's avg_len is the short one
+    val st = FieldedIndex.stats(spark, root)
+      .select("field", "avg_len").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(st("title") < st("text"))
+  }
+
+  test("contracts: unknown field, tie_breaker under most_fields, " +
+      "path-unsafe names, unbuilt root all refuse loudly") {
+    val docs = corpus()
+    val root = tmp("graft-fidx-contract")
+    FieldedIndex.build(docs, "doc_id", Seq("title", "text"), root)
+    val e1 = intercept[IllegalArgumentException] {
+      FieldedIndex.searchTopK(spark, root, "stream",
+        Seq("nope" -> 1.0), 5)
+    }
+    assert(e1.getMessage.contains("not indexed"))
+    val e2 = intercept[IllegalArgumentException] {
+      FieldedIndex.searchTopK(spark, root, "stream",
+        Seq("text" -> 1.0), 5, mode = "most_fields", tieBreaker = 0.3)
+    }
+    assert(e2.getMessage.contains("tie_breaker"))
+    val e3 = intercept[IllegalArgumentException] {
+      FieldedIndex.build(docs.withColumnRenamed("title", "ti tle"),
+        "doc_id", Seq("ti tle"), tmp("graft-fidx-bad"))
+    }
+    assert(e3.getMessage.contains("path-safe"))
+    val e4 = intercept[IllegalArgumentException] {
+      FieldedIndex.searchTopK(spark, tmp("graft-fidx-none"), "stream",
+        Seq("text" -> 1.0), 5)
+    }
+    assert(e4.getMessage.contains("_fields_meta"))
+    // empty-analysis query: ES's empty hits, not an error
+    assert(FieldedIndex.searchTopK(spark, root, "   ",
+      Seq("text" -> 1.0), 5).count() == 0)
+  }
+}
