@@ -176,4 +176,58 @@ object EsMatch {
       }
     }
   }
+
+  /** ES `highlight` for a `match_phrase` query: every exact-adjacency
+    * occurrence of the analyzed phrase wraps AS A UNIT —
+    * `<em>quick brown</em>`, one tag pair per occurrence — instead of
+    * [[highlight]]'s per-token tags. Overlapping / adjacent
+    * occurrences merge into one tagged span (Lucene's highlighter
+    * merges overlapping passages the same way): a token is covered
+    * when ANY occurrence covers it, a tag opens where coverage
+    * starts and closes where it ends. Same fragment surface as
+    * [[highlight]] (original token bytes inside the tags, whitespace
+    * runs collapse, NULL when the phrase never occurs), same analyzer
+    * options, order and repeats of the phrase terms preserved. Pure
+    * HOF expression over 0-based token positions — the adjacency
+    * semantics [[graft.operators.InvertedIndex]]'s positional
+    * postings (idx7/idx8) serve, replayed scan-side.
+    */
+  def highlightPhrase(text: Column, phrase: String,
+                      analyzer: String = "standard",
+                      preTag: String = "<em>",
+                      postTag: String = "</em>"): Column = {
+    EnglishMinimalStem.requireKnown(analyzer)
+    val qs = qTokens(phrase, analyzer)
+    if (qs.isEmpty) lit(null).cast("string")
+    else {
+      val len = qs.size
+      def norm(t: Column): Column =
+        if (analyzer == "english") EnglishMinimalStem.stem(lower(t))
+        else lower(t)
+      TextAnalysis.bindOnce(
+        filter(split(text, "\\s+"), t => length(t) > 0)) { toks =>
+        val n = size(toks)
+        // n < len guard: Spark's sequence(0, negative) DESCENDS
+        val starts0 = when(n >= len,
+          filter(sequence(lit(0), n - len), i =>
+            qs.zipWithIndex.map { case (q, j) =>
+              norm(element_at(toks, (i + lit(j + 1)).cast("int"))) ===
+                lit(q)
+            }.reduce(_ && _)))
+          .otherwise(array().cast("array<int>"))
+        TextAnalysis.bindOnce(starts0) { starts =>
+          def covered(p: Column): Column =
+            exists(starts, s => p >= s && p < s + lit(len))
+          when(size(starts) > 0,
+            concat_ws(" ", transform(toks, (t, p) => concat(
+              when(covered(p) && !covered(p - 1), lit(preTag))
+                .otherwise(lit("")),
+              t,
+              when(covered(p) && !covered(p + 1), lit(postTag))
+                .otherwise(lit(""))))))
+            .otherwise(lit(null).cast("string"))
+        }
+      }
+    }
+  }
 }

@@ -416,6 +416,22 @@ object FacadeQueries {
         .filter(col("hl").isNotNull)
         .orderBy("doc_id")
     }),
+    // PHRASE-aware highlight: each exact-adjacency occurrence wraps
+    // as a UNIT (one tag pair), overlapping occurrences merge into
+    // one span — "batch batch" over a "batch batch batch" run is the
+    // merge case the per-token highlighter cannot express. The oracle
+    // replays the 0-based start enumeration, the coverage test, and
+    // the open/close-at-boundary render per token
+    "hl2_phrase_highlight" -> ((s, d) => {
+      val base = docs(s, d).df.select(col("doc_id"), col("text"))
+      Seq("order fast", "batch batch").map { q =>
+        base.select(col("doc_id"), lit(q).as("q"),
+          graft.functions.EsMatch.highlightPhrase(col("text"), q)
+            .as("hl"))
+      }.reduce(_ unionByName _)
+        .filter(col("hl").isNotNull)
+        .orderBy("q", "doc_id")
+    }),
     // geo_distance through the raw-DSL escape hatch (the reference's
     // flights OriginLocation geo_point passthrough,
     // eland/query_compiler.py:490-491) PLUS gauss geo decay through
@@ -883,6 +899,35 @@ object FacadeQueries {
            |    END AS hl
            |  FROM (${QueryUtil.stemFixtureSql}))
            |WHERE hl IS NOT NULL ORDER BY doc_id""".stripMargin
+    },
+    // phrase-unit replay: 0-based adjacency starts, coverage =
+    // any start covering the position, tags open/close exactly at
+    // coverage boundaries (so overlaps render merged)
+    "hl2_phrase_highlight" -> {
+      val raws =
+        raw"""list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+      def cov(p: String) =
+        s"len(list_filter(starts, s -> $p >= s AND $p < s + 2)) > 0"
+      def one(q: String, w1: String, w2: String) =
+        raw"""SELECT doc_id, '$q' AS q,
+             |  CASE WHEN len(starts) > 0 THEN array_to_string(
+             |    list_transform(range(0, n), p ->
+             |      (CASE WHEN ${cov("p")} AND NOT (${cov("(p - 1)")})
+             |            THEN '<em>' ELSE '' END) || otoks[p + 1] ||
+             |      (CASE WHEN ${cov("p")} AND NOT (${cov("(p + 1)")})
+             |            THEN '</em>' ELSE '' END)), ' ')
+             |  END AS hl
+             |FROM (SELECT doc_id, otoks, len(otoks) AS n,
+             |        list_filter(range(0, len(otoks) - 1), i ->
+             |          lower(otoks[i + 1]) = '$w1' AND
+             |          lower(otoks[i + 2]) = '$w2') AS starts
+             |      FROM (SELECT doc_id, $raws AS otoks
+             |            FROM documents))""".stripMargin
+      s"""SELECT doc_id, q, hl FROM (
+         |${one("order fast", "order", "fast")}
+         |UNION ALL
+         |${one("batch batch", "batch", "batch")})
+         |WHERE hl IS NOT NULL ORDER BY q, doc_id""".stripMargin
     },
     // haversine mirrored operation-for-operation (QueryUtil
     // .haversineSqlMeters = the Geo.haversineMeters tree), raw-double

@@ -241,4 +241,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(red(1) == "order 4111 1111 1111 1112 is not a card", red(1))
     assert(red(2) == "id 1234567890123456 and mail <EMAIL>", red(2))
   }
+
+  test("highlightPhrase wraps adjacency occurrences as units, merges " +
+      "overlaps, keeps original bytes, NULLs non-matches") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox quick brown end"),
+      (2L, "a a a b"),           // overlapping "a a" -> one merged span
+      (3L, "quick alone brown"), // terms present, no adjacency -> NULL
+      (4L, "x"),                 // shorter than the phrase -> NULL
+      (5L, "Quick Brown tail")   // analyzed match, original bytes kept
+    ).toDF("id", "t")
+    val got = df.select($"id",
+        graft.functions.EsMatch.highlightPhrase($"t", "quick brown")
+          .as("hl"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1).contains(
+      "the <em>quick brown</em> fox <em>quick brown</em> end"), got(1))
+    assert(got(3).isEmpty && got(4).isEmpty)
+    assert(got(5).contains("<em>Quick Brown</em> tail"), got(5))
+    val aa = df.filter($"id" === 2)
+      .select(graft.functions.EsMatch.highlightPhrase($"t", "a a"))
+      .head().getString(0)
+    assert(aa == "<em>a a a</em> b", aa)
+  }
 }
