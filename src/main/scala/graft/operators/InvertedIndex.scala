@@ -1474,4 +1474,100 @@ object InvertedIndex {
       .take(k)
     out.toDF("term", "df", "distance")
   }
+
+  // ---- completion (prefix) suggester ------------------------------
+  // The md5 term buckets scatter prefixes by design (uniform layout
+  // for point lookups), so a prefix read cannot bucket-prune — the ES
+  // completion suggester's role needs its own access path: a sorted
+  // vocabulary SIDECAR, range-partitioned and sorted by term, so a
+  // `term >= p AND term < p+1` range predicate pushes to parquet and
+  // row-group min/max stats prune everything outside the prefix range
+  // (the vocabulary is tiny next to postings — strings only, one row
+  // per distinct term).
+
+  /** Build (or rebuild) the sorted vocabulary sidecar at
+    * `indexPath/vocab` for [[suggestCompletions]], with the same
+    * build-from fingerprint (`vocab_segments`, written LAST) and
+    * staleness direction as [[buildFuzzyDictionary]]: an append since
+    * the build would silently miss its new vocabulary, so queries
+    * refuse a mismatched segment set loudly.
+    */
+  def buildVocabulary(spark: SparkSession, indexPath: String): Unit = {
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    mergedPostings(spark, segs, identity)
+      .select("term").distinct()
+      .repartitionByRange(8, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$indexPath/vocab")
+    import spark.implicits._
+    segNames(segs).toDF("segment")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/vocab_segments")
+  }
+
+  /** ES's completion suggester from the live index: the top-`k`
+    * vocabulary terms extending `prefix`, ranked by LIVE document
+    * frequency (df desc, term asc) — popularity from the index that
+    * serves the queries, not a frozen weight. The prefix is
+    * lowercased but NOT stemmed (a prefix is not a term; under an
+    * "english" index it completes against the stored, stemmed
+    * vocabulary — ES's completion field is likewise analyzer-light).
+    *
+    * Cost: one range-pruned vocabulary read (bounded by
+    * `maxCandidates`, loud beyond it — a one-letter prefix over a
+    * degenerate vocabulary is a deliberate choice), then sg1's
+    * bucket-pruned live-df read over the bounded candidate set.
+    * Terms whose postings are fully tombstoned have no live df and
+    * drop out, so suggestions never resurrect deleted-only terms.
+    */
+  def suggestCompletions(spark: SparkSession, indexPath: String,
+                         prefix: String, k: Int = 5,
+                         maxCandidates: Int = 10000): DataFrame = {
+    require(k > 0, "k must be positive")
+    val p = prefix.toLowerCase(java.util.Locale.ROOT)
+    require(p.nonEmpty,
+      "empty prefix would enumerate the whole vocabulary — give at " +
+        "least one character")
+    val fs = fsOf(spark, indexPath)
+    require(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$indexPath/vocab/_SUCCESS")),
+      s"$indexPath has no committed vocabulary sidecar — " +
+        "buildVocabulary() first")
+    require(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$indexPath/vocab_segments/_SUCCESS")),
+      s"$indexPath/vocab has no segment fingerprint (built by an " +
+        "older version, or the build crashed) — buildVocabulary() again")
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val recorded = spark.read.parquet(s"$indexPath/vocab_segments")
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(recorded == segNames(segs),
+      s"$indexPath/vocab is STALE: it was built from segments " +
+        s"$recorded but the index now has ${segNames(segs)} — " +
+        "appended/compacted vocabulary would silently miss from " +
+        "completions; buildVocabulary() again")
+    // range bound for row-group pruning + the exact prefix test
+    // (startsWith alone doesn't push as a range); any real char's
+    // first UTF-16 unit sorts below the U+FFFF noncharacter, so the
+    // upper bound never excludes a true extension of the prefix
+    val cand = spark.read.parquet(s"$indexPath/vocab")
+      .filter(col("term") >= p && col("term") < p + '￿')
+      .filter(col("term").startsWith(p))
+      .limit(maxCandidates + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(cand.length <= maxCandidates,
+      s"prefix '$prefix' matched more than $maxCandidates vocabulary " +
+        "terms — lengthen the prefix or raise the cap deliberately")
+    import spark.implicits._
+    if (cand.isEmpty) return Seq.empty[(String, Long)].toDF("term", "df")
+    val st = liveStats(spark, segs, committedDeletes(spark, indexPath))
+    val dels = committedDeletes(spark, indexPath)
+    prunedLivePostings(spark, segs, dels, cand, st.buckets)
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+  }
 }

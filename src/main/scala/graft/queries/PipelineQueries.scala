@@ -1467,6 +1467,25 @@ object PipelineQueries {
         .suggestTerms(s, path, "stream", k = 5).withColumn("q", lit("stream"))
       a.unionByName(b).orderBy(col("q"), col("df").desc, col("term"))
     }),
+    // the ES COMPLETION suggester ("search-as-you-type" box): top-k
+    // vocabulary terms extending a prefix by LIVE df, served from the
+    // sorted vocabulary sidecar (range-pruned — the md5 term buckets
+    // scatter prefixes by design) + sg1's bucket-pruned df read. The
+    // oracle ranks the brute vocabulary scan — the sidecar never
+    // exists oracle-side, so a range-bound or ranking slip mismatches
+    "sg2_prefix_suggest" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-sg2-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", path)
+      graft.operators.InvertedIndex.buildVocabulary(s, path)
+      val a = graft.operators.InvertedIndex
+        .suggestCompletions(s, path, "s", k = 5).withColumn("q", lit("s"))
+      val b = graft.operators.InvertedIndex
+        .suggestCompletions(s, path, "wi", k = 5).withColumn("q", lit("wi"))
+      a.unionByName(b).orderBy(col("q"), col("df").desc, col("term"))
+    }),
     // more_like_this served from the index: doc 5's text is the like
     // input, term selection (like-tf >= 2, live df >= 5, top 5 by
     // 6dp-rounded tf*idf, term-asc ties) then BM25 with a 30%-floored
@@ -3421,6 +3440,23 @@ object PipelineQueries {
            |SELECT term, df, CAST(1 AS INT), 'stream'
            |FROM voc WHERE levenshtein(term, 'stream') = 1
            |  AND NOT EXISTS (SELECT 1 FROM voc v2 WHERE v2.term = 'stream')
+           |ORDER BY q, df DESC, term""".stripMargin,
+    // brute prefix-completion replay: whole-vocabulary prefix scan +
+    // df ranking with the per-prefix rank cut
+    "sg2_prefix_suggest" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |voc AS (SELECT t AS term,
+           |          CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           |        FROM (SELECT doc_id, unnest(toks) AS t FROM s)
+           |        GROUP BY 1),
+           |r AS (SELECT q, term, df, row_number() OVER (
+           |        PARTITION BY q ORDER BY df DESC, term) AS rn
+           |      FROM (SELECT 's' AS q, term, df FROM voc
+           |            WHERE starts_with(term, 's')
+           |            UNION ALL
+           |            SELECT 'wi', term, df FROM voc
+           |            WHERE starts_with(term, 'wi')))
+           |SELECT term, df, q FROM r WHERE rn <= 5
            |ORDER BY q, df DESC, term""".stripMargin,
     // full-recipe MLT replay: like-term tf from doc 5, corpus df,
     // rounded tf*idf selection with the LIMIT cut, the 30%-floor msm,

@@ -1115,4 +1115,35 @@ class InvertedIndexSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(scored == viaIndex, scored)
   }
+
+  test("completion suggester: live-df ranking, delete-awareness, " +
+      "staleness and empty-prefix refusals") {
+    val docs = Seq(
+      (1L, "stream stream sort"), (2L, "stream sort"), (3L, "stream"),
+      (4L, "sort spark"), (5L, "window")).toDF("doc_id", "text")
+    val path = tmp("graft-idx-sg2")
+    InvertedIndex.build(docs, "doc_id", "text", path)
+    InvertedIndex.buildVocabulary(spark, path)
+    def top(prefix: String, k: Int = 5): Seq[(String, Long)] =
+      InvertedIndex.suggestCompletions(spark, path, prefix, k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // df: stream 3, sort 3, spark 1 — ties break term-asc
+    assert(top("s") == Seq(("sort", 3L), ("stream", 3L), ("spark", 1L)))
+    assert(top("st") == Seq(("stream", 3L)))
+    assert(top("zz").isEmpty)
+    // live df: deleting doc 1 drops stream to 2 WITHOUT a vocab
+    // rebuild (tombstones don't change the segment set)
+    InvertedIndex.deleteDocs(docs.filter($"doc_id" === 1L)
+      .select("doc_id"), path)
+    assert(top("st") == Seq(("stream", 2L)))
+    // an append DOES change the segment set: stale sidecar refuses
+    InvertedIndex.append(Seq((6L, "storage")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    val e = intercept[IllegalArgumentException] { top("st") }
+    assert(e.getMessage.contains("STALE"))
+    InvertedIndex.buildVocabulary(spark, path)
+    assert(top("sto") == Seq(("storage", 1L)))
+    val e2 = intercept[IllegalArgumentException] { top("") }
+    assert(e2.getMessage.contains("prefix"))
+  }
 }
