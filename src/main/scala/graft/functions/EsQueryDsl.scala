@@ -34,9 +34,8 @@ import graft.api.Predicates
   *    struct column ([[Geo]]); arc distance only
   *  - `match_all` / `match_none`
   *
-  * Aggregation-side clauses and the remaining geo shapes
-  * (`geo_bounding_box` crossing the antimeridian, geohash points,
-  * `distance_type: plane`, ...) are NOT translatable to
+  * Aggregation-side clauses and the remaining geo shapes (geohash
+  * points, `distance_type: plane`, ...) are NOT translatable to
   * engine-independent semantics and raise IllegalArgumentException —
   * mirroring how running them against a different backend would
   * silently change meaning.
@@ -389,9 +388,8 @@ object EsQueryDsl {
         // {"geo_bounding_box": {"<field>": {"top_left": pt,
         // "bottom_right": pt}}} — corners in any [[parseGeoPoint]]
         // spelling, or the flat top/left/bottom/right numeric keys.
-        // Boxes CROSSING the antimeridian (left > right) have
-        // wrap-around semantics no plain comparison expresses and
-        // refuse loudly.
+        // left > right is ES's antimeridian-crossing box and splits
+        // into two ranges OR'd together below.
         val (field, boxJ) = lonely(body, "geo_bounding_box")
         def num(x: JValue, k: String): Double = x match {
           case JInt(v)     => v.toDouble
@@ -416,14 +414,15 @@ object EsQueryDsl {
           }
         require(bottom <= top,
           s"geo_bounding_box($field): bottom $bottom above top $top")
-        require(left <= right,
-          s"geo_bounding_box($field): left $left > right $right — a " +
-            "box crossing the antimeridian has wrap-around semantics " +
-            "with no engine-independent translation here; split it " +
-            "into two boxes under bool.should")
         val lat = col(field).getField("lat").cast("double")
         val lon = col(field).getField("lon").cast("double")
-        lat <= top && lat >= bottom && lon >= left && lon <= right
+        val latIn = lat <= top && lat >= bottom
+        // left > right IS ES's antimeridian-crossing box (the dateline
+        // wrap): the wrap splits into two plain ranges OR'd together —
+        // [left, 180] ∪ [-180, right] — which is engine-independent
+        // arithmetic after all
+        if (left <= right) latIn && lon >= left && lon <= right
+        else latIn && (lon >= left || lon <= right)
       case "exists" =>
         col((body \ "field").extract[String]).isNotNull
       case "ids" =>

@@ -462,9 +462,9 @@ object FacadeQueries {
           col("_score").as("score"))
         .orderBy("c_custkey")
     }),
-    // geo_bounding_box (the non-antimeridian case; crossing boxes
-    // refuse loudly): same integer-derived lat/lon struct as f27,
-    // corner-object spelling — four comparisons, trivially replayable
+    // geo_bounding_box (the non-antimeridian case): same
+    // integer-derived lat/lon struct as f27, corner-object spelling —
+    // four comparisons, trivially replayable
     "f28_geo_bbox" -> ((s, d) => {
       customer(s, d).withColumn("loc", struct(
           ((col("c_custkey") % 121) - 60).cast("double").as("lat"),
@@ -473,6 +473,21 @@ object FacadeQueries {
           """{"geo_bounding_box": {"loc": {
             |  "top_left": {"lat": 30, "lon": -10},
             |  "bottom_right": {"lat": -5, "lon": 40}}}}""".stripMargin)
+        .select(Seq("c_custkey")).df.orderBy("c_custkey")
+    }),
+    // geo_bounding_box CROSSING the antimeridian (left > right — ES's
+    // dateline wrap): the wrap splits into [left, 180] ∪ [-180, right]
+    // OR'd together; the fixture lons span [-150, 150] so BOTH tails
+    // of the wrapped box carry rows, and an unwrapped (left <= right)
+    // misreading would return the complement instead
+    "f30_geo_bbox_wrap" -> ((s, d) => {
+      customer(s, d).withColumn("loc", struct(
+          ((col("c_custkey") % 121) - 60).cast("double").as("lat"),
+          (((col("c_custkey") * 7) % 301) - 150).cast("double").as("lon")))
+        .esQuery(
+          """{"geo_bounding_box": {"loc": {
+            |  "top_left": {"lat": 45, "lon": 130},
+            |  "bottom_right": {"lat": -20, "lon": -130}}}}""".stripMargin)
         .select(Seq("c_custkey")).df.orderBy("c_custkey")
     }),
     // deterministic random_score (seed AND field, ES's reproducible
@@ -959,6 +974,16 @@ object FacadeQueries {
            |         CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE) AS lon
            |  FROM customer)
            |WHERE lat <= 30 AND lat >= -5 AND lon >= -10 AND lon <= 40
+           |ORDER BY c_custkey""".stripMargin,
+    // the wrapped box: two lon ranges OR'd
+    "f30_geo_bbox_wrap" ->
+      raw"""SELECT c_custkey FROM (
+           |  SELECT c_custkey,
+           |         CAST((c_custkey % 121) - 60 AS DOUBLE) AS lat,
+           |         CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE) AS lon
+           |  FROM customer)
+           |WHERE lat <= 45 AND lat >= -20
+           |  AND (lon >= 130 OR lon <= -130)
            |ORDER BY c_custkey""".stripMargin,
     // decay replay: same σ²/λ/slope arithmetic (power-of-two scalings
     // commute with IEEE rounding, and every transcendental rounds to

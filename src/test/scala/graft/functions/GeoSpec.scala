@@ -86,7 +86,7 @@ class GeoSpec extends AnyFunSuite {
   }
 
   test("geo_bounding_box: corner and flat spellings, inclusive edges, " +
-      "antimeridian refusal") {
+      "antimeridian wrap") {
     def ids(json: String): Seq[Long] =
       points.filter(EsQueryDsl.toColumn(json)).select("id")
         .collect().map(_.getLong(0)).sorted.toSeq
@@ -105,11 +105,19 @@ class GeoSpec extends AnyFunSuite {
       """{"geo_bounding_box": {"loc": {
         |  "top_left": [13.0, 53.0],
         |  "bottom_right": [14.0, 52.0]}}}""".stripMargin) == Seq(4L))
-    val e = intercept[IllegalArgumentException](ids(
+    // left > right IS ES's antimeridian-crossing box: two lon ranges
+    // OR'd — [150, 180] ∪ [-180, -170] catches Sydney (151.2) only
+    assert(ids(
       """{"geo_bounding_box": {"loc": {
-        |  "top_left": {"lat": 10, "lon": 170},
-        |  "bottom_right": {"lat": 0, "lon": -170}}}}""".stripMargin))
-    assert(e.getMessage.contains("antimeridian"), e.getMessage)
+        |  "top_left": {"lat": 10, "lon": 150},
+        |  "bottom_right": {"lat": -60, "lon": -170}}}}""".stripMargin)
+      == Seq(6L))
+    // the same wrap excluding Sydney's longitude catches nothing
+    assert(ids(
+      """{"geo_bounding_box": {"loc": {
+        |  "top_left": {"lat": 10, "lon": 160},
+        |  "bottom_right": {"lat": -60, "lon": -170}}}}""".stripMargin)
+      .isEmpty)
   }
 
   test("gauss geo decay: 1.0 at origin (and inside offset), = decay at " +
