@@ -399,6 +399,25 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     df.agg(exprs.head, exprs.tail: _*)
   }
 
+  /** ES `percentile_ranks` — the inverse of [[quantile]], reached in
+    * eland via the raw-DSL aggregation passthrough: for each fixed
+    * value, the percent of non-null observations <= it. EXACT (a
+    * count ratio in one pass — the reference's TDigest interpolates;
+    * this is the engine-independent number that sketch approximates).
+    * One row, one `<col>_rank_<value>` column per value; values
+    * outside the observed range read 0 / 100 like ES's clamped tails.
+    */
+  def percentileRanks(colName: String, values: Seq[Double]): DataFrame = {
+    require(values.nonEmpty, "percentileRanks needs at least one value")
+    val c = col(colName)
+    def key(v: Double) =
+      v.toString.replace('.', '_').replace('-', 'm')
+    val exprs = values.map(v =>
+      (F.sum(F.when(c <= v, 1L).otherwise(0L)) * 100.0 / F.count(c))
+        .as(s"${colName}_rank_${key(v)}"))
+    df.agg(exprs.head, exprs.tail: _*)
+  }
+
   /** Median absolute deviation, exact two-pass (eland's is TDigest,
     * eland/operations.py:1120-1121). Uses the builtin count-map
     * median; for high-cardinality columns chain

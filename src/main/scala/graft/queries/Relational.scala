@@ -193,6 +193,20 @@ object Relational {
           round(col("q50"), 4).as("q50"),
           round(col("q75"), 4).as("q75"))
     }),
+    // percentile_ranks — A8's inverse (ES exposes it, eland reaches
+    // it via the raw-DSL aggs passthrough): percent of non-null
+    // values <= each probe, EXACT count ratio (the TDigest number's
+    // engine-independent target). Probes straddle the distribution
+    // so low/mid/high tails all carry signal
+    "ax2_percentile_ranks" -> ((s, d) => {
+      graft.api.GraftFrame(t(s, d, "lineitem"), "l_orderkey")
+        .percentileRanks("l_extendedprice",
+          Seq(1000.0, 30000.0, 60000.0))
+        .select(
+          round(col("l_extendedprice_rank_1000_0"), 6).as("r1000"),
+          round(col("l_extendedprice_rank_30000_0"), 6).as("r30000"),
+          round(col("l_extendedprice_rank_60000_0"), 6).as("r60000"))
+    }),
     // A9 MAD — two-pass exact (reference: TDigest approx,
     // eland/operations.py:1120-1121); both medians via the sort-based
     // path (the builtin's count map pays O(distinct) twice here)
@@ -754,6 +768,16 @@ object Relational {
         |FROM lineitem""".stripMargin,
     "a9_mad" ->
       """SELECT round(mad(l_extendedprice), 4) AS mad_price FROM lineitem""",
+    // same multiply-then-divide order as the Spark agg (IEEE parity)
+    "ax2_percentile_ranks" ->
+      """SELECT
+        |  round(count_if(l_extendedprice <= 1000.0) * 100.0 /
+        |        count(l_extendedprice), 6) AS r1000,
+        |  round(count_if(l_extendedprice <= 30000.0) * 100.0 /
+        |        count(l_extendedprice), 6) AS r30000,
+        |  round(count_if(l_extendedprice <= 60000.0) * 100.0 /
+        |        count(l_extendedprice), 6) AS r60000
+        |FROM lineitem""".stripMargin,
     "a10_nunique" ->
       """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS nu_part,
         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nu_supp,
