@@ -409,6 +409,8 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     */
   def percentileRanks(colName: String, values: Seq[Double]): DataFrame = {
     require(values.nonEmpty, "percentileRanks needs at least one value")
+    require(values.distinct == values,
+      s"duplicate probe values in $values (would collide column names)")
     val c = col(colName)
     def key(v: Double) =
       v.toString.replace('.', '_').replace('-', 'm')

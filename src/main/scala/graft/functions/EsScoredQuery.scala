@@ -194,8 +194,13 @@ object EsScoredQuery {
         // field's match score (composing with the clause boost)
         val fieldBoosts = fields.map { f =>
           f.split("\\^") match {
-            case Array(name)     => (name, 1.0)
-            case Array(name, bo) => (name, bo.toDouble)
+            case Array(name) if name.nonEmpty => (name, 1.0)
+            case Array(name, bo) if name.nonEmpty =>
+              (name, try bo.toDouble catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"malformed field boost '$f' (boost not a number)")
+              })
             case _ => throw new IllegalArgumentException(
               s"malformed field boost '$f' (expected name or name^boost)")
           }

@@ -157,6 +157,15 @@ object FieldedIndex {
     fields(spark, root).foreach(f =>
       InvertedIndex.compact(spark, fieldDir(root, f)))
 
+  /** One-call recovery after a crashed lifecycle op: finish or roll
+    * back each field subtree's manifest state ([[InvertedIndex.heal]]
+    * per field, in meta order) — the single-writer crash story for
+    * the whole root.
+    */
+  def heal(spark: SparkSession, root: String): Unit =
+    fields(spark, root).foreach(f =>
+      InvertedIndex.heal(spark, fieldDir(root, f)))
+
   /** Observability: [[InvertedIndex.stats]] per field, field-tagged. */
   def stats(spark: SparkSession, root: String): DataFrame =
     fields(spark, root).map(f =>

@@ -111,7 +111,11 @@ object DumpPlans {
     "vd1_snapshot_diff" ->
       "Snapshot diff: both corpus versions project to (id, 16-byte digest) before anything joins — the full outer join shuffles digests, never documents, so auditing a 100TB re-cut moves ~24 B/doc.",
     "idx9_stemmed_search" ->
-      "Analyzed index search: stemming happens ONCE at segment-write time (postings store stems; the analyzer rides the stats tables), so the query path is byte-identical to idx1 — driver-side query-term analysis plus the same bucket-pruned postings read. The analysis chain adds zero per-query corpus work.")
+      "Analyzed index search: stemming happens ONCE at segment-write time (postings store stems; the analyzer rides the stats tables), so the query path is byte-identical to idx1 — driver-side query-term analysis plus the same bucket-pruned postings read. The analysis chain adds zero per-query corpus work.",
+    "idx11_fielded_search" ->
+      "Fielded multi_match from postings: each field's read keeps idx1's bucket PartitionFilters + term pushdown inside its OWN subtree (field-major directories — other fields' postings are pruned at the directory level before bucket pruning even starts), per-field RAW scores aggregate to (id, score) rows, and the best_fields/most_fields combine is ONE id-keyed shuffle over those rows. No per-field top-k truncation before the combine (dis_max over truncated lists would drop docs whose best field ranked below the cut); nothing corpus-sized exists past the pruned per-field reads.",
+    "sg2_prefix_suggest" ->
+      "Completion suggester: the md5 term buckets scatter prefixes by design, so the prefix read hits the SORTED vocabulary sidecar with a term RANGE predicate — parquet row-group min/max stats prune everything outside [p, p+U+FFFF) — candidates are capped and collected driver-side, and live df rides the ordinary bucket-pruned postings read. A prefix query costs O(matching vocabulary) + O(candidate postings), never a vocabulary or corpus scan.")
 
   private val epilogue: String = """
 ## Streaming index-lifecycle gate cost (st6, st9-st13) — r12 adjudication
