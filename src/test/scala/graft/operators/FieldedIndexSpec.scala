@@ -124,4 +124,27 @@ class FieldedIndexSpec extends AnyFunSuite {
     assert(FieldedIndex.searchTopK(spark, root, "   ",
       Seq("text" -> 1.0), 5).count() == 0)
   }
+
+  test("plan: every per-field postings scan keeps bucket " +
+      "PartitionFilters and the term pushdown") {
+    val root = tmp("graft-fidx-plan")
+    FieldedIndex.build(corpus(), "doc_id", Seq("title", "text"), root)
+    val df = FieldedIndex.searchTopK(spark, root, "stream filter",
+      Seq("title" -> 2.0, "text" -> 1.0), 5)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("postings")))
+    // both fields' subtrees are read (df + score per field)
+    assert(scans.exists(_.relation.location.rootPaths
+      .exists(_.toString.contains("fields/title"))))
+    assert(scans.exists(_.relation.location.rootPaths
+      .exists(_.toString.contains("fields/text"))))
+    scans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"no bucket PartitionFilters on ${s.relation.location.rootPaths}")
+      assert(s.dataFilters.nonEmpty,
+        s"term filter not pushed on ${s.relation.location.rootPaths}")
+    }
+  }
 }

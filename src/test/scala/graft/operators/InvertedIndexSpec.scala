@@ -1145,5 +1145,15 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(top("sto") == Seq(("storage", 1L)))
     val e2 = intercept[IllegalArgumentException] { top("") }
     assert(e2.getMessage.contains("prefix"))
+    // plan pin: the prefix read pushes a term RANGE into the vocab
+    // scan (the row-group pruning lever at real vocabulary sizes)
+    val vdf = spark.read.parquet(s"$path/vocab")
+      .filter(org.apache.spark.sql.functions.col("term") >= "st" &&
+        org.apache.spark.sql.functions.col("term") < "st￿")
+    val vscan = vdf.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(vscan.dataFilters.nonEmpty,
+      "term range not pushed into the vocabulary scan")
   }
 }
