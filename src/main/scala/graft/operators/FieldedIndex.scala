@@ -51,17 +51,35 @@ import org.apache.spark.sql.functions._
   * where the scan path rounds. Differential-pinned in
   * FieldedIndexSpec.
   *
-  * Lifecycle ops apply per field in the meta's field order. They
-  * inherit the single-writer contract, and a crash between fields
-  * leaves the already-written fields committed and the rest not — the
-  * per-field contracts then fail LOUDLY on a blind retry (append's
-  * new-ids check, deleteDocs' live-ids check), never silently skew
-  * stats; resume by re-running against the remaining fields.
+  * Lifecycle ops apply per field CONCURRENTLY ([[perField]] — the
+  * subtrees are independent single-writer domains). They inherit the
+  * single-writer contract per subtree, and a crash mid-op leaves each
+  * field either committed or invisible — the per-field contracts then
+  * fail LOUDLY on a blind retry (append's new-ids check, deleteDocs'
+  * live-ids check), never silently skew stats; [[heal]] sweeps the
+  * uncommitted halves, then resume against the fields that miss the
+  * batch.
   */
 object FieldedIndex {
 
   private def fieldDir(root: String, f: String) = s"$root/fields/$f"
   private def metaPath(root: String) = s"$root/_fields_meta"
+
+  /** Run one lifecycle op per field CONCURRENTLY: the subtrees are
+    * independent single-writer domains (no shared files, no shared
+    * stats), and Spark's scheduler interleaves their jobs — a
+    * two-field build costs about one field's wall-clock instead of
+    * two. The first failure propagates after all futures settle, so a
+    * crash still leaves each subtree either committed or invisible.
+    */
+  private def perField[T](items: Seq[T])(f: T => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(items.map(i => Future(f(i)))), Duration.Inf)
+    ()
+  }
 
   /** Field names must be path-safe: they become directory names. */
   private def requirePathSafe(f: String): Unit =
@@ -102,7 +120,8 @@ object FieldedIndex {
     val staged = docs
       .select((idCol +: fieldCols).map(col): _*).persist()
     try {
-      fieldCols.foreach(f => InvertedIndex.build(staged, idCol, f,
+      staged.count() // materialize once before the concurrent builds
+      perField(fieldCols)(f => InvertedIndex.build(staged, idCol, f,
         fieldDir(root, f), buckets, positions, analyzer))
       spark.range(1).select(
           lit(fieldCols.mkString(",")).as("fields"),
@@ -123,9 +142,11 @@ object FieldedIndex {
     val spark = docs.sparkSession
     val fs = fields(spark, root)
     val staged = docs.select((idCol +: fs).map(col): _*).persist()
-    try fs.foreach(f =>
-      InvertedIndex.append(staged, idCol, f, fieldDir(root, f)))
-    finally {
+    try {
+      staged.count() // materialize once before the concurrent appends
+      perField(fs)(f =>
+        InvertedIndex.append(staged, idCol, f, fieldDir(root, f)))
+    } finally {
       staged.unpersist()
       ()
     }
@@ -136,7 +157,7 @@ object FieldedIndex {
     * set, so one contract violation means all would violate).
     */
   def deleteDocs(ids: DataFrame, root: String): Unit =
-    fields(ids.sparkSession, root).foreach(f =>
+    perField(fields(ids.sparkSession, root))(f =>
       InvertedIndex.deleteDocs(ids, fieldDir(root, f)))
 
   /** ES-style update: tombstone live versions + append, per field. */
@@ -144,9 +165,11 @@ object FieldedIndex {
     val spark = docs.sparkSession
     val fs = fields(spark, root)
     val staged = docs.select((idCol +: fs).map(col): _*).persist()
-    try fs.foreach(f =>
-      InvertedIndex.upsertDocs(staged, idCol, f, fieldDir(root, f)))
-    finally {
+    try {
+      staged.count() // materialize once before the concurrent upserts
+      perField(fs)(f =>
+        InvertedIndex.upsertDocs(staged, idCol, f, fieldDir(root, f)))
+    } finally {
       staged.unpersist()
       ()
     }
@@ -154,7 +177,7 @@ object FieldedIndex {
 
   /** Merge each field subtree's segments and apply its tombstones. */
   def compact(spark: SparkSession, root: String): Unit =
-    fields(spark, root).foreach(f =>
+    perField(fields(spark, root))(f =>
       InvertedIndex.compact(spark, fieldDir(root, f)))
 
   /** One-call recovery after a crashed lifecycle op: finish or roll

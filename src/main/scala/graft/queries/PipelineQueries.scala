@@ -1433,8 +1433,12 @@ object PipelineQueries {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
         concat_ws(" ", slice(graft.functions.TextAnalysis
           .tokens(col("text")), 1, 4)).as("title"))
+      // buckets = 16: the gate writes 8 segments (2 fields x
+      // build/append/compact stages) — 64 dirs each would be pure
+      // small-file commit overhead at gate scale; pruning still reads
+      // <= 3 of 16 buckets per field
       graft.operators.FieldedIndex.build(docs.filter(col("doc_id") < 250),
-        "doc_id", Seq("title", "text"), root)
+        "doc_id", Seq("title", "text"), root, buckets = 16)
       graft.operators.FieldedIndex.append(
         docs.filter(col("doc_id") >= 250), "doc_id", root)
       graft.operators.FieldedIndex.deleteDocs(
