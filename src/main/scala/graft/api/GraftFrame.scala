@@ -213,6 +213,31 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
       requireText, termIdf = termIdf))
   }
 
+  /** ES `rescore` over [[esQueryScored]]: the global top `windowSize`
+    * hits of `queryJson` re-rank under `rescoreJson` (see
+    * [[graft.functions.EsScoredQuery.rescoredFrame]] for the exact
+    * window/combine/non-match semantics and the per-shard-window
+    * delta).
+    */
+  def esQueryRescored(queryJson: String, rescoreJson: String,
+                      windowSize: Int, queryWeight: Double = 1.0,
+                      rescoreWeight: Double = 1.0,
+                      scoreMode: String = "total",
+                      matchOnlyTextFields: Boolean = true): GraftFrame = {
+    val requireText: String => Unit =
+      if (!matchOnlyTextFields) _ => ()
+      else { field =>
+        val es = fieldCaps.find(_.column == field).map(_.esDtype)
+          .getOrElse("object")
+        require(es == "text",
+          s"es_query match on non-text field ($field=$es); pin it as " +
+            "text via withEsDtype or pass matchOnlyTextFields=false")
+      }
+    wrap(graft.functions.EsScoredQuery.rescoredFrame(df, idCol,
+      queryJson, rescoreJson, windowSize, queryWeight, rescoreWeight,
+      scoreMode, requireText))
+  }
+
   /** Row drop by id (eland/operations.py:1396-1427). */
   def dropIds(ids: Seq[Any]): GraftFrame =
     wrap(df.filter(!col(idCol).isin(ids: _*)))

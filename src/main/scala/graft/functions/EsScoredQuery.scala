@@ -211,23 +211,36 @@ object EsScoredQuery {
             "fuzziness has no engine-independent SCORED translation")
         val op = (body \ "operator").extractOrElse[String]("or")
         val boost = boostOf(body)
-        val nodes = fieldBoosts.map { case (f, fb) =>
+        def matchNodes = fieldBoosts.map { case (f, fb) =>
           MatchNode(ctx.register(f, analyze(text)), op == "and",
             boost * fb)
         }
         (body \ "type").extractOrElse[String]("best_fields") match {
           // ES best_fields IS dis_max over the per-field match scores
-          case "best_fields" => DisMaxNode(nodes, tieOf(body))
+          case "best_fields" => DisMaxNode(matchNodes, tieOf(body))
           // most_fields IS a bool-should of them (sum; at least one
           // field must match — the pure-should bool's default msm)
           case "most_fields" =>
             if ((body \ "tie_breaker") != JNothing)
               throw new IllegalArgumentException(
                 "tie_breaker applies to best_fields only")
-            BoolNode(Nil, nodes, Nil, Nil, 1)
+            BoolNode(Nil, matchNodes, Nil, Nil, 1)
+          // type: phrase IS dis_max over per-field match_phrase scores
+          // (ES runs the same text as a phrase on each field); order
+          // and repeats of the phrase terms preserved, operator is
+          // meaningless for a phrase and refuses
+          case "phrase" =>
+            if ((body \ "operator") != JNothing)
+              throw new IllegalArgumentException(
+                "operator does not apply to multi_match type phrase")
+            val terms = TextAnalysis.tokensOf(text)
+            if (terms.isEmpty) GatedConst(lit(false), 0.0)
+            else DisMaxNode(fieldBoosts.map { case (f, fb) =>
+              PhraseNode(ctx.registerPhrase(f, terms), boost * fb)
+            }, tieOf(body))
           case other => throw new IllegalArgumentException(
             s"multi_match type '$other' has no engine-independent " +
-              "translation here (best_fields | most_fields)")
+              "translation here (best_fields | most_fields | phrase)")
         }
       case "constant_score" =>
         (body \ "filter") match {
@@ -979,5 +992,78 @@ object EsScoredQuery {
       sum(when(col("_cid") === c.id, col("_s"))).as(s"_q${c.id}_score"),
       count(when(col("_cid") === c.id, 1)).as(s"_q${c.id}_hits")))
     perTerm.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** ES `rescore` — re-rank the TOP of the result list with a second
+    * query (the cheap-retrieval / expensive-rerank pattern;
+    * elasticsearch rescoring API, reached from eland via the raw
+    * body passthrough). Matching rows come back with `_score`
+    * replaced by the rescored number:
+    *
+    *  - the window is the GLOBAL top `windowSize` hits of `queryJson`
+    *    by (6-dp score, id) — ES windows PER SHARD, which is
+    *    engine-dependent by definition; the global cut is the
+    *    deterministic semantics it approximates (documented delta,
+    *    like `num_candidates`),
+    *  - windowed docs matching `rescoreJson` combine
+    *    queryWeight × base with rescoreWeight × rescore under
+    *    `scoreMode` (total | multiply | avg | max | min — ES's five),
+    *  - windowed docs NOT matching the rescore query keep
+    *    queryWeight × base (Lucene QueryRescorer's non-match arm),
+    *  - docs outside the window keep their ORIGINAL score untouched.
+    *
+    * Both legs are 6-dp-rounded scores and the combine re-rounds —
+    * the hybrid-fusion rounding discipline, so engines agree at every
+    * boundary. Scale shape: the window ranking is the two-phase
+    * per-query top-k (no corpus-sized single-partition sort), the
+    * rescore query runs over ONLY the windowed docs (a broadcast
+    * semi-join), and both correction joins broadcast windowSize-sized
+    * sides.
+    */
+  def rescoredFrame(docs: DataFrame, idCol: String, queryJson: String,
+                    rescoreJson: String, windowSize: Int,
+                    queryWeight: Double = 1.0,
+                    rescoreWeight: Double = 1.0,
+                    scoreMode: String = "total",
+                    requireText: String => Unit = _ => (),
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    require(Set("total", "multiply", "avg", "max", "min")(scoreMode),
+      s"score_mode must be total|multiply|avg|max|min, got '$scoreMode'")
+    val clash = Set("_rq", "rank", "_base_score", "_rescore", "_in_win")
+    require(!docs.columns.exists(clash),
+      s"rescore needs ${clash.mkString("/")} free — rename the " +
+        "clashing column(s)")
+    val base = scoredFrame(docs, idCol, queryJson, requireText, k1, b)
+    val winIds = graft.operators.Similarity.rankTopKPerQuery(
+        base.select(col(idCol), col("_score")).withColumn("_rq", lit(0)),
+        windowSize, "_rq", idCol, "_score")
+      .select(col(idCol))
+    // the rescore leg scores against FULL-corpus statistics (df, N,
+    // avg len are index-wide in Lucene's rescorer — restricting the
+    // frame first would skew them to the window), then the window
+    // semi-join keeps only the docs the rescore may touch; the scored
+    // plan's own prefilter bounds the per-doc work
+    val re = scoredFrame(docs, idCol, rescoreJson, requireText, k1, b)
+      .select(col(idCol), col("_score").as("_rescore"))
+      .join(broadcast(winIds), Seq(idCol), "left_semi")
+    val p = lit(queryWeight) * col("_base_score")
+    val s = lit(rescoreWeight) * col("_rescore")
+    val combined = scoreMode match {
+      case "total"    => p + s
+      case "multiply" => p * s
+      case "avg"      => (p + s) / 2.0
+      case "max"      => greatest(p, s)
+      case "min"      => least(p, s)
+    }
+    base.withColumnRenamed("_score", "_base_score")
+      .join(broadcast(winIds.withColumn("_in_win", lit(true))),
+        Seq(idCol), "left")
+      .join(broadcast(re), Seq(idCol), "left")
+      .withColumn("_score", round(
+        when(col("_in_win").isNull, col("_base_score"))
+          .when(col("_rescore").isNull, p)
+          .otherwise(combined), 6))
+      .drop("_base_score", "_in_win", "_rescore")
   }
 }

@@ -370,6 +370,38 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // multi_match type: phrase — dis_max over PER-FIELD match_phrase
+    // scores (per-field adjacency tf, per-field df/avg-len, boosts,
+    // tie_breaker); a short derived title field gives the two
+    // branches different stats AND different match sets, so a blended
+    // or single-field implementation cannot hash-match
+    "f31_multi_match_phrase" -> ((s, d) => {
+      val df2 = docs(s, d).df.select(col("doc_id"), col("text"),
+        concat_ws(" ", slice(graft.functions.TextAnalysis
+          .tokens(col("text")), 1, 6)).as("title"))
+      GraftFrame(df2, "doc_id").esQueryScored(
+        """{"multi_match": {"query": "order fast",
+          |  "fields": ["title^2", "text"],
+          |  "type": "phrase", "tie_breaker": 0.4}}""".stripMargin)
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
+    // ES rescore: cheap retrieval (match) re-ranked by an expensive
+    // phrase query over the GLOBAL top-15 window only (the per-shard
+    // window is engine-dependent; the global cut is its deterministic
+    // target) — windowed phrase matches combine 1.0*base + 2.0*phrase,
+    // windowed non-matches keep 1.0*base, docs beyond the window keep
+    // their original score untouched. The oracle replays base BM25,
+    // the window rank cut, the phrase leg, and all three combine arms
+    "rs1_rescore" -> ((s, d) => {
+      docs(s, d).esQueryRescored(
+          """{"match": {"text": "stream filter"}}""",
+          """{"match_phrase": {"text": "order fast"}}""",
+          windowSize = 15, queryWeight = 1.0, rescoreWeight = 2.0,
+          scoreMode = "total")
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(12)
+    }),
     // decay functions through function_score (the ES distance-decay
     // recipe on a numeric field): gauss + weighted exp + linear sum
     // and multiply the BM25 base. Pure arithmetic — fully portable —
@@ -891,6 +923,99 @@ object FacadeQueries {
            |      FROM ph p FULL OUTER JOIN bm m ON p.doc_id = m.doc_id)
            |SELECT doc_id, round(psc + msc, 6) AS score FROM u
            |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // per-field phrase replay (f26's arithmetic twice, with per-field
+    // dl/avg/df), boosts, dis_max with tie_breaker
+    "f31_multi_match_phrase" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS btoks FROM documents),
+           |t2 AS (SELECT doc_id, btoks, btoks[1:6] AS ttoks FROM s),
+           |stt AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |          avg(CAST(len(ttoks) AS DOUBLE)) AS avg_len FROM t2),
+           |stb AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |          avg(CAST(len(btoks) AS DOUBLE)) AS avg_len FROM t2),
+           |pdt AS (SELECT
+           |  CAST((SELECT count(*) FROM t2
+           |        WHERE list_contains(ttoks, 'order')) AS DOUBLE) AS df1,
+           |  CAST((SELECT count(*) FROM t2
+           |        WHERE list_contains(ttoks, 'fast')) AS DOUBLE) AS df2),
+           |pdb AS (SELECT
+           |  CAST((SELECT count(*) FROM t2
+           |        WHERE list_contains(btoks, 'order')) AS DOUBLE) AS df1,
+           |  CAST((SELECT count(*) FROM t2
+           |        WHERE list_contains(btoks, 'fast')) AS DOUBLE) AS df2),
+           |ptt AS (SELECT doc_id, CAST(len(ttoks) AS DOUBLE) AS dl,
+           |          CAST(len([i FOR i IN generate_series(1, len(ttoks) - 1)
+           |                    IF ttoks[i] = 'order' AND
+           |                       ttoks[i + 1] = 'fast']) AS DOUBLE) AS ptf
+           |        FROM t2),
+           |ptb AS (SELECT doc_id, CAST(len(btoks) AS DOUBLE) AS dl,
+           |          CAST(len([i FOR i IN generate_series(1, len(btoks) - 1)
+           |                    IF btoks[i] = 'order' AND
+           |                       btoks[i + 1] = 'fast']) AS DOUBLE) AS ptf
+           |        FROM t2),
+           |ft AS (SELECT doc_id,
+           |         (ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) +
+           |          ln(1 + (n - df2 + 0.5) / (df2 + 0.5)))
+           |         * ptf * (1.2 + 1) /
+           |         (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)) * 2.0
+           |           AS sc
+           |       FROM ptt, stt, pdt WHERE ptf > 0),
+           |fb AS (SELECT doc_id,
+           |         (ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) +
+           |          ln(1 + (n - df2 + 0.5) / (df2 + 0.5)))
+           |         * ptf * (1.2 + 1) /
+           |         (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)) * 1.0
+           |           AS sc
+           |       FROM ptb, stb, pdb WHERE ptf > 0),
+           |c AS (SELECT doc_id, max(sc) AS best, sum(sc) AS tot
+           |      FROM (SELECT * FROM ft UNION ALL SELECT * FROM fb)
+           |      GROUP BY doc_id)
+           |SELECT doc_id, round(best + 0.4 * (tot - best), 6) AS score
+           |FROM c ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // base match replay + the GLOBAL window rank cut on the rounded
+    // base score + the phrase leg over windowed docs + the three
+    // combine arms (in-window match / in-window non-match / outside)
+    "rs1_rescore" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |base AS (SELECT doc_id, round(
+           |    sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6)
+           |      AS bscore
+           |  FROM tf JOIN dft USING (t), st GROUP BY doc_id),
+           |win AS (SELECT doc_id, bscore, row_number() OVER (
+           |          ORDER BY bscore DESC, doc_id) AS rn FROM base),
+           |pdf AS (SELECT
+           |  CAST((SELECT count(*) FROM s
+           |        WHERE list_contains(toks, 'order')) AS DOUBLE) AS df1,
+           |  CAST((SELECT count(*) FROM s
+           |        WHERE list_contains(toks, 'fast')) AS DOUBLE) AS df2),
+           |pt AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |         CAST(len([i FOR i IN generate_series(1, len(toks) - 1)
+           |                   IF toks[i] = 'order' AND
+           |                      toks[i + 1] = 'fast']) AS DOUBLE) AS ptf
+           |       FROM s),
+           |ph AS (SELECT doc_id, round(
+           |         (ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) +
+           |          ln(1 + (n - df2 + 0.5) / (df2 + 0.5)))
+           |         * ptf * (1.2 + 1) /
+           |         (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)), 6)
+           |           AS psc
+           |       FROM pt, st, pdf WHERE ptf > 0),
+           |fin AS (SELECT w.doc_id, round(
+           |          CASE WHEN w.rn > 15 THEN w.bscore
+           |               WHEN p.psc IS NULL THEN 1.0 * w.bscore
+           |               ELSE 1.0 * w.bscore + 2.0 * p.psc END, 6)
+           |            AS score
+           |        FROM win w LEFT JOIN ph p ON p.doc_id = w.doc_id)
+           |SELECT doc_id, score FROM fin
+           |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
     // full-term containment + a starts_with scan for the last term —
     // no adjacency anywhere (that is f18's phrase-prefix)
     "f29_bool_prefix" ->

@@ -466,4 +466,49 @@ class EsScoredQuerySpec extends AnyFunSuite {
         s"building the idf-scored frame launched ${counter.get} job(s)")
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("rescore: window cut, non-match arm, and every score mode agree " +
+      "with the two legs composed by hand") {
+    val baseJson = """{"match": {"text": "stream filter"}}"""
+    val phraseJson = """{"match_phrase": {"text": "order fast"}}"""
+    val w = 15
+    val base = EsScoredQuery.scoredFrame(docs, "doc_id", baseJson)
+      .select($"doc_id", $"_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the window is the global top-w by (rounded score, id)
+    val winIds = base.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(w).map(_._1).toSet
+    val ph = EsScoredQuery.scoredFrame(docs, "doc_id", phraseJson)
+      .select($"doc_id", $"_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def rhu6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    for (mode <- Seq("total", "multiply", "avg", "max", "min")) {
+      val got = EsScoredQuery.rescoredFrame(docs, "doc_id", baseJson,
+          phraseJson, w, queryWeight = 0.7, rescoreWeight = 2.0,
+          scoreMode = mode)
+        .select($"doc_id", $"_score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == base.keySet, mode) // result set = base matches
+      for ((id, b) <- base) {
+        val expected =
+          if (!winIds(id)) b
+          else ph.get(id) match {
+            case None => 0.7 * b
+            case Some(s) =>
+              val (p, r) = (0.7 * b, 2.0 * s)
+              mode match {
+                case "total"    => p + r
+                case "multiply" => p * r
+                case "avg"      => (p + r) / 2.0
+                case "max"      => math.max(p, r)
+                case "min"      => math.min(p, r)
+              }
+          }
+        assert(math.abs(got(id) - rhu6(expected)) < 1e-9,
+          s"mode=$mode id=$id got=${got(id)} expected=${rhu6(expected)}")
+      }
+    }
+    // both arms exercised: some windowed docs match the phrase, some not
+    assert(winIds.exists(ph.contains) && winIds.exists(!ph.contains(_)))
+  }
 }
