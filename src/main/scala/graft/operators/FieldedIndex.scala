@@ -202,9 +202,11 @@ object FieldedIndex {
     *  - `fieldBoosts` — (field, boost) pairs, ES's `fields:
     *    ["title^2", "body"]`; every field must be indexed here.
     *  - `mode` — "best_fields" (ES default; `dis_max` of the
-    *    per-field match scores with `tieBreaker`) or "most_fields"
-    *    (their sum). `tieBreaker` refuses under most_fields, where ES
-    *    ignores it silently.
+    *    per-field match scores with `tieBreaker`), "most_fields"
+    *    (their sum), or "phrase" (`dis_max` of the per-field
+    *    match_phrase scores — needs `positions = true` at build;
+    *    order and repeats of the query terms preserved). `tieBreaker`
+    *    refuses under most_fields, where ES ignores it silently.
     *  - `operator` — "or" (default) or "and" (a field matches only
     *    when ALL query terms hit it — the score stays the matched-term
     *    sum either way, exactly the scan path).
@@ -224,15 +226,17 @@ object FieldedIndex {
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be >= 1, got $k")
     require(fieldBoosts.nonEmpty, "at least one (field, boost) pair")
-    require(mode == "best_fields" || mode == "most_fields",
-      s"mode must be best_fields | most_fields, got '$mode'")
-    require(mode == "best_fields" || tieBreaker == 0.0,
-      "tie_breaker applies to best_fields only (ES ignores it " +
+    require(Set("best_fields", "most_fields", "phrase")(mode),
+      s"mode must be best_fields | most_fields | phrase, got '$mode'")
+    require(mode != "most_fields" || tieBreaker == 0.0,
+      "tie_breaker applies to best_fields/phrase only (ES ignores it " +
         "elsewhere — refused here instead of silently dropped)")
     require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
       s"tie_breaker must be in [0, 1], got $tieBreaker")
     require(operator == "or" || operator == "and",
       s"operator must be or | and, got '$operator'")
+    require(mode != "phrase" || operator == "or",
+      "operator does not apply to multi_match type phrase")
     val known = fields(spark, root)
     fieldBoosts.foreach { case (f, bo) =>
       require(known.contains(f),
@@ -242,16 +246,25 @@ object FieldedIndex {
     }
     require(fieldBoosts.map(_._1).distinct.size == fieldBoosts.size,
       s"duplicate fields in $fieldBoosts")
+    val phraseTerms = graft.functions.TextAnalysis.tokensOf(query)
     val perField = fieldBoosts.map { case (f, boost) =>
-      rawFieldScores(spark, fieldDir(root, f), query,
-          operator == "and", k1, b)
+      (if (mode == "phrase" && phraseTerms.nonEmpty)
+         // order/repeats preserved (a phrase is a term ARRAY, not a
+         // bag); each field's leg is the raw phrase-BM25 of idx8
+         InvertedIndex.rawPhraseScores(spark, fieldDir(root, f),
+           phraseTerms, k1, b)
+       // an empty-analysis query falls through to the typed empty
+       // frame rawFieldScores builds (ES's empty hits), any mode
+       else rawFieldScores(spark, fieldDir(root, f), query,
+         operator == "and", k1, b))
         .select(col("id"), (col("_fs") * boost).as("_s"))
     }
     val combined = perField.reduce(_ unionByName _)
       .groupBy("id")
       .agg(max(col("_s")).as("_best"), sum(col("_s")).as("_tot"))
     val score = mode match {
-      case "best_fields" =>
+      // phrase IS dis_max over the per-field match_phrase scores
+      case "best_fields" | "phrase" =>
         col("_best") + lit(tieBreaker) * (col("_tot") - col("_best"))
       case "most_fields" => col("_tot")
     }

@@ -1200,8 +1200,25 @@ object InvertedIndex {
                        phrase: Seq[String], k: Int,
                        idColName: String = "id", k1: Double = 1.2,
                        b: Double = 0.75): DataFrame = {
-    require(phrase.nonEmpty, "empty phrase")
     require(k > 0, "k must be positive")
+    rawPhraseScores(spark, indexPath, phrase, k1, b)
+      .select(col("id").as(idColName), round(col("_fs"), 6).as("score"))
+      .orderBy(col("score").desc, col(idColName))
+      .limit(k)
+  }
+
+  /** [[phraseSearchTopK]]'s per-doc phrase-BM25 scores as RAW doubles
+    * (no rounding, no cut): (id, _fs) for every phrase-matching live
+    * doc — the per-field leg [[FieldedIndex.searchTopK]] combines
+    * under `multi_match type: phrase` (rounding belongs to the FINAL
+    * combined score there, the [[FieldedIndex]] discipline).
+    */
+  private[operators] def rawPhraseScores(spark: SparkSession,
+                                         indexPath: String,
+                                         phrase: Seq[String],
+                                         k1: Double,
+                                         b: Double): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
     val segs = committedSegments(spark, indexPath)
     require(segs.nonEmpty,
       s"$indexPath has no committed segments — build() first")
@@ -1245,14 +1262,11 @@ object InvertedIndex {
     joined
       .withColumn("_ptf", ptf.cast("double"))
       .filter(col("_ptf") > 0)
-      .withColumn("score", round(
+      .withColumn("_fs",
         lit(totalIdf) * col("_ptf") * (k1 + 1.0) /
           (col("_ptf") +
-            lit(k1) * (lit(1.0) - b + lit(b) * col("len") / lit(avg))),
-        6))
-      .select(col("id").as(idColName), col("score"))
-      .orderBy(col("score").desc, col(idColName))
-      .limit(k)
+            lit(k1) * (lit(1.0) - b + lit(b) * col("len") / lit(avg))))
+      .select(col("id"), col("_fs"))
   }
 
   // ---- fuzzy term resolution (SymSpell deletion neighborhood) ------

@@ -1453,6 +1453,28 @@ object PipelineQueries {
       }.reduce(_ unionByName _)
         .orderBy(col("mode"), col("score").desc, col("doc_id"))
     }),
+    // fielded multi_match type PHRASE served from per-field
+    // POSITIONAL postings: per-field adjacency tf + per-field
+    // df/avg-len under dis_max with boosts and tie_breaker, live
+    // stats after a delete. The oracle replays the whole thing from
+    // the live doc set — neither the index nor its positions exist
+    // oracle-side, so per-field stat/adjacency/combine slips mismatch
+    "idx12_fielded_phrase" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx12-$tag").toString
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+        concat_ws(" ", slice(graft.functions.TextAnalysis
+          .tokens(col("text")), 1, 6)).as("title"))
+      graft.operators.FieldedIndex.build(docs, "doc_id",
+        Seq("title", "text"), root, buckets = 16, positions = true)
+      graft.operators.FieldedIndex.deleteDocs(
+        docs.filter(col("doc_id") % 13 === 0).select("doc_id"), root)
+      graft.operators.FieldedIndex.searchTopK(s, root, "order fast",
+          Seq("title" -> 2.0, "text" -> 1.0), k = 12, mode = "phrase",
+          tieBreaker = 0.4, idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // the ES term suggester ("did you mean") from the fuzzy
     // dictionary: a typo suggests its distance-1 vocabulary neighbors
     // with live df, and suggest_mode=missing yields NOTHING for a
@@ -3445,6 +3467,62 @@ object PipelineQueries {
            |FROM voc WHERE levenshtein(term, 'stream') = 1
            |  AND NOT EXISTS (SELECT 1 FROM voc v2 WHERE v2.term = 'stream')
            |ORDER BY q, df DESC, term""".stripMargin,
+    // f31's per-field phrase replay over the LIVE doc set (the index,
+    // its positions, and the per-field layout never exist oracle-side)
+    "idx12_fielded_phrase" ->
+      raw"""WITH live AS (SELECT doc_id, text FROM documents
+           |              WHERE doc_id % 13 <> 0),
+           |s AS (SELECT doc_id, $toksSql AS btoks FROM live),
+           |t2 AS (SELECT doc_id, btoks, btoks[1:6] AS ttoks FROM s),
+           |stt AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |          avg(CAST(len(ttoks) AS DOUBLE)) AS avg_len FROM t2),
+           |stb AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |          avg(CAST(len(btoks) AS DOUBLE)) AS avg_len FROM t2),
+           |pdt AS (SELECT
+           |  CAST((SELECT count(*) FROM t2
+           |        WHERE list_contains(ttoks, 'order')) AS DOUBLE) AS df1,
+           |  CAST((SELECT count(*) FROM t2
+           |        WHERE list_contains(ttoks, 'fast')) AS DOUBLE) AS df2),
+           |pdb AS (SELECT
+           |  CAST((SELECT count(*) FROM t2
+           |        WHERE list_contains(btoks, 'order')) AS DOUBLE) AS df1,
+           |  CAST((SELECT count(*) FROM t2
+           |        WHERE list_contains(btoks, 'fast')) AS DOUBLE) AS df2),
+           |ptt AS (SELECT doc_id, CAST(len(ttoks) AS DOUBLE) AS dl,
+           |          CAST(len([i FOR i IN generate_series(1, len(ttoks) - 1)
+           |                    IF ttoks[i] = 'order' AND
+           |                       ttoks[i + 1] = 'fast']) AS DOUBLE) AS ptf
+           |        FROM t2),
+           |ptb AS (SELECT doc_id, CAST(len(btoks) AS DOUBLE) AS dl,
+           |          CAST(len([i FOR i IN generate_series(1, len(btoks) - 1)
+           |                    IF btoks[i] = 'order' AND
+           |                       btoks[i + 1] = 'fast']) AS DOUBLE) AS ptf
+           |        FROM t2),
+           |ft AS (SELECT doc_id,
+           |         (ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) +
+           |          ln(1 + (n - df2 + 0.5) / (df2 + 0.5)))
+           |         * ptf * (1.2 + 1) /
+           |         (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)) * 2.0
+           |           AS sc
+           |       FROM ptt, stt, pdt WHERE ptf > 0),
+           |fb AS (SELECT doc_id,
+           |         (ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) +
+           |          ln(1 + (n - df2 + 0.5) / (df2 + 0.5)))
+           |         * ptf * (1.2 + 1) /
+           |         (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)) * 1.0
+           |           AS sc
+           |       FROM ptb, stb, pdb WHERE ptf > 0),
+           |c AS (SELECT doc_id, max(sc) AS best, sum(sc) AS tot
+           |      FROM (SELECT * FROM ft UNION ALL SELECT * FROM fb)
+           |      GROUP BY doc_id),
+           |r AS (SELECT doc_id,
+           |        round(best + 0.4 * (tot - best), 6) AS score,
+           |        row_number() OVER (ORDER BY
+           |          round(best + 0.4 * (tot - best), 6) DESC, doc_id)
+           |          AS rn
+           |      FROM c)
+           |SELECT doc_id, score FROM r WHERE rn <= 12
+           |ORDER BY score DESC, doc_id""".stripMargin,
     // brute prefix-completion replay: whole-vocabulary prefix scan +
     // df ranking with the per-prefix rank cut
     "sg2_prefix_suggest" ->

@@ -125,6 +125,31 @@ class FieldedIndexSpec extends AnyFunSuite {
       Seq("text" -> 1.0), 5).count() == 0)
   }
 
+  test("phrase mode: index-served multi_match type phrase is " +
+      "row-identical to the scan-side scored query") {
+    val docs = corpus()
+    val root = tmp("graft-fidx-phrase")
+    FieldedIndex.build(docs, "doc_id", Seq("title", "text"), root,
+      positions = true)
+    val idx = FieldedIndex.searchTopK(spark, root, "order fast",
+        Seq("title" -> 2.0, "text" -> 1.0), 12, mode = "phrase",
+        tieBreaker = 0.4, idColName = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val scan = viaScan(docs,
+      """{"multi_match": {"query": "order fast",
+        |  "fields": ["title^2", "text"],
+        |  "type": "phrase", "tie_breaker": 0.4}}""".stripMargin, 12)
+    assert(idx == scan && idx.nonEmpty, idx)
+    // a positions-less index refuses phrase mode loudly
+    val flat = tmp("graft-fidx-nopos")
+    FieldedIndex.build(docs, "doc_id", Seq("title", "text"), flat)
+    val e = intercept[IllegalArgumentException] {
+      FieldedIndex.searchTopK(spark, flat, "order fast",
+        Seq("text" -> 1.0), 5, mode = "phrase").collect()
+    }
+    assert(e.getMessage.contains("positions"), e.getMessage)
+  }
+
   test("plan: every per-field postings scan keeps bucket " +
       "PartitionFilters and the term pushdown") {
     val root = tmp("graft-fidx-plan")
