@@ -1972,6 +1972,30 @@ object PipelineQueries {
         .trainBpe(t(s, d, "documents"), "text", numMerges = 24)
         .toDF(s).orderBy("rank")
     }),
+    // WordPiece TRAINING (BERT's tokenizer, the third leg next to
+    // BPE and unigram): merges by the LIKELIHOOD score
+    // count(lr)/(count(l)*count(r)) — the oracle replays all 12
+    // iterations (pair AND symbol recounts, the double-ratio argmax
+    // with (l, r) ties, the ##-stripping merge rewrite) literally
+    "wp1_train" -> ((s, d) => {
+      graft.operators.WordPiece
+        .train(t(s, d, "documents"), "text", numMerges = 12)
+        .toDF(s).orderBy("rank")
+    }),
+    // WordPiece ENCODING: greedy longest-match-first over the learned
+    // vocabulary with the ## continuation convention, whole-word
+    // [UNK] on any miss — run once per DISTINCT word as a pure Column
+    // walk and broadcast back (the bpe2 corpus shape); the oracle
+    // re-trains the chain and replays the greedy walk as a recursive
+    // CTE
+    "wp2_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.WordPiece.train(docs, "text",
+        numMerges = 12)
+      graft.operators.WordPiece.wordPieceEncodeExploded(
+          docs.filter(col("doc_id") < 50), "doc_id", "text", model)
+        .orderBy("doc_id", "pos", "piece_pos")
+    }),
     // unigram-LM (SentencePiece-style) tokenizer TRAINING: seed from
     // frequent substrings, 2 Viterbi-EM rounds, prune to 60 pieces.
     // The oracle replays the whole walk — seeding cut, per-iteration
@@ -2426,6 +2450,135 @@ object PipelineQueries {
     }
     sb.toString
   }
+  /** Generated K-iteration WordPiece-training replay (mirrors
+    * `WordPiece.train`'s determinism contract — the bpeChainSql
+    * discipline with the LIKELIHOOD argmax): iteration i recounts
+    * adjacent pairs AND symbol occurrences over word state s{i},
+    * picks the pair maximizing CAST(c AS DOUBLE) ∕ (cl · cr) (ties
+    * (l, r) asc), and applies the merge (l + r-without-##) with the
+    * same two-space replace. Appends CTEs w, s0, alpha, then
+    * (y_i, u_i, p_i, m_i, s_{i+1}) per iteration; callers add the
+    * final SELECT over alpha + the m_i merge outputs (wp1) or hand
+    * the final vocab to the greedy-walk encode (wp2).
+    */
+  private def wpChainSql(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      raw"""w AS MATERIALIZED (
+           |  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest($toksSql) AS t FROM documents)
+           |  GROUP BY 1),
+           |s0 AS MATERIALIZED (SELECT word,
+           |  ' ' || word[1] || CASE WHEN length(word) > 1
+           |    THEN '  ' || array_to_string(list_transform(
+           |      range(2, length(word) + 1), i -> '##' || word[i]), '  ')
+           |    ELSE '' END || ' ' AS s,
+           |  freq FROM w),
+           |alpha AS MATERIALIZED (SELECT DISTINCT sym FROM
+           |  (SELECT unnest(string_split(trim(s), '  ')) AS sym FROM s0))"""
+        .stripMargin)
+    for (i <- 0 until numMerges) {
+      sb.append(
+        raw""",
+             |y$i AS MATERIALIZED (SELECT string_split(trim(s), '  ') AS syms,
+             |  freq FROM s$i),
+             |u$i AS MATERIALIZED (SELECT sym, sum(freq) AS c
+             |  FROM (SELECT unnest(syms) AS sym, freq FROM y$i)
+             |  GROUP BY 1),
+             |p$i AS MATERIALIZED (SELECT syms[j] AS l, syms[j+1] AS r,
+             |    sum(freq) AS c
+             |  FROM (SELECT unnest(range(1, len(syms))) AS j, syms, freq
+             |        FROM y$i)
+             |  GROUP BY 1, 2),
+             |m$i AS MATERIALIZED (SELECT p.l, p.r,
+             |    p.l || CASE WHEN starts_with(p.r, '##')
+             |                THEN p.r[3:] ELSE p.r END AS nw
+             |  FROM p$i p
+             |  JOIN u$i ul ON ul.sym = p.l
+             |  JOIN u$i ur ON ur.sym = p.r
+             |  ORDER BY CAST(p.c AS DOUBLE) /
+             |    (CAST(ul.c AS DOUBLE) * CAST(ur.c AS DOUBLE)) DESC,
+             |    p.l, p.r LIMIT 1),
+             |s${i + 1} AS MATERIALIZED (SELECT word,
+             |  CASE WHEN m.l IS NULL THEN s
+             |       ELSE replace(s, ' ' || m.l || '  ' || m.r || ' ',
+             |                    ' ' || m.nw || ' ') END AS s,
+             |  freq FROM s$i LEFT JOIN m$i m ON TRUE)""".stripMargin)
+    }
+    // the deterministic vocab: alphabet sorted, then merges in order
+    sb.append(
+      raw""",
+           |wpvocab AS MATERIALIZED (
+           |  SELECT CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT)
+           |    AS rank, sym AS piece FROM alpha
+           |  UNION ALL
+           |  SELECT (SELECT count(*) FROM alpha) + mi AS rank, nw FROM (
+           |${(0 until numMerges).map(i =>
+               s"    SELECT CAST($i AS BIGINT) AS mi, nw FROM m$i")
+             .mkString("\n    UNION ALL\n")}
+           |  ))""".stripMargin)
+    sb.toString
+  }
+
+  /** The greedy longest-match walk of `WordPiece.wordPieceSegment`
+    * replayed as a RECURSIVE CTE over `wpvocab` (the per-distinct-word
+    * shape), then re-exploded onto the corpus — wp2's tail. A state
+    * advances by the longest vocabulary piece matching at `pos`
+    * (`##`-stripped length consumed; at most one piece per consumed
+    * length can match, so arg_max is total); no match fails the whole
+    * word to ['[UNK]'] (the Hugging Face behavior).
+    */
+  private def wpEncodeTailSql: String =
+    raw""",
+         |words AS MATERIALIZED (SELECT DISTINCT t AS word
+         |  FROM (SELECT unnest($toksSql) AS t FROM documents
+         |        WHERE doc_id < 50)),
+         |seg AS (
+         |  SELECT word, length(word) AS n, 1 AS pos,
+         |    CAST([] AS VARCHAR[]) AS pieces, FALSE AS failed
+         |  FROM words
+         |  UNION ALL
+         |  SELECT word, n,
+         |    CASE WHEN cp IS NULL THEN pos ELSE pos + clen END AS pos,
+         |    CASE WHEN cp IS NULL THEN pieces
+         |         ELSE list_append(pieces, cp) END AS pieces,
+         |    cp IS NULL AS failed
+         |  FROM (
+         |    SELECT s.word, s.n, s.pos, s.pieces,
+         |      max(length(v.piece) -
+         |        CASE WHEN starts_with(v.piece, '##') THEN 2 ELSE 0 END)
+         |        AS clen,
+         |      arg_max(v.piece, length(v.piece) -
+         |        CASE WHEN starts_with(v.piece, '##') THEN 2 ELSE 0 END)
+         |        AS cp
+         |    FROM seg s LEFT JOIN wpvocab v ON
+         |      CASE WHEN s.pos = 1 THEN NOT starts_with(v.piece, '##')
+         |           ELSE starts_with(v.piece, '##') END
+         |      AND length(v.piece) -
+         |        CASE WHEN starts_with(v.piece, '##') THEN 2 ELSE 0 END
+         |        BETWEEN 1 AND s.n - s.pos + 1
+         |      AND (CASE WHEN starts_with(v.piece, '##')
+         |                THEN v.piece[3:] ELSE v.piece END) =
+         |          s.word[s.pos : s.pos + length(v.piece) -
+         |            CASE WHEN starts_with(v.piece, '##')
+         |                 THEN 2 ELSE 0 END - 1]
+         |    WHERE NOT s.failed AND s.pos <= s.n
+         |    GROUP BY s.word, s.n, s.pos, s.pieces)),
+         |term AS (SELECT word,
+         |    CASE WHEN failed THEN ['[UNK]'] ELSE pieces END AS pieces
+         |  FROM seg WHERE failed OR pos > n),
+         |toks0 AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS p
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents
+         |        WHERE doc_id < 50)),
+         |toks AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+         |    tk[CAST(p AS INT)] AS t FROM toks0),
+         |ex0 AS (SELECT doc_id, pos, pieces,
+         |    unnest(range(1, len(pieces) + 1)) AS i
+         |  FROM toks JOIN term ON term.word = toks.t)
+         |SELECT doc_id, pos, CAST(i - 1 AS BIGINT) AS piece_pos,
+         |  pieces[CAST(i AS INT)] AS piece
+         |FROM ex0 ORDER BY doc_id, pos, piece_pos""".stripMargin
+
   /** Generated Viterbi-EM replay of [[graft.operators.Unigram]]'s
     * determinism contract (the bpeChainSql discipline applied to the
     * unigram trainer): seed = all single code points + top-`seedSize`
@@ -4045,6 +4198,10 @@ object PipelineQueries {
           .mkString("\n UNION ALL ") +
         ")\nSELECT rank, lft, rgt FROM mm ORDER BY rank"
     },
+    "wp1_train" -> ("WITH RECURSIVE " + wpChainSql(12) +
+      "\nSELECT rank, piece FROM wpvocab ORDER BY rank"),
+    "wp2_encode" -> ("WITH RECURSIVE " + wpChainSql(12) +
+      wpEncodeTailSql),
     "spm1_train" -> spmChainSql(vocabSize = 60, maxPieceLen = 4,
       iters = 2, seedSize = 200, maxJ = 12, withEncode = false),
     "spm2_encode" -> spmChainSql(vocabSize = 60, maxPieceLen = 4,
