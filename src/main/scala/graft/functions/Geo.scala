@@ -205,4 +205,30 @@ object Geo {
           "\"200km\")")
     }
   }
+
+  /** ES `geo_centroid` aggregation: per group, the arithmetic mean of
+    * the member points' coordinates plus the contributing count —
+    * (groupCols…, centroid_lat, centroid_lon, n_points). Rows whose
+    * point (or either coordinate) is null are excluded, like docs
+    * missing the field in ES. Coordinates round at 6 dp (~0.1 m — the
+    * repo's geo value granularity; ES emits raw doubles, the rounding
+    * is this engine's cross-engine determinism discipline). One
+    * map-side-combined aggregate — the centroid of 100 TB of points
+    * costs the scan.
+    */
+  def geoCentroid(df: org.apache.spark.sql.DataFrame, pointCol: String,
+                  groupCols: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    val p = col(pointCol)
+    val ok = p.isNotNull && p.getField("lat").isNotNull &&
+      p.getField("lon").isNotNull
+    val lat = when(ok, p.getField("lat").cast("double"))
+    val lon = when(ok, p.getField("lon").cast("double"))
+    val aggs = Seq(
+      round(avg(lat), 6).as("centroid_lat"),
+      round(avg(lon), 6).as("centroid_lon"),
+      count(lat).cast("long").as("n_points"))
+    if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

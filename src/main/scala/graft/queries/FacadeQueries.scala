@@ -507,6 +507,21 @@ object FacadeQueries {
             |  "bottom_right": {"lat": -5, "lon": 40}}}}""".stripMargin)
         .select(Seq("c_custkey")).df.orderBy("c_custkey")
     }),
+    // geo_centroid per nation (the ES geo aggregation face): mean of
+    // the integer-derived member coordinates — exact integer sums
+    // under the double avg, so the 6-dp rounding is pure formality —
+    // plus the contributing count; rows with a null point drop like
+    // ES's missing-field docs
+    "gg1_geo_centroid" -> ((s, d) => {
+      customer(s, d).df.withColumn("loc",
+          when(col("c_custkey") % 19 =!= 0, struct(
+            ((col("c_custkey") % 121) - 60).cast("double").as("lat"),
+            (((col("c_custkey") * 7) % 301) - 150).cast("double")
+              .as("lon"))))
+        .transform(df => graft.functions.Geo.geoCentroid(df, "loc",
+          Seq("c_nationkey")))
+        .orderBy("c_nationkey")
+    }),
     // geo_bounding_box CROSSING the antimeridian (left > right — ES's
     // dateline wrap): the wrap splits into [left, 180] ∪ [-180, right]
     // OR'd together; the fixture lons span [-150, 150] so BOTH tails
@@ -1100,6 +1115,16 @@ object FacadeQueries {
            |  FROM customer)
            |WHERE lat <= 30 AND lat >= -5 AND lon >= -10 AND lon <= 40
            |ORDER BY c_custkey""".stripMargin,
+    // centroid replay: null rows filtered, integer-exact means
+    "gg1_geo_centroid" ->
+      raw"""SELECT c_nationkey,
+           |  round(avg(CAST((c_custkey % 121) - 60 AS DOUBLE)), 6)
+           |    AS centroid_lat,
+           |  round(avg(CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE)), 6)
+           |    AS centroid_lon,
+           |  CAST(count(*) AS BIGINT) AS n_points
+           |FROM customer WHERE c_custkey % 19 <> 0
+           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // the wrapped box: two lon ranges OR'd
     "f30_geo_bbox_wrap" ->
       raw"""SELECT c_custkey FROM (
