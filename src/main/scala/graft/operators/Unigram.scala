@@ -292,9 +292,14 @@ object Unigram {
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
     val seg = toks.select("token").distinct()
       .withColumn("pieces", unigramSegment(col("token"), model, maxPieceLen))
+    // posexplode_OUTER: a plain Generate makes Catalyst infer a
+    // size(pieces) > 0 filter that inlines the Viterbi DP and pushes
+    // it below the distinct — per-occurrence re-evaluation (the
+    // WordPiece.wordPieceEncodeExploded finding). Viterbi always
+    // yields >= 1 piece, so outer is semantically identical.
     toks.join(broadcast(seg), Seq("token"))
       .select(col(idCol), col("pos").cast("long").as("pos"),
-        posexplode(col("pieces")).as(Seq("piece_pos", "piece")))
+        posexplode_outer(col("pieces")).as(Seq("piece_pos", "piece")))
       .withColumn("piece_pos", col("piece_pos").cast("long"))
   }
 

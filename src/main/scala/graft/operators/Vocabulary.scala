@@ -406,9 +406,13 @@ object Vocabulary {
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
     val seg = toks.select("token").distinct()
       .withColumn("pieces", bpeSegment(col("token"), model.merges))
+    // posexplode_OUTER: avoids the inferred size(pieces) > 0 filter
+    // that would inline the merge folds below the distinct (the
+    // WordPiece.wordPieceEncodeExploded finding; cheaper here but the
+    // same per-occurrence shape). A BPE segmentation is never empty.
     toks.join(broadcast(seg), Seq("token"))
       .select(col(idCol), col("pos").cast("long").as("pos"),
-        posexplode(col("pieces")).as(Seq("piece_pos", "piece")))
+        posexplode_outer(col("pieces")).as(Seq("piece_pos", "piece")))
       .withColumn("piece_pos", col("piece_pos").cast("long"))
   }
 

@@ -210,9 +210,15 @@ object WordPiece {
     val seg = toks.select("token").distinct()
       .withColumn("pieces",
         wordPieceSegment(col("token"), model, maxPieceLen))
+    // posexplode_OUTER: the non-outer Generate makes Catalyst infer a
+    // `size(pieces) > 0` filter that INLINES the segmentation walk and
+    // pushes it below the distinct — re-evaluating the walk once per
+    // corpus token occurrence instead of once per distinct word
+    // (measured 15x on the sf0.1 corpus). pieces is never null/empty
+    // (a failed word is ['[UNK]']), so outer is semantically identical.
     toks.join(broadcast(seg), Seq("token"))
       .select(col(idCol), col("pos").cast("long").as("pos"),
-        posexplode(col("pieces")).as(Seq("piece_pos", "piece")))
+        posexplode_outer(col("pieces")).as(Seq("piece_pos", "piece")))
       .withColumn("piece_pos", col("piece_pos").cast("long"))
   }
 }

@@ -44,6 +44,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (args.headOption.contains("search14")) {
+      search14Growth(spark)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("serving")) {
       servingGrowth(spark)
       spark.stop()
@@ -824,6 +829,85 @@ object ScaleCheck {
       println(f"[scale] ${s + "x"}%-5s $nD%8d $tB%9.2f $tFd%9.2f " +
         f"$tMlt%7.2f $tSg%8.2f $tFz%9.2f $tMu%9.2f $tGw%8.2f " +
         f"$tGr%8.2f $geoRows%8d")
+    }
+  }
+
+  /** Round-14 surfaces: the fielded index lifecycle + all three
+    * multi_match modes served from it, the completion suggester's
+    * range-pruned sidecar read, scan-side rescore, and the WordPiece
+    * trainer/encoder. Expectation: builds linear in postings, served
+    * verbs ~flat (pruned reads + window-bounded corrections),
+    * WordPiece train flat-ish (dict-bounded driver loop) and encode
+    * linear.
+    */
+  private def search14Growth(spark: SparkSession): Unit = {
+    import graft.operators.{FieldedIndex, InvertedIndex, WordPiece}
+    def timeS(f: => Unit): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val docs0 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    // untimed warmup (the mediaGrowth lesson)
+    locally {
+      val w = "/tmp/scale_s14_warm"
+      val d = docs0.limit(200).select(col("doc_id"), col("text"),
+        concat_ws(" ", slice(graft.functions.TextAnalysis
+          .tokens(col("text")), 1, 6)).as("title"))
+      FieldedIndex.build(d, "doc_id", Seq("title", "text"), w,
+        buckets = 16, positions = true)
+      FieldedIndex.searchTopK(spark, w, "stream filter",
+        Seq("title" -> 2.0, "text" -> 1.0), 5).collect()
+      ()
+    }
+    println("[scale] r14 search surfaces: corpus 1x/4x; fielded build " +
+      "linear, served multi_match modes ~flat, completion read " +
+      "vocab-bounded, rescore window-bounded, wp train dict-bounded")
+    println(f"[scale] ${"size"}%-5s ${"docs"}%8s ${"fbuild(s)"}%10s " +
+      f"${"best(s)"}%8s ${"most(s)"}%8s ${"phrase(s)"}%10s " +
+      f"${"vocab(s)"}%9s ${"compl(s)"}%9s ${"resc(s)"}%8s " +
+      f"${"wpTrain(s)"}%11s ${"wpEnc(s)"}%9s")
+    for (s <- Seq(1, 4)) {
+      val docs = docs0
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("doc_id") * s + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+        .select(col("doc_id"), col("text"),
+          concat_ws(" ", slice(graft.functions.TextAnalysis
+            .tokens(col("text")), 1, 6)).as("title"))
+        .localCheckpoint(true)
+      val nD = docs.count()
+      val root = s"/tmp/scale_s14_$s"
+      val tB = timeS(FieldedIndex.build(docs, "doc_id",
+        Seq("title", "text"), root, buckets = 16, positions = true))
+      def mm(mode: String, tie: Double): Double =
+        timeS(FieldedIndex.searchTopK(spark, root, "stream filter join",
+          Seq("title" -> 2.0, "text" -> 1.0), 10, mode = mode,
+          tieBreaker = tie, idColName = "doc_id").collect())
+      val tBest = mm("best_fields", 0.3)
+      val tMost = mm("most_fields", 0.0)
+      val tPh = timeS(FieldedIndex.searchTopK(spark, root, "order fast",
+        Seq("title" -> 2.0, "text" -> 1.0), 10, mode = "phrase",
+        tieBreaker = 0.4, idColName = "doc_id").collect())
+      val flat = s"/tmp/scale_s14_flat$s"
+      InvertedIndex.build(docs, "doc_id", "text", flat)
+      InvertedIndex.buildVocabulary(spark, flat)
+      val tV = timeS(InvertedIndex.buildVocabulary(spark, flat))
+      val tC = timeS(InvertedIndex.suggestCompletions(spark, flat, "st")
+        .collect())
+      val tR = timeS(graft.functions.EsScoredQuery.rescoredFrame(
+          docs, "doc_id", """{"match": {"text": "stream filter"}}""",
+          """{"match_phrase": {"text": "order fast"}}""",
+          windowSize = 15, rescoreWeight = 2.0)
+        .orderBy(col("_score").desc, col("doc_id")).limit(12).collect())
+      var model: WordPiece.WordPieceModel = null
+      val tWt = timeS {
+        model = WordPiece.train(docs, "text", numMerges = 12)
+      }
+      val tWe = timeS(WordPiece.wordPieceEncodeExploded(
+        docs, "doc_id", "text", model).count())
+      println(f"[scale] ${s + "x"}%-5s $nD%8d $tB%10.2f $tBest%8.2f " +
+        f"$tMost%8.2f $tPh%10.2f $tV%9.2f $tC%9.2f $tR%8.2f " +
+        f"$tWt%11.2f $tWe%9.2f")
     }
   }
 
