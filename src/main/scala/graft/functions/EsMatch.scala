@@ -216,16 +216,25 @@ object EsMatch {
             }.reduce(_ && _)))
           .otherwise(array().cast("array<int>"))
         TextAnalysis.bindOnce(starts0) { starts =>
-          def covered(p: Column): Column =
-            exists(starts, s => p >= s && p < s + lit(len))
-          when(size(starts) > 0,
-            concat_ws(" ", transform(toks, (t, p) => concat(
-              when(covered(p) && !covered(p - 1), lit(preTag))
-                .otherwise(lit("")),
-              t,
-              when(covered(p) && !covered(p + 1), lit(postTag))
-                .otherwise(lit(""))))))
-            .otherwise(lit(null).cast("string"))
+          // covered-positions bitmap computed ONCE per row (O(n·occ)),
+          // then every boundary test is an O(1) 0-based `get` lookup
+          // (out-of-range p = -1 / p = n read as uncovered) — instead
+          // of exists(starts) per token ×3, which is O(n·occ·3) and
+          // quadratic-ish on pathological many-occurrence rows
+          TextAnalysis.bindOnce(
+            transform(sequence(lit(0), size(toks) - 1), p =>
+              exists(starts, s => p >= s && p < s + lit(len)))) { cov =>
+            def covered(p: Column): Column =
+              coalesce(get(cov, p.cast("int")), lit(false))
+            when(size(starts) > 0,
+              concat_ws(" ", transform(toks, (t, p) => concat(
+                when(covered(p) && !covered(p - 1), lit(preTag))
+                  .otherwise(lit("")),
+                t,
+                when(covered(p) && !covered(p + 1), lit(postTag))
+                  .otherwise(lit(""))))))
+              .otherwise(lit(null).cast("string"))
+          }
         }
       }
     }

@@ -247,16 +247,32 @@ object FieldedIndex {
     require(fieldBoosts.map(_._1).distinct.size == fieldBoosts.size,
       s"duplicate fields in $fieldBoosts")
     val phraseTerms = graft.functions.TextAnalysis.tokensOf(query)
+    // per-field segment/tombstone listings are driver FS ops; the
+    // per-field corpus moments batch into ONE stats job
+    // (InvertedIndex.liveStatsBatch) instead of one tiny job per
+    // field — a wide index (tens of fields) serves a query with a
+    // single stats read
+    val meta = fieldBoosts.map { case (f, _) =>
+      val dir = fieldDir(root, f)
+      val segs = InvertedIndex.committedSegments(spark, dir)
+      require(segs.nonEmpty,
+        s"$dir has no committed segments — build() first")
+      (f, segs, InvertedIndex.committedDeletes(spark, dir))
+    }
+    val statsByField = InvertedIndex.liveStatsBatch(spark, meta)
+    val preByField = meta.map { case (f, segs, dels) =>
+      f -> (segs, dels, statsByField(f))
+    }.toMap
     val perField = fieldBoosts.map { case (f, boost) =>
       (if (mode == "phrase" && phraseTerms.nonEmpty)
          // order/repeats preserved (a phrase is a term ARRAY, not a
          // bag); each field's leg is the raw phrase-BM25 of idx8
          InvertedIndex.rawPhraseScores(spark, fieldDir(root, f),
-           phraseTerms, k1, b)
+           phraseTerms, k1, b, Some(preByField(f)))
        // an empty-analysis query falls through to the typed empty
        // frame rawFieldScores builds (ES's empty hits), any mode
        else rawFieldScores(spark, fieldDir(root, f), query,
-         operator == "and", k1, b))
+         operator == "and", k1, b, Some(preByField(f))))
         .select(col("id"), (col("_fs") * boost).as("_s"))
     }
     val combined = perField.reduce(_ unionByName _)
@@ -282,12 +298,18 @@ object FieldedIndex {
     */
   private def rawFieldScores(spark: SparkSession, dir: String,
                              query: String, requireAll: Boolean,
-                             k1: Double, b: Double): DataFrame = {
-    val segs = InvertedIndex.committedSegments(spark, dir)
+                             k1: Double, b: Double,
+                             pre: Option[(Seq[String], Seq[String],
+                               InvertedIndex.LiveStats)] = None)
+      : DataFrame = {
+    val segs = pre.map(_._1)
+      .getOrElse(InvertedIndex.committedSegments(spark, dir))
     require(segs.nonEmpty,
       s"$dir has no committed segments — build() first")
-    val dels = InvertedIndex.committedDeletes(spark, dir)
-    val st = InvertedIndex.liveStats(spark, segs, dels)
+    val dels = pre.map(_._2)
+      .getOrElse(InvertedIndex.committedDeletes(spark, dir))
+    val st = pre.map(_._3)
+      .getOrElse(InvertedIndex.liveStats(spark, segs, dels))
     val n = st.n
     val avg = if (n > 0) st.sumLen / n else 1.0
     val terms = graft.functions.TextAnalysis.tokensOf(query)

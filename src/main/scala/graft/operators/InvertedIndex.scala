@@ -763,6 +763,42 @@ object InvertedIndex {
       statRows.head.getAs[Int]("buckets"), analyzer)
   }
 
+  /** [[liveStats]] for MANY indexes in ONE job: every (segment and
+    * tombstone) stats table of every entry unions into a single
+    * field-tagged collect, so a wide [[FieldedIndex]] root pays one
+    * tiny driver job for its per-field corpus moments instead of one
+    * per field. Same accounting as [[liveStats]] row for row (the
+    * tombstone sign is a column instead of a second collect).
+    */
+  private[operators] def liveStatsBatch(
+      spark: SparkSession,
+      perIndex: Seq[(String, Seq[String], Seq[String])])
+      : Map[String, LiveStats] = {
+    val tagged = perIndex.flatMap { case (tag, segs, dels) =>
+      segs.map(s => spark.read.parquet(s"$s/stats")
+        .withColumn("_tag", lit(tag)).withColumn("_sign", lit(1.0))) ++
+        dels.map(d => spark.read.parquet(s"$d/stats")
+          .withColumn("_tag", lit(tag)).withColumn("_sign", lit(-1.0)))
+    }
+    require(tagged.nonEmpty, "liveStatsBatch over no stats tables")
+    val rows = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+      .collect()
+    perIndex.map { case (tag, _, _) =>
+      val mine = rows.filter(_.getAs[String]("_tag") == tag)
+      val segRows = mine.filter(_.getAs[Double]("_sign") > 0)
+      val analyzer = segRows.iterator.flatMap { r =>
+        if (r.schema.fieldNames.contains("analyzer") &&
+            !r.isNullAt(r.fieldIndex("analyzer")))
+          Some(r.getString(r.fieldIndex("analyzer")))
+        else None
+      }.toSeq.headOption.getOrElse("standard")
+      tag -> LiveStats(
+        mine.map(r => r.getAs[Double]("n") * r.getAs[Double]("_sign")).sum,
+        mine.map(r => r.getAs[Double]("sum_len") * r.getAs[Double]("_sign")).sum,
+        segRows.head.getAs[Int]("buckets"), analyzer)
+    }.toMap
+  }
+
   /** The live postings of `terms` (already lowercased/distinct):
     * bucket IN (...) prunes partition DIRECTORIES of every segment at
     * planning time (spec-pinned), term IN (...) pushes to the parquet
@@ -1217,16 +1253,19 @@ object InvertedIndex {
                                          indexPath: String,
                                          phrase: Seq[String],
                                          k1: Double,
-                                         b: Double): DataFrame = {
+                                         b: Double,
+                                         pre: Option[(Seq[String],
+                                           Seq[String], LiveStats)] = None)
+      : DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val segs = committedSegments(spark, indexPath)
+    val segs = pre.map(_._1).getOrElse(committedSegments(spark, indexPath))
     require(segs.nonEmpty,
       s"$indexPath has no committed segments — build() first")
     require(indexPositions(spark, segs),
       s"$indexPath was built without positional postings — " +
         "build(positions = true) enables phrase scoring")
-    val dels = committedDeletes(spark, indexPath)
-    val st = liveStats(spark, segs, dels)
+    val dels = pre.map(_._2).getOrElse(committedDeletes(spark, indexPath))
+    val st = pre.map(_._3).getOrElse(liveStats(spark, segs, dels))
     val n = st.n
     val avg = if (n > 0) st.sumLen / n else 1.0
     val terms = phrase.map(st.analyzeTerm)
@@ -1577,9 +1616,23 @@ object InvertedIndex {
         "terms — lengthen the prefix or raise the cap deliberately")
     import spark.implicits._
     if (cand.isEmpty) return Seq.empty[(String, Long)].toDF("term", "df")
-    val st = liveStats(spark, segs, committedDeletes(spark, indexPath))
     val dels = committedDeletes(spark, indexPath)
-    prunedLivePostings(spark, segs, dels, cand, st.buckets)
+    val st = liveStats(spark, segs, dels)
+    // the vocabulary is fingerprint-matched to the live segments, so
+    // the candidate set IS exactly "every postings term extending the
+    // prefix" — the postings read reuses the same pushable RANGE
+    // predicate instead of a candidate IN list (which at the 10k cap
+    // would be a 10k-literal predicate bloating the plan); only the
+    // bucket directory list (distinct md5 buckets of the candidates,
+    // bounded by the index's bucket count) comes from the collected
+    // candidates
+    val wanted = cand.map(bucketOf(_, st.buckets)).distinct
+    val prune: DataFrame => DataFrame =
+      _.filter(col("bucket").isin(wanted: _*))
+        .filter(col("term") >= p && col("term") < p + '￿')
+        .filter(col("term").startsWith(p))
+    (if (dels.isEmpty) mergedPostings(spark, segs, prune)
+     else mergedLivePostings(spark, segs, dels, prune))
       .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
       .orderBy(col("df").desc, col("term"))
       .limit(k)
