@@ -20,11 +20,13 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.FacadeQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.AggQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.FacadeQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.AggQueries.oracles
 }

@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** ES pipeline aggregations over a bucketed frame — the
+  * `derivative` / `cumulative_sum` / `moving_fn` / `serial_diff` /
+  * `bucket_script` / `bucket_selector` / `bucket_sort` /
+  * `cumulative_cardinality` family (Elasticsearch "Pipeline
+  * aggregations"; the reference reaches them only as raw-DSL `aggs`
+  * passthrough on `es_query` — eland/query.py raw aggregations — so
+  * the semantics here follow the ES documentation directly).
+  *
+  * Every function takes the OUTPUT of a bucketing aggregation (e.g.
+  * [[graft.api.GraftFrame.resample]]`.agg(...)` — ES's
+  * date_histogram + metric subaggs) and adds/filters columns with
+  * window expressions, exactly ES's model: pipeline aggs run over the
+  * reduced bucket set, never the raw documents.
+  *
+  * Scale shape: the input frame has one row per (series, bucket) —
+  * its size is bounded by (cardinality of `seriesBy`) × (time range /
+  * interval), independent of raw corpus size. With `seriesBy`
+  * (ES's terms → date_histogram nesting) the window partitions by
+  * series and distributes; without it the frame is a single bounded
+  * time series and the one-partition window is the correct plan (the
+  * 100 TB corpus was already reduced by the upstream groupBy).
+  */
+object BucketPipeline {
+
+  private def spec(orderCol: String, seriesBy: Seq[String]): WindowSpec =
+    if (seriesBy.isEmpty) Window.orderBy(orderCol)
+    else Window.partitionBy(seriesBy.map(col): _*).orderBy(orderCol)
+
+  /** ES `derivative`: current bucket's metric minus the previous
+    * bucket's; the first bucket of each series gets null (ES omits
+    * the value there). `unitMillis` adds ES's `unit` x-axis
+    * normalization for date buckets: the derivative divided by the
+    * bucket gap measured in that unit (a second = 1000, a day =
+    * 86 400 000), emitted as `<out>_per_unit` alongside the plain
+    * difference — exactly ES's `normalized_value`.
+    */
+  def derivative(buckets: DataFrame, orderCol: String, valueCol: String,
+                 out: String = "derivative", seriesBy: Seq[String] = Nil,
+                 unitMillis: Option[Long] = None): DataFrame = {
+    val w = spec(orderCol, seriesBy)
+    val diff = col(valueCol) - lag(col(valueCol), 1).over(w)
+    val base = buckets.withColumn(out, diff)
+    unitMillis.fold(base) { u =>
+      require(u > 0, s"unit must be positive milliseconds, got $u")
+      val gapMs = (unix_millis(col(orderCol)) -
+        lag(unix_millis(col(orderCol)), 1).over(w)).cast("double")
+      base.withColumn(s"${out}_per_unit",
+        col(out) / (gapMs / u.toDouble))
+    }
+  }
+
+  /** ES `cumulative_sum`: running total of the metric including the
+    * current bucket, restarting per series.
+    */
+  def cumulativeSum(buckets: DataFrame, orderCol: String, valueCol: String,
+                    out: String = "cumulative_sum",
+                    seriesBy: Seq[String] = Nil): DataFrame =
+    buckets.withColumn(out,
+      sum(col(valueCol)).over(spec(orderCol, seriesBy)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** ES `serial_diff`: metric minus the metric `lag` buckets earlier;
+    * buckets without enough history get null. `lag = 1` is
+    * [[derivative]] without the unit option.
+    */
+  def serialDiff(buckets: DataFrame, orderCol: String, valueCol: String,
+                 lagN: Int = 1, out: String = "serial_diff",
+                 seriesBy: Seq[String] = Nil): DataFrame = {
+    require(lagN >= 1, s"lag must be >= 1, got $lagN")
+    buckets.withColumn(out,
+      col(valueCol) - lag(col(valueCol), lagN)
+        .over(spec(orderCol, seriesBy)))
+  }
+
+  /** ES `moving_fn`: `fn` over a sliding window of `window` buckets.
+    * ES's `shift` convention: shift 0 (default) is the `window`
+    * buckets BEFORE the current one (exclusive), shift 1 includes the
+    * current bucket, shift = window/2 centers, shift = window is the
+    * `window` buckets after. An empty window (e.g. the first bucket
+    * at shift 0) yields null (ES renders its NaN as a skipped value).
+    *
+    * Functions: `max`, `min`, `sum`, `unweightedAvg`, `stdDev`
+    * (population σ over the window, ES's `MovingFunctions.stdDev`),
+    * `linearWeightedAvg` (weights 1..n, newest heaviest), and
+    * `ewma(alpha)` via [[movingEwma]]. The first five are native
+    * window aggregates; linearWeightedAvg collects the window (≤
+    * `window` values, bounded) and folds position weights.
+    */
+  def movingFn(buckets: DataFrame, orderCol: String, valueCol: String,
+               window: Int, fn: String, shift: Int = 0,
+               out: String = "moving_fn",
+               seriesBy: Seq[String] = Nil): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val frame = spec(orderCol, seriesBy)
+      .rowsBetween(-window.toLong + shift, shift.toLong - 1)
+    val v = col(valueCol)
+    val expr = fn match {
+      case "max"           => max(v).over(frame)
+      case "min"           => min(v).over(frame)
+      case "sum"           => sum(v).over(frame)
+      case "unweightedAvg" => avg(v).over(frame)
+      case "stdDev"        => stddev_pop(v).over(frame)
+      case "linearWeightedAvg" =>
+        // collect_list over a window frame preserves frame row order,
+        // so weights 1..n line up oldest→newest (ES weights the
+        // newest value highest: weight = position + 1)
+        val vals = collect_list(v).over(frame)
+        val n = size(vals)
+        when(n > 0,
+          aggregate(zip_with(vals,
+              sequence(lit(1), greatest(n, lit(1))), (x, i) => x * i),
+            lit(0.0), (acc, x) => acc + x) /
+            (n.cast("double") * (n + 1).cast("double") / 2.0))
+          .otherwise(lit(null).cast("double"))
+      case other => throw new IllegalArgumentException(
+        s"moving_fn function must be max | min | sum | unweightedAvg" +
+          s" | stdDev | linearWeightedAvg (ewma → movingEwma), got " +
+          s"'$other'")
+    }
+    buckets.withColumn(out, expr)
+  }
+
+  /** ES `MovingFunctions.ewma(values, alpha)` under `moving_fn`:
+    * exponentially weighted average of the window, folded oldest →
+    * newest (avg = v first value, then avg = alpha·v + (1-alpha)·avg).
+    */
+  def movingEwma(buckets: DataFrame, orderCol: String, valueCol: String,
+                 window: Int, alpha: Double, shift: Int = 0,
+                 out: String = "ewma",
+                 seriesBy: Seq[String] = Nil): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val frame = spec(orderCol, seriesBy)
+      .rowsBetween(-window.toLong + shift, shift.toLong - 1)
+    val vals = collect_list(col(valueCol)).over(frame)
+    buckets.withColumn(out,
+      when(size(vals) > 0,
+        aggregate(slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+          element_at(vals, 1).cast("double"),
+          (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc))
+        .otherwise(lit(null).cast("double")))
+  }
+
+  /** ES `bucket_script`: a per-bucket value computed from sibling
+    * metrics — here the "script" is a Column expression over the
+    * bucket frame's columns (codegen instead of Painless). Nulls
+    * propagate like ES's `skip` gap policy: a bucket missing any
+    * input yields null.
+    */
+  def bucketScript(buckets: DataFrame, out: String,
+                   script: Column): DataFrame =
+    buckets.withColumn(out, script)
+
+  /** ES `bucket_selector`: keep only buckets where the predicate is
+    * true — null predicates (a missing metric under `skip` gap
+    * policy) drop the bucket, exactly ES.
+    */
+  def bucketSelector(buckets: DataFrame, predicate: Column): DataFrame =
+    buckets.filter(coalesce(predicate, lit(false)))
+
+  /** ES `bucket_sort`: order the buckets and keep `size` of them from
+    * offset `from`. Runs as a global sort + offset/limit on the
+    * bounded bucket frame (ES applies it to the parent agg's bucket
+    * list the same way).
+    */
+  def bucketSort(buckets: DataFrame, sortBy: Seq[Column],
+                 from: Int = 0, size: Option[Int] = None): DataFrame = {
+    require(from >= 0, s"from must be >= 0, got $from")
+    require(size.forall(_ > 0), s"size must be > 0, got ${size.get}")
+    val sorted = buckets.orderBy(sortBy: _*)
+    val offset = if (from == 0) sorted else sorted.offset(from)
+    size.fold(offset)(offset.limit)
+  }
+
+  /** ES `cumulative_cardinality`: per bucket, the number of DISTINCT
+    * keys seen in that bucket or any earlier one — "new users per
+    * day" style. Computed the scalable way, from the RAW frame:
+    * each key contributes only its FIRST bucket (one groupBy on the
+    * key — the single full-data shuffle), first-appearance counts
+    * roll up per bucket, and a prefix sum over the bounded bucket
+    * frame finishes. Never a running `collect_set` (that window
+    * would hold every key in memory per bucket). Buckets present in
+    * `buckets` but with no first appearances carry the previous
+    * total. Emits `<out>` (the running distinct count) and
+    * `<out>_new` (ES's sibling "incremental" reading: first
+    * appearances in this bucket).
+    */
+  def cumulativeCardinality(buckets: DataFrame, raw: DataFrame,
+                            bucketExpr: Column, keyCol: String,
+                            orderCol: String,
+                            out: String = "cumulative_cardinality",
+                            seriesBy: Seq[String] = Nil): DataFrame = {
+    require(!buckets.columns.contains(out) &&
+      !buckets.columns.contains(s"${out}_new"),
+      s"output columns '$out'/'${out}_new' collide with the bucket frame")
+    val firstSeen = raw
+      .groupBy((seriesBy.map(col) :+ col(keyCol)): _*)
+      .agg(min(bucketExpr).as(orderCol))
+    val newPerBucket = firstSeen
+      .groupBy((seriesBy :+ orderCol).map(col): _*)
+      .agg(count(lit(1)).as(s"${out}_new"))
+    buckets.join(newPerBucket, seriesBy :+ orderCol, "left")
+      .withColumn(s"${out}_new",
+        coalesce(col(s"${out}_new"), lit(0L)))
+      .withColumn(out,
+        sum(col(s"${out}_new")).over(spec(orderCol, seriesBy)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+}

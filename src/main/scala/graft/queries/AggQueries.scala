@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.BucketPipeline
+
+/** ES pipeline-aggregation gates ([[graft.operators.BucketPipeline]]):
+  * each gate bucketizes with a date_histogram-shaped groupBy, applies
+  * the pipeline agg, and the DuckDB oracle replays the identical
+  * window arithmetic. Money rides a cents BIGINT
+  * (`floor(sum·100 + 0.5)` — the identical expression on both
+  * engines) so every running/moving aggregate is INTEGER-exact and
+  * immune to float association order, which windowed aggregation does
+  * not pin across engines.
+  */
+object AggQueries {
+
+  /** Monthly order buckets: (month, n, rev_cents). */
+  private def monthly(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        floor(sum("o_totalprice") * 100.0 + 0.5).cast("long")
+          .as("rev_cents"))
+
+  private val monthlySql =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(floor(sum(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS rev_cents
+      |FROM orders GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ES derivative + unit normalization (normalized_value): month-
+    // over-month revenue delta, also per-day across the varying
+    // 28/29/30/31-day gaps
+    "pa1_derivative" -> ((s, d) => {
+      val out = BucketPipeline.derivative(monthly(s, d), "month",
+        "rev_cents", "delta_cents", unitMillis = Some(86400000L))
+      out.select(col("month"), col("n"),
+          (col("rev_cents") / 100.0).as("rev"),
+          (col("delta_cents") / 100.0).as("rev_delta"),
+          QueryUtil.rhu(col("delta_cents_per_unit") / 100.0, 6)
+            .as("rev_delta_per_day"))
+        .orderBy("month")
+    }),
+    // ES cumulative_sum on both a count metric and a money metric
+    "pa2_cumulative_sum" -> ((s, d) => {
+      val c1 = BucketPipeline.cumulativeSum(monthly(s, d), "month",
+        "n", "cum_n")
+      val out = BucketPipeline.cumulativeSum(c1, "month",
+        "rev_cents", "cum_cents")
+      out.select(col("month"), col("n"), col("cum_n"),
+          (col("cum_cents") / 100.0).as("cum_rev"))
+        .orderBy("month")
+    }),
+    // ES moving_fn per series (terms → date_histogram nesting): a
+    // trailing 3-month unweightedAvg (shift 0 — ES's default window
+    // EXCLUDES the current bucket) and a 3-month max including it
+    // (shift 1), restarting per order status
+    "pa3_moving_fn" -> ((s, d) => {
+      val b = Tables.load(s, d, "orders")
+        .groupBy(col("o_orderstatus"),
+          date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(floor(sum("o_totalprice") * 100.0 + 0.5).cast("long")
+          .as("rev_cents"))
+      val m1 = BucketPipeline.movingFn(b, "month", "rev_cents", 3,
+        "unweightedAvg", shift = 0, out = "mavg_cents",
+        seriesBy = Seq("o_orderstatus"))
+      val out = BucketPipeline.movingFn(m1, "month", "rev_cents", 3,
+        "max", shift = 1, out = "mmax_cents",
+        seriesBy = Seq("o_orderstatus"))
+      out.select(col("o_orderstatus"), col("month"),
+          (col("rev_cents") / 100.0).as("rev"),
+          (col("mavg_cents") / 100.0).as("trailing_avg"),
+          (col("mmax_cents") / 100.0).as("window_max"))
+        .orderBy("o_orderstatus", "month")
+    }),
+    // ES bucket_script (avg order price from two sibling metrics) +
+    // bucket_selector (keep months whose average clears the bar)
+    "pa4_bucket_script" -> ((s, d) => {
+      val scripted = BucketPipeline.bucketScript(monthly(s, d),
+        "avg_price", col("rev_cents") / 100.0 / col("n"))
+      BucketPipeline.bucketSelector(scripted, col("avg_price") > 151000.0)
+        .select(col("month"), col("n"),
+          QueryUtil.rhu(col("avg_price"), 4).as("avg_price"))
+        .orderBy("month")
+    }),
+    // ES bucket_sort: second-to-fourth revenue months (from 1, size 3)
+    "pa5_bucket_sort" -> ((s, d) => {
+      BucketPipeline.bucketSort(monthly(s, d),
+        Seq(col("rev_cents").desc, col("month")), from = 1,
+        size = Some(3))
+        .select(col("month"), col("n"),
+          (col("rev_cents") / 100.0).as("rev"))
+    }),
+    // ES serial_diff at lag 2 (the seasonality-differencing face)
+    "pa6_serial_diff" -> ((s, d) => {
+      BucketPipeline.serialDiff(monthly(s, d), "month", "rev_cents",
+        2, "diff_cents")
+        .select(col("month"), col("n"),
+          (col("diff_cents") / 100.0).as("rev_diff2"))
+        .orderBy("month")
+    }),
+    // ES cumulative_cardinality: distinct users ever seen, per day —
+    // computed scalably (first-seen bucket per key, one key shuffle,
+    // prefix sum over the bounded bucket frame; never a running
+    // collect_set)
+    "pa7_cumulative_cardinality" -> ((s, d) => {
+      val raw = Tables.load(s, d, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      val buckets = raw.groupBy("day")
+        .agg(count(lit(1)).cast("long").as("n_events"))
+      BucketPipeline.cumulativeCardinality(buckets, raw, col("day"),
+        "user_id", "day", "cum_users")
+        .select(col("day"), col("n_events"), col("cum_users"),
+          col("cum_users_new"))
+        .orderBy("day")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "pa1_derivative" ->
+      s"""WITH b AS ($monthlySql)
+         |SELECT month, n, rev_cents / 100.0 AS rev,
+         |  (rev_cents - lag(rev_cents) OVER (ORDER BY month)) / 100.0
+         |    AS rev_delta,
+         |  ${QueryUtil.rhuSql(
+        "((rev_cents - lag(rev_cents) OVER (ORDER BY month)) / 100.0) / " +
+          "((epoch_ms(CAST(month AS TIMESTAMP)) - " +
+          "lag(epoch_ms(CAST(month AS TIMESTAMP))) OVER (ORDER BY month))" +
+          " / 86400000.0)", 6)} AS rev_delta_per_day
+         |FROM b ORDER BY month""".stripMargin,
+    "pa2_cumulative_sum" ->
+      s"""WITH b AS ($monthlySql)
+         |SELECT month, n,
+         |  sum(n) OVER (ORDER BY month
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         |  sum(rev_cents) OVER (ORDER BY month
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+         |    AS cum_rev
+         |FROM b ORDER BY month""".stripMargin,
+    "pa3_moving_fn" ->
+      """WITH b AS (SELECT o_orderstatus,
+        |  date_trunc('month', o_orderdate) AS month,
+        |  CAST(floor(sum(o_totalprice) * 100.0 + 0.5) AS BIGINT)
+        |    AS rev_cents
+        |FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, month, rev_cents / 100.0 AS rev,
+        |  avg(rev_cents) OVER (PARTITION BY o_orderstatus ORDER BY month
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) / 100.0
+        |    AS trailing_avg,
+        |  max(rev_cents) OVER (PARTITION BY o_orderstatus ORDER BY month
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0
+        |    AS window_max
+        |FROM b ORDER BY o_orderstatus, month""".stripMargin,
+    "pa4_bucket_script" ->
+      s"""WITH b AS ($monthlySql)
+         |SELECT month, n,
+         |  ${QueryUtil.rhuSql("rev_cents / 100.0 / n", 4)} AS avg_price
+         |FROM b WHERE rev_cents / 100.0 / n > 151000.0
+         |ORDER BY month""".stripMargin,
+    "pa5_bucket_sort" ->
+      s"""WITH b AS ($monthlySql)
+         |SELECT month, n, rev_cents / 100.0 AS rev
+         |FROM b ORDER BY rev_cents DESC, month OFFSET 1 LIMIT 3""".stripMargin,
+    "pa6_serial_diff" ->
+      s"""WITH b AS ($monthlySql)
+         |SELECT month, n,
+         |  (rev_cents - lag(rev_cents, 2) OVER (ORDER BY month)) / 100.0
+         |    AS rev_diff2
+         |FROM b ORDER BY month""".stripMargin,
+    "pa7_cumulative_cardinality" ->
+      """WITH raw AS (SELECT date_trunc('day', ts) AS day, user_id
+        |             FROM events),
+        |b AS (SELECT day, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM raw GROUP BY 1),
+        |fs AS (SELECT user_id, min(day) AS day FROM raw GROUP BY 1),
+        |np AS (SELECT day, CAST(count(*) AS BIGINT) AS nw
+        |       FROM fs GROUP BY 1)
+        |SELECT b.day, b.n_events,
+        |  sum(coalesce(np.nw, 0)) OVER (ORDER BY b.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cum_users,
+        |  coalesce(np.nw, 0) AS cum_users_new
+        |FROM b LEFT JOIN np USING (day) ORDER BY day""".stripMargin)
+}

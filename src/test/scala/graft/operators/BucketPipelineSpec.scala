@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+/** ES pipeline-agg semantics pinned on hand-computed series. */
+class BucketPipelineSpec extends AnyFunSpec with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // three monthly buckets, values 10, 30, 25
+  private def series = Seq(
+    ("2024-01-01", 10.0), ("2024-02-01", 30.0), ("2024-03-01", 25.0))
+    .toDF("m", "v").withColumn("m", to_timestamp(col("m")))
+
+  private def vals(df: org.apache.spark.sql.DataFrame,
+                   c: String): Seq[Option[Double]] =
+    df.orderBy("m").select(c).collect().toSeq
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+
+  describe("derivative") {
+    it("is the lag-1 difference, null on the first bucket") {
+      vals(BucketPipeline.derivative(series, "m", "v", "d"), "d") shouldBe
+        Seq(None, Some(20.0), Some(-5.0))
+    }
+    it("normalizes by the bucket gap in the given unit") {
+      val out = BucketPipeline.derivative(series, "m", "v", "d",
+        unitMillis = Some(86400000L)) // per day
+      // Jan→Feb gap 31 days: 20/31; Feb→Mar gap 29 days (2024): -5/29
+      val per = vals(out, "d_per_unit")
+      per.head shouldBe None
+      per(1).get shouldBe (20.0 / 31.0) +- 1e-12
+      per(2).get shouldBe (-5.0 / 29.0) +- 1e-12
+    }
+    it("restarts per series under seriesBy") {
+      val two = series.withColumn("s", lit("a"))
+        .unionByName(series.withColumn("v", col("v") * 2)
+          .withColumn("s", lit("b")))
+      val out = BucketPipeline.derivative(two, "m", "v", "d",
+        seriesBy = Seq("s"))
+      out.filter(col("d").isNull).count() shouldBe 2 // one per series
+      out.filter(col("s") === "b" && col("d") === 40.0).count() shouldBe 1
+    }
+  }
+
+  describe("cumulative_sum and serial_diff") {
+    it("cumulativeSum runs a prefix total") {
+      vals(BucketPipeline.cumulativeSum(series, "m", "v", "c"), "c") shouldBe
+        Seq(Some(10.0), Some(40.0), Some(65.0))
+    }
+    it("serialDiff lag 2 needs two buckets of history") {
+      vals(BucketPipeline.serialDiff(series, "m", "v", 2, "sd"), "sd") shouldBe
+        Seq(None, None, Some(15.0))
+    }
+  }
+
+  describe("moving_fn") {
+    it("shift 0 excludes the current bucket (ES default)") {
+      vals(BucketPipeline.movingFn(series, "m", "v", 2, "unweightedAvg",
+        out = "ma"), "ma") shouldBe Seq(None, Some(10.0), Some(20.0))
+    }
+    it("shift 1 includes the current bucket") {
+      vals(BucketPipeline.movingFn(series, "m", "v", 2, "unweightedAvg",
+        shift = 1, out = "ma"), "ma") shouldBe
+        Seq(Some(10.0), Some(20.0), Some(27.5))
+    }
+    it("stdDev is the population σ of the window") {
+      // window 2 incl current at bucket 2: [10, 30] → σ = 10
+      vals(BucketPipeline.movingFn(series, "m", "v", 2, "stdDev",
+        shift = 1, out = "sd"), "sd")(1).get shouldBe 10.0 +- 1e-12
+    }
+    it("linearWeightedAvg weights the newest value highest") {
+      // bucket 3, window 3 incl current: (10·1 + 30·2 + 25·3)/6
+      vals(BucketPipeline.movingFn(series, "m", "v", 3,
+        "linearWeightedAvg", shift = 1, out = "lw"), "lw")(2).get shouldBe
+        (145.0 / 6.0) +- 1e-12
+    }
+    it("ewma folds oldest→newest") {
+      // bucket 3: start 10, then .5·30+.5·10 = 20, then .5·25+.5·20
+      vals(BucketPipeline.movingEwma(series, "m", "v", 3, 0.5,
+        shift = 1, out = "e"), "e")(2).get shouldBe 22.5 +- 1e-12
+    }
+    it("refuses unknown functions") {
+      an[IllegalArgumentException] should be thrownBy
+        BucketPipeline.movingFn(series, "m", "v", 2, "holtWinters")
+    }
+  }
+
+  describe("bucket_script / bucket_selector / bucket_sort") {
+    it("selector drops null predicates like ES skip gap policy") {
+      val withNull = BucketPipeline.bucketScript(series, "r",
+        when(col("v") > 12, col("v") * 2))
+      BucketPipeline.bucketSelector(withNull, col("r") > 0)
+        .count() shouldBe 2
+    }
+    it("bucket_sort pages with from/size") {
+      val out = BucketPipeline.bucketSort(series,
+        Seq(col("v").desc), from = 1, size = Some(2))
+      out.select("v").collect().map(_.getDouble(0)).toSeq shouldBe
+        Seq(25.0, 10.0)
+    }
+  }
+
+  describe("cumulative_cardinality") {
+    it("counts first appearances and carries totals over quiet buckets") {
+      val raw = Seq(
+        ("2024-01-01", "u1"), ("2024-01-01", "u2"),
+        ("2024-02-01", "u2"), ("2024-02-01", "u3"),
+        ("2024-04-01", "u1"))
+        .toDF("m", "u").withColumn("m", to_timestamp(col("m")))
+      val buckets = raw.groupBy("m").agg(count(lit(1)).as("n"))
+        // add an empty-but-present bucket shape via the March gap:
+        // only buckets with raw rows exist here; April has no NEW user
+      val out = BucketPipeline.cumulativeCardinality(
+        buckets, raw, col("m"), "u", "m", "cc")
+      out.orderBy("m").select("cc", "cc_new").collect().toSeq shouldBe
+        Seq(Row(2L, 2L), Row(3L, 1L), Row(3L, 0L))
+    }
+    it("refuses output-column collisions") {
+      val raw = Seq(("2024-01-01", "u1")).toDF("m", "u")
+        .withColumn("m", to_timestamp(col("m")))
+      val buckets = raw.groupBy("m").agg(count(lit(1)).as("cc"))
+      an[IllegalArgumentException] should be thrownBy
+        BucketPipeline.cumulativeCardinality(
+          buckets, raw, col("m"), "u", "m", "cc")
+    }
+  }
+}
