@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ES metric/bucket aggregation faces the reference reaches only as
+  * raw-DSL `aggs` passthrough (eland/query.py raw aggregations):
+  * `extended_stats`, `weighted_avg`, `top_hits`, `rare_terms`, and
+  * `composite` paging. Semantics follow the ES documentation; each is
+  * one declarative plan (single agg pass, or one keyed shuffle) so
+  * Catalyst keeps pushdown/partial-agg intact at any scale.
+  */
+object EsAggs {
+
+  /** ES `extended_stats`: count/min/max/sum/avg/sum_of_squares plus
+    * variance and std deviation (population AND sampling, like ES
+    * 7.x+) and the `std_deviation_bounds` at `sigma` σ. One
+    * HashAggregate pass; the derived moments use the same
+    * moment-arithmetic ES does (variance = Σx²/n − mean²), so an
+    * engine replaying the definition reproduces them bit-for-bit from
+    * the same inputs — no dependence on Welford-vs-two-pass
+    * differences between variance implementations.
+    */
+  def extendedStats(df: DataFrame, valueCol: String,
+                    sigma: Double = 2.0): DataFrame = {
+    require(sigma > 0, s"sigma must be > 0, got $sigma")
+    val v = col(valueCol).cast("double")
+    df.agg(
+        count(v).cast("long").as("count"),
+        min(v).as("min"), max(v).as("max"),
+        sum(v).as("sum"), sum(v * v).as("sum_of_squares"))
+      .withColumn("avg", col("sum") / col("count"))
+      .withColumn("variance_population",
+        col("sum_of_squares") / col("count") - col("avg") * col("avg"))
+      .withColumn("variance_sampling",
+        (col("sum_of_squares") -
+          col("sum") * col("sum") / col("count")) /
+          (col("count") - 1))
+      .withColumn("std_deviation_population",
+        sqrt(col("variance_population")))
+      .withColumn("std_deviation_sampling",
+        sqrt(col("variance_sampling")))
+      .withColumn("std_upper",
+        col("avg") + lit(sigma) * col("std_deviation_population"))
+      .withColumn("std_lower",
+        col("avg") - lit(sigma) * col("std_deviation_population"))
+  }
+
+  /** ES `weighted_avg`: Σ(value·weight) / Σ(weight), null-value rows
+    * excluded WITH their weights (ES's `missing`-less default).
+    * Optional `by` keys give the terms-nested form. One agg pass,
+    * map-side combined.
+    */
+  def weightedAvg(df: DataFrame, valueCol: String, weightCol: String,
+                  out: String = "weighted_avg",
+                  by: Seq[String] = Nil): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val w = col(weightCol).cast("double")
+    val contrib = when(v.isNotNull, v * w)
+    val weight = when(v.isNotNull, w)
+    val agg = (sum(contrib) / sum(weight)).as(out)
+    if (by.isEmpty) df.agg(agg)
+    else df.groupBy(by.map(col): _*).agg(agg)
+  }
+
+  /** ES `top_hits` under a terms agg: the top `k` whole rows per
+    * group by `sortCol` (desc by default), ties broken by `tieCol`
+    * ascending so the cut is deterministic. One shuffle on the group
+    * keys; the per-group heap is a window row_number, never a
+    * collect.
+    */
+  def topHits(df: DataFrame, by: Seq[String], sortCol: String,
+              k: Int, tieCol: String, asc: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be >= 1, got $k")
+    require(by.nonEmpty, "top_hits needs at least one group key")
+    val order =
+      if (asc) Seq(col(sortCol).asc, col(tieCol).asc)
+      else Seq(col(sortCol).desc, col(tieCol).asc)
+    df.withColumn("_rank", row_number().over(
+        Window.partitionBy(by.map(col): _*).orderBy(order: _*)))
+      .filter(col("_rank") <= k)
+      .drop("_rank")
+  }
+
+  /** ES `rare_terms`: bucket keys appearing in at most `maxDocCount`
+    * rows, rarest first (count asc, key asc). ES approximates with a
+    * CuckooFilter to bound memory; here the exact groupBy is the
+    * right call — the count shuffle carries (key, partial count)
+    * pairs only, and the HAVING prunes before any sort. `limit`
+    * bounds the output like ES's size.
+    */
+  def rareTerms(df: DataFrame, keyCols: Seq[String], maxDocCount: Long,
+                limit: Option[Int] = None): DataFrame = {
+    require(maxDocCount >= 1, s"max_doc_count must be >= 1, got " +
+      s"$maxDocCount (ES bounds it to [1, 100])")
+    val counted = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("doc_count"))
+      .filter(col("doc_count") <= maxDocCount)
+      .orderBy(col("doc_count").asc +: keyCols.map(col(_).asc): _*)
+    limit.fold(counted)(counted.limit)
+  }
+
+  /** ES `composite` aggregation paging: the buckets of `keys` (all
+    * ascending, ES's default source order) AFTER `afterKey`, first
+    * `size` of them — the scalable "give me every bucket, one page at
+    * a time" agg. The after-key predicate is applied to the RAW rows
+    * (a bucket's key decides the predicate, so filtering before the
+    * groupBy is equivalent) — it reaches the scan as a pushable
+    * lexicographic filter, and the page cut is a
+    * TakeOrderedAndProject, so a deep page never materializes earlier
+    * buckets.
+    */
+  def compositePage(df: DataFrame, keys: Seq[String], size: Int,
+                    afterKey: Option[Seq[Any]] = None,
+                    metrics: Seq[Column] = Seq(
+                      count(lit(1)).cast("long").as("doc_count")))
+      : DataFrame = {
+    require(keys.nonEmpty, "composite needs at least one source key")
+    require(size > 0, s"size must be >= 1, got $size")
+    val paged = afterKey.fold(df) { after =>
+      require(after.length == keys.length,
+        s"after_key has ${after.length} values for ${keys.length} keys")
+      // lexicographic strictly-greater: (k1 > a1) OR (k1 = a1 AND
+      // (k2 > a2) OR ...) — nested so every leading-equality prefix
+      // pushes down
+      val pred = keys.zip(after).foldRight(lit(false): Column) {
+        case ((k, a), rest) => col(k) > lit(a) ||
+          (col(k) === lit(a) && rest)
+      }
+      df.filter(pred)
+    }
+    paged.groupBy(keys.map(col): _*)
+      .agg(metrics.head, metrics.tail: _*)
+      .orderBy(keys.map(col(_).asc): _*)
+      .limit(size)
+  }
+}

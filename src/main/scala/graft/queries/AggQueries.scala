@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.BucketPipeline
+import graft.operators.{BucketPipeline, EsAggs}
 
 /** ES pipeline-aggregation gates ([[graft.operators.BucketPipeline]]):
   * each gate bucketizes with a date_histogram-shaped groupBy, applies
@@ -116,6 +116,54 @@ object AggQueries {
         .select(col("day"), col("n_events"), col("cum_users"),
           col("cum_users_new"))
         .orderBy("day")
+    }),
+    // ES extended_stats on an integer-valued measure: every moment
+    // (incl. Σx²) is integer-exact in IEEE double, and the derived
+    // variance/σ/bounds use ES's moment arithmetic — identical
+    // expressions on both engines, no Welford-vs-two-pass skew
+    "ax3_extended_stats" -> ((s, d) => {
+      EsAggs.extendedStats(
+        Tables.load(s, d, "lineitem").select("l_quantity"),
+        "l_quantity", sigma = 2.0)
+    }),
+    // ES weighted_avg nested under terms: quantity-weighted average
+    // line price per return flag, money as exact cents so the
+    // Σ(v·w)/Σw ratio is bit-deterministic
+    "ax4_weighted_avg" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .withColumn("price_cents",
+          floor(col("l_extendedprice") * 100.0 + 0.5))
+      EsAggs.weightedAvg(li, "price_cents", "l_quantity",
+          by = Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          (col("weighted_avg") / 100.0).as("wavg_price"))
+        .orderBy("l_returnflag")
+    }),
+    // ES top_hits under a terms agg: the two biggest orders per
+    // priority, whole rows, ties by key
+    "th1_top_hits" -> ((s, d) => {
+      EsAggs.topHits(Tables.load(s, d, "orders"),
+          Seq("o_orderpriority"), "o_totalprice", 2, "o_orderkey")
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+    // ES rare_terms over the analyzed vocabulary: tokens in at most 2
+    // documents, rarest first (exact groupBy — ES's CuckooFilter is a
+    // memory bound, not different semantics)
+    "rt1_rare_terms" -> ((s, d) => {
+      val exploded = Tables.load(s, d, "documents")
+        .select(explode(array_distinct(
+          graft.functions.TextAnalysis.tokens(col("text")))).as("term"))
+      EsAggs.rareTerms(exploded, Seq("term"), 2, limit = Some(20))
+    }),
+    // ES composite agg paging: the 8 (segment, nation) buckets after
+    // after_key ("BUILDING", 10) — the pushable lexicographic filter
+    // plus a TakeOrderedAndProject page cut
+    "ca1_composite_page" -> ((s, d) => {
+      EsAggs.compositePage(Tables.load(s, d, "customer"),
+        Seq("c_mktsegment", "c_nationkey"), 8,
+        afterKey = Some(Seq("BUILDING", 10)),
+        metrics = Seq(count(lit(1)).cast("long").as("doc_count"),
+          round(sum("c_acctbal"), 2).as("acct_sum")))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -182,5 +230,55 @@ object AggQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS cum_users,
         |  coalesce(np.nw, 0) AS cum_users_new
-        |FROM b LEFT JOIN np USING (day) ORDER BY day""".stripMargin)
+        |FROM b LEFT JOIN np USING (day) ORDER BY day""".stripMargin,
+    "ax3_extended_stats" ->
+      """WITH m AS (SELECT CAST(count(v) AS BIGINT) AS "count",
+        |  min(v) AS "min", max(v) AS "max", sum(v) AS "sum",
+        |  sum(v * v) AS sum_of_squares
+        |  FROM (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem))
+        |SELECT "count", "min", "max", "sum", sum_of_squares,
+        |  "sum" / "count" AS avg,
+        |  sum_of_squares / "count" - ("sum" / "count") * ("sum" / "count")
+        |    AS variance_population,
+        |  (sum_of_squares - "sum" * "sum" / "count") / ("count" - 1)
+        |    AS variance_sampling,
+        |  sqrt(sum_of_squares / "count" -
+        |    ("sum" / "count") * ("sum" / "count"))
+        |    AS std_deviation_population,
+        |  sqrt((sum_of_squares - "sum" * "sum" / "count") / ("count" - 1))
+        |    AS std_deviation_sampling,
+        |  "sum" / "count" + 2.0 * sqrt(sum_of_squares / "count" -
+        |    ("sum" / "count") * ("sum" / "count")) AS std_upper,
+        |  "sum" / "count" - 2.0 * sqrt(sum_of_squares / "count" -
+        |    ("sum" / "count") * ("sum" / "count")) AS std_lower
+        |FROM m""".stripMargin,
+    "ax4_weighted_avg" ->
+      """WITH li AS (SELECT l_returnflag,
+        |  floor(l_extendedprice * 100.0 + 0.5) AS price_cents,
+        |  CAST(l_quantity AS DOUBLE) AS w FROM lineitem)
+        |SELECT l_returnflag,
+        |  (sum(price_cents * w) / sum(w)) / 100.0 AS wavg_price
+        |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
+    "th1_top_hits" ->
+      """SELECT * EXCLUDE (rn) FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "rt1_rare_terms" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |  unnest(list_distinct(list_filter(
+           |    string_split_regex(lower(text), '\s+'), x -> x <> '')))
+           |    AS term FROM documents)
+           |SELECT term, CAST(count(*) AS BIGINT) AS doc_count
+           |FROM t GROUP BY 1 HAVING count(*) <= 2
+           |ORDER BY 2 ASC, 1 ASC LIMIT 20""".stripMargin,
+    "ca1_composite_page" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS doc_count,
+        |  round(sum(c_acctbal), 2) AS acct_sum
+        |FROM customer
+        |WHERE c_mktsegment > 'BUILDING'
+        |   OR (c_mktsegment = 'BUILDING' AND c_nationkey > 10)
+        |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 8""".stripMargin)
 }

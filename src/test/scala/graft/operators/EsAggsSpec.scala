@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+class EsAggsSpec extends AnyFunSpec with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  describe("extended_stats") {
+    it("derives the moments ES derives, population and sampling") {
+      // values 2, 4, 6: mean 4, pop var (4+0+4)/3 = 8/3, samp var 4
+      val r = EsAggs.extendedStats(
+        Seq(2.0, 4.0, 6.0).toDF("v"), "v", sigma = 2.0).collect().head
+      r.getAs[Long]("count") shouldBe 3L
+      r.getAs[Double]("sum") shouldBe 12.0
+      r.getAs[Double]("sum_of_squares") shouldBe 56.0
+      r.getAs[Double]("avg") shouldBe 4.0
+      r.getAs[Double]("variance_population") shouldBe (8.0 / 3) +- 1e-12
+      r.getAs[Double]("variance_sampling") shouldBe 4.0 +- 1e-12
+      r.getAs[Double]("std_upper") shouldBe
+        (4.0 + 2 * math.sqrt(8.0 / 3)) +- 1e-12
+    }
+  }
+
+  describe("weighted_avg") {
+    it("weights values and skips null values with their weights") {
+      // (10·1 + 20·3)/4 = 17.5; the null value's weight 100 is ignored
+      val df = Seq((Some(10.0), 1.0), (Some(20.0), 3.0),
+        (None, 100.0)).toDF("v", "w")
+      EsAggs.weightedAvg(df, "v", "w").collect()
+        .head.getDouble(0) shouldBe 17.5 +- 1e-12
+    }
+    it("groups under by keys") {
+      val df = Seq(("a", 10.0, 1.0), ("a", 20.0, 1.0), ("b", 5.0, 2.0))
+        .toDF("k", "v", "w")
+      EsAggs.weightedAvg(df, "v", "w", by = Seq("k"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1))
+        .toMap shouldBe Map("a" -> 15.0, "b" -> 5.0)
+    }
+  }
+
+  describe("top_hits") {
+    it("keeps k whole rows per group with deterministic tie cut") {
+      val df = Seq(("a", 3.0, 1L), ("a", 3.0, 2L), ("a", 1.0, 3L),
+        ("b", 9.0, 4L)).toDF("k", "score", "id")
+      val out = EsAggs.topHits(df, Seq("k"), "score", 2, "id")
+      out.count() shouldBe 3
+      // tie at score 3.0 broken by id asc: ids 1 and 2 survive
+      out.filter(col("k") === "a").select("id").collect()
+        .map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+    }
+  }
+
+  describe("rare_terms") {
+    it("keeps keys at or under max_doc_count, rarest first") {
+      val df = Seq("x", "x", "x", "y", "z", "z").toDF("t")
+      EsAggs.rareTerms(df, Seq("t"), 2).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+        Seq(("y", 1L), ("z", 2L))
+    }
+    it("refuses max_doc_count < 1") {
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.rareTerms(Seq("x").toDF("t"), Seq("t"), 0)
+    }
+  }
+
+  describe("composite paging") {
+    it("pages buckets lexicographically after the after_key") {
+      val df = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2), ("c", 1))
+        .toDF("k1", "k2")
+      val page = EsAggs.compositePage(df, Seq("k1", "k2"), 2,
+        afterKey = Some(Seq("a", 2)))
+      page.collect().map(r => (r.getString(0), r.getInt(1))).toSeq shouldBe
+        Seq(("b", 1), ("b", 2))
+      // pages tile: the next after_key continues without overlap
+      EsAggs.compositePage(df, Seq("k1", "k2"), 2,
+          afterKey = Some(Seq("b", 2)))
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq shouldBe
+        Seq(("c", 1))
+    }
+    it("refuses a mis-sized after_key") {
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.compositePage(Seq(("a", 1)).toDF("k1", "k2"),
+          Seq("k1", "k2"), 2, afterKey = Some(Seq("a")))
+    }
+  }
+}
