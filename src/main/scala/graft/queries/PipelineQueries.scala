@@ -1512,6 +1512,19 @@ object PipelineQueries {
         .suggestCompletions(s, path, "wi", k = 5).withColumn("q", lit("wi"))
       a.unionByName(b).orderBy(col("q"), col("df").desc, col("term"))
     }),
+    // the ES PHRASE suggester ("did you mean" whole phrases): per-
+    // position distance-1 candidates from the corpus vocabulary
+    // (frequency-ranked top-3 + the observed term), ≤-1-changed-
+    // position enumeration, stupid-backoff bigram LM + noisy-channel
+    // keep/change likelihoods, confidence cut vs the input phrase's
+    // own score. The oracle replays the WHOLE recipe — levenshtein
+    // candidate generation, the combination filter, and the exact
+    // left-to-right log-sum
+    "sg3_phrase_suggest" -> ((s, d) => {
+      graft.operators.PhraseSuggest.suggest(t(s, d, "documents"),
+        "text", "hash joinn scan", k = 3, numCandidates = 3,
+        maxErrors = 1)
+    }),
     // more_like_this served from the index: doc 5's text is the like
     // input, term selection (like-tf >= 2, live df >= 5, top 5 by
     // 6dp-rounded tf*idf, term-asc ties) then BM25 with a 30%-floored
@@ -3693,6 +3706,66 @@ object PipelineQueries {
            |            WHERE starts_with(term, 'wi')))
            |SELECT term, df, q FROM r WHERE rn <= 5
            |ORDER BY q, df DESC, term""".stripMargin,
+    // full-recipe phrase-suggester replay: unigram/bigram counts,
+    // levenshtein candidate generation with the same (c desc, token)
+    // rank + observed-term union, the ≤-1-change cross join, and the
+    // exact left-to-right stupid-backoff + channel log-sum
+    "sg3_phrase_suggest" ->
+      raw"""WITH toks AS (SELECT $toksSql AS t FROM documents),
+           |uni AS (SELECT u AS token, CAST(count(*) AS BIGINT) AS c
+           |        FROM (SELECT unnest(t) AS u FROM toks) GROUP BY 1),
+           |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+           |    SELECT t[i] AS w1, t[i + 1] AS w2
+           |    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+           |          FROM toks WHERE len(t) >= 2)) GROUP BY 1, 2),
+           |nn AS (SELECT CAST(sum(c) AS DOUBLE) AS N FROM uni),
+           |c1 AS (SELECT token FROM (SELECT token FROM uni
+           |         WHERE length(token) BETWEEN 3 AND 5
+           |           AND levenshtein(token, 'hash') <= 1
+           |         ORDER BY c DESC, token LIMIT 3) UNION SELECT 'hash'),
+           |c2 AS (SELECT token FROM (SELECT token FROM uni
+           |         WHERE length(token) BETWEEN 4 AND 6
+           |           AND levenshtein(token, 'joinn') <= 1
+           |         ORDER BY c DESC, token LIMIT 3) UNION SELECT 'joinn'),
+           |c3 AS (SELECT token FROM (SELECT token FROM uni
+           |         WHERE length(token) BETWEEN 3 AND 5
+           |           AND levenshtein(token, 'scan') <= 1
+           |         ORDER BY c DESC, token LIMIT 3) UNION SELECT 'scan'),
+           |combos AS (SELECT c1.token AS w1, c2.token AS w2,
+           |    c3.token AS w3,
+           |    (CASE WHEN c1.token <> 'hash' THEN 1 ELSE 0 END +
+           |     CASE WHEN c2.token <> 'joinn' THEN 1 ELSE 0 END +
+           |     CASE WHEN c3.token <> 'scan' THEN 1 ELSE 0 END) AS changed
+           |  FROM c1, c2, c3
+           |  WHERE (CASE WHEN c1.token <> 'hash' THEN 1 ELSE 0 END +
+           |         CASE WHEN c2.token <> 'joinn' THEN 1 ELSE 0 END +
+           |         CASE WHEN c3.token <> 'scan' THEN 1 ELSE 0 END) <= 1),
+           |scored AS (SELECT combos.w1 || ' ' || combos.w2 || ' ' ||
+           |    combos.w3 AS suggestion, changed,
+           |    (ln(CASE WHEN u1.c IS NOT NULL THEN u1.c / N
+           |             ELSE 0.4 / N END)
+           |     + CASE WHEN b12.c12 IS NOT NULL AND u1.c IS NOT NULL
+           |            THEN ln(b12.c12 / u1.c)
+           |            ELSE ln(0.4 * (CASE WHEN u2.c IS NOT NULL
+           |                 THEN u2.c / N ELSE 0.4 / N END)) END
+           |     + CASE WHEN b23.c12 IS NOT NULL AND u2.c IS NOT NULL
+           |            THEN ln(b23.c12 / u2.c)
+           |            ELSE ln(0.4 * (CASE WHEN u3.c IS NOT NULL
+           |                 THEN u3.c / N ELSE 0.4 / N END)) END
+           |     + ((3 - changed) * ln(0.95) + changed * ln(0.05)))
+           |      AS score
+           |  FROM combos CROSS JOIN nn
+           |  LEFT JOIN uni u1 ON u1.token = combos.w1
+           |  LEFT JOIN uni u2 ON u2.token = combos.w2
+           |  LEFT JOIN uni u3 ON u3.token = combos.w3
+           |  LEFT JOIN bi b12 ON b12.w1 = combos.w1 AND b12.w2 = combos.w2
+           |  LEFT JOIN bi b23 ON b23.w1 = combos.w2 AND b23.w2 = combos.w3),
+           |inp AS (SELECT score AS s0 FROM scored WHERE changed = 0)
+           |SELECT suggestion,
+           |       floor(score * 1000000 + 0.5) / 1000000.0 AS score
+           |FROM scored CROSS JOIN inp
+           |WHERE changed > 0 AND score > s0
+           |ORDER BY 2 DESC, 1 LIMIT 3""".stripMargin,
     // full-recipe MLT replay: like-term tf from doc 5, corpus df,
     // rounded tf*idf selection with the LIMIT cut, the 30%-floor msm,
     // Okapi scoring over the selected terms, like-doc excluded from
