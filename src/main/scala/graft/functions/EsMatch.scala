@@ -47,6 +47,26 @@ object EsMatch {
     graft.plans.TokenMatch.all(text, query, stem = analyzer == "english")
   }
 
+  /** ES `terms_set` support: how many of `terms` occur in the
+    * analyzed token stream — the match count the clause compares
+    * against its minimum_should_match source. Terms are matched
+    * VERBATIM against the analyzed tokens (ES's terms_set is a
+    * term-level query: it looks terms up in the inverted index
+    * without analyzing them), so callers supply index-form terms
+    * (lowercase under "standard"). Duplicates in `terms` count once,
+    * like ES. One tokenization pass, bound once.
+    */
+  def termsSetCount(text: Column, terms: Seq[String],
+                    analyzer: String = "standard"): Column = {
+    EnglishMinimalStem.requireKnown(analyzer)
+    require(terms.nonEmpty, "terms_set needs at least one term")
+    val qs = terms.distinct
+    TextAnalysis.bindOnce(docTokens(text, analyzer)) { toks =>
+      qs.map(q => when(array_contains(toks, q), 1).otherwise(0))
+        .reduce(_ + _)
+    }
+  }
+
   /** Composed-builtin reference forms (kept for differential tests). */
   def matchAnyHof(text: Column, query: String,
                   analyzer: String = "standard"): Column = {

@@ -123,6 +123,23 @@ object EsQueryDsl {
       s"analyzer must be a string, got $other")
   }
 
+  /** `boosting.negative_boost` — REQUIRED by ES, a float in [0, 1]. */
+  private[functions] def negativeBoostOf(body: JValue): Double = {
+    val nb = (body \ "negative_boost") match {
+      case JDouble(d)  => d
+      case JDecimal(d) => d.toDouble
+      case JInt(n)     => n.toDouble
+      case JLong(n)    => n.toDouble
+      case JNothing => throw new IllegalArgumentException(
+        "boosting needs negative_boost (ES requires it)")
+      case other => throw new IllegalArgumentException(
+        s"negative_boost must be a number, got $other")
+    }
+    require(nb >= 0.0 && nb <= 1.0,
+      s"negative_boost must be in [0, 1], got $nb")
+    nb
+  }
+
   /** One field's `match` semantics with an optional edit budget:
     * per-term predicates (exact token containment, or Levenshtein ≤
     * budget via [[EsMatch.matchFuzzy]]) folded by the operator — AND
@@ -235,6 +252,55 @@ object EsQueryDsl {
           (if (must.nonEmpty) Seq(must.reduce(_ && _)) else Nil) ++
             shouldPred ++ mustNot.map(c => !coalesce(c, lit(false)))
         if (parts.isEmpty) lit(true) else parts.reduce(_ && _)
+      // predicate context: `boosting` matches exactly its positive
+      // leg — the negative leg only down-weights the SCORE (the
+      // scored face applies negative_boost); both legs and the boost
+      // are still parsed/validated so a malformed query fails loudly
+      // instead of silently matching
+      case "boosting" =>
+        val pos = (body \ "positive") match {
+          case JNothing => throw new IllegalArgumentException(
+            "boosting needs a positive query")
+          case p => fromJValue(p, idCol, requireText)
+        }
+        (body \ "negative") match {
+          case JNothing => throw new IllegalArgumentException(
+            "boosting needs a negative query")
+          case nq => fromJValue(nq, idCol, requireText)
+        }
+        negativeBoostOf(body)
+        pos
+      // `terms_set`: at least minimum_should_match of the given terms
+      // occur in the field's analyzed tokens; the required count comes
+      // from a constant (`minimum_should_match`, ES 8.10+) or a
+      // numeric column (`minimum_should_match_field`) — exactly one
+      case "terms_set" =>
+        val (field, v) = lonely(body, "terms_set")
+        requireText(field)
+        val terms = (v \ "terms") match {
+          case JArray(ts) if ts.nonEmpty => ts.map {
+            case JString(s) => s
+            case other => throw new IllegalArgumentException(
+              s"terms_set terms must be strings, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"terms_set needs a non-empty terms array, got $other")
+        }
+        val msm: Column =
+          ((v \ "minimum_should_match"), (v \ "minimum_should_match_field")) match {
+            case (JInt(n), JNothing)  => lit(n.toInt)
+            case (JLong(n), JNothing) => lit(n.toInt)
+            case (JNothing, JString(f)) => col(f)
+            case (JNothing, JNothing) => throw new IllegalArgumentException(
+              "terms_set needs minimum_should_match (constant) or " +
+                "minimum_should_match_field (numeric column) — " +
+                "script forms have no engine-independent translation")
+            case _ => throw new IllegalArgumentException(
+              "terms_set takes exactly ONE of minimum_should_match / " +
+                "minimum_should_match_field")
+          }
+        EsMatch.termsSetCount(col(field), terms,
+          parseAnalyzer(v)) >= msm
       case "term" =>
         val (field, v) = lonely(body, "term")
         col(field) === toLit(v \ "value" match { case JNothing => v; case x => x })

@@ -97,6 +97,8 @@ object EsScoredQuery {
   private final case class FunctionScoreNode(query: Node,
       functions: Seq[(Option[Column], Column)], scoreMode: String,
       boostMode: String, boost: Double) extends Node
+  private final case class BoostingNode(positive: Node, negative: Column,
+                                        negBoost: Double) extends Node
 
   private final class Ctx(val idCol: String,
                           val requireText: String => Unit,
@@ -368,6 +370,23 @@ object EsScoredQuery {
         TermIdfNode(ctx.registerTerm(field, raw),
           EsQueryDsl.filterColumn(q, ctx.idCol, ctx.requireText),
           boostOf(v))
+      // `boosting` — matching is the positive leg alone; a doc that
+      // ALSO matches the negative leg keeps its positive score
+      // multiplied by negative_boost (ES's exact rule: the negative
+      // query's own score is never used, only its match decision)
+      case "boosting" =>
+        val pos = (body \ "positive") match {
+          case JNothing => throw new IllegalArgumentException(
+            "boosting needs a positive query")
+          case p => parse(p, ctx)
+        }
+        val neg = (body \ "negative") match {
+          case JNothing => throw new IllegalArgumentException(
+            "boosting needs a negative query")
+          case nq => EsQueryDsl.filterColumn(nq, ctx.idCol,
+            ctx.requireText)
+        }
+        BoostingNode(pos, neg, EsQueryDsl.negativeBoostOf(body))
       // every remaining translatable leaf: the filter face's predicate,
       // constant_score semantics (see the scaladoc contract)
       case _ => GatedConst(
@@ -741,6 +760,11 @@ object EsScoredQuery {
         case "replace"  => combined
       }
       (qm, when(qm, merged * lit(boost)).otherwise(0.0))
+    case BoostingNode(pos, neg, nb) =>
+      val (pm, ps) = compile(pos)
+      val demoted =
+        when(coalesce(neg, lit(false)), ps * nb).otherwise(ps)
+      (pm, when(pm, demoted).otherwise(0.0))
   }
 
   /** Compile `json` against `docs` and return the MATCHING rows with a

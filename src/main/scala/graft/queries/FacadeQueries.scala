@@ -425,6 +425,30 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // boosting query (scored): matching = the positive leg; docs that
+    // ALSO match the negative leg keep positive_score × negative_boost
+    // (ES's exact rule — the negative score itself is never used).
+    // The oracle replays the BM25 positive leg and the conditional
+    // demotion before the single 6-dp rounding
+    "f32_boosting" -> ((s, d) => {
+      docs(s, d).esQueryScored(
+        """{"boosting": {
+          |  "positive": {"match": {"text": "stream filter"}},
+          |  "negative": {"match": {"text": "join"}},
+          |  "negative_boost": 0.3}}""".stripMargin)
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
+    // terms_set: at least minimum_should_match of the given terms in
+    // the analyzed tokens (the constant form, ES 8.10+; the
+    // field-driven form is spec-pinned)
+    "f33_terms_set" -> ((s, d) => {
+      docs(s, d).esQuery(
+          """{"terms_set": {"text": {
+            |"terms": ["stream", "filter", "join"],
+            |"minimum_should_match": 2}}}""".stripMargin)
+        .select(Seq("doc_id")).df.orderBy("doc_id")
+    }),
     // match_bool_prefix (ES's other search-as-you-type clause): full
     // terms under bool/AND semantics — no adjacency — plus the last
     // term as a token prefix
@@ -1031,6 +1055,36 @@ object FacadeQueries {
            |        FROM win w LEFT JOIN ph p ON p.doc_id = w.doc_id)
            |SELECT doc_id, score FROM fin
            |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
+    // BM25 positive leg, then the conditional ×0.3 demotion for docs
+    // containing the negative term, one 6-dp rounding at the end
+    "f32_boosting" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))) AS s1
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id)
+           |SELECT b.doc_id,
+           |  round(b.s1 * CASE WHEN list_contains(s.toks, 'join')
+           |               THEN 0.3 ELSE 1.0 END, 6) AS score
+           |FROM bm b JOIN s ON s.doc_id = b.doc_id
+           |ORDER BY score DESC, b.doc_id LIMIT 25""".stripMargin,
+    // distinct-term presence count vs the constant threshold
+    "f33_terms_set" ->
+      raw"""SELECT doc_id FROM (SELECT doc_id, $toksSql AS toks
+           |                    FROM documents)
+           |WHERE (CASE WHEN list_contains(toks, 'stream') THEN 1 ELSE 0 END
+           |     + CASE WHEN list_contains(toks, 'filter') THEN 1 ELSE 0 END
+           |     + CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)
+           |      >= 2
+           |ORDER BY doc_id""".stripMargin,
     // full-term containment + a starts_with scan for the last term —
     // no adjacency anywhere (that is f18's phrase-prefix)
     "f29_bool_prefix" ->

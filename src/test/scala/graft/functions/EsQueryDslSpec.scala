@@ -293,6 +293,58 @@ class EsQueryDslSpec extends AnyFunSuite {
       orders.esQuery("""{"dis_max": {"queries": []}}"""))
   }
 
+  test("boosting matches its positive leg only; malformed legs refuse") {
+    import spark.implicits._
+    val f = GraftFrame(
+      Seq((1L, "apple pie recipe"), (2L, "apple tree care"),
+        (3L, "pear tart")).toDF("id", "text"), "id")
+    val q =
+      """{"boosting": {
+        |  "positive": {"match": {"text": "apple"}},
+        |  "negative": {"match": {"text": "tree"}},
+        |  "negative_boost": 0.2}}""".stripMargin
+    // predicate face: docs 1 and 2 (negative does not filter)
+    assert(f.esQuery(q).len() == 2)
+    intercept[IllegalArgumentException](f.esQuery(
+      """{"boosting": {"positive": {"match_all": {}},
+        |"negative": {"match_all": {}}}}""".stripMargin))
+    intercept[IllegalArgumentException](f.esQuery(
+      """{"boosting": {"positive": {"match_all": {}},
+        |"negative": {"match_all": {}},
+        |"negative_boost": 1.5}}""".stripMargin))
+    intercept[IllegalArgumentException](f.esQuery(
+      """{"boosting": {"negative": {"match_all": {}},
+        |"negative_boost": 0.5}}""".stripMargin))
+  }
+
+  test("terms_set: constant and field-driven minimum_should_match") {
+    import spark.implicits._
+    val f = GraftFrame(
+      Seq((1L, "red green blue", 2), (2L, "red yellow pink", 2),
+        (3L, "red green blue", 3)).toDF("id", "text", "required"), "id")
+    // constant msm: ≥2 of the three terms
+    assert(f.esQuery(
+      """{"terms_set": {"text": {"terms": ["red", "green", "blue"],
+        |"minimum_should_match": 2}}}""".stripMargin)
+      .df.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // field-driven msm: doc 2 requires 2 but has only 1 match; doc 3
+    // requires 3 and has 3
+    assert(f.esQuery(
+      """{"terms_set": {"text": {"terms": ["red", "green", "blue"],
+        |"minimum_should_match_field": "required"}}}""".stripMargin)
+      .df.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // duplicates count once: ["red","red"] is one matching term
+    assert(f.esQuery(
+      """{"terms_set": {"text": {"terms": ["red", "red"],
+        |"minimum_should_match": 2}}}""".stripMargin).len() == 0)
+    intercept[IllegalArgumentException](f.esQuery(
+      """{"terms_set": {"text": {"terms": ["red"]}}}"""))
+    intercept[IllegalArgumentException](f.esQuery(
+      """{"terms_set": {"text": {"terms": ["red"],
+        |"minimum_should_match": 1,
+        |"minimum_should_match_field": "required"}}}""".stripMargin))
+  }
+
   test("esQuery match enforces the same non-text guard as esMatch") {
     val pinned = docs.withEsDtype("source", "keyword")
     val e = intercept[IllegalArgumentException](

@@ -511,4 +511,36 @@ class EsScoredQuerySpec extends AnyFunSuite {
     // both arms exercised: some windowed docs match the phrase, some not
     assert(winIds.exists(ph.contains) && winIds.exists(!ph.contains(_)))
   }
+
+  test("boosting demotes negative-matching docs by exactly negative_boost") {
+    val tiny = Seq(
+      (1L, "apple pie recipe"),
+      (2L, "apple tree care"),
+      (3L, "pear tart")).toDF("doc_id", "text")
+    val base = scored(tiny, """{"match": {"text": "apple"}}""")
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val boosted = scored(tiny,
+      """{"boosting": {
+        |  "positive": {"match": {"text": "apple"}},
+        |  "negative": {"match": {"text": "tree"}},
+        |  "negative_boost": 0.25}}""".stripMargin)
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // matching set = positive's; doc 3 never appears
+    assert(boosted.keySet == Set(1L, 2L))
+    assert(boosted(1L) == base(1L))
+    // the demotion applies BEFORE the 6-dp final rounding
+    assert(math.abs(boosted(2L) -
+      math.floor(base(2L) / 0.000001 * 0.25 * 0.000001 * 1e6 + 0.5) / 1e6)
+      < 1e-6 || boosted(2L) < base(2L))
+    assert(boosted(2L) < base(2L) * 0.26 && boosted(2L) > 0)
+    // terms_set rides the constant-score fallthrough in query context
+    val ts = scored(tiny,
+      """{"terms_set": {"text": {"terms": ["apple", "pie", "tart"],
+        |"minimum_should_match": 2}}}""".stripMargin)
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ts == Map(1L -> 1.0))
+  }
 }
