@@ -1575,10 +1575,15 @@ object InvertedIndex {
     * Terms whose postings are fully tombstoned have no live df and
     * drop out, so suggestions never resurrect deleted-only terms.
     */
-  def suggestCompletions(spark: SparkSession, indexPath: String,
-                         prefix: String, k: Int = 5,
-                         maxCandidates: Int = 10000): DataFrame = {
-    require(k > 0, "k must be positive")
+  /** The sidecar-read half shared by [[suggestCompletions]] and
+    * [[boolPrefixSearchTopK]]: existence + fingerprint staleness
+    * checks, the pushable range read, the loud candidate cap.
+    * Returns (lowercased prefix, candidate terms, committed segments).
+    */
+  private def vocabPrefixCandidates(spark: SparkSession,
+                                    indexPath: String, prefix: String,
+                                    maxCandidates: Int)
+      : (String, Seq[String], Seq[String]) = {
     val p = prefix.toLowerCase(java.util.Locale.ROOT)
     require(p.nonEmpty,
       "empty prefix would enumerate the whole vocabulary — give at " +
@@ -1601,7 +1606,7 @@ object InvertedIndex {
       s"$indexPath/vocab is STALE: it was built from segments " +
         s"$recorded but the index now has ${segNames(segs)} — " +
         "appended/compacted vocabulary would silently miss from " +
-        "completions; buildVocabulary() again")
+        "prefix resolution; buildVocabulary() again")
     // range bound for row-group pruning + the exact prefix test
     // (startsWith alone doesn't push as a range); any real char's
     // first UTF-16 unit sorts below the U+FFFF noncharacter, so the
@@ -1614,6 +1619,15 @@ object InvertedIndex {
     require(cand.length <= maxCandidates,
       s"prefix '$prefix' matched more than $maxCandidates vocabulary " +
         "terms — lengthen the prefix or raise the cap deliberately")
+    (p, cand, segs)
+  }
+
+  def suggestCompletions(spark: SparkSession, indexPath: String,
+                         prefix: String, k: Int = 5,
+                         maxCandidates: Int = 10000): DataFrame = {
+    require(k > 0, "k must be positive")
+    val (p, cand, segs) =
+      vocabPrefixCandidates(spark, indexPath, prefix, maxCandidates)
     import spark.implicits._
     if (cand.isEmpty) return Seq.empty[(String, Long)].toDF("term", "df")
     val dels = committedDeletes(spark, indexPath)
@@ -1635,6 +1649,91 @@ object InvertedIndex {
      else mergedLivePostings(spark, segs, dels, prune))
       .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
       .orderBy(col("df").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Index-served `match_bool_prefix` — the search-as-you-type query
+    * from the live index, mirroring the scan face
+    * [[graft.functions.EsMatch.matchBoolPrefix]]: every query term
+    * but the LAST must occur as a full token (bool/AND semantics, no
+    * adjacency — that is phrase_prefix), and the last term only has
+    * to PREFIX some token. Scoring is Lucene's: the full terms
+    * contribute their tombstone-adjusted Okapi BM25 sum (identical
+    * formula and single 6-dp rounding as [[searchTopK]]) and the
+    * prefix clause contributes a CONSTANT 1.0 — Lucene rewrites
+    * multi-term prefix queries constant-score inside bool (no
+    * per-expansion statistics exist), so the portable number IS the
+    * constant. A one-term query (bare prefix box) ranks every
+    * prefix-matching doc at 1.0 with id ties, ES's behavior.
+    *
+    * Prefix resolution reads the vocabulary sidecar (the
+    * [[suggestCompletions]] staleness contract and loud candidate
+    * cap — tombstones don't change the segment set, so deletes never
+    * stale the vocabulary), and the prefix postings read reuses the
+    * pushable RANGE predicate plus the candidates' bucket-directory
+    * pruning, never an expansion IN list. Both legs are
+    * O(query-term postings); the combine is one id-keyed join.
+    */
+  def boolPrefixSearchTopK(spark: SparkSession, indexPath: String,
+                           query: String, k: Int,
+                           idColName: String = "id",
+                           k1: Double = 1.2, b: Double = 0.75,
+                           maxCandidates: Int = 10000): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qs = graft.functions.TextAnalysis.tokensOf(query)
+    require(qs.nonEmpty, "query analyzes to no terms")
+    val segs0 = committedSegments(spark, indexPath)
+    require(segs0.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val dels = committedDeletes(spark, indexPath)
+    val st = liveStats(spark, segs0, dels)
+    // the scan face analyzes the LAST term through the full chain
+    // too (the prefix is stemmed under "english") — mirror it
+    val fullTerms = qs.init.map(st.analyzeTerm).distinct
+    val (p, exts, segs) = vocabPrefixCandidates(spark, indexPath,
+      st.analyzeTerm(qs.last), maxCandidates)
+    val idT = spark.read.parquet(s"${segs.head}/postings").schema("id")
+    def emptyResult = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        idT.copy(name = idColName),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType))))
+    if (exts.isEmpty) return emptyResult
+    val n = st.n
+    val avg = if (n > 0) st.sumLen / n else 1.0
+    val wanted = exts.map(bucketOf(_, st.buckets)).distinct
+    val prune: DataFrame => DataFrame =
+      _.filter(col("bucket").isin(wanted: _*))
+        .filter(col("term") >= p && col("term") < p + '￿')
+        .filter(col("term").startsWith(p))
+    val preIds = (if (dels.isEmpty) mergedPostings(spark, segs, prune)
+      else mergedLivePostings(spark, segs, dels, prune))
+      .select("id").distinct()
+    val scored =
+      if (fullTerms.isEmpty) preIds.select(col("id"), lit(1.0).as("_sc"))
+      else {
+        val posts = prunedLivePostings(spark, segs, dels, fullTerms,
+          st.buckets)
+        val dfreq = posts.groupBy("term")
+          .agg(count(lit(1)).cast("double").as("_df"))
+        posts.join(broadcast(dfreq), Seq("term"))
+          .withColumn("_idf", log(lit(1.0) +
+            (lit(n) - col("_df") + 0.5) / (col("_df") + 0.5)))
+          .withColumn("_s",
+            col("_idf") * col("tf") * (k1 + 1.0) /
+              (col("tf") +
+                lit(k1) * (lit(1.0) - b + lit(b) * col("len") / lit(avg))))
+          .groupBy("id")
+          .agg(sum(col("_s")).as("_fs"), count(lit(1)).as("_hits"))
+          // bool/AND: every full term must hit (the scan face's fold)
+          .filter(col("_hits") === fullTerms.size.toLong)
+          .join(preIds, Seq("id"))
+          .select(col("id"), (col("_fs") + 1.0).as("_sc"))
+      }
+    scored
+      .select(col("id").as(idColName), round(col("_sc"), 6).as("score"))
+      .orderBy(col("score").desc, col(idColName))
       .limit(k)
   }
 }

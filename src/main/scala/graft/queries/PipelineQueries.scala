@@ -1592,6 +1592,25 @@ object PipelineQueries {
     // corpus that never held the deleted docs — equality proves
     // deletion adjusts df, n, AND avg doc length exactly, not just
     // masks postings
+    // index-served match_bool_prefix (search-as-you-type): full-term
+    // BM25 (tombstone-adjusted) + the constant-1.0 prefix clause,
+    // prefix resolved from the vocabulary sidecar; delete-aware
+    // without a vocab rebuild (tombstones keep the segment set). The
+    // oracle replays the whole thing over the live docs — Okapi
+    // arithmetic, AND gate, prefix test, +1, one 6-dp rounding
+    "idx13_bool_prefix" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx13-$tag").toString
+      val docs = t(s, d, "documents")
+      graft.operators.InvertedIndex.build(docs, "doc_id", "text", path)
+      graft.operators.InvertedIndex.buildVocabulary(s, path)
+      graft.operators.InvertedIndex.deleteDocs(
+        docs.filter(col("doc_id") % 9 === 4).select("doc_id"), path)
+      graft.operators.InvertedIndex.boolPrefixSearchTopK(s, path,
+          "stream fil", k = 15, idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     "idx3_index_delete" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = new java.io.File(
@@ -3856,6 +3875,29 @@ object PipelineQueries {
            |GROUP BY 1 ORDER BY term""".stripMargin,
     // replay over a corpus the deleted docs never entered: tombstones
     // don't exist oracle-side, so a masking-only implementation (stale
+    // live-corpus Okapi for the single full term, the prefix-token
+    // gate, +1.0 constant, one rounding — a stale vocabulary, an
+    // unadjusted stat, or a per-expansion score would all miss
+    "idx13_bool_prefix" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |           WHERE doc_id % 9 <> 4),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t = 'stream' GROUP BY 1, 2),
+           |dft AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf),
+           |pre AS (SELECT doc_id FROM s
+           |        WHERE len(list_filter(toks,
+           |                t -> starts_with(t, 'fil'))) > 0)
+           |SELECT tf.doc_id,
+           |  round(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)) + 1.0, 6)
+           |    AS score
+           |FROM tf JOIN pre ON pre.doc_id = tf.doc_id, dft, st
+           |ORDER BY score DESC, tf.doc_id LIMIT 15""".stripMargin,
     // n, df, or avg len) cannot match
     "idx3_index_delete" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents

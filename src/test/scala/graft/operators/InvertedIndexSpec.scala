@@ -1156,4 +1156,48 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(vscan.dataFilters.nonEmpty,
       "term range not pushed into the vocabulary scan")
   }
+
+  test("bool_prefix search: scan-face doc-set parity, BM25+1 scoring, " +
+      "bare-prefix constant ranking, delete-awareness") {
+    val docs = Seq(
+      (1L, "stream filter join"), (2L, "stream filler"),
+      (3L, "stream sort"), (4L, "filter join"),
+      (5L, "filthy stream stream")).toDF("doc_id", "text")
+    val path = tmp("graft-idx-boolprefix")
+    InvertedIndex.build(docs, "doc_id", "text", path)
+    InvertedIndex.buildVocabulary(spark, path)
+    val got = InvertedIndex.boolPrefixSearchTopK(spark, path,
+      "stream fil", k = 10, idColName = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc-set parity with the scan face (AND + prefix)
+    val scan = docs.filter(graft.functions.EsMatch.matchBoolPrefix(
+        col("text"), "stream fil"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet == scan && scan == Set(1L, 2L, 5L))
+    // scoring: BM25 of 'stream' + the constant 1.0 — doc 5 has tf 2
+    // in a 3-token doc, so it outranks docs 1 and 2
+    assert(got(5L) > got(1L) && got(5L) > got(2L))
+    // the full-term leg equals searchTopK's number + 1.0 exactly
+    val viaSearch = InvertedIndex.searchTopK(spark, path,
+      Seq("stream"), k = 10, idColName = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - (viaSearch(id) + 1.0)) < 2e-6, s"$id: $s") }
+    // bare prefix: every doc with a 'fil…' token at constant 1.0
+    val bare = InvertedIndex.boolPrefixSearchTopK(spark, path,
+      "fil", k = 10, idColName = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(bare.map(_._1) == Seq(1L, 2L, 4L, 5L)) // id ties ascending
+    assert(bare.forall(_._2 == 1.0))
+    // deletes: tombstoning doc 2 removes it without a vocab rebuild
+    InvertedIndex.deleteDocs(docs.filter($"doc_id" === 2L)
+      .select("doc_id"), path)
+    val after = InvertedIndex.boolPrefixSearchTopK(spark, path,
+      "stream fil", k = 10, idColName = "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 5L))
+    // no vocabulary extension → typed empty frame
+    assert(InvertedIndex.boolPrefixSearchTopK(spark, path,
+      "stream zzz", k = 5, idColName = "doc_id").isEmpty)
+  }
 }
