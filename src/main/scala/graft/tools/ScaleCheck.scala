@@ -49,6 +49,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (args.headOption.contains("aggs14")) {
+      aggs14Growth(spark)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("serving")) {
       servingGrowth(spark)
       spark.stop()
@@ -959,6 +964,92 @@ object ScaleCheck {
       }
       println(f"[scale] $n%7d $tD%9.2f $tN%9.2f $pairs%7d " +
         f"$tA%8.2f $tV%8.2f $tR%12.2f")
+    }
+  }
+
+  /** r14 session-3 surfaces: pipeline aggs (bucket count FIXED as the
+    * corpus grows — time must track the groupBy scan, the window over
+    * buckets is free), cumulative_cardinality (one key shuffle),
+    * top_hits (one group-key window), rare_terms (vocab-bounded
+    * shuffle), composite paging (pushed after-key + page cut), and
+    * the phrase suggester (two count scans + bounded collects).
+    */
+  private def aggs14Growth(spark: SparkSession): Unit = {
+    import graft.operators.{BucketPipeline, EsAggs, PhraseSuggest}
+    def timeS(f: => Long): (Double, Long) = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    // untimed warmup
+    locally {
+      val w = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+      BucketPipeline.derivative(
+        w.groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+          .agg(sum("o_totalprice").as("v")), "m", "v", "d").count()
+      ()
+    }
+    println("[scale] r14 agg surfaces: 1x/4x corpus; bucket count " +
+      "fixed => pipeline-agg time tracks the scan, suggester tracks " +
+      "the two count scans")
+    println(f"[scale] ${"size"}%-5s ${"orders"}%9s ${"deriv(s)"}%9s " +
+      f"${"cumcard(s)"}%11s ${"topHits(s)"}%11s ${"rare(s)"}%8s " +
+      f"${"page(s)"}%8s ${"suggest(s)"}%11s")
+    for (s <- Seq(1, 4)) {
+      val orders = Tables.load(spark, "/root/testdata/sf0.1", "orders")
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("o_orderkey") * s + col("rep")).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .localCheckpoint(true)
+      val nO = orders.count()
+      val ev = Tables.load(spark, "/root/testdata/sf0.1", "events")
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select(col("ts"),
+          (col("user_id") * s + col("rep")).as("user_id"))
+        .localCheckpoint(true)
+      val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("doc_id") * s + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+        .localCheckpoint(true)
+      val (tD, _) = timeS {
+        val b = orders
+          .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+          .agg(sum("o_totalprice").as("v"))
+        BucketPipeline.movingFn(
+          BucketPipeline.derivative(b, "m", "v", "d"),
+          "m", "v", 3, "unweightedAvg", out = "ma").count()
+      }
+      val (tC, _) = timeS {
+        val raw = ev.select(date_trunc("day", col("ts")).as("day"),
+          col("user_id"))
+        val b = raw.groupBy("day").agg(count(lit(1)).as("n"))
+        BucketPipeline.cumulativeCardinality(b, raw, col("day"),
+          "user_id", "day").count()
+      }
+      val (tT, _) = timeS {
+        EsAggs.topHits(orders, Seq("o_orderpriority"), "o_totalprice",
+          3, "o_orderkey").count()
+      }
+      val (tR, nR) = timeS {
+        EsAggs.rareTerms(docs.select(explode(array_distinct(
+            graft.functions.TextAnalysis.tokens(col("text"))))
+            .as("term")), Seq("term"), 2).count()
+      }
+      val (tP, _) = timeS {
+        EsAggs.compositePage(orders,
+          Seq("o_orderstatus", "o_orderpriority"), 5,
+          afterKey = Some(Seq("F", "3-MEDIUM"))).count()
+      }
+      val (tS, _) = timeS {
+        PhraseSuggest.suggest(docs, "text", "hash joinn scan",
+          k = 3, numCandidates = 3).count()
+      }
+      val label = s"${s}x"
+      println(f"[scale] $label%-5s $nO%9d $tD%9.2f $tC%11.2f " +
+        f"$tT%11.2f $tR%8.2f $tP%8.2f $tS%11.2f  (rare=$nR)")
     }
   }
 }
