@@ -115,7 +115,13 @@ object DumpPlans {
     "idx11_fielded_search" ->
       "Fielded multi_match from postings: each field's read keeps idx1's bucket PartitionFilters + term pushdown inside its OWN subtree (field-major directories — other fields' postings are pruned at the directory level before bucket pruning even starts), per-field RAW scores aggregate to (id, score) rows, and the best_fields/most_fields combine is ONE id-keyed shuffle over those rows. No per-field top-k truncation before the combine (dis_max over truncated lists would drop docs whose best field ranked below the cut); nothing corpus-sized exists past the pruned per-field reads.",
     "sg2_prefix_suggest" ->
-      "Completion suggester: the md5 term buckets scatter prefixes by design, so the prefix read hits the SORTED vocabulary sidecar with a term RANGE predicate — parquet row-group min/max stats prune everything outside [p, p+U+FFFF) — candidates are capped and collected driver-side, and live df rides the ordinary bucket-pruned postings read. A prefix query costs O(matching vocabulary) + O(candidate postings), never a vocabulary or corpus scan.")
+      "Completion suggester: the md5 term buckets scatter prefixes by design, so the prefix read hits the SORTED vocabulary sidecar with a term RANGE predicate — parquet row-group min/max stats prune everything outside [p, p+U+FFFF) — candidates are capped and collected driver-side, and live df rides the ordinary bucket-pruned postings read. A prefix query costs O(matching vocabulary) + O(candidate postings), never a vocabulary or corpus scan.",
+    "ca1_composite_page" ->
+      "Composite-agg paging: the after_key's lexicographic predicate applies to RAW rows (a bucket's key decides it), so it lands whole in PushedFilters — Or(GreaterThan(seg,...),And(EqualTo,GreaterThan)) skips row groups before any aggregation — and the page cut plans as TakeOrderedAndProject(limit=size). A deep page never materializes earlier buckets; ES pages composite aggs for exactly this reason, and the plan IS that reason.",
+    "th1_top_hits" ->
+      "top_hits per bucket: Spark's WindowGroupLimit rewrite runs a PARTIAL per-partition top-k BEFORE the group-key Exchange and a final one after — each map task forwards at most k rows per group it sees, so the shuffle carries group-capped rows, not the corpus. The row_number window itself then ranks only survivors.",
+    "pa7_cumulative_cardinality" ->
+      "cumulative_cardinality the scalable way: each key contributes only its FIRST bucket (one user-key shuffle — the only full-data exchange), first-appearance counts roll up per bucket, and the running total is a prefix sum over the BOUNDED bucket frame. The naive spelling — a running collect_set window — would hold every key ever seen in every bucket's state; this plan holds one long per bucket.")
 
   private val epilogue: String = """
 ## Streaming index-lifecycle gate cost (st6, st9-st13) — r12 adjudication
