@@ -66,8 +66,16 @@ object PhraseSuggest {
               realWordErrorLikelihood: Double = 0.95,
               confidence: Double = 1.0): DataFrame = {
     val (uni, bi, n) = trainCounts(corpus, textCol)
-    suggestWithModel(uni, bi, n, phrase, k, numCandidates, maxErrors,
-      discount, realWordErrorLikelihood, confidence)
+    // the one-shot face persists the count tables for its own
+    // duration: candidate generation probes the unigram table once
+    // per query position plus once per count lookup, and without the
+    // persist each probe would recompute the corpus aggregation
+    // (suggestWithModel materializes everything before returning, so
+    // the unpersist is safe)
+    uni.persist(); bi.persist()
+    try suggestWithModel(uni, bi, n, phrase, k, numCandidates,
+      maxErrors, discount, realWordErrorLikelihood, confidence)
+    finally { uni.unpersist(); bi.unpersist(); () }
   }
 
   def suggestWithModel(unigrams: DataFrame, bigrams: DataFrame,
