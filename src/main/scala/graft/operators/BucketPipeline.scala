@@ -178,6 +178,46 @@ object BucketPipeline {
     size.fold(offset)(offset.limit)
   }
 
+  /** ES date_histogram `min_doc_count: 0` — materialize EMPTY buckets
+    * so pipeline aggs see a contiguous series (a derivative across a
+    * silent month must see the zero, not skip it). The spine is
+    * `sequence(min, max, 1 interval)` over the frame's own bucket
+    * range (ES fills between a histogram's first and last bucket;
+    * `extended_bounds` would widen the agg upstream), cross-joined
+    * with the distinct series keys when `seriesBy` nests it under a
+    * terms agg. `fill` maps metric columns to their empty-bucket
+    * value (`count → 0`); unmapped metrics stay null (ES's `skip`
+    * gap policy). Cost: a 1-row bounds aggregate, a bucket-count
+    * spine, one left join on the bounded bucket frame — the corpus
+    * is never touched.
+    */
+  def fillEmptyBuckets(buckets: DataFrame, orderCol: String,
+                       interval: String, seriesBy: Seq[String] = Nil,
+                       fill: Map[String, Column] = Map.empty)
+      : DataFrame = {
+    val step = interval match {
+      case "year" | "quarter" | "month" | "week" | "day" | "hour" |
+           "minute" => expr(s"interval 1 $interval")
+      case other => throw new IllegalArgumentException(
+        s"interval must be year|quarter|month|week|day|hour|minute, " +
+          s"got '$other'")
+    }
+    val spine = buckets
+      .agg(min(col(orderCol)).as("_lo"), max(col(orderCol)).as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"), step))
+        .as(orderCol))
+    val keyed =
+      if (seriesBy.isEmpty) spine
+      else buckets.select(seriesBy.map(col): _*).distinct()
+        .crossJoin(spine)
+    val joined = keyed.join(buckets, seriesBy :+ orderCol, "left")
+    fill.foldLeft(joined) { case (df, (name, v)) =>
+      require(joined.columns.contains(name),
+        s"fill column '$name' is not in the bucket frame")
+      df.withColumn(name, coalesce(col(name), v))
+    }
+  }
+
   /** ES `cumulative_cardinality`: per bucket, the number of DISTINCT
     * keys seen in that bucket or any earlier one — "new users per
     * day" style. Computed the scalable way, from the RAW frame:

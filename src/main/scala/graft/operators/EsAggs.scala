@@ -101,6 +101,66 @@ object EsAggs {
     limit.fold(counted)(counted.limit)
   }
 
+  /** ES `range` aggregation: one bucket per (from, to) range with
+    * ES's [from, to) half-open semantics; `None` = unbounded (ES's
+    * missing from/to), keys rendered ES-style `"from-to"` with `*`
+    * for the open end. Ranges may OVERLAP (a doc counts in every
+    * range it fits — ES's contract), so this is one HashAggregate
+    * pass with a conditional count per range, exploded to rows; never
+    * R scans, never a groupBy that would force disjointness.
+    */
+  def rangeAgg(df: DataFrame, valueCol: String,
+               ranges: Seq[(Option[Double], Option[Double])])
+      : DataFrame = {
+    require(ranges.nonEmpty, "range agg needs at least one range")
+    val v = col(valueCol).cast("double")
+    def key(r: (Option[Double], Option[Double])): String =
+      s"${r._1.map(_.toString).getOrElse("*")}-" +
+        s"${r._2.map(_.toString).getOrElse("*")}"
+    require(ranges.map(key).distinct.size == ranges.size,
+      s"duplicate range keys in ${ranges.map(key)}")
+    val cells = ranges.map { r =>
+      val cond = (r._1.map(v >= _) ++ r._2.map(v < _))
+        .reduceOption(_ && _).getOrElse(lit(v.isNotNull))
+      count(when(v.isNotNull && cond, 1)).cast("long").as(key(r))
+    }
+    df.agg(cells.head, cells.tail: _*)
+      .select(explode(array(ranges.map { r =>
+        struct(lit(key(r)).as("key"),
+          lit(r._1.orNull).cast("double").as("from"),
+          lit(r._2.orNull).cast("double").as("to"),
+          col(s"`${key(r)}`").as("doc_count"))
+      }: _*)).as("b"))
+      .select("b.*")
+  }
+
+  /** ES `filters` aggregation: one bucket per NAMED predicate, plus
+    * an optional `_other_` bucket for rows matching none (ES's
+    * `other_bucket`). Predicates may overlap; one HashAggregate pass
+    * with a conditional count per filter, exploded to rows in the
+    * given order.
+    */
+  def filtersAgg(df: DataFrame, filters: Seq[(String, Column)],
+                 otherBucket: Boolean = false): DataFrame = {
+    require(filters.nonEmpty, "filters agg needs at least one filter")
+    require(filters.map(_._1).distinct.size == filters.size,
+      s"duplicate filter names in ${filters.map(_._1)}")
+    require(!filters.exists(_._1 == "_other_"),
+      "'_other_' is reserved for the other bucket")
+    val named = filters ++ (if (otherBucket)
+      Seq("_other_" -> !filters.map(_._2)
+        .map(c => coalesce(c, lit(false))).reduce(_ || _))
+    else Nil)
+    val cells = named.map { case (name, pred) =>
+      count(when(coalesce(pred, lit(false)), 1)).cast("long").as(name)
+    }
+    df.agg(cells.head, cells.tail: _*)
+      .select(explode(array(named.map { case (name, _) =>
+        struct(lit(name).as("key"), col(s"`$name`").as("doc_count"))
+      }: _*)).as("b"))
+      .select("b.*")
+  }
+
   /** ES `composite` aggregation paging: the buckets of `keys` (all
     * ascending, ES's default source order) AFTER `afterKey`, first
     * `size` of them — the scalable "give me every bucket, one page at

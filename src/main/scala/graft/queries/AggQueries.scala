@@ -117,6 +117,40 @@ object AggQueries {
           col("cum_users_new"))
         .orderBy("day")
     }),
+    // ES date_histogram min_doc_count:0 — weekly buckets of the
+    // top-price tail are genuinely SPARSE (49 of 326 weeks at
+    // sf0.001), the spine materializes the silent weeks with zeros,
+    // and the prefix sum proves pipeline aggs see them
+    "pa8_empty_buckets" -> ((s, d) => {
+      val b = Tables.load(s, d, "orders")
+        .filter(col("o_totalprice") > 480000.0)
+        .groupBy(date_trunc("week", col("o_orderdate")).as("week"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val filled = BucketPipeline.fillEmptyBuckets(b, "week", "week",
+        fill = Map("n" -> lit(0L)))
+      BucketPipeline.cumulativeSum(filled, "week", "n", "cum_n")
+        .select(col("week"), col("n"), col("cum_n"))
+        .orderBy("week")
+    }),
+    // ES range aggregation: half-open [from, to) buckets over account
+    // balances, including an OVERLAPPING range (ES counts a doc in
+    // every range it fits — a groupBy bucketing would miss that)
+    "ra1_range_agg" -> ((s, d) => {
+      EsAggs.rangeAgg(Tables.load(s, d, "customer"), "c_acctbal",
+        Seq((None, Some(0.0)), (Some(0.0), Some(5000.0)),
+          (Some(5000.0), None), (Some(2500.0), Some(7500.0))))
+        .orderBy("key")
+    }),
+    // ES filters aggregation: named overlapping predicates + the
+    // other bucket, one pass
+    "fa1_filters_agg" -> ((s, d) => {
+      EsAggs.filtersAgg(Tables.load(s, d, "orders"), Seq(
+        "high_value" -> (col("o_totalprice") > 300000.0),
+        "urgent" -> (col("o_orderpriority") === "1-URGENT"),
+        "open" -> (col("o_orderstatus") === "O")),
+        otherBucket = true)
+        .orderBy("key")
+    }),
     // ES extended_stats on an integer-valued measure: every moment
     // (incl. Σx²) is integer-exact in IEEE double, and the derived
     // variance/σ/bounds use ES's moment arithmetic — identical
@@ -231,6 +265,56 @@ object AggQueries {
         |    AS cum_users,
         |  coalesce(np.nw, 0) AS cum_users_new
         |FROM b LEFT JOIN np USING (day) ORDER BY day""".stripMargin,
+    "pa8_empty_buckets" ->
+      """WITH b AS (SELECT date_trunc('week', o_orderdate) AS week,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM orders WHERE o_totalprice > 480000.0
+        |           GROUP BY 1),
+        |bounds AS (SELECT min(week) AS lo, max(week) AS hi FROM b),
+        |spine AS (SELECT unnest(generate_series(lo, hi,
+        |            INTERVAL 1 WEEK)) AS week FROM bounds),
+        |f AS (SELECT spine.week, coalesce(b.n, 0) AS n
+        |      FROM spine LEFT JOIN b ON b.week = spine.week)
+        |SELECT week, n,
+        |  sum(n) OVER (ORDER BY week
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        |FROM f ORDER BY week""".stripMargin,
+    "ra1_range_agg" ->
+      """WITH m AS (SELECT
+        |  CAST(count(CASE WHEN c_acctbal IS NOT NULL
+        |       AND c_acctbal < 0.0 THEN 1 END) AS BIGINT) AS r1,
+        |  CAST(count(CASE WHEN c_acctbal >= 0.0
+        |       AND c_acctbal < 5000.0 THEN 1 END) AS BIGINT) AS r2,
+        |  CAST(count(CASE WHEN c_acctbal >= 5000.0 THEN 1 END)
+        |       AS BIGINT) AS r3,
+        |  CAST(count(CASE WHEN c_acctbal >= 2500.0
+        |       AND c_acctbal < 7500.0 THEN 1 END) AS BIGINT) AS r4
+        |  FROM customer)
+        |SELECT key, "from", "to", doc_count FROM (
+        |  SELECT '*-0.0' AS key, CAST(NULL AS DOUBLE) AS "from",
+        |         0.0 AS "to", r1 AS doc_count FROM m
+        |  UNION ALL SELECT '0.0-5000.0', 0.0, 5000.0, r2 FROM m
+        |  UNION ALL SELECT '5000.0-*', 5000.0, NULL, r3 FROM m
+        |  UNION ALL SELECT '2500.0-7500.0', 2500.0, 7500.0, r4 FROM m)
+        |ORDER BY key""".stripMargin,
+    "fa1_filters_agg" ->
+      """WITH m AS (SELECT
+        |  CAST(count(CASE WHEN o_totalprice > 300000.0 THEN 1 END)
+        |       AS BIGINT) AS f1,
+        |  CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+        |       AS BIGINT) AS f2,
+        |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+        |       AS BIGINT) AS f3,
+        |  CAST(count(CASE WHEN NOT (o_totalprice > 300000.0
+        |       OR o_orderpriority = '1-URGENT'
+        |       OR o_orderstatus = 'O') THEN 1 END) AS BIGINT) AS fo
+        |  FROM orders)
+        |SELECT key, doc_count FROM (
+        |  SELECT 'high_value' AS key, f1 AS doc_count FROM m
+        |  UNION ALL SELECT 'urgent', f2 FROM m
+        |  UNION ALL SELECT 'open', f3 FROM m
+        |  UNION ALL SELECT '_other_', fo FROM m)
+        |ORDER BY key""".stripMargin,
     "ax3_extended_stats" ->
       """WITH m AS (SELECT CAST(count(v) AS BIGINT) AS "count",
         |  min(v) AS "min", max(v) AS "max", sum(v) AS "sum",

@@ -104,6 +104,40 @@ class BucketPipelineSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("fillEmptyBuckets (min_doc_count 0)") {
+    it("materializes the missing buckets with the fill values") {
+      val sparse = Seq(("2024-01-01", 5L), ("2024-04-01", 7L))
+        .toDF("m", "n").withColumn("m", to_timestamp(col("m")))
+      val out = BucketPipeline.fillEmptyBuckets(sparse, "m", "month",
+        fill = Map("n" -> lit(0L)))
+      out.count() shouldBe 4
+      out.orderBy("m").select("n").collect().map(_.getLong(0))
+        .toSeq shouldBe Seq(5L, 0L, 0L, 7L)
+      // pipeline aggs over the filled frame see the zeros
+      val cum = BucketPipeline.cumulativeSum(out, "m", "n", "c")
+      cum.orderBy("m").select("c").collect().map(_.getLong(0))
+        .toSeq shouldBe Seq(5L, 5L, 5L, 12L)
+    }
+    it("fills per series over the shared spine") {
+      val sparse = Seq(("a", "2024-01-01", 1L), ("a", "2024-03-01", 2L),
+        ("b", "2024-02-01", 3L)).toDF("s", "m", "n")
+        .withColumn("m", to_timestamp(col("m")))
+      val out = BucketPipeline.fillEmptyBuckets(sparse, "m", "month",
+        seriesBy = Seq("s"), fill = Map("n" -> lit(0L)))
+      out.count() shouldBe 6 // 2 series × 3 months
+      out.filter(col("s") === "b" && col("n") === 0L).count() shouldBe 2
+    }
+    it("refuses unknown intervals and unknown fill columns") {
+      val b = Seq(("2024-01-01", 1L)).toDF("m", "n")
+        .withColumn("m", to_timestamp(col("m")))
+      an[IllegalArgumentException] should be thrownBy
+        BucketPipeline.fillEmptyBuckets(b, "m", "fortnight")
+      an[IllegalArgumentException] should be thrownBy
+        BucketPipeline.fillEmptyBuckets(b, "m", "month",
+          fill = Map("nope" -> lit(0)))
+    }
+  }
+
   describe("cumulative_cardinality") {
     it("counts first appearances and carries totals over quiet buckets") {
       val raw = Seq(

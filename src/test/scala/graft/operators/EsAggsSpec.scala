@@ -67,6 +67,46 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("range agg") {
+    it("buckets with [from, to) semantics and allows overlaps") {
+      val df = Seq(0.0, 5.0, 10.0, 15.0).toDF("v")
+      val out = EsAggs.rangeAgg(df, "v", Seq(
+        (None, Some(10.0)), (Some(10.0), None), (Some(5.0), Some(15.0))))
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      out("*-10.0") shouldBe 2   // 0, 5 (10 excluded — half-open)
+      out("10.0-*") shouldBe 2   // 10, 15
+      out("5.0-15.0") shouldBe 2 // 5, 10 — overlapping range counts both
+    }
+    it("null values count in no range") {
+      val df = Seq(Some(1.0), None).toDF("v")
+      EsAggs.rangeAgg(df, "v", Seq((None, None))).collect()
+        .head.getLong(3) shouldBe 1
+    }
+  }
+
+  describe("filters agg") {
+    it("counts per named predicate with an optional other bucket") {
+      val df = Seq(("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
+      val out = EsAggs.filtersAgg(df, Seq(
+        "isA" -> (col("k") === "a"), "big" -> (col("v") > 1)),
+        otherBucket = true)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      out shouldBe Map("isA" -> 2L, "big" -> 2L, "_other_" -> 0L)
+      // a row matching nothing lands in _other_
+      val out2 = EsAggs.filtersAgg(df, Seq("big" -> (col("v") > 5)),
+        otherBucket = true)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      out2 shouldBe Map("big" -> 1L, "_other_" -> 2L)
+    }
+    it("refuses duplicate and reserved names") {
+      val df = Seq(1).toDF("v")
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.filtersAgg(df, Seq("x" -> lit(true), "x" -> lit(false)))
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.filtersAgg(df, Seq("_other_" -> lit(true)))
+    }
+  }
+
   describe("composite paging") {
     it("pages buckets lexicographically after the after_key") {
       val df = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2), ("c", 1))
