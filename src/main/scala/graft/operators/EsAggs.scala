@@ -101,6 +101,92 @@ object EsAggs {
     limit.fold(counted)(counted.limit)
   }
 
+  /** ES `auto_date_histogram`: pick the smallest rounding from a
+    * fixed ladder that yields at most `targetBuckets` buckets, then
+    * bucket the time column by it. The ladder follows ES's
+    * RoundingInfo spirit — fixed seconds/minutes/hours/days
+    * (epoch-floor buckets: 1s 5s 10s 30s 1m 5m 10m 30m 1h 3h 12h 1d
+    * 7d), then calendar months (1M 3M) and years (1y 5y 10y 20y 50y
+    * 100y) via date truncation. Bucket-count estimation is
+    * floor(max/i) − floor(min/i) + 1 over the unit index, exactly
+    * replayable by any engine from the same min/max. Returns the
+    * frame with `out` (bucket start timestamp) and `auto_interval`
+    * (the chosen rounding's name) appended; one tiny min/max job
+    * decides the rounding, the bucketing itself is a pure expression.
+    */
+  def autoDateHistogram(df: DataFrame, timeCol: String,
+                        targetBuckets: Int,
+                        out: String = "bucket"): DataFrame = {
+    require(targetBuckets >= 1,
+      s"buckets must be >= 1, got $targetBuckets")
+    val r = df.agg(min(col(timeCol)).as("mn"), max(col(timeCol)).as("mx"))
+      .collect().head
+    require(!r.isNullAt(0),
+      s"auto_date_histogram: no non-null values in $timeCol")
+    // TIMESTAMP collects as java.sql.Timestamp, TIMESTAMP_NTZ (what
+    // pyarrow parquet reads as in Spark 4) as LocalDateTime — the
+    // session runs UTC, so NTZ wall time IS the instant
+    def instantOf(v: Any): java.time.Instant = v match {
+      case t: java.sql.Timestamp       => t.toInstant
+      case l: java.time.LocalDateTime  => l.toInstant(java.time.ZoneOffset.UTC)
+      case i: java.time.Instant        => i
+      case other => throw new IllegalArgumentException(
+        s"$timeCol is not a timestamp column (got $other)")
+    }
+    val mn = instantOf(r.get(0))
+    val mx = instantOf(r.get(1))
+    val fixed = Seq(1L -> "1s", 5L -> "5s", 10L -> "10s", 30L -> "30s",
+      60L -> "1m", 300L -> "5m", 600L -> "10m", 1800L -> "30m",
+      3600L -> "1h", 10800L -> "3h", 43200L -> "12h", 86400L -> "1d",
+      604800L -> "7d")
+    def fixedCount(i: Long): Long =
+      Math.floorDiv(mx.getEpochSecond, i) -
+        Math.floorDiv(mn.getEpochSecond, i) + 1
+    // NTZ → TIMESTAMP is a no-op under the UTC session; unix_seconds
+    // requires TimestampType
+    val ts = col(timeCol).cast("timestamp")
+    val fixedPick = fixed.find { case (i, _) =>
+      fixedCount(i) <= targetBuckets
+    }.map { case (i, name) =>
+      (timestamp_seconds(floor(unix_seconds(ts) / i) * i), name)
+    }
+    lazy val calendarPick: (Column, String) = {
+      val zone = java.time.ZoneOffset.UTC
+      def monthIdx(t: java.time.Instant): Long = {
+        val d = t.atZone(zone)
+        d.getYear.toLong * 12 + (d.getMonthValue - 1)
+      }
+      def monthCount(m: Long): Long =
+        Math.floorDiv(monthIdx(mx), m) - Math.floorDiv(monthIdx(mn), m) + 1
+      val idx = year(ts).cast("long") * 12 + (month(ts) - 1)
+      def monthBucket(m: Long): Column = {
+        val b = floor(idx / m) * m
+        to_timestamp(make_date((b / 12).cast("int"),
+          (b % 12 + 1).cast("int"), lit(1)))
+      }
+      val months = Seq(1L -> "1M", 3L -> "3M")
+        .find { case (m, _) => monthCount(m) <= targetBuckets }
+        .map { case (m, name) => (monthBucket(m), name) }
+      lazy val years = {
+        def yearOf(t: java.time.Instant): Long =
+          t.atZone(zone).getYear.toLong
+        def yearCount(n: Long): Long =
+          Math.floorDiv(yearOf(mx), n) - Math.floorDiv(yearOf(mn), n) + 1
+        val (n, name) = Seq(1L -> "1y", 5L -> "5y", 10L -> "10y",
+          20L -> "20y", 50L -> "50y", 100L -> "100y")
+          .find { case (n0, _) => yearCount(n0) <= targetBuckets }
+          .getOrElse(100L -> "100y") // widest arm, ES's last resort
+        (to_timestamp(make_date(
+          (floor(year(ts).cast("long") / n) * n).cast("int"),
+          lit(1), lit(1))), name)
+      }
+      months.getOrElse(years)
+    }
+    val (bucketExpr, name) = fixedPick.getOrElse(calendarPick)
+    df.withColumn(out, bucketExpr)
+      .withColumn("auto_interval", lit(name))
+  }
+
   /** ES `range` aggregation: one bucket per (from, to) range with
     * ES's [from, to) half-open semantics; `None` = unbounded (ES's
     * missing from/to), keys rendered ES-style `"from-to"` with `*`

@@ -151,6 +151,21 @@ object AggQueries {
         otherBucket = true)
         .orderBy("key")
     }),
+    // ES auto_date_histogram: two targets over the same ~30-day event
+    // span pick different ladder arms (40 → 1d, 10 → 7d); the oracle
+    // replays the ladder SELECTION from min/max, not just the buckets
+    "ad1_auto_date_histogram" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      def one(target: Int) =
+        EsAggs.autoDateHistogram(ev, "ts", target)
+          .groupBy("auto_interval", "bucket")
+          .agg(count(lit(1)).cast("long").as("n"))
+          .withColumn("target", lit(target))
+      one(40).unionByName(one(10))
+        .select(col("target"), col("auto_interval"), col("bucket"),
+          col("n"))
+        .orderBy("target", "bucket")
+    }),
     // ES extended_stats on an integer-valued measure: every moment
     // (incl. Σx²) is integer-exact in IEEE double, and the derived
     // variance/σ/bounds use ES's moment arithmetic — identical
@@ -265,6 +280,32 @@ object AggQueries {
         |    AS cum_users,
         |  coalesce(np.nw, 0) AS cum_users_new
         |FROM b LEFT JOIN np USING (day) ORDER BY day""".stripMargin,
+    "ad1_auto_date_histogram" ->
+      """WITH mm AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
+        |              CAST(floor(epoch(max(ts))) AS BIGINT) AS mx
+        |            FROM events),
+        |lad(i, nm, ord) AS (VALUES (1,'1s',1),(5,'5s',2),(10,'10s',3),
+        |  (30,'30s',4),(60,'1m',5),(300,'5m',6),(600,'10m',7),
+        |  (1800,'30m',8),(3600,'1h',9),(10800,'3h',10),(43200,'12h',11),
+        |  (86400,'1d',12),(604800,'7d',13)),
+        |c40 AS (SELECT i, nm FROM lad, mm
+        |        WHERE (mx // i) - (mn // i) + 1 <= 40
+        |        ORDER BY ord LIMIT 1),
+        |c10 AS (SELECT i, nm FROM lad, mm
+        |        WHERE (mx // i) - (mn // i) + 1 <= 10
+        |        ORDER BY ord LIMIT 1),
+        |b40 AS (SELECT 40 AS target, nm AS auto_interval,
+        |          make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT)
+        |            // i) * i) * 1000000) AS bucket,
+        |          CAST(count(*) AS BIGINT) AS n
+        |        FROM events, c40 GROUP BY 1, 2, 3),
+        |b10 AS (SELECT 10 AS target, nm AS auto_interval,
+        |          make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT)
+        |            // i) * i) * 1000000) AS bucket,
+        |          CAST(count(*) AS BIGINT) AS n
+        |        FROM events, c10 GROUP BY 1, 2, 3)
+        |SELECT * FROM b40 UNION ALL SELECT * FROM b10
+        |ORDER BY target, bucket""".stripMargin,
     "pa8_empty_buckets" ->
       """WITH b AS (SELECT date_trunc('week', o_orderdate) AS week,
         |             CAST(count(*) AS BIGINT) AS n

@@ -67,6 +67,55 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("auto_date_histogram") {
+    def mkTs(rows: Seq[String]) = rows.toDF("t")
+      .withColumn("t", to_timestamp(col("t")))
+    it("walks the fixed ladder to the first arm within budget") {
+      // epoch seconds 1..91: count(i) = floor(91/i) − floor(1/i) + 1
+      // → 1s: 91, 5s: 19, 10s: 10, 1m: 2
+      val df = mkTs(Seq("2024-01-01 00:00:01", "2024-01-01 00:01:31"))
+        .withColumn("t", col("t") - expr("INTERVAL 19723 DAYS")) // → 1970
+      def pick(target: Int): String =
+        EsAggs.autoDateHistogram(df, "t", target)
+          .select("auto_interval").head().getString(0)
+      pick(100) shouldBe "1s"
+      pick(19) shouldBe "5s"
+      pick(15) shouldBe "10s"
+      pick(2) shouldBe "1m"
+    }
+    it("falls through to calendar months and years") {
+      val df = mkTs(Seq("2015-03-01 00:00:00", "2024-11-01 00:00:00"))
+      // 117 month-units: target 120 → 1M; 40 3M-units: target 50 →
+      // 3M; 10 year-units: target 12 → 1y; target 5 → 5y
+      def out(target: Int) =
+        EsAggs.autoDateHistogram(df, "t", target)
+      out(120).select("auto_interval").head().getString(0) shouldBe "1M"
+      out(50).select("auto_interval").head().getString(0) shouldBe "3M"
+      val y = out(12)
+      y.select("auto_interval").head().getString(0) shouldBe "1y"
+      out(2).select("auto_interval").head().getString(0) shouldBe "5y"
+      // year buckets truncate to Jan 1
+      y.select("bucket").distinct().collect()
+        .map(_.getTimestamp(0).toString).sorted.head should
+        startWith("2015-01-01")
+    }
+    it("buckets align to the epoch floor") {
+      val df = mkTs(Seq("2024-01-01 00:00:04", "2024-01-01 00:00:14"))
+        .withColumn("t", col("t") - expr("INTERVAL 19723 DAYS")) // → 1970
+      // epoch 4..14: count(5s) = 2 − 0 + 1 = 3 → the 5s arm at
+      // target 3; buckets floor to 0 and 10
+      val b = EsAggs.autoDateHistogram(df, "t", 3)
+      b.select("auto_interval").head().getString(0) shouldBe "5s"
+      b.select("bucket").collect().map(_.getTimestamp(0).toString)
+        .toSet shouldBe Set("1970-01-01 00:00:00.0",
+          "1970-01-01 00:00:10.0")
+    }
+    it("refuses empty input") {
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.autoDateHistogram(mkTs(Seq.empty[String]), "t", 10)
+    }
+  }
+
   describe("range agg") {
     it("buckets with [from, to) semantics and allows overlaps") {
       val df = Seq(0.0, 5.0, 10.0, 15.0).toDF("v")
