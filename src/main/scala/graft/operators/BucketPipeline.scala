@@ -178,6 +178,62 @@ object BucketPipeline {
     size.fold(offset)(offset.limit)
   }
 
+  /** ES sibling pipeline aggs `stats_bucket` (and thereby
+    * avg/sum/min/max_bucket's values): one row of count/min/max/avg/
+    * sum over a metric across ALL buckets of the frame. The input is
+    * the bounded bucket frame, so this is a 1-row aggregate.
+    */
+  def bucketStats(buckets: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    buckets.agg(count(v).cast("long").as("count"), min(v).as("min"),
+      max(v).as("max"), avg(v).as("avg"), sum(v).as("sum"))
+  }
+
+  /** ES `max_bucket`: the extreme metric value plus the keys of EVERY
+    * bucket attaining it (ES returns a keys LIST on ties), keys
+    * sorted ascending and joined with "," for a scalar-friendly
+    * surface. `minBucket` is the mirror.
+    */
+  def maxBucket(buckets: DataFrame, keyCol: String,
+                valueCol: String): DataFrame =
+    extremeBucket(buckets, keyCol, valueCol, isMax = true)
+
+  def minBucket(buckets: DataFrame, keyCol: String,
+                valueCol: String): DataFrame =
+    extremeBucket(buckets, keyCol, valueCol, isMax = false)
+
+  private def extremeBucket(buckets: DataFrame, keyCol: String,
+                            valueCol: String,
+                            isMax: Boolean): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val m = buckets.agg(
+      (if (isMax) max(v) else min(v)).as("_m"))
+    buckets.join(broadcast(m), v === col("_m"))
+      .agg(concat_ws(",",
+          sort_array(collect_list(col(keyCol).cast("string"))))
+        .as("keys"),
+        first(col("_m")).as("value"))
+  }
+
+  /** ES `moving_percentiles` (exact, single p): the interpolated
+    * percentile of the metric over the moving window — ES moves
+    * TDigests; over a bounded bucket window the exact
+    * `percentile(v, p)` (the R-7 linear interpolation both Spark and
+    * DuckDB implement) IS the number those sketches approximate.
+    * Same `window`/`shift` conventions as [[movingFn]].
+    */
+  def movingPercentile(buckets: DataFrame, orderCol: String,
+                       valueCol: String, window: Int, p: Double,
+                       shift: Int = 0, out: String = "moving_percentile",
+                       seriesBy: Seq[String] = Nil): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(p >= 0 && p <= 1, s"percentile must be in [0, 1], got $p")
+    val frame = spec(orderCol, seriesBy)
+      .rowsBetween(-window.toLong + shift, shift.toLong - 1)
+    buckets.withColumn(out,
+      percentile(col(valueCol).cast("double"), lit(p)).over(frame))
+  }
+
   /** ES date_histogram `min_doc_count: 0` — materialize EMPTY buckets
     * so pipeline aggs see a contiguous series (a derivative across a
     * silent month must see the zero, not skip it). The spine is

@@ -247,6 +247,37 @@ object EsAggs {
       .select("b.*")
   }
 
+  /** ES `adjacency_matrix`: one bucket per named filter plus one per
+    * PAIR intersection (key "a&b", ES's separator), empty buckets
+    * omitted like ES. One HashAggregate pass with a conditional count
+    * per cell (N(N+1)/2 cells), exploded to rows.
+    */
+  def adjacencyMatrix(df: DataFrame,
+                      filters: Seq[(String, Column)]): DataFrame = {
+    require(filters.nonEmpty, "adjacency_matrix needs filters")
+    require(filters.map(_._1).distinct.size == filters.size,
+      s"duplicate filter names in ${filters.map(_._1)}")
+    require(!filters.exists(_._1.contains("&")),
+      "filter names may not contain '&' (ES's intersection separator)")
+    val cells = for {
+      i <- filters.indices
+      j <- i until filters.size
+    } yield {
+      val key = if (i == j) filters(i)._1
+        else s"${filters(i)._1}&${filters(j)._1}"
+      val pred = coalesce(filters(i)._2, lit(false)) &&
+        coalesce(filters(j)._2, lit(false))
+      (key, count(when(pred, 1)).cast("long").as(s"_c${i}_$j"),
+        s"_c${i}_$j")
+    }
+    df.agg(cells.head._2, cells.tail.map(_._2): _*)
+      .select(explode(array(cells.map { case (key, _, alias) =>
+        struct(lit(key).as("key"), col(alias).as("doc_count"))
+      }: _*)).as("b"))
+      .select("b.*")
+      .filter(col("doc_count") > 0)
+  }
+
   /** ES `composite` aggregation paging: the buckets of `keys` (all
     * ascending, ES's default source order) AFTER `afterKey`, first
     * `size` of them — the scalable "give me every bucket, one page at

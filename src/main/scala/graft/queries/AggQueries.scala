@@ -151,6 +151,39 @@ object AggQueries {
         otherBucket = true)
         .orderBy("key")
     }),
+    // ES sibling pipeline aggs: stats_bucket over all monthly buckets
+    // + max_bucket with its tie-keeping keys list (cents-exact)
+    "pa9_sibling_buckets" -> ((s, d) => {
+      val b = monthly(s, d)
+      val st = BucketPipeline.bucketStats(b, "rev_cents")
+        .withColumnRenamed("count", "n_months")
+      val mx = BucketPipeline.maxBucket(
+        b.withColumn("month_key", col("month").cast("string")),
+        "month_key", "rev_cents")
+        .withColumnRenamed("keys", "top_months")
+        .withColumnRenamed("value", "top_rev_cents")
+      st.crossJoin(mx)
+    }),
+    // ES moving_percentiles (exact single-p form): trailing 6-month
+    // median of revenue, ES's shift-0 window (excludes the current
+    // bucket); p = 0.5 over integer cents keeps the R-7 interpolation
+    // bit-exact across engines
+    "pa10_moving_percentile" -> ((s, d) => {
+      BucketPipeline.movingPercentile(monthly(s, d), "month",
+          "rev_cents", 6, 0.5, shift = 0, out = "med6_cents")
+        .select(col("month"), col("n"),
+          (col("med6_cents") / 100.0).as("trailing_median"))
+        .orderBy("month")
+    }),
+    // ES adjacency_matrix: singles + pair intersections of three
+    // overlapping predicates, empty buckets omitted
+    "am1_adjacency_matrix" -> ((s, d) => {
+      EsAggs.adjacencyMatrix(Tables.load(s, d, "orders"), Seq(
+        "high_value" -> (col("o_totalprice") > 300000.0),
+        "urgent" -> (col("o_orderpriority") === "1-URGENT"),
+        "open" -> (col("o_orderstatus") === "O")))
+        .orderBy("key")
+    }),
     // ES auto_date_histogram: two targets over the same ~30-day event
     // span pick different ladder arms (40 → 1d, 10 → 7d); the oracle
     // replays the ladder SELECTION from min/max, not just the buckets
@@ -280,6 +313,53 @@ object AggQueries {
         |    AS cum_users,
         |  coalesce(np.nw, 0) AS cum_users_new
         |FROM b LEFT JOIN np USING (day) ORDER BY day""".stripMargin,
+    "pa9_sibling_buckets" ->
+      s"""WITH b AS ($monthlySql),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_months,
+         |  min(CAST(rev_cents AS DOUBLE)) AS "min",
+         |  max(CAST(rev_cents AS DOUBLE)) AS "max",
+         |  avg(CAST(rev_cents AS DOUBLE)) AS avg,
+         |  sum(CAST(rev_cents AS DOUBLE)) AS sum FROM b),
+         |m AS (SELECT max(CAST(rev_cents AS DOUBLE)) AS mv FROM b),
+         |k AS (SELECT string_agg(
+         |    CAST(CAST(b.month AS TIMESTAMP) AS VARCHAR), ','
+         |    ORDER BY CAST(CAST(b.month AS TIMESTAMP) AS VARCHAR))
+         |    AS top_months,
+         |  min(mv) AS top_rev_cents
+         |  FROM b, m WHERE CAST(b.rev_cents AS DOUBLE) = m.mv)
+         |SELECT st.*, k.* FROM st, k""".stripMargin,
+    "pa10_moving_percentile" ->
+      s"""WITH b AS ($monthlySql)
+         |SELECT month, n,
+         |  quantile_cont(CAST(rev_cents AS DOUBLE), 0.5) OVER (
+         |    ORDER BY month
+         |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) / 100.0
+         |    AS trailing_median
+         |FROM b ORDER BY month""".stripMargin,
+    "am1_adjacency_matrix" ->
+      """WITH m AS (SELECT
+        |  CAST(count(CASE WHEN o_totalprice > 300000.0 THEN 1 END)
+        |       AS BIGINT) AS c11,
+        |  CAST(count(CASE WHEN o_totalprice > 300000.0
+        |       AND o_orderpriority = '1-URGENT' THEN 1 END)
+        |       AS BIGINT) AS c12,
+        |  CAST(count(CASE WHEN o_totalprice > 300000.0
+        |       AND o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS c13,
+        |  CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+        |       AS BIGINT) AS c22,
+        |  CAST(count(CASE WHEN o_orderpriority = '1-URGENT'
+        |       AND o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS c23,
+        |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+        |       AS BIGINT) AS c33
+        |  FROM orders)
+        |SELECT key, doc_count FROM (
+        |  SELECT 'high_value' AS key, c11 AS doc_count FROM m
+        |  UNION ALL SELECT 'high_value&urgent', c12 FROM m
+        |  UNION ALL SELECT 'high_value&open', c13 FROM m
+        |  UNION ALL SELECT 'urgent', c22 FROM m
+        |  UNION ALL SELECT 'urgent&open', c23 FROM m
+        |  UNION ALL SELECT 'open', c33 FROM m)
+        |WHERE doc_count > 0 ORDER BY key""".stripMargin,
     "ad1_auto_date_histogram" ->
       """WITH mm AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
         |              CAST(floor(epoch(max(ts))) AS BIGINT) AS mx

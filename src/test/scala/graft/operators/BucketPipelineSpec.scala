@@ -104,6 +104,35 @@ class BucketPipelineSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("sibling bucket aggs") {
+    it("bucketStats aggregates the metric over all buckets") {
+      val r = BucketPipeline.bucketStats(series, "v").collect().head
+      r.getAs[Long]("count") shouldBe 3L
+      r.getAs[Double]("min") shouldBe 10.0
+      r.getAs[Double]("max") shouldBe 30.0
+      r.getAs[Double]("sum") shouldBe 65.0
+    }
+    it("maxBucket returns ALL tying keys sorted, minBucket mirrors") {
+      val tied = Seq(("b2", 9.0), ("b1", 9.0), ("b3", 1.0))
+        .toDF("k", "v")
+      val mx = BucketPipeline.maxBucket(tied, "k", "v").collect().head
+      mx.getString(0) shouldBe "b1,b2"
+      mx.getDouble(1) shouldBe 9.0
+      val mn = BucketPipeline.minBucket(tied, "k", "v").collect().head
+      mn.getString(0) shouldBe "b3"
+      mn.getDouble(1) shouldBe 1.0
+    }
+    it("movingPercentile interpolates over the window") {
+      // window 3 incl current at bucket 3: values [10, 30, 25],
+      // p=.5 → sorted [10,25,30] → 25
+      vals(BucketPipeline.movingPercentile(series, "m", "v", 3, 0.5,
+        shift = 1, out = "mp"), "mp")(2).get shouldBe 25.0
+      // p=.25 over [10,25,30]: pos 0.5 → 10 + 0.5·15 = 17.5
+      vals(BucketPipeline.movingPercentile(series, "m", "v", 3, 0.25,
+        shift = 1, out = "mp"), "mp")(2).get shouldBe 17.5
+    }
+  }
+
   describe("fillEmptyBuckets (min_doc_count 0)") {
     it("materializes the missing buckets with the fill values") {
       val sparse = Seq(("2024-01-01", 5L), ("2024-04-01", 7L))

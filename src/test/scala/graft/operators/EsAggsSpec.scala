@@ -156,6 +156,23 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("adjacency_matrix") {
+    it("counts singles and pair intersections, omits empty buckets") {
+      val df = Seq(("a", 1), ("a", 9), ("b", 9)).toDF("k", "v")
+      val out = EsAggs.adjacencyMatrix(df, Seq(
+        "isA" -> (col("k") === "a"), "big" -> (col("v") > 5),
+        "neg" -> (col("v") < 0)))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      out shouldBe Map("isA" -> 2L, "big" -> 2L, "isA&big" -> 1L)
+      // "neg", "isA&neg", "big&neg" omitted (empty buckets)
+    }
+    it("refuses '&' in names") {
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.adjacencyMatrix(Seq(1).toDF("v"),
+          Seq("a&b" -> lit(true)))
+    }
+  }
+
   describe("composite paging") {
     it("pages buckets lexicographically after the after_key") {
       val df = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2), ("c", 1))
