@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** ES `percolate` re-expressed for batch: match every DOCUMENT
+  * against a TABLE of stored queries — the reverse of search, ES's
+  * percolator (the reference reaches it only as raw DSL). The
+  * supported query shape is the term-set subset (per query: an array
+  * of terms plus a minimum_should_match count — the `terms_set`
+  * semantics of [[graft.functions.EsMatch.termsSetCount]], which is
+  * also what routing/tagging rule tables in a data pipeline look
+  * like); richer per-query DSL has no bounded join shape and would
+  * devolve to evaluating every query against every document.
+  *
+  * Plan shape: the query table explodes to (query, term) rows and
+  * BROADCASTS (rule tables are small by nature — loudly capped);
+  * documents explode their DISTINCT analyzed tokens once; the
+  * broadcast hash join emits only (doc, query, term) HITS, and the
+  * per-(doc, query) count compares against the query's own
+  * minimum_should_match. The corpus is never shuffled to find
+  * matches — only matched pairs reach the aggregation, exactly the
+  * decontamination-join discipline (dc1).
+  *
+  * Returns (idCol, queryIdCol, matched_terms) — one row per matching
+  * (document, query) pair.
+  */
+object Percolate {
+
+  def percolate(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, queryIdCol: String,
+                termsCol: String, msmCol: String,
+                maxQueries: Long = 1000000L): DataFrame = {
+    val nq = queries.count()
+    require(nq > 0, "percolate: empty query table")
+    require(nq <= maxQueries,
+      s"percolate: $nq stored queries exceeds the broadcast cap " +
+        s"$maxQueries — raise it deliberately or shard the query table")
+    // duplicates inside one query's terms count once (terms_set)
+    val qterms = queries.select(col(queryIdCol), col(msmCol),
+        explode(array_distinct(col(termsCol))).as("term"))
+    val dtokens = docs.select(col(idCol),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+        .as("term"))
+    dtokens.join(broadcast(qterms), Seq("term"))
+      .groupBy(col(idCol), col(queryIdCol), col(msmCol))
+      .agg(count(lit(1)).cast("long").as("matched_terms"))
+      .filter(col("matched_terms") >= col(msmCol))
+      .select(col(idCol), col(queryIdCol), col("matched_terms"))
+  }
+
+  /** Convenience: percolate against driver-side rules
+    * (name, terms, minimum_should_match).
+    */
+  def percolateRules(docs: DataFrame, idCol: String, textCol: String,
+                     rules: Seq[(String, Seq[String], Int)]): DataFrame = {
+    require(rules.nonEmpty, "percolate: no rules")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"duplicate rule names in ${rules.map(_._1)}")
+    rules.foreach { case (n, ts, m) =>
+      require(ts.nonEmpty, s"rule '$n' has no terms")
+      require(m >= 1 && m <= ts.distinct.size,
+        s"rule '$n': minimum_should_match $m outside [1, " +
+          s"${ts.distinct.size}]")
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    percolate(docs, idCol, textCol,
+      rules.toDF("query_id", "terms", "msm"),
+      "query_id", "terms", "msm")
+  }
+}

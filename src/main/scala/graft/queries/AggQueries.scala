@@ -151,6 +151,32 @@ object AggQueries {
         otherBucket = true)
         .orderBy("key")
     }),
+    // ES percolate (reverse search): documents matched against a
+    // stored-query table (term-set subset — what routing/tagging rule
+    // tables look like); broadcast rule join, corpus never shuffles
+    "pc1_percolate" -> ((s, d) => {
+      graft.operators.Percolate.percolateRules(
+        Tables.load(s, d, "documents"), "doc_id", "text", Seq(
+          ("stream_filter", Seq("stream", "filter"), 2),
+          ("any_join", Seq("join", "merge"), 1),
+          ("heavy_sort", Seq("window", "sort", "order"), 3)))
+        .orderBy("doc_id", "query_id")
+    }),
+    // ES geo_distance aggregation: ring buckets by haversine distance
+    // from an origin — Geo.haversineMeters composed with rangeAgg,
+    // raw-double ring compares (the Geo float discipline)
+    "gd1_geo_distance_agg" -> ((s, d) => {
+      val pts = Tables.load(s, d, "customer").select(col("c_custkey"),
+        ((col("c_custkey") % 121) - 60).cast("double").as("lat"),
+        (((col("c_custkey") * 7) % 301) - 150).cast("double").as("lon"))
+      val withDist = pts.withColumn("dist_m",
+        graft.functions.Geo.haversineMeters(col("lat"), col("lon"),
+          lit(10.0), lit(20.0)))
+      EsAggs.rangeAgg(withDist, "dist_m", Seq(
+        (None, Some(2.0e6)), (Some(2.0e6), Some(8.0e6)),
+        (Some(8.0e6), None)))
+        .orderBy("key")
+    }),
     // ES sibling pipeline aggs: stats_bucket over all monthly buckets
     // + max_bucket with its tie-keeping keys list (cents-exact)
     "pa9_sibling_buckets" -> ((s, d) => {
@@ -313,6 +339,47 @@ object AggQueries {
         |    AS cum_users,
         |  coalesce(np.nw, 0) AS cum_users_new
         |FROM b LEFT JOIN np USING (day) ORDER BY day""".stripMargin,
+    "pc1_percolate" ->
+      raw"""WITH t AS (SELECT doc_id, list_distinct(
+           |    list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> x <> '')) AS toks FROM documents),
+           |r(query_id, terms, msm) AS (VALUES
+           |  ('stream_filter', ['stream', 'filter'], 2),
+           |  ('any_join', ['join', 'merge'], 1),
+           |  ('heavy_sort', ['window', 'sort', 'order'], 3))
+           |SELECT doc_id, query_id,
+           |  CAST(len(list_filter(r.terms,
+           |    x -> list_contains(t.toks, x))) AS BIGINT)
+           |    AS matched_terms
+           |FROM t, r
+           |WHERE len(list_filter(r.terms,
+           |    x -> list_contains(t.toks, x))) >= msm
+           |ORDER BY doc_id, query_id""".stripMargin,
+    "gd1_geo_distance_agg" -> {
+      val dist = QueryUtil.haversineSqlMeters("lat", "lon",
+        "10.0", "20.0")
+      raw"""WITH pts AS (SELECT
+           |    CAST((c_custkey % 121) - 60 AS DOUBLE) AS lat,
+           |    CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE) AS lon
+           |  FROM customer),
+           |dd AS (SELECT $dist AS dist FROM pts),
+           |m AS (SELECT
+           |  CAST(count(CASE WHEN dist < 2000000.0 THEN 1 END)
+           |       AS BIGINT) AS r1,
+           |  CAST(count(CASE WHEN dist >= 2000000.0
+           |       AND dist < 8000000.0 THEN 1 END) AS BIGINT) AS r2,
+           |  CAST(count(CASE WHEN dist >= 8000000.0 THEN 1 END)
+           |       AS BIGINT) AS r3
+           |  FROM dd)
+           |SELECT key, "from", "to", doc_count FROM (
+           |  SELECT '*-2000000.0' AS key, CAST(NULL AS DOUBLE)
+           |    AS "from", 2000000.0 AS "to", r1 AS doc_count FROM m
+           |  UNION ALL
+           |  SELECT '2000000.0-8000000.0', 2000000.0, 8000000.0, r2
+           |  FROM m
+           |  UNION ALL SELECT '8000000.0-*', 8000000.0, NULL, r3 FROM m)
+           |ORDER BY key""".stripMargin
+    },
     "pa9_sibling_buckets" ->
       s"""WITH b AS ($monthlySql),
          |st AS (SELECT CAST(count(*) AS BIGINT) AS n_months,

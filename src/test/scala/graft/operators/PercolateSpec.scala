@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+class PercolateSpec extends AnyFunSpec with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark streams filter quickly"),
+    (2L, "filter join merge"),
+    (3L, "nothing relevant here")).toDF("doc_id", "text")
+
+  it("matches docs against rule queries with per-query msm") {
+    val out = Percolate.percolateRules(docs, "doc_id", "text", Seq(
+      ("needsBoth", Seq("filter", "join"), 2),
+      ("anyStream", Seq("streams", "stream"), 1)))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    out shouldBe Set((2L, "needsBoth"), (1L, "anyStream"))
+  }
+
+  it("duplicate terms inside one rule count once") {
+    val out = Percolate.percolateRules(docs, "doc_id", "text", Seq(
+      ("dup", Seq("filter", "filter"), 1)))
+      .collect().map(_.getLong(0)).toSet
+    out shouldBe Set(1L, 2L)
+    // msm above the distinct-term count refuses loudly
+    an[IllegalArgumentException] should be thrownBy
+      Percolate.percolateRules(docs, "doc_id", "text", Seq(
+        ("bad", Seq("filter", "filter"), 2)))
+  }
+
+  it("the query side broadcasts; the corpus never shuffles to match") {
+    val out = Percolate.percolateRules(docs, "doc_id", "text", Seq(
+      ("r", Seq("filter"), 1)))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  it("refuses empty rule tables and duplicate names") {
+    an[IllegalArgumentException] should be thrownBy
+      Percolate.percolateRules(docs, "doc_id", "text", Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Percolate.percolateRules(docs, "doc_id", "text",
+        Seq(("x", Seq("a"), 1), ("x", Seq("b"), 1)))
+  }
+}
