@@ -426,4 +426,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("ca1: the composite after_key pushes to the scan and the page " +
+    "cut is a TakeOrderedAndProject") {
+    val p = plan("ca1_composite_page")
+    // the lexicographic predicate reaches parquet whole
+    assert(p.matches("(?s).*PushedFilters:.*c_mktsegment.*"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalLimit"), p) // fused, not sort+limit
+  }
+
+  test("th1: top_hits gets the partial WindowGroupLimit before the " +
+    "group-key exchange") {
+    // Spark's rewrite caps each map task at k rows per group BEFORE
+    // the shuffle; losing it would ship the whole corpus to the window
+    val df = SparkEntry.queries("th1_top_hits")(spark, TestSpark.sfDir)
+    df.write.mode("overwrite").format("noop").save()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("WindowGroupLimit"), executed)
+    // printed tree is parent-first: Final above the hash Exchange,
+    // the Partial pass BELOW it (i.e. before the shuffle at runtime)
+    assert(executed.matches("(?s).*WindowGroupLimit.*Final.*" +
+      "Exchange hashpartitioning.*WindowGroupLimit.*Partial.*"),
+      executed)
+  }
 }
