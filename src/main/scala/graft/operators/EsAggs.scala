@@ -247,6 +247,130 @@ object EsAggs {
       .select("b.*")
   }
 
+  /** ES `boxplot` aggregation: min, q1, q2 (median), q3, max — exact
+    * R-7 interpolated quantiles (ES's TDigest approximates exactly
+    * these), one aggregate pass.
+    */
+  def boxplot(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.agg(min(v).as("min"),
+        percentile(v, lit(0.25)).as("q1"),
+        percentile(v, lit(0.5)).as("q2"),
+        percentile(v, lit(0.75)).as("q3"),
+        max(v).as("max"))
+  }
+
+  /** ES `t_test` aggregation (unpaired): Student's t statistic
+    * between the values of two groups, `heteroscedastic` (Welch,
+    * ES's default) or `homoscedastic` (pooled variance). One
+    * conditional-moment pass; the statistic and the degrees of
+    * freedom derive from moment arithmetic (Σx, Σx², n per group —
+    * identical expressions any engine replays). ES returns only the
+    * p-value — a t-distribution CDF lookup whose libm path is
+    * engine-internal — so the portable surface here is (t_stat, df,
+    * means): any stats layer turns them into the p-value.
+    * Welch df via Welch–Satterthwaite.
+    */
+  def tTest(df: DataFrame, valueCol: String, groupCol: String,
+            groupA: String, groupB: String,
+            variant: String = "heteroscedastic"): DataFrame = {
+    require(variant == "heteroscedastic" || variant == "homoscedastic",
+      s"t_test type must be heteroscedastic | homoscedastic, got " +
+        s"'$variant'")
+    require(groupA != groupB, "t_test needs two distinct groups")
+    val v = col(valueCol).cast("double")
+    def cells(g: String, tag: String) = Seq(
+      count(when(col(groupCol) === g, v)).cast("double").as(s"n$tag"),
+      sum(when(col(groupCol) === g, v)).as(s"s$tag"),
+      sum(when(col(groupCol) === g, v * v)).as(s"q$tag"))
+    val all = cells(groupA, "a") ++ cells(groupB, "b")
+    val m = df.agg(all.head, all.tail: _*)
+    val meanA = col("sa") / col("na")
+    val meanB = col("sb") / col("nb")
+    val varA = (col("qa") - col("sa") * col("sa") / col("na")) /
+      (col("na") - 1)
+    val varB = (col("qb") - col("sb") * col("sb") / col("nb")) /
+      (col("nb") - 1)
+    val (tStat, dfree) = variant match {
+      case "heteroscedastic" =>
+        val se2 = varA / col("na") + varB / col("nb")
+        ((meanA - meanB) / sqrt(se2),
+          se2 * se2 / (
+            (varA / col("na")) * (varA / col("na")) / (col("na") - 1) +
+              (varB / col("nb")) * (varB / col("nb")) / (col("nb") - 1)))
+      case _ =>
+        val pooled = ((col("na") - 1) * varA + (col("nb") - 1) * varB) /
+          (col("na") + col("nb") - 2)
+        ((meanA - meanB) /
+          sqrt(pooled * (lit(1.0) / col("na") + lit(1.0) / col("nb"))),
+          col("na") + col("nb") - 2)
+    }
+    m.select(col("na").cast("long").as("n_a"),
+      col("nb").cast("long").as("n_b"),
+      meanA.as("mean_a"), meanB.as("mean_b"),
+      tStat.as("t_stat"), dfree.as("deg_f"))
+  }
+
+  /** ES `string_stats` (with `show_distribution`'s entropy): count,
+    * min/max/avg length, and the Shannon entropy (bits) of the
+    * CHARACTER distribution across all values — one length pass plus
+    * one character explode+count (vocabulary-bounded output).
+    */
+  def stringStats(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val lens = df.agg(count(v).cast("long").as("count"),
+      min(length(v)).cast("long").as("min_length"),
+      max(length(v)).cast("long").as("max_length"),
+      (sum(length(v)) / count(v)).as("avg_length"))
+    val chars = df.filter(v.isNotNull)
+      .select(explode(split(v, "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .groupBy("c").agg(count(lit(1)).cast("double").as("n"))
+    val entropy = chars
+      .agg((-sum(col("n") * log2(col("n"))) / sum(col("n")) +
+        log2(sum(col("n")))).as("entropy"))
+    lens.crossJoin(entropy)
+  }
+
+  /** ES `matrix_stats`: pairwise sample covariance and correlation
+    * across numeric fields, from ONE moment pass (n, Σx, Σx², Σxy per
+    * pair) — the expressions any engine replays bit-for-bit from the
+    * same sums. One row per unordered pair (i ≤ j; the diagonal
+    * carries the field's own variance and correlation 1). Rows with a
+    * null in ANY field are skipped (ES's complete-observation rule).
+    */
+  def matrixStats(df: DataFrame, cols0: Seq[String]): DataFrame = {
+    require(cols0.size >= 2, "matrix_stats needs at least two fields")
+    val complete = df.filter(cols0.map(col(_).isNotNull).reduce(_ && _))
+    val vs = cols0.map(c => c -> col(c).cast("double")).toMap
+    val pairs = for {
+      i <- cols0.indices; j <- i until cols0.size
+    } yield (cols0(i), cols0(j))
+    val cells =
+      Seq(count(lit(1)).cast("double").as("_n")) ++
+        cols0.map(c => sum(vs(c)).as(s"_s_$c")) ++
+        pairs.map { case (a, b) =>
+          sum(vs(a) * vs(b)).as(s"_p_${a}_$b")
+        }
+    val m = complete.agg(cells.head, cells.tail: _*)
+    // n = 1 leaves sample covariance undefined → null (not an ANSI
+    // divide-by-zero); n = 0 likewise (the agg row still exists)
+    def cov(a: String, b: String): Column =
+      when(col("_n") > 1,
+        (col(s"_p_${a}_$b") -
+          col(s"_s_$a") * col(s"_s_$b") / col("_n")) /
+          (col("_n") - 1))
+    m.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("field_a"), lit(b).as("field_b"),
+          col("_n").cast("long").as("count"),
+          (col(s"_s_$a") / col("_n")).as("mean_a"),
+          (col(s"_s_$b") / col("_n")).as("mean_b"),
+          cov(a, b).as("covariance"),
+          (cov(a, b) / sqrt(cov(a, a) * cov(b, b))).as("correlation"))
+      }: _*)).as("r"))
+      .select("r.*")
+  }
+
   /** ES `adjacency_matrix`: one bucket per named filter plus one per
     * PAIR intersection (key "a&b", ES's separator), empty buckets
     * omitted like ES. One HashAggregate pass with a conditional count

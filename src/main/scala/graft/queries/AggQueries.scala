@@ -151,6 +151,43 @@ object AggQueries {
         otherBucket = true)
         .orderBy("key")
     }),
+    // ES boxplot: exact R-7 quartiles over integer quantities
+    "bp1_boxplot" -> ((s, d) => {
+      EsAggs.boxplot(Tables.load(s, d, "lineitem"), "l_quantity")
+    }),
+    // ES t_test, both variants: order totals (cents) of status O vs
+    // F; Σx² exceeds 2^53 at scale so the t statistic carries ~1e-15
+    // relative engine noise — rhu 6 pins it (means stay integer-exact)
+    "tt1_t_test" -> ((s, d) => {
+      val li = Tables.load(s, d, "orders")
+        .withColumn("cents", floor(col("o_totalprice") * 100.0 + 0.5))
+      def one(variant: String) =
+        EsAggs.tTest(li, "cents", "o_orderstatus", "O", "F", variant)
+          .withColumn("variant", lit(variant))
+      one("heteroscedastic").unionByName(one("homoscedastic"))
+        .select(col("variant"), col("n_a"), col("n_b"),
+          (col("mean_a") / 100.0).as("mean_a"),
+          (col("mean_b") / 100.0).as("mean_b"),
+          QueryUtil.rhu(col("t_stat"), 6).as("t_stat"),
+          QueryUtil.rhu(col("deg_f"), 4).as("deg_f"))
+        .orderBy("variant")
+    }),
+    // ES string_stats (+ show_distribution's entropy) over the corpus
+    "ss1_string_stats" -> ((s, d) => {
+      EsAggs.stringStats(Tables.load(s, d, "documents"), "text")
+        .select(col("count"), col("min_length"), col("max_length"),
+          col("avg_length"),
+          QueryUtil.rhu(col("entropy"), 6).as("entropy"))
+    }),
+    // ES matrix_stats over three small-integer measures (moment sums
+    // stay under 2^53 → covariance/correlation bit-exact, no rounding)
+    "mx1_matrix_stats" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .withColumn("disc_c", floor(col("l_discount") * 100.0 + 0.5))
+        .withColumn("tax_c", floor(col("l_tax") * 100.0 + 0.5))
+      EsAggs.matrixStats(li, Seq("l_quantity", "disc_c", "tax_c"))
+        .orderBy("field_a", "field_b")
+    }),
     // ES percolate (reverse search): documents matched against a
     // stored-query table (term-set subset — what routing/tagging rule
     // tables look like); broadcast rule join, corpus never shuffles
@@ -339,6 +376,90 @@ object AggQueries {
         |    AS cum_users,
         |  coalesce(np.nw, 0) AS cum_users_new
         |FROM b LEFT JOIN np USING (day) ORDER BY day""".stripMargin,
+    "bp1_boxplot" ->
+      """SELECT min(v) AS "min",
+        |  quantile_cont(v, 0.25) AS q1,
+        |  quantile_cont(v, 0.5) AS q2,
+        |  quantile_cont(v, 0.75) AS q3,
+        |  max(v) AS "max"
+        |FROM (SELECT CAST(l_quantity AS DOUBLE) AS v
+        |      FROM lineitem)""".stripMargin,
+    "tt1_t_test" -> {
+      def block(variant: String, tExpr: String, dfExpr: String) =
+        s"""SELECT '$variant' AS variant,
+           |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           |  (sa / na) / 100.0 AS mean_a, (sb / nb) / 100.0 AS mean_b,
+           |  ${QueryUtil.rhuSql(tExpr, 6)} AS t_stat,
+           |  ${QueryUtil.rhuSql(dfExpr, 4)} AS deg_f
+           |FROM m""".stripMargin
+      val va = "((qa - sa * sa / na) / (na - 1))"
+      val vb = "((qb - sb * sb / nb) / (nb - 1))"
+      val se2 = s"($va / na + $vb / nb)"
+      raw"""WITH m AS (SELECT
+           |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+           |       AS DOUBLE) AS na,
+           |  sum(CASE WHEN o_orderstatus = 'O' THEN c END) AS sa,
+           |  sum(CASE WHEN o_orderstatus = 'O' THEN c * c END) AS qa,
+           |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+           |       AS DOUBLE) AS nb,
+           |  sum(CASE WHEN o_orderstatus = 'F' THEN c END) AS sb,
+           |  sum(CASE WHEN o_orderstatus = 'F' THEN c * c END) AS qb
+           |  FROM (SELECT o_orderstatus,
+           |          floor(o_totalprice * 100.0 + 0.5) AS c
+           |        FROM orders))
+           |${block("heteroscedastic",
+        s"(sa / na - sb / nb) / sqrt$se2",
+        s"$se2 * $se2 / (($va / na) * ($va / na) / (na - 1) + " +
+          s"($vb / nb) * ($vb / nb) / (nb - 1))")}
+           |UNION ALL
+           |${block("homoscedastic",
+        s"(sa / na - sb / nb) / sqrt((((na - 1) * $va + (nb - 1) * $vb)" +
+          s" / (na + nb - 2)) * (1.0 / na + 1.0 / nb))",
+        "na + nb - 2")}
+           |ORDER BY variant""".stripMargin
+    },
+    "ss1_string_stats" ->
+      raw"""WITH lens AS (SELECT CAST(count(text) AS BIGINT) AS "count",
+           |  CAST(min(length(text)) AS BIGINT) AS min_length,
+           |  CAST(max(length(text)) AS BIGINT) AS max_length,
+           |  CAST(sum(length(text)) AS DOUBLE) / count(text)
+           |    AS avg_length
+           |  FROM documents),
+           |ch AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM (
+           |  SELECT unnest(list_filter(string_split(text, ''),
+           |    x -> x <> '')) AS c FROM documents WHERE text IS NOT NULL)
+           |  GROUP BY c),
+           |e AS (SELECT ${QueryUtil.rhuSql(
+        "-sum(n * log2(n)) / sum(n) + log2(sum(n))", 6)} AS entropy
+           |      FROM ch)
+           |SELECT lens.*, e.entropy FROM lens, e""".stripMargin,
+    "mx1_matrix_stats" -> {
+      val flds = Seq("l_quantity", "disc_c", "tax_c")
+      val pairs = for { i <- flds.indices; j <- i until flds.size }
+        yield (flds(i), flds(j))
+      def cov(a: String, b: String) =
+        s"(p_${a}_$b - s_$a * s_$b / n) / (n - 1)"
+      val cells =
+        Seq("CAST(count(*) AS DOUBLE) AS n") ++
+          flds.map(c => s"sum($c) AS s_$c") ++
+          pairs.map { case (a, b) => s"sum($a * $b) AS p_${a}_$b" }
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS field_a, '$b' AS field_b,
+           |  CAST(n AS BIGINT) AS count,
+           |  s_$a / n AS mean_a, s_$b / n AS mean_b,
+           |  ${cov(a, b)} AS covariance,
+           |  ${cov(a, b)} / sqrt((${cov(a, a)}) * (${cov(b, b)}))
+           |    AS correlation
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      raw"""WITH m AS (SELECT ${cells.mkString(", ")}
+           |FROM (SELECT CAST(l_quantity AS DOUBLE) AS l_quantity,
+           |        floor(l_discount * 100.0 + 0.5) AS disc_c,
+           |        floor(l_tax * 100.0 + 0.5) AS tax_c
+           |      FROM lineitem))
+           |$rows
+           |ORDER BY field_a, field_b""".stripMargin
+    },
     "pc1_percolate" ->
       raw"""WITH t AS (SELECT doc_id, list_distinct(
            |    list_filter(string_split_regex(lower(text), '\s+'),

@@ -156,6 +156,60 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("boxplot / t_test / string_stats / matrix_stats") {
+    it("boxplot returns exact R-7 quartiles") {
+      // 1..5: q1 = 2, q2 = 3, q3 = 4
+      val r = EsAggs.boxplot(
+        Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v"), "v").collect().head
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)) shouldBe ((1.0, 2.0, 3.0, 4.0, 5.0))
+    }
+    it("Welch t_test matches the hand formula") {
+      // A: 1,2,3 (mean 2, var 1); B: 5,7 (mean 6, var 2)
+      val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0),
+        ("b", 7.0)).toDF("g", "v")
+      val r = EsAggs.tTest(df, "v", "g", "a", "b").collect().head
+      val se2 = 1.0 / 3 + 2.0 / 2
+      r.getAs[Double]("t_stat") shouldBe
+        ((2.0 - 6.0) / math.sqrt(se2)) +- 1e-12
+      r.getAs[Double]("deg_f") shouldBe (se2 * se2 /
+        ((1.0 / 3) * (1.0 / 3) / 2 + 1.0 * 1.0 / 1)) +- 1e-12
+      // homoscedastic: pooled var = (2·1 + 1·2)/3
+      val h = EsAggs.tTest(df, "v", "g", "a", "b",
+        "homoscedastic").collect().head
+      val pooled = (2.0 * 1 + 1.0 * 2) / 3
+      h.getAs[Double]("t_stat") shouldBe
+        (-4.0 / math.sqrt(pooled * (1.0 / 3 + 1.0 / 2))) +- 1e-12
+      h.getAs[Double]("deg_f") shouldBe 3.0
+    }
+    it("string_stats entropy matches the character distribution") {
+      // "aab" + "b": chars a,a,b,b → p = .5/.5 → entropy 1 bit
+      val r = EsAggs.stringStats(
+        Seq(Some("aab"), Some("b"), None).toDF("s"), "s")
+        .collect().head
+      r.getAs[Long]("count") shouldBe 2L
+      r.getAs[Long]("min_length") shouldBe 1L
+      r.getAs[Long]("max_length") shouldBe 3L
+      r.getAs[Double]("avg_length") shouldBe 2.0
+      r.getAs[Double]("entropy") shouldBe 1.0 +- 1e-12
+    }
+    it("matrix_stats covariance/correlation from moment sums") {
+      // x = 1,2,3; y = 2,4,6 → cov 2, corr 1
+      val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+      val rows = EsAggs.matrixStats(df, Seq("x", "y")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+      val xy = rows(("x", "y"))
+      xy.getAs[Double]("covariance") shouldBe 2.0 +- 1e-12
+      xy.getAs[Double]("correlation") shouldBe 1.0 +- 1e-12
+      rows(("x", "x")).getAs[Double]("covariance") shouldBe 1.0 +- 1e-12
+      // null in any field drops the row everywhere
+      val withNull = Seq((Some(1.0), Some(2.0)), (Some(9.0), None))
+        .toDF("x", "y")
+      EsAggs.matrixStats(withNull, Seq("x", "y")).collect()
+        .head.getAs[Long]("count") shouldBe 1L
+    }
+  }
+
   describe("adjacency_matrix") {
     it("counts singles and pair intersections, omits empty buckets") {
       val df = Seq(("a", 1), ("a", 9), ("b", 9)).toDF("k", "v")
