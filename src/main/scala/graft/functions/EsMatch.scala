@@ -197,6 +197,69 @@ object EsMatch {
     }
   }
 
+  /** ES `highlight` with fragmenting — `fragment_size` /
+    * `number_of_fragments`: the document splits into fixed
+    * `fragTokens`-token windows (ES fragments on characters; at the
+    * token-joined fragment surface of [[highlight]] the token window
+    * is the deterministic analogue), each window scores by its count
+    * of matched tokens, the top `numFragments` scoring windows
+    * survive (score desc, position asc — ES's best-fragment
+    * selection), and the kept fragments render in DOCUMENT order (the
+    * ES default; `order: "score"` is its opt-in) with [[highlight]]'s
+    * per-token tags, joined by `sep`. NULL when nothing matches.
+    * Pure HOF expression: one tokenization, one O(n) window-score
+    * pass, sort/slice over the (n / fragTokens)-entry window list.
+    */
+  def highlightFragments(text: Column, query: String,
+                         analyzer: String = "standard",
+                         fragTokens: Int = 20, numFragments: Int = 3,
+                         preTag: String = "<em>",
+                         postTag: String = "</em>",
+                         sep: String = " ... "): Column = {
+    EnglishMinimalStem.requireKnown(analyzer)
+    require(fragTokens >= 1, s"fragment size must be >= 1, got $fragTokens")
+    require(numFragments >= 1,
+      s"number_of_fragments must be >= 1, got $numFragments")
+    val qs = qTokens(query, analyzer)
+    if (qs.isEmpty) lit(null).cast("string")
+    else {
+      def hit(t: Column): Column =
+        if (analyzer == "english")
+          EnglishMinimalStem.stem(lower(t)).isin(qs: _*)
+        else lower(t).isin(qs: _*)
+      TextAnalysis.bindOnce(
+        filter(split(text, "\\s+"), t => length(t) > 0)) { toks =>
+        val n = size(toks)
+        // Column `/` is double division — sequence needs integrals
+        val windows = sequence(lit(0),
+          floor((n - 1) / fragTokens).cast("int"))
+        val scored = filter(
+          transform(windows, w => struct(
+            aggregate(slice(toks, w * fragTokens + 1, lit(fragTokens)),
+              lit(0), (acc, t) =>
+                acc + when(hit(t), 1).otherwise(0)).as("score"),
+            w.as("w"))),
+          s => s.getField("score") > 0)
+        val top = slice(array_sort(scored, (l, r) =>
+          when(l.getField("score") > r.getField("score"), -1)
+            .when(l.getField("score") < r.getField("score"), 1)
+            .when(l.getField("w") < r.getField("w"), -1)
+            .when(l.getField("w") > r.getField("w"), 1)
+            .otherwise(0)),
+          1, numFragments)
+        // render in DOCUMENT order: sort the kept window ids
+        val kept = array_sort(transform(top, _.getField("w")))
+        when(size(kept) > 0,
+          concat_ws(sep, transform(kept, w =>
+            concat_ws(" ", transform(
+              slice(toks, w * fragTokens + 1, lit(fragTokens)), t =>
+                when(hit(t), concat(lit(preTag), t, lit(postTag)))
+                  .otherwise(t))))))
+          .otherwise(lit(null).cast("string"))
+      }
+    }
+  }
+
   /** ES `highlight` for a `match_phrase` query: every exact-adjacency
     * occurrence of the analyzed phrase wraps AS A UNIT —
     * `<em>quick brown</em>`, one tag pair per occurrence — instead of

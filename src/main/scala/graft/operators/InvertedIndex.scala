@@ -1652,6 +1652,86 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** ES `_explain`-style score breakdown from the live index: one row
+    * per (doc, query term) with every BM25 component — tf, doc len,
+    * live df, idf, and the per-term contribution whose per-doc sum is
+    * EXACTLY [[searchTopK]]'s number before its final rounding
+    * (contributions are 6-dp rounded here so they export stably; the
+    * reconciliation in the spec compares against the unrounded sum).
+    * `onlyIds` restricts the explanation to specific documents (the
+    * usual `_explain` shape — ES explains one doc per call); the
+    * filter pushes into the pruned postings read.
+    */
+  def explainScore(spark: SparkSession, indexPath: String,
+                   queryTerms: Seq[String],
+                   idColName: String = "id",
+                   onlyIds: Option[Seq[Any]] = None,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "explain needs at least one term")
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val dels = committedDeletes(spark, indexPath)
+    val st = liveStats(spark, segs, dels)
+    val n = st.n
+    val avg = if (n > 0) st.sumLen / n else 1.0
+    val terms = queryTerms.map(st.analyzeTerm).distinct
+    val posts0 = prunedLivePostings(spark, segs, dels, terms, st.buckets)
+    val posts = onlyIds.fold(posts0)(ids =>
+      posts0.filter(col("id").isin(ids: _*)))
+    // df comes from the FULL live postings (restricting to onlyIds
+    // must not change corpus statistics)
+    val dfreq = posts0.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    posts.join(broadcast(dfreq), Seq("term"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("score_contrib", round(
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("len") / lit(avg))),
+        6))
+      .select(col("id").as(idColName), col("term"),
+        col("tf").cast("double").as("tf"),
+        col("len").cast("double").as("len"),
+        col("df"), round(col("idf"), 6).as("idf"),
+        col("score_contrib"))
+  }
+
+  /** ES `delete_by_query`: tombstone every LIVE document matching the
+    * analyzed query terms (`operator` "or" = any term, "and" = all
+    * terms), resolving ids through the bucket-pruned postings read —
+    * never a corpus scan — then the ordinary [[deleteDocs]] contract
+    * (lens-exact charges, stats-last commit). Returns the number of
+    * documents tombstoned (0 = nothing matched, no batch written).
+    */
+  def deleteByQuery(spark: SparkSession, indexPath: String,
+                    query: String, operator: String = "or"): Long = {
+    require(operator == "or" || operator == "and",
+      s"operator must be or | and, got '$operator'")
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val dels = committedDeletes(spark, indexPath)
+    val st = liveStats(spark, segs, dels)
+    val terms = graft.functions.TextAnalysis.tokensOf(query)
+      .map(st.analyzeTerm).distinct
+    require(terms.nonEmpty, "query analyzes to no terms")
+    val posts = prunedLivePostings(spark, segs, dels, terms, st.buckets)
+    val ids =
+      if (operator == "or") posts.select("id").distinct()
+      else posts.groupBy("id")
+        .agg(count(lit(1)).as("_t"))
+        .filter(col("_t") === terms.size.toLong)
+        .select("id")
+    val matched = ids.persist()
+    try {
+      val nMatched = matched.count()
+      if (nMatched > 0) deleteDocs(matched, indexPath)
+      nMatched
+    } finally { matched.unpersist(); () }
+  }
+
   /** Index-served `match_bool_prefix` — the search-as-you-type query
     * from the live index, mirroring the scan face
     * [[graft.functions.EsMatch.matchBoolPrefix]]: every query term

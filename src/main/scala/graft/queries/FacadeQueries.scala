@@ -488,6 +488,19 @@ object FacadeQueries {
         .filter(col("hl").isNotNull)
         .orderBy("q", "doc_id")
     }),
+    // fragmenting highlight (fragment_size / number_of_fragments):
+    // fixed token windows scored by match count, top-2 kept (score
+    // desc, position asc), rendered in DOCUMENT order joined by
+    // " ... ". The oracle replays window slicing, scoring, the rank
+    // cut, and the render fold
+    "hl3_highlight_fragments" -> ((s, d) => {
+      docs(s, d).df.select(col("doc_id"),
+          graft.functions.EsMatch.highlightFragments(col("text"),
+            "stream filter", fragTokens = 8, numFragments = 2)
+            .as("hl"))
+        .filter(col("hl").isNotNull)
+        .orderBy("doc_id")
+    }),
     // geo_distance through the raw-DSL escape hatch (the reference's
     // flights OriginLocation geo_point passthrough,
     // eland/query_compiler.py:490-491) PLUS gauss geo decay through
@@ -1108,6 +1121,32 @@ object FacadeQueries {
            |    END AS hl
            |  FROM (${QueryUtil.stemFixtureSql}))
            |WHERE hl IS NOT NULL ORDER BY doc_id""".stripMargin
+    },
+    // window replay: raw-token slices, per-window matched-token
+    // score, (score desc, w asc) rank cut at 2, document-order render
+    "hl3_highlight_fragments" -> {
+      val raws =
+        raw"""list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+      raw"""WITH t AS (SELECT doc_id, $raws AS otoks FROM documents),
+           |w AS (SELECT doc_id, otoks,
+           |        unnest(generate_series(0,
+           |          CAST((len(otoks) - 1) // 8 AS INT))) AS w
+           |      FROM t),
+           |sc AS (SELECT doc_id, w,
+           |        otoks[w * 8 + 1 : w * 8 + 8] AS frag,
+           |        len(list_filter(otoks[w * 8 + 1 : w * 8 + 8],
+           |          x -> lower(x) IN ('stream', 'filter'))) AS score
+           |      FROM w),
+           |r AS (SELECT doc_id, w, frag, score, row_number() OVER (
+           |        PARTITION BY doc_id ORDER BY score DESC, w) AS rn
+           |      FROM sc WHERE score > 0)
+           |SELECT doc_id, string_agg(
+           |  array_to_string(list_transform(frag, x ->
+           |    CASE WHEN lower(x) IN ('stream', 'filter')
+           |         THEN '<em>' || x || '</em>' ELSE x END), ' '),
+           |  ' ... ' ORDER BY w) AS hl
+           |FROM r WHERE rn <= 2
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     // phrase-unit replay: 0-based adjacency starts, coverage =
     // any start covering the position, tags open/close exactly at

@@ -1611,6 +1611,34 @@ object PipelineQueries {
           "stream fil", k = 15, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // ES _explain: the BM25 component breakdown per (doc, term) for
+    // docs 0-9, df/idf from the FULL live corpus (restricting the
+    // explained docs must not move statistics)
+    "ex1_explain_score" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-ex1-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", path)
+      graft.operators.InvertedIndex.explainScore(s, path,
+          Seq("stream", "filter", "join"), idColName = "doc_id",
+          onlyIds = Some((0L to 9L).toSeq))
+        .orderBy("doc_id", "term")
+    }),
+    // ES delete_by_query: tombstone every doc containing 'join', then
+    // search — the oracle replays BM25 over the surviving corpus with
+    // the adjusted n/avg/df
+    "idx14_delete_by_query" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx14-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", path)
+      graft.operators.InvertedIndex.deleteByQuery(s, path, "join")
+      graft.operators.InvertedIndex.searchTopK(s, path,
+          Seq("stream", "filter"), k = 15, idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     "idx3_index_delete" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = new java.io.File(
@@ -3875,6 +3903,46 @@ object PipelineQueries {
            |GROUP BY 1 ORDER BY term""".stripMargin,
     // replay over a corpus the deleted docs never entered: tombstones
     // don't exist oracle-side, so a masking-only implementation (stale
+    // component-level replay: tf, len, full-corpus df, 6-dp idf and
+    // contribution per (doc 0-9, term)
+    "ex1_explain_score" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter', 'join')
+           |       GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1)
+           |SELECT doc_id, t AS term, tf, dl AS len, df,
+           |  round(ln(1 + (n - df + 0.5) / (df + 0.5)), 6) AS idf,
+           |  round(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)), 6)
+           |    AS score_contrib
+           |FROM tf JOIN dft USING (t), st
+           |WHERE doc_id BETWEEN 0 AND 9
+           |ORDER BY doc_id, term""".stripMargin,
+    // survivors-only corpus replay after the term-driven tombstones
+    "idx14_delete_by_query" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |live AS (SELECT * FROM s
+           |         WHERE NOT list_contains(toks, 'join')),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len
+           |       FROM live),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM live)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1)
+           |SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |FROM tf JOIN dft USING (t), st
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     // live-corpus Okapi for the single full term, the prefix-token
     // gate, +1.0 constant, one rounding — a stale vocabulary, an
     // unadjusted stat, or a per-expansion score would all miss

@@ -265,4 +265,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       .head().getString(0)
     assert(aa == "<em>a a a</em> b", aa)
   }
+
+  test("highlightFragments keeps the best windows, renders in " +
+      "document order, NULLs non-matches") {
+    import graft.functions.EsMatch.highlightFragments
+    // 9 tokens, window size 3 → windows [t1..t3][t4..t6][t7..t9];
+    // "cat" hits window 0 once and window 2 twice → top-1 keeps the
+    // LAST window despite document order; top-2 keeps both, rendered
+    // in document order
+    val df = Seq((1L, "cat a b x y z cat cat q"),
+      (2L, "nothing here at all")).toDF("id", "t")
+    val top1 = df.filter($"id" === 1).select(
+      highlightFragments($"t", "cat", fragTokens = 3,
+        numFragments = 1)).head().getString(0)
+    assert(top1 == "<em>cat</em> <em>cat</em> q", top1)
+    val top2 = df.filter($"id" === 1).select(
+      highlightFragments($"t", "cat", fragTokens = 3,
+        numFragments = 2)).head().getString(0)
+    assert(top2 == "<em>cat</em> a b ... <em>cat</em> <em>cat</em> q",
+      top2)
+    // non-matching doc → NULL (ES omits its highlight entry)
+    assert(df.filter($"id" === 2).select(
+      highlightFragments($"t", "cat", fragTokens = 3))
+      .head().isNullAt(0))
+    // english chain analyzes both sides; display keeps original bytes
+    val st = Seq("The Filters run").toDF("t").select(
+      highlightFragments($"t", "filter", "english", 5, 2))
+      .head().getString(0)
+    assert(st == "The <em>Filters</em> run", st)
+  }
 }

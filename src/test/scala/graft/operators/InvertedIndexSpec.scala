@@ -1200,4 +1200,62 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(InvertedIndex.boolPrefixSearchTopK(spark, path,
       "stream zzz", k = 5, idColName = "doc_id").isEmpty)
   }
+
+  test("explainScore components sum to searchTopK's number; " +
+      "onlyIds restricts rows, never statistics") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"), (2L, "alpha gamma"),
+      (3L, "beta beta")).toDF("doc_id", "text")
+    val path = tmp("graft-idx-explain")
+    InvertedIndex.build(docs, "doc_id", "text", path)
+    val terms = Seq("alpha", "beta")
+    val ex = InvertedIndex.explainScore(spark, path, terms,
+      idColName = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    // components: doc 1 alpha tf 2, df 2; doc 3 beta tf 2, df 2
+    assert(ex((1L, "alpha")).getAs[Double]("tf") == 2.0)
+    assert(ex((1L, "alpha")).getAs[Double]("df") == 2.0)
+    // per-doc contribution sums reconcile with searchTopK (both 6dp)
+    val sums = ex.toSeq.groupBy(_._1._1)
+      .map { case (id, rs) =>
+        id -> rs.map(_._2.getAs[Double]("score_contrib")).sum
+      }
+    val viaSearch = InvertedIndex.searchTopK(spark, path, terms,
+      k = 10, idColName = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    sums.foreach { case (id, s) =>
+      assert(math.abs(s - viaSearch(id)) < 3e-6, s"$id: $s") }
+    // onlyIds: fewer rows, SAME df (corpus stats unrestricted)
+    val only = InvertedIndex.explainScore(spark, path, terms,
+      idColName = "doc_id", onlyIds = Some(Seq(1L)))
+      .collect()
+    assert(only.map(_.getLong(0)).toSet == Set(1L))
+    assert(only.find(_.getString(1) == "alpha").get
+      .getAs[Double]("df") == 2.0)
+  }
+
+  test("deleteByQuery tombstones matching docs: or = any term, " +
+      "and = all terms, zero-match writes nothing") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "delta"),
+      (4L, "beta")).toDF("doc_id", "text")
+    val path = tmp("graft-idx-dbq")
+    InvertedIndex.build(docs, "doc_id", "text", path)
+    // and: only doc 1 has both
+    assert(InvertedIndex.deleteByQuery(spark, path, "alpha beta",
+      operator = "and") == 1L)
+    assert(InvertedIndex.searchTopK(spark, path, Seq("alpha"), 10,
+      idColName = "doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    // zero matches: no tombstone batch written
+    val before = InvertedIndex.stats(spark, path)
+      .head().getAs[Int]("tombstone_batches")
+    assert(InvertedIndex.deleteByQuery(spark, path, "nosuchterm") == 0L)
+    assert(InvertedIndex.stats(spark, path)
+      .head().getAs[Int]("tombstone_batches") == before)
+    // or: beta OR gamma hits docs 2 and 4 (1 already gone)
+    assert(InvertedIndex.deleteByQuery(spark, path, "beta gamma") == 2L)
+    assert(InvertedIndex.stats(spark, path).head()
+      .getAs[Long]("n_docs") == 1L)
+  }
 }
