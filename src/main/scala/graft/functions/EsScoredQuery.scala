@@ -99,6 +99,11 @@ object EsScoredQuery {
       boostMode: String, boost: Double) extends Node
   private final case class BoostingNode(positive: Node, negative: Column,
                                         negBoost: Double) extends Node
+  /** A leaf whose match predicate and score are arbitrary per-row
+    * expressions (rank_feature / distance_feature).
+    */
+  private final case class ScoredLeaf(pred: Column,
+                                      score: Column) extends Node
 
   private final class Ctx(val idCol: String,
                           val requireText: String => Unit,
@@ -387,12 +392,117 @@ object EsScoredQuery {
             ctx.requireText)
         }
         BoostingNode(pos, neg, EsQueryDsl.negativeBoostOf(body))
+      // `rank_feature` — score a positive numeric feature through one
+      // of ES's three portable curves. The no-function default derives
+      // its pivot from index statistics (engine-internal) and refuses.
+      // Matching = the feature exists and is positive (rank_feature
+      // fields reject non-positive values at index time).
+      case "rank_feature" =>
+        val field = (body \ "field") match {
+          case JString(f) => f
+          case other => throw new IllegalArgumentException(
+            s"rank_feature needs a field name, got $other")
+        }
+        val x = col(field).cast("double")
+        val picked = Seq("saturation", "log", "sigmoid").flatMap(k =>
+          (body \ k) match { case JNothing => None; case v => Some(k -> v) })
+        require(picked.size <= 1,
+          s"rank_feature takes at most one function, got " +
+            picked.map(_._1).mkString(", "))
+        val s = picked.headOption match {
+          case None => throw new IllegalArgumentException(
+            "rank_feature's default saturation derives its pivot from " +
+              "index statistics (engine-internal) — give " +
+              "saturation.pivot / log.scaling_factor / sigmoid explicitly")
+          case Some(("saturation", v)) =>
+            val pivot = numOf(v \ "pivot", "saturation.pivot")
+            require(pivot > 0, s"saturation.pivot must be > 0, got $pivot")
+            x / (x + pivot)
+          case Some(("log", v)) =>
+            val sf = numOf(v \ "scaling_factor", "log.scaling_factor")
+            require(sf > 0, s"log.scaling_factor must be > 0, got $sf")
+            log(lit(sf) + x)
+          case Some(("sigmoid", v)) =>
+            val pivot = numOf(v \ "pivot", "sigmoid.pivot")
+            val ex = numOf(v \ "exponent", "sigmoid.exponent")
+            require(pivot > 0 && ex > 0,
+              s"sigmoid needs positive pivot/exponent, got $pivot/$ex")
+            pow(x, ex) / (pow(x, ex) + math.pow(pivot, ex))
+          case Some((other, _)) => throw new IllegalStateException(other)
+        }
+        ScoredLeaf(x.isNotNull && x > 0, s * boostOf(body))
+      // `distance_feature` — boost by proximity to an origin:
+      // score = boost × pivot/(pivot + distance). Geo when the origin
+      // parses as a geo point (struct field, haversine meters), date
+      // otherwise (|millis − origin| with a duration pivot) — ES
+      // dispatches on the mapped field type; the origin SHAPE carries
+      // the same information here.
+      case "distance_feature" =>
+        val field = (body \ "field") match {
+          case JString(f) => f
+          case other => throw new IllegalArgumentException(
+            s"distance_feature needs a field name, got $other")
+        }
+        val originJ = (body \ "origin")
+        require(originJ != JNothing, "distance_feature needs an origin")
+        val pivotS = (body \ "pivot") match {
+          case JString(s0) => s0
+          case other => throw new IllegalArgumentException(
+            s"distance_feature needs a string pivot, got $other")
+        }
+        val boost = boostOf(body)
+        val asGeo = scala.util.Try(
+          EsQueryDsl.parseGeoPoint(originJ,
+            s"distance_feature($field).origin")).toOption
+        val (dist, pivot) = asGeo match {
+          case Some((oLat, oLon)) =>
+            (Geo.distanceToMeters(col(field), oLat, oLon),
+              Geo.parseDistanceMeters(pivotS))
+          case None =>
+            val originMs = originJ match {
+              case JInt(n)  => n.toLong
+              case JLong(n) => n
+              case JString(d) => parseUtcMillis(d)
+              case other => throw new IllegalArgumentException(
+                s"distance_feature date origin must be epoch millis " +
+                  s"or ISO date, got $other")
+            }
+            (abs(unix_millis(col(field).cast("timestamp")) - originMs)
+              .cast("double"),
+              parseDurationMillis(pivotS))
+        }
+        require(pivot > 0, s"distance_feature pivot must be > 0")
+        ScoredLeaf(col(field).isNotNull,
+          lit(boost) * pivot / (lit(pivot) + dist))
       // every remaining translatable leaf: the filter face's predicate,
       // constant_score semantics (see the scaladoc contract)
       case _ => GatedConst(
         EsQueryDsl.filterColumn(q, ctx.idCol, ctx.requireText), 1.0)
     }
   }
+
+  /** ES duration string → milliseconds (d / h / m / s / ms). */
+  private def parseDurationMillis(s: String): Double = {
+    val m = "^(\\d+(?:\\.\\d+)?)(ms|s|m|h|d)$".r
+    s.trim match {
+      case m(n, unit) => n.toDouble * (unit match {
+        case "ms" => 1.0
+        case "s"  => 1000.0
+        case "m"  => 60000.0
+        case "h"  => 3600000.0
+        case "d"  => 86400000.0
+      })
+      case other => throw new IllegalArgumentException(
+        s"cannot parse duration '$other' (expected <number>(ms|s|m|h|d))")
+    }
+  }
+
+  /** ISO date ("yyyy-MM-dd") or instant → epoch millis at UTC. */
+  private def parseUtcMillis(s: String): Long =
+    if (s.matches("\\d{4}-\\d{2}-\\d{2}"))
+      java.time.LocalDate.parse(s)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    else java.time.Instant.parse(s).toEpochMilli
 
   private def numOf(v: JValue, what: String): Double = v match {
     case JInt(n)     => n.toDouble
@@ -765,6 +875,9 @@ object EsScoredQuery {
       val demoted =
         when(coalesce(neg, lit(false)), ps * nb).otherwise(ps)
       (pm, when(pm, demoted).otherwise(0.0))
+    case ScoredLeaf(pred, score) =>
+      val matched = coalesce(pred, lit(false))
+      (matched, when(matched, score).otherwise(0.0))
   }
 
   /** Compile `json` against `docs` and return the MATCHING rows with a

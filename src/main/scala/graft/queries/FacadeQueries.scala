@@ -425,6 +425,33 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // rank_feature: all three portable curves over the n_chars
+    // feature, should-summed in clause order; the oracle replays
+    // saturation/log/sigmoid arithmetic + the left-assoc sum
+    "f34_rank_feature" -> ((s, d) => {
+      docs(s, d).esQueryScored(
+        """{"bool": {"should": [
+          |  {"rank_feature": {"field": "n_chars",
+          |    "saturation": {"pivot": 400}, "boost": 1.5}},
+          |  {"rank_feature": {"field": "n_chars",
+          |    "log": {"scaling_factor": 1}}},
+          |  {"rank_feature": {"field": "n_chars",
+          |    "sigmoid": {"pivot": 400, "exponent": 2}}}
+          |]}}""".stripMargin)
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
+    // distance_feature (date flavor; the geo flavor is spec-pinned):
+    // proximity boost to an origin date with a 30d pivot — exact
+    // epoch-millis arithmetic both sides
+    "f35_distance_feature" -> ((s, d) => {
+      orders(s, d).esQueryScored(
+        """{"distance_feature": {"field": "o_orderdate",
+          |"origin": "1995-06-30", "pivot": "30d", "boost": 3.0}}"""
+          .stripMargin)
+        .df.select(col("o_orderkey"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("o_orderkey")).limit(25)
+    }),
     // boosting query (scored): matching = the positive leg; docs that
     // ALSO match the negative leg keep positive_score × negative_boost
     // (ES's exact rule — the negative score itself is never used).
@@ -1068,6 +1095,23 @@ object FacadeQueries {
            |        FROM win w LEFT JOIN ph p ON p.doc_id = w.doc_id)
            |SELECT doc_id, score FROM fin
            |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
+    // the three curves in clause order, left-assoc sum, one rounding
+    "f34_rank_feature" ->
+      """SELECT doc_id,
+        |  round(1.5 * (n_chars / (n_chars + 400.0))
+        |    + ln(1 + n_chars)
+        |    + pow(n_chars, 2.0) / (pow(n_chars, 2.0) + pow(400.0, 2.0)),
+        |    6) AS score
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // 3 × 30d/(30d + |ms from origin|), integer-exact millis
+    "f35_distance_feature" ->
+      """SELECT o_orderkey,
+        |  round(3.0 * 2592000000.0 / (2592000000.0 +
+        |    abs(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) -
+        |        804470400000)), 6) AS score
+        |FROM orders
+        |ORDER BY score DESC, o_orderkey LIMIT 25""".stripMargin,
     // BM25 positive leg, then the conditional ×0.3 demotion for docs
     // containing the negative term, one 6-dp rounding at the end
     "f32_boosting" ->

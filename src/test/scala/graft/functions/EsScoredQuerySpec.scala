@@ -543,4 +543,56 @@ class EsScoredQuerySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(ts == Map(1L -> 1.0))
   }
+
+  test("rank_feature curves and distance_feature proximity boosts") {
+    def rhu6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val df = Seq((1L, 8.0), (2L, 24.0), (3L, 0.0))
+      .toDF("doc_id", "pagerank")
+    def one(json: String) = EsScoredQuery.scoredFrame(df, "doc_id", json)
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // saturation pivot 8: doc1 8/16 = .5, doc2 24/32 = .75; doc 3
+    // (zero feature) does not match
+    val sat = one("""{"rank_feature": {"field": "pagerank",
+      |"saturation": {"pivot": 8}, "boost": 2.0}}""".stripMargin)
+    assert(sat.keySet == Set(1L, 2L))
+    assert(sat(1L) == 1.0 && sat(2L) == 1.5)
+    // log scaling 1: ln(1+8)
+    val lg = one("""{"rank_feature": {"field": "pagerank",
+      |"log": {"scaling_factor": 1}}}""".stripMargin)
+    assert(math.abs(lg(1L) - rhu6(math.log(9.0))) < 1e-9)
+    // sigmoid pivot 8 exp 2: 64/(64+64) = .5
+    val sg = one("""{"rank_feature": {"field": "pagerank",
+      |"sigmoid": {"pivot": 8, "exponent": 2}}}""".stripMargin)
+    assert(sg(1L) == 0.5)
+    // refusals: no function, two functions
+    intercept[IllegalArgumentException](one(
+      """{"rank_feature": {"field": "pagerank"}}"""))
+    intercept[IllegalArgumentException](one(
+      """{"rank_feature": {"field": "pagerank",
+        |"log": {"scaling_factor": 1},
+        |"saturation": {"pivot": 2}}}""".stripMargin))
+    // distance_feature, date flavor: pivot 1d, origin at doc1's ts
+    val dd = Seq((1L, "2024-01-02 00:00:00"), (2L, "2024-01-03 00:00:00"))
+      .toDF("doc_id", "ts")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val dist = EsScoredQuery.scoredFrame(dd, "doc_id",
+      """{"distance_feature": {"field": "ts",
+        |"origin": "2024-01-02", "pivot": "1d", "boost": 4.0}}"""
+        .stripMargin)
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dist(1L) == 4.0)          // zero distance → full boost
+    assert(dist(2L) == 2.0)          // one pivot away → half
+    // geo flavor: struct field + distance pivot
+    val gd = Seq((1L, 0.0, 0.0)).toDF("doc_id", "lat", "lon")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.struct(
+          col("lat"), col("lon")).as("loc"))
+    val g = EsScoredQuery.scoredFrame(gd, "doc_id",
+      """{"distance_feature": {"field": "loc",
+        |"origin": {"lat": 0, "lon": 0}, "pivot": "100km"}}"""
+        .stripMargin).select("_score").head().getDouble(0)
+    assert(g == 1.0) // at the origin
+  }
 }
