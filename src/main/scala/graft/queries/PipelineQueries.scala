@@ -810,6 +810,30 @@ object PipelineQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.read.parquet(s"$work/out").select("doc_id").orderBy("doc_id")
     }),
+    // streaming percolate: the pc1 rule table applied per micro-batch
+    // (stateless routing — union of all batches' matches ≡ the batch
+    // percolate of the whole fixture corpus, which IS the oracle)
+    "st14_stream_percolate" -> ((s, d) => {
+      val src = docsStreamFixture(s, d)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-st14-run").toString
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.CorpusStream.streamingPercolate(stream,
+          "doc_id", "text", Seq(
+            ("stream_filter", Seq("stream", "filter"), 2),
+            ("any_join", Seq("join", "merge"), 1),
+            ("heavy_sort", Seq("window", "sort", "order"), 3)),
+          s"$work/out", s"$work/ckp")
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(s"$work/out")
+        .orderBy("doc_id", "query_id")
+    }),
     "st4_stream_incdedup" -> ((s, d) => {
       val src = docsStreamFixture(s, d)
       val work = java.nio.file.Files
@@ -3339,6 +3363,29 @@ object PipelineQueries {
     // batch replay: the streamed corpus (incl. the +10001 clones the
     // fixture plants), per-doc distinct-hit counts vs the static
     // benchmark grams, both signal fragments, one survivors WHERE
+    // stateless streaming ⇒ the union of per-batch matches equals the
+    // batch percolate of the whole FIXTURE corpus (documents + the
+    // planted +10001 clones) — pc1's replay over that union
+    "st14_stream_percolate" ->
+      raw"""WITH u AS (SELECT doc_id, text FROM documents
+           |           UNION ALL
+           |           SELECT doc_id + 10001, text FROM documents
+           |           WHERE doc_id < 100),
+           |t AS (SELECT doc_id, list_distinct(
+           |    list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> x <> '')) AS toks FROM u),
+           |r(query_id, terms, msm) AS (VALUES
+           |  ('stream_filter', ['stream', 'filter'], 2),
+           |  ('any_join', ['join', 'merge'], 1),
+           |  ('heavy_sort', ['window', 'sort', 'order'], 3))
+           |SELECT doc_id, query_id,
+           |  CAST(len(list_filter(r.terms,
+           |    x -> list_contains(t.toks, x))) AS BIGINT)
+           |    AS matched_terms
+           |FROM t, r
+           |WHERE len(list_filter(r.terms,
+           |    x -> list_contains(t.toks, x))) >= msm
+           |ORDER BY doc_id, query_id""".stripMargin,
     "st13_stream_curation" ->
       raw"""WITH u AS (SELECT doc_id, text FROM documents
            |           UNION ALL

@@ -356,6 +356,31 @@ object CorpusStream {
     * upstream of a dedup stage; put [[incrementalDedup]] downstream
     * when exact delivery matters).
     */
+  /** Streaming percolate — alert/routing rules over a document
+    * stream: every micro-batch matches against the STATIC rule table
+    * ([[graft.operators.Percolate]]'s term-set subset), appending
+    * (id, query_id, matched_terms) rows. Stateless — no registry, no
+    * state store: rules validate once here and broadcast inside every
+    * trigger's join, so a crash replays a batch to the identical
+    * match rows (the file sink's commit log dedups the epoch).
+    */
+  def streamingPercolate(docs: DataFrame, idCol: String,
+                         textCol: String,
+                         rules: Seq[(String, Seq[String], Int)],
+                         outPath: String,
+                         checkpoint: String): StreamingQuery = {
+    require(rules.nonEmpty, "streamingPercolate: no rules")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.operators.Percolate
+          .percolateRules(batch.toDF(), idCol, textCol, rules)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+  }
+
   def curationFilter(docs: DataFrame, idCol: String, textCol: String,
                      bench: DataFrame, benchTextCol: String,
                      shingleN: Int, minHits: Long,

@@ -121,7 +121,11 @@ object DumpPlans {
     "th1_top_hits" ->
       "top_hits per bucket: Spark's WindowGroupLimit rewrite runs a PARTIAL per-partition top-k BEFORE the group-key Exchange and a final one after — each map task forwards at most k rows per group it sees, so the shuffle carries group-capped rows, not the corpus. The row_number window itself then ranks only survivors.",
     "pa7_cumulative_cardinality" ->
-      "cumulative_cardinality the scalable way: each key contributes only its FIRST bucket (one user-key shuffle — the only full-data exchange), first-appearance counts roll up per bucket, and the running total is a prefix sum over the BOUNDED bucket frame. The naive spelling — a running collect_set window — would hold every key ever seen in every bucket's state; this plan holds one long per bucket.")
+      "cumulative_cardinality the scalable way: each key contributes only its FIRST bucket (one user-key shuffle — the only full-data exchange), first-appearance counts roll up per bucket, and the running total is a prefix sum over the BOUNDED bucket frame. The naive spelling — a running collect_set window — would hold every key ever seen in every bucket's state; this plan holds one long per bucket.",
+    "pc1_percolate" ->
+      "Percolate (reverse search): the stored-query table explodes to (query, term) rows and BROADCASTS; documents explode their distinct analyzed tokens once and hash-join map-side — the corpus is never shuffled to find rule matches, and only (doc, query) HITS reach the per-pair count that enforces each query's own minimum_should_match. Tagging a 100 TB corpus against a rule table costs one scan.",
+    "idx14_delete_by_query" ->
+      "delete_by_query: id resolution reads ONLY the query terms' postings buckets (the same PartitionFilters pruning every search gets), so finding what to delete never scans the corpus — then the ordinary tombstone write (lens-exact charges, stats-last commit) makes the deletion visible to every subsequent search with adjusted statistics.")
 
   private val epilogue: String = """
 ## Streaming index-lifecycle gate cost (st6, st9-st13) — r12 adjudication
