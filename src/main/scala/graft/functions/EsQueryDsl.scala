@@ -257,6 +257,19 @@ object EsQueryDsl {
       // scored face applies negative_boost); both legs and the boost
       // are still parsed/validated so a malformed query fails loudly
       // instead of silently matching
+      // `wrapper`: a base64-encoded query — decode and recurse (ES
+      // uses it to smuggle JSON through systems that mangle it)
+      case "wrapper" =>
+        val inner = (body \ "query") match {
+          case JString(b64) => b64
+          case other => throw new IllegalArgumentException(
+            s"wrapper needs a base64 query string, got $other")
+        }
+        val decoded = new String(
+          java.util.Base64.getDecoder.decode(inner),
+          java.nio.charset.StandardCharsets.UTF_8)
+        fromJValue(org.json4s.jackson.JsonMethods.parse(decoded),
+          idCol, requireText)
       case "boosting" =>
         val pos = (body \ "positive") match {
           case JNothing => throw new IllegalArgumentException(

@@ -392,6 +392,17 @@ object EsScoredQuery {
             ctx.requireText)
         }
         BoostingNode(pos, neg, EsQueryDsl.negativeBoostOf(body))
+      // `wrapper`: decode the base64 query and recurse — the scored
+      // face keeps full scoring semantics through the wrapper
+      case "wrapper" =>
+        val inner = (body \ "query") match {
+          case JString(b64) => b64
+          case other => throw new IllegalArgumentException(
+            s"wrapper needs a base64 query string, got $other")
+        }
+        parse(JsonMethods.parse(new String(
+          java.util.Base64.getDecoder.decode(inner),
+          java.nio.charset.StandardCharsets.UTF_8)), ctx)
       // `rank_feature` — score a positive numeric feature through one
       // of ES's three portable curves. The no-function default derives
       // its pivot from index statistics (engine-internal) and refuses.

@@ -345,6 +345,24 @@ class EsQueryDslSpec extends AnyFunSuite {
         |"minimum_should_match_field": "required"}}}""".stripMargin))
   }
 
+  test("wrapper decodes base64 and recurses on both faces") {
+    import spark.implicits._
+    val f = GraftFrame(Seq((1L, "alpha beta"), (2L, "gamma"))
+      .toDF("id", "text"), "id")
+    val inner = """{"match": {"text": "alpha"}}"""
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      inner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(f.esQuery(s"""{"wrapper": {"query": "$b64"}}""").len() == 1)
+    // scored face keeps real scoring through the wrapper
+    val sc = EsScoredQuery.scoredFrame(
+      Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text"),
+      "doc_id", s"""{"wrapper": {"query": "$b64"}}""")
+      .select("doc_id", "_score").collect()
+    assert(sc.length == 1 && sc.head.getDouble(1) > 0)
+    intercept[IllegalArgumentException](
+      f.esQuery("""{"wrapper": {"query": 42}}"""))
+  }
+
   test("esQuery match enforces the same non-text guard as esMatch") {
     val pinned = docs.withEsDtype("source", "keyword")
     val e = intercept[IllegalArgumentException](
