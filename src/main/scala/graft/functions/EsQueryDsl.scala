@@ -252,6 +252,92 @@ object EsQueryDsl {
           (if (must.nonEmpty) Seq(must.reduce(_ && _)) else Nil) ++
             shouldPred ++ mustNot.map(c => !coalesce(c, lit(false)))
         if (parts.isEmpty) lit(true) else parts.reduce(_ && _)
+      // `span_near` over `span_term` clauses — the Lucene span-algebra
+      // subset with an engine-independent reading: positions p₁…pₙ of
+      // the clause terms (one DISTINCT position each) such that
+      // in_order ⇒ p₁ < p₂ < … < pₙ, and the span is tight enough:
+      // (max − min + 1 − n) ≤ slop (Lucene's "positions in between").
+      // Ordered supports any clause count (nested exists over the
+      // per-term position arrays, one tokenization); unordered is
+      // bounded at TWO distinct terms (beyond that Lucene's
+      // NearSpansUnordered is a sliding heap with retry semantics no
+      // closed predicate reproduces). Scoring is Lucene-internal →
+      // filter face only (the scored face falls through to
+      // constant_score like the other gate-only leaves).
+      case "span_near" =>
+        val clauses0 = (body \ "clauses") match {
+          case JArray(cs) if cs.nonEmpty => cs
+          case other => throw new IllegalArgumentException(
+            s"span_near needs a non-empty clauses array, got $other")
+        }
+        val slop = (body \ "slop") match {
+          case JInt(n)  => n.toInt
+          case JLong(n) => n.toInt
+          case JNothing => throw new IllegalArgumentException(
+            "span_near needs a slop (ES requires it)")
+          case other => throw new IllegalArgumentException(
+            s"span_near slop must be an integer, got $other")
+        }
+        require(slop >= 0, s"slop must be >= 0, got $slop")
+        val inOrder = (body \ "in_order") match {
+          case JBool(b) => b
+          case JNothing => false // ES's default
+          case other => throw new IllegalArgumentException(
+            s"in_order must be a boolean, got $other")
+        }
+        val fieldTerms = clauses0.map { c =>
+          val (kind, b) = lonely(c, "span_near clause")
+          require(kind == "span_term",
+            s"span_near supports span_term clauses only, got $kind")
+          val (field, v) = lonely(b, "span_term")
+          val term = v match {
+            case JString(s0) => s0
+            case o => (o \ "value") match {
+              case JString(s0) => s0
+              case other => throw new IllegalArgumentException(
+                s"span_term value must be a string, got $other")
+            }
+          }
+          (field, term.toLowerCase(java.util.Locale.ROOT))
+        }
+        val field = fieldTerms.map(_._1).distinct match {
+          case Seq(one) => one
+          case many => throw new IllegalArgumentException(
+            s"span_near clauses must share one field, got " +
+              many.mkString(", "))
+        }
+        requireText(field)
+        val terms = fieldTerms.map(_._2)
+        require(inOrder || terms.size == 2,
+          "unordered span_near is supported for exactly two clauses " +
+            "(Lucene's unordered n-way matcher has no closed predicate)")
+        require(inOrder || terms.distinct.size == 2,
+          "unordered span_near needs two DISTINCT terms")
+        import org.apache.spark.sql.functions._
+        TextAnalysis.bindOnce(TextAnalysis.tokens(col(field))) { toks =>
+          val n = size(toks)
+          def positionsOf(t: String): Column =
+            filter(sequence(lit(0), n - 1), p =>
+              element_at(toks, (p + 1).cast("int")) === lit(t))
+          if (inOrder) {
+            val k = terms.size
+            // nested exists: p₁ from term 1's positions, each next
+            // strictly after, the last within p₁ + (k − 1) + slop
+            def chain(i: Int, prev: Column, first: Column): Column =
+              if (i == k)
+                (prev - first) <= lit(k - 1 + slop)
+              else exists(positionsOf(terms(i)), p =>
+                p > prev && chain(i + 1, p, first))
+            n > 0 && exists(positionsOf(terms.head), p0 =>
+              chain(1, p0, p0))
+          } else {
+            val Seq(a, b) = terms
+            n > 0 && exists(positionsOf(a), pa =>
+              exists(positionsOf(b), pb =>
+                pa =!= pb &&
+                  abs(pa - pb) <= lit(1 + slop)))
+          }
+        }
       // predicate context: `boosting` matches exactly its positive
       // leg — the negative leg only down-weights the SCORE (the
       // scored face applies negative_boost); both legs and the boost

@@ -425,6 +425,26 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // span_near (Lucene span algebra, span_term subset): ordered
+    // proximity with the (max − min + 1 − n) ≤ slop tightness rule +
+    // the unordered pair form — the oracle replays positions and the
+    // existence join
+    "f36_span_near" -> ((s, d) => {
+      val f = docs(s, d)
+      val ordered = f.esQuery(
+        """{"span_near": {"clauses": [
+          |  {"span_term": {"text": "stream"}},
+          |  {"span_term": {"text": "filter"}}],
+          |"slop": 3, "in_order": true}}""".stripMargin)
+        .select(Seq("doc_id")).df.withColumn("q", lit("ordered"))
+      val unordered = f.esQuery(
+        """{"span_near": {"clauses": [
+          |  {"span_term": {"text": "join"}},
+          |  {"span_term": {"text": "merge"}}],
+          |"slop": 1, "in_order": false}}""".stripMargin)
+        .select(Seq("doc_id")).df.withColumn("q", lit("unordered"))
+      ordered.unionByName(unordered).orderBy("q", "doc_id")
+    }),
     // rank_feature: all three portable curves over the n_chars
     // feature, should-summed in clause order; the oracle replays
     // saturation/log/sigmoid arithmetic + the left-assoc sum
@@ -1095,6 +1115,31 @@ object FacadeQueries {
            |        FROM win w LEFT JOIN ph p ON p.doc_id = w.doc_id)
            |SELECT doc_id, score FROM fin
            |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
+    // positions via list_filter(range), existence via joins; ordered
+    // = strictly increasing pair within slop+1, unordered = |Δ| bound
+    "f36_span_near" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |ps AS (SELECT doc_id,
+           |  list_filter(range(0, len(toks)),
+           |    i -> toks[i + 1] = 'stream') AS p_stream,
+           |  list_filter(range(0, len(toks)),
+           |    i -> toks[i + 1] = 'filter') AS p_filter,
+           |  list_filter(range(0, len(toks)),
+           |    i -> toks[i + 1] = 'join') AS p_join,
+           |  list_filter(range(0, len(toks)),
+           |    i -> toks[i + 1] = 'merge') AS p_merge
+           |  FROM t),
+           |o AS (SELECT DISTINCT doc_id, 'ordered' AS q FROM (
+           |  SELECT doc_id, unnest(p_stream) AS pa, p_filter
+           |  FROM ps) s1, unnest(s1.p_filter) AS u(pb)
+           |  WHERE pb > pa AND pb - pa <= 4),
+           |un AS (SELECT DISTINCT doc_id, 'unordered' AS q FROM (
+           |  SELECT doc_id, unnest(p_join) AS pa, p_merge
+           |  FROM ps) s2, unnest(s2.p_merge) AS v(pb)
+           |  WHERE pb <> pa AND abs(pa - pb) <= 2)
+           |SELECT doc_id, q FROM o
+           |UNION ALL SELECT doc_id, q FROM un
+           |ORDER BY q, doc_id""".stripMargin,
     // the three curves in clause order, left-assoc sum, one rounding
     "f34_rank_feature" ->
       """SELECT doc_id,

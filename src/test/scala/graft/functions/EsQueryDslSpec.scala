@@ -345,6 +345,46 @@ class EsQueryDslSpec extends AnyFunSuite {
         |"minimum_should_match_field": "required"}}}""".stripMargin))
   }
 
+  test("span_near: ordered chains, unordered pairs, slop boundaries") {
+    import spark.implicits._
+    val f = GraftFrame(Seq(
+      (1L, "a x b y c"),   // a..b gap 1, a..c span 5 (2 in between)
+      (2L, "b a c"),       // out of order for (a, b)
+      (3L, "a b"),         // adjacent
+      (4L, "c y x a")).toDF("id", "text"), "id")
+    def q(json: String): Set[Long] =
+      f.esQuery(json).df.select("id").collect().map(_.getLong(0)).toSet
+    // ordered (a, b): slop 0 needs adjacency; slop 1 allows one gap
+    assert(q("""{"span_near": {"clauses": [
+      |{"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+      |"slop": 0, "in_order": true}}""".stripMargin) == Set(3L))
+    assert(q("""{"span_near": {"clauses": [
+      |{"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+      |"slop": 1, "in_order": true}}""".stripMargin) == Set(1L, 3L))
+    // unordered pair: doc 2's b..a distance 1 now matches at slop 0
+    assert(q("""{"span_near": {"clauses": [
+      |{"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+      |"slop": 0, "in_order": false}}""".stripMargin) == Set(2L, 3L))
+    // ordered 3-chain (a, b, c): span 5 → 2 in between → slop 2
+    assert(q("""{"span_near": {"clauses": [
+      |{"span_term": {"text": "a"}}, {"span_term": {"text": "b"}},
+      |{"span_term": {"text": "c"}}],
+      |"slop": 2, "in_order": true}}""".stripMargin) == Set(1L))
+    assert(q("""{"span_near": {"clauses": [
+      |{"span_term": {"text": "a"}}, {"span_term": {"text": "b"}},
+      |{"span_term": {"text": "c"}}],
+      |"slop": 1, "in_order": true}}""".stripMargin) == Set.empty[Long])
+    // refusals: missing slop, 3-way unordered, mixed fields
+    intercept[IllegalArgumentException](q(
+      """{"span_near": {"clauses": [
+        |{"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+        |"in_order": true}}""".stripMargin))
+    intercept[IllegalArgumentException](q(
+      """{"span_near": {"clauses": [
+        |{"span_term": {"text": "a"}}, {"span_term": {"text": "b"}},
+        |{"span_term": {"text": "c"}}], "slop": 1}}""".stripMargin))
+  }
+
   test("wrapper decodes base64 and recurses on both faces") {
     import spark.implicits._
     val f = GraftFrame(Seq((1L, "alpha beta"), (2L, "gamma"))
