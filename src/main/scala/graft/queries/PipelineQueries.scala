@@ -2279,6 +2279,22 @@ object PipelineQueries {
       graft.sources.Ingest.upsertTable(updates, path, "c_custkey")
       s.read.parquet(path).orderBy("c_custkey")
     }),
+    // update_by_query at the table layer: predicate + column rewrite
+    // applied through the crash-safe keyed upsert (only matching rows
+    // recompute); the oracle replays the CASE rewrite over the source
+    "io7_update_by_query" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-io7-$tag").toString
+      val src = t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      graft.sources.Ingest.saveTable(src, path, "replace")
+      graft.sources.Ingest.updateWhere(s, path, "c_custkey",
+        col("c_mktsegment") === "BUILDING" && col("c_acctbal") < 0,
+        Map("c_acctbal" -> lit(0.0),
+          "c_mktsegment" -> lit("BUILDING_RESET")))
+      s.read.parquet(path).orderBy("c_custkey")
+    }),
     // JSON sink round trip (eland to_json): write, re-read with an
     // explicit schema, oracle against the source rows
     "io2_json_roundtrip" -> ((s, d) => {
@@ -4566,6 +4582,14 @@ object PipelineQueries {
         |SELECT * FROM (VALUES (CAST(9000001 AS BIGINT), 'upsert new a', 1.5),
         |                      (9000002, 'upsert new b', 2.5)) t(k, n, b)
         |ORDER BY c_custkey""".stripMargin,
+    "io7_update_by_query" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal < 0
+        |       THEN 'BUILDING_RESET' ELSE c_mktsegment END
+        |    AS c_mktsegment,
+        |  CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal < 0
+        |       THEN 0.0 ELSE c_acctbal END AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "io2_json_roundtrip" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
         |       o_totalprice, o_orderpriority

@@ -246,6 +246,45 @@ object Ingest {
     df
   }
 
+  /** ES `update_by_query` at the table layer: apply `updates` (column
+    * → new-value expression, the "script" as Column trees) to every
+    * row matching `predicate`, leaving other rows untouched. Rides
+    * [[upsertTable]]'s crash-safe merge: ONLY the matching rows are
+    * recomputed and upserted by key — the predicate pushes into the
+    * table scan, so finding them is a pruned read, and the merge is
+    * the one keyed join upsertTable already pays. Returns the number
+    * of rows updated (ES's `updated` count); zero matches touch
+    * nothing.
+    */
+  def updateWhere(spark: SparkSession, path: String, key: String,
+                  predicate: org.apache.spark.sql.Column,
+                  updates: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(updates.nonEmpty, "update_by_query needs at least one update")
+    val target = spark.read.parquet(path)
+    require(!updates.contains(key),
+      s"refusing to rewrite the key column '$key' (ES likewise " +
+        "cannot update _id)")
+    updates.keys.foreach(c => require(target.columns.contains(c),
+      s"unknown column '$c' (update_by_query cannot add fields to a " +
+        "typed table; transform + saveTable for schema changes)"))
+    // every update expression evaluates against the ORIGINAL row (one
+    // select, not a withColumn chain — map iteration order must never
+    // decide whether an update sees another's output). localCheckpoint,
+    // not persist: the updated rows' lineage reads the SAME path
+    // upsertTable is about to swap — a cache eviction under persist
+    // would silently recompute the update over the already-updated
+    // table (double-applying e.g. a price bump); cutting the lineage
+    // makes that impossible
+    val changed = target.filter(predicate)
+      .select(target.columns.toSeq.map(c =>
+        updates.getOrElse(c,
+          org.apache.spark.sql.functions.col(c)).as(c)): _*)
+      .localCheckpoint(true)
+    val n = changed.count()
+    if (n > 0) upsertTable(changed, path, key)
+    n
+  }
+
   /** CSV → parquet table, header + schema inference on by default
     * (mirrors csv_to_eland's pandas read_csv passthrough defaults).
     */

@@ -166,4 +166,37 @@ class IngestSpec extends AnyFunSuite {
     val b = nation.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq
     assert(a == b)
   }
+
+  test("updateWhere rewrites only matching rows against ORIGINAL " +
+      "values; zero matches touch nothing; key rewrite refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-updatewhere").toString + "/t"
+    val src = Seq((1L, "a", 10.0), (2L, "b", -5.0), (3L, "a", -1.0))
+      .toDF("k", "tag", "v")
+    Ingest.saveTable(src, dir, "replace")
+    // both updates read the ORIGINAL row: v doubles AND tag gets the
+    // ORIGINAL v's sign — a withColumn chain would see the new v
+    val n = Ingest.updateWhere(spark, dir, "k", col("v") < 0,
+      Map("v" -> (col("v") * 2), "tag" -> concat(col("tag"),
+        when(col("v") < 0, "_neg").otherwise("_pos"))))
+    assert(n == 2L)
+    val got = spark.read.parquet(dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b_neg", -10.0),
+      (3L, "a_neg", -2.0)))
+    // zero matches: count 0, table byte-identical in content
+    assert(Ingest.updateWhere(spark, dir, "k", col("v") > 1e9,
+      Map("v" -> lit(0.0))) == 0L)
+    assert(spark.read.parquet(dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == got.toSeq)
+    intercept[IllegalArgumentException](
+      Ingest.updateWhere(spark, dir, "k", lit(true),
+        Map("k" -> lit(9L))))
+    intercept[IllegalArgumentException](
+      Ingest.updateWhere(spark, dir, "k", lit(true),
+        Map("nope" -> lit(9L))))
+  }
 }
