@@ -104,6 +104,11 @@ object EsScoredQuery {
     */
   private final case class ScoredLeaf(pred: Column,
                                       score: Column) extends Node
+  /** `pinned`: a per-row pinned score (null = not pinned) over an
+    * organic query.
+    */
+  private final case class PinnedNode(pinnedScore: Column,
+                                      organic: Node) extends Node
 
   private final class Ctx(val idCol: String,
                           val requireText: String => Unit,
@@ -392,6 +397,41 @@ object EsScoredQuery {
             ctx.requireText)
         }
         BoostingNode(pos, neg, EsQueryDsl.negativeBoostOf(body))
+      // `pinned`: promoted ids rank FIRST in their given order, then
+      // the organic query's matches by score. Lucene starts at
+      // Float.MAX_VALUE/2 and DECREMENTS THE BIT PATTERN per rank —
+      // a float-representation trick with no cross-engine number; the
+      // portable analogue steps by 1e30 (ulp(1.7e38) ≈ 2e22, so every
+      // step is a distinct double, and even 10^8 pinned ids would sit
+      // 10^30 above any organic score). Pinned docs match even when
+      // the organic query misses them (ES's contract); an id both
+      // pinned and organic keeps the pinned score.
+      case "pinned" =>
+        val ids = (body \ "ids") match {
+          case JArray(vs) if vs.nonEmpty => vs.map(jv => jv match {
+            case JInt(n)    => n.toLong: Any
+            case JLong(n)   => n: Any
+            case JString(s0) => s0: Any
+            case other => throw new IllegalArgumentException(
+              s"pinned ids must be ints or strings, got $other")
+          })
+          case other => throw new IllegalArgumentException(
+            s"pinned needs a non-empty ids array, got $other")
+        }
+        require(ids.distinct.size == ids.size,
+          s"duplicate pinned ids in $ids")
+        val organic = (body \ "organic") match {
+          case JNothing => throw new IllegalArgumentException(
+            "pinned needs an organic query")
+          case o => parse(o, ctx)
+        }
+        val pinnedBase = 1.7014117331926443e38 // Float.MAX_VALUE / 2
+        val idCol = col(ctx.idCol)
+        val pinnedScore = ids.zipWithIndex.foldLeft(
+          lit(null).cast("double")) { case (acc, (v, i)) =>
+          when(idCol === lit(v), lit(pinnedBase - i * 1e30)).otherwise(acc)
+        }
+        PinnedNode(pinnedScore, organic)
       // `wrapper`: decode the base64 query and recurse — the scored
       // face keeps full scoring semantics through the wrapper
       case "wrapper" =>
@@ -889,6 +929,12 @@ object EsScoredQuery {
     case ScoredLeaf(pred, score) =>
       val matched = coalesce(pred, lit(false))
       (matched, when(matched, score).otherwise(0.0))
+    case PinnedNode(ps, organic) =>
+      val (om, os) = compile(organic)
+      val matched = ps.isNotNull || om
+      (matched,
+        when(matched, when(ps.isNotNull, ps).otherwise(os))
+          .otherwise(0.0))
   }
 
   /** Compile `json` against `docs` and return the MATCHING rows with a

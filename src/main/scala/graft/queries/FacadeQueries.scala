@@ -425,6 +425,18 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // pinned query: promoted ids first in given order (portable
+    // descending constants), organic BM25 behind; a pinned id the
+    // organic query MISSES still returns (doc 7 at sf0.001 may or may
+    // not match — the pin decides, not the match)
+    "f37_pinned" -> ((s, d) => {
+      docs(s, d).esQueryScored(
+        """{"pinned": {"ids": [7, 2],
+          |"organic": {"match": {"text": "stream filter"}}}}"""
+          .stripMargin)
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
     // span_near (Lucene span algebra, span_term subset): ordered
     // proximity with the (max − min + 1 − n) ≤ slop tightness rule +
     // the unordered pair form — the oracle replays positions and the
@@ -1115,6 +1127,29 @@ object FacadeQueries {
            |        FROM win w LEFT JOIN ph p ON p.doc_id = w.doc_id)
            |SELECT doc_id, score FROM fin
            |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
+    // pinned constants replayed literally over the BM25 organic leg
+    "f37_pinned" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))) AS s1
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id),
+           |u AS (SELECT s.doc_id,
+           |        CASE WHEN s.doc_id = 7 THEN 1.7014117331926443e38
+           |             WHEN s.doc_id = 2 THEN 1.7014117331926443e38 - 1e30
+           |             ELSE bm.s1 END AS raw
+           |      FROM s LEFT JOIN bm ON bm.doc_id = s.doc_id
+           |      WHERE s.doc_id IN (7, 2) OR bm.doc_id IS NOT NULL)
+           |SELECT doc_id, round(raw, 6) AS score FROM u
+           |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     // positions via list_filter(range), existence via joins; ordered
     // = strictly increasing pair within slop+1, unordered = |Δ| bound
     "f36_span_near" ->

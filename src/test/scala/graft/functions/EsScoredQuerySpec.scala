@@ -544,6 +544,31 @@ class EsScoredQuerySpec extends AnyFunSuite {
     assert(ts == Map(1L -> 1.0))
   }
 
+  test("pinned ranks promoted ids first in given order, organic follow") {
+    val tiny = Seq(
+      (1L, "alpha beta"), (2L, "alpha"), (3L, "gamma"), (4L, "alpha"))
+      .toDF("doc_id", "text")
+    val out = EsScoredQuery.scoredFrame(tiny, "doc_id",
+      """{"pinned": {"ids": [3, 4],
+        |"organic": {"match": {"text": "alpha"}}}}""".stripMargin)
+      .orderBy(col("_score").desc, col("doc_id"))
+      .select("doc_id", "_score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 3 (pinned first, organic MISS) then doc 4 (pinned, also
+    // organic), then organic docs 1, 2 by score
+    assert(out.map(_._1).take(2).toSeq == Seq(3L, 4L), out.toSeq)
+    assert(out(0)._2 > out(1)._2 && out(1)._2 > 1e38)
+    assert(out.map(_._1).drop(2).toSet == Set(1L, 2L))
+    assert(out.drop(2).forall(_._2 < 100))
+    intercept[IllegalArgumentException](
+      EsScoredQuery.scoredFrame(tiny, "doc_id",
+        """{"pinned": {"ids": [1, 1],
+          |"organic": {"match_all": {}}}}""".stripMargin).collect())
+    intercept[IllegalArgumentException](
+      EsScoredQuery.scoredFrame(tiny, "doc_id",
+        """{"pinned": {"ids": [1]}}""").collect())
+  }
+
   test("rank_feature curves and distance_feature proximity boosts") {
     def rhu6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val df = Seq((1L, 8.0), (2L, 24.0), (3L, 0.0))
