@@ -588,6 +588,21 @@ object EsQueryDsl {
         // arithmetic after all
         if (left <= right) latIn && lon >= left && lon <= right
         else latIn && (lon >= left || lon <= right)
+      // {"geo_polygon": {"<field>": {"points": [...]}}} — containment
+      // via Geo.pointInPolygon's PNPOLY ray cast; points accept the
+      // same three spellings as every geo origin
+      case "geo_polygon" =>
+        val (field, v) = lonely(body, "geo_polygon")
+        val pts = (v \ "points") match {
+          case JArray(ps) if ps.size >= 3 =>
+            ps.map(parseGeoPoint(_, s"geo_polygon($field).points"))
+          case other => throw new IllegalArgumentException(
+            s"geo_polygon needs a points array of >= 3 vertices, " +
+              s"got $other")
+        }
+        Geo.pointInPolygon(
+          col(field).getField("lat").cast("double"),
+          col(field).getField("lon").cast("double"), pts)
       case "exists" =>
         col((body \ "field").extract[String]).isNotNull
       case "ids" =>

