@@ -69,6 +69,76 @@ object Ranking {
       .limit(k)
   }
 
+  /** ES `combined_fields` — the principled multi-field ranking
+    * ("simple BM25F", Robertson/Zaragoza/Taylor CIKM'04, which ES
+    * documents as its model): each field's term frequency and length
+    * contribute WEIGHTED into one synthetic combined field BEFORE
+    * Okapi saturation —
+    *
+    *   tf~(t,d) = Σ_f w_f · tf_f(t,d);  len~(d) = Σ_f w_f · len_f(d)
+    *   df(t) = docs where ANY field holds t;  avg~ = corpus mean len~
+    *   score = Σ_t idf(t) · tf~·(k1+1) / (tf~ + k1(1−b+b·len~/avg~))
+    *
+    * This is NOT multi_match most_fields (which saturates per field
+    * and then sums — double-dipping a term spread across fields) nor
+    * best_fields (which drops all but one field). Same staging,
+    * prefilter, stats-broadcast, and 6-dp discipline as [[bm25TopK]];
+    * one tokenization per field, one id-keyed aggregation.
+    */
+  def bm25fTopK(docs: DataFrame, idCol: String,
+                fieldWeights: Seq[(String, Double)],
+                queryTerms: Seq[String], k: Int,
+                k1: Double = 1.2, b: Double = 0.75,
+                analyzer: String = "standard"): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0)
+    require(fieldWeights.nonEmpty, "at least one (field, weight)")
+    require(fieldWeights.forall(_._2 >= 1.0),
+      s"combined_fields weights must be >= 1 (ES's bound), got " +
+        s"$fieldWeights")
+    require(fieldWeights.map(_._1).distinct.size == fieldWeights.size,
+      s"duplicate fields in $fieldWeights")
+    graft.functions.EnglishMinimalStem.requireKnown(analyzer)
+    val terms = queryTerms
+      .map(t => graft.functions.EnglishMinimalStem.analyzeTerm(analyzer,
+        t.toLowerCase(java.util.Locale.ROOT)))
+      .distinct
+    val tks = fieldWeights.map { case (f, _) => f -> s"_tk_$f" }.toMap
+    val staged = docs.select(col(idCol) +: fieldWeights.map {
+        case (f, _) =>
+          graft.functions.EnglishMinimalStem
+            .analyzeTokens(analyzer, TextAnalysis.tokens(col(f)))
+            .as(tks(f))
+      }: _*)
+      .withColumn("_clen", fieldWeights.map { case (f, w) =>
+        size(col(tks(f))).cast("double") * w
+      }.reduce(_ + _))
+    val stats = staged.agg(count(lit(1)).cast("double").as("_n"),
+      avg(col("_clen")).as("_avg"))
+    val occ = fieldWeights.map { case (f, w) =>
+      staged
+        .filter(arrays_overlap(col(tks(f)), lit(terms.toArray)))
+        .select(col(idCol), col("_clen"),
+          explode(col(tks(f))).as("_t"), lit(w).as("_w"))
+        .filter(col("_t").isin(terms: _*))
+    }.reduce(_ unionByName _)
+    val tfc = occ.groupBy(col(idCol), col("_clen"), col("_t"))
+      .agg(sum(col("_w")).as("_tf"))
+    val dfreq = tfc.groupBy("_t")
+      .agg(count_distinct(col(idCol)).cast("double").as("_df"))
+    tfc.join(broadcast(dfreq), Seq("_t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_s",
+        col("_idf") * col("_tf") * (k1 + 1.0) /
+          (col("_tf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("_clen") / col("_avg"))))
+      .groupBy(idCol)
+      .agg(round(sum(col("_s")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09) — the ES 8.x
     * `rank: {rrf: ...}` hybrid-retrieval combiner: each input ranking
     * contributes 1/(rrfK + rank) for every document it ranked, the

@@ -1280,6 +1280,19 @@ object PipelineQueries {
           "doc_id", "text", Seq("spark", "vector", "hash"), k = 10)
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // ES combined_fields (simple BM25F): weighted tf/len combine
+    // BEFORE saturation — not most_fields' per-field-saturate-then-sum
+    // double-dip; the oracle replays the combined arithmetic over the
+    // synthesized title + text pair
+    "cf1_combined_fields" -> ((s, d) => {
+      val docs0 = t(s, d, "documents").withColumn("title",
+        concat_ws(" ", slice(graft.functions.TextAnalysis
+          .tokens(col("text")), 1, 6)))
+      graft.operators.Ranking.bm25fTopK(docs0, "doc_id",
+          Seq("title" -> 2.0, "text" -> 1.0),
+          Seq("stream", "filter", "join"), k = 15)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // in-engine TRAINED quality classifier: logistic regression fit
     // by IRLS (8 map-side-combined scans; the model's d+1 doubles
     // live driver-side and fold into each scan as literals — nothing
@@ -3597,6 +3610,31 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // BM25F replay: weighted combined tf (2× for title occurrences),
+    // weighted combined length, any-field df, one saturation
+    "cf1_combined_fields" ->
+      raw"""WITH s AS (SELECT doc_id, toks, toks[1:6] AS ttoks,
+           |             2.0 * len(toks[1:6]) + 1.0 * len(toks) AS clen
+           |           FROM (SELECT doc_id, $toksSql AS toks
+           |                 FROM documents)),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(clen) AS avg_cl FROM s),
+           |occ AS (SELECT doc_id, clen, t, 2.0 AS w FROM (
+           |          SELECT doc_id, clen, unnest(ttoks) AS t FROM s)
+           |        WHERE t IN ('stream', 'filter', 'join')
+           |        UNION ALL
+           |        SELECT doc_id, clen, t, 1.0 AS w FROM (
+           |          SELECT doc_id, clen, unnest(toks) AS t FROM s)
+           |        WHERE t IN ('stream', 'filter', 'join')),
+           |tfc AS (SELECT doc_id, clen, t, sum(w) AS tf
+           |        FROM occ GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tfc GROUP BY 1)
+           |SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * clen / avg_cl))), 6) AS score
+           |FROM tfc JOIN dft USING (t), st
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     // the label rule replayed + literal TRUE for every correct bit:
     // the gate passes iff the trained model misclassifies nothing
     "qc1_quality_classifier" ->

@@ -82,4 +82,35 @@ class RankingSpec extends AnyFunSuite {
       Ranking.linearFuse(Seq(r1, r2), "id", "score", Seq(1.0), k = 5)
     }
   }
+
+  test("bm25fTopK: combined-before-saturation beats per-field-sum " +
+      "double-dipping; hand-computed single-doc score") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // doc 1: term once in EACH field (spread); doc 2: twice in one
+    // field, absent in the other (concentrated); equal weights, equal
+    // combined lengths → BM25F scores them EQUALLY (tf~ = 2 both),
+    // while most_fields-style per-field-saturate-then-sum would rank
+    // the spread doc 1 HIGHER (two unsaturated contributions)
+    val docs = Seq(
+      (1L, "cat pad pad", "cat pad pad"),
+      (2L, "cat cat pad", "pad pad pad")).toDF("id", "title", "body")
+    val got = Ranking.bm25fTopK(docs, "id",
+      Seq("title" -> 1.0, "body" -> 1.0), Seq("cat"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == got(2L), got)
+    // hand check: n=2, df=2 → idf = ln(1 + 0.5/2.5); tf~ = 2,
+    // len~ = 6, avg~ = 6 → s = idf·2·2.2/(2 + 1.2·1)
+    val idf = math.log(1.0 + 0.5 / 2.5)
+    val expect = idf * 2 * 2.2 / (2 + 1.2)
+    assert(math.abs(got(1L) -
+      math.floor(expect * 1e6 + 0.5) / 1e6) < 2e-6, got)
+    // weights scale tf AND length: title^2 doubles doc 2's hits
+    val w = Ranking.bm25fTopK(docs, "id",
+      Seq("title" -> 2.0, "body" -> 1.0), Seq("cat"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(2L) > w(1L), w) // 2 title hits ×2 beat 1 title + 1 body
+    intercept[IllegalArgumentException](
+      Ranking.bm25fTopK(docs, "id", Seq("title" -> 0.5), Seq("cat"), 5))
+  }
 }
