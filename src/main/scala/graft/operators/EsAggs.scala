@@ -247,6 +247,45 @@ object EsAggs {
       .select("b.*")
   }
 
+  /** ES `geotile_grid` aggregation: bucket geo points by Web-Mercator
+    * map tile at `zoom` (the OSM "slippy map" z/x/y scheme ES uses):
+    * x = ⌊(lon+180)/360·2^z⌋, y = ⌊(1 − asinh(tan φ)/π)/2·2^z⌋, both
+    * clamped into [0, 2^z−1] (lon = 180 and the poles beyond Web
+    * Mercator's ±85.05° land on the edge tiles, ES's behavior).
+    * Buckets order by doc_count desc then key (ES's ordering), `size`
+    * bounds the output. One map-side-combined groupBy; keys are
+    * derived per row, so the 100 TB case is a scan + a (≤ 4^z)-key
+    * shuffle. (lat 0 sits exactly on a tile boundary: tan(0) and
+    * asinh(0) are IEEE-exact zeros on every libm, so the floor is
+    * engine-stable; non-zero boundaries are irrational in lat and a
+    * 1-ulp libm skew cannot flip them.)
+    */
+  def geotileGrid(df: DataFrame, pointCol: String, zoom: Int,
+                  size: Option[Int] = None): DataFrame = {
+    require(zoom >= 0 && zoom <= 29,
+      s"zoom must be in [0, 29] (ES's precision bound), got $zoom")
+    val p = col(pointCol)
+    val lat = p.getField("lat").cast("double")
+    val lon = p.getField("lon").cast("double")
+    val n = math.pow(2.0, zoom)
+    def clamp(c: Column): Column =
+      greatest(lit(0.0), least(c, lit(n - 1)))
+    val x = clamp(floor((lon + 180.0) / 360.0 * n))
+    // asinh spelled as ln(t + √(t²+1)) — DuckDB has no asinh builtin,
+    // and the explicit identity keeps the expression chain LITERALLY
+    // identical on both engines (the cross-engine float discipline)
+    val t = tan(radians(lat))
+    val y = clamp(floor(
+      (lit(1.0) - log(t + sqrt(t * t + 1.0)) / math.Pi) / 2.0 * n))
+    val keyed = df
+      .filter(p.isNotNull && lat.isNotNull && lon.isNotNull)
+      .groupBy(concat(lit(s"$zoom/"), x.cast("long"), lit("/"),
+        y.cast("long")).as("key"))
+      .agg(count(lit(1)).cast("long").as("doc_count"))
+      .orderBy(col("doc_count").desc, col("key"))
+    size.fold(keyed)(keyed.limit)
+  }
+
   /** ES `boxplot` aggregation: min, q1, q2 (median), q3, max — exact
     * R-7 interpolated quantiles (ES's TDigest approximates exactly
     * these), one aggregate pass.

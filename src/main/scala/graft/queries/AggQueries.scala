@@ -151,6 +151,18 @@ object AggQueries {
         otherBucket = true)
         .orderBy("key")
     }),
+    // ES geotile_grid: Web-Mercator z/x/y bucketing at zoom 3 over
+    // the integer-derived points; the oracle replays the identical
+    // expression chain (asinh spelled as ln(t + sqrt(t²+1)) on BOTH
+    // engines)
+    "gt1_geotile_grid" -> ((s, d) => {
+      val pts = Tables.load(s, d, "customer").select(col("c_custkey"),
+        struct(
+          ((col("c_custkey") % 121) - 60).cast("double").as("lat"),
+          (((col("c_custkey") * 7) % 301) - 150).cast("double")
+            .as("lon")).as("loc"))
+      EsAggs.geotileGrid(pts, "loc", 3)
+    }),
     // ES boxplot: exact R-7 quartiles over integer quantities
     "bp1_boxplot" -> ((s, d) => {
       EsAggs.boxplot(Tables.load(s, d, "lineitem"), "l_quantity")
@@ -376,6 +388,23 @@ object AggQueries {
         |    AS cum_users,
         |  coalesce(np.nw, 0) AS cum_users_new
         |FROM b LEFT JOIN np USING (day) ORDER BY day""".stripMargin,
+    "gt1_geotile_grid" ->
+      """WITH pts AS (SELECT
+        |    CAST((c_custkey % 121) - 60 AS DOUBLE) AS lat,
+        |    CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE) AS lon
+        |  FROM customer),
+        |k AS (SELECT
+        |  greatest(0.0, least(floor((lon + 180.0) / 360.0 * 8.0), 7.0))
+        |    AS x,
+        |  greatest(0.0, least(floor((1.0 -
+        |    ln(tan(radians(lat)) + sqrt(tan(radians(lat)) *
+        |      tan(radians(lat)) + 1.0)) / pi()) / 2.0 * 8.0), 7.0))
+        |    AS y
+        |  FROM pts)
+        |SELECT '3/' || CAST(CAST(x AS BIGINT) AS VARCHAR) || '/' ||
+        |       CAST(CAST(y AS BIGINT) AS VARCHAR) AS key,
+        |       CAST(count(*) AS BIGINT) AS doc_count
+        |FROM k GROUP BY 1 ORDER BY doc_count DESC, key""".stripMargin,
     "bp1_boxplot" ->
       """SELECT min(v) AS "min",
         |  quantile_cont(v, 0.25) AS q1,

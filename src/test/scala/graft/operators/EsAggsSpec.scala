@@ -156,6 +156,31 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("geotile_grid") {
+    it("buckets by the slippy-map scheme with edge clamping") {
+      val pts = Seq(
+        (1L, 0.1, 0.1),      // z1: x = floor(180.1/360*2) = 1, y = 0
+        (2L, 0.1, -0.1),     // x 0, y 0
+        (3L, -0.1, 0.1),     // x 1, y 1
+        (4L, 89.9, 180.0),   // beyond Mercator + lon edge → clamped
+        (5L, -89.9, -180.0)) // clamped to 0, 2^z-1
+        .toDF("id", "lat", "lon")
+        .select(col("id"), struct(col("lat"), col("lon")).as("loc"))
+      val got = EsAggs.geotileGrid(pts, "loc", 1).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      got shouldBe Map("1/1/0" -> 2L, "1/0/0" -> 1L, "1/1/1" -> 1L,
+        "1/0/1" -> 1L)
+      // lat 0 sits exactly on the tile boundary → the SOUTH tile
+      // (floor of an exact integer), deterministically
+      val eq = Seq((1L, 0.0, 0.0)).toDF("id", "lat", "lon")
+        .select(col("id"), struct(col("lat"), col("lon")).as("loc"))
+      EsAggs.geotileGrid(eq, "loc", 1).collect()
+        .head.getString(0) shouldBe "1/1/1"
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.geotileGrid(pts, "loc", 30)
+    }
+  }
+
   describe("boxplot / t_test / string_stats / matrix_stats") {
     it("boxplot returns exact R-7 quartiles") {
       // 1..5: q1 = 2, q2 = 3, q3 = 4
