@@ -247,6 +247,59 @@ object EsAggs {
       .select("b.*")
   }
 
+  /** ES `geohash_grid` aggregation: bucket geo points by geohash cell
+    * at `precision` characters (Niemeyer's scheme: 5·p bits, lon/lat
+    * quantized to ⌈5p/2⌉ / ⌊5p/2⌋ bits, bit-interleaved lon-first,
+    * base32 "0123456789bcdefghjkmnpqrstuvwxyz"). The whole encode is
+    * closed-form integer arithmetic — quantize, interleave with
+    * shifts, index the alphabet — NO transcendental anywhere, so the
+    * key is bit-deterministic on any engine. Buckets order by
+    * doc_count desc then key (ES's ordering); `size` bounds output.
+    */
+  def geohashGrid(df: DataFrame, pointCol: String, precision: Int,
+                  size: Option[Int] = None): DataFrame = {
+    require(precision >= 1 && precision <= 8,
+      s"precision must be in [1, 8] (40 bits — the long-safe bound " +
+        s"of this encoder; ES allows 12), got $precision")
+    val p = col(pointCol)
+    val lat = p.getField("lat").cast("double")
+    val lon = p.getField("lon").cast("double")
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    def quantize(v: Column, lo: Double, hi: Double, bits: Int): Column = {
+      val cells = math.pow(2.0, bits)
+      least(floor((v - lo) / (hi - lo) * cells), lit(cells - 1))
+        .cast("long")
+    }
+    val lonQ = quantize(lon, -180.0, 180.0, lonBits)
+    val latQ = quantize(lat, -90.0, 90.0, latBits)
+    // interleave lon-first: lon bit i lands at 2i+1, lat bit i at 2i
+    // (positions from the LSB; lon has one extra bit when 5p is odd,
+    // which is exactly the geohash convention)
+    val interleaved = (0 until lonBits).map(i =>
+        shiftleft(shiftright(lonQ, i).bitwiseAND(lit(1L)),
+          if (lonBits == latBits) 2 * i + 1 else 2 * i)
+      ).reduce(_ + _) +
+      (0 until latBits).map(i =>
+        shiftleft(shiftright(latQ, i).bitwiseAND(lit(1L)),
+          if (lonBits == latBits) 2 * i else 2 * i + 1)
+      ).foldLeft(lit(0L): Column)(_ + _)
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val chars = split(lit(alphabet), "")
+    val hash = concat((0 until precision).map { j =>
+      element_at(chars,
+        (shiftright(interleaved, 5 * (precision - 1 - j))
+          .bitwiseAND(lit(31L)) + 1).cast("int"))
+    }: _*)
+    val keyed = df
+      .filter(p.isNotNull && lat.isNotNull && lon.isNotNull)
+      .groupBy(hash.as("key"))
+      .agg(count(lit(1)).cast("long").as("doc_count"))
+      .orderBy(col("doc_count").desc, col("key"))
+    size.fold(keyed)(keyed.limit)
+  }
+
   /** ES `geotile_grid` aggregation: bucket geo points by Web-Mercator
     * map tile at `zoom` (the OSM "slippy map" z/x/y scheme ES uses):
     * x = ⌊(lon+180)/360·2^z⌋, y = ⌊(1 − asinh(tan φ)/π)/2·2^z⌋, both

@@ -151,6 +151,17 @@ object AggQueries {
         otherBucket = true)
         .orderBy("key")
     }),
+    // ES geohash_grid at precision 2: quantize → interleave → base32,
+    // closed-form integer arithmetic replayed bit-for-bit by the
+    // oracle (no transcendental anywhere)
+    "gh1_geohash_grid" -> ((s, d) => {
+      val pts = Tables.load(s, d, "customer").select(col("c_custkey"),
+        struct(
+          ((col("c_custkey") % 121) - 60).cast("double").as("lat"),
+          (((col("c_custkey") * 7) % 301) - 150).cast("double")
+            .as("lon")).as("loc"))
+      EsAggs.geohashGrid(pts, "loc", 2)
+    }),
     // ES geotile_grid: Web-Mercator z/x/y bucketing at zoom 3 over
     // the integer-derived points; the oracle replays the identical
     // expression chain (asinh spelled as ln(t + sqrt(t²+1)) on BOTH
@@ -388,6 +399,27 @@ object AggQueries {
         |    AS cum_users,
         |  coalesce(np.nw, 0) AS cum_users_new
         |FROM b LEFT JOIN np USING (day) ORDER BY day""".stripMargin,
+    "gh1_geohash_grid" -> {
+      val inter = (0 until 5).map(i =>
+        s"(((lonq >> $i) & 1) << ${2 * i + 1}) + " +
+          s"(((latq >> $i) & 1) << ${2 * i})").mkString(" + ")
+      val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+      raw"""WITH pts AS (SELECT
+           |    CAST((c_custkey % 121) - 60 AS DOUBLE) AS lat,
+           |    CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE) AS lon
+           |  FROM customer),
+           |q AS (SELECT
+           |  CAST(least(floor((lon + 180.0) / 360.0 * 32.0), 31.0)
+           |    AS BIGINT) AS lonq,
+           |  CAST(least(floor((lat + 90.0) / 180.0 * 32.0), 31.0)
+           |    AS BIGINT) AS latq
+           |  FROM pts),
+           |h AS (SELECT ($inter) AS iv FROM q)
+           |SELECT substr('$alpha', CAST(((iv >> 5) & 31) AS INT) + 1, 1)
+           |    || substr('$alpha', CAST((iv & 31) AS INT) + 1, 1) AS key,
+           |  CAST(count(*) AS BIGINT) AS doc_count
+           |FROM h GROUP BY 1 ORDER BY doc_count DESC, key""".stripMargin
+    },
     "gt1_geotile_grid" ->
       """WITH pts AS (SELECT
         |    CAST((c_custkey % 121) - 60 AS DOUBLE) AS lat,

@@ -156,6 +156,26 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("geohash_grid") {
+    it("encodes the canonical test vector and clamps the domain edges") {
+      // the classic geohash example: (57.64911, 10.40744) → "u4pru…"
+      val pts = Seq((1L, 57.64911, 10.40744), (2L, 90.0, 180.0),
+        (3L, -90.0, -180.0)).toDF("id", "lat", "lon")
+        .select(col("id"), struct(col("lat"), col("lon")).as("loc"))
+      val got = EsAggs.geohashGrid(pts, "loc", 5).collect()
+        .map(_.getString(0)).toSet
+      assert(got.contains("u4pru"), got)
+      // the north-east / south-west corners land in the edge cells
+      assert(got.contains("zzzzz") && got.contains("00000"), got)
+      // odd and even precisions both follow the lon-first convention
+      val p1 = EsAggs.geohashGrid(pts, "loc", 1).collect()
+        .map(_.getString(0)).toSet
+      assert(p1.contains("u"), p1)
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.geohashGrid(pts, "loc", 9)
+    }
+  }
+
   describe("geotile_grid") {
     it("buckets by the slippy-map scheme with edge clamping") {
       val pts = Seq(
