@@ -127,6 +127,35 @@ object EsMatch {
     }
   }
 
+  /** A single token-prefix predicate — the text-field reading of a
+    * Lucene prefix query (`quer*` from query_string): some analyzed
+    * token starts with the (analyzed) prefix. The last-term leg of
+    * [[matchBoolPrefix]], exposed for the query-string parsers.
+    */
+  def tokenPrefix(text: Column, prefix: String,
+                  analyzer: String = "standard"): Column = {
+    val p = EnglishMinimalStem.analyzeTerm(analyzer,
+      prefix.toLowerCase(java.util.Locale.ROOT))
+    if (p.isEmpty) lit(false)
+    else exists(docTokens(text, analyzer), t => t.startsWith(p))
+  }
+
+  /** A token-wildcard predicate — the text-field reading of a Lucene
+    * wildcard query (`qu*ry`, `te?t`): some analyzed token matches
+    * the `*`/`?` pattern. The pattern is lowercased (index tokens
+    * are) but NOT stemmed — stemming a pattern with holes in it is
+    * undefined; this mirrors ES's analyze_wildcard=false default,
+    * where the wildcard term is matched against index terms verbatim
+    * modulo case.
+    */
+  def tokenWildcard(text: Column, pattern: String,
+                    analyzer: String = "standard"): Column = {
+    EnglishMinimalStem.requireKnown(analyzer)
+    val like = graft.api.Predicates.wildcardToLike(
+      pattern.toLowerCase(java.util.Locale.ROOT))
+    exists(docTokens(text, analyzer), t => t.like(like))
+  }
+
   /** `match` with fuzziness: some column token within `maxEdits`
     * Levenshtein distance of some query token. Analysis runs FIRST,
     * then the edit distance compares analyzed forms (ES's order:

@@ -54,7 +54,7 @@ object EsQueryDsl {
     */
   def toColumn(json: String, idCol: String = "_id",
                requireText: String => Unit = _ => ()): Column =
-    fromJValue(JsonMethods.parse(json), idCol, requireText)
+    fromJValue(JsonMethods.parse(json), idCol, requireText, col)
 
   /** FILTER-context compilation of an already-parsed clause — the hook
     * [[EsScoredQuery]] uses for the subtrees ES itself evaluates
@@ -62,7 +62,7 @@ object EsQueryDsl {
     */
   private[functions] def filterColumn(q: JValue, idCol: String,
                                       requireText: String => Unit): Column =
-    fromJValue(q, idCol, requireText)
+    fromJValue(q, idCol, requireText, col)
 
   private def lonely(obj: JValue, what: String): (String, JValue) =
     obj match {
@@ -191,15 +191,67 @@ object EsQueryDsl {
     }
   }
 
-  private def clauses(v: JValue, idCol: String,
-                      requireText: String => Unit): Seq[Column] = v match {
-    case JArray(items) => items.map(fromJValue(_, idCol, requireText))
-    case JNothing      => Nil
-    case one           => Seq(fromJValue(one, idCol, requireText))
+  /** A width-1 span clause — `span_term`, or `span_or` over width-1
+    * span clauses — flattened to (field, distinct lowercased terms).
+    * These are the position-SET primitives of the span algebra: their
+    * match positions are a flat set of token indices, which is what
+    * gives `span_or` / `span_first` / `span_not` closed per-row
+    * predicates (multi-position spans — a span_near inside a
+    * span_not — would need Lucene's span iterator protocol and
+    * refuse).
+    */
+  private def spanTermSet(c: JValue, what: String): (String, Seq[String]) = {
+    val (kind, b) = lonely(c, what)
+    kind match {
+      case "span_term" =>
+        val (field, v) = lonely(b, "span_term")
+        val term = v match {
+          case JString(s0) => s0
+          case o => (o \ "value") match {
+            case JString(s0) => s0
+            case other => throw new IllegalArgumentException(
+              s"span_term value must be a string, got $other")
+          }
+        }
+        (field, Seq(term.toLowerCase(java.util.Locale.ROOT)))
+      case "span_or" =>
+        val inner = (b \ "clauses") match {
+          case JArray(cs) if cs.nonEmpty => cs
+          case other => throw new IllegalArgumentException(
+            s"span_or needs a non-empty clauses array, got $other")
+        }
+        val parts = inner.map(spanTermSet(_, "span_or clause"))
+        val field = parts.map(_._1).distinct match {
+          case Seq(one) => one
+          case many => throw new IllegalArgumentException(
+            s"span_or clauses must share one field, got " +
+              many.mkString(", "))
+        }
+        (field, parts.flatMap(_._2).distinct)
+      case other => throw new IllegalArgumentException(
+        s"$what supports span_term / span_or-of-span_term only, " +
+          s"got $other (multi-position spans need Lucene's span " +
+          "iterator protocol — no closed per-row predicate)")
+    }
   }
 
+  private def clauses(v: JValue, idCol: String,
+                      requireText: String => Unit,
+                      resolve: String => Column): Seq[Column] = v match {
+    case JArray(items) => items.map(fromJValue(_, idCol, requireText, resolve))
+    case JNothing      => Nil
+    case one           => Seq(fromJValue(one, idCol, requireText, resolve))
+  }
+
+  /** `resolve` maps a DSL field name to its Column — `col` at the top
+    * level; inside a `nested` clause it rebinds `path.*` names to the
+    * CURRENT array element so every clause of the inner bool matches
+    * the SAME element (ES's nested semantics — a flattened AND would
+    * silently over-match across elements).
+    */
   private def fromJValue(q: JValue, idCol: String,
-                         requireText: String => Unit): Column = {
+                         requireText: String => Unit,
+                         resolve: String => Column): Column = {
     val (kind, body) = lonely(q, "query")
     kind match {
       case "match_all"  => lit(true)
@@ -213,20 +265,20 @@ object EsQueryDsl {
             "constant_score needs a filter clause " +
               "(the legacy {\"constant_score\": {\"query\": ...}} " +
               "spelling is not supported)")
-          case f => fromJValue(f, idCol, requireText)
+          case f => fromJValue(f, idCol, requireText, resolve)
         }
       case "dis_max" =>
         (body \ "queries") match {
           case JArray(qs) if qs.nonEmpty =>
-            qs.map(fromJValue(_, idCol, requireText)).reduce(_ || _)
+            qs.map(fromJValue(_, idCol, requireText, resolve)).reduce(_ || _)
           case other => throw new IllegalArgumentException(
             s"dis_max needs a non-empty queries list, got $other")
         }
       case "bool" =>
-        val must    = clauses(body \ "must", idCol, requireText) ++
-          clauses(body \ "filter", idCol, requireText)
-        val should  = clauses(body \ "should", idCol, requireText)
-        val mustNot = clauses(body \ "must_not", idCol, requireText)
+        val must    = clauses(body \ "must", idCol, requireText, resolve) ++
+          clauses(body \ "filter", idCol, requireText, resolve)
+        val should  = clauses(body \ "should", idCol, requireText, resolve)
+        val mustNot = clauses(body \ "must_not", idCol, requireText, resolve)
         // ES minimum_should_match default: 1 when the bool has should
         // clauses and NO must/filter, else 0 — i.e. with must present,
         // bare should clauses only affect scoring, not matching.
@@ -314,7 +366,7 @@ object EsQueryDsl {
         require(inOrder || terms.distinct.size == 2,
           "unordered span_near needs two DISTINCT terms")
         import org.apache.spark.sql.functions._
-        TextAnalysis.bindOnce(TextAnalysis.tokens(col(field))) { toks =>
+        TextAnalysis.bindOnce(TextAnalysis.tokens(resolve(field))) { toks =>
           val n = size(toks)
           def positionsOf(t: String): Column =
             filter(sequence(lit(0), n - 1), p =>
@@ -338,6 +390,125 @@ object EsQueryDsl {
                   abs(pa - pb) <= lit(1 + slop)))
           }
         }
+      // Lucene query-syntax faces — the parsers live in
+      // [[QueryStringParser]]; this is pure clause-body plumbing
+      case "query_string" | "simple_query_string" =>
+        val qtext = (body \ "query") match {
+          case JString(t) => t
+          case other => throw new IllegalArgumentException(
+            s"$kind needs a query string, got $other")
+        }
+        // fields entries may carry ES boosts ("text^3") — boosts are
+        // score-only, strip them in predicate context
+        def stripBoost(f: String): String = {
+          val cut = f.indexOf('^')
+          val name = if (cut < 0) f else f.substring(0, cut)
+          require(!name.contains("*"),
+            s"$kind field pattern '$f' needs schema enumeration — " +
+              "list the fields explicitly")
+          name
+        }
+        val fields: Seq[String] =
+          ((body \ "fields"), (body \ "default_field")) match {
+            case (JArray(fs), JNothing) => fs.map {
+              case JString(f) => stripBoost(f)
+              case other => throw new IllegalArgumentException(
+                s"$kind fields must be strings, got $other")
+            }
+            case (JNothing, JString(f)) => Seq(stripBoost(f))
+            case (JNothing, JNothing)   => Nil
+            case _ => throw new IllegalArgumentException(
+              s"$kind takes fields OR default_field, not both")
+          }
+        val op = (body \ "default_operator") match {
+          case JNothing   => "or"
+          case JString(o) => o
+          case other => throw new IllegalArgumentException(
+            s"default_operator must be a string, got $other")
+        }
+        val an = parseAnalyzer(body)
+        if (kind == "query_string")
+          QueryStringParser.queryString(qtext, fields, op, an,
+            resolve, requireText)
+        else
+          QueryStringParser.simpleQueryString(qtext, fields, op, an,
+            resolve, requireText)
+      // `span_or`: union of the clause span sets — over width-1 spans
+      // the doc matches iff ANY of the flattened terms occurs.
+      case "span_or" =>
+        val (field, terms) = spanTermSet(q, "span_or")
+        requireText(field)
+        TextAnalysis.bindOnce(TextAnalysis.tokens(resolve(field))) { toks =>
+          terms.map(t => array_contains(toks, t)).reduce(_ || _)
+        }
+      // `span_first`: the inner span must END at position <= end —
+      // for a width-1 span at token index p (0-based), the Lucene
+      // span end is p + 1, so the predicate is p + 1 <= end ⇔
+      // p < end. {"span_first": {"match": <span>, "end": n}}.
+      case "span_first" =>
+        val m = (body \ "match") match {
+          case JNothing => throw new IllegalArgumentException(
+            "span_first needs a match clause")
+          case x => x
+        }
+        val end = (body \ "end") match {
+          case JInt(n)  => n.toInt
+          case JLong(n) => n.toInt
+          case JNothing => throw new IllegalArgumentException(
+            "span_first needs an end position (ES requires it)")
+          case other => throw new IllegalArgumentException(
+            s"span_first end must be an integer, got $other")
+        }
+        require(end >= 1, s"span_first end must be >= 1, got $end")
+        val (field, terms) = spanTermSet(m, "span_first match")
+        requireText(field)
+        TextAnalysis.bindOnce(TextAnalysis.tokens(resolve(field))) { toks =>
+          // only the first `end` tokens can host a qualifying span —
+          // slice instead of enumerating every position
+          val head = slice(toks, 1, end)
+          terms.map(t => array_contains(head, t)).reduce(_ || _)
+        }
+      // `span_not`: some include-span position pa with NO exclude
+      // position pb inside [pa - pre, pa + post] (width-1 overlap
+      // window; ES's `dist` sets both pre and post).
+      case "span_not" =>
+        val incl = (body \ "include") match {
+          case JNothing => throw new IllegalArgumentException(
+            "span_not needs an include clause")
+          case x => x
+        }
+        val excl = (body \ "exclude") match {
+          case JNothing => throw new IllegalArgumentException(
+            "span_not needs an exclude clause")
+          case x => x
+        }
+        def intOf(k: String, default: Int): Int = (body \ k) match {
+          case JInt(n)  => n.toInt
+          case JLong(n) => n.toInt
+          case JNothing => default
+          case other => throw new IllegalArgumentException(
+            s"span_not $k must be an integer, got $other")
+        }
+        val dist = intOf("dist", 0)
+        val pre = intOf("pre", dist)
+        val post = intOf("post", dist)
+        require(pre >= 0 && post >= 0,
+          s"span_not pre/post must be >= 0, got pre=$pre post=$post")
+        val (fi, inclTerms) = spanTermSet(incl, "span_not include")
+        val (fe, exclTerms) = spanTermSet(excl, "span_not exclude")
+        require(fi == fe,
+          s"span_not include/exclude must share one field, got $fi, $fe")
+        requireText(fi)
+        TextAnalysis.bindOnce(TextAnalysis.tokens(resolve(fi))) { toks =>
+          val n = size(toks)
+          def positionsOf(ts: Seq[String]): Column =
+            filter(sequence(lit(0), n - 1), p =>
+              ts.map(t => element_at(toks, (p + 1).cast("int")) === lit(t))
+                .reduce(_ || _))
+          n > 0 && exists(positionsOf(inclTerms), pa =>
+            !exists(positionsOf(exclTerms), pb =>
+              pb >= pa - lit(pre) && pb <= pa + lit(post)))
+        }
       // predicate context: `boosting` matches exactly its positive
       // leg — the negative leg only down-weights the SCORE (the
       // scored face applies negative_boost); both legs and the boost
@@ -355,17 +526,17 @@ object EsQueryDsl {
           java.util.Base64.getDecoder.decode(inner),
           java.nio.charset.StandardCharsets.UTF_8)
         fromJValue(org.json4s.jackson.JsonMethods.parse(decoded),
-          idCol, requireText)
+          idCol, requireText, resolve)
       case "boosting" =>
         val pos = (body \ "positive") match {
           case JNothing => throw new IllegalArgumentException(
             "boosting needs a positive query")
-          case p => fromJValue(p, idCol, requireText)
+          case p => fromJValue(p, idCol, requireText, resolve)
         }
         (body \ "negative") match {
           case JNothing => throw new IllegalArgumentException(
             "boosting needs a negative query")
-          case nq => fromJValue(nq, idCol, requireText)
+          case nq => fromJValue(nq, idCol, requireText, resolve)
         }
         negativeBoostOf(body)
         pos
@@ -389,7 +560,7 @@ object EsQueryDsl {
           ((v \ "minimum_should_match"), (v \ "minimum_should_match_field")) match {
             case (JInt(n), JNothing)  => lit(n.toInt)
             case (JLong(n), JNothing) => lit(n.toInt)
-            case (JNothing, JString(f)) => col(f)
+            case (JNothing, JString(f)) => resolve(f)
             case (JNothing, JNothing) => throw new IllegalArgumentException(
               "terms_set needs minimum_should_match (constant) or " +
                 "minimum_should_match_field (numeric column) — " +
@@ -398,24 +569,24 @@ object EsQueryDsl {
               "terms_set takes exactly ONE of minimum_should_match / " +
                 "minimum_should_match_field")
           }
-        EsMatch.termsSetCount(col(field), terms,
+        EsMatch.termsSetCount(resolve(field), terms,
           parseAnalyzer(v)) >= msm
       case "term" =>
         val (field, v) = lonely(body, "term")
-        col(field) === toLit(v \ "value" match { case JNothing => v; case x => x })
+        resolve(field) === toLit(v \ "value" match { case JNothing => v; case x => x })
       case "terms" =>
         val (field, v) = lonely(body, "terms")
         v match {
-          case JArray(vs) => col(field).isin(vs.map(jvRaw): _*)
+          case JArray(vs) => resolve(field).isin(vs.map(jvRaw): _*)
           case other      => throw new IllegalArgumentException(s"terms: $other")
         }
       case "range" =>
         val (field, v) = lonely(body, "range")
         val bounds = v.asInstanceOf[JObject].obj.collect {
-          case ("gt", b)  => col(field) > toLit(b)
-          case ("gte", b) => col(field) >= toLit(b)
-          case ("lt", b)  => col(field) < toLit(b)
-          case ("lte", b) => col(field) <= toLit(b)
+          case ("gt", b)  => resolve(field) > toLit(b)
+          case ("gte", b) => resolve(field) >= toLit(b)
+          case ("lt", b)  => resolve(field) < toLit(b)
+          case ("lte", b) => resolve(field) <= toLit(b)
         }
         require(bounds.nonEmpty, s"range on $field needs gt/gte/lt/lte")
         bounds.reduce(_ && _)
@@ -429,7 +600,7 @@ object EsQueryDsl {
         }
         // optional fuzziness (eland es_match passes it through,
         // eland/query_compiler.py:419-488) and analyzer
-        matchWithFuzz(col(field), text, op, parseFuzz(v),
+        matchWithFuzz(resolve(field), text, op, parseFuzz(v),
           parseAnalyzer(v))
       case "match_phrase" =>
         val (field, v) = lonely(body, "match_phrase")
@@ -438,7 +609,7 @@ object EsQueryDsl {
           case JString(s) => s
           case o          => (o \ "query").extract[String]
         }
-        EsMatch.matchPhrase(col(field), text, parseAnalyzer(v))
+        EsMatch.matchPhrase(resolve(field), text, parseAnalyzer(v))
       case "match_phrase_prefix" =>
         val (field, v) = lonely(body, "match_phrase_prefix")
         requireText(field)
@@ -446,7 +617,7 @@ object EsQueryDsl {
           case JString(s) => s
           case o          => (o \ "query").extract[String]
         }
-        EsMatch.matchPhrasePrefix(col(field), text, parseAnalyzer(v))
+        EsMatch.matchPhrasePrefix(resolve(field), text, parseAnalyzer(v))
       case "match_bool_prefix" =>
         val (field, v) = lonely(body, "match_bool_prefix")
         requireText(field)
@@ -454,7 +625,7 @@ object EsQueryDsl {
           case JString(s) => s
           case o          => (o \ "query").extract[String]
         }
-        EsMatch.matchBoolPrefix(col(field), text, parseAnalyzer(v))
+        EsMatch.matchBoolPrefix(resolve(field), text, parseAnalyzer(v))
       case "multi_match" =>
         // {"multi_match": {"query": q, "fields": [f1, f2], "operator"?,
         // "fuzziness"?}} — best_fields semantics on a boolean
@@ -473,7 +644,7 @@ object EsQueryDsl {
         val op = (body \ "operator").extractOrElse[String]("or")
         val fuzz = parseFuzz(body)
         val an = parseAnalyzer(body)
-        fields.map(f => matchWithFuzz(col(f), text, op, fuzz, an))
+        fields.map(f => matchWithFuzz(resolve(f), text, op, fuzz, an))
           .reduce(_ || _)
       case "fuzzy" =>
         // {"fuzzy": {"f": {"value": v, "fuzziness"?: n|"AUTO"}}} (short
@@ -489,21 +660,21 @@ object EsQueryDsl {
           .getOrElse((t: String) =>
             if (t.length <= 2) 0 else if (t.length <= 5) 1 else 2)
           .apply(term)
-        EsMatch.matchFuzzy(col(field), term, maxEdits)
+        EsMatch.matchFuzzy(resolve(field), term, maxEdits)
       case "wildcard" =>
         val (field, v) = lonely(body, "wildcard")
         val pat = v match {
           case JString(s) => s
           case o          => (o \ "value").extract[String]
         }
-        col(field).like(Predicates.wildcardToLike(pat))
+        resolve(field).like(Predicates.wildcardToLike(pat))
       case "prefix" =>
         val (field, v) = lonely(body, "prefix")
         val pre = v match {
           case JString(s) => s
           case o          => (o \ "value").extract[String]
         }
-        col(field).startsWith(pre)
+        resolve(field).startsWith(pre)
       case "regexp" =>
         val (field, v) = lonely(body, "regexp")
         val re = v match {
@@ -511,7 +682,7 @@ object EsQueryDsl {
           case o          => (o \ "value").extract[String]
         }
         // ES regexp is anchored; Spark rlike is substring-matching
-        col(field).rlike(s"^(?:$re)$$")
+        resolve(field).rlike(s"^(?:$re)$$")
       case "geo_distance" =>
         // {"geo_distance": {"distance": "200km", "<field>": origin}}
         // over a geo-point STRUCT column (lat/lon subfields); origin
@@ -548,7 +719,7 @@ object EsQueryDsl {
               many.map(_._1).mkString(","))
         }
         val (oLat, oLon) = parseGeoPoint(originJ, s"geo_distance($field)")
-        Geo.distanceToMeters(col(field), oLat, oLon) <= meters
+        Geo.distanceToMeters(resolve(field), oLat, oLon) <= meters
       case "geo_bounding_box" =>
         // {"geo_bounding_box": {"<field>": {"top_left": pt,
         // "bottom_right": pt}}} — corners in any [[parseGeoPoint]]
@@ -579,8 +750,8 @@ object EsQueryDsl {
           }
         require(bottom <= top,
           s"geo_bounding_box($field): bottom $bottom above top $top")
-        val lat = col(field).getField("lat").cast("double")
-        val lon = col(field).getField("lon").cast("double")
+        val lat = resolve(field).getField("lat").cast("double")
+        val lon = resolve(field).getField("lon").cast("double")
         val latIn = lat <= top && lat >= bottom
         // left > right IS ES's antimeridian-crossing box (the dateline
         // wrap): the wrap splits into two plain ranges OR'd together —
@@ -601,10 +772,49 @@ object EsQueryDsl {
               s"got $other")
         }
         Geo.pointInPolygon(
-          col(field).getField("lat").cast("double"),
-          col(field).getField("lon").cast("double"), pts)
+          resolve(field).getField("lat").cast("double"),
+          resolve(field).getField("lon").cast("double"), pts)
+      // ES `nested`: every clause of the inner query must match the
+      // SAME element of the array-of-structs at `path` — a flattened
+      // AND silently over-matches across elements (the reference's
+      // ecommerce fixture is exactly this shape,
+      // tests/__init__.py:80-166 nested products.*). Compiled to a
+      // higher-order exists() whose lambda rebinds `path.*` names to
+      // the CURRENT element: zero shuffle, zero explode, and sibling
+      // top-level fields inside the same subtree still resolve
+      // normally. Nested-in-nested composes — the inner case just
+      // stacks another resolver.
+      case "nested" =>
+        val path = (body \ "path") match {
+          case JString(pth) if pth.nonEmpty => pth
+          case other => throw new IllegalArgumentException(
+            s"nested needs a non-empty string path, got $other")
+        }
+        val inner = (body \ "query") match {
+          case JNothing => throw new IllegalArgumentException(
+            "nested needs a query")
+          case x => x
+        }
+        // score_mode only affects scoring, not matching — validate it
+        // is a real ES value so typos fail loudly, then ignore
+        (body \ "score_mode") match {
+          case JNothing | JString("none") | JString("avg") |
+               JString("sum") | JString("min") | JString("max") => ()
+          case other => throw new IllegalArgumentException(
+            s"nested score_mode $other is not an ES score_mode")
+        }
+        exists(resolve(path), element => {
+          val nestedResolve: String => Column = {
+            case f if f == path => element
+            case f if f.startsWith(path + ".") =>
+              f.stripPrefix(path + ".").split('.')
+                .foldLeft(element)(_ getField _)
+            case f => resolve(f)
+          }
+          fromJValue(inner, idCol, requireText, nestedResolve)
+        })
       case "exists" =>
-        col((body \ "field").extract[String]).isNotNull
+        resolve((body \ "field").extract[String]).isNotNull
       case "ids" =>
         (body \ "values") match {
           case JArray(vs) => col(idCol).isin(vs.map(jvRaw): _*)

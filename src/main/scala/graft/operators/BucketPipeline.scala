@@ -189,6 +189,36 @@ object BucketPipeline {
       max(v).as("max"), avg(v).as("avg"), sum(v).as("sum"))
   }
 
+  /** ES `percentiles_bucket` sibling agg: percentiles of a metric
+    * across ALL buckets of the bounded frame — one row, one `p<N>`
+    * column per requested percent. ES documents this agg as the
+    * exact-percentile member of the family (unlike the `percentiles`
+    * metric agg it does NOT TDigest — the bucket list is in memory
+    * server-side), and over a bounded bucket frame the exact R-7
+    * interpolation Spark's `percentile` and DuckDB's `quantile_cont`
+    * share reproduces it bit-for-bit. 1-row aggregate, the
+    * [[bucketStats]] discipline.
+    */
+  def percentilesBucket(buckets: DataFrame, valueCol: String,
+                        percents: Seq[Double] =
+                          Seq(0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99))
+      : DataFrame = {
+    require(percents.nonEmpty, "percentiles_bucket needs >= 1 percent")
+    require(percents.distinct.size == percents.size,
+      s"duplicate percents in $percents")
+    percents.foreach(p => require(p >= 0.0 && p <= 1.0,
+      s"percent must be in [0, 1], got $p"))
+    val v = col(valueCol).cast("double")
+    def nameOf(p: Double): String = {
+      // p25, p50, p99_9 — dots are not column-name friendly
+      val pct = p * 100.0
+      if (pct == pct.floor) s"p${pct.toLong}"
+      else s"p${pct.toString.replace('.', '_')}"
+    }
+    val aggs = percents.map(p => percentile(v, lit(p)).as(nameOf(p)))
+    buckets.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** ES `max_bucket`: the extreme metric value plus the keys of EVERY
     * bucket attaining it (ES returns a keys LIST on ties), keys
     * sorted ascending and joined with "," for a scalar-friendly

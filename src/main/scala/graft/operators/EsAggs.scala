@@ -32,11 +32,18 @@ object EsAggs {
         sum(v).as("sum"), sum(v * v).as("sum_of_squares"))
       .withColumn("avg", col("sum") / col("count"))
       .withColumn("variance_population",
-        col("sum_of_squares") / col("count") - col("avg") * col("avg"))
+        // clamp at 0: moment arithmetic can go epsilon-negative
+        when(col("count") > 0,
+          greatest(lit(0.0),
+            col("sum_of_squares") / col("count") -
+              col("avg") * col("avg"))))
       .withColumn("variance_sampling",
-        (col("sum_of_squares") -
-          col("sum") * col("sum") / col("count")) /
-          (col("count") - 1))
+        // ES returns null (not NaN/Inf) for n <= 1
+        when(col("count") > 1,
+          greatest(lit(0.0),
+            (col("sum_of_squares") -
+              col("sum") * col("sum") / col("count")) /
+              (col("count") - 1))))
       .withColumn("std_deviation_population",
         sqrt(col("variance_population")))
       .withColumn("std_deviation_sampling",
@@ -269,7 +276,10 @@ object EsAggs {
     val latBits = totalBits / 2
     def quantize(v: Column, lo: Double, hi: Double, bits: Int): Column = {
       val cells = math.pow(2.0, bits)
-      least(floor((v - lo) / (hi - lo) * cells), lit(cells - 1))
+      // clamp BOTH edges: out-of-domain coordinates (lat < -90,
+      // lon < -180) would otherwise go negative and garble the base32
+      greatest(lit(0.0),
+        least(floor((v - lo) / (hi - lo) * cells), lit(cells - 1)))
         .cast("long")
     }
     val lonQ = quantize(lon, -180.0, 180.0, lonBits)
@@ -511,7 +521,12 @@ object EsAggs {
       : DataFrame = {
     require(keys.nonEmpty, "composite needs at least one source key")
     require(size > 0, s"size must be >= 1, got $size")
-    val paged = afterKey.fold(df) { after =>
+    // NULL-keyed buckets would appear on page 1 then silently vanish
+    // from every after_key page (NULL > x is null-false), and Spark
+    // (nulls first) vs SQL engines (nulls last) disagree on their sort
+    // position — so the paging contract requires non-null keys.
+    val keyedNonNull = df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    val paged = afterKey.fold(keyedNonNull) { after =>
       require(after.length == keys.length,
         s"after_key has ${after.length} values for ${keys.length} keys")
       // lexicographic strictly-greater: (k1 > a1) OR (k1 = a1 AND
@@ -521,7 +536,7 @@ object EsAggs {
         case ((k, a), rest) => col(k) > lit(a) ||
           (col(k) === lit(a) && rest)
       }
-      df.filter(pred)
+      keyedNonNull.filter(pred)
     }
     paged.groupBy(keys.map(col): _*)
       .agg(metrics.head, metrics.tail: _*)

@@ -1580,9 +1580,17 @@ object InvertedIndex {
     * checks, the pushable range read, the loud candidate cap.
     * Returns (lowercased prefix, candidate terms, committed segments).
     */
+  /** `preListedSegs`: callers that already listed the committed
+    * segments (to compute corpus stats) pass that snapshot so ONE
+    * listing serves the whole query — a commit landing between two
+    * independent listings would otherwise make stats inconsistent
+    * with the candidate set. The vocabulary fingerprint is checked
+    * against whichever snapshot is used.
+    */
   private def vocabPrefixCandidates(spark: SparkSession,
                                     indexPath: String, prefix: String,
-                                    maxCandidates: Int)
+                                    maxCandidates: Int,
+                                    preListedSegs: Option[Seq[String]] = None)
       : (String, Seq[String], Seq[String]) = {
     val p = prefix.toLowerCase(java.util.Locale.ROOT)
     require(p.nonEmpty,
@@ -1597,9 +1605,12 @@ object InvertedIndex {
       new org.apache.hadoop.fs.Path(s"$indexPath/vocab_segments/_SUCCESS")),
       s"$indexPath/vocab has no segment fingerprint (built by an " +
         "older version, or the build crashed) — buildVocabulary() again")
-    val segs = committedSegments(spark, indexPath)
-    require(segs.nonEmpty,
-      s"$indexPath has no committed segments — build() first")
+    val segs = preListedSegs.getOrElse {
+      val listed = committedSegments(spark, indexPath)
+      require(listed.nonEmpty,
+        s"$indexPath has no committed segments — build() first")
+      listed
+    }
     val recorded = spark.read.parquet(s"$indexPath/vocab_segments")
       .collect().map(_.getString(0)).sorted.toSeq
     require(recorded == segNames(segs),
@@ -1771,7 +1782,7 @@ object InvertedIndex {
     // too (the prefix is stemmed under "english") — mirror it
     val fullTerms = qs.init.map(st.analyzeTerm).distinct
     val (p, exts, segs) = vocabPrefixCandidates(spark, indexPath,
-      st.analyzeTerm(qs.last), maxCandidates)
+      st.analyzeTerm(qs.last), maxCandidates, Some(segs0))
     val idT = spark.read.parquet(s"${segs.head}/postings").schema("id")
     def emptyResult = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),

@@ -37,6 +37,20 @@ object Percolate {
     require(nq <= maxQueries,
       s"percolate: $nq stored queries exceeds the broadcast cap " +
         s"$maxQueries — raise it deliberately or shard the query table")
+    // fail loudly on malformed stored queries at the TABLE entry point
+    // too (not just percolateRules): msm <= 0 would silently behave as
+    // msm = 1 because zero-hit (doc, query) pairs never reach the >=
+    // filter, and empty term arrays can never match at all
+    val badRules = queries
+      .filter(col(msmCol).isNull || col(msmCol) < 1 ||
+        col(termsCol).isNull || size(array_distinct(col(termsCol))) < 1 ||
+        col(msmCol) > size(array_distinct(col(termsCol))))
+      .select(col(queryIdCol)).limit(5)
+      .collect().map(_.get(0)).toSeq
+    require(badRules.isEmpty,
+      s"percolate: stored queries $badRules have msm < 1, msm > " +
+        "distinct-term count, or empty terms — unsatisfiable or " +
+        "silently-lenient rules are refused")
     // duplicates inside one query's terms count once (terms_set)
     val qterms = queries.select(col(queryIdCol), col(msmCol),
         explode(array_distinct(col(termsCol))).as("term"))

@@ -261,6 +261,17 @@ object AggQueries {
           (col("med6_cents") / 100.0).as("trailing_median"))
         .orderBy("month")
     }),
+    // ES percentiles_bucket (sibling): exact R-7 percentiles of the
+    // monthly revenue metric across all buckets — integer cents keep
+    // the interpolation bit-exact across engines
+    "pa11_percentiles_bucket" -> ((s, d) => {
+      BucketPipeline.percentilesBucket(monthly(s, d), "rev_cents",
+          Seq(0.25, 0.50, 0.75, 0.99))
+        .select((col("p25") / 100.0).as("p25"),
+          (col("p50") / 100.0).as("p50"),
+          (col("p75") / 100.0).as("p75"),
+          (col("p99") / 100.0).as("p99"))
+    }),
     // ES adjacency_matrix: singles + pair intersections of three
     // overlapping predicates, empty buckets omitted
     "am1_adjacency_matrix" -> ((s, d) => {
@@ -349,8 +360,9 @@ object AggQueries {
     "pa2_cumulative_sum" ->
       s"""WITH b AS ($monthlySql)
          |SELECT month, n,
-         |  sum(n) OVER (ORDER BY month
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         |  CAST(sum(n) OVER (ORDER BY month
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum_n,
          |  sum(rev_cents) OVER (ORDER BY month
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
          |    AS cum_rev
@@ -394,9 +406,9 @@ object AggQueries {
         |np AS (SELECT day, CAST(count(*) AS BIGINT) AS nw
         |       FROM fs GROUP BY 1)
         |SELECT b.day, b.n_events,
-        |  sum(coalesce(np.nw, 0)) OVER (ORDER BY b.day
+        |  CAST(sum(coalesce(np.nw, 0)) OVER (ORDER BY b.day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS cum_users,
+        |    AS BIGINT) AS cum_users,
         |  coalesce(np.nw, 0) AS cum_users_new
         |FROM b LEFT JOIN np USING (day) ORDER BY day""".stripMargin,
     "gh1_geohash_grid" -> {
@@ -562,6 +574,14 @@ object AggQueries {
            |  UNION ALL SELECT '8000000.0-*', 8000000.0, NULL, r3 FROM m)
            |ORDER BY key""".stripMargin
     },
+    "pa11_percentiles_bucket" ->
+      s"""WITH b AS ($monthlySql)
+         |SELECT
+         |  quantile_cont(CAST(rev_cents AS DOUBLE), 0.25) / 100.0 AS p25,
+         |  quantile_cont(CAST(rev_cents AS DOUBLE), 0.50) / 100.0 AS p50,
+         |  quantile_cont(CAST(rev_cents AS DOUBLE), 0.75) / 100.0 AS p75,
+         |  quantile_cont(CAST(rev_cents AS DOUBLE), 0.99) / 100.0 AS p99
+         |FROM b""".stripMargin,
     "pa9_sibling_buckets" ->
       s"""WITH b AS ($monthlySql),
          |st AS (SELECT CAST(count(*) AS BIGINT) AS n_months,
@@ -646,8 +666,9 @@ object AggQueries {
         |f AS (SELECT spine.week, coalesce(b.n, 0) AS n
         |      FROM spine LEFT JOIN b ON b.week = spine.week)
         |SELECT week, n,
-        |  sum(n) OVER (ORDER BY week
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        |  CAST(sum(n) OVER (ORDER BY week
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_n
         |FROM f ORDER BY week""".stripMargin,
     "ra1_range_agg" ->
       """WITH m AS (SELECT

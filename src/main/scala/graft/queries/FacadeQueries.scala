@@ -471,6 +471,99 @@ object FacadeQueries {
         .select(Seq("doc_id")).df.withColumn("q", lit("unordered"))
       ordered.unionByName(unordered).orderBy("q", "doc_id")
     }),
+    // simple_query_string: the lenient user grammar — phrase, |, the
+    // infix +, grouping, trailing-* prefix, -negation, and the
+    // default_operator=and form; parsed onto the existing match
+    // leaves and replayed literally by the oracle
+    "f39_simple_query_string" -> ((s, d) => {
+      val f = docs(s, d)
+      val q1 = f.esQuery(
+        """{"simple_query_string": {
+          |  "query": "\"stream filter\" | (merge + sort*) -join",
+          |  "fields": ["text"]}}""".stripMargin)
+        .select(Seq("doc_id")).df.withColumn("q", lit("q1"))
+      val q2 = f.esQuery(
+        """{"simple_query_string": {
+          |  "query": "stream window -\"hash join\"",
+          |  "fields": ["text"], "default_operator": "and"}}"""
+          .stripMargin)
+        .select(Seq("doc_id")).df.withColumn("q", lit("q2"))
+      q1.unionByName(q2).orderBy("q", "doc_id")
+    }),
+    // query_string: the strict Lucene grammar — precedence with
+    // parens, AND/OR keywords, -negation, trailing-* prefix,
+    // field-scoped fuzzy (~1), numeric ranges ([a TO b] and >=), and
+    // the field-scoped group form f:(a b)
+    "f42_query_string" -> ((s, d) => {
+      val f = docs(s, d)
+      val a = f.esQuery(
+        """{"query_string": {
+          |  "query": "(stream AND fil*) OR \"sort merge\" -join",
+          |  "default_field": "text"}}""".stripMargin)
+        .select(Seq("doc_id")).df.withColumn("q", lit("a"))
+      val b = f.esQuery(
+        """{"query_string": {
+          |  "query": "text:streem~1 AND n_chars:[400 TO 900]"}}"""
+          .stripMargin)
+        .select(Seq("doc_id")).df.withColumn("q", lit("b"))
+      val c = f.esQuery(
+        """{"query_string": {
+          |  "query": "text:(stream merge) AND n_chars:>=450"}}"""
+          .stripMargin)
+        .select(Seq("doc_id")).df.withColumn("q", lit("c"))
+      a.unionByName(b).unionByName(c).orderBy("q", "doc_id")
+    }),
+    // ES `nested` query: same-element bool over an array of structs
+    // vs the cross-element reading. The nested leg requires ONE line
+    // item with qty > 40 AND flag = 'R'; the flat leg (two separate
+    // nested clauses ANDed at the top) accepts different elements —
+    // the two result sets DIFFER on real data, which is exactly the
+    // over-match the leaf exists to prevent
+    "f40_nested" -> ((s, d) => {
+      val items = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(
+          col("l_quantity"), col("l_returnflag"))).as("items"))
+      val f = GraftFrame(items, "l_orderkey")
+      val nestedQ = f.esQuery(
+        """{"nested": {"path": "items", "query": {"bool": {"must": [
+          |  {"range": {"items.l_quantity": {"gt": 40}}},
+          |  {"term": {"items.l_returnflag": "R"}}]}}}}""".stripMargin)
+        .select(Seq("l_orderkey")).df.withColumn("q", lit("nested"))
+      val flatQ = f.esQuery(
+        """{"bool": {"must": [
+          |  {"nested": {"path": "items",
+          |    "query": {"range": {"items.l_quantity": {"gt": 40}}}}},
+          |  {"nested": {"path": "items",
+          |    "query": {"term": {"items.l_returnflag": "R"}}}}]}}"""
+          .stripMargin)
+        .select(Seq("l_orderkey")).df.withColumn("q", lit("flat"))
+      nestedQ.unionByName(flatQ).orderBy("q", "l_orderkey")
+    }),
+    // the remaining closed span algebra: span_or (position-set
+    // union), span_first (span end <= n ⇔ term in the first n
+    // tokens), span_not (an include position with no exclude position
+    // inside the pre/post window) — all per-row predicates over the
+    // f36 position machinery; unordered n-way span_near stays refused
+    "f41_span_or_first_not" -> ((s, d) => {
+      val f = docs(s, d)
+      val orQ = f.esQuery(
+        """{"span_or": {"clauses": [
+          |  {"span_term": {"text": "join"}},
+          |  {"span_term": {"text": "merge"}}]}}""".stripMargin)
+        .select(Seq("doc_id")).df.withColumn("q", lit("or"))
+      val firstQ = f.esQuery(
+        """{"span_first": {"match":
+          |  {"span_term": {"text": "stream"}}, "end": 3}}""".stripMargin)
+        .select(Seq("doc_id")).df.withColumn("q", lit("first"))
+      val notQ = f.esQuery(
+        """{"span_not": {
+          |  "include": {"span_term": {"text": "stream"}},
+          |  "exclude": {"span_term": {"text": "filter"}},
+          |  "pre": 1, "post": 1}}""".stripMargin)
+        .select(Seq("doc_id")).df.withColumn("q", lit("not"))
+      orQ.unionByName(firstQ).unionByName(notQ).orderBy("q", "doc_id")
+    }),
     // rank_feature: all three portable curves over the n_chars
     // feature, should-summed in clause order; the oracle replays
     // saturation/log/sigmoid arithmetic + the left-assoc sum
@@ -1208,6 +1301,88 @@ object FacadeQueries {
            |  WHERE pb <> pa AND abs(pa - pb) <= 2)
            |SELECT doc_id, q FROM o
            |UNION ALL SELECT doc_id, q FROM un
+           |ORDER BY q, doc_id""".stripMargin,
+    // q1: phrase OR (merge AND sort-prefix AND NOT join);
+    // q2 (default AND): stream AND graph AND NOT phrase
+    "f39_simple_query_string" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |q1 AS (SELECT doc_id, 'q1' AS q FROM t
+           |  WHERE instr(' ' || array_to_string(toks, ' ') || ' ',
+           |          ' stream filter ') > 0
+           |     OR (list_contains(toks, 'merge')
+           |         AND len(list_filter(toks,
+           |               x -> starts_with(x, 'sort'))) > 0
+           |         AND NOT list_contains(toks, 'join'))),
+           |q2 AS (SELECT doc_id, 'q2' AS q FROM t
+           |  WHERE list_contains(toks, 'stream')
+           |    AND list_contains(toks, 'window')
+           |    AND NOT instr(' ' || array_to_string(toks, ' ') || ' ',
+           |          ' hash join ') > 0)
+           |SELECT doc_id, q FROM q1
+           |UNION ALL SELECT doc_id, q FROM q2
+           |ORDER BY q, doc_id""".stripMargin,
+    // a: (stream AND fil-prefix) OR (phrase AND NOT merge);
+    // b: token within 1 edit of streem AND n_chars in [400, 900];
+    // c: (stream OR merge) AND n_chars >= 1000
+    "f42_query_string" ->
+      raw"""WITH t AS (SELECT doc_id, n_chars, $toksSql AS toks
+           |           FROM documents),
+           |a AS (SELECT doc_id, 'a' AS q FROM t
+           |  WHERE (list_contains(toks, 'stream')
+           |         AND len(list_filter(toks,
+           |               x -> starts_with(x, 'fil'))) > 0)
+           |     OR (instr(' ' || array_to_string(toks, ' ') || ' ',
+           |           ' sort merge ') > 0
+           |         AND NOT list_contains(toks, 'join'))),
+           |b AS (SELECT doc_id, 'b' AS q FROM t
+           |  WHERE len(list_filter(toks,
+           |          x -> levenshtein(x, 'streem') <= 1)) > 0
+           |    AND n_chars >= 400 AND n_chars <= 900),
+           |c AS (SELECT doc_id, 'c' AS q FROM t
+           |  WHERE (list_contains(toks, 'stream')
+           |         OR list_contains(toks, 'merge'))
+           |    AND n_chars >= 450)
+           |SELECT doc_id, q FROM a
+           |UNION ALL SELECT doc_id, q FROM b
+           |UNION ALL SELECT doc_id, q FROM c
+           |ORDER BY q, doc_id""".stripMargin,
+    // nested = same-row conjunction; flat = per-order existence of
+    // each condition independently (the over-matching reading)
+    "f40_nested" ->
+      """WITH n AS (
+        |  SELECT DISTINCT l_orderkey, 'nested' AS q FROM lineitem
+        |  WHERE l_quantity > 40 AND l_returnflag = 'R'),
+        |f AS (
+        |  SELECT l_orderkey, 'flat' AS q FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING max(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) = 1
+        |     AND max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1)
+        |SELECT l_orderkey, q FROM n
+        |UNION ALL SELECT l_orderkey, q FROM f
+        |ORDER BY q, l_orderkey""".stripMargin,
+    // span_or = token containment union; span_first = containment in
+    // the first-n slice; span_not = an include position whose pre/post
+    // window holds no exclude position (list_filter replay)
+    "f41_span_or_first_not" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |o AS (SELECT doc_id, 'or' AS q FROM t
+           |      WHERE list_contains(toks, 'join')
+           |         OR list_contains(toks, 'merge')),
+           |fi AS (SELECT doc_id, 'first' AS q FROM t
+           |       WHERE list_contains(toks[1:3], 'stream')),
+           |ps AS (SELECT doc_id,
+           |  list_filter(range(0, len(toks)),
+           |    i -> toks[i + 1] = 'stream') AS p_s,
+           |  list_filter(range(0, len(toks)),
+           |    i -> toks[i + 1] = 'filter') AS p_f
+           |  FROM t),
+           |nt AS (SELECT DISTINCT doc_id, 'not' AS q FROM (
+           |  SELECT doc_id, unnest(p_s) AS pa, p_f FROM ps) s1
+           |  WHERE len(list_filter(p_f,
+           |    pb -> pb >= pa - 1 AND pb <= pa + 1)) = 0)
+           |SELECT doc_id, q FROM o
+           |UNION ALL SELECT doc_id, q FROM fi
+           |UNION ALL SELECT doc_id, q FROM nt
            |ORDER BY q, doc_id""".stripMargin,
     // the three curves in clause order, left-assoc sum, one rounding
     "f34_rank_feature" ->

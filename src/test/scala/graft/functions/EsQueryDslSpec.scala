@@ -403,6 +403,90 @@ class EsQueryDslSpec extends AnyFunSuite {
       f.esQuery("""{"wrapper": {"query": 42}}"""))
   }
 
+  test("span_or / span_first / span_not: closed position predicates") {
+    import spark.implicits._
+    val f = GraftFrame(Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta alpha delta"),
+      (3L, "delta gamma beta alpha"),
+      (4L, "epsilon zeta")
+    ).toDF("id", "text"), "id")
+    def ids(json: String): Set[Long] =
+      f.esQuery(json).df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids("""{"span_or": {"clauses": [
+      |{"span_term": {"text": "alpha"}},
+      |{"span_term": {"text": "zeta"}}]}}""".stripMargin)
+      == Set(1L, 2L, 3L, 4L))
+    // span end <= 2 ⇔ token position < 2 (0-based)
+    assert(ids("""{"span_first": {"match":
+      |{"span_term": {"text": "alpha"}}, "end": 2}}""".stripMargin)
+      == Set(1L, 2L))
+    assert(ids("""{"span_first": {"match": {"span_or": {"clauses": [
+      |{"span_term": {"text": "alpha"}},
+      |{"span_term": {"text": "delta"}}]}}, "end": 1}}""".stripMargin)
+      == Set(1L, 3L))
+    // alpha with no gamma in the ±1 window: doc1 alpha@0/gamma@2
+    // (distance 2, outside) matches; doc2 has no gamma; doc3
+    // alpha@3/gamma@1 (distance 2) matches
+    assert(ids("""{"span_not": {
+      |"include": {"span_term": {"text": "alpha"}},
+      |"exclude": {"span_term": {"text": "gamma"}},
+      |"pre": 1, "post": 1}}""".stripMargin) == Set(1L, 2L, 3L))
+    // dist sets both pre and post
+    assert(ids("""{"span_not": {
+      |"include": {"span_term": {"text": "alpha"}},
+      |"exclude": {"span_term": {"text": "gamma"}},
+      |"dist": 2}}""".stripMargin) == Set(2L))
+    // multi-position inner spans refuse
+    intercept[IllegalArgumentException](ids("""{"span_not": {
+      |"include": {"span_near": {"clauses": [
+      |  {"span_term": {"text": "a"}}], "slop": 0}},
+      |"exclude": {"span_term": {"text": "b"}}}}""".stripMargin))
+    // cross-field span_not refuses
+    intercept[IllegalArgumentException](ids("""{"span_not": {
+      |"include": {"span_term": {"text": "a"}},
+      |"exclude": {"span_term": {"other": "b"}}}}""".stripMargin))
+  }
+
+  test("nested: all clauses must hit the SAME array element") {
+    import spark.implicits._
+    val f = GraftFrame(Seq(
+      (1L, Seq(("laptop", 1200.0), ("mouse", 25.0))),
+      (2L, Seq(("laptop", 300.0), ("keyboard", 1500.0))),
+      (3L, Seq[(String, Double)]()),
+      (4L, null.asInstanceOf[Seq[(String, Double)]])
+    ).toDF("id", "products")
+      .selectExpr("id",
+        "transform(products, p -> named_struct(" +
+          "'category', p._1, 'price', p._2)) AS products"), "id")
+    def ids(json: String): Set[Long] =
+      f.esQuery(json).df.select("id").collect().map(_.getLong(0)).toSet
+    // same-element: only doc 1 has ONE product that is BOTH a laptop
+    // AND > 1000; doc 2 has a cheap laptop and an expensive keyboard
+    assert(ids("""{"nested": {"path": "products",
+      |"query": {"bool": {"must": [
+      |  {"term": {"products.category": "laptop"}},
+      |  {"range": {"products.price": {"gt": 1000}}}]}}}}"""
+      .stripMargin) == Set(1L))
+    // the flattened cross-element reading over-matches doc 2
+    assert(ids("""{"bool": {"must": [
+      |{"nested": {"path": "products",
+      |  "query": {"term": {"products.category": "laptop"}}}},
+      |{"nested": {"path": "products",
+      |  "query": {"range": {"products.price": {"gt": 1000}}}}}]}}"""
+      .stripMargin) == Set(1L, 2L))
+    // empty array and null array never match; must_not keeps them
+    assert(ids("""{"bool": {"must_not": [{"nested": {
+      |"path": "products",
+      |"query": {"term": {"products.category": "laptop"}}}}]}}"""
+      .stripMargin) == Set(3L, 4L))
+    // score_mode typo fails loudly
+    intercept[IllegalArgumentException](ids("""{"nested": {
+      |"path": "products", "score_mode": "average",
+      |"query": {"exists": {"field": "products.price"}}}}"""
+      .stripMargin))
+  }
+
   test("esQuery match enforces the same non-text guard as esMatch") {
     val pinned = docs.withEsDtype("source", "keyword")
     val e = intercept[IllegalArgumentException](

@@ -122,6 +122,24 @@ class BucketPipelineSpec extends AnyFunSpec with Matchers {
       mn.getString(0) shouldBe "b3"
       mn.getDouble(1) shouldBe 1.0
     }
+    it("percentilesBucket: exact R-7 over all buckets, one row") {
+      val r = BucketPipeline.percentilesBucket(series, "v",
+        Seq(0.0, 0.5, 0.75, 1.0, 0.999)).collect().head
+      // sorted [10, 25, 30]
+      r.getAs[Double]("p0") shouldBe 10.0
+      r.getAs[Double]("p50") shouldBe 25.0
+      // R-7 at .75 over 3 values: h = 1.5 → 25 + 0.5·5 = 27.5
+      r.getAs[Double]("p75") shouldBe 27.5
+      r.getAs[Double]("p100") shouldBe 30.0
+      // non-integral percent gets an underscore name
+      r.schema.fieldNames should contain("p99_9")
+      an[IllegalArgumentException] should be thrownBy
+        BucketPipeline.percentilesBucket(series, "v", Nil)
+      an[IllegalArgumentException] should be thrownBy
+        BucketPipeline.percentilesBucket(series, "v", Seq(1.5))
+      an[IllegalArgumentException] should be thrownBy
+        BucketPipeline.percentilesBucket(series, "v", Seq(0.5, 0.5))
+    }
     it("movingPercentile interpolates over the window") {
       // window 3 incl current at bucket 3: values [10, 30, 25],
       // p=.5 → sorted [10,25,30] → 25

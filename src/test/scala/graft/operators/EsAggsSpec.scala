@@ -23,6 +23,20 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
       r.getAs[Double]("std_upper") shouldBe
         (4.0 + 2 * math.sqrt(8.0 / 3)) +- 1e-12
     }
+    it("singleton input: sampling moments are null, not NaN/Inf") {
+      val r = EsAggs.extendedStats(Seq(5.0).toDF("v"), "v")
+        .collect().head
+      r.getAs[Long]("count") shouldBe 1L
+      r.isNullAt(r.fieldIndex("variance_sampling")) shouldBe true
+      r.isNullAt(r.fieldIndex("std_deviation_sampling")) shouldBe true
+      // population moments are still defined (variance 0)
+      r.getAs[Double]("variance_population") shouldBe 0.0 +- 1e-12
+      // float-error-negative variance clamps at 0 → sqrt never NaN
+      val big = EsAggs.extendedStats(
+        Seq(1e9 + 1, 1e9 + 1, 1e9 + 1).toDF("v"), "v").collect().head
+      big.getAs[Double]("std_deviation_population") should be >= 0.0
+      big.getAs[Double]("std_deviation_sampling") should be >= 0.0
+    }
   }
 
   describe("weighted_avg") {
@@ -174,6 +188,15 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
       an[IllegalArgumentException] should be thrownBy
         EsAggs.geohashGrid(pts, "loc", 9)
     }
+    it("out-of-domain coordinates clamp on BOTH edges") {
+      // lat < -90 / lon < -180 must quantize to cell 0, not negative
+      val bad = Seq((1L, -95.0, -200.0), (2L, 95.0, 200.0))
+        .toDF("id", "lat", "lon")
+        .select(col("id"), struct(col("lat"), col("lon")).as("loc"))
+      val keys = EsAggs.geohashGrid(bad, "loc", 5).collect()
+        .map(_.getString(0)).toSet
+      keys shouldBe Set("00000", "zzzzz")
+    }
   }
 
   describe("geotile_grid") {
@@ -290,6 +313,18 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
       an[IllegalArgumentException] should be thrownBy
         EsAggs.compositePage(Seq(("a", 1)).toDF("k1", "k2"),
           Seq("k1", "k2"), 2, afterKey = Some(Seq("a")))
+    }
+    it("NULL-keyed rows are excluded from every page (the paging " +
+        "contract: NULL > x is null-false, so they could never tile)") {
+      val df = Seq((Some("a"), 1), (None, 2), (Some("b"), 3))
+        .toDF("k1", "k2")
+      // page 1 has no null bucket…
+      EsAggs.compositePage(df, Seq("k1"), 10).collect()
+        .map(_.getString(0)).toSeq shouldBe Seq("a", "b")
+      // …so after_key pages stay consistent with it
+      EsAggs.compositePage(df, Seq("k1"), 10,
+          afterKey = Some(Seq("a"))).collect()
+        .map(_.getString(0)).toSeq shouldBe Seq("b")
     }
   }
 }

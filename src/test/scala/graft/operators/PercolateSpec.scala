@@ -41,6 +41,24 @@ class PercolateSpec extends AnyFunSpec with Matchers {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  it("the TABLE entry point validates stored queries like the rules " +
+      "form: msm < 1, msm > distinct terms, empty terms all refuse") {
+    def run(rules: Seq[(String, Seq[String], Int)]) =
+      Percolate.percolate(docs, "doc_id", "text",
+        rules.toDF("query_id", "terms", "msm"),
+        "query_id", "terms", "msm").collect()
+    // msm = 0 would silently behave as msm = 1 (zero-hit pairs never
+    // reach the >= filter) — it must fail loudly instead
+    an[IllegalArgumentException] should be thrownBy
+      run(Seq(("zero", Seq("filter"), 0)))
+    an[IllegalArgumentException] should be thrownBy
+      run(Seq(("over", Seq("filter", "filter"), 2)))
+    an[IllegalArgumentException] should be thrownBy
+      run(Seq(("empty", Seq.empty[String], 1)))
+    // a well-formed table still percolates
+    run(Seq(("ok", Seq("filter"), 1))).length shouldBe 2
+  }
+
   it("refuses empty rule tables and duplicate names") {
     an[IllegalArgumentException] should be thrownBy
       Percolate.percolateRules(docs, "doc_id", "text", Seq.empty)

@@ -54,6 +54,25 @@ for name, sql in sorted(oracle.items()):
                       "the driver's checker cannot sort these — emit "
                       "scalar-only columns (explode or concat_ws)"))
         continue
+    # the driver HASHES values including dtype: an int64 Spark column vs
+    # a float64 oracle column (e.g. DuckDB HUGEINT window sum fetched by
+    # pandas as float64) hash-mismatches even when values are equal.
+    # Normalize dtypes to int/float/bool/datetime/object families and
+    # fail on any cross-family pair so the local mirror matches the
+    # driver (the r14 pa2/pa7/pa8 bug class).
+    def family(dt):
+        k = dt.kind  # numpy kind: i/u int, f float, b bool, M datetime
+        return {"i": "int", "u": "int", "f": "float", "b": "bool",
+                "M": "datetime"}.get(k, "object")
+    dt_bad = [(c, str(exp[c].dtype), str(got[c].dtype))
+              for c in exp.columns
+              if family(exp[c].dtype) != family(got[c].dtype)]
+    if dt_bad:
+        fails.append((name, f"dtype family mismatch (driver hashes "
+                      f"dtypes): {dt_bad[:3]} — cast the oracle (e.g. "
+                      "CAST(sum(...) OVER (...) AS BIGINT)) or the "
+                      "Spark column so both sides agree"))
+        continue
     sortcols = list(exp.columns)
     e = exp.sort_values(sortcols).reset_index(drop=True)
     g = got.sort_values(sortcols).reset_index(drop=True)
