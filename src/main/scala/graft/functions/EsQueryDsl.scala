@@ -191,6 +191,48 @@ object EsQueryDsl {
     }
   }
 
+  /** Shared clause-body plumbing for `query_string` /
+    * `simple_query_string` (both faces): (query text, fields,
+    * default_operator). Field entries may carry ES boosts
+    * ("text^3") — boosts are score-only; the scored face reapplies
+    * them, the filter face drops them.
+    */
+  private[functions] def queryStringArgs(kind: String, body: JValue)
+      : (String, Seq[String], String) = {
+    val qtext = (body \ "query") match {
+      case JString(t) => t
+      case other => throw new IllegalArgumentException(
+        s"$kind needs a query string, got $other")
+    }
+    def stripBoost(f: String): String = {
+      val cut = f.indexOf('^')
+      val name = if (cut < 0) f else f.substring(0, cut)
+      require(!name.contains("*"),
+        s"$kind field pattern '$f' needs schema enumeration — " +
+          "list the fields explicitly")
+      name
+    }
+    val fields: Seq[String] =
+      ((body \ "fields"), (body \ "default_field")) match {
+        case (JArray(fs), JNothing) => fs.map {
+          case JString(f) => stripBoost(f)
+          case other => throw new IllegalArgumentException(
+            s"$kind fields must be strings, got $other")
+        }
+        case (JNothing, JString(f)) => Seq(stripBoost(f))
+        case (JNothing, JNothing)   => Nil
+        case _ => throw new IllegalArgumentException(
+          s"$kind takes fields OR default_field, not both")
+      }
+    val op = (body \ "default_operator") match {
+      case JNothing   => "or"
+      case JString(o) => o
+      case other => throw new IllegalArgumentException(
+        s"default_operator must be a string, got $other")
+    }
+    (qtext, fields, op)
+  }
+
   /** A width-1 span clause — `span_term`, or `span_or` over width-1
     * span clauses — flattened to (field, distinct lowercased terms).
     * These are the position-SET primitives of the span algebra: their
@@ -393,39 +435,7 @@ object EsQueryDsl {
       // Lucene query-syntax faces — the parsers live in
       // [[QueryStringParser]]; this is pure clause-body plumbing
       case "query_string" | "simple_query_string" =>
-        val qtext = (body \ "query") match {
-          case JString(t) => t
-          case other => throw new IllegalArgumentException(
-            s"$kind needs a query string, got $other")
-        }
-        // fields entries may carry ES boosts ("text^3") — boosts are
-        // score-only, strip them in predicate context
-        def stripBoost(f: String): String = {
-          val cut = f.indexOf('^')
-          val name = if (cut < 0) f else f.substring(0, cut)
-          require(!name.contains("*"),
-            s"$kind field pattern '$f' needs schema enumeration — " +
-              "list the fields explicitly")
-          name
-        }
-        val fields: Seq[String] =
-          ((body \ "fields"), (body \ "default_field")) match {
-            case (JArray(fs), JNothing) => fs.map {
-              case JString(f) => stripBoost(f)
-              case other => throw new IllegalArgumentException(
-                s"$kind fields must be strings, got $other")
-            }
-            case (JNothing, JString(f)) => Seq(stripBoost(f))
-            case (JNothing, JNothing)   => Nil
-            case _ => throw new IllegalArgumentException(
-              s"$kind takes fields OR default_field, not both")
-          }
-        val op = (body \ "default_operator") match {
-          case JNothing   => "or"
-          case JString(o) => o
-          case other => throw new IllegalArgumentException(
-            s"default_operator must be a string, got $other")
-        }
+        val (qtext, fields, op) = queryStringArgs(kind, body)
         val an = parseAnalyzer(body)
         if (kind == "query_string")
           QueryStringParser.queryString(qtext, fields, op, an,

@@ -525,11 +525,83 @@ object EsScoredQuery {
         require(pivot > 0, s"distance_feature pivot must be > 0")
         ScoredLeaf(col(field).isNotNull,
           lit(boost) * pivot / (lit(pivot) + dist))
+      // Lucene query-syntax faces, SCORED: the parsed AST maps onto
+      // this node algebra — terms/phrases earn corpus-stats BM25
+      // (dis_max across multiple default fields, Lucene's rewrite),
+      // bool clause lists sum must+should with ES's msm defaults,
+      // and the multi-term leaves (prefix/wildcard/fuzzy/range/
+      // exists) gate constant-score 1.0, which IS Lucene's default
+      // constant-score rewrite for them inside a scored bool.
+      case "query_string" | "simple_query_string" =>
+        if ((body \ "analyzer") != JNothing)
+          throw new IllegalArgumentException(
+            "per-clause analyzers are not supported in the SCORED " +
+              "path; use the filter face (esQuery) instead")
+        val (qtext, fields, op) = EsQueryDsl.queryStringArgs(kind, body)
+        val ast = QueryStringParser.parseAst(qtext,
+          simple = kind == "simple_query_string")
+        fromQueryString(ast, fields,
+          QueryStringParser.parseOp(op), ctx)
       // every remaining translatable leaf: the filter face's predicate,
       // constant_score semantics (see the scaladoc contract)
       case _ => GatedConst(
         EsQueryDsl.filterColumn(q, ctx.idCol, ctx.requireText), 1.0)
     }
+  }
+
+  /** [[QueryStringParser]] AST → scored nodes. Gate-only leaves and
+    * `-` clauses compile through the parser's own filter compiler so
+    * both faces share one predicate per construct.
+    */
+  private def fromQueryString(ast: QueryStringParser.Node,
+                              fields: Seq[String], defaultAnd: Boolean,
+                              ctx: Ctx): Node = {
+    import QueryStringParser.{AllN, TermN, PhraseN, NotN, AndN, OrN,
+      SeqN, compileAst}
+    def fieldsOf(f: Option[String]): Seq[String] = f.map(Seq(_))
+      .getOrElse {
+        require(fields.nonEmpty,
+          "unscoped query_string clause needs default fields — pass " +
+            "fields/default_field, or scope every clause (field:...)")
+        fields
+      }
+    def pred(n: QueryStringParser.Node): Column =
+      compileAst(n, fields, defaultAnd, "standard", col, ctx.requireText)
+    def rec(n: QueryStringParser.Node): Node = n match {
+      case AllN => GatedConst(lit(true), 1.0)
+      case TermN(f, t) =>
+        val fs = fieldsOf(f)
+        fs.foreach(ctx.requireText)
+        val nodes = fs.map(fl =>
+          MatchNode(ctx.register(fl, analyze(t)), requireAll = false,
+            1.0): Node)
+        if (nodes.size == 1) nodes.head else DisMaxNode(nodes, 0.0)
+      case PhraseN(f, t) =>
+        val terms = TextAnalysis.tokensOf(t)
+        if (terms.isEmpty) GatedConst(lit(false), 0.0)
+        else {
+          val fs = fieldsOf(f)
+          fs.foreach(ctx.requireText)
+          val nodes = fs.map(fl =>
+            PhraseNode(ctx.registerPhrase(fl, terms), 1.0): Node)
+          if (nodes.size == 1) nodes.head else DisMaxNode(nodes, 0.0)
+        }
+      case NotN(x)    => BoolNode(Nil, Nil, Nil, Seq(pred(x)), 0)
+      case AndN(l, r) => BoolNode(Seq(rec(l), rec(r)), Nil, Nil, Nil, 0)
+      case OrN(l, r)  => BoolNode(Nil, Seq(rec(l), rec(r)), Nil, Nil, 1)
+      case SeqN(cs) =>
+        val required = cs.collect { case ('+', x) => x } ++
+          (if (defaultAnd) cs.collect { case (' ', x) => x } else Nil)
+        val bare =
+          if (defaultAnd) Nil else cs.collect { case (' ', x) => x }
+        val forbidden = cs.collect { case ('-', x) => x }
+        BoolNode(required.map(rec), bare.map(rec), Nil,
+          forbidden.map(pred),
+          msm = if (required.isEmpty && bare.nonEmpty) 1 else 0)
+      // gate-only leaves: prefix / wildcard / fuzzy / range / exists
+      case other => GatedConst(pred(other), 1.0)
+    }
+    rec(ast)
   }
 
   /** ES duration string → milliseconds (d / h / m / s / ms). */

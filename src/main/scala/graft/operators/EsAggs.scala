@@ -254,6 +254,74 @@ object EsAggs {
       .select("b.*")
   }
 
+  /** ES `nested` aggregation with a `terms` sub-agg and a
+    * `reverse_nested` leg: aggregate over the ELEMENTS of an
+    * array-of-structs column, not the documents — `doc_count` counts
+    * elements (ES's nested doc_count), the metric columns aggregate
+    * the element field, and `parent_doc_count` is the reverse_nested
+    * "how many PARENT documents have at least one such element".
+    * One explode + one keyed shuffle with map-side partial aggs —
+    * the standard Spark shape for element-grain aggregation; the
+    * distinct-parent count rides the same shuffle.
+    * Buckets order by doc_count desc then key (ES's terms order).
+    */
+  def nestedTerms(df: DataFrame, idCol: String, path: String,
+                  keyField: String, valueField: String): DataFrame = {
+    val e = explode(col(path)).as("_el")
+    df.select(col(idCol), e)
+      .groupBy(col(s"_el.$keyField").as("key"))
+      .agg(
+        count(lit(1)).cast("long").as("doc_count"),
+        min(col(s"_el.$valueField").cast("double")).as("min"),
+        max(col(s"_el.$valueField").cast("double")).as("max"),
+        sum(col(s"_el.$valueField").cast("double")).as("sum"),
+        avg(col(s"_el.$valueField").cast("double")).as("avg"),
+        countDistinct(col(idCol)).cast("long").as("parent_doc_count"))
+      .orderBy(col("doc_count").desc, col("key"))
+  }
+
+  /** ES `histogram` aggregation: fixed-`interval` numeric buckets
+    * with ES's key rule key = floor((v − offset)/interval)·interval +
+    * offset, null values in no bucket. `minDocCount = 0` materializes
+    * the empty buckets between the first and last occupied key (the
+    * date_histogram spine discipline — a 1-row bounds aggregate, a
+    * sequence spine, one broadcast-joinable left join; the corpus is
+    * scanned once). This is ES's own histogram face — the pandas
+    * two-phase min/max binning is A14 (`GraftFrame.hist`).
+    */
+  def histogram(df: DataFrame, valueCol: String, interval: Double,
+                offset: Double = 0.0,
+                minDocCount: Int = 1): DataFrame = {
+    require(interval > 0, s"interval must be > 0, got $interval")
+    require(minDocCount >= 0,
+      s"min_doc_count must be >= 0, got $minDocCount")
+    val v = col(valueCol).cast("double")
+    val key = (floor((v - offset) / interval) * interval + offset)
+      .as("key")
+    val buckets = df.filter(v.isNotNull).select(key)
+      .groupBy("key")
+      .agg(count(lit(1)).cast("long").as("doc_count"))
+    val filled =
+      if (minDocCount != 0) buckets
+      else {
+        val bounds = buckets.agg(min("key").as("_lo"), max("key").as("_hi"))
+        // step index (key − offset)/interval is integral by
+        // construction; round before the cast so float error cannot
+        // drop a bucket
+        val spine = bounds
+          .select(explode(sequence(
+            round((col("_lo") - offset) / interval).cast("long"),
+            round((col("_hi") - offset) / interval).cast("long")))
+            .as("_step"))
+          .select((col("_step") * interval + offset).as("key"))
+        spine.join(buckets, Seq("key"), "left")
+          .select(col("key"),
+            coalesce(col("doc_count"), lit(0L)).as("doc_count"))
+      }
+    filled.filter(col("doc_count") >= minDocCount.toLong)
+      .orderBy("key")
+  }
+
   /** ES `geohash_grid` aggregation: bucket geo points by geohash cell
     * at `precision` characters (Niemeyer's scheme: 5·p bits, lon/lat
     * quantized to ⌈5p/2⌉ / ⌊5p/2⌋ bits, bit-interleaved lon-first,

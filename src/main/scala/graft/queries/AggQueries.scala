@@ -261,6 +261,25 @@ object AggQueries {
           (col("med6_cents") / 100.0).as("trailing_median"))
         .orderBy("month")
     }),
+    // ES nested aggregation + reverse_nested: element-grain terms/
+    // stats over an array of structs (doc_count = elements), with the
+    // reverse_nested parent-doc count riding the same shuffle; the
+    // oracle aggregates the flat child table directly
+    "na1_nested_agg" -> ((s, d) => {
+      val items = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(
+          col("l_returnflag"), col("l_quantity"))).as("items"))
+      EsAggs.nestedTerms(items, "l_orderkey", "items",
+        "l_returnflag", "l_quantity")
+    }),
+    // ES histogram (the fixed-interval face, not A14's pandas
+    // min/max binning): offset key rule + min_doc_count:0 empty
+    // buckets from a sequence spine
+    "eh1_histogram" -> ((s, d) => {
+      EsAggs.histogram(Tables.load(s, d, "customer"), "c_acctbal",
+        interval = 750.0, offset = 500.0, minDocCount = 0)
+    }),
     // ES percentiles_bucket (sibling): exact R-7 percentiles of the
     // monthly revenue metric across all buckets — integer cents keep
     // the interpolation bit-exact across engines
@@ -574,6 +593,32 @@ object AggQueries {
            |  UNION ALL SELECT '8000000.0-*', 8000000.0, NULL, r3 FROM m)
            |ORDER BY key""".stripMargin
     },
+    "na1_nested_agg" ->
+      """SELECT l_returnflag AS key,
+        |  CAST(count(*) AS BIGINT) AS doc_count,
+        |  min(CAST(l_quantity AS DOUBLE)) AS "min",
+        |  max(CAST(l_quantity AS DOUBLE)) AS "max",
+        |  sum(CAST(l_quantity AS DOUBLE)) AS sum,
+        |  avg(CAST(l_quantity AS DOUBLE)) AS avg,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |    AS parent_doc_count
+        |FROM lineitem GROUP BY 1
+        |ORDER BY doc_count DESC, key""".stripMargin,
+    "eh1_histogram" ->
+      """WITH b AS (SELECT
+        |    floor((c_acctbal - 500) / 750) * 750 + 500 AS key,
+        |    CAST(count(*) AS BIGINT) AS doc_count
+        |  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
+        |bounds AS (SELECT
+        |    CAST(round((min(key) - 500) / 750) AS BIGINT) AS lo,
+        |    CAST(round((max(key) - 500) / 750) AS BIGINT) AS hi
+        |  FROM b),
+        |spine AS (SELECT unnest(generate_series(lo, hi)) AS step
+        |          FROM bounds)
+        |SELECT step * 750.0 + 500 AS key,
+        |  CAST(coalesce(b.doc_count, 0) AS BIGINT) AS doc_count
+        |FROM spine LEFT JOIN b ON b.key = step * 750.0 + 500
+        |ORDER BY key""".stripMargin,
     "pa11_percentiles_bucket" ->
       s"""WITH b AS ($monthlySql)
          |SELECT

@@ -471,6 +471,16 @@ object FacadeQueries {
         .select(Seq("doc_id")).df.withColumn("q", lit("unordered"))
       ordered.unionByName(unordered).orderBy("q", "doc_id")
     }),
+    // the SCORED query-string face: bare terms earn corpus-stats
+    // BM25 summed over matched should clauses, -negation gates; the
+    // oracle replays the Okapi arithmetic (the f32 discipline)
+    "f43_scored_query_string" -> ((s, d) => {
+      docs(s, d).esQueryScored(
+        """{"simple_query_string": {"query": "stream filter -join",
+          |"fields": ["text"]}}""".stripMargin)
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
     // simple_query_string: the lenient user grammar — phrase, |, the
     // infix +, grouping, trailing-* prefix, -negation, and the
     // default_operator=and form; parsed onto the existing match
@@ -1302,6 +1312,25 @@ object FacadeQueries {
            |SELECT doc_id, q FROM o
            |UNION ALL SELECT doc_id, q FROM un
            |ORDER BY q, doc_id""".stripMargin,
+    // BM25 should-sum over stream/filter, join-docs gated out
+    "f43_scored_query_string" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))) AS s1
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id)
+           |SELECT b.doc_id, round(b.s1, 6) AS score
+           |FROM bm b JOIN s ON s.doc_id = b.doc_id
+           |WHERE NOT list_contains(s.toks, 'join')
+           |ORDER BY score DESC, b.doc_id LIMIT 25""".stripMargin,
     // q1: phrase OR (merge AND sort-prefix AND NOT join);
     // q2 (default AND): stream AND graph AND NOT phrase
     "f39_simple_query_string" ->

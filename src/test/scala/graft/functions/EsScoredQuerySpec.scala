@@ -13,6 +13,64 @@ class EsScoredQuerySpec extends AnyFunSuite {
   private def scored(df: org.apache.spark.sql.DataFrame, json: String) =
     EsScoredQuery.scoredFrame(df, "doc_id", json)
 
+  test("scored query_string / simple_query_string equal the explicit " +
+      "DSL trees they parse to (BM25, not constant score)") {
+    val tiny = Seq(
+      (1L, "quick brown fox"),
+      (2L, "quick red fox"),
+      (3L, "slow brown dog"),
+      (4L, "the quick dog runs")).toDF("doc_id", "text")
+    def rows(json: String): Map[Long, Double] =
+      scored(tiny, json).select("doc_id", "_score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bare terms, default OR → bool should of matches
+    assert(rows("""{"simple_query_string": {"query": "quick fox",
+      |"fields": ["text"]}}""".stripMargin) ==
+      rows("""{"bool": {"should": [{"match": {"text": "quick"}},
+        |{"match": {"text": "fox"}}]}}""".stripMargin))
+    // infix + → bool must (scores still sum)
+    assert(rows("""{"simple_query_string": {"query": "quick + fox",
+      |"fields": ["text"]}}""".stripMargin) ==
+      rows("""{"bool": {"must": [{"match": {"text": "quick"}},
+        |{"match": {"text": "fox"}}]}}""".stripMargin))
+    // phrase | term → should of match_phrase and match
+    assert(rows("""{"simple_query_string": {
+      |"query": "\"brown fox\" | dog", "fields": ["text"]}}"""
+      .stripMargin) ==
+      rows("""{"bool": {"should": [
+        |{"match_phrase": {"text": "brown fox"}},
+        |{"match": {"text": "dog"}}]}}""".stripMargin))
+    // query_string grammar: -negation gates, bare term earns BM25
+    assert(rows("""{"query_string": {"query": "quick -fox",
+      |"default_field": "text"}}""".stripMargin) ==
+      rows("""{"bool": {"must": [{"match": {"text": "quick"}}],
+        |"must_not": [{"match": {"text": "fox"}}]}}""".stripMargin))
+    // with a +required clause, bare terms stay score-only: same rows
+    // as +quick alone, scores >= (fox adds where present)
+    val plus = rows("""{"query_string": {"query": "fox +quick",
+      |"default_field": "text"}}""".stripMargin)
+    val onlyQuick = rows("""{"match": {"text": "quick"}}""")
+    assert(plus.keySet == onlyQuick.keySet)
+    assert(plus(1L) > onlyQuick(1L)) // doc 1 has fox too
+    assert(plus(4L) == onlyQuick(4L)) // doc 4 has no fox
+    // multi-term leaves gate constant-score 1.0 (Lucene's rewrite)
+    assert(rows("""{"query_string": {"query": "qui*",
+      |"default_field": "text"}}""".stripMargin)
+      .values.toSet == Set(1.0))
+    // two default fields → dis_max across per-field matches
+    val two = Seq((1L, "alpha beta", "alpha gamma")).toDF(
+      "doc_id", "text", "title")
+    val viaQs = EsScoredQuery.scoredFrame(two, "doc_id",
+      """{"query_string": {"query": "alpha", "fields":
+        |["text", "title"]}}""".stripMargin)
+      .select("_score").collect().head.getDouble(0)
+    val viaDisMax = EsScoredQuery.scoredFrame(two, "doc_id",
+      """{"dis_max": {"queries": [{"match": {"text": "alpha"}},
+        |{"match": {"title": "alpha"}}]}}""".stripMargin)
+      .select("_score").collect().head.getDouble(0)
+    assert(viaQs == viaDisMax)
+  }
+
   test("a lone scored match is row-identical to Ranking.bm25TopK") {
     val viaDsl = scored(docs,
       """{"match": {"text": "stream filter join"}}""")

@@ -170,6 +170,45 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("nested aggregation + reverse_nested") {
+    it("counts elements, aggregates the element field, and counts " +
+        "parents once each") {
+      val df = Seq(
+        (1L, Seq(("a", 10.0), ("a", 20.0), ("b", 5.0))),
+        (2L, Seq(("a", 30.0))),
+        (3L, Seq[(String, Double)]()),
+        (4L, null.asInstanceOf[Seq[(String, Double)]])
+      ).toDF("id", "items")
+        .selectExpr("id",
+          "transform(items, p -> named_struct(" +
+            "'cat', p._1, 'v', p._2)) AS items")
+      val got = EsAggs.nestedTerms(df, "id", "items", "cat", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(4), r.getLong(6))).toSeq
+      // key a: 3 elements across 2 parents, sum 60; key b: 1 and 1
+      got shouldBe Seq(("a", 3L, 60.0, 2L), ("b", 1L, 5.0, 1L))
+    }
+  }
+
+  describe("histogram (ES fixed-interval face)") {
+    it("applies the offset key rule and fills empty buckets at " +
+        "min_doc_count 0") {
+      val df = Seq(Some(-1.0), Some(0.5), Some(10.2), Some(10.9), None)
+        .toDF("v")
+      // interval 2, offset 0.5: keys floor((v-0.5)/2)*2+0.5
+      EsAggs.histogram(df, "v", 2.0, offset = 0.5).collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).toSeq shouldBe
+        Seq((-1.5, 1L), (0.5, 1L), (8.5, 1L), (10.5, 1L))
+      // min_doc_count 0 materializes the gap buckets, null in none
+      EsAggs.histogram(df, "v", 2.0, offset = 0.5, minDocCount = 0)
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq shouldBe
+        Seq((-1.5, 1L), (0.5, 1L), (2.5, 0L), (4.5, 0L), (6.5, 0L),
+          (8.5, 1L), (10.5, 1L))
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.histogram(df, "v", 0.0)
+    }
+  }
+
   describe("geohash_grid") {
     it("encodes the canonical test vector and clamps the domain edges") {
       // the classic geohash example: (57.64911, 10.40744) → "u4pru…"
