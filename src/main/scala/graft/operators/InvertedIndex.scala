@@ -900,6 +900,106 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** Index-served BOOLEAN search — the bool/query_string subset the
+    * postings can answer without a corpus scan: `must` / `should` /
+    * `mustNot` TERM clauses (analyzed through the index's chain).
+    * Matching follows ES's bool rules — every must term present, at
+    * least `minimumShouldMatch` should terms (default: 1 when there
+    * are no must clauses, else 0 — should becomes score-only), no
+    * mustNot term. The score is the tombstone-adjusted Okapi BM25 sum
+    * over the PRESENT must+should terms ([[searchTopK]]'s exact
+    * formula and single 6-dp rounding) — matched should clauses add
+    * score even when not required to match, and mustNot never scores,
+    * both exactly ES.
+    *
+    * Plan shape: ONE bucket-pruned postings read covers all three
+    * clause roles; the per-doc decision is a single groupBy(id) with
+    * conditional aggregates (distinct-term presence counts per role +
+    * the conditional score sum) — no joins beyond the broadcast df
+    * table, no second corpus touch, O(query-term postings) total.
+    *
+    * A pure-negative query (no must, no should) is refused: matching
+    * "every live doc except" cannot be answered from the query terms'
+    * postings alone — it is a corpus scan wearing a bool costume, and
+    * serving it here would silently hide that cost.
+    */
+  def booleanSearchTopK(spark: SparkSession, indexPath: String,
+                        must: Seq[String], should: Seq[String],
+                        mustNot: Seq[String], k: Int,
+                        idColName: String = "id",
+                        minimumShouldMatch: Int = -1,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(must.nonEmpty || should.nonEmpty,
+      "pure-negative bool (only must_not) is a corpus scan, not an " +
+        "index lookup — refuse rather than silently scanning")
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val dels = committedDeletes(spark, indexPath)
+    val st = liveStats(spark, segs, dels)
+    val n = st.n
+    val avg = if (n > 0) st.sumLen / n else 1.0
+    val mustT = must.map(st.analyzeTerm).distinct
+    val shouldT = should.map(st.analyzeTerm).distinct
+      .filterNot(mustT.contains)
+    val notT = mustNot.map(st.analyzeTerm).distinct
+    require(notT.intersect(mustT ++ shouldT).isEmpty,
+      s"terms ${notT.intersect(mustT ++ shouldT)} appear both " +
+        "positively and in must_not — the query is unsatisfiable " +
+        "or the must_not is dead; restate it")
+    val msm =
+      if (minimumShouldMatch >= 0) minimumShouldMatch
+      else if (mustT.isEmpty) 1 else 0
+    require(msm <= shouldT.size || shouldT.isEmpty,
+      s"minimum_should_match $msm exceeds ${shouldT.size} should terms")
+    val scoredT = mustT ++ shouldT
+    val allT = scoredT ++ notT
+    val p = prunedLivePostings(spark, segs, dels, allT, st.buckets)
+    val dfreq = p.filter(col("term").isin(scoredT: _*))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("_df"))
+    val contrib =
+      when(col("term").isin(scoredT: _*),
+        log(lit(1.0) + (lit(n) - col("_df") + 0.5) / (col("_df") + 0.5)) *
+          col("tf") * (k1 + 1.0) /
+          (col("tf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("len") / lit(avg))))
+        .otherwise(lit(0.0))
+    p.join(broadcast(dfreq), Seq("term"), "left")
+      .groupBy(col("id").as(idColName))
+      .agg(
+        round(sum(contrib), 6).as("score"),
+        countDistinct(when(col("term").isin(mustT: _*), col("term")))
+          .as("_must"),
+        countDistinct(when(col("term").isin(shouldT: _*), col("term")))
+          .as("_should"),
+        max(when(col("term").isin(notT: _*), 1).otherwise(0)).as("_not"))
+      .filter(col("_must") === mustT.size.toLong &&
+        col("_should") >= msm.toLong && col("_not") === 0)
+      .select(col(idColName), col("score"))
+      .orderBy(col("score").desc, col(idColName))
+      .limit(k)
+  }
+
+  /** [[booleanSearchTopK]] driven by a Lucene query string: the
+    * simple_query_string grammar parsed and flattened to one bool
+    * level of term clauses
+    * ([[graft.functions.QueryStringParser.flatTermClauses]] — groups,
+    * phrases, prefixes and other non-term leaves refuse there, with
+    * the scan faces named as the home for them).
+    */
+  def queryStringSearchTopK(spark: SparkSession, indexPath: String,
+                            query: String, k: Int,
+                            idColName: String = "id",
+                            defaultOperator: String = "or",
+                            k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    val (m, s, mn) = graft.functions.QueryStringParser
+      .flatTermClauses(query, defaultOperator)
+    booleanSearchTopK(spark, indexPath, m, s, mn, k, idColName,
+      k1 = k1, b = b)
+  }
+
   /** `more_like_this` — ES/Lucene's MLT query served from the index:
     * find documents similar to a given text by selecting its most
     * significant terms and running them as a BM25 disjunction with a

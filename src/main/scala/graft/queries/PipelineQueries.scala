@@ -1396,6 +1396,26 @@ object PipelineQueries {
         .select("doc_id", "lin_score")
         .orderBy(col("lin_score").desc, col("doc_id"))
     }),
+    // index-served BOOLEAN search (the query_string grammar flattened
+    // to one bool level): conj leg = must+must_not through the single
+    // pruned-postings pivot, disj leg = should with ES's at-least-one
+    // default; the oracle replays the gates and the Okapi sum from
+    // the raw table
+    "idx15_query_string_search" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx15-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", path)
+      val conj = graft.operators.InvertedIndex.queryStringSearchTopK(
+          s, path, "stream + filter -join", 10, idColName = "doc_id")
+        .withColumn("q", lit("conj"))
+      val disj = graft.operators.InvertedIndex.queryStringSearchTopK(
+          s, path, "merge | sort", 10, idColName = "doc_id")
+        .withColumn("q", lit("disj"))
+      conj.unionByName(disj)
+        .orderBy(col("q"), col("score").desc, col("doc_id"))
+    }),
     // index-backed BM25: build the persistent postings index (ONE
     // corpus shuffle, partitioned by md5 term bucket) then search it
     // reading only the query terms' buckets — the query-serving face
@@ -3643,6 +3663,41 @@ object PipelineQueries {
            |SELECT doc_id, CAST(tc >= 60 AS INT) AS label,
            |       TRUE AS correct
            |FROM f WHERE tc < 56 OR tc > 64 ORDER BY doc_id""".stripMargin,
+    // conj: docs with BOTH stream and filter and NOT join, scored on
+    // the two must terms; disj: docs with merge or sort, scored on
+    // whichever are present — same Okapi arithmetic as idx1
+    "idx15_query_string_search" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter', 'merge', 'sort')
+           |       GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id, t,
+           |         ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)) AS c
+           |       FROM tf JOIN dft USING (t), st),
+           |conj AS (SELECT b.doc_id, round(sum(b.c), 6) AS score,
+           |           'conj' AS q
+           |         FROM bm b JOIN s ON s.doc_id = b.doc_id
+           |         WHERE b.t IN ('stream', 'filter')
+           |           AND list_contains(s.toks, 'stream')
+           |           AND list_contains(s.toks, 'filter')
+           |           AND NOT list_contains(s.toks, 'join')
+           |         GROUP BY b.doc_id
+           |         ORDER BY score DESC, b.doc_id LIMIT 10),
+           |disj AS (SELECT doc_id, round(sum(c), 6) AS score,
+           |           'disj' AS q
+           |         FROM bm WHERE t IN ('merge', 'sort')
+           |         GROUP BY doc_id
+           |         ORDER BY score DESC, doc_id LIMIT 10)
+           |SELECT doc_id, score, q FROM conj
+           |UNION ALL SELECT doc_id, score, q FROM disj
+           |ORDER BY q, score DESC, doc_id""".stripMargin,
     "idx1_index_search" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,

@@ -33,6 +33,64 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty)
   }
 
+  test("booleanSearchTopK: must gates on all, should adds score, " +
+      "must_not excludes; flat query strings drive it") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta join"),
+      (3L, "alpha delta"),
+      (4L, "beta delta"),
+      (5L, "delta epsilon")).toDF("doc_id", "text")
+    val path = tmp("graft-idx-bool")
+    InvertedIndex.build(docs, "doc_id", "text", path)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).toSeq
+    // must both + not join → doc 1 only (doc 2 has join)
+    assert(ids(InvertedIndex.booleanSearchTopK(spark, path,
+      must = Seq("alpha", "beta"), should = Nil,
+      mustNot = Seq("join"), k = 10, idColName = "doc_id")) == Seq(1L))
+    // pure should, msm default 1 → any of delta/epsilon
+    assert(ids(InvertedIndex.booleanSearchTopK(spark, path,
+      must = Nil, should = Seq("delta", "epsilon"), mustNot = Nil,
+      k = 10, idColName = "doc_id")).toSet == Set(3L, 4L, 5L))
+    // must + should: should is score-only (msm 0) but adds score
+    val withShould = InvertedIndex.booleanSearchTopK(spark, path,
+      must = Seq("alpha"), should = Seq("gamma"), mustNot = Nil,
+      k = 10, idColName = "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mustOnly = InvertedIndex.booleanSearchTopK(spark, path,
+      must = Seq("alpha"), should = Nil, mustNot = Nil,
+      k = 10, idColName = "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(withShould.keySet == mustOnly.keySet)
+    assert(withShould(1L) > mustOnly(1L)) // doc 1 has gamma
+    assert(withShould(3L) == mustOnly(3L))
+    // the scored sum equals plain searchTopK when everything matches
+    assert(InvertedIndex.booleanSearchTopK(spark, path,
+      must = Seq("alpha"), should = Nil, mustNot = Nil, k = 10,
+      idColName = "doc_id").collect().map(_.getDouble(1)).toSeq ==
+      InvertedIndex.searchTopK(spark, path, Seq("alpha"), k = 10,
+        idColName = "doc_id").collect().map(_.getDouble(1)).toSeq)
+    // query-string driving: conj, disj, and the refusals
+    assert(ids(InvertedIndex.queryStringSearchTopK(spark, path,
+      "alpha + beta -join", 10, idColName = "doc_id")) == Seq(1L))
+    assert(ids(InvertedIndex.queryStringSearchTopK(spark, path,
+      "delta | epsilon", 10, idColName = "doc_id")).toSet
+      == Set(3L, 4L, 5L))
+    intercept[IllegalArgumentException](
+      InvertedIndex.queryStringSearchTopK(spark, path,
+        "\"alpha beta\"", 10)) // phrases live on the scan faces
+    intercept[IllegalArgumentException](
+      InvertedIndex.queryStringSearchTopK(spark, path,
+        "alpha b | c", 10)) // OR group under AND cannot flatten
+    intercept[IllegalArgumentException](
+      InvertedIndex.booleanSearchTopK(spark, path, Nil, Nil,
+        Seq("join"), 10)) // pure negative = corpus scan, refused
+    intercept[IllegalArgumentException](
+      InvertedIndex.booleanSearchTopK(spark, path, Seq("alpha"), Nil,
+        Seq("alpha"), 10)) // contradictory must/must_not
+  }
+
   test("build + append across segments == one-shot build; compact preserves") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val path = tmp("graft-idx-seg")
