@@ -304,19 +304,28 @@ object EsAggs {
     val filled =
       if (minDocCount != 0) buckets
       else {
-        val bounds = buckets.agg(min("key").as("_lo"), max("key").as("_hi"))
-        // step index (key − offset)/interval is integral by
-        // construction; round before the cast so float error cannot
-        // drop a bucket
-        val spine = bounds
-          .select(explode(sequence(
-            round((col("_lo") - offset) / interval).cast("long"),
-            round((col("_hi") - offset) / interval).cast("long")))
-            .as("_step"))
-          .select((col("_step") * interval + offset).as("key"))
-        spine.join(buckets, Seq("key"), "left")
-          .select(col("key"),
-            coalesce(col("doc_count"), lit(0L)).as("doc_count"))
+        // gap-fill WITHOUT a second corpus scan: each bucket emits
+        // itself plus the empty keys since its predecessor, from a
+        // lag over the bounded bucket frame (a bounds-aggregate +
+        // spine + join spelling would recompute `buckets` — i.e.
+        // rescan the corpus — once per reference; plan-pinned in
+        // PlanQualitySpec). The one-partition window is over the
+        // REDUCED buckets, the BucketPipeline adjudication. Step
+        // indexes are integral by construction; round before the
+        // cast so float error cannot drop a bucket.
+        val w = org.apache.spark.sql.expressions.Window.orderBy("key")
+        buckets
+          .withColumn("_i",
+            round((col("key") - offset) / interval).cast("long"))
+          .withColumn("_prev", lag("_i", 1).over(w))
+          .select(
+            explode(sequence(
+              coalesce(col("_prev") + 1, col("_i")), col("_i")))
+              .as("_k"),
+            col("_i"), col("doc_count"))
+          .select((col("_k") * interval + offset).as("key"),
+            when(col("_k") === col("_i"), col("doc_count"))
+              .otherwise(lit(0L)).as("doc_count"))
       }
     filled.filter(col("doc_count") >= minDocCount.toLong)
       .orderBy("key")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{BucketPipeline, EsAggs}
+import graft.operators.{BucketPipeline, EsAggs, RankEval}
 
 /** ES pipeline-aggregation gates ([[graft.operators.BucketPipeline]]):
   * each gate bucketizes with a date_histogram-shaped groupBy, applies
@@ -260,6 +260,36 @@ object AggQueries {
         .select(col("month"), col("n"),
           (col("med6_cents") / 100.0).as("trailing_median"))
         .orderBy("month")
+    }),
+    // ES _rank_eval: precision/recall/MRR/DCG/NDCG/ERR over a
+    // deterministic arithmetic fixture (3 queries × nation docs,
+    // ranks from a mod permutation, even keys judged) — the oracle
+    // replays every metric formula with window functions
+    "re1_rank_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nation = Tables.load(s, d, "nation").select("n_nationkey")
+      val qs = (1 to 3).map(q => nation.withColumn("query",
+          lit(q.toLong))).reduce(_ unionByName _)
+      val w = Window.partitionBy("query")
+        .orderBy(((col("n_nationkey") * 7 + col("query") * 3) % 25).asc,
+          col("n_nationkey").asc)
+      val results = qs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query"), col("n_nationkey").as("doc"), col("rank"))
+      val judgments = qs.filter(col("n_nationkey") % 2 === 0)
+        .select(col("query"), col("n_nationkey").as("doc"),
+          ((col("n_nationkey") + col("query") * 2) % 4).as("rating"))
+      RankEval.rankEval(results, judgments, "query", "doc", "rank",
+          "rating", k = 10, relevantThreshold = 2, maxRating = 3)
+        .select(col("query"), col("retrieved"),
+          col("relevant_retrieved"),
+          QueryUtil.rhu(col("precision"), 6).as("precision"),
+          QueryUtil.rhu(col("recall"), 6).as("recall"),
+          QueryUtil.rhu(col("mrr"), 6).as("mrr"),
+          QueryUtil.rhu(col("dcg"), 6).as("dcg"),
+          QueryUtil.rhu(col("ndcg"), 6).as("ndcg"),
+          QueryUtil.rhu(col("err"), 6).as("err"))
+        .orderBy("query")
     }),
     // ES nested aggregation + reverse_nested: element-grain terms/
     // stats over an array of structs (doc_count = elements), with the
@@ -592,6 +622,66 @@ object AggQueries {
            |  FROM m
            |  UNION ALL SELECT '8000000.0-*', 8000000.0, NULL, r3 FROM m)
            |ORDER BY key""".stripMargin
+    },
+    "re1_rank_eval" -> {
+      def r6(e: String) = QueryUtil.rhuSql(e, 6)
+      s"""WITH q AS (SELECT n_nationkey,
+         |    CAST(v.query AS BIGINT) AS query
+         |  FROM nation, (VALUES (1), (2), (3)) v(query)),
+         |res AS (SELECT query, n_nationkey AS doc,
+         |    row_number() OVER (PARTITION BY query
+         |      ORDER BY (n_nationkey * 7 + query * 3) % 25,
+         |        n_nationkey) AS rnk
+         |  FROM q),
+         |r10 AS (SELECT * FROM res WHERE rnk <= 10),
+         |jud AS (SELECT query, n_nationkey AS doc,
+         |    (n_nationkey + query * 2) % 4 AS rating
+         |  FROM q WHERE n_nationkey % 2 = 0),
+         |j AS (SELECT r.query, r.doc, r.rnk,
+         |    coalesce(jud.rating, 0) AS r8
+         |  FROM r10 r LEFT JOIN jud
+         |    ON jud.query = r.query AND jud.doc = r.doc),
+         |per AS (SELECT query, doc, rnk, r8,
+         |    CASE WHEN r8 >= 2 THEN 1 ELSE 0 END AS rel,
+         |    (pow(2, r8) - 1) / (ln(rnk + 1) / ln(2)) AS gain,
+         |    (pow(2, r8) - 1) / 8.0 AS rr
+         |  FROM j),
+         |surv AS (SELECT *, coalesce(exp(sum(ln(1 - rr)) OVER (
+         |    PARTITION BY query ORDER BY rnk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 1.0)
+         |    AS sv
+         |  FROM per),
+         |pq AS (SELECT query,
+         |    CAST(count(*) AS BIGINT) AS retrieved,
+         |    CAST(sum(rel) AS BIGINT) AS relevant_retrieved,
+         |    CAST(sum(rel) AS DOUBLE) / count(*) AS prec,
+         |    coalesce(1.0 / min(CASE WHEN rel = 1 THEN rnk END), 0.0)
+         |      AS mrr,
+         |    sum(gain) AS dcg,
+         |    sum(sv * rr / rnk) AS err
+         |  FROM surv GROUP BY query),
+         |ide AS (SELECT query,
+         |    CAST(sum(CASE WHEN rating >= 2 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS rt,
+         |    sum(CASE WHEN ir <= 10 THEN
+         |      (pow(2, rating) - 1) / (ln(ir + 1) / ln(2))
+         |      ELSE 0 END) AS idcg
+         |  FROM (SELECT query, doc, rating, row_number() OVER (
+         |      PARTITION BY query ORDER BY rating DESC, doc) AS ir
+         |    FROM jud)
+         |  GROUP BY query)
+         |SELECT pq.query, retrieved, relevant_retrieved,
+         |  ${r6("prec")} AS "precision",
+         |  ${r6("CASE WHEN rt > 0 THEN " +
+        "CAST(relevant_retrieved AS DOUBLE) / rt ELSE 0 END")}
+         |    AS recall,
+         |  ${r6("mrr")} AS mrr,
+         |  ${r6("dcg")} AS dcg,
+         |  ${r6("CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END")}
+         |    AS ndcg,
+         |  ${r6("err")} AS err
+         |FROM pq JOIN ide ON ide.query = pq.query
+         |ORDER BY pq.query""".stripMargin
     },
     "na1_nested_agg" ->
       """SELECT l_returnflag AS key,

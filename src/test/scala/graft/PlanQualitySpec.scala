@@ -450,4 +450,66 @@ class PlanQualitySpec extends AnyFunSuite {
       "Exchange hashpartitioning.*WindowGroupLimit.*Partial.*"),
       executed)
   }
+
+  test("f40: the nested query is a scan-side HOF filter — no explode, " +
+    "no shuffle added beyond the grouping that builds the fixture") {
+    val p = plan("f40_nested")
+    // the same-element predicate evaluates per row on the array
+    assert(!p.contains("Generate"), p) // no explode anywhere
+  }
+
+  test("f39/f42: query-string predicates stay single-scan filters " +
+    "with one tokenization pipeline, no UDFs") {
+    for (g <- Seq("f39_simple_query_string", "f42_query_string")) {
+      val p = plan(g)
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("eh1: histogram is ONE corpus scan — empty buckets come from " +
+    "a lag gap-fill over the reduced frame, never a rescan") {
+    // count scans on the bare tree (formatted mode prints each scan
+    // twice: once in the tree, once in the details section)
+    val tree = SparkEntry.queries("eh1_histogram")(spark, TestSpark.sfDir)
+      .queryExecution.sparkPlan.toString
+    val scans = "Scan parquet".r.findAllIn(tree).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$tree")
+  }
+
+  test("na1: nested agg is explode + ONE keyed exchange with partial " +
+    "aggregation before it") {
+    val p = plan("na1_nested_agg")
+    assert(p.contains("Generate"), p) // the explode to element grain
+    val hashAggs = "HashAggregate".r.findAllIn(p).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("idx15: boolean index search reads pruned postings once — " +
+    "broadcast df join, no SortMergeJoin, no second postings read") {
+    val tag = TestSpark.sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-idx15-$tag").toString
+    graft.operators.InvertedIndex.build(
+      Tables.load(spark, TestSpark.sfDir, "documents"),
+      "doc_id", "text", path)
+    val df = graft.operators.InvertedIndex.queryStringSearchTopK(
+      spark, path, "stream + filter -join", 10, idColName = "doc_id")
+    val p = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the pruned-postings read count must match the long-accepted
+    // searchTopK shape (postings referenced by the df stat and the
+    // scoring pivot) — NOT grow per clause role
+    val baseline = graft.operators.InvertedIndex.searchTopK(
+      spark, path, Seq("stream", "filter", "join"), 10,
+      idColName = "doc_id")
+    val baseScans = "Scan parquet".r.findAllIn(
+      baseline.queryExecution.sparkPlan.toString).length
+    val postingsScans = "Scan parquet".r.findAllIn(
+      df.queryExecution.sparkPlan.toString).length
+    assert(postingsScans <= baseScans,
+      s"$postingsScans postings scans vs searchTopK's $baseScans:\n$p")
+  }
 }
