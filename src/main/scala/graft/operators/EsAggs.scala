@@ -490,6 +490,52 @@ object EsAggs {
       tStat.as("t_stat"), dfree.as("deg_f"))
   }
 
+  /** ES `multi_terms`: terms buckets over a COMPOUND key of several
+    * fields — one keyed shuffle with map-side partial counts; the key
+    * parts join with "|" for a scalar surface (ES returns a key
+    * array). Docs missing ANY key field bucket nowhere (ES's rule).
+    * doc_count desc then key, ES's order; `size` bounds the output
+    * through a TakeOrderedAndProject.
+    */
+  def multiTerms(df: DataFrame, keys: Seq[String],
+                 size: Option[Int] = None): DataFrame = {
+    require(keys.size >= 2,
+      s"multi_terms needs >= 2 key fields (got ${keys.size}; " +
+        "use a plain terms/valueCounts for one)")
+    size.foreach(s => require(s >= 1, s"size must be >= 1, got $s"))
+    val out = df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("doc_count"))
+      .select(concat_ws("|", keys.map(col(_).cast("string")): _*)
+        .as("key"), col("doc_count"))
+      .orderBy(col("doc_count").desc, col("key"))
+    size.fold(out)(out.limit)
+  }
+
+  /** ES `t_test` type `paired`: Student's t over the PER-ROW
+    * differences of two fields (ES requires both fields on every doc
+    * counted — rows missing either side are excluded, matching the
+    * filter ES's field pairing implies). t = mean(d)/(s_d/√n),
+    * df = n − 1; one difference-moment pass, the [[tTest]] moment
+    * discipline, p-value left to the caller's stats layer for the
+    * same libm reason.
+    */
+  def tTestPaired(df: DataFrame, colA: String, colB: String): DataFrame = {
+    require(colA != colB, "paired t_test needs two distinct fields")
+    val d = col(colA).cast("double") - col(colB).cast("double")
+    df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(d).as("s"), sum(d * d).as("q"))
+      .select(col("n").cast("long").as("n"),
+        (col("s") / col("n")).as("mean_diff"),
+        ((col("s") / col("n")) /
+          sqrt(when(col("n") > 1,
+            greatest(lit(0.0),
+              (col("q") - col("s") * col("s") / col("n")) /
+                (col("n") - 1))) / col("n"))).as("t_stat"),
+        (col("n") - 1).cast("long").as("deg_f"))
+  }
+
   /** ES `string_stats` (with `show_distribution`'s entropy): count,
     * min/max/avg length, and the Shannon entropy (bits) of the
     * CHARACTER distribution across all values — one length pass plus

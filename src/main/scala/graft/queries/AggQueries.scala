@@ -261,6 +261,21 @@ object AggQueries {
           (col("med6_cents") / 100.0).as("trailing_median"))
         .orderBy("month")
     }),
+    // ES t_test type paired: per-row difference moments (exact
+    // integral sums; one sqrt both engines)
+    "tt2_t_test_paired" -> ((s, d) => {
+      EsAggs.tTestPaired(Tables.load(s, d, "lineitem"),
+          "l_quantity", "l_linenumber")
+        .select(col("n"),
+          QueryUtil.rhu(col("mean_diff"), 6).as("mean_diff"),
+          QueryUtil.rhu(col("t_stat"), 6).as("t_stat"),
+          col("deg_f"))
+    }),
+    // ES multi_terms: compound-key buckets, doc_count desc, size cut
+    "mt1_multi_terms" -> ((s, d) => {
+      EsAggs.multiTerms(Tables.load(s, d, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"), size = Some(10))
+    }),
     // ES _rank_eval: precision/recall/MRR/DCG/NDCG/ERR over a
     // deterministic arithmetic fixture (3 queries × nation docs,
     // ranks from a mod permutation, even keys judged) — the oracle
@@ -623,6 +638,29 @@ object AggQueries {
            |  UNION ALL SELECT '8000000.0-*', 8000000.0, NULL, r3 FROM m)
            |ORDER BY key""".stripMargin
     },
+    "tt2_t_test_paired" -> {
+      def r6(e: String) = QueryUtil.rhuSql(e, 6)
+      s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    sum(CAST(l_quantity AS DOUBLE) - l_linenumber) AS s,
+         |    sum((CAST(l_quantity AS DOUBLE) - l_linenumber) *
+         |        (CAST(l_quantity AS DOUBLE) - l_linenumber)) AS q
+         |  FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  ${r6("s / n")} AS mean_diff,
+         |  ${r6("(s / n) / sqrt(greatest(0.0, " +
+        "(q - s * s / n) / (n - 1)) / n)")} AS t_stat,
+         |  CAST(n - 1 AS BIGINT) AS deg_f
+         |FROM m""".stripMargin
+    },
+    "mt1_multi_terms" ->
+      """SELECT o_orderstatus || '|' || o_orderpriority AS key,
+        |  CAST(count(*) AS BIGINT) AS doc_count
+        |FROM orders
+        |WHERE o_orderstatus IS NOT NULL
+        |  AND o_orderpriority IS NOT NULL
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY doc_count DESC, key LIMIT 10""".stripMargin,
     "re1_rank_eval" -> {
       def r6(e: String) = QueryUtil.rhuSql(e, 6)
       s"""WITH q AS (SELECT n_nationkey,

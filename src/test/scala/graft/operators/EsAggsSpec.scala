@@ -170,6 +170,30 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("t_test paired / multi_terms") {
+    it("paired t matches the hand formula and drops half-null rows") {
+      // pairs (3,1),(5,2),(4,4): d = 2,3,0 → mean 5/3, var 7/3
+      val df = Seq((Some(3.0), Some(1.0)), (Some(5.0), Some(2.0)),
+        (Some(4.0), Some(4.0)), (None, Some(9.0)), (Some(9.0), None))
+        .toDF("a", "b")
+      val r = EsAggs.tTestPaired(df, "a", "b").collect().head
+      r.getAs[Long]("n") shouldBe 3L
+      r.getAs[Double]("mean_diff") shouldBe (5.0 / 3) +- 1e-12
+      val t = (5.0 / 3) / math.sqrt((7.0 / 3) / 3)
+      r.getAs[Double]("t_stat") shouldBe t +- 1e-12
+      r.getAs[Long]("deg_f") shouldBe 2L
+    }
+    it("multi_terms buckets compound keys, excludes half-null rows") {
+      val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"),
+        (null, "x"), ("b", null)).toDF("k1", "k2")
+      EsAggs.multiTerms(df, Seq("k1", "k2")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+        Seq(("a|x", 2L), ("a|y", 1L), ("b|x", 1L))
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.multiTerms(df, Seq("k1"))
+    }
+  }
+
   describe("nested aggregation + reverse_nested") {
     it("counts elements, aggregates the element field, and counts " +
         "parents once each") {
