@@ -490,6 +490,43 @@ object EsAggs {
       tStat.as("t_stat"), dfree.as("deg_f"))
   }
 
+  /** The full-knob ES `terms` aggregation face: buckets of a single
+    * field with `min_doc_count`, `include` / `exclude` regex filters
+    * (anchored, ES's regexp semantics), and the `missing` parameter
+    * (bucket null values under a substitute key instead of dropping
+    * them). doc_count desc then key, size through a
+    * TakeOrderedAndProject. The include/exclude filters apply to the
+    * BUCKET KEY after aggregation (O(buckets), like ES) — but they
+    * also push a mirror predicate below the groupBy so the shuffle
+    * never carries excluded keys.
+    */
+  def termsAgg(df: DataFrame, field: String,
+               size: Option[Int] = None,
+               minDocCount: Int = 1,
+               include: Option[String] = None,
+               exclude: Option[String] = None,
+               missing: Option[String] = None): DataFrame = {
+    require(minDocCount >= 0,
+      s"min_doc_count must be >= 0, got $minDocCount")
+    size.foreach(s => require(s >= 1, s"size must be >= 1, got $s"))
+    val keyed = missing match {
+      case Some(m) =>
+        df.select(coalesce(col(field).cast("string"), lit(m)).as("key"))
+      case None =>
+        df.filter(col(field).isNotNull)
+          .select(col(field).cast("string").as("key"))
+    }
+    val pre = Seq(
+      include.map(re => col("key").rlike(s"^(?:$re)$$")),
+      exclude.map(re => !col("key").rlike(s"^(?:$re)$$"))
+    ).flatten.foldLeft(keyed)(_ filter _)
+    val out = pre.groupBy("key")
+      .agg(count(lit(1)).cast("long").as("doc_count"))
+      .filter(col("doc_count") >= minDocCount.toLong)
+      .orderBy(col("doc_count").desc, col("key"))
+    size.fold(out)(out.limit)
+  }
+
   /** ES `multi_terms`: terms buckets over a COMPOUND key of several
     * fields — one keyed shuffle with map-side partial counts; the key
     * parts join with "|" for a scalar surface (ES returns a key

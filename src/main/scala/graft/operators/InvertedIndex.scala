@@ -878,10 +878,22 @@ object InvertedIndex {
     // rows — idf, tf, and the corpus stats all see only live docs.
     val dels = committedDeletes(spark, indexPath)
     val st = liveStats(spark, segs, dels)
-    val n = st.n
-    val avg = if (n > 0) st.sumLen / n
-              else 1.0 // postings are empty too: result is empty anyway
     val terms = queryTerms.map(st.analyzeTerm).distinct
+    rawTermScores(spark, segs, dels, st, terms, idColName, k1, b)
+      .orderBy(col("score").desc, col(idColName))
+      .limit(k)
+  }
+
+  /** The (id, rounded score) frame behind [[searchTopK]] and
+    * [[searchAfter]] — one pruned postings read, broadcast df,
+    * per-doc Okapi sum with the single 6-dp rounding.
+    */
+  private def rawTermScores(spark: SparkSession, segs: Seq[String],
+                            dels: Seq[String], st: LiveStats,
+                            terms: Seq[String], idColName: String,
+                            k1: Double, b: Double): DataFrame = {
+    val n = st.n
+    val avg = if (n > 0) st.sumLen / n else 1.0
     val p = prunedLivePostings(spark, segs, dels, terms, st.buckets)
     // postings rows are unique per (term, id) across segments (the
     // append contract): df = row count per term
@@ -896,6 +908,33 @@ object InvertedIndex {
             lit(k1) * (lit(1.0) - b + lit(b) * col("len") / lit(avg))))
       .groupBy(col("id").as(idColName))
       .agg(round(sum(col("_s")), 6).as("score"))
+  }
+
+  /** ES `search_after` pagination of [[searchTopK]]: the next `k`
+    * docs STRICTLY AFTER the (score, id) cursor in the ranking's own
+    * order (score desc, id asc). The cursor compares on the ROUNDED
+    * score — the ranking's own 6-dp surface — so a cursor taken from
+    * a previous page's last row tiles exactly: no overlap, no gap.
+    * Deep pages re-read only the query terms' postings (the same
+    * pruned read every page pays) and never materialize earlier
+    * hits — the cursor predicate cuts them before the top-k heap,
+    * which is the entire point of search_after vs from/size.
+    */
+  def searchAfter(spark: SparkSession, indexPath: String,
+                  queryTerms: Seq[String], k: Int,
+                  afterScore: Double, afterId: Any,
+                  idColName: String = "id",
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0)
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val dels = committedDeletes(spark, indexPath)
+    val st = liveStats(spark, segs, dels)
+    val terms = queryTerms.map(st.analyzeTerm).distinct
+    rawTermScores(spark, segs, dels, st, terms, idColName, k1, b)
+      .filter(col("score") < afterScore ||
+        (col("score") === afterScore && col(idColName) > lit(afterId)))
       .orderBy(col("score").desc, col(idColName))
       .limit(k)
   }
@@ -1339,6 +1378,108 @@ object InvertedIndex {
     require(k > 0, "k must be positive")
     rawPhraseScores(spark, indexPath, phrase, k1, b)
       .select(col("id").as(idColName), round(col("_fs"), 6).as("score"))
+      .orderBy(col("score").desc, col(idColName))
+      .limit(k)
+  }
+
+  /** Index-served `match_phrase_prefix` — the third search-as-you-type
+    * face (scan: [[graft.functions.EsMatch.matchPhrasePrefix]]; the
+    * index already serves phrase (idx7/idx8) and bool_prefix (idx13)):
+    * the query's full terms must occur CONSECUTIVELY and some token
+    * starting with the LAST term must sit at the next position.
+    *
+    * Scoring, portable by the idx13 discipline: the full-terms part
+    * earns the [[phraseSearchTopK]] phrase-BM25 (Σ constituent idfs ×
+    * Okapi-saturated tf) where tf counts only COMPLETED occurrences —
+    * a "quick brown f" hit needs a f-token after "quick brown" — and
+    * the prefix clause contributes a CONSTANT 1.0 (Lucene rewrites
+    * multi-term expansions constant-score; per-expansion statistics
+    * are engine-internal). A one-term query (bare prefix box) returns
+    * prefix-matching docs at 1.0, id order.
+    *
+    * Read shape: full terms ride the [[phraseSearch]] positional
+    * frames (bucket-pruned, O(term postings)); the prefix resolves
+    * through the vocabulary sidecar with the [[suggestCompletions]]
+    * range-pruned postings read (never an expansion IN list) on the
+    * SAME segment snapshot as the stats; positions join on id and the
+    * completed-occurrence count is one array predicate.
+    */
+  def phrasePrefixSearchTopK(spark: SparkSession, indexPath: String,
+                             query: String, k: Int,
+                             idColName: String = "id",
+                             k1: Double = 1.2, b: Double = 0.75,
+                             maxCandidates: Int = 10000): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qs = graft.functions.TextAnalysis.tokensOf(query)
+    require(qs.nonEmpty, "query analyzes to no terms")
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    require(indexPositions(spark, segs),
+      s"$indexPath was built without positional postings — " +
+        "build(positions = true) enables phrase-prefix search")
+    val dels = committedDeletes(spark, indexPath)
+    val st = liveStats(spark, segs, dels)
+    val n = st.n
+    val avg = if (n > 0) st.sumLen / n else 1.0
+    val full = qs.init.map(st.analyzeTerm)
+    val (p0, exts, _) = vocabPrefixCandidates(spark, indexPath,
+      st.analyzeTerm(qs.last), maxCandidates, Some(segs))
+    val idT = spark.read.parquet(s"${segs.head}/postings").schema("id")
+    def emptyResult = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        idT.copy(name = idColName),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    if (exts.isEmpty) return emptyResult
+    val wanted = exts.map(bucketOf(_, st.buckets)).distinct
+    val prune: DataFrame => DataFrame =
+      _.filter(col("bucket").isin(wanted: _*))
+        .filter(col("term") >= p0 && col("term") < p0 + '￿')
+        .filter(col("term").startsWith(p0))
+    val cand =
+      if (dels.isEmpty) mergedPostings(spark, segs, prune)
+      else mergedLivePostings(spark, segs, dels, prune)
+    // all prefix-token positions per doc (several candidate terms can
+    // hit one doc); bounded by doc length
+    val pp = cand.select(col("id"), explode(col("pos")).as("_pp"))
+      .groupBy("id").agg(collect_set(col("_pp")).as("_ppos"))
+    if (full.isEmpty)
+      // bare prefix box: constant score, id order (ES's behavior)
+      return pp.select(col("id").as(idColName), lit(1.0).as("score"))
+        .orderBy(col(idColName)).limit(k)
+    val all = prunedLivePostings(spark, segs, dels, full.distinct,
+      st.buckets)
+    val dfreq = all.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val frames = full.zipWithIndex.map { case (t, i) =>
+      val base = all.filter(col("term") === t)
+      if (i == 0) base.select(col("id"), col("len"),
+        col("pos").as("_pos0"))
+      else base.select(col("id"), col("pos").as(s"_pos$i"))
+    }
+    val joined = frames.reduce((a, c) => a.join(c, Seq("id")))
+      .join(pp, Seq("id"))
+    val m = full.length
+    val ptf = size(filter(col("_pos0"), p =>
+      ((1 until m).map(i => array_contains(col(s"_pos$i"), p + i)) :+
+        array_contains(col("_ppos"), p + m)).reduce(_ && _)))
+    val idfMap = dfreq
+      .select(col("term"),
+        log(lit(1.0) + (lit(n) - col("_df") + 0.5) / (col("_df") + 0.5))
+          .as("_idf"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val totalIdf = full.map(idfMap.getOrElse(_, 0.0)).sum
+    joined
+      .withColumn("_ptf", ptf.cast("double"))
+      .filter(col("_ptf") > 0)
+      .withColumn("score", round(
+        lit(totalIdf) * col("_ptf") * (k1 + 1.0) /
+          (col("_ptf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("len") / lit(avg)))
+          + 1.0, 6))
+      .select(col("id").as(idColName), col("score"))
       .orderBy(col("score").desc, col(idColName))
       .limit(k)
   }

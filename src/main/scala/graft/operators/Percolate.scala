@@ -64,6 +64,77 @@ object Percolate {
       .select(col(idCol), col(queryIdCol), col("matched_terms"))
   }
 
+  /** Percolate with PHRASE rules — stored `match_phrase` queries (the
+    * other percolator shape a routing/tagging table holds). Two-stage,
+    * corpus-never-shuffles discipline:
+    *
+    *  1. candidate join: the phrase's analyzed terms broadcast like
+    *     [[percolate]]'s, and a (doc, query) pair survives only when
+    *     the doc contains EVERY term of the phrase (msm = distinct
+    *     term count — adjacency implies containment, so this is a
+    *     lossless prefilter);
+    *  2. adjacency check: the surviving pairs join back to the
+    *     documents on the id (candidate pairs are few by
+    *     construction; AQE picks the join side) and verify the
+    *     analyzed phrase occurs CONSECUTIVELY via the same
+    *     token-joined needle as [[graft.functions.EsMatch.matchPhrase]]
+    *     — with the needle coming from the rule ROW, the dynamic form
+    *     of the static expression.
+    *
+    * Returns (idCol, queryIdCol) — one row per matching pair.
+    */
+  def percolatePhrases(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, queryIdCol: String,
+                       phraseCol: String,
+                       maxQueries: Long = 1000000L): DataFrame = {
+    val nq = queries.count()
+    require(nq > 0, "percolatePhrases: empty query table")
+    require(nq <= maxQueries,
+      s"percolatePhrases: $nq stored queries exceeds the broadcast " +
+        s"cap $maxQueries — raise it deliberately or shard the table")
+    val analyzed = queries.select(col(queryIdCol),
+      TextAnalysis.tokens(col(phraseCol)).as("_pterms"))
+    val badRules = analyzed
+      .filter(col("_pterms").isNull || size(col("_pterms")) < 1)
+      .select(col(queryIdCol)).limit(5)
+      .collect().map(_.get(0)).toSeq
+    require(badRules.isEmpty,
+      s"percolatePhrases: stored queries $badRules analyze to no " +
+        "terms — an empty phrase can never match and is refused")
+    val qterms = analyzed.select(col(queryIdCol),
+      size(array_distinct(col("_pterms"))).as("_msm"),
+      concat_ws(" ", col("_pterms")).as("_needle"),
+      explode(array_distinct(col("_pterms"))).as("term"))
+    val dtokens = docs.select(col(idCol),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+        .as("term"))
+    val pairs = dtokens.join(broadcast(qterms), Seq("term"))
+      .groupBy(col(idCol), col(queryIdCol), col("_msm"), col("_needle"))
+      .agg(count(lit(1)).cast("long").as("_hits"))
+      .filter(col("_hits") >= col("_msm"))
+      .select(col(idCol), col(queryIdCol), col("_needle"))
+    pairs.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .filter(concat(lit(" "),
+        concat_ws(" ", TextAnalysis.tokens(col(textCol))), lit(" "))
+        .contains(concat(lit(" "), col("_needle"), lit(" "))))
+      .select(col(idCol), col(queryIdCol))
+  }
+
+  /** Convenience: [[percolatePhrases]] against driver-side
+    * (name, phrase) rules.
+    */
+  def percolatePhraseRules(docs: DataFrame, idCol: String,
+                           textCol: String,
+                           rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "percolatePhrases: no rules")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"duplicate rule names in ${rules.map(_._1)}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    percolatePhrases(docs, idCol, textCol,
+      rules.toDF("query_id", "phrase"), "query_id", "phrase")
+  }
+
   /** Convenience: percolate against driver-side rules
     * (name, terms, minimum_should_match).
     */

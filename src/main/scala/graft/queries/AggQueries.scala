@@ -222,6 +222,17 @@ object AggQueries {
           ("heavy_sort", Seq("window", "sort", "order"), 3)))
         .orderBy("doc_id", "query_id")
     }),
+    // percolate with PHRASE rules (stored match_phrase queries):
+    // containment prefilter through the broadcast term join, then the
+    // adjacency check on candidate pairs only
+    "pc2_phrase_percolate" -> ((s, d) => {
+      graft.operators.Percolate.percolatePhraseRules(
+        Tables.load(s, d, "documents"), "doc_id", "text", Seq(
+          ("r_hash_join", "hash join"),
+          ("r_sort_merge", "sort merge"),
+          ("r_stream_filter", "stream filter")))
+        .orderBy("doc_id", "query_id")
+    }),
     // ES geo_distance aggregation: ring buckets by haversine distance
     // from an origin — Geo.haversineMeters composed with rangeAgg,
     // raw-double ring compares (the Geo float discipline)
@@ -260,6 +271,16 @@ object AggQueries {
         .select(col("month"), col("n"),
           (col("med6_cents") / 100.0).as("trailing_median"))
         .orderBy("month")
+    }),
+    // the full-knob ES terms agg: missing-bucket substitution,
+    // anchored include/exclude regexes, min_doc_count, size cut
+    "ta1_terms_agg" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+        .withColumn("seg", when(col("c_custkey") % 11 === 0, lit(null))
+          .otherwise(col("c_mktsegment")))
+      EsAggs.termsAgg(c, "seg", size = Some(10), minDocCount = 2,
+        include = Some("(A|B|_).*"), exclude = Some("BUILDING"),
+        missing = Some("__missing__"))
     }),
     // ES t_test type paired: per-row difference moments (exact
     // integral sums; one sqrt both engines)
@@ -613,6 +634,19 @@ object AggQueries {
            |WHERE len(list_filter(r.terms,
            |    x -> list_contains(t.toks, x))) >= msm
            |ORDER BY doc_id, query_id""".stripMargin,
+    "pc2_phrase_percolate" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |    ' ' || array_to_string(
+           |      list_filter(string_split_regex(lower(text), '\s+'),
+           |        x -> x <> ''), ' ') || ' ' AS joined
+           |  FROM documents),
+           |r(query_id, needle) AS (VALUES
+           |  ('r_hash_join', ' hash join '),
+           |  ('r_sort_merge', ' sort merge '),
+           |  ('r_stream_filter', ' stream filter '))
+           |SELECT doc_id, query_id FROM t, r
+           |WHERE instr(t.joined, r.needle) > 0
+           |ORDER BY doc_id, query_id""".stripMargin,
     "gd1_geo_distance_agg" -> {
       val dist = QueryUtil.haversineSqlMeters("lat", "lon",
         "10.0", "20.0")
@@ -638,6 +672,17 @@ object AggQueries {
            |  UNION ALL SELECT '8000000.0-*', 8000000.0, NULL, r3 FROM m)
            |ORDER BY key""".stripMargin
     },
+    "ta1_terms_agg" ->
+      """WITH k AS (SELECT CASE WHEN c_custkey % 11 = 0
+        |    THEN '__missing__' ELSE c_mktsegment END AS key
+        |  FROM customer),
+        |b AS (SELECT key, CAST(count(*) AS BIGINT) AS doc_count
+        |  FROM k
+        |  WHERE regexp_matches(key, '^(?:(A|B|_).*)$')
+        |    AND NOT regexp_matches(key, '^(?:BUILDING)$')
+        |  GROUP BY key HAVING count(*) >= 2)
+        |SELECT key, doc_count FROM b
+        |ORDER BY doc_count DESC, key LIMIT 10""".stripMargin,
     "tt2_t_test_paired" -> {
       def r6(e: String) = QueryUtil.rhuSql(e, 6)
       s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,

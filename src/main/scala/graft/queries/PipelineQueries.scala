@@ -1655,6 +1655,50 @@ object PipelineQueries {
     // without a vocab rebuild (tombstones keep the segment set). The
     // oracle replays the whole thing over the live docs — Okapi
     // arithmetic, AND gate, prefix test, +1, one 6-dp rounding
+    // ES search_after pagination of the index ranking: page 2 starts
+    // strictly after page 1's (score, id) cursor on the ROUNDED
+    // surface — the oracle proves exact tiling by checking page 2
+    // against rank positions 8..14 of the full replayed ranking
+    "idx17_search_after" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx17-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", path)
+      val terms = Seq("stream", "filter", "join")
+      val p1 = graft.operators.InvertedIndex.searchTopK(s, path, terms,
+        k = 7, idColName = "doc_id")
+      val rows = p1.orderBy(col("score").desc, col("doc_id")).collect()
+      val last = rows.last
+      val p2 = graft.operators.InvertedIndex.searchAfter(s, path, terms,
+        k = 7, afterScore = last.getDouble(1), afterId = last.getLong(0),
+        idColName = "doc_id")
+      p1.withColumn("q", lit("p1"))
+        .unionByName(p2.withColumn("q", lit("p2")))
+        .orderBy(col("q"), col("score").desc, col("doc_id"))
+    }),
+    // index-served match_phrase_prefix (the THIRD search-as-you-type
+    // face): full terms adjacent + a prefix-completing token at the
+    // next position; phrase-BM25 over completed occurrences + the
+    // constant prefix clause (the idx13 discipline); plus the bare
+    // one-term prefix box at constant 1.0
+    "idx16_phrase_prefix_search" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx16-$tag").toString
+      val docs = t(s, d, "documents")
+      graft.operators.InvertedIndex.build(docs, "doc_id", "text", path,
+        positions = true)
+      graft.operators.InvertedIndex.buildVocabulary(s, path)
+      val ph = graft.operators.InvertedIndex.phrasePrefixSearchTopK(
+          s, path, "the fas", k = 15, idColName = "doc_id")
+        .withColumn("q", lit("phrase"))
+      val bare = graft.operators.InvertedIndex.phrasePrefixSearchTopK(
+          s, path, "mer", k = 15, idColName = "doc_id")
+        .withColumn("q", lit("bare"))
+      ph.unionByName(bare)
+        .orderBy(col("q"), col("score").desc, col("doc_id"))
+    }),
     "idx13_bool_prefix" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = new java.io.File(
@@ -4570,6 +4614,58 @@ object PipelineQueries {
     // phrase-BM25 replay: per-doc adjacent-pair recount (1-indexed
     // generate_series, inclusive), per-term dfs, summed idf, Okapi
     // saturation, 6-dp round, id ties
+    // full BM25 ranking replayed once; p1 = ranks 1-7, p2 = 8-14 —
+    // rank-range equality IS the no-overlap-no-gap tiling proof
+    "idx17_search_after" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter', 'join') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |  FROM tf JOIN dft USING (t), st GROUP BY doc_id),
+           |rk AS (SELECT doc_id, score, row_number() OVER (
+           |    ORDER BY score DESC, doc_id) AS rn FROM bm)
+           |SELECT doc_id, score,
+           |  CASE WHEN rn <= 7 THEN 'p1' ELSE 'p2' END AS q
+           |FROM rk WHERE rn <= 14
+           |ORDER BY q, score DESC, doc_id""".stripMargin,
+    // phrase leg: completed occurrences only ('the' then a fas-token),
+    // idf of the full term, + the constant 1.0 prefix clause; bare
+    // leg: prefix containment at 1.0, id order
+    "idx16_phrase_prefix_search" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |pt AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |         CAST(len([i FOR i IN generate_series(1, len(toks) - 1)
+           |                   IF toks[i] = 'the'
+           |                   AND starts_with(toks[i + 1], 'fas')])
+           |           AS DOUBLE) AS ptf
+           |       FROM s),
+           |dfs AS (SELECT
+           |  CAST((SELECT count(*) FROM s WHERE list_contains(toks, 'the'))
+           |    AS DOUBLE) AS df1),
+           |ph AS (SELECT doc_id,
+           |    round(ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+           |          * ptf * (1.2 + 1) /
+           |          (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))
+           |          + 1.0, 6) AS score,
+           |    'phrase' AS q
+           |  FROM pt, st, dfs WHERE ptf > 0
+           |  ORDER BY score DESC, doc_id LIMIT 15),
+           |bare AS (SELECT doc_id, 1.0 AS score, 'bare' AS q FROM s
+           |  WHERE len(list_filter(toks, t -> starts_with(t, 'mer'))) > 0
+           |  ORDER BY doc_id LIMIT 15)
+           |SELECT doc_id, score, q FROM ph
+           |UNION ALL SELECT doc_id, score, q FROM bare
+           |ORDER BY q, score DESC, doc_id""".stripMargin,
     "idx8_phrase_score" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,

@@ -125,7 +125,19 @@ object DumpPlans {
     "pc1_percolate" ->
       "Percolate (reverse search): the stored-query table explodes to (query, term) rows and BROADCASTS; documents explode their distinct analyzed tokens once and hash-join map-side — the corpus is never shuffled to find rule matches, and only (doc, query) HITS reach the per-pair count that enforces each query's own minimum_should_match. Tagging a 100 TB corpus against a rule table costs one scan.",
     "idx14_delete_by_query" ->
-      "delete_by_query: id resolution reads ONLY the query terms' postings buckets (the same PartitionFilters pruning every search gets), so finding what to delete never scans the corpus — then the ordinary tombstone write (lens-exact charges, stats-last commit) makes the deletion visible to every subsequent search with adjusted statistics.")
+      "delete_by_query: id resolution reads ONLY the query terms' postings buckets (the same PartitionFilters pruning every search gets), so finding what to delete never scans the corpus — then the ordinary tombstone write (lens-exact charges, stats-last commit) makes the deletion visible to every subsequent search with adjusted statistics.",
+    "f40_nested" ->
+      "The nested query compiles to a higher-order exists() whose lambda rebinds path.* names to the CURRENT array element — same-element bool semantics with ZERO explode and zero shuffle (no Generate node anywhere, spec-pinned). The flattened cross-element reading, built from two separate nested clauses, shares the plan shape; only the lambda differs. At 100 TB an explode-based nested filter would multiply the scan by average array length before filtering it back down.",
+    "f42_query_string" ->
+      "query_string is pure driver-side parsing onto the existing leaves: every term/phrase/prefix/range lands in the SAME single-scan filter a hand-written predicate produces — no UDFs, one tokenization pipeline per referenced field, and the numeric range legs (n_chars:[400 TO 900]) reach PushedFilters. The grammar adds zero execution machinery to the plan.",
+    "eh1_histogram" ->
+      "ES histogram with min_doc_count:0 as ONE corpus scan: empty buckets come from a lag gap-fill over the REDUCED bucket frame (each bucket emits itself plus the missing keys since its predecessor) instead of a bounds-aggregate + spine + join spelling, which would recompute the bucket aggregation — i.e. rescan the corpus — once per reference. Spec-pinned to exactly one Scan node.",
+    "na1_nested_agg" ->
+      "Nested aggregation + reverse_nested: one explode to element grain, then ONE keyed exchange with map-side partial aggregation; the distinct-parent count (reverse_nested) rides the same shuffle as the element metrics instead of a second pass over the array column.",
+    "re1_rank_eval" ->
+      "_rank_eval: results are cut to rank <= k FIRST (pushable filter), one left join against judgments, and every metric — including ERR's survival product — is a window over the BOUNDED per-query frame. The ideal-DCG leg windows the judgments table alone. No corpus is touched; evaluation cost scales with queries x k, not documents.",
+    "pc2_phrase_percolate" ->
+      "Phrase percolate: containment through the broadcast term join is a LOSSLESS prefilter (adjacency implies containment), so the adjacency check — the dynamic form of match_phrase's token-joined needle — runs only on candidate (doc, query) pairs joined back by id. The corpus tokenizes twice but never shuffles; rule tables broadcast like pc1.")
 
   private val epilogue: String = """
 ## Streaming index-lifecycle gate cost (st6, st9-st13) — r12 adjudication

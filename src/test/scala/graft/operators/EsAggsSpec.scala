@@ -170,6 +170,28 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("terms agg (full knobs)") {
+    it("missing substitutes, include/exclude filter keys, " +
+        "min_doc_count prunes, size cuts") {
+      val df = Seq(Some("apple"), Some("apple"), Some("avocado"),
+        Some("banana"), Some("banana"), Some("cherry"), None, None)
+        .toDF("f")
+      EsAggs.termsAgg(df, "f").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+        Seq(("apple", 2L), ("banana", 2L), ("avocado", 1L),
+          ("cherry", 1L))
+      EsAggs.termsAgg(df, "f", missing = Some("__na__"),
+        minDocCount = 2).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+        Seq(("__na__", 2L), ("apple", 2L), ("banana", 2L))
+      EsAggs.termsAgg(df, "f", include = Some("a.*"),
+        exclude = Some("avocado"), size = Some(1)).collect()
+        .map(_.getString(0)).toSeq shouldBe Seq("apple")
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.termsAgg(df, "f", minDocCount = -1)
+    }
+  }
+
   describe("t_test paired / multi_terms") {
     it("paired t matches the hand formula and drops half-null rows") {
       // pairs (3,1),(5,2),(4,4): d = 2,3,0 → mean 5/3, var 7/3

@@ -33,6 +33,72 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty)
   }
 
+  test("searchAfter tiles exactly: pages concatenate to the full " +
+      "ranking, no overlap, no gap — including across score ties") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"),
+      (4L, "alpha"), (5L, "alpha"), (6L, "beta"), (7L, "gamma"))
+      .toDF("doc_id", "text")
+    val path = tmp("graft-idx-after")
+    InvertedIndex.build(docs, "doc_id", "text", path)
+    val terms = Seq("alpha", "beta")
+    val full = InvertedIndex.searchTopK(spark, path, terms, 10,
+      idColName = "doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // page through 2 at a time via each page's last (score, id)
+    val paged = Iterator.iterate(
+      (InvertedIndex.searchTopK(spark, path, terms, 2,
+        idColName = "doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq, 0)) {
+      case (page, n) =>
+        val (lastId, lastScore) = page.last
+        (InvertedIndex.searchAfter(spark, path, terms, 2,
+          afterScore = lastScore, afterId = lastId,
+          idColName = "doc_id").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq, n + 1)
+    }.takeWhile(_._1.nonEmpty).map(_._1).take(5).toSeq.flatten
+    assert(paged == full) // ties (docs 1,2,3 identical) tile on id
+  }
+
+  test("phrasePrefixSearchTopK matches the scan face's doc set; " +
+      "completed occurrences drive the tf; bare prefix is constant") {
+    val docs = Seq(
+      (1L, "quick brown fox runs"),   // 'quick brown f…' completes
+      (2L, "quick brown dog"),        // full phrase, no f-completion
+      (3L, "brown quick fox"),        // terms present, wrong order
+      (4L, "quick brown fog quick brown fox"), // TWO completions
+      (5L, "fox quick")).toDF("doc_id", "text")
+    val path = tmp("graft-idx-ppfx")
+    InvertedIndex.build(docs, "doc_id", "text", path, positions = true)
+    InvertedIndex.buildVocabulary(spark, path)
+    val got = InvertedIndex.phrasePrefixSearchTopK(spark, path,
+      "quick brown f", k = 10, idColName = "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // scan face agrees on WHICH docs match
+    val scan = docs.filter(graft.functions.EsMatch.matchPhrasePrefix(
+      org.apache.spark.sql.functions.col("text"), "quick brown f"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet == scan && got.keySet == Set(1L, 4L))
+    // doc 4 has ptf 2 (fog AND fox complete) → higher phrase score
+    assert(got(4L) > got(1L))
+    // every score carries the +1.0 constant prefix clause
+    got.values.foreach(s => assert(s > 1.0))
+    // bare one-term prefix: constant 1.0, id order
+    val bare = InvertedIndex.phrasePrefixSearchTopK(spark, path,
+      "fo", k = 10, idColName = "doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bare == Seq((1L, 1.0), (3L, 1.0), (4L, 1.0), (5L, 1.0)))
+    // an unmatched prefix returns a typed empty frame
+    assert(InvertedIndex.phrasePrefixSearchTopK(spark, path,
+      "quick brown zz", k = 10, idColName = "doc_id").count() == 0)
+    // positions-less index refuses loudly
+    val flat = tmp("graft-idx-ppfx-flat")
+    InvertedIndex.build(docs, "doc_id", "text", flat)
+    InvertedIndex.buildVocabulary(spark, flat)
+    intercept[IllegalArgumentException](
+      InvertedIndex.phrasePrefixSearchTopK(spark, flat, "quick b", 5))
+  }
+
   test("booleanSearchTopK: must gates on all, should adds score, " +
       "must_not excludes; flat query strings drive it") {
     val docs = Seq(

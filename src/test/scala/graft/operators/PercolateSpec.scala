@@ -59,6 +59,27 @@ class PercolateSpec extends AnyFunSpec with Matchers {
     run(Seq(("ok", Seq("filter"), 1))).length shouldBe 2
   }
 
+  it("phrase percolate requires ADJACENCY, not just containment") {
+    val d = Seq(
+      (1L, "spark hash join runs"),   // adjacent → matches
+      (2L, "hash of the join"),       // both terms, not adjacent
+      (3L, "join hash"),              // both terms, wrong order
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val out = Percolate.percolatePhraseRules(d, "doc_id", "text",
+      Seq(("hj", "hash join"), ("nr", "never matches")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    out shouldBe Set((1L, "hj"))
+    // the adjacency needle analyzes like the corpus (case folds)
+    Percolate.percolatePhraseRules(d, "doc_id", "text",
+      Seq(("up", "HASH Join"))).collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    an[IllegalArgumentException] should be thrownBy
+      Percolate.percolatePhraseRules(d, "doc_id", "text",
+        Seq(("empty", "   ")))
+    an[IllegalArgumentException] should be thrownBy
+      Percolate.percolatePhraseRules(d, "doc_id", "text", Seq.empty)
+  }
+
   it("refuses empty rule tables and duplicate names") {
     an[IllegalArgumentException] should be thrownBy
       Percolate.percolateRules(docs, "doc_id", "text", Seq.empty)
