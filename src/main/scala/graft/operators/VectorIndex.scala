@@ -766,11 +766,25 @@ object VectorIndex {
     * Queries are broadcast — the workload contract is a modest query
     * frame against an arbitrarily large index.
     */
+  /** `filterIds`: ES 8 `knn.filter` — restrict candidates to an id
+    * set BEFORE ranking (a single-column frame; the filter typically
+    * comes from a metadata predicate resolved to ids). The semi-join
+    * lands after the cell pruning and before any scoring, so filtered
+    * vectors are never dotted. IVF caveat, same as ES's HNSW one: a
+    * highly selective filter can leave fewer than k survivors in the
+    * probed cells — raise `nprobe` (nlist = exact) when the filter
+    * bites hard; recall degrades to exact the same way unfiltered
+    * search does.
+    */
   def searchTopK(queries: DataFrame, indexPath: String, k: Int,
                  nprobe: Int = 2, qIdCol: String = "q_id",
                  vecCol: String = "vec", idColName: String = "id",
-                 roundTo: Int = 6): DataFrame = {
+                 roundTo: Int = 6,
+                 filterIds: Option[DataFrame] = None): DataFrame = {
     require(k > 0)
+    filterIds.foreach(f => require(f.columns.length == 1,
+      s"filterIds must be a single-column id frame, got " +
+        s"${f.columns.mkString(", ")}"))
     val spark = queries.sparkSession
     val segs = SegmentStore.committedSegments(spark, indexPath)
     require(segs.nonEmpty,
@@ -796,8 +810,10 @@ object VectorIndex {
       .localCheckpoint(true)
     // bounded driver state: the distinct probed-cell set is ≤ nlist
     val wanted = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val c = liveVectors(spark, segs, dels,
+    val c0 = liveVectors(spark, segs, dels,
       _.filter(col("cell").isin(wanted: _*)))
+    val c = filterIds.fold(c0)(f =>
+      c0.join(f.toDF("id"), Seq("id"), "left_semi"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .withColumn("cos", round(
         VectorExpressions.dot(col("q_v"), col("v")) /

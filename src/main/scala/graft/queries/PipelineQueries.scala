@@ -1859,6 +1859,26 @@ object PipelineQueries {
           idColName = "n_id")
         .orderBy("q_id", "rank")
     }),
+    // ES knn.filter — filtered ANN: candidates restrict to an id set
+    // BEFORE ranking (the semi-join lands after the cell pruning,
+    // filtered vectors are never dotted); exact configuration (all
+    // cells probed) so the oracle is brute force over the filtered
+    // corpus
+    "vx4_filtered_knn" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-vx4-$tag").toString
+      val e = t(s, d, "embeddings")
+      graft.operators.VectorIndex.build(e, "vec_id", "embedding", path,
+        nlist = 8)
+      val q = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 900000).as("q_id"),
+          col("embedding").as("vec"))
+      val keep = e.filter(col("vec_id") % 2 === 0).select("vec_id")
+      graft.operators.VectorIndex.searchTopK(q, path, k = 5, nprobe = 8,
+          idColName = "n_id", filterIds = Some(keep))
+        .orderBy("q_id", "rank")
+    }),
     // the IVF-PQ serving path, exact configuration: the index stores
     // per-segment PQ code tables (pqM = 8 subspaces), ADC stage 1
     // scans only the probed cells' codes, stage 2 re-ranks exact —
@@ -4199,6 +4219,20 @@ object PipelineQueries {
         |        round(list_dot_product(q.v, c.v) /
         |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
         |      FROM q CROSS JOIN e c),
+        |r AS (SELECT q_id, n_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // vx1's brute replay restricted to the even-id corpus — the
+    // filter applies BEFORE ranking, so ranks re-number within it
+    "vx4_filtered_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id + 900000 AS q_id, v FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.q_id, c.vec_id AS n_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |      FROM q CROSS JOIN e c WHERE c.vec_id % 2 = 0),
         |r AS (SELECT q_id, n_id, cos,
         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
         |      FROM s)

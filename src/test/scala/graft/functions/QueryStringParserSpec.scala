@@ -114,6 +114,24 @@ class QueryStringParserSpec extends AnyFunSuite {
     assert(sqs("(dog | quick) + brown") == Set(1L, 3L))
   }
 
+  test("simple_query_string: deterministic noise sweep never throws") {
+    // ES's contract: arbitrary user-typed input must parse to SOME
+    // query. Deterministic pseudo-noise over the grammar's special
+    // chars — each string must compile without an exception (the one
+    // documented refusal, phrase slop "..."~N, is excluded by
+    // construction: the alphabet omits digits after quotes)
+    val chars = "ab |+-()\"*~ c(("
+    val noise = (0 until 200).map { i =>
+      val len = 1 + (i * 7919) % 12
+      (0 until len).map(j =>
+        chars((i * 31 + j * 17) % chars.length)).mkString
+    }
+    noise.foreach { s0 =>
+      val c = QueryStringParser.simpleQueryString(s0, Seq("text"))
+      assert(c != null, s"noise <$s0> produced null")
+    }
+  }
+
   test("simple_query_string: lenient — never throws on user noise") {
     // field syntax is literal text (no token 'site:news' → no match)
     assert(sqs("site:news") == Set.empty[Long])

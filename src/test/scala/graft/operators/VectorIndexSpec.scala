@@ -51,6 +51,34 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("knn.filter: candidates restrict to the id set BEFORE ranking") {
+    val path = tmp("graft-vidx-filter")
+    VectorIndex.build(emb, "vec_id", "embedding", path, nlist = 4)
+    val q = queriesShifted(3)
+    val keep = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
+    val filtered = VectorIndex.searchTopK(q, path, k = 5, nprobe = 4,
+      idColName = "n_id", filterIds = Some(keep))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every survivor is in the filter set, ranks re-number within it
+    assert(filtered.nonEmpty)
+    filtered.foreach { case (_, _, nId) => assert(nId % 2 == 0, nId) }
+    filtered.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+    }
+    // the filtered ranking == brute ranking over the filtered corpus
+    val bruteIdx = tmp("graft-vidx-filter-brute")
+    VectorIndex.build(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", bruteIdx, nlist = 4)
+    val brute = VectorIndex.searchTopK(q, bruteIdx, k = 5, nprobe = 4,
+      idColName = "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(filtered.toSeq == brute.toSeq)
+    // a malformed filter frame refuses
+    intercept[IllegalArgumentException](
+      VectorIndex.searchTopK(q, path, k = 5, nprobe = 4,
+        filterIds = Some(emb.select("vec_id", "embedding"))))
+  }
+
   test("nprobe = nlist is exact brute force; build+append == one-shot build") {
     val split = tmp("graft-vidx-split")
     VectorIndex.build(emb.filter(col("vec_id") % 2 === 0),
