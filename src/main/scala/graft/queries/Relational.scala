@@ -610,6 +610,37 @@ object Relational {
         .agg(count(lit(1)).cast("long").as("cnt"),
              round(sum(col("o_totalprice")), 2).as("sum_price"))
     }),
+    // ES join-field queries over normalized frames: has_child with
+    // min/max bounds (child-side counted agg + semi join), has_parent
+    // (FK semi join), both predicates pushed to their scans
+    "jf1_join_field" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      val hc = graft.operators.JoinField.hasChild(o, l,
+          "o_orderkey", "l_orderkey", col("l_quantity") > 45,
+          minChildren = 3)
+        .select(col("o_orderkey").as("key"))
+        .withColumn("q", lit("hc"))
+      val hcx = graft.operators.JoinField.hasChild(o, l,
+          "o_orderkey", "l_orderkey", col("l_returnflag") === "R",
+          minChildren = 2, maxChildren = Some(3))
+        .select(col("o_orderkey").as("key"))
+        .withColumn("q", lit("hcx"))
+      val hp = graft.operators.JoinField.hasParent(l, o,
+          "o_orderkey", "l_orderkey",
+          col("o_orderpriority") === "1-URGENT")
+        .select((col("l_orderkey") * 10 + col("l_linenumber"))
+          .as("key"))
+        .withColumn("q", lit("hp"))
+      hc.unionByName(hcx).unionByName(hp).orderBy("q", "key")
+    }),
+    // ES children aggregation: per parent bucket key, metrics over
+    // the child field (one dimension join + one keyed agg)
+    "jf2_children_agg" -> ((s, d) => {
+      graft.operators.JoinField.childrenAgg(
+        t(s, d, "orders"), t(s, d, "lineitem"),
+        "o_orderkey", "l_orderkey", "o_orderpriority", "l_quantity")
+    }),
     "j4_anti_join" -> ((s, d) => {
       val c = t(s, d, "customer")
       val o = t(s, d, "orders")
@@ -972,6 +1003,32 @@ object Relational {
         |FROM orders WHERE EXISTS (
         |  SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin,
+    "jf1_join_field" ->
+      """WITH hc AS (SELECT o_orderkey AS key, 'hc' AS q FROM orders
+        |  WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem WHERE l_quantity > 45
+        |    GROUP BY 1 HAVING count(*) >= 3)),
+        |hcx AS (SELECT o_orderkey AS key, 'hcx' AS q FROM orders
+        |  WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |    GROUP BY 1 HAVING count(*) BETWEEN 2 AND 3)),
+        |hp AS (SELECT l_orderkey * 10 + l_linenumber AS key, 'hp' AS q
+        |  FROM lineitem WHERE EXISTS (
+        |    SELECT 1 FROM orders WHERE o_orderkey = l_orderkey
+        |      AND o_orderpriority = '1-URGENT'))
+        |SELECT key, q FROM hc
+        |UNION ALL SELECT key, q FROM hcx
+        |UNION ALL SELECT key, q FROM hp
+        |ORDER BY q, key""".stripMargin,
+    "jf2_children_agg" ->
+      """SELECT o_orderpriority AS key,
+        |  CAST(count(*) AS BIGINT) AS doc_count,
+        |  min(CAST(l_quantity AS DOUBLE)) AS "min",
+        |  max(CAST(l_quantity AS DOUBLE)) AS "max",
+        |  sum(CAST(l_quantity AS DOUBLE)) AS sum,
+        |  avg(CAST(l_quantity AS DOUBLE)) AS avg
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY doc_count DESC, key""".stripMargin,
     "j4_anti_join" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer
         |WHERE NOT EXISTS (
