@@ -90,6 +90,51 @@ object EsAggs {
       .drop("_rank")
   }
 
+  /** ES `top_metrics`: per bucket, the metric values carried by the
+    * row holding the EXTREME sort value — the size-1 face over the
+    * [[topHits]] window machinery, keeping only the named metric
+    * columns (plus the sort value, which ES returns alongside). Ties
+    * break on `tieCol` ascending — ES breaks ties by Lucene doc
+    * order, which is not portable; a named tie column is.
+    */
+  def topMetrics(df: DataFrame, by: Seq[String], sortCol: String,
+                 metricCols: Seq[String], tieCol: String,
+                 asc: Boolean = false): DataFrame = {
+    require(metricCols.nonEmpty, "top_metrics needs metric columns")
+    topHits(df, by, sortCol, 1, tieCol, asc)
+      .select((by :+ sortCol) ++ metricCols map col: _*)
+      .orderBy(by.map(col): _*)
+  }
+
+  /** ES `rate` aggregation inside a CALENDAR date_histogram: the
+    * bucket's value normalized to a per-`unit` rate by the bucket's
+    * OWN calendar span — a January bucket divides by 31 at
+    * unit = day, February by 28 or 29, exactly how ES normalizes
+    * calendar intervals (fixed intervals are plain constant division
+    * and need no face). Pure per-bucket arithmetic on the reduced
+    * frame; `bucketStartCol` must hold the bucket's start timestamp
+    * (what date_trunc produced).
+    */
+  def rateAgg(buckets: DataFrame, bucketStartCol: String,
+              valueCol: String, interval: String, unit: String,
+              out: String = "rate"): DataFrame = {
+    val b = col(bucketStartCol)
+    val spanDays: Column = interval match {
+      case "month" => datediff(add_months(b, 1), b).cast("double")
+      case "week"  => lit(7.0)
+      case "day"   => lit(1.0)
+      case other => throw new IllegalArgumentException(
+        s"rate interval must be month | week | day, got '$other'")
+    }
+    val divisor = unit match {
+      case "day"  => spanDays
+      case "hour" => spanDays * 24.0
+      case other => throw new IllegalArgumentException(
+        s"rate unit must be day | hour, got '$other'")
+    }
+    buckets.withColumn(out, col(valueCol).cast("double") / divisor)
+  }
+
   /** ES `rare_terms`: bucket keys appearing in at most `maxDocCount`
     * rows, rarest first (count asc, key asc). ES approximates with a
     * CuckooFilter to bound memory; here the exact groupBy is the

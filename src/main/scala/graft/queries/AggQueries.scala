@@ -272,6 +272,21 @@ object AggQueries {
           (col("med6_cents") / 100.0).as("trailing_median"))
         .orderBy("month")
     }),
+    // ES top_metrics: per bucket, the metrics of the row holding the
+    // extreme sort value (deterministic tie column)
+    "tm1_top_metrics" -> ((s, d) => {
+      EsAggs.topMetrics(Tables.load(s, d, "orders"),
+        Seq("o_orderpriority"), "o_totalprice",
+        Seq("o_orderkey", "o_orderstatus"), tieCol = "o_orderkey")
+    }),
+    // ES rate agg (calendar normalization): monthly order counts as a
+    // per-day rate — each bucket divides by ITS OWN month length
+    "ra2_rate_agg" -> ((s, d) => {
+      EsAggs.rateAgg(monthly(s, d), "month", "n", "month", "day")
+        .select(col("month"), col("n"),
+          QueryUtil.rhu(col("rate"), 6).as("orders_per_day"))
+        .orderBy("month")
+    }),
     // the full-knob ES terms agg: missing-bucket substitution,
     // anchored include/exclude regexes, min_doc_count, size cut
     "ta1_terms_agg" -> ((s, d) => {
@@ -671,6 +686,23 @@ object AggQueries {
            |  FROM m
            |  UNION ALL SELECT '8000000.0-*', 8000000.0, NULL, r3 FROM m)
            |ORDER BY key""".stripMargin
+    },
+    "tm1_top_metrics" ->
+      """SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |       o_orderstatus
+        |FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |        o_orderstatus,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+    "ra2_rate_agg" -> {
+      s"""WITH b AS ($monthlySql)
+         |SELECT month, n,
+         |  ${QueryUtil.rhuSql(
+        "CAST(n AS DOUBLE) / date_diff('day', month, " +
+          "month + INTERVAL 1 MONTH)", 6)} AS orders_per_day
+         |FROM b ORDER BY month""".stripMargin
     },
     "ta1_terms_agg" ->
       """WITH k AS (SELECT CASE WHEN c_custkey % 11 = 0

@@ -170,6 +170,34 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("top_metrics / rate") {
+    it("top_metrics returns the extreme row's metrics per bucket") {
+      val df = Seq(("a", 5.0, 1L, "x"), ("a", 9.0, 2L, "y"),
+        ("a", 9.0, 3L, "z"), ("b", 1.0, 4L, "w"))
+        .toDF("g", "s", "id", "m")
+      EsAggs.topMetrics(df, Seq("g"), "s", Seq("m"), tieCol = "id")
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getString(2))).toSeq shouldBe
+        Seq(("a", 9.0, "y"), ("b", 1.0, "w")) // tie → smaller id
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.topMetrics(df, Seq("g"), "s", Nil, tieCol = "id")
+    }
+    it("rate divides by each bucket's own calendar span") {
+      val b = Seq(("2024-01-01", 62.0), ("2024-02-01", 58.0))
+        .toDF("m", "n").withColumn("m", to_timestamp(col("m")))
+      val got = EsAggs.rateAgg(b, "m", "n", "month", "day")
+        .orderBy("m").collect().map(_.getAs[Double]("rate")).toSeq
+      got shouldBe Seq(2.0, 2.0) // 62/31, 58/29 (2024 is a leap year)
+      EsAggs.rateAgg(b, "m", "n", "week", "hour")
+        .collect().head.getAs[Double]("rate") shouldBe
+        (62.0 / 168) +- 1e-12
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.rateAgg(b, "m", "n", "year", "day")
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.rateAgg(b, "m", "n", "month", "minute")
+    }
+  }
+
   describe("terms agg (full knobs)") {
     it("missing substitutes, include/exclude filter keys, " +
         "min_doc_count prunes, size cuts") {
