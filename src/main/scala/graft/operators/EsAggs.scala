@@ -132,7 +132,18 @@ object EsAggs {
       case other => throw new IllegalArgumentException(
         s"rate unit must be day | hour, got '$other'")
     }
-    buckets.withColumn(out, col(valueCol).cast("double") / divisor)
+    // a non-truncated bucket start would give add_months arithmetic
+    // that is only coincidentally right (Jan 31 + 1 month = Feb 29 —
+    // a 29-day "January"); refuse inside the evaluated expression so
+    // the optimizer cannot prune the check
+    buckets.withColumn(out,
+      when(b === date_trunc(interval, b),
+        col(valueCol).cast("double") / divisor)
+        .otherwise(raise_error(concat(
+          lit(s"rate: bucket start is not $interval-truncated: "),
+          b.cast("string"),
+          lit(" — feed date_trunc output (a date_histogram bucket)")))
+          .cast("double")))
   }
 
   /** ES `rare_terms`: bucket keys appearing in at most `maxDocCount`
@@ -336,10 +347,13 @@ object EsAggs {
     */
   def histogram(df: DataFrame, valueCol: String, interval: Double,
                 offset: Double = 0.0,
-                minDocCount: Int = 1): DataFrame = {
+                minDocCount: Int = 1,
+                maxBuckets: Int = 65536): DataFrame = {
     require(interval > 0, s"interval must be > 0, got $interval")
     require(minDocCount >= 0,
       s"min_doc_count must be >= 0, got $minDocCount")
+    require(maxBuckets >= 1,
+      s"max_buckets must be >= 1, got $maxBuckets")
     val v = col(valueCol).cast("double")
     val key = (floor((v - offset) / interval) * interval + offset)
       .as("key")
@@ -363,10 +377,24 @@ object EsAggs {
           .withColumn("_i",
             round((col("key") - offset) / interval).cast("long"))
           .withColumn("_prev", lag("_i", 1).over(w))
+          // ES refuses result sets past search.max_buckets (default
+          // 65536) for exactly this reason: two outlier values with a
+          // tiny interval would otherwise materialize a billion-row
+          // empty spine. The guard lives INSIDE the sequence bound so
+          // the optimizer cannot prune it away.
           .select(
             explode(sequence(
-              coalesce(col("_prev") + 1, col("_i")), col("_i")))
-              .as("_k"),
+              coalesce(
+                when(col("_i") - col("_prev") > maxBuckets.toLong,
+                  raise_error(concat(
+                    lit(s"histogram: a min_doc_count:0 gap exceeds " +
+                      s"max_buckets $maxBuckets between step "),
+                    col("_prev"), lit(" and "), col("_i"),
+                    lit(" — widen the interval or raise maxBuckets")))
+                    .cast("long"))
+                  .otherwise(col("_prev") + 1),
+                col("_i")),
+              col("_i"))).as("_k"),
             col("_i"), col("doc_count"))
           .select((col("_k") * interval + offset).as("key"),
             when(col("_k") === col("_i"), col("doc_count"))

@@ -188,13 +188,23 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
       val got = EsAggs.rateAgg(b, "m", "n", "month", "day")
         .orderBy("m").collect().map(_.getAs[Double]("rate")).toSeq
       got shouldBe Seq(2.0, 2.0) // 62/31, 58/29 (2024 is a leap year)
-      EsAggs.rateAgg(b, "m", "n", "week", "hour")
+      // 2024-01-01 is a Monday (week-truncated); the Feb 1 bucket is
+      // correctly refused by the truncation guard below
+      val wk = Seq(("2024-01-01", 62.0)).toDF("m", "n")
+        .withColumn("m", to_timestamp(col("m")))
+      EsAggs.rateAgg(wk, "m", "n", "week", "hour")
         .collect().head.getAs[Double]("rate") shouldBe
         (62.0 / 168) +- 1e-12
       an[IllegalArgumentException] should be thrownBy
         EsAggs.rateAgg(b, "m", "n", "year", "day")
       an[IllegalArgumentException] should be thrownBy
         EsAggs.rateAgg(b, "m", "n", "month", "minute")
+      // a non-truncated bucket start fails loudly in the plan
+      val mid = Seq(("2024-01-31", 1.0)).toDF("m", "n")
+        .withColumn("m", to_timestamp(col("m")))
+      val e = intercept[Exception](
+        EsAggs.rateAgg(mid, "m", "n", "month", "day").collect())
+      assert(e.getMessage.contains("truncated"), e.getMessage)
     }
   }
 
@@ -280,6 +290,17 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
           (8.5, 1L), (10.5, 1L))
       an[IllegalArgumentException] should be thrownBy
         EsAggs.histogram(df, "v", 0.0)
+    }
+    it("a min_doc_count:0 gap past max_buckets fails LOUDLY instead " +
+        "of materializing a runaway spine") {
+      val outliers = Seq(0.0, 1.0e9).toDF("v")
+      val e = intercept[Exception](
+        EsAggs.histogram(outliers, "v", 1.0, minDocCount = 0,
+          maxBuckets = 1000).collect())
+      assert(e.getMessage.contains("max_buckets"), e.getMessage)
+      // within the cap the spine still fills
+      EsAggs.histogram(Seq(0.0, 5.0).toDF("v"), "v", 1.0,
+        minDocCount = 0, maxBuckets = 1000).count() shouldBe 6L
     }
   }
 
