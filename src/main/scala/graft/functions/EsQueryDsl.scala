@@ -30,15 +30,27 @@ import graft.api.Predicates
   *  - `wildcard` (`*`/`?` → LIKE), `prefix`, `regexp`
   *  - `exists` — non-null field
   *  - `ids` — value list against the given id column
-  *  - `geo_distance` — haversine radius filter over a geo-point
-  *    struct column ([[Geo]]); arc distance only
-  *  - `match_all` / `match_none`
+  *  - `geo_distance` / `geo_bounding_box` (incl. the antimeridian
+  *    wrap) / `geo_polygon` — over a geo-point struct column
+  *    ([[Geo]]); arc distance only
+  *  - `nested` — same-element bool over an array of structs via a
+  *    field-resolver higher-order exists (zero explode); composes
+  *    with every leaf through the `resolve` hook
+  *  - the closed span algebra: `span_near` (ordered n-way, unordered
+  *    pairs), `span_or`, `span_first`, `span_not` — per-row position
+  *    predicates over one tokenization
+  *  - `terms_set`, `boosting`, `wrapper` (base64 → recurse),
+  *    `constant_score`, `dis_max`, `match_all` / `match_none`
+  *  - `query_string` / `simple_query_string` — the Lucene grammars,
+  *    parsed by [[QueryStringParser]] onto the leaves above (both
+  *    the predicate face here and the BM25-scored face in
+  *    [[EsScoredQuery]])
   *
-  * Aggregation-side clauses and the remaining geo shapes (geohash
-  * points, `distance_type: plane`, ...) are NOT translatable to
-  * engine-independent semantics and raise IllegalArgumentException —
-  * mirroring how running them against a different backend would
-  * silently change meaning.
+  * Aggregation-side clauses, script queries, and the remaining geo
+  * shapes (geohash points, `distance_type: plane`, ...) are NOT
+  * translatable to engine-independent semantics and raise
+  * IllegalArgumentException — mirroring how running them against a
+  * different backend would silently change meaning.
   */
 object EsQueryDsl {
 

@@ -6,10 +6,17 @@ import org.apache.spark.sql.functions._
 
 /** ES metric/bucket aggregation faces the reference reaches only as
   * raw-DSL `aggs` passthrough (eland/query.py raw aggregations):
-  * `extended_stats`, `weighted_avg`, `top_hits`, `rare_terms`, and
-  * `composite` paging. Semantics follow the ES documentation; each is
-  * one declarative plan (single agg pass, or one keyed shuffle) so
-  * Catalyst keeps pushdown/partial-agg intact at any scale.
+  * `extended_stats`, `weighted_avg`, `top_hits`, `top_metrics`,
+  * `rare_terms`, the full-knob `terms` (missing/include/exclude/
+  * min_doc_count), `multi_terms`, `histogram` (offset +
+  * min_doc_count:0, max_buckets-guarded), `auto_date_histogram`,
+  * `range`/`filters`/`adjacency_matrix`, `composite` paging, the
+  * `nested` agg + `reverse_nested`, `rate` (calendar-normalized),
+  * `boxplot`, `t_test` (Welch/pooled/paired), `string_stats`,
+  * `matrix_stats`, and the geo grids/centroid. Semantics follow the
+  * ES documentation; each is one declarative plan (single agg pass,
+  * or one keyed shuffle) so Catalyst keeps pushdown/partial-agg
+  * intact at any scale.
   */
 object EsAggs {
 
