@@ -290,6 +290,118 @@ object FieldedIndex {
       .limit(k)
   }
 
+  /** Field-scoped Lucene query strings served from the FIELDED
+    * index — the Kibana search bar against postings:
+    * `title:alpha beta -join` parses through
+    * [[graft.functions.QueryStringParser.flatFieldedTermClauses]]
+    * (the one-bool-level contract, loud refusals for deeper shapes)
+    * and each clause resolves to per-field BM25 legs. Unscoped
+    * clauses spread over `defaultFieldBoosts` and combine dis_max —
+    * Lucene's multi-field term rewrite; scoped clauses read their own
+    * field subtree (directory-pruned before bucket pruning even
+    * starts) at that field's boost (1.0 when unlisted). ES bool
+    * gating: every must clause present in at least one of its legs,
+    * at least one should clause when there is no must, no mustNot
+    * leg present — and mustNot never scores. Score = Σ over present
+    * positive clauses of each clause's BEST leg, single 6-dp round.
+    *
+    * Plan shape: ONE stats job for every touched field
+    * ([[InvertedIndex.liveStatsBatch]]), one bucket-pruned postings
+    * read per touched field covering only that field's terms, a
+    * broadcast clause-leg table, then two bounded aggregations
+    * (per-(doc, clause) dis_max; per-doc gate + sum). The corpus is
+    * never scanned.
+    */
+  def queryStringSearchTopK(spark: SparkSession, root: String,
+                            query: String,
+                            defaultFieldBoosts: Seq[(String, Double)],
+                            k: Int, idColName: String = "id",
+                            defaultOperator: String = "or",
+                            k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(k > 0, s"k must be >= 1, got $k")
+    val (must, should, mustNot) = graft.functions.QueryStringParser
+      .flatFieldedTermClauses(query, defaultOperator)
+    require(must.nonEmpty || should.nonEmpty,
+      "pure-negative query strings are a corpus scan, not an index " +
+        "lookup — refused (the booleanSearchTopK discipline)")
+    val known = fields(spark, root)
+    val dfb = defaultFieldBoosts
+    require(dfb.map(_._1).distinct.size == dfb.size,
+      s"duplicate default fields in $dfb")
+    dfb.foreach { case (f, bo) =>
+      require(known.contains(f), s"default field '$f' is not indexed " +
+        s"at $root (fields: ${known.mkString(", ")})")
+      require(bo > 0, s"boost for '$f' must be > 0, got $bo")
+    }
+    val clauses = (must.map(('+', _)) ++ should.map((' ', _)) ++
+      mustNot.map(('-', _)))
+    clauses.collect { case (_, (Some(f), _)) => f }.distinct.foreach {
+      f => require(known.contains(f),
+        s"scoped field '$f' is not indexed at $root " +
+          s"(fields: ${known.mkString(", ")})")
+    }
+    val anyUnscoped = clauses.exists(_._2._1.isEmpty)
+    require(!anyUnscoped || dfb.nonEmpty,
+      "unscoped clauses need default fields — pass defaultFieldBoosts" +
+        " or scope every clause (field:term)")
+    val touched = (clauses.collect { case (_, (Some(f), _)) => f } ++
+      (if (anyUnscoped) dfb.map(_._1) else Nil)).distinct
+    val meta = touched.map { f =>
+      val dir = fieldDir(root, f)
+      val segs = InvertedIndex.committedSegments(spark, dir)
+      require(segs.nonEmpty,
+        s"$dir has no committed segments — build() first")
+      (f, segs, InvertedIndex.committedDeletes(spark, dir))
+    }
+    val statsByField = InvertedIndex.liveStatsBatch(spark, meta)
+    val boostOf = dfb.toMap
+    // clause → legs, analyzed + deduped per role; a (field, term) leg
+    // on both sides of the sign is unsatisfiable or dead — refuse
+    def analyzed(t: String): String =
+      statsByField(touched.head).analyzeTerm(t)
+    val legRows: Seq[(Int, String, String, String, Double)] =
+      clauses.zipWithIndex.flatMap { case ((role, (fOpt, t)), i) =>
+        val at = analyzed(t)
+        val legs = fOpt.map(Seq(_)).getOrElse(dfb.map(_._1))
+        legs.map(f => (i, role.toString, f, at,
+          boostOf.getOrElse(f, 1.0)))
+      }.distinct
+    val posLegs = legRows.filter(_._2 != "-").map(r => (r._3, r._4)).toSet
+    val negLegs = legRows.filter(_._2 == "-").map(r => (r._3, r._4)).toSet
+    require(posLegs.intersect(negLegs).isEmpty,
+      s"legs ${posLegs.intersect(negLegs)} appear both positively " +
+        "and under must_not — the query is unsatisfiable or the " +
+        "negation is dead; restate it")
+    val nMust = clauses.count(_._1 == '+')
+    val msm = if (nMust == 0) 1 else 0
+    import spark.implicits._
+    val legsDf = broadcast(legRows
+      .toDF("_cid", "_role", "_field", "term", "_boost"))
+    val contribs = touched.map { f =>
+      val (_, segs, dels) = meta.find(_._1 == f).get
+      val terms = legRows.filter(_._3 == f).map(_._4).distinct
+      InvertedIndex.rawTermContribs(spark, segs, dels,
+          statsByField(f), terms, k1, b)
+        .withColumn("_field", lit(f))
+    }.reduce(_ unionByName _)
+    val perClause = contribs.join(legsDf, Seq("_field", "term"))
+      .groupBy(col("id"), col("_cid"), col("_role"))
+      .agg(max(col("_s") * col("_boost")).as("_v")) // dis_max legs
+    perClause.groupBy(col("id").as(idColName))
+      .agg(
+        sum(when(col("_role") === "+", 1).otherwise(0)).as("_must"),
+        sum(when(col("_role") === " ", 1).otherwise(0)).as("_should"),
+        max(when(col("_role") === "-", 1).otherwise(0)).as("_not"),
+        round(sum(when(col("_role") =!= "-", col("_v"))
+          .otherwise(lit(0.0))), 6).as("score"))
+      .filter(col("_must") === nMust.toLong &&
+        col("_should") >= msm.toLong && col("_not") === 0)
+      .select(col(idColName), col("score"))
+      .orderBy(col("score").desc, col(idColName))
+      .limit(k)
+  }
+
   /** One field's per-doc RAW match score over its live postings:
     * (id, _fs double) — [[InvertedIndex.searchTopK]]'s staged BM25
     * expression tree minus the 6-dp rounding (which belongs to the

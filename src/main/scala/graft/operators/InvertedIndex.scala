@@ -891,7 +891,24 @@ object InvertedIndex {
   private def rawTermScores(spark: SparkSession, segs: Seq[String],
                             dels: Seq[String], st: LiveStats,
                             terms: Seq[String], idColName: String,
-                            k1: Double, b: Double): DataFrame = {
+                            k1: Double, b: Double): DataFrame =
+    rawTermContribs(spark, segs, dels, st, terms, k1, b)
+      .groupBy(col("id").as(idColName))
+      .agg(round(sum(col("_s")), 6).as("score"))
+
+  /** Per-(doc, term) RAW Okapi contributions over the live postings —
+    * (id, term, _s double), one bucket-pruned read + broadcast df.
+    * [[rawTermScores]] sums them per doc;
+    * [[FieldedIndex.queryStringSearchTopK]] keeps the term grain to
+    * gate and score boolean clauses per field.
+    */
+  private[operators] def rawTermContribs(spark: SparkSession,
+                                         segs: Seq[String],
+                                         dels: Seq[String],
+                                         st: LiveStats,
+                                         terms: Seq[String],
+                                         k1: Double,
+                                         b: Double): DataFrame = {
     val n = st.n
     val avg = if (n > 0) st.sumLen / n else 1.0
     val p = prunedLivePostings(spark, segs, dels, terms, st.buckets)
@@ -906,8 +923,7 @@ object InvertedIndex {
         col("_idf") * col("tf") * (k1 + 1.0) /
           (col("tf") +
             lit(k1) * (lit(1.0) - b + lit(b) * col("len") / lit(avg))))
-      .groupBy(col("id").as(idColName))
-      .agg(round(sum(col("_s")), 6).as("score"))
+      .select(col("id"), col("term"), col("_s"))
   }
 
   /** ES `search_after` pagination of [[searchTopK]]: the next `k`

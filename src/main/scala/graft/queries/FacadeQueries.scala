@@ -639,6 +639,23 @@ object FacadeQueries {
     // filter out — the ES highlight surface, token-joined. The oracle
     // replays the raw-token split, the per-token stem test, and the
     // wrap fold
+    // query-string-driven highlight: the POSITIVE term/phrase words
+    // of the parsed grammar mark up matching docs; the negated term
+    // ('merge') never highlights even where present
+    "hl4_query_string_highlight" -> ((s, d) => {
+      val q = "stream | \"hash join\" -merge"
+      val terms = graft.functions.QueryStringParser
+        .highlightTerms(q, simple = true)
+      docs(s, d)
+        .esQuery("""{"simple_query_string": {"query":
+          |"stream | \"hash join\" -merge",
+          |"fields": ["text"]}}""".stripMargin)
+        .df
+        .select(col("doc_id"), graft.functions.EsMatch.highlight(
+          col("text"), terms.mkString(" ")).as("hl"))
+        .filter(col("hl").isNotNull)
+        .orderBy("doc_id")
+    }),
     "hl1_highlight" -> ((s, d) => {
       docs(s, d).df
         .withColumn("text2", QueryUtil.stemFixtureText(
@@ -1470,6 +1487,28 @@ object FacadeQueries {
            |ORDER BY doc_id""".stripMargin,
     // raw (un-lowercased) token split + the stem CASE on lower(t) for
     // the match test, original token inside the tags
+    // the match set replays the parsed grammar; the markup replays
+    // hl1's token transform over the POSITIVE terms only
+    "hl4_query_string_highlight" -> {
+      val raws =
+        raw"""list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+      val hitT = "lower(t) IN ('stream', 'hash', 'join')"
+      raw"""WITH m AS (SELECT doc_id, text FROM
+           |    (SELECT doc_id, text, $toksSql AS toks FROM documents)
+           |  WHERE list_contains(toks, 'stream')
+           |     OR (instr(' ' || array_to_string(toks, ' ') || ' ',
+           |           ' hash join ') > 0
+           |         AND NOT list_contains(toks, 'merge')))
+           |SELECT doc_id, hl FROM (
+           |  SELECT doc_id,
+           |    CASE WHEN len(list_filter($raws, t -> $hitT)) > 0
+           |    THEN array_to_string(list_transform($raws, t ->
+           |      CASE WHEN $hitT THEN '<em>' || t || '</em>'
+           |           ELSE t END), ' ')
+           |    END AS hl
+           |  FROM m)
+           |WHERE hl IS NOT NULL ORDER BY doc_id""".stripMargin
+    },
     "hl1_highlight" -> {
       val raws =
         raw"""list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""

@@ -1483,6 +1483,26 @@ object PipelineQueries {
     // from the live doc set, where neither the index nor per-field
     // layout exists — a stats blend, a per-field rounding, or a
     // per-field top-k truncation before the combine all mismatch
+    // field-scoped query_string served from the FIELDED index: a
+    // scoped should clause (title:stream), an unscoped one spreading
+    // dis_max over title^2/text, and an unscoped negation — one
+    // stats job, one pruned postings read per field, clause legs
+    // broadcast
+    "idx18_fielded_query_string" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx18-$tag").toString
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+        concat_ws(" ", slice(graft.functions.TextAnalysis
+          .tokens(col("text")), 1, 4)).as("title"))
+      graft.operators.FieldedIndex.build(docs, "doc_id",
+        Seq("title", "text"), root, buckets = 16)
+      graft.operators.FieldedIndex.queryStringSearchTopK(s, root,
+          "title:stream filter -join",
+          Seq("title" -> 2.0, "text" -> 1.0), k = 12,
+          idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     "idx11_fielded_search" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val root = new java.io.File(
@@ -3839,6 +3859,55 @@ object PipelineQueries {
     // corpus stats and df, RAW per-field Okapi sums, boosts, dis_max
     // with tie_breaker / plain sum, one final 6-dp round, rank cut
     // per mode — no index, no per-field layout oracle-side
+    // per-field per-term BM25 replay: the scoped clause rides title
+    // stats at boost 2, the unscoped clause takes the max of its two
+    // field legs, the negation gates on containment in either field
+    "idx18_fielded_query_string" ->
+      raw"""WITH s0 AS (SELECT doc_id, $toksSql AS btoks FROM documents),
+           |s AS (SELECT doc_id, btoks, btoks[1:4] AS ttoks FROM s0),
+           |stt AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |          avg(CAST(len(ttoks) AS DOUBLE)) AS avg_len FROM s),
+           |tft AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |        FROM (SELECT doc_id, CAST(len(ttoks) AS DOUBLE) AS dl,
+           |                unnest(ttoks) AS t FROM s)
+           |        WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dftt AS (SELECT t, CAST(count(*) AS DOUBLE) AS df
+           |         FROM tft GROUP BY 1),
+           |ct AS (SELECT doc_id, t,
+           |         ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)) AS fs
+           |       FROM tft JOIN dftt USING (t), stt),
+           |stb AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |          avg(CAST(len(btoks) AS DOUBLE)) AS avg_len FROM s),
+           |tfb AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |        FROM (SELECT doc_id, CAST(len(btoks) AS DOUBLE) AS dl,
+           |                unnest(btoks) AS t FROM s)
+           |        WHERE t = 'filter' GROUP BY 1, 2, 3),
+           |dftb AS (SELECT t, CAST(count(*) AS DOUBLE) AS df
+           |         FROM tfb GROUP BY 1),
+           |cb AS (SELECT doc_id, t,
+           |         ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)) AS fs
+           |       FROM tfb JOIN dftb USING (t), stb),
+           |g AS (SELECT doc_id FROM s
+           |      WHERE (list_contains(ttoks, 'stream')
+           |          OR list_contains(ttoks, 'filter')
+           |          OR list_contains(btoks, 'filter'))
+           |        AND NOT (list_contains(ttoks, 'join')
+           |              OR list_contains(btoks, 'join'))),
+           |c0 AS (SELECT doc_id, 2.0 * fs AS v FROM ct
+           |       WHERE t = 'stream'),
+           |c1 AS (SELECT doc_id, max(v) AS v FROM (
+           |         SELECT doc_id, 2.0 * fs AS v FROM ct
+           |         WHERE t = 'filter'
+           |         UNION ALL
+           |         SELECT doc_id, 1.0 * fs FROM cb WHERE t = 'filter')
+           |       GROUP BY doc_id)
+           |SELECT g.doc_id,
+           |  round(coalesce(c0.v, 0) + coalesce(c1.v, 0), 6) AS score
+           |FROM g LEFT JOIN c0 ON c0.doc_id = g.doc_id
+           |       LEFT JOIN c1 ON c1.doc_id = g.doc_id
+           |ORDER BY score DESC, g.doc_id LIMIT 12""".stripMargin,
     "idx11_fielded_search" ->
       raw"""WITH live AS (SELECT doc_id, text FROM documents
            |              WHERE doc_id % 11 <> 0),

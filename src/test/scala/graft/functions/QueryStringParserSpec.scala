@@ -114,6 +114,22 @@ class QueryStringParserSpec extends AnyFunSuite {
     assert(sqs("(dog | quick) + brown") == Set(1L, 3L))
   }
 
+  test("highlightTerms: positive term/phrase words only, field-aware") {
+    assert(QueryStringParser.highlightTerms(
+      "stream | \"hash join\" -merge") == Seq("stream", "hash", "join"))
+    // negated subtrees and multi-term leaves contribute nothing
+    assert(QueryStringParser.highlightTerms(
+      "qui* fuzz~1 -bad n:[1 TO 2] good", simple = false)
+      == Seq("good"))
+    // field scoping: terms scoped to OTHER fields drop
+    assert(QueryStringParser.highlightTerms(
+      "title:alpha beta body:gamma", simple = false,
+      field = Some("title")) == Seq("alpha", "beta"))
+    assert(QueryStringParser.highlightTerms(
+      "title:alpha beta", simple = false) ==
+      Seq("alpha", "beta")) // no field filter → everything positive
+  }
+
   test("simple_query_string: deterministic noise sweep never throws") {
     // ES's contract: arbitrary user-typed input must parse to SOME
     // query. Deterministic pseudo-noise over the grammar's special

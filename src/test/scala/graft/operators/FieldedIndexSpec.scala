@@ -67,6 +67,44 @@ class FieldedIndexSpec extends AnyFunSuite {
       viaIndex(root, "most_fields", "or", 0.0, 12))
   }
 
+  test("fielded query_string is row-identical to the scored scan " +
+      "face at unit boosts; bounds and refusals hold") {
+    val docs = corpus().filter(col("doc_id") < 300)
+    val root = tmp("graft-fidx-qs")
+    FieldedIndex.build(docs, "doc_id", Seq("title", "text"), root,
+      buckets = 8)
+    val q = "title:stream filter -join"
+    val viaIndex = FieldedIndex.queryStringSearchTopK(spark, root, q,
+      Seq("title" -> 1.0, "text" -> 1.0), k = 15, idColName = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaScanFace = graft.functions.EsScoredQuery.scoredFrame(docs,
+      "doc_id",
+      """{"query_string": {"query": "title:stream filter -join",
+        |"fields": ["title", "text"]}}""".stripMargin)
+      .select(col("doc_id"), col("_score"))
+      .orderBy(col("_score").desc, col("doc_id")).limit(15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == viaScanFace)
+    assert(viaIndex.nonEmpty)
+    // refusals: pure negative, unknown scoped field, dead negation
+    intercept[IllegalArgumentException](
+      FieldedIndex.queryStringSearchTopK(spark, root, "-join",
+        Seq("text" -> 1.0), k = 5))
+    intercept[IllegalArgumentException](
+      FieldedIndex.queryStringSearchTopK(spark, root, "nope:alpha",
+        Seq("text" -> 1.0), k = 5))
+    intercept[IllegalArgumentException](
+      FieldedIndex.queryStringSearchTopK(spark, root,
+        "stream -text:stream", Seq("text" -> 1.0), k = 5))
+    // unscoped clauses without default fields refuse
+    intercept[IllegalArgumentException](
+      FieldedIndex.queryStringSearchTopK(spark, root, "stream", Nil,
+        k = 5))
+    // fully-scoped queries need no defaults
+    assert(FieldedIndex.queryStringSearchTopK(spark, root,
+      "title:stream", Nil, k = 5, idColName = "doc_id").count() > 0)
+  }
+
   test("lifecycle: append + delete + upsert + compact keep scan parity") {
     val docs = corpus().filter(col("doc_id") < 120)
     val root = tmp("graft-fidx-life")
