@@ -163,6 +163,39 @@ object Packing {
     * choosing a budget (fill << 1 means the corpus has documents larger
     * than the window).
     */
+  /** Length-bucketed BATCH assignment — the group_by_length training
+    * recipe: rows order by token length desc (ties by id) through the
+    * distributed prefix-sum ordinal ([[Sampling.ordinalByKey]] —
+    * never a one-partition window), and every `batchSize` consecutive
+    * rows share a `batch_id`, so each batch pads to a near-uniform
+    * max length instead of the corpus max. Null lengths drop (they
+    * cannot batch). [[batchPaddingStats]] reports the waste.
+    */
+  def lengthBucketedBatches(df: DataFrame, idCol: String,
+                            lenCol: String, batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    Sampling.ordinalByKey(df.filter(col(lenCol).isNotNull), idCol,
+        struct((-col(lenCol).cast("long")).as("_nl"),
+          col(idCol).as("_i")))
+      .withColumn("batch_id", (col("ordinal") / batchSize).cast("long"))
+      .drop("ordinal")
+  }
+
+  /** Per-batch padding accounting for [[lengthBucketedBatches]]:
+    * rows, max/sum token length, and the padding fraction
+    * (rows·max − sum) / (rows·max) a fixed-shape batch wastes. The
+    * corpus-order baseline comparison is the caller's one-liner.
+    */
+  def batchPaddingStats(batched: DataFrame, lenCol: String): DataFrame =
+    batched.groupBy("batch_id")
+      .agg(count(lit(1)).cast("long").as("rows"),
+        max(col(lenCol).cast("long")).as("max_len"),
+        sum(col(lenCol).cast("long")).as("sum_len"))
+      .withColumn("padding_frac",
+        (col("rows") * col("max_len") - col("sum_len")).cast("double") /
+          (col("rows") * col("max_len")))
+      .orderBy("batch_id")
+
   def binStats(packed: DataFrame, budget: Long): DataFrame =
     packed.groupBy("bin")
       .agg(count(lit(1)).cast("long").as("n_docs"),

@@ -460,6 +460,30 @@ object Sampling {
     * bounds, so any engine with md5 reproduces the full assignment.
     * Pure per-row expression — zero shuffle at any scale.
     */
+  /** RLHF preference-pair construction: per group (a prompt and its
+    * candidate responses), pair the BEST-scoring row with the WORST —
+    * (group, chosen_id, rejected_id, margin) — the standard
+    * reward-model / DPO data-prep shape. One aggregate pass with the
+    * native [[graft.plans.ExtremumBy]] idxmax/idxmin (ties → smallest
+    * id, deterministic), never a window; groups whose margin is below
+    * `minMargin` (ties included — chosen must beat rejected) drop,
+    * and null-keyed or null-scored rows are excluded up front.
+    */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+                      scoreCol: String,
+                      minMargin: Double = 0.0): DataFrame = {
+    require(minMargin >= 0.0, s"minMargin must be >= 0, got $minMargin")
+    val v = col(scoreCol).cast("double")
+    df.filter(col(groupCol).isNotNull && v.isNotNull)
+      .groupBy(groupCol)
+      .agg(
+        graft.plans.ExtremumBy.idxmax(v, col(idCol)).as("chosen_id"),
+        graft.plans.ExtremumBy.idxmin(v, col(idCol)).as("rejected_id"),
+        (max(v) - min(v)).as("margin"))
+      .filter(col("margin") > 0.0 && col("margin") >= minMargin)
+      .orderBy(groupCol)
+  }
+
   def groupSplit(df: DataFrame, groupCol: String,
                  splits: Seq[(String, Double)], seed: Long): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 >= 0) &&

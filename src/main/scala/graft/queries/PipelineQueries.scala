@@ -220,6 +220,31 @@ object PipelineQueries {
     // single-partition window this replaces is fatal at scale); the
     // oracle IS that window, proving the distributed layout
     // byte-identical
+    // length-bucketed batching (group_by_length): sort by token count
+    // through the distributed prefix-sum ordinal, fixed-size batches,
+    // per-batch padding accounting
+    "lb1_length_batches" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        size(graft.functions.TextAnalysis.tokens(col("text")))
+          .cast("long").as("n_tok"))
+      val batched = graft.operators.Packing.lengthBucketedBatches(
+        docs, "doc_id", "n_tok", 32)
+      graft.operators.Packing.batchPaddingStats(batched, "n_tok")
+        .select(col("batch_id"), col("rows").as("n_rows"),
+          col("max_len"), col("sum_len"),
+          graft.queries.QueryUtil.rhu(col("padding_frac"), 6)
+            .as("padding_frac"))
+        .orderBy("batch_id")
+    }),
+    // RLHF preference pairs: per source group, best-vs-worst scored
+    // doc via the native idxmax/idxmin aggregate (ties -> smallest
+    // id), equal-score groups drop
+    "pref1_preference_pairs" -> ((s, d) => {
+      graft.operators.Sampling.preferencePairs(
+        t(s, d, "documents").select(col("source"), col("doc_id"),
+          col("n_chars")),
+        "source", "doc_id", "n_chars")
+    }),
     "pack1_token_packing" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"),
@@ -3301,6 +3326,45 @@ object PipelineQueries {
            |  md5(string_agg(text, chr(10) || '<|doc|>' || chr(10)
            |      ORDER BY doc_id)) AS text_md5
            |FROM p GROUP BY bin ORDER BY bin""".stripMargin,
+    // row_number over (len desc, id) replays the ordinal; batches and
+    // padding are pure arithmetic over it
+    "lb1_length_batches" -> {
+      val r6 = graft.queries.QueryUtil.rhuSql(
+        "CAST(n_rows * max_len - sum_len AS DOUBLE) / " +
+          "(n_rows * max_len)", 6)
+      raw"""WITH t AS (SELECT doc_id,
+           |    CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+           |r AS (SELECT doc_id, n_tok, row_number() OVER (
+           |    ORDER BY n_tok DESC, doc_id) AS rn FROM t),
+           |g AS (SELECT CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+           |    CAST(count(*) AS BIGINT) AS n_rows,
+           |    max(n_tok) AS max_len,
+           |    CAST(sum(n_tok) AS BIGINT) AS sum_len
+           |  FROM r GROUP BY 1)
+           |SELECT batch_id, n_rows, max_len, sum_len,
+           |  $r6 AS padding_frac
+           |FROM g ORDER BY batch_id""".stripMargin
+    },
+    // best/worst replay with the idxmax tie rule (score desc/asc,
+    // then smallest id), equal-score groups dropped
+    "pref1_preference_pairs" ->
+      """WITH r AS (SELECT source, doc_id,
+        |    CAST(n_chars AS DOUBLE) AS s FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |w AS (SELECT source, doc_id, s,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY s DESC, doc_id) AS rh,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY s ASC, doc_id) AS rl
+        |  FROM r),
+        |hi AS (SELECT source, doc_id AS chosen_id, s AS smax
+        |       FROM w WHERE rh = 1),
+        |lo AS (SELECT source, doc_id AS rejected_id, s AS smin
+        |       FROM w WHERE rl = 1)
+        |SELECT hi.source, chosen_id, rejected_id,
+        |       smax - smin AS margin
+        |FROM hi JOIN lo ON hi.source = lo.source
+        |WHERE smax - smin > 0 ORDER BY hi.source""".stripMargin,
     "pack1_token_packing" ->
       raw"""WITH b AS (
            |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens

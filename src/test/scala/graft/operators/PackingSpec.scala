@@ -104,6 +104,27 @@ class PackingSpec extends AnyFunSuite {
     assert(nOut.getAs[String]("packed_text").split(" \\| ", -1).length == 5)
   }
 
+  test("length-bucketed batches: similar lengths share a batch, " +
+      "padding accounts exactly") {
+    val spark2 = graft.TestSpark.spark
+    import spark2.implicits._
+    // lengths 10,10,9,9 | 5,5,4,4 → two batches of 4 at batchSize 4
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 9L), (4L, 9L),
+      (5L, 5L), (6L, 5L), (7L, 4L), (8L, 4L)).toDF("id", "len")
+    val b = Packing.lengthBucketedBatches(df, "id", "len", 4)
+    val byBatch = b.collect()
+      .groupBy(_.getAs[Long]("batch_id"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("id")).toSet }
+    assert(byBatch(0L) == Set(1L, 2L, 3L, 4L))
+    assert(byBatch(1L) == Set(5L, 6L, 7L, 8L))
+    val stats = Packing.batchPaddingStats(b, "len").collect()
+    // batch 0: max 10, sum 38 → padding (40-38)/40
+    assert(stats(0).getAs[Double]("padding_frac") == 2.0 / 40)
+    assert(stats(1).getAs[Long]("max_len") == 5L)
+    intercept[IllegalArgumentException](
+      Packing.lengthBucketedBatches(df, "id", "len", 0))
+  }
+
   test("empty input and single row") {
     val empty = Packing.packByBudget(docs.filter(col("id") < 0), "id", "tok", 64)
     assert(empty.count() == 0)

@@ -344,4 +344,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(m == Seq((0L, 20L, 0L, 19L), (1L, 20L, 20L, 39L),
       (2L, 20L, 40L, 59L)))
   }
+
+  test("preference pairs: best-vs-worst per group, ties to smallest " +
+      "id, flat groups drop, minMargin cuts") {
+    import spark.implicits._
+    val df = Seq(
+      ("p1", 1L, 5.0), ("p1", 2L, 9.0), ("p1", 3L, 9.0), ("p1", 4L, 1.0),
+      ("p2", 5L, 3.0), ("p2", 6L, 3.0),          // flat — drops
+      ("p3", 7L, 2.0), ("p3", 8L, 2.5),          // margin 0.5
+      (null.asInstanceOf[String], 9L, 7.0)        // null group drops
+    ).toDF("grp", "id", "score")
+    val out = Sampling.preferencePairs(df, "grp", "id", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // p1: chosen = id 2 (9.0 tie → smallest id), rejected = id 4
+    assert(out == Seq(("p1", 2L, 4L, 8.0), ("p3", 8L, 7L, 0.5)))
+    // minMargin cuts the small-margin group
+    assert(Sampling.preferencePairs(df, "grp", "id", "score",
+      minMargin = 1.0).collect().map(_.getString(0)).toSeq == Seq("p1"))
+    intercept[IllegalArgumentException](
+      Sampling.preferencePairs(df, "grp", "id", "score",
+        minMargin = -1))
+  }
 }
