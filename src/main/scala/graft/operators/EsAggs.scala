@@ -290,6 +290,45 @@ object EsAggs {
       .select("b.*")
   }
 
+  /** ES `date_range` aggregation: [from, to) buckets over a
+    * timestamp column with ISO date(-time) bounds (the [[rangeAgg]]
+    * semantics on the time axis; ES's own key format "from-to" with
+    * `*` for an open side). Bounds parse DRIVER-side to timestamp
+    * literals — date math (`now-1M/d`) is clock-dependent and
+    * refuses by absence; pass resolved dates. One conditional-count
+    * aggregation pass.
+    */
+  def dateRangeAgg(df: DataFrame, tsCol: String,
+                   ranges: Seq[(Option[String], Option[String])])
+      : DataFrame = {
+    require(ranges.nonEmpty, "date_range agg needs at least one range")
+    val v = col(tsCol).cast("timestamp")
+    def bound(s: String): Column = {
+      require(s.matches("\\d{4}-\\d{2}-\\d{2}([ T].*)?"),
+        s"date_range bound '$s' is not an ISO date(-time) — date " +
+          "math (now-1M/d) is clock-dependent and not supported; " +
+          "resolve it caller-side")
+      to_timestamp(lit(s))
+    }
+    def key(r: (Option[String], Option[String])): String =
+      s"${r._1.getOrElse("*")}-${r._2.getOrElse("*")}"
+    require(ranges.map(key).distinct.size == ranges.size,
+      s"duplicate range keys in ${ranges.map(key)}")
+    val cells = ranges.map { r =>
+      val cond = (r._1.map(v >= bound(_)) ++ r._2.map(v < bound(_)))
+        .reduceOption(_ && _).getOrElse(v.isNotNull)
+      count(when(v.isNotNull && cond, 1)).cast("long").as(key(r))
+    }
+    df.agg(cells.head, cells.tail: _*)
+      .select(explode(array(ranges.map { r =>
+        struct(lit(key(r)).as("key"),
+          lit(r._1.orNull).cast("string").as("from"),
+          lit(r._2.orNull).cast("string").as("to"),
+          col(s"`${key(r)}`").as("doc_count"))
+      }: _*)).as("b"))
+      .select("b.*")
+  }
+
   /** ES `filters` aggregation: one bucket per NAMED predicate, plus
     * an optional `_other_` bucket for rows matching none (ES's
     * `other_bucket`). Predicates may overlap; one HashAggregate pass

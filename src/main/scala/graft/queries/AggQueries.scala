@@ -272,6 +272,14 @@ object AggQueries {
           (col("med6_cents") / 100.0).as("trailing_median"))
         .orderBy("month")
     }),
+    // ES date_range: [from, to) time buckets with ES's "from-to" keys
+    "dr1_date_range" -> ((s, d) => {
+      EsAggs.dateRangeAgg(Tables.load(s, d, "orders"), "o_orderdate",
+        Seq((None, Some("1993-01-01")),
+          (Some("1993-01-01"), Some("1996-06-15")),
+          (Some("1996-06-15"), None)))
+        .orderBy("key")
+    }),
     // ES top_metrics: per bucket, the metrics of the row holding the
     // extreme sort value (deterministic tie column)
     "tm1_top_metrics" -> ((s, d) => {
@@ -687,6 +695,25 @@ object AggQueries {
            |  UNION ALL SELECT '8000000.0-*', 8000000.0, NULL, r3 FROM m)
            |ORDER BY key""".stripMargin
     },
+    "dr1_date_range" ->
+      """WITH m AS (SELECT
+        |  CAST(count(CASE WHEN o_orderdate < DATE '1993-01-01'
+        |    THEN 1 END) AS BIGINT) AS r1,
+        |  CAST(count(CASE WHEN o_orderdate >= DATE '1993-01-01'
+        |    AND o_orderdate < DATE '1996-06-15' THEN 1 END)
+        |    AS BIGINT) AS r2,
+        |  CAST(count(CASE WHEN o_orderdate >= DATE '1996-06-15'
+        |    THEN 1 END) AS BIGINT) AS r3
+        |  FROM orders WHERE o_orderdate IS NOT NULL)
+        |SELECT key, "from", "to", doc_count FROM (
+        |  SELECT '*-1993-01-01' AS key, NULL AS "from",
+        |    '1993-01-01' AS "to", r1 AS doc_count FROM m
+        |  UNION ALL
+        |  SELECT '1993-01-01-1996-06-15', '1993-01-01',
+        |    '1996-06-15', r2 FROM m
+        |  UNION ALL
+        |  SELECT '1996-06-15-*', '1996-06-15', NULL, r3 FROM m)
+        |ORDER BY key""".stripMargin,
     "tm1_top_metrics" ->
       """SELECT o_orderpriority, o_totalprice, o_orderkey,
         |       o_orderstatus

@@ -170,6 +170,23 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("date_range") {
+    it("buckets [from, to) on the time axis, refuses date math") {
+      val df = Seq("2024-01-15", "2024-02-15", "2024-03-15")
+        .toDF("d").withColumn("d", to_timestamp(col("d")))
+      val got = EsAggs.dateRangeAgg(df, "d", Seq(
+        (None, Some("2024-02-15")),
+        (Some("2024-02-15"), None))).collect()
+        .map(r => (r.getString(0), r.getLong(3))).toSeq
+      // the boundary row lands in the >= bucket ([from, to))
+      got shouldBe Seq(("*-2024-02-15", 1L), ("2024-02-15-*", 2L))
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.dateRangeAgg(df, "d", Seq((Some("now-1M/d"), None)))
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.dateRangeAgg(df, "d", Nil)
+    }
+  }
+
   describe("top_metrics / rate") {
     it("top_metrics returns the extreme row's metrics per bucket") {
       val df = Seq(("a", 5.0, 1L, "x"), ("a", 9.0, 2L, "y"),
