@@ -137,7 +137,15 @@ object DumpPlans {
     "re1_rank_eval" ->
       "_rank_eval: results are cut to rank <= k FIRST (pushable filter), one left join against judgments, and every metric — including ERR's survival product — is a window over the BOUNDED per-query frame. The ideal-DCG leg windows the judgments table alone. No corpus is touched; evaluation cost scales with queries x k, not documents.",
     "pc2_phrase_percolate" ->
-      "Phrase percolate: containment through the broadcast term join is a LOSSLESS prefilter (adjacency implies containment), so the adjacency check — the dynamic form of match_phrase's token-joined needle — runs only on candidate (doc, query) pairs joined back by id. The corpus tokenizes twice but never shuffles; rule tables broadcast like pc1.")
+      "Phrase percolate: containment through the broadcast term join is a LOSSLESS prefilter (adjacency implies containment), so the adjacency check — the dynamic form of match_phrase's token-joined needle — runs only on candidate (doc, query) pairs joined back by id. The corpus tokenizes twice but never shuffles; rule tables broadcast like pc1.",
+    "jf1_join_field" ->
+      "ES join-field queries over NORMALIZED frames: has_child is a child-side counted aggregation on the FK (the child predicate pushed to its scan) + a left-semi join of parents; has_parent is a plain FK semi join. ES forces both types into one shard and warns of 100x slowdowns; here Catalyst/AQE pick broadcast-vs-shuffle per side like any join, and no shard ever holds both corpora.",
+    "lb1_length_batches" ->
+      "Length-bucketed batching: the batch id comes from the DISTRIBUTED prefix-sum ordinal (range partition + per-partition offsets), never a one-partition row_number window — the recipe that sorts 100 TB of documents by token count without funnelling them through one reducer. Padding accounting is one keyed aggregate over the batched frame.",
+    "pref1_preference_pairs" ->
+      "Preference pairs: one groupBy with the native ExtremumBy idxmax/idxmin aggregates — best and worst response per prompt group resolve map-side with deterministic smallest-id ties, no window, no self-join; flat groups drop in the same pass.",
+    "dr1_date_range" ->
+      "date_range: every bucket is a conditional count in ONE aggregation pass over a single scan — three ranges cost the same scan as one — then a literal explode shapes the ES bucket rows. No per-range scans, no union of filters.")
 
   private val epilogue: String = """
 ## Streaming index-lifecycle gate cost (st6, st9-st13) — r12 adjudication
