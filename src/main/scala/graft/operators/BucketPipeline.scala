@@ -189,6 +189,86 @@ object BucketPipeline {
       max(v).as("max"), avg(v).as("avg"), sum(v).as("sum"))
   }
 
+  /** ES `bucket_correlation` (the count_correlation function):
+    * Pearson r between the bucket metric series and a caller-provided
+    * vector of the same length, buckets taken in `orderCol` order —
+    * the trend/anomaly-detection pipeline agg. One row out; pure
+    * moment arithmetic over the bounded frame (Σx, Σy, Σxy, Σx², Σy²
+    * — the same replay-exact shape as [[graft.operators.EsAggs]]'
+    * matrix_stats), so any engine reproduces it bit-for-bit.
+    */
+  def bucketCorrelation(buckets: DataFrame, orderCol: String,
+                        valueCol: String,
+                        given: Seq[Double]): DataFrame = {
+    require(given.nonEmpty, "bucket_correlation needs a given vector")
+    val n = buckets.count()
+    require(n == given.length,
+      s"given vector has ${given.length} entries for $n buckets — " +
+        "they must align 1:1 in bucket order")
+    val w = Window.orderBy(orderCol)
+    val y = element_at(
+      typedLit(given), row_number().over(w))
+    val paired = buckets
+      .select(col(valueCol).cast("double").as("_x"), y.as("_y"))
+    paired.agg(
+        count(lit(1)).cast("double").as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+      .select(
+        ((col("_sxy") - col("_sx") * col("_sy") / col("_n")) /
+          (sqrt(greatest(lit(0.0),
+            col("_sxx") - col("_sx") * col("_sx") / col("_n"))) *
+            sqrt(greatest(lit(0.0),
+              col("_syy") - col("_sy") * col("_sy") / col("_n")))))
+          .as("correlation"))
+  }
+
+  /** ES `normalize` pipeline agg: the bucket metric rescaled by one
+    * of ES's methods — `rescale_0_1`, `rescale_0_100`,
+    * `percent_of_sum`, `mean` (value − avg) / (max − min), `z-score`,
+    * `softmax` — as a new column over the bounded bucket frame.
+    * Windows over the whole (already reduced) frame, the
+    * [[cumulativeSum]] discipline; degenerate denominators (all
+    * buckets equal, zero sum) yield null rather than NaN/Inf, and
+    * z-score uses the POPULATION deviation (ES's formula).
+    */
+  def normalize(buckets: DataFrame, valueCol: String, method: String,
+                out: String = "normalized",
+                seriesBy: Seq[String] = Nil): DataFrame = {
+    val w =
+      if (seriesBy.isEmpty)
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      else Window.partitionBy(seriesBy.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+    val v = col(valueCol).cast("double")
+    val mn = min(v).over(w)
+    val mx = max(v).over(w)
+    val sm = sum(v).over(w)
+    val av = avg(v).over(w)
+    val nn = count(v).over(w).cast("double")
+    val expr = method match {
+      case "rescale_0_1" =>
+        when(mx =!= mn, (v - mn) / (mx - mn))
+      case "rescale_0_100" =>
+        when(mx =!= mn, (v - mn) / (mx - mn) * 100.0)
+      case "percent_of_sum" => when(sm =!= 0.0, v / sm)
+      case "mean" => when(mx =!= mn, (v - av) / (mx - mn))
+      case "z-score" =>
+        val varPop = greatest(lit(0.0),
+          sum(v * v).over(w) / nn - av * av)
+        when(varPop > 0.0, (v - av) / sqrt(varPop))
+      case "softmax" => exp(v) / sum(exp(v)).over(w)
+      case other => throw new IllegalArgumentException(
+        s"normalize method must be rescale_0_1 | rescale_0_100 | " +
+          s"percent_of_sum | mean | z-score | softmax, got '$other'")
+    }
+    buckets.withColumn(out, expr)
+  }
+
   /** ES `percentiles_bucket` sibling agg: percentiles of a metric
     * across ALL buckets of the bounded frame — one row, one `p<N>`
     * column per requested percent. ES documents this agg as the

@@ -369,6 +369,30 @@ object AggQueries {
       EsAggs.histogram(Tables.load(s, d, "customer"), "c_acctbal",
         interval = 750.0, offset = 500.0, minDocCount = 0)
     }),
+    // ES bucket_correlation (count_correlation): Pearson r between
+    // the monthly counts and a linear ramp — the trend-detection
+    // pipeline agg, pure moment arithmetic over the bounded frame
+    "pa12_bucket_correlation" -> ((s, d) => {
+      val b = monthly(s, d)
+      val n = b.count().toInt // bounded bucket frame; ramp needs its length
+      BucketPipeline.bucketCorrelation(b, "month", "n",
+          (1 to n).map(_.toDouble))
+        .select(QueryUtil.rhu(col("correlation"), 6).as("correlation"))
+    }),
+    // ES normalize: rescale_0_1 / percent_of_sum / z-score over the
+    // monthly counts (softmax is spec-pinned — exp of raw counts
+    // overflows by design on count-scale inputs)
+    "pa13_normalize" -> ((s, d) => {
+      val b = monthly(s, d)
+      val r1 = BucketPipeline.normalize(b, "n", "rescale_0_1", "resc")
+      val r2 = BucketPipeline.normalize(r1, "n", "percent_of_sum", "pct")
+      val r3 = BucketPipeline.normalize(r2, "n", "z-score", "zs")
+      r3.select(col("month"), col("n"),
+          QueryUtil.rhu(col("resc"), 6).as("rescale_0_1"),
+          QueryUtil.rhu(col("pct"), 6).as("percent_of_sum"),
+          QueryUtil.rhu(col("zs"), 6).as("zscore"))
+        .orderBy("month")
+    }),
     // ES percentiles_bucket (sibling): exact R-7 percentiles of the
     // monthly revenue metric across all buckets — integer cents keep
     // the interpolation bit-exact across engines
@@ -851,6 +875,37 @@ object AggQueries {
         |  CAST(coalesce(b.doc_count, 0) AS BIGINT) AS doc_count
         |FROM spine LEFT JOIN b ON b.key = step * 750.0 + 500
         |ORDER BY key""".stripMargin,
+    "pa12_bucket_correlation" -> {
+      val r6 = QueryUtil.rhuSql(
+        "(sxy - sx * sy / nn) / (sqrt(greatest(0.0, " +
+          "sxx - sx * sx / nn)) * sqrt(greatest(0.0, " +
+          "syy - sy * sy / nn)))", 6)
+      s"""WITH b AS ($monthlySql),
+         |r AS (SELECT CAST(n AS DOUBLE) AS x,
+         |        CAST(row_number() OVER (ORDER BY month) AS DOUBLE)
+         |          AS y
+         |      FROM b),
+         |m AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+         |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |        sum(x * x) AS sxx, sum(y * y) AS syy FROM r)
+         |SELECT $r6 AS correlation FROM m""".stripMargin
+    },
+    "pa13_normalize" -> {
+      def r6(e: String) = QueryUtil.rhuSql(e, 6)
+      s"""WITH b AS ($monthlySql),
+         |s AS (SELECT month, n, CAST(n AS DOUBLE) AS x FROM b),
+         |m AS (SELECT min(x) AS mn, max(x) AS mx, sum(x) AS sm,
+         |        avg(x) AS av, CAST(count(*) AS DOUBLE) AS nn,
+         |        sum(x * x) AS sxx FROM s)
+         |SELECT month, n,
+         |  ${r6("CASE WHEN mx <> mn THEN (x - mn) / (mx - mn) END")}
+         |    AS rescale_0_1,
+         |  ${r6("CASE WHEN sm <> 0 THEN x / sm END")}
+         |    AS percent_of_sum,
+         |  ${r6("CASE WHEN sxx / nn - av * av > 0 THEN " +
+        "(x - av) / sqrt(sxx / nn - av * av) END")} AS zscore
+         |FROM s, m ORDER BY month""".stripMargin
+    },
     "pa11_percentiles_bucket" ->
       s"""WITH b AS ($monthlySql)
          |SELECT

@@ -122,6 +122,53 @@ class BucketPipelineSpec extends AnyFunSpec with Matchers {
       mn.getString(0) shouldBe "b3"
       mn.getDouble(1) shouldBe 1.0
     }
+    it("bucketCorrelation: Pearson r vs a given vector, length-checked") {
+      // values 10, 30, 25 vs the perfectly correlated vector itself
+      BucketPipeline.bucketCorrelation(series, "m", "v",
+        Seq(10.0, 30.0, 25.0)).collect().head.getDouble(0) shouldBe
+        1.0 +- 1e-12
+      // anti-correlated ramp vs [3,2,1] on a rising series
+      val rising = Seq(("2024-01-01", 1.0), ("2024-02-01", 2.0),
+        ("2024-03-01", 3.0)).toDF("m", "v")
+        .withColumn("m", to_timestamp(col("m")))
+      BucketPipeline.bucketCorrelation(rising, "m", "v",
+        Seq(3.0, 2.0, 1.0)).collect().head.getDouble(0) shouldBe
+        -1.0 +- 1e-12
+      an[IllegalArgumentException] should be thrownBy
+        BucketPipeline.bucketCorrelation(series, "m", "v", Seq(1.0))
+    }
+    it("normalize: every ES method, degenerate frames go null") {
+      def one(method: String, df: org.apache.spark.sql.DataFrame =
+          series): Seq[Option[Double]] =
+        vals(BucketPipeline.normalize(df, "v", method, "o")
+          .select(col("m"), col("o")), "o")
+      one("rescale_0_1") shouldBe
+        Seq(Some(0.0), Some(1.0), Some(0.75))
+      one("rescale_0_100") shouldBe
+        Seq(Some(0.0), Some(100.0), Some(75.0))
+      one("percent_of_sum") shouldBe
+        Seq(Some(10.0 / 65), Some(30.0 / 65), Some(25.0 / 65))
+      // z-score population: mean 65/3, var = (100+900+625)/3 - mean²
+      val mean = 65.0 / 3
+      val sd = math.sqrt(1625.0 / 3 - mean * mean)
+      one("z-score").map(_.get) zip
+        Seq((10 - mean) / sd, (30 - mean) / sd, (25 - mean) / sd) foreach {
+          case (g, e) => g shouldBe e +- 1e-12
+        }
+      // softmax sums to 1 on small values
+      val sm = one("softmax",
+        Seq(("2024-01-01", 0.1), ("2024-02-01", 0.2),
+          ("2024-03-01", 0.3)).toDF("m", "v")
+          .withColumn("m", to_timestamp(col("m")))).map(_.get)
+      sm.sum shouldBe 1.0 +- 1e-12
+      // all-equal buckets: rescale/mean/z-score are null, not NaN
+      val flat = Seq(("2024-01-01", 5.0), ("2024-02-01", 5.0))
+        .toDF("m", "v").withColumn("m", to_timestamp(col("m")))
+      one("rescale_0_1", flat) shouldBe Seq(None, None)
+      one("z-score", flat) shouldBe Seq(None, None)
+      an[IllegalArgumentException] should be thrownBy
+        BucketPipeline.normalize(series, "v", "nope")
+    }
     it("percentilesBucket: exact R-7 over all buckets, one row") {
       val r = BucketPipeline.percentilesBucket(series, "v",
         Seq(0.0, 0.5, 0.75, 1.0, 0.999)).collect().head
