@@ -450,6 +450,67 @@ object EsAggs {
       .orderBy("key")
   }
 
+  /** ES `geo_line` aggregation: per group, the track of up to `size`
+    * points ordered by the sort field, rendered as the scalar
+    * "lon lat;lon lat;…" string (ES returns a GeoJSON LineString —
+    * the geometry VALUES are identical, the wrapping is serializer
+    * syntax; a scalar keeps the driver-hashable surface). The sort
+    * order is made total with (sort, lon, lat) so ties cannot
+    * reorder the line between engines; `complete` reports whether
+    * the group fit inside `size` (ES's flag). One keyed shuffle with
+    * the WindowGroupLimit partial top-k before it — the th1 shape.
+    */
+  def geoLine(df: DataFrame, groupCol: String, pointCol: String,
+              sortCol: String, size: Int = 10000): DataFrame = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    val lat = col(pointCol).getField("lat").cast("double")
+    val lon = col(pointCol).getField("lon").cast("double")
+    // total order: ties on the sort field cannot reorder the line
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(sortCol).asc, col("_lon").asc, col("_lat").asc)
+    df.select(col(groupCol), col(sortCol), lon.as("_lon"),
+        lat.as("_lat"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(groupCol)))
+      .filter(col("_rn") <= size)
+      .groupBy(groupCol)
+      .agg(
+        concat_ws(";", transform(
+          array_sort(collect_list(struct(col("_rn"), col("_lon"),
+            col("_lat")))),
+          p => concat_ws(" ", p.getField("_lon").cast("string"),
+            p.getField("_lat").cast("string")))).as("line"),
+        count(lit(1)).cast("long").as("point_count"),
+        (max(col("_n")) <= size).as("complete"))
+      .orderBy(groupCol)
+  }
+
+  /** ES `categorize_text` — the DETERMINISTIC subset: documents group
+    * by their TEMPLATE, the token stream with digit runs masked to
+    * `#` (the dominant source of log-line variance; ES's ML
+    * categorizer also drops rare tokens adaptively, which is
+    * corpus-order-dependent and has no engine-independent
+    * replay — masking is the portable core). Output per category:
+    * the template key, doc_count desc, and the smallest doc id as
+    * the representative example. One keyed shuffle.
+    */
+  def categorizeText(df: DataFrame, idCol: String,
+                     textCol: String,
+                     size: Option[Int] = None): DataFrame = {
+    size.foreach(s => require(s >= 1, s"size must be >= 1, got $s"))
+    val template = concat_ws(" ", transform(
+      graft.functions.TextAnalysis.tokens(col(textCol)),
+      t => regexp_replace(t, "[0-9]+", "#")))
+    val out = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), template.as("category"))
+      .groupBy("category")
+      .agg(count(lit(1)).cast("long").as("doc_count"),
+        min(col(idCol)).as("example_id"))
+      .orderBy(col("doc_count").desc, col("category"))
+    size.fold(out)(out.limit)
+  }
+
   /** ES `geohash_grid` aggregation: bucket geo points by geohash cell
     * at `precision` characters (Niemeyer's scheme: 5·p bits, lon/lat
     * quantized to ⌈5p/2⌉ / ⌊5p/2⌋ bits, bit-interleaved lon-first,

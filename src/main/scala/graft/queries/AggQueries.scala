@@ -272,6 +272,28 @@ object AggQueries {
           (col("med6_cents") / 100.0).as("trailing_median"))
         .orderBy("month")
     }),
+    // ES geo_line: per-group tracks ordered by the sort field with
+    // the size cut and the complete flag; integral coordinates keep
+    // the scalar rendering engine-stable
+    "gl1_geo_line" -> ((s, d) => {
+      val pts = Tables.load(s, d, "customer").select(
+        col("c_mktsegment"), col("c_custkey"),
+        struct(((col("c_custkey") % 121) - 60).cast("double").as("lat"),
+          (((col("c_custkey") * 7) % 301) - 150).cast("double")
+            .as("lon")).as("loc"))
+      EsAggs.geoLine(pts, "c_mktsegment", "loc", "c_custkey", size = 5)
+    }),
+    // ES categorize_text (the deterministic subset): digit runs mask
+    // to '#', documents group by template — log-line categorization
+    // without the corpus-order-dependent ML half
+    "ct1_categorize_text" -> ((s, d) => {
+      val lines = Tables.load(s, d, "documents").select(col("doc_id"),
+        concat(concat_ws(" ", slice(
+            graft.functions.TextAnalysis.tokens(col("text")), 1, 2)),
+          lit(" code "), ((col("doc_id") * 7) % 13).cast("string"))
+          .as("line"))
+      EsAggs.categorizeText(lines, "doc_id", "line", Some(20))
+    }),
     // ES date_range: [from, to) time buckets with ES's "from-to" keys
     "dr1_date_range" -> ((s, d) => {
       EsAggs.dateRangeAgg(Tables.load(s, d, "orders"), "o_orderdate",
@@ -718,6 +740,41 @@ object AggQueries {
            |  FROM m
            |  UNION ALL SELECT '8000000.0-*', 8000000.0, NULL, r3 FROM m)
            |ORDER BY key""".stripMargin
+    },
+    "gl1_geo_line" ->
+      """WITH pts AS (SELECT c_mktsegment, c_custkey,
+        |    CAST((c_custkey % 121) - 60 AS DOUBLE) AS lat,
+        |    CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE) AS lon
+        |  FROM customer),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_custkey, lon, lat) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS total
+        |  FROM pts)
+        |SELECT c_mktsegment,
+        |  string_agg(CAST(lon AS VARCHAR) || ' ' ||
+        |    CAST(lat AS VARCHAR), ';' ORDER BY rn) AS line,
+        |  CAST(count(*) AS BIGINT) AS point_count,
+        |  max(total) <= 5 AS complete
+        |FROM r WHERE rn <= 5
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "ct1_categorize_text" -> {
+      val toksSql =
+        raw"""list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+      raw"""WITH l AS (SELECT doc_id,
+           |    array_to_string(($toksSql)[1:2], ' ') || ' code ' ||
+           |      CAST((doc_id * 7) % 13 AS VARCHAR) AS line
+           |  FROM documents),
+           |c AS (SELECT doc_id,
+           |    array_to_string(list_transform(
+           |      list_filter(string_split_regex(lower(line), '\s+'),
+           |        x -> x <> ''),
+           |      t -> regexp_replace(t, '[0-9]+', '#', 'g'))
+           |      , ' ') AS category
+           |  FROM l)
+           |SELECT category, CAST(count(*) AS BIGINT) AS doc_count,
+           |  min(doc_id) AS example_id
+           |FROM c GROUP BY category
+           |ORDER BY doc_count DESC, category LIMIT 20""".stripMargin
     },
     "dr1_date_range" ->
       """WITH m AS (SELECT

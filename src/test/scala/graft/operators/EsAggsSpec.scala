@@ -170,6 +170,36 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("geo_line / categorize_text") {
+    it("geo_line orders by the sort field, cuts at size, flags " +
+        "completeness") {
+      val df = Seq(
+        ("a", 3L, 1.0, 10.0), ("a", 1L, 2.0, 20.0), ("a", 2L, 3.0, 30.0),
+        ("b", 1L, 5.0, 50.0)).toDF("g", "s", "lat", "lon")
+        .select(col("g"), col("s"),
+          struct(col("lat"), col("lon")).as("loc"))
+      val got = EsAggs.geoLine(df, "g", "loc", "s", size = 2)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getBoolean(3))).toSeq
+      got shouldBe Seq(
+        ("a", "20.0 2.0;30.0 3.0", 2L, false), // sorted by s, cut at 2
+        ("b", "50.0 5.0", 1L, true))
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.geoLine(df, "g", "loc", "s", size = 0)
+    }
+    it("categorize_text groups by the digit-masked template") {
+      val df = Seq(
+        (1L, "GET /api/user 200"), (2L, "GET /api/user 404"),
+        (3L, "POST /api/user 200"), (4L, null.asInstanceOf[String]))
+        .toDF("id", "line")
+      val got = EsAggs.categorizeText(df, "id", "line")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2))).toSeq
+      got shouldBe Seq(("get /api/user #", 2L, 1L),
+        ("post /api/user #", 1L, 3L))
+    }
+  }
+
   describe("date_range") {
     it("buckets [from, to) on the time axis, refuses date math") {
       val df = Seq("2024-01-15", "2024-02-15", "2024-03-15")
