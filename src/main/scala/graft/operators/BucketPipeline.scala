@@ -201,28 +201,44 @@ object BucketPipeline {
                         valueCol: String,
                         given: Seq[Double]): DataFrame = {
     require(given.nonEmpty, "bucket_correlation needs a given vector")
-    val n = buckets.count()
-    require(n == given.length,
-      s"given vector has ${given.length} entries for $n buckets — " +
-        "they must align 1:1 in bucket order")
     val w = Window.orderBy(orderCol)
+    // row_number clamped so element_at cannot fault before the 1:1
+    // length guard below can fire; the guard makes any clamped pairing
+    // unreachable in a result
     val y = element_at(
-      typedLit(given), row_number().over(w))
-    val paired = buckets
-      .select(col(valueCol).cast("double").as("_x"), y.as("_y"))
+      typedLit(given), least(row_number().over(w), lit(given.length)))
+    // a null metric would be SKIPPED by the sums but counted by _n —
+    // every moment silently skewed — so nullness refuses inside the
+    // evaluated expression (the rateAgg discipline)
+    val x = when(col(valueCol).isNull,
+      raise_error(lit(s"bucket_correlation: null $valueCol — a " +
+        "skipped null would silently skew every moment; fill or " +
+        "filter the bucket frame first")).cast("double"))
+      .otherwise(col(valueCol).cast("double"))
+    val paired = buckets.select(x.as("_x"), y.as("_y"))
+    val r =
+      ((col("_sxy") - col("_sx") * col("_sy") / col("_n")) /
+        (sqrt(greatest(lit(0.0),
+          col("_sxx") - col("_sx") * col("_sx") / col("_n"))) *
+          sqrt(greatest(lit(0.0),
+            col("_syy") - col("_sy") * col("_sy") / col("_n")))))
     paired.agg(
         count(lit(1)).cast("double").as("_n"),
         sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
         sum(col("_x") * col("_y")).as("_sxy"),
         sum(col("_x") * col("_x")).as("_sxx"),
         sum(col("_y") * col("_y")).as("_syy"))
+      // the 1:1 length check rides the SAME aggregate (the old
+      // separate count() action re-evaluated the whole input plan)
       .select(
-        ((col("_sxy") - col("_sx") * col("_sy") / col("_n")) /
-          (sqrt(greatest(lit(0.0),
-            col("_sxx") - col("_sx") * col("_sx") / col("_n"))) *
-            sqrt(greatest(lit(0.0),
-              col("_syy") - col("_sy") * col("_sy") / col("_n")))))
-          .as("correlation"))
+        when(col("_n") =!= lit(given.length.toDouble),
+          raise_error(concat(
+            lit(s"bucket_correlation: given vector has " +
+              s"${given.length} entries for "),
+            col("_n").cast("long"),
+            lit(" buckets — they must align 1:1 in bucket order")))
+            .cast("double"))
+          .otherwise(r).as("correlation"))
   }
 
   /** ES `normalize` pipeline agg: the bucket metric rescaled by one

@@ -304,11 +304,30 @@ object EsAggs {
     require(ranges.nonEmpty, "date_range agg needs at least one range")
     val v = col(tsCol).cast("timestamp")
     def bound(s: String): Column = {
-      require(s.matches("\\d{4}-\\d{2}-\\d{2}([ T].*)?"),
-        s"date_range bound '$s' is not an ISO date(-time) — date " +
-          "math (now-1M/d) is clock-dependent and not supported; " +
-          "resolve it caller-side")
-      to_timestamp(lit(s))
+      // strict driver-side parse: the old prefix regex accepted
+      // trailing garbage ('2020-01-01Tnope'), to_timestamp then gave
+      // null, the range condition went null and the bucket silently
+      // counted 0 — contrary to the refusal discipline. Parse the
+      // exact shapes here so a malformed bound fails at call time.
+      val norm = s.replace('T', ' ')
+      val ok =
+        try {
+          if (norm.length == 10)
+            { java.time.LocalDate.parse(norm); true }
+          else {
+            java.time.LocalDateTime.parse(norm,
+              java.time.format.DateTimeFormatter.ofPattern(
+                "yyyy-MM-dd HH:mm:ss[.SSS]"))
+            true
+          }
+        } catch { case _: java.time.format.DateTimeParseException =>
+          false }
+      require(ok,
+        s"date_range bound '$s' is not an ISO date(-time) " +
+          "(yyyy-MM-dd[[ T]HH:mm:ss[.SSS]]) — date math (now-1M/d) " +
+          "is clock-dependent and not supported; resolve it " +
+          "caller-side")
+      to_timestamp(lit(norm))
     }
     def key(r: (Option[String], Option[String])): String =
       s"${r._1.getOrElse("*")}-${r._2.getOrElse("*")}"
@@ -423,22 +442,29 @@ object EsAggs {
           .withColumn("_i",
             round((col("key") - offset) / interval).cast("long"))
           .withColumn("_prev", lag("_i", 1).over(w))
+          // the running min over ascending keys = the FIRST step, so
+          // _i − _lo + 1 is the total spine size so far
+          .withColumn("_lo", min(col("_i")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            0)))
           // ES refuses result sets past search.max_buckets (default
           // 65536) for exactly this reason: two outlier values with a
           // tiny interval would otherwise materialize a billion-row
-          // empty spine. The guard lives INSIDE the sequence bound so
+          // empty spine. The guard bounds the TOTAL spine (which
+          // subsumes any single gap — ES's limit is on the result
+          // size, not per gap) and lives INSIDE the sequence bound so
           // the optimizer cannot prune it away.
           .select(
             explode(sequence(
               coalesce(
-                when(col("_i") - col("_prev") > maxBuckets.toLong,
+                when(col("_i") - col("_lo") > (maxBuckets - 1).toLong,
                   raise_error(concat(
-                    lit(s"histogram: a min_doc_count:0 gap exceeds " +
-                      s"max_buckets $maxBuckets between step "),
-                    col("_prev"), lit(" and "), col("_i"),
-                    lit(" — widen the interval or raise maxBuckets")))
+                    lit("histogram: the min_doc_count:0 spine spans "),
+                    col("_i") - col("_lo") + 1L,
+                    lit(s" buckets, exceeding max_buckets $maxBuckets" +
+                      " — widen the interval or raise maxBuckets")))
                     .cast("long"))
-                  .otherwise(col("_prev") + 1),
+                  .otherwise(coalesce(col("_prev"), col("_i") - 1L) + 1L),
                 col("_i")),
               col("_i"))).as("_k"),
             col("_i"), col("doc_count"))

@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
   *    desc; 0 when the query has no positive judgment)
   *  - `err@k`         Σ (1/rank) · R(rank) · Π_{j<rank} (1 − R(j))
   *    with R = (2^rating − 1) / 2^maxRating (the Chapelle ERR the ES
-  *    docs cite; `maxRating` must bound every rating)
+  *    docs cite; `maxRating` must bound every rating — enforced by an
+  *    in-expression raise_error, never a silently-wrong ERR)
   *
   * One row per query — callers average for the ES summary number.
+  * `refuseDuplicates = true` adds one bounded validation pass that
+  * refuses duplicate (query, doc)/(query, rank) rows in `results` and
+  * duplicate (query, doc) rows in `judgments` — shapes ES guarantees
+  * by construction but caller data cannot.
   *
   * Scale shape: results are cut to rank ≤ k FIRST (pushable filter),
   * one left join against judgments on (query, doc), per-query window
@@ -37,7 +42,8 @@ object RankEval {
                queryCol: String, docCol: String, rankCol: String,
                ratingCol: String, k: Int,
                relevantThreshold: Int = 1,
-               maxRating: Int = 3): DataFrame = {
+               maxRating: Int = 3,
+               refuseDuplicates: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(relevantThreshold >= 1,
       s"relevant threshold must be >= 1, got $relevantThreshold")
@@ -48,6 +54,32 @@ object RankEval {
       .select(q, col(docCol), col(rankCol).cast("long").as("_rank"))
     val judged = judgments.select(q, col(docCol),
       col(ratingCol).cast("long").as("_rating"))
+    // opt-in input validation: ES generates the ranking itself so
+    // (query, doc) and (query, rank) are unique by construction there;
+    // here both tables are caller data, and a duplicate row silently
+    // skews every metric (double-counted gains, phantom ranks). One
+    // bounded action over the ALREADY-REDUCED inputs (≤ k rows per
+    // query + the judgment list): per-query distinct counts, first
+    // violating query reported.
+    if (refuseDuplicates) {
+      val dupResults = topk.groupBy(q).agg(
+          count(lit(1)).as("_n"),
+          countDistinct(col(docCol)).as("_nd"),
+          countDistinct(col("_rank")).as("_nr"))
+        .filter(col("_n") > col("_nd") || col("_n") > col("_nr"))
+        .select(q.cast("string").as("_q"), lit("results").as("_side"))
+      val dupJudged = judged.groupBy(q).agg(
+          count(lit(1)).as("_n"),
+          countDistinct(col(docCol)).as("_nd"))
+        .filter(col("_n") > col("_nd"))
+        .select(q.cast("string").as("_q"), lit("judgments").as("_side"))
+      val bad = dupResults.unionByName(dupJudged).limit(1).collect()
+      require(bad.isEmpty,
+        s"rank_eval: duplicate (query, doc) or (query, rank) rows in " +
+          s"the ${bad.head.getString(1)} table (e.g. query " +
+          s"'${bad.head.getString(0)}') — duplicates silently skew " +
+          "every metric; dedupe the input")
+    }
     val joined = topk.join(judged, Seq(queryCol, docCol), "left")
       .withColumn("_r", coalesce(col("_rating"), lit(0L)))
     val rel = (col("_r") >= relevantThreshold).cast("int")
@@ -55,9 +87,20 @@ object RankEval {
       log(2.0, col("_rank") + 1.0)
     // ERR stop probability and the preceding-ranks survival product:
     // Π(1 − R_j) via exp(Σ ln) with an any-zero flag (a rank with
-    // R = 1 zeroes every later term — ln would NaN there)
-    val errR = (pow(lit(2.0), col("_r")) - 1.0) /
-      math.pow(2.0, maxRating)
+    // R = 1 zeroes every later term — ln would NaN there). A rating
+    // above maxRating would make errR > 1, ln(1 − errR) null, and the
+    // coalesce below would map the null to survival 1.0 — a WRONG ERR
+    // instead of a loud refusal — so the bound is enforced inside the
+    // evaluated expression (the rateAgg discipline; the optimizer
+    // cannot prune it).
+    val errR = when(col("_r") > maxRating,
+      raise_error(concat(
+        lit("rank_eval: rating "), col("_r"),
+        lit(s" exceeds maxRating $maxRating — maxRating must bound " +
+          "every rating for ERR to be a probability")))
+        .cast("double"))
+      .otherwise((pow(lit(2.0), col("_r")) - 1.0) /
+        math.pow(2.0, maxRating))
     val wPrev = Window.partitionBy(q).orderBy(col("_rank"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val surv = coalesce(

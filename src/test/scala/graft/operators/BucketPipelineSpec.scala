@@ -134,8 +134,20 @@ class BucketPipelineSpec extends AnyFunSpec with Matchers {
       BucketPipeline.bucketCorrelation(rising, "m", "v",
         Seq(3.0, 2.0, 1.0)).collect().head.getDouble(0) shouldBe
         -1.0 +- 1e-12
-      an[IllegalArgumentException] should be thrownBy
+      // the 1:1 length check now rides the aggregate itself (one
+      // plan, no separate count() action) — still loud
+      val short = intercept[Exception](
         BucketPipeline.bucketCorrelation(series, "m", "v", Seq(1.0))
+          .collect())
+      assert(short.getMessage.contains("align 1:1"), short.getMessage)
+      // a null metric refuses in-plan instead of silently skewing
+      val withNull = Seq(("2024-01-01", Some(1.0)),
+        ("2024-02-01", None: Option[Double])).toDF("m", "v")
+        .withColumn("m", to_timestamp(col("m")))
+      val nul = intercept[Exception](
+        BucketPipeline.bucketCorrelation(withNull, "m", "v",
+          Seq(1.0, 2.0)).collect())
+      assert(nul.getMessage.contains("null"), nul.getMessage)
     }
     it("normalize: every ES method, degenerate frames go null") {
       def one(method: String, df: org.apache.spark.sql.DataFrame =

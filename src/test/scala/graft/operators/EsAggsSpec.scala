@@ -214,6 +214,16 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
         EsAggs.dateRangeAgg(df, "d", Seq((Some("now-1M/d"), None)))
       an[IllegalArgumentException] should be thrownBy
         EsAggs.dateRangeAgg(df, "d", Nil)
+      // trailing garbage after a valid date prefix used to slip the
+      // regex, null through to_timestamp and silently count 0
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.dateRangeAgg(df, "d", Seq((Some("2020-01-01Tnope"), None)))
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.dateRangeAgg(df, "d", Seq((Some("2024-02-30"), None)))
+      // full datetime bounds still parse
+      EsAggs.dateRangeAgg(df, "d", Seq(
+        (Some("2024-02-15T00:00:00"), None))).collect()
+        .head.getLong(3) shouldBe 2L
     }
   }
 
@@ -348,6 +358,19 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
       // within the cap the spine still fills
       EsAggs.histogram(Seq(0.0, 5.0).toDF("v"), "v", 1.0,
         minDocCount = 0, maxBuckets = 1000).count() shouldBe 6L
+      // the guard bounds the TOTAL spine, not just a single gap:
+      // three occupied buckets with sub-cap gaps whose SUM exceeds
+      // the cap must refuse too (ES's search.max_buckets is a
+      // result-size limit)
+      val creeping = Seq(0.0, 900.0, 1800.0).toDF("v")
+      val e2 = intercept[Exception](
+        EsAggs.histogram(creeping, "v", 1.0, minDocCount = 0,
+          maxBuckets = 1000).collect())
+      assert(e2.getMessage.contains("max_buckets"), e2.getMessage)
+      // exactly at the cap is allowed (1001 buckets > 1000 refuses,
+      // 1000 passes)
+      EsAggs.histogram(Seq(0.0, 999.0).toDF("v"), "v", 1.0,
+        minDocCount = 0, maxBuckets = 1000).count() shouldBe 1000L
     }
   }
 

@@ -74,4 +74,40 @@ class RankEvalSpec extends AnyFunSpec with Matchers {
       RankEval.rankEval(results, judgments, "query", "doc", "rank",
         "rating", k = 5, relevantThreshold = 3, maxRating = 2)
   }
+
+  it("refuses a rating above maxRating inside the plan (no silent ERR)") {
+    // rating 4 with maxRating 3: errR > 1 would have nulled the
+    // log-survival and coalesced to a WRONG err of 1.0 pre-guard
+    val j = Seq(("q", "a", 4)).toDF("query", "doc", "rating")
+    val res = Seq(("q", "a", 1)).toDF("query", "doc", "rank")
+    val ex = intercept[Exception] {
+      RankEval.rankEval(res, j, "query", "doc", "rank", "rating",
+        k = 1, maxRating = 3).collect()
+    }
+    ex.getMessage should include("exceeds maxRating")
+  }
+
+  it("refuseDuplicates rejects duplicate (query, doc), (query, rank) and duplicate judgments") {
+    val dupDoc = Seq(("q", "a", 1), ("q", "a", 2)).toDF(
+      "query", "doc", "rank")
+    val dupRank = Seq(("q", "a", 1), ("q", "b", 1)).toDF(
+      "query", "doc", "rank")
+    val clean = Seq(("q", "a", 1), ("q", "b", 2)).toDF(
+      "query", "doc", "rank")
+    val j = Seq(("q", "a", 2)).toDF("query", "doc", "rating")
+    val dupJ = Seq(("q", "a", 2), ("q", "a", 1)).toDF(
+      "query", "doc", "rating")
+    an[IllegalArgumentException] should be thrownBy
+      RankEval.rankEval(dupDoc, j, "query", "doc", "rank", "rating",
+        k = 4, refuseDuplicates = true)
+    an[IllegalArgumentException] should be thrownBy
+      RankEval.rankEval(dupRank, j, "query", "doc", "rank", "rating",
+        k = 4, refuseDuplicates = true)
+    an[IllegalArgumentException] should be thrownBy
+      RankEval.rankEval(clean, dupJ, "query", "doc", "rank", "rating",
+        k = 4, refuseDuplicates = true)
+    // clean inputs validate AND still compute
+    RankEval.rankEval(clean, j, "query", "doc", "rank", "rating",
+      k = 4, refuseDuplicates = true).collect().length shouldBe 1
+  }
 }
