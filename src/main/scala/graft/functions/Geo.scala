@@ -232,6 +232,61 @@ object Geo {
     else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** ES `geo_bounds` aggregation: per group, the smallest bounding
+    * box containing every member point — (groupCols…, top, bottom,
+    * left_lon, right_lon, n_points). Latitude bounds are plain
+    * min/max. Longitude follows ES's `wrap_longitude: true` rule
+    * (the one subtlety of this agg): track min/max of the
+    * NON-NEGATIVE and NEGATIVE longitudes separately, then pick the
+    * narrower of the two candidate boxes — unwrapped [negLeft,
+    * posRight] (width posRight − negLeft) vs the
+    * ANTIMERIDIAN-CROSSING [posLeft, negRight] (width 360 − posLeft
+    * + negRight); ties keep the unwrapped box (ES's `<=`). A
+    * crossing box reports left_lon > right_lon, exactly ES's
+    * top_left/bottom_right wrap encoding (the f30 bbox-wrap query is
+    * the round trip). `wrapLongitude = false` always returns the
+    * unwrapped box. Rows with a null point/coordinate are excluded
+    * like docs missing the field.
+    *
+    * Scale shape: ONE map-side-combined aggregate of six conditional
+    * min/max cells + a count — the bounds of 100 TB of points cost
+    * the scan; the wrap decision is per-GROUP arithmetic on the
+    * reduced row.
+    */
+  def geoBounds(df: org.apache.spark.sql.DataFrame, pointCol: String,
+                groupCols: Seq[String] = Nil,
+                wrapLongitude: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    val p = col(pointCol)
+    val ok = p.isNotNull && p.getField("lat").isNotNull &&
+      p.getField("lon").isNotNull
+    val lat = when(ok, p.getField("lat").cast("double"))
+    val lon = when(ok, p.getField("lon").cast("double"))
+    val aggs = Seq(
+      max(lat).as("top"), min(lat).as("bottom"),
+      min(when(lon >= 0, lon)).as("_pl"),
+      max(when(lon >= 0, lon)).as("_pr"),
+      min(when(lon < 0, lon)).as("_nl"),
+      max(when(lon < 0, lon)).as("_nr"),
+      count(lat).cast("long").as("n_points"))
+    val cells =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val wrapNarrower =
+      if (!wrapLongitude) lit(false)
+      else (col("_pr") - col("_nl")) >
+        (lit(360.0) - col("_pl") + col("_nr"))
+    val left = when(col("_pl").isNull, col("_nl"))
+      .when(col("_nl").isNull, col("_pl"))
+      .when(wrapNarrower, col("_pl")).otherwise(col("_nl"))
+    val right = when(col("_pl").isNull, col("_nr"))
+      .when(col("_nl").isNull, col("_pr"))
+      .when(wrapNarrower, col("_nr")).otherwise(col("_pr"))
+    cells.select(groupCols.map(col) ++ Seq(
+      col("top"), col("bottom"), left.as("left_lon"),
+      right.as("right_lon"), col("n_points")): _*)
+  }
+
   /** Point-in-polygon — the `geo_polygon` query's containment test,
     * as Franklin's PNPOLY ray cast (crossing-parity of the eastward
     * horizontal ray) unrolled over the polygon's vertex literals: one

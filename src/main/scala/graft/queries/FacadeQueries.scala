@@ -742,6 +742,28 @@ object FacadeQueries {
     // under the double avg, so the 6-dp rounding is pure formality —
     // plus the contributing count; rows with a null point drop like
     // ES's missing-field docs
+    // geo_bounds per nation with ES's wrap_longitude rule: nations
+    // divisible by 5 get points CLUSTERED at the antimeridian (lon in
+    // [142.5, 180] ∪ [-179.75, -142.5], exact dyadic /4.0 arithmetic)
+    // so their narrower box CROSSES (left_lon > right_lon — ES's wrap
+    // encoding); the rest span [-150, 150] and stay unwrapped; null
+    // points drop — an unwrapped misreading of the planted nations
+    // would report a ~360°-wide box instead
+    "gb1_geo_bounds" -> ((s, d) => {
+      customer(s, d).df
+        .withColumn("_raw",
+          (((col("c_custkey") * 7) % 301) - 150).cast("double"))
+        .withColumn("loc",
+          when(col("c_custkey") % 19 =!= 0, struct(
+            ((col("c_custkey") % 121) - 60).cast("double").as("lat"),
+            when(col("c_nationkey") % 5 === 0,
+              when(col("_raw") >= 0, lit(180.0) - col("_raw") / 4.0)
+                .otherwise(lit(-180.0) - col("_raw") / 4.0))
+              .otherwise(col("_raw")).as("lon"))))
+        .transform(df => graft.functions.Geo.geoBounds(df, "loc",
+          Seq("c_nationkey")))
+        .orderBy("c_nationkey")
+    }),
     "gg1_geo_centroid" -> ((s, d) => {
       customer(s, d).df.withColumn("loc",
           when(col("c_custkey") % 19 =!= 0, struct(
@@ -1609,6 +1631,35 @@ object FacadeQueries {
            |  FROM customer)
            |WHERE lat <= 30 AND lat >= -5 AND lon >= -10 AND lon <= 40
            |ORDER BY c_custkey""".stripMargin,
+    // bounds replay: the six conditional min/max cells + the
+    // narrower-box CASE (wrapped iff unwrapped width strictly larger)
+    "gb1_geo_bounds" ->
+      raw"""WITH pts AS (
+           |  SELECT c_nationkey,
+           |    CAST((c_custkey % 121) - 60 AS DOUBLE) AS lat,
+           |    CASE WHEN c_nationkey % 5 = 0 THEN
+           |      CASE WHEN CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE) >= 0
+           |        THEN 180.0 - CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE) / 4.0
+           |        ELSE -180.0 - CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE) / 4.0 END
+           |      ELSE CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE) END AS lon
+           |  FROM customer WHERE c_custkey % 19 <> 0),
+           |cells AS (
+           |  SELECT c_nationkey, max(lat) AS top, min(lat) AS bottom,
+           |    min(lon) FILTER (WHERE lon >= 0) AS pl,
+           |    max(lon) FILTER (WHERE lon >= 0) AS pr,
+           |    min(lon) FILTER (WHERE lon < 0) AS nl,
+           |    max(lon) FILTER (WHERE lon < 0) AS nr,
+           |    CAST(count(*) AS BIGINT) AS n_points
+           |  FROM pts GROUP BY 1)
+           |SELECT c_nationkey, top, bottom,
+           |  CASE WHEN pl IS NULL THEN nl WHEN nl IS NULL THEN pl
+           |       WHEN (pr - nl) > (360.0 - pl + nr) THEN pl
+           |       ELSE nl END AS left_lon,
+           |  CASE WHEN pl IS NULL THEN nr WHEN nl IS NULL THEN pr
+           |       WHEN (pr - nl) > (360.0 - pl + nr) THEN nr
+           |       ELSE pr END AS right_lon,
+           |  n_points
+           |FROM cells ORDER BY c_nationkey""".stripMargin,
     // centroid replay: null rows filtered, integer-exact means
     "gg1_geo_centroid" ->
       raw"""SELECT c_nationkey,

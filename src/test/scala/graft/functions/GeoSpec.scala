@@ -212,4 +212,40 @@ class GeoSpec extends AnyFunSuite {
       Geo.pointInPolygon(col("lat"), col("lon"),
         Seq((0.0, 0.0), (95.0, 0.0), (0.0, 10.0))))
   }
+
+  test("geoBounds: wrap_longitude picks the narrower box, ties unwrapped") {
+    def pts(rows: (String, Double, Double)*) = rows.toSeq
+      .toDF("g", "lat", "lon")
+      .withColumn("loc", struct(col("lat"), col("lon")))
+    def one(df: org.apache.spark.sql.DataFrame, wrap: Boolean = true) = {
+      val r = Geo.geoBounds(df, "loc", Seq("g"), wrap).collect().head
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getLong(5))
+    }
+    // cluster at the antimeridian: wrapped box [170, -170] (width 20)
+    // beats unwrapped [-170, 170] (width 340) → left > right
+    val am = pts(("a", 10.0, 170.0), ("a", -5.0, -170.0))
+    assert(one(am) == (10.0, -5.0, 170.0, -170.0, 2L))
+    // wrap_longitude = false keeps the unwrapped box
+    assert(one(am, wrap = false) == (10.0, -5.0, -170.0, 170.0, 2L))
+    // widths equal (unwrapped 180 vs wrapped 180): ES's <= keeps
+    // the unwrapped box
+    assert(one(pts(("a", 0.0, 90.0), ("a", 0.0, -90.0))) ==
+      (0.0, 0.0, -90.0, 90.0, 2L))
+    // single-sign longitudes: plain min/max, no wrap decision
+    assert(one(pts(("a", 1.0, 20.0), ("a", 2.0, 40.0))) ==
+      (2.0, 1.0, 20.0, 40.0, 2L))
+    assert(one(pts(("a", 1.0, -20.0), ("a", 2.0, -40.0))) ==
+      (2.0, 1.0, -40.0, -20.0, 2L))
+    // null points drop like ES's missing-field docs
+    val withNull = Seq(("a", Some(1.0), Some(5.0)),
+      ("a", None: Option[Double], None: Option[Double]))
+      .toDF("g", "lat", "lon")
+      .withColumn("loc", when(col("lat").isNotNull,
+        struct(col("lat"), col("lon"))))
+    assert(one(withNull) == (1.0, 1.0, 5.0, 5.0, 1L))
+    // global (no group) face
+    val g = Geo.geoBounds(pts(("a", 3.0, 7.0)), "loc").collect().head
+    assert(g.getDouble(0) == 3.0 && g.getLong(4) == 1L)
+  }
 }
