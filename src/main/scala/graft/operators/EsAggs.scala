@@ -97,6 +97,64 @@ object EsAggs {
       .drop("_rank")
   }
 
+  /** ES field collapsing (`collapse` + `inner_hits`): one result per
+    * distinct `keyCol` value, ranked by the BEST member's score, each
+    * carrying up to `innerHits` member rows re-sorted by the inner
+    * sort — the one-product-per-family shape of product-search UIs.
+    * Output is flat, one row per (outer hit, inner hit):
+    * (outer_rank, key, anchor id/score, inner_rank, inner id + the
+    * inner sort value), so both ranking levels are hash-checkable.
+    *
+    * Tie discipline: ES breaks score ties by Lucene doc order, which
+    * no other engine can replay — both levels here use (sort desc,
+    * `idCol` asc) total orders, the [[topHits]] adjudication. The
+    * outer rank is over ANCHOR scores (ES: the collapsed hit keeps
+    * its top member's score).
+    *
+    * Scale shape: the anchor selection is a per-KEY window (groups
+    * bounded by per-key doc counts — the th1 WindowGroupLimit shape),
+    * the global outer cut is sort-limit (TakeOrderedAndProject, never
+    * a single-partition global window over the corpus) with the rank
+    * number assigned by a window over the ≤ `size` survivors; inner
+    * hits re-join the corpus through a BROADCAST semi join on the
+    * ≤ `size` surviving keys, so the second pass scans once and
+    * windows only inside surviving groups.
+    */
+  def collapse(hits: DataFrame, keyCol: String, scoreCol: String,
+               idCol: String, size: Int, innerHits: Int,
+               innerSortCol: String, innerAsc: Boolean = false)
+      : DataFrame = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    require(innerHits >= 1, s"inner_hits size must be >= 1, got $innerHits")
+    val score = col(scoreCol).cast("double")
+    // anchor = the best-scoring member of each collapse group
+    val anchors = hits
+      .withColumn("_r", row_number().over(Window.partitionBy(keyCol)
+        .orderBy(score.desc, col(idCol).asc)))
+      .filter(col("_r") === 1)
+      .select(col(keyCol), col(idCol).as("anchor_id"),
+        score.as("anchor_score"))
+      .orderBy(col("anchor_score").desc, col("anchor_id").asc)
+      .limit(size)
+    val ranked = anchors.withColumn("outer_rank",
+      row_number().over(Window.orderBy(col("anchor_score").desc,
+        col("anchor_id").asc)).cast("long"))
+    val innerOrder =
+      if (innerAsc) Seq(col(innerSortCol).asc, col(idCol).asc)
+      else Seq(col(innerSortCol).desc, col(idCol).asc)
+    hits
+      .join(broadcast(ranked), Seq(keyCol))
+      .withColumn("inner_rank", row_number().over(
+        Window.partitionBy(keyCol).orderBy(innerOrder: _*))
+        .cast("long"))
+      .filter(col("inner_rank") <= innerHits)
+      .select(col("outer_rank"), col(keyCol), col("anchor_id"),
+        col("anchor_score"), col("inner_rank"),
+        col(idCol).as("inner_id"),
+        col(innerSortCol).cast("double").as("inner_sort"))
+      .orderBy("outer_rank", "inner_rank")
+  }
+
   /** ES `top_metrics`: per bucket, the metric values carried by the
     * row holding the EXTREME sort value — the size-1 face over the
     * [[topHits]] window machinery, keeping only the named metric

@@ -479,6 +479,16 @@ object AggQueries {
           Seq("o_orderpriority"), "o_totalprice", 2, "o_orderkey")
         .orderBy("o_orderpriority", "o_orderkey")
     }),
+    // ES field collapsing (collapse + inner_hits): one result per
+    // customer ranked by their best order's price, each carrying its
+    // top-3 orders — both ranking levels replayed by row_number with
+    // the (sort desc, id asc) tie discipline
+    "cl1_collapse" -> ((s, d) => {
+      EsAggs.collapse(Tables.load(s, d, "orders"),
+        keyCol = "o_custkey", scoreCol = "o_totalprice",
+        idCol = "o_orderkey", size = 10, innerHits = 3,
+        innerSortCol = "o_totalprice")
+    }),
     // ES rare_terms over the analyzed vocabulary: tokens in at most 2
     // documents, rarest first (exact groupBy — ES's CuckooFilter is a
     // memory bound, not different semantics)
@@ -1129,6 +1139,32 @@ object AggQueries {
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 2
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "cl1_collapse" ->
+      """WITH a AS (
+        |  SELECT o_custkey, o_orderkey AS anchor_id,
+        |         o_totalprice AS anchor_score,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS r
+        |  FROM orders),
+        |top AS (
+        |  SELECT o_custkey, anchor_id, anchor_score,
+        |         CAST(row_number() OVER (ORDER BY anchor_score DESC,
+        |           anchor_id) AS BIGINT) AS outer_rank
+        |  FROM a WHERE r = 1
+        |  ORDER BY anchor_score DESC, anchor_id LIMIT 10),
+        |i AS (
+        |  SELECT t.outer_rank, o.o_custkey, t.anchor_id,
+        |         t.anchor_score,
+        |         CAST(row_number() OVER (PARTITION BY o.o_custkey
+        |           ORDER BY o.o_totalprice DESC, o.o_orderkey)
+        |           AS BIGINT) AS inner_rank,
+        |         o.o_orderkey AS inner_id,
+        |         o.o_totalprice AS inner_sort
+        |  FROM orders o JOIN top t ON o.o_custkey = t.o_custkey)
+        |SELECT outer_rank, o_custkey, anchor_id, anchor_score,
+        |       inner_rank, inner_id, inner_sort
+        |FROM i WHERE inner_rank <= 3
+        |ORDER BY outer_rank, inner_rank""".stripMargin,
     "rt1_rare_terms" ->
       raw"""WITH t AS (SELECT doc_id,
            |  unnest(list_distinct(list_filter(

@@ -68,6 +68,32 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("collapse") {
+    it("one anchor per key ranked by best score, inner hits re-sorted") {
+      // A: best 9.0; B: 8.0 tie broken to id 3; C (5.0) cut by size=2.
+      // inner sort = price ASC (differs from the score order)
+      val hits = Seq(
+        ("A", 1L, 9.0, 30.0), ("A", 2L, 7.0, 10.0),
+        ("B", 3L, 8.0, 50.0), ("B", 4L, 8.0, 40.0), ("B", 5L, 2.0, 60.0),
+        ("C", 6L, 5.0, 1.0))
+        .toDF("k", "id", "score", "price")
+      val out = EsAggs.collapse(hits, "k", "score", "id",
+        size = 2, innerHits = 2, innerSortCol = "price",
+        innerAsc = true).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      out.toSeq shouldBe Seq(
+        (1L, "A", 1L, 9.0, 1L, 2L, 10.0),
+        (1L, "A", 1L, 9.0, 2L, 1L, 30.0),
+        (2L, "B", 3L, 8.0, 1L, 4L, 40.0),
+        (2L, "B", 3L, 8.0, 2L, 3L, 50.0))
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.collapse(hits, "k", "score", "id", 0, 1, "price")
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.collapse(hits, "k", "score", "id", 1, 0, "price")
+    }
+  }
+
   describe("rare_terms") {
     it("keeps keys at or under max_doc_count, rarest first") {
       val df = Seq("x", "x", "x", "y", "z", "z").toDF("t")
