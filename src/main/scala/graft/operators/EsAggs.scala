@@ -97,6 +97,47 @@ object EsAggs {
       .drop("_rank")
   }
 
+  /** ES `sampler` / `diversified_sampler` aggregations: bound
+    * expensive sub-aggregations to the best-scoring `shardSize` hits
+    * — returns the SAMPLE frame; callers compose any aggregation on
+    * top (that composability is the point of the agg).
+    *
+    * Portability adjudication (PLANS.md r16): ES's sampler is
+    * per-SHARD — each shard keeps its own top `shard_size`, so the
+    * sample's membership (size shard_size × shards) depends on
+    * document routing and is not replayable on another engine. The
+    * portable semantics here are a GLOBAL top `shardSize` under the
+    * total order (score desc, `idCol` asc) — deterministic on any
+    * engine (the qf1 topFractionPerGroup discipline).
+    * `diversifyField` adds diversified_sampler's knob: at most
+    * `maxDocsPerValue` docs per field value, the cap applied in the
+    * same score order BEFORE the global cut (ES de-prioritizes
+    * over-represented keys during collection — same selection).
+    *
+    * Scale shape: the diversity cap is a per-KEY window (groups
+    * bounded by per-key doc counts); the global cut is sort-limit
+    * (TakeOrderedAndProject — per-partition top-k then a driver
+    * merge of k per partition, never a single-partition sort).
+    */
+  def samplerAgg(hits: DataFrame, scoreCol: String, idCol: String,
+                 shardSize: Int,
+                 diversifyField: Option[String] = None,
+                 maxDocsPerValue: Int = 1): DataFrame = {
+    require(shardSize >= 1, s"shard_size must be >= 1, got $shardSize")
+    require(maxDocsPerValue >= 1,
+      s"max_docs_per_value must be >= 1, got $maxDocsPerValue")
+    val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    val diversified = diversifyField match {
+      case None => hits
+      case Some(f) =>
+        hits.withColumn("_dr", row_number().over(
+            Window.partitionBy(f).orderBy(order: _*)))
+          .filter(col("_dr") <= maxDocsPerValue)
+          .drop("_dr")
+    }
+    diversified.orderBy(order: _*).limit(shardSize)
+  }
+
   /** ES field collapsing (`collapse` + `inner_hits`): one result per
     * distinct `keyCol` value, ranked by the BEST member's score, each
     * carrying up to `innerHits` member rows re-sorted by the inner

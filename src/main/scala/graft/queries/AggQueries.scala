@@ -489,6 +489,21 @@ object AggQueries {
         idCol = "o_orderkey", size = 10, innerHits = 3,
         innerSortCol = "o_totalprice")
     }),
+    // ES diversified_sampler: top-50 docs by token count under a
+    // 10-per-source diversity cap (cap in score order FIRST, global
+    // cut second — the adjudicated engine-independent semantics; the
+    // per-shard membership of ES's own sampler is routing-dependent).
+    // The gate hashes the sample MEMBERSHIP itself, the strongest pin
+    "sa1_sampler" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .withColumn("n_tokens",
+          size(graft.functions.TextAnalysis.tokens(col("text")))
+            .cast("long"))
+      EsAggs.samplerAgg(docs, "n_tokens", "doc_id", shardSize = 50,
+          diversifyField = Some("source"), maxDocsPerValue = 10)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
     // ES rare_terms over the analyzed vocabulary: tokens in at most 2
     // documents, rarest first (exact groupBy — ES's CuckooFilter is a
     // memory bound, not different semantics)
@@ -1165,6 +1180,18 @@ object AggQueries {
         |       inner_rank, inner_id, inner_sort
         |FROM i WHERE inner_rank <= 3
         |ORDER BY outer_rank, inner_rank""".stripMargin,
+    "sa1_sampler" ->
+      raw"""WITH t AS (SELECT doc_id, source,
+           |  CAST(len(list_filter(string_split_regex(lower(text),
+           |    '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |div AS (SELECT *, row_number() OVER (PARTITION BY source
+           |          ORDER BY n_tokens DESC, doc_id) AS dr FROM t),
+           |s AS (SELECT doc_id, source, n_tokens FROM div
+           |      WHERE dr <= 10
+           |      ORDER BY n_tokens DESC, doc_id LIMIT 50)
+           |SELECT doc_id, source, n_tokens FROM s
+           |ORDER BY doc_id""".stripMargin,
     "rt1_rare_terms" ->
       raw"""WITH t AS (SELECT doc_id,
            |  unnest(list_distinct(list_filter(

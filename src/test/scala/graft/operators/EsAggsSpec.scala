@@ -68,6 +68,31 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("sampler") {
+    it("plain: global top shard_size by (score desc, id asc)") {
+      val df = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("b", 3L, 9.0),
+        ("b", 4L, 1.0)).toDF("k", "id", "score")
+      EsAggs.samplerAgg(df, "score", "id", shardSize = 2)
+        .select("id").collect().map(_.getLong(0)).toSet shouldBe
+        Set(3L, 1L) // 9.0, then the 5.0 tie broken to id 1
+    }
+    it("diversified: per-value cap applies in score order BEFORE the cut") {
+      // without the cap the sample would be ids 3, 5 (both key b);
+      // the 1-per-key cap drops id 5, letting a's best (id 1) in
+      val df = Seq(("a", 1L, 5.0), ("a", 2L, 4.0), ("b", 3L, 9.0),
+        ("b", 5L, 8.0)).toDF("k", "id", "score")
+      EsAggs.samplerAgg(df, "score", "id", shardSize = 2,
+          diversifyField = Some("k"), maxDocsPerValue = 1)
+        .select("id").collect().map(_.getLong(0)).toSet shouldBe
+        Set(3L, 1L)
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.samplerAgg(df, "score", "id", 0)
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.samplerAgg(df, "score", "id", 1,
+          diversifyField = Some("k"), maxDocsPerValue = 0)
+    }
+  }
+
   describe("collapse") {
     it("one anchor per key ranked by best score, inner hits re-sorted") {
       // A: best 9.0; B: 8.0 tie broken to id 3; C (5.0) cut by size=2.
