@@ -96,6 +96,82 @@ object Keywords {
     val docTerms = docs.select(col(sourceCol), col(idCol),
       explode(array_distinct(TextAnalysis.tokens(col(textCol))))
         .as("term"))
+    jlhTopK(docTerms, docs, idCol, sourceCol, k)
+  }
+
+  /** ES `significant_text` aggregation — [[significantTerms]]' JLH
+    * scoring over ANALYZED text with the agg's one semantic novelty,
+    * `filter_duplicate_text`: near-duplicate PASSAGES (boilerplate,
+    * quoted email chains, syndicated paragraphs) are de-weighted so
+    * they cannot masquerade as significant. ES spots re-occurring
+    * byte sequences longer than ~5 tokens during collection
+    * (DuplicateByteSequenceSpotter), which depends on shard-local
+    * collection order; the portable adjudication here: a `dupWindow`-
+    * token shingle is OWNED by the smallest `idCol` containing it,
+    * and in every LATER document the token positions covered by an
+    * already-owned shingle are dropped before the document's distinct
+    * term set is counted. Within-document repetition is untouched
+    * (document frequencies already count a term once per doc).
+    * Reference reaches this agg only as raw-DSL passthrough
+    * (eland/filter.py:182-185).
+    *
+    * Scale shape: shingle ownership is one map-side-combined min
+    * aggregation + one shingle-keyed join (the [[Dedup]] banding
+    * discipline — never all-pairs); the surviving dup-window starts
+    * come home as ONE bounded array per affected doc (docs with no
+    * duplicated passage carry nothing), applied locally with a
+    * higher-order exists — the corpus text shuffles ONCE, on the doc
+    * key. Per-token cost of the local filter is O(dup windows in the
+    * doc), bounded by document length. The final counts ride the
+    * same map-side-combined (source, term) aggregation as kw2.
+    */
+  def significantText(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String, k: Int = 5,
+                      filterDuplicateText: Boolean = true,
+                      dupWindow: Int = 6): DataFrame = {
+    if (!filterDuplicateText)
+      return significantTerms(docs, idCol, textCol, sourceCol, k)
+    require(k >= 1, s"significantText: k must be >= 1 (got $k)")
+    require(dupWindow >= 2,
+      s"significantText: dupWindow must be >= 2 (got $dupWindow)")
+    val toks = docs.select(col(sourceCol), col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("_toks"))
+    // 0-based shingle window starts; docs shorter than the window
+    // contribute none
+    val winKeys = when(size(col("_toks")) >= dupWindow,
+      transform(sequence(lit(0), size(col("_toks")) - dupWindow),
+        i => concat_ws(" ", slice(col("_toks"), i + 1, lit(dupWindow)))))
+      .otherwise(array().cast("array<string>"))
+    val windows = toks.select(col(idCol),
+      posexplode(winKeys).as(Seq("_wp", "_key")))
+    val owners = windows.groupBy("_key")
+      .agg(min(col(idCol)).as("_owner"))
+    // only windows whose shingle was seen in an EARLIER doc survive;
+    // this is small — docs without duplicated passages vanish here
+    val dupStarts = windows.join(owners, Seq("_key"))
+      .filter(col(idCol) > col("_owner"))
+      .groupBy(idCol)
+      .agg(collect_set(col("_wp")).as("_dups"))
+    val kept = filter(col("_toks"),
+      (_, p) => !exists(col("_dups"),
+        w => w <= p && p < w + dupWindow))
+    val docTerms = toks.join(dupStarts, Seq(idCol), "left")
+      .select(col(sourceCol), col(idCol),
+        explode(array_distinct(
+          when(col("_dups").isNull, col("_toks")).otherwise(kept)))
+          .as("term"))
+    jlhTopK(docTerms, docs, idCol, sourceCol, k)
+  }
+
+  /** The JLH top-k core shared by [[significantTerms]] and
+    * [[significantText]]: `docTerms` must hold DISTINCT (source, id,
+    * term) rows; `docs` supplies the per-source and corpus doc counts
+    * (which duplicate-text filtering never changes — it de-weights
+    * term frequencies, not document totals).
+    */
+  private def jlhTopK(docTerms: DataFrame, docs: DataFrame,
+                      idCol: String, sourceCol: String,
+                      k: Int): DataFrame = {
     val fg = docTerms.groupBy(sourceCol, "term")
       .agg(count(lit(1)).cast("double").as("df_fg"))
     val bg = fg.groupBy("term").agg(sum(col("df_fg")).as("df_bg"))

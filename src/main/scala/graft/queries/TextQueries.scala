@@ -837,6 +837,23 @@ object TextQueries {
         .orderBy("source", "rank")
     }),
 
+    // significant_text with filter_duplicate_text: an 8-token
+    // boilerplate passage of COMMON corpus words is planted on every
+    // src3 doc — unfiltered, those words would jump to df_fg 25/25
+    // and crowd src3's top-5; filtered, only the owner doc (min
+    // doc_id in src3) counts them and the natural JLH landscape
+    // returns. The oracle replays shingle ownership, position
+    // coverage, the anti-join, and the JLH rank cut
+    "kw3_significant_text" -> ((s, d) => {
+      val planted = t(s, d, "documents").withColumn("text",
+        when(col("source") === "src3", concat(col("text"),
+          lit(" the table join order sort merge spark data")))
+          .otherwise(col("text")))
+      graft.operators.Keywords.significantText(planted, "doc_id",
+          "text", "source", k = 5)
+        .orderBy("source", "rank")
+    }),
+
     // the batch text-inference seam (M4/M5's useful half) behind the
     // deterministic hash stub model: per-partition model load, 16-text
     // batches, NULL text -> NULL embedding — the oracle replays the
@@ -1303,6 +1320,62 @@ object TextQueries {
       raw"""WITH dt AS (SELECT source, doc_id,
            |              unnest(list_distinct($toksSql)) AS term
            |            FROM documents),
+           |fg AS (SELECT source, term,
+           |         CAST(count(*) AS DOUBLE) AS df_fg
+           |       FROM dt GROUP BY 1, 2),
+           |bg AS (SELECT term, sum(df_fg) AS df_bg FROM fg GROUP BY 1),
+           |sz AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_fg
+           |       FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_bg
+           |        FROM documents),
+           |sc AS (SELECT f.source, f.term, f.df_fg, b.df_bg,
+           |         (f.df_fg / s.n_fg) AS pfg,
+           |         (b.df_bg / n.n_bg) AS pbg
+           |       FROM fg f JOIN bg b USING (term)
+           |       JOIN sz s USING (source), tot n),
+           |r AS (SELECT source, term,
+           |        CAST(df_fg AS BIGINT) AS df_fg,
+           |        CAST(df_bg AS BIGINT) AS df_bg,
+           |        floor((pfg - pbg) * (pfg / pbg) * 1000000 + 0.5)
+           |          / 1000000.0 AS score
+           |      FROM sc WHERE pfg > pbg),
+           |rk AS (SELECT source, term, df_fg, df_bg, score,
+           |         CAST(row_number() OVER (PARTITION BY source
+           |           ORDER BY score DESC, term) AS BIGINT) AS rank
+           |       FROM r)
+           |SELECT source, rank, term, df_fg, df_bg, score FROM rk
+           |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "kw3_significant_text" ->
+      raw"""WITH pl AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN source = 'src3'
+           |      THEN text || ' the table join order sort merge spark data'
+           |      ELSE text END AS text
+           |  FROM documents),
+           |tok AS (SELECT doc_id, source,
+           |          list_filter(string_split_regex(lower(text),
+           |            '\s+'), x -> x <> '') AS toks FROM pl),
+           |win AS (SELECT doc_id,
+           |          unnest(generate_series(1, len(toks) - 5)) AS wp,
+           |          toks
+           |        FROM tok WHERE len(toks) >= 6),
+           |wk AS (SELECT doc_id, wp,
+           |         array_to_string(toks[wp:wp+5], ' ') AS key
+           |       FROM win),
+           |own AS (SELECT key, min(doc_id) AS owner FROM wk GROUP BY 1),
+           |dup AS (SELECT w.doc_id, w.wp FROM wk w
+           |        JOIN own o ON w.key = o.key AND w.doc_id > o.owner),
+           |cov AS (SELECT DISTINCT doc_id, p FROM (
+           |          SELECT doc_id,
+           |            unnest(generate_series(wp, wp + 5)) AS p
+           |          FROM dup)),
+           |pos AS (SELECT doc_id, source,
+           |          unnest(generate_series(1, len(toks))) AS p, toks
+           |        FROM tok),
+           |eff AS (SELECT p.source, p.doc_id, p.toks[p.p] AS term
+           |        FROM pos p ANTI JOIN cov c
+           |          ON p.doc_id = c.doc_id AND p.p = c.p),
+           |dt AS (SELECT DISTINCT source, doc_id, term FROM eff),
            |fg AS (SELECT source, term,
            |         CAST(count(*) AS DOUBLE) AS df_fg
            |       FROM dt GROUP BY 1, 2),

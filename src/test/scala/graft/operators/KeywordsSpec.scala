@@ -93,4 +93,57 @@ class KeywordsSpec extends AnyFunSuite {
       Keywords.significantTerms(docs, "id", "text", "src", k = 0)
     }
   }
+
+  test("significant_text: filter_duplicate_text de-weights a copied " +
+    "passage; the owner doc keeps it; short docs untouched") {
+    // a 6-token boilerplate passage copied into BOTH src-A docs and
+    // one src-B doc; doc 0 owns it. Unfiltered, every boilerplate
+    // term has df_fg 2/2 in A and dominates; filtered, only doc 0
+    // counts them (df_fg 1) and A's genuinely-distinctive 'apple'
+    // (df 2) outranks them.
+    val boiler = "click here to subscribe right now"
+    val docs = Seq(
+      (0L, "A", s"apple pie $boiler"),
+      (1L, "A", s"apple tart $boiler"),
+      (2L, "B", s"berry jam $boiler"),
+      (3L, "B", "berry toast")).toDF("id", "src", "text")
+
+    val unfiltered = Keywords.significantText(docs, "id", "text",
+      "src", k = 9, filterDuplicateText = false)
+      .filter($"src" === "A").collect()
+    // unfiltered: every boilerplate term counts in BOTH src-A docs
+    // (df_fg 2) and in 3 of 4 docs corpus-wide
+    val uClick = unfiltered.find(_.getString(2) == "click").get
+    assert(uClick.getLong(3) == 2L && uClick.getLong(4) == 3L)
+
+    val filtered = Keywords.significantText(docs, "id", "text",
+      "src", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val a = filtered.filter(_._1 == "A")
+    // apple: fg 2/2, bg 2/4 — the clear top; boilerplate terms now
+    // have fg df 1 (doc 0 only) bg 1 — same score as 'pie'/'tart'
+    assert(a.head == ("A", 1L, "apple", 2L, 2L), a.toSeq)
+    // doc 2's copy was dropped: no boilerplate term has df_bg > 1
+    val boilerRows = filtered.filter(r =>
+      boiler.split(" ").contains(r._3))
+    assert(boilerRows.forall(r => r._4 == 1L && r._5 == 1L),
+      boilerRows.toSeq)
+    // B keeps berry (fg 2/2) on top — its doc-2 copy lost only the
+    // boilerplate positions, not its own words
+    val b = filtered.filter(_._1 == "B")
+    assert(b.head == ("B", 1L, "berry", 2L, 2L), b.toSeq)
+
+    // a doc shorter than the window contributes no shingles and is
+    // never filtered
+    val short = Seq((0L, "A", "tiny doc"), (1L, "B", "tiny doc too"))
+      .toDF("id", "src", "text")
+    val s = Keywords.significantText(short, "id", "text", "src", k = 5)
+      .collect()
+    assert(s.exists(r => r.getString(2) == "too"), s.toSeq)
+    intercept[IllegalArgumentException] {
+      Keywords.significantText(docs, "id", "text", "src",
+        dupWindow = 1)
+    }
+  }
 }
