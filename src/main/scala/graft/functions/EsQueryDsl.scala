@@ -39,6 +39,9 @@ import graft.api.Predicates
   *  - the closed span algebra: `span_near` (ordered n-way, unordered
   *    pairs), `span_or`, `span_first`, `span_not` — per-row position
   *    predicates over one tokenization
+  *  - `intervals` — the spans successor: `match` (max_gaps/ordered),
+  *    `prefix`, `any_of`, `all_of` over fixed-width blocks, with the
+  *    closed existence reading (see the dispatch-site comment)
   *  - `terms_set`, `boosting`, `wrapper` (base64 → recurse),
   *    `constant_score`, `dis_max`, `match_all` / `match_none`
   *  - `query_string` / `simple_query_string` — the Lucene grammars,
@@ -289,6 +292,199 @@ object EsQueryDsl {
     }
   }
 
+  // ---- `intervals` helpers --------------------------------------
+
+  private def ivInt(body: JValue, k: String, default: Int): Int =
+    (body \ k) match {
+      case JInt(n)  => n.toInt
+      case JLong(n) => n.toInt
+      case JNothing => default
+      case other => throw new IllegalArgumentException(
+        s"intervals $k must be an integer, got $other")
+    }
+
+  private def ivBool(body: JValue, k: String, default: Boolean): Boolean =
+    (body \ k) match {
+      case JBool(b) => b
+      case JNothing => default
+      case other => throw new IllegalArgumentException(
+        s"intervals $k must be a boolean, got $other")
+    }
+
+  private def ivSubRules(body: JValue, what: String): Seq[JValue] =
+    (body \ "intervals") match {
+      case JArray(rs) if rs.nonEmpty => rs
+      case other => throw new IllegalArgumentException(
+        s"intervals $what needs a non-empty intervals array, got $other")
+    }
+
+  private def ivMatchTerms(body: JValue): Seq[String] =
+    (body \ "query") match {
+      case JString(q) =>
+        val ts = TextAnalysis.tokensOf(q)
+        require(ts.nonEmpty,
+          "intervals match needs a non-empty query after analysis")
+        ts
+      case other => throw new IllegalArgumentException(
+        s"intervals match needs a query string, got $other")
+    }
+
+  /** One `intervals` rule as a closed EXISTENCE predicate over the
+    * bound token array (caller guarantees size > 0 — the top-level
+    * dispatch guards it, so the sequence bounds below are safe).
+    * Unsupported rules refuse with the reason; see the dispatch-site
+    * comment for the supported algebra.
+    */
+  private def intervalsRule(rule: JValue, toks: Column): Column = {
+    val (kind, body) = lonely(rule, "intervals rule")
+    val n = size(toks)
+    def posOf(t: String): Column =
+      filter(sequence(lit(0), n - 1), p =>
+        element_at(toks, (p + 1).cast("int")) === lit(t))
+    kind match {
+      case "match" =>
+        val terms = ivMatchTerms(body)
+        val maxGaps = ivInt(body, "max_gaps", -1)
+        val ordered = ivBool(body, "ordered", default = false)
+        if (terms.size == 1) array_contains(toks, terms.head)
+        else if (!ordered && maxGaps < 0)
+          // unordered + unbounded = plain conjunction; skip the
+          // position enumeration entirely
+          terms.distinct.map(array_contains(toks, _)).reduce(_ && _)
+        else if (ordered) {
+          val k = terms.size
+          def chain(i: Int, prev: Column, first: Column): Column =
+            if (i == k) {
+              if (maxGaps < 0) lit(true)
+              else (prev - first) <= lit(k - 1 + maxGaps)
+            } else exists(posOf(terms(i)), p =>
+              p > prev && chain(i + 1, p, first))
+          exists(posOf(terms.head), p0 => chain(1, p0, p0))
+        } else {
+          require(terms.distinct.size == terms.size,
+            "unordered intervals match with REPEATED terms would " +
+              "need Lucene's overlap bookkeeping — use ordered, or " +
+              "distinct terms")
+          val k = terms.size
+          def chain(i: Int, mn: Column, mx: Column): Column =
+            if (i == k) (mx - mn) <= lit(k - 1 + maxGaps)
+            else exists(posOf(terms(i)), p =>
+              chain(i + 1, least(mn, p), greatest(mx, p)))
+          exists(posOf(terms.head), p0 => chain(1, p0, p0))
+        }
+      case "prefix" =>
+        (body \ "prefix") match {
+          case JString(s) =>
+            val p = s.toLowerCase(java.util.Locale.ROOT)
+            exists(toks, t => t.startsWith(p))
+          case other => throw new IllegalArgumentException(
+            s"intervals prefix needs a string prefix, got $other")
+        }
+      case "any_of" =>
+        ivSubRules(body, "any_of").map(intervalsRule(_, toks))
+          .reduce(_ || _)
+      case "all_of" =>
+        val subs = ivSubRules(body, "all_of")
+        val maxGaps = ivInt(body, "max_gaps", -1)
+        val ordered = ivBool(body, "ordered", default = false)
+        val blocks = subs.map(ivBlock(_, toks))
+        if (blocks.size == 1) size(blocks.head._1) > 0
+        else if (ordered) {
+          val k = blocks.size
+          val totalW = blocks.map(_._2).sum
+          def chain(i: Int, prevEnd: Column, first: Column): Column =
+            if (i == k) {
+              if (maxGaps < 0) lit(true)
+              else (prevEnd - first + 1 - totalW) <= lit(maxGaps)
+            } else {
+              val (starts, w) = blocks(i)
+              exists(starts, s =>
+                s > prevEnd && chain(i + 1, s + lit(w - 1), first))
+            }
+          val (s0, w0) = blocks.head
+          exists(s0, s => chain(1, s + lit(w0 - 1), s))
+        } else {
+          require(blocks.size == 2,
+            "unordered all_of is supported for exactly two blocks " +
+              "(n-way unordered non-overlap has no closed predicate " +
+              "— Lucene's matcher is a retrying heap)")
+          val Seq((sa, wa), (sb, wb)) = blocks
+          exists(sa, p1 => exists(sb, p2 => {
+            val e1 = p1 + lit(wa - 1)
+            val e2 = p2 + lit(wb - 1)
+            val noOverlap = (e1 < p2) || (e2 < p1)
+            val tight =
+              if (maxGaps < 0) lit(true)
+              else (greatest(e1, e2) - least(p1, p2) + 1 -
+                lit(wa + wb)) <= lit(maxGaps)
+            noOverlap && tight
+          }))
+        }
+      case "fuzzy" | "wildcard" =>
+        throw new IllegalArgumentException(
+          s"intervals rule '$kind' needs Lucene's term-expansion " +
+            s"iterators and has no engine-independent translation — " +
+            s"use the standalone $kind query")
+      case "filter" =>
+        throw new IllegalArgumentException(
+          "intervals 'filter' (containing / not_containing / ...) " +
+            "depends on Lucene's minimal-interval iteration and has " +
+            "no engine-independent translation")
+      case other => throw new IllegalArgumentException(
+        s"unknown intervals rule '$other'")
+    }
+  }
+
+  /** A FIXED-WIDTH `all_of` block: (0-based start-position array,
+    * width). Phrases (`ordered: true, max_gaps: 0` match), single
+    * terms, and prefixes qualify — their extent is start + width − 1.
+    * A gappy or unordered sub-match has no fixed extent (its
+    * minimal-interval extents are exactly what Lucene's protocol
+    * iterates) and refuses.
+    */
+  private def ivBlock(rule: JValue, toks: Column): (Column, Int) = {
+    val (kind, body) = lonely(rule, "all_of block")
+    val n = size(toks)
+    def termStarts(t: String): Column =
+      filter(sequence(lit(0), n - 1), p =>
+        element_at(toks, (p + 1).cast("int")) === lit(t))
+    kind match {
+      case "match" =>
+        val terms = ivMatchTerms(body)
+        if (terms.size > 1)
+          require(ivBool(body, "ordered", default = false) &&
+            ivInt(body, "max_gaps", -1) == 0,
+            "an all_of sub-match must be FIXED-WIDTH — a phrase " +
+              "(ordered: true, max_gaps: 0) or a single term; gappy " +
+              "sub-intervals would need Lucene's minimization protocol")
+        val w = terms.size
+        if (w == 1) (termStarts(terms.head), 1)
+        else {
+          // a doc shorter than the phrase hosts no starts — guard the
+          // sequence bound (sequence(0, negative) DESCENDS)
+          val starts = when(n >= w,
+            filter(sequence(lit(0), n - lit(w)), p =>
+              terms.zipWithIndex.map { case (t, j) =>
+                element_at(toks, (p + 1 + j).cast("int")) === lit(t)
+              }.reduce(_ && _)))
+            .otherwise(array().cast("array<int>"))
+          (starts, w)
+        }
+      case "prefix" =>
+        (body \ "prefix") match {
+          case JString(s) =>
+            val p = s.toLowerCase(java.util.Locale.ROOT)
+            (filter(sequence(lit(0), n - 1), i =>
+              element_at(toks, (i + 1).cast("int")).startsWith(p)), 1)
+          case other => throw new IllegalArgumentException(
+            s"intervals prefix needs a string prefix, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"all_of block '$other' is not a fixed-width interval source " +
+          "(supported: match phrases/terms, prefix)")
+    }
+  }
+
   private def clauses(v: JValue, idCol: String,
                       requireText: String => Unit,
                       resolve: String => Column): Seq[Column] = v match {
@@ -530,6 +726,35 @@ object EsQueryDsl {
           n > 0 && exists(positionsOf(inclTerms), pa =>
             !exists(positionsOf(exclTerms), pb =>
               pb >= pa - lit(pre) && pb <= pa + lit(post)))
+        }
+      // ES `intervals` — the modern replacement for the span algebra
+      // (the ES docs steer users from spans to intervals). Closed
+      // EXISTENCE reading over ONE tokenization: the document matches
+      // iff at least one qualifying interval exists; Lucene's
+      // minimal-interval iteration changes which intervals are
+      // REPORTED (scoring, the filter combinators) but never whether
+      // one exists — shrinking an interval cannot raise its gap count
+      // — so existence is the engine-independent core. Supported:
+      //  - match {query, max_gaps (-1 = unbounded, ES default),
+      //    ordered (false default)}: analyzed positions p₁…pₖ,
+      //    ordered ⇒ strictly increasing, tightness
+      //    (max − min + 1 − k) ≤ max_gaps. Ordered takes any k;
+      //    unordered needs DISTINCT terms (repeats would need
+      //    Lucene's overlap bookkeeping — refused).
+      //  - prefix — any token with the prefix (width-1 intervals)
+      //  - any_of — union: OR of the branch predicates
+      //  - all_of {intervals, max_gaps, ordered} — blocks must be
+      //    FIXED-WIDTH (phrase / term / prefix); ordered ⇒ each
+      //    block starts after the previous ends, tightness over the
+      //    containing extent; unordered ⇒ exactly two blocks,
+      //    non-overlapping (the span_near pair discipline)
+      //  - fuzzy / wildcard / filter — refused loudly (term
+      //    expansion / minimal-interval protocol)
+      case "intervals" =>
+        val (field, rule) = lonely(body, "intervals")
+        requireText(field)
+        TextAnalysis.bindOnce(TextAnalysis.tokens(resolve(field))) {
+          toks => size(toks) > 0 && intervalsRule(rule, toks)
         }
       // predicate context: `boosting` matches exactly its positive
       // leg — the negative leg only down-weights the SCORE (the

@@ -471,6 +471,30 @@ object FacadeQueries {
         .select(Seq("doc_id")).df.withColumn("q", lit("unordered"))
       ordered.unionByName(unordered).orderBy("q", "doc_id")
     }),
+    // intervals (the spans successor): ordered vs unordered match
+    // with a max_gaps budget, plus all_of over fixed-width blocks
+    // (phrase then term, ordered, gap-bounded) — each face changes
+    // the row set and the oracle replays the position existence joins
+    "f44_intervals" -> ((s, d) => {
+      val f = docs(s, d)
+      val a = f.esQuery(
+        """{"intervals": {"text": {"match":
+          |{"query": "stream filter", "max_gaps": 2,
+          |"ordered": true}}}}""".stripMargin)
+        .select(Seq("doc_id")).df.withColumn("q", lit("ordered"))
+      val b = f.esQuery(
+        """{"intervals": {"text": {"match":
+          |{"query": "stream filter", "max_gaps": 2}}}}""".stripMargin)
+        .select(Seq("doc_id")).df.withColumn("q", lit("unordered"))
+      val c = f.esQuery(
+        """{"intervals": {"text": {"all_of":
+          |{"ordered": true, "max_gaps": 4, "intervals": [
+          |  {"match": {"query": "the batch", "max_gaps": 0,
+          |   "ordered": true}},
+          |  {"match": {"query": "merge"}}]}}}}""".stripMargin)
+        .select(Seq("doc_id")).df.withColumn("q", lit("all_of"))
+      a.unionByName(b).unionByName(c).orderBy("q", "doc_id")
+    }),
     // the SCORED query-string face: bare terms earn corpus-stats
     // BM25 summed over matched should clauses, -negation gates; the
     // oracle replays the Okapi arithmetic (the f32 discipline)
@@ -1350,6 +1374,38 @@ object FacadeQueries {
            |  WHERE pb <> pa AND abs(pa - pb) <= 2)
            |SELECT doc_id, q FROM o
            |UNION ALL SELECT doc_id, q FROM un
+           |ORDER BY q, doc_id""".stripMargin,
+    // intervals replay: ordered = increasing pair within the gap
+    // budget, unordered = |Δ| bound, all_of = phrase starts then a
+    // non-overlapping term within the containing-extent budget
+    "f44_intervals" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |ps AS (SELECT doc_id,
+           |  list_filter(range(0, len(toks)),
+           |    i -> toks[i + 1] = 'stream') AS p_s,
+           |  list_filter(range(0, len(toks)),
+           |    i -> toks[i + 1] = 'filter') AS p_f,
+           |  list_filter(range(0, len(toks) - 1),
+           |    i -> toks[i + 1] = 'the' AND toks[i + 2] = 'batch')
+           |    AS p_tb,
+           |  list_filter(range(0, len(toks)),
+           |    i -> toks[i + 1] = 'merge') AS p_m
+           |  FROM t),
+           |o AS (SELECT DISTINCT doc_id, 'ordered' AS q FROM (
+           |  SELECT doc_id, unnest(p_s) AS pa, p_f FROM ps) s1,
+           |  unnest(s1.p_f) AS u(pb)
+           |  WHERE pb > pa AND pb - pa <= 3),
+           |un AS (SELECT DISTINCT doc_id, 'unordered' AS q FROM (
+           |  SELECT doc_id, unnest(p_s) AS pa, p_f FROM ps) s2,
+           |  unnest(s2.p_f) AS v(pb)
+           |  WHERE pb <> pa AND abs(pb - pa) <= 3),
+           |ao AS (SELECT DISTINCT doc_id, 'all_of' AS q FROM (
+           |  SELECT doc_id, unnest(p_tb) AS sa, p_m FROM ps) s3,
+           |  unnest(s3.p_m) AS w(sb)
+           |  WHERE sb > sa + 1 AND sb - sa <= 6)
+           |SELECT doc_id, q FROM o
+           |UNION ALL SELECT doc_id, q FROM un
+           |UNION ALL SELECT doc_id, q FROM ao
            |ORDER BY q, doc_id""".stripMargin,
     // BM25 should-sum over stream/filter, join-docs gated out
     "f43_scored_query_string" ->

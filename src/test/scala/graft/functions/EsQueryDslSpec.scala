@@ -498,4 +498,82 @@ class EsQueryDslSpec extends AnyFunSuite {
     // text columns pass
     assert(docs.esQuery("""{"match": {"text": "filter"}}""").len() > 0)
   }
+
+  test("intervals: match ordered/unordered/gaps, prefix, any_of, " +
+      "all_of blocks, refusals") {
+    import spark.implicits._
+    val f = GraftFrame(Seq(
+      (1L, "a x b y c"),       // a@0 b@2 c@4
+      (2L, "b a c"),           // b@0 a@1 c@2
+      (3L, "a b c d"),         // adjacent run
+      (4L, "pre prefixed c"),
+      (5L, "a b x c d"),       // phrase a-b @0, phrase c-d @3
+      (6L, "a x a")).toDF("id", "text"), "id")
+    def q(json: String): Set[Long] =
+      f.esQuery(json).df.select("id").collect().map(_.getLong(0)).toSet
+    def iv(rule: String): Set[Long] =
+      q(s"""{"intervals": {"text": $rule}}""")
+
+    // match ordered: gap budget is (max − min + 1 − k)
+    assert(iv("""{"match": {"query": "a b", "max_gaps": 0,
+      "ordered": true}}""") == Set(3L, 5L))
+    assert(iv("""{"match": {"query": "a b", "max_gaps": 1,
+      "ordered": true}}""") == Set(1L, 3L, 5L))
+    // unordered picks up doc 2's b-before-a
+    assert(iv("""{"match": {"query": "a b", "max_gaps": 0}}""") ==
+      Set(2L, 3L, 5L))
+    // ES defaults: unordered + unbounded = plain conjunction
+    assert(iv("""{"match": {"query": "a b"}}""") ==
+      Set(1L, 2L, 3L, 5L))
+    // ordered 3-chain gap boundaries
+    assert(iv("""{"match": {"query": "a b c", "max_gaps": 2,
+      "ordered": true}}""") == Set(1L, 3L, 5L))
+    assert(iv("""{"match": {"query": "a b c", "max_gaps": 1,
+      "ordered": true}}""") == Set(3L, 5L))
+    // prefix
+    assert(iv("""{"prefix": {"prefix": "pref"}}""") == Set(4L))
+    // any_of = union
+    assert(iv("""{"any_of": {"intervals": [
+      {"prefix": {"prefix": "pref"}},
+      {"match": {"query": "c d", "max_gaps": 0, "ordered": true}}
+      ]}}""") == Set(3L, 4L, 5L))
+    // all_of ordered over fixed-width blocks: phrase then term
+    assert(iv("""{"all_of": {"ordered": true, "max_gaps": 0,
+      "intervals": [
+        {"match": {"query": "a b", "max_gaps": 0, "ordered": true}},
+        {"match": {"query": "c"}}]}}""") == Set(3L))
+    assert(iv("""{"all_of": {"ordered": true, "max_gaps": 1,
+      "intervals": [
+        {"match": {"query": "a b", "max_gaps": 0, "ordered": true}},
+        {"match": {"query": "c"}}]}}""") == Set(3L, 5L))
+    // all_of ordered enforces block order (b before a)
+    assert(iv("""{"all_of": {"ordered": true, "intervals": [
+      {"match": {"query": "b"}}, {"match": {"query": "a"}}
+      ]}}""") == Set(2L))
+    // all_of unordered pair must NOT overlap: "a" twice needs two
+    // distinct positions — doc 6 only
+    assert(iv("""{"all_of": {"intervals": [
+      {"match": {"query": "a"}}, {"match": {"query": "a"}}
+      ]}}""") == Set(6L))
+    // refusals: filter/fuzzy rules, gappy all_of block, 3-way
+    // unordered all_of, repeated unordered match terms
+    intercept[IllegalArgumentException](iv(
+      """{"filter": {"containing": {"match": {"query": "a"}}}}"""))
+    intercept[IllegalArgumentException](iv(
+      """{"fuzzy": {"term": "a"}}"""))
+    intercept[IllegalArgumentException](iv(
+      """{"all_of": {"intervals": [
+        {"match": {"query": "a b", "max_gaps": 2}},
+        {"match": {"query": "c"}}]}}"""))
+    intercept[IllegalArgumentException](iv(
+      """{"all_of": {"intervals": [
+        {"match": {"query": "a"}}, {"match": {"query": "b"}},
+        {"match": {"query": "c"}}]}}"""))
+    intercept[IllegalArgumentException](iv(
+      """{"match": {"query": "a a", "max_gaps": 3}}"""))
+    // the scored face serves intervals as constant_score
+    assert(f.esQueryScored("""{"intervals": {"text":
+      {"match": {"query": "a b", "max_gaps": 0, "ordered": true}}}}""")
+      .df.count() == 2L)
+  }
 }
