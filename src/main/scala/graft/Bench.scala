@@ -68,7 +68,17 @@ object Bench {
       catch { case _: Throwable => () }
     }
     SparkEntry.queries.get("q1_pricing_summary").foreach(run("_warmup", _))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run to named gates — the
+    // retime tool for adjudicating load-window spikes without paying
+    // a full board pass (the r15 VERDICT retime asks)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries) { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY unknown: $unknown")
+      SparkEntry.queries.view.filterKeys(names).toMap
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.sharedState.cacheManager.clearCache()
       name -> run(name, fn)
     }
@@ -106,7 +116,9 @@ object Bench {
     //  2. a short total-first headline line that parses on its own;
     //  3. per-query numbers re-emitted in ~30-entry chunk lines, each a
     //     self-contained JSON object tagged part i/n.
-    val outPath = java.nio.file.Paths.get("BENCH.local.json")
+    // a subset retime run must not clobber the full-board record
+    val outPath = java.nio.file.Paths.get(
+      if (only.isDefined) "BENCH.subset.json" else "BENCH.local.json")
     java.nio.file.Files.write(outPath, (fullJson + "\n").getBytes("UTF-8"))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},$noise,"full_json":"${outPath.toAbsolutePath}"}""")
     results.grouped(30).zipWithIndex.foreach { case (chunk, i) =>

@@ -138,6 +138,28 @@ object EsAggs {
     diversified.orderBy(order: _*).limit(shardSize)
   }
 
+  /** ES `random_sampler` aggregation (8.2+, the "speed up the
+    * dashboard" agg): each document enters the sample INDEPENDENTLY
+    * with `probability`; sub-aggregations run over the sample and
+    * doc-count estimates scale by 1/p. ES seeds a per-shard hash
+    * (routing-dependent, not replayable); the portable draw here is
+    * [[Sampling.hashFrac]] — md5(seed:id) < p, the sm1 discipline,
+    * bit-deterministic on any engine with md5. Returns the SAMPLED
+    * frame (the [[samplerAgg]] composability contract — any agg
+    * stacks on top). ES restricts probability to (0, 0.5] or exactly
+    * 1 (above 0.5 sampling costs more than it saves); mirrored here.
+    * Scale shape: a pushable per-row filter — no shuffle, no state.
+    */
+  def randomSampler(df: DataFrame, idCol: String, probability: Double,
+                    seed: Long = 0L): DataFrame = {
+    require((probability > 0 && probability <= 0.5) || probability == 1.0,
+      s"random_sampler probability must be in (0, 0.5] or exactly 1 " +
+        s"(ES's bound — above 0.5 sampling costs more than it saves), " +
+        s"got $probability")
+    if (probability == 1.0) df
+    else df.filter(Sampling.hashFrac(col(idCol), seed) < probability)
+  }
+
   /** ES field collapsing (`collapse` + `inner_hits`): one result per
     * distinct `keyCol` value, ranked by the BEST member's score, each
     * carrying up to `innerHits` member rows re-sorted by the inner
@@ -445,6 +467,156 @@ object EsAggs {
           col(s"`${key(r)}`").as("doc_count"))
       }: _*)).as("b"))
       .select("b.*")
+  }
+
+  /** Dotted-quad IPv4 → its unsigned 32-bit value as a long; any
+    * other shape (malformed octets, IPv6, null) → null — ES's
+    * missing-field semantics under an aggregation. Pure
+    * string-split + integer arithmetic, codegen-friendly.
+    */
+  private def ipv4Value(ip: Column): Column = {
+    val parts = split(ip, "\\.")
+    when(ip.rlike("^((25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\.){3}" +
+        "(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])$"),
+      element_at(parts, 1).cast("long") * 16777216L +
+        element_at(parts, 2).cast("long") * 65536L +
+        element_at(parts, 3).cast("long") * 256L +
+        element_at(parts, 4).cast("long"))
+  }
+
+  private def parseIpv4(s: String, what: String): Long = {
+    val ps = s.split("\\.", -1)
+    require(ps.length == 4 && ps.forall(p =>
+      p.matches("\\d{1,3}") && p.toInt <= 255),
+      s"$what '$s' is not a dotted-quad IPv4 (IPv6 needs 128-bit " +
+        "arithmetic this engine does not model — not supported)")
+    ps.map(_.toLong).reduce(_ * 256L + _)
+  }
+
+  private def fmtIpv4(v: Long): String =
+    s"${(v >> 24) & 255}.${(v >> 16) & 255}.${(v >> 8) & 255}.${v & 255}"
+
+  /** ES `ip_range` aggregation over an IPv4 string column: [from, to)
+    * buckets given as dotted quads (`*` = open side, the date_range
+    * convention), and/or CIDR `masks` — a /p mask is the [network,
+    * network + 2^(32−p)) range, keyed by the mask string (ES's own
+    * keying). Values that are not well-formed IPv4 (including IPv6)
+    * count in NO bucket, like docs missing the field; IPv6 bounds
+    * refuse loudly. ONE conditional-count aggregation pass (the
+    * [[dateRangeAgg]] shape) — the range tests are integer compares
+    * on the parsed value, so 100 TB of logs pay one scan.
+    */
+  def ipRangeAgg(df: DataFrame, ipCol: String,
+                 ranges: Seq[(Option[String], Option[String])] = Nil,
+                 masks: Seq[String] = Nil): DataFrame = {
+    require(ranges.nonEmpty || masks.nonEmpty,
+      "ip_range agg needs at least one range or mask")
+    val v = ipv4Value(col(ipCol))
+    val cells: Seq[(String, Option[Long], Option[Long])] =
+      ranges.map { r =>
+        val lo = r._1.map(parseIpv4(_, "ip_range from"))
+        val hi = r._2.map(parseIpv4(_, "ip_range to"))
+        (lo, hi) match {
+          case (Some(a), Some(b)) => require(a < b,
+            s"ip_range from ${r._1.get} must be below to ${r._2.get}")
+          case _ => ()
+        }
+        (s"${r._1.getOrElse("*")}-${r._2.getOrElse("*")}", lo, hi)
+      } ++ masks.map { m =>
+        val (baseStr, p) = m.split("/") match {
+          case Array(b, ps) if ps.matches("\\d{1,2}") && ps.toInt <= 32 =>
+            (b, ps.toInt)
+          case _ => throw new IllegalArgumentException(
+            s"ip_range mask '$m' is not IPv4 CIDR (a.b.c.d/p, p <= 32)")
+        }
+        val span = 1L << (32 - p)
+        val lo = (parseIpv4(baseStr, "ip_range mask") / span) * span
+        (m, Some(lo), Some(lo + span))
+      }
+    require(cells.map(_._1).distinct.size == cells.size,
+      s"duplicate ip_range keys in ${cells.map(_._1)}")
+    val aggCells = cells.map { case (k, lo, hi) =>
+      val cond = (lo.map(v >= _) ++ hi.map(v < _))
+        .reduceOption(_ && _).getOrElse(v.isNotNull)
+      count(when(v.isNotNull && cond, 1)).cast("long").as(k)
+    }
+    df.agg(aggCells.head, aggCells.tail: _*)
+      .select(explode(array(cells.map { case (k, lo, hi) =>
+        struct(lit(k).as("key"),
+          lit(lo.map(fmtIpv4).orNull).cast("string").as("from"),
+          lit(hi.map(fmtIpv4).orNull).cast("string").as("to"),
+          col(s"`$k`").as("doc_count"))
+      }: _*)).as("b"))
+      .select("b.*")
+  }
+
+  /** ES `ip_prefix` aggregation (8.9+): bucket IPv4 values by their
+    * /`prefixLength` network — key = the network address, buckets
+    * ordered by it. Malformed/IPv6 values bucket nowhere. One keyed
+    * aggregation on the masked integer; the dotted key is formatted
+    * from the group key AFTER reduction.
+    */
+  def ipPrefixAgg(df: DataFrame, ipCol: String,
+                  prefixLength: Int): DataFrame = {
+    require(prefixLength >= 1 && prefixLength <= 32,
+      s"prefix_length must be in [1, 32], got $prefixLength")
+    val span = 1L << (32 - prefixLength)
+    // span is a power of two, so the double division is exact and
+    // floor gives true integer network masking
+    val net = floor(ipv4Value(col(ipCol)) / span).cast("long") * span
+    df.select(net.as("_net")).filter(col("_net").isNotNull)
+      .groupBy("_net")
+      .agg(count(lit(1)).cast("long").as("doc_count"))
+      .select(
+        concat_ws(".",
+          ((col("_net") / 16777216L).cast("long") % 256).cast("string"),
+          ((col("_net") / 65536L).cast("long") % 256).cast("string"),
+          ((col("_net") / 256L).cast("long") % 256).cast("string"),
+          (col("_net") % 256).cast("string")).as("key"),
+        lit(prefixLength).cast("long").as("prefix_length"),
+        col("doc_count"), col("_net"))
+      .orderBy("_net")
+      .drop("_net")
+  }
+
+  /** ES `variable_width_histogram` — PORTABLE ADJUDICATION (PLANS.md
+    * r16): ES clusters values into `buckets` clusters SHARD-LOCALLY
+    * with an order-dependent streaming nearest-centroid pass (its own
+    * docs call the result approximate and routing-dependent), which
+    * no other engine can replay. The deterministic reading here:
+    * equal-DEPTH buckets — cut points at the exact interpolated
+    * i/k quantiles ([[Quantiles.viaSort]], the scale-stable
+    * sort-based selection), a value landing on a cut point goes to
+    * the HIGHER bucket, empty buckets (heavy duplicate mass) are
+    * omitted. Output per bucket: (bucket, min, max, avg, doc_count)
+    * — ES's bucket surface, deterministic boundaries. Cost: one
+    * global sort (the quantiles) + ONE keyed aggregation; never a
+    * global-window ntile over the corpus.
+    */
+  def variableWidthHistogram(df: DataFrame, valueCol: String,
+                             buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val v = col(valueCol).cast("double")
+    // cut points round half-up at 6 dp (the repo's cross-engine
+    // determinism discipline): interpolation formulas differ by an
+    // ulp between engines, and an ulp above an integer-valued datum
+    // would flip that datum's bucket
+    val cuts: Seq[Double] =
+      if (buckets == 1) Nil
+      else Quantiles.viaSort(df, v,
+          (1 until buckets).map(_.toDouble / buckets))
+        .orderBy("q").collect().toSeq
+        .flatMap(r => Option(r.get(1)).map(c =>
+          math.floor(c.asInstanceOf[Double] * 1e6 + 0.5) / 1e6))
+    val idx = cuts.foldLeft(lit(0L)) { (acc, c) =>
+      acc + when(v >= c, 1L).otherwise(0L)
+    }
+    df.filter(v.isNotNull)
+      .groupBy(idx.as("bucket"))
+      .agg(min(v).as("min"), max(v).as("max"),
+        graft.queries.QueryUtil.rhu(avg(v), 6).as("avg"),
+        count(lit(1)).cast("long").as("doc_count"))
+      .orderBy("bucket")
   }
 
   /** ES `filters` aggregation: one bucket per NAMED predicate, plus

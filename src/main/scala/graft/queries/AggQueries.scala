@@ -30,6 +30,38 @@ object AggQueries {
       |       CAST(floor(sum(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS rev_cents
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Deterministic IPv4 fixture for the ip_range/ip_prefix gates:
+    * 10.0.x.y from customer keys, with planted malformed rows
+    * (%23 — an out-of-range octet) and nulls (%29) that must count
+    * in NO bucket.
+    */
+  private def synthIps(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "customer").select(
+      when(col("c_custkey") % 29 === 0, lit(null: String))
+        .when(col("c_custkey") % 23 === 0, lit("300.1.2.3"))
+        .otherwise(concat_ws(".", lit("10"), lit("0"),
+          (col("c_custkey") % 256).cast("string"),
+          ((col("c_custkey") * 7) % 256).cast("string"))).as("ip"))
+
+  private val synthIpsSql =
+    """SELECT CASE WHEN c_custkey % 29 = 0 THEN NULL
+      |  WHEN c_custkey % 23 = 0 THEN '300.1.2.3'
+      |  ELSE '10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+      |       CAST((c_custkey * 7) % 256 AS VARCHAR) END AS ip
+      |FROM customer""".stripMargin
+
+  /** The oracle's replay of [[EsAggs]]' ipv4Value: the same octet
+    * regex then the same base-256 arithmetic (a bare expression over
+    * an `ip` column).
+    */
+  private val ipValueSql =
+    raw"""CASE WHEN regexp_matches(ip,
+         |  '^((25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])$$')
+         |  THEN CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+         |     + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+         |     + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+         |     + CAST(string_split(ip, '.')[4] AS BIGINT) END""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ES derivative + unit normalization (normalized_value): month-
     // over-month revenue delta, also per-day across the varying
@@ -301,6 +333,45 @@ object AggQueries {
           (Some("1993-01-01"), Some("1996-06-15")),
           (Some("1996-06-15"), None)))
         .orderBy("key")
+    }),
+    // ES ip_range over synthesized IPv4s (10.0.x.y from customer
+    // keys, with planted malformed rows and nulls that must count in
+    // NO bucket): [from, to) dotted-quad bounds plus CIDR masks —
+    // the oracle replays the octet parse and the integer range tests
+    "ip1_ip_range" -> ((s, d) => {
+      EsAggs.ipRangeAgg(synthIps(s, d), "ip",
+        ranges = Seq((None, Some("10.0.64.0")),
+          (Some("10.0.64.0"), Some("10.0.192.0"))),
+        masks = Seq("10.0.128.0/17", "10.0.0.0/18"))
+        .orderBy("key")
+    }),
+    // ES ip_prefix: /18 networks of the same synthesized IPs —
+    // exactly four buckets (10.0.{0,64,128,192}.0), malformed rows
+    // bucket nowhere
+    "ip2_ip_prefix" -> ((s, d) => {
+      EsAggs.ipPrefixAgg(synthIps(s, d), "ip", 18)
+    }),
+    // ES variable_width_histogram under the equal-depth adjudication
+    // (PLANS.md r16): 5 buckets over integer-valued floor(totalprice),
+    // cut points at the exact interpolated quantiles rounded at 6 dp,
+    // boundary values to the higher bucket
+    "vw1_variable_width_histogram" -> ((s, d) => {
+      EsAggs.variableWidthHistogram(
+        Tables.load(s, d, "orders")
+          .select(floor(col("o_totalprice")).cast("double").as("v")),
+        "v", buckets = 5)
+    }),
+    // ES random_sampler: the md5(seed:id) < p portable draw (ES's own
+    // per-shard hash is routing-dependent); per-source sampled counts
+    // plus the 1/p doc-count estimate — sub-aggs compose over the
+    // returned sample frame
+    "rx1_random_sampler" -> ((s, d) => {
+      EsAggs.randomSampler(Tables.load(s, d, "documents"), "doc_id",
+          probability = 0.25, seed = 7)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("doc_count"),
+          (count(lit(1)) * 4).cast("long").as("estimated_doc_count"))
+        .orderBy("source")
     }),
     // ES top_metrics: per bucket, the metrics of the row holding the
     // extreme sort value (deterministic tie column)
@@ -820,6 +891,74 @@ object AggQueries {
         |  UNION ALL
         |  SELECT '1996-06-15-*', '1996-06-15', NULL, r3 FROM m)
         |ORDER BY key""".stripMargin,
+    // ip bounds as integers: 10.0.64.0 = 167788544,
+    // 10.0.192.0 = 167821312, 10.0.128.0 = 167804928 (/17 spans to
+    // 10.1.0.0 = 167837696), 10.0.0.0 = 167772160 (/18 to 10.0.64.0)
+    "ip1_ip_range" ->
+      raw"""WITH s AS ($synthIpsSql),
+           |vals AS (SELECT $ipValueSql AS v FROM s),
+           |m AS (SELECT
+           |  CAST(count(CASE WHEN v < 167788544 THEN 1 END)
+           |    AS BIGINT) AS r1,
+           |  CAST(count(CASE WHEN v >= 167788544 AND v < 167821312
+           |    THEN 1 END) AS BIGINT) AS r2,
+           |  CAST(count(CASE WHEN v >= 167804928 AND v < 167837696
+           |    THEN 1 END) AS BIGINT) AS m1,
+           |  CAST(count(CASE WHEN v >= 167772160 AND v < 167788544
+           |    THEN 1 END) AS BIGINT) AS m2
+           |  FROM vals)
+           |SELECT key, "from", "to", doc_count FROM (
+           |  SELECT '*-10.0.64.0' AS key, NULL AS "from",
+           |    '10.0.64.0' AS "to", r1 AS doc_count FROM m
+           |  UNION ALL
+           |  SELECT '10.0.64.0-10.0.192.0', '10.0.64.0',
+           |    '10.0.192.0', r2 FROM m
+           |  UNION ALL
+           |  SELECT '10.0.128.0/17', '10.0.128.0', '10.1.0.0', m1
+           |    FROM m
+           |  UNION ALL
+           |  SELECT '10.0.0.0/18', '10.0.0.0', '10.0.64.0', m2 FROM m)
+           |ORDER BY key""".stripMargin,
+    "ip2_ip_prefix" ->
+      raw"""WITH s AS ($synthIpsSql),
+           |vals AS (SELECT $ipValueSql AS v FROM s),
+           |n AS (SELECT (v // 16384) * 16384 AS net FROM vals
+           |      WHERE v IS NOT NULL)
+           |SELECT CAST((net // 16777216) % 256 AS VARCHAR) || '.' ||
+           |       CAST((net // 65536) % 256 AS VARCHAR) || '.' ||
+           |       CAST((net // 256) % 256 AS VARCHAR) || '.' ||
+           |       CAST(net % 256 AS VARCHAR) AS key,
+           |  CAST(18 AS BIGINT) AS prefix_length,
+           |  CAST(count(*) AS BIGINT) AS doc_count
+           |FROM n GROUP BY net ORDER BY net""".stripMargin,
+    // equal-depth replay: quantile_cont cut points rounded half-up
+    // at 6 dp (the operator's cut discipline), boundary to the
+    // higher bucket, cents-free integer values so every aggregate is
+    // association-order-proof
+    "vw1_variable_width_histogram" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice) AS DOUBLE) AS v
+        |           FROM orders),
+        |q AS (SELECT
+        |  floor(quantile_cont(v, 0.2) * 1e6 + 0.5) / 1e6 AS c1,
+        |  floor(quantile_cont(v, 0.4) * 1e6 + 0.5) / 1e6 AS c2,
+        |  floor(quantile_cont(v, 0.6) * 1e6 + 0.5) / 1e6 AS c3,
+        |  floor(quantile_cont(v, 0.8) * 1e6 + 0.5) / 1e6 AS c4
+        |  FROM o),
+        |b AS (SELECT CAST((v >= c1)::INT + (v >= c2)::INT +
+        |        (v >= c3)::INT + (v >= c4)::INT AS BIGINT) AS bucket,
+        |        v
+        |      FROM o, q)
+        |SELECT bucket, min(v) AS min, max(v) AS max,
+        |  floor(avg(v) * 1e6 + 0.5) / 1e6 AS avg,
+        |  CAST(count(*) AS BIGINT) AS doc_count
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rx1_random_sampler" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS doc_count,
+        |  CAST(count(*) * 4 AS BIGINT) AS estimated_doc_count
+        |FROM documents
+        |WHERE ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+        |        1, 8))::BIGINT / 4294967296.0 < 0.25
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "tm1_top_metrics" ->
       """SELECT o_orderpriority, o_totalprice, o_orderkey,
         |       o_orderstatus

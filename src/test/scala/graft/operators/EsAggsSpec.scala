@@ -68,6 +68,86 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("ip_range / ip_prefix") {
+    it("ip_range: [from, to) bounds, CIDR masks, malformed in no bucket") {
+      val df = Seq("10.0.0.5", "10.0.0.200", "10.0.1.5", "10.0.128.1",
+        "300.1.2.3", "not-an-ip", "::1", null).toDF("ip")
+      val got = EsAggs.ipRangeAgg(df, "ip",
+        ranges = Seq(
+          (None, Some("10.0.1.0")),
+          (Some("10.0.1.0"), None)),
+        masks = Seq("10.0.0.0/24", "10.0.0.128/25")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+      got.toSeq shouldBe Seq(
+        ("*-10.0.1.0", null, "10.0.1.0", 2L),
+        ("10.0.1.0-*", "10.0.1.0", null, 2L),
+        // the mask base is masked down to its network
+        ("10.0.0.0/24", "10.0.0.0", "10.0.1.0", 2L),
+        ("10.0.0.128/25", "10.0.0.128", "10.0.1.0", 1L))
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.ipRangeAgg(df, "ip")
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.ipRangeAgg(df, "ip", masks = Seq("10.0.0.0/33"))
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.ipRangeAgg(df, "ip",
+          ranges = Seq((Some("::1"), None)))
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.ipRangeAgg(df, "ip",
+          ranges = Seq((Some("10.0.1.0"), Some("10.0.0.0"))))
+    }
+    it("ip_prefix: buckets by network, ordered by address") {
+      val df = Seq("10.0.0.1", "10.0.0.250", "10.0.1.1", "9.255.0.1",
+        "garbage").toDF("ip")
+      EsAggs.ipPrefixAgg(df, "ip", 24).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq shouldBe Seq(
+          ("9.255.0.0", 24L, 1L), ("10.0.0.0", 24L, 2L),
+          ("10.0.1.0", 24L, 1L))
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.ipPrefixAgg(df, "ip", 0)
+    }
+  }
+
+  describe("variable_width_histogram") {
+    it("equal-depth cut points, boundary goes higher, empties omitted") {
+      val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0).toDF("v")
+      // k=3: cuts at q=1/3 (≈2.667) and 2/3 (≈4.333)
+      val got = EsAggs.variableWidthHistogram(df, "v", 3).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(4)))
+      got.toSeq shouldBe Seq(
+        (0L, 1.0, 2.0, 2L), (1L, 3.0, 4.0, 2L), (2L, 5.0, 6.0, 2L))
+      // heavy duplicates collapse cut points; empty buckets omitted
+      val dup = Seq(7.0, 7.0, 7.0, 7.0, 9.0).toDF("v")
+      val g2 = EsAggs.variableWidthHistogram(dup, "v", 3).collect()
+      g2.map(_.getLong(0)).toSeq should contain (2L)
+      g2.map(_.getLong(4)).sum shouldBe 5L
+      // one bucket = plain min/max/avg/count
+      EsAggs.variableWidthHistogram(df, "v", 1).collect()
+        .head.getLong(4) shouldBe 6L
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.variableWidthHistogram(df, "v", 0)
+    }
+  }
+
+  describe("random_sampler") {
+    it("deterministic md5 draw, ES probability bounds, p = 1 identity") {
+      val df = (1L to 400L).toDF("id")
+      val a = EsAggs.randomSampler(df, "id", 0.25, seed = 7).count()
+      val b = EsAggs.randomSampler(df, "id", 0.25, seed = 7).count()
+      a shouldBe b // same seed, same sample
+      // roughly p·n (md5 uniformity; wide tolerance, determinism is
+      // the contract under test)
+      assert(a > 50 && a < 150, a)
+      EsAggs.randomSampler(df, "id", 1.0).count() shouldBe 400L
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.randomSampler(df, "id", 0.75)
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.randomSampler(df, "id", 0.0)
+    }
+  }
+
   describe("sampler") {
     it("plain: global top shard_size by (score desc, id asc)") {
       val df = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("b", 3L, 9.0),
