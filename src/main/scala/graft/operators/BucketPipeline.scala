@@ -434,4 +434,73 @@ object BucketPipeline {
         sum(col(s"${out}_new")).over(spec(orderCol, seriesBy)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** ES `change_point` aggregation (8.x) — the PORTABLE core: detect
+    * a STEP CHANGE in a bucket metric series. ES runs a battery of
+    * statistical tests with engine-internal p-value machinery (spike/
+    * dip/trend/distribution variants); the engine-independent subset
+    * implemented here is the classic two-sample split scan: for every
+    * split with at least `minSegment` buckets on each side, Welch's
+    * t between the left and right segments (sample variances; a
+    * zero-variance denominator floors at 1e-12 so a PERFECT step
+    * selects rather than dividing by zero); the change point is the
+    * split with max |t|, earliest on ties, reported as the FIRST key
+    * of the right segment. `type` is `step_change` when |t| ≥
+    * `threshold`, else `stationary` (ES reports stationary the same
+    * way). ES requires ≥ 22 buckets before it tests; here the frame
+    * just yields ZERO rows when no split has `minSegment` a side —
+    * spec-pinned, never a wrong answer.
+    *
+    * One row out: (change_point, type, t_stat, left_mean,
+    * right_mean), floats rounded half-up at 6 dp.
+    *
+    * Scale shape: the whole computation is windows over the BOUNDED
+    * bucket frame (prefix sums + frame totals — the cumulativeSum
+    * adjudication), then a sort-limit(1) on it; the corpus was
+    * reduced by the upstream date_histogram.
+    */
+  def changePoint(buckets: DataFrame, orderCol: String,
+                  valueCol: String, minSegment: Int = 3,
+                  threshold: Double = 5.0): DataFrame = {
+    require(minSegment >= 2,
+      s"minSegment must be >= 2 (a variance needs 2 points), got " +
+        s"$minSegment")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val w = Window.orderBy("_ord")
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val all = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val v = col(valueCol).cast("double")
+    val pre = buckets
+      .select(col(orderCol).as("_ord"), v.as("_v"))
+      .withColumn("_i", row_number().over(w).cast("double"))
+      .withColumn("_next",
+        lead(col("_ord").cast("string"), 1).over(w))
+      .withColumn("_cs", sum(col("_v")).over(run))
+      .withColumn("_css", sum(col("_v") * col("_v")).over(run))
+      .withColumn("_nn", count(lit(1)).over(all).cast("double"))
+      .withColumn("_ts", sum(col("_v")).over(all))
+      .withColumn("_tss", sum(col("_v") * col("_v")).over(all))
+    val nL = col("_i")
+    val nR = col("_nn") - col("_i")
+    val mL = col("_cs") / nL
+    val mR = (col("_ts") - col("_cs")) / nR
+    val varL = (col("_css") - col("_cs") * col("_cs") / nL) /
+      (nL - 1.0)
+    val varR = ((col("_tss") - col("_css")) -
+      (col("_ts") - col("_cs")) * (col("_ts") - col("_cs")) / nR) /
+      (nR - 1.0)
+    val t = (mL - mR) /
+      sqrt(greatest(varL / nL + varR / nR, lit(1e-12)))
+    val r6 = (c: Column) => graft.queries.QueryUtil.rhu(c, 6)
+    pre.filter(nL >= minSegment && nR >= minSegment)
+      .withColumn("_t", t)
+      .orderBy(abs(col("_t")).desc, col("_i").asc)
+      .limit(1)
+      .select(col("_next").as("change_point"),
+        when(abs(col("_t")) >= threshold, lit("step_change"))
+          .otherwise(lit("stationary")).as("type"),
+        r6(col("_t")).as("t_stat"),
+        r6(mL).as("left_mean"), r6(mR).as("right_mean"))
+  }
 }

@@ -77,4 +77,51 @@ object CorpusReport {
           countDistinct(col("_dig"))).cast("long")
           .as("n_exact_dup"))
   }
+
+  /** Zipf fit over the top-`k` vocabulary: one row of
+    * (n_terms, slope, intercept, r2) from the OLS of ln(freq) on
+    * ln(rank) — the data-card "does this corpus look like natural
+    * language" signal (natural corpora slope ≈ −1; templated or
+    * synthetic text flattens it, spammy repetition steepens it).
+    * Rank order is total — (freq desc, term asc) — so the fit is
+    * deterministic; outputs round half-up at 6 dp (ln is the one
+    * transcendental, the f24 rounding discipline).
+    *
+    * Scale shape: ONE map-side-combined term count (the kw1 shuffle —
+    * (term, partial count) pairs only), a k-bounded sort-limit
+    * (TakeOrderedAndProject), then a 1-row moment aggregate over the
+    * ≤ k points; the rank window runs over the already-cut frame.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, k: Int = 100)
+      : DataFrame = {
+    require(k >= 3, s"zipf fit needs k >= 3 points, got $k")
+    val tf = docs.select(explode(
+        graft.functions.TextAnalysis.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).cast("double").as("f"))
+    val top = tf.orderBy(col("f").desc, col("t")).limit(k)
+      .withColumn("_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("f").desc, col("t"))))
+    val pts = top.select(log(col("_rank").cast("double")).as("x"),
+      log(col("f")).as("y"))
+    val r6 = (c: org.apache.spark.sql.Column) =>
+      graft.queries.QueryUtil.rhu(c, 6)
+    pts.agg(count(lit(1)).cast("double").as("_n"),
+        sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+        sum(col("x") * col("y")).as("_sxy"),
+        sum(col("x") * col("x")).as("_sxx"),
+        sum(col("y") * col("y")).as("_syy"))
+      .select(
+        col("_n").cast("long").as("n_terms"),
+        r6(((col("_sxy") - col("_sx") * col("_sy") / col("_n")) /
+          (col("_sxx") - col("_sx") * col("_sx") / col("_n"))))
+          .as("slope"),
+        r6(((col("_sy") - ((col("_sxy") - col("_sx") * col("_sy") /
+          col("_n")) / (col("_sxx") - col("_sx") * col("_sx") /
+          col("_n"))) * col("_sx")) / col("_n"))).as("intercept"),
+        r6((pow(col("_sxy") - col("_sx") * col("_sy") / col("_n"), 2.0) /
+          ((col("_sxx") - col("_sx") * col("_sx") / col("_n")) *
+            (col("_syy") - col("_sy") * col("_sy") / col("_n")))))
+          .as("r2"))
+  }
 }

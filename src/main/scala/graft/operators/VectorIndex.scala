@@ -776,12 +776,22 @@ object VectorIndex {
     * bites hard; recall degrades to exact the same way unfiltered
     * search does.
     */
+  /** `minSimilarity`: ES 8.8 `knn.similarity` — the minimum cosine a
+    * hit needs to count as a match; sub-threshold candidates drop
+    * BEFORE the k-cut (ES prunes them during collection), so a query
+    * can return fewer than k rows. The threshold compares against the
+    * ROUNDED score (`roundTo`), the engine's score surface, so the
+    * cut is engine-independent.
+    */
   def searchTopK(queries: DataFrame, indexPath: String, k: Int,
                  nprobe: Int = 2, qIdCol: String = "q_id",
                  vecCol: String = "vec", idColName: String = "id",
                  roundTo: Int = 6,
-                 filterIds: Option[DataFrame] = None): DataFrame = {
+                 filterIds: Option[DataFrame] = None,
+                 minSimilarity: Option[Double] = None): DataFrame = {
     require(k > 0)
+    minSimilarity.foreach(s => require(s >= -1.0 && s <= 1.0,
+      s"knn similarity must be a cosine in [-1, 1], got $s"))
     filterIds.foreach(f => require(f.columns.length == 1,
       s"filterIds must be a single-column id frame, got " +
         s"${f.columns.mkString(", ")}"))
@@ -814,10 +824,12 @@ object VectorIndex {
       _.filter(col("cell").isin(wanted: _*)))
     val c = filterIds.fold(c0)(f =>
       c0.join(f.toDF("id"), Seq("id"), "left_semi"))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val scored0 = c.join(broadcast(q), Seq("cell"))
       .withColumn("cos", round(
         VectorExpressions.dot(col("q_v"), col("v")) /
           (col("q_n") * col("norm")), roundTo))
+    val scored = minSimilarity.fold(scored0)(s =>
+      scored0.filter(col("cos") >= s))
     Similarity.rankTopKPerQuery(scored, k, "_q_id", "id", "cos")
       .select(col("_q_id").as(qIdCol), col("rank"),
         col("id").as(idColName), col("cos"))

@@ -361,6 +361,18 @@ object AggQueries {
           .select(floor(col("o_totalprice")).cast("double").as("v")),
         "v", buckets = 5)
     }),
+    // ES change_point (the portable two-sample split scan): monthly
+    // order counts with a planted +500 step at 1996-01-01 — the
+    // detector must put the change point exactly there with a
+    // step_change verdict; the oracle replays prefix sums, Welch's t
+    // per split and the max-|t| earliest-tie selection
+    "cp1_change_point" -> ((s, d) => {
+      val stepped = monthly(s, d).withColumn("n2",
+        when(col("month") >= lit("1996-01-01").cast("timestamp"),
+          col("n") + 500).otherwise(col("n")))
+      BucketPipeline.changePoint(stepped, "month", "n2",
+        minSegment = 3, threshold = 5.0)
+    }),
     // ES random_sampler: the md5(seed:id) < p portable draw (ES's own
     // per-shard hash is routing-dependent); per-source sampled counts
     // plus the 1/p doc-count estimate — sub-aggs compose over the
@@ -952,6 +964,37 @@ object AggQueries {
         |  floor(avg(v) * 1e6 + 0.5) / 1e6 AS avg,
         |  CAST(count(*) AS BIGINT) AS doc_count
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cp1_change_point" ->
+      raw"""WITH m AS ($monthlySql),
+           |st AS (SELECT month,
+           |    CAST(CASE WHEN month >= TIMESTAMP '1996-01-01'
+           |      THEN n + 500 ELSE n END AS DOUBLE) AS v FROM m),
+           |pre AS (SELECT
+           |    CAST(row_number() OVER (ORDER BY month) AS DOUBLE) AS i,
+           |    lead(CAST(CAST(month AS TIMESTAMP) AS VARCHAR), 1)
+           |      OVER (ORDER BY month) AS nxt,
+           |    sum(v) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW) AS cs,
+           |    sum(v*v) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND CURRENT ROW) AS css,
+           |    CAST(count(*) OVER () AS DOUBLE) AS nn,
+           |    sum(v) OVER () AS ts,
+           |    sum(v*v) OVER () AS tss
+           |  FROM st),
+           |c AS (SELECT nxt, i,
+           |    (cs/i - (ts-cs)/(nn-i)) / sqrt(greatest(
+           |      ((css - cs*cs/i)/(i-1))/i +
+           |      (((tss-css) - (ts-cs)*(ts-cs)/(nn-i))/(nn-i-1))
+           |        /(nn-i), 1e-12)) AS t,
+           |    cs/i AS ml, (ts-cs)/(nn-i) AS mr
+           |  FROM pre WHERE i >= 3 AND nn - i >= 3)
+           |SELECT nxt AS change_point,
+           |  CASE WHEN abs(t) >= 5.0 THEN 'step_change'
+           |       ELSE 'stationary' END AS type,
+           |  floor(t*1e6+0.5)/1e6 AS t_stat,
+           |  floor(ml*1e6+0.5)/1e6 AS left_mean,
+           |  floor(mr*1e6+0.5)/1e6 AS right_mean
+           |FROM c ORDER BY abs(t) DESC, i LIMIT 1""".stripMargin,
     "rx1_random_sampler" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS doc_count,
         |  CAST(count(*) * 4 AS BIGINT) AS estimated_doc_count

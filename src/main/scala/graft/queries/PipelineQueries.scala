@@ -633,6 +633,14 @@ object PipelineQueries {
           minStopHits = 1L)
         .orderBy("source")
     }),
+    // Zipf fit over the top-100 vocabulary: OLS of ln(freq) on
+    // ln(rank) under the (freq desc, term asc) total order — the
+    // data-card naturalness signal; the oracle replays term counts,
+    // the rank cut and the closed-form moments
+    "zipf1_zipf_fit" -> ((s, d) => {
+      graft.operators.CorpusReport.zipfFit(
+        t(s, d, "documents"), "text", k = 100)
+    }),
     // leakage-safe group split: all docs of a source land in ONE split
     // (the near-dup-leakage guard); md5 group draw, full oracle
     "sm4_group_split" -> ((s, d) => {
@@ -1922,6 +1930,27 @@ object PipelineQueries {
       val keep = e.filter(col("vec_id") % 2 === 0).select("vec_id")
       graft.operators.VectorIndex.searchTopK(q, path, k = 5, nprobe = 8,
           idColName = "n_id", filterIds = Some(keep))
+        .orderBy("q_id", "rank")
+    }),
+    // ES 8.8 knn.similarity — a minimum-cosine cut: sub-threshold
+    // candidates drop BEFORE the k-cut (queries may return fewer
+    // than k rows); the threshold compares the ROUNDED score, the
+    // engine's score surface, so the cut replays exactly. Exact
+    // configuration → brute-force oracle with the same HAVING-style
+    // cut
+    "vx5_knn_similarity" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-vx5-$tag").toString
+      val e = t(s, d, "embeddings")
+      graft.operators.VectorIndex.build(e, "vec_id", "embedding", path,
+        nlist = 8)
+      val q = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 900000).as("q_id"),
+          col("embedding").as("vec"))
+      graft.operators.VectorIndex.searchTopK(q, path, k = 10,
+          nprobe = 8, idColName = "n_id",
+          minSimilarity = Some(0.30))
         .orderBy("q_id", "rank")
     }),
     // the IVF-PQ serving path, exact configuration: the index stores
@@ -4371,6 +4400,21 @@ object PipelineQueries {
         |      FROM s)
         |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    // vx1's brute replay with the similarity HAVING-cut applied to
+    // the rounded cosine before the rank cut
+    "vx5_knn_similarity" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id + 900000 AS q_id, v FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.q_id, c.vec_id AS n_id,
+        |        round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |      FROM q CROSS JOIN e c),
+        |f AS (SELECT * FROM s WHERE cos >= 0.30),
+        |r AS (SELECT q_id, n_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |      FROM f)
+        |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
     // the vx1 brute-force replay verbatim: the exact ADC
     // configuration must land on the identical answer
     "vx3_vector_index_adc" ->
@@ -5240,6 +5284,26 @@ object PipelineQueries {
            |WHERE bucket <> 'tail' ORDER BY doc_id""".stripMargin,
     // both signal fragments replayed over the planted report corpus,
     // then one integer-only rollup per source
+    "zipf1_zipf_fit" ->
+      raw"""WITH tf AS (SELECT t, CAST(count(*) AS DOUBLE) AS f FROM (
+           |        SELECT unnest($toksSql) AS t FROM documents)
+           |      GROUP BY 1),
+           |top AS (SELECT f, row_number() OVER (ORDER BY f DESC, t)
+           |          AS rank
+           |        FROM tf ORDER BY f DESC, t LIMIT 100),
+           |p AS (SELECT ln(rank) AS x, ln(f) AS y FROM top),
+           |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |        sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+           |        sum(x*x) AS sxx, sum(y*y) AS syy FROM p)
+           |SELECT CAST(n AS BIGINT) AS n_terms,
+           |  floor(((sxy - sx*sy/n) / (sxx - sx*sx/n)) * 1e6 + 0.5)
+           |    / 1e6 AS slope,
+           |  floor(((sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx)
+           |    / n) * 1e6 + 0.5) / 1e6 AS intercept,
+           |  floor((pow(sxy - sx*sy/n, 2) /
+           |    ((sxx - sx*sx/n) * (syy - sy*sy/n))) * 1e6 + 0.5)
+           |    / 1e6 AS r2
+           |FROM m""".stripMargin,
     "rep1_corpus_report" ->
       raw"""WITH rc AS (
            |  SELECT doc_id, source, text FROM documents

@@ -149,6 +149,31 @@ class BucketPipelineSpec extends AnyFunSpec with Matchers {
           Seq(1.0, 2.0)).collect())
       assert(nul.getMessage.contains("null"), nul.getMessage)
     }
+    it("changePoint: finds a planted step, stays stationary on flat, " +
+        "empty under minSegment") {
+      def series(vs: Double*) = vs.zipWithIndex.map { case (v, i) =>
+        (f"2024-${i + 1}%02d", v) }.toDF("m", "v")
+      // clean step: 10,10,10 -> 50,50,50
+      val step = BucketPipeline.changePoint(
+        series(10, 10, 10, 50, 50, 50), "m", "v",
+        minSegment = 3, threshold = 5.0).collect()
+      step.length shouldBe 1
+      step.head.getString(0) shouldBe "2024-04" // first right-segment key
+      step.head.getString(1) shouldBe "step_change"
+      step.head.getDouble(3) shouldBe 10.0 // left mean
+      step.head.getDouble(4) shouldBe 50.0
+      // flat series: max |t| small -> stationary
+      val flat = BucketPipeline.changePoint(
+        series(10, 11, 10, 11, 10, 11), "m", "v",
+        minSegment = 3, threshold = 5.0).collect()
+      flat.head.getString(1) shouldBe "stationary"
+      // too few buckets for any valid split -> zero rows (spec-pinned)
+      BucketPipeline.changePoint(series(1, 2, 3), "m", "v",
+        minSegment = 3).collect().length shouldBe 0
+      an[IllegalArgumentException] should be thrownBy
+        BucketPipeline.changePoint(series(1, 2), "m", "v",
+          minSegment = 1)
+    }
     it("normalize: every ES method, degenerate frames go null") {
       def one(method: String, df: org.apache.spark.sql.DataFrame =
           series): Seq[Option[Double]] =

@@ -45,6 +45,35 @@ class CorpusReportSpec extends AnyFunSuite {
     assert(r.getLong(6) === 0L)
   }
 
+  test("zipfFit: hand-computed OLS on a tiny exact-Zipf vocabulary") {
+    // frequencies 8, 4, 2, 1 over ranks 1..4: ln f = ln 8 − ln 2 ·
+    // (perfectly linear on ln rank? no — ranks 1,2,3,4 vs halving
+    // freq is NOT exact Zipf; just hand-check the moments instead)
+    val docs = Seq(
+      ("a " * 8) + ("b " * 4) + ("c " * 2) + "d").toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val r = CorpusReport.zipfFit(docs, "text", k = 4).collect().head
+    assert(r.getLong(0) === 4L)
+    val xs = Seq(1.0, 2.0, 3.0, 4.0).map(math.log)
+    val ys = Seq(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val n = 4.0
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    def rhu(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(math.abs(r.getDouble(1) - rhu(slope)) < 2e-6,
+      s"${r.getDouble(1)} vs $slope")
+    // a halving-frequency vocabulary is steeper than Zipf's -1
+    assert(r.getDouble(1) < -1.0, r.getDouble(1))
+    // r2 high (near-linear) but not 1
+    assert(r.getDouble(3) > 0.9 && r.getDouble(3) <= 1.0)
+    intercept[IllegalArgumentException] {
+      CorpusReport.zipfFit(docs, "text", k = 2)
+    }
+  }
+
   test("one shuffle: flags are per-row, the only exchange is the source groupBy") {
     val docs = Seq((1L, "s", "a b c")).toDF("doc_id", "source", "text")
     val plan = CorpusReport.bySource(docs, "text", "source")

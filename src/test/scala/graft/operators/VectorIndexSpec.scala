@@ -79,6 +79,24 @@ class VectorIndexSpec extends AnyFunSuite {
         filterIds = Some(emb.select("vec_id", "embedding"))))
   }
 
+  test("knn.similarity: sub-threshold hits drop before the k-cut") {
+    val path = tmp("graft-vidx-sim")
+    VectorIndex.build(emb, "vec_id", "embedding", path, nlist = 4)
+    val q = queriesShifted(3)
+    // every query matches ITSELF at cos 1.0; a threshold just under
+    // 1 keeps only the self-match — fewer than k rows per query
+    val cut = VectorIndex.searchTopK(q, path, k = 5, nprobe = 4,
+        idColName = "n_id", minSimilarity = Some(0.999999))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(cut.nonEmpty)
+    cut.foreach { case (_, rank, cos) =>
+      assert(rank == 1L && cos >= 0.999999, (rank, cos)) }
+    // an out-of-domain threshold refuses
+    intercept[IllegalArgumentException](
+      VectorIndex.searchTopK(q, path, k = 5,
+        minSimilarity = Some(1.5)))
+  }
+
   test("nprobe = nlist is exact brute force; build+append == one-shot build") {
     val split = tmp("graft-vidx-split")
     VectorIndex.build(emb.filter(col("vec_id") % 2 === 0),
