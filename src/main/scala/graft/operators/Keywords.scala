@@ -144,11 +144,16 @@ object Keywords {
       .otherwise(array().cast("array<string>"))
     val windows = toks.select(col(idCol),
       posexplode(winKeys).as(Seq("_wp", "_key")))
-    val owners = windows.groupBy("_key")
-      .agg(min(col(idCol)).as("_owner"))
-    // only windows whose shingle was seen in an EARLIER doc survive;
-    // this is small — docs without duplicated passages vanish here
-    val dupStarts = windows.join(owners, Seq("_key"))
+    // ownership via a whole-partition window min — ONE shingle-keyed
+    // shuffle instead of a groupBy + a join re-shuffling both sides
+    // (and the windows subtree tokenizes once, not twice); partition
+    // size is bounded by a shingle's duplication count, the same
+    // bound the join's build side would carry. Only windows whose
+    // shingle was seen in an EARLIER doc survive — docs without
+    // duplicated passages vanish here.
+    val dupStarts = windows
+      .withColumn("_owner", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_key")))
       .filter(col(idCol) > col("_owner"))
       .groupBy(idCol)
       .agg(collect_set(col("_wp")).as("_dups"))
