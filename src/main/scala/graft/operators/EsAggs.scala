@@ -138,6 +138,92 @@ object EsAggs {
     diversified.orderBy(order: _*).limit(shardSize)
   }
 
+  /** ES `frequent_item_sets` aggregation (8.4+): mine CLOSED frequent
+    * item sets over a list of categorical FIELDS — an item is
+    * (field = value), a document's item set is its non-null field
+    * values, and ES reports the sets with `support` ≥
+    * `minimumSupport` that are CLOSED (no superset with the same
+    * doc_count), largest doc_count first. ES's own miner is a
+    * sampled ECLAT whose results are approximate under sharding;
+    * EXACT mining is the portable semantics, and over a FIELDS list
+    * the subset lattice is precisely the grouping-sets CUBE — one
+    * aggregation pass computes every field-combination's value
+    * counts (2^F groupings, F bounded by contract), the grand-total
+    * grouping doubles as the support denominator, and closedness is
+    * one max-join over the REDUCED cube frame (each set row emits
+    * its ≤ F immediate-parent keys; a parent is closed iff its
+    * largest child count is strictly below its own).
+    *
+    * Output: (items "f=v, f=v" in field order, set_size, doc_count,
+    * support rounded 6 dp), (doc_count desc, items asc), top `size`.
+    *
+    * Scale shape: ONE cube aggregation over the corpus (map-side
+    * combined; output bounded by distinct value combinations — the
+    * categorical-fields contract, enforced by the F ≤ 6 bound), then
+    * everything else runs on the reduced frame, pinned once via
+    * localCheckpoint so the closedness self-reference cannot rescan
+    * the corpus.
+    */
+  def frequentItemSets(df: DataFrame, fields: Seq[String],
+                       minimumSupport: Double = 0.01,
+                       minimumSetSize: Int = 1,
+                       size: Int = 10): DataFrame = {
+    val F = fields.size
+    require(F >= 1 && F <= 6,
+      s"frequent_item_sets needs 1..6 categorical fields (2^F cube " +
+        s"groupings), got $F")
+    require(fields.distinct.size == F, s"duplicate fields in $fields")
+    require(minimumSupport > 0 && minimumSupport <= 1,
+      s"minimum_support must be in (0, 1], got $minimumSupport")
+    require(minimumSetSize >= 1 && minimumSetSize <= F,
+      s"minimum_set_size must be in [1, $F], got $minimumSetSize")
+    require(size >= 1, s"size must be >= 1, got $size")
+    val cubeAll = df.cube(fields.map(col): _*)
+      .agg(count(lit(1)).as("doc_count"),
+        grouping_id().as("_gid"))
+      .localCheckpoint(true)
+    def inSet(i: Int): Column =
+      col("_gid").bitwiseAND(lit(1L << (F - 1 - i))) === 0L
+    def itemOf(i: Int): Column =
+      concat(lit(fields(i) + "="), col(fields(i)).cast("string"))
+    def itemsExcept(skip: Int): Column = concat_ws(", ",
+      fields.indices.filter(_ != skip).map(i =>
+        when(inSet(i), itemOf(i))): _*)
+    val anyInSetNull = fields.indices.map(i =>
+      inSet(i) && col(fields(i)).isNull).reduce(_ || _)
+    val setSize = fields.indices.map(i =>
+      when(inSet(i), 1).otherwise(0)).reduce(_ + _)
+    val grand = (1L << F) - 1L
+    val tot = cubeAll.filter(col("_gid") === grand)
+      .select(col("doc_count").cast("double").as("_n_total"))
+    val sets = cubeAll
+      .filter(col("_gid") =!= grand && !anyInSetNull)
+      .withColumn("items", itemsExcept(-1))
+      .withColumn("set_size", setSize.cast("long"))
+    // each set of size >= 2 emits its immediate parents' item keys;
+    // a set is CLOSED iff no child reaches its count
+    val parentKeys = array(fields.indices.map(i =>
+      when(inSet(i) && col("set_size") >= 2, itemsExcept(i))): _*)
+    val maxChild = sets
+      .select(explode(filter(parentKeys, x => x.isNotNull))
+        .as("items"), col("doc_count").as("_child"))
+      .groupBy("items").agg(max(col("_child")).as("_max_child"))
+    sets.join(maxChild, Seq("items"), "left")
+      .crossJoin(broadcast(tot))
+      .filter(col("set_size") >= minimumSetSize &&
+        col("doc_count").cast("double") / col("_n_total") >=
+          minimumSupport &&
+        (col("_max_child").isNull ||
+          col("_max_child") < col("doc_count")))
+      .select(col("items"), col("set_size"),
+        col("doc_count").cast("long").as("doc_count"),
+        graft.queries.QueryUtil.rhu(
+          col("doc_count").cast("double") / col("_n_total"), 6)
+          .as("support"))
+      .orderBy(col("doc_count").desc, col("items").asc)
+      .limit(size)
+  }
+
   /** ES `random_sampler` aggregation (8.2+, the "speed up the
     * dashboard" agg): each document enters the sample INDEPENDENTLY
     * with `probability`; sub-aggregations run over the sample and

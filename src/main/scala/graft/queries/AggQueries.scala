@@ -361,6 +361,18 @@ object AggQueries {
           .select(floor(col("o_totalprice")).cast("double").as("v")),
         "v", buckets = 5)
     }),
+    // ES frequent_item_sets: closed sets over the field cube; the
+    // derived pclass column is a FUNCTION of o_orderpriority, so
+    // every {pclass} singleton has an equal-count {pclass, priority}
+    // superset and must be pruned by the closedness rule — an
+    // open-set miner would emit it
+    "fis1_frequent_item_sets" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .withColumn("pclass", substring(col("o_orderpriority"), 1, 1))
+      EsAggs.frequentItemSets(o,
+        Seq("o_orderstatus", "o_orderpriority", "pclass"),
+        minimumSupport = 0.02, minimumSetSize = 1, size = 15)
+    }),
     // ES change_point (the portable two-sample split scan): monthly
     // order counts with a planted +500 step at 1996-01-01 — the
     // detector must put the change point exactly there with a
@@ -964,6 +976,50 @@ object AggQueries {
         |  floor(avg(v) * 1e6 + 0.5) / 1e6 AS avg,
         |  CAST(count(*) AS BIGINT) AS doc_count
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fis1_frequent_item_sets" ->
+      """WITH base AS (SELECT o_orderstatus AS s, o_orderpriority AS p,
+        |                substr(o_orderpriority, 1, 1) AS c FROM orders),
+        |cu AS (SELECT s, p, c, count(*) AS dc,
+        |         GROUPING(s) AS gs, GROUPING(p) AS gp,
+        |         GROUPING(c) AS gc
+        |       FROM base GROUP BY CUBE (s, p, c)),
+        |tot AS (SELECT CAST(dc AS DOUBLE) AS n FROM cu
+        |        WHERE gs=1 AND gp=1 AND gc=1),
+        |sets AS (SELECT concat_ws(', ',
+        |           CASE WHEN gs=0 THEN 'o_orderstatus=' || s END,
+        |           CASE WHEN gp=0 THEN 'o_orderpriority=' || p END,
+        |           CASE WHEN gc=0 THEN 'pclass=' || c END) AS items,
+        |         CAST((1-gs)+(1-gp)+(1-gc) AS BIGINT) AS set_size,
+        |         dc, gs, gp, gc, s, p, c
+        |       FROM cu
+        |       WHERE NOT (gs=1 AND gp=1 AND gc=1)
+        |         AND NOT (gs=0 AND s IS NULL)
+        |         AND NOT (gp=0 AND p IS NULL)
+        |         AND NOT (gc=0 AND c IS NULL)),
+        |par AS (
+        |  SELECT concat_ws(', ',
+        |           CASE WHEN gp=0 THEN 'o_orderpriority=' || p END,
+        |           CASE WHEN gc=0 THEN 'pclass=' || c END) AS items,
+        |         dc
+        |  FROM sets WHERE gs=0 AND set_size >= 2
+        |  UNION ALL
+        |  SELECT concat_ws(', ',
+        |           CASE WHEN gs=0 THEN 'o_orderstatus=' || s END,
+        |           CASE WHEN gc=0 THEN 'pclass=' || c END), dc
+        |  FROM sets WHERE gp=0 AND set_size >= 2
+        |  UNION ALL
+        |  SELECT concat_ws(', ',
+        |           CASE WHEN gs=0 THEN 'o_orderstatus=' || s END,
+        |           CASE WHEN gp=0 THEN 'o_orderpriority=' || p END),
+        |         dc
+        |  FROM sets WHERE gc=0 AND set_size >= 2),
+        |mx AS (SELECT items, max(dc) AS mc FROM par GROUP BY 1)
+        |SELECT sets.items, set_size, CAST(dc AS BIGINT) AS doc_count,
+        |  floor(dc / n * 1e6 + 0.5) / 1e6 AS support
+        |FROM sets LEFT JOIN mx ON mx.items = sets.items, tot
+        |WHERE set_size >= 1 AND dc / n >= 0.02
+        |  AND (mc IS NULL OR mc < dc)
+        |ORDER BY doc_count DESC, sets.items LIMIT 15""".stripMargin,
     "cp1_change_point" ->
       raw"""WITH m AS ($monthlySql),
            |st AS (SELECT month,

@@ -131,6 +131,43 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("frequent_item_sets") {
+    it("mines CLOSED sets over the field cube, hand-checked") {
+      val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"))
+        .toDF("f1", "f2")
+      def run(minSupport: Double = 0.1, minSetSize: Int = 1) =
+        EsAggs.frequentItemSets(df, Seq("f1", "f2"),
+          minSupport, minSetSize, size = 10).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3)))
+      // {f2=x} (2) is NOT closed — its child {f1=a, f2=x} has the
+      // same count; {f1=b} (1) likewise vs {f1=b, f2=y}
+      run().toSeq shouldBe Seq(
+        ("f1=a", 1L, 3L, 0.75),
+        ("f1=a, f2=x", 2L, 2L, 0.5),
+        ("f2=y", 1L, 2L, 0.5),
+        ("f1=a, f2=y", 2L, 1L, 0.25),
+        ("f1=b, f2=y", 2L, 1L, 0.25))
+      run(minSetSize = 2).map(_._1).toSeq shouldBe
+        Seq("f1=a, f2=x", "f1=a, f2=y", "f1=b, f2=y")
+      run(minSupport = 0.5).map(_._1).toSeq shouldBe
+        Seq("f1=a", "f1=a, f2=x", "f2=y")
+      // null field values never form items: a (null, z) row counts
+      // in the denominator but only {f2=z} materializes
+      val withNull = Seq((Some("a"), "x"),
+        (None: Option[String], "z")).toDF("f1", "f2")
+      val n = EsAggs.frequentItemSets(withNull, Seq("f1", "f2"),
+        0.1, 1, 10).collect().map(_.getString(0))
+      assert(n.contains("f2=z") && !n.exists(_.contains("f1=null")), n.toSeq)
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.frequentItemSets(df, Seq("f1", "f1"))
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.frequentItemSets(df, Nil)
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.frequentItemSets(df, Seq("f1"), minimumSupport = 0.0)
+    }
+  }
+
   describe("random_sampler") {
     it("deterministic md5 draw, ES probability bounds, p = 1 identity") {
       val df = (1L to 400L).toDF("id")
