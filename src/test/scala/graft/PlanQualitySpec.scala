@@ -512,4 +512,37 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(postingsScans <= baseScans,
       s"$postingsScans postings scans vs searchTopK's $baseScans:\n$p")
   }
+
+  test("sa1: the sampler's global cut is TakeOrderedAndProject, never " +
+      "a global sort of the corpus") {
+    val p = plan("sa1_sampler")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("cl1: collapse re-joins inner hits through a BROADCAST on the " +
+      "size-bounded anchors; the outer cut is a fused sorted limit") {
+    val p = plan("cl1_collapse")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ip1: ip_range is ONE aggregation pass — no join, a single " +
+      "aggregate exchange") {
+    val p = plan("ip1_ip_range")
+    assert(!p.contains("Join"), p)
+    // one aggregate exchange (plus the gate's 4-row output sort);
+    // the explode of the bucket structs adds no further shuffle
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) <= 2, p)
+  }
+
+  test("vw1: variable_width_histogram never plans a corpus-wide " +
+      "single-partition window") {
+    val df = SparkEntry.queries("vw1_variable_width_histogram")(
+      spark, TestSpark.sfDir)
+    val p = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), p)
+  }
 }
