@@ -529,10 +529,13 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("ip1: ip_range is ONE aggregation pass — no join, a single " +
       "aggregate exchange") {
-    val p = plan("ip1_ip_range")
+    // node counts on sparkPlan.toString — formatted explain prints
+    // every node twice (tree + detail)
+    val p = SparkEntry.queries("ip1_ip_range")(spark, TestSpark.sfDir)
+      .queryExecution.sparkPlan.toString
     assert(!p.contains("Join"), p)
-    // one aggregate exchange (plus the gate's 4-row output sort);
-    // the explode of the bucket structs adds no further shuffle
+    // partial + final around ONE aggregate exchange (plus the gate's
+    // 4-row output sort); the bucket-struct explode adds no shuffle
     assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p)
     assert(p.linesIterator.count(_.contains("HashAggregate")) <= 2, p)
   }
