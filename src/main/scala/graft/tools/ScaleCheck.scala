@@ -59,6 +59,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (args.headOption.contains("r16")) {
+      r16Growth(spark)
+      spark.stop()
+      return
+    }
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val n0 = docs.count()
@@ -974,6 +979,74 @@ object ScaleCheck {
     * shuffle), composite paging (pushed after-key + page cut), and
     * the phrase suggester (two count scans + bounded collects).
     */
+  /** r16 faces at 1x/4x: significant_text's shingle machinery (the
+    * round's one corpus-heavy op), the intervals position predicate
+    * (scan-bound HOF), collapse (keyed window + broadcast re-join),
+    * variable_width_histogram (one sort + one keyed agg), and
+    * frequent_item_sets (one cube; combination-flat output).
+    */
+  private def r16Growth(spark: SparkSession): Unit = {
+    import graft.operators.{EsAggs, Keywords}
+    def timeS(f: => Long): (Double, Long) = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    locally { // untimed warmup of the text + agg machinery
+      val w = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      Keywords.significantText(w, "doc_id", "text", "source").count()
+      ()
+    }
+    println("[scale] r16 faces: 1x/4x corpus")
+    println(f"[scale] ${"size"}%-5s ${"docs"}%8s ${"sigtext(s)"}%11s " +
+      f"${"intervals(s)"}%13s ${"collapse(s)"}%12s ${"vwhist(s)"}%10s " +
+      f"${"itemsets(s)"}%12s")
+    for (s <- Seq(1, 4)) {
+      val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("doc_id") * s + col("rep")).as("doc_id"),
+          col("source"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+        .localCheckpoint(true)
+      val nD = docs.count()
+      val orders = Tables.load(spark, "/root/testdata/sf0.1", "orders")
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("o_orderkey") * s + col("rep")).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), col("o_orderstatus"),
+          col("o_orderpriority"))
+        .localCheckpoint(true)
+      val (tSig, _) = timeS {
+        Keywords.significantText(docs, "doc_id", "text", "source").count()
+      }
+      val (tIv, _) = timeS {
+        graft.api.GraftFrame(docs, "doc_id").esQuery(
+          """{"intervals": {"text": {"match":
+            |{"query": "stream filter", "max_gaps": 2,
+            |"ordered": true}}}}""".stripMargin).df.count()
+      }
+      val (tCl, _) = timeS {
+        EsAggs.collapse(orders, "o_custkey", "o_totalprice",
+          "o_orderkey", size = 10, innerHits = 3,
+          innerSortCol = "o_totalprice").count()
+      }
+      val (tVw, _) = timeS {
+        EsAggs.variableWidthHistogram(
+          orders.select(floor(col("o_totalprice")).cast("double")
+            .as("v")), "v", 5).count()
+      }
+      val (tFis, _) = timeS {
+        EsAggs.frequentItemSets(
+          orders.withColumn("pclass",
+            substring(col("o_orderpriority"), 1, 1)),
+          Seq("o_orderstatus", "o_orderpriority", "pclass"),
+          0.02, 1, 15).count()
+      }
+      println(f"[scale] ${s}%-5d ${nD}%8d ${tSig}%11.2f ${tIv}%13.2f " +
+        f"${tCl}%12.2f ${tVw}%10.2f ${tFis}%12.2f")
+    }
+  }
+
   private def aggs14Growth(spark: SparkSession): Unit = {
     import graft.operators.{BucketPipeline, EsAggs, PhraseSuggest}
     def timeS(f: => Long): (Double, Long) = {
