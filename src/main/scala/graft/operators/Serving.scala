@@ -19,6 +19,193 @@ import org.apache.spark.sql.functions._
   */
 object Serving {
 
+  /** ES `retriever` tree (8.14+, the modern search-request surface):
+    * a JSON tree of retrievers composed by rank fusion, evaluated
+    * against a documents frame (the `standard` legs) and a vectors
+    * frame (the `knn` legs, same id space). Supported nodes:
+    *
+    *  - `standard {query}` — the scored scan ([[graft.functions.
+    *    EsScoredQuery]]; every DSL leaf the scan faces support),
+    *    ranked (_score desc, id asc), cut to the node window
+    *  - `knn {query_vector, k, num_candidates?, similarity?}` —
+    *    exact cosine over the vectors frame (the exact-configuration
+    *    contract: IVF candidate pruning is [[graft.operators.
+    *    VectorIndex]]'s own face; `num_candidates` is accepted and
+    *    irrelevant under exact scoring), optional min-cosine on the
+    *    rounded score (the vx5 rule)
+    *  - `rrf {retrievers, rank_constant = 60, rank_window_size}` —
+    *    recursive reciprocal-rank fusion ([[Ranking.rrfFuse]])
+    *  - `linear {retrievers: [{retriever, weight = 1, normalizer =
+    *    "none"}], rank_window_size}` — weighted score fusion;
+    *    normalizers `none`, `minmax` (per-leg (s−min)/(max−min),
+    *    constant legs contribute 1), `l2_norm` (s / √Σs²) — per-leg
+    *    stats ride 1-row broadcast crossJoins (the in-plan-stats
+    *    discipline)
+    *
+    * Output (rank, id, score): the root's top `k` under (score desc,
+    * id asc). Every ranking level is total-ordered, so the whole
+    * tree replays on any engine.
+    *
+    * Scale shape: each leaf is one scan-ranked sort-limit
+    * (TakeOrderedAndProject); fusion unions ≤ window rows per child
+    * and aggregates on the id key; rank windows only ever run over
+    * already-cut ≤ window frames.
+    */
+  def retrieverSearch(docs: DataFrame, idCol: String,
+                      vectors: DataFrame, vecIdCol: String,
+                      vecCol: String, json: String, k: Int,
+                      rankWindowSize: Int = 100): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rankWindowSize >= k,
+      s"rank_window_size ($rankWindowSize) must be >= k ($k)")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("_id").asc)
+    def ranked(scored: DataFrame, window: Int): DataFrame =
+      scored.orderBy(col("score").desc, col("_id").asc).limit(window)
+        .withColumn("rank", row_number().over(w).cast("long"))
+    def intOf(v: JValue, what: String, default: Int): Int = v match {
+      case JInt(n)  => n.toInt
+      case JLong(n) => n.toInt
+      case JNothing => default
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer, got $other")
+    }
+    def eval(node: JValue, window: Int): DataFrame = {
+      require(window >= 1, s"rank_window_size must be >= 1")
+      val (kind, body) = node match {
+        case JObject(List((kk, b))) => (kk, b)
+        case other => throw new IllegalArgumentException(
+          s"a retriever must be a single-key object, got $other")
+      }
+      kind match {
+        case "standard" =>
+          val q = (body \ "query") match {
+            case JNothing => throw new IllegalArgumentException(
+              "standard retriever needs a query")
+            case x => x
+          }
+          val scored = graft.functions.EsScoredQuery.scoredFrame(
+            docs, idCol, JsonMethods.compact(JsonMethods.render(q)))
+          ranked(scored.select(col(idCol).as("_id"),
+            col("_score").as("score")), window)
+        case "knn" =>
+          val qv = (body \ "query_vector") match {
+            case JArray(vs) if vs.nonEmpty => vs.map {
+              case JInt(n)     => n.toDouble
+              case JLong(n)    => n.toDouble
+              case JDouble(d)  => d
+              case JDecimal(d) => d.toDouble
+              case other => throw new IllegalArgumentException(
+                s"query_vector entries must be numbers, got $other")
+            }
+            case other => throw new IllegalArgumentException(
+              s"knn retriever needs a non-empty query_vector, got $other")
+          }
+          val kk = intOf(body \ "k", "knn k", window)
+          intOf(body \ "num_candidates", "num_candidates", 0) // exact
+          val minSim = (body \ "similarity") match {
+            case JNothing    => None
+            case JDouble(d)  => Some(d)
+            case JInt(n)     => Some(n.toDouble)
+            case JDecimal(d) => Some(d.toDouble)
+            case other => throw new IllegalArgumentException(
+              s"knn similarity must be a number, got $other")
+          }
+          val cos = round(graft.plans.VectorExpressions.cosine(
+            graft.functions.VectorOps.asDouble(col(vecCol)),
+            typedLit(qv)), 6)
+          val scored0 = vectors.select(col(vecIdCol).as("_id"),
+            cos.as("score"))
+          val scored = minSim.fold(scored0)(s =>
+            scored0.filter(col("score") >= s))
+          ranked(scored, math.min(kk, window))
+        case "rrf" =>
+          val children = subRetrievers(body \ "retrievers", "rrf")
+          val rc = intOf(body \ "rank_constant", "rank_constant", 60)
+          val cw = intOf(body \ "rank_window_size", "rank_window_size",
+            window)
+          val legs = children.map(c =>
+            eval(c, cw).select(col("_id"), col("rank")))
+          val fused = Ranking.rrfFuse(legs, "_id", "rank", cw, rc)
+          ranked(fused.select(col("_id"),
+            col("rrf_score").as("score")), window)
+        case "linear" =>
+          val subs = (body \ "retrievers") match {
+            case JArray(rs) if rs.nonEmpty => rs
+            case other => throw new IllegalArgumentException(
+              s"linear retriever needs a retrievers array, got $other")
+          }
+          val cw = intOf(body \ "rank_window_size", "rank_window_size",
+            window)
+          val contribs = subs.map { s =>
+            val inner = (s \ "retriever") match {
+              case JNothing => throw new IllegalArgumentException(
+                "each linear entry needs a retriever")
+              case x => x
+            }
+            val weight = (s \ "weight") match {
+              case JNothing    => 1.0
+              case JDouble(d)  => d
+              case JInt(n)     => n.toDouble
+              case JDecimal(d) => d.toDouble
+              case other => throw new IllegalArgumentException(
+                s"weight must be a number, got $other")
+            }
+            require(weight >= 0, s"weight must be >= 0, got $weight")
+            val normalizer = (s \ "normalizer") match {
+              case JNothing    => "none"
+              case JString(nm) => nm
+              case other => throw new IllegalArgumentException(
+                s"normalizer must be a string, got $other")
+            }
+            val leg = eval(inner, cw)
+              .select(col("_id"), col("score").cast("double").as("_s"))
+            normalizer match {
+              case "none" =>
+                leg.select(col("_id"), (col("_s") * weight).as("_c"))
+              case "minmax" =>
+                val mm = leg.agg(min(col("_s")).as("_mn"),
+                  max(col("_s")).as("_mx"))
+                leg.crossJoin(broadcast(mm)).select(col("_id"),
+                  (when(col("_mx") === col("_mn"), lit(1.0))
+                    .otherwise((col("_s") - col("_mn")) /
+                      (col("_mx") - col("_mn"))) * weight).as("_c"))
+              case "l2_norm" =>
+                val nn = leg.agg(sqrt(sum(col("_s") * col("_s")))
+                  .as("_l2"))
+                leg.crossJoin(broadcast(nn)).select(col("_id"),
+                  (when(col("_l2") === 0.0, lit(0.0))
+                    .otherwise(col("_s") / col("_l2")) * weight)
+                    .as("_c"))
+              case other => throw new IllegalArgumentException(
+                s"normalizer '$other' not supported " +
+                  "(none, minmax, l2_norm)")
+            }
+          }
+          val fused = contribs.reduce(_ unionByName _)
+            .groupBy("_id")
+            .agg(round(sum(col("_c")), 6).as("score"))
+          ranked(fused, window)
+        case other => throw new IllegalArgumentException(
+          s"retriever '$other' not supported " +
+            "(standard, knn, rrf, linear)")
+      }
+    }
+    def subRetrievers(v: JValue, what: String): Seq[JValue] = v match {
+      case JArray(rs) if rs.size >= 2 => rs
+      case JArray(rs) => throw new IllegalArgumentException(
+        s"$what needs at least two retrievers, got ${rs.size}")
+      case other => throw new IllegalArgumentException(
+        s"$what needs a retrievers array, got $other")
+    }
+    eval(JsonMethods.parse(json), rankWindowSize)
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("_id").as("id"), col("score"))
+      .orderBy("rank")
+  }
+
   /** Hybrid retrieval over the persistent stack: each query row
     * carries a lexical bag (`termsCol`, array of terms) and an
     * embedding (`vecCol`); the inverted index at `textIndexPath`

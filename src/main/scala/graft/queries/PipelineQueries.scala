@@ -1852,6 +1852,23 @@ object PipelineQueries {
     // normalizing. The oracle replays both rankings AND the fusion;
     // a score-weighted combiner, a wrong rrfK, or a ranking leaking
     // past its k all miss
+    // the ES 8.14 retriever TREE: an rrf node composing a standard
+    // (scored-scan BM25 match) leg with a knn (exact cosine) leg —
+    // the modern search-request surface as one JSON tree; the oracle
+    // replays both legs, the per-leg rank cuts, and the fusion
+    "rtv1_retriever_tree" -> ((s, d) => {
+      val qv = (0 until 64).map(i => ((i * 7) % 13 - 6) / 10.0)
+      val tree =
+        s"""{"rrf": {"rank_constant": 60, "rank_window_size": 30,
+           |"retrievers": [
+           |  {"standard": {"query":
+           |    {"match": {"text": "stream filter"}}}},
+           |  {"knn": {"query_vector": ${qv.mkString("[", ", ", "]")},
+           |   "k": 30}}]}}""".stripMargin
+      graft.operators.Serving.retrieverSearch(t(s, d, "documents"),
+        "doc_id", t(s, d, "embeddings"), "vec_id", "embedding",
+        tree, k = 20, rankWindowSize = 30)
+    }),
     "hy1_hybrid_rrf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val lex = graft.operators.Ranking.bm25TopK(t(s, d, "documents"),
@@ -4369,6 +4386,44 @@ object PipelineQueries {
     // the 1/(60+rank) fusion — DuckDB's sum of the ≤2 contributions
     // is order-independent (IEEE addition commutes)
     "hy1_hybrid_rrf" -> hybridRrfSql,
+    // the hy1 replay shape with the match-query term set, re-ranked
+    // into the retriever output surface (rank, id, score)
+    "rtv1_retriever_tree" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id),
+           |lex AS (SELECT doc_id,
+           |          row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           |        FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 30)),
+           |q AS (SELECT list_transform(range(0, 64),
+           |        i -> CAST((i*7) % 13 - 6 AS DOUBLE)/10.0) AS v),
+           |sem0 AS (SELECT vec_id AS doc_id,
+           |           round(list_dot_product(embedding::DOUBLE[], q.v) /
+           |             (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+           |              sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+           |         FROM embeddings, q),
+           |sem AS (SELECT doc_id,
+           |          row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+           |        FROM (SELECT * FROM sem0 ORDER BY cos DESC, doc_id LIMIT 30)),
+           |u AS (SELECT doc_id, 1.0/(60 + rank) AS c FROM lex
+           |      UNION ALL SELECT doc_id, 1.0/(60 + rank) AS c FROM sem),
+           |f AS (SELECT doc_id, round(sum(c), 6) AS score FROM u
+           |      GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 30)
+           |SELECT rank, id, score FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+           |           AS BIGINT) AS rank,
+           |         doc_id AS id, score FROM f)
+           |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // every cell probed => identical to exact brute force over the raw
     // table: the quantizer, cell layout, and segment plumbing never
     // exist oracle-side, so a vector lost to a mis-assigned cell or a

@@ -129,4 +129,88 @@ class ServingSpec extends AnyFunSuite {
         fusion = "linear", legWeights = Seq(1.0))
     }.getMessage.contains("legWeights"))
   }
+
+  test("retrieverSearch: an rrf tree equals the hand-wired legs + fuse") {
+    val qvJson = qv1.mkString("[", ", ", "]")
+    val tree =
+      s"""{"rrf": {"rank_constant": 60, "rank_window_size": 30,
+         |"retrievers": [
+         |  {"standard": {"query":
+         |    {"match": {"text": "stream filter"}}}},
+         |  {"knn": {"query_vector": $qvJson, "k": 30}}
+         |]}}""".stripMargin
+    val got = Serving.retrieverSearch(docs, "doc_id", emb, "vec_id",
+        "embedding", tree, k = 10, rankWindowSize = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // hand-wired: the scored scan + exact cosine + rrfFuse
+    val lexHand = graft.api.GraftFrame(docs, "doc_id")
+      .esQueryScored("""{"match": {"text": "stream filter"}}""")
+      .df.select(col("doc_id"), col("_score"))
+      .orderBy(col("_score").desc, col("doc_id")).limit(30)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("_score").desc, col("doc_id"))).cast("long"))
+    val semHand = emb.select(col("vec_id").as("doc_id"),
+        round(graft.plans.VectorExpressions.cosine(
+          graft.functions.VectorOps.asDouble(col("embedding")),
+          typedLit(qv1)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(30)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+    val fusedHand = Ranking.rrfFuse(
+        Seq(lexHand.select("doc_id", "rank"),
+          semHand.select("doc_id", "rank")), "doc_id", "rank",
+        k = 30, rrfK = 60)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("rank"), col("doc_id"), col("rrf_score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == fusedHand.toSeq)
+  }
+
+  test("retrieverSearch: linear normalizers and refusals") {
+    val qvJson = qv2.mkString("[", ", ", "]")
+    // minmax + none + a weight; a degenerate single leg refuses in
+    // rrf but linear accepts >= 1? ES linear also wants >= 2 — we
+    // require 2 via the rrf path only; linear array here has 2
+    val tree =
+      s"""{"linear": {"rank_window_size": 20, "retrievers": [
+         |  {"retriever": {"standard": {"query":
+         |     {"match": {"text": "merge join"}}}},
+         |   "weight": 0.7, "normalizer": "minmax"},
+         |  {"retriever": {"knn": {"query_vector": $qvJson, "k": 20}},
+         |   "weight": 0.3, "normalizer": "l2_norm"}
+         |]}}""".stripMargin
+    val out = Serving.retrieverSearch(docs, "doc_id", emb, "vec_id",
+      "embedding", tree, k = 5, rankWindowSize = 20).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(0)).toSeq == (1L to 5L))
+    // scores descending
+    val scores = out.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // refusals: unknown node, one-child rrf, bad normalizer
+    intercept[IllegalArgumentException](Serving.retrieverSearch(
+      docs, "doc_id", emb, "vec_id", "embedding",
+      """{"text_similarity_reranker": {}}""", 5))
+    intercept[IllegalArgumentException](Serving.retrieverSearch(
+      docs, "doc_id", emb, "vec_id", "embedding",
+      """{"rrf": {"retrievers": [
+        |  {"knn": {"query_vector": [1.0], "k": 5}}]}}""".stripMargin,
+      5))
+    intercept[IllegalArgumentException](Serving.retrieverSearch(
+      docs, "doc_id", emb, "vec_id", "embedding",
+      s"""{"linear": {"retrievers": [
+         |  {"retriever": {"knn": {"query_vector": [1.0], "k": 5}},
+         |   "normalizer": "softmax"},
+         |  {"retriever": {"knn": {"query_vector": [1.0], "k": 5}},
+         |   "normalizer": "none"}]}}""".stripMargin, 5))
+    // knn.similarity threshold inside a tree cuts sub-threshold hits
+    val cut = Serving.retrieverSearch(docs, "doc_id", emb, "vec_id",
+      "embedding",
+      s"""{"knn": {"query_vector": ${qv1.mkString("[", ", ", "]")},
+         |"k": 30, "similarity": 0.99}}""".stripMargin, k = 30)
+      .collect()
+    assert(cut.forall(_.getDouble(2) >= 0.99))
+  }
 }
