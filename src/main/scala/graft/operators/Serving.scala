@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The one-call face of the persistent serving stack — the
@@ -51,10 +51,22 @@ object Serving {
     * and aggregates on the id key; rank windows only ever run over
     * already-cut ≤ window frames.
     */
+  /** `reranker` enables the `text_similarity_reranker` node (ES
+    * 8.15): `{retriever, field, inference_text, rank_window_size}` —
+    * the child's top window re-scores as scorer(inference_text,
+    * doc field) and re-ranks. ES calls a deployed cross-encoder
+    * here; the engine-side seam takes the scoring FUNCTION (the
+    * [[graft.ml.Inference]] discipline — plumbing real, model
+    * pluggable) and refuses by absence when none is given. The
+    * child's ids broadcast onto the docs frame to fetch the field —
+    * the corpus never shuffles for a ≤ window candidate set.
+    */
   def retrieverSearch(docs: DataFrame, idCol: String,
                       vectors: DataFrame, vecIdCol: String,
                       vecCol: String, json: String, k: Int,
-                      rankWindowSize: Int = 100): DataFrame = {
+                      rankWindowSize: Int = 100,
+                      reranker: Option[(String, Column) => Column] =
+                        None): DataFrame = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     require(k >= 1, s"k must be >= 1, got $k")
@@ -188,9 +200,41 @@ object Serving {
             .groupBy("_id")
             .agg(round(sum(col("_c")), 6).as("score"))
           ranked(fused, window)
+        case "text_similarity_reranker" =>
+          val inner = (body \ "retriever") match {
+            case JNothing => throw new IllegalArgumentException(
+              "text_similarity_reranker needs a retriever")
+            case x => x
+          }
+          val fieldName = (body \ "field") match {
+            case JString(f) => f
+            case other => throw new IllegalArgumentException(
+              s"text_similarity_reranker needs a field, got $other")
+          }
+          val infText = (body \ "inference_text") match {
+            case JString(t) => t
+            case other => throw new IllegalArgumentException(
+              s"text_similarity_reranker needs inference_text, got $other")
+          }
+          val cw = intOf(body \ "rank_window_size", "rank_window_size",
+            window)
+          val score = reranker.getOrElse(
+            throw new IllegalArgumentException(
+              "text_similarity_reranker needs a scorer — pass " +
+                "reranker = Some((inferenceText, docField) => score) " +
+                "(the inference seam; ES calls a deployed " +
+                "cross-encoder here, which this engine cannot " +
+                "synthesize)"))
+          val child = eval(inner, cw).select(col("_id"))
+          val fetched = docs
+            .select(col(idCol).as("_id"), col(fieldName))
+            .join(broadcast(child), Seq("_id"))
+          ranked(fetched.select(col("_id"),
+            score(infText, col(fieldName)).cast("double").as("score")),
+            window)
         case other => throw new IllegalArgumentException(
-          s"retriever '$other' not supported " +
-            "(standard, knn, rrf, linear)")
+          s"retriever '$other' not supported (standard, knn, rrf, " +
+            "linear, text_similarity_reranker)")
       }
     }
     def subRetrievers(v: JValue, what: String): Seq[JValue] = v match {

@@ -1869,6 +1869,26 @@ object PipelineQueries {
         "doc_id", t(s, d, "embeddings"), "vec_id", "embedding",
         tree, k = 20, rankWindowSize = 30)
     }),
+    // text_similarity_reranker (ES 8.15): the child BM25 leg's top-30
+    // re-scores through the pluggable cross-encoder SEAM (here the
+    // deterministic md5 stub — the emb4 discipline: plumbing real,
+    // model pluggable) and re-ranks; the oracle replays the BM25 cut,
+    // the md5 pair score and the re-rank
+    "rtv2_reranked_tree" -> ((s, d) => {
+      val tree =
+        """{"text_similarity_reranker": {
+          |  "retriever": {"standard": {"query":
+          |    {"match": {"text": "stream filter"}}}},
+          |  "field": "text",
+          |  "inference_text": "streaming filters",
+          |  "rank_window_size": 30}}""".stripMargin
+      graft.operators.Serving.retrieverSearch(t(s, d, "documents"),
+        "doc_id", t(s, d, "embeddings"), "vec_id", "embedding", tree,
+        k = 15, rankWindowSize = 30,
+        reranker = Some((q, c) =>
+          conv(substring(md5(concat(lit(q), lit(":"), c)), 1, 8),
+            16, 10).cast("long") / lit(4294967296.0)))
+    }),
     "hy1_hybrid_rrf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val lex = graft.operators.Ranking.bm25TopK(t(s, d, "documents"),
@@ -4386,6 +4406,32 @@ object PipelineQueries {
     // the 1/(60+rank) fusion — DuckDB's sum of the ≤2 contributions
     // is order-independent (IEEE addition commutes)
     "hy1_hybrid_rrf" -> hybridRrfSql,
+    "rtv2_reranked_tree" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id),
+           |lex AS (SELECT doc_id FROM bm ORDER BY score DESC, doc_id
+           |        LIMIT 30),
+           |r0 AS (SELECT d.doc_id,
+           |         ('0x' || substr(md5('streaming filters:' || d.text),
+           |           1, 8))::BIGINT / 4294967296.0 AS score
+           |       FROM documents d JOIN lex USING (doc_id)),
+           |f AS (SELECT * FROM r0 ORDER BY score DESC, doc_id LIMIT 30)
+           |SELECT rank, id, score FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+           |           AS BIGINT) AS rank,
+           |         doc_id AS id, score FROM f)
+           |WHERE rank <= 15 ORDER BY rank""".stripMargin,
     // the hy1 replay shape with the match-query term set, re-ranked
     // into the retriever output surface (rank, id, score)
     "rtv1_retriever_tree" ->

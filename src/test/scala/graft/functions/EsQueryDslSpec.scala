@@ -576,4 +576,42 @@ class EsQueryDslSpec extends AnyFunSuite {
       {"match": {"query": "a b", "max_gaps": 0, "ordered": true}}}}""")
       .df.count() == 2L)
   }
+
+  test("intervals differential: ordered max_gaps 0 == match_phrase; " +
+      "pair gaps == span_near slop — on the real corpus") {
+    def ids(g: GraftFrame): Set[Long] =
+      g.df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val f = docs
+    // two independent implementations must agree document-for-document
+    val phrase = ids(f.esQuery(
+      """{"match_phrase": {"text": "the batch"}}"""))
+    val ivPhrase = ids(f.esQuery(
+      """{"intervals": {"text": {"match":
+        |{"query": "the batch", "max_gaps": 0,
+        |"ordered": true}}}}""".stripMargin))
+    assert(phrase == ivPhrase, phrase.diff(ivPhrase))
+    assert(phrase.nonEmpty)
+    for (slop <- Seq(0, 2)) {
+      val sn = ids(f.esQuery(
+        s"""{"span_near": {"clauses": [
+           |  {"span_term": {"text": "stream"}},
+           |  {"span_term": {"text": "filter"}}],
+           |"slop": $slop, "in_order": true}}""".stripMargin))
+      val iv = ids(f.esQuery(
+        s"""{"intervals": {"text": {"match":
+           |{"query": "stream filter", "max_gaps": $slop,
+           |"ordered": true}}}}""".stripMargin))
+      assert(sn == iv, s"slop $slop: ${sn.diff(iv)} / ${iv.diff(sn)}")
+      val snU = ids(f.esQuery(
+        s"""{"span_near": {"clauses": [
+           |  {"span_term": {"text": "stream"}},
+           |  {"span_term": {"text": "filter"}}],
+           |"slop": $slop, "in_order": false}}""".stripMargin))
+      val ivU = ids(f.esQuery(
+        s"""{"intervals": {"text": {"match":
+           |{"query": "stream filter",
+           |"max_gaps": $slop}}}}""".stripMargin))
+      assert(snU == ivU, s"unordered slop $slop")
+    }
+  }
 }

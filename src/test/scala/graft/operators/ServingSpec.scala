@@ -213,4 +213,29 @@ class ServingSpec extends AnyFunSuite {
       .collect()
     assert(cut.forall(_.getDouble(2) >= 0.99))
   }
+
+  test("retrieverSearch: text_similarity_reranker re-ranks the child " +
+      "window through the seam, refuses without a scorer") {
+    val tree =
+      """{"text_similarity_reranker": {
+        |  "retriever": {"standard": {"query":
+        |    {"match": {"text": "stream filter"}}}},
+        |  "field": "text", "inference_text": "q",
+        |  "rank_window_size": 10}}""".stripMargin
+    // scorer = doc_id-independent md5 of the text — deterministic
+    val out = Serving.retrieverSearch(docs, "doc_id", emb, "vec_id",
+      "embedding", tree, k = 5, rankWindowSize = 10,
+      reranker = Some((q, c) =>
+        conv(substring(md5(concat(lit(q), lit(":"), c)), 1, 8), 16, 10)
+          .cast("long") / lit(4294967296.0))).collect()
+    assert(out.length == 5)
+    val scores = out.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(scores.forall(s => s >= 0.0 && s < 1.0))
+    // the seam refuses by absence — never a synthesized model
+    val e = intercept[IllegalArgumentException](
+      Serving.retrieverSearch(docs, "doc_id", emb, "vec_id",
+        "embedding", tree, k = 5, rankWindowSize = 10))
+    assert(e.getMessage.contains("scorer"))
+  }
 }
