@@ -200,6 +200,64 @@ object Serving {
             .groupBy("_id")
             .agg(round(sum(col("_c")), 6).as("score"))
           ranked(fused, window)
+        // `pinned` retriever (ES 8.16): the given ids rank first, in
+        // the GIVEN order (only those present in the docs frame — the
+        // f37 pinned-query rule), the organic child fills after with
+        // pinned ids excluded. Pinned rows carry the sentinel score
+        // 1e9 − position (ES uses descending near-MAX_VALUE
+        // sentinels; a replayable integer ladder is the portable
+        // spelling — organic BM25/cosine scores never reach 1e9).
+        case "pinned" =>
+          val ids: Seq[Any] = (body \ "ids") match {
+            case JArray(vs) if vs.nonEmpty => vs.map {
+              case JInt(n)    => n.toLong
+              case JLong(n)   => n
+              case JString(v) => v
+              case other => throw new IllegalArgumentException(
+                s"pinned ids must be numbers or strings, got $other")
+            }
+            case other => throw new IllegalArgumentException(
+              s"pinned retriever needs a non-empty ids array, got $other")
+          }
+          require(ids.distinct.size == ids.size,
+            s"duplicate pinned ids in $ids")
+          val inner = (body \ "retriever") match {
+            case JNothing => throw new IllegalArgumentException(
+              "pinned retriever needs an organic retriever")
+            case x => x
+          }
+          val cw = intOf(body \ "rank_window_size", "rank_window_size",
+            window)
+          val spark = docs.sparkSession
+          import spark.implicits._
+          val pinnedKeys = ids.zipWithIndex
+            .map { case (v, i) => (v.toString, i) }.toDF("_pk", "_pos")
+          // only pinned ids that EXIST rank; given order preserved
+          val present = docs
+            .select(col(idCol).as("_id"),
+              col(idCol).cast("string").as("_pk"))
+            .join(broadcast(pinnedKeys), Seq("_pk"))
+            .select(col("_id"), col("_pos"))
+          val organic = eval(inner, cw)
+            .join(broadcast(present.select(col("_id"))), Seq("_id"),
+              "left_anti")
+            .orderBy(col("rank").asc)
+            .limit(window)
+          val pinnedRows = present
+            .select(col("_id"),
+              (lit(1.0e9) - col("_pos")).as("score"), col("_pos"))
+          // re-rank: pinned by position, organic after by its own rank
+          val unioned = pinnedRows
+            .select(col("_id"), col("score"),
+              col("_pos").cast("long").as("_ord"))
+            .unionByName(organic.select(col("_id"), col("score"),
+              (col("rank") + ids.size).as("_ord")))
+          unioned
+            .orderBy(col("_ord").asc).limit(window)
+            .withColumn("rank", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("_ord").asc)).cast("long"))
+            .select(col("_id"), col("score"), col("rank"))
         case "text_similarity_reranker" =>
           val inner = (body \ "retriever") match {
             case JNothing => throw new IllegalArgumentException(
@@ -234,7 +292,7 @@ object Serving {
             window)
         case other => throw new IllegalArgumentException(
           s"retriever '$other' not supported (standard, knn, rrf, " +
-            "linear, text_similarity_reranker)")
+            "linear, pinned, text_similarity_reranker)")
       }
     }
     def subRetrievers(v: JValue, what: String): Seq[JValue] = v match {

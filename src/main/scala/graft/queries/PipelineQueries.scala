@@ -1869,6 +1869,20 @@ object PipelineQueries {
         "doc_id", t(s, d, "embeddings"), "vec_id", "embedding",
         tree, k = 20, rankWindowSize = 30)
     }),
+    // pinned retriever (ES 8.16): ids [42, 999999, 7] rank first in
+    // GIVEN order — 999999 is absent and must skip without leaving a
+    // rank gap — with the sentinel 1e9 − position scores; the organic
+    // BM25 leg fills after with pinned ids excluded
+    "rtv3_pinned_tree" -> ((s, d) => {
+      val tree =
+        """{"pinned": {"ids": [42, 999999, 7],
+          |"rank_window_size": 25,
+          |"retriever": {"standard": {"query":
+          |  {"match": {"text": "stream filter"}}}}}}""".stripMargin
+      graft.operators.Serving.retrieverSearch(t(s, d, "documents"),
+        "doc_id", t(s, d, "embeddings"), "vec_id", "embedding", tree,
+        k = 15, rankWindowSize = 25)
+    }),
     // text_similarity_reranker (ES 8.15): the child BM25 leg's top-30
     // re-scores through the pluggable cross-encoder SEAM (here the
     // deterministic md5 stub — the emb4 discipline: plumbing real,
@@ -4406,6 +4420,38 @@ object PipelineQueries {
     // the 1/(60+rank) fusion — DuckDB's sum of the ≤2 contributions
     // is order-independent (IEEE addition commutes)
     "hy1_hybrid_rrf" -> hybridRrfSql,
+    "rtv3_pinned_tree" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id),
+           |org AS (SELECT doc_id, score,
+           |          row_number() OVER (ORDER BY score DESC, doc_id) AS r
+           |        FROM (SELECT * FROM bm ORDER BY score DESC, doc_id
+           |              LIMIT 25)),
+           |orgx AS (SELECT doc_id, score, r FROM org
+           |         WHERE doc_id NOT IN (42, 7)),
+           |pin AS (SELECT * FROM (VALUES
+           |          (42, 1000000000.0, 0), (999999, 999999999.0, 1),
+           |          (7, 999999998.0, 2)) AS t(doc_id, score, ord)
+           |        WHERE doc_id IN (SELECT doc_id FROM documents)),
+           |u AS (SELECT doc_id, score, ord FROM pin
+           |      UNION ALL SELECT doc_id, score, r + 3 FROM orgx),
+           |f AS (SELECT * FROM u ORDER BY ord LIMIT 25)
+           |SELECT rank, id, score FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY ord) AS BIGINT)
+           |           AS rank,
+           |         doc_id AS id, score FROM f)
+           |WHERE rank <= 15 ORDER BY rank""".stripMargin,
     "rtv2_reranked_tree" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,

@@ -214,6 +214,29 @@ class ServingSpec extends AnyFunSuite {
     assert(cut.forall(_.getDouble(2) >= 0.99))
   }
 
+  test("retrieverSearch: pinned ids rank first in given order, absent " +
+      "ids skip, organic excludes them") {
+    val qvJson = qv1.mkString("[", ", ", "]")
+    val tree =
+      s"""{"pinned": {"ids": [7, 999999, 3],
+         |"retriever": {"knn": {"query_vector": $qvJson,
+         |"k": 10}}}}""".stripMargin
+    val out = Serving.retrieverSearch(docs, "doc_id", emb, "vec_id",
+        "embedding", tree, k = 10, rankWindowSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 999999 is absent from the corpus — skipped, order preserved
+    assert(out(0) == (1L, 7L, 1.0e9))
+    assert(out(1) == (2L, 3L, 1.0e9 - 2))
+    // organic tail never repeats a pinned id
+    assert(!out.drop(2).exists(r => r._2 == 7L || r._2 == 3L))
+    assert(out.length == 10)
+    intercept[IllegalArgumentException](Serving.retrieverSearch(
+      docs, "doc_id", emb, "vec_id", "embedding",
+      """{"pinned": {"ids": [1, 1],
+        |"retriever": {"knn": {"query_vector": [1.0],
+        |"k": 5}}}}""".stripMargin, 5))
+  }
+
   test("retrieverSearch: text_similarity_reranker re-ranks the child " +
       "window through the seam, refuses without a scorer") {
     val tree =
