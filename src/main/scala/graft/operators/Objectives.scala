@@ -155,6 +155,43 @@ object Objectives {
     * 0-based position, in order; n_masked). NULL/empty docs yield
     * empty text and labels.
     */
+  /** SFT loss-mask rendering: the chat-template transform every
+    * supervised-fine-tune data pipeline runs — render (prompt,
+    * response) into the training text and compute the TOKEN index
+    * where the loss mask ends (loss is taken on the response tokens
+    * only). The subtle bug this operator exists to prevent: the
+    * boundary must be the token count of the RENDERED prefix
+    * (`preamble + prompt + separator`), not tokens(prompt) plus a
+    * constant — a separator that glues to the prompt's last word
+    * (no leading whitespace) merges a token at the seam and the
+    * naive per-part sum over-counts (spec-pinned). A separator that
+    * does not END in whitespace would glue into the response itself,
+    * leaving the boundary UNDEFINED — refused loudly.
+    *
+    * Output: (id, text, n_tokens, mask_from) — `mask_from` is the
+    * 0-based token index of the first RESPONSE token; rows with a
+    * null prompt or response drop (no renderable example). Pure
+    * per-row expressions over one tokenization each for the prefix
+    * and the full text — zero shuffle, the t1 scan shape.
+    */
+  def sftLossMask(docs: DataFrame, idCol: String, promptCol: String,
+                  responseCol: String,
+                  preamble: String = "<|user|> ",
+                  separator: String = " <|assistant|> "): DataFrame = {
+    import graft.functions.TextAnalysis
+    require(separator.nonEmpty && separator.last.isWhitespace,
+      "the separator must end in whitespace — otherwise it glues " +
+        "into the response's first token and the mask boundary is " +
+        s"undefined (got '$separator')")
+    val prefix = concat(lit(preamble), col(promptCol), lit(separator))
+    val full = concat(prefix, col(responseCol))
+    docs
+      .filter(col(promptCol).isNotNull && col(responseCol).isNotNull)
+      .select(col(idCol), full.as("text"),
+        size(TextAnalysis.tokens(full)).cast("long").as("n_tokens"),
+        size(TextAnalysis.tokens(prefix)).cast("long").as("mask_from"))
+  }
+
   def mlmMask(docs: DataFrame, idCol: String, textCol: String,
               maskRate: Double = 0.15, seed: Long = 0,
               maskTok: String = "[MASK]",

@@ -476,6 +476,23 @@ object PipelineQueries {
           "doc_id", "text", blockSize = 16, maxSpan = 4, seed = 7)
         .orderBy("doc_id")
     }),
+    // SFT loss-mask rendering with a GLUING separator (no leading
+    // space — the marker merges into the prompt's last token): the
+    // mask boundary must come from tokenizing the rendered prefix,
+    // and the oracle's closed form (mask 5, n len+1) holds only if
+    // the glue-aware counting is exact
+    "sft1_loss_mask" -> ((s, d) => {
+      val toks = graft.functions.TextAnalysis.tokens(col("text"))
+      val base = t(s, d, "documents")
+        .filter(size(toks) >= 6)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(toks, 1, 4)).as("prompt"),
+          concat_ws(" ", slice(toks, 5, 100000)).as("response"))
+      graft.operators.Objectives.sftLossMask(base, "doc_id",
+          "prompt", "response", preamble = "<|user|> ",
+          separator = "<|assistant|>: ")
+        .orderBy("doc_id")
+    }),
     // fill-in-the-middle objective transform (Bavarian et al. 2022):
     // seeded md5 draws pick the documents and BOTH character cuts, so
     // the PSM rewrite replays byte-for-byte — fim_applied and the
@@ -4420,6 +4437,20 @@ object PipelineQueries {
     // the 1/(60+rank) fusion — DuckDB's sum of the ≤2 contributions
     // is order-independent (IEEE addition commutes)
     "hy1_hybrid_rrf" -> hybridRrfSql,
+    "sft1_loss_mask" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |ok AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 6),
+           |p AS (SELECT doc_id,
+           |        array_to_string(toks[1:4], ' ') AS prompt,
+           |        array_to_string(toks[5:len(toks)], ' ') AS response,
+           |        len(toks) AS l
+           |      FROM ok)
+           |SELECT doc_id,
+           |  '<|user|> ' || prompt || '<|assistant|>: ' || response
+           |    AS text,
+           |  CAST(l + 1 AS BIGINT) AS n_tokens,
+           |  CAST(5 AS BIGINT) AS mask_from
+           |FROM p ORDER BY doc_id""".stripMargin,
     "rtv3_pinned_tree" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,

@@ -152,4 +152,32 @@ class ObjectivesSpec extends AnyFunSuite {
     assert(nr.getString(1) == "" && nr.getSeq[String](2).isEmpty &&
       nr.getLong(3) == 0L)
   }
+
+  test("sftLossMask: boundary from the RENDERED prefix, glue-aware; " +
+    "null rows drop; non-whitespace-tail separator refuses") {
+    val df = Seq((1L, Some("hello world"), Some("the answer")),
+      (2L, None: Option[String], Some("x")),
+      (3L, Some("y"), None: Option[String]))
+      .toDF("id", "prompt", "response")
+    val clean = Objectives.sftLossMask(df, "id", "prompt", "response")
+      .collect()
+    assert(clean.length == 1) // null prompt/response rows drop
+    val r = clean.head
+    assert(r.getString(1) ==
+      "<|user|> hello world <|assistant|> the answer")
+    assert(r.getLong(2) == 6L && r.getLong(3) == 4L)
+    // a separator with NO leading space glues into the prompt's last
+    // token: the naive per-part sum says 4, the rendered prefix says 3
+    val glued = Objectives.sftLossMask(df, "id", "prompt", "response",
+      separator = "<|assistant|>: ").collect().head
+    assert(glued.getString(1) ==
+      "<|user|> hello world<|assistant|>: the answer")
+    assert(glued.getLong(2) == 5L && glued.getLong(3) == 3L)
+    // a separator that does not END in whitespace leaves the
+    // boundary undefined — refused, never a silently-shifted mask
+    intercept[IllegalArgumentException] {
+      Objectives.sftLossMask(df, "id", "prompt", "response",
+        separator = " <|assistant|>")
+    }
+  }
 }
