@@ -155,4 +155,73 @@ object Percolate {
       rules.toDF("query_id", "terms", "msm"),
       "query_id", "terms", "msm")
   }
+
+  /** Percolate with QUERY-STRING rules — the Kibana-search-bar-as-
+    * alert face: each stored rule is a simple_query_string parsed at
+    * REGISTRATION through [[graft.functions.QueryStringParser.
+    * flatTermClauses]] (the index-serving flattening: must / should /
+    * must_not term sets; shapes that cannot flatten — phrases,
+    * prefixes, nested mixed groups — refuse there, naming the scan
+    * faces). A document matches a rule when every must term is
+    * present, at least one should (when the rule has any), and no
+    * must_not. Purely-negative and contradictory (term both required
+    * and forbidden) rules refuse at registration — they would match
+    * almost everything / nothing silently.
+    *
+    * Output (idCol, rule_id, matched_terms) — matched_terms counts
+    * the DISTINCT positive rule terms present.
+    *
+    * Scale shape: the pc1 discipline verbatim — rules are
+    * driver-side and broadcast as a (rule, term, role) table, the
+    * corpus tokenizes once and NEVER shuffles (the only aggregation
+    * keys on (doc, rule) after the broadcast join), and the must_not
+    * check rides the same aggregation as the positive counts instead
+    * of a second pass.
+    */
+  def percolateQueryStrings(docs: DataFrame, idCol: String,
+                            textCol: String,
+                            rules: Seq[(String, String)],
+                            defaultOperator: String = "or")
+      : DataFrame = {
+    require(rules.nonEmpty, "percolateQueryStrings: no rules")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"duplicate rule names in ${rules.map(_._1)}")
+    val parsed = rules.map { case (name, q) =>
+      val (m, s, mn) = graft.functions.QueryStringParser
+        .flatTermClauses(q, defaultOperator)
+      val (md, sd, nd) = (m.distinct, s.distinct, mn.distinct)
+      require(md.nonEmpty || sd.nonEmpty,
+        s"rule '$name' ('$q') is purely negative — it would match " +
+          "nearly every document; refused")
+      val contra = (md ++ sd).intersect(nd)
+      require(contra.isEmpty,
+        s"rule '$name' ('$q') both requires and forbids " +
+          s"${contra.mkString(", ")}")
+      (name, md, sd, nd)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = parsed.flatMap { case (n, m, s, mn) =>
+      m.map((n, _, "m")) ++ s.map((n, _, "s")) ++ mn.map((n, _, "n"))
+    }.toDF("_rule", "term", "_role")
+    val counts = parsed
+      .map { case (n, m, s, _) => (n, m.size.toLong, s.size.toLong) }
+      .toDF("_rule", "_n_must", "_n_should")
+    val dtokens = docs.select(col(idCol),
+      explode(array_distinct(
+        graft.functions.TextAnalysis.tokens(col(textCol)))).as("term"))
+    dtokens.join(broadcast(qterms), Seq("term"))
+      .groupBy(col(idCol), col("_rule"))
+      .agg(
+        count(when(col("_role") === "m", 1)).as("_hit_must"),
+        count(when(col("_role") === "s", 1)).as("_hit_should"),
+        count(when(col("_role") === "n", 1)).as("_hit_not"))
+      .join(broadcast(counts), Seq("_rule"))
+      .filter(col("_hit_must") === col("_n_must") &&
+        (col("_n_should") === 0 || col("_hit_should") >= 1) &&
+        col("_hit_not") === 0)
+      .select(col(idCol), col("_rule").as("rule_id"),
+        (col("_hit_must") + col("_hit_should")).cast("long")
+          .as("matched_terms"))
+  }
 }

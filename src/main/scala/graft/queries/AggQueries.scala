@@ -265,6 +265,19 @@ object AggQueries {
           ("r_stream_filter", "stream filter")))
         .orderBy("doc_id", "query_id")
     }),
+    // percolate with QUERY-STRING rules (the Kibana-bar-as-alert
+    // face): parsed at registration onto must/should/must_not term
+    // sets, matched through the same broadcast containment machinery;
+    // the three rules exercise OR-defaults + negation, a pure
+    // disjunction, and a + conjunction
+    "pc3_query_string_percolate" -> ((s, d) => {
+      graft.operators.Percolate.percolateQueryStrings(
+        Tables.load(s, d, "documents"), "doc_id", "text", Seq(
+          ("r_or_not", "stream filter -join"),
+          ("r_disj", "merge | sort"),
+          ("r_conj", "stream + merge")))
+        .orderBy("doc_id", "rule_id")
+    }),
     // ES geo_distance aggregation: ring buckets by haversine distance
     // from an origin — Geo.haversineMeters composed with rangeAgg,
     // raw-double ring compares (the Geo float discipline)
@@ -823,6 +836,34 @@ object AggQueries {
            |WHERE len(list_filter(r.terms,
            |    x -> list_contains(t.toks, x))) >= msm
            |ORDER BY doc_id, query_id""".stripMargin,
+    "pc3_query_string_percolate" ->
+      raw"""WITH t AS (SELECT doc_id, list_distinct(
+           |    list_filter(string_split_regex(lower(text), '\s+'),
+           |      x -> x <> '')) AS toks FROM documents),
+           |a AS (SELECT doc_id, 'r_or_not' AS rule_id,
+           |        CAST(list_contains(toks, 'stream')::INT +
+           |             list_contains(toks, 'filter')::INT AS BIGINT)
+           |          AS matched_terms
+           |      FROM t
+           |      WHERE (list_contains(toks, 'stream')
+           |             OR list_contains(toks, 'filter'))
+           |        AND NOT list_contains(toks, 'join')),
+           |b AS (SELECT doc_id, 'r_disj' AS rule_id,
+           |        CAST(list_contains(toks, 'merge')::INT +
+           |             list_contains(toks, 'sort')::INT AS BIGINT)
+           |          AS matched_terms
+           |      FROM t
+           |      WHERE list_contains(toks, 'merge')
+           |         OR list_contains(toks, 'sort')),
+           |c AS (SELECT doc_id, 'r_conj' AS rule_id,
+           |        CAST(2 AS BIGINT) AS matched_terms
+           |      FROM t
+           |      WHERE list_contains(toks, 'stream')
+           |        AND list_contains(toks, 'merge'))
+           |SELECT * FROM (SELECT * FROM a
+           |  UNION ALL SELECT * FROM b
+           |  UNION ALL SELECT * FROM c)
+           |ORDER BY doc_id, rule_id""".stripMargin,
     "pc2_phrase_percolate" ->
       raw"""WITH t AS (SELECT doc_id,
            |    ' ' || array_to_string(

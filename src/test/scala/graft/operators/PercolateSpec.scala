@@ -87,4 +87,38 @@ class PercolateSpec extends AnyFunSpec with Matchers {
       Percolate.percolateRules(docs, "doc_id", "text",
         Seq(("x", Seq("a"), 1), ("x", Seq("b"), 1)))
   }
+
+  it("query_string rules: must/should/must_not semantics, refusals") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "stream filter join"),  // has forbidden 'join' for r1
+      (2L, "stream filter only"),  // r1: both shoulds, no join
+      (3L, "merge alone here"),    // r2: one should
+      (4L, "stream merge both")    // r3: both musts; r1: 1 should; r2
+    ).toDF("doc_id", "text")
+    val out = Percolate.percolateQueryStrings(d, "doc_id", "text", Seq(
+        ("r1", "stream filter -join"),  // OR-default shoulds + not
+        ("r2", "merge | sort"),          // pure disjunction
+        ("r3", "stream + merge")))       // conjunction (musts)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (2L, "r1", 2L), (4L, "r1", 1L),
+      (3L, "r2", 1L), (4L, "r2", 1L),
+      (4L, "r3", 2L)), out)
+    // purely-negative and contradictory rules refuse at registration
+    an[IllegalArgumentException] should be thrownBy
+      Percolate.percolateQueryStrings(d, "doc_id", "text",
+        Seq(("bad", "-join")))
+    an[IllegalArgumentException] should be thrownBy
+      Percolate.percolateQueryStrings(d, "doc_id", "text",
+        Seq(("contra", "stream + merge -merge")))
+    // unflattenable grammar (a phrase) refuses naming the scan faces
+    val e = intercept[IllegalArgumentException] {
+      Percolate.percolateQueryStrings(d, "doc_id", "text",
+        Seq(("ph", "\"stream filter\"")))
+    }
+    assert(e.getMessage.contains("scan faces") ||
+      e.getMessage.contains("term"), e.getMessage)
+  }
 }
