@@ -308,6 +308,64 @@ object Serving {
       .orderBy("rank")
   }
 
+  /** The RAG ingestion-and-query path as ONE call: chunk the corpus
+    * ([[Chunking.chunkByTokens]]), embed every chunk through the
+    * PLUGGABLE encoder seam ([[graft.ml.Inference.embedText]] — the
+    * emb4 contract: the deterministic stub gates the plumbing, a
+    * real model factory drops in without changing anything else),
+    * embed the query text with the SAME encoder driver-side, and
+    * return the top-`k` chunks by exact cosine under the total order
+    * (score desc, id asc, chunk_no asc).
+    *
+    * Output: (rank, idCol, chunk_no, chunk_text, score).
+    *
+    * Scale shape: chunk + embed are one scan (mapPartitions,
+    * per-partition model load, `batchSize`-sliced); the query embeds
+    * in ONE driver-side encodeBatch call and rides as a literal; the
+    * chunk metadata re-joins the embeddings on the synthetic chunk
+    * key (one chunk-keyed shuffle — embedText's seam carries only
+    * (id, embedding) by contract); the cut is sort-limit. This is
+    * the ad-hoc/one-shot path — a persistent corpus should pair
+    * [[graft.operators.VectorIndex.build]] over the chunk embeddings
+    * with [[graft.operators.VectorIndex.searchTopK]] instead.
+    */
+  def semanticSearchText(docs: DataFrame, idCol: String,
+                         textCol: String, queryText: String, k: Int,
+                         chunkSize: Int = 64, stride: Int = 32,
+                         encoderFactory: () => graft.ml.TextEncoder =
+                           graft.ml.Inference.hashEncoder(8),
+                         batchSize: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queryText != null && queryText.nonEmpty,
+      "queryText must be non-empty")
+    val chunks = Chunking.chunkByTokens(docs, idCol, textCol,
+        chunkSize, stride)
+      .withColumn("_cid", concat(col(idCol).cast("string"), lit("#"),
+        col("chunk_no").cast("string")))
+    val emb = graft.ml.Inference.embedText(
+      chunks.select(col("_cid"), col("chunk_text")),
+      "_cid", "chunk_text", encoderFactory, batchSize)
+    val qv: Seq[Double] = {
+      val enc = encoderFactory()
+      try enc.encodeBatch(Array(queryText)).head.toSeq.map(_.toDouble)
+      finally enc.close()
+    }
+    val scored = chunks.join(emb, Seq("_cid"))
+      .select(col(idCol), col("chunk_no"), col("chunk_text"),
+        round(graft.plans.VectorExpressions.cosine(
+          graft.functions.VectorOps.asDouble(col("embedding")),
+          typedLit(qv)), 6).as("score"))
+    scored
+      .orderBy(col("score").desc, col(idCol).asc, col("chunk_no").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("score").desc, col(idCol).asc, col("chunk_no").asc))
+        .cast("long"))
+      .select(col("rank"), col(idCol), col("chunk_no"),
+        col("chunk_text"), col("score"))
+  }
+
   /** Hybrid retrieval over the persistent stack: each query row
     * carries a lexical bag (`termsCol`, array of terms) and an
     * embedding (`vecCol`); the inverted index at `textIndexPath`

@@ -1886,6 +1886,17 @@ object PipelineQueries {
         "doc_id", t(s, d, "embeddings"), "vec_id", "embedding",
         tree, k = 20, rankWindowSize = 30)
     }),
+    // the one-call RAG path: chunk -> embed (the deterministic stub
+    // through the pluggable seam) -> query embedded with the SAME
+    // encoder -> exact-cosine top-k chunks; the oracle replays the
+    // chunk windows, the md5 stub per dimension (float-quantized),
+    // the cosine and the rank cut end to end
+    "rag1_semantic_search" -> ((s, d) => {
+      graft.operators.Serving.semanticSearchText(
+        t(s, d, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", queryText = "stream filter merge", k = 12,
+        chunkSize = 16, stride = 8)
+    }),
     // pinned retriever (ES 8.16): ids [42, 999999, 7] rank first in
     // GIVEN order — 999999 is absent and must skip without leaving a
     // rank gap — with the sentinel 1e9 − position scores; the organic
@@ -4437,6 +4448,41 @@ object PipelineQueries {
     // the 1/(60+rank) fusion — DuckDB's sum of the ≤2 contributions
     // is order-independent (IEEE addition commutes)
     "hy1_hybrid_rrf" -> hybridRrfSql,
+    "rag1_semantic_search" ->
+      raw"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents
+           |           WHERE doc_id < 200),
+           |c AS (SELECT doc_id, toks,
+           |        CAST(ceil(greatest(len(toks) - 16, 0) / 8.0) AS INT)
+           |          + 1 AS nch
+           |      FROM b),
+           |e AS (SELECT doc_id, toks,
+           |        unnest(generate_series(0, nch - 1)) AS i FROM c),
+           |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+           |         array_to_string(toks[i*8+1 : i*8+16], ' ')
+           |           AS chunk_text
+           |       FROM e),
+           |emb AS (SELECT doc_id, chunk_no, chunk_text,
+           |          list_transform(range(0, 8), dd ->
+           |            CAST(CAST((('0x' || substr(md5(CAST(dd AS VARCHAR)
+           |                || ':' || chunk_text), 1, 8))::BIGINT % 2000)
+           |              AS DOUBLE) / 1000.0 - 1.0 AS FLOAT)) AS v
+           |        FROM ch),
+           |q AS (SELECT list_transform(range(0, 8), dd ->
+           |        CAST(CAST((('0x' || substr(md5(CAST(dd AS VARCHAR)
+           |            || ':stream filter merge'), 1, 8))::BIGINT % 2000)
+           |          AS DOUBLE) / 1000.0 - 1.0 AS FLOAT)) AS qv),
+           |sc AS (SELECT doc_id, chunk_no, chunk_text,
+           |         round(list_dot_product(v::DOUBLE[], qv::DOUBLE[]) /
+           |           (sqrt(list_dot_product(v::DOUBLE[], v::DOUBLE[])) *
+           |            sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))),
+           |           6) AS score
+           |       FROM emb, q),
+           |f AS (SELECT * FROM sc
+           |      ORDER BY score DESC, doc_id, chunk_no LIMIT 12)
+           |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id,
+           |         chunk_no) AS BIGINT) AS rank,
+           |       doc_id, chunk_no, chunk_text, score
+           |FROM f ORDER BY rank""".stripMargin,
     "sft1_loss_mask" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |ok AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 6),
