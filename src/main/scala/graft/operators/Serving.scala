@@ -27,12 +27,16 @@ object Serving {
     *  - `standard {query}` — the scored scan ([[graft.functions.
     *    EsScoredQuery]]; every DSL leaf the scan faces support),
     *    ranked (_score desc, id asc), cut to the node window
-    *  - `knn {query_vector, k, num_candidates?, similarity?}` —
-    *    exact cosine over the vectors frame (the exact-configuration
-    *    contract: IVF candidate pruning is [[graft.operators.
-    *    VectorIndex]]'s own face; `num_candidates` is accepted and
-    *    irrelevant under exact scoring), optional min-cosine on the
-    *    rounded score (the vx5 rule)
+    *  - `knn {query_vector, k, num_candidates?, similarity?,
+    *    filter?}` — exact cosine over the vectors frame (the
+    *    exact-configuration contract: IVF candidate pruning is
+    *    [[graft.operators.VectorIndex]]'s own face; `num_candidates`
+    *    is accepted and irrelevant under exact scoring), optional
+    *    min-cosine on the rounded score (the vx5 rule), optional
+    *    metadata `filter` (any DSL predicate) resolved against the
+    *    docs frame and semi-joined BEFORE scoring (the vx4 placement)
+    *  - `pinned {ids, retriever}` — given-order pins with replayable
+    *    sentinel scores, organic fill-after (see the case comment)
     *  - `rrf {retrievers, rank_constant = 60, rank_window_size}` —
     *    recursive reciprocal-rank fusion ([[Ranking.rrfFuse]])
     *  - `linear {retrievers: [{retriever, weight = 1, normalizer =
@@ -128,8 +132,21 @@ object Serving {
           val cos = round(graft.plans.VectorExpressions.cosine(
             graft.functions.VectorOps.asDouble(col(vecCol)),
             typedLit(qv)), 6)
-          val scored0 = vectors.select(col(vecIdCol).as("_id"),
+          val scored1 = vectors.select(col(vecIdCol).as("_id"),
             cos.as("score"))
+          // ES knn.filter: the metadata predicate resolves against
+          // the DOCS frame and restricts candidates via a semi join
+          // BEFORE scoring matters (the vx4 placement — filtered
+          // vectors never rank)
+          val scored0 = (body \ "filter") match {
+            case JNothing => scored1
+            case f =>
+              val pred = graft.functions.EsQueryDsl.toColumn(
+                JsonMethods.compact(JsonMethods.render(f)), idCol)
+              scored1.join(
+                docs.filter(pred).select(col(idCol).as("_id")),
+                Seq("_id"), "left_semi")
+          }
           val scored = minSim.fold(scored0)(s =>
             scored0.filter(col("score") >= s))
           ranked(scored, math.min(kk, window))

@@ -1886,6 +1886,19 @@ object PipelineQueries {
         "doc_id", t(s, d, "embeddings"), "vec_id", "embedding",
         tree, k = 20, rankWindowSize = 30)
     }),
+    // knn retriever WITH a metadata filter (ES's knn.filter inside
+    // the tree): the term predicate resolves against the DOCS frame
+    // and semi-joins the candidate set BEFORE scoring (the vx4
+    // placement); ranks re-number within the filtered corpus
+    "rtv4_filtered_knn_tree" -> ((s, d) => {
+      val qv = (0 until 64).map(i => ((i * 7) % 13 - 6) / 10.0)
+      val tree =
+        s"""{"knn": {"query_vector": ${qv.mkString("[", ", ", "]")},
+           |"k": 15, "filter": {"term": {"lang": "en"}}}}""".stripMargin
+      graft.operators.Serving.retrieverSearch(t(s, d, "documents"),
+        "doc_id", t(s, d, "embeddings"), "vec_id", "embedding", tree,
+        k = 15, rankWindowSize = 30)
+    }),
     // the one-call RAG path: chunk -> embed (the deterministic stub
     // through the pluggable seam) -> query embedded with the SAME
     // encoder -> exact-cosine top-k chunks; the oracle replays the
@@ -4448,6 +4461,20 @@ object PipelineQueries {
     // the 1/(60+rank) fusion — DuckDB's sum of the ≤2 contributions
     // is order-independent (IEEE addition commutes)
     "hy1_hybrid_rrf" -> hybridRrfSql,
+    "rtv4_filtered_knn_tree" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |keep AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |q AS (SELECT list_transform(range(0, 64),
+        |        i -> CAST((i*7) % 13 - 6 AS DOUBLE)/10.0) AS qv),
+        |s AS (SELECT e.vec_id AS id,
+        |        round(list_dot_product(e.v, q.qv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) *
+        |           sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+        |      FROM e JOIN keep ON e.vec_id = keep.doc_id, q),
+        |f AS (SELECT * FROM s ORDER BY score DESC, id LIMIT 15)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, id)
+        |         AS BIGINT) AS rank, id, score
+        |FROM f ORDER BY rank""".stripMargin,
     "rag1_semantic_search" ->
       raw"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents
            |           WHERE doc_id < 200),
