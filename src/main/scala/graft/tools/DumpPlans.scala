@@ -159,7 +159,13 @@ object DumpPlans {
     "fis1_frequent_item_sets" ->
       "frequent_item_sets: the subset lattice is ONE cube aggregation (map-side combined, 2^F groupings), pinned via localCheckpoint; support denominator, closedness max-join and the top-k all run on the reduced combination frame. ES's sampled ECLAT approximates under sharding; the cube is exact at one scan.",
     "cp1_change_point" ->
-      "change_point: prefix-sum windows over the BOUNDED bucket frame give every split's Welch t in closed form; selection is a sort-limit(1) on the same reduced frame. The corpus was already reduced by the upstream date_histogram — detection cost scales with buckets, not documents.")
+      "change_point: prefix-sum windows over the BOUNDED bucket frame give every split's Welch t in closed form; selection is a sort-limit(1) on the same reduced frame. The corpus was already reduced by the upstream date_histogram — detection cost scales with buckets, not documents.",
+    "rtv1_retriever_tree" ->
+      "The retriever tree: each leaf is one scan-ranked sort-limit (the standard leg's BM25 and the knn leg's cosine both end in TakeOrderedAndProject), fusion unions <= window rows per child and aggregates on the id key, and rank windows only run over already-cut frames — a whole modern search request whose per-node cost is one scan + k-bounded state.",
+    "pc3_query_string_percolate" ->
+      "query_string percolation: rules parse DRIVER-side at registration and broadcast as a (rule, term, role) table; the corpus tokenizes once and never shuffles — the one keyed aggregation is on (doc, rule) AFTER the broadcast join, and must_not rides it as a conditional count instead of a second pass.",
+    "rag1_semantic_search" ->
+      "The one-call RAG path: chunk + embed are one scan (mapPartitions, per-partition model load through the pluggable seam), the query embeds driver-side and rides as a LITERAL (no join for the query), chunk metadata re-joins embeddings on the synthetic chunk key once, and the final cut is sort-limit over the scored chunks.")
 
   private val epilogue: String = """
 ## Streaming index-lifecycle gate cost (st6, st9-st13) — r12 adjudication
