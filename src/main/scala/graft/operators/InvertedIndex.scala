@@ -1386,13 +1386,26 @@ object InvertedIndex {
     * tables (the [[searchTopK]] discipline). Output (idColName,
     * score) for the top `k` phrase-matching docs, 6-dp rounding, id
     * ties — ES's `match_phrase` ranking, engine-replayably.
+    *
+    * `slop` > 0 is ES's SLOPPY phrase (`match_phrase` with slop) with
+    * one documented adjudication: the occurrence count is the number
+    * of ANCHORED matches — first-term positions from which an ordered
+    * chain of the remaining terms exists within the
+    * (span − terms) ≤ slop budget, each counting weight 1. Lucene's
+    * SloppyPhraseScorer instead accumulates 1/(1 + matchLength) per
+    * match through a retrying matcher whose weights are not
+    * engine-replayable; the anchored unit count preserves exactly
+    * which documents match and ranks by how often, portably.
+    * `slop = 0` reduces to the exact-adjacency count (spec-pinned
+    * identical to the default).
     */
   def phraseSearchTopK(spark: SparkSession, indexPath: String,
                        phrase: Seq[String], k: Int,
                        idColName: String = "id", k1: Double = 1.2,
-                       b: Double = 0.75): DataFrame = {
+                       b: Double = 0.75, slop: Int = 0): DataFrame = {
     require(k > 0, "k must be positive")
-    rawPhraseScores(spark, indexPath, phrase, k1, b)
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    rawPhraseScores(spark, indexPath, phrase, k1, b, slop = slop)
       .select(col("id").as(idColName), round(col("_fs"), 6).as("score"))
       .orderBy(col("score").desc, col(idColName))
       .limit(k)
@@ -1512,9 +1525,11 @@ object InvertedIndex {
                                          k1: Double,
                                          b: Double,
                                          pre: Option[(Seq[String],
-                                           Seq[String], LiveStats)] = None)
+                                           Seq[String], LiveStats)] = None,
+                                         slop: Int = 0)
       : DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
     val segs = pre.map(_._1).getOrElse(committedSegments(spark, indexPath))
     require(segs.nonEmpty,
       s"$indexPath has no committed segments — build() first")
@@ -1543,10 +1558,22 @@ object InvertedIndex {
     val joined = frames.reduce((a, b) => a.join(b, Seq("id")))
     val ptf =
       if (terms.length == 1) size(col("_pos0"))
-      else size(filter(col("_pos0"), p =>
+      else if (slop == 0) size(filter(col("_pos0"), p =>
         (1 until terms.length)
           .map(i => array_contains(col(s"_pos$i"), p + i))
           .reduce(_ && _)))
+      else {
+        // sloppy anchored count: first-term positions from which an
+        // ordered chain of the remaining terms fits the
+        // (span − terms) ≤ slop budget — see phraseSearchTopK's
+        // adjudication note
+        val kTerms = terms.length
+        def chain(i: Int, prev: Column, first: Column): Column =
+          if (i == kTerms) (prev - first) <= lit(kTerms - 1 + slop)
+          else exists(col(s"_pos$i"), q => q > prev &&
+            chain(i + 1, q, first))
+        size(filter(col("_pos0"), p => chain(1, p, p)))
+      }
     // Σ idf over the phrase's terms IN ORDER (a repeated term counts
     // each time, like Lucene's term array)
     val idfSum = dfreq

