@@ -192,6 +192,72 @@ object Objectives {
         size(TextAnalysis.tokens(prefix)).cast("long").as("mask_from"))
   }
 
+  /** MULTI-TURN SFT loss masks — [[sftLossMask]] for whole
+    * conversations: `turns` is an array&lt;struct&lt;role string,
+    * content string&gt;&gt;, each turn renders as
+    * `marker(role) + content`, and every turn's token span
+    * [from_token, to_token) comes out as a row so the trainer can
+    * mask non-assistant spans. Boundaries are ADDITIVE per rendered
+    * piece, which is exact only when every marker both STARTS and
+    * ENDS with whitespace (no token can glue across a piece seam) —
+    * enforced loudly, the [[sftLossMask]] boundary discipline.
+    * Unknown roles refuse at render (a silently unmarked turn would
+    * shift every later boundary).
+    *
+    * Output: (id, turn, role, from_token, to_token, n_tokens) — one
+    * row per turn, `n_tokens` the whole conversation's count (the
+    * same on every row of a conversation); rows with a null turns
+    * array drop. Pure per-row HOF arithmetic: one rendered-piece
+    * token count per turn, a running-sum transform over the ≤ turns
+    * array — zero shuffle.
+    */
+  def sftMultiTurnMasks(docs: DataFrame, idCol: String,
+                        turnsCol: String,
+                        markers: Map[String, String] = Map(
+                          "user" -> " <|user|> ",
+                          "assistant" -> " <|assistant|> ",
+                          "system" -> " <|system|> ")): DataFrame = {
+    import graft.functions.TextAnalysis
+    require(markers.nonEmpty, "sftMultiTurnMasks: no role markers")
+    markers.foreach { case (r, m) =>
+      require(m.nonEmpty && m.head.isWhitespace && m.last.isWhitespace,
+        s"marker for role '$r' must start AND end with whitespace — " +
+          s"otherwise tokens glue across turn seams and every later " +
+          s"boundary shifts (got '$m')")
+    }
+    // per-turn rendered piece and its token count; unknown roles
+    // refuse in-plan (raise_error — the optimizer cannot prune it)
+    val roleMarker = markers.foldLeft(
+      raise_error(concat(lit("sftMultiTurnMasks: unknown role '"),
+        col("_t.role"), lit("' — add a marker"))).cast("string")) {
+      case (acc, (r, m)) =>
+        when(col("_t.role") === r, lit(m)).otherwise(acc)
+    }
+    val exploded = docs
+      .filter(col(turnsCol).isNotNull)
+      .select(col(idCol), posexplode(col(turnsCol)).as(Seq("turn", "_t")))
+      .select(col(idCol), col("turn").cast("long").as("turn"),
+        col("_t.role").as("role"),
+        size(TextAnalysis.tokens(concat(roleMarker,
+          coalesce(col("_t.content"), lit("")))))
+          .cast("long").as("_piece"))
+    // running boundaries via a per-conversation window — partitions
+    // are bounded by the turn count of ONE conversation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("turn")
+    exploded
+      .withColumn("to_token",
+        sum(col("_piece")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          0)))
+      .withColumn("from_token", col("to_token") - col("_piece"))
+      .withColumn("n_tokens",
+        sum(col("_piece")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
+      .select(col(idCol), col("turn"), col("role"),
+        col("from_token"), col("to_token"), col("n_tokens"))
+  }
+
   def mlmMask(docs: DataFrame, idCol: String, textCol: String,
               maskRate: Double = 0.15, seed: Long = 0,
               maskTok: String = "[MASK]",

@@ -493,6 +493,25 @@ object PipelineQueries {
           separator = "<|assistant|>: ")
         .orderBy("doc_id")
     }),
+    // multi-turn SFT masks: two-turn conversations synthesized from
+    // the corpus (user = first 3 tokens, assistant = the rest); every
+    // turn's [from, to) token span must land on the additive
+    // closed form — a seam-glue or an off-by-one in any piece shifts
+    // every later boundary and misses the hash
+    "sft2_multi_turn_masks" -> ((s, d) => {
+      val toks = graft.functions.TextAnalysis.tokens(col("text"))
+      val base = t(s, d, "documents")
+        .filter(size(toks) >= 4)
+        .select(col("doc_id"), array(
+          struct(lit("user").as("role"),
+            concat_ws(" ", slice(toks, 1, 3)).as("content")),
+          struct(lit("assistant").as("role"),
+            concat_ws(" ", slice(toks, 4, 100000)).as("content")))
+          .as("turns"))
+      graft.operators.Objectives.sftMultiTurnMasks(base, "doc_id",
+          "turns")
+        .orderBy("doc_id", "turn")
+    }),
     // fill-in-the-middle objective transform (Bavarian et al. 2022):
     // seeded md5 draws pick the documents and BOTH character cuts, so
     // the PSM rewrite replays byte-for-byte — fim_applied and the
@@ -4526,6 +4545,23 @@ object PipelineQueries {
            |         chunk_no) AS BIGINT) AS rank,
            |       doc_id, chunk_no, chunk_text, score
            |FROM f ORDER BY rank""".stripMargin,
+    "sft2_multi_turn_masks" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |ok AS (SELECT doc_id, len(toks) AS l FROM t
+           |       WHERE len(toks) >= 4)
+           |SELECT doc_id, turn, role, from_token, to_token, n_tokens
+           |FROM (
+           |  SELECT doc_id, CAST(0 AS BIGINT) AS turn,
+           |    'user' AS role, CAST(0 AS BIGINT) AS from_token,
+           |    CAST(4 AS BIGINT) AS to_token,
+           |    CAST(l + 2 AS BIGINT) AS n_tokens
+           |  FROM ok
+           |  UNION ALL
+           |  SELECT doc_id, CAST(1 AS BIGINT), 'assistant',
+           |    CAST(4 AS BIGINT), CAST(l + 2 AS BIGINT),
+           |    CAST(l + 2 AS BIGINT)
+           |  FROM ok)
+           |ORDER BY doc_id, turn""".stripMargin,
     "sft1_loss_mask" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |ok AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 6),

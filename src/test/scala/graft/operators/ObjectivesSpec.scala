@@ -180,4 +180,43 @@ class ObjectivesSpec extends AnyFunSuite {
         separator = " <|assistant|>")
     }
   }
+
+  test("sftMultiTurnMasks: additive boundaries per turn, unknown " +
+    "role refuses in-plan, gluing markers refuse at call") {
+    val convs = Seq(
+      (1L, Seq(("user", "hello there"), ("assistant", "hi"),
+        ("user", "bye"))),
+      (2L, Seq(("system", "rules"), ("assistant", "ok then"))))
+      .toDF("id", "raw")
+      .withColumn("turns", expr(
+        "transform(raw, t -> struct(t._1 as role, t._2 as content))"))
+      .drop("raw")
+    val out = Objectives.sftMultiTurnMasks(convs, "id", "turns")
+      .orderBy("id", "turn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // conv 1: pieces = 1+2, 1+1, 1+1 tokens -> spans [0,3) [3,5) [5,7)
+    // conv 2: pieces = 1+1, 1+2 -> [0,2) [2,5)
+    assert(out.toSeq == Seq(
+      (1L, 0L, "user", 0L, 3L, 7L),
+      (1L, 1L, "assistant", 3L, 5L, 7L),
+      (1L, 2L, "user", 5L, 7L, 7L),
+      (2L, 0L, "system", 0L, 2L, 5L),
+      (2L, 1L, "assistant", 2L, 5L, 5L)), out.toSeq)
+    // an unmapped role refuses inside the plan
+    val bad = Seq((1L, Seq(("robot", "beep"))))
+      .toDF("id", "raw")
+      .withColumn("turns", expr(
+        "transform(raw, t -> struct(t._1 as role, t._2 as content))"))
+      .drop("raw")
+    val e = intercept[Exception] {
+      Objectives.sftMultiTurnMasks(bad, "id", "turns").collect()
+    }
+    assert(e.getMessage.contains("unknown role"), e.getMessage)
+    // a marker that could glue across a seam refuses at call time
+    intercept[IllegalArgumentException] {
+      Objectives.sftMultiTurnMasks(convs, "id", "turns",
+        markers = Map("user" -> "<|user|> "))
+    }
+  }
 }
