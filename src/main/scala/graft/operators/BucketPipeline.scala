@@ -470,7 +470,15 @@ object BucketPipeline {
     val run = w.rowsBetween(Window.unboundedPreceding, 0)
     val all = w.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    val v = col(valueCol).cast("double")
+    // a null metric would null the prefix sums — t_stat/means all null
+    // and the orderBy picks arbitrarily among null-t splits — so
+    // nullness refuses inside the evaluated expression (the
+    // bucket_correlation/rateAgg discipline)
+    val v = when(col(valueCol).isNull,
+      raise_error(lit(s"change_point: null $valueCol — a null metric " +
+        "would null every prefix sum and make the split arbitrary; " +
+        "fill or filter the bucket frame first")).cast("double"))
+      .otherwise(col(valueCol).cast("double"))
     val pre = buckets
       .select(col(orderCol).as("_ord"), v.as("_v"))
       .withColumn("_i", row_number().over(w).cast("double"))

@@ -189,6 +189,14 @@ object EsAggs {
     def itemsExcept(skip: Int): Column = concat_ws(", ",
       fields.indices.filter(_ != skip).map(i =>
         when(inSet(i), itemOf(i))): _*)
+    // the closedness join keys on a STRUCTURED key — a fixed-width
+    // array of per-field values (null = field not in the set) — never
+    // the display string: a value containing ", " or "=" would make
+    // distinct sets collide as strings ({a: "1, b=2"} vs {a: "1",
+    // b: "2"}) and corrupt both the max-join and the reported items
+    def keyExcept(skip: Int): Column = array(fields.indices.map(j =>
+      if (j == skip) lit(null).cast("string")
+      else when(inSet(j), col(fields(j)).cast("string"))): _*)
     val anyInSetNull = fields.indices.map(i =>
       inSet(i) && col(fields(i)).isNull).reduce(_ || _)
     val setSize = fields.indices.map(i =>
@@ -199,16 +207,17 @@ object EsAggs {
     val sets = cubeAll
       .filter(col("_gid") =!= grand && !anyInSetNull)
       .withColumn("items", itemsExcept(-1))
+      .withColumn("_key", keyExcept(-1))
       .withColumn("set_size", setSize.cast("long"))
-    // each set of size >= 2 emits its immediate parents' item keys;
-    // a set is CLOSED iff no child reaches its count
+    // each set of size >= 2 emits its immediate parents' structured
+    // keys; a set is CLOSED iff no child reaches its count
     val parentKeys = array(fields.indices.map(i =>
-      when(inSet(i) && col("set_size") >= 2, itemsExcept(i))): _*)
+      when(inSet(i) && col("set_size") >= 2, keyExcept(i))): _*)
     val maxChild = sets
       .select(explode(filter(parentKeys, x => x.isNotNull))
-        .as("items"), col("doc_count").as("_child"))
-      .groupBy("items").agg(max(col("_child")).as("_max_child"))
-    sets.join(maxChild, Seq("items"), "left")
+        .as("_key"), col("doc_count").as("_child"))
+      .groupBy("_key").agg(max(col("_child")).as("_max_child"))
+    sets.join(maxChild, Seq("_key"), "left")
       .crossJoin(broadcast(tot))
       .filter(col("set_size") >= minimumSetSize &&
         col("doc_count").cast("double") / col("_n_total") >=

@@ -1387,15 +1387,20 @@ object InvertedIndex {
     * score) for the top `k` phrase-matching docs, 6-dp rounding, id
     * ties — ES's `match_phrase` ranking, engine-replayably.
     *
-    * `slop` > 0 is ES's SLOPPY phrase (`match_phrase` with slop) with
-    * one documented adjudication: the occurrence count is the number
-    * of ANCHORED matches — first-term positions from which an ordered
-    * chain of the remaining terms exists within the
-    * (span − terms) ≤ slop budget, each counting weight 1. Lucene's
-    * SloppyPhraseScorer instead accumulates 1/(1 + matchLength) per
-    * match through a retrying matcher whose weights are not
-    * engine-replayable; the anchored unit count preserves exactly
-    * which documents match and ranks by how often, portably.
+    * `slop` > 0 is ES's SLOPPY phrase (`match_phrase` with slop).
+    * The MATCH SET is Lucene's exactly: a document matches iff phrase
+    * slot i can be assigned a position pᵢ of term i (distinct
+    * positions among slots sharing a term) with
+    * max(pᵢ − i) − min(pᵢ − i) ≤ slop — which admits TRANSPOSED
+    * terms once the budget covers the swap (doc "fox quick" matches
+    * phrase "quick fox" at slop ≥ 2, ES's documented two-moves rule).
+    * One documented adjudication remains, on the COUNT only: the
+    * occurrence count is the number of ANCHORED matches — first-term
+    * positions participating in at least one valid assignment, each
+    * counting weight 1 — where Lucene's SloppyPhraseScorer instead
+    * accumulates 1/(1 + matchLength) per match through a retrying
+    * matcher whose weights are not engine-replayable. WHICH documents
+    * match is Lucene-identical; only the tf magnitude is adjudicated.
     * `slop = 0` reduces to the exact-adjacency count (spec-pinned
     * identical to the default).
     */
@@ -1563,16 +1568,34 @@ object InvertedIndex {
           .map(i => array_contains(col(s"_pos$i"), p + i))
           .reduce(_ && _)))
       else {
-        // sloppy anchored count: first-term positions from which an
-        // ordered chain of the remaining terms fits the
-        // (span − terms) ≤ slop budget — see phraseSearchTopK's
-        // adjudication note
+        // sloppy anchored count over Lucene's EXACT match set: an
+        // assignment of phrase slot i to a document position pᵢ of
+        // term i (distinct positions among slots sharing a term) such
+        // that max(pᵢ − i) − min(pᵢ − i) ≤ slop. Transposed terms
+        // match when the budget covers the swap (two adjacent terms
+        // cost 2 — ES/Lucene's documented rule); an in-order chain is
+        // the special case where the adjusted positions ascend, so
+        // the old ordered (span − terms) ≤ slop reading is strictly
+        // contained. The anchored COUNT is the adjudication: tf =
+        // term-0 positions participating in ≥ 1 valid assignment,
+        // weight 1 each — see phraseSearchTopK's note.
         val kTerms = terms.length
-        def chain(i: Int, prev: Column, first: Column): Column =
-          if (i == kTerms) (prev - first) <= lit(kTerms - 1 + slop)
-          else exists(col(s"_pos$i"), q => q > prev &&
-            chain(i + 1, q, first))
-        size(filter(col("_pos0"), p => chain(1, p, p)))
+        def chain(i: Int, mn: Column, mx: Column,
+                  used: List[(String, Column)]): Column =
+          if (i == kTerms) (mx - mn) <= lit(slop)
+          else exists(col(s"_pos$i"), q => {
+            val adj = q - lit(i)
+            // repeated phrase terms may not reuse one occurrence
+            val distinctOk = used.collect {
+              case (t, c) if t == terms(i) => q =!= c
+            }.foldLeft(lit(true))(_ && _)
+            distinctOk &&
+              (greatest(mx, adj) - least(mn, adj)) <= lit(slop) &&
+              chain(i + 1, least(mn, adj), greatest(mx, adj),
+                (terms(i), q) :: used)
+          })
+        size(filter(col("_pos0"), p =>
+          chain(1, p, p, List((terms.head, p)))))
       }
     // Σ idf over the phrase's terms IN ORDER (a repeated term counts
     // each time, like Lucene's term array)

@@ -217,8 +217,16 @@ object Percolate {
         count(when(col("_role") === "s", 1)).as("_hit_should"),
         count(when(col("_role") === "n", 1)).as("_hit_not"))
       .join(broadcast(counts), Seq("_rule"))
+      // ES/Lucene bool gating (the booleanSearchTopK msm rule): when a
+      // rule has MUST terms, minimum_should_match defaults to 0 — the
+      // shoulds become score-only and a doc matching all musts alerts
+      // even with zero should hits. Only a must-less rule requires a
+      // should hit. (The simple grammar's '+' is infix AND, so today's
+      // parses never mix musts with shoulds — this keeps the gate
+      // honest if that ever changes.)
       .filter(col("_hit_must") === col("_n_must") &&
-        (col("_n_should") === 0 || col("_hit_should") >= 1) &&
+        (col("_n_must") > 0 || col("_n_should") === 0 ||
+          col("_hit_should") >= 1) &&
         col("_hit_not") === 0)
       .select(col(idCol), col("_rule").as("rule_id"),
         (col("_hit_must") + col("_hit_should")).cast("long")

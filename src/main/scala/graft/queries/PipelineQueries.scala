@@ -1128,11 +1128,13 @@ object PipelineQueries {
     // count from the position arrays, idf = Σ of the constituent
     // terms' idfs, Okapi saturation; the oracle recounts every doc's
     // adjacent pairs and replays the full formula
-    // index-served SLOPPY phrase (match_phrase with slop): the
-    // anchored-count adjudication — occurrences = first-term
-    // positions with an ordered chain inside the (span − terms) ≤
-    // slop budget, weight 1 each (Lucene's 1/(1+matchLength) weights
-    // ride a retrying matcher no engine replays); slop 0 ≡ idx8
+    // index-served SLOPPY phrase (match_phrase with slop): Lucene's
+    // exact match SET — max(pᵢ−i) − min(pᵢ−i) ≤ slop over an
+    // assignment of slots to positions, which admits TRANSPOSED terms
+    // at slop ≥ 2 (the two-moves rule) — with the anchored-count
+    // adjudication on tf only: occurrences = first-term positions in
+    // ≥1 valid assignment, weight 1 each (Lucene's 1/(1+matchLength)
+    // weights ride a retrying matcher no engine replays); slop 0 ≡ idx8
     "idx19_sloppy_phrase" -> ((s, d) => {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = new java.io.File(
@@ -5185,10 +5187,13 @@ object PipelineQueries {
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
            |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
            |pt AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |         -- anchored tf, Lucene match set: filter at j with
+           |         -- |i - (j-1)| <= slop(2) and j <> i — transposed
+           |         -- ('filter' one before 'stream') included
            |         CAST(len(list_filter(range(1, len(toks) + 1),
            |           i -> toks[i] = 'stream' AND
-           |             len(list_filter(range(i + 1, i + 4),
-           |               j -> toks[j] = 'filter')) > 0))
+           |             len(list_filter(range(i - 1, i + 4),
+           |               j -> j <> i AND toks[j] = 'filter')) > 0))
            |           AS DOUBLE) AS ptf
            |       FROM s),
            |dfs AS (SELECT

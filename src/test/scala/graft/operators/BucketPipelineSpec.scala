@@ -173,6 +173,16 @@ class BucketPipelineSpec extends AnyFunSpec with Matchers {
       an[IllegalArgumentException] should be thrownBy
         BucketPipeline.changePoint(series(1, 2), "m", "v",
           minSegment = 1)
+      // a null metric refuses in-plan (a null _v would null the
+      // prefix sums and make the split pick arbitrary) — the
+      // bucket_correlation discipline
+      val withNull = (1 to 6).map(i => (f"2024-$i%02d",
+        if (i == 4) None: Option[Double] else Some(i.toDouble)))
+        .toDF("m", "v")
+      val nul = intercept[Exception](
+        BucketPipeline.changePoint(withNull, "m", "v",
+          minSegment = 3).collect())
+      assert(nul.getMessage.contains("null"), nul.getMessage)
     }
     it("normalize: every ES method, degenerate frames go null") {
       def one(method: String, df: org.apache.spark.sql.DataFrame =

@@ -166,6 +166,21 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
       an[IllegalArgumentException] should be thrownBy
         EsAggs.frequentItemSets(df, Seq("f1"), minimumSupport = 0.0)
     }
+
+    it("closedness joins on a STRUCTURED key — ', '/'=' inside a " +
+        "value cannot collide distinct sets") {
+      // {f1 = "1, f2=2"} displays as "f1=1, f2=2" — the same STRING
+      // as the parent key {f1=1, f2=2, f3=3} emits when dropping f3.
+      // A display-string join would hand the size-1 set that child's
+      // count (equal to its own) and wrongly drop it as un-closed;
+      // the fixed-width array key keeps the two sets distinct.
+      val df = Seq(
+        ("1, f2=2", null: String, null: String),
+        ("1", "2", "3")).toDF("f1", "f2", "f3")
+      val out = EsAggs.frequentItemSets(df, Seq("f1", "f2", "f3"),
+        0.1, 1, 20).collect().map(r => (r.getString(0), r.getLong(2)))
+      assert(out.contains(("f1=1, f2=2", 1L)), out.toSeq)
+    }
   }
 
   describe("random_sampler") {

@@ -898,11 +898,11 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(got(1L) > got(2L))
   }
 
-  test("sloppy phrase: anchored counting, order still matters, " +
-      "slop 0 == exact") {
+  test("sloppy phrase: anchored counting, transposition costs 2 " +
+      "(Lucene's two-moves rule), slop 0 == exact") {
     val tiny = Seq(
       (1L, "a x b"),       // a..b gap 1: slop >= 1 hits, exact misses
-      (2L, "b a"),         // wrong order: never
+      (2L, "b a"),         // transposed: adjacent swap costs 2 moves
       (3L, "a b"),         // exact
       (4L, "a b a b"),     // two anchored matches at any slop
       (5L, "a x x x b")    // gap 3: needs slop >= 3
@@ -914,8 +914,9 @@ class InvertedIndexSpec extends AnyFunSuite {
         k = 10, idColName = "doc_id", slop = slop)
         .collect().map(_.getLong(0)).toSet
     assert(ids(0) == Set(3L, 4L))
-    assert(ids(1) == Set(1L, 3L, 4L))
-    assert(ids(3) == Set(1L, 3L, 4L, 5L))
+    assert(ids(1) == Set(1L, 3L, 4L))      // swap needs 2, not 1
+    assert(ids(2) == Set(1L, 2L, 3L, 4L))  // transposed doc 2 enters
+    assert(ids(3) == Set(1L, 2L, 3L, 4L, 5L))
     // slop 0 scores are identical to the default exact path
     val exact = InvertedIndex.phraseSearchTopK(spark, path,
       Seq("a", "b"), k = 10, idColName = "doc_id")
@@ -932,6 +933,16 @@ class InvertedIndexSpec extends AnyFunSuite {
       InvertedIndex.phraseSearchTopK(spark, path, Seq("a", "b"),
         k = 10, slop = -1)
     }
+    // repeated phrase terms need DISTINCT occurrences: "a a" cannot
+    // match by reusing one position — only doc 4 carries two a's
+    // (0 and 2: adjusted 0 and 1, range 1 → slop >= 1)
+    def idsAA(slop: Int): Set[Long] =
+      InvertedIndex.phraseSearchTopK(spark, path, Seq("a", "a"),
+        k = 10, idColName = "doc_id", slop = slop)
+        .collect().map(_.getLong(0)).toSet
+    assert(idsAA(0).isEmpty)
+    assert(idsAA(1) == Set(4L))
+    assert(idsAA(3) == Set(4L))
   }
 
   test("appending into a pre-positions index mixes stats schemas " +
