@@ -1071,31 +1071,75 @@ object EsAggs {
     * BUCKET KEY after aggregation (O(buckets), like ES) — but they
     * also push a mirror predicate below the groupBy so the shuffle
     * never carries excluded keys.
+    *
+    * `orderMetric` is ES's order-by-a-metric-sub-agg (`"order":
+    * {"avg_price": "desc"}` with `avg_price: {avg: {field: ...}}` —
+    * the most-used Kibana terms knob): (aggName, valueColumn) with
+    * aggName one of avg | min | max | sum, direction via `orderAsc`
+    * (ES's default for a metric order is desc). The metric rides the
+    * SAME keyed aggregation as doc_count (no second shuffle), is
+    * reported as `order_metric` (6-dp half-up — the replayable
+    * ordering surface), and orders with ES's tie rule: metric, then
+    * key ASC. A bucket whose metric is null (every value null — ES
+    * metric aggs skip nulls) sorts LAST under either direction, the
+    * documented portable reading. `min_doc_count`, include/exclude
+    * and `missing` compose unchanged; the size cut remains a
+    * TakeOrderedAndProject on the new order.
     */
   def termsAgg(df: DataFrame, field: String,
                size: Option[Int] = None,
                minDocCount: Int = 1,
                include: Option[String] = None,
                exclude: Option[String] = None,
-               missing: Option[String] = None): DataFrame = {
+               missing: Option[String] = None,
+               orderMetric: Option[(String, String)] = None,
+               orderAsc: Boolean = false): DataFrame = {
     require(minDocCount >= 0,
       s"min_doc_count must be >= 0, got $minDocCount")
     size.foreach(s => require(s >= 1, s"size must be >= 1, got $s"))
+    val valueCols = orderMetric.map(_._2).toSeq
+    orderMetric.foreach { case (agg, v) =>
+      require(Set("avg", "min", "max", "sum")(agg),
+        s"terms order metric must be avg | min | max | sum, got '$agg'")
+      require(v != field,
+        "order the buckets by doc_count (the default) rather than a " +
+          "metric over the key field itself")
+    }
     val keyed = missing match {
       case Some(m) =>
-        df.select(coalesce(col(field).cast("string"), lit(m)).as("key"))
+        df.select((coalesce(col(field).cast("string"), lit(m)).as("key")
+          +: valueCols.map(col)): _*)
       case None =>
         df.filter(col(field).isNotNull)
-          .select(col(field).cast("string").as("key"))
+          .select((col(field).cast("string").as("key")
+            +: valueCols.map(col)): _*)
     }
     val pre = Seq(
       include.map(re => col("key").rlike(s"^(?:$re)$$")),
       exclude.map(re => !col("key").rlike(s"^(?:$re)$$"))
     ).flatten.foldLeft(keyed)(_ filter _)
-    val out = pre.groupBy("key")
-      .agg(count(lit(1)).cast("long").as("doc_count"))
+    val metricAgg = orderMetric.map { case (agg, v) =>
+      val x = col(v).cast("double")
+      val raw = agg match {
+        case "avg" => avg(x)
+        case "min" => min(x)
+        case "max" => max(x)
+        case "sum" => sum(x)
+      }
+      graft.queries.QueryUtil.rhu(raw, 6).as("order_metric")
+    }
+    val grouped = pre.groupBy("key")
+      .agg(count(lit(1)).cast("long").as("doc_count"),
+        metricAgg.toSeq: _*)
       .filter(col("doc_count") >= minDocCount.toLong)
-      .orderBy(col("doc_count").desc, col("key"))
+    val out = orderMetric match {
+      case None => grouped.orderBy(col("doc_count").desc, col("key"))
+      case Some(_) =>
+        val m = col("order_metric")
+        grouped.orderBy(
+          if (orderAsc) m.asc_nulls_last else m.desc_nulls_last,
+          col("key"))
+    }
     size.fold(out)(out.limit)
   }
 

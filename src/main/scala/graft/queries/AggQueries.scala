@@ -435,6 +435,15 @@ object AggQueries {
         include = Some("(A|B|_).*"), exclude = Some("BUILDING"),
         missing = Some("__missing__"))
     }),
+    // ES terms agg ORDERED BY A METRIC SUB-AGG ("order":
+    // {"avg_price": "desc"} — the most-used Kibana terms knob): the
+    // metric rides the same keyed aggregation as doc_count, ordering
+    // is (metric desc nulls last, key asc — ES's tie rule), size cut
+    // on the metric order
+    "ta2_terms_order_metric" -> ((s, d) => {
+      EsAggs.termsAgg(Tables.load(s, d, "orders"), "o_orderpriority",
+        size = Some(4), orderMetric = Some(("avg", "o_totalprice")))
+    }),
     // ES t_test type paired: per-row difference moments (exact
     // integral sums; one sqrt both engines)
     "tt2_t_test_paired" -> ((s, d) => {
@@ -1127,6 +1136,15 @@ object AggQueries {
         |  GROUP BY key HAVING count(*) >= 2)
         |SELECT key, doc_count FROM b
         |ORDER BY doc_count DESC, key LIMIT 10""".stripMargin,
+    "ta2_terms_order_metric" ->
+      s"""WITH b AS (SELECT o_orderpriority AS key,
+         |    CAST(count(*) AS BIGINT) AS doc_count,
+         |    ${QueryUtil.rhuSql("avg(CAST(o_totalprice AS DOUBLE))", 6)}
+         |      AS order_metric
+         |  FROM orders WHERE o_orderpriority IS NOT NULL
+         |  GROUP BY 1)
+         |SELECT key, doc_count, order_metric FROM b
+         |ORDER BY order_metric DESC NULLS LAST, key LIMIT 4""".stripMargin,
     "tt2_t_test_paired" -> {
       def r6(e: String) = QueryUtil.rhuSql(e, 6)
       s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,

@@ -468,6 +468,43 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
       an[IllegalArgumentException] should be thrownBy
         EsAggs.termsAgg(df, "f", minDocCount = -1)
     }
+
+    it("order by a metric sub-agg: avg/min/max/sum, ES's key-asc tie " +
+        "rule, null metric sorts last both ways") {
+      val df = Seq(
+        ("a", Some(10.0)), ("a", Some(20.0)),      // avg 15
+        ("b", Some(15.0)),                         // avg 15 (tie)
+        ("c", Some(40.0)),                         // avg 40
+        ("d", None: Option[Double])                // metric null
+      ).toDF("f", "v")
+      def run(agg: String, asc: Boolean = false) =
+        EsAggs.termsAgg(df, "f", orderMetric = Some((agg, "v")),
+          orderAsc = asc).collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            Option(r.get(2)).map(_.asInstanceOf[Double])))
+      // desc: c(40), then the 15-tie broken by key asc (a before b),
+      // null-metric d LAST
+      run("avg").map(_._1).toSeq shouldBe Seq("c", "a", "b", "d")
+      // asc: ties still key-asc, null still last
+      run("avg", asc = true).map(_._1).toSeq shouldBe
+        Seq("a", "b", "c", "d")
+      run("sum").map(_._1).toSeq shouldBe Seq("c", "a", "b", "d")
+      run("max").head shouldBe (("c", 1L, Some(40.0)))
+      run("min", asc = true).map(_._1).toSeq shouldBe
+        Seq("a", "b", "c", "d")
+      // doc_count rides along; the metric is the reported order_metric
+      run("avg").find(_._1 == "a").get shouldBe
+        (("a", 2L, Some(15.0)))
+      // knobs compose: missing buckets the nulls, size cuts on the
+      // METRIC order
+      EsAggs.termsAgg(df, "f", size = Some(1),
+        orderMetric = Some(("avg", "v"))).collect()
+        .map(_.getString(0)).toSeq shouldBe Seq("c")
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.termsAgg(df, "f", orderMetric = Some(("median", "v")))
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.termsAgg(df, "f", orderMetric = Some(("avg", "f")))
+    }
   }
 
   describe("t_test paired / multi_terms") {
