@@ -31,8 +31,9 @@ import graft.api.Predicates
   *  - `exists` — non-null field
   *  - `ids` — value list against the given id column
   *  - `geo_distance` / `geo_bounding_box` (incl. the antimeridian
-  *    wrap) / `geo_polygon` — over a geo-point struct column
-  *    ([[Geo]]); arc distance only
+  *    wrap) / `geo_polygon` / `geo_shape` (envelope + polygon,
+  *    relations intersects/within/disjoint) — over a geo-point
+  *    struct column ([[Geo]]); arc distance only
   *  - `nested` — same-element bool over an array of structs via a
   *    field-resolver higher-order exists (zero explode); composes
   *    with every leaf through the `resolve` hook
@@ -1021,6 +1022,103 @@ object EsQueryDsl {
         Geo.pointInPolygon(
           resolve(field).getField("lat").cast("double"),
           resolve(field).getField("lon").cast("double"), pts)
+      // ES `geo_shape` over a geo_point column: shape types `envelope`
+      // ([[minLon, maxLat], [maxLon, minLat]] — ES's top-left /
+      // bottom-right, [lon, lat] order) and `polygon` (GeoJSON outer
+      // ring of [lon, lat] pairs, closed or open; holes refuse — a
+      // punctured containment needs a real geometry engine). Relations
+      // for a POINT doc geometry: `intersects` and `within` coincide
+      // (a point is inside the shape or it is not — both reduce to
+      // containment, the same bbox arithmetic / PNPOLY ray cast as
+      // geo_bounding_box / geo_polygon); `disjoint` is
+      // field-present AND NOT contained (ES's rule: a missing field
+      // matches NO geo_shape relation, disjoint included);
+      // `contains` (doc geometry ⊇ query shape) is degenerate for
+      // points and refuses loudly. The envelope inherits the bbox
+      // antimeridian wrap (left > right splits into two OR'd ranges).
+      case "geo_shape" =>
+        val (field, v) = lonely(body, "geo_shape")
+        val shape = (v \ "shape") match {
+          case JNothing => throw new IllegalArgumentException(
+            s"geo_shape($field) needs a shape object")
+          case x => x
+        }
+        val relation = (v \ "relation") match {
+          case JNothing    => "intersects" // ES's default
+          case JString(r)  => r
+          case other => throw new IllegalArgumentException(
+            s"geo_shape($field) relation must be a string, got $other")
+        }
+        val lat = resolve(field).getField("lat").cast("double")
+        val lon = resolve(field).getField("lon").cast("double")
+        def numOf(x: JValue, what: String): Double = x match {
+          case JInt(n)     => n.toDouble
+          case JLong(n)    => n.toDouble
+          case JDouble(d)  => d
+          case JDecimal(d) => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"geo_shape($field).$what must be a number, got $other")
+        }
+        def lonLat(x: JValue, what: String): (Double, Double) =
+          x match {
+            case JArray(List(lo, la)) =>
+              (numOf(lo, s"$what lon"), numOf(la, s"$what lat"))
+            case other => throw new IllegalArgumentException(
+              s"geo_shape($field).$what must be a [lon, lat] pair, " +
+                s"got $other")
+          }
+        val contained = (shape \ "type") match {
+          case JString(t) if t.equalsIgnoreCase("envelope") =>
+            val (tl, br) = (shape \ "coordinates") match {
+              case JArray(List(a, b)) =>
+                (lonLat(a, "envelope[0]"), lonLat(b, "envelope[1]"))
+              case other => throw new IllegalArgumentException(
+                s"geo_shape($field) envelope needs [[minLon, maxLat], " +
+                  s"[maxLon, minLat]], got $other")
+            }
+            val (left, top) = tl
+            val (right, bottom) = br
+            require(bottom <= top,
+              s"geo_shape($field) envelope: bottom $bottom above top $top")
+            val latIn = lat <= top && lat >= bottom
+            if (left <= right) latIn && lon >= left && lon <= right
+            else latIn && (lon >= left || lon <= right) // dateline wrap
+          case JString(t) if t.equalsIgnoreCase("polygon") =>
+            val ring = (shape \ "coordinates") match {
+              case JArray(List(JArray(outer))) if outer.size >= 3 =>
+                outer.map(lonLat(_, "polygon ring"))
+              case JArray(rings) if rings.size > 1 =>
+                throw new IllegalArgumentException(
+                  s"geo_shape($field) polygon holes (inner rings) " +
+                    "have no engine-independent translation here — " +
+                    "compose disjoint geo_shape clauses under bool " +
+                    "must/must_not instead")
+              case other => throw new IllegalArgumentException(
+                s"geo_shape($field) polygon needs [[[lon, lat], ...]] " +
+                  s"(one outer ring, >= 3 vertices), got $other")
+            }
+            // GeoJSON rings close on themselves — drop the repeat
+            val open =
+              if (ring.size >= 4 && ring.head == ring.last) ring.init
+              else ring
+            Geo.pointInPolygon(lat, lon,
+              open.map { case (lo, la) => (la, lo) })
+          case other => throw new IllegalArgumentException(
+            s"geo_shape($field) shape type $other not supported " +
+              "(envelope, polygon)")
+        }
+        relation.toLowerCase(java.util.Locale.ROOT) match {
+          case "intersects" | "within" => contained
+          case "disjoint" =>
+            lat.isNotNull && lon.isNotNull && !contained
+          case "contains" => throw new IllegalArgumentException(
+            s"geo_shape($field) relation 'contains' over a point " +
+              "column is degenerate (a point contains only itself) — " +
+              "refused rather than silently matching nothing")
+          case other => throw new IllegalArgumentException(
+            s"geo_shape($field) relation '$other' not supported " +
+              "(intersects, within, disjoint)")
+        }
       // ES `nested`: every clause of the inner query must match the
       // SAME element of the array-of-structs at `path` — a flattened
       // AND silently over-matches across elements (the reference's

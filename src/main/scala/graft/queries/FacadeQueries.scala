@@ -439,6 +439,34 @@ object FacadeQueries {
           .stripMargin)
         .select(Seq("c_custkey")).df.orderBy("c_custkey")
     }),
+    // geo_shape relations over a point column: envelope intersects
+    // (bbox arithmetic), polygon within (PNPOLY; within ≡ intersects
+    // for a POINT doc geometry — the documented reduction), envelope
+    // disjoint (field present AND NOT contained); the ring closes on
+    // itself GeoJSON-style and the leaf drops the repeat vertex
+    "f45_geo_shape" -> ((s, d) => {
+      val f = customer(s, d).withColumn("loc", struct(
+        ((col("c_custkey") % 121) - 60).cast("double").as("lat"),
+        (((col("c_custkey") * 7) % 301) - 150).cast("double").as("lon")))
+      def rel(json: String, tag: String) =
+        f.esQuery(json).select(Seq("c_custkey")).df
+          .withColumn("rel", lit(tag))
+      rel("""{"geo_shape": {"loc": {"shape": {"type": "envelope",
+            |  "coordinates": [[-100, 50], [60, -40]]},
+            |  "relation": "intersects"}}}""".stripMargin,
+          "env_intersects")
+        .unionByName(rel("""{"geo_shape": {"loc": {"shape":
+            |  {"type": "polygon", "coordinates": [[[-100, -30],
+            |    [-50, 50], [90, 40], [60, -40], [-100, -30]]]},
+            |  "relation": "within"}}}""".stripMargin,
+          "poly_within"))
+        .unionByName(rel("""{"geo_shape": {"loc": {"shape":
+            |  {"type": "envelope",
+            |   "coordinates": [[-100, 50], [60, -40]]},
+            |  "relation": "disjoint"}}}""".stripMargin,
+          "env_disjoint"))
+        .orderBy("rel", "c_custkey")
+    }),
     // pinned query: promoted ids first in given order (portable
     // descending constants), organic BM25 behind; a pinned id the
     // organic query MISSES still returns (doc 7 at sf0.001 may or may
@@ -1326,6 +1354,36 @@ object FacadeQueries {
            |  FROM customer)
            |WHERE ($crossings) % 2 = 1
            |ORDER BY c_custkey""".stripMargin
+    },
+    // each relation replayed as the same arithmetic: envelope = bbox
+    // ranges, polygon = the f38 PNPOLY crossing tests, disjoint =
+    // NOT contained (the synthetic points are never null)
+    "f45_geo_shape" -> {
+      val poly = Seq((-30.0, -100.0), (50.0, -50.0), (40.0, 90.0),
+        (-40.0, 60.0))
+      val crossings = poly.indices.map { i =>
+        val (y1, x1) = poly(i)
+        val (y2, x2) = poly((i + 1) % poly.size)
+        s"CASE WHEN (($y1 > lat) <> ($y2 > lat)) AND " +
+          s"(lon < ${x2 - x1} * (lat - $y1) / ${y2 - y1} + $x1) " +
+          "THEN 1 ELSE 0 END"
+      }.mkString(" + ")
+      raw"""WITH pts AS (SELECT c_custkey,
+           |    CAST((c_custkey % 121) - 60 AS DOUBLE) AS lat,
+           |    CAST(((c_custkey * 7) % 301) - 150 AS DOUBLE) AS lon
+           |  FROM customer),
+           |env AS (SELECT c_custkey,
+           |    (lat <= 50 AND lat >= -40 AND
+           |     lon >= -100 AND lon <= 60) AS inenv FROM pts),
+           |poly AS (SELECT c_custkey,
+           |    (($crossings) % 2 = 1) AS inpoly FROM pts)
+           |SELECT c_custkey, 'env_disjoint' AS rel FROM env
+           |WHERE NOT inenv
+           |UNION ALL SELECT c_custkey, 'env_intersects' AS rel
+           |FROM env WHERE inenv
+           |UNION ALL SELECT c_custkey, 'poly_within' AS rel
+           |FROM poly WHERE inpoly
+           |ORDER BY rel, c_custkey""".stripMargin
     },
     // pinned constants replayed literally over the BM25 organic leg
     "f37_pinned" ->

@@ -156,11 +156,11 @@ class EsQueryDslSpec extends AnyFunSuite {
   test("match_all/match_none and untranslatable clauses") {
     assert(orders.esQuery("""{"match_all": {}}""").len() == orders.len())
     assert(orders.esQuery("""{"match_none": {}}""").len() == 0)
-    // geo_distance translates since r13 (GeoSpec); the remaining geo
-    // shapes still refuse
+    // geo_distance translates since r13 (GeoSpec), geo_shape since
+    // r17 — a shapeless geo_shape is malformed and refuses loudly
     val e = intercept[IllegalArgumentException](
       orders.esQuery("""{"geo_shape": {"f": {}}}""").len())
-    assert(e.getMessage.contains("no engine-independent translation"))
+    assert(e.getMessage.contains("needs a shape"), e.getMessage)
     // a geo_distance with no field entry is a malformed clause, loud
     val eGeo = intercept[IllegalArgumentException](
       orders.esQuery("""{"geo_distance": {"distance": "1km"}}""").len())
@@ -173,6 +173,43 @@ class EsQueryDslSpec extends AnyFunSuite {
           |"should": [{"term": {"o_orderstatus": "F"}}],
           |"minimum_should_match": "75%"}}""".stripMargin).len())
     assert(e2.getMessage.contains("minimum_should_match"))
+  }
+
+  test("geo_shape: envelope/polygon, intersects ≡ within for points, " +
+      "disjoint needs the field, refusals") {
+    import spark.implicits._
+    val f = GraftFrame(Seq(
+      (1L, Some((10.0, 10.0))),    // inside both shapes
+      (2L, Some((10.0, 170.0))),   // outside both
+      (3L, None: Option[(Double, Double)]) // missing field
+    ).toDF("id", "p")
+      .select(col("id"), when(col("p").isNotNull, struct(
+        col("p._1").as("lat"), col("p._2").as("lon"))).as("loc")), "id")
+    def q(shape: String, rel: String): Set[Long] =
+      f.esQuery(s"""{"geo_shape": {"loc": {"shape": $shape,
+        "relation": "$rel"}}}""").df
+        .select("id").collect().map(_.getLong(0)).toSet
+    val env = """{"type": "envelope", "coordinates": [[-20, 30], [30, -20]]}"""
+    // closed GeoJSON ring in [lon, lat]; a diamond around (10, 10)
+    val poly = """{"type": "polygon", "coordinates":
+      [[[10, -20], [40, 10], [10, 40], [-20, 10], [10, -20]]]}"""
+    assert(q(env, "intersects") == Set(1L))
+    assert(q(env, "within") == Set(1L))       // point: within ≡ intersects
+    assert(q(env, "disjoint") == Set(2L))     // doc 3's missing field never matches
+    assert(q(poly, "intersects") == Set(1L))
+    assert(q(poly, "disjoint") == Set(2L))
+    // envelope dateline wrap: left > right ORs the two ranges
+    val wrap = """{"type": "envelope", "coordinates": [[160, 30], [-160, -20]]}"""
+    assert(q(wrap, "intersects") == Set(2L))
+    // refusals: contains, polygon holes, unknown type/relation
+    intercept[IllegalArgumentException](q(env, "contains"))
+    intercept[IllegalArgumentException](q(env, "overlaps"))
+    val holes = intercept[IllegalArgumentException](
+      q("""{"type": "polygon", "coordinates": [[[0,0],[1,0],[1,1],[0,0]],
+        [[0,0],[1,0],[0,1],[0,0]]]}""", "intersects"))
+    assert(holes.getMessage.contains("holes"), holes.getMessage)
+    intercept[IllegalArgumentException](
+      q("""{"type": "circle", "coordinates": [0, 0]}""", "intersects"))
   }
 
   test("multi_match and fuzzy route through the EsMatch modes") {
