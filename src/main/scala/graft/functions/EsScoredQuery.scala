@@ -53,6 +53,10 @@ import org.apache.spark.sql.functions._
   *    ignored — this computes the exact answer it approximates.
   *    Nested under bool/dis_max raises: a whole-frame top-k has no
   *    engine-independent per-row composition.
+  *  - `sparse_vector` / `text_expansion` (8.15+, the ELSER path) —
+  *    the sparse dot product Σ query_weight × doc_weight over shared
+  *    tokens of an array<struct<token, weight>> column; matches on
+  *    ≥ 1 shared token; negative weights refuse on both sides.
   *  - `fuzziness` on a scored `match` raises: ES scores fuzzy
   *    expansions per generated term with engine-internal statistics —
   *    there is no engine-independent number to agree on. (Filter
@@ -542,6 +546,72 @@ object EsScoredQuery {
           simple = kind == "simple_query_string")
         fromQueryString(ast, fields,
           QueryStringParser.parseOp(op), ctx)
+      // `sparse_vector` (ES 8.15+; accepts the deprecated
+      // `text_expansion` spelling) — the ELSER/learned-sparse path:
+      // the doc field holds a sparse vector as array<struct<token,
+      // weight>>, the query carries a literal token → weight map, and
+      // the score is the sparse dot product Σ over shared tokens of
+      // query_weight × doc_weight — exactly Lucene's weighted-term
+      // disjunction, which IS engine-independent arithmetic (no corpus
+      // stats enter). A doc matches when it shares ≥ 1 query token.
+      // The query map rides as a broadcast literal; the per-doc sum is
+      // one array aggregate — the corpus never shuffles. Negative
+      // weights refuse on BOTH sides (ES rejects them at query parse /
+      // index time): the query side at parse, the doc side in-plan via
+      // raise_error (the rateAgg discipline — a silent negative would
+      // corrupt every ranking it touches). The `inference_id` form
+      // (server-side text → sparse vector expansion) refuses by
+      // absence: pass the expanded query_vector.
+      case "sparse_vector" | "text_expansion" =>
+        val (field, qvJ) = (body \ "field") match {
+          // modern spelling: {field, query_vector}
+          case JString(f) => (f, body \ "query_vector")
+          case JNothing if kind == "text_expansion" =>
+            // legacy text_expansion: {"<field>": {"model_text"...}} —
+            // only the pre-expanded form is portable
+            val (f, v) = lonely(body, "text_expansion")
+            (f, v \ "query_vector")
+          case other => throw new IllegalArgumentException(
+            s"sparse_vector needs a field name, got $other")
+        }
+        if ((body \ "inference_id") != JNothing)
+          throw new IllegalArgumentException(
+            "sparse_vector inference_id calls a deployed expansion " +
+              "model (engine-internal) — pass the expanded " +
+              "query_vector token → weight map instead")
+        val qv: Seq[(String, Double)] = qvJ match {
+          case JObject(fs) if fs.nonEmpty =>
+            fs.map { case (t, w) =>
+              (t, numOf(w, s"sparse_vector query_vector['$t']")) }
+          case other => throw new IllegalArgumentException(
+            s"sparse_vector needs a non-empty query_vector object of " +
+              s"token → weight, got $other")
+        }
+        require(qv.map(_._1).distinct.size == qv.size,
+          s"duplicate tokens in sparse_vector query_vector: " +
+            qv.map(_._1).mkString(", "))
+        qv.foreach { case (t, w) => require(w >= 0,
+          s"sparse_vector query weight for '$t' is negative ($w) — " +
+            "ES rejects negative weights") }
+        val boost = boostOf(body)
+        val arr = col(field)
+        val qmap = typedLit(qv.toMap)
+        val qw = (e: Column) =>
+          coalesce(element_at(qmap, e.getField("token")), lit(0.0))
+        val dw = (e: Column) => {
+          val w = e.getField("weight").cast("double")
+          when(w < 0, raise_error(lit(
+            s"sparse_vector: negative weight in '$field' — ES " +
+              "rejects negative weights at index time; clean the " +
+              "column first")).cast("double")).otherwise(w)
+        }
+        val dot = aggregate(arr, lit(0.0),
+          (acc, e) => acc + qw(e) * dw(e))
+        ScoredLeaf(
+          arr.isNotNull &&
+            exists(arr, e =>
+              element_at(qmap, e.getField("token")).isNotNull),
+          dot * boost)
       // every remaining translatable leaf: the filter face's predicate,
       // constant_score semantics (see the scaladoc contract)
       case _ => GatedConst(

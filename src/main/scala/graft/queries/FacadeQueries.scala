@@ -439,6 +439,31 @@ object FacadeQueries {
           .stripMargin)
         .select(Seq("c_custkey")).df.orderBy("c_custkey")
     }),
+    // sparse_vector scoring (ES 8.15+, the ELSER/learned-sparse
+    // path): doc-side sparse vectors as array<struct<token, weight>>
+    // (here per-token tf — any upstream expansion model plugs into
+    // the same column shape), a literal query token → weight map,
+    // score = the sparse dot product over shared tokens — Lucene's
+    // weighted-term disjunction, replayed exactly; match = ≥ 1
+    // shared token; the query map broadcasts, the corpus never
+    // shuffles to score
+    "sv1_sparse_vector" -> ((s, d) => {
+      val sv = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextAnalysis.tokens(col("text")))
+            .as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).cast("double").as("weight"))
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("token"), col("weight")))
+          .as("ml_tokens"))
+      graft.functions.EsScoredQuery.scoredFrame(sv, "doc_id",
+        """{"sparse_vector": {"field": "ml_tokens", "query_vector":
+          |  {"stream": 1.5, "filter": 1.0, "merge": 0.5}}}"""
+          .stripMargin)
+        .select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    }),
     // geo_shape relations over a point column: envelope intersects
     // (bbox arithmetic), polygon within (PNPOLY; within ≡ intersects
     // for a POINT doc geometry — the documented reduction), envelope
@@ -1355,6 +1380,19 @@ object FacadeQueries {
            |WHERE ($crossings) % 2 = 1
            |ORDER BY c_custkey""".stripMargin
     },
+    // the sparse dot product replayed term by term: weight = tf of
+    // the token, query weights literal; only shared-token docs score
+    "sv1_sparse_vector" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sc AS (SELECT doc_id,
+           |    1.5 * len(list_filter(toks, x -> x = 'stream')) +
+           |    1.0 * len(list_filter(toks, x -> x = 'filter')) +
+           |    0.5 * len(list_filter(toks, x -> x = 'merge')) AS raw
+           |  FROM t
+           |  WHERE len(list_filter(toks,
+           |    x -> x IN ('stream', 'filter', 'merge'))) > 0)
+           |SELECT doc_id, round(raw, 6) AS score FROM sc
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // each relation replayed as the same arithmetic: envelope = bbox
     // ranges, polygon = the f38 PNPOLY crossing tests, disjoint =
     // NOT contained (the synthetic points are never null)

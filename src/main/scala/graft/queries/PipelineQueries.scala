@@ -1981,6 +1981,29 @@ object PipelineQueries {
           conv(substring(md5(concat(lit(q), lit(":"), c)), 1, 8),
             16, 10).cast("long") / lit(4294967296.0)))
     }),
+    // sparse_vector as a retriever-tree leg (ES 8.15 — the ELSER leg
+    // of the modern search request): the standard node's scored scan
+    // serves the sparse dot product over array<struct<token, weight>>
+    // and the tree's rank plumbing cuts under (score desc, id asc)
+    "rtv6_sparse_leg" -> ((s, d) => {
+      val sv = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextAnalysis.tokens(col("text")))
+            .as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).cast("double").as("weight"))
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("token"), col("weight")))
+          .as("ml_tokens"))
+      val tree =
+        """{"standard": {"query": {"sparse_vector":
+          |  {"field": "ml_tokens",
+          |   "query_vector": {"stream": 2.0, "merge": 1.0}}}}}"""
+          .stripMargin
+      graft.operators.Serving.retrieverSearch(sv, "doc_id",
+        t(s, d, "embeddings"), "vec_id", "embedding", tree,
+        k = 15, rankWindowSize = 30)
+    }),
     "hy1_hybrid_rrf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val lex = graft.operators.Ranking.bm25TopK(t(s, d, "documents"),
@@ -4631,6 +4654,23 @@ object PipelineQueries {
            |           1, 8))::BIGINT / 4294967296.0 AS score
            |       FROM documents d JOIN lex USING (doc_id)),
            |f AS (SELECT * FROM r0 ORDER BY score DESC, doc_id LIMIT 30)
+           |SELECT rank, id, score FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+           |           AS BIGINT) AS rank,
+           |         doc_id AS id, score FROM f)
+           |WHERE rank <= 15 ORDER BY rank""".stripMargin,
+    // the sparse dot product replayed term by term (weight = token
+    // tf), ranked into the retriever output surface (rank, id, score)
+    "rtv6_sparse_leg" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sc AS (SELECT doc_id,
+           |    round(2.0 * len(list_filter(toks, x -> x = 'stream')) +
+           |          1.0 * len(list_filter(toks, x -> x = 'merge')), 6)
+           |      AS score
+           |  FROM t
+           |  WHERE len(list_filter(toks,
+           |    x -> x IN ('stream', 'merge'))) > 0),
+           |f AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 30)
            |SELECT rank, id, score FROM (
            |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
            |           AS BIGINT) AS rank,

@@ -13,6 +13,61 @@ class EsScoredQuerySpec extends AnyFunSuite {
   private def scored(df: org.apache.spark.sql.DataFrame, json: String) =
     EsScoredQuery.scoredFrame(df, "doc_id", json)
 
+  test("sparse_vector: hand-checked dot product, match gate, boost, " +
+      "alias, refusals") {
+    val sv = Seq(
+      (1L, Seq(("alpha", 2.0), ("beta", 1.0))),
+      (2L, Seq(("beta", 4.0), ("gamma", 3.0))),
+      (3L, Seq(("gamma", 5.0))),
+      (4L, Seq.empty[(String, Double)])
+    ).toDF("doc_id", "raw")
+      .select(col("doc_id"), transform(col("raw"), e =>
+        struct(e.getField("_1").as("token"),
+          e.getField("_2").as("weight"))).as("ml_tokens"))
+    def rows(json: String): Map[Long, Double] =
+      EsScoredQuery.scoredFrame(sv, "doc_id", json)
+        .select("doc_id", "_score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // q = {alpha: 0.5, beta: 2}: doc1 = .5*2 + 2*1 = 3; doc2 = 2*4 = 8;
+    // doc3 shares nothing -> excluded; doc4 empty -> excluded
+    val q = """{"sparse_vector": {"field": "ml_tokens",
+      |"query_vector": {"alpha": 0.5, "beta": 2}}}""".stripMargin
+    assert(rows(q) == Map(1L -> 3.0, 2L -> 8.0))
+    // boost multiplies; text_expansion (modern body) is an alias
+    assert(rows("""{"sparse_vector": {"field": "ml_tokens",
+      |"query_vector": {"alpha": 0.5, "beta": 2},
+      |"boost": 2}}""".stripMargin) == Map(1L -> 6.0, 2L -> 16.0))
+    assert(rows("""{"text_expansion": {"field": "ml_tokens",
+      |"query_vector": {"alpha": 0.5, "beta": 2}}}""".stripMargin) ==
+      Map(1L -> 3.0, 2L -> 8.0))
+    // composes under bool: the dot product sums with other clauses
+    assert(rows(s"""{"bool": {"must": [$q,
+      |{"term": {"doc_id": 1}}]}}""".stripMargin) == Map(1L -> 4.0))
+    // negative QUERY weight refuses at parse
+    val neg = intercept[IllegalArgumentException](rows(
+      """{"sparse_vector": {"field": "ml_tokens",
+        |"query_vector": {"alpha": -1}}}""".stripMargin))
+    assert(neg.getMessage.contains("negative"), neg.getMessage)
+    // negative DOC weight refuses in-plan (ES rejects at index time)
+    val bad = sv.select(col("doc_id"), transform(col("ml_tokens"), e =>
+      struct(e.getField("token").as("token"),
+        (e.getField("weight") * -1).as("weight"))).as("ml_tokens"))
+    val inPlan = intercept[Exception](
+      EsScoredQuery.scoredFrame(bad, "doc_id", q).collect())
+    assert(inPlan.getMessage.contains("negative weight"),
+      inPlan.getMessage)
+    // inference_id (server-side expansion) refuses by absence
+    val inf = intercept[IllegalArgumentException](rows(
+      """{"sparse_vector": {"field": "ml_tokens",
+        |"inference_id": "elser", "query_vector": {"a": 1}}}"""
+        .stripMargin))
+    assert(inf.getMessage.contains("inference_id"), inf.getMessage)
+    // an empty / missing query_vector refuses
+    intercept[IllegalArgumentException](rows(
+      """{"sparse_vector": {"field": "ml_tokens",
+        |"query_vector": {}}}""".stripMargin))
+  }
+
   test("scored query_string / simple_query_string equal the explicit " +
       "DSL trees they parse to (BM25, not constant score)") {
     val tiny = Seq(
