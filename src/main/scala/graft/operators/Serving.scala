@@ -37,6 +37,11 @@ object Serving {
     *    docs frame and semi-joined BEFORE scoring (the vx4 placement)
     *  - `pinned {ids, retriever}` — given-order pins with replayable
     *    sentinel scores, organic fill-after (see the case comment)
+    *  - `rule {match_criteria, rules, retriever}` — ES 8.15 query
+    *    rules with INLINE rulesets: criteria (always/exact/contains/
+    *    prefix/suffix/lt/lte/gt/gte vs the request metadata) gate
+    *    pin/exclude actions over the child; exclusions land before
+    *    ranks assign, pins ride the pinned machinery (case comment)
     *  - `rrf {retrievers, rank_constant = 60, rank_window_size}` —
     *    recursive reciprocal-rank fusion ([[Ranking.rrfFuse]])
     *  - `linear {retrievers: [{retriever, weight = 1, normalizer =
@@ -245,36 +250,163 @@ object Serving {
           }
           val cw = intOf(body \ "rank_window_size", "rank_window_size",
             window)
-          val spark = docs.sparkSession
-          import spark.implicits._
-          val pinnedKeys = ids.zipWithIndex
-            .map { case (v, i) => (v.toString, i) }.toDF("_pk", "_pos")
-          // only pinned ids that EXIST rank; given order preserved
-          val present = docs
-            .select(col(idCol).as("_id"),
-              col(idCol).cast("string").as("_pk"))
-            .join(broadcast(pinnedKeys), Seq("_pk"))
-            .select(col("_id"), col("_pos"))
-          val organic = eval(inner, cw)
-            .join(broadcast(present.select(col("_id"))), Seq("_id"),
-              "left_anti")
-            .orderBy(col("rank").asc)
-            .limit(window)
-          val pinnedRows = present
-            .select(col("_id"),
-              (lit(1.0e9) - col("_pos")).as("score"), col("_pos"))
-          // re-rank: pinned by position, organic after by its own rank
-          val unioned = pinnedRows
-            .select(col("_id"), col("score"),
-              col("_pos").cast("long").as("_ord"))
-            .unionByName(organic.select(col("_id"), col("score"),
-              (col("rank") + ids.size).as("_ord")))
-          unioned
-            .orderBy(col("_ord").asc).limit(window)
-            .withColumn("rank", row_number().over(
-              org.apache.spark.sql.expressions.Window
-                .orderBy(col("_ord").asc)).cast("long"))
-            .select(col("_id"), col("score"), col("rank"))
+          pinOver(ids, eval(inner, cw), window)
+        // `rule` retriever (ES 8.15 query rules): criteria evaluated
+        // against the request's match_criteria metadata pick which
+        // stored rules fire; matched pin rules promote their ids (in
+        // rule order, first listing wins), matched exclude rules drop
+        // theirs. Exclusions apply BEFORE ranks assign (the child's
+        // survivors re-rank densely), pins ride the same sentinel
+        // ladder as the pinned retriever, and an id both pinned and
+        // excluded is EXCLUDED (the conservative reading —
+        // spec-pinned). Rules are passed INLINE as `rules` — this
+        // engine has no cluster state to store rulesets in, so
+        // `ruleset_ids` refuses by absence naming the inline form.
+        // Rule evaluation is driver-side (criteria are literals);
+        // everything frame-side is the pinned machinery.
+        case "rule" =>
+          if ((body \ "ruleset_ids") != JNothing)
+            throw new IllegalArgumentException(
+              "rule retriever: ruleset_ids reference cluster-stored " +
+                "rulesets (engine-internal state) — pass the rules " +
+                "INLINE as rules: [{type, criteria, ids}]")
+          val mc: Map[String, String] = (body \ "match_criteria") match {
+            case JObject(fs) if fs.nonEmpty => fs.map {
+              case (k, JString(v))  => k -> v
+              case (k, JInt(n))     => k -> n.toString
+              case (k, JLong(n))    => k -> n.toString
+              case (k, JDouble(d))  => k -> d.toString
+              case (k, JDecimal(d)) => k -> d.toString
+              case (k, other) => throw new IllegalArgumentException(
+                s"match_criteria['$k'] must be a scalar, got $other")
+            }.toMap
+            case other => throw new IllegalArgumentException(
+              s"rule retriever needs a non-empty match_criteria " +
+                s"object, got $other")
+          }
+          val inner = (body \ "retriever") match {
+            case JNothing => throw new IllegalArgumentException(
+              "rule retriever needs a child retriever")
+            case x => x
+          }
+          def critMatches(c: JValue): Boolean = {
+            val ctype = (c \ "type") match {
+              case JString(t) => t
+              case other => throw new IllegalArgumentException(
+                s"rule criterion needs a string type, got $other")
+            }
+            if (ctype == "always") return true
+            val meta = (c \ "metadata") match {
+              case JString(m) => m
+              case other => throw new IllegalArgumentException(
+                s"rule criterion '$ctype' needs a metadata key, " +
+                  s"got $other")
+            }
+            val values: Seq[String] = (c \ "values") match {
+              case JArray(vs) if vs.nonEmpty => vs.map {
+                case JString(v)  => v
+                case JInt(n)     => n.toString
+                case JLong(n)    => n.toString
+                case JDouble(d)  => d.toString
+                case JDecimal(d) => d.toString
+                case other => throw new IllegalArgumentException(
+                  s"rule criterion values must be scalars, got $other")
+              }
+              case other => throw new IllegalArgumentException(
+                s"rule criterion '$ctype' needs a non-empty values " +
+                  s"array, got $other")
+            }
+            // a missing metadata key matches nothing (ES's rule)
+            mc.get(meta) match {
+              case None => false
+              case Some(actual) =>
+                def num(s: String): Option[Double] =
+                  scala.util.Try(s.toDouble).toOption
+                ctype match {
+                  case "exact" => values.exists(v =>
+                    (num(actual), num(v)) match {
+                      case (Some(a), Some(b)) => a == b
+                      case _                  => actual == v
+                    })
+                  case "contains" => values.exists(actual.contains)
+                  case "prefix"   => values.exists(actual.startsWith)
+                  case "suffix"   => values.exists(actual.endsWith)
+                  case "lt" | "lte" | "gt" | "gte" =>
+                    val a = num(actual).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"rule criterion '$ctype' on non-numeric " +
+                          s"metadata value '$actual'"))
+                    values.exists { v =>
+                      val b = num(v).getOrElse(
+                        throw new IllegalArgumentException(
+                          s"rule criterion '$ctype' on non-numeric " +
+                            s"criterion value '$v'"))
+                      ctype match {
+                        case "lt"  => a < b
+                        case "lte" => a <= b
+                        case "gt"  => a > b
+                        case "gte" => a >= b
+                      }
+                    }
+                  case other => throw new IllegalArgumentException(
+                    s"rule criterion type '$other' not supported " +
+                      "(always, exact, contains, prefix, suffix, " +
+                      "lt, lte, gt, gte)")
+                }
+            }
+          }
+          val parsedRules: Seq[(String, Seq[JValue], Seq[Any])] =
+            (body \ "rules") match {
+              case JArray(rs) if rs.nonEmpty => rs.map { r =>
+                val rtype = (r \ "type") match {
+                  case JString(t) if t == "pinned" || t == "exclude" => t
+                  case other => throw new IllegalArgumentException(
+                    s"rule type must be pinned | exclude, got $other")
+                }
+                val crits = (r \ "criteria") match {
+                  case JArray(cs) if cs.nonEmpty => cs
+                  case other => throw new IllegalArgumentException(
+                    s"each rule needs a non-empty criteria array, " +
+                      s"got $other")
+                }
+                val rids: Seq[Any] = (r \ "ids") match {
+                  case JArray(vs) if vs.nonEmpty => vs.map {
+                    case JInt(n)    => n.toLong
+                    case JLong(n)   => n
+                    case JString(v) => v
+                    case other => throw new IllegalArgumentException(
+                      s"rule ids must be numbers or strings, got $other")
+                  }
+                  case other => throw new IllegalArgumentException(
+                    s"each rule needs a non-empty ids array, got $other")
+                }
+                (rtype, crits, rids)
+              }
+              case other => throw new IllegalArgumentException(
+                s"rule retriever needs a non-empty rules array " +
+                  s"(inline rulesets), got $other")
+            }
+          val cw = intOf(body \ "rank_window_size", "rank_window_size",
+            window)
+          // ALL criteria of a rule must match for it to fire (ES)
+          val fired = parsedRules.filter(_._2.forall(critMatches))
+          val excluded = fired.filter(_._1 == "exclude")
+            .flatMap(_._3).distinct
+          val pins0 = fired.filter(_._1 == "pinned")
+            .flatMap(_._3).distinct
+          val exSet = excluded.map(_.toString).toSet
+          val pins = pins0.filterNot(p => exSet(p.toString))
+          val child = eval(inner, cw)
+          // exclusions vanish BEFORE ranks assign — survivors
+          // re-rank densely at the child window
+          val cleaned =
+            if (excluded.isEmpty) child
+            else ranked(child.filter(!col("_id").cast("string")
+                .isin(excluded.map(_.toString): _*))
+              .select(col("_id"), col("score")), cw)
+          if (pins.isEmpty)
+            ranked(cleaned.select(col("_id"), col("score")), window)
+          else pinOver(pins, cleaned, window)
         case "text_similarity_reranker" =>
           val inner = (body \ "retriever") match {
             case JNothing => throw new IllegalArgumentException(
@@ -309,8 +441,45 @@ object Serving {
             window)
         case other => throw new IllegalArgumentException(
           s"retriever '$other' not supported (standard, knn, rrf, " +
-            "linear, pinned, text_similarity_reranker)")
+            "linear, pinned, rule, text_similarity_reranker)")
       }
+    }
+    // the shared pin machinery (pinned + rule retrievers): the given
+    // ids rank first in GIVEN order (only those present in the docs
+    // frame — the f37 rule) with the replayable sentinel scores
+    // 1e9 − position; the already-ranked organic frame fills after
+    // with pinned ids excluded
+    def pinOver(ids: Seq[Any], organicRanked: DataFrame,
+                window: Int): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val pinnedKeys = ids.zipWithIndex
+        .map { case (v, i) => (v.toString, i) }.toDF("_pk", "_pos")
+      val present = docs
+        .select(col(idCol).as("_id"),
+          col(idCol).cast("string").as("_pk"))
+        .join(broadcast(pinnedKeys), Seq("_pk"))
+        .select(col("_id"), col("_pos"))
+      val organic = organicRanked
+        .join(broadcast(present.select(col("_id"))), Seq("_id"),
+          "left_anti")
+        .orderBy(col("rank").asc)
+        .limit(window)
+      val pinnedRows = present
+        .select(col("_id"),
+          (lit(1.0e9) - col("_pos")).as("score"), col("_pos"))
+      // re-rank: pinned by position, organic after by its own rank
+      val unioned = pinnedRows
+        .select(col("_id"), col("score"),
+          col("_pos").cast("long").as("_ord"))
+        .unionByName(organic.select(col("_id"), col("score"),
+          (col("rank") + ids.size).as("_ord")))
+      unioned
+        .orderBy(col("_ord").asc).limit(window)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("_ord").asc)).cast("long"))
+        .select(col("_id"), col("score"), col("rank"))
     }
     def subRetrievers(v: JValue, what: String): Seq[JValue] = v match {
       case JArray(rs) if rs.size >= 2 => rs

@@ -1981,6 +1981,36 @@ object PipelineQueries {
           conv(substring(md5(concat(lit(q), lit(":"), c)), 1, 8),
             16, 10).cast("long") / lit(4294967296.0)))
     }),
+    // rule retriever (ES 8.15 query rules, inline rulesets): the
+    // request metadata fires rule 1 (contains + gte criteria ->
+    // pin [42, 7]) and rule 3 (prefix -> exclude [7, 3]) but NOT
+    // rule 2 (exact mismatch); exclusion wins over pinning (7 drops),
+    // excluded ids vanish BEFORE ranks assign (survivors re-rank
+    // densely), and the surviving pin rides the f37 sentinel ladder
+    "rtv5_rule_retriever" -> ((s, d) => {
+      val tree =
+        """{"rule": {
+          |  "match_criteria": {"user_query": "stream pipelines",
+          |                     "tier": 3},
+          |  "rules": [
+          |    {"type": "pinned", "ids": [42, 7],
+          |     "criteria": [
+          |       {"type": "contains", "metadata": "user_query",
+          |        "values": ["stream"]},
+          |       {"type": "gte", "metadata": "tier", "values": [2]}]},
+          |    {"type": "pinned", "ids": [1],
+          |     "criteria": [{"type": "exact", "metadata": "user_query",
+          |                   "values": ["dogs"]}]},
+          |    {"type": "exclude", "ids": [7, 3],
+          |     "criteria": [{"type": "prefix", "metadata": "user_query",
+          |                   "values": ["str"]}]}],
+          |  "rank_window_size": 25,
+          |  "retriever": {"standard": {"query":
+          |    {"match": {"text": "stream filter"}}}}}}""".stripMargin
+      graft.operators.Serving.retrieverSearch(t(s, d, "documents"),
+        "doc_id", t(s, d, "embeddings"), "vec_id", "embedding", tree,
+        k = 15, rankWindowSize = 25)
+    }),
     // sparse_vector as a retriever-tree leg (ES 8.15 — the ELSER leg
     // of the modern search request): the standard node's scored scan
     // serves the sparse dot product over array<struct<token, weight>>
@@ -4657,6 +4687,43 @@ object PipelineQueries {
            |SELECT rank, id, score FROM (
            |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
            |           AS BIGINT) AS rank,
+           |         doc_id AS id, score FROM f)
+           |WHERE rank <= 15 ORDER BY rank""".stripMargin,
+    // the rtv3 pinned replay with the rule adjudications: top-25 BM25
+    // -> excluded ids (7, 3) out and survivors re-rank densely ->
+    // pin 42 at the sentinel -> final rank cut
+    "rtv5_rule_retriever" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id),
+           |org AS (SELECT doc_id, score,
+           |          row_number() OVER (ORDER BY score DESC, doc_id) AS r
+           |        FROM (SELECT * FROM bm ORDER BY score DESC, doc_id
+           |              LIMIT 25)),
+           |cl AS (SELECT doc_id, score,
+           |         row_number() OVER (ORDER BY r) AS r2
+           |       FROM org WHERE doc_id NOT IN (7, 3)),
+           |orgx AS (SELECT doc_id, score, r2 FROM cl
+           |         WHERE doc_id <> 42),
+           |pin AS (SELECT * FROM (VALUES (42, 1000000000.0, 0))
+           |          AS t(doc_id, score, ord)
+           |        WHERE doc_id IN (SELECT doc_id FROM documents)),
+           |u AS (SELECT doc_id, score, ord FROM pin
+           |      UNION ALL SELECT doc_id, score, r2 + 1 FROM orgx),
+           |f AS (SELECT * FROM u ORDER BY ord LIMIT 25)
+           |SELECT rank, id, score FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY ord) AS BIGINT)
+           |           AS rank,
            |         doc_id AS id, score FROM f)
            |WHERE rank <= 15 ORDER BY rank""".stripMargin,
     // the sparse dot product replayed term by term (weight = token

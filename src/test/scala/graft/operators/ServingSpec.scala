@@ -237,6 +237,77 @@ class ServingSpec extends AnyFunSuite {
         |"k": 5}}}}""".stripMargin, 5))
   }
 
+  test("retrieverSearch: rule retriever — criteria gate pin/exclude, " +
+      "exclusion precedes ranks and beats pinning, refusals") {
+    val qvJson = qv1.mkString("[", ", ", "]")
+    def tree(matchCriteria: String, rules: String) =
+      s"""{"rule": {"match_criteria": $matchCriteria, "rules": $rules,
+         |"retriever": {"knn": {"query_vector": $qvJson,
+         |"k": 10}}}}""".stripMargin
+    def run(mc: String, rules: String) =
+      Serving.retrieverSearch(docs, "doc_id", emb, "vec_id",
+        "embedding", tree(mc, rules), k = 10, rankWindowSize = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val baseline = run("""{"q": "x"}""",
+      """[{"type": "pinned", "ids": [7],
+        |"criteria": [{"type": "exact", "metadata": "q",
+        |"values": ["nomatch"]}]}]""".stripMargin)
+    // a non-firing rule leaves the child untouched (no pin row)
+    assert(baseline.head._3 < 1.0e8, baseline.head.toString)
+    // every criterion type fires; all criteria of a rule must match
+    val out = run("""{"q": "stream pipelines", "tier": 3}""",
+      """[{"type": "pinned", "ids": [7, 3],
+        |  "criteria": [
+        |    {"type": "contains", "metadata": "q", "values": ["pipe"]},
+        |    {"type": "prefix", "metadata": "q", "values": ["str"]},
+        |    {"type": "suffix", "metadata": "q", "values": ["lines"]},
+        |    {"type": "gte", "metadata": "tier", "values": [3]},
+        |    {"type": "lt", "metadata": "tier", "values": [10]},
+        |    {"type": "always"}]},
+        | {"type": "exclude", "ids": [3],
+        |  "criteria": [{"type": "exact", "metadata": "q",
+        |    "values": ["stream pipelines"]}]}]""".stripMargin)
+    // pin [7, 3] fired but 3 is excluded — exclusion beats pinning
+    assert(out(0) == (1L, 7L, 1.0e9))
+    assert(!out.exists(_._2 == 3L))
+    // excluded ids vanish BEFORE ranks assign: dense ranks, no gaps
+    assert(out.map(_._1).toSeq == (1L to out.length).toSeq)
+    // a rule with ONE failing criterion does not fire
+    val miss = run("""{"q": "stream", "tier": 1}""",
+      """[{"type": "pinned", "ids": [7],
+        |  "criteria": [
+        |    {"type": "prefix", "metadata": "q", "values": ["str"]},
+        |    {"type": "gte", "metadata": "tier", "values": [2]}]}]"""
+        .stripMargin)
+    assert(miss.head._3 < 1.0e8)
+    // missing metadata key never matches (except always)
+    val absent = run("""{"other": "x"}""",
+      """[{"type": "exclude", "ids": [1],
+        |  "criteria": [{"type": "exact", "metadata": "q",
+        |    "values": ["x"]}]}]""".stripMargin)
+    assert(absent.map(_._2).toSeq == baseline.map(_._2).toSeq)
+    // refusals: ruleset_ids, unknown criterion type, non-numeric lt,
+    // empty rules
+    intercept[IllegalArgumentException](run("""{"q": "x"}""",
+      """[{"type": "pinned", "ids": [1], "criteria":
+        |[{"type": "fuzzy", "metadata": "q", "values": ["x"]}]}]"""
+        .stripMargin))
+    intercept[IllegalArgumentException](run("""{"q": "x"}""",
+      """[{"type": "boost", "ids": [1], "criteria":
+        |[{"type": "always"}]}]""".stripMargin))
+    intercept[IllegalArgumentException](run("""{"q": "x"}""",
+      """[{"type": "exclude", "ids": [1], "criteria":
+        |[{"type": "lt", "metadata": "q", "values": [3]}]}]"""
+        .stripMargin))
+    intercept[IllegalArgumentException](run("""{"q": "x"}""", "[]"))
+    intercept[IllegalArgumentException](Serving.retrieverSearch(
+      docs, "doc_id", emb, "vec_id", "embedding",
+      s"""{"rule": {"match_criteria": {"q": "x"},
+         |"ruleset_ids": ["rs1"], "rules": [],
+         |"retriever": {"knn": {"query_vector": $qvJson, "k": 5}}}}"""
+        .stripMargin, 5))
+  }
+
   test("retrieverSearch: text_similarity_reranker re-ranks the child " +
       "window through the seam, refuses without a scorer") {
     val tree =
