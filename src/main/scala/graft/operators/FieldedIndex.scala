@@ -225,6 +225,49 @@ object FieldedIndex {
                  operator: String = "or", idColName: String = "id",
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be >= 1, got $k")
+    scoredTopK(spark, root, query, fieldBoosts, mode, tieBreaker,
+      operator, idColName, k1, b)
+      .orderBy(col("score").desc, col(idColName))
+      .limit(k)
+  }
+
+  /** ES `search_after` pagination of [[searchTopK]] — the fielded
+    * face of [[InvertedIndex.searchAfter]], sharing its cursor
+    * contract verbatim: the next `k` docs STRICTLY AFTER the
+    * (score, id) cursor in the ranking's own order (score desc, id
+    * asc), compared on the ROUNDED final score — the ranking's 6-dp
+    * surface — so a cursor taken from a previous page's last row
+    * tiles exactly: no overlap, no gap. Deep pages re-read only the
+    * query terms' postings per touched field (the same pruned reads
+    * every page pays); the cursor predicate cuts earlier hits before
+    * the top-k heap.
+    */
+  def searchAfterTopK(spark: SparkSession, root: String, query: String,
+                      fieldBoosts: Seq[(String, Double)], k: Int,
+                      afterScore: Double, afterId: Any,
+                      mode: String = "best_fields",
+                      tieBreaker: Double = 0.0,
+                      operator: String = "or", idColName: String = "id",
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be >= 1, got $k")
+    scoredTopK(spark, root, query, fieldBoosts, mode, tieBreaker,
+      operator, idColName, k1, b)
+      .filter(col("score") < afterScore ||
+        (col("score") === afterScore && col(idColName) > lit(afterId)))
+      .orderBy(col("score").desc, col(idColName))
+      .limit(k)
+  }
+
+  /** The full (idColName, rounded score) frame behind [[searchTopK]]
+    * and [[searchAfterTopK]] — per-field raw BM25 legs combined under
+    * the mode, single 6-dp rounding, no cut.
+    */
+  private def scoredTopK(spark: SparkSession, root: String,
+                         query: String,
+                         fieldBoosts: Seq[(String, Double)],
+                         mode: String, tieBreaker: Double,
+                         operator: String, idColName: String,
+                         k1: Double, b: Double): DataFrame = {
     require(fieldBoosts.nonEmpty, "at least one (field, boost) pair")
     require(Set("best_fields", "most_fields", "phrase")(mode),
       s"mode must be best_fields | most_fields | phrase, got '$mode'")
@@ -286,8 +329,6 @@ object FieldedIndex {
     }
     combined
       .select(col("id").as(idColName), round(score, 6).as("score"))
-      .orderBy(col("score").desc, col(idColName))
-      .limit(k)
   }
 
   /** Field-scoped Lucene query strings served from the FIELDED

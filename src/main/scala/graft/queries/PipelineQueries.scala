@@ -1784,6 +1784,34 @@ object PipelineQueries {
         .unionByName(p2.withColumn("q", lit("p2")))
         .orderBy(col("q"), col("score").desc, col("doc_id"))
     }),
+    // ES search_after for the FIELDED index (idx17's cursor contract
+    // lifted to the multi-field ranking): page 2 starts strictly
+    // after page 1's (score, id) cursor on the ROUNDED combined
+    // best_fields score; the oracle proves exact tiling — p2 equals
+    // rank positions 8..14 of the full replayed ranking
+    "idx20_fielded_search_after" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-idx20-$tag").toString
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+        concat_ws(" ", slice(graft.functions.TextAnalysis
+          .tokens(col("text")), 1, 4)).as("title"))
+      graft.operators.FieldedIndex.build(docs, "doc_id",
+        Seq("title", "text"), root, buckets = 16)
+      val fb = Seq("title" -> 2.0, "text" -> 1.0)
+      val p1 = graft.operators.FieldedIndex.searchTopK(s, root,
+        "stream filter join", fb, k = 7, tieBreaker = 0.3,
+        idColName = "doc_id")
+      val last = p1.orderBy(col("score").desc, col("doc_id"))
+        .collect().last
+      val p2 = graft.operators.FieldedIndex.searchAfterTopK(s, root,
+        "stream filter join", fb, k = 7,
+        afterScore = last.getDouble(1), afterId = last.getLong(0),
+        tieBreaker = 0.3, idColName = "doc_id")
+      p1.withColumn("q", lit("p1"))
+        .unionByName(p2.withColumn("q", lit("p2")))
+        .orderBy(col("q"), col("score").desc, col("doc_id"))
+    }),
     // index-served match_phrase_prefix (the THIRD search-as-you-type
     // face): full terms adjacent + a prefix-completing token at the
     // next position; phrase-BM25 over completed occurrences + the
@@ -4227,6 +4255,49 @@ object PipelineQueries {
            |       FROM r)
            |SELECT mode, doc_id, score FROM rr WHERE rn <= 10
            |ORDER BY mode, score DESC, doc_id""".stripMargin,
+    // the idx11 best_fields replay (no deletes) ranked once; p1/p2 =
+    // rank ranges 1..7 / 8..14 — exact tiling, no overlap, no gap
+    "idx20_fielded_search_after" ->
+      raw"""WITH s0 AS (SELECT doc_id, $toksSql AS btoks FROM documents),
+           |s AS (SELECT doc_id, btoks, btoks[1:4] AS ttoks FROM s0),
+           |stt AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |          avg(CAST(len(ttoks) AS DOUBLE)) AS avg_len FROM s),
+           |tft AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |        FROM (SELECT doc_id, CAST(len(ttoks) AS DOUBLE) AS dl,
+           |                unnest(ttoks) AS t FROM s)
+           |        WHERE t IN ('stream', 'filter', 'join')
+           |        GROUP BY 1, 2, 3),
+           |dftt AS (SELECT t, CAST(count(*) AS DOUBLE) AS df
+           |         FROM tft GROUP BY 1),
+           |ft AS (SELECT doc_id,
+           |         sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))) AS fs
+           |       FROM tft JOIN dftt USING (t), stt GROUP BY doc_id),
+           |stb AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |          avg(CAST(len(btoks) AS DOUBLE)) AS avg_len FROM s),
+           |tfb AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |        FROM (SELECT doc_id, CAST(len(btoks) AS DOUBLE) AS dl,
+           |                unnest(btoks) AS t FROM s)
+           |        WHERE t IN ('stream', 'filter', 'join')
+           |        GROUP BY 1, 2, 3),
+           |dftb AS (SELECT t, CAST(count(*) AS DOUBLE) AS df
+           |         FROM tfb GROUP BY 1),
+           |fb AS (SELECT doc_id,
+           |         sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))) AS fs
+           |       FROM tfb JOIN dftb USING (t), stb GROUP BY doc_id),
+           |u AS (SELECT doc_id, fs * 2.0 AS sc FROM ft
+           |      UNION ALL SELECT doc_id, fs * 1.0 FROM fb),
+           |c AS (SELECT doc_id, max(sc) AS best, sum(sc) AS tot
+           |      FROM u GROUP BY doc_id),
+           |r AS (SELECT doc_id,
+           |        round(best + 0.3 * (tot - best), 6) AS score FROM c),
+           |rr AS (SELECT doc_id, score, row_number() OVER (
+           |         ORDER BY score DESC, doc_id) AS rn FROM r)
+           |SELECT CASE WHEN rn <= 7 THEN 'p1' ELSE 'p2' END AS q,
+           |       doc_id, score
+           |FROM rr WHERE rn <= 14
+           |ORDER BY q, score DESC, doc_id""".stripMargin,
     // brute suggester replay: whole-vocabulary levenshtein + live df
     // + the missing-mode NOT EXISTS — the dictionary never exists
     // oracle-side

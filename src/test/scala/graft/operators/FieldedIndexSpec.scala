@@ -67,6 +67,30 @@ class FieldedIndexSpec extends AnyFunSuite {
       viaIndex(root, "most_fields", "or", 0.0, 12))
   }
 
+  test("searchAfterTopK tiles exactly: page1 ++ page2 == the top-14 " +
+      "of one big page, no overlap, no gap") {
+    val docs = corpus()
+    val root = tmp("graft-fidx-after")
+    FieldedIndex.build(docs, "doc_id", Seq("title", "text"), root,
+      buckets = 8)
+    val fb = Seq("title" -> 2.0, "text" -> 1.0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = rows(FieldedIndex.searchTopK(spark, root,
+      "stream filter join", fb, k = 14, tieBreaker = 0.3,
+      idColName = "doc_id"))
+    val p1 = rows(FieldedIndex.searchTopK(spark, root,
+      "stream filter join", fb, k = 7, tieBreaker = 0.3,
+      idColName = "doc_id"))
+    val (lastId, lastScore) = p1.last
+    val p2 = rows(FieldedIndex.searchAfterTopK(spark, root,
+      "stream filter join", fb, k = 7, afterScore = lastScore,
+      afterId = lastId, tieBreaker = 0.3, idColName = "doc_id"))
+    assert(p1 ++ p2 == full, s"p1=$p1 p2=$p2 full=$full")
+    intercept[IllegalArgumentException](FieldedIndex.searchAfterTopK(
+      spark, root, "stream", fb, k = 0, afterScore = 1.0, afterId = 0L))
+  }
+
   test("fielded query_string is row-identical to the scored scan " +
       "face at unit boosts; bounds and refusals hold") {
     val docs = corpus().filter(col("doc_id") < 300)
