@@ -125,15 +125,34 @@ object Keywords {
     * doc), bounded by document length. The final counts ride the
     * same map-side-combined (source, term) aggregation as kw2.
     */
+  /** `maxShingleOccurrences` is the hot-shingle guard (the
+    * sharedSpans maxPostings / LSH maxBucketSize trade): the
+    * ownership window partitions by shingle, and a whole-partition
+    * window has NO map-side partial aggregation — at corpus scale one
+    * universal boilerplate shingle ("all rights reserved …") would
+    * land every occurrence row in a single task. A shingle occurring
+    * MORE than the cap is adjudicated pure boilerplate and its
+    * positions are masked in EVERY document — the owner included
+    * (no ownership verdict needed, so its rows never enter the
+    * window; the JLH verdict is unchanged in spirit: de-weighting a
+    * passage that common IS boilerplate removal). Cost of the guard:
+    * one map-side-combined shingle count (partials only — far
+    * smaller than the window shuffle it protects) plus two broadcast
+    * joins against the tiny (≤ totalWindows ∕ cap keys) hot set.
+    */
   def significantText(docs: DataFrame, idCol: String, textCol: String,
                       sourceCol: String, k: Int = 5,
                       filterDuplicateText: Boolean = true,
-                      dupWindow: Int = 6): DataFrame = {
+                      dupWindow: Int = 6,
+                      maxShingleOccurrences: Int = 100000): DataFrame = {
     if (!filterDuplicateText)
       return significantTerms(docs, idCol, textCol, sourceCol, k)
     require(k >= 1, s"significantText: k must be >= 1 (got $k)")
     require(dupWindow >= 2,
       s"significantText: dupWindow must be >= 2 (got $dupWindow)")
+    require(maxShingleOccurrences >= 2,
+      "significantText: maxShingleOccurrences must be >= 2 (got " +
+        s"$maxShingleOccurrences)")
     val toks = docs.select(col(sourceCol), col(idCol),
       TextAnalysis.tokens(col(textCol)).as("_toks"))
     // 0-based shingle window starts; docs shorter than the window
@@ -144,17 +163,26 @@ object Keywords {
       .otherwise(array().cast("array<string>"))
     val windows = toks.select(col(idCol),
       posexplode(winKeys).as(Seq("_wp", "_key")))
+    // the hot-shingle guard (scaladoc): above-cap shingles mask
+    // everywhere and never enter the ownership window
+    val hot = windows.groupBy("_key")
+      .agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") > maxShingleOccurrences.toLong)
+      .select("_key")
+    val hotStarts = windows.join(broadcast(hot), Seq("_key"))
+      .select(col(idCol), col("_wp"))
     // ownership via a whole-partition window min — ONE shingle-keyed
     // shuffle instead of a groupBy + a join re-shuffling both sides
     // (and the windows subtree tokenizes once, not twice); partition
-    // size is bounded by a shingle's duplication count, the same
-    // bound the join's build side would carry. Only windows whose
-    // shingle was seen in an EARLIER doc survive — docs without
-    // duplicated passages vanish here.
-    val dupStarts = windows
+    // size is bounded by min(duplication count, the cap) after the
+    // guard. Only windows whose shingle was seen in an EARLIER doc
+    // survive — docs without duplicated passages vanish here.
+    val coldStarts = windows.join(broadcast(hot), Seq("_key"), "left_anti")
       .withColumn("_owner", min(col(idCol)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("_key")))
       .filter(col(idCol) > col("_owner"))
+      .select(col(idCol), col("_wp"))
+    val dupStarts = coldStarts.unionByName(hotStarts)
       .groupBy(idCol)
       .agg(collect_set(col("_wp")).as("_dups"))
     val kept = filter(col("_toks"),

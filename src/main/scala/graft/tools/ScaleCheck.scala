@@ -64,6 +64,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (args.headOption.contains("r17")) {
+      r17Growth(spark)
+      spark.stop()
+      return
+    }
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val n0 = docs.count()
@@ -1044,6 +1049,56 @@ object ScaleCheck {
       }
       println(f"[scale] ${s}%-5d ${nD}%8d ${tSig}%11.2f ${tIv}%13.2f " +
         f"${tCl}%12.2f ${tVw}%10.2f ${tFis}%12.2f")
+    }
+  }
+
+  /** r17: the significant_text hot-shingle guard under a PLANTED hot
+    * shingle (one 6-token boilerplate tail appended to EVERY doc — the
+    * "all rights reserved" shape). Capped (cap 1000, far below the
+    * occurrence count) the hot shingle routes to the broadcast
+    * mask-everywhere path and never enters the ownership window;
+    * effectively-uncapped it floods one window partition. The capped
+    * column must stay ~linear 1x→4x; the uncapped column shows the
+    * single-task skew the guard exists for.
+    */
+  private def r17Growth(spark: SparkSession): Unit = {
+    import graft.operators.Keywords
+    def timeS(f: => Long): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    locally { // untimed warmup
+      val w = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" all rights reserved contact us today"))
+            .as("text"))
+      Keywords.significantText(w, "doc_id", "text", "source").count()
+      ()
+    }
+    println("[scale] r17: sigtext hot-shingle guard, planted " +
+      "boilerplate tail on every doc, 1x/4x corpus")
+    println(f"[scale] ${"size"}%-5s ${"docs"}%8s " +
+      f"${"capped(s)"}%10s ${"uncapped(s)"}%12s")
+    for (s <- Seq(1, 4)) {
+      val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("doc_id") * s + col("rep")).as("doc_id"),
+          col("source"),
+          concat(col("text"), lit(" rep"), col("rep"),
+            lit(" all rights reserved contact us today")).as("text"))
+        .localCheckpoint(true)
+      val nD = docs.count()
+      val tCap = timeS {
+        Keywords.significantText(docs, "doc_id", "text", "source",
+          maxShingleOccurrences = 1000).count()
+      }
+      val tHot = timeS {
+        Keywords.significantText(docs, "doc_id", "text", "source",
+          maxShingleOccurrences = Int.MaxValue).count()
+      }
+      println(f"[scale] ${s}%-5d ${nD}%8d ${tCap}%10.2f ${tHot}%12.2f")
     }
   }
 

@@ -146,4 +146,32 @@ class KeywordsSpec extends AnyFunSuite {
         dupWindow = 1)
     }
   }
+
+  test("significant_text hot-shingle guard: an above-cap shingle " +
+      "masks EVERYWHERE (owner included) and skips the window") {
+    // the boilerplate shingle occurs 4x; with the cap at 3 it is
+    // adjudicated pure boilerplate — even doc 0 (the would-be owner)
+    // loses its positions, so no boilerplate term counts anywhere
+    val boiler = "click here to subscribe right now"
+    val docs = Seq(
+      (0L, "A", s"apple pie $boiler"),
+      (1L, "A", s"apple tart $boiler"),
+      (2L, "B", s"berry jam $boiler"),
+      (3L, "B", s"berry toast $boiler")).toDF("id", "src", "text")
+    val capped = Keywords.significantText(docs, "id", "text", "src",
+      k = 9, maxShingleOccurrences = 3).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3)))
+    assert(!capped.exists(r => boiler.split(" ").contains(r._2)),
+      capped.toSeq)
+    assert(capped.exists(_._2 == "apple"))
+    // at the default cap the same corpus keeps the owner's copy
+    // (ownership semantics unchanged below the threshold)
+    val owned = Keywords.significantText(docs, "id", "text", "src",
+      k = 9).collect().map(_.getString(2))
+    assert(owned.contains("click"), owned.toSeq)
+    intercept[IllegalArgumentException] {
+      Keywords.significantText(docs, "id", "text", "src",
+        maxShingleOccurrences = 1)
+    }
+  }
 }
