@@ -62,12 +62,31 @@ object Bench {
     }
     val gateWaitSec = (System.nanoTime() - gateT0) / 1e9
 
-    // warm-up: touch every table + one aggregation query end-to-end
+    // warm-up: touch every table + one aggregation query end-to-end,
+    // plus one SCORED-scan query and one highlight query — the
+    // tokenize/BM25/HOF codegen family repeatedly paid its first-slot
+    // JIT inside whichever gate ran it first (r15 f20 17.5 s → 1.1 s
+    // retime; r16 hl1 17.8 s → 1.1 s): warm the family untimed so the
+    // first timed gate of the family measures the plan, not the JIT
     Tables.all.foreach { n =>
       try Tables.load(spark, sfDir, n).count()
       catch { case _: Throwable => () }
     }
     SparkEntry.queries.get("q1_pricing_summary").foreach(run("_warmup", _))
+    SparkEntry.queries.get("f19_scored_query")
+      .foreach(run("_warmup_scored", _))
+    SparkEntry.queries.get("hl1_highlight")
+      .foreach(run("_warmup_highlight", _))
+    // SPARK_GRAFT_WARM=x,y runs the named gates UNTIMED first — the
+    // same-family warmer for subset retimes (e.g. warm st1 before
+    // timing the stream lifecycle family, whose first gate otherwise
+    // pays the family's state-store + codegen JIT)
+    sys.env.get("SPARK_GRAFT_WARM")
+      .iterator.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .foreach { n =>
+        SparkEntry.queries.get(n).foreach(run(s"_warmup_$n", _))
+        spark.sharedState.cacheManager.clearCache()
+      }
     // SPARK_GRAFT_ONLY=a,b,c restricts the run to named gates — the
     // retime tool for adjudicating load-window spikes without paying
     // a full board pass (the r15 VERDICT retime asks)

@@ -552,6 +552,101 @@ object Serving {
         col("chunk_text"), col("score"))
   }
 
+  /** The PERSISTENT twin of [[semanticSearchText]] — ES
+    * `semantic_text`'s index-time half as one call: chunk the corpus
+    * ([[Chunking.chunkByTokens]]), embed every chunk through the
+    * pluggable encoder seam ([[graft.ml.Inference.embedText]], the
+    * emb4 contract), and build a cell-partitioned [[VectorIndex]]
+    * over the chunk embeddings at `indexPath`, with a committed
+    * `chunks` sidecar table carrying (chunk key, id, chunk_no,
+    * chunk_text) so searches can return text without touching the
+    * corpus. The ad-hoc rag1 path re-embeds per query; this builds
+    * once and serves many queries from pruned cell directories.
+    *
+    * Chunk key: ids must be INTEGRAL — the key packs
+    * (id << 20) | chunk_no into one long, so the index's (score, id)
+    * tie order IS (score, id, chunk_no), replayable on any engine.
+    * Docs longer than 2^20 chunks or ids ≥ 2^43 refuse in-plan
+    * (packing would collide or overflow — loudly, never silently).
+    *
+    * Scale shape: chunk + embed are one scan (mapPartitions,
+    * per-partition model load); the sidecar write is that scan's
+    * projection; the index build is [[VectorIndex.build]]'s one
+    * cell-keyed shuffle. Nothing collects driver-side.
+    */
+  def buildSemanticIndex(docs: DataFrame, idCol: String,
+                         textCol: String, indexPath: String,
+                         chunkSize: Int = 64, stride: Int = 32,
+                         encoderFactory: () => graft.ml.TextEncoder =
+                           graft.ml.Inference.hashEncoder(8),
+                         batchSize: Int = 32, nlist: Int = 16): Unit = {
+    val integral = docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"buildSemanticIndex needs an integral id column ('$idCol' is " +
+        s"${docs.schema(idCol).dataType.simpleString}) — the chunk " +
+        "key packs (id << 20) | chunk_no; for other id types compose " +
+        "Chunking + Inference.embedText + VectorIndex.build directly")
+    val idL = col(idCol).cast("long")
+    val guard = when(col("chunk_no") >= (1L << 20) ||
+        idL >= (1L << 43) || idL < 0,
+      raise_error(lit("buildSemanticIndex: chunk key would overflow " +
+        "(chunk_no >= 2^20 or id >= 2^43 or id < 0)")).cast("long"))
+      .otherwise(shiftleft(idL, 20) + col("chunk_no"))
+    val chunks = Chunking.chunkByTokens(docs, idCol, textCol,
+        chunkSize, stride)
+      .withColumn("_cid", guard)
+    chunks.select(col("_cid"), col(idCol), col("chunk_no"),
+        col("chunk_text"))
+      .write.mode("overwrite").parquet(s"$indexPath/chunks")
+    val emb = graft.ml.Inference.embedText(
+      chunks.select(col("_cid"), col("chunk_text")),
+      "_cid", "chunk_text", encoderFactory, batchSize)
+    VectorIndex.build(emb, "_cid", "embedding", indexPath, nlist)
+  }
+
+  /** Query the [[buildSemanticIndex]] stack: embed `queryText` with
+    * the SAME encoder driver-side (one encodeBatch call — the query
+    * rides as a literal), search the persistent index (probed cells
+    * pruned at plan time; `nprobe` ≥ nlist degrades to exact), and
+    * return (rank, id, chunk_no, chunk_text, score) — the
+    * [[semanticSearchText]] output surface served from the index.
+    * The ≤ k hits broadcast onto the chunks sidecar; the corpus is
+    * never touched.
+    */
+  def semanticSearchIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, queryText: String, k: Int,
+                          nprobe: Int = 2,
+                          encoderFactory: () => graft.ml.TextEncoder =
+                            graft.ml.Inference.hashEncoder(8))
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queryText != null && queryText.nonEmpty,
+      "queryText must be non-empty")
+    val qv: Seq[Double] = {
+      val enc = encoderFactory()
+      try enc.encodeBatch(Array(queryText)).head.toSeq.map(_.toDouble)
+      finally enc.close()
+    }
+    import spark.implicits._
+    val queries = Seq((0L, qv)).toDF("q_id", "vec")
+    val hits = VectorIndex.searchTopK(queries, indexPath, k, nprobe,
+      idColName = "_cid")
+    val meta = spark.read.parquet(s"$indexPath/chunks")
+    val idName = meta.columns
+      .filterNot(Set("_cid", "chunk_no", "chunk_text")).head
+    broadcast(hits.select(col("rank"), col("_cid"), col("cos")))
+      .join(meta, Seq("_cid"))
+      .select(col("rank"), col(idName), col("chunk_no"),
+        col("chunk_text"), col("cos").as("score"))
+      .orderBy("rank")
+  }
+
   /** Hybrid retrieval over the persistent stack: each query row
     * carries a lexical bag (`termsCol`, array of terms) and an
     * embedding (`vecCol`); the inverted index at `textIndexPath`

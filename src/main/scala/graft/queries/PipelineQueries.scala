@@ -1975,6 +1975,21 @@ object PipelineQueries {
         "doc_id", "text", queryText = "stream filter merge", k = 12,
         chunkSize = 16, stride = 8)
     }),
+    // the PERSISTENT semantic_text stack: chunk + embed (stub seam) +
+    // cell-partitioned VectorIndex build in ONE call, queried at full
+    // probing (nprobe >= nlist = exact) — must land on rag1's ad-hoc
+    // answer exactly; the packed chunk key makes the index tie order
+    // (score, doc_id, chunk_no), replayed by the shared oracle
+    "sx1_semantic_index_search" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-sx1-$tag").toString
+      graft.operators.Serving.buildSemanticIndex(
+        t(s, d, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", path, chunkSize = 16, stride = 8, nlist = 4)
+      graft.operators.Serving.semanticSearchIndex(s, path,
+        "stream filter merge", k = 12, nprobe = 99)
+    }),
     // pinned retriever (ES 8.16): ids [42, 999999, 7] rank first in
     // GIVEN order — 999999 is absent and must skip without leaving a
     // rank gap — with the sentinel 1e9 − position scores; the organic
@@ -3262,6 +3277,47 @@ object PipelineQueries {
     * matches accumulate across batches. Delivery discipline (append
     * vs committed per-batch dirs) does not change which rows match.
     */
+  /** rag1's end-to-end replay — chunk windows, the md5 stub per
+    * dimension (float-quantized), cosine and the rank cut — shared
+    * verbatim by sx1: the persistent semantic index at full probing
+    * must land on the ad-hoc path's exact answer.
+    */
+  private lazy val semanticSearchReplaySql: String =
+    raw"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |           WHERE doc_id < 200),
+         |c AS (SELECT doc_id, toks,
+         |        CAST(ceil(greatest(len(toks) - 16, 0) / 8.0) AS INT)
+         |          + 1 AS nch
+         |      FROM b),
+         |e AS (SELECT doc_id, toks,
+         |        unnest(generate_series(0, nch - 1)) AS i FROM c),
+         |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+         |         array_to_string(toks[i*8+1 : i*8+16], ' ')
+         |           AS chunk_text
+         |       FROM e),
+         |emb AS (SELECT doc_id, chunk_no, chunk_text,
+         |          list_transform(range(0, 8), dd ->
+         |            CAST(CAST((('0x' || substr(md5(CAST(dd AS VARCHAR)
+         |                || ':' || chunk_text), 1, 8))::BIGINT % 2000)
+         |              AS DOUBLE) / 1000.0 - 1.0 AS FLOAT)) AS v
+         |        FROM ch),
+         |q AS (SELECT list_transform(range(0, 8), dd ->
+         |        CAST(CAST((('0x' || substr(md5(CAST(dd AS VARCHAR)
+         |            || ':stream filter merge'), 1, 8))::BIGINT % 2000)
+         |          AS DOUBLE) / 1000.0 - 1.0 AS FLOAT)) AS qv),
+         |sc AS (SELECT doc_id, chunk_no, chunk_text,
+         |         round(list_dot_product(v::DOUBLE[], qv::DOUBLE[]) /
+         |           (sqrt(list_dot_product(v::DOUBLE[], v::DOUBLE[])) *
+         |            sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))),
+         |           6) AS score
+         |       FROM emb, q),
+         |f AS (SELECT * FROM sc
+         |      ORDER BY score DESC, doc_id, chunk_no LIMIT 12)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id,
+         |         chunk_no) AS BIGINT) AS rank,
+         |       doc_id, chunk_no, chunk_text, score
+         |FROM f ORDER BY rank""".stripMargin
+
   private lazy val seqNearDupReplaySql: String =
     raw"""WITH u AS (SELECT doc_id, text FROM documents
          |           UNION ALL
@@ -4636,41 +4692,14 @@ object PipelineQueries {
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, id)
         |         AS BIGINT) AS rank, id, score
         |FROM f ORDER BY rank""".stripMargin,
-    "rag1_semantic_search" ->
-      raw"""WITH b AS (SELECT doc_id, $toksSql AS toks FROM documents
-           |           WHERE doc_id < 200),
-           |c AS (SELECT doc_id, toks,
-           |        CAST(ceil(greatest(len(toks) - 16, 0) / 8.0) AS INT)
-           |          + 1 AS nch
-           |      FROM b),
-           |e AS (SELECT doc_id, toks,
-           |        unnest(generate_series(0, nch - 1)) AS i FROM c),
-           |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
-           |         array_to_string(toks[i*8+1 : i*8+16], ' ')
-           |           AS chunk_text
-           |       FROM e),
-           |emb AS (SELECT doc_id, chunk_no, chunk_text,
-           |          list_transform(range(0, 8), dd ->
-           |            CAST(CAST((('0x' || substr(md5(CAST(dd AS VARCHAR)
-           |                || ':' || chunk_text), 1, 8))::BIGINT % 2000)
-           |              AS DOUBLE) / 1000.0 - 1.0 AS FLOAT)) AS v
-           |        FROM ch),
-           |q AS (SELECT list_transform(range(0, 8), dd ->
-           |        CAST(CAST((('0x' || substr(md5(CAST(dd AS VARCHAR)
-           |            || ':stream filter merge'), 1, 8))::BIGINT % 2000)
-           |          AS DOUBLE) / 1000.0 - 1.0 AS FLOAT)) AS qv),
-           |sc AS (SELECT doc_id, chunk_no, chunk_text,
-           |         round(list_dot_product(v::DOUBLE[], qv::DOUBLE[]) /
-           |           (sqrt(list_dot_product(v::DOUBLE[], v::DOUBLE[])) *
-           |            sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))),
-           |           6) AS score
-           |       FROM emb, q),
-           |f AS (SELECT * FROM sc
-           |      ORDER BY score DESC, doc_id, chunk_no LIMIT 12)
-           |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id,
-           |         chunk_no) AS BIGINT) AS rank,
-           |       doc_id, chunk_no, chunk_text, score
-           |FROM f ORDER BY rank""".stripMargin,
+    "rag1_semantic_search" -> semanticSearchReplaySql,
+    // the IDENTICAL replay: the persistent semantic index at full
+    // probing must land on the ad-hoc path's exact answer — the
+    // quantizer, cells, packed chunk keys and sidecar never exist
+    // oracle-side, so a chunk lost to a mis-assigned cell, a stale
+    // sidecar row, or a key-order tie break that disagrees with
+    // (doc_id, chunk_no) cannot match
+    "sx1_semantic_index_search" -> semanticSearchReplaySql,
     "sft2_multi_turn_masks" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |ok AS (SELECT doc_id, len(toks) AS l FROM t

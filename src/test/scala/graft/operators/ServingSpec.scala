@@ -237,6 +237,33 @@ class ServingSpec extends AnyFunSuite {
         |"k": 5}}}}""".stripMargin, 5))
   }
 
+  test("buildSemanticIndex + semanticSearchIndex == the ad-hoc " +
+      "semanticSearchText at full probing; integral-id contract") {
+    val d = docs.filter(col("doc_id") < 120)
+    val path = tmp("graft-sx")
+    Serving.buildSemanticIndex(d, "doc_id", "text", path,
+      chunkSize = 16, stride = 8, nlist = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    val served = rows(Serving.semanticSearchIndex(spark, path,
+      "stream filter merge", k = 8, nprobe = 99))
+    val adhoc = rows(Serving.semanticSearchText(d, "doc_id", "text",
+      "stream filter merge", k = 8, chunkSize = 16, stride = 8))
+    assert(served == adhoc, s"served=$served adhoc=$adhoc")
+    // non-integral ids refuse loudly (the packed-key contract)
+    val strIds = d.select(col("doc_id").cast("string").as("doc_id"),
+      col("text"))
+    val e = intercept[IllegalArgumentException](
+      Serving.buildSemanticIndex(strIds, "doc_id", "text",
+        tmp("graft-sx-bad")))
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Serving.semanticSearchIndex(spark, path, "", k = 5))
+    intercept[IllegalArgumentException](
+      Serving.semanticSearchIndex(spark, path, "x", k = 0))
+  }
+
   test("retrieverSearch: rule retriever — criteria gate pin/exclude, " +
       "exclusion precedes ranks and beats pinning, refusals") {
     val qvJson = qv1.mkString("[", ", ", "]")
