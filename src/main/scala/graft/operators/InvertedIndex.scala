@@ -1970,6 +1970,91 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** ES completion-suggester ENTRIES with per-entry `weight` and
+    * `contexts` (the completion field type's two knobs the
+    * df-ranked [[suggestCompletions]] lacks): a committed sidecar
+    * table `indexPath/suggest` of (term, weight, contexts) rows.
+    * Terms lowercase (the completion field's simple-analyzer fold —
+    * whole phrases stay one entry, never tokenized); weights must be
+    * non-negative (ES's contract — refused in-plan via raise_error,
+    * never silently clamped); `contextsCol` may be an array of
+    * category strings or a single string column (wrapped). The table
+    * is range-partitioned and sorted by term so a prefix read prunes
+    * to the matching row groups — the [[suggestCompletions]] range
+    * discipline without the vocabulary's segment fingerprint (the
+    * sidecar is its own source of truth; rebuilding it replaces it
+    * atomically via overwrite).
+    */
+  def buildSuggestEntries(entries: DataFrame, termCol: String,
+                          weightCol: String, indexPath: String,
+                          contextsCol: Option[String] = None): Unit = {
+    val w = col(weightCol).cast("long")
+    val guarded = when(w.isNull || w < 0, raise_error(lit(
+      "suggest entries need non-negative integer weights (ES's " +
+        "completion weight contract) — clean the entries first"))
+      .cast("long")).otherwise(w)
+    val ctx = contextsCol.map { c =>
+      entries.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          when(col(c).isNull, array().cast("array<string>"))
+            .otherwise(array(col(c)))
+        case _: org.apache.spark.sql.types.ArrayType =>
+          coalesce(col(c).cast("array<string>"),
+            array().cast("array<string>"))
+        case other => throw new IllegalArgumentException(
+          s"contexts column '$c' must be string or array<string>, " +
+            s"got ${other.simpleString}")
+      }
+    }.getOrElse(array().cast("array<string>"))
+    entries
+      .select(lower(col(termCol).cast("string")).as("term"),
+        guarded.as("weight"), ctx.as("contexts"))
+      .filter(col("term").isNotNull && length(col("term")) > 0)
+      .repartitionByRange(8, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$indexPath/suggest")
+  }
+
+  /** Serve the [[buildSuggestEntries]] sidecar: the top-`k`
+    * completions of `prefix` by (weight desc, term asc) — ES's
+    * completion ranking with `skip_duplicates` semantics (the same
+    * term suggested by several entries keeps its highest weight; the
+    * per-document duplicate stream is not a frame-shaped answer).
+    * `contexts` filters to entries carrying ANY of the given context
+    * values (ES's default OR across a context's values); empty = no
+    * context filtering, entries without contexts always survive an
+    * EMPTY filter but never a non-empty one (ES: a context query
+    * matches only entries indexed with that context).
+    *
+    * Scale shape: a range-pruned sidecar read (term is the sort key,
+    * so row groups outside the prefix never load), one keyed agg over
+    * the prefix's entries, TakeOrderedAndProject.
+    */
+  def suggestWeighted(spark: SparkSession, indexPath: String,
+                      prefix: String, k: Int = 5,
+                      contexts: Seq[String] = Nil): DataFrame = {
+    require(k > 0, "k must be positive")
+    val p = prefix.toLowerCase(java.util.Locale.ROOT)
+    require(p.nonEmpty, "prefix must be non-empty")
+    require(contexts.distinct.size == contexts.size,
+      s"duplicate contexts in $contexts")
+    val fs = SegmentStore.fsOf(spark, indexPath)
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$indexPath/suggest/_SUCCESS")),
+      s"$indexPath has no suggest sidecar — buildSuggestEntries() first")
+    val base = spark.read.parquet(s"$indexPath/suggest")
+      .filter(col("term") >= p && col("term") < p + '￿')
+      .filter(col("term").startsWith(p))
+    val inCtx =
+      if (contexts.isEmpty) base
+      else base.filter(arrays_overlap(col("contexts"),
+        typedLit(contexts)))
+    inCtx.groupBy("term")
+      .agg(max(col("weight")).as("weight"))
+      .orderBy(col("weight").desc, col("term"))
+      .limit(k)
+  }
+
   /** ES `_explain`-style score breakdown from the live index: one row
     * per (doc, query term) with every BM25 component — tf, doc len,
     * live df, idf, and the per-term contribution whose per-doc sum is

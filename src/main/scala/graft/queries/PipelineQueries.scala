@@ -1689,6 +1689,31 @@ object PipelineQueries {
         "text", "hash joinn scan", k = 3, numCandidates = 3,
         maxErrors = 1)
     }),
+    // ES completion suggester with per-entry WEIGHT and CONTEXTS (sg2
+    // ranks by live df; the completion FIELD ranks by indexed weight
+    // and filters by context): entries = (first token, doc_id % 97,
+    // [source]) per doc; all-contexts vs a two-context filter, both
+    // ranked (max weight desc, term asc) — skip_duplicates keeping
+    // the highest weight
+    "sg4_weighted_suggest" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-sg4-$tag").toString
+      val entries = t(s, d, "documents").select(
+        element_at(graft.functions.TextAnalysis.tokens(col("text")), 1)
+          .as("term"),
+        (col("doc_id") % 97).as("weight"),
+        col("source").as("ctx"))
+      graft.operators.InvertedIndex.buildSuggestEntries(entries, "term",
+        "weight", path, contextsCol = Some("ctx"))
+      val all = graft.operators.InvertedIndex.suggestWeighted(s, path,
+        "s", k = 8).withColumn("q", lit("all"))
+      val fil = graft.operators.InvertedIndex.suggestWeighted(s, path,
+          "s", k = 8, contexts = Seq("src3", "src7"))
+        .withColumn("q", lit("ctx"))
+      all.unionByName(fil)
+        .orderBy(col("q"), col("weight").desc, col("term"))
+    }),
     // more_like_this served from the index: doc 5's text is the like
     // input, term selection (like-tf >= 2, live df >= 5, top 5 by
     // 6dp-rounded tf*idf, term-asc ties) then BM25 with a 30%-floored
@@ -4354,6 +4379,27 @@ object PipelineQueries {
            |       doc_id, score
            |FROM rr WHERE rn <= 14
            |ORDER BY q, score DESC, doc_id""".stripMargin,
+    // the weighted-suggest replay: first tokens as entries, weight =
+    // doc_id % 97, max-weight dedup, context IN filter — the sidecar
+    // table and its range layout never exist oracle-side
+    "sg4_weighted_suggest" ->
+      raw"""WITH e AS (SELECT lower(toks[1]) AS term,
+           |        doc_id % 97 AS weight, source AS ctx
+           |      FROM (SELECT doc_id, source, $toksSql AS toks
+           |            FROM documents)
+           |      WHERE len(toks) > 0),
+           |p AS (SELECT * FROM e WHERE starts_with(term, 's')),
+           |a AS (SELECT term, CAST(max(weight) AS BIGINT) AS weight,
+           |        'all' AS q
+           |      FROM p GROUP BY term
+           |      ORDER BY weight DESC, term LIMIT 8),
+           |c AS (SELECT term, CAST(max(weight) AS BIGINT) AS weight,
+           |        'ctx' AS q
+           |      FROM p WHERE ctx IN ('src3', 'src7')
+           |      GROUP BY term ORDER BY weight DESC, term LIMIT 8)
+           |SELECT term, weight, q FROM a
+           |UNION ALL SELECT term, weight, q FROM c
+           |ORDER BY q, weight DESC, term""".stripMargin,
     // brute suggester replay: whole-vocabulary levenshtein + live df
     // + the missing-mode NOT EXISTS — the dictionary never exists
     // oracle-side

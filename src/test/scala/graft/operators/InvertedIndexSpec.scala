@@ -1328,6 +1328,50 @@ class InvertedIndexSpec extends AnyFunSuite {
       "term range not pushed into the vocabulary scan")
   }
 
+  test("weighted completion suggester: weight ranking, context " +
+      "filtering, max-weight dedup, refusals") {
+    val path = tmp("graft-idx-sg4")
+    val entries = Seq(
+      ("Stream", 10L, Seq("web")),          // lowercase fold
+      ("stream", 30L, Seq("news")),         // dup term: max wins
+      ("storage", 20L, Seq("web", "news")),
+      ("sort", 5L, Seq.empty[String]),      // no contexts
+      ("window", 99L, Seq("web"))           // prefix-excluded
+    ).toDF("term", "weight", "ctxs")
+    InvertedIndex.buildSuggestEntries(entries, "term", "weight", path,
+      contextsCol = Some("ctxs"))
+    def top(prefix: String, ctx: Seq[String] = Nil): Seq[(String, Long)] =
+      InvertedIndex.suggestWeighted(spark, path, prefix, k = 5,
+        contexts = ctx).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // weight desc, term asc; the dup 'stream' keeps max(10, 30)
+    assert(top("s") == Seq(("stream", 30L), ("storage", 20L),
+      ("sort", 5L)))
+    // context filter: ANY-of; the context-less 'sort' never matches a
+    // NON-empty filter
+    assert(top("s", Seq("web")) == Seq(("storage", 20L), ("stream", 10L)))
+    assert(top("s", Seq("news")) == Seq(("stream", 30L), ("storage", 20L)))
+    assert(top("s", Seq("nope")).isEmpty)
+    // prefix folds case like the entries
+    assert(top("ST") == top("st"))
+    // a single-STRING contexts column wraps to a one-element array
+    val p2 = tmp("graft-idx-sg4b")
+    InvertedIndex.buildSuggestEntries(
+      Seq(("alpha", 1L, "web")).toDF("term", "weight", "c"),
+      "term", "weight", p2, contextsCol = Some("c"))
+    assert(InvertedIndex.suggestWeighted(spark, p2, "a",
+      contexts = Seq("web")).count() == 1)
+    // negative weight refuses IN-PLAN; missing sidecar refuses
+    val neg = intercept[Exception](InvertedIndex.buildSuggestEntries(
+      Seq(("x", -1L, Seq("web"))).toDF("term", "weight", "ctxs"),
+      "term", "weight", tmp("graft-idx-sg4c"), Some("ctxs")))
+    assert(neg.getMessage.contains("non-negative"), neg.getMessage)
+    intercept[IllegalArgumentException](
+      InvertedIndex.suggestWeighted(spark, tmp("graft-idx-sg4d"), "s"))
+    intercept[IllegalArgumentException](
+      InvertedIndex.suggestWeighted(spark, path, ""))
+  }
+
   test("bool_prefix search: scan-face doc-set parity, BM25+1 scoring, " +
       "bare-prefix constant ranking, delete-awareness") {
     val docs = Seq(
