@@ -147,7 +147,7 @@ object DumpPlans {
     "dr1_date_range" ->
       "date_range: every bucket is a conditional count in ONE aggregation pass over a single scan — three ranges cost the same scan as one — then a literal explode shapes the ES bucket rows. No per-range scans, no union of filters.",
     "kw3_significant_text" ->
-      "significant_text with filter_duplicate_text: shingle ownership is a window-min over ONE shingle-keyed shuffle (a groupBy+join spelling would re-shuffle both sides); the surviving dup-window starts come home as one bounded array per AFFECTED doc and apply locally through a higher-order exists — the corpus text shuffles once, on the doc key, and the final (source, term) counts ride the same map-side-combined aggregation as kw2.",
+      "significant_text with filter_duplicate_text: shingle ownership is a window-min over ONE shingle-keyed shuffle (a groupBy+join spelling would re-shuffle both sides), GUARDED since r17 by a map-side-combined shingle count — above-cap boilerplate shingles route to a broadcast mask-everywhere path and never enter the window, so no partition exceeds the cap; the surviving dup-window starts come home as one bounded array per AFFECTED doc and apply locally through a higher-order exists — the corpus text shuffles once, on the doc key, and the final (source, term) counts ride the same map-side-combined aggregation as kw2.",
     "cl1_collapse" ->
       "Field collapsing: anchor selection is a per-KEY window (bounded groups), the global outer cut is sort-limit (TakeOrderedAndProject), and inner hits re-join the corpus through a BROADCAST semi-join on the <= size surviving keys — spec-pinned to BroadcastHashJoin, never a sort-merge of the corpus against itself.",
     "sa1_sampler" ->
@@ -165,7 +165,21 @@ object DumpPlans {
     "pc3_query_string_percolate" ->
       "query_string percolation: rules parse DRIVER-side at registration and broadcast as a (rule, term, role) table; the corpus tokenizes once and never shuffles — the one keyed aggregation is on (doc, rule) AFTER the broadcast join, and must_not rides it as a conditional count instead of a second pass.",
     "rag1_semantic_search" ->
-      "The one-call RAG path: chunk + embed are one scan (mapPartitions, per-partition model load through the pluggable seam), the query embeds driver-side and rides as a LITERAL (no join for the query), chunk metadata re-joins embeddings on the synthetic chunk key once, and the final cut is sort-limit over the scored chunks.")
+      "The one-call RAG path: chunk + embed are one scan (mapPartitions, per-partition model load through the pluggable seam), the query embeds driver-side and rides as a LITERAL (no join for the query), chunk metadata re-joins embeddings on the synthetic chunk key once, and the final cut is sort-limit over the scored chunks.",
+    "ta2_terms_order_metric" ->
+      "terms ordered by a metric sub-agg: the metric rides the SAME keyed aggregation as doc_count (map-side partial combine, one shuffle — never a second pass per sub-agg), and the size cut on the new order is still TakeOrderedAndProject: per-task heaps on (metric, key), driver merges k per task. The most-used Kibana knob costs exactly what doc_count ordering costs.",
+    "sv1_sparse_vector" ->
+      "sparse_vector (ELSER) scoring: the query's token → weight map is a broadcast LITERAL, the dot product is one array aggregate per row over the doc's own sparse entries, and the rank cut is sort-limit — the corpus never shuffles to score and no posting/stats structure is consulted (the weights ARE the statistics, precomputed upstream). A learned-sparse query over 100 TB costs one scan.",
+    "rtv5_rule_retriever" ->
+      "rule retriever: criteria evaluate DRIVER-side against the request metadata (rules are literals — zero plan nodes for non-firing rules); exclusions are an isin filter over the child's <= window rows with a dense re-rank, and pins ride the shared pinned machinery (broadcast presence join + sentinel union). Query-rules cost is O(window), independent of corpus and ruleset size.",
+    "f45_geo_shape" ->
+      "geo_shape relations: envelope and polygon both compile to per-row codegen arithmetic (bbox ranges / PNPOLY crossing tests) — the same pushable-predicate shape as geo_bounding_box, no geometry library, no UDF; disjoint adds only a null gate. All three relations over 100 TB are one filtered scan each.",
+    "idx20_fielded_search_after" ->
+      "Fielded search_after: the cursor predicate filters the SAME per-field pruned-postings + id-keyed combine plan searchTopK builds (no extra reads — deep pages pay the page-1 cost), and it cuts hits BEFORE the top-k heap, so page depth never grows memory. The (score, id) cursor on the rounded surface makes pages tile exactly on any engine.",
+    "sx1_semantic_index_search" ->
+      "The persistent semantic_text stack: build is one chunk+embed scan plus VectorIndex's cell-keyed shuffle (sidecar write shares the scan's projection); a query embeds DRIVER-side, probes only its cells (PartitionFilters on cell ids), and the <= k hits BROADCAST onto the chunks sidecar for text — the corpus is never touched at query time. rag1's per-query re-embed becomes a one-time build.",
+    "sg4_weighted_suggest" ->
+      "Weighted completion suggester: the sidecar is range-partitioned and SORTED by term, so the prefix read prunes to matching row groups (the sg2 vocabulary discipline); context filtering is a per-row arrays_overlap against a literal; dedup is one keyed max over the prefix's entries; the cut is TakeOrderedAndProject. Suggest cost is O(entries matching the prefix), never the entry table.")
 
   private val epilogue: String = """
 ## Streaming index-lifecycle gate cost (st6, st9-st13) — r12 adjudication
@@ -336,6 +350,74 @@ Subset-run caveat recorded for future retimes: the first gate of a
 cold-JVM subset pays the codegen JIT the full board amortizes —
 prepend a sacrificial same-family gate before reading a first-slot
 number.
+
+## r17: st-family drift retime (r16 VERDICT ask 6)
+
+Method: `SPARK_GRAFT_WARM=st1_stream_window SPARK_GRAFT_ONLY=st6,st9,
+st10,st11,st12` Bench at sf0.1. The quietest window available this
+round was 1-min load 1.8 (start) → 2.2 (end) — above the <1.5 target;
+numbers below carry that caveat.
+
+| gate | r15 | r16 driver | r17 retime (load 1.8) |
+|---|---|---|---|
+| st6_stream_index | 6.0 | 7.0 | 7.28 |
+| st9_stream_upsert_index | — | — | 11.03 / 11.27 (retime) |
+| st10_stream_cdc_index | 15.6 | 17.2 | 21.05 → 16.95 (retime) |
+| st11_stream_vector_index | — | — | 9.37 |
+| st12_stream_cdc_vector | 10.5 | 12.3 | 13.74 / 14.08 (retime) |
+
+Reading: st10's first-run 21 s collapses to 16.95 on the in-JVM
+retime (first-slot state-store init, the documented family JIT), and
+the retimed numbers sit ~8-15% above r15 at a load ~2 — consistent
+with the r16 verdict's "environmental" reading but NOT yet
+conclusively cleared (the <1.5-load window never arrived). Judge-
+confirmed r16 and builder-confirmed r17: no plan in the
+CorpusStream/VectorIndex ingest path changed since r15; state
+partitions remain pinned at 8; the per-micro-batch segment-commit
+count is unchanged. Standing instruction: re-run this subset at
+load < 1.5 before treating the drift as code.
+
+## r17: significant_text hot-shingle guard — adjudication + measurement
+
+The ownership window partitions by shingle with NO map-side combine;
+one universal boilerplate shingle would land every occurrence in a
+single task at corpus scale (r16 What's-wrong #1).
+`maxShingleOccurrences` (default 100k) adjudicates an above-cap
+shingle as pure boilerplate: its positions mask in EVERY document —
+owner included — via a broadcast join against the tiny hot-key set,
+and it never enters the window. Semantics note: below the cap,
+ownership is unchanged; above it, the owner ALSO loses the passage
+(a shingle duplicated beyond the cap is boilerplate wherever it
+appears; the JLH doc totals never change either way).
+
+ScaleCheck r17 (planted 6-token boilerplate tail on EVERY doc,
+sf0.1 ×1/×4, local[8]):
+
+| size | docs | capped (cap 1000) | effectively uncapped |
+|---|---|---|---|
+| 1x | 5,000 | 4.59 s | 3.39 s |
+| 4x | 20,000 | 10.43 s | 8.02 s |
+
+Both scale ~2.3× for 4× docs at toy scale — the hot partition is only
+20k rows here, absorbed by one task, while the guard's extra
+map-side-combined count costs a constant ~30%. The guard is not a
+toy-scale win and is not claimed as one: it exists for the regime
+where one shingle's occurrence list exceeds a single task (billions
+of rows at 100 TB), where the uncapped window stalls the stage and
+the capped path stays flat by construction (hot rows take the
+broadcast path; cold partitions are ≤ cap by definition).
+
+## r17: sloppy-phrase match set is now Lucene-exact (ADVICE r16 #2)
+
+The index-served sloppy phrase previously matched ORDERED chains
+only; ES/Lucene's sloppy matcher admits transposed terms within the
+budget (adjacent swap costs 2). r17 replaces the chain predicate with
+the exact criterion — an assignment of phrase slot i to a distinct
+position pᵢ of term i with max(pᵢ − i) − min(pᵢ − i) ≤ slop — so
+WHICH documents match is now Lucene-identical (idx19 oracle replays
+the widened set). The remaining adjudication is the COUNT only:
+anchored matches at weight 1 instead of Lucene's non-replayable
+1/(1 + matchLength) accumulation.
 """
 
   def main(args: Array[String]): Unit = {
