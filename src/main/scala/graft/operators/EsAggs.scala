@@ -1085,6 +1085,11 @@ object EsAggs {
     * documented portable reading. `min_doc_count`, include/exclude
     * and `missing` compose unchanged; the size cut remains a
     * TakeOrderedAndProject on the new order.
+    *
+    * `orderByKey` is ES's `"order": {"_key": asc|desc}` (alphabetical
+    * dashboards) — direction via `orderAsc`; mutually exclusive with
+    * `orderMetric` (ES's order here is one criterion; `_count` stays
+    * the default).
     */
   def termsAgg(df: DataFrame, field: String,
                size: Option[Int] = None,
@@ -1093,10 +1098,14 @@ object EsAggs {
                exclude: Option[String] = None,
                missing: Option[String] = None,
                orderMetric: Option[(String, String)] = None,
-               orderAsc: Boolean = false): DataFrame = {
+               orderAsc: Boolean = false,
+               orderByKey: Boolean = false): DataFrame = {
     require(minDocCount >= 0,
       s"min_doc_count must be >= 0, got $minDocCount")
     size.foreach(s => require(s >= 1, s"size must be >= 1, got $s"))
+    require(!(orderByKey && orderMetric.isDefined),
+      "pick ONE ordering: _key or a metric sub-agg (ES's order is a " +
+        "single criterion here; _count is the default)")
     val valueCols = orderMetric.map(_._2).toSeq
     orderMetric.foreach { case (agg, v) =>
       require(Set("avg", "min", "max", "sum")(agg),
@@ -1133,6 +1142,10 @@ object EsAggs {
         metricAgg.toSeq: _*)
       .filter(col("doc_count") >= minDocCount.toLong)
     val out = orderMetric match {
+      case None if orderByKey =>
+        // ES `"order": {"_key": asc|desc}` — alphabetical dashboards
+        grouped.orderBy(
+          if (orderAsc) col("key").asc else col("key").desc)
       case None => grouped.orderBy(col("doc_count").desc, col("key"))
       case Some(_) =>
         val m = col("order_metric")

@@ -444,6 +444,14 @@ object AggQueries {
       EsAggs.termsAgg(Tables.load(s, d, "orders"), "o_orderpriority",
         size = Some(4), orderMetric = Some(("avg", "o_totalprice")))
     }),
+    // ES terms agg ordered by _key ("order": {"_key": "asc"} — the
+    // alphabetical-dashboard knob); min_doc_count composes, the size
+    // cut rides the key order
+    "ta3_terms_order_key" -> ((s, d) => {
+      EsAggs.termsAgg(Tables.load(s, d, "orders"), "o_orderpriority",
+        size = Some(3), minDocCount = 2, orderByKey = true,
+        orderAsc = true)
+    }),
     // ES t_test type paired: per-row difference moments (exact
     // integral sums; one sqrt both engines)
     "tt2_t_test_paired" -> ((s, d) => {
@@ -1145,6 +1153,12 @@ object AggQueries {
          |  GROUP BY 1)
          |SELECT key, doc_count, order_metric FROM b
          |ORDER BY order_metric DESC NULLS LAST, key LIMIT 4""".stripMargin,
+    "ta3_terms_order_key" ->
+      """SELECT o_orderpriority AS key,
+        |  CAST(count(*) AS BIGINT) AS doc_count
+        |FROM orders WHERE o_orderpriority IS NOT NULL
+        |GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY key LIMIT 3""".stripMargin,
     "tt2_t_test_paired" -> {
       def r6(e: String) = QueryUtil.rhuSql(e, 6)
       s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,

@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 
 /** Plan-shape regression tests: the queries must not only be correct,
   * they must produce the plans a 100TB deployment needs — filters and
@@ -547,5 +548,48 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = df.queryExecution.explainString(
       ExplainMode.fromString("formatted"))
     assert(!p.contains("Window"), p)
+  }
+
+  test("ta2: order-by-metric terms adds NO shuffle over doc_count " +
+      "ordering — one aggregate exchange, a fused sorted limit") {
+    val p = SparkEntry.queries("ta2_terms_order_metric")(
+      spark, TestSpark.sfDir).queryExecution.sparkPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1, p)
+  }
+
+  test("sv1: sparse_vector scoring over a ready column is " +
+      "shuffle-free — scan, filter, sorted limit; no join, no window") {
+    import spark.implicits._
+    val sv = Seq((1L, Seq(("a", 2.0)))).toDF("doc_id", "raw")
+      .select(col("doc_id"), transform(col("raw"), e =>
+        struct(e.getField("_1").as("token"),
+          e.getField("_2").as("weight"))).as("ml_tokens"))
+    val df = graft.functions.EsScoredQuery.scoredFrame(sv, "doc_id",
+      """{"sparse_vector": {"field": "ml_tokens",
+        |"query_vector": {"a": 1.0}}}""".stripMargin)
+      .orderBy(col("_score").desc, col("doc_id")).limit(10)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(!p.linesIterator.exists(_.contains("Exchange")), p)
+  }
+
+  test("sg4: the weighted-suggest prefix read pushes the term RANGE " +
+      "into the sidecar scan") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-plan-sg4").toString
+    graft.operators.InvertedIndex.buildSuggestEntries(
+      Seq(("stream", 3L, Seq("web"))).toDF("term", "weight", "ctxs"),
+      "term", "weight", path, Some("ctxs"))
+    val df = graft.operators.InvertedIndex.suggestWeighted(
+      spark, path, "st", k = 5)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.dataFilters.nonEmpty,
+      "term range not pushed into the suggest sidecar scan")
   }
 }

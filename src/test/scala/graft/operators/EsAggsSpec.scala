@@ -504,6 +504,15 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
         EsAggs.termsAgg(df, "f", orderMetric = Some(("median", "v")))
       an[IllegalArgumentException] should be thrownBy
         EsAggs.termsAgg(df, "f", orderMetric = Some(("avg", "f")))
+      // _key ordering: asc/desc, exclusive with the metric order
+      EsAggs.termsAgg(df, "f", orderByKey = true, orderAsc = true)
+        .collect().map(_.getString(0)).toSeq shouldBe
+        Seq("a", "b", "c", "d")
+      EsAggs.termsAgg(df, "f", orderByKey = true, size = Some(2))
+        .collect().map(_.getString(0)).toSeq shouldBe Seq("d", "c")
+      an[IllegalArgumentException] should be thrownBy
+        EsAggs.termsAgg(df, "f", orderByKey = true,
+          orderMetric = Some(("avg", "v")))
     }
   }
 
