@@ -741,6 +741,62 @@ object EsAggs {
       .select("b.*")
   }
 
+  /** ES `missing` aggregation: the bucket of documents whose `field`
+    * is null/absent, with the standard metric sub-aggs over
+    * `valueCol` INSIDE that bucket (ES's usual `missing` + metric
+    * composition; the reference reaches aggregations only through the
+    * ES endpoint — `eland/query.py` carries no missing-bucket body,
+    * so this is the parity-plus spelling). ONE conditional-aggregate
+    * pass: doc_count and the metrics ride a single HashAggregate with
+    * map-side partials — never a filter-then-rescan of the corpus.
+    * avg/sum round 6-dp half-up (the cross-engine determinism
+    * discipline); min/max are exact data values.
+    */
+  def missingAgg(df: DataFrame, field: String,
+                 valueCol: Option[String] = None): DataFrame = {
+    val miss = col(field).isNull
+    val base: Seq[Column] =
+      Seq(count(when(miss, 1)).cast("long").as("doc_count"))
+    val metrics = valueCol.toSeq.flatMap { v =>
+      val mv = when(miss, col(v).cast("double"))
+      Seq(min(mv).as("min"), max(mv).as("max"),
+        graft.queries.QueryUtil.rhu(sum(mv), 6).as("sum"),
+        graft.queries.QueryUtil.rhu(avg(mv), 6).as("avg"))
+    }
+    val cells = base ++ metrics
+    df.agg(cells.head, cells.tail: _*)
+  }
+
+  /** ES `global` aggregation: a bucket that ESCAPES the query scope —
+    * ES runs top-level aggs under the search's query; a `global`
+    * sub-agg re-aggregates over the whole index (the classic
+    * "this search vs all products" dashboard cell). Spelled as ONE
+    * conditional-aggregate pass over a single scan: the query-scoped
+    * and global cells ride the same HashAggregate (map-side
+    * partials), exploded to the two ES buckets afterward — never two
+    * scans of the corpus, no join. A null query predicate counts as
+    * non-matching (ES: the doc simply isn't in the query's result
+    * set). Metric nulls are skipped inside avg, ES's metric rule.
+    */
+  def globalAgg(df: DataFrame, query: Column,
+                valueCol: String): DataFrame = {
+    val q = coalesce(query, lit(false))
+    val v = col(valueCol).cast("double")
+    val qv = when(q, v)
+    df.agg(
+        count(when(q, 1)).cast("long").as("q_count"),
+        graft.queries.QueryUtil.rhu(avg(qv), 6).as("q_avg"),
+        count(lit(1)).cast("long").as("g_count"),
+        graft.queries.QueryUtil.rhu(avg(v), 6).as("g_avg"))
+      .select(explode(array(
+        struct(lit("query").as("scope"),
+          col("q_count").as("doc_count"), col("q_avg").as("avg")),
+        struct(lit("global").as("scope"),
+          col("g_count").as("doc_count"), col("g_avg").as("avg"))))
+        .as("b"))
+      .select("b.*")
+  }
+
   /** ES `nested` aggregation with a `terms` sub-agg and a
     * `reverse_nested` leg: aggregate over the ELEMENTS of an
     * array-of-structs column, not the documents — `doc_count` counts

@@ -452,6 +452,21 @@ object AggQueries {
         size = Some(3), minDocCount = 2, orderByKey = true,
         orderAsc = true)
     }),
+    // ES `missing` agg: the bucket of docs whose field is absent,
+    // metric sub-aggs inside the bucket (nulls synthesized — the
+    // testdata is dense, same discipline as f7)
+    "ms1_missing_agg" -> ((s, d) => {
+      EsAggs.missingAgg(
+        Tables.load(s, d, "orders").withColumn("p",
+          expr("nullif(o_orderpriority, '3-MEDIUM')")),
+        "p", Some("o_totalprice"))
+    }),
+    // ES `global` agg: query-scoped vs whole-index cells from ONE
+    // conditional-aggregate pass (never two scans)
+    "ga1_global_agg" -> ((s, d) => {
+      EsAggs.globalAgg(Tables.load(s, d, "orders"),
+        col("o_orderpriority") === "1-URGENT", "o_totalprice")
+    }),
     // ES t_test type paired: per-row difference moments (exact
     // integral sums; one sqrt both engines)
     "tt2_t_test_paired" -> ((s, d) => {
@@ -1159,6 +1174,30 @@ object AggQueries {
         |FROM orders WHERE o_orderpriority IS NOT NULL
         |GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY key LIMIT 3""".stripMargin,
+    "ms1_missing_agg" -> {
+      def m(e: String) = s"CASE WHEN p IS NULL THEN $e END"
+      s"""WITH b AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS p,
+         |  o_totalprice FROM orders)
+         |SELECT CAST(count(CASE WHEN p IS NULL THEN 1 END) AS BIGINT)
+         |    AS doc_count,
+         |  min(${m("o_totalprice")}) AS "min",
+         |  max(${m("o_totalprice")}) AS "max",
+         |  ${QueryUtil.rhuSql(s"sum(${m("o_totalprice")})", 6)} AS "sum",
+         |  ${QueryUtil.rhuSql(s"avg(${m("o_totalprice")})", 6)} AS "avg"
+         |FROM b""".stripMargin
+    },
+    "ga1_global_agg" ->
+      s"""WITH a AS (SELECT o_orderpriority = '1-URGENT' AS q,
+         |  o_totalprice AS v FROM orders),
+         |c AS (SELECT
+         |  CAST(count(CASE WHEN q THEN 1 END) AS BIGINT) AS q_count,
+         |  ${QueryUtil.rhuSql("avg(CASE WHEN q THEN v END)", 6)} AS q_avg,
+         |  CAST(count(*) AS BIGINT) AS g_count,
+         |  ${QueryUtil.rhuSql("avg(v)", 6)} AS g_avg FROM a)
+         |SELECT 'query' AS scope, q_count AS doc_count, q_avg AS "avg"
+         |FROM c
+         |UNION ALL
+         |SELECT 'global', g_count, g_avg FROM c""".stripMargin,
     "tt2_t_test_paired" -> {
       def r6(e: String) = QueryUtil.rhuSql(e, 6)
       s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,

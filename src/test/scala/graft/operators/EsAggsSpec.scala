@@ -516,6 +516,49 @@ class EsAggsSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("missing / global aggregations") {
+    it("missing: counts null-field docs, metrics inside the bucket") {
+      val df = Seq((Some("a"), 10.0), (None, 2.0), (None, 4.0),
+        (Some("b"), 7.0)).toDF("f", "v")
+      val r = EsAggs.missingAgg(df, "f", Some("v")).collect().head
+      r.getAs[Long]("doc_count") shouldBe 2L
+      r.getAs[Double]("min") shouldBe 2.0
+      r.getAs[Double]("max") shouldBe 4.0
+      r.getAs[Double]("sum") shouldBe 6.0
+      r.getAs[Double]("avg") shouldBe 3.0
+      // no sub-metric → just the bucket count
+      EsAggs.missingAgg(df, "f").columns.toSeq shouldBe Seq("doc_count")
+      // empty bucket: count 0, metrics null (ES returns no values)
+      val full = EsAggs.missingAgg(
+        Seq(("a", 1.0)).toDF("f", "v"), "f", Some("v")).collect().head
+      full.getAs[Long]("doc_count") shouldBe 0L
+      full.isNullAt(full.fieldIndex("avg")) shouldBe true
+    }
+    it("global: query-scoped and whole-index cells from one pass") {
+      val df = Seq(("a", 2.0), ("a", 4.0), ("b", 6.0)).toDF("f", "v")
+      val rows = EsAggs.globalAgg(df, col("f") === "a", "v")
+        .collect().map(r => r.getAs[String]("scope") ->
+          (r.getAs[Long]("doc_count"), r.getAs[Double]("avg"))).toMap
+      rows("query") shouldBe ((2L, 3.0))
+      rows("global") shouldBe ((3L, 4.0))
+      // null predicate rows count as non-matching, not poison
+      val np = EsAggs.globalAgg(
+        Seq((Some("a"), 2.0), (None, 8.0)).toDF("f", "v"),
+        col("f") === "a", "v").collect()
+        .map(r => r.getAs[String]("scope") ->
+          r.getAs[Long]("doc_count")).toMap
+      np("query") shouldBe 1L
+      np("global") shouldBe 2L
+    }
+    it("global: single scan — no join, one aggregate over the base") {
+      val df = Seq(("a", 2.0)).toDF("f", "v")
+      val p = EsAggs.globalAgg(df, col("f") === "a", "v")
+        .queryExecution.sparkPlan.toString
+      p should not include "Join"
+      p.linesIterator.count(_.contains("Scan")) shouldBe 1
+    }
+  }
+
   describe("t_test paired / multi_terms") {
     it("paired t matches the hand formula and drops half-null rows") {
       // pairs (3,1),(5,2),(4,4): d = 2,3,0 → mean 5/3, var 7/3
