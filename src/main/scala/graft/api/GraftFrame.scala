@@ -200,7 +200,8 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     */
   def esQueryScored(queryJson: String,
                     matchOnlyTextFields: Boolean = true,
-                    termIdf: Boolean = false): GraftFrame = {
+                    termIdf: Boolean = false,
+                    synonyms: Seq[String] = Nil): GraftFrame = {
     val requireText: String => Unit =
       if (!matchOnlyTextFields) _ => ()
       else { field =>
@@ -210,7 +211,7 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
             "via withEsDtype or pass matchOnlyTextFields=false")
       }
     wrap(graft.functions.EsScoredQuery.scoredFrame(df, idCol, queryJson,
-      requireText, termIdf = termIdf))
+      requireText, termIdf = termIdf, synonyms = synonyms))
   }
 
   /** ES `rescore` over [[esQueryScored]]: the global top `windowSize`

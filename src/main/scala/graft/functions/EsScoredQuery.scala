@@ -84,7 +84,10 @@ object EsScoredQuery {
     * `_q<i>_hits` columns.
     */
   private final case class MatchClause(id: Int, field: String,
-                                       terms: Seq[String])
+                                       groups: Seq[Seq[String]]) {
+    /** Flat distinct member terms — the tf/df lookup universe. */
+    def terms: Seq[String] = groups.flatten.distinct
+  }
 
   private sealed trait Node
   private final case class MatchNode(clause: MatchClause, requireAll: Boolean,
@@ -116,13 +119,23 @@ object EsScoredQuery {
 
   private final class Ctx(val idCol: String,
                           val requireText: String => Unit,
-                          val termIdf: Boolean = false) {
+                          val termIdf: Boolean = false,
+                          val synonyms: Map[String, Seq[String]] =
+                            Map.empty) {
     val clauses = scala.collection.mutable.ArrayBuffer.empty[MatchClause]
-    def register(field: String, terms: Seq[String]): MatchClause = {
-      val c = MatchClause(clauses.size, field, terms)
+    def register(field: String, groups: Seq[Seq[String]]): MatchClause = {
+      val c = MatchClause(clauses.size, field, groups)
       clauses += c
       c
     }
+    /** Query text → per-position synonym groups: each analyzed token
+      * expands to its rule set (Lucene's search-time `synonym_graph`
+      * rewrite; a token with no rule stays a singleton). Groups
+      * dedupe — the same discipline as the pre-synonym distinct term
+      * bag, so two query tokens landing in one set score it once.
+      */
+    def expand(terms: Seq[String]): Seq[Seq[String]] =
+      terms.map(t => synonyms.getOrElse(t, Seq(t))).distinct
     /** (field, raw value) per idf-scored `term` leaf; the index names
       * the `_t<i>_df` stat column.
       */
@@ -196,7 +209,7 @@ object EsScoredQuery {
               "(tf/df would need per-field analyzer tracking across " +
               "clauses); use the filter face (esQuery) or an index " +
               "built with InvertedIndex.build(analyzer = ...)")
-        MatchNode(ctx.register(field, analyze(text)), op == "and",
+        MatchNode(ctx.register(field, ctx.expand(analyze(text))), op == "and",
           boostOf(v))
       case "multi_match" =>
         val text = (body \ "query").extract[String]
@@ -228,7 +241,7 @@ object EsScoredQuery {
         val op = (body \ "operator").extractOrElse[String]("or")
         val boost = boostOf(body)
         def matchNodes = fieldBoosts.map { case (f, fb) =>
-          MatchNode(ctx.register(f, analyze(text)), op == "and",
+          MatchNode(ctx.register(f, ctx.expand(analyze(text))), op == "and",
             boost * fb)
         }
         (body \ "type").extractOrElse[String]("best_fields") match {
@@ -643,7 +656,7 @@ object EsScoredQuery {
         val fs = fieldsOf(f)
         fs.foreach(ctx.requireText)
         val nodes = fs.map(fl =>
-          MatchNode(ctx.register(fl, analyze(t)), requireAll = false,
+          MatchNode(ctx.register(fl, ctx.expand(analyze(t))), requireAll = false,
             1.0): Node)
         if (nodes.size == 1) nodes.head else DisMaxNode(nodes, 0.0)
       case PhraseN(f, t) =>
@@ -987,11 +1000,11 @@ object EsScoredQuery {
     case MatchNode(c, requireAll, boost) =>
       // a query that analyzes to zero terms matches nothing (ES's
       // empty-match), not everything — hits === 0 would invert that
-      if (c.terms.isEmpty) (lit(false), lit(0.0))
+      if (c.groups.isEmpty) (lit(false), lit(0.0))
       else {
         val hits = coalesce(col(s"_q${c.id}_hits"), lit(0L))
         val matched =
-          if (requireAll) hits === c.terms.size.toLong else hits > 0L
+          if (requireAll) hits === c.groups.size.toLong else hits > 0L
         (matched,
           when(matched, coalesce(col(s"_q${c.id}_score"), lit(0.0)) * boost)
             .otherwise(0.0))
@@ -1085,10 +1098,17 @@ object EsScoredQuery {
     * scores back from the aggregation — enforced where cheap: the
     * joined moments would otherwise fan out).
     */
+  /** `synonyms` — Solr-format rule strings ([[Synonyms.parse]]); the
+    * search-time `synonym_graph` set applied to every analyzed text
+    * clause (match / multi_match / query_string match legs), scored
+    * with Lucene's SynonymQuery blending (summed tf, max df, one
+    * Okapi pass per query position).
+    */
   def scoredFrame(docs: DataFrame, idCol: String, json: String,
                   requireText: String => Unit = _ => (),
                   k1: Double = 1.2, b: Double = 0.75,
-                  termIdf: Boolean = false): DataFrame = {
+                  termIdf: Boolean = false,
+                  synonyms: Seq[String] = Nil): DataFrame = {
     require(!docs.columns.contains("_score"),
       "frame already has a _score column")
     JsonMethods.parse(json) match {
@@ -1098,7 +1118,8 @@ object EsScoredQuery {
         return knnFrame(docs, idCol, body, requireText)
       case _ => ()
     }
-    val ctx = new Ctx(idCol, requireText, termIdf)
+    val ctx = new Ctx(idCol, requireText, termIdf,
+      Synonyms.parse(synonyms))
     val ast = parse(JsonMethods.parse(json), ctx)
     val byField = ctx.clauses.toSeq.groupBy(_.field)
     val withMoments = byField.foldLeft(docs) { case (acc, (field, cs)) =>
@@ -1289,7 +1310,12 @@ object EsScoredQuery {
                            k1: Double, b: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val allTerms = cs.flatMap(_.terms).distinct
+    // a clause whose query analyzed to zero terms matches nothing and
+    // its stat columns are never referenced (compile's empty-match
+    // arm) — drop it before generating per-group cells
+    val live = cs.filter(_.groups.nonEmpty)
+    if (live.isEmpty) return docs.select(col(idCol)).limit(0)
+    val allTerms = live.flatMap(_.terms).distinct
     val staged = docs
       .select(col(idCol), TextAnalysis.tokens(col(field)).as("_toks"))
       .select(col(idCol), col("_toks"),
@@ -1311,23 +1337,53 @@ object EsScoredQuery {
       .agg(count(lit(1)).cast("double").as("_tf"))
     val dfreq = tf.groupBy("_t")
       .agg(count_distinct(col(idCol)).cast("double").as("_df"))
-    val pairs = cs.flatMap(c => c.terms.map(t => (c.id, t)))
-      .toDF("_cid", "_t")
-    val perTerm = tf.join(broadcast(dfreq), Seq("_t"))
-      .join(broadcast(pairs), Seq("_t"))
+    // (clause, group, term) triples — a group is a Lucene
+    // SynonymQuery pseudo-term: per-doc tf SUMS over members, df
+    // blends as the MAX of member dfs (SynonymQuery.docFreq), idf and
+    // Okapi saturation apply ONCE per group. Singleton groups (every
+    // clause when no synonyms are configured) reproduce the plain
+    // per-term arithmetic expression-for-expression.
+    val pairs = live.flatMap(c => c.groups.zipWithIndex.flatMap {
+      case (g, gi) => g.map(t => (c.id, gi, t))
+    }).toDF("_cid", "_gid", "_t")
+    // per-(doc, clause, group) tf cells ride ONE doc-keyed
+    // aggregation — the clause/group structure is static, so group
+    // sums are conditional cells in the same pass, never a second
+    // shuffle
+    val tfCells: Seq[Column] = live.flatMap(c => c.groups.indices.map(gi =>
+      sum(when(col("_cid") === c.id && col("_gid") === gi, col("_tf")))
+        .as(s"_g${c.id}_${gi}_tf")))
+    val perDoc = tf.join(broadcast(pairs), Seq("_t"))
+      .groupBy(col(idCol))
+      .agg(max(col("_len")).as("_len"), tfCells: _*)
+    // blended group dfs: a 1-row broadcast (term dfs joined to the
+    // static triples; a member absent from the corpus carries df 0)
+    val dfCells: Seq[Column] = live.flatMap(c => c.groups.indices.map(gi =>
+      coalesce(max(when(col("_cid") === c.id && col("_gid") === gi,
+        col("_df"))), lit(0.0)).as(s"_g${c.id}_${gi}_df")))
+    val gdf = pairs.join(dfreq, Seq("_t"), "left")
+      .agg(dfCells.head, dfCells.tail: _*)
+    val scored = perDoc.crossJoin(broadcast(gdf))
       .crossJoin(broadcast(stats))
-      .withColumn("_idf",
-        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)))
-      .withColumn("_s",
-        col("_idf") * col("_tf") * (k1 + 1.0) /
-          (col("_tf") +
-            lit(k1) * (lit(1.0) - b + lit(b) * col("_len") / col("_avg"))))
-    // tf rows are unique per (doc, term); the pairs join adds _cid, so
-    // rows are unique per (doc, clause, term): hits = row count
-    val aggs: Seq[Column] = cs.flatMap(c => Seq(
-      sum(when(col("_cid") === c.id, col("_s"))).as(s"_q${c.id}_score"),
-      count(when(col("_cid") === c.id, 1)).as(s"_q${c.id}_hits")))
-    perTerm.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // a group's tf cell is null iff NO member occurred in the doc:
+    // hits counts matched GROUPS (operator=and requires every query
+    // position, however it was expanded)
+    val outCols: Seq[Column] = live.flatMap { c =>
+      val gs = c.groups.indices.map { gi =>
+        val tfc = col(s"_g${c.id}_${gi}_tf")
+        val dfc = col(s"_g${c.id}_${gi}_df")
+        val idf = log(lit(1.0) +
+          (col("_n") - dfc + 0.5) / (dfc + 0.5))
+        val score = idf * tfc * (k1 + 1.0) /
+          (tfc + lit(k1) *
+            (lit(1.0) - b + lit(b) * col("_len") / col("_avg")))
+        (when(tfc.isNotNull, score).otherwise(lit(0.0)),
+          when(tfc.isNotNull, 1L).otherwise(0L))
+      }
+      Seq(gs.map(_._1).reduce(_ + _).as(s"_q${c.id}_score"),
+        gs.map(_._2).reduce(_ + _).as(s"_q${c.id}_hits"))
+    }
+    scored.select(col(idCol) +: outCols: _*)
   }
 
   /** ES `rescore` — re-rank the TOP of the result list with a second

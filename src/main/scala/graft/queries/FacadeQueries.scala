@@ -301,6 +301,19 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // search-time synonym_graph ("join, merge" as an equivalent set):
+    // the merge-position becomes Lucene's SynonymQuery — tf SUMS over
+    // members per doc, df blends as the member MAX, Okapi saturates
+    // ONCE per query position. The oracle replays the blend; per-term
+    // scoring (the pre-synonym arithmetic) ranks docs holding both
+    // members differently and misses
+    "sy1_synonym_match" -> ((s, d) => {
+      docs(s, d).esQueryScored(
+        """{"match": {"text": "merge stream"}}""",
+        synonyms = Seq("join, merge"))
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
     // dis_max scoring: best branch + tie_breaker × the others. Branch
     // 2 is operator:and — it must match BOTH terms to score at all,
     // but when it matches its score is still the matched-term SUM
@@ -1210,6 +1223,30 @@ object FacadeQueries {
            |FROM bm b JOIN documents d ON d.doc_id = b.doc_id
            |WHERE d.lang IN ('en', 'fr', 'es') AND d.source <> 'src7'
            |ORDER BY score DESC, d.doc_id LIMIT 25""".stripMargin,
+    "sy1_synonym_match" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('join', 'merge', 'stream') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |map AS (SELECT * FROM (VALUES ('join', 0), ('merge', 0),
+           |                              ('stream', 1)) AS v(t, g)),
+           |gdf AS (SELECT g, max(df) AS df FROM dft JOIN map USING (t)
+           |        GROUP BY 1),
+           |gtf AS (SELECT doc_id, dl, g, sum(tf) AS tf
+           |        FROM tf JOIN map USING (t) GROUP BY 1, 2, 3),
+           |bm AS (SELECT doc_id,
+           |         sum(ln(1 + (n - gdf.df + 0.5) / (gdf.df + 0.5)) *
+           |             gtf.tf * (1.2 + 1) /
+           |             (gtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len)))
+           |           AS sc
+           |       FROM gtf JOIN gdf USING (g), st GROUP BY doc_id)
+           |SELECT doc_id, round(sc, 6) AS score FROM bm
+           |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "f23_function_score" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,

@@ -576,6 +576,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.linesIterator.exists(_.contains("Exchange")), p)
   }
 
+  test("sy1: synonym blending adds NO shuffle over the plain match — " +
+      "one doc-keyed aggregation, group stats enter as broadcasts") {
+    val syn = SparkEntry.queries("sy1_synonym_match")(
+      spark, TestSpark.sfDir).queryExecution.sparkPlan.toString
+    val plain = graft.functions.EsScoredQuery.scoredFrame(
+      graft.Tables.load(spark, TestSpark.sfDir, "documents"),
+      "doc_id", """{"match": {"text": "merge stream"}}""")
+      .queryExecution.sparkPlan.toString
+    def shuffles(p: String) =
+      p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles(syn) == shuffles(plain), s"$syn")
+    assert(!syn.contains("CartesianProduct"), syn)
+  }
+
   test("sg4: the weighted-suggest prefix read pushes the term RANGE " +
       "into the sidecar scan") {
     import spark.implicits._

@@ -733,4 +733,97 @@ class EsScoredQuerySpec extends AnyFunSuite {
         .stripMargin).select("_score").head().getDouble(0)
     assert(g == 1.0) // at the origin
   }
+
+  test("synonyms: rule parsing — equivalent sets, explicit mappings, " +
+      "refusals") {
+    val m = Synonyms.parse(Seq("quick, fast, rapid", "colour => color"))
+    assert(m("quick") == Seq("fast", "quick", "rapid"))
+    assert(m("fast") == Seq("fast", "quick", "rapid"))
+    assert(m("colour") == Seq("color"))
+    assert(!m.contains("color")) // explicit mapping is one-way
+    // entries fold through the corpus analyzer (lowercase)
+    assert(Synonyms.parse(Seq("Quick, FAST"))("quick") ==
+      Seq("fast", "quick"))
+    // multi-token entries refuse (positional graph expansion)
+    val mt = intercept[IllegalArgumentException](
+      Synonyms.parse(Seq("new york, nyc")))
+    assert(mt.getMessage.contains("single-token"), mt.getMessage)
+    // a token on the left of two rules refuses (ES's ambiguity rule)
+    val dup = intercept[IllegalArgumentException](
+      Synonyms.parse(Seq("quick, fast", "quick => rapid")))
+    assert(dup.getMessage.contains("two synonym rules"), dup.getMessage)
+    // more than one '=>' refuses; dangling '=>' refuses
+    intercept[IllegalArgumentException](Synonyms.parse(Seq("a => b => c")))
+    intercept[IllegalArgumentException](Synonyms.parse(Seq("a =>")))
+  }
+
+  test("synonyms: SynonymQuery blending — summed tf, max df, one " +
+      "Okapi pass per query position") {
+    val corpus = Seq(
+      (1L, "quick fast"), (2L, "quick"), (3L, "slow day")
+    ).toDF("doc_id", "text")
+    def rows(json: String, rules: Seq[String]): Map[Long, Double] =
+      EsScoredQuery.scoredFrame(corpus, "doc_id", json,
+          synonyms = rules)
+        .select("doc_id", "_score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q = """{"match": {"text": "quick"}}"""
+    val r = rows(q, Seq("quick, fast"))
+    // N=3, avg_len = (2+1+2)/3; group {fast,quick}: df(quick)=2,
+    // df(fast)=1 -> blended df = max = 2 (Lucene SynonymQuery.docFreq)
+    val n = 3.0; val avg = 5.0 / 3
+    val idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+    def okapi(tf: Double, len: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // doc1 holds BOTH members: tf blends to 2 in ONE saturation pass
+    assert(r(1L) == r6(okapi(2.0, 2.0)), r)
+    assert(r(2L) == r6(okapi(1.0, 1.0)), r)
+    assert(!r.contains(3L))
+    // un-expanded: doc1 scores tf=1 with df(quick)=2 — DIFFERENT
+    val plain = rows(q, Nil)
+    assert(plain(1L) != r(1L))
+    // expansion matches docs holding only a synonym member
+    val only = Seq((1L, "fast car"), (2L, "slow day"))
+      .toDF("doc_id", "text")
+    val e = EsScoredQuery.scoredFrame(only, "doc_id", q,
+      synonyms = Seq("quick, fast")).select("doc_id").collect()
+    assert(e.map(_.getLong(0)).toSeq == Seq(1L))
+    // explicit mapping drops the original term: query 'colour'
+    // reaches only 'color' docs
+    val cm = Seq((1L, "color wheel"), (2L, "colour wheel"))
+      .toDF("doc_id", "text")
+    val ex = EsScoredQuery.scoredFrame(cm, "doc_id",
+      """{"match": {"text": "colour"}}""",
+      synonyms = Seq("colour => color")).select("doc_id").collect()
+    assert(ex.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("synonyms: operator=and counts query POSITIONS (groups), and " +
+      "two query tokens of one set score the group once") {
+    val corpus = Seq(
+      (1L, "fast car"), (2L, "quick boat"), (3L, "car")
+    ).toDF("doc_id", "text")
+    // 'quick car' AND: doc1 matches via the expansion, doc3 lacks
+    // the quick-position, doc2 lacks car
+    val ids = EsScoredQuery.scoredFrame(corpus, "doc_id",
+      """{"match": {"text": {"query": "quick car",
+        |"operator": "and"}}}""".stripMargin,
+      synonyms = Seq("quick, fast")).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L))
+    // 'quick fast' collapses to ONE group — scored once, identical
+    // to the single-token query
+    val a = EsScoredQuery.scoredFrame(corpus, "doc_id",
+      """{"match": {"text": "quick fast"}}""",
+      synonyms = Seq("quick, fast"))
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = EsScoredQuery.scoredFrame(corpus, "doc_id",
+      """{"match": {"text": "quick"}}""",
+      synonyms = Seq("quick, fast"))
+      .select("doc_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
 }
