@@ -164,7 +164,8 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     * [[esMatch]] — both front doors enforce one capability contract.
     */
   def esQuery(queryJson: String,
-              matchOnlyTextFields: Boolean = true): GraftFrame = {
+              matchOnlyTextFields: Boolean = true,
+              synonyms: Seq[String] = Nil): GraftFrame = {
     val requireText: String => Unit =
       if (!matchOnlyTextFields) _ => ()
       else { field =>
@@ -174,7 +175,8 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
             "via withEsDtype or pass matchOnlyTextFields=false")
       }
     wrap(df.filter(
-      graft.functions.EsQueryDsl.toColumn(queryJson, idCol, requireText)))
+      graft.functions.EsQueryDsl.toColumn(queryJson, idCol, requireText,
+        synonyms)))
   }
 
   /** [[esQuery]] with QUERY-context (scoring) semantics: the matching

@@ -69,8 +69,155 @@ object EsQueryDsl {
     * non-text guard as es_match.
     */
   def toColumn(json: String, idCol: String = "_id",
-               requireText: String => Unit = _ => ()): Column =
-    fromJValue(JsonMethods.parse(json), idCol, requireText, col)
+               requireText: String => Unit = _ => (),
+               synonyms: Seq[String] = Nil): Column = {
+    val ast = JsonMethods.parse(json)
+    val syn = Synonyms.parse(synonyms)
+    val q = if (syn.isEmpty) ast else rewriteSynonyms(ast, syn)
+    fromJValue(q, idCol, requireText, col)
+  }
+
+  /** Search-time synonym rewrite for the FILTER face ([[Synonyms]]
+    * rule sets). Filter-context group semantics are exactly
+    * expressible in the DSL itself, so expansion is a pre-parse AST
+    * rewrite, not a new evaluator:
+    *
+    *  - `match` with `operator: or` — any member of any group
+    *    matches ⇒ the match text becomes the UNION of the expanded
+    *    members;
+    *  - `match` with `operator: and` — every query POSITION must be
+    *    present via some member ⇒ a `bool.must` of per-group
+    *    or-matches;
+    *  - `multi_match` — per-field rewritten matches under
+    *    `bool.should` (its any-field semantics).
+    *
+    * Clauses a rule TOUCHES refuse when the expansion would need
+    * positional graph semantics this engine does not approximate:
+    * `match_phrase` / prefix variants / `intervals` (Lucene models
+    * these as graph positions), `fuzziness` on an affected clause
+    * (ES's own fuzzy-vs-synonym-graph incompatibility), and
+    * non-standard analyzers (rules fold through the standard chain).
+    * Untouched clauses pass through byte-identical; `span_term` and
+    * `term`/`terms` take RAW terms in ES (no analysis) and are never
+    * rewritten.
+    */
+  private def rewriteSynonyms(q0: JValue,
+                              syn: Map[String, Seq[String]]): JValue = {
+    def touched(text: String): Boolean =
+      TextAnalysis.tokensOf(text).exists(syn.contains)
+    def groupsOf(text: String): Seq[Seq[String]] =
+      TextAnalysis.tokensOf(text).distinct
+        .map(t => syn.getOrElse(t, Seq(t))).distinct
+    def textOf(v: JValue): String = v match {
+      case JString(s) => s
+      case o          => (o \ "query").extract[String]
+    }
+    def requirePlain(v: JValue, what: String): Unit = {
+      require((v \ "fuzziness") == JNothing,
+        s"$what: fuzziness composed with a synonym-affected clause " +
+          "refuses (ES's fuzzy-vs-synonym_graph incompatibility)")
+      require(parseAnalyzer(v) == "standard",
+        s"$what: synonym rules fold through the standard analyzer; " +
+          "a synonym-affected clause with another analyzer refuses")
+    }
+    def matchNode(field: String, text: String, op: String): JValue =
+      if (op == "or")
+        JObject(List("match" -> JObject(List(field ->
+          JObject(List("query" ->
+            JString(groupsOf(text).flatten.distinct.mkString(" "))))))))
+      else
+        JObject(List("bool" -> JObject(List("must" ->
+          JArray(groupsOf(text).map(g =>
+            JObject(List("match" -> JObject(List(field ->
+              JObject(List("query" -> JString(g.mkString(" ")),
+                "operator" -> JString("or")))))))).toList)))))
+    // intervals rules nest match texts under all_of/any_of — collect
+    // every positional "query"/"match" text to decide the refusal
+    def intervalsTexts(v: JValue): Seq[String] = v match {
+      case JObject(fields) => fields.flatMap {
+        case ("match", body) => (body \ "query") match {
+          case JString(s) => Seq(s)
+          case _          => intervalsTexts(body)
+        }
+        case (_, body) => intervalsTexts(body)
+      }
+      case JArray(xs) => xs.flatMap(intervalsTexts)
+      case _ => Nil
+    }
+    def armAsQueries(v: JValue): JValue = v match {
+      case JArray(xs) => JArray(xs.map(rw))
+      case single     => rw(single)
+    }
+    def rw(q: JValue): JValue = q match {
+      case JObject(List(("bool", JObject(body)))) =>
+        JObject(List("bool" -> JObject(body.map {
+          case (k, v)
+              if Set("must", "should", "filter", "must_not")(k) =>
+            k -> armAsQueries(v)
+          case kv => kv
+        })))
+      case JObject(List(("dis_max", JObject(body)))) =>
+        JObject(List("dis_max" -> JObject(body.map {
+          case ("queries", v) => "queries" -> armAsQueries(v)
+          case kv             => kv
+        })))
+      case JObject(List(("constant_score", JObject(body)))) =>
+        JObject(List("constant_score" -> JObject(body.map {
+          case ("filter", v) => "filter" -> rw(v)
+          case kv            => kv
+        })))
+      case JObject(List(("boosting", JObject(body)))) =>
+        JObject(List("boosting" -> JObject(body.map {
+          case (k, v) if k == "positive" || k == "negative" => k -> rw(v)
+          case kv => kv
+        })))
+      case JObject(List(("nested", JObject(body)))) =>
+        JObject(List("nested" -> JObject(body.map {
+          case ("query", v) => "query" -> rw(v)
+          case kv           => kv
+        })))
+      case JObject(List(("match", body))) =>
+        val (field, v) = lonely(body, "match")
+        val text = textOf(v)
+        if (!touched(text)) q
+        else {
+          requirePlain(v, "match")
+          val op = v match {
+            case JString(_) => "or"
+            case o => (o \ "operator").extractOrElse[String]("or")
+          }
+          matchNode(field, text, op)
+        }
+      case JObject(List(("multi_match", body))) =>
+        val text = (body \ "query").extract[String]
+        if (!touched(text)) q
+        else {
+          requirePlain(body, "multi_match")
+          val fields = (body \ "fields") match {
+            case JArray(fs) => fs.map(_.extract[String])
+            case other => throw new IllegalArgumentException(
+              s"multi_match needs a fields list, got $other")
+          }
+          val op = (body \ "operator").extractOrElse[String]("or")
+          JObject(List("bool" -> JObject(List("should" ->
+            JArray(fields.map(matchNode(_, text, op)).toList)))))
+        }
+      case JObject(List((k, body))) if Set("match_phrase",
+          "match_phrase_prefix", "match_bool_prefix")(k) =>
+        val (_, v) = lonely(body, k)
+        require(!touched(textOf(v)),
+          s"$k with synonym-affected terms refuses: phrase expansion " +
+            "is a positional graph this engine does not approximate")
+        q
+      case JObject(List(("intervals", body))) =>
+        require(!intervalsTexts(body).exists(touched),
+          "intervals with synonym-affected match terms refuses: " +
+            "positional graph expansion is not approximated")
+        q
+      case other => other
+    }
+    rw(q0)
+  }
 
   /** FILTER-context compilation of an already-parsed clause — the hook
     * [[EsScoredQuery]] uses for the subtrees ES itself evaluates

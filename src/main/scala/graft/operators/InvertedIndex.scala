@@ -926,6 +926,74 @@ object InvertedIndex {
       .select(col("id"), col("term"), col("_s"))
   }
 
+  /** Index-served search with a SEARCH-TIME synonym set
+    * ([[graft.functions.Synonyms]] rule strings): each analyzed
+    * query position expands to its rule group and scores as Lucene's
+    * SynonymQuery — per-doc tf SUMS over member postings, df blends
+    * as the member MAX (SynonymQuery.docFreq), idf + Okapi once per
+    * group — reading only the member terms' postings buckets. Rule
+    * entries fold through the INDEX's analysis chain (Lucene's
+    * filter-ordering requirement: a synonym that analyzes
+    * differently from the index is a silent df mismatch). Scale
+    * shape: the group tf cells ride the SAME doc-keyed aggregation
+    * the plain search pays (the structure is static — conditional
+    * cells, not a second shuffle); member dfs are one tiny
+    * query-sized job (postings rows are unique per (term, id)) and
+    * the blended group dfs enter the score plan as literals, like
+    * the serving path's corpus stats.
+    */
+  def searchTopKSynonyms(spark: SparkSession, indexPath: String,
+                         queryTerms: Seq[String],
+                         synonymRules: Seq[String], k: Int,
+                         idColName: String = "id",
+                         k1: Double = 1.2,
+                         b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0)
+    val segs = committedSegments(spark, indexPath)
+    require(segs.nonEmpty,
+      s"$indexPath has no committed segments — build() first")
+    val dels = committedDeletes(spark, indexPath)
+    val st = liveStats(spark, segs, dels)
+    val syn = graft.functions.Synonyms.parse(synonymRules)
+      .map { case (f, ts) =>
+        st.analyzeTerm(f) -> ts.map(st.analyzeTerm).distinct.sorted
+      }
+    val groups = queryTerms.map(st.analyzeTerm).distinct
+      .map(t => syn.getOrElse(t, Seq(t))).distinct
+    val allTerms = groups.flatten.distinct
+    val n = st.n
+    val avg = if (n > 0) st.sumLen / n else 1.0
+    val p = prunedLivePostings(spark, segs, dels, allTerms, st.buckets)
+    val dfMap = p.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("_df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gdf: Seq[Double] =
+      groups.map(g => g.map(t => dfMap.getOrElse(t, 0.0)).max)
+    import spark.implicits._
+    val tg = groups.zipWithIndex.flatMap { case (g, gi) =>
+      g.map(t => (t, gi))
+    }.toDF("term", "_gid")
+    val cells = groups.indices.map(gi =>
+      sum(when(col("_gid") === gi, col("tf"))).as(s"_g${gi}_tf"))
+    val perDoc = p.join(broadcast(tg), Seq("term"))
+      .groupBy(col("id"))
+      .agg(max(col("len")).as("_len"), cells: _*)
+    val scoreCols = groups.indices.map { gi =>
+      val tfc = col(s"_g${gi}_tf")
+      val idf = math.log(1.0 + (n - gdf(gi) + 0.5) / (gdf(gi) + 0.5))
+      when(tfc.isNotNull,
+        lit(idf) * tfc * (k1 + 1.0) /
+          (tfc + lit(k1) *
+            (lit(1.0) - b + lit(b) * col("_len") / lit(avg))))
+        .otherwise(lit(0.0))
+    }
+    perDoc
+      .select(col("id").as(idColName),
+        round(scoreCols.reduce(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col(idColName))
+      .limit(k)
+  }
+
   /** ES `search_after` pagination of [[searchTopK]]: the next `k`
     * docs STRICTLY AFTER the (score, id) cursor in the ranking's own
     * order (score desc, id asc). The cursor compares on the ROUNDED
@@ -1968,6 +2036,43 @@ object InvertedIndex {
       .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
       .orderBy(col("df").desc, col("term"))
       .limit(k)
+  }
+
+  /** ES `_terms_enum` API: up to `size` index terms extending
+    * `prefix`, in LEXICOGRAPHIC order (the API's contract — df plays
+    * no part in terms_enum ranking), optionally strictly after
+    * `searchAfter` (the API's pagination cursor — pages tile with no
+    * overlap or gap). Served from the range-partitioned vocabulary
+    * sidecar behind the staleness fingerprint; unlike ES — whose docs
+    * warn the enum may leak terms living only in deleted documents —
+    * the live-postings read drops tombstoned-only terms, so the enum
+    * here is exact. The postings read prunes to the candidates'
+    * buckets plus the same pushable term range the suggesters use.
+    */
+  def termsEnum(spark: SparkSession, indexPath: String, prefix: String,
+                size: Int = 10,
+                searchAfter: Option[String] = None): DataFrame = {
+    require(size > 0, "size must be positive")
+    val (p, cand0, segs) =
+      vocabPrefixCandidates(spark, indexPath, prefix, 10000)
+    import spark.implicits._
+    val after = searchAfter.map(_.toLowerCase(java.util.Locale.ROOT))
+    val cand = after.fold(cand0)(a => cand0.filter(_ > a))
+    if (cand.isEmpty) return Seq.empty[String].toDF("term")
+    val dels = committedDeletes(spark, indexPath)
+    val st = liveStats(spark, segs, dels)
+    val wanted = cand.map(bucketOf(_, st.buckets)).distinct
+    val prune: DataFrame => DataFrame = df0 => {
+      val ranged = df0.filter(col("bucket").isin(wanted: _*))
+        .filter(col("term") >= p && col("term") < p + '￿')
+        .filter(col("term").startsWith(p))
+      after.fold(ranged)(a => ranged.filter(col("term") > a))
+    }
+    (if (dels.isEmpty) mergedPostings(spark, segs, prune)
+     else mergedLivePostings(spark, segs, dels, prune))
+      .select("term").distinct()
+      .orderBy(col("term"))
+      .limit(size)
   }
 
   /** ES completion-suggester ENTRIES with per-entry `weight` and

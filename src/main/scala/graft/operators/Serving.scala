@@ -439,9 +439,87 @@ object Serving {
           ranked(fetched.select(col("_id"),
             score(infText, col(fieldName)).cast("double").as("score")),
             window)
+        case "rescorer" =>
+          // ES 8.18 `rescorer` retriever: re-rank the child's top
+          // window_size with a second query under Lucene's
+          // QueryRescorer combine rules — the retriever-tree face of
+          // [[graft.functions.EsScoredQuery.rescoredFrame]], with the
+          // child's retriever scores standing in for the base query.
+          // The rescore leg scores against FULL-corpus statistics
+          // (Lucene's rescorer never re-scopes df/N/avg_len to the
+          // window), then a broadcast semi-join keeps only windowed
+          // docs; every combine re-rounds at 6 dp (the fusion
+          // discipline). Docs inside the child window but beyond
+          // window_size keep their child scores.
+          val inner = (body \ "retriever") match {
+            case JNothing => throw new IllegalArgumentException(
+              "rescorer needs a retriever")
+            case x => x
+          }
+          val rescore = (body \ "rescore") match {
+            case JObject(_) => body \ "rescore"
+            case other => throw new IllegalArgumentException(
+              s"rescorer needs a rescore object, got $other")
+          }
+          val cw = intOf(body \ "rank_window_size", "rank_window_size",
+            window)
+          val ws = intOf(rescore \ "window_size", "window_size", cw)
+          require(ws <= cw,
+            s"rescore window_size ($ws) must be <= the child window " +
+              s"($cw) — ES rescores only retrieved docs")
+          val rq = (rescore \ "query" \ "rescore_query") match {
+            case JNothing => throw new IllegalArgumentException(
+              "rescorer needs rescore.query.rescore_query")
+            case x => x
+          }
+          def wOf(key: String): Double =
+            (rescore \ "query" \ key) match {
+              case JNothing    => 1.0
+              case JDouble(d)  => d
+              case JDecimal(d) => d.toDouble
+              case JInt(n)     => n.toDouble
+              case JLong(n)    => n.toDouble
+              case other => throw new IllegalArgumentException(
+                s"$key must be a number, got $other")
+            }
+          val qw = wOf("query_weight")
+          val rw = wOf("rescore_query_weight")
+          val mode = (rescore \ "query" \ "score_mode") match {
+            case JNothing   => "total"
+            case JString(m) => m
+            case other => throw new IllegalArgumentException(
+              s"score_mode must be a string, got $other")
+          }
+          val child = eval(inner, cw)
+          val winIds = child.filter(col("rank") <= ws).select(col("_id"))
+          val re = graft.functions.EsScoredQuery.scoredFrame(
+              docs, idCol, JsonMethods.compact(JsonMethods.render(rq)))
+            .select(col(idCol).as("_id"), col("_score").as("_rescore"))
+            .join(broadcast(winIds), Seq("_id"), "left_semi")
+          val p = lit(qw) * col("score")
+          val s = lit(rw) * col("_rescore")
+          val combined = mode match {
+            case "total"    => p + s
+            case "multiply" => p * s
+            case "avg"      => (p + s) / 2.0
+            case "max"      => greatest(p, s)
+            case "min"      => least(p, s)
+            case other => throw new IllegalArgumentException(
+              s"score_mode '$other' not supported " +
+                "(total, multiply, avg, max, min)")
+          }
+          val rescored = child
+            .join(broadcast(winIds.withColumn("_in_win", lit(true))),
+              Seq("_id"), "left")
+            .join(broadcast(re), Seq("_id"), "left")
+            .withColumn("score", round(
+              when(col("_in_win").isNull, col("score"))
+                .when(col("_rescore").isNull, p)
+                .otherwise(combined), 6))
+          ranked(rescored.select(col("_id"), col("score")), window)
         case other => throw new IllegalArgumentException(
           s"retriever '$other' not supported (standard, knn, rrf, " +
-            "linear, pinned, rule, text_similarity_reranker)")
+            "linear, pinned, rule, text_similarity_reranker, rescorer)")
       }
     }
     // the shared pin machinery (pinned + rule retrievers): the given

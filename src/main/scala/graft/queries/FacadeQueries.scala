@@ -314,6 +314,19 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // FILTER-face synonyms: the same rule set as an AST rewrite —
+    // operator:and demands every query POSITION via some member, the
+    // lang filter passes through byte-identical
+    "sy2_synonym_filter" -> ((s, d) => {
+      docs(s, d).esQuery(
+        """{"bool": {
+          |  "must": [{"match": {"text": {"query": "merge stream",
+          |                               "operator": "and"}}}],
+          |  "filter": [{"terms": {"lang": ["en", "de"]}}]
+          |}}""".stripMargin,
+        synonyms = Seq("join, merge"))
+        .df.select(col("doc_id")).orderBy("doc_id")
+    }),
     // dis_max scoring: best branch + tie_breaker × the others. Branch
     // 2 is operator:and — it must match BOTH terms to score at all,
     // but when it matches its score is still the matched-term SUM
@@ -1223,6 +1236,14 @@ object FacadeQueries {
            |FROM bm b JOIN documents d ON d.doc_id = b.doc_id
            |WHERE d.lang IN ('en', 'fr', 'es') AND d.source <> 'src7'
            |ORDER BY score DESC, d.doc_id LIMIT 25""".stripMargin,
+    "sy2_synonym_filter" ->
+      raw"""SELECT doc_id FROM
+           |  (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+           |WHERE (list_contains(toks, 'join') OR
+           |       list_contains(toks, 'merge'))
+           |  AND list_contains(toks, 'stream')
+           |  AND lang IN ('en', 'de')
+           |ORDER BY doc_id""".stripMargin,
     "sy1_synonym_match" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,

@@ -1519,6 +1519,47 @@ object PipelineQueries {
           Seq("stream", "filter", "join"), k = 10, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // ES _terms_enum: lexicographic prefix enumeration from the
+    // vocabulary sidecar with the search_after cursor — two pages
+    // tile exactly; the oracle enumerates distinct tokens from the
+    // raw corpus, so a stale vocab, a lost term, or a cursor
+    // overlap/gap cannot match
+    "te1_terms_enum" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-te1-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", path)
+      graft.operators.InvertedIndex.buildVocabulary(s, path)
+      val p1 = graft.operators.InvertedIndex.termsEnum(
+        s, path, "s", size = 4)
+      val last = p1.collect().map(_.getString(0)).max
+      val p2 = graft.operators.InvertedIndex.termsEnum(
+        s, path, "s", size = 4, searchAfter = Some(last))
+      p1.withColumn("page", lit(1L))
+        .unionByName(p2.withColumn("page", lit(2L)))
+        .orderBy("page", "term")
+    }),
+    // index-served SYNONYM search: the query position "hash" expands
+    // through the rule set and scores as ONE SynonymQuery pseudo-term
+    // over the members' postings — tf sums per doc, df blends as the
+    // member MAX — while "scan" stays a singleton; the oracle replays
+    // the blend from the raw table, so a per-member scoring (the
+    // plain arithmetic) ranks docs holding both members differently
+    // and cannot match
+    "idx21_synonym_search" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-idx21-$tag").toString
+      graft.operators.InvertedIndex.build(t(s, d, "documents"),
+        "doc_id", "text", path)
+      graft.operators.InvertedIndex.searchTopKSynonyms(s, path,
+          Seq("hash", "scan"), Seq("hash, key"), k = 12,
+          idColName = "doc_id")
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     // index-served FUZZY search: typo'd query terms resolve through
     // the SymSpell deletion dictionary (exact recall at edit distance
     // <= 1, O(term length) lookups — never the f17 brute scan over
@@ -1988,6 +2029,29 @@ object PipelineQueries {
       graft.operators.Serving.retrieverSearch(t(s, d, "documents"),
         "doc_id", t(s, d, "embeddings"), "vec_id", "embedding", tree,
         k = 15, rankWindowSize = 30)
+    }),
+    // ES 8.18 `rescorer` retriever node: the child's top
+    // window_size re-scores under a second match query with Lucene's
+    // QueryRescorer combine (query_weight x base +
+    // rescore_query_weight x rescore); windowed docs missing the
+    // rescore query keep the weighted base, docs beyond window_size
+    // keep their child scores — the oracle replays both BM25 legs,
+    // the window cut, the combine arms and the re-rank
+    "rtv7_rescorer_node" -> ((s, d) => {
+      val tree =
+        """{"rescorer": {
+          |  "retriever": {"standard": {"query":
+          |    {"match": {"text": "stream filter"}}}},
+          |  "rank_window_size": 30,
+          |  "rescore": {"window_size": 10, "query": {
+          |    "rescore_query": {"match": {"text": "join merge"}},
+          |    "query_weight": 0.7,
+          |    "rescore_query_weight": 1.2,
+          |    "score_mode": "total"}}
+          |}}""".stripMargin
+      graft.operators.Serving.retrieverSearch(t(s, d, "documents"),
+        "doc_id", t(s, d, "embeddings"), "vec_id", "embedding",
+        tree, k = 20, rankWindowSize = 30)
     }),
     // the one-call RAG path: chunk -> embed (the deterministic stub
     // through the pluggable seam) -> query embedded with the SAME
@@ -4181,6 +4245,40 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "te1_terms_enum" ->
+      raw"""WITH v AS (SELECT DISTINCT t FROM
+           |  (SELECT unnest($toksSql) AS t FROM documents)
+           |  WHERE t LIKE 's%'),
+           |p1 AS (SELECT t FROM v ORDER BY t LIMIT 4),
+           |p2 AS (SELECT t FROM v WHERE t > (SELECT max(t) FROM p1)
+           |       ORDER BY t LIMIT 4)
+           |SELECT CAST(1 AS BIGINT) AS page, t AS term FROM p1
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT) AS page, t AS term FROM p2
+           |ORDER BY page, term""".stripMargin,
+    "idx21_synonym_search" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('hash', 'key', 'scan') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |map AS (SELECT * FROM (VALUES ('hash', 0), ('key', 0),
+           |                              ('scan', 1)) AS v(t, g)),
+           |gdf AS (SELECT g, max(df) AS df FROM dft JOIN map USING (t)
+           |        GROUP BY 1),
+           |gtf AS (SELECT doc_id, dl, g, sum(tf) AS tf
+           |        FROM tf JOIN map USING (t) GROUP BY 1, 2, 3)
+           |SELECT doc_id,
+           |  round(sum(ln(1 + (n - gdf.df + 0.5) / (gdf.df + 0.5)) *
+           |    gtf.tf * (1.2 + 1) /
+           |    (gtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6)
+           |    AS score
+           |FROM gtf JOIN gdf USING (g), st
+           |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 12""".stripMargin,
     // brute-resolution replay: the oracle finds every vocabulary term
     // within levenshtein 1 of each typo'd query term by scanning the
     // WHOLE vocabulary — the deletion dictionary never exists
@@ -4926,6 +5024,46 @@ object PipelineQueries {
            |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
            |           AS BIGINT) AS rank,
            |         doc_id AS id, score FROM f)
+           |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "rtv7_rescorer_node" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter', 'join', 'merge')
+           |       GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm1 AS (SELECT doc_id,
+           |          round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf *
+           |            (1.2 + 1) /
+           |            (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6)
+           |            AS score
+           |        FROM tf JOIN dft USING (t), st
+           |        WHERE t IN ('stream', 'filter') GROUP BY doc_id),
+           |lex AS (SELECT doc_id, score,
+           |          row_number() OVER (ORDER BY score DESC, doc_id)
+           |            AS rank
+           |        FROM (SELECT * FROM bm1 ORDER BY score DESC, doc_id
+           |              LIMIT 30)),
+           |bm2 AS (SELECT doc_id,
+           |          round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf *
+           |            (1.2 + 1) /
+           |            (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6)
+           |            AS rs
+           |        FROM tf JOIN dft USING (t), st
+           |        WHERE t IN ('join', 'merge') GROUP BY doc_id),
+           |res AS (SELECT l.doc_id,
+           |          CASE WHEN l.rank <= 10 THEN
+           |            round(0.7 * l.score + coalesce(1.2 * b.rs, 0), 6)
+           |          ELSE l.score END AS score
+           |        FROM lex l LEFT JOIN bm2 b ON l.doc_id = b.doc_id)
+           |SELECT rank, id, score FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+           |           AS BIGINT) AS rank,
+           |         doc_id AS id, score FROM res)
            |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // every cell probed => identical to exact brute force over the raw
     // table: the quantizer, cell layout, and segment plumbing never

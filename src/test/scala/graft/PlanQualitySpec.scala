@@ -561,11 +561,11 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("sv1: sparse_vector scoring over a ready column is " +
       "shuffle-free — scan, filter, sorted limit; no join, no window") {
-    import spark.implicits._
-    val sv = Seq((1L, Seq(("a", 2.0)))).toDF("doc_id", "raw")
-      .select(col("doc_id"), transform(col("raw"), e =>
-        struct(e.getField("_1").as("token"),
-          e.getField("_2").as("weight"))).as("ml_tokens"))
+    // a FILE-backed frame: literal local data constant-folds to a
+    // LocalTableScan and the plan shape under test disappears
+    val sv = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), array(struct(lit("a").as("token"),
+        col("n_chars").cast("double").as("weight"))).as("ml_tokens"))
     val df = graft.functions.EsScoredQuery.scoredFrame(sv, "doc_id",
       """{"sparse_vector": {"field": "ml_tokens",
         |"query_vector": {"a": 1.0}}}""".stripMargin)

@@ -651,4 +651,66 @@ class EsQueryDslSpec extends AnyFunSuite {
       assert(snU == ivU, s"unordered slop $slop")
     }
   }
+  test("synonyms filter face: or-union, and-positions, multi_match, " +
+      "untouched passthrough") {
+    import spark.implicits._
+    val f = GraftFrame(Seq(
+      (1L, "fast car", "red"), (2L, "quick boat", "blue"),
+      (3L, "car", "quick"), (4L, "slow day", "green")
+    ).toDF("id", "text", "tag"), "id")
+    def ids(g: GraftFrame): Seq[Long] =
+      g.df.select("id").collect().map(_.getLong(0)).toSeq.sorted
+    val rules = Seq("quick, fast")
+    // or: any member of any group
+    assert(ids(f.esQuery("""{"match": {"text": "quick"}}""",
+      synonyms = rules)) == Seq(1L, 2L))
+    // and: every query POSITION via some member
+    assert(ids(f.esQuery(
+      """{"match": {"text": {"query": "quick car",
+        |"operator": "and"}}}""".stripMargin,
+      synonyms = rules)) == Seq(1L))
+    // multi_match: any-field, expansion per field
+    assert(ids(f.esQuery(
+      """{"multi_match": {"query": "quick", "fields":
+        |["text", "tag"]}}""".stripMargin,
+      synonyms = rules)) == Seq(1L, 2L, 3L))
+    // untouched clause: byte-identical passthrough (term is raw)
+    assert(ids(f.esQuery("""{"term": {"tag": "quick"}}""",
+      synonyms = rules)) == Seq(3L))
+    // composes under bool arms
+    assert(ids(f.esQuery(
+      """{"bool": {"must": [{"match": {"text": "quick"}}],
+        |"must_not": [{"term": {"tag": "blue"}}]}}""".stripMargin,
+      synonyms = rules)) == Seq(1L))
+  }
+
+  test("synonyms filter face: positional/fuzzy/analyzer refusals " +
+      "fire only when a rule touches the clause") {
+    import spark.implicits._
+    val f = GraftFrame(
+      Seq((1L, "fast car")).toDF("id", "text"), "id")
+    val rules = Seq("quick, fast")
+    // phrase with an affected term refuses; unaffected phrase passes
+    val ph = intercept[IllegalArgumentException](f.esQuery(
+      """{"match_phrase": {"text": "quick car"}}""", synonyms = rules))
+    assert(ph.getMessage.contains("positional"), ph.getMessage)
+    assert(f.esQuery("""{"match_phrase": {"text": "slow day"}}""",
+      synonyms = rules).len() == 0)
+    // fuzziness on an affected match refuses
+    val fz = intercept[IllegalArgumentException](f.esQuery(
+      """{"match": {"text": {"query": "quick",
+        |"fuzziness": 1}}}""".stripMargin, synonyms = rules))
+    assert(fz.getMessage.contains("fuzz"), fz.getMessage)
+    // non-standard analyzer on an affected match refuses
+    val an = intercept[IllegalArgumentException](f.esQuery(
+      """{"match": {"text": {"query": "quick",
+        |"analyzer": "english"}}}""".stripMargin, synonyms = rules))
+    assert(an.getMessage.contains("analyzer"), an.getMessage)
+    // intervals match with an affected term refuses
+    val iv = intercept[IllegalArgumentException](f.esQuery(
+      """{"intervals": {"text": {"match":
+        |{"query": "quick car"}}}}""".stripMargin, synonyms = rules))
+    assert(iv.getMessage.contains("intervals"), iv.getMessage)
+  }
 }
+

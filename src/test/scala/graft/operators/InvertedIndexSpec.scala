@@ -1473,4 +1473,59 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(InvertedIndex.stats(spark, path).head()
       .getAs[Long]("n_docs") == 1L)
   }
+  test("searchTopKSynonyms: SynonymQuery blending over postings — " +
+      "summed tf, max member df, singleton parity") {
+    val corpus = Seq(
+      (1L, "quick fast car"), (2L, "quick boat"), (3L, "car port")
+    ).toDF("id", "text")
+    val path = tmp("graft-syn-idx")
+    InvertedIndex.build(corpus, "id", "text", path)
+    val r = InvertedIndex.searchTopKSynonyms(spark, path,
+      Seq("quick"), Seq("quick, fast"), k = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // N=3, avg=(3+2+2)/3; group {fast,quick}: df(quick)=2, df(fast)=1
+    // -> blended df 2; doc1 tf 2, doc2 tf 1
+    val n = 3.0; val avg = 7.0 / 3
+    val idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+    def okapi(tf: Double, len: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(r == Map(1L -> r6(okapi(2, 3)), 2L -> r6(okapi(1, 2))))
+    // no rules touching the query -> identical to the plain search
+    val plain = InvertedIndex.searchTopK(spark, path,
+      Seq("car", "port"), k = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val same = InvertedIndex.searchTopKSynonyms(spark, path,
+      Seq("car", "port"), Seq("quick, fast"), k = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(plain == same)
+    // a member absent from the corpus contributes df 0, not a crash
+    val ab = InvertedIndex.searchTopKSynonyms(spark, path,
+      Seq("port"), Seq("port, starboard"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ab == Seq(3L))
+  }
+  test("termsEnum: lexicographic prefix pages tile; tombstoned-only " +
+      "terms drop; cursor and refusals") {
+    val corpus = Seq(
+      (1L, "apple apricot"), (2L, "april apple"), (3L, "banana apex")
+    ).toDF("id", "text")
+    val path = tmp("graft-te-idx")
+    InvertedIndex.build(corpus, "id", "text", path)
+    InvertedIndex.buildVocabulary(spark, path)
+    def terms(size: Int, after: Option[String] = None): Seq[String] =
+      InvertedIndex.termsEnum(spark, path, "ap", size, after)
+        .collect().map(_.getString(0)).toSeq
+    assert(terms(10) == Seq("apex", "apple", "apricot", "april"))
+    // pages tile exactly through the cursor
+    assert(terms(2) == Seq("apex", "apple"))
+    assert(terms(2, Some("apple")) == Seq("apricot", "april"))
+    // a term living only in a deleted doc drops (exact, unlike ES)
+    InvertedIndex.deleteDocs(Seq(3L).toDF("id"), path)
+    assert(terms(10) == Seq("apple", "apricot", "april"))
+    intercept[IllegalArgumentException](
+      InvertedIndex.termsEnum(spark, path, "ap", 0))
+  }
 }
+
+

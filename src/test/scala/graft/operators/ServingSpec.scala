@@ -359,4 +359,68 @@ class ServingSpec extends AnyFunSuite {
         "embedding", tree, k = 5, rankWindowSize = 10))
     assert(e.getMessage.contains("scorer"))
   }
+  test("retrieverSearch: rescorer node combines the child window with " +
+      "the rescore query under every arm") {
+    import spark.implicits._
+    val base = """{"standard": {"query": {"match": {"text": "stream filter"}}}}"""
+    def tree(ws: Int, mode: String) =
+      s"""{"rescorer": {
+         |  "retriever": $base,
+         |  "rank_window_size": 20,
+         |  "rescore": {"window_size": $ws, "query": {
+         |    "rescore_query": {"match": {"text": "join"}},
+         |    "query_weight": 0.5, "rescore_query_weight": 2,
+         |    "score_mode": "$mode"}}}}""".stripMargin
+    val child = Serving.retrieverSearch(docs, "doc_id", emb, "vec_id",
+      "embedding", base, k = 20, rankWindowSize = 20)
+      .select(col("id"), col("score").as("base"), col("rank"))
+    val rq = graft.functions.EsScoredQuery.scoredFrame(
+      docs, "doc_id", """{"match": {"text": "join"}}""")
+      .select(col("doc_id").as("id"), col("_score").as("rs"))
+    val got = Serving.retrieverSearch(docs, "doc_id", emb, "vec_id",
+      "embedding", tree(5, "total"), k = 20, rankWindowSize = 20)
+      .select(col("id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exp = child.join(rq, Seq("id"), "left").collect().map { r =>
+      val base = r.getAs[Double]("base")
+      val rank = r.getAs[Long]("rank")
+      val rs = Option(r.getAs[Any]("rs")).map(_.asInstanceOf[Double])
+      val sc = if (rank <= 5)
+        math.round((0.5 * base + rs.fold(0.0)(2 * _)) * 1e6) / 1e6
+      else base
+      r.getAs[Long]("id") -> sc
+    }.toMap
+    assert(got == exp)
+    // multiply / max arms change the combine, non-window rows do not
+    val gm = Serving.retrieverSearch(docs, "doc_id", emb, "vec_id",
+      "embedding", tree(5, "max"), k = 20, rankWindowSize = 20)
+      .select(col("id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val em = child.join(rq, Seq("id"), "left").collect().map { r =>
+      val base = r.getAs[Double]("base")
+      val rank = r.getAs[Long]("rank")
+      val rs = Option(r.getAs[Any]("rs")).map(_.asInstanceOf[Double])
+      val sc = if (rank <= 5)
+        math.round(rs.fold(0.5 * base)(x =>
+          math.max(0.5 * base, 2 * x)) * 1e6) / 1e6
+      else base
+      r.getAs[Long]("id") -> sc
+    }.toMap
+    assert(gm == em)
+    // refusals: window larger than the child, missing rescore_query,
+    // unknown score_mode
+    intercept[IllegalArgumentException](Serving.retrieverSearch(
+      docs, "doc_id", emb, "vec_id", "embedding",
+      tree(25, "total"), k = 20, rankWindowSize = 20))
+    intercept[IllegalArgumentException](Serving.retrieverSearch(
+      docs, "doc_id", emb, "vec_id", "embedding",
+      """{"rescorer": {"retriever": {"standard": {"query":
+        |{"match": {"text": "x"}}}},
+        |"rescore": {"query": {}}}}""".stripMargin,
+      k = 5, rankWindowSize = 10))
+    intercept[IllegalArgumentException](Serving.retrieverSearch(
+      docs, "doc_id", emb, "vec_id", "embedding",
+      tree(5, "geometric"), k = 20, rankWindowSize = 20))
+  }
 }
+
