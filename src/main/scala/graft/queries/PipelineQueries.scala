@@ -1519,6 +1519,56 @@ object PipelineQueries {
           Seq("stream", "filter", "join"), k = 10, idColName = "doc_id")
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // ES ingest pipeline: 8 ordered processors (dissect, convert,
+    // lowercase, set, convert-to-string, gsub, a date format LADDER
+    // where the first format misses and the second parses) as ONE
+    // narrow projection stage — the oracle replays every processor,
+    // so a wrong order, a greedy dissect, or a first-format-wins
+    // mistake cannot match
+    "ig1_ingest_pipeline" -> ((s, d) => {
+      val pipe = graft.operators.IngestPipeline(
+        """{"processors": [
+          |  {"dissect": {"field": "o_orderpriority",
+          |    "pattern": "%{prio_num}-%{prio_word}"}},
+          |  {"convert": {"field": "prio_num", "type": "long"}},
+          |  {"lowercase": {"field": "prio_word"}},
+          |  {"set": {"field": "engine", "value": "graft"}},
+          |  {"convert": {"field": "o_orderkey", "type": "string",
+          |    "target_field": "o_key"}},
+          |  {"gsub": {"field": "o_orderstatus", "pattern": "^O$",
+          |    "replacement": "OPEN", "target_field": "status_x"}},
+          |  {"convert": {"field": "o_orderdate", "type": "string",
+          |    "target_field": "od_str"}},
+          |  {"date": {"field": "od_str",
+          |    "formats": ["UNIX", "yyyy-MM-dd HH:mm:ss"],
+          |    "target_field": "ots"}}
+          |]}""".stripMargin)
+      pipe(t(s, d, "orders"))
+        .select(col("o_orderkey"), col("prio_num"), col("prio_word"),
+          col("engine"), col("o_key"), col("status_x"),
+          col("ots").cast("string").as("ots_str"))
+        .orderBy("o_orderkey")
+    }),
+    // ES enrich processor: the nation policy joins as a BROADCAST
+    // dimension with max_matches=1 uniqueness enforced in-plan; the
+    // copied fields land as ES's object (a struct), read back as
+    // scalars
+    "ig2_ingest_enrich" -> ((s, d) => {
+      val policies = Map("nations" ->
+        graft.operators.IngestPipeline.EnrichPolicy(
+          t(s, d, "nation"), "n_nationkey",
+          Seq("n_name", "n_regionkey")))
+      val pipe = graft.operators.IngestPipeline(
+        """{"processors": [
+          |  {"enrich": {"policy_name": "nations",
+          |    "field": "c_nationkey", "target_field": "nation"}}
+          |]}""".stripMargin, policies)
+      pipe(t(s, d, "customer"))
+        .select(col("c_custkey"),
+          col("nation.n_name").as("nation_name"),
+          col("nation.n_regionkey").as("nation_region"))
+        .orderBy("c_custkey")
+    }),
     // ES _terms_enum: lexicographic prefix enumeration from the
     // vocabulary sidecar with the search_after cursor — two pages
     // tile exactly; the oracle enumerates distinct tokens from the
@@ -4245,6 +4295,22 @@ object PipelineQueries {
            |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6) AS score
            |FROM tf JOIN dft USING (t), st
            |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ig1_ingest_pipeline" ->
+      """SELECT o_orderkey,
+        |  CAST(regexp_extract(o_orderpriority, '^(.*?)-(.*)$', 1)
+        |    AS BIGINT) AS prio_num,
+        |  lower(regexp_extract(o_orderpriority, '^(.*?)-(.*)$', 2))
+        |    AS prio_word,
+        |  'graft' AS engine,
+        |  CAST(o_orderkey AS VARCHAR) AS o_key,
+        |  regexp_replace(o_orderstatus, '^O$', 'OPEN', 'g') AS status_x,
+        |  CAST(o_orderdate AS VARCHAR) AS ots_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "ig2_ingest_enrich" ->
+      """SELECT c_custkey, n_name AS nation_name,
+        |  n_regionkey AS nation_region
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
     "te1_terms_enum" ->
       raw"""WITH v AS (SELECT DISTINCT t FROM
            |  (SELECT unnest($toksSql) AS t FROM documents)

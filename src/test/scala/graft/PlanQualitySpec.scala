@@ -590,6 +590,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!syn.contains("CartesianProduct"), syn)
   }
 
+  test("ig1: an ingest pipeline is ONE narrow projection stage — " +
+      "no shuffle, no join, a single scan") {
+    val pipe = graft.operators.IngestPipeline(
+      """{"processors": [
+        |  {"dissect": {"field": "o_orderpriority",
+        |    "pattern": "%{pn}-%{pw}"}},
+        |  {"lowercase": {"field": "pw"}},
+        |  {"set": {"field": "engine", "value": "graft"}}
+        |]}""".stripMargin)
+    val p = pipe(graft.Tables.load(spark, TestSpark.sfDir, "orders"))
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("Scan")) == 1, p)
+  }
+
+  test("ig2: the enrich processor joins as a BROADCAST dimension — " +
+      "never a sort-merge shuffle of the corpus") {
+    val p = SparkEntry.queries("ig2_ingest_enrich")(
+      spark, TestSpark.sfDir).queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("sg4: the weighted-suggest prefix read pushes the term RANGE " +
       "into the sidecar scan") {
     import spark.implicits._
