@@ -467,6 +467,36 @@ object AggQueries {
       EsAggs.globalAgg(Tables.load(s, d, "orders"),
         col("o_orderpriority") === "1-URGENT", "o_totalprice")
     }),
+    // the ES _transform API, pivot type: group_by sources (terms +
+    // calendar-month date_histogram) x a 4-agg matrix as ONE keyed
+    // aggregation — the entity-centric materialization ES runs
+    // cluster-side
+    "xf1_transform_pivot" -> ((s, d) => {
+      graft.operators.Transforms.pivot(Tables.load(s, d, "orders"),
+        """{"pivot": {
+          |  "group_by": {
+          |    "status": {"terms": {"field": "o_orderstatus"}},
+          |    "month": {"date_histogram": {"field": "o_orderdate",
+          |      "calendar_interval": "month"}}},
+          |  "aggregations": {
+          |    "avg_price": {"avg": {"field": "o_totalprice"}},
+          |    "total": {"sum": {"field": "o_totalprice"}},
+          |    "n": {"value_count": {"field": "o_orderkey"}},
+          |    "customers": {"cardinality": {"field": "o_custkey"}}}
+          |}}""".stripMargin)
+    }),
+    // the ES _transform API, latest type: newest order per customer
+    // as a keyed struct-max (never a corpus window); ES's
+    // ingest-order tie closes deterministically on the tie breaker
+    "xf2_transform_latest" -> ((s, d) => {
+      graft.operators.Transforms.latest(Tables.load(s, d, "orders"),
+        """{"latest": {"unique_key": ["o_custkey"],
+          |"sort": "o_orderdate"}}""".stripMargin,
+        tieBreaker = "o_orderkey")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy("o_custkey")
+    }),
     // ES t_test type paired: per-row difference moments (exact
     // integral sums; one sqrt both engines)
     "tt2_t_test_paired" -> ((s, d) => {
@@ -1198,6 +1228,21 @@ object AggQueries {
          |FROM c
          |UNION ALL
          |SELECT 'global', g_count, g_avg FROM c""".stripMargin,
+    "xf1_transform_pivot" ->
+      s"""SELECT o_orderstatus AS status,
+         |  date_trunc('month', o_orderdate) AS month,
+         |  ${QueryUtil.rhuSql("avg(o_totalprice)", 6)} AS avg_price,
+         |  ${QueryUtil.rhuSql("sum(o_totalprice)", 6)} AS total,
+         |  CAST(count(o_orderkey) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS customers
+         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "xf2_transform_latest" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
     "tt2_t_test_paired" -> {
       def r6(e: String) = QueryUtil.rhuSql(e, 6)
       s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
