@@ -718,6 +718,23 @@ object PipelineQueries {
           "click_value")
         .orderBy("event_id")
     }),
+    // ES EQL sequence (the security-analytics face): signup ->
+    // purchase -> error per user within a 2h maxspan, anchored-greedy
+    // chains (every step takes the EARLIEST strictly-later event in
+    // (ts, id) order — the replayable semantics whose anchor match
+    // set equals ES's state machine, see Eql.scala); k-1 union+window
+    // passes, never an interval cross product. The oracle replays the
+    // greedy chain with row_number-over-join steps
+    "eql1_sequence" -> ((s, d) => {
+      graft.operators.Eql.sequence(t(s, d, "events"), "user_id",
+        "ts", "event_id",
+        Seq(col("event_type") === "signup",
+          col("event_type") === "purchase",
+          col("event_type") === "error"),
+        maxspanMs = 2L * 3600 * 1000)
+        .select(col("user_id"), col("id_1"), col("id_2"), col("id_3"))
+        .orderBy("user_id", "id_1")
+    }),
     // point-in-interval range join, bucketed to an equi-join: events
     // landing inside each error's 10-minute aftermath window. A raw
     // BETWEEN join would plan as a nested-loop product; the bucket
@@ -3922,6 +3939,32 @@ object PipelineQueries {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
         |ORDER BY p.event_id""".stripMargin,
+    "eql1_sequence" ->
+      """WITH e AS (SELECT event_id, ts, user_id, event_type
+        |           FROM events),
+        |s1 AS (SELECT user_id, ts AS t1, event_id AS i1 FROM e
+        |       WHERE event_type = 'signup'),
+        |c2 AS (SELECT user_id, t1, i1, t2, i2 FROM (
+        |  SELECT s1.user_id, s1.t1, s1.i1, e.ts AS t2,
+        |    e.event_id AS i2,
+        |    row_number() OVER (PARTITION BY s1.user_id, s1.i1
+        |      ORDER BY e.ts, e.event_id) AS rn
+        |  FROM s1 JOIN e ON e.user_id = s1.user_id
+        |    AND e.event_type = 'purchase'
+        |    AND (e.ts > s1.t1 OR (e.ts = s1.t1 AND e.event_id > s1.i1)))
+        |  WHERE rn = 1),
+        |c3 AS (SELECT user_id, t1, i1, i2, t3, i3 FROM (
+        |  SELECT c2.user_id, c2.t1, c2.i1, c2.i2, e.ts AS t3,
+        |    e.event_id AS i3,
+        |    row_number() OVER (PARTITION BY c2.user_id, c2.i1
+        |      ORDER BY e.ts, e.event_id) AS rn
+        |  FROM c2 JOIN e ON e.user_id = c2.user_id
+        |    AND e.event_type = 'error'
+        |    AND (e.ts > c2.t2 OR (e.ts = c2.t2 AND e.event_id > c2.i2)))
+        |  WHERE rn = 1)
+        |SELECT user_id, i1 AS id_1, i2 AS id_2, i3 AS id_3 FROM c3
+        |WHERE epoch_ms(t3) - epoch_ms(t1) <= 7200000
+        |ORDER BY user_id, i1""".stripMargin,
     "rj1_range_window" ->
       """WITH e AS (SELECT event_id AS err_id, ts AS w_start,
         |                  ts + INTERVAL 10 MINUTE AS w_end
