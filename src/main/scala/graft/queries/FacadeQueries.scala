@@ -979,6 +979,39 @@ object FacadeQueries {
           round(col("o_totalprice_sum"), 2).as("o_totalprice_sum"))
         .orderBy("o_orderdate_month")
     }),
+    // the ES 8.12 learning_to_rank RESCORER: BM25 retrieves, the
+    // imported tree-ensemble re-ranks the top-10 window on
+    // term_overlap/doc_tokens features (full score replacement, ES's
+    // LTR contract), ranks 11-15 keep the base ordering below — the
+    // oracle replays base ranking, feature extraction, both trees
+    // and the window re-rank
+    "ltr2_model_rescore" -> ((s, d) => {
+      val modelJson =
+        """{"trained_model":{"ensemble":{
+          |  "feature_names":["term_overlap","doc_tokens"],
+          |  "target_type":"regression",
+          |  "trained_models":[
+          |   {"tree":{"feature_names":["term_overlap","doc_tokens"],
+          |    "tree_structure":[
+          |     {"node_index":0,"decision_type":"lte","split_feature":0,
+          |      "threshold":1.0,"left_child":1,"right_child":2},
+          |     {"node_index":1,"leaf_value":0.25},
+          |     {"node_index":2,"leaf_value":2.5}]}},
+          |   {"tree":{"feature_names":["term_overlap","doc_tokens"],
+          |    "tree_structure":[
+          |     {"node_index":0,"decision_type":"lte","split_feature":1,
+          |      "threshold":60.0,"left_child":1,"right_child":2},
+          |     {"node_index":1,"leaf_value":0.5},
+          |     {"node_index":2,"leaf_value":-0.5}]}}],
+          |  "aggregate_output":{"weighted_sum":{"weights":[1.0,1.0]}}
+          |}}}""".stripMargin
+      graft.ml.Ltr.rescoreTopK(
+        Tables.load(s, d, "documents"), "doc_id",
+        """{"match": {"text": "stream filter"}}""",
+        queryText = "stream filter", windowSize = 10, k = 15,
+        extractors = graft.ml.FeatureLogger.defaultExtractors("text"),
+        model = graft.ml.TreeEnsemble.fromEsTrainedModel(modelJson))
+    }),
     // M3 LTR feature logging (eland/ml/ltr/feature_logger.py:30-163):
     // inline judgment list broadcast-joined to documents, every
     // default extractor evaluated in one pass per query — each feature
@@ -1244,6 +1277,43 @@ object FacadeQueries {
            |  AND list_contains(toks, 'stream')
            |  AND lang IN ('en', 'de')
            |ORDER BY doc_id""".stripMargin,
+    "ltr2_model_rescore" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf *
+           |           (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6)
+           |           AS score
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id),
+           |top AS (SELECT doc_id, score,
+           |          row_number() OVER (ORDER BY score DESC, doc_id)
+           |            AS brank
+           |        FROM (SELECT * FROM bm ORDER BY score DESC, doc_id
+           |              LIMIT 15)),
+           |winm AS (SELECT t.doc_id,
+           |    round((CASE WHEN (CAST(list_contains(s.toks, 'stream')
+           |            AS INT) + CAST(list_contains(s.toks, 'filter')
+           |            AS INT)) <= 1 THEN 0.25 ELSE 2.5 END)
+           |        + (CASE WHEN len(s.toks) <= 60 THEN 0.5
+           |           ELSE -0.5 END), 6) AS mscore
+           |  FROM top t JOIN s ON s.doc_id = t.doc_id
+           |  WHERE t.brank <= 10),
+           |winr AS (SELECT CAST(row_number() OVER
+           |           (ORDER BY mscore DESC, doc_id) AS BIGINT) AS rank,
+           |         doc_id, mscore AS score FROM winm),
+           |below AS (SELECT CAST(brank AS BIGINT) AS rank, doc_id,
+           |            score FROM top WHERE brank > 10)
+           |SELECT rank, doc_id AS id, score FROM
+           |  (SELECT * FROM winr UNION ALL SELECT * FROM below)
+           |WHERE rank <= 15 ORDER BY rank""".stripMargin,
     "sy1_synonym_match" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
