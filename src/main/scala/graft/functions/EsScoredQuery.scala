@@ -91,7 +91,9 @@ object EsScoredQuery {
 
   private sealed trait Node
   private final case class MatchNode(clause: MatchClause, requireAll: Boolean,
-                                     boost: Double) extends Node
+                                     boost: Double,
+                                     msm: Option[String] = None)
+      extends Node
   private final case class GatedConst(pred: Column, boost: Double) extends Node
   private final case class PhraseNode(id: Int, boost: Double) extends Node
   private final case class TermIdfNode(id: Int, pred: Column,
@@ -156,6 +158,37 @@ object EsScoredQuery {
     }
   }
 
+  /** ES `minimum_should_match` simple forms against a clause count:
+    * positive int N (N required; N > total matches nothing, Lucene's
+    * rule), negative int −N (total − N), "P%" (floor of that percent
+    * of total), "−P%" (total minus that floor). The resolved value
+    * floors at 1 — a pure-optional disjunction still needs one hit to
+    * MATCH (Lucene's pure-should rule). Conditional ladders
+    * ("3<90%") refuse.
+    */
+  private def resolveMsm(spec: String, total: Int): Int = {
+    val s = spec.trim
+    require(!s.contains("<"),
+      s"conditional minimum_should_match spec '$spec' is not " +
+        "supported (use a single integer or percentage)")
+    val n =
+      try {
+        if (s.endsWith("%")) {
+          val p = s.dropRight(1).trim.toInt
+          if (p >= 0) total * p / 100 else total + total * p / 100
+        } else {
+          val v = s.toInt
+          if (v >= 0) v else total + v
+        }
+      } catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"minimum_should_match '$spec' is not an integer or " +
+              "percentage")
+      }
+    math.max(n, 1)
+  }
+
   private def lonely(obj: JValue, what: String): (String, JValue) =
     obj match {
       case JObject(List((k, v))) => (k, v)
@@ -209,8 +242,17 @@ object EsScoredQuery {
               "(tf/df would need per-field analyzer tracking across " +
               "clauses); use the filter face (esQuery) or an index " +
               "built with InvertedIndex.build(analyzer = ...)")
+        val msmSpec = (v \ "minimum_should_match") match {
+          case JNothing   => None
+          case JInt(n)    => Some(n.toString)
+          case JString(m) => Some(m)
+          case other => throw new IllegalArgumentException(
+            s"minimum_should_match: $other")
+        }
+        // ES ignores msm under operator:and (all positions are
+        // already required)
         MatchNode(ctx.register(field, ctx.expand(analyze(text))), op == "and",
-          boostOf(v))
+          boostOf(v), msmSpec.filter(_ => op != "and"))
       case "multi_match" =>
         val text = (body \ "query").extract[String]
         val fields = (body \ "fields") match {
@@ -997,14 +1039,16 @@ object EsScoredQuery {
     * so parents can sum/greatest children without re-gating.
     */
   private def compile(n: Node): (Column, Column) = n match {
-    case MatchNode(c, requireAll, boost) =>
+    case MatchNode(c, requireAll, boost, msmSpec) =>
       // a query that analyzes to zero terms matches nothing (ES's
       // empty-match), not everything — hits === 0 would invert that
       if (c.groups.isEmpty) (lit(false), lit(0.0))
       else {
         val hits = coalesce(col(s"_q${c.id}_hits"), lit(0L))
-        val matched =
-          if (requireAll) hits === c.groups.size.toLong else hits > 0L
+        val need: Int =
+          if (requireAll) c.groups.size
+          else msmSpec.map(resolveMsm(_, c.groups.size)).getOrElse(1)
+        val matched = hits >= need.toLong
         (matched,
           when(matched, coalesce(col(s"_q${c.id}_score"), lit(0.0)) * boost)
             .otherwise(0.0))

@@ -301,6 +301,17 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // match-level minimum_should_match, ES's percentage form: "50%"
+    // of 4 positions floors to 2 required — the gate fires on docs
+    // holding >= 2 of the terms, scored by the matched sum; the
+    // oracle replays the floor and the HAVING cut
+    "f46_match_msm" -> ((s, d) => {
+      docs(s, d).esQueryScored(
+        """{"match": {"text": {"query": "stream filter join merge",
+          |"minimum_should_match": "50%"}}}""".stripMargin)
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
     // search-time synonym_graph ("join, merge" as an equivalent set):
     // the merge-position becomes Lucene's SynonymQuery — tf SUMS over
     // members per doc, df blends as the member MAX, Okapi saturates
@@ -1277,6 +1288,26 @@ object FacadeQueries {
            |  AND list_contains(toks, 'stream')
            |  AND lang IN ('en', 'de')
            |ORDER BY doc_id""".stripMargin,
+    "f46_match_msm" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter', 'join', 'merge')
+           |       GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf *
+           |           (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6)
+           |           AS score
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id
+           |       HAVING count(DISTINCT t) >= 2)
+           |SELECT doc_id, score FROM bm
+           |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "ltr2_model_rescore" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,

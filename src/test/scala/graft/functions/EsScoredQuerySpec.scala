@@ -826,4 +826,32 @@ class EsScoredQuerySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(a == b)
   }
+  test("match minimum_should_match: ints, negatives, percentages, " +
+      "above-total no-match, and-override") {
+    val corpus = Seq(
+      (1L, "a b c d"), (2L, "a b"), (3L, "a"), (4L, "x")
+    ).toDF("doc_id", "text")
+    def ids(body: String): Seq[Long] =
+      EsScoredQuery.scoredFrame(corpus, "doc_id",
+        s"""{"match": {"text": {"query": "a b c d", $body}}}""")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids("\"minimum_should_match\": 2") == Seq(1L, 2L))
+    // "50%" of 4 -> 2; "-1" -> total-1 = 3; "-50%" -> 4-2 = 2
+    assert(ids("\"minimum_should_match\": \"50%\"") == Seq(1L, 2L))
+    assert(ids("\"minimum_should_match\": -1") == Seq(1L))
+    assert(ids("\"minimum_should_match\": \"-50%\"") == Seq(1L, 2L))
+    // above total matches NOTHING (Lucene's rule)
+    assert(ids("\"minimum_should_match\": 9") == Seq())
+    // floors at 1: "10%" of 4 -> 0 -> 1 (pure-should still needs one)
+    assert(ids("\"minimum_should_match\": \"10%\"") ==
+      Seq(1L, 2L, 3L))
+    // operator:and ignores msm (ES: every position already required)
+    assert(ids("\"operator\": \"and\", \"minimum_should_match\": 1")
+      == Seq(1L))
+    // conditional ladders refuse
+    val lad = intercept[IllegalArgumentException](
+      ids("\"minimum_should_match\": \"3<90%\""))
+    assert(lad.getMessage.contains("conditional"), lad.getMessage)
+  }
 }
+
