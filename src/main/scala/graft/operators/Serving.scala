@@ -70,12 +70,22 @@ object Serving {
     * child's ids broadcast onto the docs frame to fetch the field —
     * the corpus never shuffles for a ≤ window candidate set.
     */
+  /** `encoderFactory` backs the `semantic` retriever node (ES 8.18
+    * `semantic` query over a semantic_text field): the node embeds
+    * its query text driver-side with this encoder — the emb4 seam,
+    * so the vectors frame must carry embeddings from the SAME
+    * encoder (ES enforces the same via the field's inference_id; a
+    * node carrying an explicit `inference_id` refuses rather than
+    * silently ignoring a server-side model reference).
+    */
   def retrieverSearch(docs: DataFrame, idCol: String,
                       vectors: DataFrame, vecIdCol: String,
                       vecCol: String, json: String, k: Int,
                       rankWindowSize: Int = 100,
                       reranker: Option[(String, Column) => Column] =
-                        None): DataFrame = {
+                        None,
+                      encoderFactory: () => graft.ml.TextEncoder =
+                        graft.ml.Inference.hashEncoder(8)): DataFrame = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     require(k >= 1, s"k must be >= 1, got $k")
@@ -439,6 +449,35 @@ object Serving {
           ranked(fetched.select(col("_id"),
             score(infText, col(fieldName)).cast("double").as("score")),
             window)
+        case "semantic" =>
+          // ES 8.18 `semantic` retriever: the query text embeds
+          // driver-side through the encoder seam and scores by exact
+          // cosine against the vectors frame — the query-time half of
+          // the semantic_text stack (sx1 is the index-served form;
+          // this is the tree leg). Scores are raw 6-dp cosine, the
+          // same surface as the knn leg, so rrf/linear fusion
+          // composes identically.
+          val qt = (body \ "query") match {
+            case JString(t) if t.nonEmpty => t
+            case other => throw new IllegalArgumentException(
+              s"semantic retriever needs non-empty query text, " +
+                s"got $other")
+          }
+          require((body \ "inference_id") == JNothing,
+            "semantic retriever: inference_id names a server-side " +
+              "deployed model — pass the encoder via encoderFactory " +
+              "instead (refused rather than silently ignored)")
+          val kk = intOf(body \ "k", "semantic k", window)
+          val qv: Seq[Double] = {
+            val enc = encoderFactory()
+            try enc.encodeBatch(Array(qt)).head.toSeq.map(_.toDouble)
+            finally enc.close()
+          }
+          val cos = round(graft.plans.VectorExpressions.cosine(
+            graft.functions.VectorOps.asDouble(col(vecCol)),
+            typedLit(qv)), 6)
+          ranked(vectors.select(col(vecIdCol).as("_id"),
+            cos.as("score")), math.min(kk, window))
         case "rescorer" =>
           // ES 8.18 `rescorer` retriever: re-rank the child's top
           // window_size with a second query under Lucene's
@@ -519,7 +558,8 @@ object Serving {
           ranked(rescored.select(col("_id"), col("score")), window)
         case other => throw new IllegalArgumentException(
           s"retriever '$other' not supported (standard, knn, rrf, " +
-            "linear, pinned, rule, text_similarity_reranker, rescorer)")
+            "linear, pinned, rule, text_similarity_reranker, " +
+            "rescorer, semantic)")
       }
     }
     // the shared pin machinery (pinned + rule retrievers): the given

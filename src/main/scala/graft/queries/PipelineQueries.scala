@@ -2120,6 +2120,26 @@ object PipelineQueries {
         "doc_id", t(s, d, "embeddings"), "vec_id", "embedding",
         tree, k = 20, rankWindowSize = 30)
     }),
+    // ES 8.18 `semantic` retriever leg: the query text embeds
+    // driver-side through the SAME stub encoder that embedded the
+    // docs, exact cosine, fused with a lexical leg under rrf — the
+    // oracle replays the md5 stub per dimension, the cosine, both
+    // rank cuts and the fusion
+    "rtv8_semantic_leg" -> ((s, d) => {
+      val docsF = t(s, d, "documents").filter(col("doc_id") < 200)
+      val vec = graft.ml.Inference.embedText(
+        docsF.select(col("doc_id"), col("text")), "doc_id", "text",
+        graft.ml.Inference.hashEncoder(8))
+      val tree =
+        """{"rrf": {"rank_constant": 60, "rank_window_size": 25,
+          |"retrievers": [
+          |  {"standard": {"query":
+          |    {"match": {"text": "stream filter"}}}},
+          |  {"semantic": {"query": "stream filter merge", "k": 25}}
+          |]}}""".stripMargin
+      graft.operators.Serving.retrieverSearch(docsF, "doc_id", vec,
+        "doc_id", "embedding", tree, k = 15, rankWindowSize = 25)
+    }),
     // the one-call RAG path: chunk -> embed (the deterministic stub
     // through the pluggable seam) -> query embedded with the SAME
     // encoder -> exact-cosine top-k chunks; the oracle replays the
@@ -4945,6 +4965,58 @@ object PipelineQueries {
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, id)
         |         AS BIGINT) AS rank, id, score
         |FROM f ORDER BY rank""".stripMargin,
+    "rtv8_semantic_leg" ->
+      raw"""WITH b AS (SELECT doc_id, text, $toksSql AS toks
+           |           FROM documents WHERE doc_id < 200),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM b),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM b)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf *
+           |           (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6)
+           |           AS score
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id),
+           |lex AS (SELECT doc_id,
+           |          row_number() OVER (ORDER BY score DESC, doc_id)
+           |            AS rank
+           |        FROM (SELECT * FROM bm ORDER BY score DESC, doc_id
+           |              LIMIT 25)),
+           |emb AS (SELECT doc_id,
+           |          list_transform(range(0, 8), dd ->
+           |            CAST(CAST((('0x' || substr(md5(CAST(dd AS VARCHAR)
+           |                || ':' || text), 1, 8))::BIGINT % 2000)
+           |              AS DOUBLE) / 1000.0 - 1.0 AS FLOAT)) AS v
+           |        FROM b),
+           |q AS (SELECT list_transform(range(0, 8), dd ->
+           |        CAST(CAST((('0x' || substr(md5(CAST(dd AS VARCHAR)
+           |            || ':stream filter merge'), 1, 8))::BIGINT % 2000)
+           |          AS DOUBLE) / 1000.0 - 1.0 AS FLOAT)) AS qv),
+           |sem0 AS (SELECT doc_id,
+           |           round(list_dot_product(v::DOUBLE[], qv::DOUBLE[]) /
+           |             (sqrt(list_dot_product(v::DOUBLE[], v::DOUBLE[])) *
+           |              sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))),
+           |             6) AS cos
+           |         FROM emb, q),
+           |sem AS (SELECT doc_id,
+           |          row_number() OVER (ORDER BY cos DESC, doc_id)
+           |            AS rank
+           |        FROM (SELECT * FROM sem0 ORDER BY cos DESC, doc_id
+           |              LIMIT 25)),
+           |u AS (SELECT doc_id, 1.0/(60 + rank) AS c FROM lex
+           |      UNION ALL SELECT doc_id, 1.0/(60 + rank) AS c FROM sem),
+           |f AS (SELECT doc_id, round(sum(c), 6) AS score FROM u
+           |      GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25)
+           |SELECT rank, id, score FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+           |           AS BIGINT) AS rank,
+           |         doc_id AS id, score FROM f)
+           |WHERE rank <= 15 ORDER BY rank""".stripMargin,
     "rag1_semantic_search" -> semanticSearchReplaySql,
     // the IDENTICAL replay: the persistent semantic index at full
     // probing must land on the ad-hoc path's exact answer — the

@@ -422,5 +422,39 @@ class ServingSpec extends AnyFunSuite {
       docs, "doc_id", emb, "vec_id", "embedding",
       tree(5, "geometric"), k = 20, rankWindowSize = 20))
   }
+  test("semantic retriever leg: same-encoder cosine ranking; " +
+      "inference_id and empty query refuse") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val vec = graft.ml.Inference.embedText(
+      corpus, "doc_id", "text", graft.ml.Inference.hashEncoder(8))
+    val got = Serving.retrieverSearch(corpus, "doc_id", vec,
+      "doc_id", "embedding",
+      """{"semantic": {"query": "alpha beta"}}""", k = 3,
+      rankWindowSize = 10)
+      .select("id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the hand-wired exact cosine against the same stub embedding
+    val enc = graft.ml.Inference.hashEncoder(8)()
+    val qv = try enc.encodeBatch(Array("alpha beta")).head.toSeq
+      .map(_.toDouble) finally enc.close()
+    val exp = vec.select(col("doc_id"),
+      round(graft.plans.VectorExpressions.cosine(
+        graft.functions.VectorOps.asDouble(col("embedding")),
+        typedLit(qv)), 6).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == exp)
+    // the doc embedding of the SAME text is the query vector: cos 1
+    assert(got(1L) == 1.0)
+    intercept[IllegalArgumentException](Serving.retrieverSearch(
+      corpus, "doc_id", vec, "doc_id", "embedding",
+      """{"semantic": {"query": "x", "inference_id": "elser"}}""",
+      k = 1, rankWindowSize = 1))
+    intercept[IllegalArgumentException](Serving.retrieverSearch(
+      corpus, "doc_id", vec, "doc_id", "embedding",
+      """{"semantic": {"query": ""}}""", k = 1, rankWindowSize = 1))
+  }
 }
+
 
