@@ -69,6 +69,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (args.headOption.contains("r17b")) {
+      r17bGrowth(spark)
+      spark.stop()
+      return
+    }
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val n0 = docs.count()
@@ -1099,6 +1104,87 @@ object ScaleCheck {
           maxShingleOccurrences = Int.MaxValue).count()
       }
       println(f"[scale] ${s}%-5d ${nD}%8d ${tCap}%10.2f ${tHot}%12.2f")
+    }
+  }
+
+  /** r17's new face families at 1×/4× corpus: EQL sequence chains
+    * (k−1 union+window passes — the claim is linear in events),
+    * ingest pipeline (pure map stage — linear by construction,
+    * measured to catch a regex blowup), synonym match scoring (the
+    * claim: blending adds only a constant over the plain match).
+    */
+  private def r17bGrowth(spark: SparkSession): Unit = {
+    import graft.operators.{Eql, IngestPipeline}
+    def timeS(f: => Long): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pipe = IngestPipeline(
+      """{"processors": [
+        |  {"dissect": {"field": "o_orderpriority",
+        |    "pattern": "%{pn}-%{pw}"}},
+        |  {"convert": {"field": "pn", "type": "long"}},
+        |  {"lowercase": {"field": "pw"}},
+        |  {"gsub": {"field": "o_orderstatus", "pattern": "^O$",
+        |    "replacement": "OPEN", "target_field": "sx"}},
+        |  {"convert": {"field": "o_orderdate", "type": "string",
+        |    "target_field": "od"}},
+        |  {"date": {"field": "od",
+        |    "formats": ["UNIX", "yyyy-MM-dd HH:mm:ss"]}}
+        |]}""".stripMargin)
+    locally { // untimed warmup at sf0.01
+      val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      Eql.sequence(ev, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "signup",
+          col("event_type") === "purchase",
+          col("event_type") === "error"), 7200000L).count()
+      pipe(Tables.load(spark, "/root/testdata/sf0.01", "orders"))
+        .count()
+      ()
+    }
+    println("[scale] r17b: eql sequence / ingest pipeline / synonym " +
+      "match, 1x/4x corpus")
+    println(f"[scale] ${"size"}%-5s ${"rows"}%9s ${"eql(s)"}%8s " +
+      f"${"ingest(s)"}%10s ${"syn(s)"}%8s ${"plain(s)"}%9s")
+    for (s <- Seq(1, 4)) {
+      val ev = Tables.load(spark, "/root/testdata/sf0.1", "events")
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("event_id") * s + col("rep")).as("event_id"),
+          col("ts"), (col("user_id") * s + col("rep")).as("user_id"),
+          col("event_type"))
+        .localCheckpoint(true)
+      val nE = ev.count()
+      val tEql = timeS {
+        Eql.sequence(ev, "user_id", "ts", "event_id",
+          Seq(col("event_type") === "signup",
+            col("event_type") === "purchase",
+            col("event_type") === "error"), 7200000L).count()
+      }
+      val ord = Tables.load(spark, "/root/testdata/sf0.1", "orders")
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("o_orderkey") * s + col("rep")).as("o_orderkey"),
+          col("o_orderstatus"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .localCheckpoint(true)
+      val tIg = timeS { pipe(ord).count() }
+      val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+        .crossJoin(spark.range(s).select(col("id").as("rep")))
+        .select((col("doc_id") * s + col("rep")).as("doc_id"),
+          col("text"))
+        .localCheckpoint(true)
+      val tSyn = timeS {
+        graft.functions.EsScoredQuery.scoredFrame(docs, "doc_id",
+          """{"match": {"text": "merge stream"}}""",
+          synonyms = Seq("join, merge")).count()
+      }
+      val tPlain = timeS {
+        graft.functions.EsScoredQuery.scoredFrame(docs, "doc_id",
+          """{"match": {"text": "merge stream"}}""").count()
+      }
+      println(f"[scale] ${s}%-5d ${nE}%9d ${tEql}%8.2f " +
+        f"${tIg}%10.2f ${tSyn}%8.2f ${tPlain}%9.2f")
     }
   }
 
