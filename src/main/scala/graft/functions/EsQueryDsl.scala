@@ -788,6 +788,111 @@ object EsQueryDsl {
                   abs(pa - pb) <= lit(1 + slop)))
           }
         }
+      case "span_containing" | "span_within" =>
+        // {"span_containing"|"span_within": {"little": <span>,
+        //  "big": <span>}} — a DOC matches iff some big span encloses
+        // some little position. The two kinds differ only in WHICH
+        // span they hand to an ENCLOSING span clause (big vs little);
+        // nesting them inside other spans refuses here (the span
+        // algebra's closed-subset rule), so the filter-face match set
+        // is common to both and Lucene-exact.
+        def sub(key: String): JValue = (body \ key) match {
+          case JNothing => throw new IllegalArgumentException(
+            s"$kind needs a `$key` span")
+          case x => x
+        }
+        val (lf, littleTerms) = spanTermSet(sub("little"),
+          s"$kind little")
+        val (bigKind, bigBody) = lonely(sub("big"), s"$kind big")
+        def littlePos(toks: Column): Column =
+          filter(sequence(lit(0), size(toks) - 1), p =>
+            element_at(toks, (p + 1).cast("int"))
+              .isin(littleTerms: _*))
+        bigKind match {
+          case "span_term" | "span_or" =>
+            // width-1 big: containment degenerates to position
+            // identity — the token must be a little AND a big term
+            val (bf, bigTerms) = spanTermSet(sub("big"), s"$kind big")
+            require(bf == lf,
+              s"$kind little/big must share one field, got $lf vs $bf")
+            requireText(lf)
+            TextAnalysis.bindOnce(TextAnalysis.tokens(resolve(lf))) {
+              toks =>
+                size(toks) > 0 && exists(littlePos(toks), p =>
+                  element_at(toks, (p + 1).cast("int"))
+                    .isin(bigTerms: _*))
+            }
+          case "span_near" =>
+            val clauses0 = (bigBody \ "clauses") match {
+              case JArray(cs) if cs.nonEmpty => cs
+              case other => throw new IllegalArgumentException(
+                s"$kind big span_near needs clauses, got $other")
+            }
+            val slop = (bigBody \ "slop") match {
+              case JInt(n)  => n.toInt
+              case JLong(n) => n.toInt
+              case other => throw new IllegalArgumentException(
+                s"$kind big span_near needs an integer slop, got $other")
+            }
+            require(slop >= 0, s"slop must be >= 0, got $slop")
+            val inOrder = (bigBody \ "in_order") match {
+              case JBool(bb) => bb
+              case JNothing  => false
+              case other => throw new IllegalArgumentException(
+                s"in_order must be a boolean, got $other")
+            }
+            val fieldTerms = clauses0.map(c =>
+              spanTermSet(c, s"$kind big clause") match {
+                case (f0, Seq(one)) => (f0, one)
+                case (_, many) => throw new IllegalArgumentException(
+                  s"$kind big span_near clauses must be single " +
+                    s"span_terms, got $many")
+              })
+            val bf = (fieldTerms.map(_._1).distinct :+ lf).distinct match {
+              case Seq(one) => one
+              case many => throw new IllegalArgumentException(
+                s"$kind little/big must share one field, got " +
+                  many.mkString(", "))
+            }
+            requireText(bf)
+            val terms = fieldTerms.map(_._2)
+            require(inOrder || terms.size == 2,
+              "unordered big span_near is supported for exactly two " +
+                "clauses (the span_near rule)")
+            require(inOrder || terms.distinct.size == 2,
+              "unordered big span_near needs two DISTINCT terms")
+            TextAnalysis.bindOnce(TextAnalysis.tokens(resolve(bf))) {
+              toks =>
+                val n = size(toks)
+                def positionsOf(t: String): Column =
+                  filter(sequence(lit(0), n - 1), p =>
+                    element_at(toks, (p + 1).cast("int")) === lit(t))
+                if (inOrder) {
+                  val k = terms.size
+                  def chain(i: Int, prev: Column, first: Column,
+                            p: Column): Column =
+                    if (i == k)
+                      (prev - first) <= lit(k - 1 + slop) &&
+                        first <= p && prev >= p
+                    else exists(positionsOf(terms(i)), q =>
+                      q > prev && chain(i + 1, q, first, p))
+                  n > 0 && exists(littlePos(toks), p =>
+                    exists(positionsOf(terms.head), p0 =>
+                      chain(1, p0, p0, p)))
+                } else {
+                  val Seq(a, b2) = terms
+                  n > 0 && exists(littlePos(toks), p =>
+                    exists(positionsOf(a), pa =>
+                      exists(positionsOf(b2), pb =>
+                        pa =!= pb && abs(pa - pb) <= lit(1 + slop) &&
+                          least(pa, pb) <= p && greatest(pa, pb) >= p)))
+                }
+            }
+          case other => throw new IllegalArgumentException(
+            s"$kind big supports span_term / span_or / span_near of " +
+              s"span_terms, got $other (deeper span nesting needs " +
+              "Lucene's span iterator protocol)")
+        }
       // Lucene query-syntax faces — the parsers live in
       // [[QueryStringParser]]; this is pure clause-body plumbing
       case "query_string" | "simple_query_string" =>

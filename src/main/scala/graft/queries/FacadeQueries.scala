@@ -301,6 +301,21 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // span_containing: a big span (ordered 2-term span_near, slop 2)
+    // must enclose a little span_term position — the oracle replays
+    // the chain bound (j − i <= k−1+slop = 3) and the enclosure test
+    // with nested list comprehensions
+    "f47_span_containing" -> ((s, d) => {
+      docs(s, d).esQuery(
+        """{"span_containing": {
+          |  "little": {"span_term": {"text": "the"}},
+          |  "big": {"span_near": {"clauses": [
+          |    {"span_term": {"text": "stream"}},
+          |    {"span_term": {"text": "filter"}}],
+          |    "slop": 2, "in_order": true}}
+          |}}""".stripMargin)
+        .df.select(col("doc_id")).orderBy("doc_id")
+    }),
     // match-level minimum_should_match, ES's percentage form: "50%"
     // of 4 positions floors to 2 required — the gate fires on docs
     // holding >= 2 of the terms, scored by the matched sum; the
@@ -1287,6 +1302,17 @@ object FacadeQueries {
            |       list_contains(toks, 'merge'))
            |  AND list_contains(toks, 'stream')
            |  AND lang IN ('en', 'de')
+           |ORDER BY doc_id""".stripMargin,
+    "f47_span_containing" ->
+      raw"""SELECT doc_id FROM
+           |  (SELECT doc_id, $toksSql AS toks FROM documents)
+           |WHERE len([1 FOR i IN generate_series(1, len(toks))
+           |  IF toks[i] = 'stream'
+           |  AND len([1 FOR j IN
+           |      generate_series(i + 1, least(i + 3, len(toks)))
+           |    IF toks[j] = 'filter'
+           |    AND len([1 FOR p IN generate_series(i, j)
+           |      IF toks[p] = 'the']) > 0]) > 0]) > 0
            |ORDER BY doc_id""".stripMargin,
     "f46_match_msm" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),

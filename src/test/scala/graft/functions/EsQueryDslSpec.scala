@@ -712,5 +712,60 @@ class EsQueryDslSpec extends AnyFunSuite {
         |{"query": "quick car"}}}}""".stripMargin, synonyms = rules))
     assert(iv.getMessage.contains("intervals"), iv.getMessage)
   }
+  test("span_containing / span_within: enclosure over the closed " +
+      "span subset; width-1 big; refusals") {
+    import spark.implicits._
+    val f = GraftFrame(Seq(
+      (1L, "a x c b y"),   // a..b span (slop>=2 ordered), x inside
+      (2L, "a b x"),       // x OUTSIDE the a..b span
+      (3L, "x a b"),       // x before the span
+      (4L, "a x y z b"),   // span too wide for slop 2 (b-a=4 > 3)
+      (5L, "b x a")        // wrong order
+    ).toDF("id", "text"), "id")
+    def q(kind: String) =
+      s"""{"$kind": {
+         |  "little": {"span_term": {"text": "x"}},
+         |  "big": {"span_near": {"clauses": [
+         |    {"span_term": {"text": "a"}},
+         |    {"span_term": {"text": "b"}}],
+         |    "slop": 2, "in_order": true}}}}""".stripMargin
+    def ids(json: String): Seq[Long] =
+      f.esQuery(json).df.select("id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+    assert(ids(q("span_containing")) == Seq(1L))
+    // the filter-face match set is common to both kinds
+    assert(ids(q("span_within")) == Seq(1L))
+    // unordered big: doc 5's b..a span encloses x
+    assert(ids(
+      """{"span_containing": {
+        |  "little": {"span_term": {"text": "x"}},
+        |  "big": {"span_near": {"clauses": [
+        |    {"span_term": {"text": "a"}},
+        |    {"span_term": {"text": "b"}}],
+        |    "slop": 2, "in_order": false}}}}""".stripMargin) ==
+      Seq(1L, 5L))
+    // width-1 big (span_or): containment = position identity
+    assert(ids(
+      """{"span_containing": {
+        |  "little": {"span_term": {"text": "x"}},
+        |  "big": {"span_or": {"clauses": [
+        |    {"span_term": {"text": "x"}},
+        |    {"span_term": {"text": "zz"}}]}}}}""".stripMargin) ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // refusals: field mismatch, deeper span nesting in big
+    intercept[IllegalArgumentException](ids(
+      """{"span_containing": {
+        |  "little": {"span_term": {"other": "x"}},
+        |  "big": {"span_near": {"clauses": [
+        |    {"span_term": {"text": "a"}},
+        |    {"span_term": {"text": "b"}}], "slop": 0,
+        |    "in_order": true}}}}""".stripMargin))
+    intercept[IllegalArgumentException](ids(
+      """{"span_containing": {
+        |  "little": {"span_term": {"text": "x"}},
+        |  "big": {"span_not": {"include":
+        |    {"span_term": {"text": "a"}}}}}}""".stripMargin))
+  }
 }
+
 
