@@ -89,10 +89,24 @@ object EsScoredQuery {
     def terms: Seq[String] = groups.flatten.distinct
   }
 
+  /** A `multi_match` type `cross_fields` clause: ONE set of query
+    * positions (groups — synonyms compose) matched across SEVERAL
+    * fields with BLENDED statistics. `_x<i>_score` / `_x<i>_hits`
+    * columns are produced in scoredFrame (the stats need k1/b).
+    */
+  private final case class CrossClause(id: Int,
+                                       fieldBoosts: Seq[(String, Double)],
+                                       groups: Seq[Seq[String]])
+
   private sealed trait Node
   private final case class MatchNode(clause: MatchClause, requireAll: Boolean,
                                      boost: Double,
                                      msm: Option[String] = None)
+      extends Node
+  private final case class CrossFieldsNode(clause: CrossClause,
+                                           requireAll: Boolean,
+                                           boost: Double,
+                                           msm: Option[String])
       extends Node
   private final case class GatedConst(pred: Column, boost: Double) extends Node
   private final case class PhraseNode(id: Int, boost: Double) extends Node
@@ -138,6 +152,14 @@ object EsScoredQuery {
       */
     def expand(terms: Seq[String]): Seq[Seq[String]] =
       terms.map(t => synonyms.getOrElse(t, Seq(t))).distinct
+    val crossClauses =
+      scala.collection.mutable.ArrayBuffer.empty[CrossClause]
+    def registerCross(fieldBoosts: Seq[(String, Double)],
+                      groups: Seq[Seq[String]]): CrossClause = {
+      val c = CrossClause(crossClauses.size, fieldBoosts, groups)
+      crossClauses += c
+      c
+    }
     /** (field, raw value) per idf-scored `term` leaf; the index names
       * the `_t<i>_df` stat column.
       */
@@ -309,9 +331,31 @@ object EsScoredQuery {
             else DisMaxNode(fieldBoosts.map { case (f, fb) =>
               PhraseNode(ctx.registerPhrase(f, terms), boost * fb)
             }, tieOf(body))
+          // type: cross_fields — TERM-centric: each query position
+          // matches in ANY field; per position the fields score as a
+          // dis_max (tie 0) of per-field Okapi with the df BLENDED to
+          // the cross-field MAX (Lucene BlendedTermQuery.docFreq);
+          // operator/minimum_should_match count POSITIONS, ES's rule
+          case "cross_fields" =>
+            if ((body \ "tie_breaker") != JNothing)
+              throw new IllegalArgumentException(
+                "tie_breaker applies to best_fields only")
+            val msmSpec = (body \ "minimum_should_match") match {
+              case JNothing   => None
+              case JInt(n)    => Some(n.toString)
+              case JString(m) => Some(m)
+              case other => throw new IllegalArgumentException(
+                s"minimum_should_match: $other")
+            }
+            val groups = ctx.expand(analyze(text))
+            if (groups.isEmpty) GatedConst(lit(false), 0.0)
+            else CrossFieldsNode(
+              ctx.registerCross(fieldBoosts, groups), op == "and",
+              boost, msmSpec.filter(_ => op != "and"))
           case other => throw new IllegalArgumentException(
             s"multi_match type '$other' has no engine-independent " +
-              "translation here (best_fields | most_fields | phrase)")
+              "translation here (best_fields | most_fields | phrase " +
+              "| cross_fields)")
         }
       case "constant_score" =>
         (body \ "filter") match {
@@ -1053,6 +1097,19 @@ object EsScoredQuery {
           when(matched, coalesce(col(s"_q${c.id}_score"), lit(0.0)) * boost)
             .otherwise(0.0))
       }
+    case CrossFieldsNode(x, requireAll, boost, msmSpec) =>
+      if (x.groups.isEmpty) (lit(false), lit(0.0))
+      else {
+        val hits = coalesce(col(s"_x${x.id}_hits"), lit(0L))
+        val need: Int =
+          if (requireAll) x.groups.size
+          else msmSpec.map(resolveMsm(_, x.groups.size)).getOrElse(1)
+        val matched = hits >= need.toLong
+        (matched,
+          when(matched,
+            coalesce(col(s"_x${x.id}_score"), lit(0.0)) * boost)
+            .otherwise(0.0))
+      }
     case GatedConst(pred, boost) =>
       val matched = coalesce(pred, lit(false))
       (matched, when(matched, boost).otherwise(0.0))
@@ -1177,15 +1234,102 @@ object EsScoredQuery {
     // count; ES uses the field's docCount, identical when the field
     // has no nulls (a null never equals the term value, so df agrees
     // unconditionally).
+    // cross_fields clauses: per field one doc-keyed tf aggregation
+    // (the fieldMoments shuffle shape), per-field length/avg stats and
+    // the cross-field BLENDED group dfs as 1-row broadcasts; the
+    // per-group dis_max(tie 0) of per-field Okapi with the blended
+    // idf, and the clause score/hits, are computed here because the
+    // arithmetic needs k1/b. Lucene's cross_fields contract: df per
+    // position = MAX over fields of the member dfs, tf/length norms
+    // stay per-field, per-position score = best field.
+    val withCross =
+      if (ctx.crossClauses.isEmpty) withMoments
+      else {
+        val spark2 = docs.sparkSession
+        import spark2.implicits._
+        ctx.crossClauses.toSeq.foldLeft(withMoments) { case (acc0, x) =>
+          val groups = x.groups
+          val allTerms = groups.flatten.distinct
+          val pairs = groups.zipWithIndex.flatMap { case (g, gi) =>
+            g.map(t => (gi, t))
+          }.toDF("_gid", "_t")
+          var acc = acc0
+          val dfreqs = x.fieldBoosts.zipWithIndex.map {
+            case ((f, _), fi) =>
+              val staged = docs
+                .select(col(ctx.idCol),
+                  TextAnalysis.tokens(col(f)).as("_toks"))
+                .select(col(ctx.idCol), col("_toks"),
+                  size(col("_toks")).cast("double").as("_len"))
+              val stats = staged.agg(
+                count(lit(1)).cast("double").as(s"_x${x.id}_n"),
+                coalesce(avg(col("_len")), lit(1.0))
+                  .as(s"_x${x.id}_f${fi}_avg"))
+              val tf = staged
+                .filter(arrays_overlap(col("_toks"),
+                  lit(allTerms.toArray)))
+                .select(col(ctx.idCol), col("_len"),
+                  explode(col("_toks")).as("_t"))
+                .filter(col("_t").isin(allTerms: _*))
+                .groupBy(col(ctx.idCol), col("_len"), col("_t"))
+                .agg(count(lit(1)).cast("double").as("_tf"))
+              val dfreq = tf.groupBy("_t")
+                .agg(count_distinct(col(ctx.idCol)).cast("double")
+                  .as("_df"))
+              val cells = groups.indices.map(gi =>
+                sum(when(col("_gid") === gi, col("_tf")))
+                  .as(s"_x${x.id}_f${fi}_g${gi}_tf"))
+              val perDoc = tf.join(broadcast(pairs), Seq("_t"))
+                .groupBy(col(ctx.idCol))
+                .agg(max(col("_len")).as(s"_x${x.id}_f${fi}_len"),
+                  cells: _*)
+              acc = acc.join(perDoc, Seq(ctx.idCol), "left")
+              acc = acc.crossJoin(broadcast(
+                if (fi == 0) stats else stats.drop(s"_x${x.id}_n")))
+              dfreq
+          }
+          val dfAll = dfreqs.reduce(_ unionByName _)
+          val dfCells = groups.indices.map(gi =>
+            coalesce(max(when(col("_gid") === gi, col("_df"))),
+              lit(0.0)).as(s"_x${x.id}_g${gi}_df"))
+          val gdf = pairs.join(dfAll, Seq("_t"), "left")
+            .agg(dfCells.head, dfCells.tail: _*)
+          acc = acc.crossJoin(broadcast(gdf))
+          val n = col(s"_x${x.id}_n")
+          val gs = groups.indices.map { gi =>
+            val dfc = col(s"_x${x.id}_g${gi}_df")
+            val idf = log(lit(1.0) + (n - dfc + 0.5) / (dfc + 0.5))
+            val perField = x.fieldBoosts.zipWithIndex.map {
+              case ((_, fb), fi) =>
+                val tfc = col(s"_x${x.id}_f${fi}_g${gi}_tf")
+                val len = col(s"_x${x.id}_f${fi}_len")
+                val avgL = col(s"_x${x.id}_f${fi}_avg")
+                when(tfc.isNotNull,
+                  lit(fb) * (idf * tfc * (k1 + 1.0) /
+                    (tfc + lit(k1) *
+                      (lit(1.0) - b + lit(b) * len / avgL))))
+            }
+            val sg =
+              if (perField.size == 1) perField.head
+              else greatest(perField: _*)
+            (sg, when(sg.isNotNull, 1L).otherwise(0L))
+          }
+          acc
+            .withColumn(s"_x${x.id}_score",
+              gs.map(g => coalesce(g._1, lit(0.0))).reduce(_ + _))
+            .withColumn(s"_x${x.id}_hits",
+              gs.map(_._2).reduce(_ + _))
+        }
+      }
     val withTermStats =
-      if (ctx.termLeaves.isEmpty) withMoments
+      if (ctx.termLeaves.isEmpty) withCross
       else {
         val aggs = count(lit(1)).cast("double").as("_t_n") +:
           ctx.termLeaves.toSeq.zipWithIndex.map { case ((f, v), i) =>
             count(when(col(f) === EsQueryDsl.toLit(v), 1))
               .cast("double").as(s"_t${i}_df")
           }
-        withMoments.crossJoin(broadcast(docs.agg(aggs.head, aggs.tail: _*)))
+        withCross.crossJoin(broadcast(docs.agg(aggs.head, aggs.tail: _*)))
       }
     // scored match_phrase clauses: per-doc phrase frequency is a PURE
     // expression over the staged token array (no shuffle; the array
@@ -1275,6 +1419,14 @@ object EsScoredQuery {
         Seq(s"_q${c.id}_score", s"_q${c.id}_hits")) ++
         (if (ctx.termLeaves.isEmpty) Nil
          else "_t_n" +: ctx.termLeaves.toSeq.indices.map(i => s"_t${i}_df")) ++
+        ctx.crossClauses.toSeq.flatMap { x =>
+          Seq(s"_x${x.id}_n", s"_x${x.id}_score", s"_x${x.id}_hits") ++
+            x.groups.indices.map(gi => s"_x${x.id}_g${gi}_df") ++
+            x.fieldBoosts.indices.flatMap(fi =>
+              Seq(s"_x${x.id}_f${fi}_len", s"_x${x.id}_f${fi}_avg") ++
+                x.groups.indices.map(gi =>
+                  s"_x${x.id}_f${fi}_g${gi}_tf"))
+        } ++
         phraseCols: _*)
   }
 

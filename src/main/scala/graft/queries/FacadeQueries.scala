@@ -301,6 +301,23 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // multi_match type cross_fields: TERM-centric blending across a
+    // derived title field (first 5 tokens) and the body — df per
+    // position blends to the cross-field MAX, each position scores
+    // its best field (title arm boosted 2x BEFORE the max); the
+    // oracle replays the blend, so per-field dfs (best_fields'
+    // arithmetic) or a sum-over-fields (most_fields') cannot match
+    "cf2_cross_fields" -> ((s, d) => {
+      val f = Tables.load(s, d, "documents")
+        .withColumn("title", array_join(slice(
+          graft.functions.TextAnalysis.tokens(col("text")), 1, 5), " "))
+      graft.functions.EsScoredQuery.scoredFrame(f, "doc_id",
+        """{"multi_match": {"query": "stream filter",
+          |"fields": ["title^2", "text"],
+          |"type": "cross_fields"}}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
     // span_containing: a big span (ordered 2-term span_near, slop 2)
     // must enclose a little span_term position — the oracle replays
     // the chain bound (j − i <= k−1+slop = 3) and the enclosure test
@@ -1303,6 +1320,48 @@ object FacadeQueries {
            |  AND list_contains(toks, 'stream')
            |  AND lang IN ('en', 'de')
            |ORDER BY doc_id""".stripMargin,
+    "cf2_cross_fields" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |f AS (SELECT doc_id, toks AS btoks, toks[1:5] AS ttoks
+           |      FROM s),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |         avg(CAST(len(ttoks) AS DOUBLE)) AS avg_t,
+           |         avg(CAST(len(btoks) AS DOUBLE)) AS avg_b FROM f),
+           |tft AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |        FROM (SELECT doc_id,
+           |                CAST(len(ttoks) AS DOUBLE) AS dl,
+           |                unnest(ttoks) AS t FROM f)
+           |        WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |tfb AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |        FROM (SELECT doc_id,
+           |                CAST(len(btoks) AS DOUBLE) AS dl,
+           |                unnest(btoks) AS t FROM f)
+           |        WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, max(df) AS df FROM (
+           |    SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |    FROM tft GROUP BY t
+           |    UNION ALL
+           |    SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE)
+           |    FROM tfb GROUP BY t) GROUP BY t),
+           |sct AS (SELECT doc_id, t,
+           |          2.0 * (ln(1 + (n - df + 0.5) / (df + 0.5)) * tf *
+           |            (1.2 + 1) /
+           |            (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_t)))
+           |            AS sc
+           |        FROM tft JOIN dft USING (t), st),
+           |scb AS (SELECT doc_id, t,
+           |          ln(1 + (n - df + 0.5) / (df + 0.5)) * tf *
+           |            (1.2 + 1) /
+           |            (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_b))
+           |            AS sc
+           |        FROM tfb JOIN dft USING (t), st),
+           |best AS (SELECT doc_id, t, max(sc) AS sc FROM
+           |           (SELECT * FROM sct UNION ALL SELECT * FROM scb)
+           |         GROUP BY 1, 2),
+           |bm AS (SELECT doc_id, round(sum(sc), 6) AS score FROM best
+           |       GROUP BY doc_id)
+           |SELECT doc_id, score FROM bm
+           |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "f47_span_containing" ->
       raw"""SELECT doc_id FROM
            |  (SELECT doc_id, $toksSql AS toks FROM documents)

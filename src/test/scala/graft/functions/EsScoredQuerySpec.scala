@@ -853,5 +853,57 @@ class EsScoredQuerySpec extends AnyFunSuite {
       ids("\"minimum_should_match\": \"3<90%\""))
     assert(lad.getMessage.contains("conditional"), lad.getMessage)
   }
+  test("multi_match cross_fields: blended max-df, per-position best " +
+      "field, operator/msm count positions, field boosts") {
+    val corpus = Seq(
+      (1L, "alpha beta", "gamma"),
+      (2L, "alpha", "alpha alpha beta"),
+      (3L, "zzz", "beta"),
+      (4L, "qqq", "qqq")
+    ).toDF("doc_id", "title", "body")
+    def rows(body: String): Map[Long, Double] =
+      EsScoredQuery.scoredFrame(corpus, "doc_id",
+        s"""{"multi_match": {"query": "alpha beta",
+           |"fields": ["title", "body"], "type": "cross_fields"
+           |$body}}""".stripMargin)
+        .select("doc_id", "_score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=4; title avg 5/4, body avg 6/4; BLENDED dfs: alpha
+    // max(df_t=2, df_b=1)=2, beta max(1,2)=2 -> idf = ln(2) for both
+    val idf = math.log(2.0)
+    def okapi(tf: Double, len: Double, avg: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val avgT = 5.0 / 4; val avgB = 6.0 / 4
+    val or = rows("")
+    assert(or.keySet == Set(1L, 2L, 3L))
+    // doc1: both positions best in title (len 2)
+    assert(or(1L) == r6(2 * okapi(1, 2, avgT)))
+    // doc2: alpha best of title(tf1,len1) vs body(tf2,len3);
+    // beta only in body
+    assert(or(2L) == r6(
+      math.max(okapi(1, 1, avgT), okapi(2, 3, avgB)) +
+        okapi(1, 3, avgB)))
+    assert(or(3L) == r6(okapi(1, 1, avgB)))
+    // operator and / msm 2: every position must land SOMEWHERE
+    assert(rows(""", "operator": "and"""").keySet == Set(1L, 2L))
+    assert(rows(""", "minimum_should_match": 2""").keySet ==
+      Set(1L, 2L))
+    // a field boost multiplies that field's arm BEFORE the max
+    val boosted = rows("").map { case (k, _) =>
+      k -> EsScoredQuery.scoredFrame(corpus, "doc_id",
+        """{"multi_match": {"query": "alpha beta",
+          |"fields": ["title^2", "body"],
+          |"type": "cross_fields"}}""".stripMargin)
+        .filter(col("doc_id") === k).select("_score")
+        .collect().head.getDouble(0)
+    }
+    assert(boosted(1L) == r6(2 * 2 * okapi(1, 2, avgT)))
+    // doc3 matches only via body: boost on title changes nothing
+    assert(boosted(3L) == or(3L))
+    // tie_breaker refuses on cross_fields (best_fields only)
+    intercept[IllegalArgumentException](rows(""", "tie_breaker": 0.3"""))
+  }
 }
+
 
