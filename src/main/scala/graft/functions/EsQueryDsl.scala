@@ -227,6 +227,18 @@ object EsQueryDsl {
                                       requireText: String => Unit): Column =
     fromJValue(q, idCol, requireText, col)
 
+  /** ES 7.10+ `case_insensitive` flag on term-level queries: when
+    * true, BOTH sides lowercase (the ASCII/Unicode simple fold —
+    * Lucene's automaton uses Character case folding; Java
+    * toLowerCase matches it for the overwhelming practical range).
+    */
+  private def caseFlag(v: JValue): Boolean = (v \ "case_insensitive") match {
+    case JBool(b) => b
+    case JNothing => false
+    case other => throw new IllegalArgumentException(
+      s"case_insensitive must be a boolean, got $other")
+  }
+
   private def lonely(obj: JValue, what: String): (String, JValue) =
     obj match {
       case JObject(List((k, v))) => (k, v)
@@ -1073,7 +1085,15 @@ object EsQueryDsl {
           parseAnalyzer(v)) >= msm
       case "term" =>
         val (field, v) = lonely(body, "term")
-        resolve(field) === toLit(v \ "value" match { case JNothing => v; case x => x })
+        val value = v \ "value" match { case JNothing => v; case x => x }
+        if (!caseFlag(v)) resolve(field) === toLit(value)
+        else value match {
+          case JString(sv) =>
+            lower(resolve(field)) ===
+              lit(sv.toLowerCase(java.util.Locale.ROOT))
+          case other => throw new IllegalArgumentException(
+            s"case_insensitive term needs a string value, got $other")
+        }
       case "terms" =>
         val (field, v) = lonely(body, "terms")
         v match {
@@ -1167,22 +1187,32 @@ object EsQueryDsl {
           case JString(s) => s
           case o          => (o \ "value").extract[String]
         }
-        resolve(field).like(Predicates.wildcardToLike(pat))
+        if (caseFlag(v))
+          lower(resolve(field)).like(Predicates.wildcardToLike(
+            pat.toLowerCase(java.util.Locale.ROOT)))
+        else resolve(field).like(Predicates.wildcardToLike(pat))
       case "prefix" =>
         val (field, v) = lonely(body, "prefix")
         val pre = v match {
           case JString(s) => s
           case o          => (o \ "value").extract[String]
         }
-        resolve(field).startsWith(pre)
+        if (caseFlag(v))
+          lower(resolve(field)).startsWith(
+            pre.toLowerCase(java.util.Locale.ROOT))
+        else resolve(field).startsWith(pre)
       case "regexp" =>
         val (field, v) = lonely(body, "regexp")
         val re = v match {
           case JString(s) => s
           case o          => (o \ "value").extract[String]
         }
-        // ES regexp is anchored; Spark rlike is substring-matching
-        resolve(field).rlike(s"^(?:$re)$$")
+        // ES regexp is anchored; Spark rlike is substring-matching.
+        // case_insensitive rides the (?i) embedded flag — Lucene's
+        // automaton fold and Java's (?i)+UNICODE_CASE agree on the
+        // practical range
+        if (caseFlag(v)) resolve(field).rlike(s"(?i)^(?:$re)$$")
+        else resolve(field).rlike(s"^(?:$re)$$")
       case "geo_distance" =>
         // {"geo_distance": {"distance": "200km", "<field>": origin}}
         // over a geo-point STRUCT column (lat/lon subfields); origin

@@ -390,9 +390,16 @@ object EsScoredQuery {
         val msm = (body \ "minimum_should_match") match {
           case JNothing => if (must.isEmpty &&
             (body \ "filter") == JNothing) 1 else 0
-          case JInt(n)  => n.toInt
-          case JLong(n) => n.toInt
-          case JString(s) if s.matches("-?\\d+") => s.toInt
+          // explicit non-negative ints keep their value (an explicit
+          // 0 means NO minimum — ES's escape hatch); negatives and
+          // percentages resolve against the should count via the
+          // match-clause rules (resolveMsm floors at 1)
+          case JInt(n) if n >= 0  => n.toInt
+          case JLong(n) if n >= 0 => n.toInt
+          case JInt(n)  => resolveMsm(n.toString, should.size)
+          case JLong(n) => resolveMsm(n.toString, should.size)
+          case JString(s) if s.matches("\\d+") => s.toInt
+          case JString(s) => resolveMsm(s, should.size)
           case other => throw new IllegalArgumentException(
             s"minimum_should_match '$other' has no engine-independent " +
               "translation")

@@ -766,6 +766,31 @@ class EsQueryDslSpec extends AnyFunSuite {
         |  "big": {"span_not": {"include":
         |    {"span_term": {"text": "a"}}}}}}""".stripMargin))
   }
+  test("case_insensitive on term / prefix / wildcard / regexp " +
+      "(ES 7.10+); default stays exact") {
+    import spark.implicits._
+    val f = GraftFrame(Seq(
+      (1L, "Brand#12"), (2L, "brand#12"), (3L, "BRAND#34")
+    ).toDF("id", "v"), "id")
+    def ids(json: String): Seq[Long] =
+      f.esQuery(json, matchOnlyTextFields = false).df
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids("""{"term": {"v": "brand#12"}}""") == Seq(2L))
+    assert(ids("""{"term": {"v": {"value": "brand#12",
+      |"case_insensitive": true}}}""".stripMargin) == Seq(1L, 2L))
+    assert(ids("""{"prefix": {"v": {"value": "bra",
+      |"case_insensitive": true}}}""".stripMargin) == Seq(1L, 2L, 3L))
+    assert(ids("""{"prefix": {"v": "bra"}}""") == Seq(2L))
+    assert(ids("""{"wildcard": {"v": {"value": "brand#?2",
+      |"case_insensitive": true}}}""".stripMargin) == Seq(1L, 2L))
+    assert(ids("""{"regexp": {"v": {"value": "brand#[0-9]+",
+      |"case_insensitive": true}}}""".stripMargin) == Seq(1L, 2L, 3L))
+    assert(ids("""{"regexp": {"v": "brand#[0-9]+"}}""") == Seq(2L))
+    intercept[IllegalArgumentException](ids(
+      """{"term": {"v": {"value": "x",
+        |"case_insensitive": "yes"}}}""".stripMargin))
+  }
 }
+
 
 

@@ -852,6 +852,18 @@ class EsScoredQuerySpec extends AnyFunSuite {
     val lad = intercept[IllegalArgumentException](
       ids("\"minimum_should_match\": \"3<90%\""))
     assert(lad.getMessage.contains("conditional"), lad.getMessage)
+    // BOOL-level msm shares the resolver: "50%" of 4 shoulds -> 2;
+    // explicit 0 keeps ES's no-minimum escape hatch
+    def bids(msm: String): Seq[Long] =
+      EsScoredQuery.scoredFrame(corpus, "doc_id",
+        s"""{"bool": {"should": [{"match": {"text": "a"}},
+           |{"match": {"text": "b"}}, {"match": {"text": "c"}},
+           |{"match": {"text": "d"}}],
+           |"minimum_should_match": $msm}}""".stripMargin)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(bids("\"50%\"") == Seq(1L, 2L))
+    assert(bids("-3") == Seq(1L, 2L, 3L))
+    assert(bids("0") == Seq(1L, 2L, 3L, 4L))
   }
   test("multi_match cross_fields: blended max-df, per-position best " +
       "field, operator/msm count positions, field boosts") {
