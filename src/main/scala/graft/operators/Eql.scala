@@ -34,14 +34,25 @@ import org.apache.spark.sql.functions._
   */
 object Eql {
 
+  /** `until` — EQL's pending-state expiry: a chain DIES if an until
+    * event for the same entity lands strictly BETWEEN two consecutive
+    * chain events in (time, tie) order (ES discards the partial
+    * state; the completed last transition needs no check — the
+    * sequence already matched). An event matching BOTH the next step
+    * and the until predicate kills the chain (the conservative
+    * reading, documented — ES's state machine processes the until
+    * first). The until carrier rides the SAME union+window pass as
+    * the step carrier — no extra shuffle.
+    */
   def sequence(events: DataFrame, byCol: String, tsCol: String,
                tieCol: String, steps: Seq[Column],
-               maxspanMs: Long): DataFrame = {
+               maxspanMs: Long,
+               until: Option[Column] = None): DataFrame = {
     require(steps.size >= 2, "a sequence needs at least two steps")
     require(maxspanMs > 0, s"maxspan must be positive, got $maxspanMs")
     Seq(byCol, tsCol, tieCol).foreach(c =>
       require(events.columns.contains(c), s"column `$c` not in frame"))
-    val reserved = Seq("_t", "_tie", "_side", "_payload")
+    val reserved = Seq("_t", "_tie", "_side", "_payload", "_upayload")
     require(!reserved.exists(events.columns.contains),
       s"columns ${reserved.mkString(", ")} are reserved")
     val k = steps.size
@@ -63,30 +74,62 @@ object Eql {
           .withColumn("_tie", col(s"id_$idx"))
           .withColumn("_side", lit(0))
           .withColumn("_payload", nullPayload)
+          .withColumn("_upayload", nullPayload)
         val r = stepEvents
           .withColumn("_t", col("_st"))
           .withColumn("_tie", col("_sid"))
           .withColumn("_side", lit(1))
           .withColumn("_payload", payloadStruct)
+          .withColumn("_upayload", nullPayload)
           .select(col(byCol) +: curCols.filterNot(_ == byCol).map(c =>
             lit(null).cast(cur.schema(c).dataType).as(c)) ++:
-            Seq(col("_t"), col("_tie"), col("_side"), col("_payload")): _*)
+            Seq(col("_t"), col("_tie"), col("_side"), col("_payload"),
+              col("_upayload")): _*)
+        val u = until.map { upred =>
+          events.filter(upred)
+            .select(col(byCol), col(tsCol).as("_st"),
+              col(tieCol).as("_sid"))
+            .withColumn("_t", col("_st"))
+            .withColumn("_tie", col("_sid"))
+            .withColumn("_side", lit(2))
+            .withColumn("_payload", nullPayload)
+            .withColumn("_upayload", payloadStruct)
+            .select(col(byCol) +: curCols.filterNot(_ == byCol).map(c =>
+              lit(null).cast(cur.schema(c).dataType).as(c)) ++:
+              Seq(col("_t"), col("_tie"), col("_side"),
+                col("_payload"), col("_upayload")): _*)
+        }
         // descending (time, tie) scan: at any chain row, the carried
         // payload is the EARLIEST step event strictly later in
         // (time, tie) order — sides order the chain row FIRST at an
-        // identical (time, tie), which is exactly the strictness rule
+        // identical (time, tie), which is exactly the strictness
+        // rule; the until carrier rides the same scan
         val w = Window.partitionBy(col(byCol))
           .orderBy(col("_t").desc, col("_tie").desc, col("_side").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        l.select(col(byCol) +: curCols.filterNot(_ == byCol).map(col) ++:
-            Seq(col("_t"), col("_tie"), col("_side"), col("_payload")): _*)
+        val unioned0 = l.select(
+            col(byCol) +: curCols.filterNot(_ == byCol).map(col) ++:
+            Seq(col("_t"), col("_tie"), col("_side"), col("_payload"),
+              col("_upayload")): _*)
           .unionByName(r)
+        val unioned = u.fold(unioned0)(unioned0.unionByName(_))
+        val stepOk = col("_payload").isNotNull
+        // the chain survives the transition only if the next step
+        // lands strictly BEFORE the next until in (time, tie) order
+        val untilOk = col("_upayload").isNull ||
+          col("_payload._st") < col("_upayload._st") ||
+          (col("_payload._st") === col("_upayload._st") &&
+            col("_payload._sid") < col("_upayload._sid"))
+        unioned
           .withColumn("_payload",
             last(col("_payload"), ignoreNulls = true).over(w))
-          .filter(col("_side") === 0 && col("_payload").isNotNull)
+          .withColumn("_upayload",
+            last(col("_upayload"), ignoreNulls = true).over(w))
+          .filter(col("_side") === 0 && stepOk &&
+            (if (until.isEmpty) lit(true) else untilOk))
           .withColumn(s"ts_$n", col("_payload._st"))
           .withColumn(s"id_$n", col("_payload._sid"))
-          .drop("_t", "_tie", "_side", "_payload")
+          .drop("_t", "_tie", "_side", "_payload", "_upayload")
     }
     // NTZ columns cast through LTZ for the epoch arithmetic — the
     // session-zone shift cancels in the difference, so the span is

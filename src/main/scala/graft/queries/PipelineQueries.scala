@@ -735,6 +735,20 @@ object PipelineQueries {
         .select(col("user_id"), col("id_1"), col("id_2"), col("id_3"))
         .orderBy("user_id", "id_1")
     }),
+    // EQL `until`: a view event strictly between the signup and the
+    // purchase expires the pending sequence (ES's state discard);
+    // the oracle replays the greedy chain plus a NOT EXISTS between
+    // the transition's composite (ts, id) bounds
+    "eql2_sequence_until" -> ((s, d) => {
+      graft.operators.Eql.sequence(t(s, d, "events"), "user_id",
+        "ts", "event_id",
+        Seq(col("event_type") === "signup",
+          col("event_type") === "purchase"),
+        maxspanMs = 2L * 3600 * 1000,
+        until = Some(col("event_type") === "view"))
+        .select(col("user_id"), col("id_1"), col("id_2"))
+        .orderBy("user_id", "id_1")
+    }),
     // point-in-interval range join, bucketed to an equi-join: events
     // landing inside each error's 10-minute aftermath window. A raw
     // BETWEEN join would plan as a nested-loop product; the bucket
@@ -3985,6 +3999,27 @@ object PipelineQueries {
         |SELECT user_id, i1 AS id_1, i2 AS id_2, i3 AS id_3 FROM c3
         |WHERE epoch_ms(t3) - epoch_ms(t1) <= 7200000
         |ORDER BY user_id, i1""".stripMargin,
+    "eql2_sequence_until" ->
+      """WITH e AS (SELECT event_id, ts, user_id, event_type
+        |           FROM events),
+        |s1 AS (SELECT user_id, ts AS t1, event_id AS i1 FROM e
+        |       WHERE event_type = 'signup'),
+        |c2 AS (SELECT user_id, t1, i1, t2, i2 FROM (
+        |  SELECT s1.user_id, s1.t1, s1.i1, e.ts AS t2,
+        |    e.event_id AS i2,
+        |    row_number() OVER (PARTITION BY s1.user_id, s1.i1
+        |      ORDER BY e.ts, e.event_id) AS rn
+        |  FROM s1 JOIN e ON e.user_id = s1.user_id
+        |    AND e.event_type = 'purchase'
+        |    AND (e.ts > s1.t1 OR (e.ts = s1.t1 AND e.event_id > s1.i1)))
+        |  WHERE rn = 1)
+        |SELECT user_id, i1 AS id_1, i2 AS id_2 FROM c2 c
+        |WHERE epoch_ms(t2) - epoch_ms(t1) <= 7200000
+        |  AND NOT EXISTS (SELECT 1 FROM e u
+        |    WHERE u.user_id = c.user_id AND u.event_type = 'view'
+        |    AND (u.ts > c.t1 OR (u.ts = c.t1 AND u.event_id > c.i1))
+        |    AND (u.ts < c.t2 OR (u.ts = c.t2 AND u.event_id < c.i2)))
+        |ORDER BY user_id, id_1""".stripMargin,
     "rj1_range_window" ->
       """WITH e AS (SELECT event_id AS err_id, ts AS w_start,
         |                  ts + INTERVAL 10 MINUTE AS w_end

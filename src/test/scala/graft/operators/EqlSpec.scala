@@ -75,4 +75,29 @@ class EqlSpec extends AnyFunSuite {
       df.withColumn("_side", lit(1)), "user_id", "ts", "event_id",
       Seq(lit(true), lit(true)), 1000L))
   }
+  test("until: an until event strictly between two chain events " +
+      "kills the chain; outside the transitions it does not") {
+    val df = ev(
+      // user 1: signup, VIEW between, purchase -> dead
+      (1L, 1000L, "signup", 1L), (2L, 1500L, "view", 1L),
+      (3L, 2000L, "purchase", 1L),
+      // user 2: view BEFORE the anchor and AFTER completion -> alive
+      (4L, 500L, "view", 2L), (5L, 1000L, "signup", 2L),
+      (6L, 2000L, "purchase", 2L), (7L, 3000L, "view", 2L))
+    def run(u: Option[org.apache.spark.sql.Column]) =
+      Eql.sequence(df, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "signup",
+          col("event_type") === "purchase"), 600000L, until = u)
+        .select("user_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(run(None) == Seq(1L, 2L))
+    assert(run(Some(col("event_type") === "view")) == Seq(2L))
+    // an event matching BOTH the step and until kills (conservative)
+    val both = ev((1L, 1000L, "signup", 5L), (2L, 2000L, "dual", 5L))
+    val r = Eql.sequence(both, "user_id", "ts", "event_id",
+      Seq(col("event_type") === "signup",
+        col("event_type") === "dual"), 600000L,
+      until = Some(col("event_type") === "dual")).collect()
+    assert(r.isEmpty)
+  }
 }
+
