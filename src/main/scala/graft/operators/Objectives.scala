@@ -307,4 +307,45 @@ object Objectives {
       out.getField("labels").as("labels"),
       out.getField("n_masked").as("n_masked"))
   }
+
+  /** Group-relative advantage preprocessing — the RL-from-rewards
+    * data-prep step behind GRPO and RLOO (the reference has no RL
+    * surface at all; this extends the pref1 preference-pair family to
+    * the group-sampled objectives): completions grouped by their
+    * prompt, each reward normalized against ITS group.
+    *
+    * Output adds two columns:
+    *  - `grpo_adv` = (r − mean_g) / std_g (POPULATION std — the GRPO
+    *    normalizer), 6-dp half-up; a degenerate group (n = 1 or
+    *    std = 0, i.e. no within-group signal) gets 0.0 — the
+    *    documented convention, never a NaN/±Inf,
+    *  - `rloo_adv` = r − (sum_g − r)/(n − 1) (the leave-one-out
+    *    baseline), 6-dp; n = 1 groups get 0.0 (no opponents).
+    *
+    * ONE keyed aggregation computes the group moments; they re-join
+    * the completions as a BROADCAST (groups ≪ completions — the
+    * prompt set is the small side by construction). No window, no
+    * shuffle of the completion frame beyond the stats join.
+    */
+  def groupAdvantages(completions: DataFrame, groupCol: String,
+                      rewardCol: String): DataFrame = {
+    val r = col(rewardCol).cast("double")
+    val stats = completions.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("_gn"),
+        avg(r).as("_gmean"),
+        coalesce(stddev_pop(r), lit(0.0)).as("_gstd"),
+        sum(r).as("_gsum"))
+    val grpo = when(col("_gn") > 1 && col("_gstd") > 0,
+      graft.queries.QueryUtil.rhu(
+        (r - col("_gmean")) / col("_gstd"), 6)).otherwise(lit(0.0))
+    val rloo = when(col("_gn") > 1,
+      graft.queries.QueryUtil.rhu(
+        r - (col("_gsum") - r) / (col("_gn") - 1), 6))
+      .otherwise(lit(0.0))
+    completions
+      .join(broadcast(stats), Seq(groupCol))
+      .withColumn("grpo_adv", grpo)
+      .withColumn("rloo_adv", rloo)
+      .drop("_gn", "_gmean", "_gstd", "_gsum")
+  }
 }

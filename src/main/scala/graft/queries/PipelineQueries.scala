@@ -239,6 +239,20 @@ object PipelineQueries {
     // RLHF preference pairs: per source group, best-vs-worst scored
     // doc via the native idxmax/idxmin aggregate (ties -> smallest
     // id), equal-score groups drop
+    // GRPO/RLOO group-advantage preprocessing: rewards normalize
+    // against THEIR prompt group (population std for GRPO, the
+    // leave-one-out baseline for RLOO); degenerate groups pin to 0.0
+    // instead of NaN — the oracle replays both normalizers
+    "grpo1_group_advantage" -> ((s, d) => {
+      graft.operators.Objectives.groupAdvantages(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("double").as("reward")),
+        "source", "reward")
+        .select(col("doc_id"), col("source"), col("grpo_adv"),
+          col("rloo_adv"))
+        .orderBy("doc_id")
+    }),
     "pref1_preference_pairs" -> ((s, d) => {
       graft.operators.Sampling.preferencePairs(
         t(s, d, "documents").select(col("source"), col("doc_id"),
@@ -3832,6 +3846,21 @@ object PipelineQueries {
     },
     // best/worst replay with the idxmax tie rule (score desc/asc,
     // then smallest id), equal-score groups dropped
+    "grpo1_group_advantage" ->
+      """WITH s AS (SELECT doc_id, source,
+        |             CAST(n_chars AS DOUBLE) AS r FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS DOUBLE) AS gn,
+        |        avg(r) AS gm, coalesce(stddev_pop(r), 0) AS gs,
+        |        sum(r) AS gsum
+        |      FROM s GROUP BY 1)
+        |SELECT doc_id, source,
+        |  CASE WHEN gn > 1 AND gs > 0 THEN
+        |    floor((r - gm) / gs * 1000000 + 0.5) / 1000000
+        |  ELSE 0.0 END AS grpo_adv,
+        |  CASE WHEN gn > 1 THEN
+        |    floor((r - (gsum - r) / (gn - 1)) * 1000000 + 0.5) / 1000000
+        |  ELSE 0.0 END AS rloo_adv
+        |FROM s JOIN g USING (source) ORDER BY doc_id""".stripMargin,
     "pref1_preference_pairs" ->
       """WITH r AS (SELECT source, doc_id,
         |    CAST(n_chars AS DOUBLE) AS s FROM documents

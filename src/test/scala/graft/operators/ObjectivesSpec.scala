@@ -219,4 +219,31 @@ class ObjectivesSpec extends AnyFunSuite {
         markers = Map("user" -> "<|user|> "))
     }
   }
+  test("groupAdvantages: GRPO population-std normalization, RLOO " +
+      "leave-one-out baseline, degenerate groups pin to 0") {
+    val df = Seq(
+      ("p1", 1L, 1.0), ("p1", 2L, 2.0), ("p1", 3L, 3.0),
+      ("p2", 4L, 5.0),                  // singleton group
+      ("p3", 5L, 7.0), ("p3", 6L, 7.0)  // zero-variance group
+    ).toDF("prompt", "cid", "reward")
+    val out = Objectives.groupAdvantages(df, "prompt", "reward")
+      .collect().map(r => r.getAs[Long]("cid") ->
+        (r.getAs[Double]("grpo_adv"), r.getAs[Double]("rloo_adv")))
+      .toMap
+    // p1: mean 2, pop std sqrt(2/3); rloo for r=1: 1 - (5/2) = -1.5
+    val std = math.sqrt(2.0 / 3)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(1L) == ((r6((1 - 2) / std), -1.5)))
+    assert(out(3L) == ((r6((3 - 2) / std), 1.5)))
+    assert(out(2L) == ((0.0, 0.0)))
+    // singleton and zero-variance: 0.0, never NaN
+    assert(out(4L) == ((0.0, 0.0)))
+    assert(out(5L) == ((0.0, 0.0)))
+    // plan: group stats broadcast back — no Window
+    val plan = Objectives.groupAdvantages(df, "prompt", "reward")
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
+
