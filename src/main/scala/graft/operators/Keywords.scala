@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
@@ -90,13 +90,29 @@ object Keywords {
     * Precondition (the [[keywordsTfIdf]] contract): `idCol` unique —
     * duplicate ids would double-count their doc frequencies.
     */
+  /** `backgroundFilter` — ES's `background_filter` knob: the
+    * background statistics (df_bg, n_bg) restrict to the docs
+    * matching the filter instead of the whole frame; foreground
+    * buckets are unchanged. A foreground term ABSENT from the
+    * filtered background drops from the ranking — ES's JLH heuristic
+    * scores a zero-superset-frequency term 0 (the Lucene zero
+    * guard), and a 0 score never ranks; here the inner background
+    * join realizes the same verdict without a divide-by-zero.
+    */
   def significantTerms(docs: DataFrame, idCol: String, textCol: String,
-                       sourceCol: String, k: Int = 5): DataFrame = {
+                       sourceCol: String, k: Int = 5,
+                       backgroundFilter: Option[Column] = None)
+      : DataFrame = {
     require(k >= 1, s"significantTerms: k must be >= 1 (got $k)")
     val docTerms = docs.select(col(sourceCol), col(idCol),
       explode(array_distinct(TextAnalysis.tokens(col(textCol))))
         .as("term"))
-    jlhTopK(docTerms, docs, idCol, sourceCol, k)
+    val bgDocs = backgroundFilter.fold(docs)(docs.filter)
+    val bgTerms = backgroundFilter.fold(docTerms)(_ =>
+      bgDocs.select(col(idCol),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+          .as("term")))
+    jlhTopK(docTerms, docs, bgTerms, bgDocs, sourceCol, k)
   }
 
   /** ES `significant_text` aggregation — [[significantTerms]]' JLH
@@ -193,7 +209,7 @@ object Keywords {
         explode(array_distinct(
           when(col("_dups").isNull, col("_toks")).otherwise(kept)))
           .as("term"))
-    jlhTopK(docTerms, docs, idCol, sourceCol, k)
+    jlhTopK(docTerms, docs, docTerms, docs, sourceCol, k)
   }
 
   /** The JLH top-k core shared by [[significantTerms]] and
@@ -202,15 +218,19 @@ object Keywords {
     * (which duplicate-text filtering never changes — it de-weights
     * term frequencies, not document totals).
     */
-  private def jlhTopK(docTerms: DataFrame, docs: DataFrame,
-                      idCol: String, sourceCol: String,
-                      k: Int): DataFrame = {
+  private def jlhTopK(docTerms: DataFrame, fgDocs: DataFrame,
+                      bgTerms: DataFrame, bgDocs: DataFrame,
+                      sourceCol: String, k: Int): DataFrame = {
     val fg = docTerms.groupBy(sourceCol, "term")
       .agg(count(lit(1)).cast("double").as("df_fg"))
-    val bg = fg.groupBy("term").agg(sum(col("df_fg")).as("df_bg"))
-    val sizes = docs.groupBy(sourceCol)
+    // one row per (doc, term) on either side, so df is a row count;
+    // with the default (whole-frame) background this equals the old
+    // sum-over-sources spelling exactly
+    val bg = bgTerms.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df_bg"))
+    val sizes = fgDocs.groupBy(sourceCol)
       .agg(count(lit(1)).cast("double").as("n_fg"))
-    val total = docs.agg(count(lit(1)).cast("double").as("n_bg"))
+    val total = bgDocs.agg(count(lit(1)).cast("double").as("n_bg"))
     val scored = fg
       .join(bg, Seq("term"))
       .join(broadcast(sizes), Seq(sourceCol))

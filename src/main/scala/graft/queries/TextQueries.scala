@@ -836,6 +836,17 @@ object TextQueries {
           t(s, d, "documents"), "doc_id", "text", "source", k = 5)
         .orderBy("source", "rank")
     }),
+    // significant_terms with ES's background_filter: the JLH
+    // baseline restricts to English docs — per-source distinctive
+    // terms shift because the background probabilities change; a
+    // foreground term absent from the filtered background drops
+    // (ES's zero-superset-score rule)
+    "kw4_significant_terms_bg" -> ((s, d) => {
+      graft.operators.Keywords.significantTerms(
+          t(s, d, "documents"), "doc_id", "text", "source", k = 5,
+          backgroundFilter = Some(col("lang") === "en"))
+        .orderBy("source", "rank")
+    }),
 
     // significant_text with filter_duplicate_text: an 8-token
     // boilerplate passage of COMMON corpus words is planted on every
@@ -1328,6 +1339,38 @@ object TextQueries {
            |       FROM documents GROUP BY 1),
            |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_bg
            |        FROM documents),
+           |sc AS (SELECT f.source, f.term, f.df_fg, b.df_bg,
+           |         (f.df_fg / s.n_fg) AS pfg,
+           |         (b.df_bg / n.n_bg) AS pbg
+           |       FROM fg f JOIN bg b USING (term)
+           |       JOIN sz s USING (source), tot n),
+           |r AS (SELECT source, term,
+           |        CAST(df_fg AS BIGINT) AS df_fg,
+           |        CAST(df_bg AS BIGINT) AS df_bg,
+           |        floor((pfg - pbg) * (pfg / pbg) * 1000000 + 0.5)
+           |          / 1000000.0 AS score
+           |      FROM sc WHERE pfg > pbg),
+           |rk AS (SELECT source, term, df_fg, df_bg, score,
+           |         CAST(row_number() OVER (PARTITION BY source
+           |           ORDER BY score DESC, term) AS BIGINT) AS rank
+           |       FROM r)
+           |SELECT source, rank, term, df_fg, df_bg, score FROM rk
+           |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "kw4_significant_terms_bg" ->
+      raw"""WITH dt AS (SELECT source, doc_id,
+           |              unnest(list_distinct($toksSql)) AS term
+           |            FROM documents),
+           |fg AS (SELECT source, term,
+           |         CAST(count(*) AS DOUBLE) AS df_fg
+           |       FROM dt GROUP BY 1, 2),
+           |bdt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
+           |        FROM documents WHERE lang = 'en'),
+           |bg AS (SELECT term, CAST(count(*) AS DOUBLE) AS df_bg
+           |       FROM bdt GROUP BY 1),
+           |sz AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_fg
+           |       FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_bg
+           |        FROM documents WHERE lang = 'en'),
            |sc AS (SELECT f.source, f.term, f.df_fg, b.df_bg,
            |         (f.df_fg / s.n_fg) AS pfg,
            |         (b.df_bg / n.n_bg) AS pbg
