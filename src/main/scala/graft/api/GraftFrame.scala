@@ -165,7 +165,9 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
     */
   def esQuery(queryJson: String,
               matchOnlyTextFields: Boolean = true,
-              synonyms: Seq[String] = Nil): GraftFrame = {
+              synonyms: Seq[String] = Nil,
+              termsLookup: Option[graft.functions.EsQueryDsl.TermsLookup] =
+                None): GraftFrame = {
     val requireText: String => Unit =
       if (!matchOnlyTextFields) _ => ()
       else { field =>
@@ -176,7 +178,7 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
       }
     wrap(df.filter(
       graft.functions.EsQueryDsl.toColumn(queryJson, idCol, requireText,
-        synonyms)))
+        synonyms, termsLookup)))
   }
 
   /** [[esQuery]] with QUERY-context (scoring) semantics: the matching

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.api.Predicates
 
@@ -68,13 +68,52 @@ object EsQueryDsl {
     * capability matrix (GraftFrame.esQuery) can enforce the same
     * non-text guard as es_match.
     */
+  /** ES terms-LOOKUP resolver: (index, id, path) → the values of
+    * that document's array/scalar field. ES itself performs a GET
+    * for the lookup document BEFORE the search executes — the
+    * driver-side resolution here is the same two-step, not a
+    * shortcut. See [[frameLookup]] for the frame-backed resolver.
+    */
+  type TermsLookup = (String, String, String) => Seq[Any]
+
+  /** A [[TermsLookup]] over registered frames: `frames` maps the
+    * lookup "index" name to (frame, id column). The path column may
+    * be an array (flattened) or a scalar; a missing document yields
+    * NO values (ES: the terms query then matches nothing). The
+    * resolved list is capped like ES's `index.max_terms_count`
+    * (65536) — a loud refusal, never a silent truncation.
+    */
+  def frameLookup(frames: Map[String, (DataFrame, String)])
+      : TermsLookup = { (index, id, path) =>
+    val (frame, idCol) = frames.getOrElse(index,
+      throw new IllegalArgumentException(
+        s"terms lookup: unknown index `$index` " +
+          s"(have: ${frames.keys.toSeq.sorted.mkString(", ")})"))
+    val rows = frame
+      .filter(col(idCol).cast("string") === id)
+      .select(col(path)).collect()
+    require(rows.length <= 1,
+      s"terms lookup: id `$id` matches ${rows.length} docs in " +
+        s"`$index` — the lookup id must be unique")
+    val values = rows.headOption.map(_.get(0)).toSeq.flatMap {
+      case null => Nil
+      case seq: scala.collection.Seq[_] => seq.toSeq
+      case one => Seq(one)
+    }
+    require(values.size <= 65536,
+      s"terms lookup resolved ${values.size} values — above ES's " +
+        "index.max_terms_count (65536); narrow the lookup document")
+    values
+  }
+
   def toColumn(json: String, idCol: String = "_id",
                requireText: String => Unit = _ => (),
-               synonyms: Seq[String] = Nil): Column = {
+               synonyms: Seq[String] = Nil,
+               termsLookup: Option[TermsLookup] = None): Column = {
     val ast = JsonMethods.parse(json)
     val syn = Synonyms.parse(synonyms)
     val q = if (syn.isEmpty) ast else rewriteSynonyms(ast, syn)
-    fromJValue(q, idCol, requireText, col)
+    fromJValue(q, idCol, requireText, col, termsLookup)
   }
 
   /** Search-time synonym rewrite for the FILTER face ([[Synonyms]]
@@ -647,11 +686,15 @@ object EsQueryDsl {
 
   private def clauses(v: JValue, idCol: String,
                       requireText: String => Unit,
-                      resolve: String => Column): Seq[Column] = v match {
-    case JArray(items) => items.map(fromJValue(_, idCol, requireText, resolve))
-    case JNothing      => Nil
-    case one           => Seq(fromJValue(one, idCol, requireText, resolve))
-  }
+                      resolve: String => Column,
+                      lookup: Option[TermsLookup] = None): Seq[Column] =
+    v match {
+      case JArray(items) =>
+        items.map(fromJValue(_, idCol, requireText, resolve, lookup))
+      case JNothing => Nil
+      case one =>
+        Seq(fromJValue(one, idCol, requireText, resolve, lookup))
+    }
 
   /** `resolve` maps a DSL field name to its Column — `col` at the top
     * level; inside a `nested` clause it rebinds `path.*` names to the
@@ -661,7 +704,8 @@ object EsQueryDsl {
     */
   private def fromJValue(q: JValue, idCol: String,
                          requireText: String => Unit,
-                         resolve: String => Column): Column = {
+                         resolve: String => Column,
+                         lookup: Option[TermsLookup] = None): Column = {
     val (kind, body) = lonely(q, "query")
     kind match {
       case "match_all"  => lit(true)
@@ -675,20 +719,20 @@ object EsQueryDsl {
             "constant_score needs a filter clause " +
               "(the legacy {\"constant_score\": {\"query\": ...}} " +
               "spelling is not supported)")
-          case f => fromJValue(f, idCol, requireText, resolve)
+          case f => fromJValue(f, idCol, requireText, resolve, lookup)
         }
       case "dis_max" =>
         (body \ "queries") match {
           case JArray(qs) if qs.nonEmpty =>
-            qs.map(fromJValue(_, idCol, requireText, resolve)).reduce(_ || _)
+            qs.map(fromJValue(_, idCol, requireText, resolve, lookup)).reduce(_ || _)
           case other => throw new IllegalArgumentException(
             s"dis_max needs a non-empty queries list, got $other")
         }
       case "bool" =>
-        val must    = clauses(body \ "must", idCol, requireText, resolve) ++
-          clauses(body \ "filter", idCol, requireText, resolve)
-        val should  = clauses(body \ "should", idCol, requireText, resolve)
-        val mustNot = clauses(body \ "must_not", idCol, requireText, resolve)
+        val must    = clauses(body \ "must", idCol, requireText, resolve, lookup) ++
+          clauses(body \ "filter", idCol, requireText, resolve, lookup)
+        val should  = clauses(body \ "should", idCol, requireText, resolve, lookup)
+        val mustNot = clauses(body \ "must_not", idCol, requireText, resolve, lookup)
         // ES minimum_should_match default: 1 when the bool has should
         // clauses and NO must/filter, else 0 — i.e. with must present,
         // bare should clauses only affect scoring, not matching.
@@ -1038,17 +1082,17 @@ object EsQueryDsl {
           java.util.Base64.getDecoder.decode(inner),
           java.nio.charset.StandardCharsets.UTF_8)
         fromJValue(org.json4s.jackson.JsonMethods.parse(decoded),
-          idCol, requireText, resolve)
+          idCol, requireText, resolve, lookup)
       case "boosting" =>
         val pos = (body \ "positive") match {
           case JNothing => throw new IllegalArgumentException(
             "boosting needs a positive query")
-          case p => fromJValue(p, idCol, requireText, resolve)
+          case p => fromJValue(p, idCol, requireText, resolve, lookup)
         }
         (body \ "negative") match {
           case JNothing => throw new IllegalArgumentException(
             "boosting needs a negative query")
-          case nq => fromJValue(nq, idCol, requireText, resolve)
+          case nq => fromJValue(nq, idCol, requireText, resolve, lookup)
         }
         negativeBoostOf(body)
         pos
@@ -1098,6 +1142,23 @@ object EsQueryDsl {
         val (field, v) = lonely(body, "terms")
         v match {
           case JArray(vs) => resolve(field).isin(vs.map(jvRaw): _*)
+          // ES terms LOOKUP: {"terms": {f: {"index", "id", "path"}}}
+          case JObject(_) if (v \ "index") != JNothing =>
+            val lk = lookup.getOrElse(throw new IllegalArgumentException(
+              "terms lookup needs a resolver — pass termsLookup = " +
+                "Some(EsQueryDsl.frameLookup(...)) (ES GETs the " +
+                "lookup document from the cluster; the engine has no " +
+                "cluster to GET from)"))
+            def sv(k: String): String = (v \ k) match {
+              case JString(x) => x
+              case JInt(x)    => x.toString
+              case JLong(x)   => x.toString
+              case other => throw new IllegalArgumentException(
+                s"terms lookup `$k` must be a string/int, got $other")
+            }
+            val values = lk(sv("index"), sv("id"), sv("path"))
+            if (values.isEmpty) lit(false)
+            else resolve(field).isin(values: _*)
           case other      => throw new IllegalArgumentException(s"terms: $other")
         }
       case "range" =>

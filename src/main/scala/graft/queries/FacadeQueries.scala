@@ -301,6 +301,23 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // ES terms LOOKUP: the filter values come from a "document" in a
+    // lookup index (a per-nation profile row holding its customer
+    // keys) — resolved driver-side BEFORE the search, exactly ES's
+    // own GET-then-search two-step; the oracle replays the semi-join
+    "f48_terms_lookup" -> ((s, d) => {
+      val profiles = Tables.load(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(collect_set(col("c_custkey")).as("custkeys"))
+      val lk = graft.functions.EsQueryDsl.frameLookup(
+        Map("nation_profiles" -> ((profiles, "c_nationkey"))))
+      GraftFrame(Tables.load(s, d, "orders"), "o_orderkey")
+        .esQuery(
+          """{"terms": {"o_custkey": {"index": "nation_profiles",
+            |"id": "7", "path": "custkeys"}}}""".stripMargin,
+          matchOnlyTextFields = false, termsLookup = Some(lk))
+        .df.select(col("o_orderkey")).orderBy("o_orderkey")
+    }),
     // multi_match type cross_fields: TERM-centric blending across a
     // derived title field (first 5 tokens) and the body — df per
     // position blends to the cross-field MAX, each position scores
@@ -1320,6 +1337,11 @@ object FacadeQueries {
            |  AND list_contains(toks, 'stream')
            |  AND lang IN ('en', 'de')
            |ORDER BY doc_id""".stripMargin,
+    "f48_terms_lookup" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_nationkey = 7)
+        |ORDER BY o_orderkey""".stripMargin,
     "cf2_cross_fields" ->
       raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |f AS (SELECT doc_id, toks AS btoks, toks[1:5] AS ttoks

@@ -790,7 +790,53 @@ class EsQueryDslSpec extends AnyFunSuite {
       """{"term": {"v": {"value": "x",
         |"case_insensitive": "yes"}}}""".stripMargin))
   }
+  test("terms lookup: array/scalar paths, missing doc matches " +
+      "nothing, refusals (no resolver, unknown index, dup id)") {
+    import spark.implicits._
+    val profiles = Seq(
+      (1L, Seq(10L, 20L)), (2L, Seq.empty[Long])
+    ).toDF("pid", "keys")
+    val lk = EsQueryDsl.frameLookup(
+      Map("profiles" -> ((profiles, "pid"))))
+    val f = GraftFrame(Seq((10L, "a"), (20L, "b"), (30L, "c"))
+      .toDF("k", "v"), "k")
+    def ids(id: String): Seq[Long] =
+      f.esQuery(s"""{"terms": {"k": {"index": "profiles",
+        |"id": "$id", "path": "keys"}}}""".stripMargin,
+        matchOnlyTextFields = false, termsLookup = Some(lk))
+        .df.select("k").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids("1") == Seq(10L, 20L))
+    assert(ids("2") == Seq()) // empty array -> matches nothing
+    assert(ids("9") == Seq()) // missing doc -> matches nothing (ES)
+    // scalar path works too
+    val scal = EsQueryDsl.frameLookup(
+      Map("s" -> ((Seq((5L, 10L)).toDF("pid", "one"), "pid"))))
+    assert(GraftFrame(Seq((10L, "a")).toDF("k", "v"), "k")
+      .esQuery("""{"terms": {"k": {"index": "s", "id": "5",
+        |"path": "one"}}}""".stripMargin,
+        matchOnlyTextFields = false, termsLookup = Some(scal))
+      .len() == 1)
+    // refusals
+    val none = intercept[IllegalArgumentException](
+      f.esQuery("""{"terms": {"k": {"index": "profiles", "id": "1",
+        |"path": "keys"}}}""".stripMargin,
+        matchOnlyTextFields = false))
+    assert(none.getMessage.contains("resolver"), none.getMessage)
+    intercept[IllegalArgumentException](ids("1").isEmpty ||
+      f.esQuery("""{"terms": {"k": {"index": "ghost", "id": "1",
+        |"path": "keys"}}}""".stripMargin,
+        matchOnlyTextFields = false,
+        termsLookup = Some(lk)).len() >= 0)
+    val dup = EsQueryDsl.frameLookup(
+      Map("d" -> ((profiles.unionAll(profiles), "pid"))))
+    val de = intercept[IllegalArgumentException](
+      f.esQuery("""{"terms": {"k": {"index": "d", "id": "1",
+        |"path": "keys"}}}""".stripMargin,
+        matchOnlyTextFields = false, termsLookup = Some(dup)))
+    assert(de.getMessage.contains("unique"), de.getMessage)
+  }
 }
+
 
 
 
