@@ -497,6 +497,24 @@ object AggQueries {
           col("o_totalprice"))
         .orderBy("o_custkey")
     }),
+    // composite agg with a DATE_HISTOGRAM source (ca1 pages terms
+    // sources): the after_key carries a TIMESTAMP bucket — two pages
+    // must tile exactly across the derived key; the oracle replays
+    // the month truncation, the lexicographic after predicate and
+    // both page cuts
+    "ca2_composite_date_histo" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .withColumn("month", date_trunc("month", col("o_orderdate")))
+      val p1 = EsAggs.compositePage(o,
+        Seq("month", "o_orderstatus"), 6)
+      val last = p1.collect().last
+      val p2 = EsAggs.compositePage(o,
+        Seq("month", "o_orderstatus"), 6,
+        afterKey = Some(Seq(last.get(0), last.get(1))))
+      p1.withColumn("page", lit(1L))
+        .unionByName(p2.withColumn("page", lit(2L)))
+        .orderBy("page", "month", "o_orderstatus")
+    }),
     // ES t_test type paired: per-row difference moments (exact
     // integral sums; one sqrt both engines)
     "tt2_t_test_paired" -> ((s, d) => {
@@ -1243,6 +1261,24 @@ object AggQueries {
         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders) WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin,
+    "ca2_composite_date_histo" ->
+      """WITH b AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |             o_orderstatus,
+        |             CAST(count(*) AS BIGINT) AS doc_count
+        |           FROM orders GROUP BY 1, 2),
+        |p1 AS (SELECT * FROM b ORDER BY month, o_orderstatus LIMIT 6),
+        |lastk AS (SELECT month AS lm, o_orderstatus AS ls FROM p1
+        |          ORDER BY month DESC, o_orderstatus DESC LIMIT 1),
+        |p2 AS (SELECT b.* FROM b, lastk
+        |       WHERE b.month > lm OR (b.month = lm
+        |         AND b.o_orderstatus > ls)
+        |       ORDER BY month, o_orderstatus LIMIT 6)
+        |SELECT CAST(1 AS BIGINT) AS page, month, o_orderstatus,
+        |  doc_count FROM p1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), month, o_orderstatus, doc_count
+        |FROM p2
+        |ORDER BY page, month, o_orderstatus""".stripMargin,
     "tt2_t_test_paired" -> {
       def r6(e: String) = QueryUtil.rhuSql(e, 6)
       s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
