@@ -301,6 +301,24 @@ object FacadeQueries {
         .df.select(col("doc_id"), col("_score").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(25)
     }),
+    // ES search template: the mustache subset renders a stored-style
+    // template ({{q}} scalar + {{#toJson}}langs{{/toJson}} terms
+    // list) into the exact query the scored face gates; the oracle
+    // replays the RESOLVED query, so an unescaped quote, a dropped
+    // clause, or a mis-rendered list cannot match
+    "tpl1_search_template" -> ((s, d) => {
+      val rendered = graft.functions.SearchTemplates.render(
+        """{"bool": {
+          |  "must": [{"match": {"text": "{{q}}"}}],
+          |  "filter": [{"terms": {"lang":
+          |    {{#toJson}}langs{{/toJson}} }}]
+          |}}""".stripMargin,
+        Map("q" -> "stream filter",
+          "langs" -> Seq("en", "fr")))
+      docs(s, d).esQueryScored(rendered)
+        .df.select(col("doc_id"), col("_score").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    }),
     // ES terms LOOKUP: the filter values come from a "document" in a
     // lookup index (a per-nation profile row holding its customer
     // keys) — resolved driver-side BEFORE the search, exactly ES's
@@ -1337,6 +1355,26 @@ object FacadeQueries {
            |  AND list_contains(toks, 'stream')
            |  AND lang IN ('en', 'de')
            |ORDER BY doc_id""".stripMargin,
+    "tpl1_search_template" ->
+      raw"""WITH s AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |              avg(CAST(len(toks) AS DOUBLE)) AS avg_len FROM s),
+           |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           |               unnest(toks) AS t FROM s)
+           |       WHERE t IN ('stream', 'filter') GROUP BY 1, 2, 3),
+           |dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           |        FROM tf GROUP BY 1),
+           |bm AS (SELECT doc_id,
+           |         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf *
+           |           (1.2 + 1) /
+           |           (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))), 6)
+           |           AS score
+           |       FROM tf JOIN dft USING (t), st GROUP BY doc_id)
+           |SELECT d.doc_id, b.score
+           |FROM bm b JOIN documents d ON d.doc_id = b.doc_id
+           |WHERE d.lang IN ('en', 'fr')
+           |ORDER BY b.score DESC, d.doc_id LIMIT 25""".stripMargin,
     "f48_terms_lookup" ->
       """SELECT o_orderkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
