@@ -253,6 +253,23 @@ object EsQueryDsl {
           "intervals with synonym-affected match terms refuses: " +
             "positional graph expansion is not approximated")
         q
+      case JObject(List(("wrapper", body))) =>
+        // a wrapper's base64 payload decodes AFTER this pre-pass —
+        // rewrite the decoded tree and re-encode, so synonyms cannot
+        // silently skip a wrapped match
+        (body \ "query") match {
+          case JString(b64) =>
+            val decoded = new String(
+              java.util.Base64.getDecoder.decode(b64),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val rewritten = rw(JsonMethods.parse(decoded))
+            val re = java.util.Base64.getEncoder.encodeToString(
+              JsonMethods.compact(JsonMethods.render(rewritten))
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            JObject(List("wrapper" ->
+              JObject(List("query" -> JString(re)))))
+          case _ => q // the evaluator's own shape error fires later
+        }
       case other => other
     }
     rw(q0)

@@ -835,7 +835,20 @@ class EsQueryDslSpec extends AnyFunSuite {
         matchOnlyTextFields = false, termsLookup = Some(dup)))
     assert(de.getMessage.contains("unique"), de.getMessage)
   }
+  test("synonyms reach through a wrapper's base64 payload") {
+    import spark.implicits._
+    val f = GraftFrame(Seq((1L, "fast car"), (2L, "slow day"))
+      .toDF("id", "text"), "id")
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      """{"match": {"text": "quick"}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val got = f.esQuery(s"""{"wrapper": {"query": "$b64"}}""",
+      synonyms = Seq("quick, fast")).df
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
 }
+
 
 
 
