@@ -330,7 +330,14 @@ object Objectives {
   def groupAdvantages(completions: DataFrame, groupCol: String,
                       rewardCol: String): DataFrame = {
     val r = col(rewardCol).cast("double")
-    val stats = completions.groupBy(col(groupCol))
+    // a NULL group key would silently vanish in the stats join (null
+    // never equi-joins) — refuse in-plan instead; a completion
+    // without a prompt id is a data bug, not a droppable row
+    val guarded = completions.withColumn(groupCol,
+      when(col(groupCol).isNull, raise_error(lit(
+        s"groupAdvantages: null $groupCol — every completion needs " +
+          "a prompt group"))).otherwise(col(groupCol)))
+    val stats = guarded.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("double").as("_gn"),
         avg(r).as("_gmean"),
         coalesce(stddev_pop(r), lit(0.0)).as("_gstd"),
@@ -342,7 +349,7 @@ object Objectives {
       graft.queries.QueryUtil.rhu(
         r - (col("_gsum") - r) / (col("_gn") - 1), 6))
       .otherwise(lit(0.0))
-    completions
+    guarded
       .join(broadcast(stats), Seq(groupCol))
       .withColumn("grpo_adv", grpo)
       .withColumn("rloo_adv", rloo)

@@ -126,7 +126,12 @@ object Transforms {
       case other => throw new IllegalArgumentException(
         s"pivot needs non-empty aggregations, got $other")
     }
-    df.groupBy(groups: _*)
+    // ES's pivot default: a doc missing ANY group_by value lands in
+    // no bucket (missing_bucket: false) — filter BEFORE the shuffle
+    // so null keys neither bucket nor sort-position-diverge across
+    // engines
+    df.filter(groups.map(_.isNotNull).reduce(_ && _))
+      .groupBy(groups: _*)
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(named.map { case (n, _) => col(n) }: _*)
   }
