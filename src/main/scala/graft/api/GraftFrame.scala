@@ -663,6 +663,40 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
   /** Plan inspection — eland `es_info` (eland/operations.py:1500-1518). */
   def esInfo(): String = df.queryExecution.explainString(
     org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  /** The ES `_validate/query` API: parse-and-plan WITHOUT executing —
+    * `(valid, explanation)` where the explanation is the compiled
+    * predicate's expression string on success (the API's
+    * `explain: true` response) or the parse/analysis error on
+    * failure. Compiling the DSL to a Column IS the validation the
+    * endpoint performs; nothing runs (the scored face stays lazy by
+    * contract, spec-pinned).
+    */
+  def esValidateQuery(queryJson: String,
+                      matchOnlyTextFields: Boolean = true,
+                      synonyms: Seq[String] = Nil)
+      : (Boolean, String) =
+    try {
+      val c = graft.functions.EsQueryDsl.toColumn(queryJson, idCol,
+        requireTextFn(matchOnlyTextFields), synonyms)
+      // resolve against THIS frame's schema — an unknown field is an
+      // analysis error exactly as ES reports it
+      df.filter(c).queryExecution.analyzed
+      (true, c.toString)
+    } catch {
+      case e: Exception => (false, e.getMessage)
+    }
+
+  private def requireTextFn(matchOnlyTextFields: Boolean)
+      : String => Unit =
+    if (!matchOnlyTextFields) _ => ()
+    else { field =>
+      val es = fieldCaps.find(_.column == field).map(_.esDtype)
+        .getOrElse("object")
+      require(es == "text",
+        s"es_query match on non-text field ($field=$es); pin it as " +
+          "text via withEsDtype or pass matchOnlyTextFields=false")
+    }
 }
 
 object GraftFrame {

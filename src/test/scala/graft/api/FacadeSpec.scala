@@ -387,4 +387,24 @@ class FacadeSpec extends AnyFunSuite {
     // g1: a and b tie at 2 (c loses); g2: single value
     assert(got === Seq(("g1", 1L, "a"), ("g1", 2L, "b"), ("g2", 1L, "z")))
   }
+  test("esValidateQuery: valid queries explain, broken ones report, " +
+      "nothing executes") {
+    import spark.implicits._
+    val f = graft.api.GraftFrame(
+      Seq((1L, "alpha")).toDF("id", "text"), "id")
+    val (ok, expl) = f.esValidateQuery(
+      """{"term": {"text": "alpha"}}""", matchOnlyTextFields = false)
+    assert(ok && expl.nonEmpty)
+    // parse error: unknown clause kind
+    val (bad1, m1) = f.esValidateQuery("""{"frobnicate": {"x": 1}}""")
+    assert(!bad1 && m1.nonEmpty)
+    // analysis error: unknown field
+    val (bad2, m2) = f.esValidateQuery(
+      """{"term": {"ghost": 1}}""", matchOnlyTextFields = false)
+    assert(!bad2 && m2.toLowerCase.contains("ghost"))
+    // malformed JSON
+    val (bad3, _) = f.esValidateQuery("""{"term": {""")
+    assert(!bad3)
+  }
 }
+
