@@ -905,6 +905,36 @@ object PipelineQueries {
     // per-document decision) + both Gopher rule predicates, no state
     // store. The oracle is the pure batch replay over all four
     // batches' rows — stateless rules cannot depend on arrival order
+    // streaming ingest: the ig-family pipeline applied per
+    // micro-batch (stateless narrow transforms — union of batches ≡
+    // the batch pipeline over the whole fixture, which IS the oracle)
+    "st15_stream_ingest" -> ((s, d) => {
+      val src = docsStreamFixture(s, d)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-st15-run").toString
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val pipe = graft.operators.IngestPipeline(
+        """{"processors": [
+          |  {"set": {"field": "engine", "value": "graft"}},
+          |  {"convert": {"field": "doc_id", "type": "string",
+          |    "target_field": "key_str"}},
+          |  {"gsub": {"field": "text", "pattern": "stream",
+          |    "replacement": "flow", "target_field": "t2"}}
+          |]}""".stripMargin)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.CorpusStream.ingestPipeline(stream,
+          pipe, s"$work/out", s"$work/ckp")
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(s"$work/out")
+        .select(col("doc_id"), col("key_str"), col("engine"),
+          col("t2"))
+        .orderBy("doc_id")
+    }),
     "st13_stream_curation" -> ((s, d) => {
       val src = docsStreamFixture(s, d)
       val work = java.nio.file.Files
@@ -4124,6 +4154,15 @@ object PipelineQueries {
     // stateless streaming ⇒ the union of per-batch matches equals the
     // batch percolate of the whole FIXTURE corpus (documents + the
     // planted +10001 clones) — pc1's replay over that union
+    "st15_stream_ingest" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10001, text FROM documents
+        |           WHERE doc_id < 100)
+        |SELECT doc_id, CAST(doc_id AS VARCHAR) AS key_str,
+        |  'graft' AS engine,
+        |  regexp_replace(text, 'stream', 'flow', 'g') AS t2
+        |FROM u ORDER BY doc_id""".stripMargin,
     "st14_stream_percolate" ->
       raw"""WITH u AS (SELECT doc_id, text FROM documents
            |           UNION ALL

@@ -364,6 +364,27 @@ object CorpusStream {
     * trigger's join, so a crash replays a batch to the identical
     * match rows (the file sink's commit log dedups the epoch).
     */
+  /** Streaming INGEST: an [[graft.operators.IngestPipeline]] (pure
+    * narrow Column transforms by construction — no processor
+    * shuffles) applied per micro-batch. Stateless, so the union of
+    * all batches' outputs ≡ the batch pipeline over the whole input
+    * (the streamingPercolate discipline — the gate's oracle replays
+    * exactly that batch equivalence). Enrich processors compose: the
+    * policy frame is static and broadcast per batch, ES's own
+    * enrich-at-ingest shape.
+    */
+  def ingestPipeline(docs: DataFrame,
+                     pipe: DataFrame => DataFrame,
+                     outPath: String,
+                     checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        pipe(batch.toDF()).write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   def streamingPercolate(docs: DataFrame, idCol: String,
                          textCol: String,
                          rules: Seq[(String, Seq[String], Int)],
