@@ -168,14 +168,7 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
               synonyms: Seq[String] = Nil,
               termsLookup: Option[graft.functions.EsQueryDsl.TermsLookup] =
                 None): GraftFrame = {
-    val requireText: String => Unit =
-      if (!matchOnlyTextFields) _ => ()
-      else { field =>
-        val es = fieldCaps.find(_.column == field).map(_.esDtype).getOrElse("object")
-        require(es == "text",
-          s"es_query match on non-text field ($field=$es); pin it as text " +
-            "via withEsDtype or pass matchOnlyTextFields=false")
-      }
+    val requireText = requireTextFn(matchOnlyTextFields)
     wrap(df.filter(
       graft.functions.EsQueryDsl.toColumn(queryJson, idCol, requireText,
         synonyms, termsLookup)))
@@ -206,14 +199,7 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
                     matchOnlyTextFields: Boolean = true,
                     termIdf: Boolean = false,
                     synonyms: Seq[String] = Nil): GraftFrame = {
-    val requireText: String => Unit =
-      if (!matchOnlyTextFields) _ => ()
-      else { field =>
-        val es = fieldCaps.find(_.column == field).map(_.esDtype).getOrElse("object")
-        require(es == "text",
-          s"es_query match on non-text field ($field=$es); pin it as text " +
-            "via withEsDtype or pass matchOnlyTextFields=false")
-      }
+    val requireText = requireTextFn(matchOnlyTextFields)
     wrap(graft.functions.EsScoredQuery.scoredFrame(df, idCol, queryJson,
       requireText, termIdf = termIdf, synonyms = synonyms))
   }
@@ -229,18 +215,9 @@ class GraftFrame private (val df: DataFrame, val idCol: String,
                       rescoreWeight: Double = 1.0,
                       scoreMode: String = "total",
                       matchOnlyTextFields: Boolean = true): GraftFrame = {
-    val requireText: String => Unit =
-      if (!matchOnlyTextFields) _ => ()
-      else { field =>
-        val es = fieldCaps.find(_.column == field).map(_.esDtype)
-          .getOrElse("object")
-        require(es == "text",
-          s"es_query match on non-text field ($field=$es); pin it as " +
-            "text via withEsDtype or pass matchOnlyTextFields=false")
-      }
     wrap(graft.functions.EsScoredQuery.rescoredFrame(df, idCol,
       queryJson, rescoreJson, windowSize, queryWeight, rescoreWeight,
-      scoreMode, requireText))
+      scoreMode, requireTextFn(matchOnlyTextFields)))
   }
 
   /** Row drop by id (eland/operations.py:1396-1427). */
