@@ -472,15 +472,21 @@ object AggQueries {
     // aggregation — the entity-centric materialization ES runs
     // cluster-side
     "xf1_transform_pivot" -> ((s, d) => {
-      graft.operators.Transforms.pivot(Tables.load(s, d, "orders"),
+      // money rides the cents-BIGINT discipline: avg/sum of exact
+      // integer cents are association-order-immune, so the 6-dp
+      // rounding never sits on a cross-engine ulp tie (the r17
+      // sf0.01 retime caught exactly that on raw-double avg)
+      graft.operators.Transforms.pivot(
+        Tables.load(s, d, "orders").withColumn("price_cents",
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")),
         """{"pivot": {
           |  "group_by": {
           |    "status": {"terms": {"field": "o_orderstatus"}},
           |    "month": {"date_histogram": {"field": "o_orderdate",
           |      "calendar_interval": "month"}}},
           |  "aggregations": {
-          |    "avg_price": {"avg": {"field": "o_totalprice"}},
-          |    "total": {"sum": {"field": "o_totalprice"}},
+          |    "avg_price": {"avg": {"field": "price_cents"}},
+          |    "total": {"sum": {"field": "price_cents"}},
           |    "n": {"value_count": {"field": "o_orderkey"}},
           |    "customers": {"cardinality": {"field": "o_custkey"}}}
           |}}""".stripMargin)
@@ -1249,8 +1255,12 @@ object AggQueries {
     "xf1_transform_pivot" ->
       s"""SELECT o_orderstatus AS status,
          |  date_trunc('month', o_orderdate) AS month,
-         |  ${QueryUtil.rhuSql("avg(o_totalprice)", 6)} AS avg_price,
-         |  ${QueryUtil.rhuSql("sum(o_totalprice)", 6)} AS total,
+         |  ${QueryUtil.rhuSql(
+             "avg(CAST(floor(o_totalprice * 100 + 0.5) AS DOUBLE))",
+             6)} AS avg_price,
+         |  ${QueryUtil.rhuSql(
+             "sum(CAST(floor(o_totalprice * 100 + 0.5) AS DOUBLE))",
+             6)} AS total,
          |  CAST(count(o_orderkey) AS BIGINT) AS n,
          |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS customers
          |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
