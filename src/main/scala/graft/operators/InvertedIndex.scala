@@ -134,10 +134,16 @@ object InvertedIndex {
     // alike): a CDC micro-batch carrying two updates for one doc would
     // otherwise double that doc in the lens ledger and inflate its
     // tf/df silently, surfacing only much later as a deleteDocs
-    // contract violation far from the cause. One agg over the
-    // already-persisted staged frame — fail HERE, loudly.
-    val ur = staged.agg(count(lit(1)).as("_n"),
-      count_distinct(col("id")).as("_d")).head()
+    // contract violation far from the cause. ONE agg over the
+    // already-persisted staged frame carries the contract check AND
+    // the segment's additive stats moments — the stats write below
+    // becomes a literal row instead of a second full pass (r17-opt:
+    // one pass per segment write, not two).
+    val ss = staged.sparkSession
+    val ur = SegmentStore.labeled(ss, "idx seg: tokenize+contract agg")(
+      staged.agg(count(lit(1)).as("_n"),
+        count_distinct(col("id")).as("_d"),
+        coalesce(sum(col("len")), lit(0.0)).as("_sum")).head())
     require(ur.getLong(0) == ur.getLong(1),
       s"batch contains duplicate ids (${ur.getLong(0)} rows, " +
         s"${ur.getLong(1)} distinct) — collapse to one row per id " +
@@ -157,25 +163,58 @@ object InvertedIndex {
           .groupBy(col("term"), col("id"), col("len"))
           .agg(count(lit(1)).cast("double").as("tf")))
       .withColumn("bucket", termBucket(col("term"), buckets))
-    // repartition by bucket before partitionBy: otherwise every write
-    // task opens up to `buckets` files (the small-files trap)
-    postings.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$seg/postings")
-    // per-doc lengths (EVERY doc, token-free included): ~12 B/doc, the
-    // exact ledger [[deleteDocs]] charges against and compact() sums
-    // stats from — postings can't serve either (token-free docs have
-    // none, and per-term rows repeat len)
-    staged.select(col("id"), col("len"))
-      .write.mode("overwrite").parquet(s"$seg/lens")
+    // postings and lens read the same persisted staged frame and land
+    // in different dirs — overlap them (guide §2.6); stats stays LAST
+    // (the commit marker), so crash-safety is unchanged
+    SegmentStore.inParallel(Seq(
+      () => SegmentStore.labeled(ss, "idx seg: postings write")(
+        // repartition by bucket before partitionBy: otherwise every
+        // write task opens up to `buckets` files (the small-files trap)
+        postings.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$seg/postings")),
+      () => SegmentStore.labeled(ss, "idx seg: lens write")(
+        // per-doc lengths (EVERY doc, token-free included): ~12 B/doc,
+        // the exact ledger [[deleteDocs]] charges against and compact()
+        // sums stats from — postings can't serve either (token-free
+        // docs have none, and per-term rows repeat len)
+        staged.select(col("id"), col("len"))
+          .write.mode("overwrite").parquet(s"$seg/lens"))))
     // ADDITIVE moments (n, sum_len — not avg), so multi-segment
-    // search and compact() merge stats exactly
-    staged.agg(count(lit(1)).cast("double").as("n"),
-        coalesce(sum(col("len")), lit(0.0)).as("sum_len"),
-        lit(buckets).as("buckets"),
-        lit(positions).as("positions"),
-        lit(analyzer).as("analyzer"))
-      .write.mode("overwrite").parquet(s"$seg/stats")
+    // search and compact() merge stats exactly — literals from the
+    // contract-check agg above, no second pass over staged
+    SegmentStore.labeled(ss, "idx seg: stats commit")(
+      ss.range(1).select(
+          lit(ur.getLong(0).toDouble).as("n"),
+          lit(ur.getDouble(2)).as("sum_len"),
+          lit(buckets).as("buckets"),
+          lit(positions).as("positions"),
+          lit(analyzer).as("analyzer"))
+        .write.mode("overwrite").parquet(s"$seg/stats"))
+  }
+
+  /** (buckets, positions, analyzer) of an existing index in ONE read
+    * of the first committed segment's one-row stats table — every
+    * ingest/append/compact needs all three, and three separate head()
+    * jobs per micro-batch tripled the probe cost (r17-opt). Missing
+    * columns follow the mixed-generation rules of [[indexPositions]] /
+    * [[indexAnalyzer]]: absent/null positions reads false, absent/null
+    * analyzer reads "standard".
+    */
+  private def segMeta(spark: SparkSession,
+                      segs: Seq[String]): (Int, Boolean, String) = {
+    val r = SegmentStore.labeled(spark, "idx: seg meta probe")(
+      spark.read.parquet(s"${segs.head}/stats").collect().head)
+    val fields = r.schema.fieldNames
+    val positions = fields.contains("positions") &&
+      !r.isNullAt(r.fieldIndex("positions")) &&
+      r.getBoolean(r.fieldIndex("positions"))
+    val analyzer =
+      if (fields.contains("analyzer") &&
+          !r.isNullAt(r.fieldIndex("analyzer")))
+        r.getString(r.fieldIndex("analyzer"))
+      else "standard"
+    (r.getAs[Int]("buckets"), positions, analyzer)
   }
 
   /** Whether the index stores positional postings — from the first
@@ -310,8 +349,11 @@ object InvertedIndex {
       .distinct().localCheckpoint(true)
     // deleting nothing is vacuous success — NOT a zero-id tombstone
     // batch, which every search would broadcast and the next compact
-    // would treat as a full-rewrite trigger
-    if (del.isEmpty) return
+    // would treat as a full-rewrite trigger. One count serves the
+    // emptiness gate and the exact-match comparison below (r17-opt:
+    // the separate isEmpty probe was a second job on the same frame).
+    val nReq = del.count()
+    if (nReq == 0) return
     // EXACT detector: matched rows AND matched distinct ids must both
     // equal the request — aggregate row count alone would let an id
     // live in two segments (rows > ids, an append-contract violation)
@@ -325,7 +367,6 @@ object InvertedIndex {
       .agg(count(lit(1)).cast("double").as("n"),
         count_distinct(col("id")).cast("double").as("d"),
         coalesce(sum(col("len")), lit(0.0)).as("sum_len")).head()
-    val nReq = del.count()
     require(hitRow.getDouble(0).toLong == nReq &&
         hitRow.getDouble(1).toLong == nReq,
       s"deleteDocs: $nReq ids requested but ${hitRow.getDouble(0).toLong} " +
@@ -407,23 +448,25 @@ object InvertedIndex {
                               indexPath: String,
                               segs: Seq[String]): Unit = {
     val spark = docs.sparkSession
-    // pinned: the ids subtree feeds one semi-join PER lens frame below
-    val ids = docs.select(col(idCol).as("id")).distinct()
-      .localCheckpoint(true)
-    // per-frame semi-join + union ≡ semi-join against the union, and
-    // keeps a compacted segment's id-bucketed lens pre-partitioned
-    // into its probe — the O(index) lens read of every upsert/CDC
-    // batch never reshuffles (spec-pinned)
-    val hits = liveLensFrames(spark, segs,
-        committedDeletes(spark, indexPath))
-      .map(_.join(ids, Seq("id"), "left_semi"))
-      .reduce(_ unionByName _)
-      .localCheckpoint(true)
-    val m = hits.agg(count(lit(1)).cast("double").as("n"),
-      coalesce(sum(col("len")), lit(0.0)).as("sum_len")).head()
-    if (m.getDouble(0) > 0)
-      writeTombstone(spark, indexPath, segs,
-        hits.select("id").distinct(), m.getDouble(0), m.getDouble(1))
+    SegmentStore.labeled(spark, "idx tomb: live probe") {
+      // pinned: the ids subtree feeds one semi-join PER lens frame below
+      val ids = docs.select(col(idCol).as("id")).distinct()
+        .localCheckpoint(true)
+      // per-frame semi-join + union ≡ semi-join against the union, and
+      // keeps a compacted segment's id-bucketed lens pre-partitioned
+      // into its probe — the O(index) lens read of every upsert/CDC
+      // batch never reshuffles (spec-pinned)
+      val hits = liveLensFrames(spark, segs,
+          committedDeletes(spark, indexPath))
+        .map(_.join(ids, Seq("id"), "left_semi"))
+        .reduce(_ unionByName _)
+        .localCheckpoint(true)
+      val m = hits.agg(count(lit(1)).cast("double").as("n"),
+        coalesce(sum(col("len")), lit(0.0)).as("sum_len")).head()
+      if (m.getDouble(0) > 0)
+        writeTombstone(spark, indexPath, segs,
+          hits.select("id").distinct(), m.getDouble(0), m.getDouble(1))
+    }
   }
 
   /** The CDC face: [[ingestBatch]]'s exactly-once-per-batch-id
@@ -455,13 +498,12 @@ object InvertedIndex {
       val all = committedSegments(spark, indexPath)
       val others = all.filterNot(s =>
         new org.apache.hadoop.fs.Path(s).getName == ownName)
-      val buckets =
-        if (all.isEmpty) bucketsIfNew
-        else spark.read.parquet(s"${all.head}/stats")
-          .select("buckets").head().getInt(0)
+      val (buckets, positions, analyzer) =
+        if (all.isEmpty) (bucketsIfNew, false, "standard")
+        else segMeta(spark, all)
       if (others.nonEmpty) tombstoneLiveOf(docs, idCol, indexPath, others)
       writeSegmentNamed(docs, idCol, textCol, indexPath, ownName, buckets,
-        indexPositions(spark, all), indexAnalyzer(spark, all))
+        positions, analyzer)
     }
     fs.create(marker, true).close()
   }
@@ -507,10 +549,11 @@ object InvertedIndex {
       lower(col(opCol)).as("_op")).persist()
     try {
       // one pass: op histogram + the one-event-per-id contract
-      val r = evs.agg(count(lit(1)).as("_n"),
-        count_distinct(col("id")).as("_d"),
-        count(when(col("_op").isin("upsert", "delete"), 1)).as("_k"),
-        count(when(col("_op") === "upsert", 1)).as("_u")).head()
+      val r = SegmentStore.labeled(spark, "cdc: op histogram")(
+        evs.agg(count(lit(1)).as("_n"),
+          count_distinct(col("id")).as("_d"),
+          count(when(col("_op").isin("upsert", "delete"), 1)).as("_k"),
+          count(when(col("_op") === "upsert", 1)).as("_u")).head())
       require(r.getLong(0) == r.getLong(1),
         s"CDC batch $batchId carries ${r.getLong(0)} events over " +
           s"${r.getLong(1)} distinct ids — collapse to ONE event per id " +
@@ -524,10 +567,9 @@ object InvertedIndex {
         val all = committedSegments(spark, indexPath)
         val others = all.filterNot(s =>
           new org.apache.hadoop.fs.Path(s).getName == ownName)
-        val buckets =
-          if (all.isEmpty) bucketsIfNew
-          else spark.read.parquet(s"${all.head}/stats")
-            .select("buckets").head().getInt(0)
+        val (buckets, positions, analyzer) =
+          if (all.isEmpty) (bucketsIfNew, false, "standard")
+          else segMeta(spark, all)
         // ONE tombstone covers both kinds of event: an upsert's stale
         // version and a delete's live version die the same way
         if (others.nonEmpty) tombstoneLiveOf(evs, "id", indexPath, others)
@@ -535,7 +577,7 @@ object InvertedIndex {
           writeSegmentNamed(evs.filter(col("_op") === "upsert")
               .select(col("id").as(idCol), col("_text").as(textCol)),
             idCol, textCol, indexPath, ownName, buckets,
-            indexPositions(spark, all), indexAnalyzer(spark, all))
+            positions, analyzer)
       }
       fs.create(marker, true).close()
     } finally {
@@ -554,10 +596,9 @@ object InvertedIndex {
     val segs = committedSegments(spark, indexPath)
     require(segs.nonEmpty,
       s"$indexPath has no committed segments — build() first")
-    val buckets = spark.read.parquet(s"${segs.head}/stats")
-      .select("buckets").head().getInt(0)
+    val (buckets, positions, analyzer) = segMeta(spark, segs)
     writeSegment(docs, idCol, textCol, indexPath, buckets,
-      indexPositions(spark, segs), indexAnalyzer(spark, segs))
+      positions, analyzer)
   }
 
   /** Idempotent per-batch ingest for streaming drivers
@@ -593,13 +634,11 @@ object InvertedIndex {
     if (fs.exists(marker)) return
     if (!docs.isEmpty) {
       val segs = committedSegments(spark, indexPath)
-      val buckets =
-        if (segs.isEmpty) bucketsIfNew
-        else spark.read.parquet(s"${segs.head}/stats")
-          .select("buckets").head().getInt(0)
+      val (buckets, positions, analyzer) =
+        if (segs.isEmpty) (bucketsIfNew, false, "standard")
+        else segMeta(spark, segs)
       writeSegmentNamed(docs, idCol, textCol, indexPath,
-        s"seg-batch-$batchId", buckets, indexPositions(spark, segs),
-        indexAnalyzer(spark, segs))
+        s"seg-batch-$batchId", buckets, positions, analyzer)
     }
     // marker last: a crash before this line leaves the batch unmarked
     // and its (committed or partial) segment rewritable by the replay
@@ -676,10 +715,15 @@ object InvertedIndex {
     val dels = committedDeletes(spark, indexPath)
     if (segs.length > 1 || (dels.nonEmpty && segs.nonEmpty)) {
       val fs = fsOf(spark, indexPath)
-      val buckets = spark.read.parquet(s"${segs.head}/stats")
-        .select("buckets").head().getInt(0)
+      val (buckets, positions, analyzer) = segMeta(spark, segs)
       val live = liveLens(spark, segs, dels)
         .drop("_seg").localCheckpoint(true)
+      // ONE agg over the checkpointed live ledger serves the
+      // empty-index check below AND the merged stats moments — the
+      // previous limit(1).count + agg-at-write shape paid two extra
+      // jobs per compaction (r17-opt)
+      val m = live.agg(count(lit(1)).cast("double").as("n"),
+        coalesce(sum(col("len")), lit(0.0)).as("sum_len")).head()
       // an index whose every doc is tombstoned would compact to a
       // segment no reader can open (schema-less empty postings).
       // Logical reads of that state stay correct, so SKIP the
@@ -687,7 +731,7 @@ object InvertedIndex {
       // compaction lands right after a delete-everything batch must
       // not wedge on checkpoint replay — documents can still arrive
       // in the next batch.
-      if (live.limit(1).count() == 0) {
+      if (m.getDouble(0) == 0.0) {
         System.err.println(s"[graft] compact skipped: every document " +
           s"in $indexPath is tombstoned (build() afresh to reset, or " +
           "ingest more documents)")
@@ -703,18 +747,23 @@ object InvertedIndex {
       val mergedLive =
         if (dels.isEmpty) mergedPostings(spark, segs, identity)
         else mergedLivePostings(spark, segs, dels, identity)
-      mergedLive
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$seg/postings")
-      Bucketing.saveBucketedBatch(
-        live.repartition(lensBuckets, col("id")),
-        s"$seg/lens", Seq("id"), lensBuckets)
-      live.agg(count(lit(1)).cast("double").as("n"),
-          coalesce(sum(col("len")), lit(0.0)).as("sum_len"),
+      // postings and the lens ledger are independent reads (merged
+      // postings vs the checkpointed live lens) — overlap them
+      // (guide §2.6); stats stays last as the commit marker
+      SegmentStore.inParallel(Seq(
+        () => mergedLive
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$seg/postings"),
+        () => Bucketing.saveBucketedBatch(
+          live.repartition(lensBuckets, col("id")),
+          s"$seg/lens", Seq("id"), lensBuckets)))
+      spark.range(1).select(
+          lit(m.getDouble(0)).as("n"),
+          lit(m.getDouble(1)).as("sum_len"),
           lit(buckets).as("buckets"),
-          lit(indexPositions(spark, segs)).as("positions"),
-          lit(indexAnalyzer(spark, segs)).as("analyzer"))
+          lit(positions).as("positions"),
+          lit(analyzer).as("analyzer"))
         .write.mode("overwrite").parquet(s"$seg/stats")
       (segs ++ dels).foreach(s =>
         fs.delete(new org.apache.hadoop.fs.Path(s), true))

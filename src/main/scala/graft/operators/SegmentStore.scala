@@ -87,13 +87,19 @@ private[graft] object SegmentStore {
                      segs: Seq[String], ids: DataFrame,
                      statsCols: Seq[Column]): Unit = {
     val dir = s"$indexPath/deletes/batch-${java.util.UUID.randomUUID()}"
-    ids.write.mode("overwrite").parquet(s"$dir/ids")
-    spark.createDataFrame(
-        segs.map(s => Tuple1(new org.apache.hadoop.fs.Path(s).getName)))
-      .toDF("_seg")
-      .write.mode("overwrite").parquet(s"$dir/segs")
-    spark.range(1).select(statsCols: _*)
-      .write.mode("overwrite").parquet(s"$dir/stats")
+    // ids and scope are independent and both precede the marker —
+    // overlap them (guide §2.6); stats stays LAST (the commit marker)
+    inParallel(Seq(
+      () => labeled(spark, "tomb: ids write")(
+        ids.write.mode("overwrite").parquet(s"$dir/ids")),
+      () => labeled(spark, "tomb: segs write")(
+        spark.createDataFrame(
+            segs.map(s => Tuple1(new org.apache.hadoop.fs.Path(s).getName)))
+          .toDF("_seg")
+          .write.mode("overwrite").parquet(s"$dir/segs"))))
+    labeled(spark, "tomb: stats commit")(
+      spark.range(1).select(statsCols: _*)
+        .write.mode("overwrite").parquet(s"$dir/stats"))
   }
 
   /** Per-segment ledger rows (`<seg>/<sub>` — the inverted index's
@@ -127,6 +133,36 @@ private[graft] object SegmentStore {
         .getOrElse(tagged)
     }
   }
+
+  /** Label every Spark job `body` submits (guide §1.5) so the UI and
+    * the job-level profiler attribute index-lifecycle time to phases
+    * instead of one opaque foreachBatch call site. Thread-local;
+    * restores the previous description on exit.
+    */
+  def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
+  /** Run independent Spark write jobs concurrently and wait for all —
+    * the guide-§2.6 overlap: a segment's payload and ledger writes read
+    * the same persisted staged frame and land in different directories,
+    * so running them serially leaves the cluster idle through each
+    * job's tail. Exceptions propagate (first failure wins); the caller
+    * still writes its commit marker (stats) strictly AFTER this
+    * returns, so the stats-last discipline is untouched.
+    */
+  def inParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.length <= 1) tasks.foreach(_())
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val started = tasks.map(t => Future(t()))
+      started.foreach(Await.result(_, Duration.Inf))
+    }
 
   def manifestPath(indexPath: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$indexPath/compacting")

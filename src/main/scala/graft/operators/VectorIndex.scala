@@ -102,8 +102,9 @@ object VectorIndex {
     */
   private[operators] def readCentroids(spark: SparkSession,
                                        indexPath: String): Array[Array[Double]] = {
-    val rows = spark.read.parquet(quantizerPath(indexPath))
-      .orderBy("cell").collect()
+    val rows = SegmentStore.labeled(spark, "vec: centroids read")(
+      spark.read.parquet(quantizerPath(indexPath))
+        .orderBy("cell").collect())
     require(rows.nonEmpty, s"$indexPath has no quantizer — build() first")
     rows.map(_.getSeq[Double](1).toArray)
   }
@@ -128,11 +129,13 @@ object VectorIndex {
       .withColumn("cell", Similarity.ivfCell(col("v"), centroids))
       .withColumn("norm", sqrt(VectorOps.normSq(col("v"))))
       .persist()
+    val ss = docs.sparkSession
     try {
-      val r = staged.agg(count(lit(1)).as("_n"),
-        count_distinct(col("id")).as("_d"),
-        count(when(col("v").isNull || size(col("v")) =!=
-          centroids.head.length, 1)).as("_bad")).head()
+      val r = SegmentStore.labeled(ss, "vec seg: contract agg")(
+        staged.agg(count(lit(1)).as("_n"),
+          count_distinct(col("id")).as("_d"),
+          count(when(col("v").isNull || size(col("v")) =!=
+            centroids.head.length, 1)).as("_bad")).head())
       require(r.getLong(0) == r.getLong(1),
         s"batch contains duplicate ids (${r.getLong(0)} rows, " +
           s"${r.getLong(1)} distinct) — collapse to one row per id " +
@@ -140,27 +143,40 @@ object VectorIndex {
       require(r.getLong(2) == 0,
         s"${r.getLong(2)} vectors are null or not ${centroids.head.length}-" +
           "dimensional — the index stores one frozen dimensionality")
-      // repartition by cell before partitionBy: otherwise every write
-      // task opens up to nlist files (the small-files trap)
-      staged.repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$seg/vectors")
-      staged.select(col("id"), col("cell"))
-        .write.mode("overwrite").parquet(s"$seg/ids")
-      // a PQ-enabled index (build(pqM > 0)) carries a codes table per
-      // segment — the m-small-ints-per-row thing ADC search scans
-      // instead of the vectors; written before stats, so the segment's
-      // commit marker covers it
-      readPqModel(docs.sparkSession, indexPath).foreach { m =>
-        staged.select(col("id"), col("cell"),
-            Quantization.pqEncode(col("v"), m).as("codes"))
-          .repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$seg/codes")
-      }
-      staged.agg(count(lit(1)).cast("double").as("n"),
-          lit(centroids.length).as("nlist"))
-        .write.mode("overwrite").parquet(s"$seg/stats")
+      // vectors, the ids ledger, and the PQ codes are independent
+      // reads of the same persisted staged frame landing in different
+      // dirs — overlap them (guide §2.6); stats stays LAST (the
+      // commit marker), so crash-safety is unchanged
+      val writes = Seq(
+        () => SegmentStore.labeled(ss, "vec seg: vectors write")(
+          // repartition by cell before partitionBy: otherwise every
+          // write task opens up to nlist files (the small-files trap)
+          staged.repartition(col("cell"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$seg/vectors")),
+        () => SegmentStore.labeled(ss, "vec seg: ids write")(
+          staged.select(col("id"), col("cell"))
+            .write.mode("overwrite").parquet(s"$seg/ids"))) ++
+        // a PQ-enabled index (build(pqM > 0)) carries a codes table per
+        // segment — the m-small-ints-per-row thing ADC search scans
+        // instead of the vectors; written before stats, so the
+        // segment's commit marker covers it
+        readPqModel(docs.sparkSession, indexPath).map { m => () =>
+          SegmentStore.labeled(ss, "vec seg: codes write")(
+            staged.select(col("id"), col("cell"),
+                Quantization.pqEncode(col("v"), m).as("codes"))
+              .repartition(col("cell"))
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(s"$seg/codes"))
+        }.toSeq
+      SegmentStore.inParallel(writes)
+      // stats from the contract-check agg above — a literal row, no
+      // second pass over staged (r17-opt)
+      SegmentStore.labeled(ss, "vec seg: stats commit")(
+        ss.range(1).select(
+            lit(r.getLong(0).toDouble).as("n"),
+            lit(centroids.length).as("nlist"))
+          .write.mode("overwrite").parquet(s"$seg/stats"))
     } finally {
       staged.unpersist()
       ()
@@ -314,17 +330,19 @@ object VectorIndex {
   private def tombstoneLiveOf(docs: DataFrame, idCol: String,
                               indexPath: String, segs: Seq[String]): Unit = {
     val spark = docs.sparkSession
-    val ids = docs.select(col(idCol).as("id")).distinct()
-      .localCheckpoint(true)
-    val hits = liveIdFrames(spark, segs,
-        SegmentStore.committedDeletes(spark, indexPath))
-      .map(_.join(ids, Seq("id"), "left_semi"))
-      .reduce(_ unionByName _)
-      .localCheckpoint(true)
-    val n = hits.count()
-    if (n > 0)
-      SegmentStore.writeTombstone(spark, indexPath, segs,
-        hits.select("id").distinct(), Seq(lit(n.toDouble).as("n")))
+    SegmentStore.labeled(spark, "vec tomb: live probe") {
+      val ids = docs.select(col(idCol).as("id")).distinct()
+        .localCheckpoint(true)
+      val hits = liveIdFrames(spark, segs,
+          SegmentStore.committedDeletes(spark, indexPath))
+        .map(_.join(ids, Seq("id"), "left_semi"))
+        .reduce(_ unionByName _)
+        .localCheckpoint(true)
+      val n = hits.count()
+      if (n > 0)
+        SegmentStore.writeTombstone(spark, indexPath, segs,
+          hits.select("id").distinct(), Seq(lit(n.toDouble).as("n")))
+    }
   }
 
   /** Per-segment `ids` ledger rows tagged with their segment name,
@@ -648,20 +666,24 @@ object VectorIndex {
         .parquet(s"$seg/vectors")
       val written = spark.read.parquet(s"$seg/vectors")
         .select("id", "cell")
-      Bucketing.saveBucketedBatch(
-        written.repartition(idBuckets, col("id")),
-        s"$seg/ids", Seq("id"), idBuckets)
-      // PQ-enabled: re-encode the merged segment's codes from its own
-      // just-written vectors (a pruned read of the new segment, not a
-      // second pass over the inputs)
-      readPqModel(spark, indexPath).foreach { m =>
-        spark.read.parquet(s"$seg/vectors")
-          .select(col("id"), col("cell"),
-            Quantization.pqEncode(col("v"), m).as("codes"))
-          .repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$seg/codes")
-      }
+      // the ids ledger and the PQ codes both derive from the
+      // just-written vectors and are independent of each other —
+      // overlap them (guide §2.6); stats stays last
+      SegmentStore.inParallel(Seq(
+        () => Bucketing.saveBucketedBatch(
+          written.repartition(idBuckets, col("id")),
+          s"$seg/ids", Seq("id"), idBuckets)) ++
+        // PQ-enabled: re-encode the merged segment's codes from its
+        // own just-written vectors (a pruned read of the new segment,
+        // not a second pass over the inputs)
+        readPqModel(spark, indexPath).map { m => () =>
+          spark.read.parquet(s"$seg/vectors")
+            .select(col("id"), col("cell"),
+              Quantization.pqEncode(col("v"), m).as("codes"))
+            .repartition(col("cell"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$seg/codes")
+        }.toSeq)
       written.agg(count(lit(1)).cast("double").as("n"),
           lit(nlist).as("nlist"))
         .write.mode("overwrite").parquet(s"$seg/stats")
