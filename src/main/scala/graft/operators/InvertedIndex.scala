@@ -181,69 +181,106 @@ object InvertedIndex {
         staged.select(col("id"), col("len"))
           .write.mode("overwrite").parquet(s"$seg/lens"))))
     // ADDITIVE moments (n, sum_len — not avg), so multi-segment
-    // search and compact() merge stats exactly — literals from the
-    // contract-check agg above, no second pass over staged
-    SegmentStore.labeled(ss, "idx seg: stats commit")(
-      ss.range(1).select(
-          lit(ur.getLong(0).toDouble).as("n"),
-          lit(ur.getDouble(2)).as("sum_len"),
-          lit(buckets).as("buckets"),
-          lit(positions).as("positions"),
-          lit(analyzer).as("analyzer"))
-        .write.mode("overwrite").parquet(s"$seg/stats"))
+    // search and compact() merge stats exactly — from the
+    // contract-check agg above, no second pass over staged, written
+    // as the driver-side stats doc (marker last; see
+    // [[SegmentStore.writeDocDir]])
+    writeSegStats(staged.sparkSession, seg, ur.getLong(0).toDouble,
+      ur.getDouble(2), buckets, positions, analyzer)
   }
 
-  /** (buckets, positions, analyzer) of an existing index in ONE read
-    * of the first committed segment's one-row stats table — every
-    * ingest/append/compact needs all three, and three separate head()
-    * jobs per micro-batch tripled the probe cost (r17-opt). Missing
-    * columns follow the mixed-generation rules of [[indexPositions]] /
-    * [[indexAnalyzer]]: absent/null positions reads false, absent/null
-    * analyzer reads "standard".
+  private def writeSegStats(spark: SparkSession, seg: String, n: Double,
+                            sumLen: Double, buckets: Int,
+                            positions: Boolean, analyzer: String): Unit =
+    SegmentStore.writeDocDir(fsOf(spark, seg), s"$seg/stats",
+      org.json4s.JObject(
+        "n" -> org.json4s.JDouble(n),
+        "sum_len" -> org.json4s.JDouble(sumLen),
+        "buckets" -> org.json4s.JInt(buckets),
+        "positions" -> org.json4s.JBool(positions),
+        "analyzer" -> org.json4s.JString(analyzer)))
+
+  /** One committed segment's stats, read DRIVER-SIDE (no Spark job —
+    * the stats sidecar is one JSON doc since r17-opt; a legacy parquet
+    * stats dir reads through the Spark fallback). Missing fields
+    * follow the mixed-generation rules: absent positions reads false,
+    * absent analyzer reads "standard".
+    */
+  private[operators] final case class SegStatsDoc(n: Double, sumLen: Double,
+                                                  buckets: Int,
+                                                  positions: Boolean,
+                                                  analyzer: String)
+
+  private def readSegStats(spark: SparkSession, seg: String): SegStatsDoc =
+    SegmentStore.readDocDir(fsOf(spark, seg), s"$seg/stats") match {
+      case Some(doc) =>
+        val analyzer = (doc \ "analyzer") match {
+          case org.json4s.JString(s) => s
+          case _ => "standard"
+        }
+        val positions = (doc \ "positions") match {
+          case org.json4s.JBool(b) => b
+          case _ => false
+        }
+        SegStatsDoc(SegmentStore.docDouble(doc, "n"),
+          SegmentStore.docDouble(doc, "sum_len"),
+          SegmentStore.docDouble(doc, "buckets").toInt,
+          positions, analyzer)
+      case None => // legacy parquet one-row stats
+        val r = SegmentStore.labeled(spark, "idx: legacy stats read")(
+          spark.read.parquet(s"$seg/stats").collect().head)
+        val fields = r.schema.fieldNames
+        val positions = fields.contains("positions") &&
+          !r.isNullAt(r.fieldIndex("positions")) &&
+          r.getBoolean(r.fieldIndex("positions"))
+        val analyzer =
+          if (fields.contains("analyzer") &&
+              !r.isNullAt(r.fieldIndex("analyzer")))
+            r.getString(r.fieldIndex("analyzer"))
+          else "standard"
+        SegStatsDoc(r.getAs[Double]("n"), r.getAs[Double]("sum_len"),
+          r.getAs[Int]("buckets"), positions, analyzer)
+    }
+
+  /** A committed tombstone batch's charged moments (n, sum_len) —
+    * driver-side doc read with the legacy parquet fallback (a legacy
+    * vector-index tombstone has no sum_len; reads 0).
+    */
+  private def readDelStats(spark: SparkSession,
+                           del: String): (Double, Double) =
+    SegmentStore.readDocDir(fsOf(spark, del), s"$del/stats") match {
+      case Some(doc) =>
+        val sl = (doc \ "sum_len") match {
+          case org.json4s.JNothing => 0.0
+          case _ => SegmentStore.docDouble(doc, "sum_len")
+        }
+        (SegmentStore.docDouble(doc, "n"), sl)
+      case None =>
+        val r = SegmentStore.labeled(spark, "idx: legacy tomb stats read")(
+          spark.read.parquet(s"$del/stats").collect().head)
+        val sl =
+          if (r.schema.fieldNames.contains("sum_len"))
+            r.getAs[Double]("sum_len")
+          else 0.0
+        (r.getAs[Double]("n"), sl)
+    }
+
+  /** (buckets, positions, analyzer) of an existing index — one
+    * driver-side stats-doc read of the first committed segment.
     */
   private def segMeta(spark: SparkSession,
                       segs: Seq[String]): (Int, Boolean, String) = {
-    val r = SegmentStore.labeled(spark, "idx: seg meta probe")(
-      spark.read.parquet(s"${segs.head}/stats").collect().head)
-    val fields = r.schema.fieldNames
-    val positions = fields.contains("positions") &&
-      !r.isNullAt(r.fieldIndex("positions")) &&
-      r.getBoolean(r.fieldIndex("positions"))
-    val analyzer =
-      if (fields.contains("analyzer") &&
-          !r.isNullAt(r.fieldIndex("analyzer")))
-        r.getString(r.fieldIndex("analyzer"))
-      else "standard"
-    (r.getAs[Int]("buckets"), positions, analyzer)
+    val st = readSegStats(spark, segs.head)
+    (st.buckets, st.positions, st.analyzer)
   }
 
   /** Whether the index stores positional postings — from the first
-    * committed segment's stats (a pre-positions index's stats lack
-    * the column and read as false; the flag is uniform across
-    * segments because every writer derives it from here).
+    * committed segment's stats (uniform across segments because every
+    * writer derives it from here).
     */
   private def indexPositions(spark: SparkSession,
                              segs: Seq[String]): Boolean =
-    segs.nonEmpty && {
-      val st = spark.read.parquet(s"${segs.head}/stats")
-      st.columns.contains("positions") &&
-        st.select("positions").head().getBoolean(0)
-    }
-
-  /** The index's analysis chain — from the first committed segment's
-    * stats (a pre-analyzer index's stats lack the column and read as
-    * "standard"; uniform across segments because every writer derives
-    * it from here, exactly like [[indexPositions]]).
-    */
-  private def indexAnalyzer(spark: SparkSession,
-                            segs: Seq[String]): String =
-    if (segs.isEmpty) "standard"
-    else {
-      val st = spark.read.parquet(s"${segs.head}/stats")
-      if (st.columns.contains("analyzer"))
-        st.select("analyzer").head().getString(0)
-      else "standard"
-    }
+    segs.nonEmpty && readSegStats(spark, segs.head).positions
 
   private def mergedPostings(spark: SparkSession, segs: Seq[String],
                              prune: DataFrame => DataFrame): DataFrame =
@@ -265,15 +302,6 @@ object InvertedIndex {
         Seq("id", "_seg"), "left_anti")
       .drop("_seg")
 
-  /** Segment stats union tolerates MIXED schemas: a pre-positions
-    * segment's stats table has no `positions` column, and an index may
-    * legitimately hold both generations after an append with newer
-    * code (the missing column reads as null, and the only consumers
-    * ([[liveStats]]) read `n`/`sum_len`/`buckets`).
-    */
-  private def readStats(spark: SparkSession, segs: Seq[String]): DataFrame =
-    segs.map(s => spark.read.parquet(s"$s/stats"))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Create a FRESH index at `indexPath` (any existing segments are
     * removed) holding one segment for `docs`.
@@ -390,7 +418,7 @@ object InvertedIndex {
                              segs: Seq[String], ids: DataFrame,
                              n: Double, sumLen: Double): Unit =
     SegmentStore.writeTombstone(spark, indexPath, segs, ids,
-      Seq(lit(n).as("n"), lit(sumLen).as("sum_len")))
+      Seq("n" -> n, "sum_len" -> sumLen))
 
   /** (id, _seg) applicability pairs of the committed tombstones: a
     * row means "id is dead IN that segment". Bounded between
@@ -758,13 +786,8 @@ object InvertedIndex {
         () => Bucketing.saveBucketedBatch(
           live.repartition(lensBuckets, col("id")),
           s"$seg/lens", Seq("id"), lensBuckets)))
-      spark.range(1).select(
-          lit(m.getDouble(0)).as("n"),
-          lit(m.getDouble(1)).as("sum_len"),
-          lit(buckets).as("buckets"),
-          lit(positions).as("positions"),
-          lit(analyzer).as("analyzer"))
-        .write.mode("overwrite").parquet(s"$seg/stats")
+      writeSegStats(spark, seg, m.getDouble(0), m.getDouble(1),
+        buckets, positions, analyzer)
       (segs ++ dels).foreach(s =>
         fs.delete(new org.apache.hadoop.fs.Path(s), true))
       Manifest.delete(fs, manifestPath(indexPath))
@@ -790,61 +813,27 @@ object InvertedIndex {
 
   private[operators] def liveStats(spark: SparkSession, segs: Seq[String],
                         dels: Seq[String]): LiveStats = {
-    val statRows = readStats(spark, segs).collect()
-    val delRows =
-      if (dels.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else dels.map(d => spark.read.parquet(s"$d/stats"))
-        .reduce(_ unionByName _).collect()
-    // uniform across segments (every writer inherits it); a
-    // pre-analyzer segment's stats read the column as null/absent →
-    // "standard" (exactly the indexPositions mixed-generation rule)
-    val analyzer = statRows.iterator.flatMap { r =>
-      if (r.schema.fieldNames.contains("analyzer") &&
-          !r.isNullAt(r.fieldIndex("analyzer")))
-        Some(r.getString(r.fieldIndex("analyzer")))
-      else None
-    }.toSeq.headOption.getOrElse("standard")
+    val segStats = segs.map(readSegStats(spark, _))
+    val delStats = dels.map(readDelStats(spark, _))
+    // analyzer is uniform across segments (every writer inherits it)
     LiveStats(
-      statRows.map(_.getAs[Double]("n")).sum -
-        delRows.map(_.getAs[Double]("n")).sum,
-      statRows.map(_.getAs[Double]("sum_len")).sum -
-        delRows.map(_.getAs[Double]("sum_len")).sum,
-      statRows.head.getAs[Int]("buckets"), analyzer)
+      segStats.map(_.n).sum - delStats.map(_._1).sum,
+      segStats.map(_.sumLen).sum - delStats.map(_._2).sum,
+      segStats.head.buckets, segStats.head.analyzer)
   }
 
-  /** [[liveStats]] for MANY indexes in ONE job: every (segment and
-    * tombstone) stats table of every entry unions into a single
-    * field-tagged collect, so a wide [[FieldedIndex]] root pays one
-    * tiny driver job for its per-field corpus moments instead of one
-    * per field. Same accounting as [[liveStats]] row for row (the
-    * tombstone sign is a column instead of a second collect).
+  /** [[liveStats]] for MANY indexes — since the stats sidecars are
+    * driver-side docs (r17-opt) this is a plain loop: zero Spark jobs
+    * for a wide [[FieldedIndex]] root's per-field corpus moments.
     */
   private[operators] def liveStatsBatch(
       spark: SparkSession,
       perIndex: Seq[(String, Seq[String], Seq[String])])
       : Map[String, LiveStats] = {
-    val tagged = perIndex.flatMap { case (tag, segs, dels) =>
-      segs.map(s => spark.read.parquet(s"$s/stats")
-        .withColumn("_tag", lit(tag)).withColumn("_sign", lit(1.0))) ++
-        dels.map(d => spark.read.parquet(s"$d/stats")
-          .withColumn("_tag", lit(tag)).withColumn("_sign", lit(-1.0)))
-    }
-    require(tagged.nonEmpty, "liveStatsBatch over no stats tables")
-    val rows = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
-      .collect()
-    perIndex.map { case (tag, _, _) =>
-      val mine = rows.filter(_.getAs[String]("_tag") == tag)
-      val segRows = mine.filter(_.getAs[Double]("_sign") > 0)
-      val analyzer = segRows.iterator.flatMap { r =>
-        if (r.schema.fieldNames.contains("analyzer") &&
-            !r.isNullAt(r.fieldIndex("analyzer")))
-          Some(r.getString(r.fieldIndex("analyzer")))
-        else None
-      }.toSeq.headOption.getOrElse("standard")
-      tag -> LiveStats(
-        mine.map(r => r.getAs[Double]("n") * r.getAs[Double]("_sign")).sum,
-        mine.map(r => r.getAs[Double]("sum_len") * r.getAs[Double]("_sign")).sum,
-        segRows.head.getAs[Int]("buckets"), analyzer)
+    require(perIndex.forall(_._2.nonEmpty),
+      "liveStatsBatch over an index with no committed segments")
+    perIndex.map { case (tag, segs, dels) =>
+      tag -> liveStats(spark, segs, dels)
     }.toMap
   }
 

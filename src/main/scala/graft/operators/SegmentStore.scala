@@ -66,40 +66,112 @@ private[graft] object SegmentStore {
           .foreach(p => fs.delete(p, true))
     }
 
+  // ---- one-row metadata sidecars (r17-opt) ---------------------------
+  //
+  // Stats tables, tombstone scopes, and quantizer models are a handful
+  // of scalars per directory, read back driver-side by every consumer.
+  // Writing/reading them as Spark parquet jobs cost a scheduler
+  // round-trip PER PROBE — at micro-batch cadence that was most of the
+  // index-lifecycle gates' job count, and on a real cluster it is pure
+  // overhead too (one row never needs executors). They are now a
+  // single JSON document + the same `_SUCCESS` marker, written and
+  // read with plain FS calls; the marker file is still created LAST,
+  // so every commit-discipline reader (committedUnder, heal, the
+  // crash specs) sees exactly the layout it always did. Legacy
+  // parquet-stats dirs (pre-refactor indexes) read through fallbacks
+  // in the index modules.
+
+  /** Write `json` as `dir/doc.json` and then `dir/_SUCCESS` — the
+    * marker lands strictly last, like the parquet committer's.
+    */
+  def writeDocDir(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                  json: org.json4s.JObject): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(d, true)
+    fs.mkdirs(d)
+    val out = fs.create(new org.apache.hadoop.fs.Path(d, "doc.json"), true)
+    try out.write(org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(json))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.create(new org.apache.hadoop.fs.Path(d, "_SUCCESS"), true).close()
+  }
+
+  /** The parsed `doc.json` of a [[writeDocDir]] directory, or None for
+    * a legacy (parquet) dir — callers fall back to the Spark read.
+    */
+  def readDocDir(fs: org.apache.hadoop.fs.FileSystem,
+                 dir: String): Option[org.json4s.JValue] = {
+    val f = new org.apache.hadoop.fs.Path(s"$dir/doc.json")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+      Some(org.json4s.jackson.JsonMethods.parse(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+    }
+  }
+
+  /** Numeric field of a doc (JSON numbers parse as int or double). */
+  def docDouble(doc: org.json4s.JValue, field: String): Double =
+    (doc \ field) match {
+      case org.json4s.JDouble(v) => v
+      case org.json4s.JInt(v) => v.toDouble
+      case org.json4s.JLong(v) => v.toDouble
+      case org.json4s.JDecimal(v) => v.toDouble
+      case other => sys.error(s"stats doc field '$field' is not numeric: $other")
+    }
+
   /** (id, _seg) applicability pairs of the committed tombstones: a
     * row means "id is dead IN that segment". Bounded between
     * compactions — always broadcast, never shuffled against payloads.
+    * The scope rides the stats doc (one driver-side read); legacy
+    * batches fall back to their `segs` parquet.
     */
   def tombstonePairs(spark: SparkSession, dels: Seq[String]): DataFrame =
-    dels.map(d => spark.read.parquet(s"$d/ids")
-        .crossJoin(spark.read.parquet(s"$d/segs")))
-      .reduce(_ unionByName _)
+    dels.map { d =>
+      val scopeDf = readDocDir(fsOf(spark, d), s"$d/stats")
+        .flatMap { doc =>
+          (doc \ "scope") match {
+            case org.json4s.JArray(xs) =>
+              Some(spark.createDataFrame(xs.collect {
+                  case org.json4s.JString(s) => Tuple1(s)
+                }).toDF("_seg"))
+            case _ => None
+          }
+        }
+        .getOrElse(spark.read.parquet(s"$d/segs"))
+      spark.read.parquet(s"$d/ids").crossJoin(scopeDf)
+    }.reduce(_ unionByName _)
 
-  /** Commit one tombstone batch: ids, then scope, then stats LAST (the
-    * marker). The SCOPE is the segments committed at the caller's
-    * probe time (the only ones that can hold the ids) and never a
-    * later segment — so a deleted id can be re-ingested (the upsert
-    * model) and the new payload is not masked. `statsCols` is the
-    * index's own charge accounting (the inverted index records
-    * (n, sum_len); the vector index records n).
+  /** Commit one tombstone batch: the ids parquet first, then the stats
+    * doc LAST (the marker) carrying the index's charge accounting
+    * (`statsFields` — the inverted index records (n, sum_len); the
+    * vector index records n) plus the scope: the segments committed at
+    * the caller's probe time (the only ones that can hold the ids) and
+    * never a later segment — so a deleted id can be re-ingested (the
+    * upsert model) and the new payload is not masked.
     */
   def writeTombstone(spark: SparkSession, indexPath: String,
                      segs: Seq[String], ids: DataFrame,
-                     statsCols: Seq[Column]): Unit = {
+                     statsFields: Seq[(String, Double)]): Unit = {
     val dir = s"$indexPath/deletes/batch-${java.util.UUID.randomUUID()}"
-    // ids and scope are independent and both precede the marker —
-    // overlap them (guide §2.6); stats stays LAST (the commit marker)
-    inParallel(Seq(
-      () => labeled(spark, "tomb: ids write")(
-        ids.write.mode("overwrite").parquet(s"$dir/ids")),
-      () => labeled(spark, "tomb: segs write")(
-        spark.createDataFrame(
-            segs.map(s => Tuple1(new org.apache.hadoop.fs.Path(s).getName)))
-          .toDF("_seg")
-          .write.mode("overwrite").parquet(s"$dir/segs"))))
-    labeled(spark, "tomb: stats commit")(
-      spark.range(1).select(statsCols: _*)
-        .write.mode("overwrite").parquet(s"$dir/stats"))
+    labeled(spark, "tomb: ids write")(
+      ids.write.mode("overwrite").parquet(s"$dir/ids"))
+    writeDocDir(fsOf(spark, dir), s"$dir/stats", org.json4s.JObject(
+      statsFields.map { case (k, v) =>
+        k -> (org.json4s.JDouble(v): org.json4s.JValue)
+      }.toList :+
+        ("scope" -> (org.json4s.JArray(
+          segs.map(s => org.json4s.JString(
+            new org.apache.hadoop.fs.Path(s).getName): org.json4s.JValue)
+            .toList): org.json4s.JValue))))
   }
 
   /** Per-segment ledger rows (`<seg>/<sub>` — the inverted index's

@@ -66,48 +66,90 @@ object VectorIndex {
   private def quantizerPath(indexPath: String) = s"$indexPath/quantizer"
   private def pqPath(indexPath: String) = s"$indexPath/pq"
 
+  /** Nested double arrays ↔ JSON — the quantizer and PQ models are
+    * driver-side docs since r17-opt (a handful of KB read per ingest
+    * batch and per search; a Spark job per read was pure scheduler
+    * overhead at every scale). `Double.toString` round-trips exactly,
+    * so cell assignment is bit-identical across write/read.
+    */
+  private def cellsToJson(cells: Seq[Seq[Double]]): org.json4s.JValue =
+    org.json4s.JArray(cells.map(c => (org.json4s.JArray(
+      c.map(v => org.json4s.JDouble(v): org.json4s.JValue).toList)
+      : org.json4s.JValue)).toList)
+
+  private def cellsFromJson(v: org.json4s.JValue): Array[Array[Double]] =
+    v match {
+      case org.json4s.JArray(rows) => rows.map {
+        case org.json4s.JArray(ds) => ds.map {
+          case org.json4s.JDouble(d) => d
+          case org.json4s.JInt(i) => i.toDouble
+          case other => sys.error(s"non-numeric centroid component $other")
+        }.toArray
+        case other => sys.error(s"non-array centroid row $other")
+      }.toArray
+      case other => sys.error(s"non-array centroid doc $other")
+    }
+
   private def writePqModel(spark: SparkSession, indexPath: String,
                            model: Quantization.PqModel): Unit =
-    spark.createDataFrame(
-        for {
-          j <- 0 until model.m
-          c <- 0 until model.ksub
-        } yield (j, c, model.codebooks(j)(c).toSeq))
-      .toDF("subspace", "cell", "centroid")
-      .write.mode("overwrite").parquet(pqPath(indexPath))
+    SegmentStore.writeDocDir(fsOf(spark, indexPath), pqPath(indexPath),
+      org.json4s.JObject(
+        "codebooks" -> org.json4s.JArray(
+          model.codebooks.map(cb =>
+            cellsToJson(cb.toSeq.map(_.toSeq))).toList)))
 
   /** The PQ codebooks, when the index was built with `pqM > 0` —
-    * driver-side, m × ksub × dsub doubles (the whole model).
+    * driver-side, m × ksub × dsub doubles (the whole model). Legacy
+    * parquet model dirs read through the Spark fallback.
     */
   private[operators] def readPqModel(spark: SparkSession,
                                      indexPath: String): Option[Quantization.PqModel] = {
     val fs = fsOf(spark, indexPath)
     if (!fs.exists(new org.apache.hadoop.fs.Path(
         s"${pqPath(indexPath)}/_SUCCESS"))) None
-    else {
-      val rows = spark.read.parquet(pqPath(indexPath))
-        .orderBy("subspace", "cell").collect()
-      val m = rows.map(_.getInt(0)).max + 1
-      val ksub = rows.map(_.getInt(1)).max + 1
-      val cb = Array.ofDim[Array[Double]](m, ksub)
-      rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) =
-        r.getSeq[Double](2).toArray)
-      Some(Quantization.PqModel(cb.map(_.toArray)))
+    else SegmentStore.readDocDir(fs, pqPath(indexPath)) match {
+      case Some(doc) =>
+        (doc \ "codebooks") match {
+          case org.json4s.JArray(cbs) =>
+            Some(Quantization.PqModel(cbs.map(cellsFromJson).toArray))
+          case other => sys.error(s"malformed pq doc: $other")
+        }
+      case None =>
+        val rows = SegmentStore.labeled(spark, "vec: legacy pq read")(
+          spark.read.parquet(pqPath(indexPath))
+            .orderBy("subspace", "cell").collect())
+        val m = rows.map(_.getInt(0)).max + 1
+        val ksub = rows.map(_.getInt(1)).max + 1
+        val cb = Array.ofDim[Array[Double]](m, ksub)
+        rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) =
+          r.getSeq[Double](2).toArray)
+        Some(Quantization.PqModel(cb.map(_.toArray)))
     }
   }
 
   /** The frozen quantizer, driver-side: nlist×dim doubles (the whole
     * IVF model — tiny by design; what must scale is assignment and
-    * search, and those run as broadcast literal expressions).
+    * search, and those run as broadcast literal expressions). Legacy
+    * parquet quantizer dirs read through the Spark fallback.
     */
   private[operators] def readCentroids(spark: SparkSession,
-                                       indexPath: String): Array[Array[Double]] = {
-    val rows = SegmentStore.labeled(spark, "vec: centroids read")(
-      spark.read.parquet(quantizerPath(indexPath))
-        .orderBy("cell").collect())
-    require(rows.nonEmpty, s"$indexPath has no quantizer — build() first")
-    rows.map(_.getSeq[Double](1).toArray)
-  }
+                                       indexPath: String): Array[Array[Double]] =
+    readCentroidsAt(spark, quantizerPath(indexPath),
+      s"$indexPath has no quantizer — build() first")
+
+  private def readCentroidsAt(spark: SparkSession, path: String,
+                              missingMsg: String): Array[Array[Double]] =
+    SegmentStore.readDocDir(fsOf(spark, path), path) match {
+      case Some(doc) =>
+        val cells = cellsFromJson(doc \ "cells")
+        require(cells.nonEmpty, missingMsg)
+        cells
+      case None =>
+        val rows = SegmentStore.labeled(spark, "vec: legacy centroids read")(
+          spark.read.parquet(path).orderBy("cell").collect())
+        require(rows.nonEmpty, missingMsg)
+        rows.map(_.getSeq[Double](1).toArray)
+    }
 
   /** Write one immutable segment: vectors (partitioned by cell) and
     * the ids ledger first, stats LAST (the commit marker).
@@ -170,13 +212,9 @@ object VectorIndex {
               .parquet(s"$seg/codes"))
         }.toSeq
       SegmentStore.inParallel(writes)
-      // stats from the contract-check agg above — a literal row, no
-      // second pass over staged (r17-opt)
-      SegmentStore.labeled(ss, "vec seg: stats commit")(
-        ss.range(1).select(
-            lit(r.getLong(0).toDouble).as("n"),
-            lit(centroids.length).as("nlist"))
-          .write.mode("overwrite").parquet(s"$seg/stats"))
+      // stats from the contract-check agg above — a driver-side doc
+      // (marker last), no second pass over staged (r17-opt)
+      writeVecStats(ss, seg, r.getLong(0).toDouble, centroids.length)
     } finally {
       staged.unpersist()
       ()
@@ -188,6 +226,41 @@ object VectorIndex {
                            centroids: Array[Array[Double]]): Unit =
     writeSegmentNamed(docs, idCol, vecCol, indexPath,
       s"seg-${java.util.UUID.randomUUID()}", centroids)
+
+  private def writeVecStats(spark: SparkSession, seg: String, n: Double,
+                            nlist: Int): Unit =
+    SegmentStore.writeDocDir(fsOf(spark, seg), s"$seg/stats",
+      org.json4s.JObject(
+        "n" -> org.json4s.JDouble(n),
+        "nlist" -> org.json4s.JInt(nlist)))
+
+  /** One committed segment's (n, nlist), read DRIVER-SIDE — the stats
+    * sidecar is a JSON doc since r17-opt; legacy parquet stats dirs
+    * read through the Spark fallback.
+    */
+  private def readVecStats(spark: SparkSession,
+                           seg: String): (Double, Int) =
+    SegmentStore.readDocDir(fsOf(spark, seg), s"$seg/stats") match {
+      case Some(doc) =>
+        (SegmentStore.docDouble(doc, "n"),
+          SegmentStore.docDouble(doc, "nlist").toInt)
+      case None =>
+        val r = SegmentStore.labeled(spark, "vec: legacy stats read")(
+          spark.read.parquet(s"$seg/stats").collect().head)
+        (r.getAs[Double]("n"), r.getAs[Int]("nlist"))
+    }
+
+  /** A committed tombstone batch's charged n — driver-side doc read
+    * with the legacy parquet fallback.
+    */
+  private def readDelN(spark: SparkSession, del: String): Double =
+    SegmentStore.readDocDir(fsOf(spark, del), s"$del/stats") match {
+      case Some(doc) => SegmentStore.docDouble(doc, "n")
+      case None =>
+        SegmentStore.labeled(spark, "vec: legacy tomb stats read")(
+          spark.read.parquet(s"$del/stats").collect().head)
+          .getAs[Double]("n")
+    }
 
   // ---- lifecycle ---------------------------------------------------
 
@@ -224,10 +297,13 @@ object VectorIndex {
 
   private def writeQuantizer(spark: SparkSession, indexPath: String,
                              centroids: Array[Array[Double]]): Unit =
-    spark.createDataFrame(centroids.toSeq.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) })
-      .toDF("cell", "centroid")
-      .write.mode("overwrite").parquet(quantizerPath(indexPath))
+    writeQuantizerAt(spark, quantizerPath(indexPath), centroids)
+
+  private def writeQuantizerAt(spark: SparkSession, path: String,
+                               centroids: Array[Array[Double]]): Unit =
+    SegmentStore.writeDocDir(fsOf(spark, path), path,
+      org.json4s.JObject(
+        "cells" -> cellsToJson(centroids.toSeq.map(_.toSeq))))
 
   /** Add NEW documents as one more immutable segment under the frozen
     * quantizer (ids must not live in any committed segment — gate
@@ -273,7 +349,7 @@ object VectorIndex {
         s"$indexPath — unknown/already-tombstoned ids (or an id live " +
         "in two segments) are contract violations")
     SegmentStore.writeTombstone(spark, indexPath, segs, del,
-      Seq(lit(hitRow.getLong(0).toDouble).as("n")))
+      Seq("n" -> hitRow.getLong(0).toDouble))
   }
 
   /** The segment-write contract checks (unique ids, frozen
@@ -341,7 +417,7 @@ object VectorIndex {
       val n = hits.count()
       if (n > 0)
         SegmentStore.writeTombstone(spark, indexPath, segs,
-          hits.select("id").distinct(), Seq(lit(n.toDouble).as("n")))
+          hits.select("id").distinct(), Seq("n" -> n.toDouble))
     }
   }
 
@@ -565,8 +641,7 @@ object VectorIndex {
     }
     val newNlist =
       if (nlist > 0) nlist
-      else spark.read.parquet(s"${segs.head}/stats")
-        .select("nlist").head().getInt(0)
+      else readVecStats(spark, segs.head)._2
     val cents = Similarity.trainIvfCentroids(live, "v", newNlist,
       kmeansIters, sampleN, seed)
     val name = s"seg-${java.util.UUID.randomUUID()}"
@@ -582,10 +657,7 @@ object VectorIndex {
       s"segments/$name" +: inputs)
     // stage the retrained quantizer; promotion waits for the segment
     val nextPath = s"$indexPath/quantizer-next"
-    spark.createDataFrame(cents.toSeq.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) })
-      .toDF("cell", "centroid")
-      .write.mode("overwrite").parquet(nextPath)
+    writeQuantizerAt(spark, nextPath, cents)
     val fresh = live
       .withColumn("cell", Similarity.ivfCell(col("v"), cents))
       .withColumn("norm", sqrt(VectorOps.normSq(col("v"))))
@@ -604,9 +676,7 @@ object VectorIndex {
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$seg/codes")
     }
-    written.agg(count(lit(1)).cast("double").as("n"),
-        lit(newNlist).as("nlist"))
-      .write.mode("overwrite").parquet(s"$seg/stats")
+    writeVecStats(spark, seg, written.count().toDouble, newNlist)
     // promote, then retire the inputs — heal replays this tail
     fs.delete(new org.apache.hadoop.fs.Path(quantizerPath(indexPath)), true)
     require(fs.rename(new org.apache.hadoop.fs.Path(nextPath),
@@ -633,8 +703,7 @@ object VectorIndex {
     val segs = SegmentStore.committedSegments(spark, indexPath)
     val dels = SegmentStore.committedDeletes(spark, indexPath)
     if (segs.length > 1 || (dels.nonEmpty && segs.nonEmpty)) {
-      val nlist = spark.read.parquet(s"${segs.head}/stats")
-        .select("nlist").head().getInt(0)
+      val nlist = readVecStats(spark, segs.head)._2
       // live vectors stay a LAZY plan — the merged write is its one
       // full scan; the ids ledger and stats then derive from a
       // column-pruned (id, cell) read of the segment just written, so
@@ -684,9 +753,7 @@ object VectorIndex {
             .write.mode("overwrite").partitionBy("cell")
             .parquet(s"$seg/codes")
         }.toSeq)
-      written.agg(count(lit(1)).cast("double").as("n"),
-          lit(nlist).as("nlist"))
-        .write.mode("overwrite").parquet(s"$seg/stats")
+      writeVecStats(spark, seg, written.count().toDouble, nlist)
       (segs ++ dels).foreach(s =>
         fs.delete(new org.apache.hadoop.fs.Path(s), true))
       Manifest.delete(fs, SegmentStore.manifestPath(indexPath))
@@ -746,17 +813,12 @@ object VectorIndex {
     require(segs.nonEmpty,
       s"$indexPath has no committed segments — build() first")
     val dels = SegmentStore.committedDeletes(spark, indexPath)
-    // ONE driver-side read of the one-row-per-dir stats tables (the
-    // InvertedIndex.liveStats shape)
-    val segRows = segs.map(s => spark.read.parquet(s"$s/stats"))
-      .reduce(_ unionByName _).collect()
-    val delN =
-      if (dels.isEmpty) 0.0
-      else dels.map(d => spark.read.parquet(s"$d/stats"))
-        .reduce(_ unionByName _).collect()
-        .map(_.getAs[Double]("n")).sum
-    val segN = segRows.map(_.getAs[Double]("n")).sum
-    val nlist = segRows.head.getAs[Int]("nlist")
+    // driver-side doc reads of the per-dir stats sidecars (the
+    // InvertedIndex.liveStats shape) — zero Spark jobs
+    val segStats = segs.map(readVecStats(spark, _))
+    val delN = dels.map(readDelN(spark, _)).sum
+    val segN = segStats.map(_._1).sum
+    val nlist = segStats.head._2
     // live per-cell occupancy: ≤ nlist rows to the driver, zero-filled
     // for cells no live vector occupies (an empty cell IS drift signal)
     val occRows = liveIdFrames(spark, segs, dels)

@@ -783,10 +783,14 @@ class InvertedIndexSpec extends AnyFunSuite {
     val docs = Seq((1L, "x x y"), (2L, ""), (3L, "y")).toDF("doc_id", "text")
     val path = tmp("graft-idx-stats")
     InvertedIndex.build(docs, "doc_id", "text", path)
-    val st = spark.read.parquet(s"${segDirs(path).head}/stats").head()
-    assert(st.getDouble(st.fieldIndex("n")) == 3.0)
+    // stats are a driver-side JSON sidecar (r17-opt layout)
+    val doc = org.json4s.jackson.JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        s"${segDirs(path).head}/stats/doc.json")),
+      java.nio.charset.StandardCharsets.UTF_8))
+    assert((doc \ "n") == org.json4s.JDouble(3.0))
     // sum_len over ALL docs: 3 + 0 + 1
-    assert(st.getDouble(st.fieldIndex("sum_len")) == 4.0)
+    assert((doc \ "sum_len") == org.json4s.JDouble(4.0))
     // empty doc contributes no postings
     assert(spark.read.parquet(s"${segDirs(path).head}/postings")
       .filter(col("id") === 2L).count() == 0)
@@ -951,12 +955,20 @@ class InvertedIndexSpec extends AnyFunSuite {
     val path = tmp("graft-idx-oldstats")
     InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0),
       "doc_id", "text", path)
-    // fabricate a pre-round-9 segment: its stats table has no
-    // `positions` column (3-column schema)
+    // fabricate a pre-round-9 LEGACY segment: a parquet stats table
+    // (the pre-r17-opt layout) with no `positions` column (3-column
+    // schema) — the reader must fall back from the JSON sidecar
     val seg = segDirs(path).head.toString
-    val old = spark.read.parquet(s"$seg/stats")
-      .select("n", "sum_len", "buckets").collect().head
-    Seq((old.getDouble(0), old.getDouble(1), old.getInt(2)))
+    val doc = org.json4s.jackson.JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$seg/stats/doc.json")),
+      java.nio.charset.StandardCharsets.UTF_8))
+    def d(f: String): Double = (doc \ f) match {
+      case org.json4s.JDouble(v) => v
+      case org.json4s.JInt(v) => v.toDouble
+      case other => fail(s"stats doc field $f not numeric: $other")
+    }
+    Seq((d("n"), d("sum_len"), d("buckets").toInt))
       .toDF("n", "sum_len", "buckets")
       .write.mode("overwrite").parquet(s"$seg/stats")
     // an append with CURRENT code writes 4-column stats — the index
