@@ -1535,7 +1535,14 @@ object Dedup {
     // facade to exact-only dedup)
     Checks.requireIntegral(docs, idCol, "dedupCorpus",
       "map string ids to longs first, e.g. xxhash64 or an ordinal")
-    val exact = exactKeepFirst(docs, idCol, textCol)
+    // STAGE the exact-dedup survivors (guide §5: cache when reused and
+    // recomputation is expensive): this composition consumes `exact`
+    // four times — LSH candidates, the Jaccard verify, the token-count
+    // representative pick, and the final anti-join — and exactKeepFirst
+    // itself reads its input twice, so unstaged the upstream chain
+    // re-ran ~8x inside the one facade call (r17-opt). Released after
+    // the first downstream action via the shared discipline.
+    val exact = exactKeepFirst(docs, idCol, textCol).persist()
     val cand = minhashLshPairs(exact, idCol, textCol, shingleN, bands,
       rowsPerBand, estThreshold, maxBucketSize, portable = portable)
     val verified = ngramJaccard(exact, idCol, textCol,
@@ -1552,7 +1559,7 @@ object Dedup {
           .orderBy(col("_dc_nt").desc, col("_dc_id"))))
       .filter(col("_dc_rk") > 1)
       .select(col("_dc_id").as(idCol))
-    exact.join(losers, Seq(idCol), "left_anti")
+    materializeAndRelease(exact, exact.join(losers, Seq(idCol), "left_anti"))
   }
 
   /** C4/CCNet-style line-level boilerplate removal: a LINE occurring

@@ -108,7 +108,7 @@ object FieldedIndex {
     * source is scanned once, not once per field.
     */
   def build(docs: DataFrame, idCol: String, fieldCols: Seq[String],
-            root: String, buckets: Int = 64, positions: Boolean = false,
+            root: String, buckets: Int = 0, positions: Boolean = false,
             analyzer: String = "standard"): Unit = {
     require(fieldCols.nonEmpty, "at least one field column")
     require(fieldCols.distinct == fieldCols,

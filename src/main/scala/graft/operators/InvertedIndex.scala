@@ -127,8 +127,21 @@ object InvertedIndex {
     }
   }
 
+  /** Bucket count for a NEW index when the caller passed 0 ("auto"),
+    * derived from the first batch's token volume (guide §2: derive
+    * partitioning from input size, not a constant tuned for one
+    * deployment). One bucket per ~1M postings keeps bucket files at a
+    * healthy parquet size; the floor of 8 keeps search-time directory
+    * pruning meaningful on small corpora, and the cap is the one-md5-
+    * byte layout limit. A fixed 64 was 64 near-empty directories of
+    * commit overhead per segment at gate scale AND too few buckets at
+    * 100 TB — wrong in both directions.
+    */
+  private def autoBuckets(nTokens: Double): Int =
+    math.min(256, math.max(8, (nTokens / 1000000.0).ceil.toInt))
+
   private def writeSegmentJobs(staged: DataFrame, seg: String,
-                               buckets: Int, positions: Boolean,
+                               bucketsReq: Int, positions: Boolean,
                                analyzer: String): Unit = {
     // ids must be unique within a batch (build/append/ingest/upsert
     // alike): a CDC micro-batch carrying two updates for one doc would
@@ -148,6 +161,8 @@ object InvertedIndex {
       s"batch contains duplicate ids (${ur.getLong(0)} rows, " +
         s"${ur.getLong(1)} distinct) — collapse to one row per id " +
         "(e.g. last update wins) before ingesting")
+    val buckets =
+      if (bucketsReq > 0) bucketsReq else autoBuckets(ur.getDouble(2))
     // positional postings carry each occurrence's 0-based token
     // offsets as a sorted array (~4 B/token) — what phraseSearch
     // joins on; BM25 reads never touch the column (parquet pruning)
@@ -314,11 +329,11 @@ object InvertedIndex {
     * an index never mixes analyzers.
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
-            indexPath: String, buckets: Int = 64,
+            indexPath: String, buckets: Int = 0,
             positions: Boolean = false,
             analyzer: String = "standard"): Unit = {
-    require(buckets >= 1 && buckets <= 256,
-      s"buckets must be in [1, 256] (one md5 byte), got $buckets")
+    require(buckets == 0 || (buckets >= 1 && buckets <= 256),
+      s"buckets must be 0 (auto) or in [1, 256] (one md5 byte), got $buckets")
     graft.functions.EnglishMinimalStem.requireKnown(analyzer)
     val fs = fsOf(docs.sparkSession, indexPath)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/segments"), true)
@@ -514,9 +529,9 @@ object InvertedIndex {
     */
   def ingestUpsertBatch(docs: DataFrame, idCol: String, textCol: String,
                         indexPath: String, batchId: Long,
-                        bucketsIfNew: Int = 64): Unit = {
-    require(bucketsIfNew >= 1 && bucketsIfNew <= 256,
-      s"buckets must be in [1, 256] (one md5 byte), got $bucketsIfNew")
+                        bucketsIfNew: Int = 0): Unit = {
+    require(bucketsIfNew == 0 || (bucketsIfNew >= 1 && bucketsIfNew <= 256),
+      s"buckets must be 0 (auto) or in [1, 256] (one md5 byte), got $bucketsIfNew")
     val spark = docs.sparkSession
     val fs = fsOf(spark, indexPath)
     val marker = SegmentStore.ingestMarker(indexPath, batchId)
@@ -566,9 +581,9 @@ object InvertedIndex {
     */
   def ingestCdcBatch(events: DataFrame, idCol: String, textCol: String,
                      opCol: String, indexPath: String, batchId: Long,
-                     bucketsIfNew: Int = 64): Unit = {
-    require(bucketsIfNew >= 1 && bucketsIfNew <= 256,
-      s"buckets must be in [1, 256] (one md5 byte), got $bucketsIfNew")
+                     bucketsIfNew: Int = 0): Unit = {
+    require(bucketsIfNew == 0 || (bucketsIfNew >= 1 && bucketsIfNew <= 256),
+      s"buckets must be 0 (auto) or in [1, 256] (one md5 byte), got $bucketsIfNew")
     val spark = events.sparkSession
     val fs = fsOf(spark, indexPath)
     val marker = SegmentStore.ingestMarker(indexPath, batchId)
@@ -653,9 +668,9 @@ object InvertedIndex {
     */
   def ingestBatch(docs: DataFrame, idCol: String, textCol: String,
                   indexPath: String, batchId: Long,
-                  bucketsIfNew: Int = 64): Unit = {
-    require(bucketsIfNew >= 1 && bucketsIfNew <= 256,
-      s"buckets must be in [1, 256] (one md5 byte), got $bucketsIfNew")
+                  bucketsIfNew: Int = 0): Unit = {
+    require(bucketsIfNew == 0 || (bucketsIfNew >= 1 && bucketsIfNew <= 256),
+      s"buckets must be 0 (auto) or in [1, 256] (one md5 byte), got $bucketsIfNew")
     val spark = docs.sparkSession
     val fs = fsOf(spark, indexPath)
     val marker = SegmentStore.ingestMarker(indexPath, batchId)
@@ -736,7 +751,7 @@ object InvertedIndex {
     * in.
     */
   def compact(spark: SparkSession, indexPath: String,
-              lensBuckets: Int = 32): Unit = {
+              lensBuckets: Int = 0): Unit = {
     heal(spark, indexPath)
     sweepUncommitted(fsOf(spark, indexPath), indexPath)
     val segs = committedSegments(spark, indexPath)
@@ -778,14 +793,21 @@ object InvertedIndex {
       // postings and the lens ledger are independent reads (merged
       // postings vs the checkpointed live lens) — overlap them
       // (guide §2.6); stats stays last as the commit marker
+      // lens ledger bucket count from the LIVE corpus size when the
+      // caller passed 0 (auto) — one bucket per ~100k docs of 12 B
+      // rows, floor 8: the probe-parallelism knob should track the
+      // index, not a constant (guide §2)
+      val lb =
+        if (lensBuckets > 0) lensBuckets
+        else math.min(256, math.max(8, (m.getDouble(0) / 100000.0).ceil.toInt))
       SegmentStore.inParallel(Seq(
         () => mergedLive
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$seg/postings"),
         () => Bucketing.saveBucketedBatch(
-          live.repartition(lensBuckets, col("id")),
-          s"$seg/lens", Seq("id"), lensBuckets)))
+          live.repartition(lb, col("id")),
+          s"$seg/lens", Seq("id"), lb)))
       writeSegStats(spark, seg, m.getDouble(0), m.getDouble(1),
         buckets, positions, analyzer)
       (segs ++ dels).foreach(s =>

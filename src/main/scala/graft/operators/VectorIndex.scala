@@ -623,7 +623,7 @@ object VectorIndex {
     */
   def rebuild(spark: SparkSession, indexPath: String, nlist: Int = 0,
               kmeansIters: Int = 10, sampleN: Int = 4096,
-              seed: Long = 42, idBuckets: Int = 32): Unit = {
+              seed: Long = 42, idBuckets: Int = 0): Unit = {
     require(nlist >= 0, s"nlist must be >= 0 (0 = keep width), got $nlist")
     heal(spark, indexPath)
     val fs = fsOf(spark, indexPath)
@@ -665,9 +665,15 @@ object VectorIndex {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$seg/vectors")
     val written = spark.read.parquet(s"$seg/vectors").select("id", "cell")
+    // one count serves the ids-ledger bucket sizing (0 = auto, the
+    // compact() formula) and the stats doc
+    val n = written.count()
+    val ib =
+      if (idBuckets > 0) idBuckets
+      else math.min(256, math.max(8, (n / 100000.0).ceil.toInt))
     Bucketing.saveBucketedBatch(
-      written.repartition(idBuckets, col("id")),
-      s"$seg/ids", Seq("id"), idBuckets)
+      written.repartition(ib, col("id")),
+      s"$seg/ids", Seq("id"), ib)
     readPqModel(spark, indexPath).foreach { m =>
       spark.read.parquet(s"$seg/vectors")
         .select(col("id"), col("cell"),
@@ -676,7 +682,7 @@ object VectorIndex {
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$seg/codes")
     }
-    writeVecStats(spark, seg, written.count().toDouble, newNlist)
+    writeVecStats(spark, seg, n.toDouble, newNlist)
     // promote, then retire the inputs — heal replays this tail
     fs.delete(new org.apache.hadoop.fs.Path(quantizerPath(indexPath)), true)
     require(fs.rename(new org.apache.hadoop.fs.Path(nextPath),
@@ -696,7 +702,7 @@ object VectorIndex {
     * concurrent searches.
     */
   def compact(spark: SparkSession, indexPath: String,
-              idBuckets: Int = 32): Unit = {
+              idBuckets: Int = 0): Unit = {
     heal(spark, indexPath)
     val fs = fsOf(spark, indexPath)
     SegmentStore.sweepUncommitted(fs, indexPath)
@@ -735,13 +741,21 @@ object VectorIndex {
         .parquet(s"$seg/vectors")
       val written = spark.read.parquet(s"$seg/vectors")
         .select("id", "cell")
+      // ONE count serves the ids-ledger bucket sizing AND the stats
+      // doc below; bucket count from the LIVE corpus size when the
+      // caller passed 0 (auto) — probe parallelism should track the
+      // index, not a constant (guide §2)
+      val n = written.count()
+      val ib =
+        if (idBuckets > 0) idBuckets
+        else math.min(256, math.max(8, (n / 100000.0).ceil.toInt))
       // the ids ledger and the PQ codes both derive from the
       // just-written vectors and are independent of each other —
       // overlap them (guide §2.6); stats stays last
       SegmentStore.inParallel(Seq(
         () => Bucketing.saveBucketedBatch(
-          written.repartition(idBuckets, col("id")),
-          s"$seg/ids", Seq("id"), idBuckets)) ++
+          written.repartition(ib, col("id")),
+          s"$seg/ids", Seq("id"), ib)) ++
         // PQ-enabled: re-encode the merged segment's codes from its
         // own just-written vectors (a pruned read of the new segment,
         // not a second pass over the inputs)
@@ -753,7 +767,7 @@ object VectorIndex {
             .write.mode("overwrite").partitionBy("cell")
             .parquet(s"$seg/codes")
         }.toSeq)
-      writeVecStats(spark, seg, written.count().toDouble, nlist)
+      writeVecStats(spark, seg, n.toDouble, nlist)
       (segs ++ dels).foreach(s =>
         fs.delete(new org.apache.hadoop.fs.Path(s), true))
       Manifest.delete(fs, SegmentStore.manifestPath(indexPath))

@@ -653,8 +653,16 @@ object PipelineQueries {
       val docs = t(s, d, "documents").select("doc_id", "source", "text")
       val q = graft.operators.QualityRules.gopherFilter(docs, "text",
         minStopHits = 1L)
-      val r = graft.operators.Repetition.gopherFilter(q, "text")
-      val dd = Dedup.exactKeepFirst(r, "doc_id", "text")
+      // STAGE the reused frames (guide §5: cache when reused and
+      // recomputation is expensive): exactKeepFirst consumes its input
+      // twice (keep-agg + semi-join back) and perplexityBuckets(dd, dd)
+      // consumes dd four times (bigram counts, unigram counts, the
+      // scoring pass, the group join) — unstaged, the quality +
+      // repetition-kernel chain re-ran up to 8x inside this one query
+      // (r17-opt: 9.4 -> ~4 s warm at sf0.1). Both persists live and
+      // die inside this single query's execution.
+      val r = graft.operators.Repetition.gopherFilter(q, "text").persist()
+      val dd = Dedup.exactKeepFirst(r, "doc_id", "text").persist()
       graft.operators.LanguageModel.perplexityBuckets(dd, dd,
           "doc_id", "text", "source")
         .filter(col("bucket") =!= "tail")

@@ -464,7 +464,7 @@ object CorpusStream {
     */
   def incrementalIndex(docs: DataFrame, idCol: String, textCol: String,
                        indexPath: String, checkpoint: String,
-                       buckets: Int = 64,
+                       buckets: Int = 0,
                        compactEvery: Option[Int] = None): StreamingQuery = {
     requireFreshOrContinuingIndex(docs.sparkSession, checkpoint, indexPath)
     // replay an interrupted compact() before serving or appending:
@@ -515,7 +515,7 @@ object CorpusStream {
   def incrementalCdcIndex(events: DataFrame, idCol: String,
                           textCol: String, opCol: String,
                           indexPath: String, checkpoint: String,
-                          buckets: Int = 64,
+                          buckets: Int = 0,
                           compactEvery: Option[Int] = None): StreamingQuery = {
     requireFreshOrContinuingIndex(events.sparkSession, checkpoint, indexPath)
     graft.operators.InvertedIndex.heal(events.sparkSession, indexPath)
@@ -630,7 +630,7 @@ object CorpusStream {
   def incrementalUpsertIndex(docs: DataFrame, idCol: String,
                              textCol: String,
                              indexPath: String, checkpoint: String,
-                             buckets: Int = 64,
+                             buckets: Int = 0,
                              compactEvery: Option[Int] = None): StreamingQuery = {
     requireFreshOrContinuingIndex(docs.sparkSession, checkpoint, indexPath)
     graft.operators.InvertedIndex.heal(docs.sparkSession, indexPath)

@@ -356,10 +356,11 @@ class InvertedIndexSpec extends AnyFunSuite {
     InvertedIndex.ingestBatch(b1, "doc_id", "text", path, batchId = 1L)
     assert(segDirs(path).length == 1)
     assert(top() == want)
-    // invalid bucket counts are rejected before any write
+    // invalid bucket counts are rejected before any write (0 is the
+    // auto sentinel since r17-opt; above one md5 byte stays invalid)
     val e = intercept[IllegalArgumentException](
       InvertedIndex.ingestBatch(b0, "doc_id", "text",
-        tmp("graft-idx-badbuckets"), batchId = 0L, bucketsIfNew = 0))
+        tmp("graft-idx-badbuckets"), batchId = 0L, bucketsIfNew = 300))
     assert(e.getMessage.contains("buckets"))
   }
 
