@@ -16,6 +16,13 @@ Test / fork := true
 // Turkish-I test) — neither tolerates intra-JVM test parallelism.
 Test / testForkedParallel := false
 run / fork := true
+// The forked JVM inherits sbt's raw stdout/stderr instead of the
+// logger: runMain output lands UNPREFIXED (no "[info] "), so the
+// bench's one-line JSON record parses as a bare line from the
+// driver's output capture (r17 VERDICT: every stdout line was
+// [info]-prefixed and the per-query record never parsed). Spark's
+// own log4j console appender targets stderr, so stdout stays clean.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -147,8 +147,13 @@ object Bench {
     }
     // The driver's capture keeps the TAIL of output, so the total-first
     // headline above falls off it once the chunk lines land (r6's
-    // "parsed": null). Re-print the headline LAST so it survives.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},$noise,"full_json":"${outPath.toAbsolutePath}"}""")
+    // "parsed": null). The LAST line is the COMPLETE record — total +
+    // every per-query second in one JSON line (the driver contract's
+    // literal shape). With run/outputStrategy := StdoutOutput
+    // (build.sbt, r18) the line lands unprefixed; the chunk lines above
+    // and BENCH.local.json stay as fallbacks if a capture window
+    // truncates this line from the left.
+    println(fullJson)
     spark.stop()
   }
 }

@@ -63,11 +63,13 @@ import org.apache.spark.sql.functions._
   *    context still accepts it via [[EsQueryDsl]].)
   *
   * Scale shape: ONE tokenize+explode pass per distinct text FIELD
-  * referenced by any scored clause (not per clause), cut by an
-  * `arrays_overlap` prefilter to docs containing at least one needed
-  * term; per-(doc, clause) moments come back as a counted shuffle over
-  * matching docs only and left-join onto the frame; corpus stats (N,
-  * avg len) enter as a 1-row broadcast crossJoin INSIDE the lazy plan
+  * referenced by any scored clause (not per clause — and since r18
+  * the corpus-stats agg derives from the SAME pass instead of
+  * re-tokenizing): matching-token occurrences shuffle as counted
+  * (doc, term) rows, non-matching docs ship one ~20 B (id, len) row
+  * each (the stats input), and the per-(doc, clause) moments
+  * left-join onto the frame; corpus stats (N, avg len) enter as a
+  * 1-row broadcast crossJoin INSIDE the lazy plan
   * (building a scored frame runs no job — spec-pinned; the index path
   * [[graft.operators.InvertedIndex.searchTopK]] uses driver literals
   * instead because its stats are one-row parquet tables, not a corpus
@@ -1263,23 +1265,28 @@ object EsScoredQuery {
           var acc = acc0
           val dfreqs = x.fieldBoosts.zipWithIndex.map {
             case ((f, _), fi) =>
-              val staged = docs
+              // the fieldMoments one-pass shape (r18): matching-token
+              // occurrences + one null row per non-matching doc ride
+              // ONE exchange; tf, dfs and the per-field stats all
+              // derive from it instead of a second tokenize pass
+              val emitted = docs
                 .select(col(ctx.idCol),
                   TextAnalysis.tokens(col(f)).as("_toks"))
-                .select(col(ctx.idCol), col("_toks"),
-                  size(col("_toks")).cast("double").as("_len"))
-              val stats = staged.agg(
-                count(lit(1)).cast("double").as(s"_x${x.id}_n"),
-                coalesce(avg(col("_len")), lit(1.0))
-                  .as(s"_x${x.id}_f${fi}_avg"))
-              val tf = staged
-                .filter(arrays_overlap(col("_toks"),
-                  lit(allTerms.toArray)))
+                .select(col(ctx.idCol),
+                  size(col("_toks")).cast("double").as("_len"),
+                  col("_toks"))
                 .select(col(ctx.idCol), col("_len"),
-                  explode(col("_toks")).as("_t"))
-                .filter(col("_t").isin(allTerms: _*))
+                  explode_outer(filter(col("_toks"),
+                    t => t.isin(allTerms: _*))).as("_t"))
+              val occCells = emitted
                 .groupBy(col(ctx.idCol), col("_len"), col("_t"))
                 .agg(count(lit(1)).cast("double").as("_tf"))
+              val tf = occCells.filter(col("_t").isNotNull)
+              val stats = occCells.select(col(ctx.idCol), col("_len"))
+                .distinct()
+                .agg(count(lit(1)).cast("double").as(s"_x${x.id}_n"),
+                  coalesce(avg(col("_len")), lit(1.0))
+                    .as(s"_x${x.id}_f${fi}_avg"))
               val dfreq = tf.groupBy("_t")
                 .agg(count_distinct(col(ctx.idCol)).cast("double")
                   .as("_df"))
@@ -1358,22 +1365,17 @@ object EsScoredQuery {
         ctx.phraseClauses.toSeq.zipWithIndex.foreach {
           case ((f, terms), i) =>
             val tc = col(s"_ptoks${pFields.indexOf(f)}")
-            val nT = terms.length
-            // codegen array_contains guard first: a doc missing ANY
-            // of the phrase's terms cannot match, and most docs fall
-            // here — the interpreted adjacency lambda (the only
-            // non-codegen piece) then runs on candidates only, the
-            // arrays_overlap discipline of fieldMoments (measured 5×
-            // on the f26 fixture)
-            val hasAll = terms.distinct
-              .map(t => array_contains(tc, t)).reduce(_ && _)
-            val ptf = when(hasAll && size(tc) >= nT,
-              size(filter(sequence(lit(0), size(tc) - nT), p =>
-                terms.zipWithIndex.map { case (t, j) =>
-                  element_at(tc, p + j + 1) === lit(t)
-                }.reduce(_ && _)))).otherwise(lit(0))
+            // the native codegen adjacency counter (one compiled pass
+            // per row) — r18: replaced the interpreted sequence+filter
+            // HOF lambda that dominated the phrase gates (f26/f31 ~4 s
+            // of a 4.5 s warm run); bit-identical counts, pinned by
+            // the EsScoredQuerySpec differential. coalesce keeps the
+            // old `otherwise(0)` arm for NULL token arrays.
+            val ptf = coalesce(
+              graft.plans.TokenPhraseFreq.of(tc, terms).cast("double"),
+              lit(0.0))
             acc = acc
-              .withColumn(s"_p${i}_ptf", ptf.cast("double"))
+              .withColumn(s"_p${i}_ptf", ptf)
               .withColumn(s"_p${i}_len", size(tc).cast("double"))
         }
         val statSrc = docs.select(pFields.zipWithIndex.map {
@@ -1519,25 +1521,39 @@ object EsScoredQuery {
     val live = cs.filter(_.groups.nonEmpty)
     if (live.isEmpty) return docs.select(col(idCol)).limit(0)
     val allTerms = live.flatMap(_.terms).distinct
-    val staged = docs
+    // ONE tokenize pass for the whole clause set (r18; guide §1.2
+    // "don't compute twice", §2.3 "shuffle keys/metadata, not
+    // payloads"): every doc emits its matching-token occurrences —
+    // plus exactly one (_t = null) row when none match — through ONE
+    // (id, len, term) exchange, and the tf table, the term dfs AND
+    // the corpus stats all derive from that exchange (runtime
+    // exchange reuse). The previous shape re-tokenized the corpus for
+    // the stats agg (a second full scan per field per query); the new
+    // cost is one ~20 B (id, len) shuffle row per non-matching doc,
+    // cheaper than re-reading the text at any scale.
+    val emitted = docs
       .select(col(idCol), TextAnalysis.tokens(col(field)).as("_toks"))
-      .select(col(idCol), col("_toks"),
-        size(col("_toks")).cast("double").as("_len"))
+      .select(col(idCol), size(col("_toks")).cast("double").as("_len"),
+        col("_toks"))
+      .select(col(idCol), col("_len"),
+        explode_outer(filter(col("_toks"),
+          t => t.isin(allTerms: _*))).as("_t"))
+    val cells = emitted
+      .groupBy(col(idCol), col("_len"), col("_t"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val tf = cells.filter(col("_t").isNotNull)
     // corpus stats (N, avg len) as a 1-row broadcast crossJoin INSIDE
     // the lazy plan — never an eager driver-side job: building a
     // scored frame runs nothing (spec-pinned), and a scored query pays
-    // its corpus-stats pass when (and only when) it executes. The
-    // LanguageModel learned this the hard way: its eager count re-ran
-    // the corpus scan and measured 2× at sf0.1. avg is null on an
-    // empty corpus — coalesce to 1.0 (the result is empty anyway).
-    val stats = staged.agg(count(lit(1)).cast("double").as("_n"),
-      coalesce(avg(col("_len")), lit(1.0)).as("_avg"))
-    val tf = staged
-      .filter(arrays_overlap(col("_toks"), lit(allTerms.toArray)))
-      .select(col(idCol), col("_len"), explode(col("_toks")).as("_t"))
-      .filter(col("_t").isin(allTerms: _*))
-      .groupBy(col(idCol), col("_len"), col("_t"))
-      .agg(count(lit(1)).cast("double").as("_tf"))
+    // its corpus-stats pass when (and only when) it executes. Every
+    // doc appears in `cells` (matched docs via their term rows, the
+    // rest via their null row), so the doc-level distinct IS the
+    // corpus — same N/avg as the old full-scan agg, from the shared
+    // exchange. avg is null on an empty corpus — coalesce to 1.0
+    // (the result is empty anyway).
+    val stats = cells.select(col(idCol), col("_len")).distinct()
+      .agg(count(lit(1)).cast("double").as("_n"),
+        coalesce(avg(col("_len")), lit(1.0)).as("_avg"))
     val dfreq = tf.groupBy("_t")
       .agg(count_distinct(col(idCol)).cast("double").as("_df"))
     // (clause, group, term) triples — a group is a Lucene

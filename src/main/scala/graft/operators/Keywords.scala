@@ -223,14 +223,26 @@ object Keywords {
                       sourceCol: String, k: Int): DataFrame = {
     val fg = docTerms.groupBy(sourceCol, "term")
       .agg(count(lit(1)).cast("double").as("df_fg"))
-    // one row per (doc, term) on either side, so df is a row count;
-    // with the default (whole-frame) background this equals the old
-    // sum-over-sources spelling exactly
-    val bg = bgTerms.groupBy("term")
-      .agg(count(lit(1)).cast("double").as("df_bg"))
+    // one row per (doc, term) on either side, so df is a row count.
+    // With the DEFAULT (whole-frame) background the bg table is the
+    // sum-over-sources rollup of the fg table (every doc has exactly
+    // one source) — derive it from fg instead of re-tokenizing the
+    // corpus for a second explode+count pass (r18, guide §1.2; the
+    // counts are integers in doubles, so the rollup is exact). A real
+    // background_filter keeps its own pass: its doc set differs.
+    val bg =
+      if (bgTerms eq docTerms)
+        fg.groupBy("term").agg(sum(col("df_fg")).as("df_bg"))
+      else bgTerms.groupBy("term")
+        .agg(count(lit(1)).cast("double").as("df_bg"))
     val sizes = fgDocs.groupBy(sourceCol)
       .agg(count(lit(1)).cast("double").as("n_fg"))
-    val total = bgDocs.agg(count(lit(1)).cast("double").as("n_bg"))
+    // same derivation for the corpus size when the background IS the
+    // frame: Σ per-source sizes — drops the second count scan
+    val total =
+      if (bgDocs eq fgDocs)
+        sizes.agg(coalesce(sum(col("n_fg")), lit(0.0)).as("n_bg"))
+      else bgDocs.agg(count(lit(1)).cast("double").as("n_bg"))
     val scored = fg
       .join(bg, Seq("term"))
       .join(broadcast(sizes), Seq(sourceCol))

@@ -38,21 +38,27 @@ object Ranking {
       .map(t => graft.functions.EnglishMinimalStem.analyzeTerm(analyzer,
         t.toLowerCase(java.util.Locale.ROOT)))
       .distinct
-    val staged = docs
+    // ONE tokenize pass (r18, the EsScoredQuery.fieldMoments shape):
+    // matching-token occurrences + one (_t = null) row per
+    // non-matching doc ride one (id, len, term) exchange; tf, df and
+    // the corpus stats all derive from it — the previous stats agg
+    // was a second full tokenize of the corpus (guide §1.2)
+    val emitted = docs
       .select(col(idCol), graft.functions.EnglishMinimalStem
         .analyzeTokens(analyzer, TextAnalysis.tokens(col(textCol)))
         .as("_toks"))
-      .select(col(idCol), col("_toks"),
-        size(col("_toks")).cast("double").as("_len"))
-    val stats = staged.agg(count(lit(1)).cast("double").as("_n"),
-      avg(col("_len")).as("_avg"))
-    val tf = staged
-      .filter(arrays_overlap(col("_toks"),
-        lit(terms.toArray)))
-      .select(col(idCol), col("_len"), explode(col("_toks")).as("_t"))
-      .filter(col("_t").isin(terms: _*))
+      .select(col(idCol), size(col("_toks")).cast("double").as("_len"),
+        col("_toks"))
+      .select(col(idCol), col("_len"),
+        explode_outer(filter(col("_toks"),
+          t => t.isin(terms: _*))).as("_t"))
+    val cells = emitted
       .groupBy(col(idCol), col("_len"), col("_t"))
       .agg(count(lit(1)).cast("double").as("_tf"))
+    val tf = cells.filter(col("_t").isNotNull)
+    val stats = cells.select(col(idCol), col("_len")).distinct()
+      .agg(count(lit(1)).cast("double").as("_n"),
+        avg(col("_len")).as("_avg"))
     val dfreq = tf.groupBy("_t")
       .agg(count_distinct(col(idCol)).cast("double").as("_df"))
     tf.join(broadcast(dfreq), Seq("_t"))
@@ -112,17 +118,27 @@ object Ranking {
       .withColumn("_clen", fieldWeights.map { case (f, w) =>
         size(col(tks(f))).cast("double") * w
       }.reduce(_ + _))
-    val stats = staged.agg(count(lit(1)).cast("double").as("_n"),
-      avg(col("_clen")).as("_avg"))
-    val occ = fieldWeights.map { case (f, w) =>
-      staged
-        .filter(arrays_overlap(col(tks(f)), lit(terms.toArray)))
-        .select(col(idCol), col("_clen"),
-          explode(col(tks(f))).as("_t"), lit(w).as("_w"))
-        .filter(col("_t").isin(terms: _*))
-    }.reduce(_ unionByName _)
-    val tfc = occ.groupBy(col(idCol), col("_clen"), col("_t"))
-      .agg(sum(col("_w")).as("_tf"))
+    // ONE tokenize pass over EVERY field (r18): each field's matching
+    // occurrences are tagged with that field's weight and flattened
+    // into one exploded stream — plus one null row per doc with no
+    // match in any field — so tf~, df and the corpus stats all derive
+    // from one (id, clen, term) exchange. The previous shape ran the
+    // full multi-field tokenize projection once for the stats agg and
+    // once PER FIELD for the union branches (each branch needs every
+    // field for _clen): 2 fields cost 6 field-tokenizes, now 2.
+    val occs = flatten(array(fieldWeights.map { case (f, w) =>
+      transform(filter(col(tks(f)), t => t.isin(terms: _*)),
+        t => struct(t.as("_t"), lit(w).as("_w")))
+    }: _*))
+    val emitted = staged.select(col(idCol), col("_clen"),
+      explode_outer(occs).as("_o"))
+    val cells = emitted
+      .groupBy(col(idCol), col("_clen"), col("_o._t").as("_t"))
+      .agg(sum(col("_o._w")).as("_tf"))
+    val tfc = cells.filter(col("_t").isNotNull)
+    val stats = cells.select(col(idCol), col("_clen")).distinct()
+      .agg(count(lit(1)).cast("double").as("_n"),
+        avg(col("_clen")).as("_avg"))
     val dfreq = tfc.groupBy("_t")
       .agg(count_distinct(col(idCol)).cast("double").as("_df"))
     tfc.join(broadcast(dfreq), Seq("_t"))

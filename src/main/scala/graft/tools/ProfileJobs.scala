@@ -12,8 +12,9 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileJobs {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ProfileJobs <queryName> <sfDir> [repeat]")
-    val name = args(0)
+    require(args.length >= 2,
+      "usage: ProfileJobs <queryName>[,<queryName>...] <sfDir> [repeat]")
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val dir = args(1)
     val repeat = if (args.length > 2) args(2).toInt else 1
     val spark = SparkSession.builder().master("local[32]")
@@ -41,14 +42,14 @@ object ProfileJobs {
         jobs.get(e.jobId).foreach(_.end = e.time)
     })
 
-    val q = graft.SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query $name"))
     // warm tables like Bench does
     graft.Tables.all.foreach { n =>
       try graft.Tables.load(spark, dir, n).count()
       catch { case _: Throwable => () }
     }
-    for (it <- 1 to repeat) {
+    for (name <- names; it <- 1 to repeat) {
+      val q = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
       spark.sharedState.cacheManager.clearCache()
       jobs.clear(); order.clear()
       val t0 = System.nanoTime()

@@ -916,6 +916,46 @@ class EsScoredQuerySpec extends AnyFunSuite {
     // tie_breaker refuses on cross_fields (best_fields only)
     intercept[IllegalArgumentException](rows(""", "tie_breaker": 0.3"""))
   }
+
+  test("native TokenPhraseFreq == the HOF adjacency count (the " +
+      "pre-r18 spelling) on the corpus and adversarial token runs") {
+    // the HOF reference the native expression replaced in the phrase
+    // scoring path: count of 0-based window starts where the terms
+    // occur contiguously in order, 0 for too-short docs (guarded by
+    // hasAll exactly as the old code was)
+    def hofPtf(tc: org.apache.spark.sql.Column, terms: Seq[String]) = {
+      val nT = terms.length
+      val hasAll = terms.distinct
+        .map(t => array_contains(tc, t)).reduce(_ && _)
+      when(hasAll && size(tc) >= nT,
+        size(filter(sequence(lit(0), size(tc) - nT), p =>
+          terms.zipWithIndex.map { case (t, j) =>
+            element_at(tc, p + j + 1) === lit(t)
+          }.reduce(_ && _)))).otherwise(lit(0))
+    }
+    val adversarial = Seq(
+      (1L, "batch batch batch"),        // overlapping-run merge case
+      (2L, "order fast order fast"),    // repeated bigram
+      (3L, "order"),                    // shorter than the phrase
+      (4L, ""),                         // zero tokens
+      (5L, "fast order"),               // reversed — order matters
+      (6L, null.asInstanceOf[String])   // null text
+    ).toDF("doc_id", "text")
+    for {
+      df <- Seq(docs.select(col("doc_id"), col("text")), adversarial)
+      terms <- Seq(Seq("order", "fast"), Seq("batch", "batch"),
+        Seq("the"), Seq("stream", "filter", "join"))
+    } {
+      val tc = TextAnalysis.tokens(col("text"))
+      val diff = df.select(
+          coalesce(graft.plans.TokenPhraseFreq.of(tc, terms)
+            .cast("int"), lit(0)).as("nat"),
+          hofPtf(tc, terms).cast("int").as("ref"))
+        .filter(col("nat") =!= col("ref"))
+      assert(diff.count() == 0L,
+        s"TokenPhraseFreq drifted from the HOF reference for $terms")
+    }
+  }
 }
 
 
