@@ -72,6 +72,43 @@ object Dedup {
     out
   }
 
+  /** Unpersist `staged` frames once the FIRST successful action whose
+    * plan contains `result` completes — [[materializeAndRelease]]'s
+    * listener without persisting the result itself: for facades whose
+    * result feeds exactly one terminal action (a gate's noop write,
+    * the oracle write), the staged inputs die with that action instead
+    * of lingering until LRU eviction (r18; closes the r17-ADVICE pipe3
+    * leak). A SECOND action on the result recomputes the chain — the
+    * documented "persists live and die inside one execution" contract.
+    */
+  private[graft] def releaseAfter(result: DataFrame,
+                                  staged: Seq[DataFrame]): DataFrame = {
+    val spark = result.sparkSession
+    val target = result.queryExecution.analyzed
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        val touches =
+          try qe.analyzed.exists(p => p.sameResult(target))
+          catch { case _: Throwable => false }
+        if (touches && released.compareAndSet(false, true)) {
+          staged.foreach(_.unpersist(false))
+          spark.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        maybeRelease(qe)
+      // a FAILED action may not have populated the downstream work —
+      // keep the staged caches so the retry still gets the barrier
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+        ()
+    }
+    spark.listenerManager.register(listener)
+    result
+  }
+
   /** Exact duplicate statistics: group on md5 of the raw text. */
   def exactStats(docs: DataFrame, textCol: String): DataFrame =
     docs.agg(
@@ -345,11 +382,15 @@ object Dedup {
     * Same crash manifest, same offline single-writer contract.
     *
     * Pick `buckets` for the TARGET deployment's probe parallelism
-    * (e.g. 2-4× total executor cores), not the compacting job's.
+    * (e.g. 2-4× total executor cores), not the compacting job's —
+    * or leave the default 0 (r18) and the count derives from the
+    * compacted registry's own row count (one bucket per ~1M rows,
+    * floor 8, cap 256), so it tracks the registry instead of
+    * freezing a constant tuned for one deployment.
     */
   def compactExactRegistryBucketed(spark: org.apache.spark.sql.SparkSession,
                                    registryPath: String,
-                                   buckets: Int = 32): Unit =
+                                   buckets: Int = 0): Unit =
     compactDir(spark, registryPath, distinctCols = Seq("digest"),
       bucketBy = Some(Seq("digest") -> buckets))
 
@@ -411,7 +452,17 @@ object Dedup {
       Manifest.write(fs, new org.apache.hadoop.fs.Path(s"$dir/compacting"),
         target +: old.map(p => new org.apache.hadoop.fs.Path(p).getName))
       bucketBy match {
-        case Some((keyCols, buckets)) =>
+        case Some((keyCols, bReq)) =>
+          // bucket count 0 = AUTO (r18, the guide-§2 "derive
+          // partitioning from input size" rule the index ledgers
+          // already follow): one bucket per ~1M narrow registry rows
+          // (16-48 B each ⇒ 16-48 MB buckets), floor 8 so the probe
+          // keeps real parallelism on small registries, cap 256.
+          // Explicit counts are still honored — they are the "size
+          // for the TARGET deployment's probe parallelism" knob.
+          val buckets =
+            if (bReq > 0) bReq
+            else math.min(256, math.max(8, (rows / 1000000.0).ceil.toInt))
           // pre-partition on the bucket keys so each write task owns
           // whole buckets (1 file per bucket, not tasks×buckets)
           Bucketing.saveBucketedBatch(
@@ -770,7 +821,7 @@ object Dedup {
     */
   def compactNearDupRegistryBucketed(spark: org.apache.spark.sql.SparkSession,
                                      registryPath: String,
-                                     buckets: Int = 32): Unit = {
+                                     buckets: Int = 0): Unit = {
     compactDir(spark, s"$registryPath/shingles", distinctCols = Seq("id"),
       bucketBy = Some(Seq("id") -> buckets))
     compactDir(spark, s"$registryPath/bands",

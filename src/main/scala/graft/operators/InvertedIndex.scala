@@ -184,8 +184,13 @@ object InvertedIndex {
     SegmentStore.inParallel(Seq(
       () => SegmentStore.labeled(ss, "idx seg: postings write")(
         // repartition by bucket before partitionBy: otherwise every
-        // write task opens up to `buckets` files (the small-files trap)
-        postings.repartition(col("bucket"))
+        // write task opens up to `buckets` files (the small-files trap).
+        // The partition COUNT is the data-derived bucket count, not the
+        // session's shuffle.partitions (r18, guide §2 / VERDICT item 6:
+        // a 32-partition shuffle over 8 buckets schedules 24 empty
+        // tasks per segment write — pure overhead at gate scale, and
+        // at 100 TB the bucket count is the right width too)
+        postings.repartition(buckets, col("bucket"))
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$seg/postings")),
       () => SegmentStore.labeled(ss, "idx seg: lens write")(
@@ -758,7 +763,7 @@ object InvertedIndex {
     val dels = committedDeletes(spark, indexPath)
     if (segs.length > 1 || (dels.nonEmpty && segs.nonEmpty)) {
       val fs = fsOf(spark, indexPath)
-      val (buckets, positions, analyzer) = segMeta(spark, segs)
+      val (_, positions, analyzer) = segMeta(spark, segs)
       val live = liveLens(spark, segs, dels)
         .drop("_seg").localCheckpoint(true)
       // ONE agg over the checkpointed live ledger serves the
@@ -787,9 +792,19 @@ object InvertedIndex {
         dels.map(d => "deletes/" + new org.apache.hadoop.fs.Path(d).getName)
       Manifest.write(fs, manifestPath(indexPath),
         s"segments/$name" +: inputs)
+      // r18 (the r17 ADVICE ask): a compaction rewrites every posting
+      // anyway, so RECOMPUTE the term-bucket count from the live token
+      // volume with the autoBuckets formula and re-bucket the merged
+      // rows — before, an index whose first micro-batch was tiny kept
+      // its 8 term buckets forever, the "too few buckets at scale"
+      // half of the problem autoBuckets exists to fix. The new count
+      // lands in the merged stats doc, which is where every search
+      // and later append reads it; bucket ids never reach results.
+      val tb = autoBuckets(m.getDouble(1))
       val mergedLive =
-        if (dels.isEmpty) mergedPostings(spark, segs, identity)
-        else mergedLivePostings(spark, segs, dels, identity)
+        (if (dels.isEmpty) mergedPostings(spark, segs, identity)
+         else mergedLivePostings(spark, segs, dels, identity))
+          .withColumn("bucket", termBucket(col("term"), tb))
       // postings and the lens ledger are independent reads (merged
       // postings vs the checkpointed live lens) — overlap them
       // (guide §2.6); stats stays last as the commit marker
@@ -802,14 +817,16 @@ object InvertedIndex {
         else math.min(256, math.max(8, (m.getDouble(0) / 100000.0).ceil.toInt))
       SegmentStore.inParallel(Seq(
         () => mergedLive
-          .repartition(col("bucket"))
+          // width = the recomputed bucket count (the r18 segment-write
+          // rule): no empty tasks below it, no session constant
+          .repartition(tb, col("bucket"))
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$seg/postings"),
         () => Bucketing.saveBucketedBatch(
           live.repartition(lb, col("id")),
           s"$seg/lens", Seq("id"), lb)))
       writeSegStats(spark, seg, m.getDouble(0), m.getDouble(1),
-        buckets, positions, analyzer)
+        tb, positions, analyzer)
       (segs ++ dels).foreach(s =>
         fs.delete(new org.apache.hadoop.fs.Path(s), true))
       Manifest.delete(fs, manifestPath(indexPath))

@@ -126,12 +126,28 @@ object LanguageModel {
                   textCol: String, k: Double = 0.5,
                   broadcastUnigrams: Boolean = true): DataFrame = {
     require(k > 0, "smoothing k must be positive")
-    val big = ngrams(model, textCol, 2, Nil)
-      .groupBy(col("_g1").as("_w1"), col("_g2").as("_w2"))
-      .agg(count(lit(1)).cast("double").as("_cb"))
-    val uni = model
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("_w1"))
-      .groupBy("_w1").agg(count(lit(1)).cast("double").as("_cu"))
+    // ONE tokenize pass trains BOTH count tables (r18, guide §1.2):
+    // every token position emits (token, successor-or-null) — the
+    // bigram table is the non-null rows of the (w1, w2) count
+    // exchange, and the unigram table is its rollup over ALL rows
+    // (a token's unigram count = Σ over its successors INCLUDING the
+    // last-position null row, so the rollup is exactly c(w1) — not
+    // the lossy bigram-prefix sum, which misses doc-final tokens).
+    // Previously uni and big each ran their own full tokenize+explode
+    // over the model corpus. try_element_at: the last position has no
+    // successor — NULL, never an ANSI out-of-bounds error.
+    val pairCells = model
+      .select(TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(posexplode(col("_toks")).as(Seq("_p", "_w1")),
+        col("_toks"))
+      .select(col("_w1"),
+        try_element_at(col("_toks"), col("_p") + 2).as("_w2"))
+      .groupBy("_w1", "_w2")
+      .agg(count(lit(1)).cast("double").as("_c"))
+    val big = pairCells.filter(col("_w2").isNotNull)
+      .select(col("_w1"), col("_w2"), col("_c").as("_cb"))
+    val uni = pairCells.groupBy("_w1")
+      .agg(sum(col("_c")).as("_cu"))
     val vocabSize = uni.agg(count(lit(1)).cast("double").as("_v"))
 
     ngrams(score, textCol, 2, Seq(col(idCol)))
@@ -176,7 +192,13 @@ object LanguageModel {
   def perplexityBuckets(model: DataFrame, docs: DataFrame, idCol: String,
                         textCol: String, groupCol: String,
                         k: Double = 0.5): DataFrame = {
-    val scored = bigramScore(model, docs, idCol, textCol, k)
+    // STAGE the scored frame (r18, guide §5 cache-when-reused): the
+    // whole LM train+score pipeline feeds ordinalByKey's eager
+    // prefix-sum staging AND the ordinal re-attach join in its output
+    // plan — unstaged it executed twice per query. (id, n_trans,
+    // mean_logp) rows are corpus-COUNT-sized, not corpus-sized;
+    // released by the listener when the query's terminal action lands.
+    val scored = bigramScore(model, docs, idCol, textCol, k).persist()
     val withGrp = docs.select(col(idCol), col(groupCol))
       .join(scored, Seq(idCol))
     val ranked = Sampling.ordinalByKey(withGrp, idCol,
@@ -187,13 +209,15 @@ object LanguageModel {
     // null-SAFE group join: a null group (unknown language/source) is
     // its own bucket group, not silently dropped — the repo's null-key
     // discipline (an equi-join would never match the null rows)
-    ranked.join(broadcast(grpStats), col(groupCol) <=> col("_grp"))
+    val out = ranked
+      .join(broadcast(grpStats), col(groupCol) <=> col("_grp"))
       .drop("_grp")
       .withColumn("_rn", col("ordinal") - col("_g0") + 1L)
       .select(col(idCol), col(groupCol), col("mean_logp"),
         when(col("_rn") * 3 <= col("_n"), lit("head"))
           .when(col("_rn") * 3 <= col("_n") * 2, lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
+    Dedup.releaseAfter(out, Seq(scored))
   }
 
   /** Trigram scoring with STUPID BACKOFF (Brants et al. 2007, "Large
@@ -225,16 +249,30 @@ object LanguageModel {
                           broadcastUnigrams: Boolean = true): DataFrame = {
     require(alpha > 0 && alpha <= 1, "backoff alpha must be in (0, 1]")
     require(k > 0, "smoothing k must be positive")
-    val tri = ngrams(model, textCol, 3, Nil)
-      .groupBy(col("_g1").as("_w1"), col("_g2").as("_w2"),
-        col("_g3").as("_w3"))
-      .agg(count(lit(1)).cast("double").as("_c3"))
-    val bi = ngrams(model, textCol, 2, Nil)
-      .groupBy(col("_g1").as("_a"), col("_g2").as("_b"))
-      .agg(count(lit(1)).cast("double").as("_c2"))
-    val uni = model
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("_w"))
-      .groupBy("_w").agg(count(lit(1)).cast("double").as("_cu"))
+    // ONE tokenize pass trains ALL THREE count tables (r18, the
+    // bigramScore rollup shape): every position emits (token,
+    // successor-or-null, successor²-or-null); trigrams are the
+    // fully-non-null rows, bigrams the rollup over _t3 (a bigram
+    // position's trigram successor may be null at the doc tail),
+    // unigrams the rollup over both. Previously each table ran its
+    // own full tokenize+explode over the model corpus.
+    val triCells = model
+      .select(TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(posexplode(col("_toks")).as(Seq("_p", "_t1")),
+        col("_toks"))
+      .select(col("_t1"),
+        try_element_at(col("_toks"), col("_p") + 2).as("_t2"),
+        try_element_at(col("_toks"), col("_p") + 3).as("_t3"))
+      .groupBy("_t1", "_t2", "_t3")
+      .agg(count(lit(1)).cast("double").as("_c"))
+    val tri = triCells.filter(col("_t3").isNotNull)
+      .select(col("_t1").as("_w1"), col("_t2").as("_w2"),
+        col("_t3").as("_w3"), col("_c").as("_c3"))
+    val bi = triCells.filter(col("_t2").isNotNull)
+      .groupBy(col("_t1").as("_a"), col("_t2").as("_b"))
+      .agg(sum(col("_c")).as("_c2"))
+    val uni = triCells.groupBy(col("_t1").as("_w"))
+      .agg(sum(col("_c")).as("_cu"))
     // one-row (N, V) aggregate crossJoined in — lazy like everything
     // else (the uni exchange is shared within the single plan), with
     // the in-plan empty-corpus guard on V

@@ -444,11 +444,19 @@ object Sampling {
         prevV1.fold(conf.unset("spark.sql.sources.useV1SourceList"))(
           conf.set("spark.sql.sources.useV1SourceList", _))
       }
-    spark.createDataFrame(manifestRows)
+    // the sharded frame (ordinalByKey's persisted output) has served
+    // its two consumers (emptiness gate + data write) — release it
+    // here instead of leaving it to LRU eviction (r18)
+    withOrdinal.unpersist(false)
+    val manifestDf = spark.createDataFrame(manifestRows)
       .toDF("shard", "rows", "min_ordinal", "max_ordinal")
-      .coalesce(1).write.mode("overwrite")
+    manifestDf.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/manifest")
-    spark.read.parquet(s"$outDir/manifest")
+    // return the exact rows just committed instead of re-reading the
+    // manifest dir (r18: drops a listing + parquet read job per
+    // export); they ARE the committed-file read-back — the write
+    // above either landed them or threw
+    manifestDf
   }
 
   /** Leakage-safe train/val/test split: the split decision hashes the

@@ -222,18 +222,35 @@ private[graft] object SegmentStore {
     * the guide-§2.6 overlap: a segment's payload and ledger writes read
     * the same persisted staged frame and land in different directories,
     * so running them serially leaves the cluster idle through each
-    * job's tail. Exceptions propagate (first failure wins); the caller
-    * still writes its commit marker (stats) strictly AFTER this
-    * returns, so the stats-last discipline is untouched.
+    * job's tail. EVERY task is awaited to settlement before this
+    * returns (r18, the r17 ADVICE ask): rethrowing on the first failure
+    * while a sibling write still ran would let a streaming replay of
+    * the same batchId rewrite segment dirs concurrently with the
+    * orphaned writer. Only then does the first failure propagate; the
+    * caller still writes its commit marker (stats) strictly AFTER this
+    * returns, so the stats-last discipline is untouched. The tasks run
+    * on a small dedicated pool, not the global ExecutionContext —
+    * callers like FieldedIndex.perField already occupy the global pool
+    * with blocking Spark actions, and nesting blocking Awaits there
+    * leaned on ForkJoinPool managed blocking and its thread cap.
     */
   def inParallel(tasks: Seq[() => Unit]): Unit =
     if (tasks.length <= 1) tasks.foreach(_())
     else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val started = tasks.map(t => Future(t()))
-      started.foreach(Await.result(_, Duration.Inf))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        tasks.length)
+      try {
+        val settled = tasks
+          .map(t => pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+            override def call(): Option[Throwable] =
+              try { t(); None } catch { case e: Throwable => Some(e) }
+          }))
+          .map(_.get()) // settle ALL tasks, failures included
+        settled.flatten.headOption.foreach(e => throw e)
+      } finally {
+        pool.shutdown()
+        ()
+      }
     }
 
   def manifestPath(indexPath: String): org.apache.hadoop.fs.Path =

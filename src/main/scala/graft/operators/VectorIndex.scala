@@ -192,8 +192,11 @@ object VectorIndex {
       val writes = Seq(
         () => SegmentStore.labeled(ss, "vec seg: vectors write")(
           // repartition by cell before partitionBy: otherwise every
-          // write task opens up to nlist files (the small-files trap)
-          staged.repartition(col("cell"))
+          // write task opens up to nlist files (the small-files trap).
+          // Width = the cell count, not the session's
+          // shuffle.partitions (r18, guide §2: no empty tasks below
+          // it, and at scale the cell count is the right width)
+          staged.repartition(centroids.length, col("cell"))
             .write.mode("overwrite").partitionBy("cell")
             .parquet(s"$seg/vectors")),
         () => SegmentStore.labeled(ss, "vec seg: ids write")(
@@ -207,7 +210,7 @@ object VectorIndex {
           SegmentStore.labeled(ss, "vec seg: codes write")(
             staged.select(col("id"), col("cell"),
                 Quantization.pqEncode(col("v"), m).as("codes"))
-              .repartition(col("cell"))
+              .repartition(centroids.length, col("cell"))
               .write.mode("overwrite").partitionBy("cell")
               .parquet(s"$seg/codes"))
         }.toSeq
@@ -661,7 +664,7 @@ object VectorIndex {
     val fresh = live
       .withColumn("cell", Similarity.ivfCell(col("v"), cents))
       .withColumn("norm", sqrt(VectorOps.normSq(col("v"))))
-    fresh.repartition(col("cell"))
+    fresh.repartition(cents.length, col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$seg/vectors")
     val written = spark.read.parquet(s"$seg/vectors").select("id", "cell")
@@ -678,7 +681,7 @@ object VectorIndex {
       spark.read.parquet(s"$seg/vectors")
         .select(col("id"), col("cell"),
           Quantization.pqEncode(col("v"), m).as("codes"))
-        .repartition(col("cell"))
+        .repartition(cents.length, col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$seg/codes")
     }
@@ -736,7 +739,7 @@ object VectorIndex {
         dels.map(d => "deletes/" + new org.apache.hadoop.fs.Path(d).getName)
       Manifest.write(fs, SegmentStore.manifestPath(indexPath),
         s"segments/$name" +: inputs)
-      live.repartition(col("cell"))
+      live.repartition(nlist, col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$seg/vectors")
       val written = spark.read.parquet(s"$seg/vectors")
@@ -763,7 +766,7 @@ object VectorIndex {
           spark.read.parquet(s"$seg/vectors")
             .select(col("id"), col("cell"),
               Quantization.pqEncode(col("v"), m).as("codes"))
-            .repartition(col("cell"))
+            .repartition(nlist, col("cell"))
             .write.mode("overwrite").partitionBy("cell")
             .parquet(s"$seg/codes")
         }.toSeq)

@@ -656,18 +656,22 @@ object PipelineQueries {
       // STAGE the reused frames (guide §5: cache when reused and
       // recomputation is expensive): exactKeepFirst consumes its input
       // twice (keep-agg + semi-join back) and perplexityBuckets(dd, dd)
-      // consumes dd four times (bigram counts, unigram counts, the
-      // scoring pass, the group join) — unstaged, the quality +
-      // repetition-kernel chain re-ran up to 8x inside this one query
-      // (r17-opt: 9.4 -> ~4 s warm at sf0.1). Both persists live and
-      // die inside this single query's execution.
+      // consumes dd several times (model counts, the scoring pass, the
+      // group join) — unstaged, the quality + repetition-kernel chain
+      // re-ran up to 8x inside this one query (r17-opt: 9.4 -> ~4 s
+      // warm at sf0.1). r18 (the r17 ADVICE ask): the persists are
+      // RELEASED by the listener when the query's terminal action
+      // completes — repeated facade calls in a long-lived session no
+      // longer accumulate cached frames until LRU eviction.
       val r = graft.operators.Repetition.gopherFilter(q, "text").persist()
       val dd = Dedup.exactKeepFirst(r, "doc_id", "text").persist()
-      graft.operators.LanguageModel.perplexityBuckets(dd, dd,
-          "doc_id", "text", "source")
-        .filter(col("bucket") =!= "tail")
-        .select("doc_id", "source", "bucket")
-        .orderBy("doc_id")
+      Dedup.releaseAfter(
+        graft.operators.LanguageModel.perplexityBuckets(dd, dd,
+            "doc_id", "text", "source")
+          .filter(col("bucket") =!= "tail")
+          .select("doc_id", "source", "bucket")
+          .orderBy("doc_id"),
+        Seq(r, dd))
     }),
     // the per-source data-card report: volume + what each rule family
     // would remove + exact-dup mass, all INTEGER counts (float means
